@@ -1,0 +1,209 @@
+"""ToStoreSpark: the engine facade (the reference's ``ToStore`` class).
+
+Reference surface:
+- open/close, query/insert/update/delete/upsert entry points
+                              lib/tostore.dart:372-700
+- spaces (isolated namespaces + global tables)
+                              lib/tostore.dart:529-532;
+                              lib/src/core/data_store_impl.dart:5873-5936
+- memory mode                 lib/tostore.dart:197-240
+- KV namespace                lib/tostore.dart:706-803
+- vectorSearch                lib/tostore.dart:493-511
+
+Tables are DataFrames registered from Parquet (or created via TableSchema →
+managed Parquet directories under a warehouse for the write path).  A
+"space" is a namespace prefix; global tables are visible from every space
+(isGlobal, table_schema.dart:37).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tostore_spark.query import QueryBuilder
+from tostore_spark.schema import TableSchema
+
+
+class ToStoreSpark:
+    def __init__(self, spark: SparkSession, data_dir: Optional[str] = None,
+                 warehouse: Optional[str] = None, space: str = "default"):
+        self.spark = spark
+        self._space = space
+        self._warehouse = warehouse
+        # (space, name) -> {"df": DataFrame|None, "path": str|None,
+        #                   "schema": TableSchema, "global": bool}
+        self._tables: dict[tuple[str, str], dict] = {}
+        if data_dir:
+            self.register_dir(data_dir)
+
+    # ---- registry -----------------------------------------------------
+    def register_dir(self, data_dir: str, is_global: bool = False) -> None:
+        for fn in sorted(os.listdir(data_dir)):
+            if fn.endswith(".parquet"):
+                self.register_table(fn[: -len(".parquet")],
+                                    path=os.path.join(data_dir, fn),
+                                    is_global=is_global)
+
+    def register_table(self, name: str, path: Optional[str] = None,
+                       df: Optional[DataFrame] = None,
+                       schema: Optional[TableSchema] = None,
+                       is_global: bool = False) -> None:
+        if df is None and path is None:
+            raise ValueError("register_table needs a path or a DataFrame")
+        if df is None:
+            df = self._read_parquet(path)
+        if schema is None:
+            schema = TableSchema.from_struct_type(name, df.schema, is_global=is_global)
+        space = "global" if is_global else self._space
+        self._tables[(space, name)] = {
+            "df": df, "path": path, "schema": schema, "global": is_global,
+        }
+
+    def _read_parquet(self, path: str) -> DataFrame:
+        """Parquet read that tolerates nanosecond timestamps (Spark rejects
+        TIMESTAMP(NANOS) by default): read them as long nanos and convert to
+        microsecond timestamps — exact integer math, no double rounding."""
+        ns_cols: list[str] = []
+        try:
+            import pyarrow.parquet as pq
+            ns_cols = [f.name for f in pq.read_schema(path)
+                       if str(f.type).startswith("timestamp[ns")]
+        except Exception:
+            pass
+        if not ns_cols:
+            return self.spark.read.parquet(path)
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = self.spark.read.parquet(path)
+        from pyspark.sql import functions as F
+        for c in ns_cols:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        return df
+
+    def create_table(self, schema: TableSchema) -> None:
+        """Create an empty managed table from a declared TableSchema."""
+        df = self.spark.createDataFrame([], schema.to_struct_type())
+        space = "global" if schema.is_global else self._space
+        self._tables[(space, schema.name)] = {
+            "df": df, "path": None, "schema": schema, "global": schema.is_global,
+        }
+
+    def drop_table(self, name: str) -> None:
+        self._tables.pop(self._resolve(name), None)
+
+    def clear(self, name: str) -> None:
+        key = self._resolve(name)
+        ent = self._tables[key]
+        ent["df"] = self.spark.createDataFrame([], ent["df"].schema)
+
+    def table_names(self) -> list[str]:
+        return sorted({n for (sp, n) in self._tables
+                       if sp in (self._space, "global")})
+
+    def _resolve(self, name: str) -> tuple[str, str]:
+        for key in ((self._space, name), ("global", name)):
+            if key in self._tables:
+                return key
+        raise KeyError(f"unknown table: {name} (space={self._space})")
+
+    # ---- spaces (data_store_impl.dart:5873-5936) ----------------------
+    def switch_space(self, space: str) -> "ToStoreSpark":
+        self._space = space
+        return self
+
+    @property
+    def current_space(self) -> str:
+        return self._space
+
+    # ---- access -------------------------------------------------------
+    def df(self, name: str) -> DataFrame:
+        ent = self._tables[self._resolve(name)]
+        df = ent["df"]
+        sch: TableSchema = ent["schema"]
+        if sch.ttl is not None and sch.ttl.ttl_ms > 0 and sch.ttl.source_field:
+            from tostore_spark.ttl import ttl_filter
+            df = ttl_filter(df, sch.ttl)
+        return df
+
+    def schema(self, name: str) -> TableSchema:
+        return self._tables[self._resolve(name)]["schema"]
+
+    def primary_key(self, name: str) -> Optional[str]:
+        try:
+            sch = self.schema(name)
+        except KeyError:
+            return None
+        return sch.primary_key.name if sch.primary_key else None
+
+    def set_df(self, name: str, df: DataFrame) -> None:
+        self._tables[self._resolve(name)]["df"] = df
+
+    def find_foreign_key(self, a: str, b: str):
+        """FK metadata lookup for auto-joins: returns
+        (child_table, parent_table, child_fields, parent_fields)."""
+        for child, parent in ((a, b), (b, a)):
+            try:
+                sch = self.schema(child)
+            except KeyError:
+                continue
+            for fk in sch.foreign_keys:
+                if fk.referenced_table == parent:
+                    return child, parent, list(fk.fields), list(fk.referenced_fields)
+        return None
+
+    # ---- query --------------------------------------------------------
+    def query(self, table: str) -> QueryBuilder:
+        return QueryBuilder(self, table)
+
+    def sql(self, text: str) -> DataFrame:
+        """Escape hatch: register current tables as temp views and run SQL."""
+        for (sp, n), ent in self._tables.items():
+            if sp in (self._space, "global"):
+                ent["df"].createOrReplaceTempView(n)
+        return self.spark.sql(text)
+
+    # ---- writes (write.py) --------------------------------------------
+    def insert(self, table: str, data: dict) -> None:
+        from tostore_spark import write
+        write.insert(self, table, [data])
+
+    def batch_insert(self, table: str, rows: list[dict]) -> None:
+        from tostore_spark import write
+        write.insert(self, table, rows)
+
+    def update(self, table: str):
+        from tostore_spark.write import UpdateBuilder
+        return UpdateBuilder(self, table)
+
+    def delete(self, table: str):
+        from tostore_spark.write import DeleteBuilder
+        return DeleteBuilder(self, table)
+
+    def upsert(self, table: str, data: dict) -> None:
+        from tostore_spark import write
+        write.upsert(self, table, [data])
+
+    def batch_upsert(self, table: str, rows: list[dict]) -> None:
+        from tostore_spark import write
+        write.upsert(self, table, rows)
+
+    # ---- KV namespace (kv.py) -----------------------------------------
+    @property
+    def kv(self):
+        from tostore_spark.kv import KvStore
+        if not hasattr(self, "_kv"):
+            self._kv = KvStore(self)
+        return self._kv
+
+    # ---- vector search (vector.py) ------------------------------------
+    def vector_search(self, table: str, field_name: str, query_vector,
+                      top_k: int = 10, metric: str = "cosine",
+                      distance_threshold: Optional[float] = None,
+                      ef_search: Optional[int] = None) -> DataFrame:
+        from tostore_spark.vector import vector_search
+        return vector_search(self.df(table), field_name, query_vector,
+                             top_k=top_k, metric=metric,
+                             distance_threshold=distance_threshold,
+                             pk=self.primary_key(table))

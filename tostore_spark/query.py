@@ -1,0 +1,551 @@
+"""QueryBuilder: the reference's chainable query surface compiled to a
+declarative DataFrame plan.
+
+Reference surface:
+- builder chain               lib/src/chain/query_builder.dart:93-543,
+                              lib/src/chain/chain_builder.dart:23-289
+- join API + semantics        lib/src/model/join_clause.dart:2-11;
+                              lib/src/query/query_executor.dart:1403-1731
+- output naming (table.field, conflict stripping)
+                              query_executor.dart:1550-1578;
+                              query_builder.dart:705-823
+- groupBy/having              query_builder.dart:111-140, 679-690
+- orderBy/limit/offset        chain_builder.dart:42-76;
+                              query_executor.dart:339-391, 637-655
+- cursor pagination           query_executor.dart:289-335, 3377-3389
+
+Execution is one declarative plan handed to Catalyst: predicate pushdown,
+column pruning, join strategy (broadcast for small dims), partial
+aggregation, and TakeOrderedAndProject(top-k) all come from the optimizer —
+none of the reference's hand-rolled scan/index machinery is replicated
+(SURVEY.md §4.2: it is all built into Spark).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tostore_spark import cursor as cursor_mod
+from tostore_spark.agg import Agg
+from tostore_spark.compile import condition_to_column, order_columns, parse_order_field
+from tostore_spark.condition import ConditionNode, QueryCondition
+from tostore_spark.schema import coerce_to_type
+
+_ALIAS_RE = re.compile(r"^(.*?)\s+as\s+([a-zA-Z0-9_]+)$", re.IGNORECASE)
+
+
+class _Frame:
+    """A DataFrame plus column provenance: (table, field, current name)."""
+
+    def __init__(self, df: DataFrame, prov: list[tuple[str, str, str]]):
+        self.df = df
+        self.prov = prov
+
+    def resolver(self):
+        """Field reference → (Column, DataType).  Accepts ``t.f``, ``t_f``
+        and bare ``f`` (query_builder.dart:705-823); returns None for
+        unknown fields (they evaluate as null, value_matcher.dart:517-531).
+        """
+        by_name = {name: name for _, _, name in self.prov}
+        by_qual: dict[str, str] = {}
+        by_bare: dict[str, Optional[str]] = {}
+        for tbl, fld, name in self.prov:
+            if tbl:
+                by_qual[f"{tbl}.{fld}"] = name
+                by_qual.setdefault(f"{tbl}_{fld}", name)
+            if fld in by_bare and by_bare[fld] != name:
+                by_bare[fld] = None  # ambiguous
+            else:
+                by_bare.setdefault(fld, name)
+        dtypes = {f.name: f.dataType for f in self.df.schema.fields}
+
+        def resolve(ref: str):
+            name = by_name.get(ref) or by_qual.get(ref)
+            if name is None:
+                name = by_bare.get(ref)
+            if name is None:
+                return None
+            return F.col(name), dtypes[name]
+
+        return resolve
+
+
+class QueryResult:
+    """list-of-dict result + pagination handles (query_result.dart:4-124)."""
+
+    def __init__(self, records: list[dict], has_more: bool = False,
+                 has_prev: bool = False, next_token: Optional[str] = None,
+                 prev_token: Optional[str] = None, builder: Optional["QueryBuilder"] = None):
+        self.records = records
+        self.has_more = has_more
+        self.has_prev = has_prev
+        self.next_token = next_token
+        self.prev_token = prev_token
+        self._builder = builder
+
+    def __len__(self):
+        return len(self.records)
+
+    def __iter__(self):
+        return iter(self.records)
+
+    def __getitem__(self, i):
+        return self.records[i]
+
+    def next_page(self) -> "QueryResult":
+        if not (self.has_more and self.next_token and self._builder):
+            return QueryResult([], builder=self._builder)
+        return self._builder.clone().cursor(self.next_token).run()
+
+    def prev_page(self) -> "QueryResult":
+        if not (self.has_prev and self.prev_token and self._builder):
+            return QueryResult([], builder=self._builder)
+        return self._builder.clone().cursor(self.prev_token).run()
+
+
+class QueryBuilder:
+    def __init__(self, engine, table: str):
+        self._engine = engine
+        self._table = table
+        self._cond = QueryCondition()
+        self._select: Optional[list] = None
+        self._aggs: list[Agg] = []
+        self._group_by: Optional[list[str]] = None
+        self._having: Optional[QueryCondition] = None
+        self._order_by: list[str] = []
+        self._limit: Optional[int] = None
+        self._offset: Optional[int] = None
+        self._joins: list[tuple[str, str, str, str, str]] = []  # how, table, lk, op, rk
+        self._distinct: Optional[Union[bool, list[str]]] = None
+        self._cursor_token: Optional[str] = None
+
+    # ---- chain: predicates -------------------------------------------
+    def where(self, field, op=None, value="__missing__"):
+        self._cond.where(field, op, value)
+        return self
+
+    def or_where(self, field, op=None, value="__missing__"):
+        self._cond.or_where(field, op, value)
+        return self
+
+    def condition(self, sub: QueryCondition):
+        self._cond.condition(sub)
+        return self
+
+    def or_condition(self, sub: QueryCondition):
+        self._cond.or_condition(sub)
+        return self
+
+    def __getattr__(self, name):
+        # forward where_* sugar to the condition tree, preserving chaining
+        if name.startswith("where_") and hasattr(QueryCondition, name):
+            def fwd(*a, **kw):
+                getattr(self._cond, name)(*a, **kw)
+                return self
+            return fwd
+        raise AttributeError(name)
+
+    # ---- chain: shape -------------------------------------------------
+    def select(self, fields: Sequence[Union[str, Agg]]):
+        self._select = list(fields)
+        for f in fields:
+            if isinstance(f, Agg):
+                self._aggs.append(f)
+        return self
+
+    def select_agg(self, aggs: Sequence[Agg]):
+        self._aggs.extend(aggs)
+        return self
+
+    def group_by(self, fields: Sequence[str]):
+        self._group_by = list(fields)
+        return self
+
+    def having(self, cond: QueryCondition):
+        self._having = cond
+        return self
+
+    def distinct(self, fields: Optional[Sequence[str]] = None):
+        self._distinct = list(fields) if fields else True
+        return self
+
+    def order_by_asc(self, *fields: str):
+        self._order_by.extend(fields)
+        return self
+
+    def order_by_desc(self, *fields: str):
+        self._order_by.extend(f"-{f}" for f in fields)
+        return self
+
+    def limit(self, n: int):
+        self._limit = n
+        return self
+
+    def offset(self, n: int):
+        self._offset = n
+        return self
+
+    def cursor(self, token: str):
+        self._cursor_token = token
+        return self
+
+    # ---- chain: joins (join_clause.dart:2-11; query_builder.dart:151-253)
+    def join(self, table: str, first_key: str, op: str = "=", second_key: str = None):
+        return self._add_join("inner", table, first_key, op, second_key)
+
+    def left_join(self, table: str, first_key: str, op: str = "=", second_key: str = None):
+        return self._add_join("left", table, first_key, op, second_key)
+
+    def right_join(self, table: str, first_key: str, op: str = "=", second_key: str = None):
+        return self._add_join("right", table, first_key, op, second_key)
+
+    def _add_join(self, how, table, first_key, op, second_key):
+        if second_key is None:
+            second_key, op = op, "="
+        if op not in ("=", "!=", "<>", "<", ">", "<=", ">="):
+            raise ValueError(f"unsupported join operator: {op}")
+        self._joins.append((how, table, first_key, op, second_key))
+        return self
+
+    def join_with_foreign_key(self, table: str, how: str = "inner"):
+        """FK auto-join (query_builder.dart:210-253, 851-951): resolve FK
+        metadata between main table and `table` into an equi-join; composite
+        FKs join on the first pair, the rest become WHERE equalities."""
+        fk = self._engine.find_foreign_key(self._table, table)
+        if fk is None:
+            raise ValueError(f"no foreign key between {self._table} and {table}")
+        child, parent, fields, rfields = fk
+        if child == self._table:
+            lks = [f"{self._table}.{f}" for f in fields]
+            rks = [f"{table}.{rf}" for rf in rfields]
+        else:
+            lks = [f"{self._table}.{rf}" for rf in rfields]
+            rks = [f"{table}.{f}" for f in fields]
+        self._add_join(how, table, lks[0], "=", rks[0])
+        for lk, rk in zip(lks[1:], rks[1:]):
+            self._joins.append(("__extra_eq__", table, lk, "=", rk))
+        return self
+
+    def clone(self) -> "QueryBuilder":
+        import copy
+
+        qb = QueryBuilder(self._engine, self._table)
+        qb._cond = copy.deepcopy(self._cond)
+        qb._select = list(self._select) if self._select else None
+        qb._aggs = list(self._aggs)
+        qb._group_by = list(self._group_by) if self._group_by else None
+        qb._having = copy.deepcopy(self._having)
+        qb._order_by = list(self._order_by)
+        qb._limit, qb._offset = self._limit, self._offset
+        qb._joins = list(self._joins)
+        qb._distinct = self._distinct
+        return qb
+
+    # ---- plan build ---------------------------------------------------
+    def _base_frame(self) -> _Frame:
+        df = self._engine.df(self._table)
+        return _Frame(df, [(self._table, c, c) for c in df.columns])
+
+    def _normalize_node(self, node: ConditionNode, frame: _Frame) -> ConditionNode:
+        """Coerce leaf values to field schema types
+        (query_condition.dart:743-835) so loose typing (1 == "1") resolves
+        at compile time and literals stay pushdown-friendly."""
+        if node.kind == "leaf":
+            fs = self._field_schema(node.field, frame)
+            if fs is None:
+                return node
+            v = node.value
+            if node.op in ("IN", "NOT IN"):
+                v = [coerce_to_type(x, fs.type) for x in (v or [])]
+            elif node.op == "BETWEEN":
+                v = {"start": coerce_to_type(v["start"], fs.type),
+                     "end": coerce_to_type(v["end"], fs.type)}
+            elif node.op in ("LIKE", "NOT LIKE"):
+                pass
+            else:
+                v = coerce_to_type(v, fs.type)
+            return ConditionNode("leaf", node.field, node.op, v)
+        return ConditionNode(node.kind,
+                             children=[self._normalize_node(c, frame) for c in node.children])
+
+    def _field_schema(self, ref: str, frame: _Frame):
+        tbl, fld = (ref.split(".", 1) + [None])[:2] if "." in ref else (None, ref)
+        if tbl is None:
+            tbl, fld = None, ref
+        for ptbl, pfld, _name in frame.prov:
+            if pfld == fld and (tbl is None or tbl == ptbl):
+                sch = self._engine.schema(ptbl) if ptbl else None
+                return sch.field(pfld) if sch else None
+        return None
+
+    def _apply_joins(self, frame: _Frame) -> _Frame:
+        join_seq = 0
+        for how, table, lk, op, rk in self._joins:
+            if how == "__extra_eq__":
+                continue  # handled with its primary clause below
+            join_seq += 1
+            jdf = self._engine.df(table)
+            # temp-rename the right side to collision-free names
+            tmp_names = {c: f"__j{join_seq}__{c}" for c in jdf.columns}
+            for old, new in tmp_names.items():
+                jdf = jdf.withColumnRenamed(old, new)
+            jprov = [(table, c, tmp_names[c]) for c in self._engine.df(table).columns]
+
+            lresolve = frame.resolver()
+            rres = {f: (F.col(n), None) for _, f, n in jprov}
+            rres.update({f"{table}.{f}": (F.col(n), None) for _, f, n in jprov})
+
+            def rresolve(ref):
+                return rres.get(ref)
+
+            lcol = (lresolve(lk) or (None,))[0]
+            rcol = (rresolve(rk) or (None,))[0]
+            if lcol is None or rcol is None:
+                # allow keys written in either order (query_builder.dart:151-190)
+                lcol = (lresolve(rk) or (None,))[0]
+                rcol = (rresolve(lk) or (None,))[0]
+            if lcol is None or rcol is None:
+                raise ValueError(f"cannot resolve join keys {lk}, {rk}")
+
+            lname = self._colname_for(frame, lk) or self._colname_for(frame, rk)
+            ltype = dict((f.name, f.dataType) for f in frame.df.schema.fields).get(lname)
+            rname = next(n for _, f, n in jprov if rk.endswith(f))
+            rtype = dict((f.name, f.dataType) for f in jdf.schema.fields).get(rname)
+            lkey, rkey = lcol, rcol
+            if ltype is not None and rtype is not None and _kind(ltype) != _kind(rtype):
+                # loose join-key matching: canonicalize via string, matching
+                # the reference's toString() keys (query_executor.dart:1526-1547)
+                lkey, rkey = lcol.cast("string"), rcol.cast("string")
+
+            cond = {"=": lkey == rkey, "!=": lkey != rkey, "<>": lkey != rkey,
+                    "<": lkey < rkey, ">": lkey > rkey,
+                    "<=": lkey <= rkey, ">=": lkey >= rkey}[op]
+            # composite-FK extra equalities ride along as join predicates
+            for xhow, xtable, xlk, _xop, xrk in self._joins:
+                if xhow == "__extra_eq__" and xtable == table:
+                    xl = (lresolve(xlk) or (None,))[0]
+                    xr = (rresolve(xrk.split(".")[-1]) or (None,))[0]
+                    if xl is not None and xr is not None:
+                        cond = cond & (xl == xr)
+
+            joined = frame.df.join(jdf, on=cond, how=how)
+            frame = _Frame(joined, frame.prov + jprov)
+        return self._finalize_names(frame)
+
+    def _colname_for(self, frame: _Frame, ref: str) -> Optional[str]:
+        r = frame.resolver()(ref)
+        if r is None:
+            return None
+        # resolver returns F.col(name); recover name via prov lookup
+        tbl, fld = ref.split(".", 1) if "." in ref else (None, ref)
+        for ptbl, pfld, name in frame.prov:
+            if pfld == fld and (tbl is None or ptbl == tbl):
+                return name
+        for ptbl, pfld, name in frame.prov:
+            if name == ref:
+                return name
+        return None
+
+    def _finalize_names(self, frame: _Frame) -> _Frame:
+        """Output naming parity (query_executor.dart:1550-1578): every joined
+        column is conceptually ``table.field``; names that conflict across
+        tables keep a ``table_field`` prefix, unconflicted names are bare."""
+        if not self._joins:
+            return frame
+        from collections import Counter
+
+        counts = Counter(f for _, f, _ in frame.prov)
+        new_prov, df = [], frame.df
+        used: set[str] = set()
+        for tbl, fld, name in frame.prov:
+            out = fld if counts[fld] == 1 else f"{tbl}_{fld}"
+            while out in used:
+                out = out + "_"
+            used.add(out)
+            if out != name:
+                df = df.withColumnRenamed(name, out)
+            new_prov.append((tbl, fld, out))
+        return _Frame(df, new_prov)
+
+    def _apply_condition(self, frame: _Frame) -> _Frame:
+        if self._cond.is_empty():
+            return frame
+        node = self._normalize_node(self._cond.root(), frame)
+        col = condition_to_column(node, frame.resolver())
+        return _Frame(frame.df.filter(col), frame.prov)
+
+    def _apply_agg(self, frame: _Frame) -> _Frame:
+        if not self._aggs:
+            return frame
+        resolver = frame.resolver()
+        agg_cols = [a.to_column(resolver) for a in self._aggs]
+        if self._group_by:
+            group_names = []
+            for g in self._group_by:
+                name = self._colname_for(frame, g)
+                if name is None:
+                    raise ValueError(f"unknown group-by field: {g}")
+                group_names.append(name)
+            out = frame.df.groupBy(*[F.col(n) for n in group_names]).agg(*agg_cols)
+            prov = [(None, n, n) for n in group_names]
+        else:
+            out = frame.df.agg(*agg_cols)
+            prov = []
+        prov += [(None, a.output_name, a.output_name) for a in self._aggs]
+        return _Frame(out, prov)
+
+    def _apply_having(self, frame: _Frame) -> _Frame:
+        if self._having is None or self._having.is_empty():
+            return frame
+        col = condition_to_column(self._having.root(), frame.resolver())
+        return _Frame(frame.df.filter(col), frame.prov)
+
+    def _apply_select(self, frame: _Frame) -> _Frame:
+        if self._select is None:
+            return frame
+        cols, prov = [], []
+        for item in self._select:
+            if isinstance(item, Agg):
+                # agg outputs already exist post-aggregation
+                cols.append(F.col(item.output_name))
+                prov.append((None, item.output_name, item.output_name))
+                continue
+            m = _ALIAS_RE.match(item.strip())
+            ref, alias = (m.group(1).strip(), m.group(2)) if m else (item.strip(), None)
+            resolved = frame.resolver()(ref)
+            col = resolved[0] if resolved else F.lit(None)
+            out = alias or (self._colname_for(frame, ref) or ref.split(".")[-1])
+            cols.append(col.alias(out))
+            prov.append((None, out, out))
+        return _Frame(frame.df.select(*cols), prov)
+
+    def _sort_fields_with_tiebreak(self) -> list[tuple[str, bool]]:
+        fields = [parse_order_field(s) for s in self._order_by]
+        pk = self._engine.primary_key(self._table)
+        if pk and pk not in [f for f, _ in fields]:
+            fields.append((pk, False))  # stable PK-asc tie-break
+        return fields
+
+    def df(self) -> DataFrame:
+        """Compile the chain to a DataFrame (the declarative plan)."""
+        frame = self._base_frame()
+        frame = self._apply_joins(frame)
+        frame = self._apply_condition(frame)
+
+        if self._cursor_token:
+            tok = cursor_mod.decode_cursor(self._cursor_token)
+            sig = cursor_mod.query_signature(self._table, self._cond.to_map(), self._order_by)
+            if tok.get("sig") != sig:
+                raise ValueError("cursor signature does not match this query")
+            sort_fields = [(f, bool(d)) for f, d in tok["sort"]]
+            reverse = tok.get("direction") == "prev"
+            frame = _Frame(
+                frame.df.filter(cursor_mod.keyset_filter(
+                    sort_fields, tok["pivot"], frame.resolver(), reverse=reverse)),
+                frame.prov)
+
+        frame = self._apply_agg(frame)
+        frame = self._apply_having(frame)
+        frame = self._apply_select(frame)
+
+        if self._distinct is not None:
+            if self._distinct is True:
+                frame = _Frame(frame.df.distinct(), frame.prov)
+            else:
+                names = [self._colname_for(frame, f) or f for f in self._distinct]
+                frame = _Frame(frame.df.dropDuplicates(names), frame.prov)
+
+        if self._order_by:
+            frame = _Frame(
+                frame.df.orderBy(*order_columns(self._order_by, frame.resolver())),
+                frame.prov)
+
+        df = frame.df
+        if self._offset:
+            df = df.offset(self._offset)
+        if self._limit is not None:
+            df = df.limit(self._limit)
+        return df
+
+    # ---- terminals ----------------------------------------------------
+    def run(self) -> QueryResult:
+        """Collect list-of-dict records + pagination state
+        (limit+1 → hasMore, query_executor.dart:657-686)."""
+        fetch = self._limit + 1 if self._limit is not None else None
+        qb = self
+        if fetch is not None:
+            qb = self.clone()
+            qb._limit = fetch
+            qb._cursor_token = self._cursor_token
+        rows = [r.asDict(recursive=True) for r in qb.df().collect()]
+        has_more = fetch is not None and len(rows) >= fetch
+        if has_more:
+            rows = rows[: self._limit]
+        next_token = prev_token = None
+        if rows and self._order_by:
+            sort_fields = self._sort_fields_with_tiebreak()
+            sig = cursor_mod.query_signature(self._table, self._cond.to_map(), self._order_by)
+            usable = [f for f, _ in sort_fields if f in rows[-1]]
+            if len(usable) == len(sort_fields):
+                next_token = cursor_mod.encode_cursor(
+                    self._table, sort_fields,
+                    {f: rows[-1][f] for f, _ in sort_fields}, "next", sig)
+                prev_token = cursor_mod.encode_cursor(
+                    self._table, sort_fields,
+                    {f: rows[0][f] for f, _ in sort_fields}, "prev", sig)
+        has_prev = self._cursor_token is not None or bool(self._offset)
+        return QueryResult(rows, has_more, has_prev, next_token, prev_token, builder=self)
+
+    def count(self) -> int:
+        """Metadata-fast count (query_builder.dart:300-317): Parquet
+        row-group stats make plain count() O(metadata) when unfiltered."""
+        qb = self.clone()
+        qb._order_by, qb._limit, qb._offset = [], None, None
+        frame = qb._base_frame()
+        frame = qb._apply_joins(frame)
+        frame = qb._apply_condition(frame)
+        return frame.df.count()
+
+    def exists(self) -> bool:
+        # count-limit-1 early exit (query_builder.dart:324-347)
+        qb = self.clone()
+        qb._order_by, qb._offset = [], None
+        qb._limit = 1
+        qb._aggs, qb._select, qb._group_by = [], None, None
+        return len(qb.df().take(1)) > 0
+
+    def _scalar_agg(self, kind: str, field: str):
+        qb = self.clone()
+        qb._order_by, qb._limit, qb._offset = [], None, None
+        qb._aggs = [Agg(kind, field, alias="__v")]
+        qb._select, qb._group_by, qb._distinct = None, None, None
+        row = qb.df().collect()[0]
+        return row["__v"]
+
+    def sum(self, field: str):
+        return self._scalar_agg("sum", field)
+
+    def avg(self, field: str):
+        return self._scalar_agg("avg", field)
+
+    def min(self, field: str):
+        return self._scalar_agg("min", field)
+
+    def max(self, field: str):
+        return self._scalar_agg("max", field)
+
+
+def _kind(st) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(st, T.NumericType):
+        return "num"
+    if isinstance(st, T.BooleanType):
+        return "bool"
+    if isinstance(st, (T.TimestampType, T.DateType)):
+        return "time"
+    return "str"

@@ -1,0 +1,130 @@
+"""Vector search: exact scored top-k plus an LSH-bucketed scale path.
+
+Reference surface:
+- API: ``vectorSearch(table, {fieldName, queryVector, topK, efSearch,
+  distanceThreshold})`` → results sorted by distance
+  (lib/tostore.dart:493-511; lib/src/core/data_store_impl.dart:5849-5867)
+- metrics l2 / innerProduct / cosine; cosine normalizes the query and
+  distance = 1 − sim (table_schema.dart:2511-2531;
+  vector_index_manager.dart:516-518)
+- score: l2 → 1/(1+d); innerProduct → sigmoid(−d); cosine → 1−d clamped
+  [0,1] (vector_index_manager.dart:1410-1421)
+- the NGH graph index (ngh_graph_engine.dart) is a single-node in-memory
+  structure with no distributed analog; ``efSearch``/graph params are
+  accepted-but-advisory here.  The scale path is LSH bucketing
+  (random-hyperplane signatures) so candidate generation is a bucket join,
+  not an all-pairs scan.
+
+Everything is computed JVM-side with built-in higher-order functions
+(``aggregate``/``zip_with``) — no Python UDF in the hot path, so the top-k
+is a single TakeOrderedAndProject over a narrow projection at any scale.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(vec_col: Column, q: Sequence[float]) -> Column:
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    return F.aggregate(
+        F.zip_with(vec_col, qcol, lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm_sq(vec_col: Column) -> Column:
+    return F.aggregate(vec_col, F.lit(0.0),
+                       lambda acc, x: acc + x.cast("double") * x.cast("double"))
+
+
+def distance_column(vec_col: Column, query: Sequence[float], metric: str) -> Column:
+    """distance per the reference's metric definitions."""
+    q = [float(x) for x in query]
+    if metric == "l2":
+        qsq = sum(x * x for x in q)
+        # ||v-q||^2 = ||v||^2 - 2 v.q + ||q||^2, computed in one pass
+        return F.sqrt(F.greatest(
+            _norm_sq(vec_col) - F.lit(2.0) * _dot(vec_col, q) + F.lit(qsq),
+            F.lit(0.0)))
+    if metric == "innerProduct":
+        return -_dot(vec_col, q)
+    if metric == "cosine":
+        # query normalized first (vector_index_manager.dart:516-518)
+        qn = math.sqrt(sum(x * x for x in q)) or 1.0
+        qq = [x / qn for x in q]
+        sim = _dot(vec_col, qq) / F.sqrt(F.greatest(_norm_sq(vec_col), F.lit(1e-30)))
+        return F.lit(1.0) - sim
+    raise ValueError(f"unknown metric: {metric}")
+
+
+def score_column(dist: Column, metric: str) -> Column:
+    # vector_index_manager.dart:1410-1421
+    if metric == "l2":
+        return F.lit(1.0) / (F.lit(1.0) + dist)
+    if metric == "innerProduct":
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(dist))  # sigmoid(−d), d = −ip
+    if metric == "cosine":
+        return F.greatest(F.least(F.lit(1.0) - dist, F.lit(1.0)), F.lit(0.0))
+    raise ValueError(f"unknown metric: {metric}")
+
+
+def vector_search(df: DataFrame, field_name: str, query_vector: Sequence[float],
+                  top_k: int = 10, metric: str = "cosine",
+                  distance_threshold: Optional[float] = None,
+                  pk: Optional[str] = None) -> DataFrame:
+    """Exact brute-force scored top-k — a narrow scan + TakeOrderedAndProject;
+    at 100 TB this is one pass over the vector column only (Parquet column
+    pruning drops everything else before the distance math)."""
+    dist = distance_column(F.col(field_name), query_vector, metric)
+    out = df.withColumn("distance", dist)
+    if distance_threshold is not None:
+        out = out.filter(F.col("distance") <= F.lit(float(distance_threshold)))
+    out = out.withColumn("score", score_column(F.col("distance"), metric))
+    order = [F.col("distance").asc()]
+    if pk:
+        order.append(F.col(pk).asc())
+    return out.orderBy(*order).limit(top_k)
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — no numpy RNG state so
+    results are stable across workers/rounds)."""
+    planes, state = [], seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_column(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature (sign bits packed into a long): vectors in
+    the same bucket are cosine-close candidates.  Bucketing turns ANN search
+    into an equi-join on the signature — shuffle on a small key, no all-pairs."""
+    bit = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        sign = (_dot(vec_col, p) > 0).cast("long")
+        bit = bit + F.shiftleft(sign, i)
+    return bit
+
+
+def vector_search_lsh(df: DataFrame, field_name: str, query_vector: Sequence[float],
+                      top_k: int = 10, metric: str = "cosine",
+                      n_planes: int = 12, pk: Optional[str] = None) -> DataFrame:
+    """Approximate top-k: probe only the query's LSH bucket, then exact
+    re-rank inside it (the reference's PQ-then-re-rank shape, Spark-style)."""
+    dim = len(query_vector)
+    planes = random_hyperplanes(dim, n_planes)
+    sig = 0
+    for i, p in enumerate(planes):
+        if sum(a * float(b) for a, b in zip(p, query_vector)) > 0:
+            sig |= 1 << i
+    bucketed = df.filter(lsh_bucket_column(F.col(field_name), planes) == F.lit(sig))
+    return vector_search(bucketed, field_name, query_vector, top_k=top_k,
+                         metric=metric, pk=pk)

@@ -1,0 +1,344 @@
+"""Write path: insert / batchInsert / update / delete / upsert + validation.
+
+Reference surface:
+- insert w/ PK generation + unique reservation   data_store_impl.dart:1527+
+- batchInsert (allowPartialErrors)               data_store_impl.dart:3968+
+- upsert / batchUpsert (by PK or unique index;
+  rejected when no unique key exists)            data_store_impl.dart:2229+, 4739+
+- update builder + allowUpdateAll guard          data_store_impl.dart:2342+,
+                                                 chain/update_builder.dart:4-245
+- delete + allowDeleteAll guard + FK hooks       data_store_impl.dart:3107+
+- distributed ID generators                      model/id_generator.dart:31,256,312
+
+Spark-first shape: every mutation is a *join-based rewrite* producing a new
+DataFrame version of the table (copy-on-write, the Parquet analog of a Delta
+MERGE).  Updates with Expr values are Column expressions inside that rewrite
+— atomic per job, no read-modify-write row loops, scales with the join.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tostore_spark.compile import condition_to_column
+from tostore_spark.condition import QueryCondition
+from tostore_spark.expr import Expr
+from tostore_spark.query import _Frame
+from tostore_spark.schema import PrimaryKeyType, TableSchema
+
+_B62 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
+
+def _b62(n: int) -> str:
+    if n == 0:
+        return _B62[0]
+    out = []
+    while n:
+        n, r = divmod(n, 62)
+        out.append(_B62[r])
+    return "".join(reversed(out))
+
+
+class _PkState:
+    """Per-table generator state (id_generator.dart); sequential IDs batch-
+    reserve from the current max, timestamp IDs use a monotonic counter."""
+
+    def __init__(self):
+        self.next_seq: Optional[int] = None
+        self.counter = 0
+
+
+_pk_states: dict[tuple[int, str], _PkState] = {}
+
+
+def _generate_pks(engine, table: str, schema: TableSchema, n: int) -> list[str]:
+    pk = schema.primary_key
+    st = _pk_states.setdefault((id(engine), table), _PkState())
+    if pk.type == PrimaryKeyType.sequential:
+        if st.next_seq is None:
+            cur = engine.df(table)
+            if pk.name in cur.columns:
+                row = cur.agg(F.max(F.col(pk.name).try_cast("long")).alias("m")).collect()[0]
+                st.next_seq = max((row["m"] or 0) + pk.sequential_config.increment,
+                                  pk.sequential_config.initial_value)
+            else:
+                st.next_seq = pk.sequential_config.initial_value
+        out = []
+        for _ in range(n):
+            out.append(str(st.next_seq))
+            st.next_seq += pk.sequential_config.increment
+        return out
+    now_ms = int(time.time() * 1000)
+    if pk.type == PrimaryKeyType.timestampBased:
+        out = []
+        for _ in range(n):
+            st.counter += 1
+            out.append(str(now_ms * 1000 + st.counter % 1000))
+        return out
+    if pk.type == PrimaryKeyType.datePrefixed:
+        day = time.strftime("%Y%m%d", time.gmtime())
+        out = []
+        for _ in range(n):
+            st.counter += 1
+            out.append(f"{day}{now_ms % 86400000:08d}{st.counter:04d}")
+        return out
+    if pk.type == PrimaryKeyType.shortCode:
+        out = []
+        for _ in range(n):
+            st.counter += 1
+            out.append(_b62(now_ms * 4096 + st.counter))
+        return out
+    raise ValueError(f"primary key type {pk.type} does not auto-generate")
+
+
+def _validate(schema: TableSchema, rows: list[dict]) -> None:
+    """Constraint checks Spark lacks natively: non-null, min/max length and
+    value bounds (table_schema.dart:1177-1216)."""
+    for row in rows:
+        for f in schema.fields:
+            v = row.get(f.name)
+            if v is None:
+                if not f.nullable and f.default_value is None \
+                        and f.default_value_type.value == "none":
+                    raise ValueError(f"field {f.name} is not nullable")
+                continue
+            if f.max_length is not None and isinstance(v, str) and len(v) > f.max_length:
+                raise ValueError(f"{f.name}: length {len(v)} > max {f.max_length}")
+            if f.min_length is not None and isinstance(v, str) and len(v) < f.min_length:
+                raise ValueError(f"{f.name}: length {len(v)} < min {f.min_length}")
+            if f.min_value is not None and isinstance(v, (int, float)) and v < f.min_value:
+                raise ValueError(f"{f.name}: {v} < min {f.min_value}")
+            if f.max_value is not None and isinstance(v, (int, float)) and v > f.max_value:
+                raise ValueError(f"{f.name}: {v} > max {f.max_value}")
+
+
+def _fill_defaults(engine, schema: TableSchema, rows: list[dict]) -> list[dict]:
+    import datetime
+    out = []
+    for row in rows:
+        r = dict(row)
+        for f in schema.fields:
+            if r.get(f.name) is None:
+                if f.default_value_type.value == "currentTimestamp":
+                    r[f.name] = datetime.datetime.now()
+                elif f.default_value is not None:
+                    r[f.name] = f.default_value
+        out.append(r)
+    return out
+
+
+def _check_unique(engine, table: str, schema: TableSchema, new_df: DataFrame) -> None:
+    """Unique enforcement = a validation anti-join before the write
+    (reference reserves unique keys at insert, data_store_impl.dart:1592-1610)."""
+    cur = engine.df(table)
+    for keyset in schema.unique_key_sets():
+        if not all(k in new_df.columns and k in cur.columns for k in keyset):
+            continue
+        clash = new_df.join(cur.select(*keyset).dropDuplicates(keyset),
+                            on=keyset, how="inner")
+        if clash.take(1):
+            raise ValueError(f"unique constraint violation on {keyset} in {table}")
+        dup_new = (new_df.groupBy(*keyset).count().filter(F.col("count") > 1))
+        if dup_new.take(1):
+            raise ValueError(f"duplicate keys {keyset} within inserted batch")
+
+
+def insert(engine, table: str, rows: list[dict]) -> None:
+    schema = engine.schema(table)
+    rows = _fill_defaults(engine, schema, rows)
+    _validate(schema, rows)
+    if schema.primary_key is not None:
+        pkname = schema.primary_key.name
+        missing = [r for r in rows if r.get(pkname) is None]
+        if missing:
+            pks = _generate_pks(engine, table, schema, len(missing))
+            for r, pk in zip(missing, pks):
+                r[pkname] = pk
+        for r in rows:
+            r[pkname] = str(r[pkname])  # PKs are always strings
+    cur = engine.df(table)
+    new_df = engine.spark.createDataFrame(
+        [tuple(r.get(c) for c in cur.columns) for r in rows], cur.schema)
+    if schema.primary_key is not None or any(ix.unique for ix in schema.all_indexes()):
+        _check_unique(engine, table, schema, new_df)
+    engine.set_df(table, cur.unionByName(new_df))
+
+
+def upsert(engine, table: str, rows: list[dict],
+           exprs: Optional[dict[str, Expr]] = None) -> None:
+    """MERGE-equivalent: match on PK (or a unique index covering the payload),
+    update matched rows, insert the rest.  The reference rejects upserts with
+    no unique key to match on (data_store_impl.dart:2229+) — so do we."""
+    schema = engine.schema(table)
+    keyset = None
+    for ks in schema.unique_key_sets():
+        if all(all(k in r for k in ks) for r in rows):
+            keyset = ks
+            break
+    if keyset is None:
+        raise ValueError(f"upsert on {table} requires PK or unique-index fields")
+    if schema.primary_key is not None and keyset == [schema.primary_key.name]:
+        for r in rows:
+            r[schema.primary_key.name] = str(r[schema.primary_key.name])
+    cur = engine.df(table)
+    src = engine.spark.createDataFrame(
+        [tuple(r.get(c) for c in cur.columns) for r in rows], cur.schema)
+    src = src.select([F.col(c).alias(f"__src_{c}") for c in cur.columns])
+    on = [F.col(k) == F.col(f"__src_{k}") for k in keyset]
+    joined = cur.join(F.broadcast(src), on=on[0] if len(on) == 1 else
+                      on[0] & on[1], how="full_outer")
+    matched = F.col(keyset[0]).isNotNull() & F.col(f"__src_{keyset[0]}").isNotNull()
+    is_update = matched
+
+    def resolver(name: str):
+        return F.col(name)
+
+    out_cols = []
+    payload_cols = {c for c in cur.columns
+                    if any(c in r for r in rows)} | set(keyset)
+    for c in cur.columns:
+        tgt, srcv = F.col(c), F.col(f"__src_{c}")
+        if exprs and c in exprs:
+            upd = exprs[c].to_column(resolver, is_update_col=is_update)
+        elif c in payload_cols:
+            upd = srcv
+        else:
+            upd = tgt
+        merged = (F.when(matched, upd)
+                   .when(F.col(f"__src_{keyset[0]}").isNotNull(),
+                         exprs[c].to_column(resolver, is_update_col=is_update)
+                         if exprs and c in exprs else srcv)
+                   .otherwise(tgt))
+        out_cols.append(merged.alias(c))
+    engine.set_df(table, joined.select(*out_cols))
+
+
+class _MutationBuilder:
+    def __init__(self, engine, table: str):
+        self._engine = engine
+        self._table = table
+        self._cond = QueryCondition()
+        self._allow_all = False
+
+    def where(self, field, op=None, value="__missing__"):
+        self._cond.where(field, op, value)
+        return self
+
+    def or_where(self, field, op=None, value="__missing__"):
+        self._cond.or_where(field, op, value)
+        return self
+
+    def condition(self, sub):
+        self._cond.condition(sub)
+        return self
+
+    def _predicate(self):
+        df = self._engine.df(self._table)
+        frame = _Frame(df, [(self._table, c, c) for c in df.columns])
+        from tostore_spark.query import QueryBuilder
+        qb = QueryBuilder(self._engine, self._table)
+        node = qb._normalize_node(self._cond.root(), frame)
+        return df, condition_to_column(node, frame.resolver())
+
+
+class UpdateBuilder(_MutationBuilder):
+    """update(t).where(...).set({...}) — refuses a conditionless update
+    without allow_update_all() (update_builder.dart:4-245)."""
+
+    def allow_update_all(self):
+        self._allow_all = True
+        return self
+
+    # sugar (update_builder.dart:63-209)
+    def set(self, values: dict[str, Any]) -> int:
+        if self._cond.is_empty() and not self._allow_all:
+            raise ValueError("conditionless update requires allow_update_all()")
+        df, pred = self._predicate()
+        n = df.filter(pred).count()
+
+        def resolver(name: str):
+            return F.col(name)
+
+        out = df
+        for fld, v in values.items():
+            newv = v.to_column(resolver) if isinstance(v, Expr) else F.lit(v)
+            if fld in df.columns:
+                ftype = dict((f.name, f.dataType) for f in df.schema.fields)[fld]
+                newv = newv.cast(ftype)
+            out = out.withColumn(fld, F.when(pred, newv).otherwise(F.col(fld)))
+        self._engine.set_df(self._table, out)
+        return n
+
+    def increment(self, field: str, by: Any = 1) -> int:
+        return self.set({field: Expr.field(field) + by})
+
+    def decrement(self, field: str, by: Any = 1) -> int:
+        return self.set({field: Expr.field(field) - by})
+
+    def multiply(self, field: str, by: Any) -> int:
+        return self.set({field: Expr.field(field) * by})
+
+    def divide(self, field: str, by: Any) -> int:
+        return self.set({field: Expr.field(field) / by})
+
+    def clamp(self, field: str, lo: Any, hi: Any) -> int:
+        return self.set({field: Expr.min_of(Expr.max_of(Expr.field(field), lo), hi)})
+
+    def set_server_timestamp(self, field: str) -> int:
+        return self.set({field: Expr.now()})
+
+
+class DeleteBuilder(_MutationBuilder):
+    """delete(t).where(...).execute() with allow_delete_all() guard and FK
+    cascade/restrict/setNull handling (foreign_key_manager.dart)."""
+
+    def allow_delete_all(self):
+        self._allow_all = True
+        return self
+
+    def execute(self) -> int:
+        if self._cond.is_empty() and not self._allow_all:
+            raise ValueError("conditionless delete requires allow_delete_all()")
+        df, pred = self._predicate()
+        doomed = df.filter(pred)
+        n = doomed.count()
+        self._cascade(doomed)
+        self._engine.set_df(self._table, df.filter(~F.coalesce(pred, F.lit(False))))
+        return n
+
+    def _cascade(self, doomed: DataFrame) -> None:
+        from tostore_spark.schema import ForeignKeyAction
+        for child in self._engine.table_names():
+            try:
+                csch = self._engine.schema(child)
+            except KeyError:
+                continue
+            for fk in csch.foreign_keys:
+                if fk.referenced_table != self._table:
+                    continue
+                cdf = self._engine.df(child)
+                keys = doomed.select(*[F.col(rf).alias(f)
+                                       for f, rf in zip(fk.fields, fk.referenced_fields)])
+                hit = cdf.join(F.broadcast(keys.dropDuplicates()), on=list(fk.fields),
+                               how="left_semi")
+                if fk.on_delete == ForeignKeyAction.restrict:
+                    if hit.take(1):
+                        raise ValueError(
+                            f"delete restricted: {child} references {self._table}")
+                elif fk.on_delete == ForeignKeyAction.cascade:
+                    remaining = cdf.join(F.broadcast(keys.dropDuplicates()),
+                                         on=list(fk.fields), how="left_anti")
+                    self._engine.set_df(child, remaining)
+                elif fk.on_delete == ForeignKeyAction.setNull:
+                    marked = cdf.join(F.broadcast(keys.dropDuplicates()
+                                                  .withColumn("__hit", F.lit(1))),
+                                      on=list(fk.fields), how="left")
+                    out = marked
+                    for f in fk.fields:
+                        out = out.withColumn(
+                            f, F.when(F.col("__hit") == 1, F.lit(None)).otherwise(F.col(f)))
+                    self._engine.set_df(child, out.drop("__hit"))
