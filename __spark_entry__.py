@@ -1,38 +1,921 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` exercises one operator family from SURVEY.md §2
+through the tostore_spark engine; ``oracle_sql()`` holds the DuckDB-
+equivalent ANSI SQL.  Column names are aliased identically on both sides.
+
+Float policy: sums over non-integer doubles go through DECIMAL(18,x) on BOTH
+sides (exact, order-independent, then cast to double), so value hashes match
+bit-for-bit regardless of aggregation order.  Sums of integer-valued doubles
+(quantities) are exact in IEEE double already.  Ratios divide identical
+numerators/denominators.  Vector distances replicate the same fold shape in
+both engines.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from tostore_spark import Agg, QueryCondition, ToStoreSpark
+from tostore_spark.llmops import dedup as D
+from tostore_spark.llmops import similarity as S
+from tostore_spark.llmops import text as TX
+
+_ENGINES: dict[tuple[int, str], ToStoreSpark] = {}
+
+
+def _db(spark: SparkSession, sf_dir: str) -> ToStoreSpark:
+    key = (id(spark), sf_dir)
+    if key not in _ENGINES:
+        _ENGINES[key] = ToStoreSpark(spark, data_dir=sf_dir)
+    return _ENGINES[key]
+
+
+def _dec_sum(col, alias: str, scale: int = 4):
+    """Exact float sum: decimal-cast per value, decimal sum, double out."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+# deterministic synthetic query vector (embedded identically in oracle SQL)
+_QVEC = [math.sin(i + 1.0) for i in range(64)]
+_QN = math.sqrt(sum(x * x for x in _QVEC))
+_QVEC_N = [x / _QN for x in _QVEC]  # normalized (cosine path)
+_QSQ = sum(x * x for x in _QVEC)
+
+
+def _sql_list(vals) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+# ----------------------------------------------------------------------
+# flagship
+# ----------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1-shaped pricing summary through the query builder
+    (groupBy + multi-agg compiled to one partial/final hash aggregate)."""
+    db = _db(spark, "/root/testdata/sf0.001")
+    return (
+        db.query("lineitem")
+        .where("l_shipdate", "<=", "2002-09-01")
+        .group_by(["l_returnflag", "l_linestatus"])
+        .select_agg([
+            Agg.sum("l_quantity", "sum_qty"),
+            Agg.sum(F.col("l_extendedprice").cast("decimal(18,4)"), "sum_base_price_dec"),
+            Agg.avg("l_quantity", "avg_qty"),
+            Agg.count("*", "count_order"),
+        ])
+        .order_by_asc("l_returnflag", "l_linestatus")
+        .df()
+        .withColumn("sum_base_price_dec", F.col("sum_base_price_dec").cast("double"))
+    )
 
+
+# ----------------------------------------------------------------------
+# core relational operators (SURVEY.md §2.2, §2.6)
+# ----------------------------------------------------------------------
+
+def q_filter_sort_limit(spark, sf_dir):
+    """Scan + predicate + top-k (tableScan path, query_executor.dart:1739;
+    bounded top-k topk_heap.dart:8-40 → TakeOrderedAndProject)."""
+    db = _db(spark, sf_dir)
+    return (db.query("lineitem")
+            .where("l_quantity", ">", 45)
+            .select(["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"])
+            .order_by_desc("l_extendedprice").order_by_asc("l_orderkey", "l_linenumber")
+            .limit(100).df())
+
+
+def q_pred_like_between_in(spark, sf_dir):
+    """LIKE / BETWEEN / IN leaves (value_matcher.dart:318-331, 584-598)."""
+    db = _db(spark, sf_dir)
+    return (db.query("part")
+            .where_like("p_name", "%e%")
+            .where_between("p_size", 10, 40)
+            .where_in("p_brand", ["Brand#1", "Brand#7", "Brand#13"])
+            .select(["p_partkey", "p_name", "p_brand", "p_size"])
+            .df())
+
+
+def q_or_tree(spark, sf_dir):
+    """Nested AND/OR condition groups (query_condition.dart:116-409)."""
+    db = _db(spark, sf_dir)
+    hi = QueryCondition().where("o_orderstatus", "=", "F").where("o_totalprice", ">", 250000.0)
+    lo = QueryCondition().where("o_orderstatus", "=", "O").where("o_totalprice", "<", 5000.0)
+    return (db.query("orders")
+            .condition(QueryCondition().condition(hi).or_condition(lo))
+            .select(["o_orderkey", "o_orderstatus", "o_totalprice"])
+            .df())
+
+
+def q_multiop_or(spark, sf_dir):
+    """Implicit multi-op map = OR: {'>':45,'<':3} (value_matcher.dart:551-561)."""
+    db = _db(spark, sf_dir)
+    return (db.query("lineitem")
+            .where("l_quantity", {">": 45.0, "<": 3.0})
+            .select(["l_orderkey", "l_linenumber", "l_quantity"])
+            .df())
+
+
+def q_loose_eq(spark, sf_dir):
+    """Loose numeric-string equality 1 == "1" (value_matcher.dart:151-173)."""
+    db = _db(spark, sf_dir)
+    return (db.query("orders")
+            .where("o_custkey", "=", "42")
+            .select(["o_orderkey", "o_custkey"])
+            .df())
+
+
+def q_neq_null_semantics(spark, sf_dir):
+    """!= is TRUE on null record values — two-valued logic
+    (value_matcher.dart:573-575): customers with no orders survive."""
+    db = _db(spark, sf_dir)
+    return (db.query("customer")
+            .left_join("orders", "c_custkey", "=", "o_custkey")
+            .where("o_orderstatus", "!=", "F")
+            .group_by(["c_mktsegment"])
+            .select_agg([Agg.count("*", "n")])
+            .df())
+
+
+def q_notin_null_semantics(spark, sf_dir):
+    """NOT IN on a null record value → TRUE (value_matcher.dart:587-589)."""
+    db = _db(spark, sf_dir)
+    return (db.query("customer")
+            .left_join("orders", "c_custkey", "=", "o_custkey")
+            .where("o_orderpriority", "NOT IN", ["1-URGENT", "2-HIGH"])
+            .group_by(["c_mktsegment"])
+            .select_agg([Agg.count("*", "n")])
+            .df())
+
+
+def q_is_null_join(spark, sf_dir):
+    """IS null after left join (anti-join shape; value_matcher.dart:605-608)."""
+    db = _db(spark, sf_dir)
+    return (db.query("customer")
+            .left_join("orders", "c_custkey", "=", "o_custkey")
+            .where("o_orderkey", "IS", None)
+            .select(["c_custkey", "c_name", "c_mktsegment"])
+            .df())
+
+
+def q_distinct(spark, sf_dir):
+    """distinct([fields]) post-projection dedup (query_builder.dart:143-148)."""
+    db = _db(spark, sf_dir)
+    return (db.query("customer")
+            .select(["c_nationkey", "c_mktsegment"])
+            .distinct()
+            .df())
+
+
+def q_or_union_dedup(spark, sf_dir):
+    """DNF/OR union with dedup (query_executor.dart:1172-1387 — Catalyst
+    evaluates OR natively; distinct replicates the PK dedup)."""
+    db = _db(spark, sf_dir)
+    return (db.query("orders")
+            .where("o_orderstatus", "=", "F")
+            .or_where("o_totalprice", ">", 400000.0)
+            .select(["o_orderkey", "o_orderstatus", "o_totalprice"])
+            .distinct()
+            .df())
+
+
+def q_topk(spark, sf_dir):
+    """Bounded top-k (topk_heap.dart:8-40) → TakeOrderedAndProject."""
+    db = _db(spark, sf_dir)
+    return (db.query("orders")
+            .order_by_desc("o_totalprice").order_by_asc("o_orderkey")
+            .select(["o_orderkey", "o_totalprice"])
+            .limit(20).df())
+
+
+def q_offset_page(spark, sf_dir):
+    """limit/offset paging (query_executor.dart:339-391, 576-582)."""
+    db = _db(spark, sf_dir)
+    return (db.query("customer")
+            .order_by_asc("c_acctbal", "c_custkey")
+            .select(["c_custkey", "c_name", "c_acctbal"])
+            .offset(50).limit(25).df())
+
+
+def q_keyset_page(spark, sf_dir):
+    """Cursor (keyset) pagination page 2 — opaque token → tuple-compare
+    filter (query_executor.dart:3377-3389; cursor.py).  Equivalent to
+    OFFSET 50 LIMIT 50 under the same total order."""
+    db = _db(spark, sf_dir)
+    qb = (db.query("customer")
+          .select(["c_custkey", "c_name", "c_acctbal"])
+          .order_by_asc("c_acctbal", "c_custkey")
+          .limit(50))
+    page1 = qb.run()
+    return qb.clone().cursor(page1.next_token).df()
+
+
+# ----------------------------------------------------------------------
+# aggregation (SURVEY.md §2.4)
+# ----------------------------------------------------------------------
+
+def q_groupby_having(spark, sf_dir):
+    """groupBy + count/sum/avg/min/max + having (query_aggregation.dart;
+    query_builder.dart:679-690).  Quantity sums are integer-valued doubles —
+    exact in IEEE — so no decimal detour needed."""
+    db = _db(spark, sf_dir)
+    return (db.query("lineitem")
+            .group_by(["l_returnflag", "l_linestatus"])
+            .select_agg([
+                Agg.count("*", "cnt"),
+                Agg.sum("l_quantity", "sum_qty"),
+                Agg.avg("l_quantity", "avg_qty"),
+                Agg.min("l_quantity", "min_qty"),
+                Agg.max("l_quantity", "max_qty"),
+            ])
+            .having(QueryCondition().where("cnt", ">", 100))
+            .df())
+
+
+def q_global_agg(spark, sf_dir):
+    """Global (ungrouped) aggregation; null-on-empty handled by Spark the
+    same way (query_aggregation.dart:252-268)."""
+    db = _db(spark, sf_dir)
+    return (db.df("lineitem")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("l_quantity").alias("sum_qty"),
+                 _dec_sum(F.col("l_extendedprice"), "sum_price"),
+                 F.min("l_shipdate").alias("min_ship"),
+                 F.max("l_shipdate").alias("max_ship")))
+
+
+def q_count_star(spark, sf_dir):
+    """count() fast path (query_builder.dart:300-317)."""
+    db = _db(spark, sf_dir)
+    return (db.query("orders").select_agg([Agg.count("*", "cnt")]).df())
+
+
+def q_exists(spark, sf_dir):
+    """exists() (query_builder.dart:324-347) as a 1-row boolean frame."""
+    db = _db(spark, sf_dir)
+    hit = db.query("orders").where("o_totalprice", ">", 100000.0).exists()
+    return spark.createDataFrame([(bool(hit),)], "ex boolean")
+
+
+# ----------------------------------------------------------------------
+# joins (SURVEY.md §2.3)
+# ----------------------------------------------------------------------
+
+def q_join_inner_group(spark, sf_dir):
+    """Q3-shaped 3-way inner join + grouped revenue (hash-join path,
+    query_executor.dart:1526-1547; revenue via exact decimal sum)."""
+    db = _db(spark, sf_dir)
+    cust = db.df("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = db.df("orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = db.df("lineitem")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+              .groupBy("o_orderkey", "o_orderdate")
+              .agg(F.sum(rev.cast("decimal(18,4)")).cast("double").alias("revenue"))
+              .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+              .limit(10))
+
+
+def q_left_join_count(spark, sf_dir):
+    """LEFT join null padding (query_executor.dart:1608-1683): per-customer
+    order count incl. zero; count(field) counts non-null."""
+    db = _db(spark, sf_dir)
+    return (db.query("customer")
+            .left_join("orders", "c_custkey", "=", "o_custkey")
+            .group_by(["c_custkey"])
+            .select_agg([Agg.count("o_orderkey", "order_cnt")])
+            .df())
+
+
+def q_right_join(spark, sf_dir):
+    """RIGHT join (join_clause.dart:2-11)."""
+    db = _db(spark, sf_dir)
+    return (db.query("orders")
+            .right_join("customer", "o_custkey", "=", "c_custkey")
+            .where("c_acctbal", "<", 0.0)
+            .group_by(["c_mktsegment"])
+            .select_agg([Agg.count("*", "n"), Agg.count("o_orderkey", "n_orders")])
+            .df())
+
+
+def q_theta_join(spark, sf_dir):
+    """Theta (non-equi) join → BroadcastNestedLoopJoin
+    (query_executor.dart:1598-1606)."""
+    db = _db(spark, sf_dir)
+    return (db.query("region")
+            .join("nation", "r_regionkey", "<", "n_regionkey")
+            .select(["r_name", "n_name"])
+            .df())
+
+
+def q_fk_autojoin(spark, sf_dir):
+    """FK auto-join from catalog metadata (query_builder.dart:210-253)."""
+    from tostore_spark.schema import ForeignKeySchema
+    db = _db(spark, sf_dir)
+    sch = db.schema("orders")
+    if not sch.foreign_keys:
+        sch.foreign_keys.append(ForeignKeySchema(
+            fields=["o_custkey"], referenced_table="customer",
+            referenced_fields=["c_custkey"]))
+    return (db.query("orders")
+            .join_with_foreign_key("customer")
+            .where("c_mktsegment", "=", "MACHINERY")
+            .group_by(["o_orderpriority"])
+            .select_agg([Agg.count("*", "n")])
+            .df())
+
+
+# ----------------------------------------------------------------------
+# events: window + JSON (streaming analog, batch mode)
+# ----------------------------------------------------------------------
+
+def q_events_window(spark, sf_dir):
+    """Tumbling 1-hour window aggregation over the event stream table
+    (batch analog of readStream+window; SURVEY.md §2.9)."""
+    db = _db(spark, sf_dir)
+    return (db.df("events")
+            .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dec_sum(F.col("value"), "sum_value", 6)))
+
+
+def q_events_json(spark, sf_dir):
+    """JSON path extraction over the props column (DataType.json —
+    stored as-is, queried on demand; table_schema.dart:1899)."""
+    db = _db(spark, sf_dir)
+    return (db.df("events")
+            .withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+            .groupBy("event_type")
+            .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n")))
+
+
+# ----------------------------------------------------------------------
+# vector search (SURVEY.md §2.10)
+# ----------------------------------------------------------------------
+
+def q_vector_cosine_topk(spark, sf_dir):
+    """vectorSearch cosine top-k (tostore.dart:493-511; score formulas
+    vector_index_manager.dart:1410-1421)."""
+    db = _db(spark, sf_dir)
+    out = db.vector_search("embeddings", "embedding", _QVEC, top_k=10, metric="cosine")
+    return out.select("vec_id", "label",
+                      F.round(F.col("distance"), 6).alias("distance_r"),
+                      F.round(F.col("score"), 6).alias("score_r"))
+
+
+def q_vector_l2_topk(spark, sf_dir):
+    """vectorSearch l2 top-k."""
+    db = _db(spark, sf_dir)
+    out = db.vector_search("embeddings", "embedding", _QVEC, top_k=10, metric="l2")
+    return out.select("vec_id", "label",
+                      F.round(F.col("distance"), 6).alias("distance_r"))
+
+
+def q_vector_threshold(spark, sf_dir):
+    """distanceThreshold filtering (tostore.dart:493-511)."""
+    db = _db(spark, sf_dir)
+    out = db.vector_search("embeddings", "embedding", _QVEC, top_k=1000,
+                           metric="cosine", distance_threshold=0.9)
+    return out.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_knn_join(spark, sf_dir):
+    """Brute-force k-NN join: top-3 neighbors for each of 10 query vectors
+    (llmops.similarity baseline; per-query ranking window)."""
+    db = _db(spark, sf_dir)
+    emb = db.df("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.knn_join(queries, emb, k=3, metric="cosine")
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round(F.col("distance"), 6).alias("distance_r"))
+
+
+def q_similarity_ivf(spark, sf_dir):
+    """IVF approximate ANN: nearest-cells probe (scale path; no SQL oracle —
+    cell assignment is engine-defined). Rows-only check."""
+    db = _db(spark, sf_dir)
+    emb = db.df("embeddings")
+    indexed, cents = S.ivf_build(emb, n_cells=8)
+    return S.ivf_search(indexed, cents, _QVEC, k=5, nprobe=2)
+
+
+# ----------------------------------------------------------------------
+# dedup (llmops)
+# ----------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (hash-groupBy)."""
+    db = _db(spark, sf_dir)
+    return D.exact_dedup(db.df("documents"))
+
+
+def q_dedup_fingerprint(spark, sf_dir):
+    """Fingerprint (normalized-text) dedup."""
+    db = _db(spark, sf_dir)
+    return (D.fingerprint_dedup(db.df("documents"))
+            .filter(F.col("n_copies") > 1))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (shingle→minhash→band→bucket
+    join; md5-based hashes reproduced exactly in the oracle)."""
+    db = _db(spark, sf_dir)
+    return D.minhash_lsh_pairs(db.df("documents"), num_hashes=16, bands=4)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash buckets with >1 member."""
+    db = _db(spark, sf_dir)
+    return (D.simhash_dedup(db.df("documents"), bits=16)
+            .filter(F.col("n_copies") > 1))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard near-dup pairs, blocked by token-count decile."""
+    db = _db(spark, sf_dir)
+    return (D.ngram_jaccard_pairs(db.df("documents"), n=3, threshold=0.8)
+            .select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard_r")))
+
+
+def q_neardup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs blocked by label."""
+    db = _db(spark, sf_dir)
+    return (D.embedding_neardup_pairs(db.df("embeddings"), group_field="label",
+                                      max_cosine_distance=0.35)
+            .select("id_a", "id_b", F.round(F.col("cos_distance"), 6).alias("d_r")))
+
+
+# ----------------------------------------------------------------------
+# text analysis (llmops)
+# ----------------------------------------------------------------------
+
+def q_text_stats(spark, sf_dir):
+    """Per-document token/char/punct/stopword stats + quality score."""
+    db = _db(spark, sf_dir)
+    return (TX.text_stats(db.df("documents"))
+            .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+                    F.round(F.col("mean_token_len"), 6).alias("mtl_r"),
+                    F.round(F.col("quality"), 6).alias("quality_r")))
+
+
+def q_langid(spark, sf_dir):
+    """Stopword-heuristic language ID distribution."""
+    db = _db(spark, sf_dir)
+    return (db.df("documents")
+            .withColumn("lang_guess", TX.language_id(F.col("text")))
+            .groupBy("lang_guess").agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish token counting summed per source."""
+    db = _db(spark, sf_dir)
+    return (db.df("documents")
+            .withColumn("n_bpe", F.size(TX.bpe_tokens(F.col("text"))))
+            .groupBy("source")
+            .agg(F.sum("n_bpe").alias("total_tokens"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling/document fingerprint column (md5 of normalized text)."""
+    db = _db(spark, sf_dir)
+    return (db.df("documents")
+            .select("doc_id", TX.fingerprint(F.col("text")).alias("fp")))
+
+
+# ----------------------------------------------------------------------
+# multimodal plumbing (stubbed codecs — rows-only check)
+# ----------------------------------------------------------------------
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary media column + metadata struct + Arrow-batched feature
+    extraction (deterministic fake codec). Rows-only check: codec stubs
+    are environment-gated (no image libs in container)."""
+    from tostore_spark.llmops import multimodal as MM
+    db = _db(spark, sf_dir)
+    docs = db.df("documents").withColumn("blob", F.encode(F.col("text"), "utf-8"))
+    docs = MM.attach_media(docs, "blob", "text", "text/plain")
+    return MM.extract_features(docs, "blob", "doc_id", feature_dim=8,
+                               deterministic_fake=True)
+
+
+# ----------------------------------------------------------------------
+# write path (SURVEY.md §2.1 mutations, verified by final-state equality)
+# ----------------------------------------------------------------------
+
+def q_update_rewrite(spark, sf_dir):
+    """Conditional update with Expr arithmetic (update_builder.dart:63-209):
+    multiply F-status order totals by 1.1, then aggregate final state."""
+    db = _db(spark, sf_dir)
+    db2 = ToStoreSpark(spark)
+    db2.register_table("orders_u", df=db.df("orders"))
+    db2.update("orders_u").where("o_orderstatus", "=", "F").multiply("o_totalprice", 1.1)
+    return (db2.df("orders_u")
+            .groupBy("o_orderstatus")
+            .agg(_dec_sum(F.col("o_totalprice"), "total"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def q_delete_rewrite(spark, sf_dir):
+    """Conditional delete (data_store_impl.dart:3107+): final state counts."""
+    db = _db(spark, sf_dir)
+    db2 = ToStoreSpark(spark)
+    db2.register_table("orders_d", df=db.df("orders"))
+    db2.delete("orders_d").where("o_totalprice", "<", 10000.0).execute()
+    return (db2.df("orders_d")
+            .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_upsert_merge(spark, sf_dir):
+    """Upsert (MERGE shape, data_store_impl.dart:2229+): update-if-exists
+    else insert; verified against the literal expected final state."""
+    from tostore_spark.schema import (DataType, FieldSchema, PrimaryKeyConfig,
+                                      PrimaryKeyType, TableSchema)
+    db2 = ToStoreSpark(spark)
+    db2.create_table(TableSchema(
+        name="users",
+        fields=[FieldSchema("name"), FieldSchema("age", DataType.integer)],
+        primary_key=PrimaryKeyConfig(name="id", type=PrimaryKeyType.none)))
+    db2.batch_insert("users", [
+        {"id": "u1", "name": "ann", "age": 30},
+        {"id": "u2", "name": "bob", "age": 40},
+        {"id": "u3", "name": "cyd", "age": 50},
+    ])
+    db2.batch_upsert("users", [
+        {"id": "u2", "name": "bob2", "age": 41},   # update
+        {"id": "u4", "name": "dee", "age": 20},    # insert
+    ])
+    return db2.df("users")
+
+
+def q_kv_namespace(spark, sf_dir):
+    """KV namespace (kv_store.dart:9-140): set/get over the managed KV
+    table, TTL-filtered reads."""
+    db = _db(spark, sf_dir)
+    kv = db.kv
+    kv.set_many({"alpha": 1, "beta": {"x": 2}, "gamma": "three"})
+    kv.set_value("expired", 0, ttl_ms=1)
+    import time as _t
+    _t.sleep(0.01)
+    return kv.df().select("key", "value")
+
+
+# ----------------------------------------------------------------------
+# registry
+# ----------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_filter_sort_limit": q_filter_sort_limit,
+        "q_pred_like_between_in": q_pred_like_between_in,
+        "q_or_tree": q_or_tree,
+        "q_multiop_or": q_multiop_or,
+        "q_loose_eq": q_loose_eq,
+        "q_neq_null_semantics": q_neq_null_semantics,
+        "q_notin_null_semantics": q_notin_null_semantics,
+        "q_is_null_join": q_is_null_join,
+        "q_distinct": q_distinct,
+        "q_or_union_dedup": q_or_union_dedup,
+        "q_topk": q_topk,
+        "q_offset_page": q_offset_page,
+        "q_keyset_page": q_keyset_page,
+        "q_groupby_having": q_groupby_having,
+        "q_global_agg": q_global_agg,
+        "q_count_star": q_count_star,
+        "q_exists": q_exists,
+        "q_join_inner_group": q_join_inner_group,
+        "q_left_join_count": q_left_join_count,
+        "q_right_join": q_right_join,
+        "q_theta_join": q_theta_join,
+        "q_fk_autojoin": q_fk_autojoin,
+        "q_events_window": q_events_window,
+        "q_events_json": q_events_json,
+        "q_vector_cosine_topk": q_vector_cosine_topk,
+        "q_vector_l2_topk": q_vector_l2_topk,
+        "q_vector_threshold": q_vector_threshold,
+        "q_knn_join": q_knn_join,
+        "q_similarity_ivf": q_similarity_ivf,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_fingerprint": q_dedup_fingerprint,
+        "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_neardup_embedding": q_neardup_embedding,
+        "q_text_stats": q_text_stats,
+        "q_langid": q_langid,
+        "q_token_count_bpe": q_token_count_bpe,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_multimodal_features": q_multimodal_features,
+        "q_update_rewrite": q_update_rewrite,
+        "q_delete_rewrite": q_delete_rewrite,
+        "q_upsert_merge": q_upsert_merge,
+        "q_kv_namespace": q_kv_namespace,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ----------------------------------------------------------------------
+# oracles
+# ----------------------------------------------------------------------
+
+_NORM_T = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+           " '\\s+', ' ', 'g'))")
+_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_SW_EN = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from']"
+_SW_DE = "['der','die','das','und','oder','zu','in','ist','mit','von','auf','ein','eine','den','dem']"
+_SW_FR = "['le','la','les','et','ou','de','en','est','avec','pour','un','une','dans','sur','que']"
+
+
+def _cos_dist_sql(vec_expr: str) -> str:
+    """Cosine distance replicating vector.py exactly: query pre-normalized,
+    dist = 1 − dot(v, q̂)/sqrt(max(‖v‖², 1e-30)) — same left-to-right fold."""
+    q = _sql_list(_QVEC_N)
+    dot = (f"list_sum(list_transform(list_zip({vec_expr}, {q}),"
+           f" p -> CAST(p[1] AS DOUBLE) * p[2]))")
+    nsq = f"list_sum(list_transform({vec_expr}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    return f"(1.0 - {dot} / sqrt(greatest({nsq}, 1e-30)))"
+
+
+def _l2_dist_sql(vec_expr: str) -> str:
+    q = _sql_list(_QVEC)
+    dot = (f"list_sum(list_transform(list_zip({vec_expr}, {q}),"
+           f" p -> CAST(p[1] AS DOUBLE) * p[2]))")
+    nsq = f"list_sum(list_transform({vec_expr}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    return f"sqrt(greatest({nsq} - 2.0 * {dot} + {_QSQ!r}, 0.0))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_filter_sort_limit": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem WHERE l_quantity > 45
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
+        "q_pred_like_between_in": """
+            SELECT p_partkey, p_name, p_brand, p_size FROM part
+            WHERE p_name LIKE '%e%' AND p_size BETWEEN 10 AND 40
+              AND p_brand IN ('Brand#1','Brand#7','Brand#13')""",
+        "q_or_tree": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            WHERE (o_orderstatus = 'F' AND o_totalprice > 250000.0)
+               OR (o_orderstatus = 'O' AND o_totalprice < 5000.0)""",
+        "q_multiop_or": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_quantity > 45.0 OR l_quantity < 3.0""",
+        "q_loose_eq": """
+            SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey = 42""",
+        "q_neq_null_semantics": """
+            SELECT c_mktsegment, count(*) AS n
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            WHERE o_orderstatus IS NULL OR o_orderstatus <> 'F'
+            GROUP BY c_mktsegment""",
+        "q_notin_null_semantics": """
+            SELECT c_mktsegment, count(*) AS n
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            WHERE o_orderpriority IS NULL
+               OR o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+            GROUP BY c_mktsegment""",
+        "q_is_null_join": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            WHERE o_orderkey IS NULL""",
+        "q_distinct": """
+            SELECT DISTINCT c_nationkey, c_mktsegment FROM customer""",
+        "q_or_union_dedup": """
+            SELECT DISTINCT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderstatus = 'F' OR o_totalprice > 400000.0""",
+        "q_topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+        "q_offset_page": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            ORDER BY c_acctbal, c_custkey LIMIT 25 OFFSET 50""",
+        "q_keyset_page": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            ORDER BY c_acctbal, c_custkey LIMIT 50 OFFSET 50""",
+        "q_groupby_having": """
+            SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                   sum(l_quantity) AS sum_qty, avg(l_quantity) AS avg_qty,
+                   min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            HAVING count(*) > 100""",
+        "q_global_agg": """
+            SELECT count(*) AS n, sum(l_quantity) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                   min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+            FROM lineitem""",
+        "q_count_star": "SELECT count(*) AS cnt FROM orders",
+        "q_exists": "SELECT count(*) > 0 AS ex FROM orders WHERE o_totalprice > 100000.0",
+        "q_join_inner_group": """
+            SELECT o_orderkey, o_orderdate,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+        "q_left_join_count": """
+            SELECT c_custkey, count(o_orderkey) AS order_cnt
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey""",
+        "q_right_join": """
+            SELECT c_mktsegment, count(*) AS n, count(o_orderkey) AS n_orders
+            FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+            WHERE c_acctbal < 0.0 GROUP BY c_mktsegment""",
+        "q_theta_join": """
+            SELECT r_name, n_name FROM region JOIN nation
+            ON r_regionkey < n_regionkey""",
+        "q_fk_autojoin": """
+            SELECT o_orderpriority, count(*) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'MACHINERY' GROUP BY o_orderpriority""",
+        "q_events_window": """
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1""",
+        "q_events_json": """
+            SELECT event_type,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type""",
+        "q_vector_cosine_topk": f"""
+            SELECT vec_id, label,
+                   round({_cos_dist_sql('embedding')}, 6) AS distance_r,
+                   round(greatest(least(1.0 - {_cos_dist_sql('embedding')}, 1.0), 0.0), 6) AS score_r
+            FROM embeddings
+            ORDER BY {_cos_dist_sql('embedding')}, vec_id LIMIT 10""",
+        "q_vector_l2_topk": f"""
+            SELECT vec_id, label, round({_l2_dist_sql('embedding')}, 6) AS distance_r
+            FROM embeddings
+            ORDER BY {_l2_dist_sql('embedding')}, vec_id LIMIT 10""",
+        "q_vector_threshold": f"""
+            SELECT label, count(*) AS n FROM embeddings
+            WHERE {_cos_dist_sql('embedding')} <= 0.9 GROUP BY label""",
+        "q_knn_join": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+            pairs AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     1.0 - list_sum(list_transform(list_zip(q.qv, e.embedding),
+                                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS distance
+              FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, distance,
+                     row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS rank
+              FROM pairs)
+            SELECT query_id, neighbor_id, rank, round(distance, 6) AS distance_r
+            FROM ranked WHERE rank <= 3""",
+        "q_dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)""",
+        "q_dedup_fingerprint": f"""
+            SELECT md5({_NORM_T}) AS fp, min(doc_id) AS keeper_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1 HAVING count(*) > 1""",
+        "q_dedup_minhash_lsh": f"""
+            WITH norm AS (
+              SELECT doc_id, {_NORM_T} AS t FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct([substr(t, i, 5) for i in range(1, greatest(len(t) - 4, 1) + 1)])) AS s
+              FROM norm),
+            hs AS (
+              SELECT doc_id, r.range AS h,
+                     min(md5(CAST(r.range AS VARCHAR) || ':' || s)) AS mh
+              FROM sh CROSS JOIN range(0, 16) r GROUP BY doc_id, r.range),
+            sig AS (
+              SELECT doc_id, list(mh ORDER BY h) AS sig FROM hs GROUP BY doc_id),
+            banded AS (
+              SELECT doc_id, unnest([md5(CAST(b AS VARCHAR) || ',' || sig[b*4+1] || ',' ||
+                     sig[b*4+2] || ',' || sig[b*4+3] || ',' || sig[b*4+4])
+                     for b in range(0, 4)]) AS band
+              FROM sig)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+            GROUP BY 1, 2""",
+        "q_dedup_simhash": _simhash_oracle(),
+        "q_ngram_jaccard": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     len({_TOKENS}) // 10 AS bucket,
+                     CASE WHEN len({_TOKENS}) >= 3 THEN
+                       list_distinct([array_to_string(({_TOKENS})[i:i+2], ' ')
+                                      for i in range(1, len({_TOKENS}) - 1)])
+                     ELSE [] END AS grams
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard_r
+            FROM base a JOIN base b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8""",
+        "q_neardup_embedding": """
+            WITH base AS (SELECT vec_id AS id, label AS bucket, embedding AS v FROM embeddings)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(1.0 - list_sum(list_transform(list_zip(a.v, b.v),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS d_r
+            FROM base a JOIN base b ON a.bucket = b.bucket AND a.id < b.id
+            WHERE 1.0 - list_sum(list_transform(list_zip(a.v, b.v),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) <= 0.35""",
+        "q_text_stats": _text_stats_oracle(),
+        "q_langid": f"""
+            WITH s AS (
+              SELECT doc_id,
+                coalesce(len(list_filter({_TOKENS}, t -> list_contains({_SW_EN}, t))), 0) AS s_en,
+                coalesce(len(list_filter({_TOKENS}, t -> list_contains({_SW_DE}, t))), 0) AS s_de,
+                coalesce(len(list_filter({_TOKENS}, t -> list_contains({_SW_FR}, t))), 0) AS s_fr
+              FROM documents)
+            SELECT CASE WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_de, s_fr) THEN 'en'
+                        WHEN s_de = greatest(s_en, s_de, s_fr) THEN 'de'
+                        ELSE 'fr' END AS lang_guess,
+                   count(*) AS n
+            FROM s GROUP BY 1""",
+        "q_token_count_bpe": r"""
+            SELECT source,
+                   sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS total_tokens,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source""",
+        "q_doc_fingerprint": f"""
+            SELECT doc_id, md5({_NORM_T}) AS fp FROM documents""",
+        "q_update_rewrite": """
+            SELECT o_orderstatus,
+                   CAST(sum(CAST(CASE WHEN o_orderstatus = 'F'
+                                      THEN o_totalprice * 1.1
+                                      ELSE o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS total,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderstatus""",
+        "q_delete_rewrite": """
+            SELECT o_orderstatus, count(*) AS n FROM orders
+            WHERE NOT (o_totalprice < 10000.0) GROUP BY o_orderstatus""",
+        "q_upsert_merge": """
+            SELECT * FROM (VALUES
+              ('u1', 'ann', CAST(30 AS BIGINT)),
+              ('u2', 'bob2', 41),
+              ('u3', 'cyd', 50),
+              ('u4', 'dee', 20)) AS t(id, name, age)""",
+        "q_kv_namespace": """
+            SELECT * FROM (VALUES
+              ('alpha', '1'), ('beta', '{"x": 2}'), ('gamma', '"three"'))
+              AS t(key, value)""",
+    }
+
+
+def _simhash_oracle() -> str:
+    """SimHash-16 in DuckDB SQL mirroring dedup.simhash bit-for-bit."""
+    terms = []
+    for j in range(16):
+        hexpos = j // 4 + 1
+        mask = 1 << (j % 4)
+        votes = (f"coalesce(list_sum(list_transform({_TOKENS}, t -> CASE WHEN "
+                 f"(strpos('0123456789abcdef', substr(md5(t), {hexpos}, 1)) - 1)"
+                 f" & {mask} > 0 THEN 1 ELSE -1 END)), 0)")
+        terms.append(f"(CASE WHEN {votes} > 0 THEN {1 << j} ELSE 0 END)")
+    simhash = " + ".join(terms)
+    return f"""
+        WITH h AS (SELECT doc_id, {simhash} AS simhash FROM documents)
+        SELECT simhash, min(doc_id) AS keeper_id, count(*) AS n_copies
+        FROM h GROUP BY simhash HAVING count(*) > 1"""
+
+
+def _text_stats_oracle() -> str:
+    # SQL-literal form of text.PUNCT_RE: single quote doubled for SQL
+    punct = "[.,!?;:''\"()\\[\\]{}-]"
+    return f"""
+        SELECT doc_id,
+               coalesce(len({_TOKENS}), 0) AS n_tokens,
+               CASE WHEN len(text) > 0 THEN
+                 CAST(len(text) - len(regexp_replace(text, '{punct}', '', 'g')) AS DOUBLE)
+                 / len(text) ELSE 0.0 END AS punct_ratio,
+               CASE WHEN len({_TOKENS}) > 0 THEN
+                 CAST(len(list_filter({_TOKENS}, t -> list_contains({_SW_EN}, t))) AS DOUBLE)
+                 / len({_TOKENS}) ELSE 0.0 END AS stopword_ratio,
+               round(CASE WHEN len({_TOKENS}) > 0 THEN
+                 CAST(list_sum(list_transform({_TOKENS}, t -> len(t))) AS DOUBLE)
+                 / len({_TOKENS}) ELSE 0.0 END, 6) AS mtl_r,
+               round(
+                 least(coalesce(len({_TOKENS}), 0) / 100.0, 1.0) * 0.4
+                 + (CASE WHEN (CASE WHEN len({_TOKENS}) > 0 THEN
+                      CAST(list_sum(list_transform({_TOKENS}, t -> len(t))) AS DOUBLE)
+                      / len({_TOKENS}) ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+                    THEN 1.0 ELSE 0.5 END) * 0.2
+                 + (CASE WHEN (CASE WHEN len({_TOKENS}) > 0 THEN
+                      CAST(len(list_filter({_TOKENS}, t -> list_contains({_SW_EN}, t))) AS DOUBLE)
+                      / len({_TOKENS}) ELSE 0.0 END) BETWEEN 0.05 AND 0.6
+                    THEN 1.0 ELSE 0.5 END) * 0.2
+                 + (1.0 - least((CASE WHEN len(text) > 0 THEN
+                      CAST(len(text) - len(regexp_replace(text, '{punct}', '', 'g')) AS DOUBLE)
+                      / len(text) ELSE 0.0 END) * 2.0, 1.0)) * 0.2, 6) AS quality_r
+        FROM documents"""

@@ -1,0 +1,69 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set covers the engine's main cost shapes: scan+filter+topk,
+hash aggregate, 3-way join, window agg over events, keyset pagination,
+vector top-k, minhash dedup, knn join, text stats.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as entrymod
+    from tostore_spark import get_spark
+
+    spark = get_spark(app_name="tostore-spark-bench")
+
+    qs = entrymod.queries()
+    headline = [
+        "q_filter_sort_limit",
+        "q_groupby_having",
+        "q_global_agg",
+        "q_join_inner_group",
+        "q_left_join_count",
+        "q_events_window",
+        "q_keyset_page",
+        "q_vector_cosine_topk",
+        "q_knn_join",
+        "q_dedup_minhash_lsh",
+        "q_text_stats",
+        "q_or_union_dedup",
+    ]
+    # warm the JVM + parquet footers once with a trivial action
+    entrymod._db(spark, sf_dir).df("region").count()
+
+    times: dict[str, float] = {}
+    for name in headline:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # forces full execution without driver collect cost
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s rows={n}", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

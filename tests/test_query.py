@@ -1,0 +1,117 @@
+"""Query builder end-to-end vs the DuckDB oracle on testdata."""
+
+import pytest
+
+from tostore_spark import Agg, QueryCondition
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_filter_sort_limit(db, duck):
+    got = rows(db.query("lineitem").where("l_quantity", ">", 45)
+               .select(["l_orderkey", "l_linenumber"])
+               .order_by_asc("l_orderkey", "l_linenumber").limit(20).df())
+    exp = duck.execute("""select l_orderkey, l_linenumber from lineitem
+        where l_quantity > 45 order by 1,2 limit 20""").fetchall()
+    assert got == exp
+
+
+def test_groupby_agg_having(db, duck):
+    got = sorted(rows(db.query("lineitem")
+                      .group_by(["l_returnflag"])
+                      .select_agg([Agg.count("*", "cnt"), Agg.sum("l_quantity", "s"),
+                                   Agg.min("l_quantity", "mn"), Agg.max("l_quantity", "mx")])
+                      .having(QueryCondition().where("cnt", ">", 10))
+                      .df()))
+    exp = sorted(duck.execute("""select l_returnflag, count(*), sum(l_quantity),
+        min(l_quantity), max(l_quantity) from lineitem group by 1
+        having count(*) > 10""").fetchall())
+    assert got == exp
+
+
+def test_join_naming_and_select(db):
+    df = (db.query("orders").join("customer", "o_custkey", "=", "c_custkey")
+          .select(["o_orderkey", "customer.c_name as cust", "c_mktsegment"])
+          .limit(5).df())
+    assert df.columns == ["o_orderkey", "cust", "c_mktsegment"]
+
+
+def test_left_join_nulls(db, duck):
+    got = db.query("customer").left_join("orders", "c_custkey", "=", "o_custkey") \
+            .where("o_orderkey", "IS", None).count()
+    exp = duck.execute("""select count(*) from customer left join orders
+        on c_custkey = o_custkey where o_orderkey is null""").fetchone()[0]
+    assert got == exp
+
+
+def test_theta_join(db, duck):
+    got = db.query("region").join("nation", "r_regionkey", "<", "n_regionkey").count()
+    exp = duck.execute(
+        "select count(*) from region join nation on r_regionkey < n_regionkey"
+    ).fetchone()[0]
+    assert got == exp
+
+
+def test_distinct_fields(db, duck):
+    got = len(rows(db.query("customer").select(["c_mktsegment"]).distinct().df()))
+    exp = duck.execute("select count(distinct c_mktsegment) from customer").fetchone()[0]
+    assert got == exp
+
+
+def test_offset_limit(db, duck):
+    got = rows(db.query("customer").order_by_asc("c_custkey")
+               .select(["c_custkey"]).offset(10).limit(5).df())
+    exp = duck.execute(
+        "select c_custkey from customer order by 1 limit 5 offset 10").fetchall()
+    assert got == exp
+
+
+def test_scalar_terminals(db, duck):
+    assert db.query("orders").count() == duck.execute(
+        "select count(*) from orders").fetchone()[0]
+    assert db.query("orders").where("o_totalprice", ">", 1e9).exists() is False
+    assert db.query("orders").exists() is True
+    s = db.query("lineitem").sum("l_quantity")
+    exp = duck.execute("select sum(l_quantity) from lineitem").fetchone()[0]
+    assert s == exp
+    assert db.query("lineitem").min("l_quantity") == duck.execute(
+        "select min(l_quantity) from lineitem").fetchone()[0]
+
+
+def test_cursor_pagination_walk(db, duck):
+    """Walk 3 keyset pages == one big ordered scan."""
+    qb = (db.query("customer").select(["c_custkey", "c_acctbal"])
+          .order_by_asc("c_acctbal", "c_custkey").limit(30))
+    seen = []
+    page = qb.run()
+    seen += [r["c_custkey"] for r in page]
+    for _ in range(2):
+        page = page.next_page()
+        seen += [r["c_custkey"] for r in page]
+    exp = [r[0] for r in duck.execute(
+        "select c_custkey from customer order by c_acctbal, c_custkey limit 90"
+    ).fetchall()]
+    assert seen == exp
+
+
+def test_order_by_desc_suffix_forms(db):
+    a = rows(db.query("orders").order_by_desc("o_totalprice")
+             .select(["o_orderkey"]).limit(5).df())
+    qb = db.query("orders").select(["o_orderkey"]).limit(5)
+    qb._order_by = ["o_totalprice DESC"]
+    b = rows(qb.df())
+    assert a == b
+
+
+def test_agg_nonnumeric_skip(db, spark):
+    """sum/avg over a text field ignore non-numeric values
+    (query_aggregation.dart:95-146)."""
+    sdf = spark.createDataFrame(
+        [(1, "10"), (2, "x"), (3, "5.5"), (4, None)], ["id", "v"])
+    db.register_table("mixed_t", df=sdf)
+    out = (db.query("mixed_t").select_agg([Agg.sum("v", "s"), Agg.avg("v", "a")])
+           .df().collect()[0])
+    assert out["s"] == 15.5
+    assert out["a"] == 15.5 / 2

@@ -1,0 +1,161 @@
+"""Write path: insert/upsert/update/delete, PK generation, constraints, FK."""
+
+import pytest
+
+from tostore_spark import Expr
+from tostore_spark.schema import (DataType, FieldSchema, ForeignKeyAction,
+                                  ForeignKeySchema, PrimaryKeyConfig,
+                                  PrimaryKeyType, TableSchema)
+
+
+def fresh(spark):
+    from tostore_spark import ToStoreSpark
+
+    return ToStoreSpark(spark)
+
+
+def users_schema(name="users", pk_type=PrimaryKeyType.none):
+    return TableSchema(
+        name=name,
+        fields=[FieldSchema("name", DataType.text),
+                FieldSchema("age", DataType.integer),
+                FieldSchema("email", DataType.text, unique=True)],
+        primary_key=PrimaryKeyConfig(name="id", type=pk_type))
+
+
+def test_insert_and_query(spark):
+    db = fresh(spark)
+    db.create_table(users_schema())
+    db.batch_insert("users", [
+        {"id": "u1", "name": "ann", "age": 30, "email": "a@x"},
+        {"id": "u2", "name": "bob", "age": 40, "email": "b@x"},
+    ])
+    assert db.query("users").count() == 2
+    assert db.query("users").where("age", ">", 35).run()[0]["name"] == "bob"
+
+
+def test_pk_always_string_and_sequential(spark):
+    db = fresh(spark)
+    db.create_table(users_schema(pk_type=PrimaryKeyType.sequential))
+    db.batch_insert("users", [{"name": "a", "age": 1, "email": "1@x"},
+                              {"name": "b", "age": 2, "email": "2@x"}])
+    got = sorted(r["id"] for r in db.query("users").run())
+    assert got == ["1", "2"]  # strings (table_schema.dart:2033-2052)
+
+
+def test_unique_violation(spark):
+    db = fresh(spark)
+    db.create_table(users_schema())
+    db.insert("users", {"id": "u1", "name": "a", "age": 1, "email": "dup@x"})
+    with pytest.raises(ValueError, match="unique"):
+        db.insert("users", {"id": "u2", "name": "b", "age": 2, "email": "dup@x"})
+    with pytest.raises(ValueError, match="unique"):
+        db.insert("users", {"id": "u1", "name": "c", "age": 3, "email": "c@x"})
+
+
+def test_nonnull_constraint(spark):
+    db = fresh(spark)
+    sch = users_schema()
+    sch.fields[0].nullable = False
+    db.create_table(sch)
+    with pytest.raises(ValueError, match="not nullable"):
+        db.insert("users", {"id": "u1", "age": 1, "email": "a@x"})
+
+
+def test_update_with_expr(spark):
+    db = fresh(spark)
+    db.create_table(users_schema())
+    db.batch_insert("users", [{"id": "u1", "name": "a", "age": 10, "email": "a@x"},
+                              {"id": "u2", "name": "b", "age": 20, "email": "b@x"}])
+    n = db.update("users").where("id", "=", "u1").increment("age", 5)
+    assert n == 1
+    ages = {r["id"]: r["age"] for r in db.query("users").run()}
+    assert ages == {"u1": 15, "u2": 20}
+    db.update("users").allow_update_all().set({"age": Expr.field("age") * 2})
+    ages = {r["id"]: r["age"] for r in db.query("users").run()}
+    assert ages == {"u1": 30, "u2": 40}
+    with pytest.raises(ValueError):
+        db.update("users").set({"age": 0})
+
+
+def test_upsert(spark):
+    db = fresh(spark)
+    db.create_table(users_schema())
+    db.batch_insert("users", [{"id": "u1", "name": "a", "age": 10, "email": "a@x"}])
+    db.batch_upsert("users", [{"id": "u1", "name": "a2", "age": 11, "email": "a@x"},
+                              {"id": "u9", "name": "z", "age": 99, "email": "z@x"}])
+    got = {r["id"]: (r["name"], r["age"]) for r in db.query("users").run()}
+    assert got == {"u1": ("a2", 11), "u9": ("z", 99)}
+
+
+def test_delete_with_fk_cascade(spark):
+    db = fresh(spark)
+    db.create_table(users_schema())
+    posts = TableSchema(
+        name="posts",
+        fields=[FieldSchema("user_id", DataType.text), FieldSchema("title")],
+        primary_key=PrimaryKeyConfig(name="pid", type=PrimaryKeyType.none),
+        foreign_keys=[ForeignKeySchema(fields=["user_id"],
+                                       referenced_table="users",
+                                       referenced_fields=["id"],
+                                       on_delete=ForeignKeyAction.cascade)])
+    db.create_table(posts)
+    db.batch_insert("users", [{"id": "u1", "name": "a", "age": 1, "email": "a@x"},
+                              {"id": "u2", "name": "b", "age": 2, "email": "b@x"}])
+    db.batch_insert("posts", [{"pid": "p1", "user_id": "u1", "title": "t1"},
+                              {"pid": "p2", "user_id": "u2", "title": "t2"}])
+    n = db.delete("users").where("id", "=", "u1").execute()
+    assert n == 1
+    assert sorted(r["pid"] for r in db.query("posts").run()) == ["p2"]
+
+
+def test_delete_restrict(spark):
+    db = fresh(spark)
+    db.create_table(users_schema())
+    posts = TableSchema(
+        name="posts",
+        fields=[FieldSchema("user_id", DataType.text)],
+        primary_key=PrimaryKeyConfig(name="pid", type=PrimaryKeyType.none),
+        foreign_keys=[ForeignKeySchema(fields=["user_id"],
+                                       referenced_table="users",
+                                       referenced_fields=["id"],
+                                       on_delete=ForeignKeyAction.restrict)])
+    db.create_table(posts)
+    db.insert("users", {"id": "u1", "name": "a", "age": 1, "email": "a@x"})
+    db.insert("posts", {"pid": "p1", "user_id": "u1"})
+    with pytest.raises(ValueError, match="restrict"):
+        db.delete("users").where("id", "=", "u1").execute()
+
+
+def test_kv_store(spark):
+    db = fresh(spark)
+    kv = db.kv
+    kv.set_value("k1", {"a": 1})
+    kv.set_value("k2", 42)
+    assert kv.get_value("k1") == {"a": 1}
+    assert kv.get_value("k2") == 42
+    assert kv.get_value("nope") is None
+    kv.set_value("k2", 43)
+    assert kv.get_value("k2") == 43
+    assert sorted(kv.get_keys()) == ["k1", "k2"]
+    kv.remove_value("k1")
+    assert kv.get_value("k1") is None
+    # spaces isolate; global visible everywhere
+    kv.set_value("g", "G", is_global=True)
+    db.switch_space("other")
+    assert kv.get_value("k2") is None
+    assert kv.get_value("g", is_global=True) == "G"
+    db.switch_space("default")
+    assert kv.set_increment("ctr", 5) == 5
+    assert kv.set_increment("ctr", 2) == 7
+
+
+def test_spaces_isolation(spark):
+    db = fresh(spark)
+    db.create_table(users_schema())
+    db.insert("users", {"id": "u1", "name": "a", "age": 1, "email": "a@x"})
+    db.switch_space("s2")
+    db.create_table(users_schema())
+    assert db.query("users").count() == 0
+    db.switch_space("default")
+    assert db.query("users").count() == 1

@@ -26,10 +26,15 @@ from pyspark.sql import types as T
 
 
 class Agg:
-    def __init__(self, kind: str, field: str = "*", alias: Optional[str] = None):
+    """An aggregation spec.  ``field`` may be a column name or a Column
+    expression (engine extension; alias required for expressions)."""
+
+    def __init__(self, kind: str, field="*", alias: Optional[str] = None):
         self.kind = kind
         self.field = field
         self.alias = alias
+        if isinstance(field, Column) and alias is None:
+            raise ValueError("Agg over a Column expression requires an alias")
 
     # query_aggregation.dart:1-44
     @staticmethod
@@ -58,6 +63,10 @@ class Agg:
         return self.alias or f"{self.kind}({self.field})"
 
     def to_column(self, resolver) -> Column:
+        if isinstance(self.field, Column):
+            fn = {"count": F.count, "sum": F.sum, "avg": F.avg,
+                  "min": F.min, "max": F.max}[self.kind]
+            return fn(self.field).alias(self.output_name)
         if self.kind == "count":
             if self.field == "*":
                 return F.count(F.lit(1)).alias(self.output_name)

@@ -139,6 +139,17 @@ class ToStoreSpark:
 
     def set_df(self, name: str, df: DataFrame) -> None:
         self._tables[self._resolve(name)]["df"] = df
+        for w in list(getattr(self, "_watchers", [])):
+            w.notify_change(name)
+
+    def watch(self, builder, callback):
+        """Reactive re-query on table change (query_builder.dart:473-543)."""
+        from tostore_spark.streaming.reactive import Watcher
+        if not hasattr(self, "_watchers"):
+            self._watchers = []
+        w = Watcher(builder, callback)
+        self._watchers.append(w)
+        return w
 
     def find_foreign_key(self, a: str, b: str):
         """FK metadata lookup for auto-joins: returns

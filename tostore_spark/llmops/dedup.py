@@ -1,0 +1,207 @@
+"""Deduplication: exact, fingerprint, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (100 TB): every near-dup algorithm here is
+candidate-generation-first — hash/band/bucket keys are computed per row
+(map-side, codegen), candidates come from an equi-join on the bucket key
+(one shuffle on a small key), and only candidate pairs pay the exact
+verification cost.  There is never an unbucketed all-pairs join.
+
+Hash functions are md5-based so the DuckDB oracle can reproduce them
+bit-for-bit (both engines agree on md5 of UTF-8 text); MinHash minima are
+taken over hex strings, which preserves numeric order for fixed-width hex.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tostore_spark.llmops.text import normalized_text
+from tostore_spark.vector import distance_column
+
+
+# ---------------------------------------------------------------- exact
+def exact_dedup(df: DataFrame, text_field: str = "text",
+                id_field: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: keep the minimum id per distinct text.
+    One hash-groupBy — the shuffle key is the 32-char digest, not the text."""
+    h = F.md5(F.col(text_field))
+    return (df.withColumn("text_hash", h)
+              .groupBy("text_hash")
+              .agg(F.min(F.col(id_field)).alias("keeper_id"),
+                   F.count(F.lit(1)).alias("n_copies")))
+
+
+def fingerprint_dedup(df: DataFrame, text_field: str = "text",
+                      id_field: str = "doc_id") -> DataFrame:
+    """Near-exact dedup on the normalized-text fingerprint (case/punct/
+    whitespace-insensitive)."""
+    h = F.md5(normalized_text(F.col(text_field)))
+    return (df.withColumn("fp", h)
+              .groupBy("fp")
+              .agg(F.min(F.col(id_field)).alias("keeper_id"),
+                   F.count(F.lit(1)).alias("n_copies")))
+
+
+# ------------------------------------------------------------- minhash
+def shingles(text_col: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles of the normalized text."""
+    t = normalized_text(text_col)
+    n = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(k))))
+
+
+def minhash_signature(text_col: Column, num_hashes: int = 16, k: int = 5) -> Column:
+    """MinHash signature: per hash i, min over shingles of md5(i ':' shingle).
+    Hex-string minima (fixed width ⇒ order-preserving).  ~num_hashes md5
+    evaluations per shingle, all map-side."""
+    sh = shingles(text_col, k)
+
+    def _hasher(i: int):
+        # NB: a 2-arg lambda would be read by transform() as (element, index)
+        prefix = f"{i}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    mins = [F.array_min(F.transform(sh, _hasher(i))) for i in range(num_hashes)]
+    return F.array(*mins)
+
+
+def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Band digests for LSH: md5 over each contiguous row group."""
+    outs = []
+    for b in range(bands):
+        start = b * rows_per_band
+        parts = [sig.getItem(start + r) for r in range(rows_per_band)]
+        outs.append(F.md5(F.concat_ws(",", F.lit(str(b)), *parts)))
+    return F.array(*outs)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_field: str = "text",
+                      id_field: str = "doc_id", num_hashes: int = 16,
+                      bands: int = 4, shingle_k: int = 5) -> DataFrame:
+    """Candidate near-dup pairs: ids sharing at least one LSH band.
+
+    explode(bands) → equi-join on the band digest → distinct (a<b) pairs.
+    The join key is a 32-char digest; bucket sizes stay tiny under uniform
+    hashing, so the shuffle is balanced by construction.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_field), num_hashes, shingle_k)
+    banded = (df.select(F.col(id_field).alias("id"),
+                        minhash_bands(sig, bands, rows_per_band).alias("bands"))
+                .select("id", F.explode("bands").alias("band")))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .distinct())
+
+
+# -------------------------------------------------------------- simhash
+def simhash(text_col: Column, bits: int = 16) -> Column:
+    """SimHash over word tokens: bit j of md5(token) votes ±1; sign of the
+    vote sum becomes bit j of the fingerprint.  Pure column math."""
+    from tostore_spark.llmops.text import tokens
+
+    toks = tokens(text_col)
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        hexpos = j // 4 + 1
+        bitpos = j % 4
+        votes = F.aggregate(
+            toks, F.lit(0),
+            lambda acc, t: acc + F.when(
+                F.conv(F.substring(F.md5(t), hexpos, 1), 16, 10)
+                 .cast("int").bitwiseAND(F.lit(1 << bitpos)) > 0,
+                F.lit(1)).otherwise(F.lit(-1)))
+        out = out + F.when(votes > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out
+
+
+def simhash_dedup(df: DataFrame, text_field: str = "text",
+                  id_field: str = "doc_id", bits: int = 16) -> DataFrame:
+    """Group by identical SimHash (bucket key = the hash itself)."""
+    return (df.withColumn("simhash", simhash(F.col(text_field), bits))
+              .groupBy("simhash")
+              .agg(F.min(F.col(id_field)).alias("keeper_id"),
+                   F.count(F.lit(1)).alias("n_copies")))
+
+
+# ------------------------------------------------------ n-gram jaccard
+def word_ngrams(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text."""
+    from tostore_spark.llmops.text import tokens
+
+    toks = tokens(text_col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[toks.getItem(i + j) for j in range(n)]))
+    return F.when(cnt >= n, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_field: str = "text",
+                        id_field: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5,
+                        bucket_field: Column | None = None) -> DataFrame:
+    """Jaccard similarity over word n-gram sets for candidate pairs.
+
+    Candidates are restricted to equal `bucket_field` values (default:
+    token-count decile) — at scale this is the blocking key that keeps the
+    pairwise stage linear-ish; swap in minhash bands for tighter blocking.
+    """
+    from tostore_spark.llmops.text import token_count
+
+    bucket = bucket_field if bucket_field is not None \
+        else F.floor(token_count(F.col(text_field)) / 10)
+    base = df.select(F.col(id_field).alias("id"),
+                     bucket.alias("bucket"),
+                     word_ngrams(F.col(text_field), n).alias("grams"))
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     jac.alias("jaccard"))
+             .filter(F.col("jaccard") >= threshold))
+
+
+# ------------------------------------------------- embedding near-dup
+def embedding_neardup_pairs(df: DataFrame, vec_field: str = "embedding",
+                            id_field: str = "vec_id",
+                            group_field: str | None = None,
+                            max_cosine_distance: float = 0.05) -> DataFrame:
+    """Cosine near-duplicates among embeddings.
+
+    Candidates are blocked on `group_field` when given (else an LSH sign
+    bucket — see vector.lsh_bucket_column — so the join never goes all-pairs
+    at scale).  Exact cosine verification on candidates only.
+    """
+    from tostore_spark.vector import lsh_bucket_column, random_hyperplanes
+
+    if group_field is None:
+        dim_row = df.select(F.size(F.col(vec_field)).alias("d")).take(1)
+        dim = dim_row[0]["d"] if dim_row else 0
+        planes = random_hyperplanes(dim, 8)
+        base = df.select(F.col(id_field).alias("id"), F.col(vec_field).alias("v"),
+                         lsh_bucket_column(F.col(vec_field), planes).alias("bucket"))
+    else:
+        base = df.select(F.col(id_field).alias("id"), F.col(vec_field).alias("v"),
+                         F.col(group_field).alias("bucket"))
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),
+                                 lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.col("a.v"), F.lit(0.0),
+                            lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(F.col("b.v"), F.lit(0.0),
+                            lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    cos_dist = F.lit(1.0) - dot / (na * nb)
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     cos_dist.alias("cos_distance"))
+             .filter(F.col("cos_distance") <= F.lit(max_cosine_distance)))

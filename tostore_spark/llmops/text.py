@@ -1,0 +1,130 @@
+"""Text analysis: tokenization, quality scoring, language ID, fingerprinting.
+
+All operators are pure Column expressions (JVM-side, whole-stage codegen) —
+no Python UDFs — so they stream over 100 TB of documents at scan speed.
+Every formula is also expressible in ANSI SQL for oracle verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORD_RE = r"[a-z0-9]+"
+# BPE-ish: letter runs, single digits, or single punctuation marks
+BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[.,!?;:'\"()\[\]{}-]"
+
+STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+                "that", "for", "on", "with", "as", "at", "by", "from"]
+STOPWORDS_DE = ["der", "die", "das", "und", "oder", "zu", "in", "ist", "mit",
+                "von", "auf", "ein", "eine", "den", "dem"]
+STOPWORDS_FR = ["le", "la", "les", "et", "ou", "de", "en", "est", "avec",
+                "pour", "un", "une", "dans", "sur", "que"]
+
+
+def tokens(text_col: Column) -> Column:
+    """Whitespace/word tokenization: lowercase word+digit runs."""
+    return F.regexp_extract_all(F.lower(text_col), F.lit(WORD_RE), F.lit(0))
+
+
+def bpe_tokens(text_col: Column) -> Column:
+    """BPE-ish tokenization: letter runs + single digits + punctuation."""
+    return F.regexp_extract_all(text_col, F.lit(BPE_RE), F.lit(0))
+
+
+def token_count(text_col: Column) -> Column:
+    return F.size(tokens(text_col))
+
+
+def char_count(text_col: Column) -> Column:
+    return F.length(text_col)
+
+
+def punct_ratio(text_col: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    total = F.length(text_col)
+    punct = F.length(text_col) - F.length(F.regexp_replace(text_col, PUNCT_RE, ""))
+    return F.when(total > 0, punct.cast("double") / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text_col: Column, stopwords: list[str] | None = None) -> Column:
+    """Stopword tokens / all tokens (0 when no tokens)."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    toks = tokens(text_col)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def mean_token_length(text_col: Column) -> Column:
+    toks = tokens(text_col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n = F.size(toks)
+    return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text_col: Column) -> Column:
+    """Heuristic document quality in [0,1]: enough tokens, sane token length,
+    some (but not too many) stopwords, low punctuation noise.  Deterministic
+    arithmetic over the stats above — SQL-expressible for the oracle."""
+    n = token_count(text_col).cast("double")
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    mtl = mean_token_length(text_col)
+    tl_score = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw = stopword_ratio(text_col)
+    sw_score = F.when((sw >= 0.05) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    p_score = F.lit(1.0) - F.least(punct_ratio(text_col) * F.lit(2.0), F.lit(1.0))
+    return (len_score * F.lit(0.4) + tl_score * F.lit(0.2)
+            + sw_score * F.lit(0.2) + p_score * F.lit(0.2))
+
+
+def language_scores(text_col: Column) -> dict[str, Column]:
+    """Stopword-hit counts per language (the n-gram/stopword heuristic)."""
+    toks = tokens(text_col)
+    out = {}
+    for lang, words in (("en", STOPWORDS_EN), ("de", STOPWORDS_DE), ("fr", STOPWORDS_FR)):
+        sw = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return out
+
+
+def language_id(text_col: Column) -> Column:
+    """argmax over language scores; ties broken en > de > fr; 'und' when no
+    stopword hits at all."""
+    s = language_scores(text_col)
+    best = F.greatest(s["en"], s["de"], s["fr"])
+    return (F.when(best == 0, F.lit("und"))
+             .when(s["en"] == best, F.lit("en"))
+             .when(s["de"] == best, F.lit("de"))
+             .otherwise(F.lit("fr")))
+
+
+def normalized_text(text_col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip punctuation,
+    collapse whitespace."""
+    t = F.lower(text_col)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", "")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return t
+
+
+def fingerprint(text_col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text."""
+    return F.md5(normalized_text(text_col))
+
+
+def text_stats(df: DataFrame, text_field: str = "text") -> DataFrame:
+    """One-pass per-document stats frame."""
+    t = F.col(text_field)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        char_count(t).alias("n_chars_computed"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        mean_token_length(t).alias("mean_token_len"),
+        quality_score(t).alias("quality"),
+        language_id(t).alias("lang_guess"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -471,6 +471,17 @@ class QueryBuilder:
             df = df.limit(self._limit)
         return df
 
+    # ---- reactive -----------------------------------------------------
+    def watch(self, callback):
+        """Subscribe: emit full result now and on every matching table
+        change (query_builder.dart:473-543)."""
+        return self._engine.watch(self, callback)
+
+    def stream(self):
+        """Per-record pull stream (stream_query_builder.dart:26-140)."""
+        from tostore_spark.streaming.reactive import StreamQueryBuilder
+        return StreamQueryBuilder(self).stream()
+
     # ---- terminals ----------------------------------------------------
     def run(self) -> QueryResult:
         """Collect list-of-dict records + pagination state

@@ -1,0 +1,103 @@
+"""Reactive queries: ``watch()`` / ``streamQuery`` in micro-batch form, plus
+Structured Streaming helpers for true stream analytics.
+
+Reference surface:
+- ``watch()``: emits the full result list on subscribe, then re-queries on
+  matching table-change events with in-flight coalescing
+  (query_builder.dart:473-543; notification_manager.dart:9-40)
+- ``streamQuery``: per-record pull stream with where/select
+  (stream_query_builder.dart:26-140)
+- ``watchValue``: per-key KV stream with distinct suppression
+  (tostore.dart:738-791)
+
+Spark mapping: the reference is an embedded reactive store; in a batch/
+micro-batch engine ``watch`` is a change-driven re-query — the engine fires
+change notifications on every write (engine.set_df), and the watcher
+re-collects and emits the full snapshot, coalescing bursts.  ``streamQuery``
+is ``toLocalIterator`` (one partition in flight at a time on the driver).
+
+For genuine stream analytics the reference has nothing (SURVEY.md §2.9);
+``stream_events`` shows the Structured Streaming shape (watermark + tumbling
+window) used for event tables at scale.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any, Callable, Iterator, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class Watcher:
+    """Change-driven full-snapshot re-query (the reference's watch())."""
+
+    def __init__(self, builder, callback: Callable[[list[dict]], None]):
+        self._builder = builder
+        self._callback = callback
+        self._lock = threading.Lock()
+        self._pending = False
+        self._active = True
+        # initial emission on subscribe (query_builder.dart:480-543)
+        self._emit()
+
+    def _emit(self) -> None:
+        if not self._active:
+            return
+        result = self._builder.clone().run()
+        self._callback(result.records)
+
+    def notify_change(self, table: str) -> None:
+        """Called by the engine on writes; coalesces bursts — if a re-query
+        is already queued, further notifications fold into it."""
+        if table != self._builder._table or not self._active:
+            return
+        with self._lock:
+            if self._pending:
+                return
+            self._pending = True
+        try:
+            self._emit()
+        finally:
+            with self._lock:
+                self._pending = False
+
+    def cancel(self) -> None:
+        self._active = False
+
+
+class StreamQueryBuilder:
+    """Per-record pull stream (stream_query_builder.dart:26-140): lazily
+    iterates the query result partition-by-partition — bounded driver
+    memory, no full collect."""
+
+    def __init__(self, builder):
+        self._builder = builder
+
+    def stream(self) -> Iterator[dict]:
+        df = self._builder.df()
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            yield row.asDict(recursive=True)
+
+    def for_each(self, fn: Callable[[dict], Any]) -> int:
+        n = 0
+        for rec in self.stream():
+            fn(rec)
+            n += 1
+        return n
+
+
+def stream_events(spark, source_dir: str, schema, window: str = "1 hour",
+                  watermark: str = "2 hours",
+                  value_field: str = "value", ts_field: str = "ts") -> DataFrame:
+    """Structured Streaming shape for event analytics: file source →
+    watermark → tumbling-window aggregate.  Late data beyond the watermark
+    is dropped; state is bounded.  (Parity-plus: the reference has no
+    event-time windowing.)"""
+    stream = (spark.readStream.schema(schema).parquet(source_dir)
+              .withWatermark(ts_field, watermark)
+              .groupBy(F.window(F.col(ts_field), window))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col(value_field)).alias("sum_value")))
+    return stream
