@@ -780,27 +780,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5({_NORM_T}) AS fp, min(doc_id) AS keeper_id,
                    count(*) AS n_copies
             FROM documents GROUP BY 1 HAVING count(*) > 1""",
-        "q_dedup_minhash_lsh": f"""
-            WITH norm AS (
-              SELECT doc_id, {_NORM_T} AS t FROM documents),
-            sh AS (
-              SELECT doc_id,
-                     unnest(list_distinct([substr(t, i, 5) for i in range(1, greatest(len(t) - 4, 1) + 1)])) AS s
-              FROM norm),
-            hs AS (
-              SELECT doc_id, r.range AS h,
-                     min(md5(CAST(r.range AS VARCHAR) || ':' || s)) AS mh
-              FROM sh CROSS JOIN range(0, 16) r GROUP BY doc_id, r.range),
-            sig AS (
-              SELECT doc_id, list(mh ORDER BY h) AS sig FROM hs GROUP BY doc_id),
-            banded AS (
-              SELECT doc_id, unnest([md5(CAST(b AS VARCHAR) || ',' || sig[b*4+1] || ',' ||
-                     sig[b*4+2] || ',' || sig[b*4+3] || ',' || sig[b*4+4])
-                     for b in range(0, 4)]) AS band
-              FROM sig)
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
-            GROUP BY 1, 2""",
+        "q_dedup_minhash_lsh": _minhash_oracle(),
         "q_dedup_simhash": _simhash_oracle(),
         "q_ngram_jaccard": f"""
             WITH base AS (
@@ -871,6 +851,36 @@ def oracle_sql() -> dict[str, str]:
               ('alpha', '1'), ('beta', '{"x": 2}'), ('gamma', '"three"'))
               AS t(key, value)""",
     }
+
+
+def _minhash_oracle() -> str:
+    """MinHash+LSH in DuckDB mirroring dedup.minhash_signature/_bands:
+    one md5 per shingle → 32-bit base → 16 affine hashes → 4-band digests."""
+    from tostore_spark.llmops.dedup import MINHASH_P, _minhash_ab
+
+    ab_rows = ", ".join(f"({h}, {a}, {b})" for h, (a, b) in enumerate(_minhash_ab(16)))
+    band_exprs = ", ".join(
+        "md5(CAST({b} AS VARCHAR) || ',' || ".format(b=b)
+        + " || ',' || ".join(f"CAST(sig[{b*4+r+1}] AS VARCHAR)" for r in range(4))
+        + ")"
+        for b in range(4))
+    return f"""
+        WITH norm AS (SELECT doc_id, {_NORM_T} AS t FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([substr(t, i, 5) for i in range(1, greatest(len(t) - 4, 1) + 1)])) AS s
+          FROM norm),
+        base AS (
+          SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS u FROM sh),
+        ab AS (SELECT * FROM (VALUES {ab_rows}) v(h, a, b)),
+        hs AS (
+          SELECT doc_id, h, min((a * u + ab.b) % {MINHASH_P}) AS mh
+          FROM base CROSS JOIN ab GROUP BY doc_id, h),
+        sig AS (SELECT doc_id, list(mh ORDER BY h) AS sig FROM hs GROUP BY doc_id),
+        banded AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig)
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM banded x JOIN banded y ON x.band = y.band AND x.doc_id < y.doc_id
+        GROUP BY 1, 2"""
 
 
 def _simhash_oracle() -> str:

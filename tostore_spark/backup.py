@@ -1,0 +1,83 @@
+"""Backup / restore: parquet snapshot directories + a JSON manifest.
+
+Reference: ZIP backup of the current space (+ optionally global tables) and
+restore (lib/tostore.dart:817-839; core/backup_manager.dart).
+
+Spark-first: a backup is a directory of per-table parquet snapshots written
+with the normal distributed writer (no driver bottleneck), plus a manifest
+recording schemas and the space.  Restore re-registers the snapshots.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+from tostore_spark.schema import (DataType, FieldSchema, PrimaryKeyConfig,
+                                  PrimaryKeyType, TableSchema)
+
+
+def _schema_to_dict(sch: TableSchema) -> dict:
+    return {
+        "name": sch.name,
+        "is_global": sch.is_global,
+        "primary_key": dataclasses.asdict(sch.primary_key) if sch.primary_key else None,
+        "fields": [
+            {"name": f.name, "type": f.type.value, "nullable": f.nullable,
+             "unique": f.unique, "create_index": f.create_index}
+            for f in sch.fields
+        ],
+    }
+
+
+def _schema_from_dict(d: dict) -> TableSchema:
+    pk = None
+    if d.get("primary_key"):
+        p = d["primary_key"]
+        pk = PrimaryKeyConfig(name=p["name"], type=PrimaryKeyType(p["type"]))
+    return TableSchema(
+        name=d["name"], is_global=d.get("is_global", False), primary_key=pk,
+        fields=[FieldSchema(name=f["name"], type=DataType(f["type"]),
+                            nullable=f.get("nullable", True),
+                            unique=f.get("unique", False),
+                            create_index=f.get("create_index", False))
+                for f in d.get("fields", [])])
+
+
+def backup(engine, backup_dir: str, include_global: bool = True) -> str:
+    """Snapshot every table in the current space (and global tables) to
+    ``backup_dir`` as parquet + manifest.json.  Returns the directory."""
+    os.makedirs(backup_dir, exist_ok=True)
+    manifest = {"space": engine.current_space, "tables": []}
+    for name in engine.table_names():
+        sch = engine.schema(name)
+        if sch.is_global and not include_global:
+            continue
+        path = os.path.join(backup_dir, f"{name}.parquet")
+        engine.df(name).write.mode("overwrite").parquet(path)
+        manifest["tables"].append(_schema_to_dict(sch))
+    with open(os.path.join(backup_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    return backup_dir
+
+
+def restore(engine, backup_dir: str, space: Optional[str] = None) -> list[str]:
+    """Re-register every table from a backup into the engine (into ``space``
+    or the backup's recorded space).  Returns restored table names."""
+    with open(os.path.join(backup_dir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    prev = engine.current_space
+    engine.switch_space(space or manifest.get("space", "default"))
+    restored = []
+    try:
+        for tdict in manifest["tables"]:
+            sch = _schema_from_dict(tdict)
+            path = os.path.join(backup_dir, f"{sch.name}.parquet")
+            engine.register_table(sch.name, path=path, schema=sch,
+                                  is_global=sch.is_global)
+            restored.append(sch.name)
+    finally:
+        engine.switch_space(prev)
+    return restored

@@ -200,6 +200,26 @@ class ToStoreSpark:
         from tostore_spark import write
         write.upsert(self, table, rows)
 
+    # ---- schema evolution / backup / batch export ---------------------
+    def schema_builder(self, table: str):
+        """Chained schema migrations (schema_builder.dart:16-258)."""
+        from tostore_spark.plans.schema_builder import SchemaBuilder
+        return SchemaBuilder(self, table)
+
+    def backup(self, backup_dir: str, include_global: bool = True) -> str:
+        from tostore_spark import backup as bk
+        return bk.backup(self, backup_dir, include_global=include_global)
+
+    def restore(self, backup_dir: str, space: Optional[str] = None) -> list[str]:
+        from tostore_spark import backup as bk
+        return bk.restore(self, backup_dir, space=space)
+
+    def query_each_batch(self, table: str, batch_size: int = 1000, **kw):
+        """Resumable cursor-checkpointed batch export
+        (query_executor.dart:3393-3492)."""
+        from tostore_spark.plans.batch_export import query_each_batch
+        return query_each_batch(self.query(table), batch_size=batch_size, **kw)
+
     # ---- KV namespace (kv.py) -----------------------------------------
     @property
     def kv(self):

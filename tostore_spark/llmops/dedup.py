@@ -45,37 +45,83 @@ def fingerprint_dedup(df: DataFrame, text_field: str = "text",
 
 
 # ------------------------------------------------------------- minhash
+from tostore_spark.functions.colutil import let_array as _let  # noqa: E402
+from tostore_spark.functions.colutil import let_scalar as _let_s  # noqa: E402
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-heavy per-row stages use the full cluster: small inputs
+    arrive as one file-partition locally, which would serialize the hash
+    work on one core.  At scale the input already has >= defaultParallelism
+    partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles(text_col: Column, k: int = 5) -> Column:
-    """Distinct character k-shingles of the normalized text."""
-    t = normalized_text(text_col)
-    n = F.length(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(k))))
+    """Distinct character k-shingles of the normalized text (normalization
+    evaluated once per row via the let-binding)."""
+
+    def _inner(t):
+        idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1)))
+        return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(k))))
+
+    return _let(normalized_text(text_col), _inner)
+
+
+# Affine minhash family over one base digest: h_i(s) = (a_i*u + b_i) mod p
+# with u = first 32 bits of md5(s).  One md5 per shingle instead of
+# num_hashes — the md5 is the dominant cost in the signature stage.
+MINHASH_P = 4294967291  # largest 32-bit prime
+
+
+def _minhash_ab(n: int) -> list[tuple[int, int]]:
+    out, state = [], 42
+    for _ in range(n):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        a = state | 1
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        out.append((a, state))
+    return out
 
 
 def minhash_signature(text_col: Column, num_hashes: int = 16, k: int = 5) -> Column:
-    """MinHash signature: per hash i, min over shingles of md5(i ':' shingle).
-    Hex-string minima (fixed width ⇒ order-preserving).  ~num_hashes md5
-    evaluations per shingle, all map-side."""
-    sh = shingles(text_col, k)
+    """MinHash signature (array<long>): per hash i, min over shingles of
+    (a_i·u + b_i) mod p where u = first-32-bits(md5(shingle)).  Shingle
+    array and base digests are let-bound so each is computed exactly once
+    per row; a_i·u < 2^63 so the arithmetic stays in exact long range."""
+    ab = _minhash_ab(num_hashes)
 
-    def _hasher(i: int):
-        # NB: a 2-arg lambda would be read by transform() as (element, index)
-        prefix = f"{i}:"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    def _mins(sh):
+        bases = F.transform(
+            sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"))
 
-    mins = [F.array_min(F.transform(sh, _hasher(i))) for i in range(num_hashes)]
-    return F.array(*mins)
+        def _from_bases(bs):
+            return F.array(*[
+                F.array_min(F.transform(
+                    bs, (lambda a, b: lambda u: (F.lit(a) * u + F.lit(b)) % F.lit(MINHASH_P))(a, b)))
+                for a, b in ab])
+
+        return _let(bases, _from_bases)
+
+    return _let(shingles(text_col, k), _mins)
 
 
 def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
-    """Band digests for LSH: md5 over each contiguous row group."""
-    outs = []
-    for b in range(bands):
-        start = b * rows_per_band
-        parts = [sig.getItem(start + r) for r in range(rows_per_band)]
-        outs.append(F.md5(F.concat_ws(",", F.lit(str(b)), *parts)))
-    return F.array(*outs)
+    """Band digests for LSH: md5 over each contiguous row group (signature
+    let-bound so it is computed once, not once per band)."""
+
+    def _bands(s):
+        outs = []
+        for b in range(bands):
+            start = b * rows_per_band
+            parts = [s.getItem(start + r) for r in range(rows_per_band)]
+            outs.append(F.md5(F.concat_ws(",", F.lit(str(b)), *parts)))
+        return F.array(*outs)
+
+    return _let(sig, lambda s: _bands(s))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_field: str = "text",
@@ -89,9 +135,18 @@ def minhash_lsh_pairs(df: DataFrame, text_field: str = "text",
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(F.col(text_field), num_hashes, shingle_k)
-    banded = (df.select(F.col(id_field).alias("id"),
-                        minhash_bands(sig, bands, rows_per_band).alias("bands"))
-                .select("id", F.explode("bands").alias("band")))
+    df = _spread(df)
+    # Materialize (id, band-digests) BEFORE exploding: Generate re-inlines
+    # its child's expressions per emitted row (bands× the full signature),
+    # and the self-join would double everything again — measured 64×
+    # redundant md5 work without this barrier.  The persisted frame is the
+    # LSH index table (~150 bytes/doc); in production it would be written
+    # out and reused across runs.
+    sig_frame = (df.select(F.col(id_field).alias("id"),
+                           minhash_bands(sig, bands, rows_per_band).alias("bands"))
+                   .persist())
+    sig_frame.count()
+    banded = sig_frame.select("id", F.explode("bands").alias("band"))
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.id") < F.col("b.id")))
@@ -105,24 +160,27 @@ def simhash(text_col: Column, bits: int = 16) -> Column:
     vote sum becomes bit j of the fingerprint.  Pure column math."""
     from tostore_spark.llmops.text import tokens
 
-    toks = tokens(text_col)
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        hexpos = j // 4 + 1
-        bitpos = j % 4
-        votes = F.aggregate(
-            toks, F.lit(0),
-            lambda acc, t: acc + F.when(
-                F.conv(F.substring(F.md5(t), hexpos, 1), 16, 10)
-                 .cast("int").bitwiseAND(F.lit(1 << bitpos)) > 0,
-                F.lit(1)).otherwise(F.lit(-1)))
-        out = out + F.when(votes > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return out
+    def _body(toks):
+        out = F.lit(0).cast("long")
+        for j in range(bits):
+            hexpos = j // 4 + 1
+            bitpos = j % 4
+            votes = F.aggregate(
+                toks, F.lit(0),
+                lambda acc, t: acc + F.when(
+                    F.conv(F.substring(F.md5(t), hexpos, 1), 16, 10)
+                     .cast("int").bitwiseAND(F.lit(1 << bitpos)) > 0,
+                    F.lit(1)).otherwise(F.lit(-1)))
+            out = out + F.when(votes > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        return out
+
+    return _let_s(tokens(text_col), _body)
 
 
 def simhash_dedup(df: DataFrame, text_field: str = "text",
                   id_field: str = "doc_id", bits: int = 16) -> DataFrame:
     """Group by identical SimHash (bucket key = the hash itself)."""
+    df = _spread(df)
     return (df.withColumn("simhash", simhash(F.col(text_field), bits))
               .groupBy("simhash")
               .agg(F.min(F.col(id_field)).alias("keeper_id"),
@@ -134,11 +192,15 @@ def word_ngrams(text_col: Column, n: int = 3) -> Column:
     """Distinct word n-grams of the normalized text."""
     from tostore_spark.llmops.text import tokens
 
-    toks = tokens(text_col)
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[toks.getItem(i + j) for j in range(n)]))
-    return F.when(cnt >= n, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+    def _body(toks):
+        cnt = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+        grams = F.transform(idx, lambda i: F.concat_ws(
+            " ", *[toks.getItem(i + j) for j in range(n)]))
+        return (F.when(cnt >= n, F.array_distinct(grams))
+                 .otherwise(F.array().cast("array<string>")))
+
+    return _let(tokens(text_col), _body)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_field: str = "text",
@@ -155,9 +217,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_field: str = "text",
 
     bucket = bucket_field if bucket_field is not None \
         else F.floor(token_count(F.col(text_field)) / 10)
-    base = df.select(F.col(id_field).alias("id"),
-                     bucket.alias("bucket"),
-                     word_ngrams(F.col(text_field), n).alias("grams"))
+    base = _spread(df).select(F.col(id_field).alias("id"),
+                              bucket.alias("bucket"),
+                              word_ngrams(F.col(text_field), n).alias("grams"))
     a, b = base.alias("a"), base.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
     union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))

@@ -79,14 +79,20 @@ def ivf_build(corpus: DataFrame, n_cells: int = 16, vec_field: str = "embedding"
              for i, r in enumerate(corpus.orderBy(F.col(id_field).asc())
                                    .select(id_field, vec_field).take(n_cells))]
     v = F.col(vec_field)
-    best_cell, best_dist = F.lit(-1), F.lit(float("inf"))
-    for cid, cent in cents:
-        qcol = F.array(*[F.lit(x) for x in cent])
-        d = F.lit(1.0) - _dot_cols(v, qcol) / (_norm(v) * _norm(qcol))
-        is_better = d < best_dist
-        best_cell = F.when(is_better, F.lit(cid)).otherwise(best_cell)
-        best_dist = F.when(is_better, d).otherwise(best_dist)
-    return corpus.withColumn("cell_id", best_cell), cents
+    # argmin via a distance array + array_position: flat expression, one
+    # distance evaluation per centroid.  (A chained when(d < best_dist)
+    # fold duplicates each distance expression exponentially in depth.)
+    dists = F.array(*[
+        F.lit(1.0) - _dot_cols(v, F.array(*[F.lit(x) for x in cent]))
+        / (_norm(v) * _norm(F.array(*[F.lit(x) for x in cent])))
+        for _, cent in cents])
+    staged = corpus.withColumn("__cell_dists", dists)
+    out = (staged.withColumn(
+        "cell_id",
+        (F.array_position(F.col("__cell_dists"),
+                          F.array_min(F.col("__cell_dists"))) - 1).cast("int"))
+        .drop("__cell_dists"))
+    return out, cents
 
 
 def ivf_search(indexed: DataFrame, centroids: list[tuple[int, list[float]]],
