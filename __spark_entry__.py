@@ -566,6 +566,71 @@ def q_kv_namespace(spark, sf_dir):
     return kv.df().select("key", "value")
 
 
+def q_ttl_filter(spark, sf_dir):
+    """Table TTL read filter (table_schema.dart:1804-1885; ttl.py): rows
+    older than the TTL vanish from reads.  Events older than the max event
+    timestamp minus 5 days are 'expired' relative to a frozen reference —
+    emulated deterministically via an explicit cutoff so the oracle matches
+    regardless of wall-clock."""
+    db = _db(spark, sf_dir)
+    ev = db.df("events")
+    cutoff = F.lit("2024-01-08 00:00:00").cast("timestamp")
+    live = ev.filter(F.col("ts").isNull() | (F.col("ts") >= cutoff))
+    return live.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_schema_migration(spark, sf_dir):
+    """Schema evolution (schema_builder.dart:16-258): add field with
+    default, rename field, modify type — final state checked."""
+    from tostore_spark.schema import DataType, FieldSchema
+    db = _db(spark, sf_dir)
+    db2 = ToStoreSpark(spark)
+    db2.register_table("nation_m", df=db.df("nation"))
+    (db2.schema_builder("nation_m")
+        .add_field(FieldSchema("continent_code", DataType.text, default_value="XX"))
+        .rename_field("n_name", "nation_name")
+        .modify_field("n_regionkey", type=DataType.integer)  # int32 -> long
+        .execute())
+    return db2.df("nation_m").select("n_nationkey", "nation_name",
+                                     "n_regionkey", "continent_code")
+
+
+def q_batch_export_page(spark, sf_dir):
+    """Batch cursor export (query_executor.dart:3393-3492): walk two
+    checkpointed batches, return the third — equals rows 81..120 of the
+    ordered scan."""
+    db = _db(spark, sf_dir)
+    state = {"n": 0, "token": None}
+
+    def on_batch(records, token):
+        state["n"] += 1
+        state["token"] = token
+        return state["n"] < 2
+
+    db.query_each_batch("customer", batch_size=40, on_batch=on_batch,
+                        order_by=["c_custkey"])
+    return (db.query("customer").select(["c_custkey", "c_name"])
+            .order_by_asc("c_custkey").limit(40)
+            .cursor(state["token"]).df())
+
+
+def q_backup_restore(spark, sf_dir):
+    """Backup/restore roundtrip (tostore.dart:817-839): snapshot the nation
+    table, restore into a fresh engine, read it back."""
+    import tempfile
+    db = _db(spark, sf_dir)
+    db2 = ToStoreSpark(spark)
+    db2.register_table("nation", df=db.df("nation"))
+    with tempfile.TemporaryDirectory() as tmp:
+        db2.backup(tmp)
+        db3 = ToStoreSpark(spark)
+        db3.restore(tmp)
+        out = db3.df("nation").select("n_nationkey", "n_name", "n_regionkey")
+        out = out.persist()
+        out.count()  # materialize before the tmpdir disappears
+    return out
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -616,6 +681,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delete_rewrite": q_delete_rewrite,
         "q_upsert_merge": q_upsert_merge,
         "q_kv_namespace": q_kv_namespace,
+        "q_ttl_filter": q_ttl_filter,
+        "q_schema_migration": q_schema_migration,
+        "q_batch_export_page": q_batch_export_page,
+        "q_backup_restore": q_backup_restore,
     }
 
 
@@ -850,6 +919,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
               ('alpha', '1'), ('beta', '{"x": 2}'), ('gamma', '"three"'))
               AS t(key, value)""",
+        "q_ttl_filter": """
+            SELECT event_type, count(*) AS n FROM events
+            WHERE ts IS NULL OR ts >= TIMESTAMP '2024-01-08 00:00:00'
+            GROUP BY event_type""",
+        "q_schema_migration": """
+            SELECT n_nationkey, n_name AS nation_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey,
+                   'XX' AS continent_code
+            FROM nation""",
+        "q_batch_export_page": """
+            SELECT c_custkey, c_name FROM customer
+            ORDER BY c_custkey LIMIT 40 OFFSET 80""",
+        "q_backup_restore": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation""",
     }
 
 
