@@ -1,0 +1,139 @@
+"""llmops + vector operators: semantics and recall sanity on testdata."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tostore_spark.llmops import dedup as D
+from tostore_spark.llmops import similarity as S
+from tostore_spark.llmops import text as TX
+
+
+def test_tokens_and_stats(db, spark):
+    sdf = spark.createDataFrame(
+        [(1, "The quick brown fox! It is FAST."), (2, ""), (3, "a b c")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in TX.text_stats(sdf, "text").collect()}
+    assert out[1]["n_tokens"] == 7
+    assert out[1]["lang_guess"] == "en"
+    assert out[2]["n_tokens"] == 0 and out[2]["quality"] <= 0.5
+    assert 0 < out[1]["punct_ratio"] < 0.2
+    assert out[3]["stopword_ratio"] == pytest.approx(1 / 3)
+
+
+def test_fingerprint_invariance(spark, db):
+    sdf = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "different text")],
+        ["doc_id", "text"])
+    fps = {r["doc_id"]: r["fp"] for r in
+           sdf.select("doc_id", TX.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_exact_dedup_keeps_min_id(spark, db):
+    sdf = spark.createDataFrame(
+        [(5, "same"), (2, "same"), (9, "other")], ["doc_id", "text"])
+    out = {r["text_hash"]: r for r in D.exact_dedup(sdf).collect()}
+    assert sorted((r["keeper_id"], r["n_copies"]) for r in out.values()) == \
+        [(2, 2), (9, 1)]
+
+
+def test_minhash_finds_near_dups(spark, db):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely unrelated content about spark engines and planning"
+    sdf = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_pairs(sdf).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_exact_value(spark, db):
+    a = "one two three four five"
+    b = "one two three four six"
+    sdf = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    out = D.ngram_jaccard_pairs(sdf, n=3, threshold=0.0,
+                                bucket_field=F.lit(0)).collect()
+    # grams a: {one two three, two three four, three four five}
+    # grams b: {one two three, two three four, three four six} -> J = 2/4
+    assert len(out) == 1 and out[0]["jaccard"] == pytest.approx(0.5)
+
+
+def test_simhash_identical_for_same_tokens(spark, db):
+    sdf = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "ALPHA beta?? gamma"), (3, "zeta eta theta")],
+        ["doc_id", "text"])
+    hs = {r["doc_id"]: r["sh"] for r in
+          sdf.select("doc_id", D.simhash(F.col("text")).alias("sh")).collect()}
+    assert hs[1] == hs[2] != hs[3]
+
+
+def test_knn_join_self_nearest(db):
+    emb = db.df("embeddings")
+    out = S.knn_join(emb.filter(F.col("vec_id") < 3), emb, k=1,
+                     exclude_self=False).collect()
+    # with self included, the nearest neighbor of each query is itself
+    assert all(r["query_id"] == r["neighbor_id"] for r in out)
+    assert all(abs(r["distance"]) < 1e-9 for r in out)
+
+
+def test_vector_search_metrics_and_scores(db):
+    from tostore_spark.vector import vector_search
+
+    q = [math.sin(i + 1) for i in range(64)]
+    for metric, check in [
+        ("cosine", lambda r: 0 <= r["score"] <= 1),
+        ("l2", lambda r: r["score"] == pytest.approx(1 / (1 + r["distance"]))),
+        ("innerProduct", lambda r: 0 <= r["score"] <= 1),
+    ]:
+        rows = vector_search(db.df("embeddings"), "embedding", q,
+                             top_k=5, metric=metric, pk="vec_id").collect()
+        assert len(rows) == 5
+        dists = [r["distance"] for r in rows]
+        assert dists == sorted(dists)
+        assert all(check(r) for r in rows)
+
+
+def test_lsh_recall_vs_exact(db):
+    """Multi-probe LSH top-1 should usually agree with exact search."""
+    from tostore_spark.vector import vector_search, vector_search_lsh
+
+    emb = db.df("embeddings")
+    queries = [r["embedding"] for r in
+               emb.filter(F.col("vec_id") < 5).orderBy("vec_id").collect()]
+    hits = 0
+    for qv in queries:
+        exact = vector_search(emb, "embedding", qv, top_k=1, pk="vec_id").collect()
+        approx = vector_search_lsh(emb, "embedding", qv, top_k=1,
+                                   n_planes=6, n_probes=4, pk="vec_id").collect()
+        if approx and exact[0]["vec_id"] == approx[0]["vec_id"]:
+            hits += 1
+    assert hits >= 3  # recall >= 60% on self-queries (exact hit = itself)
+
+
+def test_ivf_probe_subset(db):
+    from tostore_spark.llmops.similarity import ivf_build, ivf_search
+
+    emb = db.df("embeddings")
+    indexed, cents = ivf_build(emb, n_cells=4)
+    assert indexed.select("cell_id").distinct().count() <= 4
+    q = [0.1] * 64
+    out = ivf_search(indexed, cents, q, k=3, nprobe=2).collect()
+    assert len(out) == 3
+
+
+def test_multimodal_stub_paths(spark, db):
+    from tostore_spark.llmops import multimodal as MM
+
+    sdf = spark.createDataFrame([(1, "hello")], ["doc_id", "text"]) \
+        .withColumn("blob", F.encode(F.col("text"), "utf-8"))
+    with_meta = MM.attach_media(sdf, "blob", "text", "text/plain")
+    meta = with_meta.collect()[0]["blob_meta"]
+    assert meta["n_bytes"] == 5 and meta["modality"] == "text"
+    feats = MM.extract_features(sdf, "blob", "doc_id", feature_dim=4,
+                                deterministic_fake=True).collect()
+    assert len(feats[0]["feature"]) == 4
+    with pytest.raises(Exception):
+        MM.extract_features(sdf, "blob", "doc_id").collect()

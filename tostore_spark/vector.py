@@ -116,15 +116,26 @@ def lsh_bucket_column(vec_col: Column, planes: list[list[float]]) -> Column:
 
 def vector_search_lsh(df: DataFrame, field_name: str, query_vector: Sequence[float],
                       top_k: int = 10, metric: str = "cosine",
-                      n_planes: int = 12, pk: Optional[str] = None) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket, then exact
-    re-rank inside it (the reference's PQ-then-re-rank shape, Spark-style)."""
+                      n_planes: int = 8, n_probes: int = 4,
+                      pk: Optional[str] = None) -> DataFrame:
+    """Approximate top-k: multi-probe LSH — probe the query's bucket plus
+    the ``n_probes - 1`` single-bit-flip neighbor buckets whose hyperplane
+    margin is smallest (the standard multi-probe heuristic), then exact
+    re-rank inside the probed buckets.  This is the reference's
+    quantize-then-re-rank shape (ngh_graph_engine.dart) in bucket form:
+    candidate generation is a pushdown-able IN filter on the bucket id, so
+    at scale a probe touches ~n_probes/2^n_planes of the corpus."""
     dim = len(query_vector)
     planes = random_hyperplanes(dim, n_planes)
-    sig = 0
+    sig, margins = 0, []
     for i, p in enumerate(planes):
-        if sum(a * float(b) for a, b in zip(p, query_vector)) > 0:
+        proj = sum(a * float(b) for a, b in zip(p, query_vector))
+        if proj > 0:
             sig |= 1 << i
-    bucketed = df.filter(lsh_bucket_column(F.col(field_name), planes) == F.lit(sig))
+        margins.append((abs(proj), i))
+    probes = [sig]
+    for _, i in sorted(margins)[: max(0, n_probes - 1)]:
+        probes.append(sig ^ (1 << i))
+    bucketed = df.filter(lsh_bucket_column(F.col(field_name), planes).isin(probes))
     return vector_search(bucketed, field_name, query_vector, top_k=top_k,
                          metric=metric, pk=pk)
