@@ -114,3 +114,63 @@ def test_stream_query(db):
         assert "n_name" in rec
         n += 1
     assert n == db.query("nation").where("n_regionkey", "=", 0).count()
+
+
+def test_structured_streaming_window(spark, db, tmp_path):
+    """stream_events: file-source micro-batch with watermark + tumbling
+    window produces the same counts as the batch query."""
+    from tostore_spark.streaming.reactive import stream_events
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "events_src")
+    ev = db.df("events")
+    ev.write.mode("overwrite").parquet(src)
+    schema = ev.schema
+    agg = stream_events(spark, src, schema, window="1 day", watermark="2 days")
+    q = (agg.writeStream.format("memory").queryName("ev_win")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["window"]["start"]: r["n"] for r in spark.sql(
+        "select * from ev_win").collect()}
+    exp = {r["d"]: r["n"] for r in
+           ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == exp and len(got) > 0
+
+
+def test_cursor_desc_walk(db, duck):
+    qb = (db.query("orders").select(["o_orderkey", "o_totalprice"])
+          .order_by_desc("o_totalprice").order_by_asc("o_orderkey").limit(25))
+    seen = []
+    page = qb.run()
+    for _ in range(3):
+        seen += [r["o_orderkey"] for r in page]
+        if not page.has_more:
+            break
+        page = page.next_page()
+    exp = [r[0] for r in duck.execute(
+        "select o_orderkey from orders order by o_totalprice desc, o_orderkey limit 75"
+    ).fetchall()]
+    assert seen == exp
+
+
+def test_prev_page(db, duck):
+    qb = (db.query("customer").select(["c_custkey", "c_acctbal"])
+          .order_by_asc("c_acctbal", "c_custkey").limit(20))
+    p1 = qb.run()
+    p2 = p1.next_page()
+    back = p2.prev_page()
+    assert [r["c_custkey"] for r in back] == [r["c_custkey"] for r in p1]
+
+
+def test_prev_page_deep(db, duck):
+    """page3.prev() must equal page2 (last-N-before-pivot, not first-N)."""
+    qb = (db.query("customer").select(["c_custkey", "c_acctbal"])
+          .order_by_asc("c_acctbal", "c_custkey").limit(20))
+    p1 = qb.run()
+    p2 = p1.next_page()
+    p3 = p2.next_page()
+    back2 = p3.prev_page()
+    assert [r["c_custkey"] for r in back2] == [r["c_custkey"] for r in p2]
+    back1 = back2.prev_page()
+    assert [r["c_custkey"] for r in back1] == [r["c_custkey"] for r in p1]

@@ -1,0 +1,63 @@
+"""Plan audit: assert the physical plans have the shapes we designed for.
+
+Checks, per headline query, that:
+- predicates reach the Parquet scan (``PushedFilters`` non-trivial),
+- projections prune columns (``ReadSchema`` ⊂ table schema),
+- small-dim joins broadcast (``BroadcastHashJoin``),
+- order+limit compiles to ``TakeOrderedAndProject`` (no full sort),
+- the keyset-cursor tuple-compare is sargable (appears in PushedFilters).
+
+Run: python tools/explain_audit.py   (exit 1 on any missing shape)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CHECKS: dict[str, list[str]] = {
+    "q_filter_sort_limit": ["PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity",
+                            "TakeOrderedAndProject",
+                            "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,"
+                            "l_quantity:double,l_extendedprice:double>"],
+    "q_join_inner_group": ["BroadcastHashJoin",
+                           "EqualTo(c_mktsegment,BUILDING)",
+                           "LessThan(o_orderdate"],
+    "q_topk": ["TakeOrderedAndProject"],
+    "q_keyset_page": ["PushedFilters: [Or(GreaterThan(c_acctbal"],
+    "q_groupby_having": ["HashAggregate"],
+    "q_vector_cosine_topk": ["TakeOrderedAndProject",
+                             "ReadSchema: struct<vec_id:bigint,embedding:array<float>,label:int>"],
+    "q_or_union_dedup": ["PushedFilters: [Or("],
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    import __spark_entry__ as entrymod
+    from tostore_spark import get_spark
+
+    spark = get_spark(app_name="explain-audit")
+    qs = entrymod.queries()
+    failed = 0
+    for name, needles in CHECKS.items():
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        missing = [n for n in needles if n not in plan]
+        if missing:
+            failed += 1
+            print(f"FAIL {name}: missing plan shapes: {missing}")
+        else:
+            print(f"ok   {name}: {len(needles)} plan shapes present")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -230,6 +230,14 @@ class QueryBuilder:
             self._joins.append(("__extra_eq__", table, lk, "=", rk))
         return self
 
+    def join_referenced_table(self, table: str):
+        """Child → parent FK auto-join (query_builder.dart:210-253)."""
+        return self.join_with_foreign_key(table)
+
+    def join_referencing_table(self, table: str):
+        """Parent → child FK auto-join (query_builder.dart:210-253)."""
+        return self.join_with_foreign_key(table)
+
     def clone(self) -> "QueryBuilder":
         import copy
 
@@ -436,16 +444,17 @@ class QueryBuilder:
         frame = self._apply_joins(frame)
         frame = self._apply_condition(frame)
 
+        prev_page = False
         if self._cursor_token:
             tok = cursor_mod.decode_cursor(self._cursor_token)
             sig = cursor_mod.query_signature(self._table, self._cond.to_map(), self._order_by)
             if tok.get("sig") != sig:
                 raise ValueError("cursor signature does not match this query")
             sort_fields = [(f, bool(d)) for f, d in tok["sort"]]
-            reverse = tok.get("direction") == "prev"
+            prev_page = tok.get("direction") == "prev"
             frame = _Frame(
                 frame.df.filter(cursor_mod.keyset_filter(
-                    sort_fields, tok["pivot"], frame.resolver(), reverse=reverse)),
+                    sort_fields, tok["pivot"], frame.resolver(), reverse=prev_page)),
                 frame.prov)
 
         frame = self._apply_agg(frame)
@@ -458,6 +467,16 @@ class QueryBuilder:
             else:
                 names = [self._colname_for(frame, f) or f for f in self._distinct]
                 frame = _Frame(frame.df.dropDuplicates(names), frame.prov)
+
+        if prev_page and self._order_by:
+            # prev-page = the LAST `limit` rows before the pivot: take them
+            # under the reversed order, then restore the requested order.
+            flipped = [f if d else f"-{f}"
+                       for f, d in (parse_order_field(s) for s in self._order_by)]
+            df = frame.df.orderBy(*order_columns(flipped, frame.resolver()))
+            if self._limit is not None:
+                df = df.limit(self._limit)
+            return df.orderBy(*order_columns(self._order_by, frame.resolver()))
 
         if self._order_by:
             frame = _Frame(
@@ -493,9 +512,15 @@ class QueryBuilder:
             qb._limit = fetch
             qb._cursor_token = self._cursor_token
         rows = [r.asDict(recursive=True) for r in qb.df().collect()]
-        has_more = fetch is not None and len(rows) >= fetch
-        if has_more:
-            rows = rows[: self._limit]
+        is_prev = False
+        if self._cursor_token:
+            is_prev = cursor_mod.decode_cursor(self._cursor_token).get("direction") == "prev"
+        overflow = fetch is not None and len(rows) >= fetch
+        if overflow:
+            # the +1 probe row is beyond the page: last under next-paging,
+            # first (earliest) under prev-paging after the ascending re-sort
+            rows = rows[1:] if is_prev else rows[: self._limit]
+        has_more = overflow if not is_prev else True
         next_token = prev_token = None
         if rows and self._order_by:
             sort_fields = self._sort_fields_with_tiebreak()
@@ -508,7 +533,10 @@ class QueryBuilder:
                 prev_token = cursor_mod.encode_cursor(
                     self._table, sort_fields,
                     {f: rows[0][f] for f, _ in sort_fields}, "prev", sig)
-        has_prev = self._cursor_token is not None or bool(self._offset)
+        if is_prev:
+            has_prev = overflow
+        else:
+            has_prev = self._cursor_token is not None or bool(self._offset)
         return QueryResult(rows, has_more, has_prev, next_token, prev_token, builder=self)
 
     def count(self) -> int:
