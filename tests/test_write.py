@@ -159,3 +159,53 @@ def test_spaces_isolation(spark):
     assert db.query("users").count() == 0
     db.switch_space("default")
     assert db.query("users").count() == 1
+
+
+def test_batch_update_partial_fields(spark):
+    db = fresh(spark)
+    db.create_table(users_schema())
+    db.batch_insert("users", [
+        {"id": "u1", "name": "a", "age": 10, "email": "a@x"},
+        {"id": "u2", "name": "b", "age": 20, "email": "b@x"},
+        {"id": "u3", "name": "c", "age": 30, "email": "c@x"},
+    ])
+    n = db.batch_update("users", [
+        {"id": "u1", "age": 11},            # only age
+        {"id": "u2", "name": "b2"},         # only name
+        {"id": "u9", "age": 99},            # unknown pk -> ignored
+    ])
+    assert n == 2
+    got = {r["id"]: (r["name"], r["age"]) for r in db.query("users").run()}
+    assert got == {"u1": ("a", 11), "u2": ("b2", 20), "u3": ("c", 30)}
+    with pytest.raises(ValueError, match="primary key"):
+        db.batch_update("users", [{"age": 1}])
+
+
+def test_upsert_with_branch_exprs(spark):
+    """IsUpdate/IfElse upsert branches (expr.dart:121-158): increment on
+    update, initialize on insert."""
+    db = fresh(spark)
+    db.create_table(users_schema())
+    db.batch_insert("users", [{"id": "u1", "name": "a", "age": 10, "email": "a@x"}])
+    db.batch_upsert(
+        "users",
+        [{"id": "u1", "name": "a", "email": "a@x"},
+         {"id": "u2", "name": "n", "email": "n@x"}],
+        exprs={"age": Expr.if_else(Expr.is_update(),
+                                   Expr.field("age") + 5, Expr.value(100))})
+    got = {r["id"]: r["age"] for r in db.query("users").run()}
+    assert got == {"u1": 15, "u2": 100}
+
+
+def test_kv_watch_value(spark):
+    db = fresh(spark)
+    seen = []
+    db.kv.set_value("k", 1)
+    db.kv.watch_value("k", seen.append)
+    assert seen == [1]
+    db.kv.set_value("k", 2)
+    assert seen == [1, 2]
+    db.kv.set_value("k", 2)   # distinct suppression
+    assert seen == [1, 2]
+    db.kv.remove_value("k")
+    assert seen == [1, 2, None]

@@ -196,9 +196,15 @@ class ToStoreSpark:
         from tostore_spark import write
         write.upsert(self, table, [data])
 
-    def batch_upsert(self, table: str, rows: list[dict]) -> None:
+    def batch_upsert(self, table: str, rows: list[dict], exprs=None) -> None:
         from tostore_spark import write
-        write.upsert(self, table, rows)
+        write.upsert(self, table, rows, exprs=exprs)
+
+    def batch_update(self, table: str, rows: list[dict]) -> int:
+        """Partial update per record carrying its PK (batchUpdate,
+        data_store_impl.dart:4907+)."""
+        from tostore_spark import write
+        return write.batch_update(self, table, rows)
 
     # ---- schema evolution / backup / batch export ---------------------
     def schema_builder(self, table: str):

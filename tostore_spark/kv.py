@@ -51,13 +51,10 @@ class KvStore:
         rows = [(space, k, json.dumps(v), exp) for k, v in kvs.items()]
         new = self._engine.spark.createDataFrame(rows, _KV_SCHEMA)
         keys = [(space, k) for k in kvs]
-        keep = self._df.filter(
-            ~F.struct("space", "key").isin([F.struct(F.lit(s), F.lit(k)) for s, k in keys])
-            if False else  # struct isin is awkward; anti-join instead
-            F.lit(True))
         keydf = self._engine.spark.createDataFrame(keys, ["space", "key"])
         keep = self._df.join(F.broadcast(keydf), on=["space", "key"], how="left_anti")
         self._df = keep.unionByName(new)
+        self._notify()
 
     def get_value(self, key: str, is_global: bool = False) -> Any:
         space = self._space(is_global)
@@ -70,6 +67,7 @@ class KvStore:
         space = self._space(is_global)
         self._df = self._df.filter(
             ~((F.col("space") == space) & (F.col("key") == key)))
+        self._notify()
 
     def get_keys(self, is_global: bool = False) -> list[str]:
         space = self._space(is_global)
@@ -89,6 +87,27 @@ class KvStore:
         new = cur + by
         self.set_value(key, new, is_global=is_global)
         return new
+
+    def watch_value(self, key: str, callback, is_global: bool = False):
+        """Per-key value stream with distinct suppression
+        (tostore.dart:738-791): emits current value now and on every KV
+        write that changes it."""
+        state = {"last": object()}
+
+        def emit():
+            v = self.get_value(key, is_global=is_global)
+            if v != state["last"]:
+                state["last"] = v
+                callback(v)
+
+        emit()
+        self._watch_callbacks = getattr(self, "_watch_callbacks", [])
+        self._watch_callbacks.append(emit)
+        return emit
+
+    def _notify(self):
+        for cb in getattr(self, "_watch_callbacks", []):
+            cb()
 
     def df(self):
         """The live KV table as a DataFrame (for watch/value queries)."""

@@ -189,8 +189,10 @@ def upsert(engine, table: str, rows: list[dict],
         [tuple(r.get(c) for c in cur.columns) for r in rows], cur.schema)
     src = src.select([F.col(c).alias(f"__src_{c}") for c in cur.columns])
     on = [F.col(k) == F.col(f"__src_{k}") for k in keyset]
-    joined = cur.join(F.broadcast(src), on=on[0] if len(on) == 1 else
-                      on[0] & on[1], how="full_outer")
+    cond = on[0]
+    for extra in on[1:]:
+        cond = cond & extra
+    joined = cur.join(F.broadcast(src), on=cond, how="full_outer")
     matched = F.col(keyset[0]).isNotNull() & F.col(f"__src_{keyset[0]}").isNotNull()
     is_update = matched
 
@@ -215,6 +217,45 @@ def upsert(engine, table: str, rows: list[dict],
                    .otherwise(tgt))
         out_cols.append(merged.alias(c))
     engine.set_df(table, joined.select(*out_cols))
+
+
+def batch_update(engine, table: str, rows: list[dict]) -> int:
+    """Partial update per record carrying its PK (batchUpdate,
+    data_store_impl.dart:4907+): join on PK, overwrite only the fields
+    present in each payload row; rows with unknown PKs are ignored.
+    Returns the number of matched (updated) rows."""
+    schema = engine.schema(table)
+    if schema.primary_key is None:
+        raise ValueError(f"batch_update on {table} requires a primary key")
+    pk = schema.primary_key.name
+    if any(pk not in r for r in rows):
+        raise ValueError("every batch_update row must carry the primary key")
+    cur = engine.df(table)
+    payload_cols = [c for c in cur.columns
+                    if c != pk and any(c in r for r in rows)]
+    src_schema = cur.select(pk, *payload_cols).schema
+    src = engine.spark.createDataFrame(
+        [tuple([str(r[pk])] + [r.get(c) for c in payload_cols]) for r in rows],
+        src_schema)
+    # presence flags: only fields present in THAT row overwrite
+    flags = engine.spark.createDataFrame(
+        [tuple([str(r[pk])] + [c in r for c in payload_cols]) for r in rows],
+        ["__pk"] + [f"__has_{c}" for c in payload_cols])
+    src = src.withColumnRenamed(pk, "__pk") \
+             .select("__pk", *[F.col(c).alias(f"__new_{c}") for c in payload_cols])
+    src = src.join(flags, on="__pk")
+    joined = cur.join(F.broadcast(src), on=F.col(pk) == F.col("__pk"), how="left")
+    n = joined.filter(F.col("__pk").isNotNull()).count()
+    out_cols = []
+    for c in cur.columns:
+        if c in payload_cols:
+            out_cols.append(
+                F.when(F.col("__pk").isNotNull() & F.col(f"__has_{c}"),
+                       F.col(f"__new_{c}")).otherwise(F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    engine.set_df(table, joined.select(*out_cols))
+    return n
 
 
 class _MutationBuilder:
