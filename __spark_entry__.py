@@ -566,6 +566,42 @@ def q_kv_namespace(spark, sf_dir):
     return kv.df().select("key", "value")
 
 
+def q_batch_update(spark, sf_dir):
+    """batchUpdate: partial per-row updates carrying the PK
+    (data_store_impl.dart:4907+), final state verified."""
+    from tostore_spark.schema import (DataType, FieldSchema, PrimaryKeyConfig,
+                                      PrimaryKeyType, TableSchema)
+    db2 = ToStoreSpark(spark)
+    db2.create_table(TableSchema(
+        name="bu_users",
+        fields=[FieldSchema("name"), FieldSchema("age", DataType.integer)],
+        primary_key=PrimaryKeyConfig(name="id", type=PrimaryKeyType.none)))
+    db2.batch_insert("bu_users", [
+        {"id": "u1", "name": "ann", "age": 30},
+        {"id": "u2", "name": "bob", "age": 40},
+        {"id": "u3", "name": "cyd", "age": 50},
+    ])
+    db2.batch_update("bu_users", [
+        {"id": "u1", "age": 31},
+        {"id": "u3", "name": "cyd2"},
+        {"id": "u9", "age": 99},  # unknown PK ignored
+    ])
+    return db2.df("bu_users")
+
+
+def q_expr_clamp_update(spark, sf_dir):
+    """Expr sugar clamp(field, lo, hi) (update_builder.dart:63-209) over a
+    copy of customer balances."""
+    db = _db(spark, sf_dir)
+    db2 = ToStoreSpark(spark)
+    db2.register_table("cust_c", df=db.df("customer"))
+    db2.update("cust_c").allow_update_all().clamp("c_acctbal", 0.0, 5000.0)
+    return (db2.df("cust_c")
+            .groupBy("c_mktsegment")
+            .agg(_dec_sum(F.col("c_acctbal"), "total_bal"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 def q_ttl_filter(spark, sf_dir):
     """Table TTL read filter (table_schema.dart:1804-1885; ttl.py): rows
     older than the TTL vanish from reads.  Events older than the max event
@@ -681,6 +717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delete_rewrite": q_delete_rewrite,
         "q_upsert_merge": q_upsert_merge,
         "q_kv_namespace": q_kv_namespace,
+        "q_batch_update": q_batch_update,
+        "q_expr_clamp_update": q_expr_clamp_update,
         "q_ttl_filter": q_ttl_filter,
         "q_schema_migration": q_schema_migration,
         "q_batch_export_page": q_batch_export_page,
@@ -919,6 +957,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
               ('alpha', '1'), ('beta', '{"x": 2}'), ('gamma', '"three"'))
               AS t(key, value)""",
+        "q_batch_update": """
+            SELECT * FROM (VALUES
+              ('u1', 'ann', CAST(31 AS BIGINT)),
+              ('u2', 'bob', 40),
+              ('u3', 'cyd2', 50)) AS t(id, name, age)""",
+        "q_expr_clamp_update": """
+            SELECT c_mktsegment,
+                   CAST(sum(CAST(CASE WHEN c_acctbal < 0.0 THEN 0.0
+                                      WHEN c_acctbal > 5000.0 THEN 5000.0
+                                      ELSE c_acctbal END AS DECIMAL(18,4))) AS DOUBLE) AS total_bal,
+                   count(*) AS n
+            FROM customer GROUP BY c_mktsegment""",
         "q_ttl_filter": """
             SELECT event_type, count(*) AS n FROM events
             WHERE ts IS NULL OR ts >= TIMESTAMP '2024-01-08 00:00:00'

@@ -174,3 +174,50 @@ def test_prev_page_deep(db, duck):
     assert [r["c_custkey"] for r in back2] == [r["c_custkey"] for r in p2]
     back1 = back2.prev_page()
     assert [r["c_custkey"] for r in back1] == [r["c_custkey"] for r in p1]
+
+
+def test_transaction_rollback_and_commit(spark):
+    import pytest as _pytest
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.schema import (DataType, FieldSchema, PrimaryKeyConfig,
+                                      PrimaryKeyType, TableSchema)
+
+    db = ToStoreSpark(spark)
+    db.create_table(TableSchema(
+        name="tx_t", fields=[FieldSchema("v", DataType.integer)],
+        primary_key=PrimaryKeyConfig(name="id", type=PrimaryKeyType.none)))
+    db.insert("tx_t", {"id": "a", "v": 1})
+
+    # commit path
+    with db.transaction():
+        db.insert("tx_t", {"id": "b", "v": 2})
+        db.update("tx_t").where("id", "=", "a").increment("v", 10)
+    assert {r["id"]: r["v"] for r in db.query("tx_t").run()} == {"a": 11, "b": 2}
+
+    # rollback path: all writes in the scope revert
+    with _pytest.raises(RuntimeError):
+        with db.transaction():
+            db.insert("tx_t", {"id": "c", "v": 3})
+            raise RuntimeError("boom")
+    assert sorted(r["id"] for r in db.query("tx_t").run()) == ["a", "b"]
+
+    # callback form returns a result object
+    res = db.transaction(lambda d: d.insert("tx_t", {"id": "d", "v": 4}))
+    assert res.success
+    res2 = db.transaction(lambda d: (_ for _ in ()).throw(ValueError("x")))
+    assert not res2.success and isinstance(res2.error, ValueError)
+    assert sorted(r["id"] for r in db.query("tx_t").run()) == ["a", "b", "d"]
+
+
+def test_crypto_roundtrip_and_deterministic_join(spark):
+    import pyspark.sql.functions as F
+    from tostore_spark.functions.crypto import decrypt_column, encrypt_column
+
+    sdf = spark.createDataFrame([(1, "secret-a"), (2, "secret-b")], ["id", "v"])
+    enc = sdf.select("id", encrypt_column(F.col("v"), "passw0rd").alias("e"))
+    dec = enc.select("id", decrypt_column(F.col("e"), "passw0rd").alias("v"))
+    assert {r["id"]: r["v"] for r in dec.collect()} == {1: "secret-a", 2: "secret-b"}
+    # deterministic mode: equal plaintext -> equal ciphertext (join-able)
+    det = sdf.select(encrypt_column(F.col("v"), "k", deterministic=True).alias("e"))
+    det2 = sdf.select(encrypt_column(F.col("v"), "k", deterministic=True).alias("e"))
+    assert det.collect() == det2.collect()

@@ -115,3 +115,25 @@ def test_agg_nonnumeric_skip(db, spark):
            .df().collect()[0])
     assert out["s"] == 15.5
     assert out["a"] == 15.5 / 2
+
+
+def test_query_cache_hit_and_invalidation(spark):
+    from tostore_spark import ToStoreSpark
+
+    db = ToStoreSpark(spark)
+    db.register_table("qc_t", df=spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["id", "v"]))
+    qb = lambda: db.query("qc_t").order_by_asc("id").limit(10)
+    r1 = qb().run()
+    hits0 = db.query_cache.hits
+    r2 = qb().run()
+    assert db.query_cache.hits == hits0 + 1
+    assert [r["id"] for r in r2] == [r["id"] for r in r1]
+    # write bumps the generation -> stale entry cannot hit
+    db.set_df("qc_t", spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                                            ["id", "v"]))
+    r3 = qb().run()
+    assert [r["id"] for r in r3] == [1, 2, 3]
+    # different query shapes never collide
+    r4 = db.query("qc_t").where("id", ">", 1).order_by_asc("id").limit(10).run()
+    assert [r["id"] for r in r4] == [2, 3]

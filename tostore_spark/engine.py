@@ -139,8 +139,20 @@ class ToStoreSpark:
 
     def set_df(self, name: str, df: DataFrame) -> None:
         self._tables[self._resolve(name)]["df"] = df
+        self._generations[name] = self.generation(name) + 1
         for w in list(getattr(self, "_watchers", [])):
             w.notify_change(name)
+
+    @property
+    def _generations(self) -> dict:
+        if not hasattr(self, "_gen"):
+            self._gen = {}
+        return self._gen
+
+    def generation(self, name: str) -> int:
+        """Per-table write generation — the query-cache invalidation key
+        (query_executor.dart:3217-3254)."""
+        return self._generations.get(name, 0)
 
     def watch(self, builder, callback):
         """Reactive re-query on table change (query_builder.dart:473-543)."""
@@ -167,6 +179,20 @@ class ToStoreSpark:
     # ---- query --------------------------------------------------------
     def query(self, table: str) -> QueryBuilder:
         return QueryBuilder(self, table)
+
+    @property
+    def query_cache(self):
+        """Result cache w/ generation invalidation (query_executor.dart:
+        34-50); enabled by default like the reference's 50MB TreeCache."""
+        if not hasattr(self, "_query_cache"):
+            from tostore_spark.plans.query_cache import QueryResultCache
+            self._query_cache = QueryResultCache()
+        return self._query_cache
+
+    def enable_query_cache(self, enabled: bool = True,
+                           max_bytes: int = 50 * 1024 * 1024) -> None:
+        from tostore_spark.plans.query_cache import QueryResultCache
+        self._query_cache = QueryResultCache(max_bytes=max_bytes) if enabled else None
 
     def sql(self, text: str) -> DataFrame:
         """Escape hatch: register current tables as temp views and run SQL."""
@@ -205,6 +231,15 @@ class ToStoreSpark:
         data_store_impl.dart:4907+)."""
         from tostore_spark import write
         return write.batch_update(self, table, rows)
+
+    # ---- transactions (transaction.py) --------------------------------
+    def transaction(self, action=None, rollback_on_error: bool = True):
+        """Atomic multi-write scope (tostore.dart:860-868): context-manager
+        form when called without an action, callback form otherwise."""
+        from tostore_spark import transaction as tx
+        if action is None:
+            return tx.transaction(self, rollback_on_error=rollback_on_error)
+        return tx.run_transaction(self, action, rollback_on_error=rollback_on_error)
 
     # ---- schema evolution / backup / batch export ---------------------
     def schema_builder(self, table: str):

@@ -502,9 +502,42 @@ class QueryBuilder:
         return StreamQueryBuilder(self).stream()
 
     # ---- terminals ----------------------------------------------------
+    def _full_signature(self) -> str:
+        import json
+
+        payload = {
+            "t": self._table, "w": self._cond.to_map(), "o": self._order_by,
+            "l": self._limit, "off": self._offset,
+            "s": [a.output_name if isinstance(a, Agg) else a
+                  for a in (self._select or [])],
+            "g": self._group_by, "d": self._distinct,
+            "a": [a.output_name for a in self._aggs],
+            "h": self._having.to_map() if self._having else None,
+            "j": [j[:2] + j[2:] for j in self._joins],
+            "c": self._cursor_token,
+        }
+        return json.dumps(payload, sort_keys=True, default=str)
+
+    def _cache_key(self):
+        cache = getattr(self._engine, "query_cache", None)
+        if cache is None:
+            return None, None
+        tables = [self._table] + [j[1] for j in self._joins]
+        gens = tuple(sorted({(t, self._engine.generation(t)) for t in tables}))
+        return cache, cache.key(self._full_signature(), gens)
+
     def run(self) -> QueryResult:
         """Collect list-of-dict records + pagination state
-        (limit+1 → hasMore, query_executor.dart:657-686)."""
+        (limit+1 → hasMore, query_executor.dart:657-686).  Results are
+        served from the generation-invalidated query cache when unchanged
+        (query_executor.dart:813-860)."""
+        cache, key = self._cache_key()
+        if cache is not None:
+            hit = cache.get(key)
+            if hit is not None:
+                rows, has_more, has_prev, next_token, prev_token = hit
+                return QueryResult([dict(r) for r in rows], has_more, has_prev,
+                                   next_token, prev_token, builder=self)
         fetch = self._limit + 1 if self._limit is not None else None
         qb = self
         if fetch is not None:
@@ -537,6 +570,9 @@ class QueryBuilder:
             has_prev = overflow
         else:
             has_prev = self._cursor_token is not None or bool(self._offset)
+        if cache is not None:
+            cache.put(key, ([dict(r) for r in rows], has_more, has_prev,
+                            next_token, prev_token))
         return QueryResult(rows, has_more, has_prev, next_token, prev_token, builder=self)
 
     def count(self) -> int:
