@@ -75,6 +75,8 @@ def ivf_build(corpus: DataFrame, n_cells: int = 16, vec_field: str = "embedding"
     swap in k-means for production quality (same assignment plan).
     Returns (corpus + cell_id column, centroid list).
     """
+    import math
+
     cents = [(i, [float(x) for x in r[vec_field]])
              for i, r in enumerate(corpus.orderBy(F.col(id_field).asc())
                                    .select(id_field, vec_field).take(n_cells))]
@@ -82,16 +84,19 @@ def ivf_build(corpus: DataFrame, n_cells: int = 16, vec_field: str = "embedding"
     # argmin via a distance array + array_position: flat expression, one
     # distance evaluation per centroid.  (A chained when(d < best_dist)
     # fold duplicates each distance expression exponentially in depth.)
+    # ||v|| is staged as a column (referenced per centroid, no CSE in
+    # expressions) and centroid norms are plain Python constants.
+    corpus = corpus.withColumn("__nv", _norm(v))
     dists = F.array(*[
         F.lit(1.0) - _dot_cols(v, F.array(*[F.lit(x) for x in cent]))
-        / (_norm(v) * _norm(F.array(*[F.lit(x) for x in cent])))
+        / (F.col("__nv") * F.lit(math.sqrt(sum(x * x for x in cent)) or 1.0))
         for _, cent in cents])
     staged = corpus.withColumn("__cell_dists", dists)
     out = (staged.withColumn(
         "cell_id",
         (F.array_position(F.col("__cell_dists"),
                           F.array_min(F.col("__cell_dists"))) - 1).cast("int"))
-        .drop("__cell_dists"))
+        .drop("__cell_dists", "__nv"))
     return out, cents
 
 
