@@ -566,6 +566,42 @@ def q_kv_namespace(spark, sf_dir):
     return kv.df().select("key", "value")
 
 
+def q_join5_regional(spark, sf_dir):
+    """TPC-H Q5-shaped 6-table join: revenue by nation for one region —
+    exercises deep join planning (broadcast dims, AQE reordering)."""
+    db = _db(spark, sf_dir)
+    li, o, c = db.df("lineitem"), db.df("orders"), db.df("customer")
+    s, n, r = db.df("supplier"), db.df("nation"), db.df("region")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(c, F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+              .filter(F.col("r_name") == "AMERICA")
+              .groupBy("n_name")
+              .agg(F.sum(rev.cast("decimal(18,4)")).cast("double").alias("revenue"),
+                   F.count(F.lit(1)).alias("n_items")))
+
+
+def q_events_sessions(spark, sf_dir):
+    """Window-function sessionization (parity-plus — SURVEY §2.5 notes the
+    reference has no window functions): sessions = gaps > 1h per user."""
+    from pyspark.sql import Window
+    db = _db(spark, sf_dir)
+    ev = db.df("events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 3600 * 1_000_000), F.lit(1)).otherwise(F.lit(0)))
+    return (marked.groupBy("user_id")
+            .agg(F.sum("new_session").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .filter(F.col("n_events") >= 3))
+
+
 def q_batch_update(spark, sf_dir):
     """batchUpdate: partial per-row updates carrying the PK
     (data_store_impl.dart:4907+), final state verified."""
@@ -717,6 +753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delete_rewrite": q_delete_rewrite,
         "q_upsert_merge": q_upsert_merge,
         "q_kv_namespace": q_kv_namespace,
+        "q_join5_regional": q_join5_regional,
+        "q_events_sessions": q_events_sessions,
         "q_batch_update": q_batch_update,
         "q_expr_clamp_update": q_expr_clamp_update,
         "q_ttl_filter": q_ttl_filter,
@@ -957,6 +995,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
               ('alpha', '1'), ('beta', '{"x": 2}'), ('gamma', '"three"'))
               AS t(key, value)""",
+        "q_join5_regional": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'AMERICA'
+            GROUP BY n_name""",
+        "q_events_sessions": """
+            WITH marked AS (
+              SELECT user_id,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts) > CAST(3600000000 AS BIGINT)
+                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events)
+            SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM marked GROUP BY user_id HAVING count(*) >= 3""",
         "q_batch_update": """
             SELECT * FROM (VALUES
               ('u1', 'ann', CAST(31 AS BIGINT)),

@@ -221,3 +221,19 @@ def test_crypto_roundtrip_and_deterministic_join(spark):
     det = sdf.select(encrypt_column(F.col("v"), "k", deterministic=True).alias("e"))
     det2 = sdf.select(encrypt_column(F.col("v"), "k", deterministic=True).alias("e"))
     assert det.collect() == det2.collect()
+
+
+def test_register_csv_and_json_sources(spark, tmp_path, db):
+    from tostore_spark import ToStoreSpark
+
+    nation = db.df("nation")
+    csv_p = str(tmp_path / "nation_csv")
+    json_p = str(tmp_path / "nation_json")
+    nation.write.mode("overwrite").option("header", "true").csv(csv_p)
+    nation.write.mode("overwrite").json(json_p)
+    db2 = ToStoreSpark(spark)
+    db2.register_table("nation_csv", path=csv_p, format="csv")
+    db2.register_table("nation_json", path=json_p, format="json")
+    assert db2.query("nation_csv").count() == nation.count()
+    assert db2.query("nation_json").where("n_regionkey", "=", 0).count() == \
+        nation.filter("n_regionkey = 0").count()

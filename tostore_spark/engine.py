@@ -50,11 +50,20 @@ class ToStoreSpark:
     def register_table(self, name: str, path: Optional[str] = None,
                        df: Optional[DataFrame] = None,
                        schema: Optional[TableSchema] = None,
-                       is_global: bool = False) -> None:
+                       is_global: bool = False, format: str = "parquet",
+                       **reader_options) -> None:
+        """Register a table from parquet (default), csv, json, or orc — any
+        Spark batch source; csv defaults to header+inferSchema."""
         if df is None and path is None:
             raise ValueError("register_table needs a path or a DataFrame")
         if df is None:
-            df = self._read_parquet(path)
+            if format == "parquet":
+                df = self._read_parquet(path)
+            elif format == "csv":
+                opts = {"header": "true", "inferSchema": "true", **reader_options}
+                df = self.spark.read.options(**opts).csv(path)
+            else:
+                df = self.spark.read.options(**reader_options).format(format).load(path)
         if schema is None:
             schema = TableSchema.from_struct_type(name, df.schema, is_global=is_global)
         space = "global" if is_global else self._space
