@@ -398,11 +398,14 @@ def q_knn_join(spark, sf_dir):
 
 def q_similarity_ivf(spark, sf_dir):
     """IVF approximate ANN: nearest-cells probe (scale path; no SQL oracle —
-    cell assignment is engine-defined). Rows-only check."""
+    cell assignment is engine-defined). Rows-only check; scalar columns only
+    (the driver's canonicalizer cannot sort array columns)."""
     db = _db(spark, sf_dir)
     emb = db.df("embeddings")
     indexed, cents = S.ivf_build(emb, n_cells=8)
-    return S.ivf_search(indexed, cents, _QVEC, k=5, nprobe=2)
+    out = S.ivf_search(indexed, cents, _QVEC, k=5, nprobe=2)
+    return out.select("vec_id", "label", "cell_id",
+                      F.round(F.col("distance"), 6).alias("distance_r"))
 
 
 # ----------------------------------------------------------------------
@@ -495,14 +498,22 @@ def q_doc_fingerprint(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Binary media column + metadata struct + Arrow-batched feature
-    extraction (deterministic fake codec). Rows-only check: codec stubs
-    are environment-gated (no image libs in container)."""
+    extraction (deterministic fake codec).  Scalar output columns only;
+    each fake-feature element is mapped back to its source digest byte
+    (integer-exact through the float32 roundtrip), so the whole
+    mapInPandas path is oracle-checked bit-for-bit."""
     from tostore_spark.llmops import multimodal as MM
     db = _db(spark, sf_dir)
     docs = db.df("documents").withColumn("blob", F.encode(F.col("text"), "utf-8"))
     docs = MM.attach_media(docs, "blob", "text", "text/plain")
-    return MM.extract_features(docs, "blob", "doc_id", feature_dim=8,
-                               deterministic_fake=True)
+    feats = MM.extract_features(docs, "blob", "doc_id", feature_dim=8,
+                                deterministic_fake=True)
+    byte_cols = [
+        F.round((F.element_at("feature", i + 1).cast("double") + F.lit(1.0))
+                / F.lit(2.0) * F.lit(255.0)).cast("long").alias(f"b{i}")
+        for i in range(8)
+    ]
+    return feats.select("id", "n_bytes", "sha256", *byte_cols)
 
 
 # ----------------------------------------------------------------------
@@ -886,7 +897,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1""",
         "q_events_json": """
             SELECT event_type,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    count(*) AS n
             FROM events GROUP BY event_type""",
         "q_vector_cosine_topk": f"""
@@ -970,11 +981,19 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY 1""",
         "q_token_count_bpe": r"""
             SELECT source,
-                   sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS total_tokens,
+                   CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_tokens,
                    count(*) AS n_docs
             FROM documents GROUP BY source""",
         "q_doc_fingerprint": f"""
             SELECT doc_id, md5({_NORM_T}) AS fp FROM documents""",
+        "q_multimodal_features": """
+            SELECT CAST(doc_id AS BIGINT) AS id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha256,
+                   """ + ", ".join(
+                       f"('0x' || substr(sha256(text), {2*i+1}, 2))::BIGINT AS b{i}"
+                       for i in range(8)) + """
+            FROM documents""",
         "q_update_rewrite": """
             SELECT o_orderstatus,
                    CAST(sum(CAST(CASE WHEN o_orderstatus = 'F'

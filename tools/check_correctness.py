@@ -83,6 +83,15 @@ def main():
         try:
             df = fn(spark, sf_dir)
             cols = df.columns
+            complex_cols = [f.name for f in df.schema.fields
+                            if f.dataType.typeName() in ("array", "map", "struct")]
+            if complex_cols:
+                # the driver's pandas canonicalizer cannot sort list/struct
+                # cells — this would be an ERR row in CORRECTNESS_r{N}.json
+                failures.append((name, f"complex output columns {complex_cols}"))
+                print(f"FAIL  {name}: complex (array/map/struct) output columns "
+                      f"{complex_cols} — driver canonicalizer would crash")
+                continue
             rows = [tuple(r) for r in df.collect()]
         except Exception as e:
             failures.append((name, f"spark error: {e}"))
@@ -96,9 +105,13 @@ def main():
                 print(f"      WARNING: {name} returned 0 rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # fetch through pandas, like the driver does: DuckDB HUGEINT
+            # (e.g. sum(BIGINT)) degrades to float64 here and will (rightly)
+            # hash-mismatch an integer Spark column — cast to BIGINT in the
+            # oracle SQL instead of "fixing" this fetch path.
+            opdf = con.execute(oracles[name]).df()
+            ocols = list(opdf.columns)
+            orows = list(opdf.itertuples(index=False, name=None))
         except Exception as e:
             failures.append((name, f"oracle error: {e}"))
             print(f"FAIL  {name}: oracle error: {e}")
