@@ -385,6 +385,17 @@ def q_vector_threshold(spark, sf_dir):
     return out.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_vector_ip_topk(spark, sf_dir):
+    """vectorSearch innerProduct top-k: distance = −dot, score = sigmoid(−d)
+    (vector_index_manager.dart:1410-1421)."""
+    db = _db(spark, sf_dir)
+    out = db.vector_search("embeddings", "embedding", _QVEC, top_k=10,
+                           metric="innerProduct")
+    return out.select("vec_id", "label",
+                      F.round(F.col("distance"), 6).alias("distance_r"),
+                      F.round(F.col("score"), 6).alias("score_r"))
+
+
 def q_knn_join(spark, sf_dir):
     """Brute-force k-NN join: top-3 neighbors for each of 10 query vectors
     (llmops.similarity baseline; per-query ranking window)."""
@@ -649,6 +660,24 @@ def q_expr_clamp_update(spark, sf_dir):
                  F.count(F.lit(1)).alias("n")))
 
 
+def q_update_ordered_limit(spark, sf_dir):
+    """Ordered/limited mutation (update_builder.dart:237-239): raise the 5
+    cheapest F-status orders by 10% — the selected window is resolved by a
+    TakeOrderedAndProject over the filtered scan, broadcast back as PKs."""
+    from tostore_spark.schema import PrimaryKeyConfig, PrimaryKeyType
+    db = _db(spark, sf_dir)
+    db2 = ToStoreSpark(spark)
+    db2.register_table("orders_ol", df=db.df("orders"))
+    db2.schema("orders_ol").primary_key = PrimaryKeyConfig(
+        name="o_orderkey", type=PrimaryKeyType.none)
+    (db2.update("orders_ol").where("o_orderstatus", "=", "F")
+        .order_by_asc("o_totalprice").limit(5).multiply("o_totalprice", 1.1))
+    return (db2.df("orders_ol")
+            .groupBy("o_orderstatus")
+            .agg(_dec_sum(F.col("o_totalprice"), "total"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 def q_ttl_filter(spark, sf_dir):
     """Table TTL read filter (table_schema.dart:1804-1885; ttl.py): rows
     older than the TTL vanish from reads.  Events older than the max event
@@ -746,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_json": q_events_json,
         "q_vector_cosine_topk": q_vector_cosine_topk,
         "q_vector_l2_topk": q_vector_l2_topk,
+        "q_vector_ip_topk": q_vector_ip_topk,
         "q_vector_threshold": q_vector_threshold,
         "q_knn_join": q_knn_join,
         "q_similarity_ivf": q_similarity_ivf,
@@ -768,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_sessions": q_events_sessions,
         "q_batch_update": q_batch_update,
         "q_expr_clamp_update": q_expr_clamp_update,
+        "q_update_ordered_limit": q_update_ordered_limit,
         "q_ttl_filter": q_ttl_filter,
         "q_schema_migration": q_schema_migration,
         "q_batch_export_page": q_batch_export_page,
@@ -795,6 +826,13 @@ def _cos_dist_sql(vec_expr: str) -> str:
            f" p -> CAST(p[1] AS DOUBLE) * p[2]))")
     nsq = f"list_sum(list_transform({vec_expr}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
     return f"(1.0 - {dot} / sqrt(greatest({nsq}, 1e-30)))"
+
+
+def _ip_dist_sql(vec_expr: str) -> str:
+    """innerProduct distance = −dot(v, q), same fold shape as the Spark side."""
+    q = _sql_list(_QVEC)
+    return (f"(- list_sum(list_transform(list_zip({vec_expr}, {q}),"
+            f" p -> CAST(p[1] AS DOUBLE) * p[2])))")
 
 
 def _l2_dist_sql(vec_expr: str) -> str:
@@ -910,6 +948,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, label, round({_l2_dist_sql('embedding')}, 6) AS distance_r
             FROM embeddings
             ORDER BY {_l2_dist_sql('embedding')}, vec_id LIMIT 10""",
+        "q_vector_ip_topk": f"""
+            SELECT vec_id, label,
+                   round({_ip_dist_sql('embedding')}, 6) AS distance_r,
+                   round(1.0 / (1.0 + exp({_ip_dist_sql('embedding')})), 6) AS score_r
+            FROM embeddings
+            ORDER BY {_ip_dist_sql('embedding')}, vec_id LIMIT 10""",
         "q_vector_threshold": f"""
             SELECT label, count(*) AS n FROM embeddings
             WHERE {_cos_dist_sql('embedding')} <= 0.9 GROUP BY label""",
@@ -1049,6 +1093,16 @@ def oracle_sql() -> dict[str, str]:
                                       ELSE c_acctbal END AS DECIMAL(18,4))) AS DOUBLE) AS total_bal,
                    count(*) AS n
             FROM customer GROUP BY c_mktsegment""",
+        "q_update_ordered_limit": """
+            WITH sel AS (SELECT o_orderkey FROM orders
+                         WHERE o_orderstatus = 'F'
+                         ORDER BY o_totalprice, o_orderkey LIMIT 5)
+            SELECT o_orderstatus,
+                   CAST(sum(CAST(CASE WHEN o_orderkey IN (SELECT o_orderkey FROM sel)
+                                      THEN o_totalprice * 1.1
+                                      ELSE o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS total,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderstatus""",
         "q_ttl_filter": """
             SELECT event_type, count(*) AS n FROM events
             WHERE ts IS NULL OR ts >= TIMESTAMP '2024-01-08 00:00:00'

@@ -1,0 +1,257 @@
+"""Round-2 safety/correctness features: query caps, ordered mutations,
+space-keyed caching/PK state, per-row upsert presence, lineage bounding.
+
+Reference semantics: data_store_config.dart:68-75 (defaultQueryLimit /
+maxQueryOffset), update_builder.dart:237-239 and delete_builder.dart:32-33
+(ordered/limited mutations), data_store_impl.dart:4851 (matched upserts use
+partial per-record updates), data_store_impl.dart:5873-5936 (spaces).
+"""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mk(spark, **kw):
+    from tostore_spark import ToStoreSpark
+    return ToStoreSpark(spark, **kw)
+
+
+def _users(db2, name="g_users"):
+    from tostore_spark.schema import (DataType, FieldSchema, PrimaryKeyConfig,
+                                      PrimaryKeyType, TableSchema)
+    db2.create_table(TableSchema(
+        name=name,
+        fields=[FieldSchema("name"), FieldSchema("age", DataType.integer)],
+        primary_key=PrimaryKeyConfig(name="id", type=PrimaryKeyType.none)))
+    return name
+
+
+# ---- default_query_limit / max_query_offset ---------------------------
+
+def test_run_applies_default_limit(spark, db):
+    res = db.query("customer").order_by_asc("c_custkey").run()
+    assert res.default_limit_applied
+    assert len(res.records) <= db.default_query_limit
+
+
+def test_run_unbounded_rejected_when_cap_disabled(spark):
+    db2 = _mk(spark, data_dir="/root/testdata/sf0.001", default_query_limit=0)
+    with pytest.raises(ValueError, match="unbounded"):
+        db2.query("customer").run()
+    # aggregations reduce before collect — always allowed
+    from tostore_spark import Agg
+    r = db2.query("customer").select_agg([Agg.count("*", "n")]).run()
+    assert r.records[0]["n"] > 0
+
+
+def test_deep_offset_rejected(spark):
+    db2 = _mk(spark, data_dir="/root/testdata/sf0.001", max_query_offset=100)
+    with pytest.raises(ValueError, match="max_query_offset"):
+        db2.query("customer").order_by_asc("c_custkey").offset(101).limit(5).run()
+    # at the cap is fine
+    db2.query("customer").order_by_asc("c_custkey").offset(100).limit(5).run()
+
+
+# ---- ordered/limited mutations ---------------------------------------
+
+def test_update_ordered_limit(spark, db):
+    from tostore_spark.schema import PrimaryKeyConfig, PrimaryKeyType
+    db2 = _mk(spark)
+    db2.register_table("o_ol", df=db.df("orders"))
+    db2.schema("o_ol").primary_key = PrimaryKeyConfig(
+        name="o_orderkey", type=PrimaryKeyType.none)
+    cheapest = [r["o_orderkey"] for r in
+                db.df("orders").filter(F.col("o_orderstatus") == "F")
+                .orderBy("o_totalprice", "o_orderkey").limit(3)
+                .select("o_orderkey").collect()]
+    n = (db2.update("o_ol").where("o_orderstatus", "=", "F")
+         .order_by_asc("o_totalprice").limit(3)
+         .set({"o_orderpriority": "PROMOTED"}))
+    assert n == 3
+    promoted = [r["o_orderkey"] for r in
+                db2.df("o_ol").filter(F.col("o_orderpriority") == "PROMOTED")
+                .select("o_orderkey").collect()]
+    assert sorted(promoted) == sorted(cheapest)
+
+
+def test_delete_ordered_limit_and_offset(spark, db):
+    from tostore_spark.schema import PrimaryKeyConfig, PrimaryKeyType
+    db2 = _mk(spark)
+    db2.register_table("o_dl", df=db.df("orders"))
+    db2.schema("o_dl").primary_key = PrimaryKeyConfig(
+        name="o_orderkey", type=PrimaryKeyType.none)
+    total = db2.df("o_dl").count()
+    doomed = [r["o_orderkey"] for r in
+              db.df("orders").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+              .limit(7).offset(2).select("o_orderkey").collect()]
+    n = (db2.delete("o_dl").allow_delete_all()
+         .order_by_desc("o_totalprice").offset(2).limit(5).execute())
+    assert n == 5
+    assert db2.df("o_dl").count() == total - 5
+    left = {r["o_orderkey"] for r in db2.df("o_dl").select("o_orderkey").collect()}
+    assert not (set(doomed) & left)
+
+
+def test_limited_mutation_requires_pk(spark, db):
+    db2 = _mk(spark)
+    db2.register_table("o_nopk", df=db.df("orders"))
+    db2.schema("o_nopk").primary_key = None
+    with pytest.raises(ValueError, match="primary key"):
+        db2.update("o_nopk").allow_update_all().limit(3).set({"o_orderpriority": "x"})
+
+
+# ---- space-keyed cache / signatures ----------------------------------
+
+def test_query_cache_space_isolated(spark):
+    db2 = _mk(spark)
+    _users(db2, "sp_t")
+    db2.batch_insert("sp_t", [{"id": "a", "name": "in-default", "age": 1}])
+    r1 = db2.query("sp_t").where("age", ">", 0).limit(10).run()
+    assert [r["name"] for r in r1.records] == ["in-default"]
+    db2.switch_space("other")
+    _users(db2, "sp_t")
+    db2.batch_insert("sp_t", [{"id": "a", "name": "in-other", "age": 1}])
+    r2 = db2.query("sp_t").where("age", ">", 0).limit(10).run()
+    assert [r["name"] for r in r2.records] == ["in-other"]
+    db2.switch_space("default")
+    r3 = db2.query("sp_t").where("age", ">", 0).limit(10).run()
+    assert [r["name"] for r in r3.records] == ["in-default"]
+
+
+def test_sequential_pk_no_collision_after_explicit_insert(spark):
+    from tostore_spark.schema import (FieldSchema, PrimaryKeyConfig,
+                                      PrimaryKeyType, TableSchema)
+    db2 = _mk(spark)
+    db2.create_table(TableSchema(
+        name="seq_t", fields=[FieldSchema("v")],
+        primary_key=PrimaryKeyConfig(name="id", type=PrimaryKeyType.sequential)))
+    db2.insert("seq_t", {"v": "a"})          # id=1
+    db2.insert("seq_t", {"id": 100, "v": "b"})  # explicit high PK
+    db2.insert("seq_t", {"v": "c"})          # must jump past 100
+    ids = sorted(int(r["id"]) for r in db2.df("seq_t").collect())
+    assert ids == [1, 100, 101]
+
+
+def test_sequential_pk_per_space(spark):
+    from tostore_spark.schema import (FieldSchema, PrimaryKeyConfig,
+                                      PrimaryKeyType, TableSchema)
+    db2 = _mk(spark)
+
+    def mk():
+        db2.create_table(TableSchema(
+            name="seq_sp", fields=[FieldSchema("v")],
+            primary_key=PrimaryKeyConfig(name="id",
+                                         type=PrimaryKeyType.sequential)))
+
+    mk()
+    for _ in range(3):
+        db2.insert("seq_sp", {"v": "x"})
+    db2.switch_space("s2")
+    mk()
+    db2.insert("seq_sp", {"v": "y"})
+    assert [r["id"] for r in db2.df("seq_sp").collect()] == ["1"]
+    db2.switch_space("default")
+    assert sorted(int(r["id"]) for r in db2.df("seq_sp").collect()) == [1, 2, 3]
+
+
+# ---- upsert/batch_update payload semantics ---------------------------
+
+def test_upsert_heterogeneous_batch_partial_fields(spark):
+    db2 = _mk(spark)
+    _users(db2, "h_up")
+    db2.batch_insert("h_up", [{"id": "u1", "name": "ann", "age": 30},
+                              {"id": "u2", "name": "bob", "age": 40}])
+    # u1's payload has no "age"; another row carries it — u1.age must survive
+    db2.batch_upsert("h_up", [{"id": "u1", "name": "ann2"},
+                              {"id": "u2", "age": 41},
+                              {"id": "u3", "name": "cyd", "age": 50}])
+    rows = {r["id"]: r for r in (r.asDict() for r in db2.df("h_up").collect())}
+    assert rows["u1"]["name"] == "ann2" and rows["u1"]["age"] == 30
+    assert rows["u2"]["name"] == "bob" and rows["u2"]["age"] == 41
+    assert rows["u3"]["name"] == "cyd" and rows["u3"]["age"] == 50
+
+
+def test_upsert_duplicate_keys_collapse(spark):
+    db2 = _mk(spark)
+    _users(db2, "d_up")
+    db2.batch_upsert("d_up", [{"id": "u1", "name": "first", "age": 1},
+                              {"id": "u1", "age": 2}])
+    rows = [r.asDict() for r in db2.df("d_up").collect()]
+    assert len(rows) == 1
+    assert rows[0]["name"] == "first" and rows[0]["age"] == 2  # merged, last wins
+
+
+def test_batch_update_duplicate_pks_no_fanout(spark):
+    db2 = _mk(spark)
+    _users(db2, "d_bu")
+    db2.batch_insert("d_bu", [{"id": "u1", "name": "ann", "age": 30}])
+    n = db2.batch_update("d_bu", [{"id": "u1", "age": 31},
+                                  {"id": "u1", "name": "ann2"}])
+    assert n == 1
+    rows = [r.asDict() for r in db2.df("d_bu").collect()]
+    assert len(rows) == 1
+    assert rows[0]["age"] == 31 and rows[0]["name"] == "ann2"
+
+
+# ---- lineage bounding -------------------------------------------------
+
+def test_kv_write_churn_bounded(spark):
+    db2 = _mk(spark)
+    kv = db2.kv
+    t0 = time.time()
+    for i in range(500):
+        kv.set_value(f"k{i % 50}", i)
+    elapsed = time.time() - t0
+    assert kv.get_value("k0") == 450
+    assert len(kv.get_keys()) == 50
+    # driver-dict KV: writes are O(1); a DataFrame-rewrite design choked here
+    assert elapsed < 30, f"KV churn took {elapsed:.0f}s — write path regressed"
+    # the DataFrame view still reflects the final state
+    assert kv.df().count() == 50
+
+
+def test_update_churn_bounded(spark):
+    db2 = _mk(spark)
+    _users(db2, "churn_u")
+    db2.batch_insert("churn_u", [{"id": f"u{i}", "name": "n", "age": 0}
+                                 for i in range(20)])
+    db2.eager_mutation_counts = False  # skip per-update count jobs
+    t0 = time.time()
+    for i in range(100):
+        db2.update("churn_u").where("id", "=", f"u{i % 20}").set({"age": i})
+    elapsed = time.time() - t0
+    ages = {r["id"]: r["age"] for r in db2.df("churn_u").collect()}
+    assert ages["u0"] == 80 and ages["u19"] == 99
+    assert elapsed < 120, f"update churn took {elapsed:.0f}s"
+
+
+def test_eager_mutation_counts_off_returns_minus_one(spark, db):
+    db2 = _mk(spark)
+    db2.register_table("cnt_t", df=db.df("nation"))
+    db2.eager_mutation_counts = False
+    assert db2.update("cnt_t").allow_update_all().set({"n_name": "x"}) == -1
+
+
+# ---- KV plural watch --------------------------------------------------
+
+def test_kv_watch_values_plural(spark):
+    db2 = _mk(spark)
+    kv = db2.kv
+    seen = []
+    kv.watch_values(["a", "b"], seen.append)
+    assert seen == [[None, None]]
+    kv.set_value("a", 1)
+    kv.set_value("c", 9)   # unrelated key: same values tuple, suppressed
+    kv.set_value("b", 2)
+    assert seen == [[None, None], [1, None], [1, 2]]
+
+
+# ---- cache byte estimate ---------------------------------------------
+
+def test_cache_estimates_row_payload():
+    from tostore_spark.plans.query_cache import _estimate_bytes
+    rows = [{"k": "x" * 100, "v": i} for i in range(100)]
+    entry = (rows, False, False, None, None)
+    assert _estimate_bytes(entry) > 100 * 100  # sizes rows, not the tuple

@@ -24,8 +24,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def query_signature(table: str, condition_map: Any, order_by: list[str]) -> str:
-    payload = json.dumps({"t": table, "w": condition_map, "o": order_by},
+def query_signature(table: str, condition_map: Any, order_by: list[str],
+                    space: str = "default") -> str:
+    payload = json.dumps({"t": table, "w": condition_map, "o": order_by,
+                          "sp": space},
                          sort_keys=True, default=str)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 

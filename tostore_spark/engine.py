@@ -29,10 +29,23 @@ from tostore_spark.schema import TableSchema
 
 class ToStoreSpark:
     def __init__(self, spark: SparkSession, data_dir: Optional[str] = None,
-                 warehouse: Optional[str] = None, space: str = "default"):
+                 warehouse: Optional[str] = None, space: str = "default",
+                 default_query_limit: int = 1000,
+                 max_query_offset: int = 10000):
         self.spark = spark
         self._space = space
         self._warehouse = warehouse
+        #: cap applied to run() when no explicit limit is given; <=0 makes
+        #: unbounded run() raise (data_store_config.dart:68-75 semantics,
+        #: defaults 1000/10000).  .df() is exempt — it returns a lazy,
+        #: distributed plan, not a driver collect.
+        self.default_query_limit = default_query_limit
+        #: hard cap for offset paging; <=0 disables (deep offsets should be
+        #: keyset cursors instead)
+        self.max_query_offset = max_query_offset
+        #: set False to skip the matched-count job in update/delete/batch
+        #: builders (they then return -1)
+        self.eager_mutation_counts = True
         # (space, name) -> {"df": DataFrame|None, "path": str|None,
         #                   "schema": TableSchema, "global": bool}
         self._tables: dict[tuple[str, str], dict] = {}
@@ -147,8 +160,10 @@ class ToStoreSpark:
         return sch.primary_key.name if sch.primary_key else None
 
     def set_df(self, name: str, df: DataFrame) -> None:
-        self._tables[self._resolve(name)]["df"] = df
-        self._generations[name] = self.generation(name) + 1
+        key = self._resolve(name)
+        self._tables[key]["df"] = df
+        self._generations[key] = self._generations.get(key, 0) + 1
+        self._maybe_compact(key)
         for w in list(getattr(self, "_watchers", [])):
             w.notify_change(name)
 
@@ -160,8 +175,33 @@ class ToStoreSpark:
 
     def generation(self, name: str) -> int:
         """Per-table write generation — the query-cache invalidation key
-        (query_executor.dart:3217-3254)."""
-        return self._generations.get(name, 0)
+        (query_executor.dart:3217-3254).  Keyed by the resolved
+        (space, name) so same-named tables in different spaces don't share
+        a generation counter."""
+        try:
+            key = self._resolve(name)
+        except KeyError:
+            return 0
+        return self._generations.get(key, 0)
+
+    # ---- lineage bounding (the batch analog of WAL+buffer compaction,
+    # data_store_impl.dart write-buffer flush) -------------------------
+    #: mutations between localCheckpoint barriers; 0 disables
+    compact_every: int = 32
+
+    def _maybe_compact(self, key: tuple[str, str]) -> None:
+        """Every N mutations, cut the logical plan with an eager
+        localCheckpoint: iterative writes otherwise chain a new plan on the
+        old one and analysis time / driver memory grow without bound."""
+        if not self.compact_every:
+            return
+        if not hasattr(self, "_mutations"):
+            self._mutations: dict[tuple[str, str], int] = {}
+        n = self._mutations.get(key, 0) + 1
+        if n >= self.compact_every:
+            self._tables[key]["df"] = self._tables[key]["df"].localCheckpoint(eager=True)
+            n = 0
+        self._mutations[key] = n
 
     def watch(self, builder, callback):
         """Reactive re-query on table change (query_builder.dart:473-543)."""

@@ -1,12 +1,21 @@
-"""KV namespace over a managed 4-column table.
+"""KV namespace: driver-state store exposed as a DataFrame.
 
 Reference: ``KvStore`` (lib/src/Interface/kv_store.dart:9-140), backed by a
 system table (kv_store.dart:17); per-key TTL, global vs space-local keys,
 ``setIncrement`` atomic counters (data_store_impl.dart:5986-6240).
 
-Layout: (space, key, value:string(json), expires_at:timestamp|null, is_global)
-— reads filter expired keys; writes are upsert-style rewrites.  At scale this
-table would be Delta + MERGE; the semantics here are identical.
+Spark-first shape: KV writes always originate on the driver with driver
+values, and the reference itself serves KV from an in-memory cache in front
+of its WAL.  So the authoritative state here is a driver dict — O(1) per
+write, no lineage growth no matter how many sequential writes — and
+``df()`` materializes a (cached) DataFrame view for distributed queries;
+the KV table is broadcast-sized by construction.  At warehouse scale with
+multiple writers this becomes a Delta/Iceberg table with MERGE upserts —
+same read schema, same semantics.
+
+An earlier version rewrote a DataFrame per set (left_anti + union): after a
+few hundred writes the chained plan needed periodic localCheckpoint barriers
+costing tens of seconds each.  The dict design removes that failure mode.
 """
 
 from __future__ import annotations
@@ -29,16 +38,18 @@ _KV_SCHEMA = T.StructType([
 class KvStore:
     def __init__(self, engine):
         self._engine = engine
-        self._df = engine.spark.createDataFrame([], _KV_SCHEMA)
+        # (space, key) -> (value_json, expires_at | None)
+        self._data: dict[tuple[str, str], tuple[str, Optional[datetime.datetime]]] = {}
+        self._df_cache = None
 
     def _space(self, is_global: bool) -> str:
         return "global" if is_global else self._engine.current_space
 
-    def _live(self):
-        now = F.current_timestamp()
-        return self._df.filter(F.col("expires_at").isNull() |
-                               (F.col("expires_at") > now))
+    @staticmethod
+    def _expired(exp: Optional[datetime.datetime]) -> bool:
+        return exp is not None and exp <= datetime.datetime.now()
 
+    # ---- writes -------------------------------------------------------
     def set_value(self, key: str, value: Any, is_global: bool = False,
                   ttl_ms: Optional[int] = None) -> None:
         self.set_many({key: value}, is_global=is_global, ttl_ms=ttl_ms)
@@ -48,46 +59,52 @@ class KvStore:
         space = self._space(is_global)
         exp = (datetime.datetime.now() + datetime.timedelta(milliseconds=ttl_ms)
                if ttl_ms else None)
-        rows = [(space, k, json.dumps(v), exp) for k, v in kvs.items()]
-        new = self._engine.spark.createDataFrame(rows, _KV_SCHEMA)
-        keys = [(space, k) for k in kvs]
-        keydf = self._engine.spark.createDataFrame(keys, ["space", "key"])
-        keep = self._df.join(F.broadcast(keydf), on=["space", "key"], how="left_anti")
-        self._df = keep.unionByName(new)
+        for k, v in kvs.items():
+            self._data[(space, k)] = (json.dumps(v), exp)
+        self._df_cache = None
         self._notify()
-
-    def get_value(self, key: str, is_global: bool = False) -> Any:
-        space = self._space(is_global)
-        rows = (self._live()
-                .filter((F.col("space") == space) & (F.col("key") == key))
-                .select("value").take(1))
-        return json.loads(rows[0]["value"]) if rows else None
 
     def remove_value(self, key: str, is_global: bool = False) -> None:
-        space = self._space(is_global)
-        self._df = self._df.filter(
-            ~((F.col("space") == space) & (F.col("key") == key)))
+        self._data.pop((self._space(is_global), key), None)
+        self._df_cache = None
         self._notify()
 
-    def get_keys(self, is_global: bool = False) -> list[str]:
-        space = self._space(is_global)
-        return [r["key"] for r in
-                self._live().filter(F.col("space") == space)
-                .select("key").distinct().collect()]
-
     def set_ttl(self, key: str, ttl_ms: int, is_global: bool = False) -> None:
-        space = self._space(is_global)
-        exp = datetime.datetime.now() + datetime.timedelta(milliseconds=ttl_ms)
-        hit = (F.col("space") == space) & (F.col("key") == key)
-        self._df = self._df.withColumn(
-            "expires_at", F.when(hit, F.lit(exp)).otherwise(F.col("expires_at")))
+        k = (self._space(is_global), key)
+        if k in self._data:
+            exp = (datetime.datetime.now()
+                   + datetime.timedelta(milliseconds=ttl_ms))
+            self._data[k] = (self._data[k][0], exp)
+            self._df_cache = None
 
     def set_increment(self, key: str, by: float = 1, is_global: bool = False) -> float:
-        cur = self.get_value(key, is_global=is_global) or 0
-        new = cur + by
+        """Atomic counter (data_store_impl.dart:5986-6240): single-writer
+        driver state, so read-add-write here IS atomic."""
+        new = (self.get_value(key, is_global=is_global) or 0) + by
         self.set_value(key, new, is_global=is_global)
         return new
 
+    # ---- reads --------------------------------------------------------
+    def get_value(self, key: str, is_global: bool = False) -> Any:
+        ent = self._data.get((self._space(is_global), key))
+        if ent is None or self._expired(ent[1]):
+            return None
+        return json.loads(ent[0])
+
+    def get_keys(self, is_global: bool = False) -> list[str]:
+        space = self._space(is_global)
+        return [k for (sp, k), (_, exp) in self._data.items()
+                if sp == space and not self._expired(exp)]
+
+    # ---- transaction snapshot (transaction.py) ------------------------
+    def snapshot(self) -> dict:
+        return dict(self._data)
+
+    def restore(self, snap: dict) -> None:
+        self._data = dict(snap)
+        self._df_cache = None
+
+    # ---- watch --------------------------------------------------------
     def watch_value(self, key: str, callback, is_global: bool = False):
         """Per-key value stream with distinct suppression
         (tostore.dart:738-791): emits current value now and on every KV
@@ -105,10 +122,35 @@ class KvStore:
         self._watch_callbacks.append(emit)
         return emit
 
+    def watch_values(self, keys: list[str], callback, is_global: bool = False):
+        """Plural form (tostore.dart:784-799): one combined stream emitting
+        the list of current values whenever any of the keys changes, with
+        distinct suppression on the whole tuple."""
+        state = {"last": object()}
+
+        def emit():
+            vs = [self.get_value(k, is_global=is_global) for k in keys]
+            if vs != state["last"]:
+                state["last"] = list(vs)
+                callback(vs)
+
+        emit()
+        self._watch_callbacks = getattr(self, "_watch_callbacks", [])
+        self._watch_callbacks.append(emit)
+        return emit
+
     def _notify(self):
         for cb in getattr(self, "_watch_callbacks", []):
             cb()
 
+    # ---- DataFrame view ----------------------------------------------
     def df(self):
-        """The live KV table as a DataFrame (for watch/value queries)."""
-        return self._live()
+        """The live KV table as a DataFrame (for queries/joins); built from
+        driver state on demand, cached until the next write, TTL-filtered at
+        read time."""
+        if self._df_cache is None:
+            rows = [(sp, k, v, exp) for (sp, k), (v, exp) in self._data.items()]
+            self._df_cache = self._engine.spark.createDataFrame(rows, _KV_SCHEMA)
+        now = F.current_timestamp()
+        return self._df_cache.filter(F.col("expires_at").isNull()
+                                     | (F.col("expires_at") > now))

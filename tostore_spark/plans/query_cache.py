@@ -59,10 +59,14 @@ class QueryResultCache:
 
 
 def _estimate_bytes(value: Any) -> int:
+    """Recursive size estimate: run() stores a (rows, flags, tokens) tuple,
+    so the tuple is unwrapped and every row of the list is sized (not just
+    the container), keeping the documented byte bound effective."""
+    if isinstance(value, tuple):
+        return 16 + sum(_estimate_bytes(v) for v in value)
     if isinstance(value, list):
-        if not value:
-            return 64
-        return 64 + len(value) * (64 + sum(
-            sys.getsizeof(v) for v in (value[0].values()
-                                       if isinstance(value[0], dict) else [value[0]])))
+        return 64 + sum(_estimate_bytes(v) for v in value)
+    if isinstance(value, dict):
+        return 64 + sum(sys.getsizeof(k) + sys.getsizeof(v)
+                        for k, v in value.items())
     return sys.getsizeof(value)

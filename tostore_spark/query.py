@@ -77,6 +77,9 @@ class _Frame:
 class QueryResult:
     """list-of-dict result + pagination handles (query_result.dart:4-124)."""
 
+    #: True when run() had no explicit limit and default_query_limit capped it
+    default_limit_applied = False
+
     def __init__(self, records: list[dict], has_more: bool = False,
                  has_prev: bool = False, next_token: Optional[str] = None,
                  prev_token: Optional[str] = None, builder: Optional["QueryBuilder"] = None):
@@ -447,7 +450,8 @@ class QueryBuilder:
         prev_page = False
         if self._cursor_token:
             tok = cursor_mod.decode_cursor(self._cursor_token)
-            sig = cursor_mod.query_signature(self._table, self._cond.to_map(), self._order_by)
+            sig = cursor_mod.query_signature(self._table, self._cond.to_map(), self._order_by,
+                                             space=self._engine.current_space)
             if tok.get("sig") != sig:
                 raise ValueError("cursor signature does not match this query")
             sort_fields = [(f, bool(d)) for f, d in tok["sort"]]
@@ -506,14 +510,15 @@ class QueryBuilder:
         import json
 
         payload = {
-            "t": self._table, "w": self._cond.to_map(), "o": self._order_by,
+            "t": self._table, "sp": self._engine.current_space,
+            "w": self._cond.to_map(), "o": self._order_by,
             "l": self._limit, "off": self._offset,
             "s": [a.output_name if isinstance(a, Agg) else a
                   for a in (self._select or [])],
             "g": self._group_by, "d": self._distinct,
             "a": [a.output_name for a in self._aggs],
             "h": self._having.to_map() if self._having else None,
-            "j": [j[:2] + j[2:] for j in self._joins],
+            "j": list(self._joins),
             "c": self._cursor_token,
         }
         return json.dumps(payload, sort_keys=True, default=str)
@@ -531,6 +536,31 @@ class QueryBuilder:
         (limit+1 → hasMore, query_executor.dart:657-686).  Results are
         served from the generation-invalidated query cache when unchanged
         (query_executor.dart:813-860)."""
+        # pagination safety (query_executor.dart:339-391): deep offsets are
+        # rejected (use keyset cursors), and an unlimited run() collects to
+        # the driver, so it is capped at default_query_limit — or rejected
+        # outright when the cap is disabled.  Aggregations are exempt (they
+        # reduce before collect); .df() is exempt (stays distributed).
+        max_off = getattr(self._engine, "max_query_offset", 0)
+        if (max_off and max_off > 0 and not self._cursor_token
+                and (self._offset or 0) > max_off):
+            raise ValueError(
+                f"query offset ({self._offset}) exceeds max_query_offset "
+                f"({max_off}); use keyset (cursor) pagination for deep pages")
+        applied_default_limit = False
+        if self._limit is None and not self._aggs:
+            default_limit = getattr(self._engine, "default_query_limit", 0)
+            if default_limit and default_limit > 0:
+                tok = self._cursor_token
+                self = self.clone()
+                self._limit = default_limit
+                self._cursor_token = tok
+                applied_default_limit = True
+            else:
+                raise ValueError(
+                    "unbounded run() is not allowed: specify .limit() or set "
+                    "engine.default_query_limit > 0 (.df() returns the "
+                    "unbounded plan without collecting)")
         cache, key = self._cache_key()
         if cache is not None:
             hit = cache.get(key)
@@ -557,7 +587,8 @@ class QueryBuilder:
         next_token = prev_token = None
         if rows and self._order_by:
             sort_fields = self._sort_fields_with_tiebreak()
-            sig = cursor_mod.query_signature(self._table, self._cond.to_map(), self._order_by)
+            sig = cursor_mod.query_signature(self._table, self._cond.to_map(), self._order_by,
+                                             space=self._engine.current_space)
             usable = [f for f, _ in sort_fields if f in rows[-1]]
             if len(usable) == len(sort_fields):
                 next_token = cursor_mod.encode_cursor(
@@ -573,7 +604,9 @@ class QueryBuilder:
         if cache is not None:
             cache.put(key, ([dict(r) for r in rows], has_more, has_prev,
                             next_token, prev_token))
-        return QueryResult(rows, has_more, has_prev, next_token, prev_token, builder=self)
+        res = QueryResult(rows, has_more, has_prev, next_token, prev_token, builder=self)
+        res.default_limit_applied = applied_default_limit
+        return res
 
     def count(self) -> int:
         """Metadata-fast count (query_builder.dart:300-317): Parquet

@@ -28,14 +28,14 @@ class TransactionResult:
 def transaction(engine, rollback_on_error: bool = True):
     """``with transaction(db): ...`` — atomic scope over engine writes."""
     snapshot = {k: dict(v) for k, v in engine._tables.items()}
-    kv_df = engine._kv._df if hasattr(engine, "_kv") else None
+    kv_snap = engine._kv.snapshot() if hasattr(engine, "_kv") else None
     try:
         yield engine
     except Exception:
         if rollback_on_error:
             engine._tables = snapshot
-            if kv_df is not None:
-                engine._kv._df = kv_df
+            if kv_snap is not None:
+                engine._kv.restore(kv_snap)
             if hasattr(engine, "_query_cache") and engine._query_cache:
                 engine._query_cache.clear()
         raise

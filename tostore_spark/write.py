@@ -23,8 +23,10 @@ from typing import Any, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from tostore_spark.compile import condition_to_column
+from tostore_spark.compile import (condition_to_column, order_columns,
+                                   parse_order_field)
 from tostore_spark.condition import QueryCondition
 from tostore_spark.expr import Expr
 from tostore_spark.query import _Frame
@@ -44,22 +46,32 @@ def _b62(n: int) -> str:
 
 
 class _PkState:
-    """Per-table generator state (id_generator.dart); sequential IDs batch-
-    reserve from the current max, timestamp IDs use a monotonic counter."""
+    """Per-(engine, space, table) generator state (id_generator.dart);
+    sequential IDs batch-reserve from the current max, timestamp IDs use a
+    monotonic counter.  ``gen_seen`` tracks the table write generation the
+    cached counter is valid for: any write this path didn't make itself
+    (explicit-PK insert, restore, another space) forces a refresh from the
+    table max instead of yielding colliding IDs."""
 
     def __init__(self):
         self.next_seq: Optional[int] = None
         self.counter = 0
+        self.gen_seen: int = -1
 
 
-_pk_states: dict[tuple[int, str], _PkState] = {}
+_pk_states: dict[tuple[int, str, str], _PkState] = {}
+
+
+def _pk_state(engine, table: str) -> _PkState:
+    return _pk_states.setdefault((id(engine), engine.current_space, table),
+                                 _PkState())
 
 
 def _generate_pks(engine, table: str, schema: TableSchema, n: int) -> list[str]:
     pk = schema.primary_key
-    st = _pk_states.setdefault((id(engine), table), _PkState())
+    st = _pk_state(engine, table)
     if pk.type == PrimaryKeyType.sequential:
-        if st.next_seq is None:
+        if st.next_seq is None or engine.generation(table) != st.gen_seen:
             cur = engine.df(table)
             if pk.name in cur.columns:
                 row = cur.agg(F.max(F.col(pk.name).try_cast("long")).alias("m")).collect()[0]
@@ -166,6 +178,21 @@ def insert(engine, table: str, rows: list[dict]) -> None:
     if schema.primary_key is not None or any(ix.unique for ix in schema.all_indexes()):
         _check_unique(engine, table, schema, new_df)
     engine.set_df(table, cur.unionByName(new_df))
+    if schema.primary_key is not None \
+            and schema.primary_key.type == PrimaryKeyType.sequential:
+        # keep the cached counter valid across our own write: advance it
+        # past any explicit numeric PKs in this batch and stamp the new
+        # generation so the next insert skips the refresh scan.
+        st = _pk_state(engine, table)
+        inc = schema.primary_key.sequential_config.increment
+        for r in rows:
+            try:
+                v = int(r[schema.primary_key.name])
+            except (TypeError, ValueError):
+                continue
+            if st.next_seq is None or v + inc > st.next_seq:
+                st.next_seq = v + inc
+        st.gen_seen = engine.generation(table)
 
 
 def upsert(engine, table: str, rows: list[dict],
@@ -184,10 +211,28 @@ def upsert(engine, table: str, rows: list[dict],
     if schema.primary_key is not None and keyset == [schema.primary_key.name]:
         for r in rows:
             r[schema.primary_key.name] = str(r[schema.primary_key.name])
+    # duplicate keys in the payload would fan out the merge join — collapse
+    # them per field (last-write-wins = sequential-application semantics)
+    merged_by_key: dict[tuple, dict] = {}
+    for r in rows:
+        merged_by_key.setdefault(tuple(str(r[k]) for k in keyset), {}).update(r)
+    rows = list(merged_by_key.values())
     cur = engine.df(table)
+    # per-row presence flags: in a heterogeneous batch, a matched row only
+    # overwrites the fields IT carries — the reference routes matched
+    # records through batchUpdate's partial-update path
+    # (data_store_impl.dart:4851), not a batch-wide column set.
+    payload_cols = [c for c in cur.columns if any(c in r for r in rows)]
+    src_schema = T.StructType(
+        [cur.schema[c] for c in cur.columns]
+        + [T.StructField(f"__has_{c}", T.BooleanType(), False)
+           for c in payload_cols])
     src = engine.spark.createDataFrame(
-        [tuple(r.get(c) for c in cur.columns) for r in rows], cur.schema)
-    src = src.select([F.col(c).alias(f"__src_{c}") for c in cur.columns])
+        [tuple([r.get(c) for c in cur.columns] + [c in r for c in payload_cols])
+         for r in rows], src_schema)
+    src = src.select(
+        *[F.col(c).alias(f"__src_{c}") for c in cur.columns],
+        *[F.col(f"__has_{c}") for c in payload_cols])
     on = [F.col(k) == F.col(f"__src_{k}") for k in keyset]
     cond = on[0]
     for extra in on[1:]:
@@ -200,14 +245,12 @@ def upsert(engine, table: str, rows: list[dict],
         return F.col(name)
 
     out_cols = []
-    payload_cols = {c for c in cur.columns
-                    if any(c in r for r in rows)} | set(keyset)
     for c in cur.columns:
         tgt, srcv = F.col(c), F.col(f"__src_{c}")
         if exprs and c in exprs:
             upd = exprs[c].to_column(resolver, is_update_col=is_update)
         elif c in payload_cols:
-            upd = srcv
+            upd = F.when(F.col(f"__has_{c}"), srcv).otherwise(tgt)
         else:
             upd = tgt
         merged = (F.when(matched, upd)
@@ -230,6 +273,13 @@ def batch_update(engine, table: str, rows: list[dict]) -> int:
     pk = schema.primary_key.name
     if any(pk not in r for r in rows):
         raise ValueError("every batch_update row must carry the primary key")
+    # deduplicate the payload by PK (last-write-wins, per field — the
+    # sequential-application semantics): duplicate PKs would otherwise fan
+    # out the join and duplicate target rows in the rewrite.
+    merged_rows: dict[str, dict] = {}
+    for r in rows:
+        merged_rows.setdefault(str(r[pk]), {}).update(r)
+    rows = list(merged_rows.values())
     cur = engine.df(table)
     payload_cols = [c for c in cur.columns
                     if c != pk and any(c in r for r in rows)]
@@ -245,7 +295,8 @@ def batch_update(engine, table: str, rows: list[dict]) -> int:
              .select("__pk", *[F.col(c).alias(f"__new_{c}") for c in payload_cols])
     src = src.join(flags, on="__pk")
     joined = cur.join(F.broadcast(src), on=F.col(pk) == F.col("__pk"), how="left")
-    n = joined.filter(F.col("__pk").isNotNull()).count()
+    n = (joined.filter(F.col("__pk").isNotNull()).count()
+         if getattr(engine, "eager_mutation_counts", True) else -1)
     out_cols = []
     for c in cur.columns:
         if c in payload_cols:
@@ -264,6 +315,9 @@ class _MutationBuilder:
         self._table = table
         self._cond = QueryCondition()
         self._allow_all = False
+        self._order_by: list[str] = []
+        self._limit: Optional[int] = None
+        self._offset: Optional[int] = None
 
     def where(self, field, op=None, value="__missing__"):
         self._cond.where(field, op, value)
@@ -277,6 +331,24 @@ class _MutationBuilder:
         self._cond.condition(sub)
         return self
 
+    # ordered/limited mutations (update_builder.dart:237-239,
+    # delete_builder.dart:32-33): "update/delete the N cheapest ..."
+    def order_by_asc(self, *fields: str):
+        self._order_by.extend(fields)
+        return self
+
+    def order_by_desc(self, *fields: str):
+        self._order_by.extend(f"-{f}" for f in fields)
+        return self
+
+    def limit(self, n: int):
+        self._limit = n
+        return self
+
+    def offset(self, n: int):
+        self._offset = n
+        return self
+
     def _predicate(self):
         df = self._engine.df(self._table)
         frame = _Frame(df, [(self._table, c, c) for c in df.columns])
@@ -284,6 +356,33 @@ class _MutationBuilder:
         qb = QueryBuilder(self._engine, self._table)
         node = qb._normalize_node(self._cond.root(), frame)
         return df, condition_to_column(node, frame.resolver())
+
+    def _limited_predicate(self):
+        """(df, pred, temp_cols): when orderBy/limit/offset are set, the
+        predicate narrows to the selected window of matching rows.  Plan
+        shape: TakeOrderedAndProject over the filtered scan picks the ≤N
+        selected PKs, which broadcast back onto the table — no global
+        row_number shuffle of the full table."""
+        df, pred = self._predicate()
+        if self._limit is None and not self._offset:
+            return df, pred, []
+        pk = self._engine.primary_key(self._table)
+        if pk is None:
+            raise ValueError("ordered/limited mutations require a primary key")
+        fields = [parse_order_field(s) for s in self._order_by]
+        if pk not in [f for f, _ in fields]:
+            fields.append((pk, False))  # stable tie-break
+        specs = [f"-{f}" if d else f for f, d in fields]
+        frame = _Frame(df, [(self._table, c, c) for c in df.columns])
+        ordered = df.filter(pred).orderBy(*order_columns(specs, frame.resolver()))
+        if self._offset:
+            ordered = ordered.offset(self._offset)
+        if self._limit is not None:
+            ordered = ordered.limit(self._limit)
+        keys = ordered.select(F.col(pk).alias("__sel_pk"))
+        marked = df.join(F.broadcast(keys), on=F.col(pk) == F.col("__sel_pk"),
+                         how="left")
+        return marked, F.col("__sel_pk").isNotNull(), ["__sel_pk"]
 
 
 class UpdateBuilder(_MutationBuilder):
@@ -296,10 +395,15 @@ class UpdateBuilder(_MutationBuilder):
 
     # sugar (update_builder.dart:63-209)
     def set(self, values: dict[str, Any]) -> int:
+        """Returns the matched-row count.  The count is a separate job on
+        the filtered scan; set ``engine.eager_mutation_counts = False`` to
+        skip it (returns -1) when issuing many updates — the rewrite itself
+        stays lazy either way."""
         if self._cond.is_empty() and not self._allow_all:
             raise ValueError("conditionless update requires allow_update_all()")
-        df, pred = self._predicate()
-        n = df.filter(pred).count()
+        df, pred, temp_cols = self._limited_predicate()
+        n = (df.filter(pred).count()
+             if getattr(self._engine, "eager_mutation_counts", True) else -1)
 
         def resolver(name: str):
             return F.col(name)
@@ -311,6 +415,8 @@ class UpdateBuilder(_MutationBuilder):
                 ftype = dict((f.name, f.dataType) for f in df.schema.fields)[fld]
                 newv = newv.cast(ftype)
             out = out.withColumn(fld, F.when(pred, newv).otherwise(F.col(fld)))
+        for c in temp_cols:
+            out = out.drop(c)
         self._engine.set_df(self._table, out)
         return n
 
@@ -344,11 +450,15 @@ class DeleteBuilder(_MutationBuilder):
     def execute(self) -> int:
         if self._cond.is_empty() and not self._allow_all:
             raise ValueError("conditionless delete requires allow_delete_all()")
-        df, pred = self._predicate()
+        df, pred, temp_cols = self._limited_predicate()
         doomed = df.filter(pred)
-        n = doomed.count()
-        self._cascade(doomed)
-        self._engine.set_df(self._table, df.filter(~F.coalesce(pred, F.lit(False))))
+        n = (doomed.count()
+             if getattr(self._engine, "eager_mutation_counts", True) else -1)
+        self._cascade(doomed.drop(*temp_cols) if temp_cols else doomed)
+        out = df.filter(~F.coalesce(pred, F.lit(False)))
+        for c in temp_cols:
+            out = out.drop(c)
+        self._engine.set_df(self._table, out)
         return n
 
     def _cascade(self, doomed: DataFrame) -> None:
