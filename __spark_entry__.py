@@ -408,13 +408,17 @@ def q_knn_join(spark, sf_dir):
 
 
 def q_similarity_ivf(spark, sf_dir):
-    """IVF approximate ANN: nearest-cells probe (scale path; no SQL oracle —
-    cell assignment is engine-defined). Rows-only check; scalar columns only
-    (the driver's canonicalizer cannot sort array columns)."""
+    """IVF approximate ANN through the persisted-index lifecycle
+    (build_vector_index → partitioned parquet → pruned probe; the
+    reference's build-once NGH shape, ngh_graph_engine.dart:14-80).
+    Rows-only check — cell assignment is engine-defined (spherical
+    k-means); scalar output columns only."""
     db = _db(spark, sf_dir)
-    emb = db.df("embeddings")
-    indexed, cents = S.ivf_build(emb, n_cells=8)
-    out = S.ivf_search(indexed, cents, _QVEC, k=5, nprobe=2)
+    db2 = ToStoreSpark(spark)
+    db2.register_table("emb_ivf", df=db.df("embeddings"))
+    db2.build_vector_index("emb_ivf", "embedding", n_cells=8,
+                           id_field="vec_id")
+    out = db2.vector_search("emb_ivf", "embedding", _QVEC, top_k=5, nprobe=2)
     return out.select("vec_id", "label", "cell_id",
                       F.round(F.col("distance"), 6).alias("distance_r"))
 
@@ -451,17 +455,19 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Word-3-gram Jaccard near-dup pairs, blocked by token-count decile."""
+    """Word-3-gram Jaccard near-dup pairs, blocked by minhash-band LSH over
+    the gram set (uniform buckets — skew-safe at scale)."""
     db = _db(spark, sf_dir)
     return (D.ngram_jaccard_pairs(db.df("documents"), n=3, threshold=0.8)
             .select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard_r")))
 
 
 def q_neardup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs blocked by label."""
+    """Embedding-cosine near-dup pairs blocked by LSH sign-buckets (default
+    block — label blocking degenerates to giant buckets on real corpora)."""
     db = _db(spark, sf_dir)
-    return (D.embedding_neardup_pairs(db.df("embeddings"), group_field="label",
-                                      max_cosine_distance=0.35)
+    return (D.embedding_neardup_pairs(db.df("embeddings"),
+                                      max_cosine_distance=0.7)
             .select("id_a", "id_b", F.round(F.col("cos_distance"), 6).alias("d_r")))
 
 
@@ -982,23 +988,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 HAVING count(*) > 1""",
         "q_dedup_minhash_lsh": _minhash_oracle(),
         "q_dedup_simhash": _simhash_oracle(),
-        "q_ngram_jaccard": f"""
-            WITH base AS (
-              SELECT doc_id,
-                     len({_TOKENS}) // 10 AS bucket,
-                     CASE WHEN len({_TOKENS}) >= 3 THEN
-                       list_distinct([array_to_string(({_TOKENS})[i:i+2], ' ')
-                                      for i in range(1, len({_TOKENS}) - 1)])
-                     ELSE [] END AS grams
-              FROM documents)
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                         / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard_r
-            FROM base a JOIN base b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8""",
-        "q_neardup_embedding": """
-            WITH base AS (SELECT vec_id AS id, label AS bucket, embedding AS v FROM embeddings)
+        "q_ngram_jaccard": _ngram_jaccard_oracle(),
+        "q_neardup_embedding": f"""
+            WITH base AS (SELECT vec_id AS id, {_lsh_bucket_sql('embedding')} AS bucket,
+                                 embedding AS v FROM embeddings)
             SELECT a.id AS id_a, b.id AS id_b,
                    round(1.0 - list_sum(list_transform(list_zip(a.v, b.v),
                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
@@ -1008,7 +1001,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE 1.0 - list_sum(list_transform(list_zip(a.v, b.v),
                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
                   / (sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                     * sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) <= 0.35""",
+                     * sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) <= 0.7""",
         "q_text_stats": _text_stats_oracle(),
         "q_langid": f"""
             WITH s AS (
@@ -1148,6 +1141,62 @@ def _minhash_oracle() -> str:
         SELECT x.doc_id AS id_a, y.doc_id AS id_b
         FROM banded x JOIN banded y ON x.band = y.band AND x.doc_id < y.doc_id
         GROUP BY 1, 2"""
+
+
+def _lsh_bucket_sql(vec_expr: str, dim: int = 64, n_planes: int = 8) -> str:
+    """Random-hyperplane sign bucket in SQL, mirroring
+    vector.lsh_bucket_column bit-for-bit (same plane constants via the
+    deterministic LCG, same fold shape for each dot product)."""
+    from tostore_spark.vector import random_hyperplanes
+
+    terms = []
+    for i, p in enumerate(random_hyperplanes(dim, n_planes)):
+        dot = (f"list_sum(list_transform(list_zip({vec_expr}, {_sql_list(p)}),"
+               f" p -> CAST(p[1] AS DOUBLE) * p[2]))")
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ngram_jaccard_oracle() -> str:
+    """Minhash-band-blocked n-gram Jaccard in DuckDB, mirroring
+    dedup.gram_band_column / ngram_jaccard_pairs exactly."""
+    from tostore_spark.llmops.dedup import (MINHASH_P, NGRAM_MH_BANDS,
+                                            NGRAM_MH_HASHES, _minhash_ab)
+
+    rpb = NGRAM_MH_HASHES // NGRAM_MH_BANDS
+    ab_rows = ", ".join(f"({h}, {a}, {b})" for h, (a, b)
+                        in enumerate(_minhash_ab(NGRAM_MH_HASHES)))
+    band_exprs = ", ".join(
+        "md5(CAST({b} AS VARCHAR) || ',' || ".format(b=b)
+        + " || ',' || ".join(f"CAST(sig[{b*rpb+r+1}] AS VARCHAR)"
+                             for r in range(rpb))
+        + ")"
+        for b in range(NGRAM_MH_BANDS))
+    jac = ("CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)"
+           " / len(list_distinct(list_concat(ga.grams, gb.grams)))")
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        g AS (SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN
+                       list_distinct([array_to_string(t[i:i+2], ' ')
+                                      for i in range(1, len(t) - 1)])
+                     ELSE [] END AS grams
+              FROM toks),
+        ne AS (SELECT doc_id, grams FROM g WHERE len(grams) > 0),
+        ub AS (SELECT doc_id, ('0x' || substr(md5(unnest(grams)), 1, 8))::BIGINT AS u
+               FROM ne),
+        ab AS (SELECT * FROM (VALUES {ab_rows}) v(h, a, b)),
+        hs AS (SELECT doc_id, h, min((a * u + ab.b) % {MINHASH_P}) AS mh
+               FROM ub CROSS JOIN ab GROUP BY doc_id, h),
+        sig AS (SELECT doc_id, list(mh ORDER BY h) AS sig FROM hs GROUP BY doc_id),
+        banded AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig),
+        cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                 FROM banded x JOIN banded y ON x.band = y.band
+                                            AND x.doc_id < y.doc_id)
+        SELECT id_a, id_b, round({jac}, 6) AS jaccard_r
+        FROM cand JOIN g ga ON ga.doc_id = cand.id_a
+                  JOIN g gb ON gb.doc_id = cand.id_b
+        WHERE {jac} >= 0.8"""
 
 
 def _simhash_oracle() -> str:

@@ -1,0 +1,125 @@
+"""Persisted IVF index lifecycle + skew-safe dedup blocking.
+
+Reference: the NGH vector index is built once and persisted
+(ngh_graph_engine.dart:14-80); here the index is the cell-assigned corpus
+written as parquet partitioned by cell_id (probe = partition pruning) plus
+a centroid sidecar.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF01 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def db01(spark):
+    from tostore_spark import ToStoreSpark
+    return ToStoreSpark(spark, data_dir=SF01)
+
+
+def test_ivf_recall_at_10(spark, db01, tmp_path_factory):
+    from tostore_spark import ToStoreSpark
+    emb = db01.df("embeddings")
+    qv = [float(x) for x in
+          emb.filter("vec_id = 7").collect()[0]["embedding"]]
+    db2 = ToStoreSpark(spark)
+    db2.register_table("e_r", df=emb)
+    exact = [r["vec_id"] for r in
+             db2.vector_search("e_r", "embedding", qv, top_k=10,
+                               use_index=False).collect()]
+    path = str(tmp_path_factory.mktemp("ivf_recall"))
+    db2.build_vector_index("e_r", "embedding", n_cells=8, path=path,
+                           id_field="vec_id")
+    approx = [r["vec_id"] for r in
+              db2.vector_search("e_r", "embedding", qv, top_k=10,
+                                nprobe=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, f"recall@10 = {recall}"
+
+
+def test_ivf_index_persisted_and_reused(spark, db01, tmp_path_factory):
+    from tostore_spark import ToStoreSpark
+    path = str(tmp_path_factory.mktemp("ivf_persist"))
+    db2 = ToStoreSpark(spark)
+    db2.register_table("e_p", df=db01.df("embeddings"))
+    db2.build_vector_index("e_p", "embedding", n_cells=8, path=path,
+                           id_field="vec_id")
+    # on-disk layout: hive-partitioned cells + centroid sidecar
+    cells = os.listdir(os.path.join(path, "cells"))
+    assert any(c.startswith("cell_id=") for c in cells)
+    assert os.path.exists(os.path.join(path, "centroids.json"))
+    qv = [0.1] * 64
+    r1 = [r["vec_id"] for r in
+          db2.vector_search("e_p", "embedding", qv, top_k=5).collect()]
+    # a fresh engine loads the SAME index from disk — no rebuild
+    db3 = ToStoreSpark(spark)
+    db3.register_table("e_p", df=db01.df("embeddings"))
+    db3.load_vector_index("e_p", "embedding", path, id_field="vec_id")
+    r2 = [r["vec_id"] for r in
+          db3.vector_search("e_p", "embedding", qv, top_k=5).collect()]
+    assert r1 == r2
+    # probe plan prunes partitions: only nprobe of n_cells directories read
+    plan = (db3.vector_search("e_p", "embedding", qv, top_k=5, nprobe=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters: [cell_id" in plan
+
+
+def test_ivf_stale_index_falls_back_to_exact(spark, db01):
+    from tostore_spark import ToStoreSpark
+    db2 = ToStoreSpark(spark)
+    db2.register_table("e_s", df=db01.df("embeddings"))
+    db2.build_vector_index("e_s", "embedding", n_cells=8, id_field="vec_id")
+    qv = [0.1] * 64
+    out = db2.vector_search("e_s", "embedding", qv, top_k=5)
+    assert "cell_id" in out.columns  # served from the index
+    # a write bumps the generation → index is stale → exact scan again
+    db2.update("e_s").allow_update_all().set({"label": 0})
+    out2 = db2.vector_search("e_s", "embedding", qv, top_k=5)
+    assert "cell_id" not in out2.columns
+    with pytest.raises(ValueError, match="fresh"):
+        db2.vector_search("e_s", "embedding", qv, top_k=5, use_index=True)
+
+
+def test_kmeans_cells_balanced(spark, db01):
+    from tostore_spark.llmops import similarity as S
+    indexed, cents = S.ivf_build(db01.df("embeddings"), n_cells=8)
+    sizes = [r["n"] for r in indexed.groupBy("cell_id")
+             .agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert len(sizes) == 8
+    total = sum(sizes)
+    # no lopsided cells: the old first-N-by-id centroids produced cells
+    # holding most of the corpus; spherical k-means keeps every cell
+    # under 3x the fair share on this corpus
+    assert max(sizes) < 3 * total / 8, sizes
+
+
+def test_gram_band_blocking_bounds_buckets(spark):
+    """A pathological corpus where every doc has the same token COUNT (the
+    old decile block → one quadratic bucket) but different content: minhash
+    band buckets stay small."""
+    from tostore_spark.llmops.dedup import gram_band_column, word_ngrams
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(20))) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    banded = (df.select("doc_id",
+                        F.explode(gram_band_column(
+                            word_ngrams(F.col("text"), 3))).alias("band")))
+    sizes = [r["n"] for r in banded.groupBy("band")
+             .agg(F.count(F.lit(1)).alias("n")).collect()]
+    # 300 docs x 4 bands; identical-length-but-distinct docs must not
+    # collapse into one bucket (decile blocking would give one 300-doc
+    # bucket = 44850 candidate pairs)
+    assert max(sizes) <= 4, f"max band bucket {max(sizes)}"
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    base = " ".join(f"tok{j}" for j in range(30))
+    near = " ".join(f"tok{j}" for j in range(29)) + " changed"
+    far = " ".join(f"other{j}" for j in range(30))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    from tostore_spark.llmops.dedup import ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]

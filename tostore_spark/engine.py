@@ -319,11 +319,81 @@ class ToStoreSpark:
         return self._kv
 
     # ---- vector search (vector.py) ------------------------------------
+    def build_vector_index(self, table: str, field_name: str,
+                           n_cells: int = 16, path: Optional[str] = None,
+                           id_field: Optional[str] = None) -> str:
+        """Build-once IVF index for a vector field (the reference's
+        persisted NGH build lifecycle, ngh_graph_engine.dart:14-80):
+        deterministic spherical-k-means centroids, corpus written out
+        partitioned by cell_id, registered so subsequent vector_search
+        calls probe the index instead of rescanning the table."""
+        import tempfile
+
+        from tostore_spark.llmops import similarity as sim
+        id_field = id_field or self.primary_key(table) \
+            or self.df(table).columns[0]
+        if path is None:
+            path = tempfile.mkdtemp(prefix=f"ivf_{table}_{field_name}_")
+        indexed, cents = sim.ivf_build(self.df(table), n_cells=n_cells,
+                                       vec_field=field_name, id_field=id_field)
+        sim.ivf_write_index(indexed, cents, path)
+        cells_df, _ = sim.ivf_read_index(self.spark, path)
+        if not hasattr(self, "_vector_indexes"):
+            self._vector_indexes: dict[tuple, dict] = {}
+        self._vector_indexes[(self._space, table, field_name)] = {
+            "path": path, "centroids": cents, "df": cells_df,
+            "n_cells": n_cells, "id_field": id_field,
+            "generation": self.generation(table),
+        }
+        return path
+
+    def load_vector_index(self, table: str, field_name: str, path: str,
+                          id_field: Optional[str] = None) -> None:
+        """Attach a previously persisted IVF index (search-many side of the
+        build-once lifecycle)."""
+        from tostore_spark.llmops import similarity as sim
+        cells_df, cents = sim.ivf_read_index(self.spark, path)
+        if not hasattr(self, "_vector_indexes"):
+            self._vector_indexes = {}
+        self._vector_indexes[(self._space, table, field_name)] = {
+            "path": path, "centroids": cents, "df": cells_df,
+            "n_cells": len(cents),
+            "id_field": id_field or self.primary_key(table)
+            or cells_df.columns[0],
+            "generation": self.generation(table),
+        }
+
     def vector_search(self, table: str, field_name: str, query_vector,
                       top_k: int = 10, metric: str = "cosine",
                       distance_threshold: Optional[float] = None,
-                      ef_search: Optional[int] = None) -> DataFrame:
+                      ef_search: Optional[int] = None,
+                      use_index: Optional[bool] = None,
+                      nprobe: int = 2) -> DataFrame:
+        """Scored top-k (tostore.dart:493-511).  When an IVF index has been
+        built for (table, field) and the metric is cosine, the search probes
+        the persisted index (approximate, rebuild-free) unless
+        ``use_index=False``; a stale index (table written since build)
+        silently falls back to the exact scan."""
         from tostore_spark.vector import vector_search
+        idx = getattr(self, "_vector_indexes", {}).get(
+            (self._space, table, field_name))
+        fresh = idx is not None and idx["generation"] == self.generation(table)
+        if use_index is None:
+            use_index = fresh and metric == "cosine"
+        if use_index:
+            if not fresh or metric != "cosine":
+                raise ValueError(
+                    "no fresh cosine IVF index for "
+                    f"({table}, {field_name}); build_vector_index first")
+            from tostore_spark.llmops import similarity as sim
+            out = sim.ivf_search(idx["df"], idx["centroids"], query_vector,
+                                 k=top_k, nprobe=nprobe,
+                                 vec_field=field_name,
+                                 id_field=idx["id_field"])
+            if distance_threshold is not None:
+                out = out.filter(
+                    out["distance"] <= float(distance_threshold))
+            return out
         return vector_search(self.df(table), field_name, query_vector,
                              top_k=top_k, metric=metric,
                              distance_threshold=distance_threshold,

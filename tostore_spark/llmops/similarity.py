@@ -67,19 +67,59 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
                   .filter(F.col("rank") <= k))
 
 
-def ivf_build(corpus: DataFrame, n_cells: int = 16, vec_field: str = "embedding",
-              id_field: str = "vec_id") -> tuple[DataFrame, list[tuple[int, list[float]]]]:
-    """Assign each vector to its nearest of `n_cells` centroids.
+def kmeans_centroids(corpus: DataFrame, n_cells: int,
+                     vec_field: str = "embedding", id_field: str = "vec_id",
+                     sample_per_cell: int = 64,
+                     iterations: int = 10) -> list[tuple[int, list[float]]]:
+    """Deterministic spherical k-means centroids from a bounded sample.
 
-    Centroids are the first n_cells vectors by id — deterministic and cheap;
-    swap in k-means for production quality (same assignment plan).
+    Sample = the first ``n_cells * sample_per_cell`` rows ordered by
+    md5(id) — a deterministic pseudo-random draw that is reproducible in
+    SQL and insensitive to id/content correlation (the previous
+    first-N-by-id seeding produced lopsided cells).  Lloyd iterations run
+    driver-side in numpy over the sample only, so the cost is independent
+    of corpus size; the full-corpus assignment stays a map-side Column
+    expression."""
+    import numpy as np
+
+    sample = (corpus
+              .orderBy(F.md5(F.col(id_field).cast("string")).asc(),
+                       F.col(id_field).asc())
+              .select(vec_field)
+              .take(n_cells * sample_per_cell))
+    X = np.array([[float(x) for x in r[vec_field]] for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Xn = X / norms
+    cents = Xn[:n_cells].copy()
+    for _ in range(iterations):
+        sims = Xn @ cents.T                      # cosine sim to each centroid
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_cells):
+            members = Xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return [(i, [float(x) for x in cents[i]]) for i in range(n_cells)]
+
+
+def ivf_build(corpus: DataFrame, n_cells: int = 16, vec_field: str = "embedding",
+              id_field: str = "vec_id",
+              centroids: Optional[list[tuple[int, list[float]]]] = None,
+              ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Assign each vector to its nearest of `n_cells` centroids (cosine).
+
+    Centroids default to deterministic spherical k-means over a bounded
+    sample (``kmeans_centroids``); the assignment itself is a map-side
+    Column expression — no shuffle, no Python in the scoring path.
     Returns (corpus + cell_id column, centroid list).
     """
     import math
 
-    cents = [(i, [float(x) for x in r[vec_field]])
-             for i, r in enumerate(corpus.orderBy(F.col(id_field).asc())
-                                   .select(id_field, vec_field).take(n_cells))]
+    cents = centroids if centroids is not None else kmeans_centroids(
+        corpus, n_cells, vec_field=vec_field, id_field=id_field)
     v = F.col(vec_field)
     # argmin via a distance array + array_position: flat expression, one
     # distance evaluation per centroid.  (A chained when(d < best_dist)
@@ -103,7 +143,10 @@ def ivf_build(corpus: DataFrame, n_cells: int = 16, vec_field: str = "embedding"
 def ivf_search(indexed: DataFrame, centroids: list[tuple[int, list[float]]],
                query_vector: Sequence[float], k: int = 10, nprobe: int = 2,
                vec_field: str = "embedding", id_field: str = "vec_id") -> DataFrame:
-    """Probe the `nprobe` nearest cells, exact-rank inside them."""
+    """Probe the `nprobe` nearest cells, exact-rank inside them.  When the
+    index was persisted with ``ivf_write_index`` the isin(cell_id) filter is
+    a partition-pruning predicate — a probe reads nprobe/n_cells of the
+    files, the IVF trade."""
     import math
 
     def cos_d(a: Sequence[float], b: Sequence[float]) -> float:
@@ -118,3 +161,32 @@ def ivf_search(indexed: DataFrame, centroids: list[tuple[int, list[float]]],
     return vector_search(indexed.filter(F.col("cell_id").isin(cells)),
                          vec_field, query_vector, top_k=k, metric="cosine",
                          pk=id_field)
+
+
+def ivf_write_index(indexed: DataFrame,
+                    centroids: list[tuple[int, list[float]]],
+                    path: str) -> str:
+    """Persist the IVF index: the assigned corpus partitioned by cell_id
+    (so a probe prunes to nprobe directories) plus a centroid sidecar —
+    the build-once-search-many lifecycle of the reference's persisted NGH
+    index (ngh_graph_engine.dart:14-80), in parquet form."""
+    import json
+    import os
+
+    indexed.write.mode("overwrite").partitionBy("cell_id") \
+           .parquet(os.path.join(path, "cells"))
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump({"centroids": centroids}, f)
+    return path
+
+
+def ivf_read_index(spark, path: str
+                   ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Load a persisted IVF index: (partition-pruned corpus, centroids)."""
+    import json
+    import os
+
+    df = spark.read.parquet(os.path.join(path, "cells"))
+    with open(os.path.join(path, "centroids.json")) as f:
+        raw = json.load(f)["centroids"]
+    return df, [(int(cid), [float(x) for x in vec]) for cid, vec in raw]
