@@ -582,6 +582,29 @@ def q_upsert_merge(spark, sf_dir):
     return db2.df("users")
 
 
+def q_partial_insert(spark, sf_dir):
+    """batchInsert(allowPartialErrors=true) (data_store_impl.dart:3968+):
+    good rows land, bad rows are reported in the manifest — final state
+    verified against the literal expectation."""
+    from tostore_spark.schema import (DataType, FieldSchema, PrimaryKeyConfig,
+                                      PrimaryKeyType, TableSchema)
+    db2 = ToStoreSpark(spark)
+    db2.create_table(TableSchema(
+        name="pi_users",
+        fields=[FieldSchema("name", nullable=False),
+                FieldSchema("age", DataType.integer, min_value=0)],
+        primary_key=PrimaryKeyConfig(name="id", type=PrimaryKeyType.none)))
+    res = db2.batch_insert("pi_users", [
+        {"id": "u1", "name": "ann", "age": 30},
+        {"id": "u2", "name": None, "age": 40},   # rejected: not nullable
+        {"id": "u3", "name": "cyd", "age": -1},  # rejected: min_value
+        {"id": "u4", "name": "dee", "age": 20},
+    ], allow_partial_errors=True)
+    assert sorted(res.success_keys) == ["u1", "u4"], res
+    assert set(res.failed) == {"u2", "u3"}, res
+    return db2.df("pi_users")
+
+
 def q_kv_namespace(spark, sf_dir):
     """KV namespace (kv_store.dart:9-140): set/get over the managed KV
     table, TTL-filtered reads."""
@@ -799,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_update_rewrite": q_update_rewrite,
         "q_delete_rewrite": q_delete_rewrite,
         "q_upsert_merge": q_upsert_merge,
+        "q_partial_insert": q_partial_insert,
         "q_kv_namespace": q_kv_namespace,
         "q_join5_regional": q_join5_regional,
         "q_events_sessions": q_events_sessions,
@@ -1046,6 +1070,10 @@ def oracle_sql() -> dict[str, str]:
               ('u1', 'ann', CAST(30 AS BIGINT)),
               ('u2', 'bob2', 41),
               ('u3', 'cyd', 50),
+              ('u4', 'dee', 20)) AS t(id, name, age)""",
+        "q_partial_insert": """
+            SELECT * FROM (VALUES
+              ('u1', 'ann', CAST(30 AS BIGINT)),
               ('u4', 'dee', 20)) AS t(id, name, age)""",
         "q_kv_namespace": """
             SELECT * FROM (VALUES

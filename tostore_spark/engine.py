@@ -27,6 +27,21 @@ from tostore_spark.query import QueryBuilder
 from tostore_spark.schema import TableSchema
 
 
+class DbResult:
+    """Graceful-error result for admin operations (the reference returns a
+    DbResult instead of raising for business-logic errors, tostore.dart:1134+)."""
+
+    def __init__(self, success: bool, message: str = ""):
+        self.success = success
+        self.message = message
+
+    def __bool__(self) -> bool:
+        return self.success
+
+    def __repr__(self):
+        return f"DbResult(success={self.success}, message={self.message!r})"
+
+
 class ToStoreSpark:
     def __init__(self, spark: SparkSession, data_dir: Optional[str] = None,
                  warehouse: Optional[str] = None, space: str = "default",
@@ -112,6 +127,47 @@ class ToStoreSpark:
             "df": df, "path": None, "schema": schema, "global": schema.is_global,
         }
 
+    def create_tables(self, schemas: list[TableSchema]) -> None:
+        """Create several tables at once (tostore.dart:356)."""
+        for sch in schemas:
+            self.create_table(sch)
+
+    def table_exists(self, name: str) -> bool:
+        """Whether the table resolves in the current space or globally
+        (tostore.dart:944)."""
+        try:
+            self._resolve(name)
+            return True
+        except KeyError:
+            return False
+
+    def get_table_schema(self, name: str) -> Optional[TableSchema]:
+        """TableSchema or None (tostore.dart:956)."""
+        try:
+            return self.schema(name)
+        except KeyError:
+            return None
+
+    def get_table_info(self, name: str) -> Optional[dict]:
+        """Table metadata: record count, index count, schema, global flag,
+        write generation (tostore.dart:986 TableInfo)."""
+        try:
+            key = self._resolve(name)
+        except KeyError:
+            return None
+        ent = self._tables[key]
+        sch: TableSchema = ent["schema"]
+        return {
+            "name": name,
+            "space": key[0],
+            "record_count": self.df(name).count(),
+            "index_count": len(sch.all_indexes()),
+            "is_global": ent["global"],
+            "schema": sch,
+            "generation": self._generations.get(key, 0),
+            "path": ent["path"],
+        }
+
     def drop_table(self, name: str) -> None:
         self._tables.pop(self._resolve(name), None)
 
@@ -133,11 +189,57 @@ class ToStoreSpark:
     # ---- spaces (data_store_impl.dart:5873-5936) ----------------------
     def switch_space(self, space: str) -> "ToStoreSpark":
         self._space = space
+        self._known_spaces.add(space)
         return self
 
     @property
     def current_space(self) -> str:
         return self._space
+
+    @property
+    def _known_spaces(self) -> set:
+        if not hasattr(self, "_spaces"):
+            self._spaces = {"default", self._space}
+        return self._spaces
+
+    def list_spaces(self) -> list[str]:
+        """All space names, sorted; always contains 'default'
+        (tostore.dart:1152-1158)."""
+        named = {sp for sp, _ in self._tables if sp != "global"}
+        return sorted(self._known_spaces | named | {"default"})
+
+    def delete_space(self, space: str) -> DbResult:
+        """Drop a space and its tables; the default and the currently
+        active space are protected (tostore.dart:1134-1146)."""
+        if space == "default":
+            return DbResult(False, "cannot delete the default space")
+        if space == self._space:
+            return DbResult(False, "cannot delete the currently active space")
+        for key in [k for k in self._tables if k[0] == space]:
+            del self._tables[key]
+            self._generations.pop(key, None)
+        self._known_spaces.discard(space)
+        return DbResult(True, f"space {space} deleted")
+
+    def get_space_info(self, use_cache: bool = True) -> dict:
+        """Current-space summary (tostore.dart:1119-1130); counts are
+        computed fresh (the useCache knob is accepted for parity)."""
+        tables = self.table_names()
+        return {
+            "name": self._space,
+            "tables": tables,
+            "table_count": len(tables),
+            "version": self.get_version(),
+        }
+
+    # ---- user-maintained version number (tostore.dart:1008-1035) ------
+    def get_version(self) -> int:
+        return getattr(self, "_versions", {}).get(self._space, 0)
+
+    def set_version(self, version: int) -> None:
+        if not hasattr(self, "_versions"):
+            self._versions: dict[str, int] = {}
+        self._versions[self._space] = int(version)
 
     # ---- access -------------------------------------------------------
     def df(self, name: str) -> DataFrame:
@@ -255,9 +357,14 @@ class ToStoreSpark:
         from tostore_spark import write
         write.insert(self, table, [data])
 
-    def batch_insert(self, table: str, rows: list[dict]) -> None:
+    def batch_insert(self, table: str, rows: list[dict],
+                     allow_partial_errors: bool = False):
+        """Batch insert; with allow_partial_errors good rows are accepted
+        and bad rows come back in the BatchResult error manifest
+        (data_store_impl.dart:3968+)."""
         from tostore_spark import write
-        write.insert(self, table, rows)
+        return write.insert(self, table, rows,
+                            allow_partial_errors=allow_partial_errors)
 
     def update(self, table: str):
         from tostore_spark.write import UpdateBuilder
@@ -275,11 +382,14 @@ class ToStoreSpark:
         from tostore_spark import write
         write.upsert(self, table, rows, exprs=exprs)
 
-    def batch_update(self, table: str, rows: list[dict]) -> int:
+    def batch_update(self, table: str, rows: list[dict],
+                     continue_on_partial_errors: bool = False) -> int:
         """Partial update per record carrying its PK (batchUpdate,
         data_store_impl.dart:4907+)."""
         from tostore_spark import write
-        return write.batch_update(self, table, rows)
+        return write.batch_update(
+            self, table, rows,
+            continue_on_partial_errors=continue_on_partial_errors)
 
     # ---- transactions (transaction.py) --------------------------------
     def transaction(self, action=None, rollback_on_error: bool = True):
@@ -295,6 +405,19 @@ class ToStoreSpark:
         """Chained schema migrations (schema_builder.dart:16-258)."""
         from tostore_spark.plans.schema_builder import SchemaBuilder
         return SchemaBuilder(self, table)
+
+    def _register_migration(self, record: dict) -> str:
+        if not hasattr(self, "_migration_tasks"):
+            self._migration_tasks: dict[str, dict] = {}
+        task_id = f"mig_{len(self._migration_tasks) + 1}"
+        record["task_id"] = task_id
+        self._migration_tasks[task_id] = record
+        return task_id
+
+    def query_migration_task_status(self, task_id: str) -> Optional[dict]:
+        """Migration task record or None (tostore.dart:1119; migrations run
+        synchronously here, so finished tasks report 'completed')."""
+        return getattr(self, "_migration_tasks", {}).get(task_id)
 
     def backup(self, backup_dir: str, include_global: bool = True) -> str:
         from tostore_spark import backup as bk

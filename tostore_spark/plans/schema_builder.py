@@ -77,13 +77,16 @@ class SchemaBuilder:
 
     # ---- execution ----------------------------------------------------
     def execute(self) -> dict:
-        """Apply all ops; returns a migration-task status record
-        (API parity with the async polling surface)."""
+        """Apply all ops; returns a migration-task status record registered
+        with the engine so queryMigrationTaskStatus can poll it
+        (API parity with the async surface, tostore.dart:1098-1124)."""
         applied = []
         for op in self._ops:
             self._apply(op)
             applied.append(op[0])
-        return {"table": self._table, "status": "completed", "ops": applied}
+        record = {"table": self._table, "status": "completed", "ops": applied}
+        self._engine._register_migration(record)
+        return record
 
     def _apply(self, op: tuple) -> None:
         engine, table = self._engine, self._table

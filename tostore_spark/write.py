@@ -159,10 +159,88 @@ def _check_unique(engine, table: str, schema: TableSchema, new_df: DataFrame) ->
             raise ValueError(f"duplicate keys {keyset} within inserted batch")
 
 
-def insert(engine, table: str, rows: list[dict]) -> None:
+class BatchResult:
+    """Outcome of a partial-errors batch write (the reference's DbResult:
+    successKeys + failedKeys, data_store_impl.dart:3968+)."""
+
+    def __init__(self, success_keys: list, failed: dict):
+        self.success_keys = success_keys
+        #: row identifier (PK when known, else batch index) -> error message
+        self.failed = failed
+
+    @property
+    def is_success(self) -> bool:
+        return not self.failed
+
+    def __repr__(self):
+        return (f"BatchResult(ok={len(self.success_keys)}, "
+                f"failed={len(self.failed)})")
+
+
+def _unique_violations(engine, table: str, schema: TableSchema,
+                       rows: list[dict]) -> dict[int, str]:
+    """Per-row unique violations (existing-table clashes + in-batch dups),
+    resolved driver-side: batch keys broadcast against the table, clashing
+    tuples collected (batches are driver-resident lists, so the collect is
+    bounded by the batch itself)."""
+    bad: dict[int, str] = {}
+    cur = engine.df(table)
+    for keyset in schema.unique_key_sets():
+        if not all(k in cur.columns for k in keyset):
+            continue
+        keyed = [(i, tuple(r.get(k) for k in keyset)) for i, r in enumerate(rows)
+                 if all(r.get(k) is not None for k in keyset)]
+        if not keyed:
+            continue
+        keydf = engine.spark.createDataFrame(
+            [t for _, t in keyed], cur.select(*keyset).schema)
+        clashes = {tuple(r) for r in cur.join(
+            F.broadcast(keydf.dropDuplicates()), on=list(keyset), how="left_semi")
+            .select(*keyset).collect()}
+        seen: set = set()
+        for i, t in keyed:
+            if i in bad:
+                continue
+            if t in clashes:
+                bad[i] = f"unique constraint violation on {keyset}"
+            elif t in seen:
+                bad[i] = f"duplicate keys {keyset} within inserted batch"
+            seen.add(t)
+    return bad
+
+
+def insert(engine, table: str, rows: list[dict],
+           allow_partial_errors: bool = False) -> BatchResult:
+    """Insert a batch.  With ``allow_partial_errors`` (the reference
+    batchInsert default, data_store_impl.dart:3968+), good rows are
+    accepted and bad rows come back in ``BatchResult.failed`` instead of
+    failing the whole batch."""
     schema = engine.schema(table)
     rows = _fill_defaults(engine, schema, rows)
-    _validate(schema, rows)
+
+    def _rowkey(r: dict, i: int):
+        if schema.primary_key and r.get(schema.primary_key.name) is not None:
+            return r[schema.primary_key.name]
+        return i
+
+    failed: dict = {}
+    if allow_partial_errors:
+        kept: list[tuple[int, dict]] = []
+        for i, r in enumerate(rows):
+            try:
+                _validate(schema, [r])
+                kept.append((i, r))
+            except ValueError as e:
+                failed[_rowkey(r, i)] = str(e)
+        bad = _unique_violations(engine, table, schema, [r for _, r in kept])
+        for j, msg in bad.items():
+            idx, r = kept[j]
+            failed[_rowkey(r, idx)] = msg
+        rows = [r for j, (_, r) in enumerate(kept) if j not in bad]
+    else:
+        _validate(schema, rows)
+    if not rows:
+        return BatchResult([], failed)
     if schema.primary_key is not None:
         pkname = schema.primary_key.name
         missing = [r for r in rows if r.get(pkname) is None]
@@ -175,7 +253,9 @@ def insert(engine, table: str, rows: list[dict]) -> None:
     cur = engine.df(table)
     new_df = engine.spark.createDataFrame(
         [tuple(r.get(c) for c in cur.columns) for r in rows], cur.schema)
-    if schema.primary_key is not None or any(ix.unique for ix in schema.all_indexes()):
+    if not allow_partial_errors and (
+            schema.primary_key is not None
+            or any(ix.unique for ix in schema.all_indexes())):
         _check_unique(engine, table, schema, new_df)
     engine.set_df(table, cur.unionByName(new_df))
     if schema.primary_key is not None \
@@ -193,6 +273,9 @@ def insert(engine, table: str, rows: list[dict]) -> None:
             if st.next_seq is None or v + inc > st.next_seq:
                 st.next_seq = v + inc
         st.gen_seen = engine.generation(table)
+    success = ([r[schema.primary_key.name] for r in rows]
+               if schema.primary_key else list(range(len(rows))))
+    return BatchResult(success, failed)
 
 
 def upsert(engine, table: str, rows: list[dict],
@@ -262,17 +345,24 @@ def upsert(engine, table: str, rows: list[dict],
     engine.set_df(table, joined.select(*out_cols))
 
 
-def batch_update(engine, table: str, rows: list[dict]) -> int:
+def batch_update(engine, table: str, rows: list[dict],
+                 continue_on_partial_errors: bool = False) -> int:
     """Partial update per record carrying its PK (batchUpdate,
     data_store_impl.dart:4907+): join on PK, overwrite only the fields
     present in each payload row; rows with unknown PKs are ignored.
+    Rows missing the PK raise — or are skipped under
+    ``continue_on_partial_errors`` (data_store_impl.dart:2350).
     Returns the number of matched (updated) rows."""
     schema = engine.schema(table)
     if schema.primary_key is None:
         raise ValueError(f"batch_update on {table} requires a primary key")
     pk = schema.primary_key.name
     if any(pk not in r for r in rows):
-        raise ValueError("every batch_update row must carry the primary key")
+        if not continue_on_partial_errors:
+            raise ValueError("every batch_update row must carry the primary key")
+        rows = [r for r in rows if pk in r]
+    if not rows:
+        return 0
     # deduplicate the payload by PK (last-write-wins, per field — the
     # sequential-application semantics): duplicate PKs would otherwise fan
     # out the join and duplicate target rows in the rewrite.
