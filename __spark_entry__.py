@@ -172,6 +172,17 @@ def q_distinct(spark, sf_dir):
             .df())
 
 
+def q_distinct_first(spark, sf_dir):
+    """distinct([fields]) keeps the FIRST occurrence per key in result
+    order (query_builder.dart:658-676): richest customer per segment."""
+    db = _db(spark, sf_dir)
+    return (db.query("customer")
+            .order_by_desc("c_acctbal").order_by_asc("c_custkey")
+            .select(["c_mktsegment", "c_custkey", "c_acctbal"])
+            .distinct(["c_mktsegment"])
+            .df())
+
+
 def q_or_union_dedup(spark, sf_dir):
     """DNF/OR union with dedup (query_executor.dart:1172-1387 — Catalyst
     evaluates OR natively; distinct replicates the PK dedup)."""
@@ -787,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_notin_null_semantics": q_notin_null_semantics,
         "q_is_null_join": q_is_null_join,
         "q_distinct": q_distinct,
+        "q_distinct_first": q_distinct_first,
         "q_or_union_dedup": q_or_union_dedup,
         "q_topk": q_topk,
         "q_offset_page": q_offset_page,
@@ -909,6 +921,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderkey IS NULL""",
         "q_distinct": """
             SELECT DISTINCT c_nationkey, c_mktsegment FROM customer""",
+        "q_distinct_first": """
+            SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+              SELECT c_mktsegment, c_custkey, c_acctbal,
+                     row_number() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY c_acctbal DESC, c_custkey) AS rn
+              FROM customer) t WHERE rn = 1""",
         "q_or_union_dedup": """
             SELECT DISTINCT o_orderkey, o_orderstatus, o_totalprice FROM orders
             WHERE o_orderstatus = 'F' OR o_totalprice > 400000.0""",

@@ -255,3 +255,23 @@ def test_cache_estimates_row_payload():
     rows = [{"k": "x" * 100, "v": i} for i in range(100)]
     entry = (rows, False, False, None, None)
     assert _estimate_bytes(entry) > 100 * 100  # sizes rows, not the tuple
+
+
+# ---- distinct first-occurrence ---------------------------------------
+
+def test_distinct_fields_keeps_first_in_order(spark, db):
+    rows = (db.query("customer")
+            .order_by_desc("c_acctbal").order_by_asc("c_custkey")
+            .select(["c_mktsegment", "c_custkey", "c_acctbal"])
+            .distinct(["c_mktsegment"])
+            .limit(100).run().records)
+    # one row per segment, and it is the segment's max-acctbal customer
+    best = {}
+    for r in (db.query("customer")
+              .select(["c_mktsegment", "c_custkey", "c_acctbal"])
+              .limit(1000).run().records):
+        cur = best.get(r["c_mktsegment"])
+        if cur is None or (r["c_acctbal"], -r["c_custkey"]) > (cur["c_acctbal"], -cur["c_custkey"]):
+            best[r["c_mktsegment"]] = r
+    assert {r["c_mktsegment"]: r["c_custkey"] for r in rows} == \
+           {k: v["c_custkey"] for k, v in best.items()}

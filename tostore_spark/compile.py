@@ -94,7 +94,7 @@ def _leaf_to_column(field: str, op: str, value, resolver: Resolver) -> Column:
         if value is None or not _value_compatible(value, st):
             return F.lit(False)
         lit = _lit(value)
-        return {" >": None, ">": col > lit, ">=": col >= lit,
+        return {">": col > lit, ">=": col >= lit,
                 "<": col < lit, "<=": col <= lit}[op]
 
     if op == "IN":

@@ -469,8 +469,27 @@ class QueryBuilder:
             if self._distinct is True:
                 frame = _Frame(frame.df.distinct(), frame.prov)
             else:
+                # distinct([fields]) keeps the FIRST occurrence per key in
+                # the query's result order (query_builder.dart:658-676):
+                # row_number over the sort order when it is resolvable
+                # post-projection, else plain dropDuplicates (arbitrary
+                # representative — order was unspecified anyway).
                 names = [self._colname_for(frame, f) or f for f in self._distinct]
-                frame = _Frame(frame.df.dropDuplicates(names), frame.prov)
+                specs = list(self._order_by)
+                pk = self._engine.primary_key(self._table)
+                if pk and pk not in [parse_order_field(s)[0] for s in specs]:
+                    specs.append(pk)
+                resolver = frame.resolver()
+                if specs and all(resolver(parse_order_field(s)[0]) for s in specs):
+                    from pyspark.sql import Window
+                    w = Window.partitionBy(*[F.col(n) for n in names]) \
+                              .orderBy(*order_columns(specs, resolver))
+                    frame = _Frame(
+                        frame.df.withColumn("__rn", F.row_number().over(w))
+                                .filter(F.col("__rn") == 1).drop("__rn"),
+                        frame.prov)
+                else:
+                    frame = _Frame(frame.df.dropDuplicates(names), frame.prov)
 
         if prev_page and self._order_by:
             # prev-page = the LAST `limit` rows before the pivot: take them
