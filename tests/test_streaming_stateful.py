@@ -1,0 +1,72 @@
+"""applyInPandasWithState sessionization vs the batch window computation.
+
+A sentinel event far past the last real event flushes every open session,
+so the streamed CLOSED sessions must equal the batch sessionization of the
+real events exactly (same gap rule, same counts).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+GAP = 3600  # seconds
+
+
+@pytest.fixture(scope="module")
+def session_source(spark, tmp_path_factory):
+    from tostore_spark import ToStoreSpark
+    db = ToStoreSpark(spark, data_dir=SF)
+    ev = db.df("events").select("user_id", "ts").filter(F.col("user_id") < 20)
+    sentinel_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinels = (ev.select("user_id").distinct()
+                 .withColumn("ts", F.lit(sentinel_ts) + F.expr("INTERVAL 100 HOURS")))
+    src = str(tmp_path_factory.mktemp("sess_src"))
+    ev.unionByName(sentinels).write.mode("overwrite").parquet(src)
+    return db, ev, src
+
+
+def test_stream_sessions_match_batch(spark, session_source):
+    from tostore_spark.streaming.stateful import sessionize_stream
+    db, ev, src = session_source
+
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(src)
+    sessions = sessionize_stream(stream, gap_seconds=GAP, watermark="0 seconds")
+    q = (sessions.writeStream.format("memory").queryName("sess_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.table("sess_out")
+           .groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_sessions"),
+                F.sum("n_events").alias("n_events"))
+           .collect())
+    got = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in got}
+
+    # batch truth: gap-marking window over the REAL events only
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > GAP * 1_000_000), F.lit(1)).otherwise(F.lit(0)))
+    want = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in
+            (marked.groupBy("user_id")
+             .agg(F.sum("new_session").alias("n_sessions"),
+                  F.count(F.lit(1)).alias("n_events")).collect())}
+    assert got == want
+
+
+def test_stream_sessions_bounds(spark, session_source):
+    from tostore_spark.streaming.stateful import sessionize_stream
+    _, ev, src = session_source
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(src)
+    sessions = sessionize_stream(stream, gap_seconds=GAP, watermark="0 seconds")
+    q = (sessions.writeStream.format("memory").queryName("sess_b")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.table("sess_b")
+    # session invariants: end >= start, positive counts, one user per row
+    bad = out.filter((F.col("session_end") < F.col("session_start"))
+                     | (F.col("n_events") <= 0)).count()
+    assert bad == 0
+    assert out.count() > 0

@@ -1,0 +1,81 @@
+"""Custom stateful streaming operator: per-user session windows.
+
+The reference has no event-time stream processing (SURVEY.md §2.9) — this
+is the parity-plus Structured Streaming path for the same sessionization
+the batch window query (q_events_sessions) computes: per-user sessions
+closed when the gap between consecutive events exceeds ``gap_seconds``.
+
+Shape: ``groupBy(user).applyInPandasWithState`` — Arrow-batched per-group
+state (session start / last-seen / count), ``append`` output of CLOSED
+sessions, event-time timeout so idle sessions close when the watermark
+passes last_seen + gap.  State is bounded per key; late events beyond the
+watermark are dropped by the engine before reaching the operator.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = ("user_id long, session_start timestamp, "
+                  "session_end timestamp, n_events long")
+_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def sessionize_stream(events: DataFrame, gap_seconds: int = 3600,
+                      user_field: str = "user_id",
+                      ts_field: str = "ts",
+                      watermark: str = "2 hours") -> DataFrame:
+    """events (streaming DataFrame) → closed sessions, one row per session:
+    (user_id, session_start, session_end, n_events)."""
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState
+           ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        cols = ["user_id", "session_start", "session_end", "n_events"]
+
+        def frame(rows):
+            return pd.DataFrame(
+                [(uid, pd.Timestamp(s, unit="us"), pd.Timestamp(e, unit="us"), n)
+                 for s, e, n in rows], columns=cols)
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield frame([(start_us, last_us, n)])
+            return
+        batches = [p for p in pdfs if len(p)]
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = None
+            n = 0
+        closed = []
+        if batches:
+            ts = pd.concat([p[ts_field] for p in batches]).sort_values()
+            for t in (ts.astype("int64") // 1000):  # ns → us
+                t = int(t)
+                if last_us is None:
+                    start_us, last_us, n = t, t, 1
+                elif t - last_us > gap_us:
+                    closed.append((start_us, last_us, n))
+                    start_us, last_us, n = t, t, 1
+                else:
+                    last_us, n = t, n + 1
+        if last_us is not None:
+            state.update((int(start_us), int(last_us), int(n)))
+            # close the open session when the watermark passes last + gap
+            state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+        yield frame(closed)
+
+    return (events
+            .withWatermark(ts_field, watermark)
+            .groupBy(F.col(user_field).alias("user_id"))
+            .applyInPandasWithState(fn, SESSION_SCHEMA, _STATE_SCHEMA,
+                                    "append",
+                                    GroupStateTimeout.EventTimeTimeout))
