@@ -646,6 +646,25 @@ def q_join5_regional(spark, sf_dir):
                    F.count(F.lit(1)).alias("n_items")))
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Co-located bucketed join (SURVEY §4.2): lineitem and orders bucketed
+    on the join key join with ZERO shuffle exchanges (asserted), then
+    aggregate — same values as the plain join, pre-shuffled storage."""
+    db = _db(spark, sf_dir)
+    db2 = ToStoreSpark(spark)
+    db2.register_table("lineitem", df=db.df("lineitem"))
+    db2.register_table("orders", df=db.df("orders"))
+    db2.bucket_table("lineitem", ["l_orderkey"], n_buckets=8, alias="li_bq")
+    db2.bucket_table("orders", ["o_orderkey"], n_buckets=8, alias="o_bq")
+    j = (db2.df("li_bq").hint("merge")
+         .join(db2.df("o_bq"), F.col("l_orderkey") == F.col("o_orderkey")))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "bucketed join must not shuffle"
+    return (j.groupBy("o_orderstatus")
+             .agg(F.sum("l_quantity").alias("sum_qty"),
+                  F.count(F.lit(1)).alias("n")))
+
+
 def q_events_sessions(spark, sf_dir):
     """Window-function sessionization (parity-plus — SURVEY §2.5 notes the
     reference has no window functions): sessions = gaps > 1h per user."""
@@ -837,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_partial_insert": q_partial_insert,
         "q_kv_namespace": q_kv_namespace,
         "q_join5_regional": q_join5_regional,
+        "q_bucketed_join": q_bucketed_join,
         "q_events_sessions": q_events_sessions,
         "q_batch_update": q_batch_update,
         "q_expr_clamp_update": q_expr_clamp_update,
@@ -1109,6 +1129,10 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'AMERICA'
             GROUP BY n_name""",
+        "q_bucketed_join": """
+            SELECT o_orderstatus, sum(l_quantity) AS sum_qty, count(*) AS n
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus""",
         "q_events_sessions": """
             WITH marked AS (
               SELECT user_id,

@@ -119,6 +119,29 @@ class ToStoreSpark:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         return df
 
+    def bucket_table(self, name: str, bucket_cols: list[str],
+                     n_buckets: int = 32, alias: Optional[str] = None,
+                     path: Optional[str] = None) -> str:
+        """Persist a bucketed copy of a table (bucketBy + sortBy →
+        saveAsTable with an explicit path): equi-joins and aggregations
+        keyed on the bucket columns then read co-located, pre-sorted
+        buckets with NO shuffle exchange on either side — the lever for
+        repeated big x big joins at 100 TB (SURVEY.md §4.2).  Both join
+        sides must use the same n_buckets.  Returns the registered name."""
+        import re
+        import tempfile
+
+        tbl = alias or f"{name}_by_{'_'.join(bucket_cols)}"
+        catalog = re.sub(r"[^a-zA-Z0-9_]", "_", f"ts_{self._space}_{tbl}").lower()
+        if path is None:
+            path = tempfile.mkdtemp(prefix=f"bucketed_{name}_")
+        (self.df(name).write.mode("overwrite").format("parquet")
+         .option("path", path)
+         .bucketBy(n_buckets, *bucket_cols).sortBy(*bucket_cols)
+         .saveAsTable(catalog))
+        self.register_table(tbl, df=self.spark.table(catalog))
+        return tbl
+
     def create_table(self, schema: TableSchema) -> None:
         """Create an empty managed table from a declared TableSchema."""
         df = self.spark.createDataFrame([], schema.to_struct_type())
