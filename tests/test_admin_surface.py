@@ -138,3 +138,60 @@ def test_migration_task_status(spark):
     assert task["status"] == "completed"
     assert task["ops"] == ["add_field"]
     assert db.query_migration_task_status("mig_999") is None
+
+
+# ---- lifecycle / diagnostics (round-2 additions) ----------------------
+
+def test_update_accumulate_then_execute(spark):
+    from tostore_spark.expr import Expr
+    db = _mk(spark)
+    db.create_table(users_schema())
+    db.batch_insert("au_users", [
+        {"id": "u1", "name": "ann", "age": 30, "email": "a@x"}])
+    n = (db.update("au_users", {"name": "ann2"})
+         .where("id", "=", "u1")
+         .set_field("age", Expr.field("age") + 1)
+         .execute())
+    assert n == 1
+    row = db.df("au_users").collect()[0]
+    assert row["name"] == "ann2" and row["age"] == 31
+    with pytest.raises(ValueError, match="no update data"):
+        db.update("au_users").where("id", "=", "u1").execute()
+
+
+def test_flush_and_status(spark):
+    db = _mk(spark)
+    db.create_table(users_schema())
+    db.batch_insert("au_users", [
+        {"id": "u1", "name": "ann", "age": 30, "email": "a@x"}])
+    db.flush()
+    assert db.df("au_users").count() == 1
+    st = db.status
+    assert st["current_space"] == "default"
+    assert "au_users" in st["tables"]
+    assert st["generations"]["default.au_users"] >= 1
+    assert db.config["default_query_limit"] == 1000
+    assert db.instance_path is None
+
+
+def test_close_and_delete_database(spark):
+    db = _mk(spark)
+    db.create_table(users_schema())
+    db.switch_space("s2")
+    db.create_table(users_schema("other_t"))
+    db.switch_space("default")
+    db.close(keep_active_space=False)
+    assert db.table_exists("au_users")
+    assert db.list_spaces() == ["default"] or "s2" not in [
+        sp for sp, _ in db._tables]
+    db.kv.set_value("k", 1)
+    db.delete_database()
+    assert not db.table_exists("au_users")
+    assert db.kv.get_value("k") is None
+    assert db.status["tables"] == []
+
+
+def test_stream_query_chain(spark, db):
+    got = list(db.stream_query("nation").where("n_regionkey", "=", 0)
+               .select(["n_nationkey", "n_name"]).stream())
+    assert got and all("n_name" in r for r in got)

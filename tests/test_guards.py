@@ -241,11 +241,13 @@ def test_kv_watch_values_plural(spark):
     kv = db2.kv
     seen = []
     kv.watch_values(["a", "b"], seen.append)
-    assert seen == [[None, None]]
+    assert seen == [{"a": None, "b": None}]
     kv.set_value("a", 1)
-    kv.set_value("c", 9)   # unrelated key: same values tuple, suppressed
+    kv.set_value("c", 9)   # unrelated key: same snapshot, suppressed
     kv.set_value("b", 2)
-    assert seen == [[None, None], [1, None], [1, 2]]
+    assert seen == [{"a": None, "b": None},
+                    {"a": 1, "b": None},
+                    {"a": 1, "b": 2}]
 
 
 # ---- cache byte estimate ---------------------------------------------

@@ -61,6 +61,7 @@ class ToStoreSpark:
         #: set False to skip the matched-count job in update/delete/batch
         #: builders (they then return -1)
         self.eager_mutation_counts = True
+        self._data_dir = data_dir
         # (space, name) -> {"df": DataFrame|None, "path": str|None,
         #                   "schema": TableSchema, "global": bool}
         self._tables: dict[tuple[str, str], dict] = {}
@@ -350,9 +351,90 @@ class ToStoreSpark:
                     return child, parent, list(fk.fields), list(fk.referenced_fields)
         return None
 
+    # ---- lifecycle / diagnostics (tostore.dart:1035-1172) -------------
+    def flush(self, flush_storage: bool = True) -> None:
+        """Materialize pending lineage: every table with chained mutations
+        is cut with an eager localCheckpoint (the WAL-flush analog,
+        tostore.dart:1035)."""
+        for key, ent in self._tables.items():
+            if self._generations.get(key, 0) > 0:
+                ent["df"] = ent["df"].localCheckpoint(eager=True)
+        if hasattr(self, "_mutations"):
+            self._mutations.clear()
+
+    def close(self, keep_active_space: bool = True) -> None:
+        """Release engine-held resources: result cache, vector indexes,
+        watchers; with keep_active_space=False, drop every table outside
+        the current space too (tostore.dart:1046)."""
+        if getattr(self, "_query_cache", None):
+            self._query_cache.clear()
+        if hasattr(self, "_vector_indexes"):
+            self._vector_indexes.clear()
+        if hasattr(self, "_watchers"):
+            self._watchers.clear()
+        if not keep_active_space:
+            for key in [k for k in self._tables
+                        if k[0] not in (self._space, "global")]:
+                del self._tables[key]
+                self._generations.pop(key, None)
+
+    def delete_database(self) -> None:
+        """Drop everything: all spaces, tables, KV state, caches
+        (tostore.dart:1069)."""
+        self._tables.clear()
+        self._generations.clear()
+        if hasattr(self, "_kv"):
+            self._kv.restore({})
+        if hasattr(self, "_spaces"):
+            self._spaces = {"default"}
+        self._space = "default"
+        self.close()
+
+    @property
+    def status(self) -> dict:
+        """Unified diagnostics (tostore.dart:1168 DbStatus)."""
+        cache = getattr(self, "_query_cache", None)
+        return {
+            "current_space": self._space,
+            "spaces": self.list_spaces(),
+            "tables": self.table_names(),
+            "generations": {f"{sp}.{n}": g
+                            for (sp, n), g in self._generations.items()},
+            "query_cache": ({"hits": cache.hits, "misses": cache.misses}
+                            if cache else None),
+            "vector_indexes": sorted(
+                f"{sp}.{t}.{f}" for (sp, t, f)
+                in getattr(self, "_vector_indexes", {})),
+            "migration_tasks": len(getattr(self, "_migration_tasks", {})),
+            "version": self.get_version(),
+        }
+
+    @property
+    def config(self) -> dict:
+        return {
+            "default_query_limit": self.default_query_limit,
+            "max_query_offset": self.max_query_offset,
+            "eager_mutation_counts": self.eager_mutation_counts,
+            "compact_every": self.compact_every,
+            "space": self._space,
+        }
+
+    @property
+    def instance_path(self) -> Optional[str]:
+        return getattr(self, "_data_dir", None)
+
     # ---- query --------------------------------------------------------
     def query(self, table: str) -> QueryBuilder:
         return QueryBuilder(self, table)
+
+    def stream_query(self, table: str) -> QueryBuilder:
+        """Chainable per-record pull stream (tostore.dart:427): same chain
+        as query(); terminal .stream() iterates partition-by-partition."""
+        return QueryBuilder(self, table)
+
+    def update_schema(self, table: str):
+        """Name-parity alias for schema_builder (tostore.dart:1098)."""
+        return self.schema_builder(table)
 
     @property
     def query_cache(self):
@@ -389,9 +471,11 @@ class ToStoreSpark:
         return write.insert(self, table, rows,
                             allow_partial_errors=allow_partial_errors)
 
-    def update(self, table: str):
+    def update(self, table: str, data: Optional[dict] = None):
+        """Update builder; optional initial payload accumulates until
+        execute() (tostore.dart:562-568)."""
         from tostore_spark.write import UpdateBuilder
-        return UpdateBuilder(self, table)
+        return UpdateBuilder(self, table, data)
 
     def delete(self, table: str):
         from tostore_spark.write import DeleteBuilder

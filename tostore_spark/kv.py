@@ -105,15 +105,18 @@ class KvStore:
         self._df_cache = None
 
     # ---- watch --------------------------------------------------------
-    def watch_value(self, key: str, callback, is_global: bool = False):
-        """Per-key value stream with distinct suppression
-        (tostore.dart:738-791): emits current value now and on every KV
-        write that changes it."""
+    def watch_value(self, key: str, callback, is_global: bool = False,
+                    default_value: Any = None, distinct: bool = True):
+        """Per-key value stream (tostore.dart:758-767): emits the current
+        value now and on every KV write; ``distinct`` suppresses unchanged
+        emissions; ``default_value`` substitutes for missing keys."""
         state = {"last": object()}
 
         def emit():
             v = self.get_value(key, is_global=is_global)
-            if v != state["last"]:
+            if v is None:
+                v = default_value
+            if not distinct or v != state["last"]:
                 state["last"] = v
                 callback(v)
 
@@ -122,17 +125,18 @@ class KvStore:
         self._watch_callbacks.append(emit)
         return emit
 
-    def watch_values(self, keys: list[str], callback, is_global: bool = False):
-        """Plural form (tostore.dart:784-799): one combined stream emitting
-        the list of current values whenever any of the keys changes, with
-        distinct suppression on the whole tuple."""
+    def watch_values(self, keys: list[str], callback, is_global: bool = False,
+                     distinct: bool = True):
+        """Plural form (tostore.dart:784-799): emits the snapshot MAP
+        {key: value} on subscribe and whenever any watched key changes,
+        with distinct suppression on the whole snapshot."""
         state = {"last": object()}
 
         def emit():
-            vs = [self.get_value(k, is_global=is_global) for k in keys]
-            if vs != state["last"]:
-                state["last"] = list(vs)
-                callback(vs)
+            snap = {k: self.get_value(k, is_global=is_global) for k in keys}
+            if not distinct or snap != state["last"]:
+                state["last"] = dict(snap)
+                callback(snap)
 
         emit()
         self._watch_callbacks = getattr(self, "_watch_callbacks", [])

@@ -477,11 +477,37 @@ class _MutationBuilder:
 
 class UpdateBuilder(_MutationBuilder):
     """update(t).where(...).set({...}) — refuses a conditionless update
-    without allow_update_all() (update_builder.dart:4-245)."""
+    without allow_update_all() (update_builder.dart:4-245).
+
+    Two call styles, matching the reference's accumulate-then-await chain:
+    ``set(values)`` merges pending data and executes immediately (terminal,
+    returns matched count — Python has no implicit await point), while
+    ``update(t, data).where(...).set_field(f, v).execute()`` accumulates
+    and runs at the explicit terminal."""
+
+    def __init__(self, engine, table: str, data: Optional[dict] = None):
+        super().__init__(engine, table)
+        self._pending: dict[str, Any] = dict(data or {})
 
     def allow_update_all(self):
         self._allow_all = True
         return self
+
+    def continue_on_partial_errors(self):
+        self._continue_partial = True
+        return self
+
+    def set_field(self, field: str, value: Any) -> "UpdateBuilder":
+        """Accumulate one field (update_builder.dart:46-50); chainable."""
+        self._pending[field] = value
+        return self
+
+    def execute(self) -> int:
+        """Apply the accumulated update data (the await-point analog)."""
+        if not self._pending:
+            raise ValueError("no update data: use set()/set_field() first")
+        values, self._pending = self._pending, {}
+        return self.set(values)
 
     # sugar (update_builder.dart:63-209)
     def set(self, values: dict[str, Any]) -> int:
@@ -491,6 +517,9 @@ class UpdateBuilder(_MutationBuilder):
         stays lazy either way."""
         if self._cond.is_empty() and not self._allow_all:
             raise ValueError("conditionless update requires allow_update_all()")
+        if self._pending:
+            values = {**self._pending, **values}
+            self._pending = {}
         df, pred, temp_cols = self._limited_predicate()
         n = (df.filter(pred).count()
              if getattr(self._engine, "eager_mutation_counts", True) else -1)
