@@ -33,17 +33,19 @@ CHECKS: dict[str, list[str]] = {
     "q_vector_cosine_topk": ["TakeOrderedAndProject",
                              "ReadSchema: struct<vec_id:bigint,embedding:array<float>,label:int>"],
     "q_or_union_dedup": ["PushedFilters: [Or("],
+    "q_join5_regional": ["BroadcastHashJoin", "EqualTo(r_name,AMERICA)"],
+    "q_vector_ip_topk": ["TakeOrderedAndProject",
+                         "ReadSchema: struct<vec_id:bigint,embedding:array<float>,label:int>"],
+    "q_similarity_ivf": ["PartitionFilters: [cell_id"],
 }
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+def audit(spark, sf_dir: str) -> list[str]:
+    """Run every plan-shape check; returns failure messages (empty = pass)."""
     import __spark_entry__ as entrymod
-    from tostore_spark import get_spark
 
-    spark = get_spark(app_name="explain-audit")
     qs = entrymod.queries()
-    failed = 0
+    failures = []
     for name, needles in CHECKS.items():
         df = qs[name](spark, sf_dir)
         buf = io.StringIO()
@@ -52,11 +54,19 @@ def main() -> None:
         plan = buf.getvalue()
         missing = [n for n in needles if n not in plan]
         if missing:
-            failed += 1
+            failures.append(f"{name}: missing plan shapes: {missing}")
             print(f"FAIL {name}: missing plan shapes: {missing}")
         else:
             print(f"ok   {name}: {len(needles)} plan shapes present")
-    sys.exit(1 if failed else 0)
+    return failures
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    from tostore_spark import get_spark
+
+    spark = get_spark(app_name="explain-audit")
+    sys.exit(1 if audit(spark, sf_dir) else 0)
 
 
 if __name__ == "__main__":
