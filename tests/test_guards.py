@@ -277,3 +277,36 @@ def test_distinct_fields_keeps_first_in_order(spark, db):
             best[r["c_mktsegment"]] = r
     assert {r["c_mktsegment"]: r["c_custkey"] for r in rows} == \
            {k: v["c_custkey"] for k, v in best.items()}
+
+
+# ---- per-query cache control + first() -------------------------------
+
+def test_query_cache_controls(spark, db):
+    import time as _t
+    qb = lambda: db.query("nation").where("n_regionkey", "=", 1) \
+                   .order_by_asc("n_nationkey").limit(5)
+    base_hits = db.query_cache.hits
+    qb().run(); qb().run()
+    assert db.query_cache.hits == base_hits + 1
+    # no_query_cache bypasses entirely
+    h, m = db.query_cache.hits, db.query_cache.misses
+    qb().no_query_cache().run()
+    assert (db.query_cache.hits, db.query_cache.misses) == (h, m)
+    # expiry: a 1ms-expiry lookup after sleeping misses and re-caches
+    qb().use_query_cache(expiry_ms=1).run()
+    _t.sleep(0.01)
+    h = db.query_cache.hits
+    qb().use_query_cache(expiry_ms=1).run()
+    assert db.query_cache.hits == h  # stale -> miss, not a hit
+    # clear_query_cache drops this shape only
+    qb().run()
+    assert qb().clear_query_cache()
+    h = db.query_cache.hits
+    qb().run()
+    assert db.query_cache.hits == h  # repopulated via miss
+
+
+def test_first(spark, db):
+    r = (db.query("nation").order_by_asc("n_nationkey").first())
+    assert r["n_nationkey"] == 0
+    assert db.query("nation").where("n_nationkey", "=", -1).first() is None

@@ -14,13 +14,14 @@ so no explicit eviction hooks are needed.
 from __future__ import annotations
 
 import sys
+import time
 from collections import OrderedDict
 from typing import Any, Optional
 
 
 class QueryResultCache:
     def __init__(self, max_bytes: int = 50 * 1024 * 1024, max_entries: int = 512):
-        self._store: OrderedDict[tuple, tuple[Any, int]] = OrderedDict()
+        self._store: OrderedDict[tuple, tuple[Any, int, float]] = OrderedDict()
         self._max_bytes = max_bytes
         self._max_entries = max_entries
         self._bytes = 0
@@ -31,11 +32,18 @@ class QueryResultCache:
     def key(signature: str, generations: tuple[tuple[str, int], ...]) -> tuple:
         return (signature, generations)
 
-    def get(self, key: tuple) -> Optional[Any]:
+    def get(self, key: tuple, max_age_s: Optional[float] = None) -> Optional[Any]:
         if key in self._store:
+            value, size, ts = self._store[key]
+            if max_age_s is not None and time.monotonic() - ts > max_age_s:
+                # per-query expiry (useQueryCache(expiry)): stale → drop
+                del self._store[key]
+                self._bytes -= size
+                self.misses += 1
+                return None
             self.hits += 1
             self._store.move_to_end(key)
-            return self._store[key][0]
+            return value
         self.misses += 1
         return None
 
@@ -45,13 +53,20 @@ class QueryResultCache:
             return
         if key in self._store:
             self._bytes -= self._store[key][1]
-        self._store[key] = (value, size)
+        self._store[key] = (value, size, time.monotonic())
         self._store.move_to_end(key)
         self._bytes += size
         while self._store and (self._bytes > self._max_bytes
                                or len(self._store) > self._max_entries):
-            _, (_, old_size) = self._store.popitem(last=False)
+            _, (_, old_size, _) = self._store.popitem(last=False)
             self._bytes -= old_size
+
+    def clear_signature(self, signature: str) -> None:
+        """Drop every generation's entry for one query signature
+        (clearQueryCache, query_builder.dart:272-289)."""
+        for k in [k for k in self._store if k[0] == signature]:
+            self._bytes -= self._store[k][1]
+            del self._store[k]
 
     def clear(self) -> None:
         self._store.clear()

@@ -125,6 +125,8 @@ class QueryBuilder:
         self._joins: list[tuple[str, str, str, str, str]] = []  # how, table, lk, op, rk
         self._distinct: Optional[Union[bool, list[str]]] = None
         self._cursor_token: Optional[str] = None
+        self._cache_enabled: Optional[bool] = None  # None = engine default
+        self._cache_expiry_s: Optional[float] = None
 
     # ---- chain: predicates -------------------------------------------
     def where(self, field, op=None, value="__missing__"):
@@ -196,6 +198,27 @@ class QueryBuilder:
         self._cursor_token = token
         return self
 
+    # ---- per-query cache control (query_builder.dart:258-289) ---------
+    def use_query_cache(self, expiry_ms: Optional[int] = None):
+        """Opt this query into the result cache, optionally with a
+        time-based expiry overriding the global default."""
+        self._cache_enabled = True
+        self._cache_expiry_s = expiry_ms / 1000.0 if expiry_ms else None
+        return self
+
+    def no_query_cache(self):
+        """Disable result caching for this query only."""
+        self._cache_enabled = False
+        return self
+
+    def clear_query_cache(self) -> bool:
+        """Drop cached results for this exact query shape."""
+        cache = getattr(self._engine, "query_cache", None)
+        if cache is None:
+            return True
+        cache.clear_signature(self._full_signature())
+        return True
+
     # ---- chain: joins (join_clause.dart:2-11; query_builder.dart:151-253)
     def join(self, table: str, first_key: str, op: str = "=", second_key: str = None):
         return self._add_join("inner", table, first_key, op, second_key)
@@ -254,6 +277,8 @@ class QueryBuilder:
         qb._limit, qb._offset = self._limit, self._offset
         qb._joins = list(self._joins)
         qb._distinct = self._distinct
+        qb._cache_enabled = self._cache_enabled
+        qb._cache_expiry_s = self._cache_expiry_s
         return qb
 
     # ---- plan build ---------------------------------------------------
@@ -543,6 +568,8 @@ class QueryBuilder:
         return json.dumps(payload, sort_keys=True, default=str)
 
     def _cache_key(self):
+        if self._cache_enabled is False:
+            return None, None
         cache = getattr(self._engine, "query_cache", None)
         if cache is None:
             return None, None
@@ -582,7 +609,7 @@ class QueryBuilder:
                     "unbounded plan without collecting)")
         cache, key = self._cache_key()
         if cache is not None:
-            hit = cache.get(key)
+            hit = cache.get(key, max_age_s=self._cache_expiry_s)
             if hit is not None:
                 rows, has_more, has_prev, next_token, prev_token = hit
                 return QueryResult([dict(r) for r in rows], has_more, has_prev,
@@ -626,6 +653,15 @@ class QueryBuilder:
         res = QueryResult(rows, has_more, has_prev, next_token, prev_token, builder=self)
         res.default_limit_applied = applied_default_limit
         return res
+
+    def first(self) -> Optional[dict]:
+        """First record under the query's order, or None
+        (query_builder.dart:293-298)."""
+        qb = self.clone()
+        qb._limit = 1
+        qb._cursor_token = self._cursor_token
+        res = qb.run()
+        return res.records[0] if res.records else None
 
     def count(self) -> int:
         """Metadata-fast count (query_builder.dart:300-317): Parquet
