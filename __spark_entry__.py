@@ -513,6 +513,40 @@ def q_token_count_bpe(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_docs")))
 
 
+def q_corpus_sample(spark, sf_dir):
+    """Deterministic stratified sampling (data-mixture step): keep 100% of
+    src0, 50% of src1, 20% of the rest — pure md5-hash filter, identical
+    rows on every run/engine."""
+    from tostore_spark.llmops import pipeline as P
+    db = _db(spark, sf_dir)
+    out = P.stratified_sample(db.df("documents"),
+                              rates={"src0": 1.0, "src1": 0.5},
+                              default_rate=0.2)
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_corpus_clean(spark, sf_dir):
+    """Composed cleaning pass: exact-dedup keep-first + quality floor +
+    language allowlist in one declarative plan."""
+    from tostore_spark.llmops import pipeline as P
+    db = _db(spark, sf_dir)
+    out = P.clean_corpus(db.df("documents"), min_quality=0.5,
+                         languages=["en"], dedup=True)
+    return out.select("doc_id", "lang_guess",
+                      F.round(F.col("quality"), 6).alias("quality_r"))
+
+
+def q_corpus_shards(spark, sf_dir):
+    """Token-balanced shard assignment (LPT round-robin over a ranking
+    window): per-shard token totals must be near-equal."""
+    from tostore_spark.llmops import pipeline as P
+    db = _db(spark, sf_dir)
+    out = P.shard_by_tokens(db.df("documents"), n_shards=8)
+    return (out.groupBy("shard")
+            .agg(F.sum("n_tokens").alias("shard_tokens"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Rolling/document fingerprint column (md5 of normalized text)."""
     db = _db(spark, sf_dir)
@@ -849,6 +883,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_langid": q_langid,
         "q_token_count_bpe": q_token_count_bpe,
         "q_doc_fingerprint": q_doc_fingerprint,
+        "q_corpus_sample": q_corpus_sample,
+        "q_corpus_clean": q_corpus_clean,
+        "q_corpus_shards": q_corpus_shards,
         "q_multimodal_features": q_multimodal_features,
         "q_update_rewrite": q_update_rewrite,
         "q_delete_rewrite": q_delete_rewrite,
@@ -1085,6 +1122,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source""",
         "q_doc_fingerprint": f"""
             SELECT doc_id, md5({_NORM_T}) AS fp FROM documents""",
+        "q_corpus_sample": """
+            SELECT source, count(*) AS n FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+                  < CASE WHEN source = 'src0' THEN 10000
+                         WHEN source = 'src1' THEN 5000
+                         ELSE 2000 END
+            GROUP BY source""",
+        "q_corpus_clean": _corpus_clean_oracle(),
+        "q_corpus_shards": f"""
+            WITH t AS (SELECT doc_id, CAST(len({_TOKENS}) AS INT) AS n_tokens
+                       FROM documents),
+            r AS (SELECT doc_id, n_tokens,
+                         row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+                  FROM t)
+            SELECT CAST((rn - 1) % 8 AS INT) AS shard,
+                   CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+                   count(*) AS n_docs
+            FROM r GROUP BY 1""",
         "q_multimodal_features": """
             SELECT CAST(doc_id AS BIGINT) AS id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1284,6 +1339,46 @@ def _simhash_oracle() -> str:
         WITH h AS (SELECT doc_id, {simhash} AS simhash FROM documents)
         SELECT simhash, min(doc_id) AS keeper_id, count(*) AS n_copies
         FROM h GROUP BY simhash HAVING count(*) > 1"""
+
+
+def _corpus_clean_oracle() -> str:
+    """clean_corpus in DuckDB: same quality/langid formulas as
+    _text_stats_oracle / q_langid, filter order matching the Spark plan
+    (quality floor → language allowlist → dedup keep-first by fingerprint)."""
+    punct = "[.,!?;:''\"()\\[\\]{}-]"
+    pr = (f"(CASE WHEN len(text) > 0 THEN "
+          f"CAST(len(text) - len(regexp_replace(text, '{punct}', '', 'g')) AS DOUBLE)"
+          f" / len(text) ELSE 0.0 END)")
+    mtl = (f"(CASE WHEN len({_TOKENS}) > 0 THEN "
+           f"CAST(list_sum(list_transform({_TOKENS}, t -> len(t))) AS DOUBLE)"
+           f" / len({_TOKENS}) ELSE 0.0 END)")
+    sw = (f"(CASE WHEN len({_TOKENS}) > 0 THEN "
+          f"CAST(len(list_filter({_TOKENS}, t -> list_contains({_SW_EN}, t))) AS DOUBLE)"
+          f" / len({_TOKENS}) ELSE 0.0 END)")
+    quality = (f"(least(coalesce(len({_TOKENS}), 0) / 100.0, 1.0) * 0.4"
+               f" + (CASE WHEN {mtl} BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2"
+               f" + (CASE WHEN {sw} BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2"
+               f" + (1.0 - least({pr} * 2.0, 1.0)) * 0.2)")
+    return f"""
+        WITH s AS (
+          SELECT doc_id, text, {quality} AS q,
+            coalesce(len(list_filter({_TOKENS}, t -> list_contains({_SW_EN}, t))), 0) AS s_en,
+            coalesce(len(list_filter({_TOKENS}, t -> list_contains({_SW_DE}, t))), 0) AS s_de,
+            coalesce(len(list_filter({_TOKENS}, t -> list_contains({_SW_FR}, t))), 0) AS s_fr
+          FROM documents),
+        lg AS (
+          SELECT doc_id, text, q,
+                 CASE WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'und'
+                      WHEN s_en = greatest(s_en, s_de, s_fr) THEN 'en'
+                      WHEN s_de = greatest(s_en, s_de, s_fr) THEN 'de'
+                      ELSE 'fr' END AS lang_guess
+          FROM s),
+        f AS (SELECT * FROM lg WHERE q >= 0.5 AND lang_guess IN ('en')),
+        d AS (SELECT doc_id, lang_guess, q,
+                     row_number() OVER (PARTITION BY md5({_NORM_T})
+                                        ORDER BY doc_id) AS rn
+              FROM f)
+        SELECT doc_id, lang_guess, round(q, 6) AS quality_r FROM d WHERE rn = 1"""
 
 
 def _text_stats_oracle() -> str:

@@ -137,3 +137,39 @@ def test_multimodal_stub_paths(spark, db):
     assert len(feats[0]["feature"]) == 4
     with pytest.raises(Exception):
         MM.extract_features(sdf, "blob", "doc_id").collect()
+
+
+# ---- pipeline composition (llmops/pipeline.py) ------------------------
+
+def test_hash_sample_deterministic_and_pushdown(spark, db):
+    from tostore_spark.llmops import pipeline as P
+    docs = db.df("documents")
+    a = sorted(r["doc_id"] for r in P.hash_sample(docs, 0.3).select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in P.hash_sample(docs, 0.3).select("doc_id").collect())
+    assert a == b and 0 < len(a) < docs.count()
+    # a 10% sample is a strict subset of the 30% sample (nested by design)
+    c = set(r["doc_id"] for r in P.hash_sample(docs, 0.1).select("doc_id").collect())
+    assert c <= set(a)
+
+
+def test_shard_by_tokens_balanced(spark, db):
+    from pyspark.sql import functions as F
+    from tostore_spark.llmops import pipeline as P
+    out = P.shard_by_tokens(db.df("documents"), n_shards=4)
+    totals = [r["t"] for r in
+              out.groupBy("shard").agg(F.sum("n_tokens").alias("t")).collect()]
+    assert len(totals) == 4
+    assert max(totals) - min(totals) < 0.1 * (sum(totals) / 4), totals
+
+
+def test_clean_corpus_filters(spark, db):
+    from pyspark.sql import functions as F
+    from tostore_spark.llmops import pipeline as P
+    out = P.clean_corpus(db.df("documents"), min_quality=0.5, languages=["en"])
+    out.persist()
+    assert out.filter(F.col("quality") < 0.5).count() == 0
+    assert out.filter(F.col("lang_guess") != "en").count() == 0
+    # dedup keep-first: fingerprints unique
+    from tostore_spark.llmops.text import fingerprint
+    n = out.count()
+    assert out.select(fingerprint(F.col("text")).alias("f")).distinct().count() == n

@@ -1,0 +1,89 @@
+"""Training-data pipeline composition: sampling, corpus cleaning, sharding.
+
+The operators a 100 TB pretraining-data pipeline runs after the per-document
+analyses (llmops.text) and dedup (llmops.dedup):
+
+- deterministic hash sampling (reproducible across runs/engines — the
+  sample is a pure function of the id, no RNG state, so resuming a crashed
+  job or re-running a stage yields the same sample),
+- stratified variants with per-stratum rates,
+- a composed clean_corpus filter (dedup keep-first + quality + language),
+- token-balanced shard assignment for writing training chunks.
+
+Everything is pure Column math over one scan — no shuffle except where the
+semantics require one (global token-ordered sharding), and that one is a
+single row_number window.  All operators are exactly reproducible in ANSI
+SQL for the DuckDB oracle (md5 is the shared hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tostore_spark.llmops import text as TX
+
+
+def hash_fraction(id_col: Column) -> Column:
+    """Deterministic pseudo-uniform in [0, 10000): first 32 bits of
+    md5(id) mod 10000 — reproducible in any engine that has md5."""
+    return F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10) \
+            .cast("long") % 10000
+
+
+def hash_sample(df: DataFrame, rate: float, id_field: str = "doc_id") -> DataFrame:
+    """Keep ~rate of rows, chosen deterministically by id hash.  Unlike
+    df.sample(), re-running (or resuming after failure) selects the SAME
+    rows, and the sample composes with pushdown (it is just a filter)."""
+    return df.filter(hash_fraction(F.col(id_field)) < int(rate * 10000))
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      strata_field: str = "source",
+                      id_field: str = "doc_id",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling — the up/down-weighting step of a
+    data-mixture recipe (e.g. keep 100% of wiki, 10% of crawl)."""
+    frac = hash_fraction(F.col(id_field))
+    keep = F.lit(int(default_rate * 10000))
+    for value, rate in rates.items():
+        keep = F.when(F.col(strata_field) == value,
+                      F.lit(int(rate * 10000))).otherwise(keep)
+    return df.filter(frac < keep)
+
+
+def clean_corpus(df: DataFrame, min_quality: float = 0.5,
+                 languages: list[str] | None = None,
+                 dedup: bool = True,
+                 text_field: str = "text",
+                 id_field: str = "doc_id") -> DataFrame:
+    """The composed cleaning pass: exact-dedup (keep the lowest id per
+    fingerprint), quality floor, language allowlist — one declarative plan,
+    one shuffle (the dedup groupBy)."""
+    t = F.col(text_field)
+    out = df.withColumn("quality", TX.quality_score(t)) \
+            .withColumn("lang_guess", TX.language_id(t))
+    out = out.filter(F.col("quality") >= min_quality)
+    if languages:
+        out = out.filter(F.col("lang_guess").isin(languages))
+    if dedup:
+        w = Window.partitionBy(TX.fingerprint(t)).orderBy(F.col(id_field).asc())
+        out = (out.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1).drop("__rn"))
+    return out
+
+
+def shard_by_tokens(df: DataFrame, n_shards: int,
+                    text_field: str = "text",
+                    id_field: str = "doc_id") -> DataFrame:
+    """Assign documents to ``n_shards`` training shards balanced by token
+    count: rank by tokens desc (id tiebreak), deal round-robin — the
+    longest-processing-time greedy in one window pass.  Output adds
+    (n_tokens, shard).  At 100 TB the single global window is the cost of
+    exact balance; hash sharding (no shuffle) is the cheap alternative when
+    approximate balance suffices."""
+    toks = TX.token_count(F.col(text_field))
+    w = Window.orderBy(F.col("n_tokens").desc(), F.col(id_field).asc())
+    return (df.withColumn("n_tokens", toks)
+              .withColumn("shard",
+                          ((F.row_number().over(w) - 1) % n_shards).cast("int")))
