@@ -195,3 +195,18 @@ def test_stream_query_chain(spark, db):
     got = list(db.stream_query("nation").where("n_regionkey", "=", 0)
                .select(["n_nationkey", "n_name"]).stream())
     assert got and all("n_name" in r for r in got)
+
+
+def test_backup_restore_includes_kv(spark, tmp_path):
+    db = _mk(spark)
+    db.create_table(users_schema())
+    db.batch_insert("au_users", [
+        {"id": "u1", "name": "ann", "age": 30, "email": "a@x"}])
+    db.kv.set_value("cfg", {"x": 1})
+    db.kv.set_value("g", 7, is_global=True)
+    db.backup(str(tmp_path))
+    db2 = _mk(spark)
+    db2.restore(str(tmp_path))
+    assert db2.kv.get_value("cfg") == {"x": 1}
+    assert db2.kv.get_value("g", is_global=True) == 7
+    assert db2.df("au_users").count() == 1

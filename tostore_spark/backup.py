@@ -58,6 +58,13 @@ def backup(engine, backup_dir: str, include_global: bool = True) -> str:
         path = os.path.join(backup_dir, f"{name}.parquet")
         engine.df(name).write.mode("overwrite").parquet(path)
         manifest["tables"].append(_schema_to_dict(sch))
+    # KV state rides in the manifest (driver-resident dict; the reference's
+    # ZIP backup includes its KV system table the same way)
+    if hasattr(engine, "_kv"):
+        manifest["kv"] = [
+            [sp, key, val, exp.isoformat() if exp else None]
+            for (sp, key), (val, exp) in engine._kv.snapshot().items()
+        ]
     with open(os.path.join(backup_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=2)
     return backup_dir
@@ -80,4 +87,9 @@ def restore(engine, backup_dir: str, space: Optional[str] = None) -> list[str]:
             restored.append(sch.name)
     finally:
         engine.switch_space(prev)
+    if manifest.get("kv"):
+        import datetime
+        engine.kv.restore({
+            (sp, key): (val, datetime.datetime.fromisoformat(exp) if exp else None)
+            for sp, key, val, exp in manifest["kv"]})
     return restored
