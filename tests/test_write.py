@@ -209,3 +209,16 @@ def test_kv_watch_value(spark):
     assert seen == [1, 2]
     db.kv.remove_value("k")
     assert seen == [1, 2, None]
+
+
+def test_expr_when_single_branch(spark):
+    db = fresh(spark)
+    db.create_table(users_schema())
+    db.batch_insert("users", [{"id": "u1", "name": "a", "age": 10, "email": "a@x"}])
+    # upsert branch: on update bump age, otherwise (insert) null -> default
+    db.batch_upsert("users", [{"id": "u1"}, {"id": "u2", "name": "b"}],
+                    exprs={"age": Expr.when(Expr.is_update(),
+                                            Expr.field("age") + 5,
+                                            otherwise=1)})
+    ages = {r["id"]: r["age"] for r in db.df("users").collect()}
+    assert ages == {"u1": 15, "u2": 1}

@@ -78,6 +78,12 @@ class Expr:
     def if_else(cond: "Expr", then, otherwise) -> "Expr":
         return Expr("if", cond=cond, then=_wrap(then), otherwise=_wrap(otherwise))
 
+    @staticmethod
+    def when(cond: "Expr", value, otherwise=None) -> "Expr":
+        """Single-branch conditional (expr.dart:148-158): when cond holds
+        use value, else ``otherwise`` (default null)."""
+        return Expr("if", cond=cond, then=_wrap(value), otherwise=_wrap(otherwise))
+
     # ---- compile ------------------------------------------------------
     def to_column(self, resolver, is_update_col: Column | None = None) -> Column:
         """resolver: field name → Column of the *current* record value.
