@@ -260,6 +260,20 @@ def q_global_agg(spark, sf_dir):
                  F.max("l_shipdate").alias("max_ship")))
 
 
+def q_agg_stats(spark, sf_dir):
+    """Parity-plus aggregates (count_distinct + exact interpolated
+    percentile) — the corpus-stats shapes the reference lacks."""
+    db = _db(spark, sf_dir)
+    out = (db.query("orders").group_by(["o_orderstatus"])
+           .select_agg([Agg.count_distinct("o_custkey", "n_cust"),
+                        Agg.percentile("o_totalprice", 0.5, "med_price"),
+                        Agg.percentile("o_totalprice", 0.95, "p95_price")])
+           .df())
+    return out.select("o_orderstatus", "n_cust",
+                      F.round(F.col("med_price"), 6).alias("med_r"),
+                      F.round(F.col("p95_price"), 6).alias("p95_r"))
+
+
 def q_count_star(spark, sf_dir):
     """count() fast path (query_builder.dart:300-317)."""
     db = _db(spark, sf_dir)
@@ -858,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_keyset_page": q_keyset_page,
         "q_groupby_having": q_groupby_having,
         "q_global_agg": q_global_agg,
+        "q_agg_stats": q_agg_stats,
         "q_count_star": q_count_star,
         "q_exists": q_exists,
         "q_join_inner_group": q_join_inner_group,
@@ -1007,6 +1022,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
                    min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
             FROM lineitem""",
+        "q_agg_stats": """
+            SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+                   round(quantile_cont(o_totalprice, 0.5), 6) AS med_r,
+                   round(quantile_cont(o_totalprice, 0.95), 6) AS p95_r
+            FROM orders GROUP BY o_orderstatus""",
         "q_count_star": "SELECT count(*) AS cnt FROM orders",
         "q_exists": "SELECT count(*) > 0 AS ex FROM orders WHERE o_totalprice > 100000.0",
         "q_join_inner_group": """

@@ -137,3 +137,15 @@ def test_query_cache_hit_and_invalidation(spark):
     # different query shapes never collide
     r4 = db.query("qc_t").where("id", ">", 1).order_by_asc("id").limit(10).run()
     assert [r["id"] for r in r4] == [2, 3]
+
+
+def test_agg_parity_plus(spark, db):
+    from tostore_spark import Agg
+    r = (db.query("orders")
+         .select_agg([Agg.count_distinct("o_custkey", "nc"),
+                      Agg.approx_count_distinct("o_custkey", "anc"),
+                      Agg.percentile("o_totalprice", 0.5, "med")])
+         .run().records[0])
+    assert r["nc"] > 0
+    assert abs(r["anc"] - r["nc"]) / r["nc"] < 0.1  # HLL within 10%
+    assert r["med"] > 0

@@ -57,6 +57,29 @@ class Agg:
     def max(field: str, alias: Optional[str] = None) -> "Agg":
         return Agg("max", field, alias)
 
+    # ---- parity-plus (Spark-native; the reference has only the five
+    # above — these are the aggregates a corpus-stats workload needs) ----
+    @staticmethod
+    def count_distinct(field: str, alias: Optional[str] = None) -> "Agg":
+        """Exact distinct count (one extra shuffle on the value)."""
+        return Agg("count_distinct", field, alias)
+
+    @staticmethod
+    def approx_count_distinct(field: str, alias: Optional[str] = None,
+                              rsd: float = 0.05) -> "Agg":
+        """HyperLogLog++ distinct estimate — map-side mergeable sketch, no
+        value shuffle; the 100 TB default for cardinality."""
+        a = Agg("approx_count_distinct", field, alias)
+        a.rsd = rsd
+        return a
+
+    @staticmethod
+    def percentile(field: str, p: float, alias: Optional[str] = None) -> "Agg":
+        """Exact interpolated percentile (p in [0,1])."""
+        a = Agg("percentile", field, alias)
+        a.p = p
+        return a
+
     @property
     def output_name(self) -> str:
         # default output name "type(field)" (query_aggregation.dart:271-291)
@@ -79,6 +102,14 @@ class Agg:
             col, st = F.lit(None).cast("double"), T.DoubleType()
         else:
             col, st = resolved
+
+        if self.kind == "count_distinct":
+            return F.count_distinct(col).alias(self.output_name)
+        if self.kind == "approx_count_distinct":
+            return F.approx_count_distinct(col, rsd=self.rsd).alias(self.output_name)
+        if self.kind == "percentile":
+            num = col if isinstance(st, T.NumericType) else col.try_cast("double")
+            return F.percentile(num, F.lit(self.p)).alias(self.output_name)
 
         if self.kind in ("sum", "avg"):
             # non-numeric skip: try_cast leaves null, aggregates ignore nulls
