@@ -356,6 +356,44 @@ def q_fk_autojoin(spark, sf_dir):
             .df())
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (custom operator — absent from Spark and the reference):
+    for each purchase, the user's most recent click at-or-before it.
+    Union-merge formulation: one shuffle on user_id, last(ignorenulls)
+    window carry — no point-in-time self-join explosion."""
+    from tostore_spark.joins import asof_join
+    db = _db(spark, sf_dir)
+    ev = db.df("events")
+    p = ev.filter(F.col("event_type") == "purchase") \
+          .select("event_id", "user_id", "ts", "value")
+    c = ev.filter(F.col("event_type") == "click") \
+          .select("event_id", "user_id", "ts", "value")
+    out = asof_join(p, c, on="user_id")
+    # unmatched rows coalesce to sentinels: a nullable int column would
+    # degrade to float64 in the driver's pandas canonicalizer
+    return out.select(
+        "event_id", "user_id",
+        F.coalesce(F.col("event_id_r"), F.lit(-1)).alias("event_id_r"),
+        F.round(F.coalesce(F.col("value_r"), F.lit(-1.0)), 6).alias("value_r"))
+
+
+def q_range_join(spark, sf_dir):
+    """Range (interval) join via fixed-width bin bucketing: events land in
+    value bands through an equi-join on the bin, refined exactly — no
+    BroadcastNestedLoop at scale."""
+    from tostore_spark.joins import range_join
+    db = _db(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("tiny", 0.0, 4.0), ("small", 4.0, 8.0),
+         ("mid", 8.0, 15.0), ("large", 15.0, 1000.0)],
+        "band string, lo double, hi double")
+    ev = db.df("events").select("event_id", "value")
+    out = range_join(ev, bands, point="value", lo="lo", hi="hi", bin_width=5.0)
+    return (out.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dec_sum(F.col("value"), "sum_value", 6)))
+
+
 # ----------------------------------------------------------------------
 # events: window + JSON (streaming analog, batch mode)
 # ----------------------------------------------------------------------
@@ -880,6 +918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_right_join": q_right_join,
         "q_theta_join": q_theta_join,
         "q_fk_autojoin": q_fk_autojoin,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
         "q_events_window": q_events_window,
         "q_events_json": q_events_json,
         "q_vector_cosine_topk": q_vector_cosine_topk,
@@ -1054,6 +1094,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, count(*) AS n
             FROM orders JOIN customer ON o_custkey = c_custkey
             WHERE c_mktsegment = 'MACHINERY' GROUP BY o_orderpriority""",
+        "q_asof_join": """
+            WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id,
+                   CAST(coalesce(c.event_id, -1) AS BIGINT) AS event_id_r,
+                   round(coalesce(c.value, -1.0), 6) AS value_r
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts""",
+        "q_range_join": """
+            WITH bands AS (SELECT * FROM (VALUES
+                ('tiny', 0.0, 4.0), ('small', 4.0, 8.0),
+                ('mid', 8.0, 15.0), ('large', 15.0, 1000.0)) t(band, lo, hi))
+            SELECT band, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events JOIN bands ON value >= lo AND value < hi
+            GROUP BY band""",
         "q_events_window": """
             SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

@@ -1,0 +1,75 @@
+"""asof_join / range_join semantics vs brute-force oracles."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    rows = [
+        # (key, ts_seconds, side_tag, id)
+        ("a", 10, "L", 1), ("a", 25, "L", 2), ("a", 5, "R", 101),
+        ("a", 20, "R", 102), ("a", 25, "R", 103),
+        ("b", 7, "L", 3), ("b", 9, "R", 104),   # right AFTER left
+    ]
+    df = spark.createDataFrame(rows, "k string, sec long, side string, id long")
+    df = df.withColumn("ts", F.timestamp_seconds("sec"))
+    left = df.filter("side = 'L'").select("k", "ts", F.col("id").alias("lid"))
+    right = df.filter("side = 'R'").select("k", "ts", F.col("id").alias("rid"))
+    return left, right
+
+
+def test_asof_backward_with_ties(spark, small):
+    from tostore_spark.joins import asof_join
+    left, right = small
+    out = {r["lid"]: r["rid_r"] for r in
+           asof_join(left, right, on="k").collect()}
+    # lid=1 (t=10) -> rid=101 (t=5); lid=2 (t=25) -> rid=103 (equal ts matches)
+    # lid=3 (t=7) -> no click at-or-before -> null
+    assert out == {1: 101, 2: 103, 3: None}
+
+
+def test_asof_forward(spark, small):
+    from tostore_spark.joins import asof_join
+    left, right = small
+    out = {r["lid"]: r["rid_r"] for r in
+           asof_join(left, right, on="k", direction="forward").collect()}
+    # forward: smallest right ts >= left ts
+    assert out == {1: 102, 2: 103, 3: 104}
+
+
+def test_asof_tolerance(spark, small):
+    from tostore_spark.joins import asof_join
+    left, right = small
+    out = {r["lid"]: r["rid_r"] for r in
+           asof_join(left, right, on="k", tolerance_ms=5000).collect()}
+    # lid=1 match is 5s away (kept at 5000ms), lid=2 is 0s away
+    assert out == {1: 101, 2: 103, 3: None}
+    out2 = {r["lid"]: r["rid_r"] for r in
+            asof_join(left, right, on="k", tolerance_ms=4000).collect()}
+    assert out2 == {1: None, 2: 103, 3: None}
+
+
+def test_range_join_matches_theta(spark, db):
+    from tostore_spark.joins import range_join
+    bands = spark.createDataFrame(
+        [("x", 0.0, 3.0), ("y", 3.0, 9.5), ("z", 9.5, 40.0)],
+        "band string, lo double, hi double")
+    ev = db.df("events").select("event_id", "value")
+    got = sorted((r["event_id"], r["band"]) for r in
+                 range_join(ev, bands, "value", "lo", "hi", bin_width=4.0)
+                 .collect())
+    want = sorted((r["event_id"], r["band"]) for r in
+                  ev.join(bands, (F.col("value") >= F.col("lo"))
+                          & (F.col("value") < F.col("hi"))).collect())
+    assert got == want and got
+
+
+def test_range_join_plan_is_equijoin(spark, db):
+    from tostore_spark.joins import range_join
+    bands = spark.createDataFrame([("x", 0.0, 10.0)],
+                                  "band string, lo double, hi double")
+    plan = (range_join(db.df("events").select("event_id", "value"),
+                       bands, "value", "lo", "hi", bin_width=5.0)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "NestedLoop" not in plan  # bin bucketing keeps it an equi-join
