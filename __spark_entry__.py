@@ -408,6 +408,26 @@ def q_events_window(spark, sf_dir):
                  _dec_sum(F.col("value"), "sum_value", 6)))
 
 
+def q_time_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: hour from raw, day from hour,
+    month from day — coarse levels re-aggregate partial sums (one raw scan
+    total); exact via decimal partial sums."""
+    from tostore_spark.plans.rollup import time_rollup
+    db = _db(spark, sf_dir)
+    return time_rollup(db.df("events"), "ts", "value",
+                       granularities=("hour", "day", "month"))
+
+
+def q_rollup_subtotals(spark, sf_dir):
+    """GROUP BY ROLLUP subtotals through the query builder (parity-plus)."""
+    db = _db(spark, sf_dir)
+    return (db.query("lineitem")
+            .group_by_rollup(["l_returnflag", "l_linestatus"])
+            .select_agg([Agg.sum("l_quantity", "sum_qty"),
+                         Agg.count("*", "n")])
+            .df())
+
+
 def q_events_json(spark, sf_dir):
     """JSON path extraction over the props column (DataType.json —
     stored as-is, queried on demand; table_schema.dart:1899)."""
@@ -921,6 +941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_events_window": q_events_window,
+        "q_time_rollup": q_time_rollup,
+        "q_rollup_subtotals": q_rollup_subtotals,
         "q_events_json": q_events_json,
         "q_vector_cosine_topk": q_vector_cosine_topk,
         "q_vector_l2_topk": q_vector_l2_topk,
@@ -1116,6 +1138,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1""",
+        "q_time_rollup": """
+            SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'day', date_trunc('day', ts), count(*),
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'month', date_trunc('month', ts), count(*),
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+            FROM events GROUP BY 2""",
+        "q_rollup_subtotals": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
         "q_events_json": """
             SELECT event_type,
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -149,3 +149,31 @@ def test_agg_parity_plus(spark, db):
     assert r["nc"] > 0
     assert abs(r["anc"] - r["nc"]) / r["nc"] < 0.1  # HLL within 10%
     assert r["med"] > 0
+
+
+def test_time_rollup_hierarchy_consistent(spark, db):
+    from pyspark.sql import functions as F
+    from tostore_spark.plans.rollup import time_rollup
+    out = time_rollup(db.df("events"), "ts", "value").persist()
+    per = {g: (r["n"], round(r["s"], 4)) for g, r in
+           ((g, out.filter(F.col("granularity") == g)
+             .agg(F.sum("n").alias("n"),
+                  F.sum("sum_value").alias("s")).collect()[0])
+            for g in ("hour", "day", "month"))}
+    # every granularity covers the same events and total value
+    assert per["hour"] == per["day"] == per["month"]
+
+
+def test_group_by_cube(spark, db):
+    from tostore_spark import Agg
+    rows = (db.query("orders")
+            .group_by_cube(["o_orderstatus", "o_orderpriority"])
+            .select_agg([Agg.count("*", "n")])
+            .df().collect())
+    # cube = per-pair + per-status + per-priority + grand total
+    statuses = db.df("orders").select("o_orderstatus").distinct().count()
+    prios = db.df("orders").select("o_orderpriority").distinct().count()
+    grand = [r for r in rows
+             if r["o_orderstatus"] is None and r["o_orderpriority"] is None]
+    assert len(grand) == 1 and grand[0]["n"] == db.df("orders").count()
+    assert len(rows) >= statuses + prios + 1

@@ -127,6 +127,7 @@ class QueryBuilder:
         self._cursor_token: Optional[str] = None
         self._cache_enabled: Optional[bool] = None  # None = engine default
         self._cache_expiry_s: Optional[float] = None
+        self._group_mode: str = "groupby"  # groupby | rollup | cube
 
     # ---- chain: predicates -------------------------------------------
     def where(self, field, op=None, value="__missing__"):
@@ -168,6 +169,18 @@ class QueryBuilder:
 
     def group_by(self, fields: Sequence[str]):
         self._group_by = list(fields)
+        return self
+
+    def group_by_rollup(self, fields: Sequence[str]):
+        """Hierarchical subtotals (parity-plus: GROUP BY ROLLUP)."""
+        self._group_by = list(fields)
+        self._group_mode = "rollup"
+        return self
+
+    def group_by_cube(self, fields: Sequence[str]):
+        """All grouping-set combinations (parity-plus: GROUP BY CUBE)."""
+        self._group_by = list(fields)
+        self._group_mode = "cube"
         return self
 
     def having(self, cond: QueryCondition):
@@ -272,6 +285,7 @@ class QueryBuilder:
         qb._select = list(self._select) if self._select else None
         qb._aggs = list(self._aggs)
         qb._group_by = list(self._group_by) if self._group_by else None
+        qb._group_mode = self._group_mode
         qb._having = copy.deepcopy(self._having)
         qb._order_by = list(self._order_by)
         qb._limit, qb._offset = self._limit, self._offset
@@ -426,7 +440,9 @@ class QueryBuilder:
                 if name is None:
                     raise ValueError(f"unknown group-by field: {g}")
                 group_names.append(name)
-            out = frame.df.groupBy(*[F.col(n) for n in group_names]).agg(*agg_cols)
+            grouper = {"groupby": frame.df.groupBy, "rollup": frame.df.rollup,
+                       "cube": frame.df.cube}[self._group_mode]
+            out = grouper(*[F.col(n) for n in group_names]).agg(*agg_cols)
             prov = [(None, n, n) for n in group_names]
         else:
             out = frame.df.agg(*agg_cols)
@@ -559,7 +575,7 @@ class QueryBuilder:
             "l": self._limit, "off": self._offset,
             "s": [a.output_name if isinstance(a, Agg) else a
                   for a in (self._select or [])],
-            "g": self._group_by, "d": self._distinct,
+            "g": self._group_by, "gm": self._group_mode, "d": self._distinct,
             "a": [a.output_name for a in self._aggs],
             "h": self._having.to_map() if self._having else None,
             "j": list(self._joins),
