@@ -537,6 +537,16 @@ def q_dedup_simhash(spark, sf_dir):
             .filter(F.col("n_copies") > 1))
 
 
+def q_dedup_simhash_near(spark, sf_dir):
+    """SimHash Hamming-distance near-dups: band blocking (pigeonhole —
+    any pair within distance < bands shares an exact band), then exact
+    bit_count(xor) verification on candidates only."""
+    db = _db(spark, sf_dir)
+    return (D.simhash_neardup_pairs(db.df("documents"), bits=16, bands=4,
+                                    max_hamming=3)
+            .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming")))
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Word-3-gram Jaccard near-dup pairs, blocked by minhash-band LSH over
     the gram set (uniform buckets — skew-safe at scale)."""
@@ -954,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_fingerprint": q_dedup_fingerprint,
         "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
         "q_dedup_simhash": q_dedup_simhash,
+        "q_dedup_simhash_near": q_dedup_simhash_near,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_neardup_embedding": q_neardup_embedding,
         "q_text_stats": q_text_stats,
@@ -1204,6 +1215,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 HAVING count(*) > 1""",
         "q_dedup_minhash_lsh": _minhash_oracle(),
         "q_dedup_simhash": _simhash_oracle(),
+        "q_dedup_simhash_near": _simhash_near_oracle(),
         "q_ngram_jaccard": _ngram_jaccard_oracle(),
         "q_neardup_embedding": f"""
             WITH base AS (SELECT vec_id AS id, {_lsh_bucket_sql('embedding')} AS bucket,
@@ -1441,8 +1453,9 @@ def _ngram_jaccard_oracle() -> str:
         WHERE {jac} >= 0.8"""
 
 
-def _simhash_oracle() -> str:
-    """SimHash-16 in DuckDB SQL mirroring dedup.simhash bit-for-bit."""
+def _simhash_expr_sql() -> str:
+    """The SimHash-16 expression in DuckDB SQL, mirroring dedup.simhash
+    bit-for-bit (shared by the exact-dup and Hamming-near-dup oracles)."""
     terms = []
     for j in range(16):
         hexpos = j // 4 + 1
@@ -1451,9 +1464,12 @@ def _simhash_oracle() -> str:
                  f"(strpos('0123456789abcdef', substr(md5(t), {hexpos}, 1)) - 1)"
                  f" & {mask} > 0 THEN 1 ELSE -1 END)), 0)")
         terms.append(f"(CASE WHEN {votes} > 0 THEN {1 << j} ELSE 0 END)")
-    simhash = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def _simhash_oracle() -> str:
     return f"""
-        WITH h AS (SELECT doc_id, {simhash} AS simhash FROM documents)
+        WITH h AS (SELECT doc_id, {_simhash_expr_sql()} AS simhash FROM documents)
         SELECT simhash, min(doc_id) AS keeper_id, count(*) AS n_copies
         FROM h GROUP BY simhash HAVING count(*) > 1"""
 
@@ -1496,6 +1512,24 @@ def _corpus_clean_oracle() -> str:
                                         ORDER BY doc_id) AS rn
               FROM f)
         SELECT doc_id, lang_guess, round(q, 6) AS quality_r FROM d WHERE rn = 1"""
+
+
+def _simhash_near_oracle() -> str:
+    """Band-blocked Hamming near-dups mirroring dedup.simhash_neardup_pairs:
+    4 bands of 4 bits, candidates share a band, verify bit_count(xor)."""
+    return f"""
+        WITH h AS (SELECT doc_id, {_simhash_expr_sql()} AS simhash FROM documents),
+        banded AS (
+          SELECT doc_id, simhash,
+                 unnest([{", ".join(
+                     f"CAST({b} AS VARCHAR) || ':' || CAST((simhash >> {b*4}) & 15 AS VARCHAR)"
+                     for b in range(4))}]) AS bucket
+          FROM h)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM banded a JOIN banded b
+          ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
 
 
 def _text_stats_oracle() -> str:

@@ -173,3 +173,23 @@ def test_clean_corpus_filters(spark, db):
     from tostore_spark.llmops.text import fingerprint
     n = out.count()
     assert out.select(fingerprint(F.col("text")).alias("f")).distinct().count() == n
+
+
+def test_simhash_neardup_matches_bruteforce(spark, db):
+    from pyspark.sql import functions as F
+    from tostore_spark.llmops.dedup import simhash, simhash_neardup_pairs
+    docs = db.df("documents")
+    got = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in
+                 simhash_neardup_pairs(docs, bits=16, bands=4,
+                                       max_hamming=3).collect())
+    base = docs.select(F.col("doc_id").alias("id"),
+                       simhash(F.col("text"), 16).alias("sh"))
+    a, b = base.alias("a"), base.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    want = sorted((r["id_a"], r["id_b"], r["h"]) for r in
+                  a.join(b, F.col("a.id") < F.col("b.id"))
+                  .select(F.col("a.id").alias("id_a"),
+                          F.col("b.id").alias("id_b"), ham.alias("h"))
+                  .filter(F.col("h") <= 3).collect())
+    # pigeonhole blocking (hamming < bands) has FULL recall vs all-pairs
+    assert got == want and len(got) > 0

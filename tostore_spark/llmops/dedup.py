@@ -198,6 +198,41 @@ def simhash_dedup(df: DataFrame, text_field: str = "text",
                    F.count(F.lit(1)).alias("n_copies")))
 
 
+def simhash_neardup_pairs(df: DataFrame, text_field: str = "text",
+                          id_field: str = "doc_id", bits: int = 16,
+                          bands: int = 4,
+                          max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance ``max_hamming``.
+
+    Scale shape (the standard simhash dedup): split the fingerprint into
+    ``bands`` equal bit-bands — by pigeonhole, any pair within Hamming
+    distance < bands shares at least one exact band — block on
+    (band_index, band_value), then verify bit_count(xor) exactly on the
+    candidates.  Requires ``max_hamming < bands`` for full recall."""
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole recall needs max_hamming < bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    base = (_spread(df)
+            .select(F.col(id_field).alias("id"),
+                    simhash(F.col(text_field), bits).alias("sh")))
+    banded = base.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(str(b)),
+                        F.shiftright(F.col("sh"), b * width)
+                         .bitwiseAND(F.lit(mask)).cast("string"))
+            for b in range(bands)])).alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     ham.alias("hamming"))
+             .filter(F.col("hamming") <= max_hamming)
+             .dropDuplicates(["id_a", "id_b"]))
+
+
 # ------------------------------------------------------ n-gram jaccard
 def word_ngrams(text_col: Column, n: int = 3) -> Column:
     """Distinct word n-grams of the normalized text."""
