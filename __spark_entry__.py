@@ -274,6 +274,17 @@ def q_agg_stats(spark, sf_dir):
                       F.round(F.col("p95_price"), 6).alias("p95_r"))
 
 
+def q_salted_agg(spark, sf_dir):
+    """Skew-safe two-stage salted aggregation (functions/skew.py): the hot
+    key spreads over n_salts partial reducers, partials merge per key —
+    values identical to the plain groupBy."""
+    from tostore_spark.functions.skew import salted_agg
+    db = _db(spark, sf_dir)
+    return salted_agg(db.df("lineitem"), ["l_returnflag"],
+                      {"n": ("count", "*"), "sum_qty": ("sum", "l_quantity"),
+                       "max_qty": ("max", "l_quantity")}, n_salts=16)
+
+
 def q_count_star(spark, sf_dir):
     """count() fast path (query_builder.dart:300-317)."""
     db = _db(spark, sf_dir)
@@ -941,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_groupby_having": q_groupby_having,
         "q_global_agg": q_global_agg,
         "q_agg_stats": q_agg_stats,
+        "q_salted_agg": q_salted_agg,
         "q_count_star": q_count_star,
         "q_exists": q_exists,
         "q_join_inner_group": q_join_inner_group,
@@ -1100,6 +1112,10 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(o_totalprice, 0.5), 6) AS med_r,
                    round(quantile_cont(o_totalprice, 0.95), 6) AS p95_r
             FROM orders GROUP BY o_orderstatus""",
+        "q_salted_agg": """
+            SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
+                   max(l_quantity) AS max_qty
+            FROM lineitem GROUP BY l_returnflag""",
         "q_count_star": "SELECT count(*) AS cnt FROM orders",
         "q_exists": "SELECT count(*) > 0 AS ex FROM orders WHERE o_totalprice > 100000.0",
         "q_join_inner_group": """

@@ -193,3 +193,43 @@ def test_simhash_neardup_matches_bruteforce(spark, db):
                   .filter(F.col("h") <= 3).collect())
     # pigeonhole blocking (hamming < bands) has FULL recall vs all-pairs
     assert got == want and len(got) > 0
+
+
+def test_salted_agg_matches_plain_and_skewed(spark):
+    from pyspark.sql import functions as F
+    from tostore_spark.functions.skew import salted_agg
+    # pathological skew: one key holds 90% of rows
+    rows = [("hot" if i % 10 else f"k{i}", float(i)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r["k"]: (r["n"], r["total"], r["mx"]) for r in
+           salted_agg(df, ["k"], {"n": ("count", "*"), "total": ("sum", "v"),
+                                  "mx": ("max", "v")}, n_salts=8).collect()}
+    want = {r["k"]: (r["n"], r["total"], r["mx"]) for r in
+            df.groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                                F.sum("v").alias("total"),
+                                F.max("v").alias("mx")).collect()}
+    assert got == want
+    import pytest
+    with pytest.raises(ValueError, match="non-algebraic"):
+        salted_agg(df, ["k"], {"a": ("avg", "v")})
+
+
+def test_multimodal_resize_and_frames_fake_plumbing(spark, db):
+    from pyspark.sql import functions as F
+    from tostore_spark.llmops import multimodal as MM
+    docs = (db.df("documents").limit(10)
+            .withColumn("blob", F.encode(F.col("text"), "utf-8")))
+    r = MM.resize_images(docs, "blob", "doc_id", width=4, height=3,
+                         deterministic_fake=True)
+    rows = r.collect()
+    assert len(rows) == 10
+    assert all(x["width"] == 4 and x["height"] == 3 and x["n_bytes"] == 12
+               for x in rows)
+    # deterministic: same content -> same fake bytes
+    again = {x["id"]: bytes(x["blob"]) for x in r.collect()}
+    assert {x["id"]: bytes(x["blob"]) for x in rows} == again
+    fr = MM.sample_frames(docs, "blob", "doc_id", every_n_ms=100,
+                          deterministic_fake=True)
+    f = fr.collect()
+    assert len(f) > 10  # fan-out: multiple frame rows per doc
+    assert all(x["ts_ms"] % 100 == 0 and len(bytes(x["blob"])) == 32 for x in f)

@@ -1,0 +1,50 @@
+"""Skew mitigation: salted two-stage aggregation.
+
+AQE splits skewed JOIN partitions at runtime, but a groupBy on a pathological
+key distribution (one key holding half the table) still funnels that key's
+rows into one reducer.  Salting splits each key into ``n_salts`` synthetic
+sub-keys for a partial aggregate, then merges the partials — two small
+shuffles instead of one hot one.  Only algebraic aggregates (sum/count/
+min/max and avg via sum+count) can be salted this way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+_PARTIAL = {"sum": F.sum, "count": lambda c: F.count(c), "min": F.min,
+            "max": F.max}
+
+
+def salted_agg(df: DataFrame, keys: list[str],
+               aggs: dict[str, tuple[str, str]],
+               n_salts: int = 16) -> DataFrame:
+    """Two-stage salted groupBy.
+
+    ``aggs`` maps output column → (fn, field) with fn in
+    sum/count/min/max.  Example::
+
+        salted_agg(df, ["k"], {"n": ("count", "*"),
+                               "total": ("sum", "v")}, n_salts=32)
+
+    Stage 1 groups by (keys..., salt) — the hot key spreads over n_salts
+    reducers; stage 2 merges partials per key (count merges by summing).
+    """
+    for fn, _ in aggs.values():
+        if fn not in _PARTIAL:
+            raise ValueError(f"non-algebraic aggregate cannot be salted: {fn}")
+    salt = (F.rand(seed=42) * n_salts).cast("int")
+    partial_cols = [
+        _PARTIAL[fn](F.lit(1) if field == "*" else F.col(field))
+        .alias(f"__p_{out}")
+        for out, (fn, field) in aggs.items()
+    ]
+    partial = (df.withColumn("__salt", salt)
+               .groupBy(*keys, "__salt").agg(*partial_cols))
+    merge_cols = [
+        _MERGE[fn](F.col(f"__p_{out}")).alias(out)
+        for out, (fn, _) in aggs.items()
+    ]
+    return partial.groupBy(*keys).agg(*merge_cols)

@@ -78,16 +78,69 @@ def extract_features(df: DataFrame, binary_field: str, id_field: str,
     return narrow.mapInPandas(_featurize, schema=_FEATURE_SCHEMA)
 
 
+_RESIZE_SCHEMA = "id long, width int, height int, n_bytes long, blob binary"
+
+
 def resize_images(df: DataFrame, binary_field: str, id_field: str,
-                  width: int, height: int) -> DataFrame:
-    """Image resize stage — STUB: the mapInPandas plumbing is identical to
-    extract_features; the codec call is not available in this container."""
-    raise NotImplementedError(
-        "image codecs unavailable; plumbing pattern is extract_features()")
+                  width: int, height: int,
+                  deterministic_fake: bool = False) -> DataFrame:
+    """Image resize stage over Arrow batches (mapInPandas).
+
+    The CODEC is stubbed (no image libraries in this container): real
+    deployments replace ``_fake_resize`` with a decode→resize→encode call;
+    the Spark-side plumbing — schema, batching, partition independence —
+    is real and runs with ``deterministic_fake=True`` (content-hash-seeded
+    output bytes sized to the target geometry)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "image codecs unavailable in this environment; pass "
+                    "deterministic_fake=True for the plumbing test path")
+            out = []
+            for _id, blob in zip(pdf["id"], pdf["blob"]):
+                raw = bytes(blob) if blob is not None else b""
+                seed = hashlib.sha256(raw).digest()
+                n = width * height  # 1 fake byte per pixel
+                fake = (seed * (n // len(seed) + 1))[:n]
+                out.append((_id, width, height, len(fake), fake))
+            yield pd.DataFrame(
+                out, columns=["id", "width", "height", "n_bytes", "blob"])
+
+    narrow = df.select(F.col(id_field).cast("long").alias("id"),
+                       F.col(binary_field).alias("blob"))
+    return narrow.mapInPandas(_resize, schema=_RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = "id long, frame_idx int, ts_ms long, blob binary"
 
 
 def sample_frames(df: DataFrame, binary_field: str, id_field: str,
-                  every_n_ms: int) -> DataFrame:
-    """Video frame sampling stage — STUB (same plumbing pattern)."""
-    raise NotImplementedError(
-        "video codecs unavailable; plumbing pattern is extract_features()")
+                  every_n_ms: int, duration_ms_field: str | None = None,
+                  deterministic_fake: bool = False) -> DataFrame:
+    """Video frame sampling: one output ROW per sampled frame (a fan-out
+    mapInPandas stage — the batch shape real video pipelines need).  Codec
+    stubbed as above; the fake path derives a deterministic frame count
+    from the blob size and emits hash-seeded frame blobs."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "video codecs unavailable in this environment; pass "
+                    "deterministic_fake=True for the plumbing test path")
+            out = []
+            for _id, blob, dur in zip(pdf["id"], pdf["blob"], pdf["__dur"]):
+                raw = bytes(blob) if blob is not None else b""
+                duration = int(dur) if dur is not None else len(raw)
+                for i, ts in enumerate(range(0, max(duration, 1), every_n_ms)):
+                    seed = hashlib.sha256(raw + i.to_bytes(4, "big")).digest()
+                    out.append((_id, i, ts, seed))
+            yield pd.DataFrame(out, columns=["id", "frame_idx", "ts_ms", "blob"])
+
+    dur = (F.col(duration_ms_field) if duration_ms_field
+           else F.length(F.col(binary_field))).cast("long")
+    narrow = df.select(F.col(id_field).cast("long").alias("id"),
+                       F.col(binary_field).alias("blob"), dur.alias("__dur"))
+    return narrow.mapInPandas(_frames, schema=_FRAME_SCHEMA)
