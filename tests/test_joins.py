@@ -73,3 +73,49 @@ def test_range_join_plan_is_equijoin(spark, db):
                        bands, "value", "lo", "hi", bin_width=5.0)
             ._jdf.queryExecution().executedPlan().toString())
     assert "NestedLoop" not in plan  # bin bucketing keeps it an equi-join
+
+
+def test_asof_property_random(spark):
+    """Randomized check vs a pure-Python as-of reference (both directions)."""
+    import random
+    from tostore_spark.joins import asof_join
+    rnd = random.Random(7)
+    for trial in range(3):
+        lrows = [(rnd.choice("abc"), rnd.randrange(0, 1000), i)
+                 for i in range(40)]
+        rrows = [(rnd.choice("abc"), rnd.randrange(0, 1000), 100 + i)
+                 for i in range(40)]
+        left = spark.createDataFrame(
+            [(k, s, i) for k, s, i in lrows], "k string, sec long, lid long") \
+            .selectExpr("k", "timestamp_seconds(sec) as ts", "lid")
+        right = spark.createDataFrame(
+            [(k, s, i) for k, s, i in rrows], "k string, sec long, rid long") \
+            .selectExpr("k", "timestamp_seconds(sec) as ts", "rid")
+
+        def expect(direction):
+            out = {}
+            for k, s, i in lrows:
+                if direction == "backward":
+                    cands = [(rs, ri) for rk, rs, ri in rrows
+                             if rk == k and rs <= s]
+                    best = max(cands) if cands else None
+                else:
+                    cands = [(rs, ri) for rk, rs, ri in rrows
+                             if rk == k and rs >= s]
+                    best = min(cands) if cands else None
+                out[i] = best[1] if best else None
+            return out
+
+        for direction in ("backward", "forward"):
+            got = {r["lid"]: r["rid_r"] for r in
+                   asof_join(left, right, on="k",
+                             direction=direction).collect()}
+            want = expect(direction)
+            # ties on (ts) between right rows: both pick A right row at the
+            # boundary ts; compare matched ts instead of id in that case
+            ts_of = {ri: rs for _, rs, ri in rrows}
+            for lid in want:
+                g, w = got[lid], want[lid]
+                if g != w:
+                    assert g is not None and w is not None \
+                        and ts_of[g] == ts_of[w], (direction, lid, g, w)
