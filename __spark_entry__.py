@@ -606,6 +606,16 @@ def q_token_count_bpe(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_docs")))
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals: top-token and top-bigram
+    fractions per document."""
+    db = _db(spark, sf_dir)
+    out = TX.repetition_stats(db.df("documents"))
+    return out.select("doc_id",
+                      F.round(F.col("top_token_frac"), 6).alias("tt_r"),
+                      F.round(F.col("top_bigram_frac"), 6).alias("tb_r"))
+
+
 def q_corpus_sample(spark, sf_dir):
     """Deterministic stratified sampling (data-mixture step): keep 100% of
     src0, 50% of src1, 20% of the rest — pure md5-hash filter, identical
@@ -983,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_langid": q_langid,
         "q_token_count_bpe": q_token_count_bpe,
         "q_doc_fingerprint": q_doc_fingerprint,
+        "q_repetition": q_repetition,
         "q_corpus_sample": q_corpus_sample,
         "q_corpus_clean": q_corpus_clean,
         "q_corpus_shards": q_corpus_shards,
@@ -1267,6 +1278,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source""",
         "q_doc_fingerprint": f"""
             SELECT doc_id, md5({_NORM_T}) AS fp FROM documents""",
+        "q_repetition": f"""
+            WITH tk AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents),
+            tc AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top,
+                          CAST(sum(c) AS BIGINT) AS total
+                   FROM (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2)
+                   GROUP BY doc_id),
+            bgl AS (SELECT doc_id,
+                           CASE WHEN len({_TOKENS}) >= 2 THEN
+                             [array_to_string(({_TOKENS})[i:i+1], ' ')
+                              for i in range(1, len({_TOKENS}))]
+                           ELSE [] END AS bgs
+                    FROM documents),
+            bg AS (SELECT doc_id, unnest(bgs) AS bg FROM bgl),
+            bc AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top,
+                          CAST(sum(c) AS BIGINT) AS total
+                   FROM (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+                   GROUP BY doc_id)
+            SELECT tc.doc_id,
+                   round(CAST(tc.top AS DOUBLE) / tc.total, 6) AS tt_r,
+                   round(CAST(bc.top AS DOUBLE) / bc.total, 6) AS tb_r
+            FROM tc JOIN bc ON tc.doc_id = bc.doc_id""",
         "q_corpus_sample": """
             SELECT source, count(*) AS n FROM documents
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000

@@ -233,3 +233,15 @@ def test_multimodal_resize_and_frames_fake_plumbing(spark, db):
     f = fr.collect()
     assert len(f) > 10  # fan-out: multiple frame rows per doc
     assert all(x["ts_ms"] % 100 == 0 and len(bytes(x["blob"])) == 32 for x in f)
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from tostore_spark.llmops.text import repetition_stats
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam ham"),
+         (2, "the quick brown fox jumps over a lazy dog today")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["top_token_frac"] == 5 / 6
+    assert out[1]["top_bigram_frac"] == 4 / 5   # "spam spam" x4 of 5 bigrams
+    assert out[2]["top_token_frac"] == 1 / 10   # all tokens distinct

@@ -114,6 +114,43 @@ def fingerprint(text_col: Column) -> Column:
     return F.md5(normalized_text(text_col))
 
 
+def repetition_stats(df: DataFrame, text_field: str = "text",
+                     id_field: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals: the fraction of tokens taken by the
+    most frequent token, and of bigrams by the most frequent bigram — high
+    values flag boilerplate/spam.  Explode → count → max shape (two bounded
+    shuffles keyed by (doc, term); nothing quadratic), covering docs with
+    at least one bigram."""
+    t = F.col(text_field)
+    toks = df.select(F.col(id_field).alias("id"),
+                     F.explode(tokens(t)).alias("tok"))
+    tok_agg = (toks.groupBy("id", "tok").count()
+               .groupBy("id")
+               .agg(F.max("count").alias("__top_tok"),
+                    F.sum("count").alias("__n_tok")))
+    # bigrams WITH duplicates (word_ngrams dedups — repetition needs counts)
+    def _bigrams(tk):
+        idx = F.sequence(F.lit(1), F.size(tk) - 1)  # 1-based for element_at
+        return F.transform(idx, lambda i: F.concat_ws(
+            " ", F.element_at(tk, i), F.element_at(tk, i + 1)))
+    from tostore_spark.functions.colutil import let_array as _la
+    bg = df.select(F.col(id_field).alias("id"),
+                   F.explode(_la(tokens(t),
+                                 lambda tk: F.when(F.size(tk) >= 2, _bigrams(tk))
+                                 .otherwise(F.array().cast("array<string>")))
+                             ).alias("bg"))
+    bg_agg = (bg.groupBy("id", "bg").count()
+              .groupBy("id")
+              .agg(F.max("count").alias("__top_bg"),
+                   F.sum("count").alias("__n_bg")))
+    return (tok_agg.join(bg_agg, on="id")
+            .select(F.col("id").alias(id_field),
+                    (F.col("__top_tok").cast("double")
+                     / F.col("__n_tok")).alias("top_token_frac"),
+                    (F.col("__top_bg").cast("double")
+                     / F.col("__n_bg")).alias("top_bigram_frac")))
+
+
 def text_stats(df: DataFrame, text_field: str = "text") -> DataFrame:
     """One-pass per-document stats frame."""
     t = F.col(text_field)
