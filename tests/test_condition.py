@@ -136,3 +136,18 @@ class TestCompilerParity:
             got = sorted(r["id"] for r in
                          db.query("parity_t").where(field, op, value).run())
             assert got == expected, f"{field} {op} {value!r}: {got} != {expected}"
+
+
+def test_fluent_or_switch():
+    from tostore_spark.condition import QueryCondition
+    a = QueryCondition().where("x", "=", 1).or_().where("x", "=", 2)
+    b = QueryCondition().where("x", "=", 1).or_where("x", "=", 2)
+    assert a.to_map() == b.to_map()
+    rec_hits = [{"x": 1}, {"x": 2}]
+    assert all(a.matches(r) for r in rec_hits)
+    assert not a.matches({"x": 3})
+    # or_() before a subcondition group
+    sub = QueryCondition().where("y", ">", 5).where("y", "<", 9)
+    c = QueryCondition().where("x", "=", 1).or_().condition(sub)
+    assert c.matches({"x": 9, "y": 7}) and c.matches({"x": 1, "y": 0})
+    assert not c.matches({"x": 2, "y": 10})

@@ -198,7 +198,17 @@ class QueryCondition:
         self._current = self._root
 
     # -- core chain -----------------------------------------------------
+    def or_(self) -> "QueryCondition":
+        """Fluent OR switch (query_condition.dart:198): the next where()/
+        condition() attaches as an OR branch —
+        ``where(a).or_().where(b)`` ≡ ``where(a).or_where(b)``."""
+        self._pending_or = True
+        return self
+
     def where(self, field: str, op_or_value: Any = None, value: Any = "__missing__") -> "QueryCondition":
+        if getattr(self, "_pending_or", False):
+            self._pending_or = False
+            return self.or_where(field, op_or_value, value)
         node = self._build_leaf(field, op_or_value, value)
         self._attach_and(node)
         return self
@@ -209,6 +219,9 @@ class QueryCondition:
         return self
 
     def condition(self, sub: "QueryCondition") -> "QueryCondition":
+        if getattr(self, "_pending_or", False):
+            self._pending_or = False
+            return self.or_condition(sub)
         self._attach_and(sub.root())
         return self
 
