@@ -213,6 +213,28 @@ def q_offset_page(spark, sf_dir):
             .offset(50).limit(25).df())
 
 
+def q_csv_source(spark, sf_dir):
+    """CSV source round-trip: export the top-100 customers to csv, re-read
+    through the engine's csv reader (header + inferSchema), aggregate —
+    verified against the parquet truth (engine.py register_table formats)."""
+    import tempfile
+    db = _db(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="csvsrc_")
+    (db.df("customer").orderBy("c_custkey").limit(100)
+     .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+     .coalesce(1).write.mode("overwrite").option("header", True).csv(path))
+    db2 = ToStoreSpark(spark)
+    db2.register_table("cust_csv", path=path, format="csv")
+    return (db2.query("cust_csv")
+            .group_by(["c_mktsegment"])
+            .select_agg([
+                Agg.count("*", "n"),
+                Agg.sum(F.col("c_acctbal").cast("decimal(18,4)"), "sum_bal_dec"),
+            ])
+            .df()
+            .withColumn("sum_bal_dec", F.col("sum_bal_dec").cast("double")))
+
+
 def q_keyset_page(spark, sf_dir):
     """Cursor (keyset) pagination page 2 — opaque token → tuple-compare
     filter (query_executor.dart:3377-3389; cursor.py).  Equivalent to
@@ -958,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_or_union_dedup": q_or_union_dedup,
         "q_topk": q_topk,
         "q_offset_page": q_offset_page,
+        "q_csv_source": q_csv_source,
         "q_keyset_page": q_keyset_page,
         "q_groupby_having": q_groupby_having,
         "q_global_agg": q_global_agg,
@@ -1104,6 +1127,11 @@ def oracle_sql() -> dict[str, str]:
         "q_offset_page": """
             SELECT c_custkey, c_name, c_acctbal FROM customer
             ORDER BY c_acctbal, c_custkey LIMIT 25 OFFSET 50""",
+        "q_csv_source": """
+            SELECT c_mktsegment, count(*) AS n,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal_dec
+            FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 100) t
+            GROUP BY c_mktsegment""",
         "q_keyset_page": """
             SELECT c_custkey, c_name, c_acctbal FROM customer
             ORDER BY c_acctbal, c_custkey LIMIT 50 OFFSET 50""",
