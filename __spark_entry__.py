@@ -563,6 +563,17 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(db.df("documents"), num_hashes=16, bands=4)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup: a new batch (doc_id >= 450) checked against the
+    stored corpus band index (doc_id < 450) plus within itself — the
+    corpus TEXT is never rescanned, only its (id, band) index."""
+    db = _db(spark, sf_dir)
+    docs = db.df("documents")
+    corpus_idx = D.minhash_band_index(docs.filter(F.col("doc_id") < 450))
+    new_idx = D.minhash_band_index(docs.filter(F.col("doc_id") >= 450))
+    return D.minhash_lsh_pairs_incremental(new_idx, corpus_idx)
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash buckets with >1 member."""
     db = _db(spark, sf_dir)
@@ -1008,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_fingerprint": q_dedup_fingerprint,
         "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "q_dedup_incremental": q_dedup_incremental,
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_simhash_near": q_dedup_simhash_near,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -1269,6 +1281,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents GROUP BY 1 HAVING count(*) > 1""",
         "q_dedup_minhash_lsh": _minhash_oracle(),
+        "q_dedup_incremental": _minhash_oracle(
+            pair_where="""(x.doc_id >= 450 AND y.doc_id < 450)
+               OR (x.doc_id >= 450 AND y.doc_id >= 450 AND x.doc_id < y.doc_id)"""),
         "q_dedup_simhash": _simhash_oracle(),
         "q_dedup_simhash_near": _simhash_near_oracle(),
         "q_ngram_jaccard": _ngram_jaccard_oracle(),
@@ -1443,9 +1458,11 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-def _minhash_oracle() -> str:
-    """MinHash+LSH in DuckDB mirroring dedup.minhash_signature/_bands:
-    one md5 per shingle → 32-bit base → 16 affine hashes → 4-band digests."""
+def _minhash_oracle(pair_where: str = "x.doc_id < y.doc_id") -> str:
+    """MinHash+LSH in DuckDB mirroring dedup.minhash_band_index:
+    one md5 per shingle → 32-bit base → 16 affine hashes → 4-band digests.
+    ``pair_where`` selects which banded pairs qualify (a<b for the full
+    self-dedup; new-vs-corpus partitioning for the incremental entry)."""
     from tostore_spark.llmops.dedup import MINHASH_P, _minhash_ab
 
     ab_rows = ", ".join(f"({h}, {a}, {b})" for h, (a, b) in enumerate(_minhash_ab(16)))
@@ -1469,7 +1486,8 @@ def _minhash_oracle() -> str:
         sig AS (SELECT doc_id, list(mh ORDER BY h) AS sig FROM hs GROUP BY doc_id),
         banded AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig)
         SELECT x.doc_id AS id_a, y.doc_id AS id_b
-        FROM banded x JOIN banded y ON x.band = y.band AND x.doc_id < y.doc_id
+        FROM banded x JOIN banded y ON x.band = y.band
+        WHERE {pair_where}
         GROUP BY 1, 2"""
 
 

@@ -245,3 +245,31 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert out[1]["top_token_frac"] == 5 / 6
     assert out[1]["top_bigram_frac"] == 4 / 5   # "spam spam" x4 of 5 bigrams
     assert out[2]["top_token_frac"] == 1 / 10   # all tokens distinct
+
+
+def test_minhash_index_roundtrip_and_incremental(spark, db, tmp_path):
+    from pyspark.sql import functions as F
+    from tostore_spark.llmops.dedup import (minhash_band_index,
+                                            minhash_lsh_pairs,
+                                            minhash_lsh_pairs_incremental)
+    docs = db.df("documents")
+    # the persistable artifact: write the index, read it back, identical pairs
+    idx = minhash_band_index(docs)
+    path = str(tmp_path / "band_index")
+    idx.write.parquet(path)
+    stored = spark.read.parquet(path)
+    direct = sorted((r["id_a"], r["id_b"]) for r in
+                    minhash_lsh_pairs(docs).collect())
+    reused = sorted((r["id_a"], r["id_b"]) for r in
+                    minhash_lsh_pairs(docs, index=stored).collect())
+    assert direct == reused
+    # incremental = full pairs restricted to (new x corpus) + (new x new)
+    cut = 25
+    ci = minhash_band_index(docs.filter(F.col("doc_id") < cut))
+    ni = minhash_band_index(docs.filter(F.col("doc_id") >= cut))
+    inc = sorted((r["id_a"], r["id_b"]) for r in
+                 minhash_lsh_pairs_incremental(ni, ci).collect())
+    want = sorted(
+        [(b, a) for a, b in direct if b >= cut > a] +      # cross: (new, old)
+        [(a, b) for a, b in direct if a >= cut and b >= cut])
+    assert inc == want

@@ -124,22 +124,19 @@ def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
     return _let(sig, lambda s: _bands(s))
 
 
-def minhash_lsh_pairs(df: DataFrame, text_field: str = "text",
-                      id_field: str = "doc_id", num_hashes: int = 16,
-                      bands: int = 4, shingle_k: int = 5) -> DataFrame:
-    """Candidate near-dup pairs: ids sharing at least one LSH band.
+def minhash_band_index(df: DataFrame, text_field: str = "text",
+                       id_field: str = "doc_id", num_hashes: int = 16,
+                       bands: int = 4, shingle_k: int = 5) -> DataFrame:
+    """The (id, band) LSH index frame — the persistable dedup artifact.
 
-    explode(bands) → equi-join on the band digest → distinct (a<b) pairs.
-    The join key is a 32-char digest; bucket sizes stay tiny under uniform
-    hashing, so the shuffle is balanced by construction.
-    """
+    Map-reduce shape instead of higher-order functions: explode shingles
+    to rows, scalar md5 per row (whole-stage codegen — HOF lambdas are
+    interpreted), then one hash-aggregate computing all num_hashes minima
+    and banding them.  At 100 TB this frame is what you write to storage
+    (bucketed by band via engine.bucket_table) and reuse across runs —
+    incremental dedup then only computes the NEW batch's index."""
     rows_per_band = num_hashes // bands
     df = _spread(df)
-    # Map-reduce shape instead of higher-order functions: explode shingles
-    # to rows, scalar md5 per row (whole-stage codegen — HOF lambdas are
-    # interpreted), then one hash-aggregate computing all num_hashes minima.
-    # Identical output to minhash_signature/minhash_bands, ~2× faster, and
-    # the standard shape for a distributed minhash at any scale.
     ab = _minhash_ab(num_hashes)
     sh_rows = df.select(F.col(id_field).alias("id"),
                         F.explode(shingles(F.col(text_field), shingle_k)).alias("s"))
@@ -152,17 +149,51 @@ def minhash_lsh_pairs(df: DataFrame, text_field: str = "text",
     for bi in range(bands):
         parts = [F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]
         band_cols.append(F.md5(F.concat_ws(",", F.lit(str(bi)), *parts)))
-    # Materialize the small (id, band) LSH index before the self-join so
-    # both branches read it instead of recomputing the signature; in
-    # production it would be written out and reused across runs.
-    banded = (mins.select("id", F.explode(F.array(*band_cols)).alias("band"))
-                  .persist())
-    banded.count()
-    a, b = banded.alias("a"), banded.alias("b")
+    return mins.select("id", F.explode(F.array(*band_cols)).alias("band"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_field: str = "text",
+                      id_field: str = "doc_id", num_hashes: int = 16,
+                      bands: int = 4, shingle_k: int = 5,
+                      index: DataFrame | None = None) -> DataFrame:
+    """Candidate near-dup pairs: ids sharing at least one LSH band.
+
+    equi-join on the band digest → distinct (a<b) pairs.  The join key is
+    a 32-char digest; bucket sizes stay tiny under uniform hashing, so the
+    shuffle is balanced by construction.  Pass a prebuilt ``index`` (from
+    minhash_band_index, e.g. read back from storage) to skip the signature
+    stage entirely.
+    """
+    if index is None:
+        # memory-persist barrier so both self-join branches read the index
+        # instead of recomputing the signatures (write it out at scale)
+        index = minhash_band_index(df, text_field, id_field, num_hashes,
+                                   bands, shingle_k).persist()
+        index.count()
+    a, b = index.alias("a"), index.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.id") < F.col("b.id")))
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
              .distinct())
+
+
+def minhash_lsh_pairs_incremental(new_index: DataFrame,
+                                  corpus_index: DataFrame) -> DataFrame:
+    """Incremental dedup: candidate pairs between a NEW batch and an
+    already-indexed corpus (plus new-vs-new), never rescanning the corpus
+    text — only its stored (id, band) index.  Output: (id_new, id_old)
+    for cross pairs and (id_a < id_b) within the new batch."""
+    n, c = new_index.alias("n"), corpus_index.alias("c")
+    cross = (n.join(c, F.col("n.band") == F.col("c.band"))
+             .select(F.col("n.id").alias("id_a"), F.col("c.id").alias("id_b"))
+             .distinct())
+    within = (new_index.alias("a")
+              .join(new_index.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.id") < F.col("b.id")))
+              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+              .distinct())
+    return cross.unionByName(within).distinct()
 
 
 # -------------------------------------------------------------- simhash
