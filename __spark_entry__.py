@@ -235,6 +235,23 @@ def q_csv_source(spark, sf_dir):
             .withColumn("sum_bal_dec", F.col("sum_bal_dec").cast("double")))
 
 
+def q_json_source(spark, sf_dir):
+    """JSON-lines source round-trip: export → register via the generic
+    format loader → aggregate, against the parquet truth."""
+    import tempfile
+    db = _db(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="jsonsrc_")
+    (db.df("nation").coalesce(1)
+     .write.mode("overwrite").json(path))
+    db2 = ToStoreSpark(spark)
+    db2.register_table("nation_json", path=path, format="json")
+    return (db2.query("nation_json")
+            .group_by(["n_regionkey"])
+            .select_agg([Agg.count("*", "n"),
+                         Agg.max("n_name", "max_name")])
+            .df())
+
+
 def q_keyset_page(spark, sf_dir):
     """Cursor (keyset) pagination page 2 — opaque token → tuple-compare
     filter (query_executor.dart:3377-3389; cursor.py).  Equivalent to
@@ -992,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk": q_topk,
         "q_offset_page": q_offset_page,
         "q_csv_source": q_csv_source,
+        "q_json_source": q_json_source,
         "q_keyset_page": q_keyset_page,
         "q_groupby_having": q_groupby_having,
         "q_global_agg": q_global_agg,
@@ -1144,6 +1162,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal_dec
             FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 100) t
             GROUP BY c_mktsegment""",
+        "q_json_source": """
+            SELECT n_regionkey, count(*) AS n, max(n_name) AS max_name
+            FROM nation GROUP BY n_regionkey""",
         "q_keyset_page": """
             SELECT c_custkey, c_name, c_acctbal FROM customer
             ORDER BY c_acctbal, c_custkey LIMIT 50 OFFSET 50""",
