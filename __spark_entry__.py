@@ -994,8 +994,72 @@ def q_backup_restore(spark, sf_dir):
 # ----------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver checks the FIRST 50 entries against the DuckDB oracle each round.
+
+    Ordering policy (round 3): slots 1-21 are the entries that sat past the
+    50-entry cap in round 2 (9 never oracle-checked, 12 green only against
+    pre-refactor r1 code — the whole write/admin surface among them).
+    Slots 22-33 are queries whose implementation changed THIS round (join fixes,
+    64-bit simhash, bounded knn, dedup partition-spread change), so their old
+    green rows would not certify current code. Slots 34-50 are stable greens.
+    The 21 entries past the cap are green in r2 on code unchanged since —
+    the union of r2 and r3 rows covers all entries on current code.
+    """
     return {
+        # --- slots 1-21: past-cap in r2 (never-checked or since-refactored) ---
+        "q_update_rewrite": q_update_rewrite,
+        "q_delete_rewrite": q_delete_rewrite,
+        "q_upsert_merge": q_upsert_merge,
+        "q_batch_update": q_batch_update,
+        "q_partial_insert": q_partial_insert,
+        "q_expr_clamp_update": q_expr_clamp_update,
+        "q_update_ordered_limit": q_update_ordered_limit,
+        "q_kv_namespace": q_kv_namespace,
+        "q_ttl_filter": q_ttl_filter,
+        "q_schema_migration": q_schema_migration,
+        "q_backup_restore": q_backup_restore,
+        "q_batch_export_page": q_batch_export_page,
+        "q_join5_regional": q_join5_regional,
+        "q_bucketed_join": q_bucketed_join,
+        "q_events_sessions": q_events_sessions,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_repetition": q_repetition,
+        "q_corpus_sample": q_corpus_sample,
+        "q_corpus_clean": q_corpus_clean,
+        "q_corpus_shards": q_corpus_shards,
+        "q_multimodal_features": q_multimodal_features,
+        # --- slots 22-33: implementation changed in round 3 ---
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q_knn_join": q_knn_join,
+        "q_similarity_ivf": q_similarity_ivf,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_dedup_simhash_near": q_dedup_simhash_near,
+        "q_neardup_embedding": q_neardup_embedding,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_fingerprint": q_dedup_fingerprint,
+        "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "q_dedup_incremental": q_dedup_incremental,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        # --- slots 34-50: stable r2 greens (re-certified this round) ---
         "q_filter_sort_limit": q_filter_sort_limit,
+        "q_groupby_having": q_groupby_having,
+        "q_join_inner_group": q_join_inner_group,
+        "q_topk": q_topk,
+        "q_keyset_page": q_keyset_page,
+        "q_vector_cosine_topk": q_vector_cosine_topk,
+        "q_text_stats": q_text_stats,
+        "q_csv_source": q_csv_source,
+        "q_json_source": q_json_source,
+        "q_or_union_dedup": q_or_union_dedup,
+        "q_events_window": q_events_window,
+        "q_time_rollup": q_time_rollup,
+        "q_rollup_subtotals": q_rollup_subtotals,
+        "q_agg_stats": q_agg_stats,
+        "q_salted_agg": q_salted_agg,
+        "q_langid": q_langid,
+        "q_token_count_bpe": q_token_count_bpe,
+        # --- past the 50-cap: green in r2, code unchanged since ---
         "q_pred_like_between_in": q_pred_like_between_in,
         "q_or_tree": q_or_tree,
         "q_multiop_or": q_multiop_or,
@@ -1005,67 +1069,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_is_null_join": q_is_null_join,
         "q_distinct": q_distinct,
         "q_distinct_first": q_distinct_first,
-        "q_or_union_dedup": q_or_union_dedup,
-        "q_topk": q_topk,
         "q_offset_page": q_offset_page,
-        "q_csv_source": q_csv_source,
-        "q_json_source": q_json_source,
-        "q_keyset_page": q_keyset_page,
-        "q_groupby_having": q_groupby_having,
         "q_global_agg": q_global_agg,
-        "q_agg_stats": q_agg_stats,
-        "q_salted_agg": q_salted_agg,
         "q_count_star": q_count_star,
         "q_exists": q_exists,
-        "q_join_inner_group": q_join_inner_group,
         "q_left_join_count": q_left_join_count,
         "q_right_join": q_right_join,
         "q_theta_join": q_theta_join,
         "q_fk_autojoin": q_fk_autojoin,
-        "q_asof_join": q_asof_join,
-        "q_range_join": q_range_join,
-        "q_events_window": q_events_window,
-        "q_time_rollup": q_time_rollup,
-        "q_rollup_subtotals": q_rollup_subtotals,
         "q_events_json": q_events_json,
-        "q_vector_cosine_topk": q_vector_cosine_topk,
         "q_vector_l2_topk": q_vector_l2_topk,
         "q_vector_ip_topk": q_vector_ip_topk,
         "q_vector_threshold": q_vector_threshold,
-        "q_knn_join": q_knn_join,
-        "q_similarity_ivf": q_similarity_ivf,
-        "q_dedup_exact": q_dedup_exact,
-        "q_dedup_fingerprint": q_dedup_fingerprint,
-        "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "q_dedup_incremental": q_dedup_incremental,
-        "q_dedup_simhash": q_dedup_simhash,
-        "q_dedup_simhash_near": q_dedup_simhash_near,
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_neardup_embedding": q_neardup_embedding,
-        "q_text_stats": q_text_stats,
-        "q_langid": q_langid,
-        "q_token_count_bpe": q_token_count_bpe,
-        "q_doc_fingerprint": q_doc_fingerprint,
-        "q_repetition": q_repetition,
-        "q_corpus_sample": q_corpus_sample,
-        "q_corpus_clean": q_corpus_clean,
-        "q_corpus_shards": q_corpus_shards,
-        "q_multimodal_features": q_multimodal_features,
-        "q_update_rewrite": q_update_rewrite,
-        "q_delete_rewrite": q_delete_rewrite,
-        "q_upsert_merge": q_upsert_merge,
-        "q_partial_insert": q_partial_insert,
-        "q_kv_namespace": q_kv_namespace,
-        "q_join5_regional": q_join5_regional,
-        "q_bucketed_join": q_bucketed_join,
-        "q_events_sessions": q_events_sessions,
-        "q_batch_update": q_batch_update,
-        "q_expr_clamp_update": q_expr_clamp_update,
-        "q_update_ordered_limit": q_update_ordered_limit,
-        "q_ttl_filter": q_ttl_filter,
-        "q_schema_migration": q_schema_migration,
-        "q_batch_export_page": q_batch_export_page,
-        "q_backup_restore": q_backup_restore,
     }
 
 

@@ -119,3 +119,56 @@ def test_asof_property_random(spark):
                 if g != w:
                     assert g is not None and w is not None \
                         and ts_of[g] == ts_of[w], (direction, lid, g, w)
+
+
+def test_asof_null_payload_travels_with_own_row(spark):
+    """A genuine NULL in one right payload column must NOT be back-filled
+    from an older right row (fields of the matched row travel together)."""
+    from tostore_spark.joins import asof_join
+    left = spark.createDataFrame([("a", 10, 1)], "k string, sec long, lid long") \
+        .selectExpr("k", "timestamp_seconds(sec) as ts", "lid")
+    right = spark.createDataFrame(
+        [("a", 1, 5.0, "A"), ("a", 2, None, "B")],
+        "k string, sec long, value double, tag string") \
+        .selectExpr("k", "timestamp_seconds(sec) as ts", "value", "tag")
+    row = asof_join(left, right, on="k").collect()[0]
+    # the match is the ts=2 row: tag B, value genuinely NULL
+    assert row["tag_r"] == "B" and row["value_r"] is None
+
+
+def test_asof_tolerance_uses_matched_row_ts(spark):
+    """Tolerance must gauge the gap against the matched row's own ts even
+    when that row carries NULL payload fields."""
+    from tostore_spark.joins import asof_join
+    left = spark.createDataFrame([("a", 10, 1)], "k string, sec long, lid long") \
+        .selectExpr("k", "timestamp_seconds(sec) as ts", "lid")
+    right = spark.createDataFrame(
+        [("a", 1, 5.0, "A"), ("a", 9, None, "B")],
+        "k string, sec long, value double, tag string") \
+        .selectExpr("k", "timestamp_seconds(sec) as ts", "value", "tag")
+    # matched row is ts=9 (1s gap); with 2s tolerance it must be kept
+    row = asof_join(left, right, on="k", tolerance_ms=2000).collect()[0]
+    assert row["tag_r"] == "B" and row["value_r"] is None
+    # with 0.5s tolerance the ts=9 match is dropped — NOT replaced by ts=1
+    row2 = asof_join(left, right, on="k", tolerance_ms=500).collect()[0]
+    assert row2["tag_r"] is None and row2["value_r"] is None
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    from tostore_spark.joins import range_join
+    pts = spark.createDataFrame([(1, 5.0), (2, 99.0)], "pid long, v double")
+    bands = spark.createDataFrame([("x", 0.0, 10.0)],
+                                  "band string, lo double, hi double")
+    got = {r["pid"]: r["band"] for r in
+           range_join(pts, bands, "v", "lo", "hi", bin_width=5.0,
+                      how="left").collect()}
+    assert got == {1: "x", 2: None}
+
+
+def test_range_join_rejects_right_outer(spark):
+    from tostore_spark.joins import range_join
+    pts = spark.createDataFrame([(1, 5.0)], "pid long, v double")
+    bands = spark.createDataFrame([("x", 0.0, 10.0)],
+                                  "band string, lo double, hi double")
+    with pytest.raises(ValueError):
+        range_join(pts, bands, "v", "lo", "hi", bin_width=5.0, how="right")

@@ -22,6 +22,7 @@ from typing import Optional, Union
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(left: DataFrame, right: DataFrame,
@@ -40,16 +41,21 @@ def asof_join(left: DataFrame, right: DataFrame,
     lcols = left.columns
     rpay = [c for c in right.columns if c not in keys]
 
+    # The whole right payload travels as ONE struct so every field of the
+    # matched row stays together — carrying each column with its own
+    # last(ignorenulls) would stitch fields from different right rows
+    # whenever a payload column holds a genuine NULL.
+    rp_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in rpay])
     l2 = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("__ts"), F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
-          for c in rpay])
+        F.lit(None).cast(rp_type).alias("__rp"))
     r2 = right.select(
         *[F.col(c) if c in keys else
           F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         F.col(right_ts).alias("__ts"), F.lit(0).alias("__side"),
-        *[F.col(c).alias(c + suffix) for c in rpay])
+        F.struct(*[F.col(c).alias(c) for c in rpay]).alias("__rp"))
     both = l2.unionByName(r2)
 
     ts_order = (F.col("__ts").asc() if direction == "backward"
@@ -57,19 +63,17 @@ def asof_join(left: DataFrame, right: DataFrame,
     w = (Window.partitionBy(*[F.col(k) for k in keys])
          .orderBy(ts_order, F.col("__side").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    out = both
-    for c in rpay:
-        out = out.withColumn(c + suffix,
-                             F.last(F.col(c + suffix), ignorenulls=True).over(w))
-    out = out.filter(F.col("__side") == 1)
+    out = (both
+           .withColumn("__rp", F.last(F.col("__rp"), ignorenulls=True).over(w))
+           .filter(F.col("__side") == 1))
     if tolerance_ms is not None:
-        matched_ts = F.col(right_ts + suffix)
+        matched_ts = F.col("__rp")[right_ts]
         gap_us = F.abs(F.unix_micros(F.col("__ts")) - F.unix_micros(matched_ts))
         in_tol = matched_ts.isNotNull() & (gap_us <= tolerance_ms * 1000)
-        for c in rpay:
-            out = out.withColumn(
-                c + suffix, F.when(in_tol, F.col(c + suffix)))
-    return out.drop("__ts", "__side")
+        out = out.withColumn("__rp", F.when(in_tol, F.col("__rp")))
+    return out.select(
+        *[F.col(c) for c in lcols],
+        *[F.col("__rp")[c].alias(c + suffix) for c in rpay])
 
 
 def range_join(left: DataFrame, right: DataFrame, point: str,
@@ -79,12 +83,21 @@ def range_join(left: DataFrame, right: DataFrame, point: str,
     [lo, hi) of right rows.  ``bin_width`` should be on the order of the
     typical interval width: intervals explode into ceil(width/bin_width)+1
     bin rows, and each candidate pair meets in exactly one bin."""
-    lb = left.withColumn("__bin", F.floor(F.col(point) / F.lit(bin_width)))
+    if how not in ("inner", "left"):
+        # The right side is exploded into one row per covered bin, so an
+        # outer-preserved right row would surface once per bin replica.
+        raise ValueError(
+            "range_join supports how='inner' or 'left'; for right/full "
+            "semantics swap the sides or join on an interval id")
+    lb = left.withColumn("__binl", F.floor(F.col(point) / F.lit(bin_width)))
     rb = right.withColumn(
-        "__bin", F.explode(F.sequence(
+        "__binr", F.explode(F.sequence(
             F.floor(F.col(lo) / F.lit(bin_width)).cast("long"),
             F.floor(F.col(hi) / F.lit(bin_width)).cast("long"))))
-    refined = ((F.col(point) >= F.col(lo)) & (F.col(point) < F.col(hi)))
-    return (lb.join(rb, on="__bin", how=how)
-              .filter(refined)
-              .drop("__bin"))
+    # The exact refinement lives INSIDE the join condition: a left point
+    # sits in exactly one bin row, so how='left' emits each unmatched left
+    # row exactly once with NULL right columns (a post-join filter would
+    # silently reduce 'left' to inner semantics).
+    cond = ((F.col("__binl") == F.col("__binr"))
+            & (F.col(point) >= F.col(lo)) & (F.col(point) < F.col(hi)))
+    return lb.join(rb, on=cond, how=how).drop("__binl", "__binr")
