@@ -123,3 +123,62 @@ def test_ngram_jaccard_finds_near_dups(spark):
     from tostore_spark.llmops.dedup import ngram_jaccard_pairs
     pairs = ngram_jaccard_pairs(df, threshold=0.5).collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_kmeans_clamps_n_cells_to_corpus(spark):
+    """n_cells > corpus size must clamp, not IndexError (tiny tables)."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.llmops import similarity as S
+    rows = [(i, [float(i), 1.0, 0.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = S.kmeans_centroids(df, n_cells=16, id_field="vec_id")
+    assert 1 <= len(cents) <= 5
+    db = ToStoreSpark(spark)
+    db.register_table("tiny_v", df=df)
+    db.build_vector_index("tiny_v", "embedding", n_cells=16,
+                          id_field="vec_id")
+    # ef_search >= corpus -> probe every cell -> exact top-3 despite the
+    # one-row-per-cell degenerate clustering
+    out = db.vector_search("tiny_v", "embedding", [1.0, 1.0, 0.0], top_k=3,
+                           ef_search=100)
+    assert out.count() == 3
+    with pytest.raises(ValueError, match="empty"):
+        S.kmeans_centroids(df.filter("vec_id < 0"), n_cells=4,
+                           id_field="vec_id")
+
+
+def test_ef_search_to_nprobe_contract(spark, db01, tmp_path_factory):
+    """efSearch (reference candidate-pool knob) -> nprobe mapping: probe
+    enough cells to scan ~efSearch vectors; efSearch >= corpus = scan all
+    cells (exact); recall@10 >= 0.9 at TWO corpus sizes."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.llmops.similarity import ef_search_to_nprobe
+    # unit contract: 1000-row corpus, 10 cells of ~100
+    assert ef_search_to_nprobe(100, 10, 1000) == 1
+    assert ef_search_to_nprobe(250, 10, 1000) == 3
+    assert ef_search_to_nprobe(10_000, 10, 1000) == 10   # exact
+    assert ef_search_to_nprobe(1, 10, 1000) == 1         # floor
+    emb = db01.df("embeddings")
+    for frac, tag in [(1.0, "full"), (0.4, "small")]:
+        corpus = emb if frac == 1.0 else emb.filter(
+            (F.crc32(F.col("vec_id").cast("string")) % 100) < frac * 100)
+        n = corpus.count()
+        db2 = ToStoreSpark(spark)
+        db2.register_table(f"e_ef_{tag}", df=corpus)
+        path = str(tmp_path_factory.mktemp(f"ivf_ef_{tag}"))
+        db2.build_vector_index(f"e_ef_{tag}", "embedding", n_cells=8,
+                               path=path, id_field="vec_id")
+        # efSearch = 3n/4 -> nprobe = ceil(0.75 * 8) = 6 of 8 cells; mean
+        # recall over 5 queries (recall is a per-query distribution)
+        recalls = []
+        for row in corpus.limit(5).collect():
+            qv = [float(x) for x in row["embedding"]]
+            exact = set(r["vec_id"] for r in db2.vector_search(
+                f"e_ef_{tag}", "embedding", qv, top_k=10,
+                use_index=False).collect())
+            approx = set(r["vec_id"] for r in db2.vector_search(
+                f"e_ef_{tag}", "embedding", qv, top_k=10,
+                ef_search=3 * n // 4).collect())
+            recalls.append(len(exact & approx) / 10)
+        mean = sum(recalls) / len(recalls)
+        assert mean >= 0.9, f"{tag} (n={n}): mean recall@10 = {mean}"

@@ -37,6 +37,10 @@ CHECKS: dict[str, list[str]] = {
     "q_vector_ip_topk": ["TakeOrderedAndProject",
                          "ReadSchema: struct<vec_id:bigint,embedding:array<float>,label:int>"],
     "q_similarity_ivf": ["PartitionFilters: [cell_id"],
+    # two-stage top-k: a per-(query, corpus-partition) pre-rank (the __pid
+    # salt) must precede the per-query window, and WindowGroupLimit must
+    # bound both sorts — no single reducer ever sorts a query's full N.
+    "q_knn_join": ["__pid", "WindowGroupLimit"],
 }
 
 

@@ -568,11 +568,17 @@ class ToStoreSpark:
                                        vec_field=field_name, id_field=id_field)
         sim.ivf_write_index(indexed, cents, path)
         cells_df, _ = sim.ivf_read_index(self.spark, path)
+        n_rows = cells_df.count()   # parquet-footer count; powers efSearch->nprobe
+        import json as _json
+        import os as _os
+        with open(_os.path.join(path, "centroids.json"), "w") as f:
+            _json.dump({"centroids": cents, "n_rows": n_rows}, f)
         if not hasattr(self, "_vector_indexes"):
             self._vector_indexes: dict[tuple, dict] = {}
         self._vector_indexes[(self._space, table, field_name)] = {
             "path": path, "centroids": cents, "df": cells_df,
-            "n_cells": n_cells, "id_field": id_field,
+            "n_cells": len(cents), "id_field": id_field,
+            "n_rows": n_rows,
             "generation": self.generation(table),
         }
         return path
@@ -583,6 +589,7 @@ class ToStoreSpark:
         build-once lifecycle)."""
         from tostore_spark.llmops import similarity as sim
         cells_df, cents = sim.ivf_read_index(self.spark, path)
+        meta = sim.ivf_index_meta(path)
         if not hasattr(self, "_vector_indexes"):
             self._vector_indexes = {}
         self._vector_indexes[(self._space, table, field_name)] = {
@@ -590,6 +597,7 @@ class ToStoreSpark:
             "n_cells": len(cents),
             "id_field": id_field or self.primary_key(table)
             or cells_df.columns[0],
+            "n_rows": meta.get("n_rows"),
             "generation": self.generation(table),
         }
 
@@ -603,7 +611,10 @@ class ToStoreSpark:
         built for (table, field) and the metric is cosine, the search probes
         the persisted index (approximate, rebuild-free) unless
         ``use_index=False``; a stale index (table written since build)
-        silently falls back to the exact scan."""
+        silently falls back to the exact scan.  ``ef_search`` (the
+        reference's candidate-pool knob, ngh_graph_engine.dart:14-80) maps
+        to nprobe via ``ef_search_to_nprobe`` — probe enough cells to scan
+        ~efSearch vectors — and overrides ``nprobe`` when given."""
         from tostore_spark.vector import vector_search
         idx = getattr(self, "_vector_indexes", {}).get(
             (self._space, table, field_name))
@@ -616,6 +627,9 @@ class ToStoreSpark:
                     "no fresh cosine IVF index for "
                     f"({table}, {field_name}); build_vector_index first")
             from tostore_spark.llmops import similarity as sim
+            if ef_search is not None and idx.get("n_rows"):
+                nprobe = sim.ef_search_to_nprobe(
+                    ef_search, len(idx["centroids"]), idx["n_rows"])
             out = sim.ivf_search(idx["df"], idx["centroids"], query_vector,
                                  k=top_k, nprobe=nprobe,
                                  vec_field=field_name,

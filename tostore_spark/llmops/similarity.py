@@ -61,10 +61,23 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
     dist_fn = cosine_distance_cols if metric == "cosine" else l2_distance_cols
     dist = dist_fn(F.col("__qv"), F.col("__cv")).alias("distance")
     scored = joined.select("query_id", "neighbor_id", dist)
+    # Two-stage top-k so no single reducer ever sorts a whole query's N
+    # scored rows: stage 1 ranks within (query, corpus-partition) — Q x P
+    # uniformly-spread groups of ~N/P rows — and keeps k; the final
+    # per-query window then ranks <= k*P survivors instead of N.  Exact:
+    # any global top-k row is top-k within its own partition too (total
+    # order via the neighbor_id tie-break).  spark_partition_id() is just
+    # a uniform salt here; correctness never depends on its values.
+    pre_w = Window.partitionBy("query_id", "__pid").orderBy(
+        F.col("distance").asc(), F.col("neighbor_id").asc())
+    pre = (scored.withColumn("__pid", F.spark_partition_id())
+                 .withColumn("__pr", F.row_number().over(pre_w))
+                 .filter(F.col("__pr") <= k)
+                 .drop("__pid", "__pr"))
     w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(),
                                                F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .filter(F.col("rank") <= k))
+    return (pre.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k))
 
 
 def kmeans_centroids(corpus: DataFrame, n_cells: int,
@@ -87,10 +100,15 @@ def kmeans_centroids(corpus: DataFrame, n_cells: int,
                        F.col(id_field).asc())
               .select(vec_field)
               .take(n_cells * sample_per_cell))
+    if not sample:
+        raise ValueError("kmeans_centroids: corpus is empty")
     X = np.array([[float(x) for x in r[vec_field]] for r in sample], dtype=np.float64)
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     Xn = X / norms
+    # A corpus smaller than the requested cell count gets one cell per
+    # row instead of an IndexError at seeding time.
+    n_cells = min(n_cells, len(Xn))
     cents = Xn[:n_cells].copy()
     for _ in range(iterations):
         sims = Xn @ cents.T                      # cosine sim to each centroid
@@ -140,6 +158,26 @@ def ivf_build(corpus: DataFrame, n_cells: int = 16, vec_field: str = "embedding"
     return out, cents
 
 
+def ef_search_to_nprobe(ef_search: int, n_cells: int, n_rows: int) -> int:
+    """Map the reference's ``efSearch`` knob to IVF ``nprobe``.
+
+    In the reference's graph ANN (ngh_graph_engine.dart:14-80) efSearch is
+    the candidate-pool size: the search keeps a beam of efSearch candidates
+    and recall grows with it.  The IVF analog of "examine ~efSearch
+    candidates" is probing enough cells that the expected number of scanned
+    vectors — nprobe * (n_rows / n_cells) — reaches efSearch:
+
+        nprobe = clamp(ceil(efSearch * n_cells / n_rows), 1, n_cells)
+
+    efSearch >= n_rows degenerates to an exact scan (all cells), matching
+    the reference's own behavior of exact search when the beam covers the
+    corpus."""
+    import math
+
+    avg_cell = max(1, int(n_rows) // max(1, n_cells))
+    return max(1, min(n_cells, math.ceil(ef_search / avg_cell)))
+
+
 def ivf_search(indexed: DataFrame, centroids: list[tuple[int, list[float]]],
                query_vector: Sequence[float], k: int = 10, nprobe: int = 2,
                vec_field: str = "embedding", id_field: str = "vec_id") -> DataFrame:
@@ -165,19 +203,29 @@ def ivf_search(indexed: DataFrame, centroids: list[tuple[int, list[float]]],
 
 def ivf_write_index(indexed: DataFrame,
                     centroids: list[tuple[int, list[float]]],
-                    path: str) -> str:
+                    path: str, n_rows: Optional[int] = None) -> str:
     """Persist the IVF index: the assigned corpus partitioned by cell_id
     (so a probe prunes to nprobe directories) plus a centroid sidecar —
     the build-once-search-many lifecycle of the reference's persisted NGH
-    index (ngh_graph_engine.dart:14-80), in parquet form."""
+    index (ngh_graph_engine.dart:14-80), in parquet form.  ``n_rows`` is
+    recorded so a later ``efSearch`` can be mapped to ``nprobe``."""
     import json
     import os
 
     indexed.write.mode("overwrite").partitionBy("cell_id") \
            .parquet(os.path.join(path, "cells"))
     with open(os.path.join(path, "centroids.json"), "w") as f:
-        json.dump({"centroids": centroids}, f)
+        json.dump({"centroids": centroids, "n_rows": n_rows}, f)
     return path
+
+
+def ivf_index_meta(path: str) -> dict:
+    """Sidecar metadata of a persisted index (centroids, n_rows)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        return json.load(f)
 
 
 def ivf_read_index(spark, path: str
