@@ -592,18 +592,20 @@ def q_dedup_incremental(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash buckets with >1 member."""
+    """SimHash buckets with >1 member (64-bit fingerprint — 16 bits would
+    collapse a trillion-doc corpus into 65k giant buckets)."""
     db = _db(spark, sf_dir)
-    return (D.simhash_dedup(db.df("documents"), bits=16)
+    return (D.simhash_dedup(db.df("documents"), bits=64)
             .filter(F.col("n_copies") > 1))
 
 
 def q_dedup_simhash_near(spark, sf_dir):
     """SimHash Hamming-distance near-dups: band blocking (pigeonhole —
     any pair within distance < bands shares an exact band), then exact
-    bit_count(xor) verification on candidates only."""
+    bit_count(xor) verification on candidates only.  64-bit/4-band =
+    16-bit band values, so buckets stay tiny at corpus scale."""
     db = _db(spark, sf_dir)
-    return (D.simhash_neardup_pairs(db.df("documents"), bits=16, bands=4,
+    return (D.simhash_neardup_pairs(db.df("documents"), bits=64, bands=4,
                                     max_hamming=3)
             .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming")))
 
@@ -1584,16 +1586,19 @@ def _ngram_jaccard_oracle() -> str:
 
 
 def _simhash_expr_sql() -> str:
-    """The SimHash-16 expression in DuckDB SQL, mirroring dedup.simhash
-    bit-for-bit (shared by the exact-dup and Hamming-near-dup oracles)."""
+    """The SimHash-64 expression in DuckDB SQL, mirroring
+    dedup.simhash_frame bit-for-bit (shared by the exact-dup and
+    Hamming-near-dup oracles).  Bit 63 contributes the signed-long value
+    -2^63 so both engines hold the same two's-complement integer."""
     terms = []
-    for j in range(16):
+    for j in range(64):
         hexpos = j // 4 + 1
         mask = 1 << (j % 4)
         votes = (f"coalesce(list_sum(list_transform({_TOKENS}, t -> CASE WHEN "
                  f"(strpos('0123456789abcdef', substr(md5(t), {hexpos}, 1)) - 1)"
                  f" & {mask} > 0 THEN 1 ELSE -1 END)), 0)")
-        terms.append(f"(CASE WHEN {votes} > 0 THEN {1 << j} ELSE 0 END)")
+        bitval = -(1 << 63) if j == 63 else (1 << j)
+        terms.append(f"(CASE WHEN {votes} > 0 THEN CAST({bitval} AS BIGINT) ELSE 0 END)")
     return " + ".join(terms)
 
 
@@ -1646,13 +1651,15 @@ def _corpus_clean_oracle() -> str:
 
 def _simhash_near_oracle() -> str:
     """Band-blocked Hamming near-dups mirroring dedup.simhash_neardup_pairs:
-    4 bands of 4 bits, candidates share a band, verify bit_count(xor)."""
+    4 bands of 16 bits, candidates share a band, verify bit_count(xor).
+    (shift-then-mask yields identical band values in both engines
+    regardless of arithmetic-vs-logical shift on the signed long)."""
     return f"""
         WITH h AS (SELECT doc_id, {_simhash_expr_sql()} AS simhash FROM documents),
         banded AS (
           SELECT doc_id, simhash,
                  unnest([{", ".join(
-                     f"CAST({b} AS VARCHAR) || ':' || CAST((simhash >> {b*4}) & 15 AS VARCHAR)"
+                     f"CAST({b} AS VARCHAR) || ':' || CAST((simhash >> {b*16}) & 65535 AS VARCHAR)"
                      for b in range(4))}]) AS bucket
           FROM h)
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -273,3 +273,30 @@ def test_minhash_index_roundtrip_and_incremental(spark, db, tmp_path):
         [(b, a) for a, b in direct if b >= cut > a] +      # cross: (new, old)
         [(a, b) for a, b in direct if a >= cut and b >= cut])
     assert inc == want
+
+
+def test_simhash_frame_matches_column_expr(spark, db):
+    """The map-reduce simhash_frame must equal the Column-expression
+    simhash bit-for-bit at a shared width (independent implementations)."""
+    from tostore_spark.llmops import dedup as D
+    docs = db.df("documents").limit(50)
+    frame = {r["id"]: r["simhash"] for r in
+             D.simhash_frame(docs, bits=16).collect()}
+    col = {r["doc_id"]: r["sh"] for r in
+           docs.select("doc_id", D.simhash(F.col("text"), 16).alias("sh"))
+               .collect()}
+    assert frame == col and len(frame) == 50
+
+
+def test_simhash_frame_64_tokenless_doc_is_zero(spark):
+    from tostore_spark.llmops import dedup as D
+    df = spark.createDataFrame([(1, "hello world"), (2, "!!!")],
+                               ["doc_id", "text"])
+    out = {r["id"]: r["simhash"] for r in D.simhash_frame(df).collect()}
+    assert out[2] == 0 and out[1] != 0
+
+
+def test_simhash_column_caps_at_62_bits(spark):
+    from tostore_spark.llmops import dedup as D
+    with pytest.raises(ValueError, match="simhash_frame"):
+        D.simhash(F.col("text"), bits=64)

@@ -52,12 +52,19 @@ from tostore_spark.functions.colutil import let_scalar as _let_s  # noqa: E402
 def _spread(df: DataFrame) -> DataFrame:
     """Ensure CPU-heavy per-row stages use the full cluster: small inputs
     arrive as one file-partition locally, which would serialize the hash
-    work on one core.  At scale the input already has >= defaultParallelism
-    partitions and this is a no-op."""
+    work on one core.  The file count is the heuristic — no ``df.rdd``
+    touch (that forces plan analysis plus an RDD conversion barrier); for
+    non-file-backed frames (tests, in-memory mutations) the repartition is
+    cheap by definition.  At 100 TB the scan has >= defaultParallelism
+    file splits and this is a no-op."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:
+        nfiles = 0
+    if nfiles >= target:
+        return df
+    return df.repartition(target)
 
 
 def shingles(text_col: Column, k: int = 5) -> Column:
@@ -197,10 +204,58 @@ def minhash_lsh_pairs_incremental(new_index: DataFrame,
 
 
 # -------------------------------------------------------------- simhash
-def simhash(text_col: Column, bits: int = 16) -> Column:
-    """SimHash over word tokens: bit j of md5(token) votes ±1; sign of the
-    vote sum becomes bit j of the fingerprint.  Pure column math."""
+#: bit value of fingerprint bit j in signed-64 two's complement (bit 63 is
+#: the sign bit — same integer both here and in the DuckDB oracle)
+def _bitval(j: int) -> int:
+    return -(1 << 63) if j == 63 else (1 << j)
+
+
+def simhash_frame(df: DataFrame, text_field: str = "text",
+                  id_field: str = "doc_id", bits: int = 64) -> DataFrame:
+    """(id, simhash) in map-reduce shape: explode tokens to rows, ONE md5
+    per token row, stage the bits/4 hex digits as scalar int columns, then
+    a single hash-aggregate computes all ``bits`` vote sums (map-side
+    partial combine — whole-stage codegen, no interpreted higher-order
+    functions).  The 64-bit fingerprint lives in a signed long; bit 63 is
+    the sign bit, and band extraction masks after the shift so signedness
+    never leaks.  Token-less documents keep fingerprint 0 via the left
+    join, matching the Column variant."""
     from tostore_spark.llmops.text import tokens
+
+    ndig = (bits + 3) // 4
+    base = df.select(F.col(id_field).alias("id"))
+    tok = df.select(F.col(id_field).alias("id"),
+                    F.explode(tokens(F.col(text_field))).alias("t"))
+    staged = tok.select("id", F.md5("t").alias("h")).select(
+        "id", *[F.conv(F.substring("h", p + 1, 1), 16, 10).cast("int")
+                .alias(f"d{p}") for p in range(ndig)])
+    votes = staged.groupBy("id").agg(*[
+        F.sum(F.when(F.col(f"d{j // 4}")
+                     .bitwiseAND(F.lit(1 << (j % 4))) > 0,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"v{j}")
+        for j in range(bits)])
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0,
+                      F.lit(_bitval(j))).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    hashed = votes.select("id", fp.cast("long").alias("simhash"))
+    return (base.join(hashed, on="id", how="left")
+                .select("id", F.coalesce(F.col("simhash"),
+                                         F.lit(0).cast("long")).alias("simhash")))
+
+
+def simhash(text_col: Column, bits: int = 16) -> Column:
+    """SimHash over word tokens as a single Column expression: bit j of
+    md5(token) votes ±1; sign of the vote sum becomes bit j.  One
+    interpreted higher-order aggregate per bit — fine for small widths in
+    expression position; use ``simhash_frame`` (map-reduce, codegen) for
+    the 64-bit production path."""
+    from tostore_spark.llmops.text import tokens
+
+    if bits > 62:
+        raise ValueError("Column simhash caps at 62 bits (signed literal "
+                         "range); use simhash_frame for 64-bit")
 
     def _body(toks):
         out = F.lit(0).cast("long")
@@ -220,17 +275,20 @@ def simhash(text_col: Column, bits: int = 16) -> Column:
 
 
 def simhash_dedup(df: DataFrame, text_field: str = "text",
-                  id_field: str = "doc_id", bits: int = 16) -> DataFrame:
-    """Group by identical SimHash (bucket key = the hash itself)."""
-    df = _spread(df)
-    return (df.withColumn("simhash", simhash(F.col(text_field), bits))
-              .groupBy("simhash")
-              .agg(F.min(F.col(id_field)).alias("keeper_id"),
+                  id_field: str = "doc_id", bits: int = 64) -> DataFrame:
+    """Group by identical SimHash (bucket key = the hash itself).
+
+    64-bit default: a 16-bit fingerprint has only 65k distinct values, so
+    a large corpus collapses into giant buckets; 64 bits keeps buckets
+    genuine-duplicate-sized at any corpus scale."""
+    h = simhash_frame(_spread(df), text_field, id_field, bits)
+    return (h.groupBy("simhash")
+              .agg(F.min(F.col("id")).alias("keeper_id"),
                    F.count(F.lit(1)).alias("n_copies")))
 
 
 def simhash_neardup_pairs(df: DataFrame, text_field: str = "text",
-                          id_field: str = "doc_id", bits: int = 16,
+                          id_field: str = "doc_id", bits: int = 64,
                           bands: int = 4,
                           max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance ``max_hamming``.
@@ -239,14 +297,17 @@ def simhash_neardup_pairs(df: DataFrame, text_field: str = "text",
     ``bands`` equal bit-bands — by pigeonhole, any pair within Hamming
     distance < bands shares at least one exact band — block on
     (band_index, band_value), then verify bit_count(xor) exactly on the
-    candidates.  Requires ``max_hamming < bands`` for full recall."""
+    candidates.  Requires ``max_hamming < bands`` for full recall.
+
+    64-bit/4-band default = 16-bit band values: ~4 billion distinct
+    (band, value) buckets, so the a<b candidate self-join stays linear at
+    corpus scale (16-bit/4-band had <=64 buckets — quadratic)."""
     if max_hamming >= bands:
         raise ValueError("pigeonhole recall needs max_hamming < bands")
     width = bits // bands
     mask = (1 << width) - 1
-    base = (_spread(df)
-            .select(F.col(id_field).alias("id"),
-                    simhash(F.col(text_field), bits).alias("sh")))
+    base = (simhash_frame(_spread(df), text_field, id_field, bits)
+            .withColumnRenamed("simhash", "sh"))
     banded = base.select(
         "id", "sh",
         F.explode(F.array(*[
