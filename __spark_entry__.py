@@ -1389,12 +1389,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY source""",
         "q_corpus_clean": _corpus_clean_oracle(),
         "q_corpus_shards": f"""
-            WITH t AS (SELECT doc_id, CAST(len({_TOKENS}) AS INT) AS n_tokens
+            WITH t AS (SELECT doc_id, CAST(len({_TOKENS}) AS INT) AS n_tokens,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           % 32 AS grp
                        FROM documents),
-            r AS (SELECT doc_id, n_tokens,
-                         row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+            r AS (SELECT doc_id, n_tokens, grp,
+                         row_number() OVER (PARTITION BY grp
+                                            ORDER BY n_tokens DESC, doc_id) AS rn
                   FROM t)
-            SELECT CAST((rn - 1) % 8 AS INT) AS shard,
+            SELECT CAST((rn - 1 + grp) % 8 AS INT) AS shard,
                    CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
                    count(*) AS n_docs
             FROM r GROUP BY 1""",

@@ -155,11 +155,32 @@ def test_hash_sample_deterministic_and_pushdown(spark, db):
 def test_shard_by_tokens_balanced(spark, db):
     from pyspark.sql import functions as F
     from tostore_spark.llmops import pipeline as P
+    # distributed LPT default: balanced within 10% of fair share
     out = P.shard_by_tokens(db.df("documents"), n_shards=4)
     totals = [r["t"] for r in
               out.groupBy("shard").agg(F.sum("n_tokens").alias("t")).collect()]
     assert len(totals) == 4
     assert max(totals) - min(totals) < 0.1 * (sum(totals) / 4), totals
+    # exact single-window variant: near-perfect balance
+    ex = P.shard_by_tokens(db.df("documents"), n_shards=4, exact=True)
+    et = [r["t"] for r in
+          ex.groupBy("shard").agg(F.sum("n_tokens").alias("t")).collect()]
+    assert max(et) - min(et) < 0.02 * (sum(et) / 4), et
+
+
+def test_shard_by_tokens_distributed_has_no_global_window(spark, db):
+    """The default path must never move the corpus through one reducer:
+    every Window in the plan is partitioned (by the __grp hash group)."""
+    import re
+    from tostore_spark.llmops import pipeline as P
+    plan = (P.shard_by_tokens(db.df("documents"), n_shards=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "__grp" in m.group(1), f"unpartitioned window: {m.group(0)}"
+    # the exact variant is the documented opt-in exception
+    plan_ex = (P.shard_by_tokens(db.df("documents"), n_shards=4, exact=True)
+               ._jdf.queryExecution().executedPlan().toString())
+    assert "windowspecdefinition" in plan_ex
 
 
 def test_clean_corpus_filters(spark, db):
@@ -300,3 +321,35 @@ def test_simhash_column_caps_at_62_bits(spark):
     from tostore_spark.llmops import dedup as D
     with pytest.raises(ValueError, match="simhash_frame"):
         D.simhash(F.col("text"), bits=64)
+
+
+def test_planes_for_corpus_scales_with_size(spark):
+    from tostore_spark.llmops.dedup import planes_for_corpus
+    assert planes_for_corpus(500) == 8            # floor dominates small
+    assert planes_for_corpus(10**6) == 12         # 2^12 buckets of ~256
+    assert planes_for_corpus(10**12) == 32        # trillion-row corpus
+    assert planes_for_corpus(0) == 8              # empty corpus safe
+
+
+def test_lsh_bucket_sizes_bounded_on_random_corpus(spark):
+    """With auto planes, no sign bucket exceeds the target size on a
+    seeded random corpus (the quadratic-bucket guard)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from tostore_spark.llmops.dedup import planes_for_corpus
+    from tostore_spark.vector import lsh_bucket_column, random_hyperplanes
+    rng = np.random.default_rng(11)
+    n, dim, target = 2000, 16, 64
+    rows = [(i, [float(x) for x in rng.standard_normal(dim)])
+            for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    planes = random_hyperplanes(dim, planes_for_corpus(n, target))
+    sizes = [r["c"] for r in
+             df.select(lsh_bucket_column(F.col("embedding"), planes)
+                       .alias("b"))
+               .groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()]
+    # planes aren't orthogonal, so cells are uneven — but none may exceed
+    # a small multiple of the target (the quadratic-bucket guard), and the
+    # mean must sit at or below it
+    assert max(sizes) <= 2 * target, max(sizes)
+    assert n / len(sizes) <= target

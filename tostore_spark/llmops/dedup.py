@@ -408,22 +408,41 @@ def ngram_jaccard_pairs(df: DataFrame, text_field: str = "text",
 
 
 # ------------------------------------------------- embedding near-dup
+def planes_for_corpus(n_rows: int, target_bucket: int = 256,
+                      floor: int = 8) -> int:
+    """Corpus-size-aware LSH plane count: 2^planes sign buckets sized so
+    the average bucket holds ~``target_bucket`` vectors.  A fixed plane
+    count (the old default of 8 → 256 buckets) goes quadratic once the
+    corpus outgrows buckets·target: a trillion-row corpus needs ~32
+    planes, not 8."""
+    import math
+
+    return max(floor, math.ceil(math.log2(max(1.0, n_rows / target_bucket))))
+
+
 def embedding_neardup_pairs(df: DataFrame, vec_field: str = "embedding",
                             id_field: str = "vec_id",
                             group_field: str | None = None,
-                            max_cosine_distance: float = 0.05) -> DataFrame:
+                            max_cosine_distance: float = 0.05,
+                            n_planes: int | None = None,
+                            target_bucket: int = 256) -> DataFrame:
     """Cosine near-duplicates among embeddings.
 
     Candidates are blocked on `group_field` when given (else an LSH sign
     bucket — see vector.lsh_bucket_column — so the join never goes all-pairs
     at scale).  Exact cosine verification on candidates only.
-    """
+
+    ``n_planes`` defaults to ``planes_for_corpus(count)`` so bucket sizes
+    track corpus growth (one count job at plan time; pass ``n_planes``
+    explicitly to skip it)."""
     from tostore_spark.vector import lsh_bucket_column, random_hyperplanes
 
     if group_field is None:
         dim_row = df.select(F.size(F.col(vec_field)).alias("d")).take(1)
         dim = dim_row[0]["d"] if dim_row else 0
-        planes = random_hyperplanes(dim, 8)
+        if n_planes is None:
+            n_planes = planes_for_corpus(df.count(), target_bucket)
+        planes = random_hyperplanes(dim, n_planes)
         base = df.select(F.col(id_field).alias("id"), F.col(vec_field).alias("v"),
                          lsh_bucket_column(F.col(vec_field), planes).alias("bucket"))
     else:

@@ -75,15 +75,36 @@ def clean_corpus(df: DataFrame, min_quality: float = 0.5,
 
 def shard_by_tokens(df: DataFrame, n_shards: int,
                     text_field: str = "text",
-                    id_field: str = "doc_id") -> DataFrame:
+                    id_field: str = "doc_id",
+                    exact: bool = False,
+                    n_groups: int = 32) -> DataFrame:
     """Assign documents to ``n_shards`` training shards balanced by token
-    count: rank by tokens desc (id tiebreak), deal round-robin — the
-    longest-processing-time greedy in one window pass.  Output adds
-    (n_tokens, shard).  At 100 TB the single global window is the cost of
-    exact balance; hash sharding (no shuffle) is the cheap alternative when
-    approximate balance suffices."""
+    count.  Output adds (n_tokens, shard).
+
+    Default (distributed LPT): documents split into ``n_groups``
+    deterministic hash groups (md5 of id — each group is a uniform random
+    slice of the corpus); each group independently ranks by tokens desc
+    (id tiebreak) and deals round-robin with the group index as offset so
+    the per-group largest docs fan across different shards.  Every window
+    is partitioned — no single reducer ever sorts the corpus — and the sum
+    of n_groups independent balanced deals stays balanced (per-shard error
+    is O(n_groups · max_doc_tokens) instead of the hash-shard O(total/√n)).
+
+    ``exact=True`` keeps the single global-window LPT: perfect round-robin
+    balance, at the cost of a one-reducer sort — fine up to tens of
+    millions of rows, not at corpus scale."""
     toks = TX.token_count(F.col(text_field))
-    w = Window.orderBy(F.col("n_tokens").desc(), F.col(id_field).asc())
-    return (df.withColumn("n_tokens", toks)
-              .withColumn("shard",
-                          ((F.row_number().over(w) - 1) % n_shards).cast("int")))
+    out = df.withColumn("n_tokens", toks)
+    if exact:
+        w = Window.orderBy(F.col("n_tokens").desc(), F.col(id_field).asc())
+        return out.withColumn(
+            "shard", ((F.row_number().over(w) - 1) % n_shards).cast("int"))
+    grp = (F.conv(F.substring(F.md5(F.col(id_field).cast("string")), 1, 8),
+                  16, 10).cast("long") % n_groups)
+    w = (Window.partitionBy("__grp")
+         .orderBy(F.col("n_tokens").desc(), F.col(id_field).asc()))
+    return (out.withColumn("__grp", grp)
+               .withColumn("shard",
+                           ((F.row_number().over(w) - 1 + F.col("__grp"))
+                            % n_shards).cast("int"))
+               .drop("__grp"))
