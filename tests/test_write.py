@@ -222,3 +222,58 @@ def test_expr_when_single_branch(spark):
                                             otherwise=1)})
     ages = {r["id"]: r["age"] for r in db.df("users").collect()}
     assert ages == {"u1": 15, "u2": 1}
+
+
+def test_update_unique_collision_raises(spark):
+    """Updating a unique field into a collision fails the whole update
+    (data_store_impl.dart:2440-2470) ..."""
+    db = fresh(spark)
+    db.create_table(users_schema())
+    db.batch_insert("users", [
+        {"id": "u1", "name": "a", "age": 1, "email": "a@x"},
+        {"id": "u2", "name": "b", "age": 2, "email": "b@x"},
+        {"id": "u3", "name": "c", "age": 3, "email": "c@x"}])
+    # two matched rows -> same constant unique value = collision
+    with pytest.raises(ValueError, match="unique"):
+        db.update("users").where("age", "<", 3).set({"email": "same@x"})
+    # collision with an untouched row's existing value
+    with pytest.raises(ValueError, match="unique"):
+        db.update("users").where("id", "=", "u1").set({"email": "c@x"})
+    # state unchanged after the failed updates
+    assert sorted(r["email"] for r in db.query("users").run()) == \
+        ["a@x", "b@x", "c@x"]
+
+
+def test_update_continue_on_partial_errors_skips_colliders(spark):
+    """... with continue_on_partial_errors() the colliding records are
+    skipped and the rest apply (failedKeys semantics,
+    data_store_impl.dart:2750-2800)."""
+    db = fresh(spark)
+    db.create_table(users_schema())
+    db.batch_insert("users", [
+        {"id": "u1", "name": "a", "age": 1, "email": "a@x"},
+        {"id": "u2", "name": "b", "age": 2, "email": "b@x"},
+        {"id": "u3", "name": "c", "age": 3, "email": "c@x"}])
+    # both matched rows target the same value: lowest pk wins, other skips
+    n = (db.update("users").where("age", "<", 3)
+         .continue_on_partial_errors().set({"email": "same@x"}))
+    assert n == 1
+    emails = {r["id"]: r["email"] for r in db.query("users").run()}
+    assert emails == {"u1": "same@x", "u2": "b@x", "u3": "c@x"}
+    # target collides with an untouched row: the whole record is skipped
+    n2 = (db.update("users").where("id", "=", "u2")
+          .continue_on_partial_errors().set({"email": "c@x"}))
+    assert n2 == 0
+    assert {r["id"]: r["email"] for r in db.query("users").run()} == \
+        {"u1": "same@x", "u2": "b@x", "u3": "c@x"}
+
+
+def test_update_nonunique_fields_unaffected_by_flag(spark):
+    db = fresh(spark)
+    db.create_table(users_schema())
+    db.batch_insert("users", [
+        {"id": "u1", "name": "a", "age": 1, "email": "a@x"},
+        {"id": "u2", "name": "b", "age": 2, "email": "b@x"}])
+    n = db.update("users").allow_update_all().set({"name": "same"})
+    assert n == 2
+    assert all(r["name"] == "same" for r in db.query("users").run())

@@ -67,6 +67,12 @@ class ToStoreSpark:
         self._tables: dict[tuple[str, str], dict] = {}
         if data_dir:
             self.register_dir(data_dir)
+        # durable store: overlay the last flushed state (versioned parquet
+        # + manifest under `warehouse`) on top of the data_dir sources —
+        # the WAL-recovery analog (wal_manager.dart durability intent)
+        if warehouse:
+            from tostore_spark import store as _store
+            _store.load_warehouse(self)
 
     # ---- registry -----------------------------------------------------
     def register_dir(self, data_dir: str, is_global: bool = False) -> None:
@@ -352,15 +358,29 @@ class ToStoreSpark:
         return None
 
     # ---- lifecycle / diagnostics (tostore.dart:1035-1172) -------------
-    def flush(self, flush_storage: bool = True) -> None:
-        """Materialize pending lineage: every table with chained mutations
-        is cut with an eager localCheckpoint (the WAL-flush analog,
-        tostore.dart:1035)."""
-        for key, ent in self._tables.items():
-            if self._generations.get(key, 0) > 0:
-                ent["df"] = ent["df"].localCheckpoint(eager=True)
+    def flush(self, flush_storage: bool = True) -> list[str]:
+        """Make pending mutations durable (tostore.dart:1035).
+
+        With a ``warehouse`` configured, every dirty table is written to
+        ``<warehouse>/<space>/<table>/v<generation>/`` by the distributed
+        parquet writer, the manifest is atomically replaced, and the table
+        is re-registered from the written files (lineage cut + memory
+        released + durable — reopening ``ToStoreSpark(spark, data_dir,
+        warehouse=...)`` resumes from exactly this state).  Without a
+        warehouse (or flush_storage=False), dirty tables are only
+        localCheckpoint-ed: a memory barrier, NOT durable — mutations die
+        with the session, as README limitations document."""
+        from tostore_spark import store as _store
+        flushed = _store.flush_tables(self, flush_storage=flush_storage)
         if hasattr(self, "_mutations"):
             self._mutations.clear()
+        return flushed
+
+    def vacuum(self, keep: int = 1) -> int:
+        """Prune superseded version directories in the warehouse, keeping
+        the ``keep`` newest per table (current always survives)."""
+        from tostore_spark import store as _store
+        return _store.vacuum(self, keep=keep)
 
     def close(self, keep_active_space: bool = True) -> None:
         """Release engine-held resources: result cache, vector indexes,

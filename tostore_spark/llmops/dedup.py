@@ -172,11 +172,14 @@ def minhash_lsh_pairs(df: DataFrame, text_field: str = "text",
     stage entirely.
     """
     if index is None:
-        # memory-persist barrier so both self-join branches read the index
-        # instead of recomputing the signatures (write it out at scale)
+        # eager localCheckpoint barrier so both self-join branches read the
+        # materialized index instead of recomputing the signatures; unlike
+        # .persist() the blocks are released by the ContextCleaner once the
+        # frame is unreferenced, so repeated calls don't pin executor
+        # memory.  Write the index out (minhash_band_index + storage) at
+        # scale and pass it back in.
         index = minhash_band_index(df, text_field, id_field, num_hashes,
-                                   bands, shingle_k).persist()
-        index.count()
+                                   bands, shingle_k).localCheckpoint(eager=True)
     a, b = index.alias("a"), index.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.id") < F.col("b.id")))

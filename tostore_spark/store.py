@@ -1,0 +1,170 @@
+"""Durable table store: versioned parquet directories + an atomic manifest.
+
+The batch analog of the reference's WAL-backed persistence
+(lib/src/core/wal_manager.dart, table_data_manager.dart:4378): the
+reference makes every mutation durable via WAL + page flushes; here the
+durability unit is the *flush* — ``engine.flush()`` writes each dirty
+table's current DataFrame to ``<warehouse>/<space>/<table>/v<generation>/``
+with the normal distributed parquet writer (no driver bottleneck), then
+atomically replaces ``<warehouse>/manifest.json``.  A new engine opened on
+the same warehouse resumes from the last flushed state — the WAL recovery
+analog without porting the WAL.
+
+Layout:
+    <warehouse>/manifest.json            # atomic (tmp + rename)
+    <warehouse>/<space>/<table>/v<N>/    # parquet snapshot at generation N
+
+The manifest also carries the KV namespace, known spaces, and per-space
+user version numbers, mirroring what the reference persists in its system
+tables.  Old versions are retained for time-travel-ish safety until
+``vacuum()`` prunes them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from tostore_spark.backup import _schema_from_dict, _schema_to_dict
+
+MANIFEST = "manifest.json"
+
+
+def manifest_path(warehouse: str) -> str:
+    return os.path.join(warehouse, MANIFEST)
+
+
+def read_manifest(warehouse: str) -> Optional[dict]:
+    p = manifest_path(warehouse)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def write_manifest(warehouse: str, manifest: dict) -> None:
+    """Crash-safe replace: a torn write can never corrupt the manifest."""
+    os.makedirs(warehouse, exist_ok=True)
+    tmp = manifest_path(warehouse) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    os.replace(tmp, manifest_path(warehouse))
+
+
+def table_version_dir(warehouse: str, space: str, table: str,
+                      version: int) -> str:
+    return os.path.join(warehouse, space, table, f"v{version}")
+
+
+def flush_tables(engine, flush_storage: bool = True) -> list[str]:
+    """Write every dirty table (generation advanced past its last flushed
+    generation) to the warehouse and re-register it from the written
+    parquet — one pass that both bounds lineage and makes the mutation
+    durable.  Without a warehouse (or with flush_storage=False) dirty
+    tables are only localCheckpoint-ed (memory barrier, NOT durable).
+    Returns the list of flushed table names."""
+    flushed: list[str] = []
+    wh = engine._warehouse
+    if not hasattr(engine, "_flushed_gen"):
+        engine._flushed_gen = {}
+    for key, ent in list(engine._tables.items()):
+        gen = engine._generations.get(key, 0)
+        if gen <= engine._flushed_gen.get(key, 0):
+            continue   # never mutated, or unchanged since last flush
+        if flush_storage and wh:
+            vdir = table_version_dir(wh, key[0], key[1], gen)
+            ent["df"].write.mode("overwrite").parquet(vdir)
+            ent["df"] = engine._read_parquet(vdir)
+            ent["path"] = vdir
+            engine._flushed_gen[key] = gen
+            flushed.append(key[1])
+        elif gen > 0:
+            ent["df"] = ent["df"].localCheckpoint(eager=True)
+    if flush_storage and wh:
+        write_manifest(wh, _build_manifest(engine))
+    return flushed
+
+
+def _build_manifest(engine) -> dict:
+    tables = {}
+    wh = os.path.abspath(engine._warehouse)
+    for (space, name), ent in engine._tables.items():
+        path = ent.get("path")
+        if path and os.path.abspath(path).startswith(wh):
+            tables[f"{space}/{name}"] = {
+                "space": space, "name": name, "path": path,
+                "version": engine._generations.get((space, name), 0),
+                "global": ent["global"],
+                "schema": _schema_to_dict(ent["schema"]),
+            }
+    manifest = {
+        "tables": tables,
+        "spaces": sorted(engine._known_spaces),
+        "versions": getattr(engine, "_versions", {}),
+    }
+    if hasattr(engine, "_kv"):
+        manifest["kv"] = [
+            [sp, key, val, exp.isoformat() if exp else None]
+            for (sp, key), (val, exp) in engine._kv.snapshot().items()]
+    return manifest
+
+
+def load_warehouse(engine) -> list[str]:
+    """Overlay the last flushed state onto the engine's registry (flushed
+    tables shadow same-named data_dir sources); restores KV, spaces and
+    version numbers.  Returns loaded table names."""
+    man = read_manifest(engine._warehouse)
+    if not man:
+        return []
+    loaded = []
+    for ent in man["tables"].values():
+        sch = _schema_from_dict(ent["schema"])
+        key = (ent["space"], ent["name"])
+        engine._tables[key] = {
+            "df": engine._read_parquet(ent["path"]),
+            "path": ent["path"], "schema": sch, "global": ent["global"],
+        }
+        engine._generations[key] = ent.get("version", 0)
+        if not hasattr(engine, "_flushed_gen"):
+            engine._flushed_gen = {}
+        engine._flushed_gen[key] = ent.get("version", 0)
+        loaded.append(ent["name"])
+    for sp in man.get("spaces", []):
+        engine._known_spaces.add(sp)
+    if man.get("versions"):
+        engine._versions = {sp: int(v) for sp, v in man["versions"].items()}
+    if man.get("kv"):
+        import datetime
+        engine.kv.restore({
+            (sp, key): (val,
+                        datetime.datetime.fromisoformat(exp) if exp else None)
+            for sp, key, val, exp in man["kv"]})
+    return loaded
+
+
+def vacuum(engine, keep: int = 1) -> int:
+    """Prune old version directories, keeping the ``keep`` most recent per
+    table (the current one always survives).  Returns directories removed."""
+    import shutil
+
+    man = read_manifest(engine._warehouse) or {"tables": {}}
+    current = {(e["space"], e["name"]): e["path"]
+               for e in man["tables"].values()}
+    removed = 0
+    wh = engine._warehouse
+    for (space, name), cur_path in current.items():
+        tdir = os.path.join(wh, space, name)
+        if not os.path.isdir(tdir):
+            continue
+        versions = sorted(
+            (d for d in os.listdir(tdir)
+             if d.startswith("v") and d[1:].isdigit()),
+            key=lambda d: int(d[1:]), reverse=True)
+        for d in versions[keep:]:
+            full = os.path.join(tdir, d)
+            if os.path.abspath(full) == os.path.abspath(cur_path):
+                continue
+            shutil.rmtree(full)
+            removed += 1
+    return removed

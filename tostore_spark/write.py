@@ -21,7 +21,7 @@ from __future__ import annotations
 import time
 from typing import Any, Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -494,6 +494,10 @@ class UpdateBuilder(_MutationBuilder):
         return self
 
     def continue_on_partial_errors(self):
+        """With this flag an update that would collide on a unique field
+        skips the colliding records and applies the rest
+        (data_store_impl.dart:2750-2800 failedKeys semantics); without it
+        any collision fails the whole update."""
         self._continue_partial = True
         return self
 
@@ -527,15 +531,57 @@ class UpdateBuilder(_MutationBuilder):
         def resolver(name: str):
             return F.col(name)
 
-        out = df
+        new_cols: dict[str, Column] = {}
         for fld, v in values.items():
             newv = v.to_column(resolver) if isinstance(v, Expr) else F.lit(v)
             if fld in df.columns:
                 ftype = dict((f.name, f.dataType) for f in df.schema.fields)[fld]
                 newv = newv.cast(ftype)
-            out = out.withColumn(fld, F.when(pred, newv).otherwise(F.col(fld)))
-        for c in temp_cols:
-            out = out.drop(c)
+            new_cols[fld] = newv
+
+        # unique-constraint enforcement (data_store_impl.dart:2440-2800):
+        # a record whose new value for a declared-unique field collides —
+        # with an untouched row, or with another updated row — fails.
+        # Without continue_on_partial_errors any failure aborts the whole
+        # update; with it the failing records are skipped and the rest
+        # apply.  Keeper preference per colliding value: untouched rows
+        # first, then the lowest primary key (deterministic).
+        sch = self._engine.schema(self._table)
+        uniq = [f.name for f in sch.fields if f.unique and f.name in new_cols]
+        fail = F.lit(False)
+        staged = df.withColumn("__upd", pred)
+        if uniq:
+            pk = self._engine.primary_key(self._table) or df.columns[0]
+            for fld in uniq:
+                staged = staged.withColumn(
+                    f"__new_{fld}",
+                    F.when(F.col("__upd"), new_cols[fld]).otherwise(F.col(fld)))
+                w = (Window.partitionBy(F.col(f"__new_{fld}"))
+                     .orderBy(F.col("__upd").asc(), F.col(pk).asc()))
+                staged = staged.withColumn(f"__rn_{fld}",
+                                           F.row_number().over(w))
+                fail = fail | (F.col("__upd")
+                               & F.col(f"__new_{fld}").isNotNull()
+                               & (F.col(f"__rn_{fld}") > 1))
+        staged = staged.withColumn("__fail", fail)
+        if uniq:
+            n_failed = staged.filter("__fail").count()
+            if n_failed:
+                if not getattr(self, "_continue_partial", False):
+                    raise ValueError(
+                        f"update would violate unique constraint on "
+                        f"{uniq} for {n_failed} record(s); use "
+                        "continue_on_partial_errors() to skip them")
+                if n >= 0:
+                    n -= n_failed
+        apply_c = F.col("__upd") & ~F.col("__fail")
+        out = staged
+        for fld, newv in new_cols.items():
+            out = out.withColumn(fld,
+                                 F.when(apply_c, newv).otherwise(F.col(fld)))
+        drop = (["__upd", "__fail"] + temp_cols
+                + [c for f in uniq for c in (f"__new_{f}", f"__rn_{f}")])
+        out = out.drop(*drop)
         self._engine.set_df(self._table, out)
         return n
 
