@@ -658,6 +658,42 @@ def q_token_count_bpe(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_docs")))
 
 
+def q_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary table (tokenizer-training / idf input): per-token
+    total occurrences and document frequency, top 50 by tf."""
+    db = _db(spark, sf_dir)
+    return (TX.vocab_stats(db.df("documents"))
+            .orderBy(F.col("tf").desc(), F.col("token").asc())
+            .limit(50))
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id < 480) sharing
+    >= 2 distinct word-5-grams with an eval doc (doc_id >= 480)."""
+    db = _db(spark, sf_dir)
+    docs = db.df("documents")
+    return D.contamination_pairs(docs.filter(F.col("doc_id") < 480),
+                                 docs.filter(F.col("doc_id") >= 480),
+                                 n=5, min_overlap=2)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction pass: synthetic emails/IPs/id-numbers are injected
+    deterministically (the corpus has none), then counted and redacted —
+    the hash of the redacted text certifies the rewrite byte-for-byte."""
+    db = _db(spark, sf_dir)
+    d = F.col("doc_id")
+    injected = db.df("documents").withColumn(
+        "text2",
+        F.concat(F.col("text"), F.lit(" contact user"), d.cast("string"),
+                 F.lit("@example.com ip 10.0.0."),
+                 (d % 256).cast("string"), F.lit(" id "),
+                 (d * 1000003 + 123456).cast("string")))
+    return (TX.pii_scrub(injected, text_field="text2")
+            .select("doc_id", "n_emails", "n_ips", "n_digit_runs",
+                    F.md5(F.col("text_redacted")).alias("red_hash")))
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals: top-token and top-bigram
     fractions per document."""
@@ -991,6 +1027,28 @@ def q_backup_restore(spark, sf_dir):
     return out
 
 
+def q_flush_reopen(spark, sf_dir):
+    """Durable mutation persistence (the WAL-recovery analog of
+    wal_manager.dart): update + delete on nation, flush() writes the dirty
+    table to a versioned warehouse dir + manifest, and a BRAND-NEW engine
+    opened on that warehouse must read back exactly the mutated state."""
+    import tempfile
+    db = _db(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        db1 = ToStoreSpark(spark, warehouse=tmp)
+        db1.register_table("nation", df=db.df("nation"))
+        # register_table seeds generation 0; mutations below dirty it
+        db1.update("nation", {"n_name": "FLUSHED"}) \
+           .where("n_nationkey", "=", 0).execute()
+        db1.delete("nation").where("n_nationkey", ">", 20).execute()
+        db1.flush()
+        db2 = ToStoreSpark(spark, warehouse=tmp)
+        out = db2.df("nation").select("n_nationkey", "n_name", "n_regionkey")
+        out = out.persist()
+        out.count()  # materialize before the tmpdir disappears
+    return out
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -1020,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ttl_filter": q_ttl_filter,
         "q_schema_migration": q_schema_migration,
         "q_backup_restore": q_backup_restore,
+        "q_flush_reopen": q_flush_reopen,
         "q_batch_export_page": q_batch_export_page,
         "q_join5_regional": q_join5_regional,
         "q_bucketed_join": q_bucketed_join,
@@ -1043,7 +1102,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
         "q_dedup_incremental": q_dedup_incremental,
         "q_ngram_jaccard": q_ngram_jaccard,
-        # --- slots 34-50: stable r2 greens (re-certified this round) ---
+        # --- new in r3: must sit inside the cap ---
+        "q_vocab_stats": q_vocab_stats,
+        "q_contamination": q_contamination,
+        "q_pii_scrub": q_pii_scrub,
+        # --- remaining slots: stable r2 greens (re-certified this round) ---
         "q_filter_sort_limit": q_filter_sort_limit,
         "q_groupby_having": q_groupby_having,
         "q_join_inner_group": q_join_inner_group,
@@ -1324,6 +1387,52 @@ def oracle_sql() -> dict[str, str]:
                OR (x.doc_id >= 450 AND y.doc_id >= 450 AND x.doc_id < y.doc_id)"""),
         "q_dedup_simhash": _simhash_oracle(),
         "q_dedup_simhash_near": _simhash_near_oracle(),
+        "q_vocab_stats": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKENS}) AS token
+                         FROM documents),
+            pd AS (SELECT doc_id, token, count(*) AS n
+                   FROM tok GROUP BY 1, 2)
+            SELECT token, CAST(sum(n) AS BIGINT) AS tf, count(*) AS df
+            FROM pd GROUP BY token
+            ORDER BY tf DESC, token LIMIT 50""",
+        "q_contamination": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+            g AS (SELECT doc_id,
+                         CASE WHEN len(t) >= 5 THEN
+                           list_distinct([array_to_string(t[i:i+4], ' ')
+                                          for i in range(1, len(t) - 3)])
+                         ELSE [] END AS grams
+                  FROM toks),
+            tg AS (SELECT doc_id AS train_id, unnest(grams) AS gr
+                   FROM g WHERE doc_id < 480),
+            bg AS (SELECT doc_id AS bench_id, unnest(grams) AS gr
+                   FROM g WHERE doc_id >= 480)
+            SELECT tg.train_id, bg.bench_id, count(*) AS n_shared
+            FROM tg JOIN bg USING (gr)
+            GROUP BY 1, 2 HAVING count(*) >= 2""",
+        "q_pii_scrub": """
+            WITH inj AS (SELECT doc_id,
+                  text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com ip 10.0.0.'
+                       || CAST(doc_id % 256 AS VARCHAR) || ' id '
+                       || CAST(doc_id * 1000003 + 123456 AS VARCHAR) AS t2
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t2,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                        AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(t2,
+                        '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                        AS INT) AS n_ips,
+                   CAST(len(regexp_extract_all(t2, '\\b[0-9]{6,}\\b'))
+                        AS INT) AS n_digit_runs,
+                   md5(regexp_replace(regexp_replace(regexp_replace(t2,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g'),
+                        '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                        '<IP>', 'g'),
+                        '\\b[0-9]{6,}\\b', '<NUM>', 'g')) AS red_hash
+            FROM inj""",
         "q_ngram_jaccard": _ngram_jaccard_oracle(),
         "q_neardup_embedding": f"""
             WITH base AS (SELECT vec_id AS id, {_lsh_bucket_sql('embedding')} AS bucket,
@@ -1494,6 +1603,12 @@ def oracle_sql() -> dict[str, str]:
         "q_batch_export_page": """
             SELECT c_custkey, c_name FROM customer
             ORDER BY c_custkey LIMIT 40 OFFSET 80""",
+        "q_flush_reopen": """
+            SELECT n_nationkey,
+                   CASE WHEN n_nationkey = 0 THEN 'FLUSHED' ELSE n_name END
+                       AS n_name,
+                   n_regionkey
+            FROM nation WHERE n_nationkey <= 20""",
         "q_backup_restore": """
             SELECT n_nationkey, n_name, n_regionkey FROM nation""",
     }

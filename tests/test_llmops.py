@@ -353,3 +353,44 @@ def test_lsh_bucket_sizes_bounded_on_random_corpus(spark):
     # mean must sit at or below it
     assert max(sizes) <= 2 * target, max(sizes)
     assert n / len(sizes) <= target
+
+
+def test_vocab_stats_counts(spark):
+    from tostore_spark.llmops.text import vocab_stats
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry")],
+        ["doc_id", "text"])
+    out = {r["token"]: (r["tf"], r["df"]) for r in vocab_stats(df).collect()}
+    assert out == {"apple": (2, 1), "banana": (2, 2), "cherry": (1, 1)}
+    filtered = {r["token"] for r in vocab_stats(df, min_df=2).collect()}
+    assert filtered == {"banana"}
+
+
+def test_contamination_pairs_finds_overlap(spark):
+    from tostore_spark.llmops.dedup import contamination_pairs
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    train = spark.createDataFrame(
+        [(1, shared + " tail words here"),
+         (2, "totally different content with many words")],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, shared + " other ending tokens")], ["doc_id", "text"])
+    out = [(r["train_id"], r["bench_id"]) for r in
+           contamination_pairs(train, bench, n=5, min_overlap=2).collect()]
+    assert out == [(1, 100)]
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from tostore_spark.llmops.text import pii_scrub
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.io or c@d.org, ip 10.0.0.1, acct 12345678 ok"),
+         (2, "clean text with no pii at all")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_digit_runs"]) \
+        == (2, 1, 1)
+    assert out[1]["text_redacted"] == \
+        "mail <EMAIL> or <EMAIL>, ip <IP>, acct <NUM> ok"
+    assert out[2]["text_redacted"] == out[2]["text"]
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_digit_runs"]) \
+        == (0, 0, 0)

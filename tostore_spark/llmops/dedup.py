@@ -410,6 +410,28 @@ def ngram_jaccard_pairs(df: DataFrame, text_field: str = "text",
              .dropDuplicates(["id_a", "id_b"]))
 
 
+def contamination_pairs(train: DataFrame, bench: DataFrame,
+                        n: int = 5, min_overlap: int = 2,
+                        text_field: str = "text",
+                        id_field: str = "doc_id") -> DataFrame:
+    """Benchmark-contamination check: training docs sharing at least
+    ``min_overlap`` distinct word n-grams with an evaluation doc —
+    the standard decontamination pass before a training run.
+
+    Map-reduce shape: both sides explode their distinct n-grams, meet in
+    an equi-join on the gram (n >= 5 word grams are near-unique, so gram
+    buckets stay tiny), and a hash-aggregate counts shared grams per
+    (train, bench) pair.  Output: (train_id, bench_id, n_shared)."""
+    tg = train.select(F.col(id_field).alias("train_id"),
+                      F.explode(word_ngrams(F.col(text_field), n)).alias("g"))
+    bg = bench.select(F.col(id_field).alias("bench_id"),
+                      F.explode(word_ngrams(F.col(text_field), n)).alias("g"))
+    return (tg.join(bg, on="g")
+              .groupBy("train_id", "bench_id")
+              .agg(F.count(F.lit(1)).alias("n_shared"))
+              .filter(F.col("n_shared") >= min_overlap))
+
+
 # ------------------------------------------------- embedding near-dup
 def planes_for_corpus(n_rows: int, target_bucket: int = 256,
                       floor: int = 8) -> int:

@@ -151,6 +151,59 @@ def repetition_stats(df: DataFrame, text_field: str = "text",
                      / F.col("__n_bg")).alias("top_bigram_frac")))
 
 
+def vocab_stats(df: DataFrame, text_field: str = "text",
+                id_field: str = "doc_id", min_df: int = 1) -> DataFrame:
+    """Corpus vocabulary table: per token, total occurrences (``tf``) and
+    document frequency (``df``) — the input to tokenizer training, idf
+    weighting, and boilerplate-token detection.
+
+    Map-reduce shape: explode tokens, one hash-aggregate per (doc, token)
+    for within-doc counts (map-side partial combine), then one aggregate
+    per token summing tf and counting docs — shuffle keys are (doc, token)
+    then token, both uniformly distributed; nothing quadratic at corpus
+    scale."""
+    t = F.col(text_field)
+    per_doc = (df.select(F.col(id_field).alias("id"),
+                         F.explode(tokens(t)).alias("token"))
+                 .groupBy("id", "token")
+                 .agg(F.count(F.lit(1)).alias("n")))
+    out = (per_doc.groupBy("token")
+           .agg(F.sum("n").alias("tf"),
+                F.count(F.lit(1)).alias("df")))
+    if min_df > 1:
+        out = out.filter(F.col("df") >= min_df)
+    return out
+
+
+#: PII patterns — dialect-portable (identical semantics in Java regex and
+#: RE2/DuckDB): email, dotted-quad IP, long digit runs (ids/phones).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_DIGITS_RE = r"\b[0-9]{6,}\b"
+
+
+def pii_scrub(df: DataFrame, text_field: str = "text") -> DataFrame:
+    """Redact common PII shapes and count what was removed.
+
+    Adds ``n_emails``/``n_ips``/``n_digit_runs`` and ``text_redacted``
+    (matches replaced by typed placeholders).  Pure column regex math —
+    scan-speed over 100 TB, no Python.  The patterns are deliberately
+    dialect-portable so the DuckDB oracle reproduces them exactly."""
+    t = F.col(text_field)
+    red = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IP_RE, "<IP>")
+    red = F.regexp_replace(red, PII_DIGITS_RE, "<NUM>")
+    return df.select(
+        "*",
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
+         .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IP_RE), F.lit(0)))
+         .alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_DIGITS_RE), F.lit(0)))
+         .alias("n_digit_runs"),
+        red.alias("text_redacted"))
+
+
 def text_stats(df: DataFrame, text_field: str = "text") -> DataFrame:
     """One-pass per-document stats frame."""
     t = F.col(text_field)
