@@ -1056,14 +1056,17 @@ def q_flush_reopen(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver checks the FIRST 50 entries against the DuckDB oracle each round.
 
-    Ordering policy (round 3): slots 1-21 are the entries that sat past the
+    Ordering policy (round 3): slots 1-22 are the entries that sat past the
     50-entry cap in round 2 (9 never oracle-checked, 12 green only against
-    pre-refactor r1 code — the whole write/admin surface among them).
-    Slots 22-33 are queries whose implementation changed THIS round (join fixes,
-    64-bit simhash, bounded knn, dedup partition-spread change), so their old
-    green rows would not certify current code. Slots 34-50 are stable greens.
-    The 21 entries past the cap are green in r2 on code unchanged since —
-    the union of r2 and r3 rows covers all entries on current code.
+    pre-refactor r1 code — the whole write/admin surface among them) plus
+    the new durable-flush roundtrip.  Next come queries whose
+    implementation changed THIS round (join fixes, 64-bit simhash, bounded
+    knn, dedup partition-spread change) and the three new r3 operators, so
+    every new/changed code path is driver-certified.  Remaining slots are
+    stable greens.  The 25 entries past the cap are green in r2 on
+    operators unchanged since — the union of r2 and r3 rows covers all 75
+    on current code (and tools/check_correctness.py certifies all 75
+    locally every round).
     """
     return {
         # --- slots 1-21: past-cap in r2 (never-checked or since-refactored) ---

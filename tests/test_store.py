@@ -113,3 +113,27 @@ def test_created_table_survives_flush_reopen(spark, tmp_path_factory):
     db2 = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
     rows = db2.df("notes").collect()
     assert len(rows) == 1 and rows[0]["body"] == "remember"
+
+
+def test_concurrent_flush_detected(spark, tmp_path_factory):
+    """Two engines on one warehouse: the second flush fails with
+    ConcurrentWriteError instead of silently clobbering the first."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.store import ConcurrentWriteError
+    wh = str(tmp_path_factory.mktemp("wh_cas"))
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    a.update("region", {"r_name": "A"}).where("r_regionkey", "=", 0).execute()
+    a.flush()
+    b.update("region", {"r_name": "B"}).where("r_regionkey", "=", 0).execute()
+    with pytest.raises(ConcurrentWriteError):
+        b.flush()
+    # a reopened engine sees A's state and can flush again
+    c = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    assert c.df("region").filter("r_regionkey = 0") \
+            .collect()[0]["r_name"] == "A"
+    c.update("region", {"r_name": "C"}).where("r_regionkey", "=", 0).execute()
+    c.flush()
+    d = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    assert d.df("region").filter("r_regionkey = 0") \
+            .collect()[0]["r_name"] == "C"

@@ -70,3 +70,29 @@ def test_stream_sessions_bounds(spark, session_source):
                      | (F.col("n_events") <= 0)).count()
     assert bad == 0
     assert out.count() > 0
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path_factory):
+    """Streamed exact dedup emits each distinct content hash exactly once —
+    equal to the batch exact_dedup groups on the same (duplicated) data."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.llmops.dedup import exact_dedup
+    from tostore_spark.streaming.stateful import dedup_stream
+    db = ToStoreSpark(spark, data_dir="/root/testdata/sf0.001")
+    docs = db.df("documents").select("doc_id", "text").limit(100)
+    doubled = docs.unionByName(docs)   # every doc arrives twice
+    src = str(tmp_path_factory.mktemp("dedup_src"))
+    doubled.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = (dedup_stream(stream).writeStream.format("memory")
+         .queryName("dedup_out").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("dedup_out")
+    want = exact_dedup(doubled)
+    assert got.count() == want.count()          # one row per distinct text
+    assert got.groupBy("text_hash").count().filter("count > 1").count() == 0
+    sa = {r["text_hash"] for r in got.select("text_hash").collect()}
+    sb = {r["text_hash"] for r in want.select("text_hash").collect()}
+    assert sa == sb

@@ -41,6 +41,12 @@ CHECKS: dict[str, list[str]] = {
     # salt) must precede the per-query window, and WindowGroupLimit must
     # bound both sorts — no single reducer ever sorts a query's full N.
     "q_knn_join": ["__pid", "WindowGroupLimit"],
+    # distributed LPT sharding: the ranking window is partitioned by the
+    # md5 hash group — never a global single-partition window
+    "q_corpus_shards": ["__grp"],
+    # vocab stats: partial_count proves the (doc,token) aggregate combines
+    # map-side before the shuffle
+    "q_vocab_stats": ["partial_count", "HashAggregate"],
 }
 
 

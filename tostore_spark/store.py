@@ -31,6 +31,13 @@ from tostore_spark.backup import _schema_from_dict, _schema_to_dict
 MANIFEST = "manifest.json"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another engine flushed this warehouse since we loaded it.  The
+    single-writer analog of the reference's write-lock: flush is a
+    compare-and-swap on the manifest sequence number, so the second writer
+    fails loudly instead of silently clobbering the first's tables."""
+
+
 def manifest_path(warehouse: str) -> str:
     return os.path.join(warehouse, MANIFEST)
 
@@ -68,6 +75,16 @@ def flush_tables(engine, flush_storage: bool = True) -> list[str]:
     wh = engine._warehouse
     if not hasattr(engine, "_flushed_gen"):
         engine._flushed_gen = {}
+    if flush_storage and wh:
+        # CAS guard BEFORE writing anything: the manifest seq must still
+        # be the one this engine loaded (or 0 for a fresh warehouse)
+        cur = read_manifest(wh)
+        cur_seq = (cur or {}).get("seq", 0)
+        if cur_seq != getattr(engine, "_store_seq", 0):
+            raise ConcurrentWriteError(
+                f"warehouse {wh} was flushed by another engine "
+                f"(seq {cur_seq} != loaded {getattr(engine, '_store_seq', 0)}); "
+                "reopen to pick up their state before flushing")
     for key, ent in list(engine._tables.items()):
         gen = engine._generations.get(key, 0)
         if gen <= engine._flushed_gen.get(key, 0):
@@ -82,6 +99,7 @@ def flush_tables(engine, flush_storage: bool = True) -> list[str]:
         elif gen > 0:
             ent["df"] = ent["df"].localCheckpoint(eager=True)
     if flush_storage and wh:
+        engine._store_seq = getattr(engine, "_store_seq", 0) + 1
         write_manifest(wh, _build_manifest(engine))
     return flushed
 
@@ -99,6 +117,7 @@ def _build_manifest(engine) -> dict:
                 "schema": _schema_to_dict(ent["schema"]),
             }
     manifest = {
+        "seq": getattr(engine, "_store_seq", 0),
         "tables": tables,
         "spaces": sorted(engine._known_spaces),
         "versions": getattr(engine, "_versions", {}),
@@ -116,7 +135,9 @@ def load_warehouse(engine) -> list[str]:
     version numbers.  Returns loaded table names."""
     man = read_manifest(engine._warehouse)
     if not man:
+        engine._store_seq = 0
         return []
+    engine._store_seq = man.get("seq", 0)
     loaded = []
     for ent in man["tables"].values():
         sch = _schema_from_dict(ent["schema"])

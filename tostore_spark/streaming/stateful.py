@@ -79,3 +79,24 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 3600,
             .applyInPandasWithState(fn, SESSION_SCHEMA, _STATE_SCHEMA,
                                     "append",
                                     GroupStateTimeout.EventTimeTimeout))
+
+
+def dedup_stream(docs: DataFrame, text_field: str = "text",
+                 ts_field: str | None = None,
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup for incremental corpus ingest: emit only the
+    FIRST occurrence of each content hash; later duplicates are dropped by
+    the engine's keyed state store — the streaming counterpart of
+    llmops.dedup.exact_dedup for a corpus that arrives batch by batch.
+
+    With ``ts_field`` the state is bounded: duplicates are only tracked
+    within the ``watermark`` horizon (``dropDuplicatesWithinWatermark``) —
+    the right trade for a firehose where dupes cluster in time.  Without a
+    timestamp the hash state grows with distinct-document count (exact
+    global dedup; pair with the batch ``minhash_band_index`` artifact when
+    the corpus outgrows state)."""
+    out = docs.withColumn("text_hash", F.md5(F.col(text_field)))
+    if ts_field:
+        return (out.withWatermark(ts_field, watermark)
+                   .dropDuplicatesWithinWatermark(["text_hash"]))
+    return out.dropDuplicates(["text_hash"])
