@@ -694,6 +694,27 @@ def q_pii_scrub(spark, sf_dir):
                     F.md5(F.col("text_redacted")).alias("red_hash")))
 
 
+def q_moving_features(spark, sf_dir):
+    """Per-user time-series window features (lag/delta/moving avg/cumsum):
+    every window partitioned by user_id — one shuffle on the key, no
+    global window."""
+    from tostore_spark.functions.timeseries import moving_features
+    db = _db(spark, sf_dir)
+    ev = db.df("events").filter(F.col("user_id") < 10) \
+           .select("event_id", "user_id", "ts", "value")
+    out = moving_features(ev, "user_id", ["ts", "event_id"], "value")
+    # double columns must be null-free for the driver compare (the oracle
+    # side is fetched through pandas, where a double NULL becomes NaN):
+    # first-row lag/delta coalesce to a sentinel on both sides
+    sent = F.lit(-999999.0)
+    return out.select(
+        "event_id", "user_id", "row_idx",
+        F.coalesce(F.round(F.col("lag_1"), 6), sent).alias("lag_r"),
+        F.coalesce(F.round(F.col("delta"), 6), sent).alias("delta_r"),
+        F.round(F.col("moving_avg"), 6).alias("mavg_r"),
+        F.round(F.col("cum_sum"), 6).alias("csum_r"))
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals: top-token and top-bigram
     fractions per document."""
@@ -1109,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_stats": q_vocab_stats,
         "q_contamination": q_contamination,
         "q_pii_scrub": q_pii_scrub,
+        "q_moving_features": q_moving_features,
         # --- remaining slots: stable r2 greens (re-certified this round) ---
         "q_filter_sort_limit": q_filter_sort_limit,
         "q_groupby_having": q_groupby_having,
@@ -1413,6 +1435,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT tg.train_id, bg.bench_id, count(*) AS n_shared
             FROM tg JOIN bg USING (gr)
             GROUP BY 1, 2 HAVING count(*) >= 2""",
+        "q_moving_features": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w AS BIGINT) AS row_idx,
+                   coalesce(round(lag(value, 1) OVER w, 6), -999999.0) AS lag_r,
+                   coalesce(round(value - lag(value, 1) OVER w, 6),
+                            -999999.0) AS delta_r,
+                   round(avg(value) OVER (w ROWS BETWEEN 4 PRECEDING
+                                          AND CURRENT ROW), 6) AS mavg_r,
+                   round(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW), 6) AS csum_r
+            FROM events WHERE user_id < 10
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
         "q_pii_scrub": """
             WITH inj AS (SELECT doc_id,
                   text || ' contact user' || CAST(doc_id AS VARCHAR)

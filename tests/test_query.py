@@ -177,3 +177,28 @@ def test_group_by_cube(spark, db):
              if r["o_orderstatus"] is None and r["o_orderpriority"] is None]
     assert len(grand) == 1 and grand[0]["n"] == db.df("orders").count()
     assert len(rows) >= statuses + prios + 1
+
+
+def test_moving_features_semantics(spark):
+    from tostore_spark.functions.timeseries import moving_features
+    rows = [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("b", 1, 5.0)]
+    df = spark.createDataFrame(rows, ["k", "seq", "v"])
+    out = {(r["k"], r["seq"]): r for r in
+           moving_features(df, "k", "seq", "v", window_rows=2).collect()}
+    a2 = out[("a", 2)]
+    assert a2["lag_1"] == 10.0 and a2["lead_1"] == 30.0
+    assert a2["delta"] == 10.0 and a2["moving_avg"] == 15.0
+    assert a2["cum_sum"] == 30.0 and a2["row_idx"] == 2
+    # partitions are independent
+    b1 = out[("b", 1)]
+    assert b1["lag_1"] is None and b1["cum_sum"] == 5.0
+
+
+def test_moving_features_windows_are_partitioned(spark):
+    import re
+    from tostore_spark.functions.timeseries import moving_features
+    df = spark.createDataFrame([("a", 1, 1.0)], ["k", "seq", "v"])
+    plan = (moving_features(df, "k", "seq", "v")
+            ._jdf.queryExecution().executedPlan().toString())
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert m.group(1).startswith("k#"), f"unpartitioned: {m.group(0)}"
