@@ -694,6 +694,35 @@ def q_pii_scrub(spark, sf_dir):
                     F.md5(F.col("text_redacted")).alias("red_hash")))
 
 
+def q_stratified_take(spark, sf_dir):
+    """Exactly k docs per source stratum, deterministic by md5(id) order
+    (eval-set construction); summarized per stratum for a compact check
+    plus an id-sum certifying WHICH rows were taken."""
+    from tostore_spark.llmops import pipeline as P
+    db = _db(spark, sf_dir)
+    out = P.stratified_take(db.df("documents"), k=25)
+    return (out.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("doc_id").alias("id_sum")))
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew-safe salted equi-join (big x big): lineitem salted by md5,
+    orders replicated per salt — a hot orderkey spreads over 8 reducers.
+    Result must equal the plain join exactly."""
+    from tostore_spark.functions.skew import salted_join
+    db = _db(spark, sf_dir)
+    li = db.df("lineitem").select(F.col("l_orderkey").alias("okey"),
+                                  "l_quantity")
+    orders = db.df("orders").select(F.col("o_orderkey").alias("okey"),
+                                    "o_orderstatus")
+    joined = salted_join(li, orders, on="okey", n_salts=8)
+    return (joined.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_qty")))
+
+
 def q_moving_features(spark, sf_dir):
     """Per-user time-series window features (lag/delta/moving avg/cumsum):
     every window partitioned by user_id — one shuffle on the key, no
@@ -1131,6 +1160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_pii_scrub": q_pii_scrub,
         "q_moving_features": q_moving_features,
+        "q_salted_join": q_salted_join,
+        "q_stratified_take": q_stratified_take,
         # --- remaining slots: stable r2 greens (re-certified this round) ---
         "q_filter_sort_limit": q_filter_sort_limit,
         "q_groupby_having": q_groupby_having,
@@ -1435,6 +1466,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT tg.train_id, bg.bench_id, count(*) AS n_shared
             FROM tg JOIN bg USING (gr)
             GROUP BY 1, 2 HAVING count(*) >= 2""",
+        "q_stratified_take": """
+            WITH r AS (SELECT source, doc_id,
+                              row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rn
+                       FROM documents)
+            SELECT source, count(*) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM r WHERE rn <= 25 GROUP BY source""",
+        "q_salted_join": """
+            SELECT o.o_orderstatus, count(*) AS n,
+                   CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1""",
         "q_moving_features": """
             SELECT event_id, user_id,
                    CAST(row_number() OVER w AS BIGINT) AS row_idx,

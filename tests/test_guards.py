@@ -310,3 +310,36 @@ def test_first(spark, db):
     r = (db.query("nation").order_by_asc("n_nationkey").first())
     assert r["n_nationkey"] == 0
     assert db.query("nation").where("n_nationkey", "=", -1).first() is None
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salted big x big join must be semantically identical to the plain
+    join, including a pathologically hot key."""
+    from pyspark.sql import functions as F
+    from tostore_spark.functions.skew import salted_join
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 900), (3, 901)], ["k", "lv"])
+    right = spark.createDataFrame(
+        [(1, "hot"), (2, "b"), (4, "unmatched")], ["k", "rv"])
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in
+                 salted_join(left, right, on="k", n_salts=4).collect())
+    want = sorted((r["k"], r["lv"], r["rv"]) for r in
+                  left.join(right, on="k").collect())
+    assert got == want and len(got) == 501
+    # left join preserves unmatched left rows exactly once
+    lj = salted_join(left, right, on="k", n_salts=4, how="left")
+    assert lj.filter("k = 3").count() == 1
+    assert lj.filter("k = 3").collect()[0]["rv"] is None
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_join(left, right, on="k", how="right")
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The physical join keys must include the salt — the hot key's rows
+    hash to n_salts different reducers."""
+    from tostore_spark.functions.skew import salted_join
+    left = spark.createDataFrame([(1, i) for i in range(100)], ["k", "lv"])
+    right = spark.createDataFrame([(1, "x")], ["k", "rv"])
+    plan = (salted_join(left, right, on="k", n_salts=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "__salt" in plan

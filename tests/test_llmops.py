@@ -394,3 +394,40 @@ def test_pii_scrub_counts_and_redacts(spark):
     assert out[2]["text_redacted"] == out[2]["text"]
     assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_digit_runs"]) \
         == (0, 0, 0)
+
+
+def test_stratified_take_exact_and_deterministic(spark, db):
+    from tostore_spark.llmops import pipeline as P
+    docs = db.df("documents")
+    out = P.stratified_take(docs, k=10)
+    sizes = {r["source"]: r["n"] for r in
+             out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == 10 for n in sizes.values()) and len(sizes) >= 2
+    a = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in
+               P.stratified_take(docs, k=10).select("doc_id").collect())
+    assert a == b
+    # k larger than a stratum returns the whole stratum, no padding
+    tiny = docs.filter(F.col("doc_id") < 5)
+    assert P.stratified_take(tiny, k=100).count() == 5
+
+
+def test_contamination_max_gram_df_drops_boilerplate(spark):
+    from tostore_spark.llmops.dedup import contamination_pairs
+    boiler = "standard license header text common to every doc"
+    real = "unique leaked benchmark passage present once only"
+    train = spark.createDataFrame(
+        [(i, boiler + f" body {i}") for i in range(20)]
+        + [(99, boiler + " " + real)], ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(1000, boiler + " " + real + " trailing")], ["doc_id", "text"])
+    # without the cap: every train doc pairs with the bench doc via the
+    # boilerplate grams
+    loose = contamination_pairs(train, bench, n=5, min_overlap=2)
+    assert loose.count() == 21
+    # with the cap: boilerplate grams (df=21) are dropped; only the
+    # genuinely contaminated doc remains
+    tight = contamination_pairs(train, bench, n=5, min_overlap=2,
+                                max_gram_df=5)
+    assert [(r["train_id"], r["bench_id"]) for r in tight.collect()] \
+        == [(99, 1000)]

@@ -48,3 +48,33 @@ def salted_agg(df: DataFrame, keys: list[str],
         for out, (fn, _) in aggs.items()
     ]
     return partial.groupBy(*keys).agg(*merge_cols)
+
+
+def salted_join(left: DataFrame, right: DataFrame, on: str,
+                n_salts: int = 16, how: str = "inner",
+                salt_by: str | None = None) -> DataFrame:
+    """Skew-safe equi-join: the LEFT (large, skewed) side gets a
+    deterministic salt — md5 of ``salt_by`` (default: every left column,
+    so identical rows spread too) mod ``n_salts`` — and the RIGHT side is
+    exploded into ``n_salts`` replicas, so a hot join key's rows land on
+    ``n_salts`` reducers instead of one.
+
+    Use when the right side is too big to broadcast but the left key
+    distribution is pathological (AQE's skew-join split handles moderate
+    skew; salting is the deliberate fix for one-key-dominates).  Join
+    semantics are exactly ``left.join(right, on, how)`` for how in
+    inner/left — each left row carries exactly one salt and meets exactly
+    one replica of its matching right rows."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left' "
+                         "(the right side is replicated)")
+    seed_col = (F.col(salt_by) if salt_by
+                else F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                           for c in left.columns]))
+    salt = (F.conv(F.substring(F.md5(seed_col), 1, 8), 16, 10)
+            .cast("long") % n_salts).cast("int")
+    l2 = left.withColumn("__salt", salt)
+    r2 = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    out = l2.join(r2, on=[on, "__salt"], how=how)
+    return out.drop("__salt")

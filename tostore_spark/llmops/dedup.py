@@ -413,7 +413,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_field: str = "text",
 def contamination_pairs(train: DataFrame, bench: DataFrame,
                         n: int = 5, min_overlap: int = 2,
                         text_field: str = "text",
-                        id_field: str = "doc_id") -> DataFrame:
+                        id_field: str = "doc_id",
+                        max_gram_df: int | None = None) -> DataFrame:
     """Benchmark-contamination check: training docs sharing at least
     ``min_overlap`` distinct word n-grams with an evaluation doc —
     the standard decontamination pass before a training run.
@@ -421,11 +422,22 @@ def contamination_pairs(train: DataFrame, bench: DataFrame,
     Map-reduce shape: both sides explode their distinct n-grams, meet in
     an equi-join on the gram (n >= 5 word grams are near-unique, so gram
     buckets stay tiny), and a hash-aggregate counts shared grams per
-    (train, bench) pair.  Output: (train_id, bench_id, n_shared)."""
+    (train, bench) pair.  Output: (train_id, bench_id, n_shared).
+
+    ``max_gram_df`` guards the scale failure mode: a BOILERPLATE gram
+    (license header, site template) present in millions of training docs
+    makes its join bucket quadratic.  Set it (e.g. 10_000) to drop grams
+    whose training-side document frequency exceeds the cap — boilerplate
+    carries no contamination signal; genuinely contaminated passages are
+    rare on the training side by definition."""
     tg = train.select(F.col(id_field).alias("train_id"),
                       F.explode(word_ngrams(F.col(text_field), n)).alias("g"))
     bg = bench.select(F.col(id_field).alias("bench_id"),
                       F.explode(word_ngrams(F.col(text_field), n)).alias("g"))
+    if max_gram_df is not None:
+        hot = (tg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+                 .filter(F.col("df") > max_gram_df).select("g"))
+        tg = tg.join(hot, on="g", how="left_anti")
     return (tg.join(bg, on="g")
               .groupBy("train_id", "bench_id")
               .agg(F.count(F.lit(1)).alias("n_shared"))

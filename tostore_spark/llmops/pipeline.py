@@ -52,6 +52,21 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     return df.filter(frac < keep)
 
 
+def stratified_take(df: DataFrame, k: int,
+                    strata_field: str = "source",
+                    id_field: str = "doc_id") -> DataFrame:
+    """EXACTLY ``k`` rows per stratum (or all rows of smaller strata),
+    chosen deterministically by md5(id) order — the fixed-size counterpart
+    of ``stratified_sample`` for building eval sets and balanced mixtures.
+    One partitioned window per stratum (no global sort); re-running or
+    resuming selects the same rows."""
+    w = (Window.partitionBy(strata_field)
+         .orderBy(F.md5(F.col(id_field).cast("string")).asc(),
+                  F.col(id_field).asc()))
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= k).drop("__rn"))
+
+
 def clean_corpus(df: DataFrame, min_quality: float = 0.5,
                  languages: list[str] | None = None,
                  dedup: bool = True,
