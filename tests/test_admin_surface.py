@@ -210,3 +210,18 @@ def test_backup_restore_includes_kv(spark, tmp_path):
     assert db2.kv.get_value("cfg") == {"x": 1}
     assert db2.kv.get_value("g", is_global=True) == 7
     assert db2.df("au_users").count() == 1
+
+
+def test_facade_kv_methods_match_reference_names(spark):
+    """setValue/getValue/removeValue/watchValue(s)/initialize exist on the
+    facade itself (tostore.dart:706-803), delegating to the KV store."""
+    from tostore_spark import ToStoreSpark
+    db = ToStoreSpark.initialize(spark)
+    db.set_value("k1", {"a": 1})
+    assert db.get_value("k1") == {"a": 1}
+    seen = []
+    db.watch_value("k1", lambda v: seen.append(v))
+    db.set_value("k1", 2)
+    assert seen and seen[-1] == 2
+    db.remove_value("k1")
+    assert db.get_value("k1") is None

@@ -568,6 +568,34 @@ class ToStoreSpark:
             self._kv = KvStore(self)
         return self._kv
 
+    # facade-level KV methods, name-for-name with the reference
+    # (tostore.dart:706-803) — thin delegates to the KvStore
+    def set_value(self, key: str, value, is_global: bool = False,
+                  ttl_ms: Optional[int] = None):
+        return self.kv.set_value(key, value, is_global=is_global,
+                                 ttl_ms=ttl_ms)
+
+    def get_value(self, key: str, is_global: bool = False):
+        return self.kv.get_value(key, is_global=is_global)
+
+    def remove_value(self, key: str, is_global: bool = False):
+        return self.kv.remove_value(key, is_global=is_global)
+
+    def watch_value(self, key: str, callback, is_global: bool = False,
+                    **kw):
+        return self.kv.watch_value(key, callback, is_global=is_global, **kw)
+
+    def watch_values(self, keys: list[str], callback,
+                     is_global: bool = False, **kw):
+        return self.kv.watch_values(keys, callback, is_global=is_global,
+                                    **kw)
+
+    @classmethod
+    def initialize(cls, spark: SparkSession, **kw) -> "ToStoreSpark":
+        """Name parity with the reference's async factory
+        (tostore.dart initialize); construction here is synchronous."""
+        return cls(spark, **kw)
+
     # ---- vector search (vector.py) ------------------------------------
     def build_vector_index(self, table: str, field_name: str,
                            n_cells: int = 16, path: Optional[str] = None,
