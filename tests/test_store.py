@@ -137,3 +137,22 @@ def test_concurrent_flush_detected(spark, tmp_path_factory):
     d = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
     assert d.df("region").filter("r_regionkey = 0") \
             .collect()[0]["r_name"] == "C"
+
+
+def test_time_travel_reads_old_versions(spark, tmp_path_factory):
+    db, wh = _fresh(spark, tmp_path_factory, "tt")
+    for i in range(3):
+        db.update("region", {"r_name": f"V{i}"}) \
+          .where("r_regionkey", "=", 0).execute()
+        db.flush()
+    vs = db.table_versions("region")
+    assert len(vs) == 3 and vs == sorted(vs)
+    assert db.df_at("region", vs[0]).filter("r_regionkey = 0") \
+             .collect()[0]["r_name"] == "V0"
+    assert db.df_at("region", vs[-1]).filter("r_regionkey = 0") \
+             .collect()[0]["r_name"] == "V2"
+    with pytest.raises(FileNotFoundError, match="available"):
+        db.df_at("region", 9999)
+    # vacuum keeps the newest `keep` and time travel degrades gracefully
+    db.vacuum(keep=1)
+    assert db.table_versions("region") == [vs[-1]]

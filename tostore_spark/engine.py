@@ -382,6 +382,18 @@ class ToStoreSpark:
         from tostore_spark import store as _store
         return _store.vacuum(self, keep=keep)
 
+    def table_versions(self, table: str) -> list[int]:
+        """Flushed generations on disk for a table (ascending)."""
+        from tostore_spark import store as _store
+        return _store.list_versions(self, table, space=self._resolve(table)[0])
+
+    def df_at(self, table: str, version: int) -> DataFrame:
+        """Time-travel read: the table as of flushed generation
+        ``version`` (history persists until vacuum())."""
+        from tostore_spark import store as _store
+        return _store.read_version(self, table, version,
+                                   space=self._resolve(table)[0])
+
     def close(self, keep_active_space: bool = True) -> None:
         """Release engine-held resources: result cache, vector indexes,
         watchers; with keep_active_space=False, drop every table outside

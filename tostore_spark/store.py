@@ -164,6 +164,27 @@ def load_warehouse(engine) -> list[str]:
     return loaded
 
 
+def list_versions(engine, table: str, space: str = "default") -> list[int]:
+    """Flushed generations available on disk for a table, ascending."""
+    tdir = os.path.join(engine._warehouse, space, table)
+    if not os.path.isdir(tdir):
+        return []
+    return sorted(int(d[1:]) for d in os.listdir(tdir)
+                  if d.startswith("v") and d[1:].isdigit())
+
+
+def read_version(engine, table: str, version: int,
+                 space: str = "default"):
+    """Time-travel read: the table as of a previous flush (the versioned
+    directories double as history until ``vacuum()`` prunes them)."""
+    vdir = table_version_dir(engine._warehouse, space, table, version)
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(
+            f"no flushed version v{version} for {space}/{table}; "
+            f"available: {list_versions(engine, table, space)}")
+    return engine._read_parquet(vdir)
+
+
 def vacuum(engine, keep: int = 1) -> int:
     """Prune old version directories, keeping the ``keep`` most recent per
     table (the current one always survives).  Returns directories removed."""
