@@ -1072,9 +1072,11 @@ def q_backup_restore(spark, sf_dir):
         db3 = ToStoreSpark(spark)
         db3.restore(tmp)
         out = db3.df("nation").select("n_nationkey", "n_name", "n_regionkey")
-        out = out.persist()
-        out.count()  # materialize before the tmpdir disappears
-    return out
+        # small result: pin it via driver collect so NOTHING can try to
+        # re-read the tmpdir after it is deleted (a persisted partition
+        # evicted under pressure would otherwise recompute from dead files)
+        rows, schema = out.collect(), out.schema
+    return spark.createDataFrame(rows, schema)
 
 
 def q_flush_reopen(spark, sf_dir):
@@ -1094,9 +1096,9 @@ def q_flush_reopen(spark, sf_dir):
         db1.flush()
         db2 = ToStoreSpark(spark, warehouse=tmp)
         out = db2.df("nation").select("n_nationkey", "n_name", "n_regionkey")
-        out = out.persist()
-        out.count()  # materialize before the tmpdir disappears
-    return out
+        # pin via driver collect (21 rows) — see q_backup_restore note
+        rows, schema = out.collect(), out.schema
+    return spark.createDataFrame(rows, schema)
 
 
 # ----------------------------------------------------------------------
@@ -1113,10 +1115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     implementation changed THIS round (join fixes, 64-bit simhash, bounded
     knn, dedup partition-spread change) and the three new r3 operators, so
     every new/changed code path is driver-certified.  Remaining slots are
-    stable greens.  The 25 entries past the cap are green in r2 on
-    operators unchanged since — the union of r2 and r3 rows covers all 75
-    on current code (and tools/check_correctness.py certifies all 75
-    locally every round).
+    stable greens.  The 28 entries past the cap (marked below) are green
+    in r2 on operators unchanged since — the union of r2 and r3 rows
+    covers all 78 on current code (and tools/check_correctness.py
+    certifies all 78 locally every round).
     """
     return {
         # --- slots 1-21: past-cap in r2 (never-checked or since-refactored) ---
@@ -1162,7 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_moving_features": q_moving_features,
         "q_salted_join": q_salted_join,
         "q_stratified_take": q_stratified_take,
-        # --- remaining slots: stable r2 greens (re-certified this round) ---
+        # --- remaining slots to 50: stable r2 greens (re-certified) ---
         "q_filter_sort_limit": q_filter_sort_limit,
         "q_groupby_having": q_groupby_having,
         "q_join_inner_group": q_join_inner_group,
@@ -1173,6 +1175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_csv_source": q_csv_source,
         "q_json_source": q_json_source,
         "q_or_union_dedup": q_or_union_dedup,
+        # --- past the 50-cap from here: green in r2, operators unchanged
+        # since (r4 should rotate these into the cap) ---
         "q_events_window": q_events_window,
         "q_time_rollup": q_time_rollup,
         "q_rollup_subtotals": q_rollup_subtotals,
@@ -1180,7 +1184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_agg": q_salted_agg,
         "q_langid": q_langid,
         "q_token_count_bpe": q_token_count_bpe,
-        # --- past the 50-cap: green in r2, code unchanged since ---
         "q_pred_like_between_in": q_pred_like_between_in,
         "q_or_tree": q_or_tree,
         "q_multiop_or": q_multiop_or,

@@ -277,3 +277,41 @@ def test_update_nonunique_fields_unaffected_by_flag(spark):
     n = db.update("users").allow_update_all().set({"name": "same"})
     assert n == 2
     assert all(r["name"] == "same" for r in db.query("users").run())
+
+
+def test_update_partial_errors_no_duplicate_via_retained_old_value(spark):
+    """A skipped record retains its OLD unique value; no other updated
+    record may be granted that value in the same pass (conservative
+    reservation — the single-pass hole found in review)."""
+    from tostore_spark.expr import Expr
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    db = fresh(spark)
+    db.create_table(TableSchema(
+        name="codes", primary_key=PrimaryKeyConfig(name="id"),
+        fields=[FieldSchema(name="id", type=DataType.text),
+                FieldSchema(name="code", type=DataType.integer, unique=True),
+                FieldSchema(name="age", type=DataType.integer)]))
+    db.batch_insert("codes", [
+        {"id": "u1", "code": 10, "age": 0},    # untouched
+        {"id": "u2", "code": 20, "age": 10},   # new code 10 -> hits u1, skip
+        {"id": "u3", "code": 30, "age": 20}])  # new code 20 -> u2's OLD value
+    (db.update("codes").where("id", "!=", "u1")
+       .continue_on_partial_errors()
+       .set({"code": Expr.field("age")}))
+    codes = sorted(r["code"] for r in db.query("codes").run())
+    assert codes == [10, 20, 30], codes        # all unique, nothing applied
+
+
+def test_update_unique_selfassign_is_not_a_collision(spark):
+    db = fresh(spark)
+    db.create_table(users_schema())
+    db.batch_insert("users", [
+        {"id": "u1", "name": "a", "age": 1, "email": "a@x"},
+        {"id": "u2", "name": "b", "age": 2, "email": "b@x"}])
+    # setting a unique field to its current value alongside another update
+    n = (db.update("users").where("id", "=", "u1")
+         .set({"email": "a@x", "age": 10}))
+    assert n == 1
+    got = {r["id"]: (r["email"], r["age"]) for r in db.query("users").run()}
+    assert got["u1"] == ("a@x", 10)

@@ -629,10 +629,7 @@ class ToStoreSpark:
         sim.ivf_write_index(indexed, cents, path)
         cells_df, _ = sim.ivf_read_index(self.spark, path)
         n_rows = cells_df.count()   # parquet-footer count; powers efSearch->nprobe
-        import json as _json
-        import os as _os
-        with open(_os.path.join(path, "centroids.json"), "w") as f:
-            _json.dump({"centroids": cents, "n_rows": n_rows}, f)
+        sim.ivf_update_meta(path, n_rows=n_rows)
         if not hasattr(self, "_vector_indexes"):
             self._vector_indexes: dict[tuple, dict] = {}
         self._vector_indexes[(self._space, table, field_name)] = {
@@ -650,6 +647,13 @@ class ToStoreSpark:
         from tostore_spark.llmops import similarity as sim
         cells_df, cents = sim.ivf_read_index(self.spark, path)
         meta = sim.ivf_index_meta(path)
+        n_rows = meta.get("n_rows")
+        if not n_rows:
+            # index written by a direct ivf_write_index caller without
+            # n_rows: count once (parquet-footer job) and backfill, so
+            # ef_search is never silently ignored
+            n_rows = cells_df.count()
+            sim.ivf_update_meta(path, n_rows=n_rows)
         if not hasattr(self, "_vector_indexes"):
             self._vector_indexes = {}
         self._vector_indexes[(self._space, table, field_name)] = {
@@ -657,7 +661,7 @@ class ToStoreSpark:
             "n_cells": len(cents),
             "id_field": id_field or self.primary_key(table)
             or cells_df.columns[0],
-            "n_rows": meta.get("n_rows"),
+            "n_rows": n_rows,
             "generation": self.generation(table),
         }
 

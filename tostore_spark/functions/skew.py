@@ -68,7 +68,10 @@ def salted_join(left: DataFrame, right: DataFrame, on: str,
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner' or 'left' "
                          "(the right side is replicated)")
-    seed_col = (F.col(salt_by) if salt_by
+    # cast + coalesce so a NULL or non-string salt_by column can never
+    # yield a NULL salt (which would match no right replica and silently
+    # drop/unmatch the row)
+    seed_col = (F.coalesce(F.col(salt_by).cast("string"), F.lit("")) if salt_by
                 else F.concat_ws("\x1f", *[F.col(c).cast("string")
                                            for c in left.columns]))
     salt = (F.conv(F.substring(F.md5(seed_col), 1, 8), 16, 10)

@@ -52,18 +52,32 @@ from tostore_spark.functions.colutil import let_scalar as _let_s  # noqa: E402
 def _spread(df: DataFrame) -> DataFrame:
     """Ensure CPU-heavy per-row stages use the full cluster: small inputs
     arrive as one file-partition locally, which would serialize the hash
-    work on one core.  The file count is the heuristic — no ``df.rdd``
-    touch (that forces plan analysis plus an RDD conversion barrier); for
+    work on one core.  Heuristic = file count, upgraded to an estimated
+    SPLIT count (bytes / maxPartitionBytes) when files are few — a handful
+    of huge splittable parquet files already scans wide, and repartitioning
+    them would shuffle the whole corpus for nothing.  No ``df.rdd`` touch
+    (that forces plan analysis plus an RDD conversion barrier); for
     non-file-backed frames (tests, in-memory mutations) the repartition is
-    cheap by definition.  At 100 TB the scan has >= defaultParallelism
-    file splits and this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    cheap by definition."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     try:
-        nfiles = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:
-        nfiles = 0
-    if nfiles >= target:
+        files = []
+    if len(files) >= target:
         return df
+    if files:
+        try:
+            import os
+            from urllib.parse import urlparse
+            max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                        str(128 * 1024 * 1024)).rstrip("b"))
+            total = sum(os.path.getsize(urlparse(f).path) for f in files)
+            if total // max_pb >= target:
+                return df   # few files, but they scan as >= target splits
+        except Exception:
+            pass   # non-local FS etc. — fall through to repartition
     return df.repartition(target)
 
 
@@ -176,8 +190,11 @@ def minhash_lsh_pairs(df: DataFrame, text_field: str = "text",
         # materialized index instead of recomputing the signatures; unlike
         # .persist() the blocks are released by the ContextCleaner once the
         # frame is unreferenced, so repeated calls don't pin executor
-        # memory.  Write the index out (minhash_band_index + storage) at
-        # scale and pass it back in.
+        # memory.  Trade-off: checkpoint blocks have no lineage, so losing
+        # an executor mid-job fails the JOB (retryable) instead of
+        # recomputing the lost partitions.  The production path at scale is
+        # the WRITTEN index — minhash_band_index persisted to storage and
+        # passed back in via ``index=`` — which has neither problem.
         index = minhash_band_index(df, text_field, id_field, num_hashes,
                                    bands, shingle_k).localCheckpoint(eager=True)
     a, b = index.alias("a"), index.alias("b")

@@ -228,6 +228,18 @@ def ivf_index_meta(path: str) -> dict:
         return json.load(f)
 
 
+def ivf_update_meta(path: str, **fields) -> None:
+    """Merge fields (e.g. n_rows counted after the write) into the
+    sidecar."""
+    import json
+    import os
+
+    meta = ivf_index_meta(path)
+    meta.update(fields)
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(meta, f)
+
+
 def ivf_read_index(spark, path: str
                    ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Load a persisted IVF index: (partition-pruned corpus, centroids)."""

@@ -64,6 +64,41 @@ def table_version_dir(warehouse: str, space: str, table: str,
     return os.path.join(warehouse, space, table, f"v{version}")
 
 
+_LOCK = ".flush.lock"
+_LOCK_STALE_S = 600
+
+
+def _acquire_lock(warehouse: str) -> str:
+    """O_EXCL lock file serializing the flush critical section.  A lock
+    older than _LOCK_STALE_S (crashed holder) is stolen."""
+    os.makedirs(warehouse, exist_ok=True)
+    path = os.path.join(warehouse, _LOCK)
+    import time
+    for _ in range(2):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return path
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(path) > _LOCK_STALE_S:
+                    os.unlink(path)   # stale holder; retry the O_EXCL
+                    continue
+            except OSError:
+                continue
+            raise ConcurrentWriteError(
+                f"another flush holds {path}; retry after it completes")
+    raise ConcurrentWriteError(f"could not acquire {path}")
+
+
+def _release_lock(warehouse: str) -> None:
+    try:
+        os.unlink(os.path.join(warehouse, _LOCK))
+    except OSError:
+        pass
+
+
 def flush_tables(engine, flush_storage: bool = True) -> list[str]:
     """Write every dirty table (generation advanced past its last flushed
     generation) to the warehouse and re-register it from the written
@@ -75,19 +110,32 @@ def flush_tables(engine, flush_storage: bool = True) -> list[str]:
     wh = engine._warehouse
     if not hasattr(engine, "_flushed_gen"):
         engine._flushed_gen = {}
+    lock = None
     if flush_storage and wh:
-        # CAS guard BEFORE writing anything: the manifest seq must still
-        # be the one this engine loaded (or 0 for a fresh warehouse)
-        cur = read_manifest(wh)
-        cur_seq = (cur or {}).get("seq", 0)
-        if cur_seq != getattr(engine, "_store_seq", 0):
-            raise ConcurrentWriteError(
-                f"warehouse {wh} was flushed by another engine "
-                f"(seq {cur_seq} != loaded {getattr(engine, '_store_seq', 0)}); "
-                "reopen to pick up their state before flushing")
+        # the check-then-act window (read seq -> write manifest) is held
+        # under an O_EXCL lock file so two racing flushes cannot both pass
+        # the guard; a stale lock (dead process) is stolen after 10 min
+        lock = _acquire_lock(wh)
+        try:
+            cur = read_manifest(wh)
+            cur_seq = (cur or {}).get("seq", 0)
+            if cur_seq != getattr(engine, "_store_seq", 0):
+                raise ConcurrentWriteError(
+                    f"warehouse {wh} was flushed by another engine (seq "
+                    f"{cur_seq} != loaded {getattr(engine, '_store_seq', 0)}); "
+                    "reopen to pick up their state before flushing")
+        except BaseException:
+            _release_lock(wh)
+            raise
     for key, ent in list(engine._tables.items()):
         gen = engine._generations.get(key, 0)
-        if gen <= engine._flushed_gen.get(key, 0):
+        # dirty = mutated past the last flush, OR registered from a bare
+        # DataFrame with no durable source yet (path None, never flushed)
+        # — without the second clause such a table would silently vanish
+        # on reopen even though flush() "succeeded"
+        sourceless = (flush_storage and wh and ent.get("path") is None
+                      and key not in engine._flushed_gen)
+        if gen <= engine._flushed_gen.get(key, 0) and not sourceless:
             continue   # never mutated, or unchanged since last flush
         if flush_storage and wh:
             vdir = table_version_dir(wh, key[0], key[1], gen)
@@ -99,8 +147,11 @@ def flush_tables(engine, flush_storage: bool = True) -> list[str]:
         elif gen > 0:
             ent["df"] = ent["df"].localCheckpoint(eager=True)
     if flush_storage and wh:
-        engine._store_seq = getattr(engine, "_store_seq", 0) + 1
-        write_manifest(wh, _build_manifest(engine))
+        try:
+            engine._store_seq = getattr(engine, "_store_seq", 0) + 1
+            write_manifest(wh, _build_manifest(engine))
+        finally:
+            _release_lock(wh)
     return flushed
 
 

@@ -540,17 +540,23 @@ class UpdateBuilder(_MutationBuilder):
             new_cols[fld] = newv
 
         # unique-constraint enforcement (data_store_impl.dart:2440-2800):
-        # a record whose new value for a declared-unique field collides —
-        # with an untouched row, or with another updated row — fails.
-        # Without continue_on_partial_errors any failure aborts the whole
-        # update; with it the failing records are skipped and the rest
-        # apply.  Keeper preference per colliding value: untouched rows
-        # first, then the lowest primary key (deterministic).
+        # a record whose new value for a declared-unique field collides
+        # fails.  Without continue_on_partial_errors any failure aborts
+        # the whole update; with it failing records are skipped and the
+        # rest apply.  A record fails when its new value collides with
+        #   (a) an untouched row's value or another updated row's new
+        #       value (keeper per value: untouched first, lowest pk), or
+        #   (b) the OLD value of a DIFFERENT updated row — that row may
+        #       be skipped and retain its old value, so granting it would
+        #       materialize a duplicate.  (b) is deliberately conservative
+        #       (the value might in fact be vacated); the reference's
+        #       sequential key reservation is order-dependent in the same
+        #       situations, and conservatism never breaks the invariant.
         sch = self._engine.schema(self._table)
         uniq = [f.name for f in sch.fields if f.unique and f.name in new_cols]
         fail = F.lit(False)
         staged = df.withColumn("__upd", pred)
-        if uniq:
+        if uniq and n != 0:
             pk = self._engine.primary_key(self._table) or df.columns[0]
             for fld in uniq:
                 staged = staged.withColumn(
@@ -560,11 +566,29 @@ class UpdateBuilder(_MutationBuilder):
                      .orderBy(F.col("__upd").asc(), F.col(pk).asc()))
                 staged = staged.withColumn(f"__rn_{fld}",
                                            F.row_number().over(w))
-                fail = fail | (F.col("__upd")
-                               & F.col(f"__new_{fld}").isNotNull()
-                               & (F.col(f"__rn_{fld}") > 1))
+                fail_a = (F.col("__upd")
+                          & F.col(f"__new_{fld}").isNotNull()
+                          & (F.col(f"__rn_{fld}") > 1))
+                # (b): per old value of updated rows, how many updated
+                # rows held it and the lowest such pk — a new value
+                # matching one fails unless the value's only holder is
+                # this very row (new == old, no-op on the field)
+                olds = (staged.filter(F.col("__upd"))
+                        .groupBy(F.col(fld).alias(f"__oldv_{fld}"))
+                        .agg(F.count(F.lit(1)).alias(f"__oldn_{fld}"),
+                             F.min(F.col(pk)).alias(f"__oldpk_{fld}")))
+                staged = staged.join(
+                    olds, staged[f"__new_{fld}"] == olds[f"__oldv_{fld}"],
+                    "left")
+                self_only = ((F.col(f"__oldn_{fld}") == 1)
+                             & (F.col(f"__oldpk_{fld}") == F.col(pk))
+                             & (F.col(fld) == F.col(f"__new_{fld}")))
+                fail_b = (F.col("__upd")
+                          & F.col(f"__oldv_{fld}").isNotNull()
+                          & ~self_only)
+                fail = fail | fail_a | fail_b
         staged = staged.withColumn("__fail", fail)
-        if uniq:
+        if uniq and n != 0:
             n_failed = staged.filter("__fail").count()
             if n_failed:
                 if not getattr(self, "_continue_partial", False):
@@ -580,7 +604,9 @@ class UpdateBuilder(_MutationBuilder):
             out = out.withColumn(fld,
                                  F.when(apply_c, newv).otherwise(F.col(fld)))
         drop = (["__upd", "__fail"] + temp_cols
-                + [c for f in uniq for c in (f"__new_{f}", f"__rn_{f}")])
+                + [c for f in uniq
+                   for c in (f"__new_{f}", f"__rn_{f}", f"__oldv_{f}",
+                             f"__oldn_{f}", f"__oldpk_{f}")])
         out = out.drop(*drop)
         self._engine.set_df(self._table, out)
         return n
