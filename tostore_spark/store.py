@@ -110,13 +110,15 @@ def flush_tables(engine, flush_storage: bool = True) -> list[str]:
     wh = engine._warehouse
     if not hasattr(engine, "_flushed_gen"):
         engine._flushed_gen = {}
-    lock = None
-    if flush_storage and wh:
-        # the check-then-act window (read seq -> write manifest) is held
-        # under an O_EXCL lock file so two racing flushes cannot both pass
-        # the guard; a stale lock (dead process) is stolen after 10 min
-        lock = _acquire_lock(wh)
-        try:
+    durable = bool(flush_storage and wh)
+    if durable:
+        # the whole check-then-act span (read seq -> table writes ->
+        # manifest write) runs under an O_EXCL lock file so two racing
+        # flushes cannot both pass the guard; a stale lock (dead process)
+        # is stolen after 10 min
+        _acquire_lock(wh)
+    try:
+        if durable:
             cur = read_manifest(wh)
             cur_seq = (cur or {}).get("seq", 0)
             if cur_seq != getattr(engine, "_store_seq", 0):
@@ -124,33 +126,30 @@ def flush_tables(engine, flush_storage: bool = True) -> list[str]:
                     f"warehouse {wh} was flushed by another engine (seq "
                     f"{cur_seq} != loaded {getattr(engine, '_store_seq', 0)}); "
                     "reopen to pick up their state before flushing")
-        except BaseException:
-            _release_lock(wh)
-            raise
-    for key, ent in list(engine._tables.items()):
-        gen = engine._generations.get(key, 0)
-        # dirty = mutated past the last flush, OR registered from a bare
-        # DataFrame with no durable source yet (path None, never flushed)
-        # — without the second clause such a table would silently vanish
-        # on reopen even though flush() "succeeded"
-        sourceless = (flush_storage and wh and ent.get("path") is None
-                      and key not in engine._flushed_gen)
-        if gen <= engine._flushed_gen.get(key, 0) and not sourceless:
-            continue   # never mutated, or unchanged since last flush
-        if flush_storage and wh:
-            vdir = table_version_dir(wh, key[0], key[1], gen)
-            ent["df"].write.mode("overwrite").parquet(vdir)
-            ent["df"] = engine._read_parquet(vdir)
-            ent["path"] = vdir
-            engine._flushed_gen[key] = gen
-            flushed.append(key[1])
-        elif gen > 0:
-            ent["df"] = ent["df"].localCheckpoint(eager=True)
-    if flush_storage and wh:
-        try:
+        for key, ent in list(engine._tables.items()):
+            gen = engine._generations.get(key, 0)
+            # dirty = mutated past the last flush, OR registered from a
+            # bare DataFrame with no durable source yet (path None, never
+            # flushed) — without the second clause such a table would
+            # silently vanish on reopen even though flush() "succeeded"
+            sourceless = (durable and ent.get("path") is None
+                          and key not in engine._flushed_gen)
+            if gen <= engine._flushed_gen.get(key, 0) and not sourceless:
+                continue   # never mutated, or unchanged since last flush
+            if durable:
+                vdir = table_version_dir(wh, key[0], key[1], gen)
+                ent["df"].write.mode("overwrite").parquet(vdir)
+                ent["df"] = engine._read_parquet(vdir)
+                ent["path"] = vdir
+                engine._flushed_gen[key] = gen
+                flushed.append(key[1])
+            elif gen > 0:
+                ent["df"] = ent["df"].localCheckpoint(eager=True)
+        if durable:
             engine._store_seq = getattr(engine, "_store_seq", 0) + 1
             write_manifest(wh, _build_manifest(engine))
-        finally:
+    finally:
+        if durable:
             _release_lock(wh)
     return flushed
 
