@@ -619,11 +619,15 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_neardup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs blocked by LSH sign-buckets (default
-    block — label blocking degenerates to giant buckets on real corpora)."""
+    """Embedding-cosine near-dup pairs blocked by banded multi-table
+    sign-LSH (label blocking degenerates to giant buckets on real corpora;
+    a SINGLE corpus-sized table collapses recall — see dedup.lsh_policy).
+    Explicit (p=8, L=2) here so the DuckDB oracle regenerates the exact
+    same two plane tables; the policy path is pinned by the recall test."""
     db = _db(spark, sf_dir)
     return (D.embedding_neardup_pairs(db.df("embeddings"),
-                                      max_cosine_distance=0.7)
+                                      max_cosine_distance=0.7,
+                                      n_planes=8, n_tables=2)
             .select("id_a", "id_b", F.round(F.col("cos_distance"), 6).alias("d_r")))
 
 
@@ -1520,19 +1524,7 @@ def oracle_sql() -> dict[str, str]:
                         '\\b[0-9]{6,}\\b', '<NUM>', 'g')) AS red_hash
             FROM inj""",
         "q_ngram_jaccard": _ngram_jaccard_oracle(),
-        "q_neardup_embedding": f"""
-            WITH base AS (SELECT vec_id AS id, {_lsh_bucket_sql('embedding')} AS bucket,
-                                 embedding AS v FROM embeddings)
-            SELECT a.id AS id_a, b.id AS id_b,
-                   round(1.0 - list_sum(list_transform(list_zip(a.v, b.v),
-                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-                   / (sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                      * sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS d_r
-            FROM base a JOIN base b ON a.bucket = b.bucket AND a.id < b.id
-            WHERE 1.0 - list_sum(list_transform(list_zip(a.v, b.v),
-                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-                  / (sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                     * sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) <= 0.7""",
+        "q_neardup_embedding": _neardup_embedding_oracle(),
         "q_text_stats": _text_stats_oracle(),
         "q_langid": f"""
             WITH s AS (
@@ -1733,18 +1725,49 @@ def _minhash_oracle(pair_where: str = "x.doc_id < y.doc_id") -> str:
         GROUP BY 1, 2"""
 
 
-def _lsh_bucket_sql(vec_expr: str, dim: int = 64, n_planes: int = 8) -> str:
+def _lsh_bucket_sql(vec_expr: str, dim: int = 64, n_planes: int = 8,
+                    seed: int = 42) -> str:
     """Random-hyperplane sign bucket in SQL, mirroring
     vector.lsh_bucket_column bit-for-bit (same plane constants via the
     deterministic LCG, same fold shape for each dot product)."""
     from tostore_spark.vector import random_hyperplanes
 
     terms = []
-    for i, p in enumerate(random_hyperplanes(dim, n_planes)):
+    for i, p in enumerate(random_hyperplanes(dim, n_planes, seed=seed)):
         dot = (f"list_sum(list_transform(list_zip({vec_expr}, {_sql_list(p)}),"
                f" p -> CAST(p[1] AS DOUBLE) * p[2]))")
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def _neardup_embedding_oracle(dim: int = 64, n_planes: int = 8,
+                              n_tables: int = 2,
+                              max_dist: float = 0.7) -> str:
+    """Banded multi-table sign-LSH near-dup in DuckDB, mirroring
+    dedup.embedding_neardup_pairs: same per-table plane constants (seeded
+    via lsh_table_seed), same "t:signature" block keys, pair-dedup before
+    the single exact-cosine verification."""
+    from tostore_spark.llmops.dedup import lsh_table_seed
+
+    arms = " UNION ALL ".join(
+        f"SELECT id, '{t}:' || CAST({_lsh_bucket_sql('v', dim, n_planes, seed=lsh_table_seed(t))} AS VARCHAR) AS bucket FROM base"
+        for t in range(n_tables))
+    dist = ("1.0 - list_sum(list_transform(list_zip(x.v, y.v),"
+            " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+            " / (sqrt(list_sum(list_transform(x.v, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))"
+            " * sqrt(list_sum(list_transform(y.v, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))))")
+    return f"""
+        WITH base AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        banded AS ({arms}),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM banded a JOIN banded b
+                   ON a.bucket = b.bucket AND a.id < b.id),
+        verified AS (SELECT c.id_a, c.id_b, {dist} AS d
+                     FROM cand c
+                     JOIN base x ON x.id = c.id_a
+                     JOIN base y ON y.id = c.id_b)
+        SELECT id_a, id_b, round(d, 6) AS d_r
+        FROM verified WHERE d <= {max_dist}"""
 
 
 def _ngram_jaccard_oracle() -> str:

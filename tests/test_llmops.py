@@ -331,6 +331,75 @@ def test_planes_for_corpus_scales_with_size(spark):
     assert planes_for_corpus(0) == 8              # empty corpus safe
 
 
+def test_lsh_policy_tables_scale_with_planes(spark):
+    """(p, L) policy: p tracks the bucket bound, L tracks target recall —
+    the single-table recall collapse (0.9^32 ≈ 3% at a trillion rows) is
+    exactly what the multi-table dimension repairs."""
+    import math
+    from tostore_spark.llmops.dedup import lsh_policy
+
+    # tiny corpus, very tight distance: one table already meets recall
+    p, L = lsh_policy(500, max_cosine_distance=0.0005)
+    assert (p, L) == (8, 1)
+    # trillion-row corpus at cos-dist 0.05: 32 planes/table, banded wide
+    p, L = lsh_policy(10**12, max_cosine_distance=0.05, target_recall=0.8)
+    assert p == 32 and 1 < L <= 64
+    r = 1.0 - math.acos(0.95) / math.pi
+    assert 1.0 - (1.0 - r ** p) ** L >= 0.8   # policy meets its own target
+
+
+def _planted_neardup_corpus(rng, n, n_pairs, dim, dist):
+    """n unit vectors with n_pairs planted near-dup pairs at EXACT cosine
+    distance ``dist`` (rotate by acos(1-dist) in a random orthogonal
+    direction); the rest are random (cos-dist ~1 in expectation)."""
+    import math
+
+    import numpy as np
+
+    c = 1.0 - dist
+    s = math.sqrt(1.0 - c * c)
+    rows, planted, vid = [], [], 0
+    for _ in range(n_pairs):
+        u = rng.standard_normal(dim)
+        u /= np.linalg.norm(u)
+        w = rng.standard_normal(dim)
+        w -= w.dot(u) * u
+        w /= np.linalg.norm(w)
+        v = c * u + s * w
+        rows.append((vid, [float(x) for x in u]))
+        rows.append((vid + 1, [float(x) for x in v]))
+        planted.append((vid, vid + 1))
+        vid += 2
+    while vid < n:
+        u = rng.standard_normal(dim)
+        u /= np.linalg.norm(u)
+        rows.append((vid, [float(x) for x in u]))
+        vid += 1
+    return rows, planted
+
+
+@pytest.mark.parametrize("n,target_bucket,n_pairs", [(2000, 64, 150),
+                                                     (8000, 16, 250)])
+def test_embedding_neardup_recall_pinned(spark, n, target_bucket, n_pairs):
+    """Pair recall of the banded multi-table LSH block at cos-dist 0.045
+    (just inside the 0.05 threshold) stays >= 0.8 at two corpus scales —
+    the policy's recall contract, measured, not extrapolated.  Mirrors the
+    IVF recall pin in test_vector_index.py."""
+    import numpy as np
+    from tostore_spark.llmops.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(7 + n)
+    rows, planted = _planted_neardup_corpus(rng, n, n_pairs, dim=16,
+                                            dist=0.045)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = embedding_neardup_pairs(df, max_cosine_distance=0.05,
+                                  target_bucket=target_bucket,
+                                  target_recall=0.9)
+    found = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    recall = len(found & set(planted)) / len(planted)
+    assert recall >= 0.8, f"pair recall {recall} at n={n}"
+
+
 def test_lsh_bucket_sizes_bounded_on_random_corpus(spark):
     """With auto planes, no sign bucket exceeds the target size on a
     seeded random corpus (the quadratic-bucket guard)."""

@@ -464,14 +464,58 @@ def contamination_pairs(train: DataFrame, bench: DataFrame,
 # ------------------------------------------------- embedding near-dup
 def planes_for_corpus(n_rows: int, target_bucket: int = 256,
                       floor: int = 8) -> int:
-    """Corpus-size-aware LSH plane count: 2^planes sign buckets sized so
-    the average bucket holds ~``target_bucket`` vectors.  A fixed plane
-    count (the old default of 8 → 256 buckets) goes quadratic once the
-    corpus outgrows buckets·target: a trillion-row corpus needs ~32
-    planes, not 8."""
+    """Corpus-size-aware LSH plane count PER TABLE: 2^planes sign buckets
+    sized so the average bucket holds ~``target_bucket`` vectors.  A fixed
+    plane count (the old default of 8 → 256 buckets) goes quadratic once
+    the corpus outgrows buckets·target: a trillion-row corpus needs ~32
+    planes, not 8.  More planes also collapse single-table recall
+    (~(1−θ/π)^planes), which is why blocking uses MULTIPLE tables — see
+    ``lsh_policy`` for the (planes, tables) pair that meets both bounds."""
     import math
 
     return max(floor, math.ceil(math.log2(max(1.0, n_rows / target_bucket))))
+
+
+#: ceiling on LSH tables — beyond this the candidate stage costs more than
+#: it recovers; callers wanting higher recall should verify more candidates
+#: per table (larger target_bucket) instead
+LSH_MAX_TABLES = 64
+
+
+def lsh_policy(n_rows: int, target_bucket: int = 256,
+               target_recall: float = 0.8,
+               max_cosine_distance: float = 0.05,
+               floor: int = 8,
+               max_tables: int = LSH_MAX_TABLES) -> tuple[int, int]:
+    """(planes_per_table, n_tables) sized for BOTH the bucket bound and a
+    target pair recall at ``max_cosine_distance``.
+
+    Sign-LSH math: two vectors at angle θ agree on one random hyperplane
+    with p = 1 − θ/π, so one table of ``planes`` bits co-buckets them with
+    p^planes — which collapses exactly when planes grows with corpus size
+    (32 planes at θ≈18° → ~3% recall).  Banded multi-table LSH (the same
+    idiom as ``minhash_bands``) fixes it: L independent tables of p planes
+    each give recall 1 − (1 − p^planes)^L while each table's buckets stay
+    ~n/2^planes.  This returns the smallest L meeting ``target_recall``,
+    capped at ``max_tables`` (candidate-stage cost is linear in L)."""
+    import math
+
+    p = planes_for_corpus(n_rows, target_bucket, floor)
+    theta = math.acos(max(-1.0, min(1.0, 1.0 - max_cosine_distance)))
+    r = max(1e-9, 1.0 - theta / math.pi)      # per-plane agreement prob
+    per_table = r ** p
+    if per_table >= target_recall:
+        return p, 1
+    if per_table <= 0.0:
+        return p, max_tables
+    need = math.log(max(1e-12, 1.0 - target_recall)) / math.log(1.0 - per_table)
+    return p, max(1, min(max_tables, math.ceil(need)))
+
+
+def lsh_table_seed(table: int, seed: int = 42) -> int:
+    """Per-table hyperplane seed (deterministic, reproducible in the
+    DuckDB oracle which regenerates the same planes in Python)."""
+    return seed + 7919 * table
 
 
 def embedding_neardup_pairs(df: DataFrame, vec_field: str = "embedding",
@@ -479,40 +523,60 @@ def embedding_neardup_pairs(df: DataFrame, vec_field: str = "embedding",
                             group_field: str | None = None,
                             max_cosine_distance: float = 0.05,
                             n_planes: int | None = None,
-                            target_bucket: int = 256) -> DataFrame:
+                            n_tables: int | None = None,
+                            target_bucket: int = 256,
+                            target_recall: float = 0.8,
+                            seed: int = 42) -> DataFrame:
     """Cosine near-duplicates among embeddings.
 
-    Candidates are blocked on `group_field` when given (else an LSH sign
-    bucket — see vector.lsh_bucket_column — so the join never goes all-pairs
-    at scale).  Exact cosine verification on candidates only.
+    Candidates are blocked on `group_field` when given, else on banded
+    multi-table sign-LSH: L independent hyperplane tables of p bits each
+    (``lsh_policy`` picks (p, L) for the corpus size, bucket bound AND
+    ``target_recall`` at ``max_cosine_distance`` — a single table's recall
+    decays as ~0.9^p at θ≈18°, so one corpus-sized table silently drops
+    almost every true pair).  Each row explodes to L ``"t:signature"``
+    block keys; candidates come from the equi-join on the key, are
+    DEDUPLICATED on the pair BEFORE verification (a pair found by several
+    tables pays the exact-cosine cost once), and only then exact-verified.
+    Never all-pairs; candidate volume is linear in L.
 
-    ``n_planes`` defaults to ``planes_for_corpus(count)`` so bucket sizes
-    track corpus growth (one count job at plan time; pass ``n_planes``
-    explicitly to skip it)."""
+    Pass ``n_planes``/``n_tables`` explicitly to skip the one count job
+    the policy needs at plan time."""
     from tostore_spark.vector import lsh_bucket_column, random_hyperplanes
 
     if group_field is None:
         dim_row = df.select(F.size(F.col(vec_field)).alias("d")).take(1)
         dim = dim_row[0]["d"] if dim_row else 0
-        if n_planes is None:
-            n_planes = planes_for_corpus(df.count(), target_bucket)
-        planes = random_hyperplanes(dim, n_planes)
-        base = df.select(F.col(id_field).alias("id"), F.col(vec_field).alias("v"),
-                         lsh_bucket_column(F.col(vec_field), planes).alias("bucket"))
+        if n_planes is None or n_tables is None:
+            p, ntab = lsh_policy(df.count(), target_bucket, target_recall,
+                                 max_cosine_distance)
+            n_planes = n_planes if n_planes is not None else p
+            n_tables = n_tables if n_tables is not None else ntab
+        buckets = []
+        for t in range(n_tables):
+            planes = random_hyperplanes(dim, n_planes, seed=lsh_table_seed(t, seed))
+            buckets.append(F.concat_ws(
+                ":", F.lit(str(t)),
+                lsh_bucket_column(F.col(vec_field), planes).cast("string")))
+        base = df.select(
+            F.col(id_field).alias("id"), F.col(vec_field).alias("v"),
+            F.explode(F.array(*buckets)).alias("bucket"))
     else:
         base = df.select(F.col(id_field).alias("id"), F.col(vec_field).alias("v"),
                          F.col(group_field).alias("bucket"))
     a, b = base.alias("a"), base.alias("b")
-    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"),
-                                 lambda x, y: x.cast("double") * y.cast("double")),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.col("a.v"), F.lit(0.0),
-                            lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    nb = F.sqrt(F.aggregate(F.col("b.v"), F.lit(0.0),
-                            lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    cos_dist = F.lit(1.0) - dot / (na * nb)
-    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+    cand = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.id") < F.col("b.id")))
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                     cos_dist.alias("cos_distance"))
-             .filter(F.col("cos_distance") <= F.lit(max_cosine_distance)))
+                     F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+             .dropDuplicates(["id_a", "id_b"]))
+    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"),
+                                 lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.col("va"), F.lit(0.0),
+                            lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(F.col("vb"), F.lit(0.0),
+                            lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    cos_dist = F.lit(1.0) - dot / (na * nb)
+    return (cand.select("id_a", "id_b", cos_dist.alias("cos_distance"))
+                .filter(F.col("cos_distance") <= F.lit(max_cosine_distance)))
