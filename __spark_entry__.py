@@ -1466,8 +1466,10 @@ def oracle_sql() -> dict[str, str]:
                                           for i in range(1, len(t) - 3)])
                          ELSE [] END AS grams
                   FROM toks),
-            tg AS (SELECT doc_id AS train_id, unnest(grams) AS gr
-                   FROM g WHERE doc_id < 480),
+            tg0 AS (SELECT doc_id AS train_id, unnest(grams) AS gr
+                    FROM g WHERE doc_id < 480),
+            hot AS (SELECT gr FROM tg0 GROUP BY gr HAVING count(*) > 10000),
+            tg AS (SELECT * FROM tg0 ANTI JOIN hot USING (gr)),
             bg AS (SELECT doc_id AS bench_id, unnest(grams) AS gr
                    FROM g WHERE doc_id >= 480)
             SELECT tg.train_id, bg.bench_id, count(*) AS n_shared

@@ -491,12 +491,34 @@ def test_contamination_max_gram_df_drops_boilerplate(spark):
     bench = spark.createDataFrame(
         [(1000, boiler + " " + real + " trailing")], ["doc_id", "text"])
     # without the cap: every train doc pairs with the bench doc via the
-    # boilerplate grams
-    loose = contamination_pairs(train, bench, n=5, min_overlap=2)
+    # boilerplate grams (disabled explicitly — the cap is ON by default)
+    loose = contamination_pairs(train, bench, n=5, min_overlap=2,
+                                max_gram_df=None)
     assert loose.count() == 21
     # with the cap: boilerplate grams (df=21) are dropped; only the
-    # genuinely contaminated doc remains
+    # genuinely contaminated doc remains; the observation reports how
+    # many grams were capped without an extra job
+    from pyspark.sql import Observation
+    obs = Observation("capped")
     tight = contamination_pairs(train, bench, n=5, min_overlap=2,
-                                max_gram_df=5)
+                                max_gram_df=5, observation=obs)
     assert [(r["train_id"], r["bench_id"]) for r in tight.collect()] \
         == [(99, 1000)]
+    assert obs.get["n_capped_grams"] > 0
+
+
+def test_contamination_default_cap_is_on(spark):
+    """The boilerplate guard defaults ON (10_000) — a crawl-scale run must
+    not need to remember the knob; sub-cap grams still pair normally."""
+    import inspect
+
+    from tostore_spark.llmops.dedup import (CONTAMINATION_MAX_GRAM_DF,
+                                            contamination_pairs)
+    sig = inspect.signature(contamination_pairs)
+    assert sig.parameters["max_gram_df"].default == \
+        CONTAMINATION_MAX_GRAM_DF == 10_000
+    train = spark.createDataFrame([(1, "alpha beta gamma delta epsilon")],
+                                  ["doc_id", "text"])
+    bench = spark.createDataFrame([(2, "alpha beta gamma delta epsilon")],
+                                  ["doc_id", "text"])
+    assert contamination_pairs(train, bench, n=5, min_overlap=1).count() == 1

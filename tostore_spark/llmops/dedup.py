@@ -427,11 +427,29 @@ def ngram_jaccard_pairs(df: DataFrame, text_field: str = "text",
              .dropDuplicates(["id_a", "id_b"]))
 
 
+#: default training-side document-frequency cap for contamination grams —
+#: a gram in >10k training docs is boilerplate, not a leaked benchmark
+#: passage, and its join bucket would otherwise go quadratic on a crawl
+CONTAMINATION_MAX_GRAM_DF = 10_000
+
+
+def contamination_hot_grams(train: DataFrame, n: int = 5,
+                            text_field: str = "text",
+                            max_gram_df: int = CONTAMINATION_MAX_GRAM_DF) -> DataFrame:
+    """Training-side grams whose document frequency exceeds the cap —
+    the (g, df) frame contamination_pairs drops.  Exposed so a pipeline
+    can audit WHAT was treated as boilerplate before trusting the pass."""
+    tg = train.select(F.explode(word_ngrams(F.col(text_field), n)).alias("g"))
+    return (tg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+              .filter(F.col("df") > max_gram_df))
+
+
 def contamination_pairs(train: DataFrame, bench: DataFrame,
                         n: int = 5, min_overlap: int = 2,
                         text_field: str = "text",
                         id_field: str = "doc_id",
-                        max_gram_df: int | None = None) -> DataFrame:
+                        max_gram_df: int | None = CONTAMINATION_MAX_GRAM_DF,
+                        observation=None) -> DataFrame:
     """Benchmark-contamination check: training docs sharing at least
     ``min_overlap`` distinct word n-grams with an evaluation doc —
     the standard decontamination pass before a training run.
@@ -443,10 +461,13 @@ def contamination_pairs(train: DataFrame, bench: DataFrame,
 
     ``max_gram_df`` guards the scale failure mode: a BOILERPLATE gram
     (license header, site template) present in millions of training docs
-    makes its join bucket quadratic.  Set it (e.g. 10_000) to drop grams
-    whose training-side document frequency exceeds the cap — boilerplate
-    carries no contamination signal; genuinely contaminated passages are
-    rare on the training side by definition."""
+    makes its join bucket quadratic.  It is ON by default (10_000) because
+    decontamination is exactly the job run on the full crawl — dropped
+    grams carry no contamination signal (genuinely leaked passages are
+    rare on the training side by definition).  Pass ``None`` to disable.
+    Pass a ``pyspark.sql.Observation`` as ``observation`` to receive the
+    number of capped grams (``n_capped_grams``) for free when the result
+    runs — no extra job; or audit them via ``contamination_hot_grams``."""
     tg = train.select(F.col(id_field).alias("train_id"),
                       F.explode(word_ngrams(F.col(text_field), n)).alias("g"))
     bg = bench.select(F.col(id_field).alias("bench_id"),
@@ -454,6 +475,9 @@ def contamination_pairs(train: DataFrame, bench: DataFrame,
     if max_gram_df is not None:
         hot = (tg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
                  .filter(F.col("df") > max_gram_df).select("g"))
+        if observation is not None:
+            hot = hot.observe(observation,
+                              F.count(F.lit(1)).alias("n_capped_grams"))
         tg = tg.join(hot, on="g", how="left_anti")
     return (tg.join(bg, on="g")
               .groupBy("train_id", "bench_id")
