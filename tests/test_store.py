@@ -153,6 +153,153 @@ def test_time_travel_reads_old_versions(spark, tmp_path_factory):
              .collect()[0]["r_name"] == "V2"
     with pytest.raises(FileNotFoundError, match="available"):
         db.df_at("region", 9999)
-    # vacuum keeps the newest `keep` and time travel degrades gracefully
+    # versions handed out by df_at are pinned against vacuum; releasing
+    # the pins lets vacuum prune them
+    db.vacuum(keep=1)
+    assert db.table_versions("region") == sorted({vs[0], vs[-1]})
+    db.unpin_versions()
     db.vacuum(keep=1)
     assert db.table_versions("region") == [vs[-1]]
+
+
+def test_vacuum_cannot_break_live_df_at_frame(spark, tmp_path_factory):
+    """A collected-then-reread time-travel frame survives vacuum: the pin
+    keeps its files on disk (the eviction-after-delete class)."""
+    db, wh = _fresh(spark, tmp_path_factory, "pin")
+    for i in range(3):
+        db.update("region", {"r_name": f"P{i}"}) \
+          .where("r_regionkey", "=", 0).execute()
+        db.flush()
+    v0 = db.table_versions("region")[0]
+    frame = db.df_at("region", v0)
+    first = frame.filter("r_regionkey = 0").collect()[0]["r_name"]
+    assert db.vacuum(keep=1) == 1          # prunes only the unpinned middle
+    # the lazy frame re-reads its files — they must still exist
+    again = frame.filter("r_regionkey = 0").collect()[0]["r_name"]
+    assert first == again == "P0"
+
+
+def test_refresh_replays_unflushed_tables(spark, tmp_path_factory):
+    """The ConcurrentWriteError retry path: the losing engine refreshes,
+    keeps its non-conflicting local mutations, and flushes cleanly."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.store import ConcurrentWriteError
+    wh = str(tmp_path_factory.mktemp("wh_refresh"))
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    # a flushes region; b has an unflushed mutation on NATION (no overlap)
+    a.update("region", {"r_name": "A"}).where("r_regionkey", "=", 0).execute()
+    a.flush()
+    b.update("nation", {"n_name": "B"}).where("n_nationkey", "=", 0).execute()
+    with pytest.raises(ConcurrentWriteError):
+        b.flush()
+    assert b.refresh() == ["nation"]
+    # after refresh b sees a's region AND kept its own nation mutation
+    assert b.df("region").filter("r_regionkey = 0") \
+            .collect()[0]["r_name"] == "A"
+    assert b.flush() == ["nation"]
+    c = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    assert c.df("nation").filter("n_nationkey = 0") \
+            .collect()[0]["n_name"] == "B"
+    assert c.df("region").filter("r_regionkey = 0") \
+            .collect()[0]["r_name"] == "A"
+
+
+def test_refresh_rejects_true_conflict(spark, tmp_path_factory):
+    """Both writers touched the SAME table: refresh must refuse to replay
+    (re-deriving is the caller's job), naming the table."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.store import ConcurrentWriteError
+    wh = str(tmp_path_factory.mktemp("wh_conflict"))
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    a.update("region", {"r_name": "A"}).where("r_regionkey", "=", 0).execute()
+    a.flush()
+    b.update("region", {"r_name": "B"}).where("r_regionkey", "=", 0).execute()
+    with pytest.raises(ConcurrentWriteError):
+        b.flush()
+    with pytest.raises(ConcurrentWriteError, match="region"):
+        b.refresh()
+
+
+def test_warehouse_over_file_uri_hadoop_fs(spark, tmp_path_factory):
+    """file:// warehouse routes ALL metadata through the Hadoop FileSystem
+    shim (the code path s3a://-style deployments use) — flush, reopen,
+    versions, time-travel and vacuum all work with zero raw os.* on the
+    warehouse path."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.fs import HadoopFS, get_fs
+    local = tmp_path_factory.mktemp("wh_uri")
+    wh = f"file://{local}"
+    assert isinstance(get_fs(wh, spark), HadoopFS)
+    db = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    for i in range(2):
+        db.update("region", {"r_name": f"U{i}"}) \
+          .where("r_regionkey", "=", 0).execute()
+        assert db.flush() == ["region"]
+    db2 = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    assert db2.df("region").filter("r_regionkey = 0") \
+              .collect()[0]["r_name"] == "U1"
+    vs = db2.table_versions("region")
+    assert len(vs) == 2
+    assert db2.df_at("region", vs[0]).filter("r_regionkey = 0") \
+              .collect()[0]["r_name"] == "U0"
+    db2.unpin_versions()
+    assert db2.vacuum(keep=1) == 1
+    assert db2.table_versions("region") == [vs[-1]]
+
+
+def test_flush_lock_owner_token_semantics(spark, tmp_path_factory):
+    """Lock steal safety: a thief breaking a STALE lock leaves the slow
+    holder unable to pass verify() (foreign token), and the slow holder's
+    release does not unlink the thief's live lock."""
+    import time
+
+    from tostore_spark.fs import LocalFS
+    from tostore_spark.store import (_LOCK_STALE_S, ConcurrentWriteError,
+                                     FlushLock)
+    wh = str(tmp_path_factory.mktemp("wh_lock"))
+    fs = LocalFS()
+    slow = FlushLock(fs, wh)
+    slow.acquire()
+    assert slow.owned()
+    # a live lock cannot be acquired by a second writer
+    other = FlushLock(fs, wh)
+    with pytest.raises(ConcurrentWriteError):
+        other.acquire()
+    # heartbeat refreshes mtime, keeping the lock un-stealable
+    old = fs.getmtime(slow.path)
+    time.sleep(0.05)
+    slow.heartbeat()
+    assert fs.getmtime(slow.path) >= old
+    # simulate a crashed holder: age the lock past the stale horizon
+    stale = time.time() - _LOCK_STALE_S - 5
+    os.utime(slow.path, (stale, stale))
+    thief = FlushLock(fs, wh)
+    thief.acquire()                      # steals the stale lock
+    assert thief.owned() and not slow.owned()
+    with pytest.raises(ConcurrentWriteError, match="stolen"):
+        slow.verify()                    # slow holder aborts pre-manifest
+    slow.release()                       # must NOT unlink the thief's lock
+    assert thief.owned()
+    thief.release()
+    assert not os.path.exists(thief.path)
+
+
+def test_kv_rejects_non_json_values_at_set_time(spark, tmp_path_factory):
+    """Non-JSON KV values fail at set_value (the API boundary), never
+    mid-flush after table parquet writes."""
+    import datetime
+    db, wh = _fresh(spark, tmp_path_factory, "kvjson")
+    with pytest.raises(TypeError):
+        db.kv.set_value("bad", datetime.datetime.now())
+    db.kv.set_value("good", {"nested": [1, 2]})
+    db.flush()
+
+
+def test_byte_size_parses_units(spark):
+    from tostore_spark.llmops.dedup import _byte_size
+    assert _byte_size(spark, "134217728b") == 128 * 1024 * 1024
+    assert _byte_size(spark, "128m") == 128 * 1024 * 1024
+    assert _byte_size(spark, "1g") == 1 << 30
+    assert _byte_size(spark, "4096") == 4096

@@ -376,11 +376,30 @@ class ToStoreSpark:
             self._mutations.clear()
         return flushed
 
+    def refresh(self) -> list[str]:
+        """Retry path after ConcurrentWriteError: reload the warehouse's
+        current manifest (another writer's flush), then replay THIS
+        engine's unflushed tables on top.  Raises ConcurrentWriteError
+        listing the tables if the other writer also flushed one of them
+        (a true conflict the caller must re-derive).  Returns replayed
+        table names."""
+        from tostore_spark import store as _store
+        return _store.refresh(self)
+
     def vacuum(self, keep: int = 1) -> int:
         """Prune superseded version directories in the warehouse, keeping
-        the ``keep`` newest per table (current always survives)."""
+        the ``keep`` newest per table (current always survives, as does
+        any version pinned by a live ``df_at`` frame)."""
         from tostore_spark import store as _store
         return _store.vacuum(self, keep=keep)
+
+    def unpin_versions(self) -> int:
+        """Release every version pinned by ``df_at`` so vacuum may prune
+        them; any still-live time-travel frame over a pruned version will
+        fail on its next action.  Returns the number of pins released."""
+        n = len(getattr(self, "_pinned_versions", ()))
+        self._pinned_versions = set()
+        return n
 
     def table_versions(self, table: str) -> list[int]:
         """Flushed generations on disk for a table (ascending)."""

@@ -69,16 +69,34 @@ def _spread(df: DataFrame) -> DataFrame:
         return df
     if files:
         try:
-            import os
-            from urllib.parse import urlparse
-            max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
-                                        str(128 * 1024 * 1024)).rstrip("b"))
-            total = sum(os.path.getsize(urlparse(f).path) for f in files)
+            from tostore_spark.fs import file_size
+            raw = spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                 str(128 * 1024 * 1024))
+            max_pb = _byte_size(spark, raw)
+            total = sum(file_size(spark, f) for f in files)
             if total // max_pb >= target:
                 return df   # few files, but they scan as >= target splits
         except Exception:
-            pass   # non-local FS etc. — fall through to repartition
+            pass   # size genuinely undeterminable — fall through
     return df.repartition(target)
+
+
+def _byte_size(spark, raw: str) -> int:
+    """Parse a Spark byte-size conf value WITH units ('128m', '1g',
+    '134217728b') — the bare rstrip('b') parse silently rejected every
+    unit-suffixed value, falling back to a full-corpus repartition at
+    exactly the scale the estimate exists to avoid.  Uses Spark's own
+    JVM-side parser so semantics match the scan planner's."""
+    try:
+        return int(spark._jvm.org.apache.spark.network.util.JavaUtils
+                   .byteStringAsBytes(raw))
+    except Exception:
+        units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+                 "t": 1 << 40}
+        s = raw.strip().lower().removesuffix("b")
+        if s and s[-1] in units:
+            return int(float(s[:-1]) * units[s[-1]])
+        return int(s)
 
 
 def shingles(text_col: Column, k: int = 5) -> Column:

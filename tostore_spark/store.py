@@ -11,21 +11,39 @@ the same warehouse resumes from the last flushed state — the WAL recovery
 analog without porting the WAL.
 
 Layout:
-    <warehouse>/manifest.json            # atomic (tmp + rename)
+    <warehouse>/manifest.json            # atomic (tmp + fsync + rename)
     <warehouse>/<space>/<table>/v<N>/    # parquet snapshot at generation N
+
+All warehouse METADATA I/O goes through the filesystem shim
+(``tostore_spark.fs``): plain paths use POSIX, any URI scheme
+(``file://``, ``hdfs://``, ``s3a://``) uses the Hadoop FileSystem API
+obtained from the live SparkSession — so the warehouse works wherever
+Spark itself can write parquet, not only on driver-mountable disks.
 
 The manifest also carries the KV namespace, known spaces, and per-space
 user version numbers, mirroring what the reference persists in its system
 tables.  Old versions are retained for time-travel-ish safety until
-``vacuum()`` prunes them.
+``vacuum()`` prunes them; versions handed out via ``engine.df_at`` are
+pinned and survive vacuum until released.
+
+Concurrency: the flush critical section is serialized by an exclusive
+lock file carrying an owner token (pid + uuid).  The holder heartbeats
+the lock's mtime after every table write, so a *live* long flush is never
+stolen; only a lock whose mtime is stale by ``_LOCK_STALE_S`` (crashed
+holder) can be broken.  Ownership is re-verified — and the manifest
+sequence re-read — immediately before the manifest write, so even a
+stolen lock cannot produce a silent lost update; release only unlinks the
+lock if the token still matches.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import uuid
 from typing import Optional
 
+from tostore_spark import fs as _fsmod
 from tostore_spark.backup import _schema_from_dict, _schema_to_dict
 
 MANIFEST = "manifest.json"
@@ -35,68 +53,108 @@ class ConcurrentWriteError(RuntimeError):
     """Another engine flushed this warehouse since we loaded it.  The
     single-writer analog of the reference's write-lock: flush is a
     compare-and-swap on the manifest sequence number, so the second writer
-    fails loudly instead of silently clobbering the first's tables."""
+    fails loudly instead of silently clobbering the first's tables.
+    ``engine.refresh()`` is the retry path: it reloads the other writer's
+    state and replays this engine's unflushed tables when they don't
+    conflict."""
+
+
+def _fs(engine):
+    return _fsmod.get_fs(engine._warehouse, getattr(engine, "spark", None))
 
 
 def manifest_path(warehouse: str) -> str:
-    return os.path.join(warehouse, MANIFEST)
+    return _fsmod.join(warehouse, MANIFEST)
 
 
-def read_manifest(warehouse: str) -> Optional[dict]:
+def read_manifest(warehouse: str, fs=None, spark=None) -> Optional[dict]:
+    fs = fs or _fsmod.get_fs(warehouse, spark)
     p = manifest_path(warehouse)
-    if not os.path.exists(p):
+    if not fs.exists(p):
         return None
-    with open(p) as fh:
-        return json.load(fh)
+    return json.loads(fs.read_text(p))
 
 
-def write_manifest(warehouse: str, manifest: dict) -> None:
-    """Crash-safe replace: a torn write can never corrupt the manifest."""
-    os.makedirs(warehouse, exist_ok=True)
-    tmp = manifest_path(warehouse) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=2)
-    os.replace(tmp, manifest_path(warehouse))
+def write_manifest(warehouse: str, manifest: dict, fs=None, spark=None) -> None:
+    """Atomic replace through the FS shim: tmp + fsync + rename on POSIX
+    (power-loss safe), FileSystem.rename on Hadoop schemes (atomic on
+    HDFS; last-writer-wins-never-torn on object stores)."""
+    fs = fs or _fsmod.get_fs(warehouse, spark)
+    fs.mkdirs(warehouse)
+    fs.write_atomic(manifest_path(warehouse), json.dumps(manifest, indent=2,
+                                                         default=str))
 
 
 def table_version_dir(warehouse: str, space: str, table: str,
                       version: int) -> str:
-    return os.path.join(warehouse, space, table, f"v{version}")
+    return _fsmod.join(warehouse, space, table, f"v{version}")
 
 
 _LOCK = ".flush.lock"
 _LOCK_STALE_S = 600
 
 
-def _acquire_lock(warehouse: str) -> str:
-    """O_EXCL lock file serializing the flush critical section.  A lock
-    older than _LOCK_STALE_S (crashed holder) is stolen."""
-    os.makedirs(warehouse, exist_ok=True)
-    path = os.path.join(warehouse, _LOCK)
-    import time
-    for _ in range(2):
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
-            return path
-        except FileExistsError:
+class FlushLock:
+    """Exclusive warehouse lock with an owner token and mtime heartbeat.
+
+    The token (pid + uuid) makes steal-then-clobber impossible: a slow
+    flush whose lock was stolen (only possible if it stopped heartbeating
+    for _LOCK_STALE_S) discovers the foreign token at ``verify()`` time —
+    BEFORE its manifest write — and aborts instead of silently overwriting
+    the thief's state; its release leaves the thief's lock untouched."""
+
+    def __init__(self, fs, warehouse: str):
+        self._fs = fs
+        self.path = _fsmod.join(warehouse, _LOCK)
+        self.token = f"{os.getpid()}:{uuid.uuid4().hex}"
+
+    def acquire(self) -> None:
+        import time
+        for _ in range(2):
             try:
-                if time.time() - os.path.getmtime(path) > _LOCK_STALE_S:
-                    os.unlink(path)   # stale holder; retry the O_EXCL
-                    continue
-            except OSError:
-                continue
+                self._fs.create_exclusive(self.path, self.token)
+                return
+            except FileExistsError:
+                try:
+                    if time.time() - self._fs.getmtime(self.path) > _LOCK_STALE_S:
+                        self._fs.delete(self.path)   # stale holder; retry
+                        continue
+                except OSError:
+                    continue   # holder released between exists and getmtime
+                raise ConcurrentWriteError(
+                    f"another flush holds {self.path}; retry after it "
+                    "completes") from None
+        raise ConcurrentWriteError(f"could not acquire {self.path}")
+
+    def heartbeat(self) -> None:
+        """Refresh the lock mtime (called after every table write) so a
+        LIVE long flush can never look stale."""
+        try:
+            self._fs.touch(self.path)
+        except OSError:
+            pass
+
+    def owned(self) -> bool:
+        try:
+            return self._fs.read_text(self.path) == self.token
+        except OSError:
+            return False
+        except Exception:
+            return False
+
+    def verify(self) -> None:
+        if not self.owned():
             raise ConcurrentWriteError(
-                f"another flush holds {path}; retry after it completes")
-    raise ConcurrentWriteError(f"could not acquire {path}")
+                f"flush lock {self.path} was stolen mid-flush (holder "
+                "stopped heartbeating?); aborting before the manifest "
+                "write to avoid clobbering the new holder's state")
 
-
-def _release_lock(warehouse: str) -> None:
-    try:
-        os.unlink(os.path.join(warehouse, _LOCK))
-    except OSError:
-        pass
+    def release(self) -> None:
+        try:
+            if self.owned():
+                self._fs.delete(self.path)
+        except OSError:
+            pass
 
 
 def flush_tables(engine, flush_storage: bool = True) -> list[str]:
@@ -111,21 +169,26 @@ def flush_tables(engine, flush_storage: bool = True) -> list[str]:
     if not hasattr(engine, "_flushed_gen"):
         engine._flushed_gen = {}
     durable = bool(flush_storage and wh)
+    lock = None
+    fs = None
     if durable:
         # the whole check-then-act span (read seq -> table writes ->
-        # manifest write) runs under an O_EXCL lock file so two racing
-        # flushes cannot both pass the guard; a stale lock (dead process)
-        # is stolen after 10 min
-        _acquire_lock(wh)
+        # manifest write) runs under the owner-token lock; the holder
+        # heartbeats after each table write, ownership is re-verified (and
+        # the seq re-read) immediately before the manifest write
+        fs = _fs(engine)
+        fs.mkdirs(wh)
+        lock = FlushLock(fs, wh)
+        lock.acquire()
     try:
         if durable:
-            cur = read_manifest(wh)
+            cur = read_manifest(wh, fs=fs)
             cur_seq = (cur or {}).get("seq", 0)
             if cur_seq != getattr(engine, "_store_seq", 0):
                 raise ConcurrentWriteError(
                     f"warehouse {wh} was flushed by another engine (seq "
                     f"{cur_seq} != loaded {getattr(engine, '_store_seq', 0)}); "
-                    "reopen to pick up their state before flushing")
+                    "engine.refresh() to pick up their state, then retry")
         for key, ent in list(engine._tables.items()):
             gen = engine._generations.get(key, 0)
             # dirty = mutated past the last flush, OR registered from a
@@ -143,23 +206,38 @@ def flush_tables(engine, flush_storage: bool = True) -> list[str]:
                 ent["path"] = vdir
                 engine._flushed_gen[key] = gen
                 flushed.append(key[1])
+                lock.heartbeat()
             elif gen > 0:
                 ent["df"] = ent["df"].localCheckpoint(eager=True)
         if durable:
+            # last-moment recheck: the lock is still ours AND nobody
+            # advanced the manifest while we wrote tables
+            lock.verify()
+            cur = read_manifest(wh, fs=fs)
+            if (cur or {}).get("seq", 0) != getattr(engine, "_store_seq", 0):
+                raise ConcurrentWriteError(
+                    f"manifest seq advanced under a live lock in {wh}; "
+                    "aborting manifest write (engine.refresh() to recover)")
             engine._store_seq = getattr(engine, "_store_seq", 0) + 1
-            write_manifest(wh, _build_manifest(engine))
+            write_manifest(wh, _build_manifest(engine), fs=fs)
     finally:
         if durable:
-            _release_lock(wh)
+            lock.release()
     return flushed
+
+
+def _norm_path(p: str) -> str:
+    """Comparable form of a warehouse-relative path: abspath for plain
+    POSIX paths, verbatim for URIs (abspath would mangle the scheme)."""
+    return p if _fsmod._scheme(p) else os.path.abspath(p)
 
 
 def _build_manifest(engine) -> dict:
     tables = {}
-    wh = os.path.abspath(engine._warehouse)
+    wh = _norm_path(engine._warehouse)
     for (space, name), ent in engine._tables.items():
         path = ent.get("path")
-        if path and os.path.abspath(path).startswith(wh):
+        if path and _norm_path(path).startswith(wh):
             tables[f"{space}/{name}"] = {
                 "space": space, "name": name, "path": path,
                 "version": engine._generations.get((space, name), 0),
@@ -173,6 +251,8 @@ def _build_manifest(engine) -> dict:
         "versions": getattr(engine, "_versions", {}),
     }
     if hasattr(engine, "_kv"):
+        # KV values are stored as JSON strings at set_value time (kv.py
+        # json.dumps on write), so this serialization cannot fail mid-flush
         manifest["kv"] = [
             [sp, key, val, exp.isoformat() if exp else None]
             for (sp, key), (val, exp) in engine._kv.snapshot().items()]
@@ -183,7 +263,7 @@ def load_warehouse(engine) -> list[str]:
     """Overlay the last flushed state onto the engine's registry (flushed
     tables shadow same-named data_dir sources); restores KV, spaces and
     version numbers.  Returns loaded table names."""
-    man = read_manifest(engine._warehouse)
+    man = read_manifest(engine._warehouse, fs=_fs(engine))
     if not man:
         engine._store_seq = 0
         return []
@@ -214,49 +294,115 @@ def load_warehouse(engine) -> list[str]:
     return loaded
 
 
+def refresh(engine) -> list[str]:
+    """The ConcurrentWriteError retry path (the reference's transaction
+    manager gives losers a retry — transaction_manager.dart:17-50).
+
+    Reload the warehouse's current manifest, then REPLAY this engine's
+    unflushed in-memory tables on top: a table whose base generation is
+    unchanged in the new manifest (or that the other writer never touched)
+    keeps its local mutations and will flush cleanly next time; a table
+    the other writer also flushed is a true conflict and raises, listing
+    the tables so the caller can re-derive them.  Returns the replayed
+    table names."""
+    wh = engine._warehouse
+    if not wh:
+        return []
+    man = read_manifest(wh, fs=_fs(engine)) or {"seq": 0, "tables": {}}
+    new_flushed = {(e["space"], e["name"]): e.get("version", 0)
+                   for e in man.get("tables", {}).values()}
+    old_flushed = dict(getattr(engine, "_flushed_gen", {}))
+    # this engine's unflushed work: generation past what IT last flushed
+    dirty = {key: ent for key, ent in engine._tables.items()
+             if engine._generations.get(key, 0) > old_flushed.get(key, 0)
+             or (ent.get("path") is None and key not in old_flushed)}
+    conflicts = sorted(
+        f"{k[0]}/{k[1]}" for k in dirty
+        if new_flushed.get(k, old_flushed.get(k, 0)) != old_flushed.get(k, 0))
+    if conflicts:
+        raise ConcurrentWriteError(
+            "refresh cannot replay: the other writer also flushed "
+            f"{conflicts}; re-derive those tables from the refreshed state")
+    keep = {k: (dict(ent), engine._generations.get(k, 0))
+            for k, ent in dirty.items()}
+    # drop all warehouse-backed registrations, re-overlay the new manifest
+    for k in list(engine._tables):
+        if k not in keep:
+            ent = engine._tables[k]
+            path = ent.get("path")
+            if path and _norm_path(path).startswith(_norm_path(wh)):
+                del engine._tables[k]
+                engine._generations.pop(k, None)
+    engine._flushed_gen = {}
+    load_warehouse(engine)
+    replayed = []
+    for k, (ent, gen) in keep.items():
+        engine._tables[k] = ent
+        # base generation must sit past the other writer's flushed gen so
+        # OUR next flush writes a fresh version directory
+        engine._generations[k] = max(gen, new_flushed.get(k, 0) + 1)
+        engine._flushed_gen.pop(k, None)
+        replayed.append(k[1])
+    return replayed
+
+
 def list_versions(engine, table: str, space: str = "default") -> list[int]:
     """Flushed generations available on disk for a table, ascending."""
-    tdir = os.path.join(engine._warehouse, space, table)
-    if not os.path.isdir(tdir):
+    fs = _fs(engine)
+    tdir = _fsmod.join(engine._warehouse, space, table)
+    if not fs.is_dir(tdir):
         return []
-    return sorted(int(d[1:]) for d in os.listdir(tdir)
+    return sorted(int(d[1:]) for d in fs.listdir(tdir)
                   if d.startswith("v") and d[1:].isdigit())
 
 
 def read_version(engine, table: str, version: int,
                  space: str = "default"):
     """Time-travel read: the table as of a previous flush (the versioned
-    directories double as history until ``vacuum()`` prunes them)."""
+    directories double as history until ``vacuum()`` prunes them).  The
+    returned frame is LAZY, so the version is pinned against vacuum until
+    ``engine.unpin_versions()`` releases it — without the pin a later
+    vacuum would delete the files under the live plan."""
+    fs = _fs(engine)
     vdir = table_version_dir(engine._warehouse, space, table, version)
-    if not os.path.isdir(vdir):
+    if not fs.is_dir(vdir):
         raise FileNotFoundError(
             f"no flushed version v{version} for {space}/{table}; "
             f"available: {list_versions(engine, table, space)}")
+    if not hasattr(engine, "_pinned_versions"):
+        engine._pinned_versions = set()
+    engine._pinned_versions.add((space, table, version))
     return engine._read_parquet(vdir)
 
 
 def vacuum(engine, keep: int = 1) -> int:
     """Prune old version directories, keeping the ``keep`` most recent per
-    table (the current one always survives).  Returns directories removed."""
-    import shutil
-
-    man = read_manifest(engine._warehouse) or {"tables": {}}
+    table.  The current version always survives, and so does any version
+    handed out by ``engine.df_at`` (pinned — a lazy frame re-reads its
+    files on every action, so deleting them would poison live plans; call
+    ``engine.unpin_versions()`` first to release).  Returns directories
+    removed."""
+    fs = _fs(engine)
+    man = read_manifest(engine._warehouse, fs=fs) or {"tables": {}}
     current = {(e["space"], e["name"]): e["path"]
                for e in man["tables"].values()}
+    pinned = getattr(engine, "_pinned_versions", set())
     removed = 0
     wh = engine._warehouse
     for (space, name), cur_path in current.items():
-        tdir = os.path.join(wh, space, name)
-        if not os.path.isdir(tdir):
+        tdir = _fsmod.join(wh, space, name)
+        if not fs.is_dir(tdir):
             continue
         versions = sorted(
-            (d for d in os.listdir(tdir)
+            (d for d in fs.listdir(tdir)
              if d.startswith("v") and d[1:].isdigit()),
             key=lambda d: int(d[1:]), reverse=True)
         for d in versions[keep:]:
-            full = os.path.join(tdir, d)
-            if os.path.abspath(full) == os.path.abspath(cur_path):
+            full = _fsmod.join(tdir, d)
+            if _norm_path(full) == _norm_path(cur_path):
                 continue
-            shutil.rmtree(full)
+            if (space, name, int(d[1:])) in pinned:
+                continue   # a live df_at frame still reads these files
+            fs.delete(full, recursive=True)
             removed += 1
     return removed
