@@ -268,6 +268,30 @@ def test_update_continue_on_partial_errors_skips_colliders(spark):
         {"u1": "same@x", "u2": "b@x", "u3": "c@x"}
 
 
+def test_update_unique_lazy_path_with_counts_off(spark):
+    """eager_mutation_counts=False + continue_on_partial_errors: the
+    bulk-update loop path — no driver count job runs (returns -1), yet
+    collision rows are still skipped lazily and the invariant holds."""
+    db = fresh(spark)
+    db.create_table(users_schema())
+    db.batch_insert("users", [
+        {"id": "u1", "name": "a", "age": 1, "email": "a@x"},
+        {"id": "u2", "name": "b", "age": 2, "email": "b@x"},
+        {"id": "u3", "name": "c", "age": 3, "email": "c@x"}])
+    db.eager_mutation_counts = False
+    n = (db.update("users").where("age", "<", 3)
+         .continue_on_partial_errors().set({"email": "same@x"}))
+    assert n == -1                      # no count job ran
+    emails = {r["id"]: r["email"] for r in db.query("users").run()}
+    assert emails == {"u1": "same@x", "u2": "b@x", "u3": "c@x"}
+    # strict mode still enforces (the one job that must run) and returns
+    # the real matched count for free
+    with pytest.raises(ValueError, match="unique"):
+        db.update("users").where("id", "=", "u2").set({"email": "c@x"})
+    n2 = db.update("users").where("id", "=", "u2").set({"email": "new@x"})
+    assert n2 == 1
+
+
 def test_update_nonunique_fields_unaffected_by_flag(spark):
     db = fresh(spark)
     db.create_table(users_schema())

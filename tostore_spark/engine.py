@@ -291,11 +291,15 @@ class ToStoreSpark:
             return None
         return sch.primary_key.name if sch.primary_key else None
 
-    def set_df(self, name: str, df: DataFrame) -> None:
+    def set_df(self, name: str, df: DataFrame, weight: int = 1) -> None:
+        """``weight`` counts toward the compaction budget: plan-heavy
+        rewrites (e.g. unique-checked updates, whose olds-join would
+        otherwise compound in lineage between barriers) pass >1 so the
+        localCheckpoint cut arrives proportionally sooner."""
         key = self._resolve(name)
         self._tables[key]["df"] = df
         self._generations[key] = self._generations.get(key, 0) + 1
-        self._maybe_compact(key)
+        self._maybe_compact(key, weight=weight)
         for w in list(getattr(self, "_watchers", [])):
             w.notify_change(name)
 
@@ -321,7 +325,7 @@ class ToStoreSpark:
     #: mutations between localCheckpoint barriers; 0 disables
     compact_every: int = 32
 
-    def _maybe_compact(self, key: tuple[str, str]) -> None:
+    def _maybe_compact(self, key: tuple[str, str], weight: int = 1) -> None:
         """Every N mutations, cut the logical plan with an eager
         localCheckpoint: iterative writes otherwise chain a new plan on the
         old one and analysis time / driver memory grow without bound."""
@@ -329,7 +333,7 @@ class ToStoreSpark:
             return
         if not hasattr(self, "_mutations"):
             self._mutations: dict[tuple[str, str], int] = {}
-        n = self._mutations.get(key, 0) + 1
+        n = self._mutations.get(key, 0) + max(1, weight)
         if n >= self.compact_every:
             self._tables[key]["df"] = self._tables[key]["df"].localCheckpoint(eager=True)
             n = 0

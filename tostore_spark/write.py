@@ -515,18 +515,22 @@ class UpdateBuilder(_MutationBuilder):
 
     # sugar (update_builder.dart:63-209)
     def set(self, values: dict[str, Any]) -> int:
-        """Returns the matched-row count.  The count is a separate job on
-        the filtered scan; set ``engine.eager_mutation_counts = False`` to
-        skip it (returns -1) when issuing many updates — the rewrite itself
-        stays lazy either way."""
+        """Returns the matched-row count.  Counting is ONE combined driver
+        job (matched + unique-collision counts from the same aggregate);
+        set ``engine.eager_mutation_counts = False`` to skip it (returns
+        -1) when issuing many updates — the rewrite itself stays lazy
+        either way.  Exception: a STRICT update touching a declared-unique
+        field must know the collision count to decide the raise, so that
+        one job still runs (and the real matched count is returned for
+        free); ``continue_on_partial_errors()`` restores the zero-job path
+        by skipping colliding rows lazily."""
         if self._cond.is_empty() and not self._allow_all:
             raise ValueError("conditionless update requires allow_update_all()")
         if self._pending:
             values = {**self._pending, **values}
             self._pending = {}
         df, pred, temp_cols = self._limited_predicate()
-        n = (df.filter(pred).count()
-             if getattr(self._engine, "eager_mutation_counts", True) else -1)
+        eager = getattr(self._engine, "eager_mutation_counts", True)
 
         def resolver(name: str):
             return F.col(name)
@@ -556,7 +560,7 @@ class UpdateBuilder(_MutationBuilder):
         uniq = [f.name for f in sch.fields if f.unique and f.name in new_cols]
         fail = F.lit(False)
         staged = df.withColumn("__upd", pred)
-        if uniq and n != 0:
+        if uniq:
             pk = self._engine.primary_key(self._table) or df.columns[0]
             for fld in uniq:
                 staged = staged.withColumn(
@@ -588,16 +592,27 @@ class UpdateBuilder(_MutationBuilder):
                           & ~self_only)
                 fail = fail | fail_a | fail_b
         staged = staged.withColumn("__fail", fail)
-        if uniq and n != 0:
-            n_failed = staged.filter("__fail").count()
+        # ONE combined job for matched + collision counts (not one each),
+        # and ONLY when someone needs a number: eager callers want n;
+        # strict unique enforcement needs n_failed to decide the raise.
+        # eager=False + continue_on_partial_errors = zero driver jobs —
+        # colliding rows are skipped lazily by apply_c below (the ADVICE
+        # bulk-update-loop case).
+        strict = not getattr(self, "_continue_partial", False)
+        n = -1
+        if eager or (uniq and strict):
+            row = staged.agg(
+                F.sum(F.col("__upd").cast("long")).alias("__n"),
+                F.sum(F.col("__fail").cast("long")).alias("__nf")).collect()[0]
+            n = int(row["__n"] or 0)
+            n_failed = int(row["__nf"] or 0)
             if n_failed:
-                if not getattr(self, "_continue_partial", False):
+                if strict:
                     raise ValueError(
                         f"update would violate unique constraint on "
                         f"{uniq} for {n_failed} record(s); use "
                         "continue_on_partial_errors() to skip them")
-                if n >= 0:
-                    n -= n_failed
+                n -= n_failed
         apply_c = F.col("__upd") & ~F.col("__fail")
         out = staged
         for fld, newv in new_cols.items():
@@ -608,7 +623,9 @@ class UpdateBuilder(_MutationBuilder):
                    for c in (f"__new_{f}", f"__rn_{f}", f"__oldv_{f}",
                              f"__oldn_{f}", f"__oldpk_{f}")])
         out = out.drop(*drop)
-        self._engine.set_df(self._table, out)
+        # a unique-checked rewrite carries a window + aggregate-join in its
+        # lineage — weight it so the localCheckpoint barrier arrives sooner
+        self._engine.set_df(self._table, out, weight=4 if uniq else 1)
         return n
 
     def increment(self, field: str, by: Any = 1) -> int:
