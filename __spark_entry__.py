@@ -556,6 +556,24 @@ def q_similarity_ivf(spark, sf_dir):
                       F.round(F.col("distance"), 6).alias("distance_r"))
 
 
+def q_ivf_batch(spark, sf_dir):
+    """Batch IVF search: every query vector in ONE distributed plan
+    (ivf_search_many — the eval-pipeline shape the reference's
+    one-vector-at-a-time search API loops driver-side,
+    tostore.dart:493-511).  Deterministic fixed centroids so DuckDB can
+    reproduce cell assignment, probe ranking, and exact scoring
+    bit-for-bit."""
+    db = _db(spark, sf_dir)
+    emb = db.df("embeddings")
+    cents = S.fixed_centroids(64, 8)
+    indexed, _ = S.ivf_build(emb, centroids=cents)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.ivf_search_many(indexed, cents, queries, k=3, nprobe=2,
+                            exclude_self=True)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round(F.col("distance"), 6).alias("distance_r"))
+
+
 # ----------------------------------------------------------------------
 # dedup (llmops)
 # ----------------------------------------------------------------------
@@ -1112,20 +1130,24 @@ def q_flush_reopen(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver checks the FIRST 50 entries against the DuckDB oracle each round.
 
-    Ordering policy (round 3): slots 1-22 are the entries that sat past the
-    50-entry cap in round 2 (9 never oracle-checked, 12 green only against
-    pre-refactor r1 code — the whole write/admin surface among them) plus
-    the new durable-flush roundtrip.  Next come queries whose
-    implementation changed THIS round (join fixes, 64-bit simhash, bounded
-    knn, dedup partition-spread change) and the three new r3 operators, so
-    every new/changed code path is driver-certified.  Remaining slots are
-    stable greens.  The 28 entries past the cap (marked below) are green
-    in r2 on operators unchanged since — the union of r2 and r3 rows
-    covers all 78 on current code (and tools/check_correctness.py
-    certifies all 78 locally every round).
+    Ordering policy (round 4, same rotation rule as r3): slots 1-22 are
+    every entry whose underlying module changed this round — write.py
+    (combined unique-check count job), store.py/engine.py/fs.py
+    (filesystem-abstracted warehouse, df_at vacuum pinning), dedup.py
+    (banded multi-table embedding LSH, contamination gram cap default,
+    _spread byte parsing), similarity.py (two-stage top-k factored for
+    reuse, batch IVF) — plus the new q_ivf_batch.  Slots 23-50 are the 28
+    entries that have sat past the cap since round 2 (predicate family,
+    basic joins/aggs, vector l2/ip/threshold, events/rollup, langid/BPE),
+    whose modules are unchanged but whose last driver row is two rounds
+    old.  The 29 entries past the cap are all green in r3 on modules
+    untouched since (q_ttl/schema/backup-adjacent reads, the r3-new
+    llmops ops, joins and text stats) — the union of r3 and r4 rows
+    covers all 79 on current code, and tools/check_correctness.py
+    certifies all 79 locally every round.
     """
     return {
-        # --- slots 1-21: past-cap in r2 (never-checked or since-refactored) ---
+        # --- slots 1-22: module changed in round 4 (must re-certify) ---
         "q_update_rewrite": q_update_rewrite,
         "q_delete_rewrite": q_delete_rewrite,
         "q_upsert_merge": q_upsert_merge,
@@ -1133,54 +1155,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_partial_insert": q_partial_insert,
         "q_expr_clamp_update": q_expr_clamp_update,
         "q_update_ordered_limit": q_update_ordered_limit,
-        "q_kv_namespace": q_kv_namespace,
-        "q_ttl_filter": q_ttl_filter,
-        "q_schema_migration": q_schema_migration,
-        "q_backup_restore": q_backup_restore,
         "q_flush_reopen": q_flush_reopen,
-        "q_batch_export_page": q_batch_export_page,
-        "q_join5_regional": q_join5_regional,
-        "q_bucketed_join": q_bucketed_join,
-        "q_events_sessions": q_events_sessions,
-        "q_doc_fingerprint": q_doc_fingerprint,
-        "q_repetition": q_repetition,
-        "q_corpus_sample": q_corpus_sample,
-        "q_corpus_clean": q_corpus_clean,
-        "q_corpus_shards": q_corpus_shards,
-        "q_multimodal_features": q_multimodal_features,
-        # --- slots 22-33: implementation changed in round 3 ---
-        "q_asof_join": q_asof_join,
-        "q_range_join": q_range_join,
-        "q_knn_join": q_knn_join,
-        "q_similarity_ivf": q_similarity_ivf,
-        "q_dedup_simhash": q_dedup_simhash,
-        "q_dedup_simhash_near": q_dedup_simhash_near,
-        "q_neardup_embedding": q_neardup_embedding,
+        "q_backup_restore": q_backup_restore,
+        "q_kv_namespace": q_kv_namespace,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_fingerprint": q_dedup_fingerprint,
         "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
         "q_dedup_incremental": q_dedup_incremental,
         "q_ngram_jaccard": q_ngram_jaccard,
-        # --- new in r3: must sit inside the cap ---
-        "q_vocab_stats": q_vocab_stats,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_dedup_simhash_near": q_dedup_simhash_near,
+        "q_neardup_embedding": q_neardup_embedding,
         "q_contamination": q_contamination,
-        "q_pii_scrub": q_pii_scrub,
-        "q_moving_features": q_moving_features,
-        "q_salted_join": q_salted_join,
-        "q_stratified_take": q_stratified_take,
-        # --- remaining slots to 50: stable r2 greens (re-certified) ---
-        "q_filter_sort_limit": q_filter_sort_limit,
-        "q_groupby_having": q_groupby_having,
-        "q_join_inner_group": q_join_inner_group,
-        "q_topk": q_topk,
-        "q_keyset_page": q_keyset_page,
-        "q_vector_cosine_topk": q_vector_cosine_topk,
-        "q_text_stats": q_text_stats,
-        "q_csv_source": q_csv_source,
-        "q_json_source": q_json_source,
-        "q_or_union_dedup": q_or_union_dedup,
-        # --- past the 50-cap from here: green in r2, operators unchanged
-        # since (r4 should rotate these into the cap) ---
+        "q_knn_join": q_knn_join,
+        "q_similarity_ivf": q_similarity_ivf,
+        "q_ivf_batch": q_ivf_batch,
+        # --- slots 23-50: past-cap since r2, unchanged modules (rotate in) ---
         "q_events_window": q_events_window,
         "q_time_rollup": q_time_rollup,
         "q_rollup_subtotals": q_rollup_subtotals,
@@ -1209,6 +1199,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vector_l2_topk": q_vector_l2_topk,
         "q_vector_ip_topk": q_vector_ip_topk,
         "q_vector_threshold": q_vector_threshold,
+        # --- past the 50-cap from here: green in r3, modules unchanged
+        # in r4 (r5 rotates these back in) ---
+        "q_ttl_filter": q_ttl_filter,
+        "q_schema_migration": q_schema_migration,
+        "q_batch_export_page": q_batch_export_page,
+        "q_join5_regional": q_join5_regional,
+        "q_bucketed_join": q_bucketed_join,
+        "q_events_sessions": q_events_sessions,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_repetition": q_repetition,
+        "q_corpus_sample": q_corpus_sample,
+        "q_corpus_clean": q_corpus_clean,
+        "q_corpus_shards": q_corpus_shards,
+        "q_multimodal_features": q_multimodal_features,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q_vocab_stats": q_vocab_stats,
+        "q_pii_scrub": q_pii_scrub,
+        "q_moving_features": q_moving_features,
+        "q_salted_join": q_salted_join,
+        "q_stratified_take": q_stratified_take,
+        "q_filter_sort_limit": q_filter_sort_limit,
+        "q_groupby_having": q_groupby_having,
+        "q_join_inner_group": q_join_inner_group,
+        "q_topk": q_topk,
+        "q_keyset_page": q_keyset_page,
+        "q_vector_cosine_topk": q_vector_cosine_topk,
+        "q_text_stats": q_text_stats,
+        "q_csv_source": q_csv_source,
+        "q_json_source": q_json_source,
+        "q_or_union_dedup": q_or_union_dedup,
     }
 
 
@@ -1436,6 +1457,7 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs)
             SELECT query_id, neighbor_id, rank, round(distance, 6) AS distance_r
             FROM ranked WHERE rank <= 3""",
+        "q_ivf_batch": _ivf_batch_oracle(),
         "q_dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
                    count(*) AS n_copies
@@ -1740,6 +1762,62 @@ def _lsh_bucket_sql(vec_expr: str, dim: int = 64, n_planes: int = 8,
                f" p -> CAST(p[1] AS DOUBLE) * p[2]))")
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def _ivf_batch_oracle(dim: int = 64, n_cells: int = 8, k: int = 3,
+                      nprobe: int = 2) -> str:
+    """Batch IVF in DuckDB mirroring similarity.ivf_build +
+    probe_cells_column + ivf_search_many bit-for-bit: same fixed
+    centroids (constants baked below), same first-minimum cell
+    assignment (array_position ≡ list_indexof, both 1-based first
+    occurrence), same (distance, cell) probe ranking, same exact cosine
+    + (distance, neighbor) top-k."""
+    import math as _m
+
+    from tostore_spark.llmops.similarity import fixed_centroids
+    cents = fixed_centroids(dim, n_cells)
+    dexprs = []
+    for _cid, cent in cents:
+        cn = _m.sqrt(sum(x * x for x in cent)) or 1.0
+        dot = (f"list_sum(list_transform(list_zip(v, {_sql_list(cent)}),"
+               " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+        dexprs.append(f"1.0 - {dot} / (nv * {cn!r})")
+    dists = "[" + ",\n                 ".join(dexprs) + "]"
+    dist = ("1.0 - list_sum(list_transform(list_zip(q.v, c.v),"
+            " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+            " / (sqrt(list_sum(list_transform(q.v,"
+            " e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))"
+            " * sqrt(list_sum(list_transform(c.v,"
+            " e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))))")
+    return f"""
+        WITH base AS (
+          SELECT vec_id AS id, embedding AS v,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv
+          FROM embeddings),
+        celld AS (SELECT id, v, {dists} AS ds FROM base),
+        assigned AS (
+          SELECT id, v,
+                 CAST(list_indexof(ds, list_min(ds)) - 1 AS INT) AS cell_id
+          FROM celld),
+        qprobe AS (
+          SELECT id AS query_id, v, g.i - 1 AS cell_id,
+                 row_number() OVER (PARTITION BY id
+                                    ORDER BY ds[g.i], g.i) AS pr
+          FROM celld, (SELECT unnest(range(1, {n_cells} + 1)) AS i) g
+          WHERE id < 5),
+        scored AS (
+          SELECT q.query_id, c.id AS neighbor_id, {dist} AS distance
+          FROM (SELECT * FROM qprobe WHERE pr <= {nprobe}) q
+          JOIN assigned c ON q.cell_id = c.cell_id
+          WHERE c.id <> q.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, distance,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY distance, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, rank, round(distance, 6) AS distance_r
+        FROM ranked WHERE rank <= {k}"""
 
 
 def _neardup_embedding_oracle(dim: int = 64, n_planes: int = 8,

@@ -182,3 +182,83 @@ def test_ef_search_to_nprobe_contract(spark, db01, tmp_path_factory):
             recalls.append(len(exact & approx) / 10)
         mean = sum(recalls) / len(recalls)
         assert mean >= 0.9, f"{tag} (n={n}): mean recall@10 = {mean}"
+
+
+def test_ivf_search_many_matches_per_query(spark, db01, tmp_path_factory):
+    """Batch IVF (one distributed plan for N queries) must return exactly
+    what the per-query ivf_search loop returns: same probed cells -> same
+    candidates -> same exact top-k."""
+    from tostore_spark.llmops import similarity as S
+    emb = db01.df("embeddings")
+    cents = S.fixed_centroids(64, 8)
+    indexed, _ = S.ivf_build(emb, centroids=cents)
+    path = str(tmp_path_factory.mktemp("ivf_many"))
+    S.ivf_write_index(indexed, cents, path, n_rows=emb.count())
+    stored, cents2 = S.ivf_read_index(spark, path)
+    queries = emb.filter(F.col("vec_id") < 6)
+    batch = S.ivf_search_many(stored, cents2, queries, k=5, nprobe=3)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for q in queries.collect():
+        per = S.ivf_search(stored, cents2, list(q["embedding"]), k=5,
+                           nprobe=3).collect()
+        assert [n for _, n in sorted(got[q["vec_id"]])] == \
+            [r["vec_id"] for r in per], f"query {q['vec_id']} diverged"
+
+
+def test_ivf_search_many_recall_and_pruning(spark, db01, tmp_path_factory):
+    """Batch IVF recall@5 >= 0.9 vs the brute-force knn_join at nprobe=4,
+    and the probe plan over the persisted index reads only probed cell
+    partitions (dynamic partition pruning from the broadcast join)."""
+    from tostore_spark.llmops import similarity as S
+    emb = db01.df("embeddings")
+    indexed, cents = S.ivf_build(emb, n_cells=8)
+    path = str(tmp_path_factory.mktemp("ivf_many_prune"))
+    S.ivf_write_index(indexed, cents, path, n_rows=emb.count())
+    stored, cents2 = S.ivf_read_index(spark, path)
+    queries = emb.filter(F.col("vec_id") < 10)
+    batch = S.ivf_search_many(stored, cents2, queries, k=5, nprobe=4,
+                              exclude_self=True)
+    exact = S.knn_join(queries, emb, k=5, metric="cosine")
+    approx_n = {q: set(ns) for q, ns in _group(batch)}
+    exact_n = {q: set(ns) for q, ns in _group(exact)}
+    hits = sum(len(approx_n[q] & exact_n[q]) for q in exact_n)
+    recall = hits / (5 * len(exact_n))
+    assert recall >= 0.9, f"batch recall@5 = {recall}"
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), \
+        "probe scan should partition-prune via the broadcast join"
+
+
+def _group(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    return out.items()
+
+
+def test_vector_search_many_facade(spark, db01):
+    """Engine facade: exact knn_join without an index, IVF batch probe with
+    one, stale index refuses loudly when forced."""
+    from tostore_spark import ToStoreSpark
+    db2 = ToStoreSpark(spark)
+    db2.register_table("e_many", df=db01.df("embeddings"))
+    queries = db01.df("embeddings").filter(F.col("vec_id") < 3)
+    exact = db2.vector_search_many("e_many", "embedding", queries, top_k=4,
+                                  query_id="vec_id", exclude_self=True)
+    assert exact.count() == 12
+    db2.build_vector_index("e_many", "embedding", n_cells=8,
+                           id_field="vec_id")
+    approx = db2.vector_search_many("e_many", "embedding", queries, top_k=4,
+                                    ef_search=2000, exclude_self=True)
+    assert set(approx.columns) == {"query_id", "neighbor_id", "distance",
+                                   "rank"}
+    # ef_search >= corpus probes every cell -> identical to exact
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in approx.collect()}
+    e = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in exact.collect()}
+    assert a == e
+    db2.update("e_many").allow_update_all().set({"label": 0})
+    with pytest.raises(ValueError, match="fresh"):
+        db2.vector_search_many("e_many", "embedding", queries,
+                               use_index=True)

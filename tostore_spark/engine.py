@@ -729,3 +729,47 @@ class ToStoreSpark:
                              top_k=top_k, metric=metric,
                              distance_threshold=distance_threshold,
                              pk=self.primary_key(table))
+
+    def vector_search_many(self, table: str, field_name: str,
+                           queries: DataFrame, top_k: int = 10,
+                           query_vec: Optional[str] = None,
+                           query_id: Optional[str] = None,
+                           ef_search: Optional[int] = None,
+                           use_index: Optional[bool] = None,
+                           nprobe: int = 2,
+                           exclude_self: bool = False) -> DataFrame:
+        """Batch top-k for a whole DataFrame of query vectors in ONE
+        distributed plan — (query_id, neighbor_id, distance, rank) rows.
+
+        The reference's search API takes one vector per call
+        (tostore.dart:493-511); an eval/dedup pipeline at scale queries in
+        the thousands, which would loop driver-side.  When a fresh cosine
+        IVF index exists the probe side joins the cell_id-partitioned
+        index (approximate, partition-pruned — ``ivf_search_many``);
+        otherwise the exact broadcast ``knn_join`` baseline runs.
+        ``ef_search`` maps to nprobe exactly as in ``vector_search``."""
+        from tostore_spark.llmops import similarity as sim
+        idx = getattr(self, "_vector_indexes", {}).get(
+            (self._space, table, field_name))
+        fresh = idx is not None and idx["generation"] == self.generation(table)
+        if use_index is None:
+            use_index = fresh
+        if use_index:
+            if not fresh:
+                raise ValueError(
+                    "no fresh cosine IVF index for "
+                    f"({table}, {field_name}); build_vector_index first")
+            if ef_search is not None and idx.get("n_rows"):
+                nprobe = sim.ef_search_to_nprobe(
+                    ef_search, len(idx["centroids"]), idx["n_rows"])
+            return sim.ivf_search_many(
+                idx["df"], idx["centroids"], queries, k=top_k,
+                nprobe=nprobe, vec_field=field_name,
+                id_field=idx["id_field"], query_vec=query_vec,
+                query_id=query_id, exclude_self=exclude_self)
+        pk = self.primary_key(table) or self.df(table).columns[0]
+        return sim.knn_join(queries, self.df(table), k=top_k,
+                            query_vec=query_vec or field_name,
+                            corpus_vec=field_name,
+                            query_id=query_id or pk, corpus_id=pk,
+                            metric="cosine", exclude_self=exclude_self)

@@ -61,13 +61,18 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
     dist_fn = cosine_distance_cols if metric == "cosine" else l2_distance_cols
     dist = dist_fn(F.col("__qv"), F.col("__cv")).alias("distance")
     scored = joined.select("query_id", "neighbor_id", dist)
-    # Two-stage top-k so no single reducer ever sorts a whole query's N
-    # scored rows: stage 1 ranks within (query, corpus-partition) — Q x P
-    # uniformly-spread groups of ~N/P rows — and keeps k; the final
-    # per-query window then ranks <= k*P survivors instead of N.  Exact:
-    # any global top-k row is top-k within its own partition too (total
-    # order via the neighbor_id tie-break).  spark_partition_id() is just
-    # a uniform salt here; correctness never depends on its values.
+    return topk_per_query(scored, k)
+
+
+def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-stage exact top-k over (query_id, neighbor_id, distance) rows so
+    no single reducer ever sorts a whole query's N scored rows: stage 1
+    ranks within (query, corpus-partition) — Q x P uniformly-spread groups
+    of ~N/P rows — and keeps k; the final per-query window then ranks
+    <= k*P survivors instead of N.  Exact: any global top-k row is top-k
+    within its own partition too (total order via the neighbor_id
+    tie-break).  spark_partition_id() is just a uniform salt here;
+    correctness never depends on its values."""
     pre_w = Window.partitionBy("query_id", "__pid").orderBy(
         F.col("distance").asc(), F.col("neighbor_id").asc())
     pre = (scored.withColumn("__pid", F.spark_partition_id())
@@ -199,6 +204,85 @@ def ivf_search(indexed: DataFrame, centroids: list[tuple[int, list[float]]],
     return vector_search(indexed.filter(F.col("cell_id").isin(cells)),
                          vec_field, query_vector, top_k=k, metric="cosine",
                          pk=id_field)
+
+
+def probe_cells_column(vec_col: Column, norm_col: Column,
+                       centroids: list[tuple[int, list[float]]],
+                       nprobe: int) -> Column:
+    """The ``nprobe`` nearest cell ids for a vector, as a pure Column
+    expression (array_sort over (distance, cell_id) structs — ties break
+    on cell id, identically in Spark and DuckDB's struct sort)."""
+    import math
+
+    structs = []
+    for cid, cent in centroids:
+        cn = math.sqrt(sum(x * x for x in cent)) or 1.0
+        d = (F.lit(1.0)
+             - _dot_cols(vec_col, F.array(*[F.lit(float(x)) for x in cent]))
+             / (norm_col * F.lit(cn)))
+        structs.append(F.struct(d.alias("d"), F.lit(int(cid)).alias("c")))
+    ranked = F.slice(F.array_sort(F.array(*structs)), 1, nprobe)
+    return F.transform(ranked, lambda s: s["c"])
+
+
+def ivf_search_many(indexed: DataFrame,
+                    centroids: list[tuple[int, list[float]]],
+                    queries: DataFrame, k: int = 10, nprobe: int = 2,
+                    vec_field: str = "embedding", id_field: str = "vec_id",
+                    query_vec: Optional[str] = None,
+                    query_id: Optional[str] = None,
+                    exclude_self: bool = False) -> DataFrame:
+    """Batch IVF search: thousands of query vectors in ONE distributed
+    plan — the eval/dedup-pipeline shape that a per-query ``ivf_search``
+    driver loop cannot serve.
+
+    Each query row computes its ``nprobe`` nearest cells map-side
+    (``probe_cells_column``) and explodes to (query, cell) rows; the
+    (small) query side broadcasts into a join with the indexed corpus on
+    ``cell_id``.  Over a PERSISTED index (``ivf_write_index`` →
+    cell_id-partitioned parquet) Spark's dynamic partition pruning turns
+    that join into a partition filter, so the scan reads only probed
+    cells — same pruning the single-query isin() path gets, at batch
+    scale.  Exact cosine + two-stage top-k on the probed candidates; a
+    corpus row lives in exactly one cell, so no candidate is scored twice.
+
+    Output: (query_id, neighbor_id, distance, rank)."""
+    query_vec = query_vec or vec_field
+    query_id = query_id or id_field
+    q = (queries.select(F.col(query_id).alias("query_id"),
+                        F.col(query_vec).alias("__qv"))
+         .withColumn("__qn", _norm(F.col("__qv")))
+         .withColumn("cell_id",
+                     F.explode(probe_cells_column(F.col("__qv"),
+                                                  F.col("__qn"), centroids,
+                                                  nprobe)))
+         .drop("__qn"))
+    c = indexed.select(F.col(id_field).alias("neighbor_id"),
+                       F.col(vec_field).alias("__cv"), "cell_id")
+    joined = c.join(F.broadcast(q), on="cell_id")
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        cosine_distance_cols(F.col("__qv"), F.col("__cv")).alias("distance"))
+    return topk_per_query(scored, k)
+
+
+def fixed_centroids(dim: int, n_cells: int,
+                    seed: int = 42) -> list[tuple[int, list[float]]]:
+    """Deterministic data-independent unit centroids (LCG — the same
+    generator as vector.random_hyperplanes, normalized).  For
+    oracle-reproducible IVF runs and cold-start indexes; production
+    indexes use kmeans_centroids."""
+    import math
+
+    from tostore_spark.vector import random_hyperplanes
+
+    cents = []
+    for i, row in enumerate(random_hyperplanes(dim, n_cells, seed=seed)):
+        n = math.sqrt(sum(x * x for x in row)) or 1.0
+        cents.append((i, [x / n for x in row]))
+    return cents
 
 
 def ivf_write_index(indexed: DataFrame,
