@@ -20,6 +20,13 @@ The headline `value` is the COLD total; `value_warm` is the steady-state
 total.  Session startup (JVM, codegen warm-up, file listings) is excluded
 from both via untimed per-table count() warm-up, which caches no query
 results.
+
+`canary_sec` is a fixed engine-independent workload (shuffle-free range
+aggregation + a lineitem scan-agg) timed in the same session: it measures
+the MACHINE, not the repo.  Round-over-round query comparisons should be
+read against the canary ratio — on this shared host, identical code and
+data measured 5.09s (r2, 08:39), 6.00s (r3, 12:19) and 6.5s (r4, 13:30)
+warm totals purely from host drift.
 """
 
 from __future__ import annotations
@@ -64,6 +71,20 @@ def main():
               "documents", "embeddings"):
         db.df(t).count()
 
+    # machine-speed canary: pure-Spark work with no repo code in the path,
+    # so cross-round deltas can be attributed to host state vs the engine.
+    # Median of 3 to shave scheduler noise.
+    def _canary_once() -> float:
+        t0 = time.time()
+        spark.range(0, 50_000_000, 1, 32).selectExpr(
+            "sum(id * 2 + 1) AS s").collect()
+        db.df("lineitem").selectExpr(
+            "sum(l_extendedprice * (1.0 - l_discount)) AS rev").collect()
+        return time.time() - t0
+    _canary_once()                       # untimed codegen warm-up
+    canary = round(sorted(_canary_once() for _ in range(3))[1], 3)
+    print(f"# canary: {canary}s", file=sys.stderr)
+
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in headline:
@@ -93,9 +114,11 @@ def main():
         "value_warm": total_warm,
         "queries_warm": warm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "canary_sec": canary,
         "methodology": ("cold_first_run (value/queries; r1-comparable) "
                         "+ steady_state_second_run (value_warm/queries_warm; "
-                        "r2-comparable)"),
+                        "r2-comparable); canary_sec = fixed machine-speed "
+                        "probe, engine-independent"),
     }))
 
 

@@ -599,7 +599,7 @@ def embedding_neardup_pairs(df: DataFrame, vec_field: str = "embedding",
             planes = random_hyperplanes(dim, n_planes, seed=lsh_table_seed(t, seed))
             buckets.append(F.concat_ws(
                 ":", F.lit(str(t)),
-                lsh_bucket_column(F.col(vec_field), planes).cast("string")))
+                lsh_bucket_column(vec_field, planes).cast("string")))
         base = df.select(
             F.col(id_field).alias("id"), F.col(vec_field).alias("v"),
             F.explode(F.array(*buckets)).alias("bucket"))

@@ -25,6 +25,20 @@ def _dot_cols(a: Column, b: Column) -> Column:
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _sqld(x: float) -> str:
+    return repr(float(x)) + "D"
+
+
+def _dot_const_sql(field: str, vals) -> str:
+    """SQL-text twin of ``_dot_cols(col, array(lits))``: same Catalyst tree
+    through ONE parser call — per-centroid py4j chains (~dim calls each)
+    dominate driver time when building 8-64 centroid distances."""
+    arr = "array(" + ",".join(_sqld(v) for v in vals) + ")"
+    return (f"aggregate(zip_with(`{field}`, {arr},"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " 0.0D, (acc, x) -> acc + x)")
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0),
                               lambda acc, x: acc + x.cast("double") * x.cast("double")))
@@ -150,11 +164,11 @@ def ivf_build(corpus: DataFrame, n_cells: int = 16, vec_field: str = "embedding"
     # ||v|| is staged as a column (referenced per centroid, no CSE in
     # expressions) and centroid norms are plain Python constants.
     corpus = corpus.withColumn("__nv", _norm(v))
-    dists = F.array(*[
-        F.lit(1.0) - _dot_cols(v, F.array(*[F.lit(x) for x in cent]))
-        / (F.col("__nv") * F.lit(math.sqrt(sum(x * x for x in cent)) or 1.0))
-        for _, cent in cents])
-    staged = corpus.withColumn("__cell_dists", dists)
+    dexprs = ", ".join(
+        f"1.0D - {_dot_const_sql(vec_field, cent)}"
+        f" / (`__nv` * {_sqld(math.sqrt(sum(x * x for x in cent)) or 1.0)})"
+        for _, cent in cents)
+    staged = corpus.withColumn("__cell_dists", F.expr(f"array({dexprs})"))
     out = (staged.withColumn(
         "cell_id",
         (F.array_position(F.col("__cell_dists"),
@@ -206,14 +220,24 @@ def ivf_search(indexed: DataFrame, centroids: list[tuple[int, list[float]]],
                          pk=id_field)
 
 
-def probe_cells_column(vec_col: Column, norm_col: Column,
+def probe_cells_column(vec_col, norm_col,
                        centroids: list[tuple[int, list[float]]],
                        nprobe: int) -> Column:
     """The ``nprobe`` nearest cell ids for a vector, as a pure Column
     expression (array_sort over (distance, cell_id) structs — ties break
-    on cell id, identically in Spark and DuckDB's struct sort)."""
+    on cell id, identically in Spark and DuckDB's struct sort).  Column
+    args or plain field names; names build via one SQL parse."""
     import math
 
+    if isinstance(vec_col, str) and isinstance(norm_col, str):
+        structs = ", ".join(
+            "named_struct('d', 1.0D - {dot} / (`{nc}` * {cn}), 'c', {cid})"
+            .format(dot=_dot_const_sql(vec_col, cent), nc=norm_col,
+                    cn=_sqld(math.sqrt(sum(x * x for x in cent)) or 1.0),
+                    cid=int(cid))
+            for cid, cent in centroids)
+        return F.expr(f"transform(slice(array_sort(array({structs})),"
+                      f" 1, {int(nprobe)}), s -> s.c)")
     structs = []
     for cid, cent in centroids:
         cn = math.sqrt(sum(x * x for x in cent)) or 1.0
@@ -253,8 +277,7 @@ def ivf_search_many(indexed: DataFrame,
                         F.col(query_vec).alias("__qv"))
          .withColumn("__qn", _norm(F.col("__qv")))
          .withColumn("cell_id",
-                     F.explode(probe_cells_column(F.col("__qv"),
-                                                  F.col("__qn"), centroids,
+                     F.explode(probe_cells_column("__qv", "__qn", centroids,
                                                   nprobe)))
          .drop("__qn"))
     c = indexed.select(F.col(id_field).alias("neighbor_id"),
