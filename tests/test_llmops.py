@@ -522,3 +522,44 @@ def test_contamination_default_cap_is_on(spark):
     bench = spark.createDataFrame([(2, "alpha beta gamma delta epsilon")],
                                   ["doc_id", "text"])
     assert contamination_pairs(train, bench, n=5, min_overlap=1).count() == 1
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Transitive chains collapse into one cluster with the min id as the
+    canonical label — pairwise keep-one would leave A/C duplicated."""
+    from tostore_spark.llmops.dedup import dedup_clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"])
+    out = {r["id"]: (r["cluster_id"], r["cluster_size"])
+           for r in dedup_clusters(pairs).collect()}
+    assert out == {1: (1, 3), 2: (1, 3), 3: (1, 3),
+                   10: (10, 2), 11: (10, 2),
+                   20: (20, 3), 21: (20, 3), 22: (20, 3)}
+
+
+def test_dedup_clusters_chain_converges_in_log_rounds(spark):
+    """A 40-node chain needs ~log2(40) pointer-jumping rounds, not 40:
+    max_iterations=8 must fully converge (naive min-neighbor propagation
+    would still be mid-chain)."""
+    from tostore_spark.llmops.dedup import dedup_clusters
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["id_a", "id_b"])
+    rows = dedup_clusters(pairs, max_iterations=8).collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert all(r["cluster_size"] == 41 for r in rows)
+
+
+def test_dedup_apply_keeps_one_per_cluster(spark):
+    from tostore_spark.llmops.dedup import dedup_apply
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (2, 5), (6, 7)], ["id_a", "id_b"])
+    kept = sorted(r["doc_id"] for r in dedup_apply(docs, pairs).collect())
+    assert kept == [0, 1, 3, 4, 6]
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    from tostore_spark.llmops.dedup import dedup_clusters
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_clusters(pairs).count() == 0

@@ -14,7 +14,7 @@ taken over hex strings, which preserves numeric order for fixed-width hex.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tostore_spark.llmops.text import normalized_text
@@ -622,3 +622,71 @@ def embedding_neardup_pairs(df: DataFrame, vec_field: str = "embedding",
     cos_dist = F.lit(1.0) - dot / (na * nb)
     return (cand.select("id_a", "id_b", cos_dist.alias("cos_distance"))
                 .filter(F.col("cos_distance") <= F.lit(max_cosine_distance)))
+
+
+# ------------------------------------------------- dedup clustering
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iterations: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs: one ``(id, cluster_id,
+    cluster_size)`` row per document that appears in any pair, where
+    ``cluster_id`` is the smallest id reachable through any chain of
+    pairs.
+
+    Pairwise LSH output is NOT a dedup decision: if A~B and B~C, keeping
+    one doc per PAIR still leaves A and C as mutual duplicates with no
+    pair row.  The reference's dedup keeps one canonical record per
+    duplicate group; the distributed analog is connected components.
+
+    Algorithm: min-label propagation with pointer jumping — each round
+    every node adopts the minimum label among itself and its neighbors,
+    then contracts ``label <- label(label)``.  The contraction halves the
+    remaining tree height, so a chain of N near-dups converges in
+    O(log N) rounds, not O(N); each round is two key shuffles.  Lineage
+    is cut with an eagerly-reclaimed localCheckpoint per round (same
+    trade documented at minhash_lsh_pairs), and the loop exits on the
+    first round with no label change.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(
+                 pairs.select(F.col(id_b).alias("src"),
+                              F.col(id_a).alias("dst")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(max_iterations):
+        nbr_min = (edges.join(labels, edges["dst"] == labels["id"])
+                   .groupBy("src").agg(F.min("label").alias("nbr")))
+        stepped = (labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+                   .select(labels["id"],
+                           F.least(labels["label"],
+                                   F.coalesce(F.col("nbr"), labels["label"])
+                                   ).alias("label")))
+        l1, l2 = stepped.alias("l1"), stepped.alias("l2")
+        jumped = (l1.join(l2, F.col("l1.label") == F.col("l2.id"), "left")
+                  .select(F.col("l1.id").alias("id"),
+                          F.coalesce(F.col("l2.label"),
+                                     F.col("l1.label")).alias("label"))
+                  .localCheckpoint(eager=True))
+        changed = (jumped.alias("n")
+                   .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+                   .filter(F.col("n.label") != F.col("o.label")))
+        done = changed.isEmpty()
+        labels = jumped
+        if done:
+            break
+    w = Window.partitionBy("cluster_id")
+    return (labels.select("id", F.col("label").alias("cluster_id"))
+            .withColumn("cluster_size", F.count(F.lit(1)).over(w)))
+
+
+def dedup_apply(df: DataFrame, pairs: DataFrame, id_field: str = "doc_id",
+                id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Deduplicated corpus: keep exactly one document (the smallest id)
+    per connected near-dup cluster, drop the rest.  One anti-join against
+    the non-canonical cluster members — the corpus itself is scanned
+    once and never collected."""
+    drop = (dedup_clusters(pairs, id_a=id_a, id_b=id_b)
+            .filter(F.col("id") != F.col("cluster_id"))
+            .select(F.col("id").alias(id_field)))
+    return df.join(drop, on=id_field, how="left_anti")
