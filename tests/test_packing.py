@@ -1,0 +1,68 @@
+"""Corpus shaping: per-source caps, sequence packing, chunking."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF01 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from tostore_spark import ToStoreSpark
+    return ToStoreSpark(spark, data_dir=SF01).df("documents")
+
+
+def test_cap_per_source_bounds_and_orders(spark, docs):
+    from tostore_spark.llmops.packing import cap_per_source
+    capped = cap_per_source(docs, 20, order_field="n_chars")
+    sizes = {r["source"]: r["n"] for r in
+             capped.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n <= 20 for n in sizes.values())
+    # top-by-n_chars: the kept minimum >= the dropped maximum per source
+    src = docs.filter(F.col("source") == "src0")
+    kept = sorted(r["n_chars"] for r in
+                  cap_per_source(src, 5, order_field="n_chars").collect())
+    all_chars = sorted((r["n_chars"] for r in src.collect()), reverse=True)
+    assert kept == sorted(all_chars[:5])
+    # deterministic md5 draw without order_field: same rows twice
+    a = sorted(r["doc_id"] for r in cap_per_source(docs, 7).collect())
+    b = sorted(r["doc_id"] for r in cap_per_source(docs, 7).collect())
+    assert a == b and len(a) > 0
+
+
+def test_pack_sequences_fills_budget(spark, docs):
+    from tostore_spark.llmops.packing import pack_sequences
+    packed = pack_sequences(docs, budget_tokens=512, n_shards=4)
+    rows = packed.select("doc_id", "n_tokens", "shard", "example_id",
+                         "offset").collect()
+    assert len(rows) == docs.count()
+    # within each (shard, example) offsets start below budget and examples
+    # are dense: replaying the running sum reproduces (example_id, offset)
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["example_id"], r["offset"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    import hashlib
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: (hashlib.md5(str(r["doc_id"]).encode()).hexdigest(), r["doc_id"]))
+        run = 0
+        for r in members:
+            assert r["example_id"] == run // 512
+            assert r["offset"] == run % 512
+            run += r["n_tokens"]
+
+
+def test_chunk_documents_windows(spark):
+    from tostore_spark.llmops.packing import chunk_documents
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "solo"), (3, "")],
+        ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=4, overlap=1)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: 10 tokens, step 3 -> starts 0,3,6,9
+    assert [rows[(1, i)]["chunk_text"] for i in range(4)] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9"]
+    assert rows[(1, 3)]["n_chunk_tokens"] == 1
+    assert rows[(2, 0)]["chunk_text"] == "solo"
+    assert not any(d == 3 for d, _ in rows)  # empty doc -> no chunks
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)

@@ -1,0 +1,113 @@
+"""Corpus shaping for training runs: per-source caps, sequence packing,
+document chunking.
+
+After cleaning/dedup (llmops.pipeline, llmops.dedup) a pretraining pipeline
+still has to SHAPE the corpus into model inputs:
+
+- ``cap_per_source``: bound any one source's (domain's) share of the mix —
+  the crawl-curation step that stops one boilerplate-heavy site from
+  dominating a 100 TB crawl.
+- ``pack_sequences``: assign documents to fixed token-budget training
+  examples (the "sequence packing" step that keeps context windows full
+  instead of padding).  The plan is a deterministic pure function of the
+  ids, so a resumed or re-run job packs identically.
+- ``chunk_documents``: split long documents into overlapping fixed-size
+  token windows (the chunking step for embedding/retrieval corpora).
+
+Scale: every window here is partitioned (per-source / per-shard / per-row
+explode) — nothing sorts the corpus on one reducer, and all three are
+exactly reproducible in ANSI SQL for the DuckDB oracle (md5 is the shared
+hash; token slicing agrees because both engines clamp slices).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tostore_spark.llmops import text as TX
+
+
+def cap_per_source(df: DataFrame, k: int, strata_field: str = "source",
+                   id_field: str = "doc_id",
+                   order_field: Optional[str] = None) -> DataFrame:
+    """At most ``k`` documents per source.  With ``order_field`` the TOP k
+    by that column (descending, id tiebreak — e.g. a quality score) are
+    kept; without it a deterministic md5-ordered draw (a reproducible
+    random k, matching ``stratified_take``'s idiom).  One partitioned
+    window — per-source groups shuffle independently, no global sort."""
+    if order_field is not None:
+        order = [F.col(order_field).desc(), F.col(id_field).asc()]
+    else:
+        order = [F.md5(F.col(id_field).cast("string")).asc(),
+                 F.col(id_field).asc()]
+    w = Window.partitionBy(strata_field).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def pack_sequences(df: DataFrame, budget_tokens: int,
+                   text_field: str = "text", id_field: str = "doc_id",
+                   n_shards: int = 32) -> DataFrame:
+    """Deterministic sequence-packing plan: (shard, example_id, offset) per
+    document, where consecutive documents (in md5-of-id order, within a
+    shard) fill ``budget_tokens``-sized training examples.
+
+    Documents are dealt into ``n_shards`` md5 hash shards (uniform,
+    deterministic), each shard packs independently with a running token
+    sum, and ``example_id = floor(tokens_before / budget)`` — a document
+    that straddles a boundary belongs to the example where it starts and
+    is split/truncated by the downstream materializer (the standard
+    spillover-packing contract).  Every window is shard-partitioned; at
+    corpus scale each reducer sorts corpus/n_shards rows, and raising
+    ``n_shards`` keeps that bounded.
+
+    Output: input columns + (n_tokens, shard, example_id, offset)."""
+    toks = TX.token_count(F.col(text_field))
+    shard = (F.conv(F.substring(F.md5(F.col(id_field).cast("string")), 1, 8),
+                    16, 10).cast("long") % n_shards).cast("int")
+    out = df.withColumn("n_tokens", toks).withColumn("shard", shard)
+    w = (Window.partitionBy("shard")
+         .orderBy(F.md5(F.col(id_field).cast("string")).asc(),
+                  F.col(id_field).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (out.withColumn("__before", before)
+               .withColumn("example_id",
+                           F.floor(F.col("__before") / budget_tokens)
+                           .cast("long"))
+               .withColumn("offset",
+                           (F.col("__before") % budget_tokens).cast("long"))
+               .drop("__before"))
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
+                    overlap: int = 16, text_field: str = "text",
+                    id_field: str = "doc_id") -> DataFrame:
+    """Split each document into overlapping fixed-size token windows —
+    one output row per (doc, chunk), with the chunk text re-joined.
+
+    Pure per-row explode (no shuffle at any scale): chunk starts are
+    ``0, step, 2·step, …`` with ``step = chunk_tokens - overlap``; the
+    final window may be short (both engines clamp array slices), and
+    token-less documents produce no chunks.
+
+    Output: (id, chunk_id, start_token, n_chunk_tokens, chunk_text)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    t = TX.tokens(F.col(text_field))
+    starts = F.sequence(F.lit(0), F.greatest(F.size("__toks") - 1, F.lit(0)),
+                        F.lit(step))
+    chunk = F.slice(F.col("__toks"), F.col("start_token") + 1, chunk_tokens)
+    return (df.select(F.col(id_field), t.alias("__toks"))
+              .filter(F.size("__toks") > 0)
+              .withColumn("start_token", F.explode(starts))
+              .withColumn("chunk_id",
+                          (F.col("start_token") / step).cast("long"))
+              .withColumn("__chunk", chunk)
+              .select(id_field, "chunk_id", "start_token",
+                      F.size("__chunk").alias("n_chunk_tokens"),
+                      F.array_join("__chunk", " ").alias("chunk_text")))
