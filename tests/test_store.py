@@ -303,3 +303,73 @@ def test_byte_size_parses_units(spark):
     assert _byte_size(spark, "128m") == 128 * 1024 * 1024
     assert _byte_size(spark, "1g") == 1 << 30
     assert _byte_size(spark, "4096") == 4096
+
+
+def test_cross_engine_watch_via_manifest(spark, tmp_path_factory):
+    """Another engine's flush is visible to this engine's watch(): one
+    manifest-seq check folds the remote state in and fires the same
+    re-query callback a local write fires."""
+    from tostore_spark import ToStoreSpark
+    wh = str(tmp_path_factory.mktemp("wh_xwatch"))
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    seen = []
+    b.watch(b.query("nation").select(["n_nationkey", "n_name"])
+             .where("n_nationkey", "=", 0).limit(1),
+            lambda recs: seen.append(recs[0]["n_name"]))
+    assert len(seen) == 1            # initial emission
+    assert b.check_remote_changes() == []   # idle: seq unchanged
+    a.update("nation", {"n_name": "REMOTE"}) \
+     .where("n_nationkey", "=", 0).execute()
+    a.flush()
+    assert b.check_remote_changes() == ["nation"]
+    assert seen[-1] == "REMOTE"      # watcher re-queried the new state
+    # b's own registry now serves the remote value too
+    assert b.df("nation").filter("n_nationkey = 0") \
+            .collect()[0]["n_name"] == "REMOTE"
+
+
+def test_cross_engine_watch_conflict_raises(spark, tmp_path_factory):
+    """A remote flush of a table THIS engine also mutated is a true
+    conflict: check_remote_changes must refuse (keeping local state)."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.store import ConcurrentWriteError
+    wh = str(tmp_path_factory.mktemp("wh_xconf"))
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b.update("nation", {"n_name": "LOCAL"}) \
+     .where("n_nationkey", "=", 1).execute()
+    a.update("nation", {"n_name": "REMOTE"}) \
+     .where("n_nationkey", "=", 1).execute()
+    a.flush()
+    with pytest.raises(ConcurrentWriteError, match="nation"):
+        b.check_remote_changes()
+    assert b.df("nation").filter("n_nationkey = 1") \
+            .collect()[0]["n_name"] == "LOCAL"
+
+
+def test_remote_watch_poller_thread(spark, tmp_path_factory):
+    """start_remote_watch: the daemon poller delivers the remote flush
+    without an explicit check call."""
+    import time as _t
+
+    from tostore_spark import ToStoreSpark
+    wh = str(tmp_path_factory.mktemp("wh_xpoll"))
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    seen = []
+    b.watch(b.query("region").select(["r_regionkey", "r_name"])
+             .where("r_regionkey", "=", 0).limit(1),
+            lambda recs: seen.append(recs[0]["r_name"]))
+    b.start_remote_watch(interval_s=0.3)
+    try:
+        a.update("region", {"r_name": "POLLED"}) \
+         .where("r_regionkey", "=", 0).execute()
+        a.flush()
+        deadline = _t.time() + 20
+        while _t.time() < deadline and seen[-1] != "POLLED":
+            _t.sleep(0.2)
+        assert seen[-1] == "POLLED"
+        assert b.last_remote_error is None
+    finally:
+        b.stop_remote_watch()

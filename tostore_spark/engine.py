@@ -390,6 +390,47 @@ class ToStoreSpark:
         from tostore_spark import store as _store
         return _store.refresh(self)
 
+    def check_remote_changes(self) -> list[str]:
+        """Cross-engine watch visibility: one manifest read; if another
+        engine flushed the shared warehouse since we loaded it, fold the
+        new state in (refresh) and fire the re-query notification of
+        every live watcher on a remotely-changed table — the reference's
+        all-writers notification (notification_manager.dart:9-40), with
+        the manifest as the cross-process truth.  Raises
+        ConcurrentWriteError if this engine's own unflushed work
+        conflicts.  Returns remotely-changed table names."""
+        from tostore_spark import store as _store
+        return _store.check_remote_changes(self)
+
+    def start_remote_watch(self, interval_s: float = 5.0) -> None:
+        """Poll the warehouse manifest on a daemon thread so watchers see
+        other engines' flushes without an explicit check.  A poll that
+        hits a true write conflict records the error on
+        ``last_remote_error`` and keeps polling (local state is kept —
+        the owner must resolve via refresh/re-derive)."""
+        import threading
+
+        self.stop_remote_watch()
+        self._remote_stop = threading.Event()
+        self.last_remote_error: Optional[Exception] = None
+
+        def _loop():
+            while not self._remote_stop.wait(interval_s):
+                try:
+                    self.check_remote_changes()
+                except Exception as exc:   # conflict or transient FS error
+                    self.last_remote_error = exc
+
+        self._remote_thread = threading.Thread(
+            target=_loop, name="tostore-remote-watch", daemon=True)
+        self._remote_thread.start()
+
+    def stop_remote_watch(self) -> None:
+        if getattr(self, "_remote_stop", None) is not None:
+            self._remote_stop.set()
+            self._remote_thread.join(timeout=5)
+            self._remote_stop = None
+
     def vacuum(self, keep: int = 1) -> int:
         """Prune superseded version directories in the warehouse, keeping
         the ``keep`` newest per table (current always survives, as does

@@ -346,6 +346,41 @@ def refresh(engine) -> list[str]:
     return replayed
 
 
+def check_remote_changes(engine) -> list[str]:
+    """Cross-engine change visibility: detect ANOTHER engine's flush to
+    the shared warehouse and fold it into this engine's state.
+
+    The reference's notification manager covers every writer in-process
+    (notification_manager.dart:9-40); across engines the shared truth is
+    the warehouse manifest, so visibility = "has the manifest seq moved
+    past the one we loaded".  When it has, the per-table versions tell
+    WHICH tables the other writer flushed; ``refresh`` re-overlays the
+    new state (replaying this engine's own unflushed tables, raising
+    ConcurrentWriteError on a true conflict), and every live watcher on
+    a remotely-changed table gets its re-query notification — the same
+    callback path a local write fires.
+
+    One manifest read when idle (no table data touched), so polling is
+    cheap at any warehouse size.  Returns the remotely-changed table
+    names (empty when the seq is unchanged)."""
+    wh = getattr(engine, "_warehouse", None)
+    if not wh:
+        return []
+    man = read_manifest(wh, fs=_fs(engine))
+    if (man or {}).get("seq", 0) == getattr(engine, "_store_seq", 0):
+        return []
+    old = dict(getattr(engine, "_flushed_gen", {}))
+    new_flushed = {(e["space"], e["name"]): e.get("version", 0)
+                   for e in (man or {}).get("tables", {}).values()}
+    changed = sorted(k for k in set(new_flushed) | set(old)
+                     if new_flushed.get(k) != old.get(k))
+    refresh(engine)
+    for _space, name in changed:
+        for w in list(getattr(engine, "_watchers", [])):
+            w.notify_change(name)
+    return [name for _space, name in changed]
+
+
 def list_versions(engine, table: str, space: str = "default") -> list[int]:
     """Flushed generations available on disk for a table, ascending."""
     fs = _fs(engine)
