@@ -262,3 +262,83 @@ def test_vector_search_many_facade(spark, db01):
     with pytest.raises(ValueError, match="fresh"):
         db2.vector_search_many("e_many", "embedding", queries,
                                use_index=True)
+
+
+def test_ivf_append_incremental_insert(spark, db01, tmp_path_factory):
+    """Append assigns only the NEW batch (frozen centroids) and extends
+    the cell partitions; searches see old + new; n_rows sidecar tracks."""
+    from tostore_spark.llmops import similarity as S
+    emb = db01.df("embeddings")
+    old, new = emb.filter("vec_id < 400"), emb.filter("vec_id >= 400")
+    indexed, cents = S.ivf_build(old, n_cells=8)
+    path = str(tmp_path_factory.mktemp("ivf_append"))
+    S.ivf_write_index(indexed, cents, path, n_rows=old.count())
+    n_new = S.ivf_append(spark, path, new)
+    assert n_new == new.count()
+    stored, cents2 = S.ivf_read_index(spark, path)
+    assert stored.count() == emb.count()
+    assert S.ivf_index_meta(path)["n_rows"] == emb.count()
+    # an appended vector is findable (probe its own cell: distance 0)
+    target = new.limit(1).collect()[0]
+    got = S.ivf_search(stored, cents2, list(target["embedding"]), k=1,
+                       nprobe=8).collect()
+    assert got[0]["vec_id"] == target["vec_id"]
+
+
+def test_ivf_tombstone_delete_and_compact(spark, db01, tmp_path_factory):
+    """Tombstoned ids vanish from every read path immediately; compact
+    rewrites ONLY affected cell partitions and drops the sidecar."""
+    import os
+
+    from tostore_spark.llmops import similarity as S
+    emb = db01.df("embeddings")
+    indexed, cents = S.ivf_build(emb, n_cells=8)
+    path = str(tmp_path_factory.mktemp("ivf_del"))
+    S.ivf_write_index(indexed, cents, path, n_rows=emb.count())
+    victims = [r["vec_id"] for r in emb.limit(3).collect()]
+    assert S.ivf_delete(spark, path, victims) == 3
+    stored, _ = S.ivf_read_index(spark, path)
+    assert stored.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert S.ivf_index_meta(path)["n_rows"] == emb.count() - 3
+    # compaction: untouched cells' files must not be rewritten
+    cells_dir = os.path.join(path, "cells")
+    victim_cells = {r["cell_id"] for r in
+                    spark.read.parquet(cells_dir)
+                    .filter(F.col("vec_id").isin(victims))
+                    .select("cell_id").distinct().collect()}
+    untouched = next(c for c in sorted(
+        int(d.split("=")[1]) for d in os.listdir(cells_dir)
+        if d.startswith("cell_id=")) if c not in victim_cells)
+    udir = os.path.join(cells_dir, f"cell_id={untouched}")
+    before = {f: os.path.getmtime(os.path.join(udir, f))
+              for f in os.listdir(udir) if f.endswith(".parquet")}
+    assert S.ivf_compact(spark, path) == 3
+    after = {f: os.path.getmtime(os.path.join(udir, f))
+             for f in os.listdir(udir) if f.endswith(".parquet")}
+    assert before == after, "unaffected cell partition was rewritten"
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    stored2, _ = S.ivf_read_index(spark, path)
+    assert stored2.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert stored2.count() == emb.count() - 3
+
+
+def test_ivf_measured_recall(spark, db01, tmp_path_factory):
+    """Recall harness: probing every cell is exact (recall 1.0); fewer
+    probes trade recall, and the engine facade exposes the measurement."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.llmops import similarity as S
+    emb = db01.df("embeddings")
+    indexed, cents = S.ivf_build(emb, n_cells=8)
+    full = S.ivf_measure_recall(indexed, cents, k=5, nprobe=8,
+                                n_queries=10)
+    assert full == 1.0
+    partial = S.ivf_measure_recall(indexed, cents, k=5, nprobe=2,
+                                   n_queries=10)
+    assert 0.0 < partial <= 1.0
+    db2 = ToStoreSpark(spark)
+    db2.register_table("e_rec", df=emb)
+    db2.build_vector_index("e_rec", "embedding", n_cells=8,
+                           id_field="vec_id")
+    r = db2.vector_index_recall("e_rec", "embedding", k=5, nprobe=4,
+                                n_queries=10)
+    assert 0.0 < r <= 1.0

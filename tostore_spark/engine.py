@@ -690,7 +690,7 @@ class ToStoreSpark:
             path = tempfile.mkdtemp(prefix=f"ivf_{table}_{field_name}_")
         indexed, cents = sim.ivf_build(self.df(table), n_cells=n_cells,
                                        vec_field=field_name, id_field=id_field)
-        sim.ivf_write_index(indexed, cents, path)
+        sim.ivf_write_index(indexed, cents, path, id_field=id_field)
         cells_df, _ = sim.ivf_read_index(self.spark, path)
         n_rows = cells_df.count()   # parquet-footer count; powers efSearch->nprobe
         sim.ivf_update_meta(path, n_rows=n_rows)
@@ -770,6 +770,28 @@ class ToStoreSpark:
                              top_k=top_k, metric=metric,
                              distance_threshold=distance_threshold,
                              pk=self.primary_key(table))
+
+    def vector_index_recall(self, table: str, field_name: str,
+                            k: int = 10, nprobe: int = 2,
+                            ef_search: Optional[int] = None,
+                            n_queries: int = 50) -> float:
+        """MEASURED recall@k of the registered IVF index against the
+        exact brute-force baseline, on this table's own vectors — run it
+        after a build or append at any scale instead of extrapolating
+        from test-size corpora."""
+        from tostore_spark.llmops import similarity as sim
+        idx = getattr(self, "_vector_indexes", {}).get(
+            (self._space, table, field_name))
+        if idx is None or idx["generation"] != self.generation(table):
+            raise ValueError(
+                f"no fresh IVF index for ({table}, {field_name})")
+        if ef_search is not None and idx.get("n_rows"):
+            nprobe = sim.ef_search_to_nprobe(
+                ef_search, len(idx["centroids"]), idx["n_rows"])
+        return sim.ivf_measure_recall(
+            idx["df"], idx["centroids"], k=k, nprobe=nprobe,
+            n_queries=n_queries, vec_field=field_name,
+            id_field=idx["id_field"])
 
     def vector_search_many(self, table: str, field_name: str,
                            queries: DataFrame, top_k: int = 10,

@@ -291,6 +291,37 @@ def ivf_search_many(indexed: DataFrame,
     return topk_per_query(scored, k)
 
 
+def ivf_measure_recall(indexed: DataFrame,
+                       centroids: list[tuple[int, list[float]]],
+                       k: int = 10, nprobe: int = 2, n_queries: int = 50,
+                       vec_field: str = "embedding",
+                       id_field: str = "vec_id") -> float:
+    """MEASURED recall@k of this index on this corpus — not extrapolated
+    from test scale.  A deterministic md5-ordered sample of ``n_queries``
+    corpus vectors runs through batch IVF and the exact brute-force
+    ``knn_join`` (two distributed plans, no driver loop), and recall is
+    the matched fraction of exact top-k hits.  Run this after every index
+    build/append at production scale; the probe cost is the same
+    partition-pruned shape as a real search."""
+    queries = (indexed
+               .orderBy(F.md5(F.col(id_field).cast("string")).asc(),
+                        F.col(id_field).asc())
+               .limit(n_queries)
+               .select(id_field, vec_field))
+    approx = ivf_search_many(indexed, centroids, queries, k=k,
+                             nprobe=nprobe, vec_field=vec_field,
+                             id_field=id_field, exclude_self=True)
+    exact = knn_join(queries, indexed, k=k, query_vec=vec_field,
+                     corpus_vec=vec_field, query_id=id_field,
+                     corpus_id=id_field, metric="cosine",
+                     exclude_self=True)
+    hits = (exact.select("query_id", "neighbor_id")
+            .join(approx.select("query_id", "neighbor_id"),
+                  on=["query_id", "neighbor_id"]).count())
+    denom = exact.count()
+    return hits / denom if denom else 1.0
+
+
 def fixed_centroids(dim: int, n_cells: int,
                     seed: int = 42) -> list[tuple[int, list[float]]]:
     """Deterministic data-independent unit centroids (LCG — the same
@@ -310,20 +341,126 @@ def fixed_centroids(dim: int, n_cells: int,
 
 def ivf_write_index(indexed: DataFrame,
                     centroids: list[tuple[int, list[float]]],
-                    path: str, n_rows: Optional[int] = None) -> str:
+                    path: str, n_rows: Optional[int] = None,
+                    id_field: str = "vec_id") -> str:
     """Persist the IVF index: the assigned corpus partitioned by cell_id
     (so a probe prunes to nprobe directories) plus a centroid sidecar —
     the build-once-search-many lifecycle of the reference's persisted NGH
     index (ngh_graph_engine.dart:14-80), in parquet form.  ``n_rows`` is
-    recorded so a later ``efSearch`` can be mapped to ``nprobe``."""
+    recorded so a later ``efSearch`` can be mapped to ``nprobe``;
+    ``id_field`` so later tombstone deletes know the key column."""
     import json
     import os
 
     indexed.write.mode("overwrite").partitionBy("cell_id") \
            .parquet(os.path.join(path, "cells"))
     with open(os.path.join(path, "centroids.json"), "w") as f:
-        json.dump({"centroids": centroids, "n_rows": n_rows}, f)
+        json.dump({"centroids": centroids, "n_rows": n_rows,
+                   "id_field": id_field}, f)
     return path
+
+
+def ivf_append(spark, path: str, new_vectors: DataFrame,
+               vec_field: str = "embedding",
+               id_field: Optional[str] = None) -> int:
+    """Incremental insert (the reference's NGH incremental insert,
+    ngh_graph_engine.dart:14-80): assign ONLY the new batch to the
+    existing centroids map-side and append its rows to the cell_id
+    partitions.  The already-indexed corpus is never rescanned or
+    rewritten — the append touches only the new rows' partitions.
+    Centroids are intentionally frozen (same contract as the persisted
+    graph: geometry fixed at build; rebuild when drift warrants).
+    Returns the number of rows appended and updates the n_rows sidecar
+    so efSearch→nprobe stays honest."""
+    import os
+
+    meta = ivf_index_meta(path)
+    cents = [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]]
+    id_field = id_field or meta.get("id_field", "vec_id")
+    assigned, _ = ivf_build(new_vectors, centroids=cents,
+                            vec_field=vec_field, id_field=id_field)
+    n = assigned.count()
+    assigned.write.mode("append").partitionBy("cell_id") \
+            .parquet(os.path.join(path, "cells"))
+    ivf_update_meta(path, n_rows=(meta.get("n_rows") or 0) + n)
+    return n
+
+
+def ivf_delete(spark, path: str, ids) -> int:
+    """Tombstone delete (the reference's NGH tombstone delete): the ids
+    are appended to a tiny tombstone sidecar; every read/search path
+    anti-joins it, so deleted vectors stop matching immediately without
+    touching the index data.  ``ivf_compact`` later rewrites ONLY the
+    affected cell partitions.  ``ids`` is a list or a one-column
+    DataFrame.  Returns the tombstones added."""
+    import os
+
+    if isinstance(ids, DataFrame):
+        tomb = ids.toDF("__del_id")
+    else:
+        tomb = spark.createDataFrame([(i,) for i in ids], ["__del_id"])
+    n = tomb.count()
+    tomb.write.mode("append").parquet(os.path.join(path, "tombstones"))
+    meta = ivf_index_meta(path)
+    if meta.get("n_rows"):
+        ivf_update_meta(path, n_rows=max(0, meta["n_rows"] - n))
+    return n
+
+
+def _ivf_tombstones(spark, path: str) -> Optional[DataFrame]:
+    import os
+
+    tdir = os.path.join(path, "tombstones")
+    if not os.path.isdir(tdir):
+        return None
+    return spark.read.parquet(tdir)
+
+
+def ivf_compact(spark, path: str) -> int:
+    """Fold tombstones into the data: rewrite ONLY the cell partitions
+    that contain a tombstoned row (dynamic partition overwrite — the
+    other nprobe-pruned directories are untouched, so compaction cost
+    tracks the deleted set, not the index size), then drop the sidecar.
+    Returns the number of rows physically removed."""
+    import os
+    import shutil
+
+    tomb = _ivf_tombstones(spark, path)
+    if tomb is None:
+        return 0
+    meta = ivf_index_meta(path)
+    id_field = meta.get("id_field", "vec_id")
+    cells = spark.read.parquet(os.path.join(path, "cells"))
+    hit = cells.join(tomb, cells[id_field] == tomb["__del_id"], "semi")
+    affected = [r["cell_id"] for r in hit.select("cell_id").distinct().collect()]
+    if not affected:
+        shutil.rmtree(os.path.join(path, "tombstones"))
+        return 0
+    removed = hit.count()
+    survivors = (cells.filter(F.col("cell_id").isin(affected))
+                 .join(tomb, cells[id_field] == tomb["__del_id"],
+                       "left_anti"))
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # localCheckpoint: the overwrite must not read the directories it
+        # is replacing through a lazy self-referencing plan
+        pinned = survivors.localCheckpoint(eager=True)
+        pinned.write.mode("overwrite") \
+              .partitionBy("cell_id").parquet(os.path.join(path, "cells"))
+        # dynamic overwrite only replaces partitions PRESENT in the write:
+        # a cell whose every row was tombstoned writes nothing and would
+        # silently keep its dead files — drop those directories explicitly
+        alive = {r["cell_id"] for r in
+                 pinned.select("cell_id").distinct().collect()}
+        for c in set(affected) - alive:
+            shutil.rmtree(os.path.join(path, "cells", f"cell_id={c}"),
+                          ignore_errors=True)
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    shutil.rmtree(os.path.join(path, "tombstones"))
+    return removed
 
 
 def ivf_index_meta(path: str) -> dict:
@@ -349,11 +486,19 @@ def ivf_update_meta(path: str, **fields) -> None:
 
 def ivf_read_index(spark, path: str
                    ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
-    """Load a persisted IVF index: (partition-pruned corpus, centroids)."""
+    """Load a persisted IVF index: (partition-pruned corpus, centroids).
+    Tombstoned ids (``ivf_delete``) are anti-joined out here, so every
+    search path — single-probe, batch, recall measurement — sees deletes
+    immediately; ``ivf_compact`` makes them physical."""
     import json
     import os
 
     df = spark.read.parquet(os.path.join(path, "cells"))
     with open(os.path.join(path, "centroids.json")) as f:
-        raw = json.load(f)["centroids"]
+        meta = json.load(f)
+    tomb = _ivf_tombstones(spark, path)
+    if tomb is not None:
+        id_field = meta.get("id_field", "vec_id")
+        df = df.join(tomb, df[id_field] == tomb["__del_id"], "left_anti")
+    raw = meta["centroids"]
     return df, [(int(cid), [float(x) for x in vec]) for cid, vec in raw]
