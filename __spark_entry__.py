@@ -849,6 +849,21 @@ def q_chunk_documents(spark, sf_dir):
                       F.col("n_chunk_tokens").cast("long"), "chunk_text")
 
 
+def q_quality_filter(spark, sf_dir):
+    """Distribution-relative quality filter: drop the bottom 20% by
+    quality score, cut at the exact interpolated percentile (one
+    broadcast aggregate in the same plan)."""
+    db = _db(spark, sf_dir)
+    # score rounded to 6dp BEFORE the percentile so the threshold
+    # comparison is exact in both engines (raw doubles differ in the
+    # last ulp, flipping boundary docs)
+    scored = db.df("documents").withColumn(
+        "quality", F.round(TX.quality_score(F.col("text")), 6))
+    out = PK.quality_percentile_filter(scored, pct=0.2,
+                                       score_field="quality")
+    return out.select("doc_id", F.col("quality").alias("quality_r"))
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Rolling/document fingerprint column (md5 of normalized text)."""
     db = _db(spark, sf_dir)
@@ -1216,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_cap": q_source_cap,
         "q_pack_sequences": q_pack_sequences,
         "q_chunk_documents": q_chunk_documents,
+        "q_quality_filter": q_quality_filter,
         # --- slots 27-50: past-cap since r2, unchanged modules (rotate in) ---
         "q_events_window": q_events_window,
         "q_time_rollup": q_time_rollup,
@@ -1231,7 +1247,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neq_null_semantics": q_neq_null_semantics,
         "q_notin_null_semantics": q_notin_null_semantics,
         "q_is_null_join": q_is_null_join,
-        "q_distinct": q_distinct,
         "q_global_agg": q_global_agg,
         "q_count_star": q_count_star,
         "q_left_join_count": q_left_join_count,
@@ -1246,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_offset_page / q_exists, displaced by the four new r4
         # operators); r5 rotates these back in ---
         "q_events_json": q_events_json,
+        "q_distinct": q_distinct,
         "q_distinct_first": q_distinct_first,
         "q_offset_page": q_offset_page,
         "q_exists": q_exists,
@@ -1648,6 +1664,12 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 2000 END
             GROUP BY source""",
         "q_corpus_clean": _corpus_clean_oracle(),
+        "q_quality_filter": f"""
+            WITH q AS (SELECT doc_id, round({_quality_sql()}, 6) AS quality
+                       FROM documents),
+            t AS (SELECT quantile_cont(quality, 0.2) AS thr FROM q)
+            SELECT doc_id, quality AS quality_r
+            FROM q, t WHERE quality >= thr""",
         "q_corpus_shards": f"""
             WITH t AS (SELECT doc_id, CAST(len({_TOKENS}) AS INT) AS n_tokens,
                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
@@ -2021,10 +2043,9 @@ def _simhash_oracle() -> str:
         FROM h GROUP BY simhash HAVING count(*) > 1"""
 
 
-def _corpus_clean_oracle() -> str:
-    """clean_corpus in DuckDB: same quality/langid formulas as
-    _text_stats_oracle / q_langid, filter order matching the Spark plan
-    (quality floor → language allowlist → dedup keep-first by fingerprint)."""
+def _quality_sql() -> str:
+    """The text.quality_score formula in DuckDB (shared by the
+    corpus-clean and percentile-filter oracles)."""
     punct = "[.,!?;:''\"()\\[\\]{}-]"
     pr = (f"(CASE WHEN len(text) > 0 THEN "
           f"CAST(len(text) - len(regexp_replace(text, '{punct}', '', 'g')) AS DOUBLE)"
@@ -2035,10 +2056,17 @@ def _corpus_clean_oracle() -> str:
     sw = (f"(CASE WHEN len({_TOKENS}) > 0 THEN "
           f"CAST(len(list_filter({_TOKENS}, t -> list_contains({_SW_EN}, t))) AS DOUBLE)"
           f" / len({_TOKENS}) ELSE 0.0 END)")
-    quality = (f"(least(coalesce(len({_TOKENS}), 0) / 100.0, 1.0) * 0.4"
-               f" + (CASE WHEN {mtl} BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2"
-               f" + (CASE WHEN {sw} BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2"
-               f" + (1.0 - least({pr} * 2.0, 1.0)) * 0.2)")
+    return (f"(least(coalesce(len({_TOKENS}), 0) / 100.0, 1.0) * 0.4"
+            f" + (CASE WHEN {mtl} BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2"
+            f" + (CASE WHEN {sw} BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2"
+            f" + (1.0 - least({pr} * 2.0, 1.0)) * 0.2)")
+
+
+def _corpus_clean_oracle() -> str:
+    """clean_corpus in DuckDB: same quality/langid formulas as
+    _text_stats_oracle / q_langid, filter order matching the Spark plan
+    (quality floor → language allowlist → dedup keep-first by fingerprint)."""
+    quality = _quality_sql()
     return f"""
         WITH s AS (
           SELECT doc_id, text, {quality} AS q,

@@ -66,3 +66,23 @@ def test_chunk_documents_windows(spark):
     assert not any(d == 3 for d, _ in rows)  # empty doc -> no chunks
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_quality_percentile_filter(spark, docs):
+    from tostore_spark.llmops.packing import quality_percentile_filter
+    kept = quality_percentile_filter(docs, pct=0.2)
+    n_all, n_kept = docs.count(), kept.count()
+    # ~80% survive (ties at the threshold can keep a few extra)
+    assert 0.75 * n_all <= n_kept <= 0.85 * n_all
+    # the dropped docs are exactly the lowest-quality ones: min kept
+    # quality >= max dropped quality
+    from tostore_spark.llmops import text as TX
+    scored = docs.withColumn("q", TX.quality_score(F.col("text")))
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    qs = [(r["doc_id"], r["q"]) for r in scored.collect()]
+    min_kept = min(q for d, q in qs if d in kept_ids)
+    dropped = [q for d, q in qs if d not in kept_ids]
+    assert not dropped or max(dropped) <= min_kept
+    # threshold is one broadcast aggregate: single plan, no driver loop
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

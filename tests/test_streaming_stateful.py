@@ -96,3 +96,53 @@ def test_stream_dedup_matches_batch(spark, tmp_path_factory):
     sa = {r["text_hash"] for r in got.select("text_hash").collect()}
     sb = {r["text_hash"] for r in want.select("text_hash").collect()}
     assert sa == sb
+
+
+def test_stream_upsert_sink_into_table(spark, tmp_path_factory):
+    """readStream -> foreachBatch merge: streamed rows upsert into a
+    registered table by PK; replayed keys take the latest value."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.schema import PrimaryKeyConfig, TableSchema
+    from tostore_spark.streaming.sink import write_stream_to_table
+    db = ToStoreSpark(spark)
+    base = spark.createDataFrame(
+        [(0, "old0"), (1, "old1"), (2, "old2")], ["id", "val"])
+    db.register_table("ing", df=base,
+                      schema=TableSchema(name="ing",
+                                         primary_key=PrimaryKeyConfig(name="id")))
+    src = str(tmp_path_factory.mktemp("ing_src"))
+    spark.createDataFrame(
+        [(1, "new1"), (3, "new3")], ["id", "val"]
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("id bigint, val string").parquet(src)
+    q = write_stream_to_table(
+        db, stream, "ing",
+        checkpoint=str(tmp_path_factory.mktemp("ing_ckpt")))
+    q.awaitTermination(120)
+    got = {r["id"]: r["val"] for r in db.df("ing").collect()}
+    assert got == {0: "old0", 1: "new1", 2: "old2", 3: "new3"}
+
+
+def test_stream_sink_flushes_to_warehouse(spark, tmp_path_factory):
+    """flush_each_batch: a fresh engine on the same warehouse sees the
+    streamed rows after the query completes."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.schema import PrimaryKeyConfig, TableSchema
+    from tostore_spark.streaming.sink import write_stream_to_table
+    wh = str(tmp_path_factory.mktemp("wh_stream"))
+    db = ToStoreSpark(spark, warehouse=wh)
+    db.register_table("ing2", df=spark.createDataFrame(
+        [(0, "seed")], ["id", "val"]),
+        schema=TableSchema(name="ing2",
+               primary_key=PrimaryKeyConfig(name="id")))
+    src = str(tmp_path_factory.mktemp("ing2_src"))
+    spark.createDataFrame([(7, "streamed")], ["id", "val"]) \
+         .write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("id bigint, val string").parquet(src)
+    q = write_stream_to_table(
+        db, stream, "ing2", flush_each_batch=True,
+        checkpoint=str(tmp_path_factory.mktemp("ing2_ckpt")))
+    q.awaitTermination(120)
+    db2 = ToStoreSpark(spark, warehouse=wh)
+    got = {r["id"]: r["val"] for r in db2.df("ing2").collect()}
+    assert got == {0: "seed", 7: "streamed"}

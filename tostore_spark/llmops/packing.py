@@ -111,3 +111,26 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
               .select(id_field, "chunk_id", "start_token",
                       F.size("__chunk").alias("n_chunk_tokens"),
                       F.array_join("__chunk", " ").alias("chunk_text")))
+
+
+def quality_percentile_filter(df: DataFrame, pct: float = 0.1,
+                              score_field: Optional[str] = None,
+                              text_field: str = "text") -> DataFrame:
+    """Drop the bottom ``pct`` of the corpus by quality score, with the
+    cut at the EXACT interpolated percentile of this corpus — a
+    distribution-relative filter (the fixed-threshold variant is
+    ``pipeline.clean_corpus``).  The threshold is one tiny aggregate
+    broadcast back into the filter, all in a single plan: no driver
+    round-trip, no approximation drift between runs.  Without
+    ``score_field`` the built-in ``text.quality_score`` column is
+    computed first (and kept, as ``quality``)."""
+    from tostore_spark.llmops import text as _tx
+
+    if score_field is None:
+        df = df.withColumn("quality", _tx.quality_score(F.col(text_field)))
+        score_field = "quality"
+    thr = df.select(F.expr(f"percentile(`{score_field}`, {float(pct)!r})")
+                    .alias("__thr"))
+    return (df.crossJoin(F.broadcast(thr))
+              .filter(F.col(score_field) >= F.col("__thr"))
+              .drop("__thr"))

@@ -1,0 +1,72 @@
+"""Streaming ingest INTO the engine: Structured Streaming micro-batches
+merged into a registered table (and, with a warehouse, flushed durably).
+
+The reference's write path is call-per-record into an embedded store; the
+Spark-native ingest shape is ``readStream → foreachBatch → merge`` — each
+micro-batch is one DataFrame-level upsert (PK anti-join + union), so the
+per-batch cost is a bounded join against the current table, never a
+driver-side row loop.  With ``flush_each_batch=True`` every committed
+micro-batch is also flushed to the warehouse — combined with Structured
+Streaming's checkpointing this gives at-least-once durable ingest, and
+the engine's CAS flush turns concurrent-writer races into loud errors.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+
+
+def merge_batch(engine, table: str, batch_df: DataFrame,
+                mode: str = "upsert") -> int:
+    """Merge one (micro-)batch into a registered table.
+
+    ``upsert``: rows whose primary key already exists replace the stored
+    row (PK left-anti join + union — one distributed merge, no row loop);
+    ``append``: plain union.  The batch is pinned with an eager
+    localCheckpoint first: a foreachBatch frame is only valid during its
+    call, while the registry needs a plan that outlives it."""
+    pinned = batch_df.localCheckpoint(eager=True)
+    n = pinned.count()
+    if n == 0:
+        return 0
+    current = engine.df(table)
+    if mode == "upsert":
+        pk = engine.primary_key(table)
+        if not pk:
+            raise ValueError(f"upsert into {table} needs a primary key; "
+                             "use mode='append'")
+        kept = current.join(pinned.select(pk), on=pk, how="left_anti")
+        merged = kept.unionByName(pinned, allowMissingColumns=True)
+    elif mode == "append":
+        merged = current.unionByName(pinned, allowMissingColumns=True)
+    else:
+        raise ValueError(f"unknown merge mode: {mode}")
+    engine.set_df(table, merged)
+    return n
+
+
+def write_stream_to_table(engine, stream_df: DataFrame, table: str,
+                          checkpoint: str, mode: str = "upsert",
+                          flush_each_batch: bool = False,
+                          query_name: Optional[str] = None):
+    """Start a streaming query that merges every micro-batch into
+    ``table``.  Returns the StreamingQuery handle (caller stops it or
+    uses ``trigger(availableNow=True)`` semantics via the returned
+    writer's options upstream).
+
+    Durability: with ``flush_each_batch`` and a warehouse-backed engine,
+    each batch commit flushes dirty tables; Structured Streaming replays
+    uncommitted batches after a crash (at-least-once — the PK upsert
+    makes the replay idempotent for ``mode='upsert'``)."""
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        merge_batch(engine, table, batch_df, mode=mode)
+        if flush_each_batch and getattr(engine, "_warehouse", None):
+            engine.flush()
+
+    writer = (stream_df.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint))
+    if query_name:
+        writer = writer.queryName(query_name)
+    return writer.trigger(availableNow=True).start()
