@@ -47,6 +47,17 @@ CHECKS: dict[str, list[str]] = {
     # vocab stats: partial_count proves the (doc,token) aggregate combines
     # map-side before the shuffle
     "q_vocab_stats": ["partial_count", "HashAggregate"],
+    # batch IVF: the broadcast of the (query, probe-cell) side is what
+    # makes dynamic partition pruning possible over a persisted index,
+    # and the shared two-stage top-k bounds every sort
+    "q_ivf_batch": ["BroadcastHashJoin", "WindowGroupLimit", "__pid"],
+    # packing/caps: every ranking/cumsum window must be key-partitioned —
+    # a global window (single reducer) would show an empty partition spec
+    "q_pack_sequences": ["windowspecdefinition(shard#"],
+    "q_source_cap": ["windowspecdefinition(source#"],
+    # percentile threshold is broadcast back into the scan-filter plan,
+    # not collected to the driver
+    "q_quality_filter": ["BroadcastNestedLoopJoin"],
 }
 
 
