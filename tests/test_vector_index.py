@@ -342,3 +342,46 @@ def test_ivf_measured_recall(spark, db01, tmp_path_factory):
     r = db2.vector_index_recall("e_rec", "embedding", k=5, nprobe=4,
                                 n_queries=10)
     assert 0.0 < r <= 1.0
+
+
+# ---------------------------------------------------------------- int8 SQ
+def test_quantize_roundtrip_error_bounded(spark, db01):
+    """Symmetric int8 SQ: |x − dequant(quant(x))| <= scale/2 per element."""
+    from tostore_spark.vector import quantize_embeddings, dequantize_column
+    emb = db01.df("embeddings").limit(50)
+    q = quantize_embeddings(emb.select("vec_id", "embedding"))
+    assert dict(q.dtypes)["codes"] == "array<tinyint>"
+    back = q.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        F.array_max(F.zip_with(
+            dequantize_column(F.col("codes"), F.col("scale")),
+            F.col("embedding"),
+            lambda a, b: F.abs(a - b.cast("double")) / F.greatest(
+                F.col("scale"), F.lit(1e-30)))).alias("worst"))
+    worst = back.agg(F.max("worst")).collect()[0][0]
+    assert worst <= 0.5 + 1e-9, worst
+
+
+def test_quantize_zero_vector(spark):
+    from tostore_spark.vector import quantize_embeddings
+    df = spark.createDataFrame([(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])],
+                               "vec_id long, embedding array<double>")
+    rows = {r["vec_id"]: r for r in
+            quantize_embeddings(df).collect()}
+    assert rows[0]["scale"] == 0.0 and rows[0]["codes"] == [0, 0, 0]
+    assert rows[1]["codes"][1] == -127
+
+
+def test_quantized_knn_recall(spark, db01):
+    """Quantized+rerank k-NN finds (almost) the same neighbors as exact."""
+    from tostore_spark.llmops.similarity import knn_join
+    from tostore_spark.vector import quantize_embeddings, quantized_knn_join
+    emb = db01.df("embeddings").select("vec_id", "embedding")
+    queries = emb.filter("vec_id < 5")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in knn_join(queries, emb, k=5).collect()}
+    qq, qc = quantize_embeddings(queries), quantize_embeddings(emb)
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in quantized_knn_join(qq, qc, k=5,
+                                          rerank=(queries, emb)).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall

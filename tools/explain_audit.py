@@ -58,6 +58,10 @@ CHECKS: dict[str, list[str]] = {
     # percentile threshold is broadcast back into the scan-filter plan,
     # not collected to the driver
     "q_quality_filter": ["BroadcastNestedLoopJoin"],
+    # quantized k-NN: the small quantized-query side must broadcast (the
+    # corpus streams), and both top-k stages stay WindowGroupLimit-bounded
+    "q_quantized_knn": ["BroadcastNestedLoopJoin", "WindowGroupLimit",
+                        "__pid"],
 }
 
 

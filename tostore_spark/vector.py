@@ -187,3 +187,73 @@ def vector_search_lsh(df: DataFrame, field_name: str, query_vector: Sequence[flo
     bucketed = df.filter(lsh_bucket_column(field_name, planes).isin(probes))
     return vector_search(bucketed, field_name, query_vector, top_k=top_k,
                          metric=metric, pk=pk)
+
+
+# ------------------------------------------------- scalar quantization
+def quantize_embeddings(df: DataFrame, vec_field: str = "embedding",
+                        id_field: str = "vec_id") -> DataFrame:
+    """Symmetric int8 scalar quantization — the storage/bandwidth side of
+    the reference's vector quantizer (vector_quantizer.dart): per-vector
+    ``scale = max|x| / 127`` and ``codes[i] = round(x_i / scale)`` in
+    [-127, 127], stored as ``array<tinyint>`` + one float — 4x smaller
+    at rest and on the shuffle wire than float32.  Pure column math
+    (one pass, no shuffle); zero vectors get scale 0 and all-zero codes.
+
+    Output: input columns minus the vector, plus (codes, scale)."""
+    v = F.col(vec_field)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))) \
+        / F.lit(127.0)
+    df = df.withColumn("scale", scale)
+    codes = F.when(
+        F.col("scale") <= 0.0,
+        F.transform(v, lambda x: F.lit(0).cast("byte"))
+    ).otherwise(
+        F.transform(v, lambda x: F.round(x.cast("double") / F.col("scale"))
+                    .cast("byte")))
+    return df.withColumn("codes", codes).drop(vec_field)
+
+
+def dequantize_column(codes_col: Column, scale_col: Column) -> Column:
+    """codes → approximate float vector (``code * scale``)."""
+    return F.transform(codes_col, lambda c: c.cast("double") * scale_col)
+
+
+def quantized_knn_join(queries_q: DataFrame, corpus_q: DataFrame,
+                       k: int = 10, rerank: Optional[tuple] = None,
+                       oversample: int = 4) -> DataFrame:
+    """k-NN over QUANTIZED frames (both sides from
+    ``quantize_embeddings``): distances are computed on int8 codes
+    (``(1 - dot_ab·s_a·s_b / (|a||b|s_a s_b))`` — the scales cancel in
+    cosine, so this is cosine over the dequantized vectors without
+    materializing them).  The asymmetric-distance + re-rank shape of the
+    reference quantizer: pass ``rerank=(queries, corpus)`` with the
+    ORIGINAL float frames to keep ``oversample*k`` quantized candidates
+    and exact-re-rank them to the final k."""
+    from tostore_spark.llmops.similarity import (cosine_distance_cols,
+                                                 topk_per_query)
+    q = queries_q.select(F.col("vec_id").alias("query_id"),
+                         F.col("codes").alias("__qc"))
+    c = corpus_q.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("codes").alias("__cc"))
+    joined = c.crossJoin(F.broadcast(q)) \
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+    # cosine over codes: scales cancel, int math stays cheap
+    dist = cosine_distance_cols(F.col("__qc"), F.col("__cc"))
+    scored = joined.select("query_id", "neighbor_id",
+                           dist.alias("distance"))
+    kq = k * oversample if rerank is not None else k
+    approx = topk_per_query(scored, kq)
+    if rerank is None:
+        return approx
+    queries, corpus = rerank
+    cand = approx.select("query_id", "neighbor_id")
+    qv = queries.select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("__qv"))
+    cv = corpus.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("embedding").alias("__cv"))
+    exact = (cand.join(F.broadcast(qv), "query_id")
+             .join(cv, "neighbor_id")
+             .select("query_id", "neighbor_id",
+                     cosine_distance_cols(F.col("__qv"), F.col("__cv"))
+                     .alias("distance")))
+    return topk_per_query(exact, k)
