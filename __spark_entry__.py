@@ -592,6 +592,19 @@ def q_quantized_knn(spark, sf_dir):
                       F.round(F.col("distance"), 6).alias("distance_r"))
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup clusters: k-means cell blocking →
+    within-cell cosine pairs → connected components (one canonical doc
+    per semantic near-dup group).  Fixed deterministic centroids so the
+    oracle reproduces cell assignment bit-for-bit; output is
+    integer-only (id, cluster_id, cluster_size)."""
+    db = _db(spark, sf_dir)
+    emb = db.df("embeddings").select("vec_id", "embedding")
+    pairs = D.semantic_dedup_pairs(emb, max_distance=0.65,
+                                   centroids=S.fixed_centroids(64, 8))
+    return D.dedup_clusters(pairs)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected-components dedup clustering over MinHash-LSH pairs:
     pairwise keep-one under-dedups transitive chains (A~B, B~C leaves A,C
@@ -1239,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_fingerprint": q_dedup_fingerprint,
         "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
         "q_dedup_clusters": q_dedup_clusters,
+        "q_semantic_dedup": q_semantic_dedup,
         "q_dedup_incremental": q_dedup_incremental,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_dedup_simhash": q_dedup_simhash,
@@ -1262,7 +1276,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count_bpe": q_token_count_bpe,
         "q_pred_like_between_in": q_pred_like_between_in,
         "q_or_tree": q_or_tree,
-        "q_multiop_or": q_multiop_or,
         "q_loose_eq": q_loose_eq,
         "q_neq_null_semantics": q_neq_null_semantics,
         "q_notin_null_semantics": q_notin_null_semantics,
@@ -1280,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unchanged since: q_events_json / q_distinct_first /
         # q_offset_page / q_exists, displaced by the four new r4
         # operators); r5 rotates these back in ---
+        "q_multiop_or": q_multiop_or,
         "q_events_json": q_events_json,
         "q_distinct": q_distinct,
         "q_distinct_first": q_distinct_first,
@@ -1554,6 +1568,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 HAVING count(*) > 1""",
         "q_dedup_minhash_lsh": _minhash_oracle(),
         "q_dedup_clusters": _dedup_clusters_oracle(),
+        "q_semantic_dedup": _semantic_dedup_oracle(),
         "q_dedup_incremental": _minhash_oracle(
             pair_where="""(x.doc_id >= 450 AND y.doc_id < 450)
                OR (x.doc_id >= 450 AND y.doc_id >= 450 AND x.doc_id < y.doc_id)"""),
@@ -1967,6 +1982,58 @@ def _ivf_batch_oracle(dim: int = 64, n_cells: int = 8, k: int = 3,
           FROM scored)
         SELECT query_id, neighbor_id, rank, round(distance, 6) AS distance_r
         FROM ranked WHERE rank <= {k}"""
+
+
+def _semantic_dedup_oracle(dim: int = 64, n_cells: int = 8,
+                           max_dist: float = 0.65) -> str:
+    """SemDeDup in DuckDB mirroring dedup.semantic_dedup_pairs +
+    dedup_clusters: same fixed centroids and first-minimum cell
+    assignment as _ivf_batch_oracle, within-cell (id_a < id_b) cosine
+    pairs at <= max_dist, then min-label connected components via a
+    recursive CTE (the fixpoint the pointer-jumping loop reaches)."""
+    import math as _m
+
+    from tostore_spark.llmops.similarity import fixed_centroids
+    cents = fixed_centroids(dim, n_cells)
+    dexprs = []
+    for _cid, cent in cents:
+        cn = _m.sqrt(sum(x * x for x in cent)) or 1.0
+        dot = (f"list_sum(list_transform(list_zip(v, {_sql_list(cent)}),"
+               " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+        dexprs.append(f"1.0 - {dot} / (nv * {cn!r})")
+    dists = "[" + ",\n                 ".join(dexprs) + "]"
+    pair_dist = ("1.0 - list_sum(list_transform(list_zip(a.v, b.v),"
+                 " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+                 " / (sqrt(list_sum(list_transform(a.v,"
+                 " e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))"
+                 " * sqrt(list_sum(list_transform(b.v,"
+                 " e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))))")
+    return f"""
+        WITH RECURSIVE base AS (
+          SELECT vec_id AS id, embedding AS v,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv
+          FROM embeddings),
+        celld AS (SELECT id, v, {dists} AS ds FROM base),
+        assigned AS (
+          SELECT id, v,
+                 CAST(list_indexof(ds, list_min(ds)) - 1 AS INT) AS cell_id
+          FROM celld),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM assigned a JOIN assigned b
+            ON a.cell_id = b.cell_id AND a.id < b.id
+          WHERE {pair_dist} <= {max_dist!r}),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        r(id, lab) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.src, r.lab FROM r JOIN edges e ON e.dst = r.id),
+        comp AS (SELECT id, min(lab) AS cluster_id FROM r GROUP BY id)
+        SELECT id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM comp"""
 
 
 def _quantized_knn_oracle(k: int = 5, oversample: int = 4) -> str:

@@ -563,3 +563,35 @@ def test_dedup_clusters_empty_pairs(spark):
     from tostore_spark.llmops.dedup import dedup_clusters
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup_clusters(pairs).count() == 0
+
+
+def test_semantic_dedup_keep_one_per_cluster(spark, db):
+    """SemDeDup: within-cell cosine pairs -> components -> one canonical
+    (min-id) survivor per cluster; everything not in a cluster kept."""
+    emb = db.df("embeddings").select("vec_id", "embedding")
+    cents = S.fixed_centroids(64, 8)
+    pairs = D.semantic_dedup_pairs(emb, centroids=cents, max_distance=0.65)
+    assert pairs.filter(F.col("distance") > 0.65).count() == 0
+    assert pairs.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+    clusters = D.dedup_clusters(pairs)
+    kept = D.semantic_dedup(emb, centroids=cents, max_distance=0.65)
+    n_dropped = clusters.filter(F.col("id") != F.col("cluster_id")).count()
+    assert kept.count() == emb.count() - n_dropped
+    canon = {r["cluster_id"] for r in clusters.collect()}
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert canon <= kept_ids   # every cluster's canonical survives
+
+
+def test_semantic_dedup_blocking_is_within_cell(spark, db):
+    """The quadratic term is bounded per cell: every reported pair shares
+    a cell, and a cross-cell near-dup is (by the SemDeDup contract) not
+    reported."""
+    emb = db.df("embeddings").select("vec_id", "embedding")
+    cents = S.fixed_centroids(64, 8)
+    indexed, _ = S.ivf_build(emb, centroids=cents)
+    cell_of = {r["vec_id"]: r["cell_id"] for r in
+               indexed.select("vec_id", "cell_id").collect()}
+    pairs = D.semantic_dedup_pairs(emb, centroids=cents,
+                                   max_distance=0.65).collect()
+    assert pairs and all(cell_of[r["id_a"]] == cell_of[r["id_b"]]
+                         for r in pairs)

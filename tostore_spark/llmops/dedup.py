@@ -690,3 +690,54 @@ def dedup_apply(df: DataFrame, pairs: DataFrame, id_field: str = "doc_id",
             .filter(F.col("id") != F.col("cluster_id"))
             .select(F.col("id").alias(id_field)))
     return df.join(drop, on=id_field, how="left_anti")
+
+
+# ---------------------------------------------------------------- semantic
+def semantic_dedup_pairs(emb: DataFrame, n_cells: int = 16,
+                         max_distance: float = 0.1,
+                         vec_field: str = "embedding",
+                         id_field: str = "vec_id",
+                         centroids=None) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: cluster the embedding space
+    (spherical k-means cells — ``similarity.ivf_build``, a map-side
+    Column expression), then compare pairs ONLY within a cell and keep
+    those at cosine distance <= ``max_distance``.
+
+    The cell is the blocking key, so the join shuffles on ``cell_id``
+    and the quadratic term is bounded per cell (corpus/n_cells rows) —
+    never all-pairs.  Scale n_cells with the corpus to hold the
+    per-bucket bound; cross-cell boundary pairs are out of scope by
+    construction (the SemDeDup contract: duplicates are sought within a
+    semantic cluster, arXiv:2303.09540).  Reference intent: the vector
+    index exists to stop duplicate content reaching training
+    (ngh_graph_engine.dart:14-80); this is the corpus-level sweep.
+    """
+    from tostore_spark.llmops.similarity import (cosine_distance_cols,
+                                                 ivf_build)
+    indexed, _ = ivf_build(emb, n_cells=n_cells, vec_field=vec_field,
+                           id_field=id_field, centroids=centroids)
+    a = indexed.select(F.col(id_field).alias("id_a"),
+                       F.col(vec_field).alias("__va"), "cell_id")
+    b = indexed.select(F.col(id_field).alias("id_b"),
+                       F.col(vec_field).alias("__vb"), "cell_id")
+    return (a.join(b, "cell_id")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("distance",
+                         cosine_distance_cols(F.col("__va"), F.col("__vb")))
+             .filter(F.col("distance") <= F.lit(float(max_distance)))
+             .select("id_a", "id_b", "distance"))
+
+
+def semantic_dedup(emb: DataFrame, n_cells: int = 16,
+                   max_distance: float = 0.1,
+                   vec_field: str = "embedding", id_field: str = "vec_id",
+                   centroids=None) -> DataFrame:
+    """Deduplicated corpus under semantic near-duplication: one canonical
+    row (smallest id) per connected cluster of pairs, everything else
+    dropped — ``semantic_dedup_pairs`` → connected components →
+    anti-join, all key-partitioned shuffles."""
+    pairs = semantic_dedup_pairs(emb, n_cells=n_cells,
+                                 max_distance=max_distance,
+                                 vec_field=vec_field, id_field=id_field,
+                                 centroids=centroids)
+    return dedup_apply(emb, pairs, id_field=id_field)
