@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from tostore_spark import Agg, QueryCondition, ToStoreSpark
 from tostore_spark.llmops import dedup as D
+from tostore_spark.llmops import mixing as MX
 from tostore_spark.llmops import packing as PK
 from tostore_spark.llmops import similarity as S
 from tostore_spark.llmops import text as TX
@@ -590,6 +591,22 @@ def q_quantized_knn(spark, sf_dir):
                              rerank=(queries, emb), oversample=4)
     return out.select("query_id", "neighbor_id", "rank",
                       F.round(F.col("distance"), 6).alias("distance_r"))
+
+
+def q_mix_corpus(spark, sf_dir):
+    """Token(char)-budget source mixing (llmops.mixing): weighted greedy
+    md5-order prefixes per source — the data-mixture stage of a training
+    build; per-source window only (key-partitioned, no global sort)."""
+    db = _db(spark, sf_dir)
+    out = MX.mix_corpus(db.df("documents"),
+                        {"src0": 2.0, "src1": 1.0, "src2": 1.0},
+                        budget=8000)   # allocs 4000/2000/2000 — dyadic
+    # weights, so the float allocation is exact and the oracle's literal
+    # boundary compare cannot diverge on the last ulp
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("chars_taken"),
+        F.sum(F.col("doc_id").cast("long")).alias("id_sum"))
 
 
 def q_semantic_dedup(spark, sf_dir):
@@ -1229,10 +1246,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and the new q_quantized_knn sit in-cap because vector.py changed this
     round (single-parse builds + int8 SQ); q_backup_restore/q_kv_namespace
     (r3-green, backup.py/kv.py untouched since) yielded their slots.  Past
-    the cap: all green in r3 on modules untouched since, except six
-    r2-green unchanged-module entries (q_events_json, q_distinct_first,
-    q_offset_page, q_exists, and now q_backup_restore/q_kv_namespace's
-    displaced peers) — r5 rotates those in first.  The union of r3 and r4
+    the cap: all green in r3 on modules untouched since, except the
+    r2-green unchanged-module entries displaced by this round's new
+    operators (q_events_json, q_distinct_first, q_offset_page, q_exists,
+    q_multiop_or, q_neq_null_semantics) — r5 rotates those in first.  The union of r3 and r4
     rows covers all entries on current code, and
     tools/check_correctness.py certifies every entry locally each round.
     """
@@ -1253,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
         "q_dedup_clusters": q_dedup_clusters,
         "q_semantic_dedup": q_semantic_dedup,
+        "q_mix_corpus": q_mix_corpus,
         "q_dedup_incremental": q_dedup_incremental,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_dedup_simhash": q_dedup_simhash,
@@ -1277,7 +1295,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pred_like_between_in": q_pred_like_between_in,
         "q_or_tree": q_or_tree,
         "q_loose_eq": q_loose_eq,
-        "q_neq_null_semantics": q_neq_null_semantics,
         "q_notin_null_semantics": q_notin_null_semantics,
         "q_is_null_join": q_is_null_join,
         "q_global_agg": q_global_agg,
@@ -1293,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unchanged since: q_events_json / q_distinct_first /
         # q_offset_page / q_exists, displaced by the four new r4
         # operators); r5 rotates these back in ---
+        "q_neq_null_semantics": q_neq_null_semantics,
         "q_multiop_or": q_multiop_or,
         "q_events_json": q_events_json,
         "q_distinct": q_distinct,
@@ -1569,6 +1587,20 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_minhash_lsh": _minhash_oracle(),
         "q_dedup_clusters": _dedup_clusters_oracle(),
         "q_semantic_dedup": _semantic_dedup_oracle(),
+        "q_mix_corpus": """
+            WITH sel AS (
+              SELECT source, doc_id, n_chars,
+                     sum(n_chars) OVER (PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       - n_chars AS cb
+              FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_taken,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM sel
+            WHERE cb < CASE source WHEN 'src0' THEN 4000.0
+                                   ELSE 2000.0 END
+            GROUP BY source""",
         "q_dedup_incremental": _minhash_oracle(
             pair_where="""(x.doc_id >= 450 AND y.doc_id < 450)
                OR (x.doc_id >= 450 AND y.doc_id >= 450 AND x.doc_id < y.doc_id)"""),

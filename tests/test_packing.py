@@ -86,3 +86,43 @@ def test_quality_percentile_filter(spark, docs):
     # threshold is one broadcast aggregate: single plan, no driver loop
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------- mixing
+def test_mix_corpus_greedy_prefix(spark, db):
+    """Each source contributes exactly its maximal greedy md5-order prefix
+    under weight/sum * budget; unlisted sources are dropped."""
+    import hashlib
+
+    from tostore_spark.llmops import mixing as M
+    docs = db.df("documents")
+    out = M.mix_corpus(docs, {"src0": 1.0, "src1": 1.0}, budget=8000)
+    assert out.filter(~F.col("source").isin(["src0", "src1"])).count() == 0
+    pdf = (docs.filter(F.col("source").isin(["src0", "src1"]))
+           .select("source", "doc_id", "n_chars").toPandas())
+    for s in ("src0", "src1"):
+        sub = pdf[pdf.source == s].copy()
+        sub["h"] = sub.doc_id.map(
+            lambda i: hashlib.md5(str(i).encode()).hexdigest())
+        sub = sub.sort_values(["h", "doc_id"])
+        cum, take = 0, set()
+        for _, r in sub.iterrows():
+            if cum < 4000.0:
+                take.add(r.doc_id)
+            cum += r.n_chars
+        got = {r["doc_id"] for r in
+               out.filter(F.col("source") == s).select("doc_id").collect()}
+        assert got == take, s
+
+
+def test_mix_report_fill(spark, db):
+    from tostore_spark.llmops import mixing as M
+    docs = db.df("documents")
+    rep = {r["source"]: r for r in
+           M.mix_report(docs, {"src0": 3.0, "src1": 1.0},
+                        budget=4000).collect()}
+    assert rep["src0"]["allocation"] == 3000.0
+    assert rep["src1"]["allocation"] == 1000.0
+    for r in rep.values():   # greedy prefix: overshoot by < one doc
+        assert r["cost_taken"] - r["allocation"] < 1000
+        assert r["fill_ratio"] > 0.5
