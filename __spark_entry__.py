@@ -758,6 +758,18 @@ def q_contamination(spark, sf_dir):
                                  n=5, min_overlap=2)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Decontamination APPLIED: the training corpus minus every doc
+    sharing >= 2 distinct 5-grams with a benchmark doc (one anti-join
+    over contamination_pairs' distinct train ids)."""
+    db = _db(spark, sf_dir)
+    docs = db.df("documents")
+    out = D.decontaminate(docs.filter(F.col("doc_id") < 480),
+                          docs.filter(F.col("doc_id") >= 480),
+                          n=5, min_overlap=2)
+    return out.select("doc_id", "source", "n_chars")
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction pass: synthetic emails/IPs/id-numbers are injected
     deterministically (the corpus has none), then counted and redacted —
@@ -1277,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_simhash_near": q_dedup_simhash_near,
         "q_neardup_embedding": q_neardup_embedding,
         "q_contamination": q_contamination,
+        "q_decontaminate": q_decontaminate,
         "q_knn_join": q_knn_join,
         "q_similarity_ivf": q_similarity_ivf,
         "q_ivf_batch": q_ivf_batch,
@@ -1300,7 +1313,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_global_agg": q_global_agg,
         "q_count_star": q_count_star,
         "q_left_join_count": q_left_join_count,
-        "q_right_join": q_right_join,
         "q_theta_join": q_theta_join,
         "q_fk_autojoin": q_fk_autojoin,
         "q_vector_l2_topk": q_vector_l2_topk,
@@ -1310,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unchanged since: q_events_json / q_distinct_first /
         # q_offset_page / q_exists, displaced by the four new r4
         # operators); r5 rotates these back in ---
+        "q_right_join": q_right_join,
         "q_neq_null_semantics": q_neq_null_semantics,
         "q_multiop_or": q_multiop_or,
         "q_events_json": q_events_json,
@@ -1631,6 +1644,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT tg.train_id, bg.bench_id, count(*) AS n_shared
             FROM tg JOIN bg USING (gr)
             GROUP BY 1, 2 HAVING count(*) >= 2""",
+        "q_decontaminate": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+            g AS (SELECT doc_id,
+                         CASE WHEN len(t) >= 5 THEN
+                           list_distinct([array_to_string(t[i:i+4], ' ')
+                                          for i in range(1, len(t) - 3)])
+                         ELSE [] END AS grams
+                  FROM toks),
+            tg0 AS (SELECT doc_id AS train_id, unnest(grams) AS gr
+                    FROM g WHERE doc_id < 480),
+            hot AS (SELECT gr FROM tg0 GROUP BY gr HAVING count(*) > 10000),
+            tg AS (SELECT * FROM tg0 ANTI JOIN hot USING (gr)),
+            bg AS (SELECT doc_id AS bench_id, unnest(grams) AS gr
+                   FROM g WHERE doc_id >= 480),
+            bad AS (SELECT DISTINCT train_id
+                    FROM (SELECT tg.train_id, bg.bench_id, count(*) AS n
+                          FROM tg JOIN bg USING (gr)
+                          GROUP BY 1, 2 HAVING count(*) >= 2))
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d ANTI JOIN bad ON d.doc_id = bad.train_id
+            WHERE d.doc_id < 480""",
         "q_stratified_take": """
             WITH r AS (SELECT source, doc_id,
                               row_number() OVER (PARTITION BY source

@@ -595,3 +595,17 @@ def test_semantic_dedup_blocking_is_within_cell(spark, db):
                                    max_distance=0.65).collect()
     assert pairs and all(cell_of[r["id_a"]] == cell_of[r["id_b"]]
                          for r in pairs)
+
+
+def test_decontaminate_drops_exactly_contaminated(spark, db):
+    docs = db.df("documents")
+    train = docs.filter(F.col("doc_id") < 480)
+    bench = docs.filter(F.col("doc_id") >= 480)
+    bad = {r["train_id"] for r in
+           D.contamination_pairs(train, bench, n=5, min_overlap=2)
+           .select("train_id").distinct().collect()}
+    kept = {r["doc_id"] for r in
+            D.decontaminate(train, bench).select("doc_id").collect()}
+    assert kept == {r["doc_id"] for r in
+                    train.select("doc_id").collect()} - bad
+    assert bad and bad.isdisjoint(kept)

@@ -741,3 +741,19 @@ def semantic_dedup(emb: DataFrame, n_cells: int = 16,
                                  vec_field=vec_field, id_field=id_field,
                                  centroids=centroids)
     return dedup_apply(emb, pairs, id_field=id_field)
+
+
+def decontaminate(train: DataFrame, bench: DataFrame,
+                  n: int = 5, min_overlap: int = 2,
+                  text_field: str = "text", id_field: str = "doc_id",
+                  max_gram_df: int | None = CONTAMINATION_MAX_GRAM_DF) -> DataFrame:
+    """The decontaminated training corpus: drop every training document
+    that shares >= ``min_overlap`` distinct word n-grams with ANY
+    benchmark document (``contamination_pairs``), keep the rest.  One
+    anti-join on the distinct contaminated train ids — the corpus is
+    scanned once and nothing is collected."""
+    bad = (contamination_pairs(train, bench, n=n, min_overlap=min_overlap,
+                               text_field=text_field, id_field=id_field,
+                               max_gram_df=max_gram_df)
+           .select(F.col("train_id").alias(id_field)).distinct())
+    return train.join(bad, on=id_field, how="left_anti")
