@@ -758,6 +758,16 @@ def q_contamination(spark, sf_dir):
                                  n=5, min_overlap=2)
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 keyword retrieval (llmops.search): top-10 docs for a 3-term
+    query; fixed-order per-term score sum so the float result is
+    bit-stable across engines."""
+    from tostore_spark.llmops.search import bm25_search
+    db = _db(spark, sf_dir)
+    out = bm25_search(db.df("documents"), "vector table scan", k=10)
+    return out.select("doc_id", F.round(F.col("score"), 6).alias("score_r"))
+
+
 def q_decontaminate(spark, sf_dir):
     """Decontamination APPLIED: the training corpus minus every doc
     sharing >= 2 distinct 5-grams with a benchmark doc (one anti-join
@@ -1290,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neardup_embedding": q_neardup_embedding,
         "q_contamination": q_contamination,
         "q_decontaminate": q_decontaminate,
+        "q_bm25_search": q_bm25_search,
         "q_knn_join": q_knn_join,
         "q_similarity_ivf": q_similarity_ivf,
         "q_ivf_batch": q_ivf_batch,
@@ -1313,7 +1324,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_global_agg": q_global_agg,
         "q_count_star": q_count_star,
         "q_left_join_count": q_left_join_count,
-        "q_theta_join": q_theta_join,
         "q_fk_autojoin": q_fk_autojoin,
         "q_vector_l2_topk": q_vector_l2_topk,
         "q_vector_ip_topk": q_vector_ip_topk,
@@ -1322,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unchanged since: q_events_json / q_distinct_first /
         # q_offset_page / q_exists, displaced by the four new r4
         # operators); r5 rotates these back in ---
+        "q_theta_join": q_theta_join,
         "q_right_join": q_right_join,
         "q_neq_null_semantics": q_neq_null_semantics,
         "q_multiop_or": q_multiop_or,
@@ -1644,6 +1655,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT tg.train_id, bg.bench_id, count(*) AS n_shared
             FROM tg JOIN bg USING (gr)
             GROUP BY 1, 2 HAVING count(*) >= 2""",
+        "q_bm25_search": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKENS}) AS tok
+                         FROM documents),
+            dl AS (SELECT doc_id, len({_TOKENS}) AS dl FROM documents),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                             avg(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+                   WHERE tok IN ('scan', 'table', 'vector')
+                   GROUP BY 1, 2),
+            dfq AS (SELECT tok, count(DISTINCT doc_id) AS term_df
+                    FROM tok WHERE tok IN ('scan', 'table', 'vector')
+                    GROUP BY 1),
+            part AS (SELECT t.doc_id, t.tok,
+                            ln(1.0 + (s.n_docs - d.term_df + 0.5)
+                                     / (d.term_df + 0.5))
+                            * (t.tf * 2.2)
+                            / (t.tf + 1.2 * (1.0 - 0.75
+                                             + 0.75 * l.dl / s.avgdl)) AS p
+                     FROM tf t JOIN dfq d USING (tok)
+                     JOIN dl l ON l.doc_id = t.doc_id
+                     CROSS JOIN stats s),
+            pv AS (SELECT doc_id,
+                          max(CASE WHEN tok = 'scan' THEN p END) AS ps,
+                          max(CASE WHEN tok = 'table' THEN p END) AS pt,
+                          max(CASE WHEN tok = 'vector' THEN p END) AS pvv
+                   FROM part GROUP BY doc_id)
+            SELECT doc_id,
+                   round(coalesce(ps, 0.0) + coalesce(pt, 0.0)
+                         + coalesce(pvv, 0.0), 6) AS score_r
+            FROM pv
+            ORDER BY coalesce(ps, 0.0) + coalesce(pt, 0.0)
+                     + coalesce(pvv, 0.0) DESC, doc_id
+            LIMIT 10""",
         "q_decontaminate": f"""
             WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
             g AS (SELECT doc_id,

@@ -609,3 +609,20 @@ def test_decontaminate_drops_exactly_contaminated(spark, db):
     assert kept == {r["doc_id"] for r in
                     train.select("doc_id").collect()} - bad
     assert bad and bad.isdisjoint(kept)
+
+
+def test_bm25_search_semantics(spark, db):
+    """BM25: more matching terms -> higher score; docs with no query term
+    never appear; idf weights rarer terms over common ones."""
+    from tostore_spark.llmops.search import bm25_search
+    sdf = spark.createDataFrame(
+        [(1, "apple banana cherry"), (2, "apple apple apple"),
+         (3, "banana only here"), (4, "nothing relevant at all"),
+         (5, "apple banana apple banana")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["score"] for r in
+           bm25_search(sdf, "apple banana", k=10).collect()}
+    assert 4 not in out                       # no query term -> absent
+    assert out[5] > out[2]                    # both terms beat one repeated
+    assert out[1] > out[3]                    # two terms beat one
+    assert all(s > 0 for s in out.values())
