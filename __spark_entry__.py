@@ -622,6 +622,23 @@ def q_semantic_dedup(spark, sf_dir):
     return D.dedup_clusters(pairs)
 
 
+def q_pq_search(spark, sf_dir):
+    """PQ/ADC vector search (llmops.pq — the reference's
+    vector_quantizer.dart quantize-then-ADC-then-rerank shape): fixed
+    deterministic codebooks so DuckDB reproduces encode argmin, the ADC
+    lookup sums, the oversampled candidate cut, and the exact re-rank."""
+    from tostore_spark.llmops import pq as PQ
+    db = _db(spark, sf_dir)
+    emb = db.df("embeddings").select("vec_id", "embedding")
+    books = PQ.fixed_codebooks(64, m=4, n_codes=8)
+    enc = PQ.pq_encode(emb, books)
+    out = PQ.pq_search(enc, books, _QVEC, k=10,
+                       rerank_field="embedding", oversample=4)
+    return out.select("vec_id",
+                      F.round(F.col("adc_dist"), 6).alias("adc_r"),
+                      F.round(F.col("distance"), 6).alias("distance_r"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected-components dedup clustering over MinHash-LSH pairs:
     pairwise keep-one under-dedups transitive chains (A~B, B~C leaves A,C
@@ -1287,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_flush_reopen": q_flush_reopen,
         "q_vector_cosine_topk": q_vector_cosine_topk,
         "q_quantized_knn": q_quantized_knn,
+        "q_pq_search": q_pq_search,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_fingerprint": q_dedup_fingerprint,
         "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1323,7 +1341,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_is_null_join": q_is_null_join,
         "q_global_agg": q_global_agg,
         "q_count_star": q_count_star,
-        "q_left_join_count": q_left_join_count,
         "q_fk_autojoin": q_fk_autojoin,
         "q_vector_l2_topk": q_vector_l2_topk,
         "q_vector_ip_topk": q_vector_ip_topk,
@@ -1332,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unchanged since: q_events_json / q_distinct_first /
         # q_offset_page / q_exists, displaced by the four new r4
         # operators); r5 rotates these back in ---
+        "q_left_join_count": q_left_join_count,
         "q_theta_join": q_theta_join,
         "q_right_join": q_right_join,
         "q_neq_null_semantics": q_neq_null_semantics,
@@ -1600,6 +1618,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 3""",
         "q_ivf_batch": _ivf_batch_oracle(),
         "q_quantized_knn": _quantized_knn_oracle(),
+        "q_pq_search": _pq_search_oracle(),
         "q_dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
                    count(*) AS n_copies
@@ -2144,6 +2163,51 @@ def _semantic_dedup_oracle(dim: int = 64, n_cells: int = 8,
         SELECT id, cluster_id,
                count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM comp"""
+
+
+def _pq_search_oracle(dim: int = 64, m: int = 4, n_codes: int = 8,
+                      k: int = 10, oversample: int = 4) -> str:
+    """PQ/ADC in DuckDB mirroring pq.pq_encode + pq_adc_column +
+    pq_search bit-for-bit: same fixed codebooks, same per-subspace
+    first-minimum argmin (list_indexof), LUT values computed by the SAME
+    Python arithmetic as pq_adc_column then baked as literals, the ADC
+    sum in fixed subspace order, the (adc, vec_id) candidate cut, and
+    the exact squared-L2 re-rank."""
+    from tostore_spark.llmops.pq import fixed_codebooks
+    books = fixed_codebooks(dim, m=m, n_codes=n_codes)
+    sub = dim // m
+    q = _QVEC
+    code_exprs, luts = [], []
+    for s, book in enumerate(books):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        ds = ", ".join(
+            "list_sum(list_transform(list_zip("
+            f"embedding[{lo}:{hi}], {_sql_list(code)}),"
+            " p -> (CAST(p[1] AS DOUBLE) - p[2])"
+            " * (CAST(p[1] AS DOUBLE) - p[2])))"
+            for code in book)
+        code_exprs.append(
+            f"(list_indexof([{ds}], list_min([{ds}])) - 1) AS c{s}")
+        qs = q[s * sub:(s + 1) * sub]
+        lut = [sum((float(a) - float(b)) * (float(a) - float(b))
+                   for a, b in zip(qs, code)) for code in book]
+        luts.append(f"list_extract({_sql_list(lut)}, c{s} + 1)")
+    adc = " + ".join(luts)
+    exact = ("list_sum(list_transform(list_zip(embedding,"
+             f" {_sql_list(q)}),"
+             " p -> (CAST(p[1] AS DOUBLE) - p[2])"
+             " * (CAST(p[1] AS DOUBLE) - p[2])))")
+    return f"""
+        WITH enc AS (
+          SELECT vec_id, embedding, {', '.join(code_exprs)}
+          FROM embeddings),
+        adc AS (SELECT vec_id, embedding, {adc} AS adc_dist FROM enc),
+        cand AS (SELECT * FROM adc
+                 ORDER BY adc_dist, vec_id LIMIT {k * oversample}),
+        rr AS (SELECT vec_id, adc_dist, {exact} AS distance FROM cand)
+        SELECT vec_id, round(adc_dist, 6) AS adc_r,
+               round(distance, 6) AS distance_r
+        FROM rr ORDER BY distance, vec_id LIMIT {k}"""
 
 
 def _quantized_knn_oracle(k: int = 5, oversample: int = 4) -> str:

@@ -62,6 +62,9 @@ CHECKS: dict[str, list[str]] = {
     # corpus streams), and both top-k stages stay WindowGroupLimit-bounded
     "q_quantized_knn": ["BroadcastNestedLoopJoin", "WindowGroupLimit",
                         "__pid"],
+    # PQ/ADC search: the score is pure map-side column math — the only
+    # ordering operators must be bounded top-k, never a full sort
+    "q_pq_search": ["TakeOrderedAndProject"],
 }
 
 
