@@ -639,6 +639,24 @@ def q_pq_search(spark, sf_dir):
                       F.round(F.col("distance"), 6).alias("distance_r"))
 
 
+def q_ivfpq(spark, sf_dir):
+    """IVF+PQ search (coarse cell prune + ADC codes + exact re-rank —
+    the production ANN shape at 100 TB: a probe reads nprobe/n_cells of
+    the partitions and m bytes per row).  Fixed centroids AND codebooks
+    so DuckDB reproduces assignment, probe set, ADC, and re-rank."""
+    from tostore_spark.llmops import pq as PQ
+    db = _db(spark, sf_dir)
+    emb = db.df("embeddings").select("vec_id", "embedding")
+    enc, cents, books = PQ.ivfpq_build(
+        emb, centroids=S.fixed_centroids(64, 8),
+        codebooks=PQ.fixed_codebooks(64, m=4, n_codes=8))
+    out = PQ.ivfpq_search(enc, cents, books, _QVEC, k=5, nprobe=2,
+                          rerank_field="embedding", oversample=4)
+    return out.select("vec_id", "cell_id",
+                      F.round(F.col("adc_dist"), 6).alias("adc_r"),
+                      F.round(F.col("distance"), 6).alias("distance_r"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected-components dedup clustering over MinHash-LSH pairs:
     pairwise keep-one under-dedups transitive chains (A~B, B~C leaves A,C
@@ -1305,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vector_cosine_topk": q_vector_cosine_topk,
         "q_quantized_knn": q_quantized_knn,
         "q_pq_search": q_pq_search,
+        "q_ivfpq": q_ivfpq,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_fingerprint": q_dedup_fingerprint,
         "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1341,7 +1360,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_is_null_join": q_is_null_join,
         "q_global_agg": q_global_agg,
         "q_count_star": q_count_star,
-        "q_fk_autojoin": q_fk_autojoin,
         "q_vector_l2_topk": q_vector_l2_topk,
         "q_vector_ip_topk": q_vector_ip_topk,
         "q_vector_threshold": q_vector_threshold,
@@ -1349,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unchanged since: q_events_json / q_distinct_first /
         # q_offset_page / q_exists, displaced by the four new r4
         # operators); r5 rotates these back in ---
+        "q_fk_autojoin": q_fk_autojoin,
         "q_left_join_count": q_left_join_count,
         "q_theta_join": q_theta_join,
         "q_right_join": q_right_join,
@@ -1619,6 +1638,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ivf_batch": _ivf_batch_oracle(),
         "q_quantized_knn": _quantized_knn_oracle(),
         "q_pq_search": _pq_search_oracle(),
+        "q_ivfpq": _ivfpq_oracle(),
         "q_dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
                    count(*) AS n_copies
@@ -2208,6 +2228,81 @@ def _pq_search_oracle(dim: int = 64, m: int = 4, n_codes: int = 8,
         SELECT vec_id, round(adc_dist, 6) AS adc_r,
                round(distance, 6) AS distance_r
         FROM rr ORDER BY distance, vec_id LIMIT {k}"""
+
+
+def _ivfpq_oracle(dim: int = 64, n_cells: int = 8, m: int = 4,
+                  n_codes: int = 8, k: int = 5, nprobe: int = 2,
+                  oversample: int = 4) -> str:
+    """IVF+PQ in DuckDB: the _ivf_batch_oracle cell assignment, the probe
+    set computed by the SAME Python as ivfpq_search and baked as
+    literals, then the _pq_search_oracle encode/ADC/cut/re-rank over the
+    probed rows only."""
+    import math as _m
+
+    from tostore_spark.llmops.pq import fixed_codebooks
+    from tostore_spark.llmops.similarity import fixed_centroids
+    cents = fixed_centroids(dim, n_cells)
+    books = fixed_codebooks(dim, m=m, n_codes=n_codes)
+    sub = dim // m
+    q = _QVEC
+
+    def cos_d(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = _m.sqrt(sum(x * x for x in a)) or 1.0
+        nb = _m.sqrt(sum(x * x for x in b)) or 1.0
+        return 1.0 - dot / (na * nb)
+
+    probe = sorted(cents, key=lambda c: (cos_d(c[1], q), c[0]))
+    cells = ", ".join(str(cid) for cid, _ in probe[:nprobe])
+    dexprs = []
+    for _cid, cent in cents:
+        cn = _m.sqrt(sum(x * x for x in cent)) or 1.0
+        dot = (f"list_sum(list_transform(list_zip(v, {_sql_list(cent)}),"
+               " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+        dexprs.append(f"1.0 - {dot} / (nv * {cn!r})")
+    dists = "[" + ",\n                 ".join(dexprs) + "]"
+    code_exprs, luts = [], []
+    for s, book in enumerate(books):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        ds = ", ".join(
+            "list_sum(list_transform(list_zip("
+            f"v[{lo}:{hi}], {_sql_list(code)}),"
+            " p -> (CAST(p[1] AS DOUBLE) - p[2])"
+            " * (CAST(p[1] AS DOUBLE) - p[2])))"
+            for code in book)
+        code_exprs.append(
+            f"(list_indexof([{ds}], list_min([{ds}])) - 1) AS c{s}")
+        qs = q[s * sub:(s + 1) * sub]
+        lut = [sum((float(a) - float(b)) * (float(a) - float(b))
+                   for a, b in zip(qs, code)) for code in book]
+        luts.append(f"list_extract({_sql_list(lut)}, c{s} + 1)")
+    adc = " + ".join(luts)
+    exact = ("list_sum(list_transform(list_zip(v,"
+             f" {_sql_list(q)}),"
+             " p -> (CAST(p[1] AS DOUBLE) - p[2])"
+             " * (CAST(p[1] AS DOUBLE) - p[2])))")
+    return f"""
+        WITH base AS (
+          SELECT vec_id AS id, embedding AS v,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv
+          FROM embeddings),
+        celld AS (SELECT id, v, {dists} AS ds FROM base),
+        assigned AS (
+          SELECT id, v,
+                 CAST(list_indexof(ds, list_min(ds)) - 1 AS INT) AS cell_id
+          FROM celld),
+        probed AS (SELECT * FROM assigned WHERE cell_id IN ({cells})),
+        enc AS (SELECT id, v, cell_id, {', '.join(code_exprs)}
+                FROM probed),
+        adc AS (SELECT id, v, cell_id, {adc} AS adc_dist FROM enc),
+        cand AS (SELECT * FROM adc
+                 ORDER BY adc_dist, id LIMIT {k * oversample}),
+        rr AS (SELECT id, cell_id, adc_dist, {exact} AS distance
+               FROM cand)
+        SELECT id AS vec_id, cell_id, round(adc_dist, 6) AS adc_r,
+               round(distance, 6) AS distance_r
+        FROM rr ORDER BY distance, id LIMIT {k}"""
 
 
 def _quantized_knn_oracle(k: int = 5, oversample: int = 4) -> str:

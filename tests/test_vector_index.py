@@ -430,3 +430,32 @@ def test_pq_adc_rerank_recall(spark, db01):
                         oversample=8).collect()]
     recall = len(exact & set(got)) / 10
     assert recall >= 0.9, recall
+
+
+def test_ivfpq_persisted_prune_and_recall(spark, db01, tmp_path_factory):
+    """IVFPQ: persisted index round-trips (cells + centroid + codebook
+    sidecars), a probe partition-prunes, and trained books + re-rank
+    keep recall against the exact scan."""
+    from tostore_spark.llmops import pq as PQ
+    emb = db01.df("embeddings").select("vec_id", "embedding")
+    enc, cents, books = PQ.ivfpq_build(emb, n_cells=8, m=8, n_codes=64,
+                                       sample=500)
+    path = str(tmp_path_factory.mktemp("ivfpq"))
+    PQ.ivfpq_write_index(enc, cents, books, path)
+    enc2, c2, b2 = PQ.ivfpq_read_index(spark, path)
+    assert b2 == books
+    rows = emb.collect()
+    qv = [float(x) for x in rows[7]["embedding"]]
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    exact = {i for _, i in sorted(
+        (l2(qv, [float(x) for x in r["embedding"]]), r["vec_id"])
+        for r in rows)[:10]}
+    out = PQ.ivfpq_search(enc2, c2, b2, qv, k=10, nprobe=8,
+                          rerank_field="embedding", oversample=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell_id" in plan
+    got = {r["vec_id"] for r in out.collect()}
+    assert len(exact & got) / 10 >= 0.9   # all cells probed -> PQ-only loss

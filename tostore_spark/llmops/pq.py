@@ -166,3 +166,79 @@ def fixed_codebooks(dim: int, m: int = 4, n_codes: int = 8,
     rows = random_hyperplanes(sub, m * n_codes, seed=seed)
     return [[[x * 0.5 for x in rows[s * n_codes + c]]
              for c in range(n_codes)] for s in range(m)]
+
+
+# ------------------------------------------------------------------ IVFPQ
+def ivfpq_build(corpus: DataFrame, n_cells: int = 16, m: int = 8,
+                n_codes: int = 16, vec_field: str = "embedding",
+                id_field: str = "vec_id", centroids=None, codebooks=None,
+                sample: int = 1024):
+    """IVF cells + PQ codes — the coarse-quantize-then-fine-quantize
+    index (FAISS IVFADC / the reference's graph+quantizer pairing,
+    ngh_graph_engine.dart + vector_quantizer.dart): the cell prunes the
+    search to nprobe/n_cells of the corpus, the codes shrink what the
+    probe reads by ~32x.  Returns (encoded corpus with cell_id +
+    pq_codes, centroids, codebooks)."""
+    from tostore_spark.llmops.similarity import ivf_build
+    indexed, cents = ivf_build(corpus, n_cells=n_cells,
+                               vec_field=vec_field, id_field=id_field,
+                               centroids=centroids)
+    books = codebooks if codebooks is not None else pq_train(
+        corpus, m=m, n_codes=n_codes, vec_field=vec_field,
+        id_field=id_field, sample=sample)
+    return pq_encode(indexed, books, vec_field=vec_field), cents, books
+
+
+def ivfpq_search(encoded: DataFrame, centroids, codebooks,
+                 query_vector: Sequence[float], k: int = 10,
+                 nprobe: int = 2, id_field: str = "vec_id",
+                 rerank_field: Optional[str] = None,
+                 oversample: int = 4) -> DataFrame:
+    """Probe the ``nprobe`` nearest cells (driver-side over the small
+    centroid list, cosine — same metric as the assignment), ADC-score
+    only the probed rows, optionally exact-re-rank.  Over a persisted
+    index the isin(cell_id) filter is partition pruning: the probe reads
+    nprobe/n_cells of the files, and each row read is m bytes of codes
+    instead of the full vector."""
+    import math
+
+    def cos_d(a: Sequence[float], b: Sequence[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return 1.0 - dot / (na * nb)
+
+    probe = sorted(centroids,
+                   key=lambda c: (cos_d(c[1], list(query_vector)), c[0]))
+    cells = [cid for cid, _ in probe[:nprobe]]
+    cand = encoded.filter(F.col("cell_id").isin(cells))
+    return pq_search(cand, codebooks, query_vector, k=k,
+                     id_field=id_field, rerank_field=rerank_field,
+                     oversample=oversample)
+
+
+def ivfpq_write_index(encoded: DataFrame, centroids, codebooks,
+                      path: str, id_field: str = "vec_id") -> str:
+    """Persist: cells/ parquet partitioned by cell_id (probe = partition
+    pruning) + the centroid sidecar (ivf_write_index) + a codebook
+    sidecar, so a fresh engine searches without rebuilding anything."""
+    import json
+    import os
+
+    from tostore_spark.llmops.similarity import ivf_write_index
+    ivf_write_index(encoded, centroids, path, id_field=id_field)
+    with open(os.path.join(path, "codebooks.json"), "w") as f:
+        json.dump({"codebooks": codebooks}, f)
+    return path
+
+
+def ivfpq_read_index(spark, path: str):
+    """(encoded DataFrame, centroids, codebooks) from a persisted index."""
+    import json
+    import os
+
+    from tostore_spark.llmops.similarity import ivf_read_index
+    encoded, cents = ivf_read_index(spark, path)
+    with open(os.path.join(path, "codebooks.json")) as f:
+        books = json.load(f)["codebooks"]
+    return encoded, cents, books
