@@ -546,13 +546,14 @@ def q_similarity_ivf(spark, sf_dir):
     """IVF approximate ANN through the persisted-index lifecycle
     (build_vector_index → partitioned parquet → pruned probe; the
     reference's build-once NGH shape, ngh_graph_engine.dart:14-80).
-    Rows-only check — cell assignment is engine-defined (spherical
-    k-means); scalar output columns only."""
+    Fixed deterministic centroids so DuckDB reproduces cell assignment,
+    the driver-side probe choice, and the exact in-cell ranking."""
     db = _db(spark, sf_dir)
     db2 = ToStoreSpark(spark)
     db2.register_table("emb_ivf", df=db.df("embeddings"))
     db2.build_vector_index("emb_ivf", "embedding", n_cells=8,
-                           id_field="vec_id")
+                           id_field="vec_id",
+                           centroids=S.fixed_centroids(64, 8))
     out = db2.vector_search("emb_ivf", "embedding", _QVEC, top_k=5, nprobe=2)
     return out.select("vec_id", "label", "cell_id",
                       F.round(F.col("distance"), 6).alias("distance_r"))
@@ -1127,7 +1128,8 @@ def q_events_sessions(spark, sf_dir):
     db = _db(spark, sf_dir)
     ev = db.df("events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    us = F.unix_micros(F.col("ts"))
+    from tostore_spark.functions.colutil import epoch_us
+    us = epoch_us(F.col("ts"))
     gap = us - F.lag(us).over(w)
     marked = ev.withColumn(
         "new_session",
@@ -1635,6 +1637,7 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs)
             SELECT query_id, neighbor_id, rank, round(distance, 6) AS distance_r
             FROM ranked WHERE rank <= 3""",
+        "q_similarity_ivf": _similarity_ivf_oracle(),
         "q_ivf_batch": _ivf_batch_oracle(),
         "q_quantized_knn": _quantized_knn_oracle(),
         "q_pq_search": _pq_search_oracle(),
@@ -2131,6 +2134,54 @@ def _ivf_batch_oracle(dim: int = 64, n_cells: int = 8, k: int = 3,
           FROM scored)
         SELECT query_id, neighbor_id, rank, round(distance, 6) AS distance_r
         FROM ranked WHERE rank <= {k}"""
+
+
+def _similarity_ivf_oracle(dim: int = 64, n_cells: int = 8, k: int = 5,
+                           nprobe: int = 2) -> str:
+    """Single-query IVF through the engine lifecycle, in DuckDB: the same
+    fixed centroids and first-minimum cell assignment as
+    _ivf_batch_oracle; the probe-cell choice is ivf_search's own
+    driver-side Python computation re-run here at oracle-build time (the
+    probed cell ids bake in as literals — exactly what ivf_search ships
+    into the isin filter); in-cell ranking is vector_search's cosine
+    (query pre-normalized, _cos_dist_sql) with the (distance, vec_id)
+    order and LIMIT k."""
+    import math as _m
+
+    from tostore_spark.llmops.similarity import fixed_centroids
+    cents = fixed_centroids(dim, n_cells)
+    # ivf_search's probe selection, verbatim (similarity.py ivf_search)
+    def cos_d(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = _m.sqrt(sum(x * x for x in a)) or 1.0
+        nb = _m.sqrt(sum(x * x for x in b)) or 1.0
+        return 1.0 - dot / (na * nb)
+    probe = sorted(cents, key=lambda c: cos_d(c[1], _QVEC))[:nprobe]
+    cells = ", ".join(str(int(cid)) for cid, _ in probe)
+    dexprs = []
+    for _cid, cent in cents:
+        cn = _m.sqrt(sum(x * x for x in cent)) or 1.0
+        dot = (f"list_sum(list_transform(list_zip(v, {_sql_list(cent)}),"
+               " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+        dexprs.append(f"1.0 - {dot} / (nv * {cn!r})")
+    dists = "[" + ",\n                 ".join(dexprs) + "]"
+    return f"""
+        WITH base AS (
+          SELECT vec_id, label, embedding AS v,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv
+          FROM embeddings),
+        celld AS (SELECT vec_id, label, v, {dists} AS ds FROM base),
+        assigned AS (
+          SELECT vec_id, label, v,
+                 CAST(list_indexof(ds, list_min(ds)) - 1 AS INT) AS cell_id
+          FROM celld)
+        SELECT vec_id, label, cell_id,
+               round({_cos_dist_sql('v')}, 6) AS distance_r
+        FROM assigned
+        WHERE cell_id IN ({cells})
+        ORDER BY {_cos_dist_sql('v')}, vec_id
+        LIMIT {k}"""
 
 
 def _semantic_dedup_oracle(dim: int = 64, n_cells: int = 8,

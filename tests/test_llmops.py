@@ -139,6 +139,43 @@ def test_multimodal_stub_paths(spark, db):
         MM.extract_features(sdf, "blob", "doc_id").collect()
 
 
+def test_multimodal_pluggable_codecs(spark):
+    """User-supplied codecs ride the public API into the executors:
+    a fake 'decoder' keyed on blob content proves the callable (not the
+    built-in fake) ran — the hook a PIL/ffmpeg deployment plugs into."""
+    from tostore_spark.llmops import multimodal as MM
+
+    sdf = spark.createDataFrame(
+        [(1, "hello"), (2, "world!!")], ["doc_id", "text"]) \
+        .withColumn("blob", F.encode(F.col("text"), "utf-8"))
+
+    def my_features(raw: bytes):
+        return [float(len(raw)), float(raw[0]) if raw else 0.0]
+
+    feats = {r["id"]: r["feature"] for r in
+             MM.extract_features(sdf, "blob", "doc_id",
+                                 codec=my_features).collect()}
+    assert feats[1] == [5.0, float(ord("h"))]
+    assert feats[2] == [7.0, float(ord("w"))]
+
+    def my_resize(raw: bytes, w: int, h: int) -> bytes:
+        return raw[:1] * (w * h)
+
+    r = {x["id"]: x for x in
+         MM.resize_images(sdf, "blob", "doc_id", width=2, height=2,
+                          codec=my_resize).collect()}
+    assert bytes(r[1]["blob"]) == b"hhhh" and r[1]["n_bytes"] == 4
+
+    def my_frames(raw: bytes, duration_ms: int, every_n_ms: int):
+        return [(0, 0, raw), (1, every_n_ms, raw[::-1])]
+
+    fr = MM.sample_frames(sdf, "blob", "doc_id", every_n_ms=10,
+                          codec=my_frames).collect()
+    by_key = {(x["id"], x["frame_idx"]): bytes(x["blob"]) for x in fr}
+    assert by_key[(1, 0)] == b"hello" and by_key[(1, 1)] == b"olleh"
+    assert len(fr) == 4
+
+
 # ---- pipeline composition (llmops/pipeline.py) ------------------------
 
 def test_hash_sample_deterministic_and_pushdown(spark, db):

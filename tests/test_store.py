@@ -373,3 +373,37 @@ def test_remote_watch_poller_thread(spark, tmp_path_factory):
         assert b.last_remote_error is None
     finally:
         b.stop_remote_watch()
+
+
+def test_ttl_cleanup_at_flush(spark, tmp_path_factory):
+    """TTL physical cleanup rides the flush (ttl_cleanup_manager.dart:40+
+    in batch form): expired rows are absent from the flushed parquet and
+    from a reopened engine; live rows survive."""
+    import datetime
+    import glob
+
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.schema import (DataType, FieldSchema, PrimaryKeyConfig,
+                                      PrimaryKeyType, TableSchema,
+                                      TableTtlConfig)
+    db, wh = _fresh(spark, tmp_path_factory, "ttlflush")
+    db.create_table(TableSchema(
+        name="ttl_f",
+        fields=[FieldSchema("v", DataType.integer),
+                FieldSchema("created", DataType.datetime)],
+        primary_key=PrimaryKeyConfig(name="id", type=PrimaryKeyType.none),
+        ttl=TableTtlConfig(ttl_ms=60_000, source_field="created")))
+    now = datetime.datetime.now()
+    db.batch_insert("ttl_f", [
+        {"id": "fresh", "v": 1, "created": now},
+        {"id": "stale", "v": 2, "created": now - datetime.timedelta(hours=1)},
+    ])
+    db.flush()
+    # physically absent from the versioned parquet (raw read, no filter)
+    vdirs = sorted(glob.glob(os.path.join(wh, "default", "ttl_f", "v*")))
+    assert vdirs, "flush wrote no version dir"
+    raw = spark.read.parquet(vdirs[-1])
+    assert [r["id"] for r in raw.collect()] == ["fresh"]
+    # a reopened engine starts clean too
+    db2 = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    assert [r["id"] for r in db2.df("ttl_f").collect()] == ["fresh"]

@@ -44,7 +44,8 @@ def test_stream_sessions_match_batch(spark, session_source):
     # batch truth: gap-marking window over the REAL events only
     from pyspark.sql import Window
     w = Window.partitionBy("user_id").orderBy("ts")
-    us = F.unix_micros(F.col("ts"))
+    from tostore_spark.functions.colutil import epoch_us
+    us = epoch_us(F.col("ts"))
     gap = us - F.lag(us).over(w)
     marked = ev.withColumn(
         "new_session",

@@ -675,12 +675,16 @@ class ToStoreSpark:
     # ---- vector search (vector.py) ------------------------------------
     def build_vector_index(self, table: str, field_name: str,
                            n_cells: int = 16, path: Optional[str] = None,
-                           id_field: Optional[str] = None) -> str:
+                           id_field: Optional[str] = None,
+                           centroids=None) -> str:
         """Build-once IVF index for a vector field (the reference's
         persisted NGH build lifecycle, ngh_graph_engine.dart:14-80):
         deterministic spherical-k-means centroids, corpus written out
         partitioned by cell_id, registered so subsequent vector_search
-        calls probe the index instead of rescanning the table."""
+        calls probe the index instead of rescanning the table.
+        ``centroids`` overrides the trained geometry with a caller-fixed
+        one (e.g. ``similarity.fixed_centroids``) for reproducible cell
+        assignment across engines."""
         import tempfile
 
         from tostore_spark.llmops import similarity as sim
@@ -689,7 +693,8 @@ class ToStoreSpark:
         if path is None:
             path = tempfile.mkdtemp(prefix=f"ivf_{table}_{field_name}_")
         indexed, cents = sim.ivf_build(self.df(table), n_cells=n_cells,
-                                       vec_field=field_name, id_field=id_field)
+                                       vec_field=field_name, id_field=id_field,
+                                       centroids=centroids)
         sim.ivf_write_index(indexed, cents, path, id_field=id_field)
         cells_df, _ = sim.ivf_read_index(self.spark, path)
         n_rows = cells_df.count()   # parquet-footer count; powers efSearch->nprobe

@@ -16,6 +16,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def epoch_us(col: Column) -> Column:
+    """Microseconds-since-epoch for TIMESTAMP *or* TIMESTAMP_NTZ columns.
+
+    Spark 4.1 reads plain parquet timestamps (isAdjustedToUTC=false) as
+    TIMESTAMP_NTZ, which ``unix_micros`` rejects at analysis time.  The
+    cast to TIMESTAMP interprets an NTZ value in the session timezone —
+    a fixed offset that cancels in every gap/difference computation
+    (sessionization, as-of tolerance), which is all this helper feeds.
+    """
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def let_array(bound: Column, body) -> Column:
     """body(var) must return an ARRAY column; evaluates ``bound`` once."""
     return F.flatten(F.transform(F.array(bound), body))

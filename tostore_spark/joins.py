@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
+from .functions.colutil import epoch_us
+
 
 def asof_join(left: DataFrame, right: DataFrame,
               on: Union[str, list[str]],
@@ -68,7 +70,7 @@ def asof_join(left: DataFrame, right: DataFrame,
            .filter(F.col("__side") == 1))
     if tolerance_ms is not None:
         matched_ts = F.col("__rp")[right_ts]
-        gap_us = F.abs(F.unix_micros(F.col("__ts")) - F.unix_micros(matched_ts))
+        gap_us = F.abs(epoch_us(F.col("__ts")) - epoch_us(matched_ts))
         in_tol = matched_ts.isNotNull() & (gap_us <= tolerance_ms * 1000)
         out = out.withColumn("__rp", F.when(in_tol, F.col("__rp")))
     return out.select(

@@ -200,6 +200,15 @@ def flush_tables(engine, flush_storage: bool = True) -> list[str]:
             if gen <= engine._flushed_gen.get(key, 0) and not sourceless:
                 continue   # never mutated, or unchanged since last flush
             if durable:
+                # TTL physical cleanup rides the flush (the batch form of
+                # the reference's background cleanup cron,
+                # ttl_cleanup_manager.dart:40+): expired rows never reach
+                # the versioned parquet, so a reopened engine starts clean
+                sch = ent.get("schema")
+                ttl_cfg = getattr(sch, "ttl", None) if sch else None
+                if ttl_cfg is not None and ttl_cfg.ttl_ms:
+                    from tostore_spark.ttl import cleanup
+                    ent["df"] = cleanup(ent["df"], ttl_cfg)
                 vdir = table_version_dir(wh, key[0], key[1], gen)
                 ent["df"].write.mode("overwrite").parquet(vdir)
                 ent["df"] = engine._read_parquet(vdir)

@@ -95,7 +95,10 @@ def stream_events(spark, source_dir: str, schema, window: str = "1 hour",
     watermark → tumbling-window aggregate.  Late data beyond the watermark
     is dropped; state is bounded.  (Parity-plus: the reference has no
     event-time windowing.)"""
+    # Parquet event tables read as TIMESTAMP_NTZ on Spark 4.1, which the
+    # watermark operator rejects — normalize event time to TIMESTAMP.
     stream = (spark.readStream.schema(schema).parquet(source_dir)
+              .withColumn(ts_field, F.col(ts_field).cast("timestamp"))
               .withWatermark(ts_field, watermark)
               .groupBy(F.window(F.col(ts_field), window))
               .agg(F.count(F.lit(1)).alias("n"),

@@ -74,6 +74,8 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 3600,
         yield frame(closed)
 
     return (events
+            # watermark rejects TIMESTAMP_NTZ (Spark 4.1 parquet default)
+            .withColumn(ts_field, F.col(ts_field).cast("timestamp"))
             .withWatermark(ts_field, watermark)
             .groupBy(F.col(user_field).alias("user_id"))
             .applyInPandasWithState(fn, SESSION_SCHEMA, _STATE_SCHEMA,
@@ -97,6 +99,7 @@ def dedup_stream(docs: DataFrame, text_field: str = "text",
     the corpus outgrows state)."""
     out = docs.withColumn("text_hash", F.md5(F.col(text_field)))
     if ts_field:
+        out = out.withColumn(ts_field, F.col(ts_field).cast("timestamp"))
         return (out.withWatermark(ts_field, watermark)
                    .dropDuplicatesWithinWatermark(["text_hash"]))
     return out.dropDuplicates(["text_hash"])
