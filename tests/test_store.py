@@ -407,3 +407,61 @@ def test_ttl_cleanup_at_flush(spark, tmp_path_factory):
     # a reopened engine starts clean too
     db2 = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
     assert [r["id"] for r in db2.df("ttl_f").collect()] == ["fresh"]
+
+
+def test_transaction_retry_concurrent_writers(spark, tmp_path_factory):
+    """Optimistic transaction retry (transaction_manager.dart:17-50 analog):
+    two engines race mutate+flush on the same warehouse; the loser's
+    transaction auto-rolls-back, refreshes to the winner's committed
+    state, re-runs its action, and commits — both effects land."""
+    from tostore_spark import ToStoreSpark
+    wh = str(tmp_path_factory.mktemp("wh_txretry"))
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+
+    def add_one(eng):
+        # increment r_regionkey=0's comment suffix — a read-modify-write
+        # that must re-execute against the winner's state on retry
+        cur = eng.df("region").filter("r_regionkey = 0") \
+                 .collect()[0]["r_name"]
+        eng.update("region", {"r_name": cur + "+A"}) \
+           .where("r_regionkey", "=", 0).execute()
+
+    def add_two(eng):
+        cur = eng.df("region").filter("r_regionkey = 0") \
+                 .collect()[0]["r_name"]
+        eng.update("region", {"r_name": cur + "+B"}) \
+           .where("r_regionkey", "=", 0).execute()
+
+    # A mutates but does not flush yet; B commits first (wins the race)
+    res_b = b.transaction(add_two, retries=3)
+    assert res_b.success
+    # A's transaction: its flush would lose (stale seq) -> auto retry
+    res_a = a.transaction(add_one, retries=3)
+    assert res_a.success
+    # both effects present, in commit order (B then A)
+    c = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    name = c.df("region").filter("r_regionkey = 0").collect()[0]["r_name"]
+    assert name.endswith("+B+A"), name
+
+
+def test_transaction_retry_exhaustion_raises(spark, tmp_path_factory):
+    """When every attempt loses (another writer advances the manifest
+    between each retry), the loser raises instead of spinning."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.store import ConcurrentWriteError
+    wh = str(tmp_path_factory.mktemp("wh_txspin"))
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+
+    def mutate_and_interfere(eng):
+        eng.update("region", {"r_name": "L"}) \
+           .where("r_regionkey", "=", 0).execute()
+        # sabotage: B commits between A's action and A's flush, every time
+        b.refresh()
+        b.update("nation", {"n_name": "W"}) \
+         .where("n_nationkey", "=", 0).execute()
+        b.flush()
+
+    with pytest.raises(ConcurrentWriteError):
+        a.transaction(mutate_and_interfere, retries=2)

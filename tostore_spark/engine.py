@@ -595,12 +595,25 @@ class ToStoreSpark:
             continue_on_partial_errors=continue_on_partial_errors)
 
     # ---- transactions (transaction.py) --------------------------------
-    def transaction(self, action=None, rollback_on_error: bool = True):
+    def transaction(self, action=None, rollback_on_error: bool = True,
+                    retries: Optional[int] = None):
         """Atomic multi-write scope (tostore.dart:860-868): context-manager
-        form when called without an action, callback form otherwise."""
+        form when called without an action, callback form otherwise.
+        With ``retries`` (warehouse engines only) the callback commits via
+        flush and auto-retries concurrent-writer losses on a refreshed
+        snapshot — the optimistic analog of the reference's SSI retry
+        (transaction_manager.dart:17-50)."""
         from tostore_spark import transaction as tx
         if action is None:
+            if retries is not None:
+                raise ValueError(
+                    "retries requires the callback form: the action must "
+                    "re-execute on a refreshed snapshot")
             return tx.transaction(self, rollback_on_error=rollback_on_error)
+        if retries is not None:
+            return tx.run_transaction_with_retry(
+                self, action, retries=retries,
+                rollback_on_error=rollback_on_error)
         return tx.run_transaction(self, action, rollback_on_error=rollback_on_error)
 
     # ---- schema evolution / backup / batch export ---------------------

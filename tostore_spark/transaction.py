@@ -50,3 +50,60 @@ def run_transaction(engine, action, rollback_on_error: bool = True) -> Transacti
         return TransactionResult(True)
     except Exception as e:  # noqa: BLE001 - result-object API
         return TransactionResult(False, e)
+
+
+def run_transaction_with_retry(engine, action, retries: int = 3,
+                               rollback_on_error: bool = True
+                               ) -> TransactionResult:
+    """Optimistic concurrent transaction (the SSI-loser-retries shape of
+    the reference's transaction manager, transaction_manager.dart:17-50,
+    in batch form): run ``action``, flush to commit; when the flush loses
+    a concurrent-writer race (``ConcurrentWriteError``), roll the local
+    state back to the pre-transaction snapshot, fold in the winner's
+    committed state (``engine.refresh()`` — clean after rollback, so no
+    replay conflict is possible), and re-run ``action`` against the fresh
+    snapshot, up to ``retries`` times.  The action must be a pure
+    function of engine state (it re-executes on retry).
+
+    Requires a warehouse (the flush is the commit point).  Raises
+    ``ValueError`` without one rather than silently downgrading to a
+    non-durable scope."""
+    from tostore_spark.store import ConcurrentWriteError
+
+    if not engine._warehouse:
+        raise ValueError(
+            "run_transaction_with_retry commits via flush and needs a "
+            "warehouse; use transaction()/run_transaction for in-memory "
+            "scopes")
+    attempt = 0
+    while True:
+        snapshot = {k: dict(v) for k, v in engine._tables.items()}
+        gen_snap = dict(engine._generations)
+        fgen_snap = dict(getattr(engine, "_flushed_gen", {}))
+        kv_snap = engine._kv.snapshot() if hasattr(engine, "_kv") else None
+
+        def _rollback():
+            engine._tables = snapshot
+            # _generations is a property over _gen: restore in place
+            engine._generations.clear()
+            engine._generations.update(gen_snap)
+            engine._flushed_gen = fgen_snap
+            if kv_snap is not None:
+                engine._kv.restore(kv_snap)
+            if getattr(engine, "_query_cache", None):
+                engine._query_cache.clear()
+
+        try:
+            action(engine)
+            engine.flush()
+            return TransactionResult(True)
+        except ConcurrentWriteError:
+            _rollback()
+            attempt += 1
+            if attempt > retries:
+                raise
+            engine.refresh()   # clean post-rollback: pure reload, no replay
+        except Exception as e:  # noqa: BLE001 - result-object API
+            if rollback_on_error:
+                _rollback()
+            return TransactionResult(False, e)
