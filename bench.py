@@ -39,6 +39,101 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _sf1_spot(spark, sf_dir: str, headline_cold: dict) -> dict | None:
+    """One-order-of-magnitude spot-check for the scale operators
+    (minhash LSH, brute-force knn join, batch IVF): derive a 10x corpus
+    from the driver's sf data and record cold/warm — the guard that the
+    dedup/ANN scale designs don't go super-linear between sf0.1 and sf1.
+
+    Derivation (deterministic, cached in /tmp): 10 replicas per table.
+    Document replica i>0 inserts a replica-distinct marker char every 3
+    characters, so every 5-shingle of replica i contains a marker and no
+    shingle collides ACROSS replicas, while dup structure WITHIN a
+    replica is preserved verbatim — near-dup pairs therefore scale
+    exactly linearly (10x) by construction, making runtime ratios
+    attributable to the engine, not to data-induced pair blowup.
+    Embedding replica i adds 0.003*i per element (cheap, rank-perturbing;
+    cost of the distance math is value-independent).  Set
+    SPARK_GRAFT_SF1=0 to skip."""
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "1":
+        return None
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+
+    replicas, id_off = 10, 100_000_000
+    cache = "/tmp/spark_graft_sf1"
+    docs_p = os.path.join(cache, "documents.parquet")
+    emb_p = os.path.join(cache, "embeddings.parquet")
+    t0 = time.time()
+    db = entrymod._db(spark, sf_dir)
+    if not (os.path.exists(docs_p) and os.path.exists(emb_p)):
+        docs = db.df("documents")
+        parts = [docs]
+        for i in range(1, replicas):
+            marker = chr(ord("a") + i)  # survives text normalization
+            parts.append(docs
+                         .withColumn("doc_id", F.col("doc_id") + i * id_off)
+                         .withColumn("text", F.regexp_replace(
+                             "text", "(.{3})", f"$1{marker}")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(docs_p)
+        emb = db.df("embeddings")
+        eparts = [emb]
+        for i in range(1, replicas):
+            eparts.append(emb
+                          .withColumn("vec_id", F.col("vec_id") + i * id_off)
+                          .withColumn("embedding", F.transform(
+                              "embedding",
+                              lambda x: x + F.lit(0.003 * i))))
+        eout = eparts[0]
+        for p in eparts[1:]:
+            eout = eout.unionByName(p)
+        eout.write.mode("overwrite").parquet(emb_p)
+    gen_sec = round(time.time() - t0, 3)
+
+    qs = entrymod.queries()
+    spot = ["q_dedup_minhash_lsh", "q_knn_join", "q_ivf_batch"]
+    base_cold = dict(headline_cold)
+    for name in spot:
+        if name not in base_cold:   # not a headline query: measure base
+            spark.catalog.clearCache()
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            base_cold[name] = round(time.time() - t0, 3)
+    cold, warm, rows = {}, {}, {}
+    for name in spot:
+        fn = qs[name]
+        spark.catalog.clearCache()
+        t0 = time.time()
+        rows[name] = fn(spark, cache).count()
+        cold[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        fn(spark, cache).count()
+        warm[name] = round(time.time() - t0, 3)
+        ratio = (round(cold[name] / base_cold[name], 2)
+                 if base_cold.get(name) else None)
+        print(f"# sf1 {name}: cold={cold[name]}s warm={warm[name]}s "
+              f"rows={rows[name]} cold_x_vs_sf0.1={ratio}", file=sys.stderr)
+    spark.catalog.clearCache()
+    n_docs = spark.read.parquet(docs_p).count()
+    n_emb = spark.read.parquet(emb_p).count()
+    return {
+        "gen_sec": gen_sec, "replicas": replicas,
+        "n_documents": n_docs, "n_embeddings": n_emb,
+        "queries": cold, "queries_warm": warm, "rows": rows,
+        "cold_x_vs_base": {k: (round(cold[k] / base_cold[k], 2)
+                               if base_cold.get(k) else None)
+                           for k in spot},
+        "base_cold": {k: base_cold[k] for k in spot},
+        "note": ("10x corpus derived from the base sf dir (marker-"
+                 "interleaved text: near-dup pairs scale exactly 10x by "
+                 "construction; see bench.py _sf1_spot)"),
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -106,6 +201,7 @@ def main():
 
     total_cold = round(sum(cold.values()), 3)
     total_warm = round(sum(warm.values()), 3)
+    sf1 = _sf1_spot(spark, sf_dir, cold)
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total_cold,
@@ -115,10 +211,12 @@ def main():
         "queries_warm": warm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "canary_sec": canary,
+        "sf1_spot": sf1,
         "methodology": ("cold_first_run (value/queries; r1-comparable) "
                         "+ steady_state_second_run (value_warm/queries_warm; "
                         "r2-comparable); canary_sec = fixed machine-speed "
-                        "probe, engine-independent"),
+                        "probe, engine-independent; sf1_spot = 10x derived "
+                        "corpus scale check for the dedup/ANN operators"),
     }))
 
 
