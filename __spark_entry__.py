@@ -658,6 +658,20 @@ def q_ivfpq(spark, sf_dir):
                       F.round(F.col("distance"), 6).alias("distance_r"))
 
 
+def q_repeated_spans(spark, sf_dir):
+    """Corpus-level repeated-span removal (the C4/boilerplate pass the
+    single-node world does with suffix arrays): non-overlapping 8-word
+    spans, spans present in >1 document dropped from every document,
+    survivors rejoined in order.  clean_md5 pins the exact reconstructed
+    text; counts pin the span bookkeeping."""
+    db = _db(spark, sf_dir)
+    out = D.remove_repeated_spans(db.df("documents"), k=8, max_doc_freq=1)
+    return out.select(
+        F.col("id"),
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+        F.col("n_spans"), F.col("n_dropped"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected-components dedup clustering over MinHash-LSH pairs:
     pairwise keep-one under-dedups transitive chains (A~B, B~C leaves A,C
@@ -1338,7 +1352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neardup_embedding": q_neardup_embedding,
         "q_contamination": q_contamination,
         "q_decontaminate": q_decontaminate,
-        # --- slots 23-28: r2-era rows (oldest, verdict-named) ---
+        "q_repeated_spans": q_repeated_spans,   # NEW in r5
+        # --- slots 24-29: r2-era rows (oldest, verdict-named) ---
         "q_neq_null_semantics": q_neq_null_semantics,
         "q_multiop_or": q_multiop_or,
         "q_events_json": q_events_json,
@@ -1366,11 +1381,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_moving_features": q_moving_features,
         "q_salted_join": q_salted_join,
         "q_stratified_take": q_stratified_take,
-        "q_keyset_page": q_keyset_page,
         "q_text_stats": q_text_stats,
         # --- past the 50-cap: r4-green on modules untouched in r5, plus
+        # q_keyset_page (r3-green; cursor.py/query.py unchanged since,
+        # triple pytest coverage incl. plan pins — yielded its slot to
+        # the new q_repeated_spans), plus
         # five r3-green query.py/compile.py entries (plan-pinned in
         # pytest; modules unchanged since r3) ---
+        "q_keyset_page": q_keyset_page,
         "q_filter_sort_limit": q_filter_sort_limit,
         "q_groupby_having": q_groupby_having,
         "q_join_inner_group": q_join_inner_group,
@@ -1753,6 +1771,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source, d.n_chars
             FROM documents d ANTI JOIN bad ON d.doc_id = bad.train_id
             WHERE d.doc_id < 480""",
+        "q_repeated_spans": """
+            WITH w AS (
+              SELECT doc_id AS id, string_split(text, ' ') AS words
+              FROM documents),
+            ex AS (
+              SELECT id, g.i AS span_pos,
+                     array_to_string(words[g.i*8+1 : g.i*8+8], ' ') AS span
+              FROM w, LATERAL (SELECT unnest(range(0,
+                     greatest(CAST(ceil(len(words)/8.0) AS INT), 1))) AS i) g),
+            freq AS (SELECT span, count(DISTINCT id) AS span_df
+                     FROM ex GROUP BY span),
+            j AS (SELECT ex.id, ex.span_pos, ex.span, freq.span_df
+                  FROM ex JOIN freq USING (span))
+            SELECT id,
+                   md5(coalesce(string_agg(span, ' ' ORDER BY span_pos)
+                                FILTER (WHERE span_df <= 1), ''))
+                       AS clean_md5,
+                   count(*) AS n_spans,
+                   sum(CASE WHEN span_df > 1 THEN 1 ELSE 0 END) AS n_dropped
+            FROM j GROUP BY id""",
         "q_stratified_take": """
             WITH r AS (SELECT source, doc_id,
                               row_number() OVER (PARTITION BY source

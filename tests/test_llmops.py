@@ -663,3 +663,31 @@ def test_bm25_search_semantics(spark, db):
     assert out[5] > out[2]                    # both terms beat one repeated
     assert out[1] > out[3]                    # two terms beat one
     assert all(s > 0 for s in out.values())
+
+
+def test_remove_repeated_spans(spark):
+    """Boilerplate spans shared across docs are dropped from every doc;
+    unique spans survive and rejoin in original order."""
+    from tostore_spark.llmops.dedup import remove_repeated_spans
+    boiler = "this content is licensed under the following terms"  # 8 words
+    docs = spark.createDataFrame([
+        (1, boiler + " alpha beta gamma delta one two three four"),
+        (2, boiler + " epsilon zeta eta theta five six seven eight"),
+        (3, "totally unique words in this document only here"),
+    ], ["doc_id", "text"])
+    out = {r["id"]: r for r in
+           remove_repeated_spans(docs, k=8, max_doc_freq=1).collect()}
+    # docs 1 and 2 share the boilerplate span; each had 2 spans, lost 1
+    assert out[1]["n_spans"] == 2 and out[1]["n_dropped"] == 1
+    assert out[2]["n_dropped"] == 1
+    assert out[1]["clean_text"] == "alpha beta gamma delta one two three four"
+    assert out[2]["clean_text"] == "epsilon zeta eta theta five six seven eight"
+    # doc 3 untouched
+    assert out[3]["n_dropped"] == 0
+    assert out[3]["clean_text"] == "totally unique words in this document only here"
+    # order preservation across multiple surviving spans
+    long_doc = spark.createDataFrame(
+        [(9, " ".join(f"w{i}" for i in range(24)))], ["doc_id", "text"])
+    r = remove_repeated_spans(long_doc, k=8, max_doc_freq=1).collect()[0]
+    assert r["clean_text"] == " ".join(f"w{i}" for i in range(24))
+    assert r["n_spans"] == 3 and r["n_dropped"] == 0

@@ -769,3 +769,48 @@ def decontaminate(train: DataFrame, bench: DataFrame,
                                max_gram_df=max_gram_df)
            .select(F.col("train_id").alias(id_field)).distinct())
     return train.join(bad, on=id_field, how="left_anti")
+
+
+def remove_repeated_spans(df: DataFrame, k: int = 8, max_doc_freq: int = 1,
+                          text_field: str = "text",
+                          id_field: str = "doc_id") -> DataFrame:
+    """Corpus-level repeated-span removal (the C4/boilerplate pass: drop
+    text spans that recur across documents — headers, footers, license
+    blocks — keeping each document's unique content).
+
+    Mechanics: each document splits into NON-overlapping ``k``-word spans
+    (position-indexed); a span whose text occurs in more than
+    ``max_doc_freq`` distinct documents is dropped from every document;
+    the survivors rejoin in order.  Output: (id, clean text, n_spans,
+    n_dropped).
+
+    Scale shape: one posexplode (linear in corpus words), one two-stage
+    distinct-count aggregate on the span hash (uniform md5 keys — no hot
+    key), one equi-join back on the hash, one per-document group-by.  No
+    pairwise stage anywhere; span df replaces the suffix-array pass the
+    single-node formulation would need.
+    """
+    words = F.split(F.col(text_field), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_spans, F.lit(1)) - 1),
+        lambda i: F.array_join(F.slice(words, i * k + 1, k), " "))
+    ex = (df.select(F.col(id_field).alias("id"), F.posexplode(spans))
+            .withColumnRenamed("pos", "span_pos")
+            .withColumnRenamed("col", "span"))
+    ex = ex.withColumn("h", F.md5(F.col("span")))
+    freq = (ex.groupBy("h")
+              .agg(F.count_distinct(F.col("id")).alias("span_df")))
+    joined = ex.join(freq, on="h")
+    return (joined.groupBy("id")
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.when(
+                             F.col("span_df") <= max_doc_freq,
+                             F.struct(F.col("span_pos").alias("p"),
+                                      F.col("span").alias("s"))))),
+                         lambda st: st["s"]),
+                     " ").alias("clean_text"),
+                 F.count(F.lit(1)).alias("n_spans"),
+                 F.sum(F.when(F.col("span_df") > max_doc_freq, 1)
+                       .otherwise(0)).alias("n_dropped")))
