@@ -691,3 +691,31 @@ def test_remove_repeated_spans(spark):
     r = remove_repeated_spans(long_doc, k=8, max_doc_freq=1).collect()[0]
     assert r["clean_text"] == " ".join(f"w{i}" for i in range(24))
     assert r["n_spans"] == 3 and r["n_dropped"] == 0
+
+
+def test_span_freq_index_reuse_matches_direct(spark):
+    """Indexed path == direct path on the same corpus, and a NEW batch
+    cleans against the stored index without touching the corpus."""
+    from tostore_spark.llmops.dedup import (remove_repeated_spans,
+                                            remove_repeated_spans_with_index,
+                                            span_freq_index)
+    boiler = "this content is licensed under the following terms"  # 8 words
+    docs = spark.createDataFrame([
+        (1, boiler + " alpha beta gamma delta one two three four"),
+        (2, boiler + " epsilon zeta eta theta five six seven eight"),
+    ], ["doc_id", "text"])
+    idx = span_freq_index(docs, k=8)
+    direct = {(r["id"], r["clean_text"], r["n_spans"], r["n_dropped"])
+              for r in remove_repeated_spans(docs, k=8).collect()}
+    indexed = {(r["id"], r["clean_text"], r["n_spans"], r["n_dropped"])
+               for r in remove_repeated_spans_with_index(docs, idx, k=8)
+               .collect()}
+    assert direct == indexed
+    # new batch: the boilerplate span is known-repeated in the index;
+    # unknown spans default to df=0 and survive
+    batch = spark.createDataFrame(
+        [(10, boiler + " brand new words never seen before today")],
+        ["doc_id", "text"])
+    out = remove_repeated_spans_with_index(batch, idx, k=8).collect()[0]
+    assert out["n_dropped"] == 1
+    assert out["clean_text"] == "brand new words never seen before today"

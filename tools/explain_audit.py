@@ -65,6 +65,10 @@ CHECKS: dict[str, list[str]] = {
     # PQ/ADC search: the score is pure map-side column math — the only
     # ordering operators must be bounded top-k, never a full sort
     "q_pq_search": ["TakeOrderedAndProject"],
+    # repeated-span removal: the distinct-doc count must combine map-side
+    # (partial_count) and the ordered rebuild is a partial/final
+    # ObjectHashAggregate pair — no global window, no cartesian stage
+    "q_repeated_spans": ["partial_count", "ObjectHashAggregate"],
 }
 
 

@@ -814,3 +814,56 @@ def remove_repeated_spans(df: DataFrame, k: int = 8, max_doc_freq: int = 1,
                  F.count(F.lit(1)).alias("n_spans"),
                  F.sum(F.when(F.col("span_df") > max_doc_freq, 1)
                        .otherwise(0)).alias("n_dropped")))
+
+
+def span_freq_index(df: DataFrame, k: int = 8, text_field: str = "text",
+                    id_field: str = "doc_id") -> DataFrame:
+    """The persistable (span hash, document frequency) artifact behind
+    ``remove_repeated_spans`` — write it once per corpus snapshot and
+    reuse it across runs, exactly like ``minhash_band_index``: cleaning
+    a NEW batch against a trillion-token corpus then costs one pass over
+    the batch plus an equi-join against the stored frequencies, never a
+    corpus rescan."""
+    words = F.split(F.col(text_field), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_spans, F.lit(1)) - 1),
+        lambda i: F.array_join(F.slice(words, i * k + 1, k), " "))
+    ex = df.select(F.col(id_field).alias("id"),
+                   F.explode(spans).alias("span"))
+    return (ex.withColumn("h", F.md5(F.col("span")))
+              .groupBy("h")
+              .agg(F.count_distinct(F.col("id")).alias("span_df")))
+
+
+def remove_repeated_spans_with_index(df: DataFrame, freq: DataFrame,
+                                     k: int = 8, max_doc_freq: int = 1,
+                                     text_field: str = "text",
+                                     id_field: str = "doc_id") -> DataFrame:
+    """``remove_repeated_spans`` against a prebuilt ``span_freq_index``
+    (read back from storage): spans absent from the index count as df=0
+    (kept).  The batch is scanned once; the corpus is never touched."""
+    words = F.split(F.col(text_field), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_spans, F.lit(1)) - 1),
+        lambda i: F.array_join(F.slice(words, i * k + 1, k), " "))
+    ex = (df.select(F.col(id_field).alias("id"), F.posexplode(spans))
+            .withColumnRenamed("pos", "span_pos")
+            .withColumnRenamed("col", "span")
+            .withColumn("h", F.md5(F.col("span"))))
+    joined = (ex.join(freq, on="h", how="left")
+                .withColumn("span_df", F.coalesce(F.col("span_df"),
+                                                  F.lit(0))))
+    return (joined.groupBy("id")
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.when(
+                             F.col("span_df") <= max_doc_freq,
+                             F.struct(F.col("span_pos").alias("p"),
+                                      F.col("span").alias("s"))))),
+                         lambda st: st["s"]),
+                     " ").alias("clean_text"),
+                 F.count(F.lit(1)).alias("n_spans"),
+                 F.sum(F.when(F.col("span_df") > max_doc_freq, 1)
+                       .otherwise(0)).alias("n_dropped")))
