@@ -658,6 +658,18 @@ def q_ivfpq(spark, sf_dir):
                       F.round(F.col("distance"), 6).alias("distance_r"))
 
 
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffle (the last pipeline stage
+    before a run): seeded-hash shard + within-shard position; the only
+    window is shard-partitioned.  First 5 positions of each of 4 shards
+    pin both the assignment and the order."""
+    from tostore_spark.llmops import pipeline as P
+    db = _db(spark, sf_dir)
+    out = P.shuffle_corpus(db.df("documents"), n_shards=4)
+    return (out.filter(F.col("shard_pos") <= 5)
+               .select("doc_id", "shard", "shard_pos"))
+
+
 def q_repeated_spans(spark, sf_dir):
     """Corpus-level repeated-span removal (the C4/boilerplate pass the
     single-node world does with suffix arrays): non-overlapping 8-word
@@ -1353,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_decontaminate": q_decontaminate,
         "q_repeated_spans": q_repeated_spans,   # NEW in r5
+        "q_corpus_shuffle": q_corpus_shuffle,   # NEW in r5
         # --- slots 24-29: r2-era rows (oldest, verdict-named) ---
         "q_neq_null_semantics": q_neq_null_semantics,
         "q_multiop_or": q_multiop_or,
@@ -1360,8 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distinct_first": q_distinct_first,
         "q_offset_page": q_offset_page,
         "q_exists": q_exists,
-        # --- slots 29-50: r3-era rows, modules unchanged (refresh) ---
-        "q_fk_autojoin": q_fk_autojoin,
+        # --- slots 31-50: r3-era rows, modules unchanged (refresh) ---
         "q_left_join_count": q_left_join_count,
         "q_theta_join": q_theta_join,
         "q_right_join": q_right_join,
@@ -1383,12 +1395,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_take": q_stratified_take,
         "q_text_stats": q_text_stats,
         # --- past the 50-cap: r4-green on modules untouched in r5, plus
-        # q_keyset_page (r3-green; cursor.py/query.py unchanged since,
-        # triple pytest coverage incl. plan pins — yielded its slot to
-        # the new q_repeated_spans), plus
+        # q_keyset_page and q_fk_autojoin (r3-green; cursor.py/query.py
+        # unchanged since, heavy pytest coverage incl. plan pins —
+        # yielded their slots to the new q_repeated_spans and
+        # q_corpus_shuffle), plus
         # five r3-green query.py/compile.py entries (plan-pinned in
         # pytest; modules unchanged since r3) ---
         "q_keyset_page": q_keyset_page,
+        "q_fk_autojoin": q_fk_autojoin,
         "q_filter_sort_limit": q_filter_sort_limit,
         "q_groupby_having": q_groupby_having,
         "q_join_inner_group": q_join_inner_group,
@@ -1771,6 +1785,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source, d.n_chars
             FROM documents d ANTI JOIN bad ON d.doc_id = bad.train_id
             WHERE d.doc_id < 480""",
+        "q_corpus_shuffle": """
+            WITH k AS (
+              SELECT doc_id,
+                     md5('42:' || CAST(doc_id AS VARCHAR)) AS key
+              FROM documents),
+            s AS (
+              SELECT doc_id, key,
+                     CAST(('0x' || substr(key, 1, 8))::BIGINT % 4 AS INT)
+                         AS shard
+              FROM k)
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard
+                                           ORDER BY key, doc_id) AS BIGINT)
+                       AS shard_pos
+            FROM s QUALIFY shard_pos <= 5""",
         "q_repeated_spans": """
             WITH w AS (
               SELECT doc_id AS id, string_split(text, ' ') AS words

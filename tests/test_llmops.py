@@ -719,3 +719,30 @@ def test_span_freq_index_reuse_matches_direct(spark):
     out = remove_repeated_spans_with_index(batch, idx, k=8).collect()[0]
     assert out["n_dropped"] == 1
     assert out["clean_text"] == "brand new words never seen before today"
+
+
+def test_shuffle_corpus_deterministic_partitioned(spark, db):
+    """Training-order shuffle: deterministic in (seed, ids), positions
+    contiguous per shard, and the only window is shard-partitioned."""
+    import re
+    from tostore_spark.llmops.pipeline import shuffle_corpus
+    docs = db.df("documents")
+    a = {(r["doc_id"], r["shard"], r["shard_pos"])
+         for r in shuffle_corpus(docs, n_shards=4).collect()}
+    b = {(r["doc_id"], r["shard"], r["shard_pos"])
+         for r in shuffle_corpus(docs, n_shards=4).collect()}
+    assert a == b and len(a) == docs.count()
+    # different seed reshuffles
+    c = {(r["doc_id"], r["shard"], r["shard_pos"])
+         for r in shuffle_corpus(docs, n_shards=4, seed=7).collect()}
+    assert c != a
+    # positions are 1..n per shard (contiguous)
+    out = shuffle_corpus(docs, n_shards=4)
+    per = out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.max("shard_pos").alias("mx"),
+        F.min("shard_pos").alias("mn")).collect()
+    assert all(r["mn"] == 1 and r["mx"] == r["n"] for r in per)
+    # plan: every window partitioned by shard, never global
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "shard" in m.group(1), f"unpartitioned window: {m.group(0)}"

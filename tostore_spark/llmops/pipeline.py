@@ -123,3 +123,28 @@ def shard_by_tokens(df: DataFrame, n_shards: int,
                            ((F.row_number().over(w) - 1 + F.col("__grp"))
                             % n_shards).cast("int"))
                .drop("__grp"))
+
+
+def shuffle_corpus(df: DataFrame, n_shards: int, seed: int = 42,
+                   id_field: str = "doc_id") -> DataFrame:
+    """Deterministic training-order shuffle: the last stage before a
+    training run randomizes document order so batches are i.i.d.-ish.
+
+    Every row gets a shard (uniform on the seeded id hash) and a
+    position within its shard (ordered by a second hash) — a sharded
+    writer emits shard files whose concatenation is the shuffled order.
+    Deterministic in (seed, ids): re-running resumes the same order.
+
+    Scale shape: shard assignment is map-side arithmetic; the only
+    window is PARTITIONED by shard (corpus/n_shards rows per reducer —
+    knob-bounded, never a global single-reducer sort)."""
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)),
+                            F.col(id_field).cast("string")))
+    shard = (F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+             % n_shards).cast("int")
+    w = (Window.partitionBy("shard")
+         .orderBy(F.col("__key").asc(), F.col(id_field).asc()))
+    return (df.withColumn("__key", key)
+              .withColumn("shard", shard)
+              .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+              .drop("__key"))
