@@ -172,3 +172,17 @@ def test_range_join_rejects_right_outer(spark):
                                   "band string, lo double, hi double")
     with pytest.raises(ValueError):
         range_join(pts, bands, "v", "lo", "hi", bin_width=5.0, how="right")
+
+
+def test_asof_tolerance_ntz_inputs(spark, small):
+    """Spark 4.1 reads plain parquet timestamps as TIMESTAMP_NTZ; the
+    tolerance gap must compute on NTZ inputs too (epoch_us casts)."""
+    from tostore_spark.joins import asof_join
+    left, right = small
+    l_ntz = left.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    r_ntz = right.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    want = {(r["lid"], r["rid_r"]) for r in
+            asof_join(left, right, on="k", tolerance_ms=5000).collect()}
+    got = {(r["lid"], r["rid_r"]) for r in
+           asof_join(l_ntz, r_ntz, on="k", tolerance_ms=5000).collect()}
+    assert got == want and len(got) == 3
