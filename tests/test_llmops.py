@@ -746,3 +746,50 @@ def test_shuffle_corpus_deterministic_partitioned(spark, db):
     plan = out._jdf.queryExecution().executedPlan().toString()
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "shard" in m.group(1), f"unpartitioned window: {m.group(0)}"
+
+
+def test_remove_repeated_spans_differential(spark):
+    """Differential test: the distributed plan equals a pure-Python
+    reference on a seeded random corpus (60 docs, small vocab so span
+    collisions actually occur)."""
+    import random
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(12)]
+    boiler = " ".join(rng.choice(vocab) for _ in range(8))
+    rows = []
+    for i in range(60):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+        text = " ".join(words)
+        if i % 3 == 0:   # a third of docs share injected boilerplate
+            text = boiler + (" " + text if text else "")
+        rows.append((i, text))
+    k, cap = 4, 1
+
+    def ref(rows):
+        spans = {}
+        for i, text in rows:
+            ws = text.split(" ")
+            n = max(-(-len(ws) // k), 1)
+            for p in range(n):
+                s = " ".join(ws[p * k:(p + 1) * k])
+                spans.setdefault(s, set()).add(i)
+        out = {}
+        for i, text in rows:
+            ws = text.split(" ")
+            n = max(-(-len(ws) // k), 1)
+            kept, dropped = [], 0
+            for p in range(n):
+                s = " ".join(ws[p * k:(p + 1) * k])
+                if len(spans[s]) <= cap:
+                    kept.append(s)
+                else:
+                    dropped += 1
+            out[i] = (" ".join(kept), n, dropped)
+        return out
+
+    from tostore_spark.llmops.dedup import remove_repeated_spans
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["id"]: (r["clean_text"], r["n_spans"], r["n_dropped"])
+           for r in remove_repeated_spans(df, k=k, max_doc_freq=cap)
+           .collect()}
+    assert got == ref(rows)
