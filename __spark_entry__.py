@@ -1818,7 +1818,8 @@ def oracle_sql() -> dict[str, str]:
                                 FILTER (WHERE span_df <= 1), ''))
                        AS clean_md5,
                    count(*) AS n_spans,
-                   sum(CASE WHEN span_df > 1 THEN 1 ELSE 0 END) AS n_dropped
+                   CAST(sum(CASE WHEN span_df > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dropped
             FROM j GROUP BY id""",
         "q_stratified_take": """
             WITH r AS (SELECT source, doc_id,
