@@ -658,6 +658,22 @@ def q_ivfpq(spark, sf_dir):
                       F.round(F.col("distance"), 6).alias("distance_r"))
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-style statistical LM quality signal: unigram LM trained on
+    the corpus itself (add-k smoothed), each document scored by mean
+    -log2 p(token).  Per-token bits round to 6dp and sum as DECIMAL so
+    the aggregate is order-independent and engine-portable.  Returns
+    the 15 most 'surprising' documents (highest bits/token)."""
+    db = _db(spark, sf_dir)
+    docs = db.df("documents")
+    lm = TX.train_unigram_lm(docs)
+    out = TX.lm_bits_per_token(docs, lm)
+    return (out.select(F.col("id"), F.col("n_tokens"),
+                       F.col("bits_per_token"))
+               .orderBy(F.col("bits_per_token").desc(), F.col("id").asc())
+               .limit(15))
+
+
 def q_corpus_shuffle(spark, sf_dir):
     """Deterministic training-order shuffle (the last pipeline stage
     before a run): seeded-hash shard + within-shard position; the only
@@ -1366,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": q_decontaminate,
         "q_repeated_spans": q_repeated_spans,   # NEW in r5
         "q_corpus_shuffle": q_corpus_shuffle,   # NEW in r5
+        "q_lm_score": q_lm_score,               # NEW in r5
         # --- slots 24-29: r2-era rows (oldest, verdict-named) ---
         "q_neq_null_semantics": q_neq_null_semantics,
         "q_multiop_or": q_multiop_or,
@@ -1375,7 +1392,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exists": q_exists,
         # --- slots 31-50: r3-era rows, modules unchanged (refresh) ---
         "q_left_join_count": q_left_join_count,
-        "q_theta_join": q_theta_join,
         "q_right_join": q_right_join,
         "q_distinct": q_distinct,
         "q_ttl_filter": q_ttl_filter,
@@ -1403,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest; modules unchanged since r3) ---
         "q_keyset_page": q_keyset_page,
         "q_fk_autojoin": q_fk_autojoin,
+        "q_theta_join": q_theta_join,
         "q_filter_sort_limit": q_filter_sort_limit,
         "q_groupby_having": q_groupby_having,
         "q_join_inner_group": q_join_inner_group,
@@ -1785,6 +1802,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source, d.n_chars
             FROM documents d ANTI JOIN bad ON d.doc_id = bad.train_id
             WHERE d.doc_id < 480""",
+        "q_lm_score": f"""
+            WITH tok AS (SELECT doc_id AS id, unnest({_TOKENS}) AS token
+                         FROM documents),
+            lm AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+            c AS (SELECT CAST(sum(tf) AS DOUBLE) AS T,
+                         CAST(count(*) AS DOUBLE) AS V FROM lm),
+            b AS (
+              SELECT tok.id,
+                     round(-log2((coalesce(CAST(lm.tf AS DOUBLE), 0.0) + 0.5)
+                                 / (c.T + 0.5 * c.V)), 6) AS bits
+              FROM tok LEFT JOIN lm USING (token), c)
+            SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(CAST(sum(CAST(bits AS DECIMAL(18,6))) AS DOUBLE)
+                         / count(*), 6) AS bits_per_token
+            FROM b GROUP BY id
+            ORDER BY bits_per_token DESC, id LIMIT 15""",
         "q_corpus_shuffle": """
             WITH k AS (
               SELECT doc_id,

@@ -793,3 +793,29 @@ def test_remove_repeated_spans_differential(spark):
            for r in remove_repeated_spans(df, k=k, max_doc_freq=cap)
            .collect()}
     assert got == ref(rows)
+
+
+def test_lm_bits_per_token_semantics(spark):
+    """Unigram LM quality signal: documents made of corpus-frequent
+    tokens score fewer bits/token than documents of rare tokens; OOV
+    scoring uses the smoothed floor (no nulls, no crash)."""
+    import math as m
+    from tostore_spark.llmops.text import lm_bits_per_token, train_unigram_lm
+    docs = spark.createDataFrame(
+        [(1, "common common common common"),
+         (2, "common common rare1 rare2"),
+         (3, "rare3 rare4 rare5 rare6")],
+        ["doc_id", "text"])
+    lm = train_unigram_lm(docs, add_k=0.5)
+    out = {r["id"]: r for r in lm_bits_per_token(docs, lm).collect()}
+    assert out[1]["bits_per_token"] < out[2]["bits_per_token"] \
+        < out[3]["bits_per_token"]
+    assert all(out[i]["n_tokens"] == 4 for i in (1, 2, 3))
+    # exact check for doc 1: T=12 tokens, V=7 vocab, p(common)=(6+.5)/(12+3.5)
+    want = round(-m.log2(6.5 / 15.5), 6)
+    assert out[1]["bits_per_token"] == pytest.approx(want, abs=1e-6)
+    # scoring a NEW doc with only-OOV tokens works via the smoothed floor
+    new = spark.createDataFrame([(9, "zzz yyy")], ["doc_id", "text"])
+    oov = lm_bits_per_token(new, lm).collect()[0]
+    assert oov["bits_per_token"] == pytest.approx(
+        round(-m.log2(0.5 / 15.5), 6), abs=1e-6)

@@ -268,3 +268,53 @@ def text_stats(df: DataFrame, text_field: str = "text") -> DataFrame:
     stats = _stats_sql(text_field)
     return df.selectExpr(
         "*", *[f"{expr} AS {name}" for name, expr in stats.items()])
+
+
+def train_unigram_lm(df: DataFrame, text_field: str = "text",
+                     add_k: float = 0.5) -> DataFrame:
+    """Unigram LM over a reference corpus: (token, tf) plus the corpus
+    totals needed for add-k smoothed probabilities — the statistical
+    backbone of a CCNet-style perplexity quality filter (an honest
+    unigram stand-in for KenLM, which is not available here).  One
+    explode + one hash-aggregate; the totals ride along as columns so
+    scoring needs no driver round trip."""
+    toks = (df.select(F.explode(tokens(F.col(text_field))).alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("tf")))
+    totals = toks.agg(F.sum("tf").alias("T"),
+                      F.count(F.lit(1)).alias("V"))
+    return toks.crossJoin(F.broadcast(totals)) \
+               .withColumn("add_k", F.lit(float(add_k)))
+
+
+def lm_bits_per_token(df: DataFrame, lm: DataFrame,
+                      text_field: str = "text",
+                      id_field: str = "doc_id") -> DataFrame:
+    """Per-document mean -log2 p(token) under the unigram LM — low bits
+    = text that looks like the reference corpus, high bits = outlier
+    (the perplexity-filter signal; CCNet buckets on exactly this).
+
+    OOV tokens get the smoothed floor add_k / (T + add_k·V).  Per-token
+    bits round to 6 decimals and sum as DECIMAL so the aggregate is
+    order-independent (engine-portable for the oracle); the join key is
+    the token (uniform), LM side broadcastable when the vocab is small.
+
+    Scale shape: explode + one equi-join + one hash-agg — linear;
+    at web scale the LM frame is a persisted artifact trained once."""
+    ex = df.select(F.col(id_field).alias("id"),
+                   F.explode(tokens(F.col(text_field))).alias("token"))
+    # smoothing constants would be null on OOV rows of a left join —
+    # carry them as a 1-row broadcast instead
+    consts = lm.select("T", "V", "add_k").limit(1)
+    joined = ex.join(F.broadcast(lm.select("token", "tf")), on="token",
+                     how="left").crossJoin(F.broadcast(consts))
+    denom = F.col("T").cast("double") + F.col("add_k") * F.col("V").cast("double")
+    p = (F.coalesce(F.col("tf").cast("double"), F.lit(0.0))
+         + F.col("add_k")) / denom
+    bits = F.round(-F.log2(p), 6).cast("decimal(18,6)")
+    return (joined.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 (F.sum(bits).cast("double")
+                  / F.count(F.lit(1))).alias("mean_bits_raw"))
+            .withColumn("bits_per_token",
+                        F.round(F.col("mean_bits_raw"), 6))
+            .drop("mean_bits_raw"))
