@@ -819,3 +819,18 @@ def test_lm_bits_per_token_semantics(spark):
     oov = lm_bits_per_token(new, lm).collect()[0]
     assert oov["bits_per_token"] == pytest.approx(
         round(-m.log2(0.5 / 15.5), 6), abs=1e-6)
+
+
+def test_perplexity_filter_drops_surprising(spark):
+    from tostore_spark.llmops.text import perplexity_filter, train_unigram_lm
+    rows = [(i, "common words common words") for i in range(9)]
+    rows.append((99, "qqq zzz xxx yyy"))    # the one outlier doc
+    rows.append((100, ""))                  # zero tokens: kept, null score
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    lm = train_unigram_lm(docs)
+    out = perplexity_filter(docs, lm, drop_pct=0.1)
+    kept = {r["doc_id"]: r["bits_per_token"] for r in out.collect()}
+    assert 99 not in kept                   # outlier dropped
+    assert set(range(9)) <= set(kept)       # normal docs kept, scored
+    assert all(kept[i] is not None for i in range(9))
+    assert 100 in kept and kept[100] is None   # no-signal doc kept

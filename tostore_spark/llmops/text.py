@@ -318,3 +318,29 @@ def lm_bits_per_token(df: DataFrame, lm: DataFrame,
             .withColumn("bits_per_token",
                         F.round(F.col("mean_bits_raw"), 6))
             .drop("mean_bits_raw"))
+
+
+def perplexity_filter(df: DataFrame, lm: DataFrame, drop_pct: float = 0.1,
+                      text_field: str = "text",
+                      id_field: str = "doc_id") -> DataFrame:
+    """The CCNet filter applied: score every document with
+    ``lm_bits_per_token`` and drop the ``drop_pct`` highest-bits
+    (most-surprising) fraction — keeping the text the LM considers
+    normal.  The cut sits at the exact interpolated percentile of THIS
+    corpus (one tiny aggregate broadcast into the filter; no driver
+    round trip).  Returns the surviving rows with ``bits_per_token``
+    attached; zero-token documents carry no signal and are kept."""
+    scored = lm_bits_per_token(df, lm, text_field=text_field,
+                               id_field=id_field)
+    thr = scored.select(F.expr(
+        f"percentile(bits_per_token, {1.0 - float(drop_pct)!r})")
+        .alias("__thr"))
+    keep = (scored.crossJoin(F.broadcast(thr))
+            .filter(F.col("bits_per_token") <= F.col("__thr"))
+            .select(F.col("id").alias(id_field), "bits_per_token"))
+    return df.join(keep, on=id_field, how="inner") \
+             .unionByName(
+                 df.join(scored.select(F.col("id").alias(id_field)),
+                         on=id_field, how="left_anti")
+                   .withColumn("bits_per_token",
+                               F.lit(None).cast("double")))
