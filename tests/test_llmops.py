@@ -834,3 +834,35 @@ def test_perplexity_filter_drops_surprising(spark):
     assert set(range(9)) <= set(kept)       # normal docs kept, scored
     assert all(kept[i] is not None for i in range(9))
     assert 100 in kept and kept[100] is None   # no-signal doc kept
+
+
+def test_curate_corpus_end_to_end(spark, db):
+    """The full curation recipe composes: output is deduped (no repeated
+    content hash), capped per source, shuffled deterministically, and
+    each stage only ever shrinks the corpus."""
+    from tostore_spark.llmops.pipeline import curate_corpus
+    docs = db.df("documents")
+    bench = docs.filter(F.col("doc_id") >= 480)
+    train = docs.filter(F.col("doc_id") < 480)
+    out = curate_corpus(train, bench, max_per_source=100,
+                        n_shards=4, drop_quality_pct=0.1,
+                        drop_perplexity_pct=0.1)
+    rows = out.collect()
+    assert 0 < len(rows) < train.count()
+    # no exact duplicates survive
+    n_hashes = out.select(F.md5("text")).distinct().count()
+    assert n_hashes == len(rows)
+    # per-source cap respected
+    per_src = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 100 for r in per_src)
+    # shuffle columns present and contiguous per shard
+    per = out.groupBy("shard").agg(
+        F.max("shard_pos").alias("mx"), F.count(F.lit(1)).alias("n")).collect()
+    assert all(r["mx"] == r["n"] for r in per)
+    # deterministic: same inputs -> same output set
+    out2 = curate_corpus(train, bench, max_per_source=100,
+                         n_shards=4, drop_quality_pct=0.1,
+                         drop_perplexity_pct=0.1)
+    a = {(r["doc_id"], r["shard"], r["shard_pos"]) for r in rows}
+    b = {(r["doc_id"], r["shard"], r["shard_pos"]) for r in out2.collect()}
+    assert a == b

@@ -148,3 +148,73 @@ def shuffle_corpus(df: DataFrame, n_shards: int, seed: int = 42,
               .withColumn("shard", shard)
               .withColumn("shard_pos", F.row_number().over(w).cast("long"))
               .drop("__key"))
+
+
+def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
+                  *, minhash_dedup: bool = True,
+                  drop_quality_pct: float = 0.1,
+                  drop_perplexity_pct: float = 0.1,
+                  max_per_source: int | None = None,
+                  mix_weights: dict[str, float] | None = None,
+                  mix_budget: int | None = None,
+                  n_shards: int = 64, seed: int = 42,
+                  text_field: str = "text",
+                  id_field: str = "doc_id") -> DataFrame:
+    """The full curation recipe, end to end — the stage order a
+    production pretraining build runs, each stage one of this package's
+    scale-shaped operators:
+
+      1. exact dedup (keep-first by content hash)
+      2. MinHash-LSH near-dup removal (connected components, keep one
+         canonical doc per cluster)
+      3. benchmark decontamination (when ``bench`` is given)
+      4. heuristic quality floor (exact percentile cut)
+      5. unigram-LM perplexity filter (CCNet shape; LM trained on the
+         surviving corpus)
+      6. per-source cap (when ``max_per_source``)
+      7. token-budget source mixing (when ``mix_weights``+``mix_budget``)
+      8. deterministic training-order shuffle (shard, shard_pos)
+
+    Returns the curated frame with ``shard``/``shard_pos`` attached.
+    Every stage is declarative — the composition is a DAG of bounded
+    shuffles; nothing collects to the driver.  Stages are individually
+    oracle-verified (their q_* entries); this function pins the
+    composition order and the glue in one tested recipe."""
+    from tostore_spark.llmops import dedup as D
+    from tostore_spark.llmops import mixing as MX
+    from tostore_spark.llmops import packing as PK
+
+    out = docs
+    # 1. exact dedup: keep the smallest id per content hash
+    keep = D.exact_dedup(out, text_field=text_field, id_field=id_field) \
+            .select(F.col("keeper_id").alias(id_field))
+    out = out.join(keep, on=id_field, how="inner")
+    # 2. near-dup clusters -> keep one canonical doc per cluster
+    if minhash_dedup:
+        pairs = D.minhash_lsh_pairs(out, text_field=text_field,
+                                    id_field=id_field)
+        out = D.dedup_apply(out, pairs, id_field=id_field)
+    # 3. benchmark decontamination
+    if bench is not None:
+        out = D.decontaminate(out, bench, text_field=text_field,
+                              id_field=id_field)
+    # 4. heuristic quality floor (exact percentile, threshold in-plan)
+    if drop_quality_pct:
+        out = PK.quality_percentile_filter(out, pct=drop_quality_pct,
+                                           text_field=text_field)
+    # 5. perplexity filter: LM trained on what survived so far
+    if drop_perplexity_pct:
+        lm = TX.train_unigram_lm(out, text_field=text_field)
+        out = TX.perplexity_filter(out, lm, drop_pct=drop_perplexity_pct,
+                                   text_field=text_field,
+                                   id_field=id_field)
+    # 6. per-source caps
+    if max_per_source is not None:
+        out = PK.cap_per_source(out, max_per_source, id_field=id_field)
+    # 7. token-budget mixing
+    if mix_weights and mix_budget:
+        out = MX.mix_corpus(out, mix_weights, budget=mix_budget,
+                            id_field=id_field)
+    # 8. training-order shuffle
+    return shuffle_corpus(out, n_shards=n_shards, seed=seed,
+                          id_field=id_field)
