@@ -771,6 +771,39 @@ def decontaminate(train: DataFrame, bench: DataFrame,
     return train.join(bad, on=id_field, how="left_anti")
 
 
+def _span_rows(df: DataFrame, k: int, text_field: str,
+               id_field: str) -> DataFrame:
+    """(id, span_pos, span, h) rows: each document split into
+    NON-overlapping ``k``-word spans, position-indexed, md5-keyed —
+    the shared explode stage of the repeated-span family."""
+    words = F.split(F.col(text_field), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_spans, F.lit(1)) - 1),
+        lambda i: F.array_join(F.slice(words, i * k + 1, k), " "))
+    return (df.select(F.col(id_field).alias("id"), F.posexplode(spans))
+              .withColumnRenamed("pos", "span_pos")
+              .withColumnRenamed("col", "span")
+              .withColumn("h", F.md5(F.col("span"))))
+
+
+def _rebuild_clean(joined: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Per-document ordered rebuild from (id, span_pos, span, span_df)
+    rows: survivors rejoin in position order; dropped spans counted."""
+    return (joined.groupBy("id")
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.when(
+                             F.col("span_df") <= max_doc_freq,
+                             F.struct(F.col("span_pos").alias("p"),
+                                      F.col("span").alias("s"))))),
+                         lambda st: st["s"]),
+                     " ").alias("clean_text"),
+                 F.count(F.lit(1)).alias("n_spans"),
+                 F.sum(F.when(F.col("span_df") > max_doc_freq, 1)
+                       .otherwise(0)).alias("n_dropped")))
+
+
 def remove_repeated_spans(df: DataFrame, k: int = 8, max_doc_freq: int = 1,
                           text_field: str = "text",
                           id_field: str = "doc_id") -> DataFrame:
@@ -778,8 +811,8 @@ def remove_repeated_spans(df: DataFrame, k: int = 8, max_doc_freq: int = 1,
     text spans that recur across documents — headers, footers, license
     blocks — keeping each document's unique content).
 
-    Mechanics: each document splits into NON-overlapping ``k``-word spans
-    (position-indexed); a span whose text occurs in more than
+    Mechanics: each document splits into non-overlapping ``k``-word
+    spans (``_span_rows``); a span whose text occurs in more than
     ``max_doc_freq`` distinct documents is dropped from every document;
     the survivors rejoin in order.  Output: (id, clean text, n_spans,
     n_dropped).
@@ -790,30 +823,10 @@ def remove_repeated_spans(df: DataFrame, k: int = 8, max_doc_freq: int = 1,
     pairwise stage anywhere; span df replaces the suffix-array pass the
     single-node formulation would need.
     """
-    words = F.split(F.col(text_field), " ")
-    n_spans = F.ceil(F.size(words) / F.lit(k)).cast("int")
-    spans = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_spans, F.lit(1)) - 1),
-        lambda i: F.array_join(F.slice(words, i * k + 1, k), " "))
-    ex = (df.select(F.col(id_field).alias("id"), F.posexplode(spans))
-            .withColumnRenamed("pos", "span_pos")
-            .withColumnRenamed("col", "span"))
-    ex = ex.withColumn("h", F.md5(F.col("span")))
+    ex = _span_rows(df, k, text_field, id_field)
     freq = (ex.groupBy("h")
               .agg(F.count_distinct(F.col("id")).alias("span_df")))
-    joined = ex.join(freq, on="h")
-    return (joined.groupBy("id")
-            .agg(F.array_join(
-                     F.transform(
-                         F.array_sort(F.collect_list(F.when(
-                             F.col("span_df") <= max_doc_freq,
-                             F.struct(F.col("span_pos").alias("p"),
-                                      F.col("span").alias("s"))))),
-                         lambda st: st["s"]),
-                     " ").alias("clean_text"),
-                 F.count(F.lit(1)).alias("n_spans"),
-                 F.sum(F.when(F.col("span_df") > max_doc_freq, 1)
-                       .otherwise(0)).alias("n_dropped")))
+    return _rebuild_clean(ex.join(freq, on="h"), max_doc_freq)
 
 
 def span_freq_index(df: DataFrame, k: int = 8, text_field: str = "text",
@@ -824,16 +837,9 @@ def span_freq_index(df: DataFrame, k: int = 8, text_field: str = "text",
     a NEW batch against a trillion-token corpus then costs one pass over
     the batch plus an equi-join against the stored frequencies, never a
     corpus rescan."""
-    words = F.split(F.col(text_field), " ")
-    n_spans = F.ceil(F.size(words) / F.lit(k)).cast("int")
-    spans = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_spans, F.lit(1)) - 1),
-        lambda i: F.array_join(F.slice(words, i * k + 1, k), " "))
-    ex = df.select(F.col(id_field).alias("id"),
-                   F.explode(spans).alias("span"))
-    return (ex.withColumn("h", F.md5(F.col("span")))
-              .groupBy("h")
-              .agg(F.count_distinct(F.col("id")).alias("span_df")))
+    return (_span_rows(df, k, text_field, id_field)
+            .groupBy("h")
+            .agg(F.count_distinct(F.col("id")).alias("span_df")))
 
 
 def remove_repeated_spans_with_index(df: DataFrame, freq: DataFrame,
@@ -843,27 +849,8 @@ def remove_repeated_spans_with_index(df: DataFrame, freq: DataFrame,
     """``remove_repeated_spans`` against a prebuilt ``span_freq_index``
     (read back from storage): spans absent from the index count as df=0
     (kept).  The batch is scanned once; the corpus is never touched."""
-    words = F.split(F.col(text_field), " ")
-    n_spans = F.ceil(F.size(words) / F.lit(k)).cast("int")
-    spans = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_spans, F.lit(1)) - 1),
-        lambda i: F.array_join(F.slice(words, i * k + 1, k), " "))
-    ex = (df.select(F.col(id_field).alias("id"), F.posexplode(spans))
-            .withColumnRenamed("pos", "span_pos")
-            .withColumnRenamed("col", "span")
-            .withColumn("h", F.md5(F.col("span"))))
+    ex = _span_rows(df, k, text_field, id_field)
     joined = (ex.join(freq, on="h", how="left")
                 .withColumn("span_df", F.coalesce(F.col("span_df"),
                                                   F.lit(0))))
-    return (joined.groupBy("id")
-            .agg(F.array_join(
-                     F.transform(
-                         F.array_sort(F.collect_list(F.when(
-                             F.col("span_df") <= max_doc_freq,
-                             F.struct(F.col("span_pos").alias("p"),
-                                      F.col("span").alias("s"))))),
-                         lambda st: st["s"]),
-                     " ").alias("clean_text"),
-                 F.count(F.lit(1)).alias("n_spans"),
-                 F.sum(F.when(F.col("span_df") > max_doc_freq, 1)
-                       .otherwise(0)).alias("n_dropped")))
+    return _rebuild_clean(joined, max_doc_freq)
