@@ -61,21 +61,33 @@ def _sf1_spot(spark, sf_dir: str, headline_cold: dict) -> dict | None:
 
     import __spark_entry__ as entrymod
 
+    import hashlib
+
     replicas, id_off = 10, 100_000_000
-    cache = "/tmp/spark_graft_sf1"
+    # cache keyed by the source dir (a changed SPARK_GRAFT_SF_DIR must
+    # not silently reuse another scale's derivation); _SUCCESS markers
+    # guard against a half-written cache from an interrupted run
+    cache = "/tmp/spark_graft_sf1_" + hashlib.md5(
+        sf_dir.encode()).hexdigest()[:8]
     docs_p = os.path.join(cache, "documents.parquet")
     emb_p = os.path.join(cache, "embeddings.parquet")
     t0 = time.time()
     db = entrymod._db(spark, sf_dir)
-    if not (os.path.exists(docs_p) and os.path.exists(emb_p)):
+    if not (os.path.exists(os.path.join(docs_p, "_SUCCESS"))
+            and os.path.exists(os.path.join(emb_p, "_SUCCESS"))):
         docs = db.df("documents")
         parts = [docs]
         for i in range(1, replicas):
             marker = chr(ord("a") + i)  # survives text normalization
+            # interleave the marker every 3 chars AND prefix it: the
+            # prefix keeps replicas distinct even for texts under 3
+            # chars, which the interleave regex leaves untouched
             parts.append(docs
                          .withColumn("doc_id", F.col("doc_id") + i * id_off)
-                         .withColumn("text", F.regexp_replace(
-                             "text", "(.{3})", f"$1{marker}")))
+                         .withColumn("text", F.concat(
+                             F.lit(marker + " "),
+                             F.regexp_replace(
+                                 "text", "(.{3})", f"$1{marker}"))))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

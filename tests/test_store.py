@@ -465,3 +465,16 @@ def test_transaction_retry_exhaustion_raises(spark, tmp_path_factory):
 
     with pytest.raises(ConcurrentWriteError):
         a.transaction(mutate_and_interfere, retries=2)
+
+
+def test_transaction_rolls_back_kv_created_inside_scope(spark, tmp_path_factory):
+    """KV state born INSIDE a transaction scope must not survive a
+    rollback (it is driver state, outside the table snapshot)."""
+    from tostore_spark import ToStoreSpark
+    db = ToStoreSpark(spark, data_dir=SF)
+    assert not hasattr(db, "_kv")
+    with pytest.raises(RuntimeError):
+        with db.transaction():
+            db.kv.set_value("cfg", "1")
+            raise RuntimeError("abort")
+    assert db.kv.get_value("cfg") is None

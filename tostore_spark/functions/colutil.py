@@ -21,9 +21,11 @@ def epoch_us(col: Column) -> Column:
 
     Spark 4.1 reads plain parquet timestamps (isAdjustedToUTC=false) as
     TIMESTAMP_NTZ, which ``unix_micros`` rejects at analysis time.  The
-    cast to TIMESTAMP interprets an NTZ value in the session timezone —
-    a fixed offset that cancels in every gap/difference computation
-    (sessionization, as-of tolerance), which is all this helper feeds.
+    cast to TIMESTAMP interprets an NTZ value in the session timezone;
+    ``get_spark`` pins that to UTC so the offset is constant (a
+    DST-shifting zone would bend gap arithmetic by an hour across
+    transitions) and cancels in every difference this helper feeds
+    (sessionization, as-of tolerance).
     """
     return F.unix_micros(col.cast("timestamp"))
 

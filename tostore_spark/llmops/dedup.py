@@ -182,8 +182,8 @@ def minhash_band_index(df: DataFrame, text_field: str = "text",
     # trips — cold plan construction drops from ~1.5s to ~0.2s of serial
     # driver time, the same technique vector.py uses for distance exprs).
     k = int(shingle_k)
-    norm = (f"trim(regexp_replace(regexp_replace(lower(`{text_field}`),"
-            r" '[^a-z0-9\\s]', ''), '\\s+', ' '))")
+    from tostore_spark.llmops.text import norm_sql
+    norm = norm_sql(f"`{text_field}`")
     shingle_sql = (
         f"flatten(transform(array({norm}), t -> array_distinct("
         f"transform(sequence(1, greatest(length(t) - {k - 1}, 1)),"

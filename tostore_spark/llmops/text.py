@@ -109,6 +109,15 @@ def normalized_text(text_col: Column) -> Column:
     return t
 
 
+def norm_sql(field_expr: str) -> str:
+    """SQL-text twin of ``normalized_text`` (the definition of record):
+    the ONE place the canonical-form SQL string lives — every
+    single-parse plan build (text_stats, the minhash index) must use
+    this, so a normalization change can never fork the copies."""
+    return ("trim(regexp_replace(regexp_replace(lower(" + field_expr +
+            r"), '[^a-z0-9\\s]', ''), '\\s+', ' '))")
+
+
 def fingerprint(text_col: Column) -> Column:
     """Document fingerprint: md5 of the normalized text."""
     return F.md5(normalized_text(text_col))
@@ -247,8 +256,7 @@ def _stats_sql(field: str) -> dict[str, str]:
             f" WHEN {en} = {best} THEN 'en'"
             f" WHEN {de} = {best} THEN 'de'"
             " ELSE 'fr' END")
-    norm = (f"trim(regexp_replace(regexp_replace(lower({t}),"
-            r" '[^a-z0-9\\s]', ''), '\\s+', ' '))")
+    norm = norm_sql(t)
     return {
         "n_tokens": n,
         "n_chars_computed": f"length({t})",
@@ -296,7 +304,9 @@ def lm_bits_per_token(df: DataFrame, lm: DataFrame,
     OOV tokens get the smoothed floor add_k / (T + add_k·V).  Per-token
     bits round to 6 decimals and sum as DECIMAL so the aggregate is
     order-independent (engine-portable for the oracle); the join key is
-    the token (uniform), LM side broadcastable when the vocab is small.
+    the token — uniform, so the un-hinted equi-join stays balanced, and
+    AQE broadcasts the LM side by itself whenever the vocab is small
+    (a forced broadcast would cap the vocab at the 8 GB broadcast limit).
 
     Scale shape: explode + one equi-join + one hash-agg — linear;
     at web scale the LM frame is a persisted artifact trained once."""
@@ -305,7 +315,7 @@ def lm_bits_per_token(df: DataFrame, lm: DataFrame,
     # smoothing constants would be null on OOV rows of a left join —
     # carry them as a 1-row broadcast instead
     consts = lm.select("T", "V", "add_k").limit(1)
-    joined = ex.join(F.broadcast(lm.select("token", "tf")), on="token",
+    joined = ex.join(lm.select("token", "tf"), on="token",
                      how="left").crossJoin(F.broadcast(consts))
     denom = F.col("T").cast("double") + F.col("add_k") * F.col("V").cast("double")
     p = (F.coalesce(F.col("tf").cast("double"), F.lit(0.0))
@@ -329,18 +339,19 @@ def perplexity_filter(df: DataFrame, lm: DataFrame, drop_pct: float = 0.1,
     normal.  The cut sits at the exact interpolated percentile of THIS
     corpus (one tiny aggregate broadcast into the filter; no driver
     round trip).  Returns the surviving rows with ``bits_per_token``
-    attached; zero-token documents carry no signal and are kept."""
+    attached; zero-token documents carry no scored row, survive the
+    left join with a null score, and are kept — ONE pass: the scored
+    frame is computed once and left-joined back, not re-derived per
+    branch."""
     scored = lm_bits_per_token(df, lm, text_field=text_field,
                                id_field=id_field)
     thr = scored.select(F.expr(
         f"percentile(bits_per_token, {1.0 - float(drop_pct)!r})")
         .alias("__thr"))
-    keep = (scored.crossJoin(F.broadcast(thr))
-            .filter(F.col("bits_per_token") <= F.col("__thr"))
-            .select(F.col("id").alias(id_field), "bits_per_token"))
-    return df.join(keep, on=id_field, how="inner") \
-             .unionByName(
-                 df.join(scored.select(F.col("id").alias(id_field)),
-                         on=id_field, how="left_anti")
-                   .withColumn("bits_per_token",
-                               F.lit(None).cast("double")))
+    return (df.join(scored.select(F.col("id").alias(id_field),
+                                  "bits_per_token"),
+                    on=id_field, how="left")
+              .crossJoin(F.broadcast(thr))
+              .filter(F.col("bits_per_token").isNull()
+                      | (F.col("bits_per_token") <= F.col("__thr")))
+              .drop("__thr"))

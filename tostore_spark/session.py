@@ -26,6 +26,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Pin the session timezone: TIMESTAMP_NTZ -> TIMESTAMP casts
+        # (functions/colutil.epoch_us, watermark normalization) must use
+        # a FIXED offset — a DST-shifting host zone would distort gap
+        # arithmetic by an hour across transitions.
+        .config("spark.sql.session.timeZone", "UTC")
         # One shuffle partition per core locally; on a cluster this would be
         # sized to ~128MB of shuffle data per partition (AQE coalesces down).
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))

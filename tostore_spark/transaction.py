@@ -34,8 +34,9 @@ def transaction(engine, rollback_on_error: bool = True):
     except Exception:
         if rollback_on_error:
             engine._tables = snapshot
-            if kv_snap is not None:
-                engine._kv.restore(kv_snap)
+            if hasattr(engine, "_kv"):
+                # kv created INSIDE the scope rolls back to empty
+                engine._kv.restore(kv_snap if kv_snap is not None else {})
             if hasattr(engine, "_query_cache") and engine._query_cache:
                 engine._query_cache.clear()
         raise
@@ -88,8 +89,10 @@ def run_transaction_with_retry(engine, action, retries: int = 3,
             engine._generations.clear()
             engine._generations.update(gen_snap)
             engine._flushed_gen = fgen_snap
-            if kv_snap is not None:
-                engine._kv.restore(kv_snap)
+            if hasattr(engine, "_kv"):
+                # kv created INSIDE the action rolls back to empty —
+                # otherwise its writes re-apply on every retry
+                engine._kv.restore(kv_snap if kv_snap is not None else {})
             if getattr(engine, "_query_cache", None):
                 engine._query_cache.clear()
 
