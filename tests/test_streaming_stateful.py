@@ -147,3 +147,33 @@ def test_stream_sink_flushes_to_warehouse(spark, tmp_path_factory):
     db2 = ToStoreSpark(spark, warehouse=wh)
     got = {r["id"]: r["val"] for r in db2.df("ing2").collect()}
     assert got == {0: "seed", 7: "streamed"}
+
+
+def test_clean_stream_scrubs_against_static_index(spark, tmp_path_factory):
+    """Streamed documents are scrubbed against the persisted batch span
+    index (stream-static join): corpus boilerplate is dropped from NEW
+    streamed docs; their unique content survives."""
+    from tostore_spark.llmops.dedup import span_freq_index
+    from tostore_spark.streaming.stateful import clean_stream
+    boiler = "all rights reserved by the example corp inc"  # 8 words
+    corpus = spark.createDataFrame([
+        (1, boiler + " alpha beta gamma delta one two three four"),
+        (2, boiler + " epsilon zeta eta theta five six seven eight"),
+    ], ["doc_id", "text"])
+    idx_dir = str(tmp_path_factory.mktemp("span_idx"))
+    span_freq_index(corpus, k=8).write.mode("overwrite").parquet(idx_dir)
+
+    src = str(tmp_path_factory.mktemp("stream_src"))
+    spark.createDataFrame(
+        [(10, boiler + " fresh streamed words never indexed before now")],
+        ["doc_id", "text"]).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    cleaned = clean_stream(stream, spark.read.parquet(idx_dir), k=8)
+    q = (cleaned.writeStream.format("memory").queryName("clean_out")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.table("clean_out").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_dropped"] == 1
+    assert r["clean_text"] == "fresh streamed words never indexed before now"

@@ -69,6 +69,11 @@ CHECKS: dict[str, list[str]] = {
     # (partial_count) and the ordered rebuild is a partial/final
     # ObjectHashAggregate pair — no global window, no cartesian stage
     "q_repeated_spans": ["partial_count", "ObjectHashAggregate"],
+    # LM scoring: LM train combines map-side; the final ranking is a
+    # bounded top-k, never a full sort
+    "q_lm_score": ["partial_count", "TakeOrderedAndProject"],
+    # training shuffle: the only window is shard-partitioned
+    "q_corpus_shuffle": ["windowspecdefinition(shard"],
 }
 
 

@@ -103,3 +103,25 @@ def dedup_stream(docs: DataFrame, text_field: str = "text",
         return (out.withWatermark(ts_field, watermark)
                    .dropDuplicatesWithinWatermark(["text_hash"]))
     return out.dropDuplicates(["text_hash"])
+
+
+def clean_stream(docs: DataFrame, span_freq: DataFrame, k: int = 8,
+                 max_doc_freq: int = 1, text_field: str = "text",
+                 id_field: str = "doc_id") -> DataFrame:
+    """Streaming boilerplate removal: scrub each arriving document
+    against a PERSISTED corpus span-frequency index
+    (``llmops.dedup.span_freq_index`` read back as a static frame) — the
+    ingest-side application of the batch artifact.
+
+    Shape: a stateless stream-static left join (Structured Streaming
+    joins each micro-batch against the static index; no streaming state
+    at all), then the same ordered per-document rebuild as the batch
+    path.  The index is corpus truth as of its build; rebuild it on the
+    batch side as the corpus grows."""
+    from tostore_spark.llmops.dedup import _rebuild_clean, _span_rows
+
+    ex = _span_rows(docs, k, text_field, id_field)
+    joined = (ex.join(span_freq, on="h", how="left")
+                .withColumn("span_df",
+                            F.coalesce(F.col("span_df"), F.lit(0))))
+    return _rebuild_clean(joined, max_doc_freq)
