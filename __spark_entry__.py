@@ -773,6 +773,16 @@ def q_ngram_jaccard(spark, sf_dir):
             .select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard_r")))
 
 
+def q_containment(spark, sf_dir):
+    """Asymmetric doc-in-doc containment pairs (|∩| / |smaller|) over
+    word 3-grams, minhash-band blocked — catches embedded/quoted
+    duplicates that symmetric Jaccard misses on size-diverging pairs."""
+    db = _db(spark, sf_dir)
+    return (D.containment_pairs(db.df("documents"), n=3, threshold=0.8)
+            .select("id_small", "id_big",
+                    F.round(F.col("containment"), 6).alias("containment_r")))
+
+
 def q_neardup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs blocked by banded multi-table
     sign-LSH (label blocking degenerates to giant buckets on real corpora;
@@ -1386,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repeated_spans": q_repeated_spans,   # NEW in r5
         "q_corpus_shuffle": q_corpus_shuffle,   # NEW in r5
         "q_lm_score": q_lm_score,               # NEW in r5
+        "q_containment": q_containment,         # NEW in r5
         # --- slots 24-29: r2-era rows (oldest, verdict-named) ---
         "q_neq_null_semantics": q_neq_null_semantics,
         "q_multiop_or": q_multiop_or,
@@ -1395,7 +1406,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exists": q_exists,
         # --- slots 31-50: r3-era rows, modules unchanged (refresh) ---
         "q_left_join_count": q_left_join_count,
-        "q_right_join": q_right_join,
         "q_distinct": q_distinct,
         "q_ttl_filter": q_ttl_filter,
         "q_schema_migration": q_schema_migration,
@@ -1423,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_keyset_page": q_keyset_page,
         "q_fk_autojoin": q_fk_autojoin,
         "q_theta_join": q_theta_join,
+        "q_right_join": q_right_join,
         "q_filter_sort_limit": q_filter_sort_limit,
         "q_groupby_having": q_groupby_having,
         "q_join_inner_group": q_join_inner_group,
@@ -1908,6 +1919,7 @@ def oracle_sql() -> dict[str, str]:
                         '\\b[0-9]{6,}\\b', '<NUM>', 'g')) AS red_hash
             FROM inj""",
         "q_ngram_jaccard": _ngram_jaccard_oracle(),
+        "q_containment": _containment_oracle(),
         "q_neardup_embedding": _neardup_embedding_oracle(),
         "q_text_stats": _text_stats_oracle(),
         "q_langid": f"""
@@ -2584,6 +2596,54 @@ def _ngram_jaccard_oracle() -> str:
         FROM cand JOIN g ga ON ga.doc_id = cand.id_a
                   JOIN g gb ON gb.doc_id = cand.id_b
         WHERE {jac} >= 0.8"""
+
+
+def _containment_oracle(threshold: float = 0.8) -> str:
+    """Minhash-band-blocked asymmetric containment in DuckDB, mirroring
+    dedup.containment_pairs (same banding as _ngram_jaccard_oracle; the
+    score divides the intersection by the SMALLER gram set and orients
+    the pair small-first, ties keeping the lower id on the small side)."""
+    from tostore_spark.llmops.dedup import (MINHASH_P, NGRAM_MH_BANDS,
+                                            NGRAM_MH_HASHES, _minhash_ab)
+
+    rpb = NGRAM_MH_HASHES // NGRAM_MH_BANDS
+    ab_rows = ", ".join(f"({h}, {a}, {b})" for h, (a, b)
+                        in enumerate(_minhash_ab(NGRAM_MH_HASHES)))
+    band_exprs = ", ".join(
+        "md5(CAST({b} AS VARCHAR) || ',' || ".format(b=b)
+        + " || ',' || ".join(f"CAST(sig[{b*rpb+r+1}] AS VARCHAR)"
+                             for r in range(rpb))
+        + ")"
+        for b in range(NGRAM_MH_BANDS))
+    cont = ("CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)"
+            " / least(len(ga.grams), len(gb.grams))")
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        g AS (SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN
+                       list_distinct([array_to_string(t[i:i+2], ' ')
+                                      for i in range(1, len(t) - 1)])
+                     ELSE [] END AS grams
+              FROM toks),
+        ne AS (SELECT doc_id, grams FROM g WHERE len(grams) > 0),
+        ub AS (SELECT doc_id, ('0x' || substr(md5(unnest(grams)), 1, 8))::BIGINT AS u
+               FROM ne),
+        ab AS (SELECT * FROM (VALUES {ab_rows}) v(h, a, b)),
+        hs AS (SELECT doc_id, h, min((a * u + ab.b) % {MINHASH_P}) AS mh
+               FROM ub CROSS JOIN ab GROUP BY doc_id, h),
+        sig AS (SELECT doc_id, list(mh ORDER BY h) AS sig FROM hs GROUP BY doc_id),
+        banded AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig),
+        cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                 FROM banded x JOIN banded y ON x.band = y.band
+                                            AND x.doc_id < y.doc_id)
+        SELECT CASE WHEN len(ga.grams) <= len(gb.grams)
+                    THEN cand.id_a ELSE cand.id_b END AS id_small,
+               CASE WHEN len(ga.grams) <= len(gb.grams)
+                    THEN cand.id_b ELSE cand.id_a END AS id_big,
+               round({cont}, 6) AS containment_r
+        FROM cand JOIN g ga ON ga.doc_id = cand.id_a
+                  JOIN g gb ON gb.doc_id = cand.id_b
+        WHERE {cont} >= {threshold!r}"""
 
 
 def _simhash_expr_sql() -> str:

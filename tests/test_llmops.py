@@ -866,3 +866,22 @@ def test_curate_corpus_end_to_end(spark, db):
     a = {(r["doc_id"], r["shard"], r["shard_pos"]) for r in rows}
     b = {(r["doc_id"], r["shard"], r["shard_pos"]) for r in out2.collect()}
     assert a == b
+
+
+def test_containment_catches_doc_in_doc(spark):
+    """A short doc fully quoted inside a much larger one: containment
+    fires (1.0) while symmetric Jaccard stays far below threshold."""
+    small = "the quick brown fox jumps over the lazy dog"
+    big = small + " " + " ".join(f"filler{i} pad{i} extra{i}"
+                                 for i in range(30))
+    sdf = spark.createDataFrame(
+        [(1, small), (2, big)], ["doc_id", "text"])
+    cont = D.containment_pairs(sdf, n=3, threshold=0.8,
+                               bucket_field=F.lit(0)).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["id_small"], r["id_big"]) == (1, 2)
+    assert r["containment"] == pytest.approx(1.0)
+    jac = D.ngram_jaccard_pairs(sdf, n=3, threshold=0.5,
+                                bucket_field=F.lit(0)).collect()
+    assert jac == []   # Jaccard diluted by the big doc's size

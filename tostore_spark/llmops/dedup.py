@@ -457,6 +457,54 @@ def ngram_jaccard_pairs(df: DataFrame, text_field: str = "text",
              .dropDuplicates(["id_a", "id_b"]))
 
 
+def containment_pairs(df: DataFrame, text_field: str = "text",
+                      id_field: str = "doc_id", n: int = 3,
+                      threshold: float = 0.8,
+                      bucket_field: Column | None = None) -> DataFrame:
+    """ASYMMETRIC containment over word n-gram sets: the fraction of the
+    SMALLER document's grams found in the other — the signal for
+    doc-in-doc duplication (a post quoted inside a digest, an article
+    embedded in a crawl page), which symmetric Jaccard misses whenever
+    the containing document is much larger.
+
+    Same minhash-band blocking as ``ngram_jaccard_pairs`` (uniform
+    digest buckets; an explicit ``bucket_field`` replaces it).  Output:
+    (id_small, id_big, containment) at >= threshold, where id_small is
+    the gram-subset side.  Note LSH banding under-recalls highly
+    asymmetric pairs (band probability follows Jaccard, which shrinks
+    as sizes diverge) — for aggressive containment hunting pass a
+    domain/bucket column instead."""
+    base = _spread(df).select(F.col(id_field).alias("id"),
+                              word_ngrams(F.col(text_field), n).alias("grams"))
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    size_a = F.size(F.col("a.grams"))
+    size_b = F.size(F.col("b.grams"))
+    min_sz = F.least(size_a, size_b)
+    cont = F.when(min_sz > 0,
+                  inter.cast("double") / min_sz.cast("double")) \
+            .otherwise(F.lit(0.0))
+    small_first = size_a <= size_b
+    if bucket_field is not None:
+        blocked = df.select(F.col(id_field).alias("id"),
+                            bucket_field.alias("bucket")) \
+                    .join(base, on="id")
+    else:
+        blocked = (base.filter(F.size("grams") > 0)
+                   .select("id", "grams",
+                           F.explode(gram_band_column(F.col("grams")))
+                            .alias("bucket")))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.when(small_first, F.col("a.id"))
+                      .otherwise(F.col("b.id")).alias("id_small"),
+                     F.when(small_first, F.col("b.id"))
+                      .otherwise(F.col("a.id")).alias("id_big"),
+                     cont.alias("containment"))
+             .filter(F.col("containment") >= threshold)
+             .dropDuplicates(["id_small", "id_big"]))
+
+
 #: default training-side document-frequency cap for contamination grams —
 #: a gram in >10k training docs is boilerplate, not a leaked benchmark
 #: passage, and its join bucket would otherwise go quadratic on a crawl
