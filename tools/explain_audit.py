@@ -74,7 +74,15 @@ CHECKS: dict[str, list[str]] = {
     "q_lm_score": ["partial_count", "TakeOrderedAndProject"],
     # training shuffle: the only window is shard-partitioned
     "q_corpus_shuffle": ["windowspecdefinition(shard"],
+    # containment: the pair join is keyed on the md5 band digest
+    # (strategy itself is AQE's choice — broadcast at test SF, SMJ at
+    # scale); the audit's absence-check below pins no-cartesian
+    "q_containment": ["md5"],
 }
+
+#: plans that must NOT contain these operators (checked for every query
+#: in CHECKS): an unblocked pair stage would appear as a cartesian
+FORBIDDEN = ["CartesianProduct"]
 
 
 def audit(spark, sf_dir: str) -> list[str]:
@@ -90,9 +98,12 @@ def audit(spark, sf_dir: str) -> list[str]:
             df.explain("formatted")
         plan = buf.getvalue()
         missing = [n for n in needles if n not in plan]
-        if missing:
-            failures.append(f"{name}: missing plan shapes: {missing}")
-            print(f"FAIL {name}: missing plan shapes: {missing}")
+        banned = [n for n in FORBIDDEN if n in plan]
+        if missing or banned:
+            failures.append(f"{name}: missing plan shapes: {missing}"
+                            f" forbidden present: {banned}")
+            print(f"FAIL {name}: missing plan shapes: {missing}"
+                  f" forbidden present: {banned}")
         else:
             print(f"ok   {name}: {len(needles)} plan shapes present")
     return failures
