@@ -773,6 +773,16 @@ def q_ngram_jaccard(spark, sf_dir):
             .select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard_r")))
 
 
+def q_winnow_overlap(spark, sf_dir):
+    """Winnowing-sketch partial-overlap pairs (Schleimer et al.
+    SIGMOD'03): min k-gram hash per sliding window, hot-fingerprint cap,
+    pairs sharing >= 2 fingerprints — sub-document overlap detection
+    from a tiny sketch."""
+    db = _db(spark, sf_dir)
+    return D.winnow_overlap_pairs(db.df("documents"), k=3, window=4,
+                                  min_shared=2, max_fp_df=100)
+
+
 def q_containment(spark, sf_dir):
     """Asymmetric doc-in-doc containment pairs (|∩| / |smaller|) over
     word 3-grams, minhash-band blocked — catches embedded/quoted
@@ -1397,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_shuffle": q_corpus_shuffle,   # NEW in r5
         "q_lm_score": q_lm_score,               # NEW in r5
         "q_containment": q_containment,         # NEW in r5
+        "q_winnow_overlap": q_winnow_overlap,   # NEW in r5
         # --- slots 24-29: r2-era rows (oldest, verdict-named) ---
         "q_neq_null_semantics": q_neq_null_semantics,
         "q_multiop_or": q_multiop_or,
@@ -1405,7 +1416,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_offset_page": q_offset_page,
         "q_exists": q_exists,
         # --- slots 31-50: r3-era rows, modules unchanged (refresh) ---
-        "q_left_join_count": q_left_join_count,
         "q_distinct": q_distinct,
         "q_ttl_filter": q_ttl_filter,
         "q_schema_migration": q_schema_migration,
@@ -1434,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fk_autojoin": q_fk_autojoin,
         "q_theta_join": q_theta_join,
         "q_right_join": q_right_join,
+        "q_left_join_count": q_left_join_count,
         "q_filter_sort_limit": q_filter_sort_limit,
         "q_groupby_having": q_groupby_having,
         "q_join_inner_group": q_join_inner_group,
@@ -1920,6 +1931,26 @@ def oracle_sql() -> dict[str, str]:
             FROM inj""",
         "q_ngram_jaccard": _ngram_jaccard_oracle(),
         "q_containment": _containment_oracle(),
+        "q_winnow_overlap": """
+            WITH toks AS (SELECT doc_id AS id,
+                                 string_split(lower(text), ' ') AS t
+                          FROM documents),
+            grams AS (SELECT id,
+                      [('0x' || substr(md5(array_to_string(t[i:i+2], ' ')),
+                        1, 8))::BIGINT
+                       for i in range(1, greatest(len(t) - 2, 1) + 1)] AS g
+                      FROM toks),
+            fps AS (SELECT id,
+                    list_distinct([list_min(g[j:j+3])
+                     for j in range(1, greatest(len(g) - 3, 1) + 1)]) AS f
+                    FROM grams),
+            fp AS (SELECT id, unnest(f) AS fp FROM fps),
+            hot AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 100),
+            cold AS (SELECT * FROM fp ANTI JOIN hot USING (fp))
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM cold a JOIN cold b ON a.fp = b.fp AND a.id < b.id
+            GROUP BY 1, 2 HAVING count(*) >= 2""",
         "q_neardup_embedding": _neardup_embedding_oracle(),
         "q_text_stats": _text_stats_oracle(),
         "q_langid": f"""

@@ -885,3 +885,26 @@ def test_containment_catches_doc_in_doc(spark):
     jac = D.ngram_jaccard_pairs(sdf, n=3, threshold=0.5,
                                 bucket_field=F.lit(0)).collect()
     assert jac == []   # Jaccard diluted by the big doc's size
+
+
+def test_winnowing_partial_overlap(spark):
+    """The winnowing guarantee: documents sharing a long-enough token run
+    share at least one fingerprint; disjoint docs share none; the hot-
+    fingerprint cap drops corpus-wide boilerplate from the join."""
+    shared = " ".join(f"s{i}" for i in range(12))   # 12-token shared run
+    docs = spark.createDataFrame([
+        (1, "aaa bbb ccc " + shared + " ddd eee"),
+        (2, "xxx yyy " + shared + " zzz www qqq"),
+        (3, "totally different words with no run at all here friend"),
+    ], ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in
+             D.winnow_overlap_pairs(docs, k=3, window=4,
+                                    min_shared=1).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # a fingerprint present in every doc (boilerplate) is capped out
+    boiler_docs = spark.createDataFrame(
+        [(i, shared) for i in range(10)], ["doc_id", "text"])
+    capped = D.winnow_overlap_pairs(boiler_docs, k=3, window=4,
+                                    min_shared=1, max_fp_df=5).collect()
+    assert capped == []

@@ -902,3 +902,67 @@ def remove_repeated_spans_with_index(df: DataFrame, freq: DataFrame,
                 .withColumn("span_df", F.coalesce(F.col("span_df"),
                                                   F.lit(0))))
     return _rebuild_clean(joined, max_doc_freq)
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 3, window: int = 4,
+                        text_field: str = "text",
+                        id_field: str = "doc_id") -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03):
+    the minimum k-gram hash of every sliding window of ``window``
+    consecutive word-k-gram hashes, deduplicated per document — a tiny
+    position-robust sketch with the winnowing guarantee: any shared run
+    of >= window+k-1 tokens produces at least one shared fingerprint,
+    so PARTIAL overlaps are detectable without comparing full texts.
+    (Value-min variant: the fingerprint VALUE set is identical however
+    positional ties break, so both engines agree.)
+
+    Output: (id, fp) rows.  Map-reduce shape (the minhash lesson: no
+    hash work inside higher-order lambdas, where Catalyst performs no
+    CSE and a windowed array-min would re-evaluate the whole md5 gram
+    array PER WINDOW — measured 60x slower): explode grams to rows,
+    ONE scalar md5 each (codegen), sliding min via a doc-partitioned
+    window frame."""
+    toks = F.split(F.lower(F.col(text_field)), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "))
+    ex = (df.select(F.col(id_field).alias("id"), F.posexplode(grams))
+            .withColumnRenamed("pos", "gpos")
+            .withColumnRenamed("col", "gram"))
+    ex = ex.withColumn(
+        "h", F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long"))
+    w_min = (Window.partitionBy("id").orderBy("gpos")
+             .rowsBetween(Window.currentRow, window - 1))
+    w_doc = Window.partitionBy("id")
+    return (ex.withColumn("fp", F.min("h").over(w_min))
+              .withColumn("__m", F.count(F.lit(1)).over(w_doc))
+              # 0-based gpos: window j starts at 0..m-window (clamped
+              # to the single full-doc window when m < window)
+              .filter(F.col("gpos")
+                      <= F.greatest(F.col("__m") - window, F.lit(0)))
+              .select("id", "fp").distinct())
+
+
+def winnow_overlap_pairs(df: DataFrame, k: int = 3, window: int = 4,
+                         min_shared: int = 2, max_fp_df: int = 100,
+                         text_field: str = "text",
+                         id_field: str = "doc_id") -> DataFrame:
+    """Partial-overlap candidate pairs from winnowing sketches: documents
+    sharing >= ``min_shared`` fingerprints.  Fingerprints present in more
+    than ``max_fp_df`` documents are boilerplate (a stock phrase) and are
+    dropped before the self-join — the same hot-bucket cap as the
+    contamination pass, so no fingerprint bucket can go quadratic.
+    Output: (id_a < id_b, n_shared)."""
+    fp = winnow_fingerprints(df, k=k, window=window,
+                             text_field=text_field, id_field=id_field)
+    hot = (fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+             .filter(F.col("df") > max_fp_df))
+    cold = fp.join(hot, on="fp", how="left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .filter(F.col("n_shared") >= min_shared))
