@@ -64,11 +64,15 @@ def _sf1_spot(spark, sf_dir: str, headline_cold: dict) -> dict | None:
     import hashlib
 
     replicas, id_off = 10, 100_000_000
-    # cache keyed by the source dir (a changed SPARK_GRAFT_SF_DIR must
-    # not silently reuse another scale's derivation); _SUCCESS markers
-    # guard against a half-written cache from an interrupted run
+    # cache keyed by the source dir AND the derivation recipe (version
+    # string + replica params): a changed SPARK_GRAFT_SF_DIR or a changed
+    # derivation (e.g. the r5 marker-prefix fix) must not silently reuse
+    # a stale cached corpus — that would invalidate the sf1 ratios on any
+    # host that still had the old cache.  _SUCCESS markers guard against
+    # a half-written cache from an interrupted run.
+    derivation = f"v2:marker-prefix+interleave3:{replicas}:{id_off}"
     cache = "/tmp/spark_graft_sf1_" + hashlib.md5(
-        sf_dir.encode()).hexdigest()[:8]
+        f"{sf_dir}|{derivation}".encode()).hexdigest()[:8]
     docs_p = os.path.join(cache, "documents.parquet")
     emb_p = os.path.join(cache, "embeddings.parquet")
     t0 = time.time()

@@ -180,10 +180,10 @@ def test_vacuum_cannot_break_live_df_at_frame(spark, tmp_path_factory):
 
 
 def test_refresh_replays_unflushed_tables(spark, tmp_path_factory):
-    """The ConcurrentWriteError retry path: the losing engine refreshes,
-    keeps its non-conflicting local mutations, and flushes cleanly."""
+    """Explicit refresh after a remote flush: the engine folds in the
+    winner's state while keeping its own non-conflicting local
+    mutations, then flushes cleanly."""
     from tostore_spark import ToStoreSpark
-    from tostore_spark.store import ConcurrentWriteError
     wh = str(tmp_path_factory.mktemp("wh_refresh"))
     a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
     b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
@@ -191,8 +191,6 @@ def test_refresh_replays_unflushed_tables(spark, tmp_path_factory):
     a.update("region", {"r_name": "A"}).where("r_regionkey", "=", 0).execute()
     a.flush()
     b.update("nation", {"n_name": "B"}).where("n_nationkey", "=", 0).execute()
-    with pytest.raises(ConcurrentWriteError):
-        b.flush()
     assert b.refresh() == ["nation"]
     # after refresh b sees a's region AND kept its own nation mutation
     assert b.df("region").filter("r_regionkey = 0") \
@@ -203,6 +201,62 @@ def test_refresh_replays_unflushed_tables(spark, tmp_path_factory):
             .collect()[0]["n_name"] == "B"
     assert c.df("region").filter("r_regionkey = 0") \
             .collect()[0]["r_name"] == "A"
+
+
+def test_disjoint_flush_merges_without_conflict(spark, tmp_path_factory):
+    """Per-table commit CAS: two engines flushing DISJOINT tables both
+    commit — the second merges its entries into the first's manifest
+    (zero ConcurrentWriteError), and its registry folds in the first's
+    tables (watchers fire for them)."""
+    from tostore_spark import ToStoreSpark
+    wh = str(tmp_path_factory.mktemp("wh_disjoint"))
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    a.update("region", {"r_name": "A"}).where("r_regionkey", "=", 0).execute()
+    a.flush()
+    b.update("nation", {"n_name": "B"}).where("n_nationkey", "=", 0).execute()
+    assert b.flush() == ["nation"]     # merge mode: NO error, no retry
+    # b's registry folded in a's region during the merged flush
+    assert b.df("region").filter("r_regionkey = 0") \
+            .collect()[0]["r_name"] == "A"
+    # a fresh engine sees BOTH commits
+    c = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    assert c.df("region").filter("r_regionkey = 0") \
+            .collect()[0]["r_name"] == "A"
+    assert c.df("nation").filter("n_nationkey = 0") \
+            .collect()[0]["n_name"] == "B"
+    # and a's next flush of a third table merges on top of b's
+    a.update("supplier", {"s_name": "S"}).where("s_suppkey", "=", 1).execute()
+    assert a.flush() == ["supplier"]
+    assert a.df("nation").filter("n_nationkey = 0") \
+            .collect()[0]["n_name"] == "B"
+
+
+def test_disjoint_flush_merges_kv_key_level(spark, tmp_path_factory):
+    """Concurrent KV writers reconcile at key level through the merge:
+    each engine's diff against the snapshot it loaded lands; untouched
+    keys keep the other writer's values; local deletes win."""
+    from tostore_spark import ToStoreSpark
+    wh = str(tmp_path_factory.mktemp("wh_kvmerge"))
+    seed = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    seed.kv.set_value("shared", "s0")
+    seed.kv.set_value("doomed", "x")
+    seed.update("part", {"p_name": "P"}).where("p_partkey", "=", 1).execute()
+    seed.flush()
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    a.kv.set_value("from_a", "1")
+    a.update("region", {"r_name": "A"}).where("r_regionkey", "=", 0).execute()
+    a.flush()
+    b.kv.set_value("from_b", "2")
+    b.kv.remove_value("doomed")
+    b.update("nation", {"n_name": "B"}).where("n_nationkey", "=", 0).execute()
+    b.flush()                                    # merge mode
+    c = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    assert c.kv.get_value("from_a") == "1"       # a's add survived b's merge
+    assert c.kv.get_value("from_b") == "2"
+    assert c.kv.get_value("shared") == "s0"      # untouched key kept
+    assert c.kv.get_value("doomed") is None      # b's delete won
 
 
 def test_refresh_rejects_true_conflict(spark, tmp_path_factory):
@@ -445,9 +499,11 @@ def test_transaction_retry_concurrent_writers(spark, tmp_path_factory):
     assert name.endswith("+B+A"), name
 
 
-def test_transaction_retry_exhaustion_raises(spark, tmp_path_factory):
-    """When every attempt loses (another writer advances the manifest
-    between each retry), the loser raises instead of spinning."""
+def test_transaction_retry_exhaustion_returns_failure(spark, tmp_path_factory):
+    """When every attempt loses (another writer advances the SAME table
+    between each retry), the loser returns TransactionResult(False,
+    ConcurrentWriteError) — the uniform result-object contract — instead
+    of spinning or raising."""
     from tostore_spark import ToStoreSpark
     from tostore_spark.store import ConcurrentWriteError
     wh = str(tmp_path_factory.mktemp("wh_txspin"))
@@ -457,14 +513,46 @@ def test_transaction_retry_exhaustion_raises(spark, tmp_path_factory):
     def mutate_and_interfere(eng):
         eng.update("region", {"r_name": "L"}) \
            .where("r_regionkey", "=", 0).execute()
-        # sabotage: B commits between A's action and A's flush, every time
+        # sabotage: B commits the SAME table between A's action and A's
+        # flush, every time (disjoint tables would merge, not conflict)
         b.refresh()
-        b.update("nation", {"n_name": "W"}) \
-         .where("n_nationkey", "=", 0).execute()
+        b.update("region", {"r_name": "W"}) \
+         .where("r_regionkey", "=", 1).execute()
         b.flush()
 
-    with pytest.raises(ConcurrentWriteError):
-        a.transaction(mutate_and_interfere, retries=2)
+    res = a.transaction(mutate_and_interfere, retries=2)
+    assert not res.success
+    assert isinstance(res.error, ConcurrentWriteError)
+
+
+def test_disjoint_transactions_commit_first_try(spark, tmp_path_factory):
+    """Two concurrent transactions on DIFFERENT tables both commit with
+    zero retries (per-table CAS merge): each action runs exactly once."""
+    from tostore_spark import ToStoreSpark
+    wh = str(tmp_path_factory.mktemp("wh_txdisj"))
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    runs = {"a": 0, "b": 0}
+
+    def act_a(eng):
+        runs["a"] += 1
+        eng.update("region", {"r_name": "TA"}) \
+           .where("r_regionkey", "=", 0).execute()
+
+    def act_b(eng):
+        runs["b"] += 1
+        eng.update("nation", {"n_name": "TB"}) \
+           .where("n_nationkey", "=", 0).execute()
+
+    # a commits first; b's commit lands AFTER a's without having seen it
+    assert a.transaction(act_a, retries=3).success
+    assert b.transaction(act_b, retries=3).success
+    assert runs == {"a": 1, "b": 1}      # no retry re-ran either action
+    c = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    assert c.df("region").filter("r_regionkey = 0") \
+            .collect()[0]["r_name"] == "TA"
+    assert c.df("nation").filter("n_nationkey = 0") \
+            .collect()[0]["n_name"] == "TB"
 
 
 def test_transaction_rolls_back_kv_created_inside_scope(spark, tmp_path_factory):

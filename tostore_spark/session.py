@@ -31,6 +31,15 @@ def get_spark(
         # a FIXED offset — a DST-shifting host zone would distort gap
         # arithmetic by an hour across transitions.
         .config("spark.sql.session.timeZone", "UTC")
+        # Pin the SQL string-literal dialect: the single-parse SQL twins
+        # (llmops.text._stats_sql / norm_sql, the minhash index build)
+        # embed backslash escapes ('\\s') that only mean the same thing
+        # as the Column regexes under the default escaped-literal parser.
+        # A session inheriting legacy escapedStringLiterals=true would
+        # silently fork the SQL twins from the Column definition of
+        # record (fingerprints/minhash diverge) — pin it here so every
+        # engine session parses the twins identically.
+        .config("spark.sql.parser.escapedStringLiterals", "false")
         # One shuffle partition per core locally; on a cluster this would be
         # sized to ~128MB of shuffle data per partition (AQE coalesces down).
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))

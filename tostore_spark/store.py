@@ -50,10 +50,14 @@ MANIFEST = "manifest.json"
 
 
 class ConcurrentWriteError(RuntimeError):
-    """Another engine flushed this warehouse since we loaded it.  The
-    single-writer analog of the reference's write-lock: flush is a
-    compare-and-swap on the manifest sequence number, so the second writer
-    fails loudly instead of silently clobbering the first's tables.
+    """Another engine flushed a table THIS engine is also trying to flush.
+    The optimistic-concurrency analog of the reference's write-set
+    conflict detection (transaction_manager.dart:17-50): flush is a
+    per-table compare-and-swap — each dirty table's last-flushed
+    generation is compared against the current manifest under the flush
+    lock, so two engines flushing DISJOINT tables both commit (the
+    second merges its entries into the first's manifest), and only a
+    genuine same-table race fails loudly instead of silently clobbering.
     ``engine.refresh()`` is the retry path: it reloads the other writer's
     state and replays this engine's unflushed tables when they don't
     conflict."""
@@ -163,7 +167,17 @@ def flush_tables(engine, flush_storage: bool = True) -> list[str]:
     parquet — one pass that both bounds lineage and makes the mutation
     durable.  Without a warehouse (or with flush_storage=False) dirty
     tables are only localCheckpoint-ed (memory barrier, NOT durable).
-    Returns the list of flushed table names."""
+    Returns the list of flushed table names.
+
+    Concurrency (per-table CAS): when ANOTHER engine flushed since we
+    loaded (manifest seq moved), the conflict check is per table, not
+    warehouse-global — each table this flush is writing must still sit
+    at the generation THIS engine last flushed it at.  Disjoint flushes
+    merge: our table entries overlay the other writer's manifest (their
+    advanced tables, spaces, user versions and KV diffs are kept and
+    folded back into this engine), so two engines mutating different
+    tables both commit with zero retries.  Only a table BOTH engines
+    flushed raises ``ConcurrentWriteError``."""
     flushed: list[str] = []
     wh = engine._warehouse
     if not hasattr(engine, "_flushed_gen"):
@@ -171,6 +185,17 @@ def flush_tables(engine, flush_storage: bool = True) -> list[str]:
     durable = bool(flush_storage and wh)
     lock = None
     fs = None
+
+    def _dirty(key, ent):
+        # dirty = mutated past the last flush, OR registered from a
+        # bare DataFrame with no durable source yet (path None, never
+        # flushed) — without the second clause such a table would
+        # silently vanish on reopen even though flush() "succeeded"
+        gen = engine._generations.get(key, 0)
+        sourceless = (durable and ent.get("path") is None
+                      and key not in engine._flushed_gen)
+        return gen > engine._flushed_gen.get(key, 0) or sourceless
+
     if durable:
         # the whole check-then-act span (read seq -> table writes ->
         # manifest write) runs under the owner-token lock; the holder
@@ -180,25 +205,35 @@ def flush_tables(engine, flush_storage: bool = True) -> list[str]:
         fs.mkdirs(wh)
         lock = FlushLock(fs, wh)
         lock.acquire()
+    merge_from = None
+    base_seq = getattr(engine, "_store_seq", 0)
     try:
         if durable:
             cur = read_manifest(wh, fs=fs)
-            cur_seq = (cur or {}).get("seq", 0)
-            if cur_seq != getattr(engine, "_store_seq", 0):
-                raise ConcurrentWriteError(
-                    f"warehouse {wh} was flushed by another engine (seq "
-                    f"{cur_seq} != loaded {getattr(engine, '_store_seq', 0)}); "
-                    "engine.refresh() to pick up their state, then retry")
+            base_seq = (cur or {}).get("seq", 0)
+            if base_seq != getattr(engine, "_store_seq", 0):
+                # another engine flushed since we loaded — per-table CAS:
+                # conflict only on tables BOTH of us are writing (absent
+                # vs present counts: a table they created or dropped that
+                # we are also writing is a conflict too)
+                theirs = {(e["space"], e["name"]): e.get("version", 0)
+                          for e in (cur or {}).get("tables", {}).values()}
+                fgen = engine._flushed_gen
+                conflicts = sorted(
+                    f"{k[0]}/{k[1]}"
+                    for k, ent in engine._tables.items()
+                    if _dirty(k, ent) and theirs.get(k) != fgen.get(k))
+                if conflicts:
+                    raise ConcurrentWriteError(
+                        f"warehouse {wh} tables {conflicts} were flushed "
+                        "by another engine since this engine loaded them; "
+                        "engine.refresh() to pick up their state, then "
+                        "retry")
+                merge_from = cur or {"seq": base_seq, "tables": {}}
         for key, ent in list(engine._tables.items()):
-            gen = engine._generations.get(key, 0)
-            # dirty = mutated past the last flush, OR registered from a
-            # bare DataFrame with no durable source yet (path None, never
-            # flushed) — without the second clause such a table would
-            # silently vanish on reopen even though flush() "succeeded"
-            sourceless = (durable and ent.get("path") is None
-                          and key not in engine._flushed_gen)
-            if gen <= engine._flushed_gen.get(key, 0) and not sourceless:
+            if not _dirty(key, ent):
                 continue   # never mutated, or unchanged since last flush
+            gen = engine._generations.get(key, 0)
             if durable:
                 # TTL physical cleanup rides the flush (the batch form of
                 # the reference's background cleanup cron,
@@ -223,16 +258,117 @@ def flush_tables(engine, flush_storage: bool = True) -> list[str]:
             # advanced the manifest while we wrote tables
             lock.verify()
             cur = read_manifest(wh, fs=fs)
-            if (cur or {}).get("seq", 0) != getattr(engine, "_store_seq", 0):
+            if (cur or {}).get("seq", 0) != base_seq:
                 raise ConcurrentWriteError(
                     f"manifest seq advanced under a live lock in {wh}; "
                     "aborting manifest write (engine.refresh() to recover)")
-            engine._store_seq = getattr(engine, "_store_seq", 0) + 1
-            write_manifest(wh, _build_manifest(engine), fs=fs)
+            engine._store_seq = base_seq + 1
+            manifest = _build_manifest(engine)
+            if merge_from is not None:
+                manifest = _merge_manifests(engine, manifest, merge_from)
+            write_manifest(wh, manifest, fs=fs)
+            if merge_from is not None:
+                _fold_merged(engine, manifest)
+            if hasattr(engine, "_kv"):
+                engine._kv_baseline = engine._kv.snapshot()
     finally:
         if durable:
             lock.release()
     return flushed
+
+
+def _kv_from_manifest(man: dict | None) -> dict:
+    """Manifest KV rows back into snapshot form {(space, key): (val, exp)}."""
+    import datetime
+    out = {}
+    for sp, key, val, exp in (man or {}).get("kv", []) or []:
+        out[(sp, key)] = (val, datetime.datetime.fromisoformat(exp)
+                          if exp else None)
+    return out
+
+
+def _merge_manifests(engine, ours: dict, theirs: dict) -> dict:
+    """Fold a concurrent writer's committed manifest into ours (called
+    only after the per-table CAS proved the table sets don't conflict).
+
+    - tables: start from theirs; skip entries this engine dropped locally
+      (flushed before, gone from the registry, and not re-advanced by
+      them); overlay our entries wherever our version is >= theirs
+      (strictly newer only for tables we just flushed — equal versions
+      are byte-identical entries).
+    - spaces: union.  versions (per-space user/schema version): per-space
+      max — user versions are monotonic migration counters.
+    - kv: theirs as the base, then this engine's key-level diffs against
+      the snapshot it loaded (``_kv_baseline``) — adds/changes overlay,
+      local deletes remove; untouched keys keep the other writer's
+      values."""
+    fgen = getattr(engine, "_flushed_gen", {})
+    tables: dict = {}
+    for name, ent in theirs.get("tables", {}).items():
+        k = (ent["space"], ent["name"])
+        if (k not in engine._tables and k in fgen
+                and ent.get("version", 0) == fgen.get(k)):
+            continue   # dropped locally, unchanged by them: commit the drop
+        tables[name] = ent
+    for name, ent in ours.get("tables", {}).items():
+        t = tables.get(name)
+        if t is None or ent.get("version", 0) >= t.get("version", 0):
+            tables[name] = ent
+    ours["tables"] = tables
+    ours["spaces"] = sorted(set(ours.get("spaces", []))
+                            | set(theirs.get("spaces", [])))
+    vers = {sp: int(v) for sp, v in (theirs.get("versions") or {}).items()}
+    for sp, v in (ours.get("versions") or {}).items():
+        vers[sp] = max(int(v), vers.get(sp, 0))
+    ours["versions"] = vers
+    if "kv" in ours or theirs.get("kv"):
+        base = getattr(engine, "_kv_baseline", {}) or {}
+        ours_kv = engine._kv.snapshot() if hasattr(engine, "_kv") else {}
+        merged = _kv_from_manifest(theirs)
+        for k, v in ours_kv.items():
+            if base.get(k) != v:
+                merged[k] = v
+        for k in base:
+            if k not in ours_kv:
+                merged.pop(k, None)
+        ours["kv"] = [[sp, key, val, exp.isoformat() if exp else None]
+                      for (sp, key), (val, exp) in merged.items()]
+    return ours
+
+
+def _fold_merged(engine, manifest: dict) -> None:
+    """After a merge-mode flush, make the engine's in-memory state agree
+    with the manifest it just wrote: tables the OTHER writer advanced are
+    re-registered from their flushed parquet (watchers notified — the
+    same re-query path a local write fires), merged spaces/versions/KV
+    replace the local copies.  Without this fold the engine's seq would
+    claim "current" while its registry still held the pre-merge view."""
+    from tostore_spark.backup import _schema_from_dict
+    changed = []
+    for ent in manifest.get("tables", {}).values():
+        key = (ent["space"], ent["name"])
+        ver = ent.get("version", 0)
+        if engine._flushed_gen.get(key) == ver and key in engine._tables:
+            continue   # ours (just flushed or untouched) — already right
+        engine._tables[key] = {
+            "df": engine._read_parquet(ent["path"]),
+            "path": ent["path"],
+            "schema": _schema_from_dict(ent["schema"]),
+            "global": ent["global"],
+        }
+        engine._generations[key] = ver
+        engine._flushed_gen[key] = ver
+        changed.append(ent["name"])
+    for sp in manifest.get("spaces", []):
+        engine._known_spaces.add(sp)
+    if manifest.get("versions"):
+        engine._versions = {sp: int(v)
+                            for sp, v in manifest["versions"].items()}
+    if manifest.get("kv"):
+        engine.kv.restore(_kv_from_manifest(manifest))
+    for name in changed:
+        for w in list(getattr(engine, "_watchers", [])):
+            w.notify_change(name)
 
 
 def _norm_path(p: str) -> str:
@@ -295,11 +431,11 @@ def load_warehouse(engine) -> list[str]:
     if man.get("versions"):
         engine._versions = {sp: int(v) for sp, v in man["versions"].items()}
     if man.get("kv"):
-        import datetime
-        engine.kv.restore({
-            (sp, key): (val,
-                        datetime.datetime.fromisoformat(exp) if exp else None)
-            for sp, key, val, exp in man["kv"]})
+        engine.kv.restore(_kv_from_manifest(man))
+    # KV merge baseline: the snapshot this engine LOADED — per-table CAS
+    # merges reconcile concurrent KV writers by diffing against this
+    engine._kv_baseline = (engine._kv.snapshot()
+                           if hasattr(engine, "_kv") else {})
     return loaded
 
 

@@ -107,21 +107,72 @@ def dedup_stream(docs: DataFrame, text_field: str = "text",
 
 def clean_stream(docs: DataFrame, span_freq: DataFrame, k: int = 8,
                  max_doc_freq: int = 1, text_field: str = "text",
-                 id_field: str = "doc_id") -> DataFrame:
+                 id_field: str = "doc_id", ts_field: str | None = None,
+                 watermark: str = "1 hour") -> DataFrame:
     """Streaming boilerplate removal: scrub each arriving document
     against a PERSISTED corpus span-frequency index
     (``llmops.dedup.span_freq_index`` read back as a static frame) — the
     ingest-side application of the batch artifact.
 
-    Shape: a stateless stream-static left join (Structured Streaming
-    joins each micro-batch against the static index; no streaming state
-    at all), then the same ordered per-document rebuild as the batch
-    path.  The index is corpus truth as of its build; rebuild it on the
-    batch side as the corpus grows."""
+    Shape: a stream-static left join (each micro-batch against the
+    static index — that part is stateless), then a STATEFUL streaming
+    aggregation: the per-document ordered rebuild is a groupBy(doc_id)
+    collecting span structs, so the state store holds one entry per
+    in-flight document.
+
+    State bounds — pick one:
+    - ``ts_field`` given (recommended for long-running ingest): the
+      stream is watermarked and the rebuild groups on (id, event time),
+      so a document's state is evicted once the watermark passes its
+      timestamp.  A doc_id re-arriving AFTER eviction starts a fresh
+      group (emitting a second cleaned row) instead of corrupting the
+      evicted one; within the watermark horizon it would merge, so
+      doc_ids must be unique within the horizon.
+    - ``ts_field=None``: NO state eviction — one state entry per
+      distinct doc_id for the stream's lifetime, and doc_ids must be
+      unique across the whole stream (a re-arriving id merges its spans
+      with the retained state, producing corrupted rebuilt text).  Only
+      for bounded backfills.
+
+    The index is corpus truth as of its build; rebuild it on the batch
+    side as the corpus grows."""
     from tostore_spark.llmops.dedup import _rebuild_clean, _span_rows
 
-    ex = _span_rows(docs, k, text_field, id_field)
+    if ts_field is None:
+        ex = _span_rows(docs, k, text_field, id_field)
+        joined = (ex.join(span_freq, on="h", how="left")
+                    .withColumn("span_df",
+                                F.coalesce(F.col("span_df"), F.lit(0))))
+        return _rebuild_clean(joined, max_doc_freq)
+    # watermarked shape: carry the event-time column through the span
+    # explode (one ts per document) and into the group keys so the state
+    # store can evict expired groups.  _span_rows/_rebuild_clean drop
+    # non-key columns, so the k-span split is restated here with the ts
+    # column threaded through — same span semantics as the batch path.
+    wm = docs.withColumn(ts_field, F.col(ts_field).cast("timestamp")) \
+             .withWatermark(ts_field, watermark)
+    words = F.split(F.col(text_field), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_spans, F.lit(1)) - 1),
+        lambda i: F.array_join(F.slice(words, i * k + 1, k), " "))
+    ex = (wm.select(F.col(id_field).alias("id"), F.col(ts_field),
+                    F.posexplode(spans))
+            .withColumnRenamed("pos", "span_pos")
+            .withColumnRenamed("col", "span")
+            .withColumn("h", F.md5(F.col("span"))))
     joined = (ex.join(span_freq, on="h", how="left")
                 .withColumn("span_df",
                             F.coalesce(F.col("span_df"), F.lit(0))))
-    return _rebuild_clean(joined, max_doc_freq)
+    return (joined.groupBy("id", F.col(ts_field))
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.when(
+                             F.col("span_df") <= max_doc_freq,
+                             F.struct(F.col("span_pos").alias("p"),
+                                      F.col("span").alias("s"))))),
+                         lambda st: st["s"]),
+                     " ").alias("clean_text"),
+                 F.count(F.lit(1)).alias("n_spans"),
+                 F.sum(F.when(F.col("span_df") > max_doc_freq, 1)
+                       .otherwise(0)).alias("n_dropped")))

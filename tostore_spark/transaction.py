@@ -63,8 +63,15 @@ def run_transaction_with_retry(engine, action, retries: int = 3,
     state back to the pre-transaction snapshot, fold in the winner's
     committed state (``engine.refresh()`` — clean after rollback, so no
     replay conflict is possible), and re-run ``action`` against the fresh
-    snapshot, up to ``retries`` times.  The action must be a pure
-    function of engine state (it re-executes on retry).
+    snapshot, up to ``retries`` times.  Exhausting the retries returns
+    ``TransactionResult(False, ConcurrentWriteError)`` — the same
+    result-object contract as every other failure path.  The action must
+    be a pure function of engine state (it re-executes on retry).
+
+    With the store's per-table CAS, retries only happen on a genuine
+    same-table race — two transactions touching disjoint tables both
+    commit on their first flush (the loser-merges path in
+    ``store.flush_tables``).
 
     Requires a warehouse (the flush is the commit point).  Raises
     ``ValueError`` without one rather than silently downgrading to a
@@ -100,11 +107,14 @@ def run_transaction_with_retry(engine, action, retries: int = 3,
             action(engine)
             engine.flush()
             return TransactionResult(True)
-        except ConcurrentWriteError:
+        except ConcurrentWriteError as e:
             _rollback()
             attempt += 1
             if attempt > retries:
-                raise
+                # exhaustion follows the same result-object contract as
+                # every other failure path (no raise): callers check
+                # result.success / result.error uniformly
+                return TransactionResult(False, e)
             engine.refresh()   # clean post-rollback: pure reload, no replay
         except Exception as e:  # noqa: BLE001 - result-object API
             if rollback_on_error:
