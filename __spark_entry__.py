@@ -686,6 +686,27 @@ def q_corpus_shuffle(spark, sf_dir):
                .select("doc_id", "shard", "shard_pos"))
 
 
+def q_curate_corpus(spark, sf_dir):
+    """End-to-end curation recipe (pipeline.curate_corpus) with stage
+    barriers ON (the default): exact dedup → MinHash-LSH near-dup
+    clusters (keep the canonical doc per connected component) → quality
+    percentile floor (drop bottom 20%, score rounded to 6dp before the
+    cut) → unigram-LM perplexity filter (drop the 10% highest
+    bits/token) → deterministic training-order shuffle (4 shards, seed
+    42).  Every stage is individually oracled by its own entry; this one
+    pins the COMPOSITION — the exact survivor set, its quality scores,
+    and the final shard assignment/order — against one staged DuckDB
+    oracle (reference bar: database_tester.dart's end-to-end scenario
+    style)."""
+    from tostore_spark.llmops import pipeline as P
+    db = _db(spark, sf_dir)
+    out = P.curate_corpus(db.df("documents"), minhash_dedup=True,
+                          drop_quality_pct=0.2, drop_perplexity_pct=0.1,
+                          n_shards=4, seed=42)
+    return out.select("doc_id", F.col("quality").alias("quality_r"),
+                      "shard", "shard_pos")
+
+
 def q_repeated_spans(spark, sf_dir):
     """Corpus-level repeated-span removal (the C4/boilerplate pass the
     single-node world does with suffix arrays): non-overlapping 8-word
@@ -1410,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_score": q_lm_score,               # NEW in r5
         "q_containment": q_containment,         # NEW in r5
         "q_winnow_overlap": q_winnow_overlap,   # NEW in r5
+        "q_curate_corpus": q_curate_corpus,     # NEW in r6
         # --- slots 24-29: r2-era rows (oldest, verdict-named) ---
         "q_neq_null_semantics": q_neq_null_semantics,
         "q_multiop_or": q_multiop_or,
@@ -1730,6 +1752,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 HAVING count(*) > 1""",
         "q_dedup_minhash_lsh": _minhash_oracle(),
         "q_dedup_clusters": _dedup_clusters_oracle(),
+        "q_curate_corpus": _curate_oracle(),
         "q_semantic_dedup": _semantic_dedup_oracle(),
         "q_mix_corpus": """
             WITH sel AS (
@@ -2194,6 +2217,96 @@ def _minhash_oracle(pair_where: str = "x.doc_id < y.doc_id") -> str:
         FROM banded x JOIN banded y ON x.band = y.band
         WHERE {pair_where}
         GROUP BY 1, 2"""
+
+
+def _curate_oracle() -> str:
+    """The curate_corpus composition in DuckDB, stage by stage, mirroring
+    the Spark recipe exactly: keep-first exact dedup → the same
+    16-hash/4-band minhash-LSH pairs (md5 shingles, same affine
+    constants) → recursive-CTE connected components, drop non-canonical
+    members → rounded quality score vs the exact 20th percentile →
+    unigram add-k LM bits/token (DECIMAL order-independent sums) vs the
+    exact 90th percentile (null-scored docs kept) → seeded-md5 shard +
+    within-shard order.  Each fragment is the same SQL its stage's own
+    oracle uses; this composes them over the staged survivor sets."""
+    from tostore_spark.llmops.dedup import MINHASH_P, _minhash_ab
+
+    ab_rows = ", ".join(f"({h}, {a}, {b})"
+                        for h, (a, b) in enumerate(_minhash_ab(16)))
+    band_exprs = ", ".join(
+        "md5(CAST({b} AS VARCHAR) || ',' || ".format(b=b)
+        + " || ',' || ".join(f"CAST(sig[{b*4+r+1}] AS VARCHAR)"
+                             for r in range(4))
+        + ")"
+        for b in range(4))
+    quality = _quality_sql()
+    return f"""
+        WITH RECURSIVE
+        k1 AS (SELECT min(doc_id) AS doc_id FROM documents
+               GROUP BY md5(text)),
+        d1 AS (SELECT d.* FROM documents d JOIN k1 USING (doc_id)),
+        norm AS (SELECT doc_id, {_NORM_T} AS t FROM d1),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([substr(t, i, 5)
+                     for i in range(1, greatest(len(t) - 4, 1) + 1)])) AS s
+          FROM norm),
+        base AS (
+          SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS u
+          FROM sh),
+        ab AS (SELECT * FROM (VALUES {ab_rows}) v(h, a, b)),
+        hs AS (
+          SELECT doc_id, h, min((a * u + ab.b) % {MINHASH_P}) AS mh
+          FROM base CROSS JOIN ab GROUP BY doc_id, h),
+        sig AS (SELECT doc_id, list(mh ORDER BY h) AS sig
+                FROM hs GROUP BY doc_id),
+        banded AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig),
+        pairs AS (
+          SELECT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM banded x JOIN banded y ON x.band = y.band
+          WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        r(id, lab) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.src, r.lab FROM r JOIN edges e ON e.dst = r.id),
+        comp AS (SELECT id, min(lab) AS cluster_id FROM r GROUP BY id),
+        drops AS (SELECT id AS doc_id FROM comp WHERE id <> cluster_id),
+        d2 AS (SELECT d1.* FROM d1 ANTI JOIN drops USING (doc_id)),
+        q AS (SELECT d2.*, round({quality}, 6) AS quality FROM d2),
+        thr4 AS (SELECT quantile_cont(quality, 0.2) AS t FROM q),
+        d4 AS (SELECT q.* FROM q, thr4 WHERE quality >= thr4.t),
+        tok AS (SELECT doc_id AS id, unnest({_TOKENS}) AS token FROM d4),
+        lm AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+        c AS (SELECT CAST(sum(tf) AS DOUBLE) AS T,
+                     CAST(count(*) AS DOUBLE) AS V FROM lm),
+        bb AS (
+          SELECT tok.id,
+                 round(-log2((coalesce(CAST(lm.tf AS DOUBLE), 0.0) + 0.5)
+                             / (c.T + 0.5 * c.V)), 6) AS bits
+          FROM tok LEFT JOIN lm USING (token), c),
+        scored AS (
+          SELECT id, round(CAST(sum(CAST(bits AS DECIMAL(18,6))) AS DOUBLE)
+                           / count(*), 6) AS bpt
+          FROM bb GROUP BY id),
+        thr5 AS (SELECT quantile_cont(bpt, 0.9) AS t FROM scored),
+        d5 AS (
+          SELECT d4.* FROM d4
+          LEFT JOIN scored ON d4.doc_id = scored.id, thr5
+          WHERE scored.bpt IS NULL OR scored.bpt <= thr5.t),
+        sk AS (SELECT doc_id, quality,
+                      md5('42:' || CAST(doc_id AS VARCHAR)) AS key
+               FROM d5),
+        ss AS (SELECT doc_id, quality, key,
+                      CAST(('0x' || substr(key, 1, 8))::BIGINT % 4 AS INT)
+                          AS shard
+               FROM sk)
+        SELECT doc_id, quality AS quality_r, shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                                       ORDER BY key, doc_id) AS BIGINT)
+                   AS shard_pos
+        FROM ss"""
 
 
 def _dedup_clusters_oracle() -> str:

@@ -868,6 +868,74 @@ def test_curate_corpus_end_to_end(spark, db):
     assert a == b
 
 
+def test_curate_corpus_stage_barriers_bound_rescans(spark, db):
+    """The materialization contract: with barriers (default) every stage
+    reads its input once — the final plan contains ZERO parquet scans of
+    the corpus (only the last checkpoint); with materialize=None the
+    branching stages (percentile threshold+filter, LM train+score+cut)
+    multiply the corpus scan into the final plan."""
+    import contextlib
+    import io
+
+    from tostore_spark.llmops.pipeline import curate_corpus
+
+    def n_parquet_scans(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue().count("Scan parquet")
+
+    train = db.df("documents").filter(F.col("doc_id") < 480)
+    barriered = curate_corpus(train, n_shards=4, drop_quality_pct=0.1,
+                              drop_perplexity_pct=0.1)
+    assert n_parquet_scans(barriered) == 0
+    raw_dag = curate_corpus(train, n_shards=4, drop_quality_pct=0.1,
+                            drop_perplexity_pct=0.1, materialize=None)
+    assert n_parquet_scans(raw_dag) >= 4   # the multiplicative re-read
+    # same result either way (barriers change cost, never semantics)
+    key = lambda r: (r["doc_id"], r["shard"], r["shard_pos"])  # noqa: E731
+    assert sorted(map(key, barriered.collect())) == \
+        sorted(map(key, raw_dag.collect()))
+
+
+def test_curate_corpus_warehouse_materialization(spark, db, tmp_path):
+    """materialize='warehouse': stages land as inspectable parquet under
+    warehouse_dir (the restartable long-job form) with the same result."""
+    from tostore_spark.llmops.pipeline import curate_corpus
+    train = db.df("documents").filter(F.col("doc_id") < 480)
+    wdir = str(tmp_path / "curate")
+    out = curate_corpus(train, n_shards=4, drop_quality_pct=0.1,
+                        drop_perplexity_pct=0.1,
+                        materialize="warehouse", warehouse_dir=wdir)
+    rows = {(r["doc_id"], r["shard"], r["shard_pos"])
+            for r in out.collect()}
+    import os
+    staged = sorted(os.listdir(wdir))
+    assert staged == ["s1_exact_dedup", "s2_neardup", "s4_quality",
+                      "s5_perplexity"]
+    ref = curate_corpus(train, n_shards=4, drop_quality_pct=0.1,
+                        drop_perplexity_pct=0.1)
+    assert rows == {(r["doc_id"], r["shard"], r["shard_pos"])
+                    for r in ref.collect()}
+    with pytest.raises(ValueError, match="warehouse_dir"):
+        curate_corpus(train, materialize="warehouse")
+
+
+def test_curate_corpus_derives_mix_cost_field(spark):
+    """mix stage: a frame WITHOUT the cost column works — n_chars is
+    derived from the text (the documented input-contract fix)."""
+    from tostore_spark.llmops.pipeline import curate_corpus
+    sdf = spark.createDataFrame(
+        [(i, f"src{i % 2}", "word " * (10 + i)) for i in range(40)],
+        ["doc_id", "source", "text"])
+    out = curate_corpus(sdf, minhash_dedup=False, drop_quality_pct=0.0,
+                        drop_perplexity_pct=0.0, n_shards=2,
+                        mix_weights={"src0": 1.0, "src1": 1.0},
+                        mix_budget=2000)
+    assert "n_chars" in out.columns
+    assert 0 < out.count() <= 40
+
+
 def test_containment_catches_doc_in_doc(spark):
     """A short doc fully quoted inside a much larger one: containment
     fires (1.0) while symmetric Jaccard stays far below threshold."""

@@ -150,6 +150,32 @@ def shuffle_corpus(df: DataFrame, n_shards: int, seed: int = 42,
               .drop("__key"))
 
 
+def _stage_barrier(df: DataFrame, materialize, warehouse_dir,
+                   stage: str) -> DataFrame:
+    """Materialization barrier between curate_corpus stages.
+
+    ``"localCheckpoint"``: eager checkpoint — downstream stages read the
+    computed partitions, not the upstream DAG (same barrier the minhash
+    index uses at ``dedup.minhash_lsh_pairs``).  ``"warehouse"``: write
+    the stage to ``<warehouse_dir>/<stage>/`` as parquet and read it
+    back — restartable and inspectable, the form a multi-day 100 TB run
+    wants.  ``None``: no barrier (the pure-DAG composition; upstream
+    branches re-evaluate)."""
+    if not materialize:
+        return df
+    if materialize == "localCheckpoint":
+        return df.localCheckpoint(eager=True)
+    if materialize == "warehouse":
+        if not warehouse_dir:
+            raise ValueError(
+                "materialize='warehouse' requires warehouse_dir")
+        path = warehouse_dir.rstrip("/") + "/" + stage
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+    raise ValueError(f"unknown materialize mode: {materialize!r} "
+                     "(use 'localCheckpoint', 'warehouse', or None)")
+
+
 def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
                   *, minhash_dedup: bool = True,
                   drop_quality_pct: float = 0.1,
@@ -158,6 +184,9 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
                   mix_weights: dict[str, float] | None = None,
                   mix_budget: int | None = None,
                   n_shards: int = 64, seed: int = 42,
+                  materialize: str | None = "localCheckpoint",
+                  warehouse_dir: str | None = None,
+                  cost_field: str = "n_chars",
                   text_field: str = "text",
                   id_field: str = "doc_id") -> DataFrame:
     """The full curation recipe, end to end — the stage order a
@@ -168,53 +197,85 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
       2. MinHash-LSH near-dup removal (connected components, keep one
          canonical doc per cluster)
       3. benchmark decontamination (when ``bench`` is given)
-      4. heuristic quality floor (exact percentile cut)
+      4. heuristic quality floor (exact percentile cut; the score is
+         rounded to 6dp before the percentile so the cut is
+         engine-portable, and kept as ``quality``)
       5. unigram-LM perplexity filter (CCNet shape; LM trained on the
          surviving corpus)
       6. per-source cap (when ``max_per_source``)
-      7. token-budget source mixing (when ``mix_weights``+``mix_budget``)
+      7. token-budget source mixing (when ``mix_weights``+``mix_budget``;
+         requires a ``cost_field`` column — derived as char count from
+         ``text_field`` when absent)
       8. deterministic training-order shuffle (shard, shard_pos)
 
     Returns the curated frame with ``shard``/``shard_pos`` attached.
-    Every stage is declarative — the composition is a DAG of bounded
-    shuffles; nothing collects to the driver.  Stages are individually
-    oracle-verified (their q_* entries); this function pins the
-    composition order and the glue in one tested recipe."""
+    Every stage is declarative and nothing collects to the driver.
+
+    ``materialize`` (default ``"localCheckpoint"``) inserts a barrier at
+    each stage boundary.  This matters: stages 4, 5 and 7 BRANCH their
+    input (percentile threshold + filter; LM train + score + threshold;
+    per-source window), so the un-materialized composition re-evaluates
+    the upstream DAG ~4-8x — invisible at test scale, a multiplicative
+    corpus re-read at 100 TB.  With barriers every stage reads its input
+    exactly once.  ``materialize="warehouse"`` (with ``warehouse_dir``)
+    stages through parquet instead — restartable, the long-job form.
+    Pass ``materialize=None`` for the pure-DAG composition.
+
+    Stages are individually oracle-verified (their q_* entries) and the
+    composition itself is pinned end-to-end by q_curate_corpus."""
     from tostore_spark.llmops import dedup as D
     from tostore_spark.llmops import mixing as MX
     from tostore_spark.llmops import packing as PK
+
+    def barrier(df, stage):
+        return _stage_barrier(df, materialize, warehouse_dir, stage)
 
     out = docs
     # 1. exact dedup: keep the smallest id per content hash
     keep = D.exact_dedup(out, text_field=text_field, id_field=id_field) \
             .select(F.col("keeper_id").alias(id_field))
-    out = out.join(keep, on=id_field, how="inner")
+    out = barrier(out.join(keep, on=id_field, how="inner"),
+                  "s1_exact_dedup")
     # 2. near-dup clusters -> keep one canonical doc per cluster
     if minhash_dedup:
         pairs = D.minhash_lsh_pairs(out, text_field=text_field,
                                     id_field=id_field)
-        out = D.dedup_apply(out, pairs, id_field=id_field)
+        out = barrier(D.dedup_apply(out, pairs, id_field=id_field),
+                      "s2_neardup")
     # 3. benchmark decontamination
     if bench is not None:
-        out = D.decontaminate(out, bench, text_field=text_field,
-                              id_field=id_field)
+        out = barrier(D.decontaminate(out, bench, text_field=text_field,
+                                      id_field=id_field),
+                      "s3_decontaminate")
     # 4. heuristic quality floor (exact percentile, threshold in-plan)
     if drop_quality_pct:
-        out = PK.quality_percentile_filter(out, pct=drop_quality_pct,
-                                           text_field=text_field)
+        out = out.withColumn(
+            "quality", F.round(TX.quality_score(F.col(text_field)), 6))
+        out = barrier(PK.quality_percentile_filter(
+                          out, pct=drop_quality_pct,
+                          score_field="quality"),
+                      "s4_quality")
     # 5. perplexity filter: LM trained on what survived so far
     if drop_perplexity_pct:
         lm = TX.train_unigram_lm(out, text_field=text_field)
-        out = TX.perplexity_filter(out, lm, drop_pct=drop_perplexity_pct,
-                                   text_field=text_field,
-                                   id_field=id_field)
+        out = barrier(TX.perplexity_filter(
+                          out, lm, drop_pct=drop_perplexity_pct,
+                          text_field=text_field, id_field=id_field),
+                      "s5_perplexity")
     # 6. per-source caps
     if max_per_source is not None:
-        out = PK.cap_per_source(out, max_per_source, id_field=id_field)
-    # 7. token-budget mixing
+        out = barrier(PK.cap_per_source(out, max_per_source,
+                                        id_field=id_field),
+                      "s6_source_cap")
+    # 7. token-budget mixing (cost_field derived when the input lacks it)
     if mix_weights and mix_budget:
-        out = MX.mix_corpus(out, mix_weights, budget=mix_budget,
-                            id_field=id_field)
+        if cost_field not in out.columns:
+            out = out.withColumn(cost_field,
+                                 TX.char_count(F.col(text_field)))
+        out = barrier(MX.mix_corpus(out, mix_weights, budget=mix_budget,
+                                    cost_field=cost_field,
+                                    id_field=id_field),
+                      "s7_mix")
     # 8. training-order shuffle
     return shuffle_corpus(out, n_shards=n_shards, seed=seed,
                           id_field=id_field)
