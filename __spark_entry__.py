@@ -674,6 +674,23 @@ def q_lm_score(spark, sf_dir):
                .limit(15))
 
 
+def q_lm_score_bigram(spark, sf_dir):
+    """Interpolated bigram LM (llmops.lm — the CCNet 5-gram KenLM's
+    next-rung stand-in): add-k bigram with unigram backoff, trained and
+    applied as DataFrames (no driver model, vocab never force-broadcast).
+    Scores every document's mean -log2 p(token | prev); the 15 most
+    'surprising' documents returned.  Per-token bits round to 6dp and
+    sum as DECIMAL — order-independent, oracle-portable."""
+    from tostore_spark.llmops import lm as LM
+    db = _db(spark, sf_dir)
+    docs = db.df("documents")
+    model = LM.train_ngram_lm(docs, n=2)
+    out = LM.ngram_bits_per_token(docs, model)
+    return (out.select("id", "n_tokens", "bits_per_token")
+               .orderBy(F.col("bits_per_token").desc(), F.col("id").asc())
+               .limit(15))
+
+
 def q_corpus_shuffle(spark, sf_dir):
     """Deterministic training-order shuffle (the last pipeline stage
     before a run): seeded-hash shard + within-shard position; the only
@@ -1432,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_containment": q_containment,         # NEW in r5
         "q_winnow_overlap": q_winnow_overlap,   # NEW in r5
         "q_curate_corpus": q_curate_corpus,     # NEW in r6
+        "q_lm_score_bigram": q_lm_score_bigram,  # NEW in r6
         # --- slots 24-29: r2-era rows (oldest, verdict-named) ---
         "q_neq_null_semantics": q_neq_null_semantics,
         "q_multiop_or": q_multiop_or,
@@ -1867,6 +1885,43 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(bits AS DECIMAL(18,6))) AS DOUBLE)
                          / count(*), 6) AS bits_per_token
             FROM b GROUP BY id
+            ORDER BY bits_per_token DESC, id LIMIT 15""",
+        # interpolated bigram LM: the (1.0 - 0.7) is deliberate — Spark
+        # computes the unigram weight at runtime as 1.0 - lam, and that
+        # double differs from the literal 0.3 in the last ulp
+        "q_lm_score_bigram": f"""
+            WITH t AS (SELECT doc_id AS id, {_TOKENS} AS tk FROM documents),
+            nz AS (SELECT id, tk FROM t WHERE len(tk) > 0),
+            pairs AS (
+              SELECT id,
+                     unnest([CASE WHEN i = 1 THEN '<s>' ELSE tk[i-1] END
+                             for i in range(1, len(tk) + 1)]) AS prev,
+                     unnest([tk[i]
+                             for i in range(1, len(tk) + 1)]) AS token
+              FROM nz),
+            b2 AS (SELECT prev, token, count(*) AS tf2
+                   FROM pairs GROUP BY 1, 2),
+            ctx AS (SELECT prev, CAST(sum(tf2) AS BIGINT) AS ctf
+                    FROM b2 GROUP BY prev),
+            uni AS (SELECT token, count(*) AS tf FROM pairs GROUP BY token),
+            c AS (SELECT CAST(sum(tf) AS DOUBLE) AS T,
+                         CAST(count(*) AS DOUBLE) AS V FROM uni),
+            sc AS (
+              SELECT pairs.id,
+                     round(-log2(
+                         0.7 * ((coalesce(CAST(b2.tf2 AS DOUBLE), 0.0) + 0.5)
+                                / (coalesce(CAST(ctx.ctf AS DOUBLE), 0.0)
+                                   + 0.5 * c.V))
+                         + (1.0 - 0.7)
+                           * ((coalesce(CAST(uni.tf AS DOUBLE), 0.0) + 0.5)
+                              / (c.T + 0.5 * c.V))), 6) AS bits
+              FROM pairs LEFT JOIN b2 USING (prev, token)
+                         LEFT JOIN ctx USING (prev)
+                         LEFT JOIN uni USING (token), c)
+            SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(CAST(sum(CAST(bits AS DECIMAL(18,6))) AS DOUBLE)
+                         / count(*), 6) AS bits_per_token
+            FROM sc GROUP BY id
             ORDER BY bits_per_token DESC, id LIMIT 15""",
         "q_corpus_shuffle": """
             WITH k AS (

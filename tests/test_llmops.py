@@ -836,6 +836,55 @@ def test_perplexity_filter_drops_surprising(spark):
     assert 100 in kept and kept[100] is None   # no-signal doc kept
 
 
+def test_bigram_rows_transitions(spark):
+    """Each document becomes its bigram transition stream, first token
+    conditioned on the BOS sentinel; empty docs emit nothing."""
+    from tostore_spark.llmops.lm import BOS, bigram_rows
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "hi"), (3, "")], ["doc_id", "text"])
+    got = {(r["id"], r["prev"], r["token"])
+           for r in bigram_rows(docs).collect()}
+    assert got == {(1, BOS, "the"), (1, "the", "cat"), (1, "cat", "sat"),
+                   (2, BOS, "hi")}
+
+
+def test_bigram_lm_catches_scrambled_word_order(spark):
+    """The bigram signal the unigram LM cannot see: a document with the
+    corpus's exact token DISTRIBUTION but shuffled order scores high
+    bits under the bigram model (improbable transitions) while the
+    unigram model scores it identical to the normal docs."""
+    from tostore_spark.llmops import lm as LM
+    from tostore_spark.llmops.text import lm_bits_per_token, train_unigram_lm
+    rows = [(i, "the cat sat on the mat") for i in range(12)]
+    rows.append((99, "mat the on sat cat the"))   # same tokens, shuffled
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uni = train_unigram_lm(docs)
+    ub = {r["id"]: r["bits_per_token"]
+          for r in lm_bits_per_token(docs, uni).collect()}
+    assert ub[99] == ub[0]                        # unigram is blind to order
+    model = LM.train_ngram_lm(docs, n=2)
+    bb = {r["id"]: r["bits_per_token"]
+          for r in LM.ngram_bits_per_token(docs, model).collect()}
+    assert bb[99] > bb[0]                         # bigram sees it
+    out = LM.ngram_perplexity_filter(docs, model, drop_pct=0.05)
+    kept = {r["doc_id"]: r["bits_per_token"] for r in out.collect()}
+    assert 99 not in kept
+    assert set(range(12)) <= set(kept)
+
+
+def test_bigram_filter_keeps_null_scored_docs(spark):
+    from tostore_spark.llmops import lm as LM
+    rows = [(i, "steady words flow here") for i in range(5)]
+    rows.append((100, ""))                        # zero tokens
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    model = LM.train_ngram_lm(docs)
+    out = LM.ngram_perplexity_filter(docs, model, drop_pct=0.1)
+    kept = {r["doc_id"]: r["bits_per_token"] for r in out.collect()}
+    assert 100 in kept and kept[100] is None
+    with pytest.raises(ValueError, match="n=2"):
+        LM.train_ngram_lm(docs, n=3)
+
+
 def test_curate_corpus_end_to_end(spark, db):
     """The full curation recipe composes: output is deduped (no repeated
     content hash), capped per source, shuffled deterministically, and

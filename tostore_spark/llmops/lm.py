@@ -1,0 +1,164 @@
+"""Higher-order n-gram language models for perplexity filtering.
+
+The CCNet pipeline's operative quality signal is a 5-gram KenLM; the
+unigram LM in ``llmops.text`` is the honest single-table stand-in.  This
+module adds the next rung: a BIGRAM LM with add-k smoothing interpolated
+against the unigram distribution — trained, stored and applied entirely
+as DataFrames, so the LM scales with the corpus (no driver-side model
+object, no broadcast cap on the vocabulary).
+
+Model: for each document token stream prefixed with a BOS sentinel,
+
+    p(w | c) = lam * (tf2(c,w) + k) / (ctf(c) + k*V)     # bigram, add-k
+             + (1 - lam) * (tf(w) + k) / (T + k*V)       # unigram backoff
+
+where tf2 = bigram count, ctf = context count, tf = unigram count,
+T = corpus tokens, V = vocabulary size.  Unseen contexts degrade to the
+uniform 1/V bigram term plus the unigram — never zero, never NaN.
+
+Scale shape (both train and score): one explode per document, hash
+aggregates on uniform (context, token) keys, then plain equi-joins —
+AQE broadcasts the LM side by itself when the vocab is small; a forced
+broadcast would cap the model at the 8 GB limit, so none is used.
+Per-token bits round to 6 decimals and sum as DECIMAL, making every
+aggregate order-independent and engine-portable for the DuckDB oracle
+(the same discipline as ``text.lm_bits_per_token``).
+
+Reference intent: the reference stores no LM (its quality surface is
+schema validation); this is parity-plus for the training-data pipeline,
+following CCNet (Wenzek et al., 2019, arXiv:1911.00359) in shape.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tostore_spark.llmops import text as TX
+
+#: beginning-of-document context sentinel.  ``text.tokens`` emits only
+#: [a-z0-9]+ runs, so the sentinel can never collide with a real token.
+BOS = "<s>"
+
+
+@dataclass
+class NGramLM:
+    """A trained n-gram LM as a set of count frames (persist each as
+    parquet for reuse across runs — the artifact form a web-scale
+    pipeline trains once and applies everywhere).
+
+    ``bigrams``: (prev, token, tf2); ``contexts``: (prev, ctf);
+    ``unigrams``: (token, tf); ``consts``: one row (T, V, add_k, lam)."""
+
+    bigrams: DataFrame
+    contexts: DataFrame
+    unigrams: DataFrame
+    consts: DataFrame
+
+
+def bigram_rows(df: DataFrame, text_field: str = "text",
+                id_field: str = "doc_id") -> DataFrame:
+    """(id, prev, token) rows: each document's token stream as bigram
+    transitions, the first token conditioned on the BOS sentinel.  Pure
+    column math (sequence + transform + posexplode) — one linear pass,
+    no Python in the loop."""
+    t = TX.tokens(F.col(text_field))
+    idx = F.sequence(F.lit(1), F.size(t))
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.when(i == 1, F.lit(BOS))
+             .otherwise(F.element_at(t, i - 1)).alias("prev"),
+            F.element_at(t, i).alias("token")))
+    return (df.filter(F.size(t) > 0)
+              .select(F.col(id_field).alias("id"),
+                      F.explode(pairs).alias("bg"))
+              .select("id", F.col("bg.prev").alias("prev"),
+                      F.col("bg.token").alias("token")))
+
+
+def train_ngram_lm(df: DataFrame, n: int = 2, add_k: float = 0.5,
+                   lam: float = 0.7, text_field: str = "text",
+                   id_field: str = "doc_id") -> NGramLM:
+    """Train the interpolated bigram LM over a reference corpus.
+
+    Three hash aggregates over one bigram explode: (prev, token) counts,
+    context counts (derived from the bigram counts — no second corpus
+    pass), and unigram counts with the corpus totals.  ``n`` is the
+    model order; only n=2 is implemented (n=1 is
+    ``text.train_unigram_lm``)."""
+    if n != 2:
+        raise ValueError(
+            f"train_ngram_lm implements n=2 (got n={n}); "
+            "use text.train_unigram_lm for n=1")
+    bg = bigram_rows(df, text_field=text_field, id_field=id_field)
+    bigrams = (bg.groupBy("prev", "token")
+                 .agg(F.count(F.lit(1)).alias("tf2")))
+    contexts = (bigrams.groupBy("prev")
+                       .agg(F.sum("tf2").alias("ctf")))
+    unigrams = (bg.groupBy("token")
+                  .agg(F.count(F.lit(1)).alias("tf")))
+    consts = (unigrams.agg(F.sum("tf").alias("T"),
+                           F.count(F.lit(1)).alias("V"))
+              .withColumn("add_k", F.lit(float(add_k)))
+              .withColumn("lam", F.lit(float(lam))))
+    return NGramLM(bigrams=bigrams, contexts=contexts,
+                   unigrams=unigrams, consts=consts)
+
+
+def ngram_bits_per_token(df: DataFrame, lm: NGramLM,
+                         text_field: str = "text",
+                         id_field: str = "doc_id") -> DataFrame:
+    """Per-document mean -log2 p(token | prev) under the interpolated
+    bigram LM — the sharper CCNet signal (repetitive/boilerplate text
+    that a unigram model scores as normal shows up as improbable
+    TRANSITIONS).  Returns (id, n_tokens, bits_per_token).
+
+    Shape: one bigram explode, three left equi-joins against the count
+    frames (uniform keys, AQE free to broadcast), one 1-row broadcast of
+    the constants, one per-doc aggregate.  OOV tokens and unseen
+    contexts take the smoothed floors — every document scores."""
+    bg = bigram_rows(df, text_field=text_field, id_field=id_field)
+    joined = (bg.join(lm.bigrams, on=["prev", "token"], how="left")
+                .join(lm.contexts, on="prev", how="left")
+                .join(lm.unigrams, on="token", how="left")
+                .crossJoin(F.broadcast(lm.consts)))
+    k = F.col("add_k")
+    v = F.col("V").cast("double")
+    p_bi = ((F.coalesce(F.col("tf2").cast("double"), F.lit(0.0)) + k)
+            / (F.coalesce(F.col("ctf").cast("double"), F.lit(0.0)) + k * v))
+    p_uni = ((F.coalesce(F.col("tf").cast("double"), F.lit(0.0)) + k)
+             / (F.col("T").cast("double") + k * v))
+    p = F.col("lam") * p_bi + (F.lit(1.0) - F.col("lam")) * p_uni
+    bits = F.round(-F.log2(p), 6).cast("decimal(18,6)")
+    return (joined.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 (F.sum(bits).cast("double")
+                  / F.count(F.lit(1))).alias("__raw"))
+            .withColumn("bits_per_token", F.round(F.col("__raw"), 6))
+            .drop("__raw"))
+
+
+def ngram_perplexity_filter(df: DataFrame, lm: NGramLM,
+                            drop_pct: float = 0.1,
+                            text_field: str = "text",
+                            id_field: str = "doc_id") -> DataFrame:
+    """The CCNet cut with the bigram scorer: drop the ``drop_pct``
+    highest-bits fraction, cut at the exact interpolated percentile of
+    THIS corpus (threshold broadcast in-plan).  Zero-token documents
+    carry no score and are kept (null survives) — same contract as
+    ``text.perplexity_filter``."""
+    scored = ngram_bits_per_token(df, lm, text_field=text_field,
+                                  id_field=id_field)
+    thr = scored.select(F.expr(
+        f"percentile(bits_per_token, {1.0 - float(drop_pct)!r})")
+        .alias("__thr"))
+    return (df.join(scored.select(F.col("id").alias(id_field),
+                                  "bits_per_token"),
+                    on=id_field, how="left")
+              .crossJoin(F.broadcast(thr))
+              .filter(F.col("bits_per_token").isNull()
+                      | (F.col("bits_per_token") <= F.col("__thr")))
+              .drop("__thr"))
