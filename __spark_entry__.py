@@ -674,6 +674,23 @@ def q_lm_score(spark, sf_dir):
                .limit(15))
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """The statistic every BPE training round maximizes: adjacent
+    character-pair frequencies over the distinct-word table, weighted by
+    word frequency (llmops.tokenizer.pair_counts over word_symbols —
+    the only corpus pass in all of BPE training).  Top 50 pairs with a
+    total (count desc, pair lexicographic) order.  The iterative merge
+    rounds on top of this are pinned against a pure-Python reference
+    implementation in pytest (not SQL-expressible)."""
+    from tostore_spark.llmops import tokenizer as TK
+    db = _db(spark, sf_dir)
+    pc = TK.pair_counts(TK.word_symbols(db.df("documents")))
+    return (pc.select("a", "b", "n")
+              .orderBy(F.col("n").desc(), F.col("a").asc(),
+                       F.col("b").asc())
+              .limit(50))
+
+
 def q_lm_score_bigram(spark, sf_dir):
     """Interpolated bigram LM (llmops.lm — the CCNet 5-gram KenLM's
     next-rung stand-in): add-k bigram with unigram backoff, trained and
@@ -1450,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_overlap": q_winnow_overlap,   # NEW in r5
         "q_curate_corpus": q_curate_corpus,     # NEW in r6
         "q_lm_score_bigram": q_lm_score_bigram,  # NEW in r6
+        "q_bpe_pair_counts": q_bpe_pair_counts,  # NEW in r6
         # --- slots 24-29: r2-era rows (oldest, verdict-named) ---
         "q_neq_null_semantics": q_neq_null_semantics,
         "q_multiop_or": q_multiop_or,
@@ -1889,6 +1907,16 @@ def oracle_sql() -> dict[str, str]:
         # interpolated bigram LM: the (1.0 - 0.7) is deliberate — Spark
         # computes the unigram weight at runtime as 1.0 - lam, and that
         # double differs from the literal 0.3 in the last ulp
+        "q_bpe_pair_counts": f"""
+            WITH w AS (SELECT unnest({_TOKENS}) AS word FROM documents),
+            wc AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
+            p AS (SELECT freq,
+                         unnest([word[i] for i in range(1, len(word))]) AS a,
+                         unnest([word[i+1] for i in range(1, len(word))]) AS b
+                  FROM wc WHERE len(word) >= 2)
+            SELECT a, b, CAST(sum(freq) AS BIGINT) AS n
+            FROM p GROUP BY a, b
+            ORDER BY n DESC, a, b LIMIT 50""",
         "q_lm_score_bigram": f"""
             WITH t AS (SELECT doc_id AS id, {_TOKENS} AS tk FROM documents),
             nz AS (SELECT id, tk FROM t WHERE len(tk) > 0),

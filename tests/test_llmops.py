@@ -836,6 +836,80 @@ def test_perplexity_filter_drops_surprising(spark):
     assert 100 in kept and kept[100] is None   # no-signal doc kept
 
 
+def _ref_bpe(word_freqs, num_merges, min_count=2):
+    """Independent pure-Python BPE (Sennrich-style): the ground truth the
+    distributed trainer must reproduce merge-for-merge."""
+    syms = {w: list(w) for w in word_freqs}
+    merges = []
+    for rank in range(num_merges):
+        counts = {}
+        for w, f in word_freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if n < min_count:
+            break
+        merges.append((rank, a, b, n))
+        for w, s in syms.items():
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges, syms
+
+
+def test_bpe_training_matches_python_reference(spark):
+    """train_bpe reproduces the reference implementation exactly: same
+    merges in the same order with the same counts, and the same final
+    symbol sequence for every word (including overlap handling and the
+    deterministic tie-break)."""
+    from tostore_spark.llmops import tokenizer as TK
+    texts = ["the cattle battle rattled the little cat",
+             "the cat sat on the cattle mat",
+             "little battles settle little cattle",
+             "aaa aaaa the the the"]          # aaa: overlap-greedy case
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    wf = {}
+    for t in texts:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    ref_merges, ref_syms = _ref_bpe(wf, num_merges=12)
+    model = TK.train_bpe(docs, num_merges=12)
+    assert model.merges == ref_merges
+    got_syms = {r["word"]: list(r["sym"])
+                for r in model.word_tokens.collect()}
+    assert got_syms == ref_syms
+    # determinism: a second training run is identical
+    assert TK.train_bpe(docs, num_merges=12).merges == ref_merges
+
+
+def test_bpe_tokenize_join_form(spark):
+    """Encoding is the join form (word_tokens equi-join, no per-merge
+    expression): known words take their trained symbols, OOV words fall
+    back to characters, empty docs get an empty token array."""
+    from tostore_spark.llmops import tokenizer as TK
+    train = spark.createDataFrame(
+        [(1, "banana bandana banana"), (2, "ban ban banana")],
+        ["doc_id", "text"])
+    model = TK.train_bpe(train, num_merges=6)
+    enc = spark.createDataFrame(
+        [(10, "banana zebra"), (11, "")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           TK.tokenize_bpe(enc, model).collect()}
+    ws = {r["word"]: list(r["sym"]) for r in model.word_tokens.collect()}
+    assert list(out[10]["bpe_tokens"]) == ws["banana"] + list("zebra")
+    assert out[10]["n_bpe_tokens"] == len(ws["banana"]) + 5
+    assert list(out[11]["bpe_tokens"]) == [] and out[11]["n_bpe_tokens"] == 0
+
+
 def test_bigram_rows_transitions(spark):
     """Each document becomes its bigram transition stream, first token
     conditioned on the BOS sentinel; empty docs emit nothing."""
