@@ -674,6 +674,31 @@ def q_lm_score(spark, sf_dir):
                .limit(15))
 
 
+#: fixed classifier weights for the oracle entry (a trained model is a
+#: (weights, intercept) pair — fixing them makes the scored/filtered
+#: output a pure function of the corpus, reproducible in DuckDB; the
+#: TRAINING path is pinned by deterministic-seed pytest instead)
+_CLF_W = [1.6, -3.0, 1.1, 0.05, 0.4, -0.2, 0.3, -0.1]
+_CLF_B = -1.2
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Learned quality-classifier filter (llmops.classifier — the
+    DCLM/CCNet post-perplexity stage): linear model over deterministic
+    column features (capped length, punct/stopword ratios, mean token
+    length, 4 hashed bag-of-words bins), scored map-side.  The entry
+    fixes the weights and returns the kept documents with their logit
+    (threshold 0.5 ⇔ logit >= 0) — the logit, not the sigmoid, because
+    +,*,/ are IEEE-identical across engines while exp() drifts in the
+    last ulp."""
+    from tostore_spark.llmops import classifier as C
+    db = _db(spark, sf_dir)
+    out = C.quality_classifier_filter(db.df("documents"), _CLF_W, _CLF_B,
+                                      threshold=0.5)
+    return out.select("doc_id",
+                      F.round(F.col("clf_logit"), 6).alias("logit_r"))
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """The statistic every BPE training round maximizes: adjacent
     character-pair frequencies over the distinct-word table, weighted by
@@ -1468,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curate_corpus": q_curate_corpus,     # NEW in r6
         "q_lm_score_bigram": q_lm_score_bigram,  # NEW in r6
         "q_bpe_pair_counts": q_bpe_pair_counts,  # NEW in r6
+        "q_quality_classifier": q_quality_classifier,  # NEW in r6
         # --- slots 24-29: r2-era rows (oldest, verdict-named) ---
         "q_neq_null_semantics": q_neq_null_semantics,
         "q_multiop_or": q_multiop_or,
@@ -1907,6 +1933,7 @@ def oracle_sql() -> dict[str, str]:
         # interpolated bigram LM: the (1.0 - 0.7) is deliberate — Spark
         # computes the unigram weight at runtime as 1.0 - lam, and that
         # double differs from the literal 0.3 in the last ulp
+        "q_quality_classifier": _quality_clf_oracle(),
         "q_bpe_pair_counts": f"""
             WITH w AS (SELECT unnest({_TOKENS}) AS word FROM documents),
             wc AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
@@ -2300,6 +2327,37 @@ def _minhash_oracle(pair_where: str = "x.doc_id < y.doc_id") -> str:
         FROM banded x JOIN banded y ON x.band = y.band
         WHERE {pair_where}
         GROUP BY 1, 2"""
+
+
+def _quality_clf_oracle() -> str:
+    """The fixed-weight classifier in DuckDB, feature-for-feature and in
+    the same left-associated accumulation order as
+    classifier.logit_column: z = b + w0·f_len + w1·f_punct + ... — pure
+    arithmetic, so the 6dp-rounded logit matches bit-for-bit."""
+    punct = "[.,!?;:''\"()\\[\\]{}-]"
+    n = f"len({_TOKENS})"
+    f_len = f"least(CAST({n} AS DOUBLE) / 100.0, 1.0)"
+    f_punct = (f"(CASE WHEN len(text) > 0 THEN "
+               f"CAST(len(text) - len(regexp_replace(text, '{punct}', '', 'g')) AS DOUBLE)"
+               f" / len(text) ELSE 0.0 END)")
+    f_stop = (f"(CASE WHEN {n} > 0 THEN "
+              f"CAST(len(list_filter({_TOKENS}, t -> list_contains({_SW_EN}, t))) AS DOUBLE)"
+              f" / {n} ELSE 0.0 END)")
+    f_mtl = (f"(CASE WHEN {n} > 0 THEN "
+             f"CAST(list_sum(list_transform({_TOKENS}, t -> len(t))) AS DOUBLE)"
+             f" / {n} ELSE 0.0 END)")
+    feats = [f_len, f_punct, f_stop, f_mtl]
+    for j in range(4):
+        feats.append(
+            f"(CAST(len(list_filter({_TOKENS}, t -> "
+            f"('0x' || substr(md5(t), 1, 8))::BIGINT % 4 = {j})) AS DOUBLE)"
+            f" / CAST(greatest({n}, 1) AS DOUBLE))")
+    z = f"{_CLF_B!r}"
+    for w, f in zip(_CLF_W, feats):
+        z += f" + {w!r} * ({f})"
+    return f"""
+        WITH s AS (SELECT doc_id, ({z}) AS z FROM documents)
+        SELECT doc_id, round(z, 6) AS logit_r FROM s WHERE z >= 0.0"""
 
 
 def _curate_oracle() -> str:

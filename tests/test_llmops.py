@@ -836,6 +836,43 @@ def test_perplexity_filter_drops_surprising(spark):
     assert 100 in kept and kept[100] is None   # no-signal doc kept
 
 
+def test_quality_classifier_trains_and_separates(spark):
+    """Spark ML logistic regression over the deterministic feature set:
+    training is reproducible (same data -> same model to 6dp) and the
+    learned filter separates clean prose from punctuation/garbage spam
+    on held-out documents, scored map-side (no model object in the
+    plan)."""
+    from tostore_spark.llmops import classifier as C
+    good = [f"the quick brown fox number {i} jumps over the lazy dog and "
+            "it is a fine day in the park with friends" for i in range(30)]
+    bad = [("!!! ??? *** " * 4) + f"@@@ ###{i}" for i in range(30)]
+    labeled = spark.createDataFrame(
+        [(i, t, 1.0) for i, t in enumerate(good)]
+        + [(100 + i, t, 0.0) for i, t in enumerate(bad)],
+        ["doc_id", "text", "label"])
+    w1, b1 = C.train_quality_classifier(labeled)
+    w2, b2 = C.train_quality_classifier(labeled)
+    assert [round(x, 6) for x in w1] == [round(x, 6) for x in w2]
+    assert round(b1, 6) == round(b2, 6)
+    held = spark.createDataFrame(
+        [(1, "a calm clear morning walk by the river with the birds"),
+         (2, "%%% !!! ??? ::: ;;; ((( )))")],
+        ["doc_id", "text"])
+    kept = {r["doc_id"]
+            for r in C.quality_classifier_filter(held, w1, b1).collect()}
+    assert kept == {1}
+    scored = {r["doc_id"]: r["clf_score"]
+              for r in C.score_quality(held, w1, b1).collect()}
+    assert scored[1] > 0.5 > scored[2]
+    # hash-bin features partition the tokens (they sum to ~1)
+    f = C.clf_features(held).filter(F.col("doc_id") == 1).collect()[0]
+    assert sum(f[f"f_h{j}"] for j in range(4)) == pytest.approx(1.0)
+    with pytest.raises(ValueError, match="threshold"):
+        C.quality_classifier_filter(held, w1, b1, threshold=1.5)
+    with pytest.raises(ValueError, match="weights"):
+        C.score_quality(held, [1.0], 0.0)
+
+
 def _ref_bpe(word_freqs, num_merges, min_count=2):
     """Independent pure-Python BPE (Sennrich-style): the ground truth the
     distributed trainer must reproduce merge-for-merge."""
