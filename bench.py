@@ -150,6 +150,75 @@ def _sf1_spot(spark, sf_dir: str, headline_cold: dict) -> dict | None:
     }
 
 
+def _recall_gate(spark, sf_dir: str) -> dict | None:
+    """Measured ANN recall@10 at the bench scale, recorded in the JSON
+    line every round so a recall regression shows up in the artifact
+    diff — the pytest >= 0.9 floor catches breakage, this catches
+    DRIFT.  IVF: the distributed ivf_measure_recall (batch IVF vs exact
+    knn_join over a deterministic 20-query sample).  IVF+PQ: mean over
+    5 deterministic queries of the ADC+re-rank path vs the exact top-10
+    (the pytest's shape, at sf0.1).  Set SPARK_GRAFT_RECALL=0 to skip."""
+    if os.environ.get("SPARK_GRAFT_RECALL", "1") != "1":
+        return None
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from tostore_spark.llmops import pq as PQ
+    from tostore_spark.llmops import similarity as sim
+
+    t0 = time.time()
+    emb = entrymod._db(spark, sf_dir).df("embeddings") \
+                  .select("vec_id", "embedding")
+    enc, cents = sim.ivf_build(emb, n_cells=16)
+    enc = enc.localCheckpoint(eager=True)
+    # recall at two probe depths: the curve shows the recall/cost knob
+    # (nprobe/n_cells of the corpus scanned), the fixed params make
+    # cross-round drift visible
+    ivf_recall = {
+        f"nprobe_{np_}": round(sim.ivf_measure_recall(
+            enc, cents, k=10, nprobe=np_, n_queries=20), 4)
+        for np_ in (2, 4)}
+
+    pq_enc, pq_cents, books = PQ.ivfpq_build(emb, n_cells=16, m=8,
+                                             n_codes=64, sample=500)
+    pq_enc = pq_enc.localCheckpoint(eager=True)
+    queries = (emb.orderBy(F.md5(F.col("vec_id").cast("string")).asc(),
+                           F.col("vec_id").asc())
+                  .limit(5).collect())
+    recalls = []
+    for row in queries:
+        qv = [float(x) for x in row["embedding"]]
+        exact = {r["neighbor_id"] for r in
+                 sim.knn_join(
+                     spark.createDataFrame([(row["vec_id"], qv)],
+                                           ["query_id", "qv"]),
+                     emb, k=11, query_vec="qv", corpus_vec="embedding",
+                     query_id="query_id", corpus_id="vec_id",
+                     metric="cosine").collect()
+                 if r["neighbor_id"] != row["vec_id"]}
+        approx = {r["vec_id"] for r in
+                  PQ.ivfpq_search(pq_enc, pq_cents, books, qv, k=11,
+                                  nprobe=4, rerank_field="embedding",
+                                  oversample=8).collect()
+                  if r["vec_id"] != row["vec_id"]}
+        denom = min(len(exact), 10) or 1
+        recalls.append(len(exact & approx) / denom)
+    spark.catalog.clearCache()
+    out = {
+        "k": 10,
+        "ivf_recall_at_10": ivf_recall,
+        "ivf_params": {"n_cells": 16, "n_queries": 20},
+        "ivfpq_recall_at_10": round(sum(recalls) / len(recalls), 4),
+        "ivfpq_params": {"n_cells": 16, "m": 8, "n_codes": 64,
+                         "nprobe": 4, "oversample": 8, "n_queries": 5},
+        "measure_sec": round(time.time() - t0, 3),
+    }
+    print(f"# recall: ivf={out['ivf_recall_at_10']} "
+          f"ivfpq={out['ivfpq_recall_at_10']} "
+          f"({out['measure_sec']}s)", file=sys.stderr)
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -217,6 +286,7 @@ def main():
 
     total_cold = round(sum(cold.values()), 3)
     total_warm = round(sum(warm.values()), 3)
+    recall = _recall_gate(spark, sf_dir)
     sf1 = _sf1_spot(spark, sf_dir, cold)
     print(json.dumps({
         "metric": "headline_queries_total_sec",
@@ -227,6 +297,7 @@ def main():
         "queries_warm": warm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "canary_sec": canary,
+        "recall": recall,
         "sf1_spot": sf1,
         "methodology": ("cold_first_run (value/queries; r1-comparable) "
                         "+ steady_state_second_run (value_warm/queries_warm; "

@@ -402,6 +402,41 @@ def test_cross_engine_watch_conflict_raises(spark, tmp_path_factory):
             .collect()[0]["n_name"] == "LOCAL"
 
 
+def test_manifest_stream_event_push(spark, tmp_path_factory):
+    """Event-push cross-engine watch: engine B's live watch() observes
+    engine A's flush through the Structured Streaming manifest-event
+    source — B never calls check_remote_changes itself — and the folded
+    state equals what a poll would have produced."""
+    import time as _t
+
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.streaming.reactive import start_manifest_stream
+    wh = str(tmp_path_factory.mktemp("wh_evpush"))
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    seen = []
+    b.watch(b.query("nation").select(["n_nationkey", "n_name"])
+             .where("n_nationkey", "=", 0).limit(1),
+            lambda recs: seen.append(recs[0]["n_name"]))
+    assert seen == [seen[0]]             # initial emission only
+    q = start_manifest_stream(b, trigger="200 milliseconds")
+    try:
+        a.update("nation", {"n_name": "PUSHED"}) \
+         .where("n_nationkey", "=", 0).execute()
+        a.flush()
+        deadline = _t.time() + 60
+        while _t.time() < deadline and (not seen or seen[-1] != "PUSHED"):
+            _t.sleep(0.2)                # the TEST waits; B never polls
+        assert seen[-1] == "PUSHED"
+        assert b.last_remote_error is None
+        # stream-fold state == poll-fold state: a poll now finds nothing
+        assert b.check_remote_changes() == []
+        assert b.df("nation").filter("n_nationkey = 0") \
+                .collect()[0]["n_name"] == "PUSHED"
+    finally:
+        q.stop()
+
+
 def test_remote_watch_poller_thread(spark, tmp_path_factory):
     """start_remote_watch: the daemon poller delivers the remote flush
     without an explicit check call."""

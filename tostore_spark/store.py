@@ -267,6 +267,7 @@ def flush_tables(engine, flush_storage: bool = True) -> list[str]:
             if merge_from is not None:
                 manifest = _merge_manifests(engine, manifest, merge_from)
             write_manifest(wh, manifest, fs=fs)
+            _write_flush_event(fs, wh, engine._store_seq, flushed)
             if merge_from is not None:
                 _fold_merged(engine, manifest)
             if hasattr(engine, "_kv"):
@@ -275,6 +276,34 @@ def flush_tables(engine, flush_storage: bool = True) -> list[str]:
         if durable:
             lock.release()
     return flushed
+
+
+#: per-flush event directory: one NEW json file per committed flush.
+#: The manifest itself is atomically REPLACED in place, which a
+#: Structured Streaming file source cannot observe (file sources track
+#: arrivals, not modifications) — the event log turns every commit into
+#: a file-arrival event, giving cross-engine ``watch`` a push path
+#: (streaming/reactive.start_manifest_stream) instead of mtime polling.
+#: The reference's analog is the in-process change-event push
+#: (notification_manager.dart:9-40).
+_EVENTS_DIR = "_events"
+
+
+def _write_flush_event(fs, warehouse: str, seq: int,
+                       tables: list[str]) -> None:
+    import datetime
+    evdir = _fsmod.join(warehouse, _EVENTS_DIR)
+    try:
+        fs.mkdirs(evdir)
+        rec = json.dumps({
+            "seq": seq, "tables": tables,
+            "ts": datetime.datetime.now(datetime.timezone.utc).isoformat()})
+        fs.write_atomic(
+            _fsmod.join(evdir, f"evt_{seq:012d}_{uuid.uuid4().hex[:8]}.json"),
+            rec)
+    except OSError:
+        pass   # the commit itself (manifest) already succeeded; the
+        #        event is a notification optimization, never durability
 
 
 def _kv_from_manifest(man: dict | None) -> dict:
@@ -569,6 +598,15 @@ def vacuum(engine, keep: int = 1) -> int:
     pinned = getattr(engine, "_pinned_versions", set())
     removed = 0
     wh = engine._warehouse
+    # prune the flush-event log too (keep the newest 100 — enough for
+    # any live stream to catch up; a stream only acts on seq > loaded)
+    evdir = _fsmod.join(wh, _EVENTS_DIR)
+    if fs.is_dir(evdir):
+        evs = sorted(d for d in fs.listdir(evdir)
+                     if d.startswith("evt_") and d.endswith(".json"))
+        for d in evs[:-100]:
+            fs.delete(_fsmod.join(evdir, d))
+            removed += 1
     for (space, name), cur_path in current.items():
         tdir = _fsmod.join(wh, space, name)
         if not fs.is_dir(tdir):

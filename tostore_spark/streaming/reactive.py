@@ -88,6 +88,58 @@ class StreamQueryBuilder:
         return n
 
 
+def start_manifest_stream(engine, trigger: str = "1 second"):
+    """Event-PUSH cross-engine watch: a Structured Streaming file source
+    on the warehouse's ``_events`` directory (``store.flush_tables``
+    writes one event file per committed flush), replacing mtime polling —
+    watch latency drops from poll-interval to the micro-batch trigger.
+
+    Each arriving event batch with a seq past this engine's loaded seq
+    drives the SAME fold path a poll would (``check_remote_changes``:
+    refresh + watcher re-query notifications), so stream and poll
+    observe identical state.  A true write conflict is recorded on
+    ``engine.last_remote_error`` and the stream keeps running (local
+    state kept; the owner resolves via refresh/re-derive) — the same
+    contract as ``engine.start_remote_watch``.
+
+    Returns the ``StreamingQuery``; stop with ``.stop()``.  Reference:
+    in-process change-event push, notification_manager.dart:9-40.
+
+    Scale shape: the source lists one tiny directory per trigger and
+    reads only NEW event files (bytes, not tables); the fold reads the
+    manifest once per remote commit.  Old events are pruned by
+    ``vacuum()``; a fresh stream skips pre-existing events via the seq
+    guard."""
+    from pyspark.sql.types import (ArrayType, LongType, StringType,
+                                   StructField, StructType)
+
+    from tostore_spark import fs as _fsmod
+    from tostore_spark import store as _store
+
+    if not getattr(engine, "_warehouse", None):
+        raise ValueError("start_manifest_stream needs a warehouse")
+    evdir = _fsmod.join(engine._warehouse, _store._EVENTS_DIR)
+    _store._fs(engine).mkdirs(evdir)   # source dir must exist at start
+    schema = StructType([StructField("seq", LongType()),
+                         StructField("tables", ArrayType(StringType())),
+                         StructField("ts", StringType())])
+    engine.last_remote_error = None
+
+    def _on_batch(batch_df, _batch_id):
+        try:
+            seqs = [r["seq"] for r in batch_df.select("seq").collect()]
+            if any(s > getattr(engine, "_store_seq", 0) for s in seqs):
+                engine.check_remote_changes()
+        except Exception as exc:   # conflict or transient FS error
+            engine.last_remote_error = exc
+
+    return (engine.spark.readStream.schema(schema).json(evdir)
+            .writeStream.foreachBatch(_on_batch)
+            .trigger(processingTime=trigger)
+            .queryName(f"tostore-manifest-watch-{id(engine)}")
+            .start())
+
+
 def stream_events(spark, source_dir: str, schema, window: str = "1 hour",
                   watermark: str = "2 hours",
                   value_field: str = "value", ts_field: str = "ts") -> DataFrame:
