@@ -1,0 +1,231 @@
+"""SCD2 history merge, incremental MV maintenance, pivot/unpivot,
+grouping sets, heavy hitters, query set ops, topic-balanced sampling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tostore_spark.functions.skew import heavy_hitters
+from tostore_spark.plans.mv import mv_build, mv_delta, mv_merge
+from tostore_spark.plans.pivot import pivot_table, unpivot
+from tostore_spark.plans.rollup import grouping_sets
+from tostore_spark.plans.scd import scd2_apply, scd2_init
+
+
+# ---------------------------------------------------------------- SCD2
+def _hist(spark):
+    dim = spark.createDataFrame(
+        [(1, "gold", "EU"), (2, "silver", "US"), (3, "gold", "APAC")],
+        "k int, tier string, region string")
+    return scd2_init(dim, effective="2020-01-01 00:00:00")
+
+
+def test_scd2_init_all_open(spark):
+    h = _hist(spark)
+    rows = h.collect()
+    assert len(rows) == 3
+    assert all(r.is_current and r.valid_to is None for r in rows)
+
+
+def test_scd2_change_new_unchanged_and_stale(spark):
+    h = _hist(spark)
+    upd = spark.createDataFrame(
+        [(1, "plat", "EU", "2021-06-01 00:00:00"),     # changed attr
+         (2, "silver", "US", "2021-06-01 00:00:00"),   # unchanged → no-op
+         (4, "bronze", "EU", "2021-06-01 00:00:00"),   # brand-new key
+         (3, "stale", "APAC", "2019-01-01 00:00:00")], # older than open row
+        "k int, tier string, region string, effective_ts string")
+    upd = upd.withColumn("effective_ts",
+                         F.col("effective_ts").cast("timestamp"))
+    out = scd2_apply(h, upd, keys=["k"], tracked=["tier", "region"])
+    rows = {(r.k, r.is_current): r for r in out.collect()}
+    assert len(rows) == 5  # 3 open survivors/new + closed k=1 + new k=1
+    closed = rows[(1, False)]
+    assert str(closed.valid_to).startswith("2021-06-01")
+    assert closed.tier == "gold"
+    assert rows[(1, True)].tier == "plat"
+    assert rows[(2, True)].tier == "silver"       # idempotent no-op
+    assert rows[(4, True)].tier == "bronze"       # new key opened
+    assert rows[(3, True)].tier == "gold"         # stale update ignored
+
+
+def test_scd2_latest_update_per_key_wins(spark):
+    h = _hist(spark)
+    upd = spark.createDataFrame(
+        [(1, "a", "EU", "2021-01-01 00:00:00"),
+         (1, "b", "EU", "2021-02-01 00:00:00")],
+        "k int, tier string, region string, effective_ts string")
+    upd = upd.withColumn("effective_ts",
+                         F.col("effective_ts").cast("timestamp"))
+    out = scd2_apply(h, upd, keys=["k"], tracked=["tier", "region"])
+    cur = out.filter(F.col("is_current") & (F.col("k") == 1)).collect()
+    assert len(cur) == 1 and cur[0].tier == "b"
+
+
+def test_scd2_second_batch_composes(spark):
+    h = _hist(spark)
+    mk = lambda rows: (  # noqa: E731
+        h.sparkSession.createDataFrame(
+            rows, "k int, tier string, region string, effective_ts string")
+        .withColumn("effective_ts", F.col("effective_ts").cast("timestamp")))
+    h1 = scd2_apply(h, mk([(1, "plat", "EU", "2021-01-01 00:00:00")]),
+                    ["k"], ["tier", "region"])
+    h2 = scd2_apply(h1, mk([(1, "diamond", "EU", "2022-01-01 00:00:00")]),
+                    ["k"], ["tier", "region"])
+    k1 = sorted(h2.filter(F.col("k") == 1).collect(),
+                key=lambda r: str(r.valid_from))
+    assert [r.tier for r in k1] == ["gold", "plat", "diamond"]
+    assert [r.is_current for r in k1] == [False, False, True]
+    # closed intervals chain: valid_to == next valid_from
+    assert k1[0].valid_to == k1[1].valid_from
+    assert k1[1].valid_to == k1[2].valid_from
+
+
+# ---------------------------------------------------------------- MV
+def test_mv_incremental_matches_recompute(spark, db):
+    orders = db.df("orders")
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    ins = orders.filter(F.col("o_orderkey") % 3 == 0)
+    dele = base.filter(F.col("o_orderkey") % 5 == 0)
+
+    mv = mv_build(base, ["o_custkey"], sums=["o_totalprice"])
+    merged = mv_merge(mv,
+                      mv_delta(ins, ["o_custkey"], sums=["o_totalprice"]),
+                      mv_delta(dele, ["o_custkey"], sums=["o_totalprice"],
+                               sign=-1))
+    truth = mv_build(
+        base.exceptAll(dele).unionByName(ins),
+        ["o_custkey"], sums=["o_totalprice"])
+    got = {r.o_custkey: (r.n, r["sum_o_totalprice"])
+           for r in merged.collect()}
+    want = {r.o_custkey: (r.n, r["sum_o_totalprice"])
+            for r in truth.collect()}
+    assert got == want  # decimal partials → bit-exact retraction
+
+
+def test_mv_full_retraction_drops_group(spark):
+    fact = spark.createDataFrame([(1, 10.0), (2, 5.0)], "k int, v double")
+    mv = mv_build(fact, ["k"], sums=["v"])
+    merged = mv_merge(mv, mv_delta(fact.filter("k = 1"), ["k"],
+                                   sums=["v"], sign=-1))
+    assert [r.k for r in merged.collect()] == [2]
+
+
+# ------------------------------------------------------- pivot/unpivot
+def test_pivot_counts_and_sums(spark, db, duck):
+    orders = db.df("orders")
+    out = pivot_table(orders, ["o_orderpriority"], "o_orderstatus",
+                      values=["F", "O", "P"], agg="count").collect()
+    want = {r[0]: (r[1], r[2], r[3]) for r in duck.execute("""
+        SELECT o_orderpriority,
+               count(*) FILTER (o_orderstatus='F'),
+               count(*) FILTER (o_orderstatus='O'),
+               count(*) FILTER (o_orderstatus='P')
+        FROM orders GROUP BY 1""").fetchall()}
+    got = {r.o_orderpriority: (r.F_count, r.O_count, r.P_count)
+           for r in out}
+    assert got == want
+
+
+def test_pivot_requires_known_agg(spark, db):
+    with pytest.raises(ValueError):
+        pivot_table(db.df("orders"), ["o_orderpriority"],
+                    "o_orderstatus", ["F"], agg="median")
+
+
+def test_unpivot_roundtrip_count(spark, db):
+    cust = db.df("customer").limit(50)
+    long = unpivot(cust, ["c_custkey"], ["c_acctbal", "c_nationkey"])
+    assert long.count() == 100
+    back = (long.groupBy("c_custkey")
+            .pivot("variable", ["c_acctbal", "c_nationkey"])
+            .agg(F.first("value")))
+    orig = {r.c_custkey: (r.c_acctbal, float(r.c_nationkey))
+            for r in cust.collect()}
+    got = {r.c_custkey: (r.c_acctbal, r.c_nationkey)
+           for r in back.collect()}
+    assert got == orig
+
+
+# ------------------------------------------------------- grouping sets
+def test_grouping_sets_matches_duck(spark, db, duck):
+    out = grouping_sets(db.df("orders"),
+                        [["o_orderstatus", "o_orderpriority"],
+                         ["o_orderstatus"], []],
+                        value_field="o_totalprice")
+    got = {(r.o_orderstatus, r.o_orderpriority, r.gid):
+           (r.n, round(r.sum_value, 4)) for r in out.collect()}
+    want = {(s, p, g): (n, round(sv, 4)) for s, p, g, n, sv in duck.execute("""
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus, o_orderpriority) AS gid,
+               count(1) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())""").fetchall()}
+    assert got == want
+
+
+# ------------------------------------------------------- heavy hitters
+def test_heavy_hitters_exact(spark, db, duck):
+    out = heavy_hitters(db.df("events"), ["event_type"], min_share=0.1)
+    got = {r.event_type: (r.n, round(r.share, 9)) for r in out.collect()}
+    want = {t: (n, round(s, 9)) for t, n, s in duck.execute("""
+        WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        t AS (SELECT count(*) AS total FROM events)
+        SELECT event_type, n, n / total FROM c, t
+        WHERE n / total >= 0.1""").fetchall()}
+    assert got == want
+    # the result is bounded by 1/s regardless of input size
+    assert len(got) <= 10
+
+
+# ------------------------------------------------------------- set ops
+def test_query_set_ops(db, duck):
+    big = (db.query("customer").where("c_acctbal", ">", 8000)
+           .select(["c_custkey"]))
+    seg = (db.query("customer").where("c_mktsegment", "=", "BUILDING")
+           .select(["c_custkey"]))
+    n_union = big.union(seg).count()
+    n_inter = big.intersect(seg).count()
+    n_exc = big.except_(seg).count()
+    w_union, w_inter, w_exc = [duck.execute(f"""
+        SELECT count(*) FROM (
+          SELECT c_custkey FROM customer WHERE c_acctbal > 8000
+          {op}
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        """).fetchone()[0] for op in ("UNION", "INTERSECT", "EXCEPT")]
+    assert (n_union, n_inter, n_exc) == (w_union, w_inter, w_exc)
+    # inclusion-exclusion sanity: |A∪B| = |A| + |B| − |A∩B|
+    assert n_union == big.df().count() + seg.df().count() - n_inter
+
+
+def test_query_set_ops_all_variants(db):
+    a = db.query("orders").select(["o_orderstatus"])
+    b = db.query("orders").where("o_orderstatus", "=", "F") \
+        .select(["o_orderstatus"])
+    total = a.df().count()
+    nf = b.df().count()
+    assert a.union(b, all=True).count() == total + nf
+    assert a.intersect(b, all=True).count() == nf
+    assert a.except_(b, all=True).count() == total - nf
+
+
+# ------------------------------------------- topic-balanced sampling
+def test_topic_balanced_sample(spark, db):
+    from tostore_spark.llmops.pipeline import topic_balanced_sample
+    from tostore_spark.llmops.similarity import fixed_centroids
+
+    emb = db.df("embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    cents = fixed_centroids(dim, 8)
+    out = topic_balanced_sample(emb, per_cell=5, n_cells=8,
+                                centroids=cents)
+    per = {r.cell_id: r.n for r in
+           out.groupBy("cell_id").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 5 for n in per.values())
+    # deterministic: same call → same ids
+    ids1 = sorted(r.vec_id for r in out.select("vec_id").collect())
+    out2 = topic_balanced_sample(emb, per_cell=5, n_cells=8,
+                                 centroids=cents)
+    ids2 = sorted(r.vec_id for r in out2.select("vec_id").collect())
+    assert ids1 == ids2

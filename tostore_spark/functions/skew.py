@@ -81,3 +81,27 @@ def salted_join(left: DataFrame, right: DataFrame, on: str,
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     out = l2.join(r2, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def heavy_hitters(df: DataFrame, keys: list[str],
+                  min_share: float = 0.01) -> DataFrame:
+    """Exact heavy-hitter detection: keys holding at least ``min_share``
+    of the table, the measurement that DECIDES when to salt.
+
+    Shape: one hash-aggregate over ``keys`` (map-side partial combine —
+    the per-partition partial is at most |distinct keys| rows, and hot
+    keys by definition compress best), the total row count folded in as
+    a 1-row broadcast join inside the same plan (no separate .count()
+    action, no driver round-trip).  Output is tiny (share >= s bounds it
+    to at most 1/s rows), so the result itself is broadcastable straight
+    into a salting decision.
+
+    Returns (keys..., n, share) sorted nowhere — callers order as needed.
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    out = (counts.crossJoin(F.broadcast(total))
+           .withColumn("share", F.col("n") / F.col("__total"))
+           .filter(F.col("share") >= min_share)
+           .drop("__total"))
+    return out

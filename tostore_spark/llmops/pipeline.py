@@ -279,3 +279,35 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
     # 8. training-order shuffle
     return shuffle_corpus(out, n_shards=n_shards, seed=seed,
                           id_field=id_field)
+
+
+def topic_balanced_sample(emb: DataFrame, per_cell: int, n_cells: int = 16,
+                          vec_field: str = "embedding",
+                          id_field: str = "vec_id",
+                          centroids=None) -> DataFrame:
+    """Topic-balanced corpus resampling: cluster the embedding space
+    (the same spherical k-means cells as SemDeDup / IVF), then take
+    EXACTLY ``per_cell`` rows per cell (all rows of smaller cells),
+    deterministically by md5(id) order.
+
+    Web-scale corpora are topically lopsided (a few crawl genres
+    dominate); balancing the training mix per semantic cluster is the
+    embedding-space counterpart of per-source ``stratified_take`` (DoReMi
+    /cluster-balanced sampling motif).  Shape: cell assignment is a
+    map-side Column expression (centroids broadcast in-plan), the
+    per-cell cut is ONE window partitioned by cell_id — no global sort,
+    no collect; re-running selects the same rows.
+
+    Returns the balanced subset with its ``cell_id`` (for mixture
+    reporting).  Reference intent: the vector index's cluster structure
+    (ngh_graph_engine.dart:14-80) reused as a curation signal.
+    """
+    from tostore_spark.llmops.similarity import ivf_build
+
+    indexed, _ = ivf_build(emb, n_cells=n_cells, vec_field=vec_field,
+                           id_field=id_field, centroids=centroids)
+    w = (Window.partitionBy("cell_id")
+         .orderBy(F.md5(F.col(id_field).cast("string")).asc(),
+                  F.col(id_field).asc()))
+    return (indexed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= per_cell).drop("__rn"))

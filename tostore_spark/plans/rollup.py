@@ -41,3 +41,34 @@ def time_rollup(df: DataFrame, ts_field: str = "ts",
     out = reduce(lambda a, b: a.unionByName(b), frames)
     return out.select("granularity", "bucket", "n",
                       F.col("__dec").cast("double").alias("sum_value"))
+
+
+def grouping_sets(df: DataFrame, sets: list[list[str]],
+                  value_field: str, scale: int = 6) -> DataFrame:
+    """GROUP BY GROUPING SETS — arbitrary grouping combinations in ONE
+    pass (rollup/cube are the special cases; this is the general form).
+
+    Expressed through Spark SQL's native GROUPING SETS (a single Expand
+    + hash-aggregate: the input is scanned once and expanded to one
+    replica per set, each partial-aggregated map-side) rather than a
+    union of per-set groupBys, which would scan the input once PER SET —
+    at 100 TB, len(sets) full scans vs one.
+
+    Output: (all grouping columns with null for "not in this set",
+    grouping_id, n, sum_value).  Decimal sums keep cross-set totals
+    bit-identical to a single-set groupBy.
+    """
+    all_cols = []
+    for s in sets:
+        for c in s:
+            if c not in all_cols:
+                all_cols.append(c)
+    sets_sql = ", ".join("(" + ", ".join(s) + ")" for s in sets)
+    cols_sql = ", ".join(all_cols)
+    return df.sparkSession.sql(
+        f"""SELECT {cols_sql}, grouping_id({cols_sql}) AS gid,
+                   count(1) AS n,
+                   CAST(sum(CAST({value_field} AS DECIMAL(28,{scale})))
+                        AS DOUBLE) AS sum_value
+            FROM {{df}} GROUP BY GROUPING SETS ({sets_sql})""",
+        df=df)

@@ -191,6 +191,31 @@ class QueryBuilder:
         self._distinct = list(fields) if fields else True
         return self
 
+    # ---- set operations (parity-plus: the reference only unions
+    # internally for DNF predicate splits, compile.py:150 mirrors that;
+    # these expose the full SQL set algebra on compiled queries) --------
+    def union(self, other: "QueryBuilder", all: bool = False) -> DataFrame:
+        """UNION [ALL] with another compiled query — by column NAME
+        (position-independent), so two projections of the same shape
+        compose regardless of select order.  Distinct union is one
+        hash-aggregate over the combined rows; ALL is a zero-shuffle
+        concatenation."""
+        out = self.df().unionByName(other.df())
+        return out if all else out.distinct()
+
+    def intersect(self, other: "QueryBuilder", all: bool = False) -> DataFrame:
+        """INTERSECT [ALL] (SQL bag semantics for ALL; null-safe equality
+        — Spark's set ops match nulls, unlike = )."""
+        a, b = self.df(), other.df()
+        b = b.select(*a.columns)
+        return a.intersectAll(b) if all else a.intersect(b)
+
+    def except_(self, other: "QueryBuilder", all: bool = False) -> DataFrame:
+        """EXCEPT [ALL] — rows of this query not in ``other``."""
+        a, b = self.df(), other.df()
+        b = b.select(*a.columns)
+        return a.exceptAll(b) if all else a.subtract(b)
+
     def order_by_asc(self, *fields: str):
         self._order_by.extend(fields)
         return self
