@@ -78,6 +78,25 @@ CHECKS: dict[str, list[str]] = {
     # (strategy itself is AQE's choice — broadcast at test SF, SMJ at
     # scale); the audit's absence-check below pins no-cartesian
     "q_containment": ["md5"],
+    # grouping sets: ONE scan expanded per set + a single hash-aggregate
+    # — never one scan per grouping set
+    "q_grouping_sets": ["Expand", "HashAggregate"],
+    # pivot with explicit values: one hash-aggregate, no discovery job
+    "q_pivot_wide": ["HashAggregate"],
+    # incremental MV: union of partials + re-aggregate; no fact rescan
+    # is visible as: only the orders scans the entry itself constructs
+    "q_mv_incremental": ["HashAggregate", "Union"],
+    # SCD2: the open-rows-vs-delta join broadcasts the (small) delta;
+    # the latest-per-key window over the delta is group-limit bounded
+    "q_scd2_history": ["BroadcastHashJoin", "WindowGroupLimit"],
+    # heavy hitters: the 1-row total folds in as a broadcast inside the
+    # same plan — no separate count() action/driver round-trip
+    "q_heavy_hitters": ["BroadcastNestedLoopJoin", "HashAggregate"],
+    # topic balance: the per-cell cut is a cell-partitioned window with
+    # a group limit — no global sort
+    "q_topic_balance": ["WindowGroupLimit", "windowspecdefinition(cell_id"],
+    # unpivot: a pure per-row Expand — zero shuffles (no Exchange at all)
+    "q_unpivot_long": ["Expand"],
 }
 
 #: plans that must NOT contain these operators (checked for every query
