@@ -1543,6 +1543,62 @@ def q_topic_balance(spark, sf_dir):
     return out.select("vec_id", "cell_id")
 
 
+def q_zorder_rewrite(spark, sf_dir):
+    """Z-order layout optimization is CONTENT-preserving: compact+cluster
+    customer on (c_custkey, c_acctbal) through the versioned warehouse
+    and read the table back — the row multiset must equal the source
+    exactly (the clustering only moves rows between files; pytest
+    separately pins that per-file min/max stats narrow on both
+    dimensions)."""
+    import tempfile
+    db = _db(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        db1 = ToStoreSpark(spark, warehouse=tmp)
+        db1.register_table(
+            "customer",
+            df=db.df("customer").select("c_custkey", "c_acctbal",
+                                        "c_mktsegment"))
+        db1.flush()
+        db1.optimize_table("customer", target_partitions=4,
+                           zorder=["c_custkey", "c_acctbal"])
+        out = ToStoreSpark(spark, warehouse=tmp).df("customer")
+        rows, schema = out.collect(), out.schema
+    return spark.createDataFrame(rows, schema)
+
+
+def q_stream_mv(spark, sf_dir):
+    """Streaming incremental-MV maintenance: an availableNow stream over
+    the orders parquet folds micro-batch partial aggregates into a
+    per-status MV (plans/mv merge — base never rescanned, no state
+    store); the final MV must equal the one-shot SQL aggregate."""
+    import shutil
+    import tempfile
+
+    from tostore_spark.streaming.sink import write_stream_to_mv
+    db = _db(spark, sf_dir)
+    schema = db.df("orders").schema
+    with tempfile.TemporaryDirectory() as tmp:
+        # the file streaming source needs a DIRECTORY of arriving files
+        src = f"{tmp}/src"
+        import os as _os
+        _os.makedirs(src)
+        shutil.copy(f"{sf_dir}/orders.parquet", f"{src}/orders.parquet")
+        eng = ToStoreSpark(spark)
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(src))
+        q = write_stream_to_mv(eng, stream, "mv_status",
+                               keys=["o_orderstatus"],
+                               sums=["o_totalprice"],
+                               checkpoint=f"{tmp}/ckpt")
+        q.awaitTermination(180)
+        out = eng.df("mv_status").select(
+            "o_orderstatus", "n",
+            F.col("sum_o_totalprice").cast("double").alias("total"))
+        rows, sch = out.collect(), out.schema
+    return spark.createDataFrame(rows, sch)
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -1551,29 +1607,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver checks the FIRST 50 entries against the DuckDB oracle each round.
 
     Ordering policy (round 6, same rotation rule as r3-r5).  First 50:
-    slots 1-12 are the TWELVE NEW r6 operators (q_curate_corpus — the
+    slots 1-14 are the FOURTEEN NEW r6 operators (q_curate_corpus — the
     staged end-to-end recipe oracle, q_lm_score_bigram,
-    q_bpe_pair_counts, q_quality_classifier, then the reshaping/
+    q_bpe_pair_counts, q_quality_classifier, the reshaping/
     warehouse-maintenance set: q_scd2_history, q_mv_incremental,
     q_pivot_wide, q_unpivot_long, q_grouping_sets, q_heavy_hitters,
-    q_set_ops, q_topic_balance); slots 13-21 are every entry whose
-    module changed this round — pipeline.py (q_corpus_sample,
-    q_stratified_take, q_corpus_clean, q_corpus_shards,
-    q_corpus_shuffle) and store.py (q_flush_reopen plus the
-    flush-interplay set q_backup_restore, q_kv_namespace, q_ttl_filter);
-    slots 22-31 are the TEN oldest rows (r2/r3-vintage, named first by
-    the r5 verdict): q_filter_sort_limit, q_or_union_dedup, q_topk,
-    q_keyset_page, q_groupby_having, q_join_inner_group,
-    q_left_join_count, q_right_join, q_theta_join, q_fk_autojoin —
-    query.py changed this round (additive set-op methods), so the whole
-    query-family refresh matters doubly; slots 32-50 refresh 19
-    r4-vintage rows prioritizing families whose modules changed this
-    round (rollup.py: q_time_rollup, q_rollup_subtotals; skew.py:
-    q_salted_agg, q_salted_join) plus the write/vector/pq/retrieval
-    families.
+    q_set_ops, q_topic_balance, plus q_zorder_rewrite — layout
+    optimization content-preservation — and q_stream_mv — streaming
+    incremental-MV fold == one-shot SQL aggregate); slots 15-23 are
+    every entry whose module changed this round — pipeline.py
+    (q_corpus_sample, q_stratified_take, q_corpus_clean,
+    q_corpus_shards, q_corpus_shuffle) and store.py (q_flush_reopen
+    plus the flush-interplay set q_backup_restore, q_kv_namespace,
+    q_ttl_filter); slots 24-33 are the TEN oldest rows (r2/r3-vintage,
+    named first by the r5 verdict): q_filter_sort_limit,
+    q_or_union_dedup, q_topk, q_keyset_page, q_groupby_having,
+    q_join_inner_group, q_left_join_count, q_right_join, q_theta_join,
+    q_fk_autojoin — query.py changed this round (additive set-op
+    methods), so the whole query-family refresh matters doubly; slots
+    34-50 refresh 17 r4-vintage rows prioritizing families whose
+    modules changed this round (rollup.py: q_time_rollup,
+    q_rollup_subtotals; skew.py: q_salted_agg, q_salted_join) plus the
+    write/vector/pq/retrieval families.
 
     Past the cap: first the r4-vintage rows deferred to r7
-    (q_source_cap, q_pack_sequences, q_chunk_documents,
+    (q_knn_join, q_ivf_batch, q_source_cap, q_pack_sequences, q_chunk_documents,
     q_quality_filter, q_events_window, q_agg_stats, q_langid,
     q_token_count_bpe, q_pred_like_between_in, q_or_tree, q_loose_eq,
     q_notin_null_semantics, q_is_null_join, q_global_agg, q_count_star,
@@ -1583,16 +1641,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     are untouched this round (dedup.py, text.py, joins.py,
     multimodal.py, engine.py families).
     tools/check_correctness.py certifies every entry locally each round
-    (r6 local run: 108/108 exact).
+    (r6 local run: 110/110 exact).
     """
 
     # first 50 = the driver's r6 correctness sample (see docstring)
     _ORDER = [
-        # --- 1-12: NEW in r6 ---
+        # --- 1-14: NEW in r6 ---
         "q_curate_corpus", "q_lm_score_bigram", "q_bpe_pair_counts",
         "q_quality_classifier", "q_scd2_history", "q_mv_incremental",
         "q_pivot_wide", "q_unpivot_long", "q_grouping_sets",
         "q_heavy_hitters", "q_set_ops", "q_topic_balance",
+        "q_zorder_rewrite", "q_stream_mv",
         # --- 13-21: modules changed in r6 (pipeline.py, store.py) ---
         "q_corpus_sample", "q_stratified_take", "q_corpus_clean",
         "q_corpus_shards", "q_corpus_shuffle", "q_flush_reopen",
@@ -1609,10 +1668,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_upsert_merge", "q_batch_update", "q_partial_insert",
         "q_expr_clamp_update", "q_update_ordered_limit",
         "q_vector_cosine_topk", "q_quantized_knn", "q_pq_search",
-        "q_ivfpq", "q_mix_corpus", "q_bm25_search", "q_knn_join",
-        "q_ivf_batch",
+        "q_ivfpq", "q_mix_corpus", "q_bm25_search",
         # --- past the 50-cap: r4 rows deferred to r7 first ---
-        "q_source_cap", "q_pack_sequences", "q_chunk_documents",
+        "q_knn_join", "q_ivf_batch", "q_source_cap", "q_pack_sequences", "q_chunk_documents",
         "q_quality_filter", "q_events_window", "q_agg_stats",
         "q_langid", "q_token_count_bpe", "q_pred_like_between_in",
         "q_or_tree", "q_loose_eq", "q_notin_null_semantics",
@@ -1754,6 +1812,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT c_custkey FROM customer
               WHERE c_mktsegment = 'BUILDING')""",
         "q_topic_balance": _topic_balance_oracle(),
+        "q_zorder_rewrite": """
+            SELECT c_custkey, c_acctbal, c_mktsegment FROM customer""",
+        "q_stream_mv": """
+            SELECT o_orderstatus, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                        AS DOUBLE) AS total
+            FROM orders GROUP BY o_orderstatus""",
         "q_filter_sort_limit": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
             FROM lineitem WHERE l_quantity > 45

@@ -1,0 +1,103 @@
+"""Layout optimization: small-file compaction + z-order file skipping."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from tostore_spark import ToStoreSpark
+from tostore_spark.plans.layout import optimize_layout, zvalue
+
+
+def _data_files(version_dir):
+    return [p for p in glob.glob(os.path.join(version_dir, "*.parquet"))
+            if os.path.getsize(p) > 0]
+
+
+def _col_ranges(files, col):
+    """Per-file (min, max) from parquet footer stats."""
+    spans = []
+    for p in files:
+        md = pq.ParquetFile(p).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    mins.append(c.statistics.min)
+                    maxs.append(c.statistics.max)
+        if mins:
+            spans.append((min(mins), max(maxs)))
+    return spans
+
+
+def _avg_norm_width(spans):
+    lo = min(s[0] for s in spans)
+    hi = max(s[1] for s in spans)
+    width = (hi - lo) or 1
+    return sum((b - a) / width for a, b in spans) / len(spans)
+
+
+def test_compaction_rewrites_to_target_files(spark, db, tmp_path):
+    eng = ToStoreSpark(spark, warehouse=str(tmp_path))
+    # 16-file layout of a small table = the small-file problem in miniature
+    eng.register_table("orders", df=db.df("orders").repartition(16))
+    eng.flush()
+    v1 = eng._tables[eng._resolve("orders")]["path"]
+    assert len(_data_files(v1)) == 16
+
+    before = set(map(tuple, eng.df("orders").collect()))
+    flushed = eng.optimize_table("orders", target_partitions=2)
+    assert flushed == ["orders"]
+    v2 = eng._tables[eng._resolve("orders")]["path"]
+    assert v2 != v1 and len(_data_files(v2)) == 2
+    assert set(map(tuple, eng.df("orders").collect())) == before
+
+
+def test_zorder_narrows_file_stats_on_both_columns(spark, db, tmp_path):
+    eng = ToStoreSpark(spark, warehouse=str(tmp_path))
+    eng.register_table("orders", df=db.df("orders"))
+    eng.flush()
+
+    n_files = 8
+    eng.optimize_table("orders", target_partitions=n_files,
+                       zorder=["o_custkey", "o_totalprice"])
+    files = _data_files(eng._tables[eng._resolve("orders")]["path"])
+    assert len(files) == n_files
+
+    # unordered baseline: every file spans ~the full range of both cols
+    base_dir = str(tmp_path / "baseline")
+    db.df("orders").repartition(n_files).write.parquet(base_dir)
+    base_files = _data_files(base_dir)
+
+    for col in ("o_custkey", "o_totalprice"):
+        zw = _avg_norm_width(_col_ranges(files, col))
+        bw = _avg_norm_width(_col_ranges(base_files, col))
+        # z-ordered files cover ~sqrt(1/n) of each dimension; round-robin
+        # files cover ~all of it
+        assert zw < 0.7, f"{col}: z-order width {zw}"
+        assert bw > 0.85, f"{col}: baseline unexpectedly clustered {bw}"
+        assert zw < bw * 0.8
+
+    # layout-only: the row multiset is unchanged
+    assert eng.df("orders").count() == db.df("orders").count()
+    assert (eng.df("orders").agg(F.sum("o_orderkey")).first()[0]
+            == db.df("orders").agg(F.sum("o_orderkey")).first()[0])
+
+
+def test_zvalue_orders_jointly(spark):
+    # corners of the 2-D square: z-value must sort (0,0) first and
+    # (max,max) last, with the mixed corners in between
+    df = spark.createDataFrame(
+        [(0, 0.0), (0, 100.0), (100, 0.0), (100, 100.0)], "x int, y double")
+    rows = (zvalue(df, ["x", "y"]).orderBy("__z")
+            .select("x", "y").collect())
+    assert (rows[0].x, rows[0].y) == (0, 0.0)
+    assert (rows[-1].x, rows[-1].y) == (100, 100.0)
+
+
+def test_zvalue_constant_column_safe(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 5.0)], "x int, y double")
+    out = zvalue(df, ["x", "y"]).collect()
+    assert len(out) == 2  # no div-by-zero on a constant column

@@ -229,3 +229,56 @@ def test_topic_balanced_sample(spark, db):
                                  centroids=cents)
     ids2 = sorted(r.vec_id for r in out2.select("vec_id").collect())
     assert ids1 == ids2
+
+
+# ------------------------------------------- streaming MV maintenance
+def test_stream_mv_matches_batch_build(spark, tmp_path_factory):
+    """Micro-batched folds into the MV must equal one batch mv_build."""
+    from tostore_spark.plans.mv import mv_build
+    from tostore_spark.streaming.sink import write_stream_to_mv
+    from tostore_spark import ToStoreSpark
+
+    rows = [(i, f"k{i % 7}", float(i % 11)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, k string, v double")
+    src = str(tmp_path_factory.mktemp("mv_src"))
+    # three files → multiple micro-batches under availableNow
+    for part in range(3):
+        df.filter(F.col("id") % 3 == part).write.mode("append").parquet(src)
+
+    db = ToStoreSpark(spark)
+    stream = spark.readStream.schema("id bigint, k string, v double") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = write_stream_to_mv(db, stream, "mv_k", keys=["k"], sums=["v"],
+                           checkpoint=str(tmp_path_factory.mktemp("mv_ck")))
+    q.awaitTermination(120)
+
+    got = {r.k: (r.n, float(r.sum_v)) for r in db.df("mv_k").collect()}
+    want = {r.k: (r.n, float(r.sum_v))
+            for r in mv_build(df, ["k"], sums=["v"]).collect()}
+    assert got == want
+
+
+def test_stream_mv_cdc_retractions(spark, tmp_path_factory):
+    """A +1/-1 change feed maintains the MV under deletes; fully
+    retracted groups vanish."""
+    from tostore_spark.streaming.sink import write_stream_to_mv
+    from tostore_spark import ToStoreSpark
+
+    ins = [(i, f"k{i % 3}", 2.0, 1) for i in range(30)]
+    dels = [(i, f"k{i % 3}", 2.0, -1) for i in range(30) if i % 3 == 0]
+    df = spark.createDataFrame(ins + dels,
+                               "id bigint, k string, v double, op int")
+    src = str(tmp_path_factory.mktemp("cdc_src"))
+    df.write.mode("overwrite").parquet(src)
+
+    db = ToStoreSpark(spark)
+    stream = spark.readStream \
+        .schema("id bigint, k string, v double, op int").parquet(src)
+    q = write_stream_to_mv(db, stream, "mv_cdc", keys=["k"], sums=["v"],
+                           op_field="op",
+                           checkpoint=str(tmp_path_factory.mktemp("cdc_ck")))
+    q.awaitTermination(120)
+
+    got = {r.k: (r.n, float(r.sum_v)) for r in db.df("mv_cdc").collect()}
+    # k0 got 10 inserts and 10 retractions → gone entirely
+    assert got == {"k1": (10, 20.0), "k2": (10, 20.0)}

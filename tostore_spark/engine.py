@@ -438,6 +438,17 @@ class ToStoreSpark:
         from tostore_spark import store as _store
         return _store.vacuum(self, keep=keep)
 
+    def optimize_table(self, table: str, target_partitions: int = 8,
+                       zorder=None) -> list[str]:
+        """Layout-only rewrite (same rows): compact to
+        ``target_partitions`` files and, with ``zorder`` columns,
+        cluster rows so parquet min/max stats prune on every clustering
+        dimension.  Flushes as the next version via the per-table CAS
+        (time travel / vacuum apply unchanged)."""
+        from tostore_spark.plans.layout import optimize_table as _opt
+        return _opt(self, table, target_partitions=target_partitions,
+                    zorder=zorder)
+
     def unpin_versions(self) -> int:
         """Release every version pinned by ``df_at`` so vacuum may prune
         them; any still-live time-travel frame over a pruned version will

@@ -70,3 +70,68 @@ def write_stream_to_table(engine, stream_df: DataFrame, table: str,
     if query_name:
         writer = writer.queryName(query_name)
     return writer.trigger(availableNow=True).start()
+
+
+def write_stream_to_mv(engine, stream_df: DataFrame, mv_table: str,
+                       keys: list[str], sums: list[str],
+                       checkpoint: str, op_field: Optional[str] = None,
+                       query_name: Optional[str] = None):
+    """Maintain an algebraic aggregate MV continuously from a stream —
+    the streaming form of ``plans/mv``: each micro-batch is
+    partial-aggregated (map-side, batch-sized) and folded into the
+    registered MV table with ``mv_merge``; the raw stream is never
+    retained and the base is never rescanned.
+
+    ``op_field`` names an optional CDC column holding +1 (insert) / -1
+    (delete): retractions fold in exactly (DECIMAL partials), so an
+    upstream change-feed maintains the MV under deletes too.  Groups
+    whose count reaches 0 vanish.
+
+    The MV table is registered on the first batch if absent.  State
+    lives in the MV itself (engine table + optional warehouse flush via
+    a wrapping foreachBatch), NOT in the streaming state store — no
+    watermark needed, unbounded keys bounded by |distinct keys|.
+    Restart note: Structured Streaming replays the last uncommitted
+    batch after a crash, and a replayed fold double-counts — pair with
+    ``flush``-per-batch plus manifest versioning (or idempotent batch
+    ids) when exactly-once matters; the availableNow backfill form used
+    in tests commits each batch before the next.
+    """
+    from pyspark.sql import functions as F
+
+    from tostore_spark.plans.mv import mv_delta, mv_merge
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        pinned = batch_df.localCheckpoint(eager=True)
+        if pinned.isEmpty():
+            return
+        deltas = []
+        if op_field:
+            ins = pinned.filter(F.col(op_field) > 0).drop(op_field)
+            dele = pinned.filter(F.col(op_field) < 0).drop(op_field)
+            if not ins.isEmpty():
+                deltas.append(mv_delta(ins, keys, sums, sign=1))
+            if not dele.isEmpty():
+                deltas.append(mv_delta(dele, keys, sums, sign=-1))
+        else:
+            deltas.append(mv_delta(pinned, keys, sums, sign=1))
+        if not deltas:
+            return
+        if engine.table_exists(mv_table):
+            merged = mv_merge(engine.df(mv_table), *deltas)
+        elif len(deltas) == 1:
+            merged = deltas[0].filter(F.col("n") != 0)
+        else:
+            merged = mv_merge(deltas[0], *deltas[1:])
+        # pin: the MV is |distinct keys| rows and must outlive the batch
+        pinned_mv = merged.localCheckpoint(eager=True)
+        if engine.table_exists(mv_table):
+            engine.set_df(mv_table, pinned_mv)
+        else:
+            engine.register_table(mv_table, df=pinned_mv)
+
+    writer = (stream_df.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint))
+    if query_name:
+        writer = writer.queryName(query_name)
+    return writer.trigger(availableNow=True).start()
