@@ -1543,6 +1543,39 @@ def q_topic_balance(spark, sf_dir):
     return out.select("vec_id", "cell_id")
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel (view → click → purchase): per-step entity counts
+    with strict happens-after semantics — a stepwise conditional-min
+    fold over entity-keyed frames, never a fact × fact self-join per
+    step."""
+    from tostore_spark.functions.behavior import funnel
+    db = _db(spark, sf_dir)
+    return funnel(db.df("events"), ["view", "click", "purchase"])
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: cohort = first-activity week,
+    offset = weeks since; three uniform-key hash-aggregates, cohort
+    sizes folded onto the (tiny) matrix."""
+    from tostore_spark.functions.behavior import cohort_retention
+    db = _db(spark, sf_dir)
+    out = cohort_retention(db.df("events"), granularity="week")
+    return out.select("cohort", "offset", "n_active", "cohort_size",
+                      F.round("retention", 9).alias("retention_r"))
+
+
+def q_column_stats(spark, sf_dir):
+    """ANALYZE-style one-pass column statistics (rows / nulls / exact
+    ndv / min / max) — the planning input for broadcast, salting, and
+    z-order decisions; every statistic combines map-side in ONE
+    aggregate."""
+    from tostore_spark.plans.stats import column_stats
+    db = _db(spark, sf_dir)
+    return column_stats(db.df("orders"),
+                        ["o_custkey", "o_orderstatus", "o_orderpriority"],
+                        exact_ndv=True)
+
+
 def q_zorder_rewrite(spark, sf_dir):
     """Z-order layout optimization is CONTENT-preserving: compact+cluster
     customer on (c_custkey, c_acctbal) through the versioned warehouse
@@ -1607,31 +1640,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver checks the FIRST 50 entries against the DuckDB oracle each round.
 
     Ordering policy (round 6, same rotation rule as r3-r5).  First 50:
-    slots 1-14 are the FOURTEEN NEW r6 operators (q_curate_corpus — the
+    slots 1-17 are the SEVENTEEN NEW r6 operators (q_curate_corpus — the
     staged end-to-end recipe oracle, q_lm_score_bigram,
     q_bpe_pair_counts, q_quality_classifier, the reshaping/
     warehouse-maintenance set: q_scd2_history, q_mv_incremental,
     q_pivot_wide, q_unpivot_long, q_grouping_sets, q_heavy_hitters,
     q_set_ops, q_topic_balance, plus q_zorder_rewrite — layout
     optimization content-preservation — and q_stream_mv — streaming
-    incremental-MV fold == one-shot SQL aggregate); slots 15-23 are
+    incremental-MV fold == one-shot SQL aggregate, q_funnel and
+    q_cohort_retention — behavioral event analytics — and
+    q_column_stats — one-pass ANALYZE); slots 18-26 are
     every entry whose module changed this round — pipeline.py
     (q_corpus_sample, q_stratified_take, q_corpus_clean,
     q_corpus_shards, q_corpus_shuffle) and store.py (q_flush_reopen
     plus the flush-interplay set q_backup_restore, q_kv_namespace,
-    q_ttl_filter); slots 24-33 are the TEN oldest rows (r2/r3-vintage,
+    q_ttl_filter); slots 27-36 are the TEN oldest rows (r2/r3-vintage,
     named first by the r5 verdict): q_filter_sort_limit,
     q_or_union_dedup, q_topk, q_keyset_page, q_groupby_having,
     q_join_inner_group, q_left_join_count, q_right_join, q_theta_join,
     q_fk_autojoin — query.py changed this round (additive set-op
     methods), so the whole query-family refresh matters doubly; slots
-    34-50 refresh 17 r4-vintage rows prioritizing families whose
+    37-50 refresh 14 r4-vintage rows prioritizing families whose
     modules changed this round (rollup.py: q_time_rollup,
     q_rollup_subtotals; skew.py: q_salted_agg, q_salted_join) plus the
     write/vector/pq/retrieval families.
 
     Past the cap: first the r4-vintage rows deferred to r7
-    (q_knn_join, q_ivf_batch, q_source_cap, q_pack_sequences, q_chunk_documents,
+    (q_ivfpq, q_mix_corpus, q_bm25_search, q_knn_join, q_ivf_batch, q_source_cap, q_pack_sequences, q_chunk_documents,
     q_quality_filter, q_events_window, q_agg_stats, q_langid,
     q_token_count_bpe, q_pred_like_between_in, q_or_tree, q_loose_eq,
     q_notin_null_semantics, q_is_null_join, q_global_agg, q_count_star,
@@ -1641,7 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     are untouched this round (dedup.py, text.py, joins.py,
     multimodal.py, engine.py families).
     tools/check_correctness.py certifies every entry locally each round
-    (r6 local run: 110/110 exact).
+    (r6 local run: 113/113 exact).
     """
 
     # first 50 = the driver's r6 correctness sample (see docstring)
@@ -1651,7 +1686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_classifier", "q_scd2_history", "q_mv_incremental",
         "q_pivot_wide", "q_unpivot_long", "q_grouping_sets",
         "q_heavy_hitters", "q_set_ops", "q_topic_balance",
-        "q_zorder_rewrite", "q_stream_mv",
+        "q_zorder_rewrite", "q_stream_mv", "q_funnel",
+        "q_cohort_retention", "q_column_stats",
         # --- 13-21: modules changed in r6 (pipeline.py, store.py) ---
         "q_corpus_sample", "q_stratified_take", "q_corpus_clean",
         "q_corpus_shards", "q_corpus_shuffle", "q_flush_reopen",
@@ -1668,9 +1704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_upsert_merge", "q_batch_update", "q_partial_insert",
         "q_expr_clamp_update", "q_update_ordered_limit",
         "q_vector_cosine_topk", "q_quantized_knn", "q_pq_search",
-        "q_ivfpq", "q_mix_corpus", "q_bm25_search",
         # --- past the 50-cap: r4 rows deferred to r7 first ---
-        "q_knn_join", "q_ivf_batch", "q_source_cap", "q_pack_sequences", "q_chunk_documents",
+        "q_ivfpq", "q_mix_corpus", "q_bm25_search", "q_knn_join", "q_ivf_batch",
+        "q_source_cap", "q_pack_sequences", "q_chunk_documents",
         "q_quality_filter", "q_events_window", "q_agg_stats",
         "q_langid", "q_token_count_bpe", "q_pred_like_between_in",
         "q_or_tree", "q_loose_eq", "q_notin_null_semantics",
@@ -1812,6 +1848,62 @@ def oracle_sql() -> dict[str, str]:
               SELECT c_custkey FROM customer
               WHERE c_mktsegment = 'BUILDING')""",
         "q_topic_balance": _topic_balance_oracle(),
+        "q_column_stats": """
+            SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+                   count(*) - count(o_custkey) AS n_nulls,
+                   count(DISTINCT o_custkey) AS ndv,
+                   CAST(min(o_custkey) AS VARCHAR) AS min_str,
+                   CAST(max(o_custkey) AS VARCHAR) AS max_str
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*),
+                   count(*) - count(o_orderstatus),
+                   count(DISTINCT o_orderstatus),
+                   min(o_orderstatus), max(o_orderstatus) FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*),
+                   count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority),
+                   min(o_orderpriority), max(o_orderpriority) FROM orders""",
+        "q_funnel": """
+            WITH e AS (SELECT user_id, event_type, ts FROM events
+                       WHERE event_type IN ('view','click','purchase')),
+            p0 AS (SELECT user_id,
+                          min(ts) FILTER (event_type = 'view') AS t0
+                   FROM e GROUP BY 1),
+            p1 AS (SELECT p0.user_id, p0.t0,
+                          min(e.ts) FILTER (e.event_type = 'click'
+                                            AND e.ts > p0.t0) AS t1
+                   FROM p0 LEFT JOIN e USING (user_id) GROUP BY 1, 2),
+            p2 AS (SELECT p1.user_id, p1.t0, p1.t1,
+                          min(e.ts) FILTER (e.event_type = 'purchase'
+                                            AND e.ts > p1.t1) AS t2
+                   FROM p1 LEFT JOIN e USING (user_id) GROUP BY 1, 2, 3)
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+                   count(t0) AS n_entities FROM p2
+            UNION ALL SELECT 2, 'click', count(t1) FROM p2
+            UNION ALL SELECT 3, 'purchase', count(t2) FROM p2""",
+        "q_cohort_retention": """
+            WITH first AS (SELECT user_id,
+                     min(CAST(date_trunc('week', ts) AS TIMESTAMP))
+                       AS cohort
+                   FROM events GROUP BY 1),
+            active AS (SELECT DISTINCT user_id,
+                         CAST(date_trunc('week', ts) AS TIMESTAMP)
+                           AS bucket
+                       FROM events),
+            m AS (SELECT f.cohort,
+                         CAST(epoch(a.bucket) - epoch(f.cohort)
+                              AS BIGINT) // (7 * 86400) AS "offset",
+                         count(DISTINCT a.user_id) AS n_active
+                  FROM active a JOIN first f USING (user_id)
+                  GROUP BY 1, 2),
+            s AS (SELECT cohort, count(*) AS cohort_size
+                  FROM first GROUP BY 1)
+            SELECT m.cohort, m."offset", m.n_active, s.cohort_size,
+                   round(CAST(m.n_active AS DOUBLE) / s.cohort_size, 9)
+                     AS retention_r
+            FROM m JOIN s USING (cohort)""",
         "q_zorder_rewrite": """
             SELECT c_custkey, c_acctbal, c_mktsegment FROM customer""",
         "q_stream_mv": """

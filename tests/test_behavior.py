@@ -1,0 +1,127 @@
+"""Funnel analysis and cohort retention vs DuckDB on the events table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tostore_spark.functions.behavior import cohort_retention, funnel
+
+
+def test_funnel_matches_duck(spark, db, duck):
+    out = funnel(db.df("events"), ["view", "click", "purchase"])
+    got = {r.step: (r.step_name, r.n_entities) for r in out.collect()}
+    want = {s: (n_, c) for s, n_, c in duck.execute("""
+        WITH e AS (SELECT user_id, event_type, ts FROM events
+                   WHERE event_type IN ('view','click','purchase')),
+        p0 AS (SELECT user_id,
+                      min(ts) FILTER (event_type = 'view') AS t0
+               FROM e GROUP BY 1),
+        p1 AS (SELECT p0.user_id, p0.t0,
+                      min(e.ts) FILTER (e.event_type = 'click'
+                                        AND e.ts > p0.t0) AS t1
+               FROM p0 LEFT JOIN e USING (user_id) GROUP BY 1, 2),
+        p2 AS (SELECT p1.user_id, p1.t0, p1.t1,
+                      min(e.ts) FILTER (e.event_type = 'purchase'
+                                        AND e.ts > p1.t1) AS t2
+               FROM p1 LEFT JOIN e USING (user_id) GROUP BY 1, 2, 3)
+        SELECT 1 AS step, 'view' AS nm, count(t0) FROM p2
+        UNION ALL SELECT 2, 'click', count(t1) FROM p2
+        UNION ALL SELECT 3, 'purchase', count(t2) FROM p2
+        """).fetchall()}
+    assert got == want
+    # funnel counts are monotone non-increasing
+    ns = [got[s][1] for s in sorted(got)]
+    assert ns == sorted(ns, reverse=True)
+    assert ns[0] > 0
+
+
+def test_funnel_strict_order(spark):
+    # u1 does view->click (counts both); u2 clicks BEFORE viewing
+    # (counts view only); u3 only clicks (counts nothing)
+    df = spark.createDataFrame(
+        [(1, "view", "2024-01-01 10:00:00"),
+         (1, "click", "2024-01-01 11:00:00"),
+         (2, "click", "2024-01-01 09:00:00"),
+         (2, "view", "2024-01-01 10:00:00"),
+         (3, "click", "2024-01-01 10:00:00")],
+        "user_id int, event_type string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.step_name: r.n_entities
+           for r in funnel(df, ["view", "click"]).collect()}
+    assert got == {"view": 2, "click": 1}
+
+
+def test_funnel_rejects_empty_steps(db):
+    with pytest.raises(ValueError):
+        funnel(db.df("events"), [])
+
+
+def test_cohort_retention_matches_duck(spark, db, duck):
+    out = cohort_retention(db.df("events"), granularity="week")
+    got = {(str(r.cohort), r.offset): (r.n_active, r.cohort_size,
+                                       round(r.retention, 9))
+           for r in out.collect()}
+    want = {(str(c), o): (n, cs, round(rt, 9))
+            for c, o, n, cs, rt in duck.execute("""
+        WITH first AS (SELECT user_id,
+                              min(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS cohort
+                       FROM events GROUP BY 1),
+        active AS (SELECT DISTINCT user_id,
+                          CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket FROM events),
+        m AS (SELECT f.cohort,
+                     CAST(epoch(a.bucket) - epoch(f.cohort)
+                          AS BIGINT) // (7 * 86400) AS off,
+                     count(DISTINCT a.user_id) AS n_active
+              FROM active a JOIN first f USING (user_id) GROUP BY 1, 2),
+        s AS (SELECT cohort, count(*) AS cohort_size
+              FROM first GROUP BY 1)
+        SELECT m.cohort, m.off, m.n_active, s.cohort_size,
+               CAST(m.n_active AS DOUBLE) / s.cohort_size
+        FROM m JOIN s USING (cohort)""").fetchall()}
+    assert got == want
+    # offset-0 retention is 1.0 by construction (the cohort's own week)
+    for (c, o), (n, cs, rt) in got.items():
+        if o == 0:
+            assert rt == 1.0
+
+
+def test_cohort_retention_rejects_month(db):
+    with pytest.raises(ValueError):
+        cohort_retention(db.df("events"), granularity="month")
+
+
+# --------------------------------------------------- column statistics
+def test_column_stats_matches_duck(spark, db, duck):
+    from tostore_spark.plans.stats import column_stats
+
+    out = column_stats(db.df("orders"),
+                       ["o_custkey", "o_orderstatus", "o_totalprice"])
+    got = {r.column: (r.n_rows, r.n_nulls, r.ndv) for r in out.collect()}
+    for col in got:
+        n, nulls, ndv = duck.execute(f"""
+            SELECT count(*),
+                   count(*) - count({col}),
+                   count(DISTINCT {col}) FROM orders""").fetchone()
+        assert got[col] == (n, nulls, ndv), col
+
+
+def test_analyze_table_cache_invalidates_on_write(spark, db):
+    from tostore_spark import ToStoreSpark
+
+    eng = ToStoreSpark(spark)
+    eng.register_table("t", df=spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, v string"))
+    s1 = eng.analyze_table("t", exact_ndv=True)
+    assert {r.column: r.n_rows for r in s1.collect()} == {"id": 2, "v": 2}
+    eng.set_df("t", eng.df("t").unionByName(
+        spark.createDataFrame([(3, "c")], "id int, v string")))
+    s2 = eng.analyze_table("t", exact_ndv=True)
+    assert {r.column: r.ndv for r in s2.collect()} == {"id": 3, "v": 3}
+
+
+def test_column_stats_approx_ndv_close(spark, db):
+    from tostore_spark.plans.stats import column_stats
+
+    out = column_stats(db.df("orders"), ["o_custkey"], exact_ndv=False)
+    approx = out.collect()[0].ndv
+    exact = db.df("orders").select("o_custkey").distinct().count()
+    assert abs(approx - exact) / exact < 0.05

@@ -438,6 +438,14 @@ class ToStoreSpark:
         from tostore_spark import store as _store
         return _store.vacuum(self, keep=keep)
 
+    def analyze_table(self, table: str, cols=None,
+                      exact_ndv: bool = False):
+        """One-pass column statistics (rows, nulls, ndv, min/max) for
+        planning decisions (broadcastability, skew, z-order candidates);
+        cached per table generation."""
+        from tostore_spark.plans.stats import analyze_table as _an
+        return _an(self, table, cols=cols, exact_ndv=exact_ndv)
+
     def optimize_table(self, table: str, target_partitions: int = 8,
                        zorder=None) -> list[str]:
         """Layout-only rewrite (same rows): compact to

@@ -52,8 +52,11 @@ def zvalue(df: DataFrame, cols: Sequence[str],
         mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
         span = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
         q = F.floor((F.col(c).cast("double") - mn) / span * top)
-        qs.append(F.least(F.greatest(q, F.lit(0)), F.lit(top))
-                  .cast("long"))
+        # NULLs rank 0 (cluster at the origin) — a null z-value would
+        # otherwise poison the whole row's code
+        qs.append(F.coalesce(
+            F.least(F.greatest(q, F.lit(0)), F.lit(top)).cast("long"),
+            F.lit(0).cast("long")))
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, q in enumerate(qs):

@@ -1,0 +1,78 @@
+"""ANALYZE-style table statistics: the planning input for broadcast /
+salting / bucketing decisions.
+
+The reference exposes row counts and sizes through ``getTableInfo``
+(table_info.dart via SURVEY §2.12's admin surface) and keeps per-field
+B+tree metadata; the Spark-native counterpart is a one-pass column
+statistics aggregate — row count, per-column null count, min/max, and
+distinct counts — persisted as a tiny DataFrame so downstream planning
+(is this dim broadcastable? is this key skewed enough to salt? which
+columns are worth z-ordering?) reads stats instead of rescanning data.
+
+Shape: ONE aggregate over the table computes every statistic (all
+partials combine map-side; HLL sketches for ndv are constant-size per
+partition).  ``exact_ndv`` swaps HLL for exact count_distinct — same
+single-aggregate plan, used where bit-exactness matters (oracles) or
+cardinalities are small.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def column_stats(df: DataFrame, cols: Optional[Sequence[str]] = None,
+                 exact_ndv: bool = True) -> DataFrame:
+    """Long-form statistics frame: one row per analyzed column —
+    (column, n_rows, n_nulls, ndv, min_str, max_str).
+
+    min/max are rendered as strings so heterogeneous column types share
+    one schema (the consumer is planning logic, not arithmetic).
+    ``exact_ndv=False`` uses HLL++ (approx_count_distinct) — the 100 TB
+    default: constant memory per partition, ~2% error, same one-pass
+    plan."""
+    cols = list(cols) if cols else list(df.columns)
+    ndv = (F.count_distinct if exact_ndv
+           else lambda c: F.approx_count_distinct(c))
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nul_{c}"),
+            ndv(col).alias(f"__ndv_{c}"),
+            F.min(col).cast("string").alias(f"__mn_{c}"),
+            F.max(col).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = None
+    for c in cols:
+        r = one.select(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__nul_{c}").cast("long").alias("n_nulls"),
+            F.col(f"__ndv_{c}").cast("long").alias("ndv"),
+            F.col(f"__mn_{c}").alias("min_str"),
+            F.col(f"__mx_{c}").alias("max_str"))
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+def analyze_table(engine, table: str,
+                  cols: Optional[Sequence[str]] = None,
+                  exact_ndv: bool = False) -> DataFrame:
+    """Compute (and cache on the engine, keyed by table generation so
+    any write invalidates) the statistics frame for a registered table."""
+    key = (engine._resolve(table), engine.generation(table),
+           tuple(cols) if cols else None, exact_ndv)
+    cache = getattr(engine, "_stats_cache", None)
+    if cache is None:
+        cache = engine._stats_cache = {}
+    if key not in cache:
+        cache.clear()   # stats for stale generations are dead weight
+        cache[key] = column_stats(engine.df(table), cols,
+                                  exact_ndv=exact_ndv) \
+            .localCheckpoint(eager=True)
+    return cache[key]
