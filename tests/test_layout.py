@@ -101,3 +101,38 @@ def test_zvalue_constant_column_safe(spark):
     df = spark.createDataFrame([(1, 5.0), (2, 5.0)], "x int, y double")
     out = zvalue(df, ["x", "y"]).collect()
     assert len(out) == 2  # no div-by-zero on a constant column
+
+
+# ---------------------------------------------- partitioned warehouse
+def test_partitioned_flush_prunes_on_reopen(spark, db, tmp_path):
+    import io
+    import contextlib
+
+    eng = ToStoreSpark(spark, warehouse=str(tmp_path))
+    eng.register_table("events", df=db.df("events"),
+                       partition_by=["event_type"])
+    eng.flush()
+    vdir = eng._tables[eng._resolve("events")]["path"]
+    subdirs = [d for d in os.listdir(vdir) if d.startswith("event_type=")]
+    assert len(subdirs) >= 3  # hive-style directory per value
+
+    # a fresh engine reopens the partitioned layout and PRUNES on it
+    eng2 = ToStoreSpark(spark, warehouse=str(tmp_path))
+    q = eng2.query("events").where("event_type", "=", "purchase").df()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+    assert q.count() == db.df("events").filter(
+        "event_type = 'purchase'").count()
+
+    # a mutation + re-flush keeps the partitioned layout (manifest
+    # carried partition_by across the reopen)
+    eng2.update("events", {"value": 0.0}) \
+        .where("event_type", "=", "error").execute()
+    eng2.flush()
+    vdir2 = eng2._tables[eng2._resolve("events")]["path"]
+    assert vdir2 != vdir
+    assert any(d.startswith("event_type=") for d in os.listdir(vdir2))

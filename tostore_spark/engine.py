@@ -86,9 +86,19 @@ class ToStoreSpark:
                        df: Optional[DataFrame] = None,
                        schema: Optional[TableSchema] = None,
                        is_global: bool = False, format: str = "parquet",
+                       partition_by: Optional[list] = None,
                        **reader_options) -> None:
         """Register a table from parquet (default), csv, json, or orc — any
-        Spark batch source; csv defaults to header+inferSchema."""
+        Spark batch source; csv defaults to header+inferSchema.
+
+        ``partition_by`` names hive-style partition columns for the
+        WAREHOUSE layout: every flush writes the table partitioned by
+        these columns (directory-per-value), so reopened readers get
+        partition PRUNING — a filter on the partition column reads only
+        its directories (``PartitionFilters`` in the plan), the
+        100 TB-standard layout for date/source/tenant-keyed tables.
+        Prefer low-cardinality string/int columns; the setting persists
+        in the manifest across reopens."""
         if df is None and path is None:
             raise ValueError("register_table needs a path or a DataFrame")
         if df is None:
@@ -104,6 +114,7 @@ class ToStoreSpark:
         space = "global" if is_global else self._space
         self._tables[(space, name)] = {
             "df": df, "path": path, "schema": schema, "global": is_global,
+            "partition_by": list(partition_by) if partition_by else None,
         }
 
     def _read_parquet(self, path: str) -> DataFrame:

@@ -245,7 +245,13 @@ def flush_tables(engine, flush_storage: bool = True) -> list[str]:
                     from tostore_spark.ttl import cleanup
                     ent["df"] = cleanup(ent["df"], ttl_cfg)
                 vdir = table_version_dir(wh, key[0], key[1], gen)
-                ent["df"].write.mode("overwrite").parquet(vdir)
+                writer = ent["df"].write.mode("overwrite")
+                pby = ent.get("partition_by")
+                if pby:
+                    # hive-style directory partitioning: reopened readers
+                    # prune partitions on these columns (PartitionFilters)
+                    writer = writer.partitionBy(*pby)
+                writer.parquet(vdir)
                 ent["df"] = engine._read_parquet(vdir)
                 ent["path"] = vdir
                 engine._flushed_gen[key] = gen
@@ -417,6 +423,7 @@ def _build_manifest(engine) -> dict:
                 "version": engine._generations.get((space, name), 0),
                 "global": ent["global"],
                 "schema": _schema_to_dict(ent["schema"]),
+                "partition_by": ent.get("partition_by"),
             }
     manifest = {
         "seq": getattr(engine, "_store_seq", 0),
@@ -449,6 +456,7 @@ def load_warehouse(engine) -> list[str]:
         engine._tables[key] = {
             "df": engine._read_parquet(ent["path"]),
             "path": ent["path"], "schema": sch, "global": ent["global"],
+            "partition_by": ent.get("partition_by"),
         }
         engine._generations[key] = ent.get("version", 0)
         if not hasattr(engine, "_flushed_gen"):
