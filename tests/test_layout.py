@@ -136,3 +136,36 @@ def test_partitioned_flush_prunes_on_reopen(spark, db, tmp_path):
     vdir2 = eng2._tables[eng2._resolve("events")]["path"]
     assert vdir2 != vdir
     assert any(d.startswith("event_type=") for d in os.listdir(vdir2))
+
+
+# ------------------------------------------------ version diff / export
+def test_table_diff_between_versions(spark, db, tmp_path):
+    eng = ToStoreSpark(spark, warehouse=str(tmp_path))
+    eng.register_table("nation", df=db.df("nation"))
+    eng.flush()
+    v1 = eng.table_versions("nation")[-1]
+    eng.update("nation", {"n_name": "DIFFED"}) \
+       .where("n_nationkey", "=", 3).execute()
+    eng.delete("nation").where("n_nationkey", "=", 7).execute()
+    eng.flush()
+    v2 = eng.table_versions("nation")[-1]
+
+    diff = eng.table_diff("nation", v1, v2).collect()
+    by = {}
+    for r in diff:
+        by.setdefault(r.change, []).append(r)
+    # changed row: delete of old + insert of new; deleted row: delete only
+    assert {r.n_nationkey for r in by["delete"]} == {3, 7}
+    assert [r.n_nationkey for r in by["insert"]] == [3]
+    assert by["insert"][0].n_name == "DIFFED"
+
+
+def test_export_table_csv_roundtrip(spark, db, tmp_path):
+    eng = ToStoreSpark(spark)
+    eng.register_table("region", df=db.df("region"))
+    out = str(tmp_path / "region_csv")
+    eng.export_table("region", out, format="csv")
+    back = spark.read.option("header", "true") \
+        .option("inferSchema", "true").csv(out)
+    assert back.count() == db.df("region").count()
+    assert set(back.columns) == set(db.df("region").columns)

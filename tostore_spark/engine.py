@@ -449,6 +449,25 @@ class ToStoreSpark:
         from tostore_spark import store as _store
         return _store.vacuum(self, keep=keep)
 
+    def table_diff(self, table: str, from_version: int,
+                   to_version: int) -> DataFrame:
+        """Change-data feed between two flushed versions: rows tagged
+        ``change`` insert/delete (an in-place change = delete+insert).
+        Feeds incremental consumers (mv_delta) without write replay."""
+        from tostore_spark import store as _store
+        return _store.table_diff(self, table, from_version, to_version,
+                                 space=self._resolve(table)[0])
+
+    def export_table(self, table: str, path: str,
+                     format: str = "parquet", partition_by=None,
+                     mode: str = "error", **options) -> str:
+        """Export the table's current state to parquet/csv/json/orc via
+        the distributed writer (no driver collect)."""
+        from tostore_spark import store as _store
+        return _store.export_table(self, table, path, format=format,
+                                   partition_by=partition_by, mode=mode,
+                                   **options)
+
     def analyze_table(self, table: str, cols=None,
                       exact_ndv: bool = False):
         """One-pass column statistics (rows, nulls, ndv, min/max) for

@@ -632,3 +632,47 @@ def vacuum(engine, keep: int = 1) -> int:
             fs.delete(full, recursive=True)
             removed += 1
     return removed
+
+
+def table_diff(engine, table: str, from_version: int, to_version: int,
+               space: str = "default"):
+    """Change-data feed between two flushed versions: one frame tagged
+    ``change`` ∈ {insert, delete} — a row that changed in place
+    appears as a delete of the old form plus an insert of the new (the
+    COW write path has no stable row identity beyond the row's values).
+
+    Shape: two ``exceptAll`` passes over the two version snapshots —
+    each is one hash-aggregate-style shuffle keyed on the full row; with
+    a hive-partitioned table (``partition_by``) the scans prune to the
+    partitions present in either version.  Feeds downstream incremental
+    consumers (e.g. ``plans/mv.mv_delta`` with sign=+1/-1) without
+    replaying the writes that produced the versions."""
+    from pyspark.sql import functions as F
+
+    old = read_version(engine, table, from_version, space=space)
+    new = read_version(engine, table, to_version, space=space)
+    old = old.select(*sorted(old.columns))
+    new = new.select(*sorted(new.columns))
+    ins = new.exceptAll(old).withColumn("change", F.lit("insert"))
+    dele = old.exceptAll(new).withColumn("change", F.lit("delete"))
+    return ins.unionByName(dele)
+
+
+def export_table(engine, table: str, path: str, format: str = "parquet",
+                 partition_by=None, mode: str = "error",
+                 **options) -> str:
+    """Export a table (current in-memory state, including unflushed
+    mutations) to an external location in parquet/csv/json/orc — the
+    distributed writer, one file per partition, no driver collect.
+    CSV defaults to header=true.  Returns the path."""
+    df = engine.df(table)
+    if format == "csv" and "header" not in options:
+        options["header"] = "true"
+    w = df.write.mode(mode).options(**options)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if format in ("parquet", "csv", "json", "orc"):
+        getattr(w, format)(path)
+    else:
+        w.format(format).save(path)
+    return path
