@@ -97,6 +97,13 @@ CHECKS: dict[str, list[str]] = {
     "q_topic_balance": ["WindowGroupLimit", "windowspecdefinition(cell_id"],
     # unpivot: a pure per-row Expand — zero shuffles (no Exchange at all)
     "q_unpivot_long": ["Expand"],
+    # funnel: stepwise conditional-min folds are hash-aggregates over
+    # entity-keyed frames (the no-cartesian sweep pins no k-way blowup)
+    "q_funnel": ["HashAggregate"],
+    # retention: three uniform-key hash-aggregates, no window
+    "q_cohort_retention": ["HashAggregate"],
+    # ANALYZE: every statistic partial-combines in one aggregate
+    "q_column_stats": ["partial_count", "HashAggregate"],
 }
 
 #: plans that must NOT contain these operators (checked for every query
