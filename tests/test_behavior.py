@@ -125,3 +125,36 @@ def test_column_stats_approx_ndv_close(spark, db):
     approx = out.collect()[0].ndv
     exact = db.df("orders").select("o_custkey").distinct().count()
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_join_advice_strategies(spark, db):
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.plans.stats import join_advice
+
+    eng = ToStoreSpark(spark)
+    eng.register_table("orders", df=db.df("orders"))
+    eng.register_table("customer", df=db.df("customer"))
+    # small dim → broadcast it
+    adv = join_advice(eng, "orders", "customer",
+                      ("o_custkey", "c_custkey"),
+                      broadcast_threshold_rows=10_000)
+    assert adv["strategy"] == "broadcast"
+    assert adv["broadcast_side"] == "customer"
+
+    # both "big" (threshold 1) + skewed key → salt, hot key named
+    skewed = spark.range(0, 10000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 0 ELSE id END AS k", "id AS v")
+    eng.register_table("skewed", df=skewed)
+    eng.register_table("skewed2", df=skewed)
+    adv = join_advice(eng, "skewed", "skewed2", "k",
+                      broadcast_threshold_rows=1)
+    assert adv["strategy"] == "salt"
+    assert adv["hot_keys"][0][0] == 0 and adv["hot_keys"][0][1] >= 0.5
+
+    # both big, uniform key → plain shuffle
+    uni = spark.range(0, 10000).selectExpr("id AS k", "id AS v")
+    eng.register_table("uni", df=uni)
+    eng.register_table("uni2", df=uni)
+    adv = join_advice(eng, "uni", "uni2", "k",
+                      broadcast_threshold_rows=1)
+    assert adv["strategy"] == "shuffle"

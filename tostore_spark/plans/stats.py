@@ -76,3 +76,44 @@ def analyze_table(engine, table: str,
                                   exact_ndv=exact_ndv) \
             .localCheckpoint(eager=True)
     return cache[key]
+
+
+def join_advice(engine, left: str, right: str, key,
+                broadcast_threshold_rows: int = 1_000_000,
+                skew_share: float = 0.05) -> dict:
+    """Stats-driven join strategy recommendation — the planning loop the
+    statistics exist for.  Reads ONLY the cached ``analyze_table``
+    frames plus one bounded heavy-hitter probe (output <= 1/skew_share
+    rows); never rescans data it already has stats for.
+
+    ``key``: one name used on both sides, or a (left_key, right_key)
+    pair.  Returns {"strategy": "broadcast" | "salt" | "shuffle", ...}:
+    - broadcast: either side's row count is under the threshold — ship
+      the small side, the big side never shuffles;
+    - salt: both sides big AND the join key on the bigger side has a
+      heavy hitter holding >= ``skew_share`` of the table — a plain
+      shuffle would funnel that key into one reducer
+      (``functions/skew.salted_join`` is the matching executor);
+    - shuffle: both big, key uniform — AQE's shuffle join is right;
+      bucket both sides (``engine.bucket_table``) if the join repeats.
+    """
+    from tostore_spark.functions.skew import heavy_hitters
+
+    lk, rk = (key, key) if isinstance(key, str) else key
+    keys = {left: lk, right: rk}
+
+    def _rows(t):
+        return engine.analyze_table(t, cols=[keys[t]]).first()["n_rows"]
+
+    ln, rn = _rows(left), _rows(right)
+    small, big = (left, right) if ln <= rn else (right, left)
+    out = {"left_rows": ln, "right_rows": rn, "key": (lk, rk)}
+    if min(ln, rn) < broadcast_threshold_rows:
+        return {**out, "strategy": "broadcast", "broadcast_side": small}
+    bk = keys[big]
+    hot = (heavy_hitters(engine.df(big), [bk], min_share=skew_share)
+           .orderBy(F.col("share").desc()).limit(5).collect())
+    if hot:
+        return {**out, "strategy": "salt", "skewed_side": big,
+                "hot_keys": [(r[bk], round(r.share, 4)) for r in hot]}
+    return {**out, "strategy": "shuffle"}
