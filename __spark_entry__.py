@@ -1705,24 +1705,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # first 50 = the driver's r6 correctness sample (see docstring)
     _ORDER = [
-        # --- 1-14: NEW in r6 ---
+        # --- 1-18: NEW in r6 ---
         "q_curate_corpus", "q_lm_score_bigram", "q_bpe_pair_counts",
         "q_quality_classifier", "q_scd2_history", "q_mv_incremental",
         "q_pivot_wide", "q_unpivot_long", "q_grouping_sets",
         "q_heavy_hitters", "q_set_ops", "q_topic_balance",
         "q_zorder_rewrite", "q_stream_mv", "q_funnel",
         "q_cohort_retention", "q_column_stats", "q_partitioned_table",
-        # --- 13-21: modules changed in r6 (pipeline.py, store.py) ---
+        # --- 19-27: modules changed in r6 (pipeline.py, store.py) ---
         "q_corpus_sample", "q_stratified_take", "q_corpus_clean",
         "q_corpus_shards", "q_corpus_shuffle", "q_flush_reopen",
         "q_backup_restore", "q_kv_namespace", "q_ttl_filter",
-        # --- 22-31: the ten oldest rows (r2/r3-vintage; query.py also
+        # --- 28-37: the ten oldest rows (r2/r3-vintage; query.py also
         # changed this round) ---
         "q_filter_sort_limit", "q_or_union_dedup", "q_topk",
         "q_keyset_page", "q_groupby_having", "q_join_inner_group",
         "q_left_join_count", "q_right_join", "q_theta_join",
         "q_fk_autojoin",
-        # --- 32-50: r4-vintage refresh (changed-module families first) ---
+        # --- 38-50: r4-vintage refresh (changed-module families first) ---
         "q_time_rollup", "q_rollup_subtotals", "q_salted_agg",
         "q_salted_join", "q_update_rewrite", "q_delete_rewrite",
         "q_upsert_merge", "q_batch_update", "q_partial_insert",

@@ -158,3 +158,26 @@ def test_join_advice_strategies(spark, db):
     adv = join_advice(eng, "uni", "uni2", "k",
                       broadcast_threshold_rows=1)
     assert adv["strategy"] == "shuffle"
+
+
+def test_analyze_cache_survives_other_table_and_reregister(spark, db):
+    from tostore_spark import ToStoreSpark
+
+    eng = ToStoreSpark(spark)
+    eng.register_table("a", df=spark.createDataFrame([(1,)], "x int"))
+    eng.register_table("b", df=spark.createDataFrame([(1,), (2,)], "y int"))
+    sa = eng.analyze_table("a", exact_ndv=True)
+    eng.analyze_table("b", exact_ndv=True)  # must NOT evict a's entry
+    assert eng.analyze_table("a", exact_ndv=True) is sa
+    # re-registering replaces the data → generation bumps → fresh stats
+    eng.register_table("a", df=spark.createDataFrame(
+        [(1,), (2,), (3,)], "x int"))
+    assert eng.analyze_table("a", exact_ndv=True).first()["n_rows"] == 3
+
+
+def test_column_stats_empty_table_zero_nulls(spark):
+    from tostore_spark.plans.stats import column_stats
+
+    empty = spark.createDataFrame([], "c int")
+    r = column_stats(empty, ["c"]).first()
+    assert (r.n_rows, r.n_nulls, r.ndv) == (0, 0, 0)

@@ -169,3 +169,35 @@ def test_export_table_csv_roundtrip(spark, db, tmp_path):
         .option("inferSchema", "true").csv(out)
     assert back.count() == db.df("region").count()
     assert set(back.columns) == set(db.df("region").columns)
+
+
+def test_optimize_table_does_not_flush_other_tables(spark, db, tmp_path):
+    eng = ToStoreSpark(spark, warehouse=str(tmp_path))
+    eng.register_table("region", df=db.df("region"))
+    eng.register_table("nation", df=db.df("nation"))
+    eng.flush()
+    # stage an unrelated pending mutation on nation, then optimize region
+    eng.update("nation", {"n_name": "PENDING"}) \
+       .where("n_nationkey", "=", 0).execute()
+    flushed = eng.optimize_table("region", target_partitions=1)
+    assert flushed == ["region"]
+    # nation's mutation is still pending (not committed by the rewrite)
+    reopened = ToStoreSpark(spark, warehouse=str(tmp_path))
+    assert reopened.df("nation").filter("n_name = 'PENDING'").count() == 0
+    assert eng.df("nation").filter("n_name = 'PENDING'").count() == 1
+
+
+def test_partitioned_string_column_keeps_leading_zeros(spark, tmp_path):
+    eng = ToStoreSpark(spark, warehouse=str(tmp_path))
+    df = spark.createDataFrame([("001", 1), ("010", 2), ("2", 3)],
+                               "tenant string, v int")
+    eng.register_table("t", df=df, partition_by=["tenant"])
+    eng.flush()
+    # read-back (same engine) and reopen must keep the string type,
+    # the exact values, and the original column order
+    for frame in (eng.df("t"),
+                  ToStoreSpark(spark, warehouse=str(tmp_path)).df("t")):
+        assert [f.name for f in frame.schema.fields] == ["tenant", "v"]
+        assert frame.schema["tenant"].dataType.simpleString() == "string"
+        got = {r.tenant for r in frame.collect()}
+        assert got == {"001", "010", "2"}

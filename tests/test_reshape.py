@@ -282,3 +282,49 @@ def test_stream_mv_cdc_retractions(spark, tmp_path_factory):
     got = {r.k: (r.n, float(r.sum_v)) for r in db.df("mv_cdc").collect()}
     # k0 got 10 inserts and 10 retractions → gone entirely
     assert got == {"k1": (10, 20.0), "k2": (10, 20.0)}
+
+
+# ----------------------------- review-fix regressions (round 6 review)
+def test_scd2_equal_ts_correction_applies(spark):
+    """An update stamped with the SAME effective_ts as the open row but
+    different attrs is a correction, not a replay — it must apply."""
+    h = _hist(spark)
+    upd = spark.createDataFrame(
+        [(1, "fixed", "EU", "2020-01-01 00:00:00")],
+        "k int, tier string, region string, effective_ts string") \
+        .withColumn("effective_ts", F.col("effective_ts").cast("timestamp"))
+    out = scd2_apply(h, upd, ["k"], ["tier", "region"])
+    k1 = {r.is_current: r for r in out.filter("k = 1").collect()}
+    assert k1[True].tier == "fixed"
+    assert k1[False].tier == "gold" and k1[False].valid_to == k1[False].valid_from
+
+
+def test_scd2_no_separator_collision(spark):
+    """('x\\x1fy','z') vs ('x','y\\x1fz') are DIFFERENT tracked tuples."""
+    dim = spark.createDataFrame([(1, "x\x1fy", "z")],
+                                "k int, a string, b string")
+    h = scd2_init(dim, effective="2020-01-01 00:00:00")
+    upd = spark.createDataFrame(
+        [(1, "x", "y\x1fz", "2021-01-01 00:00:00")],
+        "k int, a string, b string, effective_ts string") \
+        .withColumn("effective_ts", F.col("effective_ts").cast("timestamp"))
+    out = scd2_apply(h, upd, ["k"], ["a", "b"])
+    cur = out.filter("is_current").collect()
+    assert len(cur) == 1 and cur[0].a == "x" and cur[0].b == "y\x1fz"
+    assert out.filter("not is_current").count() == 1
+
+
+def test_mv_merge_explicit_keys_with_awkward_names(spark):
+    fact = spark.createDataFrame([("sum_a", 1.0), ("sum_a", 2.0),
+                                  ("n", 3.0)], "sum_region string, v double")
+    mv = mv_build(fact, ["sum_region"], sums=["v"])
+    merged = mv_merge(mv, mv_delta(fact, ["sum_region"], sums=["v"]),
+                      keys=["sum_region"])
+    got = {r.sum_region: (r.n, float(r.sum_v)) for r in merged.collect()}
+    assert got == {"sum_a": (4, 6.0), "n": (2, 6.0)}
+
+
+def test_pivot_sum_without_agg_field_raises(spark, db):
+    with pytest.raises(ValueError, match="agg_field"):
+        pivot_table(db.df("orders"), ["o_orderpriority"],
+                    "o_orderstatus", ["F"], agg="sum")

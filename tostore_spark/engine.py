@@ -112,15 +112,29 @@ class ToStoreSpark:
         if schema is None:
             schema = TableSchema.from_struct_type(name, df.schema, is_global=is_global)
         space = "global" if is_global else self._space
+        if (space, name) in self._tables:
+            # re-registering replaces the data: advance the generation so
+            # query caches and analyze_table stats for the old frame die
+            self._generations[(space, name)] = \
+                self._generations.get((space, name), 0) + 1
         self._tables[(space, name)] = {
             "df": df, "path": path, "schema": schema, "global": is_global,
             "partition_by": list(partition_by) if partition_by else None,
         }
 
-    def _read_parquet(self, path: str) -> DataFrame:
+    def _read_parquet(self, path: str, schema=None) -> DataFrame:
         """Parquet read that tolerates nanosecond timestamps (Spark rejects
         TIMESTAMP(NANOS) by default): read them as long nanos and convert to
-        microsecond timestamps — exact integer math, no double rounding."""
+        microsecond timestamps — exact integer math, no double rounding.
+
+        ``schema`` (StructType) pins the read schema — REQUIRED for
+        hive-partitioned warehouse dirs, where partition-column type
+        inference would otherwise retype numeric-looking string values
+        ('001' → int 1, leading zeros irrecoverably lost) and move the
+        partition columns to the end of the schema."""
+        if schema is not None:
+            df = self.spark.read.schema(schema).parquet(path)
+            return df.select(*[f.name for f in schema.fields])
         ns_cols: list[str] = []
         try:
             import pyarrow.parquet as pq
@@ -373,7 +387,8 @@ class ToStoreSpark:
         return None
 
     # ---- lifecycle / diagnostics (tostore.dart:1035-1172) -------------
-    def flush(self, flush_storage: bool = True) -> list[str]:
+    def flush(self, flush_storage: bool = True,
+              only: Optional[list] = None) -> list[str]:
         """Make pending mutations durable (tostore.dart:1035).
 
         With a ``warehouse`` configured, every dirty table is written to
@@ -386,7 +401,8 @@ class ToStoreSpark:
         localCheckpoint-ed: a memory barrier, NOT durable — mutations die
         with the session, as README limitations document."""
         from tostore_spark import store as _store
-        flushed = _store.flush_tables(self, flush_storage=flush_storage)
+        flushed = _store.flush_tables(self, flush_storage=flush_storage,
+                                      only=only)
         if hasattr(self, "_mutations"):
             self._mutations.clear()
         return flushed

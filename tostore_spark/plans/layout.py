@@ -91,4 +91,6 @@ def optimize_table(engine, table: str, target_partitions: int = 8,
     out = optimize_layout(engine.df(table), target_partitions,
                           zorder=zorder)
     engine.set_df(table, out)
-    return engine.flush()
+    # scope the flush to THIS table: a layout rewrite must not commit
+    # unrelated pending mutations as a side effect
+    return engine.flush(only=[table])

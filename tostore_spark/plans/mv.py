@@ -58,15 +58,27 @@ def mv_delta(batch: DataFrame, keys: Sequence[str],
     return batch.groupBy(*keys).agg(*aggs)
 
 
-def mv_merge(mv: DataFrame, *deltas: DataFrame) -> DataFrame:
+def mv_merge(mv: DataFrame, *deltas: DataFrame,
+             keys: Sequence[str] | None = None) -> DataFrame:
     """Fold partial-aggregate deltas into the MV: union + re-sum per key;
-    groups whose merged count hits 0 are dropped (fully retracted)."""
+    groups whose merged count hits 0 are dropped (fully retracted).
+
+    ``keys`` defaults to every column that is not ``n``/``sum_*``.
+    That inference is WRONG for a grouping key itself named ``n`` or
+    ``sum_*`` (it would be summed as a measure) — pass ``keys=[...]``
+    explicitly whenever key names aren't under your control;
+    ``write_stream_to_mv`` always does.
+    """
     out = mv
     for d in deltas:
         out = out.unionByName(d)
-    keys = [c for c in mv.columns
-            if c != "n" and not c.startswith("sum_")]
-    sum_cols = [c for c in mv.columns if c.startswith("sum_")]
+    if keys is None:
+        keys = [c for c in mv.columns
+                if c != "n" and not c.startswith("sum_")]
+    else:
+        keys = list(keys)
+    sum_cols = [c for c in mv.columns
+                if c.startswith("sum_") and c not in keys]
     merged = out.groupBy(*keys).agg(
         F.sum("n").alias("n"),
         *[F.sum(c).alias(c) for c in sum_cols])

@@ -35,6 +35,8 @@ def pivot_table(df: DataFrame, row_keys: Sequence[str], pivot_field: str,
     order-independent totals."""
     if agg not in _AGG:
         raise ValueError(f"unsupported pivot aggregate: {agg}")
+    if agg != "count" and agg_field is None:
+        raise ValueError(f"pivot agg={agg!r} requires agg_field")
     col = (F.lit(1) if agg == "count" and agg_field is None
            else F.col(agg_field))
     if agg == "sum":

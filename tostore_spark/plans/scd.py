@@ -23,6 +23,7 @@ append of closed rows.
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -56,8 +57,11 @@ def scd2_apply(history: DataFrame, updates: DataFrame,
       open a new row (valid_from = effective ts);
     - attrs equal   → no-op (idempotent re-delivery is safe);
     - new key       → open a new row;
-    - an update older than the open row's valid_from is ignored
-      (late/duplicate replay guard).
+    - an update STRICTLY older than the open row's valid_from is
+      ignored (late/duplicate replay guard); an equal-timestamp update
+      with different attrs is a correction — it closes the open row
+      with a zero-length interval and opens the corrected one (sources
+      that truncate timestamps to day granularity deliver these).
     """
     keys = list(keys)
     tracked = list(tracked)
@@ -81,15 +85,13 @@ def scd2_apply(history: DataFrame, updates: DataFrame,
     changed = F.col("u_eff").isNotNull() & (
         F.col(keys[0]).isNull()  # brand-new key
         | (
-            (F.col("u_eff") > F.col("valid_from"))
-            & ~F.concat_ws("\x1f", *[F.coalesce(F.col(t).cast("string"),
-                                                F.lit("\x00"))
-                                     for t in tracked])
-               .eqNullSafe(F.concat_ws("\x1f",
-                                       *[F.coalesce(F.col(f"u_{t}")
-                                                    .cast("string"),
-                                                    F.lit("\x00"))
-                                         for t in tracked]))
+            (F.col("u_eff") >= F.col("valid_from"))
+            # per-column null-safe comparison: no separator/sentinel
+            # collisions (a concat-based compare conflates
+            # ('x\x1fy','z') with ('x','y\x1fz'))
+            & ~reduce(lambda a, b: a & b,
+                      [F.col(t).eqNullSafe(F.col(f"u_{t}"))
+                       for t in tracked])
         )
     )
 

@@ -41,7 +41,7 @@ def column_stats(df: DataFrame, cols: Optional[Sequence[str]] = None,
     for c in cols:
         col = F.col(c)
         aggs += [
-            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nul_{c}"),
+            F.count(F.when(col.isNull(), 1)).alias(f"__nul_{c}"),
             ndv(col).alias(f"__ndv_{c}"),
             F.min(col).cast("string").alias(f"__mn_{c}"),
             F.max(col).cast("string").alias(f"__mx_{c}"),
@@ -71,7 +71,11 @@ def analyze_table(engine, table: str,
     if cache is None:
         cache = engine._stats_cache = {}
     if key not in cache:
-        cache.clear()   # stats for stale generations are dead weight
+        # evict only THIS table's stale-generation entries — stats for
+        # other tables stay valid (join_advice reads two tables per call)
+        for k in list(cache):
+            if k[0] == key[0] and k[1] != key[1]:
+                del cache[k]
         cache[key] = column_stats(engine.df(table), cols,
                                   exact_ndv=exact_ndv) \
             .localCheckpoint(eager=True)

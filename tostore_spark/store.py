@@ -161,7 +161,8 @@ class FlushLock:
             pass
 
 
-def flush_tables(engine, flush_storage: bool = True) -> list[str]:
+def flush_tables(engine, flush_storage: bool = True,
+                 only: Optional[list] = None) -> list[str]:
     """Write every dirty table (generation advanced past its last flushed
     generation) to the warehouse and re-register it from the written
     parquet — one pass that both bounds lineage and makes the mutation
@@ -179,6 +180,8 @@ def flush_tables(engine, flush_storage: bool = True) -> list[str]:
     tables both commit with zero retries.  Only a table BOTH engines
     flushed raises ``ConcurrentWriteError``."""
     flushed: list[str] = []
+    only_keys = ({engine._resolve(t) for t in only}
+                 if only is not None else None)
     wh = engine._warehouse
     if not hasattr(engine, "_flushed_gen"):
         engine._flushed_gen = {}
@@ -190,7 +193,11 @@ def flush_tables(engine, flush_storage: bool = True) -> list[str]:
         # dirty = mutated past the last flush, OR registered from a
         # bare DataFrame with no durable source yet (path None, never
         # flushed) — without the second clause such a table would
-        # silently vanish on reopen even though flush() "succeeded"
+        # silently vanish on reopen even though flush() "succeeded".
+        # ``only`` scopes the flush to named tables (optimize_table's
+        # layout rewrite must not commit unrelated pending mutations).
+        if only_keys is not None and key not in only_keys:
+            return False
         gen = engine._generations.get(key, 0)
         sourceless = (durable and ent.get("path") is None
                       and key not in engine._flushed_gen)
@@ -247,12 +254,16 @@ def flush_tables(engine, flush_storage: bool = True) -> list[str]:
                 vdir = table_version_dir(wh, key[0], key[1], gen)
                 writer = ent["df"].write.mode("overwrite")
                 pby = ent.get("partition_by")
+                written_schema = ent["df"].schema
                 if pby:
                     # hive-style directory partitioning: reopened readers
                     # prune partitions on these columns (PartitionFilters)
                     writer = writer.partitionBy(*pby)
                 writer.parquet(vdir)
-                ent["df"] = engine._read_parquet(vdir)
+                # pin the read-back schema: partition-column type
+                # inference must not retype string values or reorder cols
+                ent["df"] = engine._read_parquet(
+                    vdir, schema=written_schema if pby else None)
                 ent["path"] = vdir
                 engine._flushed_gen[key] = gen
                 flushed.append(key[1])
@@ -418,13 +429,18 @@ def _build_manifest(engine) -> dict:
     for (space, name), ent in engine._tables.items():
         path = ent.get("path")
         if path and _norm_path(path).startswith(wh):
-            tables[f"{space}/{name}"] = {
+            entry = {
                 "space": space, "name": name, "path": path,
                 "version": engine._generations.get((space, name), 0),
                 "global": ent["global"],
                 "schema": _schema_to_dict(ent["schema"]),
                 "partition_by": ent.get("partition_by"),
             }
+            if ent.get("partition_by"):
+                # exact Spark types for the partitioned read-back pin —
+                # TableSchema's logical types are lossy (e.g. NTZ)
+                entry["spark_schema"] = ent["df"].schema.json()
+            tables[f"{space}/{name}"] = entry
     manifest = {
         "seq": getattr(engine, "_store_seq", 0),
         "tables": tables,
@@ -453,10 +469,15 @@ def load_warehouse(engine) -> list[str]:
     for ent in man["tables"].values():
         sch = _schema_from_dict(ent["schema"])
         key = (ent["space"], ent["name"])
+        pby = ent.get("partition_by")
+        pin = None
+        if pby and ent.get("spark_schema"):
+            from pyspark.sql.types import StructType
+            pin = StructType.fromJson(json.loads(ent["spark_schema"]))
         engine._tables[key] = {
-            "df": engine._read_parquet(ent["path"]),
+            "df": engine._read_parquet(ent["path"], schema=pin),
             "path": ent["path"], "schema": sch, "global": ent["global"],
-            "partition_by": ent.get("partition_by"),
+            "partition_by": pby,
         }
         engine._generations[key] = ent.get("version", 0)
         if not hasattr(engine, "_flushed_gen"):

@@ -118,11 +118,11 @@ def write_stream_to_mv(engine, stream_df: DataFrame, mv_table: str,
         if not deltas:
             return
         if engine.table_exists(mv_table):
-            merged = mv_merge(engine.df(mv_table), *deltas)
+            merged = mv_merge(engine.df(mv_table), *deltas, keys=keys)
         elif len(deltas) == 1:
             merged = deltas[0].filter(F.col("n") != 0)
         else:
-            merged = mv_merge(deltas[0], *deltas[1:])
+            merged = mv_merge(deltas[0], *deltas[1:], keys=keys)
         # pin: the MV is |distinct keys| rows and must outlive the batch
         pinned_mv = merged.localCheckpoint(eager=True)
         if engine.table_exists(mv_table):
