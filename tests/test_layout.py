@@ -201,3 +201,21 @@ def test_partitioned_string_column_keeps_leading_zeros(spark, tmp_path):
         assert frame.schema["tenant"].dataType.simpleString() == "string"
         got = {r.tenant for r in frame.collect()}
         assert got == {"001", "010", "2"}
+
+
+def test_quantile_rank_spreads_skewed_column(spark):
+    from tostore_spark.plans.layout import quantile_rank, zvalue
+
+    # heavy tail: 90% of values in [0, 1], a few huge outliers — linear
+    # min/max scaling would put ~90% of rows in bucket 0
+    rows = [(i, 0.001 * i) for i in range(900)] + \
+           [(900 + i, 1e9 * (i + 1)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    ranked, rc = quantile_rank(df, "v", n_buckets=10)
+    dist = {r[rc]: r["cnt"] for r in
+            ranked.groupBy(rc).agg(F.count("*").alias("cnt")).collect()}
+    # no single quantile bucket swallows the 90% mass
+    assert max(dist.values()) < 300
+    # composes with zvalue (rank column in place of the raw column)
+    z = zvalue(ranked, [rc, "id"])
+    assert z.count() == 1000

@@ -94,3 +94,35 @@ def optimize_table(engine, table: str, target_partitions: int = 8,
     # scope the flush to THIS table: a layout rewrite must not commit
     # unrelated pending mutations as a side effect
     return engine.flush(only=[table])
+
+
+def quantile_rank(df: DataFrame, col: str, n_buckets: int = 1024,
+                  rel_error: float = 0.001) -> "tuple[DataFrame, str]":
+    """Skew-robust rank transform for z-ordering: replaces min/max
+    linear scaling with approx-quantile bucket ids, so a heavy-tailed
+    column (e.g. view counts) spreads uniformly over the code space
+    instead of collapsing into one bucket.
+
+    One ``approxQuantile`` pass (Greenwald-Khanna sketch, bounded driver
+    memory) computes the boundaries; the bucket id is a map-side
+    ``width_bucket`` over the broadcast boundary array.  Returns
+    (df + rank column, rank column name) — feed the rank column to
+    ``zvalue``/``optimize_layout`` in place of the raw column."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.stat.approxQuantile(col, probs, rel_error)
+    # dedupe (constant stretches collapse boundaries) and keep sorted
+    uniq = sorted(set(bounds))
+    rank_col = f"__qr_{col}"
+    if not uniq:
+        return df.withColumn(rank_col, F.lit(0).cast("long")), rank_col
+    # true quantile buckets (boundaries are NOT uniformly spaced):
+    # rank = count of boundaries <= value, a codegen array filter over
+    # the broadcast literal array; NULLs rank 0 like zvalue
+    arr = F.array(*[F.lit(float(b)) for b in uniq])
+    out = df.withColumn(
+        rank_col,
+        F.coalesce(
+            F.size(F.filter(arr, lambda b: b <= F.col(col).cast("double")))
+            .cast("long"),
+            F.lit(0).cast("long")))
+    return out, rank_col
