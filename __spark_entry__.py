@@ -1583,6 +1583,7 @@ def q_partitioned_table(spark, sf_dir):
                .agg(F.count(F.lit(1)).alias("n"),
                     _dec_sum(F.col("value"), "sum_value", 6),
                     F.count_distinct("user_id").alias("n_users")))
+        # pin via driver collect (1 aggregate row; tempdir-scoped)
         rows, sch = out.collect(), out.schema
     return spark.createDataFrame(rows, sch)
 
@@ -1618,6 +1619,9 @@ def q_zorder_rewrite(spark, sf_dir):
         db1.optimize_table("customer", target_partitions=4,
                            zorder=["c_custkey", "c_acctbal"])
         out = ToStoreSpark(spark, warehouse=tmp).df("customer")
+        # pin via driver collect (1.5k rows at sf0.01): the lazy frame
+        # reads the tempdir warehouse, which dies with this scope — see
+        # the q_flush_reopen note
         rows, schema = out.collect(), out.schema
     return spark.createDataFrame(rows, schema)
 
@@ -1651,6 +1655,7 @@ def q_stream_mv(spark, sf_dir):
         out = eng.df("mv_status").select(
             "o_orderstatus", "n",
             F.col("sum_o_totalprice").cast("double").alias("total"))
+        # pin via driver collect (3 rows — the MV itself)
         rows, sch = out.collect(), out.schema
     return spark.createDataFrame(rows, sch)
 
