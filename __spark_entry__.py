@@ -1588,6 +1588,22 @@ def q_partitioned_table(spark, sf_dir):
     return spark.createDataFrame(rows, sch)
 
 
+def q_unicode_normalize(spark, sf_dir):
+    """Unicode NFC normalization (the pre-fingerprint pass): composed
+    and decomposed accent encodings must unify.  The one sanctioned
+    Python hot path in the text family — an Arrow-batched pandas UDF
+    over stdlib unicodedata; DuckDB's nfc_normalize reproduces it."""
+    db = _db(spark, sf_dir)
+    # append a decomposed e + U+0301 so the ASCII corpus exercises real
+    # composition, not a byte-identity pass-through
+    suffix = " café"
+    return (db.df("documents")
+            .select("doc_id",
+                    TX.normalize_unicode(
+                        F.concat(F.col("text"), F.lit(suffix)))
+                    .alias("norm_text")))
+
+
 def q_column_stats(spark, sf_dir):
     """ANALYZE-style one-pass column statistics (rows / nulls / exact
     ndv / min / max) — the planning input for broadcast, salting, and
@@ -1668,7 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver checks the FIRST 50 entries against the DuckDB oracle each round.
 
     Ordering policy (round 6, same rotation rule as r3-r5).  First 50:
-    slots 1-18 are the EIGHTEEN NEW r6 operators (q_curate_corpus — the
+    slots 1-19 are the NINETEEN NEW r6 operators (q_curate_corpus — the
     staged end-to-end recipe oracle, q_lm_score_bigram,
     q_bpe_pair_counts, q_quality_classifier, the reshaping/
     warehouse-maintenance set: q_scd2_history, q_mv_incremental,
@@ -1678,24 +1694,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     incremental-MV fold == one-shot SQL aggregate, q_funnel and
     q_cohort_retention — behavioral event analytics — and
     q_column_stats — one-pass ANALYZE, q_partitioned_table —
-    hive-layout partition pruning across reopen); slots 19-27 are
+    hive-layout partition pruning across reopen — and
+    q_unicode_normalize — Arrow-batched NFC); slots 20-28 are
     every entry whose module changed this round — pipeline.py
     (q_corpus_sample, q_stratified_take, q_corpus_clean,
     q_corpus_shards, q_corpus_shuffle) and store.py (q_flush_reopen
     plus the flush-interplay set q_backup_restore, q_kv_namespace,
-    q_ttl_filter); slots 28-37 are the TEN oldest rows (r2/r3-vintage,
+    q_ttl_filter); slots 29-38 are the TEN oldest rows (r2/r3-vintage,
     named first by the r5 verdict): q_filter_sort_limit,
     q_or_union_dedup, q_topk, q_keyset_page, q_groupby_having,
     q_join_inner_group, q_left_join_count, q_right_join, q_theta_join,
     q_fk_autojoin — query.py changed this round (additive set-op
     methods), so the whole query-family refresh matters doubly; slots
-    38-50 refresh 13 r4-vintage rows prioritizing families whose
+    39-50 refresh 12 r4-vintage rows prioritizing families whose
     modules changed this round (rollup.py: q_time_rollup,
     q_rollup_subtotals; skew.py: q_salted_agg, q_salted_join) plus the
     write/vector/pq/retrieval families.
 
     Past the cap: first the r4-vintage rows deferred to r7
-    (q_pq_search, q_ivfpq, q_mix_corpus, q_bm25_search, q_knn_join, q_ivf_batch, q_source_cap, q_pack_sequences, q_chunk_documents,
+    (q_quantized_knn, q_pq_search, q_ivfpq, q_mix_corpus, q_bm25_search, q_knn_join, q_ivf_batch, q_source_cap, q_pack_sequences, q_chunk_documents,
     q_quality_filter, q_events_window, q_agg_stats, q_langid,
     q_token_count_bpe, q_pred_like_between_in, q_or_tree, q_loose_eq,
     q_notin_null_semantics, q_is_null_join, q_global_agg, q_count_star,
@@ -1705,36 +1722,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     are untouched this round (dedup.py, text.py, joins.py,
     multimodal.py, engine.py families).
     tools/check_correctness.py certifies every entry locally each round
-    (r6 local run: 114/114 exact).
+    (r6 local run: 115/115 exact).
     """
 
     # first 50 = the driver's r6 correctness sample (see docstring)
     _ORDER = [
-        # --- 1-18: NEW in r6 ---
+        # --- 1-19: NEW in r6 ---
         "q_curate_corpus", "q_lm_score_bigram", "q_bpe_pair_counts",
         "q_quality_classifier", "q_scd2_history", "q_mv_incremental",
         "q_pivot_wide", "q_unpivot_long", "q_grouping_sets",
         "q_heavy_hitters", "q_set_ops", "q_topic_balance",
         "q_zorder_rewrite", "q_stream_mv", "q_funnel",
         "q_cohort_retention", "q_column_stats", "q_partitioned_table",
-        # --- 19-27: modules changed in r6 (pipeline.py, store.py) ---
+        "q_unicode_normalize",
+        # --- 20-28: modules changed in r6 (pipeline.py, store.py) ---
         "q_corpus_sample", "q_stratified_take", "q_corpus_clean",
         "q_corpus_shards", "q_corpus_shuffle", "q_flush_reopen",
         "q_backup_restore", "q_kv_namespace", "q_ttl_filter",
-        # --- 28-37: the ten oldest rows (r2/r3-vintage; query.py also
+        # --- 29-38: the ten oldest rows (r2/r3-vintage; query.py also
         # changed this round) ---
         "q_filter_sort_limit", "q_or_union_dedup", "q_topk",
         "q_keyset_page", "q_groupby_having", "q_join_inner_group",
         "q_left_join_count", "q_right_join", "q_theta_join",
         "q_fk_autojoin",
-        # --- 38-50: r4-vintage refresh (changed-module families first) ---
+        # --- 39-50: r4-vintage refresh (changed-module families first) ---
         "q_time_rollup", "q_rollup_subtotals", "q_salted_agg",
         "q_salted_join", "q_update_rewrite", "q_delete_rewrite",
         "q_upsert_merge", "q_batch_update", "q_partial_insert",
         "q_expr_clamp_update", "q_update_ordered_limit",
-        "q_vector_cosine_topk", "q_quantized_knn",
+        "q_vector_cosine_topk",
         # --- past the 50-cap: r4 rows deferred to r7 first ---
-        "q_pq_search", "q_ivfpq", "q_mix_corpus", "q_bm25_search", "q_knn_join", "q_ivf_batch",
+        "q_quantized_knn", "q_pq_search", "q_ivfpq", "q_mix_corpus", "q_bm25_search", "q_knn_join", "q_ivf_batch",
         "q_source_cap", "q_pack_sequences", "q_chunk_documents",
         "q_quality_filter", "q_events_window", "q_agg_stats",
         "q_langid", "q_token_count_bpe", "q_pred_like_between_in",
@@ -1884,6 +1902,11 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users
             FROM events WHERE event_type = 'purchase'
             GROUP BY event_type""",
+        "q_unicode_normalize": """
+            SELECT doc_id,
+                   nfc_normalize(text || ' cafe' || chr(769))
+                     AS norm_text
+            FROM documents""",
         "q_column_stats": """
             SELECT 'o_custkey' AS "column", count(*) AS n_rows,
                    count(*) - count(o_custkey) AS n_nulls,

@@ -1136,3 +1136,30 @@ def test_winnowing_partial_overlap(spark):
     capped = D.winnow_overlap_pairs(boiler_docs, k=3, window=4,
                                     min_shared=1, max_fp_df=5).collect()
     assert capped == []
+
+
+def test_normalize_unicode_nfc_matches_duck(spark, duck):
+    from tostore_spark.llmops.text import normalize_unicode
+
+    # decomposed e + combining acute vs precomposed é; NFKC ligature
+    rows = [(1, "café"), (2, "café"), (3, "ﬁle"),
+            (4, None), (5, "plain ascii")]
+    df = spark.createDataFrame(rows, "id int, t string")
+    out = {r.id: r.n for r in df.select(
+        "id", normalize_unicode(F.col("t")).alias("n")).collect()}
+    assert out[1] == out[2] == "café"   # NFC unifies the encodings
+    assert out[3] == "ﬁle"              # NFC keeps the ligature
+    assert out[4] is None and out[5] == "plain ascii"
+    # DuckDB's nfc_normalize agrees on the NFC form
+    want = duck.execute(
+        "SELECT nfc_normalize('cafe' || chr(769))").fetchone()[0]
+    assert out[1] == want
+
+    nfkc = {r.id: r.n for r in df.select(
+        "id", normalize_unicode(F.col("t"), form="NFKC").alias("n"))
+        .collect()}
+    assert nfkc[3] == "file"                 # NFKC folds the ligature
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        normalize_unicode(F.col("t"), form="XYZ")

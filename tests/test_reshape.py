@@ -328,3 +328,26 @@ def test_pivot_sum_without_agg_field_raises(spark, db):
     with pytest.raises(ValueError, match="agg_field"):
         pivot_table(db.df("orders"), ["o_orderpriority"],
                     "o_orderstatus", ["F"], agg="sum")
+
+
+# ------------------------------------------- builder explain / sample
+def test_query_explain_returns_plan(db):
+    plan = (db.query("orders").where("o_totalprice", ">", 100000)
+            .order_by_desc("o_totalprice").limit(5).explain())
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan
+
+
+def test_query_sample_deterministic_and_filtering(db, duck):
+    q = db.query("orders").sample(0.25, hash_field="o_orderkey")
+    n1, n2 = q.df().count(), q.clone().df().count()
+    assert n1 == n2  # deterministic (md5 filter, not rand())
+    total = db.query("orders").count()
+    assert 0 < n1 < total
+    # matches the same md5 permyriad filter in DuckDB
+    want = duck.execute("""
+        SELECT count(*) FROM orders
+        WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                   1, 8)) AS BIGINT) % 10000
+              < 2500""").fetchone()[0]
+    assert n1 == want

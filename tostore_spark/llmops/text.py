@@ -7,6 +7,7 @@ Every formula is also expressible in ANSI SQL for oracle verification.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -355,3 +356,29 @@ def perplexity_filter(df: DataFrame, lm: DataFrame, drop_pct: float = 0.1,
               .filter(F.col("bits_per_token").isNull()
                       | (F.col("bits_per_token") <= F.col("__thr")))
               .drop("__thr"))
+
+
+def normalize_unicode(text_col: Column, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) for crawl text — the
+    canonical pre-fingerprint pass: composed vs decomposed accents
+    ('café' as e+U+0301 vs U+00E9) must hash identically or every
+    dedup/fingerprint operator silently misses cross-encoding dups.
+
+    No JVM built-in exists, so this is the ONE sanctioned Python hot
+    path in the text family: an Arrow-batched pandas UDF over stdlib
+    ``unicodedata`` (vectorized batch transfer, never row-at-a-time
+    py4j).  ASCII-only corpora pass through byte-identical.  NFC output
+    is reproducible in DuckDB's ``nfc_normalize`` for the oracle."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form}")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: unicodedata.normalize(form, v)
+                     if v is not None else None)
+
+    return _norm(text_col)

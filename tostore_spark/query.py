@@ -128,6 +128,7 @@ class QueryBuilder:
         self._cache_enabled: Optional[bool] = None  # None = engine default
         self._cache_expiry_s: Optional[float] = None
         self._group_mode: str = "groupby"  # groupby | rollup | cube
+        self._sample_filter: Optional[tuple] = None  # (field, permyriad)
 
     # ---- chain: predicates -------------------------------------------
     def where(self, field, op=None, value="__missing__"):
@@ -215,6 +216,31 @@ class QueryBuilder:
         a, b = self.df(), other.df()
         b = b.select(*a.columns)
         return a.exceptAll(b) if all else a.subtract(b)
+
+    def explain(self, mode: str = "formatted") -> str:
+        """The compiled physical plan as a string (the .explain surface
+        for chain-built queries — read it, or assert shapes in tests)."""
+        import contextlib
+        import io
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            self.df().explain(mode)
+        return buf.getvalue()
+
+    def sample(self, fraction: float, hash_field: Optional[str] = None):
+        """Deterministic sample: keep ~``fraction`` of rows by md5 of
+        ``hash_field`` (default: the table's primary key).  Unlike
+        DataFrame.sample this is a plain FILTER — reproducible across
+        runs/resumes, composable with pushdown, and stable under
+        repartitioning (llmops.pipeline.hash_fraction is the same
+        primitive)."""
+        field = hash_field or self._engine.primary_key(self._table)
+        if not field:
+            raise ValueError("sample() needs hash_field when the table "
+                             "has no primary key")
+        from tostore_spark.llmops.pipeline import hash_fraction
+        self._sample_filter = (field, int(float(fraction) * 10000))
+        return self
 
     def order_by_asc(self, *fields: str):
         self._order_by.extend(fields)
@@ -318,6 +344,7 @@ class QueryBuilder:
         qb._distinct = self._distinct
         qb._cache_enabled = self._cache_enabled
         qb._cache_expiry_s = self._cache_expiry_s
+        qb._sample_filter = self._sample_filter
         return qb
 
     # ---- plan build ---------------------------------------------------
@@ -510,6 +537,12 @@ class QueryBuilder:
     def df(self) -> DataFrame:
         """Compile the chain to a DataFrame (the declarative plan)."""
         frame = self._base_frame()
+        if self._sample_filter is not None:
+            from tostore_spark.llmops.pipeline import hash_fraction
+            field, permyriad = self._sample_filter
+            frame = _Frame(
+                frame.df.filter(hash_fraction(F.col(field)) < permyriad),
+                frame.prov)
         frame = self._apply_joins(frame)
         frame = self._apply_condition(frame)
 
