@@ -286,6 +286,26 @@ def main():
 
     total_cold = round(sum(cold.values()), 3)
     total_warm = round(sum(warm.values()), 3)
+
+    # round-6 operator families, timed OUTSIDE the headline totals so
+    # `value` stays r1-comparable; same cold/warm protocol
+    extras_cold: dict[str, float] = {}
+    extras_warm: dict[str, float] = {}
+    for name in ("q_scd2_history", "q_mv_incremental", "q_funnel",
+                 "q_cohort_retention", "q_grouping_sets",
+                 "q_topic_balance"):
+        fn = qs[name]
+        spark.catalog.clearCache()
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        extras_cold[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        extras_warm[name] = round(time.time() - t0, 3)
+        print(f"# extra {name}: cold={extras_cold[name]}s "
+              f"warm={extras_warm[name]}s rows={n}", file=sys.stderr)
+    spark.catalog.clearCache()
+
     recall = _recall_gate(spark, sf_dir)
     sf1 = _sf1_spot(spark, sf_dir, cold)
     print(json.dumps({
@@ -297,6 +317,9 @@ def main():
         "queries_warm": warm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "canary_sec": canary,
+        "extras": {"cold": extras_cold, "warm": extras_warm,
+                   "note": "round-6 operators, excluded from value/"
+                           "value_warm for cross-round comparability"},
         "recall": recall,
         "sf1_spot": sf1,
         "methodology": ("cold_first_run (value/queries; r1-comparable) "
