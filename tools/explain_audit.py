@@ -104,6 +104,13 @@ CHECKS: dict[str, list[str]] = {
     "q_cohort_retention": ["HashAggregate"],
     # ANALYZE: every statistic partial-combines in one aggregate
     "q_column_stats": ["partial_count", "HashAggregate"],
+    # bloom join: the compact bitmap rides in as a broadcast 1-row map
+    # (BNLJ) and the membership test is in-plan xxhash64 column math —
+    # no probe-side shuffle before the filter, no driver round-trip
+    "q_bloom_join": ["BroadcastNestedLoopJoin", "xxhash64"],
+    # holdout split: pure column math + one partial-combined aggregate;
+    # zero windows (the no-cartesian sweep covers the rest)
+    "q_split_corpus": ["partial_count", "HashAggregate"],
 }
 
 #: plans that must NOT contain these operators (checked for every query

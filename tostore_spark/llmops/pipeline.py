@@ -150,6 +150,45 @@ def shuffle_corpus(df: DataFrame, n_shards: int, seed: int = 42,
               .drop("__key"))
 
 
+def split_corpus(df: DataFrame,
+                 weights: dict[str, float] | None = None,
+                 id_field: str = "doc_id",
+                 split_field: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment — the holdout-split step
+    every training pipeline runs after curation, as a pure hash filter.
+
+    Each document lands in exactly one named split with probability
+    proportional to its weight, decided by the same md5 fraction as
+    ``hash_sample`` (reference analog: the reference's random sampling is
+    client-side `..sample()` over query results; a pure id-hash split is
+    the engine-side form that stays reproducible across runs, engines,
+    and resumes — critical so the test set never leaks into training when
+    a 100 TB job restarts).  Weights are normalized; bucket boundaries
+    are cumulative on the 0-9999 hash range, the last split absorbing the
+    rounding remainder so every row is assigned.
+
+    Scale shape: one scan, zero shuffles — the label is pure column math,
+    so it composes with pushdown and costs nothing at any scale."""
+    if weights is None:
+        weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not weights:
+        raise ValueError("split_corpus needs at least one split weight")
+    total = float(sum(weights.values()))
+    names = list(weights)
+    frac = hash_fraction(F.col(id_field))
+    # half-open cumulative buckets [lo, hi) on the 0-9999 hash range;
+    # the last split takes everything past the final boundary
+    out = F.lit(names[-1])
+    lo = 0
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name] / total
+        hi = int(round(cum * 10000))
+        out = F.when((frac >= lo) & (frac < hi), name).otherwise(out)
+        lo = hi
+    return df.withColumn(split_field, out)
+
+
 def _stage_barrier(df: DataFrame, materialize, warehouse_dir,
                    stage: str) -> DataFrame:
     """Materialization barrier between curate_corpus stages.
