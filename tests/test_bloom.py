@@ -87,6 +87,28 @@ def test_bloom_plan_shape(spark, frames):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_contamination_bloom_prefilter_exact(spark, db):
+    # the bloom prefilter must not change the contamination pair set —
+    # no false negatives, false positives die in the exact gram join
+    from tostore_spark.llmops.dedup import (
+        bench_gram_bloom, contamination_pairs,
+    )
+    docs = db.df("documents")
+    train = docs.filter(F.col("doc_id") % 3 != 0)
+    bench = docs.filter(F.col("doc_id") % 3 == 0).limit(40)
+    base = sorted(map(tuple, contamination_pairs(
+        train, bench, n=5, min_overlap=1,
+        bloom_prefilter=False).collect()))
+    on = sorted(map(tuple, contamination_pairs(
+        train, bench, n=5, min_overlap=1).collect()))
+    assert on == base and len(base) > 0
+    # persisted-artifact path: prebuilt bloom gives the same pairs
+    art = bench_gram_bloom(bench, n=5)
+    via_art = sorted(map(tuple, contamination_pairs(
+        train, bench, n=5, min_overlap=1, bench_bloom=art).collect()))
+    assert via_art == base
+
+
 def test_split_corpus_deterministic_partition(spark):
     docs = spark.range(0, 8000).select(F.col("id").alias("doc_id"))
     out = split_corpus(docs, {"train": 0.9, "val": 0.05, "test": 0.05})

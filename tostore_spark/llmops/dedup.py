@@ -522,12 +522,41 @@ def contamination_hot_grams(train: DataFrame, n: int = 5,
               .filter(F.col("df") > max_gram_df))
 
 
+#: contamination gram-bloom sizing: 16 Mbit = 2 MB broadcast, ~0.1% false
+#: positives at 1M benchmark grams (false positives only cost join input,
+#: never correctness)
+CONTAM_BLOOM_M_BITS = 1 << 24
+CONTAM_BLOOM_K = 5
+
+
+def bench_gram_bloom(bench: DataFrame, n: int = 5,
+                     text_field: str = "text",
+                     m_bits: int = CONTAM_BLOOM_M_BITS,
+                     k_hashes: int = CONTAM_BLOOM_K) -> DataFrame:
+    """Persistable Bloom bitmap over the benchmark suite's distinct
+    n-grams (functions/bloom.bloom_build artifact).  Build it once when
+    the eval suite is frozen, write it next to the suite, and every
+    training-corpus decontamination run prunes its gram explosion
+    map-side against the 2 MB bitmap instead of shuffling ALL corpus
+    grams into the equi-join — on a 100 TB crawl virtually every gram is
+    clean, so the prefilter removes almost the entire join input.  Must
+    be read back and applied with the SAME (m_bits, k_hashes)."""
+    bg = bench.select(F.explode(word_ngrams(F.col(text_field), n)).alias("g"))
+    from tostore_spark.functions.bloom import bloom_build
+
+    return bloom_build(bg, "g", m_bits, k_hashes)
+
+
 def contamination_pairs(train: DataFrame, bench: DataFrame,
                         n: int = 5, min_overlap: int = 2,
                         text_field: str = "text",
                         id_field: str = "doc_id",
                         max_gram_df: int | None = CONTAMINATION_MAX_GRAM_DF,
-                        observation=None) -> DataFrame:
+                        observation=None,
+                        bench_bloom: DataFrame | None = None,
+                        bloom_prefilter: bool = True,
+                        bloom_m_bits: int = CONTAM_BLOOM_M_BITS,
+                        bloom_k_hashes: int = CONTAM_BLOOM_K) -> DataFrame:
     """Benchmark-contamination check: training docs sharing at least
     ``min_overlap`` distinct word n-grams with an evaluation doc —
     the standard decontamination pass before a training run.
@@ -545,11 +574,29 @@ def contamination_pairs(train: DataFrame, bench: DataFrame,
     rare on the training side by definition).  Pass ``None`` to disable.
     Pass a ``pyspark.sql.Observation`` as ``observation`` to receive the
     number of capped grams (``n_capped_grams``) for free when the result
-    runs — no extra job; or audit them via ``contamination_hot_grams``."""
+    runs — no extra job; or audit them via ``contamination_hot_grams``.
+
+    ``bloom_prefilter`` (default ON — like ``max_gram_df``, the 100 TB
+    run is the one that would forget to opt in): prune the training-side
+    gram explosion against a Bloom bitmap of the benchmark grams BEFORE
+    the join shuffle.  On a full crawl virtually every gram is clean, so
+    ~the entire join input dies map-side against a 2 MB broadcast; no
+    false negatives exist and false positives die in the exact equi-join,
+    so the pair set is bit-identical either way.  Pass a persisted
+    ``bench_gram_bloom`` artifact as ``bench_bloom`` to skip rebuilding
+    it (it must have been built with the same ``bloom_m_bits``/
+    ``bloom_k_hashes``)."""
     tg = train.select(F.col(id_field).alias("train_id"),
                       F.explode(word_ngrams(F.col(text_field), n)).alias("g"))
     bg = bench.select(F.col(id_field).alias("bench_id"),
                       F.explode(word_ngrams(F.col(text_field), n)).alias("g"))
+    if bench_bloom is not None or bloom_prefilter:
+        from tostore_spark.functions.bloom import bloom_build, bloom_prune
+
+        bloom = (bench_bloom if bench_bloom is not None
+                 else bloom_build(bg.select("g"), "g",
+                                  bloom_m_bits, bloom_k_hashes))
+        tg = bloom_prune(tg, bloom, "g", bloom_m_bits, bloom_k_hashes)
     if max_gram_df is not None:
         hot = (tg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
                  .filter(F.col("df") > max_gram_df).select("g"))
@@ -806,15 +853,20 @@ def semantic_dedup(emb: DataFrame, n_cells: int = 16,
 def decontaminate(train: DataFrame, bench: DataFrame,
                   n: int = 5, min_overlap: int = 2,
                   text_field: str = "text", id_field: str = "doc_id",
-                  max_gram_df: int | None = CONTAMINATION_MAX_GRAM_DF) -> DataFrame:
+                  max_gram_df: int | None = CONTAMINATION_MAX_GRAM_DF,
+                  bench_bloom: DataFrame | None = None) -> DataFrame:
     """The decontaminated training corpus: drop every training document
     that shares >= ``min_overlap`` distinct word n-grams with ANY
     benchmark document (``contamination_pairs``), keep the rest.  One
     anti-join on the distinct contaminated train ids — the corpus is
-    scanned once and nothing is collected."""
+    scanned once and nothing is collected.  Pass a persisted
+    ``bench_gram_bloom`` artifact as ``bench_bloom`` to prune the gram
+    explosion against a frozen eval suite without rebuilding the bitmap
+    (the prefilter itself is on by default either way)."""
     bad = (contamination_pairs(train, bench, n=n, min_overlap=min_overlap,
                                text_field=text_field, id_field=id_field,
-                               max_gram_df=max_gram_df)
+                               max_gram_df=max_gram_df,
+                               bench_bloom=bench_bloom)
            .select(F.col("train_id").alias(id_field)).distinct())
     return train.join(bad, on=id_field, how="left_anti")
 
