@@ -1652,6 +1652,18 @@ def q_column_stats(spark, sf_dir):
                         exact_ndv=True)
 
 
+def q_histogram(spark, sf_dir):
+    """Equi-height histogram (plans/stats.column_histogram): 8 exact
+    interpolated-percentile buckets over l_extendedprice with per-bucket
+    row and distinct counts — the selectivity artifact behind range-
+    predicate planning.  Bounds rounded to 6dp before bucketing so the
+    boundary comparison is engine-exact (q_quality_filter precedent)."""
+    from tostore_spark.plans.stats import column_histogram
+    db = _db(spark, sf_dir)
+    return column_histogram(db.df("lineitem"), "l_extendedprice",
+                            n_buckets=8)
+
+
 def q_zorder_rewrite(spark, sf_dir):
     """Z-order layout optimization is CONTENT-preserving: compact+cluster
     customer on (c_custkey, c_acctbal) through the versioned warehouse
@@ -1720,9 +1732,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver checks the FIRST 50 entries against the DuckDB oracle each round.
 
     Ordering policy (round 6, same rotation rule as r3-r5).  First 50:
-    slots 1-21 are the TWENTY-ONE NEW r6 operators (q_bloom_join —
-    exact bloom-pruned selective join — and q_split_corpus —
-    deterministic train/val/test holdout, plus q_curate_corpus — the
+    slots 1-22 are the TWENTY-TWO NEW r6 operators (q_bloom_join —
+    exact bloom-pruned selective join — q_split_corpus —
+    deterministic train/val/test holdout — and q_histogram —
+    equi-height percentile histogram, plus q_curate_corpus — the
     staged end-to-end recipe oracle, q_lm_score_bigram,
     q_bpe_pair_counts, q_quality_classifier, the reshaping/
     warehouse-maintenance set: q_scd2_history, q_mv_incremental,
@@ -1733,25 +1746,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_cohort_retention — behavioral event analytics — and
     q_column_stats — one-pass ANALYZE, q_partitioned_table —
     hive-layout partition pruning across reopen — and
-    q_unicode_normalize — Arrow-batched NFC); slots 22-30 are
+    q_unicode_normalize — Arrow-batched NFC); slots 23-31 are
     every entry whose module changed this round — pipeline.py
     (q_corpus_sample, q_stratified_take, q_corpus_clean,
     q_corpus_shards, q_corpus_shuffle) and store.py (q_flush_reopen
     plus the flush-interplay set q_backup_restore, q_kv_namespace,
-    q_ttl_filter); slots 31-40 are the TEN oldest rows (r2/r3-vintage,
+    q_ttl_filter); slots 32-41 are the TEN oldest rows (r2/r3-vintage,
     named first by the r5 verdict): q_filter_sort_limit,
     q_or_union_dedup, q_topk, q_keyset_page, q_groupby_having,
     q_join_inner_group, q_left_join_count, q_right_join, q_theta_join,
     q_fk_autojoin — query.py changed this round (additive set-op
     methods), so the whole query-family refresh matters doubly; slots
-    41-50 refresh 10 r4-vintage rows prioritizing families whose
+    42-50 refresh 9 r4-vintage rows prioritizing families whose
     modules changed this round (rollup.py: q_time_rollup,
     q_rollup_subtotals; skew.py: q_salted_agg, q_salted_join) plus the
     write-family entries.
 
-    Past the cap: first the two r4-vintage write/vector rows the new
-    slots displaced (q_update_ordered_limit, q_vector_cosine_topk),
-    then the rest of the r4-vintage rows deferred to r7
+    Past the cap: first the three r4-vintage write/vector rows the new
+    slots displaced (q_expr_clamp_update, q_update_ordered_limit,
+    q_vector_cosine_topk), then the rest of the r4-vintage rows
+    deferred to r7
     (q_quantized_knn, q_pq_search, q_ivfpq, q_mix_corpus, q_bm25_search, q_knn_join, q_ivf_batch, q_source_cap, q_pack_sequences, q_chunk_documents,
     q_quality_filter, q_events_window, q_agg_stats, q_langid,
     q_token_count_bpe, q_pred_like_between_in, q_or_tree, q_loose_eq,
@@ -1762,13 +1776,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     are untouched this round (dedup.py, text.py, joins.py,
     multimodal.py, engine.py families).
     tools/check_correctness.py certifies every entry locally each round
-    (r6 local run: 117/117 exact).
+    (r6 local run: 118/118 exact).
     """
 
     # first 50 = the driver's r6 correctness sample (see docstring)
     _ORDER = [
-        # --- 1-21: NEW in r6 ---
-        "q_bloom_join", "q_split_corpus",
+        # --- 1-22: NEW in r6 ---
+        "q_bloom_join", "q_split_corpus", "q_histogram",
         "q_curate_corpus", "q_lm_score_bigram", "q_bpe_pair_counts",
         "q_quality_classifier", "q_scd2_history", "q_mv_incremental",
         "q_pivot_wide", "q_unpivot_long", "q_grouping_sets",
@@ -1776,24 +1790,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_rewrite", "q_stream_mv", "q_funnel",
         "q_cohort_retention", "q_column_stats", "q_partitioned_table",
         "q_unicode_normalize",
-        # --- 22-30: modules changed in r6 (pipeline.py, store.py) ---
+        # --- 23-31: modules changed in r6 (pipeline.py, store.py) ---
         "q_corpus_sample", "q_stratified_take", "q_corpus_clean",
         "q_corpus_shards", "q_corpus_shuffle", "q_flush_reopen",
         "q_backup_restore", "q_kv_namespace", "q_ttl_filter",
-        # --- 31-40: the ten oldest rows (r2/r3-vintage; query.py also
+        # --- 32-41: the ten oldest rows (r2/r3-vintage; query.py also
         # changed this round) ---
         "q_filter_sort_limit", "q_or_union_dedup", "q_topk",
         "q_keyset_page", "q_groupby_having", "q_join_inner_group",
         "q_left_join_count", "q_right_join", "q_theta_join",
         "q_fk_autojoin",
-        # --- 41-50: r4-vintage refresh (changed-module families first) ---
+        # --- 42-50: r4-vintage refresh (changed-module families first) ---
         "q_time_rollup", "q_rollup_subtotals", "q_salted_agg",
         "q_salted_join", "q_update_rewrite", "q_delete_rewrite",
         "q_upsert_merge", "q_batch_update", "q_partial_insert",
-        "q_expr_clamp_update",
-        # --- past the 50-cap: the two displaced rows, then r4 rows
+        # --- past the 50-cap: the three displaced rows, then r4 rows
         # deferred to r7 ---
-        "q_update_ordered_limit", "q_vector_cosine_topk",
+        "q_expr_clamp_update", "q_update_ordered_limit",
+        "q_vector_cosine_topk",
         "q_quantized_knn", "q_pq_search", "q_ivfpq", "q_mix_corpus", "q_bm25_search", "q_knn_join", "q_ivf_batch",
         "q_source_cap", "q_pack_sequences", "q_chunk_documents",
         "q_quality_filter", "q_events_window", "q_agg_stats",
@@ -1869,6 +1883,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size >= 48) p
               ON l.l_partkey = p.p_partkey
             GROUP BY p.p_brand
+        """,
+        "q_histogram": """
+            WITH b AS (SELECT list_transform(quantile_cont(l_extendedprice,
+                         [0.0, 0.125, 0.25, 0.375, 0.5,
+                          0.625, 0.75, 0.875, 1.0]),
+                         x -> round(x, 6)) AS bounds
+                       FROM lineitem),
+            r AS (SELECT least(7, len(list_filter(bounds[2:8],
+                         e -> l_extendedprice >= e))) AS bucket,
+                         l_extendedprice AS v, bounds
+                  FROM lineitem, b
+                  WHERE l_extendedprice IS NOT NULL)
+            SELECT bucket, any_value(bounds)[bucket + 1] AS lo,
+                   any_value(bounds)[bucket + 2] AS hi,
+                   count(*) AS n_rows, count(DISTINCT v) AS ndv
+            FROM r GROUP BY bucket
         """,
         "q_split_corpus": """
             SELECT CASE

@@ -118,6 +118,29 @@ def test_analyze_table_cache_invalidates_on_write(spark, db):
     assert {r.column: r.ndv for r in s2.collect()} == {"id": 3, "v": 3}
 
 
+def test_column_histogram_equi_height(spark, db):
+    from tostore_spark.plans.stats import column_histogram
+
+    n_buckets = 8
+    out = column_histogram(db.df("orders"), "o_totalprice",
+                           n_buckets=n_buckets)
+    rows = sorted(out.collect(), key=lambda r: r.bucket)
+    total = db.df("orders").filter("o_totalprice IS NOT NULL").count()
+    assert sum(r.n_rows for r in rows) == total
+    assert [r.bucket for r in rows] == list(range(n_buckets))
+    # equi-height: every bucket within one interpolation step of n/k
+    for r in rows:
+        assert abs(r.n_rows - total / n_buckets) <= total / n_buckets * 0.05
+    # bounds are a non-decreasing chain covering min..max
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi == b.lo and a.lo <= a.hi
+    # approx variant keeps the same shape with looser bucket balance
+    ap = column_histogram(db.df("orders"), "o_totalprice",
+                          n_buckets=n_buckets, exact=False)
+    arows = ap.collect()
+    assert sum(r.n_rows for r in arows) == total
+
+
 def test_column_stats_approx_ndv_close(spark, db):
     from tostore_spark.plans.stats import column_stats
 

@@ -111,6 +111,9 @@ CHECKS: dict[str, list[str]] = {
     # holdout split: pure column math + one partial-combined aggregate;
     # zero windows (the no-cartesian sweep covers the rest)
     "q_split_corpus": ["partial_count", "HashAggregate"],
+    # equi-height histogram: the percentile bounds fold back in as a
+    # broadcast 1-row frame (no driver round-trip between the passes)
+    "q_histogram": ["BroadcastNestedLoopJoin", "percentile"],
 }
 
 #: plans that must NOT contain these operators (checked for every query

@@ -60,6 +60,48 @@ def column_stats(df: DataFrame, cols: Optional[Sequence[str]] = None,
     return rows
 
 
+def column_histogram(df: DataFrame, col: str, n_buckets: int = 10,
+                     exact: bool = True, round_dp: int = 6) -> DataFrame:
+    """Equi-height histogram for one numeric column: (bucket, lo, hi,
+    n_rows, ndv) with boundaries at the exact interpolated percentiles —
+    the selectivity-estimation artifact ``ANALYZE TABLE ... FOR COLUMNS``
+    keeps in Spark's own catalog, here as a queryable DataFrame feeding
+    the same planning loop as ``column_stats``/``join_advice``.
+
+    Two passes by construction (exact equi-height bounds cannot be known
+    during the counting pass): one boundary aggregate — broadcast back
+    in-plan, never collected — then one bucket-count aggregate.
+    ``exact=False`` swaps in approx_percentile for the 100 TB run:
+    constant memory, same plan shape.
+
+    Boundaries are rounded to ``round_dp`` before bucketing AND in the
+    output (the q_quality_filter precedent): interpolated doubles differ
+    in the last ulp across engines, which would flip boundary rows and
+    break value-hash parity; data values sit >= one data-gap away from a
+    rounded bound, so the comparison is stable."""
+    fracs = [i / n_buckets for i in range(n_buckets + 1)]
+    fn = "percentile" if exact else "approx_percentile"
+    arr = ", ".join(repr(f) for f in fracs)
+    bounds = df.agg(F.expr(
+        f"transform({fn}(`{col}`, array({arr})),"
+        f" b -> round(b, {round_dp}))").alias("__bounds"))
+    interior = n_buckets - 1
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.expr(f"size(filter(slice(__bounds, 2, {interior}),"
+               f" e -> `{col}` >= e))")).cast("int")
+    return (df.filter(F.col(col).isNotNull())
+              .crossJoin(F.broadcast(bounds))
+              .withColumn("bucket", bucket)
+              .groupBy("bucket")
+              .agg(F.first(F.expr("element_at(__bounds, bucket + 1)"))
+                    .alias("lo"),
+                   F.first(F.expr("element_at(__bounds, bucket + 2)"))
+                    .alias("hi"),
+                   F.count(F.lit(1)).alias("n_rows"),
+                   F.count_distinct(F.col(col)).alias("ndv")))
+
+
 def analyze_table(engine, table: str,
                   cols: Optional[Sequence[str]] = None,
                   exact_ndv: bool = False) -> DataFrame:
