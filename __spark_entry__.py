@@ -1652,6 +1652,33 @@ def q_column_stats(spark, sf_dir):
                         exact_ndv=True)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Importance-weighted deterministic sampling: each document kept
+    with probability = its own weight column (here a length-derived
+    keep-probability clamped to [0,1]), coin = md5(id) — re-running
+    keeps exactly the same rows (pipeline.weighted_sample)."""
+    from tostore_spark.llmops import pipeline as P
+    db = _db(spark, sf_dir)
+    docs = db.df("documents").withColumn(
+        "w", F.col("n_chars") / F.lit(400.0))
+    out = P.weighted_sample(docs, "w")
+    return (out.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("n_chars").alias("chars")))
+
+
+def q_column_corr(spark, sf_dir):
+    """Pairwise Pearson correlation matrix (plans/stats.column_corr):
+    one aggregate computes every pairwise DECIMAL moment (exact,
+    order-independent), the correlation assembles from identical doubles
+    in both engines — the column-affinity stat feeding z-order column
+    choices."""
+    from tostore_spark.plans.stats import column_corr
+    db = _db(spark, sf_dir)
+    return column_corr(db.df("lineitem"),
+                       ["l_quantity", "l_extendedprice", "l_discount"])
+
+
 def q_histogram(spark, sf_dir):
     """Equi-height histogram (plans/stats.column_histogram): 8 exact
     interpolated-percentile buckets over l_extendedprice with per-bucket
@@ -1732,10 +1759,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver checks the FIRST 50 entries against the DuckDB oracle each round.
 
     Ordering policy (round 6, same rotation rule as r3-r5).  First 50:
-    slots 1-22 are the TWENTY-TWO NEW r6 operators (q_bloom_join —
+    slots 1-24 are the TWENTY-FOUR NEW r6 operators (q_bloom_join —
     exact bloom-pruned selective join — q_split_corpus —
-    deterministic train/val/test holdout — and q_histogram —
-    equi-height percentile histogram, plus q_curate_corpus — the
+    deterministic train/val/test holdout — q_histogram — equi-height
+    percentile histogram — q_weighted_sample — per-row-probability
+    deterministic sampling — and q_column_corr — exact pairwise
+    Pearson moments, plus q_curate_corpus — the
     staged end-to-end recipe oracle, q_lm_score_bigram,
     q_bpe_pair_counts, q_quality_classifier, the reshaping/
     warehouse-maintenance set: q_scd2_history, q_mv_incremental,
@@ -1746,24 +1775,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_cohort_retention — behavioral event analytics — and
     q_column_stats — one-pass ANALYZE, q_partitioned_table —
     hive-layout partition pruning across reopen — and
-    q_unicode_normalize — Arrow-batched NFC); slots 23-31 are
+    q_unicode_normalize — Arrow-batched NFC); slots 25-33 are
     every entry whose module changed this round — pipeline.py
     (q_corpus_sample, q_stratified_take, q_corpus_clean,
     q_corpus_shards, q_corpus_shuffle) and store.py (q_flush_reopen
     plus the flush-interplay set q_backup_restore, q_kv_namespace,
-    q_ttl_filter); slots 32-41 are the TEN oldest rows (r2/r3-vintage,
+    q_ttl_filter); slots 34-43 are the TEN oldest rows (r2/r3-vintage,
     named first by the r5 verdict): q_filter_sort_limit,
     q_or_union_dedup, q_topk, q_keyset_page, q_groupby_having,
     q_join_inner_group, q_left_join_count, q_right_join, q_theta_join,
     q_fk_autojoin — query.py changed this round (additive set-op
     methods), so the whole query-family refresh matters doubly; slots
-    42-50 refresh 9 r4-vintage rows prioritizing families whose
+    44-50 refresh 7 r4-vintage rows prioritizing families whose
     modules changed this round (rollup.py: q_time_rollup,
     q_rollup_subtotals; skew.py: q_salted_agg, q_salted_join) plus the
     write-family entries.
 
-    Past the cap: first the three r4-vintage write/vector rows the new
-    slots displaced (q_expr_clamp_update, q_update_ordered_limit,
+    Past the cap: first the five r4-vintage write/vector rows the new
+    slots displaced (q_batch_update, q_partial_insert,
+    q_expr_clamp_update, q_update_ordered_limit,
     q_vector_cosine_topk), then the rest of the r4-vintage rows
     deferred to r7
     (q_quantized_knn, q_pq_search, q_ivfpq, q_mix_corpus, q_bm25_search, q_knn_join, q_ivf_batch, q_source_cap, q_pack_sequences, q_chunk_documents,
@@ -1776,13 +1806,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     are untouched this round (dedup.py, text.py, joins.py,
     multimodal.py, engine.py families).
     tools/check_correctness.py certifies every entry locally each round
-    (r6 local run: 118/118 exact).
+    (r6 local run: 120/120 exact).
     """
 
     # first 50 = the driver's r6 correctness sample (see docstring)
     _ORDER = [
-        # --- 1-22: NEW in r6 ---
+        # --- 1-24: NEW in r6 ---
         "q_bloom_join", "q_split_corpus", "q_histogram",
+        "q_weighted_sample", "q_column_corr",
         "q_curate_corpus", "q_lm_score_bigram", "q_bpe_pair_counts",
         "q_quality_classifier", "q_scd2_history", "q_mv_incremental",
         "q_pivot_wide", "q_unpivot_long", "q_grouping_sets",
@@ -1790,22 +1821,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_rewrite", "q_stream_mv", "q_funnel",
         "q_cohort_retention", "q_column_stats", "q_partitioned_table",
         "q_unicode_normalize",
-        # --- 23-31: modules changed in r6 (pipeline.py, store.py) ---
+        # --- 25-33: modules changed in r6 (pipeline.py, store.py) ---
         "q_corpus_sample", "q_stratified_take", "q_corpus_clean",
         "q_corpus_shards", "q_corpus_shuffle", "q_flush_reopen",
         "q_backup_restore", "q_kv_namespace", "q_ttl_filter",
-        # --- 32-41: the ten oldest rows (r2/r3-vintage; query.py also
+        # --- 34-43: the ten oldest rows (r2/r3-vintage; query.py also
         # changed this round) ---
         "q_filter_sort_limit", "q_or_union_dedup", "q_topk",
         "q_keyset_page", "q_groupby_having", "q_join_inner_group",
         "q_left_join_count", "q_right_join", "q_theta_join",
         "q_fk_autojoin",
-        # --- 42-50: r4-vintage refresh (changed-module families first) ---
+        # --- 44-50: r4-vintage refresh (changed-module families first) ---
         "q_time_rollup", "q_rollup_subtotals", "q_salted_agg",
         "q_salted_join", "q_update_rewrite", "q_delete_rewrite",
-        "q_upsert_merge", "q_batch_update", "q_partial_insert",
-        # --- past the 50-cap: the three displaced rows, then r4 rows
+        "q_upsert_merge",
+        # --- past the 50-cap: the five displaced rows, then r4 rows
         # deferred to r7 ---
+        "q_batch_update", "q_partial_insert",
         "q_expr_clamp_update", "q_update_ordered_limit",
         "q_vector_cosine_topk",
         "q_quantized_knn", "q_pq_search", "q_ivfpq", "q_mix_corpus", "q_bm25_search", "q_knn_join", "q_ivf_batch",
@@ -1883,6 +1915,84 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size >= 48) p
               ON l.l_partkey = p.p_partkey
             GROUP BY p.p_brand
+        """,
+        "q_weighted_sample": """
+            SELECT source, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS chars
+            FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      ::BIGINT % 10000
+                  < CAST(trunc(greatest(0.0, least(1.0, n_chars / 400.0))
+                               * 10000) AS BIGINT)
+            GROUP BY source
+        """,
+        "q_column_corr": """
+            WITH m AS (
+              SELECT
+                count(CASE WHEN l_quantity IS NOT NULL
+                            AND l_extendedprice IS NOT NULL THEN 1 END) AS n1,
+                CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                         THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE) AS sx1,
+                CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                         THEN CAST(l_extendedprice AS DECIMAL(28,4)) END) AS DOUBLE) AS sy1,
+                CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                         THEN CAST(l_quantity AS DECIMAL(28,4))
+                            * CAST(l_extendedprice AS DECIMAL(28,4)) END) AS DOUBLE) AS sxy1,
+                CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                         THEN CAST(l_quantity AS DECIMAL(28,4))
+                            * CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE) AS sxx1,
+                CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                         THEN CAST(l_extendedprice AS DECIMAL(28,4))
+                            * CAST(l_extendedprice AS DECIMAL(28,4)) END) AS DOUBLE) AS syy1,
+                count(CASE WHEN l_quantity IS NOT NULL
+                            AND l_discount IS NOT NULL THEN 1 END) AS n2,
+                CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                         THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE) AS sx2,
+                CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                         THEN CAST(l_discount AS DECIMAL(28,4)) END) AS DOUBLE) AS sy2,
+                CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                         THEN CAST(l_quantity AS DECIMAL(28,4))
+                            * CAST(l_discount AS DECIMAL(28,4)) END) AS DOUBLE) AS sxy2,
+                CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                         THEN CAST(l_quantity AS DECIMAL(28,4))
+                            * CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE) AS sxx2,
+                CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                         THEN CAST(l_discount AS DECIMAL(28,4))
+                            * CAST(l_discount AS DECIMAL(28,4)) END) AS DOUBLE) AS syy2,
+                count(CASE WHEN l_extendedprice IS NOT NULL
+                            AND l_discount IS NOT NULL THEN 1 END) AS n3,
+                CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+                         THEN CAST(l_extendedprice AS DECIMAL(28,4)) END) AS DOUBLE) AS sx3,
+                CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+                         THEN CAST(l_discount AS DECIMAL(28,4)) END) AS DOUBLE) AS sy3,
+                CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+                         THEN CAST(l_extendedprice AS DECIMAL(28,4))
+                            * CAST(l_discount AS DECIMAL(28,4)) END) AS DOUBLE) AS sxy3,
+                CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+                         THEN CAST(l_extendedprice AS DECIMAL(28,4))
+                            * CAST(l_extendedprice AS DECIMAL(28,4)) END) AS DOUBLE) AS sxx3,
+                CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+                         THEN CAST(l_discount AS DECIMAL(28,4))
+                            * CAST(l_discount AS DECIMAL(28,4)) END) AS DOUBLE) AS syy3
+              FROM lineitem)
+            SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+                   n1 AS n,
+                   (CAST(n1 AS DOUBLE) * sxy1 - sx1 * sy1)
+                   / sqrt((CAST(n1 AS DOUBLE) * sxx1 - sx1 * sx1)
+                          * (CAST(n1 AS DOUBLE) * syy1 - sy1 * sy1)) AS corr
+            FROM m
+            UNION ALL
+            SELECT 'l_quantity', 'l_discount', n2,
+                   (CAST(n2 AS DOUBLE) * sxy2 - sx2 * sy2)
+                   / sqrt((CAST(n2 AS DOUBLE) * sxx2 - sx2 * sx2)
+                          * (CAST(n2 AS DOUBLE) * syy2 - sy2 * sy2))
+            FROM m
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_discount', n3,
+                   (CAST(n3 AS DOUBLE) * sxy3 - sx3 * sy3)
+                   / sqrt((CAST(n3 AS DOUBLE) * sxx3 - sx3 * sx3)
+                          * (CAST(n3 AS DOUBLE) * syy3 - sy3 * sy3))
+            FROM m
         """,
         "q_histogram": """
             WITH b AS (SELECT list_transform(quantile_cont(l_extendedprice,

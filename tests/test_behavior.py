@@ -141,6 +141,57 @@ def test_column_histogram_equi_height(spark, db):
     assert sum(r.n_rows for r in arows) == total
 
 
+def test_column_corr_matches_duck(spark, db, duck):
+    from tostore_spark.plans.stats import column_corr
+
+    out = column_corr(db.df("lineitem"),
+                      ["l_quantity", "l_extendedprice", "l_discount"])
+    got = {(r.col_x, r.col_y): (r.n, r.corr) for r in out.collect()}
+    for (cx, cy), (n, corr) in got.items():
+        dn, dcorr = duck.execute(
+            f"SELECT count(*), corr({cx}, {cy}) FROM lineitem "
+            f"WHERE {cx} IS NOT NULL AND {cy} IS NOT NULL").fetchone()
+        assert n == dn
+        assert abs(corr - dcorr) < 1e-9, (cx, cy)
+
+
+def test_column_corr_perfect_and_anti(spark):
+    from pyspark.sql import functions as SF
+
+    from tostore_spark.plans.stats import column_corr
+
+    df = spark.range(1, 1000).select(
+        SF.col("id").cast("double").alias("x"),
+        (SF.col("id") * 2 + 3).cast("double").alias("y"),
+        (-SF.col("id")).cast("double").alias("z"))
+    got = {(r.col_x, r.col_y): r.corr
+           for r in column_corr(df, ["x", "y", "z"], scale=2).collect()}
+    assert abs(got[("x", "y")] - 1.0) < 1e-12
+    assert abs(got[("x", "z")] + 1.0) < 1e-12
+
+
+def test_weighted_sample(spark):
+    from pyspark.sql import functions as SF
+
+    from tostore_spark.llmops.pipeline import weighted_sample
+
+    docs = spark.range(0, 10000).select(SF.col("id").alias("doc_id"))
+    # w=0 keeps nothing, w>=1 keeps everything (clamped)
+    assert weighted_sample(docs.withColumn("w", SF.lit(0.0)), "w").count() == 0
+    assert weighted_sample(docs.withColumn("w", SF.lit(2.0)), "w").count() == 10000
+    # per-row probability: even ids w=0.2, odd ids w=0.8
+    mixed = docs.withColumn(
+        "w", SF.when(SF.col("doc_id") % 2 == 0, 0.2).otherwise(0.8))
+    kept = weighted_sample(mixed, "w")
+    even = kept.filter("doc_id % 2 = 0").count()
+    odd = kept.filter("doc_id % 2 = 1").count()
+    assert abs(even / 5000 - 0.2) < 0.03 and abs(odd / 5000 - 0.8) < 0.03
+    # deterministic: identical keep set on re-run
+    again = weighted_sample(mixed, "w")
+    assert kept.exceptAll(again).count() == 0
+    assert again.exceptAll(kept).count() == 0
+
+
 def test_column_stats_approx_ndv_close(spark, db):
     from tostore_spark.plans.stats import column_stats
 
@@ -174,13 +225,23 @@ def test_join_advice_strategies(spark, db):
     assert adv["strategy"] == "salt"
     assert adv["hot_keys"][0][0] == 0 and adv["hot_keys"][0][1] >= 0.5
 
-    # both big, uniform key → plain shuffle
+    # both big, uniform key → plain shuffle (same size: no bloom)
     uni = spark.range(0, 10000).selectExpr("id AS k", "id AS v")
     eng.register_table("uni", df=uni)
     eng.register_table("uni2", df=uni)
     adv = join_advice(eng, "uni", "uni2", "k",
                       broadcast_threshold_rows=1)
     assert adv["strategy"] == "shuffle"
+    assert "prefilter" not in adv
+
+    # big probe, selective-but-unbroadcastable build → bloom prefilter
+    small = spark.range(0, 50).selectExpr("id AS k", "id AS v")
+    eng.register_table("small", df=small)
+    adv = join_advice(eng, "uni", "small", "k",
+                      broadcast_threshold_rows=1, bloom_ratio=100.0)
+    assert adv["strategy"] == "shuffle"
+    assert adv["prefilter"] == "bloom"
+    assert adv["bloom_build_side"] == "small"
 
 
 def test_analyze_cache_survives_other_table_and_reregister(spark, db):

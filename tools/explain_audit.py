@@ -102,8 +102,10 @@ CHECKS: dict[str, list[str]] = {
     "q_funnel": ["HashAggregate"],
     # retention: three uniform-key hash-aggregates, no window
     "q_cohort_retention": ["HashAggregate"],
-    # ANALYZE: every statistic partial-combines in one aggregate
-    "q_column_stats": ["partial_count", "HashAggregate"],
+    # ANALYZE: one scan feeds the multi-distinct Expand aggregate, and
+    # the long-form reshape is a Generate (explode), never a union of
+    # per-column selects re-running the aggregate
+    "q_column_stats": ["partial_count", "Expand", "Generate"],
     # bloom join: the compact bitmap rides in as a broadcast 1-row map
     # (BNLJ) and the membership test is in-plan xxhash64 column math —
     # no probe-side shuffle before the filter, no driver round-trip
@@ -114,6 +116,11 @@ CHECKS: dict[str, list[str]] = {
     # equi-height histogram: the percentile bounds fold back in as a
     # broadcast 1-row frame (no driver round-trip between the passes)
     "q_histogram": ["BroadcastNestedLoopJoin", "percentile"],
+    # weighted sampling: a pure filter + one partial-combined aggregate
+    "q_weighted_sample": ["partial_count", "HashAggregate"],
+    # correlation matrix: ONE aggregate evaluation reshaped by Generate
+    # (explode) — a union of per-pair selects would rescan per pair
+    "q_column_corr": ["HashAggregate", "Generate"],
 }
 
 #: plans that must NOT contain these operators (checked for every query

@@ -52,6 +52,24 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     return df.filter(frac < keep)
 
 
+def weighted_sample(df: DataFrame, weight: Column | str,
+                    id_field: str = "doc_id") -> DataFrame:
+    """Per-row-probability sampling: keep each row with probability equal
+    to its OWN ``weight`` column (clamped to [0, 1]) — the continuous
+    generalization of ``stratified_sample`` for importance-weighted
+    mixtures (e.g. keep-probability from a quality score, a domain
+    weight model, or an upstream temperature schedule).
+
+    Deterministic like the rest of the family: the coin is the md5 hash
+    of the id, so re-running, resuming, or recomputing a lost partition
+    keeps exactly the same rows — df.sample() guarantees none of that.
+    Pure column math; composes with pushdown; zero shuffles."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    keep = (F.greatest(F.lit(0.0), F.least(F.lit(1.0), w.cast("double")))
+            * 10000).cast("long")
+    return df.filter(hash_fraction(F.col(id_field)) < keep)
+
+
 def stratified_take(df: DataFrame, k: int,
                     strata_field: str = "source",
                     id_field: str = "doc_id") -> DataFrame:

@@ -47,17 +47,19 @@ def column_stats(df: DataFrame, cols: Optional[Sequence[str]] = None,
             F.max(col).cast("string").alias(f"__mx_{c}"),
         ]
     one = df.agg(*aggs)
-    rows = None
-    for c in cols:
-        r = one.select(
+    # reshape the 1-row aggregate long-form via ONE explode — a union of
+    # per-column selects would re-evaluate the aggregate subtree (and
+    # rescan the table) once per column
+    structs = [
+        F.struct(
             F.lit(c).alias("column"),
             F.col("__n").alias("n_rows"),
             F.col(f"__nul_{c}").cast("long").alias("n_nulls"),
             F.col(f"__ndv_{c}").cast("long").alias("ndv"),
             F.col(f"__mn_{c}").alias("min_str"),
             F.col(f"__mx_{c}").alias("max_str"))
-        rows = r if rows is None else rows.unionByName(r)
-    return rows
+        for c in cols]
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
 def column_histogram(df: DataFrame, col: str, n_buckets: int = 10,
@@ -102,6 +104,58 @@ def column_histogram(df: DataFrame, col: str, n_buckets: int = 10,
                    F.count_distinct(F.col(col)).alias("ndv")))
 
 
+def column_corr(df: DataFrame, cols: Sequence[str],
+                scale: int = 4) -> DataFrame:
+    """Pairwise Pearson correlations for numeric columns, engine-exact:
+    one long-form row (col_x, col_y, n, corr) per unordered pair — the
+    column-affinity input for z-order clustering choices (correlated
+    columns share sort benefit) and redundant-predicate detection.
+
+    ONE aggregate computes every pairwise moment; the sums go through
+    DECIMAL(18,``scale``) per value (exact, order-independent — the
+    repo-wide float policy), so the assembled correlation is
+    bit-identical regardless of partitioning or engine.  Null handling
+    is pairwise-complete: each pair's moments count only rows where both
+    columns are non-null."""
+    cols = list(cols)
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    dec = f"decimal(18,{scale})"
+
+    def _m(c: Column, alias: str) -> Column:
+        return F.sum(c).cast("double").alias(alias)
+
+    aggs = []
+    for a, b in pairs:
+        x, y = F.col(a), F.col(b)
+        both = x.isNotNull() & y.isNotNull()
+        xd = F.when(both, x.cast(dec))
+        yd = F.when(both, y.cast(dec))
+        p = f"{a}__{b}"
+        aggs += [
+            F.count(F.when(both, 1)).alias(f"__n_{p}"),
+            _m(xd, f"__sx_{p}"), _m(yd, f"__sy_{p}"),
+            _m(xd * yd, f"__sxy_{p}"),
+            _m(xd * xd, f"__sxx_{p}"), _m(yd * yd, f"__syy_{p}"),
+        ]
+    one = df.agg(*aggs)
+    # single-explode reshape (see column_stats): one aggregate
+    # evaluation, one table scan, regardless of pair count
+    structs = []
+    for a, b in pairs:
+        p = f"{a}__{b}"
+        n = F.col(f"__n_{p}").cast("double")
+        sx, sy = F.col(f"__sx_{p}"), F.col(f"__sy_{p}")
+        sxy = F.col(f"__sxy_{p}")
+        sxx, syy = F.col(f"__sxx_{p}"), F.col(f"__syy_{p}")
+        corr = ((n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+        structs.append(
+            F.struct(F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
+                     F.col(f"__n_{p}").cast("long").alias("n"),
+                     corr.alias("corr")))
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
 def analyze_table(engine, table: str,
                   cols: Optional[Sequence[str]] = None,
                   exact_ndv: bool = False) -> DataFrame:
@@ -126,7 +180,8 @@ def analyze_table(engine, table: str,
 
 def join_advice(engine, left: str, right: str, key,
                 broadcast_threshold_rows: int = 1_000_000,
-                skew_share: float = 0.05) -> dict:
+                skew_share: float = 0.05,
+                bloom_ratio: float = 100.0) -> dict:
     """Stats-driven join strategy recommendation — the planning loop the
     statistics exist for.  Reads ONLY the cached ``analyze_table``
     frames plus one bounded heavy-hitter probe (output <= 1/skew_share
@@ -142,6 +197,14 @@ def join_advice(engine, left: str, right: str, key,
       (``functions/skew.salted_join`` is the matching executor);
     - shuffle: both big, key uniform — AQE's shuffle join is right;
       bucket both sides (``engine.bucket_table``) if the join repeats.
+
+    Shuffle advice additionally carries ``prefilter: "bloom"`` when the
+    small side, while over the broadcast threshold, is at least
+    ``bloom_ratio`` times smaller than the big side: a
+    ``functions/bloom.bloom_join`` bitmap (128 KB at 1 Mbit) then prunes
+    the big side's shuffle to ~the matching sliver for far less than the
+    rows it saves — the runtime-filter regime between "broadcastable"
+    and "both genuinely big".
     """
     from tostore_spark.functions.skew import heavy_hitters
 
@@ -162,4 +225,7 @@ def join_advice(engine, left: str, right: str, key,
     if hot:
         return {**out, "strategy": "salt", "skewed_side": big,
                 "hot_keys": [(r[bk], round(r.share, 4)) for r in hot]}
+    if max(ln, rn) >= bloom_ratio * min(ln, rn):
+        return {**out, "strategy": "shuffle", "prefilter": "bloom",
+                "bloom_build_side": small}
     return {**out, "strategy": "shuffle"}
