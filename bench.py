@@ -293,7 +293,8 @@ def main():
     extras_warm: dict[str, float] = {}
     for name in ("q_scd2_history", "q_mv_incremental", "q_funnel",
                  "q_cohort_retention", "q_grouping_sets",
-                 "q_topic_balance"):
+                 "q_topic_balance", "q_bloom_join", "q_histogram",
+                 "q_column_corr", "q_split_corpus"):
         fn = qs[name]
         spark.catalog.clearCache()
         t0 = time.time()
