@@ -192,6 +192,33 @@ def test_weighted_sample(spark):
     assert again.exceptAll(kept).count() == 0
 
 
+def test_column_sketches_merge_without_rescan(spark, db, tmp_path):
+    from tostore_spark.plans.stats import (
+        column_sketches, merge_column_sketches,
+    )
+
+    orders = db.df("orders")
+    cols = ["o_custkey", "o_orderstatus"]
+    full = {r.column: r for r in
+            merge_column_sketches(column_sketches(orders, cols)).collect()}
+    # two disjoint batches, sketched independently and persisted
+    a = column_sketches(orders.filter("o_orderkey % 2 = 0"), cols)
+    b = column_sketches(orders.filter("o_orderkey % 2 = 1"), cols)
+    pa = str(tmp_path / "a.parquet")
+    pb = str(tmp_path / "b.parquet")
+    a.write.parquet(pa)
+    b.write.parquet(pb)
+    merged = {r.column: r for r in merge_column_sketches(
+        spark.read.parquet(pa), spark.read.parquet(pb)).collect()}
+    for c in cols:
+        assert merged[c].n_rows == full[c].n_rows
+        assert merged[c].n_nulls == full[c].n_nulls
+        # HLL union of disjoint-batch sketches == whole-table sketch
+        assert merged[c].ndv_est == full[c].ndv_est
+        exact = orders.select(c).distinct().count()
+        assert abs(merged[c].ndv_est - exact) / exact < 0.05
+
+
 def test_column_stats_approx_ndv_close(spark, db):
     from tostore_spark.plans.stats import column_stats
 

@@ -104,6 +104,57 @@ def column_histogram(df: DataFrame, col: str, n_buckets: int = 10,
                    F.count_distinct(F.col(col)).alias("ndv")))
 
 
+def column_sketches(df: DataFrame,
+                    cols: Optional[Sequence[str]] = None,
+                    lg_k: int = 12) -> DataFrame:
+    """MERGEABLE column statistics: one row per column of (column,
+    n_rows, n_nulls, ndv_sketch) where ndv_sketch is a Datasketches
+    HLL sketch (binary, ~2^lg_k bytes).  Unlike ``column_stats`` —
+    whose exact/approx ndv numbers cannot be combined after the fact —
+    sketches UNION losslessly: compute them per ingest batch (or per
+    partition of a 100 TB table), persist the tiny frames, and
+    ``merge_column_sketches`` folds any subset into corpus-level stats
+    without ever rescanning data.  Values hash through a canonical
+    string rendering so every column type shares one sketch domain."""
+    cols = list(cols) if cols else list(df.columns)
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.count(F.when(col.isNull(), 1)).alias(f"__nul_{c}"),
+            F.hll_sketch_agg(col.cast("string"), F.lit(lg_k))
+             .alias(f"__sk_{c}"),
+        ]
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(F.lit(c).alias("column"),
+                 F.col(f"__n_{c}").cast("long").alias("n_rows"),
+                 F.col(f"__nul_{c}").cast("long").alias("n_nulls"),
+                 F.col(f"__sk_{c}").alias("ndv_sketch"))
+        for c in cols]
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def merge_column_sketches(*sketch_frames: DataFrame) -> DataFrame:
+    """Fold any number of ``column_sketches`` frames (different batches,
+    partitions, or days) into one: counts add, sketches HLL-union —
+    the merge reads only the |columns|-row artifacts, never the data.
+    Returns the same schema plus ``ndv_est`` (the estimate from the
+    merged sketch)."""
+    if not sketch_frames:
+        raise ValueError("merge_column_sketches needs at least one frame")
+    u = sketch_frames[0]
+    for f in sketch_frames[1:]:
+        u = u.unionByName(f)
+    return (u.groupBy("column")
+             .agg(F.sum("n_rows").cast("long").alias("n_rows"),
+                  F.sum("n_nulls").cast("long").alias("n_nulls"),
+                  F.hll_union_agg("ndv_sketch").alias("ndv_sketch"))
+             .withColumn("ndv_est",
+                         F.hll_sketch_estimate("ndv_sketch").cast("long")))
+
+
 def column_corr(df: DataFrame, cols: Sequence[str],
                 scale: int = 4) -> DataFrame:
     """Pairwise Pearson correlations for numeric columns, engine-exact:
