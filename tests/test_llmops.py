@@ -1028,6 +1028,29 @@ def test_curate_corpus_end_to_end(spark, db):
     assert a == b
 
 
+def test_curate_corpus_holdout_split(spark, db):
+    """holdout= adds a split label LAST (every upstream filter treated
+    train and holdout rows identically) without changing the survivor
+    set, and the labels follow the documented md5 bucket rule."""
+    from tostore_spark.llmops.pipeline import curate_corpus, hash_fraction
+
+    train = db.df("documents").filter(F.col("doc_id") < 480)
+    base = curate_corpus(train, n_shards=4, drop_quality_pct=0.1,
+                         drop_perplexity_pct=0.0, minhash_dedup=False)
+    with_split = curate_corpus(train, n_shards=4, drop_quality_pct=0.1,
+                               drop_perplexity_pct=0.0,
+                               minhash_dedup=False,
+                               holdout={"train": 0.9, "test": 0.1})
+    assert "split" in with_split.columns
+    a = sorted(r["doc_id"] for r in base.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in with_split.select("doc_id").collect())
+    assert a == b  # the split never drops or adds rows
+    bad = with_split.withColumn("frac", hash_fraction(F.col("doc_id"))) \
+        .filter(((F.col("frac") < 9000) & (F.col("split") != "train")) |
+                ((F.col("frac") >= 9000) & (F.col("split") != "test")))
+    assert bad.count() == 0
+
+
 def test_curate_corpus_stage_barriers_bound_rescans(spark, db):
     """The materialization contract: with barriers (default) every stage
     reads its input once — the final plan contains ZERO parquet scans of

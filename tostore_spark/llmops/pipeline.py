@@ -244,6 +244,7 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
                   materialize: str | None = "localCheckpoint",
                   warehouse_dir: str | None = None,
                   cost_field: str = "n_chars",
+                  holdout: dict[str, float] | None = None,
                   text_field: str = "text",
                   id_field: str = "doc_id") -> DataFrame:
     """The full curation recipe, end to end — the stage order a
@@ -264,9 +265,14 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
          requires a ``cost_field`` column — derived as char count from
          ``text_field`` when absent)
       8. deterministic training-order shuffle (shard, shard_pos)
+      9. holdout split (when ``holdout`` weights are given): a ``split``
+         label via ``split_corpus`` — assigned LAST so every upstream
+         filter saw train and holdout identically, and deterministically
+         in the ids so a restarted job cannot leak the test set
 
-    Returns the curated frame with ``shard``/``shard_pos`` attached.
-    Every stage is declarative and nothing collects to the driver.
+    Returns the curated frame with ``shard``/``shard_pos`` (and
+    ``split``) attached.  Every stage is declarative and nothing
+    collects to the driver.
 
     ``materialize`` (default ``"localCheckpoint"``) inserts a barrier at
     each stage boundary.  This matters: stages 4, 5 and 7 BRANCH their
@@ -334,8 +340,12 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
                                     id_field=id_field),
                       "s7_mix")
     # 8. training-order shuffle
-    return shuffle_corpus(out, n_shards=n_shards, seed=seed,
-                          id_field=id_field)
+    out = shuffle_corpus(out, n_shards=n_shards, seed=seed,
+                         id_field=id_field)
+    # 9. holdout split label (pure column math — no barrier needed)
+    if holdout:
+        out = split_corpus(out, weights=holdout, id_field=id_field)
+    return out
 
 
 def topic_balanced_sample(emb: DataFrame, per_cell: int, n_cells: int = 16,
