@@ -76,6 +76,11 @@ def test_bloom_null_keys_never_match(spark):
     build = spark.range(0, 3).select(F.col("id").alias("k"))
     got = bloom_join(probe, build, on="k").count()
     assert got == probe.join(build, "k").count() == 3
+    # the PRUNE itself already drops nulls (xxhash64 skips null inputs,
+    # so without the explicit filter every null would share one phantom
+    # position set and could leak through as a permanent false positive)
+    pruned = bloom_prune(probe, bloom_build(build, "k"), "k")
+    assert pruned.filter(F.col("k").isNull()).count() == 0
 
 
 def test_bloom_plan_shape(spark, frames):
