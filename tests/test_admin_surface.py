@@ -225,3 +225,14 @@ def test_facade_kv_methods_match_reference_names(spark):
     assert seen and seen[-1] == 2
     db.remove_value("k1")
     assert db.get_value("k1") is None
+
+
+def test_stats_facade_methods(spark, db):
+    """histogram / column_corr / join_advice ride the engine facade like
+    analyze_table, so planning reads never leave the db handle."""
+    h = db.histogram("orders", "o_totalprice", n_buckets=4).collect()
+    assert len(h) == 4 and sum(r.n_rows for r in h) == db.df("orders").count()
+    c = db.column_corr("lineitem", ["l_quantity", "l_discount"]).collect()
+    assert len(c) == 1 and abs(c[0].corr) < 0.2
+    adv = db.join_advice("lineitem", "part", ("l_partkey", "p_partkey"))
+    assert adv["strategy"] == "broadcast"

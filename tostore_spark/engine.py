@@ -492,6 +492,27 @@ class ToStoreSpark:
         from tostore_spark.plans.stats import analyze_table as _an
         return _an(self, table, cols=cols, exact_ndv=exact_ndv)
 
+    def histogram(self, table: str, col: str, n_buckets: int = 10,
+                  exact: bool = True):
+        """Equi-height histogram of one numeric column — see
+        plans/stats.column_histogram (``exact=False`` = approx bounds,
+        the constant-memory form for huge tables)."""
+        from tostore_spark.plans.stats import column_histogram
+        return column_histogram(self.df(table), col, n_buckets=n_buckets,
+                                exact=exact)
+
+    def column_corr(self, table: str, cols):
+        """Pairwise Pearson correlations from exact DECIMAL moments —
+        see plans/stats.column_corr."""
+        from tostore_spark.plans.stats import column_corr as _cc
+        return _cc(self.df(table), cols)
+
+    def join_advice(self, left: str, right: str, key, **kw) -> dict:
+        """Stats-driven join strategy (broadcast / salt / shuffle, with
+        a bloom-prefilter hint) — see plans/stats.join_advice."""
+        from tostore_spark.plans.stats import join_advice as _ja
+        return _ja(self, left, right, key, **kw)
+
     def optimize_table(self, table: str, target_partitions: int = 8,
                        zorder=None) -> list[str]:
         """Layout-only rewrite (same rows): compact to
