@@ -1051,6 +1051,24 @@ def test_curate_corpus_holdout_split(spark, db):
     assert bad.count() == 0
 
 
+def test_curate_corpus_stage_report(spark, db):
+    """report={} fills per-stage surviving counts off the barrier
+    Observations — no extra jobs, counts shrink monotonically through
+    the funnel."""
+    from tostore_spark.llmops.pipeline import curate_corpus
+
+    train = db.df("documents").filter(F.col("doc_id") < 480)
+    report = {}
+    out = curate_corpus(train, n_shards=4, drop_quality_pct=0.2,
+                        drop_perplexity_pct=0.1, report=report)
+    assert list(report) == ["s1_exact_dedup", "s2_neardup",
+                            "s4_quality", "s5_perplexity"]
+    counts = list(report.values())
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[0] <= train.count()
+    assert out.count() == counts[-1]  # final frame = last stage survivors
+
+
 def test_curate_corpus_stage_barriers_bound_rescans(spark, db):
     """The materialization contract: with barriers (default) every stage
     reads its input once — the final plan contains ZERO parquet scans of

@@ -245,6 +245,7 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
                   warehouse_dir: str | None = None,
                   cost_field: str = "n_chars",
                   holdout: dict[str, float] | None = None,
+                  report: dict | None = None,
                   text_field: str = "text",
                   id_field: str = "doc_id") -> DataFrame:
     """The full curation recipe, end to end — the stage order a
@@ -284,6 +285,14 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
     stages through parquet instead — restartable, the long-job form.
     Pass ``materialize=None`` for the pure-DAG composition.
 
+    Pass an empty dict as ``report`` to receive per-stage surviving row
+    counts (the curation funnel every production run logs).  Counts ride
+    the stage barriers as ``Observation`` metrics — the barrier's
+    materialization IS the action that fills them, so the report costs
+    zero extra jobs.  Requires a materializing mode (with
+    ``materialize=None`` nothing runs until the caller's first action,
+    so the report is left untouched).
+
     Stages are individually oracle-verified (their q_* entries) and the
     composition itself is pinned end-to-end by q_curate_corpus."""
     from tostore_spark.llmops import dedup as D
@@ -291,6 +300,14 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
     from tostore_spark.llmops import packing as PK
 
     def barrier(df, stage):
+        if report is not None and materialize is not None:
+            from pyspark.sql import Observation
+
+            obs = Observation(stage)
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            out = _stage_barrier(df, materialize, warehouse_dir, stage)
+            report[stage] = obs.get["rows"]
+            return out
         return _stage_barrier(df, materialize, warehouse_dir, stage)
 
     out = docs
