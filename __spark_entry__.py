@@ -1652,6 +1652,18 @@ def q_column_stats(spark, sf_dir):
                         exact_ndv=True)
 
 
+def q_length_batches(spark, sf_dir):
+    """Length-grouped batching + padding report (packing.
+    length_grouped_batches / padding_stats): similar-length documents
+    batch together inside md5 hash shards so each batch pads to its own
+    max — the group_by_length finetuning motif.  The per-batch stats pin
+    every rank cut and the padding arithmetic."""
+    db = _db(spark, sf_dir)
+    out = PK.length_grouped_batches(db.df("documents"), batch_size=16,
+                                    n_shards=8)
+    return PK.padding_stats(out)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Importance-weighted deterministic sampling: each document kept
     with probability = its own weight column (here a length-derived
@@ -1759,12 +1771,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver checks the FIRST 50 entries against the DuckDB oracle each round.
 
     Ordering policy (round 6, same rotation rule as r3-r5).  First 50:
-    slots 1-24 are the TWENTY-FOUR NEW r6 operators (q_bloom_join —
+    slots 1-25 are the TWENTY-FIVE NEW r6 operators (q_bloom_join —
     exact bloom-pruned selective join — q_split_corpus —
     deterministic train/val/test holdout — q_histogram — equi-height
     percentile histogram — q_weighted_sample — per-row-probability
-    deterministic sampling — and q_column_corr — exact pairwise
-    Pearson moments, plus q_curate_corpus — the
+    deterministic sampling — q_column_corr — exact pairwise
+    Pearson moments — and q_length_batches — length-grouped batching
+    with a padding report, plus q_curate_corpus — the
     staged end-to-end recipe oracle, q_lm_score_bigram,
     q_bpe_pair_counts, q_quality_classifier, the reshaping/
     warehouse-maintenance set: q_scd2_history, q_mv_incremental,
@@ -1775,24 +1788,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_cohort_retention — behavioral event analytics — and
     q_column_stats — one-pass ANALYZE, q_partitioned_table —
     hive-layout partition pruning across reopen — and
-    q_unicode_normalize — Arrow-batched NFC); slots 25-33 are
+    q_unicode_normalize — Arrow-batched NFC); slots 26-34 are
     every entry whose module changed this round — pipeline.py
     (q_corpus_sample, q_stratified_take, q_corpus_clean,
     q_corpus_shards, q_corpus_shuffle) and store.py (q_flush_reopen
     plus the flush-interplay set q_backup_restore, q_kv_namespace,
-    q_ttl_filter); slots 34-43 are the TEN oldest rows (r2/r3-vintage,
+    q_ttl_filter); slots 35-44 are the TEN oldest rows (r2/r3-vintage,
     named first by the r5 verdict): q_filter_sort_limit,
     q_or_union_dedup, q_topk, q_keyset_page, q_groupby_having,
     q_join_inner_group, q_left_join_count, q_right_join, q_theta_join,
     q_fk_autojoin — query.py changed this round (additive set-op
     methods), so the whole query-family refresh matters doubly; slots
-    44-50 refresh 7 r4-vintage rows prioritizing families whose
+    45-50 refresh 6 r4-vintage rows prioritizing families whose
     modules changed this round (rollup.py: q_time_rollup,
     q_rollup_subtotals; skew.py: q_salted_agg, q_salted_join) plus the
     write-family entries.
 
-    Past the cap: first the five r4-vintage write/vector rows the new
-    slots displaced (q_batch_update, q_partial_insert,
+    Past the cap: first the six r4-vintage write/vector rows the new
+    slots displaced (q_upsert_merge, q_batch_update, q_partial_insert,
     q_expr_clamp_update, q_update_ordered_limit,
     q_vector_cosine_topk), then the rest of the r4-vintage rows
     deferred to r7
@@ -1806,14 +1819,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     are untouched this round (dedup.py, text.py, joins.py,
     multimodal.py, engine.py families).
     tools/check_correctness.py certifies every entry locally each round
-    (r6 local run: 120/120 exact).
+    (r6 local run: 121/121 exact).
     """
 
     # first 50 = the driver's r6 correctness sample (see docstring)
     _ORDER = [
-        # --- 1-24: NEW in r6 ---
+        # --- 1-25: NEW in r6 ---
         "q_bloom_join", "q_split_corpus", "q_histogram",
-        "q_weighted_sample", "q_column_corr",
+        "q_weighted_sample", "q_column_corr", "q_length_batches",
         "q_curate_corpus", "q_lm_score_bigram", "q_bpe_pair_counts",
         "q_quality_classifier", "q_scd2_history", "q_mv_incremental",
         "q_pivot_wide", "q_unpivot_long", "q_grouping_sets",
@@ -1821,23 +1834,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_rewrite", "q_stream_mv", "q_funnel",
         "q_cohort_retention", "q_column_stats", "q_partitioned_table",
         "q_unicode_normalize",
-        # --- 25-33: modules changed in r6 (pipeline.py, store.py) ---
+        # --- 26-34: modules changed in r6 (pipeline.py, store.py) ---
         "q_corpus_sample", "q_stratified_take", "q_corpus_clean",
         "q_corpus_shards", "q_corpus_shuffle", "q_flush_reopen",
         "q_backup_restore", "q_kv_namespace", "q_ttl_filter",
-        # --- 34-43: the ten oldest rows (r2/r3-vintage; query.py also
+        # --- 35-44: the ten oldest rows (r2/r3-vintage; query.py also
         # changed this round) ---
         "q_filter_sort_limit", "q_or_union_dedup", "q_topk",
         "q_keyset_page", "q_groupby_having", "q_join_inner_group",
         "q_left_join_count", "q_right_join", "q_theta_join",
         "q_fk_autojoin",
-        # --- 44-50: r4-vintage refresh (changed-module families first) ---
+        # --- 45-50: r4-vintage refresh (changed-module families first) ---
         "q_time_rollup", "q_rollup_subtotals", "q_salted_agg",
         "q_salted_join", "q_update_rewrite", "q_delete_rewrite",
-        "q_upsert_merge",
-        # --- past the 50-cap: the five displaced rows, then r4 rows
+        # --- past the 50-cap: the six displaced rows, then r4 rows
         # deferred to r7 ---
-        "q_batch_update", "q_partial_insert",
+        "q_upsert_merge", "q_batch_update", "q_partial_insert",
         "q_expr_clamp_update", "q_update_ordered_limit",
         "q_vector_cosine_topk",
         "q_quantized_knn", "q_pq_search", "q_ivfpq", "q_mix_corpus", "q_bm25_search", "q_knn_join", "q_ivf_batch",
@@ -1915,6 +1927,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size >= 48) p
               ON l.l_partkey = p.p_partkey
             GROUP BY p.p_brand
+        """,
+        "q_length_batches": """
+            WITH t AS (SELECT doc_id,
+                         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                              AS INT) AS n_tokens,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             ::BIGINT % 8 AS shard
+                       FROM documents),
+            r AS (SELECT *, row_number() OVER (PARTITION BY shard
+                            ORDER BY n_tokens DESC, doc_id) AS rn
+                  FROM t)
+            SELECT CAST(shard AS INT) AS shard,
+                   CAST((rn - 1) // 16 AS BIGINT) AS batch_id,
+                   count(*) AS n_docs,
+                   max(n_tokens) AS max_tokens,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+                       AS pad_waste
+            FROM r GROUP BY 1, 2
         """,
         "q_weighted_sample": """
             SELECT source, count(*) AS n,

@@ -126,3 +126,47 @@ def test_mix_report_fill(spark, db):
     for r in rep.values():   # greedy prefix: overshoot by < one doc
         assert r["cost_taken"] - r["allocation"] < 1000
         assert r["fill_ratio"] > 0.5
+
+
+def test_length_grouped_batches_reduce_padding(spark, db):
+    """Length grouping must (a) assign every doc to exactly one
+    fixed-count batch in token-desc order within its shard, and
+    (b) waste materially less padding than hash-order batching."""
+    from tostore_spark.llmops.packing import (
+        length_grouped_batches, padding_stats,
+    )
+    docs = db.df("documents")
+    out = length_grouped_batches(docs, batch_size=16, n_shards=4)
+    assert out.count() == docs.count()
+    # within (shard, batch): all lengths >= any length of the next batch
+    rows = out.select("shard", "batch_id", "n_tokens").collect()
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault((r.shard, r.batch_id), []).append(r.n_tokens)
+    for (s, b), toks in by_batch.items():
+        nxt = by_batch.get((s, b + 1))
+        if nxt:
+            assert min(toks) >= max(nxt), (s, b)
+        assert len(toks) <= 16
+    stats = padding_stats(out)
+    grouped_waste = stats.agg(F.sum("pad_waste")).collect()[0][0]
+    # baseline: batch in md5(id) order (random lengths per batch)
+    from pyspark.sql import Window
+    w = (Window.partitionBy("shard")
+         .orderBy(F.md5(F.col("doc_id").cast("string"))))
+    rand = (out.drop("batch_id")
+            .withColumn("batch_id",
+                        ((F.row_number().over(w) - 1) / 16).cast("long")))
+    rand_waste = padding_stats(rand).agg(F.sum("pad_waste")).collect()[0][0]
+    assert grouped_waste < 0.5 * rand_waste
+
+
+def test_padding_stats_arithmetic(spark, db):
+    from tostore_spark.llmops.packing import (
+        length_grouped_batches, padding_stats,
+    )
+    out = length_grouped_batches(db.df("documents"), batch_size=8,
+                                 n_shards=2)
+    for r in padding_stats(out).collect():
+        assert r.pad_waste == r.n_docs * r.max_tokens - r.total_tokens
+        assert r.pad_waste >= 0

@@ -118,6 +118,9 @@ CHECKS: dict[str, list[str]] = {
     "q_histogram": ["BroadcastNestedLoopJoin", "percentile"],
     # weighted sampling: a pure filter + one partial-combined aggregate
     "q_weighted_sample": ["partial_count", "HashAggregate"],
+    # length-grouped batching: the rank window is SHARD-partitioned
+    # (never a global single-reducer sort over the corpus)
+    "q_length_batches": ["windowspecdefinition(shard"],
     # correlation matrix: ONE aggregate evaluation reshaped by Generate
     # (explode) — a union of per-pair selects would rescan per pair
     "q_column_corr": ["HashAggregate", "Generate"],

@@ -113,6 +113,50 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
                       F.array_join("__chunk", " ").alias("chunk_text")))
 
 
+def length_grouped_batches(df: DataFrame, batch_size: int,
+                           text_field: str = "text",
+                           id_field: str = "doc_id",
+                           n_shards: int = 32) -> DataFrame:
+    """Length-grouped batch assignment — the padding-minimizing batching
+    of non-packed finetuning: batch documents of SIMILAR length together
+    so each batch pads to its own max, not the corpus max (the dynamic-
+    batching / `group_by_length` motif).
+
+    Documents deal into ``n_shards`` md5 hash shards; within a shard
+    they rank by token count desc (id tiebreak) and cut into consecutive
+    fixed-count batches (``batch_id = (rank-1) div batch_size``).
+    Adjacent ranks have near-equal lengths, so per-document padding
+    waste (batch max − doc tokens) stays small; ``padding_stats``
+    reports it.  Deterministic in the ids; every window is
+    shard-partitioned (reducer load corpus/n_shards, knob-bounded).
+
+    Output: input columns + (n_tokens, shard, batch_id)."""
+    toks = TX.token_count(F.col(text_field))
+    shard = (F.conv(F.substring(F.md5(F.col(id_field).cast("string")), 1, 8),
+                    16, 10).cast("long") % n_shards).cast("int")
+    out = df.withColumn("n_tokens", toks).withColumn("shard", shard)
+    w = (Window.partitionBy("shard")
+         .orderBy(F.col("n_tokens").desc(), F.col(id_field).asc()))
+    return out.withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - 1) / batch_size).cast("long"))
+
+
+def padding_stats(batched: DataFrame) -> DataFrame:
+    """Per-batch padding efficiency for a ``length_grouped_batches``
+    frame: (shard, batch_id, n_docs, max_tokens, total_tokens,
+    pad_waste) where pad_waste = n_docs·max − total, the padding tokens
+    a per-batch-padded materializer would emit.  One hash-aggregate on
+    the (shard, batch) key."""
+    return (batched.groupBy("shard", "batch_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.max("n_tokens").alias("max_tokens"),
+                 F.sum("n_tokens").alias("total_tokens"))
+            .withColumn("pad_waste",
+                        F.col("n_docs") * F.col("max_tokens")
+                        - F.col("total_tokens")))
+
+
 def quality_percentile_filter(df: DataFrame, pct: float = 0.1,
                               score_field: Optional[str] = None,
                               text_field: str = "text") -> DataFrame:
