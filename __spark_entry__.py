@@ -1652,6 +1652,19 @@ def q_column_stats(spark, sf_dir):
                         exact_ndv=True)
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Frequency-capped vocabulary coverage (text.vocab_coverage): the
+    500 most frequent train-split tokens vs a held-out split — the
+    UNK-rate report behind tokenizer sizing.  The vocab cut is a
+    bounded top-k (ties broken deterministically on the token), the
+    check one uniform-key join."""
+    db = _db(spark, sf_dir)
+    docs = db.df("documents")
+    return TX.vocab_coverage(docs.filter(F.col("doc_id") < 400),
+                             docs.filter(F.col("doc_id") >= 400),
+                             vocab_size=500)
+
+
 def q_length_batches(spark, sf_dir):
     """Length-grouped batching + padding report (packing.
     length_grouped_batches / padding_stats): similar-length documents
@@ -1771,13 +1784,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver checks the FIRST 50 entries against the DuckDB oracle each round.
 
     Ordering policy (round 6, same rotation rule as r3-r5).  First 50:
-    slots 1-25 are the TWENTY-FIVE NEW r6 operators (q_bloom_join —
+    slots 1-26 are the TWENTY-SIX NEW r6 operators (q_bloom_join —
     exact bloom-pruned selective join — q_split_corpus —
     deterministic train/val/test holdout — q_histogram — equi-height
     percentile histogram — q_weighted_sample — per-row-probability
     deterministic sampling — q_column_corr — exact pairwise
-    Pearson moments — and q_length_batches — length-grouped batching
-    with a padding report, plus q_curate_corpus — the
+    Pearson moments — q_length_batches — length-grouped batching
+    with a padding report — and q_vocab_coverage — capped-vocabulary
+    UNK-rate report, plus q_curate_corpus — the
     staged end-to-end recipe oracle, q_lm_score_bigram,
     q_bpe_pair_counts, q_quality_classifier, the reshaping/
     warehouse-maintenance set: q_scd2_history, q_mv_incremental,
@@ -1788,25 +1802,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_cohort_retention — behavioral event analytics — and
     q_column_stats — one-pass ANALYZE, q_partitioned_table —
     hive-layout partition pruning across reopen — and
-    q_unicode_normalize — Arrow-batched NFC); slots 26-34 are
+    q_unicode_normalize — Arrow-batched NFC); slots 27-35 are
     every entry whose module changed this round — pipeline.py
     (q_corpus_sample, q_stratified_take, q_corpus_clean,
     q_corpus_shards, q_corpus_shuffle) and store.py (q_flush_reopen
     plus the flush-interplay set q_backup_restore, q_kv_namespace,
-    q_ttl_filter); slots 35-44 are the TEN oldest rows (r2/r3-vintage,
+    q_ttl_filter); slots 36-45 are the TEN oldest rows (r2/r3-vintage,
     named first by the r5 verdict): q_filter_sort_limit,
     q_or_union_dedup, q_topk, q_keyset_page, q_groupby_having,
     q_join_inner_group, q_left_join_count, q_right_join, q_theta_join,
     q_fk_autojoin — query.py changed this round (additive set-op
     methods), so the whole query-family refresh matters doubly; slots
-    45-50 refresh 6 r4-vintage rows prioritizing families whose
+    46-50 refresh 5 r4-vintage rows prioritizing families whose
     modules changed this round (rollup.py: q_time_rollup,
-    q_rollup_subtotals; skew.py: q_salted_agg, q_salted_join) plus the
-    write-family entries.
+    q_rollup_subtotals; skew.py: q_salted_agg, q_salted_join) plus
+    q_update_rewrite for the write family.
 
-    Past the cap: first the six r4-vintage write/vector rows the new
-    slots displaced (q_upsert_merge, q_batch_update, q_partial_insert,
-    q_expr_clamp_update, q_update_ordered_limit,
+    Past the cap: first the seven r4-vintage write/vector rows the new
+    slots displaced (q_delete_rewrite, q_upsert_merge, q_batch_update,
+    q_partial_insert, q_expr_clamp_update, q_update_ordered_limit,
     q_vector_cosine_topk), then the rest of the r4-vintage rows
     deferred to r7
     (q_quantized_knn, q_pq_search, q_ivfpq, q_mix_corpus, q_bm25_search, q_knn_join, q_ivf_batch, q_source_cap, q_pack_sequences, q_chunk_documents,
@@ -1819,14 +1833,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     are untouched this round (dedup.py, text.py, joins.py,
     multimodal.py, engine.py families).
     tools/check_correctness.py certifies every entry locally each round
-    (r6 local run: 121/121 exact).
+    (r6 local run: 122/122 exact).
     """
 
     # first 50 = the driver's r6 correctness sample (see docstring)
     _ORDER = [
-        # --- 1-25: NEW in r6 ---
+        # --- 1-26: NEW in r6 ---
         "q_bloom_join", "q_split_corpus", "q_histogram",
         "q_weighted_sample", "q_column_corr", "q_length_batches",
+        "q_vocab_coverage",
         "q_curate_corpus", "q_lm_score_bigram", "q_bpe_pair_counts",
         "q_quality_classifier", "q_scd2_history", "q_mv_incremental",
         "q_pivot_wide", "q_unpivot_long", "q_grouping_sets",
@@ -1834,21 +1849,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_rewrite", "q_stream_mv", "q_funnel",
         "q_cohort_retention", "q_column_stats", "q_partitioned_table",
         "q_unicode_normalize",
-        # --- 26-34: modules changed in r6 (pipeline.py, store.py) ---
+        # --- 27-35: modules changed in r6 (pipeline.py, store.py) ---
         "q_corpus_sample", "q_stratified_take", "q_corpus_clean",
         "q_corpus_shards", "q_corpus_shuffle", "q_flush_reopen",
         "q_backup_restore", "q_kv_namespace", "q_ttl_filter",
-        # --- 35-44: the ten oldest rows (r2/r3-vintage; query.py also
+        # --- 36-45: the ten oldest rows (r2/r3-vintage; query.py also
         # changed this round) ---
         "q_filter_sort_limit", "q_or_union_dedup", "q_topk",
         "q_keyset_page", "q_groupby_having", "q_join_inner_group",
         "q_left_join_count", "q_right_join", "q_theta_join",
         "q_fk_autojoin",
-        # --- 45-50: r4-vintage refresh (changed-module families first) ---
+        # --- 46-50: r4-vintage refresh (changed-module families first) ---
         "q_time_rollup", "q_rollup_subtotals", "q_salted_agg",
-        "q_salted_join", "q_update_rewrite", "q_delete_rewrite",
-        # --- past the 50-cap: the six displaced rows, then r4 rows
+        "q_salted_join", "q_update_rewrite",
+        # --- past the 50-cap: the seven displaced rows, then r4 rows
         # deferred to r7 ---
+        "q_delete_rewrite",
         "q_upsert_merge", "q_batch_update", "q_partial_insert",
         "q_expr_clamp_update", "q_update_ordered_limit",
         "q_vector_cosine_topk",
@@ -1927,6 +1943,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size >= 48) p
               ON l.l_partkey = p.p_partkey
             GROUP BY p.p_brand
+        """,
+        "q_vocab_coverage": """
+            WITH tt AS (SELECT unnest(regexp_extract_all(lower(text),
+                          '[a-z0-9]+')) AS token
+                        FROM documents WHERE doc_id < 400),
+            tf AS (SELECT token, count(*) AS n FROM tt GROUP BY token),
+            v AS (SELECT token FROM tf ORDER BY n DESC, token LIMIT 500),
+            et AS (SELECT unnest(regexp_extract_all(lower(text),
+                     '[a-z0-9]+')) AS token
+                   FROM documents WHERE doc_id >= 400),
+            ef AS (SELECT token, count(*) AS n FROM et GROUP BY token),
+            j AS (SELECT ef.n, (v.token IS NOT NULL) AS iv
+                  FROM ef LEFT JOIN v ON ef.token = v.token)
+            SELECT 500 AS vocab_size,
+                   CAST(sum(n) AS BIGINT) AS n_eval_tokens,
+                   CAST(sum(CASE WHEN NOT iv THEN n ELSE 0 END) AS BIGINT)
+                       AS n_oov_occurrences,
+                   count(CASE WHEN NOT iv THEN 1 END) AS n_oov_types,
+                   1.0 - CAST(sum(CASE WHEN NOT iv THEN n ELSE 0 END)
+                              AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+                       AS coverage
+            FROM j
         """,
         "q_length_batches": """
             WITH t AS (SELECT doc_id,

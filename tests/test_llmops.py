@@ -472,6 +472,25 @@ def test_vocab_stats_counts(spark):
     assert filtered == {"banana"}
 
 
+def test_vocab_coverage_unk_rate(spark):
+    from tostore_spark.llmops.text import vocab_coverage
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog sat"), (3, "the cat ran")],
+        ["doc_id", "text"])
+    ev = spark.createDataFrame(
+        [(10, "the cat flew"), (11, "a dog sat")], ["doc_id", "text"])
+    # vocab_size=2 -> {the(3), cat(2)}; sat(2) loses the 'cat' tie on
+    # token order... cat < sat alphabetically, both tf=2: cat wins
+    r = vocab_coverage(train, ev, vocab_size=2).collect()[0]
+    # eval occurrences: the, cat, flew, a, dog, sat = 6; in-vocab: the, cat
+    assert r.n_eval_tokens == 6
+    assert r.n_oov_occurrences == 4 and r.n_oov_types == 4
+    assert abs(r.coverage - 2 / 6) < 1e-12
+    # full vocab covers everything that appeared in train
+    r2 = vocab_coverage(train, train, vocab_size=100).collect()[0]
+    assert r2.coverage == 1.0 and r2.n_oov_types == 0
+
+
 def test_contamination_pairs_finds_overlap(spark):
     from tostore_spark.llmops.dedup import contamination_pairs
     shared = "alpha beta gamma delta epsilon zeta eta"

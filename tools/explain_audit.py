@@ -121,6 +121,9 @@ CHECKS: dict[str, list[str]] = {
     # length-grouped batching: the rank window is SHARD-partitioned
     # (never a global single-reducer sort over the corpus)
     "q_length_batches": ["windowspecdefinition(shard"],
+    # vocab coverage: the vocab cut is a bounded top-k over the token
+    # frequency table, never a full sort
+    "q_vocab_coverage": ["TakeOrderedAndProject"],
     # correlation matrix: ONE aggregate evaluation reshaped by Generate
     # (explode) — a union of per-pair selects would rescan per pair
     "q_column_corr": ["HashAggregate", "Generate"],

@@ -185,6 +185,43 @@ def vocab_stats(df: DataFrame, text_field: str = "text",
     return out
 
 
+def vocab_coverage(train: DataFrame, eval_df: DataFrame, vocab_size: int,
+                   text_field: str = "text") -> DataFrame:
+    """Coverage of a frequency-capped vocabulary — the tokenizer-sizing
+    report: take the ``vocab_size`` most frequent training tokens
+    (count desc, token asc — fully deterministic under ties) and measure
+    how much of a held-out corpus they cover.
+
+    Returns one row: (vocab_size, n_eval_tokens, n_oov_occurrences,
+    n_oov_types, coverage) where coverage is the in-vocab fraction of
+    eval token OCCURRENCES (the padding/UNK rate a tokenizer with this
+    vocab would produce).
+
+    Scale shape: the vocab cut is a bounded top-k
+    (TakeOrderedAndProject) over the token-frequency table — never a
+    global sort of the corpus; the membership check is one left join on
+    the uniform token key; everything partial-combines map-side."""
+    tf = (train.select(F.explode(tokens(F.col(text_field))).alias("token"))
+               .groupBy("token").agg(F.count(F.lit(1)).alias("n")))
+    vocab = (tf.orderBy(F.col("n").desc(), F.col("token").asc())
+               .limit(vocab_size)
+               .select("token", F.lit(1).alias("__in_vocab")))
+    ev = (eval_df.select(F.explode(tokens(F.col(text_field))).alias("token"))
+                 .groupBy("token").agg(F.count(F.lit(1)).alias("n")))
+    joined = ev.join(vocab, on="token", how="left")
+    return joined.agg(
+        F.lit(vocab_size).alias("vocab_size"),
+        F.sum("n").cast("long").alias("n_eval_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), F.col("n"))
+               .otherwise(0)).cast("long").alias("n_oov_occurrences"),
+        F.count(F.when(F.col("__in_vocab").isNull(), 1))
+         .alias("n_oov_types"),
+        (F.lit(1.0)
+         - F.sum(F.when(F.col("__in_vocab").isNull(), F.col("n"))
+                  .otherwise(0)).cast("double")
+           / F.sum("n").cast("double")).alias("coverage"))
+
+
 #: PII patterns — dialect-portable (identical semantics in Java regex and
 #: RE2/DuckDB): email, dotted-quad IP, long digit runs (ids/phones).
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
