@@ -1652,6 +1652,19 @@ def q_column_stats(spark, sf_dir):
                         exact_ndv=True)
 
 
+def q_pack_materialize(spark, sf_dir):
+    """GPT-style concat-and-chunk materialization (packing.
+    pack_materialize): documents concatenate in md5 order within hash
+    shards and cut every 64 tokens, straddling documents SPLIT across
+    example boundaries.  The full example text pins every split point
+    and the rebuild order."""
+    db = _db(spark, sf_dir)
+    out = PK.pack_materialize(db.df("documents"), budget_tokens=64,
+                              n_shards=8)
+    return out.select("shard", "example_id", "n_example_tokens",
+                      F.md5(F.col("example_text")).alias("example_md5"))
+
+
 def q_vocab_coverage(spark, sf_dir):
     """Frequency-capped vocabulary coverage (text.vocab_coverage): the
     500 most frequent train-split tokens vs a held-out split — the
@@ -1784,14 +1797,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver checks the FIRST 50 entries against the DuckDB oracle each round.
 
     Ordering policy (round 6, same rotation rule as r3-r5).  First 50:
-    slots 1-26 are the TWENTY-SIX NEW r6 operators (q_bloom_join —
+    slots 1-27 are the TWENTY-SEVEN NEW r6 operators (q_bloom_join —
     exact bloom-pruned selective join — q_split_corpus —
     deterministic train/val/test holdout — q_histogram — equi-height
     percentile histogram — q_weighted_sample — per-row-probability
     deterministic sampling — q_column_corr — exact pairwise
     Pearson moments — q_length_batches — length-grouped batching
-    with a padding report — and q_vocab_coverage — capped-vocabulary
-    UNK-rate report, plus q_curate_corpus — the
+    with a padding report — q_vocab_coverage — capped-vocabulary
+    UNK-rate report — and q_pack_materialize — GPT-style
+    concat-and-chunk with exact straddle splits, plus
+    q_curate_corpus — the
     staged end-to-end recipe oracle, q_lm_score_bigram,
     q_bpe_pair_counts, q_quality_classifier, the reshaping/
     warehouse-maintenance set: q_scd2_history, q_mv_incremental,
@@ -1802,25 +1817,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_cohort_retention — behavioral event analytics — and
     q_column_stats — one-pass ANALYZE, q_partitioned_table —
     hive-layout partition pruning across reopen — and
-    q_unicode_normalize — Arrow-batched NFC); slots 27-35 are
+    q_unicode_normalize — Arrow-batched NFC); slots 28-36 are
     every entry whose module changed this round — pipeline.py
     (q_corpus_sample, q_stratified_take, q_corpus_clean,
     q_corpus_shards, q_corpus_shuffle) and store.py (q_flush_reopen
     plus the flush-interplay set q_backup_restore, q_kv_namespace,
-    q_ttl_filter); slots 36-45 are the TEN oldest rows (r2/r3-vintage,
+    q_ttl_filter); slots 37-46 are the TEN oldest rows (r2/r3-vintage,
     named first by the r5 verdict): q_filter_sort_limit,
     q_or_union_dedup, q_topk, q_keyset_page, q_groupby_having,
     q_join_inner_group, q_left_join_count, q_right_join, q_theta_join,
     q_fk_autojoin — query.py changed this round (additive set-op
     methods), so the whole query-family refresh matters doubly; slots
-    46-50 refresh 5 r4-vintage rows prioritizing families whose
-    modules changed this round (rollup.py: q_time_rollup,
-    q_rollup_subtotals; skew.py: q_salted_agg, q_salted_join) plus
-    q_update_rewrite for the write family.
+    47-50 refresh 4 r4-vintage rows from families whose modules
+    changed this round (rollup.py: q_time_rollup, q_rollup_subtotals;
+    skew.py: q_salted_agg, q_salted_join).
 
-    Past the cap: first the seven r4-vintage write/vector rows the new
-    slots displaced (q_delete_rewrite, q_upsert_merge, q_batch_update,
-    q_partial_insert, q_expr_clamp_update, q_update_ordered_limit,
+    Past the cap: first the eight r4-vintage write/vector rows the new
+    slots displaced (q_update_rewrite, q_delete_rewrite,
+    q_upsert_merge, q_batch_update, q_partial_insert,
+    q_expr_clamp_update, q_update_ordered_limit,
     q_vector_cosine_topk), then the rest of the r4-vintage rows
     deferred to r7
     (q_quantized_knn, q_pq_search, q_ivfpq, q_mix_corpus, q_bm25_search, q_knn_join, q_ivf_batch, q_source_cap, q_pack_sequences, q_chunk_documents,
@@ -1833,15 +1848,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     are untouched this round (dedup.py, text.py, joins.py,
     multimodal.py, engine.py families).
     tools/check_correctness.py certifies every entry locally each round
-    (r6 local run: 122/122 exact).
+    (r6 local run: 123/123 exact).
     """
 
     # first 50 = the driver's r6 correctness sample (see docstring)
     _ORDER = [
-        # --- 1-26: NEW in r6 ---
+        # --- 1-27: NEW in r6 ---
         "q_bloom_join", "q_split_corpus", "q_histogram",
         "q_weighted_sample", "q_column_corr", "q_length_batches",
-        "q_vocab_coverage",
+        "q_vocab_coverage", "q_pack_materialize",
         "q_curate_corpus", "q_lm_score_bigram", "q_bpe_pair_counts",
         "q_quality_classifier", "q_scd2_history", "q_mv_incremental",
         "q_pivot_wide", "q_unpivot_long", "q_grouping_sets",
@@ -1849,22 +1864,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_rewrite", "q_stream_mv", "q_funnel",
         "q_cohort_retention", "q_column_stats", "q_partitioned_table",
         "q_unicode_normalize",
-        # --- 27-35: modules changed in r6 (pipeline.py, store.py) ---
+        # --- 28-36: modules changed in r6 (pipeline.py, store.py) ---
         "q_corpus_sample", "q_stratified_take", "q_corpus_clean",
         "q_corpus_shards", "q_corpus_shuffle", "q_flush_reopen",
         "q_backup_restore", "q_kv_namespace", "q_ttl_filter",
-        # --- 36-45: the ten oldest rows (r2/r3-vintage; query.py also
+        # --- 37-46: the ten oldest rows (r2/r3-vintage; query.py also
         # changed this round) ---
         "q_filter_sort_limit", "q_or_union_dedup", "q_topk",
         "q_keyset_page", "q_groupby_having", "q_join_inner_group",
         "q_left_join_count", "q_right_join", "q_theta_join",
         "q_fk_autojoin",
-        # --- 46-50: r4-vintage refresh (changed-module families first) ---
+        # --- 47-50: r4-vintage refresh (changed-module families first) ---
         "q_time_rollup", "q_rollup_subtotals", "q_salted_agg",
-        "q_salted_join", "q_update_rewrite",
-        # --- past the 50-cap: the seven displaced rows, then r4 rows
+        "q_salted_join",
+        # --- past the 50-cap: the eight displaced rows, then r4 rows
         # deferred to r7 ---
-        "q_delete_rewrite",
+        "q_update_rewrite", "q_delete_rewrite",
         "q_upsert_merge", "q_batch_update", "q_partial_insert",
         "q_expr_clamp_update", "q_update_ordered_limit",
         "q_vector_cosine_topk",
@@ -1943,6 +1958,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size >= 48) p
               ON l.l_partkey = p.p_partkey
             GROUP BY p.p_brand
+        """,
+        "q_pack_materialize": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         ::BIGINT % 8 AS shard,
+                     md5(CAST(doc_id AS VARCHAR)) AS ord
+              FROM documents
+              WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+            w AS (
+              SELECT *, CAST(coalesce(sum(n) OVER (PARTITION BY shard
+                          ORDER BY ord, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT) AS before
+              FROM t),
+            e AS (
+              SELECT shard, before, n, toks,
+                     unnest(generate_series(before // 64,
+                                            (before + n - 1) // 64))
+                         AS example_id
+              FROM w),
+            f AS (
+              SELECT shard, example_id,
+                     greatest(0, before - example_id * 64) AS pos,
+                     toks[CAST(greatest(0, example_id * 64 - before)
+                               AS BIGINT) + 1 :
+                          CAST(least(n, (example_id + 1) * 64 - before)
+                               AS BIGINT)] AS frag
+              FROM e)
+            SELECT CAST(shard AS INT) AS shard,
+                   CAST(example_id AS BIGINT) AS example_id,
+                   CAST(sum(len(frag)) AS INT) AS n_example_tokens,
+                   md5(string_agg(array_to_string(frag, ' '), ' '
+                                  ORDER BY pos)) AS example_md5
+            FROM f GROUP BY 1, 2
         """,
         "q_vocab_coverage": """
             WITH tt AS (SELECT unnest(regexp_extract_all(lower(text),

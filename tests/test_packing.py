@@ -170,3 +170,40 @@ def test_padding_stats_arithmetic(spark, db):
     for r in padding_stats(out).collect():
         assert r.pad_waste == r.n_docs * r.max_tokens - r.total_tokens
         assert r.pad_waste >= 0
+
+
+def test_pack_materialize_differential(spark):
+    """The materialized examples must equal a direct Python
+    reconstruction of the concatenate-then-cut stream: same shards,
+    same example cuts, same token order, straddling docs split."""
+    import hashlib
+    import re
+
+    from tostore_spark.llmops.packing import pack_materialize
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(1 + (i * 7) % 13)))
+         for i in range(40)], ["doc_id", "text"])
+    B, S = 10, 4
+    out = pack_materialize(docs, B, n_shards=S).collect()
+
+    def h(x):
+        return hashlib.md5(str(x).encode()).hexdigest()
+
+    shards = {}
+    for r in sorted(docs.collect(), key=lambda r: (h(r.doc_id), r.doc_id)):
+        s = int(h(r.doc_id)[:8], 16) % S
+        toks = re.findall(r"[a-z0-9]+", r.text.lower())
+        if toks:
+            shards.setdefault(s, []).extend(toks)
+    expect = {}
+    for s, stream in shards.items():
+        for e in range((len(stream) + B - 1) // B):
+            expect[(s, e)] = stream[e * B:(e + 1) * B]
+    got = {(r.shard, r.example_id): r.example_text.split(" ") for r in out}
+    assert got == expect
+    # every example is exactly B tokens except <= one partial per shard
+    partial = [r for r in out if r.n_example_tokens < B]
+    assert len(partial) <= S
+    assert all(r.n_example_tokens == B for r in out
+               if (r.shard, r.example_id + 1) in got)

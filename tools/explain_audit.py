@@ -124,6 +124,11 @@ CHECKS: dict[str, list[str]] = {
     # vocab coverage: the vocab cut is a bounded top-k over the token
     # frequency table, never a full sort
     "q_vocab_coverage": ["TakeOrderedAndProject"],
+    # concat-and-chunk: the offset cumsum window is SHARD-partitioned
+    # and the rebuild is an ObjectHashAggregate on (shard, example) —
+    # no global window anywhere
+    "q_pack_materialize": ["windowspecdefinition(shard",
+                           "ObjectHashAggregate"],
     # correlation matrix: ONE aggregate evaluation reshaped by Generate
     # (explode) — a union of per-pair selects would rescan per pair
     "q_column_corr": ["HashAggregate", "Generate"],

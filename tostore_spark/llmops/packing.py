@@ -113,6 +113,62 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
                       F.array_join("__chunk", " ").alias("chunk_text")))
 
 
+def pack_materialize(df: DataFrame, budget_tokens: int,
+                     text_field: str = "text", id_field: str = "doc_id",
+                     n_shards: int = 32) -> DataFrame:
+    """MATERIALIZE the packed training examples ``pack_sequences`` only
+    plans: concatenate documents (md5-of-id order within each hash
+    shard) into a token stream and cut it every ``budget_tokens`` — the
+    GPT-style concat-and-chunk, with straddling documents actually
+    SPLIT across example boundaries.  Every example is exactly
+    ``budget_tokens`` long except each shard's final partial.
+
+    Scale shape: one shard-partitioned cumulative-sum window gives each
+    document its global token offset; the doc→examples fan-out is a
+    per-row explode of the covered example range (a document lands in
+    ceil(n/budget)+1 examples at most); the example rebuild is one
+    (shard, example) hash-aggregate with an ordered in-memory
+    concatenation — reducer state is budget_tokens per group,
+    knob-bounded.  No global sort, nothing collected.
+
+    Output: (shard, example_id, n_example_tokens, example_text)."""
+    toks = TX.tokens(F.col(text_field))
+    shard = (F.conv(F.substring(F.md5(F.col("__id").cast("string")), 1, 8),
+                    16, 10).cast("long") % n_shards).cast("int")
+    base = (df.select(F.col(id_field).alias("__id"), toks.alias("__toks"))
+              .withColumn("__n", F.size("__toks"))
+              .filter(F.col("__n") > 0)
+              .withColumn("shard", shard))
+    w = (Window.partitionBy("shard")
+         .orderBy(F.md5(F.col("__id").cast("string")).asc(),
+                  F.col("__id").asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    B = budget_tokens
+    base = base.withColumn(
+        "__before", F.coalesce(F.sum("__n").over(w), F.lit(0)))
+    ex = F.explode(F.sequence(
+        F.expr("__before div " + str(B)),
+        F.expr(f"(__before + __n - 1) div {B}"))).alias("example_id")
+    frag = F.expr(
+        f"slice(__toks, int(greatest(0L, example_id * {B} - __before)) + 1,"
+        f" int(least(cast(__n as bigint),"
+        f" (example_id + 1) * {B} - __before)"
+        f" - greatest(0L, example_id * {B} - __before)))")
+    pos = F.expr(f"greatest(0L, __before - example_id * {B})")
+    frags = (base.select("shard", "__before", "__n", "__toks", ex)
+                 .withColumn("__frag", frag)
+                 .withColumn("__pos", pos))
+    return (frags.groupBy("shard", "example_id")
+            .agg(F.flatten(F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct(F.col("__pos").alias("p"),
+                                  F.col("__frag").alias("f")))),
+                     lambda st: st["f"])).alias("__ex_toks"))
+            .select("shard", "example_id",
+                    F.size("__ex_toks").alias("n_example_tokens"),
+                    F.array_join("__ex_toks", " ").alias("example_text")))
+
+
 def length_grouped_batches(df: DataFrame, batch_size: int,
                            text_field: str = "text",
                            id_field: str = "doc_id",
