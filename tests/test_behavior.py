@@ -219,6 +219,23 @@ def test_column_sketches_merge_without_rescan(spark, db, tmp_path):
         assert abs(merged[c].ndv_est - exact) / exact < 0.05
 
 
+def test_estimate_selectivity_from_histogram(spark):
+    from pyspark.sql import functions as SF
+
+    from tostore_spark.plans.stats import (
+        column_histogram, estimate_selectivity,
+    )
+
+    df = spark.range(0, 10000).select(SF.col("id").cast("double").alias("v"))
+    hist = column_histogram(df, "v", n_buckets=10)
+    # uniform data: a half-range predicate selects ~half
+    est = estimate_selectivity(hist, lo=2500, hi=7500)
+    true = df.filter("v >= 2500 AND v <= 7500").count() / 10000
+    assert abs(est - true) < 0.11          # within one bucket of truth
+    assert estimate_selectivity(hist) == 1.0
+    assert estimate_selectivity(hist, lo=20000) == 0.0
+
+
 def test_column_stats_approx_ndv_close(spark, db):
     from tostore_spark.plans.stats import column_stats
 

@@ -207,6 +207,29 @@ def column_corr(df: DataFrame, cols: Sequence[str],
     return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
+def estimate_selectivity(hist, lo=None, hi=None) -> float:
+    """Estimated fraction of rows a range predicate ``[lo, hi]``
+    selects, linearly interpolated from a ``column_histogram`` result —
+    the classic equi-height estimate (worst-case error ~1/n_buckets).
+    Driver-side on the |buckets|-row artifact, which is the point: the
+    planner asks this instead of scanning.  ``None`` bounds are open."""
+    rows = hist.collect() if hasattr(hist, "collect") else list(hist)
+    total = sum(r["n_rows"] for r in rows)
+    if total == 0:
+        return 0.0
+    hit = 0.0
+    for r in rows:
+        blo, bhi, n = float(r["lo"]), float(r["hi"]), r["n_rows"]
+        a = blo if lo is None else max(float(lo), blo)
+        b = bhi if hi is None else min(float(hi), bhi)
+        if b < a:
+            continue
+        width = bhi - blo
+        frac = 1.0 if width <= 0 else max(0.0, min(1.0, (b - a) / width))
+        hit += n * frac
+    return hit / total
+
+
 def analyze_table(engine, table: str,
                   cols: Optional[Sequence[str]] = None,
                   exact_ndv: bool = False) -> DataFrame:
