@@ -1652,6 +1652,16 @@ def q_column_stats(spark, sf_dir):
                         exact_ndv=True)
 
 
+def q_embedding_cov(spark, sf_dir):
+    """Exact embedding covariance moments (llmops/linalg): the one-pass
+    DECIMAL-exact (i, j, n, cov) upper triangle over the first 8
+    dimensions — the fit half of distributed PCA (the dims×dims eigen
+    step is driver-side by design; projection is map-side)."""
+    from tostore_spark.llmops.linalg import embedding_covariance
+    db = _db(spark, sf_dir)
+    return embedding_covariance(db.df("embeddings"), dims=8)
+
+
 def q_pack_materialize(spark, sf_dir):
     """GPT-style concat-and-chunk materialization (packing.
     pack_materialize): documents concatenate in md5 order within hash
@@ -1797,16 +1807,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver checks the FIRST 50 entries against the DuckDB oracle each round.
 
     Ordering policy (round 6, same rotation rule as r3-r5).  First 50:
-    slots 1-27 are the TWENTY-SEVEN NEW r6 operators (q_bloom_join —
+    slots 1-28 are the TWENTY-EIGHT NEW r6 operators (q_bloom_join —
     exact bloom-pruned selective join — q_split_corpus —
     deterministic train/val/test holdout — q_histogram — equi-height
     percentile histogram — q_weighted_sample — per-row-probability
     deterministic sampling — q_column_corr — exact pairwise
     Pearson moments — q_length_batches — length-grouped batching
     with a padding report — q_vocab_coverage — capped-vocabulary
-    UNK-rate report — and q_pack_materialize — GPT-style
-    concat-and-chunk with exact straddle splits, plus
-    q_curate_corpus — the
+    UNK-rate report — q_pack_materialize — GPT-style
+    concat-and-chunk with exact straddle splits — and
+    q_embedding_cov — one-pass DECIMAL-exact covariance moments (the
+    PCA fit), plus q_curate_corpus — the
     staged end-to-end recipe oracle, q_lm_score_bigram,
     q_bpe_pair_counts, q_quality_classifier, the reshaping/
     warehouse-maintenance set: q_scd2_history, q_mv_incremental,
@@ -1817,23 +1828,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_cohort_retention — behavioral event analytics — and
     q_column_stats — one-pass ANALYZE, q_partitioned_table —
     hive-layout partition pruning across reopen — and
-    q_unicode_normalize — Arrow-batched NFC); slots 28-36 are
+    q_unicode_normalize — Arrow-batched NFC); slots 29-37 are
     every entry whose module changed this round — pipeline.py
     (q_corpus_sample, q_stratified_take, q_corpus_clean,
     q_corpus_shards, q_corpus_shuffle) and store.py (q_flush_reopen
     plus the flush-interplay set q_backup_restore, q_kv_namespace,
-    q_ttl_filter); slots 37-46 are the TEN oldest rows (r2/r3-vintage,
+    q_ttl_filter); slots 38-47 are the TEN oldest rows (r2/r3-vintage,
     named first by the r5 verdict): q_filter_sort_limit,
     q_or_union_dedup, q_topk, q_keyset_page, q_groupby_having,
     q_join_inner_group, q_left_join_count, q_right_join, q_theta_join,
     q_fk_autojoin — query.py changed this round (additive set-op
     methods), so the whole query-family refresh matters doubly; slots
-    47-50 refresh 4 r4-vintage rows from families whose modules
+    48-50 refresh 3 r4-vintage rows from families whose modules
     changed this round (rollup.py: q_time_rollup, q_rollup_subtotals;
-    skew.py: q_salted_agg, q_salted_join).
+    skew.py: q_salted_agg).
 
-    Past the cap: first the eight r4-vintage write/vector rows the new
-    slots displaced (q_update_rewrite, q_delete_rewrite,
+    Past the cap: first the nine r4-vintage rows the new slots
+    displaced (q_salted_join, q_update_rewrite, q_delete_rewrite,
     q_upsert_merge, q_batch_update, q_partial_insert,
     q_expr_clamp_update, q_update_ordered_limit,
     q_vector_cosine_topk), then the rest of the r4-vintage rows
@@ -1848,15 +1859,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     are untouched this round (dedup.py, text.py, joins.py,
     multimodal.py, engine.py families).
     tools/check_correctness.py certifies every entry locally each round
-    (r6 local run: 123/123 exact).
+    (r6 local run: 124/124 exact).
     """
 
     # first 50 = the driver's r6 correctness sample (see docstring)
     _ORDER = [
-        # --- 1-27: NEW in r6 ---
+        # --- 1-28: NEW in r6 ---
         "q_bloom_join", "q_split_corpus", "q_histogram",
         "q_weighted_sample", "q_column_corr", "q_length_batches",
-        "q_vocab_coverage", "q_pack_materialize",
+        "q_vocab_coverage", "q_pack_materialize", "q_embedding_cov",
         "q_curate_corpus", "q_lm_score_bigram", "q_bpe_pair_counts",
         "q_quality_classifier", "q_scd2_history", "q_mv_incremental",
         "q_pivot_wide", "q_unpivot_long", "q_grouping_sets",
@@ -1864,22 +1875,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_rewrite", "q_stream_mv", "q_funnel",
         "q_cohort_retention", "q_column_stats", "q_partitioned_table",
         "q_unicode_normalize",
-        # --- 28-36: modules changed in r6 (pipeline.py, store.py) ---
+        # --- 29-37: modules changed in r6 (pipeline.py, store.py) ---
         "q_corpus_sample", "q_stratified_take", "q_corpus_clean",
         "q_corpus_shards", "q_corpus_shuffle", "q_flush_reopen",
         "q_backup_restore", "q_kv_namespace", "q_ttl_filter",
-        # --- 37-46: the ten oldest rows (r2/r3-vintage; query.py also
+        # --- 38-47: the ten oldest rows (r2/r3-vintage; query.py also
         # changed this round) ---
         "q_filter_sort_limit", "q_or_union_dedup", "q_topk",
         "q_keyset_page", "q_groupby_having", "q_join_inner_group",
         "q_left_join_count", "q_right_join", "q_theta_join",
         "q_fk_autojoin",
-        # --- 47-50: r4-vintage refresh (changed-module families first) ---
+        # --- 48-50: r4-vintage refresh (changed-module families first) ---
         "q_time_rollup", "q_rollup_subtotals", "q_salted_agg",
-        "q_salted_join",
-        # --- past the 50-cap: the eight displaced rows, then r4 rows
+        # --- past the 50-cap: the nine displaced rows, then r4 rows
         # deferred to r7 ---
-        "q_update_rewrite", "q_delete_rewrite",
+        "q_salted_join", "q_update_rewrite", "q_delete_rewrite",
         "q_upsert_merge", "q_batch_update", "q_partial_insert",
         "q_expr_clamp_update", "q_update_ordered_limit",
         "q_vector_cosine_topk",
@@ -1947,8 +1957,31 @@ def _l2_dist_sql(vec_expr: str) -> str:
     return f"sqrt(greatest({nsq} - 2.0 * {dot} + {_QSQ!r}, 0.0))"
 
 
+def _cov_oracle_sql(dims: int = 8) -> str:
+    """Generated covariance oracle: the 8-dim upper triangle is 36 pair
+    sums — built programmatically with the same rounding/decimal/op
+    order as linalg.embedding_covariance."""
+    def v(i, p):  # 6dp-rounded value as decimal of precision p
+        return (f"CAST(round(CAST(embedding[{i + 1}] AS DOUBLE), 6)"
+                f" AS DECIMAL({p},6))")
+
+    cols = [f"count(*) AS n"]
+    cols += [f"CAST(sum({v(i, 18)}) AS DOUBLE) AS s{i}"
+             for i in range(dims)]
+    cols += [f"CAST(sum({v(i, 14)} * {v(j, 14)}) AS DOUBLE) AS p{i}_{j}"
+             for i in range(dims) for j in range(i, dims)]
+    sels = [
+        f"SELECT {i} AS i, {j} AS j, n,"
+        f" (CAST(n AS DOUBLE) * p{i}_{j} - s{i} * s{j})"
+        f" / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov FROM m"
+        for i in range(dims) for j in range(i, dims)]
+    return ("WITH m AS (SELECT " + ", ".join(cols) + " FROM embeddings) "
+            + " UNION ALL ".join(sels))
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "q_embedding_cov": _cov_oracle_sql(8),
         "q_bloom_join": """
             SELECT p.p_brand, count(*) AS n,
                    sum(l.l_quantity) AS sum_qty,

@@ -1223,3 +1223,35 @@ def test_normalize_unicode_nfc_matches_duck(spark, duck):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         normalize_unicode(F.col("t"), form="XYZ")
+
+
+def test_pca_fit_project(spark, db):
+    """PCA over the embeddings: components orthonormal and deterministic,
+    projection is map-side, and the top-k subspace captures more
+    variance than the first k raw coordinates."""
+    import numpy as np
+
+    from tostore_spark.llmops.linalg import (
+        embedding_covariance, pca_components, pca_project,
+    )
+
+    emb = db.df("embeddings")
+    comps = pca_components(emb, k=4, dims=16)
+    again = pca_components(emb, k=4, dims=16)
+    assert comps == again                      # deterministic incl. sign
+    C = np.array(comps)
+    assert np.allclose(C @ C.T, np.eye(4), atol=1e-9)   # orthonormal
+    out = pca_project(emb, comps).select("pca").collect()
+    P = np.array([r["pca"] for r in out])
+    # variance captured by PCA >= variance of the first 4 raw dims
+    raw = np.array([r["embedding"][:16] for r in emb.select("embedding").collect()])
+    var_pca = P.var(axis=0).sum()
+    var_raw4 = raw.var(axis=0)[:4].sum()
+    assert var_pca >= var_raw4 - 1e-9
+    # covariance frame is the exact moment source
+    rows = embedding_covariance(emb, dims=4).collect()
+    got = {(r.i, r.j): r.cov for r in rows}
+    r6 = np.round(raw[:, :4].astype(np.float64), 6)
+    ref = np.cov(r6, rowvar=False, bias=True)
+    for (i, j), c in got.items():
+        assert abs(c - ref[i, j]) < 1e-9, (i, j)

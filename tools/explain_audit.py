@@ -129,6 +129,8 @@ CHECKS: dict[str, list[str]] = {
     # no global window anywhere
     "q_pack_materialize": ["windowspecdefinition(shard",
                            "ObjectHashAggregate"],
+    # covariance moments: ONE aggregate evaluation reshaped by Generate
+    "q_embedding_cov": ["HashAggregate", "Generate"],
     # correlation matrix: ONE aggregate evaluation reshaped by Generate
     # (explode) — a union of per-pair selects would rescan per pair
     "q_column_corr": ["HashAggregate", "Generate"],
