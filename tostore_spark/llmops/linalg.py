@@ -98,13 +98,14 @@ def pca_project(emb: DataFrame, components: list[list[float]],
     """Map-side projection onto fitted ``pca_components``: adds
     ``out_field`` = array<double> of length k.  The rotation rides into
     the plan as literals (k·dims doubles — a 64→16 reduction is 4 KB);
-    no shuffle, no Python, one scan."""
-    rows = []
+    no shuffle, no Python, one scan.  The whole expression is built as
+    ONE SQL string (single parse): a k×dims Column-chain would cost
+    k·dims py4j round trips of serial driver plan-build time — the
+    exact cost profiled out of the minhash index build in r5."""
+    dots = []
     for comp in components:
-        dot = None
-        for i, w in enumerate(comp):
-            term = F.element_at(F.col(vec_field), i + 1).cast("double") \
-                   * F.lit(float(w))
-            dot = term if dot is None else dot + term
-        rows.append(dot)
-    return emb.withColumn(out_field, F.array(*rows))
+        terms = " + ".join(
+            f"CAST(`{vec_field}`[{i}] AS DOUBLE) * {float(w)!r}"
+            for i, w in enumerate(comp))
+        dots.append(f"({terms})")
+    return emb.withColumn(out_field, F.expr("array(" + ", ".join(dots) + ")"))
