@@ -34,7 +34,15 @@ def embedding_covariance(emb: DataFrame, vec_field: str = "embedding",
     half-away-from-zero rounding in Spark and DuckDB), so sums of
     values (6dp) and products (12dp) are EXACT decimals with no further
     rounding; the covariance assembles from identical doubles with the
-    same operation order: (n·sxy − sx·sy) / n²."""
+    same operation order: (n·sxy − sx·sy) / n².
+
+    Practical bound: the aggregate is O(dims²) columns wide (64 dims →
+    2,080 sums), which strains codegen and driver plan-build well
+    before it strains executors.  For wide embeddings fit on a
+    ``pipeline.hash_sample`` of the corpus (sample-covariance error
+    shrinks as 1/√n — a million-row deterministic sample fits any
+    rotation you would trust anyway) or restrict ``dims`` to the head
+    dimensions being reduced."""
     n_dims = dims
     if n_dims is None:
         one = emb.select(F.size(vec_field).alias("d")).first()
