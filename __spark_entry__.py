@@ -1579,6 +1579,39 @@ def q_topic_balance(spark, sf_dir):
     return out.select("vec_id", "cell_id")
 
 
+def q_resample(spark, sf_dir):
+    """Per-user daily resample with linear gap interpolation: bucket
+    aggregate + per-entity grid explode + entity-partitioned fill
+    windows — every shuffle on (user, bucket), grid generation
+    distributed, DECIMAL-exact bucket averages."""
+    from tostore_spark.functions.timeseries import resample
+    db = _db(spark, sf_dir)
+    ev = db.df("events").filter(F.col("user_id") < 8)
+    out = resample(ev, "user_id", "ts", "value", 86400, fill="linear")
+    return out.select("user_id", "bucket_ts",
+                      F.round("avg_value", 9).alias("avg_r"),
+                      "n_obs", "is_observed")
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup (Dolma-style): first occurrence in
+    (doc_id, pos) order wins, later copies removed, docs rebuilt in
+    order.  Corpus has no newlines, so the entry derives a
+    paragraph-structured frame first (20-word chunks, column math);
+    the rebuilt text is returned as md5 so the compare payload stays
+    small while staying value-exact."""
+    from tostore_spark.llmops.paragraphs import paragraph_dedup
+    db = _db(spark, sf_dir)
+    corp = db.df("documents").select("doc_id", F.expr(
+        "array_join(transform(sequence(0,"
+        " cast(ceil(size(split(text,' '))/20.0) as int)-1),"
+        " i -> array_join(slice(split(text,' '), i*20+1, 20), ' ')),"
+        " '\n\n')").alias("text"))
+    out = paragraph_dedup(corp)
+    return out.select("doc_id", F.md5("text_clean").alias("clean_digest"),
+                      "n_para_kept", "n_para_total")
+
+
 def q_funnel(spark, sf_dir):
     """Ordered funnel (view → click → purchase): per-step entity counts
     with strict happens-after semantics — a stepwise conditional-min
@@ -1874,8 +1907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_heavy_hitters", "q_set_ops", "q_topic_balance",
         "q_zorder_rewrite", "q_stream_mv", "q_funnel",
         "q_cohort_retention", "q_column_stats", "q_partitioned_table",
-        "q_unicode_normalize",
-        # --- 29-37: modules changed in r6 (pipeline.py, store.py) ---
+        "q_unicode_normalize", "q_resample", "q_paragraph_dedup",
+        # --- modules changed in r6 (pipeline.py, store.py) ---
         "q_corpus_sample", "q_stratified_take", "q_corpus_clean",
         "q_corpus_shards", "q_corpus_shuffle", "q_flush_reopen",
         "q_backup_restore", "q_kv_namespace", "q_ttl_filter",
@@ -1886,10 +1919,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_left_join_count", "q_right_join", "q_theta_join",
         "q_fk_autojoin",
         # --- 48-50: r4-vintage refresh (changed-module families first) ---
-        "q_time_rollup", "q_rollup_subtotals", "q_salted_agg",
-        # --- past the 50-cap: the nine displaced rows, then r4 rows
+        "q_time_rollup",
+        # --- past the 50-cap: the displaced rows, then r4 rows
         # deferred to r7 ---
-        "q_salted_join", "q_update_rewrite", "q_delete_rewrite",
+        "q_rollup_subtotals", "q_salted_agg", "q_salted_join", "q_update_rewrite", "q_delete_rewrite",
         "q_upsert_merge", "q_batch_update", "q_partial_insert",
         "q_expr_clamp_update", "q_update_ordered_limit",
         "q_vector_cosine_topk",
@@ -1982,6 +2015,78 @@ def _cov_oracle_sql(dims: int = 8) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "q_embedding_cov": _cov_oracle_sql(8),
+        "q_paragraph_dedup": r"""
+            WITH corpus AS (
+              SELECT doc_id,
+                     array_to_string(list_transform(
+                       range(0, CAST(ceil(len(string_split(text,' '))/20.0) AS INT)),
+                       i -> array_to_string(
+                              list_slice(string_split(text,' '),
+                                         i*20+1, i*20+20), ' ')),
+                       e'\n\n') AS text
+              FROM documents),
+            sp AS (SELECT doc_id, regexp_split_to_array(text, e'\n{2,}') AS parts
+                   FROM corpus),
+            p0 AS (SELECT doc_id, unnest(range(len(parts))) AS pos,
+                          unnest(parts) AS para FROM sp),
+            p AS (SELECT doc_id, pos, trim(para) AS para
+                  FROM p0 WHERE length(trim(para)) > 0),
+            k AS (SELECT doc_id, pos, para,
+                    row_number() OVER (PARTITION BY md5(para)
+                                       ORDER BY doc_id, pos) = 1 AS keep
+                  FROM p),
+            agg AS (
+              SELECT doc_id, count(*) AS n_para_total,
+                     CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_para_kept,
+                     coalesce(string_agg(CASE WHEN keep THEN para END,
+                                         e'\n\n' ORDER BY pos), '')
+                       AS text_clean
+              FROM k GROUP BY doc_id)
+            SELECT doc_id, md5(text_clean) AS clean_digest,
+                   n_para_kept, n_para_total
+            FROM agg WHERE n_para_kept > 0
+        """,
+        "q_resample": """
+            WITH b AS (
+              SELECT user_id AS ent, epoch_us(ts) // 86400000000 AS idx,
+                     CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6)))
+                          AS DOUBLE) / count(value) AS avg_obs,
+                     count(value) AS n_obs
+              FROM events WHERE user_id < 8
+              GROUP BY 1, 2),
+            g AS (
+              SELECT ent, unnest(range(min(idx), max(idx) + 1)) AS idx
+              FROM b GROUP BY ent),
+            j AS (
+              SELECT g.ent, g.idx, b.avg_obs,
+                     coalesce(b.n_obs, 0) AS n_obs,
+                     b.n_obs IS NOT NULL AS is_observed
+              FROM g LEFT JOIN b ON g.ent = b.ent AND g.idx = b.idx),
+            f AS (
+              SELECT ent, idx, n_obs, is_observed, avg_obs,
+                last_value(avg_obs IGNORE NULLS) OVER
+                  (PARTITION BY ent ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                last_value(CASE WHEN is_observed THEN idx END IGNORE NULLS)
+                  OVER (PARTITION BY ent ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+                first_value(avg_obs IGNORE NULLS) OVER
+                  (PARTITION BY ent ORDER BY idx
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                first_value(CASE WHEN is_observed THEN idx END IGNORE NULLS)
+                  OVER (PARTITION BY ent ORDER BY idx
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+              FROM j)
+            SELECT ent AS user_id, make_timestamp(idx * 86400000000) AS bucket_ts,
+                   round(CASE WHEN is_observed THEN avg_obs
+                              WHEN pv IS NULL THEN nv
+                              WHEN nv IS NULL THEN pv
+                              ELSE pv + (nv - pv) * CAST(idx - pi AS DOUBLE)
+                                   / CAST(ni - pi AS DOUBLE) END, 9) AS avg_r,
+                   n_obs, is_observed
+            FROM f
+        """,
         "q_bloom_join": """
             SELECT p.p_brand, count(*) AS n,
                    sum(l.l_quantity) AS sum_qty,

@@ -1255,3 +1255,39 @@ def test_pca_fit_project(spark, db):
     ref = np.cov(r6, rowvar=False, bias=True)
     for (i, j), c in got.items():
         assert abs(c - ref[i, j]) < 1e-9, (i, j)
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from tostore_spark.llmops.paragraphs import paragraph_dedup
+    docs = [
+        (1, "alpha beta\n\nshared boiler plate\n\nunique one"),
+        (2, "shared boiler plate\n\nsecond doc body"),
+        (3, "shared boiler plate"),          # fully boilerplate -> dropped
+        (4, "alpha beta\n\nfresh tail"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    # doc 1 is the first occurrence of both of its repeated paragraphs
+    assert out[1].text_clean == "alpha beta\n\nshared boiler plate\n\nunique one"
+    assert out[1].n_para_kept == 3 and out[1].n_para_total == 3
+    # doc 2 loses the boilerplate, keeps its body, order preserved
+    assert out[2].text_clean == "second doc body"
+    assert (out[2].n_para_kept, out[2].n_para_total) == (1, 2)
+    # doc 3 became empty and is dropped by default
+    assert 3 not in out
+    # doc 4 loses 'alpha beta' (doc 1 owns it)
+    assert out[4].text_clean == "fresh tail"
+    # drop_empty=False keeps the hollow doc with empty text
+    kept = {r.doc_id: r for r in
+            paragraph_dedup(df, drop_empty=False).collect()}
+    assert kept[3].text_clean == "" and kept[3].n_para_kept == 0
+
+
+def test_paragraph_dedup_windows_partitioned(spark):
+    import re
+    from tostore_spark.llmops.paragraphs import paragraph_dedup
+    df = spark.createDataFrame([(1, "a\n\nb")], ["doc_id", "text"])
+    plan = (paragraph_dedup(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert m.group(1).startswith("__h#"), f"unpartitioned: {m.group(0)}"

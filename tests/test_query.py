@@ -194,6 +194,50 @@ def test_moving_features_semantics(spark):
     assert b1["lag_1"] is None and b1["cum_sum"] == 5.0
 
 
+def test_resample_semantics(spark):
+    import datetime as dt
+    from tostore_spark.functions.timeseries import resample
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("a", t0, 10.0), ("a", t0 + dt.timedelta(hours=1), 20.0),
+            # 2-day gap for entity a, then one more observation
+            ("a", t0 + dt.timedelta(days=3), 50.0),
+            ("b", t0, 1.0)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+
+    lin = {(r["k"], r["bucket_ts"]): r for r in
+           resample(df, "k", "ts", "v", 86400, fill="linear").collect()}
+    assert len(lin) == 5  # a: 4 grid days, b: 1
+    assert lin[("a", t0)]["avg_value"] == 15.0  # in-bucket average
+    assert lin[("a", t0)]["n_obs"] == 2 and lin[("a", t0)]["is_observed"]
+    # linear interpolation across the gap: 15 -> 50 over 3 steps
+    d1 = lin[("a", t0 + dt.timedelta(days=1))]
+    d2 = lin[("a", t0 + dt.timedelta(days=2))]
+    assert not d1["is_observed"] and d1["n_obs"] == 0
+    assert abs(d1["avg_value"] - (15.0 + 35.0 / 3)) < 1e-9
+    assert abs(d2["avg_value"] - (15.0 + 2 * 35.0 / 3)) < 1e-9
+
+    ff = {(r["k"], r["bucket_ts"]): r for r in
+          resample(df, "k", "ts", "v", 86400, fill="ffill").collect()}
+    assert ff[("a", t0 + dt.timedelta(days=1))]["avg_value"] == 15.0
+    assert ff[("a", t0 + dt.timedelta(days=2))]["avg_value"] == 15.0
+
+    none = {(r["k"], r["bucket_ts"]): r for r in
+            resample(df, "k", "ts", "v", 86400, fill=None).collect()}
+    assert none[("a", t0 + dt.timedelta(days=1))]["avg_value"] is None
+
+
+def test_resample_windows_are_partitioned(spark):
+    import re
+    import datetime as dt
+    from tostore_spark.functions.timeseries import resample
+    df = spark.createDataFrame([("a", dt.datetime(2024, 1, 1), 1.0)],
+                               ["k", "ts", "v"])
+    plan = (resample(df, "k", "ts", "v", 3600, fill="linear")
+            ._jdf.queryExecution().executedPlan().toString())
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert m.group(1).startswith("__ent#"), f"unpartitioned: {m.group(0)}"
+
+
 def test_moving_features_windows_are_partitioned(spark):
     import re
     from tostore_spark.functions.timeseries import moving_features

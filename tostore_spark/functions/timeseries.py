@@ -14,6 +14,90 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tostore_spark.functions.colutil import epoch_us
+
+
+def resample(df: DataFrame, partition: str, ts_field: str, value: str,
+             interval_s: int, fill: str | None = "ffill") -> DataFrame:
+    """Align each ``partition`` entity's series to a regular ``interval_s``
+    grid: bucket-aggregate observations, generate the full per-entity grid
+    between its first and last bucket, and fill the empty buckets.
+
+    Output: (partition, bucket_ts, avg_value, n_obs, is_observed) — one
+    row per entity per grid step.  ``fill``:
+
+    - ``"ffill"``: carry the last observed bucket average forward.
+    - ``"linear"``: linear interpolation between the surrounding observed
+      buckets (edges fall back to nearest-observed).
+    - ``None``: leave gap buckets null.
+
+    Scale shape: the bucket aggregate and the grid join both shuffle on
+    (entity, bucket) — uniform keys; the grid explode is per-entity and
+    distributed; every window is entity-partitioned.  Grid length per
+    entity is span/interval_s — pick the interval for the span you query
+    (a year of seconds-granularity grid is 31M rows per entity; that is a
+    data-volume choice, not an operator limit).
+
+    Exactness: within-bucket averages use an order-independent DECIMAL
+    sum over round(value, 6) divided double-side, so partial-aggregation
+    order cannot perturb the float; the interpolation formula is fixed
+    left-to-right IEEE double math reproducible in ANSI SQL.
+
+    Reference scope: the reference has no time-series resampling — this
+    is parity-plus alongside moving_features (SURVEY §2.5).
+    """
+    if fill not in (None, "ffill", "linear"):
+        raise ValueError(f"fill must be None|'ffill'|'linear', got {fill!r}")
+    iv_us = int(interval_s) * 1_000_000
+    idx = (epoch_us(F.col(ts_field)) / F.lit(iv_us)).cast("bigint")
+    # within-bucket exact aggregate
+    buckets = (df.groupBy(F.col(partition).alias("__ent"),
+                          idx.alias("__idx"))
+                 .agg(F.sum(F.round(F.col(value), 6)
+                            .cast("decimal(28,6)")).alias("__vsum"),
+                      F.count(value).alias("n_obs"))
+                 .withColumn("avg_value",
+                             F.col("__vsum").cast("double") / F.col("n_obs"))
+                 .drop("__vsum"))
+    # per-entity grid: one row per step between first and last bucket
+    grid = (buckets.groupBy("__ent")
+                   .agg(F.min("__idx").alias("__lo"), F.max("__idx").alias("__hi"))
+                   .select("__ent", F.explode(
+                       F.sequence("__lo", "__hi")).alias("__idx")))
+    out = (grid.join(buckets, ["__ent", "__idx"], "left")
+               .withColumn("is_observed", F.col("n_obs").isNotNull())
+               .withColumn("n_obs", F.coalesce("n_obs", F.lit(0))))
+    w = Window.partitionBy("__ent").orderBy("__idx")
+    if fill == "ffill":
+        out = out.withColumn(
+            "avg_value",
+            F.last("avg_value", ignorenulls=True)
+             .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    elif fill == "linear":
+        wp = w.rowsBetween(Window.unboundedPreceding, 0)
+        wn = w.rowsBetween(0, Window.unboundedFollowing)
+        obs_idx = F.when(F.col("is_observed"), F.col("__idx"))
+        out = (out
+               .withColumn("__pv", F.last("avg_value", ignorenulls=True).over(wp))
+               .withColumn("__pi", F.last(obs_idx, ignorenulls=True).over(wp))
+               .withColumn("__nv", F.first("avg_value", ignorenulls=True).over(wn))
+               .withColumn("__ni", F.first(obs_idx, ignorenulls=True).over(wn))
+               .withColumn(
+                   "avg_value",
+                   F.when(F.col("is_observed"), F.col("avg_value"))
+                    .when(F.col("__pv").isNull(), F.col("__nv"))
+                    .when(F.col("__nv").isNull(), F.col("__pv"))
+                    .otherwise(
+                        F.col("__pv")
+                        + (F.col("__nv") - F.col("__pv"))
+                        * (F.col("__idx") - F.col("__pi")).cast("double")
+                        / (F.col("__ni") - F.col("__pi")).cast("double")))
+               .drop("__pv", "__pi", "__nv", "__ni"))
+    return out.select(F.col("__ent").alias(partition),
+                      F.timestamp_micros(F.col("__idx") * F.lit(iv_us))
+                       .alias("bucket_ts"),
+                      "avg_value", "n_obs", "is_observed")
+
 
 def moving_features(df: DataFrame, partition: str,
                     order: str | list[str], value: str,
