@@ -733,6 +733,26 @@ def q_lm_score_bigram(spark, sf_dir):
                .limit(15))
 
 
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split per language: exact interpolated
+    per-lang tercile thresholds on the bigram-LM bits (one tiny
+    per-group aggregate joined back), bucket labels map-side.  Bucket
+    populations, id sums, and bits extrema pin every row's band."""
+    from tostore_spark.llmops import lm as LM
+    db = _db(spark, sf_dir)
+    docs = db.df("documents")
+    model = LM.train_ngram_lm(docs, n=2)
+    scored = LM.ngram_bits_per_token(docs, model)
+    j = (docs.select(F.col("doc_id").alias("id"), "lang")
+             .join(scored, "id", "left"))
+    out = LM.ppl_buckets(j, by="lang")
+    return (out.groupBy("lang", "ppl_bucket")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("id").alias("id_sum"),
+                    F.min("bits_per_token").alias("min_bits"),
+                    F.max("bits_per_token").alias("max_bits")))
+
+
 def q_corpus_shuffle(spark, sf_dir):
     """Deterministic training-order shuffle (the last pipeline stage
     before a run): seeded-hash shard + within-shard position; the only
@@ -1908,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_rewrite", "q_stream_mv", "q_funnel",
         "q_cohort_retention", "q_column_stats", "q_partitioned_table",
         "q_unicode_normalize", "q_resample", "q_paragraph_dedup",
+        "q_ppl_buckets",
         # --- modules changed in r6 (pipeline.py, store.py) ---
         "q_corpus_sample", "q_stratified_take", "q_corpus_clean",
         "q_corpus_shards", "q_corpus_shuffle", "q_flush_reopen",
@@ -1919,10 +1940,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_left_join_count", "q_right_join", "q_theta_join",
         "q_fk_autojoin",
         # --- 48-50: r4-vintage refresh (changed-module families first) ---
-        "q_time_rollup",
         # --- past the 50-cap: the displaced rows, then r4 rows
         # deferred to r7 ---
-        "q_rollup_subtotals", "q_salted_agg", "q_salted_join", "q_update_rewrite", "q_delete_rewrite",
+        "q_time_rollup", "q_rollup_subtotals", "q_salted_agg",
+        "q_salted_join", "q_update_rewrite", "q_delete_rewrite",
         "q_upsert_merge", "q_batch_update", "q_partial_insert",
         "q_expr_clamp_update", "q_update_ordered_limit",
         "q_vector_cosine_topk",
@@ -2799,6 +2820,60 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) AS bits_per_token
             FROM sc GROUP BY id
             ORDER BY bits_per_token DESC, id LIMIT 15""",
+        "q_ppl_buckets": f"""
+            WITH t AS (SELECT doc_id AS id, {_TOKENS} AS tk FROM documents),
+            nz AS (SELECT id, tk FROM t WHERE len(tk) > 0),
+            pairs AS (
+              SELECT id,
+                     unnest([CASE WHEN i = 1 THEN '<s>' ELSE tk[i-1] END
+                             for i in range(1, len(tk) + 1)]) AS prev,
+                     unnest([tk[i]
+                             for i in range(1, len(tk) + 1)]) AS token
+              FROM nz),
+            b2 AS (SELECT prev, token, count(*) AS tf2
+                   FROM pairs GROUP BY 1, 2),
+            ctx AS (SELECT prev, CAST(sum(tf2) AS BIGINT) AS ctf
+                    FROM b2 GROUP BY prev),
+            uni AS (SELECT token, count(*) AS tf FROM pairs GROUP BY token),
+            c AS (SELECT CAST(sum(tf) AS DOUBLE) AS T,
+                         CAST(count(*) AS DOUBLE) AS V FROM uni),
+            sc AS (
+              SELECT pairs.id,
+                     round(-log2(
+                         0.7 * ((coalesce(CAST(b2.tf2 AS DOUBLE), 0.0) + 0.5)
+                                / (coalesce(CAST(ctx.ctf AS DOUBLE), 0.0)
+                                   + 0.5 * c.V))
+                         + (1.0 - 0.7)
+                           * ((coalesce(CAST(uni.tf AS DOUBLE), 0.0) + 0.5)
+                              / (c.T + 0.5 * c.V))), 6) AS bits
+              FROM pairs LEFT JOIN b2 USING (prev, token)
+                         LEFT JOIN ctx USING (prev)
+                         LEFT JOIN uni USING (token), c),
+            scored AS (
+              SELECT id, round(CAST(sum(CAST(bits AS DECIMAL(18,6)))
+                                    AS DOUBLE) / count(*), 6)
+                         AS bits_per_token
+              FROM sc GROUP BY id),
+            withlang AS (
+              SELECT d.doc_id AS id, d.lang, s.bits_per_token
+              FROM documents d LEFT JOIN scored s ON d.doc_id = s.id),
+            thr AS (
+              SELECT lang,
+                     quantile_cont(bits_per_token, 1.0/3.0) AS t0,
+                     quantile_cont(bits_per_token, 2.0/3.0) AS t1
+              FROM withlang GROUP BY lang),
+            lab AS (
+              SELECT w.id, w.lang, w.bits_per_token,
+                     CASE WHEN w.bits_per_token IS NULL THEN NULL
+                          WHEN w.bits_per_token <= thr.t0 THEN 'head'
+                          WHEN w.bits_per_token <= thr.t1 THEN 'middle'
+                          ELSE 'tail' END AS ppl_bucket
+              FROM withlang w JOIN thr USING (lang))
+            SELECT lang, ppl_bucket, count(*) AS n,
+                   CAST(sum(id) AS BIGINT) AS id_sum,
+                   min(bits_per_token) AS min_bits,
+                   max(bits_per_token) AS max_bits
+            FROM lab GROUP BY lang, ppl_bucket""",
         "q_corpus_shuffle": """
             WITH k AS (
               SELECT doc_id,

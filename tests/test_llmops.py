@@ -1291,3 +1291,31 @@ def test_paragraph_dedup_windows_partitioned(spark):
             ._jdf.queryExecution().executedPlan().toString())
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert m.group(1).startswith("__h#"), f"unpartitioned: {m.group(0)}"
+
+
+def test_ppl_buckets_per_group_terciles(spark):
+    from tostore_spark.llmops.lm import ppl_buckets
+    # two groups with disjoint score ranges: per-group cuts must differ
+    rows = ([("en", i, float(i)) for i in range(1, 10)]
+            + [("de", 100 + i, float(100 + i)) for i in range(1, 10)]
+            + [("en", 99, None)])          # unscored doc -> null bucket
+    df = spark.createDataFrame(rows, ["lang", "id", "bits_per_token"])
+    out = {r.id: r.ppl_bucket for r in ppl_buckets(df, by="lang").collect()}
+    # en terciles over 1..9: head <= 3.667, middle <= 6.333
+    assert out[1] == "head" and out[3] == "head"
+    assert out[4] == "middle" and out[6] == "middle"
+    assert out[7] == "tail" and out[9] == "tail"
+    # de has the same shape shifted by 100 - per-group, not global
+    assert out[101] == "head" and out[109] == "tail"
+    assert out[99] is None
+    # global (by=None): terciles span both groups — low en ids head,
+    # high en ids pushed to middle, top de ids tail
+    g = {r.id: r.ppl_bucket
+         for r in ppl_buckets(df, by=None).collect()}
+    assert g[1] == "head" and g[6] == "head"
+    assert g[8] == "middle" and g[109] == "tail"
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ppl_buckets(df, cuts=(0.5,), labels=("a", "b", "c"))
+    with _pt.raises(ValueError):
+        ppl_buckets(df, cuts=(0.7, 0.3), labels=("a", "b", "c"))

@@ -162,3 +162,44 @@ def ngram_perplexity_filter(df: DataFrame, lm: NGramLM,
               .filter(F.col("bits_per_token").isNull()
                       | (F.col("bits_per_token") <= F.col("__thr")))
               .drop("__thr"))
+
+
+def ppl_buckets(scored: DataFrame, bits_field: str = "bits_per_token",
+                by: str | None = None,
+                cuts: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+                labels: tuple[str, ...] = ("head", "middle", "tail")
+                ) -> DataFrame:
+    """CCNet head/middle/tail split: label each scored document by which
+    perplexity band it falls in — ``head`` = lowest-bits third (the text
+    the LM finds most natural), ``tail`` = highest.  CCNet trains on the
+    head/middle and uses the bands as quality strata for sampling.
+
+    ``scored`` is the output of ``ngram_bits_per_token`` /
+    ``text.lm_bits_per_token`` joined back onto the corpus (any frame
+    with ``bits_field``).  ``by`` computes the band thresholds PER GROUP
+    (per language, per source) — CCNet's per-language percentiles —
+    instead of one global cut.  Thresholds are the exact interpolated
+    percentiles at ``cuts`` (ascending, len(labels) == len(cuts)+1),
+    computed in one tiny aggregate that AQE broadcasts back.  Rows with
+    a null score (zero-token docs) get a null bucket.
+    """
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("need len(labels) == len(cuts) + 1")
+    if list(cuts) != sorted(float(c) for c in cuts):
+        raise ValueError("cuts must be ascending")
+    qs = ", ".join(repr(float(c)) for c in cuts)
+    thr_cols = [F.expr(f"percentile(`{bits_field}`, array({qs}))")
+                .getItem(i).alias(f"__t{i}") for i in range(len(cuts))]
+    if by is None:
+        thr = scored.agg(*thr_cols)
+        out = scored.crossJoin(F.broadcast(thr))
+    else:
+        thr = scored.groupBy(by).agg(*thr_cols)
+        out = scored.join(thr, on=by, how="left")
+    b = F.col(bits_field)
+    lab = F.when(b.isNull(), F.lit(None).cast("string"))
+    for i in range(len(cuts)):
+        lab = lab.when(b <= F.col(f"__t{i}"), F.lit(labels[i]))
+    lab = lab.otherwise(F.lit(labels[-1]))
+    return out.withColumn("ppl_bucket", lab).drop(
+        *[f"__t{i}" for i in range(len(cuts))])
