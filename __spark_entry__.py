@@ -1632,6 +1632,34 @@ def q_paragraph_dedup(spark, sf_dir):
                       "n_para_kept", "n_para_total")
 
 
+def q_outer_join_shapes(spark, sf_dir):
+    """Parity-plus join types on the query builder: semi (EXISTS — no
+    fan-out), anti (NOT EXISTS), and full outer, each reduced to
+    (tag, n, key_sum) and unioned.  Semi/anti contribute no right-side
+    columns; full outer keeps unmatched rows from both sides."""
+    db = _db(spark, sf_dir)
+
+    def _agg(df_, tag):
+        # coalesce the sum: an empty side (every customer may have an
+        # order at small SF) must yield 0, not null (pandas floats a
+        # nullable int column on the oracle side)
+        return df_.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.coalesce(F.col("c_custkey"), F.lit(0))),
+                       F.lit(0)).alias("key_sum")
+        ).select(F.lit(tag).alias("tag"), "n", "key_sum")
+
+    semi = db.query("customer").semi_join(
+        "orders", "customer.c_custkey", "=", "orders.o_custkey").df()
+    anti = db.query("customer").anti_join(
+        "orders", "customer.c_custkey", "=", "orders.o_custkey").df()
+    full = db.query("customer").full_join(
+        "orders", "customer.c_custkey", "=", "orders.o_custkey").df()
+    return (_agg(semi, "semi")
+            .unionByName(_agg(anti, "anti"))
+            .unionByName(_agg(full, "full")))
+
+
 def q_funnel(spark, sf_dir):
     """Ordered funnel (view → click → purchase): per-step entity counts
     with strict happens-after semantics — a stepwise conditional-min
@@ -1928,11 +1956,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_rewrite", "q_stream_mv", "q_funnel",
         "q_cohort_retention", "q_column_stats", "q_partitioned_table",
         "q_unicode_normalize", "q_resample", "q_paragraph_dedup",
-        "q_ppl_buckets",
+        "q_ppl_buckets", "q_outer_join_shapes",
         # --- modules changed in r6 (pipeline.py, store.py) ---
         "q_corpus_sample", "q_stratified_take", "q_corpus_clean",
         "q_corpus_shards", "q_corpus_shuffle", "q_flush_reopen",
-        "q_backup_restore", "q_kv_namespace", "q_ttl_filter",
+        "q_backup_restore", "q_kv_namespace",
         # --- 38-47: the ten oldest rows (r2/r3-vintage; query.py also
         # changed this round) ---
         "q_filter_sort_limit", "q_or_union_dedup", "q_topk",
@@ -1942,8 +1970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 48-50: r4-vintage refresh (changed-module families first) ---
         # --- past the 50-cap: the displaced rows, then r4 rows
         # deferred to r7 ---
-        "q_time_rollup", "q_rollup_subtotals", "q_salted_agg",
-        "q_salted_join", "q_update_rewrite", "q_delete_rewrite",
+        "q_ttl_filter", "q_time_rollup", "q_rollup_subtotals",
+        "q_salted_agg", "q_salted_join", "q_update_rewrite", "q_delete_rewrite",
         "q_upsert_merge", "q_batch_update", "q_partial_insert",
         "q_expr_clamp_update", "q_update_ordered_limit",
         "q_vector_cosine_topk",
@@ -2820,6 +2848,24 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) AS bits_per_token
             FROM sc GROUP BY id
             ORDER BY bits_per_token DESC, id LIMIT 15""",
+        "q_outer_join_shapes": """
+            SELECT 'semi' AS tag, count(*) AS n,
+                   CAST(coalesce(sum(c_custkey), 0) AS BIGINT) AS key_sum
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+            UNION ALL
+            SELECT 'anti', count(*),
+                   CAST(coalesce(sum(c_custkey), 0) AS BIGINT)
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+            UNION ALL
+            SELECT 'full', count(*),
+                   CAST(coalesce(sum(coalesce(c_custkey, 0)), 0) AS BIGINT)
+            FROM customer c FULL OUTER JOIN orders o
+              ON c.c_custkey = o.o_custkey
+        """,
         "q_ppl_buckets": f"""
             WITH t AS (SELECT doc_id AS id, {_TOKENS} AS tk FROM documents),
             nz AS (SELECT id, tk FROM t WHERE len(tk) > 0),

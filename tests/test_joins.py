@@ -186,3 +186,51 @@ def test_asof_tolerance_ntz_inputs(spark, small):
     got = {(r["lid"], r["rid_r"]) for r in
            asof_join(l_ntz, r_ntz, on="k", tolerance_ms=5000).collect()}
     assert got == want and len(got) == 3
+
+
+def test_semi_anti_full_join_types(spark, db, duck):
+    semi = db.query("customer").semi_join(
+        "orders", "customer.c_custkey", "=", "orders.o_custkey").df()
+    anti = db.query("customer").anti_join(
+        "orders", "customer.c_custkey", "=", "orders.o_custkey").df()
+    # semi keeps only customer columns, no fan-out on multi-order keys
+    assert semi.columns == db.df("customer").columns
+    n_semi = semi.count()
+    assert n_semi == duck.execute(
+        "select count(*) from customer c where exists "
+        "(select 1 from orders o where o.o_custkey = c.c_custkey)"
+    ).fetchone()[0]
+    # semi + anti partition the main table
+    assert n_semi + anti.count() == db.df("customer").count()
+    # full outer keeps unmatched rows from both sides
+    full = db.query("customer").full_join(
+        "orders", "customer.c_custkey", "=", "orders.o_custkey").df()
+    assert full.count() == duck.execute(
+        "select count(*) from customer c full outer join orders o "
+        "on c.c_custkey = o.o_custkey").fetchone()[0]
+    assert "o_orderkey" in full.columns and "c_custkey" in full.columns
+
+
+def test_semi_join_theta_and_fk(spark, db, duck):
+    # theta semi: suppliers whose acctbal strictly exceeds some customer's
+    got = (db.query("supplier")
+             .semi_join("customer", "supplier.s_acctbal", ">",
+                        "customer.c_acctbal").df().count())
+    want = duck.execute(
+        "select count(*) from supplier s where exists "
+        "(select 1 from customer c where s.s_acctbal > c.c_acctbal)"
+    ).fetchone()[0]
+    assert got == want
+    # FK auto-join honors how='semi' (no right-side columns)
+    from tostore_spark.schema import ForeignKeySchema
+    sch = db.schema("orders")
+    if not sch.foreign_keys:
+        sch.foreign_keys.append(ForeignKeySchema(
+            fields=["o_custkey"], referenced_table="customer",
+            referenced_fields=["c_custkey"]))
+    fk = db.query("orders").join_with_foreign_key("customer", how="semi").df()
+    assert fk.columns == db.df("orders").columns
+    assert fk.count() == duck.execute(
+        "select count(*) from orders o where exists "
+        "(select 1 from customer c where c.c_custkey = o.o_custkey)"
+    ).fetchone()[0]

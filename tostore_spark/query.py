@@ -293,6 +293,25 @@ class QueryBuilder:
     def right_join(self, table: str, first_key: str, op: str = "=", second_key: str = None):
         return self._add_join("right", table, first_key, op, second_key)
 
+    # parity-plus join types (the reference stops at inner/left/right,
+    # join_clause.dart:2-11; these complete the standard set) ----------
+    def semi_join(self, table: str, first_key: str, op: str = "=", second_key: str = None):
+        """EXISTS-style filter: keep main-table rows with at least one
+        match; no columns from ``table`` enter the result (so no
+        fan-out on multi-match keys — cheaper than join+distinct)."""
+        return self._add_join("semi", table, first_key, op, second_key)
+
+    def anti_join(self, table: str, first_key: str, op: str = "=", second_key: str = None):
+        """NOT EXISTS: keep main-table rows with NO match in ``table`` —
+        the set-difference workhorse (decontamination, orphan checks)."""
+        return self._add_join("anti", table, first_key, op, second_key)
+
+    def full_join(self, table: str, first_key: str, op: str = "=", second_key: str = None):
+        """FULL OUTER: unmatched rows from BOTH sides survive with nulls
+        on the other side; columns merge under the same table_field
+        naming as left/right joins."""
+        return self._add_join("full", table, first_key, op, second_key)
+
     def _add_join(self, how, table, first_key, op, second_key):
         if second_key is None:
             second_key, op = op, "="
@@ -434,8 +453,14 @@ class QueryBuilder:
                     if xl is not None and xr is not None:
                         cond = cond & (xl == xr)
 
-            joined = frame.df.join(jdf, on=cond, how=how)
-            frame = _Frame(joined, frame.prov + jprov)
+            spark_how = {"semi": "left_semi", "anti": "left_anti",
+                         "full": "full_outer"}.get(how, how)
+            joined = frame.df.join(jdf, on=cond, how=spark_how)
+            if how in ("semi", "anti"):
+                # filter joins contribute no right-side columns
+                frame = _Frame(joined, frame.prov)
+            else:
+                frame = _Frame(joined, frame.prov + jprov)
         return self._finalize_names(frame)
 
     def _colname_for(self, frame: _Frame, ref: str) -> Optional[str]:
