@@ -1660,6 +1660,35 @@ def q_outer_join_shapes(spark, sf_dir):
             .unionByName(_agg(full, "full")))
 
 
+def q_topk_per_group(spark, sf_dir):
+    """Group-wise top-k (functions/ranking): 3 highest-value events per
+    (user, event_type) — the rank-filter shape Spark rewrites to
+    WindowGroupLimit, so shuffle partitions keep only their local
+    top-k.  Ties broken by event_id for a deterministic row_number."""
+    from tostore_spark.functions.ranking import top_k_per_group
+    db = _db(spark, sf_dir)
+    ev = db.df("events").filter(F.col("user_id") < 50) \
+           .select("user_id", "event_type", "event_id", "value")
+    out = top_k_per_group(ev, ["user_id", "event_type"],
+                          ["-value", "event_id"], 3, keep_rank=True)
+    return out.select("user_id", "event_type", "event_id", "value",
+                      F.col("__rank").alias("rk"))
+
+
+def q_moving_time_window(spark, sf_dir):
+    """Trailing 6-hour time-range window per user (RANGE frame on the
+    event-time epoch, peers included): avg/min/max/count of value —
+    entity-partitioned, DECIMAL-exact averages."""
+    from tostore_spark.functions.timeseries import moving_time_features
+    db = _db(spark, sf_dir)
+    ev = db.df("events").filter(F.col("user_id") < 10) \
+           .select("event_id", "user_id", "ts", "value")
+    out = moving_time_features(ev, "user_id", "ts", "value", 6 * 3600)
+    return out.select("event_id", "user_id",
+                      F.round("t_avg", 9).alias("t_avg_r"),
+                      "t_min", "t_max", "t_cnt")
+
+
 def q_funnel(spark, sf_dir):
     """Ordered funnel (view → click → purchase): per-step entity counts
     with strict happens-after semantics — a stepwise conditional-min
@@ -1956,11 +1985,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_rewrite", "q_stream_mv", "q_funnel",
         "q_cohort_retention", "q_column_stats", "q_partitioned_table",
         "q_unicode_normalize", "q_resample", "q_paragraph_dedup",
-        "q_ppl_buckets", "q_outer_join_shapes",
+        "q_ppl_buckets", "q_outer_join_shapes", "q_topk_per_group",
+        "q_moving_time_window",
         # --- modules changed in r6 (pipeline.py, store.py) ---
         "q_corpus_sample", "q_stratified_take", "q_corpus_clean",
         "q_corpus_shards", "q_corpus_shuffle", "q_flush_reopen",
-        "q_backup_restore", "q_kv_namespace",
         # --- 38-47: the ten oldest rows (r2/r3-vintage; query.py also
         # changed this round) ---
         "q_filter_sort_limit", "q_or_union_dedup", "q_topk",
@@ -1970,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 48-50: r4-vintage refresh (changed-module families first) ---
         # --- past the 50-cap: the displaced rows, then r4 rows
         # deferred to r7 ---
+        "q_moving_features", "q_backup_restore", "q_kv_namespace",
         "q_ttl_filter", "q_time_rollup", "q_rollup_subtotals",
         "q_salted_agg", "q_salted_join", "q_update_rewrite", "q_delete_rewrite",
         "q_upsert_merge", "q_batch_update", "q_partial_insert",
@@ -1995,7 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_offset_page", "q_exists", "q_distinct", "q_schema_migration",
         "q_batch_export_page", "q_join5_regional", "q_bucketed_join",
         "q_doc_fingerprint", "q_repetition", "q_vocab_stats",
-        "q_pii_scrub", "q_moving_features",
+        "q_pii_scrub",
         "q_text_stats",
     ]
     g = globals()
@@ -2848,6 +2878,29 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) AS bits_per_token
             FROM sc GROUP BY id
             ORDER BY bits_per_token DESC, id LIMIT 15""",
+        "q_topk_per_group": """
+            SELECT user_id, event_type, event_id, value,
+                   CAST(rk AS BIGINT) AS rk
+            FROM (SELECT user_id, event_type, event_id, value,
+                         row_number() OVER (PARTITION BY user_id, event_type
+                                            ORDER BY value DESC, event_id)
+                             AS rk
+                  FROM events WHERE user_id < 50)
+            WHERE rk <= 3
+        """,
+        "q_moving_time_window": """
+            SELECT event_id, user_id,
+                   round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6)))
+                              OVER w AS DOUBLE)
+                         / count(value) OVER w, 9) AS t_avg_r,
+                   min(value) OVER w AS t_min,
+                   max(value) OVER w AS t_max,
+                   count(value) OVER w AS t_cnt
+            FROM events WHERE user_id < 10
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 21600000000 PRECEDING
+                               AND CURRENT ROW)
+        """,
         "q_outer_join_shapes": """
             SELECT 'semi' AS tag, count(*) AS n,
                    CAST(coalesce(sum(c_custkey), 0) AS BIGINT) AS key_sum

@@ -246,3 +246,59 @@ def test_moving_features_windows_are_partitioned(spark):
             ._jdf.queryExecution().executedPlan().toString())
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert m.group(1).startswith("k#"), f"unpartitioned: {m.group(0)}"
+
+
+def test_top_k_per_group_methods(spark):
+    from tostore_spark.functions.ranking import top_k_per_group
+    rows = [("a", 1, 30.0), ("a", 2, 20.0), ("a", 3, 20.0), ("a", 4, 10.0),
+            ("b", 5, 1.0)]
+    df = spark.createDataFrame(rows, ["g", "id", "v"])
+    # row_number: exactly k, ties broken by the id tie-break
+    rn = top_k_per_group(df, "g", ["-v", "id"], 2)
+    assert sorted((r.g, r.id) for r in rn.collect()) == \
+        [("a", 1), ("a", 2), ("b", 5)]
+    # rank: boundary tie returns both tied rows (3 rows for k=2)
+    rk = top_k_per_group(df, "g", "-v", 2, method="rank", keep_rank=True)
+    a = sorted((r.id, r["__rank"]) for r in rk.collect() if r.g == "a")
+    assert a == [(1, 1), (2, 2), (3, 2)]
+    # dense_rank: k=2 distinct values -> ids 1,2,3
+    dr = top_k_per_group(df, "g", "-v", 2, method="dense_rank")
+    assert sorted(r.id for r in dr.collect() if r.g == "a") == [1, 2, 3]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        top_k_per_group(df, "g", "-v", 2, method="nope")
+
+
+def test_top_k_per_group_plan_group_limit(spark):
+    from tostore_spark.functions.ranking import top_k_per_group
+    df = spark.createDataFrame([("a", 1, 1.0)], ["g", "id", "v"])
+    plan = (top_k_per_group(df, "g", ["-v", "id"], 3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_moving_time_features_peers_and_horizon(spark):
+    import datetime as dt
+    from tostore_spark.functions.timeseries import moving_time_features
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("a", t0, 10.0),
+            ("a", t0 + dt.timedelta(seconds=30), 20.0),
+            # tied timestamps are RANGE peers: both see both
+            ("a", t0 + dt.timedelta(seconds=100), 1.0),
+            ("a", t0 + dt.timedelta(seconds=100), 3.0),
+            # outside the 60s window of the first two
+            ("a", t0 + dt.timedelta(seconds=200), 100.0)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = moving_time_features(df, "k", "ts", "v", 60).collect()
+    by_ts = {}
+    for r in out:
+        by_ts.setdefault(r.ts, []).append(r)
+    assert by_ts[t0][0].t_cnt == 1 and by_ts[t0][0].t_avg == 10.0
+    r30 = by_ts[t0 + dt.timedelta(seconds=30)][0]
+    assert r30.t_cnt == 2 and r30.t_avg == 15.0
+    for r in by_ts[t0 + dt.timedelta(seconds=100)]:
+        # tied timestamps are peers: both rows see both (window [40,100]
+        # excludes the 0s and 30s rows)
+        assert r.t_cnt == 2 and abs(r.t_avg - 2.0) < 1e-9
+    r200 = by_ts[t0 + dt.timedelta(seconds=200)][0]
+    assert r200.t_cnt == 1 and r200.t_max == 100.0

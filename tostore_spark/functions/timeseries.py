@@ -99,6 +99,30 @@ def resample(df: DataFrame, partition: str, ts_field: str, value: str,
                       "avg_value", "n_obs", "is_observed")
 
 
+def moving_time_features(df: DataFrame, partition: str, ts_field: str,
+                         value: str, window_s: int) -> DataFrame:
+    """Trailing TIME-window aggregates (vs ``moving_features``' row-count
+    frames): for each event, avg/min/max/count of ``value`` over the
+    last ``window_s`` seconds of the same entity, current row included.
+
+    RANGE frames include all timestamp peers on both engines, so tied
+    timestamps need no tie-break ordering.  The average uses the same
+    order-independent DECIMAL sum as ``resample``.  One shuffle on the
+    entity key; the frame scan is per-key within a partition."""
+    us = int(window_s) * 1_000_000
+    w = (Window.partitionBy(partition)
+               .orderBy(epoch_us(F.col(ts_field)))
+               .rangeBetween(-us, 0))
+    v6 = F.round(F.col(value), 6).cast("decimal(28,6)")
+    return df.select(
+        "*",
+        (F.sum(v6).over(w).cast("double")
+         / F.count(value).over(w)).alias("t_avg"),
+        F.min(F.col(value)).over(w).alias("t_min"),
+        F.max(F.col(value)).over(w).alias("t_max"),
+        F.count(value).over(w).alias("t_cnt"))
+
+
 def moving_features(df: DataFrame, partition: str,
                     order: str | list[str], value: str,
                     window_rows: int = 5) -> DataFrame:
