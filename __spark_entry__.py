@@ -1660,6 +1660,26 @@ def q_outer_join_shapes(spark, sf_dir):
             .unionByName(_agg(full, "full")))
 
 
+def q_validate_rules(spark, sf_dir):
+    """Data-quality rule report (plans/validate): all row-level rules in
+    ONE conditional-sum aggregate (single scan), unique = one
+    hash-agg, fk = one anti-join count.  Rules chosen so some pass and
+    some count real violations against the raw tables."""
+    from tostore_spark.plans import validate as V
+    db = _db(spark, sf_dir)
+    orders = db.df("orders")
+    li = db.df("lineitem")
+    report = V.validate_table(orders, [
+        V.not_null("o_custkey"),
+        V.in_range("o_totalprice", 0, 150000),
+        V.in_set("o_orderstatus", ["O", "F"]),       # 'P' rows violate
+        V.matches("o_orderpriority", "^[1-5]-"),
+        V.unique("o_orderkey"),
+    ])
+    fkrep = V.validate_table(li, [V.fk("l_orderkey", orders, "o_orderkey")])
+    return report.unionByName(fkrep)
+
+
 def q_topk_per_group(spark, sf_dir):
     """Group-wise top-k (functions/ranking): 3 highest-value events per
     (user, event_type) — the rank-filter shape Spark rewrites to
@@ -1986,9 +2006,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohort_retention", "q_column_stats", "q_partitioned_table",
         "q_unicode_normalize", "q_resample", "q_paragraph_dedup",
         "q_ppl_buckets", "q_outer_join_shapes", "q_topk_per_group",
-        "q_moving_time_window",
+        "q_moving_time_window", "q_validate_rules",
         # --- modules changed in r6 (pipeline.py, store.py) ---
-        "q_corpus_sample", "q_stratified_take", "q_corpus_clean",
+        "q_stratified_take", "q_corpus_clean",
         "q_corpus_shards", "q_corpus_shuffle", "q_flush_reopen",
         # --- 38-47: the ten oldest rows (r2/r3-vintage; query.py also
         # changed this round) ---
@@ -1999,7 +2019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 48-50: r4-vintage refresh (changed-module families first) ---
         # --- past the 50-cap: the displaced rows, then r4 rows
         # deferred to r7 ---
-        "q_moving_features", "q_backup_restore", "q_kv_namespace",
+        "q_moving_features", "q_corpus_sample",
+        "q_backup_restore", "q_kv_namespace",
         "q_ttl_filter", "q_time_rollup", "q_rollup_subtotals",
         "q_salted_agg", "q_salted_join", "q_update_rewrite", "q_delete_rewrite",
         "q_upsert_merge", "q_batch_update", "q_partial_insert",
@@ -2878,6 +2899,50 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) AS bits_per_token
             FROM sc GROUP BY id
             ORDER BY bits_per_token DESC, id LIMIT 15""",
+        "q_validate_rules": """
+            SELECT 'not_null:o_custkey' AS rule, 'not_null' AS kind,
+                   'o_custkey' AS field,
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations,
+                   count(*) AS n_rows
+            FROM orders
+            UNION ALL
+            SELECT 'in_range:o_totalprice', 'in_range', 'o_totalprice',
+                   CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                                  AND o_totalprice NOT BETWEEN 0 AND 150000
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   count(*)
+            FROM orders
+            UNION ALL
+            SELECT 'in_set:o_orderstatus', 'in_set', 'o_orderstatus',
+                   CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                                  AND o_orderstatus NOT IN ('O', 'F')
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   count(*)
+            FROM orders
+            UNION ALL
+            SELECT 'matches:o_orderpriority', 'matches', 'o_orderpriority',
+                   CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                                  AND NOT regexp_matches(o_orderpriority,
+                                                         '^[1-5]-')
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   count(*)
+            FROM orders
+            UNION ALL
+            SELECT 'unique:o_orderkey', 'unique', 'o_orderkey',
+                   CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0)
+                        AS BIGINT),
+                   CAST(coalesce(sum(c), 0) AS BIGINT)
+            FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+            UNION ALL
+            SELECT 'fk:l_orderkey', 'fk', 'l_orderkey',
+                   CAST(sum(CASE WHEN NOT EXISTS
+                                  (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   count(*)
+            FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+        """,
         "q_topk_per_group": """
             SELECT user_id, event_type, event_id, value,
                    CAST(rk AS BIGINT) AS rk

@@ -237,3 +237,43 @@ def test_register_csv_and_json_sources(spark, tmp_path, db):
     assert db2.query("nation_csv").count() == nation.count()
     assert db2.query("nation_json").where("n_regionkey", "=", 0).count() == \
         nation.filter("n_regionkey = 0").count()
+
+
+def test_validate_table_rules(spark):
+    from tostore_spark.plans import validate as V
+    rows = [(1, 10.0, "A", "ok-1"), (2, None, "A", "ok-2"),
+            (2, 500.0, "Z", "bad"), (None, 50.0, "B", "ok-3")]
+    df = spark.createDataFrame(rows, ["id", "v", "cat", "tag"])
+    parent = spark.createDataFrame([(1,), (2,)], ["pid"])
+    rep = {r.rule: r for r in V.validate_table(df, [
+        V.not_null("id"),
+        V.in_range("v", 0, 100),
+        V.in_set("cat", ["A", "B"]),
+        V.matches("tag", "^ok-"),
+        V.unique("id"),
+        V.fk("id", parent, "pid"),
+    ]).collect()}
+    assert rep["not_null:id"].n_violations == 1
+    # null v is NOT a range violation (missing, not out-of-range)
+    assert rep["in_range:v"].n_violations == 1
+    assert rep["in_set:cat"].n_violations == 1
+    assert rep["matches:tag"].n_violations == 1
+    # both id=2 rows participate in the duplicate group
+    assert rep["unique:id"].n_violations == 2
+    # null id is skipped by fk; ids 1,2,2 all have parents
+    assert rep["fk:id"].n_violations == 0 and rep["fk:id"].n_rows == 3
+    assert all(r.n_rows == 4 for k, r in rep.items()
+               if r.kind in ("not_null", "in_range", "in_set", "matches"))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        V.validate_table(df, [])
+
+
+def test_validate_row_rules_single_scan(spark):
+    from tostore_spark.plans import validate as V
+    df = spark.createDataFrame([(1, 2.0)], ["id", "v"])
+    plan = (V.validate_table(df, [V.not_null("id"), V.in_range("v", 0, 1),
+                                  V.matches("id", "x")])
+            ._jdf.queryExecution().executedPlan().toString())
+    # all row rules fold into ONE aggregate over ONE scan
+    assert plan.count("Scan ExistingRDD") == 1, plan
