@@ -1680,6 +1680,40 @@ def q_validate_rules(spark, sf_dir):
     return report.unionByName(fkrep)
 
 
+def q_scd2_lookup(spark, sf_dir):
+    """Point-in-time SCD2 lookup join: every event picks the dimension
+    version valid at its timestamp (per-user boundary at 2024-01-01 +
+    user_id%30 days splits bronze→silver mid-month).  Equi-join on the
+    key with interval conjuncts; per-tier aggregate pins every fact's
+    version choice."""
+    from tostore_spark.plans.scd import scd2_lookup
+    db = _db(spark, sf_dir)
+    ev = db.df("events").filter(F.col("user_id") < 200) \
+           .select("event_id", "user_id", "ts", "value")
+    users = ev.select("user_id").distinct()
+    bound = F.expr("timestampadd(DAY, cast(user_id % 30 as int),"
+                   " timestamp'2024-01-01 00:00:00')")
+    hist = users.select(
+        "user_id",
+        F.explode(F.array(
+            F.struct(F.lit("bronze").alias("tier"),
+                     F.lit("1970-01-01 00:00:00").cast("timestamp")
+                      .alias("valid_from"),
+                     bound.alias("valid_to")),
+            F.struct(F.lit("silver").alias("tier"),
+                     bound.alias("valid_from"),
+                     F.lit(None).cast("timestamp").alias("valid_to"))
+        )).alias("v")).select("user_id", "v.tier", "v.valid_from",
+                              "v.valid_to")
+    out = scd2_lookup(ev, hist, "user_id", "ts")
+    return (out.groupBy("tier")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("event_id").alias("id_sum"),
+                    F.sum(F.round(F.col("value"), 6)
+                           .cast("decimal(28,6)")).cast("double")
+                     .alias("val_sum")))
+
+
 def q_topk_per_group(spark, sf_dir):
     """Group-wise top-k (functions/ranking): 3 highest-value events per
     (user, event_type) — the rank-filter shape Spark rewrites to
@@ -2006,10 +2040,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohort_retention", "q_column_stats", "q_partitioned_table",
         "q_unicode_normalize", "q_resample", "q_paragraph_dedup",
         "q_ppl_buckets", "q_outer_join_shapes", "q_topk_per_group",
-        "q_moving_time_window", "q_validate_rules",
+        "q_moving_time_window", "q_validate_rules", "q_scd2_lookup",
         # --- modules changed in r6 (pipeline.py, store.py) ---
         "q_stratified_take", "q_corpus_clean",
-        "q_corpus_shards", "q_corpus_shuffle", "q_flush_reopen",
+        "q_corpus_shards", "q_flush_reopen",
         # --- 38-47: the ten oldest rows (r2/r3-vintage; query.py also
         # changed this round) ---
         "q_filter_sort_limit", "q_or_union_dedup", "q_topk",
@@ -2019,7 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 48-50: r4-vintage refresh (changed-module families first) ---
         # --- past the 50-cap: the displaced rows, then r4 rows
         # deferred to r7 ---
-        "q_moving_features", "q_corpus_sample",
+        "q_moving_features", "q_corpus_sample", "q_corpus_shuffle",
         "q_backup_restore", "q_kv_namespace",
         "q_ttl_filter", "q_time_rollup", "q_rollup_subtotals",
         "q_salted_agg", "q_salted_join", "q_update_rewrite", "q_delete_rewrite",
@@ -2899,6 +2933,36 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) AS bits_per_token
             FROM sc GROUP BY id
             ORDER BY bits_per_token DESC, id LIMIT 15""",
+        "q_scd2_lookup": """
+            WITH ev AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE user_id < 200),
+            users AS (SELECT DISTINCT user_id FROM ev),
+            hist AS (
+              SELECT user_id, 'bronze' AS tier,
+                     TIMESTAMP '1970-01-01 00:00:00' AS valid_from,
+                     TIMESTAMP '2024-01-01 00:00:00'
+                       + to_days(CAST(user_id % 30 AS INT)) AS valid_to
+              FROM users
+              UNION ALL
+              SELECT user_id, 'silver',
+                     TIMESTAMP '2024-01-01 00:00:00'
+                       + to_days(CAST(user_id % 30 AS INT)),
+                     CAST(NULL AS TIMESTAMP)
+              FROM users),
+            j AS (
+              SELECT e.event_id, e.value, h.tier
+              FROM ev e LEFT JOIN hist h
+                ON e.user_id = h.user_id
+               AND epoch_us(e.ts) >= epoch_us(h.valid_from)
+               AND (h.valid_to IS NULL
+                    OR epoch_us(e.ts) < epoch_us(h.valid_to)))
+            SELECT tier, count(*) AS n,
+                   CAST(sum(event_id) AS BIGINT) AS id_sum,
+                   CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6)))
+                        AS DOUBLE) AS val_sum
+            FROM j GROUP BY tier
+        """,
         "q_validate_rules": """
             SELECT 'not_null:o_custkey' AS rule, 'not_null' AS kind,
                    'o_custkey' AS field,

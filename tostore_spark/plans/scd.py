@@ -114,3 +114,37 @@ def scd2_apply(history: DataFrame, updates: DataFrame,
             .unionByName(keep_open)
             .unionByName(closing)
             .unionByName(opening))
+
+
+def scd2_lookup(facts: DataFrame, history: DataFrame, key: str,
+                ts_field: str, how: str = "left") -> DataFrame:
+    """Point-in-time dimension join: each fact row picks the dimension
+    version whose validity interval covers the fact's timestamp
+    (``valid_from <= ts < valid_to``, open row = null ``valid_to``).
+    The standard way facts join an SCD2 history without leaking
+    future attribute values into past events.
+
+    Scale shape: an equi-join on the dimension key (uniform; AQE
+    broadcasts the dimension when it fits) with the interval bounds as
+    additional join conjuncts — per-key version counts are small, so
+    the post-equi filter discards a bounded number of candidates per
+    fact.  Epoch comparison is NTZ-safe (colutil.epoch_us).
+
+    Collision rule: history columns that clash with fact columns
+    (other than ``key``) are suffixed ``_dim``."""
+    from tostore_spark.functions.colutil import epoch_us
+    if how not in ("left", "inner"):
+        raise ValueError("how must be 'left' or 'inner'")
+    hist = history
+    for c in hist.columns:
+        if c != key and c in facts.columns:
+            hist = hist.withColumnRenamed(c, f"{c}_dim")
+    vf = "valid_from_dim" if "valid_from" in facts.columns else "valid_from"
+    vt = "valid_to_dim" if "valid_to" in facts.columns else "valid_to"
+    ts = epoch_us(F.col(ts_field))
+    cond = ((facts[key] == hist[key])
+            & (ts >= epoch_us(hist[vf]))
+            & (hist[vt].isNull() | (ts < epoch_us(hist[vt]))))
+    out = facts.join(hist, on=cond, how=how)
+    # drop the duplicate key column from the history side
+    return out.drop(hist[key])

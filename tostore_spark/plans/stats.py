@@ -18,9 +18,10 @@ cardinalities are small.
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -62,6 +63,105 @@ def column_stats(df: DataFrame, cols: Optional[Sequence[str]] = None,
     return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
+def exact_percentiles_frame(df: DataFrame, col: str,
+                            fracs: Sequence[float],
+                            round_dp: Optional[int] = None,
+                            n_parts: Optional[int] = None) -> DataFrame:
+    """Exact interpolated percentiles as a 1-row (``__bounds`` array)
+    frame — the DISTRIBUTED order-statistic selection that replaces
+    Spark's ``percentile`` aggregate for large inputs.
+
+    ``percentile`` buffers a value→count map per partition inside an
+    ObjectHashAggregate and merges the maps single-threaded — on a
+    high-cardinality double column that is memory-heavy and slow (the
+    4s/600k-row wall the bench caught; at 100 TB it simply OOMs).
+
+    Algorithm (sketch-guided, exact by construction):
+
+    1. ``approx_percentile`` proposes ``coarse`` bucket EDGES — the
+       sketch affects only bucket BALANCE, never correctness (any
+       partition of the value space works);
+    2. one codegen hash-aggregate counts rows per bucket exactly →
+       cumulative offsets over a |buckets|-row frame;
+    3. each target rank maps to its bucket (tiny × tiny non-equi
+       broadcast join), and ONLY the hit buckets' rows are window-sorted
+       (bucket-partitioned) — local rank + bucket offset = exact global
+       rank; the ≤ 2·|fracs| bracketing rows interpolate to the bounds.
+
+    Per-reducer sort state is one bucket (~N/coarse rows under the
+    sketch's balance guarantee); a pathological single-value column
+    degrades one bucket to N rows — raise ``n_parts`` or fall back to
+    ``percentile`` for such columns.  Tied values make the rank→row
+    assignment ambiguous but the VALUE at any rank is well-defined, so
+    the result is deterministic.
+
+    Driver traffic is KNOB-bounded, never data-sized (the similarity.py
+    n_cells precedent): the edge list (≤ n_parts doubles), the bucket
+    counts (≤ n_parts rows), and the ≤ 2·|fracs| bracketing values —
+    materializing each stage once instead of re-evaluating the sketch
+    subtree per plan branch (measured 3-4× at sf0.1)."""
+    spark = df.sparkSession
+    vals = df.select(F.col(col).alias("__v")).filter(F.col("__v").isNotNull())
+    nb = n_parts or max(32, 4 * len(fracs))
+    probe = ", ".join(repr(i / nb) for i in range(1, nb))
+    # stage 1: coarse edges (balance only — accuracy can be low)
+    edge_row = vals.agg(F.expr(
+        f"approx_percentile(__v, array({probe}), 1000)").alias("e")).first()
+    edges = sorted(set(edge_row["e"] or []))
+    if not edges:                      # empty input or all-equal sketch
+        edges = [0.0]
+    # codegen-friendly bucket id: a flat sum of literal comparisons
+    # (a higher-order filter() over the edge array is interpreted, not
+    # codegen — measured ~1.5x slower on this hot per-row path)
+    bucket_id = None
+    for e in edges:
+        term = (F.col("__v") >= F.lit(float(e))).cast("int")
+        bucket_id = term if bucket_id is None else bucket_id + term
+    bucketed = vals.withColumn("__b", bucket_id)
+    # stage 2: exact per-bucket counts -> offsets (<= n_parts rows)
+    cnt_rows = bucketed.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("c")).collect()
+    counts = {r["__b"]: r["c"] for r in cnt_rows}
+    n = sum(counts.values())
+    offs, acc = {}, 0
+    for b in sorted(counts):
+        offs[b] = acc
+        acc += counts[b]
+    # targets: bracketing (rank -> bucket, local rank) lookups
+    need = []                          # (idx, which, bucket, local_rank)
+    gfrac = {}
+    for i, f in enumerate(fracs):
+        if n == 0:
+            continue
+        r = float(f) * (n - 1)
+        glo, ghi = int(math.floor(r)), int(math.ceil(r))
+        gfrac[i] = r - glo
+        for which, rk in (("lo", glo), ("hi", ghi)):
+            b = max(bb for bb in offs if offs[bb] <= rk)
+            need.append((i, which, b, rk - offs[b]))
+    if not need:
+        return spark.createDataFrame(
+            [([],)], "``__bounds`` array<double>")
+    need_df = spark.createDataFrame(
+        need, "__idx int, __which string, __nb int, __lrank long")
+    # stage 3: sort ONLY the hit buckets, pick the bracketing rows
+    hit_b = sorted({b for _, _, b, _ in need})
+    w_rn = Window.partitionBy("__b").orderBy("__v")
+    got = (bucketed.filter(F.col("__b").isin(hit_b))
+                   .withColumn("__lrn", F.row_number().over(w_rn) - 1)
+                   .join(F.broadcast(need_df),
+                         (F.col("__b") == F.col("__nb"))
+                         & (F.col("__lrn") == F.col("__lrank")))
+                   .select("__idx", "__which", "__v").collect())
+    vlo = {r["__idx"]: r["__v"] for r in got if r["__which"] == "lo"}
+    vhi = {r["__idx"]: r["__v"] for r in got if r["__which"] == "hi"}
+    bounds = []
+    for i in sorted(gfrac):
+        v = vlo[i] + gfrac[i] * (vhi[i] - vlo[i])
+        bounds.append(round(v, round_dp) if round_dp is not None else v)
+    return spark.createDataFrame([(bounds,)], "`__bounds` array<double>")
+
+
 def column_histogram(df: DataFrame, col: str, n_buckets: int = 10,
                      exact: bool = True, round_dp: int = 6) -> DataFrame:
     """Equi-height histogram for one numeric column: (bucket, lo, hi,
@@ -82,11 +182,16 @@ def column_histogram(df: DataFrame, col: str, n_buckets: int = 10,
     break value-hash parity; data values sit >= one data-gap away from a
     rounded bound, so the comparison is stable."""
     fracs = [i / n_buckets for i in range(n_buckets + 1)]
-    fn = "percentile" if exact else "approx_percentile"
-    arr = ", ".join(repr(f) for f in fracs)
-    bounds = df.agg(F.expr(
-        f"transform({fn}(`{col}`, array({arr})),"
-        f" b -> round(b, {round_dp}))").alias("__bounds"))
+    if exact:
+        # distributed order-statistic selection (see
+        # exact_percentiles_frame) — percentile()'s value-map aggregate
+        # is memory-heavy on high-cardinality columns
+        bounds = exact_percentiles_frame(df, col, fracs, round_dp=round_dp)
+    else:
+        arr = ", ".join(repr(f) for f in fracs)
+        bounds = df.agg(F.expr(
+            f"transform(approx_percentile(`{col}`, array({arr})),"
+            f" b -> round(b, {round_dp}))").alias("__bounds"))
     interior = n_buckets - 1
     bucket = F.least(
         F.lit(n_buckets - 1),
