@@ -294,7 +294,10 @@ def main():
     for name in ("q_scd2_history", "q_mv_incremental", "q_funnel",
                  "q_cohort_retention", "q_grouping_sets",
                  "q_topic_balance", "q_bloom_join", "q_histogram",
-                 "q_column_corr", "q_split_corpus"):
+                 "q_column_corr", "q_split_corpus",
+                 "q_resample", "q_paragraph_dedup", "q_outer_join_shapes",
+                 "q_topk_per_group", "q_moving_time_window",
+                 "q_validate_rules", "q_scd2_lookup"):
         fn = qs[name]
         spark.catalog.clearCache()
         t0 = time.time()

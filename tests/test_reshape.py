@@ -351,3 +351,49 @@ def test_query_sample_deterministic_and_filtering(db, duck):
                                    1, 8)) AS BIGINT) % 10000
               < 2500""").fetchone()[0]
     assert n1 == want
+
+
+def test_scd2_lookup_point_in_time(spark):
+    import datetime as dt
+    from tostore_spark.plans.scd import scd2_lookup
+    t = lambda s: dt.datetime.fromisoformat(s)
+    hist = spark.createDataFrame(
+        [(1, "bronze", t("2020-01-01"), t("2024-02-01"), False),
+         (1, "silver", t("2024-02-01"), None, True),
+         (2, "gold", t("2020-01-01"), None, True)],
+        ["uid", "tier", "valid_from", "valid_to", "is_current"])
+    facts = spark.createDataFrame(
+        [(10, 1, t("2024-01-15")),   # before the switch -> bronze
+         (11, 1, t("2024-02-01")),   # boundary: valid_from inclusive -> silver
+         (12, 1, t("2024-03-01")),   # after -> silver
+         (13, 2, t("2024-01-01")),   # single-version key
+         (14, 3, t("2024-01-01"))],  # no dimension row
+        ["fid", "uid", "ts"])
+    out = {r.fid: r for r in scd2_lookup(facts, hist, "uid", "ts").collect()}
+    assert out[10].tier == "bronze" and out[11].tier == "silver"
+    assert out[12].tier == "silver" and out[13].tier == "gold"
+    assert out[14].tier is None            # left join keeps the orphan
+    # inner drops it
+    assert 14 not in {r.fid for r in
+                      scd2_lookup(facts, hist, "uid", "ts",
+                                  how="inner").collect()}
+    # exactly one version matches per fact (intervals partition time)
+    assert len(out) == 5
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        scd2_lookup(facts, hist, "uid", "ts", how="right")
+
+
+def test_scd2_lookup_collision_suffix(spark):
+    import datetime as dt
+    from tostore_spark.plans.scd import scd2_lookup
+    t0 = dt.datetime(2024, 1, 1)
+    hist = spark.createDataFrame(
+        [(1, "x", t0, None)],
+        "uid long, tier string, valid_from timestamp, valid_to timestamp")
+    facts = spark.createDataFrame(
+        [(1, t0, "f")], ["uid", "ts", "tier"])   # fact has its own 'tier'
+    out = scd2_lookup(facts, hist, "uid", "ts")
+    assert "tier" in out.columns and "tier_dim" in out.columns
+    r = out.collect()[0]
+    assert r.tier == "f" and r.tier_dim == "x"
