@@ -1714,6 +1714,50 @@ def q_scd2_lookup(spark, sf_dir):
                      .alias("val_sum")))
 
 
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (functions/graph) over the supplier→part
+    bipartite graph from lineitem: 5 rounds, each one equi-join + one
+    dst hash-agg; per-edge contributions round+DECIMAL-sum so the
+    aggregate order can't perturb the float.  Top 20 by rank."""
+    from tostore_spark.functions.graph import pagerank
+    db = _db(spark, sf_dir)
+    e = (db.df("lineitem").filter(F.col("l_partkey") < 400)
+           .select(F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+                    .alias("src"),
+                   F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
+                    .alias("dst")))
+    out = pagerank(e, n_iter=5, damping=0.85)
+    return out.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(20)
+
+
+def _pagerank_oracle_sql(n_iter: int = 5) -> str:
+    head = """
+        WITH e AS (SELECT DISTINCT
+                     'S' || CAST(l_suppkey AS VARCHAR) AS s,
+                     'P' || CAST(l_partkey AS VARCHAR) AS d
+                   FROM lineitem WHERE l_partkey < 400),
+        nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+        deg AS (SELECT s, count(*) AS dg FROM e GROUP BY s),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)"""
+    its = []
+    for i in range(1, n_iter + 1):
+        its.append(f""",
+        r{i} AS (
+          SELECT n.node,
+                 round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                       + CAST(0.85 AS DOUBLE)
+                         * coalesce(c.sum_in, CAST(0 AS DOUBLE)), 9) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.d AS node,
+                   CAST(sum(CAST(round(r.rank / deg.dg, 9)
+                                 AS DECIMAL(38,18))) AS DOUBLE) AS sum_in
+            FROM e JOIN r{i-1} r ON e.s = r.node JOIN deg ON e.s = deg.s
+            GROUP BY e.d) c ON n.node = c.node)""")
+    return (head + "".join(its)
+            + f"\n        SELECT node, rank FROM r{n_iter}"
+              "\n        ORDER BY rank DESC, node LIMIT 20")
+
+
 def q_topk_per_group(spark, sf_dir):
     """Group-wise top-k (functions/ranking): 3 highest-value events per
     (user, event_type) — the rank-filter shape Spark rewrites to
@@ -2041,8 +2085,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unicode_normalize", "q_resample", "q_paragraph_dedup",
         "q_ppl_buckets", "q_outer_join_shapes", "q_topk_per_group",
         "q_moving_time_window", "q_validate_rules", "q_scd2_lookup",
+        "q_pagerank",
         # --- modules changed in r6 (pipeline.py, store.py) ---
-        "q_stratified_take", "q_corpus_clean",
+        "q_corpus_clean",
         "q_corpus_shards", "q_flush_reopen",
         # --- 38-47: the ten oldest rows (r2/r3-vintage; query.py also
         # changed this round) ---
@@ -2054,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the 50-cap: the displaced rows, then r4 rows
         # deferred to r7 ---
         "q_moving_features", "q_corpus_sample", "q_corpus_shuffle",
+        "q_stratified_take",
         "q_backup_restore", "q_kv_namespace",
         "q_ttl_filter", "q_time_rollup", "q_rollup_subtotals",
         "q_salted_agg", "q_salted_join", "q_update_rewrite", "q_delete_rewrite",
@@ -2933,6 +2979,7 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) AS bits_per_token
             FROM sc GROUP BY id
             ORDER BY bits_per_token DESC, id LIMIT 15""",
+        "q_pagerank": _pagerank_oracle_sql(5),
         "q_scd2_lookup": """
             WITH ev AS (
               SELECT event_id, user_id, ts, value FROM events

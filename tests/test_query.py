@@ -302,3 +302,19 @@ def test_moving_time_features_peers_and_horizon(spark):
         assert r.t_cnt == 2 and abs(r.t_avg - 2.0) < 1e-9
     r200 = by_ts[t0 + dt.timedelta(seconds=200)][0]
     assert r200.t_cnt == 1 and r200.t_max == 100.0
+
+
+def test_pagerank_fixed_points_and_star(spark):
+    from tostore_spark.functions.graph import pagerank
+    # 2-cycle: rank 1.0 is the exact fixed point at any iteration count
+    cyc = spark.createDataFrame([("x", "y"), ("y", "x")], ["src", "dst"])
+    assert {r.node: r.rank for r in
+            pagerank(cyc, n_iter=6, checkpoint_every=2).collect()} \
+        == {"x": 1.0, "y": 1.0}
+    # star a->b, c->b: sources settle at 0.15, b at 0.15+0.85*(0.15+0.15)
+    star = spark.createDataFrame(
+        [("a", "b"), ("c", "b"), ("a", "b")],   # duplicate edge ignored
+        ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(star, n_iter=3).collect()}
+    assert got["a"] == 0.15 and got["c"] == 0.15
+    assert abs(got["b"] - 0.405) < 1e-9

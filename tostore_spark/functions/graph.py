@@ -1,0 +1,67 @@
+"""Graph algorithms as iterative DataFrame programs.
+
+``pagerank`` runs the classic damped iteration
+
+    r₀(v) = 1
+    rₜ₊₁(v) = (1 − d) + d · Σ_{u→v} rₜ(u) / deg(u)
+
+for a FIXED number of rounds (dangling-node mass is not redistributed —
+the common simplified formulation, stated so the oracle can reproduce
+it).  Each round is one equi-join (ranks onto edges, uniform keys) plus
+one hash-aggregate on the destination — the same two-shuffle round
+shape as the connected-components pointer jumping in llmops/dedup.
+
+Determinism across engines: per-edge contributions round to
+``round_dp`` decimals and sum as DECIMAL, so the hash-aggregate order
+cannot perturb the float; each round's rank is itself rounded, making
+round t+1 a pure function of round t's exact values.
+
+Lineage control: ``checkpoint_every`` truncates the plan with an eager
+``localCheckpoint`` — an unbounded loop otherwise doubles the DAG per
+round (driver-side planning blowup long before any executor limit).
+
+Reference scope: the reference has no graph operators; parity-plus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             n_iter: int = 10, damping: float = 0.85,
+             round_dp: int = 9, checkpoint_every: int = 4) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Returns (node, rank) for every node appearing as a source or a
+    destination.  Duplicate edges count once (the edge list is
+    de-duplicated first — pass a weighted variant explicitly if
+    multi-edges should add mass)."""
+    e = (edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+              .filter(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+              .distinct())
+    nodes = (e.select(F.col("__s").alias("node"))
+              .union(e.select(F.col("__d")))
+              .distinct())
+    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    d = float(damping)
+    for it in range(int(n_iter)):
+        contrib = (e.join(ranks.withColumnRenamed("node", "__s"), "__s")
+                    .join(deg, "__s")
+                    .select(F.col("__d").alias("node"),
+                            F.round(F.col("rank") / F.col("__deg"), round_dp)
+                             .cast("decimal(38,18)").alias("__c")))
+        summed = contrib.groupBy("node").agg(
+            F.sum("__c").cast("double").alias("__in"))
+        ranks = (nodes.join(summed, "node", "left")
+                      .select("node",
+                              F.round(F.lit(1.0 - d)
+                                      + F.lit(d) * F.coalesce("__in",
+                                                              F.lit(0.0)),
+                                      round_dp).alias("rank")))
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 \
+                and it + 1 < n_iter:
+            ranks = ranks.localCheckpoint()
+    return ranks
