@@ -1714,6 +1714,25 @@ def q_scd2_lookup(spark, sf_dir):
                      .alias("val_sum")))
 
 
+def q_ewma_anomaly(spark, sf_dir):
+    """EWMA smoothing + rolling z-score anomaly flags per user: the
+    EWMA weight table is one literal array shared verbatim with the
+    oracle (no cross-engine pow ulp); z-scores come from DECIMAL-exact
+    trailing moments with the current row excluded."""
+    from tostore_spark.functions.timeseries import anomaly_zscore, ewma
+    db = _db(spark, sf_dir)
+    ev = db.df("events").filter(F.col("user_id") < 10) \
+           .select("event_id", "user_id", "ts", "value")
+    sm = ewma(ev, "user_id", ["ts", "event_id"], "value",
+              alpha=0.3, window_rows=10)
+    out = anomaly_zscore(sm, "user_id", ["ts", "event_id"], "value",
+                         window_rows=15, threshold=2.0)
+    sent = F.lit(-999999.0)
+    return out.select("event_id", "user_id", "ewma",
+                      F.coalesce("zscore", sent).alias("z_r"),
+                      "is_anomaly")
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank (functions/graph) over the supplier→part
     bipartite graph from lineitem: 5 rounds, each one equi-join + one
@@ -1756,6 +1775,58 @@ def _pagerank_oracle_sql(n_iter: int = 5) -> str:
     return (head + "".join(its)
             + f"\n        SELECT node, rank FROM r{n_iter}"
               "\n        ORDER BY rank DESC, node LIMIT 20")
+
+
+def _ewma_anomaly_oracle_sql() -> str:
+    k, a = 10, 0.3
+    wfull = [float((1.0 - a) ** (k - m)) for m in range(1, k + 1)]
+    wlit = "[" + ", ".join(repr(x) for x in wfull) + "]"
+    return f"""
+        WITH base AS (
+          SELECT event_id, user_id, ts, value FROM events
+          WHERE user_id < 10),
+        wl AS (
+          SELECT event_id, user_id, value, ts,
+                 list_slice({wlit}, {k} - len(xs) + 1, {k}) AS ws, xs
+          FROM (SELECT event_id, user_id, value, ts,
+                  list(round(value, 6)) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id
+                      ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW) AS xs
+                FROM base)),
+        sm AS (
+          SELECT event_id, user_id, value, ts,
+            round(CAST(list_sum(list_transform(list_zip(xs, ws),
+                        p -> CAST(round(p[1] * p[2], 9) AS DECIMAL(28,9))))
+                       AS DOUBLE)
+                  / CAST(list_sum(list_transform(ws,
+                        wt -> CAST(round(wt, 9) AS DECIMAL(28,9))))
+                       AS DOUBLE), 9) AS ewma
+          FROM wl),
+        m AS (
+          SELECT event_id, user_id, ewma, value,
+            count(value) OVER w AS n,
+            CAST(sum(CAST(round(value,6) AS DECIMAL(28,6))) OVER w
+                 AS DOUBLE) AS s1,
+            CAST(sum(CAST(CAST(round(value,6) AS DECIMAL(28,6))
+                          * CAST(round(value,6) AS DECIMAL(28,6))
+                          AS DECIMAL(38,12))) OVER w AS DOUBLE) AS s2
+          FROM sm
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 15 PRECEDING AND 1 PRECEDING)),
+        z AS (
+          SELECT event_id, user_id, ewma, value, n,
+            (s2 - s1*s1/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+              AS var,
+            s1/CAST(n AS DOUBLE) AS mean
+          FROM m)
+        SELECT event_id, user_id, ewma,
+          coalesce(CASE WHEN n >= 5 AND var > 0
+                        THEN round((value - mean)/sqrt(var), 9) END,
+                   -999999.0) AS z_r,
+          coalesce(abs(CASE WHEN n >= 5 AND var > 0
+                            THEN round((value - mean)/sqrt(var), 9) END)
+                   > 2.0, false) AS is_anomaly
+        FROM z"""
 
 
 def q_topk_per_group(spark, sf_dir):
@@ -2085,10 +2156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unicode_normalize", "q_resample", "q_paragraph_dedup",
         "q_ppl_buckets", "q_outer_join_shapes", "q_topk_per_group",
         "q_moving_time_window", "q_validate_rules", "q_scd2_lookup",
-        "q_pagerank",
+        "q_pagerank", "q_ewma_anomaly",
         # --- modules changed in r6 (pipeline.py, store.py) ---
-        "q_corpus_clean",
-        "q_corpus_shards", "q_flush_reopen",
+        "q_corpus_clean", "q_flush_reopen",
         # --- 38-47: the ten oldest rows (r2/r3-vintage; query.py also
         # changed this round) ---
         "q_filter_sort_limit", "q_or_union_dedup", "q_topk",
@@ -2099,7 +2169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the 50-cap: the displaced rows, then r4 rows
         # deferred to r7 ---
         "q_moving_features", "q_corpus_sample", "q_corpus_shuffle",
-        "q_stratified_take",
+        "q_stratified_take", "q_corpus_shards",
         "q_backup_restore", "q_kv_namespace",
         "q_ttl_filter", "q_time_rollup", "q_rollup_subtotals",
         "q_salted_agg", "q_salted_join", "q_update_rewrite", "q_delete_rewrite",
@@ -2980,6 +3050,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sc GROUP BY id
             ORDER BY bits_per_token DESC, id LIMIT 15""",
         "q_pagerank": _pagerank_oracle_sql(5),
+        "q_ewma_anomaly": _ewma_anomaly_oracle_sql(),
         "q_scd2_lookup": """
             WITH ev AS (
               SELECT event_id, user_id, ts, value FROM events

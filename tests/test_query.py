@@ -318,3 +318,35 @@ def test_pagerank_fixed_points_and_star(spark):
     got = {r.node: r.rank for r in pagerank(star, n_iter=3).collect()}
     assert got["a"] == 0.15 and got["c"] == 0.15
     assert abs(got["b"] - 0.405) < 1e-9
+
+
+def test_ewma_weights_and_window(spark):
+    from tostore_spark.functions.timeseries import ewma
+    rows = [("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 7.0)]
+    df = spark.createDataFrame(rows, ["k", "seq", "v"])
+    out = {(r.k, r.seq): r.ewma
+           for r in ewma(df, "k", "seq", "v", alpha=0.5,
+                         window_rows=4).collect()}
+    # single observation: ewma == value
+    assert out[("a", 1)] == 10.0 and out[("b", 1)] == 7.0
+    # two observations, alpha=.5: (0.5*10 + 1*20) / 1.5
+    assert abs(out[("a", 2)] - (0.5 * 10 + 20) / 1.5) < 1e-8
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ewma(df, "k", "seq", "v", alpha=0.0)
+
+
+def test_anomaly_zscore_flags_spike(spark):
+    from tostore_spark.functions.timeseries import anomaly_zscore
+    base = [("a", i, 10.0 + (i % 2)) for i in range(1, 11)]
+    rows = base + [("a", 11, 500.0)]       # obvious spike
+    df = spark.createDataFrame(rows, ["k", "seq", "v"])
+    out = {r.seq: r for r in
+           anomaly_zscore(df, "k", "seq", "v", window_rows=10,
+                          threshold=3.0, min_obs=5).collect()}
+    # warm-up rows have no score until min_obs trailing points exist
+    assert out[1].zscore is None and not out[1].is_anomaly
+    assert out[5].zscore is None and out[6].zscore is not None
+    # the spike is flagged; its neighbors are not
+    assert out[11].is_anomaly and out[11].zscore > 3.0
+    assert not out[10].is_anomaly

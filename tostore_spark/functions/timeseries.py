@@ -123,6 +123,76 @@ def moving_time_features(df: DataFrame, partition: str, ts_field: str,
         F.count(value).over(w).alias("t_cnt"))
 
 
+def ewma(df: DataFrame, partition: str, order: str | list[str],
+         value: str, alpha: float = 0.3, window_rows: int = 20) -> DataFrame:
+    """Exponentially-weighted moving average over the trailing
+    ``window_rows`` rows (current included):
+
+        ewma_t = Σⱼ (1−α)ʲ·x_{t−j} / Σⱼ (1−α)ʲ   (j = 0 .. n−1)
+
+    The weight table is a LITERAL array computed once in Python and
+    embedded in the plan — both the Spark expression and a SQL oracle
+    consume the identical doubles, so no cross-engine ``pow`` ulp can
+    fork the result; per-term products round to 9dp and sum as DECIMAL
+    (order-independent).  One entity-partitioned window collects the
+    trailing values; everything else is per-row array math."""
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    k = int(window_rows)
+    orders = [order] if isinstance(order, str) else list(order)
+    w = (Window.partitionBy(partition).orderBy(*orders)
+               .rowsBetween(-(k - 1), 0))
+    # wfull[m] (1-based) = (1-alpha)^(k-m): oldest..newest, newest = 1
+    wfull = [float((1.0 - alpha) ** (k - m)) for m in range(1, k + 1)]
+    wlit = "array(" + ", ".join(repr(x) for x in wfull) + ")"
+    xs = F.collect_list(F.round(F.col(value), 6)).over(w)
+    num = (f"aggregate(zip_with(__xs, slice({wlit}, {k} - size(__xs) + 1,"
+           f" size(__xs)), (x, wt) -> cast(round(x * wt, 9)"
+           f" as decimal(28,9))), cast(0 as decimal(28,9)),"
+           f" (a, t) -> cast(a + t as decimal(28,9)))")
+    den = (f"aggregate(slice({wlit}, {k} - size(__xs) + 1, size(__xs)),"
+           f" cast(0 as decimal(28,9)),"
+           f" (a, wt) -> cast(a + cast(round(wt, 9) as decimal(28,9))"
+           f" as decimal(28,9)))")
+    return (df.withColumn("__xs", xs)
+              .withColumn("ewma",
+                          F.round(F.expr(num).cast("double")
+                                  / F.expr(den).cast("double"), 9))
+              .drop("__xs"))
+
+
+def anomaly_zscore(df: DataFrame, partition: str, order: str | list[str],
+                   value: str, window_rows: int = 20,
+                   threshold: float = 3.0, min_obs: int = 5) -> DataFrame:
+    """Rolling z-score anomaly flags: each row scored against the mean /
+    stddev of the PRECEDING ``window_rows`` rows of its entity (the
+    current row is excluded so it cannot mask its own spike).
+
+    Adds ``zscore`` (null when the trailing window has fewer than
+    ``min_obs`` observations or zero variance) and ``is_anomaly``.
+    The moments are DECIMAL-rounded sums (n, Σx, Σx²) — exact and
+    order-independent — with the variance/sqrt math in fixed double
+    expressions, so an oracle reproduces the flags bit-for-bit.  One
+    entity-partitioned window, no Python."""
+    orders = [order] if isinstance(order, str) else list(order)
+    w = (Window.partitionBy(partition).orderBy(*orders)
+               .rowsBetween(-int(window_rows), -1))
+    v6 = F.round(F.col(value), 6).cast("decimal(28,6)")
+    n = F.count(value).over(w)
+    s1 = F.sum(v6).over(w).cast("double")
+    s2 = F.sum((v6 * v6).cast("decimal(38,12)")).over(w).cast("double")
+    nn = n.cast("double")
+    mean = s1 / nn
+    var = (s2 - s1 * s1 / nn) / (nn - F.lit(1.0))
+    z = F.round((F.col(value) - mean) / F.sqrt(var), 9)
+    z = F.when((n >= int(min_obs)) & (var > 0), z)
+    return (df.withColumn("zscore", z)
+              .withColumn("is_anomaly",
+                          F.coalesce(F.abs(F.col("zscore"))
+                                     > F.lit(float(threshold)),
+                                     F.lit(False))))
+
+
 def moving_features(df: DataFrame, partition: str,
                     order: str | list[str], value: str,
                     window_rows: int = 5) -> DataFrame:
