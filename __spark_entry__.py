@@ -1714,6 +1714,22 @@ def q_scd2_lookup(spark, sf_dir):
                      .alias("val_sum")))
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (arXiv:2302.03169, llmops/dsir): hashed
+    token features, add-k smoothed target/raw log₂ ratio table (one
+    full-outer join of two hash-aggs, never a driver model), per-doc
+    mean log-ratio via rounded DECIMAL sums.  Target = the English
+    slice; 20 most target-like docs."""
+    from tostore_spark.llmops import dsir
+    db = _db(spark, sf_dir)
+    docs = db.df("documents")
+    ratio = dsir.dsir_ratio_table(docs, docs.filter(F.col("lang") == "en"),
+                                  n_buckets=1024)
+    w = dsir.dsir_weights(docs, ratio, n_buckets=1024)
+    return (w.orderBy(F.col("mean_log2_ratio").desc(), F.col("id").asc())
+             .limit(20))
+
+
 def q_ewma_anomaly(spark, sf_dir):
     """EWMA smoothing + rolling z-score anomaly flags per user: the
     EWMA weight table is one literal array shared verbatim with the
@@ -2156,9 +2172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unicode_normalize", "q_resample", "q_paragraph_dedup",
         "q_ppl_buckets", "q_outer_join_shapes", "q_topk_per_group",
         "q_moving_time_window", "q_validate_rules", "q_scd2_lookup",
-        "q_pagerank", "q_ewma_anomaly",
+        "q_pagerank", "q_ewma_anomaly", "q_dsir_weights",
         # --- modules changed in r6 (pipeline.py, store.py) ---
-        "q_corpus_clean", "q_flush_reopen",
+        "q_flush_reopen",
         # --- 38-47: the ten oldest rows (r2/r3-vintage; query.py also
         # changed this round) ---
         "q_filter_sort_limit", "q_or_union_dedup", "q_topk",
@@ -2169,7 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the 50-cap: the displaced rows, then r4 rows
         # deferred to r7 ---
         "q_moving_features", "q_corpus_sample", "q_corpus_shuffle",
-        "q_stratified_take", "q_corpus_shards",
+        "q_stratified_take", "q_corpus_shards", "q_corpus_clean",
         "q_backup_restore", "q_kv_namespace",
         "q_ttl_filter", "q_time_rollup", "q_rollup_subtotals",
         "q_salted_agg", "q_salted_join", "q_update_rewrite", "q_delete_rewrite",
@@ -3051,6 +3067,35 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY bits_per_token DESC, id LIMIT 15""",
         "q_pagerank": _pagerank_oracle_sql(5),
         "q_ewma_anomaly": _ewma_anomaly_oracle_sql(),
+        "q_dsir_weights": f"""
+            WITH tk AS (SELECT doc_id AS id, lang,
+                               unnest({_TOKENS}) AS t
+                        FROM documents),
+            f AS (SELECT id, lang,
+                         CAST(('0x' || substr(md5(t), 1, 8))::BIGINT
+                              % 1024 AS BIGINT) AS feat
+                  FROM tk),
+            rc AS (SELECT feat, count(*) AS cr FROM f GROUP BY feat),
+            tc AS (SELECT feat, count(*) AS ct FROM f
+                   WHERE lang = 'en' GROUP BY feat),
+            j AS (SELECT coalesce(rc.feat, tc.feat) AS feat, cr, ct
+                  FROM rc FULL OUTER JOIN tc ON rc.feat = tc.feat),
+            tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS Tr,
+                           CAST(sum(ct) AS DOUBLE) AS Tt FROM j),
+            lam AS (SELECT feat,
+                      round(log2(
+                        ((coalesce(CAST(ct AS DOUBLE), 0.0) + 0.5)
+                         / (Tt + 0.5 * 1024.0))
+                        / ((coalesce(CAST(cr AS DOUBLE), 0.0) + 0.5)
+                           / (Tr + 0.5 * 1024.0))), 6) AS lam
+                    FROM j, tot),
+            sc AS (SELECT f.id, lam.lam FROM f JOIN lam USING (feat))
+            SELECT id, count(*) AS n_tokens,
+                   round(CAST(sum(CAST(lam AS DECIMAL(28,6))) AS DOUBLE)
+                         / count(*), 6) AS mean_log2_ratio
+            FROM sc GROUP BY id
+            ORDER BY mean_log2_ratio DESC, id LIMIT 20
+        """,
         "q_scd2_lookup": """
             WITH ev AS (
               SELECT event_id, user_id, ts, value FROM events

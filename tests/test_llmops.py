@@ -1319,3 +1319,47 @@ def test_ppl_buckets_per_group_terciles(spark):
         ppl_buckets(df, cuts=(0.5,), labels=("a", "b", "c"))
     with _pt.raises(ValueError):
         ppl_buckets(df, cuts=(0.7, 0.3), labels=("a", "b", "c"))
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from pyspark.sql import functions as F
+    from tostore_spark.llmops import dsir
+    # raw corpus: half "code-like", half "prose-like"; target is prose
+    code = [(i, "def class import return lambda yield async await")
+            for i in range(20)]
+    prose = [(100 + i, "the quick brown fox jumps over the lazy dog")
+             for i in range(20)]
+    raw = spark.createDataFrame(code + prose, ["doc_id", "text"])
+    target = spark.createDataFrame(
+        [(1000 + i, "a quick brown dog and the lazy fox") for i in range(10)],
+        ["doc_id", "text"])
+    ratio = dsir.dsir_ratio_table(raw, target, n_buckets=512)
+    w = dsir.dsir_weights(raw, ratio, n_buckets=512)
+    m = {r["doc_id"]: r["mean_log2_ratio"] for r in
+         raw.select("doc_id").join(
+             w.withColumnRenamed("id", "doc_id"), "doc_id").collect()}
+    prose_scores = [m[100 + i] for i in range(20)]
+    code_scores = [m[i] for i in range(20)]
+    assert min(prose_scores) > max(code_scores)
+    # resample keeps prose preferentially
+    kept = dsir.dsir_resample(raw, target, scale=1.0, n_buckets=512)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    n_prose = sum(1 for i in kept_ids if i >= 100)
+    n_code = len(kept_ids) - n_prose
+    assert n_prose > n_code
+    # determinism: same rows on re-run
+    again = {r.doc_id for r in
+             dsir.dsir_resample(raw, target, scale=1.0, n_buckets=512)
+                 .select("doc_id").collect()}
+    assert again == kept_ids
+
+
+def test_dsir_unseen_feature_floor(spark):
+    from tostore_spark.llmops import dsir
+    raw = spark.createDataFrame([(1, "alpha beta")], ["doc_id", "text"])
+    target = spark.createDataFrame([(2, "alpha gamma")], ["doc_id", "text"])
+    ratio = dsir.dsir_ratio_table(raw, target, n_buckets=64)
+    # score a NEW batch containing a token neither corpus saw
+    new = spark.createDataFrame([(9, "zzzz_unseen_token")], ["doc_id", "text"])
+    out = dsir.dsir_weights(new, ratio, n_buckets=64).collect()
+    assert len(out) == 1 and out[0]["mean_log2_ratio"] is not None
