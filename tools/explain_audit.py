@@ -113,9 +113,12 @@ CHECKS: dict[str, list[str]] = {
     # holdout split: pure column math + one partial-combined aggregate;
     # zero windows (the no-cartesian sweep covers the rest)
     "q_split_corpus": ["partial_count", "HashAggregate"],
-    # equi-height histogram: the percentile bounds fold back in as a
-    # broadcast 1-row frame (no driver round-trip between the passes)
-    "q_histogram": ["BroadcastNestedLoopJoin", "percentile"],
+    # equi-height histogram: the exact bounds come from the staged
+    # order-statistic jobs (plans/stats.exact_percentiles_frame) and
+    # fold into the count pass as a broadcast 1-row literal frame —
+    # the final plan is one scan + one hash-aggregate, no value-map
+    # percentile operator anywhere
+    "q_histogram": ["BroadcastNestedLoopJoin", "HashAggregate"],
     # weighted sampling: a pure filter + one partial-combined aggregate
     "q_weighted_sample": ["partial_count", "HashAggregate"],
     # length-grouped batching: the rank window is SHARD-partitioned
@@ -134,6 +137,30 @@ CHECKS: dict[str, list[str]] = {
     # correlation matrix: ONE aggregate evaluation reshaped by Generate
     # (explode) — a union of per-pair selects would rescan per pair
     "q_column_corr": ["HashAggregate", "Generate"],
+    # resample: grid explode is a Generate; every fill window is
+    # entity-partitioned (never a global window)
+    "q_resample": ["Generate", "windowspecdefinition(__ent"],
+    # paragraph dedup: first-occurrence pick is a digest-partitioned
+    # window over the posexploded paragraphs
+    "q_paragraph_dedup": ["Generate", "windowspecdefinition(__h"],
+    # group-wise top-k: the rank filter must rewrite to WindowGroupLimit
+    "q_topk_per_group": ["WindowGroupLimit"],
+    # semi/anti joins: filter-join operators, no fan-out join + distinct
+    "q_outer_join_shapes": ["LeftSemi", "LeftAnti", "FullOuter"],
+    # time-range window: entity-partitioned RANGE frame
+    "q_moving_time_window": ["windowspecdefinition(user_id"],
+    # EWMA + z-score: both windows entity-partitioned
+    "q_ewma_anomaly": ["windowspecdefinition(user_id"],
+    # validation: all row rules in ONE aggregate (single-scan pytest
+    # pins the scan count; here pin the aggregate + fk join shapes)
+    "q_validate_rules": ["HashAggregate", "Union"],
+    # DSIR: feature counts combine map-side before the shuffle
+    "q_dsir_weights": ["partial_count", "HashAggregate"],
+    # PageRank: per-round dst aggregate; no cartesian anywhere (sweep)
+    "q_pagerank": ["HashAggregate"],
+    # SCD2 lookup: the interval conjuncts ride the key equi-join — the
+    # no-cartesian sweep proves the equality key anchors the join
+    "q_scd2_lookup": ["HashAggregate"],
 }
 
 #: plans that must NOT contain these operators (checked for every query
