@@ -234,3 +234,19 @@ def test_semi_join_theta_and_fk(spark, db, duck):
         "select count(*) from orders o where exists "
         "(select 1 from customer c where c.c_custkey = o.o_custkey)"
     ).fetchone()[0]
+
+
+def test_join_hint_broadcast_and_shuffle(spark, db):
+    hinted = (db.query("orders")
+                .join("customer", "o_custkey", "=", "c_custkey")
+                .join_hint("customer", "broadcast"))
+    plan = hinted.df()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    forced = (db.query("orders")
+                .join("customer", "o_custkey", "=", "c_custkey")
+                .join_hint("customer", "shuffle"))
+    plan2 = forced.df()._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan2 and "BroadcastHashJoin" not in plan2
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        db.query("orders").join_hint("customer", "nested_loop")

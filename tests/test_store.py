@@ -601,3 +601,29 @@ def test_transaction_rolls_back_kv_created_inside_scope(spark, tmp_path_factory)
             db.kv.set_value("cfg", "1")
             raise RuntimeError("abort")
     assert db.kv.get_value("cfg") is None
+
+
+def test_apply_changes_replays_table_diff(spark, tmp_path):
+    from tostore_spark import ToStoreSpark
+    db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))
+    db.register_table("cdc_t", df=spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "v"]))
+    db.flush()
+    db.update("cdc_t").where("id", "=", 2).set_field("v", "B").execute()
+    db.delete("cdc_t").where("id", "=", 3).execute()
+    db.insert("cdc_t", {"id": 4, "v": "d"})
+    db.flush()
+    v1, v2 = db.table_versions("cdc_t")[-2:]
+    feed = db.table_diff("cdc_t", v1, v2)
+    # replay the feed onto a fresh copy of v1 -> must equal v2 exactly
+    db2 = ToStoreSpark(spark, warehouse=str(tmp_path / "wh2"))
+    db2.register_table("cdc_t", df=db.df_at("cdc_t", v1))
+    n = db2.apply_changes("cdc_t", feed)
+    assert n == feed.count() and n > 0
+    got = sorted(tuple(r) for r in db2.df("cdc_t").collect())
+    want = sorted(tuple(r) for r in db.df_at("cdc_t", v2).collect())
+    assert got == want
+    # schema mismatch is rejected
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        db2.apply_changes("cdc_t", feed.withColumnRenamed("id", "nope"))

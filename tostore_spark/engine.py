@@ -474,6 +474,13 @@ class ToStoreSpark:
         return _store.table_diff(self, table, from_version, to_version,
                                  space=self._resolve(table)[0])
 
+    def apply_changes(self, table: str, feed) -> int:
+        """Apply a table_diff-shaped change feed onto the current table
+        state (CDC consumer; replay-exact — see store.apply_changes)."""
+        from tostore_spark import store as _store
+        return _store.apply_changes(self, table, feed,
+                                    space=self._resolve(table)[0])
+
     def export_table(self, table: str, path: str,
                      format: str = "parquet", partition_by=None,
                      mode: str = "error", **options) -> str:

@@ -123,6 +123,7 @@ class QueryBuilder:
         self._limit: Optional[int] = None
         self._offset: Optional[int] = None
         self._joins: list[tuple[str, str, str, str, str]] = []  # how, table, lk, op, rk
+        self._join_hints: dict[str, str] = {}
         self._distinct: Optional[Union[bool, list[str]]] = None
         self._cursor_token: Optional[str] = None
         self._cache_enabled: Optional[bool] = None  # None = engine default
@@ -312,6 +313,18 @@ class QueryBuilder:
         naming as left/right joins."""
         return self._add_join("full", table, first_key, op, second_key)
 
+    def join_hint(self, table: str, hint: str = "broadcast"):
+        """Explicit join-strategy hint for a joined table: ``broadcast``
+        forces a broadcast-hash join of that side, ``shuffle`` forces a
+        shuffle (SHUFFLE_HASH) even under the AQE threshold.  Use when
+        statistics mislead the planner — e.g. a filtered-small dimension
+        AQE only discovers after the first shuffle, or a dimension that
+        LOOKS small but explodes downstream."""
+        if hint not in ("broadcast", "shuffle"):
+            raise ValueError(f"unknown join hint {hint!r}")
+        self._join_hints[table] = hint
+        return self
+
     def _add_join(self, how, table, first_key, op, second_key):
         if second_key is None:
             second_key, op = op, "="
@@ -360,6 +373,7 @@ class QueryBuilder:
         qb._order_by = list(self._order_by)
         qb._limit, qb._offset = self._limit, self._offset
         qb._joins = list(self._joins)
+        qb._join_hints = dict(self._join_hints)
         qb._distinct = self._distinct
         qb._cache_enabled = self._cache_enabled
         qb._cache_expiry_s = self._cache_expiry_s
@@ -410,6 +424,11 @@ class QueryBuilder:
                 continue  # handled with its primary clause below
             join_seq += 1
             jdf = self._engine.df(table)
+            hint = self._join_hints.get(table)
+            if hint == "broadcast":
+                jdf = jdf.hint("broadcast")
+            elif hint == "shuffle":
+                jdf = jdf.hint("shuffle_hash")
             # temp-rename the right side to collision-free names
             tmp_names = {c: f"__j{join_seq}__{c}" for c in jdf.columns}
             for old, new in tmp_names.items():

@@ -679,6 +679,33 @@ def table_diff(engine, table: str, from_version: int, to_version: int,
     return ins.unionByName(dele)
 
 
+def apply_changes(engine, table: str, feed, space: str = "default") -> int:
+    """Apply a change-data feed (``table_diff``'s output shape: full row
+    columns + ``change`` ∈ {insert, delete}) onto the CURRENT table
+    state — the consumer half of the CDC pair.  Value-keyed like
+    ``table_diff`` itself: deletes remove one matching row instance per
+    delete row (``exceptAll`` bag semantics), inserts append.
+
+    Replay property (pytest-pinned): applying ``table_diff(v1, v2)``
+    onto the v1 state reproduces v2's row multiset exactly.  Returns
+    the number of change rows applied.  One exceptAll shuffle + one
+    union — never a row-at-a-time loop."""
+    from pyspark.sql import functions as F
+
+    cur = engine.df(table)
+    cols = sorted(c for c in feed.columns if c != "change")
+    if set(cols) != set(cur.columns):
+        raise ValueError(
+            f"feed columns {cols} do not match table columns "
+            f"{sorted(cur.columns)}")
+    dele = feed.filter(F.col("change") == "delete").select(*cols)
+    ins = feed.filter(F.col("change") == "insert").select(*cols)
+    n = feed.count()
+    new = cur.select(*cols).exceptAll(dele).unionByName(ins)
+    engine.set_df(table, new)
+    return n
+
+
 def export_table(engine, table: str, path: str, format: str = "parquet",
                  partition_by=None, mode: str = "error",
                  **options) -> str:
