@@ -65,3 +65,18 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                 and it + 1 < n_iter:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst",
+                         max_iterations: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list: (id,
+    cluster_id, cluster_size), cluster_id = smallest reachable id.
+
+    Thin graph-facing alias of ``llmops.dedup.dedup_clusters`` (min-label
+    propagation with pointer jumping, O(log chain) rounds, two key
+    shuffles per round, lineage-checkpointed) — the same oracle-verified
+    implementation (q_dedup_clusters), reusable for any graph."""
+    from tostore_spark.llmops.dedup import dedup_clusters
+    return dedup_clusters(edges, id_a=src, id_b=dst,
+                          max_iterations=max_iterations)
