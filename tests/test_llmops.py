@@ -1363,3 +1363,37 @@ def test_dsir_unseen_feature_floor(spark):
     new = spark.createDataFrame([(9, "zzzz_unseen_token")], ["doc_id", "text"])
     out = dsir.dsir_weights(new, ratio, n_buckets=64).collect()
     assert len(out) == 1 and out[0]["mean_log2_ratio"] is not None
+
+
+def test_curate_corpus_paragraph_and_dsir_stages(spark):
+    from pyspark.sql import functions as F
+    from tostore_spark.llmops.pipeline import curate_corpus
+    boiler = "shared footer text here"
+    docs = spark.createDataFrame(
+        [(i, f"unique body number {i} with words\n\n{boiler}",
+          "en", "src0", 50) for i in range(30)]
+        + [(100 + i, "the quick brown fox body\n\n" + boiler,
+            "en", "src1", 50) for i in range(10)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    target = spark.createDataFrame(
+        [(1000, "quick brown fox and lazy dog", "en", "t", 30)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    rep = {}
+    out = curate_corpus(docs, minhash_dedup=False,
+                        paragraph_dedup=True,
+                        dsir_target=target, dsir_scale=1.0,
+                        drop_quality_pct=0.0, drop_perplexity_pct=0.0,
+                        report=rep)
+    rows = out.collect()
+    # the boilerplate paragraph survives only in its first-occurrence doc
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    n_with_boiler = sum(1 for t in texts.values() if boiler in t)
+    assert n_with_boiler <= 1
+    # both new stages show up in the funnel report
+    assert "s2b_paragraph_dedup" in rep and "s5b_dsir" in rep
+    assert rep["s5b_dsir"] <= rep["s2b_paragraph_dedup"]
+    # DSIR prefers the fox-like docs (ids >= 100) over the generic bodies
+    kept_ids = set(texts)
+    frac_fox = (sum(1 for i in kept_ids if i >= 100) / 10)
+    frac_gen = (sum(1 for i in kept_ids if i < 100) / 30)
+    assert frac_fox >= frac_gen

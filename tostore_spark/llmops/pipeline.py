@@ -235,6 +235,9 @@ def _stage_barrier(df: DataFrame, materialize, warehouse_dir,
 
 def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
                   *, minhash_dedup: bool = True,
+                  paragraph_dedup: bool = False,
+                  dsir_target: DataFrame | None = None,
+                  dsir_scale: float = 1.0,
                   drop_quality_pct: float = 0.1,
                   drop_perplexity_pct: float = 0.1,
                   max_per_source: int | None = None,
@@ -255,12 +258,19 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
       1. exact dedup (keep-first by content hash)
       2. MinHash-LSH near-dup removal (connected components, keep one
          canonical doc per cluster)
+      2b. paragraph-level dedup (when ``paragraph_dedup``): Dolma-style
+         first-occurrence-wins boilerplate removal; documents are
+         rebuilt in place (``text_field`` replaced by the cleaned text)
       3. benchmark decontamination (when ``bench`` is given)
       4. heuristic quality floor (exact percentile cut; the score is
          rounded to 6dp before the percentile so the cut is
          engine-portable, and kept as ``quality``)
       5. unigram-LM perplexity filter (CCNet shape; LM trained on the
          surviving corpus)
+      5b. DSIR target-domain resample (when ``dsir_target``): hashed
+         n-gram log-ratio scoring against the target slice, docs kept
+         with probability clamp(dsir_scale * 2^score) on the
+         deterministic md5 coin (llmops/dsir, arXiv:2302.03169)
       6. per-source cap (when ``max_per_source``)
       7. token-budget source mixing (when ``mix_weights``+``mix_budget``;
          requires a ``cost_field`` column — derived as char count from
@@ -322,6 +332,17 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
                                     id_field=id_field)
         out = barrier(D.dedup_apply(out, pairs, id_field=id_field),
                       "s2_neardup")
+    # 2b. paragraph-level boilerplate dedup, documents rebuilt in place
+    if paragraph_dedup:
+        from tostore_spark.llmops.paragraphs import (
+            paragraph_dedup as _para)
+        cleaned = _para(out, text_field=text_field, id_field=id_field)
+        out = barrier(out.drop(text_field)
+                         .join(cleaned.select(
+                             id_field,
+                             F.col("text_clean").alias(text_field)),
+                             on=id_field, how="inner"),
+                      "s2b_paragraph_dedup")
     # 3. benchmark decontamination
     if bench is not None:
         out = barrier(D.decontaminate(out, bench, text_field=text_field,
@@ -342,6 +363,14 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
                           out, lm, drop_pct=drop_perplexity_pct,
                           text_field=text_field, id_field=id_field),
                       "s5_perplexity")
+    # 5b. DSIR target-domain importance resample
+    if dsir_target is not None:
+        from tostore_spark.llmops import dsir as DS
+        out = barrier(DS.dsir_resample(out, dsir_target,
+                                       scale=dsir_scale,
+                                       text_field=text_field,
+                                       id_field=id_field),
+                      "s5b_dsir")
     # 6. per-source caps
     if max_per_source is not None:
         out = barrier(PK.cap_per_source(out, max_per_source,
