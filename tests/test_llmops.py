@@ -1397,3 +1397,23 @@ def test_curate_corpus_paragraph_and_dsir_stages(spark):
     frac_fox = (sum(1 for i in kept_ids if i >= 100) / 10)
     frac_gen = (sum(1 for i in kept_ids if i < 100) / 30)
     assert frac_fox >= frac_gen
+
+
+def test_bm25_indexed_matches_direct(spark, db, tmp_path):
+    from tostore_spark.llmops.search import (bm25_build_index, bm25_search,
+                                             bm25_search_indexed)
+    docs = db.df("documents")
+    meta = bm25_build_index(docs, str(tmp_path / "idx"))
+    assert meta["n_docs"] > 0 and meta["avgdl"] > 0
+    q = "spark join window merge"
+    direct = [(r["doc_id"], round(r["score"], 9))
+              for r in bm25_search(docs, q, k=15).collect()]
+    indexed = [(r["doc_id"], round(r["score"], 9))
+               for r in bm25_search_indexed(spark, str(tmp_path / "idx"),
+                                            q, k=15).collect()]
+    assert direct == indexed and len(direct) == 15
+    # the postings read pushes the token predicate into the scan
+    plan = (spark.read.parquet(str(tmp_path / "idx" / "postings"))
+            .filter("tok in ('spark','join')")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [In(tok" in plan
