@@ -7,4 +7,5 @@ for 100 TB — no driver-side collects, bounded shuffles, candidate generation
 always via bucketing/LSH before any pairwise work.
 """
 
-from tostore_spark.llmops import dedup, multimodal, similarity, text  # noqa: F401
+from tostore_spark.llmops import (dedup, dsir, lm, multimodal,  # noqa: F401
+                                  paragraphs, search, similarity, text)
