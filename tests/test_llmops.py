@@ -1417,3 +1417,55 @@ def test_bm25_indexed_matches_direct(spark, db, tmp_path):
             .filter("tok in ('spark','join')")
             ._jdf.queryExecution().executedPlan().toString())
     assert "PushedFilters: [In(tok" in plan
+
+
+def test_paragraph_dedup_differential_vs_python(spark):
+    """Randomized differential check against a pure-Python reference."""
+    import random
+    from tostore_spark.llmops.paragraphs import paragraph_dedup
+    rnd = random.Random(13)
+    paras = [f"para {i} words here" for i in range(8)]
+    docs = [(i, "\n\n".join(rnd.choice(paras)
+                            for _ in range(rnd.randrange(1, 5))))
+            for i in range(25)]
+
+    def python_ref(docs_):
+        seen, out = set(), {}
+        for did, text in sorted(docs_):
+            kept = []
+            total = 0
+            for p in text.split("\n\n"):
+                p = p.strip()
+                if not p:
+                    continue
+                total += 1
+                if p not in seen:
+                    seen.add(p)
+                    kept.append(p)
+            if kept:
+                out[did] = ("\n\n".join(kept), len(kept), total)
+        return out
+
+    want = python_ref(docs)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: (r.text_clean, r.n_para_kept, r.n_para_total)
+           for r in paragraph_dedup(df).collect()}
+    assert got == want
+
+
+def test_lsh_params_for_threshold():
+    from tostore_spark.llmops.tuning import (lsh_collision_probability,
+                                             lsh_params_for_threshold)
+    p = lsh_params_for_threshold(0.8, n_hashes=128)
+    assert p["n_bands"] * p["rows_per_band"] <= 128
+    assert abs(p["midpoint"] - 0.8) < 0.05
+    # S-curve sanity: well above the cut ~ certain, well below ~ never
+    b, r = p["n_bands"], p["rows_per_band"]
+    assert lsh_collision_probability(0.95, b, r) > 0.95
+    assert lsh_collision_probability(0.3, b, r) < 0.05
+    # a lower threshold needs fewer rows per band (gentler curve)
+    p_low = lsh_params_for_threshold(0.4, n_hashes=128)
+    assert p_low["rows_per_band"] < p["rows_per_band"]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        lsh_params_for_threshold(1.5)
