@@ -38,9 +38,13 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     destination.  Duplicate edges count once (the edge list is
     de-duplicated first — pass a weighted variant explicitly if
     multi-edges should add mass)."""
+    # edges feed every round (contrib join) — materialize once instead
+    # of re-evaluating the scan+distinct subtree per iteration (the
+    # dedup_clusters precedent)
     e = (edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
               .filter(F.col("__s").isNotNull() & F.col("__d").isNotNull())
-              .distinct())
+              .distinct()
+              .localCheckpoint(eager=True))
     nodes = (e.select(F.col("__s").alias("node"))
               .union(e.select(F.col("__d")))
               .distinct())
