@@ -58,7 +58,13 @@ def resample(df: DataFrame, partition: str, ts_field: str, value: str,
                       F.count(value).alias("n_obs"))
                  .withColumn("avg_value",
                              F.col("__vsum").cast("double") / F.col("n_obs"))
-                 .drop("__vsum"))
+                 .drop("__vsum")
+                 # both the grid derivation and the grid join consume
+                 # this aggregate; the barrier keeps the SOURCE at one
+                 # scan (the minhash-index eager-checkpoint idiom) and
+                 # the materialized frame is bucket-granular, not
+                 # row-granular
+                 .localCheckpoint(eager=True))
     # per-entity grid: one row per step between first and last bucket
     grid = (buckets.groupBy("__ent")
                    .agg(F.min("__idx").alias("__lo"), F.max("__idx").alias("__hi"))
