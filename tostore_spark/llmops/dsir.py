@@ -109,8 +109,13 @@ def dsir_resample(raw: DataFrame, target: DataFrame,
     each doc with probability clamp(scale · 2^mean_log2_ratio, 0, 1) on
     the deterministic md5 coin.  Target-like docs (ratio > 0) survive
     preferentially; re-runs keep exactly the same rows."""
+    # the ratio frame is consumed twice by the scorer (floor row + main
+    # join); materialize it once so the two corpus-count scans behind it
+    # don't re-run per branch (persisting it to parquet — the normal
+    # artifact flow — has the same effect)
     ratio = dsir_ratio_table(raw, target, text_field=text_field,
-                             n_buckets=n_buckets, add_k=add_k)
+                             n_buckets=n_buckets, add_k=add_k) \
+        .localCheckpoint(eager=True)
     w = dsir_weights(raw, ratio, text_field=text_field,
                      id_field=id_field, n_buckets=n_buckets)
     joined = raw.join(
