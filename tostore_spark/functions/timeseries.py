@@ -141,7 +141,11 @@ def ewma(df: DataFrame, partition: str, order: str | list[str],
     consume the identical doubles, so no cross-engine ``pow`` ulp can
     fork the result; per-term products round to 9dp and sum as DECIMAL
     (order-independent).  One entity-partitioned window collects the
-    trailing values; everything else is per-row array math."""
+    trailing values; everything else is per-row array math.
+
+    Null values are skipped (collect_list drops them): the average is
+    over the up-to-``window_rows`` most recent NON-NULL observations,
+    with weights re-anchored so the newest kept value has weight 1."""
     if not 0 < alpha <= 1:
         raise ValueError("alpha must be in (0, 1]")
     k = int(window_rows)
