@@ -289,3 +289,18 @@ def test_engine_facade_new_operators(spark, db):
     assert mx <= 2
     rs = db.resample("events", "user_id", "ts", "value", 7 * 86400)
     assert {"bucket_ts", "avg_value", "n_obs", "is_observed"} <= set(rs.columns)
+
+
+def test_exact_percentiles_edge_cases(spark):
+    from tostore_spark.plans.stats import (column_histogram,
+                                           exact_percentiles_frame)
+    empty = spark.createDataFrame([], "v double")
+    assert exact_percentiles_frame(empty, "v", [0.5]).collect()[0][0] == []
+    assert column_histogram(empty, "v", 4).count() == 0
+    one = spark.createDataFrame([(42.0,)], "v double")
+    assert exact_percentiles_frame(one, "v", [0.0, 0.5, 1.0]) \
+        .collect()[0][0] == [42.0, 42.0, 42.0]
+    # all-equal column: the degenerate single-bucket case still answers
+    same = spark.createDataFrame([(7.0,)] * 50, "v double")
+    b = exact_percentiles_frame(same, "v", [0.25, 0.75]).collect()[0][0]
+    assert b == [7.0, 7.0]

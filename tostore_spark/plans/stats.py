@@ -140,8 +140,7 @@ def exact_percentiles_frame(df: DataFrame, col: str,
             b = max(bb for bb in offs if offs[bb] <= rk)
             need.append((i, which, b, rk - offs[b]))
     if not need:
-        return spark.createDataFrame(
-            [([],)], "``__bounds`` array<double>")
+        return spark.createDataFrame([([],)], "`__bounds` array<double>")
     need_df = spark.createDataFrame(
         need, "__idx int, __which string, __nb int, __lrank long")
     # stage 3: sort ONLY the hit buckets, pick the bracketing rows
