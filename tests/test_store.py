@@ -627,3 +627,34 @@ def test_apply_changes_replays_table_diff(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         db2.apply_changes("cdc_t", feed.withColumnRenamed("id", "nope"))
+
+
+def test_snapshot_consistent_across_writers(spark, tmp_path):
+    from tostore_spark import ToStoreSpark
+    wh = str(tmp_path / "wh")
+    db = ToStoreSpark(spark, warehouse=wh)
+    db.register_table("sa", df=spark.createDataFrame([(1, "x")], ["id", "v"]))
+    db.register_table("sb", df=spark.createDataFrame([(1, 10)], ["id", "n"]))
+    db.flush()
+    snap = db.snapshot()
+    seq0 = snap.seq
+    # a second engine commits to BOTH tables after the snapshot
+    db2 = ToStoreSpark(spark, warehouse=wh)
+    db2.insert("sa", {"id": 2, "v": "y"})
+    db2.insert("sb", {"id": 2, "n": 20})
+    db2.flush()
+    # live state (after refresh) sees the new rows...
+    db.refresh()
+    assert db.df("sa").count() == 2 and db.df("sb").count() == 2
+    # ...the snapshot still serves BOTH tables at the old state
+    assert snap.df("sa").count() == 1 and snap.df("sb").count() == 1
+    assert sorted(snap.tables()) == ["sa", "sb"]
+    # vacuum keeps the pinned versions while the snapshot is live
+    db.refresh()
+    removed_live = db.vacuum(keep=1)
+    assert snap.df("sa").count() == 1          # files still readable
+    snap.release()
+    db.vacuum(keep=1)
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        snap.df("nope")

@@ -474,6 +474,14 @@ class ToStoreSpark:
         return _store.table_diff(self, table, from_version, to_version,
                                  space=self._resolve(table)[0])
 
+    def snapshot(self):
+        """Consistent multi-table read view of the current flushed state
+        (store.SnapshotView): repeatable reads across tables while
+        writers keep committing; pinned against vacuum until
+        ``.release()``."""
+        from tostore_spark import store as _store
+        return _store.snapshot(self)
+
     def apply_changes(self, table: str, feed) -> int:
         """Apply a table_diff-shaped change feed onto the current table
         state (CDC consumer; replay-exact — see store.apply_changes)."""

@@ -679,6 +679,69 @@ def table_diff(engine, table: str, from_version: int, to_version: int,
     return ins.unionByName(dele)
 
 
+class SnapshotView:
+    """A consistent multi-table read view pinned to ONE manifest.
+
+    Every ``df()`` resolves against the same flushed state — a reader
+    holding a snapshot never sees table A at version 3 and table B at
+    version 4 just because a writer committed between its two reads
+    (the cross-table consistency a per-table ``df_at`` cannot give).
+    The underlying version directories are pinned against ``vacuum``
+    until ``release()`` (same mechanism as ``df_at``).
+
+    This is the reader half of snapshot isolation over the per-table
+    CAS store: writers commit through ``flush_tables``; readers that
+    need repeatable multi-table reads take a snapshot.  (A full table
+    format — Delta/Iceberg — generalizes this; the manifest is already
+    the atomic commit point, so pinning it IS the snapshot.)
+    """
+
+    def __init__(self, engine, manifest: dict):
+        self._engine = engine
+        self._manifest = manifest
+        self.seq = manifest.get("seq", 0)
+        self._pins = []
+        if not hasattr(engine, "_pinned_versions"):
+            engine._pinned_versions = set()
+        for ent in manifest.get("tables", {}).values():
+            pin = (ent["space"], ent["name"], ent.get("version", 0))
+            engine._pinned_versions.add(pin)
+            self._pins.append(pin)
+
+    def tables(self) -> list[str]:
+        return sorted(e["name"] for e in
+                      self._manifest.get("tables", {}).values())
+
+    def df(self, table: str, space: str = "default"):
+        for ent in self._manifest.get("tables", {}).values():
+            if ent["name"] == table and ent["space"] == space:
+                pin = None
+                if ent.get("partition_by") and ent.get("spark_schema"):
+                    from pyspark.sql.types import StructType
+                    pin = StructType.fromJson(
+                        json.loads(ent["spark_schema"]))
+                return self._engine._read_parquet(ent["path"], schema=pin)
+        raise KeyError(f"table {space}/{table} not in snapshot seq={self.seq}")
+
+    def release(self) -> None:
+        """Unpin this snapshot's versions (vacuum may then prune them;
+        any still-live frame from this snapshot fails on its next
+        action once pruned)."""
+        for pin in self._pins:
+            self._engine._pinned_versions.discard(pin)
+        self._pins = []
+
+
+def snapshot(engine) -> SnapshotView:
+    """Take a consistent read snapshot of the warehouse's CURRENT
+    flushed state (one manifest read — cheap; no data copied)."""
+    man = read_manifest(engine._warehouse, fs=_fs(engine))
+    if man is None:
+        raise FileNotFoundError(
+            f"no manifest in {engine._warehouse}; flush first")
+    return SnapshotView(engine, man)
+
+
 def apply_changes(engine, table: str, feed, space: str = "default") -> int:
     """Apply a change-data feed (``table_diff``'s output shape: full row
     columns + ``change`` ∈ {insert, delete}) onto the CURRENT table
