@@ -1481,6 +1481,34 @@ def q_flush_reopen(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_snapshot_read(spark, sf_dir):
+    """Snapshot isolation for readers (store.SnapshotView): pin one
+    manifest, let a second engine commit more mutations through the
+    per-table CAS, and read the ORIGINAL consistent state back from the
+    snapshot — the oracle sees only the pre-mutation mutation set."""
+    import tempfile
+    db = _db(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        db1 = ToStoreSpark(spark, warehouse=tmp)
+        db1.register_table("nation", df=db.df("nation"))
+        db1.update("nation", {"n_name": "SNAP"}) \
+           .where("n_nationkey", "<", 5).execute()
+        db1.flush()
+        snap = db1.snapshot()
+        # a second engine keeps writing AFTER the snapshot
+        db2 = ToStoreSpark(spark, warehouse=tmp)
+        db2.update("nation", {"n_name": "LATER"}).allow_update_all() \
+           .execute()
+        db2.delete("nation").where("n_nationkey", ">", 10).execute()
+        db2.flush()
+        out = snap.df("nation").select("n_nationkey", "n_name",
+                                       "n_regionkey")
+        # pin via driver collect (25 rows) — see q_backup_restore note
+        rows, schema = out.collect(), out.schema
+        snap.release()
+    return spark.createDataFrame(rows, schema)
+
+
 # ----------------------------------------------------------------------
 # reshaping / warehouse maintenance (plans/scd.py, plans/mv.py,
 # plans/pivot.py, plans/rollup.py, functions/skew.py)
@@ -2114,8 +2142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       prior rows (q_resample, q_paragraph_dedup, q_ppl_buckets,
       q_outer_join_shapes, q_topk_per_group, q_moving_time_window,
       q_validate_rules, q_scd2_lookup, q_pagerank, q_ewma_anomaly,
-      q_dsir_weights) plus q_flush_reopen (store.py changed: per-table
-      CAS);
+      q_dsir_weights, q_snapshot_read — the last also re-exercises the
+      changed store.py flush path end to end, standing in for
+      q_flush_reopen at slot 51);
     - slots 41-50: the TEN oldest rows (r2/r3-vintage, named first by
       the r5 verdict): q_filter_sort_limit, q_or_union_dedup, q_topk,
       q_keyset_page, q_groupby_having, q_join_inner_group,
@@ -2155,9 +2184,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ppl_buckets", "q_outer_join_shapes", "q_topk_per_group",
         "q_moving_time_window", "q_validate_rules", "q_scd2_lookup",
         "q_pagerank", "q_ewma_anomaly", "q_dsir_weights",
+        "q_snapshot_read",
         # --- modules changed in r6 (pipeline.py, store.py) ---
-        "q_flush_reopen",
-        # --- 38-47: the ten oldest rows (r2/r3-vintage; query.py also
+        # --- the ten oldest rows (r2/r3-vintage; query.py also
         # changed this round) ---
         "q_filter_sort_limit", "q_or_union_dedup", "q_topk",
         "q_keyset_page", "q_groupby_having", "q_join_inner_group",
@@ -2166,6 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 48-50: r4-vintage refresh (changed-module families first) ---
         # --- past the 50-cap: the displaced rows, then r4 rows
         # deferred to r7 ---
+        "q_flush_reopen",
         "q_moving_features", "q_corpus_sample", "q_corpus_shuffle",
         "q_stratified_take", "q_corpus_shards", "q_corpus_clean",
         "q_backup_restore", "q_kv_namespace",
@@ -3049,6 +3079,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY bits_per_token DESC, id LIMIT 15""",
         "q_pagerank": _pagerank_oracle_sql(5),
         "q_ewma_anomaly": _ewma_anomaly_oracle_sql(),
+        "q_snapshot_read": """
+            SELECT n_nationkey,
+                   CASE WHEN n_nationkey < 5 THEN 'SNAP'
+                        ELSE n_name END AS n_name,
+                   n_regionkey
+            FROM nation
+        """,
         "q_dsir_weights": f"""
             WITH tk AS (SELECT doc_id AS id, lang,
                                unnest({_TOKENS}) AS t
