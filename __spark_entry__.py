@@ -1481,6 +1481,24 @@ def q_flush_reopen(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_gopher_report(spark, sf_dir):
+    """Gopher document-quality rules (arXiv:2112.11446 App. A,
+    llmops/filters): one whitespace tokenization feeds every rule as
+    pure column math; the report aggregate counts per-rule failures and
+    the surviving population."""
+    from tostore_spark.llmops.filters import gopher_flags
+    db = _db(spark, sf_dir)
+    out = gopher_flags(db.df("documents"), min_words=20, min_stopwords=1)
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(~F.col("r_word_count"), 1).otherwise(0)).alias("f_wc"),
+        F.sum(F.when(~F.col("r_mean_word_len"), 1).otherwise(0)).alias("f_mwl"),
+        F.sum(F.when(~F.col("r_symbol_ratio"), 1).otherwise(0)).alias("f_sym"),
+        F.sum(F.when(~F.col("r_alpha_fraction"), 1).otherwise(0)).alias("f_alpha"),
+        F.sum(F.when(~F.col("r_stopwords"), 1).otherwise(0)).alias("f_stop"),
+        F.sum(F.when(F.col("gopher_keep"), 1).otherwise(0)).alias("kept"))
+
+
 def q_snapshot_read(spark, sf_dir):
     """Snapshot isolation for readers (store.SnapshotView): pin one
     manifest, let a second engine commit more mutations through the
@@ -2176,7 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_coverage", "q_pack_materialize", "q_embedding_cov",
         "q_curate_corpus", "q_lm_score_bigram", "q_bpe_pair_counts",
         "q_quality_classifier", "q_scd2_history", "q_mv_incremental",
-        "q_pivot_wide", "q_unpivot_long", "q_grouping_sets",
+        "q_pivot_wide", "q_grouping_sets",
         "q_heavy_hitters", "q_set_ops", "q_topic_balance",
         "q_zorder_rewrite", "q_stream_mv", "q_funnel",
         "q_cohort_retention", "q_column_stats", "q_partitioned_table",
@@ -2184,7 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ppl_buckets", "q_outer_join_shapes", "q_topk_per_group",
         "q_moving_time_window", "q_validate_rules", "q_scd2_lookup",
         "q_pagerank", "q_ewma_anomaly", "q_dsir_weights",
-        "q_snapshot_read",
+        "q_snapshot_read", "q_gopher_report",
         # --- modules changed in r6 (pipeline.py, store.py) ---
         # --- the ten oldest rows (r2/r3-vintage; query.py also
         # changed this round) ---
@@ -2195,7 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 48-50: r4-vintage refresh (changed-module families first) ---
         # --- past the 50-cap: the displaced rows, then r4 rows
         # deferred to r7 ---
-        "q_flush_reopen",
+        "q_unpivot_long", "q_flush_reopen",
         "q_moving_features", "q_corpus_sample", "q_corpus_shuffle",
         "q_stratified_take", "q_corpus_shards", "q_corpus_clean",
         "q_backup_restore", "q_kv_namespace",
@@ -3079,6 +3097,46 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY bits_per_token DESC, id LIMIT 15""",
         "q_pagerank": _pagerank_oracle_sql(5),
         "q_ewma_anomaly": _ewma_anomaly_oracle_sql(),
+        "q_gopher_report": r"""
+            WITH t AS (
+              SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents),
+            r AS (
+              SELECT len(toks) AS n,
+                CAST(list_sum(list_transform(toks, w -> length(w)))
+                     AS DOUBLE) / len(toks) AS mwl,
+                len(list_filter(toks,
+                    w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+                len(list_filter(toks, w -> contains(w, '#')))
+                  + len(list_filter(toks, w -> contains(w, '...')))
+                  AS n_sym,
+                len(list_intersect(list_transform(toks, w -> lower(w)),
+                    ['the','be','to','of','and','that','have','with']))
+                  AS n_stop
+              FROM t),
+            f AS (
+              SELECT n BETWEEN 20 AND 100000 AS r_wc,
+                     mwl BETWEEN 3.0 AND 10.0 AS r_mwl,
+                     CAST(n_sym AS DOUBLE)/n < 0.1 AS r_sym,
+                     CAST(n_alpha AS DOUBLE)/n > 0.8 AS r_alpha,
+                     n_stop >= 1 AS r_stop
+              FROM r)
+            SELECT count(*) AS n,
+              CAST(sum(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT)
+                AS f_wc,
+              CAST(sum(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT)
+                AS f_mwl,
+              CAST(sum(CASE WHEN NOT r_sym THEN 1 ELSE 0 END) AS BIGINT)
+                AS f_sym,
+              CAST(sum(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT)
+                AS f_alpha,
+              CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT)
+                AS f_stop,
+              CAST(sum(CASE WHEN r_wc AND r_mwl AND r_sym AND r_alpha
+                             AND r_stop THEN 1 ELSE 0 END) AS BIGINT)
+                AS kept
+            FROM f
+        """,
         "q_snapshot_read": """
             SELECT n_nationkey,
                    CASE WHEN n_nationkey < 5 THEN 'SNAP'

@@ -1469,3 +1469,29 @@ def test_lsh_params_for_threshold():
     import pytest as _pt
     with _pt.raises(ValueError):
         lsh_params_for_threshold(1.5)
+
+
+def test_gopher_rules_individual(spark):
+    from tostore_spark.llmops.filters import gopher_filter, gopher_flags
+    good = ("the data and the model have to be of good size and that "
+            "is why we train with care " * 3).strip()
+    docs = [
+        (1, good),                                   # passes everything
+        (2, "short text"),                           # word count
+        (3, ("a " * 80).strip()),                    # mean word len < 3
+        (4, good.replace("data", "####")),           # symbols (still ok ratio)
+        (5, ("the " + "123 " * 79).strip()),         # alpha fraction
+        (6, ("zebra quickly jumped over orange fences while nine "
+             "purple llamas watched silently today " * 8).strip()),  # no stopwords... 'over'? not in list
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    flags = {r.doc_id: r for r in
+             gopher_flags(df, min_words=20, min_stopwords=2).collect()}
+    assert flags[1].gopher_keep
+    assert not flags[2].r_word_count
+    assert not flags[3].r_mean_word_len
+    assert not flags[5].r_alpha_fraction
+    assert not flags[6].r_stopwords
+    kept = gopher_filter(df, min_words=20, min_stopwords=2)
+    assert "gopher_keep" not in kept.columns
+    assert {r.doc_id for r in kept.select("doc_id").collect()} <= {1, 4}
