@@ -1481,6 +1481,22 @@ def q_flush_reopen(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_embedding_truncate(spark, sf_dir):
+    """Matryoshka truncation (llmops/linalg.truncate_normalize): first
+    16 dims, L2-renormalized map-side — the ANN cost/recall knob; the
+    4x-shorter vectors shrink every downstream shuffle the same way."""
+    from tostore_spark.llmops.linalg import truncate_normalize
+    db = _db(spark, sf_dir)
+    emb = db.df("embeddings").filter(F.col("vec_id") < 50)
+    out = truncate_normalize(emb, 16)
+    # flatten to scalar rows (the driver compare hashes scalars)
+    return out.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding_trunc",
+                                 lambda x: F.round(x, 9)))
+         .alias("pos", "val"))
+
+
 def q_gopher_report(spark, sf_dir):
     """Gopher document-quality rules (arXiv:2112.11446 App. A,
     llmops/filters): one whitespace tokenization feeds every rule as
@@ -2213,7 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 48-50: r4-vintage refresh (changed-module families first) ---
         # --- past the 50-cap: the displaced rows, then r4 rows
         # deferred to r7 ---
-        "q_unpivot_long", "q_flush_reopen",
+        "q_embedding_truncate", "q_unpivot_long", "q_flush_reopen",
         "q_moving_features", "q_corpus_sample", "q_corpus_shuffle",
         "q_stratified_take", "q_corpus_shards", "q_corpus_clean",
         "q_backup_restore", "q_kv_namespace",
@@ -3097,6 +3113,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY bits_per_token DESC, id LIMIT 15""",
         "q_pagerank": _pagerank_oracle_sql(5),
         "q_ewma_anomaly": _ewma_anomaly_oracle_sql(),
+        "q_embedding_truncate": """
+            WITH t AS (
+              SELECT vec_id,
+                list_transform(list_slice(embedding, 1, 16),
+                  x -> round(CAST(x AS DOUBLE)
+                       / sqrt(greatest(list_sum(list_transform(
+                           list_slice(embedding, 1, 16),
+                           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+                         1e-30)), 9)) AS vt
+              FROM embeddings WHERE vec_id < 50)
+            SELECT vec_id,
+                   CAST(unnest(range(len(vt))) AS INT) AS pos,
+                   unnest(vt) AS val
+            FROM t
+        """,
         "q_gopher_report": r"""
             WITH t AS (
               SELECT regexp_split_to_array(trim(text), '\s+') AS toks

@@ -459,3 +459,27 @@ def test_ivfpq_persisted_prune_and_recall(spark, db01, tmp_path_factory):
     assert "PartitionFilters: [cell_id" in plan
     got = {r["vec_id"] for r in out.collect()}
     assert len(exact & got) / 10 >= 0.9   # all cells probed -> PQ-only loss
+
+
+def test_truncate_normalize_unit_norm_and_recall_shape(spark, db):
+    import math
+    from tostore_spark.llmops.linalg import truncate_normalize
+    emb = db.df("embeddings").limit(50)
+    out = truncate_normalize(emb, 16).collect()
+    for r in out[:10]:
+        v = r["embedding_trunc"]
+        assert len(v) == 16
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+        # direction preserved: truncated coords proportional to originals
+        orig = [float(x) for x in r["embedding"][:16]]
+        n = math.sqrt(sum(x * x for x in orig))
+        if n > 0:
+            for a, b in zip(v, orig):
+                assert abs(a - b / n) < 1e-9
+    # renorm=False is a pure slice
+    raw = truncate_normalize(emb, 8, renorm=False).collect()[0]
+    assert [float(x) for x in raw["embedding_trunc"]] == \
+        [float(x) for x in raw["embedding"][:8]]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        truncate_normalize(emb, 0)
