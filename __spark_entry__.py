@@ -1497,6 +1497,17 @@ def q_embedding_truncate(spark, sf_dir):
          .alias("pos", "val"))
 
 
+def q_corpus_report(spark, sf_dir):
+    """Dataset-datasheet accounting (pipeline.corpus_report): per
+    (source, lang) doc/token/char totals in ONE hash-aggregate — the
+    artifact mixing decisions and dataset cards start from."""
+    from tostore_spark.llmops.pipeline import corpus_report
+    db = _db(spark, sf_dir)
+    out = corpus_report(db.df("documents"))
+    return out.select("source", "lang", "n_docs", "total_tokens",
+                      "total_chars", F.round("mean_tokens", 9).alias("mt_r"))
+
+
 def q_gopher_report(spark, sf_dir):
     """Gopher document-quality rules (arXiv:2112.11446 App. A,
     llmops/filters): one whitespace tokenization feeds every rule as
@@ -2231,7 +2242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 48-50: r4-vintage refresh (changed-module families first) ---
         # --- past the 50-cap: the displaced rows, then r4 rows
         # deferred to r7 ---
-        "q_embedding_truncate", "q_unpivot_long", "q_flush_reopen",
+        "q_corpus_report", "q_embedding_truncate", "q_unpivot_long",
+        "q_flush_reopen",
         "q_moving_features", "q_corpus_sample", "q_corpus_shuffle",
         "q_stratified_take", "q_corpus_shards", "q_corpus_clean",
         "q_backup_restore", "q_kv_namespace",
@@ -3115,6 +3127,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY bits_per_token DESC, id LIMIT 15""",
         "q_pagerank": _pagerank_oracle_sql(5),
         "q_ewma_anomaly": _ewma_anomaly_oracle_sql(),
+        "q_corpus_report": f"""
+            SELECT source, lang, count(*) AS n_docs,
+                   CAST(sum(len({_TOKENS})) AS BIGINT) AS total_tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   round(CAST(sum(len({_TOKENS})) AS DOUBLE) / count(*), 9)
+                     AS mt_r
+            FROM documents GROUP BY source, lang
+        """,
         "q_embedding_truncate": """
             WITH t AS (
               SELECT vec_id,

@@ -424,3 +424,22 @@ def topic_balanced_sample(emb: DataFrame, per_cell: int, n_cells: int = 16,
                   F.col(id_field).asc()))
     return (indexed.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= per_cell).drop("__rn"))
+
+
+def corpus_report(df: DataFrame, by=("source", "lang"),
+                  text_field: str = "text") -> DataFrame:
+    """Dataset-datasheet accounting: per ``by`` group — document count,
+    exact token total (whitespace-regex tokens, the package's standard
+    tokenization), character total, and mean document length in tokens.
+    ONE hash-aggregate over one scan; the grouped frame is the artifact
+    every dataset card / mixing decision starts from.
+    """
+    from tostore_spark.llmops import text as TX
+    ntok = F.size(TX.tokens(F.col(text_field)))
+    nchr = F.length(F.col(text_field))
+    return (df.groupBy(*by)
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum(ntok).alias("total_tokens"),
+                   F.sum(nchr.cast("long")).alias("total_chars"),
+                   (F.sum(ntok).cast("double")
+                    / F.count(F.lit(1))).alias("mean_tokens")))
