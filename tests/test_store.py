@@ -658,3 +658,22 @@ def test_snapshot_consistent_across_writers(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(KeyError):
         snap.df("nope")
+
+
+def test_table_history_metadata_view(spark, tmp_path):
+    from tostore_spark import ToStoreSpark
+    db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))
+    db.register_table("h", df=spark.createDataFrame([(1,)], ["id"]))
+    db.flush()
+    db.insert("h", {"id": 2})
+    db.flush()
+    hist = {r.version: r for r in db.table_history("h").collect()}
+    assert len(hist) == 2
+    cur = [v for v, r in hist.items() if r.is_current]
+    assert len(cur) == 1 and cur[0] == max(hist)
+    for r in hist.values():
+        assert r.n_files >= 1 and r.size_bytes > 0
+        assert r.modified_ts is not None
+    # vacuum prunes; history reflects it
+    db.vacuum(keep=1)
+    assert db.table_history("h").count() == 1

@@ -177,3 +177,32 @@ def test_clean_stream_scrubs_against_static_index(spark, tmp_path_factory):
     r = out[0]
     assert r["n_dropped"] == 1
     assert r["clean_text"] == "fresh streamed words never indexed before now"
+
+
+def test_gap_sessionization_vs_native_session_window(spark, db):
+    """Our lag-gap sessionization must count sessions exactly like
+    Spark's built-in session_window aggregation (same 1h gap): an
+    independent engine-internal implementation agreeing with the
+    window-function formulation pins both."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from tostore_spark.functions.colutil import epoch_us
+    ev = (db.df("events").filter(F.col("user_id") < 100)
+          .select("user_id", F.col("ts").cast("timestamp").alias("ts")))
+    # lag-gap formulation (the q_events_sessions shape)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    us = epoch_us(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    ours = (ev.withColumn("ns", F.when(gap.isNull()
+                                       | (gap > 3600 * 1_000_000), 1)
+                          .otherwise(0))
+            .groupBy("user_id").agg(F.sum("ns").alias("n_sessions")))
+    # native session_window formulation
+    native = (ev.groupBy("user_id",
+                         F.session_window("ts", "1 hour"))
+              .count()
+              .groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n_sessions")))
+    a = {r.user_id: r.n_sessions for r in ours.collect()}
+    b = {r.user_id: r.n_sessions for r in native.collect()}
+    assert a == b and len(a) > 10

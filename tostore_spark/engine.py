@@ -474,6 +474,14 @@ class ToStoreSpark:
         return _store.table_diff(self, table, from_version, to_version,
                                  space=self._resolve(table)[0])
 
+    def table_history(self, table: str):
+        """Metadata view of a table's flushed versions — (version,
+        is_current, n_files, size_bytes, modified_ts) as a DataFrame;
+        filesystem metadata only, no data read (store.table_history)."""
+        from tostore_spark import store as _store
+        return _store.table_history(self, table,
+                                    space=self._resolve(table)[0])
+
     def snapshot(self):
         """Consistent multi-table read view of the current flushed state
         (store.SnapshotView): repeatable reads across tables while

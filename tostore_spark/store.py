@@ -787,3 +787,36 @@ def export_table(engine, table: str, path: str, format: str = "parquet",
     else:
         w.format(format).save(path)
     return path
+
+
+def table_history(engine, table: str, space: str = "default"):
+    """Iceberg-style metadata view: one row per flushed version of a
+    table — (version, is_current, n_files, size_bytes, modified_ts) —
+    from the version directories' filesystem metadata (tiny driver-side
+    metadata RPCs, no data read).  Returned as a DataFrame so the admin
+    surface composes with the query stack."""
+    import datetime
+
+    fs = _fs(engine)
+    man = read_manifest(engine._warehouse, fs=fs) or {"tables": {}}
+    cur_path = None
+    for ent in man["tables"].values():
+        if ent["name"] == table and ent["space"] == space:
+            cur_path = _norm_path(ent["path"])
+    tdir = _fsmod.join(engine._warehouse, space, table)
+    rows = []
+    if fs.is_dir(tdir):
+        for d in sorted(fs.listdir(tdir)):
+            if not (d.startswith("v") and d[1:].isdigit()):
+                continue
+            full = _fsmod.join(tdir, d)
+            files = [f for f in fs.listdir(full)
+                     if not f.startswith(("_", "."))]
+            size = sum(fs.getsize(_fsmod.join(full, f)) for f in files)
+            rows.append((int(d[1:]), _norm_path(full) == cur_path,
+                         len(files), size,
+                         datetime.datetime.utcfromtimestamp(
+                             fs.getmtime(full)).replace(microsecond=0)))
+    return engine.spark.createDataFrame(
+        rows, "version int, is_current boolean, n_files int,"
+              " size_bytes long, modified_ts timestamp")
