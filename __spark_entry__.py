@@ -1497,6 +1497,20 @@ def q_embedding_truncate(spark, sf_dir):
          .alias("pos", "val"))
 
 
+def q_temperature_sample(spark, sf_dir):
+    """Temperature mixture rebalancing (pipeline.temperature_sample,
+    the mT5/XLM-R rule, alpha=0.5 over lang): per-group keep
+    probability min(1, N·p_g/n_g) with p_g ∝ n_g^alpha, rounded to 6dp
+    before the md5 coin — per-lang survivor counts pin every keep
+    probability exactly."""
+    from tostore_spark.llmops.pipeline import temperature_sample
+    db = _db(spark, sf_dir)
+    out = temperature_sample(db.df("documents"), alpha=0.5, by="lang")
+    return (out.groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("doc_id").alias("id_sum")))
+
+
 def q_corpus_report(spark, sf_dir):
     """Dataset-datasheet accounting (pipeline.corpus_report): per
     (source, lang) doc/token/char totals in ONE hash-aggregate — the
@@ -2242,7 +2256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 48-50: r4-vintage refresh (changed-module families first) ---
         # --- past the 50-cap: the displaced rows, then r4 rows
         # deferred to r7 ---
-        "q_corpus_report", "q_embedding_truncate", "q_unpivot_long",
+        "q_temperature_sample", "q_corpus_report",
+        "q_embedding_truncate", "q_unpivot_long",
         "q_flush_reopen",
         "q_moving_features", "q_corpus_sample", "q_corpus_shuffle",
         "q_stratified_take", "q_corpus_shards", "q_corpus_clean",
@@ -3127,6 +3142,27 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY bits_per_token DESC, id LIMIT 15""",
         "q_pagerank": _pagerank_oracle_sql(5),
         "q_ewma_anomaly": _ewma_anomaly_oracle_sql(),
+        "q_temperature_sample": """
+            WITH sizes AS (
+              SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            tot AS (
+              SELECT sum(pow(CAST(n AS DOUBLE), 0.5)) AS z,
+                     CAST(sum(n) AS DOUBLE) AS ntot
+              FROM sizes),
+            keep AS (
+              SELECT lang,
+                     round(least(1.0,
+                       ntot * (pow(CAST(n AS DOUBLE), 0.5) / z)
+                         / CAST(n AS DOUBLE)), 6) AS k
+              FROM sizes, tot)
+            SELECT d.lang, count(*) AS n,
+                   CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+            FROM documents d JOIN keep USING (lang)
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                      ::BIGINT % 10000
+                  < CAST(floor(keep.k * 10000) AS BIGINT)
+            GROUP BY d.lang
+        """,
         "q_corpus_report": f"""
             SELECT source, lang, count(*) AS n_docs,
                    CAST(sum(len({_TOKENS})) AS BIGINT) AS total_tokens,

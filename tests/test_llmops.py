@@ -1495,3 +1495,35 @@ def test_gopher_rules_individual(spark):
     kept = gopher_filter(df, min_words=20, min_stopwords=2)
     assert "gopher_keep" not in kept.columns
     assert {r.doc_id for r in kept.select("doc_id").collect()} <= {1, 4}
+
+
+def test_temperature_sample_rebalances(spark):
+    from tostore_spark.llmops.pipeline import temperature_sample
+    rows = ([(i, "big") for i in range(900)]
+            + [(1000 + i, "small") for i in range(100)])
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_sample(df, alpha=0.3)
+    counts = {r.source: r["count"] for r in
+              out.groupBy("source").count().collect()}
+    # default budget=N: small group kept whole (keep prob clamps at 1,
+    # no upsampling), big group down-sampled by its share
+    assert counts["small"] == 100
+    assert 600 < counts["big"] < 720     # keep ~ 0.659
+    # with a budget the shares are feasible for, the realized ratio
+    # approaches the n^alpha target (900^.3 : 100^.3 ~ 1.93:1)
+    t = {r.source: r["count"] for r in
+         temperature_sample(df, alpha=0.3, budget=290)
+         .groupBy("source").count().collect()}
+    ratio = t["big"] / t["small"]
+    assert 1.4 < ratio < 2.6
+    # alpha=1 is a no-op rebalance (keep = 1 everywhere)
+    full = temperature_sample(df, alpha=1.0)
+    assert full.count() == 1000
+    # deterministic re-run
+    again = {r.source: r["count"] for r in
+             temperature_sample(df, alpha=0.3)
+             .groupBy("source").count().collect()}
+    assert again == counts
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        temperature_sample(df, alpha=0.0)

@@ -443,3 +443,46 @@ def corpus_report(df: DataFrame, by=("source", "lang"),
                    F.sum(nchr.cast("long")).alias("total_chars"),
                    (F.sum(ntok).cast("double")
                     / F.count(F.lit(1))).alias("mean_tokens")))
+
+
+def temperature_sample(df: DataFrame, alpha: float = 0.3,
+                       by: str = "source", budget: int | None = None,
+                       id_field: str = "doc_id") -> DataFrame:
+    """Temperature-based source rebalancing (the mT5/XLM-R mixture
+    rule): target group shares ∝ n_g^alpha — ``alpha=1`` keeps natural
+    proportions, ``alpha→0`` approaches uniform across groups —
+    realized by per-group keep probabilities
+    ``min(1, budget·p_g / n_g)`` on the deterministic md5 coin
+    (``budget`` defaults to the corpus size: pure rebalance, large
+    groups down-sampled, small groups kept whole — no upsampling).
+
+    Everything stays in-plan: the group-size aggregate is a tiny frame
+    broadcast back, probabilities round to 6dp before the 1/10000-
+    granularity coin (the ``weighted_sample`` contract), and re-runs
+    keep exactly the same rows."""
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    sizes = df.groupBy(by).agg(F.count(F.lit(1)).alias("__n"))
+    tot = sizes.agg(
+        F.sum(F.pow(F.col("__n").cast("double"), float(alpha)))
+         .alias("__z"),
+        F.sum("__n").alias("__N"))
+    # rename the group-size column before the crossJoin: tot derives
+    # from sizes, and the shared lineage makes a bare __n ambiguous
+    gsz = sizes.select(F.col(by), F.col("__n").alias("__gn"))
+    keep = (gsz.crossJoin(F.broadcast(tot))
+            .withColumn("__p", F.pow(F.col("__gn").cast("double"),
+                                     float(alpha)) / F.col("__z"))
+            .withColumn("__budget",
+                        F.lit(budget).cast("double") if budget is not None
+                        else F.col("__N").cast("double"))
+            .withColumn("__keep", F.round(
+                F.least(F.lit(1.0),
+                        F.col("__budget") * F.col("__p")
+                        / F.col("__gn").cast("double")), 6))
+            .select(by, "__keep"))
+    coin = hash_fraction(F.col(id_field))
+    return (df.join(F.broadcast(keep), on=by)
+              .filter(coin < F.floor(F.col("__keep") * 10000)
+                      .cast("long"))
+              .drop("__keep"))
