@@ -1527,3 +1527,20 @@ def test_temperature_sample_rebalances(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         temperature_sample(df, alpha=0.0)
+
+
+def test_curate_corpus_temperature_stage(spark):
+    from tostore_spark.llmops.pipeline import curate_corpus
+    docs = spark.createDataFrame(
+        [(i, f"some body text number {i} here", "en",
+          "big" if i < 90 else "small", 30) for i in range(100)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    rep = {}
+    out = curate_corpus(docs, minhash_dedup=False,
+                        drop_quality_pct=0.0, drop_perplexity_pct=0.0,
+                        temperature_alpha=0.3, report=rep)
+    counts = {r.source: r["count"] for r in
+              out.groupBy("source").count().collect()}
+    assert "s6b_temperature" in rep
+    # small source survives whole, big is down-sampled
+    assert counts.get("small", 0) == 10 and counts["big"] < 90

@@ -241,6 +241,8 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
                   drop_quality_pct: float = 0.1,
                   drop_perplexity_pct: float = 0.1,
                   max_per_source: int | None = None,
+                  temperature_alpha: float | None = None,
+                  temperature_budget: int | None = None,
                   mix_weights: dict[str, float] | None = None,
                   mix_budget: int | None = None,
                   n_shards: int = 64, seed: int = 42,
@@ -272,6 +274,10 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
          with probability clamp(dsir_scale * 2^score) on the
          deterministic md5 coin (llmops/dsir, arXiv:2302.03169)
       6. per-source cap (when ``max_per_source``)
+      6b. temperature mixture rebalance (when ``temperature_alpha``):
+         n^alpha group shares over ``source`` on the deterministic
+         coin (``temperature_sample``) — the mT5/XLM-R alternative to
+         explicit mix weights
       7. token-budget source mixing (when ``mix_weights``+``mix_budget``;
          requires a ``cost_field`` column — derived as char count from
          ``text_field`` when absent)
@@ -376,6 +382,13 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
         out = barrier(PK.cap_per_source(out, max_per_source,
                                         id_field=id_field),
                       "s6_source_cap")
+    # 6b. temperature mixture rebalance across sources
+    if temperature_alpha is not None:
+        out = barrier(temperature_sample(out, alpha=temperature_alpha,
+                                         by="source",
+                                         budget=temperature_budget,
+                                         id_field=id_field),
+                      "s6b_temperature")
     # 7. token-budget mixing (cost_field derived when the input lacks it)
     if mix_weights and mix_budget:
         if cost_field not in out.columns:
