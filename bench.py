@@ -177,7 +177,7 @@ def _recall_gate(spark, sf_dir: str) -> dict | None:
     ivf_recall = {
         f"nprobe_{np_}": round(sim.ivf_measure_recall(
             enc, cents, k=10, nprobe=np_, n_queries=20), 4)
-        for np_ in (2, 4)}
+        for np_ in (2, 4, 8)}
 
     pq_enc, pq_cents, books = PQ.ivfpq_build(emb, n_cells=16, m=8,
                                              n_codes=64, sample=500)
