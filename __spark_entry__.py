@@ -1497,6 +1497,23 @@ def q_embedding_truncate(spark, sf_dir):
          .alias("pos", "val"))
 
 
+def q_attribution(spark, sf_dir):
+    """Last-touch attribution (functions/behavior.attribution): every
+    purchase credited to the most recent view/click of the same user
+    within 3 days — one entity-partitioned RANGE window, no fact
+    self-join.  Null-credit conversions carry a sentinel for the
+    pandas-side compare."""
+    from tostore_spark.functions.behavior import attribution
+    db = _db(spark, sf_dir)
+    ev = db.df("events").filter(F.col("user_id") < 100)
+    out = attribution(ev, ["view", "click"], "purchase",
+                      model="last", lookback_s=3 * 86400)
+    return out.select(
+        "user_id", "conversion_id",
+        F.coalesce("touch_id", F.lit(-1)).alias("touch_id_s"),
+        F.coalesce("touch_type", F.lit("none")).alias("touch_type_s"))
+
+
 def q_temperature_sample(spark, sf_dir):
     """Temperature mixture rebalancing (pipeline.temperature_sample,
     the mT5/XLM-R rule, alpha=0.5 over lang): per-group keep
@@ -2256,7 +2273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 48-50: r4-vintage refresh (changed-module families first) ---
         # --- past the 50-cap: the displaced rows, then r4 rows
         # deferred to r7 ---
-        "q_temperature_sample", "q_corpus_report",
+        "q_attribution", "q_temperature_sample", "q_corpus_report",
         "q_embedding_truncate", "q_unpivot_long",
         "q_flush_reopen",
         "q_moving_features", "q_corpus_sample", "q_corpus_shuffle",
@@ -3142,6 +3159,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY bits_per_token DESC, id LIMIT 15""",
         "q_pagerank": _pagerank_oracle_sql(5),
         "q_ewma_anomaly": _ewma_anomaly_oracle_sql(),
+        "q_attribution": """
+            SELECT user_id, event_id AS conversion_id,
+              coalesce(last_value(CASE WHEN event_type IN ('view','click')
+                                       THEN event_id END IGNORE NULLS)
+                       OVER w, -1) AS touch_id_s,
+              coalesce(last_value(CASE WHEN event_type IN ('view','click')
+                                       THEN event_type END IGNORE NULLS)
+                       OVER w, 'none') AS touch_type_s
+            FROM events
+            WHERE user_id < 100
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 259200000000 PRECEDING
+                               AND CURRENT ROW)
+            QUALIFY event_type = 'purchase'
+        """,
         "q_temperature_sample": """
             WITH sizes AS (
               SELECT lang, count(*) AS n FROM documents GROUP BY lang),

@@ -309,3 +309,43 @@ def test_column_stats_empty_table_zero_nulls(spark):
     empty = spark.createDataFrame([], "c int")
     r = column_stats(empty, ["c"]).first()
     assert (r.n_rows, r.n_nulls, r.ndv) == (0, 0, 0)
+
+
+def test_attribution_first_and_last_touch(spark):
+    import datetime as dt
+    from tostore_spark.functions.behavior import attribution
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda x: t0 + dt.timedelta(seconds=x)
+    rows = [
+        (1, 1, s(0), "view"), (2, 1, s(10), "click"),
+        (3, 1, s(20), "purchase"),                 # last=click, first=view
+        (4, 1, s(5000), "purchase"),               # outside 60s lookback
+        (5, 2, s(0), "purchase"),                  # no touch at all
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts",
+                                      "event_type"])
+    last = {r.conversion_id: r for r in
+            attribution(df, ["view", "click"], "purchase",
+                        model="last", lookback_s=60).collect()}
+    assert last[3].touch_id == 2 and last[3].touch_type == "click"
+    assert last[4].touch_id is None and last[5].touch_id is None
+    first = {r.conversion_id: r for r in
+             attribution(df, ["view", "click"], "purchase",
+                         model="first", lookback_s=60).collect()}
+    assert first[3].touch_id == 1 and first[3].touch_type == "view"
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        attribution(df, ["view"], "purchase", model="linear")
+
+
+def test_attribution_window_partitioned(spark):
+    import datetime as dt
+    import re
+    from tostore_spark.functions.behavior import attribution
+    df = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1), "view")],
+        ["event_id", "user_id", "ts", "event_type"])
+    plan = (attribution(df, ["view"], "purchase")
+            ._jdf.queryExecution().executedPlan().toString())
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert m.group(1).startswith("user_id#"), m.group(0)

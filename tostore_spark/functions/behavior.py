@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -102,3 +102,49 @@ def cohort_retention(df: DataFrame, entity_field: str = "user_id",
     return (mat.join(sizes, "cohort")
             .withColumn("retention",
                         F.col("n_active") / F.col("cohort_size")))
+
+
+def attribution(df: DataFrame, touch_types: Sequence[str],
+                conversion_type: str, model: str = "last",
+                lookback_s: int = 7 * 86400,
+                entity_field: str = "user_id", ts_field: str = "ts",
+                type_field: str = "event_type",
+                id_field: str = "event_id") -> DataFrame:
+    """Touch attribution: for every conversion event, the touch event
+    (of a ``touch_types`` kind) it is credited to — ``last``-touch (the
+    most recent touch at or before the conversion) or ``first``-touch
+    (the earliest touch inside the lookback), both within
+    ``lookback_s`` seconds.  Unattributed conversions keep null credit.
+
+    One entity-partitioned RANGE window over the event-time epoch does
+    everything: the touch candidates ride as a conditional struct and
+    ``last``/``first`` with ignorenulls picks the credited one — no
+    self-join of the fact table against itself, no per-conversion scan.
+
+    Caveat: events of one entity sharing an EXACT timestamp are RANGE
+    peers, and the pick among tied touches follows frame order (not
+    deterministic across engines) — event streams with sub-second
+    timestamps are effectively tie-free; pre-disambiguate if yours are
+    not.
+    """
+    if model not in ("last", "first"):
+        raise ValueError("model must be 'last' or 'first'")
+    from tostore_spark.functions.colutil import epoch_us
+    us = int(lookback_s) * 1_000_000
+    w = (Window.partitionBy(entity_field)
+               .orderBy(epoch_us(F.col(ts_field)))
+               .rangeBetween(-us, 0))
+    touch = F.when(F.col(type_field).isin(list(touch_types)),
+                   F.struct(F.col(ts_field).alias("touch_ts"),
+                            F.col(id_field).alias("touch_id"),
+                            F.col(type_field).alias("touch_type")))
+    pick = (F.last(touch, ignorenulls=True) if model == "last"
+            else F.first(touch, ignorenulls=True))
+    out = (df.withColumn("__credit", pick.over(w))
+             .filter(F.col(type_field) == conversion_type))
+    return out.select(
+        entity_field, F.col(id_field).alias("conversion_id"),
+        F.col(ts_field).alias("conversion_ts"),
+        F.col("__credit.touch_id").alias("touch_id"),
+        F.col("__credit.touch_ts").alias("touch_ts"),
+        F.col("__credit.touch_type").alias("touch_type"))
