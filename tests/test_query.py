@@ -350,3 +350,80 @@ def test_anomaly_zscore_flags_spike(spark):
     # the spike is flagged; its neighbors are not
     assert out[11].is_anomaly and out[11].zscore > 3.0
     assert not out[10].is_anomaly
+
+
+def test_resample_differential_vs_python(spark):
+    """Randomized differential check of bucket/grid/ffill vs a pure-
+    Python reference."""
+    import datetime as dt
+    import random
+    rnd = random.Random(29)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(rnd.choice("ab"),
+             t0 + dt.timedelta(seconds=rnd.randrange(0, 40000)),
+             float(rnd.randrange(0, 1000)) / 7)
+            for _ in range(120)]
+    from tostore_spark.functions.timeseries import resample
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    got = {(r.k, r.bucket_ts): (r.avg_value, r.n_obs, r.is_observed)
+           for r in resample(df, "k", "ts", "v", 3600,
+                             fill="ffill").collect()}
+
+    # python reference
+    from collections import defaultdict
+    byk = defaultdict(list)
+    for k, ts, v in rows:
+        byk[k].append((int(ts.timestamp()) // 3600, v))
+    want = {}
+    for k, obs in byk.items():
+        agg = defaultdict(list)
+        for b, v in obs:
+            agg[b].append(round(v, 6))
+        lo, hi = min(agg), max(agg)
+        lastv = None
+        for b in range(lo, hi + 1):
+            ts = dt.datetime.utcfromtimestamp(b * 3600)
+            if b in agg:
+                lastv = sum(agg[b]) / len(agg[b])
+                want[(k, ts)] = (lastv, len(agg[b]), True)
+            else:
+                want[(k, ts)] = (lastv, 0, False)
+    assert set(got) == set(want)
+    for key in got:
+        g, w = got[key], want[key]
+        assert g[1] == w[1] and g[2] == w[2], key
+        assert abs(g[0] - w[0]) < 1e-9, key
+
+
+def test_scd2_lookup_differential_vs_python(spark):
+    import datetime as dt
+    import random
+    from tostore_spark.plans.scd import scd2_lookup
+    rnd = random.Random(31)
+    t0 = dt.datetime(2024, 1, 1)
+    hist_rows, keys = [], list(range(5))
+    for k in keys:
+        cuts = sorted(rnd.sample(range(1, 100), 2))
+        bounds = [None] + [t0 + dt.timedelta(days=c) for c in cuts] + [None]
+        for i in range(3):
+            hist_rows.append(
+                (k, f"v{i}",
+                 bounds[i] or dt.datetime(1970, 1, 1), bounds[i + 1]))
+    hist = spark.createDataFrame(
+        hist_rows, "uid long, tier string, valid_from timestamp,"
+                   " valid_to timestamp")
+    facts = [(i, rnd.choice(keys),
+              t0 + dt.timedelta(days=rnd.randrange(0, 120)))
+             for i in range(80)]
+    fdf = spark.createDataFrame(facts, "fid long, uid long, ts timestamp")
+    got = {r.fid: r.tier for r in
+           scd2_lookup(fdf, hist, "uid", "ts").collect()}
+
+    def ref(fid, uid, ts):
+        for k, tier, vf, vt in hist_rows:
+            if k == uid and vf <= ts and (vt is None or ts < vt):
+                return tier
+        return None
+
+    for fid, uid, ts in facts:
+        assert got[fid] == ref(fid, uid, ts), fid
