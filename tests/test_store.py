@@ -677,3 +677,27 @@ def test_table_history_metadata_view(spark, tmp_path):
     # vacuum prunes; history reflects it
     db.vacuum(keep=1)
     assert db.table_history("h").count() == 1
+
+
+def test_fsck_reports_missing_and_orphans(spark, tmp_path):
+    import shutil
+    import os
+    from tostore_spark import ToStoreSpark
+    wh = str(tmp_path / "wh")
+    db = ToStoreSpark(spark, warehouse=wh)
+    db.register_table("f", df=spark.createDataFrame([(1,)], ["id"]))
+    db.flush()
+    db.insert("f", {"id": 2})
+    db.flush()
+    db.unpin_versions()
+    assert db.fsck().count() == 1     # the superseded v* is an orphan
+    assert db.fsck().collect()[0].kind == "orphan_version"
+    # vacuum clears the orphan -> clean
+    db.vacuum(keep=1)
+    assert db.fsck().count() == 0
+    # delete the CURRENT version dir behind the manifest's back
+    cur = [d for d in os.listdir(os.path.join(wh, "default", "f"))
+           if d.startswith("v")]
+    shutil.rmtree(os.path.join(wh, "default", "f", cur[-1]))
+    kinds = {r.kind for r in db.fsck().collect()}
+    assert "missing_version" in kinds

@@ -474,6 +474,13 @@ class ToStoreSpark:
         return _store.table_diff(self, table, from_version, to_version,
                                  space=self._resolve(table)[0])
 
+    def fsck(self):
+        """Warehouse consistency report (manifest vs filesystem):
+        missing / orphan / empty version directories as a DataFrame;
+        zero rows = clean (store.fsck)."""
+        from tostore_spark import store as _store
+        return _store.fsck(self)
+
     def table_history(self, table: str):
         """Metadata view of a table's flushed versions — (version,
         is_current, n_files, size_bytes, modified_ts) as a DataFrame;

@@ -820,3 +820,46 @@ def table_history(engine, table: str, space: str = "default"):
     return engine.spark.createDataFrame(
         rows, "version int, is_current boolean, n_files int,"
               " size_bytes long, modified_ts timestamp")
+
+
+def fsck(engine):
+    """Warehouse consistency report: cross-check the manifest against
+    the filesystem — (kind, space, table, detail) rows for
+    ``missing_version`` (a manifest entry whose parquet directory is
+    gone — data loss or an external delete), ``orphan_version`` (a
+    version directory no manifest entry or pin references — vacuum
+    candidate), and ``empty_version`` (a referenced directory with no
+    data files).  Metadata RPCs only; returned as a DataFrame so the
+    admin surface composes.  Clean warehouse = zero rows."""
+    fs = _fs(engine)
+    man = read_manifest(engine._warehouse, fs=fs) or {"tables": {}}
+    current = {}
+    rows = []
+    for ent in man["tables"].values():
+        key = (ent["space"], ent["name"])
+        current[key] = _norm_path(ent["path"])
+        if not fs.is_dir(ent["path"]):
+            rows.append(("missing_version", ent["space"], ent["name"],
+                         ent["path"]))
+        else:
+            files = [f for f in fs.listdir(ent["path"])
+                     if not f.startswith(("_", "."))]
+            if not files:
+                rows.append(("empty_version", ent["space"], ent["name"],
+                             ent["path"]))
+    pinned = getattr(engine, "_pinned_versions", set())
+    wh = engine._warehouse
+    for space, name in current:
+        tdir = _fsmod.join(wh, space, name)
+        if not fs.is_dir(tdir):
+            continue
+        for d in fs.listdir(tdir):
+            if not (d.startswith("v") and d[1:].isdigit()):
+                continue
+            full = _norm_path(_fsmod.join(tdir, d))
+            v = int(d[1:])
+            if full != current[(space, name)] \
+                    and (space, name, v) not in pinned:
+                rows.append(("orphan_version", space, name, full))
+    return engine.spark.createDataFrame(
+        rows, "kind string, space string, table string, detail string")
