@@ -250,3 +250,46 @@ def test_join_hint_broadcast_and_shuffle(spark, db):
     import pytest as _pt
     with _pt.raises(ValueError):
         db.query("orders").join_hint("customer", "nested_loop")
+
+
+def test_asof_nearest_direction(spark, small):
+    from tostore_spark.joins import asof_join
+    left, right = small
+    out = {r["lid"]: r["rid_r"] for r in
+           asof_join(left, right, on="k", direction="nearest").collect()}
+    # lid=1 (t=10): backward rid=101 (gap 5) vs forward rid=102 (gap 10)
+    # lid=2 (t=25): exact tie at t=25 -> backward/equal match rid=103
+    # lid=3 (t=7): no backward; forward rid=104 (t=9)
+    assert out == {1: 101, 2: 103, 3: 104}
+    # tolerance applies to the chosen match's own gap
+    tight = {r["lid"]: r["rid_r"] for r in
+             asof_join(left, right, on="k", direction="nearest",
+                       tolerance_ms=1000).collect()}
+    assert tight == {1: None, 2: 103, 3: None}
+
+
+def test_asof_nearest_differential(spark):
+    import random
+    from tostore_spark.joins import asof_join
+    rnd = random.Random(17)
+    lrows = [(rnd.choice("ab"), rnd.randrange(0, 500), i)
+             for i in range(30)]
+    rrows = [(rnd.choice("ab"), rnd.randrange(0, 500), 100 + i)
+             for i in range(30)]
+    left = spark.createDataFrame(lrows, "k string, sec long, lid long") \
+        .selectExpr("k", "timestamp_seconds(sec) as ts", "lid")
+    right = spark.createDataFrame(rrows, "k string, sec long, rid long") \
+        .selectExpr("k", "timestamp_seconds(sec) as ts", "rid")
+    got = {r["lid"]: r["rid_r"] for r in
+           asof_join(left, right, on="k", direction="nearest").collect()}
+    ts_of = {ri: rs for _, rs, ri in rrows}
+    for k, s, lid in lrows:
+        cands = [(abs(rs - s), rs, ri) for rk, rs, ri in rrows if rk == k]
+        if not cands:
+            assert got[lid] is None
+            continue
+        best_gap = min(c[0] for c in cands)
+        # accept any candidate at the best gap (ties among equal-ts
+        # right rows are frame-order picks on both engines)
+        assert got[lid] is not None \
+            and abs(ts_of[got[lid]] - s) == best_gap, (lid, got[lid])

@@ -34,11 +34,15 @@ def asof_join(left: DataFrame, right: DataFrame,
               tolerance_ms: Optional[int] = None) -> DataFrame:
     """For every left row, attach the single right row with the largest
     ``right_ts`` <= ``left_ts`` (direction='backward'; 'forward' takes the
-    smallest >=) within the same ``on`` key.  Equal timestamps match.
-    Unmatched left rows keep null right columns (left-join semantics).
-    ``tolerance_ms`` drops matches further than the given gap."""
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    smallest >=; 'nearest' takes whichever of the two is closer, backward
+    winning exact ties — pandas merge_asof parity).  Equal timestamps
+    match.  Unmatched left rows keep null right columns (left-join
+    semantics).  ``tolerance_ms`` drops matches further than the given
+    gap.  'nearest' adds a second window over the SAME key partitioning
+    (an extra in-partition sort, no extra shuffle)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward' or 'nearest'")
     keys = [on] if isinstance(on, str) else list(on)
     lcols = left.columns
     rpay = [c for c in right.columns if c not in keys]
@@ -60,14 +64,32 @@ def asof_join(left: DataFrame, right: DataFrame,
         F.struct(*[F.col(c).alias(c) for c in rpay]).alias("__rp"))
     both = l2.unionByName(r2)
 
-    ts_order = (F.col("__ts").asc() if direction == "backward"
-                else F.col("__ts").desc())
-    w = (Window.partitionBy(*[F.col(k) for k in keys])
-         .orderBy(ts_order, F.col("__side").asc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    out = (both
-           .withColumn("__rp", F.last(F.col("__rp"), ignorenulls=True).over(w))
-           .filter(F.col("__side") == 1))
+    def carry(order_col):
+        w = (Window.partitionBy(*[F.col(k) for k in keys])
+             .orderBy(order_col, F.col("__side").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return F.last(F.col("__rp"), ignorenulls=True).over(w)
+
+    if direction == "nearest":
+        out = (both
+               .withColumn("__rpb", carry(F.col("__ts").asc()))
+               .withColumn("__rpf", carry(F.col("__ts").desc()))
+               .filter(F.col("__side") == 1))
+        gapb = epoch_us(F.col("__ts")) - epoch_us(F.col("__rpb")[right_ts])
+        gapf = epoch_us(F.col("__rpf")[right_ts]) - epoch_us(F.col("__ts"))
+        out = (out.withColumn(
+                   "__rp",
+                   F.when(F.col("__rpb").isNull(), F.col("__rpf"))
+                    .when(F.col("__rpf").isNull(), F.col("__rpb"))
+                    .when(gapf < gapb, F.col("__rpf"))
+                    .otherwise(F.col("__rpb")))
+               .drop("__rpb", "__rpf"))
+    else:
+        ts_order = (F.col("__ts").asc() if direction == "backward"
+                    else F.col("__ts").desc())
+        out = (both
+               .withColumn("__rp", carry(ts_order))
+               .filter(F.col("__side") == 1))
     if tolerance_ms is not None:
         matched_ts = F.col("__rp")[right_ts]
         gap_us = F.abs(epoch_us(F.col("__ts")) - epoch_us(matched_ts))
