@@ -1497,6 +1497,27 @@ def q_embedding_truncate(spark, sf_dir):
          .alias("pos", "val"))
 
 
+def q_winsorize(spark, sf_dir):
+    """Percentile winsorization (plans/stats.clip_outliers): clip
+    l_extendedprice at the exact [5%, 95%] bounds (staged
+    order-statistic selection, bounds broadcast as a literal 1-row
+    frame).  The DECIMAL sum of clipped values + the clip counts pin
+    both bounds exactly."""
+    from tostore_spark.plans.stats import clip_outliers
+    db = _db(spark, sf_dir)
+    li = db.df("lineitem").select("l_orderkey", "l_extendedprice")
+    out = clip_outliers(li, "l_extendedprice", lower=0.05, upper=0.95)
+    c = F.col("l_extendedprice_clipped")
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(c > F.col("l_extendedprice"), 1).otherwise(0))
+         .alias("n_raised"),
+        F.sum(F.when(c < F.col("l_extendedprice"), 1).otherwise(0))
+         .alias("n_lowered"),
+        F.sum(F.round(c, 6).cast("decimal(28,6)")).cast("double")
+         .alias("clip_sum"))
+
+
 def q_attribution(spark, sf_dir):
     """Last-touch attribution (functions/behavior.attribution): every
     purchase credited to the most recent view/click of the same user
@@ -2273,7 +2294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 48-50: r4-vintage refresh (changed-module families first) ---
         # --- past the 50-cap: the displaced rows, then r4 rows
         # deferred to r7 ---
-        "q_attribution", "q_temperature_sample", "q_corpus_report",
+        "q_winsorize", "q_attribution", "q_temperature_sample",
+        "q_corpus_report",
         "q_embedding_truncate", "q_unpivot_long",
         "q_flush_reopen",
         "q_moving_features", "q_corpus_sample", "q_corpus_shuffle",
@@ -3159,6 +3181,24 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY bits_per_token DESC, id LIMIT 15""",
         "q_pagerank": _pagerank_oracle_sql(5),
         "q_ewma_anomaly": _ewma_anomaly_oracle_sql(),
+        "q_winsorize": """
+            WITH b AS (
+              SELECT round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+                     round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+              FROM lineitem),
+            c AS (
+              SELECT l_extendedprice AS v,
+                     least(greatest(l_extendedprice, lo), hi) AS cv
+              FROM lineitem, b)
+            SELECT count(*) AS n,
+                   CAST(sum(CASE WHEN cv > v THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_raised,
+                   CAST(sum(CASE WHEN cv < v THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_lowered,
+                   CAST(sum(CAST(round(cv, 6) AS DECIMAL(28,6)))
+                        AS DOUBLE) AS clip_sum
+            FROM c
+        """,
         "q_attribution": """
             SELECT user_id, event_id AS conversion_id,
               coalesce(last_value(CASE WHEN event_type IN ('view','click')

@@ -304,3 +304,23 @@ def test_exact_percentiles_edge_cases(spark):
     same = spark.createDataFrame([(7.0,)] * 50, "v double")
     b = exact_percentiles_frame(same, "v", [0.25, 0.75]).collect()[0][0]
     assert b == [7.0, 7.0]
+
+
+def test_clip_outliers_modes(spark):
+    from tostore_spark.plans.stats import clip_outliers
+    rows = [(float(i),) for i in range(1, 101)] + [(None,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r.v: r.v_clipped for r in
+           clip_outliers(df, "v", 0.1, 0.9).collect()}
+    # bounds at the exact interpolated 10th/90th percentiles (10.9, 90.1)
+    assert out[1.0] == 10.9 and out[100.0] == 90.1
+    assert out[50.0] == 50.0
+    assert out[None] is None            # nulls pass through
+    kept = clip_outliers(df, "v", 0.1, 0.9, mode="filter")
+    vals = [r.v for r in kept.collect()]
+    assert None in vals and 1.0 not in vals and 50.0 in vals
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        clip_outliers(df, "v", 0.9, 0.1)
+    with _pt.raises(ValueError):
+        clip_outliers(df, "v", mode="drop")

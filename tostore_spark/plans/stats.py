@@ -407,3 +407,39 @@ def join_advice(engine, left: str, right: str, key,
         return {**out, "strategy": "shuffle", "prefilter": "bloom",
                 "bloom_build_side": small}
     return {**out, "strategy": "shuffle"}
+
+
+def clip_outliers(df: DataFrame, col: str,
+                  lower: float = 0.01, upper: float = 0.99,
+                  mode: str = "clip", exact: bool = True,
+                  round_dp: int = 6) -> DataFrame:
+    """Percentile winsorization: ``clip`` replaces values outside the
+    [lower, upper] exact interpolated percentiles with the bound (adds
+    ``{col}_clipped``), ``filter`` drops those rows.  Bounds come from
+    ``exact_percentiles_frame`` (scale-safe; ``exact=False`` swaps in
+    approx_percentile) rounded to ``round_dp`` — engine-portable, the
+    histogram contract — and fold in as a broadcast 1-row frame.
+    Nulls pass through unclipped (missing, not out-of-range)."""
+    if mode not in ("clip", "filter"):
+        raise ValueError("mode must be 'clip' or 'filter'")
+    if not 0 <= lower < upper <= 1:
+        raise ValueError("need 0 <= lower < upper <= 1")
+    if exact:
+        bounds = exact_percentiles_frame(df, col, [lower, upper],
+                                         round_dp=round_dp)
+    else:
+        bounds = df.agg(F.expr(
+            f"transform(approx_percentile(`{col}`,"
+            f" array({lower!r}, {upper!r})),"
+            f" b -> round(b, {round_dp}))").alias("__bounds"))
+    out = df.crossJoin(F.broadcast(bounds))
+    lo = F.element_at("__bounds", 1)
+    hi = F.element_at("__bounds", 2)
+    c = F.col(col)
+    if mode == "filter":
+        return out.filter(c.isNull() | c.between(lo, hi)).drop("__bounds")
+    return (out.withColumn(
+                f"{col}_clipped",
+                F.when(c.isNull(), c).otherwise(F.least(F.greatest(c, lo),
+                                                        hi)))
+               .drop("__bounds"))
