@@ -324,3 +324,10 @@ def test_clip_outliers_modes(spark):
         clip_outliers(df, "v", 0.9, 0.1)
     with _pt.raises(ValueError):
         clip_outliers(df, "v", mode="drop")
+
+
+def test_engine_text_index_facade(spark, db, tmp_path):
+    meta = db.build_text_index("documents", str(tmp_path / "tix"))
+    assert meta["n_docs"] > 0
+    hits = db.text_search(str(tmp_path / "tix"), "spark join", k=5).collect()
+    assert len(hits) == 5 and hits[0]["score"] >= hits[-1]["score"]

@@ -474,6 +474,22 @@ class ToStoreSpark:
         return _store.table_diff(self, table, from_version, to_version,
                                  space=self._resolve(table)[0])
 
+    def build_text_index(self, table: str, path: str,
+                         text_field: str = "text",
+                         id_field: str = "doc_id") -> dict:
+        """Persist a BM25 inverted index for a table (range-sorted
+        postings + doclens + (N, avgdl) sidecar) — the lexical
+        counterpart of build_vector_index (search.bm25_build_index)."""
+        from tostore_spark.llmops.search import bm25_build_index
+        return bm25_build_index(self.df(table), path,
+                                text_field=text_field, id_field=id_field)
+
+    def text_search(self, path: str, query: str, k: int = 10, **kw):
+        """BM25 top-k against a persisted text index — reads only the
+        query terms' postings (search.bm25_search_indexed)."""
+        from tostore_spark.llmops.search import bm25_search_indexed
+        return bm25_search_indexed(self.spark, path, query, k=k, **kw)
+
     def fsck(self):
         """Warehouse consistency report (manifest vs filesystem):
         missing / orphan / empty version directories as a DataFrame;
