@@ -2263,8 +2263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (q_time_rollup, q_rollup_subtotals, q_salted_agg) and the
     remaining r4/r5-green rows on unchanged modules.
     tools/check_correctness.py certifies EVERY entry locally each
-    round (latest full runs this session: 135/135, then per-entry
-    green for each of the 3 entries added after).
+    round (latest full run this session: 142/142 exact in one pass,
+    after every operator addition).
     """
 
     # first 50 = the driver's r6 correctness sample (see docstring)
