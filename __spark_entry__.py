@@ -1497,6 +1497,24 @@ def q_embedding_truncate(spark, sf_dir):
          .alias("pos", "val"))
 
 
+def q_calibrated_quality(spark, sf_dir):
+    """Per-source quality calibration (filters.calibrate_scores): raw
+    quality_score replaced by its within-source cume_dist, so one
+    global cut means the same thing in every domain.  A fixed 0.5 cut
+    per source pins the whole rank assignment."""
+    from tostore_spark.llmops.filters import calibrate_scores
+    from tostore_spark.llmops.text import quality_score
+    db = _db(spark, sf_dir)
+    docs = db.df("documents").withColumn(
+        "q", F.round(quality_score(F.col("text")), 6))
+    out = calibrate_scores(docs, "q", by="source")
+    return (out.filter(F.col("score_pct") > 0.5)
+               .groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("doc_id").alias("id_sum"),
+                    F.round(F.min("score_pct"), 9).alias("min_pct")))
+
+
 def q_winsorize(spark, sf_dir):
     """Percentile winsorization (plans/stats.clip_outliers): clip
     l_extendedprice at the exact [5%, 95%] bounds (staged
@@ -2294,7 +2312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 48-50: r4-vintage refresh (changed-module families first) ---
         # --- past the 50-cap: the displaced rows, then r4 rows
         # deferred to r7 ---
-        "q_winsorize", "q_attribution", "q_temperature_sample",
+        "q_calibrated_quality", "q_winsorize", "q_attribution",
+        "q_temperature_sample",
         "q_corpus_report",
         "q_embedding_truncate", "q_unpivot_long",
         "q_flush_reopen",
@@ -3181,6 +3200,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY bits_per_token DESC, id LIMIT 15""",
         "q_pagerank": _pagerank_oracle_sql(5),
         "q_ewma_anomaly": _ewma_anomaly_oracle_sql(),
+        "q_calibrated_quality": f"""
+            WITH q AS (
+              SELECT doc_id, source,
+                     round({_quality_sql()}, 6) AS q
+              FROM documents),
+            c AS (
+              SELECT doc_id, source,
+                     cume_dist() OVER (PARTITION BY source ORDER BY q)
+                       AS score_pct
+              FROM q)
+            SELECT source, count(*) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                   round(min(score_pct), 9) AS min_pct
+            FROM c WHERE score_pct > 0.5 GROUP BY source
+        """,
         "q_winsorize": """
             WITH b AS (
               SELECT round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,

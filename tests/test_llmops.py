@@ -1544,3 +1544,19 @@ def test_curate_corpus_temperature_stage(spark):
     assert "s6b_temperature" in rep
     # small source survives whole, big is down-sampled
     assert counts.get("small", 0) == 10 and counts["big"] < 90
+
+
+def test_calibrate_scores_per_group(spark):
+    from tostore_spark.llmops.filters import calibrate_scores
+    # source A scores 10x source B's — raw cut at 5 keeps none of B,
+    # calibrated cut at 0.5 keeps the top half of EACH
+    rows = ([("A", i, float(10 * i)) for i in range(1, 11)]
+            + [("B", 100 + i, float(i)) for i in range(1, 11)])
+    df = spark.createDataFrame(rows, ["source", "doc_id", "q"])
+    out = calibrate_scores(df, "q", by="source")
+    kept = {r.doc_id for r in out.filter("score_pct > 0.5").collect()}
+    assert sum(1 for d in kept if d < 100) == 5
+    assert sum(1 for d in kept if d >= 100) == 5
+    # cume_dist of the per-group max is exactly 1.0
+    top = {r.doc_id: r.score_pct for r in out.collect()}
+    assert top[10] == 1.0 and top[110] == 1.0

@@ -24,7 +24,7 @@ the filter share a plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
@@ -73,3 +73,17 @@ def gopher_filter(df: DataFrame, text_field: str = "text",
     extra = [c for c in flagged.columns if c.startswith("r_")] \
         + ["gopher_keep"]
     return flagged.filter(F.col("gopher_keep")).drop(*extra)
+
+
+def calibrate_scores(df: DataFrame, score_field: str,
+                     by: str = "source",
+                     out_field: str = "score_pct") -> DataFrame:
+    """Per-group percentile calibration: replace a raw quality score
+    with its within-group cumulative fraction (``cume_dist``), so a
+    single global threshold means the same thing in every source — raw
+    scores are NOT comparable across domains (a mediocre wiki page can
+    outscore a good forum post), calibrated ranks are.  One
+    group-partitioned window; ties share a rank (both engines define
+    cume_dist identically), so the result is engine-exact."""
+    w = Window.partitionBy(by).orderBy(F.col(score_field).asc())
+    return df.withColumn(out_field, F.cume_dist().over(w))
