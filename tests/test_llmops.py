@@ -1560,3 +1560,23 @@ def test_calibrate_scores_per_group(spark):
     # cume_dist of the per-group max is exactly 1.0
     top = {r.doc_id: r.score_pct for r in out.collect()}
     assert top[10] == 1.0 and top[110] == 1.0
+
+
+def test_curate_corpus_calibrated_quality(spark):
+    from tostore_spark.llmops.pipeline import curate_corpus
+    # source B's raw quality runs far below A's; the calibrated cut
+    # keeps the top of EACH source instead of wiping B out
+    good = ("the data and the model have to be of good size and that "
+            "is why we train the set with great care and the results "
+            "show that the work is of value to all of us here " * 2)
+    rows = ([(i, good + f" extra {i}", "en", "A", 100)
+             for i in range(20)]
+            + [(100 + i, f"x{i} " * 30, "en", "B", 100)
+               for i in range(20)])
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = curate_corpus(docs, minhash_dedup=False,
+                        drop_quality_pct=0.5, quality_calibrated=True,
+                        drop_perplexity_pct=0.0)
+    kept = {r.source for r in out.select("source").distinct().collect()}
+    assert kept == {"A", "B"}

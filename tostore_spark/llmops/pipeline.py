@@ -239,6 +239,7 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
                   dsir_target: DataFrame | None = None,
                   dsir_scale: float = 1.0,
                   drop_quality_pct: float = 0.1,
+                  quality_calibrated: bool = False,
                   drop_perplexity_pct: float = 0.1,
                   max_per_source: int | None = None,
                   temperature_alpha: float | None = None,
@@ -266,7 +267,10 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
       3. benchmark decontamination (when ``bench`` is given)
       4. heuristic quality floor (exact percentile cut; the score is
          rounded to 6dp before the percentile so the cut is
-         engine-portable, and kept as ``quality``)
+         engine-portable, and kept as ``quality``) — with
+         ``quality_calibrated`` the cut applies to the WITHIN-SOURCE
+         cume_dist instead (filters.calibrate_scores), so no domain is
+         wiped out just because its raw scores run low
       5. unigram-LM perplexity filter (CCNet shape; LM trained on the
          surviving corpus)
       5b. DSIR target-domain resample (when ``dsir_target``): hashed
@@ -358,10 +362,18 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
     if drop_quality_pct:
         out = out.withColumn(
             "quality", F.round(TX.quality_score(F.col(text_field)), 6))
-        out = barrier(PK.quality_percentile_filter(
-                          out, pct=drop_quality_pct,
-                          score_field="quality"),
-                      "s4_quality")
+        if quality_calibrated:
+            from tostore_spark.llmops.filters import calibrate_scores
+            out = barrier(
+                calibrate_scores(out, "quality", by="source")
+                .filter(F.col("score_pct") > float(drop_quality_pct))
+                .drop("score_pct"),
+                "s4_quality")
+        else:
+            out = barrier(PK.quality_percentile_filter(
+                              out, pct=drop_quality_pct,
+                              score_field="quality"),
+                          "s4_quality")
     # 5. perplexity filter: LM trained on what survived so far
     if drop_perplexity_pct:
         lm = TX.train_unigram_lm(out, text_field=text_field)
