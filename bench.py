@@ -297,7 +297,9 @@ def main():
                  "q_column_corr", "q_split_corpus",
                  "q_resample", "q_paragraph_dedup", "q_outer_join_shapes",
                  "q_topk_per_group", "q_moving_time_window",
-                 "q_validate_rules", "q_scd2_lookup"):
+                 "q_validate_rules", "q_scd2_lookup", "q_pagerank",
+                 "q_dsir_weights", "q_gopher_report", "q_winsorize",
+                 "q_attribution", "q_temperature_sample"):
         fn = qs[name]
         spark.catalog.clearCache()
         t0 = time.time()
