@@ -1497,6 +1497,31 @@ def q_embedding_truncate(spark, sf_dir):
          .alias("pos", "val"))
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape through the reference's chain-builder API:
+    customer ⋈ orders ⋈ lineitem with segment + date predicates,
+    revenue = Σ extendedprice·(1−discount) as an order-independent
+    DECIMAL sum, top 10 by (revenue desc, orderdate, orderkey).
+    Catalyst broadcasts the filtered dims and bounds the sort
+    (TakeOrderedAndProject)."""
+    db = _db(spark, sf_dir)
+    j = (db.query("customer")
+           .where("c_mktsegment", "=", "BUILDING")
+           .join("orders", "customer.c_custkey", "=", "orders.o_custkey")
+           .join("lineitem", "orders.o_orderkey", "=",
+                 "lineitem.l_orderkey")
+           .df())
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (j.filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+             .filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+             .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+             .agg(F.sum(F.round(rev, 4).cast("decimal(28,4)"))
+                   .cast("double").alias("revenue"))
+             .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(),
+                      F.col("o_orderkey").asc())
+             .limit(10))
+
+
 def q_calibrated_quality(spark, sf_dir):
     """Per-source quality calibration (filters.calibrate_scores): raw
     quality_score replaced by its within-source cume_dist, so one
@@ -2312,7 +2337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 48-50: r4-vintage refresh (changed-module families first) ---
         # --- past the 50-cap: the displaced rows, then r4 rows
         # deferred to r7 ---
-        "q_calibrated_quality", "q_winsorize", "q_attribution",
+        "q_tpch_q3", "q_calibrated_quality", "q_winsorize",
+        "q_attribution",
         "q_temperature_sample",
         "q_corpus_report",
         "q_embedding_truncate", "q_unpivot_long",
@@ -3200,6 +3226,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY bits_per_token DESC, id LIMIT 15""",
         "q_pagerank": _pagerank_oracle_sql(5),
         "q_ewma_anomaly": _ewma_anomaly_oracle_sql(),
+        "q_tpch_q3": """
+            SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                                       * (1.0 - l.l_discount), 4)
+                                 AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < DATE '1995-03-15'
+              AND l.l_shipdate > DATE '1995-03-15'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, o_orderdate, o_orderkey
+            LIMIT 10
+        """,
         "q_calibrated_quality": f"""
             WITH q AS (
               SELECT doc_id, source,

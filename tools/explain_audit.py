@@ -161,6 +161,9 @@ CHECKS: dict[str, list[str]] = {
     # SCD2 lookup: the interval conjuncts ride the key equi-join — the
     # no-cartesian sweep proves the equality key anchors the join
     "q_scd2_lookup": ["HashAggregate"],
+    # TPC-H Q3 shape: filtered dims broadcast, bounded final sort
+    "q_tpch_q3": ["BroadcastHashJoin", "TakeOrderedAndProject",
+                  "EqualTo(c_mktsegment,BUILDING)"],
 }
 
 #: plans that must NOT contain these operators (checked for every query
