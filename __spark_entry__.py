@@ -1522,6 +1522,31 @@ def q_tpch_q3(spark, sf_dir):
              .limit(10))
 
 
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting) through the builder:
+    4-table join (customer ⋈ orders ⋈ lineitem ⋈ nation), half-year +
+    returnflag predicates (window shifted into the dataset's date
+    range), per-customer DECIMAL revenue, top 20."""
+    db = _db(spark, sf_dir)
+    j = (db.query("customer")
+           .join("orders", "customer.c_custkey", "=", "orders.o_custkey")
+           .join("lineitem", "orders.o_orderkey", "=",
+                 "lineitem.l_orderkey")
+           .join("nation", "customer.c_nationkey", "=",
+                 "nation.n_nationkey")
+           .df())
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (j.filter((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                     & (F.col("o_orderdate") < F.lit("1996-07-01"))
+                     & (F.col("l_returnflag") == "R"))
+             .groupBy("c_custkey", "c_name", "n_name")
+             .agg(F.sum(F.round(rev, 4).cast("decimal(28,4)"))
+                   .cast("double").alias("revenue"),
+                  F.count(F.lit(1)).alias("n_items"))
+             .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+             .limit(20))
+
+
 def q_calibrated_quality(spark, sf_dir):
     """Per-source quality calibration (filters.calibrate_scores): raw
     quality_score replaced by its within-source cume_dist, so one
@@ -2337,7 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 48-50: r4-vintage refresh (changed-module families first) ---
         # --- past the 50-cap: the displaced rows, then r4 rows
         # deferred to r7 ---
-        "q_tpch_q3", "q_calibrated_quality", "q_winsorize",
+        "q_tpch_q3", "q_tpch_q10", "q_calibrated_quality", "q_winsorize",
         "q_attribution",
         "q_temperature_sample",
         "q_corpus_report",
@@ -3226,6 +3251,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY bits_per_token DESC, id LIMIT 15""",
         "q_pagerank": _pagerank_oracle_sql(5),
         "q_ewma_anomaly": _ewma_anomaly_oracle_sql(),
+        "q_tpch_q10": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                                       * (1.0 - l.l_discount), 4)
+                                 AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= DATE '1996-01-01'
+              AND o.o_orderdate < DATE '1996-07-01'
+              AND l.l_returnflag = 'R'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
         "q_tpch_q3": """
             SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
                    CAST(sum(CAST(round(l.l_extendedprice

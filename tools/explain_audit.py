@@ -164,6 +164,9 @@ CHECKS: dict[str, list[str]] = {
     # TPC-H Q3 shape: filtered dims broadcast, bounded final sort
     "q_tpch_q3": ["BroadcastHashJoin", "TakeOrderedAndProject",
                   "EqualTo(c_mktsegment,BUILDING)"],
+    # Q10 shape: 4-table broadcast chain, returnflag pushed, bounded sort
+    "q_tpch_q10": ["BroadcastHashJoin", "TakeOrderedAndProject",
+                   "EqualTo(l_returnflag,R)"],
 }
 
 #: plans that must NOT contain these operators (checked for every query
