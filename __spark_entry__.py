@@ -2331,7 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (q_time_rollup, q_rollup_subtotals, q_salted_agg) and the
     remaining r4/r5-green rows on unchanged modules.
     tools/check_correctness.py certifies EVERY entry locally each
-    round (latest full run this session: 144/144 exact in one pass,
+    round (latest full run this session: 145/145 exact in one pass,
     after every operator addition).
     """
 
