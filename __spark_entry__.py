@@ -2294,51 +2294,70 @@ def q_stream_mv(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver checks the FIRST 50 entries against the DuckDB oracle each round.
 
-    Ordering policy (round 6, same rotation rule as r3-r5).  First 50:
+    Ordering policy (round 7, same rotation rule as r3-r6).  First 50:
 
-    - slots 1-27: the r6 wave-1 operators (bloom join, splits,
-      histogram, weighted sample, correlation, batching, vocab
-      coverage, packing, covariance/PCA, curate_corpus, bigram LM,
-      BPE pair counts, quality classifier, SCD2 history, incremental
-      MV, pivot, grouping sets, heavy hitters, set ops, topic balance,
-      z-order, streaming MV, funnel, retention, column stats,
-      partitioned tables, unicode normalization);
-    - slots 28-40: the r6 wave-2 operators, all NEW this round with no
-      prior rows (q_resample, q_paragraph_dedup, q_ppl_buckets,
-      q_outer_join_shapes, q_topk_per_group, q_moving_time_window,
-      q_validate_rules, q_scd2_lookup, q_pagerank, q_ewma_anomaly,
-      q_dsir_weights, q_snapshot_read, q_gopher_report —
-      q_snapshot_read also re-exercises the changed store.py flush
-      path end to end, standing in for q_flush_reopen at slot 53);
-    - slots 41-50: the TEN oldest rows (r2/r3-vintage, named first by
-      the r5 verdict): q_filter_sort_limit, q_or_union_dedup, q_topk,
-      q_keyset_page, q_groupby_having, q_join_inner_group,
-      q_left_join_count, q_right_join, q_theta_join, q_fk_autojoin —
-      query.py also changed this round (set ops + semi/anti/full joins
-      + join hints), so the query-family refresh matters doubly.
+    - slots 1-9: the NINE entries the driver has never sampled (added
+      after r6's slot 50 froze; named explicitly by the r6 verdict):
+      q_tpch_q3, q_tpch_q10, q_calibrated_quality, q_winsorize,
+      q_attribution, q_temperature_sample, q_corpus_report,
+      q_embedding_truncate, q_unpivot_long;
+    - slots 10-16: entries on modules CHANGED this round —
+      plans/stats.py (degenerate-bucket re-split + materialization:
+      q_histogram), functions/timeseries.py (floor-division bucket
+      fix: q_resample), plans/validate.py (lit-built report rows:
+      q_validate_rules), llmops/lm.py (exact-frame thresholds:
+      q_ppl_buckets), store.py (per-table commit log: q_snapshot_read,
+      q_flush_reopen, q_partitioned_table);
+    - slots 17-50: the r4-vintage refresh the r6 verdict enumerated —
+      write-path family (q_update_rewrite ... q_update_ordered_limit),
+      vector top-k family, predicate-semantics family,
+      q_knn_join/q_ivf_batch/q_pq_search/q_ivfpq, q_mix_corpus,
+      q_bm25_search, packing family, q_agg_stats, q_events_window,
+      plus q_global_agg/q_count_star and two store-interplay rows.
 
-    Immediately past the cap, ordered by residual risk: the two
-    wave-1/2 entries the cap squeezed out (q_embedding_truncate — pure
-    map-side slice+renorm; q_unpivot_long — pure Expand, roundtrip
-    pytest), q_flush_reopen (its flush path re-exercised in-sample by
-    q_snapshot_read), q_moving_features (timeseries.py gained
-    resample/EWMA/anomaly; moving_features itself byte-identical), the
-    pipeline.py family (q_corpus_sample, q_corpus_shuffle,
-    q_stratified_take, q_corpus_shards, q_corpus_clean — entry
-    functions and the five functions they call byte-identical this
-    session), the store-interplay rows (q_backup_restore,
-    q_kv_namespace, q_ttl_filter), then the r4-vintage refresh
-    (q_time_rollup, q_rollup_subtotals, q_salted_agg) and the
-    remaining r4/r5-green rows on unchanged modules.
+    Past the cap, ordered by residual risk: the remaining r4-vintage
+    rows (q_langid, q_token_count_bpe, q_time_rollup,
+    q_rollup_subtotals, q_salted_agg/join, q_moving_features,
+    q_kv_namespace, pipeline.py family), then the full r6-green wave
+    (driver rows 1 round old, modules unchanged since), then the
+    r5/r6-green rows on unchanged modules.
     tools/check_correctness.py certifies EVERY entry locally each
-    round (latest full run this session: 145/145 exact in one pass,
-    after every operator addition).
+    round (latest full run: all entries exact in one pass, after
+    every operator addition).
     """
 
-    # first 50 = the driver's r6 correctness sample (see docstring)
+    # first 50 = the driver's r7 correctness sample (see docstring)
     _ORDER = [
-        # --- 1-28: NEW in r6 ---
-        "q_bloom_join", "q_split_corpus", "q_histogram",
+        # --- 1-9: never driver-sampled (r6 verdict item 2) ---
+        "q_tpch_q3", "q_tpch_q10", "q_calibrated_quality", "q_winsorize",
+        "q_attribution", "q_temperature_sample", "q_corpus_report",
+        "q_embedding_truncate", "q_unpivot_long",
+        # --- 10-16: modules changed in r7 ---
+        "q_histogram", "q_resample", "q_validate_rules", "q_ppl_buckets",
+        "q_snapshot_read", "q_flush_reopen", "q_partitioned_table",
+        # --- 17-50: r4-vintage refresh ---
+        "q_update_rewrite", "q_delete_rewrite", "q_upsert_merge",
+        "q_batch_update", "q_partial_insert", "q_expr_clamp_update",
+        "q_update_ordered_limit",
+        "q_vector_cosine_topk", "q_vector_l2_topk", "q_vector_ip_topk",
+        "q_vector_threshold", "q_quantized_knn",
+        "q_pred_like_between_in", "q_or_tree", "q_loose_eq",
+        "q_notin_null_semantics", "q_is_null_join",
+        "q_neq_null_semantics", "q_multiop_or",
+        "q_knn_join", "q_ivf_batch", "q_pq_search", "q_ivfpq",
+        "q_mix_corpus", "q_bm25_search",
+        "q_source_cap", "q_pack_sequences", "q_chunk_documents",
+        "q_quality_filter", "q_agg_stats", "q_events_window",
+        "q_global_agg", "q_count_star",
+        "q_backup_restore",
+        # --- past the 50-cap: remaining r4-vintage rows ---
+        "q_ttl_filter", "q_langid", "q_token_count_bpe", "q_time_rollup",
+        "q_rollup_subtotals", "q_salted_agg", "q_salted_join",
+        "q_moving_features", "q_kv_namespace", "q_corpus_sample",
+        "q_corpus_shuffle", "q_stratified_take", "q_corpus_shards",
+        "q_corpus_clean",
+        # --- r6-green wave (rows 1 round old, modules unchanged) ---
+        "q_bloom_join", "q_split_corpus",
         "q_weighted_sample", "q_column_corr", "q_length_batches",
         "q_vocab_coverage", "q_pack_materialize", "q_embedding_cov",
         "q_curate_corpus", "q_lm_score_bigram", "q_bpe_pair_counts",
@@ -2346,44 +2365,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot_wide", "q_grouping_sets",
         "q_heavy_hitters", "q_set_ops", "q_topic_balance",
         "q_zorder_rewrite", "q_stream_mv", "q_funnel",
-        "q_cohort_retention", "q_column_stats", "q_partitioned_table",
-        "q_unicode_normalize", "q_resample", "q_paragraph_dedup",
-        "q_ppl_buckets", "q_outer_join_shapes", "q_topk_per_group",
-        "q_moving_time_window", "q_validate_rules", "q_scd2_lookup",
+        "q_cohort_retention", "q_column_stats",
+        "q_unicode_normalize", "q_paragraph_dedup",
+        "q_outer_join_shapes", "q_topk_per_group",
+        "q_moving_time_window", "q_scd2_lookup",
         "q_pagerank", "q_ewma_anomaly", "q_dsir_weights",
-        "q_snapshot_read", "q_gopher_report",
-        # --- modules changed in r6 (pipeline.py, store.py) ---
-        # --- the ten oldest rows (r2/r3-vintage; query.py also
-        # changed this round) ---
+        "q_gopher_report",
         "q_filter_sort_limit", "q_or_union_dedup", "q_topk",
         "q_keyset_page", "q_groupby_having", "q_join_inner_group",
         "q_left_join_count", "q_right_join", "q_theta_join",
         "q_fk_autojoin",
-        # --- 48-50: r4-vintage refresh (changed-module families first) ---
-        # --- past the 50-cap: the displaced rows, then r4 rows
-        # deferred to r7 ---
-        "q_tpch_q3", "q_tpch_q10", "q_calibrated_quality", "q_winsorize",
-        "q_attribution",
-        "q_temperature_sample",
-        "q_corpus_report",
-        "q_embedding_truncate", "q_unpivot_long",
-        "q_flush_reopen",
-        "q_moving_features", "q_corpus_sample", "q_corpus_shuffle",
-        "q_stratified_take", "q_corpus_shards", "q_corpus_clean",
-        "q_backup_restore", "q_kv_namespace",
-        "q_ttl_filter", "q_time_rollup", "q_rollup_subtotals",
-        "q_salted_agg", "q_salted_join", "q_update_rewrite", "q_delete_rewrite",
-        "q_upsert_merge", "q_batch_update", "q_partial_insert",
-        "q_expr_clamp_update", "q_update_ordered_limit",
-        "q_vector_cosine_topk",
-        "q_quantized_knn", "q_pq_search", "q_ivfpq", "q_mix_corpus", "q_bm25_search", "q_knn_join", "q_ivf_batch",
-        "q_source_cap", "q_pack_sequences", "q_chunk_documents",
-        "q_quality_filter", "q_events_window", "q_agg_stats",
-        "q_langid", "q_token_count_bpe", "q_pred_like_between_in",
-        "q_or_tree", "q_loose_eq", "q_notin_null_semantics",
-        "q_is_null_join", "q_global_agg", "q_count_star",
-        "q_vector_l2_topk", "q_vector_ip_topk", "q_vector_threshold",
-        # --- then the 40 r5-green rows on modules untouched in r6 ---
+        # --- r5-green rows on modules untouched since ---
         "q_events_sessions", "q_similarity_ivf", "q_csv_source",
         "q_json_source", "q_asof_join", "q_range_join",
         "q_multimodal_features", "q_dedup_exact", "q_dedup_fingerprint",
@@ -2391,8 +2383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_incremental", "q_ngram_jaccard", "q_dedup_simhash",
         "q_dedup_simhash_near", "q_neardup_embedding", "q_contamination",
         "q_decontaminate", "q_repeated_spans", "q_lm_score",
-        "q_containment", "q_winnow_overlap", "q_neq_null_semantics",
-        "q_multiop_or", "q_events_json", "q_distinct_first",
+        "q_containment", "q_winnow_overlap",
+        "q_events_json", "q_distinct_first",
         "q_offset_page", "q_exists", "q_distinct", "q_schema_migration",
         "q_batch_export_page", "q_join5_regional", "q_bucketed_join",
         "q_doc_fingerprint", "q_repetition", "q_vocab_stats",

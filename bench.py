@@ -314,7 +314,30 @@ def main():
 
     recall = _recall_gate(spark, sf_dir)
     sf1 = _sf1_spot(spark, sf_dir, cold)
-    print(json.dumps({
+
+    # Detail block (extras/recall/sf1/methodology): written to a committed
+    # sidecar AND printed on an EARLIER stderr line.  The driver captures
+    # only a bounded tail of stdout, so the FINAL stdout line must stay
+    # compact (r6 lesson: a 3,315-char line overflowed the 2,000-char tail
+    # capture and shipped as parsed:null).
+    detail = {
+        "extras": {"cold": extras_cold, "warm": extras_warm,
+                   "note": "non-headline operator families, excluded from "
+                           "value/value_warm for cross-round comparability"},
+        "recall": recall,
+        "sf1_spot": sf1,
+        "methodology": ("cold_first_run (value/queries; r1-comparable) "
+                        "+ steady_state_second_run (value_warm/queries_warm; "
+                        "r2-comparable); canary_sec = fixed machine-speed "
+                        "probe, engine-independent; sf1_spot = 10x derived "
+                        "corpus scale check for the dedup/ANN operators"),
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    print("# detail: " + json.dumps(detail), file=sys.stderr)
+
+    headline_line = json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total_cold,
         "unit": "sec",
@@ -323,17 +346,12 @@ def main():
         "queries_warm": warm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "canary_sec": canary,
-        "extras": {"cold": extras_cold, "warm": extras_warm,
-                   "note": "round-6 operators, excluded from value/"
-                           "value_warm for cross-round comparability"},
-        "recall": recall,
-        "sf1_spot": sf1,
-        "methodology": ("cold_first_run (value/queries; r1-comparable) "
-                        "+ steady_state_second_run (value_warm/queries_warm; "
-                        "r2-comparable); canary_sec = fixed machine-speed "
-                        "probe, engine-independent; sf1_spot = 10x derived "
-                        "corpus scale check for the dedup/ANN operators"),
-    }))
+    })
+    # hard guard: the driver's tail capture is 2,000 chars; keep margin
+    assert len(headline_line) < 1800, (
+        f"bench headline line too long ({len(headline_line)} chars) — "
+        "move fields to BENCH_DETAIL.json")
+    print(headline_line)
 
 
 if __name__ == "__main__":

@@ -306,6 +306,34 @@ def test_exact_percentiles_edge_cases(spark):
     assert b == [7.0, 7.0]
 
 
+def test_exact_percentiles_degenerate_bucket(spark):
+    """A 90%-constant column used to dump 90% of N into ONE bucket and
+    window-sort it whole; the constant short-circuit + recursive
+    re-split now keep per-reducer sort state bounded AND the result
+    exact (verified against numpy's linear interpolation)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tostore_spark.plans.stats import exact_percentiles_frame
+    df = spark.range(20000).select(
+        F.when(F.col("id") % 10 == 0,
+               (F.col("id") % 500).cast("double"))
+         .otherwise(F.lit(42.0)).alias("v"))
+    fracs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = exact_percentiles_frame(df, "v", fracs, n_parts=8).collect()[0][0]
+    want = np.percentile(df.toPandas()["v"].to_numpy(),
+                         [f * 100 for f in fracs], method="linear")
+    assert all(abs(x - y) < 1e-9 for x, y in zip(got, want))
+    # non-deterministic lineage: materialization pins one evaluation, so
+    # the selection completes without mis-bracketing (no KeyError) and
+    # returns monotone bounds from a single consistent sample
+    nd = spark.range(50000).select(
+        (F.rand() * 100).alias("v")).sample(0.5)
+    got_nd = exact_percentiles_frame(nd, "v", [0.1, 0.5, 0.9]) \
+        .collect()[0][0]
+    assert got_nd == sorted(got_nd) and len(got_nd) == 3
+
+
 def test_clip_outliers_modes(spark):
     from tostore_spark.plans.stats import clip_outliers
     rows = [(float(i),) for i in range(1, 101)] + [(None,)]

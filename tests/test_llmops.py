@@ -947,6 +947,47 @@ def test_bpe_training_matches_python_reference(spark):
     assert TK.train_bpe(docs, num_merges=12).merges == ref_merges
 
 
+def test_bpe_batched_merges_match_serial(spark):
+    """batch_merges=B must reproduce the serial greedy merge table when
+    the batch's pairs are unambiguous (distinct counts, symbol-disjoint)
+    — while spending ~1/B of the scheduler rounds.  Overlapping
+    candidates are deferred, not mis-merged."""
+    from tostore_spark.llmops import tokenizer as TK
+
+    # 4 symbol-disjoint two-char words with strictly decreasing counts:
+    # one pair each, merges create no new pairs -> batch == serial exactly
+    data = [(n, w) for n, w in enumerate(
+        ["ab"] * 40 + ["cd"] * 30 + ["ef"] * 20 + ["gh"] * 10)]
+    docs = spark.createDataFrame(data, ["doc_id", "text"])
+    serial = TK.train_bpe(docs, num_merges=4, batch_merges=1)
+
+    calls = {"n": 0}
+    orig = TK.pair_counts
+
+    def spy(sym_df):
+        calls["n"] += 1
+        return orig(sym_df)
+
+    TK.pair_counts = spy
+    try:
+        batched = TK.train_bpe(docs, num_merges=4, batch_merges=4)
+    finally:
+        TK.pair_counts = orig
+    assert batched.merges == serial.merges == [
+        (0, "a", "b", 40), (1, "c", "d", 30),
+        (2, "e", "f", 20), (3, "g", "h", 10)]
+    # all 4 merges in ONE round (+1 final empty-check round at most)
+    assert calls["n"] <= 2
+
+    # overlap deferral: (a,b) and (b,c) share 'b' -> the batch takes
+    # (a,b) only and (b,c) lands in the NEXT round; table == serial's
+    data2 = [(n, w) for n, w in enumerate(["ab"] * 40 + ["bc"] * 39)]
+    docs2 = spark.createDataFrame(data2, ["doc_id", "text"])
+    s2 = TK.train_bpe(docs2, num_merges=2, batch_merges=1)
+    b2 = TK.train_bpe(docs2, num_merges=2, batch_merges=2)
+    assert b2.merges == s2.merges == [(0, "a", "b", 40), (1, "b", "c", 39)]
+
+
 def test_bpe_tokenize_join_form(spark):
     """Encoding is the join form (word_tokens equi-join, no per-merge
     expression): known words take their trained symbols, OOV words fall

@@ -259,6 +259,59 @@ def test_disjoint_flush_merges_kv_key_level(spark, tmp_path_factory):
     assert c.kv.get_value("doomed") is None      # b's delete won
 
 
+def test_same_table_disjoint_rows_row_merge(spark, tmp_path_factory):
+    """Row-granular write sets (reference:
+    transaction_manager.dart:17-50): two engines flush the SAME table
+    having touched DISJOINT rows — the loser's refresh(row_merge=True)
+    replays its local changes as a diff-apply onto the winner's state
+    (no re-derivation) and its retry flush commits both updates."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.store import ConcurrentWriteError
+    wh = str(tmp_path_factory.mktemp("wh_rowmerge"))
+    seed = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    seed.update("region", {"r_name": "SEED"}) \
+        .where("r_regionkey", "=", 4).execute()
+    seed.flush()                       # common base version both load
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    a.update("region", {"r_name": "A0"}).where("r_regionkey", "=", 0).execute()
+    a.flush()
+    b.update("region", {"r_name": "B1"}).where("r_regionkey", "=", 1).execute()
+    with pytest.raises(ConcurrentWriteError):
+        b.flush()                      # table-level CAS still trips
+    assert b.refresh(row_merge=True) == ["region"]
+    # replayed state holds BOTH writers' rows before b even re-flushes
+    got = {r["r_regionkey"]: r["r_name"]
+           for r in b.df("region").collect()}
+    assert got[0] == "A0" and got[1] == "B1" and got[4] == "SEED"
+    assert b.flush() == ["region"]
+    c = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    got = {r["r_regionkey"]: r["r_name"] for r in c.df("region").collect()}
+    assert got[0] == "A0" and got[1] == "B1" and got[4] == "SEED"
+    assert c.df("region").count() == 5     # no duplicated rows
+
+
+def test_same_table_overlapping_rows_still_conflict(spark, tmp_path_factory):
+    """Both writers changed the SAME row: row_merge must refuse (first
+    committer wins) instead of silently dropping or duplicating."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.store import ConcurrentWriteError
+    wh = str(tmp_path_factory.mktemp("wh_rowconflict"))
+    seed = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    seed.update("region", {"r_name": "SEED"}) \
+        .where("r_regionkey", "=", 4).execute()
+    seed.flush()
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    a.update("region", {"r_name": "A0"}).where("r_regionkey", "=", 0).execute()
+    a.flush()
+    b.update("region", {"r_name": "B0"}).where("r_regionkey", "=", 0).execute()
+    with pytest.raises(ConcurrentWriteError):
+        b.flush()
+    with pytest.raises(ConcurrentWriteError, match="row-level conflict"):
+        b.refresh(row_merge=True)
+
+
 def test_refresh_rejects_true_conflict(spark, tmp_path_factory):
     """Both writers touched the SAME table: refresh must refuse to replay
     (re-deriving is the caller's job), naming the table."""
@@ -368,9 +421,11 @@ def test_cross_engine_watch_via_manifest(spark, tmp_path_factory):
     a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
     b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
     seen = []
+    # remote=False: this test drives the fold EXPLICITLY via
+    # check_remote_changes (the auto event-push default would race it)
     b.watch(b.query("nation").select(["n_nationkey", "n_name"])
              .where("n_nationkey", "=", 0).limit(1),
-            lambda recs: seen.append(recs[0]["n_name"]))
+            lambda recs: seen.append(recs[0]["n_name"]), remote=False)
     assert len(seen) == 1            # initial emission
     assert b.check_remote_changes() == []   # idle: seq unchanged
     a.update("nation", {"n_name": "REMOTE"}) \
@@ -417,7 +472,7 @@ def test_manifest_stream_event_push(spark, tmp_path_factory):
     seen = []
     b.watch(b.query("nation").select(["n_nationkey", "n_name"])
              .where("n_nationkey", "=", 0).limit(1),
-            lambda recs: seen.append(recs[0]["n_name"]))
+            lambda recs: seen.append(recs[0]["n_name"]), remote=False)
     assert seen == [seen[0]]             # initial emission only
     q = start_manifest_stream(b, trigger="200 milliseconds")
     try:
@@ -437,6 +492,37 @@ def test_manifest_stream_event_push(spark, tmp_path_factory):
         q.stop()
 
 
+def test_watch_defaults_to_event_push(spark, tmp_path_factory):
+    """With a warehouse, a plain ``watch()`` registration is enough to
+    observe another engine's flush: the event-push manifest stream is
+    started automatically (no polling sleeps anywhere in B), and the
+    callback fires within the stream's trigger latency."""
+    import time as _t
+
+    from tostore_spark import ToStoreSpark
+    wh = str(tmp_path_factory.mktemp("wh_autopush"))
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    seen = []
+    b.watch(b.query("nation").select(["n_nationkey", "n_name"])
+             .where("n_nationkey", "=", 0).limit(1),
+            lambda recs: seen.append(recs[0]["n_name"]))
+    try:
+        assert b.remote_watch_active()           # started by watch()
+        assert getattr(b, "_remote_stream", None) is not None  # push, not poll
+        a.update("nation", {"n_name": "AUTOPUSH"}) \
+         .where("n_nationkey", "=", 0).execute()
+        a.flush()
+        deadline = _t.time() + 60
+        while _t.time() < deadline and (not seen or seen[-1] != "AUTOPUSH"):
+            _t.sleep(0.2)                        # the TEST waits; B never polls
+        assert seen[-1] == "AUTOPUSH"
+        assert b.last_remote_error is None
+    finally:
+        b.stop_remote_watch()
+        assert not b.remote_watch_active()
+
+
 def test_remote_watch_poller_thread(spark, tmp_path_factory):
     """start_remote_watch: the daemon poller delivers the remote flush
     without an explicit check call."""
@@ -449,8 +535,9 @@ def test_remote_watch_poller_thread(spark, tmp_path_factory):
     seen = []
     b.watch(b.query("region").select(["r_regionkey", "r_name"])
              .where("r_regionkey", "=", 0).limit(1),
-            lambda recs: seen.append(recs[0]["r_name"]))
-    b.start_remote_watch(interval_s=0.3)
+            lambda recs: seen.append(recs[0]["r_name"]), remote=False)
+    b.start_remote_watch(interval_s=0.3, mode="poll")
+    assert b.remote_watch_active()
     try:
         a.update("region", {"r_name": "POLLED"}) \
          .where("r_regionkey", "=", 0).execute()

@@ -168,7 +168,13 @@ def test_clean_stream_scrubs_against_static_index(spark, tmp_path_factory):
         [(10, boiler + " fresh streamed words never indexed before now")],
         ["doc_id", "text"]).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
-    cleaned = clean_stream(stream, spark.read.parquet(idx_dir), k=8)
+    # the unbounded (no-watermark) state mode is opt-in: without the
+    # acknowledgement flag a long-running ingest must not reach it
+    import pytest
+    with pytest.raises(ValueError, match="unbounded_state"):
+        clean_stream(stream, spark.read.parquet(idx_dir), k=8)
+    cleaned = clean_stream(stream, spark.read.parquet(idx_dir), k=8,
+                           unbounded_state=True)
     q = (cleaned.writeStream.format("memory").queryName("clean_out")
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination(120)

@@ -364,14 +364,33 @@ class ToStoreSpark:
             n = 0
         self._mutations[key] = n
 
-    def watch(self, builder, callback):
-        """Reactive re-query on table change (query_builder.dart:473-543)."""
+    def watch(self, builder, callback, remote: bool = True):
+        """Reactive re-query on table change (query_builder.dart:473-543).
+
+        With a warehouse configured, registering the first watcher also
+        starts the cross-engine remote watch (``start_remote_watch`` in
+        its default event-push mode) so OTHER engines' flushes reach
+        this callback with no polling sleeps — latency bounded by the
+        stream trigger.  ``remote=False`` keeps the watcher local-only
+        (the caller drives remote visibility via
+        ``check_remote_changes``/``start_remote_watch`` itself)."""
         from tostore_spark.streaming.reactive import Watcher
         if not hasattr(self, "_watchers"):
             self._watchers = []
         w = Watcher(builder, callback)
         self._watchers.append(w)
+        if (remote and getattr(self, "_warehouse", None)
+                and not self.remote_watch_active()):
+            self.start_remote_watch()
         return w
+
+    def remote_watch_active(self) -> bool:
+        """True while a cross-engine watch (event-push stream or polling
+        thread) is delivering other engines' flushes to this engine."""
+        stream = getattr(self, "_remote_stream", None)
+        if stream is not None and stream.isActive:
+            return True
+        return getattr(self, "_remote_stop", None) is not None
 
     def find_foreign_key(self, a: str, b: str):
         """FK metadata lookup for auto-joins: returns
@@ -407,15 +426,22 @@ class ToStoreSpark:
             self._mutations.clear()
         return flushed
 
-    def refresh(self) -> list[str]:
+    def refresh(self, row_merge: bool = False) -> list[str]:
         """Retry path after ConcurrentWriteError: reload the warehouse's
         current manifest (another writer's flush), then replay THIS
         engine's unflushed tables on top.  Raises ConcurrentWriteError
         listing the tables if the other writer also flushed one of them
-        (a true conflict the caller must re-derive).  Returns replayed
-        table names."""
+        (a true conflict the caller must re-derive).
+
+        ``row_merge=True`` narrows the conflict unit to the ROW: a
+        same-table conflict is replayed by diffing this engine's local
+        changes against its own flushed base and ``apply_changes``-ing
+        them onto the other writer's committed state — disjoint-row
+        writers both commit without re-deriving; a genuine row overlap
+        still raises (first committer wins).  Returns replayed table
+        names."""
         from tostore_spark import store as _store
-        return _store.refresh(self)
+        return _store.refresh(self, row_merge=row_merge)
 
     def check_remote_changes(self) -> list[str]:
         """Cross-engine watch visibility: one manifest read; if another
@@ -429,17 +455,39 @@ class ToStoreSpark:
         from tostore_spark import store as _store
         return _store.check_remote_changes(self)
 
-    def start_remote_watch(self, interval_s: float = 5.0) -> None:
-        """Poll the warehouse manifest on a daemon thread so watchers see
-        other engines' flushes without an explicit check.  A poll that
-        hits a true write conflict records the error on
-        ``last_remote_error`` and keeps polling (local state is kept —
-        the owner must resolve via refresh/re-derive)."""
+    def start_remote_watch(self, interval_s: float = 1.0,
+                           mode: str = "auto") -> None:
+        """Deliver other engines' flushes to this engine's watchers
+        without explicit checks.
+
+        ``mode="auto"`` (default): event PUSH — a Structured Streaming
+        source on the warehouse's per-flush event log
+        (``streaming.reactive.start_manifest_stream``), micro-batch
+        trigger = ``interval_s``; falls back to the mtime-polling daemon
+        thread on filesystems where a streaming file source cannot start.
+        ``mode="push"`` requires the stream (raises on failure);
+        ``mode="poll"`` forces the polling thread.  Either path records a
+        true write conflict on ``last_remote_error`` and keeps running
+        (local state kept — the owner must resolve via
+        refresh/re-derive)."""
         import threading
 
+        if mode not in ("auto", "push", "poll"):
+            raise ValueError(f"mode must be auto|push|poll, got {mode!r}")
         self.stop_remote_watch()
-        self._remote_stop = threading.Event()
         self.last_remote_error: Optional[Exception] = None
+        if mode in ("auto", "push"):
+            try:
+                from tostore_spark.streaming.reactive import \
+                    start_manifest_stream
+                self._remote_stream = start_manifest_stream(
+                    self, trigger=f"{max(int(interval_s * 1000), 50)} "
+                                  "milliseconds")
+                return
+            except Exception:
+                if mode == "push":
+                    raise
+                # no streaming-source support here — poll instead
 
         def _loop():
             while not self._remote_stop.wait(interval_s):
@@ -448,11 +496,18 @@ class ToStoreSpark:
                 except Exception as exc:   # conflict or transient FS error
                     self.last_remote_error = exc
 
+        self._remote_stop = threading.Event()
         self._remote_thread = threading.Thread(
             target=_loop, name="tostore-remote-watch", daemon=True)
         self._remote_thread.start()
 
     def stop_remote_watch(self) -> None:
+        if getattr(self, "_remote_stream", None) is not None:
+            try:
+                self._remote_stream.stop()
+            except Exception:
+                pass
+            self._remote_stream = None
         if getattr(self, "_remote_stop", None) is not None:
             self._remote_stop.set()
             self._remote_thread.join(timeout=5)
@@ -621,6 +676,7 @@ class ToStoreSpark:
             self._vector_indexes.clear()
         if hasattr(self, "_watchers"):
             self._watchers.clear()
+        self.stop_remote_watch()
         if not keep_active_space:
             for key in [k for k in self._tables
                         if k[0] not in (self._space, "global")]:

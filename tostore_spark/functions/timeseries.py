@@ -49,7 +49,10 @@ def resample(df: DataFrame, partition: str, ts_field: str, value: str,
     if fill not in (None, "ffill", "linear"):
         raise ValueError(f"fill must be None|'ffill'|'linear', got {fill!r}")
     iv_us = int(interval_s) * 1_000_000
-    idx = (epoch_us(F.col(ts_field)) / F.lit(iv_us)).cast("bigint")
+    # floor division, not double-divide + cast: casting truncates toward
+    # zero, so pre-1970 (negative-epoch) timestamps would land one bucket
+    # high and diverge from the oracle's `//` semantics
+    idx = F.floor(epoch_us(F.col(ts_field)) / F.lit(iv_us)).cast("bigint")
     # within-bucket exact aggregate
     buckets = (df.groupBy(F.col(partition).alias("__ent"),
                           idx.alias("__idx"))

@@ -179,21 +179,36 @@ def ppl_buckets(scored: DataFrame, bits_field: str = "bits_per_token",
     with ``bits_field``).  ``by`` computes the band thresholds PER GROUP
     (per language, per source) — CCNet's per-language percentiles —
     instead of one global cut.  Thresholds are the exact interpolated
-    percentiles at ``cuts`` (ascending, len(labels) == len(cuts)+1),
-    computed in one tiny aggregate that AQE broadcasts back.  Rows with
-    a null score (zero-token docs) get a null bucket.
+    percentiles at ``cuts`` (ascending, len(labels) == len(cuts)+1).
+    Rows with a null score (zero-token docs) get a null bucket.
+
+    Scale shape: the UNGROUPED thresholds go through
+    ``plans.stats.exact_percentiles_frame`` — the distributed
+    sketch-guided order-statistic selection — NOT Spark's
+    ``percentile`` value-map aggregate (whose per-partition value map
+    is memory-heavy and merges single-threaded; the exact operator
+    this repo replaced for whole-corpus stats).  The ``by``-grouped
+    path keeps the per-group ``percentile`` aggregate: CCNet's groups
+    are languages/sources (bounded per-group cardinality by contract —
+    thousands of groups × the group's values live in that group's
+    aggregate buffer); a group with 100 TB of rows should be cut
+    ungrouped per partition instead.
     """
     if len(labels) != len(cuts) + 1:
         raise ValueError("need len(labels) == len(cuts) + 1")
     if list(cuts) != sorted(float(c) for c in cuts):
         raise ValueError("cuts must be ascending")
-    qs = ", ".join(repr(float(c)) for c in cuts)
-    thr_cols = [F.expr(f"percentile(`{bits_field}`, array({qs}))")
-                .getItem(i).alias(f"__t{i}") for i in range(len(cuts))]
     if by is None:
-        thr = scored.agg(*thr_cols)
+        from tostore_spark.plans.stats import exact_percentiles_frame
+        bounds = exact_percentiles_frame(scored, bits_field, list(cuts))
+        thr = bounds.select(*[
+            F.col("__bounds").getItem(i).alias(f"__t{i}")
+            for i in range(len(cuts))])
         out = scored.crossJoin(F.broadcast(thr))
     else:
+        qs = ", ".join(repr(float(c)) for c in cuts)
+        thr_cols = [F.expr(f"percentile(`{bits_field}`, array({qs}))")
+                    .getItem(i).alias(f"__t{i}") for i in range(len(cuts))]
         thr = scored.groupBy(by).agg(*thr_cols)
         out = scored.join(thr, on=by, how="left")
     b = F.col(bits_field)

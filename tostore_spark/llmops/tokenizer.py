@@ -107,26 +107,57 @@ class BPEModel:
 
 def train_bpe(df: DataFrame, num_merges: int = 50, min_count: int = 2,
               text_field: str = "text",
-              checkpoint_every: int = 8) -> BPEModel:
-    """Train BPE: ``num_merges`` rounds (stopping early when no pair
+              checkpoint_every: int = 8,
+              batch_merges: int = 1) -> BPEModel:
+    """Train BPE: ``num_merges`` merges (stopping early when no pair
     reaches ``min_count``).  Ties break deterministically — count desc,
     then (left, right) lexicographic — so the merge table is a pure
-    function of the corpus."""
+    function of the corpus.
+
+    ``batch_merges=B`` batches the scheduler round-trips: each Spark
+    round takes the top candidates and accepts up to B of them greedily
+    in count order, SKIPPING any pair that shares a symbol (left, right,
+    or the concatenation) with an already-accepted pair in the batch —
+    symbol-disjoint merges commute (a merge only perturbs adjacencies
+    touching its own symbols), so the batch applies as one chained fold
+    with the same result in any order.  A production 32k-merge vocab
+    drops from 32k sequential jobs to ~32k/B rounds; the result equals
+    the serial greedy table whenever each batch's accepted pairs
+    dominate the pairs their merges newly create (the typical Zipfian
+    corpus case — and exactly the regime where batching pays).  B=1 IS
+    the serial algorithm."""
     sym = word_symbols(df, text_field=text_field).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(num_merges):
-        best = (pair_counts(sym)
-                .orderBy(F.col("n").desc(), F.col("a").asc(),
-                         F.col("b").asc())
-                .limit(1).collect())
-        if not best or best[0]["n"] < min_count:
+    since_ckpt = 0
+    while len(merges) < num_merges:
+        want = min(max(1, int(batch_merges)), num_merges - len(merges))
+        # 4x oversample: rejected overlapping candidates still leave a
+        # full batch to accept; bounded collect either way
+        top = (pair_counts(sym).filter(F.col("n") >= min_count)
+               .orderBy(F.col("n").desc(), F.col("a").asc(),
+                        F.col("b").asc())
+               .limit(4 * want).collect())
+        if not top:
             break
-        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
-        merges.append((rank, a, b, n))
-        sym = sym.withColumn(
-            "sym", apply_merge(F.col("sym"), F.lit(a), F.lit(b)))
-        if (rank + 1) % checkpoint_every == 0:
+        chosen: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for r in top:
+            if len(chosen) >= want:
+                break
+            cat = r["a"] + r["b"]
+            if r["a"] in used or r["b"] in used or cat in used:
+                continue   # overlaps an accepted pair: defer to next round
+            chosen.append((r["a"], r["b"], int(r["n"])))
+            used.update((r["a"], r["b"], cat))
+        col = F.col("sym")
+        for a, b, n in chosen:
+            merges.append((len(merges), a, b, n))
+            col = apply_merge(col, F.lit(a), F.lit(b))
+        sym = sym.withColumn("sym", col)
+        since_ckpt += len(chosen)
+        if since_ckpt >= checkpoint_every:
             sym = sym.localCheckpoint(eager=True)
+            since_ckpt = 0
     return BPEModel(merges=merges,
                     word_tokens=sym.localCheckpoint(eager=True))
 

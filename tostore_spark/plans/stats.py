@@ -88,21 +88,76 @@ def exact_percentiles_frame(df: DataFrame, col: str,
        (bucket-partitioned) — local rank + bucket offset = exact global
        rank; the ≤ 2·|fracs| bracketing rows interpolate to the bounds.
 
-    Per-reducer sort state is one bucket (~N/coarse rows under the
-    sketch's balance guarantee); a pathological single-value column
-    degrades one bucket to N rows — raise ``n_parts`` or fall back to
-    ``percentile`` for such columns.  Tied values make the rank→row
-    assignment ambiguous but the VALUE at any rank is well-defined, so
-    the result is deterministic.
+    Per-reducer sort state is bounded even on pathological
+    distributions: any NEEDED bucket whose exact count exceeds
+    8·N/|buckets| is handled without a full window-sort — a CONSTANT
+    bucket (min == max, the irreducible case a sketch can never split)
+    resolves every rank to that constant directly, and a non-constant
+    oversized bucket is recursively re-split with a second sketch pass
+    over only that bucket's rows (depth-capped; the cap falls back to
+    the window sort).  Tied values make the rank→row assignment
+    ambiguous but the VALUE at any rank is well-defined, so the result
+    is deterministic.
+
+    The bucketed frame is MATERIALIZED (eager localCheckpoint) before
+    the counting pass, so the exact counts and the rank-selection pass
+    read the same rows even when the input lineage is non-deterministic
+    (rand()/unseeded sample upstream) — without it, stage-3 ranks could
+    disagree with stage-2 counts and mis-bracket.
 
     Driver traffic is KNOB-bounded, never data-sized (the similarity.py
     n_cells precedent): the edge list (≤ n_parts doubles), the bucket
-    counts (≤ n_parts rows), and the ≤ 2·|fracs| bracketing values —
-    materializing each stage once instead of re-evaluating the sketch
-    subtree per plan branch (measured 3-4× at sf0.1)."""
+    counts (≤ n_parts rows per level), and the ≤ 2·|fracs| bracketing
+    values."""
     spark = df.sparkSession
     vals = df.select(F.col(col).alias("__v")).filter(F.col("__v").isNotNull())
     nb = n_parts or max(32, 4 * len(fracs))
+    # probe ranks once (the fracs are known before N): one resolver call
+    # per level; keys are (frac index, lo|hi) pairs
+    resolved, gfrac, n = _resolve_percentile_ranks(spark, vals, fracs, nb)
+    if n == 0 or not gfrac:
+        return spark.createDataFrame([([],)], "`__bounds` array<double>")
+    bounds = []
+    for i in sorted(gfrac):
+        vlo, vhi = resolved[(i, "lo")], resolved[(i, "hi")]
+        v = vlo + gfrac[i] * (vhi - vlo)
+        bounds.append(round(v, round_dp) if round_dp is not None else v)
+    return spark.createDataFrame([(bounds,)], "`__bounds` array<double>")
+
+
+def _resolve_percentile_ranks(spark, vals: DataFrame,
+                              fracs: Sequence[float], nb: int):
+    """Map fracs to global ranks over ``vals`` and resolve each rank to
+    its exact value via ``_select_ranks``.  Returns (resolved dict keyed
+    by (frac_idx, 'lo'|'hi'), interpolation fractions, N).
+
+    ``vals`` is materialized HERE, once: every downstream stage (rank
+    placement, sketch, counts, selection) then reads deterministic rows
+    even when the caller's lineage contains rand()/unseeded sampling."""
+    vals = vals.localCheckpoint(eager=True)
+    n = vals.count()
+    gfrac, items = {}, []
+    if n:
+        for i, f in enumerate(fracs):
+            r = float(f) * (n - 1)
+            glo, ghi = int(math.floor(r)), int(math.ceil(r))
+            gfrac[i] = r - glo
+            items.append(((i, "lo"), glo))
+            items.append(((i, "hi"), ghi))
+    resolved = _select_ranks(spark, vals, items, nb, depth=3) if items else {}
+    return resolved, gfrac, n
+
+
+def _select_ranks(spark, vals: DataFrame, items, nb: int,
+                  depth: int) -> dict:
+    """Exact distributed order-statistic selection: resolve each
+    (key, 0-based global rank) in ``items`` to the value at that rank of
+    ``vals.__v`` ascending.  Sketch-bucket → exact count → sort only the
+    hit buckets; constant buckets answer directly; oversized non-constant
+    buckets recurse (``depth`` levels) with a fresh sketch over just
+    that bucket."""
+    if not items:
+        return {}
     probe = ", ".join(repr(i / nb) for i in range(1, nb))
     # stage 1: coarse edges (balance only — accuracy can be low)
     edge_row = vals.agg(F.expr(
@@ -117,48 +172,58 @@ def exact_percentiles_frame(df: DataFrame, col: str,
     for e in edges:
         term = (F.col("__v") >= F.lit(float(e))).cast("int")
         bucket_id = term if bucket_id is None else bucket_id + term
-    bucketed = vals.withColumn("__b", bucket_id)
-    # stage 2: exact per-bucket counts -> offsets (<= n_parts rows)
+    # materialize ONCE: counts (stage 2) and rank selection (stage 3)
+    # must see the same rows even under non-deterministic input lineage
+    bucketed = (vals.withColumn("__b", bucket_id)
+                    .localCheckpoint(eager=True))
+    # stage 2: exact per-bucket counts + min/max -> offsets (<= nb rows)
     cnt_rows = bucketed.groupBy("__b").agg(
-        F.count(F.lit(1)).alias("c")).collect()
+        F.count(F.lit(1)).alias("c"),
+        F.min("__v").alias("mn"),
+        F.max("__v").alias("mx")).collect()
     counts = {r["__b"]: r["c"] for r in cnt_rows}
+    span = {r["__b"]: (r["mn"], r["mx"]) for r in cnt_rows}
     n = sum(counts.values())
     offs, acc = {}, 0
     for b in sorted(counts):
         offs[b] = acc
         acc += counts[b]
-    # targets: bracketing (rank -> bucket, local rank) lookups
-    need = []                          # (idx, which, bucket, local_rank)
-    gfrac = {}
-    for i, f in enumerate(fracs):
-        if n == 0:
-            continue
-        r = float(f) * (n - 1)
-        glo, ghi = int(math.floor(r)), int(math.ceil(r))
-        gfrac[i] = r - glo
-        for which, rk in (("lo", glo), ("hi", ghi)):
-            b = max(bb for bb in offs if offs[bb] <= rk)
-            need.append((i, which, b, rk - offs[b]))
-    if not need:
-        return spark.createDataFrame([([],)], "`__bounds` array<double>")
-    need_df = spark.createDataFrame(
-        need, "__idx int, __which string, __nb int, __lrank long")
-    # stage 3: sort ONLY the hit buckets, pick the bracketing rows
-    hit_b = sorted({b for _, _, b, _ in need})
-    w_rn = Window.partitionBy("__b").orderBy("__v")
-    got = (bucketed.filter(F.col("__b").isin(hit_b))
-                   .withColumn("__lrn", F.row_number().over(w_rn) - 1)
-                   .join(F.broadcast(need_df),
-                         (F.col("__b") == F.col("__nb"))
-                         & (F.col("__lrn") == F.col("__lrank")))
-                   .select("__idx", "__which", "__v").collect())
-    vlo = {r["__idx"]: r["__v"] for r in got if r["__which"] == "lo"}
-    vhi = {r["__idx"]: r["__v"] for r in got if r["__which"] == "hi"}
-    bounds = []
-    for i in sorted(gfrac):
-        v = vlo[i] + gfrac[i] * (vhi[i] - vlo[i])
-        bounds.append(round(v, round_dp) if round_dp is not None else v)
-    return spark.createDataFrame([(bounds,)], "`__bounds` array<double>")
+    oversize = 8 * max(n // max(len(counts), 1), 1)
+    out: dict = {}
+    sort_need = []                     # (key, bucket, local_rank)
+    recurse: dict = {}                 # bucket -> [(key, local_rank)]
+    for key, rk in items:
+        rk = min(max(int(rk), 0), n - 1)
+        b = max(bb for bb in offs if offs[bb] <= rk)
+        lrk = rk - offs[b]
+        mn, mx = span[b]
+        if mn == mx:
+            # constant bucket: the value at EVERY local rank is mn —
+            # the case no sketch can split, answered without sorting
+            out[key] = mn
+        elif counts[b] > oversize and depth > 0:
+            recurse.setdefault(b, []).append((key, lrk))
+        else:
+            sort_need.append((key, b, lrk))
+    if sort_need:
+        need_df = spark.createDataFrame(
+            [(str(k), b, lr) for k, b, lr in sort_need],
+            "__key string, __nb int, __lrank long")
+        hit_b = sorted({b for _, b, _ in sort_need})
+        w_rn = Window.partitionBy("__b").orderBy("__v")
+        got = (bucketed.filter(F.col("__b").isin(hit_b))
+                       .withColumn("__lrn", F.row_number().over(w_rn) - 1)
+                       .join(F.broadcast(need_df),
+                             (F.col("__b") == F.col("__nb"))
+                             & (F.col("__lrn") == F.col("__lrank")))
+                       .select("__key", "__v").collect())
+        by_key = {r["__key"]: r["__v"] for r in got}
+        for k, b, lr in sort_need:
+            out[k] = by_key[str(k)]
+    for b, sub_items in recurse.items():
+        sub = bucketed.filter(F.col("__b") == b).select("__v")
+        out.update(_select_ranks(spark, sub, sub_items, nb, depth - 1))
+    return out
 
 
 def column_histogram(df: DataFrame, col: str, n_buckets: int = 10,

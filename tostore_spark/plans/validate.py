@@ -83,12 +83,19 @@ def validate_table(df: DataFrame, rules: list[dict]) -> DataFrame:
         agg = df.agg(total.alias("__n"),
                      *[F.sum(_row_violation(r).cast("long")).alias(f"__r{i}")
                        for i, r in row_rules])
-        stack = ", ".join(
-            f"'{r['kind']}:{r['field']}', '{r['kind']}', '{r['field']}', __r{i}"
-            for i, r in row_rules)
-        parts.append(agg.selectExpr(
-            f"stack({len(row_rules)}, {stack})"
-            " as (rule, kind, field, n_violations)", "__n as n_rows"))
+        # report rows built from F.lit() columns, never interpolated into
+        # a selectExpr string: a field name containing a quote is legal
+        # in Spark (backtick-escaped) and must not break or mislabel the
+        # generated report
+        structs = [
+            F.struct(F.lit(f"{r['kind']}:{r['field']}").alias("rule"),
+                     F.lit(r["kind"]).alias("kind"),
+                     F.lit(r["field"]).alias("field"),
+                     F.col(f"__r{i}").alias("n_violations"))
+            for i, r in row_rules]
+        parts.append(agg.select(F.explode(F.array(*structs)).alias("__s"),
+                                F.col("__n").alias("n_rows"))
+                        .select("__s.*", "n_rows"))
     for r in rules:
         if r["kind"] == "unique":
             keys = [F.col(f) for f in r["fields"]]

@@ -497,7 +497,7 @@ def load_warehouse(engine) -> list[str]:
     return loaded
 
 
-def refresh(engine) -> list[str]:
+def refresh(engine, row_merge: bool = False) -> list[str]:
     """The ConcurrentWriteError retry path (the reference's transaction
     manager gives losers a retry — transaction_manager.dart:17-50).
 
@@ -505,9 +505,23 @@ def refresh(engine) -> list[str]:
     unflushed in-memory tables on top: a table whose base generation is
     unchanged in the new manifest (or that the other writer never touched)
     keeps its local mutations and will flush cleanly next time; a table
-    the other writer also flushed is a true conflict and raises, listing
-    the tables so the caller can re-derive them.  Returns the replayed
-    table names."""
+    the other writer also flushed is a true conflict — by default it
+    raises, listing the tables so the caller can re-derive them.
+
+    ``row_merge=True`` narrows conflict granularity from the TABLE to
+    the ROW (the reference's write-set granularity,
+    transaction_manager.dart:17-50): for each conflicted table this
+    engine's local changes are extracted as a change feed —
+    diff(base = the version THIS engine last flushed, local state) —
+    and re-applied onto the other writer's committed state via
+    ``apply_changes``.  Writers that touched DISJOINT rows both win
+    without re-deriving anything; a genuine row overlap (a row this
+    engine changed/deleted that the other writer also changed or
+    deleted) still raises — first-committer-wins, never a silent lost
+    update.  Both writers inserting the same new row keeps both copies
+    (bag semantics, matching the value-keyed CDC model).  The feed is
+    materialized before the registry swap, so replay never re-derives
+    the loser's computation.  Returns the replayed table names."""
     wh = engine._warehouse
     if not wh:
         return []
@@ -520,14 +534,21 @@ def refresh(engine) -> list[str]:
              if engine._generations.get(key, 0) > old_flushed.get(key, 0)
              or (ent.get("path") is None and key not in old_flushed)}
     conflicts = sorted(
-        f"{k[0]}/{k[1]}" for k in dirty
+        k for k in dirty
         if new_flushed.get(k, old_flushed.get(k, 0)) != old_flushed.get(k, 0))
+    feeds = {}
+    if conflicts and row_merge:
+        feeds = _extract_local_feeds(engine, conflicts, old_flushed)
+        conflicts = [k for k in conflicts if k not in feeds]
     if conflicts:
         raise ConcurrentWriteError(
             "refresh cannot replay: the other writer also flushed "
-            f"{conflicts}; re-derive those tables from the refreshed state")
+            f"{sorted(f'{k[0]}/{k[1]}' for k in conflicts)}; re-derive "
+            "those tables from the refreshed state"
+            + ("" if row_merge else
+               " (or refresh(row_merge=True) for row-level merge)"))
     keep = {k: (dict(ent), engine._generations.get(k, 0))
-            for k, ent in dirty.items()}
+            for k, ent in dirty.items() if k not in feeds}
     # drop all warehouse-backed registrations, re-overlay the new manifest
     for k in list(engine._tables):
         if k not in keep:
@@ -546,7 +567,66 @@ def refresh(engine) -> list[str]:
         engine._generations[k] = max(gen, new_flushed.get(k, 0) + 1)
         engine._flushed_gen.pop(k, None)
         replayed.append(k[1])
+    for k, feed in feeds.items():
+        _apply_local_feed(engine, k, feed)
+        replayed.append(k[1])
     return replayed
+
+
+def _extract_local_feeds(engine, conflicts, old_flushed) -> dict:
+    """Row-merge step 1 (before the registry swap): for each conflicted
+    table, materialize THIS engine's local changes as a change feed —
+    diff(the version this engine last flushed, its current local state).
+    The eager checkpoint pins the feed's rows so the replay needs
+    neither the old version directory nor the local lineage again.
+
+    Only tables with a readable local base qualify: a table this engine
+    never flushed (both writers creating it) or whose base version was
+    vacuumed stays a table-level conflict for the caller to re-derive."""
+    from pyspark.sql import functions as F
+
+    feeds = {}
+    for k in conflicts:
+        base_ver = old_flushed.get(k)
+        if base_ver is None:
+            continue   # no common base: both writers created the table
+        try:
+            base = read_version(engine, k[1], base_ver, space=k[0])
+        except FileNotFoundError:
+            continue   # base vacuumed away — cannot diff, re-derive
+        local = engine._tables[k]["df"]
+        cols = sorted(local.columns)
+        if sorted(base.columns) != cols:
+            continue   # schema diverged: a row diff cannot express it
+        ins = (local.select(*cols).exceptAll(base.select(*cols))
+                    .withColumn("change", F.lit("insert")))
+        dele = (base.select(*cols).exceptAll(local.select(*cols))
+                     .withColumn("change", F.lit("delete")))
+        feeds[k] = ins.unionByName(dele).localCheckpoint(eager=True)
+    return feeds
+
+
+def _apply_local_feed(engine, k, feed) -> None:
+    """Row-merge step 2 (after the other writer's state is loaded):
+    verify the feed touches only rows the other writer left alone, then
+    ``apply_changes`` it onto the refreshed table.  A delete row missing
+    from the refreshed state means BOTH writers changed/deleted that row
+    — first-committer-wins, raise instead of silently dropping either
+    side's update."""
+    from pyspark.sql import functions as F
+
+    table, space = k[1], k[0]
+    remote = engine.df(table)
+    cols = sorted(c for c in feed.columns if c != "change")
+    dele = feed.filter(F.col("change") == "delete").select(*cols)
+    overlap = dele.exceptAll(remote.select(*cols)).count()
+    if overlap:
+        raise ConcurrentWriteError(
+            f"row-level conflict on {space}/{table}: {overlap} row(s) "
+            "this engine changed or deleted were also changed/deleted "
+            "by the other writer; first committer wins — re-derive "
+            "from the refreshed state")
+    apply_changes(engine, table, feed, space=space)
 
 
 def check_remote_changes(engine) -> list[str]:
@@ -761,12 +841,22 @@ def apply_changes(engine, table: str, feed, space: str = "default") -> int:
         raise ValueError(
             f"feed columns {cols} do not match table columns "
             f"{sorted(cur.columns)}")
+    # one aggregate over the feed: per-kind counts + a rejection of any
+    # unknown `change` value (silently ignoring them would let the
+    # returned "rows applied" overstate what was actually applied)
+    kinds = {r["change"]: r["n"] for r in
+             feed.groupBy("change").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+    unknown = sorted(k for k in kinds if k not in ("insert", "delete"))
+    if unknown:
+        raise ValueError(
+            f"feed contains unsupported change kinds {unknown}; "
+            "expected only 'insert'/'delete' (table_diff's shape)")
     dele = feed.filter(F.col("change") == "delete").select(*cols)
     ins = feed.filter(F.col("change") == "insert").select(*cols)
-    n = feed.count()
     new = cur.select(*cols).exceptAll(dele).unionByName(ins)
     engine.set_df(table, new)
-    return n
+    return kinds.get("insert", 0) + kinds.get("delete", 0)
 
 
 def export_table(engine, table: str, path: str, format: str = "parquet",

@@ -108,7 +108,8 @@ def dedup_stream(docs: DataFrame, text_field: str = "text",
 def clean_stream(docs: DataFrame, span_freq: DataFrame, k: int = 8,
                  max_doc_freq: int = 1, text_field: str = "text",
                  id_field: str = "doc_id", ts_field: str | None = None,
-                 watermark: str = "1 hour") -> DataFrame:
+                 watermark: str = "1 hour",
+                 unbounded_state: bool = False) -> DataFrame:
     """Streaming boilerplate removal: scrub each arriving document
     against a PERSISTED corpus span-frequency index
     (``llmops.dedup.span_freq_index`` read back as a static frame) — the
@@ -132,13 +133,23 @@ def clean_stream(docs: DataFrame, span_freq: DataFrame, k: int = 8,
       distinct doc_id for the stream's lifetime, and doc_ids must be
       unique across the whole stream (a re-arriving id merges its spans
       with the retained state, producing corrupted rebuilt text).  Only
-      for bounded backfills.
+      for bounded backfills — and therefore OPT-IN: the caller must
+      pass ``unbounded_state=True`` to acknowledge the forever-growing
+      state store; without it a long-running ingest cannot reach this
+      mode by accident.
 
     The index is corpus truth as of its build; rebuild it on the batch
     side as the corpus grows."""
     from tostore_spark.llmops.dedup import _rebuild_clean, _span_rows
 
     if ts_field is None:
+        if not unbounded_state:
+            raise ValueError(
+                "clean_stream with ts_field=None keeps one state entry "
+                "per doc_id FOREVER (no watermark eviction). Pass a "
+                "ts_field + watermark for long-running ingest, or opt in "
+                "explicitly with unbounded_state=True for a bounded "
+                "backfill.")
         ex = _span_rows(docs, k, text_field, id_field)
         joined = (ex.join(span_freq, on="h", how="left")
                     .withColumn("span_df",
