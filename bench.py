@@ -150,12 +150,49 @@ def _sf1_spot(spark, sf_dir: str, headline_cold: dict) -> dict | None:
     }
 
 
+def _clustered_embeddings(spark, n: int = 4000, dim: int = 32,
+                          n_clusters: int = 50):
+    """Deterministic mixture-of-Gaussians-shaped embedding table: row i
+    belongs to cluster i mod n_clusters; each coordinate is a hashed
+    pseudo-random cluster center (sin-scrambled, in [-1,1]) plus small
+    hash-derived noise.  Seedless-but-deterministic by construction
+    (pure column math over ``range``), so the recall reading is
+    reproducible across rounds and hosts.
+
+    Why it exists: the driver's synthetic embeddings are structureless —
+    on them IVF recall mathematically equals the probed corpus fraction
+    (BASELINE.md r6 note), so the recall gate could never show a real
+    regression or improvement.  On CLUSTERED vectors (the realistic
+    case) cells align with true clusters and a query's own cell holds
+    its truth set, so recall@10 at modest nprobe should sit >=0.9 —
+    drift below that is a genuine ANN regression.  The flat-testdata
+    curve stays in the JSON as the adversarial floor."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n).withColumnRenamed("id", "vec_id")
+    cl = F.pmod(F.col("vec_id"), F.lit(n_clusters))
+
+    def coord(d):
+        center = F.sin((cl + 1).cast("double") * (d + 1).cast("double")
+                       * F.lit(0.7310529))
+        noise = ((F.pmod(F.hash(F.col("vec_id") * 31 + d), F.lit(1000))
+                  .cast("double") / 1000.0) - 0.5) * F.lit(0.1)
+        return center + noise
+
+    return base.withColumn(
+        "embedding",
+        F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), coord))
+
+
 def _recall_gate(spark, sf_dir: str) -> dict | None:
-    """Measured ANN recall@10 at the bench scale, recorded in the JSON
-    line every round so a recall regression shows up in the artifact
-    diff — the pytest >= 0.9 floor catches breakage, this catches
-    DRIFT.  IVF: the distributed ivf_measure_recall (batch IVF vs exact
-    knn_join over a deterministic 20-query sample).  IVF+PQ: mean over
+    """Measured ANN recall@10 at the bench scale, recorded every round
+    so a recall regression shows up in the artifact diff — the pytest
+    >= 0.9 floor catches breakage, this catches DRIFT.  IVF: the
+    distributed ivf_measure_recall (batch IVF vs exact knn_join over a
+    deterministic 20-query sample), on BOTH the flat driver embeddings
+    (adversarial floor: recall == probed fraction by construction) and
+    a deterministic clustered table (realistic case: cells align with
+    structure, recall must stay >= 0.9 at nprobe 4).  IVF+PQ: mean over
     5 deterministic queries of the ADC+re-rank path vs the exact top-10
     (the pytest's shape, at sf0.1).  Set SPARK_GRAFT_RECALL=0 to skip."""
     if os.environ.get("SPARK_GRAFT_RECALL", "1") != "1":
@@ -178,6 +215,16 @@ def _recall_gate(spark, sf_dir: str) -> dict | None:
         f"nprobe_{np_}": round(sim.ivf_measure_recall(
             enc, cents, k=10, nprobe=np_, n_queries=20), 4)
         for np_ in (2, 4, 8)}
+
+    # clustered table: the reading that can actually detect an ANN
+    # regression (flat curve above == probed fraction by construction)
+    cemb = _clustered_embeddings(spark).localCheckpoint(eager=True)
+    cenc, ccents = sim.ivf_build(cemb, n_cells=16)
+    cenc = cenc.localCheckpoint(eager=True)
+    ivf_recall_clustered = {
+        f"nprobe_{np_}": round(sim.ivf_measure_recall(
+            cenc, ccents, k=10, nprobe=np_, n_queries=20), 4)
+        for np_ in (2, 4)}
 
     pq_enc, pq_cents, books = PQ.ivfpq_build(emb, n_cells=16, m=8,
                                              n_codes=64, sample=500)
@@ -207,13 +254,21 @@ def _recall_gate(spark, sf_dir: str) -> dict | None:
     out = {
         "k": 10,
         "ivf_recall_at_10": ivf_recall,
+        "ivf_recall_at_10_clustered": ivf_recall_clustered,
         "ivf_params": {"n_cells": 16, "n_queries": 20},
+        "clustered_params": {"n": 4000, "dim": 32, "n_clusters": 50,
+                             "note": "flat curve = adversarial floor "
+                                     "(structureless vectors: recall == "
+                                     "probed fraction); clustered curve = "
+                                     "regression-sensitive reading, expect "
+                                     ">=0.9 at nprobe 4"},
         "ivfpq_recall_at_10": round(sum(recalls) / len(recalls), 4),
         "ivfpq_params": {"n_cells": 16, "m": 8, "n_codes": 64,
                          "nprobe": 4, "oversample": 8, "n_queries": 5},
         "measure_sec": round(time.time() - t0, 3),
     }
     print(f"# recall: ivf={out['ivf_recall_at_10']} "
+          f"ivf_clustered={out['ivf_recall_at_10_clustered']} "
           f"ivfpq={out['ivfpq_recall_at_10']} "
           f"({out['measure_sec']}s)", file=sys.stderr)
     return out

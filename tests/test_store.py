@@ -291,6 +291,28 @@ def test_same_table_disjoint_rows_row_merge(spark, tmp_path_factory):
     assert c.df("region").count() == 5     # no duplicated rows
 
 
+def test_flush_on_conflict_row_merge_auto_retry(spark, tmp_path_factory):
+    """flush(on_conflict='row_merge') is the one-call optimistic loop:
+    the loser refreshes with row merge and re-flushes internally —
+    disjoint-row writers need no caller-side conflict handling."""
+    from tostore_spark import ToStoreSpark
+    wh = str(tmp_path_factory.mktemp("wh_autoretry"))
+    seed = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    seed.update("region", {"r_name": "SEED"}) \
+        .where("r_regionkey", "=", 4).execute()
+    seed.flush()
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    a.update("region", {"r_name": "A0"}).where("r_regionkey", "=", 0).execute()
+    a.flush()
+    b.update("region", {"r_name": "B1"}).where("r_regionkey", "=", 1).execute()
+    assert b.flush(on_conflict="row_merge") == ["region"]   # no raise
+    c = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    got = {r["r_regionkey"]: r["r_name"] for r in c.df("region").collect()}
+    assert got[0] == "A0" and got[1] == "B1" and got[4] == "SEED"
+    assert c.df("region").count() == 5
+
+
 def test_same_table_overlapping_rows_still_conflict(spark, tmp_path_factory):
     """Both writers changed the SAME row: row_merge must refuse (first
     committer wins) instead of silently dropping or duplicating."""

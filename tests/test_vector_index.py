@@ -344,6 +344,23 @@ def test_ivf_measured_recall(spark, db01, tmp_path_factory):
     assert 0.0 < r <= 1.0
 
 
+def test_ivf_recall_on_clustered_vectors(spark):
+    """On CLUSTERED vectors (the realistic embedding shape) IVF cells
+    align with true clusters and partial probing must keep recall@10
+    >= 0.9 at nprobe 4 — the regression-sensitive reading.  The driver
+    testdata's structureless vectors can't show this (there recall ==
+    probed fraction by construction, BASELINE.md r6), which is why the
+    bench recall gate carries both curves."""
+    from bench import _clustered_embeddings
+    from tostore_spark.llmops import similarity as S
+    emb = _clustered_embeddings(spark, n=2000, dim=32, n_clusters=40) \
+        .localCheckpoint(eager=True)
+    enc, cents = S.ivf_build(emb, n_cells=16)
+    enc = enc.localCheckpoint(eager=True)
+    r4 = S.ivf_measure_recall(enc, cents, k=10, nprobe=4, n_queries=10)
+    assert r4 >= 0.9, f"clustered recall@10 at nprobe 4 = {r4}"
+
+
 # ---------------------------------------------------------------- int8 SQ
 def test_quantize_roundtrip_error_bounded(spark, db01):
     """Symmetric int8 SQ: |x − dequant(quant(x))| <= scale/2 per element."""

@@ -407,7 +407,9 @@ class ToStoreSpark:
 
     # ---- lifecycle / diagnostics (tostore.dart:1035-1172) -------------
     def flush(self, flush_storage: bool = True,
-              only: Optional[list] = None) -> list[str]:
+              only: Optional[list] = None,
+              on_conflict: str = "error",
+              max_retries: int = 3) -> list[str]:
         """Make pending mutations durable (tostore.dart:1035).
 
         With a ``warehouse`` configured, every dirty table is written to
@@ -418,10 +420,33 @@ class ToStoreSpark:
         warehouse=...)`` resumes from exactly this state).  Without a
         warehouse (or flush_storage=False), dirty tables are only
         localCheckpoint-ed: a memory barrier, NOT durable — mutations die
-        with the session, as README limitations document."""
+        with the session, as README limitations document.
+
+        ``on_conflict`` picks the reaction to a concurrent writer having
+        flushed one of this engine's dirty tables first (per-table CAS):
+
+        - ``"error"`` (default): raise ``ConcurrentWriteError`` — the
+          caller drives ``refresh()``/``refresh(row_merge=True)``.
+        - ``"row_merge"``: automatic optimistic retry, the reference's
+          transaction-retry loop (transaction_manager.dart:17-50) at row
+          granularity — refresh(row_merge=True) then re-flush, up to
+          ``max_retries`` times.  Disjoint-row writers commit without
+          caller involvement; a genuine row overlap (or exhausted
+          retries) still raises."""
         from tostore_spark import store as _store
-        flushed = _store.flush_tables(self, flush_storage=flush_storage,
-                                      only=only)
+        if on_conflict not in ("error", "row_merge"):
+            raise ValueError(
+                f"on_conflict must be error|row_merge, got {on_conflict!r}")
+        attempts = max_retries if on_conflict == "row_merge" else 0
+        for attempt in range(attempts + 1):
+            try:
+                flushed = _store.flush_tables(
+                    self, flush_storage=flush_storage, only=only)
+                break
+            except _store.ConcurrentWriteError:
+                if attempt == attempts:
+                    raise
+                self.refresh(row_merge=True)
         if hasattr(self, "_mutations"):
             self._mutations.clear()
         return flushed
