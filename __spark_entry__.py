@@ -2287,6 +2287,159 @@ def q_stream_mv(spark, sf_dir):
     return spark.createDataFrame(rows, sch)
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking) on this dataset's
+    columns: orders from one quarter with at least one LATE line
+    (l_shipdate > o_orderdate + 30 days), counted per priority.  The
+    EXISTS correlated subquery is a LEFT-SEMI join with a compound
+    equi+theta condition — the probe never duplicates an order however
+    many late lines it has, and the date filter prunes the build side
+    before the shuffle."""
+    db = _db(spark, sf_dir)
+    o = (db.df("orders")
+           .filter((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                   & (F.col("o_orderdate") < F.lit("1996-04-01"))))
+    li = db.df("lineitem")
+    sj = o.join(li, (F.col("o_orderkey") == F.col("l_orderkey"))
+                & (F.col("l_shipdate")
+                   > F.date_add(F.col("o_orderdate"), 30)),
+                "left_semi")
+    return (sj.groupBy("o_orderpriority")
+              .agg(F.count(F.lit(1)).alias("n_orders"))
+              .orderBy("o_orderpriority"))
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape (priority split per line class; l_returnflag
+    stands in for shipmode, which this dataset lacks): orders ⋈
+    lineitem over a ship-date year, CASE-conditional twin counts —
+    high (URGENT/HIGH) vs low priority — in ONE aggregate pass."""
+    db = _db(spark, sf_dir)
+    j = db.df("orders").join(db.df("lineitem"),
+                             F.col("o_orderkey") == F.col("l_orderkey"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (j.filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                     & (F.col("l_shipdate") < F.lit("1997-01-01")))
+             .groupBy("l_returnflag")
+             .agg(F.sum(hi.cast("long")).alias("high_line_count"),
+                  F.sum((~hi).cast("long")).alias("low_line_count"))
+             .orderBy("l_returnflag"))
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): lineitem ⋈ broadcast(part)
+    for one month; promo_pct = 100 · Σ rev over PROMO parts / Σ rev —
+    both sums order-independent DECIMAL, ratio in double rounded 6dp."""
+    db = _db(spark, sf_dir)
+    j = db.df("lineitem").join(F.broadcast(db.df("part")),
+                               F.col("l_partkey") == F.col("p_partkey"))
+    rev = F.round(F.col("l_extendedprice")
+                  * (F.lit(1.0) - F.col("l_discount")), 4) \
+           .cast("decimal(28,4)")
+    promo = F.when(F.col("p_type") == "PROMO", rev) \
+             .otherwise(F.lit(0).cast("decimal(28,4)"))
+    return (j.filter((F.col("l_shipdate") >= F.lit("1996-03-01"))
+                     & (F.col("l_shipdate") < F.lit("1996-04-01")))
+             .agg(F.round(F.lit(100.0) * F.sum(promo).cast("double")
+                          / F.sum(rev).cast("double"), 6)
+                   .alias("promo_pct")))
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue over disjunctive brackets)
+    through the BUILDER's condition tree: three (brand, size, quantity)
+    AND-brackets OR-ed together on lineitem ⋈ part — the DNF path the
+    reference compiles (query_condition.dart:116-409), pushed into one
+    scan instead of three."""
+    db = _db(spark, sf_dir)
+
+    def bracket(brand, size_max, qlo, qhi):
+        return (QueryCondition().where("p_brand", "=", brand)
+                .where("p_size", "<=", size_max)
+                .where("l_quantity", ">=", float(qlo))
+                .where("l_quantity", "<=", float(qhi)))
+
+    cond = (QueryCondition()
+            .condition(bracket("Brand#1", 10, 1, 11))
+            .or_condition(bracket("Brand#7", 20, 10, 20))
+            .or_condition(bracket("Brand#13", 30, 20, 30)))
+    j = (db.query("lineitem")
+           .join("part", "lineitem.l_partkey", "=", "part.p_partkey")
+           .condition(cond).df())
+    rev = F.round(F.col("l_extendedprice")
+                  * (F.lit(1.0) - F.col("l_discount")), 4) \
+           .cast("decimal(28,4)")
+    return j.agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines"))
+
+
+def q_rolling_active(spark, sf_dir):
+    """7-day rolling distinct active users per day (WAU curve) over
+    events: day-grain (day, user) dedup — the one corpus shuffle —
+    then a broadcast trailing-window day join over the DISTINCT frame
+    (functions/timeseries.rolling_distinct).  Exact sliding
+    count-distinct with no all-events window state."""
+    from tostore_spark.functions.timeseries import rolling_distinct
+    db = _db(spark, sf_dir)
+    return (rolling_distinct(db.df("events"), "ts", "user_id",
+                             window_days=7)
+            # string-rendered day: Spark DateType and DuckDB DATE reach
+            # pandas as different dtypes and would hash-mismatch
+            .select(F.col("day").cast("string").alias("day"), "n_active")
+            .orderBy("day"))
+
+
+def q_tfidf_terms(spark, sf_dir):
+    """Per-document keyword extraction: top-3 TF-IDF terms per doc
+    (llmops/search.tfidf_top_terms; smoothed scikit-style idf).  Corpus
+    stats over ALL documents; output trimmed to a deterministic id
+    slice for the oracle."""
+    from tostore_spark.llmops.search import tfidf_top_terms
+    db = _db(spark, sf_dir)
+    # max_df_frac=0.9: the synthetic corpus has a ~31-token vocabulary
+    # almost all of it corpus-wide, so the default stopword cap would
+    # leave nothing rankable
+    return (tfidf_top_terms(db.df("documents"), top_n=3,
+                            max_df_frac=0.9)
+            .filter(F.col("id") < 50)
+            .orderBy("id", "rank"))
+
+
+def q_tfidf_pairs(spark, sf_dir):
+    """Lexical near-duplicate pairs: top-20 document pairs by sparse
+    TF-IDF cosine (llmops/search.tfidf_similar_pairs) — the pair join
+    is BLOCKED on shared surviving tokens with a df cap, the sparse
+    analog of LSH banding (no all-pairs stage)."""
+    from tostore_spark.llmops.search import tfidf_similar_pairs
+    db = _db(spark, sf_dir)
+    # fixed 200-doc slice: the pair join is quadratic in posting-list
+    # length and this synthetic corpus's 31-token vocabulary defeats
+    # the df-cap blocking (every token is corpus-wide), so the entry
+    # bounds the corpus instead — the operator's contract at scale is
+    # the df cap, exercised by its pytest
+    docs = _db(spark, sf_dir).df("documents").filter(F.col("doc_id") < 200)
+    return tfidf_similar_pairs(docs, k=20, max_df_frac=0.9,
+                               min_shared=5)
+
+
+def q_fuzzy_match(spark, sf_dir):
+    """Entity-resolution fuzzy self-join (joins.fuzzy_join): customer
+    name pairs within Levenshtein distance 1, lossless length-band
+    blocking, JVM-side levenshtein — first 100 pairs by id."""
+    from tostore_spark.joins import fuzzy_join
+    db = _db(spark, sf_dir)
+    c = db.df("customer")
+    left = c.select(F.col("c_custkey").alias("id_a"),
+                    F.col("c_name").alias("name"))
+    right = c.select(F.col("c_custkey").alias("id_b"),
+                     F.col("c_name").alias("name"))
+    return (fuzzy_join(left, right, "name", max_dist=1)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "dist")
+            .orderBy("id_a", "id_b")
+            .limit(100))
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -2308,12 +2461,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       q_validate_rules), llmops/lm.py (exact-frame thresholds:
       q_ppl_buckets), store.py (per-table commit log: q_snapshot_read,
       q_flush_reopen, q_partitioned_table);
-    - slots 17-50: the r4-vintage refresh the r6 verdict enumerated —
+    - slots 17-24: the operators NEW in r7 (no prior rows possible):
+      q_tpch_q4/q12/q14/q19 (semi-join EXISTS, conditional twin
+      aggregates, promo ratio, disjunctive DNF brackets through the
+      builder), q_rolling_active (sliding exact count-distinct),
+      q_tfidf_terms/q_tfidf_pairs (TF-IDF keywords + blocked sparse
+      cosine pairs), q_fuzzy_match (Levenshtein ER join);
+    - slots 25-50: the r4-vintage refresh the r6 verdict enumerated —
       write-path family (q_update_rewrite ... q_update_ordered_limit),
       vector top-k family, predicate-semantics family,
       q_knn_join/q_ivf_batch/q_pq_search/q_ivfpq, q_mix_corpus,
-      q_bm25_search, packing family, q_agg_stats, q_events_window,
-      plus q_global_agg/q_count_star and two store-interplay rows.
+      q_bm25_search, q_agg_stats.
 
     Past the cap, ordered by residual risk: the remaining r4-vintage
     rows (q_langid, q_token_count_bpe, q_time_rollup,
@@ -2335,7 +2493,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 10-16: modules changed in r7 ---
         "q_histogram", "q_resample", "q_validate_rules", "q_ppl_buckets",
         "q_snapshot_read", "q_flush_reopen", "q_partitioned_table",
-        # --- 17-50: r4-vintage refresh ---
+        # --- 17-24: NEW in r7 (no prior driver rows) ---
+        "q_tpch_q4", "q_tpch_q12", "q_tpch_q14", "q_tpch_q19",
+        "q_rolling_active", "q_tfidf_terms", "q_tfidf_pairs",
+        "q_fuzzy_match",
+        # --- 25-50: r4-vintage refresh ---
         "q_update_rewrite", "q_delete_rewrite", "q_upsert_merge",
         "q_batch_update", "q_partial_insert", "q_expr_clamp_update",
         "q_update_ordered_limit",
@@ -2345,12 +2507,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_notin_null_semantics", "q_is_null_join",
         "q_neq_null_semantics", "q_multiop_or",
         "q_knn_join", "q_ivf_batch", "q_pq_search", "q_ivfpq",
-        "q_mix_corpus", "q_bm25_search",
-        "q_source_cap", "q_pack_sequences", "q_chunk_documents",
-        "q_quality_filter", "q_agg_stats", "q_events_window",
-        "q_global_agg", "q_count_star",
-        "q_backup_restore",
+        "q_mix_corpus", "q_bm25_search", "q_agg_stats",
         # --- past the 50-cap: remaining r4-vintage rows ---
+        "q_events_window", "q_global_agg", "q_count_star",
+        "q_backup_restore",
+        "q_source_cap", "q_pack_sequences", "q_chunk_documents",
+        "q_quality_filter",
         "q_ttl_filter", "q_langid", "q_token_count_bpe", "q_time_rollup",
         "q_rollup_subtotals", "q_salted_agg", "q_salted_join",
         "q_moving_features", "q_kv_namespace", "q_corpus_sample",
@@ -3274,6 +3436,132 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             ORDER BY revenue DESC, o_orderdate, o_orderkey
             LIMIT 10
+        """,
+        "q_tpch_q4": """
+            SELECT o.o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE o.o_orderdate >= DATE '1996-01-01'
+              AND o.o_orderdate < DATE '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate
+                                               + INTERVAL 30 DAY)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q_tpch_q12": """
+            SELECT l.l_returnflag,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS high_line_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                     AS low_line_count
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_shipdate >= DATE '1996-01-01'
+              AND l.l_shipdate < DATE '1997-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q_tpch_q14": """
+            SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                              THEN rev ELSE
+                                              CAST(0 AS DECIMAL(28,4))
+                                              END) AS DOUBLE)
+                         / CAST(sum(rev) AS DOUBLE), 6) AS promo_pct
+            FROM (SELECT l_partkey,
+                         CAST(round(l_extendedprice * (1.0 - l_discount),
+                                    4) AS DECIMAL(28,4)) AS rev
+                  FROM lineitem
+                  WHERE l_shipdate >= DATE '1996-03-01'
+                    AND l_shipdate < DATE '1996-04-01') l
+            JOIN part p ON l.l_partkey = p.p_partkey
+        """,
+        "q_tpch_q19": """
+            SELECT CAST(sum(CAST(round(l.l_extendedprice
+                                       * (1.0 - l.l_discount), 4)
+                                 AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 10
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#7' AND p.p_size <= 20
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#13' AND p.p_size <= 30
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "q_rolling_active": """
+            WITH de AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+                        FROM events),
+            days AS (SELECT DISTINCT d AS day FROM de)
+            SELECT CAST(days.day AS VARCHAR) AS day,
+                   CAST(count(DISTINCT de.user_id) AS BIGINT) AS n_active
+            FROM days JOIN de ON de.d <= days.day
+                             AND de.d > days.day - 7
+            GROUP BY days.day ORDER BY days.day
+        """,
+        "q_tfidf_terms": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKENS}) AS tok
+                         FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS tf
+                   FROM tok GROUP BY 1, 2),
+            dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            w AS (SELECT doc_id AS id, t.tok,
+                         round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 9)
+                           AS w
+                  FROM tf t JOIN dfq USING (tok), n
+                  WHERE df <= n * 0.9),
+            r AS (SELECT *, row_number() OVER
+                            (PARTITION BY id ORDER BY w DESC, tok)
+                              AS rank FROM w)
+            SELECT id, tok, w, rank FROM r
+            WHERE rank <= 3 AND id < 50
+            ORDER BY id, rank
+        """,
+        "q_tfidf_pairs": f"""
+            WITH d AS (SELECT * FROM documents WHERE doc_id < 200),
+            tok AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM d),
+            tf AS (SELECT doc_id, tok, count(*) AS tf
+                   FROM tok GROUP BY 1, 2),
+            dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM d),
+            v AS (SELECT doc_id AS id, t.tok,
+                         round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 9)
+                           AS w
+                  FROM tf t JOIN dfq USING (tok), n
+                  WHERE df <= n * 0.9),
+            nrm AS (SELECT id,
+                           sqrt(CAST(sum(CAST(round(w * w, 9)
+                                              AS DECIMAL(28,9)))
+                                     AS DOUBLE)) AS nrm
+                    FROM v GROUP BY 1),
+            p AS (SELECT a.id AS id_a, b.id AS id_b,
+                         count(*) AS n_shared,
+                         sum(CAST(round(a.w * b.w, 9) AS DECIMAL(28,9)))
+                           AS dot
+                  FROM v a JOIN v b ON a.tok = b.tok AND a.id < b.id
+                  GROUP BY 1, 2)
+            SELECT id_a, id_b, n_shared,
+                   round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6)
+                     AS cos
+            FROM p JOIN nrm na ON p.id_a = na.id
+                   JOIN nrm nb ON p.id_b = nb.id
+            WHERE n_shared >= 5
+            ORDER BY cos DESC, id_a, id_b LIMIT 20
+        """,
+        "q_fuzzy_match": """
+            WITH a AS (SELECT c_custkey AS id_a, c_name AS name
+                       FROM customer),
+            b AS (SELECT c_custkey AS id_b, c_name AS name_r
+                  FROM customer)
+            SELECT id_a, id_b,
+                   levenshtein(name, name_r) AS dist
+            FROM a JOIN b
+              ON length(name_r) BETWEEN length(name) - 1
+                                    AND length(name) + 1
+            WHERE levenshtein(name, name_r) <= 1 AND id_a < id_b
+            ORDER BY id_a, id_b LIMIT 100
         """,
         "q_calibrated_quality": f"""
             WITH q AS (

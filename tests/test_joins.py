@@ -293,3 +293,78 @@ def test_asof_nearest_differential(spark):
         # right rows are frame-order picks on both engines)
         assert got[lid] is not None \
             and abs(ts_of[got[lid]] - s) == best_gap, (lid, got[lid])
+
+
+def test_fuzzy_join_levenshtein_blocking(spark):
+    """fuzzy_join finds pairs within max_dist edits; the length band is
+    lossless (derived from the metric), the optional prefix block is
+    the documented lossy knob; distances match a Python reference."""
+    from pyspark.sql import functions as F
+
+    from tostore_spark.joins import fuzzy_join
+    left = spark.createDataFrame(
+        [(1, "smith"), (2, "smyth"), (3, "smithe"), (4, "jones"),
+         (5, "jonse"), (6, "a")], ["id", "name"])
+    right = spark.createDataFrame(
+        [(11, "smith"), (12, "smythe"), (13, "jones"), (14, "ab")],
+        ["rid", "nm"])
+    got = {(r["id"], r["rid"]): r["dist"] for r in
+           fuzzy_join(left, right, "name", right_field="nm",
+                      max_dist=2).collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {(i, ri): lev(a, b)
+            for i, a in [(1, "smith"), (2, "smyth"), (3, "smithe"),
+                         (4, "jones"), (5, "jonse"), (6, "a")]
+            for ri, b in [(11, "smith"), (12, "smythe"), (13, "jones"),
+                          (14, "ab")]
+            if lev(a, b) <= 2}
+    assert got == want
+    # length band is honored: "a" vs "smith" never even reaches the
+    # levenshtein filter (different buckets) — absent above already;
+    # prefix blocking drops the cross-prefix pair (smyth/smith share
+    # 'sm' but not 3 chars)
+    pref = {(r["id"], r["rid"]) for r in
+            fuzzy_join(left, right, "name", right_field="nm",
+                       max_dist=2, block_prefix=3).collect()}
+    assert (2, 11) not in pref and (1, 11) in pref
+    # self-join field-name collision renames the right side
+    cols = fuzzy_join(left, left.withColumnRenamed("id", "id2"),
+                      "name", max_dist=1).columns
+    assert "name" in cols and "name_r" in cols
+
+
+def test_rolling_distinct_matches_bruteforce(spark):
+    """rolling_distinct == per-day brute-force distinct over the
+    trailing window, including gap days absent from the data."""
+    import datetime
+
+    from tostore_spark.functions.timeseries import rolling_distinct
+    rows = []
+    base = datetime.datetime(2024, 3, 1)
+    data = {0: [1, 2], 1: [2, 3], 2: [3], 5: [1], 6: [4, 5], 9: [1]}
+    for off, users in data.items():
+        for u in users:
+            rows.append((base + datetime.timedelta(days=off,
+                                                   hours=u), u))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    got = {str(r["day"]): r["n_active"] for r in
+           rolling_distinct(df, "ts", "user_id", window_days=3)
+           .collect()}
+    want = {}
+    for off in data:
+        day = (base + datetime.timedelta(days=off)).date()
+        seen = set()
+        for o2, us in data.items():
+            if off - 3 < o2 <= off:
+                seen.update(us)
+        want[str(day)] = len(seen)
+    assert got == want

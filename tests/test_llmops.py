@@ -1621,3 +1621,37 @@ def test_curate_corpus_calibrated_quality(spark):
                         drop_perplexity_pct=0.0)
     kept = {r.source for r in out.select("source").distinct().collect()}
     assert kept == {"A", "B"}
+
+
+def test_tfidf_terms_and_pairs(spark):
+    """TF-IDF surface: the stopword cap drops corpus-wide tokens, top
+    terms rank doc-characteristic words first, and the pair cosine is
+    1.0 for identical docs / ordered sensibly for partial overlap."""
+    import math
+
+    from tostore_spark.llmops.search import (tfidf_similar_pairs,
+                                             tfidf_top_terms,
+                                             tfidf_vectors)
+    docs = spark.createDataFrame([
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "the cat sat on the mat"),          # dup of 1
+        (4, "quantum flux capacitor the"),
+    ], ["doc_id", "text"])
+    v = tfidf_vectors(docs, max_df_frac=0.8)
+    toks = {r["tok"] for r in v.collect()}
+    assert "the" not in toks                    # df 4/4 > 0.8 cap
+    # hand-check one weight: 'cat' in doc 1 -> tf=1, df=2, N=4
+    w_cat = [r["w"] for r in v.collect()
+             if r["id"] == 1 and r["tok"] == "cat"][0]
+    assert abs(w_cat - round(1 * (math.log(5 / 3) + 1), 9)) < 1e-9
+    top = tfidf_top_terms(docs, top_n=2, max_df_frac=0.8)
+    t4 = [r["tok"] for r in top.filter("id = 4").collect()]
+    assert set(t4) <= {"quantum", "flux", "capacitor"}
+    pairs = tfidf_similar_pairs(docs, k=5, max_df_frac=0.8,
+                                min_shared=2).collect()
+    best = pairs[0]
+    assert (best["id_a"], best["id_b"]) == (1, 3)   # identical docs
+    assert abs(best["cos"] - 1.0) < 1e-6
+    # doc 4 shares no surviving token pair with 1/2/3 beyond min_shared
+    assert all(4 not in (r["id_a"], r["id_b"]) for r in pairs)

@@ -167,6 +167,33 @@ CHECKS: dict[str, list[str]] = {
     # Q10 shape: 4-table broadcast chain, returnflag pushed, bounded sort
     "q_tpch_q10": ["BroadcastHashJoin", "TakeOrderedAndProject",
                    "EqualTo(l_returnflag,R)"],
+    # Q4 shape: EXISTS = LeftSemi (never a fan-out join + distinct);
+    # the quarter filter reaches the orders scan
+    "q_tpch_q4": ["LeftSemi", "GreaterThanOrEqual(o_orderdate"],
+    # Q12 shape: one aggregate for both conditional counts; the
+    # ship-date year reaches the lineitem scan
+    "q_tpch_q12": ["HashAggregate", "GreaterThanOrEqual(l_shipdate"],
+    # Q14 shape: part broadcasts; the month filter reaches lineitem
+    "q_tpch_q14": ["BroadcastHashJoin", "GreaterThanOrEqual(l_shipdate"],
+    # Q19 shape: the three-bracket DNF splits into PER-TABLE
+    # disjunctions pushed to BOTH scans (quantity brackets to lineitem,
+    # brand/size brackets to part) — one scan each, no post-join-only
+    # filtering of unpruned data
+    "q_tpch_q19": ["Or(Or(And(GreaterThanOrEqual(l_quantity",
+                   "Or(Or(And(EqualTo(p_brand"],
+    # sliding distinct: the tiny day list broadcasts into the trailing-
+    # window theta join; the corpus appears only in the day-grain
+    # distinct (partial-combined)
+    "q_rolling_active": ["BroadcastNestedLoopJoin", "partial_count"],
+    # TF-IDF top terms: per-doc rank is group-limit bounded, and the
+    # output doc slice pushes down THROUGH the window to the scan
+    "q_tfidf_terms": ["WindowGroupLimit", "LessThan(doc_id,50)"],
+    # TF-IDF pairs: final k is a bounded top-k, aggregates combine
+    # map-side; the no-cartesian sweep pins the token-blocked pair join
+    "q_tfidf_pairs": ["TakeOrderedAndProject", "partial_count"],
+    # fuzzy ER join: the length-band block is an EQUI-join (hash/SMJ,
+    # never a nested loop over all pairs); levenshtein runs in-plan
+    "q_fuzzy_match": ["levenshtein", "TakeOrderedAndProject"],
 }
 
 #: plans that must NOT contain these operators (checked for every query

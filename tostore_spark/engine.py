@@ -660,6 +660,36 @@ class ToStoreSpark:
         from tostore_spark.functions.ranking import top_k_per_group as _tk
         return _tk(self.df(table), group, order, k, **kw)
 
+    def rolling_active(self, table: str, ts_field: str, entity: str,
+                       window_days: int = 7):
+        """Sliding exact count-distinct per day (WAU/MAU) — see
+        functions/timeseries.rolling_distinct."""
+        from tostore_spark.functions.timeseries import rolling_distinct
+        return rolling_distinct(self.df(table), ts_field, entity,
+                                window_days=window_days)
+
+    def fuzzy_match(self, left: str, right: str, left_field: str,
+                    right_field=None, max_dist: int = 2, **kw):
+        """Levenshtein entity-resolution join between two tables — see
+        joins.fuzzy_join (lossless length-band blocking + optional
+        prefix block)."""
+        from tostore_spark.joins import fuzzy_join
+        return fuzzy_join(self.df(left), self.df(right), left_field,
+                          right_field=right_field, max_dist=max_dist,
+                          **kw)
+
+    def top_terms(self, table: str, top_n: int = 3, **kw):
+        """Per-document TF-IDF keywords — see
+        llmops/search.tfidf_top_terms."""
+        from tostore_spark.llmops.search import tfidf_top_terms
+        return tfidf_top_terms(self.df(table), top_n=top_n, **kw)
+
+    def similar_documents(self, table: str, k: int = 20, **kw):
+        """Top-k document pairs by sparse TF-IDF cosine — see
+        llmops/search.tfidf_similar_pairs (token-blocked, df-capped)."""
+        from tostore_spark.llmops.search import tfidf_similar_pairs
+        return tfidf_similar_pairs(self.df(table), k=k, **kw)
+
     def optimize_table(self, table: str, target_partitions: int = 8,
                        zorder=None) -> list[str]:
         """Layout-only rewrite (same rows): compact to

@@ -235,3 +235,41 @@ def moving_features(df: DataFrame, partition: str,
         F.max(v).over(w_mov).alias("moving_max"),
         F.sum(v).over(w_cum).alias("cum_sum"),
         F.row_number().over(w_ord).alias("row_idx"))
+
+
+def rolling_distinct(df: DataFrame, ts_field: str, entity: str,
+                     window_days: int = 7) -> DataFrame:
+    """Sliding EXACT count-distinct per day — the WAU/MAU family
+    ("distinct users active in the trailing N days, for every day").
+
+    Distinct is not subtractable, so no window frame can maintain it
+    incrementally; the standard exact formulation is two-stage:
+
+    1. day-grain dedup: ``distinct (day, entity)`` — ONE shuffle over
+       the corpus and the big reduction (at 100 TB this collapses
+       billions of events to |days| x |daily actives| rows);
+    2. trailing-window expansion: every day joins the previous
+       ``window_days`` of the DISTINCT frame (a range join whose build
+       side is the tiny day list, broadcast) and counts distinct
+       entities.  The expansion multiplies the distinct frame by
+       ``window_days``, never the corpus.
+
+    For extreme cardinalities where even the distinct frame is too
+    wide, the approx path is per-day HLL sketches unioned over the
+    window (``plans.stats.column_sketches`` + ``merge_column_sketches``
+    — sketch-merge IS subtotal-able).  Output: (day, n_active), one
+    row per day present in the data.
+
+    Reference scope: parity-plus — the reference's aggregates
+    (chain_builder.dart aggregate surface) have no sliding-distinct
+    form; this is the standard analytics formulation on Spark.
+    """
+    day = F.to_date(F.col(ts_field).cast("timestamp"))
+    de = (df.select(day.alias("__day"), F.col(entity).alias("__ent"))
+            .distinct())
+    days = de.select(F.col("__day").alias("day")).distinct()
+    cond = ((F.col("__day") <= F.col("day"))
+            & (F.col("__day") > F.date_sub(F.col("day"), window_days)))
+    return (de.join(F.broadcast(days), cond)
+              .groupBy("day")
+              .agg(F.count_distinct(F.col("__ent")).alias("n_active")))

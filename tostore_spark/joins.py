@@ -125,3 +125,55 @@ def range_join(left: DataFrame, right: DataFrame, point: str,
     cond = ((F.col("__binl") == F.col("__binr"))
             & (F.col(point) >= F.col(lo)) & (F.col(point) < F.col(hi)))
     return lb.join(rb, on=cond, how=how).drop("__binl", "__binr")
+
+
+def fuzzy_join(left: DataFrame, right: DataFrame, left_field: str,
+               right_field: Optional[str] = None, max_dist: int = 2,
+               len_band: Optional[int] = None,
+               block_prefix: int = 0, how: str = "inner") -> DataFrame:
+    """Edit-distance (Levenshtein) join for entity resolution — match
+    records whose key strings differ by at most ``max_dist`` edits
+    (typos, OCR noise, inconsistent spellings).
+
+    Blocking keeps it off the all-pairs cliff: candidates must sit in
+    the same LENGTH BAND (two strings within ``max_dist`` edits differ
+    in length by at most ``max_dist`` — this block is LOSSLESS, derived
+    from the metric itself; ``len_band`` defaults to ``max_dist``) and,
+    optionally, share a ``block_prefix``-char lowercase prefix (LOSSY —
+    an edit inside the prefix escapes the block; the standard ER
+    recall/cost knob, 0 disables).  The expensive ``levenshtein`` runs
+    only inside the surviving blocks; Spark's builtin is JVM-side, no
+    Python in the loop.
+
+    The length band is realized as a band-bucket equi-join (each left
+    row emits its ±band length keys — bounded fan-out of
+    2·band+1), so Catalyst executes a shuffled HASH join on
+    (length-bucket, prefix), never a cartesian.  Output: both sides'
+    columns (right's key renamed ``<field>_r`` on collision) plus
+    ``dist``.  Reference scope: parity-plus — the reference matches on
+    equality/LIKE only (value_matcher.dart); fuzzy matching is the
+    standard dedup/ER extension.
+    """
+    right_field = right_field or left_field
+    band = max_dist if len_band is None else int(len_band)
+    lk, rk = F.col(left_field), F.col(right_field)
+    out_rf = right_field if right_field != left_field \
+        else f"{right_field}_r"
+    r2 = right.withColumnRenamed(right_field, out_rf) \
+        if right_field == left_field else right
+    rk = F.col(out_rf)
+    # left emits one row per candidate length bucket; right buckets by
+    # its own length — equi-join on the bucket, then the exact filter
+    lb = left.withColumn(
+        "__lbkt", F.explode(F.sequence(
+            F.length(lk) - band, F.length(lk) + band)))
+    rb = r2.withColumn("__rbkt", F.length(rk))
+    cond = (F.col("__lbkt") == F.col("__rbkt"))
+    if block_prefix > 0:
+        cond = cond & (F.substring(F.lower(lk), 1, block_prefix)
+                       == F.substring(F.lower(rk), 1, block_prefix))
+    dist = F.levenshtein(lk, rk)
+    return (lb.join(rb, on=cond, how=how)
+              .filter(dist <= max_dist)
+              .withColumn("dist", dist)
+              .drop("__lbkt", "__rbkt"))

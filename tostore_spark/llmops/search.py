@@ -154,3 +154,106 @@ def bm25_search_indexed(spark, path: str, query: str, k: int = 10,
                             score.alias("score"))
             .orderBy(F.col("score").desc(), F.col(id_field))
             .limit(k))
+
+
+def tfidf_vectors(docs: DataFrame, text_field: str = "text",
+                  id_field: str = "doc_id",
+                  max_df_frac: float = 0.5) -> DataFrame:
+    """Sparse TF-IDF term weights, long form: one row per (doc, token)
+    of (id, tok, tf, df, w) with w = tf * (ln((N+1)/(df+1)) + 1)
+    (smoothed idf, scikit-style).  The feature layer under
+    ``tfidf_top_terms`` / ``tfidf_similar_pairs`` and the lexical
+    counterpart of the embedding path.
+
+    Shape: one corpus pass explodes tokens; per-(doc, token) tf and
+    per-token df are hash-aggregates on uniform keys; N rides along as
+    a 1-row broadcast constant (never a driver collect).  Tokens in
+    more than ``max_df_frac`` of documents (stopwords — the hot keys)
+    are dropped BEFORE any downstream join, which is what keeps the
+    pair-similarity join bucketed at corpus scale.
+
+    Determinism: w rounds to 9 dp — ln over the same integer inputs is
+    bit-identical across engines for these magnitudes.
+    """
+    toks = tokens(F.col(text_field))
+    base = docs.select(F.col(id_field).alias("id"),
+                       F.explode(toks).alias("tok"))
+    tf = base.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("__n"))
+    return (tf.join(dfreq, on="tok")
+              .crossJoin(F.broadcast(n_docs))
+              .filter(F.col("df") <= F.col("__n") * F.lit(float(max_df_frac)))
+              .withColumn(
+                  "w",
+                  F.round(F.col("tf")
+                          * (F.log((F.col("__n") + 1)
+                                   / (F.col("df") + 1)) + F.lit(1.0)), 9))
+              .select("id", "tok", "tf", "df", "w"))
+
+
+def tfidf_top_terms(docs: DataFrame, top_n: int = 3,
+                    text_field: str = "text", id_field: str = "doc_id",
+                    max_df_frac: float = 0.5) -> DataFrame:
+    """The ``top_n`` most characteristic terms per document by TF-IDF —
+    keyword extraction for corpus exploration and topic labeling.
+    One id-partitioned row_number over the weight frame (bounded
+    per-doc state); ties break on token text for determinism.
+    Output: (id, tok, w, rank)."""
+    from pyspark.sql import Window
+    v = tfidf_vectors(docs, text_field=text_field, id_field=id_field,
+                      max_df_frac=max_df_frac)
+    w_rank = Window.partitionBy("id").orderBy(
+        F.col("w").desc(), F.col("tok").asc())
+    return (v.withColumn("rank", F.row_number().over(w_rank))
+             .filter(F.col("rank") <= top_n)
+             .select("id", "tok", "w", "rank"))
+
+
+def tfidf_similar_pairs(docs: DataFrame, k: int = 20,
+                        text_field: str = "text", id_field: str = "doc_id",
+                        max_df_frac: float = 0.2,
+                        min_shared: int = 2) -> DataFrame:
+    """Top-k most similar document PAIRS by sparse TF-IDF cosine — the
+    lexical near-duplicate/related-content report next to the minhash
+    (set-overlap) and embedding (dense) paths.
+
+    cosine(a, b) = Σ_t w_at·w_bt / (‖a‖·‖b‖), summed only over SHARED
+    tokens — so the pair join is BLOCKED on the token: only documents
+    sharing a surviving token ever meet, and ``max_df_frac`` caps each
+    token's posting list (a token in df docs contributes df² pair
+    candidates; the cap bounds the quadratic term the way LSH bands
+    bound the minhash join — no all-pairs stage).  ``min_shared``
+    drops one-token coincidences.
+
+    Determinism: per-term products round to 9 dp and sum as
+    DECIMAL(28,9) (order-independent); the final cosine rounds to 6 dp
+    BEFORE the ordering so a last-ulp sqrt/division difference cannot
+    reorder the top-k across engines.  Output: (id_a, id_b, n_shared,
+    cos) with id_a < id_b, ordered (cos desc, id_a, id_b), top k."""
+    v = (tfidf_vectors(docs, text_field=text_field, id_field=id_field,
+                       max_df_frac=max_df_frac)
+         .localCheckpoint(eager=True))   # both branches + norms: one build
+    norm = (v.groupBy("id")
+             .agg(F.sqrt(F.sum(F.round(F.col("w") * F.col("w"), 9)
+                               .cast("decimal(28,9)")).cast("double"))
+                   .alias("nrm")))
+    a, b = v.alias("a"), v.alias("b")
+    pairs = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                    & (F.col("a.id") < F.col("b.id")))
+              .groupBy(F.col("a.id").alias("id_a"),
+                       F.col("b.id").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("n_shared"),
+                   F.sum(F.round(F.col("a.w") * F.col("b.w"), 9)
+                         .cast("decimal(28,9)")).alias("__dot")))
+    na = norm.select(F.col("id").alias("id_a"), F.col("nrm").alias("__na"))
+    nb = norm.select(F.col("id").alias("id_b"), F.col("nrm").alias("__nb"))
+    return (pairs.filter(F.col("n_shared") >= min_shared)
+                 .join(na, on="id_a").join(nb, on="id_b")
+                 .withColumn("cos",
+                             F.round(F.col("__dot").cast("double")
+                                     / (F.col("__na") * F.col("__nb")), 6))
+                 .select("id_a", "id_b", "n_shared", "cos")
+                 .orderBy(F.col("cos").desc(), F.col("id_a").asc(),
+                          F.col("id_b").asc())
+                 .limit(k))
