@@ -2440,6 +2440,21 @@ def q_fuzzy_match(spark, sf_dir):
             .limit(100))
 
 
+def q_grouped_percentiles(spark, sf_dir):
+    """Per-group exact interpolated percentiles
+    (plans/stats.grouped_percentiles_frame): order-value quartiles per
+    order status — ONE spillable group-partitioned sort window + ONE
+    conditional-pick aggregate; no percentile value-map operator
+    anywhere in the plan (the grouped analog of the staged
+    order-statistic path)."""
+    from tostore_spark.plans.stats import grouped_percentiles_frame
+    db = _db(spark, sf_dir)
+    return (grouped_percentiles_frame(db.df("orders"), "o_orderstatus",
+                                      "o_totalprice", [0.25, 0.5, 0.75],
+                                      round_dp=6)
+            .orderBy("o_orderstatus", "p"))
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -2496,7 +2511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 17-24: NEW in r7 (no prior driver rows) ---
         "q_tpch_q4", "q_tpch_q12", "q_tpch_q14", "q_tpch_q19",
         "q_rolling_active", "q_tfidf_terms", "q_tfidf_pairs",
-        "q_fuzzy_match",
+        "q_fuzzy_match", "q_grouped_percentiles",
         # --- 25-50: r4-vintage refresh ---
         "q_update_rewrite", "q_delete_rewrite", "q_upsert_merge",
         "q_batch_update", "q_partial_insert", "q_expr_clamp_update",
@@ -2507,8 +2522,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_notin_null_semantics", "q_is_null_join",
         "q_neq_null_semantics", "q_multiop_or",
         "q_knn_join", "q_ivf_batch", "q_pq_search", "q_ivfpq",
-        "q_mix_corpus", "q_bm25_search", "q_agg_stats",
+        "q_mix_corpus", "q_bm25_search",
         # --- past the 50-cap: remaining r4-vintage rows ---
+        "q_agg_stats",
         "q_events_window", "q_global_agg", "q_count_star",
         "q_backup_restore",
         "q_source_cap", "q_pack_sequences", "q_chunk_documents",
@@ -3549,6 +3565,20 @@ def oracle_sql() -> dict[str, str]:
                    JOIN nrm nb ON p.id_b = nb.id
             WHERE n_shared >= 5
             ORDER BY cos DESC, id_a, id_b LIMIT 20
+        """,
+        "q_grouped_percentiles": """
+            SELECT o_orderstatus, 0.25 AS p,
+                   round(quantile_cont(o_totalprice, 0.25), 6) AS value
+            FROM orders GROUP BY 1
+            UNION ALL
+            SELECT o_orderstatus, 0.5 AS p,
+                   round(quantile_cont(o_totalprice, 0.5), 6) AS value
+            FROM orders GROUP BY 1
+            UNION ALL
+            SELECT o_orderstatus, 0.75 AS p,
+                   round(quantile_cont(o_totalprice, 0.75), 6) AS value
+            FROM orders GROUP BY 1
+            ORDER BY 1, 2
         """,
         "q_fuzzy_match": """
             WITH a AS (SELECT c_custkey AS id_a, c_name AS name

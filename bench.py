@@ -354,7 +354,15 @@ def main():
                  "q_topk_per_group", "q_moving_time_window",
                  "q_validate_rules", "q_scd2_lookup", "q_pagerank",
                  "q_dsir_weights", "q_gopher_report", "q_winsorize",
-                 "q_attribution", "q_temperature_sample"):
+                 "q_attribution", "q_temperature_sample",
+                 # round-7 operators (q_fuzzy_match excluded: its
+                 # all-same-length synthetic names collapse the length
+                 # band to one block — quadratic at sf0.1, and the
+                 # operator's scale knob is the prefix block, exercised
+                 # in pytest)
+                 "q_tpch_q4", "q_tpch_q12", "q_tpch_q14", "q_tpch_q19",
+                 "q_rolling_active", "q_tfidf_terms", "q_tfidf_pairs",
+                 "q_grouped_percentiles"):
         fn = qs[name]
         spark.catalog.clearCache()
         t0 = time.time()

@@ -359,3 +359,28 @@ def test_engine_text_index_facade(spark, db, tmp_path):
     assert meta["n_docs"] > 0
     hits = db.text_search(str(tmp_path / "tix"), "spark join", k=5).collect()
     assert len(hits) == 5 and hits[0]["score"] >= hits[-1]["score"]
+
+
+def test_grouped_percentiles_frame(spark):
+    """Per-group exact interpolated percentiles match numpy per group;
+    single-row and all-null groups behave (null-excluded, 1-row group
+    returns its value at every frac)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tostore_spark.plans.stats import grouped_percentiles_frame
+    rows = ([("a", float(v)) for v in range(1, 101)]
+            + [("b", float(v * v)) for v in range(1, 8)]
+            + [("c", 42.0)] + [("d", None)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    fr = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = {(r["g"], r["p"]): r["value"] for r in
+           grouped_percentiles_frame(df, "g", "v", fr).collect()}
+    for g, vals in (("a", [float(v) for v in range(1, 101)]),
+                    ("b", [float(v * v) for v in range(1, 8)]),
+                    ("c", [42.0])):
+        want = np.percentile(np.array(vals), [f * 100 for f in fr],
+                             method="linear")
+        for f, wv in zip(fr, want):
+            assert abs(got[(g, f)] - wv) < 1e-9, (g, f)
+    assert not any(k[0] == "d" for k in got)    # all-null group excluded

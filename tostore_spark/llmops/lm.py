@@ -182,17 +182,18 @@ def ppl_buckets(scored: DataFrame, bits_field: str = "bits_per_token",
     percentiles at ``cuts`` (ascending, len(labels) == len(cuts)+1).
     Rows with a null score (zero-token docs) get a null bucket.
 
-    Scale shape: the UNGROUPED thresholds go through
-    ``plans.stats.exact_percentiles_frame`` — the distributed
-    sketch-guided order-statistic selection — NOT Spark's
-    ``percentile`` value-map aggregate (whose per-partition value map
-    is memory-heavy and merges single-threaded; the exact operator
-    this repo replaced for whole-corpus stats).  The ``by``-grouped
-    path keeps the per-group ``percentile`` aggregate: CCNet's groups
-    are languages/sources (bounded per-group cardinality by contract —
-    thousands of groups × the group's values live in that group's
-    aggregate buffer); a group with 100 TB of rows should be cut
-    ungrouped per partition instead.
+    Scale shape: NO ``percentile`` value-map aggregate anywhere (the
+    per-partition value map is memory-heavy and merges single-threaded
+    — the operator this repo replaced for whole-corpus stats).  The
+    ungrouped thresholds go through
+    ``plans.stats.exact_percentiles_frame`` (sketch-guided distributed
+    order-statistic selection); the ``by``-grouped thresholds go
+    through ``plans.stats.grouped_percentiles_frame`` (one
+    group-partitioned SPILLABLE sort window + one conditional-pick
+    aggregate) — a wide language still degrades to external sort, not
+    OOM.  One group = one reducer remains the grouped-path caveat; a
+    group worth a meaningful fraction of the corpus should be cut
+    ungrouped on its own.
     """
     if len(labels) != len(cuts) + 1:
         raise ValueError("need len(labels) == len(cuts) + 1")
@@ -206,10 +207,11 @@ def ppl_buckets(scored: DataFrame, bits_field: str = "bits_per_token",
             for i in range(len(cuts))])
         out = scored.crossJoin(F.broadcast(thr))
     else:
-        qs = ", ".join(repr(float(c)) for c in cuts)
-        thr_cols = [F.expr(f"percentile(`{bits_field}`, array({qs}))")
-                    .getItem(i).alias(f"__t{i}") for i in range(len(cuts))]
-        thr = scored.groupBy(by).agg(*thr_cols)
+        from tostore_spark.plans.stats import grouped_percentiles_frame
+        gp = grouped_percentiles_frame(scored, by, bits_field, list(cuts))
+        thr = gp.groupBy(by).agg(*[
+            F.max(F.when(F.col("p") == float(c), F.col("value")))
+             .alias(f"__t{i}") for i, c in enumerate(cuts)])
         out = scored.join(thr, on=by, how="left")
     b = F.col(bits_field)
     lab = F.when(b.isNull(), F.lit(None).cast("string"))

@@ -508,3 +508,58 @@ def clip_outliers(df: DataFrame, col: str,
                 F.when(c.isNull(), c).otherwise(F.least(F.greatest(c, lo),
                                                         hi)))
                .drop("__bounds"))
+
+
+def grouped_percentiles_frame(df: DataFrame, by: str, col: str,
+                              fracs: Sequence[float],
+                              round_dp: Optional[int] = None) -> DataFrame:
+    """Exact interpolated percentiles PER GROUP, long form: one row per
+    (group, frac) of (``by``, p, value) — the grouped counterpart of
+    ``exact_percentiles_frame``.
+
+    Shape: ONE group-partitioned sort window assigns in-group ranks and
+    sizes, then ONE hash-aggregate picks each frac's bracketing rows
+    with conditional max/min — no ``percentile`` value-map aggregate
+    anywhere.  Spark's window sort is spillable (external sort per
+    group within a reducer), so a wide group degrades to disk instead
+    of OOM — the property the value-map aggregate lacks and the reason
+    this path exists (``llmops.lm.ppl_buckets`` routes its per-group
+    thresholds here).  Skew caveat: one GROUP still lands on one
+    reducer — the window's partition key is the group; for a group
+    worth a meaningful fraction of 100 TB, compute that group alone
+    through the ungrouped ``exact_percentiles_frame`` (whose buckets
+    distribute WITHIN the column).
+
+    Interpolation is the standard linear rule on ranks f·(n−1); nulls
+    are excluded per group.  Deterministic: ties in ``col`` make the
+    rank→row map ambiguous but the value at any rank is well-defined.
+    """
+    fr = [float(f) for f in fracs]
+    if not fr:
+        raise ValueError("fracs must be non-empty")
+    vals = df.select(F.col(by).alias("__g"), F.col(col).alias("__v")) \
+             .filter(F.col("__v").isNotNull())
+    w = Window.partitionBy("__g").orderBy("__v")
+    wn = Window.partitionBy("__g")
+    ranked = vals.select(
+        "__g", "__v",
+        (F.row_number().over(w) - 1).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"))
+    aggs = []
+    for i, f in enumerate(fr):
+        r = F.lit(f) * (F.col("__n") - 1).cast("double")
+        vlo = F.max(F.when(F.col("__rn") == F.floor(r), F.col("__v")))
+        vhi = F.max(F.when(F.col("__rn") == F.ceil(r), F.col("__v")))
+        gfrac = F.max(r - F.floor(r).cast("double"))
+        aggs += [vlo.alias(f"__lo{i}"), vhi.alias(f"__hi{i}"),
+                 gfrac.alias(f"__gf{i}")]
+    agg = ranked.groupBy(F.col("__g").alias(by)).agg(*aggs)
+    structs = []
+    for i, f in enumerate(fr):
+        v = (F.col(f"__lo{i}")
+             + F.col(f"__gf{i}") * (F.col(f"__hi{i}") - F.col(f"__lo{i}")))
+        if round_dp is not None:
+            v = F.round(v, round_dp)
+        structs.append(F.struct(F.lit(f).alias("p"), v.alias("value")))
+    return (agg.select(by, F.explode(F.array(*structs)).alias("__s"))
+               .select(by, "__s.p", "__s.value"))
