@@ -2440,6 +2440,43 @@ def q_fuzzy_match(spark, sf_dir):
             .limit(100))
 
 
+def q_winsorize_grouped(spark, sf_dir):
+    """Per-group winsorization (plans/stats.clip_outliers_grouped):
+    clip order totals against each order-status group's OWN exact
+    [0.05, 0.95] bounds — per-source clipping so small groups aren't
+    clipped by the big ones' distribution.  Bounds via the spillable
+    grouped sort-window path, joined back as a broadcast |groups|×2
+    frame."""
+    from tostore_spark.plans.stats import clip_outliers_grouped
+    db = _db(spark, sf_dir)
+    c = clip_outliers_grouped(db.df("orders"), "o_orderstatus",
+                              "o_totalprice", 0.05, 0.95)
+    return (c.groupBy("o_orderstatus")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum((F.col("o_totalprice_clipped")
+                         > F.col("o_totalprice")).cast("long"))
+                   .alias("n_raised"),
+                  F.sum((F.col("o_totalprice_clipped")
+                         < F.col("o_totalprice")).cast("long"))
+                   .alias("n_lowered"),
+                  F.sum(F.round(F.col("o_totalprice_clipped"), 6)
+                        .cast("decimal(28,6)")).cast("double")
+                   .alias("clip_sum"))
+             .orderBy("o_orderstatus"))
+
+
+def q_event_paths(spark, sf_dir):
+    """Top next-step event paths (functions/behavior.event_paths):
+    per-user ordered bigrams of event types, counted corpus-wide —
+    entity-partitioned lead() window + one hash-aggregate + bounded
+    top-k; never a per-step self-join."""
+    from tostore_spark.functions.behavior import event_paths
+    db = _db(spark, sf_dir)
+    return event_paths(db.df("events"), "user_id",
+                       ["ts", "event_id"], "event_type",
+                       n=2, top_k=20)
+
+
 def q_grouped_percentiles(spark, sf_dir):
     """Per-group exact interpolated percentiles
     (plans/stats.grouped_percentiles_frame): order-value quartiles per
@@ -2512,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q4", "q_tpch_q12", "q_tpch_q14", "q_tpch_q19",
         "q_rolling_active", "q_tfidf_terms", "q_tfidf_pairs",
         "q_fuzzy_match", "q_grouped_percentiles",
+        "q_winsorize_grouped", "q_event_paths",
         # --- 25-50: r4-vintage refresh ---
         "q_update_rewrite", "q_delete_rewrite", "q_upsert_merge",
         "q_batch_update", "q_partial_insert", "q_expr_clamp_update",
@@ -2522,9 +2560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_notin_null_semantics", "q_is_null_join",
         "q_neq_null_semantics", "q_multiop_or",
         "q_knn_join", "q_ivf_batch", "q_pq_search", "q_ivfpq",
-        "q_mix_corpus", "q_bm25_search",
+        "q_mix_corpus",
         # --- past the 50-cap: remaining r4-vintage rows ---
-        "q_agg_stats",
+        "q_bm25_search", "q_agg_stats",
         "q_events_window", "q_global_agg", "q_count_star",
         "q_backup_restore",
         "q_source_cap", "q_pack_sequences", "q_chunk_documents",
@@ -3565,6 +3603,37 @@ def oracle_sql() -> dict[str, str]:
                    JOIN nrm nb ON p.id_b = nb.id
             WHERE n_shared >= 5
             ORDER BY cos DESC, id_a, id_b LIMIT 20
+        """,
+        "q_winsorize_grouped": """
+            WITH b AS (
+              SELECT o_orderstatus,
+                     round(quantile_cont(o_totalprice, 0.05), 6) AS lo,
+                     round(quantile_cont(o_totalprice, 0.95), 6) AS hi
+              FROM orders GROUP BY 1),
+            c AS (
+              SELECT o.o_orderstatus, o.o_totalprice AS v,
+                     least(greatest(o.o_totalprice, b.lo), b.hi) AS cv
+              FROM orders o JOIN b USING (o_orderstatus))
+            SELECT o_orderstatus, count(*) AS n,
+                   CAST(sum(CASE WHEN cv > v THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_raised,
+                   CAST(sum(CASE WHEN cv < v THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_lowered,
+                   CAST(sum(CAST(round(cv, 6) AS DECIMAL(28,6)))
+                        AS DOUBLE) AS clip_sum
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "q_event_paths": """
+            WITH s AS (
+              SELECT event_type,
+                     lead(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS nxt
+              FROM events)
+            SELECT event_type || '>' || nxt AS path,
+                   count(*) AS n_occur
+            FROM s WHERE nxt IS NOT NULL
+            GROUP BY 1 ORDER BY n_occur DESC, path LIMIT 20
         """,
         "q_grouped_percentiles": """
             SELECT o_orderstatus, 0.25 AS p,

@@ -384,3 +384,24 @@ def test_grouped_percentiles_frame(spark):
         for f, wv in zip(fr, want):
             assert abs(got[(g, f)] - wv) < 1e-9, (g, f)
     assert not any(k[0] == "d" for k in got)    # all-null group excluded
+
+
+def test_clip_outliers_grouped(spark):
+    """Each group clips against its OWN bounds: group a's outliers are
+    clipped to a's percentiles even though group b's range dwarfs them;
+    nulls pass; filter mode drops out-of-range rows per group."""
+    from tostore_spark.plans.stats import clip_outliers_grouped
+    rows = ([("a", float(v)) for v in range(1, 101)]
+            + [("b", float(v * 1000)) for v in range(1, 101)]
+            + [("a", None)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {(r["g"], r["v"]): r["v_clipped"] for r in
+           clip_outliers_grouped(df, "g", "v", 0.1, 0.9).collect()}
+    assert out[("a", 1.0)] == 10.9          # a's own 10th pct, not b's
+    assert out[("a", 50.0)] == 50.0
+    assert out[("b", 1000.0)] == 10900.0    # b scales by 1000
+    assert out[("a", None)] is None
+    kept = clip_outliers_grouped(df, "g", "v", 0.1, 0.9,
+                                 mode="filter")
+    assert kept.filter("g = 'a' AND v = 1.0").count() == 0
+    assert kept.filter("g = 'a' AND v IS NULL").count() == 1

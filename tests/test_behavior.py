@@ -349,3 +349,25 @@ def test_attribution_window_partitioned(spark):
             ._jdf.queryExecution().executedPlan().toString())
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert m.group(1).startswith("user_id#"), m.group(0)
+
+
+def test_event_paths_bigrams_and_trigrams(spark):
+    """event_paths counts consecutive n-grams per entity (no cross-
+    entity stitching), breaks ties deterministically, and the trigram
+    form needs n consecutive events."""
+    from tostore_spark.functions.behavior import event_paths
+    rows = [
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "buy"),
+        (2, 1, "view"), (2, 2, "click"),
+        (3, 1, "click"), (3, 2, "buy"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, ev string")
+    got = {r["path"]: r["n_occur"] for r in
+           event_paths(df, "user_id", "ts", "ev", n=2).collect()}
+    assert got == {"view>click": 2, "click>buy": 2}
+    tri = {r["path"]: r["n_occur"] for r in
+           event_paths(df, "user_id", "ts", "ev", n=3).collect()}
+    assert tri == {"view>click>buy": 1}
+    import pytest
+    with pytest.raises(ValueError):
+        event_paths(df, "user_id", "ts", "ev", n=1)

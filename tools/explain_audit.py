@@ -194,6 +194,16 @@ CHECKS: dict[str, list[str]] = {
     # fuzzy ER join: the length-band block is an EQUI-join (hash/SMJ,
     # never a nested loop over all pairs); levenshtein runs in-plan
     "q_fuzzy_match": ["levenshtein", "TakeOrderedAndProject"],
+    # grouped percentiles: group-partitioned sort window + conditional
+    # pick — NO percentile value-map aggregate in the plan
+    "q_grouped_percentiles": ["windowspecdefinition(__g"],
+    # per-group winsorize: the |groups|x2 bounds frame broadcasts back
+    "q_winsorize_grouped": ["windowspecdefinition(__g",
+                            "BroadcastHashJoin"],
+    # event paths: lead() over the entity-partitioned window, bounded
+    # final top-k
+    "q_event_paths": ["windowspecdefinition(user_id",
+                      "TakeOrderedAndProject"],
 }
 
 #: plans that must NOT contain these operators (checked for every query

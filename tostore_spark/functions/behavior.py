@@ -148,3 +148,37 @@ def attribution(df: DataFrame, touch_types: Sequence[str],
         F.col("__credit.touch_id").alias("touch_id"),
         F.col("__credit.touch_ts").alias("touch_ts"),
         F.col("__credit.touch_type").alias("touch_type"))
+
+
+def event_paths(df: DataFrame, entity: str, order, event: str,
+                n: int = 2, top_k: int = 20) -> DataFrame:
+    """Top event-type n-gram paths across entities — "what do users do
+    next" (view→click, click→purchase): one entity-partitioned ordered
+    window emits each entity's consecutive event n-grams; one
+    hash-aggregate counts them corpus-wide.
+
+    ``order`` is the within-entity ordering (pass a list, e.g.
+    ``["ts", "event_id"]``, to break timestamp ties deterministically —
+    the same contract as ``moving_features``).  Output: (path, n_occur)
+    with path = "a>b[>c...]", ordered (n_occur desc, path), top_k —
+    bounded final sort (TakeOrderedAndProject).
+
+    Scale shape: lead() windows are entity-partitioned (one shuffle on
+    the entity key, no global window); the n-gram strings are bounded
+    (n × event-type length); the count is a uniform-key hash-aggregate.
+    Never a self-join per step (the k-way join formulation explodes;
+    this is linear in events)."""
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    orders = [order] if isinstance(order, str) else list(order)
+    w = Window.partitionBy(entity).orderBy(*orders)
+    steps = [F.col(event)] + [F.lead(event, i).over(w)
+                              for i in range(1, n)]
+    path = F.concat_ws(">", *steps)
+    return (df.select(path.alias("path"),
+                      steps[-1].isNotNull().alias("__complete"))
+              .filter(F.col("__complete"))
+              .groupBy("path")
+              .agg(F.count(F.lit(1)).alias("n_occur"))
+              .orderBy(F.col("n_occur").desc(), F.col("path").asc())
+              .limit(top_k))

@@ -563,3 +563,41 @@ def grouped_percentiles_frame(df: DataFrame, by: str, col: str,
         structs.append(F.struct(F.lit(f).alias("p"), v.alias("value")))
     return (agg.select(by, F.explode(F.array(*structs)).alias("__s"))
                .select(by, "__s.p", "__s.value"))
+
+
+def clip_outliers_grouped(df: DataFrame, by: str, col: str,
+                          lower: float = 0.01, upper: float = 0.99,
+                          mode: str = "clip",
+                          round_dp: int = 6) -> DataFrame:
+    """Per-group winsorization: clip (or filter) each row against ITS
+    group's exact [lower, upper] percentile bounds — the per-source /
+    per-language form of ``clip_outliers`` (a global clip over a mixed
+    corpus clips the small sources by the big ones' distribution).
+
+    Bounds come from ``grouped_percentiles_frame`` (one spillable
+    group-partitioned sort window, no percentile value-map) and join
+    back on the group key — a tiny |groups|×2 frame, broadcast by AQE.
+    Nulls pass through unclipped.  Adds ``{col}_clipped`` in clip
+    mode."""
+    if mode not in ("clip", "filter"):
+        raise ValueError("mode must be 'clip' or 'filter'")
+    if not 0 <= lower < upper <= 1:
+        raise ValueError("need 0 <= lower < upper <= 1")
+    gp = grouped_percentiles_frame(df, by, col, [lower, upper],
+                                   round_dp=round_dp)
+    bounds = gp.groupBy(by).agg(
+        F.max(F.when(F.col("p") == float(lower), F.col("value")))
+         .alias("__lo"),
+        F.max(F.when(F.col("p") == float(upper), F.col("value")))
+         .alias("__hi"))
+    out = df.join(F.broadcast(bounds), on=by, how="left")
+    c = F.col(col)
+    if mode == "filter":
+        return (out.filter(c.isNull() | c.between(F.col("__lo"),
+                                                  F.col("__hi")))
+                   .drop("__lo", "__hi"))
+    return (out.withColumn(
+                f"{col}_clipped",
+                F.when(c.isNull(), c).otherwise(
+                    F.least(F.greatest(c, F.col("__lo")), F.col("__hi"))))
+               .drop("__lo", "__hi"))
