@@ -112,30 +112,14 @@ def exact_percentiles_frame(df: DataFrame, col: str,
     spark = df.sparkSession
     vals = df.select(F.col(col).alias("__v")).filter(F.col("__v").isNotNull())
     nb = n_parts or max(32, 4 * len(fracs))
-    # probe ranks once (the fracs are known before N): one resolver call
-    # per level; keys are (frac index, lo|hi) pairs
-    resolved, gfrac, n = _resolve_percentile_ranks(spark, vals, fracs, nb)
-    if n == 0 or not gfrac:
-        return spark.createDataFrame([([],)], "`__bounds` array<double>")
-    bounds = []
-    for i in sorted(gfrac):
-        vlo, vhi = resolved[(i, "lo")], resolved[(i, "hi")]
-        v = vlo + gfrac[i] * (vhi - vlo)
-        bounds.append(round(v, round_dp) if round_dp is not None else v)
-    return spark.createDataFrame([(bounds,)], "`__bounds` array<double>")
-
-
-def _resolve_percentile_ranks(spark, vals: DataFrame,
-                              fracs: Sequence[float], nb: int):
-    """Map fracs to global ranks over ``vals`` and resolve each rank to
-    its exact value via ``_select_ranks``.  Returns (resolved dict keyed
-    by (frac_idx, 'lo'|'hi'), interpolation fractions, N).
-
-    ``vals`` is materialized HERE, once: every downstream stage (rank
-    placement, sketch, counts, selection) then reads deterministic rows
-    even when the caller's lineage contains rand()/unseeded sampling."""
-    vals = vals.localCheckpoint(eager=True)
-    n = vals.count()
+    # ONE materialization total: the bucketed frame.  The sketch runs
+    # over the raw (possibly non-deterministic) lineage — it only
+    # influences bucket BALANCE, never correctness — and N, the rank
+    # placement, the exact counts, and the selection all derive from
+    # that single checkpointed frame, so counts and ranks can never
+    # disagree.
+    bucketed, counts, span, offs = _bucketize(spark, vals, nb)
+    n = sum(counts.values())
     gfrac, items = {}, []
     if n:
         for i, f in enumerate(fracs):
@@ -144,20 +128,23 @@ def _resolve_percentile_ranks(spark, vals: DataFrame,
             gfrac[i] = r - glo
             items.append(((i, "lo"), glo))
             items.append(((i, "hi"), ghi))
-    resolved = _select_ranks(spark, vals, items, nb, depth=3) if items else {}
-    return resolved, gfrac, n
+    if n == 0 or not gfrac:
+        return spark.createDataFrame([([],)], "`__bounds` array<double>")
+    resolved = _select_from_buckets(spark, bucketed, counts, span, offs,
+                                    items, nb, depth=3)
+    bounds = []
+    for i in sorted(gfrac):
+        vlo, vhi = resolved[(i, "lo")], resolved[(i, "hi")]
+        v = vlo + gfrac[i] * (vhi - vlo)
+        bounds.append(round(v, round_dp) if round_dp is not None else v)
+    return spark.createDataFrame([(bounds,)], "`__bounds` array<double>")
 
 
-def _select_ranks(spark, vals: DataFrame, items, nb: int,
-                  depth: int) -> dict:
-    """Exact distributed order-statistic selection: resolve each
-    (key, 0-based global rank) in ``items`` to the value at that rank of
-    ``vals.__v`` ascending.  Sketch-bucket → exact count → sort only the
-    hit buckets; constant buckets answer directly; oversized non-constant
-    buckets recurse (``depth`` levels) with a fresh sketch over just
-    that bucket."""
-    if not items:
-        return {}
+def _bucketize(spark, vals: DataFrame, nb: int):
+    """Sketch-propose bucket edges, materialize the bucketed frame
+    (eager localCheckpoint — the ONE materialization of the selection),
+    and count each bucket exactly with its min/max.  Returns
+    (bucketed frame, counts, (min,max) spans, cumulative offsets)."""
     probe = ", ".join(repr(i / nb) for i in range(1, nb))
     # stage 1: coarse edges (balance only — accuracy can be low)
     edge_row = vals.agg(F.expr(
@@ -172,8 +159,6 @@ def _select_ranks(spark, vals: DataFrame, items, nb: int,
     for e in edges:
         term = (F.col("__v") >= F.lit(float(e))).cast("int")
         bucket_id = term if bucket_id is None else bucket_id + term
-    # materialize ONCE: counts (stage 2) and rank selection (stage 3)
-    # must see the same rows even under non-deterministic input lineage
     bucketed = (vals.withColumn("__b", bucket_id)
                     .localCheckpoint(eager=True))
     # stage 2: exact per-bucket counts + min/max -> offsets (<= nb rows)
@@ -183,11 +168,25 @@ def _select_ranks(spark, vals: DataFrame, items, nb: int,
         F.max("__v").alias("mx")).collect()
     counts = {r["__b"]: r["c"] for r in cnt_rows}
     span = {r["__b"]: (r["mn"], r["mx"]) for r in cnt_rows}
-    n = sum(counts.values())
     offs, acc = {}, 0
     for b in sorted(counts):
         offs[b] = acc
         acc += counts[b]
+    return bucketed, counts, span, offs
+
+
+def _select_from_buckets(spark, bucketed, counts, span, offs,
+                         items, nb: int, depth: int) -> dict:
+    """Exact distributed order-statistic selection over an already
+    bucketized+materialized frame: resolve each (key, 0-based global
+    rank) in ``items`` to the value at that rank of ``__v`` ascending.
+    Constant buckets (min == max — the case no sketch can split) answer
+    directly; oversized non-constant buckets re-bucketize ONLY their
+    own rows with a fresh sketch (``depth`` levels, then the window
+    sort); everything else window-sorts only the hit buckets."""
+    if not items:
+        return {}
+    n = sum(counts.values())
     oversize = 8 * max(n // max(len(counts), 1), 1)
     out: dict = {}
     sort_need = []                     # (key, bucket, local_rank)
@@ -198,8 +197,6 @@ def _select_ranks(spark, vals: DataFrame, items, nb: int,
         lrk = rk - offs[b]
         mn, mx = span[b]
         if mn == mx:
-            # constant bucket: the value at EVERY local rank is mn —
-            # the case no sketch can split, answered without sorting
             out[key] = mn
         elif counts[b] > oversize and depth > 0:
             recurse.setdefault(b, []).append((key, lrk))
@@ -222,7 +219,9 @@ def _select_ranks(spark, vals: DataFrame, items, nb: int,
             out[k] = by_key[str(k)]
     for b, sub_items in recurse.items():
         sub = bucketed.filter(F.col("__b") == b).select("__v")
-        out.update(_select_ranks(spark, sub, sub_items, nb, depth - 1))
+        sb, sc, ss, so = _bucketize(spark, sub, nb)
+        out.update(_select_from_buckets(spark, sb, sc, ss, so,
+                                        sub_items, nb, depth - 1))
     return out
 
 
