@@ -212,3 +212,45 @@ def test_gap_sessionization_vs_native_session_window(spark, db):
     a = {r.user_id: r.n_sessions for r in ours.collect()}
     b = {r.user_id: r.n_sessions for r in native.collect()}
     assert a == b and len(a) > 10
+
+
+def test_stream_rolling_active_matches_batch(spark, db, tmp_path):
+    """Streaming sliding-window approx distinct actives == the identical
+    batch windowed expression (HLL merge is associative → deterministic),
+    and within HLL tolerance of the exact batch rolling_distinct."""
+    from pyspark.sql import functions as F
+
+    from tostore_spark.functions.timeseries import rolling_distinct
+    from tostore_spark.streaming.reactive import stream_rolling_active
+
+    src = str(tmp_path / "ev_src")
+    ev = db.df("events")
+    ev.write.mode("overwrite").parquet(src)
+    agg = stream_rolling_active(spark, src, ev.schema, window_days=7,
+                                watermark="2 days")
+    q = (agg.writeStream.format("memory").queryName("wau_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["window"]["start"], r["window"]["end"]): r["n_active_approx"]
+           for r in spark.sql("select * from wau_stream").collect()}
+
+    batch = (ev.withColumn("ts", F.col("ts").cast("timestamp"))
+               .groupBy(F.window("ts", "7 days", "1 day"))
+               .agg(F.approx_count_distinct("user_id").alias("n")))
+    want = {(r["window"]["start"], r["window"]["end"]): r["n"]
+            for r in batch.collect()}
+    assert got == want and len(got) > 0       # streaming ≡ batch HLL
+
+    # HLL tolerance vs the EXACT sliding distinct: compare each day's
+    # exact count to the approx of the window ENDING after that day
+    exact = {r["day"]: r["n_active"] for r in
+             rolling_distinct(ev, "ts", "user_id", 7).collect()}
+    import datetime
+    checked = 0
+    for (ws, we), n_approx in got.items():
+        day = (we - datetime.timedelta(days=1)).date()
+        if day in exact and exact[day] >= 5:
+            # HLL default rsd ~5%; small counts carry absolute jitter
+            assert abs(n_approx - exact[day]) <= max(3, 0.2 * exact[day])
+            checked += 1
+    assert checked > 0

@@ -156,3 +156,31 @@ def stream_events(spark, source_dir: str, schema, window: str = "1 hour",
               .agg(F.count(F.lit(1)).alias("n"),
                    F.sum(F.col(value_field)).alias("sum_value")))
     return stream
+
+
+def stream_rolling_active(spark, source_dir: str, schema,
+                          window_days: int = 7,
+                          watermark: str = "2 days",
+                          entity: str = "user_id",
+                          ts_field: str = "ts") -> DataFrame:
+    """Streaming WAU/MAU: sliding-window APPROXIMATE distinct actives —
+    the Structured Streaming analog of the batch
+    ``functions.timeseries.rolling_distinct``.
+
+    Exact sliding distinct needs the full (day, entity) distinct frame
+    per window — unbounded state on a stream — so the streaming form is
+    the HLL path the batch docstring names: watermark → sliding window
+    (``window_days`` wide, 1-day slide) → ``approx_count_distinct`` of
+    the entity.  HLL sketches merge associatively (per-register max),
+    so the result is DETERMINISTIC for given data — the pytest pins the
+    streaming result EQUAL to the identical batch expression, and
+    within HLL tolerance (~5% default rsd) of the exact batch count.
+    State per window is one constant-size sketch; the watermark bounds
+    how many windows stay open."""
+    stream = (spark.readStream.schema(schema).parquet(source_dir)
+              .withColumn(ts_field, F.col(ts_field).cast("timestamp"))
+              .withWatermark(ts_field, watermark)
+              .groupBy(F.window(F.col(ts_field), f"{int(window_days)} days",
+                                "1 day"))
+              .agg(F.approx_count_distinct(entity).alias("n_active_approx")))
+    return stream
