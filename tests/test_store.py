@@ -71,9 +71,19 @@ def test_flush_versions_accumulate_and_vacuum(spark, tmp_path_factory):
         db.update("region", {"r_name": f"GEN{i}"}) \
           .where("r_regionkey", "=", 0).execute()
         db.flush()
-    assert len(os.listdir(tdir)) == 3
+    def _vdirs():
+        # the _log subdir (per-version write claims) is metadata, not a
+        # version — count only v<N> directories
+        return [d for d in os.listdir(tdir)
+                if d.startswith("v") and d[1:].isdigit()]
+    assert len(_vdirs()) == 3
+    # every committed version keeps its permanent write claim
+    claims = os.listdir(os.path.join(tdir, "_log"))
+    assert sorted(claims) == ["v1.claim", "v2.claim", "v3.claim"]
     removed = db.vacuum(keep=1)
-    assert removed == 2 and len(os.listdir(tdir)) == 1
+    assert removed == 2 and len(_vdirs()) == 1
+    # pruned versions' claims are pruned with their directories
+    assert os.listdir(os.path.join(tdir, "_log")) == ["v3.claim"]
     # current state still readable after vacuum
     assert db.df("region").filter("r_regionkey = 0") \
              .collect()[0]["r_name"] == "GEN2"
@@ -810,3 +820,96 @@ def test_fsck_reports_missing_and_orphans(spark, tmp_path):
     shutil.rmtree(os.path.join(wh, "default", "f", cur[-1]))
     kinds = {r.kind for r in db.fsck().collect()}
     assert "missing_version" in kinds
+
+
+def test_version_claim_blocks_before_data_write(spark, tmp_path_factory):
+    """The per-(table, version) write claim: a LIVE foreign claim on the
+    target version fails the flush before any parquet is written (no
+    clobber window outside the lock); a STALE claim (crashed writer) is
+    broken and the flush proceeds."""
+    import os as _os
+    import time as _time
+
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.store import ConcurrentWriteError, _claim_path
+    wh = str(tmp_path_factory.mktemp("wh_claim"))
+    db = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    db.update("region", {"r_name": "X"}).where("r_regionkey", "=", 0).execute()
+    gen = db._generations[("default", "region")]
+    cpath = _claim_path(wh, "default", "region", gen)
+    _os.makedirs(_os.path.dirname(cpath), exist_ok=True)
+    with open(cpath, "w") as f:
+        f.write("9999:deadbeef")              # a foreign, LIVE claim
+    with pytest.raises(ConcurrentWriteError, match="being written"):
+        db.flush()
+    vdir = _os.path.join(wh, "default", "region", f"v{gen}")
+    assert not _os.path.isdir(vdir)           # no data was written
+    # stale claim (old mtime, version not committed): broken + flushed
+    _os.utime(cpath, (_time.time() - 7200, _time.time() - 7200))
+    assert db.flush() == ["region"]
+    assert _os.path.isdir(vdir)
+    db2 = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    assert db2.df("region").filter("r_regionkey = 0") \
+              .collect()[0]["r_name"] == "X"
+
+
+def test_late_conflict_cleans_staged_dirs(spark, tmp_path_factory):
+    """A conflict detected at COMMIT time (after data was written
+    outside the lock) must delete the staged uncommitted version dir —
+    time travel can never surface never-committed data."""
+    import os as _os
+
+    from tostore_spark import store as _store
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.store import ConcurrentWriteError
+    wh = str(tmp_path_factory.mktemp("wh_lateconf"))
+    seed = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    seed.update("region", {"r_name": "SEED"}) \
+        .where("r_regionkey", "=", 4).execute()
+    seed.flush()
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b.update("region", {"r_name": "B"}).where("r_regionkey", "=", 1).execute()
+    # interleave: a commits region (at a HIGHER version than b's claim,
+    # so b's claim succeeds and the race reaches the COMMIT check)
+    # after b's phase-1 CAS read — patch read_manifest so b's first
+    # (optimistic) read sees the pre-a state, the locked commit read
+    # sees truth
+    real_read = _store.read_manifest
+    state = {"first": True}
+
+    def patched(whp, fs=None, spark=None):
+        man = real_read(whp, fs=fs, spark=spark)
+        if state["first"]:
+            state["first"] = False
+            a.update("region", {"r_name": "A"}) \
+             .where("r_regionkey", "=", 0).execute()
+            a.update("region", {"r_name": "A"}) \
+             .where("r_regionkey", "=", 0).execute()   # gen past b's
+            a.flush()
+            return man            # b plans against the stale view
+        return real_read(whp, fs=fs, spark=spark)
+
+    _store.read_manifest = patched
+    try:
+        with pytest.raises(ConcurrentWriteError,
+                           match="while this flush wrote data"):
+            b.flush()
+    finally:
+        _store.read_manifest = real_read
+    # b's staged version dir must be gone; a's committed state intact
+    gen_b = b._generations[("default", "region")]
+    assert gen_b < a._generations[("default", "region")]
+    assert not _os.path.isdir(
+        _os.path.join(wh, "default", "region", f"v{gen_b}"))
+    assert not _os.path.exists(
+        _store._claim_path(wh, "default", "region", gen_b))
+    c = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    got = {r["r_regionkey"]: r["r_name"] for r in c.df("region").collect()}
+    assert got[0] == "A" and got[4] == "SEED"
+    # and the loser still recovers by row merge
+    assert b.refresh(row_merge=True) == ["region"]
+    assert b.flush() == ["region"]
+    d = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    got = {r["r_regionkey"]: r["r_name"] for r in d.df("region").collect()}
+    assert got[0] == "A" and got[1] == "B" and got[4] == "SEED"

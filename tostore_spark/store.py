@@ -26,14 +26,17 @@ tables.  Old versions are retained for time-travel-ish safety until
 ``vacuum()`` prunes them; versions handed out via ``engine.df_at`` are
 pinned and survive vacuum until released.
 
-Concurrency: the flush critical section is serialized by an exclusive
-lock file carrying an owner token (pid + uuid).  The holder heartbeats
-the lock's mtime after every table write, so a *live* long flush is never
-stolen; only a lock whose mtime is stale by ``_LOCK_STALE_S`` (crashed
-holder) can be broken.  Ownership is re-verified — and the manifest
-sequence re-read — immediately before the manifest write, so even a
-stolen lock cannot produce a silent lost update; release only unlinks the
-lock if the token still matches.
+Concurrency (three-phase flush; see ``flush_tables``): the LONG work —
+distributed parquet writes — happens OUTSIDE the warehouse lock, guarded
+by per-(table, version) claim files (``<table>/_log/v<N>.claim``,
+exclusive-create CAS) so two writers can never clobber the same version
+directory; the exclusive lock file (owner token = pid + uuid, stale after
+``_LOCK_STALE_S``) serializes only the manifest pointer swap, where the
+per-table CAS is re-verified and a concurrent DISJOINT commit merges
+instead of aborting.  Same-table writers conflict at the claim (same
+version) or the commit CAS (different versions) — the loser's staged
+uncommitted directories are deleted, and ``refresh(row_merge=True)``
+replays its changes at row granularity.
 """
 
 from __future__ import annotations
@@ -161,6 +164,54 @@ class FlushLock:
             pass
 
 
+#: per-table metadata subdir ("v\\d+"-named version dirs stay siblings,
+#: so list_versions/vacuum/fsck ignore it)
+_TABLE_LOG = "_log"
+
+
+def _claim_path(wh: str, space: str, table: str, version: int) -> str:
+    return _fsmod.join(wh, space, table, _TABLE_LOG, f"v{version}.claim")
+
+
+def _claim_version(fs, wh: str, space: str, table: str, version: int,
+                   token: str, committed_ver) -> str:
+    """Per-table per-VERSION CAS: atomically create
+    ``<table>/_log/v<N>.claim`` before writing that version's data.
+
+    The claim is what makes it safe to write parquet OUTSIDE the
+    warehouse flush lock: two engines racing to the same (table,
+    version) resolve at this tiny exclusive create — the loser raises
+    BEFORE any data write could clobber the winner's files.  A claim
+    whose version committed is kept FOREVER (it shields the committed
+    directory from any later same-numbered writer; vacuum prunes it
+    with the version dir).  A stale claim (old mtime AND version not in
+    the manifest — a crashed writer's orphan) can be broken."""
+    import time
+    fs.mkdirs(_fsmod.join(wh, space, table, _TABLE_LOG))
+    path = _claim_path(wh, space, table, version)
+    for _ in range(2):
+        try:
+            fs.create_exclusive(path, token)
+            return path
+        except FileExistsError:
+            if committed_ver is not None and committed_ver >= version:
+                raise ConcurrentWriteError(
+                    f"{space}/{table} already committed at v{committed_ver} "
+                    f">= v{version}; engine.refresh() and retry") from None
+            try:
+                if time.time() - fs.getmtime(path) > _LOCK_STALE_S:
+                    fs.delete(path)   # crashed writer's orphan claim
+                    continue
+            except OSError:
+                continue
+            raise ConcurrentWriteError(
+                f"version v{version} of {space}/{table} is being written "
+                "by another engine (live claim); retry after it commits"
+            ) from None
+    raise ConcurrentWriteError(
+        f"could not claim v{version} of {space}/{table}")
+
+
 def flush_tables(engine, flush_storage: bool = True,
                  only: Optional[list] = None) -> list[str]:
     """Write every dirty table (generation advanced past its last flushed
@@ -170,15 +221,28 @@ def flush_tables(engine, flush_storage: bool = True,
     tables are only localCheckpoint-ed (memory barrier, NOT durable).
     Returns the list of flushed table names.
 
-    Concurrency (per-table CAS): when ANOTHER engine flushed since we
-    loaded (manifest seq moved), the conflict check is per table, not
-    warehouse-global — each table this flush is writing must still sit
-    at the generation THIS engine last flushed it at.  Disjoint flushes
-    merge: our table entries overlay the other writer's manifest (their
-    advanced tables, spaces, user versions and KV diffs are kept and
-    folded back into this engine), so two engines mutating different
-    tables both commit with zero retries.  Only a table BOTH engines
-    flushed raises ``ConcurrentWriteError``."""
+    Concurrency — three phases, data written OUTSIDE the lock:
+
+    1. optimistic per-table CAS (no lock): each dirty table must still
+       sit at the generation THIS engine last flushed; a table another
+       engine advanced raises immediately (retry via ``refresh()`` /
+       ``refresh(row_merge=True)``).
+    2. claim + write (no lock): each table's target version is CLAIMED
+       through the per-table ``_log/v<N>.claim`` exclusive-create CAS,
+       then its parquet is written by the distributed writer.  The
+       warehouse lock is NOT held here — the long data writes of
+       concurrent disjoint-table flushes proceed in parallel; only a
+       genuine same-(table, version) race trips the claim, before any
+       data could be clobbered.
+    3. commit (locked): under the flush lock the manifest is re-read
+       and the per-table CAS re-verified; a concurrent DISJOINT commit
+       that landed while we wrote data merges (their tables, spaces,
+       user versions and key-level KV diffs fold in), ours overlay, and
+       the manifest pointer swap is the only work inside the lock.  On
+       a late conflict the staged version dirs and claims are deleted
+       — an uncommitted directory is never left where time travel
+       could read it — and the engine's registry still points at its
+       original (unflushed) lineage."""
     flushed: list[str] = []
     only_keys = ({engine._resolve(t) for t in only}
                  if only is not None else None)
@@ -186,8 +250,6 @@ def flush_tables(engine, flush_storage: bool = True,
     if not hasattr(engine, "_flushed_gen"):
         engine._flushed_gen = {}
     durable = bool(flush_storage and wh)
-    lock = None
-    fs = None
 
     def _dirty(key, ent):
         # dirty = mutated past the last flush, OR registered from a
@@ -203,95 +265,122 @@ def flush_tables(engine, flush_storage: bool = True,
                       and key not in engine._flushed_gen)
         return gen > engine._flushed_gen.get(key, 0) or sourceless
 
-    if durable:
-        # the whole check-then-act span (read seq -> table writes ->
-        # manifest write) runs under the owner-token lock; the holder
-        # heartbeats after each table write, ownership is re-verified (and
-        # the seq re-read) immediately before the manifest write
-        fs = _fs(engine)
-        fs.mkdirs(wh)
-        lock = FlushLock(fs, wh)
-        lock.acquire()
-    merge_from = None
-    base_seq = getattr(engine, "_store_seq", 0)
+    if not durable:
+        for key, ent in list(engine._tables.items()):
+            if _dirty(key, ent) and engine._generations.get(key, 0) > 0:
+                ent["df"] = ent["df"].localCheckpoint(eager=True)
+        return flushed
+
+    fs = _fs(engine)
+    fs.mkdirs(wh)
+    lock = FlushLock(fs, wh)
+
+    def _cas_conflicts(cur, keys):
+        theirs = {(e["space"], e["name"]): e.get("version", 0)
+                  for e in (cur or {}).get("tables", {}).values()}
+        fgen = engine._flushed_gen
+        return theirs, sorted(
+            f"{k[0]}/{k[1]}" for k in keys
+            if theirs.get(k) != fgen.get(k))
+
+    # ---- phase 1: optimistic CAS (no lock) -------------------------
+    dirty_keys = [k for k, ent in list(engine._tables.items())
+                  if _dirty(k, ent)]
+    cur = read_manifest(wh, fs=fs)
+    theirs, conflicts = _cas_conflicts(cur, dirty_keys)
+    if conflicts:
+        raise ConcurrentWriteError(
+            f"warehouse {wh} tables {conflicts} were flushed by another "
+            "engine since this engine loaded them; engine.refresh() to "
+            "pick up their state, then retry")
+
+    # ---- phase 2: claim versions + write data (no lock) ------------
+    claims: list[str] = []
+    staged = []           # (key, gen, vdir, written_schema, pby)
     try:
-        if durable:
+        for key in dirty_keys:
+            ent = engine._tables[key]
+            gen = engine._generations.get(key, 0)
+            # TTL physical cleanup rides the flush (the batch form of
+            # the reference's background cleanup cron,
+            # ttl_cleanup_manager.dart:40+): expired rows never reach
+            # the versioned parquet, so a reopened engine starts clean
+            sch = ent.get("schema")
+            ttl_cfg = getattr(sch, "ttl", None) if sch else None
+            if ttl_cfg is not None and ttl_cfg.ttl_ms:
+                from tostore_spark.ttl import cleanup
+                ent["df"] = cleanup(ent["df"], ttl_cfg)
+            claims.append(_claim_version(fs, wh, key[0], key[1], gen,
+                                         lock.token, theirs.get(key)))
+            vdir = table_version_dir(wh, key[0], key[1], gen)
+            writer = ent["df"].write.mode("overwrite")
+            pby = ent.get("partition_by")
+            written_schema = ent["df"].schema
+            if pby:
+                # hive-style directory partitioning: reopened readers
+                # prune partitions on these columns (PartitionFilters)
+                writer = writer.partitionBy(*pby)
+            writer.parquet(vdir)
+            staged.append((key, gen, vdir, written_schema, pby))
+            for c in claims:      # keep every claim visibly live while
+                try:              # later tables write (freshness signal
+                    fs.touch(c)   # for other writers' stale checks)
+                except OSError:
+                    pass
+
+        # ---- phase 3: commit — pointer swap only, under the lock ----
+        lock.acquire()
+        try:
             cur = read_manifest(wh, fs=fs)
             base_seq = (cur or {}).get("seq", 0)
-            if base_seq != getattr(engine, "_store_seq", 0):
-                # another engine flushed since we loaded — per-table CAS:
-                # conflict only on tables BOTH of us are writing (absent
-                # vs present counts: a table they created or dropped that
-                # we are also writing is a conflict too)
-                theirs = {(e["space"], e["name"]): e.get("version", 0)
-                          for e in (cur or {}).get("tables", {}).values()}
-                fgen = engine._flushed_gen
-                conflicts = sorted(
-                    f"{k[0]}/{k[1]}"
-                    for k, ent in engine._tables.items()
-                    if _dirty(k, ent) and theirs.get(k) != fgen.get(k))
-                if conflicts:
-                    raise ConcurrentWriteError(
-                        f"warehouse {wh} tables {conflicts} were flushed "
-                        "by another engine since this engine loaded them; "
-                        "engine.refresh() to pick up their state, then "
-                        "retry")
-                merge_from = cur or {"seq": base_seq, "tables": {}}
-        for key, ent in list(engine._tables.items()):
-            if not _dirty(key, ent):
-                continue   # never mutated, or unchanged since last flush
-            gen = engine._generations.get(key, 0)
-            if durable:
-                # TTL physical cleanup rides the flush (the batch form of
-                # the reference's background cleanup cron,
-                # ttl_cleanup_manager.dart:40+): expired rows never reach
-                # the versioned parquet, so a reopened engine starts clean
-                sch = ent.get("schema")
-                ttl_cfg = getattr(sch, "ttl", None) if sch else None
-                if ttl_cfg is not None and ttl_cfg.ttl_ms:
-                    from tostore_spark.ttl import cleanup
-                    ent["df"] = cleanup(ent["df"], ttl_cfg)
-                vdir = table_version_dir(wh, key[0], key[1], gen)
-                writer = ent["df"].write.mode("overwrite")
-                pby = ent.get("partition_by")
-                written_schema = ent["df"].schema
-                if pby:
-                    # hive-style directory partitioning: reopened readers
-                    # prune partitions on these columns (PartitionFilters)
-                    writer = writer.partitionBy(*pby)
-                writer.parquet(vdir)
-                # pin the read-back schema: partition-column type
-                # inference must not retype string values or reorder cols
-                ent["df"] = engine._read_parquet(
-                    vdir, schema=written_schema if pby else None)
-                ent["path"] = vdir
-                engine._flushed_gen[key] = gen
-                flushed.append(key[1])
-                lock.heartbeat()
-            elif gen > 0:
-                ent["df"] = ent["df"].localCheckpoint(eager=True)
-        if durable:
-            # last-moment recheck: the lock is still ours AND nobody
-            # advanced the manifest while we wrote tables
-            lock.verify()
-            cur = read_manifest(wh, fs=fs)
-            if (cur or {}).get("seq", 0) != base_seq:
+            theirs, conflicts = _cas_conflicts(cur, [s[0] for s in staged])
+            if conflicts:
                 raise ConcurrentWriteError(
-                    f"manifest seq advanced under a live lock in {wh}; "
-                    "aborting manifest write (engine.refresh() to recover)")
+                    f"warehouse {wh} tables {conflicts} were flushed by "
+                    "another engine while this flush wrote data; "
+                    "engine.refresh() and retry")
+            merge_from = (cur or {"seq": base_seq, "tables": {}}) \
+                if base_seq != getattr(engine, "_store_seq", 0) else None
+            # adopt the written directories into the registry (schema
+            # pinned so partition-column inference can't retype values)
+            for key, gen, vdir, wsch, pby in staged:
+                ent = engine._tables[key]
+                ent["df"] = engine._read_parquet(
+                    vdir, schema=wsch if pby else None)
+                ent["path"] = vdir
             engine._store_seq = base_seq + 1
             manifest = _build_manifest(engine)
             if merge_from is not None:
                 manifest = _merge_manifests(engine, manifest, merge_from)
             write_manifest(wh, manifest, fs=fs)
+            for key, gen, *_ in staged:
+                engine._flushed_gen[key] = gen
+                flushed.append(key[1])
             _write_flush_event(fs, wh, engine._store_seq, flushed)
             if merge_from is not None:
                 _fold_merged(engine, manifest)
             if hasattr(engine, "_kv"):
                 engine._kv_baseline = engine._kv.snapshot()
-    finally:
-        if durable:
+        finally:
             lock.release()
+    except ConcurrentWriteError:
+        # late conflict: remove the staged (uncommitted) version dirs
+        # and their claims so time travel / list_versions can never
+        # surface data that was never committed; the registry still
+        # points at the original lineage (adoption happens post-CAS)
+        for key, gen, vdir, *_ in staged:
+            if engine._flushed_gen.get(key) == gen:
+                continue   # adopted+recorded — commit actually succeeded
+            try:
+                fs.delete(vdir, recursive=True)
+            except OSError:
+                pass
+        for c in claims:
+            try:
+                fs.delete(c)
+            except OSError:
+                pass
+        raise
     return flushed
 
 
@@ -731,6 +820,13 @@ def vacuum(engine, keep: int = 1) -> int:
             if (space, name, int(d[1:])) in pinned:
                 continue   # a live df_at frame still reads these files
             fs.delete(full, recursive=True)
+            # the version's write claim goes with its directory — once
+            # the dir is gone the number can never be re-issued anyway
+            # (generations are monotonic past the manifest's version)
+            try:
+                fs.delete(_claim_path(wh, space, name, int(d[1:])))
+            except OSError:
+                pass
             removed += 1
     return removed
 
