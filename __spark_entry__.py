@@ -2440,6 +2440,22 @@ def q_fuzzy_match(spark, sf_dir):
             .limit(100))
 
 
+def q_lm_score_trigram(spark, sf_dir):
+    """Two-level interpolated trigram LM (llmops.lm.train_trigram_lm —
+    one rung past the bigram toward CCNet's 5-gram KenLM): add-k
+    trigram interpolated with bigram and unigram backoffs, every count
+    frame from ONE corpus explode, no driver-side model.  The 15 most
+    'surprising' documents by mean -log2 p(token | prev2, prev)."""
+    from tostore_spark.llmops import lm as LM
+    db = _db(spark, sf_dir)
+    docs = db.df("documents")
+    model = LM.train_trigram_lm(docs, add_k=0.5, lam3=0.5, lam2=0.3)
+    out = LM.trigram_bits_per_token(docs, model)
+    return (out.select("id", "n_tokens", "bits_per_token")
+               .orderBy(F.col("bits_per_token").desc(), F.col("id").asc())
+               .limit(15))
+
+
 def q_winsorize_grouped(spark, sf_dir):
     """Per-group winsorization (plans/stats.clip_outliers_grouped):
     clip order totals against each order-status group's OWN exact
@@ -2549,7 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q4", "q_tpch_q12", "q_tpch_q14", "q_tpch_q19",
         "q_rolling_active", "q_tfidf_terms", "q_tfidf_pairs",
         "q_fuzzy_match", "q_grouped_percentiles",
-        "q_winsorize_grouped", "q_event_paths",
+        "q_winsorize_grouped", "q_event_paths", "q_lm_score_trigram",
         # --- 25-50: r4-vintage refresh ---
         "q_update_rewrite", "q_delete_rewrite", "q_upsert_merge",
         "q_batch_update", "q_partial_insert", "q_expr_clamp_update",
@@ -2560,9 +2576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_notin_null_semantics", "q_is_null_join",
         "q_neq_null_semantics", "q_multiop_or",
         "q_knn_join", "q_ivf_batch", "q_pq_search", "q_ivfpq",
-        "q_mix_corpus",
         # --- past the 50-cap: remaining r4-vintage rows ---
-        "q_bm25_search", "q_agg_stats",
+        "q_mix_corpus", "q_bm25_search", "q_agg_stats",
         "q_events_window", "q_global_agg", "q_count_star",
         "q_backup_restore",
         "q_source_cap", "q_pack_sequences", "q_chunk_documents",
@@ -3452,6 +3467,52 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs LEFT JOIN b2 USING (prev, token)
                          LEFT JOIN ctx USING (prev)
                          LEFT JOIN uni USING (token), c)
+            SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(CAST(sum(CAST(bits AS DECIMAL(18,6))) AS DOUBLE)
+                         / count(*), 6) AS bits_per_token
+            FROM sc GROUP BY id
+            ORDER BY bits_per_token DESC, id LIMIT 15""",
+        "q_lm_score_trigram": f"""
+            WITH t AS (SELECT doc_id AS id, {_TOKENS} AS tk FROM documents),
+            nz AS (SELECT id, tk FROM t WHERE len(tk) > 0),
+            tri AS (
+              SELECT id,
+                     unnest([CASE WHEN i <= 2 THEN '<s>' ELSE tk[i-2] END
+                             for i in range(1, len(tk) + 1)]) AS prev2,
+                     unnest([CASE WHEN i = 1 THEN '<s>' ELSE tk[i-1] END
+                             for i in range(1, len(tk) + 1)]) AS prev,
+                     unnest([tk[i]
+                             for i in range(1, len(tk) + 1)]) AS token
+              FROM nz),
+            b3 AS (SELECT prev2, prev, token, count(*) AS tf3
+                   FROM tri GROUP BY 1, 2, 3),
+            ctx3 AS (SELECT prev2, prev, CAST(sum(tf3) AS BIGINT) AS ctf3
+                     FROM b3 GROUP BY 1, 2),
+            b2 AS (SELECT prev, token, count(*) AS tf2
+                   FROM tri GROUP BY 1, 2),
+            ctx AS (SELECT prev, CAST(sum(tf2) AS BIGINT) AS ctf
+                    FROM b2 GROUP BY prev),
+            uni AS (SELECT token, count(*) AS tf FROM tri GROUP BY token),
+            c AS (SELECT CAST(sum(tf) AS DOUBLE) AS T,
+                         CAST(count(*) AS DOUBLE) AS V FROM uni),
+            sc AS (
+              SELECT tri.id,
+                     round(-log2(
+                         0.5 * ((coalesce(CAST(b3.tf3 AS DOUBLE), 0.0) + 0.5)
+                                / (coalesce(CAST(ctx3.ctf3 AS DOUBLE), 0.0)
+                                   + 0.5 * c.V))
+                         + 0.3 * ((coalesce(CAST(b2.tf2 AS DOUBLE), 0.0)
+                                   + 0.5)
+                                  / (coalesce(CAST(ctx.ctf AS DOUBLE), 0.0)
+                                     + 0.5 * c.V))
+                         + (1.0 - 0.5 - 0.3)
+                           * ((coalesce(CAST(uni.tf AS DOUBLE), 0.0) + 0.5)
+                              / (c.T + 0.5 * c.V))), 6) AS bits
+              FROM tri LEFT JOIN b3 USING (prev2, prev, token)
+                       LEFT JOIN ctx3 USING (prev2, prev)
+                       LEFT JOIN b2 USING (prev, token)
+                       LEFT JOIN ctx USING (prev)
+                       LEFT JOIN uni USING (token), c)
             SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
                    round(CAST(sum(CAST(bits AS DECIMAL(18,6))) AS DOUBLE)
                          / count(*), 6) AS bits_per_token

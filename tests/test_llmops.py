@@ -1655,3 +1655,33 @@ def test_tfidf_terms_and_pairs(spark):
     assert abs(best["cos"] - 1.0) < 1e-6
     # doc 4 shares no surviving token pair with 1/2/3 beyond min_shared
     assert all(4 not in (r["id_a"], r["id_b"]) for r in pairs)
+
+
+def test_trigram_lm_rows_and_ordering_signal(spark):
+    """trigram_rows pads the first two contexts with BOS; the trained
+    scorer ranks in-order text as less surprising than the same words
+    shuffled (the word-order signal a unigram model cannot see)."""
+    from tostore_spark.llmops import lm as LM
+    one = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    rows = [(r["prev2"], r["prev"], r["token"]) for r in
+            LM.trigram_rows(one).collect()]
+    assert rows == [("<s>", "<s>", "a"), ("<s>", "a", "b"),
+                    ("a", "b", "c")]
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(20)],
+        ["doc_id", "text"])
+    model = LM.train_trigram_lm(train)
+    probe = spark.createDataFrame(
+        [(100, "the cat sat on the mat"),      # exactly in-distribution
+         (101, "mat the on sat cat the")],     # same words, broken order
+        ["doc_id", "text"])
+    got = {r["id"]: r["bits_per_token"] for r in
+           LM.trigram_bits_per_token(probe, model).collect()}
+    assert got[100] < got[101]
+    # empty doc: no rows, no score (same contract as the bigram scorer)
+    empty = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    assert LM.trigram_bits_per_token(empty, model).count() == 0
+    import pytest
+    with pytest.raises(ValueError):
+        LM.train_trigram_lm(train, lam3=0.8, lam2=0.5)

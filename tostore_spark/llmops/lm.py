@@ -152,9 +152,12 @@ def ngram_perplexity_filter(df: DataFrame, lm: NGramLM,
     ``text.perplexity_filter``."""
     scored = ngram_bits_per_token(df, lm, text_field=text_field,
                                   id_field=id_field)
-    thr = scored.select(F.expr(
-        f"percentile(bits_per_token, {1.0 - float(drop_pct)!r})")
-        .alias("__thr"))
+    # distributed order-statistic threshold, not the percentile
+    # value-map aggregate (repo-wide rule; see plans/stats)
+    from tostore_spark.plans.stats import exact_percentiles_frame
+    thr = (exact_percentiles_frame(scored, "bits_per_token",
+                                   [1.0 - float(drop_pct)])
+           .select(F.col("__bounds").getItem(0).alias("__thr")))
     return (df.join(scored.select(F.col("id").alias(id_field),
                                   "bits_per_token"),
                     on=id_field, how="left")
@@ -220,3 +223,122 @@ def ppl_buckets(scored: DataFrame, bits_field: str = "bits_per_token",
     lab = lab.otherwise(F.lit(labels[-1]))
     return out.withColumn("ppl_bucket", lab).drop(
         *[f"__t{i}" for i in range(len(cuts))])
+
+
+@dataclass
+class TrigramLM:
+    """The interpolated trigram model: trigram/bigram/unigram count
+    frames + one constants row — all DataFrames (persist as parquet;
+    no driver-side model, no broadcast cap on the vocabulary).
+
+    ``trigrams``: (prev2, prev, token, tf3); ``contexts2``:
+    (prev2, prev, ctf3); ``bigrams``/(``contexts``)/(``unigrams``) as
+    in ``NGramLM``; ``consts``: one row (T, V, add_k, lam3, lam2)."""
+
+    trigrams: DataFrame
+    contexts2: DataFrame
+    bigrams: DataFrame
+    contexts: DataFrame
+    unigrams: DataFrame
+    consts: DataFrame
+
+
+def trigram_rows(df: DataFrame, text_field: str = "text",
+                 id_field: str = "doc_id") -> DataFrame:
+    """(id, prev2, prev, token) rows: each document's token stream as
+    trigram transitions, the first two positions padded with the BOS
+    sentinel — pure column math, one linear pass."""
+    t = TX.tokens(F.col(text_field))
+    idx = F.sequence(F.lit(1), F.size(t))
+    triples = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.when(i <= 2, F.lit(BOS))
+             .otherwise(F.element_at(t, i - 2)).alias("prev2"),
+            F.when(i == 1, F.lit(BOS))
+             .otherwise(F.element_at(t, i - 1)).alias("prev"),
+            F.element_at(t, i).alias("token")))
+    return (df.filter(F.size(t) > 0)
+              .select(F.col(id_field).alias("id"),
+                      F.explode(triples).alias("tg"))
+              .select("id", F.col("tg.prev2").alias("prev2"),
+                      F.col("tg.prev").alias("prev"),
+                      F.col("tg.token").alias("token")))
+
+
+def train_trigram_lm(df: DataFrame, add_k: float = 0.5,
+                     lam3: float = 0.5, lam2: float = 0.3,
+                     text_field: str = "text",
+                     id_field: str = "doc_id") -> TrigramLM:
+    """Train the two-level interpolated trigram LM:
+
+        p(w | a, b) = lam3 · (tf3(a,b,w)+k)/(ctf3(a,b)+kV)
+                    + lam2 · (tf2(b,w)+k)/(ctf(b)+kV)
+                    + (1−lam3−lam2) · (tf(w)+k)/(T+kV)
+
+    ONE corpus pass (the trigram explode) feeds every count frame —
+    bigram and unigram counts are re-aggregations of the trigram rows,
+    never a second scan.  Unseen contexts smooth to the uniform floor
+    at each level; probabilities are never zero."""
+    if not (0 <= lam3 and 0 <= lam2 and lam3 + lam2 <= 1):
+        raise ValueError("need lam3, lam2 >= 0 and lam3 + lam2 <= 1")
+    tg = trigram_rows(df, text_field=text_field, id_field=id_field)
+    trigrams = (tg.groupBy("prev2", "prev", "token")
+                  .agg(F.count(F.lit(1)).alias("tf3")))
+    contexts2 = (trigrams.groupBy("prev2", "prev")
+                         .agg(F.sum("tf3").alias("ctf3")))
+    bigrams = (tg.groupBy("prev", "token")
+                 .agg(F.count(F.lit(1)).alias("tf2")))
+    contexts = (bigrams.groupBy("prev")
+                       .agg(F.sum("tf2").alias("ctf")))
+    unigrams = tg.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    consts = (unigrams.agg(F.sum("tf").alias("T"),
+                           F.count(F.lit(1)).alias("V"))
+              .withColumn("add_k", F.lit(float(add_k)))
+              .withColumn("lam3", F.lit(float(lam3)))
+              .withColumn("lam2", F.lit(float(lam2))))
+    return TrigramLM(trigrams=trigrams, contexts2=contexts2,
+                     bigrams=bigrams, contexts=contexts,
+                     unigrams=unigrams, consts=consts)
+
+
+def trigram_bits_per_token(df: DataFrame, lm: TrigramLM,
+                           text_field: str = "text",
+                           id_field: str = "doc_id") -> DataFrame:
+    """Per-document mean -log2 p(token | prev2, prev) under the
+    interpolated trigram LM — one rung sharper than the bigram scorer
+    (local word-order violations show up that pairwise transitions
+    miss).  Returns (id, n_tokens, bits_per_token).
+
+    Shape: one trigram explode, five left equi-joins against the count
+    frames (uniform keys; AQE broadcasts small sides by itself), one
+    1-row constants broadcast, one per-doc aggregate.  Per-token bits
+    round to 6dp and sum as DECIMAL — order-independent,
+    oracle-portable."""
+    tg = trigram_rows(df, text_field=text_field, id_field=id_field)
+    joined = (tg.join(lm.trigrams, on=["prev2", "prev", "token"],
+                      how="left")
+                .join(lm.contexts2, on=["prev2", "prev"], how="left")
+                .join(lm.bigrams, on=["prev", "token"], how="left")
+                .join(lm.contexts, on="prev", how="left")
+                .join(lm.unigrams, on="token", how="left")
+                .crossJoin(F.broadcast(lm.consts)))
+    k = F.col("add_k")
+    v = F.col("V").cast("double")
+    p_tri = ((F.coalesce(F.col("tf3").cast("double"), F.lit(0.0)) + k)
+             / (F.coalesce(F.col("ctf3").cast("double"), F.lit(0.0))
+                + k * v))
+    p_bi = ((F.coalesce(F.col("tf2").cast("double"), F.lit(0.0)) + k)
+            / (F.coalesce(F.col("ctf").cast("double"), F.lit(0.0))
+               + k * v))
+    p_uni = ((F.coalesce(F.col("tf").cast("double"), F.lit(0.0)) + k)
+             / (F.col("T").cast("double") + k * v))
+    lam1 = F.lit(1.0) - F.col("lam3") - F.col("lam2")
+    p = F.col("lam3") * p_tri + F.col("lam2") * p_bi + lam1 * p_uni
+    bits = F.round(-F.log2(p), 6).cast("decimal(18,6)")
+    return (joined.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 (F.sum(bits).cast("double")
+                  / F.count(F.lit(1))).alias("__raw"))
+            .withColumn("bits_per_token", F.round(F.col("__raw"), 6))
+            .drop("__raw"))

@@ -229,8 +229,11 @@ def quality_percentile_filter(df: DataFrame, pct: float = 0.1,
     if score_field is None:
         df = df.withColumn("quality", _tx.quality_score(F.col(text_field)))
         score_field = "quality"
-    thr = df.select(F.expr(f"percentile(`{score_field}`, {float(pct)!r})")
-                    .alias("__thr"))
+    # distributed order-statistic threshold, not the percentile
+    # value-map aggregate (repo-wide rule; see plans/stats)
+    from tostore_spark.plans.stats import exact_percentiles_frame
+    thr = (exact_percentiles_frame(df, score_field, [float(pct)])
+           .select(F.col("__bounds").getItem(0).alias("__thr")))
     return (df.crossJoin(F.broadcast(thr))
               .filter(F.col(score_field) >= F.col("__thr"))
               .drop("__thr"))

@@ -383,9 +383,12 @@ def perplexity_filter(df: DataFrame, lm: DataFrame, drop_pct: float = 0.1,
     branch."""
     scored = lm_bits_per_token(df, lm, text_field=text_field,
                                id_field=id_field)
-    thr = scored.select(F.expr(
-        f"percentile(bits_per_token, {1.0 - float(drop_pct)!r})")
-        .alias("__thr"))
+    # distributed order-statistic threshold, not the percentile
+    # value-map aggregate (repo-wide rule; see plans/stats)
+    from tostore_spark.plans.stats import exact_percentiles_frame
+    thr = (exact_percentiles_frame(scored, "bits_per_token",
+                                   [1.0 - float(drop_pct)])
+           .select(F.col("__bounds").getItem(0).alias("__thr")))
     return (df.join(scored.select(F.col("id").alias(id_field),
                                   "bits_per_token"),
                     on=id_field, how="left")
