@@ -1685,3 +1685,29 @@ def test_trigram_lm_rows_and_ordering_signal(spark):
     import pytest
     with pytest.raises(ValueError):
         LM.train_trigram_lm(train, lam3=0.8, lam2=0.5)
+
+
+def test_curate_corpus_lm_order_knob(spark, db):
+    """lm_order routes the perplexity stage through the bigram/trigram
+    scorers: each order runs end to end, drops a nonzero fraction, and
+    is deterministic; an invalid order raises."""
+    from tostore_spark.llmops.pipeline import curate_corpus
+    train = db.df("documents").filter(F.col("doc_id") < 200)
+    base = None
+    for order in (2, 3):
+        out = curate_corpus(train, None, minhash_dedup=False,
+                            drop_quality_pct=0.0,
+                            drop_perplexity_pct=0.1, lm_order=order,
+                            n_shards=4)
+        n = out.count()
+        assert 0 < n < train.count()
+        again = curate_corpus(train, None, minhash_dedup=False,
+                              drop_quality_pct=0.0,
+                              drop_perplexity_pct=0.1, lm_order=order,
+                              n_shards=4).count()
+        assert again == n
+        base = n
+    assert base is not None
+    with pytest.raises(ValueError, match="lm_order"):
+        curate_corpus(train, None, minhash_dedup=False,
+                      drop_perplexity_pct=0.1, lm_order=4, n_shards=4)

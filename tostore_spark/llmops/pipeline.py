@@ -241,6 +241,7 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
                   drop_quality_pct: float = 0.1,
                   quality_calibrated: bool = False,
                   drop_perplexity_pct: float = 0.1,
+                  lm_order: int = 1,
                   max_per_source: int | None = None,
                   temperature_alpha: float | None = None,
                   temperature_budget: int | None = None,
@@ -374,13 +375,51 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
                               out, pct=drop_quality_pct,
                               score_field="quality"),
                           "s4_quality")
-    # 5. perplexity filter: LM trained on what survived so far
+    # 5. perplexity filter: LM trained on what survived so far.
+    # ``lm_order`` picks the scorer rung (1 = unigram default — the
+    # fastest corpus-scale signal; 2 = interpolated bigram; 3 =
+    # two-level interpolated trigram, llmops/lm) — the cut contract is
+    # identical at every order: drop the highest-bits drop_pct at the
+    # exact interpolated percentile of THIS corpus.
     if drop_perplexity_pct:
-        lm = TX.train_unigram_lm(out, text_field=text_field)
-        out = barrier(TX.perplexity_filter(
-                          out, lm, drop_pct=drop_perplexity_pct,
-                          text_field=text_field, id_field=id_field),
-                      "s5_perplexity")
+        if lm_order == 1:
+            lm = TX.train_unigram_lm(out, text_field=text_field)
+            cut = TX.perplexity_filter(
+                out, lm, drop_pct=drop_perplexity_pct,
+                text_field=text_field, id_field=id_field)
+        elif lm_order in (2, 3):
+            from tostore_spark.llmops import lm as NLM
+            if lm_order == 2:
+                model = NLM.train_ngram_lm(out, n=2,
+                                           text_field=text_field,
+                                           id_field=id_field)
+                cut = NLM.ngram_perplexity_filter(
+                    out, model, drop_pct=drop_perplexity_pct,
+                    text_field=text_field, id_field=id_field)
+            else:
+                model = NLM.train_trigram_lm(out, text_field=text_field,
+                                             id_field=id_field)
+                scored = NLM.trigram_bits_per_token(
+                    out, model, text_field=text_field, id_field=id_field)
+                from tostore_spark.plans.stats import \
+                    exact_percentiles_frame
+                thr = (exact_percentiles_frame(
+                           scored, "bits_per_token",
+                           [1.0 - float(drop_perplexity_pct)])
+                       .select(F.col("__bounds").getItem(0)
+                               .alias("__thr")))
+                cut = (out.join(scored.select(
+                                    F.col("id").alias(id_field),
+                                    "bits_per_token"),
+                                on=id_field, how="left")
+                          .crossJoin(F.broadcast(thr))
+                          .filter(F.col("bits_per_token").isNull()
+                                  | (F.col("bits_per_token")
+                                     <= F.col("__thr")))
+                          .drop("__thr"))
+        else:
+            raise ValueError(f"lm_order must be 1|2|3, got {lm_order}")
+        out = barrier(cut, "s5_perplexity")
     # 5b. DSIR target-domain importance resample
     if dsir_target is not None:
         from tostore_spark.llmops import dsir as DS
