@@ -1711,3 +1711,35 @@ def test_curate_corpus_lm_order_knob(spark, db):
     with pytest.raises(ValueError, match="lm_order"):
         curate_corpus(train, None, minhash_dedup=False,
                       drop_perplexity_pct=0.1, lm_order=4, n_shards=4)
+
+
+def test_lm_and_bpe_artifact_roundtrip(spark, tmp_path):
+    """save/load artifact forms: a reloaded trigram LM scores
+    identically to the in-memory one; a reloaded BPE model has the same
+    merge table and tokenizes identically."""
+    from tostore_spark.llmops import lm as LM
+    from tostore_spark.llmops import tokenizer as TK
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog sat too")
+         for i in range(5)] + [(99, "zebra quark flux")],
+        ["doc_id", "text"])
+    model = LM.train_trigram_lm(docs)
+    p = str(tmp_path / "lm3")
+    LM.save_trigram_lm(model, p)
+    re = LM.load_trigram_lm(spark, p)
+    a = {r["id"]: r["bits_per_token"] for r in
+         LM.trigram_bits_per_token(docs, model).collect()}
+    b = {r["id"]: r["bits_per_token"] for r in
+         LM.trigram_bits_per_token(docs, re).collect()}
+    assert a == b and len(a) == 6
+
+    bpe = TK.train_bpe(docs, num_merges=8)
+    bp = str(tmp_path / "bpe")
+    TK.save_bpe(bpe, bp)
+    bre = TK.load_bpe(spark, bp)
+    assert bre.merges == bpe.merges
+    ta = {r["doc_id"]: list(r["bpe_tokens"]) for r in
+          TK.tokenize_bpe(docs, bpe).collect()}
+    tb = {r["doc_id"]: list(r["bpe_tokens"]) for r in
+          TK.tokenize_bpe(docs, bre).collect()}
+    assert ta == tb

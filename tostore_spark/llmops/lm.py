@@ -342,3 +342,38 @@ def trigram_bits_per_token(df: DataFrame, lm: TrigramLM,
                   / F.count(F.lit(1))).alias("__raw"))
             .withColumn("bits_per_token", F.round(F.col("__raw"), 6))
             .drop("__raw"))
+
+
+def save_trigram_lm(lm: TrigramLM, path: str) -> str:
+    """Persist the trained trigram LM as parquet frames under ``path``
+    (one subdir per count frame + the 1-row consts) — the train-once /
+    apply-everywhere artifact form: a later job ``load_trigram_lm``-s
+    and scores without touching the training corpus."""
+    for name in ("trigrams", "contexts2", "bigrams", "contexts",
+                 "unigrams", "consts"):
+        getattr(lm, name).write.mode("overwrite").parquet(
+            f"{path}/{name}")
+    return path
+
+
+def load_trigram_lm(spark, path: str) -> TrigramLM:
+    """Re-open a ``save_trigram_lm`` artifact (lazy parquet frames)."""
+    frames = {name: spark.read.parquet(f"{path}/{name}")
+              for name in ("trigrams", "contexts2", "bigrams",
+                           "contexts", "unigrams", "consts")}
+    return TrigramLM(**frames)
+
+
+def save_ngram_lm(lm: NGramLM, path: str) -> str:
+    """Persist the trained bigram LM as parquet frames under ``path``."""
+    for name in ("bigrams", "contexts", "unigrams", "consts"):
+        getattr(lm, name).write.mode("overwrite").parquet(
+            f"{path}/{name}")
+    return path
+
+
+def load_ngram_lm(spark, path: str) -> NGramLM:
+    """Re-open a ``save_ngram_lm`` artifact (lazy parquet frames)."""
+    frames = {name: spark.read.parquet(f"{path}/{name}")
+              for name in ("bigrams", "contexts", "unigrams", "consts")}
+    return NGramLM(**frames)

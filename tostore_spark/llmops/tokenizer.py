@@ -190,3 +190,28 @@ def tokenize_bpe(df: DataFrame, model: BPEModel,
                           F.coalesce(F.col(out_field),
                                      F.array().cast("array<string>")))
               .withColumn("n_bpe_tokens", F.size(F.col(out_field))))
+
+
+def save_bpe(model: BPEModel, path: str) -> str:
+    """Persist the trained tokenizer: the ordered merge table and the
+    word → final-symbols frame as parquet under ``path`` — encoding a
+    new corpus later is one ``load_bpe`` + ``tokenize_bpe`` join, no
+    retraining and no driver-side model."""
+    spark = model.word_tokens.sparkSession
+    model.merges_df(spark).write.mode("overwrite").parquet(
+        f"{path}/merges")
+    model.word_tokens.write.mode("overwrite").parquet(
+        f"{path}/word_tokens")
+    return path
+
+
+def load_bpe(spark, path: str) -> BPEModel:
+    """Re-open a ``save_bpe`` artifact.  The merge table is collected
+    (it is vocabulary-sized — tens of thousands of rows at most, the
+    one intentionally driver-sized piece); word_tokens stays a lazy
+    frame."""
+    merges = [(int(r["rank"]), r["left"], r["right"], int(r["n"]))
+              for r in (spark.read.parquet(f"{path}/merges")
+                        .orderBy("rank").collect())]
+    return BPEModel(merges=merges,
+                    word_tokens=spark.read.parquet(f"{path}/word_tokens"))
