@@ -2529,17 +2529,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       q_validate_rules), llmops/lm.py (exact-frame thresholds:
       q_ppl_buckets), store.py (per-table commit log: q_snapshot_read,
       q_flush_reopen, q_partitioned_table);
-    - slots 17-24: the operators NEW in r7 (no prior rows possible):
+    - slots 17-28: the operators NEW in r7 (no prior rows possible):
       q_tpch_q4/q12/q14/q19 (semi-join EXISTS, conditional twin
       aggregates, promo ratio, disjunctive DNF brackets through the
       builder), q_rolling_active (sliding exact count-distinct),
       q_tfidf_terms/q_tfidf_pairs (TF-IDF keywords + blocked sparse
-      cosine pairs), q_fuzzy_match (Levenshtein ER join);
-    - slots 25-50: the r4-vintage refresh the r6 verdict enumerated —
+      cosine pairs), q_fuzzy_match (Levenshtein ER join),
+      q_grouped_percentiles/q_winsorize_grouped (spillable grouped
+      order statistics), q_event_paths, q_lm_score_trigram;
+    - slots 29-50: the r4-vintage refresh the r6 verdict enumerated —
       write-path family (q_update_rewrite ... q_update_ordered_limit),
       vector top-k family, predicate-semantics family,
-      q_knn_join/q_ivf_batch/q_pq_search/q_ivfpq, q_mix_corpus,
-      q_bm25_search, q_agg_stats.
+      q_knn_join/q_ivf_batch/q_pq_search/q_ivfpq.
 
     Past the cap, ordered by residual risk: the remaining r4-vintage
     rows (q_langid, q_token_count_bpe, q_time_rollup,
@@ -2571,13 +2572,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_batch_update", "q_partial_insert", "q_expr_clamp_update",
         "q_update_ordered_limit",
         "q_vector_cosine_topk", "q_vector_l2_topk", "q_vector_ip_topk",
-        "q_vector_threshold", "q_quantized_knn",
+        "q_vector_threshold",
         "q_pred_like_between_in", "q_or_tree", "q_loose_eq",
         "q_notin_null_semantics", "q_is_null_join",
         "q_neq_null_semantics", "q_multiop_or",
         "q_knn_join", "q_ivf_batch", "q_pq_search", "q_ivfpq",
         # --- past the 50-cap: remaining r4-vintage rows ---
-        "q_mix_corpus", "q_bm25_search", "q_agg_stats",
+        "q_quantized_knn", "q_mix_corpus", "q_bm25_search", "q_agg_stats",
         "q_events_window", "q_global_agg", "q_count_star",
         "q_backup_restore",
         "q_source_cap", "q_pack_sequences", "q_chunk_documents",
