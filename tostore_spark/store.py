@@ -11,8 +11,10 @@ the same warehouse resumes from the last flushed state — the WAL recovery
 analog without porting the WAL.
 
 Layout:
-    <warehouse>/manifest.json            # atomic (tmp + fsync + rename)
-    <warehouse>/<space>/<table>/v<N>/    # parquet snapshot at generation N
+    <warehouse>/manifest.json                    # atomic pointer swap
+    <warehouse>/<space>/<table>/v<N>/            # parquet snapshot, gen N
+    <warehouse>/<space>/<table>/_log/v<N>.claim  # per-version write CAS
+    <warehouse>/_events/evt_<seq>_<id>.json      # per-commit push event
 
 All warehouse METADATA I/O goes through the filesystem shim
 (``tostore_spark.fs``): plain paths use POSIX, any URI scheme
