@@ -746,6 +746,12 @@ def test_apply_changes_replays_table_diff(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         db2.apply_changes("cdc_t", feed.withColumnRenamed("id", "nope"))
+    # unknown change kinds are rejected loudly, never silently skipped
+    # (the reported 'rows applied' must count only applied rows)
+    bad = feed.unionByName(
+        feed.limit(1).withColumn("change", F.lit("update")))
+    with _pt.raises(ValueError, match="unsupported change kinds"):
+        db2.apply_changes("cdc_t", bad)
 
 
 def test_snapshot_consistent_across_writers(spark, tmp_path):
