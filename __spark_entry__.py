@@ -2440,6 +2440,25 @@ def q_fuzzy_match(spark, sf_dir):
             .limit(100))
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape (forecast revenue change): single-table bracket
+    predicates — date year, discount band, quantity cap — ALL pushed to
+    the parquet scan, one DECIMAL sum.  The canonical
+    pushdown-or-nothing query: no join, no shuffle beyond the final
+    1-row aggregate."""
+    db = _db(spark, sf_dir)
+    li = db.df("lineitem")
+    rev = F.round(F.col("l_extendedprice") * F.col("l_discount"), 4) \
+           .cast("decimal(28,4)")
+    return (li.filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                      & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                      & (F.col("l_discount") >= 0.05)
+                      & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24.0))
+              .agg(F.sum(rev).cast("double").alias("revenue"),
+                   F.count(F.lit(1)).alias("n_lines")))
+
+
 def q_lm_score_trigram(spark, sf_dir):
     """Two-level interpolated trigram LM (llmops.lm.train_trigram_lm —
     one rung past the bigram toward CCNet's 5-gram KenLM): add-k
@@ -2567,6 +2586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_active", "q_tfidf_terms", "q_tfidf_pairs",
         "q_fuzzy_match", "q_grouped_percentiles",
         "q_winsorize_grouped", "q_event_paths", "q_lm_score_trigram",
+        "q_tpch_q6",
         # --- 25-50: r4-vintage refresh ---
         "q_update_rewrite", "q_delete_rewrite", "q_upsert_merge",
         "q_batch_update", "q_partial_insert", "q_expr_clamp_update",
@@ -2576,9 +2596,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pred_like_between_in", "q_or_tree", "q_loose_eq",
         "q_notin_null_semantics", "q_is_null_join",
         "q_neq_null_semantics", "q_multiop_or",
-        "q_knn_join", "q_ivf_batch", "q_pq_search", "q_ivfpq",
+        "q_knn_join", "q_ivf_batch", "q_pq_search",
         # --- past the 50-cap: remaining r4-vintage rows ---
-        "q_quantized_knn", "q_mix_corpus", "q_bm25_search", "q_agg_stats",
+        "q_ivfpq", "q_quantized_knn", "q_mix_corpus", "q_bm25_search",
+        "q_agg_stats",
         "q_events_window", "q_global_agg", "q_count_star",
         "q_backup_restore",
         "q_source_cap", "q_pack_sequences", "q_chunk_documents",
@@ -3552,6 +3573,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             ORDER BY revenue DESC, o_orderdate, o_orderkey
             LIMIT 10
+        """,
+        "q_tpch_q6": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * l_discount, 4)
+                                 AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
         """,
         "q_tpch_q4": """
             SELECT o.o_orderpriority, count(*) AS n_orders

@@ -170,6 +170,10 @@ CHECKS: dict[str, list[str]] = {
     # Q4 shape: EXISTS = LeftSemi (never a fan-out join + distinct);
     # the quarter filter reaches the orders scan
     "q_tpch_q4": ["LeftSemi", "GreaterThanOrEqual(o_orderdate"],
+    # Q6 shape: every bracket predicate pushed to the parquet scan
+    "q_tpch_q6": ["GreaterThanOrEqual(l_shipdate",
+                  "GreaterThanOrEqual(l_discount",
+                  "LessThan(l_quantity,24.0)"],
     # Q12 shape: one aggregate for both conditional counts; the
     # ship-date year reaches the lineitem scan
     "q_tpch_q12": ["HashAggregate", "GreaterThanOrEqual(l_shipdate"],
