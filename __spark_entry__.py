@@ -2440,6 +2440,42 @@ def q_fuzzy_match(spark, sf_dir):
             .limit(100))
 
 
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 shape (pricing summary report): the full eight-aggregate
+    scan — quantity/base-price/discounted/charged sums, three averages,
+    row count — grouped by (returnflag, linestatus) under a ship-date
+    cutoff.  ONE hash-aggregate with map-side partial combine; the
+    derived money expressions round + sum as DECIMAL so partial order
+    can't perturb the doubles; averages divide the exact sums."""
+    db = _db(spark, sf_dir)
+    li = db.df("lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc * (F.lit(1.0) + F.col("l_tax"))
+
+    def dsum(c, dp=4):
+        # round at the product's EXACT decimal width (2dp inputs →
+        # disc_price exact at 4dp, charge exact at 6dp): rounding an
+        # exact-width value is a no-op on the true number, so the two
+        # engines' half-rounding rules can never disagree — rounding
+        # charge at 4dp would hit exact .5 halves and fork
+        return F.sum(F.round(c, dp).cast(f"decimal(28,{dp})"))
+
+    n = F.count(F.lit(1))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+              .agg(F.sum("l_quantity").alias("sum_qty"),
+                   dsum(F.col("l_extendedprice")).cast("double")
+                    .alias("sum_base_price"),
+                   dsum(disc).cast("double").alias("sum_disc_price"),
+                   dsum(charge, 6).cast("double").alias("sum_charge"),
+                   F.round(F.sum("l_quantity") / n, 6).alias("avg_qty"),
+                   F.round(dsum(F.col("l_extendedprice")).cast("double")
+                           / n, 6).alias("avg_price"),
+                   F.round(dsum(F.col("l_discount"), 4).cast("double")
+                           / n, 6).alias("avg_disc"),
+                   n.alias("count_order"))
+              .orderBy("l_returnflag", "l_linestatus"))
+
+
 def q_tpch_q6(spark, sf_dir):
     """TPC-H Q6 shape (forecast revenue change): single-table bracket
     predicates — date year, discount band, quantity cap — ALL pushed to
@@ -2586,7 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_active", "q_tfidf_terms", "q_tfidf_pairs",
         "q_fuzzy_match", "q_grouped_percentiles",
         "q_winsorize_grouped", "q_event_paths", "q_lm_score_trigram",
-        "q_tpch_q6",
+        "q_tpch_q6", "q_tpch_q1",
         # --- 25-50: r4-vintage refresh ---
         "q_update_rewrite", "q_delete_rewrite", "q_upsert_merge",
         "q_batch_update", "q_partial_insert", "q_expr_clamp_update",
@@ -2596,10 +2632,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pred_like_between_in", "q_or_tree", "q_loose_eq",
         "q_notin_null_semantics", "q_is_null_join",
         "q_neq_null_semantics", "q_multiop_or",
-        "q_knn_join", "q_ivf_batch", "q_pq_search",
+        "q_knn_join", "q_ivf_batch",
         # --- past the 50-cap: remaining r4-vintage rows ---
-        "q_ivfpq", "q_quantized_knn", "q_mix_corpus", "q_bm25_search",
-        "q_agg_stats",
+        "q_pq_search", "q_ivfpq", "q_quantized_knn", "q_mix_corpus",
+        "q_bm25_search", "q_agg_stats",
         "q_events_window", "q_global_agg", "q_count_star",
         "q_backup_restore",
         "q_source_cap", "q_pack_sequences", "q_chunk_documents",
@@ -3573,6 +3609,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             ORDER BY revenue DESC, o_orderdate, o_orderkey
             LIMIT 10
+        """,
+        "q_tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice, 4)
+                                 AS DECIMAL(28,4))) AS DOUBLE)
+                     AS sum_base_price,
+                   CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount),
+                                       4) AS DECIMAL(28,4))) AS DOUBLE)
+                     AS sum_disc_price,
+                   CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                                       * (1.0 + l_tax), 6)
+                                 AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+                   round(sum(l_quantity) / count(*), 6) AS avg_qty,
+                   round(CAST(sum(CAST(round(l_extendedprice, 4)
+                                       AS DECIMAL(28,4))) AS DOUBLE)
+                         / count(*), 6) AS avg_price,
+                   round(CAST(sum(CAST(round(l_discount, 4)
+                                       AS DECIMAL(28,4))) AS DOUBLE)
+                         / count(*), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "q_tpch_q6": """
             SELECT CAST(sum(CAST(round(l_extendedprice * l_discount, 4)

@@ -363,7 +363,8 @@ def main():
                  "q_tpch_q4", "q_tpch_q12", "q_tpch_q14", "q_tpch_q19",
                  "q_rolling_active", "q_tfidf_terms", "q_tfidf_pairs",
                  "q_grouped_percentiles", "q_winsorize_grouped",
-                 "q_event_paths", "q_tpch_q6", "q_lm_score_trigram"):
+                 "q_event_paths", "q_tpch_q6", "q_tpch_q1",
+                 "q_lm_score_trigram"):
         fn = qs[name]
         spark.catalog.clearCache()
         t0 = time.time()

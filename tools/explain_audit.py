@@ -174,6 +174,10 @@ CHECKS: dict[str, list[str]] = {
     "q_tpch_q6": ["GreaterThanOrEqual(l_shipdate",
                   "GreaterThanOrEqual(l_discount",
                   "LessThan(l_quantity,24.0)"],
+    # Q1 shape: ONE hash-aggregate (map-side partial combine), the
+    # ship-date cutoff pushed; six columns only reach the scan
+    "q_tpch_q1": ["partial_count", "HashAggregate",
+                  "LessThanOrEqual(l_shipdate"],
     # Q12 shape: one aggregate for both conditional counts; the
     # ship-date year reaches the lineitem scan
     "q_tpch_q12": ["HashAggregate", "GreaterThanOrEqual(l_shipdate"],
