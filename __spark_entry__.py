@@ -2424,8 +2424,10 @@ def q_tfidf_pairs(spark, sf_dir):
 
 def q_fuzzy_match(spark, sf_dir):
     """Entity-resolution fuzzy self-join (joins.fuzzy_join): customer
-    name pairs within Levenshtein distance 1, lossless length-band
-    blocking, JVM-side levenshtein — first 100 pairs by id."""
+    name pairs within Levenshtein distance 1, explicit LOSSLESS
+    length-band blocking (blocking='length' — the exact-recall mode;
+    the operator's scale default is the positional-prefix block),
+    JVM-side levenshtein — first 100 pairs by id."""
     from tostore_spark.joins import fuzzy_join
     db = _db(spark, sf_dir)
     c = db.df("customer")
@@ -2433,7 +2435,8 @@ def q_fuzzy_match(spark, sf_dir):
                     F.col("c_name").alias("name"))
     right = c.select(F.col("c_custkey").alias("id_b"),
                      F.col("c_name").alias("name"))
-    return (fuzzy_join(left, right, "name", max_dist=1)
+    return (fuzzy_join(left, right, "name", max_dist=1,
+                       blocking="length")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "dist")
             .orderBy("id_a", "id_b")

@@ -310,7 +310,7 @@ def test_fuzzy_join_levenshtein_blocking(spark):
         ["rid", "nm"])
     got = {(r["id"], r["rid"]): r["dist"] for r in
            fuzzy_join(left, right, "name", right_field="nm",
-                      max_dist=2).collect()}
+                      max_dist=2, blocking="length").collect()}
 
     def lev(a, b):
         dp = list(range(len(b) + 1))
@@ -340,6 +340,51 @@ def test_fuzzy_join_levenshtein_blocking(spark):
     cols = fuzzy_join(left, left.withColumnRenamed("id", "id2"),
                       "name", max_dist=1).columns
     assert "name" in cols and "name_r" in cols
+    # outer joins are rejected: the bucket explode duplicates unmatched
+    # rows and the distance filter would drop them anyway
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="inner"):
+        fuzzy_join(left, right, "name", right_field="nm", how="left")
+
+
+def test_fuzzy_join_default_prefix_block_subquadratic(spark):
+    """The DEFAULT blocking ('prefix') keeps the candidate set
+    sub-quadratic on a skewed-length corpus where the lossless length
+    band alone degrades to near-all-pairs: 1000 same-length names →
+    band-only candidates = N^2, prefix-blocked candidates collapse by
+    the prefix fan-out.  Recall inside a shared prefix is unaffected
+    (the band refinement still applies), and the documented loss —
+    an edit inside the first q chars — is pinned."""
+    from tostore_spark.joins import fuzzy_candidates, fuzzy_join
+
+    n = 1000
+    # all names length 10 (one hot length band), 26 distinct prefixes
+    rows = [(i, chr(97 + i % 26) + "x" + f"{i:08d}") for i in range(n)]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    right = df.withColumnRenamed("id", "rid")
+    n_band = fuzzy_candidates(df, right, "name", max_dist=1,
+                              blocking="length").count()
+    n_pref = fuzzy_candidates(df, right, "name", max_dist=1,
+                              blocking="prefix").count()
+    assert n_band == n * n               # the hot band IS all-pairs
+    assert n_pref * 20 <= n_band         # prefix splits the hot band
+    # matches within a prefix survive; an edit in the prefix escapes
+    probe_l = spark.createDataFrame(
+        [(1, "smith"), (2, "zmith")], ["id", "name"])
+    probe_r = spark.createDataFrame([(11, "smyth")], ["rid", "nm"])
+    got = {(r["id"], r["rid"]) for r in
+           fuzzy_join(probe_l, probe_r, "name", right_field="nm",
+                      max_dist=2).collect()}
+    assert got == {(1, 11)}              # (2, 11) escapes the 'sm' block
+    # the candidate join is an equi-join on (bucket, prefix): no
+    # cartesian anywhere in the plan
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fuzzy_join(df, right, "name", max_dist=1).explain("formatted")
+    assert "CartesianProduct" not in buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in buf.getvalue()
 
 
 def test_rolling_distinct_matches_bruteforce(spark):

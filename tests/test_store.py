@@ -919,3 +919,117 @@ def test_late_conflict_cleans_staged_dirs(spark, tmp_path_factory):
     d = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
     got = {r["r_regionkey"]: r["r_name"] for r in d.df("region").collect()}
     assert got[0] == "A" and got[1] == "B" and got[4] == "SEED"
+
+
+def test_stale_claim_loser_never_deletes_winner_commit(
+        spark, tmp_path_factory, monkeypatch):
+    """The round-8 claim-ownership fix: a writer whose claim went STALE
+    mid-flush (one long data write past _LOCK_STALE_S) loses its claim
+    to a concurrent same-version writer who breaks it, re-claims,
+    writes the same v<N> dir and COMMITS.  The stalled loser's
+    late-conflict cleanup must then NOT delete the winner's committed
+    directory or live claim — ownership is proven by the claim token,
+    never assumed."""
+    import os as _os
+
+    from tostore_spark import ToStoreSpark
+    from tostore_spark import store as _store
+    from tostore_spark.store import ConcurrentWriteError
+
+    wh = str(tmp_path_factory.mktemp("wh_staleclaim"))
+    seed = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    seed.update("region", {"r_name": "SEED"}) \
+        .where("r_regionkey", "=", 4).execute()
+    seed.flush()
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b.update("region", {"r_name": "B"}).where("r_regionkey", "=", 1).execute()
+    a.update("region", {"r_name": "A"}).where("r_regionkey", "=", 1).execute()
+    gen = b._generations[("default", "region")]
+    assert gen == a._generations[("default", "region")]  # same target v
+
+    # interleave at b's phase-3 lock acquire (b's claim + data write are
+    # done): make b's claim look stale, then let a break it, write the
+    # SAME version dir, and commit
+    orig_stale = _store._LOCK_STALE_S
+    real_acquire = _store.FlushLock.acquire
+    state = {"done": False}
+
+    def patched_acquire(self):
+        if not state["done"]:
+            state["done"] = True
+            _store._LOCK_STALE_S = 0
+            try:
+                a.flush()            # breaks b's stale claim, commits v<gen>
+            finally:
+                _store._LOCK_STALE_S = orig_stale
+        return real_acquire(self)
+
+    monkeypatch.setattr(_store.FlushLock, "acquire", patched_acquire)
+    with pytest.raises(ConcurrentWriteError):
+        b.flush()
+    # the winner's committed directory and claim must have survived the
+    # loser's cleanup
+    vdir = _os.path.join(wh, "default", "region", f"v{gen}")
+    cpath = _store._claim_path(wh, "default", "region", gen)
+    assert _os.path.isdir(vdir)
+    assert _os.path.exists(cpath)
+    c = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    got = {r["r_regionkey"]: r["r_name"] for r in c.df("region").collect()}
+    assert got[1] == "A" and got[4] == "SEED"
+
+
+def test_stale_claim_of_committed_version_never_broken(
+        spark, tmp_path_factory, monkeypatch):
+    """_claim_version re-reads the manifest before breaking a stale
+    claim: a claim whose version COMMITTED is kept forever (it shields
+    the committed directory) and must raise, not be broken — even when
+    the caller's phase-1 manifest read was stale (committed_ver=None)."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark import store as _store
+    from tostore_spark.store import ConcurrentWriteError
+
+    wh = str(tmp_path_factory.mktemp("wh_keepclaim"))
+    seed = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    seed.update("region", {"r_name": "SEED"}) \
+        .where("r_regionkey", "=", 4).execute()
+    seed.flush()
+    gen = seed._flushed_gen[("default", "region")]
+    fs = _store._fs(seed)
+    monkeypatch.setattr(_store, "_LOCK_STALE_S", 0)   # every claim "stale"
+    with pytest.raises(ConcurrentWriteError, match="already committed"):
+        _store._claim_version(fs, wh, "default", "region", gen,
+                              "intruder-token", committed_ver=None)
+    # the committed version's claim is intact
+    import os as _os
+    assert _os.path.exists(_store._claim_path(wh, "default", "region", gen))
+
+
+def test_apply_changes_targets_explicit_space(spark):
+    """apply_changes / the row-merge replay address tables by the
+    EXPLICIT (space, name) key: a same-named table in the engine's
+    ACTIVE space must not absorb a feed aimed at another space."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark import store as _store
+
+    db = ToStoreSpark(spark, data_dir=SF)
+    df_default = spark.createDataFrame([(1, "d1"), (2, "d2")], ["id", "v"])
+    df_tenant = spark.createDataFrame([(1, "t1"), (2, "t2")], ["id", "v"])
+    db.register_table("sp_t", df=df_default)
+    db.switch_space("tenant_a")
+    db.register_table("sp_t", df=df_tenant)
+
+    feed = spark.createDataFrame(
+        [(2, "d2", "delete"), (3, "d3", "insert")], ["id", "v", "change"])
+    # active space is tenant_a; the feed targets default
+    n = _store.apply_changes(db, "sp_t", feed, space="default")
+    assert n == 2
+    db.switch_space("default")
+    got_default = {(r["id"], r["v"]) for r in db.df("sp_t").collect()}
+    assert got_default == {(1, "d1"), (3, "d3")}
+    db.switch_space("tenant_a")
+    got_tenant = {(r["id"], r["v"]) for r in db.df("sp_t").collect()}
+    assert got_tenant == {(1, "t1"), (2, "t2")}   # untouched
+    # an unknown (space, name) key raises instead of falling back
+    with pytest.raises(KeyError):
+        _store.apply_changes(db, "sp_t", feed, space="nope")

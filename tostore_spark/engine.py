@@ -298,7 +298,14 @@ class ToStoreSpark:
 
     # ---- access -------------------------------------------------------
     def df(self, name: str) -> DataFrame:
-        ent = self._tables[self._resolve(name)]
+        return self._df_at_key(self._resolve(name))
+
+    def _df_at_key(self, key: tuple) -> DataFrame:
+        """Key-addressed read — (space, name) resolved by the CALLER.
+        Cross-space machinery (row-merge replay, apply_changes) must use
+        this: ``df(name)`` resolves through the ACTIVE space and would
+        silently read a same-named table from the wrong space."""
+        ent = self._tables[key]
         df = ent["df"]
         sch: TableSchema = ent["schema"]
         if sch.ttl is not None and sch.ttl.ttl_ms > 0 and sch.ttl.source_field:
@@ -321,12 +328,17 @@ class ToStoreSpark:
         rewrites (e.g. unique-checked updates, whose olds-join would
         otherwise compound in lineage between barriers) pass >1 so the
         localCheckpoint cut arrives proportionally sooner."""
-        key = self._resolve(name)
+        self._set_df_at_key(self._resolve(name), df, weight=weight)
+
+    def _set_df_at_key(self, key: tuple, df: DataFrame,
+                       weight: int = 1) -> None:
+        """Key-addressed write — see ``_df_at_key`` for why cross-space
+        callers must not go through active-space name resolution."""
         self._tables[key]["df"] = df
         self._generations[key] = self._generations.get(key, 0) + 1
         self._maybe_compact(key, weight=weight)
         for w in list(getattr(self, "_watchers", [])):
-            w.notify_change(name)
+            w.notify_change(key[1])
 
     @property
     def _generations(self) -> dict:

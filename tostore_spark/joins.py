@@ -127,33 +127,24 @@ def range_join(left: DataFrame, right: DataFrame, point: str,
     return lb.join(rb, on=cond, how=how).drop("__binl", "__binr")
 
 
-def fuzzy_join(left: DataFrame, right: DataFrame, left_field: str,
-               right_field: Optional[str] = None, max_dist: int = 2,
-               len_band: Optional[int] = None,
-               block_prefix: int = 0, how: str = "inner") -> DataFrame:
-    """Edit-distance (Levenshtein) join for entity resolution — match
-    records whose key strings differ by at most ``max_dist`` edits
-    (typos, OCR noise, inconsistent spellings).
-
-    Blocking keeps it off the all-pairs cliff: candidates must sit in
-    the same LENGTH BAND (two strings within ``max_dist`` edits differ
-    in length by at most ``max_dist`` — this block is LOSSLESS, derived
-    from the metric itself; ``len_band`` defaults to ``max_dist``) and,
-    optionally, share a ``block_prefix``-char lowercase prefix (LOSSY —
-    an edit inside the prefix escapes the block; the standard ER
-    recall/cost knob, 0 disables).  The expensive ``levenshtein`` runs
-    only inside the surviving blocks; Spark's builtin is JVM-side, no
-    Python in the loop.
-
-    The length band is realized as a band-bucket equi-join (each left
-    row emits its ±band length keys — bounded fan-out of
-    2·band+1), so Catalyst executes a shuffled HASH join on
-    (length-bucket, prefix), never a cartesian.  Output: both sides'
-    columns (right's key renamed ``<field>_r`` on collision) plus
-    ``dist``.  Reference scope: parity-plus — the reference matches on
-    equality/LIKE only (value_matcher.dart); fuzzy matching is the
-    standard dedup/ER extension.
-    """
+def fuzzy_candidates(left: DataFrame, right: DataFrame, left_field: str,
+                     right_field: Optional[str] = None,
+                     max_dist: int = 2, len_band: Optional[int] = None,
+                     block_prefix: Optional[int] = None,
+                     blocking: str = "prefix") -> DataFrame:
+    """The blocked candidate stage of ``fuzzy_join`` (pre-levenshtein),
+    exposed so tests and capacity planning can count candidates per
+    blocking strategy.  Emits each surviving (left, right) pair exactly
+    once — a pair matches exactly one right-length bucket, so no pair
+    dedup is ever needed.  Columns: both sides' + ``__lbkt``/``__rbkt``
+    (caller drops them)."""
+    if blocking not in ("prefix", "length"):
+        raise ValueError(
+            f"blocking must be 'prefix'|'length', got {blocking!r}")
+    if block_prefix is None:
+        block_prefix = 2 if blocking == "prefix" else 0
+    elif blocking == "length":
+        block_prefix = 0
     right_field = right_field or left_field
     band = max_dist if len_band is None else int(len_band)
     lk, rk = F.col(left_field), F.col(right_field)
@@ -172,8 +163,68 @@ def fuzzy_join(left: DataFrame, right: DataFrame, left_field: str,
     if block_prefix > 0:
         cond = cond & (F.substring(F.lower(lk), 1, block_prefix)
                        == F.substring(F.lower(rk), 1, block_prefix))
-    dist = F.levenshtein(lk, rk)
-    return (lb.join(rb, on=cond, how=how)
-              .filter(dist <= max_dist)
-              .withColumn("dist", dist)
-              .drop("__lbkt", "__rbkt"))
+    return lb.join(rb, on=cond, how="inner")
+
+
+def fuzzy_join(left: DataFrame, right: DataFrame, left_field: str,
+               right_field: Optional[str] = None, max_dist: int = 2,
+               len_band: Optional[int] = None,
+               block_prefix: Optional[int] = None, how: str = "inner",
+               blocking: str = "prefix") -> DataFrame:
+    """Edit-distance (Levenshtein) join for entity resolution — match
+    records whose key strings differ by at most ``max_dist`` edits
+    (typos, OCR noise, inconsistent spellings).
+
+    Blocking keeps it off the all-pairs cliff.  Candidates must sit in
+    the same LENGTH BAND (two strings within ``max_dist`` edits differ
+    in length by at most ``max_dist`` — LOSSLESS, derived from the
+    metric; ``len_band`` defaults to ``max_dist``), and — under the
+    DEFAULT ``blocking='prefix'`` — must also share the
+    ``block_prefix``-char (default 2) lowercase positional prefix.
+    The prefix block is the standard ER candidate key and is what
+    keeps the join sub-quadratic at scale: real name/title corpora
+    concentrate in a few lengths, so the band alone degrades to
+    near-all-pairs within the hot lengths, while (band × prefix)
+    splits every hot band by |alphabet|^q.  It is LOSSY by design: a
+    pair whose edit falls inside the first ``block_prefix`` characters
+    (or whose strings are shorter than the prefix) escapes — the
+    classic blocking recall/cost trade.  ``blocking='length'`` selects
+    the pure lossless band for exact-recall workloads that can afford
+    it (and pins ``block_prefix`` to 0).
+
+    The expensive ``levenshtein`` runs only inside the surviving
+    blocks; Spark's builtin is JVM-side, no Python in the loop.  The
+    band is realized as a band-bucket equi-join (each left row emits
+    its ±band length keys — bounded fan-out of 2·band+1), so Catalyst
+    executes a shuffled HASH join on (length-bucket[, prefix]), never
+    a cartesian; each true pair meets in exactly ONE bucket (the right
+    string's length), so no pair dedup is needed.
+
+    Only ``how='inner'`` is supported: the bucket explode fans each
+    left row into 2·band+1 copies, so an outer join would surface
+    duplicate unmatched rows (and the post-join distance filter would
+    drop null-distance rows anyway, silently degenerating the outer
+    join to inner).  Build anti/semi shapes on the inner result.
+
+    Output: both sides' columns (right's key renamed ``<field>_r`` on
+    collision) plus ``dist``.  Reference scope: parity-plus — the
+    reference matches on equality/LIKE only (value_matcher.dart);
+    fuzzy matching is the standard dedup/ER extension.
+    """
+    if how != "inner":
+        raise ValueError(
+            f"fuzzy_join supports how='inner' only (got {how!r}): the "
+            "length-band explode duplicates unmatched left rows and "
+            "the distance filter would drop them regardless — derive "
+            "semi/anti/outer shapes from the inner result")
+    right_field_out = right_field or left_field
+    out_rf = right_field_out if right_field_out != left_field \
+        else f"{right_field_out}_r"
+    cand = fuzzy_candidates(left, right, left_field,
+                            right_field=right_field, max_dist=max_dist,
+                            len_band=len_band, block_prefix=block_prefix,
+                            blocking=blocking)
+    dist = F.levenshtein(F.col(left_field), F.col(out_rf))
+    return (cand.filter(dist <= max_dist)
+                .withColumn("dist", dist)
+                .drop("__lbkt", "__rbkt"))

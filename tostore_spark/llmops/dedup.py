@@ -876,11 +876,17 @@ def _span_rows(df: DataFrame, k: int, text_field: str,
     """(id, span_pos, span, h) rows: each document split into
     NON-overlapping ``k``-word spans, position-indexed, md5-keyed —
     the shared explode stage of the repeated-span family."""
-    words = F.split(F.col(text_field), " ")
-    n_spans = F.ceil(F.size(words) / F.lit(k)).cast("int")
-    spans = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_spans, F.lit(1)) - 1),
-        lambda i: F.array_join(F.slice(words, i * k + 1, k), " "))
+    def _spans(w):
+        # w is the let-bound word array: the split runs once per row.
+        # Referencing the raw split expression inside the lambda would
+        # re-split the text per SPAN (no CSE inside lambda bodies) —
+        # the O(n^2) shape the lm.py explode fix measured at ~10x.
+        n_spans = F.ceil(F.size(w) / F.lit(k)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(n_spans, F.lit(1)) - 1),
+            lambda i: F.array_join(F.slice(w, i * k + 1, k), " "))
+
+    spans = _let(F.split(F.col(text_field), " "), _spans)
     return (df.select(F.col(id_field).alias("id"), F.posexplode(spans))
               .withColumnRenamed("pos", "span_pos")
               .withColumnRenamed("col", "span")
@@ -974,11 +980,13 @@ def winnow_fingerprints(df: DataFrame, k: int = 3, window: int = 4,
     array PER WINDOW — measured 60x slower): explode grams to rows,
     ONE scalar md5 each (codegen), sliding min via a doc-partitioned
     window frame."""
-    toks = F.split(F.lower(F.col(text_field)), " ")
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, k), " "))
+    grams = _let(
+        F.split(F.lower(F.col(text_field)), " "),
+        # let-bound so the split runs once per row, not once per gram
+        lambda toks: F.transform(
+            F.sequence(F.lit(1),
+                       F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, k), " ")))
     ex = (df.select(F.col(id_field).alias("id"), F.posexplode(grams))
             .withColumnRenamed("pos", "gpos")
             .withColumnRenamed("col", "gram"))

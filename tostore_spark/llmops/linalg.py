@@ -139,10 +139,18 @@ def truncate_normalize(emb: DataFrame, dims: int,
     sl = F.slice(F.col(vec_field), 1, int(dims))
     if not renorm:
         return emb.withColumn(out_field, sl)
-    nrm = F.sqrt(F.greatest(
-        F.aggregate(sl, F.lit(0.0),
-                    lambda a, x: a + x.cast("double") * x.cast("double")),
-        F.lit(1e-30)))
-    return emb.withColumn(
-        out_field,
-        F.transform(sl, lambda x: x.cast("double") / nrm))
+    from tostore_spark.functions.colutil import let_array as _la
+
+    def _scaled(s):
+        # both the slice and the norm are let-bound: an expression
+        # referenced inside a transform lambda is re-evaluated per
+        # ELEMENT (no CSE in lambda bodies), which would make the
+        # norm fold O(dims^2) per row
+        nrm = F.sqrt(F.greatest(
+            F.aggregate(s, F.lit(0.0),
+                        lambda a, x: a + x.cast("double") * x.cast("double")),
+            F.lit(1e-30)))
+        return _la(nrm,
+                   lambda nv: F.transform(s, lambda x: x.cast("double") / nv))
+
+    return emb.withColumn(out_field, _la(sl, _scaled))

@@ -65,29 +65,48 @@ def bigram_rows(df: DataFrame, text_field: str = "text",
     column math (sequence + transform + posexplode) — one linear pass,
     no Python in the loop."""
     t = TX.tokens(F.col(text_field))
-    idx = F.sequence(F.lit(1), F.size(t))
+    # project the token array ONCE per row before the lambda: an
+    # unbound expression referenced via element_at inside a
+    # higher-order-function lambda is re-evaluated per array ELEMENT
+    # (codegen CSE does not reach into lambda bodies), turning the
+    # explode O(n^2) in document length — measured ~10s/5k docs at
+    # sf0.1 before this projection, sub-second after
+    base = (df.select(F.col(id_field).alias("id"), t.alias("__t"))
+              .filter(F.size("__t") > 0))
+    tt = F.col("__t")
+    idx2 = F.sequence(F.lit(1), F.size(tt))
     pairs = F.transform(
-        idx,
+        idx2,
         lambda i: F.struct(
             F.when(i == 1, F.lit(BOS))
-             .otherwise(F.element_at(t, i - 1)).alias("prev"),
-            F.element_at(t, i).alias("token")))
-    return (df.filter(F.size(t) > 0)
-              .select(F.col(id_field).alias("id"),
-                      F.explode(pairs).alias("bg"))
-              .select("id", F.col("bg.prev").alias("prev"),
-                      F.col("bg.token").alias("token")))
+             .otherwise(F.element_at(tt, i - 1)).alias("prev"),
+            F.element_at(tt, i).alias("token")))
+    return (base.select("id", F.explode(pairs).alias("bg"))
+                .select("id", F.col("bg.prev").alias("prev"),
+                        F.col("bg.token").alias("token")))
 
 
 def train_ngram_lm(df: DataFrame, n: int = 2, add_k: float = 0.5,
                    lam: float = 0.7, text_field: str = "text",
-                   id_field: str = "doc_id") -> NGramLM:
+                   id_field: str = "doc_id",
+                   materialize: bool = True) -> NGramLM:
     """Train the interpolated bigram LM over a reference corpus.
 
-    Three hash aggregates over one bigram explode: (prev, token) counts,
-    context counts (derived from the bigram counts — no second corpus
-    pass), and unigram counts with the corpus totals.  ``n`` is the
-    model order; only n=2 is implemented (n=1 is
+    ONE corpus pass — enforced, not just claimed: the (prev, token)
+    count frame is aggregated from a single bigram explode and (by
+    default) MATERIALIZED with an eager ``localCheckpoint`` (the
+    ``plans.stats._bucketize`` discipline); every other frame —
+    context counts, unigram counts (exact: each corpus token emits
+    exactly one bigram row as the ``token`` member, BOS only ever
+    appears as ``prev``), and the (T, V) constants — is a
+    re-aggregation of that vocab-sized frame.  Without the checkpoint
+    Catalyst does NOT dedupe the common subplan across the scorer's
+    join inputs and the corpus is re-tokenized once per joined frame
+    (the 6x re-derivation the round-7 bench caught on the trigram).
+    ``materialize=False`` keeps the frames lazy for callers that
+    immediately ``save_ngram_lm`` to parquet instead.
+
+    ``n`` is the model order; only n=2 is implemented (n=1 is
     ``text.train_unigram_lm``)."""
     if n != 2:
         raise ValueError(
@@ -96,10 +115,12 @@ def train_ngram_lm(df: DataFrame, n: int = 2, add_k: float = 0.5,
     bg = bigram_rows(df, text_field=text_field, id_field=id_field)
     bigrams = (bg.groupBy("prev", "token")
                  .agg(F.count(F.lit(1)).alias("tf2")))
+    if materialize:
+        bigrams = bigrams.localCheckpoint(eager=True)
     contexts = (bigrams.groupBy("prev")
                        .agg(F.sum("tf2").alias("ctf")))
-    unigrams = (bg.groupBy("token")
-                  .agg(F.count(F.lit(1)).alias("tf")))
+    unigrams = (bigrams.groupBy("token")
+                       .agg(F.sum("tf2").alias("tf")))
     consts = (unigrams.agg(F.sum("tf").alias("T"),
                            F.count(F.lit(1)).alias("V"))
               .withColumn("add_k", F.lit(float(add_k)))
@@ -152,6 +173,10 @@ def ngram_perplexity_filter(df: DataFrame, lm: NGramLM,
     ``text.perplexity_filter``."""
     scored = ngram_bits_per_token(df, lm, text_field=text_field,
                                   id_field=id_field)
+    # the scored frame feeds BOTH the threshold selection and the output
+    # join — materialize it once (doc-count rows, 3 columns) so the
+    # explode+join scoring lineage is never executed twice
+    scored = scored.localCheckpoint(eager=True)
     # distributed order-statistic threshold, not the percentile
     # value-map aggregate (repo-wide rule; see plans/stats)
     from tostore_spark.plans.stats import exact_percentiles_frame
@@ -170,8 +195,8 @@ def ngram_perplexity_filter(df: DataFrame, lm: NGramLM,
 def ppl_buckets(scored: DataFrame, bits_field: str = "bits_per_token",
                 by: str | None = None,
                 cuts: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
-                labels: tuple[str, ...] = ("head", "middle", "tail")
-                ) -> DataFrame:
+                labels: tuple[str, ...] = ("head", "middle", "tail"),
+                materialize: bool = True) -> DataFrame:
     """CCNet head/middle/tail split: label each scored document by which
     perplexity band it falls in — ``head`` = lowest-bits third (the text
     the LM finds most natural), ``tail`` = highest.  CCNet trains on the
@@ -197,11 +222,18 @@ def ppl_buckets(scored: DataFrame, bits_field: str = "bits_per_token",
     OOM.  One group = one reducer remains the grouped-path caveat; a
     group worth a meaningful fraction of the corpus should be cut
     ungrouped on its own.
+
+    ``scored`` feeds BOTH the threshold derivation and the labeled
+    output — ``materialize`` (default on) pins it with one eager
+    ``localCheckpoint`` so an expensive scoring lineage (the n-gram
+    explode + joins) executes once, not once per reference.
     """
     if len(labels) != len(cuts) + 1:
         raise ValueError("need len(labels) == len(cuts) + 1")
     if list(cuts) != sorted(float(c) for c in cuts):
         raise ValueError("cuts must be ascending")
+    if materialize:
+        scored = scored.localCheckpoint(eager=True)
     if by is None:
         from tostore_spark.plans.stats import exact_percentiles_frame
         bounds = exact_percentiles_frame(scored, bits_field, list(cuts))
@@ -249,49 +281,74 @@ def trigram_rows(df: DataFrame, text_field: str = "text",
     trigram transitions, the first two positions padded with the BOS
     sentinel — pure column math, one linear pass."""
     t = TX.tokens(F.col(text_field))
-    idx = F.sequence(F.lit(1), F.size(t))
+    # tokenize ONCE per row, then reference the bound column in the
+    # lambda — see bigram_rows for why (per-element re-evaluation
+    # inside higher-order lambdas makes the un-projected form O(n^2))
+    base = (df.select(F.col(id_field).alias("id"), t.alias("__t"))
+              .filter(F.size("__t") > 0))
+    tt = F.col("__t")
+    idx = F.sequence(F.lit(1), F.size(tt))
     triples = F.transform(
         idx,
         lambda i: F.struct(
             F.when(i <= 2, F.lit(BOS))
-             .otherwise(F.element_at(t, i - 2)).alias("prev2"),
+             .otherwise(F.element_at(tt, i - 2)).alias("prev2"),
             F.when(i == 1, F.lit(BOS))
-             .otherwise(F.element_at(t, i - 1)).alias("prev"),
-            F.element_at(t, i).alias("token")))
-    return (df.filter(F.size(t) > 0)
-              .select(F.col(id_field).alias("id"),
-                      F.explode(triples).alias("tg"))
-              .select("id", F.col("tg.prev2").alias("prev2"),
-                      F.col("tg.prev").alias("prev"),
-                      F.col("tg.token").alias("token")))
+             .otherwise(F.element_at(tt, i - 1)).alias("prev"),
+            F.element_at(tt, i).alias("token")))
+    return (base.select("id", F.explode(triples).alias("tg"))
+                .select("id", F.col("tg.prev2").alias("prev2"),
+                        F.col("tg.prev").alias("prev"),
+                        F.col("tg.token").alias("token")))
 
 
 def train_trigram_lm(df: DataFrame, add_k: float = 0.5,
                      lam3: float = 0.5, lam2: float = 0.3,
                      text_field: str = "text",
-                     id_field: str = "doc_id") -> TrigramLM:
+                     id_field: str = "doc_id",
+                     materialize: bool = True) -> TrigramLM:
     """Train the two-level interpolated trigram LM:
 
         p(w | a, b) = lam3 · (tf3(a,b,w)+k)/(ctf3(a,b)+kV)
                     + lam2 · (tf2(b,w)+k)/(ctf(b)+kV)
                     + (1−lam3−lam2) · (tf(w)+k)/(T+kV)
 
-    ONE corpus pass (the trigram explode) feeds every count frame —
-    bigram and unigram counts are re-aggregations of the trigram rows,
-    never a second scan.  Unseen contexts smooth to the uniform floor
-    at each level; probabilities are never zero."""
+    ONE corpus pass — enforced in the executed plan, not just the
+    docstring: the (prev2, prev, token) count frame is aggregated from
+    a single trigram explode and (by default) MATERIALIZED with an
+    eager ``localCheckpoint``; EVERY other frame is a re-aggregation
+    of that vocab-sized frame.  The derivations are exact because each
+    corpus token emits exactly one trigram row as the ``token`` member
+    (BOS appears only in the context positions):
+
+        bigrams  = trigrams.groupBy(prev, token).sum(tf3)
+        unigrams = trigrams.groupBy(token).sum(tf3)
+        contexts / contexts2 / (T, V) likewise.
+
+    Without the checkpoint, Catalyst does not dedupe the shared
+    explode subplan across the scorer's five join inputs and the
+    corpus is re-tokenized ~6x (the 20s-at-sf0.1 wall the round-7
+    bench caught; at 100 TB that is six corpus scans for one).
+    ``materialize=False`` keeps the frames lazy for callers that
+    immediately ``save_trigram_lm`` to parquet instead.
+
+    Unseen contexts smooth to the uniform floor at each level;
+    probabilities are never zero."""
     if not (0 <= lam3 and 0 <= lam2 and lam3 + lam2 <= 1):
         raise ValueError("need lam3, lam2 >= 0 and lam3 + lam2 <= 1")
     tg = trigram_rows(df, text_field=text_field, id_field=id_field)
     trigrams = (tg.groupBy("prev2", "prev", "token")
                   .agg(F.count(F.lit(1)).alias("tf3")))
+    if materialize:
+        trigrams = trigrams.localCheckpoint(eager=True)
     contexts2 = (trigrams.groupBy("prev2", "prev")
                          .agg(F.sum("tf3").alias("ctf3")))
-    bigrams = (tg.groupBy("prev", "token")
-                 .agg(F.count(F.lit(1)).alias("tf2")))
+    bigrams = (trigrams.groupBy("prev", "token")
+                       .agg(F.sum("tf3").alias("tf2")))
     contexts = (bigrams.groupBy("prev")
                        .agg(F.sum("tf2").alias("ctf")))
-    unigrams = tg.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    unigrams = (trigrams.groupBy("token")
+                        .agg(F.sum("tf3").alias("tf")))
     consts = (unigrams.agg(F.sum("tf").alias("T"),
                            F.count(F.lit(1)).alias("V"))
               .withColumn("add_k", F.lit(float(add_k)))

@@ -320,6 +320,11 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
     from tostore_spark.llmops import mixing as MX
     from tostore_spark.llmops import packing as PK
 
+    # validated unconditionally — an invalid order must fail fast even
+    # when drop_perplexity_pct=0 skips the stage that would use it
+    if lm_order not in (1, 2, 3):
+        raise ValueError(f"lm_order must be 1|2|3, got {lm_order}")
+
     def barrier(df, stage):
         if report is not None and materialize is not None:
             from pyspark.sql import Observation
@@ -399,8 +404,11 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
             else:
                 model = NLM.train_trigram_lm(out, text_field=text_field,
                                              id_field=id_field)
+                # scored feeds the percentile selection AND the filter
+                # join — pin it once so the explode+joins never rerun
                 scored = NLM.trigram_bits_per_token(
-                    out, model, text_field=text_field, id_field=id_field)
+                    out, model, text_field=text_field, id_field=id_field
+                ).localCheckpoint(eager=True)
                 from tostore_spark.plans.stats import \
                     exact_percentiles_frame
                 thr = (exact_percentiles_frame(

@@ -202,6 +202,21 @@ def _claim_version(fs, wh: str, space: str, table: str, version: int,
                     f">= v{version}; engine.refresh() and retry") from None
             try:
                 if time.time() - fs.getmtime(path) > _LOCK_STALE_S:
+                    # re-read the manifest before breaking: a claim
+                    # whose version COMMITTED is kept forever (it
+                    # shields the committed directory); only a claim
+                    # that is both old AND uncommitted is an orphan
+                    man = read_manifest(wh, fs=fs) or {}
+                    cv = next(
+                        (e.get("version", 0)
+                         for e in man.get("tables", {}).values()
+                         if (e["space"], e["name"]) == (space, table)),
+                        None)
+                    if cv is not None and cv >= version:
+                        raise ConcurrentWriteError(
+                            f"{space}/{table} already committed at "
+                            f"v{cv} >= v{version}; engine.refresh() "
+                            "and retry") from None
                     fs.delete(path)   # crashed writer's orphan claim
                     continue
             except OSError:
@@ -369,17 +384,44 @@ def flush_tables(engine, flush_storage: bool = True,
         # late conflict: remove the staged (uncommitted) version dirs
         # and their claims so time travel / list_versions can never
         # surface data that was never committed; the registry still
-        # points at the original lineage (adoption happens post-CAS)
-        for key, gen, vdir, *_ in staged:
+        # points at the original lineage (adoption happens post-CAS).
+        #
+        # Delete ONLY what this writer still provably owns.  If our
+        # claim went stale mid-write (one long parquet write, or a
+        # driver stall past _LOCK_STALE_S — claims are only touched
+        # between table writes), a concurrent same-version writer may
+        # have broken it, re-claimed, written the same v<N> dir and
+        # COMMITTED; an unconditional delete here would destroy the
+        # winner's committed data and live claim.  Ownership proof per
+        # staged table: the claim file still carries OUR token (a
+        # broken-and-reclaimed claim carries the winner's token, and a
+        # committed version's claim is kept forever) — plus a paranoia
+        # check that the freshly-read manifest does not list the table
+        # at EXACTLY this version.  A committed HIGHER version does not
+        # shield v<gen>: our claim token proves v<gen> is our own
+        # never-committed garbage even when the table moved past it.
+        try:
+            final = read_manifest(wh, fs=fs) or {}
+        except OSError:
+            final = {}
+        committed = {(e["space"], e["name"]): e.get("version", 0)
+                     for e in final.get("tables", {}).values()}
+        for (key, gen, vdir, *_), cpath in zip(staged, claims):
             if engine._flushed_gen.get(key) == gen:
                 continue   # adopted+recorded — commit actually succeeded
+            if committed.get(key) == gen:
+                continue   # that exact (table, version) committed — not ours
+            try:
+                if fs.read_text(cpath) != lock.token:
+                    continue   # claim broken + re-claimed by another
+            except OSError:
+                continue       # claim gone: cannot prove ownership
             try:
                 fs.delete(vdir, recursive=True)
             except OSError:
                 pass
-        for c in claims:
             try:
-                fs.delete(c)
+                fs.delete(cpath)
             except OSError:
                 pass
         raise
@@ -707,7 +749,9 @@ def _apply_local_feed(engine, k, feed) -> None:
     from pyspark.sql import functions as F
 
     table, space = k[1], k[0]
-    remote = engine.df(table)
+    # explicit-key read: the conflicted table may live in a non-active
+    # space; active-space name resolution could hit a same-named table
+    remote = engine._df_at_key(k)
     cols = sorted(c for c in feed.columns if c != "change")
     dele = feed.filter(F.col("change") == "delete").select(*cols)
     overlap = dele.exceptAll(remote.select(*cols)).count()
@@ -930,10 +974,18 @@ def apply_changes(engine, table: str, feed, space: str = "default") -> int:
     Replay property (pytest-pinned): applying ``table_diff(v1, v2)``
     onto the v1 state reproduces v2's row multiset exactly.  Returns
     the number of change rows applied.  One exceptAll shuffle + one
-    union — never a row-at-a-time loop."""
+    union — never a row-at-a-time loop.
+
+    The table is addressed by the EXPLICIT (space, name) key — never
+    the engine's active space: the row-merge replay hands this feed a
+    conflicted table that may live in a non-active space, and a
+    same-named table in the active space must not absorb it."""
     from pyspark.sql import functions as F
 
-    cur = engine.df(table)
+    key = (space, table)
+    if key not in engine._tables:
+        raise KeyError(f"unknown table: {space}/{table}")
+    cur = engine._df_at_key(key)
     cols = sorted(c for c in feed.columns if c != "change")
     if set(cols) != set(cur.columns):
         raise ValueError(
@@ -953,7 +1005,7 @@ def apply_changes(engine, table: str, feed, space: str = "default") -> int:
     dele = feed.filter(F.col("change") == "delete").select(*cols)
     ins = feed.filter(F.col("change") == "insert").select(*cols)
     new = cur.select(*cols).exceptAll(dele).unionByName(ins)
-    engine.set_df(table, new)
+    engine._set_df_at_key(key, new)
     return kinds.get("insert", 0) + kinds.get("delete", 0)
 
 

@@ -162,11 +162,16 @@ def clean_stream(docs: DataFrame, span_freq: DataFrame, k: int = 8,
     # column threaded through — same span semantics as the batch path.
     wm = docs.withColumn(ts_field, F.col(ts_field).cast("timestamp")) \
              .withWatermark(ts_field, watermark)
-    words = F.split(F.col(text_field), " ")
-    n_spans = F.ceil(F.size(words) / F.lit(k)).cast("int")
-    spans = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_spans, F.lit(1)) - 1),
-        lambda i: F.array_join(F.slice(words, i * k + 1, k), " "))
+    from tostore_spark.functions.colutil import let_array as _let
+
+    def _spans(w):
+        # let-bound: the split runs once per row, not once per span
+        n_spans = F.ceil(F.size(w) / F.lit(k)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(n_spans, F.lit(1)) - 1),
+            lambda i: F.array_join(F.slice(w, i * k + 1, k), " "))
+
+    spans = _let(F.split(F.col(text_field), " "), _spans)
     ex = (wm.select(F.col(id_field).alias("id"), F.col(ts_field),
                     F.posexplode(spans))
             .withColumnRenamed("pos", "span_pos")
