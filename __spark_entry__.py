@@ -2409,17 +2409,27 @@ def q_tfidf_pairs(spark, sf_dir):
     """Lexical near-duplicate pairs: top-20 document pairs by sparse
     TF-IDF cosine (llmops/search.tfidf_similar_pairs) — the pair join
     is BLOCKED on shared surviving tokens with a df cap, the sparse
-    analog of LSH banding (no all-pairs stage)."""
+    analog of LSH banding (no all-pairs stage).
+
+    UNBOUNDED: runs on the FULL documents table.  The synthetic
+    corpus's 31-token vocabulary would defeat both the df cap and the
+    token blocking (every token corpus-wide), so the entry first
+    WIDENS the vocabulary deterministically — tokens longer than 3
+    chars get a doc_id%%97 suffix (the sf1 marker-interleave trick) —
+    giving ~97 disjoint lexical neighborhoods.  The df cap (0.05) then
+    actually prunes: the surviving short tokens above 5%% df vanish,
+    and every posting list is neighborhood-sized.  The oracle applies
+    the identical widening rule, so the comparison stays exact."""
+    from tostore_spark.llmops import text as TX
     from tostore_spark.llmops.search import tfidf_similar_pairs
-    db = _db(spark, sf_dir)
-    # fixed 200-doc slice: the pair join is quadratic in posting-list
-    # length and this synthetic corpus's 31-token vocabulary defeats
-    # the df-cap blocking (every token is corpus-wide), so the entry
-    # bounds the corpus instead — the operator's contract at scale is
-    # the df cap, exercised by its pytest
-    docs = _db(spark, sf_dir).df("documents").filter(F.col("doc_id") < 200)
-    return tfidf_similar_pairs(docs, k=20, max_df_frac=0.9,
-                               min_shared=5)
+    docs = _db(spark, sf_dir).df("documents")
+    sfx = (F.col("doc_id") % 97).cast("string")
+    widened = F.array_join(
+        F.transform(TX.tokens(F.col("text")),
+                    lambda t: F.when(F.length(t) <= 3, t)
+                               .otherwise(F.concat(t, sfx))), " ")
+    return tfidf_similar_pairs(docs.withColumn("text", widened),
+                               k=20, max_df_frac=0.05, min_shared=5)
 
 
 def q_fuzzy_match(spark, sf_dir):
@@ -2477,6 +2487,82 @@ def q_tpch_q1(spark, sf_dir):
                            / n, 6).alias("avg_disc"),
                    n.alias("count_order"))
               .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): the CORRELATED
+    SCALAR SUBQUERY class — each lineitem compares against 0.2x the
+    per-part average quantity — DECORRELATED the canonical way: filter
+    the part dim (broadcast), derive the per-part threshold as ONE
+    hash-aggregate over the already-filtered lineitems, broadcast the
+    |parts|-row threshold frame back, filter, sum.  No per-row
+    subquery, no cartesian; the brand filter is pushed to the part
+    scan.  (Testdata has no p_container; the size bracket plays its
+    role.)  DECIMAL sum so partial order can't perturb the total."""
+    db = _db(spark, sf_dir)
+    li = db.df("lineitem")
+    p = (db.df("part")
+           .filter((F.col("p_brand") == "Brand#4")
+                   & (F.col("p_size") <= 15))
+           .select("p_partkey"))
+    lp = (li.select("l_partkey", "l_quantity", "l_extendedprice")
+            .join(F.broadcast(p),
+                  F.col("l_partkey") == F.col("p_partkey")))
+    thr = (lp.groupBy("l_partkey")
+             .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_thr")))
+    return (lp.join(F.broadcast(thr), "l_partkey")
+              .filter(F.col("l_quantity") < F.col("qty_thr"))
+              .agg(F.round(
+                       F.sum(F.round(F.col("l_extendedprice"), 4)
+                              .cast("decimal(28,4)")).cast("double")
+                       / 7.0, 6).alias("avg_yearly")))
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    multi-EXISTS/NOT-EXISTS self-join class, DECORRELATED into per-order
+    aggregates — EXISTS(another supplier in the order) becomes
+    count_distinct(suppkey) >= 2, NOT EXISTS(another supplier also
+    late) becomes count_distinct(late suppkey) == 1 (the candidate's
+    own supplier is the one late supplier).  One orderkey-partitioned
+    aggregate + a LeftSemi back onto the late lines — never a per-row
+    subquery, never an O(lines^2) self-join.  'Late' adapts to the
+    testdata columns: shipped more than 90 days after the order date
+    (no l_receiptdate/l_commitdate in the reduced schema).  Supplier
+    and nation broadcast; numwait counts late line instances per the
+    TPC-H definition."""
+    db = _db(spark, sf_dir)
+    li = db.df("lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = (db.df("orders")
+           .filter(F.col("o_orderstatus") == "F")
+           .select("o_orderkey", "o_orderdate"))
+    lo = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .withColumn("__late",
+                        F.col("l_shipdate")
+                        > F.col("o_orderdate")
+                        + F.expr("INTERVAL 90 DAYS")))
+    per_order = (lo.groupBy("l_orderkey")
+                   .agg(F.count_distinct("l_suppkey").alias("n_supp"),
+                        F.count_distinct(
+                            F.when(F.col("__late"), F.col("l_suppkey"))
+                        ).alias("n_late_supp")))
+    qualifying = (per_order
+                  .filter((F.col("n_supp") >= 2)
+                          & (F.col("n_late_supp") == 1))
+                  .select("l_orderkey"))
+    s = (db.df("supplier")
+           .join(F.broadcast(db.df("nation")
+                               .filter(F.col("n_name") == "NATION_7")),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", "s_name"))
+    return (lo.filter(F.col("__late"))
+              .join(qualifying, "l_orderkey", "left_semi")
+              .join(F.broadcast(s),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+              .groupBy("s_name")
+              .agg(F.count(F.lit(1)).alias("numwait"))
+              .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+              .limit(100))
 
 
 def q_tpch_q6(spark, sf_dir):
@@ -2573,115 +2659,98 @@ def q_grouped_percentiles(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver checks the FIRST 50 entries against the DuckDB oracle each round.
 
-    Ordering policy (round 7, same rotation rule as r3-r6).  First 50:
+    Ordering policy (round 8, same rotation rule as r3-r7).  First 50:
 
-    - slots 1-9: the NINE entries the driver has never sampled (added
-      after r6's slot 50 froze; named explicitly by the r6 verdict):
-      q_tpch_q3, q_tpch_q10, q_calibrated_quality, q_winsorize,
-      q_attribution, q_temperature_sample, q_corpus_report,
-      q_embedding_truncate, q_unpivot_long;
-    - slots 10-16: entries on modules CHANGED this round —
-      plans/stats.py (degenerate-bucket re-split + materialization:
-      q_histogram), functions/timeseries.py (floor-division bucket
-      fix: q_resample), plans/validate.py (lit-built report rows:
-      q_validate_rules), llmops/lm.py (exact-frame thresholds:
-      q_ppl_buckets), store.py (per-table commit log: q_snapshot_read,
-      q_flush_reopen, q_partitioned_table);
-    - slots 17-28: the operators NEW in r7 (no prior rows possible):
-      q_tpch_q4/q12/q14/q19 (semi-join EXISTS, conditional twin
-      aggregates, promo ratio, disjunctive DNF brackets through the
-      builder), q_rolling_active (sliding exact count-distinct),
-      q_tfidf_terms/q_tfidf_pairs (TF-IDF keywords + blocked sparse
-      cosine pairs), q_fuzzy_match (Levenshtein ER join),
-      q_grouped_percentiles/q_winsorize_grouped (spillable grouped
-      order statistics), q_event_paths, q_lm_score_trigram;
-    - slots 29-50: the r4-vintage refresh the r6 verdict enumerated —
-      write-path family (q_update_rewrite ... q_update_ordered_limit),
-      vector top-k family, predicate-semantics family,
-      q_knn_join/q_ivf_batch/q_pq_search/q_ivfpq.
+    - slots 1-2: NEW in r8 (no prior driver rows possible):
+      q_tpch_q17 (correlated scalar subquery, decorrelated) and
+      q_tpch_q21 (multi-EXISTS/NOT-EXISTS, decorrelated);
+    - slots 3-29: entries on modules CHANGED in r8 — llmops/lm.py
+      (one-pass training + O(n) explode: the whole LM family +
+      q_ppl_buckets + q_curate_corpus), llmops/dedup.py +
+      streaming/stateful.py (let-bound span/gram builders:
+      q_paragraph_dedup, q_repeated_spans, q_doc_fingerprint,
+      q_winnow_overlap, q_containment), llmops/linalg.py (let-bound
+      norm: q_embedding_truncate, q_embedding_cov), joins.py
+      (prefix-block default + inner-only how: q_fuzzy_match, plus the
+      module's other joins), plans/stats.py (approx grouped tier:
+      the percentile/winsorize/histogram/stats family), store.py +
+      engine.py (claim-ownership cleanup, space-keyed apply_changes,
+      on_row_conflict: the flush/snapshot/backup family), and the
+      entry-level q_tfidf_pairs rewrite (unbounded, widened vocab);
+    - slots 30-50: the oldest remaining driver rows — the r5-vintage
+      tail the r7 verdict enumerated (events/similarity/sources/
+      multimodal + the full dedup family + offset/exists/distinct/
+      schema-migration).
 
-    Past the cap, ordered by residual risk: the remaining r4-vintage
-    rows (q_langid, q_token_count_bpe, q_time_rollup,
-    q_rollup_subtotals, q_salted_agg/join, q_moving_features,
-    q_kv_namespace, pipeline.py family), then the full r6-green wave
-    (driver rows 1 round old, modules unchanged since), then the
-    r5/r6-green rows on unchanged modules.
+    Past the cap: everything else with its oldest-first ordering kept,
+    and the r7 driver-sampled block (rows only 1 round old) last.
+    After this rotation no entry's newest driver row is older than r6
+    — the r7-verdict rotation target.
+
     tools/check_correctness.py certifies EVERY entry locally each
-    round (latest full run: all entries exact in one pass, after
-    every operator addition).
+    round; the full-run stdout is committed as GATE_r8.txt (the r7
+    verdict's evidence-artifact requirement), so the certification is
+    a diffable repo artifact, not prose.
     """
 
-    # first 50 = the driver's r7 correctness sample (see docstring)
+    # first 50 = the driver's r8 correctness sample (see docstring)
     _ORDER = [
-        # --- 1-9: never driver-sampled (r6 verdict item 2) ---
-        "q_tpch_q3", "q_tpch_q10", "q_calibrated_quality", "q_winsorize",
-        "q_attribution", "q_temperature_sample", "q_corpus_report",
-        "q_embedding_truncate", "q_unpivot_long",
-        # --- 10-16: modules changed in r7 ---
-        "q_histogram", "q_resample", "q_validate_rules", "q_ppl_buckets",
-        "q_snapshot_read", "q_flush_reopen", "q_partitioned_table",
-        # --- 17-24: NEW in r7 (no prior driver rows) ---
-        "q_tpch_q4", "q_tpch_q12", "q_tpch_q14", "q_tpch_q19",
-        "q_rolling_active", "q_tfidf_terms", "q_tfidf_pairs",
-        "q_fuzzy_match", "q_grouped_percentiles",
-        "q_winsorize_grouped", "q_event_paths", "q_lm_score_trigram",
-        "q_tpch_q6", "q_tpch_q1",
-        # --- 25-50: r4-vintage refresh ---
-        "q_update_rewrite", "q_delete_rewrite", "q_upsert_merge",
-        "q_batch_update", "q_partial_insert", "q_expr_clamp_update",
-        "q_update_ordered_limit",
-        "q_vector_cosine_topk", "q_vector_l2_topk", "q_vector_ip_topk",
-        "q_vector_threshold",
-        "q_pred_like_between_in", "q_or_tree", "q_loose_eq",
-        "q_notin_null_semantics", "q_is_null_join",
-        "q_neq_null_semantics", "q_multiop_or",
-        "q_knn_join", "q_ivf_batch",
-        # --- past the 50-cap: remaining r4-vintage rows ---
-        "q_pq_search", "q_ivfpq", "q_quantized_knn", "q_mix_corpus",
-        "q_bm25_search", "q_agg_stats",
-        "q_events_window", "q_global_agg", "q_count_star",
-        "q_backup_restore",
-        "q_source_cap", "q_pack_sequences", "q_chunk_documents",
-        "q_quality_filter",
-        "q_ttl_filter", "q_langid", "q_token_count_bpe", "q_time_rollup",
-        "q_rollup_subtotals", "q_salted_agg", "q_salted_join",
-        "q_moving_features", "q_kv_namespace", "q_corpus_sample",
-        "q_corpus_shuffle", "q_stratified_take", "q_corpus_shards",
-        "q_corpus_clean",
-        # --- r6-green wave (rows 1 round old, modules unchanged) ---
-        "q_bloom_join", "q_split_corpus",
-        "q_weighted_sample", "q_column_corr", "q_length_batches",
-        "q_vocab_coverage", "q_pack_materialize", "q_embedding_cov",
-        "q_curate_corpus", "q_lm_score_bigram", "q_bpe_pair_counts",
-        "q_quality_classifier", "q_scd2_history", "q_mv_incremental",
-        "q_pivot_wide", "q_grouping_sets",
-        "q_heavy_hitters", "q_set_ops", "q_topic_balance",
-        "q_zorder_rewrite", "q_stream_mv", "q_funnel",
-        "q_cohort_retention", "q_column_stats",
-        "q_unicode_normalize", "q_paragraph_dedup",
-        "q_outer_join_shapes", "q_topk_per_group",
-        "q_moving_time_window", "q_scd2_lookup",
-        "q_pagerank", "q_ewma_anomaly", "q_dsir_weights",
-        "q_gopher_report",
-        "q_filter_sort_limit", "q_or_union_dedup", "q_topk",
-        "q_keyset_page", "q_groupby_having", "q_join_inner_group",
-        "q_left_join_count", "q_right_join", "q_theta_join",
-        "q_fk_autojoin",
-        # --- r5-green rows on modules untouched since ---
+        # --- 1-2: NEW in r8 (no prior driver rows possible) ---
+        "q_tpch_q17", "q_tpch_q21",
+        # --- 3-29: entries on modules CHANGED in r8 ---
+        "q_lm_score_trigram", "q_lm_score_bigram", "q_lm_score",
+        "q_ppl_buckets", "q_curate_corpus", "q_embedding_truncate",
+        "q_embedding_cov", "q_paragraph_dedup", "q_repeated_spans",
+        "q_doc_fingerprint", "q_winnow_overlap", "q_containment",
+        "q_fuzzy_match", "q_asof_join", "q_range_join", "q_bucketed_join",
+        "q_grouped_percentiles", "q_winsorize_grouped", "q_histogram",
+        "q_winsorize", "q_agg_stats", "q_column_stats", "q_snapshot_read",
+        "q_flush_reopen", "q_partitioned_table", "q_backup_restore",
+        "q_tfidf_pairs",
+        # --- 30-50: the oldest driver rows (r5-vintage tail) ---
         "q_events_sessions", "q_similarity_ivf", "q_csv_source",
-        "q_json_source", "q_asof_join", "q_range_join",
-        "q_multimodal_features", "q_dedup_exact", "q_dedup_fingerprint",
-        "q_dedup_minhash_lsh", "q_dedup_clusters", "q_semantic_dedup",
-        "q_dedup_incremental", "q_ngram_jaccard", "q_dedup_simhash",
-        "q_dedup_simhash_near", "q_neardup_embedding", "q_contamination",
-        "q_decontaminate", "q_repeated_spans", "q_lm_score",
-        "q_containment", "q_winnow_overlap",
-        "q_events_json", "q_distinct_first",
-        "q_offset_page", "q_exists", "q_distinct", "q_schema_migration",
-        "q_batch_export_page", "q_join5_regional", "q_bucketed_join",
-        "q_doc_fingerprint", "q_repetition", "q_vocab_stats",
-        "q_pii_scrub",
-        "q_text_stats",
+        "q_json_source", "q_multimodal_features", "q_dedup_exact",
+        "q_dedup_fingerprint", "q_dedup_minhash_lsh", "q_dedup_clusters",
+        "q_semantic_dedup", "q_dedup_incremental", "q_ngram_jaccard",
+        "q_dedup_simhash", "q_dedup_simhash_near", "q_neardup_embedding",
+        "q_contamination", "q_decontaminate", "q_offset_page", "q_exists",
+        "q_distinct", "q_schema_migration",
+        # --- past the cap: everything else, oldest driver row first;
+        # the r7-sampled block (freshest rows) runs last ---
+        "q_pq_search", "q_ivfpq", "q_quantized_knn", "q_mix_corpus",
+        "q_bm25_search", "q_events_window", "q_global_agg", "q_count_star",
+        "q_source_cap", "q_pack_sequences", "q_chunk_documents",
+        "q_quality_filter", "q_ttl_filter", "q_langid", "q_token_count_bpe",
+        "q_time_rollup", "q_rollup_subtotals", "q_salted_agg",
+        "q_salted_join", "q_moving_features", "q_kv_namespace",
+        "q_corpus_sample", "q_corpus_shuffle", "q_stratified_take",
+        "q_corpus_shards", "q_corpus_clean", "q_bloom_join",
+        "q_split_corpus", "q_weighted_sample", "q_column_corr",
+        "q_length_batches", "q_vocab_coverage", "q_pack_materialize",
+        "q_bpe_pair_counts", "q_quality_classifier", "q_scd2_history",
+        "q_mv_incremental", "q_pivot_wide", "q_grouping_sets",
+        "q_heavy_hitters", "q_set_ops", "q_topic_balance",
+        "q_zorder_rewrite", "q_stream_mv", "q_funnel", "q_cohort_retention",
+        "q_unicode_normalize", "q_outer_join_shapes", "q_topk_per_group",
+        "q_moving_time_window", "q_scd2_lookup", "q_pagerank",
+        "q_ewma_anomaly", "q_dsir_weights", "q_gopher_report",
+        "q_filter_sort_limit", "q_or_union_dedup", "q_topk", "q_keyset_page",
+        "q_groupby_having", "q_join_inner_group", "q_left_join_count",
+        "q_right_join", "q_theta_join", "q_fk_autojoin", "q_events_json",
+        "q_distinct_first", "q_batch_export_page", "q_join5_regional",
+        "q_repetition", "q_vocab_stats", "q_pii_scrub", "q_text_stats",
+        # --- r7 driver-sampled (rows 1 round old) ---
+        "q_tpch_q3", "q_tpch_q10", "q_calibrated_quality", "q_attribution",
+        "q_temperature_sample", "q_corpus_report", "q_unpivot_long",
+        "q_resample", "q_validate_rules", "q_tpch_q4", "q_tpch_q12",
+        "q_tpch_q14", "q_tpch_q19", "q_rolling_active", "q_tfidf_terms",
+        "q_event_paths", "q_tpch_q6", "q_tpch_q1", "q_update_rewrite",
+        "q_delete_rewrite", "q_upsert_merge", "q_batch_update",
+        "q_partial_insert", "q_expr_clamp_update", "q_update_ordered_limit",
+        "q_vector_cosine_topk", "q_vector_l2_topk", "q_vector_ip_topk",
+        "q_vector_threshold", "q_pred_like_between_in", "q_or_tree",
+        "q_loose_eq", "q_notin_null_semantics", "q_is_null_join",
+        "q_neq_null_semantics", "q_multiop_or", "q_knn_join", "q_ivf_batch",
     ]
     g = globals()
     return {name: g[name] for name in _ORDER}
@@ -3637,6 +3706,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= DATE '1998-09-02'
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
+        # the oracle runs the GENUINE correlated scalar subquery —
+        # independent of the Spark side's decorrelated join shape
+        "q_tpch_q17": """
+            SELECT round(CAST(sum(CAST(round(l_extendedprice, 4)
+                                       AS DECIMAL(28,4))) AS DOUBLE)
+                         / 7.0, 6) AS avg_yearly
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand = 'Brand#4' AND p.p_size <= 15
+              AND l.l_quantity < (
+                    SELECT 0.2 * avg(l2.l_quantity)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = p.p_partkey)
+        """,
+        # genuine EXISTS / NOT EXISTS correlated subqueries on the
+        # oracle side vs the decorrelated per-order aggregates in Spark
+        "q_tpch_q21": """
+            SELECT s_name, count(*) AS numwait
+            FROM supplier, lineitem l1, orders o, nation
+            WHERE s_suppkey = l1.l_suppkey
+              AND o.o_orderkey = l1.l_orderkey
+              AND o.o_orderstatus = 'F'
+              AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+              AND EXISTS (
+                    SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                    SELECT 1
+                    FROM lineitem l3
+                    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > o3.o_orderdate
+                                          + INTERVAL 90 DAY)
+              AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name LIMIT 100
+        """,
         "q_tpch_q6": """
             SELECT CAST(sum(CAST(round(l_extendedprice * l_discount, 4)
                                  AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
@@ -3730,17 +3838,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id, rank
         """,
         "q_tfidf_pairs": f"""
-            WITH d AS (SELECT * FROM documents WHERE doc_id < 200),
-            tok AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM d),
+            WITH tok0 AS (SELECT doc_id, unnest({_TOKENS}) AS t
+                          FROM documents),
+            tok AS (SELECT doc_id,
+                           CASE WHEN length(t) <= 3 THEN t
+                                ELSE t || CAST(doc_id % 97 AS VARCHAR)
+                           END AS tok
+                    FROM tok0),
             tf AS (SELECT doc_id, tok, count(*) AS tf
                    FROM tok GROUP BY 1, 2),
             dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-            n AS (SELECT count(*) AS n FROM d),
+            n AS (SELECT count(*) AS n FROM documents),
             v AS (SELECT doc_id AS id, t.tok,
                          round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 9)
                            AS w
                   FROM tf t JOIN dfq USING (tok), n
-                  WHERE df <= n * 0.9),
+                  WHERE df <= n * 0.05),
             nrm AS (SELECT id,
                            sqrt(CAST(sum(CAST(round(w * w, 9)
                                               AS DECIMAL(28,9)))

@@ -274,6 +274,43 @@ def _recall_gate(spark, sf_dir: str) -> dict | None:
     return out
 
 
+def _tfidf_block_stat(spark, sf_dir: str) -> dict | None:
+    """Blocked candidate-pair count for the UNBOUNDED q_tfidf_pairs
+    configuration (widened vocabulary, df cap 0.05) vs the all-pairs
+    ceiling — the r7-verdict evidence that the df-cap/shared-token
+    block keeps the pair stage sub-quadratic on the full table."""
+    try:
+        from pyspark.sql import functions as F
+
+        from tostore_spark.llmops import text as TX
+        from tostore_spark.llmops.search import tfidf_vectors
+        docs = spark.read.parquet(os.path.join(sf_dir,
+                                               "documents.parquet"))
+        n_docs = docs.count()
+        sfx = (F.col("doc_id") % 97).cast("string")
+        widened = F.array_join(
+            F.transform(TX.tokens(F.col("text")),
+                        lambda t: F.when(F.length(t) <= 3, t)
+                                   .otherwise(F.concat(t, sfx))), " ")
+        v = tfidf_vectors(docs.withColumn("text", widened),
+                          max_df_frac=0.05).localCheckpoint(eager=True)
+        a, b = v.alias("a"), v.alias("b")
+        cand = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                       & (F.col("a.id") < F.col("b.id")))
+                 .select(F.col("a.id"), F.col("b.id"))
+                 .distinct().count())
+        all_pairs = n_docs * (n_docs - 1) // 2
+        out = {"n_docs": n_docs, "blocked_candidate_pairs": cand,
+               "all_pairs": all_pairs,
+               "fraction": round(cand / max(all_pairs, 1), 6)}
+        print(f"# tfidf blocking: {cand}/{all_pairs} pairs "
+              f"({out['fraction']:.2%})", file=sys.stderr)
+        return out
+    except Exception as exc:                    # pragma: no cover
+        print(f"# tfidf block stat skipped: {exc}", file=sys.stderr)
+        return None
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -355,16 +392,19 @@ def main():
                  "q_validate_rules", "q_scd2_lookup", "q_pagerank",
                  "q_dsir_weights", "q_gopher_report", "q_winsorize",
                  "q_attribution", "q_temperature_sample",
-                 # round-7 operators (q_fuzzy_match excluded: its
-                 # all-same-length synthetic names collapse the length
-                 # band to one block — quadratic at sf0.1, and the
-                 # operator's scale knob is the prefix block, exercised
-                 # in pytest)
+                 # round-7 operators (q_fuzzy_match excluded: the
+                 # synthetic customer names share one length AND one
+                 # prefix, collapsing both blockings to a single block
+                 # — quadratic at sf0.1; the prefix default's
+                 # sub-quadratic contract is pinned in pytest on a
+                 # varied-prefix fixture)
                  "q_tpch_q4", "q_tpch_q12", "q_tpch_q14", "q_tpch_q19",
                  "q_rolling_active", "q_tfidf_terms", "q_tfidf_pairs",
                  "q_grouped_percentiles", "q_winsorize_grouped",
                  "q_event_paths", "q_tpch_q6", "q_tpch_q1",
-                 "q_lm_score_trigram"):
+                 "q_lm_score_trigram", "q_ppl_buckets",
+                 # round-8 operators
+                 "q_tpch_q17", "q_tpch_q21"):
         fn = qs[name]
         spark.catalog.clearCache()
         t0 = time.time()
@@ -379,6 +419,7 @@ def main():
 
     recall = _recall_gate(spark, sf_dir)
     sf1 = _sf1_spot(spark, sf_dir, cold)
+    tfidf_block = _tfidf_block_stat(spark, sf_dir)
 
     # Detail block (extras/recall/sf1/methodology): written to a committed
     # sidecar AND printed on an EARLIER stderr line.  The driver captures
@@ -391,6 +432,7 @@ def main():
                            "value/value_warm for cross-round comparability"},
         "recall": recall,
         "sf1_spot": sf1,
+        "tfidf_blocking": tfidf_block,
         "methodology": ("cold_first_run (value/queries; r1-comparable) "
                         "+ steady_state_second_run (value_warm/queries_warm; "
                         "r2-comparable); canary_sec = fixed machine-speed "

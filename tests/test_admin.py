@@ -386,6 +386,42 @@ def test_grouped_percentiles_frame(spark):
     assert not any(k[0] == "d" for k in got)    # all-null group excluded
 
 
+def test_grouped_percentiles_approx_tier(spark):
+    """exact=False swaps the spillable sort window for ONE per-group
+    approx_percentile sketch aggregate (the millions-of-groups tier):
+    same long-form schema, rank error bounded by the sketch accuracy,
+    and NO window/sort in the plan — sketches combine map-side."""
+    import contextlib
+    import io
+
+    from tostore_spark.plans.stats import grouped_percentiles_frame
+    rows = ([("a", float(v)) for v in range(1, 1001)]
+            + [("b", float(v * 3)) for v in range(1, 501)]
+            + [("d", None)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    fr = [0.1, 0.5, 0.9]
+    exact = {(r["g"], r["p"]): r["value"] for r in
+             grouped_percentiles_frame(df, "g", "v", fr).collect()}
+    approx = {(r["g"], r["p"]): r["value"] for r in
+              grouped_percentiles_frame(df, "g", "v", fr,
+                                        exact=False).collect()}
+    assert set(approx) == set(exact)
+    for (g, p), av in approx.items():
+        n = 1000 if g == "a" else 500
+        span = (1000.0 if g == "a" else 1500.0)
+        # GK at accuracy 10000 on n<=1000 rows: rank error well under
+        # 1% of n -> value error under 1% of the span for uniform data
+        assert abs(av - exact[(g, p)]) <= 0.01 * span + 1e-9, (g, p)
+    # plan shape: one hash-aggregate, no window, no sort
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        grouped_percentiles_frame(df, "g", "v", fr,
+                                  exact=False).explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan and "Sort" not in plan
+    assert "ObjectHashAggregate" in plan or "HashAggregate" in plan
+
+
 def test_clip_outliers_grouped(spark):
     """Each group clips against its OWN bounds: group a's outliers are
     clipped to a's percentiles even though group b's range dwarfs them;

@@ -1033,3 +1033,81 @@ def test_apply_changes_targets_explicit_space(spark):
     # an unknown (space, name) key raises instead of falling back
     with pytest.raises(KeyError):
         _store.apply_changes(db, "sp_t", feed, space="nope")
+
+
+def test_row_merge_on_row_conflict_policies(spark, tmp_path_factory):
+    """Same-ROW concurrent writes resolve per on_row_conflict:
+    'error' raises naming the conflicting PK values, 'first_wins'
+    keeps the committed writer's rows and documents the superseded
+    keys in last_merge_report, 'column_merge' three-way-merges
+    update-vs-update overlaps column-wise and raises when both
+    writers changed the same column differently."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, PrimaryKeyType,
+                                      TableSchema)
+    from tostore_spark.store import ConcurrentWriteError
+
+    wh = str(tmp_path_factory.mktemp("wh_rowpolicy"))
+
+    def mk():
+        return ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+
+    seed = mk()
+    seed.create_table(TableSchema(
+        name="acct",
+        fields=[FieldSchema("owner"), FieldSchema("bal", DataType.integer)],
+        primary_key=PrimaryKeyConfig(name="id", type=PrimaryKeyType.none)))
+    seed.batch_insert("acct", [{"id": i, "owner": f"o{i}", "bal": 10 * i}
+                               for i in range(1, 5)])
+    seed.flush()
+
+    # --- 'error' (default): both writers update the same row ---------
+    a, b = mk(), mk()
+    a.update("acct", {"bal": 111}).where("id", "=", 1).execute()
+    a.flush()
+    b.update("acct", {"bal": 222}).where("id", "=", 1).execute()
+    with pytest.raises(ConcurrentWriteError, match=r"conflicting id"):
+        b.refresh(row_merge=True)
+
+    # --- 'first_wins': committed row stands, disjoint change replays -
+    c = mk()
+    c.update("acct", {"bal": 333}).where("id", "=", 1).execute()  # overlap
+    c.update("acct", {"bal": 20020}).where("id", "=", 2).execute()  # disjoint
+    d = mk()
+    d.update("acct", {"bal": 999}).where("id", "=", 1).execute()
+    d.flush()                                  # d commits first
+    assert c.refresh(row_merge=True,
+                     on_row_conflict="first_wins") == ["acct"]
+    rep = c.last_merge_report["default/acct"]
+    assert rep["policy"] == "first_wins"
+    assert rep["n_row_conflicts"] == 1
+    assert [str(x) for x in rep["superseded_keys_sample"]] == ["1"]
+    c.flush()
+    chk = mk()
+    got = {str(r["id"]): r["bal"] for r in chk.df("acct").collect()}
+    assert got["1"] == 999 and got["2"] == 20020   # d's row won, c's disjoint in
+
+    # --- 'column_merge': disjoint-column updates of the SAME row -----
+    e, f = mk(), mk()
+    e.update("acct", {"owner": "ELENA"}).where("id", "=", 3).execute()
+    f.update("acct", {"bal": 30303}).where("id", "=", 3).execute()
+    e.flush()                                  # e commits first
+    assert f.refresh(row_merge=True,
+                     on_row_conflict="column_merge") == ["acct"]
+    assert f.last_merge_report["default/acct"]["policy"] == "column_merge"
+    f.flush()
+    chk2 = mk()
+    r3 = chk2.df("acct").filter("id = 3").collect()[0]
+    assert r3["owner"] == "ELENA" and r3["bal"] == 30303  # both survive
+
+    # --- 'column_merge' clash: same column, different values ---------
+    g, h = mk(), mk()
+    g.update("acct", {"bal": 1}).where("id", "=", 4).execute()
+    h.update("acct", {"bal": 2}).where("id", "=", 4).execute()
+    g.flush()
+    with pytest.raises(ConcurrentWriteError, match="SAME column"):
+        h.refresh(row_merge=True, on_row_conflict="column_merge")
+    # invalid policy value rejected up front
+    with pytest.raises(ValueError, match="on_row_conflict"):
+        h.refresh(row_merge=True, on_row_conflict="nope")

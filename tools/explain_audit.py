@@ -189,6 +189,20 @@ CHECKS: dict[str, list[str]] = {
     # filtering of unpruned data
     "q_tpch_q19": ["Or(Or(And(GreaterThanOrEqual(l_quantity",
                    "Or(Or(And(EqualTo(p_brand"],
+    # Q17 shape: correlated scalar subquery DECORRELATED — the brand
+    # filter reaches the part scan, the filtered dim broadcasts, and
+    # the per-part threshold folds back as a broadcast join (no
+    # per-row subquery operator, no cartesian — FORBIDDEN covers that)
+    "q_tpch_q17": ["BroadcastHashJoin", "EqualTo(p_brand,Brand#4)",
+                   "HashAggregate"],
+    # Q21 shape: multi-EXISTS/NOT-EXISTS decorrelated into per-order
+    # count-distinct aggregates + a LeftSemi back onto the late lines;
+    # the status filter reaches the orders scan; supplier/nation
+    # broadcast
+    # (count_distinct compiles to the Expand + two-level aggregate)
+    "q_tpch_q21": ["LeftSemi", "BroadcastHashJoin",
+                   "EqualTo(o_orderstatus,F)", "Expand",
+                   "HashAggregate"],
     # sliding distinct: the tiny day list broadcasts into the trailing-
     # window theta join; the corpus appears only in the day-grain
     # distinct (partial-combined)

@@ -463,7 +463,8 @@ class ToStoreSpark:
             self._mutations.clear()
         return flushed
 
-    def refresh(self, row_merge: bool = False) -> list[str]:
+    def refresh(self, row_merge: bool = False,
+                on_row_conflict: str = "error") -> list[str]:
         """Retry path after ConcurrentWriteError: reload the warehouse's
         current manifest (another writer's flush), then replay THIS
         engine's unflushed tables on top.  Raises ConcurrentWriteError
@@ -474,11 +475,17 @@ class ToStoreSpark:
         same-table conflict is replayed by diffing this engine's local
         changes against its own flushed base and ``apply_changes``-ing
         them onto the other writer's committed state — disjoint-row
-        writers both commit without re-deriving; a genuine row overlap
-        still raises (first committer wins).  Returns replayed table
-        names."""
+        writers both commit without re-deriving.  A genuine row overlap
+        resolves per ``on_row_conflict``: ``'error'`` (default) raises
+        naming the conflicting primary-key values; ``'first_wins'``
+        keeps the committed writer's rows and documents the superseded
+        keys in ``self.last_merge_report``; ``'column_merge'``
+        three-way-merges update-vs-update overlaps column-wise (raises
+        when both writers changed the same column differently).
+        Returns replayed table names."""
         from tostore_spark import store as _store
-        return _store.refresh(self, row_merge=row_merge)
+        return _store.refresh(self, row_merge=row_merge,
+                              on_row_conflict=on_row_conflict)
 
     def check_remote_changes(self) -> list[str]:
         """Cross-engine watch visibility: one manifest read; if another

@@ -511,33 +511,60 @@ def clip_outliers(df: DataFrame, col: str,
 
 def grouped_percentiles_frame(df: DataFrame, by: str, col: str,
                               fracs: Sequence[float],
-                              round_dp: Optional[int] = None) -> DataFrame:
-    """Exact interpolated percentiles PER GROUP, long form: one row per
+                              round_dp: Optional[int] = None,
+                              exact: bool = True) -> DataFrame:
+    """Interpolated percentiles PER GROUP, long form: one row per
     (group, frac) of (``by``, p, value) — the grouped counterpart of
     ``exact_percentiles_frame``.
 
-    Shape: ONE group-partitioned sort window assigns in-group ranks and
-    sizes, then ONE hash-aggregate picks each frac's bracketing rows
-    with conditional max/min — no ``percentile`` value-map aggregate
-    anywhere.  Spark's window sort is spillable (external sort per
-    group within a reducer), so a wide group degrades to disk instead
-    of OOM — the property the value-map aggregate lacks and the reason
-    this path exists (``llmops.lm.ppl_buckets`` routes its per-group
-    thresholds here).  Skew caveat: one GROUP still lands on one
-    reducer — the window's partition key is the group; for a group
-    worth a meaningful fraction of 100 TB, compute that group alone
-    through the ungrouped ``exact_percentiles_frame`` (whose buckets
-    distribute WITHIN the column).
+    EXACT shape (default): ONE group-partitioned sort window assigns
+    in-group ranks and sizes, then ONE hash-aggregate picks each
+    frac's bracketing rows with conditional max/min — no
+    ``percentile`` value-map aggregate anywhere.  Spark's window sort
+    is spillable (external sort per group within a reducer), so a wide
+    group degrades to disk instead of OOM — the property the value-map
+    aggregate lacks and the reason this path exists
+    (``llmops.lm.ppl_buckets`` routes its per-group thresholds here).
+    Skew caveat: one GROUP still lands on one reducer — the window's
+    partition key is the group; for a group worth a meaningful
+    fraction of 100 TB, compute that group alone through the ungrouped
+    ``exact_percentiles_frame`` (whose buckets distribute WITHIN the
+    column).
 
-    Interpolation is the standard linear rule on ranks f·(n−1); nulls
-    are excluded per group.  Deterministic: ties in ``col`` make the
-    rank→row map ambiguous but the value at any rank is well-defined.
+    APPROX shape (``exact=False``): ONE hash-aggregate of per-group
+    ``approx_percentile`` sketches (GK, accuracy 10000 ≈ 0.01%%
+    rank error) — the 100 TB tier for MILLIONS of groups, where even a
+    spillable per-group sort is the wrong cost class: sketches combine
+    map-side in constant memory per (partition, group), no window, no
+    sort, no single-reducer group.  Same long-form output schema, so
+    callers swap tiers with one flag (the ndv precedent:
+    ``column_stats(exact_ndv=False)``).
+
+    Interpolation (exact tier) is the standard linear rule on ranks
+    f·(n−1); nulls are excluded per group.  Deterministic: ties in
+    ``col`` make the rank→row map ambiguous but the value at any rank
+    is well-defined.
     """
     fr = [float(f) for f in fracs]
     if not fr:
         raise ValueError("fracs must be non-empty")
     vals = df.select(F.col(by).alias("__g"), F.col(col).alias("__v")) \
              .filter(F.col("__v").isNotNull())
+    if not exact:
+        probe = ", ".join(repr(f) for f in fr)
+        agg_a = vals.groupBy(F.col("__g").alias(by)).agg(
+            F.expr(f"approx_percentile(__v, array({probe}), 10000)")
+             .alias("__qs"))
+        structs_a = []
+        for i, f in enumerate(fr):
+            v = F.col("__qs").getItem(i).cast("double")
+            if round_dp is not None:
+                v = F.round(v, round_dp)
+            structs_a.append(F.struct(F.lit(f).alias("p"),
+                                      v.alias("value")))
+        return (agg_a.select(by, F.explode(F.array(*structs_a))
+                                  .alias("__s"))
+                     .select(by, "__s.p", "__s.value"))
     w = Window.partitionBy("__g").orderBy("__v")
     wn = Window.partitionBy("__g")
     ranked = vals.select(

@@ -630,7 +630,8 @@ def load_warehouse(engine) -> list[str]:
     return loaded
 
 
-def refresh(engine, row_merge: bool = False) -> list[str]:
+def refresh(engine, row_merge: bool = False,
+            on_row_conflict: str = "error") -> list[str]:
     """The ConcurrentWriteError retry path (the reference's transaction
     manager gives losers a retry — transaction_manager.dart:17-50).
 
@@ -648,13 +649,34 @@ def refresh(engine, row_merge: bool = False) -> list[str]:
     diff(base = the version THIS engine last flushed, local state) —
     and re-applied onto the other writer's committed state via
     ``apply_changes``.  Writers that touched DISJOINT rows both win
-    without re-deriving anything; a genuine row overlap (a row this
+    without re-deriving anything.  A genuine row overlap (a row this
     engine changed/deleted that the other writer also changed or
-    deleted) still raises — first-committer-wins, never a silent lost
-    update.  Both writers inserting the same new row keeps both copies
-    (bag semantics, matching the value-keyed CDC model).  The feed is
+    deleted) resolves per ``on_row_conflict``:
+
+    - ``'error'`` (default): raise, naming the conflicting primary-key
+      values — never a silent lost update (the reference's write-set
+      conflict, transaction_manager.dart:17-50).
+    - ``'first_wins'``: the committed writer's version of the
+      overlapping rows stands; THIS engine's overlapping changes are
+      dropped (its disjoint-row changes still replay).  The dropped
+      keys are documented in ``engine.last_merge_report`` — explicit,
+      never silent.  Requires a primary key (overlap pairing is
+      key-level).
+    - ``'column_merge'``: three-way merge per conflicted row — columns
+      THIS engine changed (vs its base) overlay the committed row's
+      values; both-changed-differently columns, update-vs-delete
+      overlaps, or duplicate keys raise.  Requires a primary key.
+
+    Both writers inserting the same new row keeps both copies (bag
+    semantics, matching the value-keyed CDC model).  The feed is
     materialized before the registry swap, so replay never re-derives
-    the loser's computation.  Returns the replayed table names."""
+    the loser's computation.  Returns the replayed table names;
+    ``engine.last_merge_report`` maps each replayed table to its
+    conflict policy outcome."""
+    if on_row_conflict not in ("error", "first_wins", "column_merge"):
+        raise ValueError("on_row_conflict must be "
+                         "error|first_wins|column_merge, "
+                         f"got {on_row_conflict!r}")
     wh = engine._warehouse
     if not wh:
         return []
@@ -700,8 +722,10 @@ def refresh(engine, row_merge: bool = False) -> list[str]:
         engine._generations[k] = max(gen, new_flushed.get(k, 0) + 1)
         engine._flushed_gen.pop(k, None)
         replayed.append(k[1])
+    engine.last_merge_report = {}
     for k, feed in feeds.items():
-        _apply_local_feed(engine, k, feed)
+        _apply_local_feed(engine, k, feed,
+                          on_row_conflict=on_row_conflict)
         replayed.append(k[1])
     return replayed
 
@@ -739,13 +763,18 @@ def _extract_local_feeds(engine, conflicts, old_flushed) -> dict:
     return feeds
 
 
-def _apply_local_feed(engine, k, feed) -> None:
+def _apply_local_feed(engine, k, feed,
+                      on_row_conflict: str = "error") -> None:
     """Row-merge step 2 (after the other writer's state is loaded):
-    verify the feed touches only rows the other writer left alone, then
-    ``apply_changes`` it onto the refreshed table.  A delete row missing
-    from the refreshed state means BOTH writers changed/deleted that row
-    — first-committer-wins, raise instead of silently dropping either
-    side's update."""
+    detect the rows the other writer ALSO touched, resolve them per
+    ``on_row_conflict`` (see ``refresh``), then ``apply_changes`` the
+    surviving feed onto the refreshed table.  A delete row missing from
+    the refreshed state means BOTH writers changed/deleted that row.
+
+    Every distributed step is bounded: the overlap test is one
+    exceptAll, conflict keys materialize once (eager checkpoint,
+    |conflicts| rows), and driver traffic is capped at the report's
+    ``_REPORT_KEY_CAP`` sample — never data-sized."""
     from pyspark.sql import functions as F
 
     table, space = k[1], k[0]
@@ -754,14 +783,120 @@ def _apply_local_feed(engine, k, feed) -> None:
     remote = engine._df_at_key(k)
     cols = sorted(c for c in feed.columns if c != "change")
     dele = feed.filter(F.col("change") == "delete").select(*cols)
-    overlap = dele.exceptAll(remote.select(*cols)).count()
-    if overlap:
+    missing = dele.exceptAll(remote.select(*cols))
+    overlap = missing.count()
+    report = getattr(engine, "last_merge_report", None)
+    if report is None:
+        report = engine.last_merge_report = {}
+    if not overlap:
+        apply_changes(engine, table, feed, space=space)
+        report[f"{space}/{table}"] = {
+            "policy": on_row_conflict, "n_row_conflicts": 0}
+        return
+    pk = None
+    sch = engine._tables[k].get("schema")
+    if sch is not None and getattr(sch, "primary_key", None) is not None:
+        pk = sch.primary_key.name
+    if pk not in cols:
+        pk = None
+    if on_row_conflict == "error":
+        detail = ""
+        if pk:
+            sample = sorted(r[pk] for r in
+                            missing.select(pk).distinct()
+                                   .limit(_REPORT_KEY_CAP).collect())
+            detail = f"; conflicting {pk} values (<= " \
+                     f"{_REPORT_KEY_CAP} shown): {sample}"
         raise ConcurrentWriteError(
             f"row-level conflict on {space}/{table}: {overlap} row(s) "
             "this engine changed or deleted were also changed/deleted "
             "by the other writer; first committer wins — re-derive "
-            "from the refreshed state")
-    apply_changes(engine, table, feed, space=space)
+            "from the refreshed state, or refresh(row_merge=True, "
+            "on_row_conflict='first_wins'|'column_merge')" + detail)
+    if pk is None:
+        raise ConcurrentWriteError(
+            f"on_row_conflict={on_row_conflict!r} needs a primary key "
+            f"on {space}/{table} to pair overlapping rows; the table "
+            "has none — only 'error' is available")
+    conf = missing.select(pk).distinct().localCheckpoint(eager=True)
+    n_conf = conf.count()
+    keys = sorted(r[pk] for r in conf.limit(_REPORT_KEY_CAP).collect())
+    if on_row_conflict == "first_wins":
+        # the committed writer's version of the conflicted keys stands;
+        # drop OUR feed rows for those keys, replay the disjoint rest
+        kept = feed.join(conf, on=pk, how="left_anti")
+        apply_changes(engine, table, kept, space=space)
+        report[f"{space}/{table}"] = {
+            "policy": "first_wins", "n_row_conflicts": n_conf,
+            "superseded_keys_sample": keys}
+        return
+    # column_merge: three-way per-row merge.  Only update-vs-update
+    # overlaps are mergeable — every conflicted key must carry exactly
+    # one base image (our delete), one local image (our insert), and
+    # one committed image (their row).
+    ins = feed.filter(F.col("change") == "insert").select(*cols)
+    npk = [c for c in cols if c != pk]
+
+    def _side(df, tag):
+        return df.join(conf, on=pk, how="inner").select(
+            F.col(pk), *[F.col(c).alias(f"__{tag}_{c}") for c in npk])
+
+    b3, o3, t3 = (_side(dele, "b"), _side(ins, "o"),
+                  _side(remote.select(*cols), "t"))
+    j = (b3.join(o3, on=pk, how="full")
+           .join(t3, on=pk, how="full")
+           .localCheckpoint(eager=True))
+    if j.count() != n_conf or any(
+            cnt != n_conf for cnt in
+            (b3.count(), o3.count(), t3.count())):
+        raise ConcurrentWriteError(
+            f"column_merge on {space}/{table}: conflicted keys are not "
+            "clean update-vs-update overlaps (a side deleted the row, "
+            "or keys are duplicated) — re-derive from the refreshed "
+            f"state; keys (<= {_REPORT_KEY_CAP} shown): {keys}")
+    both_diff = []
+    merged_cols = []
+    for c in npk:
+        b, o, t = (F.col(f"__b_{c}"), F.col(f"__o_{c}"), F.col(f"__t_{c}"))
+        ours_changed = ~o.eqNullSafe(b)
+        both_diff.append(ours_changed & ~t.eqNullSafe(b)
+                         & ~o.eqNullSafe(t))
+        merged_cols.append(F.when(ours_changed, o).otherwise(t).alias(c))
+    clash = j.filter(reduce_or(both_diff))
+    n_clash = clash.count()
+    if n_clash:
+        clash_keys = sorted(r[pk] for r in
+                            clash.select(pk).limit(_REPORT_KEY_CAP)
+                                 .collect())
+        raise ConcurrentWriteError(
+            f"column_merge on {space}/{table}: {n_clash} row(s) had "
+            "the SAME column changed to different values by both "
+            f"writers; keys (<= {_REPORT_KEY_CAP} shown): {clash_keys}")
+    merged = j.select(F.col(pk), *merged_cols).select(*cols)
+    theirs_old = remote.select(*cols).join(conf, on=pk, how="inner")
+    final = (feed.join(conf, on=pk, how="left_anti")
+                 .unionByName(theirs_old.withColumn(
+                     "change", F.lit("delete")))
+                 .unionByName(merged.withColumn(
+                     "change", F.lit("insert"))))
+    apply_changes(engine, table, final, space=space)
+    report[f"{space}/{table}"] = {
+        "policy": "column_merge", "n_row_conflicts": n_conf,
+        "merged_keys_sample": keys}
+
+
+#: driver-side cap on conflict-key samples in reports/messages — the
+#: report is a diagnostic, never a data-sized transfer
+_REPORT_KEY_CAP = 20
+
+
+def reduce_or(conds):
+    """OR-fold a list of Column predicates (empty folds to false)."""
+    from pyspark.sql import functions as F
+    out = F.lit(False)
+    for c in conds:
+        out = out | c
+    return out
 
 
 def check_remote_changes(engine) -> list[str]:
