@@ -2565,6 +2565,67 @@ def q_tpch_q21(spark, sf_dir):
               .limit(100))
 
 
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): the IN + grouped
+    HAVING subquery class — orders whose total lineitem quantity tops
+    the threshold.  Decorrelated form: ONE hash-aggregate builds the
+    per-order quantity sums, the HAVING filter keeps the big ones, and
+    the qualifying set joins back to orders (the sum rides the join —
+    re-aggregating after the join would be a second pass for the same
+    number).  Customer attaches by key; bounded final top-k on
+    (totalprice desc, date, orderkey).  The oracle runs the genuine
+    IN-subquery form."""
+    db = _db(spark, sf_dir)
+    big = (db.df("lineitem")
+             .groupBy("l_orderkey")
+             .agg(F.sum("l_quantity").alias("sum_qty"))
+             .filter(F.col("sum_qty") > 150.0))
+    return (db.df("orders")
+              .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+              .join(db.df("customer"),
+                    F.col("c_custkey") == F.col("o_custkey"))
+              .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                      "o_totalprice", "sum_qty")
+              .orderBy(F.col("o_totalprice").desc(),
+                       F.col("o_orderdate").asc(),
+                       F.col("o_orderkey").asc())
+              .limit(100))
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): scalar AVG subquery
+    + NOT EXISTS anti-join.  Decorrelated: the positive-balance average
+    over the country subset is ONE aggregate broadcast back as a 1-row
+    frame (never collected to the driver); NOT EXISTS(urgent order)
+    compiles to LeftAnti against the filtered orders keys.  Adapted to
+    the reduced schema: c_nationkey plays the phone country code
+    (subset = nationkey %% 5 == 0), and 'has no order' is 'has no
+    1-URGENT order' (every sf customer has orders).  The threshold sums
+    as DECIMAL and divides once, so both engines compute the identical
+    IEEE double and the comparison can never fork."""
+    db = _db(spark, sf_dir)
+    sub = (db.df("customer")
+             .filter(F.col("c_nationkey") % 5 == 0)
+             .select("c_custkey",
+                     F.col("c_nationkey").alias("cntrycode"),
+                     "c_acctbal"))
+    dsum = F.sum(F.round(F.col("c_acctbal"), 2).cast("decimal(18,2)"))
+    thr = (sub.filter(F.col("c_acctbal") > 0.0)
+              .agg(F.round(dsum.cast("double")
+                           / F.count(F.lit(1)), 6).alias("avg_bal")))
+    urgent = (db.df("orders")
+                .filter(F.col("o_orderpriority") == "1-URGENT")
+                .select("o_custkey"))
+    return (sub.crossJoin(F.broadcast(thr))
+               .filter(F.col("c_acctbal") > F.col("avg_bal"))
+               .join(urgent, F.col("c_custkey") == F.col("o_custkey"),
+                     "left_anti")
+               .groupBy("cntrycode")
+               .agg(F.count(F.lit(1)).alias("numcust"),
+                    dsum.cast("double").alias("totacctbal"))
+               .orderBy("cntrycode"))
+
+
 def q_tpch_q6(spark, sf_dir):
     """TPC-H Q6 shape (forecast revenue change): single-table bracket
     predicates — date year, discount band, quantity cap — ALL pushed to
@@ -2661,10 +2722,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordering policy (round 8, same rotation rule as r3-r7).  First 50:
 
-    - slots 1-2: NEW in r8 (no prior driver rows possible):
-      q_tpch_q17 (correlated scalar subquery, decorrelated) and
-      q_tpch_q21 (multi-EXISTS/NOT-EXISTS, decorrelated);
-    - slots 3-29: entries on modules CHANGED in r8 — llmops/lm.py
+    - slots 1-4: NEW in r8 (no prior driver rows possible):
+      q_tpch_q17 (correlated scalar subquery, decorrelated),
+      q_tpch_q21 (multi-EXISTS/NOT-EXISTS, decorrelated),
+      q_tpch_q18 (IN + grouped HAVING subquery), q_tpch_q22 (scalar
+      avg subquery + NOT-EXISTS anti-join);
+    - slots 5-29: entries on modules CHANGED in r8 — llmops/lm.py
       (one-pass training + O(n) explode: the whole LM family +
       q_ppl_buckets + q_curate_corpus), llmops/dedup.py +
       streaming/stateful.py (let-bound span/gram builders:
@@ -2695,16 +2758,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # first 50 = the driver's r8 correctness sample (see docstring)
     _ORDER = [
-        # --- 1-2: NEW in r8 (no prior driver rows possible) ---
-        "q_tpch_q17", "q_tpch_q21",
-        # --- 3-29: entries on modules CHANGED in r8 ---
+        # --- 1-4: NEW in r8 (no prior driver rows possible) ---
+        "q_tpch_q17", "q_tpch_q21", "q_tpch_q18", "q_tpch_q22",
+        # --- 5-29: entries on modules CHANGED in r8 ---
         "q_lm_score_trigram", "q_lm_score_bigram", "q_lm_score",
         "q_ppl_buckets", "q_curate_corpus", "q_embedding_truncate",
         "q_embedding_cov", "q_paragraph_dedup", "q_repeated_spans",
         "q_doc_fingerprint", "q_winnow_overlap", "q_containment",
         "q_fuzzy_match", "q_asof_join", "q_range_join", "q_bucketed_join",
         "q_grouped_percentiles", "q_winsorize_grouped", "q_histogram",
-        "q_winsorize", "q_agg_stats", "q_column_stats", "q_snapshot_read",
+        "q_winsorize", "q_snapshot_read",
         "q_flush_reopen", "q_partitioned_table", "q_backup_restore",
         "q_tfidf_pairs",
         # --- 30-50: the oldest driver rows (r5-vintage tail) ---
@@ -2716,6 +2779,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination", "q_decontaminate", "q_offset_page", "q_exists",
         "q_distinct", "q_schema_migration",
         # --- past the cap: everything else, oldest driver row first;
+        # (q_agg_stats/q_column_stats lead: their module changed in r8
+        # but not the code paths they exercise) ---
+        "q_agg_stats", "q_column_stats",
         # the r7-sampled block (freshest rows) runs last ---
         "q_pq_search", "q_ivfpq", "q_quantized_knn", "q_mix_corpus",
         "q_bm25_search", "q_events_window", "q_global_agg", "q_count_star",
@@ -3744,6 +3810,43 @@ def oracle_sql() -> dict[str, str]:
               AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
             GROUP BY s_name
             ORDER BY numwait DESC, s_name LIMIT 100
+        """,
+        # genuine IN + grouped-HAVING subquery on the oracle side
+        "q_tpch_q18": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, sum(l_quantity) AS sum_qty
+            FROM customer, orders, lineitem
+            WHERE o_orderkey IN (
+                    SELECT l_orderkey FROM lineitem
+                    GROUP BY l_orderkey
+                    HAVING sum(l_quantity) > 150.0)
+              AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+            GROUP BY 1, 2, 3, 4, 5
+            ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+            LIMIT 100
+        """,
+        # genuine scalar-avg subquery + NOT EXISTS on the oracle side
+        "q_tpch_q22": """
+            WITH sub AS (
+              SELECT c_custkey, c_nationkey AS cntrycode, c_acctbal
+              FROM customer WHERE c_nationkey % 5 = 0),
+            thr AS (
+              SELECT round(CAST(sum(CAST(round(c_acctbal, 2)
+                                         AS DECIMAL(18,2))) AS DOUBLE)
+                           / count(*), 6) AS avg_bal
+              FROM sub WHERE c_acctbal > 0.0),
+            q AS (
+              SELECT s.cntrycode, s.c_acctbal
+              FROM sub s, thr
+              WHERE s.c_acctbal > thr.avg_bal
+                AND NOT EXISTS (
+                      SELECT 1 FROM orders o
+                      WHERE o.o_custkey = s.c_custkey
+                        AND o.o_orderpriority = '1-URGENT'))
+            SELECT cntrycode, count(*) AS numcust,
+                   CAST(sum(CAST(round(c_acctbal, 2) AS DECIMAL(18,2)))
+                        AS DOUBLE) AS totacctbal
+            FROM q GROUP BY 1 ORDER BY 1
         """,
         "q_tpch_q6": """
             SELECT CAST(sum(CAST(round(l_extendedprice * l_discount, 4)

@@ -404,7 +404,8 @@ def main():
                  "q_event_paths", "q_tpch_q6", "q_tpch_q1",
                  "q_lm_score_trigram", "q_ppl_buckets",
                  # round-8 operators
-                 "q_tpch_q17", "q_tpch_q21"):
+                 "q_tpch_q17", "q_tpch_q21", "q_tpch_q18",
+                 "q_tpch_q22"):
         fn = qs[name]
         spark.catalog.clearCache()
         t0 = time.time()

@@ -1360,6 +1360,14 @@ def test_ppl_buckets_per_group_terciles(spark):
         ppl_buckets(df, cuts=(0.5,), labels=("a", "b", "c"))
     with _pt.raises(ValueError):
         ppl_buckets(df, cuts=(0.7, 0.3), labels=("a", "b", "c"))
+    # exact=False: sketch-tier grouped thresholds — identical labels on
+    # this small, well-separated corpus (GK at n<=9 is exact), and the
+    # plan carries no per-group sort window
+    a = {r.id: r.ppl_bucket
+         for r in ppl_buckets(df, by="lang", exact=False).collect()}
+    assert {k: v for k, v in a.items() if k != 99} == \
+           {k: v for k, v in out.items() if k != 99}
+    assert a[99] is None
 
 
 def test_dsir_prefers_target_like_docs(spark):

@@ -203,6 +203,15 @@ CHECKS: dict[str, list[str]] = {
     "q_tpch_q21": ["LeftSemi", "BroadcastHashJoin",
                    "EqualTo(o_orderstatus,F)", "Expand",
                    "HashAggregate"],
+    # Q18 shape: the IN + grouped-HAVING subquery is ONE partial-
+    # combined hash-aggregate + join back; bounded final top-k
+    "q_tpch_q18": ["partial_sum", "HashAggregate",
+                   "TakeOrderedAndProject"],
+    # Q22 shape: the scalar avg subquery folds in as a broadcast 1-row
+    # frame (BNLJ, never a collect); NOT EXISTS compiles to LeftAnti;
+    # the priority filter reaches the orders scan
+    "q_tpch_q22": ["BroadcastNestedLoopJoin", "LeftAnti",
+                   "EqualTo(o_orderpriority,1-URGENT)"],
     # sliding distinct: the tiny day list broadcasts into the trailing-
     # window theta join; the corpus appears only in the day-grain
     # distinct (partial-combined)

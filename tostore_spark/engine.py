@@ -421,7 +421,8 @@ class ToStoreSpark:
     def flush(self, flush_storage: bool = True,
               only: Optional[list] = None,
               on_conflict: str = "error",
-              max_retries: int = 3) -> list[str]:
+              max_retries: int = 3,
+              on_row_conflict: str = "error") -> list[str]:
         """Make pending mutations durable (tostore.dart:1035).
 
         With a ``warehouse`` configured, every dirty table is written to
@@ -443,8 +444,10 @@ class ToStoreSpark:
           transaction-retry loop (transaction_manager.dart:17-50) at row
           granularity — refresh(row_merge=True) then re-flush, up to
           ``max_retries`` times.  Disjoint-row writers commit without
-          caller involvement; a genuine row overlap (or exhausted
-          retries) still raises."""
+          caller involvement; a genuine row overlap resolves per
+          ``on_row_conflict`` (see ``refresh``: 'error' raises naming
+          the keys, 'first_wins'/'column_merge' merge and document in
+          ``last_merge_report``); exhausted retries still raise."""
         from tostore_spark import store as _store
         if on_conflict not in ("error", "row_merge"):
             raise ValueError(
@@ -458,7 +461,8 @@ class ToStoreSpark:
             except _store.ConcurrentWriteError:
                 if attempt == attempts:
                     raise
-                self.refresh(row_merge=True)
+                self.refresh(row_merge=True,
+                             on_row_conflict=on_row_conflict)
         if hasattr(self, "_mutations"):
             self._mutations.clear()
         return flushed

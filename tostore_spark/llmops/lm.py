@@ -196,7 +196,8 @@ def ppl_buckets(scored: DataFrame, bits_field: str = "bits_per_token",
                 by: str | None = None,
                 cuts: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
                 labels: tuple[str, ...] = ("head", "middle", "tail"),
-                materialize: bool = True) -> DataFrame:
+                materialize: bool = True,
+                exact: bool = True) -> DataFrame:
     """CCNet head/middle/tail split: label each scored document by which
     perplexity band it falls in — ``head`` = lowest-bits third (the text
     the LM finds most natural), ``tail`` = highest.  CCNet trains on the
@@ -227,6 +228,12 @@ def ppl_buckets(scored: DataFrame, bits_field: str = "bits_per_token",
     output — ``materialize`` (default on) pins it with one eager
     ``localCheckpoint`` so an expensive scoring lineage (the n-gram
     explode + joins) executes once, not once per reference.
+
+    ``exact=False`` (grouped mode only) swaps the spillable per-group
+    sort window for ONE per-group ``approx_percentile`` sketch
+    aggregate — the tier for MILLIONS of languages/sources, where band
+    edges a fraction of a percentile off are immaterial to CCNet-style
+    stratification but a per-group sort is the wrong cost class.
     """
     if len(labels) != len(cuts) + 1:
         raise ValueError("need len(labels) == len(cuts) + 1")
@@ -243,7 +250,8 @@ def ppl_buckets(scored: DataFrame, bits_field: str = "bits_per_token",
         out = scored.crossJoin(F.broadcast(thr))
     else:
         from tostore_spark.plans.stats import grouped_percentiles_frame
-        gp = grouped_percentiles_frame(scored, by, bits_field, list(cuts))
+        gp = grouped_percentiles_frame(scored, by, bits_field, list(cuts),
+                                       exact=exact)
         thr = gp.groupBy(by).agg(*[
             F.max(F.when(F.col("p") == float(c), F.col("value")))
              .alias(f"__t{i}") for i, c in enumerate(cuts)])
