@@ -2626,6 +2626,74 @@ def q_tpch_q22(spark, sf_dir):
                .orderBy("cntrycode"))
 
 
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): the 6-table star join
+    with a CROSS-DIMENSION equality (customer.nation == supplier.nation
+    — a predicate no FK chain implies) + region filter + year bracket.
+    Shape: region→nation filtered and broadcast, supplier and customer
+    each broadcast-joined to it, the fact (lineitem⋈orders) shuffles
+    once; the local-supplier equality rides the join conditions, never
+    a post-join filter of an exploded cross.  DECIMAL revenue."""
+    db = _db(spark, sf_dir)
+    n = (db.df("nation")
+           .join(F.broadcast(db.df("region")
+                               .filter(F.col("r_name") == "AMERICA")),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("n_nationkey", "n_name"))
+    s = (db.df("supplier")
+           .join(F.broadcast(n),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", F.col("s_nationkey").alias("__snat"),
+                   "n_name"))
+    c = (db.df("customer")
+           .join(F.broadcast(n.select("n_nationkey")),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .select("c_custkey", F.col("c_nationkey").alias("__cnat")))
+    o = (db.df("orders")
+           .filter((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                   & (F.col("o_orderdate") < F.lit("1998-01-01")))
+           .select("o_orderkey", "o_custkey"))
+    li = db.df("lineitem").select("l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount")
+    rev = F.round(F.col("l_extendedprice")
+                  * (F.lit(1.0) - F.col("l_discount")), 4) \
+           .cast("decimal(28,4)")
+    return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(c, F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(s),
+                    (F.col("l_suppkey") == F.col("s_suppkey"))
+                    & (F.col("__cnat") == F.col("__snat")))
+              .groupBy("n_name")
+              .agg(F.sum(rev).cast("double").alias("revenue"))
+              .orderBy(F.col("revenue").desc(), F.col("n_name").asc()))
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): the scalar MAX subquery over a
+    derived VIEW, with argmax-by-equality join-back (ties kept — the
+    spec's semantics).  The per-supplier revenue view aggregates once;
+    its max folds back as a broadcast 1-row frame; equality on the
+    DECIMAL revenue is exact, so both engines keep the same ties."""
+    db = _db(spark, sf_dir)
+    rev = F.round(F.col("l_extendedprice")
+                  * (F.lit(1.0) - F.col("l_discount")), 4) \
+           .cast("decimal(28,4)")
+    view = (db.df("lineitem")
+              .filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                      & (F.col("l_shipdate") < F.lit("1996-04-01")))
+              .groupBy("l_suppkey")
+              .agg(F.sum(rev).alias("__rev")))
+    mx = view.agg(F.max("__rev").alias("__mx"))
+    return (view.crossJoin(F.broadcast(mx))
+                .filter(F.col("__rev") == F.col("__mx"))
+                .join(db.df("supplier"),
+                      F.col("s_suppkey") == F.col("l_suppkey"))
+                .select("s_suppkey", "s_name",
+                        F.col("__rev").cast("double")
+                         .alias("total_revenue"))
+                .orderBy("s_suppkey"))
+
+
 def q_tpch_q6(spark, sf_dir):
     """TPC-H Q6 shape (forecast revenue change): single-table bracket
     predicates — date year, discount band, quantity cap — ALL pushed to
@@ -2722,12 +2790,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordering policy (round 8, same rotation rule as r3-r7).  First 50:
 
-    - slots 1-4: NEW in r8 (no prior driver rows possible):
+    - slots 1-6: NEW in r8 (no prior driver rows possible):
       q_tpch_q17 (correlated scalar subquery, decorrelated),
       q_tpch_q21 (multi-EXISTS/NOT-EXISTS, decorrelated),
       q_tpch_q18 (IN + grouped HAVING subquery), q_tpch_q22 (scalar
-      avg subquery + NOT-EXISTS anti-join);
-    - slots 5-29: entries on modules CHANGED in r8 — llmops/lm.py
+      avg subquery + NOT-EXISTS anti-join), q_tpch_q5 (6-table star
+      with cross-dimension equality), q_tpch_q15 (scalar MAX over a
+      derived view, argmax ties kept);
+    - slots 7-31: entries on modules CHANGED in r8 — llmops/lm.py
       (one-pass training + O(n) explode: the whole LM family +
       q_ppl_buckets + q_curate_corpus), llmops/dedup.py +
       streaming/stateful.py (let-bound span/gram builders:
@@ -2758,17 +2828,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # first 50 = the driver's r8 correctness sample (see docstring)
     _ORDER = [
-        # --- 1-4: NEW in r8 (no prior driver rows possible) ---
+        # --- 1-6: NEW in r8 (no prior driver rows possible) ---
         "q_tpch_q17", "q_tpch_q21", "q_tpch_q18", "q_tpch_q22",
-        # --- 5-29: entries on modules CHANGED in r8 ---
+        "q_tpch_q5", "q_tpch_q15",
+        # --- 7-31: entries on modules CHANGED in r8 ---
         "q_lm_score_trigram", "q_lm_score_bigram", "q_lm_score",
         "q_ppl_buckets", "q_curate_corpus", "q_embedding_truncate",
-        "q_embedding_cov", "q_paragraph_dedup", "q_repeated_spans",
+        "q_paragraph_dedup", "q_repeated_spans",
         "q_doc_fingerprint", "q_winnow_overlap", "q_containment",
         "q_fuzzy_match", "q_asof_join", "q_range_join", "q_bucketed_join",
         "q_grouped_percentiles", "q_winsorize_grouped", "q_histogram",
         "q_winsorize", "q_snapshot_read",
-        "q_flush_reopen", "q_partitioned_table", "q_backup_restore",
+        "q_flush_reopen", "q_partitioned_table",
         "q_tfidf_pairs",
         # --- 30-50: the oldest driver rows (r5-vintage tail) ---
         "q_events_sessions", "q_similarity_ivf", "q_csv_source",
@@ -2779,9 +2850,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination", "q_decontaminate", "q_offset_page", "q_exists",
         "q_distinct", "q_schema_migration",
         # --- past the cap: everything else, oldest driver row first;
-        # (q_agg_stats/q_column_stats lead: their module changed in r8
-        # but not the code paths they exercise) ---
-        "q_agg_stats", "q_column_stats",
+        # (these four lead: their module changed in r8 but NOT the code
+        # paths they exercise — stats' grouped path, linalg's truncate,
+        # store's flush; backup.py is untouched) ---
+        "q_agg_stats", "q_column_stats", "q_embedding_cov",
+        "q_backup_restore",
         # the r7-sampled block (freshest rows) runs last ---
         "q_pq_search", "q_ivfpq", "q_quantized_knn", "q_mix_corpus",
         "q_bm25_search", "q_events_window", "q_global_agg", "q_count_star",
@@ -3810,6 +3883,38 @@ def oracle_sql() -> dict[str, str]:
               AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
             GROUP BY s_name
             ORDER BY numwait DESC, s_name LIMIT 100
+        """,
+        "q_tpch_q5": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice
+                                       * (1.0 - l_discount), 4)
+                                 AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'AMERICA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1998-01-01'
+            GROUP BY n_name ORDER BY revenue DESC, n_name
+        """,
+        # genuine scalar MAX subquery over the revenue view
+        "q_tpch_q15": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     sum(CAST(round(l_extendedprice * (1.0 - l_discount),
+                                    4) AS DECIMAL(28,4))) AS total_rev
+              FROM lineitem
+              WHERE l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1996-04-01'
+              GROUP BY 1)
+            SELECT s_suppkey, s_name,
+                   CAST(total_rev AS DOUBLE) AS total_revenue
+            FROM rev JOIN supplier ON s_suppkey = l_suppkey
+            WHERE total_rev = (SELECT max(total_rev) FROM rev)
+            ORDER BY s_suppkey
         """,
         # genuine IN + grouped-HAVING subquery on the oracle side
         "q_tpch_q18": """

@@ -203,6 +203,17 @@ CHECKS: dict[str, list[str]] = {
     "q_tpch_q21": ["LeftSemi", "BroadcastHashJoin",
                    "EqualTo(o_orderstatus,F)", "Expand",
                    "HashAggregate"],
+    # Q5 shape: region filter pushed and broadcast through the
+    # nation/supplier/customer dims; the cross-dimension nation
+    # equality rides the join condition (no cartesian — FORBIDDEN)
+    "q_tpch_q5": ["BroadcastHashJoin", "EqualTo(r_name,AMERICA)",
+                  "GreaterThanOrEqual(o_orderdate"],
+    # Q15 shape: the revenue-view max folds back as a broadcast 1-row
+    # frame; Catalyst rewrites the cross-join + equality filter into a
+    # BroadcastHashJoin ON the revenue value (argmax as an equi-join);
+    # ship-date bracket pushed to the lineitem scan
+    "q_tpch_q15": ["BroadcastHashJoin",
+                   "GreaterThanOrEqual(l_shipdate", "HashAggregate"],
     # Q18 shape: the IN + grouped-HAVING subquery is ONE partial-
     # combined hash-aggregate + join back; bounded final top-k
     "q_tpch_q18": ["partial_sum", "HashAggregate",
