@@ -2668,6 +2668,53 @@ def q_tpch_q5(spark, sf_dir):
               .orderBy(F.col("revenue").desc(), F.col("n_name").asc()))
 
 
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): the DISJUNCTIVE dimension-pair
+    predicate class — (supp=A AND cust=B) OR (supp=B AND cust=A) — over
+    a 5-table join, grouped by the nation pair and ship YEAR.  The two
+    tiny nation slices broadcast; the pair disjunction is a post-join
+    filter over broadcast-joined attributes (2x2 rows in play — the OR
+    cannot be an equi-key, and pushing it below the join would need a
+    union of two plans for no gain at this dim size); the year bracket
+    pushes to the lineitem scan.  DECIMAL revenue."""
+    db = _db(spark, sf_dir)
+    pair = ("NATION_3", "NATION_14")
+    nsel = db.df("nation").filter(F.col("n_name").isin(*pair))
+    s = (db.df("supplier")
+           .join(F.broadcast(nsel.select(
+                     F.col("n_nationkey").alias("__snk"),
+                     F.col("n_name").alias("supp_nation"))),
+                 F.col("s_nationkey") == F.col("__snk"))
+           .select("s_suppkey", "supp_nation"))
+    c = (db.df("customer")
+           .join(F.broadcast(nsel.select(
+                     F.col("n_nationkey").alias("__cnk"),
+                     F.col("n_name").alias("cust_nation"))),
+                 F.col("c_nationkey") == F.col("__cnk"))
+           .select("c_custkey", "cust_nation"))
+    li = (db.df("lineitem")
+            .filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                    & (F.col("l_shipdate") < F.lit("1998-01-01")))
+            .select("l_orderkey", "l_suppkey", "l_shipdate",
+                    "l_extendedprice", "l_discount"))
+    rev = F.round(F.col("l_extendedprice")
+                  * (F.lit(1.0) - F.col("l_discount")), 4) \
+           .cast("decimal(28,4)")
+    a, b = pair
+    cross = ((F.col("supp_nation") == a) & (F.col("cust_nation") == b)) \
+        | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+    return (li.join(db.df("orders").select("o_orderkey", "o_custkey"),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(c, F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(s),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+              .filter(cross)
+              .groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").alias("l_year"))
+              .agg(F.sum(rev).cast("double").alias("revenue"))
+              .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
 def q_tpch_q15(spark, sf_dir):
     """TPC-H Q15 shape (top supplier): the scalar MAX subquery over a
     derived VIEW, with argmax-by-equality join-back (ties kept — the
@@ -2828,15 +2875,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # first 50 = the driver's r8 correctness sample (see docstring)
     _ORDER = [
-        # --- 1-6: NEW in r8 (no prior driver rows possible) ---
+        # --- 1-7: NEW in r8 (no prior driver rows possible) ---
         "q_tpch_q17", "q_tpch_q21", "q_tpch_q18", "q_tpch_q22",
-        "q_tpch_q5", "q_tpch_q15",
-        # --- 7-31: entries on modules CHANGED in r8 ---
+        "q_tpch_q5", "q_tpch_q15", "q_tpch_q7",
+        # --- 8-32: entries on modules CHANGED in r8 ---
         "q_lm_score_trigram", "q_lm_score_bigram", "q_lm_score",
         "q_ppl_buckets", "q_curate_corpus", "q_embedding_truncate",
         "q_paragraph_dedup", "q_repeated_spans",
         "q_doc_fingerprint", "q_winnow_overlap", "q_containment",
-        "q_fuzzy_match", "q_asof_join", "q_range_join", "q_bucketed_join",
+        "q_fuzzy_match", "q_range_join", "q_bucketed_join",
         "q_grouped_percentiles", "q_winsorize_grouped", "q_histogram",
         "q_winsorize", "q_snapshot_read",
         "q_flush_reopen", "q_partitioned_table",
@@ -2850,11 +2897,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination", "q_decontaminate", "q_offset_page", "q_exists",
         "q_distinct", "q_schema_migration",
         # --- past the cap: everything else, oldest driver row first;
-        # (these four lead: their module changed in r8 but NOT the code
+        # (these five lead: their module changed in r8 but NOT the code
         # paths they exercise — stats' grouped path, linalg's truncate,
-        # store's flush; backup.py is untouched) ---
+        # joins' fuzzy path, store's flush; backup.py is untouched) ---
         "q_agg_stats", "q_column_stats", "q_embedding_cov",
-        "q_backup_restore",
+        "q_backup_restore", "q_asof_join",
         # the r7-sampled block (freshest rows) runs last ---
         "q_pq_search", "q_ivfpq", "q_quantized_knn", "q_mix_corpus",
         "q_bm25_search", "q_events_window", "q_global_agg", "q_count_star",
@@ -3899,6 +3946,27 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= DATE '1996-01-01'
               AND o_orderdate < DATE '1998-01-01'
             GROUP BY n_name ORDER BY revenue DESC, n_name
+        """,
+        "q_tpch_q7": """
+            SELECT supp_nation, cust_nation, l_year,
+                   CAST(sum(CAST(round(l_extendedprice
+                                       * (1.0 - l_discount), 4)
+                                 AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS INT) AS l_year,
+                     l_extendedprice, l_discount
+              FROM supplier, lineitem, orders, customer,
+                   nation n1, nation n2
+              WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                AND c_custkey = o_custkey
+                AND s_nationkey = n1.n_nationkey
+                AND c_nationkey = n2.n_nationkey
+                AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_14')
+                  OR (n1.n_name = 'NATION_14' AND n2.n_name = 'NATION_3'))
+                AND l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1998-01-01') shipping
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         # genuine scalar MAX subquery over the revenue view
         "q_tpch_q15": """

@@ -208,6 +208,11 @@ CHECKS: dict[str, list[str]] = {
     # equality rides the join condition (no cartesian — FORBIDDEN)
     "q_tpch_q5": ["BroadcastHashJoin", "EqualTo(r_name,AMERICA)",
                   "GreaterThanOrEqual(o_orderdate"],
+    # Q7 shape: nation slices broadcast; the (A,B)/(B,A) disjunction is
+    # a post-broadcast-join filter; the ship-year bracket reaches the
+    # lineitem scan
+    "q_tpch_q7": ["BroadcastHashJoin", "GreaterThanOrEqual(l_shipdate",
+                  "HashAggregate"],
     # Q15 shape: the revenue-view max folds back as a broadcast 1-row
     # frame; Catalyst rewrites the cross-join + equality filter into a
     # BroadcastHashJoin ON the revenue value (argmax as an equi-join);

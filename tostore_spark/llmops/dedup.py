@@ -308,18 +308,27 @@ def simhash(text_col: Column, bits: int = 16) -> Column:
                          "range); use simhash_frame for 64-bit")
 
     def _body(toks):
-        out = F.lit(0).cast("long")
-        for j in range(bits):
-            hexpos = j // 4 + 1
-            bitpos = j % 4
-            votes = F.aggregate(
-                toks, F.lit(0),
-                lambda acc, t: acc + F.when(
-                    F.conv(F.substring(F.md5(t), hexpos, 1), 16, 10)
-                     .cast("int").bitwiseAND(F.lit(1 << bitpos)) > 0,
-                    F.lit(1)).otherwise(F.lit(-1)))
-            out = out + F.when(votes > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        return out
+        # hash each token ONCE (let-bound digest array) — the per-bit
+        # aggregates then read substrings of the bound digests; putting
+        # md5(t) inside the per-bit lambda would hash every token
+        # ``bits`` times (the module's no-hash-work-in-lambdas rule)
+        def _from_hashes(hs):
+            out = F.lit(0).cast("long")
+            for j in range(bits):
+                hexpos = j // 4 + 1
+                bitpos = j % 4
+                votes = F.aggregate(
+                    hs, F.lit(0),
+                    lambda acc, h: acc + F.when(
+                        F.conv(F.substring(h, hexpos, 1), 16, 10)
+                         .cast("int").bitwiseAND(F.lit(1 << bitpos)) > 0,
+                        F.lit(1)).otherwise(F.lit(-1)))
+                out = out + F.when(votes > 0,
+                                   F.lit(1 << j)).otherwise(F.lit(0))
+            return out
+
+        return _let_s(F.transform(toks, lambda t: F.md5(t)),
+                      _from_hashes)
 
     return _let_s(tokens(text_col), _body)
 
