@@ -1111,3 +1111,51 @@ def test_row_merge_on_row_conflict_policies(spark, tmp_path_factory):
     # invalid policy value rejected up front
     with pytest.raises(ValueError, match="on_row_conflict"):
         h.refresh(row_merge=True, on_row_conflict="nope")
+
+
+def test_flush_row_merge_threads_row_conflict_policy(
+        spark, tmp_path_factory):
+    """flush(on_conflict='row_merge', on_row_conflict='first_wins')
+    auto-retries through the row-merge replay AND applies the same-row
+    policy: the loser's overlapping change is superseded (documented in
+    last_merge_report), its disjoint change commits, no exception."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, PrimaryKeyType,
+                                      TableSchema)
+    from tostore_spark.store import ConcurrentWriteError
+
+    wh = str(tmp_path_factory.mktemp("wh_flushpolicy"))
+
+    def mk():
+        return ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+
+    seed = mk()
+    seed.create_table(TableSchema(
+        name="fp_t",
+        fields=[FieldSchema("v", DataType.integer)],
+        primary_key=PrimaryKeyConfig(name="id", type=PrimaryKeyType.none)))
+    seed.batch_insert("fp_t", [{"id": i, "v": i} for i in range(1, 4)])
+    seed.flush()
+
+    a, b = mk(), mk()
+    a.update("fp_t", {"v": 100}).where("id", "=", 1).execute()
+    b.update("fp_t", {"v": 200}).where("id", "=", 1).execute()  # overlap
+    b.update("fp_t", {"v": 222}).where("id", "=", 2).execute()  # disjoint
+    a.flush()
+    # default policy: the retry loop surfaces the row conflict
+    with pytest.raises(ConcurrentWriteError, match="conflicting id"):
+        b.flush(on_conflict="row_merge")
+    # first_wins: retry succeeds, overlap superseded, disjoint applied
+    c = mk()
+    c.update("fp_t", {"v": 300}).where("id", "=", 1).execute()  # overlap
+    c.update("fp_t", {"v": 333}).where("id", "=", 3).execute()  # disjoint
+    d = mk()
+    d.update("fp_t", {"v": 999}).where("id", "=", 1).execute()
+    d.flush()
+    assert c.flush(on_conflict="row_merge",
+                   on_row_conflict="first_wins") == ["fp_t"]
+    rep = c.last_merge_report["default/fp_t"]
+    assert rep["policy"] == "first_wins" and rep["n_row_conflicts"] == 1
+    got = {str(r["id"]): r["v"] for r in mk().df("fp_t").collect()}
+    assert got["1"] == 999 and got["3"] == 333
