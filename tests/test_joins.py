@@ -413,3 +413,24 @@ def test_rolling_distinct_matches_bruteforce(spark):
                 seen.update(us)
         want[str(day)] = len(seen)
     assert got == want
+    # approx tier: HLL at default lgConfigK is EXACT at these
+    # cardinalities (sparse mode) — per-day sketches, corpus touched
+    # once, window unions sketch rows only
+    approx = {str(r["day"]): r["n_active"] for r in
+              rolling_distinct(df, "ts", "user_id", window_days=3,
+                               exact=False).collect()}
+    assert approx == want
+    # error bound at real cardinality: 20k entities over 10 days,
+    # 3-day window — HLL relative error must stay under 5%
+    big = spark.range(0, 60000).selectExpr(
+        "timestamp'2024-03-01' + make_interval(0,0,0,CAST(id % 10 AS INT)"
+        ",0,0,0) AS ts",
+        "CAST(hash(id) % 20000 AS LONG) AS user_id")
+    ex = {str(r["day"]): r["n_active"] for r in
+          rolling_distinct(big, "ts", "user_id", window_days=3).collect()}
+    ap = {str(r["day"]): r["n_active"] for r in
+          rolling_distinct(big, "ts", "user_id", window_days=3,
+                           exact=False).collect()}
+    assert set(ap) == set(ex)
+    for d, n in ex.items():
+        assert abs(ap[d] - n) <= 0.05 * n, (d, ap[d], n)

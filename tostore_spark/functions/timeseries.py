@@ -238,12 +238,13 @@ def moving_features(df: DataFrame, partition: str,
 
 
 def rolling_distinct(df: DataFrame, ts_field: str, entity: str,
-                     window_days: int = 7) -> DataFrame:
-    """Sliding EXACT count-distinct per day — the WAU/MAU family
-    ("distinct users active in the trailing N days, for every day").
+                     window_days: int = 7,
+                     exact: bool = True) -> DataFrame:
+    """Sliding count-distinct per day — the WAU/MAU family ("distinct
+    users active in the trailing N days, for every day").
 
     Distinct is not subtractable, so no window frame can maintain it
-    incrementally; the standard exact formulation is two-stage:
+    incrementally; the standard EXACT formulation is two-stage:
 
     1. day-grain dedup: ``distinct (day, entity)`` — ONE shuffle over
        the corpus and the big reduction (at 100 TB this collapses
@@ -254,22 +255,40 @@ def rolling_distinct(df: DataFrame, ts_field: str, entity: str,
        entities.  The expansion multiplies the distinct frame by
        ``window_days``, never the corpus.
 
-    For extreme cardinalities where even the distinct frame is too
-    wide, the approx path is per-day HLL sketches unioned over the
-    window (``plans.stats.column_sketches`` + ``merge_column_sketches``
-    — sketch-merge IS subtotal-able).  Output: (day, n_active), one
-    row per day present in the data.
+    ``exact=False`` is the extreme-cardinality tier, where even the
+    distinct frame is too wide to expand: ONE corpus aggregate builds a
+    Datasketches HLL sketch PER DAY (map-side combining, constant
+    memory per partition-day), and the trailing window unions the
+    |days|-row SKETCH frame — sketch-merge IS subtotal-able, so the
+    corpus is touched exactly once and the window expansion multiplies
+    |days| x window_days sketch rows, independent of cardinality
+    (~2% relative error at the default lgConfigK).  No DuckDB oracle
+    can reproduce the sketch values, so this tier is certified by the
+    pytest bound against the exact path, not an oracle entry.
+
+    Output: (day, n_active), one row per day present in the data.
 
     Reference scope: parity-plus — the reference's aggregates
     (chain_builder.dart aggregate surface) have no sliding-distinct
     form; this is the standard analytics formulation on Spark.
     """
     day = F.to_date(F.col(ts_field).cast("timestamp"))
+    cond = ((F.col("__day") <= F.col("day"))
+            & (F.col("__day") > F.date_sub(F.col("day"), window_days)))
+    if not exact:
+        per_day = (df.select(day.alias("__day"),
+                             F.col(entity).alias("__ent"))
+                     .groupBy("__day")
+                     .agg(F.hll_sketch_agg("__ent").alias("__sk")))
+        days = per_day.select(F.col("__day").alias("day"))
+        return (per_day.join(F.broadcast(days), cond)
+                       .groupBy("day")
+                       .agg(F.hll_sketch_estimate(
+                                F.hll_union_agg("__sk"))
+                             .alias("n_active")))
     de = (df.select(day.alias("__day"), F.col(entity).alias("__ent"))
             .distinct())
     days = de.select(F.col("__day").alias("day")).distinct()
-    cond = ((F.col("__day") <= F.col("day"))
-            & (F.col("__day") > F.date_sub(F.col("day"), window_days)))
     return (de.join(F.broadcast(days), cond)
               .groupBy("day")
               .agg(F.count_distinct(F.col("__ent")).alias("n_active")))
