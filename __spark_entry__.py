@@ -2760,6 +2760,77 @@ def q_tpch_q6(spark, sf_dir):
                    F.count(F.lit(1)).alias("n_lines")))
 
 
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): the CONDITIONAL-SHARE
+    aggregate class — a CASE-guarded sum divided by the group total in
+    ONE aggregate pass (never two aggs + a self-join).  Eight-table
+    star: part filter and both nation legs broadcast; customer's
+    nation restricts through region (broadcast chain), supplier's
+    nation becomes the share label; the fact (lineitem⋈orders⋈
+    customer) shuffles once.  DECIMAL volume sums, double ratio.
+    (p_type/nation constants adapted to the synthetic dimensions.)"""
+    db = _db(spark, sf_dir)
+    n1 = (db.df("nation")
+            .join(F.broadcast(db.df("region")
+                                .filter(F.col("r_name") == "AMERICA")),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select(F.col("n_nationkey").alias("__cnk")))
+    c = (db.df("customer")
+           .join(F.broadcast(n1), F.col("c_nationkey") == F.col("__cnk"))
+           .select("c_custkey"))
+    s = (db.df("supplier")
+           .join(F.broadcast(db.df("nation").select(
+                     F.col("n_nationkey").alias("__snk"),
+                     F.col("n_name").alias("__nation"))),
+                 F.col("s_nationkey") == F.col("__snk"))
+           .select("s_suppkey", "__nation"))
+    p = (db.df("part").filter(F.col("p_type") == "ECONOMY")
+           .select("p_partkey"))
+    o = (db.df("orders")
+           .filter((F.col("o_orderdate") >= F.lit("1995-01-01"))
+                   & (F.col("o_orderdate") < F.lit("1997-01-01")))
+           .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = db.df("lineitem").select("l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount")
+    vol = F.round(F.col("l_extendedprice")
+                  * (F.lit(1.0) - F.col("l_discount")), 4) \
+           .cast("decimal(28,4)")
+    share = F.when(F.col("__nation") == "NATION_3", vol) \
+             .otherwise(F.lit(0).cast("decimal(28,4)"))
+    return (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+              .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(c, F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+              .groupBy(F.year("o_orderdate").alias("o_year"))
+              .agg((F.sum(share).cast("double")
+                    / F.sum(vol).cast("double")).alias("mkt_share"),
+                   F.sum(vol).cast("double").alias("total_volume"))
+              .orderBy("o_year"))
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape (customer distribution): LEFT OUTER join with a
+    predicate INSIDE the join condition (filtering orders, never
+    customers — a WHERE would wrongly drop zero-order customers), then
+    the DOUBLE aggregation: orders-per-customer, then customers-per-
+    count.  The histogram's second groupBy is tiny (|distinct counts|
+    rows).  (The spec's o_comment NOT LIKE filter maps to the
+    o_orderpriority exclusion — same shape, synthetic columns.)"""
+    db = _db(spark, sf_dir)
+    o = (db.df("orders")
+           .filter(F.col("o_orderpriority") != "1-URGENT")
+           .select("o_orderkey", "o_custkey"))
+    per_cust = (db.df("customer").select("c_custkey")
+                  .join(o, F.col("c_custkey") == F.col("o_custkey"),
+                        "left")
+                  .groupBy("c_custkey")
+                  .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+                    .agg(F.count(F.lit(1)).alias("custdist"))
+                    .orderBy(F.col("custdist").desc(),
+                             F.col("c_count").desc()))
+
+
 def q_lm_score_trigram(spark, sf_dir):
     """Two-level interpolated trigram LM (llmops.lm.train_trigram_lm —
     one rung past the bigram toward CCNet's 5-gram KenLM): add-k
@@ -2837,14 +2908,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordering policy (round 8, same rotation rule as r3-r7).  First 50:
 
-    - slots 1-6: NEW in r8 (no prior driver rows possible):
+    - slots 1-9: NEW in r8 (no prior driver rows possible):
       q_tpch_q17 (correlated scalar subquery, decorrelated),
       q_tpch_q21 (multi-EXISTS/NOT-EXISTS, decorrelated),
       q_tpch_q18 (IN + grouped HAVING subquery), q_tpch_q22 (scalar
       avg subquery + NOT-EXISTS anti-join), q_tpch_q5 (6-table star
       with cross-dimension equality), q_tpch_q15 (scalar MAX over a
-      derived view, argmax ties kept);
-    - slots 7-31: entries on modules CHANGED in r8 — llmops/lm.py
+      derived view, argmax ties kept), q_tpch_q7 (disjunctive
+      nation-pair predicate), q_tpch_q8 (conditional-share aggregate),
+      q_tpch_q13 (outer join w/ join-condition filter + double agg);
+    - slots 10-30: entries on modules CHANGED in r8 — llmops/lm.py
       (one-pass training + O(n) explode: the whole LM family +
       q_ppl_buckets + q_curate_corpus), llmops/dedup.py +
       streaming/stateful.py (let-bound span/gram builders:
@@ -2853,11 +2926,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       norm: q_embedding_truncate, q_embedding_cov), joins.py
       (prefix-block default + inner-only how: q_fuzzy_match, plus the
       module's other joins), plans/stats.py (approx grouped tier:
-      the percentile/winsorize/histogram/stats family), store.py +
+      the grouped percentile/winsorize entries; q_histogram and
+      q_winsorize hold fresh r7 rows and their exact paths are
+      untouched, so they sit just past the cap), store.py +
       engine.py (claim-ownership cleanup, space-keyed apply_changes,
       on_row_conflict: the flush/snapshot/backup family), and the
       entry-level q_tfidf_pairs rewrite (unbounded, widened vocab);
-    - slots 30-50: the oldest remaining driver rows — the r5-vintage
+    - slots 31-50: the oldest remaining driver rows — the r5-vintage
       tail the r7 verdict enumerated (events/similarity/sources/
       multimodal + the full dedup family + offset/exists/distinct/
       schema-migration).
@@ -2875,20 +2950,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # first 50 = the driver's r8 correctness sample (see docstring)
     _ORDER = [
-        # --- 1-7: NEW in r8 (no prior driver rows possible) ---
+        # --- 1-9: NEW in r8 (no prior driver rows possible) ---
         "q_tpch_q17", "q_tpch_q21", "q_tpch_q18", "q_tpch_q22",
-        "q_tpch_q5", "q_tpch_q15", "q_tpch_q7",
-        # --- 8-32: entries on modules CHANGED in r8 ---
+        "q_tpch_q5", "q_tpch_q15", "q_tpch_q7", "q_tpch_q8",
+        "q_tpch_q13",
+        # --- 10-30: entries on modules CHANGED in r8 ---
         "q_lm_score_trigram", "q_lm_score_bigram", "q_lm_score",
         "q_ppl_buckets", "q_curate_corpus", "q_embedding_truncate",
         "q_paragraph_dedup", "q_repeated_spans",
         "q_doc_fingerprint", "q_winnow_overlap", "q_containment",
         "q_fuzzy_match", "q_range_join", "q_bucketed_join",
-        "q_grouped_percentiles", "q_winsorize_grouped", "q_histogram",
-        "q_winsorize", "q_snapshot_read",
+        "q_grouped_percentiles", "q_winsorize_grouped", "q_snapshot_read",
         "q_flush_reopen", "q_partitioned_table",
         "q_tfidf_pairs",
-        # --- 30-50: the oldest driver rows (r5-vintage tail) ---
+        # --- 31-50: the oldest driver rows (r5-vintage tail) ---
         "q_events_sessions", "q_similarity_ivf", "q_csv_source",
         "q_json_source", "q_multimodal_features", "q_dedup_exact",
         "q_dedup_fingerprint", "q_dedup_minhash_lsh", "q_dedup_clusters",
@@ -2897,9 +2972,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination", "q_decontaminate", "q_offset_page", "q_exists",
         "q_distinct", "q_schema_migration",
         # --- past the cap: everything else, oldest driver row first;
-        # (these five lead: their module changed in r8 but NOT the code
-        # paths they exercise — stats' grouped path, linalg's truncate,
-        # joins' fuzzy path, store's flush; backup.py is untouched) ---
+        # (these lead: their module changed in r8 but NOT the code
+        # paths they exercise — stats' grouped/approx tiers changed
+        # while histogram/winsorize exact paths did not (both hold r7
+        # driver rows), linalg's truncate, joins' fuzzy path, store's
+        # flush; backup.py is untouched) ---
+        "q_histogram", "q_winsorize",
         "q_agg_stats", "q_column_stats", "q_embedding_cov",
         "q_backup_restore", "q_asof_join",
         # the r7-sampled block (freshest rows) runs last ---
@@ -3967,6 +4045,44 @@ def oracle_sql() -> dict[str, str]:
                 AND l_shipdate >= DATE '1996-01-01'
                 AND l_shipdate < DATE '1998-01-01') shipping
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q_tpch_q8": """
+            SELECT o_year,
+                   CAST(sum(share_vol) AS DOUBLE)
+                     / CAST(sum(volume) AS DOUBLE) AS mkt_share,
+                   CAST(sum(volume) AS DOUBLE) AS total_volume
+            FROM (
+              SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                     CAST(round(l_extendedprice * (1.0 - l_discount), 4)
+                          AS DECIMAL(28,4)) AS volume,
+                     CASE WHEN n2.n_name = 'NATION_3'
+                          THEN CAST(round(l_extendedprice
+                                          * (1.0 - l_discount), 4)
+                               AS DECIMAL(28,4))
+                          ELSE CAST(0 AS DECIMAL(28,4)) END AS share_vol
+              FROM part, supplier, lineitem, orders, customer,
+                   nation n1, nation n2, region
+              WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+                AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+                AND c_nationkey = n1.n_nationkey
+                AND n1.n_regionkey = r_regionkey
+                AND r_name = 'AMERICA'
+                AND s_nationkey = n2.n_nationkey
+                AND o_orderdate >= DATE '1995-01-01'
+                AND o_orderdate < DATE '1997-01-01'
+                AND p_type = 'ECONOMY') all_nations
+            GROUP BY o_year ORDER BY o_year
+        """,
+        # LEFT JOIN with the filter in the join condition + double agg
+        "q_tpch_q13": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey
+               AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey) c_orders
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC
         """,
         # genuine scalar MAX subquery over the revenue view
         "q_tpch_q15": """

@@ -219,6 +219,18 @@ CHECKS: dict[str, list[str]] = {
     # ship-date bracket pushed to the lineitem scan
     "q_tpch_q15": ["BroadcastHashJoin",
                    "GreaterThanOrEqual(l_shipdate", "HashAggregate"],
+    # Q8 shape: part/nation/supplier dims broadcast; the p_type and
+    # r_name filters and the order-date bracket all reach their scans;
+    # the share ratio is ONE aggregate (CASE-sum / sum), never two
+    # aggs + self-join
+    "q_tpch_q8": ["BroadcastHashJoin", "EqualTo(p_type,ECONOMY)",
+                  "EqualTo(r_name,AMERICA)",
+                  "GreaterThanOrEqual(o_orderdate"],
+    # Q13 shape: LEFT OUTER with the priority exclusion INSIDE the
+    # join condition — pushed to the orders scan, never applied to
+    # customers; double aggregation (per-customer, then histogram)
+    "q_tpch_q13": ["LeftOuter", "Not(EqualTo(o_orderpriority,1-URGENT))",
+                   "HashAggregate"],
     # Q18 shape: the IN + grouped-HAVING subquery is ONE partial-
     # combined hash-aggregate + join back; bounded final top-k
     "q_tpch_q18": ["partial_sum", "HashAggregate",

@@ -862,7 +862,7 @@ def _apply_local_feed(engine, k, feed,
         both_diff.append(ours_changed & ~t.eqNullSafe(b)
                          & ~o.eqNullSafe(t))
         merged_cols.append(F.when(ours_changed, o).otherwise(t).alias(c))
-    clash = j.filter(reduce_or(both_diff))
+    clash = j.filter(_reduce_or(both_diff))
     n_clash = clash.count()
     if n_clash:
         clash_keys = sorted(r[pk] for r in
@@ -890,7 +890,7 @@ def _apply_local_feed(engine, k, feed,
 _REPORT_KEY_CAP = 20
 
 
-def reduce_or(conds):
+def _reduce_or(conds):
     """OR-fold a list of Column predicates (empty folds to false)."""
     from pyspark.sql import functions as F
     out = F.lit(False)
