@@ -2415,15 +2415,21 @@ def q_tfidf_pairs(spark, sf_dir):
     corpus's 31-token vocabulary would defeat both the df cap and the
     token blocking (every token corpus-wide), so the entry first
     WIDENS the vocabulary deterministically — tokens longer than 3
-    chars get a doc_id%%97 suffix (the sf1 marker-interleave trick) —
-    giving ~97 disjoint lexical neighborhoods.  The df cap (0.05) then
-    actually prunes: the surviving short tokens above 5%% df vanish,
-    and every posting list is neighborhood-sized.  The oracle applies
-    the identical widening rule, so the comparison stays exact."""
+    chars get a doc_id%%M suffix (the sf1 marker-interleave trick) —
+    giving ~M disjoint lexical neighborhoods.  M = max(97, N/50)
+    SCALES WITH THE CORPUS: real vocabularies grow with corpus size
+    (Heaps' law), and a fixed modulus would grow each neighborhood
+    linearly with N — quadratic candidate pairs on scale-up, the
+    exact failure the blocking exists to prevent.  With M ∝ N the
+    per-token posting list stays ~50 docs at every sf.  The df cap
+    (0.05) prunes the surviving short tokens above 5%% df.  The
+    oracle applies the identical widening rule (scalar-subquery M),
+    so the comparison stays exact."""
     from tostore_spark.llmops import text as TX
     from tostore_spark.llmops.search import tfidf_similar_pairs
     docs = _db(spark, sf_dir).df("documents")
-    sfx = (F.col("doc_id") % 97).cast("string")
+    mod = max(97, docs.count() // 50)
+    sfx = (F.col("doc_id") % mod).cast("string")
     widened = F.array_join(
         F.transform(TX.tokens(F.col("text")),
                     lambda t: F.when(F.length(t) <= 3, t)
@@ -2847,6 +2853,52 @@ def q_lm_score_trigram(spark, sf_dir):
                .limit(15))
 
 
+def q_stream_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join run to completion
+    (streaming/stateful.interval_join_stream): click events join the
+    view events they followed within 30 minutes per user — the
+    attribution shape, as a Structured Streaming symmetric hash join
+    whose state both watermarks + the time bracket keep bounded.
+    Inner results are emission-order-free, so the completed stream
+    must EQUAL the batch/SQL interval join: per-user pair counts and
+    second-truncated delay sums, exact."""
+    import tempfile
+    import uuid
+
+    from tostore_spark.streaming.stateful import interval_join_stream
+    db = _db(spark, sf_dir)
+    ev = db.df("events")
+    views = (ev.filter(F.col("event_type") == "view")
+               .select(F.col("event_id").alias("view_id"), "user_id",
+                       "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select(F.col("event_id").alias("click_id"), "user_id",
+                        F.col("ts").alias("ts_r")))
+    name = f"ij_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as tmp:
+        views.write.parquet(f"{tmp}/v")
+        clicks.write.parquet(f"{tmp}/c")
+        lv = spark.readStream.schema(
+            "view_id bigint, user_id bigint, ts timestamp") \
+            .parquet(f"{tmp}/v")
+        rc = spark.readStream.schema(
+            "click_id bigint, user_id bigint, ts_r timestamp") \
+            .parquet(f"{tmp}/c")
+        out = interval_join_stream(lv, rc, "user_id",
+                                   max_delay_seconds=1800,
+                                   left_ts="ts", right_ts="ts_r",
+                                   watermark="0 seconds")
+        q = (out.writeStream.format("memory").queryName(name)
+                .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        res = (spark.table(name).groupBy("user_id")
+               .agg(F.count(F.lit(1)).alias("n_pairs"),
+                    F.sum("delay_sec").cast("long").alias("sum_delay"))
+               .orderBy("user_id"))
+        rows, sch = res.collect(), res.schema
+    return spark.createDataFrame(rows, sch)
+
+
 def q_winsorize_grouped(spark, sf_dir):
     """Per-group winsorization (plans/stats.clip_outliers_grouped):
     clip order totals against each order-status group's OWN exact
@@ -2930,8 +2982,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       q_winsorize hold fresh r7 rows and their exact paths are
       untouched, so they sit just past the cap), store.py +
       engine.py (claim-ownership cleanup, space-keyed apply_changes,
-      on_row_conflict: the flush/snapshot/backup family), and the
-      entry-level q_tfidf_pairs rewrite (unbounded, widened vocab);
+      on_row_conflict: q_snapshot_read + q_flush_reopen stay in the
+      sample; q_partitioned_table holds an r7 row and sits just past
+      the cap), streaming/stateful.py (q_stream_interval_join — NEW
+      in r8, the watermarked stream-stream interval join with a full
+      SQL oracle), and the entry-level q_tfidf_pairs rewrite
+      (unbounded, Heaps'-law-scaled widening);
     - slots 31-50: the oldest remaining driver rows — the r5-vintage
       tail the r7 verdict enumerated (events/similarity/sources/
       multimodal + the full dedup family + offset/exists/distinct/
@@ -2960,8 +3016,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_paragraph_dedup", "q_repeated_spans",
         "q_doc_fingerprint", "q_winnow_overlap", "q_containment",
         "q_fuzzy_match", "q_range_join", "q_bucketed_join",
+        "q_stream_interval_join",
         "q_grouped_percentiles", "q_winsorize_grouped", "q_snapshot_read",
-        "q_flush_reopen", "q_partitioned_table",
+        "q_flush_reopen",
         "q_tfidf_pairs",
         # --- 31-50: the oldest driver rows (r5-vintage tail) ---
         "q_events_sessions", "q_similarity_ivf", "q_csv_source",
@@ -2977,7 +3034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # while histogram/winsorize exact paths did not (both hold r7
         # driver rows), linalg's truncate, joins' fuzzy path, store's
         # flush; backup.py is untouched) ---
-        "q_histogram", "q_winsorize",
+        "q_histogram", "q_winsorize", "q_partitioned_table",
         "q_agg_stats", "q_column_stats", "q_embedding_cov",
         "q_backup_restore", "q_asof_join",
         # the r7-sampled block (freshest rows) runs last ---
@@ -4230,11 +4287,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id, rank
         """,
         "q_tfidf_pairs": f"""
-            WITH tok0 AS (SELECT doc_id, unnest({_TOKENS}) AS t
-                          FROM documents),
+            WITH m AS (SELECT greatest(97, count(*) // 50) AS m
+                       FROM documents),
+            tok0 AS (SELECT doc_id, unnest({_TOKENS}) AS t
+                     FROM documents),
             tok AS (SELECT doc_id,
                            CASE WHEN length(t) <= 3 THEN t
-                                ELSE t || CAST(doc_id % 97 AS VARCHAR)
+                                ELSE t || CAST(doc_id % (SELECT m FROM m)
+                                               AS VARCHAR)
                            END AS tok
                     FROM tok0),
             tf AS (SELECT doc_id, tok, count(*) AS tf
@@ -4922,6 +4982,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, sum(l_quantity) AS sum_qty, count(*) AS n
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderstatus""",
+        # stream-stream interval join, completed: plain SQL interval
+        # join (epoch_us = the engine's exact ns→µs truncation; delay
+        # truncates each side to whole seconds, as unix_timestamp does)
+        "q_stream_interval_join": """
+            WITH v AS (SELECT event_id AS view_id, user_id, ts
+                       FROM events WHERE event_type = 'view'),
+                 c AS (SELECT event_id AS click_id, user_id,
+                              ts AS ts_r
+                       FROM events WHERE event_type = 'click')
+            SELECT v.user_id, count(*) AS n_pairs,
+                   CAST(sum(floor(epoch_us(ts_r) / 1000000)
+                            - floor(epoch_us(v.ts) / 1000000))
+                        AS BIGINT) AS sum_delay
+            FROM v JOIN c ON v.user_id = c.user_id
+             AND epoch_us(ts_r) >= epoch_us(v.ts)
+             AND epoch_us(ts_r) <= epoch_us(v.ts)
+                                   + CAST(1800000000 AS BIGINT)
+            GROUP BY 1 ORDER BY 1
+        """,
         "q_events_sessions": """
             WITH marked AS (
               SELECT user_id,

@@ -287,7 +287,10 @@ def _tfidf_block_stat(spark, sf_dir: str) -> dict | None:
         docs = spark.read.parquet(os.path.join(sf_dir,
                                                "documents.parquet"))
         n_docs = docs.count()
-        sfx = (F.col("doc_id") % 97).cast("string")
+        # same Heaps'-law widening rule as the entry: neighborhoods
+        # scale with the corpus, posting lists stay ~50 docs at any sf
+        mod = max(97, n_docs // 50)
+        sfx = (F.col("doc_id") % mod).cast("string")
         widened = F.array_join(
             F.transform(TX.tokens(F.col("text")),
                         lambda t: F.when(F.length(t) <= 3, t)

@@ -192,3 +192,55 @@ def clean_stream(docs: DataFrame, span_freq: DataFrame, k: int = 8,
                  F.count(F.lit(1)).alias("n_spans"),
                  F.sum(F.when(F.col("span_df") > max_doc_freq, 1)
                        .otherwise(0)).alias("n_dropped")))
+
+
+def interval_join_stream(left: DataFrame, right: DataFrame, key: str,
+                         max_delay_seconds: int = 1800,
+                         left_ts: str = "ts", right_ts: str = "ts",
+                         watermark: str = "1 hour",
+                         how: str = "inner") -> DataFrame:
+    """Watermarked stream-stream INTERVAL join — the attribution shape:
+    each right event joins the left events with the same ``key`` whose
+    timestamp precedes it by at most ``max_delay_seconds`` (click joins
+    the views it followed within the window).  (Parity-plus: the
+    reference has no stream processing, SURVEY.md §2.9; this is the
+    canonical Structured Streaming symmetric hash join.)
+
+    State is BOUNDED because both sides carry event-time watermarks and
+    the join condition brackets the two event times: the engine can
+    evict a buffered left row once the right watermark passes
+    ``left_ts + max_delay`` (and vice versa) — without the time bracket
+    a stream-stream join must buffer every row forever, which is why
+    the bracket is built in rather than left to the caller.
+
+    ``how='leftOuter'`` emits unmatched left rows with null right
+    columns once the watermark proves no match can still arrive —
+    results therefore trail the watermark; inner results emit as soon
+    as both sides meet.  Output: left columns + right columns with the
+    right timestamp as ``<right_ts>_r`` (and the duplicate key column
+    dropped), plus ``delay_sec``.
+    """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(
+            f"interval_join_stream supports how='inner'|'leftOuter', "
+            f"got {how!r} (rightOuter/full buffer the unbounded side)")
+    if max_delay_seconds <= 0:
+        raise ValueError(f"max_delay_seconds must be > 0, "
+                         f"got {max_delay_seconds}")
+    rts_out = f"{right_ts}_r" if right_ts == left_ts else right_ts
+    r = right.withColumnRenamed(right_ts, rts_out) \
+        if rts_out != right_ts else right
+    l = (left.withColumn(left_ts, F.col(left_ts).cast("timestamp"))
+             .withWatermark(left_ts, watermark).alias("l"))
+    r = (r.withColumn(rts_out, F.col(rts_out).cast("timestamp"))
+          .withWatermark(rts_out, watermark).alias("r"))
+    cond = ((F.col(f"l.{key}") == F.col(f"r.{key}"))
+            & (F.col(f"r.{rts_out}") >= F.col(f"l.{left_ts}"))
+            & (F.col(f"r.{rts_out}")
+               <= F.col(f"l.{left_ts}")
+               + F.expr(f"INTERVAL {int(max_delay_seconds)} SECONDS")))
+    out = l.join(r, cond, how).drop(F.col(f"r.{key}"))
+    return out.withColumn(
+        "delay_sec",
+        (F.unix_timestamp(F.col(rts_out))
+         - F.unix_timestamp(F.col(left_ts))).cast("long"))
