@@ -250,6 +250,28 @@ def _recall_gate(spark, sf_dir: str) -> dict | None:
                   if r["vec_id"] != row["vec_id"]}
         denom = min(len(exact), 10) or 1
         recalls.append(len(exact & approx) / denom)
+
+    # multi-probe hyperplane LSH on the CLUSTERED table (same
+    # regression-sensitive fixture as the IVF clustered curve): probed
+    # buckets vs the exact cosine top-10, 5 deterministic queries
+    from tostore_spark.vector import vector_search, vector_search_lsh
+    lsh_queries = (cemb.orderBy(F.md5(F.col("vec_id").cast("string"))
+                                .asc(), F.col("vec_id").asc())
+                       .limit(5).collect())
+    lsh_recalls = []
+    for row in lsh_queries:
+        qv = [float(x) for x in row["embedding"]]
+        exact = {r["vec_id"] for r in
+                 vector_search(cemb, "embedding", qv, top_k=11,
+                               metric="cosine").collect()
+                 if r["vec_id"] != row["vec_id"]}
+        approx = {r["vec_id"] for r in
+                  vector_search_lsh(cemb, "embedding", qv, top_k=11,
+                                    metric="cosine", n_planes=8,
+                                    n_probes=4).collect()
+                  if r["vec_id"] != row["vec_id"]}
+        denom = min(len(exact), 10) or 1
+        lsh_recalls.append(len(exact & approx) / denom)
     spark.catalog.clearCache()
     out = {
         "k": 10,
@@ -265,11 +287,19 @@ def _recall_gate(spark, sf_dir: str) -> dict | None:
         "ivfpq_recall_at_10": round(sum(recalls) / len(recalls), 4),
         "ivfpq_params": {"n_cells": 16, "m": 8, "n_codes": 64,
                          "nprobe": 4, "oversample": 8, "n_queries": 5},
+        "lsh_recall_at_10_clustered":
+            round(sum(lsh_recalls) / len(lsh_recalls), 4),
+        "lsh_params": {"n_planes": 8, "n_probes": 4, "n_queries": 5,
+                       "note": "multi-probe hyperplane LSH vs exact "
+                               "cosine top-10 on the clustered table "
+                               "(~n_probes/2^n_planes of the corpus "
+                               "probed)"},
         "measure_sec": round(time.time() - t0, 3),
     }
     print(f"# recall: ivf={out['ivf_recall_at_10']} "
           f"ivf_clustered={out['ivf_recall_at_10_clustered']} "
           f"ivfpq={out['ivfpq_recall_at_10']} "
+          f"lsh_clustered={out['lsh_recall_at_10_clustered']} "
           f"({out['measure_sec']}s)", file=sys.stderr)
     return out
 
@@ -409,7 +439,7 @@ def main():
                  # round-8 operators
                  "q_tpch_q17", "q_tpch_q21", "q_tpch_q18",
                  "q_tpch_q22", "q_tpch_q5", "q_tpch_q15", "q_tpch_q7",
-                 "q_tpch_q8", "q_tpch_q13"):
+                 "q_tpch_q8", "q_tpch_q13", "q_stream_interval_join"):
         fn = qs[name]
         spark.catalog.clearCache()
         t0 = time.time()

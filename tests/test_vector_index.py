@@ -361,6 +361,33 @@ def test_ivf_recall_on_clustered_vectors(spark):
     assert r4 >= 0.9, f"clustered recall@10 at nprobe 4 = {r4}"
 
 
+def test_lsh_recall_on_clustered_vectors(spark):
+    """Same regression-sensitive fixture for the multi-probe hyperplane
+    LSH path: probing 4 of 2^8 buckets on clustered vectors must keep
+    mean recall@10 >= 0.9 vs the exact cosine top-10 (the bench gate
+    records the same reading each round as lsh_recall_at_10_clustered)."""
+    from bench import _clustered_embeddings
+    from tostore_spark.vector import vector_search, vector_search_lsh
+    emb = _clustered_embeddings(spark, n=2000, dim=32, n_clusters=40) \
+        .localCheckpoint(eager=True)
+    recalls = []
+    for row in emb.orderBy(F.md5(F.col("vec_id").cast("string")).asc(),
+                           F.col("vec_id").asc()).limit(5).collect():
+        qv = [float(x) for x in row["embedding"]]
+        exact = {r["vec_id"] for r in
+                 vector_search(emb, "embedding", qv, top_k=11,
+                               metric="cosine").collect()
+                 if r["vec_id"] != row["vec_id"]}
+        approx = {r["vec_id"] for r in
+                  vector_search_lsh(emb, "embedding", qv, top_k=11,
+                                    metric="cosine", n_planes=8,
+                                    n_probes=4).collect()
+                  if r["vec_id"] != row["vec_id"]}
+        recalls.append(len(exact & approx) / (min(len(exact), 10) or 1))
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.9, f"clustered LSH recall@10 = {mean}"
+
+
 # ---------------------------------------------------------------- int8 SQ
 def test_quantize_roundtrip_error_bounded(spark, db01):
     """Symmetric int8 SQ: |x − dequant(quant(x))| <= scale/2 per element."""
