@@ -2853,6 +2853,29 @@ def q_lm_score_trigram(spark, sf_dir):
                .limit(15))
 
 
+def q_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition
+    (functions/timeseries.seasonal_decompose): daily event volume per
+    event_type split into a 7-point centered-MA trend, the re-centered
+    weekly phase effect, and the residual — value = trend + seasonal +
+    resid exactly on every interior row.  DECIMAL-summed means, double
+    division LAST, so both engines produce bit-identical doubles.
+    The entry returns the INTERIOR rows only (edge rows carry null
+    trend/resid by design, and a null double degrades to NaN through
+    the oracle's pandas fetch — the BIGINT gotcha's float twin)."""
+    from tostore_spark.functions.timeseries import seasonal_decompose
+    db = _db(spark, sf_dir)
+    series = (db.df("events")
+                .groupBy("event_type",
+                         F.date_trunc("day", F.col("ts")).alias("day"))
+                .agg(F.count(F.lit(1)).alias("n")))
+    out = seasonal_decompose(series, "event_type", "day", "n", period=7)
+    return (out.filter(F.col("trend").isNotNull())
+               .select("event_type", "day", "n", "trend", "seasonal",
+                       "resid")
+               .orderBy("event_type", "day"))
+
+
 def q_stream_interval_join(spark, sf_dir):
     """Watermarked stream-stream interval join run to completion
     (streaming/stateful.interval_join_stream): click events join the
@@ -2972,7 +2995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordering policy (round 8, same rotation rule as r3-r7).  First 50:
 
-    - slots 1-9: NEW in r8 (no prior driver rows possible):
+    - slots 1-10: NEW in r8 (no prior driver rows possible):
       q_tpch_q17 (correlated scalar subquery, decorrelated),
       q_tpch_q21 (multi-EXISTS/NOT-EXISTS, decorrelated),
       q_tpch_q18 (IN + grouped HAVING subquery), q_tpch_q22 (scalar
@@ -2980,8 +3003,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       with cross-dimension equality), q_tpch_q15 (scalar MAX over a
       derived view, argmax ties kept), q_tpch_q7 (disjunctive
       nation-pair predicate), q_tpch_q8 (conditional-share aggregate),
-      q_tpch_q13 (outer join w/ join-condition filter + double agg);
-    - slots 10-23: entries on modules CHANGED in r8, kept to the ones
+      q_tpch_q13 (outer join w/ join-condition filter + double agg),
+      q_seasonal_decompose (classical additive trend/seasonal/resid,
+      late-round);
+    - slots 11-23: entries on modules CHANGED in r8, kept to the ones
       whose CHANGED path needs the driver row — llmops/lm.py one-pass
       training (q_lm_score_trigram exercises the rewritten machinery;
       q_lm_score covers the unigram rung; bigram/curate hold r6 rows
@@ -3023,8 +3048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # path needs a fresh driver row (one-pass LM machinery, span/
         # gram let-binding, fuzzy blocking modes, the rewritten
         # q_tfidf_pairs, the new stream join) ---
+        "q_seasonal_decompose",
         "q_lm_score_trigram", "q_lm_score",
-        "q_ppl_buckets",
         "q_paragraph_dedup", "q_repeated_spans",
         "q_doc_fingerprint", "q_winnow_overlap", "q_containment",
         "q_fuzzy_match", "q_range_join", "q_bucketed_join",
@@ -3052,7 +3077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram", "q_winsorize", "q_partitioned_table",
         "q_snapshot_read", "q_flush_reopen", "q_grouped_percentiles",
         "q_winsorize_grouped", "q_embedding_truncate",
-        "q_lm_score_bigram", "q_curate_corpus",
+        "q_lm_score_bigram", "q_curate_corpus", "q_ppl_buckets",
         "q_agg_stats", "q_column_stats", "q_embedding_cov",
         "q_backup_restore",
         # the r7-sampled block (freshest rows) runs last ---
@@ -4999,6 +5024,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, sum(l_quantity) AS sum_qty, count(*) AS n
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderstatus""",
+        # classical decomposition: same centered-MA / phase-mean /
+        # re-centering math, DECIMAL sums with double division LAST
+        "q_seasonal_decompose": """
+            WITH series AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2),
+            b AS (
+              SELECT event_type, day, n,
+                     (row_number() OVER w - 1) % 7 AS phase,
+                     CASE WHEN count(*) OVER wc = 7
+                          THEN CAST(sum(CAST(round(n, 6)
+                                             AS DECIMAL(28,6)))
+                                    OVER wc AS DOUBLE) / 7.0
+                     END AS trend
+              FROM series
+              WINDOW w AS (PARTITION BY event_type ORDER BY day),
+                     wc AS (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING
+                                     AND 3 FOLLOWING)),
+            p1 AS (
+              SELECT event_type, phase,
+                     CAST(sum(CAST(round(n - trend, 6)
+                                   AS DECIMAL(28,6))) AS DOUBLE)
+                       / count(*) AS sraw
+              FROM b WHERE trend IS NOT NULL GROUP BY 1, 2),
+            c AS (
+              SELECT event_type,
+                     CAST(sum(CAST(round(n - trend, 6)
+                                   AS DECIMAL(28,6))) AS DOUBLE)
+                       / count(*) AS cc
+              FROM b WHERE trend IS NOT NULL GROUP BY 1),
+            p2 AS (
+              SELECT p1.event_type, phase, sraw - cc AS seasonal
+              FROM p1 JOIN c USING (event_type))
+            SELECT b.event_type, b.day, b.n, b.trend, p2.seasonal,
+                   b.n - b.trend - p2.seasonal AS resid
+            FROM b JOIN p2
+              ON b.event_type = p2.event_type AND b.phase = p2.phase
+            WHERE b.trend IS NOT NULL
+            ORDER BY b.event_type, b.day
+        """,
         # stream-stream interval join, completed: plain SQL interval
         # join (epoch_us = the engine's exact ns→µs truncation; delay
         # truncates each side to whole seconds, as unix_timestamp does)

@@ -427,3 +427,56 @@ def test_scd2_lookup_differential_vs_python(spark):
 
     for fid, uid, ts in facts:
         assert got[fid] == ref(fid, uid, ts), fid
+
+
+def test_seasonal_decompose_identity_and_centering(spark):
+    """Recomposition identity (value == trend + seasonal + resid on
+    interior rows, nulls only at the h-row edges), near-zero seasonal
+    centering, and a pure period-3 cycle recovered exactly."""
+    import datetime as dt
+    from tostore_spark.functions.timeseries import seasonal_decompose
+    t0 = dt.datetime(2024, 1, 1)
+    # entity a: constant 10 + cycle (+3, 0, -3) repeating -> trend 10
+    cyc = [3.0, 0.0, -3.0]
+    rows = [("a", t0 + dt.timedelta(days=i), 10.0 + cyc[i % 3])
+            for i in range(12)]
+    # entity b: pure linear ramp, no cycle -> seasonal ~ 0
+    rows += [("b", t0 + dt.timedelta(days=i), float(i)) for i in range(9)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = seasonal_decompose(df, "k", "ts", "v", period=3).collect()
+    got = {(r["k"], r["ts"]): r for r in out}
+    for (k, ts), r in got.items():
+        if r["trend"] is None:
+            assert r["resid"] is None
+            continue
+        assert abs(r["v"] - (r["trend"] + r["seasonal"] + r["resid"])) \
+            < 1e-9
+    # edges: first and last row of each series have no trend (h=1)
+    a_ts = sorted(ts for k, ts in got if k == "a")
+    assert got[("a", a_ts[0])]["trend"] is None
+    assert got[("a", a_ts[-1])]["trend"] is None
+    # the pure cycle is recovered: trend == 10, seasonal == the cycle
+    mid = got[("a", a_ts[4])]
+    assert abs(mid["trend"] - 10.0) < 1e-9
+    assert abs(mid["seasonal"] - cyc[4 % 3]) < 1e-9
+    assert abs(mid["resid"]) < 1e-9
+    # a linear ramp has (near-)zero seasonal everywhere
+    for (k, ts), r in got.items():
+        if k == "b" and r["seasonal"] is not None:
+            assert abs(r["seasonal"]) < 1e-6
+    # seasonal effects sum to ~0 across one period
+    import itertools
+    seas_a = {r["seasonal"] for (k, _), r in got.items()
+              if k == "a" and r["seasonal"] is not None}
+    assert abs(sum(seas_a)) < 1e-6
+
+
+def test_seasonal_decompose_rejects_even_period(spark):
+    from pyspark.sql import functions as F
+
+    from tostore_spark.functions.timeseries import seasonal_decompose
+    df = spark.range(5).select(F.lit("a").alias("k"), "id",
+                               F.col("id").cast("double").alias("v"))
+    for bad in (2, 4, 1):
+        with pytest.raises(ValueError, match="odd"):
+            seasonal_decompose(df, "k", "id", "v", period=bad)

@@ -691,6 +691,14 @@ class ToStoreSpark:
         return rolling_distinct(self.df(table), ts_field, entity,
                                 window_days=window_days)
 
+    def seasonal_decompose(self, table: str, partition: str, order: str,
+                           value: str, period: int = 7):
+        """Classical additive trend/seasonal/resid per entity series —
+        see functions/timeseries.seasonal_decompose."""
+        from tostore_spark.functions.timeseries import seasonal_decompose
+        return seasonal_decompose(self.df(table), partition, order,
+                                  value, period=period)
+
     def fuzzy_match(self, left: str, right: str, left_field: str,
                     right_field=None, max_dist: int = 2, **kw):
         """Levenshtein entity-resolution join between two tables — see

@@ -292,3 +292,71 @@ def rolling_distinct(df: DataFrame, ts_field: str, entity: str,
     return (de.join(F.broadcast(days), cond)
               .groupBy("day")
               .agg(F.count_distinct(F.col("__ent")).alias("n_active")))
+
+
+def seasonal_decompose(df: DataFrame, partition: str, order: str,
+                       value: str, period: int = 7) -> DataFrame:
+    """Classical additive seasonal decomposition per entity series:
+    ``value = trend + seasonal + resid``.  Trend is the centered
+    ``period``-point moving average (null at the series edges, where
+    the window is incomplete); seasonal is the per-phase mean of the
+    detrended values, re-centered so one period's effects sum to ~0;
+    resid is the remainder.  The standard pre-model pass for spotting
+    weekly/daily cycles and cycle-adjusted anomalies in event volumes.
+
+    ``period`` must be ODD (>= 3): the centered window is then exactly
+    symmetric.  For even seasonality use the standard trick of an odd
+    bracketing period or pre-smooth with ``resample``.
+
+    Exactness (oracle-reproducible): all means are order-independent
+    DECIMAL(28,6) sums of 6dp-rounded terms divided double-side as the
+    LAST op; seasonal/resid are plain IEEE double subtractions of those
+    quotients — no float accumulation anywhere.  The re-centering term
+    is therefore the ROW-WEIGHTED mean of the detrended values (one
+    exact DECIMAL sum) rather than the classical mean of phase means —
+    identical when every phase has equal support, and the phase-mean
+    form would need a second rounding of computed doubles, where
+    engines' tie-rounding modes legitimately diverge.
+
+    Scale shape: two entity-partitioned windows (rank + centered MA,
+    one reducer per entity — series-length bound, same contract as
+    ``ewma``/``resample``), one (entity, phase) hash-aggregate, and a
+    broadcast join of the |entities| x period seasonal frame.
+
+    Reference scope: parity-plus — the reference has no time-series
+    operators (SURVEY.md §2.5).
+    """
+    if period < 3 or period % 2 == 0:
+        raise ValueError(
+            f"period must be odd and >= 3, got {period} (the centered "
+            "moving average needs a symmetric window; bracket even "
+            "seasonality with period±1 or pre-smooth via resample)")
+    h = period // 2
+    w = Window.partitionBy(partition).orderBy(order)
+    wc = w.rowsBetween(-h, h)
+    vdec = F.round(F.col(value), 6).cast("decimal(28,6)")
+    trend = F.when(
+        F.count(F.lit(1)).over(wc) == period,
+        F.sum(vdec).over(wc).cast("double") / F.lit(float(period)))
+    base = (df.withColumn("__phase",
+                          (F.row_number().over(w) - 1) % period)
+              .withColumn("trend", trend))
+    det = F.round(F.col(value) - F.col("trend"), 6).cast("decimal(28,6)")
+    interior = base.filter(F.col("trend").isNotNull())
+    ph = (interior.groupBy(partition, "__phase")
+                  .agg((F.sum(det).cast("double")
+                        / F.count(F.lit(1))).alias("__sraw")))
+    cent = (interior.groupBy(partition)
+                    .agg((F.sum(det).cast("double")
+                          / F.count(F.lit(1))).alias("__c")))
+    seas = (ph.join(cent, on=partition)
+              .select(partition, "__phase",
+                      (F.col("__sraw") - F.col("__c")).alias("seasonal")))
+    return (base.join(F.broadcast(seas), on=[partition, "__phase"],
+                      how="left")
+                .withColumn(
+                    "resid",
+                    F.when(F.col("trend").isNotNull(),
+                           F.col(value) - F.col("trend")
+                           - F.col("seasonal")))
+                .drop("__phase"))
