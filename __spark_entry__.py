@@ -2853,6 +2853,22 @@ def q_lm_score_trigram(spark, sf_dir):
                .limit(15))
 
 
+def q_drift_psi(spark, sf_dir):
+    """Distribution drift between two corpus snapshots
+    (plans/stats.drift_report): PSI of o_totalprice, orders before
+    1998 as the reference vs 1998+ as the current batch — equal-width
+    reference buckets with under/overflow rows, add-0.5-smoothed
+    shares, per-bucket (p_cur - p_ref)·ln(p_cur/p_ref) and the
+    DECIMAL-summed total on every row.  Three linear scans, bucket-key
+    aggregates only."""
+    from tostore_spark.plans.stats import drift_report
+    db = _db(spark, sf_dir)
+    o = db.df("orders")
+    ref = o.filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    cur = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
+    return drift_report(ref, cur, "o_totalprice", n_buckets=10)
+
+
 def q_seasonal_decompose(spark, sf_dir):
     """Classical additive seasonal decomposition
     (functions/timeseries.seasonal_decompose): daily event volume per
@@ -2995,7 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordering policy (round 8, same rotation rule as r3-r7).  First 50:
 
-    - slots 1-10: NEW in r8 (no prior driver rows possible):
+    - slots 1-11: NEW in r8 (no prior driver rows possible):
       q_tpch_q17 (correlated scalar subquery, decorrelated),
       q_tpch_q21 (multi-EXISTS/NOT-EXISTS, decorrelated),
       q_tpch_q18 (IN + grouped HAVING subquery), q_tpch_q22 (scalar
@@ -3004,9 +3020,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       derived view, argmax ties kept), q_tpch_q7 (disjunctive
       nation-pair predicate), q_tpch_q8 (conditional-share aggregate),
       q_tpch_q13 (outer join w/ join-condition filter + double agg),
-      q_seasonal_decompose (classical additive trend/seasonal/resid,
-      late-round);
-    - slots 11-23: entries on modules CHANGED in r8, kept to the ones
+      q_seasonal_decompose (classical additive trend/seasonal/resid)
+      and q_drift_psi (PSI snapshot drift), both late-round;
+    - slots 12-23: entries on modules CHANGED in r8, kept to the ones
       whose CHANGED path needs the driver row — llmops/lm.py one-pass
       training (q_lm_score_trigram exercises the rewritten machinery;
       q_lm_score covers the unigram rung; bigram/curate hold r6 rows
@@ -3048,9 +3064,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # path needs a fresh driver row (one-pass LM machinery, span/
         # gram let-binding, fuzzy blocking modes, the rewritten
         # q_tfidf_pairs, the new stream join) ---
-        "q_seasonal_decompose",
+        "q_seasonal_decompose", "q_drift_psi",
         "q_lm_score_trigram", "q_lm_score",
-        "q_paragraph_dedup", "q_repeated_spans",
+        "q_repeated_spans",
         "q_doc_fingerprint", "q_winnow_overlap", "q_containment",
         "q_fuzzy_match", "q_range_join", "q_bucketed_join",
         "q_stream_interval_join",
@@ -3078,6 +3094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snapshot_read", "q_flush_reopen", "q_grouped_percentiles",
         "q_winsorize_grouped", "q_embedding_truncate",
         "q_lm_score_bigram", "q_curate_corpus", "q_ppl_buckets",
+        "q_paragraph_dedup",
         "q_agg_stats", "q_column_stats", "q_embedding_cov",
         "q_backup_restore",
         # the r7-sampled block (freshest rows) runs last ---
@@ -5024,6 +5041,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, sum(l_quantity) AS sum_qty, count(*) AS n
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderstatus""",
+        # PSI drift: same equal-width reference buckets, smoothing and
+        # per-bucket contribution math; ln/products on identical doubles
+        "q_drift_psi": """
+            WITH bounds AS (
+              SELECT CAST(min(o_totalprice) AS DOUBLE) AS mn,
+                     CAST(max(o_totalprice) AS DOUBLE) AS mx
+              FROM orders
+              WHERE o_orderdate < TIMESTAMP '1998-01-01'
+                AND o_totalprice IS NOT NULL),
+            rx AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+                   WHERE o_orderdate < TIMESTAMP '1998-01-01'
+                     AND o_totalprice IS NOT NULL),
+            cx AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+                     AND o_totalprice IS NOT NULL),
+            rb AS (SELECT CASE WHEN x < mn THEN -1
+                               WHEN x > mx THEN 10
+                               WHEN mx = mn THEN 0
+                               ELSE least(CAST(floor((x - mn)
+                                    / ((mx - mn) / 10.0)) AS INT), 9)
+                          END AS bucket, count(*) AS n_ref
+                   FROM rx, bounds GROUP BY 1),
+            cb AS (SELECT CASE WHEN x < mn THEN -1
+                               WHEN x > mx THEN 10
+                               WHEN mx = mn THEN 0
+                               ELSE least(CAST(floor((x - mn)
+                                    / ((mx - mn) / 10.0)) AS INT), 9)
+                          END AS bucket, count(*) AS n_cur
+                   FROM cx, bounds GROUP BY 1),
+            grid AS (SELECT CAST(range AS INT) AS bucket
+                     FROM range(-1, 11)),
+            j AS (SELECT grid.bucket,
+                         coalesce(n_ref, 0) AS n_ref,
+                         coalesce(n_cur, 0) AS n_cur
+                  FROM grid LEFT JOIN rb USING (bucket)
+                            LEFT JOIN cb USING (bucket)),
+            tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+                           CAST(sum(n_cur) AS BIGINT) AS tc FROM j),
+            o AS (SELECT bucket, n_ref, n_cur,
+                         (n_ref + 0.5) / (tr + 0.5 * 12.0) AS p_ref,
+                         (n_cur + 0.5) / (tc + 0.5 * 12.0) AS p_cur
+                  FROM j, tot),
+            o2 AS (SELECT *,
+                          round((p_cur - p_ref) * ln(p_cur / p_ref),
+                                12) AS psi
+                   FROM o),
+            t2 AS (SELECT CAST(sum(CAST(round(psi, 9)
+                                        AS DECIMAL(28,9))) AS DOUBLE)
+                            AS psi_total FROM o2)
+            SELECT bucket,
+                   mn + bucket * ((mx - mn) / 10.0) AS lo,
+                   mn + (bucket + 1) * ((mx - mn) / 10.0) AS hi,
+                   n_ref, n_cur, p_ref, p_cur, psi, psi_total
+            FROM o2, bounds, t2 ORDER BY bucket
+        """,
         # classical decomposition: same centered-MA / phase-mean /
         # re-centering math, DECIMAL sums with double division LAST
         "q_seasonal_decompose": """

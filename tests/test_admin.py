@@ -441,3 +441,40 @@ def test_clip_outliers_grouped(spark):
                                  mode="filter")
     assert kept.filter("g = 'a' AND v = 1.0").count() == 0
     assert kept.filter("g = 'a' AND v IS NULL").count() == 1
+
+
+def test_drift_psi_semantics(spark):
+    """PSI ~ 0 for an identical distribution, large for a shifted one;
+    out-of-range current values land in the sentinel buckets; the
+    per-row psi_total equals the sum of contributions."""
+    from pyspark.sql import functions as F
+
+    from tostore_spark.plans.stats import drift_report
+    ref = spark.range(1000).select(
+        (F.col("id") % 100).cast("double").alias("v"))
+    same = drift_report(ref, ref, "v", n_buckets=10).collect()
+    total = same[0]["psi_total"]
+    assert all(r["psi_total"] == total for r in same)
+    assert abs(total) < 1e-9          # identical corpus: zero drift
+    assert abs(sum(r["psi"] for r in same) - total) < 1e-6
+    assert len(same) == 12            # 10 interior + under/overflow
+
+    # shift by +200: every current value overflows the reference range
+    cur = spark.range(1000).select(
+        (F.col("id") % 100 + 200).cast("double").alias("v"))
+    sh = {r["bucket"]: r for r in
+          drift_report(ref, cur, "v", n_buckets=10).collect()}
+    assert sh[10]["n_cur"] == 1000 and sh[10]["n_ref"] == 0
+    assert sh[0]["psi_total"] > 1.0   # way past the 0.25 rule of thumb
+
+    # milder shift: half the mass moves up one bucket
+    mild = spark.range(1000).select(
+        ((F.col("id") % 100) + F.when(F.col("id") % 2 == 0, 10.0)
+         .otherwise(0.0)).alias("v"))
+    mt = drift_report(ref, mild, "v", n_buckets=10).collect()[0]["psi_total"]
+    assert 0.0 < mt < sh[0]["psi_total"]
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        drift_report(ref, ref, "v", n_buckets=1)
+    with pytest.raises(ValueError, match="smooth"):
+        drift_report(ref, ref, "v", smooth=0.0)

@@ -240,6 +240,14 @@ CHECKS: dict[str, list[str]] = {
     # the priority filter reaches the orders scan
     "q_tpch_q22": ["BroadcastNestedLoopJoin", "LeftAnti",
                    "EqualTo(o_orderpriority,1-URGENT)"],
+    # seasonal decomposition: every window entity-partitioned; the
+    # phase/centering means combine map-side (partial_sum of DECIMALs)
+    "q_seasonal_decompose": ["windowspecdefinition(event_type",
+                             "partial_sum", "HashAggregate"],
+    # PSI drift: the snapshot split reaches the scans; bucket counts
+    # combine map-side (<= n_buckets+2 rows ever shuffle)
+    "q_drift_psi": ["LessThan(o_orderdate,1998-01-01",
+                    "partial_count", "HashAggregate"],
     # sliding distinct: the tiny day list broadcasts into the trailing-
     # window theta join; the corpus appears only in the day-grain
     # distinct (partial-combined)

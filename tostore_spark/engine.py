@@ -691,6 +691,14 @@ class ToStoreSpark:
         return rolling_distinct(self.df(table), ts_field, entity,
                                 window_days=window_days)
 
+    def drift_report(self, ref_table: str, cur_table: str, col: str,
+                     n_buckets: int = 10):
+        """PSI distribution drift between two table snapshots — see
+        plans/stats.drift_report."""
+        from tostore_spark.plans.stats import drift_report
+        return drift_report(self.df(ref_table), self.df(cur_table),
+                            col, n_buckets=n_buckets)
+
     def seasonal_decompose(self, table: str, partition: str, order: str,
                            value: str, period: int = 7):
         """Classical additive trend/seasonal/resid per entity series —

@@ -627,3 +627,98 @@ def clip_outliers_grouped(df: DataFrame, by: str, col: str,
                 F.when(c.isNull(), c).otherwise(
                     F.least(F.greatest(c, F.col("__lo")), F.col("__hi"))))
                .drop("__lo", "__hi"))
+
+
+def drift_report(ref: DataFrame, cur: DataFrame, col: str,
+                 n_buckets: int = 10, smooth: float = 0.5) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard drift gate between a reference corpus (what
+    the model/filters were tuned on) and the current batch.  Buckets
+    are equal-width over the REFERENCE min/max (plus one underflow and
+    one overflow bucket, so a shifted current batch registers instead
+    of clamping silently); per-bucket shares are add-``smooth``
+    smoothed so empty buckets stay finite; psi contribution =
+    (p_cur - p_ref) * ln(p_cur / p_ref), total PSI = their sum
+    (industry rule of thumb: < 0.1 stable, > 0.25 shifted).
+
+    Output: one row per bucket (bucket, lo, hi, n_ref, n_cur, p_ref,
+    p_cur, psi) ordered by bucket, with the same ``psi_total`` on
+    every row.  The sentinel rows' lo/hi extend one bucket-width
+    beyond the reference range (they are catch-alls for ANY out-of-
+    range value, not true brackets).  Null values are excluded from both sides (report them
+    via ``column_stats`` null counts — a null-rate shift is its own
+    signal, not a histogram bucket).
+
+    Exactness: bucket ids are floor((x - min)/width) over doubles both
+    engines compute identically; shares divide exact counts
+    double-side; psi rounds to 12dp because ln is NOT correctly-
+    rounded — JVM and libm legitimately differ by 1 ulp on the same
+    input, and 12dp absorbs it while keeping ~8 significant digits at
+    PSI magnitudes.
+
+    Scale shape: two column min/max aggregates, two bucket-count
+    hash-aggregates (map-side combining, <= n_buckets+2 rows out), a
+    broadcast constants join — three linear scans total, no shuffle
+    beyond the tiny bucket key.  Reference scope: parity-plus (the
+    reference has ANALYZE-style stats only, table_statistics.dart).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if smooth <= 0:
+        raise ValueError(f"smooth must be > 0, got {smooth}")
+    c = F.col(col)
+    bounds = (ref.filter(c.isNotNull())
+                 .agg(F.min(c).cast("double").alias("__mn"),
+                      F.max(c).cast("double").alias("__mx")))
+
+    def counts(df, name):
+        x = c.cast("double")
+        # interior buckets 0..n-1; -1 = underflow, n = overflow; a
+        # degenerate reference (min == max) puts everything in bucket 0
+        b = (F.when(x < F.col("__mn"), F.lit(-1))
+              .when(x > F.col("__mx"), F.lit(n_buckets))
+              .when(F.col("__mx") == F.col("__mn"), F.lit(0))
+              .otherwise(
+                  F.least(F.floor((x - F.col("__mn"))
+                                  / ((F.col("__mx") - F.col("__mn"))
+                                     / F.lit(float(n_buckets))))
+                           .cast("int"),
+                          F.lit(n_buckets - 1))))
+        return (df.filter(c.isNotNull())
+                  .crossJoin(F.broadcast(bounds))
+                  .groupBy(b.alias("bucket"))
+                  .agg(F.count(F.lit(1)).alias(name)))
+
+    nb_all = n_buckets + 2    # + underflow + overflow
+    grid = (ref.sparkSession.range(-1, n_buckets + 1)
+               .select(F.col("id").cast("int").alias("bucket")))
+    j = (grid.join(counts(ref, "n_ref"), on="bucket", how="left")
+             .join(counts(cur, "n_cur"), on="bucket", how="left")
+             .crossJoin(F.broadcast(bounds))
+             .withColumn("n_ref", F.coalesce("n_ref", F.lit(0)))
+             .withColumn("n_cur", F.coalesce("n_cur", F.lit(0))))
+    tot = j.agg(F.sum("n_ref").alias("__tr"),
+                F.sum("n_cur").alias("__tc"))
+    sm = F.lit(float(smooth))
+    out = (j.crossJoin(F.broadcast(tot))
+            .withColumn("p_ref", (F.col("n_ref") + sm)
+                        / (F.col("__tr") + sm * F.lit(float(nb_all))))
+            .withColumn("p_cur", (F.col("n_cur") + sm)
+                        / (F.col("__tc") + sm * F.lit(float(nb_all))))
+            .withColumn("psi", F.round(
+                (F.col("p_cur") - F.col("p_ref"))
+                * F.log(F.col("p_cur") / F.col("p_ref")), 12)))
+    # sentinel rows get finite edges one bucket-width beyond the
+    # reference range (catch-alls, not real brackets — infinities
+    # would be honest but break float normalization downstream)
+    w = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_buckets))
+    out = (out.withColumn("lo", F.col("__mn") + F.col("bucket") * w)
+              .withColumn("hi", F.col("__mn")
+                                + (F.col("bucket") + 1) * w))
+    psi_total = out.agg(F.sum(
+        F.round(F.col("psi"), 9).cast("decimal(28,9)")).cast("double")
+        .alias("psi_total"))
+    return (out.crossJoin(F.broadcast(psi_total))
+               .select("bucket", "lo", "hi", "n_ref", "n_cur",
+                       "p_ref", "p_cur", "psi", "psi_total")
+               .orderBy("bucket"))
