@@ -2869,6 +2869,20 @@ def q_drift_psi(spark, sf_dir):
     return drift_report(ref, cur, "o_totalprice", n_buckets=10)
 
 
+def q_drift_mix(spark, sf_dir):
+    """Categorical mix drift (plans/stats.drift_report_categorical):
+    PSI of the documents SOURCE mix between the even-id and odd-id
+    halves of the corpus — one row per category over the union of both
+    snapshots' categories, smoothed shares, 12dp contributions, total
+    on every row.  Two linear scans, category-key shuffle only."""
+    from tostore_spark.plans.stats import drift_report_categorical
+    db = _db(spark, sf_dir)
+    d = db.df("documents")
+    ref = d.filter(F.col("doc_id") % 2 == 0)
+    cur = d.filter(F.col("doc_id") % 2 == 1)
+    return drift_report_categorical(ref, cur, "source")
+
+
 def q_seasonal_decompose(spark, sf_dir):
     """Classical additive seasonal decomposition
     (functions/timeseries.seasonal_decompose): daily event volume per
@@ -3081,6 +3095,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distinct", "q_schema_migration", "q_batch_export_page",
         "q_join5_regional", "q_repetition", "q_vocab_stats",
         "q_pii_scrub", "q_text_stats",
+        # (q_drift_mix is NEW but leads the past-cap block rather than
+        # displacing a verdict-enumerated tail entry: it is the
+        # categorical twin of the SAMPLED q_drift_psi — same smoothing
+        # and contribution math, minus the bucketing — and the full
+        # gate certifies it regardless)
+        "q_drift_mix",
         # --- past the cap: everything else, oldest driver row first;
         # (these lead: their module changed in r8 but NOT behaviorally
         # on the paths they exercise, and every one holds an r6/r7
@@ -5041,6 +5061,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, sum(l_quantity) AS sum_qty, count(*) AS n
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderstatus""",
+        # categorical PSI: union of categories, same smoothing and
+        # 12dp-rounded contribution math
+        "q_drift_mix": """
+            WITH rc AS (SELECT coalesce(CAST(source AS VARCHAR),
+                                        '(null)') AS category,
+                               count(*) AS n_ref
+                        FROM documents WHERE doc_id % 2 = 0
+                        GROUP BY 1),
+            cc AS (SELECT coalesce(CAST(source AS VARCHAR),
+                                   '(null)') AS category,
+                          count(*) AS n_cur
+                   FROM documents WHERE doc_id % 2 = 1
+                   GROUP BY 1),
+            j AS (SELECT coalesce(rc.category, cc.category) AS category,
+                         coalesce(n_ref, 0) AS n_ref,
+                         coalesce(n_cur, 0) AS n_cur
+                  FROM rc FULL OUTER JOIN cc USING (category)),
+            tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+                           CAST(sum(n_cur) AS BIGINT) AS tc,
+                           CAST(count(*) AS BIGINT) AS k FROM j),
+            o AS (SELECT category, n_ref, n_cur,
+                         (n_ref + 0.5) / (tr + 0.5 * k) AS p_ref,
+                         (n_cur + 0.5) / (tc + 0.5 * k) AS p_cur
+                  FROM j, tot),
+            o2 AS (SELECT *,
+                          round((p_cur - p_ref) * ln(p_cur / p_ref),
+                                12) AS psi
+                   FROM o),
+            t2 AS (SELECT CAST(sum(CAST(round(psi, 9)
+                                        AS DECIMAL(28,9))) AS DOUBLE)
+                            AS psi_total FROM o2)
+            SELECT category, n_ref, n_cur, p_ref, p_cur, psi, psi_total
+            FROM o2, t2 ORDER BY category
+        """,
         # PSI drift: same equal-width reference buckets, smoothing and
         # per-bucket contribution math; ln/products on identical doubles
         "q_drift_psi": """

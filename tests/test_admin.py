@@ -478,3 +478,28 @@ def test_drift_psi_semantics(spark):
         drift_report(ref, ref, "v", n_buckets=1)
     with pytest.raises(ValueError, match="smooth"):
         drift_report(ref, ref, "v", smooth=0.0)
+
+
+def test_drift_mix_categorical(spark):
+    """Categorical PSI: zero for identical mixes; a vanished and an
+    appearing category both register; nulls are their own category."""
+    from pyspark.sql import functions as F
+
+    from tostore_spark.plans.stats import drift_report_categorical
+    ref = spark.createDataFrame(
+        [("a",)] * 60 + [("b",)] * 30 + [(None,)] * 10, "src string")
+    same = drift_report_categorical(ref, ref, "src").collect()
+    assert abs(same[0]["psi_total"]) < 1e-9
+    assert {r["category"] for r in same} == {"a", "b", "(null)"}
+
+    cur = spark.createDataFrame(
+        [("a",)] * 60 + [("c",)] * 40, "src string")
+    rows = {r["category"]: r for r in
+            drift_report_categorical(ref, cur, "src").collect()}
+    # union of categories: b vanished, c appeared, (null) vanished
+    assert set(rows) == {"a", "b", "c", "(null)"}
+    assert rows["b"]["n_cur"] == 0 and rows["c"]["n_ref"] == 0
+    assert rows["a"]["psi_total"] > 0.25   # a real mix shift
+
+    with pytest.raises(ValueError, match="smooth"):
+        drift_report_categorical(ref, ref, "src", smooth=0)

@@ -722,3 +722,52 @@ def drift_report(ref: DataFrame, cur: DataFrame, col: str,
                .select("bucket", "lo", "hi", "n_ref", "n_cur",
                        "p_ref", "p_cur", "psi", "psi_total")
                .orderBy("bucket"))
+
+
+def drift_report_categorical(ref: DataFrame, cur: DataFrame, col: str,
+                             smooth: float = 0.5) -> DataFrame:
+    """PSI drift for a CATEGORICAL column (source, language, label
+    mix) — the corpus-mix companion of ``drift_report``: one row per
+    category over the UNION of both snapshots' categories (a category
+    that appears or vanishes registers instead of being dropped),
+    add-``smooth`` smoothed shares, psi contribution
+    (p_cur - p_ref) * ln(p_cur / p_ref) rounded to 12dp (ln is not
+    correctly-rounded across engines), total on every row.  Nulls
+    count as their own ``(null)`` category — a null-rate shift IS mix
+    drift for a categorical column.
+
+    Scale shape: two category hash-aggregates (map-side combining,
+    |categories| rows out) + a full-outer category join + broadcast
+    totals — two linear scans, category-key shuffle only.
+    """
+    if smooth <= 0:
+        raise ValueError(f"smooth must be > 0, got {smooth}")
+    key = F.coalesce(F.col(col).cast("string"), F.lit("(null)"))
+
+    def counts(df, name):
+        return (df.groupBy(key.alias("category"))
+                  .agg(F.count(F.lit(1)).alias(name)))
+
+    j = (counts(ref, "n_ref")
+         .join(counts(cur, "n_cur"), on="category", how="full_outer")
+         .withColumn("n_ref", F.coalesce("n_ref", F.lit(0)))
+         .withColumn("n_cur", F.coalesce("n_cur", F.lit(0))))
+    tot = j.agg(F.sum("n_ref").alias("__tr"),
+                F.sum("n_cur").alias("__tc"),
+                F.count(F.lit(1)).alias("__k"))
+    sm = F.lit(float(smooth))
+    out = (j.crossJoin(F.broadcast(tot))
+            .withColumn("p_ref", (F.col("n_ref") + sm)
+                        / (F.col("__tr") + sm * F.col("__k")))
+            .withColumn("p_cur", (F.col("n_cur") + sm)
+                        / (F.col("__tc") + sm * F.col("__k")))
+            .withColumn("psi", F.round(
+                (F.col("p_cur") - F.col("p_ref"))
+                * F.log(F.col("p_cur") / F.col("p_ref")), 12)))
+    psi_total = out.agg(F.sum(
+        F.round(F.col("psi"), 9).cast("decimal(28,9)")).cast("double")
+        .alias("psi_total"))
+    return (out.crossJoin(F.broadcast(psi_total))
+               .select("category", "n_ref", "n_cur", "p_ref", "p_cur",
+                       "psi", "psi_total")
+               .orderBy("category"))
