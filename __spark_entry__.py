@@ -3066,6 +3066,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round; the full-run stdout is committed as GATE_r8.txt (the r7
     verdict's evidence-artifact requirement), so the certification is
     a diffable repo artifact, not prose.
+
+    r9 rotation seed (same rule): lead with (a) any entry whose module
+    changes in r9, (b) q_drift_mix (new in r8, past-cap — the one new
+    entry without a driver row), then (c) the r4-vintage tail that has
+    now waited longest (q_agg_stats, q_bm25_search, q_chunk_documents,
+    q_count_star, q_events_window, q_global_agg, q_ivfpq, q_langid,
+    q_mix_corpus, q_pack_sequences, q_pq_search, q_quality_filter,
+    q_quantized_knn, q_rollup_subtotals, q_salted_agg and the rest of
+    the r4 block), then (d) the r8-yielded fresh-row entries.
     """
 
     # first 50 = the driver's r8 correctness sample (see docstring)
