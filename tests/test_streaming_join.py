@@ -114,3 +114,34 @@ def test_interval_join_rejects_bad_args(spark):
         interval_join_stream(df, df, "user_id", how="full")
     with pytest.raises(ValueError, match="max_delay"):
         interval_join_stream(df, df, "user_id", max_delay_seconds=0)
+
+
+def test_stream_interval_join_ts_name_collision(spark, join_source):
+    """When BOTH sides call their event-time column `ts`, the right
+    side is renamed `ts_r` and results match the explicit-name run."""
+    from tostore_spark.streaming.stateful import interval_join_stream
+    views, clicks, vdir, cdir = join_source
+    # rewrite the clicks source with the colliding name
+    import tempfile
+    cdir2 = tempfile.mkdtemp(prefix="clicks_ts_")
+    spark.read.parquet(cdir).withColumnRenamed("ts_r", "ts") \
+        .write.mode("overwrite").parquet(cdir2)
+    lv = spark.readStream.schema(
+        "view_id bigint, user_id bigint, ts timestamp").parquet(vdir)
+    rc = spark.readStream.schema(
+        "click_id bigint, user_id bigint, ts timestamp").parquet(cdir2)
+    out = interval_join_stream(lv, rc, "user_id",
+                               max_delay_seconds=DELAY,
+                               left_ts="ts", right_ts="ts",
+                               watermark="0 seconds")
+    assert "ts_r" in out.columns and out.columns.count("ts") == 1
+    q = (out.writeStream.format("memory").queryName("ij_collide")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["view_id"], r["click_id"]) for r in
+                 spark.table("ij_collide")
+                 .filter(F.col("view_id") >= 0)
+                 .select("view_id", "click_id").collect())
+    want = sorted((r["view_id"], r["click_id"]) for r in
+                  _batch_pairs(views, clicks).collect())
+    assert got == want
