@@ -2961,6 +2961,9 @@ def q_stream_interval_join(spark, sf_dir):
                     F.sum("delay_sec").cast("long").alias("sum_delay"))
                .orderBy("user_id"))
         rows, sch = res.collect(), res.schema
+        # the memory sink registers a temp view per (uuid) run — drop
+        # it so repeated invocations don't accumulate catalog entries
+        spark.catalog.dropTempView(name)
     return spark.createDataFrame(rows, sch)
 
 
