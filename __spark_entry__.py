@@ -2883,6 +2883,22 @@ def q_drift_mix(spark, sf_dir):
     return drift_report_categorical(ref, cur, "source")
 
 
+def q_drift_psi_decile(spark, sf_dir):
+    """Decile-bucket PSI (plans/stats.drift_report_quantile): the
+    practitioner-standard drift form — bucket edges are the reference
+    snapshot's exact interior deciles (distributed order-statistic
+    path, 6dp-rounded so DuckDB's quantile_cont reproduces them), so
+    the PSI is sensitive across the whole distribution.  Same
+    orders pre/post-1998 split as q_drift_psi."""
+    from tostore_spark.plans.stats import drift_report_quantile
+    db = _db(spark, sf_dir)
+    o = db.df("orders")
+    ref = o.filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    cur = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
+    return drift_report_quantile(ref, cur, "o_totalprice",
+                                 n_buckets=10)
+
+
 def q_seasonal_decompose(spark, sf_dir):
     """Classical additive seasonal decomposition
     (functions/timeseries.seasonal_decompose): daily event volume per
@@ -3112,7 +3128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # categorical twin of the SAMPLED q_drift_psi — same smoothing
         # and contribution math, minus the bucketing — and the full
         # gate certifies it regardless)
-        "q_drift_mix",
+        "q_drift_mix", "q_drift_psi_decile",
         # --- past the cap: everything else, oldest driver row first;
         # (these lead: their module changed in r8 but NOT behaviorally
         # on the paths they exercise, and every one holds an r6/r7
@@ -5073,6 +5089,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, sum(l_quantity) AS sum_qty, count(*) AS n
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderstatus""",
+        # decile PSI: reference-quantile edges (quantile_cont matches
+        # the exact order-statistic path at 6dp — the winsorize
+        # precedent), bucket = |edges below x|, same PSI math
+        "q_drift_psi_decile": """
+            WITH e AS (
+              SELECT quantile_cont(o_totalprice,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                       AS ed0
+              FROM orders
+              WHERE o_orderdate < TIMESTAMP '1998-01-01'
+                AND o_totalprice IS NOT NULL),
+            e2 AS (SELECT list_transform(ed0, y -> round(y, 6)) AS ed
+                   FROM e),
+            rb AS (SELECT CAST(length(list_filter(ed,
+                            y -> CAST(o_totalprice AS DOUBLE) > y))
+                          AS INT) AS bucket, count(*) AS n_ref
+                   FROM orders, e2
+                   WHERE o_orderdate < TIMESTAMP '1998-01-01'
+                     AND o_totalprice IS NOT NULL
+                   GROUP BY 1),
+            cb AS (SELECT CAST(length(list_filter(ed,
+                            y -> CAST(o_totalprice AS DOUBLE) > y))
+                          AS INT) AS bucket, count(*) AS n_cur
+                   FROM orders, e2
+                   WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+                     AND o_totalprice IS NOT NULL
+                   GROUP BY 1),
+            grid AS (SELECT CAST(range AS INT) AS bucket
+                     FROM range(0, 10)),
+            j AS (SELECT grid.bucket,
+                         coalesce(n_ref, 0) AS n_ref,
+                         coalesce(n_cur, 0) AS n_cur
+                  FROM grid LEFT JOIN rb USING (bucket)
+                            LEFT JOIN cb USING (bucket)),
+            tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+                           CAST(sum(n_cur) AS BIGINT) AS tc FROM j),
+            o AS (SELECT bucket, n_ref, n_cur,
+                         (n_ref + 0.5) / (tr + 0.5 * 10.0) AS p_ref,
+                         (n_cur + 0.5) / (tc + 0.5 * 10.0) AS p_cur
+                  FROM j, tot),
+            o2 AS (SELECT *,
+                          round((p_cur - p_ref) * ln(p_cur / p_ref),
+                                12) AS psi
+                   FROM o),
+            t2 AS (SELECT CAST(sum(CAST(round(psi, 9)
+                                        AS DECIMAL(28,9))) AS DOUBLE)
+                            AS psi_total FROM o2)
+            SELECT bucket,
+                   ed[greatest(bucket, 1)] AS edge_lo,
+                   ed[least(bucket + 1, 9)] AS edge_hi,
+                   n_ref, n_cur, p_ref, p_cur, psi, psi_total
+            FROM o2, e2, t2 ORDER BY bucket
+        """,
         # categorical PSI: union of categories, same smoothing and
         # 12dp-rounded contribution math
         "q_drift_mix": """

@@ -503,3 +503,34 @@ def test_drift_mix_categorical(spark):
 
     with pytest.raises(ValueError, match="smooth"):
         drift_report_categorical(ref, ref, "src", smooth=0)
+
+
+def test_drift_quantile_buckets(spark):
+    """Decile-bucket PSI: reference buckets hold ~equal mass by
+    construction, identical snapshots give ~zero drift, and a shift
+    registers in the end buckets without sentinel rows."""
+    from pyspark.sql import functions as F
+
+    from tostore_spark.plans.stats import drift_report_quantile
+    ref = spark.range(1000).select(
+        (F.col("id") % 100).cast("double").alias("v"))
+    same = drift_report_quantile(ref, ref, "v", n_buckets=10).collect()
+    assert len(same) == 10
+    assert abs(same[0]["psi_total"]) < 1e-9
+    # ~equal reference mass per decile bucket (ties can wobble a bit)
+    for r in same:
+        assert 50 <= r["n_ref"] <= 150, (r["bucket"], r["n_ref"])
+    # edges are monotone and bracket each interior bucket
+    for r in same[1:-1]:
+        assert r["edge_lo"] < r["edge_hi"]
+
+    cur = spark.range(1000).select(
+        (F.col("id") % 100 + 500).cast("double").alias("v"))
+    sh = drift_report_quantile(ref, cur, "v", n_buckets=10).collect()
+    assert sh[-1]["n_cur"] == 1000        # everything lands top bucket
+    assert sh[0]["psi_total"] > 1.0
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        drift_report_quantile(ref, ref, "v", n_buckets=1)
+    with pytest.raises(ValueError, match="non-null"):
+        drift_report_quantile(ref.filter("v < 0"), ref, "v")

@@ -771,3 +771,82 @@ def drift_report_categorical(ref: DataFrame, cur: DataFrame, col: str,
                .select("category", "n_ref", "n_cur", "p_ref", "p_cur",
                        "psi", "psi_total")
                .orderBy("category"))
+
+
+def drift_report_quantile(ref: DataFrame, cur: DataFrame, col: str,
+                          n_buckets: int = 10,
+                          smooth: float = 0.5) -> DataFrame:
+    """PSI over REFERENCE-QUANTILE buckets — the practitioner-standard
+    decile form of ``drift_report``: bucket edges are the reference's
+    exact interior percentiles (via the distributed order-statistic
+    path, rounded to 6dp so the edges themselves are engine-portable),
+    so every reference bucket holds ~1/n of the mass and the PSI is
+    sensitive across the whole distribution instead of only where
+    equal-width bins happen to land.  Out-of-range current values fall
+    into the end buckets (the standard decile-PSI convention — use
+    ``drift_report`` when explicit under/overflow sentinels matter).
+
+    Output: one row per bucket (bucket, edge_lo, edge_hi as the
+    bracketing percentile EDGES — the end buckets' outer edge is the
+    bucket's own first/last edge, open-ended by convention), counts,
+    smoothed shares, 12dp psi contribution, total on every row.
+
+    Scale shape: the edge derivation is the ``exact_percentiles_frame``
+    machinery (sketch-guided, bounded reducers; ≤ n_buckets-1 doubles
+    of driver traffic — the knob-bounded precedent), then ONE
+    bucket-count hash-aggregate per side over literal edge
+    comparisons.  Same two linear counting scans as the equal-width
+    form.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if smooth <= 0:
+        raise ValueError(f"smooth must be > 0, got {smooth}")
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = exact_percentiles_frame(
+        ref.filter(F.col(col).isNotNull()), col, fracs,
+        round_dp=6).first()["__bounds"]
+    if not edges:
+        raise ValueError(f"reference has no non-null values in {col!r}")
+
+    x = F.col(col).cast("double")
+    bucket = sum((x > F.lit(float(e))).cast("int") for e in edges)
+
+    def counts(df, name):
+        return (df.filter(F.col(col).isNotNull())
+                  .groupBy(bucket.alias("bucket"))
+                  .agg(F.count(F.lit(1)).alias(name)))
+
+    grid = (ref.sparkSession.range(0, n_buckets)
+               .select(F.col("id").cast("int").alias("bucket")))
+    j = (grid.join(counts(ref, "n_ref"), on="bucket", how="left")
+             .join(counts(cur, "n_cur"), on="bucket", how="left")
+             .withColumn("n_ref", F.coalesce("n_ref", F.lit(0)))
+             .withColumn("n_cur", F.coalesce("n_cur", F.lit(0))))
+    tot = j.agg(F.sum("n_ref").alias("__tr"),
+                F.sum("n_cur").alias("__tc"))
+    sm = F.lit(float(smooth))
+    nb = float(n_buckets)
+    out = (j.crossJoin(F.broadcast(tot))
+            .withColumn("p_ref", (F.col("n_ref") + sm)
+                        / (F.col("__tr") + sm * F.lit(nb)))
+            .withColumn("p_cur", (F.col("n_cur") + sm)
+                        / (F.col("__tc") + sm * F.lit(nb)))
+            .withColumn("psi", F.round(
+                (F.col("p_cur") - F.col("p_ref"))
+                * F.log(F.col("p_cur") / F.col("p_ref")), 12)))
+    # bracketing EDGES: bucket 0 is (-inf, e0] -> edge_lo = e0 (its own
+    # first edge); bucket n-1 is (e_last, inf) -> edge_hi = e_last
+    lo_map = F.array(*[F.lit(float(e)) for e in [edges[0]] + edges])
+    hi_map = F.array(*[F.lit(float(e)) for e in edges + [edges[-1]]])
+    psi_total = out.agg(F.sum(
+        F.round(F.col("psi"), 9).cast("decimal(28,9)")).cast("double")
+        .alias("psi_total"))
+    return (out.withColumn("edge_lo",
+                           F.element_at(lo_map, F.col("bucket") + 1))
+               .withColumn("edge_hi",
+                           F.element_at(hi_map, F.col("bucket") + 1))
+               .crossJoin(F.broadcast(psi_total))
+               .select("bucket", "edge_lo", "edge_hi", "n_ref",
+                       "n_cur", "p_ref", "p_cur", "psi", "psi_total")
+               .orderBy("bucket"))
