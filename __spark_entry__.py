@@ -2883,6 +2883,29 @@ def q_drift_mix(spark, sf_dir):
     return drift_report_categorical(ref, cur, "source")
 
 
+def q_robust_outliers(spark, sf_dir):
+    """Median/MAD robust outlier gate (plans/stats.robust_outliers):
+    event values whose robust z (|x - med| / (1.4826·MAD)) exceeds
+    3.5 — the heavy-tail-safe outlier rule, on the one genuinely
+    heavy-tailed testdata column (events.value; ~400 rows past 3.5 at
+    sf0.01).  Median and MAD come from the exact order-statistic path
+    at 6dp (quantile_cont-portable); the entry returns the flagged
+    count and the DECIMAL-exact sum of 9dp-rounded robust z over
+    them (coalesced — a nullable double would NaN through the
+    oracle's pandas fetch)."""
+    from tostore_spark.plans.stats import robust_outliers
+    db = _db(spark, sf_dir)
+    out = robust_outliers(db.df("events"), "value", k=3.5)
+    return (out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value_outlier").cast("long"))
+         .cast("long").alias("n_outliers"),
+        F.coalesce(
+            F.sum(F.when(F.col("value_outlier"), F.col("value_rz"))
+                   .cast("decimal(28,9)")).cast("double"),
+            F.lit(0.0)).alias("outlier_rz_sum")))
+
+
 def q_drift_psi_decile(spark, sf_dir):
     """Decile-bucket PSI (plans/stats.drift_report_quantile): the
     practitioner-standard drift form — bucket edges are the reference
@@ -3128,7 +3151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # categorical twin of the SAMPLED q_drift_psi — same smoothing
         # and contribution math, minus the bucketing — and the full
         # gate certifies it regardless)
-        "q_drift_mix", "q_drift_psi_decile",
+        "q_drift_mix", "q_drift_psi_decile", "q_robust_outliers",
         # --- past the cap: everything else, oldest driver row first;
         # (these lead: their module changed in r8 but NOT behaviorally
         # on the paths they exercise, and every one holds an r6/r7
@@ -5089,6 +5112,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, sum(l_quantity) AS sum_qty, count(*) AS n
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderstatus""",
+        # robust z: quantile_cont reproduces the exact median/MAD at
+        # 6dp (winsorize precedent); rz rounds to 9dp before summing
+        "q_robust_outliers": """
+            WITH m AS (
+              SELECT round(quantile_cont(value, 0.5), 6) AS med
+              FROM events WHERE value IS NOT NULL),
+            d AS (
+              SELECT round(quantile_cont(
+                       round(abs(value - med), 6), 0.5), 6) AS mad
+              FROM events, m WHERE value IS NOT NULL),
+            rz AS (
+              SELECT CASE WHEN value IS NOT NULL
+                          THEN round(abs(value - med)
+                                     / (1.4826 * mad), 9)
+                     END AS rz
+              FROM events, m, d)
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CASE WHEN rz > 3.5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_outliers,
+                   coalesce(CAST(sum(CASE WHEN rz > 3.5
+                                     THEN CAST(rz AS DECIMAL(28,9))
+                                END) AS DOUBLE), 0.0)
+                     AS outlier_rz_sum
+            FROM rz
+        """,
         # decile PSI: reference-quantile edges (quantile_cont matches
         # the exact order-statistic path at 6dp — the winsorize
         # precedent), bucket = |edges below x|, same PSI math

@@ -441,7 +441,7 @@ def main():
                  "q_tpch_q22", "q_tpch_q5", "q_tpch_q15", "q_tpch_q7",
                  "q_tpch_q8", "q_tpch_q13", "q_stream_interval_join",
                  "q_seasonal_decompose", "q_drift_psi", "q_drift_mix",
-                 "q_drift_psi_decile"):
+                 "q_drift_psi_decile", "q_robust_outliers"):
         fn = qs[name]
         spark.catalog.clearCache()
         t0 = time.time()

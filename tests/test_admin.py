@@ -534,3 +534,37 @@ def test_drift_quantile_buckets(spark):
         drift_report_quantile(ref, ref, "v", n_buckets=1)
     with pytest.raises(ValueError, match="non-null"):
         drift_report_quantile(ref.filter("v < 0"), ref, "v")
+
+
+def test_robust_outliers_mad(spark):
+    """A planted extreme value flags under median/MAD but the
+    threshold itself is NOT dragged by it (robustness); degenerate
+    zero-MAD flags nothing; nulls pass unflagged."""
+    from pyspark.sql import functions as F
+
+    from tostore_spark.plans.stats import robust_outliers
+    base = [float(v) for v in range(1, 100)]
+    df = spark.createDataFrame(
+        [(v,) for v in base] + [(1e6,), (None,)], "v double")
+    out = {r["v"]: r for r in robust_outliers(df, "v", k=3.5).collect()}
+    assert out[1e6]["v_outlier"] is True
+    # the extreme row does not drag the gate: interior values clean
+    assert all(not out[v]["v_outlier"] for v in (1.0, 50.0, 99.0))
+    nulls = [r for r in out.values() if r["v"] is None]
+    assert nulls[0]["v_outlier"] is False and nulls[0]["v_rz"] is None
+
+    # classic failure of mean/std z on the same data: the planted
+    # point inflates sigma so much it yields |z| < 3.5 for itself is
+    # false here, but MANY real spreads hide; assert MAD flags MORE
+    stats = df.agg(F.avg("v").alias("m"), F.stddev("v").alias("s")).first()
+    z_flags = df.filter(
+        (F.abs(F.col("v") - stats["m"]) / stats["s"]) > 3.5).count()
+    mad_flags = sum(1 for r in out.values() if r["v_outlier"])
+    assert mad_flags >= z_flags
+
+    const = spark.createDataFrame([(5.0,)] * 10, "v double")
+    cz = robust_outliers(const, "v").collect()
+    assert all(not r["v_outlier"] and r["v_rz"] is None for r in cz)
+
+    with pytest.raises(ValueError, match="k must"):
+        robust_outliers(df, "v", k=0)

@@ -850,3 +850,47 @@ def drift_report_quantile(ref: DataFrame, cur: DataFrame, col: str,
                .select("bucket", "edge_lo", "edge_hi", "n_ref",
                        "n_cur", "p_ref", "p_cur", "psi", "psi_total")
                .orderBy("bucket"))
+
+
+def robust_outliers(df: DataFrame, col: str,
+                    k: float = 3.5) -> DataFrame:
+    """Median/MAD outlier flags — the robust z-score
+    (|x - median| / (1.4826 * MAD) > k, Iglewicz-Hoaglin's 3.5
+    default): unlike mean/stddev z-scores, a handful of extreme rows
+    cannot drag the threshold toward themselves, which is what makes
+    this the standard outlier gate for heavy-tailed quality scores
+    and price-like columns.
+
+    Adds ``<col>_rz`` (robust z, null for null values and for a
+    degenerate MAD of 0) and ``<col>_outlier`` (boolean, null rows
+    false).  Median and MAD come from the exact distributed
+    order-statistic path (6dp-rounded — engine-portable constants);
+    the flagging pass is pure column math against broadcast 1-row
+    constants.
+
+    Scale shape: two bounded-reducer percentile derivations (the
+    second over the |x - median| column) + one linear flagging scan —
+    same contract as ``clip_outliers``.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    vals = df.filter(F.col(col).isNotNull())
+    med = exact_percentiles_frame(vals, col, [0.5],
+                                  round_dp=6).first()["__bounds"][0]
+    dev = vals.select(
+        F.round(F.abs(F.col(col) - F.lit(float(med))), 6).alias("__d"))
+    mad = exact_percentiles_frame(dev, "__d", [0.5],
+                                  round_dp=6).first()["__bounds"][0]
+    c = F.col(col)
+    if mad == 0:
+        # degenerate spread: no finite robust z exists; flag nothing
+        return (df.withColumn(f"{col}_rz",
+                              F.lit(None).cast("double"))
+                  .withColumn(f"{col}_outlier", F.lit(False)))
+    rz = F.round(F.abs(c - F.lit(float(med)))
+                 / F.lit(1.4826 * float(mad)), 9)
+    return (df.withColumn(f"{col}_rz",
+                          F.when(c.isNotNull(), rz))
+              .withColumn(f"{col}_outlier",
+                          F.when(c.isNotNull(), rz > F.lit(float(k)))
+                           .otherwise(F.lit(False))))
