@@ -2514,8 +2514,14 @@ def q_tpch_q17(spark, sf_dir):
     lp = (li.select("l_partkey", "l_quantity", "l_extendedprice")
             .join(F.broadcast(p),
                   F.col("l_partkey") == F.col("p_partkey")))
+    # threshold per the round-once -> DECIMAL sum -> divide LAST
+    # discipline: a plain double avg is partial-order-dependent and
+    # parity with the oracle would hold only for integer quantities
     thr = (lp.groupBy("l_partkey")
-             .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_thr")))
+             .agg((F.lit(0.2)
+                   * (F.sum(F.round(F.col("l_quantity"), 2)
+                             .cast("decimal(18,2)")).cast("double")
+                      / F.count("l_quantity"))).alias("qty_thr")))
     return (lp.join(F.broadcast(thr), "l_partkey")
               .filter(F.col("l_quantity") < F.col("qty_thr"))
               .agg(F.round(
@@ -2582,10 +2588,15 @@ def q_tpch_q18(spark, sf_dir):
     (totalprice desc, date, orderkey).  The oracle runs the genuine
     IN-subquery form."""
     db = _db(spark, sf_dir)
+    # DECIMAL sum so the HAVING threshold and the carried sum_qty are
+    # partial-order-independent (round-once -> DECIMAL sum discipline)
     big = (db.df("lineitem")
              .groupBy("l_orderkey")
-             .agg(F.sum("l_quantity").alias("sum_qty"))
-             .filter(F.col("sum_qty") > 150.0))
+             .agg(F.sum(F.round(F.col("l_quantity"), 2)
+                         .cast("decimal(18,2)")).alias("__q"))
+             .filter(F.col("__q") > 150.0)
+             .select("l_orderkey",
+                     F.col("__q").cast("double").alias("sum_qty")))
     return (db.df("orders")
               .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
               .join(db.df("customer"),
@@ -4167,7 +4178,10 @@ def oracle_sql() -> dict[str, str]:
             JOIN part p ON p.p_partkey = l.l_partkey
             WHERE p.p_brand = 'Brand#4' AND p.p_size <= 15
               AND l.l_quantity < (
-                    SELECT 0.2 * avg(l2.l_quantity)
+                    SELECT 0.2 * (CAST(sum(CAST(round(l2.l_quantity, 2)
+                                              AS DECIMAL(18,2)))
+                                       AS DOUBLE)
+                                  / count(l2.l_quantity))
                     FROM lineitem l2
                     WHERE l2.l_partkey = p.p_partkey)
         """,
@@ -4290,12 +4304,15 @@ def oracle_sql() -> dict[str, str]:
         # genuine IN + grouped-HAVING subquery on the oracle side
         "q_tpch_q18": """
             SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-                   o_totalprice, sum(l_quantity) AS sum_qty
+                   o_totalprice,
+                   CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_qty
             FROM customer, orders, lineitem
             WHERE o_orderkey IN (
                     SELECT l_orderkey FROM lineitem
                     GROUP BY l_orderkey
-                    HAVING sum(l_quantity) > 150.0)
+                    HAVING sum(CAST(round(l_quantity, 2)
+                                    AS DECIMAL(18,2))) > 150.0)
               AND c_custkey = o_custkey AND o_orderkey = l_orderkey
             GROUP BY 1, 2, 3, 4, 5
             ORDER BY o_totalprice DESC, o_orderdate, o_orderkey

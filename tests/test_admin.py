@@ -568,3 +568,81 @@ def test_robust_outliers_mad(spark):
 
     with pytest.raises(ValueError, match="k must"):
         robust_outliers(df, "v", k=0)
+    with pytest.raises(ValueError, match="no non-null"):
+        robust_outliers(df.filter("v < 0"), "v")
+
+
+def test_robust_outliers_grouped(spark):
+    """by= flags each row against ITS group's median/MAD: equals the
+    global gate applied per group, a tight group's outlier flags even
+    when globally unremarkable, zero-MAD groups flag nothing."""
+    from tostore_spark.plans.stats import robust_outliers
+
+    rows = ([("a", float(v)) for v in range(1, 100)] + [("a", 1e6)]
+            + [("b", 5.0)] * 10                       # zero-MAD group
+            + [("c", 10.0), ("c", 11.0), ("c", 12.0), ("c", 1000.0)]
+            + [("a", None)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = robust_outliers(df, "v", k=3.5, by="g").collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r["g"], []).append(r)
+    # group-by-group equivalence with the global gate on that slice
+    for g in ("a", "b", "c"):
+        solo = {(r["v"],): (r["v_outlier"], r["v_rz"]) for r in
+                robust_outliers(df.filter(f"g = '{g}'"), "v",
+                                k=3.5).collect()}
+        for r in by_grp[g]:
+            assert (r["v_outlier"], r["v_rz"]) == solo[(r["v"],)], \
+                (g, r["v"])
+    # 1000.0 is unremarkable next to group a's 1e6, but flags in c
+    c_flags = {r["v"]: r["v_outlier"] for r in by_grp["c"]}
+    assert c_flags[1000.0] is True
+    assert all(not r["v_outlier"] for r in by_grp["b"])
+    assert all(r["v_rz"] is None for r in by_grp["b"])
+
+
+def test_robust_outliers_approx_tier(spark):
+    """exact=False (one approx_percentile aggregate per derivation)
+    reproduces the exact tier's flags on a spread corpus, global and
+    grouped (GK at accuracy 10000 is rank-exact at this size)."""
+    from pyspark.sql import functions as F
+
+    from tostore_spark.plans.stats import robust_outliers
+    df = (spark.range(2000)
+          .select((F.col("id") % 997).cast("double").alias("v"),
+                  (F.col("id") % 3).cast("string").alias("g"))
+          .union(spark.createDataFrame(
+              [("0", 1e7), ("1", -1e7)], "g string, v double")
+              .select("v", "g")))
+    ex = {(r["g"], r["v"]): r["v_outlier"] for r in
+          robust_outliers(df, "v").collect()}
+    ap = {(r["g"], r["v"]): r["v_outlier"] for r in
+          robust_outliers(df, "v", exact=False).collect()}
+    assert ex == ap and any(ex.values())
+    exg = {(r["g"], r["v"]): r["v_outlier"] for r in
+           robust_outliers(df, "v", by="g").collect()}
+    apg = {(r["g"], r["v"]): r["v_outlier"] for r in
+           robust_outliers(df, "v", by="g", exact=False).collect()}
+    assert exg == apg and any(exg.values())
+
+
+def test_drift_quantile_approx_edges(spark):
+    """drift_report_quantile(exact=False): same schema/bucket count,
+    psi_total within a tight bound of the exact tier, both sides'
+    counts conserved (approx edges only move boundary mass)."""
+    from pyspark.sql import functions as F
+
+    from tostore_spark.plans.stats import drift_report_quantile
+    ref = spark.range(5000).select(
+        ((F.col("id") * 37) % 1000).cast("double").alias("v"))
+    cur = spark.range(5000).select(
+        (((F.col("id") * 37) % 1000) * 1.15 + 30).alias("v"))
+    ex = drift_report_quantile(ref, cur, "v", n_buckets=10).collect()
+    ap = drift_report_quantile(ref, cur, "v", n_buckets=10,
+                               exact=False).collect()
+    assert len(ap) == len(ex) == 10
+    assert sum(r["n_ref"] for r in ap) == 5000
+    assert sum(r["n_cur"] for r in ap) == 5000
+    assert abs(ap[0]["psi_total"] - ex[0]["psi_total"]) < 0.02
+    assert ap[0]["psi_total"] > 0.05      # the shift still registers

@@ -385,6 +385,16 @@ def test_fuzzy_join_default_prefix_block_subquadratic(spark):
         fuzzy_join(df, right, "name", max_dist=1).explain("formatted")
     assert "CartesianProduct" not in buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in buf.getvalue()
+    # an explicit non-zero block_prefix contradicts blocking='length'
+    # and raises instead of being silently discarded
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="conflicts"):
+        fuzzy_join(df, right, "name", max_dist=1, block_prefix=2,
+                   blocking="length")
+    # block_prefix=0 is consistent with 'length' and stays accepted
+    assert fuzzy_candidates(df.limit(5), right.limit(5), "name",
+                            max_dist=1, block_prefix=0,
+                            blocking="length").count() > 0
 
 
 def test_rolling_distinct_matches_bruteforce(spark):

@@ -276,10 +276,14 @@ def rolling_distinct(df: DataFrame, ts_field: str, entity: str,
     cond = ((F.col("__day") <= F.col("day"))
             & (F.col("__day") > F.date_sub(F.col("day"), window_days)))
     if not exact:
+        # materialize the |days|-row sketch frame ONCE: `days` re-derives
+        # from it for the broadcast side, so without this the per-day
+        # HLL aggregate (and its corpus scan) would execute twice
         per_day = (df.select(day.alias("__day"),
                              F.col(entity).alias("__ent"))
                      .groupBy("__day")
-                     .agg(F.hll_sketch_agg("__ent").alias("__sk")))
+                     .agg(F.hll_sketch_agg("__ent").alias("__sk"))
+                     .localCheckpoint(eager=True))
         days = per_day.select(F.col("__day").alias("day"))
         return (per_day.join(F.broadcast(days), cond)
                        .groupBy("day")

@@ -143,8 +143,12 @@ def fuzzy_candidates(left: DataFrame, right: DataFrame, left_field: str,
             f"blocking must be 'prefix'|'length', got {blocking!r}")
     if block_prefix is None:
         block_prefix = 2 if blocking == "prefix" else 0
-    elif blocking == "length":
-        block_prefix = 0
+    elif blocking == "length" and block_prefix != 0:
+        raise ValueError(
+            f"block_prefix={block_prefix} conflicts with "
+            "blocking='length' (the lossless band uses no prefix): "
+            "pass blocking='prefix' to block on a positional prefix, "
+            "or drop block_prefix")
     right_field = right_field or left_field
     band = max_dist if len_band is None else int(len_band)
     lk, rk = F.col(left_field), F.col(right_field)
@@ -174,6 +178,15 @@ def fuzzy_join(left: DataFrame, right: DataFrame, left_field: str,
     """Edit-distance (Levenshtein) join for entity resolution — match
     records whose key strings differ by at most ``max_dist`` edits
     (typos, OCR noise, inconsistent spellings).
+
+    RECALL CHANGE (v0.8): the default ``blocking`` switched from the
+    lossless ``'length'`` band to ``'prefix'`` (length band x 2-char
+    positional prefix).  The prefix block is LOSSY: a pair whose edit
+    falls inside the first ``block_prefix`` characters no longer
+    matches under the default.  Callers that need the old exact-recall
+    default must pass ``blocking='length'`` explicitly; an explicit
+    non-zero ``block_prefix`` combined with ``blocking='length'`` is a
+    contradiction and raises instead of being silently discarded.
 
     Blocking keeps it off the all-pairs cliff.  Candidates must sit in
     the same LENGTH BAND (two strings within ``max_dist`` edits differ

@@ -712,9 +712,15 @@ def drift_report(ref: DataFrame, cur: DataFrame, col: str,
     # reference range (catch-alls, not real brackets — infinities
     # would be honest but break float normalization downstream)
     w = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_buckets))
+    # materialize the <= n_buckets+2-row bucket frame ONCE before the
+    # psi_total aggregate re-reads it — otherwise the total's lineage
+    # re-executes both side scans a second time
     out = (out.withColumn("lo", F.col("__mn") + F.col("bucket") * w)
               .withColumn("hi", F.col("__mn")
-                                + (F.col("bucket") + 1) * w))
+                                + (F.col("bucket") + 1) * w)
+              .select("bucket", "lo", "hi", "n_ref", "n_cur",
+                      "p_ref", "p_cur", "psi")
+              .localCheckpoint(eager=True))
     psi_total = out.agg(F.sum(
         F.round(F.col("psi"), 9).cast("decimal(28,9)")).cast("double")
         .alias("psi_total"))
@@ -764,6 +770,11 @@ def drift_report_categorical(ref: DataFrame, cur: DataFrame, col: str,
             .withColumn("psi", F.round(
                 (F.col("p_cur") - F.col("p_ref"))
                 * F.log(F.col("p_cur") / F.col("p_ref")), 12)))
+    # materialize the |categories|-row frame ONCE before psi_total
+    # re-reads it (else both side scans execute a second time)
+    out = (out.select("category", "n_ref", "n_cur", "p_ref", "p_cur",
+                      "psi")
+              .localCheckpoint(eager=True))
     psi_total = out.agg(F.sum(
         F.round(F.col("psi"), 9).cast("decimal(28,9)")).cast("double")
         .alias("psi_total"))
@@ -774,8 +785,8 @@ def drift_report_categorical(ref: DataFrame, cur: DataFrame, col: str,
 
 
 def drift_report_quantile(ref: DataFrame, cur: DataFrame, col: str,
-                          n_buckets: int = 10,
-                          smooth: float = 0.5) -> DataFrame:
+                          n_buckets: int = 10, smooth: float = 0.5,
+                          exact: bool = True) -> DataFrame:
     """PSI over REFERENCE-QUANTILE buckets — the practitioner-standard
     decile form of ``drift_report``: bucket edges are the reference's
     exact interior percentiles (via the distributed order-statistic
@@ -791,23 +802,37 @@ def drift_report_quantile(ref: DataFrame, cur: DataFrame, col: str,
     bucket's own first/last edge, open-ended by convention), counts,
     smoothed shares, 12dp psi contribution, total on every row.
 
-    Scale shape: the edge derivation is the ``exact_percentiles_frame``
-    machinery (sketch-guided, bounded reducers; ≤ n_buckets-1 doubles
-    of driver traffic — the knob-bounded precedent), then ONE
-    bucket-count hash-aggregate per side over literal edge
-    comparisons.  Same two linear counting scans as the equal-width
-    form.
+    Scale shape: the default edge derivation is the
+    ``exact_percentiles_frame`` machinery (sketch-guided, bounded
+    reducers; ≤ n_buckets-1 doubles of driver traffic — the
+    knob-bounded precedent), then ONE bucket-count hash-aggregate per
+    side over literal edge comparisons.  Same two linear counting
+    scans as the equal-width form.  ``exact=False`` (the 100 TB
+    per-batch-gate tier) derives the edges from ONE
+    ``approx_percentile`` aggregate instead (GK sketch, accuracy
+    10000 ≈ 0.01% rank error) — a single plain scan, no refinement
+    loop; edges off by ~0.01% rank move only the boundary-straddling
+    mass between adjacent buckets, so the PSI shifts by O(edge
+    error); pytest-bounded against the exact tier, no oracle entry.
     """
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     if smooth <= 0:
         raise ValueError(f"smooth must be > 0, got {smooth}")
     fracs = [i / n_buckets for i in range(1, n_buckets)]
-    edges = exact_percentiles_frame(
-        ref.filter(F.col(col).isNotNull()), col, fracs,
-        round_dp=6).first()["__bounds"]
+    refv = ref.filter(F.col(col).isNotNull())
+    if exact:
+        edges = exact_percentiles_frame(
+            refv, col, fracs, round_dp=6).first()["__bounds"]
+    else:
+        probe = ", ".join(repr(f) for f in fracs)
+        edges = refv.agg(F.expr(
+            f"transform(approx_percentile(cast(`{col}` as double),"
+            f" array({probe}), 10000), b -> round(b, 6))")
+            .alias("__b")).first()["__b"]
     if not edges:
         raise ValueError(f"reference has no non-null values in {col!r}")
+    edges = [float(e) for e in edges]
 
     x = F.col(col).cast("double")
     bucket = sum((x > F.lit(float(e))).cast("int") for e in edges)
@@ -839,21 +864,27 @@ def drift_report_quantile(ref: DataFrame, cur: DataFrame, col: str,
     # first edge); bucket n-1 is (e_last, inf) -> edge_hi = e_last
     lo_map = F.array(*[F.lit(float(e)) for e in [edges[0]] + edges])
     hi_map = F.array(*[F.lit(float(e)) for e in edges + [edges[-1]]])
+    # materialize the n_buckets-row frame ONCE before psi_total
+    # re-reads it (else both side counting scans execute twice)
+    out = (out.withColumn("edge_lo",
+                          F.element_at(lo_map, F.col("bucket") + 1))
+              .withColumn("edge_hi",
+                          F.element_at(hi_map, F.col("bucket") + 1))
+              .select("bucket", "edge_lo", "edge_hi", "n_ref",
+                      "n_cur", "p_ref", "p_cur", "psi")
+              .localCheckpoint(eager=True))
     psi_total = out.agg(F.sum(
         F.round(F.col("psi"), 9).cast("decimal(28,9)")).cast("double")
         .alias("psi_total"))
-    return (out.withColumn("edge_lo",
-                           F.element_at(lo_map, F.col("bucket") + 1))
-               .withColumn("edge_hi",
-                           F.element_at(hi_map, F.col("bucket") + 1))
-               .crossJoin(F.broadcast(psi_total))
+    return (out.crossJoin(F.broadcast(psi_total))
                .select("bucket", "edge_lo", "edge_hi", "n_ref",
                        "n_cur", "p_ref", "p_cur", "psi", "psi_total")
                .orderBy("bucket"))
 
 
-def robust_outliers(df: DataFrame, col: str,
-                    k: float = 3.5) -> DataFrame:
+def robust_outliers(df: DataFrame, col: str, k: float = 3.5,
+                    by: Optional[str] = None,
+                    exact: bool = True) -> DataFrame:
     """Median/MAD outlier flags — the robust z-score
     (|x - median| / (1.4826 * MAD) > k, Iglewicz-Hoaglin's 3.5
     default): unlike mean/stddev z-scores, a handful of extreme rows
@@ -863,34 +894,76 @@ def robust_outliers(df: DataFrame, col: str,
 
     Adds ``<col>_rz`` (robust z, null for null values and for a
     degenerate MAD of 0) and ``<col>_outlier`` (boolean, null rows
-    false).  Median and MAD come from the exact distributed
-    order-statistic path (6dp-rounded — engine-portable constants);
-    the flagging pass is pure column math against broadcast 1-row
-    constants.
+    false).
 
-    Scale shape: two bounded-reducer percentile derivations (the
-    second over the |x - median| column) + one linear flagging scan —
-    same contract as ``clip_outliers``.
+    ``by=``: per-GROUP median/MAD (the per-source quality-gate form —
+    a global gate over a mixed corpus flags the small sources by the
+    big ones' spread).  Constants derive through
+    ``grouped_percentiles_frame`` (both tiers) and join back broadcast
+    on the group key, the ``clip_outliers_grouped`` pattern; rows
+    whose group has no non-null values (or MAD 0) get null rz / False.
+
+    Tiers (the ``column_stats(exact_ndv=False)`` convention):
+    - ``exact=True`` (default, oracle-reproducible): constants from
+      the exact distributed order-statistic path, 6dp-rounded.
+      Global shape: two bounded-reducer percentile derivations (the
+      second over the |x - median| column) + one linear flagging scan.
+    - ``exact=False`` (the 100 TB per-batch-gate tier): ONE
+      ``approx_percentile`` aggregate per derivation (GK sketch,
+      accuracy 10000 ≈ 0.01% rank error) — two plain linear scans
+      plus the flagging pass, no sketch-guided refinement loops.  The
+      flags are threshold decisions, so a ~0.01% rank error on the
+      constants only moves values sitting ON the threshold;
+      pytest-bounded against the exact tier, no oracle entry.
     """
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
-    vals = df.filter(F.col(col).isNotNull())
-    med = exact_percentiles_frame(vals, col, [0.5],
-                                  round_dp=6).first()["__bounds"][0]
-    dev = vals.select(
-        F.round(F.abs(F.col(col) - F.lit(float(med))), 6).alias("__d"))
-    mad = exact_percentiles_frame(dev, "__d", [0.5],
-                                  round_dp=6).first()["__bounds"][0]
     c = F.col(col)
+    rz_col, fl_col = f"{col}_rz", f"{col}_outlier"
+    vals = df.filter(c.isNotNull())
+    if by is not None:
+        med = (grouped_percentiles_frame(vals, by, col, [0.5],
+                                         round_dp=6, exact=exact)
+               .select(by, F.col("value").alias("__med")))
+        dev = (vals.join(F.broadcast(med), on=by)
+                   .select(by, F.round(F.abs(c - F.col("__med")), 6)
+                               .alias("__d")))
+        mad = (grouped_percentiles_frame(dev, by, "__d", [0.5],
+                                         round_dp=6, exact=exact)
+               .select(by, F.col("value").alias("__mad")))
+        consts = med.join(mad, on=by)     # |groups| rows
+        rz = F.round(F.abs(c - F.col("__med"))
+                     / (F.lit(1.4826) * F.col("__mad")), 9)
+        ok = c.isNotNull() & (F.col("__mad") > 0)
+        return (df.join(F.broadcast(consts), on=by, how="left")
+                  .withColumn(rz_col, F.when(ok, rz))
+                  .withColumn(fl_col,
+                              F.when(ok, rz > F.lit(float(k)))
+                               .otherwise(F.lit(False)))
+                  .drop("__med", "__mad"))
+
+    def _p50(frame, column):
+        if exact:
+            b = exact_percentiles_frame(frame, column, [0.5],
+                                        round_dp=6).first()["__bounds"]
+            return b[0] if b else None
+        return frame.agg(F.expr(
+            f"round(approx_percentile(cast(`{column}` as double),"
+            f" 0.5, 10000), 6)").alias("__m")).first()["__m"]
+
+    med = _p50(vals, col)
+    if med is None:
+        raise ValueError(f"no non-null values in {col!r}")
+    dev = vals.select(
+        F.round(F.abs(c - F.lit(float(med))), 6).alias("__d"))
+    mad = _p50(dev, "__d")
     if mad == 0:
         # degenerate spread: no finite robust z exists; flag nothing
-        return (df.withColumn(f"{col}_rz",
-                              F.lit(None).cast("double"))
-                  .withColumn(f"{col}_outlier", F.lit(False)))
+        return (df.withColumn(rz_col, F.lit(None).cast("double"))
+                  .withColumn(fl_col, F.lit(False)))
     rz = F.round(F.abs(c - F.lit(float(med)))
                  / F.lit(1.4826 * float(mad)), 9)
-    return (df.withColumn(f"{col}_rz",
-                          F.when(c.isNotNull(), rz))
-              .withColumn(f"{col}_outlier",
+    return (df.withColumn(rz_col, F.when(c.isNotNull(), rz))
+              .withColumn(fl_col,
                           F.when(c.isNotNull(), rz > F.lit(float(k)))
                            .otherwise(F.lit(False))))
