@@ -2917,6 +2917,30 @@ def q_robust_outliers(spark, sf_dir):
             F.lit(0.0)).alias("outlier_rz_sum")))
 
 
+def q_robust_outliers_grouped(spark, sf_dir):
+    """Per-group Median/MAD gate (plans/stats.robust_outliers(by=)):
+    each event_type gated against ITS OWN median/MAD — the per-source
+    quality-gate form (a global gate over a mixed corpus flags the
+    small sources by the big ones' spread).  Constants derive through
+    the grouped exact order-statistic path at 6dp (quantile_cont-
+    portable per group) and join back broadcast on the group key; rz
+    rounds to 9dp; per-group flagged count and DECIMAL-exact rz sum
+    (coalesced — the nullable-double pandas gotcha)."""
+    from tostore_spark.plans.stats import robust_outliers
+    db = _db(spark, sf_dir)
+    out = robust_outliers(db.df("events"), "value", k=3.5,
+                          by="event_type")
+    return (out.groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.col("value_outlier").cast("long"))
+                     .cast("long").alias("n_outliers"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("value_outlier"),
+                                     F.col("value_rz"))
+                               .cast("decimal(28,9)")).cast("double"),
+                        F.lit(0.0)).alias("outlier_rz_sum")))
+
+
 def q_drift_psi_decile(spark, sf_dir):
     """Decile-bucket PSI (plans/stats.drift_report_quantile): the
     practitioner-standard drift form — bucket edges are the reference
@@ -3163,6 +3187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and contribution math, minus the bucketing — and the full
         # gate certifies it regardless)
         "q_drift_mix", "q_drift_psi_decile", "q_robust_outliers",
+        "q_robust_outliers_grouped",
         # --- past the cap: everything else, oldest driver row first;
         # (these lead: their module changed in r8 but NOT behaviorally
         # on the paths they exercise, and every one holds an r6/r7
@@ -5153,6 +5178,38 @@ def oracle_sql() -> dict[str, str]:
                                 END) AS DOUBLE), 0.0)
                      AS outlier_rz_sum
             FROM rz
+        """,
+        # per-group med/MAD: quantile_cont per group matches the
+        # grouped exact order-statistic path at 6dp (winsorize-grouped
+        # precedent); mad > 0 guard mirrors the engine's ok condition
+        "q_robust_outliers_grouped": """
+            WITH m AS (
+              SELECT event_type,
+                     round(quantile_cont(value, 0.5), 6) AS med
+              FROM events WHERE value IS NOT NULL GROUP BY 1),
+            d AS (
+              SELECT e.event_type,
+                     round(quantile_cont(
+                       round(abs(e.value - m.med), 6), 0.5), 6) AS mad
+              FROM events e JOIN m ON m.event_type = e.event_type
+              WHERE e.value IS NOT NULL GROUP BY 1),
+            rz AS (
+              SELECT e.event_type,
+                     CASE WHEN e.value IS NOT NULL AND d.mad > 0
+                          THEN round(abs(e.value - m.med)
+                                     / (1.4826 * d.mad), 9)
+                     END AS rz
+              FROM events e
+              LEFT JOIN m ON m.event_type = e.event_type
+              LEFT JOIN d ON d.event_type = e.event_type)
+            SELECT event_type, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN rz > 3.5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_outliers,
+                   coalesce(CAST(sum(CASE WHEN rz > 3.5
+                                     THEN CAST(rz AS DECIMAL(28,9))
+                                END) AS DOUBLE), 0.0)
+                     AS outlier_rz_sum
+            FROM rz GROUP BY 1
         """,
         # decile PSI: reference-quantile edges (quantile_cont matches
         # the exact order-statistic path at 6dp — the winsorize

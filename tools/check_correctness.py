@@ -97,13 +97,15 @@ def main():
             failures.append((name, f"spark error: {e}"))
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        t_spark = time.time() - t0
         if name not in oracles:
             weak += 1
             print(f"weak  {name}: rows={len(rows)} (no oracle, rows-only check)"
-                  f" [{time.time()-t0:.1f}s]")
+                  f" [spark {t_spark:.1f}s]")
             if len(rows) == 0:
                 print(f"      WARNING: {name} returned 0 rows")
             continue
+        t1 = time.time()
         try:
             # fetch through pandas, like the driver does: DuckDB HUGEINT
             # (e.g. sum(BIGINT)) degrades to float64 here and will (rightly)
@@ -131,7 +133,11 @@ def main():
                   f"\n  spark : {srows[diff_i][:300]}\n  oracle: {o_rows[diff_i][:300]}")
         else:
             passed += 1
-            print(f"ok    {name}: rows={len(rows)} [{time.time()-t0:.1f}s]")
+            # engine-vs-oracle split: a slow line whose time sits in
+            # the duck column is DuckDB's oracle cost, not an engine
+            # regression (q_fuzzy_match's blocked-levenshtein rebuild)
+            print(f"ok    {name}: rows={len(rows)} "
+                  f"[spark {t_spark:.1f}s / duck {time.time()-t1:.1f}s]")
 
     print(f"\n{passed} ok, {weak} weak (rows-only), {len(failures)} failed"
           f" / {len([n for n in qs if not only or n in only])} total")
