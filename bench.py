@@ -344,6 +344,92 @@ def _tfidf_block_stat(spark, sf_dir: str) -> dict | None:
         return None
 
 
+def _fuzzy_block_stat(spark, sf_dir: str) -> dict | None:
+    """Measured candidate-pair counts for ``fuzzy_join``'s two blocking
+    modes on the documents fixture (key = the doc's first two words —
+    an ER-style short key with varied lengths AND prefixes), mirroring
+    ``tfidf_blocking``: the r8 prefix default landed on argument alone;
+    this records the sub-quadratic claim as a number.  ``all_pairs`` is
+    the ordered n² ceiling (candidates are ordered and include self,
+    matching what the join would evaluate levenshtein over)."""
+    try:
+        from pyspark.sql import functions as F
+
+        from tostore_spark.joins import fuzzy_candidates
+        docs = spark.read.parquet(os.path.join(sf_dir,
+                                               "documents.parquet"))
+        keys = (docs.select(
+                    F.col("doc_id").alias("id"),
+                    F.array_join(F.slice(F.split(F.col("text"), " "),
+                                         1, 2), " ").alias("k"))
+                    .filter(F.length("k") > 0)
+                    .localCheckpoint(eager=True))
+        n = keys.count()
+        right = keys.select(F.col("id").alias("rid"),
+                            F.col("k").alias("k2"))
+        length_pairs = fuzzy_candidates(
+            keys, right, "k", right_field="k2", max_dist=2,
+            blocking="length").count()
+        prefix_pairs = fuzzy_candidates(
+            keys, right, "k", right_field="k2", max_dist=2,
+            blocking="prefix").count()
+        out = {"n_keys": n, "prefix_pairs": prefix_pairs,
+               "length_pairs": length_pairs, "all_pairs": n * n,
+               "prefix_fraction_of_length":
+                   round(prefix_pairs / max(length_pairs, 1), 6)}
+        print(f"# fuzzy blocking: prefix {prefix_pairs} vs length "
+              f"{length_pairs} of {n * n} ordered pairs "
+              f"({out['prefix_fraction_of_length']:.2%} of the band)",
+              file=sys.stderr)
+        return out
+    except Exception as exc:                    # pragma: no cover
+        print(f"# fuzzy block stat skipped: {exc}", file=sys.stderr)
+        return None
+
+
+def _tier_extras(spark, sf_dir: str):
+    """Approx-tier variants of the gate operators, timed as bench
+    extras: the oracle entries stay on the exact tier (DuckDB-
+    reproducible), so the ``exact=False`` cost class — the one a
+    100 TB per-batch gate actually runs — is measured here under the
+    same cold/warm protocol.  Accuracy is pytest-bounded against the
+    exact tier (test_admin.py), not oracle-checked."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from tostore_spark.plans.stats import (drift_report_quantile,
+                                           robust_outliers)
+    db = entrymod._db(spark, sf_dir)
+
+    def robust_approx(_spark, _sf):
+        return (robust_outliers(db.df("events"), "value", k=3.5,
+                                exact=False)
+                .agg(F.sum(F.col("value_outlier").cast("long"))
+                      .alias("n_outliers")))
+
+    def ppl_approx(_spark, _sf):
+        from tostore_spark.llmops import lm as LM
+        docs = db.df("documents")
+        model = LM.train_ngram_lm(docs, n=2)
+        scored = LM.ngram_bits_per_token(docs, model)
+        j = (docs.select(F.col("doc_id").alias("id"), "lang")
+                 .join(scored, "id", "left"))
+        return (LM.ppl_buckets(j, by="lang", exact=False)
+                .groupBy("lang", "ppl_bucket")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    def decile_approx(_spark, _sf):
+        o = db.df("orders")
+        ref = o.filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+        cur = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
+        return drift_report_quantile(ref, cur, "o_totalprice",
+                                     n_buckets=10, exact=False)
+
+    return {"q_robust_outliers_approx": robust_approx,
+            "q_ppl_buckets_approx": ppl_approx,
+            "q_drift_psi_decile_approx": decile_approx}
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -441,8 +527,22 @@ def main():
                  "q_tpch_q22", "q_tpch_q5", "q_tpch_q15", "q_tpch_q7",
                  "q_tpch_q8", "q_tpch_q13", "q_stream_interval_join",
                  "q_seasonal_decompose", "q_drift_psi", "q_drift_mix",
-                 "q_drift_psi_decile", "q_robust_outliers"):
+                 "q_drift_psi_decile", "q_robust_outliers",
+                 # round-9 operators
+                 "q_robust_outliers_grouped"):
         fn = qs[name]
+        spark.catalog.clearCache()
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        extras_cold[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        extras_warm[name] = round(time.time() - t0, 3)
+        print(f"# extra {name}: cold={extras_cold[name]}s "
+              f"warm={extras_warm[name]}s rows={n}", file=sys.stderr)
+    # approx-tier variants (pytest-bounded, not oracle entries) under
+    # the same protocol — the 100 TB per-batch-gate cost class
+    for name, fn in _tier_extras(spark, sf_dir).items():
         spark.catalog.clearCache()
         t0 = time.time()
         n = fn(spark, sf_dir).count()
@@ -457,6 +557,7 @@ def main():
     recall = _recall_gate(spark, sf_dir)
     sf1 = _sf1_spot(spark, sf_dir, cold)
     tfidf_block = _tfidf_block_stat(spark, sf_dir)
+    fuzzy_block = _fuzzy_block_stat(spark, sf_dir)
 
     # Detail block (extras/recall/sf1/methodology): written to a committed
     # sidecar AND printed on an EARLIER stderr line.  The driver captures
@@ -470,6 +571,7 @@ def main():
         "recall": recall,
         "sf1_spot": sf1,
         "tfidf_blocking": tfidf_block,
+        "fuzzy_blocking": fuzzy_block,
         "methodology": ("cold_first_run (value/queries; r1-comparable) "
                         "+ steady_state_second_run (value_warm/queries_warm; "
                         "r2-comparable); canary_sec = fixed machine-speed "
