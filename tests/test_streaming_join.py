@@ -54,7 +54,8 @@ def join_source(spark, tmp_path_factory):
     return views, clicks, vdir, cdir
 
 
-def _run_stream(spark, vdir, cdir, how, name):
+def _run_stream(spark, vdir, cdir, how, name, dedup_right=None,
+                keep="left"):
     from tostore_spark.streaming.stateful import interval_join_stream
     lv = spark.readStream.schema(
         "view_id bigint, user_id bigint, ts timestamp").parquet(vdir)
@@ -63,11 +64,17 @@ def _run_stream(spark, vdir, cdir, how, name):
     out = interval_join_stream(lv, rc, "user_id",
                                max_delay_seconds=DELAY,
                                left_ts="ts", right_ts="ts_r",
-                               watermark="0 seconds", how=how)
+                               watermark="0 seconds", how=how,
+                               dedup_right=dedup_right)
     q = (out.writeStream.format("memory").queryName(name)
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(120)
-    return spark.table(name).filter(F.col("view_id") >= 0)
+    t = spark.table(name)
+    if keep == "right":       # rightOuter rows carry null view_id
+        return t.filter((F.col("click_id") >= 0)
+                        & (F.col("view_id").isNull()
+                           | (F.col("view_id") >= 0)))
+    return t.filter(F.col("view_id") >= 0)
 
 
 def test_stream_interval_join_inner_matches_batch(spark, join_source):
@@ -104,6 +111,56 @@ def test_stream_interval_join_left_outer(spark, join_source):
     want_pairs = sorted((r["view_id"], r["click_id"]) for r in
                         _batch_pairs(views, clicks).collect())
     assert got_pairs == want_pairs
+
+
+def test_stream_interval_join_right_outer(spark, join_source):
+    """rightOuter == batch right join: unmatched clicks emit exactly
+    once with null left columns, matched pairs equal the inner join."""
+    views, clicks, vdir, cdir = join_source
+    out = _run_stream(spark, vdir, cdir, "rightOuter", "ij_right",
+                      keep="right")
+    matched = set(r["click_id"] for r in
+                  _batch_pairs(views, clicks).select("click_id")
+                  .distinct().collect())
+    got_null = set(r["click_id"] for r in
+                   out.filter(F.col("view_id").isNull())
+                   .select("click_id").collect())
+    all_clicks = set(r["click_id"] for r in
+                     clicks.select("click_id").collect())
+    assert got_null == all_clicks - matched and len(got_null) > 0
+    got_pairs = sorted((r["view_id"], r["click_id"]) for r in
+                       out.filter(F.col("view_id").isNotNull())
+                       .select("view_id", "click_id").collect())
+    want_pairs = sorted((r["view_id"], r["click_id"]) for r in
+                        _batch_pairs(views, clicks).collect())
+    assert got_pairs == want_pairs
+
+
+def test_stream_interval_join_duplicate_contract(spark, join_source,
+                                                 tmp_path):
+    """The documented at-least-once contract: a redelivered right
+    event doubles its attribution pairs; dedup_right=['click_id']
+    drops the redelivery inside the watermark and restores exact
+    batch-join parity."""
+    views, clicks, vdir, cdir = join_source
+    dup_dir = str(tmp_path / "clicks_dup")
+    dup = spark.read.parquet(cdir)
+    # redeliver every real click once (sentinel stays single)
+    dup.unionByName(dup.filter(F.col("click_id") >= 0)) \
+       .write.mode("overwrite").parquet(dup_dir)
+    want = sorted((r["view_id"], r["click_id"]) for r in
+                  _batch_pairs(views, clicks).collect())
+    doubled = sorted((r["view_id"], r["click_id"]) for r in
+                     _run_stream(spark, vdir, dup_dir, "inner",
+                                 "ij_dup").select("view_id", "click_id")
+                     .collect())
+    assert doubled == sorted(want + want)   # each pair exactly twice
+    deduped = sorted((r["view_id"], r["click_id"]) for r in
+                     _run_stream(spark, vdir, dup_dir, "inner",
+                                 "ij_dedup",
+                                 dedup_right=["click_id"])
+                     .select("view_id", "click_id").collect())
+    assert deduped == want
 
 
 def test_interval_join_rejects_bad_args(spark):

@@ -198,7 +198,8 @@ def interval_join_stream(left: DataFrame, right: DataFrame, key: str,
                          max_delay_seconds: int = 1800,
                          left_ts: str = "ts", right_ts: str = "ts",
                          watermark: str = "1 hour",
-                         how: str = "inner") -> DataFrame:
+                         how: str = "inner",
+                         dedup_right=None) -> DataFrame:
     """Watermarked stream-stream INTERVAL join — the attribution shape:
     each right event joins the left events with the same ``key`` whose
     timestamp precedes it by at most ``max_delay_seconds`` (click joins
@@ -216,14 +217,29 @@ def interval_join_stream(left: DataFrame, right: DataFrame, key: str,
     ``how='leftOuter'`` emits unmatched left rows with null right
     columns once the watermark proves no match can still arrive —
     results therefore trail the watermark; inner results emit as soon
-    as both sides meet.  Output: left columns + right columns with the
-    right timestamp as ``<right_ts>_r`` (and the duplicate key column
-    dropped), plus ``delay_sec``.
+    as both sides meet.  ``how='rightOuter'`` is the symmetric shape
+    (unmatched RIGHT rows with null left columns — "clicks that
+    followed no view"); the same bracket bounds its state.  Output:
+    left columns + right columns with the right timestamp as
+    ``<right_ts>_r`` (and the duplicate key column dropped), plus
+    ``delay_sec``.
+
+    DUPLICATE CONTRACT: the join matches EVERY buffered right row, so
+    a right event delivered twice (at-least-once sources) produces its
+    attribution pairs twice — a stream join cannot distinguish a
+    redelivery from a genuine repeat event.  Pass ``dedup_right`` (the
+    column(s) identifying a right event, e.g. ``["click_id"]``) to
+    drop redeliveries inside the right watermark before the join
+    (``dropDuplicatesWithinWatermark`` — state bounded by the same
+    watermark that already bounds the join buffer); leave it None when
+    the source is exactly-once and repeats are real events.
     """
-    if how not in ("inner", "leftOuter"):
+    if how not in ("inner", "leftOuter", "rightOuter"):
         raise ValueError(
-            f"interval_join_stream supports how='inner'|'leftOuter', "
-            f"got {how!r} (rightOuter/full buffer the unbounded side)")
+            f"interval_join_stream supports how='inner'|'leftOuter'|"
+            f"'rightOuter', got {how!r} (full outer would emit every "
+            "row of both sides; derive it as leftOuter UNION unmatched "
+            "rightOuter if genuinely needed)")
     if max_delay_seconds <= 0:
         raise ValueError(f"max_delay_seconds must be > 0, "
                          f"got {max_delay_seconds}")
@@ -233,7 +249,10 @@ def interval_join_stream(left: DataFrame, right: DataFrame, key: str,
     l = (left.withColumn(left_ts, F.col(left_ts).cast("timestamp"))
              .withWatermark(left_ts, watermark).alias("l"))
     r = (r.withColumn(rts_out, F.col(rts_out).cast("timestamp"))
-          .withWatermark(rts_out, watermark).alias("r"))
+          .withWatermark(rts_out, watermark))
+    if dedup_right:
+        r = r.dropDuplicatesWithinWatermark(list(dedup_right))
+    r = r.alias("r")
     cond = ((F.col(f"l.{key}") == F.col(f"r.{key}"))
             & (F.col(f"r.{rts_out}") >= F.col(f"l.{left_ts}"))
             & (F.col(f"r.{rts_out}")
