@@ -1159,3 +1159,121 @@ def test_flush_row_merge_threads_row_conflict_policy(
     assert rep["policy"] == "first_wins" and rep["n_row_conflicts"] == 1
     got = {str(r["id"]): r["v"] for r in mk().df("fp_t").collect()}
     assert got["1"] == 999 and got["3"] == 333
+
+
+def test_write_skew_detected_serializable(spark, tmp_path_factory):
+    """The classic write-skew pair: T1 reads nation writes region, T2
+    reads region writes nation, T2 commits between T1's read and T1's
+    commit.  Under isolation='serializable' the later committer aborts
+    with a named (table, read-version, committed-version) triple; a
+    retry against the refreshed snapshot then commits the serial
+    outcome.  Under the default snapshot isolation both commit (the
+    admitted anomaly) — pinned here so the knob's difference is
+    observable."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.store import WriteSkewError
+    wh = str(tmp_path_factory.mktemp("wh_skew"))
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+
+    def t2(db):
+        db.df("region").count()                          # READ region
+        db.update("nation", {"n_name": "T2"}) \
+          .where("n_nationkey", "=", 0).execute()        # WRITE nation
+
+    state = {"committed_b": False}
+
+    def t1(db):
+        db.df("nation").count()                          # READ nation
+        if not state["committed_b"]:                     # interleave:
+            r2 = b.transaction(t2, retries=0,            # T2 commits
+                               isolation="serializable")  # first
+            assert r2.success
+            state["committed_b"] = True
+        db.update("region", {"r_name": "T1"}) \
+          .where("r_regionkey", "=", 0).execute()        # WRITE region
+
+    res = a.transaction(t1, retries=0, isolation="serializable")
+    assert not res.success and isinstance(res.error, WriteSkewError)
+    assert res.error.table == "default/nation"
+    assert res.error.read_version == 0
+    assert res.error.committed_version == 1
+    assert "write-skew" in str(res.error)
+    # read-set tracking is off outside the scope
+    assert a._txn_read_versions is None
+    # T1's write rolled back: region untouched in the warehouse
+    assert ToStoreSpark(spark, data_dir=SF, warehouse=wh) \
+        .df("region").filter("r_name = 'T1'").count() == 0
+
+    # retry path: refresh picks up T2's nation, then T1 commits — the
+    # serial outcome T2 -> T1
+    res2 = a.transaction(t1, retries=2, isolation="serializable")
+    assert res2.success
+    fresh = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    assert fresh.df("region").filter("r_regionkey = 0") \
+        .collect()[0]["r_name"] == "T1"
+    assert fresh.df("nation").filter("n_nationkey = 0") \
+        .collect()[0]["n_name"] == "T2"
+
+
+def test_write_skew_admitted_under_snapshot(spark, tmp_path_factory):
+    """The same interleave under the DEFAULT snapshot isolation: both
+    transactions commit (first-committer-wins admits write-skew) —
+    the documented anomaly serializable mode exists to close."""
+    from tostore_spark import ToStoreSpark
+    wh = str(tmp_path_factory.mktemp("wh_skew_snap"))
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+
+    def t2(db):
+        db.df("region").count()
+        db.update("nation", {"n_name": "S2"}) \
+          .where("n_nationkey", "=", 0).execute()
+
+    state = {"committed_b": False}
+
+    def t1(db):
+        db.df("nation").count()
+        if not state["committed_b"]:
+            r2 = b.transaction(t2, retries=0)
+            assert r2.success
+            state["committed_b"] = True
+        db.update("region", {"r_name": "S1"}) \
+          .where("r_regionkey", "=", 0).execute()
+
+    assert a.transaction(t1, retries=0).success   # anomaly: both commit
+
+
+def test_serializable_disjoint_reads_both_commit(spark, tmp_path_factory):
+    """Two serializable transactions with DISJOINT read+write sets both
+    commit on their first flush — the read-set check must not turn the
+    per-table CAS into a global serial lock."""
+    from tostore_spark import ToStoreSpark
+    wh = str(tmp_path_factory.mktemp("wh_skew_disj"))
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+
+    def t2(db):
+        db.update("nation", {"n_name": "D2"}) \
+          .where("n_nationkey", "=", 0).execute()   # reads+writes nation
+
+    def t1(db):
+        db.update("region", {"r_name": "D1"}) \
+          .where("r_regionkey", "=", 0).execute()   # reads+writes region
+        r2 = b.transaction(t2, retries=0, isolation="serializable")
+        assert r2.success                            # commits mid-T1
+
+    assert a.transaction(t1, retries=0,
+                         isolation="serializable").success
+    fresh = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    assert fresh.df("region").filter("r_name = 'D1'").count() == 1
+    assert fresh.df("nation").filter("n_name = 'D2'").count() == 1
+
+
+def test_serializable_requires_retry_form(spark):
+    from tostore_spark import ToStoreSpark
+    db = ToStoreSpark(spark, data_dir=SF)
+    with pytest.raises(ValueError, match="serializable"):
+        db.transaction(lambda e: None, isolation="serializable")
+    with pytest.raises(ValueError, match="serializable"):
+        db.transaction(isolation="serializable")

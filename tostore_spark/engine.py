@@ -305,6 +305,12 @@ class ToStoreSpark:
         Cross-space machinery (row-merge replay, apply_changes) must use
         this: ``df(name)`` resolves through the ACTIVE space and would
         silently read a same-named table from the wrong space."""
+        rs = getattr(self, "_txn_read_versions", None)
+        if rs is not None and key not in rs:
+            # serializable transaction scope: record the manifest
+            # version this table was READ at (first read wins — the
+            # transaction's snapshot); flush re-validates the set
+            rs[key] = getattr(self, "_flushed_gen", {}).get(key, 0)
         ent = self._tables[key]
         df = ent["df"]
         sch: TableSchema = ent["schema"]
@@ -900,24 +906,38 @@ class ToStoreSpark:
 
     # ---- transactions (transaction.py) --------------------------------
     def transaction(self, action=None, rollback_on_error: bool = True,
-                    retries: Optional[int] = None):
+                    retries: Optional[int] = None,
+                    isolation: str = "snapshot"):
         """Atomic multi-write scope (tostore.dart:860-868): context-manager
         form when called without an action, callback form otherwise.
         With ``retries`` (warehouse engines only) the callback commits via
         flush and auto-retries concurrent-writer losses on a refreshed
         snapshot — the optimistic analog of the reference's SSI retry
-        (transaction_manager.dart:17-50)."""
+        (transaction_manager.dart:17-50).  ``isolation='serializable'``
+        (with ``retries``) additionally tracks the action's READ-set at
+        (table, manifest-version) granularity and aborts the later
+        committer on write-skew (see transaction.py)."""
         from tostore_spark import transaction as tx
         if action is None:
             if retries is not None:
                 raise ValueError(
                     "retries requires the callback form: the action must "
                     "re-execute on a refreshed snapshot")
+            if isolation != "snapshot":
+                raise ValueError(
+                    "serializable isolation requires the callback-with-"
+                    "retries form: the read-set validates at the flush "
+                    "commit point")
             return tx.transaction(self, rollback_on_error=rollback_on_error)
         if retries is not None:
             return tx.run_transaction_with_retry(
                 self, action, retries=retries,
-                rollback_on_error=rollback_on_error)
+                rollback_on_error=rollback_on_error, isolation=isolation)
+        if isolation != "snapshot":
+            raise ValueError(
+                "serializable isolation requires retries= (the flush "
+                "commit point): transaction(action, retries=N, "
+                "isolation='serializable')")
         return tx.run_transaction(self, action, rollback_on_error=rollback_on_error)
 
     # ---- schema evolution / backup / batch export ---------------------

@@ -68,6 +68,42 @@ class ConcurrentWriteError(RuntimeError):
     conflict."""
 
 
+class WriteSkewError(ConcurrentWriteError):
+    """Serializable-isolation abort: a table this transaction only READ
+    was overwritten by a concurrent commit before this transaction's
+    own commit — the write-skew anomaly snapshot isolation admits
+    (T1 reads A writes B, T2 reads B writes A; under plain
+    first-committer-wins both commit, though no serial order produces
+    that state).  Raised by ``flush_tables`` when a transaction scope
+    tracks its read-set (``run_transaction_with_retry(...,
+    isolation='serializable')``): each read is recorded at the
+    (table, manifest-version) the engine held when first read, and
+    the commit re-validates every read table against the freshly-read
+    manifest — the SSI-lite reduction of the reference's read-set +
+    recently-committed-index machinery (transaction_manager.dart:17-50)
+    to manifest-versioned tables.  Granularity is the TABLE, not the
+    row: coarser than true SSI (a row-disjoint concurrent write to a
+    read table also aborts — a false positive, never a false
+    negative), which is the honest trade for a single-manifest store;
+    row-level read-sets are the Delta/Iceberg-format upgrade path.
+
+    Carries ``table`` (``space/name``), ``read_version``, and
+    ``committed_version``.  Subclasses ``ConcurrentWriteError`` so the
+    standard refresh-and-retry loop handles it."""
+
+    def __init__(self, table: str, read_version: int,
+                 committed_version: int):
+        self.table = table
+        self.read_version = read_version
+        self.committed_version = committed_version
+        super().__init__(
+            f"write-skew: table {table} was read at version "
+            f"{read_version} but a concurrent engine committed version "
+            f"{committed_version} before this transaction's commit; "
+            "serializable isolation aborts the later committer — "
+            "engine.refresh() and re-run the transaction")
+
+
 def _fs(engine):
     return _fsmod.get_fs(engine._warehouse, getattr(engine, "spark", None))
 
@@ -300,6 +336,23 @@ def flush_tables(engine, flush_storage: bool = True,
             f"{k[0]}/{k[1]}" for k in keys
             if theirs.get(k) != fgen.get(k))
 
+    def _check_read_set(cur):
+        # SSI-lite (serializable transactions): every table the active
+        # transaction READ must still sit at the manifest version it
+        # was read at — the dirty-table CAS above only protects the
+        # WRITE-set, which admits write-skew.  Raised both before the
+        # data write (cheap early abort) and re-verified under the
+        # commit lock (the authoritative check).
+        rs = getattr(engine, "_txn_read_versions", None)
+        if not rs:
+            return
+        theirs = {(e["space"], e["name"]): e.get("version", 0)
+                  for e in (cur or {}).get("tables", {}).values()}
+        for k in sorted(rs):
+            cv = theirs.get(k, 0)
+            if cv != rs[k]:
+                raise WriteSkewError(f"{k[0]}/{k[1]}", rs[k], cv)
+
     # ---- phase 1: optimistic CAS (no lock) -------------------------
     dirty_keys = [k for k, ent in list(engine._tables.items())
                   if _dirty(k, ent)]
@@ -310,6 +363,7 @@ def flush_tables(engine, flush_storage: bool = True,
             f"warehouse {wh} tables {conflicts} were flushed by another "
             "engine since this engine loaded them; engine.refresh() to "
             "pick up their state, then retry")
+    _check_read_set(cur)
 
     # ---- phase 2: claim versions + write data (no lock) ------------
     claims: list[str] = []
@@ -356,6 +410,7 @@ def flush_tables(engine, flush_storage: bool = True,
                     f"warehouse {wh} tables {conflicts} were flushed by "
                     "another engine while this flush wrote data; "
                     "engine.refresh() and retry")
+            _check_read_set(cur)
             merge_from = (cur or {"seq": base_seq, "tables": {}}) \
                 if base_seq != getattr(engine, "_store_seq", 0) else None
             # adopt the written directories into the registry (schema

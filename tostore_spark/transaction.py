@@ -54,7 +54,8 @@ def run_transaction(engine, action, rollback_on_error: bool = True) -> Transacti
 
 
 def run_transaction_with_retry(engine, action, retries: int = 3,
-                               rollback_on_error: bool = True
+                               rollback_on_error: bool = True,
+                               isolation: str = "snapshot"
                                ) -> TransactionResult:
     """Optimistic concurrent transaction (the SSI-loser-retries shape of
     the reference's transaction manager, transaction_manager.dart:17-50,
@@ -73,6 +74,21 @@ def run_transaction_with_retry(engine, action, retries: int = 3,
     commit on their first flush (the loser-merges path in
     ``store.flush_tables``).
 
+    ``isolation='serializable'`` adds SSI-lite read-set validation (the
+    reference's serializable isolation mode, transaction_manager.dart:
+    17-50, reduced to manifest-versioned tables): every table the
+    action READS is recorded at the (table, manifest-version) the
+    engine held, and the commit aborts with ``WriteSkewError`` (naming
+    the table, read version, and committed version) when any read
+    table was overwritten by a concurrent commit — the write-skew
+    anomaly the default ``'snapshot'`` mode admits (T1 reads A writes
+    B, T2 reads B writes A: both commit under snapshot isolation, the
+    later committer aborts under serializable).  Granularity is the
+    table, not the row — a row-disjoint write to a read table also
+    aborts (false positive, never a false negative); the abort retries
+    like any other concurrency loss, so the serial outcome wins after
+    a refresh.
+
     Requires a warehouse (the flush is the commit point).  Raises
     ``ValueError`` without one rather than silently downgrading to a
     non-durable scope."""
@@ -83,6 +99,10 @@ def run_transaction_with_retry(engine, action, retries: int = 3,
             "run_transaction_with_retry commits via flush and needs a "
             "warehouse; use transaction()/run_transaction for in-memory "
             "scopes")
+    if isolation not in ("snapshot", "serializable"):
+        raise ValueError(
+            f"isolation must be 'snapshot'|'serializable', "
+            f"got {isolation!r}")
     attempt = 0
     while True:
         snapshot = {k: dict(v) for k, v in engine._tables.items()}
@@ -103,11 +123,15 @@ def run_transaction_with_retry(engine, action, retries: int = 3,
             if getattr(engine, "_query_cache", None):
                 engine._query_cache.clear()
 
+        if isolation == "serializable":
+            # fresh read-set per attempt: a retry reads the refreshed
+            # snapshot, so its recorded versions must restart clean
+            engine._txn_read_versions = {}
         try:
             action(engine)
             engine.flush()
             return TransactionResult(True)
-        except ConcurrentWriteError as e:
+        except ConcurrentWriteError as e:   # incl. WriteSkewError
             _rollback()
             attempt += 1
             if attempt > retries:
@@ -120,3 +144,5 @@ def run_transaction_with_retry(engine, action, retries: int = 3,
             if rollback_on_error:
                 _rollback()
             return TransactionResult(False, e)
+        finally:
+            engine._txn_read_versions = None
