@@ -559,6 +559,33 @@ def q_similarity_ivf(spark, sf_dir):
                       F.round(F.col("distance"), 6).alias("distance_r"))
 
 
+def q_similarity_graph(spark, sf_dir):
+    """Vamana-lite graph ANN (similarity.build_knn_graph +
+    graph_search_many): a batch-built navigable neighbors table —
+    per-cell exact kNN edges + nearest-foreign-cell hub bridges +
+    deterministic md5-ring long-range links — beam-searched by a
+    FIXED-hop bounded join loop (candidates = beam ∪ neighbors, exact
+    cosine score, top-ef), final stage = exact top-k re-rank of the
+    last beam.  Deterministic end to end (fixed centroids, id
+    tie-breaks, md5 ring), so DuckDB reproduces the graph, the
+    hop-for-hop trajectory, and the final ranking.  Reference:
+    ngh_graph_engine.dart:14-80 (incremental Vamana build + beam
+    search), re-expressed as batch joins."""
+    db = _db(spark, sf_dir)
+    emb = db.df("embeddings").select("vec_id", "embedding")
+    graph, hubs = S.build_knn_graph(
+        emb, n_neighbors=4, n_cells=8,
+        centroids=S.fixed_centroids(64, 8), bridge_cells=1,
+        ring_skips=(1, 7))
+    q = spark.createDataFrame([(0, [float(x) for x in _QVEC])],
+                              "query_id int, qv array<double>")
+    out = S.graph_search_many(graph, emb, q, hubs, k=5, ef=8,
+                              max_hops=2, query_vec="qv",
+                              query_id="query_id")
+    return out.select(F.col("neighbor_id").alias("vec_id"), "rank",
+                      F.round(F.col("distance"), 6).alias("distance_r"))
+
+
 def q_ivf_batch(spark, sf_dir):
     """Batch IVF search: every query vector in ONE distributed plan
     (ivf_search_many — the eval-pipeline shape the reference's
@@ -3187,7 +3214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and contribution math, minus the bucketing — and the full
         # gate certifies it regardless)
         "q_drift_mix", "q_drift_psi_decile", "q_robust_outliers",
-        "q_robust_outliers_grouped",
+        "q_robust_outliers_grouped", "q_similarity_graph",
         # --- past the cap: everything else, oldest driver row first;
         # (these lead: their module changed in r8 but NOT behaviorally
         # on the paths they exercise, and every one holds an r6/r7
@@ -3911,6 +3938,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank, round(distance, 6) AS distance_r
             FROM ranked WHERE rank <= 3""",
         "q_similarity_ivf": _similarity_ivf_oracle(),
+        "q_similarity_graph": _similarity_graph_oracle(),
         "q_ivf_batch": _ivf_batch_oracle(),
         "q_quantized_knn": _quantized_knn_oracle(),
         "q_pq_search": _pq_search_oracle(),
@@ -5713,6 +5741,132 @@ def _ivf_batch_oracle(dim: int = 64, n_cells: int = 8, k: int = 3,
           FROM scored)
         SELECT query_id, neighbor_id, rank, round(distance, 6) AS distance_r
         FROM ranked WHERE rank <= {k}"""
+
+
+def _similarity_graph_oracle(dim: int = 64, n_cells: int = 8,
+                             n_neighbors: int = 4,
+                             skips: tuple = (1, 7), ef: int = 8,
+                             hops: int = 2, k: int = 5) -> str:
+    """Vamana-lite graph ANN in DuckDB mirroring
+    similarity.build_knn_graph + graph_search_many hop for hop: same
+    fixed centroids and first-minimum cell assignment as
+    _ivf_batch_oracle; in-cell kNN edges ((distance, id) window rank);
+    per-cell hubs (nearest-own-centroid, id tie-break); one bridge to
+    the nearest FOREIGN cell's hub (probe rank 2 — the own cell is
+    always probe rank 1, being the argmin); md5-rank ring+skip edges
+    ((rank + s) mod n over the md5 ordering — Spark and DuckDB md5
+    produce the same lowercase hex of the same id strings); then the
+    beam: seeds = hubs, ``hops`` chained CTE rounds of
+    candidates = beam UNION beam's graph neighbors -> exact cosine ->
+    top-ef with (distance, id) ties, and the final exact top-k."""
+    import math as _m
+
+    from tostore_spark.llmops.similarity import fixed_centroids
+    cents = fixed_centroids(dim, n_cells)
+    dexprs = []
+    for _cid, cent in cents:
+        cn = _m.sqrt(sum(x * x for x in cent)) or 1.0
+        dot = (f"list_sum(list_transform(list_zip(v, {_sql_list(cent)}),"
+               " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+        dexprs.append(f"1.0 - {dot} / (nv * {cn!r})")
+    dists = "[" + ",\n                 ".join(dexprs) + "]"
+
+    def pair(a, b):
+        return (f"1.0 - list_sum(list_transform(list_zip({a}.v, {b}.v),"
+                " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+                f" / ({a}.nv * {b}.nv)")
+
+    qn = _m.sqrt(sum(x * x for x in _QVEC))
+    qlits = _sql_list(_QVEC)
+
+    def qd(a):
+        return (f"1.0 - list_sum(list_transform(list_zip({qlits},"
+                f" {a}.v), p -> CAST(p[1] AS DOUBLE)"
+                " * CAST(p[2] AS DOUBLE)))"
+                f" / ({qn!r} * {a}.nv)")
+
+    skip_list = ", ".join(str(int(s)) for s in skips)
+    hop_ctes = []
+    prev = "beam0"
+    for i in range(1, hops + 1):
+        hop_ctes.append(f"""
+        cand{i} AS (
+          SELECT node FROM {prev}
+          UNION
+          SELECT g.nb AS node FROM {prev} b
+          JOIN graph g ON g.node = b.node),
+        beam{i} AS (
+          SELECT node, d FROM (
+            SELECT a.id AS node, {qd('a')} AS d,
+                   row_number() OVER (ORDER BY {qd('a')}, a.id) AS r
+            FROM assigned a JOIN cand{i} c ON a.id = c.node)
+          WHERE r <= {ef})""")
+        prev = f"beam{i}"
+    hops_sql = ",".join(hop_ctes)
+    return f"""
+        WITH base AS (
+          SELECT vec_id AS id, embedding AS v,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv
+          FROM embeddings),
+        celld AS (SELECT id, v, nv, {dists} AS ds FROM base),
+        assigned AS (
+          SELECT id, v, nv, ds,
+                 CAST(list_indexof(ds, list_min(ds)) - 1 AS INT) AS cell_id
+          FROM celld),
+        pairs AS (
+          SELECT a.id AS node, b.id AS nb, {pair('a', 'b')} AS d
+          FROM assigned a JOIN assigned b
+            ON a.cell_id = b.cell_id AND a.id <> b.id),
+        knn AS (
+          SELECT node, nb, d FROM (
+            SELECT node, nb, d,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY d, nb) AS r
+            FROM pairs) WHERE r <= {n_neighbors}),
+        hubs AS (
+          SELECT cell_id, id AS hub_id FROM (
+            SELECT cell_id, id,
+                   row_number() OVER (PARTITION BY cell_id
+                                      ORDER BY ds[cell_id + 1], id) AS r
+            FROM assigned) WHERE r = 1),
+        probes AS (
+          SELECT id AS node, g.i - 1 AS bc,
+                 row_number() OVER (PARTITION BY id
+                                    ORDER BY ds[g.i], g.i) AS pr
+          FROM assigned, (SELECT unnest(range(1, {n_cells} + 1)) AS i) g),
+        bridge AS (
+          SELECT a.id AS node, hv.id AS nb, {pair('a', 'hv')} AS d
+          FROM (SELECT node, bc FROM probes WHERE pr = 2) p
+          JOIN hubs h ON h.cell_id = p.bc
+          JOIN assigned a ON a.id = p.node
+          JOIN assigned hv ON hv.id = h.hub_id),
+        ring_rank AS (
+          SELECT id, v, nv,
+                 row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)),
+                                    id) - 1 AS r
+          FROM base),
+        cnt AS (SELECT count(*) AS n FROM base),
+        ring AS (
+          SELECT a.id AS node, b.id AS nb, {pair('a', 'b')} AS d
+          FROM ring_rank a, cnt, ring_rank b,
+               (SELECT unnest([{skip_list}]) AS s) sk
+          WHERE b.r = (a.r + sk.s) % cnt.n AND a.id <> b.id),
+        graph AS (
+          SELECT node, nb, min(d) AS d FROM (
+            SELECT * FROM knn UNION ALL SELECT * FROM bridge
+            UNION ALL SELECT * FROM ring) GROUP BY 1, 2),
+        beam0 AS (
+          SELECT node, d FROM (
+            SELECT a.id AS node, {qd('a')} AS d,
+                   row_number() OVER (ORDER BY {qd('a')}, a.id) AS r
+            FROM assigned a JOIN hubs s ON a.id = s.hub_id)
+          WHERE r <= {ef}),{hops_sql}
+        SELECT node AS vec_id, r AS rank, round(d, 6) AS distance_r
+        FROM (SELECT node, d,
+                     row_number() OVER (ORDER BY d, node) AS r
+              FROM beam{hops})
+        WHERE r <= {k}"""
 
 
 def _similarity_ivf_oracle(dim: int = 64, n_cells: int = 8, k: int = 5,

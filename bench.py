@@ -272,6 +272,23 @@ def _recall_gate(spark, sf_dir: str) -> dict | None:
                   if r["vec_id"] != row["vec_id"]}
         denom = min(len(exact), 10) or 1
         lsh_recalls.append(len(exact & approx) / denom)
+
+    # Vamana-lite graph ANN on BOTH fixtures, with the MEASURED probed
+    # fraction so the recall is comparable to IVF at equal cost (the
+    # r8-verdict ask: does the graph earn its build cost where IVF's
+    # flat floor sits?).  Flat reading vs floor: IVF on structureless
+    # vectors gets recall == probed fraction by construction; beam
+    # search beating that number is the graph's whole value there.
+    gflat, hflat = sim.build_knn_graph(emb, n_neighbors=8, n_cells=16)
+    gflat = gflat.localCheckpoint(eager=True)
+    graph_flat = sim.graph_measure_recall(gflat, emb, hflat, k=10,
+                                          ef=32, max_hops=3,
+                                          n_queries=20)
+    gclu, hclu = sim.build_knn_graph(cemb, n_neighbors=8, n_cells=16)
+    gclu = gclu.localCheckpoint(eager=True)
+    graph_clustered = sim.graph_measure_recall(gclu, cemb, hclu, k=10,
+                                               ef=24, max_hops=5,
+                                               n_queries=20)
     spark.catalog.clearCache()
     out = {
         "k": 10,
@@ -294,12 +311,29 @@ def _recall_gate(spark, sf_dir: str) -> dict | None:
                                "cosine top-10 on the clustered table "
                                "(~n_probes/2^n_planes of the corpus "
                                "probed)"},
+        "graph_recall_at_10": {
+            "flat": {"recall": round(graph_flat["recall"], 4),
+                     "probed_fraction": graph_flat["probed_fraction"]},
+            "clustered": {
+                "recall": round(graph_clustered["recall"], 4),
+                "probed_fraction": graph_clustered["probed_fraction"]},
+        },
+        "graph_params": {
+            "n_neighbors": 8, "n_cells": 16, "ring_skips": [1, 7, 49],
+            "flat": {"ef": 32, "max_hops": 3},
+            "clustered": {"ef": 24, "max_hops": 5}, "n_queries": 20,
+            "note": "Vamana-lite beam search vs exact top-10; compare "
+                    "each recall against the IVF reading at the same "
+                    "probed fraction — on the flat corpus IVF's floor "
+                    "IS the probed fraction, so graph recall above its "
+                    "own probed_fraction = the beam earning its cost"},
         "measure_sec": round(time.time() - t0, 3),
     }
     print(f"# recall: ivf={out['ivf_recall_at_10']} "
           f"ivf_clustered={out['ivf_recall_at_10_clustered']} "
           f"ivfpq={out['ivfpq_recall_at_10']} "
           f"lsh_clustered={out['lsh_recall_at_10_clustered']} "
+          f"graph={out['graph_recall_at_10']} "
           f"({out['measure_sec']}s)", file=sys.stderr)
     return out
 

@@ -527,3 +527,69 @@ def test_truncate_normalize_unit_norm_and_recall_shape(spark, db):
     import pytest as _pt
     with _pt.raises(ValueError):
         truncate_normalize(emb, 0)
+
+
+def test_graph_ann_build_shape(spark):
+    """build_knn_graph invariants: no self-edges, out-degree bounded by
+    n_neighbors + bridge_cells + |ring_skips|, every node present as a
+    source, one hub per cell, and the ring makes the graph navigable
+    (every node has an INCOMING edge — the property whose absence sank
+    the hub-bridge-only design)."""
+    from bench import _clustered_embeddings
+    from tostore_spark.llmops.similarity import build_knn_graph
+
+    emb = _clustered_embeddings(spark, n=500, dim=16, n_clusters=25) \
+        .localCheckpoint(eager=True)
+    graph, hubs = build_knn_graph(emb, n_neighbors=4, n_cells=8,
+                                  bridge_cells=1, ring_skips=(1, 7))
+    g = graph.localCheckpoint(eager=True)
+    assert g.filter("node_id = neighbor_id").count() == 0
+    deg = g.groupBy("node_id").count().agg(
+        F.max("count").alias("mx"), F.count("*").alias("nodes")).first()
+    assert deg["mx"] <= 4 + 1 + 2
+    assert deg["nodes"] == 500                 # every node is a source
+    # navigability: every node is reachable (has in-degree >= 1)
+    assert g.select("neighbor_id").distinct().count() == 500
+    assert hubs.count() == 8
+    assert hubs.select("cell_id").distinct().count() == 8
+
+
+def test_graph_ann_recall_on_clustered_vectors(spark):
+    """Beam search over the Vamana-lite graph must reach >= 0.85
+    recall@10 on the clustered fixture at the bench knobs (ef=24,
+    5 hops) — the regression floor under the drift reading
+    BENCH_DETAIL.recall.graph_recall_at_10 records each round."""
+    from bench import _clustered_embeddings
+    from tostore_spark.llmops.similarity import (build_knn_graph,
+                                                 graph_measure_recall)
+
+    emb = _clustered_embeddings(spark, n=2000, dim=32, n_clusters=40) \
+        .localCheckpoint(eager=True)
+    graph, hubs = build_knn_graph(emb, n_neighbors=8, n_cells=16)
+    graph = graph.localCheckpoint(eager=True)
+    r = graph_measure_recall(graph, emb, hubs, k=10, ef=24, max_hops=5,
+                             n_queries=10)
+    assert r["recall"] >= 0.85, f"graph clustered recall = {r}"
+    # the beam probed a bounded slice, not the corpus
+    assert r["probed_fraction"] <= 0.5
+
+
+def test_graph_ann_beats_flat_probed_floor(spark):
+    """On STRUCTURELESS vectors any cell-pruning index floors at
+    recall == probed fraction; the beam's distance-greedy expansion
+    must beat its own probed fraction by a clear margin — the reading
+    that says the graph earns its build cost where IVF cannot."""
+    from tostore_spark.llmops.similarity import (build_knn_graph,
+                                                 graph_measure_recall)
+    from tostore_spark.vector import random_hyperplanes
+
+    rows = [(i, [float(x) for x in v]) for i, v in
+            enumerate(random_hyperplanes(24, 800, seed=7))]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+               .localCheckpoint(eager=True)
+    graph, hubs = build_knn_graph(emb, n_neighbors=8, n_cells=16)
+    graph = graph.localCheckpoint(eager=True)
+    r = graph_measure_recall(graph, emb, hubs, k=10, ef=32, max_hops=3,
+                             n_queries=10)
+    assert r["recall"] >= r["probed_fraction"] * 1.2, \
+        f"beam does not beat the probed-fraction floor: {r}"
