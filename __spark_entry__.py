@@ -3127,144 +3127,121 @@ def q_grouped_percentiles(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver checks the FIRST 50 entries against the DuckDB oracle each round.
 
-    Ordering policy (round 8, same rotation rule as r3-r7).  First 50:
+    Ordering policy (round 9 — the r8 verdict's seeded rotation,
+    executed exactly; same rule as r3-r8).  First 50:
 
-    - slots 1-11: NEW in r8 (no prior driver rows possible):
-      q_tpch_q17 (correlated scalar subquery, decorrelated),
-      q_tpch_q21 (multi-EXISTS/NOT-EXISTS, decorrelated),
-      q_tpch_q18 (IN + grouped HAVING subquery), q_tpch_q22 (scalar
-      avg subquery + NOT-EXISTS anti-join), q_tpch_q5 (6-table star
-      with cross-dimension equality), q_tpch_q15 (scalar MAX over a
-      derived view, argmax ties kept), q_tpch_q7 (disjunctive
-      nation-pair predicate), q_tpch_q8 (conditional-share aggregate),
-      q_tpch_q13 (outer join w/ join-condition filter + double agg),
-      q_seasonal_decompose (classical additive trend/seasonal/resid)
-      and q_drift_psi (PSI snapshot drift), both late-round;
-    - slots 12-23: entries on modules CHANGED in r8, kept to the ones
-      whose CHANGED path needs the driver row — llmops/lm.py one-pass
-      training (q_lm_score_trigram exercises the rewritten machinery;
-      q_lm_score covers the unigram rung; bigram/curate hold r6 rows
-      on the same machinery and yield their slots), the let-bound
-      span/gram builders (q_paragraph_dedup, q_repeated_spans,
-      q_doc_fingerprint, q_winnow_overlap, q_containment), joins.py
-      blocking modes (q_fuzzy_match, q_range_join, q_bucketed_join,
-      q_asof_join), streaming/stateful.py (q_stream_interval_join —
-      NEW in r8, the watermarked stream-stream interval join with a
-      full SQL oracle), and the rewritten q_tfidf_pairs (unbounded,
-      Heaps'-law-scaled widening);
-    - slots 24-50: the oldest remaining driver rows — the FULL
-      r5-vintage tail the r7 verdict enumerated (events/similarity/
-      sources/multimodal + the dedup family + offset/exists/distinct/
-      schema-migration + batch-export/join5/repetition/vocab/pii/
-      text-stats).
+    - slots 1-11: entries whose module changed in r9, plus the three
+      entries that had never held a driver row.  NEW this round:
+      q_similarity_graph (Vamana-lite graph ANN — batch kNN-graph
+      build + bounded beam search, the whole trajectory oracle-exact)
+      and q_robust_outliers_grouped (per-group median/MAD gate).
+      Changed paths: q_robust_outliers / q_drift_mix /
+      q_drift_psi_decile / q_drift_psi (stats' single-scan psi_total
+      materialization + the approx tiers landed beside the exact
+      paths these entries pin), q_tpch_q17 / q_tpch_q18
+      (DECIMAL-discipline threshold rewrite on BOTH engine and oracle
+      sides), q_fuzzy_match (joins.py blocking-conflict raise),
+      q_rolling_active (timeseries' sketch-frame materialization),
+      q_stream_interval_join (rightOuter + dedup_right landed in the
+      same function);
+    - slots 12-50: the r4-vintage tail the r8 verdict enumerated
+      (q_agg_stats, q_bm25_search, q_chunk_documents, q_count_star,
+      q_events_window, q_global_agg, q_ivfpq, q_langid, q_mix_corpus,
+      q_pack_sequences, q_pq_search, q_quality_filter,
+      q_quantized_knn, q_rollup_subtotals, q_salted_agg, and the rest
+      of the r4 block in its waited-longest order).
 
-    Past the cap: first the r8-changed-module entries holding FRESH
-    r6/r7 rows on behaviorally-unchanged paths (stats' exact tiers,
-    linalg's let-bound norm, store's non-conflict flush — the r8
-    store changes are conflict-path only, concurrency-pytest-pinned,
-    no oracle analog), then everything else oldest-first, the r7
-    driver-sampled block last.  After this rotation every entry the
-    r7 verdict enumerated has an r8 driver row.
+    Past the cap: everything else oldest-row-first (the r5/r6 middle
+    block, then the store/stats entries holding r6/r7 rows on
+    unchanged paths, then the r7-sampled block), the r8
+    driver-sampled block (freshest rows) last.  The r9 engine changes
+    with no oracle analog — SSI-lite write-skew detection, the
+    stream-join dedup knob — are concurrency/streaming-pytest-pinned
+    (test_store.py write-skew matrix, test_streaming_join.py).
 
     tools/check_correctness.py certifies EVERY entry locally each
-    round; the full-run stdout is committed as GATE_r8.txt (the r7
-    verdict's evidence-artifact requirement), so the certification is
-    a diffable repo artifact, not prose.
+    round; the full-run stdout is committed as GATE_r9.txt, continuing
+    the r8 practice.
 
-    r9 rotation seed (same rule): lead with (a) any entry whose module
-    changes in r9, (b) q_drift_mix (new in r8, past-cap — the one new
-    entry without a driver row), then (c) the r4-vintage tail that has
-    now waited longest (q_agg_stats, q_bm25_search, q_chunk_documents,
-    q_count_star, q_events_window, q_global_agg, q_ivfpq, q_langid,
-    q_mix_corpus, q_pack_sequences, q_pq_search, q_quality_filter,
-    q_quantized_knn, q_rollup_subtotals, q_salted_agg and the rest of
-    the r4 block), then (d) the r8-yielded fresh-row entries.
+    r10 rotation seed (same rule): lead with (a) any entry whose
+    module changes in r10, (b) then the oldest remaining rows — the
+    r5/r6 middle block that r9 pushed past the cap (q_zorder_rewrite,
+    q_stream_mv, q_funnel, q_cohort_retention, q_unicode_normalize,
+    q_outer_join_shapes, q_topk_per_group, q_moving_time_window,
+    q_scd2_lookup, q_pagerank, q_ewma_anomaly, q_dsir_weights,
+    q_gopher_report and the filter/join basics behind them), then
+    (c) the store/stats r6/r7-row entries, (d) the r7 and r8 blocks
+    freshest-last.
     """
 
-    # first 50 = the driver's r8 correctness sample (see docstring)
+    # first 50 = the driver's r9 correctness sample (see docstring):
+    # slots 1-11 = modules changed in r9 (the new graph-ANN and grouped
+    # robust-outlier entries; the DECIMAL-threshold TPC-H Q17/Q18
+    # rewrites; stats' single-scan PSI totals; joins' blocking raise;
+    # timeseries' sketch materialization; the rightOuter/dedup stream
+    # join) + the 3 entries that had never held a driver row
+    # (q_drift_mix, q_drift_psi_decile, q_robust_outliers);
+    # slots 12-50 = the r4-vintage tail the r8 verdict enumerated, in
+    # its waited-longest order.  Past the cap: everything else
+    # oldest-row-first, the r8 driver-sampled block last.
     _ORDER = [
-        # --- 1-9: NEW in r8 (no prior driver rows possible) ---
-        "q_tpch_q17", "q_tpch_q21", "q_tpch_q18", "q_tpch_q22",
-        "q_tpch_q5", "q_tpch_q15", "q_tpch_q7", "q_tpch_q8",
-        "q_tpch_q13",
-        # --- 10-23: entries on modules CHANGED in r8 whose CHANGED
-        # path needs a fresh driver row (one-pass LM machinery, span/
-        # gram let-binding, fuzzy blocking modes, the rewritten
-        # q_tfidf_pairs, the new stream join) ---
-        "q_seasonal_decompose", "q_drift_psi",
-        "q_lm_score_trigram", "q_lm_score",
-        "q_repeated_spans",
-        "q_doc_fingerprint", "q_winnow_overlap", "q_containment",
-        "q_fuzzy_match", "q_range_join", "q_bucketed_join",
-        "q_stream_interval_join",
-        "q_tfidf_pairs", "q_asof_join",
-        # --- 31-50: the oldest driver rows (r5-vintage tail) ---
-        "q_events_sessions", "q_similarity_ivf", "q_csv_source",
-        "q_json_source", "q_multimodal_features", "q_dedup_exact",
-        "q_dedup_fingerprint", "q_dedup_minhash_lsh", "q_dedup_clusters",
-        "q_semantic_dedup", "q_dedup_incremental", "q_ngram_jaccard",
-        "q_dedup_simhash", "q_dedup_simhash_near", "q_neardup_embedding",
-        "q_contamination", "q_decontaminate", "q_offset_page", "q_exists",
-        "q_distinct", "q_schema_migration", "q_batch_export_page",
-        "q_join5_regional", "q_repetition", "q_vocab_stats",
-        "q_pii_scrub", "q_text_stats",
-        # (q_drift_mix is NEW but leads the past-cap block rather than
-        # displacing a verdict-enumerated tail entry: it is the
-        # categorical twin of the SAMPLED q_drift_psi — same smoothing
-        # and contribution math, minus the bucketing — and the full
-        # gate certifies it regardless)
-        "q_drift_mix", "q_drift_psi_decile", "q_robust_outliers",
-        "q_robust_outliers_grouped", "q_similarity_graph",
-        # --- past the cap: everything else, oldest driver row first;
-        # (these lead: their module changed in r8 but NOT behaviorally
-        # on the paths they exercise, and every one holds an r6/r7
-        # driver row — stats' grouped/approx tiers changed while the
-        # exact paths did not, linalg's truncate is a let-bound
-        # no-behavior-change, store's r8 changes are conflict-path
-        # only (no oracle analog; concurrency-pytest-pinned), the lm
-        # one-pass machinery is driver-certified via the trigram entry;
-        # backup.py is untouched) ---
+        "q_similarity_graph", "q_robust_outliers_grouped",
+        "q_robust_outliers", "q_drift_mix", "q_drift_psi_decile",
+        "q_drift_psi", "q_tpch_q17", "q_tpch_q18", "q_fuzzy_match",
+        "q_rolling_active", "q_stream_interval_join", "q_agg_stats",
+        "q_bm25_search", "q_chunk_documents", "q_count_star",
+        "q_events_window", "q_global_agg", "q_ivfpq", "q_langid",
+        "q_mix_corpus", "q_pack_sequences", "q_pq_search",
+        "q_quality_filter", "q_quantized_knn", "q_rollup_subtotals",
+        "q_salted_agg", "q_salted_join", "q_moving_features",
+        "q_kv_namespace", "q_corpus_sample", "q_corpus_shuffle",
+        "q_stratified_take", "q_corpus_shards", "q_corpus_clean",
+        "q_bloom_join", "q_split_corpus", "q_weighted_sample",
+        "q_column_corr", "q_length_batches", "q_vocab_coverage",
+        "q_pack_materialize", "q_bpe_pair_counts", "q_quality_classifier",
+        "q_scd2_history", "q_mv_incremental", "q_pivot_wide",
+        "q_grouping_sets", "q_heavy_hitters", "q_set_ops",
+        "q_topic_balance", "q_tpch_q21", "q_tpch_q22", "q_tpch_q5",
+        "q_tpch_q15", "q_tpch_q7", "q_tpch_q8", "q_tpch_q13",
+        "q_seasonal_decompose", "q_lm_score_trigram", "q_lm_score",
+        "q_repeated_spans", "q_doc_fingerprint", "q_winnow_overlap",
+        "q_containment", "q_range_join", "q_bucketed_join",
+        "q_tfidf_pairs", "q_asof_join", "q_events_sessions",
+        "q_similarity_ivf", "q_csv_source", "q_json_source",
+        "q_multimodal_features", "q_dedup_exact", "q_dedup_fingerprint",
+        "q_dedup_minhash_lsh", "q_dedup_clusters", "q_semantic_dedup",
+        "q_dedup_incremental", "q_ngram_jaccard", "q_dedup_simhash",
+        "q_dedup_simhash_near", "q_neardup_embedding", "q_contamination",
+        "q_decontaminate", "q_offset_page", "q_exists", "q_distinct",
+        "q_schema_migration", "q_batch_export_page", "q_join5_regional",
+        "q_repetition", "q_vocab_stats", "q_pii_scrub", "q_text_stats",
         "q_histogram", "q_winsorize", "q_partitioned_table",
         "q_snapshot_read", "q_flush_reopen", "q_grouped_percentiles",
-        "q_winsorize_grouped", "q_embedding_truncate",
-        "q_lm_score_bigram", "q_curate_corpus", "q_ppl_buckets",
-        "q_paragraph_dedup",
-        "q_agg_stats", "q_column_stats", "q_embedding_cov",
-        "q_backup_restore",
-        # the r7-sampled block (freshest rows) runs last ---
-        "q_pq_search", "q_ivfpq", "q_quantized_knn", "q_mix_corpus",
-        "q_bm25_search", "q_events_window", "q_global_agg", "q_count_star",
-        "q_source_cap", "q_pack_sequences", "q_chunk_documents",
-        "q_quality_filter", "q_ttl_filter", "q_langid", "q_token_count_bpe",
-        "q_time_rollup", "q_rollup_subtotals", "q_salted_agg",
-        "q_salted_join", "q_moving_features", "q_kv_namespace",
-        "q_corpus_sample", "q_corpus_shuffle", "q_stratified_take",
-        "q_corpus_shards", "q_corpus_clean", "q_bloom_join",
-        "q_split_corpus", "q_weighted_sample", "q_column_corr",
-        "q_length_batches", "q_vocab_coverage", "q_pack_materialize",
-        "q_bpe_pair_counts", "q_quality_classifier", "q_scd2_history",
-        "q_mv_incremental", "q_pivot_wide", "q_grouping_sets",
-        "q_heavy_hitters", "q_set_ops", "q_topic_balance",
-        "q_zorder_rewrite", "q_stream_mv", "q_funnel", "q_cohort_retention",
-        "q_unicode_normalize", "q_outer_join_shapes", "q_topk_per_group",
-        "q_moving_time_window", "q_scd2_lookup", "q_pagerank",
-        "q_ewma_anomaly", "q_dsir_weights", "q_gopher_report",
-        "q_filter_sort_limit", "q_or_union_dedup", "q_topk", "q_keyset_page",
-        "q_groupby_having", "q_join_inner_group", "q_left_join_count",
-        "q_right_join", "q_theta_join", "q_fk_autojoin", "q_events_json",
-        "q_distinct_first",
-        # --- r7 driver-sampled (rows 1 round old) ---
-        "q_tpch_q3", "q_tpch_q10", "q_calibrated_quality", "q_attribution",
-        "q_temperature_sample", "q_corpus_report", "q_unpivot_long",
-        "q_resample", "q_validate_rules", "q_tpch_q4", "q_tpch_q12",
-        "q_tpch_q14", "q_tpch_q19", "q_rolling_active", "q_tfidf_terms",
-        "q_event_paths", "q_tpch_q6", "q_tpch_q1", "q_update_rewrite",
-        "q_delete_rewrite", "q_upsert_merge", "q_batch_update",
-        "q_partial_insert", "q_expr_clamp_update", "q_update_ordered_limit",
+        "q_winsorize_grouped", "q_embedding_truncate", "q_lm_score_bigram",
+        "q_curate_corpus", "q_ppl_buckets", "q_paragraph_dedup",
+        "q_column_stats", "q_embedding_cov", "q_backup_restore",
+        "q_source_cap", "q_ttl_filter", "q_token_count_bpe",
+        "q_time_rollup", "q_zorder_rewrite", "q_stream_mv", "q_funnel",
+        "q_cohort_retention", "q_unicode_normalize", "q_outer_join_shapes",
+        "q_topk_per_group", "q_moving_time_window", "q_scd2_lookup",
+        "q_pagerank", "q_ewma_anomaly", "q_dsir_weights",
+        "q_gopher_report", "q_filter_sort_limit", "q_or_union_dedup",
+        "q_topk", "q_keyset_page", "q_groupby_having",
+        "q_join_inner_group", "q_left_join_count", "q_right_join",
+        "q_theta_join", "q_fk_autojoin", "q_events_json",
+        "q_distinct_first", "q_tpch_q3", "q_tpch_q10",
+        "q_calibrated_quality", "q_attribution", "q_temperature_sample",
+        "q_corpus_report", "q_unpivot_long", "q_resample",
+        "q_validate_rules", "q_tpch_q4", "q_tpch_q12", "q_tpch_q14",
+        "q_tpch_q19", "q_tfidf_terms", "q_event_paths", "q_tpch_q6",
+        "q_tpch_q1", "q_update_rewrite", "q_delete_rewrite",
+        "q_upsert_merge", "q_batch_update", "q_partial_insert",
+        "q_expr_clamp_update", "q_update_ordered_limit",
         "q_vector_cosine_topk", "q_vector_l2_topk", "q_vector_ip_topk",
         "q_vector_threshold", "q_pred_like_between_in", "q_or_tree",
         "q_loose_eq", "q_notin_null_semantics", "q_is_null_join",
-        "q_neq_null_semantics", "q_multiop_or", "q_knn_join", "q_ivf_batch",
+        "q_neq_null_semantics", "q_multiop_or", "q_knn_join",
+        "q_ivf_batch"
     ]
     g = globals()
     return {name: g[name] for name in _ORDER}
