@@ -244,10 +244,15 @@ CHECKS: dict[str, list[str]] = {
     # phase/centering means combine map-side (partial_sum of DECIMALs)
     "q_seasonal_decompose": ["windowspecdefinition(event_type",
                              "partial_sum", "HashAggregate"],
-    # PSI drift: the snapshot split reaches the scans; bucket counts
-    # combine map-side (<= n_buckets+2 rows ever shuffle)
-    "q_drift_psi": ["LessThan(o_orderdate,1998-01-01",
-                    "partial_count", "HashAggregate"],
+    # PSI drift: since the single-scan fix the <= n_buckets+2-row
+    # bucket frame is localCheckpoint-ed BEFORE psi_total re-reads it,
+    # so the visible plan is checkpoint scans + a broadcast total —
+    # proof the corpus scans sit once, upstream of the checkpoint.
+    # (The scan-pushdown needles moved behind the lineage cut; the
+    # snapshot-split pushdown is still pinned by q_tpch_q4-style
+    # entries that share the compile path.)
+    "q_drift_psi": ["Scan ExistingRDD", "BroadcastNestedLoopJoin",
+                    "partial_sum"],
     # sliding distinct: the tiny day list broadcasts into the trailing-
     # window theta join; the corpus appears only in the day-grain
     # distinct (partial-combined)

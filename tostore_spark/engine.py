@@ -716,9 +716,10 @@ class ToStoreSpark:
     def fuzzy_match(self, left: str, right: str, left_field: str,
                     right_field=None, max_dist: int = 2, **kw):
         """Levenshtein entity-resolution join between two tables — see
-        joins.fuzzy_join (positional-prefix block by default, lossless
-        length band as refinement; ``blocking='length'`` for the
-        exact-recall mode)."""
+        joins.fuzzy_join (positional-prefix block by default — LOSSY:
+        an edit inside the first 2 chars escapes; lossless length band
+        as refinement; ``blocking='length'`` for the exact-recall
+        mode)."""
         from tostore_spark.joins import fuzzy_join
         return fuzzy_join(self.df(left), self.df(right), left_field,
                           right_field=right_field, max_dist=max_dist,
