@@ -542,6 +542,22 @@ def q_knn_join(spark, sf_dir):
                       F.round(F.col("distance"), 6).alias("distance_r"))
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining, exact tier: for each of 10 anchor vectors,
+    the 3 NEAREST corpus vectors with a DIFFERENT label — the
+    contrastive-training companion of q_knn_join
+    (llmops.similarity.hard_negatives; anchors broadcast, corpus
+    streams once, label inequality null-false on either side).  The
+    whole-corpus tier is cell-blocked and pytest-recall-measured."""
+    db = _db(spark, sf_dir)
+    emb = db.df("embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10)
+    out = S.hard_negatives(emb, anchors=anchors, k=3)
+    return out.select("query_id", "query_label", "neighbor_id",
+                      "neighbor_label", "rank",
+                      F.round(F.col("distance"), 6).alias("distance_r"))
+
+
 def q_similarity_ivf(spark, sf_dir):
     """IVF approximate ANN through the persisted-index lifecycle
     (build_vector_index → partitioned parquet → pruned probe; the
@@ -3185,6 +3201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # its waited-longest order.  Past the cap: everything else
     # oldest-row-first, the r8 driver-sampled block last.
     _ORDER = [
+        "q_hard_negatives",
         "q_similarity_graph", "q_robust_outliers_grouped",
         "q_robust_outliers", "q_drift_mix", "q_drift_psi_decile",
         "q_drift_psi", "q_tpch_q17", "q_tpch_q18", "q_fuzzy_match",
@@ -3913,6 +3930,28 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS rank
               FROM pairs)
             SELECT query_id, neighbor_id, rank, round(distance, 6) AS distance_r
+            FROM ranked WHERE rank <= 3""",
+        "q_hard_negatives": """
+            WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+                              embedding AS qv
+                       FROM embeddings WHERE vec_id < 10),
+            pairs AS (
+              SELECT q.query_id, q.query_label,
+                     e.vec_id AS neighbor_id, e.label AS neighbor_label,
+                     1.0 - list_sum(list_transform(list_zip(q.qv, e.embedding),
+                                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS distance
+              FROM q CROSS JOIN embeddings e
+              WHERE e.vec_id <> q.query_id AND e.label <> q.query_label),
+            ranked AS (
+              SELECT query_id, query_label, neighbor_id, neighbor_label,
+                     distance,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY distance, neighbor_id) AS rank
+              FROM pairs)
+            SELECT query_id, query_label, neighbor_id, neighbor_label,
+                   rank, round(distance, 6) AS distance_r
             FROM ranked WHERE rank <= 3""",
         "q_similarity_ivf": _similarity_ivf_oracle(),
         "q_similarity_graph": _similarity_graph_oracle(),

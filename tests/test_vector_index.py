@@ -593,3 +593,57 @@ def test_graph_ann_beats_flat_probed_floor(spark):
                              n_queries=10)
     assert r["recall"] >= r["probed_fraction"] * 1.2, \
         f"beam does not beat the probed-fraction floor: {r}"
+
+
+def test_hard_negatives_blocked_equals_exact_at_full_probe(spark, db01):
+    """Cell-blocked whole-corpus mining with nprobe == n_cells scores
+    every pair, so it must EQUAL the exact tier anchor-for-anchor —
+    the blocked path's correctness anchor (the recall knob only ever
+    drops pairs, never invents them)."""
+    from tostore_spark.llmops.similarity import hard_negatives
+    emb = db01.df("embeddings").filter("vec_id < 120") \
+              .localCheckpoint(eager=True)
+    exact = hard_negatives(emb, anchors=emb, k=3)
+    blocked = hard_negatives(emb, k=3, n_cells=4, nprobe=4)
+    key = ["query_id", "neighbor_id", "rank"]
+    a = {tuple(r) for r in exact.select(*key).collect()}
+    b = {tuple(r) for r in blocked.select(*key).collect()}
+    assert a == b and len(a) == 120 * 3
+
+
+def test_hard_negatives_labels_differ_and_recall(spark):
+    """On the clustered fixture (label = true cluster) every mined
+    negative has a different label by contract, and cell-blocked
+    mining at nprobe 4 keeps recall@3 >= 0.8 vs the exact tier —
+    near-boundary negatives live in adjacent cells, which the probe
+    ring covers."""
+    from pyspark.sql import functions as F
+    from bench import _clustered_embeddings
+    from tostore_spark.llmops.similarity import hard_negatives
+    emb = (_clustered_embeddings(spark, n=600, dim=16, n_clusters=12)
+           .withColumn("label", F.pmod("vec_id", F.lit(12)))
+           .localCheckpoint(eager=True))
+    blocked = hard_negatives(emb, k=3, n_cells=8, nprobe=4) \
+        .localCheckpoint(eager=True)
+    assert blocked.filter("query_label = neighbor_label").count() == 0
+    exact = hard_negatives(emb, anchors=emb, k=3)
+    hits = (exact.select("query_id", "neighbor_id")
+            .join(blocked.select("query_id", "neighbor_id"),
+                  on=["query_id", "neighbor_id"]).count())
+    recall = hits / exact.count()
+    assert recall >= 0.8, f"blocked hard-negative recall@3 = {recall}"
+
+
+def test_hard_negatives_null_label_never_pairs(spark):
+    """SQL two-valued semantics: a null-labeled row is neither anchor
+    nor negative (label != label is null-false on either side)."""
+    from pyspark.sql import functions as F
+    from tostore_spark.llmops.similarity import hard_negatives
+    rows = [(0, [1.0, 0.0], "a"), (1, [0.9, 0.1], "b"),
+            (2, [0.8, 0.2], None), (3, [0.0, 1.0], "a")]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = hard_negatives(emb, anchors=emb, k=4).collect()
+    ids = {(r.query_id, r.neighbor_id) for r in out}
+    assert all(q != 2 and n != 2 for q, n in ids)
+    # anchor 0 ('a') pairs only with 1 ('b'); 3 is same-label, 2 null
+    assert {(0, 1), (1, 0), (1, 3), (3, 1)} == ids

@@ -789,3 +789,83 @@ def graph_measure_recall(graph: DataFrame, corpus: DataFrame,
     denom = exact.count()
     return {"recall": hits / denom if denom else 1.0,
             "probed_fraction": round(probed / max(nq * n_corpus, 1), 4)}
+
+
+def hard_negatives(corpus: DataFrame, anchors: Optional[DataFrame] = None,
+                   k: int = 5, n_cells: int = 16, nprobe: int = 2,
+                   vec_field: str = "embedding", id_field: str = "vec_id",
+                   label_field: str = "label",
+                   centroids: Optional[list[tuple[int, list[float]]]] = None
+                   ) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding-model training:
+    for every anchor, the ``k`` NEAREST corpus rows whose ``label``
+    DIFFERS from the anchor's — the negatives that sit closest to the
+    decision boundary and carry the training signal random negatives
+    don't.  (Training-data companion of the reference's vector search,
+    ``vector_index_impl.dart`` metric semantics; the mining recipe
+    itself is parity-plus.)
+
+    Two tiers, the package's two-cost convention:
+
+    - ``anchors`` given (a bounded frame — a sampled slice, a batch):
+      EXACT — anchors broadcast, corpus streams once, per-anchor
+      bounded top-k (`topk_per_query`).  The oracle-entry path.
+    - ``anchors=None``: every corpus row is an anchor — all-pairs is
+      off the table at 100 TB, so mining is CELL-BLOCKED: k-means cells
+      via ``ivf_build``, each anchor probes its ``nprobe`` nearest
+      cells (same probe order as IVF search), pairs are scored only
+      inside probed cells — sum over cells of |cell| * |probers|, never
+      corpus².  Near-boundary negatives in an adjacent cell are found
+      at nprobe >= 2; recall vs the exact tier is pytest-measured.
+
+    Null labels never pair (label != label is null-false on either
+    side), matching SQL two-valued filter semantics.  Output:
+    (query_id, query_label, neighbor_id, neighbor_label, distance,
+    rank) — ties break on neighbor id, so the result is deterministic
+    and engine-portable.
+    """
+    if anchors is not None:
+        q = anchors.select(F.col(id_field).alias("query_id"),
+                           F.col(label_field).alias("query_label"),
+                           F.col(vec_field).alias("__qv"))
+        c = corpus.select(F.col(id_field).alias("neighbor_id"),
+                          F.col(label_field).alias("neighbor_label"),
+                          F.col(vec_field).alias("__cv"))
+        scored = (c.crossJoin(F.broadcast(q))
+                   .filter(F.col("query_id") != F.col("neighbor_id"))
+                   .filter(F.col("query_label") != F.col("neighbor_label"))
+                   .select("query_id", "query_label", "neighbor_id",
+                           "neighbor_label",
+                           cosine_distance_cols(F.col("__qv"),
+                                                F.col("__cv"))
+                           .alias("distance")))
+    else:
+        indexed, cents = ivf_build(corpus, n_cells=n_cells,
+                                   vec_field=vec_field,
+                                   id_field=id_field, centroids=centroids)
+        base = (indexed.select(F.col(id_field).alias("__id"),
+                               F.col(label_field).alias("__lb"),
+                               F.col(vec_field).alias("__v"), "cell_id")
+                       .withColumn("__nv", _norm(F.col("__v")))
+                       .localCheckpoint(eager=True))   # anchor + corpus side
+        a = (base.select(F.col("__id").alias("query_id"),
+                         F.col("__lb").alias("query_label"),
+                         F.col("__v").alias("__qv"),
+                         F.explode(probe_cells_column(
+                             "__v", "__nv", cents, int(nprobe)))
+                          .alias("__pc")))
+        b = base.select(F.col("__id").alias("neighbor_id"),
+                        F.col("__lb").alias("neighbor_label"),
+                        F.col("__v").alias("__cv"),
+                        F.col("cell_id").alias("__pc"))
+        scored = (a.join(b, on="__pc")
+                   .filter(F.col("query_id") != F.col("neighbor_id"))
+                   .filter(F.col("query_label") != F.col("neighbor_label"))
+                   .select("query_id", "query_label", "neighbor_id",
+                           "neighbor_label",
+                           cosine_distance_cols(F.col("__qv"),
+                                                F.col("__cv"))
+                           .alias("distance")))
+    return (topk_per_query(scored, k)
+            .select("query_id", "query_label", "neighbor_id",
+                    "neighbor_label", "distance", "rank"))
