@@ -254,3 +254,54 @@ def test_stream_rolling_active_matches_batch(spark, db, tmp_path):
             assert abs(n_approx - exact[day]) <= max(3, 0.2 * exact[day])
             checked += 1
     assert checked > 0
+
+
+def test_exactly_once_processor_skips_replayed_batch(spark, tmp_path_factory):
+    """Crash-replay contract, driven directly: the same batch_id applied
+    twice in mode='append' merges ONCE — the ledger, not PK idempotence,
+    is what blocks the duplicate — and a LATER batch still lands."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.streaming.sink import exactly_once_processor
+    wh = str(tmp_path_factory.mktemp("wh_eo"))
+    db = ToStoreSpark(spark, warehouse=wh)
+    db.register_table("eo", df=spark.createDataFrame(
+        [(0, "seed")], ["id", "val"]))
+    proc = exactly_once_processor(db, "eo", mode="append")
+    b1 = spark.createDataFrame([(1, "b1")], ["id", "val"])
+    proc(b1, 0)
+    proc(b1, 0)                       # framework replay after "crash"
+    proc(spark.createDataFrame([(2, "b2")], ["id", "val"]), 1)
+    rows = db.df("eo").collect()
+    assert sorted((r.id, r.val) for r in rows) == \
+        [(0, "seed"), (1, "b1"), (2, "b2")]
+    # ledger + data committed together: a fresh engine on the same
+    # warehouse sees both, and its processor ALSO skips the replay
+    db2 = ToStoreSpark(spark, warehouse=wh)
+    proc2 = exactly_once_processor(db2, "eo", mode="append")
+    proc2(b1, 1)                      # replay of last committed batch
+    assert db2.df("eo").count() == 3
+    assert db2.get_value("__stream_ledger__:eo:default") == 1
+
+
+def test_exactly_once_stream_end_to_end(spark, tmp_path_factory):
+    """Full Structured Streaming run with exactly_once=True: rows land
+    once, the ledger records the final batch id, and a reopened engine
+    agrees."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.streaming.sink import write_stream_to_table
+    wh = str(tmp_path_factory.mktemp("wh_eo2"))
+    db = ToStoreSpark(spark, warehouse=wh)
+    db.register_table("eo2", df=spark.createDataFrame(
+        [(0, "seed")], ["id", "val"]))
+    src = str(tmp_path_factory.mktemp("eo2_src"))
+    spark.createDataFrame([(7, "s7"), (8, "s8")], ["id", "val"]) \
+         .write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("id bigint, val string").parquet(src)
+    q = write_stream_to_table(
+        db, stream, "eo2", mode="append", exactly_once=True,
+        checkpoint=str(tmp_path_factory.mktemp("eo2_ckpt")))
+    q.awaitTermination(120)
+    db2 = ToStoreSpark(spark, warehouse=wh)
+    got = sorted((r.id, r.val) for r in db2.df("eo2").collect())
+    assert got == [(0, "seed"), (7, "s7"), (8, "s8")]
+    assert db2.get_value("__stream_ledger__:eo2:default") is not None

@@ -47,23 +47,84 @@ def merge_batch(engine, table: str, batch_df: DataFrame,
     return n
 
 
+def _ledger_key(table: str, query_name: Optional[str]) -> str:
+    return f"__stream_ledger__:{table}:{query_name or 'default'}"
+
+
+def exactly_once_processor(engine, table: str, mode: str = "upsert",
+                           query_name: Optional[str] = None):
+    """foreachBatch processor with EXACTLY-ONCE batch commits.
+
+    The trick is that the engine's KV namespace is serialized INSIDE the
+    warehouse manifest (store.py), so recording the committed batch id
+    in KV and then calling ``flush()`` lands the batch's DATA and the
+    LEDGER ENTRY in one atomic manifest CAS — they can never diverge.
+    On restart Structured Streaming replays the last un-checkpointed
+    batch (at-least-once at the framework level); the processor consults
+    the ledger first and SKIPS any ``batch_id <= last committed``, so a
+    replayed batch merges zero rows even in ``mode='append'`` (where PK
+    idempotence can't save you).  This is the same sink-side
+    transactional-ledger design Delta's ``txnAppId``/``txnVersion``
+    dedup uses — expressed through the store's own KV + CAS machinery.
+
+    Semantics by configuration:
+    - warehouse-backed engine: exactly-once across crashes/restarts
+      (ledger + data are durable together).
+    - memory-mode engine: exactly-once within the session (ledger
+      consulted, nothing durable — duplicates can't survive a restart
+      anyway because the data doesn't either).
+
+    A ``ConcurrentWriteError`` from the flush fails the batch loud with
+    data AND ledger together still un-durable (they only ever become
+    durable in the same CAS), so a restart from the manifest replays
+    the batch against the refreshed state — never a silent half-commit.
+    Within the failed engine object the merged table stays dirty and
+    the ledger entry stays pending, so a later successful flush still
+    commits them together.  Exposed as a factory so crash-replay is
+    directly testable (call the processor twice with the same
+    batch_id).
+    """
+    key = _ledger_key(table, query_name)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        last = engine.get_value(key)
+        if last is not None and int(batch_id) <= int(last):
+            return                      # durably committed already
+        merged = merge_batch(engine, table, batch_df, mode=mode)
+        engine.set_value(key, int(batch_id))
+        if getattr(engine, "_warehouse", None):
+            engine.flush()              # data + ledger: ONE manifest CAS
+        return merged
+
+    return _process
+
+
 def write_stream_to_table(engine, stream_df: DataFrame, table: str,
                           checkpoint: str, mode: str = "upsert",
                           flush_each_batch: bool = False,
+                          exactly_once: bool = False,
                           query_name: Optional[str] = None):
     """Start a streaming query that merges every micro-batch into
     ``table``.  Returns the StreamingQuery handle (caller stops it or
     uses ``trigger(availableNow=True)`` semantics via the returned
     writer's options upstream).
 
-    Durability: with ``flush_each_batch`` and a warehouse-backed engine,
-    each batch commit flushes dirty tables; Structured Streaming replays
-    uncommitted batches after a crash (at-least-once — the PK upsert
-    makes the replay idempotent for ``mode='upsert'``)."""
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        merge_batch(engine, table, batch_df, mode=mode)
-        if flush_each_batch and getattr(engine, "_warehouse", None):
-            engine.flush()
+    Durability ladder:
+    - default: in-session merge only (at-least-once, PK upsert makes
+      replay idempotent for ``mode='upsert'``);
+    - ``flush_each_batch=True`` + warehouse: each batch durable
+      (at-least-once across restarts);
+    - ``exactly_once=True``: per-batch ledger committed atomically with
+      the data in one manifest CAS (``exactly_once_processor``) — safe
+      even for ``mode='append'``, where replay is otherwise visible."""
+    if exactly_once:
+        _process = exactly_once_processor(engine, table, mode=mode,
+                                          query_name=query_name)
+    else:
+        def _process(batch_df: DataFrame, batch_id: int) -> None:
+            merge_batch(engine, table, batch_df, mode=mode)
+            if flush_each_batch and getattr(engine, "_warehouse", None):
+                engine.flush()
 
     writer = (stream_df.writeStream.foreachBatch(_process)
               .option("checkpointLocation", checkpoint))
