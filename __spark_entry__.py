@@ -542,6 +542,64 @@ def q_knn_join(spark, sf_dir):
                       F.round(F.col("distance"), 6).alias("distance_r"))
 
 
+def q_vector_lsh(spark, sf_dir):
+    """Multi-probe LSH approximate top-k (vector.vector_search_lsh):
+    probe the query's sign bucket + the 3 smallest-margin bit-flip
+    neighbors, exact cosine re-rank inside the probed buckets.  The
+    deterministic LCG hyperplanes (vector.py:134) make bucket
+    assignment, the driver-side probe choice, and the in-bucket rank
+    fully reproducible in SQL — the LSH path's first oracle-exact
+    pin (it was recall-measured only).  Reference shape:
+    quantize-then-re-rank, ngh_graph_engine.dart."""
+    from tostore_spark.vector import vector_search_lsh
+    db = _db(spark, sf_dir)
+    out = vector_search_lsh(db.df("embeddings"), "embedding", _QVEC,
+                            top_k=5, n_planes=8, n_probes=4,
+                            pk="vec_id")
+    return out.select("vec_id", "label",
+                      F.round(F.col("distance"), 6).alias("distance_r"))
+
+
+def _pca_fixed_basis(dim: int = 64, k: int = 4) -> list[list[float]]:
+    """Deterministic orthonormal basis shared verbatim by the Spark
+    entry and the DuckDB oracle: LCG pseudo-random directions
+    (vector.random_hyperplanes, seed 7) Gram-Schmidt-orthonormalized
+    driver-side, rounded to 8dp so both engines consume the IDENTICAL
+    literals.  (The data-fitted path — pca_components' covariance +
+    eigh — is pytest-pinned against numpy in test_llmops; eigenvector
+    float instability makes it the wrong thing to hash across two
+    engines, while the distributed projection operator is exactly the
+    part that matters at corpus scale.)"""
+    import math as _m
+
+    from tostore_spark.vector import random_hyperplanes
+    raw = random_hyperplanes(dim, k, seed=7)
+    basis: list[list[float]] = []
+    for v in raw:
+        w = list(map(float, v))
+        for b in basis:
+            d = sum(x * y for x, y in zip(w, b))
+            w = [x - d * y for x, y in zip(w, b)]
+        n = _m.sqrt(sum(x * x for x in w))
+        basis.append([round(x / n, 8) for x in w])
+    return basis
+
+
+def q_pca_project(spark, sf_dir):
+    """Map-side PCA/rotation projection (llmops.linalg.pca_project):
+    every embedding row projected onto a fixed orthonormal 4-basis —
+    the k·dims rotation rides the plan as literals, one scan, no
+    shuffle, no Python.  Fixed deterministic basis (shared literals)
+    so DuckDB reproduces the arithmetic term-for-term."""
+    from tostore_spark.llmops.linalg import pca_project
+    db = _db(spark, sf_dir)
+    out = pca_project(db.df("embeddings"), _pca_fixed_basis())
+    return out.select(
+        "vec_id",
+        *[F.round(F.element_at("pca", i + 1), 6).alias(f"p{i}")
+          for i in range(4)])
+
+
 def q_hard_negatives(spark, sf_dir):
     """Hard-negative mining, exact tier: for each of 10 anchor vectors,
     the 3 NEAREST corpus vectors with a DIFFERENT label — the
@@ -3201,7 +3259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # its waited-longest order.  Past the cap: everything else
     # oldest-row-first, the r8 driver-sampled block last.
     _ORDER = [
-        "q_hard_negatives",
+        "q_hard_negatives", "q_vector_lsh", "q_pca_project",
         "q_similarity_graph", "q_robust_outliers_grouped",
         "q_robust_outliers", "q_drift_mix", "q_drift_psi_decile",
         "q_drift_psi", "q_tpch_q17", "q_tpch_q18", "q_fuzzy_match",
@@ -3299,6 +3357,54 @@ def _l2_dist_sql(vec_expr: str) -> str:
            f" p -> CAST(p[1] AS DOUBLE) * p[2]))")
     nsq = f"list_sum(list_transform({vec_expr}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
     return f"sqrt(greatest({nsq} - 2.0 * {dot} + {_QSQ!r}, 0.0))"
+
+
+def _vector_lsh_oracle(n_planes: int = 8, n_probes: int = 4,
+                       k: int = 5) -> str:
+    """Generated multi-probe LSH oracle: the deterministic LCG planes
+    reproduce bucket sign bits in SQL; the probe list (query bucket +
+    smallest-margin bit flips) is the SAME driver-side computation
+    vector_search_lsh runs, baked in as literals."""
+    from tostore_spark.vector import random_hyperplanes
+    planes = random_hyperplanes(len(_QVEC), n_planes)
+    sig, margins = 0, []
+    for i, p in enumerate(planes):
+        proj = sum(a * float(b) for a, b in zip(p, _QVEC))
+        if proj > 0:
+            sig |= 1 << i
+        margins.append((abs(proj), i))
+    probes = [sig] + [sig ^ (1 << i)
+                      for _, i in sorted(margins)[: n_probes - 1]]
+
+    def dot(p):
+        arr = "[" + ",".join(repr(float(x)) for x in p) + "]"
+        return (f"list_sum(list_transform(list_zip(embedding, {arr}),"
+                " p -> CAST(p[1] AS DOUBLE) * p[2]))")
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot(p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    probe_list = ",".join(str(x) for x in probes)
+    return f"""
+        WITH b AS (SELECT *, ({bucket}) AS bkt FROM embeddings)
+        SELECT vec_id, label,
+               round({_cos_dist_sql('embedding')}, 6) AS distance_r
+        FROM b WHERE bkt IN ({probe_list})
+        ORDER BY {_cos_dist_sql('embedding')}, vec_id LIMIT {k}"""
+
+
+def _pca_project_oracle() -> str:
+    """Generated projection oracle: the SAME rounded-literal basis as
+    the Spark entry, with each dot product emitted in the identical
+    left-to-right term order (DuckDB lists are 1-indexed)."""
+    basis = _pca_fixed_basis()
+    cols = []
+    for j, comp in enumerate(basis):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {float(w)!r}"
+            for i, w in enumerate(comp))
+        cols.append(f"round(({terms}), 6) AS p{j}")
+    return ("SELECT vec_id, " + ", ".join(cols) + " FROM embeddings")
 
 
 def _cov_oracle_sql(dims: int = 8) -> str:
@@ -3931,6 +4037,8 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs)
             SELECT query_id, neighbor_id, rank, round(distance, 6) AS distance_r
             FROM ranked WHERE rank <= 3""",
+        "q_vector_lsh": _vector_lsh_oracle(),
+        "q_pca_project": _pca_project_oracle(),
         "q_hard_negatives": """
             WITH q AS (SELECT vec_id AS query_id, label AS query_label,
                               embedding AS qv
