@@ -790,7 +790,9 @@ def test_table_history_metadata_view(spark, tmp_path):
     db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))
     db.register_table("h", df=spark.createDataFrame([(1,)], ["id"]))
     db.flush()
-    db.insert("h", {"id": 2})
+    # a REWRITE mutation (update) truly supersedes v0 — an insert would
+    # append-commit and keep v0 live as a segment of the new version
+    db.update("h", {"id": 2}).where("id", "=", 1).execute()
     db.flush()
     hist = {r.version: r for r in db.table_history("h").collect()}
     assert len(hist) == 2
@@ -812,7 +814,8 @@ def test_fsck_reports_missing_and_orphans(spark, tmp_path):
     db = ToStoreSpark(spark, warehouse=wh)
     db.register_table("f", df=spark.createDataFrame([(1,)], ["id"]))
     db.flush()
-    db.insert("f", {"id": 2})
+    # rewrite (not append): the old version dir is genuinely superseded
+    db.update("f", {"id": 2}).where("id", "=", 1).execute()
     db.flush()
     db.unpin_versions()
     assert db.fsck().count() == 1     # the superseded v* is an orphan
@@ -1277,3 +1280,119 @@ def test_serializable_requires_retry_form(spark):
         db.transaction(lambda e: None, isolation="serializable")
     with pytest.raises(ValueError, match="serializable"):
         db.transaction(isolation="serializable")
+
+
+# ---------------------------------------------------------------- append
+# segment fast path (Delta's add-files commit through the versioned dirs)
+
+def test_append_flush_writes_only_the_delta(spark, tmp_path_factory):
+    """Insert-only mutations commit a delta SEGMENT: the new version dir
+    holds just the appended rows (appending 1 GB to a 100 TB table must
+    cost 1 GB of IO), the manifest's segment list composes base + delta,
+    and a reopened engine reads the union."""
+    from tostore_spark import ToStoreSpark
+    db, wh = _fresh(spark, tmp_path_factory, "seg_delta")
+    # first mutation + flush = the durable warehouse base (a clean
+    # data_dir table has no warehouse dir to segment against)
+    db.insert("region", {"r_regionkey": 89, "r_name": "W", "r_comment": "c"})
+    db.flush(only=["region"])
+    n0 = db.df("region").count()
+    db.insert("region", {"r_regionkey": 90, "r_name": "X", "r_comment": "c"})
+    db.insert("region", {"r_regionkey": 91, "r_name": "Y", "r_comment": "c"})
+    db.flush(only=["region"])
+    ent = db._tables[("default", "region")]
+    assert len(ent["segments"]) == 2
+    delta_only = spark.read.parquet(ent["path"])
+    assert delta_only.count() == 2                  # just the delta
+    assert db.df("region").count() == n0 + 2
+    db2 = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    assert db2.df("region").count() == n0 + 2
+
+
+def test_append_rows_engine_api_and_rewrite_poisoning(spark,
+                                                      tmp_path_factory):
+    """engine.append_rows records the delta; any non-append mutation in
+    the same epoch poisons the fast path -> the next flush rewrites in
+    full and the segment list collapses to one dir."""
+    db, wh = _fresh(spark, tmp_path_factory, "seg_poison")
+    db.flush(only=["region"])
+    n = db.append_rows("region", db.df("region").limit(1))
+    assert n == 1
+    db.update("region", {"r_name": "ZZ"}) \
+      .where("r_regionkey", "=", 0).execute()       # rewrite mutation
+    db.flush(only=["region"])
+    ent = db._tables[("default", "region")]
+    assert len(ent["segments"]) == 1                # full rewrite
+    full = spark.read.parquet(ent["path"])
+    assert full.count() == db.df("region").count()
+
+
+def test_append_time_travel_and_vacuum_protect_base(spark,
+                                                    tmp_path_factory):
+    """Time travel resolves a segment version through its sidecar; vacuum
+    never deletes a base dir still referenced by the current version's
+    segment list."""
+    from tostore_spark import store as S
+    from tostore_spark import ToStoreSpark
+    db, wh = _fresh(spark, tmp_path_factory, "seg_tt")
+    db.insert("region", {"r_regionkey": 94, "r_name": "U", "r_comment": "c"})
+    db.flush(only=["region"])                       # durable base
+    n0 = db.df("region").count()
+    db.insert("region", {"r_regionkey": 95, "r_name": "V", "r_comment": "c"})
+    db.flush(only=["region"])
+    vs = S.list_versions(db, "region")
+    assert S.read_version(db, "region", vs[0]).count() == n0
+    assert S.read_version(db, "region", vs[-1]).count() == n0 + 1
+    db.unpin_versions()
+    S.vacuum(db, keep=1)                            # keep newest only
+    # base dir survives (referenced as a segment), table still whole
+    db2 = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    assert db2.df("region").count() == n0 + 1
+    # fsck: nothing missing, base not an orphan
+    bad = S.fsck(db2).filter("kind in ('missing_version','orphan_version')")
+    assert bad.count() == 0, bad.collect()
+
+
+def test_append_segments_cap_forces_compaction(spark, tmp_path_factory):
+    """Past _MAX_SEGMENTS live segments the flush falls back to a full
+    rewrite — amortized auto-compaction bounding reader fan-out."""
+    from tostore_spark import store as S
+    db, wh = _fresh(spark, tmp_path_factory, "seg_cap")
+    db.flush(only=["region"])
+    old_cap = S._MAX_SEGMENTS
+    S._MAX_SEGMENTS = 3
+    try:
+        for i in range(4):
+            db.insert("region", {"r_regionkey": 80 + i, "r_name": f"S{i}",
+                                 "r_comment": "c"})
+            db.flush(only=["region"])
+        ent = db._tables[("default", "region")]
+        # 3rd append hit the cap -> rewrite -> list restarted, then grew
+        assert len(ent["segments"]) <= S._MAX_SEGMENTS
+        assert spark.read.parquet(ent["segments"][0]).count() > 1
+    finally:
+        S._MAX_SEGMENTS = old_cap
+    assert db.df("region").filter("r_regionkey >= 80").count() == 4
+
+
+def test_append_fast_path_on_partitioned_table(spark, tmp_path_factory):
+    """Segment commits compose with hive partitioning: each segment dir
+    is partition-laid-out, the multi-root read keeps the partition
+    columns, and pruning still works."""
+    from tostore_spark import ToStoreSpark
+    db, wh = _fresh(spark, tmp_path_factory, "seg_part")
+    src = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], ["id", "pcol", "v"])
+    db.register_table("pt", df=src, partition_by=["pcol"])
+    db.flush(only=["pt"])
+    db.append_rows("pt", spark.createDataFrame(
+        [(3, "a", 30)], ["id", "pcol", "v"]))
+    db.flush(only=["pt"])
+    ent = db._tables[("default", "pt")]
+    assert len(ent["segments"]) == 2
+    got = {r["id"] for r in db.df("pt").filter("pcol = 'a'").collect()}
+    assert got == {1, 3}
+    db2 = ToStoreSpark(spark, warehouse=wh)
+    assert db2.df("pt").count() == 3
+    assert {r["id"] for r in db2.df("pt").filter("pcol = 'a'").collect()} \
+        == {1, 3}

@@ -121,6 +121,9 @@ class ToStoreSpark:
             "df": df, "path": path, "schema": schema, "global": is_global,
             "partition_by": list(partition_by) if partition_by else None,
         }
+        # a re-registration is a whole-table replacement — never an
+        # append-only mutation the flush fast path may ship as a segment
+        self._append_deltas[(space, name)] = None
 
     def _read_parquet(self, path: str, schema=None) -> DataFrame:
         """Parquet read that tolerates nanosecond timestamps (Spark rejects
@@ -131,21 +134,36 @@ class ToStoreSpark:
         hive-partitioned warehouse dirs, where partition-column type
         inference would otherwise retype numeric-looking string values
         ('001' → int 1, leading zeros irrecoverably lost) and move the
-        partition columns to the end of the schema."""
+        partition columns to the end of the schema.
+
+        ``path`` may be a list of directories — the SEGMENT read of an
+        append-fast-path table (store.flush_tables): one multi-root
+        parquet scan over base + delta segments, still one plan node."""
+        paths = [path] if isinstance(path, str) else list(path)
         if schema is not None:
-            df = self.spark.read.schema(schema).parquet(path)
-            return df.select(*[f.name for f in schema.fields])
+            # hive-partitioned roots can't share one multi-root scan
+            # (partition discovery wants a single basePath) — read each
+            # segment root pinned and union; partition PRUNING still
+            # applies per scan, and the union is a no-shuffle plan node
+            frames = [
+                self.spark.read.schema(schema).parquet(p)
+                    .select(*[f.name for f in schema.fields])
+                for p in paths]
+            out = frames[0]
+            for f in frames[1:]:
+                out = out.unionByName(f)
+            return out
         ns_cols: list[str] = []
         try:
             import pyarrow.parquet as pq
-            ns_cols = [f.name for f in pq.read_schema(path)
+            ns_cols = [f.name for f in pq.read_schema(paths[0])
                        if str(f.type).startswith("timestamp[ns")]
         except Exception:
             pass
         if not ns_cols:
-            return self.spark.read.parquet(path)
+            return self.spark.read.parquet(*paths)
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = self.spark.read.parquet(path)
+        df = self.spark.read.parquet(*paths)
         from pyspark.sql import functions as F
         for c in ns_cols:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
@@ -329,22 +347,71 @@ class ToStoreSpark:
             return None
         return sch.primary_key.name if sch.primary_key else None
 
-    def set_df(self, name: str, df: DataFrame, weight: int = 1) -> None:
+    def set_df(self, name: str, df: DataFrame, weight: int = 1,
+               append_delta: Optional[DataFrame] = None) -> None:
         """``weight`` counts toward the compaction budget: plan-heavy
         rewrites (e.g. unique-checked updates, whose olds-join would
         otherwise compound in lineage between barriers) pass >1 so the
-        localCheckpoint cut arrives proportionally sooner."""
-        self._set_df_at_key(self._resolve(name), df, weight=weight)
+        localCheckpoint cut arrives proportionally sooner.
+
+        ``append_delta``: when the new frame is PROVABLY the old frame
+        plus exactly these rows (insert paths), pass the appended rows —
+        the flush fast path then ships only the delta as a new segment
+        instead of rewriting the table (store.flush_tables).  Any write
+        without a delta poisons the fast path until the next flush."""
+        self._set_df_at_key(self._resolve(name), df, weight=weight,
+                            append_delta=append_delta)
 
     def _set_df_at_key(self, key: tuple, df: DataFrame,
-                       weight: int = 1) -> None:
+                       weight: int = 1,
+                       append_delta: Optional[DataFrame] = None) -> None:
         """Key-addressed write — see ``_df_at_key`` for why cross-space
         callers must not go through active-space name resolution."""
         self._tables[key]["df"] = df
         self._generations[key] = self._generations.get(key, 0) + 1
+        deltas = self._append_deltas
+        if append_delta is None:
+            deltas[key] = None            # rewrite-dirty: no fast path
+        elif deltas.get(key, "absent") is None:
+            pass                          # already poisoned this epoch
+        else:
+            # pin the delta's rows now: its lineage may reference frames
+            # a later mutation invalidates before the flush executes it
+            pinned = append_delta.localCheckpoint(eager=True)
+            deltas[key] = (deltas[key].unionByName(pinned)
+                           if key in deltas else pinned)
         self._maybe_compact(key, weight=weight)
         for w in list(getattr(self, "_watchers", [])):
             w.notify_change(key[1])
+
+    @property
+    def _append_deltas(self) -> dict:
+        """(space, name) → appended-rows frame for tables whose every
+        mutation since the last flush was an append (the flush segment
+        fast path), or None for tables rewritten this epoch."""
+        if not hasattr(self, "_adeltas"):
+            self._adeltas = {}
+        return self._adeltas
+
+    def append_rows(self, name: str, rows_df: DataFrame) -> int:
+        """Explicit append fast path: union ``rows_df`` into the table
+        AND record it as the flush delta — at flush time only these rows
+        are written (a new parquet segment joins the table's segment
+        list in one manifest commit; store.flush_tables), never a
+        whole-table rewrite.  The 100 TB ingest shape: appending a
+        1 GB batch to a 100 TB table costs 1 GB of IO.  Columns must
+        match the stored frame (missing columns are an error here —
+        an append segment must be readable with the table's schema)."""
+        key = self._resolve(name)
+        cur = self._tables[key]["df"]
+        if sorted(rows_df.columns) != sorted(cur.columns):
+            raise ValueError(
+                f"append_rows into {name}: columns {sorted(rows_df.columns)}"
+                f" != table columns {sorted(cur.columns)}")
+        delta = rows_df.select(*cur.columns).localCheckpoint(eager=True)
+        self._set_df_at_key(key, cur.unionByName(delta),
+                            append_delta=delta)
+        return delta.count()
 
     @property
     def _generations(self) -> dict:

@@ -206,6 +206,26 @@ class FlushLock:
 #: so list_versions/vacuum/fsck ignore it)
 _TABLE_LOG = "_log"
 
+#: append-fast-path bounds: a version directory holding only a delta
+#: segment carries this sidecar naming the version's FULL segment list
+#: (self-describing time travel); past _MAX_SEGMENTS live segments the
+#: next flush rewrites in full — amortized auto-compaction, bounding
+#: both the reader's file listing and small-file buildup.
+_SEGMENTS_SIDECAR = "_segments.json"
+_MAX_SEGMENTS = 16
+
+
+def _version_segments(fs, vdir: str) -> list[str]:
+    """The FULL content of a flushed version: its sidecar's segment
+    list (append commit) or the directory alone (rewrite commit)."""
+    path = _fsmod.join(vdir, _SEGMENTS_SIDECAR)
+    try:
+        if not fs.exists(path):         # Hadoop shim raises Py4J errors,
+            return [vdir]               # not OSError — probe first
+        return list(json.loads(fs.read_text(path))["segments"])
+    except (OSError, ValueError, KeyError):
+        return [vdir]
+
 
 def _claim_path(wh: str, space: str, table: str, version: int) -> str:
     return _fsmod.join(wh, space, table, _TABLE_LOG, f"v{version}.claim")
@@ -367,7 +387,7 @@ def flush_tables(engine, flush_storage: bool = True,
 
     # ---- phase 2: claim versions + write data (no lock) ------------
     claims: list[str] = []
-    staged = []           # (key, gen, vdir, written_schema, pby)
+    staged = []       # (key, gen, vdir, written_schema, pby, segments)
     try:
         for key in dirty_keys:
             ent = engine._tables[key]
@@ -384,7 +404,30 @@ def flush_tables(engine, flush_storage: bool = True,
             claims.append(_claim_version(fs, wh, key[0], key[1], gen,
                                          lock.token, theirs.get(key)))
             vdir = table_version_dir(wh, key[0], key[1], gen)
-            writer = ent["df"].write.mode("overwrite")
+            # append fast path (Delta's add-files commit, through the
+            # versioned-directory machinery): when EVERY mutation since
+            # the last flush was an append (engine._append_deltas holds
+            # the rows), write ONLY the delta as this version's segment
+            # and record base + delta as the version's segment list —
+            # appending 1 GB to a 100 TB table costs 1 GB of IO.  The
+            # list is capped: at _MAX_SEGMENTS the flush falls back to
+            # a full rewrite, the amortized auto-compaction.  TTL
+            # tables always rewrite (physical cleanup must drop base
+            # rows).  Time travel stays exact via a _segments.json
+            # sidecar in the version dir (read_version).
+            delta = engine._append_deltas.get(key)
+            base_segs = ent.get("segments") or \
+                ([ent["path"]] if ent.get("path") else None)
+            whn = _norm_path(wh)
+            fast = (delta is not None
+                    and key in engine._flushed_gen
+                    and base_segs is not None
+                    and all(_norm_path(p).startswith(whn)
+                            for p in base_segs)
+                    and not (ttl_cfg is not None and ttl_cfg.ttl_ms)
+                    and len(base_segs) < _MAX_SEGMENTS)
+            frame = delta if fast else ent["df"]
+            writer = frame.write.mode("overwrite")
             pby = ent.get("partition_by")
             written_schema = ent["df"].schema
             if pby:
@@ -392,7 +435,13 @@ def flush_tables(engine, flush_storage: bool = True,
                 # prune partitions on these columns (PartitionFilters)
                 writer = writer.partitionBy(*pby)
             writer.parquet(vdir)
-            staged.append((key, gen, vdir, written_schema, pby))
+            segments = (base_segs + [vdir]) if fast else None
+            if segments:
+                fs.write_atomic(
+                    _fsmod.join(vdir, _SEGMENTS_SIDECAR),
+                    json.dumps({"segments": segments}))
+            staged.append((key, gen, vdir, written_schema, pby,
+                           segments))
             for c in claims:      # keep every claim visibly live while
                 try:              # later tables write (freshness signal
                     fs.touch(c)   # for other writers' stale checks)
@@ -415,11 +464,12 @@ def flush_tables(engine, flush_storage: bool = True,
                 if base_seq != getattr(engine, "_store_seq", 0) else None
             # adopt the written directories into the registry (schema
             # pinned so partition-column inference can't retype values)
-            for key, gen, vdir, wsch, pby in staged:
+            for key, gen, vdir, wsch, pby, segs in staged:
                 ent = engine._tables[key]
                 ent["df"] = engine._read_parquet(
-                    vdir, schema=wsch if pby else None)
+                    segs if segs else vdir, schema=wsch if pby else None)
                 ent["path"] = vdir
+                ent["segments"] = segs or [vdir]
             engine._store_seq = base_seq + 1
             manifest = _build_manifest(engine)
             if merge_from is not None:
@@ -427,6 +477,7 @@ def flush_tables(engine, flush_storage: bool = True,
             write_manifest(wh, manifest, fs=fs)
             for key, gen, *_ in staged:
                 engine._flushed_gen[key] = gen
+                engine._append_deltas.pop(key, None)
                 flushed.append(key[1])
             _write_flush_event(fs, wh, engine._store_seq, flushed)
             if merge_from is not None:
@@ -584,11 +635,14 @@ def _fold_merged(engine, manifest: dict) -> None:
         ver = ent.get("version", 0)
         if engine._flushed_gen.get(key) == ver and key in engine._tables:
             continue   # ours (just flushed or untouched) — already right
+        segs = ent.get("segments") or [ent["path"]]
         engine._tables[key] = {
-            "df": engine._read_parquet(ent["path"]),
+            "df": engine._read_parquet(
+                segs if len(segs) > 1 else ent["path"]),
             "path": ent["path"],
             "schema": _schema_from_dict(ent["schema"]),
             "global": ent["global"],
+            "segments": segs,
         }
         engine._generations[key] = ver
         engine._flushed_gen[key] = ver
@@ -624,6 +678,9 @@ def _build_manifest(engine) -> dict:
                 "schema": _schema_to_dict(ent["schema"]),
                 "partition_by": ent.get("partition_by"),
             }
+            segs = ent.get("segments")
+            if segs and len(segs) > 1:
+                entry["segments"] = list(segs)
             if ent.get("partition_by"):
                 # exact Spark types for the partitioned read-back pin —
                 # TableSchema's logical types are lossy (e.g. NTZ)
@@ -662,10 +719,12 @@ def load_warehouse(engine) -> list[str]:
         if pby and ent.get("spark_schema"):
             from pyspark.sql.types import StructType
             pin = StructType.fromJson(json.loads(ent["spark_schema"]))
+        segs = ent.get("segments") or [ent["path"]]
         engine._tables[key] = {
-            "df": engine._read_parquet(ent["path"], schema=pin),
+            "df": engine._read_parquet(
+                segs if len(segs) > 1 else ent["path"], schema=pin),
             "path": ent["path"], "schema": sch, "global": ent["global"],
-            "partition_by": pby,
+            "partition_by": pby, "segments": segs,
         }
         engine._generations[key] = ent.get("version", 0)
         if not hasattr(engine, "_flushed_gen"):
@@ -1015,7 +1074,11 @@ def read_version(engine, table: str, version: int,
     if not hasattr(engine, "_pinned_versions"):
         engine._pinned_versions = set()
     engine._pinned_versions.add((space, table, version))
-    return engine._read_parquet(vdir)
+    # an append-commit version dir holds only its delta; the sidecar
+    # names the version's FULL segment list (vacuum resolves pins
+    # through the same sidecar, so the base dirs stay protected)
+    segs = _version_segments(fs, vdir)
+    return engine._read_parquet(segs if len(segs) > 1 else vdir)
 
 
 def vacuum(engine, keep: int = 1) -> int:
@@ -1030,6 +1093,14 @@ def vacuum(engine, keep: int = 1) -> int:
     current = {(e["space"], e["name"]): e["path"]
                for e in man["tables"].values()}
     pinned = getattr(engine, "_pinned_versions", set())
+    # append-commit protection: a dir referenced as a SEGMENT of the
+    # current entry, of a kept version, or of a pinned version is live
+    # data even when its own version number is old — resolve segment
+    # lists (manifest + sidecars) before any deletion decision
+    protected: set = set()
+    for e in man["tables"].values():
+        for s in e.get("segments") or [e["path"]]:
+            protected.add(_norm_path(s))
     removed = 0
     wh = engine._warehouse
     # prune the flush-event log too (keep the newest 100 — enough for
@@ -1049,12 +1120,22 @@ def vacuum(engine, keep: int = 1) -> int:
             (d for d in fs.listdir(tdir)
              if d.startswith("v") and d[1:].isdigit()),
             key=lambda d: int(d[1:]), reverse=True)
+        # kept/pinned versions protect their whole segment lists
+        for d in versions:
+            full = _fsmod.join(tdir, d)
+            if (d in versions[:keep]
+                    or (space, name, int(d[1:])) in pinned
+                    or _norm_path(full) == _norm_path(cur_path)):
+                for s in _version_segments(fs, full):
+                    protected.add(_norm_path(s))
         for d in versions[keep:]:
             full = _fsmod.join(tdir, d)
             if _norm_path(full) == _norm_path(cur_path):
                 continue
             if (space, name, int(d[1:])) in pinned:
                 continue   # a live df_at frame still reads these files
+            if _norm_path(full) in protected:
+                continue   # a segment of a live append-commit version
             fs.delete(full, recursive=True)
             # the version's write claim goes with its directory — once
             # the dir is gone the number can never be re-issued anyway
@@ -1132,7 +1213,9 @@ class SnapshotView:
                     from pyspark.sql.types import StructType
                     pin = StructType.fromJson(
                         json.loads(ent["spark_schema"]))
-                return self._engine._read_parquet(ent["path"], schema=pin)
+                segs = ent.get("segments") or [ent["path"]]
+                return self._engine._read_parquet(
+                    segs if len(segs) > 1 else ent["path"], schema=pin)
         raise KeyError(f"table {space}/{table} not in snapshot seq={self.seq}")
 
     def release(self) -> None:
@@ -1264,19 +1347,24 @@ def fsck(engine):
     fs = _fs(engine)
     man = read_manifest(engine._warehouse, fs=fs) or {"tables": {}}
     current = {}
+    referenced: set = set()
     rows = []
     for ent in man["tables"].values():
         key = (ent["space"], ent["name"])
         current[key] = _norm_path(ent["path"])
-        if not fs.is_dir(ent["path"]):
-            rows.append(("missing_version", ent["space"], ent["name"],
-                         ent["path"]))
-        else:
-            files = [f for f in fs.listdir(ent["path"])
-                     if not f.startswith(("_", "."))]
-            if not files:
-                rows.append(("empty_version", ent["space"], ent["name"],
-                             ent["path"]))
+        # an append-commit entry references every segment dir — each
+        # must exist and hold data, and none is an orphan
+        for seg in ent.get("segments") or [ent["path"]]:
+            referenced.add(_norm_path(seg))
+            if not fs.is_dir(seg):
+                rows.append(("missing_version", ent["space"],
+                             ent["name"], seg))
+            else:
+                files = [f for f in fs.listdir(seg)
+                         if not f.startswith(("_", "."))]
+                if not files:
+                    rows.append(("empty_version", ent["space"],
+                                 ent["name"], seg))
     pinned = getattr(engine, "_pinned_versions", set())
     wh = engine._warehouse
     for space, name in current:
@@ -1288,8 +1376,9 @@ def fsck(engine):
                 continue
             full = _norm_path(_fsmod.join(tdir, d))
             v = int(d[1:])
-            if full != current[(space, name)] \
-                    and (space, name, v) not in pinned:
+            if (full != current[(space, name)]
+                    and full not in referenced
+                    and (space, name, v) not in pinned):
                 rows.append(("orphan_version", space, name, full))
     return engine.spark.createDataFrame(
         rows, "kind string, space string, table string, detail string")

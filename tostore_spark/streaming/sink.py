@@ -41,6 +41,13 @@ def merge_batch(engine, table: str, batch_df: DataFrame,
         merged = kept.unionByName(pinned, allowMissingColumns=True)
     elif mode == "append":
         merged = current.unionByName(pinned, allowMissingColumns=True)
+        if sorted(pinned.columns) == sorted(current.columns):
+            # schema-complete appends ride the flush segment fast path:
+            # each flushed micro-batch commits a delta segment instead
+            # of rewriting the table — streaming ingest into a 100 TB
+            # table costs the batch's IO, not the table's
+            engine.set_df(table, merged, append_delta=pinned)
+            return n
     else:
         raise ValueError(f"unknown merge mode: {mode}")
     engine.set_df(table, merged)

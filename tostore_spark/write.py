@@ -257,7 +257,10 @@ def insert(engine, table: str, rows: list[dict],
             schema.primary_key is not None
             or any(ix.unique for ix in schema.all_indexes())):
         _check_unique(engine, table, schema, new_df)
-    engine.set_df(table, cur.unionByName(new_df))
+    # inserts are provably append-only: hand the flush fast path the
+    # exact appended rows so it can commit a delta segment instead of
+    # rewriting the table (store.flush_tables)
+    engine.set_df(table, cur.unionByName(new_df), append_delta=new_df)
     if schema.primary_key is not None \
             and schema.primary_key.type == PrimaryKeyType.sequential:
         # keep the cached counter valid across our own write: advance it
