@@ -1582,6 +1582,38 @@ def q_flush_reopen(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_append_segments(spark, sf_dir):
+    """Append-segment flush fast path (store.flush_tables; Delta's
+    add-files commit through the versioned dirs): base flush, then an
+    insert-only epoch commits a DELTA segment — the reopened engine
+    must read base ∪ delta exactly, while the new version dir holds
+    only the 2 appended rows (asserted in-entry: the fast path really
+    engaged, or this query fails loudly rather than silently passing
+    on a full rewrite)."""
+    import tempfile
+    db = _db(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        db1 = ToStoreSpark(spark, warehouse=tmp)
+        db1.register_table("nation", df=db.df("nation"))
+        db1.flush()                                     # durable base
+        db1.batch_insert("nation", [
+            {"n_nationkey": 90, "n_name": "SEGLAND", "n_regionkey": 0,
+             "n_comment": "c"},
+            {"n_nationkey": 91, "n_name": "DELTAVIA", "n_regionkey": 1,
+             "n_comment": "c"}])
+        db1.flush()
+        ent = db1._tables[("default", "nation")]
+        if len(ent.get("segments") or []) != 2:
+            raise AssertionError("append fast path did not engage")
+        if spark.read.parquet(ent["path"]).count() != 2:
+            raise AssertionError("version dir holds more than the delta")
+        db2 = ToStoreSpark(spark, warehouse=tmp)
+        out = db2.df("nation").select("n_nationkey", "n_name",
+                                      "n_regionkey")
+        rows, schema = out.collect(), out.schema
+    return spark.createDataFrame(rows, schema)
+
+
 def q_embedding_truncate(spark, sf_dir):
     """Matryoshka truncation (llmops/linalg.truncate_normalize): first
     16 dims, L2-renormalized map-side — the ANN cost/recall knob; the
@@ -3260,6 +3292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oldest-row-first, the r8 driver-sampled block last.
     _ORDER = [
         "q_hard_negatives", "q_vector_lsh", "q_pca_project",
+        "q_append_segments",
         "q_similarity_graph", "q_robust_outliers_grouped",
         "q_robust_outliers", "q_drift_mix", "q_drift_psi_decile",
         "q_drift_psi", "q_tpch_q17", "q_tpch_q18", "q_fuzzy_match",
@@ -4037,6 +4070,11 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs)
             SELECT query_id, neighbor_id, rank, round(distance, 6) AS distance_r
             FROM ranked WHERE rank <= 3""",
+        "q_append_segments": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+            UNION ALL
+            SELECT * FROM (VALUES (90, 'SEGLAND', 0), (91, 'DELTAVIA', 1))
+                   v(n_nationkey, n_name, n_regionkey)""",
         "q_vector_lsh": _vector_lsh_oracle(),
         "q_pca_project": _pca_project_oracle(),
         "q_hard_negatives": """
