@@ -378,6 +378,43 @@ def _tfidf_block_stat(spark, sf_dir: str) -> dict | None:
         return None
 
 
+def _append_flush_stat(spark, sf_dir: str) -> dict | None:
+    """Measured IO win of the append segment fast path: flush seconds
+    for a 100-row append to the sf lineitem table as a SEGMENT commit
+    vs the same append forced down the full-rewrite path (the
+    pre-segment cost).  The ratio is the point: segment cost tracks
+    the delta, rewrite cost tracks the table, so it widens linearly
+    with corpus scale — at 100 TB it is the difference between an
+    ingest tick and a day of IO."""
+    import tempfile
+    import time as _t
+
+    try:
+        import __spark_entry__ as entrymod
+        from tostore_spark import ToStoreSpark
+        li = entrymod._db(spark, sf_dir).df("lineitem")
+        delta = li.limit(100).localCheckpoint(eager=True)
+        out: dict = {"base_rows": li.count(), "delta_rows": 100}
+        for mode in ("segment", "rewrite"):
+            with tempfile.TemporaryDirectory() as tmp:
+                db = ToStoreSpark(spark, warehouse=tmp)
+                db.register_table("li", df=li)
+                db.flush()
+                db.append_rows("li", delta)
+                if mode == "rewrite":
+                    # poison the epoch: same rows, forced full path
+                    db.set_df("li", db.df("li"))
+                t0 = _t.time()
+                db.flush()
+                out[f"{mode}_flush_sec"] = round(_t.time() - t0, 3)
+                segs = db._tables[("default", "li")]["segments"]
+                out[f"{mode}_segments"] = len(segs)
+        return out
+    except Exception as exc:                    # pragma: no cover
+        print(f"# append flush stat skipped: {exc}", file=sys.stderr)
+        return None
+
+
 def _ppl_floor_stat(spark, sf_dir: str) -> dict | None:
     """Cost attribution for the q_ppl_buckets entry: warm seconds for
     the LM train+score pass ALONE (bigram ``train_ngram_lm`` +
@@ -619,6 +656,7 @@ def main():
     tfidf_block = _tfidf_block_stat(spark, sf_dir)
     fuzzy_block = _fuzzy_block_stat(spark, sf_dir)
     ppl_floor = _ppl_floor_stat(spark, sf_dir)
+    append_flush = _append_flush_stat(spark, sf_dir)
 
     # Detail block (extras/recall/sf1/methodology): written to a committed
     # sidecar AND printed on an EARLIER stderr line.  The driver captures
@@ -634,6 +672,7 @@ def main():
         "tfidf_blocking": tfidf_block,
         "fuzzy_blocking": fuzzy_block,
         "ppl_floor": ppl_floor,
+        "append_flush": append_flush,
         "methodology": ("cold_first_run (value/queries; r1-comparable) "
                         "+ steady_state_second_run (value_warm/queries_warm; "
                         "r2-comparable); canary_sec = fixed machine-speed "
