@@ -1614,6 +1614,47 @@ def q_append_segments(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_stream_ingest_exactly_once(spark, sf_dir):
+    """Exactly-once streaming ingest (streaming/sink): an availableNow
+    file stream appends 5 nation rows into a warehouse-backed table
+    with the per-batch KV ledger committed atomically with the data
+    (one manifest CAS); then the LAST COMMITTED BATCH IS REPLAYED
+    against a crash-fresh engine (the at-least-once delivery Structured
+    Streaming gives after a checkpoint loss) and must merge ZERO rows —
+    mode='append', so only the ledger blocks the duplicate.  The
+    reopened table must equal base ∪ streamed-once."""
+    import tempfile
+
+    from tostore_spark.streaming.sink import (exactly_once_processor,
+                                              write_stream_to_table)
+    db = _db(spark, sf_dir)
+    new_rows = [(80 + i, f"STREAMED{i}", i % 3) for i in range(5)]
+    with tempfile.TemporaryDirectory() as tmp:
+        wh, src, ck = (f"{tmp}/wh", f"{tmp}/src", f"{tmp}/ck")
+        db1 = ToStoreSpark(spark, warehouse=wh)
+        db1.register_table("nation", df=db.df("nation"))
+        db1.flush()
+        batch = spark.createDataFrame(
+            new_rows, db.df("nation").schema)
+        batch.write.mode("overwrite").parquet(src)
+        stream = (spark.readStream.schema(batch.schema).parquet(src))
+        q = write_stream_to_table(db1, stream, "nation", checkpoint=ck,
+                                  mode="append", exactly_once=True)
+        q.awaitTermination(120)
+        # crash-replay: a FRESH engine (ledger restored from the
+        # manifest) re-delivers the committed batch id — must skip
+        db2 = ToStoreSpark(spark, warehouse=wh)
+        last = db2.get_value("__stream_ledger__:nation:default")
+        if last is None:
+            raise AssertionError("ledger entry missing after ingest")
+        proc = exactly_once_processor(db2, "nation", mode="append")
+        proc(batch, int(last))
+        out = db2.df("nation").select("n_nationkey", "n_name",
+                                      "n_regionkey")
+        rows, schema = out.collect(), out.schema
+    return spark.createDataFrame(rows, schema)
+
+
 def q_embedding_truncate(spark, sf_dir):
     """Matryoshka truncation (llmops/linalg.truncate_normalize): first
     16 dims, L2-renormalized map-side — the ANN cost/recall knob; the
@@ -3236,7 +3277,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering policy (round 9 — the r8 verdict's seeded rotation,
     executed exactly; same rule as r3-r8).  First 50:
 
-    - slots 1-11: entries whose module changed in r9, plus the three
+    - slots 1-4: entries born mid-r9, after the rotation was seeded
+      (newest-first rule): q_hard_negatives (contrastive-training
+      negative mining, exact + cell-blocked tiers), q_vector_lsh
+      (multi-probe LSH search, first oracle pin of that path),
+      q_pca_project (fixed-basis rotation projection),
+      q_append_segments (the flush segment fast path end-to-end);
+    - next: entries whose module changed in r9, plus the three
       entries that had never held a driver row.  NEW this round:
       q_similarity_graph (Vamana-lite graph ANN — batch kNN-graph
       build + bounded beam search, the whole trajectory oracle-exact)
@@ -3292,7 +3339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oldest-row-first, the r8 driver-sampled block last.
     _ORDER = [
         "q_hard_negatives", "q_vector_lsh", "q_pca_project",
-        "q_append_segments",
+        "q_append_segments", "q_stream_ingest_exactly_once",
         "q_similarity_graph", "q_robust_outliers_grouped",
         "q_robust_outliers", "q_drift_mix", "q_drift_psi_decile",
         "q_drift_psi", "q_tpch_q17", "q_tpch_q18", "q_fuzzy_match",
@@ -4075,6 +4122,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT * FROM (VALUES (90, 'SEGLAND', 0), (91, 'DELTAVIA', 1))
                    v(n_nationkey, n_name, n_regionkey)""",
+        "q_stream_ingest_exactly_once": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+            UNION ALL
+            SELECT 80 + i AS n_nationkey, 'STREAMED' || CAST(i AS VARCHAR),
+                   i % 3 AS n_regionkey
+            FROM range(5) t(i)""",
         "q_vector_lsh": _vector_lsh_oracle(),
         "q_pca_project": _pca_project_oracle(),
         "q_hard_negatives": """

@@ -291,6 +291,7 @@ class ToStoreSpark:
         for key in [k for k in self._tables if k[0] == space]:
             del self._tables[key]
             self._generations.pop(key, None)
+            self._append_deltas.pop(key, None)
         self._known_spaces.discard(space)
         return DbResult(True, f"space {space} deleted")
 
@@ -851,12 +852,14 @@ class ToStoreSpark:
                         if k[0] not in (self._space, "global")]:
                 del self._tables[key]
                 self._generations.pop(key, None)
+                self._append_deltas.pop(key, None)
 
     def delete_database(self) -> None:
         """Drop everything: all spaces, tables, KV state, caches
         (tostore.dart:1069)."""
         self._tables.clear()
         self._generations.clear()
+        self._append_deltas.clear()
         if hasattr(self, "_kv"):
             self._kv.restore({})
         if hasattr(self, "_spaces"):
