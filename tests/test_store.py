@@ -1396,3 +1396,131 @@ def test_append_fast_path_on_partitioned_table(spark, tmp_path_factory):
     assert db2.df("pt").count() == 3
     assert {r["id"] for r in db2.df("pt").filter("pcol = 'a'").collect()} \
         == {1, 3}
+
+
+# ----------------------------------------------------------- delta hygiene
+# (rollback / retry / refresh must not leak append deltas into the flush
+# fast path — a leaked delta commits rolled-back rows as a durable segment)
+
+def test_rollback_clears_append_delta(spark, tmp_path_factory):
+    """A rolled-back insert's pinned delta must die with the rollback:
+    the next flush's fast path would otherwise commit the rolled-back
+    rows as a durable append segment (phantom rows)."""
+    from tostore_spark import ToStoreSpark
+    db, wh = _fresh(spark, tmp_path_factory, "rb_delta")
+    # arm the fast path: first mutation + flush = durable base (a clean
+    # data_dir table is not dirty, so flushing it alone is a no-op)
+    db.insert("region", {"r_regionkey": 99, "r_name": "BASE",
+                         "r_comment": "c"})
+    db.flush(only=["region"])
+    n0 = db.df("region").count()
+
+    def bad(e):
+        e.insert("region", {"r_regionkey": 97, "r_name": "GHOST",
+                            "r_comment": "c"})
+        raise RuntimeError("boom")
+
+    res = db.transaction(bad)
+    assert not res.success
+    assert db.df("region").count() == n0            # in-memory rollback
+    # a legit append after the rollback flushes ONLY itself
+    db.insert("region", {"r_regionkey": 98, "r_name": "REAL",
+                         "r_comment": "c"})
+    db.flush(only=["region"])
+    db2 = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    got = db2.df("region")
+    assert got.filter("r_name = 'GHOST'").count() == 0
+    assert got.filter("r_name = 'REAL'").count() == 1
+    assert got.count() == n0 + 1
+
+
+def test_retry_does_not_double_append_delta(spark, tmp_path_factory):
+    """A ConcurrentWriteError retry re-runs the action; the aborted
+    attempt's delta must not union with the retry's — the committed
+    segment would hold the inserted rows twice."""
+    from tostore_spark import ToStoreSpark
+    wh = str(tmp_path_factory.mktemp("wh_retry_delta"))
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    # arm a's fast path with a durable base flush
+    a.insert("region", {"r_regionkey": 99, "r_name": "BASE",
+                        "r_comment": "c"})
+    a.flush(only=["region"])
+    b.refresh()
+    n0 = a.df("region").count()
+    state = {"interfered": False}
+
+    def act(db):
+        db.insert("region", {"r_regionkey": 96, "r_name": "ONCE",
+                             "r_comment": "c"})
+        if not state["interfered"]:
+            state["interfered"] = True
+            # concurrent writer commits region -> OUR flush loses CAS
+            b.insert("region", {"r_regionkey": 95, "r_name": "OTHER",
+                                "r_comment": "c"})
+            b.flush(only=["region"])
+
+    res = a.transaction(act, retries=2)
+    assert res.success
+    fresh = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    assert fresh.df("region").filter("r_name = 'ONCE'").count() == 1
+    assert fresh.df("region").filter("r_name = 'OTHER'").count() == 1
+    assert fresh.df("region").count() == n0 + 2
+
+
+def test_append_rows_casts_divergent_types(spark, tmp_path_factory):
+    """A delta whose column TYPE differs from the stored table is cast to
+    the stored schema before the segment write — a type-divergent parquet
+    segment would break the multi-root read only after the commit."""
+    from pyspark.sql import types as T
+    from tostore_spark import ToStoreSpark
+    db, wh = _fresh(spark, tmp_path_factory, "seg_types")
+    base = spark.createDataFrame(
+        [(1, 10)], T.StructType([T.StructField("id", T.LongType()),
+                                 T.StructField("v", T.LongType())]))
+    db.register_table("tt", df=base)
+    db.flush(only=["tt"])
+    delta = spark.createDataFrame(
+        [(2, 20)], T.StructType([T.StructField("id", T.IntegerType()),
+                                 T.StructField("v", T.IntegerType())]))
+    db.append_rows("tt", delta)
+    db.flush(only=["tt"])
+    ent = db._tables[("default", "tt")]
+    assert len(ent["segments"]) == 2                # fast path taken
+    # the delta SEGMENT's physical parquet types must match the base —
+    # whether the multi-root read survives divergence is reader luck
+    # (footer pick order), so pin the written files directly
+    import pyarrow.dataset as pads
+    for seg in ent["segments"]:
+        sch = pads.dataset(seg).schema
+        assert str(sch.field("id").type) == "int64", (seg, sch)
+        assert str(sch.field("v").type) == "int64", (seg, sch)
+    db2 = ToStoreSpark(spark, warehouse=wh)
+    got = db2.df("tt")
+    assert [f.dataType.simpleString() for f in got.schema.fields] \
+        == ["bigint", "bigint"]
+    assert got.count() == 2 and got.agg(F.sum("v")).collect()[0][0] == 30
+
+
+def test_merge_batch_append_casts_divergent_types(spark, tmp_path_factory):
+    """Streaming append fast path conforms batch types to the stored
+    schema too (same segment-compatibility contract as append_rows)."""
+    from pyspark.sql import types as T
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.streaming.sink import merge_batch
+    db, wh = _fresh(spark, tmp_path_factory, "sink_types")
+    base = spark.createDataFrame(
+        [(1, 10)], T.StructType([T.StructField("id", T.LongType()),
+                                 T.StructField("v", T.LongType())]))
+    db.register_table("st", df=base)
+    db.flush(only=["st"])
+    batch = spark.createDataFrame(
+        [(2, 20)], T.StructType([T.StructField("id", T.IntegerType()),
+                                 T.StructField("v", T.IntegerType())]))
+    assert merge_batch(db, "st", batch, mode="append") == 1
+    db.flush(only=["st"])
+    assert len(db._tables[("default", "st")]["segments"]) == 2
+    db2 = ToStoreSpark(spark, warehouse=wh)
+    assert db2.df("st").count() == 2
+    assert [f.dataType.simpleString() for f in db2.df("st").schema.fields] \
+        == ["bigint", "bigint"]

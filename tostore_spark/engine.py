@@ -27,6 +27,26 @@ from tostore_spark.query import QueryBuilder
 from tostore_spark.schema import TableSchema
 
 
+def _cast_to_table_schema(df: DataFrame, schema) -> DataFrame:
+    """Cast ``df``'s columns to a table's stored types where they differ.
+
+    Append-fast-path guard: a delta segment written with a divergent
+    parquet physical type (int vs bigint, …) poisons the table's
+    multi-root segment read — and only at scan time, after the manifest
+    commit.  Casting up front keeps every segment read-compatible and
+    surfaces impossible casts at append time instead."""
+    from pyspark.sql import functions as F
+
+    stored = {f.name: f.dataType for f in schema.fields}
+    if all(df.schema[c].dataType == stored[c]
+           for c in df.columns if c in stored):
+        return df
+    return df.select(*[
+        F.col(c).cast(stored[c]).alias(c) if c in stored
+        and df.schema[c].dataType != stored[c] else F.col(c)
+        for c in df.columns])
+
+
 class DbResult:
     """Graceful-error result for admin operations (the reference returns a
     DbResult instead of raising for business-logic errors, tostore.dart:1134+)."""
@@ -156,8 +176,16 @@ class ToStoreSpark:
         ns_cols: list[str] = []
         try:
             import pyarrow.parquet as pq
-            ns_cols = [f.name for f in pq.read_schema(paths[0])
-                       if str(f.type).startswith("timestamp[ns")]
+            # probe EVERY root: engine-written segments are always
+            # micros, but externally registered bases may mix — a later
+            # segment's ns column would otherwise skip conversion
+            seen = set()
+            for p in paths:
+                for f in pq.read_schema(p):
+                    if (f.name not in seen
+                            and str(f.type).startswith("timestamp[ns")):
+                        seen.add(f.name)
+                        ns_cols.append(f.name)
         except Exception:
             pass
         if not ns_cols:
@@ -409,6 +437,12 @@ class ToStoreSpark:
             raise ValueError(
                 f"append_rows into {name}: columns {sorted(rows_df.columns)}"
                 f" != table columns {sorted(cur.columns)}")
+        # conform TYPES, not just names: a delta segment whose parquet
+        # physical type diverges from the base segments breaks (or
+        # silently retypes) the multi-root read-back AFTER the manifest
+        # commit — cast to the stored schema now so a lossy/impossible
+        # cast fails loud here instead
+        rows_df = _cast_to_table_schema(rows_df, cur.schema)
         delta = rows_df.select(*cur.columns).localCheckpoint(eager=True)
         self._set_df_at_key(key, cur.unionByName(delta),
                             append_delta=delta)

@@ -827,6 +827,11 @@ def refresh(engine, row_merge: bool = False,
                 del engine._tables[k]
                 engine._generations.pop(k, None)
     engine._flushed_gen = {}
+    # stale append deltas die with the old flushed state: a kept table's
+    # fast path is off anyway (its _flushed_gen entry is popped below),
+    # and a reloaded table's leftover delta would union into the NEXT
+    # append and double-commit rows
+    engine._append_deltas.clear()
     load_warehouse(engine)
     replayed = []
     for k, (ent, gen) in keep.items():

@@ -40,14 +40,20 @@ def merge_batch(engine, table: str, batch_df: DataFrame,
         kept = current.join(pinned.select(pk), on=pk, how="left_anti")
         merged = kept.unionByName(pinned, allowMissingColumns=True)
     elif mode == "append":
-        merged = current.unionByName(pinned, allowMissingColumns=True)
         if sorted(pinned.columns) == sorted(current.columns):
             # schema-complete appends ride the flush segment fast path:
             # each flushed micro-batch commits a delta segment instead
             # of rewriting the table — streaming ingest into a 100 TB
-            # table costs the batch's IO, not the table's
-            engine.set_df(table, merged, append_delta=pinned)
+            # table costs the batch's IO, not the table's.  The delta is
+            # cast to the stored TYPES first: a type-divergent segment
+            # would break the multi-root read-back only after the
+            # manifest commit (engine._cast_to_table_schema docstring)
+            from tostore_spark.engine import _cast_to_table_schema
+            conformed = _cast_to_table_schema(pinned, current.schema)
+            merged = current.unionByName(conformed)
+            engine.set_df(table, merged, append_delta=conformed)
             return n
+        merged = current.unionByName(pinned, allowMissingColumns=True)
     else:
         raise ValueError(f"unknown merge mode: {mode}")
     engine.set_df(table, merged)

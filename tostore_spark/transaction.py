@@ -28,12 +28,17 @@ class TransactionResult:
 def transaction(engine, rollback_on_error: bool = True):
     """``with transaction(db): ...`` — atomic scope over engine writes."""
     snapshot = {k: dict(v) for k, v in engine._tables.items()}
+    # append-delta map rolls back too: a rolled-back insert's pinned
+    # delta would otherwise survive and the next flush's fast path
+    # would commit the rolled-back rows as a durable append segment
+    adeltas_snap = dict(engine._append_deltas)
     kv_snap = engine._kv.snapshot() if hasattr(engine, "_kv") else None
     try:
         yield engine
     except Exception:
         if rollback_on_error:
             engine._tables = snapshot
+            engine._adeltas = adeltas_snap
             if hasattr(engine, "_kv"):
                 # kv created INSIDE the scope rolls back to empty
                 engine._kv.restore(kv_snap if kv_snap is not None else {})
@@ -108,6 +113,7 @@ def run_transaction_with_retry(engine, action, retries: int = 3,
         snapshot = {k: dict(v) for k, v in engine._tables.items()}
         gen_snap = dict(engine._generations)
         fgen_snap = dict(getattr(engine, "_flushed_gen", {}))
+        adeltas_snap = dict(engine._append_deltas)
         kv_snap = engine._kv.snapshot() if hasattr(engine, "_kv") else None
 
         def _rollback():
@@ -116,6 +122,11 @@ def run_transaction_with_retry(engine, action, retries: int = 3,
             engine._generations.clear()
             engine._generations.update(gen_snap)
             engine._flushed_gen = fgen_snap
+            # restore the append-delta map: (a) an aborted attempt's
+            # delta must not flush as a phantom segment, and (b) a
+            # retry re-running the action must not union its fresh
+            # delta onto the aborted attempt's (double-committed rows)
+            engine._adeltas = dict(adeltas_snap)
             if hasattr(engine, "_kv"):
                 # kv created INSIDE the action rolls back to empty —
                 # otherwise its writes re-apply on every retry
