@@ -111,7 +111,8 @@ def _sf1_spot(spark, sf_dir: str, headline_cold: dict) -> dict | None:
     gen_sec = round(time.time() - t0, 3)
 
     qs = entrymod.queries()
-    spot = ["q_dedup_minhash_lsh", "q_knn_join", "q_ivf_batch"]
+    spot = ["q_dedup_minhash_lsh", "q_knn_join", "q_ivf_batch",
+            "q_hard_negatives"]
     base_cold = dict(headline_cold)
     for name in spot:
         if name not in base_cold:   # not a headline query: measure base
@@ -136,6 +137,35 @@ def _sf1_spot(spark, sf_dir: str, headline_cold: dict) -> dict | None:
     spark.catalog.clearCache()
     n_docs = spark.read.parquet(docs_p).count()
     n_emb = spark.read.parquet(emb_p).count()
+
+    # graph ANN scale line (r9-verdict ask): build with |cell| held
+    # CONSTANT (n_cells scales with the corpus — the SCALE.md contract,
+    # Σ|cell|² stays linear) and search at fixed knobs.  Expected: build
+    # ratio ~10x (linear), search ratio far below 10x (per-hop cost is
+    # |queries| x ef x degree, corpus-size-independent; only the
+    # frontier joins grow with the corpus).
+    from tostore_spark.llmops import similarity as sim
+    graph_line = {}
+    for tag, src, cells in (("base", sf_dir, 16), ("sf1", cache, 160)):
+        e = (entrymod._db(spark, src).df("embeddings")
+             .select("vec_id", "embedding").localCheckpoint(eager=True))
+        t0 = time.time()
+        g, h = sim.build_knn_graph(e, n_neighbors=8, n_cells=cells)
+        g = g.localCheckpoint(eager=True)
+        graph_line[f"{tag}_build_sec"] = round(time.time() - t0, 3)
+        queries = (e.orderBy(F.md5(F.col("vec_id").cast("string")).asc(),
+                             F.col("vec_id").asc()).limit(20)
+                    .localCheckpoint(eager=True))
+        t0 = time.time()
+        sim.graph_search_many(g, e, queries, h, k=10, ef=24,
+                              max_hops=5).count()
+        graph_line[f"{tag}_search_sec"] = round(time.time() - t0, 3)
+    graph_line["build_x"] = round(
+        graph_line["sf1_build_sec"] / graph_line["base_build_sec"], 2)
+    graph_line["search_x"] = round(
+        graph_line["sf1_search_sec"] / graph_line["base_search_sec"], 2)
+    print(f"# sf1 graph: {graph_line}", file=sys.stderr)
+    spark.catalog.clearCache()
     return {
         "gen_sec": gen_sec, "replicas": replicas,
         "n_documents": n_docs, "n_embeddings": n_emb,
@@ -144,6 +174,7 @@ def _sf1_spot(spark, sf_dir: str, headline_cold: dict) -> dict | None:
                                if base_cold.get(k) else None)
                            for k in spot},
         "base_cold": {k: base_cold[k] for k in spot},
+        "graph": graph_line,
         "note": ("10x corpus derived from the base sf dir (marker-"
                  "interleaved text: near-dup pairs scale exactly 10x by "
                  "construction; see bench.py _sf1_spot)"),
@@ -279,11 +310,27 @@ def _recall_gate(spark, sf_dir: str) -> dict | None:
     # flat floor sits?).  Flat reading vs floor: IVF on structureless
     # vectors gets recall == probed fraction by construction; beam
     # search beating that number is the graph's whole value there.
+    # r10: flat knobs moved ef32/h3 -> ef24/h5 (SAME probed budget
+    # spent deeper: 0.44 -> 0.605 measured), plus the graph_refine
+    # reading (Vamana second pass: global beam-searched candidates +
+    # robust prune) and SEPARATE build/refine/search timings — the
+    # r9-verdict's missing graph timing evidence.
+    t_g0 = time.time()
     gflat, hflat = sim.build_knn_graph(emb, n_neighbors=8, n_cells=16)
     gflat = gflat.localCheckpoint(eager=True)
+    t_g1 = time.time()
     graph_flat = sim.graph_measure_recall(gflat, emb, hflat, k=10,
-                                          ef=32, max_hops=3,
+                                          ef=24, max_hops=5,
                                           n_queries=20)
+    t_g2 = time.time()
+    gref = sim.graph_refine(gflat, emb, hflat, n_neighbors=8, ef=16,
+                            max_hops=3, alpha=1.2) \
+              .localCheckpoint(eager=True)
+    t_g3 = time.time()
+    graph_refined = sim.graph_measure_recall(gref, emb, hflat, k=10,
+                                             ef=24, max_hops=5,
+                                             n_queries=20)
+    t_g4 = time.time()
     gclu, hclu = sim.build_knn_graph(cemb, n_neighbors=8, n_cells=16)
     gclu = gclu.localCheckpoint(eager=True)
     graph_clustered = sim.graph_measure_recall(gclu, cemb, hclu, k=10,
@@ -314,19 +361,34 @@ def _recall_gate(spark, sf_dir: str) -> dict | None:
         "graph_recall_at_10": {
             "flat": {"recall": round(graph_flat["recall"], 4),
                      "probed_fraction": graph_flat["probed_fraction"]},
+            "flat_refined": {
+                "recall": round(graph_refined["recall"], 4),
+                "probed_fraction": graph_refined["probed_fraction"]},
             "clustered": {
                 "recall": round(graph_clustered["recall"], 4),
                 "probed_fraction": graph_clustered["probed_fraction"]},
         },
+        "graph_timing_sec": {
+            "build_flat": round(t_g1 - t_g0, 3),
+            "search_20q": round(t_g2 - t_g1, 3),
+            "refine": round(t_g3 - t_g2, 3),
+            "search_20q_refined": round(t_g4 - t_g3, 3),
+            "note": "search = graph_measure_recall's beam over 20 "
+                    "queries INCLUDING its exact brute-force truth "
+                    "pass; build/refine are the index-construction "
+                    "costs the r9 verdict wanted tracked"},
         "graph_params": {
             "n_neighbors": 8, "n_cells": 16, "ring_skips": [1, 7, 49],
-            "flat": {"ef": 32, "max_hops": 3},
+            "flat": {"ef": 24, "max_hops": 5},
+            "refine": {"ef": 16, "max_hops": 3, "alpha": 1.2},
             "clustered": {"ef": 24, "max_hops": 5}, "n_queries": 20,
             "note": "Vamana-lite beam search vs exact top-10; compare "
                     "each recall against the IVF reading at the same "
                     "probed fraction — on the flat corpus IVF's floor "
                     "IS the probed fraction, so graph recall above its "
-                    "own probed_fraction = the beam earning its cost"},
+                    "own probed_fraction = the beam earning its cost; "
+                    "flat_refined = graph_refine (global candidates + "
+                    "robust prune) at the SAME search knobs"},
         "measure_sec": round(time.time() - t0, 3),
     }
     print(f"# recall: ivf={out['ivf_recall_at_10']} "
@@ -626,7 +688,10 @@ def main():
                  "q_seasonal_decompose", "q_drift_psi", "q_drift_mix",
                  "q_drift_psi_decile", "q_robust_outliers",
                  # round-9 operators
-                 "q_robust_outliers_grouped"):
+                 "q_robust_outliers_grouped",
+                 # round-10 operators (the r9 verdict's missing graph /
+                 # hard-negatives timing evidence)
+                 "q_similarity_graph", "q_hard_negatives"):
         fn = qs[name]
         spark.catalog.clearCache()
         t0 = time.time()

@@ -1524,3 +1524,91 @@ def test_merge_batch_append_casts_divergent_types(spark, tmp_path_factory):
     assert db2.df("st").count() == 2
     assert [f.dataType.simpleString() for f in db2.df("st").schema.fields] \
         == ["bigint", "bigint"]
+
+
+def test_serializable_predicate_read_ignores_disjoint_write(
+        spark, tmp_path_factory):
+    """r10 SSI refinement: a serializable transaction whose only read of
+    a table went through the query builder WITH a filter commits even
+    when a concurrent writer advanced that table — provided the
+    concurrent change is row-disjoint from the filter (retries=0: the
+    commit must succeed FIRST TRY, not via abort+replay)."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.store import WriteSkewError
+    wh = str(tmp_path_factory.mktemp("wh_pred_ssi"))
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    # nation needs a flushed base version: row-level re-validation diffs
+    # the READ version's parquet against the committed one
+    b.update("nation", {"n_name": "base"}) \
+     .where("n_nationkey", "=", 9).execute()
+    b.flush(only=["nation"])
+    a.refresh()
+
+    state = {"interfered": False}
+
+    def t1(db):
+        got = db.query("nation").where("n_nationkey", "=", 0).run()
+        assert len(got.records) == 1
+        if not state["interfered"]:
+            state["interfered"] = True
+            b.update("nation", {"n_name": "B2"}) \
+             .where("n_nationkey", "=", 5).execute()   # disjoint row
+            b.flush(only=["nation"])
+        db.update("region", {"r_name": "P1"}) \
+          .where("r_regionkey", "=", 0).execute()
+
+    res = a.transaction(t1, retries=0, isolation="serializable")
+    assert res.success, res.error
+    fresh = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    assert fresh.df("region").filter("r_name = 'P1'").count() == 1
+    assert fresh.df("nation").filter("n_name = 'B2'").count() == 1
+
+    # the SAME shape with an OVERLAPPING concurrent write still aborts:
+    # the changed row matches the recorded predicate
+    a2 = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    state2 = {"interfered": False}
+
+    def t2(db):
+        db.query("nation").where("n_nationkey", "=", 5).run()
+        if not state2["interfered"]:
+            state2["interfered"] = True
+            b.refresh()
+            b.update("nation", {"n_name": "B3"}) \
+             .where("n_nationkey", "=", 5).execute()   # SAME row
+            b.flush(only=["nation"])
+        db.update("region", {"r_name": "P2"}) \
+          .where("r_regionkey", "=", 1).execute()
+
+    res2 = a2.transaction(t2, retries=0, isolation="serializable")
+    assert not res2.success and isinstance(res2.error, WriteSkewError)
+
+
+def test_serializable_raw_read_still_whole_table(spark, tmp_path_factory):
+    """A raw df() read inside a serializable scope still demands
+    whole-table stability — ANY concurrent commit to that table aborts,
+    even a row the transaction's later filters never touched (the plan
+    could have exposed it)."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.store import WriteSkewError
+    wh = str(tmp_path_factory.mktemp("wh_raw_ssi"))
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b.update("nation", {"n_name": "base"}) \
+     .where("n_nationkey", "=", 9).execute()
+    b.flush(only=["nation"])
+    a.refresh()
+    state = {"interfered": False}
+
+    def t1(db):
+        db.df("nation").filter("n_nationkey = 0").count()   # raw read
+        if not state["interfered"]:
+            state["interfered"] = True
+            b.update("nation", {"n_name": "B4"}) \
+             .where("n_nationkey", "=", 5).execute()
+            b.flush(only=["nation"])
+        db.update("region", {"r_name": "P3"}) \
+          .where("r_regionkey", "=", 2).execute()
+
+    res = a.transaction(t1, retries=0, isolation="serializable")
+    assert not res.success and isinstance(res.error, WriteSkewError)

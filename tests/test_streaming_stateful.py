@@ -305,3 +305,48 @@ def test_exactly_once_stream_end_to_end(spark, tmp_path_factory):
     got = sorted((r.id, r.val) for r in db2.df("eo2").collect())
     assert got == [(0, "seed"), (7, "s7"), (8, "s8")]
     assert db2.get_value("__stream_ledger__:eo2:default") is not None
+
+
+def test_exactly_once_multi_sink_atomic_commit(spark, tmp_path_factory):
+    """Multi-table exactly-once (the r9 verdict's two-table crash
+    window): one batch fans into TWO tables + ONE group ledger entry,
+    all durable in a single manifest CAS — a replay merges zero rows
+    into BOTH, even in mode='append' where PK idempotence can't help,
+    and a fresh engine's processor agrees."""
+    from pyspark.sql import functions as F
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.streaming.sink import exactly_once_multi_processor
+    wh = str(tmp_path_factory.mktemp("wh_eom"))
+    db = ToStoreSpark(spark, warehouse=wh)
+    db.register_table("raw_t", df=spark.createDataFrame(
+        [(0, 10)], ["id", "v"]))
+    db.register_table("dbl_t", df=spark.createDataFrame(
+        [(0, 20)], ["id", "v2"]))
+    proc = exactly_once_multi_processor(db, [
+        {"table": "raw_t", "mode": "append"},
+        {"table": "dbl_t", "mode": "append",
+         "transform": lambda b: b.select(
+             "id", (F.col("v") * 2).alias("v2"))},
+    ])
+    b1 = spark.createDataFrame([(1, 11)], ["id", "v"])
+    proc(b1, 0)
+    proc(b1, 0)                       # framework replay after "crash"
+    proc(spark.createDataFrame([(2, 12)], ["id", "v"]), 1)
+    assert sorted((r.id, r.v) for r in db.df("raw_t").collect()) == \
+        [(0, 10), (1, 11), (2, 12)]
+    assert sorted((r.id, r.v2) for r in db.df("dbl_t").collect()) == \
+        [(0, 20), (1, 22), (2, 24)]
+    # atomicity across the crash boundary: a FRESH engine on the same
+    # warehouse sees both tables at the same batch frontier, and its
+    # replay of the last committed batch is a no-op on BOTH
+    db2 = ToStoreSpark(spark, warehouse=wh)
+    proc2 = exactly_once_multi_processor(db2, [
+        {"table": "raw_t", "mode": "append"},
+        {"table": "dbl_t", "mode": "append",
+         "transform": lambda b: b.select(
+             "id", (F.col("v") * 2).alias("v2"))},
+    ])
+    proc2(spark.createDataFrame([(2, 12)], ["id", "v"]), 1)
+    assert db2.df("raw_t").count() == 3
+    assert db2.df("dbl_t").count() == 3
+    assert db2.get_value("__stream_ledger__:raw_t+dbl_t:default") == 1

@@ -647,3 +647,149 @@ def test_hard_negatives_null_label_never_pairs(spark):
     assert all(q != 2 and n != 2 for q, n in ids)
     # anchor 0 ('a') pairs only with 1 ('b'); 3 is same-label, 2 null
     assert {(0, 1), (1, 0), (1, 3), (3, 1)} == ids
+
+
+# ------------------------------------------------------- graph lifecycle
+# (persisted Vamana-lite graph: write/read + beam-search append +
+# tombstone delete + compaction — the IVF lifecycle's graph twin,
+# reference ngh_graph_engine.dart:14-80 incremental insert/delete)
+
+def test_graph_lifecycle_persist_append_delete(spark, tmp_path_factory):
+    from bench import _clustered_embeddings
+    from tostore_spark.llmops import similarity as sim
+
+    full = _clustered_embeddings(spark, n=1600, dim=16, n_clusters=20) \
+        .localCheckpoint(eager=True)
+    base = full.filter("vec_id < 1500").localCheckpoint(eager=True)
+    extra = full.filter("vec_id >= 1500").localCheckpoint(eager=True)
+    path = str(tmp_path_factory.mktemp("gidx"))
+
+    graph, hubs = sim.build_knn_graph(base, n_neighbors=6, n_cells=8)
+    sim.graph_write_index(graph.localCheckpoint(eager=True), hubs, path,
+                          n_rows=1500, params={"n_neighbors": 6})
+    e0, h0, meta = sim.graph_read_index(spark, path)
+    assert e0.count() == graph.count() and h0.count() == 8
+    assert meta["n_rows"] == 1500
+
+    # baseline recall of the persisted graph on the base corpus
+    r_before = sim.graph_measure_recall(
+        e0.localCheckpoint(eager=True), base, h0, k=10, ef=24,
+        max_hops=5, n_queries=8)
+
+    # append: new nodes beam-insert with bidirectional edges
+    n = sim.graph_append(spark, path, base, extra, n_neighbors=6,
+                         ef=24, max_hops=5)
+    assert n == 100
+    assert sim.graph_index_meta(path)["n_rows"] == 1600
+    e1, h1, _ = sim.graph_read_index(spark, path)
+    e1 = e1.localCheckpoint(eager=True)
+    # every appended node is both a source and REACHABLE (back-links)
+    new_src = e1.join(extra.select(F.col("vec_id").alias("node_id")),
+                      on="node_id", how="semi")
+    new_dst = e1.join(extra.select(F.col("vec_id").alias("neighbor_id")),
+                      on="neighbor_id", how="semi")
+    assert new_src.select("node_id").distinct().count() == 100
+    assert new_dst.select("neighbor_id").distinct().count() == 100
+    # recall on the grown corpus stays within eps of the pre-append
+    # reading (the append must not degrade the index it extends)
+    r_after = sim.graph_measure_recall(e1, full, h1, k=10, ef=24,
+                                       max_hops=5, n_queries=8)
+    assert r_after["recall"] >= r_before["recall"] - 0.1, \
+        (r_before, r_after)
+
+    # delete: tombstoned ids vanish from every read path immediately
+    victims = [r["vec_id"] for r in extra.limit(3).collect()]
+    assert sim.graph_delete(spark, path, victims) == 3
+    e2, h2, meta2 = sim.graph_read_index(spark, path)
+    assert meta2["n_rows"] == 1597
+    assert e2.filter(F.col("node_id").isin(victims)
+                     | F.col("neighbor_id").isin(victims)).count() == 0
+    res = sim.graph_search_many(
+        e2.localCheckpoint(eager=True), full,
+        full.filter("vec_id = 10"), h2, k=10, ef=24, max_hops=5)
+    assert res.filter(F.col("neighbor_id").isin(victims)).count() == 0
+
+    # re-inserting a tombstoned id raises until compaction
+    with pytest.raises(ValueError, match="tombstoned"):
+        sim.graph_append(spark, path, base,
+                         full.filter(F.col("vec_id") == victims[0]))
+
+    # compact: physical removal, sidecar gone, edges match the live view
+    n_live = e2.count()      # pin BEFORE compact deletes the sidecar
+    removed = sim.graph_compact(spark, path)
+    assert removed > 0
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    e3, _, _ = sim.graph_read_index(spark, path)
+    assert e3.filter(F.col("node_id").isin(victims)
+                     | F.col("neighbor_id").isin(victims)).count() == 0
+    assert e3.count() == n_live
+
+
+def test_robust_prune_degree_diversity_and_floor(spark):
+    """robust_prune invariants: out-degree capped, the closest edge
+    always survives (min_keep floor), and a redundant clique edge is
+    dropped in favor of a direction-diverse one."""
+    from tostore_spark.llmops.similarity import robust_prune
+
+    # node 0's candidates: 1 and 2 nearly colinear (2 covered by 1),
+    # 3 orthogonal.  alpha-prune at degree 2 must keep {1, 3}, not {1, 2}.
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.99, 0.14]), (2, [0.97, 0.24]),
+         (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    edges = spark.createDataFrame(
+        [(0, 1, 0.01), (0, 2, 0.03), (0, 3, 1.0)],
+        "node_id long, neighbor_id long, distance double")
+    kept = robust_prune(edges, vecs, max_degree=2, alpha=1.2)
+    got = {r["neighbor_id"] for r in kept.collect()}
+    assert got == {1, 3}, got
+
+
+def test_build_knn_graph_prune_keeps_contract(spark):
+    """prune_alpha widens the kNN pool then prunes back: the out-degree
+    cap, every-node-a-source, and navigability invariants all hold."""
+    from bench import _clustered_embeddings
+    from tostore_spark.llmops.similarity import build_knn_graph
+
+    emb = _clustered_embeddings(spark, n=500, dim=16, n_clusters=25) \
+        .localCheckpoint(eager=True)
+    graph, hubs = build_knn_graph(emb, n_neighbors=4, n_cells=8,
+                                  bridge_cells=1, ring_skips=(1, 7),
+                                  prune_alpha=1.2)
+    g = graph.localCheckpoint(eager=True)
+    assert g.filter("node_id = neighbor_id").count() == 0
+    deg = g.groupBy("node_id").count().agg(
+        F.max("count").alias("mx"), F.count("*").alias("nodes")).first()
+    assert deg["mx"] <= 4 + 1 + 2
+    assert deg["nodes"] == 500
+    assert g.select("neighbor_id").distinct().count() == 500
+
+
+def test_graph_refine_lifts_flat_recall(spark):
+    """graph_refine (global beam-searched candidates + robust prune)
+    must beat the probed-fraction floor by a wide margin on
+    STRUCTURELESS vectors — the r9 verdict's flat-recall gap.  At bench
+    scale the measured lift is 0.605 -> 0.685 at equal probed fraction
+    (BENCH_DETAIL.recall.graph_recall_at_10.flat_refined)."""
+    from tostore_spark.llmops.similarity import (build_knn_graph,
+                                                 graph_measure_recall,
+                                                 graph_refine)
+    from tostore_spark.vector import random_hyperplanes
+
+    rows = [(i, [float(x) for x in v]) for i, v in
+            enumerate(random_hyperplanes(24, 800, seed=7))]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+               .localCheckpoint(eager=True)
+    graph, hubs = build_knn_graph(emb, n_neighbors=8, n_cells=16)
+    graph = graph.localCheckpoint(eager=True)
+    refined = graph_refine(graph, emb, hubs, n_neighbors=8, ef=16,
+                           max_hops=3, alpha=1.2) \
+        .localCheckpoint(eager=True)
+    # degree contract: n_neighbors pruned + |ring_skips| unpruned
+    mx = refined.groupBy("node_id").count().agg(F.max("count")).first()[0]
+    assert mx <= 8 + 3
+    r = graph_measure_recall(refined, emb, hubs, k=10, ef=24,
+                             max_hops=5, n_queries=10)
+    assert r["recall"] >= r["probed_fraction"] * 1.5, \
+        f"refined graph under the 1.5x floor margin: {r}"
+    assert r["recall"] >= 0.5, f"refined flat recall regressed: {r}"

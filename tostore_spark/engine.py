@@ -353,11 +353,24 @@ class ToStoreSpark:
         this: ``df(name)`` resolves through the ACTIVE space and would
         silently read a same-named table from the wrong space."""
         rs = getattr(self, "_txn_read_versions", None)
-        if rs is not None and key not in rs:
-            # serializable transaction scope: record the manifest
-            # version this table was READ at (first read wins — the
-            # transaction's snapshot); flush re-validates the set
-            rs[key] = getattr(self, "_flushed_gen", {}).get(key, 0)
+        if rs is not None:
+            if key not in rs:
+                # serializable transaction scope: record the manifest
+                # version this table was READ at (first read wins — the
+                # transaction's snapshot); flush re-validates the set
+                rs[key] = getattr(self, "_flushed_gen", {}).get(key, 0)
+            # read GRANULARITY: a raw frame read demands whole-table
+            # validation (the caller can do anything with the plan); a
+            # QueryBuilder read flags itself via _txn_pred_scope and
+            # appends its compiled predicate (query.py), narrowing the
+            # conflict test to rows the read could actually see.  A
+            # whole-table demand is never downgraded (setdefault keeps
+            # an existing None).
+            preds = self._txn_read_preds
+            if getattr(self, "_txn_pred_scope", None) == key:
+                preds.setdefault(key, [])
+            else:
+                preds[key] = None
         ent = self._tables[key]
         df = ent["df"]
         sch: TableSchema = ent["schema"]
@@ -412,6 +425,17 @@ class ToStoreSpark:
         self._maybe_compact(key, weight=weight)
         for w in list(getattr(self, "_watchers", [])):
             w.notify_change(key[1])
+
+    @property
+    def _txn_read_preds(self) -> dict:
+        """(space, name) → None (whole-table read: any concurrent change
+        conflicts) or a list of normalized ConditionNodes (predicate-
+        scoped reads: only a changed row MATCHING one of them
+        conflicts).  Populated only inside a serializable transaction;
+        consumed by ``store._check_read_set``."""
+        if not hasattr(self, "_txn_rpreds"):
+            self._txn_rpreds = {}
+        return self._txn_rpreds
 
     @property
     def _append_deltas(self) -> dict:

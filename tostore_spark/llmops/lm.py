@@ -59,11 +59,18 @@ class NGramLM:
 
 
 def bigram_rows(df: DataFrame, text_field: str = "text",
-                id_field: str = "doc_id") -> DataFrame:
-    """(id, prev, token) rows: each document's token stream as bigram
-    transitions, the first token conditioned on the BOS sentinel.  Pure
-    column math (sequence + transform + posexplode) — one linear pass,
-    no Python in the loop."""
+                id_field: str = "doc_id",
+                carry: tuple[str, ...] = ()) -> DataFrame:
+    """(id, [carry...], prev, token) rows: each document's token stream
+    as bigram transitions, the first token conditioned on the BOS
+    sentinel.  Pure column math (sequence + transform + posexplode) —
+    one linear pass, no Python in the loop.
+
+    ``carry`` names per-document columns to thread through the explode
+    (a language/source tag the scorer will group on): carrying them
+    here costs a constant per exploded row, while joining them back
+    onto the per-doc aggregate later costs a corpus-sized shuffle join
+    — the wrong side of the trade at 100 TB."""
     t = TX.tokens(F.col(text_field))
     # project the token array ONCE per row before the lambda: an
     # unbound expression referenced via element_at inside a
@@ -71,7 +78,7 @@ def bigram_rows(df: DataFrame, text_field: str = "text",
     # (codegen CSE does not reach into lambda bodies), turning the
     # explode O(n^2) in document length — measured ~10s/5k docs at
     # sf0.1 before this projection, sub-second after
-    base = (df.select(F.col(id_field).alias("id"), t.alias("__t"))
+    base = (df.select(F.col(id_field).alias("id"), *carry, t.alias("__t"))
               .filter(F.size("__t") > 0))
     tt = F.col("__t")
     idx2 = F.sequence(F.lit(1), F.size(tt))
@@ -81,8 +88,8 @@ def bigram_rows(df: DataFrame, text_field: str = "text",
             F.when(i == 1, F.lit(BOS))
              .otherwise(F.element_at(tt, i - 1)).alias("prev"),
             F.element_at(tt, i).alias("token")))
-    return (base.select("id", F.explode(pairs).alias("bg"))
-                .select("id", F.col("bg.prev").alias("prev"),
+    return (base.select("id", *carry, F.explode(pairs).alias("bg"))
+                .select("id", *carry, F.col("bg.prev").alias("prev"),
                         F.col("bg.token").alias("token")))
 
 
@@ -131,17 +138,24 @@ def train_ngram_lm(df: DataFrame, n: int = 2, add_k: float = 0.5,
 
 def ngram_bits_per_token(df: DataFrame, lm: NGramLM,
                          text_field: str = "text",
-                         id_field: str = "doc_id") -> DataFrame:
+                         id_field: str = "doc_id",
+                         carry: tuple[str, ...] = ()) -> DataFrame:
     """Per-document mean -log2 p(token | prev) under the interpolated
     bigram LM — the sharper CCNet signal (repetitive/boilerplate text
     that a unigram model scores as normal shows up as improbable
-    TRANSITIONS).  Returns (id, n_tokens, bits_per_token).
+    TRANSITIONS).  Returns (id, [carry...], n_tokens, bits_per_token).
 
     Shape: one bigram explode, three left equi-joins against the count
     frames (uniform keys, AQE free to broadcast), one 1-row broadcast of
     the constants, one per-doc aggregate.  OOV tokens and unseen
-    contexts take the smoothed floors — every document scores."""
-    bg = bigram_rows(df, text_field=text_field, id_field=id_field)
+    contexts take the smoothed floors — every TOKENIZABLE document
+    scores (zero-token documents are absent: they have no transitions
+    to score; join the output back onto the corpus when they must
+    surface as nulls).  ``carry`` threads per-document columns (a
+    language tag for ``ppl_buckets(by=...)``) through the scorer so
+    the caller needs NO corpus-sized join to recover them."""
+    bg = bigram_rows(df, text_field=text_field, id_field=id_field,
+                     carry=carry)
     joined = (bg.join(lm.bigrams, on=["prev", "token"], how="left")
                 .join(lm.contexts, on="prev", how="left")
                 .join(lm.unigrams, on="token", how="left")
@@ -154,7 +168,7 @@ def ngram_bits_per_token(df: DataFrame, lm: NGramLM,
              / (F.col("T").cast("double") + k * v))
     p = F.col("lam") * p_bi + (F.lit(1.0) - F.col("lam")) * p_uni
     bits = F.round(-F.log2(p), 6).cast("decimal(18,6)")
-    return (joined.groupBy("id")
+    return (joined.groupBy("id", *carry)
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  (F.sum(bits).cast("double")
                   / F.count(F.lit(1))).alias("__raw"))

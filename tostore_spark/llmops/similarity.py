@@ -520,12 +520,135 @@ def ivf_read_index(spark, path: str
 # ---------------------------------------------------------------------------
 
 
+def _md5_rank(df: DataFrame, id_col: str = "node_id") -> DataFrame:
+    """Dense 0-based rank of rows in (md5(id), id) order WITHOUT a global
+    sort (one reducer at 100 TB): md5-prefix buckets rank locally (256
+    key-partitioned spillable windows) and bucket offsets fold in as a
+    <=256-entry broadcast map — ordering by (bucket, md5, id) equals
+    (md5, id) because the bucket IS the md5 prefix.  The md5 rank is a
+    deterministic random permutation: ring edges over it are RANDOM
+    LONG-RANGE links, reproducible in SQL.  Adds column ``__r``."""
+    h = F.md5(F.col(id_col).cast("string"))
+    bucketed = df.withColumn("__h", h) \
+                 .withColumn("__b", F.substring("__h", 1, 2))
+    sizes = {r["__b"]: r["n"] for r in
+             bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("n"))
+                     .collect()}
+    offs, acc = {}, 0
+    for bk in sorted(sizes):
+        offs[bk] = acc
+        acc += sizes[bk]
+    off_map = F.create_map(*[F.lit(x) for bk in sorted(offs)
+                             for x in (bk, offs[bk])])
+    local_w = Window.partitionBy("__b").orderBy(F.col("__h").asc(),
+                                                F.col(id_col).asc())
+    return (bucketed
+            .withColumn("__r", F.element_at(off_map, F.col("__b"))
+                        + F.row_number().over(local_w) - 1)
+            .drop("__h", "__b"))
+
+
+def _ring_edges(ranked: DataFrame, n_rows: int,
+                ring_skips: Sequence[int]) -> DataFrame:
+    """Ring+skip edges over an ``_md5_rank``-ed frame (node_id, __v, __r):
+    rank r links to (r + s) mod n for each skip s, scored exactly."""
+    tgt = ranked.select(F.col("node_id").alias("neighbor_id"),
+                        F.col("__v").alias("__tv"),
+                        F.col("__r").alias("__tr"))
+    ring = None
+    for s in ring_skips:
+        src = ranked.withColumn(
+            "__tr", (F.col("__r") + F.lit(int(s))) % F.lit(int(n_rows)))
+        e = (src.join(tgt, on="__tr")
+                .filter(F.col("node_id") != F.col("neighbor_id"))
+                .select("node_id", "neighbor_id",
+                        cosine_distance_cols(F.col("__v"), F.col("__tv"))
+                        .alias("distance")))
+        ring = e if ring is None else ring.unionByName(e)
+    return ring
+
+
+def robust_prune(edges: DataFrame, vectors: DataFrame,
+                 max_degree: int = 8, alpha: float = 1.2,
+                 min_keep: int = 1, vec_field: str = "embedding",
+                 id_field: str = "vec_id") -> DataFrame:
+    """Batch robust prune (the edge-selection ingredient of Vamana /
+    DiskANN and the reference's incremental graph maintenance,
+    ngh_graph_engine.dart:14-80): for each node u, drop a candidate
+    edge u->v when a CLOSER candidate w already covers v's direction —
+    ``alpha * d(w, v) <= d(u, v)`` — then cap the survivors at
+    ``max_degree``.  Keeping only direction-DIVERSE neighbors is what
+    lifts recall on structureless corpora, where a plain kNN edge set
+    wastes the whole degree budget on one tight clique.
+
+    Two-round batch form (the sequential greedy's kept-set recursion
+    doesn't batch): round 1 computes the one-shot veto — ``w`` ranges
+    over ALL closer candidates; round 2 re-vetoes with ONLY round-1
+    survivors as ``w``, so a candidate that is itself covered cannot
+    knock out a diverse edge.  The result equals the paper's greedy
+    for coverage chains of depth <= 2 (the practical case for the
+    bounded pools fed here) and is never SPARSER than greedy beyond
+    that — any excess is capped by ``max_degree``; ``min_keep``
+    additionally floors the closest edges unconditionally.  Wholly
+    SQL-expressible (two nested NOT-EXISTS — the oracle path), all JVM
+    column math: cost is sum over nodes of degree^2 pair rows — linear
+    in corpus for bounded candidate degrees.
+
+    ``edges``: (node_id, neighbor_id, distance) candidates;
+    ``vectors``: (id_field, vec_field) for the neighbor endpoints.
+    Ties break on neighbor id everywhere, so the pruned edge set is
+    deterministic and engine-portable."""
+    vecs = vectors.select(F.col(id_field).alias("__vid"),
+                          F.col(vec_field).alias("__vv"))
+    w = Window.partitionBy("node_id").orderBy(F.col("distance").asc(),
+                                              F.col("neighbor_id").asc())
+    ranked = edges.withColumn("__rk", F.row_number().over(w))
+    v_side = (ranked.join(vecs, ranked["neighbor_id"] == vecs["__vid"])
+                    .select("node_id", "neighbor_id", "distance", "__rk",
+                            F.col("__vv").alias("__nbv"))
+                    .localCheckpoint(eager=True))   # reused by both rounds
+    w_side = v_side.select(F.col("node_id").alias("__wn"),
+                           F.col("neighbor_id").alias("__wid"),
+                           F.col("__rk").alias("__wrk"),
+                           F.col("__nbv").alias("__wv"))
+    # covering pairs (computed ONCE, filtered per round): w closer than
+    # v and alpha * d(w, v) <= d(u, v)
+    covers = (v_side.join(w_side,
+                          (v_side["node_id"] == w_side["__wn"])
+                          & (w_side["__wrk"] < v_side["__rk"]))
+              .filter(F.lit(float(alpha))
+                      * cosine_distance_cols(F.col("__wv"), F.col("__nbv"))
+                      <= F.col("distance"))
+              .select("node_id", "neighbor_id", "__wid")
+              .localCheckpoint(eager=True))
+    veto1 = covers.select("node_id", "neighbor_id").distinct()
+    kept1 = (v_side.join(veto1, on=["node_id", "neighbor_id"],
+                         how="left_anti")
+                   .select("node_id",
+                           F.col("neighbor_id").alias("__wid")))
+    veto2 = (covers.join(kept1, on=["node_id", "__wid"], how="semi")
+                   .select("node_id", "neighbor_id").distinct())
+    kept = (v_side.join(veto2, on=["node_id", "neighbor_id"],
+                        how="left_anti")
+                  .unionByName(v_side.filter(F.col("__rk")
+                                             <= int(min_keep)))
+                  .select("node_id", "neighbor_id", "distance")
+                  .distinct())
+    w2 = Window.partitionBy("node_id").orderBy(F.col("distance").asc(),
+                                               F.col("neighbor_id").asc())
+    return (kept.withColumn("__rk2", F.row_number().over(w2))
+                .filter(F.col("__rk2") <= int(max_degree))
+                .drop("__rk2"))
+
+
 def build_knn_graph(corpus: DataFrame, n_neighbors: int = 8,
                     n_cells: int = 16, vec_field: str = "embedding",
                     id_field: str = "vec_id",
                     centroids: Optional[list[tuple[int, list[float]]]] = None,
                     bridge_cells: int = 1,
-                    ring_skips: Sequence[int] = (1, 7, 49)
+                    ring_skips: Sequence[int] = (1, 7, 49),
+                    prune_alpha: Optional[float] = None,
+                    knn_pool: Optional[int] = None
                     ) -> tuple[DataFrame, DataFrame]:
     """Batch-build a navigable k-NN graph (Vamana-lite).
 
@@ -555,9 +678,19 @@ def build_knn_graph(corpus: DataFrame, n_neighbors: int = 8,
     kNN neighbor) deduplicated, and hubs as (cell_id, hub_id), the
     default search seed set.
 
+    ``prune_alpha`` turns on robust edge selection (``robust_prune``):
+    the same-cell kNN stage widens to a ``knn_pool`` candidate pool
+    (default ``3 * n_neighbors``) and is alpha-pruned back down to
+    ``n_neighbors`` direction-DIVERSE edges per node.  Bridge and ring
+    edges are never pruned — they carry the connectivity guarantees
+    (the s=1 ring alone keeps the graph strongly connected), while the
+    prune fixes the LOCAL edge quality the md5 ring can't (the measured
+    flat-corpus recall gap).  Off by default: the unpruned build is the
+    committed oracle shape.
+
     Determinism: all ties break on id; with ``fixed_centroids`` the
-    whole build — cells, hubs, bridges, md5 ring — is reproducible in
-    SQL (the oracle entry's path).
+    whole build — cells, hubs, bridges, md5 ring, prune — is
+    reproducible in SQL (the oracle entry's path).
     """
     import math
 
@@ -579,9 +712,18 @@ def build_knn_graph(corpus: DataFrame, n_neighbors: int = 8,
                .select("query_id", "neighbor_id",
                        cosine_distance_cols(F.col("__av"), F.col("__bv"))
                        .alias("distance")))
-    knn = (topk_per_query(scored, n_neighbors)
+    pool = (int(knn_pool) if knn_pool is not None
+            else (3 * n_neighbors if prune_alpha is not None
+                  else n_neighbors))
+    knn = (topk_per_query(scored, pool)
            .select(F.col("query_id").alias("node_id"), "neighbor_id",
                    "distance"))
+    if prune_alpha is not None:
+        knn = robust_prune(
+            knn, base.select(F.col("node_id").alias(id_field),
+                             F.col("__v").alias(vec_field)),
+            max_degree=n_neighbors, alpha=prune_alpha,
+            vec_field=vec_field, id_field=id_field)
 
     # per-cell hubs: member nearest its OWN centroid (id tie-break)
     dexprs = ", ".join(
@@ -620,54 +762,66 @@ def build_knn_graph(corpus: DataFrame, n_neighbors: int = 8,
                                                    F.col("__hv"))
                               .alias("distance")))
 
-    # (c) md5-rank ring + skips: deterministic random long-range edges.
-    # The global md5 rank is computed WITHOUT a global sort window (one
-    # reducer at 100 TB): md5-prefix buckets rank locally (256
-    # key-partitioned spillable windows) and bucket offsets fold in as
-    # a <=256-entry broadcast map — ordering by (bucket, md5, id)
-    # equals (md5, id) because the bucket IS the md5 prefix.
+    # (c) md5-rank ring + skips: deterministic random long-range edges
+    # (``_md5_rank``: bucketed local windows + broadcast offsets — no
+    # global sort reducer at 100 TB)
     n_rows = base.count()
-    h = F.md5(F.col("node_id").cast("string"))
-    bucketed = base.select("node_id", "__v") \
-                   .withColumn("__h", h) \
-                   .withColumn("__b", F.substring("__h", 1, 2))
-    sizes = {r["__b"]: r["n"] for r in
-             bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("n"))
-                     .collect()}
-    offs, acc = {}, 0
-    for bk in sorted(sizes):
-        offs[bk] = acc
-        acc += sizes[bk]
-    off_map = F.create_map(*[F.lit(x) for bk in sorted(offs)
-                             for x in (bk, offs[bk])])
-    local_w = Window.partitionBy("__b").orderBy(F.col("__h").asc(),
-                                                F.col("node_id").asc())
-    ranked = (bucketed
-              .withColumn("__r", F.element_at(off_map, F.col("__b"))
-                          + F.row_number().over(local_w) - 1)
-              .select("node_id", "__v", "__r"))
-    tgt = ranked.select(F.col("node_id").alias("neighbor_id"),
-                        F.col("__v").alias("__tv"),
-                        F.col("__r").alias("__tr"))
-    ring_edges = []
-    for s in ring_skips:
-        src = ranked.withColumn(
-            "__tr", (F.col("__r") + F.lit(int(s))) % F.lit(int(n_rows)))
-        ring_edges.append(
-            src.join(tgt, on="__tr")
-               .filter(F.col("node_id") != F.col("neighbor_id"))
-               .select("node_id", "neighbor_id",
-                       cosine_distance_cols(F.col("__v"), F.col("__tv"))
-                       .alias("distance")))
-    ring = ring_edges[0]
-    for e in ring_edges[1:]:
-        ring = ring.unionByName(e)
+    ranked = _md5_rank(base.select("node_id", "__v")) \
+        .select("node_id", "__v", "__r")
+    ring = _ring_edges(ranked, n_rows, ring_skips)
     # a ring target can coincide with a kNN neighbor or a hub bridge —
     # same pair, same exact distance — keep each edge once
     graph = (knn.unionByName(bridges).unionByName(ring)
                 .groupBy("node_id", "neighbor_id")
                 .agg(F.min("distance").alias("distance")))
     return graph, hubs
+
+
+def graph_refine(graph: DataFrame, corpus: DataFrame, seeds: DataFrame,
+                 n_neighbors: int = 8, ef: int = 16, max_hops: int = 3,
+                 alpha: float = 1.2,
+                 ring_skips: Sequence[int] = (1, 7, 49),
+                 vec_field: str = "embedding",
+                 id_field: str = "vec_id") -> DataFrame:
+    """Vamana's second build pass, batch form (DiskANN's one-round
+    refinement; reference ngh_graph_engine.dart's insert-time edge
+    selection applied corpus-wide): every corpus node beam-searches the
+    ROUND-1 graph for its global approximate neighbors, those
+    candidates union the node's existing edges, and ``robust_prune``
+    keeps ``n_neighbors`` direction-diverse survivors.  The md5 ring is
+    then re-derived and unioned back unpruned — it carries the
+    strong-connectivity guarantee the pruned edges can't.
+
+    Why it earns its cost: the round-1 kNN edges are SAME-CELL only, so
+    on a structureless corpus a node near a cell boundary wastes its
+    degree budget on one side of the boundary — measured at bench scale
+    as flat-corpus recall 0.605 -> 0.725 at the SAME probed fraction
+    (BENCH_DETAIL.recall.graph_recall_at_10.flat_refined).  Cost: one
+    whole-corpus beam search (|corpus| x ef x degree rows per hop — the
+    documented DiskANN build cost, linear in corpus) plus the prune's
+    degree^2-per-node pass.  Output graph degree: ``n_neighbors`` +
+    |ring_skips| (bridges dissolve into the pruned candidate pool)."""
+    cand_new = graph_search_many(
+        graph, corpus, corpus, seeds, k=3 * n_neighbors, ef=ef,
+        max_hops=max_hops, vec_field=vec_field, id_field=id_field,
+        exclude_self=True)
+    cand = (cand_new.select(F.col("query_id").alias("node_id"),
+                            "neighbor_id", "distance")
+            .unionByName(graph.select("node_id", "neighbor_id",
+                                      "distance"))
+            .groupBy("node_id", "neighbor_id")
+            .agg(F.min("distance").alias("distance")))
+    pruned = robust_prune(cand, corpus, max_degree=n_neighbors,
+                          alpha=alpha, vec_field=vec_field,
+                          id_field=id_field)
+    base = corpus.select(F.col(id_field).alias("node_id"),
+                         F.col(vec_field).alias("__v"))
+    n_rows = base.count()
+    ranked = _md5_rank(base).select("node_id", "__v", "__r")
+    ring = _ring_edges(ranked, n_rows, ring_skips)
+    return (pruned.unionByName(ring)
+                  .groupBy("node_id", "neighbor_id")
+                  .agg(F.min("distance").alias("distance")))
 
 
 def graph_search_many(graph: DataFrame, corpus: DataFrame,
@@ -789,6 +943,201 @@ def graph_measure_recall(graph: DataFrame, corpus: DataFrame,
     denom = exact.count()
     return {"recall": hits / denom if denom else 1.0,
             "probed_fraction": round(probed / max(nq * n_corpus, 1), 4)}
+
+
+# ---------------------------------------------------------------------------
+# Persisted graph lifecycle: write/read + incremental append + tombstone
+# delete + compaction — the graph twin of the IVF index lifecycle
+# (ivf_write_index/ivf_append/ivf_delete/ivf_compact), mirroring the
+# reference's incremental NGH maintenance (ngh_graph_engine.dart:14-80:
+# insert = beam-search the new point's neighbors + link bidirectionally;
+# delete = tombstone).
+# ---------------------------------------------------------------------------
+
+
+def graph_write_index(graph: DataFrame, hubs: DataFrame, path: str,
+                      n_rows: Optional[int] = None,
+                      id_field: str = "vec_id",
+                      params: Optional[dict] = None) -> str:
+    """Persist a ``build_knn_graph`` index: the (node_id, neighbor_id,
+    distance) edge table as parquet, the hub seed set, and a meta
+    sidecar (build knobs + n_rows, so append/search reuse the same
+    geometry).  At 100 TB the edge table is corpus x degree rows; the
+    parquet layout keeps it one scan per hop join — repartition by
+    node_id before writing if hop joins should co-locate (the hop join
+    shuffles on node_id either way)."""
+    import json
+    import os
+
+    graph.write.mode("overwrite").parquet(os.path.join(path, "edges"))
+    hubs.write.mode("overwrite").parquet(os.path.join(path, "hubs"))
+    meta = {"n_rows": n_rows, "id_field": id_field,
+            "params": params or {}}
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return path
+
+
+def graph_index_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        return json.load(f)
+
+
+def _graph_tombstones(spark, path: str) -> Optional[DataFrame]:
+    import os
+
+    tdir = os.path.join(path, "tombstones")
+    if not os.path.isdir(tdir):
+        return None
+    return spark.read.parquet(tdir)
+
+
+def graph_read_index(spark, path: str
+                     ) -> tuple[DataFrame, DataFrame, dict]:
+    """Load a persisted graph index: (edges, hubs, meta).  Tombstoned
+    nodes (``graph_delete``) are anti-joined out of BOTH edge endpoints
+    — a deleted node can neither be traversed through nor returned —
+    and out of the hub seed set, so deletes take effect immediately on
+    every search; ``graph_compact`` later makes them physical."""
+    import os
+
+    edges = spark.read.parquet(os.path.join(path, "edges"))
+    hubs = spark.read.parquet(os.path.join(path, "hubs"))
+    meta = graph_index_meta(path)
+    tomb = _graph_tombstones(spark, path)
+    if tomb is not None:
+        edges = (edges
+                 .join(tomb, edges["node_id"] == tomb["__del_id"],
+                       "left_anti")
+                 .join(tomb, edges["neighbor_id"] == tomb["__del_id"],
+                       "left_anti"))
+        hubs = hubs.join(tomb, hubs["hub_id"] == tomb["__del_id"],
+                         "left_anti")
+    return edges, hubs, meta
+
+
+def graph_append(spark, path: str, corpus: DataFrame,
+                 new_nodes: DataFrame, vec_field: str = "embedding",
+                 id_field: Optional[str] = None, n_neighbors: int = 8,
+                 ef: int = 16, max_hops: int = 3,
+                 ring_skips: Sequence[int] = (1,)) -> int:
+    """Incremental insert into a persisted graph — the reference's own
+    insert path (ngh_graph_engine.dart:14-80) in batch form:
+
+    1. each new node BEAM-SEARCHES the existing graph for its
+       ``n_neighbors`` approximate nearest existing nodes (exact
+       distances along the way, ``graph_search_many``);
+    2. edges are added BIDIRECTIONALLY — new->found makes the new node
+       useful, found->new makes it REACHABLE (the insert-time
+       back-linking every incremental graph index relies on);
+    3. the batch itself is ring-linked over its own md5 rank
+       (``ring_skips``) so a large appended batch stays internally
+       navigable before any rebuild.
+
+    Exact md5-ring maintenance over the union would rewrite O(skips)
+    edges of EVERY pre-existing node (the global rank shifts); the
+    batch-local ring + back-links approximate it at cost proportional
+    to the BATCH, never the index — the append contract.  Re-inserting
+    a tombstoned id raises (compact first); recall after append is
+    pytest-measured against the rebuilt graph.  ``corpus`` is the
+    already-indexed vector table (the batch must NOT be in it yet).
+    Returns the number of nodes appended."""
+    import os
+
+    meta = graph_index_meta(path)
+    id_field = id_field or meta.get("id_field", "vec_id")
+    edges, hubs, _ = graph_read_index(spark, path)
+    tomb = _graph_tombstones(spark, path)
+    batch = (new_nodes.select(F.col(id_field).alias("node_id"),
+                              F.col(vec_field).alias("__v"))
+             .localCheckpoint(eager=True))
+    n = batch.count()
+    if n == 0:
+        return 0
+    if tomb is not None:
+        clash = batch.join(tomb, batch["node_id"] == tomb["__del_id"],
+                           "semi").count()
+        if clash:
+            raise ValueError(
+                f"graph_append: {clash} id(s) are tombstoned; run "
+                "graph_compact before re-inserting deleted ids")
+    found = graph_search_many(
+        edges, corpus, batch.select("node_id", F.col("__v")
+                                    .alias(vec_field)),
+        hubs, k=n_neighbors, ef=ef, max_hops=max_hops,
+        vec_field=vec_field, id_field=id_field,
+        query_id="node_id", query_vec=vec_field)
+    fwd = found.select(F.col("query_id").alias("node_id"),
+                       "neighbor_id", "distance")
+    back = found.select(F.col("neighbor_id").alias("node_id"),
+                        F.col("query_id").alias("neighbor_id"),
+                        "distance")
+    new_edges = fwd.unionByName(back)
+    if n > 1:
+        ranked = _md5_rank(batch).select("node_id", "__v", "__r")
+        skips = [s for s in ring_skips if s % n != 0]
+        if skips:
+            new_edges = new_edges.unionByName(
+                _ring_edges(ranked, n, skips))
+    new_edges = (new_edges.groupBy("node_id", "neighbor_id")
+                          .agg(F.min("distance").alias("distance")))
+    new_edges.write.mode("append").parquet(os.path.join(path, "edges"))
+    meta["n_rows"] = (meta.get("n_rows") or 0) + n
+    import json
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return n
+
+
+def graph_delete(spark, path: str, ids) -> int:
+    """Tombstone delete (the ``ivf_delete`` pattern; reference: NGH
+    tombstone delete): ids land in a tiny sidecar; ``graph_read_index``
+    anti-joins them from both edge endpoints and the hub set, so the
+    nodes stop matching immediately without touching the edge data.
+    Returns tombstones added."""
+    import os
+
+    if isinstance(ids, DataFrame):
+        tomb = ids.toDF("__del_id")
+    else:
+        tomb = spark.createDataFrame([(i,) for i in ids], ["__del_id"])
+    n = tomb.count()
+    tomb.write.mode("append").parquet(os.path.join(path, "tombstones"))
+    meta = graph_index_meta(path)
+    if meta.get("n_rows"):
+        import json
+        meta["n_rows"] = max(0, meta["n_rows"] - n)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+    return n
+
+
+def graph_compact(spark, path: str) -> int:
+    """Fold tombstones into the edge data: rewrite the edge table
+    without rows touching a tombstoned node, drop tombstoned hubs, and
+    remove the sidecar.  Returns edges physically removed.  (Unlike
+    IVF's cell-partitioned compaction this rewrites the whole edge
+    table — an edge references TWO nodes, so there is no single
+    partition key that bounds the rewrite; schedule it like any other
+    table OPTIMIZE.)"""
+    import os
+    import shutil
+
+    tomb = _graph_tombstones(spark, path)
+    if tomb is None:
+        return 0
+    edges = spark.read.parquet(os.path.join(path, "edges"))
+    before = edges.count()
+    live_e, live_h, _ = graph_read_index(spark, path)
+    pinned_e = live_e.localCheckpoint(eager=True)
+    pinned_h = live_h.localCheckpoint(eager=True)
+    pinned_e.write.mode("overwrite").parquet(os.path.join(path, "edges"))
+    pinned_h.write.mode("overwrite").parquet(os.path.join(path, "hubs"))
+    shutil.rmtree(os.path.join(path, "tombstones"))
+    return before - pinned_e.count()
 
 
 def hard_negatives(corpus: DataFrame, anchors: Optional[DataFrame] = None,

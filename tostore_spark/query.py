@@ -578,9 +578,46 @@ class QueryBuilder:
             fields.append((pk, False))  # stable PK-asc tie-break
         return fields
 
+    def _pred_read_scope(self):
+        """(space, name) key when this query's table read can be
+        recorded at PREDICATE granularity for serializable-transaction
+        validation (store._check_read_set): single-table, no sample
+        filter, a non-empty condition.  The recorded predicate is the
+        query's own normalized filter — everything downstream (agg,
+        order, limit, keyset cursor) only narrows or transforms the
+        filtered rows, so a concurrent change matching NO recorded
+        predicate provably leaves the read result unchanged.  Joins
+        fall back to whole-table: pre-join, every base row feeds the
+        join regardless of the post-join condition."""
+        eng = self._engine
+        if getattr(eng, "_txn_read_versions", None) is None:
+            return None
+        if self._joins or self._sample_filter is not None:
+            return None
+        if self._cond.is_empty():
+            return None
+        try:
+            return eng._resolve(self._table)
+        except KeyError:
+            return None
+
     def df(self) -> DataFrame:
         """Compile the chain to a DataFrame (the declarative plan)."""
-        frame = self._base_frame()
+        pred_scope = self._pred_read_scope()
+        if pred_scope is not None:
+            self._engine._txn_pred_scope = pred_scope
+        try:
+            frame = self._base_frame()
+        finally:
+            if pred_scope is not None:
+                self._engine._txn_pred_scope = None
+        if pred_scope is not None:
+            # record the SAME normalized node the plan filters on; the
+            # commit-time check recompiles it over the changed-rows diff
+            lst = self._engine._txn_read_preds.get(pred_scope)
+            if lst is not None:
+                lst.append(self._normalize_node(
+                    self._cond.root().simplify(), frame))
         if self._sample_filter is not None:
             from tostore_spark.llmops.pipeline import hash_fraction
             field, permyriad = self._sample_filter

@@ -96,6 +96,15 @@ def exactly_once_processor(engine, table: str, mode: str = "upsert",
     commits them together.  Exposed as a factory so crash-replay is
     directly testable (call the processor twice with the same
     batch_id).
+
+    SCOPE: the ledger is per (table, query).  One streaming job feeding
+    TWO tables through two of these processors commits them in two
+    separate manifest CASes — a crash between them leaves one table's
+    batch committed and the other's not (each side still individually
+    exactly-once; the replay skips the committed one and lands the
+    other).  When the two sinks must land in the SAME atomic commit,
+    use ``exactly_once_multi_processor`` — one ledger entry + N merges
+    + ONE flush.
     """
     key = _ledger_key(table, query_name)
 
@@ -107,6 +116,50 @@ def exactly_once_processor(engine, table: str, mode: str = "upsert",
         engine.set_value(key, int(batch_id))
         if getattr(engine, "_warehouse", None):
             engine.flush()              # data + ledger: ONE manifest CAS
+        return merged
+
+    return _process
+
+
+def exactly_once_multi_processor(engine, sinks: list,
+                                 query_name: Optional[str] = None):
+    """foreachBatch processor committing ONE micro-batch into SEVERAL
+    tables ATOMICALLY with exactly-once semantics — the multi-table
+    contract ``exactly_once_processor`` cannot give (its per-table
+    ledgers commit in separate manifest CASes; see its docstring).
+
+    ``sinks``: list of ``{"table": name, "mode": "upsert"|"append",
+    "transform": callable|None}`` — each sink merges
+    ``transform(batch_df)`` (or the batch verbatim) into its table.
+    ONE group ledger entry covers the whole sink list, and the store's
+    flush stages every dirty table into a SINGLE manifest CAS, so all
+    N tables and the ledger become durable together or not at all:
+    there is no crash window in which one sink's batch is committed
+    and another's replays.  A replayed batch (restart, retry) consults
+    the group ledger first and merges zero rows into every sink.
+
+    The one-CAS atomicity is exactly the property the engine's flush
+    already has for multi-table transactions (store.flush_tables
+    phase 3 writes one manifest covering all staged tables) — this
+    factory just routes the streaming ledger through it."""
+    if not sinks:
+        raise ValueError("exactly_once_multi_processor needs >= 1 sink")
+    tables = "+".join(s["table"] for s in sinks)
+    key = _ledger_key(tables, query_name)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        last = engine.get_value(key)
+        if last is not None and int(batch_id) <= int(last):
+            return                      # durably committed already
+        pinned = batch_df.localCheckpoint(eager=True)
+        merged = 0
+        for s in sinks:
+            frame = s["transform"](pinned) if s.get("transform") else pinned
+            merged += merge_batch(engine, s["table"], frame,
+                                  mode=s.get("mode", "upsert"))
+        engine.set_value(key, int(batch_id))
+        if getattr(engine, "_warehouse", None):
+            engine.flush()              # N tables + ledger: ONE CAS
         return merged
 
     return _process

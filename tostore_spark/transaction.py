@@ -88,11 +88,16 @@ def run_transaction_with_retry(engine, action, retries: int = 3,
     table was overwritten by a concurrent commit — the write-skew
     anomaly the default ``'snapshot'`` mode admits (T1 reads A writes
     B, T2 reads B writes A: both commit under snapshot isolation, the
-    later committer aborts under serializable).  Granularity is the
-    table, not the row — a row-disjoint write to a read table also
-    aborts (false positive, never a false negative); the abort retries
-    like any other concurrency loss, so the serial outcome wins after
-    a refresh.
+    later committer aborts under serializable).  Granularity: reads
+    issued through the query builder record their normalized FILTER,
+    and a version mismatch re-validates at row level — the commit
+    proceeds when no row of the two-version diff matches any recorded
+    predicate (``store._read_unchanged``), so a row-disjoint
+    concurrent write no longer aborts the reader; raw ``df()`` frame
+    reads still demand whole-table stability.  Either way the check
+    only ever FALSE-POSITIVES (never admits a non-serializable
+    schedule); an abort retries like any other concurrency loss, so
+    the serial outcome wins after a refresh.
 
     Requires a warehouse (the flush is the commit point).  Raises
     ``ValueError`` without one rather than silently downgrading to a
@@ -136,8 +141,10 @@ def run_transaction_with_retry(engine, action, retries: int = 3,
 
         if isolation == "serializable":
             # fresh read-set per attempt: a retry reads the refreshed
-            # snapshot, so its recorded versions must restart clean
+            # snapshot, so its recorded versions (and the predicate
+            # granularity map that refines them) must restart clean
             engine._txn_read_versions = {}
+            engine._txn_rpreds = {}
         try:
             action(engine)
             engine.flush()
@@ -157,3 +164,4 @@ def run_transaction_with_retry(engine, action, retries: int = 3,
             return TransactionResult(False, e)
         finally:
             engine._txn_read_versions = None
+            engine._txn_rpreds = {}
