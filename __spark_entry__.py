@@ -651,6 +651,10 @@ def q_similarity_graph(spark, sf_dir):
         emb, n_neighbors=4, n_cells=8,
         centroids=S.fixed_centroids(64, 8), bridge_cells=1,
         ring_skips=(1, 7))
+    # pin the built graph ONCE: the fixed-hop search joins it per hop,
+    # and a lazy graph re-derives the whole build DAG each hop
+    # (measured 18s -> ~6s at sf0.1; values identical)
+    graph = graph.localCheckpoint(eager=True)
     q = spark.createDataFrame([(0, [float(x) for x in _QVEC])],
                               "query_id int, qv array<double>")
     out = S.graph_search_many(graph, emb, q, hubs, k=5, ef=8,
@@ -3354,74 +3358,78 @@ def q_grouped_percentiles(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver checks the FIRST 50 entries against the DuckDB oracle each round.
 
-    Ordering policy (round 9 — the r8 verdict's seeded rotation,
-    executed exactly; same rule as r3-r8).  First 50:
+    Ordering policy (round 10 — the r9 verdict's item 1, executed
+    exactly; same seeded-rotation rule as r3-r9).  First 50:
 
-    - slots 1-4: entries born mid-r9, after the rotation was seeded
-      (newest-first rule): q_hard_negatives (contrastive-training
-      negative mining, exact + cell-blocked tiers), q_vector_lsh
-      (multi-probe LSH search, first oracle pin of that path),
-      q_pca_project (fixed-basis rotation projection),
-      q_append_segments (the flush segment fast path end-to-end);
-    - next: entries whose module changed in r9, plus the three
-      entries that had never held a driver row.  NEW this round:
-      q_similarity_graph (Vamana-lite graph ANN — batch kNN-graph
-      build + bounded beam search, the whole trajectory oracle-exact)
-      and q_robust_outliers_grouped (per-group median/MAD gate).
-      Changed paths: q_robust_outliers / q_drift_mix /
-      q_drift_psi_decile / q_drift_psi (stats' single-scan psi_total
-      materialization + the approx tiers landed beside the exact
-      paths these entries pin), q_tpch_q17 / q_tpch_q18
-      (DECIMAL-discipline threshold rewrite on BOTH engine and oracle
-      sides), q_fuzzy_match (joins.py blocking-conflict raise),
-      q_rolling_active (timeseries' sketch-frame materialization),
-      q_stream_interval_join (rightOuter + dedup_right landed in the
-      same function);
-    - slots 12-50: the r4-vintage tail the r8 verdict enumerated
-      (q_agg_stats, q_bm25_search, q_chunk_documents, q_count_star,
-      q_events_window, q_global_agg, q_ivfpq, q_langid, q_mix_corpus,
-      q_pack_sequences, q_pq_search, q_quality_filter,
-      q_quantized_knn, q_rollup_subtotals, q_salted_agg, and the rest
-      of the r4 block in its waited-longest order).
+    - slots 1-2: entries born in r10 (newest-first rule):
+      q_graph_prune (Vamana robust-prune edge selection, the two-round
+      veto reproduced in DuckDB) and q_stream_multi_sink (atomic
+      multi-table exactly-once ingest — N sinks + one group ledger in
+      ONE manifest CAS);
+    - slots 3-7: the 5 entries committed after GATE_r9.txt was
+      captured, which the committed r9 certification therefore
+      predates (q_append_segments — never driver-sampled —
+      q_hard_negatives, q_pca_project, q_stream_ingest_exactly_once,
+      q_vector_lsh);
+    - slots 8-14: the 7 r4/r5-vintage driver rows the verdict
+      enumerated (q_backup_restore, q_distinct_first, q_events_json,
+      q_source_cap, q_time_rollup, q_token_count_bpe, q_ttl_filter);
+    - slots 15-25: entries over modules changed in r10 —
+      llmops/similarity (graph build refactored onto _md5_rank/
+      _ring_edges + prune hooks: q_similarity_graph, q_knn_join,
+      q_ivf_batch, q_similarity_ivf), llmops/lm (carry= threading:
+      q_ppl_buckets, q_lm_score_bigram), store/engine (append-delta
+      hygiene + read-set refinement: q_flush_reopen, q_snapshot_read),
+      streaming/sink (type conformance: q_stream_mv), query.py
+      (predicate read recording: q_filter_sort_limit, q_keyset_page);
+    - remainder of the 50: the oldest remaining driver rows in the r9
+      seed's waited-longest order (q_robust_outliers_grouped, the
+      drift/robust block, then the r4 tail).
 
-    Past the cap: everything else oldest-row-first (the r5/r6 middle
-    block, then the store/stats entries holding r6/r7 rows on
-    unchanged paths, then the r7-sampled block), the r8
-    driver-sampled block (freshest rows) last.  The r9 engine changes
-    with no oracle analog — SSI-lite write-skew detection, the
-    stream-join dedup knob — are concurrency/streaming-pytest-pinned
-    (test_store.py write-skew matrix, test_streaming_join.py).
+    Past the cap: everything else oldest-row-first, the r9
+    driver-sampled block (freshest rows) last.  The r10 engine changes
+    with no oracle analog — rollback append-delta restoration, the
+    row-level SSI re-validation, graph_append/delete/compact — are
+    pytest-pinned (test_store.py delta-hygiene + predicate-SSI blocks,
+    test_vector_index.py graph-lifecycle block).
 
     tools/check_correctness.py certifies EVERY entry locally each
-    round; the full-run stdout is committed as GATE_r9.txt, continuing
-    the r8 practice.
+    round; the full-run stdout is committed as GATE_r10.txt as the
+    round's FINAL commit (the r9 verdict's hygiene fix — GATE_r9.txt
+    missed the 5 post-capture entries).
 
-    r10 rotation seed (same rule): lead with (a) any entry whose
-    module changes in r10, (b) then the oldest remaining rows — the
-    r5/r6 middle block that r9 pushed past the cap (q_zorder_rewrite,
-    q_stream_mv, q_funnel, q_cohort_retention, q_unicode_normalize,
-    q_outer_join_shapes, q_topk_per_group, q_moving_time_window,
-    q_scd2_lookup, q_pagerank, q_ewma_anomaly, q_dsir_weights,
-    q_gopher_report and the filter/join basics behind them), then
-    (c) the store/stats r6/r7-row entries, (d) the r7 and r8 blocks
-    freshest-last.
+    r11 rotation seed (same rule): lead with (a) any entry whose
+    module changes in r11, (b) then the oldest remaining rows — the
+    r5/r6 middle block (q_zorder_rewrite, q_funnel, q_cohort_retention,
+    q_unicode_normalize, q_outer_join_shapes, q_topk_per_group,
+    q_moving_time_window, q_scd2_lookup, q_pagerank, q_ewma_anomaly,
+    q_dsir_weights, q_gopher_report and the filter/join basics behind
+    them), then (c) the store/stats r6/r7-row entries, (d) the r8/r9
+    blocks and this round's head freshest-last.
     """
-
-    # first 50 = the driver's r9 correctness sample (see docstring):
-    # slots 1-11 = modules changed in r9 (the new graph-ANN and grouped
-    # robust-outlier entries; the DECIMAL-threshold TPC-H Q17/Q18
-    # rewrites; stats' single-scan PSI totals; joins' blocking raise;
-    # timeseries' sketch materialization; the rightOuter/dedup stream
-    # join) + the 3 entries that had never held a driver row
-    # (q_drift_mix, q_drift_psi_decile, q_robust_outliers);
-    # slots 12-50 = the r4-vintage tail the r8 verdict enumerated, in
-    # its waited-longest order.  Past the cap: everything else
-    # oldest-row-first, the r8 driver-sampled block last.
     _ORDER = [
+        # -- r10 rotation head (the r9 verdict's item 1, executed) -----
+        # slots 1-2: entries born in r10 (newest-first rule)
         "q_graph_prune", "q_stream_multi_sink",
-        "q_hard_negatives", "q_vector_lsh", "q_pca_project",
-        "q_append_segments", "q_stream_ingest_exactly_once",
-        "q_similarity_graph", "q_robust_outliers_grouped",
+        # slots 3-7: the 5 entries committed after GATE_r9.txt was
+        # captured (q_append_segments had never been driver-sampled)
+        "q_append_segments", "q_hard_negatives", "q_pca_project",
+        "q_stream_ingest_exactly_once", "q_vector_lsh",
+        # slots 8-14: the 7 r4/r5-vintage rows the verdict enumerated
+        "q_backup_restore", "q_distinct_first", "q_events_json",
+        "q_source_cap", "q_time_rollup", "q_token_count_bpe",
+        "q_ttl_filter",
+        # slots 15+: entries whose modules changed in r10 — similarity
+        # (graph refactor + prune), lm (carry= scorer), query
+        # (predicate read recording), store (read-set refinement,
+        # delta hygiene), streaming/sink (type conformance, multi-sink)
+        "q_similarity_graph", "q_ppl_buckets", "q_lm_score_bigram",
+        "q_flush_reopen", "q_snapshot_read", "q_stream_mv",
+        "q_filter_sort_limit", "q_keyset_page", "q_knn_join",
+        "q_ivf_batch", "q_similarity_ivf",
+        # remainder: oldest-driver-row-first (the r9-sampled block
+        # freshest-last), unchanged relative order from the r9 seed
+        "q_robust_outliers_grouped",
         "q_robust_outliers", "q_drift_mix", "q_drift_psi_decile",
         "q_drift_psi", "q_tpch_q17", "q_tpch_q18", "q_fuzzy_match",
         "q_rolling_active", "q_stream_interval_join", "q_agg_stats",
@@ -3443,7 +3451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repeated_spans", "q_doc_fingerprint", "q_winnow_overlap",
         "q_containment", "q_range_join", "q_bucketed_join",
         "q_tfidf_pairs", "q_asof_join", "q_events_sessions",
-        "q_similarity_ivf", "q_csv_source", "q_json_source",
+        "q_csv_source", "q_json_source",
         "q_multimodal_features", "q_dedup_exact", "q_dedup_fingerprint",
         "q_dedup_minhash_lsh", "q_dedup_clusters", "q_semantic_dedup",
         "q_dedup_incremental", "q_ngram_jaccard", "q_dedup_simhash",
@@ -3452,20 +3460,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_schema_migration", "q_batch_export_page", "q_join5_regional",
         "q_repetition", "q_vocab_stats", "q_pii_scrub", "q_text_stats",
         "q_histogram", "q_winsorize", "q_partitioned_table",
-        "q_snapshot_read", "q_flush_reopen", "q_grouped_percentiles",
-        "q_winsorize_grouped", "q_embedding_truncate", "q_lm_score_bigram",
-        "q_curate_corpus", "q_ppl_buckets", "q_paragraph_dedup",
-        "q_column_stats", "q_embedding_cov", "q_backup_restore",
-        "q_source_cap", "q_ttl_filter", "q_token_count_bpe",
-        "q_time_rollup", "q_zorder_rewrite", "q_stream_mv", "q_funnel",
+        "q_grouped_percentiles",
+        "q_winsorize_grouped", "q_embedding_truncate",
+        "q_curate_corpus", "q_paragraph_dedup",
+        "q_column_stats", "q_embedding_cov",
+        "q_zorder_rewrite", "q_funnel",
         "q_cohort_retention", "q_unicode_normalize", "q_outer_join_shapes",
         "q_topk_per_group", "q_moving_time_window", "q_scd2_lookup",
         "q_pagerank", "q_ewma_anomaly", "q_dsir_weights",
-        "q_gopher_report", "q_filter_sort_limit", "q_or_union_dedup",
-        "q_topk", "q_keyset_page", "q_groupby_having",
+        "q_gopher_report", "q_or_union_dedup",
+        "q_topk", "q_groupby_having",
         "q_join_inner_group", "q_left_join_count", "q_right_join",
-        "q_theta_join", "q_fk_autojoin", "q_events_json",
-        "q_distinct_first", "q_tpch_q3", "q_tpch_q10",
+        "q_theta_join", "q_fk_autojoin",
+        "q_tpch_q3", "q_tpch_q10",
         "q_calibrated_quality", "q_attribution", "q_temperature_sample",
         "q_corpus_report", "q_unpivot_long", "q_resample",
         "q_validate_rules", "q_tpch_q4", "q_tpch_q12", "q_tpch_q14",
@@ -3476,8 +3483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vector_cosine_topk", "q_vector_l2_topk", "q_vector_ip_topk",
         "q_vector_threshold", "q_pred_like_between_in", "q_or_tree",
         "q_loose_eq", "q_notin_null_semantics", "q_is_null_join",
-        "q_neq_null_semantics", "q_multiop_or", "q_knn_join",
-        "q_ivf_batch"
+        "q_neq_null_semantics", "q_multiop_or"
     ]
     g = globals()
     return {name: g[name] for name in _ORDER}

@@ -497,7 +497,18 @@ def _ppl_floor_stat(spark, sf_dir: str) -> dict | None:
             model = LM.train_ngram_lm(docs, n=2)
             LM.ngram_bits_per_token(docs, model).count()
             warm = round(_t.time() - t0, 3)
-        return {"train_score_warm_sec": warm}
+        # the full entry timed ADJACENTLY in the same warm context, so
+        # the bucketing overhead (entry - floor) is internally
+        # consistent — the extras table's q_ppl_buckets row is measured
+        # minutes apart and drifts with session state
+        fn = entrymod.queries()["q_ppl_buckets"]
+        for _ in range(2):
+            t0 = _t.time()
+            fn(spark, sf_dir).count()
+            entry_warm = round(_t.time() - t0, 3)
+        return {"train_score_warm_sec": warm,
+                "entry_warm_sec": entry_warm,
+                "bucketing_overhead_sec": round(entry_warm - warm, 3)}
     except Exception as exc:                    # pragma: no cover
         print(f"# ppl floor stat skipped: {exc}", file=sys.stderr)
         return None

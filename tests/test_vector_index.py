@@ -793,3 +793,45 @@ def test_graph_refine_lifts_flat_recall(spark):
     assert r["recall"] >= r["probed_fraction"] * 1.5, \
         f"refined graph under the 1.5x floor margin: {r}"
     assert r["recall"] >= 0.5, f"refined flat recall regressed: {r}"
+
+
+def test_engine_graph_index_facade(spark, db01, tmp_path_factory):
+    """The engine-level graph lifecycle (the reference's NGH default
+    vectorSearch path): build_graph_index -> graph_search returns table
+    rows + exact distances in rank order; a write staleness-guards the
+    index; load_graph_index refreshes after similarity-level append."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.llmops import similarity as sim
+
+    db2 = ToStoreSpark(spark)
+    emb = db01.df("embeddings").filter("vec_id < 150") \
+              .localCheckpoint(eager=True)
+    db2.register_table("e_g", df=emb)
+    path = str(tmp_path_factory.mktemp("gidx_facade"))
+    db2.build_graph_index("e_g", "embedding", path=path,
+                          id_field="vec_id", n_neighbors=6, n_cells=4)
+    qv = [float(x) for x in
+          emb.filter("vec_id = 7").collect()[0]["embedding"]]
+    got = db2.graph_search("e_g", "embedding", qv, top_k=5,
+                           ef_search=24, max_hops=4).collect()
+    assert len(got) == 5
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+    assert got[0]["vec_id"] == 7 and got[0]["distance"] < 1e-9
+    assert "label" in got[0].asDict()          # table columns joined back
+    # recall surface works and the beam is bounded
+    r = db2.graph_index_recall("e_g", "embedding", k=5, ef_search=24,
+                               max_hops=4, n_queries=5)
+    assert r["recall"] >= 0.6 and r["probed_fraction"] < 1.0
+    # staleness: a write bumps the generation -> loud error
+    db2.update("e_g").allow_update_all().set({"label": 0})
+    import pytest as _pt
+    with _pt.raises(ValueError, match="fresh"):
+        db2.graph_search("e_g", "embedding", qv, top_k=5)
+    # append through the similarity lifecycle + reload = fresh again
+    db3 = ToStoreSpark(spark)
+    db3.register_table("e_g", df=emb)
+    db3.load_graph_index("e_g", "embedding", path, id_field="vec_id")
+    assert db3.graph_search_many(
+        "e_g", "embedding",
+        emb.filter("vec_id < 3"), top_k=3, ef_search=16,
+        exclude_self=True).count() == 9

@@ -938,8 +938,8 @@ class ToStoreSpark:
             "query_cache": ({"hits": cache.hits, "misses": cache.misses}
                             if cache else None),
             "vector_indexes": sorted(
-                f"{sp}.{t}.{f}" for (sp, t, f)
-                in getattr(self, "_vector_indexes", {})),
+                ".".join(str(p) for p in key)
+                for key in getattr(self, "_vector_indexes", {})),
             "migration_tasks": len(getattr(self, "_migration_tasks", {})),
             "version": self.get_version(),
         }
@@ -1307,3 +1307,144 @@ class ToStoreSpark:
                             corpus_vec=field_name,
                             query_id=query_id or pk, corpus_id=pk,
                             metric="cosine", exclude_self=exclude_self)
+
+    # ---- graph (Vamana-lite) index facade ------------------------------
+    # The reference's vectorSearch is served by its NGH graph by default
+    # (ngh_graph_engine.dart:14-80); this facade gives the same
+    # build-once / beam-search-many lifecycle over the batch graph.
+
+    def build_graph_index(self, table: str, field_name: str,
+                          path: Optional[str] = None,
+                          id_field: Optional[str] = None,
+                          n_neighbors: int = 8, n_cells: int = 16,
+                          prune_alpha: Optional[float] = None,
+                          refine: bool = False,
+                          centroids=None) -> str:
+        """Build-once Vamana-lite graph index (the reference's NGH build,
+        ngh_graph_engine.dart:14-80): ``build_knn_graph`` (optionally
+        ``prune_alpha``-diversified and/or ``refine``-passed — the
+        pruneAlpha / construction knobs), persisted via
+        ``graph_write_index`` and registered so ``graph_search`` /
+        ``graph_index_recall`` beam-search it.  Maintain with
+        ``similarity.graph_append`` / ``graph_delete`` /
+        ``graph_compact`` against the returned path, then
+        ``load_graph_index`` to refresh the registration."""
+        import tempfile
+
+        from tostore_spark.llmops import similarity as sim
+        id_field = id_field or self.primary_key(table) \
+            or self.df(table).columns[0]
+        if path is None:
+            path = tempfile.mkdtemp(prefix=f"graph_{table}_{field_name}_")
+        corpus = self.df(table)
+        graph, hubs = sim.build_knn_graph(
+            corpus, n_neighbors=n_neighbors, n_cells=n_cells,
+            vec_field=field_name, id_field=id_field,
+            centroids=centroids, prune_alpha=prune_alpha)
+        if refine:
+            graph = sim.graph_refine(
+                graph.localCheckpoint(eager=True), corpus, hubs,
+                n_neighbors=n_neighbors,
+                alpha=prune_alpha if prune_alpha is not None else 1.2,
+                vec_field=field_name, id_field=id_field)
+        n_rows = corpus.count()
+        sim.graph_write_index(
+            graph, hubs, path, n_rows=n_rows, id_field=id_field,
+            params={"n_neighbors": n_neighbors, "n_cells": n_cells,
+                    "prune_alpha": prune_alpha, "refine": refine})
+        self.load_graph_index(table, field_name, path, id_field=id_field)
+        return path
+
+    def load_graph_index(self, table: str, field_name: str, path: str,
+                         id_field: Optional[str] = None) -> None:
+        """Attach a persisted graph index (tombstones applied on read)."""
+        from tostore_spark.llmops import similarity as sim
+        edges, hubs, meta = sim.graph_read_index(self.spark, path)
+        if not hasattr(self, "_vector_indexes"):
+            self._vector_indexes = {}
+        self._vector_indexes[("graph", self._space, table, field_name)] = {
+            "kind": "graph", "path": path,
+            "graph": edges.localCheckpoint(eager=True),
+            "hubs": hubs.localCheckpoint(eager=True),
+            "id_field": id_field or meta.get("id_field")
+            or self.primary_key(table) or self.df(table).columns[0],
+            "n_rows": meta.get("n_rows"),
+            "generation": self.generation(table),
+        }
+
+    def _graph_index(self, table: str, field_name: str) -> dict:
+        idx = getattr(self, "_vector_indexes", {}).get(
+            ("graph", self._space, table, field_name))
+        if idx is None or idx["generation"] != self.generation(table):
+            raise ValueError(
+                f"no fresh graph index for ({table}, {field_name}); "
+                "build_graph_index (or load_graph_index after "
+                "graph_append/graph_delete) first")
+        return idx
+
+    def graph_search(self, table: str, field_name: str, query_vector,
+                     top_k: int = 10, ef_search: int = 16,
+                     max_hops: int = 3,
+                     distance_threshold: Optional[float] = None
+                     ) -> DataFrame:
+        """Beam-search the registered graph index for one query vector —
+        the reference's default vectorSearch path (efSearch = the beam
+        width, directly; no nprobe mapping needed).  Returns the
+        table's matching rows + exact cosine ``distance`` + ``rank``,
+        the same surface as the IVF-backed ``vector_search``."""
+        from pyspark.sql import functions as F
+
+        from tostore_spark.llmops import similarity as sim
+        idx = self._graph_index(table, field_name)
+        q = self.spark.createDataFrame(
+            [(0, [float(x) for x in query_vector])],
+            "query_id int, qv array<double>")
+        hits = sim.graph_search_many(
+            idx["graph"], self.df(table), q, idx["hubs"], k=top_k,
+            ef=int(ef_search), max_hops=int(max_hops),
+            vec_field=field_name, id_field=idx["id_field"],
+            query_vec="qv", query_id="query_id")
+        if distance_threshold is not None:
+            hits = hits.filter(
+                F.col("distance") <= float(distance_threshold))
+        corpus = self.df(table)
+        out = (corpus.join(
+            hits.select(F.col("neighbor_id").alias(idx["id_field"]),
+                        "distance", "rank"),
+            on=idx["id_field"]))
+        return out.orderBy(F.col("rank").asc())
+
+    def graph_search_many(self, table: str, field_name: str,
+                          queries: DataFrame, top_k: int = 10,
+                          ef_search: int = 16, max_hops: int = 3,
+                          query_vec: Optional[str] = None,
+                          query_id: Optional[str] = None,
+                          exclude_self: bool = False) -> DataFrame:
+        """Batch beam search over the registered graph index: a whole
+        DataFrame of query vectors in ONE fixed-hop join plan
+        (similarity.graph_search_many) — (query_id, neighbor_id,
+        distance, rank) rows."""
+        from tostore_spark.llmops import similarity as sim
+        idx = self._graph_index(table, field_name)
+        return sim.graph_search_many(
+            idx["graph"], self.df(table), queries, idx["hubs"],
+            k=top_k, ef=int(ef_search), max_hops=int(max_hops),
+            vec_field=field_name, id_field=idx["id_field"],
+            query_vec=query_vec, query_id=query_id,
+            exclude_self=exclude_self)
+
+    def graph_index_recall(self, table: str, field_name: str,
+                           k: int = 10, ef_search: int = 16,
+                           max_hops: int = 3,
+                           n_queries: int = 20) -> dict:
+        """MEASURED recall@k AND probed fraction of the registered graph
+        index on this table's own vectors (similarity.
+        graph_measure_recall) — the graph twin of
+        ``vector_index_recall``."""
+        from tostore_spark.llmops import similarity as sim
+        idx = self._graph_index(table, field_name)
+        return sim.graph_measure_recall(
+            idx["graph"], self.df(table), idx["hubs"], k=k,
+            ef=int(ef_search), max_hops=int(max_hops),
+            n_queries=n_queries, vec_field=field_name,
+            id_field=idx["id_field"])
