@@ -664,6 +664,43 @@ def q_similarity_graph(spark, sf_dir):
                       F.round(F.col("distance"), 6).alias("distance_r"))
 
 
+def q_graph_append(spark, sf_dir):
+    """Incremental graph insert (similarity.graph_append — the
+    reference's own NGH insert path, ngh_graph_engine.dart:14-80):
+    build a persisted Vamana-lite graph on vec_id < 480, then append
+    the 5 nodes 480-484 by beam-searching their neighbors over the
+    EXISTING graph; the appended edge set = forward top-k edges ∪
+    bidirectional back-links ∪ the batch-local md5 ring.  Every piece
+    is deterministic (fixed centroids, id tie-breaks, md5 ranks), so
+    DuckDB reproduces the round-1 graph, each new node's hop-for-hop
+    beam trajectory, and the exact appended edges.  Output: the edges
+    the append added (either endpoint in the batch)."""
+    import tempfile
+
+    db = _db(spark, sf_dir)
+    emb = db.df("embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 480)
+    batch = emb.filter((F.col("vec_id") >= 480) & (F.col("vec_id") < 485))
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/gidx"
+        graph, hubs = S.build_knn_graph(
+            base, n_neighbors=4, n_cells=8,
+            centroids=S.fixed_centroids(64, 8), bridge_cells=1,
+            ring_skips=(1, 7))
+        S.graph_write_index(graph.localCheckpoint(eager=True), hubs,
+                            path, n_rows=480)
+        S.graph_append(spark, path, base, batch, n_neighbors=4,
+                       ef=8, max_hops=2, ring_skips=(1,))
+        edges, _, _ = S.graph_read_index(spark, path)
+        out = (edges.filter((F.col("node_id") >= 480)
+                            | (F.col("neighbor_id") >= 480))
+                    .select("node_id", "neighbor_id",
+                            F.round(F.col("distance"), 6)
+                             .alias("distance_r")))
+        rows, schema = out.collect(), out.schema
+    return spark.createDataFrame(rows, schema)
+
+
 def q_graph_prune(spark, sf_dir):
     """Robust prune (similarity.robust_prune) — the Vamana/DiskANN
     edge-selection pass behind ``build_knn_graph(prune_alpha=...)`` and
@@ -3361,11 +3398,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering policy (round 10 — the r9 verdict's item 1, executed
     exactly; same seeded-rotation rule as r3-r9).  First 50:
 
-    - slots 1-2: entries born in r10 (newest-first rule):
+    - slots 1-3: entries born in r10 (newest-first rule):
       q_graph_prune (Vamana robust-prune edge selection, the two-round
-      veto reproduced in DuckDB) and q_stream_multi_sink (atomic
+      veto reproduced in DuckDB), q_stream_multi_sink (atomic
       multi-table exactly-once ingest — N sinks + one group ledger in
-      ONE manifest CAS);
+      ONE manifest CAS), and q_graph_append (incremental graph insert:
+      round-1 graph + each new node's hop-for-hop beam + bidirectional
+      back-links + batch ring, the appended edge set oracle-exact);
     - slots 3-7: the 5 entries committed after GATE_r9.txt was
       captured, which the committed r9 certification therefore
       predates (q_append_segments — never driver-sampled —
@@ -3409,8 +3448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     _ORDER = [
         # -- r10 rotation head (the r9 verdict's item 1, executed) -----
-        # slots 1-2: entries born in r10 (newest-first rule)
-        "q_graph_prune", "q_stream_multi_sink",
+        # slots 1-3: entries born in r10 (newest-first rule)
+        "q_graph_prune", "q_stream_multi_sink", "q_graph_append",
         # slots 3-7: the 5 entries committed after GATE_r9.txt was
         # captured (q_append_segments had never been driver-sampled)
         "q_append_segments", "q_hard_negatives", "q_pca_project",
@@ -4295,6 +4334,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'region_feed', 80 + i, i % 3 FROM range(5) t(i)""",
         "q_graph_prune": _graph_prune_oracle(),
+        "q_graph_append": _graph_append_oracle(),
         "q_vector_lsh": _vector_lsh_oracle(),
         "q_pca_project": _pca_project_oracle(),
         "q_hard_negatives": """
@@ -6251,6 +6291,157 @@ def _similarity_graph_oracle(dim: int = 64, n_cells: int = 8,
                      row_number() OVER (ORDER BY d, node) AS r
               FROM beam{hops})
         WHERE r <= {k}"""
+
+
+def _graph_append_oracle(dim: int = 64, n_cells: int = 8,
+                         n_neighbors: int = 4, skips: tuple = (1, 7),
+                         ef: int = 8, hops: int = 2, split: int = 480,
+                         batch_hi: int = 485) -> str:
+    """graph_append in DuckDB: the round-1 graph is
+    ``_similarity_graph_oracle``'s machinery over vec_id < split; each
+    batch node (split <= vec_id < batch_hi) then runs the SAME
+    fixed-hop beam — generalized to MANY queries (windows partitioned
+    by qid) — and the appended edges are forward top-``n_neighbors`` ∪
+    reversed back-links ∪ the batch-local md5 s=1 ring, min-distance
+    deduplicated (similarity.graph_append's exact construction)."""
+    import math as _m
+
+    from tostore_spark.llmops.similarity import fixed_centroids
+    cents = fixed_centroids(dim, n_cells)
+    dexprs = []
+    for _cid, cent in cents:
+        cn = _m.sqrt(sum(x * x for x in cent)) or 1.0
+        dot = (f"list_sum(list_transform(list_zip(v, {_sql_list(cent)}),"
+               " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+        dexprs.append(f"1.0 - {dot} / (nv * {cn!r})")
+    dists = "[" + ",\n                 ".join(dexprs) + "]"
+
+    def pair(a, b):
+        return (f"1.0 - list_sum(list_transform(list_zip({a}.v, {b}.v),"
+                " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+                f" / ({a}.nv * {b}.nv)")
+
+    def qd(q, a):
+        return (f"1.0 - list_sum(list_transform(list_zip({q}.v, {a}.v),"
+                " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+                f" / ({q}.nv * {a}.nv)")
+
+    skip_list = ", ".join(str(int(s)) for s in skips)
+    hop_ctes = []
+    prev = "beam0"
+    for i in range(1, hops + 1):
+        hop_ctes.append(f"""
+        cand{i} AS (
+          SELECT qid, node FROM {prev}
+          UNION
+          SELECT b.qid, g.nb AS node FROM {prev} b
+          JOIN graph g ON g.node = b.node),
+        beam{i} AS (
+          SELECT qid, node, d FROM (
+            SELECT c.qid, a.id AS node, {qd('q', 'a')} AS d,
+                   row_number() OVER (PARTITION BY c.qid
+                                      ORDER BY {qd('q', 'a')}, a.id) AS r
+            FROM cand{i} c
+            JOIN assigned a ON a.id = c.node
+            JOIN qbase q ON q.qid = c.qid)
+          WHERE r <= {ef})""")
+        prev = f"beam{i}"
+    hops_sql = ",".join(hop_ctes)
+    return f"""
+        WITH base AS (
+          SELECT vec_id AS id, embedding AS v,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv
+          FROM embeddings WHERE vec_id < {split}),
+        qbase AS (
+          SELECT vec_id AS qid, embedding AS v,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv
+          FROM embeddings
+          WHERE vec_id >= {split} AND vec_id < {batch_hi}),
+        celld AS (SELECT id, v, nv, {dists} AS ds FROM base),
+        assigned AS (
+          SELECT id, v, nv, ds,
+                 CAST(list_indexof(ds, list_min(ds)) - 1 AS INT) AS cell_id
+          FROM celld),
+        pairs AS (
+          SELECT a.id AS node, b.id AS nb, {pair('a', 'b')} AS d
+          FROM assigned a JOIN assigned b
+            ON a.cell_id = b.cell_id AND a.id <> b.id),
+        knn AS (
+          SELECT node, nb, d FROM (
+            SELECT node, nb, d,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY d, nb) AS r
+            FROM pairs) WHERE r <= {n_neighbors}),
+        hubs AS (
+          SELECT cell_id, id AS hub_id FROM (
+            SELECT cell_id, id,
+                   row_number() OVER (PARTITION BY cell_id
+                                      ORDER BY ds[cell_id + 1], id) AS r
+            FROM assigned) WHERE r = 1),
+        probes AS (
+          SELECT id AS node, g.i - 1 AS bc,
+                 row_number() OVER (PARTITION BY id
+                                    ORDER BY ds[g.i], g.i) AS pr
+          FROM assigned, (SELECT unnest(range(1, {n_cells} + 1)) AS i) g),
+        bridge AS (
+          SELECT a.id AS node, hv.id AS nb, {pair('a', 'hv')} AS d
+          FROM (SELECT node, bc FROM probes WHERE pr = 2) p
+          JOIN hubs h ON h.cell_id = p.bc
+          JOIN assigned a ON a.id = p.node
+          JOIN assigned hv ON hv.id = h.hub_id),
+        ring_rank AS (
+          SELECT id, v, nv,
+                 row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)),
+                                    id) - 1 AS r
+          FROM base),
+        cnt AS (SELECT count(*) AS n FROM base),
+        ring AS (
+          SELECT a.id AS node, b.id AS nb, {pair('a', 'b')} AS d
+          FROM ring_rank a, cnt, ring_rank b,
+               (SELECT unnest([{skip_list}]) AS s) sk
+          WHERE b.r = (a.r + sk.s) % cnt.n AND a.id <> b.id),
+        graph AS (
+          SELECT node, nb, min(d) AS d FROM (
+            SELECT * FROM knn UNION ALL SELECT * FROM bridge
+            UNION ALL SELECT * FROM ring) GROUP BY 1, 2),
+        beam0 AS (
+          SELECT qid, node, d FROM (
+            SELECT q.qid, a.id AS node, {qd('q', 'a')} AS d,
+                   row_number() OVER (PARTITION BY q.qid
+                                      ORDER BY {qd('q', 'a')}, a.id) AS r
+            FROM qbase q, hubs s
+            JOIN assigned a ON a.id = s.hub_id)
+          WHERE r <= {ef}),{hops_sql},
+        found AS (
+          SELECT qid, node, d FROM (
+            SELECT qid, node, d,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY d, node) AS r
+            FROM beam{hops})
+          WHERE r <= {n_neighbors}),
+        bring_rank AS (
+          SELECT qid, v, nv,
+                 row_number() OVER (ORDER BY md5(CAST(qid AS VARCHAR)),
+                                    qid) - 1 AS r
+          FROM qbase),
+        bcnt AS (SELECT count(*) AS n FROM qbase),
+        bring AS (
+          SELECT a.qid AS node, b.qid AS nb, {qd('a', 'b')} AS d
+          FROM bring_rank a, bcnt, bring_rank b
+          WHERE bcnt.n > 1 AND 1 % bcnt.n <> 0
+            AND b.r = (a.r + 1) % bcnt.n AND a.qid <> b.qid),
+        new_edges AS (
+          SELECT node, nb, min(d) AS d FROM (
+            SELECT qid AS node, node AS nb, d FROM found
+            UNION ALL
+            SELECT node AS node, qid AS nb, d FROM found
+            UNION ALL
+            SELECT * FROM bring) GROUP BY 1, 2)
+        SELECT node AS node_id, nb AS neighbor_id,
+               round(d, 6) AS distance_r
+        FROM new_edges"""
 
 
 def _similarity_ivf_oracle(dim: int = 64, n_cells: int = 8, k: int = 5,

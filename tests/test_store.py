@@ -1612,3 +1612,31 @@ def test_serializable_raw_read_still_whole_table(spark, tmp_path_factory):
 
     res = a.transaction(t1, retries=0, isolation="serializable")
     assert not res.success and isinstance(res.error, WriteSkewError)
+
+
+def test_serializable_predicate_count_also_scoped(spark, tmp_path_factory):
+    """count() compiles its own plan (not via df()) — its read must
+    record the predicate too, so a filtered count doesn't demand
+    whole-table stability."""
+    from tostore_spark import ToStoreSpark
+    wh = str(tmp_path_factory.mktemp("wh_cnt_ssi"))
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b.update("nation", {"n_name": "base"}) \
+     .where("n_nationkey", "=", 9).execute()
+    b.flush(only=["nation"])
+    a.refresh()
+    state = {"interfered": False}
+
+    def t1(db):
+        assert db.query("nation").where("n_nationkey", "=", 0).count() == 1
+        if not state["interfered"]:
+            state["interfered"] = True
+            b.update("nation", {"n_name": "B5"}) \
+             .where("n_nationkey", "=", 5).execute()   # disjoint row
+            b.flush(only=["nation"])
+        db.update("region", {"r_name": "P4"}) \
+          .where("r_regionkey", "=", 3).execute()
+
+    res = a.transaction(t1, retries=0, isolation="serializable")
+    assert res.success, res.error

@@ -601,8 +601,12 @@ class QueryBuilder:
         except KeyError:
             return None
 
-    def df(self) -> DataFrame:
-        """Compile the chain to a DataFrame (the declarative plan)."""
+    def _base_frame_recorded(self) -> _Frame:
+        """``_base_frame`` with serializable-transaction read recording:
+        eligible reads (see ``_pred_read_scope``) register their
+        normalized filter instead of a whole-table demand.  Every
+        terminal that compiles its own plan (``df``, ``count``) must
+        fetch the base through this."""
         pred_scope = self._pred_read_scope()
         if pred_scope is not None:
             self._engine._txn_pred_scope = pred_scope
@@ -618,6 +622,11 @@ class QueryBuilder:
             if lst is not None:
                 lst.append(self._normalize_node(
                     self._cond.root().simplify(), frame))
+        return frame
+
+    def df(self) -> DataFrame:
+        """Compile the chain to a DataFrame (the declarative plan)."""
+        frame = self._base_frame_recorded()
         if self._sample_filter is not None:
             from tostore_spark.llmops.pipeline import hash_fraction
             field, permyriad = self._sample_filter
@@ -823,7 +832,7 @@ class QueryBuilder:
         row-group stats make plain count() O(metadata) when unfiltered."""
         qb = self.clone()
         qb._order_by, qb._limit, qb._offset = [], None, None
-        frame = qb._base_frame()
+        frame = qb._base_frame_recorded()
         frame = qb._apply_joins(frame)
         frame = qb._apply_condition(frame)
         return frame.df.count()
