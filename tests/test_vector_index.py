@@ -835,3 +835,36 @@ def test_engine_graph_index_facade(spark, db01, tmp_path_factory):
         "e_g", "embedding",
         emb.filter("vec_id < 3"), top_k=3, ef_search=16,
         exclude_self=True).count() == 9
+
+
+def test_engine_graph_index_append_delete(spark, db01):
+    """Facade maintenance pairing: table insert + graph_index_append
+    keeps the index fresh AND searchable for the new rows; table
+    delete + graph_index_delete hides them again."""
+    from pyspark.sql import functions as F
+    from tostore_spark import ToStoreSpark
+
+    db2 = ToStoreSpark(spark)
+    emb = db01.df("embeddings").localCheckpoint(eager=True)
+    base = emb.filter("vec_id < 140")
+    extra = emb.filter("vec_id >= 140 AND vec_id < 145") \
+               .localCheckpoint(eager=True)
+    db2.register_table("e_ga", df=base)
+    db2.build_graph_index("e_ga", "embedding", id_field="vec_id",
+                          n_neighbors=6, n_cells=4)
+    # table insert first, then the paired index append
+    db2.set_df("e_ga", db2.df("e_ga").unionByName(extra))
+    assert db2.graph_index_append("e_ga", "embedding", extra,
+                                  n_neighbors=6, ef_search=24,
+                                  max_hops=4) == 5
+    qv = [float(x) for x in
+          extra.filter("vec_id = 141").collect()[0]["embedding"]]
+    got = db2.graph_search("e_ga", "embedding", qv, top_k=3,
+                           ef_search=24, max_hops=4).collect()
+    assert got[0]["vec_id"] == 141          # appended node is findable
+    # paired delete: table row removed + index tombstoned
+    db2.set_df("e_ga", db2.df("e_ga").filter("vec_id <> 141"))
+    assert db2.graph_index_delete("e_ga", "embedding", [141]) == 1
+    got2 = db2.graph_search("e_ga", "embedding", qv, top_k=3,
+                            ef_search=24, max_hops=4).collect()
+    assert all(r["vec_id"] != 141 for r in got2)

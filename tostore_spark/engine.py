@@ -1433,6 +1433,61 @@ class ToStoreSpark:
             query_vec=query_vec, query_id=query_id,
             exclude_self=exclude_self)
 
+    def graph_index_append(self, table: str, field_name: str,
+                           new_rows: DataFrame, n_neighbors: int = 8,
+                           ef_search: int = 16, max_hops: int = 3) -> int:
+        """Incremental insert into the registered graph index
+        (similarity.graph_append: beam-search each new node's neighbors
+        + bidirectional back-links + batch ring).  Call AFTER inserting
+        the same rows into the table — the batch is anti-joined out of
+        the table to form the already-indexed corpus, the index is
+        appended, and the registration is refreshed AND re-stamped to
+        the table's current generation, so the index is fresh and
+        complete for the next search.  (The reference maintains the NGH
+        index inside its write path, ngh_graph_engine.dart:14-80; the
+        facade keeps table and index writes explicit but makes the
+        pairing one call each.)"""
+        from pyspark.sql import functions as F
+
+        from tostore_spark.llmops import similarity as sim
+        key = ("graph", self._space, table, field_name)
+        idx = getattr(self, "_vector_indexes", {}).get(key)
+        if idx is None:
+            raise ValueError(
+                f"no graph index for ({table}, {field_name}); "
+                "build_graph_index first")
+        id_field = idx["id_field"]
+        batch = new_rows.select(F.col(id_field), F.col(field_name))
+        corpus = self.df(table).join(
+            batch.select(id_field), on=id_field, how="left_anti")
+        n = sim.graph_append(self.spark, idx["path"], corpus,
+                             batch, vec_field=field_name,
+                             id_field=id_field,
+                             n_neighbors=n_neighbors,
+                             ef=int(ef_search), max_hops=int(max_hops))
+        self.load_graph_index(table, field_name, idx["path"],
+                              id_field=id_field)
+        return n
+
+    def graph_index_delete(self, table: str, field_name: str, ids) -> int:
+        """Tombstone-delete ids from the registered graph index
+        (similarity.graph_delete) and refresh the registration — the
+        nodes stop matching immediately; ``similarity.graph_compact``
+        later makes it physical.  Like ``graph_index_append``, call
+        after the corresponding table delete: the refresh re-stamps the
+        registration to the table's current generation."""
+        from tostore_spark.llmops import similarity as sim
+        key = ("graph", self._space, table, field_name)
+        idx = getattr(self, "_vector_indexes", {}).get(key)
+        if idx is None:
+            raise ValueError(
+                f"no graph index for ({table}, {field_name}); "
+                "build_graph_index first")
+        n = sim.graph_delete(self.spark, idx["path"], ids)
+        self.load_graph_index(table, field_name, idx["path"],
+                              id_field=idx["id_field"])
+        return n
+
     def graph_index_recall(self, table: str, field_name: str,
                            k: int = 10, ef_search: int = 16,
                            max_hops: int = 3,
