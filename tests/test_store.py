@@ -1640,3 +1640,26 @@ def test_serializable_predicate_count_also_scoped(spark, tmp_path_factory):
 
     res = a.transaction(t1, retries=0, isolation="serializable")
     assert res.success, res.error
+
+
+def test_flush_lock_steal_guard(spark, tmp_path_factory):
+    """The lock's owner-token guard, end to end: a holder whose lock was
+    stolen (possible only after a _LOCK_STALE_S heartbeat gap) must
+    discover the foreign token at verify() — the call now guarding the
+    manifest write — and its release must leave the thief's lock
+    untouched."""
+    from tostore_spark import fs as fsmod
+    from tostore_spark.store import ConcurrentWriteError, FlushLock
+    wh = str(tmp_path_factory.mktemp("wh_lock"))
+    fs = fsmod.get_fs(wh, spark)
+    lock = FlushLock(fs, wh)
+    lock.acquire()
+    lock.verify()                                 # own token: fine
+    thief = FlushLock(fs, wh)
+    fs.delete(lock.path)                          # staleness theft
+    fs.create_exclusive(lock.path, thief.token)
+    with pytest.raises(ConcurrentWriteError, match="stolen"):
+        lock.verify()
+    lock.release()                                # no-op on foreign token
+    assert fs.read_text(lock.path) == thief.token
+    thief.release()

@@ -520,6 +520,10 @@ def flush_tables(engine, flush_storage: bool = True,
                     "another engine while this flush wrote data; "
                     "engine.refresh() and retry")
             _check_read_set(cur)
+            # the read-set re-validation may have run a distributed
+            # two-version diff; refresh the lock mtime so a live flush
+            # never LOOKS stale to the acquire-side theft check
+            lock.heartbeat()
             merge_from = (cur or {"seq": base_seq, "tables": {}}) \
                 if base_seq != getattr(engine, "_store_seq", 0) else None
             # adopt the written directories into the registry (schema
@@ -534,6 +538,12 @@ def flush_tables(engine, flush_storage: bool = True,
             manifest = _build_manifest(engine)
             if merge_from is not None:
                 manifest = _merge_manifests(engine, manifest, merge_from)
+            # the documented steal guard, at the one place it protects:
+            # phase 3 can run distributed work (the read-set row diff,
+            # registry adoption scans) long enough for the lock to look
+            # stale and be stolen — discover the foreign token BEFORE
+            # the manifest write instead of clobbering the thief's state
+            lock.verify()
             write_manifest(wh, manifest, fs=fs)
             for key, gen, *_ in staged:
                 engine._flushed_gen[key] = gen
