@@ -276,6 +276,16 @@ CHECKS: dict[str, list[str]] = {
     # final top-k
     "q_event_paths": ["windowspecdefinition(user_id",
                       "TakeOrderedAndProject"],
+    # robust prune (r10): every ranking window node-partitioned (the
+    # candidate ranks and the final degree cap — never a global sort),
+    # and the degree cap rewrites to a group limit; the no-cartesian
+    # sweep pins the covering-pair join to the node_id key
+    "q_graph_prune": ["windowspecdefinition(node_id",
+                      "WindowGroupLimit"],
+    # CCNet buckets (r10 single-exchange path): both the in-group rank
+    # and the threshold extraction are LANG-partitioned windows — no
+    # global window, no percentile value-map aggregate
+    "q_ppl_buckets": ["windowspecdefinition(lang"],
 }
 
 #: plans that must NOT contain these operators (checked for every query
