@@ -1663,3 +1663,44 @@ def test_flush_lock_steal_guard(spark, tmp_path_factory):
     lock.release()                                # no-op on foreign token
     assert fs.read_text(lock.path) == thief.token
     thief.release()
+
+
+def test_serializable_cached_read_still_recorded(spark, tmp_path_factory):
+    """A query-cache HIT is still a read: a serializable transaction
+    whose only read of a table was served from the cache must still
+    abort when a concurrent commit overlaps that read (without the
+    recording fix the read-set missed the table entirely and write-skew
+    was ADMITTED)."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.store import WriteSkewError
+    wh = str(tmp_path_factory.mktemp("wh_cache_ssi"))
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b.update("nation", {"n_name": "base"}) \
+     .where("n_nationkey", "=", 9).execute()
+    b.flush(only=["nation"])
+    a.refresh()
+    # warm the cache OUTSIDE the transaction: the in-txn run() is a hit
+    warm = a.query("nation").where("n_nationkey", "=", 5) \
+            .use_query_cache().run()
+    assert len(warm.records) == 1
+    assert a.query_cache.hits >= 0
+    state = {"interfered": False}
+
+    def t1(db):
+        h0 = db.query_cache.hits
+        got = db.query("nation").where("n_nationkey", "=", 5) \
+                .use_query_cache().run()          # CACHE HIT read
+        assert db.query_cache.hits == h0 + 1      # really served cached
+        assert len(got.records) == 1
+        if not state["interfered"]:
+            state["interfered"] = True
+            b.refresh()
+            b.update("nation", {"n_name": "CLOBBER"}) \
+             .where("n_nationkey", "=", 5).execute()   # overlapping row
+            b.flush(only=["nation"])
+        db.update("region", {"r_name": "C1"}) \
+          .where("r_regionkey", "=", 4).execute()
+
+    res = a.transaction(t1, retries=0, isolation="serializable")
+    assert not res.success and isinstance(res.error, WriteSkewError)

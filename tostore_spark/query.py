@@ -775,6 +775,22 @@ class QueryBuilder:
         if cache is not None:
             hit = cache.get(key, max_age_s=self._cache_expiry_s)
             if hit is not None:
+                if getattr(self._engine, "_txn_read_versions",
+                           None) is not None:
+                    # a cache hit is still a READ: without this, a
+                    # serializable transaction whose only read of a
+                    # table was served from the cache would skip the
+                    # read-set entirely and ADMIT write-skew (the
+                    # compiled path records through _df_at_key, which a
+                    # hit never reaches).  Recording compiles only the
+                    # base plan — no job runs.
+                    self._base_frame_recorded()
+                    for j in self._joins:
+                        try:
+                            self._engine._df_at_key(
+                                self._engine._resolve(j[1]))
+                        except KeyError:
+                            pass
                 rows, has_more, has_prev, next_token, prev_token = hit
                 return QueryResult([dict(r) for r in rows], has_more, has_prev,
                                    next_token, prev_token, builder=self)
