@@ -1704,3 +1704,33 @@ def test_serializable_cached_read_still_recorded(spark, tmp_path_factory):
 
     res = a.transaction(t1, retries=0, isolation="serializable")
     assert not res.success and isinstance(res.error, WriteSkewError)
+
+
+def test_serializable_sql_reads_recorded(spark, tmp_path_factory):
+    """engine.sql() inside a serializable scope records every visible
+    table as a whole-table read (the SQL could reference any view) —
+    the escape hatch cannot bypass the read-set."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.store import WriteSkewError
+    wh = str(tmp_path_factory.mktemp("wh_sql_ssi"))
+    a = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    b.update("nation", {"n_name": "base"}) \
+     .where("n_nationkey", "=", 9).execute()
+    b.flush(only=["nation"])
+    a.refresh()
+    state = {"interfered": False}
+
+    def t1(db):
+        db.sql("SELECT count(*) FROM nation").collect()
+        if not state["interfered"]:
+            state["interfered"] = True
+            b.refresh()
+            b.update("nation", {"n_name": "B6"}) \
+             .where("n_nationkey", "=", 5).execute()
+            b.flush(only=["nation"])
+        db.update("region", {"r_name": "S5"}) \
+          .where("r_regionkey", "=", 0).execute()
+
+    res = a.transaction(t1, retries=0, isolation="serializable")
+    assert not res.success and isinstance(res.error, WriteSkewError)

@@ -986,9 +986,14 @@ class ToStoreSpark:
         self._query_cache = QueryResultCache(max_bytes=max_bytes) if enabled else None
 
     def sql(self, text: str) -> DataFrame:
-        """Escape hatch: register current tables as temp views and run SQL."""
+        """Escape hatch: register current tables as temp views and run SQL.
+        Inside a serializable transaction every visible table is recorded
+        as a WHOLE-TABLE read (the SQL text could reference any of the
+        views) — the same read-set discipline as raw ``df()``."""
         for (sp, n), ent in self._tables.items():
             if sp in (self._space, "global"):
+                if getattr(self, "_txn_read_versions", None) is not None:
+                    self._df_at_key((sp, n))     # record the read
                 ent["df"].createOrReplaceTempView(n)
         return self.spark.sql(text)
 
