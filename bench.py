@@ -762,6 +762,9 @@ def main():
         "fuzzy_blocking": fuzzy_block,
         "ppl_floor": ppl_floor,
         "append_flush": append_flush,
+        # the headline's host-speed probe, repeated here so the detail
+        # numbers normalize without cross-referencing BENCH_r{N}.json
+        "canary_sec": canary,
         "methodology": ("cold_first_run (value/queries; r1-comparable) "
                         "+ steady_state_second_run (value_warm/queries_warm; "
                         "r2-comparable); canary_sec = fixed machine-speed "
