@@ -1776,6 +1776,49 @@ def q_stream_multi_sink(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_stream_neardup_ingest(spark, sf_dir):
+    """Near-dup-FILTERED streaming ingest
+    (streaming/sink.neardup_ingest_processor): base corpus = documents
+    doc_id < 450 plus its persisted MinHash band index; the arriving
+    batch (doc_id >= 450) drops any doc whose bands collide with the
+    corpus index (incremental LSH candidate semantics — corpus text
+    never rescanned) or with a smaller-id batch doc (band-minimum
+    keep-first); survivors and their bands commit with the group
+    ledger in ONE manifest CAS, and the committed batch REPLAYED
+    against a crash-fresh engine merges zero rows into either sink.
+    Output: final table ids ∪ final index distinct ids, tagged."""
+    import tempfile
+
+    from tostore_spark.llmops.dedup import minhash_band_index
+    from tostore_spark.streaming.sink import neardup_ingest_processor
+    db = _db(spark, sf_dir)
+    docs = db.df("documents")
+    base = docs.filter(F.col("doc_id") < 450)
+    batch = docs.filter(F.col("doc_id") >= 450)
+    with tempfile.TemporaryDirectory() as tmp:
+        wh = f"{tmp}/wh"
+        db1 = ToStoreSpark(spark, warehouse=wh)
+        db1.register_table("corpus_t", df=base)
+        db1.register_table("corpus_i",
+                           df=minhash_band_index(base)
+                           .localCheckpoint(eager=True))
+        db1.flush()
+        proc = neardup_ingest_processor(db1, "corpus_t", "corpus_i")
+        proc(batch, 0)
+        # crash replay on a FRESH engine: the group ledger no-ops BOTH
+        db2 = ToStoreSpark(spark, warehouse=wh)
+        proc2 = neardup_ingest_processor(db2, "corpus_t", "corpus_i")
+        proc2(batch, 0)
+        out = (db2.df("corpus_t")
+               .select(F.lit("table").alias("src"),
+                       F.col("doc_id").alias("id"))
+               .unionByName(db2.df("corpus_i")
+                            .select(F.lit("index").alias("src"), "id")
+                            .distinct()))
+        rows, schema = out.collect(), out.schema
+    return spark.createDataFrame(rows, schema)
+
+
 def q_embedding_truncate(spark, sf_dir):
     """Matryoshka truncation (llmops/linalg.truncate_normalize): first
     16 dims, L2-renormalized map-side — the ANN cost/recall knob; the
@@ -3398,13 +3441,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering policy (round 10 — the r9 verdict's item 1, executed
     exactly; same seeded-rotation rule as r3-r9).  First 50:
 
-    - slots 1-3: entries born in r10 (newest-first rule):
+    - slots 1-4: entries born in r10 (newest-first rule):
       q_graph_prune (Vamana robust-prune edge selection, the two-round
       veto reproduced in DuckDB), q_stream_multi_sink (atomic
       multi-table exactly-once ingest — N sinks + one group ledger in
-      ONE manifest CAS), and q_graph_append (incremental graph insert:
+      ONE manifest CAS), q_graph_append (incremental graph insert:
       round-1 graph + each new node's hop-for-hop beam + bidirectional
-      back-links + batch ring, the appended edge set oracle-exact);
+      back-links + batch ring, the appended edge set oracle-exact),
+      and q_stream_neardup_ingest (near-dup-filtered exactly-once
+      ingest maintaining the corpus table + its LSH band index in one
+      commit);
     - slots 3-7: the 5 entries committed after GATE_r9.txt was
       captured, which the committed r9 certification therefore
       predates (q_append_segments — never driver-sampled —
@@ -3448,8 +3494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     _ORDER = [
         # -- r10 rotation head (the r9 verdict's item 1, executed) -----
-        # slots 1-3: entries born in r10 (newest-first rule)
+        # slots 1-4: entries born in r10 (newest-first rule)
         "q_graph_prune", "q_stream_multi_sink", "q_graph_append",
+        "q_stream_neardup_ingest",
         # slots 3-7: the 5 entries committed after GATE_r9.txt was
         # captured (q_append_segments had never been driver-sampled)
         "q_append_segments", "q_hard_negatives", "q_pca_project",
@@ -4335,6 +4382,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'region_feed', 80 + i, i % 3 FROM range(5) t(i)""",
         "q_graph_prune": _graph_prune_oracle(),
         "q_graph_append": _graph_append_oracle(),
+        "q_stream_neardup_ingest": _neardup_ingest_oracle(),
         "q_vector_lsh": _vector_lsh_oracle(),
         "q_pca_project": _pca_project_oracle(),
         "q_hard_negatives": """
@@ -5953,6 +6001,56 @@ def _minhash_oracle(pair_where: str = "x.doc_id < y.doc_id") -> str:
         FROM banded x JOIN banded y ON x.band = y.band
         WHERE {pair_where}
         GROUP BY 1, 2"""
+
+
+def _neardup_ingest_oracle() -> str:
+    """DuckDB twin of q_stream_neardup_ingest: the same
+    minhash_band_index CTEs as _minhash_oracle over ALL documents, then
+    the processor's drop rule — a batch doc survives iff NO band
+    collides with a corpus (doc_id < 450) band and NO band collides
+    with a smaller-id batch doc.  Index distinct ids equal table ids
+    (every doc yields >= 1 band), so both sink tags emit base ∪
+    survivors."""
+    from tostore_spark.llmops.dedup import MINHASH_P, _minhash_ab
+
+    ab_rows = ", ".join(f"({h}, {a}, {b})"
+                        for h, (a, b) in enumerate(_minhash_ab(16)))
+    band_exprs = ", ".join(
+        "md5(CAST({b} AS VARCHAR) || ',' || ".format(b=b)
+        + " || ',' || ".join(f"CAST(sig[{b*4+r+1}] AS VARCHAR)"
+                             for r in range(4))
+        + ")"
+        for b in range(4))
+    return f"""
+        WITH norm AS (SELECT doc_id, {_NORM_T} AS t FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([substr(t, i, 5) for i in range(1, greatest(len(t) - 4, 1) + 1)])) AS s
+          FROM norm),
+        base AS (
+          SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS u FROM sh),
+        ab AS (SELECT * FROM (VALUES {ab_rows}) v(h, a, b)),
+        hs AS (
+          SELECT doc_id, h, min((a * u + ab.b) % {MINHASH_P}) AS mh
+          FROM base CROSS JOIN ab GROUP BY doc_id, h),
+        sig AS (SELECT doc_id, list(mh ORDER BY h) AS sig FROM hs GROUP BY doc_id),
+        banded AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig),
+        surv AS (
+          SELECT n.doc_id FROM (SELECT DISTINCT doc_id FROM banded
+                                WHERE doc_id >= 450) n
+          WHERE NOT EXISTS (
+                  SELECT 1 FROM banded x JOIN banded c ON x.band = c.band
+                  WHERE x.doc_id = n.doc_id AND c.doc_id < 450)
+            AND NOT EXISTS (
+                  SELECT 1 FROM banded x JOIN banded y ON x.band = y.band
+                  WHERE x.doc_id = n.doc_id AND y.doc_id >= 450
+                    AND y.doc_id < x.doc_id)),
+        ids AS (
+          SELECT doc_id AS id FROM documents WHERE doc_id < 450
+          UNION ALL SELECT doc_id FROM surv)
+        SELECT 'table' AS src, id FROM ids
+        UNION ALL
+        SELECT 'index' AS src, id FROM ids"""
 
 
 def _quality_clf_oracle() -> str:

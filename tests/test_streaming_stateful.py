@@ -350,3 +350,54 @@ def test_exactly_once_multi_sink_atomic_commit(spark, tmp_path_factory):
     assert db2.df("raw_t").count() == 3
     assert db2.df("dbl_t").count() == 3
     assert db2.get_value("__stream_ledger__:raw_t+dbl_t:default") == 1
+
+
+def test_neardup_ingest_processor(spark, tmp_path_factory):
+    """Near-dup-filtered ingest: batch docs colliding with the corpus
+    band index (or with a smaller-id batch doc) drop; survivors land in
+    the table AND the index in one commit; a crash-replay no-ops both."""
+    from tostore_spark import ToStoreSpark
+    from tostore_spark.llmops.dedup import minhash_band_index
+    from tostore_spark.streaming.sink import neardup_ingest_processor
+
+    t_corp = ("the quick brown fox jumps over the lazy dog near the "
+              "riverbank every single morning in spring")
+    t_uniq = ("completely different content about distributed query "
+              "engines and columnar storage formats at scale")
+    t_pair = ("another text that appears twice inside the same arriving "
+              "micro batch with identical shingle structure")
+    wh = str(tmp_path_factory.mktemp("wh_ndi"))
+    db = ToStoreSpark(spark, warehouse=wh)
+    corpus = spark.createDataFrame([(1, t_corp)], ["doc_id", "text"])
+    db.register_table("corp", df=corpus)
+    db.register_table("corp_idx", df=minhash_band_index(corpus)
+                      .localCheckpoint(eager=True))
+    db.flush()
+
+    batch = spark.createDataFrame(
+        [(10, t_corp),        # collides with the corpus -> drop
+         (11, t_uniq),        # unique -> keep
+         (12, t_pair),        # within-batch pair: smaller id -> keep
+         (13, t_pair)],       # larger id -> drop
+        ["doc_id", "text"])
+    proc = neardup_ingest_processor(db, "corp", "corp_idx")
+    assert proc(batch, 0) == 2
+    assert sorted(r.doc_id for r in db.df("corp").collect()) == [1, 11, 12]
+    assert sorted(r.id for r in
+                  db.df("corp_idx").select("id").distinct().collect()) \
+        == [1, 11, 12]
+    # crash-replay: fresh engine, same batch id -> zero rows merged
+    db2 = ToStoreSpark(spark, warehouse=wh)
+    proc2 = neardup_ingest_processor(db2, "corp", "corp_idx")
+    assert proc2(batch, 0) == 0
+    assert db2.df("corp").count() == 3
+    assert db2.df("corp_idx").select("id").distinct().count() == 3
+    # a LATER batch still filters against the GROWN index
+    batch2 = spark.createDataFrame(
+        [(20, t_uniq),        # collides with doc 11's bands -> drop
+         (21, "a genuinely novel string of words about astronomy and "
+              "deep space telescopes orbiting far away")],
+        ["doc_id", "text"])
+    assert proc2(batch2, 1) == 1
+    assert sorted(r.doc_id for r in db2.df("corp").collect()) \
+        == [1, 11, 12, 21]

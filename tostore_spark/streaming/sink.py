@@ -165,6 +165,84 @@ def exactly_once_multi_processor(engine, sinks: list,
     return _process
 
 
+def neardup_ingest_processor(engine, table: str, index_table: str,
+                             text_field: str = "text",
+                             id_field: str = "doc_id",
+                             num_hashes: int = 16, bands: int = 4,
+                             shingle_k: int = 5,
+                             query_name: Optional[str] = None,
+                             exactly_once: bool = True):
+    """foreachBatch factory: near-dup-FILTERED corpus ingest that
+    maintains the data table AND its MinHash-LSH band index together —
+    the streaming composition of ``minhash_band_index`` /
+    ``minhash_lsh_pairs_incremental`` with the exactly-once multi-sink
+    commit.  The 100 TB ingest loop: each arriving dump is filtered
+    against the corpus WITHOUT rescanning corpus text (only its stored
+    (id, band) index), and the index grows by exactly the survivors.
+
+    Per micro-batch:
+    1. the batch's (id, band) index is computed (one aggregate over the
+       BATCH; ``minhash_band_index``);
+    2. a batch doc DROPS when any of its bands collides with the
+       persisted ``index_table`` (the incremental LSH candidate
+       semantics), or with a SMALLER-id doc of the same batch (the
+       band-minimum keep-first rule: b drops iff some a < b shares a
+       band — equal to dropping id_b of every within-batch candidate
+       pair; on candidate CHAINS a~b~c this may drop c even though b
+       already dropped — conservative, never under-drops, and cheaper
+       than per-batch connected components);
+    3. survivors append to ``table``, their bands to ``index_table``,
+       and (``exactly_once``) ONE group ledger entry commits with BOTH
+       in a single manifest CAS — a replayed batch short-circuits
+       before any filtering, so it can neither re-append nor
+       self-collide with its own previously committed bands.
+
+    LSH-candidate granularity: collisions are CANDIDATE pairs (the
+    band trade — same recall/false-positive surface as
+    ``minhash_lsh_pairs``); run an exact-verify variant downstream when
+    band false positives matter.  Pair with ``dedup_stream`` upstream
+    for byte-exact in-stream duplicates."""
+    from pyspark.sql import functions as F
+
+    from tostore_spark.llmops.dedup import minhash_band_index
+    key = _ledger_key(f"{table}+{index_table}", query_name)
+
+    def _process(batch_df: DataFrame, batch_id: int):
+        last = engine.get_value(key)
+        if (exactly_once and last is not None
+                and int(batch_id) <= int(last)):
+            return 0                    # durably committed already
+        pinned = batch_df.localCheckpoint(eager=True)
+        if pinned.isEmpty():
+            return 0
+        new_idx = minhash_band_index(
+            pinned, text_field=text_field, id_field=id_field,
+            num_hashes=num_hashes, bands=bands,
+            shingle_k=shingle_k).localCheckpoint(eager=True)
+        corpus_idx = engine.df(index_table)
+        vs_corpus = (new_idx.join(
+            corpus_idx.select(F.col("band").alias("band")),
+            on="band", how="semi").select("id"))
+        a, b = new_idx.alias("a"), new_idx.alias("b")
+        vs_smaller = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                             & (F.col("b.id") < F.col("a.id")), "semi")
+                       .select("id"))
+        drop_ids = (vs_corpus.unionByName(vs_smaller).distinct()
+                    .localCheckpoint(eager=True))
+        survivors = pinned.join(
+            drop_ids.withColumnRenamed("id", id_field),
+            on=id_field, how="left_anti")
+        surv_idx = new_idx.join(drop_ids, on="id", how="left_anti")
+        n = merge_batch(engine, table, survivors, mode="append")
+        merge_batch(engine, index_table, surv_idx, mode="append")
+        engine.set_value(key, int(batch_id))
+        if getattr(engine, "_warehouse", None):
+            engine.flush()              # table + index + ledger: ONE CAS
+        return n
+
+    return _process
+
+
 def write_stream_to_table(engine, stream_df: DataFrame, table: str,
                           checkpoint: str, mode: str = "upsert",
                           flush_each_batch: bool = False,

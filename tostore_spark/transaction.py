@@ -97,7 +97,11 @@ def run_transaction_with_retry(engine, action, retries: int = 3,
     reads still demand whole-table stability.  Either way the check
     only ever FALSE-POSITIVES (never admits a non-serializable
     schedule); an abort retries like any other concurrency loss, so
-    the serial outcome wins after a refresh.
+    the serial outcome wins after a refresh.  Scope: the read-set
+    covers TABLE reads — compiled queries, query-cache hits, raw
+    frames, and the sql() escape hatch all record; KV reads are
+    outside it (KV cross-engine conflicts surface at the flush's KV
+    merge instead).
 
     Requires a warehouse (the flush is the commit point).  Raises
     ``ValueError`` without one rather than silently downgrading to a
