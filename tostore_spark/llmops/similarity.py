@@ -520,14 +520,17 @@ def ivf_read_index(spark, path: str
 # ---------------------------------------------------------------------------
 
 
-def _md5_rank(df: DataFrame, id_col: str = "node_id") -> DataFrame:
+def _md5_rank(df: DataFrame, id_col: str = "node_id"
+              ) -> tuple[DataFrame, int]:
     """Dense 0-based rank of rows in (md5(id), id) order WITHOUT a global
     sort (one reducer at 100 TB): md5-prefix buckets rank locally (256
     key-partitioned spillable windows) and bucket offsets fold in as a
     <=256-entry broadcast map — ordering by (bucket, md5, id) equals
     (md5, id) because the bucket IS the md5 prefix.  The md5 rank is a
     deterministic random permutation: ring edges over it are RANDOM
-    LONG-RANGE links, reproducible in SQL.  Adds column ``__r``."""
+    LONG-RANGE links, reproducible in SQL.  Returns (frame with column
+    ``__r``, total rows) — the total falls out of the bucket-size
+    collect, so ring callers never pay a separate count job."""
     h = F.md5(F.col(id_col).cast("string"))
     bucketed = df.withColumn("__h", h) \
                  .withColumn("__b", F.substring("__h", 1, 2))
@@ -542,10 +545,11 @@ def _md5_rank(df: DataFrame, id_col: str = "node_id") -> DataFrame:
                              for x in (bk, offs[bk])])
     local_w = Window.partitionBy("__b").orderBy(F.col("__h").asc(),
                                                 F.col(id_col).asc())
-    return (bucketed
-            .withColumn("__r", F.element_at(off_map, F.col("__b"))
-                        + F.row_number().over(local_w) - 1)
-            .drop("__h", "__b"))
+    ranked = (bucketed
+              .withColumn("__r", F.element_at(off_map, F.col("__b"))
+                          + F.row_number().over(local_w) - 1)
+              .drop("__h", "__b"))
+    return ranked, acc
 
 
 def _ring_edges(ranked: DataFrame, n_rows: int,
@@ -765,9 +769,8 @@ def build_knn_graph(corpus: DataFrame, n_neighbors: int = 8,
     # (c) md5-rank ring + skips: deterministic random long-range edges
     # (``_md5_rank``: bucketed local windows + broadcast offsets — no
     # global sort reducer at 100 TB)
-    n_rows = base.count()
-    ranked = _md5_rank(base.select("node_id", "__v")) \
-        .select("node_id", "__v", "__r")
+    ranked, n_rows = _md5_rank(base.select("node_id", "__v"))
+    ranked = ranked.select("node_id", "__v", "__r")
     ring = _ring_edges(ranked, n_rows, ring_skips)
     # a ring target can coincide with a kNN neighbor or a hub bridge —
     # same pair, same exact distance — keep each edge once
@@ -816,8 +819,8 @@ def graph_refine(graph: DataFrame, corpus: DataFrame, seeds: DataFrame,
                           id_field=id_field)
     base = corpus.select(F.col(id_field).alias("node_id"),
                          F.col(vec_field).alias("__v"))
-    n_rows = base.count()
-    ranked = _md5_rank(base).select("node_id", "__v", "__r")
+    ranked, n_rows = _md5_rank(base)
+    ranked = ranked.select("node_id", "__v", "__r")
     ring = _ring_edges(ranked, n_rows, ring_skips)
     return (pruned.unionByName(ring)
                   .groupBy("node_id", "neighbor_id")
@@ -1077,7 +1080,8 @@ def graph_append(spark, path: str, corpus: DataFrame,
                         "distance")
     new_edges = fwd.unionByName(back)
     if n > 1:
-        ranked = _md5_rank(batch).select("node_id", "__v", "__r")
+        ranked, _ = _md5_rank(batch)
+        ranked = ranked.select("node_id", "__v", "__r")
         skips = [s for s in ring_skips if s % n != 0]
         if skips:
             new_edges = new_edges.unionByName(
