@@ -1807,3 +1807,59 @@ def test_concurrent_writer_scripted_stress(spark, tmp_path_factory):
     assert bad.count() == 0, bad.collect()
     assert {r["id"]: r["v"] for r in
             ToStoreSpark(spark, warehouse=wh).df("t").collect()} == expected
+
+
+def test_serializable_on_call_invariant(spark, tmp_path_factory):
+    """The canonical write-skew scenario (the on-call doctors), in the
+    shape this engine can actually admit it: each doctor's row lives in
+    its OWN table (disjoint write sets — same-table writers are already
+    serialized by the per-table CAS).  Each transaction counts doctors
+    on call across BOTH tables and takes ITS OWN row off only if >= 2.
+    Snapshot isolation: the interleaved pair both commit and the
+    invariant breaks (0 on call) — the admitted anomaly, pinned.
+    Serializable: the later committer's READ of the other doctor's
+    table was predicate-scoped (on_call = 1) and the concurrent commit
+    changed exactly a matching row, so it aborts; the retry re-reads
+    (1 on call) and no-ops — the invariant holds."""
+    from tostore_spark import ToStoreSpark
+
+    def setup(tag):
+        wh = str(tmp_path_factory.mktemp(f"wh_oncall_{tag}"))
+        seed = ToStoreSpark(spark, warehouse=wh)
+        for d in (1, 2):
+            seed.register_table(f"oncall_{d}", df=spark.createDataFrame(
+                [(d, 1)], "id long, on_call long"))
+        seed.flush()
+        return wh
+
+    def doctor(me):
+        def act(db):
+            n_on = sum(
+                db.query(f"oncall_{d}").where("on_call", "=", 1).count()
+                for d in (1, 2))
+            if n_on >= 2:
+                db.set_df(f"oncall_{me}", db.df(f"oncall_{me}")
+                          .withColumn("on_call", F.lit(0)))
+        return act
+
+    def run_pair(isolation):
+        wh = setup(isolation)
+        a = ToStoreSpark(spark, warehouse=wh)
+        b = ToStoreSpark(spark, warehouse=wh)
+        state = {"interfered": False}
+
+        def t1(db):
+            doctor(1)(db)
+            if not state["interfered"]:
+                state["interfered"] = True
+                r = b.transaction(doctor(2), retries=2,
+                                  isolation=isolation)
+                assert r.success
+        res = a.transaction(t1, retries=2, isolation=isolation)
+        assert res.success, res.error
+        fresh = ToStoreSpark(spark, warehouse=wh)
+        return sum(fresh.df(f"oncall_{d}").filter("on_call = 1").count()
+                   for d in (1, 2))
+
+    assert run_pair("snapshot") == 0       # anomaly: nobody on call
+    assert run_pair("serializable") == 1   # invariant preserved
