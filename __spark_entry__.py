@@ -1125,6 +1125,18 @@ def q_text_stats(spark, sf_dir):
                     F.round(F.col("quality"), 6).alias("quality_r")))
 
 
+def q_diversity_report(spark, sf_dir):
+    """Per-source lexical-diversity report (text.diversity_report):
+    distinct-n ratios for n = 1..3 — the type/token ratio and its
+    bigram/trigram extensions, the SOURCE-level diversity-collapse
+    signal per-document repetition stats can't see.  One explode + one
+    count/count-distinct aggregate per n; duplicates kept (diversity
+    needs real counts)."""
+    db = _db(spark, sf_dir)
+    return TX.diversity_report(db.df("documents"), by="source",
+                               ns=(1, 2, 3))
+
+
 def q_langid(spark, sf_dir):
     """Stopword-heuristic language ID distribution."""
     db = _db(spark, sf_dir)
@@ -3496,7 +3508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r10 rotation head (the r9 verdict's item 1, executed) -----
         # slots 1-4: entries born in r10 (newest-first rule)
         "q_graph_prune", "q_stream_multi_sink", "q_graph_append",
-        "q_stream_neardup_ingest",
+        "q_stream_neardup_ingest", "q_diversity_report",
         # slots 3-7: the 5 entries committed after GATE_r9.txt was
         # captured (q_append_segments had never been driver-sampled)
         "q_append_segments", "q_hard_negatives", "q_pca_project",
@@ -4383,6 +4395,25 @@ def oracle_sql() -> dict[str, str]:
         "q_graph_prune": _graph_prune_oracle(),
         "q_graph_append": _graph_append_oracle(),
         "q_stream_neardup_ingest": _neardup_ingest_oracle(),
+        "q_diversity_report": f"""
+            WITH t AS (SELECT source, {_TOKENS} AS tk FROM documents),
+            g AS (
+              SELECT source, 1 AS n, unnest(tk) AS gram FROM t
+              UNION ALL
+              SELECT source, 2,
+                     unnest([tk[i] || ' ' || tk[i+1]
+                             for i in range(1, len(tk))])
+              FROM t
+              UNION ALL
+              SELECT source, 3,
+                     unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                             for i in range(1, len(tk) - 1)])
+              FROM t)
+            SELECT source, n, count(*) AS n_total,
+                   count(DISTINCT gram) AS n_distinct,
+                   round(CAST(count(DISTINCT gram) AS DOUBLE)
+                         / count(*), 6) AS distinct_ratio
+            FROM g GROUP BY source, n""",
         "q_vector_lsh": _vector_lsh_oracle(),
         "q_pca_project": _pca_project_oracle(),
         "q_hard_negatives": """

@@ -1785,3 +1785,34 @@ def test_lm_and_bpe_artifact_roundtrip(spark, tmp_path):
     tb = {r["doc_id"]: list(r["bpe_tokens"]) for r in
           TK.tokenize_bpe(docs, bre).collect()}
     assert ta == tb
+
+
+def test_diversity_report_ratios(spark):
+    """distinct-n semantics: duplicates counted, ratios exact, per-group
+    isolation, whole-corpus mode, and the n>len guard."""
+    from tostore_spark.llmops.text import diversity_report
+    df = spark.createDataFrame(
+        [(1, "a", "x y x y"),          # 4 tokens 2 distinct; 3 bigrams 2 distinct
+         (2, "a", "x y z"),            # grows a's totals
+         (3, "b", "q q q q q")],       # collapsed source: ratio 1/5
+        ["doc_id", "source", "text"])
+    out = {(r["source"], r["n"]): (r["n_total"], r["n_distinct"],
+                                   r["distinct_ratio"])
+           for r in diversity_report(df, by="source").collect()}
+    assert out[("a", 1)] == (7, 3, round(3 / 7, 6))
+    assert out[("b", 1)] == (5, 1, 0.2)
+    # bigrams of doc1: "x y","y x","x y"; doc2: "x y","y z"
+    assert out[("a", 2)] == (5, 3, 0.6)
+    assert out[("b", 2)] == (4, 1, 0.25)
+    # trigram of a 2-token doc is empty, not an error
+    one = spark.createDataFrame([(1, "s", "x y")],
+                                ["doc_id", "source", "text"])
+    got = {r["n"]: r["n_total"] for r in
+           diversity_report(one, by="source", ns=(3,)).collect()}
+    assert got == {}                  # no trigrams -> no group row
+    # whole-corpus mode
+    allr = diversity_report(df, by=None, ns=(1,)).collect()
+    assert len(allr) == 1 and allr[0]["n_total"] == 12
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        diversity_report(df, ns=(0,))

@@ -161,6 +161,56 @@ def repetition_stats(df: DataFrame, text_field: str = "text",
                      / F.col("__n_bg")).alias("top_bigram_frac")))
 
 
+def diversity_report(df: DataFrame, by: str | None = "source",
+                     text_field: str = "text",
+                     ns: tuple = (1, 2, 3)) -> DataFrame:
+    """Corpus lexical-diversity report: per group (``by`` — a source, a
+    language, a dump; None = whole corpus), the distinct-n ratio
+    ``distinct n-grams / total n-grams`` for each n in ``ns`` — the
+    distinct-1 ratio is the classic type/token ratio, and falling
+    distinct-2/3 ratios are the standard early signal of DIVERSITY
+    COLLAPSE (template spam, model-generated boilerplate, a crawler
+    stuck in a calendar) that per-document repetition stats can't see:
+    every page can look fine while the SOURCE repeats itself.
+
+    Shape: one explode per n (token positions ride ``transform`` over a
+    1-based sequence, duplicates KEPT — diversity needs real counts),
+    then one count-distinct + count aggregate per group — two uniform
+    shuffles per n, nothing quadratic, no windows.  Output: one row per
+    (group, n) of (``by``, n, n_total, n_distinct, distinct_ratio)
+    with the ratio rounded to 6dp (engine-portable).
+    """
+    t = F.col(text_field)
+    key = F.col(by) if by is not None else F.lit("__all__")
+    out = None
+    for n in ns:
+        n = int(n)
+        if n < 1:
+            raise ValueError(f"n must be >= 1, got {n}")
+        if n == 1:
+            grams = tokens(t)
+        else:
+            from tostore_spark.functions.colutil import let_array as _la
+
+            def _ngrams(tk, n=n):
+                idx = F.sequence(F.lit(1), F.size(tk) - (n - 1))
+                return F.transform(idx, lambda i: F.concat_ws(
+                    " ", *[F.element_at(tk, i + j) for j in range(n)]))
+            grams = _la(tokens(t),
+                        lambda tk: F.when(F.size(tk) >= n, _ngrams(tk))
+                        .otherwise(F.array().cast("array<string>")))
+        g = (df.select(key.alias("__g"), F.explode(grams).alias("gram"))
+               .groupBy("__g")
+               .agg(F.count(F.lit(1)).alias("n_total"),
+                    F.count_distinct("gram").alias("n_distinct")))
+        g = g.select(F.col("__g").alias(by or "group"),
+                     F.lit(n).alias("n"), "n_total", "n_distinct",
+                     F.round(F.col("n_distinct").cast("double")
+                             / F.col("n_total"), 6).alias("distinct_ratio"))
+        out = g if out is None else out.unionByName(g)
+    return out
+
+
 def vocab_stats(df: DataFrame, text_field: str = "text",
                 id_field: str = "doc_id", min_df: int = 1) -> DataFrame:
     """Corpus vocabulary table: per token, total occurrences (``tf``) and
