@@ -3453,16 +3453,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering policy (round 10 — the r9 verdict's item 1, executed
     exactly; same seeded-rotation rule as r3-r9).  First 50:
 
-    - slots 1-4: entries born in r10 (newest-first rule):
+    - slots 1-5: entries born in r10 (newest-first rule):
       q_graph_prune (Vamana robust-prune edge selection, the two-round
       veto reproduced in DuckDB), q_stream_multi_sink (atomic
       multi-table exactly-once ingest — N sinks + one group ledger in
       ONE manifest CAS), q_graph_append (incremental graph insert:
       round-1 graph + each new node's hop-for-hop beam + bidirectional
       back-links + batch ring, the appended edge set oracle-exact),
-      and q_stream_neardup_ingest (near-dup-filtered exactly-once
+      q_stream_neardup_ingest (near-dup-filtered exactly-once
       ingest maintaining the corpus table + its LSH band index in one
-      commit);
+      commit), and q_diversity_report (per-source distinct-n ratios —
+      the source-level diversity-collapse signal);
     - slots 3-7: the 5 entries committed after GATE_r9.txt was
       captured, which the committed r9 certification therefore
       predates (q_append_segments — never driver-sampled —
