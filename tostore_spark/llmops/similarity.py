@@ -589,11 +589,14 @@ def robust_prune(edges: DataFrame, vectors: DataFrame,
     doesn't batch): round 1 computes the one-shot veto — ``w`` ranges
     over ALL closer candidates; round 2 re-vetoes with ONLY round-1
     survivors as ``w``, so a candidate that is itself covered cannot
-    knock out a diverse edge.  The result equals the paper's greedy
-    for coverage chains of depth <= 2 (the practical case for the
-    bounded pools fed here) and is never SPARSER than greedy beyond
-    that — any excess is capped by ``max_degree``; ``min_keep``
-    additionally floors the closest edges unconditionally.  Wholly
+    knock out a diverse edge.  PRE-cap, the kept set equals the
+    paper's greedy for coverage chains of depth <= 2 (the practical
+    case for the bounded pools fed here) and is a SUPERSET of greedy
+    beyond that (property-pytest-pinned); the ``max_degree`` cap then
+    keeps the closest survivors — which, on the superset, can admit a
+    closer redundant edge in place of a farther greedy-kept one.
+    ``min_keep`` additionally floors the closest edges
+    unconditionally.  Wholly
     SQL-expressible (two nested NOT-EXISTS — the oracle path), all JVM
     column math: cost is sum over nodes of degree^2 pair rows — linear
     in corpus for bounded candidate degrees.
