@@ -1163,6 +1163,20 @@ def q_diversity_report(spark, sf_dir):
                                ns=(1, 2, 3))
 
 
+def q_text_drift(spark, sf_dir):
+    """Corpus text drift (text.unigram_drift): Jensen-Shannon divergence
+    between the smoothed unigram distributions of two document halves,
+    with the top-20 contributing tokens and the whole-vocabulary total
+    on every row — the text twin of the numeric PSI drift gates.  12dp
+    contribution rounding + DECIMAL total keep it engine-exact (log2 is
+    not correctly rounded; the drift_report precedent)."""
+    db = _db(spark, sf_dir)
+    docs = db.df("documents")
+    return TX.unigram_drift(docs.filter(F.col("doc_id") < 250),
+                            docs.filter(F.col("doc_id") >= 250),
+                            top_k=20)
+
+
 def q_langid(spark, sf_dir):
     """Stopword-heuristic language ID distribution."""
     db = _db(spark, sf_dir)
@@ -3417,6 +3431,80 @@ def q_stream_interval_join(spark, sf_dir):
     return spark.createDataFrame(rows, sch)
 
 
+def q_stream_rightouter_join(spark, sf_dir):
+    """The rightOuter interval-join shape run to completion
+    (streaming/stateful.interval_join_stream, how='rightOuter'):
+    clicks that followed NO view within 30 minutes surface exactly
+    once with null left columns after the watermark proves no match
+    can still arrive, matched pairs equal the inner join — the
+    completed availableNow stream must EQUAL the batch LEFT JOIN from
+    the click side.  Per-user row/matched/unmatched counts and the
+    second-truncated delay sums pin both populations."""
+    import tempfile
+    import uuid
+
+    from tostore_spark.streaming.stateful import interval_join_stream
+    db = _db(spark, sf_dir)
+    ev = db.df("events")
+    views = (ev.filter(F.col("event_type") == "view")
+               .select(F.col("event_id").alias("view_id"), "user_id",
+                       "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select(F.col("event_id").alias("click_id"), "user_id",
+                        F.col("ts").alias("ts_r")))
+    name = f"roj_{uuid.uuid4().hex[:12]}"
+    # far-future sentinels (filtered back out below) advance both
+    # watermarks past every real ts_r + delay — otherwise tail clicks
+    # can never be PROVEN unmatched and their outer rows never emit
+    far = ev.agg(F.max("ts")).collect()[0][0]
+    views = views.unionByName(views.limit(1).select(
+        F.lit(-1).alias("view_id"), F.lit(-1).alias("user_id"),
+        (F.lit(far) + F.expr("INTERVAL 100 HOURS")).alias("ts")))
+    clicks = clicks.unionByName(clicks.limit(1).select(
+        F.lit(-1).alias("click_id"), F.lit(-1).alias("user_id"),
+        (F.lit(far) + F.expr("INTERVAL 100 HOURS")).alias("ts_r")))
+    sp_key = "spark.sql.shuffle.partitions"
+    sp_old = spark.conf.get(sp_key)
+    with tempfile.TemporaryDirectory() as tmp:
+        views.write.parquet(f"{tmp}/v")
+        clicks.write.parquet(f"{tmp}/c")
+        lv = spark.readStream.schema(
+            "view_id bigint, user_id bigint, ts timestamp") \
+            .parquet(f"{tmp}/v")
+        rc = spark.readStream.schema(
+            "click_id bigint, user_id bigint, ts_r timestamp") \
+            .parquet(f"{tmp}/c")
+        out = interval_join_stream(lv, rc, "user_id",
+                                   max_delay_seconds=1800,
+                                   left_ts="ts", right_ts="ts_r",
+                                   watermark="0 seconds",
+                                   how="rightOuter")
+        try:
+            spark.conf.set(sp_key, "4")
+            q = (out.writeStream.format("memory").queryName(name)
+                    .outputMode("append").trigger(availableNow=True)
+                    .start())
+            q.awaitTermination(180)
+        finally:
+            spark.conf.set(sp_key, sp_old)
+        res = (spark.table(name)
+               .filter((F.col("click_id") >= 0)
+                       & (F.col("view_id").isNull()
+                          | (F.col("view_id") >= 0)))
+               .groupBy("user_id")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.count("view_id").alias("n_matched"),
+                    F.sum(F.when(F.col("view_id").isNull(), 1)
+                           .otherwise(0)).cast("long")
+                     .alias("n_unmatched"),
+                    F.coalesce(F.sum("delay_sec"), F.lit(0))
+                     .cast("long").alias("sum_delay"))
+               .orderBy("user_id"))
+        rows, sch = res.collect(), res.schema
+        spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, sch)
+
+
 def q_winsorize_grouped(spark, sf_dir):
     """Per-group winsorization (plans/stats.clip_outliers_grouped):
     clip order totals against each order-status group's OWN exact
@@ -3538,7 +3626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slots 1-4: entries born in r10 (newest-first rule)
         "q_graph_prune", "q_stream_multi_sink", "q_graph_append",
         "q_stream_neardup_ingest", "q_diversity_report",
-        "q_graph_refine",
+        "q_graph_refine", "q_text_drift", "q_stream_rightouter_join",
         # slots 3-7: the 5 entries committed after GATE_r9.txt was
         # captured (q_append_segments had never been driver-sampled)
         "q_append_segments", "q_hard_negatives", "q_pca_project",
@@ -4426,6 +4514,32 @@ def oracle_sql() -> dict[str, str]:
         "q_graph_append": _graph_append_oracle(),
         "q_stream_neardup_ingest": _neardup_ingest_oracle(),
         "q_graph_refine": _graph_refine_oracle(),
+        "q_text_drift": f"""
+            WITH rc AS (
+              SELECT token, count(*) AS n_ref FROM (
+                SELECT unnest({_TOKENS}) AS token FROM documents
+                WHERE doc_id < 250) GROUP BY token),
+            cc AS (
+              SELECT token, count(*) AS n_cur FROM (
+                SELECT unnest({_TOKENS}) AS token FROM documents
+                WHERE doc_id >= 250) GROUP BY token),
+            j AS (
+              SELECT token, coalesce(n_ref, 0) AS n_ref,
+                     coalesce(n_cur, 0) AS n_cur
+              FROM rc FULL OUTER JOIN cc USING (token)),
+            c AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
+                         CAST(sum(n_cur) AS DOUBLE) AS tc,
+                         CAST(count(*) AS DOUBLE) AS v FROM j),
+            s AS (
+              SELECT token, j.n_ref, j.n_cur,
+                     round(0.5 * ((n_ref + 0.5) / (c.tr + 0.5 * c.v)) * log2(((n_ref + 0.5) / (c.tr + 0.5 * c.v)) / ((((n_ref + 0.5) / (c.tr + 0.5 * c.v)) + ((n_cur + 0.5) / (c.tc + 0.5 * c.v))) / 2.0)) + 0.5 * ((n_cur + 0.5) / (c.tc + 0.5 * c.v)) * log2(((n_cur + 0.5) / (c.tc + 0.5 * c.v)) / ((((n_ref + 0.5) / (c.tr + 0.5 * c.v)) + ((n_cur + 0.5) / (c.tc + 0.5 * c.v))) / 2.0)), 12) AS jsd_r
+              FROM j, c),
+            tot AS (SELECT CAST(sum(CAST(jsd_r AS DECIMAL(38,12)))
+                                AS DOUBLE) AS jsd_total_r FROM s)
+            SELECT s.token, CAST(s.n_ref AS BIGINT) AS n_ref,
+                   CAST(s.n_cur AS BIGINT) AS n_cur, s.jsd_r,
+                   tot.jsd_total_r
+            FROM s, tot ORDER BY s.jsd_r DESC, s.token LIMIT 20""",
         "q_diversity_report": f"""
             WITH t AS (SELECT source, {_TOKENS} AS tk FROM documents),
             g AS (
@@ -5960,6 +6074,25 @@ def oracle_sql() -> dict[str, str]:
         # stream-stream interval join, completed: plain SQL interval
         # join (epoch_us = the engine's exact ns→µs truncation; delay
         # truncates each side to whole seconds, as unix_timestamp does)
+        "q_stream_rightouter_join": """
+            WITH v AS (SELECT event_id AS view_id, user_id, ts
+                       FROM events WHERE event_type = 'view'),
+                 c AS (SELECT event_id AS click_id, user_id,
+                              ts AS ts_r
+                       FROM events WHERE event_type = 'click')
+            SELECT c.user_id, count(*) AS n_rows,
+                   count(v.view_id) AS n_matched,
+                   CAST(sum(CASE WHEN v.view_id IS NULL THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_unmatched,
+                   CAST(coalesce(sum(floor(epoch_us(ts_r) / 1000000)
+                                     - floor(epoch_us(v.ts) / 1000000)),
+                                 0) AS BIGINT) AS sum_delay
+            FROM c LEFT JOIN v ON v.user_id = c.user_id
+             AND epoch_us(ts_r) >= epoch_us(v.ts)
+             AND epoch_us(ts_r) <= epoch_us(v.ts)
+                                   + CAST(1800000000 AS BIGINT)
+            GROUP BY 1 ORDER BY 1
+        """,
         "q_stream_interval_join": """
             WITH v AS (SELECT event_id AS view_id, user_id, ts
                        FROM events WHERE event_type = 'view'),

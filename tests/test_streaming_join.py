@@ -122,9 +122,12 @@ def test_stream_interval_join_right_outer(spark, join_source):
     matched = set(r["click_id"] for r in
                   _batch_pairs(views, clicks).select("click_id")
                   .distinct().collect())
-    got_null = set(r["click_id"] for r in
-                   out.filter(F.col("view_id").isNull())
-                   .select("click_id").collect())
+    nulls = out.filter(F.col("view_id").isNull()) \
+               .select("click_id", "user_id").collect()
+    got_null = set(r["click_id"] for r in nulls)
+    # the JOIN KEY must survive on unmatched rows (it coalesces from
+    # the non-null side — the r10 fix; it used to emit key=null)
+    assert all(r["user_id"] is not None for r in nulls)
     all_clicks = set(r["click_id"] for r in
                      clicks.select("click_id").collect())
     assert got_null == all_clicks - matched and len(got_null) > 0

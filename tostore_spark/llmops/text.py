@@ -211,6 +211,68 @@ def diversity_report(df: DataFrame, by: str | None = "source",
     return out
 
 
+def unigram_drift(ref: DataFrame, cur: DataFrame,
+                  text_field: str = "text", top_k: int = 20,
+                  smooth: float = 0.5) -> DataFrame:
+    """Corpus TEXT drift between two document sets (dump N vs dump
+    N+1): Jensen-Shannon divergence (base 2, bounded [0, 1]) between
+    their add-``smooth``-smoothed unigram distributions over the UNION
+    vocabulary, with per-token contributions — the text twin of the
+    numeric PSI gates (``plans/stats.drift_report``).  Run it before
+    training on a new dump: a changed crawler mix, a template flood,
+    or a language shift shows up as a large total with the culprit
+    tokens at the top, where per-document quality stats stay silent.
+
+    Output: the ``top_k`` highest-contribution tokens as (token,
+    n_ref, n_cur, jsd_r) ordered by (contribution desc, token), with
+    the SAME ``jsd_total_r`` (over the whole vocabulary, not just the
+    top slice) on every row.
+
+    Scale shape: one explode + one hash-aggregate per side, a
+    vocab-keyed full outer join materialized ONCE (eager
+    localCheckpoint — the single-scan-totals discipline of the PSI
+    reports), one constants aggregate broadcast back, map-side
+    divergence math, a DECIMAL total, and a bounded top-k.  Per-token
+    contributions round to 12dp before the total (log2 is not
+    correctly rounded; 1-ulp engine differences are absorbed, the
+    ``drift_report`` precedent), so the report is engine-exact."""
+    if smooth <= 0:
+        raise ValueError(f"smooth must be > 0, got {smooth}")
+    t = F.col(text_field)
+
+    def counts(df, name):
+        return (df.select(F.explode(tokens(t)).alias("token"))
+                  .groupBy("token")
+                  .agg(F.count(F.lit(1)).alias(name)))
+    joined = (counts(ref, "n_ref")
+              .join(counts(cur, "n_cur"), on="token", how="full_outer")
+              .select("token",
+                      F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                      F.coalesce("n_cur", F.lit(0)).alias("n_cur"))
+              .localCheckpoint(eager=True))      # totals + report: one scan
+    consts = joined.agg(F.sum("n_ref").cast("double").alias("__tr"),
+                        F.sum("n_cur").cast("double").alias("__tc"),
+                        F.count(F.lit(1)).cast("double").alias("__v"))
+    k = F.lit(float(smooth))
+    p_ref = (F.col("n_ref").cast("double") + k) \
+        / (F.col("__tr") + k * F.col("__v"))
+    p_cur = (F.col("n_cur").cast("double") + k) \
+        / (F.col("__tc") + k * F.col("__v"))
+    m = (p_ref + p_cur) / F.lit(2.0)
+    contrib = F.round(
+        F.lit(0.5) * p_ref * F.log2(p_ref / m)
+        + F.lit(0.5) * p_cur * F.log2(p_cur / m), 12)
+    scored = (joined.crossJoin(F.broadcast(consts))
+                    .select("token", "n_ref", "n_cur",
+                            contrib.alias("jsd_r")))
+    total = scored.agg(
+        F.sum(F.col("jsd_r").cast("decimal(38,12)"))
+         .cast("double").alias("jsd_total_r"))
+    return (scored.orderBy(F.col("jsd_r").desc(), F.col("token").asc())
+                  .limit(int(top_k))
+                  .crossJoin(F.broadcast(total)))
+
+
 def vocab_stats(df: DataFrame, text_field: str = "text",
                 id_field: str = "doc_id", min_df: int = 1) -> DataFrame:
     """Corpus vocabulary table: per token, total occurrences (``tf``) and

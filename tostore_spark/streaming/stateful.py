@@ -258,7 +258,14 @@ def interval_join_stream(left: DataFrame, right: DataFrame, key: str,
             & (F.col(f"r.{rts_out}")
                <= F.col(f"l.{left_ts}")
                + F.expr(f"INTERVAL {int(max_delay_seconds)} SECONDS")))
-    out = l.join(r, cond, how).drop(F.col(f"r.{key}"))
+    # the surviving key column must COALESCE the two sides: an outer
+    # row's null side would otherwise null the key itself (rightOuter
+    # unmatched rows previously emitted key=null — the r10 fix)
+    out = (l.join(r, cond, how)
+            .withColumn("__k", F.coalesce(F.col(f"l.{key}"),
+                                          F.col(f"r.{key}")))
+            .drop(F.col(f"l.{key}")).drop(F.col(f"r.{key}"))
+            .withColumnRenamed("__k", key))
     return out.withColumn(
         "delay_sec",
         (F.unix_timestamp(F.col(rts_out))
