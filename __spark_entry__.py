@@ -3567,7 +3567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering policy (round 10 — the r9 verdict's item 1, executed
     exactly; same seeded-rotation rule as r3-r9).  First 50:
 
-    - slots 1-6: entries born in r10 (newest-first rule):
+    - slots 1-8: entries born in r10 (newest-first rule):
       q_graph_prune (Vamana robust-prune edge selection, the two-round
       veto reproduced in DuckDB), q_stream_multi_sink (atomic
       multi-table exactly-once ingest — N sinks + one group ledger in
@@ -3579,7 +3579,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       commit), q_diversity_report (per-source distinct-n ratios —
       the source-level diversity-collapse signal), and q_graph_refine
       (the Vamana second pass end-to-end: 200 beam trajectories +
-      two-round prune + ring, the refined edge set oracle-exact);
+      two-round prune + ring, the refined edge set oracle-exact),
+      q_text_drift (unigram JSD — the text drift gate), and
+      q_stream_rightouter_join (the rightOuter interval join vs the
+      batch left join — the oracle that caught the null-key bug);
     - slots 3-7: the 5 entries committed after GATE_r9.txt was
       captured, which the committed r9 certification therefore
       predates (q_append_segments — never driver-sampled —
