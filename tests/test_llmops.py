@@ -1816,3 +1816,29 @@ def test_diversity_report_ratios(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         diversity_report(df, ns=(0,))
+
+
+def test_unigram_drift_semantics(spark):
+    """JSD drift: identical corpora score ~0; a vocabulary shift scores
+    high with the culprit tokens on top; per-token contributions are
+    non-negative and the total covers the whole vocabulary."""
+    from tostore_spark.llmops.text import unigram_drift
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha beta"),
+         (2, "alpha beta gamma delta")], ["doc_id", "text"])
+    same = unigram_drift(a, a, top_k=10).collect()
+    assert abs(same[0]["jsd_total_r"]) < 1e-6
+    b = spark.createDataFrame(
+        [(1, "omega sigma tau omega sigma"),
+         (2, "omega sigma tau rho")], ["doc_id", "text"])
+    out = unigram_drift(a, b, top_k=10).collect()
+    total = out[0]["jsd_total_r"]
+    assert total > 0.3                     # disjoint vocab: large drift
+    assert all(r["jsd_total_r"] == total for r in out)
+    assert all(r["jsd_r"] >= 0 for r in out)
+    # the shifted tokens dominate the report
+    tops = {r["token"] for r in out}
+    assert {"alpha", "omega"} <= tops
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        unigram_drift(a, b, smooth=0.0)
