@@ -1735,6 +1735,41 @@ def q_append_segments(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_segment_skip(spark, sf_dir):
+    """Manifest-level data skipping (plans/skipping + engine.pruned_df;
+    the per-file-stats job Delta/Iceberg manifests do for their
+    readers): three flush epochs leave three segments whose parquet
+    FOOTER min/max stats ride the manifest; a reopened engine's range
+    query must rebuild its scan from ONLY the one segment whose key
+    range overlaps — asserted in-entry via ``engine._last_prune``, so
+    this entry fails loudly if the scan did not narrow — and still
+    return exactly the matching rows."""
+    import tempfile
+    db = _db(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        db1 = ToStoreSpark(spark, warehouse=tmp)
+        db1.register_table("nation", df=db.df("nation"))
+        db1.flush()                                     # segment 1
+        db1.batch_insert("nation", [
+            {"n_nationkey": 100 + i, "n_name": f"SKIPA{i:02d}",
+             "n_regionkey": i % 5, "n_comment": "c"} for i in range(20)])
+        db1.flush()                                     # segment 2
+        db1.batch_insert("nation", [
+            {"n_nationkey": 200 + i, "n_name": f"SKIPB{i:02d}",
+             "n_regionkey": i % 5, "n_comment": "c"} for i in range(20)])
+        db1.flush()                                     # segment 3
+        db2 = ToStoreSpark(spark, warehouse=tmp)
+        out = (db2.query("nation")
+               .where_between("n_nationkey", 205, 215)
+               .order_by_asc("n_nationkey").df()
+               .select("n_nationkey", "n_name", "n_regionkey"))
+        rows, schema = out.collect(), out.schema
+        if db2._last_prune != (1, 3, "nation"):
+            raise AssertionError(
+                f"segment skipping did not engage: {db2._last_prune}")
+    return spark.createDataFrame(rows, schema)
+
+
 def q_stream_ingest_exactly_once(spark, sf_dir):
     """Exactly-once streaming ingest (streaming/sink): an availableNow
     file stream appends 5 nation rows into a warehouse-backed table
@@ -3627,6 +3662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ORDER = [
         # -- r10 rotation head (the r9 verdict's item 1, executed) -----
         # slots 1-4: entries born in r10 (newest-first rule)
+        "q_segment_skip",
         "q_graph_prune", "q_stream_multi_sink", "q_graph_append",
         "q_stream_neardup_ingest", "q_diversity_report",
         "q_graph_refine", "q_text_drift", "q_stream_rightouter_join",
@@ -4495,6 +4531,12 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs)
             SELECT query_id, neighbor_id, rank, round(distance, 6) AS distance_r
             FROM ranked WHERE rank <= 3""",
+        "q_segment_skip": """
+            SELECT 200 + i AS n_nationkey,
+                   'SKIPB' || lpad(CAST(i AS VARCHAR), 2, '0') AS n_name,
+                   i % 5 AS n_regionkey
+            FROM range(20) t(i)
+            WHERE 200 + i BETWEEN 205 AND 215""",
         "q_append_segments": """
             SELECT n_nationkey, n_name, n_regionkey FROM nation
             UNION ALL

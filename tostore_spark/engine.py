@@ -379,6 +379,49 @@ class ToStoreSpark:
             df = ttl_filter(df, sch.ttl)
         return df
 
+    def pruned_df(self, name: str, node) -> Optional[DataFrame]:
+        """Manifest-level data skipping (plans/skipping): when ``name``
+        is a CLEAN warehouse table (in-memory generation == last flushed
+        — unflushed mutations live only in the pinned frame, not in any
+        segment) whose manifest entry carries per-segment footer stats,
+        rebuild the scan from only the segments whose min/max ranges
+        admit the NORMALIZED condition ``node``.  Returns None when
+        skipping does not apply or prunes nothing — the caller keeps
+        the standard frame.  ``engine._last_prune`` records
+        ``(kept, total, table)`` for the last eligible read (None when
+        ineligible) so tests and operators can assert the scan really
+        narrowed."""
+        key = self._resolve(name)
+        ent = self._tables[key]
+        stats = ent.get("segment_stats")
+        segs = ent.get("segments")
+        clean = (self._generations.get(key, 0)
+                 == getattr(self, "_flushed_gen", {}).get(key))
+        if not stats or not segs or not clean:
+            self._last_prune = None
+            return None
+        from tostore_spark.plans.skipping import prune_segments
+        from tostore_spark.store import _norm_path
+        surviving = prune_segments(segs, stats, node, key[1],
+                                   norm=_norm_path)
+        self._last_prune = (len(surviving), len(segs), key[1])
+        if len(surviving) == len(segs):
+            return None
+        base = ent["df"]
+        if not surviving:
+            df = self.spark.createDataFrame([], base.schema)
+        else:
+            pin = base.schema if ent.get("partition_by") else None
+            df = self._read_parquet(
+                surviving if len(surviving) > 1 else surviving[0],
+                schema=pin)
+            df = df.select(*base.columns)
+        sch: TableSchema = ent["schema"]
+        if sch.ttl is not None and sch.ttl.ttl_ms > 0 and sch.ttl.source_field:
+            from tostore_spark.ttl import ttl_filter
+            df = ttl_filter(df, sch.ttl)
+        return df
+
     def schema(self, name: str) -> TableSchema:
         return self._tables[self._resolve(name)]["schema"]
 

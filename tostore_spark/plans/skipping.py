@@ -1,0 +1,302 @@
+"""Manifest-level data skipping: per-segment column min/max stats,
+collected from parquet FOOTERS at flush time (zero extra Spark jobs —
+the writer already computed them) and consulted by the query path to
+drop whole segment roots whose value range cannot satisfy the WHERE.
+
+At 100 TB an append-maintained table accumulates many delta segments
+(store.flush_tables fast path); a time- or key-range query should read
+only the segments whose range overlaps.  Parquet row-group skipping
+does this INSIDE a file Spark already opened — this layer prunes the
+file roots out of the scan before Spark lists them, the same job
+Delta's per-file stats / Iceberg manifests do for their readers.
+
+Semantics contract: pruning mirrors the loose-typed predicate model of
+``condition.eval_leaf`` (value_matcher.dart:337-613) CONSERVATIVELY —
+a segment is dropped only when NO value in [min, max] could satisfy
+the compiled predicate.  Comparisons are type-aligned only (numeric
+stats vs numeric value, string stats vs string value): a numeric
+value against STRING column stats is never numerically coerced,
+because parquet orders string stats lexicographically while loose_eq
+would order them numerically — coercion there could prune a segment
+that contains matching rows (e.g. min='10' < '9' lexicographically).
+Callers must pass the NORMALIZED condition node (values coerced to
+the field's schema type, query._normalize_node) so value types agree
+with the column's physical stats type.  Anything undecidable keeps
+the segment.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+#: stats are collected for at most this many leading primitive columns —
+#: bounds manifest growth on very wide tables; pruning simply treats
+#: uncovered columns as unknown
+_MAX_STAT_COLS = 32
+
+
+def _jsonable_scalar(v: Any) -> Any:
+    """Footer statistics → JSON-safe python scalar, or None to drop the
+    column (undecodable / exotic type)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, int):
+        return int(v)
+    if isinstance(v, float):
+        if math.isnan(v) or math.isinf(v):
+            return None
+        return float(v)
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, str):
+        return v
+    return None   # dates/timestamps/decimals: skipped (see module doc)
+
+
+def collect_parquet_stats(root: str) -> dict:
+    """Walk every parquet file under ``root`` (local filesystem only)
+    and fold its footer column statistics into one per-segment summary:
+
+        {col: {"min": v, "max": v, "nulls": n|None, "rows": n}}
+
+    Metadata-only reads — no data pages touched.  A column is covered
+    only when EVERY row group of EVERY file carries decodable min/max
+    for it; otherwise it is dropped from the summary (pruning then
+    treats it as unknown).  Only bool/int/float/string columns are
+    summarized; timestamps/decimals/nested types are skipped — their
+    footer encodings vary and a wrong bound would prune live rows.
+    Returns {} (never raises) when stats cannot be collected — a
+    non-local scheme, no files, or a pyarrow hiccup; skipping is an
+    optimization, absence is always correct.
+    """
+    import os
+    if "://" in root and not root.startswith("file:"):
+        return {}   # object-store footers: future hook (module doc)
+    path = root[len("file:"):] if root.startswith("file:") else root
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:                                # pragma: no cover
+        return {}
+    files = []
+    try:
+        for dirpath, _dirs, names in os.walk(path):
+            files.extend(os.path.join(dirpath, n) for n in names
+                         if n.endswith(".parquet"))
+    except OSError:
+        return {}
+    if not files:
+        return {}
+    _OK_TYPES = ("BOOLEAN", "INT32", "INT64", "FLOAT", "DOUBLE",
+                 "BYTE_ARRAY")
+    stats: dict[str, dict] = {}
+    dropped: set[str] = set()
+    try:
+        for fp in files:
+            md = pq.ParquetFile(fp).metadata
+            sch = md.schema
+            logical = {}
+            for i in range(md.num_columns):
+                c = sch.column(i)
+                if "." in c.path:       # nested leaves: skip
+                    continue
+                phys = str(c.physical_type)
+                if phys not in _OK_TYPES:
+                    continue
+                # BYTE_ARRAY must be a UTF-8 string, not raw binary
+                if phys == "BYTE_ARRAY" and \
+                        "String" not in str(c.logical_type):
+                    continue
+                # INT32/64 carry dates/timestamps via logical types
+                if phys in ("INT32", "INT64") and \
+                        str(c.logical_type) not in ("None", "NONE") and \
+                        "Int" not in str(c.logical_type):
+                    continue
+                logical[c.path] = i
+            for rg in range(md.num_row_groups):
+                grp = md.row_group(rg)
+                for name, ci in logical.items():
+                    if name in dropped:
+                        continue
+                    col = grp.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        dropped.add(name)
+                        continue
+                    mn = _jsonable_scalar(st.min)
+                    mx = _jsonable_scalar(st.max)
+                    if mn is None or mx is None:
+                        dropped.add(name)
+                        continue
+                    nulls = (int(st.null_count)
+                             if st.has_null_count else None)
+                    ent = stats.get(name)
+                    if ent is None:
+                        if len(stats) >= _MAX_STAT_COLS:
+                            continue
+                        stats[name] = {"min": mn, "max": mx,
+                                       "nulls": nulls,
+                                       "rows": int(grp.num_rows)}
+                    else:
+                        if _aligned_cmp(mn, ent["min"]) in (-1,):
+                            ent["min"] = mn
+                        if _aligned_cmp(mx, ent["max"]) in (1,):
+                            ent["max"] = mx
+                        ent["rows"] += int(grp.num_rows)
+                        ent["nulls"] = (None if nulls is None
+                                        or ent["nulls"] is None
+                                        else ent["nulls"] + nulls)
+    except Exception:
+        return {}
+    for name in dropped:
+        stats.pop(name, None)
+    return stats
+
+
+def _aligned_cmp(a: Any, b: Any) -> Optional[int]:
+    """Type-ALIGNED ordered compare (see module doc: no cross-type
+    numeric coercion against string stats).  None = undecidable."""
+    if a is None or b is None:
+        return None
+    if isinstance(a, bool) or isinstance(b, bool):
+        if isinstance(a, bool) and isinstance(b, bool):
+            return (a > b) - (a < b)
+        return None
+    num_a = isinstance(a, (int, float))
+    num_b = isinstance(b, (int, float))
+    if num_a and num_b:
+        return (a > b) - (a < b)
+    if isinstance(a, str) and isinstance(b, str):
+        return (a > b) - (a < b)
+    return None
+
+
+def _leaf_may_match(field: str, op: str, value: Any, stats: dict,
+                    table: str) -> bool:
+    """Could ANY row of a segment with these column stats satisfy this
+    leaf?  True (keep) whenever undecidable."""
+    f = field
+    if "." in f:
+        tbl, bare = f.split(".", 1)
+        if tbl != table:
+            return True        # joined-table field: not ours to prune
+        f = bare
+    ent = stats.get(f)
+    if ent is None:
+        return True
+    mn, mx = ent.get("min"), ent.get("max")
+    nulls, rows = ent.get("nulls"), ent.get("rows")
+    has_nonnull = not (nulls is not None and rows is not None
+                      and nulls >= rows)
+
+    if op == "IS":
+        if value is None:
+            return nulls is None or nulls > 0
+        op = "="              # IS <non-null> behaves as loose equality
+    if op == "IS NOT":
+        if value is None:
+            return has_nonnull
+        return True           # != on a range: almost never decidable
+
+    if op == "=" and value is None:
+        # loose_eq(rv, None) is true only for null rows
+        return nulls is None or nulls > 0
+    if op in ("=", ">", ">=", "<", "<=", "BETWEEN", "IN", "LIKE") \
+            and not has_nonnull:
+        return False          # null rows satisfy none of these
+    if op == "=":
+        lo, hi = _aligned_cmp(value, mn), _aligned_cmp(value, mx)
+        if lo is None or hi is None:
+            return True
+        return lo >= 0 and hi <= 0
+    if op in ("!=", "<>"):
+        # only prunable when every row equals value AND none is null
+        if value is None:
+            return True       # != null is true for every non-null row
+        if (nulls == 0 and _aligned_cmp(mn, value) == 0
+                and _aligned_cmp(mx, value) == 0):
+            return False
+        return True
+    if op in (">", ">="):
+        c = _aligned_cmp(mx, value)
+        if c is None:
+            return True
+        return c > 0 if op == ">" else c >= 0
+    if op in ("<", "<="):
+        c = _aligned_cmp(mn, value)
+        if c is None:
+            return True
+        return c < 0 if op == "<" else c <= 0
+    if op == "BETWEEN":
+        lo = _aligned_cmp(mx, value["start"])
+        hi = _aligned_cmp(mn, value["end"])
+        if lo is None or hi is None:
+            return True
+        return lo >= 0 and hi <= 0
+    if op == "IN":
+        vals = value or []
+        if not vals:
+            return False      # IN () matches nothing (eval_leaf: any([]))
+        decisions = []
+        for v in vals:
+            lo, hi = _aligned_cmp(v, mn), _aligned_cmp(v, mx)
+            if lo is None or hi is None:
+                return True
+            decisions.append(lo >= 0 and hi <= 0)
+        return any(decisions)
+    if op in ("LIKE",):
+        # literal prefix bound: rows matching 'abc%...' sit in
+        # ['abc', 'abc￿...']; decidable only for string stats
+        if not isinstance(value, str) or not isinstance(mn, str) \
+                or not isinstance(mx, str):
+            return True
+        prefix = ""
+        for ch in value:
+            if ch in ("%", "_"):
+                break
+            if ch == "\\":
+                return True   # escaped pattern: stay conservative
+            prefix += ch
+        if not prefix:
+            return True
+        hi_bound = prefix + "￿"
+        return not (mx < prefix or mn > hi_bound)
+    return True               # NOT LIKE / NOT IN / unknown ops
+
+
+def node_may_match(node, stats: dict, table: str) -> bool:
+    """Conservative three-valued evaluation of a (normalized) condition
+    tree against one segment's column stats: False ONLY when no row in
+    the segment's value ranges can satisfy the tree."""
+    if node is None:
+        return True
+    if node.kind == "leaf":
+        try:
+            return _leaf_may_match(node.field, node.op, node.value,
+                                   stats, table)
+        except Exception:
+            return True
+    kids = node.children
+    if not kids:
+        return True
+    if node.kind == "and":
+        return all(node_may_match(c, stats, table) for c in kids)
+    return any(node_may_match(c, stats, table) for c in kids)
+
+
+def prune_segments(segments: list[str], stats_by_seg: dict,
+                   node, table: str,
+                   norm=lambda p: p) -> list[str]:
+    """Return the segments whose stats admit the condition.  A segment
+    with no stats entry always survives."""
+    out = []
+    for seg in segments:
+        st = stats_by_seg.get(norm(seg))
+        if st and not node_may_match(node, st, table):
+            continue
+        out.append(seg)
+    return out

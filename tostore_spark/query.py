@@ -383,7 +383,21 @@ class QueryBuilder:
     # ---- plan build ---------------------------------------------------
     def _base_frame(self) -> _Frame:
         df = self._engine.df(self._table)
-        return _Frame(df, [(self._table, c, c) for c in df.columns])
+        frame = _Frame(df, [(self._table, c, c) for c in df.columns])
+        if not self._cond.is_empty():
+            # manifest-level segment skipping (engine.pruned_df): the
+            # NORMALIZED node (values coerced to field types) keeps the
+            # stat compares type-aligned; any failure falls back to the
+            # full scan — skipping is an optimization, never semantics
+            try:
+                node = self._normalize_node(
+                    self._cond.root().simplify(), frame)
+                pruned = self._engine.pruned_df(self._table, node)
+            except Exception:
+                pruned = None
+            if pruned is not None:
+                frame = _Frame(pruned, frame.prov)
+        return frame
 
     def _normalize_node(self, node: ConditionNode, frame: _Frame) -> ConditionNode:
         """Coerce leaf values to field schema types

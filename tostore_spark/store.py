@@ -447,7 +447,7 @@ def flush_tables(engine, flush_storage: bool = True,
 
     # ---- phase 2: claim versions + write data (no lock) ------------
     claims: list[str] = []
-    staged = []       # (key, gen, vdir, written_schema, pby, segments)
+    staged = []   # (key, gen, vdir, written_schema, pby, segments, stats)
     try:
         for key in dirty_keys:
             ent = engine._tables[key]
@@ -500,8 +500,18 @@ def flush_tables(engine, flush_storage: bool = True,
                 fs.write_atomic(
                     _fsmod.join(vdir, _SEGMENTS_SIDECAR),
                     json.dumps({"segments": segments}))
+            # per-segment footer stats for manifest-level data skipping
+            # (plans/skipping): metadata-only reads of what was just
+            # written — base segments keep their prior stats on the
+            # append fast path, a rewrite starts the map over
+            from tostore_spark.plans.skipping import collect_parquet_stats
+            seg_stats = (dict(ent.get("segment_stats") or {})
+                         if fast else {})
+            new_stats = collect_parquet_stats(vdir)
+            if new_stats:
+                seg_stats[_norm_path(vdir)] = new_stats
             staged.append((key, gen, vdir, written_schema, pby,
-                           segments))
+                           segments, seg_stats))
             for c in claims:      # keep every claim visibly live while
                 try:              # later tables write (freshness signal
                     fs.touch(c)   # for other writers' stale checks)
@@ -528,12 +538,13 @@ def flush_tables(engine, flush_storage: bool = True,
                 if base_seq != getattr(engine, "_store_seq", 0) else None
             # adopt the written directories into the registry (schema
             # pinned so partition-column inference can't retype values)
-            for key, gen, vdir, wsch, pby, segs in staged:
+            for key, gen, vdir, wsch, pby, segs, seg_stats in staged:
                 ent = engine._tables[key]
                 ent["df"] = engine._read_parquet(
                     segs if segs else vdir, schema=wsch if pby else None)
                 ent["path"] = vdir
                 ent["segments"] = segs or [vdir]
+                ent["segment_stats"] = seg_stats or None
             engine._store_seq = base_seq + 1
             manifest = _build_manifest(engine)
             if merge_from is not None:
@@ -713,6 +724,7 @@ def _fold_merged(engine, manifest: dict) -> None:
             "schema": _schema_from_dict(ent["schema"]),
             "global": ent["global"],
             "segments": segs,
+            "segment_stats": ent.get("segment_stats"),
         }
         engine._generations[key] = ver
         engine._flushed_gen[key] = ver
@@ -751,6 +763,8 @@ def _build_manifest(engine) -> dict:
             segs = ent.get("segments")
             if segs and len(segs) > 1:
                 entry["segments"] = list(segs)
+            if ent.get("segment_stats"):
+                entry["segment_stats"] = ent["segment_stats"]
             if ent.get("partition_by"):
                 # exact Spark types for the partitioned read-back pin —
                 # TableSchema's logical types are lossy (e.g. NTZ)
@@ -795,6 +809,7 @@ def load_warehouse(engine) -> list[str]:
                 segs if len(segs) > 1 else ent["path"], schema=pin),
             "path": ent["path"], "schema": sch, "global": ent["global"],
             "partition_by": pby, "segments": segs,
+            "segment_stats": ent.get("segment_stats"),
         }
         engine._generations[key] = ent.get("version", 0)
         if not hasattr(engine, "_flushed_gen"):
