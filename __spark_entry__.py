@@ -1770,6 +1770,68 @@ def q_segment_skip(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_file_skip(spark, sf_dir):
+    """File-grain data skipping (plans/skipping per-file sidecar +
+    engine.pruned_df refinement) composed with OPTIMIZE: z-order-
+    rewriting orders on o_orderkey range-partitions it into 8 files
+    with narrow key ranges; a key-range query must then rebuild its
+    scan from only the 1-3 overlapping FILES — asserted in-entry via
+    ``engine._last_prune_files`` — and still return exactly the rows
+    the full scan would."""
+    import tempfile
+    db = _db(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        db1 = ToStoreSpark(spark, warehouse=tmp)
+        db1.register_table("orders", df=db.df("orders"))
+        from tostore_spark.plans.layout import optimize_table
+        optimize_table(db1, "orders", target_partitions=8,
+                       zorder=["o_orderkey"])
+        out = (db1.query("orders")
+               .where_between("o_orderkey", 1000, 1500)
+               .order_by_asc("o_orderkey").df()
+               .select("o_orderkey", "o_custkey", "o_totalprice"))
+        rows, schema = out.collect(), out.schema
+        pruned = db1._last_prune_files
+        if pruned is None or pruned[1] < 8 or pruned[0] > 3:
+            raise AssertionError(
+                f"file skipping did not engage: {pruned}")
+    return spark.createDataFrame(rows, schema)
+
+
+def q_meta_agg(spark, sf_dir):
+    """Metadata-only aggregates (engine.stats_count / stats_min_max —
+    the Delta/Iceberg numRecords fast path): two flush epochs leave two
+    segments whose parquet footer stats ride the manifest; a reopened
+    engine answers count(*) and integral min/max from those stats with
+    ZERO Spark jobs — asserted in-entry via ``engine._last_meta_agg``,
+    so this entry fails loudly if a scan ran — and the answers must
+    equal the scan answers DuckDB computes."""
+    import tempfile
+    db = _db(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        db1 = ToStoreSpark(spark, warehouse=tmp)
+        db1.register_table("nation", df=db.df("nation"))
+        db1.flush()                                     # segment 1
+        db1.batch_insert("nation", [
+            {"n_nationkey": 500 + i, "n_name": f"META{i}",
+             "n_regionkey": i % 3, "n_comment": "c"} for i in range(7)])
+        db1.flush()                                     # segment 2
+        db2 = ToStoreSpark(spark, warehouse=tmp)
+        cnt = db2.query("nation").count()
+        if db2._last_meta_agg != ("count", "nation"):
+            raise AssertionError(f"count scanned: {db2._last_meta_agg}")
+        mn = db2.query("nation").min("n_nationkey")
+        if db2._last_meta_agg != ("min", "nation", "n_nationkey"):
+            raise AssertionError(f"min scanned: {db2._last_meta_agg}")
+        mx = db2.query("nation").max("n_nationkey")
+        if db2._last_meta_agg != ("max", "nation", "n_nationkey"):
+            raise AssertionError(f"max scanned: {db2._last_meta_agg}")
+        rows = [{"metric": "count", "value": int(cnt)},
+                {"metric": "max_key", "value": int(mx)},
+                {"metric": "min_key", "value": int(mn)}]
+    return spark.createDataFrame(rows, "metric string, value bigint")
+
+
 def q_stream_ingest_exactly_once(spark, sf_dir):
     """Exactly-once streaming ingest (streaming/sink): an availableNow
     file stream appends 5 nation rows into a warehouse-backed table
@@ -3662,7 +3724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ORDER = [
         # -- r10 rotation head (the r9 verdict's item 1, executed) -----
         # slots 1-4: entries born in r10 (newest-first rule)
-        "q_segment_skip",
+        "q_file_skip", "q_meta_agg", "q_segment_skip",
         "q_graph_prune", "q_stream_multi_sink", "q_graph_append",
         "q_stream_neardup_ingest", "q_diversity_report",
         "q_graph_refine", "q_text_drift", "q_stream_rightouter_join",
@@ -4537,6 +4599,18 @@ def oracle_sql() -> dict[str, str]:
                    i % 5 AS n_regionkey
             FROM range(20) t(i)
             WHERE 200 + i BETWEEN 205 AND 215""",
+        "q_file_skip": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_orderkey BETWEEN 1000 AND 1500""",
+        "q_meta_agg": """
+            SELECT 'count' AS metric, CAST(count(*) + 7 AS BIGINT) AS value
+            FROM nation
+            UNION ALL
+            SELECT 'max_key', CAST(greatest(max(n_nationkey), 506) AS BIGINT)
+            FROM nation
+            UNION ALL
+            SELECT 'min_key', CAST(least(min(n_nationkey), 500) AS BIGINT)
+            FROM nation""",
         "q_append_segments": """
             SELECT n_nationkey, n_name, n_regionkey FROM nation
             UNION ALL

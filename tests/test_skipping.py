@@ -12,9 +12,13 @@ def _leaf(field, op, value):
     return ConditionNode("leaf", field, op, value)
 
 
-S = {"id": {"min": 100, "max": 199, "nulls": 0, "rows": 100},
-     "name": {"min": "alpha", "max": "omega", "nulls": 2, "rows": 100},
-     "allnull": {"min": 0, "max": 0, "nulls": 100, "rows": 100}}
+def _summary(cols, rows=100):
+    return {"rows": rows, "cols": cols}
+
+
+S = _summary({"id": {"min": 100, "max": 199, "nulls": 0},
+              "name": {"min": "alpha", "max": "omega", "nulls": 2},
+              "allnull": {"min": 0, "max": 0, "nulls": 100}})
 
 
 class TestLeafPruning:
@@ -59,7 +63,7 @@ class TestLeafPruning:
         assert node_may_match(_leaf("id", "IS NOT", None), S, "t")
 
     def test_neq_prunes_only_constant_segment(self):
-        cst = {"id": {"min": 7, "max": 7, "nulls": 0, "rows": 10}}
+        cst = _summary({"id": {"min": 7, "max": 7, "nulls": 0}}, rows=10)
         assert not node_may_match(_leaf("id", "!=", 7), cst, "t")
         assert node_may_match(_leaf("id", "!=", 8), cst, "t")
         assert node_may_match(_leaf("id", "!=", 7), S, "t")
@@ -77,7 +81,8 @@ class TestLeafPruning:
         stats lexicographically, so min='10', max='9' covers the value
         '5' even though numerically 5 < 10.  A numeric coercion would
         prune a live segment."""
-        st = {"sid": {"min": "10", "max": "9", "nulls": 0, "rows": 3}}
+        st = _summary({"sid": {"min": "10", "max": "9", "nulls": 0}},
+                      rows=3)
         # value normalized to str (string column): lexicographic, kept
         assert node_may_match(_leaf("sid", "=", "5"), st, "t")
         # a stray unnormalized numeric value: undecidable, kept
@@ -96,8 +101,10 @@ class TestLeafPruning:
 
     def test_prune_segments_helper(self):
         segs = ["a", "b"]
-        stats = {"a": {"id": {"min": 0, "max": 9, "nulls": 0, "rows": 10}},
-                 "b": {"id": {"min": 10, "max": 19, "nulls": 0, "rows": 10}}}
+        stats = {"a": _summary({"id": {"min": 0, "max": 9, "nulls": 0}},
+                               rows=10),
+                 "b": _summary({"id": {"min": 10, "max": 19, "nulls": 0}},
+                               rows=10)}
         node = _leaf("id", ">=", 15)
         assert prune_segments(segs, stats, node, "t") == ["b"]
         # segment without stats always survives
@@ -115,8 +122,9 @@ class TestCollect:
         pq.write_table(pa.table({"id": [10, 20, 30], "s": ["x", "y", "z"]}),
                        str(d / "f2.parquet"))
         st = collect_parquet_stats(str(d))
-        assert st["id"] == {"min": 1, "max": 30, "nulls": 1, "rows": 6}
-        assert st["s"] == {"min": "a", "max": "z", "nulls": 0, "rows": 6}
+        assert st["rows"] == 6
+        assert st["cols"]["id"] == {"min": 1, "max": 30, "nulls": 1}
+        assert st["cols"]["s"] == {"min": "a", "max": "z", "nulls": 0}
 
     def test_collect_missing_dir_and_scheme(self, tmp_path):
         assert collect_parquet_stats(str(tmp_path / "nope")) == {}
@@ -168,6 +176,129 @@ class TestEndToEnd:
         assert db2.query("t").where("id", "=", "215").count() == 1
         kept, total, tbl = db2._last_prune
         assert tbl == "t" and total == 4 and kept == 1
+
+    def test_metadata_aggregates(self, spark, tmp_path):
+        """count/min/max served from manifest footer stats — no scan —
+        and every ineligibility edge falls back to the scan answer."""
+        from tostore_spark.engine import ToStoreSpark
+        wh = str(tmp_path / "wh")
+        db = ToStoreSpark(spark, warehouse=wh)
+        db.register_table("t", df=spark.createDataFrame(
+            [{"id": i, "s": f"v{i}", "x": float(i)} for i in range(50)]))
+        db.flush()
+        db.batch_insert("t", [{"id": 100 + i, "s": "a", "x": 1.0}
+                              for i in range(10)])
+        db.flush()
+
+        assert db.query("t").count() == 60
+        assert db._last_meta_agg == ("count", "t")
+        assert db.query("t").min("id") == 0
+        assert db._last_meta_agg == ("min", "t", "id")
+        assert db.query("t").max("id") == 109
+        assert db._last_meta_agg == ("max", "t", "id")
+
+        # strings and floats refuse the footer answer (truncation / NaN)
+        assert db.query("t").max("s") == "v9"
+        assert db._last_meta_agg is None
+        assert db.query("t").max("x") == 49.0
+        assert db._last_meta_agg is None
+
+        # a filter or join disables the fast path
+        assert db.query("t").where("id", ">=", 100).count() == 10
+
+        # dirty table falls back (unflushed row visible, stats stale)
+        db.batch_insert("t", [{"id": 999, "s": "z", "x": 0.0}])
+        assert db.query("t").count() == 61
+        assert db._last_meta_agg is None
+        assert db.query("t").max("id") == 999
+        db.flush()
+        assert db.query("t").count() == 61
+        assert db._last_meta_agg == ("count", "t")
+
+        # reopened engine serves from the manifest it loaded
+        db2 = ToStoreSpark(spark, warehouse=wh)
+        assert db2.query("t").count() == 61
+        assert db2._last_meta_agg == ("count", "t")
+        assert db2.query("t").min("id") == 0
+
+        # non-warehouse registration has no stats: scan fallback
+        db3 = ToStoreSpark(spark)
+        db3.register_table("m", df=spark.createDataFrame(
+            [{"id": 1}, {"id": 2}]))
+        assert db3.query("m").count() == 2
+        assert getattr(db3, "_last_meta_agg", None) is None
+
+    def test_metadata_minmax_null_and_empty(self, spark, tmp_path):
+        from tostore_spark.engine import ToStoreSpark
+        from pyspark.sql import types as T
+        db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))
+        sch = T.StructType([T.StructField("id", T.LongType()),
+                            T.StructField("v", T.LongType())])
+        # nulls interleaved: footer min/max are over non-null values,
+        # matching SQL aggregate semantics
+        db.register_table("t", df=spark.createDataFrame(
+            [(1, None), (2, 5), (3, 9)], schema=sch))
+        db.flush()
+        assert db.query("t").min("v") == 5
+        assert db._last_meta_agg == ("min", "t", "v")
+        # an ALL-null column: chunks carry null-counts only, the
+        # metadata answer is SQL NULL — still served without a scan
+        db.register_table("t2", df=spark.createDataFrame(
+            [(1, None), (2, None)], schema=sch))
+        db.flush()
+        assert db.query("t2").min("v") is None
+        assert db._last_meta_agg == ("min", "t2", "v")
+
+    def test_file_grain_pruning_after_optimize(self, spark, tmp_path):
+        """OPTIMIZE (range-repartition + sort) gives every file a
+        narrow key range; a range query must then read only the
+        overlapping FILES, not just the one segment root."""
+        from tostore_spark.engine import ToStoreSpark
+        from tostore_spark.plans.layout import optimize_table
+        db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))
+        db.register_table("t", df=spark.createDataFrame(
+            [{"id": i, "v": i % 13} for i in range(4000)]))
+        optimize_table(db, "t", target_partitions=8, zorder=["id"])
+
+        rows = (db.query("t").where("id", "BETWEEN",
+                                    {"start": 100, "end": 140})
+                .order_by_asc("id").df().collect())
+        assert [r["id"] for r in rows] == list(range(100, 141))
+        kept, total = db._last_prune_files
+        assert total == 8 and kept <= 2
+        # segment level saw one root and could not drop it
+        assert db._last_prune == (1, 1, "t")
+
+        # point lookup: exactly one file
+        assert db.query("t").where("id", "=", 3999).count() == 1
+        assert db._last_prune_files[0] == 1
+
+        # a value past the GLOBAL range kills the segment itself —
+        # file grain never engages (segment level already answered)
+        assert db.query("t").where("id", ">", 5000).count() == 0
+        assert db._last_prune == (0, 1, "t")
+        assert db._last_prune_files is None
+
+    def test_file_grain_on_append_segments(self, spark, tmp_path):
+        from tostore_spark.engine import ToStoreSpark
+        wh = str(tmp_path / "wh")
+        db = ToStoreSpark(spark, warehouse=wh)
+        db.register_table("t", df=spark.createDataFrame(
+            [{"id": i} for i in range(100)]).repartition(4))
+        db.flush()
+        db.batch_insert("t", [{"id": 100 + i} for i in range(50)])
+        db.flush()
+        # the appended segment's sidecar exists independently of the base
+        out = db.query("t").where("id", ">=", 100).df()
+        assert out.count() == 50
+        # base segment pruned at SEGMENT level, so file grain sees only
+        # the delta root's files (all kept) — files may or may not
+        # narrow further; the answer is what matters
+        assert db._last_prune == (1, 2, "t")
+
+        # reopen: sidecars are re-read from disk
+        db2 = ToStoreSpark(spark, warehouse=wh)
+        assert db2.query("t").where("id", "<", 10).count() == 10
 
     def test_pruned_equals_unpruned(self, spark, tmp_path):
         """Every pruned answer must equal the full-scan answer."""

@@ -379,6 +379,89 @@ class ToStoreSpark:
             df = ttl_filter(df, sch.ttl)
         return df
 
+    def _stats_summaries(self, name: str) -> Optional[list]:
+        """Per-segment footer summaries covering EVERY segment of a
+        CLEAN warehouse table (plans/skipping shape: {"rows", "cols"}),
+        or None when any segment lacks one, the table has unflushed
+        mutations, or a TTL read-filter reshapes the visible frame —
+        the eligibility gate shared by the metadata-only aggregates."""
+        key = self._resolve(name)
+        ent = self._tables[key]
+        stats, segs = ent.get("segment_stats"), ent.get("segments")
+        if not stats or not segs:
+            return None
+        if (self._generations.get(key, 0)
+                != getattr(self, "_flushed_gen", {}).get(key)):
+            return None
+        sch: TableSchema = ent["schema"]
+        if sch.ttl is not None and sch.ttl.ttl_ms > 0 and sch.ttl.source_field:
+            return None
+        from tostore_spark.store import _norm_path
+        out = []
+        for seg in segs:
+            st = stats.get(_norm_path(seg))
+            if not isinstance(st, dict) or "rows" not in st:
+                return None
+            out.append(st)
+        return out
+
+    def stats_count(self, name: str) -> Optional[int]:
+        """Metadata-only ``count(*)``: the sum of per-segment footer row
+        counts — zero Spark jobs, zero file listings (the Delta/Iceberg
+        numRecords fast path).  None when ineligible (then the caller
+        runs the normal scan).  ``engine._last_meta_agg`` records the
+        serve so tests can assert no scan happened."""
+        s = self._stats_summaries(name)
+        if s is None:
+            self._last_meta_agg = None
+            return None
+        self._last_meta_agg = ("count", name)
+        return sum(int(x["rows"]) for x in s)
+
+    def stats_min_max(self, name: str, field: str,
+                      kind: str) -> Optional[tuple]:
+        """Metadata-only min/max over an INTEGRAL or BOOLEAN column:
+        parquet footer bounds are exact for those types.  Refused (None)
+        for strings (the format allows truncated string bounds) and
+        floats (writers exclude NaN from bounds, while Spark's max
+        treats NaN as the largest double — a NaN row would make the
+        footer answer wrong).  Returns a 1-tuple ``(value,)`` — which
+        may be ``(None,)`` for an empty/all-null-eligible table — or
+        None when ineligible."""
+        s = self._stats_summaries(name)
+        if s is None:
+            self._last_meta_agg = None
+            return None
+        ent = self._tables[self._resolve(name)]
+        from pyspark.sql import types as T
+        try:
+            dt = ent["df"].schema[field].dataType
+        except KeyError:
+            self._last_meta_agg = None
+            return None
+        if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                               T.LongType, T.BooleanType)):
+            self._last_meta_agg = None
+            return None
+        bound = None
+        for st in s:
+            if int(st["rows"]) == 0:
+                continue       # empty segment contributes nothing
+            c = (st.get("cols") or {}).get(field)
+            if c is None:
+                # uncovered in a non-empty segment: could be all-null
+                # there (ignorable) or undecodable stats — can't tell,
+                # so fall back to the scan
+                self._last_meta_agg = None
+                return None
+            v = c["min"] if kind == "min" else c["max"]
+            if v is None:
+                continue       # all-null segment: no contribution
+            if bound is None or (v < bound if kind == "min" else v > bound):
+                bound = v
+        self._last_meta_agg = (kind, name, field)
+        return (bound,)
+
     def pruned_df(self, name: str, node) -> Optional[DataFrame]:
         """Manifest-level data skipping (plans/skipping): when ``name``
         is a CLEAN warehouse table (in-memory generation == last flushed
@@ -400,14 +483,45 @@ class ToStoreSpark:
         if not stats or not segs or not clean:
             self._last_prune = None
             return None
-        from tostore_spark.plans.skipping import prune_segments
+        from tostore_spark.plans.skipping import (node_may_match,
+                                                  prune_segments)
         from tostore_spark.store import _norm_path
         surviving = prune_segments(segs, stats, node, key[1],
                                    norm=_norm_path)
         self._last_prune = (len(surviving), len(segs), key[1])
+        self._last_prune_files = None
+        base = ent["df"]
+        # file-grain refinement (the _filestats.json sidecar): prune
+        # individual files WITHIN the surviving roots — after an
+        # OPTIMIZE/z-order rewrite every file covers a narrow key
+        # range, so this is where clustering pays off.  Unpartitioned
+        # tables only (hive roots keep Spark's own partition pruning);
+        # engaged only when every surviving root has a sidecar AND a
+        # file was actually dropped.
+        if not ent.get("partition_by") and surviving:
+            kept_files: list[str] = []
+            total_f = 0
+            complete = True
+            for seg in surviving:
+                fstats = self._file_stats(seg)
+                if not fstats:
+                    complete = False
+                    break
+                total_f += len(fstats)
+                root = seg[:-1] if seg.endswith("/") else seg
+                for rel, summ in fstats.items():
+                    if node_may_match(node, summ, key[1]):
+                        kept_files.append(f"{root}/{rel}")
+            if complete and len(kept_files) < total_f:
+                self._last_prune_files = (len(kept_files), total_f)
+                if not kept_files:
+                    df = self.spark.createDataFrame([], base.schema)
+                else:
+                    df = self._read_parquet(kept_files)
+                    df = df.select(*base.columns)
+                return self._ttl_filtered(df, ent)
         if len(surviving) == len(segs):
             return None
-        base = ent["df"]
         if not surviving:
             df = self.spark.createDataFrame([], base.schema)
         else:
@@ -416,11 +530,36 @@ class ToStoreSpark:
                 surviving if len(surviving) > 1 else surviving[0],
                 schema=pin)
             df = df.select(*base.columns)
+        return self._ttl_filtered(df, ent)
+
+    def _ttl_filtered(self, df: DataFrame, ent: dict) -> DataFrame:
         sch: TableSchema = ent["schema"]
         if sch.ttl is not None and sch.ttl.ttl_ms > 0 and sch.ttl.source_field:
             from tostore_spark.ttl import ttl_filter
             df = ttl_filter(df, sch.ttl)
         return df
+
+    def _file_stats(self, seg: str) -> Optional[dict]:
+        """Lazy, cached read of a segment's ``_filestats.json`` sidecar
+        ({relpath: per-file summary}) — version dirs are immutable, so
+        the cache key is just the segment path.  None when absent."""
+        cache = getattr(self, "_filestats_cache", None)
+        if cache is None:
+            cache = self._filestats_cache = {}
+        if seg in cache:
+            return cache[seg]
+        out = None
+        try:
+            import json as _json
+            from tostore_spark import fs as _fsmod
+            fs = _fsmod.get_fs(self._warehouse, self.spark)
+            p = _fsmod.join(seg, "_filestats.json")
+            if fs.exists(p):
+                out = _json.loads(fs.read_text(p)).get("files") or None
+        except Exception:
+            out = None
+        cache[seg] = out
+        return out
 
     def schema(self, name: str) -> TableSchema:
         return self._tables[self._resolve(name)]["schema"]

@@ -58,103 +58,170 @@ def _jsonable_scalar(v: Any) -> Any:
     return None   # dates/timestamps/decimals: skipped (see module doc)
 
 
-def collect_parquet_stats(root: str) -> dict:
+def _fold_file(md) -> dict:
+    """ONE parquet file's footer → the summary shape
+    ``{"rows": n, "cols": {col: {"min", "max", "nulls"}}}``.  A column
+    is covered only when EVERY row group carries decodable min/max (or
+    is provably all-null — then it contributes null counts only and its
+    bounds stay None).  Only bool/int/float/string columns are
+    summarized; timestamps/decimals/nested types are skipped — their
+    footer encodings vary and a wrong bound would prune live rows."""
+    _OK_TYPES = ("BOOLEAN", "INT32", "INT64", "FLOAT", "DOUBLE",
+                 "BYTE_ARRAY")
+    total_rows = int(md.num_rows)
+    sch = md.schema
+    logical = {}
+    for i in range(md.num_columns):
+        c = sch.column(i)
+        if "." in c.path:       # nested leaves: skip
+            continue
+        phys = str(c.physical_type)
+        if phys not in _OK_TYPES:
+            continue
+        # BYTE_ARRAY must be a UTF-8 string, not raw binary
+        if phys == "BYTE_ARRAY" and "String" not in str(c.logical_type):
+            continue
+        # INT32/64 carry dates/timestamps via logical types
+        if phys in ("INT32", "INT64") and \
+                str(c.logical_type) not in ("None", "NONE") and \
+                "Int" not in str(c.logical_type):
+            continue
+        logical[c.path] = i
+    stats: dict[str, dict] = {}
+    dropped: set[str] = set()
+    for rg in range(md.num_row_groups):
+        grp = md.row_group(rg)
+        nrows = int(grp.num_rows)
+        for name, ci in logical.items():
+            if name in dropped:
+                continue
+            col = grp.column(ci)
+            st = col.statistics
+            if st is None:
+                dropped.add(name)
+                continue
+            if not st.has_min_max:
+                # an ALL-null chunk carries no bounds but is still
+                # exactly summarizable: nulls only — min/max aggregates
+                # and ordered predicates ignore it (bounds stay None)
+                if st.has_null_count and int(st.null_count) == nrows:
+                    mn = mx = None
+                    nulls: Optional[int] = nrows
+                else:
+                    dropped.add(name)
+                    continue
+            else:
+                mn = _jsonable_scalar(st.min)
+                mx = _jsonable_scalar(st.max)
+                if mn is None or mx is None:
+                    dropped.add(name)
+                    continue
+                nulls = (int(st.null_count)
+                         if st.has_null_count else None)
+            ent = stats.get(name)
+            if ent is None:
+                if len(stats) >= _MAX_STAT_COLS:
+                    continue
+                stats[name] = {"min": mn, "max": mx, "nulls": nulls,
+                               "rows": nrows}
+            else:
+                if ent["min"] is None:
+                    ent["min"], ent["max"] = mn, mx
+                elif mn is not None:
+                    if _aligned_cmp(mn, ent["min"]) in (-1,):
+                        ent["min"] = mn
+                    if _aligned_cmp(mx, ent["max"]) in (1,):
+                        ent["max"] = mx
+                ent["rows"] += nrows
+                ent["nulls"] = (None if nulls is None
+                                or ent["nulls"] is None
+                                else ent["nulls"] + nulls)
+    for name in dropped:
+        stats.pop(name, None)
+    # row-group coverage: a column skipped by the cap in an early group
+    # has partial bounds — drop it
+    for name in [n for n, e in stats.items()
+                 if e.pop("rows", None) != total_rows]:
+        stats.pop(name, None)
+    return {"rows": total_rows, "cols": stats}
+
+
+def merge_summaries(summaries: list) -> dict:
+    """Fold per-file summaries into one segment summary.  A column is
+    covered only when covered in every NON-EMPTY file (an empty file
+    contributes no rows and constrains nothing)."""
+    total = sum(s["rows"] for s in summaries)
+    live = [s for s in summaries if s["rows"] > 0]
+    names = (set.intersection(*(set(s["cols"]) for s in live))
+             if live else set())
+    cols: dict[str, dict] = {}
+    for n in names:
+        mn = mx = None
+        nulls: Optional[int] = 0
+        for s in live:
+            c = s["cols"][n]
+            if c["min"] is not None:
+                if mn is None:
+                    mn, mx = c["min"], c["max"]
+                else:
+                    if _aligned_cmp(c["min"], mn) in (-1,):
+                        mn = c["min"]
+                    if _aligned_cmp(c["max"], mx) in (1,):
+                        mx = c["max"]
+            nulls = (None if nulls is None or c["nulls"] is None
+                     else nulls + c["nulls"])
+        cols[n] = {"min": mn, "max": mx, "nulls": nulls}
+    return {"rows": total, "cols": cols}
+
+
+def collect_parquet_stats(root: str, per_file: bool = False):
     """Walk every parquet file under ``root`` (local filesystem only)
     and fold its footer column statistics into one per-segment summary:
 
-        {col: {"min": v, "max": v, "nulls": n|None, "rows": n}}
+        {"rows": n, "cols": {col: {"min": v, "max": v, "nulls": n|None}}}
 
-    Metadata-only reads — no data pages touched.  A column is covered
-    only when EVERY row group of EVERY file carries decodable min/max
-    for it; otherwise it is dropped from the summary (pruning then
-    treats it as unknown).  Only bool/int/float/string columns are
-    summarized; timestamps/decimals/nested types are skipped — their
-    footer encodings vary and a wrong bound would prune live rows.
-    Returns {} (never raises) when stats cannot be collected — a
+    ``rows`` is the segment's TOTAL row count (always present — footers
+    carry num_rows even when no column has stats), which both the
+    null-semantics pruning and the metadata-only aggregate fast paths
+    (``engine.stats_count`` / ``stats_min_max``) consume.
+
+    ``per_file=True`` additionally returns the per-FILE summaries as
+    ``(segment_summary, {relative_path: file_summary})`` — the payload
+    of the ``_filestats.json`` sidecar that file-grain skipping
+    (``engine.pruned_df``) prunes with.
+
+    Metadata-only reads — no data pages touched.  Returns ``{}`` (or
+    ``({}, {})``) — never raises — when stats cannot be collected: a
     non-local scheme, no files, or a pyarrow hiccup; skipping is an
     optimization, absence is always correct.
     """
     import os
+    empty = ({}, {}) if per_file else {}
     if "://" in root and not root.startswith("file:"):
-        return {}   # object-store footers: future hook (module doc)
+        return empty   # object-store footers: future hook (module doc)
     path = root[len("file:"):] if root.startswith("file:") else root
     try:
         import pyarrow.parquet as pq
     except ImportError:                                # pragma: no cover
-        return {}
+        return empty
     files = []
     try:
         for dirpath, _dirs, names in os.walk(path):
             files.extend(os.path.join(dirpath, n) for n in names
                          if n.endswith(".parquet"))
     except OSError:
-        return {}
+        return empty
     if not files:
-        return {}
-    _OK_TYPES = ("BOOLEAN", "INT32", "INT64", "FLOAT", "DOUBLE",
-                 "BYTE_ARRAY")
-    stats: dict[str, dict] = {}
-    dropped: set[str] = set()
+        return empty
+    by_file: dict[str, dict] = {}
     try:
         for fp in files:
-            md = pq.ParquetFile(fp).metadata
-            sch = md.schema
-            logical = {}
-            for i in range(md.num_columns):
-                c = sch.column(i)
-                if "." in c.path:       # nested leaves: skip
-                    continue
-                phys = str(c.physical_type)
-                if phys not in _OK_TYPES:
-                    continue
-                # BYTE_ARRAY must be a UTF-8 string, not raw binary
-                if phys == "BYTE_ARRAY" and \
-                        "String" not in str(c.logical_type):
-                    continue
-                # INT32/64 carry dates/timestamps via logical types
-                if phys in ("INT32", "INT64") and \
-                        str(c.logical_type) not in ("None", "NONE") and \
-                        "Int" not in str(c.logical_type):
-                    continue
-                logical[c.path] = i
-            for rg in range(md.num_row_groups):
-                grp = md.row_group(rg)
-                for name, ci in logical.items():
-                    if name in dropped:
-                        continue
-                    col = grp.column(ci)
-                    st = col.statistics
-                    if st is None or not st.has_min_max:
-                        dropped.add(name)
-                        continue
-                    mn = _jsonable_scalar(st.min)
-                    mx = _jsonable_scalar(st.max)
-                    if mn is None or mx is None:
-                        dropped.add(name)
-                        continue
-                    nulls = (int(st.null_count)
-                             if st.has_null_count else None)
-                    ent = stats.get(name)
-                    if ent is None:
-                        if len(stats) >= _MAX_STAT_COLS:
-                            continue
-                        stats[name] = {"min": mn, "max": mx,
-                                       "nulls": nulls,
-                                       "rows": int(grp.num_rows)}
-                    else:
-                        if _aligned_cmp(mn, ent["min"]) in (-1,):
-                            ent["min"] = mn
-                        if _aligned_cmp(mx, ent["max"]) in (1,):
-                            ent["max"] = mx
-                        ent["rows"] += int(grp.num_rows)
-                        ent["nulls"] = (None if nulls is None
-                                        or ent["nulls"] is None
-                                        else ent["nulls"] + nulls)
+            rel = os.path.relpath(fp, path).replace(os.sep, "/")
+            by_file[rel] = _fold_file(pq.ParquetFile(fp).metadata)
     except Exception:
-        return {}
-    for name in dropped:
-        stats.pop(name, None)
-    return stats
+        return empty
+    summary = merge_summaries(list(by_file.values()))
+    return (summary, by_file) if per_file else summary
 
 
 def _aligned_cmp(a: Any, b: Any) -> Optional[int]:
@@ -175,7 +242,7 @@ def _aligned_cmp(a: Any, b: Any) -> Optional[int]:
     return None
 
 
-def _leaf_may_match(field: str, op: str, value: Any, stats: dict,
+def _leaf_may_match(field: str, op: str, value: Any, summary: dict,
                     table: str) -> bool:
     """Could ANY row of a segment with these column stats satisfy this
     leaf?  True (keep) whenever undecidable."""
@@ -185,11 +252,11 @@ def _leaf_may_match(field: str, op: str, value: Any, stats: dict,
         if tbl != table:
             return True        # joined-table field: not ours to prune
         f = bare
-    ent = stats.get(f)
+    ent = (summary.get("cols") or {}).get(f)
     if ent is None:
         return True
     mn, mx = ent.get("min"), ent.get("max")
-    nulls, rows = ent.get("nulls"), ent.get("rows")
+    nulls, rows = ent.get("nulls"), summary.get("rows")
     has_nonnull = not (nulls is not None and rows is not None
                       and nulls >= rows)
 

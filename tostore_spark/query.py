@@ -858,10 +858,26 @@ class QueryBuilder:
         return res.records[0] if res.records else None
 
     def count(self) -> int:
-        """Metadata-fast count (query_builder.dart:300-317): Parquet
-        row-group stats make plain count() O(metadata) when unfiltered."""
+        """Metadata-fast count (query_builder.dart:300-317): an
+        unfiltered, unjoined count over a clean warehouse table is
+        answered from the manifest's per-segment footer row counts
+        (engine.stats_count) — zero Spark jobs, zero file listings, the
+        Delta/Iceberg numRecords path; anything else runs the scan
+        (Parquet row-group stats still make it O(metadata) when Spark
+        plans it unfiltered)."""
         qb = self.clone()
         qb._order_by, qb._limit, qb._offset = [], None, None
+        if (not qb._joins and qb._cond.is_empty()
+                and qb._sample_filter is None):
+            try:
+                n = self._engine.stats_count(self._table)
+            except Exception:
+                n = None
+            if n is not None:
+                # a metadata serve is still a READ: record it in the
+                # serializable read-set exactly like the compiled path
+                qb._base_frame_recorded()
+                return n
         frame = qb._base_frame_recorded()
         frame = qb._apply_joins(frame)
         frame = qb._apply_condition(frame)
@@ -878,6 +894,19 @@ class QueryBuilder:
     def _scalar_agg(self, kind: str, field: str):
         qb = self.clone()
         qb._order_by, qb._limit, qb._offset = [], None, None
+        if (kind in ("min", "max") and not qb._joins
+                and qb._cond.is_empty() and qb._sample_filter is None):
+            # metadata-only min/max from manifest footer stats
+            # (engine.stats_min_max: integral/boolean columns only —
+            # exact bounds; strings/floats fall through to the scan)
+            try:
+                served = self._engine.stats_min_max(
+                    self._table, field, kind)
+            except Exception:
+                served = None
+            if served is not None:
+                qb._base_frame_recorded()      # read-set recording
+                return served[0]
         qb._aggs = [Agg(kind, field, alias="__v")]
         qb._select, qb._group_by, qb._distinct = None, None, None
         row = qb.df().collect()[0]

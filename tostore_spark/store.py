@@ -264,6 +264,10 @@ _TABLE_LOG = "_log"
 #: next flush rewrites in full — amortized auto-compaction, bounding
 #: both the reader's file listing and small-file buildup.
 _SEGMENTS_SIDECAR = "_segments.json"
+#: per-FILE footer-stats sidecar (plans/skipping collect per_file=True);
+#: read lazily by engine.pruned_df for file-grain skipping — version
+#: dirs are immutable, so the engine caches it per segment path
+_FILESTATS_SIDECAR = "_filestats.json"
 _MAX_SEGMENTS = 16
 
 
@@ -503,13 +507,23 @@ def flush_tables(engine, flush_storage: bool = True,
             # per-segment footer stats for manifest-level data skipping
             # (plans/skipping): metadata-only reads of what was just
             # written — base segments keep their prior stats on the
-            # append fast path, a rewrite starts the map over
+            # append fast path, a rewrite starts the map over.  The
+            # per-FILE breakdown lands in a _filestats.json sidecar
+            # (file-grain pruning, engine.pruned_df) so the manifest
+            # carries only the segment roll-up.
             from tostore_spark.plans.skipping import collect_parquet_stats
             seg_stats = (dict(ent.get("segment_stats") or {})
                          if fast else {})
-            new_stats = collect_parquet_stats(vdir)
+            new_stats, by_file = collect_parquet_stats(vdir,
+                                                       per_file=True)
             if new_stats:
                 seg_stats[_norm_path(vdir)] = new_stats
+                if by_file and not pby:
+                    # partitioned roots keep directory pruning; the
+                    # file-grain read path is unpartitioned-only
+                    fs.write_atomic(
+                        _fsmod.join(vdir, _FILESTATS_SIDECAR),
+                        json.dumps({"files": by_file}))
             staged.append((key, gen, vdir, written_schema, pby,
                            segments, seg_stats))
             for c in claims:      # keep every claim visibly live while
@@ -546,6 +560,10 @@ def flush_tables(engine, flush_storage: bool = True,
                 ent["segments"] = segs or [vdir]
                 ent["segment_stats"] = seg_stats or None
             engine._store_seq = base_seq + 1
+            # new version dirs may reuse a vacuumed/dropped table's
+            # v<gen> path (re-registration restarts generations): the
+            # file-stats sidecar cache must not serve the old dir's map
+            engine.__dict__.pop("_filestats_cache", None)
             manifest = _build_manifest(engine)
             if merge_from is not None:
                 manifest = _merge_manifests(engine, manifest, merge_from)
@@ -917,6 +935,7 @@ def refresh(engine, row_merge: bool = False,
     # and a reloaded table's leftover delta would union into the NEXT
     # append and double-commit rows
     engine._append_deltas.clear()
+    engine.__dict__.pop("_filestats_cache", None)
     load_warehouse(engine)
     replayed = []
     for k, (ent, gen) in keep.items():
