@@ -1770,6 +1770,38 @@ def q_segment_skip(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_bloom_skip(spark, sf_dir):
+    """Bloom point-lookup segment skipping (engine.enable_bloom_skip +
+    plans/skipping.bloom_may_contain): customer lands in 3 interleaved
+    flush epochs (c_custkey mod 3), so every segment's min/max spans
+    essentially the whole keyspace and range stats CANNOT prune; the
+    per-segment bloom sidecar must narrow an IN over two keys to
+    exactly the two holding segments — asserted in-entry via
+    ``engine._last_prune`` — and return the rows a full scan would."""
+    import tempfile
+    db = _db(spark, sf_dir)
+    cust = db.df("customer")
+    with tempfile.TemporaryDirectory() as tmp:
+        db1 = ToStoreSpark(spark, warehouse=tmp)
+        db1.register_table("customer",
+                           df=cust.where("c_custkey % 3 = 0"))
+        db1.enable_bloom_skip("customer", ["c_custkey"])
+        db1.flush()
+        for r in (1, 2):
+            db1.append_rows("customer",
+                            cust.where(f"c_custkey % 3 = {r}"))
+            db1.flush()
+        out = (db1.query("customer")
+               .where("c_custkey", "IN", [700, 702])
+               .order_by_asc("c_custkey").df()
+               .select("c_custkey", "c_name", "c_nationkey"))
+        rows, schema = out.collect(), out.schema
+        if db1._last_prune != (2, 3, "customer"):
+            raise AssertionError(
+                f"bloom skipping did not engage: {db1._last_prune}")
+    return spark.createDataFrame(rows, schema)
+
+
 def q_file_skip(spark, sf_dir):
     """File-grain data skipping (plans/skipping per-file sidecar +
     engine.pruned_df refinement) composed with OPTIMIZE: z-order-
@@ -3724,7 +3756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ORDER = [
         # -- r10 rotation head (the r9 verdict's item 1, executed) -----
         # slots 1-4: entries born in r10 (newest-first rule)
-        "q_file_skip", "q_meta_agg", "q_segment_skip",
+        "q_bloom_skip", "q_file_skip", "q_meta_agg", "q_segment_skip",
         "q_graph_prune", "q_stream_multi_sink", "q_graph_append",
         "q_stream_neardup_ingest", "q_diversity_report",
         "q_graph_refine", "q_text_drift", "q_stream_rightouter_join",
@@ -4602,6 +4634,9 @@ def oracle_sql() -> dict[str, str]:
         "q_file_skip": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             WHERE o_orderkey BETWEEN 1000 AND 1500""",
+        "q_bloom_skip": """
+            SELECT c_custkey, c_name, c_nationkey FROM customer
+            WHERE c_custkey IN (700, 702)""",
         "q_meta_agg": """
             SELECT 'count' AS metric, CAST(count(*) + 7 AS BIGINT) AS value
             FROM nation

@@ -300,6 +300,63 @@ class TestEndToEnd:
         db2 = ToStoreSpark(spark, warehouse=wh)
         assert db2.query("t").where("id", "<", 10).count() == 10
 
+    def test_bloom_point_lookup_skipping(self, spark, tmp_path):
+        """Interleaved string keys make every segment span the whole
+        range — min/max can never prune — but the per-segment bloom
+        proves a point value absent from 2 of 3 segments."""
+        from tostore_spark.engine import ToStoreSpark
+        wh = str(tmp_path / "wh")
+        db = ToStoreSpark(spark, warehouse=wh)
+        # keys 'k0000'..'k0299' interleaved mod 3: each segment's
+        # min/max covers ~the whole lexicographic range
+        db.register_table("t", df=spark.createDataFrame(
+            [{"k": f"k{i:04d}", "n": i} for i in range(0, 300, 3)]))
+        db.enable_bloom_skip("t", ["k", "n"])
+        db.flush()
+        db.batch_insert("t", [{"k": f"k{i:04d}", "n": i}
+                              for i in range(1, 300, 3)])
+        db.flush()
+        db.batch_insert("t", [{"k": f"k{i:04d}", "n": i}
+                              for i in range(2, 300, 3)])
+        db.flush()
+
+        # range stats alone keep all 3 (overlapping ranges)…
+        assert db.query("t").where("k", ">=", "k0000").count() == 300
+        # …but the bloom narrows an equality to the one holder
+        assert db.query("t").where("k", "=", "k0100").count() == 1
+        assert db._last_prune == (1, 3, "t")
+        # loose typing: int probe on the int column, mod-2 segment
+        assert db.query("t").where("n", "=", 200).count() == 1
+        assert db._last_prune == (1, 3, "t")
+        # IN across two segments keeps exactly those two
+        assert db.query("t").where(
+            "k", "IN", ["k0000", "k0001"]).count() == 2
+        assert db._last_prune == (2, 3, "t")
+        # absent value: every segment bloom-vetoed, empty result
+        assert db.query("t").where("k", "=", "nope").count() == 0
+        assert db._last_prune == (0, 3, "t")
+
+        # reopened engine reloads bloom config from the manifest and
+        # sidecars from the version dirs
+        db2 = ToStoreSpark(spark, warehouse=wh)
+        assert db2.query("t").where("k", "=", "k0200").count() == 1
+        assert db2._last_prune == (1, 3, "t")
+
+        # a != / range probe never consults the bloom (keeps all)
+        assert db2.query("t").where("k", "!=", "k0100").count() == 299
+
+    def test_bloom_enable_validation(self, spark, tmp_path):
+        from tostore_spark.engine import ToStoreSpark
+        db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))
+        db.register_table("t", df=spark.createDataFrame(
+            [{"k": "a", "x": 1.5, "b": True}]))
+        with pytest.raises(ValueError, match="integral or string"):
+            db.enable_bloom_skip("t", ["x"])
+        with pytest.raises(ValueError, match="integral or string"):
+            db.enable_bloom_skip("t", ["b"])
+        with pytest.raises(ValueError, match="not in"):
+            db.enable_bloom_skip("t", ["missing"])
+
     def test_pruned_equals_unpruned(self, spark, tmp_path):
         """Every pruned answer must equal the full-scan answer."""
         from tostore_spark.engine import ToStoreSpark

@@ -486,6 +486,18 @@ class ToStoreSpark:
         from tostore_spark.plans.skipping import (node_may_match,
                                                   prune_segments)
         from tostore_spark.store import _norm_path
+        if ent.get("bloom_cols"):
+            # inject each segment's decoded bloom sidecar so =/IN
+            # leaves can prove a point value absent where the min/max
+            # range cannot (enable_bloom_skip)
+            aug = {}
+            for seg in segs:
+                st = stats.get(_norm_path(seg))
+                if st is None:
+                    continue
+                bl = self._bloom_stats(seg)
+                aug[_norm_path(seg)] = {**st, "bloom": bl} if bl else st
+            stats = aug
         surviving = prune_segments(segs, stats, node, key[1],
                                    norm=_norm_path)
         self._last_prune = (len(surviving), len(segs), key[1])
@@ -538,6 +550,65 @@ class ToStoreSpark:
             from tostore_spark.ttl import ttl_filter
             df = ttl_filter(df, sch.ttl)
         return df
+
+    def enable_bloom_skip(self, name: str, cols: list,
+                          bits: int = 65536, k: int = 4) -> None:
+        """Opt into point-lookup segment skipping on high-cardinality
+        keys: from the NEXT flush on, every new version dir gets a
+        ``_bloom.json`` sidecar with one ``bits``-bit bloom bitmap per
+        listed column (k crc32 probes), and ``=`` / ``IN`` queries drop
+        segments the bitmap proves valueless — the case min/max stats
+        can never decide (an unsorted key column spans the whole
+        keyspace in every segment).  Integral/string columns only
+        (float cast formatting and NaN semantics diverge between the
+        build and probe sides).  Existing segments are unaffected until
+        rewritten (e.g. ``optimize_table``) — absent sidecars just keep
+        their segments.  Persisted in the manifest.  Sized at the
+        default, 65536 bits = 8 KB/column/segment; ~1% false-keep at
+        ~6.8k distinct values per segment — false positives only cost a
+        read, never correctness."""
+        key = self._resolve(name)
+        ent = self._tables[key]
+        from pyspark.sql import types as T
+        for c in cols:
+            try:
+                dt = ent["df"].schema[c].dataType
+            except KeyError:
+                raise ValueError(f"bloom_skip column {c!r} not in "
+                                 f"table {name!r}")
+            if isinstance(dt, T.BooleanType) or not isinstance(
+                    dt, (T.ByteType, T.ShortType, T.IntegerType,
+                         T.LongType, T.StringType)):
+                raise ValueError(
+                    f"bloom_skip column {c!r} must be integral or "
+                    f"string, got {dt.simpleString()}")
+        ent["bloom_cols"] = {"cols": list(cols), "m": int(bits),
+                             "k": int(k)}
+
+    def _bloom_stats(self, seg: str) -> Optional[dict]:
+        """Lazy, cached, base64-decoded read of a segment's
+        ``_bloom.json`` sidecar — {"m", "k", "cols": {col: bytes}}."""
+        cache = getattr(self, "_bloom_cache", None)
+        if cache is None:
+            cache = self._bloom_cache = {}
+        if seg in cache:
+            return cache[seg]
+        out = None
+        try:
+            import base64
+            import json as _json
+            from tostore_spark import fs as _fsmod
+            fs = _fsmod.get_fs(self._warehouse, self.spark)
+            p = _fsmod.join(seg, "_bloom.json")
+            if fs.exists(p):
+                raw = _json.loads(fs.read_text(p))
+                out = {"m": int(raw["m"]), "k": int(raw["k"]),
+                       "cols": {c: base64.b64decode(b)
+                                for c, b in raw["cols"].items()}}
+        except Exception:
+            out = None
+        cache[seg] = out
+        return out
 
     def _file_stats(self, seg: str) -> Optional[dict]:
         """Lazy, cached read of a segment's ``_filestats.json`` sidecar

@@ -241,7 +241,13 @@ def ppl_buckets(scored: DataFrame, bits_field: str = "bits_per_token",
     ``scored`` feeds BOTH the threshold derivation and the labeled
     output — ``materialize`` (default on) pins it with one eager
     ``localCheckpoint`` so an expensive scoring lineage (the n-gram
-    explode + joins) executes once, not once per reference.
+    explode + joins) executes once, not once per reference.  The
+    grouped-exact path skips the pin regardless: it references
+    ``scored`` exactly once (null scores ride the SAME rank window
+    with NULLS LAST — their row numbers sit past every threshold
+    index, so they can never be picked as an order statistic), and a
+    checkpoint would only add block-store overhead to a
+    single-execution plan.
 
     ``exact=False`` (grouped mode only) swaps the spillable per-group
     sort window for ONE per-group ``approx_percentile`` sketch
@@ -253,7 +259,8 @@ def ppl_buckets(scored: DataFrame, bits_field: str = "bits_per_token",
         raise ValueError("need len(labels) == len(cuts) + 1")
     if list(cuts) != sorted(float(c) for c in cuts):
         raise ValueError("cuts must be ascending")
-    if materialize:
+    if materialize and not (by is not None and exact):
+        # grouped-exact is single-reference (see docstring) — never pin
         scored = scored.localCheckpoint(eager=True)
     if by is None:
         from tostore_spark.plans.stats import exact_percentiles_frame
@@ -273,22 +280,25 @@ def ppl_buckets(scored: DataFrame, bits_field: str = "bits_per_token",
         # window + aggregate + join chain (~0.3s of stage overhead per
         # call at sf0.1; identical labels, DuckDB-oracle-pinned).
         from pyspark.sql import Window
-        nn = scored.filter(F.col(bits_field).isNotNull())
-        w_rank = Window.partitionBy(by).orderBy(F.col(bits_field).asc())
+        # nulls stay IN the frame: NULLS LAST puts their row numbers at
+        # n..count-1 while __n counts only non-null scores, so k =
+        # floor(c·(__n−1)) can never select one (an all-null group gets
+        # k = −1 → null thresholds → null label); one window exchange,
+        # one reference to ``scored``, no union, no checkpoint
+        w_rank = Window.partitionBy(by).orderBy(
+            F.col(bits_field).asc_nulls_last())
         w_all = Window.partitionBy(by)
-        ranked = (nn.withColumn("__rn", F.row_number().over(w_rank) - 1)
-                    .withColumn("__n", F.count(F.lit(1)).over(w_all)))
+        ranked = (scored
+                  .withColumn("__rn", F.row_number().over(w_rank) - 1)
+                  .withColumn("__n",
+                              F.count(F.col(bits_field)).over(w_all)))
         for i, c in enumerate(cuts):
             k = F.floor(F.lit(float(c)) * (F.col("__n") - 1))
             ranked = ranked.withColumn(
                 f"__t{i}",
                 F.max(F.when(F.col("__rn") == k, F.col(bits_field)))
                  .over(w_all))
-        nulls = scored.filter(F.col(bits_field).isNull())
-        for i in range(len(cuts)):
-            nulls = nulls.withColumn(
-                f"__t{i}", F.lit(None).cast("double"))
-        out = ranked.drop("__rn", "__n").unionByName(nulls)
+        out = ranked.drop("__rn", "__n")
     else:
         from tostore_spark.plans.stats import grouped_percentiles_frame
         gp = grouped_percentiles_frame(scored, by, bits_field, list(cuts),

@@ -242,6 +242,83 @@ def _aligned_cmp(a: Any, b: Any) -> Optional[int]:
     return None
 
 
+def bloom_key(value: Any) -> Optional[str]:
+    """The canonical hash input for a bloom-skippable value: matches
+    the build side's Spark ``CAST(col AS STRING)`` exactly.  Only
+    integral and string values participate (floats: cast formatting
+    diverges; bools: pointless) — None disables the test."""
+    if value is None or isinstance(value, (bool, float)):
+        return None
+    if isinstance(value, int):
+        return str(value)
+    if isinstance(value, str):
+        return value
+    return None
+
+
+def bloom_positions(key: str, m: int, k: int) -> list:
+    """The k bit positions for one value — crc32 over ``key#i``, the
+    same formula the flush's Spark build job uses
+    (``crc32(concat(cast(col as string), '#i')) % m``)."""
+    import zlib
+    return [zlib.crc32(f"{key}#{i}".encode("utf-8")) % m
+            for i in range(k)]
+
+
+def bloom_may_contain(bloom: dict, col: str, value: Any) -> bool:
+    """Segment-level bloom membership: False ONLY when the value is
+    provably absent from the segment.  ``bloom`` is the decoded sidecar
+    ({"m", "k", "cols": {col: bitmap bytes}}); anything undecidable
+    (no bitmap for the column, un-keyable value) keeps the segment."""
+    bits = (bloom.get("cols") or {}).get(col)
+    if bits is None:
+        return True
+    key = bloom_key(value)
+    if key is None:
+        return True
+    m, k = int(bloom["m"]), int(bloom["k"])
+    for p in bloom_positions(key, m, k):
+        if not (bits[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
+
+def build_bloom_payload(df, cfg: dict) -> dict:
+    """The flush-side bloom build: ONE distributed job over the frame
+    just written — k crc32 positions per (row, bloom column), distinct
+    (col, pos) pairs to the driver (bounded by |cols|·m rows, never by
+    the data), folded into per-column bitmaps.
+
+    ``cfg`` = {"cols": [...], "m": bits, "k": hashes}.  Returns the
+    JSON-safe sidecar payload {"m", "k", "cols": {col: base64 bitmap}}
+    — {} when no configured column exists in the frame.  Nulls hash to
+    null positions and are filtered (a null never equals anything the
+    bloom is consulted for)."""
+    from pyspark.sql import functions as F
+    import base64
+    cols = [c for c in cfg.get("cols", ()) if c in df.columns]
+    if not cols:
+        return {}
+    m, k = int(cfg.get("m", 65536)), int(cfg.get("k", 4))
+    entries = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        for i in range(k):
+            entries.append(F.struct(
+                F.lit(c).alias("c"),
+                (F.crc32(F.concat(s, F.lit(f"#{i}"))) % m).alias("p")))
+    rows = (df.select(F.explode(F.array(*entries)).alias("e"))
+              .select("e.c", "e.p").where(F.col("p").isNotNull())
+              .distinct().collect())
+    maps = {c: bytearray((m + 7) >> 3) for c in cols}
+    for r in rows:
+        p = int(r["p"])
+        maps[r["c"]][p >> 3] |= 1 << (p & 7)
+    return {"m": m, "k": k,
+            "cols": {c: base64.b64encode(bytes(b)).decode("ascii")
+                     for c, b in maps.items()}}
+
+
 def _leaf_may_match(field: str, op: str, value: Any, summary: dict,
                     table: str) -> bool:
     """Could ANY row of a segment with these column stats satisfy this
@@ -275,11 +352,18 @@ def _leaf_may_match(field: str, op: str, value: Any, summary: dict,
     if op in ("=", ">", ">=", "<", "<=", "BETWEEN", "IN", "LIKE") \
             and not has_nonnull:
         return False          # null rows satisfy none of these
+    bloom = summary.get("bloom")
     if op == "=":
         lo, hi = _aligned_cmp(value, mn), _aligned_cmp(value, mx)
-        if lo is None or hi is None:
-            return True
-        return lo >= 0 and hi <= 0
+        if lo is not None and hi is not None \
+                and not (lo >= 0 and hi <= 0):
+            return False
+        # in-range (or range-undecidable): the bloom bitmap can still
+        # prove the exact value absent — the point-lookup case min/max
+        # can never decide on a high-cardinality unsorted key
+        if bloom is not None and not bloom_may_contain(bloom, f, value):
+            return False
+        return True
     if op in ("!=", "<>"):
         # only prunable when every row equals value AND none is null
         if value is None:
@@ -308,13 +392,14 @@ def _leaf_may_match(field: str, op: str, value: Any, summary: dict,
         vals = value or []
         if not vals:
             return False      # IN () matches nothing (eval_leaf: any([]))
-        decisions = []
         for v in vals:
             lo, hi = _aligned_cmp(v, mn), _aligned_cmp(v, mx)
-            if lo is None or hi is None:
+            in_range = (True if (lo is None or hi is None)
+                        else (lo >= 0 and hi <= 0))
+            if in_range and (bloom is None
+                             or bloom_may_contain(bloom, f, v)):
                 return True
-            decisions.append(lo >= 0 and hi <= 0)
-        return any(decisions)
+        return False
     if op in ("LIKE",):
         # literal prefix bound: rows matching 'abc%...' sit in
         # ['abc', 'abc￿...']; decidable only for string stats

@@ -268,6 +268,10 @@ _SEGMENTS_SIDECAR = "_segments.json"
 #: read lazily by engine.pruned_df for file-grain skipping — version
 #: dirs are immutable, so the engine caches it per segment path
 _FILESTATS_SIDECAR = "_filestats.json"
+#: per-segment bloom bitmaps for point-lookup skipping on
+#: high-cardinality keys (enable_bloom_skip); built by ONE distributed
+#: job per flush over the written frame, read lazily like _FILESTATS
+_BLOOM_SIDECAR = "_bloom.json"
 _MAX_SEGMENTS = 16
 
 
@@ -524,6 +528,19 @@ def flush_tables(engine, flush_storage: bool = True,
                     fs.write_atomic(
                         _fsmod.join(vdir, _FILESTATS_SIDECAR),
                         json.dumps({"files": by_file}))
+            bl_cfg = ent.get("bloom_cols")
+            if bl_cfg and not pby:
+                # point-lookup bloom bitmaps over the rows THIS version
+                # dir holds (the delta on the fast path): one distinct
+                # job, reading back what was just written — never the
+                # table's lineage
+                from tostore_spark.plans.skipping import \
+                    build_bloom_payload
+                payload = build_bloom_payload(
+                    engine._read_parquet(vdir), bl_cfg)
+                if payload:
+                    fs.write_atomic(_fsmod.join(vdir, _BLOOM_SIDECAR),
+                                    json.dumps(payload))
             staged.append((key, gen, vdir, written_schema, pby,
                            segments, seg_stats))
             for c in claims:      # keep every claim visibly live while
@@ -564,6 +581,7 @@ def flush_tables(engine, flush_storage: bool = True,
             # v<gen> path (re-registration restarts generations): the
             # file-stats sidecar cache must not serve the old dir's map
             engine.__dict__.pop("_filestats_cache", None)
+            engine.__dict__.pop("_bloom_cache", None)
             manifest = _build_manifest(engine)
             if merge_from is not None:
                 manifest = _merge_manifests(engine, manifest, merge_from)
@@ -743,6 +761,7 @@ def _fold_merged(engine, manifest: dict) -> None:
             "global": ent["global"],
             "segments": segs,
             "segment_stats": ent.get("segment_stats"),
+            "bloom_cols": ent.get("bloom_cols"),
         }
         engine._generations[key] = ver
         engine._flushed_gen[key] = ver
@@ -783,6 +802,8 @@ def _build_manifest(engine) -> dict:
                 entry["segments"] = list(segs)
             if ent.get("segment_stats"):
                 entry["segment_stats"] = ent["segment_stats"]
+            if ent.get("bloom_cols"):
+                entry["bloom_cols"] = ent["bloom_cols"]
             if ent.get("partition_by"):
                 # exact Spark types for the partitioned read-back pin —
                 # TableSchema's logical types are lossy (e.g. NTZ)
@@ -828,6 +849,7 @@ def load_warehouse(engine) -> list[str]:
             "path": ent["path"], "schema": sch, "global": ent["global"],
             "partition_by": pby, "segments": segs,
             "segment_stats": ent.get("segment_stats"),
+            "bloom_cols": ent.get("bloom_cols"),
         }
         engine._generations[key] = ent.get("version", 0)
         if not hasattr(engine, "_flushed_gen"):
@@ -936,6 +958,7 @@ def refresh(engine, row_merge: bool = False,
     # append and double-commit rows
     engine._append_deltas.clear()
     engine.__dict__.pop("_filestats_cache", None)
+    engine.__dict__.pop("_bloom_cache", None)
     load_warehouse(engine)
     replayed = []
     for k, (ent, gen) in keep.items():
