@@ -1770,6 +1770,53 @@ def q_segment_skip(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_delete_vectors(spark, sf_dir):
+    """Deletion-vector (merge-on-read) commits (store.flush_tables
+    fast_del + _ops_frame; Delta's DV shape): a pure-delete epoch
+    flushes ONLY the deleted-PK parquet under ``<vdir>/_deletes`` —
+    the entry asserts the new version dir holds zero data files and
+    that the recipe ends in a ``del`` step — and a COLD reopen must
+    replay base ∖ deleted ∪ re-appended, including the
+    delete-then-reinsert ordering (the anti-join applies only to
+    segments before the delete)."""
+    import os
+    import tempfile
+    db = _db(spark, sf_dir)
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    with tempfile.TemporaryDirectory() as tmp:
+        db1 = ToStoreSpark(spark, warehouse=tmp)
+        db1.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n_name", type=DataType.text),
+                    FieldSchema(name="n_regionkey",
+                                type=DataType.integer)]))
+        db1.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
+             "n_regionkey": r["n_regionkey"]} for r in nat])
+        db1.flush()                                    # base segment
+        db1.delete("nat").where("n_regionkey", "=", 2).execute()
+        db1.flush()                                    # delete epoch
+        ent = db1._tables[("default", "nat")]
+        vdir = ent["path"]
+        if [f for f in os.listdir(vdir) if f.endswith(".parquet")]:
+            raise AssertionError("delete epoch wrote table data")
+        if ent["ops"][-1][0] != "del":
+            raise AssertionError(f"no delete step: {ent['ops']}")
+        reborn = min(r["n_nationkey"] for r in nat
+                     if r["n_regionkey"] == 2)
+        db1.batch_insert("nat", [{"id": f"n{reborn:03d}",
+                                  "n_name": "REBORN",
+                                  "n_regionkey": 9}])
+        db1.flush()                                    # append epoch
+        db2 = ToStoreSpark(spark, warehouse=tmp)       # cold replay
+        out = (db2.query("nat").order_by_asc("id").df()
+               .select("id", "n_name", "n_regionkey"))
+        rows, schema = out.collect(), out.schema
+    return spark.createDataFrame(rows, schema)
+
+
 def q_bloom_skip(spark, sf_dir):
     """Bloom point-lookup segment skipping (engine.enable_bloom_skip +
     plans/skipping.bloom_may_contain): customer lands in 3 interleaved
@@ -3756,7 +3803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ORDER = [
         # -- r10 rotation head (the r9 verdict's item 1, executed) -----
         # slots 1-4: entries born in r10 (newest-first rule)
-        "q_bloom_skip", "q_file_skip", "q_meta_agg", "q_segment_skip",
+        "q_delete_vectors", "q_bloom_skip", "q_file_skip", "q_meta_agg",
+        "q_segment_skip",
         "q_graph_prune", "q_stream_multi_sink", "q_graph_append",
         "q_stream_neardup_ingest", "q_diversity_report",
         "q_graph_refine", "q_text_drift", "q_stream_rightouter_join",
@@ -4637,6 +4685,14 @@ def oracle_sql() -> dict[str, str]:
         "q_bloom_skip": """
             SELECT c_custkey, c_name, c_nationkey FROM customer
             WHERE c_custkey IN (700, 702)""",
+        "q_delete_vectors": """
+            SELECT 'n' || lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS id,
+                   n_name, n_regionkey
+            FROM nation WHERE n_regionkey <> 2
+            UNION ALL
+            SELECT 'n' || lpad(CAST(min(n_nationkey) AS VARCHAR), 3, '0'),
+                   'REBORN', 9
+            FROM nation WHERE n_regionkey = 2""",
         "q_meta_agg": """
             SELECT 'count' AS metric, CAST(count(*) + 7 AS BIGINT) AS value
             FROM nation

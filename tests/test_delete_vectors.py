@@ -1,0 +1,155 @@
+"""Deletion-vector (merge-on-read) flush commits: a pure-delete epoch
+flushes only the deleted-PK parquet under ``<vdir>/_deletes``; readers
+fold the recipe (``store._ops_frame``) in epoch order.  The cost claim
+under test: deleting k rows writes k keys, never the table."""
+import os
+
+import pytest
+
+from tostore_spark.engine import ToStoreSpark
+from tostore_spark.schema import (DataType, FieldSchema, PrimaryKeyConfig,
+                                  TableSchema)
+
+
+def _mk(spark, wh, rows=20):
+    db = ToStoreSpark(spark, warehouse=wh)
+    db.create_table(TableSchema(
+        name="notes", primary_key=PrimaryKeyConfig(name="id"),
+        fields=[FieldSchema(name="body", type=DataType.text),
+                FieldSchema(name="n", type=DataType.integer)]))
+    db.batch_insert("notes", [
+        {"id": f"k{i:03d}", "body": f"b{i}", "n": i} for i in range(rows)])
+    db.flush()
+    return db
+
+
+def _ids(db, name="notes"):
+    return sorted(r["id"] for r in db.df(name).collect())
+
+
+@pytest.mark.usefixtures("spark")
+class TestDeleteVectors:
+    def test_pure_delete_epoch_writes_only_keys(self, spark, tmp_path):
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh)
+        base_path = db._tables[("default", "notes")]["path"]
+        n = db.delete("notes").where("n", "<", 5).execute()
+        assert n == 5
+        db.flush()
+        ent = db._tables[("default", "notes")]
+        vdir = ent["path"]
+        assert vdir != base_path
+        # the new version dir holds NO table data — only the key set
+        root_files = [f for f in os.listdir(vdir)
+                      if f.endswith(".parquet")]
+        assert root_files == []
+        assert os.path.isdir(os.path.join(vdir, "_deletes"))
+        assert ent["ops"][-1][0] == "del"
+        # the in-memory read and a cold reopen agree
+        assert _ids(db) == [f"k{i:03d}" for i in range(5, 20)]
+        db2 = ToStoreSpark(spark, warehouse=wh)
+        assert _ids(db2) == [f"k{i:03d}" for i in range(5, 20)]
+        assert db2.query("notes").where("id", "=", "k003").count() == 0
+
+    def test_delete_then_reinsert_ordering(self, spark, tmp_path):
+        """pk deleted in epoch 2, re-inserted in epoch 3: the anti-join
+        applies only to segments BEFORE the delete, so the new row
+        survives a cold reopen."""
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh, rows=6)
+        db.delete("notes").where("id", "=", "k002").execute()
+        db.flush()
+        db.batch_insert("notes", [{"id": "k002", "body": "new", "n": 99}])
+        db.flush()
+        db2 = ToStoreSpark(spark, warehouse=wh)
+        rows = {r["id"]: r for r in db2.df("notes").collect()}
+        assert rows["k002"]["body"] == "new" and len(rows) == 6
+        kinds = [k for k, _ in db2._tables[("default", "notes")]["ops"]]
+        assert kinds == ["seg", "del", "seg"]
+
+    def test_mixed_epoch_poisons_to_rewrite(self, spark, tmp_path):
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh, rows=6)
+        db.delete("notes").where("id", "=", "k000").execute()
+        db.batch_insert("notes", [{"id": "x1", "body": "y", "n": 1}])
+        key = ("default", "notes")
+        assert db._append_deltas.get(key) is None
+        assert db._delete_deltas.get(key) is None
+        db.flush()
+        ent = db._tables[key]
+        assert [k for k, _ in ent["ops"]] == ["seg"]   # full rewrite
+        db2 = ToStoreSpark(spark, warehouse=wh)
+        assert _ids(db2) == ["k001", "k002", "k003", "k004", "k005", "x1"]
+
+    def test_duplicate_pk_probe_falls_back(self, spark, tmp_path):
+        """Duplicate PKs (bulk path, no validation) make the PK set
+        ambiguous: the survivor-probe must veto the vector and the
+        rewrite must keep the surviving duplicate."""
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh, rows=4)
+        dup = spark.createDataFrame(
+            [{"id": "k001", "body": "DUP", "n": 77}],
+            db.df("notes").schema)
+        db.append_rows("notes", dup)
+        db.flush()
+        n = db.delete("notes").where("n", "=", 1).execute()   # one copy
+        assert n == 1
+        key = ("default", "notes")
+        assert db._delete_deltas.get(key) is None   # vetoed → rewrite
+        db.flush()
+        db2 = ToStoreSpark(spark, warehouse=wh)
+        rows = [r for r in db2.df("notes").collect() if r["id"] == "k001"]
+        assert len(rows) == 1 and rows[0]["body"] == "DUP"
+
+    def test_time_travel_vacuum_fsck(self, spark, tmp_path):
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh, rows=8)                      # v? base
+        v_base = db._generations[("default", "notes")]
+        db.delete("notes").where("n", ">=", 6).execute()
+        db.flush()                                       # delete epoch
+        v_del = db._generations[("default", "notes")]
+        db.batch_insert("notes", [{"id": "z9", "body": "t", "n": 50}])
+        db.flush()                                       # append epoch
+        assert db.df_at("notes", v_base).count() == 8
+        assert db.df_at("notes", v_del).count() == 6
+        # vacuum keeps the chain alive: current recipe references the
+        # base AND the delete-epoch dirs
+        db.unpin_versions()
+        db.vacuum(keep=1)
+        db2 = ToStoreSpark(spark, warehouse=wh)
+        assert db2.df("notes").count() == 7
+        assert db2.fsck().count() == 0
+
+    def test_rollback_restores_delete_delta(self, spark, tmp_path):
+        from tostore_spark.transaction import transaction
+        db = _mk(spark, str(tmp_path / "wh"), rows=5)
+        key = ("default", "notes")
+        with pytest.raises(RuntimeError):
+            with transaction(db):
+                db.delete("notes").where("id", "=", "k001").execute()
+                raise RuntimeError("abort")
+        assert key not in db._delete_deltas \
+            or db._delete_deltas.get(key) is None
+        assert db.df("notes").count() == 5
+        db.flush()
+        db2 = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))
+        assert db2.df("notes").count() == 5
+
+    def test_skipping_and_meta_agg_ineligible_until_compaction(
+            self, spark, tmp_path):
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh, rows=10)
+        db.delete("notes").where("n", "=", 3).execute()
+        db.flush()
+        # metadata count would read 10 from segment stats — must scan
+        assert db.query("notes").count() == 9
+        assert db._last_meta_agg is None
+        # range query must not rebuild from segments (would resurrect)
+        assert db.query("notes").where("n", "BETWEEN",
+                                       {"start": 0, "end": 5}).count() == 5
+        assert db._last_prune is None
+        # a rewrite (mixed epoch) compacts; fast paths resume
+        db.update("notes", {"body": "u"}).where("n", "=", 0).execute()
+        db.flush()
+        assert db.query("notes").count() == 9
+        assert db._last_meta_agg == ("count", "notes")

@@ -144,6 +144,7 @@ class ToStoreSpark:
         # a re-registration is a whole-table replacement — never an
         # append-only mutation the flush fast path may ship as a segment
         self._append_deltas[(space, name)] = None
+        self._delete_deltas[(space, name)] = None
 
     def _read_parquet(self, path: str, schema=None) -> DataFrame:
         """Parquet read that tolerates nanosecond timestamps (Spark rejects
@@ -320,6 +321,7 @@ class ToStoreSpark:
             del self._tables[key]
             self._generations.pop(key, None)
             self._append_deltas.pop(key, None)
+            self._delete_deltas.pop(key, None)
         self._known_spaces.discard(space)
         return DbResult(True, f"space {space} deleted")
 
@@ -389,6 +391,12 @@ class ToStoreSpark:
         ent = self._tables[key]
         stats, segs = ent.get("segment_stats"), ent.get("segments")
         if not stats or not segs:
+            return None
+        ops = ent.get("ops")
+        if ops and any(k == "del" for k, _p in ops):
+            # deletion vectors pending: segment stats still count the
+            # deleted rows — metadata answers would be wrong until a
+            # rewrite/compaction folds them
             return None
         if (self._generations.get(key, 0)
                 != getattr(self, "_flushed_gen", {}).get(key)):
@@ -480,6 +488,12 @@ class ToStoreSpark:
         segs = ent.get("segments")
         clean = (self._generations.get(key, 0)
                  == getattr(self, "_flushed_gen", {}).get(key))
+        ops = ent.get("ops")
+        if ops and any(k == "del" for k, _p in ops):
+            # deletion vectors pending: a segment-rebuilt scan would
+            # skip the anti-join chain and resurrect deleted rows —
+            # skipping resumes after the compacting rewrite
+            clean = False
         if not stats or not segs or not clean:
             self._last_prune = None
             return None
@@ -643,7 +657,8 @@ class ToStoreSpark:
         return sch.primary_key.name if sch.primary_key else None
 
     def set_df(self, name: str, df: DataFrame, weight: int = 1,
-               append_delta: Optional[DataFrame] = None) -> None:
+               append_delta: Optional[DataFrame] = None,
+               delete_delta: Optional[DataFrame] = None) -> None:
         """``weight`` counts toward the compaction budget: plan-heavy
         rewrites (e.g. unique-checked updates, whose olds-join would
         otherwise compound in lineage between barriers) pass >1 so the
@@ -652,29 +667,59 @@ class ToStoreSpark:
         ``append_delta``: when the new frame is PROVABLY the old frame
         plus exactly these rows (insert paths), pass the appended rows —
         the flush fast path then ships only the delta as a new segment
-        instead of rewriting the table (store.flush_tables).  Any write
-        without a delta poisons the fast path until the next flush."""
+        instead of rewriting the table (store.flush_tables).
+
+        ``delete_delta``: when the new frame is PROVABLY the old frame
+        minus exactly the rows carrying these PK values (validated
+        delete paths), pass the deleted-PK frame — the flush then
+        commits a deletion vector instead of rewriting.  Any write
+        without a delta (or mixing the two kinds in one epoch) poisons
+        both fast paths until the next flush."""
         self._set_df_at_key(self._resolve(name), df, weight=weight,
-                            append_delta=append_delta)
+                            append_delta=append_delta,
+                            delete_delta=delete_delta)
 
     def _set_df_at_key(self, key: tuple, df: DataFrame,
                        weight: int = 1,
-                       append_delta: Optional[DataFrame] = None) -> None:
+                       append_delta: Optional[DataFrame] = None,
+                       delete_delta: Optional[DataFrame] = None) -> None:
         """Key-addressed write — see ``_df_at_key`` for why cross-space
-        callers must not go through active-space name resolution."""
+        callers must not go through active-space name resolution.
+
+        Epoch purity (flush fast paths): an epoch is PURE-APPEND
+        (``append_delta`` on every write), PURE-DELETE (``delete_delta``
+        — the deleted PK frame — on every write), or a rewrite.  Mixing
+        the two delta kinds, or any plain write, poisons BOTH fast
+        paths until the next flush — a mixed epoch's delete-then-append
+        replay order is not reconstructible from two unordered sets."""
         self._tables[key]["df"] = df
         self._generations[key] = self._generations.get(key, 0) + 1
-        deltas = self._append_deltas
-        if append_delta is None:
-            deltas[key] = None            # rewrite-dirty: no fast path
-        elif deltas.get(key, "absent") is None:
-            pass                          # already poisoned this epoch
-        else:
+        adeltas, ddeltas = self._append_deltas, self._delete_deltas
+
+        def _poison():
+            adeltas[key] = None
+            ddeltas[key] = None
+
+        def _fold(store, other, delta):
+            if store.get(key, "absent") is None:
+                return                    # already poisoned this epoch
+            if other.get(key) is not None:
+                _poison()                 # mixed epoch
+                return
             # pin the delta's rows now: its lineage may reference frames
             # a later mutation invalidates before the flush executes it
-            pinned = append_delta.localCheckpoint(eager=True)
-            deltas[key] = (deltas[key].unionByName(pinned)
-                           if key in deltas else pinned)
+            pinned = delta.localCheckpoint(eager=True)
+            store[key] = (store[key].unionByName(pinned)
+                          if store.get(key) is not None else pinned)
+
+        if append_delta is None and delete_delta is None:
+            _poison()                     # rewrite-dirty: no fast path
+        elif append_delta is not None and delete_delta is not None:
+            _poison()                     # ambiguous caller: stay safe
+        elif append_delta is not None:
+            _fold(adeltas, ddeltas, append_delta)
+        else:
+            _fold(ddeltas, adeltas, delete_delta)
         self._maybe_compact(key, weight=weight)
         for w in list(getattr(self, "_watchers", [])):
             w.notify_change(key[1])
@@ -698,6 +743,16 @@ class ToStoreSpark:
         if not hasattr(self, "_adeltas"):
             self._adeltas = {}
         return self._adeltas
+
+    @property
+    def _delete_deltas(self) -> dict:
+        """(space, name) → deleted-PK frame for tables whose every
+        mutation since the last flush was a PK-identified delete (the
+        flush deletion-vector fast path, store.flush_tables), or None
+        for tables rewritten this epoch."""
+        if not hasattr(self, "_ddeltas"):
+            self._ddeltas = {}
+        return self._ddeltas
 
     def append_rows(self, name: str, rows_df: DataFrame) -> int:
         """Explicit append fast path: union ``rows_df`` into the table
@@ -1164,6 +1219,7 @@ class ToStoreSpark:
                 del self._tables[key]
                 self._generations.pop(key, None)
                 self._append_deltas.pop(key, None)
+                self._delete_deltas.pop(key, None)
 
     def delete_database(self) -> None:
         """Drop everything: all spaces, tables, KV state, caches
@@ -1171,6 +1227,7 @@ class ToStoreSpark:
         self._tables.clear()
         self._generations.clear()
         self._append_deltas.clear()
+        self._delete_deltas.clear()
         if hasattr(self, "_kv"):
             self._kv.restore({})
         if hasattr(self, "_spaces"):

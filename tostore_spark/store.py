@@ -275,6 +275,12 @@ _BLOOM_SIDECAR = "_bloom.json"
 _MAX_SEGMENTS = 16
 
 
+#: subdir of a deletion-vector version dir holding the deleted-PK
+#: parquet; the leading underscore keeps Spark's own readers from ever
+#: scanning it as table data
+_DELETES_SUBDIR = "_deletes"
+
+
 def _version_segments(fs, vdir: str) -> list[str]:
     """The FULL content of a flushed version: its sidecar's segment
     list (append commit) or the directory alone (rewrite commit)."""
@@ -285,6 +291,57 @@ def _version_segments(fs, vdir: str) -> list[str]:
         return list(json.loads(fs.read_text(path))["segments"])
     except (OSError, ValueError, KeyError):
         return [vdir]
+
+
+def _version_ops(fs, vdir: str) -> list:
+    """The version's RECIPE since the last full rewrite: ordered
+    ``["seg", dir]`` (union the segment's rows) / ``["del", dir]``
+    (anti-join the PK frame under ``dir/_deletes``) steps.  Pre-ops
+    sidecars reduce to their segment list; a rewrite commit is the
+    directory alone."""
+    path = _fsmod.join(vdir, _SEGMENTS_SIDECAR)
+    try:
+        if not fs.exists(path):
+            return [["seg", vdir]]
+        d = json.loads(fs.read_text(path))
+        ops = d.get("ops")
+        if ops:
+            return [list(o) for o in ops]
+        return [["seg", s] for s in d["segments"]]
+    except (OSError, ValueError, KeyError):
+        return [["seg", vdir]]
+
+
+def _version_refs(fs, vdir: str) -> list[str]:
+    """Every version DIRECTORY a flushed version's recipe references —
+    data segments AND deletion-vector dirs (vacuum/fsck protection must
+    cover both: deleting a del-epoch dir breaks every later version)."""
+    return [p for _k, p in _version_ops(fs, vdir)]
+
+
+def _ops_frame(engine, ops, pin=None):
+    """Fold a version recipe into one lazy frame: segments union in
+    order, each deletion vector anti-joins on its PK column (the frame
+    is broadcast — delete sets are small relative to data).  Pure-seg
+    recipes keep the single multi-root scan."""
+    from pyspark.sql import functions as F
+    segs = [p for k, p in ops if k == "seg"]
+    if len(segs) == len(ops):
+        return engine._read_parquet(segs if len(segs) > 1 else segs[0],
+                                    schema=pin)
+    df = None
+    for kind, path in ops:
+        if kind == "seg":
+            part = engine._read_parquet(path, schema=pin)
+            if pin is not None:
+                part = part.select(*[f.name for f in pin.fields])
+            df = part if df is None else df.unionByName(part)
+        elif df is not None:
+            keys = engine._read_parquet(
+                _fsmod.join(path, _DELETES_SUBDIR))
+            df = df.join(F.broadcast(keys), on=list(keys.columns),
+                         how="left_anti")
+    return df
 
 
 def _claim_path(wh: str, space: str, table: str, version: int) -> str:
@@ -484,30 +541,53 @@ def flush_tables(engine, flush_storage: bool = True,
             # rows).  Time travel stays exact via a _segments.json
             # sidecar in the version dir (read_version).
             delta = engine._append_deltas.get(key)
+            ddelta = engine._delete_deltas.get(key)
             base_segs = ent.get("segments") or \
                 ([ent["path"]] if ent.get("path") else None)
+            base_ops = ent.get("ops") or \
+                ([["seg", p] for p in base_segs] if base_segs else None)
             whn = _norm_path(wh)
-            fast = (delta is not None
-                    and key in engine._flushed_gen
-                    and base_segs is not None
-                    and all(_norm_path(p).startswith(whn)
-                            for p in base_segs)
-                    and not (ttl_cfg is not None and ttl_cfg.ttl_ms)
-                    and len(base_segs) < _MAX_SEGMENTS)
-            frame = delta if fast else ent["df"]
-            writer = frame.write.mode("overwrite")
             pby = ent.get("partition_by")
+            eligible = (key in engine._flushed_gen
+                        and base_segs is not None
+                        and all(_norm_path(p).startswith(whn)
+                                for p in base_segs)
+                        and not (ttl_cfg is not None and ttl_cfg.ttl_ms)
+                        and base_ops is not None
+                        and len(base_ops) < _MAX_SEGMENTS)
+            fast = delta is not None and eligible
+            # deletion-vector commit (Delta's merge-on-read DV shape):
+            # a pure-delete epoch flushes ONLY the deleted-PK parquet
+            # under <vdir>/_deletes — deleting 100 rows from a 100 TB
+            # table costs the key set's IO, not a rewrite; readers
+            # anti-join it in recipe order (_ops_frame).  Epoch purity
+            # is enforced at write time (engine._set_df_at_key).
+            fast_del = (not fast and ddelta is not None
+                        and delta is None and eligible and not pby)
             written_schema = ent["df"].schema
-            if pby:
-                # hive-style directory partitioning: reopened readers
-                # prune partitions on these columns (PartitionFilters)
-                writer = writer.partitionBy(*pby)
-            writer.parquet(vdir)
-            segments = (base_segs + [vdir]) if fast else None
-            if segments:
+            if fast_del:
+                ddelta.write.mode("overwrite").parquet(
+                    _fsmod.join(vdir, _DELETES_SUBDIR))
+                ops = base_ops + [["del", vdir]]
+                segments = list(base_segs)
+            else:
+                frame = delta if fast else ent["df"]
+                writer = frame.write.mode("overwrite")
+                if pby:
+                    # hive-style directory partitioning: reopened
+                    # readers prune partitions on these columns
+                    writer = writer.partitionBy(*pby)
+                writer.parquet(vdir)
+                ops = (base_ops + [["seg", vdir]]) if fast \
+                    else [["seg", vdir]]
+                segments = (base_segs + [vdir]) if fast else None
+            has_del = any(k == "del" for k, _p in ops)
+            if segments or has_del:
                 fs.write_atomic(
                     _fsmod.join(vdir, _SEGMENTS_SIDECAR),
-                    json.dumps({"segments": segments}))
+                    json.dumps({"segments":
+                                [p for k, p in ops if k == "seg"],
+                                "ops": ops}))
             # per-segment footer stats for manifest-level data skipping
             # (plans/skipping): metadata-only reads of what was just
             # written — base segments keep their prior stats on the
@@ -517,32 +597,36 @@ def flush_tables(engine, flush_storage: bool = True,
             # carries only the segment roll-up.
             from tostore_spark.plans.skipping import collect_parquet_stats
             seg_stats = (dict(ent.get("segment_stats") or {})
-                         if fast else {})
-            new_stats, by_file = collect_parquet_stats(vdir,
-                                                       per_file=True)
-            if new_stats:
-                seg_stats[_norm_path(vdir)] = new_stats
-                if by_file and not pby:
-                    # partitioned roots keep directory pruning; the
-                    # file-grain read path is unpartitioned-only
-                    fs.write_atomic(
-                        _fsmod.join(vdir, _FILESTATS_SIDECAR),
-                        json.dumps({"files": by_file}))
-            bl_cfg = ent.get("bloom_cols")
-            if bl_cfg and not pby:
-                # point-lookup bloom bitmaps over the rows THIS version
-                # dir holds (the delta on the fast path): one distinct
-                # job, reading back what was just written — never the
-                # table's lineage
-                from tostore_spark.plans.skipping import \
-                    build_bloom_payload
-                payload = build_bloom_payload(
-                    engine._read_parquet(vdir), bl_cfg)
-                if payload:
-                    fs.write_atomic(_fsmod.join(vdir, _BLOOM_SIDECAR),
-                                    json.dumps(payload))
+                         if (fast or fast_del) else {})
+            if not fast_del:
+                # a deletion-vector dir holds no table data — nothing
+                # to summarize (and walking it would misread _deletes)
+                new_stats, by_file = collect_parquet_stats(vdir,
+                                                           per_file=True)
+                if new_stats:
+                    seg_stats[_norm_path(vdir)] = new_stats
+                    if by_file and not pby:
+                        # partitioned roots keep directory pruning; the
+                        # file-grain read path is unpartitioned-only
+                        fs.write_atomic(
+                            _fsmod.join(vdir, _FILESTATS_SIDECAR),
+                            json.dumps({"files": by_file}))
+                bl_cfg = ent.get("bloom_cols")
+                if bl_cfg and not pby:
+                    # point-lookup bloom bitmaps over the rows THIS
+                    # version dir holds (the delta on the fast path):
+                    # one distinct job, reading back what was just
+                    # written — never the table's lineage
+                    from tostore_spark.plans.skipping import \
+                        build_bloom_payload
+                    payload = build_bloom_payload(
+                        engine._read_parquet(vdir), bl_cfg)
+                    if payload:
+                        fs.write_atomic(
+                            _fsmod.join(vdir, _BLOOM_SIDECAR),
+                            json.dumps(payload))
             staged.append((key, gen, vdir, written_schema, pby,
-                           segments, seg_stats))
+                           segments, seg_stats, ops))
             for c in claims:      # keep every claim visibly live while
                 try:              # later tables write (freshness signal
                     fs.touch(c)   # for other writers' stale checks)
@@ -569,12 +653,17 @@ def flush_tables(engine, flush_storage: bool = True,
                 if base_seq != getattr(engine, "_store_seq", 0) else None
             # adopt the written directories into the registry (schema
             # pinned so partition-column inference can't retype values)
-            for key, gen, vdir, wsch, pby, segs, seg_stats in staged:
+            for key, gen, vdir, wsch, pby, segs, seg_stats, ops in staged:
                 ent = engine._tables[key]
-                ent["df"] = engine._read_parquet(
-                    segs if segs else vdir, schema=wsch if pby else None)
+                if any(k == "del" for k, _p in ops):
+                    ent["df"] = _ops_frame(engine, ops)
+                else:
+                    ent["df"] = engine._read_parquet(
+                        segs if segs else vdir,
+                        schema=wsch if pby else None)
                 ent["path"] = vdir
                 ent["segments"] = segs or [vdir]
+                ent["ops"] = ops
                 ent["segment_stats"] = seg_stats or None
             engine._store_seq = base_seq + 1
             # new version dirs may reuse a vacuumed/dropped table's
@@ -595,6 +684,7 @@ def flush_tables(engine, flush_storage: bool = True,
             for key, gen, *_ in staged:
                 engine._flushed_gen[key] = gen
                 engine._append_deltas.pop(key, None)
+                engine._delete_deltas.pop(key, None)
                 flushed.append(key[1])
             _write_flush_event(fs, wh, engine._store_seq, flushed)
             if merge_from is not None:
@@ -753,15 +843,21 @@ def _fold_merged(engine, manifest: dict) -> None:
         if engine._flushed_gen.get(key) == ver and key in engine._tables:
             continue   # ours (just flushed or untouched) — already right
         segs = ent.get("segments") or [ent["path"]]
+        fops = ent.get("ops")
+        if fops and any(k == "del" for k, _p in fops):
+            fdf = _ops_frame(engine, fops)
+        else:
+            fdf = engine._read_parquet(
+                segs if len(segs) > 1 else ent["path"])
         engine._tables[key] = {
-            "df": engine._read_parquet(
-                segs if len(segs) > 1 else ent["path"]),
+            "df": fdf,
             "path": ent["path"],
             "schema": _schema_from_dict(ent["schema"]),
             "global": ent["global"],
             "segments": segs,
             "segment_stats": ent.get("segment_stats"),
             "bloom_cols": ent.get("bloom_cols"),
+            "ops": fops,
         }
         engine._generations[key] = ver
         engine._flushed_gen[key] = ver
@@ -804,6 +900,11 @@ def _build_manifest(engine) -> dict:
                 entry["segment_stats"] = ent["segment_stats"]
             if ent.get("bloom_cols"):
                 entry["bloom_cols"] = ent["bloom_cols"]
+            ops = ent.get("ops")
+            if ops and any(k == "del" for k, _p in ops):
+                # only deletion-vector recipes need the ordered form;
+                # pure-append recipes reconstruct from "segments"
+                entry["ops"] = [list(o) for o in ops]
             if ent.get("partition_by"):
                 # exact Spark types for the partitioned read-back pin —
                 # TableSchema's logical types are lossy (e.g. NTZ)
@@ -843,13 +944,19 @@ def load_warehouse(engine) -> list[str]:
             from pyspark.sql.types import StructType
             pin = StructType.fromJson(json.loads(ent["spark_schema"]))
         segs = ent.get("segments") or [ent["path"]]
+        ops = ent.get("ops")
+        if ops and any(k == "del" for k, _p in ops):
+            df = _ops_frame(engine, ops, pin=pin)
+        else:
+            df = engine._read_parquet(
+                segs if len(segs) > 1 else ent["path"], schema=pin)
         engine._tables[key] = {
-            "df": engine._read_parquet(
-                segs if len(segs) > 1 else ent["path"], schema=pin),
+            "df": df,
             "path": ent["path"], "schema": sch, "global": ent["global"],
             "partition_by": pby, "segments": segs,
             "segment_stats": ent.get("segment_stats"),
             "bloom_cols": ent.get("bloom_cols"),
+            "ops": ops,
         }
         engine._generations[key] = ent.get("version", 0)
         if not hasattr(engine, "_flushed_gen"):
@@ -957,6 +1064,7 @@ def refresh(engine, row_merge: bool = False,
     # and a reloaded table's leftover delta would union into the NEXT
     # append and double-commit rows
     engine._append_deltas.clear()
+    engine._delete_deltas.clear()
     engine.__dict__.pop("_filestats_cache", None)
     engine.__dict__.pop("_bloom_cache", None)
     load_warehouse(engine)
@@ -1207,8 +1315,12 @@ def read_version(engine, table: str, version: int,
         engine._pinned_versions = set()
     engine._pinned_versions.add((space, table, version))
     # an append-commit version dir holds only its delta; the sidecar
-    # names the version's FULL segment list (vacuum resolves pins
-    # through the same sidecar, so the base dirs stay protected)
+    # names the version's FULL recipe (vacuum resolves pins through
+    # the same sidecar, so base AND deletion-vector dirs stay
+    # protected); a deletion-vector version folds its anti-joins
+    ops = _version_ops(fs, vdir)
+    if any(k == "del" for k, _p in ops):
+        return _ops_frame(engine, ops)
     segs = _version_segments(fs, vdir)
     return engine._read_parquet(segs if len(segs) > 1 else vdir)
 
@@ -1233,6 +1345,8 @@ def vacuum(engine, keep: int = 1) -> int:
     for e in man["tables"].values():
         for s in e.get("segments") or [e["path"]]:
             protected.add(_norm_path(s))
+        for _k, p in e.get("ops") or []:
+            protected.add(_norm_path(p))   # deletion-vector dirs too
     removed = 0
     wh = engine._warehouse
     # prune the flush-event log too (keep the newest 100 — enough for
@@ -1258,7 +1372,7 @@ def vacuum(engine, keep: int = 1) -> int:
             if (d in versions[:keep]
                     or (space, name, int(d[1:])) in pinned
                     or _norm_path(full) == _norm_path(cur_path)):
-                for s in _version_segments(fs, full):
+                for s in _version_refs(fs, full):
                     protected.add(_norm_path(s))
         for d in versions[keep:]:
             full = _fsmod.join(tdir, d)
@@ -1497,6 +1611,17 @@ def fsck(engine):
                 if not files:
                     rows.append(("empty_version", ent["space"],
                                  ent["name"], seg))
+        # deletion-vector dirs: referenced (never orphans) and their
+        # _deletes payload must exist — a lost key set silently
+        # RESURRECTS deleted rows, worse than a missing segment
+        for kind, p in ent.get("ops") or []:
+            if kind != "del":
+                continue
+            referenced.add(_norm_path(p))
+            ddir = _fsmod.join(p, _DELETES_SUBDIR)
+            if not fs.is_dir(ddir):
+                rows.append(("missing_version", ent["space"],
+                             ent["name"], ddir))
     pinned = getattr(engine, "_pinned_versions", set())
     wh = engine._warehouse
     for space, name in current:

@@ -32,6 +32,7 @@ def transaction(engine, rollback_on_error: bool = True):
     # delta would otherwise survive and the next flush's fast path
     # would commit the rolled-back rows as a durable append segment
     adeltas_snap = dict(engine._append_deltas)
+    ddeltas_snap = dict(engine._delete_deltas)
     kv_snap = engine._kv.snapshot() if hasattr(engine, "_kv") else None
     try:
         yield engine
@@ -39,6 +40,7 @@ def transaction(engine, rollback_on_error: bool = True):
         if rollback_on_error:
             engine._tables = snapshot
             engine._adeltas = adeltas_snap
+            engine._ddeltas = ddeltas_snap
             if hasattr(engine, "_kv"):
                 # kv created INSIDE the scope rolls back to empty
                 engine._kv.restore(kv_snap if kv_snap is not None else {})
@@ -123,6 +125,7 @@ def run_transaction_with_retry(engine, action, retries: int = 3,
         gen_snap = dict(engine._generations)
         fgen_snap = dict(getattr(engine, "_flushed_gen", {}))
         adeltas_snap = dict(engine._append_deltas)
+        ddeltas_snap = dict(engine._delete_deltas)
         kv_snap = engine._kv.snapshot() if hasattr(engine, "_kv") else None
 
         def _rollback():
@@ -136,6 +139,7 @@ def run_transaction_with_retry(engine, action, retries: int = 3,
             # retry re-running the action must not union its fresh
             # delta onto the aborted attempt's (double-committed rows)
             engine._adeltas = dict(adeltas_snap)
+            engine._ddeltas = dict(ddeltas_snap)
             if hasattr(engine, "_kv"):
                 # kv created INSIDE the action rolls back to empty —
                 # otherwise its writes re-apply on every retry

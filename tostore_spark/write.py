@@ -669,8 +669,43 @@ class DeleteBuilder(_MutationBuilder):
         out = df.filter(~F.coalesce(pred, F.lit(False)))
         for c in temp_cols:
             out = out.drop(c)
-        self._engine.set_df(self._table, out)
+        self._engine.set_df(self._table, out,
+                            delete_delta=self._delete_keys(doomed, out))
         return n
+
+    def _delete_keys(self, doomed: DataFrame, out: DataFrame):
+        """The deletion-vector key frame (store.flush_tables fast_del),
+        or None to fall back to the rewrite flush.  Sound only when the
+        PK uniquely identifies the doomed rows AGAINST THE SURVIVORS:
+        one bounded probe checks that no surviving row shares a doomed
+        PK (duplicate PKs can exist via unvalidated bulk paths) and
+        that no doomed PK is null (a null key never anti-joins, which
+        would resurrect the row on read-back).  The probe costs one
+        tiny job per delete; ``engine.delete_vectors = False`` turns
+        the whole path off."""
+        eng = self._engine
+        if not getattr(eng, "delete_vectors", True):
+            return None
+        pk = eng.primary_key(self._table)
+        if pk is None or pk not in doomed.columns:
+            return None
+        try:
+            keys = doomed.select(pk)
+            bad = (keys.filter(F.col(pk).isNull())
+                   .unionAll(out.join(F.broadcast(keys), on=[pk],
+                                      how="left_semi").select(pk)))
+            # ONE action: 'k' proves the key set non-empty (an empty
+            # delete must not write an empty-vector dir), 'b' vetoes
+            probe = (keys.limit(1).select(F.lit("k").alias("t"))
+                     .unionAll(bad.limit(1)
+                               .select(F.lit("b").alias("t")))
+                     .collect())
+            tags = {r["t"] for r in probe}
+            if "b" in tags or "k" not in tags:
+                return None
+            return keys
+        except Exception:
+            return None
 
     def _cascade(self, doomed: DataFrame) -> None:
         from tostore_spark.schema import ForeignKeyAction
