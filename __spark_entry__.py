@@ -1770,6 +1770,52 @@ def q_segment_skip(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_upsert_mor(spark, sf_dir):
+    """Merge-on-read upsert commit (store.flush_tables fast_replace +
+    engine epoch algebra): a batch upsert's flush writes ONLY the
+    touched rows as the version's data segment plus their key set
+    under ``_deletes`` — asserted in-entry (data part holds exactly
+    the touched rows; recipe tail is del,seg) — and a COLD reopen
+    replays update-in-place (partial-field merge included) and insert
+    against the untouched base."""
+    import tempfile
+    db = _db(spark, sf_dir)
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    with tempfile.TemporaryDirectory() as tmp:
+        db1 = ToStoreSpark(spark, warehouse=tmp)
+        db1.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n_name", type=DataType.text),
+                    FieldSchema(name="n_regionkey",
+                                type=DataType.integer)]))
+        db1.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
+             "n_regionkey": r["n_regionkey"]} for r in nat])
+        db1.flush()                                    # base segment
+        ups = ([{"id": f"n{r['n_nationkey']:03d}",
+                 "n_name": r["n_name"] + "_V2"}        # partial update
+                for r in nat if r["n_regionkey"] == 1]
+               + [{"id": "zz1", "n_name": "NEW", "n_regionkey": 9}])
+        db1.batch_upsert("nat", ups)
+        db1.flush()                                    # replace epoch
+        ent = db1._tables[("default", "nat")]
+        if [k for k, _p in ent["ops"]][-2:] != ["del", "seg"]:
+            raise AssertionError(f"not a replace commit: {ent['ops']}")
+        import pyarrow.parquet as pq
+        seg_rows = pq.read_table(ent["path"]).num_rows
+        if seg_rows != len(ups):
+            raise AssertionError(
+                f"replace segment holds {seg_rows} rows, "
+                f"expected {len(ups)} touched")
+        db2 = ToStoreSpark(spark, warehouse=tmp)       # cold replay
+        out = (db2.query("nat").order_by_asc("id").df()
+               .select("id", "n_name", "n_regionkey"))
+        rows, schema = out.collect(), out.schema
+    return spark.createDataFrame(rows, schema)
+
+
 def q_delete_vectors(spark, sf_dir):
     """Deletion-vector (merge-on-read) commits (store.flush_tables
     fast_del + _ops_frame; Delta's DV shape): a pure-delete epoch
@@ -3803,8 +3849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ORDER = [
         # -- r10 rotation head (the r9 verdict's item 1, executed) -----
         # slots 1-4: entries born in r10 (newest-first rule)
-        "q_delete_vectors", "q_bloom_skip", "q_file_skip", "q_meta_agg",
-        "q_segment_skip",
+        "q_upsert_mor", "q_delete_vectors", "q_bloom_skip", "q_file_skip",
+        "q_meta_agg", "q_segment_skip",
         "q_graph_prune", "q_stream_multi_sink", "q_graph_append",
         "q_stream_neardup_ingest", "q_diversity_report",
         "q_graph_refine", "q_text_drift", "q_stream_rightouter_join",
@@ -4685,6 +4731,14 @@ def oracle_sql() -> dict[str, str]:
         "q_bloom_skip": """
             SELECT c_custkey, c_name, c_nationkey FROM customer
             WHERE c_custkey IN (700, 702)""",
+        "q_upsert_mor": """
+            SELECT 'n' || lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS id,
+                   CASE WHEN n_regionkey = 1 THEN n_name || '_V2'
+                        ELSE n_name END AS n_name,
+                   n_regionkey
+            FROM nation
+            UNION ALL
+            SELECT 'zz1', 'NEW', 9""",
         "q_delete_vectors": """
             SELECT 'n' || lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS id,
                    n_name, n_regionkey

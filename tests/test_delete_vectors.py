@@ -67,19 +67,71 @@ class TestDeleteVectors:
         kinds = [k for k, _ in db2._tables[("default", "notes")]["ops"]]
         assert kinds == ["seg", "del", "seg"]
 
-    def test_mixed_epoch_poisons_to_rewrite(self, spark, tmp_path):
+    def test_mixed_epoch_folds_to_replace(self, spark, tmp_path):
+        """delete + insert in ONE epoch fold to a replace commit
+        (epoch algebra: K = deleted keys, R = appended rows) — the
+        version dir carries both the key set and the new rows."""
         wh = str(tmp_path / "wh")
         db = _mk(spark, wh, rows=6)
         db.delete("notes").where("id", "=", "k000").execute()
         db.batch_insert("notes", [{"id": "x1", "body": "y", "n": 1}])
         key = ("default", "notes")
-        assert db._append_deltas.get(key) is None
-        assert db._delete_deltas.get(key) is None
+        assert db._append_deltas.get(key) is not None
+        assert db._delete_deltas.get(key) is not None
         db.flush()
         ent = db._tables[key]
-        assert [k for k, _ in ent["ops"]] == ["seg"]   # full rewrite
+        assert [k for k, _ in ent["ops"]][-2:] == ["del", "seg"]
         db2 = ToStoreSpark(spark, warehouse=wh)
         assert _ids(db2) == ["k001", "k002", "k003", "k004", "k005", "x1"]
+
+    def test_delete_of_epoch_appended_rows_folds(self, spark, tmp_path):
+        """R ∖ D: a row appended and then deleted in the SAME epoch
+        must not flush (neither as data nor resurrect via ordering)."""
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh, rows=3)
+        db.batch_insert("notes", [{"id": "t1", "body": "a", "n": 10},
+                                  {"id": "t2", "body": "b", "n": 11}])
+        db.delete("notes").where("id", "=", "t1").execute()
+        db.flush()
+        db2 = ToStoreSpark(spark, warehouse=wh)
+        assert _ids(db2) == ["k000", "k001", "k002", "t2"]
+
+    def test_upsert_replace_epoch(self, spark, tmp_path):
+        """upsert = merge-on-read replace: the flushed version dir
+        holds only the touched rows + their key set, and a cold reopen
+        replays update-in-place AND insert."""
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh, rows=5)
+        db.batch_upsert("notes", [
+            {"id": "k002", "body": "UPDATED"},
+            {"id": "new1", "body": "INSERTED", "n": 42}])
+        db.flush()
+        ent = db._tables[("default", "notes")]
+        assert [k for k, _ in ent["ops"]][-2:] == ["del", "seg"]
+        # the data part of the replace dir holds ONLY the touched rows
+        vdir = ent["path"]
+        import pyarrow.parquet as pq
+        seg_rows = pq.read_table(vdir).num_rows
+        assert seg_rows == 2
+        db2 = ToStoreSpark(spark, warehouse=wh)
+        rows = {r["id"]: r for r in db2.df("notes").collect()}
+        assert len(rows) == 6
+        assert rows["k002"]["body"] == "UPDATED"
+        assert rows["k002"]["n"] == 2          # partial update kept n
+        assert rows["new1"]["body"] == "INSERTED"
+
+    def test_batch_update_replace_epoch(self, spark, tmp_path):
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh, rows=5)
+        n = db.batch_update("notes", [{"id": "k001", "body": "B1"},
+                                      {"id": "missing", "body": "X"}])
+        assert n == 1
+        db.flush()
+        ent = db._tables[("default", "notes")]
+        assert [k for k, _ in ent["ops"]][-2:] == ["del", "seg"]
+        db2 = ToStoreSpark(spark, warehouse=wh)
+        rows = {r["id"]: r["body"] for r in db2.df("notes").collect()}
+        assert rows["k001"] == "B1" and len(rows) == 5
 
     def test_duplicate_pk_probe_falls_back(self, spark, tmp_path):
         """Duplicate PKs (bulk path, no validation) make the PK set

@@ -686,12 +686,21 @@ class ToStoreSpark:
         """Key-addressed write — see ``_df_at_key`` for why cross-space
         callers must not go through active-space name resolution.
 
-        Epoch purity (flush fast paths): an epoch is PURE-APPEND
-        (``append_delta`` on every write), PURE-DELETE (``delete_delta``
-        — the deleted PK frame — on every write), or a rewrite.  Mixing
-        the two delta kinds, or any plain write, poisons BOTH fast
-        paths until the next flush — a mixed epoch's delete-then-append
-        replay order is not reconstructible from two unordered sets."""
+        Epoch algebra (flush fast paths): the epoch state is a folded
+        REPLACE pair (K, R) — "anti-join the key frame K, then union
+        the row frame R onto the base".  Every delta write folds
+        exactly (sequential-application semantics):
+
+        - append A:            R ← R ∪ A                 (K unchanged)
+        - delete D:            K ← K ∪ D,  R ← R ∖ D
+        - replace (D, A) — an upsert/batch_update's touched keys +
+          merged output rows:  apply the delete fold, then the append
+
+        A write with neither delta poisons both maps until the next
+        flush (a rewrite is not expressible as (K, R)).  Flush commits
+        pure-append epochs as plain segments, pure-delete epochs as
+        deletion vectors, and mixed epochs as a del+seg pair in one
+        version dir (store.flush_tables)."""
         self._tables[key]["df"] = df
         self._generations[key] = self._generations.get(key, 0) + 1
         adeltas, ddeltas = self._append_deltas, self._delete_deltas
@@ -700,26 +709,30 @@ class ToStoreSpark:
             adeltas[key] = None
             ddeltas[key] = None
 
-        def _fold(store, other, delta):
-            if store.get(key, "absent") is None:
-                return                    # already poisoned this epoch
-            if other.get(key) is not None:
-                _poison()                 # mixed epoch
-                return
-            # pin the delta's rows now: its lineage may reference frames
-            # a later mutation invalidates before the flush executes it
-            pinned = delta.localCheckpoint(eager=True)
-            store[key] = (store[key].unionByName(pinned)
-                          if store.get(key) is not None else pinned)
-
+        poisoned = (key in adeltas and adeltas[key] is None
+                    and key in ddeltas and ddeltas[key] is None)
         if append_delta is None and delete_delta is None:
             _poison()                     # rewrite-dirty: no fast path
-        elif append_delta is not None and delete_delta is not None:
-            _poison()                     # ambiguous caller: stay safe
-        elif append_delta is not None:
-            _fold(adeltas, ddeltas, append_delta)
-        else:
-            _fold(ddeltas, adeltas, delete_delta)
+        elif not poisoned:
+            from pyspark.sql import functions as F
+            cur_a, cur_d = adeltas.get(key), ddeltas.get(key)
+            if delete_delta is not None:
+                # pin the delta's rows now: its lineage may reference
+                # frames a later mutation invalidates pre-flush
+                pinned_d = delete_delta.localCheckpoint(eager=True)
+                ddeltas[key] = (cur_d.unionByName(pinned_d)
+                                if cur_d is not None else pinned_d)
+                if cur_a is not None:
+                    # R ∖ D — deleting rows this epoch appended
+                    cur_a = (cur_a.join(F.broadcast(pinned_d),
+                                        on=list(pinned_d.columns),
+                                        how="left_anti")
+                             .localCheckpoint(eager=True))
+                    adeltas[key] = cur_a
+            if append_delta is not None:
+                pinned_a = append_delta.localCheckpoint(eager=True)
+                adeltas[key] = (cur_a.unionByName(pinned_a)
+                                if cur_a is not None else pinned_a)
         self._maybe_compact(key, weight=weight)
         for w in list(getattr(self, "_watchers", [])):
             w.notify_change(key[1])

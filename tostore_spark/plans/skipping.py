@@ -206,7 +206,11 @@ def collect_parquet_stats(root: str, per_file: bool = False):
         return empty
     files = []
     try:
-        for dirpath, _dirs, names in os.walk(path):
+        for dirpath, dirs, names in os.walk(path):
+            # Spark readers ignore _/.-prefixed dirs (e.g. a replace
+            # epoch's _deletes key set) — stats must match what the
+            # scan sees
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             files.extend(os.path.join(dirpath, n) for n in names
                          if n.endswith(".parquet"))
     except OSError:

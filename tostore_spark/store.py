@@ -555,21 +555,33 @@ def flush_tables(engine, flush_storage: bool = True,
                         and not (ttl_cfg is not None and ttl_cfg.ttl_ms)
                         and base_ops is not None
                         and len(base_ops) < _MAX_SEGMENTS)
-            fast = delta is not None and eligible
+            fast = delta is not None and eligible and ddelta is None
             # deletion-vector commit (Delta's merge-on-read DV shape):
             # a pure-delete epoch flushes ONLY the deleted-PK parquet
             # under <vdir>/_deletes — deleting 100 rows from a 100 TB
             # table costs the key set's IO, not a rewrite; readers
-            # anti-join it in recipe order (_ops_frame).  Epoch purity
-            # is enforced at write time (engine._set_df_at_key).
-            fast_del = (not fast and ddelta is not None
-                        and delta is None and eligible and not pby)
+            # anti-join it in recipe order (_ops_frame).  A folded
+            # replace epoch (upsert/batch_update: touched keys K +
+            # merged rows R, engine._set_df_at_key's epoch algebra)
+            # commits K under _deletes AND R as this dir's data segment
+            # — one version dir, two recipe steps, del before seg.
+            fast_del = (ddelta is not None and delta is None
+                        and eligible and not pby)
+            fast_replace = (ddelta is not None and delta is not None
+                            and eligible and not pby)
             written_schema = ent["df"].schema
             if fast_del:
                 ddelta.write.mode("overwrite").parquet(
                     _fsmod.join(vdir, _DELETES_SUBDIR))
                 ops = base_ops + [["del", vdir]]
                 segments = list(base_segs)
+            elif fast_replace:
+                # root first: its overwrite would clobber the subdir
+                delta.write.mode("overwrite").parquet(vdir)
+                ddelta.write.mode("overwrite").parquet(
+                    _fsmod.join(vdir, _DELETES_SUBDIR))
+                ops = base_ops + [["del", vdir], ["seg", vdir]]
+                segments = base_segs + [vdir]
             else:
                 frame = delta if fast else ent["df"]
                 writer = frame.write.mode("overwrite")

@@ -345,7 +345,22 @@ def upsert(engine, table: str, rows: list[dict],
                          if exprs and c in exprs else srcv)
                    .otherwise(tgt))
         out_cols.append(merged.alias(c))
-    engine.set_df(table, joined.select(*out_cols))
+    out = joined.select(*out_cols)
+    # merge-on-read replace epoch (store.flush_tables fast_replace):
+    # K = the payload's key tuples, R = the src-side rows of THIS SAME
+    # join (matched rows merged, unmatched inserted) — faithful by
+    # construction, so the flush commits K + R instead of rewriting.
+    # Null key values are unjoinable on both sides; fall back then.
+    if rows and not any(r.get(k) is None for r in rows for k in keyset):
+        keys_df = src.select(*[F.col(f"__src_{k}").alias(k)
+                               for k in keyset]).dropDuplicates()
+        touched = (joined
+                   .filter(F.col(f"__src_{keyset[0]}").isNotNull())
+                   .select(*out_cols))
+        engine.set_df(table, out, append_delta=touched,
+                      delete_delta=keys_df)
+    else:
+        engine.set_df(table, out)
 
 
 def batch_update(engine, table: str, rows: list[dict],
@@ -398,7 +413,14 @@ def batch_update(engine, table: str, rows: list[dict],
                        F.col(f"__new_{c}")).otherwise(F.col(c)).alias(c))
         else:
             out_cols.append(F.col(c))
-    engine.set_df(table, joined.select(*out_cols))
+    # merge-on-read replace epoch: K = payload PKs (unmatched keys
+    # anti-join nothing — harmless), R = the matched rows of this same
+    # join with their updates applied — faithful by construction
+    keys_df = src.select(F.col("__pk").alias(pk)).dropDuplicates()
+    touched = (joined.filter(F.col("__pk").isNotNull())
+               .select(*out_cols))
+    engine.set_df(table, joined.select(*out_cols),
+                  append_delta=touched, delete_delta=keys_df)
     return n
 
 
