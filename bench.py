@@ -477,6 +477,59 @@ def _append_flush_stat(spark, sf_dir: str) -> dict | None:
         return None
 
 
+def _mor_flush_stat(spark, sf_dir: str) -> dict | None:
+    """Measured IO win of the merge-on-read mutation commits: flush
+    seconds for a 100-row DELETE (deletion vector) and a 100-row
+    UPDATE (replace epoch) against the sf lineitem-sized notes table,
+    vs the same mutations forced down the full-rewrite path.  Like
+    append_flush, the ratio widens linearly with corpus scale — the
+    vector/replace cost tracks the touched rows, the rewrite cost
+    tracks the table."""
+    import tempfile
+    import time as _t
+
+    try:
+        import __spark_entry__ as entrymod
+        from tostore_spark import ToStoreSpark
+        from tostore_spark.schema import (DataType, FieldSchema,
+                                          PrimaryKeyConfig, TableSchema)
+        li = entrymod._db(spark, sf_dir).df("lineitem")
+        base = (li.selectExpr(
+            "concat('r', cast(monotonically_increasing_id() as string))"
+            " as id",
+            "l_orderkey", "l_quantity", "l_returnflag")
+            .localCheckpoint(eager=True))
+        sch = TableSchema(
+            name="t", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema("l_orderkey", DataType.integer),
+                    FieldSchema("l_quantity", DataType.double),
+                    FieldSchema("l_comment", DataType.text)])
+        out: dict = {"base_rows": base.count(), "touched_rows": 100}
+        ids = [r["id"] for r in base.limit(200).collect()]
+        del_ids, upd_ids = ids[:100], ids[100:]
+        for mode in ("vector", "rewrite"):
+            with tempfile.TemporaryDirectory() as tmp:
+                db = ToStoreSpark(spark, warehouse=tmp)
+                db.register_table("t", df=base, schema=sch)
+                db.flush()
+                db.delete_vectors = (mode == "vector")
+                n = db.delete("t").where("id", "IN", del_ids).execute()
+                assert n == 100, n
+                t0 = _t.time()
+                db.flush()
+                out[f"delete_{mode}_flush_sec"] = round(_t.time() - t0, 3)
+                # update epoch on the same warehouse state
+                db.update("t", {"l_returnflag": "X"}) \
+                  .where("id", "IN", upd_ids).execute()
+                t0 = _t.time()
+                db.flush()
+                out[f"update_{mode}_flush_sec"] = round(_t.time() - t0, 3)
+        return out
+    except Exception as exc:                    # pragma: no cover
+        print(f"# mor flush stat skipped: {exc}", file=sys.stderr)
+        return None
+
+
 def _ppl_floor_stat(spark, sf_dir: str) -> dict | None:
     """Cost attribution for the q_ppl_buckets entry: warm seconds for
     the LM train+score pass ALONE (bigram ``train_ngram_lm`` +
@@ -746,6 +799,7 @@ def main():
     fuzzy_block = _fuzzy_block_stat(spark, sf_dir)
     ppl_floor = _ppl_floor_stat(spark, sf_dir)
     append_flush = _append_flush_stat(spark, sf_dir)
+    mor_flush = _mor_flush_stat(spark, sf_dir)
 
     # Detail block (extras/recall/sf1/methodology): written to a committed
     # sidecar AND printed on an EARLIER stderr line.  The driver captures
@@ -762,6 +816,7 @@ def main():
         "fuzzy_blocking": fuzzy_block,
         "ppl_floor": ppl_floor,
         "append_flush": append_flush,
+        "mor_flush": mor_flush,
         # the headline's host-speed probe, repeated here so the detail
         # numbers normalize without cross-referencing BENCH_r{N}.json
         "canary_sec": canary,

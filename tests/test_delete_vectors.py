@@ -120,6 +120,31 @@ class TestDeleteVectors:
         assert rows["k002"]["n"] == 2          # partial update kept n
         assert rows["new1"]["body"] == "INSERTED"
 
+    def test_conditional_update_replace_epoch(self, spark, tmp_path):
+        """update().where().set() flushes touched rows + keys only."""
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh, rows=8)
+        n = db.update("notes", {"body": "EDIT"}) \
+              .where("n", ">=", 6).execute()
+        assert n == 2
+        db.flush()
+        ent = db._tables[("default", "notes")]
+        assert [k for k, _ in ent["ops"]][-2:] == ["del", "seg"]
+        import pyarrow.parquet as pq
+        assert pq.read_table(ent["path"]).num_rows == 2
+        db2 = ToStoreSpark(spark, warehouse=wh)
+        rows = {r["id"]: r["body"] for r in db2.df("notes").collect()}
+        assert len(rows) == 8
+        assert rows["k006"] == "EDIT" and rows["k000"] == "b0"
+
+        # a PK-mutating update is never vector-eligible (rewrite)
+        db2.update("notes", {"id": "zz"}).where("n", "=", 0).execute()
+        key = ("default", "notes")
+        assert db2._delete_deltas.get(key) is None
+        db2.flush()
+        db3 = ToStoreSpark(spark, warehouse=wh)
+        assert "zz" in {r["id"] for r in db3.df("notes").collect()}
+
     def test_batch_update_replace_epoch(self, spark, tmp_path):
         wh = str(tmp_path / "wh")
         db = _mk(spark, wh, rows=5)
@@ -200,8 +225,11 @@ class TestDeleteVectors:
         assert db.query("notes").where("n", "BETWEEN",
                                        {"start": 0, "end": 5}).count() == 5
         assert db._last_prune is None
-        # a rewrite (mixed epoch) compacts; fast paths resume
-        db.update("notes", {"body": "u"}).where("n", "=", 0).execute()
-        db.flush()
+        # an explicit layout rewrite compacts the recipe; fast paths
+        # resume (updates themselves now flush as replace epochs)
+        from tostore_spark.plans.layout import optimize_table
+        optimize_table(db, "notes", target_partitions=2)
+        assert [k for k, _ in
+                db._tables[("default", "notes")]["ops"]] == ["seg"]
         assert db.query("notes").count() == 9
         assert db._last_meta_agg == ("count", "notes")

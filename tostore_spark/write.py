@@ -648,9 +648,47 @@ class UpdateBuilder(_MutationBuilder):
                    for c in (f"__new_{f}", f"__rn_{f}", f"__oldv_{f}",
                              f"__oldn_{f}", f"__oldpk_{f}")])
         out = out.drop(*drop)
+        # merge-on-read replace epoch: R = the applied rows with their
+        # new values (same staged frame — faithful), K = their PKs.
+        # Probed like the delete vector: a surviving row sharing a
+        # touched PK (duplicate-PK table, pred hit one copy) or a null
+        # touched PK would make the anti-join over/under-delete — veto
+        # to the rewrite.  A PK-mutating update is never eligible (K
+        # must be the OLD identity; new rows carry the new one).
+        touched = keys_df = None
+        pk = self._engine.primary_key(self._table)
+        if (getattr(self._engine, "delete_vectors", True)
+                and pk is not None and pk in df.columns
+                and pk not in new_cols):
+            try:
+                tf = staged.filter(apply_c)
+                for fld, newv in new_cols.items():
+                    tf = tf.withColumn(fld, newv)
+                tf = tf.drop(*drop)
+                keys_df = tf.select(pk)
+                survivors = staged.filter(~apply_c).select(pk)
+                bad = (keys_df.filter(F.col(pk).isNull())
+                       .unionAll(survivors.join(F.broadcast(keys_df),
+                                                on=[pk],
+                                                how="left_semi")))
+                probe = (keys_df.limit(1)
+                         .select(F.lit("k").alias("t"))
+                         .unionAll(bad.limit(1)
+                                   .select(F.lit("b").alias("t")))
+                         .collect())
+                tags = {r["t"] for r in probe}
+                touched = (tf if "b" not in tags and "k" in tags
+                           else None)
+            except Exception:
+                touched = None
         # a unique-checked rewrite carries a window + aggregate-join in its
         # lineage — weight it so the localCheckpoint barrier arrives sooner
-        self._engine.set_df(self._table, out, weight=4 if uniq else 1)
+        if touched is not None:
+            self._engine.set_df(self._table, out, weight=4 if uniq else 1,
+                                append_delta=touched,
+                                delete_delta=keys_df)
+        else:
+            self._engine.set_df(self._table, out, weight=4 if uniq else 1)
         return n
 
     def increment(self, field: str, by: Any = 1) -> int:
