@@ -145,6 +145,27 @@ class TestDeleteVectors:
         db3 = ToStoreSpark(spark, warehouse=wh)
         assert "zz" in {r["id"] for r in db3.df("notes").collect()}
 
+    def test_streaming_upsert_replace_epoch(self, spark, tmp_path):
+        """merge_batch(mode='upsert') with a schema-complete batch
+        flushes the batch rows + their PK set, never the table."""
+        from tostore_spark.streaming.sink import merge_batch
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh, rows=6)
+        batch = spark.createDataFrame(
+            [{"id": "k001", "body": "STREAMED", "n": 100},
+             {"id": "s1", "body": "NEW", "n": 101}],
+            db.df("notes").schema)
+        assert merge_batch(db, "notes", batch, mode="upsert") == 2
+        db.flush()
+        ent = db._tables[("default", "notes")]
+        assert [k for k, _ in ent["ops"]][-2:] == ["del", "seg"]
+        import pyarrow.parquet as pq
+        assert pq.read_table(ent["path"]).num_rows == 2
+        db2 = ToStoreSpark(spark, warehouse=wh)
+        rows = {r["id"]: r["body"] for r in db2.df("notes").collect()}
+        assert rows["k001"] == "STREAMED" and rows["s1"] == "NEW"
+        assert len(rows) == 7
+
     def test_batch_update_replace_epoch(self, spark, tmp_path):
         wh = str(tmp_path / "wh")
         db = _mk(spark, wh, rows=5)

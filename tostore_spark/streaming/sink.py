@@ -38,6 +38,18 @@ def merge_batch(engine, table: str, batch_df: DataFrame,
             raise ValueError(f"upsert into {table} needs a primary key; "
                              "use mode='append'")
         kept = current.join(pinned.select(pk), on=pk, how="left_anti")
+        if sorted(pinned.columns) == sorted(current.columns):
+            # schema-complete upsert batches ride the flush REPLACE
+            # fast path: (current ∖ batch-PKs) ∪ batch is exactly the
+            # replace pair (K = batch PKs, R = batch rows) — streaming
+            # upsert into a 100 TB table flushes the batch's rows, not
+            # the table.  Same type-cast discipline as append mode.
+            from tostore_spark.engine import _cast_to_table_schema
+            conformed = _cast_to_table_schema(pinned, current.schema)
+            merged = kept.unionByName(conformed)
+            engine.set_df(table, merged, append_delta=conformed,
+                          delete_delta=conformed.select(pk))
+            return n
         merged = kept.unionByName(pinned, allowMissingColumns=True)
     elif mode == "append":
         if sorted(pinned.columns) == sorted(current.columns):
