@@ -3789,7 +3789,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering policy (round 10 — the r9 verdict's item 1, executed
     exactly; same seeded-rotation rule as r3-r9).  First 50:
 
-    - slots 1-8: entries born in r10 (newest-first rule):
+    - head: entries born in r10, newest first — the lakehouse-layer
+      block (q_upsert_mor: merge-on-read replace-epoch upserts;
+      q_delete_vectors: deletion-vector delete commits; q_bloom_skip:
+      per-segment bloom point-lookup skipping; q_file_skip: per-file
+      footer-stat pruning composed with z-order OPTIMIZE; q_meta_agg:
+      metadata-only count/min/max from manifest footer stats;
+      q_segment_skip: manifest-level segment skipping), then the
+      earlier r10 block:
       q_graph_prune (Vamana robust-prune edge selection, the two-round
       veto reproduced in DuckDB), q_stream_multi_sink (atomic
       multi-table exactly-once ingest — N sinks + one group ledger in

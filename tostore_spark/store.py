@@ -571,14 +571,16 @@ def flush_tables(engine, flush_storage: bool = True,
                             and eligible and not pby)
             written_schema = ent["df"].schema
             if fast_del:
-                ddelta.write.mode("overwrite").parquet(
+                # epoch folding unions key sets — dedupe at the write
+                # (the anti-join is key-set semantics either way)
+                ddelta.dropDuplicates().write.mode("overwrite").parquet(
                     _fsmod.join(vdir, _DELETES_SUBDIR))
                 ops = base_ops + [["del", vdir]]
                 segments = list(base_segs)
             elif fast_replace:
                 # root first: its overwrite would clobber the subdir
                 delta.write.mode("overwrite").parquet(vdir)
-                ddelta.write.mode("overwrite").parquet(
+                ddelta.dropDuplicates().write.mode("overwrite").parquet(
                     _fsmod.join(vdir, _DELETES_SUBDIR))
                 ops = base_ops + [["del", vdir], ["seg", vdir]]
                 segments = base_segs + [vdir]
