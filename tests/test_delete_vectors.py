@@ -242,10 +242,14 @@ class TestDeleteVectors:
         # metadata count would read 10 from segment stats — must scan
         assert db.query("notes").count() == 9
         assert db._last_meta_agg is None
-        # range query must not rebuild from segments (would resurrect)
+        # skipping stays eligible under deletes — the recipe is folded
+        # with the anti-join re-applied, so n=3 must NOT resurrect
         assert db.query("notes").where("n", "BETWEEN",
                                        {"start": 0, "end": 5}).count() == 5
-        assert db._last_prune is None
+        # point probe past the data range: segment pruned even with a
+        # pending delete epoch
+        assert db.query("notes").where("n", ">", 10_000).count() == 0
+        assert db._last_prune == (0, 1, "notes")
         # an explicit layout rewrite compacts the recipe; fast paths
         # resume (updates themselves now flush as replace epochs)
         from tostore_spark.plans.layout import optimize_table

@@ -475,31 +475,35 @@ class ToStoreSpark:
         is a CLEAN warehouse table (in-memory generation == last flushed
         — unflushed mutations live only in the pinned frame, not in any
         segment) whose manifest entry carries per-segment footer stats,
-        rebuild the scan from only the segments whose min/max ranges
-        admit the NORMALIZED condition ``node``.  Returns None when
-        skipping does not apply or prunes nothing — the caller keeps
-        the standard frame.  ``engine._last_prune`` records
-        ``(kept, total, table)`` for the last eligible read (None when
-        ineligible) so tests and operators can assert the scan really
-        narrowed."""
+        rebuild the scan from only the segments (and, with a
+        ``_filestats.json`` sidecar, only the FILES) whose min/max
+        ranges admit the NORMALIZED condition ``node``.  Tables with
+        pending deletion-vector epochs stay skippable: the recipe is
+        re-folded with pruning applied per segment step and every
+        anti-join re-applied in order — pruning only ever drops
+        segments no predicate row can live in, which deletions only
+        shrink.  Returns None when skipping does not apply or prunes
+        nothing — the caller keeps the standard frame.
+        ``engine._last_prune`` records ``(kept, total, table)`` for the
+        last eligible read (None when ineligible) and
+        ``engine._last_prune_files`` the file-grain ``(kept, total)``;
+        ``engine.data_skipping = False`` turns the whole layer off."""
         key = self._resolve(name)
         ent = self._tables[key]
         stats = ent.get("segment_stats")
         segs = ent.get("segments")
         clean = (self._generations.get(key, 0)
                  == getattr(self, "_flushed_gen", {}).get(key))
-        ops = ent.get("ops")
-        if ops and any(k == "del" for k, _p in ops):
-            # deletion vectors pending: a segment-rebuilt scan would
-            # skip the anti-join chain and resurrect deleted rows —
-            # skipping resumes after the compacting rewrite
+        if not getattr(self, "data_skipping", True):
             clean = False
         if not stats or not segs or not clean:
             self._last_prune = None
             return None
         from tostore_spark.plans.skipping import (node_may_match,
                                                   prune_segments)
-        from tostore_spark.store import _norm_path
+        from tostore_spark.store import _DELETES_SUBDIR, _norm_path
+        ops = ent.get("ops")
+        has_del = bool(ops and any(k == "del" for k, _p in ops))
         if ent.get("bloom_cols"):
             # inject each segment's decoded bloom sidecar so =/IN
             # leaves can prove a point value absent where the min/max
@@ -514,6 +518,7 @@ class ToStoreSpark:
             stats = aug
         surviving = prune_segments(segs, stats, node, key[1],
                                    norm=_norm_path)
+        surv = {_norm_path(s) for s in surviving}
         self._last_prune = (len(surviving), len(segs), key[1])
         self._last_prune_files = None
         base = ent["df"]
@@ -524,38 +529,69 @@ class ToStoreSpark:
         # tables only (hive roots keep Spark's own partition pruning);
         # engaged only when every surviving root has a sidecar AND a
         # file was actually dropped.
-        if not ent.get("partition_by") and surviving:
-            kept_files: list[str] = []
-            total_f = 0
-            complete = True
+        file_sel: dict = {}
+        kept_f = total_f = 0
+        file_ok = not ent.get("partition_by") and bool(surviving)
+        if file_ok:
             for seg in surviving:
                 fstats = self._file_stats(seg)
                 if not fstats:
-                    complete = False
+                    file_ok = False
                     break
                 total_f += len(fstats)
                 root = seg[:-1] if seg.endswith("/") else seg
-                for rel, summ in fstats.items():
-                    if node_may_match(node, summ, key[1]):
-                        kept_files.append(f"{root}/{rel}")
-            if complete and len(kept_files) < total_f:
-                self._last_prune_files = (len(kept_files), total_f)
-                if not kept_files:
+                kept = [f"{root}/{rel}" for rel, summ in fstats.items()
+                        if node_may_match(node, summ, key[1])]
+                kept_f += len(kept)
+                file_sel[_norm_path(seg)] = kept
+        use_files = file_ok and kept_f < total_f
+        if use_files:
+            self._last_prune_files = (kept_f, total_f)
+        if len(surviving) == len(segs) and not use_files:
+            return None
+        if not has_del:
+            # pure-segment table: keep the single multi-root scan
+            if use_files:
+                files = [f for seg in surviving
+                         for f in file_sel[_norm_path(seg)]]
+                if not files:
                     df = self.spark.createDataFrame([], base.schema)
                 else:
-                    df = self._read_parquet(kept_files)
-                    df = df.select(*base.columns)
-                return self._ttl_filtered(df, ent)
-        if len(surviving) == len(segs):
-            return None
-        if not surviving:
+                    df = self._read_parquet(files).select(*base.columns)
+            elif not surviving:
+                df = self.spark.createDataFrame([], base.schema)
+            else:
+                pin = base.schema if ent.get("partition_by") else None
+                df = self._read_parquet(
+                    surviving if len(surviving) > 1 else surviving[0],
+                    schema=pin).select(*base.columns)
+            return self._ttl_filtered(df, ent)
+        # deletion vectors pending: fold the recipe, pruning each seg
+        # step and re-applying every anti-join in epoch order
+        from pyspark.sql import functions as F
+        df = None
+        for kind, path in ops:
+            np_ = _norm_path(path)
+            if kind == "seg":
+                if np_ not in surv:
+                    continue
+                if use_files:
+                    files = file_sel[np_]
+                    if not files:
+                        continue
+                    part = self._read_parquet(files)
+                else:
+                    part = self._read_parquet(path)
+                part = part.select(*base.columns)
+                df = part if df is None else df.unionByName(part)
+            elif df is not None:
+                keys = self._read_parquet(
+                    (path[:-1] if path.endswith("/") else path)
+                    + "/" + _DELETES_SUBDIR)
+                df = df.join(F.broadcast(keys), on=list(keys.columns),
+                             how="left_anti")
+        if df is None:
             df = self.spark.createDataFrame([], base.schema)
-        else:
-            pin = base.schema if ent.get("partition_by") else None
-            df = self._read_parquet(
-                surviving if len(surviving) > 1 else surviving[0],
-                schema=pin)
-            df = df.select(*base.columns)
         return self._ttl_filtered(df, ent)
 
     def _ttl_filtered(self, df: DataFrame, ent: dict) -> DataFrame:
