@@ -477,6 +477,52 @@ def _append_flush_stat(spark, sf_dir: str) -> dict | None:
         return None
 
 
+def _skipping_stat(spark, sf_dir: str) -> dict | None:
+    """Measured effect of the data-skipping layer at sf scale: orders
+    z-order-optimized into 8 files, then (a) a key-range query warm
+    with file-grain skipping ON vs OFF (engine.data_skipping), (b) an
+    unfiltered count() served from manifest footer stats vs forced to
+    scan.  kept/total records how much of the scan the stats actually
+    removed — the ratio is what grows with corpus size."""
+    import tempfile
+    import time as _t
+
+    try:
+        import __spark_entry__ as entrymod
+        from tostore_spark import ToStoreSpark
+        from tostore_spark.plans.layout import optimize_table
+        orders = entrymod._db(spark, sf_dir).df("orders")
+        out: dict = {}
+        with tempfile.TemporaryDirectory() as tmp:
+            db = ToStoreSpark(spark, warehouse=tmp)
+            db.register_table("o", df=orders)
+            optimize_table(db, "o", target_partitions=8,
+                           zorder=["o_orderkey"])
+
+            def _range_q():
+                return (db.query("o")
+                        .where_between("o_orderkey", 1000, 2000)
+                        .df().count())
+
+            for mode in ("on", "off"):
+                db.data_skipping = (mode == "on")
+                _range_q()                      # warm
+                t0 = _t.time()
+                _range_q()
+                out[f"range_{mode}_warm_sec"] = round(_t.time() - t0, 3)
+                if mode == "on":
+                    out["files_kept"], out["files_total"] = \
+                        db._last_prune_files
+                t0 = _t.time()
+                n = db.query("o").count()
+                out[f"count_{mode}_sec"] = round(_t.time() - t0, 3)
+            out["rows"] = n
+        return out
+    except Exception as exc:                    # pragma: no cover
+        print(f"# skipping stat skipped: {exc}", file=sys.stderr)
+        return None
+
+
 def _mor_flush_stat(spark, sf_dir: str) -> dict | None:
     """Measured IO win of the merge-on-read mutation commits: flush
     seconds for a 100-row DELETE (deletion vector) and a 100-row
@@ -800,6 +846,7 @@ def main():
     ppl_floor = _ppl_floor_stat(spark, sf_dir)
     append_flush = _append_flush_stat(spark, sf_dir)
     mor_flush = _mor_flush_stat(spark, sf_dir)
+    skipping = _skipping_stat(spark, sf_dir)
 
     # Detail block (extras/recall/sf1/methodology): written to a committed
     # sidecar AND printed on an EARLIER stderr line.  The driver captures
@@ -817,6 +864,7 @@ def main():
         "ppl_floor": ppl_floor,
         "append_flush": append_flush,
         "mor_flush": mor_flush,
+        "skipping": skipping,
         # the headline's host-speed probe, repeated here so the detail
         # numbers normalize without cross-referencing BENCH_r{N}.json
         "canary_sec": canary,

@@ -345,6 +345,25 @@ class TestEndToEnd:
         # a != / range probe never consults the bloom (keeps all)
         assert db2.query("t").where("k", "!=", "k0100").count() == 299
 
+    def test_data_skipping_kill_switch(self, spark, tmp_path):
+        from tostore_spark.engine import ToStoreSpark
+        db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))
+        db.register_table("t", df=spark.createDataFrame(
+            [{"id": i} for i in range(50)]))
+        db.flush()
+        db.batch_insert("t", [{"id": 100 + i} for i in range(50)])
+        db.flush()
+        db.data_skipping = False
+        assert db.query("t").where("id", ">=", 100).count() == 50
+        assert db._last_prune is None
+        assert db.query("t").count() == 100
+        assert db._last_meta_agg is None
+        db.data_skipping = True
+        assert db.query("t").where("id", ">=", 100).count() == 50
+        assert db._last_prune == (1, 2, "t")
+        assert db.query("t").count() == 100
+        assert db._last_meta_agg == ("count", "t")
+
     def test_bloom_enable_validation(self, spark, tmp_path):
         from tostore_spark.engine import ToStoreSpark
         db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))

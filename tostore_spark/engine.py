@@ -392,6 +392,8 @@ class ToStoreSpark:
         stats, segs = ent.get("segment_stats"), ent.get("segments")
         if not stats or not segs:
             return None
+        if not getattr(self, "data_skipping", True):
+            return None    # the master kill switch covers stats serves
         ops = ent.get("ops")
         if ops and any(k == "del" for k, _p in ops):
             # deletion vectors pending: segment stats still count the
