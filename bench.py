@@ -596,31 +596,22 @@ def _ppl_floor_stat(spark, sf_dir: str) -> dict | None:
             model = LM.train_ngram_lm(docs, n=2)
             LM.ngram_bits_per_token(docs, model).count()
             warm = round(_t.time() - t0, 3)
-        # the floor IN THE ENTRY'S SHAPE: the scored frame feeds both
-        # the thresholds and the labeled output, so ONE eager
-        # materialization of it is unavoidable — count() measures the
-        # aggregation alone and understates the attributable floor
-        for _ in range(2):
-            t0 = _t.time()
-            model = LM.train_ngram_lm(docs, n=2)
-            LM.ngram_bits_per_token(docs, model, carry=("lang",)) \
-              .select("id", "lang", "bits_per_token") \
-              .localCheckpoint(eager=True)
-            ckpt_warm = round(_t.time() - t0, 3)
         # the full entry timed ADJACENTLY in the same warm context, so
         # the bucketing overhead (entry - floor) is internally
         # consistent — the extras table's q_ppl_buckets row is measured
-        # minutes apart and drifts with session state
+        # minutes apart and drifts with session state.  Since the r10
+        # single-reference rewrite the grouped-exact path neither
+        # checkpoints nor re-executes the scoring lineage, so the whole
+        # residue above the train+score floor IS the rank-window
+        # bucketing + final aggregate.
         fn = entrymod.queries()["q_ppl_buckets"]
         for _ in range(2):
             t0 = _t.time()
             fn(spark, sf_dir).count()
             entry_warm = round(_t.time() - t0, 3)
         return {"train_score_warm_sec": warm,
-                "train_score_ckpt_warm_sec": ckpt_warm,
                 "entry_warm_sec": entry_warm,
-                "bucketing_overhead_sec": round(entry_warm - ckpt_warm,
-                                                3)}
+                "bucketing_overhead_sec": round(entry_warm - warm, 3)}
     except Exception as exc:                    # pragma: no cover
         print(f"# ppl floor stat skipped: {exc}", file=sys.stderr)
         return None

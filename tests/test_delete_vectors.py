@@ -218,6 +218,30 @@ class TestDeleteVectors:
         assert db2.df("notes").count() == 7
         assert db2.fsck().count() == 0
 
+    def test_refresh_preserves_epoch_deltas(self, spark, tmp_path):
+        """refresh() picking up ANOTHER table's flush must not degrade
+        a kept table's pending epoch to a rewrite: its base is
+        unchanged, so the deltas still describe (local − base)."""
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh, rows=4)
+        other = ToStoreSpark(spark, warehouse=wh)
+        other.register_table("u", df=spark.createDataFrame(
+            [{"x": 1}]))
+        other.flush(only=["u"])
+        # pending append + delete epoch on notes, then refresh
+        db.batch_insert("notes", [{"id": "a1", "body": "n", "n": 9}])
+        db.delete("notes").where("id", "=", "k000").execute()
+        assert "u" in db.refresh() or db.df("u").count() == 1
+        key = ("default", "notes")
+        assert db._append_deltas.get(key) is not None
+        assert db._delete_deltas.get(key) is not None
+        db.flush()
+        ent = db._tables[key]
+        assert [k for k, _ in ent["ops"]][-2:] == ["del", "seg"]
+        db2 = ToStoreSpark(spark, warehouse=wh)
+        assert _ids(db2) == ["a1", "k001", "k002", "k003"]
+        assert db2.df("u").count() == 1
+
     def test_rollback_restores_delete_delta(self, spark, tmp_path):
         from tostore_spark.transaction import transaction
         db = _mk(spark, str(tmp_path / "wh"), rows=5)

@@ -220,6 +220,8 @@ class TestEndToEnd:
         assert db2.query("t").count() == 61
         assert db2._last_meta_agg == ("count", "t")
         assert db2.query("t").min("id") == 0
+        assert db2.query("t").exists() is True
+        assert db2._last_meta_agg == ("count", "t")
 
         # non-warehouse registration has no stats: scan fallback
         db3 = ToStoreSpark(spark)

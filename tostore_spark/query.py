@@ -884,7 +884,17 @@ class QueryBuilder:
         return frame.df.count()
 
     def exists(self) -> bool:
-        # count-limit-1 early exit (query_builder.dart:324-347)
+        # count-limit-1 early exit (query_builder.dart:324-347);
+        # the unfiltered form rides the same metadata serve as count()
+        if (not self._joins and self._cond.is_empty()
+                and self._sample_filter is None):
+            try:
+                n = self._engine.stats_count(self._table)
+            except Exception:
+                n = None
+            if n is not None:
+                self.clone()._base_frame_recorded()   # read-set record
+                return n > 0
         qb = self.clone()
         qb._order_by, qb._offset = [], None
         qb._limit = 1

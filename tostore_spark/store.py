@@ -1064,6 +1064,15 @@ def refresh(engine, row_merge: bool = False,
                " (or refresh(row_merge=True) for row-level merge)"))
     keep = {k: (dict(ent), engine._generations.get(k, 0))
             for k, ent in dirty.items() if k not in feeds}
+    # a kept table whose flushed BASE is unchanged in the new manifest
+    # keeps its epoch deltas too: they are still exactly (local state −
+    # flushed base), so the next flush stays on the segment/vector fast
+    # path instead of degrading to a rewrite ("absent" ≠ poisoned-None)
+    saved_deltas = {k: (engine._append_deltas.get(k, "absent"),
+                        engine._delete_deltas.get(k, "absent"))
+                    for k in keep
+                    if k in old_flushed
+                    and new_flushed.get(k) == old_flushed.get(k)}
     # drop all warehouse-backed registrations, re-overlay the new manifest
     for k in list(engine._tables):
         if k not in keep:
@@ -1088,7 +1097,17 @@ def refresh(engine, row_merge: bool = False,
         # base generation must sit past the other writer's flushed gen so
         # OUR next flush writes a fresh version directory
         engine._generations[k] = max(gen, new_flushed.get(k, 0) + 1)
-        engine._flushed_gen.pop(k, None)
+        if k in saved_deltas:
+            # unchanged base: restore the epoch state (poisoned-None
+            # restores as poisoned — a rewrite-dirty table stays one)
+            engine._flushed_gen[k] = old_flushed[k]
+            a, d = saved_deltas[k]
+            if a != "absent":
+                engine._append_deltas[k] = a
+            if d != "absent":
+                engine._delete_deltas[k] = d
+        else:
+            engine._flushed_gen.pop(k, None)
         replayed.append(k[1])
     engine.last_merge_report = {}
     for k, feed in feeds.items():
