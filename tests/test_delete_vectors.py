@@ -242,6 +242,51 @@ class TestDeleteVectors:
         assert _ids(db2) == ["a1", "k001", "k002", "k003"]
         assert db2.df("u").count() == 1
 
+    def test_recipe_cdc_equals_exceptall(self, spark, tmp_path):
+        """table_diff's O(delta) recipe fast path must equal the
+        exceptAll answer across a delete epoch, a replace epoch (incl.
+        a NO-OP re-write that must net out), and an append epoch."""
+        from tostore_spark import store as S
+        from pyspark.sql import functions as F
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh, rows=6)                         # v1 base
+        v1 = db._generations[("default", "notes")]
+        db.delete("notes").where("n", "=", 2).execute()
+        db.flush()                                          # v2 del
+        db.batch_upsert("notes", [
+            {"id": "k001", "body": "NEW1"},                 # real change
+            {"id": "k003", "body": "b3", "n": 3},           # no-op
+            {"id": "z1", "body": "ins", "n": 50}])          # insert
+        db.flush()                                          # v3 replace
+        db.batch_insert("notes", [{"id": "a1", "body": "ap", "n": 60}])
+        db.flush()                                          # v4 append
+        v4 = db._generations[("default", "notes")]
+
+        fast = S.table_diff(db, "notes", v1, v4)
+        # the recipe path must actually have engaged
+        assert S._diff_from_recipe(db, "notes", v1, v4,
+                                   "default") is not None
+        old = S.read_version(db, "notes", v1)
+        new = S.read_version(db, "notes", v4)
+        cols = sorted(old.columns)
+        exp = (new.select(*cols).exceptAll(old.select(*cols))
+               .withColumn("change", F.lit("insert"))
+               .unionByName(
+                   old.select(*cols).exceptAll(new.select(*cols))
+                   .withColumn("change", F.lit("delete"))))
+        got = sorted(map(tuple, fast.collect()))
+        want = sorted(map(tuple, exp.collect()))
+        assert got == want
+        # the no-op upsert row (k003) must not appear at all
+        assert not any(r[0] == "k003" for r in got)
+        # a rewrite breaks the chain: fallback, same answer shape
+        from tostore_spark.plans.layout import optimize_table
+        optimize_table(db, "notes", target_partitions=2)
+        v5 = db._generations[("default", "notes")]
+        assert S._diff_from_recipe(db, "notes", v1, v5,
+                                   "default") is None
+        assert S.table_diff(db, "notes", v4, v5).count() == 0
+
     def test_rollback_restores_delete_delta(self, spark, tmp_path):
         from tostore_spark.transaction import transaction
         db = _mk(spark, str(tmp_path / "wh"), rows=5)

@@ -1434,14 +1434,29 @@ def table_diff(engine, table: str, from_version: int, to_version: int,
     appears as a delete of the old form plus an insert of the new (the
     COW write path has no stable row identity beyond the row's values).
 
-    Shape: two ``exceptAll`` passes over the two version snapshots —
-    each is one hash-aggregate-style shuffle keyed on the full row; with
-    a hive-partitioned table (``partition_by``) the scans prune to the
-    partitions present in either version.  Feeds downstream incremental
-    consumers (e.g. ``plans/mv.mv_delta`` with sign=+1/-1) without
-    replaying the writes that produced the versions."""
+    Shape, fast path: when ``to_version``'s recipe EXTENDS
+    ``from_version``'s (an unbroken epoch chain — appends, deletion
+    vectors, replace commits), the feed is read straight off the tail
+    steps: segment rows are the inserts, each deletion vector's
+    pre-image (one broadcast semi-join against the evolving state) the
+    deletes, with same-value pairs netted out so the result is
+    EXACTLY the exceptAll answer at O(delta) cost — the Delta CDF
+    shape.  CDC between adjacent versions of a 100 TB table then
+    costs the changed rows, not two table-wide shuffles.
+
+    Fallback (rewrite in between, vacuumed prefix, unrelated
+    versions): two ``exceptAll`` passes over the two snapshots — each
+    one hash-aggregate-style shuffle keyed on the full row; with a
+    hive-partitioned table the scans prune to partitions present in
+    either version.  Feeds downstream incremental consumers (e.g.
+    ``plans/mv.mv_delta`` with sign=+1/-1) without replaying the
+    writes that produced the versions."""
     from pyspark.sql import functions as F
 
+    fast = _diff_from_recipe(engine, table, from_version, to_version,
+                             space)
+    if fast is not None:
+        return fast
     old = read_version(engine, table, from_version, space=space)
     new = read_version(engine, table, to_version, space=space)
     old = old.select(*sorted(old.columns))
@@ -1449,6 +1464,76 @@ def table_diff(engine, table: str, from_version: int, to_version: int,
     ins = new.exceptAll(old).withColumn("change", F.lit("insert"))
     dele = old.exceptAll(new).withColumn("change", F.lit("delete"))
     return ins.unionByName(dele)
+
+
+def _diff_from_recipe(engine, table: str, from_version: int,
+                      to_version: int, space: str):
+    """O(delta) CDC: None unless ``to_version``'s op recipe has
+    ``from_version``'s as a strict prefix.  Walks the tail in epoch
+    order, tracking the evolving state ONLY when a deletion vector
+    needs its pre-image; nets same-value insert/delete pairs (multiset
+    counts) so no-op replacements vanish exactly as they do under
+    ``exceptAll``."""
+    from pyspark.sql import functions as F
+    fs = _fs(engine)
+    wh = engine._warehouse
+    vf = table_version_dir(wh, space, table, from_version)
+    vt = table_version_dir(wh, space, table, to_version)
+    if not (fs.is_dir(vf) and fs.is_dir(vt)):
+        return None
+    ops_from = _version_ops(fs, vf)
+    ops_to = _version_ops(fs, vt)
+    if (len(ops_to) <= len(ops_from)
+            or ops_to[:len(ops_from)] != ops_from):
+        return None
+    # pin both versions against vacuum exactly like read_version
+    if not hasattr(engine, "_pinned_versions"):
+        engine._pinned_versions = set()
+    engine._pinned_versions.add((space, table, from_version))
+    engine._pinned_versions.add((space, table, to_version))
+    tail = ops_to[len(ops_from):]
+    state = None         # built lazily, only if a del step needs it
+    consumed = list(ops_from)
+    signed = None
+    cols = None
+    for kind, path in tail:
+        if kind == "seg":
+            rows = engine._read_parquet(path)
+            if cols is None:
+                cols = sorted(rows.columns)
+            rows = rows.select(*cols)
+            part = rows.withColumn("__sign", F.lit(1))
+        else:
+            if state is None:
+                state = _ops_frame(engine, consumed)
+            keys = engine._read_parquet(
+                _fsmod.join(path, _DELETES_SUBDIR))
+            pre = state.join(F.broadcast(keys), on=list(keys.columns),
+                             how="left_semi")
+            if cols is None:
+                cols = sorted(pre.columns)
+            part = pre.select(*cols).withColumn("__sign", F.lit(-1))
+        signed = part if signed is None else signed.unionByName(part)
+        consumed.append([kind, path])
+        if state is not None:
+            state = _ops_frame(engine, consumed)
+    if signed is None:
+        return None
+    if cols is None:
+        return None
+    # net multiset counts per row value — a replace that re-wrote a row
+    # unchanged contributes +1/-1 and vanishes, matching exceptAll
+    net = (signed.groupBy(*cols)
+           .agg(F.sum("__sign").alias("__net"))
+           .filter(F.col("__net") != 0))
+    out = (net.withColumn(
+        "change",
+        F.when(F.col("__net") > 0, F.lit("insert"))
+         .otherwise(F.lit("delete")))
+        .withColumn("__n", F.abs(F.col("__net")))
+        .withColumn("__i", F.explode(F.expr("sequence(1, __n)")))
+        .drop("__net", "__n", "__i"))
+    return out.select(*cols, "change")
 
 
 class SnapshotView:
