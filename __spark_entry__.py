@@ -1770,6 +1770,54 @@ def q_segment_skip(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_cdc_recipe(spark, sf_dir):
+    """O(delta) change-data feed (store._diff_from_recipe): across a
+    deletion-vector epoch + a replace epoch the diff is read straight
+    off the recipe tail — the entry asserts the fast path engaged —
+    and must equal the value-based exceptAll semantics: region-2 rows
+    delete, renamed region-1 rows appear as delete(old)+insert(new),
+    the NO-OP upsert row nets out entirely, and the fresh insert
+    appears once."""
+    import tempfile
+    db = _db(spark, sf_dir)
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    from tostore_spark import store as S
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    noop = min(r["n_nationkey"] for r in nat if r["n_regionkey"] == 0)
+    noop_row = next(r for r in nat if r["n_nationkey"] == noop)
+    with tempfile.TemporaryDirectory() as tmp:
+        db1 = ToStoreSpark(spark, warehouse=tmp)
+        db1.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n_name", type=DataType.text),
+                    FieldSchema(name="n_regionkey",
+                                type=DataType.integer)]))
+        db1.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
+             "n_regionkey": r["n_regionkey"]} for r in nat])
+        db1.flush()                                    # v1 base
+        v1 = db1._generations[("default", "nat")]
+        db1.delete("nat").where("n_regionkey", "=", 2).execute()
+        db1.flush()                                    # v2 del epoch
+        db1.batch_upsert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}",
+             "n_name": r["n_name"] + "_V2"}            # real change
+            for r in nat if r["n_regionkey"] == 1]
+            + [{"id": f"n{noop:03d}",                  # no-op re-write
+                "n_name": noop_row["n_name"],
+                "n_regionkey": 0},
+               {"id": "zz1", "n_name": "NEW", "n_regionkey": 9}])
+        db1.flush()                                    # v3 replace
+        v3 = db1._generations[("default", "nat")]
+        if S._diff_from_recipe(db1, "nat", v1, v3, "default") is None:
+            raise AssertionError("recipe CDC fast path did not engage")
+        out = (db1.table_diff("nat", v1, v3)
+               .select("id", "n_name", "n_regionkey", "change"))
+        rows, schema = out.collect(), out.schema
+    return spark.createDataFrame(rows, schema)
+
+
 def q_upsert_mor(spark, sf_dir):
     """Merge-on-read upsert commit (store.flush_tables fast_replace +
     engine epoch algebra): a batch upsert's flush writes ONLY the
@@ -3856,8 +3904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ORDER = [
         # -- r10 rotation head (the r9 verdict's item 1, executed) -----
         # slots 1-4: entries born in r10 (newest-first rule)
-        "q_upsert_mor", "q_delete_vectors", "q_bloom_skip", "q_file_skip",
-        "q_meta_agg", "q_segment_skip",
+        "q_cdc_recipe", "q_upsert_mor", "q_delete_vectors", "q_bloom_skip",
+        "q_file_skip", "q_meta_agg", "q_segment_skip",
         "q_graph_prune", "q_stream_multi_sink", "q_graph_append",
         "q_stream_neardup_ingest", "q_diversity_report",
         "q_graph_refine", "q_text_drift", "q_stream_rightouter_join",
@@ -4738,6 +4786,18 @@ def oracle_sql() -> dict[str, str]:
         "q_bloom_skip": """
             SELECT c_custkey, c_name, c_nationkey FROM customer
             WHERE c_custkey IN (700, 702)""",
+        "q_cdc_recipe": """
+            WITH keyed AS (
+              SELECT 'n' || lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS id,
+                     n_name, n_regionkey
+              FROM nation)
+            SELECT id, n_name, n_regionkey, 'delete' AS change
+            FROM keyed WHERE n_regionkey IN (1, 2)
+            UNION ALL
+            SELECT id, n_name || '_V2', n_regionkey, 'insert'
+            FROM keyed WHERE n_regionkey = 1
+            UNION ALL
+            SELECT 'zz1', 'NEW', 9, 'insert'""",
         "q_upsert_mor": """
             SELECT 'n' || lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS id,
                    CASE WHEN n_regionkey = 1 THEN n_name || '_V2'
