@@ -302,6 +302,31 @@ class TestDeleteVectors:
         db2 = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))
         assert db2.df("notes").count() == 5
 
+    def test_two_writer_mor_row_merge(self, spark, tmp_path):
+        """Writer A commits a deletion vector; writer B (stale base,
+        pending appends) hits the CAS conflict, row-merges, and its
+        replay lands on top of A's vector state."""
+        from tostore_spark.store import ConcurrentWriteError
+        wh = str(tmp_path / "wh")
+        a = _mk(spark, wh, rows=10)
+        b = ToStoreSpark(spark, warehouse=wh)
+        a.delete("notes").where("n", "<", 2).execute()
+        a.flush()                                   # vector commit
+        b.batch_insert("notes", [{"id": "b1", "body": "w", "n": 90}])
+        with pytest.raises(ConcurrentWriteError):
+            b.flush()
+        b.refresh(row_merge=True)
+        b.flush()
+        final = ToStoreSpark(spark, warehouse=wh)
+        ids = _ids(final)
+        assert "k000" not in ids and "k001" not in ids
+        assert "b1" in ids and len(ids) == 9
+        # superseded v1/v2 are vacuum candidates; after vacuum the
+        # warehouse is fully clean and still reads correctly
+        final.vacuum(keep=1)
+        assert final.fsck().count() == 0
+        assert len(_ids(final)) == 9
+
     def test_skipping_and_meta_agg_ineligible_until_compaction(
             self, spark, tmp_path):
         wh = str(tmp_path / "wh")
