@@ -559,12 +559,12 @@ class ToStoreSpark:
                 if not files:
                     df = self.spark.createDataFrame([], base.schema)
                 else:
-                    df = self._read_parquet(files).select(*base.columns)
+                    df = self._pruned_read(files).select(*base.columns)
             elif not surviving:
                 df = self.spark.createDataFrame([], base.schema)
             else:
                 pin = base.schema if ent.get("partition_by") else None
-                df = self._read_parquet(
+                df = self._pruned_read(
                     surviving if len(surviving) > 1 else surviving[0],
                     schema=pin).select(*base.columns)
             return self._ttl_filtered(df, ent)
@@ -581,13 +581,13 @@ class ToStoreSpark:
                     files = file_sel[np_]
                     if not files:
                         continue
-                    part = self._read_parquet(files)
+                    part = self._pruned_read(files)
                 else:
-                    part = self._read_parquet(path)
+                    part = self._pruned_read(path)
                 part = part.select(*base.columns)
                 df = part if df is None else df.unionByName(part)
             elif df is not None:
-                keys = self._read_parquet(
+                keys = self._pruned_read(
                     (path[:-1] if path.endswith("/") else path)
                     + "/" + _DELETES_SUBDIR)
                 df = df.join(F.broadcast(keys), on=list(keys.columns),
@@ -661,6 +661,26 @@ class ToStoreSpark:
             out = None
         cache[seg] = out
         return out
+
+    def _pruned_read(self, paths, schema=None) -> DataFrame:
+        """Memoized ``_read_parquet`` for skipping's rebuilt scans:
+        a pruned read lists files and reads footers when its plan is
+        built, and the SAME predicate re-run would otherwise pay that
+        driver-side cost every call.  Version dirs are immutable, so a
+        plan keyed by its exact path set stays valid; the cache is
+        cleared with the sidecar caches at flush/refresh."""
+        cache = getattr(self, "_prune_plan_cache", None)
+        if cache is None:
+            cache = self._prune_plan_cache = {}
+        key = (tuple(paths) if isinstance(paths, list) else paths,
+               schema is not None)
+        df = cache.get(key)
+        if df is None:
+            df = self._read_parquet(paths, schema=schema)
+            if len(cache) >= 256:
+                cache.clear()
+            cache[key] = df
+        return df
 
     def _file_stats(self, seg: str) -> Optional[dict]:
         """Lazy, cached read of a segment's ``_filestats.json`` sidecar

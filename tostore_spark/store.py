@@ -685,6 +685,7 @@ def flush_tables(engine, flush_storage: bool = True,
             # file-stats sidecar cache must not serve the old dir's map
             engine.__dict__.pop("_filestats_cache", None)
             engine.__dict__.pop("_bloom_cache", None)
+            engine.__dict__.pop("_prune_plan_cache", None)
             manifest = _build_manifest(engine)
             if merge_from is not None:
                 manifest = _merge_manifests(engine, manifest, merge_from)
@@ -1090,6 +1091,7 @@ def refresh(engine, row_merge: bool = False,
     engine._delete_deltas.clear()
     engine.__dict__.pop("_filestats_cache", None)
     engine.__dict__.pop("_bloom_cache", None)
+    engine.__dict__.pop("_prune_plan_cache", None)
     load_warehouse(engine)
     replayed = []
     for k, (ent, gen) in keep.items():
