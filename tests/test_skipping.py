@@ -347,6 +347,36 @@ class TestEndToEnd:
         # a != / range probe never consults the bloom (keeps all)
         assert db2.query("t").where("k", "!=", "k0100").count() == 299
 
+    def test_file_grain_on_partitioned_table(self, spark, tmp_path):
+        """hive-partitioned tables prune FILES on data columns too —
+        the explicit-file read keeps the path-encoded partition
+        column (values and type) intact."""
+        from tostore_spark.engine import ToStoreSpark
+        wh = str(tmp_path / "wh")
+        db = ToStoreSpark(spark, warehouse=wh)
+        df = spark.createDataFrame(
+            [{"pcol": f"p{i % 3}", "id": i, "v": i * 2}
+             for i in range(300)]).repartition(4, "id")
+        db.register_table("t", df=df, partition_by=["pcol"])
+        db.flush()
+
+        out = (db.query("t").where("id", "BETWEEN",
+                                   {"start": 10, "end": 20}).df())
+        rows = out.collect()
+        assert sorted(r["id"] for r in rows) == list(range(10, 21))
+        # partition column survives the file-level read
+        assert all(r["pcol"] == f"p{r['id'] % 3}" for r in rows)
+        if db._last_prune_files is not None:
+            kept, total = db._last_prune_files
+            assert kept < total
+        # partition-column predicate still works (Spark dir pruning;
+        # footer stats treat pcol as unknown — conservative)
+        assert db.query("t").where("pcol", "=", "p1").count() == 100
+        # reopen: sidecars re-read, types pinned
+        db2 = ToStoreSpark(spark, warehouse=wh)
+        r2 = (db2.query("t").where("id", "=", 42).df().collect())
+        assert len(r2) == 1 and r2[0]["pcol"] == "p0"
+
     def test_data_skipping_kill_switch(self, spark, tmp_path):
         from tostore_spark.engine import ToStoreSpark
         db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))

@@ -533,7 +533,7 @@ class ToStoreSpark:
         # file was actually dropped.
         file_sel: dict = {}
         kept_f = total_f = 0
-        file_ok = not ent.get("partition_by") and bool(surviving)
+        file_ok = bool(surviving)
         if file_ok:
             for seg in surviving:
                 fstats = self._file_stats(seg)
@@ -554,6 +554,23 @@ class ToStoreSpark:
         if not has_del:
             # pure-segment table: keep the single multi-root scan
             if use_files:
+                if ent.get("partition_by"):
+                    # hive roots: explicit files re-read per segment
+                    # under their basePath so the path-encoded
+                    # partition columns survive the file-level read
+                    parts = [
+                        self._pruned_read_part(
+                            seg, file_sel[_norm_path(seg)], base.schema)
+                        .select(*base.columns)
+                        for seg in surviving
+                        if file_sel[_norm_path(seg)]]
+                    if not parts:
+                        df = self.spark.createDataFrame([], base.schema)
+                    else:
+                        df = parts[0]
+                        for p in parts[1:]:
+                            df = df.unionByName(p)
+                    return self._ttl_filtered(df, ent)
                 files = [f for seg in surviving
                          for f in file_sel[_norm_path(seg)]]
                 if not files:
@@ -677,6 +694,26 @@ class ToStoreSpark:
         df = cache.get(key)
         if df is None:
             df = self._read_parquet(paths, schema=schema)
+            if len(cache) >= 256:
+                cache.clear()
+            cache[key] = df
+        return df
+
+    def _pruned_read_part(self, root: str, files: list,
+                          pin) -> DataFrame:
+        """File-level read of a hive-partitioned segment: the explicit
+        file list under ``basePath=root`` keeps the path-encoded
+        partition columns, the pinned schema keeps partition-value
+        typing exact (same pin discipline as the full read).  Memoized
+        like ``_pruned_read``."""
+        cache = getattr(self, "_prune_plan_cache", None)
+        if cache is None:
+            cache = self._prune_plan_cache = {}
+        key = (root, tuple(files))
+        df = cache.get(key)
+        if df is None:
+            df = (self.spark.read.option("basePath", root)
+                  .schema(pin).parquet(*files))
             if len(cache) >= 256:
                 cache.clear()
             cache[key] = df

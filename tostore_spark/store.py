@@ -619,9 +619,13 @@ def flush_tables(engine, flush_storage: bool = True,
                                                            per_file=True)
                 if new_stats:
                     seg_stats[_norm_path(vdir)] = new_stats
-                    if by_file and not pby:
-                        # partitioned roots keep directory pruning; the
-                        # file-grain read path is unpartitioned-only
+                    if by_file:
+                        # partitioned roots get the sidecar too: the
+                        # read path re-reads explicit files under a
+                        # basePath so partition columns survive;
+                        # partition-column predicates still prune via
+                        # Spark's directory pruning, file stats prune
+                        # on DATA columns
                         fs.write_atomic(
                             _fsmod.join(vdir, _FILESTATS_SIDECAR),
                             json.dumps({"files": by_file}))
