@@ -396,6 +396,32 @@ class TestEndToEnd:
         assert db.query("t").count() == 100
         assert db._last_meta_agg == ("count", "t")
 
+    def test_per_file_bloom_within_segment(self, spark, tmp_path):
+        """A compacted single-segment table: min/max overlaps every
+        file for an unsorted key, but the per-file bloom narrows a
+        point lookup to the file(s) that actually hold the value."""
+        from tostore_spark.engine import ToStoreSpark
+        wh = str(tmp_path / "wh")
+        db = ToStoreSpark(spark, warehouse=wh)
+        # interleaved keys across 6 files: every file spans the range
+        db.register_table("t", df=spark.createDataFrame(
+            [{"k": f"u{i:04d}", "n": i} for i in range(600)])
+            .repartition(6))
+        db.enable_bloom_skip("t", ["k"])
+        db.flush()
+        assert db.query("t").where("k", "=", "u0123").count() == 1
+        # one segment kept, but the file set narrowed
+        assert db._last_prune == (1, 1, "t")
+        kept, total = db._last_prune_files
+        assert total == 6 and kept <= 2
+        # absent value: zero files read, still a correct empty result
+        assert db.query("t").where("k", "=", "zz").count() == 0
+        assert db._last_prune[0] == 0 or db._last_prune_files[0] == 0
+        # reopen path decodes the per-file map from the sidecar
+        db2 = ToStoreSpark(spark, warehouse=wh)
+        assert db2.query("t").where("k", "=", "u0599").count() == 1
+        assert db2._last_prune_files[0] <= 2
+
     def test_bloom_enable_validation(self, spark, tmp_path):
         from tostore_spark.engine import ToStoreSpark
         db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))

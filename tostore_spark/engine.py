@@ -542,8 +542,21 @@ class ToStoreSpark:
                     break
                 total_f += len(fstats)
                 root = seg[:-1] if seg.endswith("/") else seg
-                kept = [f"{root}/{rel}" for rel, summ in fstats.items()
-                        if node_may_match(node, summ, key[1])]
+                # per-FILE blooms (build_bloom_payload's files map):
+                # a point value provably absent from a file skips it
+                # even inside a surviving segment
+                fbloom = (self._bloom_stats(seg) or {}
+                          if ent.get("bloom_cols") else {})
+                fb_files = fbloom.get("files") or {}
+                kept = []
+                for rel, summ in fstats.items():
+                    if rel in fb_files:
+                        summ = {**summ,
+                                "bloom": {"m": fbloom["m"],
+                                          "k": fbloom["k"],
+                                          "cols": fb_files[rel]}}
+                    if node_may_match(node, summ, key[1]):
+                        kept.append(f"{root}/{rel}")
                 kept_f += len(kept)
                 file_sel[_norm_path(seg)] = kept
         use_files = file_ok and kept_f < total_f
@@ -673,7 +686,11 @@ class ToStoreSpark:
                 raw = _json.loads(fs.read_text(p))
                 out = {"m": int(raw["m"]), "k": int(raw["k"]),
                        "cols": {c: base64.b64decode(b)
-                                for c, b in raw["cols"].items()}}
+                                for c, b in raw["cols"].items()},
+                       "files": {rel: {c: base64.b64decode(b)
+                                       for c, b in fm.items()}
+                                 for rel, fm in
+                                 (raw.get("files") or {}).items()}}
         except Exception:
             out = None
         cache[seg] = out

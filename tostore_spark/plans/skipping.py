@@ -287,17 +287,22 @@ def bloom_may_contain(bloom: dict, col: str, value: Any) -> bool:
     return True
 
 
-def build_bloom_payload(df, cfg: dict) -> dict:
+def build_bloom_payload(df, cfg: dict, root: str = "") -> dict:
     """The flush-side bloom build: ONE distributed job over the frame
     just written — k crc32 positions per (row, bloom column), distinct
-    (col, pos) pairs to the driver (bounded by |cols|·m rows, never by
-    the data), folded into per-column bitmaps.
+    (file, col, pos) triples to the driver (bounded by
+    |files|·|cols|·m rows, never by the data), folded into per-column
+    bitmaps at BOTH granularities: the segment roll-up and a per-file
+    map keyed by the same relative paths as the ``_filestats.json``
+    sidecar, so a point lookup can skip files INSIDE a surviving
+    segment (the post-OPTIMIZE single-segment case).
 
-    ``cfg`` = {"cols": [...], "m": bits, "k": hashes}.  Returns the
-    JSON-safe sidecar payload {"m", "k", "cols": {col: base64 bitmap}}
-    — {} when no configured column exists in the frame.  Nulls hash to
-    null positions and are filtered (a null never equals anything the
-    bloom is consulted for)."""
+    ``cfg`` = {"cols": [...], "m": bits, "k": hashes}; ``root`` = the
+    segment dir the relative file keys are computed against.  Returns
+    {"m", "k", "cols": {col: b64}, "files": {rel: {col: b64}}} — {}
+    when no configured column exists in the frame.  Nulls hash to null
+    positions and are filtered (a null never equals anything the bloom
+    is consulted for)."""
     from pyspark.sql import functions as F
     import base64
     cols = [c for c in cfg.get("cols", ()) if c in df.columns]
@@ -311,16 +316,35 @@ def build_bloom_payload(df, cfg: dict) -> dict:
             entries.append(F.struct(
                 F.lit(c).alias("c"),
                 (F.crc32(F.concat(s, F.lit(f"#{i}"))) % m).alias("p")))
-    rows = (df.select(F.explode(F.array(*entries)).alias("e"))
-              .select("e.c", "e.p").where(F.col("p").isNotNull())
+    rows = (df.select(F.input_file_name().alias("f"),
+                      F.explode(F.array(*entries)).alias("e"))
+              .select("f", "e.c", "e.p").where(F.col("p").isNotNull())
               .distinct().collect())
-    maps = {c: bytearray((m + 7) >> 3) for c in cols}
+
+    def _rel(uri: str) -> str:
+        p = uri[len("file:"):] if uri.startswith("file:") else uri
+        p = p.lstrip("/")
+        r = root[len("file:"):] if root.startswith("file:") else root
+        r = r.lstrip("/").rstrip("/")
+        return p[len(r) + 1:] if r and p.startswith(r + "/") else p
+
+    seg_maps = {c: bytearray((m + 7) >> 3) for c in cols}
+    file_maps: dict = {}
     for r in rows:
         p = int(r["p"])
-        maps[r["c"]][p >> 3] |= 1 << (p & 7)
-    return {"m": m, "k": k,
-            "cols": {c: base64.b64encode(bytes(b)).decode("ascii")
-                     for c, b in maps.items()}}
+        seg_maps[r["c"]][p >> 3] |= 1 << (p & 7)
+        fm = file_maps.setdefault(_rel(r["f"]), {})
+        bm = fm.get(r["c"])
+        if bm is None:
+            bm = fm[r["c"]] = bytearray((m + 7) >> 3)
+        bm[p >> 3] |= 1 << (p & 7)
+
+    def _enc(maps):
+        return {c: base64.b64encode(bytes(b)).decode("ascii")
+                for c, b in maps.items()}
+
+    return {"m": m, "k": k, "cols": _enc(seg_maps),
+            "files": {rel: _enc(fm) for rel, fm in file_maps.items()}}
 
 
 def _leaf_may_match(field: str, op: str, value: Any, summary: dict,

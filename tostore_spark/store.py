@@ -638,7 +638,7 @@ def flush_tables(engine, flush_storage: bool = True,
                     from tostore_spark.plans.skipping import \
                         build_bloom_payload
                     payload = build_bloom_payload(
-                        engine._read_parquet(vdir), bl_cfg)
+                        engine._read_parquet(vdir), bl_cfg, root=vdir)
                     if payload:
                         fs.write_atomic(
                             _fsmod.join(vdir, _BLOOM_SIDECAR),
