@@ -1797,6 +1797,7 @@ def q_cdc_recipe(spark, sf_dir):
             {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
              "n_regionkey": r["n_regionkey"]} for r in nat])
         db1.flush()                                    # v1 base
+        db1.eager_mutation_counts = False    # n unused: skip the job
         v1 = db1._generations[("default", "nat")]
         db1.delete("nat").where("n_regionkey", "=", 2).execute()
         db1.flush()                                    # v2 del epoch
@@ -1890,6 +1891,7 @@ def q_delete_vectors(spark, sf_dir):
             {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
              "n_regionkey": r["n_regionkey"]} for r in nat])
         db1.flush()                                    # base segment
+        db1.eager_mutation_counts = False    # n unused: skip the job
         db1.delete("nat").where("n_regionkey", "=", 2).execute()
         db1.flush()                                    # delete epoch
         ent = db1._tables[("default", "nat")]
