@@ -111,6 +111,82 @@ class TestLeafPruning:
         assert prune_segments(["a", "c"], stats, node, "t") == ["c"]
 
 
+class TestConservativeness:
+    """Property pin: whenever the pruner says a segment CANNOT match
+    (node_may_match False), the pure-Python reference evaluator
+    (``condition._eval_node`` — value_matcher semantics) must find NO
+    matching row among the segment's actual values.  False keeps are
+    fine (skipping is an optimization); a false drop is data loss."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _vals = st.lists(
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        min_size=1, max_size=12)
+    _ops = st.sampled_from(["=", "!=", ">", ">=", "<", "<=", "IS",
+                            "IS NOT", "BETWEEN", "IN"])
+    _probe = st.integers(min_value=-55, max_value=55)
+
+    @staticmethod
+    def _summary(vals):
+        nn = [v for v in vals if v is not None]
+        return {"rows": len(vals),
+                "cols": {"x": {
+                    "min": min(nn) if nn else None,
+                    "max": max(nn) if nn else None,
+                    "nulls": sum(1 for v in vals if v is None)}}}
+
+    @given(vals=_vals, op=_ops, probe=_probe, probe2=_probe)
+    @settings(max_examples=300, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_prune_never_drops_a_matching_row(self, vals, op, probe,
+                                              probe2):
+        from tostore_spark.condition import ConditionNode, _eval_node
+        if op == "BETWEEN":
+            value = {"start": min(probe, probe2),
+                     "end": max(probe, probe2)}
+        elif op == "IN":
+            value = [probe, probe2]
+        elif op in ("IS", "IS NOT"):
+            value = None
+        else:
+            value = probe
+        node = ConditionNode("leaf", "x", op, value)
+        may = node_may_match(node, self._summary(vals), "t")
+        if not may:
+            assert not any(_eval_node(node, {"x": v}) for v in vals), \
+                (vals, op, value)
+
+
+    @given(keys=st.lists(st.one_of(
+        st.integers(min_value=-10**6, max_value=10**6),
+        st.text(min_size=0, max_size=12)), min_size=1, max_size=40))
+    @settings(max_examples=200, deadline=None)
+    def test_bloom_never_false_negative(self, keys):
+        """Every value folded into the bitmap must test present —
+        a false negative would silently drop live rows.  (The Spark
+        build side uses the same crc32/`#i` formula; the e2e bloom
+        tests pin the two implementations against each other.)"""
+        from tostore_spark.plans.skipping import (bloom_key,
+                                                  bloom_may_contain,
+                                                  bloom_positions)
+        m, k = 4096, 4
+        bits = bytearray(m >> 3)
+        for v in keys:
+            s = bloom_key(v)
+            assert s is not None
+            for p in bloom_positions(s, m, k):
+                bits[p >> 3] |= 1 << (p & 7)
+        bloom = {"m": m, "k": k, "cols": {"x": bytes(bits)}}
+        for v in keys:
+            assert bloom_may_contain(bloom, "x", v)
+        # unkeyable values never consult the bitmap (conservative keep)
+        assert bloom_may_contain(bloom, "x", None)
+        assert bloom_may_contain(bloom, "x", 1.5)
+        assert bloom_may_contain(bloom, "y", "anything")
+
+
 class TestCollect:
     def test_collect_and_fold(self, tmp_path):
         import pyarrow as pa
