@@ -453,6 +453,22 @@ class TestEndToEnd:
         r2 = (db2.query("t").where("id", "=", 42).df().collect())
         assert len(r2) == 1 and r2[0]["pcol"] == "p0"
 
+    def test_table_stats_observability(self, spark, tmp_path):
+        from tostore_spark.engine import ToStoreSpark
+        db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))
+        db.register_table("t", df=spark.createDataFrame(
+            [{"id": i} for i in range(40)]))
+        db.flush()
+        db.batch_insert("t", [{"id": 100 + i} for i in range(10)])
+        db.flush()
+        st = db.table_stats("t")
+        assert st["total_rows"] == 50
+        assert len(st["segments"]) == 2
+        assert st["segments"][1]["rows"] == 10
+        assert st["segments"][1]["cols"]["id"]["min"] == 100
+        assert st["delete_epochs"] == 0 and st["bloom_cols"] is None
+        assert [k for k, _ in st["recipe"]] == ["seg", "seg"]
+
     def test_data_skipping_kill_switch(self, spark, tmp_path):
         from tostore_spark.engine import ToStoreSpark
         db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))

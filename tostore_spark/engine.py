@@ -696,6 +696,49 @@ class ToStoreSpark:
         cache[seg] = out
         return out
 
+    def table_stats(self, name: str) -> dict:
+        """Metadata-only observability for a warehouse table: the
+        manifest's per-segment footer summaries plus the recipe shape —
+        no Spark job, no file listing.  Shape::
+
+            {"table", "segments": [{"path", "rows", "cols":
+              {col: {"min", "max", "nulls"}}}, ...],
+             "total_rows": int|None,   # None while deletes pending
+             "recipe": [["seg"|"del", path], ...],
+             "delete_epochs": int, "bloom_cols": [...]|None}
+
+        ``total_rows`` is exact only when no deletion vectors are
+        pending (their removed counts live in the key sets, not the
+        stats); dirty in-memory state is NOT reflected — this reads
+        the flushed metadata, the same source the skipping layer and
+        ``stats_count`` use."""
+        key = self._resolve(name)
+        ent = self._tables[key]
+        from tostore_spark.store import _norm_path
+        stats = ent.get("segment_stats") or {}
+        segs = ent.get("segments") or []
+        ops = ent.get("ops") or [["seg", p] for p in segs]
+        has_del = any(k == "del" for k, _p in ops)
+        seg_rows = []
+        total = 0
+        complete = True
+        for seg in segs:
+            st = stats.get(_norm_path(seg))
+            if st and "rows" in st:
+                total += int(st["rows"])
+                seg_rows.append({"path": seg, "rows": int(st["rows"]),
+                                 "cols": st.get("cols") or {}})
+            else:
+                complete = False
+                seg_rows.append({"path": seg, "rows": None, "cols": {}})
+        bl = ent.get("bloom_cols")
+        return {"table": name, "segments": seg_rows,
+                "total_rows": (total if complete and not has_del
+                               else None),
+                "recipe": [list(o) for o in ops],
+                "delete_epochs": sum(1 for k, _p in ops if k == "del"),
+                "bloom_cols": list(bl["cols"]) if bl else None}
+
     def _pruned_read(self, paths, schema=None) -> DataFrame:
         """Memoized ``_read_parquet`` for skipping's rebuilt scans:
         a pruned read lists files and reads footers when its plan is
