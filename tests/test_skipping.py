@@ -453,6 +453,36 @@ class TestEndToEnd:
         r2 = (db2.query("t").where("id", "=", 42).df().collect())
         assert len(r2) == 1 and r2[0]["pcol"] == "p0"
 
+    def test_ttl_filter_applies_on_pruned_reads(self, spark, tmp_path):
+        """A row that ages past its TTL AFTER the flush must stay
+        invisible on the skipping-rebuilt scan too — pruned_df
+        re-applies the TTL read filter to whatever it rebuilds."""
+        import datetime
+        import time
+        from tostore_spark.engine import ToStoreSpark
+        from tostore_spark.schema import (DataType, FieldSchema,
+                                          PrimaryKeyConfig,
+                                          TableSchema, TableTtlConfig)
+        db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))
+        db.create_table(TableSchema(
+            name="t", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema("n", DataType.integer),
+                    FieldSchema("created", DataType.datetime)],
+            ttl=TableTtlConfig(ttl_ms=800, source_field="created")))
+        now = datetime.datetime.now()
+        db.batch_insert("t", [
+            {"id": "live", "n": 5,
+             "created": now + datetime.timedelta(hours=1)},
+            {"id": "aging", "n": 7, "created": now}])
+        db.flush()                  # both survive the flush cleanup
+        time.sleep(1.2)             # 'aging' expires post-flush
+        rows = (db.query("t").where("n", "BETWEEN",
+                                    {"start": 0, "end": 10})
+                .df().collect())
+        assert [r["id"] for r in rows] == ["live"]
+        # the skipping layer was eligible for this read
+        assert db._last_prune is not None
+
     def test_table_stats_observability(self, spark, tmp_path):
         from tostore_spark.engine import ToStoreSpark
         db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))
