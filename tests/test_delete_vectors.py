@@ -287,6 +287,31 @@ class TestDeleteVectors:
                                    "default") is None
         assert S.table_diff(db, "notes", v4, v5).count() == 0
 
+    def test_vacuum_reclaims_vectors_after_compaction(self, spark,
+                                                      tmp_path):
+        """Once a compacting rewrite folds the recipe, the old base +
+        vector dirs are unreferenced history: vacuum removes them and
+        the table still reads (no dangling recipe references)."""
+        import os
+        from tostore_spark.plans.layout import optimize_table
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh, rows=12)
+        for n in (0, 1, 2):
+            db.delete("notes").where("n", "=", n).execute()
+            db.flush()                        # three vector epochs
+        assert db.table_stats("notes")["delete_epochs"] == 3
+        optimize_table(db, "notes", target_partitions=2)   # compaction
+        assert db.table_stats("notes")["delete_epochs"] == 0
+        db.unpin_versions()
+        removed = db.vacuum(keep=1)
+        assert removed >= 3
+        tdir = os.path.join(wh, "default", "notes")
+        assert len([d for d in os.listdir(tdir)
+                    if d.startswith("v")]) == 1
+        db2 = ToStoreSpark(spark, warehouse=wh)
+        assert len(_ids(db2)) == 9
+        assert db2.fsck().count() == 0
+
     def test_rollback_restores_delete_delta(self, spark, tmp_path):
         from tostore_spark.transaction import transaction
         db = _mk(spark, str(tmp_path / "wh"), rows=5)
