@@ -540,36 +540,55 @@ def _mor_flush_stat(spark, sf_dir: str) -> dict | None:
         from tostore_spark.schema import (DataType, FieldSchema,
                                           PrimaryKeyConfig, TableSchema)
         li = entrymod._db(spark, sf_dir).df("lineitem")
-        base = (li.selectExpr(
+        full = (li.selectExpr(
             "concat('r', cast(monotonically_increasing_id() as string))"
             " as id",
             "l_orderkey", "l_quantity", "l_returnflag")
             .localCheckpoint(eager=True))
+        n_full = full.count()
         sch = TableSchema(
             name="t", primary_key=PrimaryKeyConfig(name="id"),
             fields=[FieldSchema("l_orderkey", DataType.integer),
                     FieldSchema("l_quantity", DataType.double),
-                    FieldSchema("l_comment", DataType.text)])
-        out: dict = {"base_rows": base.count(), "touched_rows": 100}
-        ids = [r["id"] for r in base.limit(200).collect()]
-        del_ids, upd_ids = ids[:100], ids[100:]
-        for mode in ("vector", "rewrite"):
-            with tempfile.TemporaryDirectory() as tmp:
-                db = ToStoreSpark(spark, warehouse=tmp)
-                db.register_table("t", df=base, schema=sch)
-                db.flush()
-                db.delete_vectors = (mode == "vector")
-                n = db.delete("t").where("id", "IN", del_ids).execute()
-                assert n == 100, n
-                t0 = _t.time()
-                db.flush()
-                out[f"delete_{mode}_flush_sec"] = round(_t.time() - t0, 3)
-                # update epoch on the same warehouse state
-                db.update("t", {"l_returnflag": "X"}) \
-                  .where("id", "IN", upd_ids).execute()
-                t0 = _t.time()
-                db.flush()
-                out[f"update_{mode}_flush_sec"] = round(_t.time() - t0, 3)
+                    FieldSchema("l_returnflag", DataType.text)])
+        out: dict = {"touched_rows": 100}
+        # two base sizes, 10x apart: the vector/replace flush should
+        # stay ~flat while the forced rewrite scales with the base —
+        # the measured form of the cost-class claim
+        for label, size in (("small", max(1000, n_full // 10)),
+                            ("large", n_full)):
+            base = (full if size >= n_full
+                    else full.limit(size).localCheckpoint(eager=True))
+            ids = [r["id"] for r in base.limit(200).collect()]
+            del_ids, upd_ids = ids[:100], ids[100:]
+            blk: dict = {"base_rows": size}
+            for mode in ("vector", "rewrite"):
+                with tempfile.TemporaryDirectory() as tmp:
+                    db = ToStoreSpark(spark, warehouse=tmp)
+                    db.register_table("t", df=base, schema=sch)
+                    db.flush()
+                    db.delete_vectors = (mode == "vector")
+                    n = db.delete("t").where("id", "IN",
+                                             del_ids).execute()
+                    assert n == 100, n
+                    t0 = _t.time()
+                    db.flush()
+                    blk[f"delete_{mode}_flush_sec"] = \
+                        round(_t.time() - t0, 3)
+                    # update epoch on the same warehouse state
+                    db.update("t", {"l_returnflag": "X"}) \
+                      .where("id", "IN", upd_ids).execute()
+                    t0 = _t.time()
+                    db.flush()
+                    blk[f"update_{mode}_flush_sec"] = \
+                        round(_t.time() - t0, 3)
+            out[label] = blk
+        s, L = out["small"], out["large"]
+        out["scale_x"] = {
+            k: round(L[f"{k}_flush_sec"] / s[f"{k}_flush_sec"], 2)
+            for k in ("delete_vector", "delete_rewrite",
+                      "update_vector", "update_rewrite")
+            if s.get(f"{k}_flush_sec")}
         return out
     except Exception as exc:                    # pragma: no cover
         print(f"# mor flush stat skipped: {exc}", file=sys.stderr)
