@@ -1770,6 +1770,41 @@ def q_segment_skip(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_table_stats(spark, sf_dir):
+    """Metadata observability (engine.table_stats): two flush epochs
+    leave two segments whose footer summaries ride the manifest; the
+    reopened engine's table_stats must report the exact per-segment
+    row counts, the segment-folded key bounds, and a clean recipe —
+    all WITHOUT a scan (it reads the same manifest state the skipping
+    layer uses) — and the roll-up must equal what DuckDB computes from
+    the data."""
+    import tempfile
+    db = _db(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        db1 = ToStoreSpark(spark, warehouse=tmp)
+        db1.register_table("nation", df=db.df("nation"))
+        db1.flush()                                     # segment 1
+        db1.batch_insert("nation", [
+            {"n_nationkey": 900 + i, "n_name": f"ST{i}",
+             "n_regionkey": i % 2, "n_comment": "c"} for i in range(9)])
+        db1.flush()                                     # segment 2
+        db2 = ToStoreSpark(spark, warehouse=tmp)
+        ts = db2.table_stats("nation")
+        if len(ts["segments"]) != 2 or ts["delete_epochs"] != 0:
+            raise AssertionError(f"unexpected shape: {ts}")
+        key_bounds = [s["cols"]["n_nationkey"] for s in ts["segments"]]
+        rows = [
+            {"metric": "total_rows", "value": int(ts["total_rows"])},
+            {"metric": "seg2_rows",
+             "value": int(ts["segments"][1]["rows"])},
+            {"metric": "min_key",
+             "value": int(min(b["min"] for b in key_bounds))},
+            {"metric": "max_key",
+             "value": int(max(b["max"] for b in key_bounds))},
+        ]
+    return spark.createDataFrame(rows, "metric string, value bigint")
+
+
 def q_cdc_recipe(spark, sf_dir):
     """O(delta) change-data feed (store._diff_from_recipe): across a
     deletion-vector epoch + a replace epoch the diff is read straight
@@ -3906,7 +3941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ORDER = [
         # -- r10 rotation head (the r9 verdict's item 1, executed) -----
         # slots 1-4: entries born in r10 (newest-first rule)
-        "q_cdc_recipe", "q_upsert_mor", "q_delete_vectors", "q_bloom_skip",
+        "q_table_stats", "q_cdc_recipe", "q_upsert_mor",
+        "q_delete_vectors", "q_bloom_skip",
         "q_file_skip", "q_meta_agg", "q_segment_skip",
         "q_graph_prune", "q_stream_multi_sink", "q_graph_append",
         "q_stream_neardup_ingest", "q_diversity_report",
@@ -4788,6 +4824,16 @@ def oracle_sql() -> dict[str, str]:
         "q_bloom_skip": """
             SELECT c_custkey, c_name, c_nationkey FROM customer
             WHERE c_custkey IN (700, 702)""",
+        "q_table_stats": """
+            SELECT 'total_rows' AS metric,
+                   CAST(count(*) + 9 AS BIGINT) AS value FROM nation
+            UNION ALL SELECT 'seg2_rows', CAST(9 AS BIGINT)
+            UNION ALL
+            SELECT 'min_key', CAST(least(min(n_nationkey), 900) AS BIGINT)
+            FROM nation
+            UNION ALL
+            SELECT 'max_key', CAST(greatest(max(n_nationkey), 908) AS BIGINT)
+            FROM nation""",
         "q_cdc_recipe": """
             WITH keyed AS (
               SELECT 'n' || lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS id,
