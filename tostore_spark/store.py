@@ -277,7 +277,11 @@ _MAX_SEGMENTS = 16
 
 #: subdir of a deletion-vector version dir holding the deleted-PK
 #: parquet; the leading underscore keeps Spark's own readers from ever
-#: scanning it as table data
+#: scanning it as table data when they read the PARENT dir.  Reading
+#: the subdir itself as an explicit root works (verified by the full
+#: oracle gate) but logs a benign "All paths were ignored" WARN —
+#: Spark's hidden-path heuristic warns on the root's name while still
+#: reading its (non-hidden) part files.
 _DELETES_SUBDIR = "_deletes"
 
 
