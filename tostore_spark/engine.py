@@ -869,25 +869,55 @@ class ToStoreSpark:
         if append_delta is None and delete_delta is None:
             _poison()                     # rewrite-dirty: no fast path
         elif not poisoned:
+            # The fold must NEVER leave a stale (K, R) pair behind: the
+            # in-memory frame was already replaced above, so a fold that
+            # raises (e.g. a delete delta keyed on a different column
+            # set than the epoch's earlier delete — upsert matched on a
+            # non-PK unique index, then a PK-keyed delete) would desync
+            # the recorded deltas from the visible frame and a later
+            # flush would durably drop the second mutation.  Any
+            # incompatibility or exception poisons instead — the flush
+            # then falls back to the always-correct full rewrite.
             from pyspark.sql import functions as F
             cur_a, cur_d = adeltas.get(key), ddeltas.get(key)
+            compatible = True
             if delete_delta is not None:
-                # pin the delta's rows now: its lineage may reference
-                # frames a later mutation invalidates pre-flush
-                pinned_d = delete_delta.localCheckpoint(eager=True)
-                ddeltas[key] = (cur_d.unionByName(pinned_d)
-                                if cur_d is not None else pinned_d)
-                if cur_a is not None:
-                    # R ∖ D — deleting rows this epoch appended
-                    cur_a = (cur_a.join(F.broadcast(pinned_d),
-                                        on=list(pinned_d.columns),
-                                        how="left_anti")
-                             .localCheckpoint(eager=True))
-                    adeltas[key] = cur_a
-            if append_delta is not None:
-                pinned_a = append_delta.localCheckpoint(eager=True)
-                adeltas[key] = (cur_a.unionByName(pinned_a)
-                                if cur_a is not None else pinned_a)
+                dcols = set(delete_delta.columns)
+                if cur_d is not None and set(cur_d.columns) != dcols:
+                    compatible = False          # mixed delete key sets
+                if cur_a is not None and not dcols <= set(cur_a.columns):
+                    compatible = False          # can't anti-join R ∖ D
+            if not compatible:
+                _poison()
+            else:
+                try:
+                    if delete_delta is not None:
+                        # pin the delta's rows now: its lineage may
+                        # reference frames a later mutation invalidates
+                        # pre-flush
+                        pinned_d = delete_delta.localCheckpoint(eager=True)
+                        if cur_a is not None:
+                            # R ∖ D — deleting rows this epoch appended
+                            cur_a = (cur_a.join(F.broadcast(pinned_d),
+                                                on=list(pinned_d.columns),
+                                                how="left_anti")
+                                     .localCheckpoint(eager=True))
+                        new_d = (cur_d.unionByName(pinned_d)
+                                 if cur_d is not None else pinned_d)
+                        if append_delta is not None:
+                            pinned_a = append_delta.localCheckpoint(
+                                eager=True)
+                            cur_a = (cur_a.unionByName(pinned_a)
+                                     if cur_a is not None else pinned_a)
+                        # commit both maps only after every step succeeded
+                        ddeltas[key] = new_d
+                        adeltas[key] = cur_a
+                    elif append_delta is not None:
+                        pinned_a = append_delta.localCheckpoint(eager=True)
+                        adeltas[key] = (cur_a.unionByName(pinned_a)
+                                        if cur_a is not None else pinned_a)
+                except Exception:
+                    _poison()
         self._maybe_compact(key, weight=weight)
         for w in list(getattr(self, "_watchers", [])):
             w.notify_change(key[1])

@@ -443,8 +443,23 @@ def _leaf_may_match(field: str, op: str, value: Any, summary: dict,
             prefix += ch
         if not prefix:
             return True
-        hi_bound = prefix + "￿"
-        return not (mx < prefix or mn > hi_bound)
+        # Upper bound: the smallest string ABOVE every 'prefix*' match
+        # is the prefix with its last code point incremented (carrying
+        # left past U+10FFFF).  Appending U+FFFF instead would be WRONG:
+        # a match whose suffix starts with an astral code point (e.g.
+        # 'abc\U0001F600' for LIKE 'abc%') sorts above prefix+'￿',
+        # so that bound can prune a segment that contains matches.
+        cps = list(prefix)
+        upper = None
+        while cps:
+            o = ord(cps[-1])
+            if o < 0x10FFFF:
+                upper = "".join(cps[:-1]) + chr(o + 1)
+                break
+            cps.pop()
+        if mx < prefix:
+            return False
+        return upper is None or mn < upper
     return True               # NOT LIKE / NOT IN / unknown ops
 
 

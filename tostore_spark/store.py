@@ -614,8 +614,12 @@ def flush_tables(engine, flush_storage: bool = True,
             # (file-grain pruning, engine.pruned_df) so the manifest
             # carries only the segment roll-up.
             from tostore_spark.plans.skipping import collect_parquet_stats
+            # fast_replace keeps every base segment live in the recipe,
+            # so prior per-segment stats stay valid — dropping them
+            # would strip skipping/metadata-aggs from all pre-existing
+            # segments after one upsert until a full rewrite
             seg_stats = (dict(ent.get("segment_stats") or {})
-                         if (fast or fast_del) else {})
+                         if (fast or fast_del or fast_replace) else {})
             if not fast_del:
                 # a deletion-vector dir holds no table data — nothing
                 # to summarize (and walking it would misread _deletes)

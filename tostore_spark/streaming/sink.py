@@ -38,7 +38,11 @@ def merge_batch(engine, table: str, batch_df: DataFrame,
             raise ValueError(f"upsert into {table} needs a primary key; "
                              "use mode='append'")
         kept = current.join(pinned.select(pk), on=pk, how="left_anti")
-        if sorted(pinned.columns) == sorted(current.columns):
+        if (sorted(pinned.columns) == sorted(current.columns)
+                and getattr(engine, "delete_vectors", True)):
+            # delete_vectors=False kills the whole merge-on-read path
+            # (matches DeleteBuilder/upsert/batch_update) — fall through
+            # to the plain rewrite below in that case
             # schema-complete upsert batches ride the flush REPLACE
             # fast path: (current ∖ batch-PKs) ∪ batch is exactly the
             # replace pair (K = batch PKs, R = batch rows) — streaming

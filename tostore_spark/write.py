@@ -351,7 +351,11 @@ def upsert(engine, table: str, rows: list[dict],
     # join (matched rows merged, unmatched inserted) — faithful by
     # construction, so the flush commits K + R instead of rewriting.
     # Null key values are unjoinable on both sides; fall back then.
-    if rows and not any(r.get(k) is None for r in rows for k in keyset):
+    # engine.delete_vectors=False is the documented whole-path kill
+    # switch (DeleteBuilder honors it); the replace-epoch fast path is
+    # the same merge-on-read machinery, so it must honor it too.
+    if (getattr(engine, "delete_vectors", True) and rows
+            and not any(r.get(k) is None for r in rows for k in keyset)):
         keys_df = src.select(*[F.col(f"__src_{k}").alias(k)
                                for k in keyset]).dropDuplicates()
         touched = (joined
@@ -416,11 +420,16 @@ def batch_update(engine, table: str, rows: list[dict],
     # merge-on-read replace epoch: K = payload PKs (unmatched keys
     # anti-join nothing — harmless), R = the matched rows of this same
     # join with their updates applied — faithful by construction
-    keys_df = src.select(F.col("__pk").alias(pk)).dropDuplicates()
-    touched = (joined.filter(F.col("__pk").isNotNull())
-               .select(*out_cols))
-    engine.set_df(table, joined.select(*out_cols),
-                  append_delta=touched, delete_delta=keys_df)
+    if getattr(engine, "delete_vectors", True):
+        keys_df = src.select(F.col("__pk").alias(pk)).dropDuplicates()
+        touched = (joined.filter(F.col("__pk").isNotNull())
+                   .select(*out_cols))
+        engine.set_df(table, joined.select(*out_cols),
+                      append_delta=touched, delete_delta=keys_df)
+    else:
+        # delete_vectors=False: the documented kill switch turns the
+        # whole merge-on-read path off — commit as a plain rewrite
+        engine.set_df(table, joined.select(*out_cols))
     return n
 
 
