@@ -597,17 +597,45 @@ def _mor_flush_stat(spark, sf_dir: str) -> dict | None:
 
 def _ppl_floor_stat(spark, sf_dir: str) -> dict | None:
     """Cost attribution for the q_ppl_buckets entry: warm seconds for
-    the LM train+score pass ALONE (bigram ``train_ngram_lm`` +
-    ``ngram_bits_per_token``, counted) — the floor under any bucketing
-    tier.  Recorded because the r8 nominal <=1s target for ppl_buckets
-    turned out to be bounded by this pass, not by the percentile
-    machinery the approx tier replaced (q_ppl_buckets_approx warm -
-    this floor ~= the whole bucketing cost, a few hundred ms of
-    fixed-stage overhead at sf0.1 that amortizes at scale)."""
+    the LM train+score pass ALONE — the floor under any bucketing tier.
+
+    TWO floors since r11, because the legacy one was a measurement
+    artifact that manufactured a phantom regression:
+
+    - ``train_score_warm_sec`` (legacy series): train +
+      ``score.count()``.  A bare count lets Catalyst PRUNE the bits
+      column math out of the scoring plan (measured r11: pruned count
+      0.94s vs unprunable full aggregate 1.77s over the same lineage),
+      so this number UNDERSTATES the true scoring cost by ~0.85s at
+      sf0.1.  The r9->r10 rise 1.049 -> 1.431 was this artifact
+      unwinding, not a regression: pre-r10 the lazy training frames
+      also pruned under the count, while the r10 eager
+      ``localCheckpoint`` of the bigram counts materializes them
+      UNPRUNED in a blocking call (~0.87s measured alone) — moving
+      real, previously-hidden work inside the measured region while
+      making the true end-to-end FASTER (measured side by side at
+      r11: lazy train + full score 2.02s vs checkpointed 1.83s;
+      ReusedExchange count 0 in the lazy plan, so laziness re-derives,
+      it does not dedupe).
+    - ``train_score_full_warm_sec`` (honest floor): train + an
+      unprunable full aggregate over every scored column.  The
+      bucketing overhead is measured against THIS.
+
+    Alternatives measured and rejected at r11 (all slower or flat at
+    sf0.1, parity-exact): sharing one eagerly-pinned exploded bigram
+    frame between train and score (ckpt write/read of the 270k-row
+    explode costs what the second explode costs); inlining the consts
+    row as literals (saves one 1-row crossJoin job, <0.03s); fusing
+    train+score through a per-doc bigram-count frame (261k of 270k
+    bigram rows are distinct in this corpus — the fused checkpoint
+    outweighs the saved explode, 2.66s vs 1.94s).  The residual
+    entry-minus-honest-floor is the rank-window bucketing + final
+    aggregate, ~0.1-0.4s of fixed stage overhead at sf0.1."""
     import time as _t
 
     try:
         import __spark_entry__ as entrymod
+        from pyspark.sql import functions as F
         from tostore_spark.llmops import lm as LM
         docs = entrymod._db(spark, sf_dir).df("documents")
         for _ in range(2):          # second pass = warm reading
@@ -615,22 +643,27 @@ def _ppl_floor_stat(spark, sf_dir: str) -> dict | None:
             model = LM.train_ngram_lm(docs, n=2)
             LM.ngram_bits_per_token(docs, model).count()
             warm = round(_t.time() - t0, 3)
+        for _ in range(2):
+            t0 = _t.time()
+            model = LM.train_ngram_lm(docs, n=2)
+            (LM.ngram_bits_per_token(docs, model)
+             .agg(F.sum("bits_per_token"), F.sum("n_tokens"),
+                  F.count("id")).collect())
+            full_warm = round(_t.time() - t0, 3)
         # the full entry timed ADJACENTLY in the same warm context, so
         # the bucketing overhead (entry - floor) is internally
         # consistent — the extras table's q_ppl_buckets row is measured
-        # minutes apart and drifts with session state.  Since the r10
-        # single-reference rewrite the grouped-exact path neither
-        # checkpoints nor re-executes the scoring lineage, so the whole
-        # residue above the train+score floor IS the rank-window
-        # bucketing + final aggregate.
+        # minutes apart and drifts with session state.
         fn = entrymod.queries()["q_ppl_buckets"]
         for _ in range(2):
             t0 = _t.time()
             fn(spark, sf_dir).count()
             entry_warm = round(_t.time() - t0, 3)
         return {"train_score_warm_sec": warm,
+                "train_score_full_warm_sec": full_warm,
                 "entry_warm_sec": entry_warm,
-                "bucketing_overhead_sec": round(entry_warm - warm, 3)}
+                "bucketing_overhead_sec": round(entry_warm - full_warm, 3),
+                "pruned_floor_understates_sec": round(full_warm - warm, 3)}
     except Exception as exc:                    # pragma: no cover
         print(f"# ppl floor stat skipped: {exc}", file=sys.stderr)
         return None
