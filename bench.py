@@ -595,6 +595,73 @@ def _mor_flush_stat(spark, sf_dir: str) -> dict | None:
         return None
 
 
+def _cdc_flat_stat(spark, sf_dir: str) -> dict | None:
+    """Measured flatness of del-epoch CDC in base size (the r10
+    verdict's ordered artifact): same 100-row delete delta against a
+    small and a 10x base, `table_diff` across the delete epoch timed
+    cold.  Since r11 the pre-image pass (a) evolves the state
+    incrementally across the tail instead of refolding the base per
+    delete epoch and (b) prunes base segments whose footer stats are
+    disjoint from the broadcast key set (store._cdc_base_state) — so
+    with a multi-segment base only the key-bearing segments are read
+    and the diff cost tracks the delta, not the table."""
+    import tempfile
+    import time as _t
+
+    try:
+        import __spark_entry__ as entrymod
+        from tostore_spark import ToStoreSpark
+        from tostore_spark import store as S
+        from tostore_spark.schema import (DataType, FieldSchema,
+                                          PrimaryKeyConfig, TableSchema)
+        li = entrymod._db(spark, sf_dir).df("lineitem")
+        full = (li.selectExpr(
+            "concat('r', cast(monotonically_increasing_id() as string))"
+            " as id",
+            "l_orderkey", "l_quantity", "l_returnflag")
+            .localCheckpoint(eager=True))
+        n_full = full.count()
+        sch = TableSchema(
+            name="t", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema("l_orderkey", DataType.integer),
+                    FieldSchema("l_quantity", DataType.double),
+                    FieldSchema("l_returnflag", DataType.text)])
+        out: dict = {"touched_rows": 100}
+        for label, size in (("small", max(1000, n_full // 10)),
+                            ("large", n_full)):
+            base = (full if size >= n_full
+                    else full.limit(size).localCheckpoint(eager=True))
+            # two base segments so the key-set prune has something to
+            # drop: keys are taken from the SECOND half only
+            h1 = base.limit(size // 2).localCheckpoint(eager=True)
+            h2 = (base.subtract(h1)).localCheckpoint(eager=True)
+            del_ids = [r["id"] for r in h2.limit(100).collect()]
+            with tempfile.TemporaryDirectory() as tmp:
+                db = ToStoreSpark(spark, warehouse=tmp)
+                db.register_table("t", df=h1, schema=sch)
+                db.flush()
+                db.append_rows("t", h2)
+                db.flush()
+                v_from = db._generations[("default", "t")]
+                db.delete("t").where("id", "IN", del_ids).execute()
+                db.flush()
+                v_to = db._generations[("default", "t")]
+                t0 = _t.time()
+                n = S.table_diff(db, "t", v_from, v_to).count()
+                out[f"{label}_diff_sec"] = round(_t.time() - t0, 3)
+                out[f"{label}_base_rows"] = size
+                out[f"{label}_diff_rows"] = n
+                out[f"{label}_pruned"] = getattr(db, "_last_cdc_prune",
+                                                 None)
+        if out.get("small_diff_sec"):
+            out["scale_x"] = round(out["large_diff_sec"]
+                                   / out["small_diff_sec"], 2)
+        return out
+    except Exception as exc:                    # pragma: no cover
+        print(f"# cdc flat stat skipped: {exc}", file=sys.stderr)
+        return None
+
+
 def _ppl_floor_stat(spark, sf_dir: str) -> dict | None:
     """Cost attribution for the q_ppl_buckets entry: warm seconds for
     the LM train+score pass ALONE — the floor under any bucketing tier.
@@ -938,6 +1005,7 @@ def main():
     gbh = _groupby_having_attrib(spark, sf_dir)
     append_flush = _append_flush_stat(spark, sf_dir)
     mor_flush = _mor_flush_stat(spark, sf_dir)
+    cdc_flat = _cdc_flat_stat(spark, sf_dir)
     skipping = _skipping_stat(spark, sf_dir)
 
     # Detail block (extras/recall/sf1/methodology): written to a committed
@@ -957,6 +1025,7 @@ def main():
         "groupby_having": gbh,
         "append_flush": append_flush,
         "mor_flush": mor_flush,
+        "cdc_flat": cdc_flat,
         "skipping": skipping,
         # the headline's host-speed probe, repeated here so the detail
         # numbers normalize without cross-referencing BENCH_r{N}.json

@@ -377,3 +377,80 @@ class TestDeleteVectors:
                 db._tables[("default", "notes")]["ops"]] == ["seg"]
         assert db.query("notes").count() == 9
         assert db._last_meta_agg == ("count", "notes")
+
+
+class TestCdcPruning:
+    def test_cdc_base_state_prunes_disjoint_segments(self, spark, tmp_path):
+        """The first pre-image build must drop base segments whose
+        footer stats are disjoint from every tail deletion-vector key
+        set — and still equal the exceptAll answer."""
+        from pyspark.sql import functions as F
+
+        from tostore_spark import store as S
+        wh = str(tmp_path / "wh")
+        db = ToStoreSpark(spark, warehouse=wh)
+        db.create_table(TableSchema(
+            name="notes", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="body", type=DataType.text),
+                    FieldSchema(name="n", type=DataType.integer)]))
+        db.batch_insert("notes", [
+            {"id": f"a{i:03d}", "body": f"b{i}", "n": i}
+            for i in range(10)])
+        db.flush()                                   # base seg 1: a***
+        db.batch_insert("notes", [
+            {"id": f"b{i:03d}", "body": f"c{i}", "n": 100 + i}
+            for i in range(10)])
+        db.flush()                                   # base seg 2: b***
+        v_from = db._generations[("default", "notes")]
+        db.delete("notes").where("id", "IN", ["b003", "b007"]).execute()
+        db.flush()                                   # tail: one del epoch
+        v_to = db._generations[("default", "notes")]
+
+        fast = S._diff_from_recipe(db, "notes", v_from, v_to, "default")
+        assert fast is not None
+        rows = sorted(map(tuple, fast.collect()))
+        # keys live only in segment 2 — segment 1 must have been pruned
+        assert db._last_cdc_prune == (1, 2)
+        old = S.read_version(db, "notes", v_from)
+        new = S.read_version(db, "notes", v_to)
+        cols = sorted(old.columns)
+        exp = (new.select(*cols).exceptAll(old.select(*cols))
+               .withColumn("change", F.lit("insert"))
+               .unionByName(
+                   old.select(*cols).exceptAll(new.select(*cols))
+                   .withColumn("change", F.lit("delete"))))
+        assert rows == sorted(map(tuple, exp.collect()))
+        assert {r[1] for r in rows} == {"b003", "b007"}   # id column
+
+    def test_cdc_incremental_state_multi_epoch(self, spark, tmp_path):
+        """Interleaved del/seg/del tail: the incrementally-evolved
+        state must equal the per-epoch refold it replaced (pre-image of
+        the SECOND delete must see the first delete applied AND the
+        interleaved append's rows)."""
+        from pyspark.sql import functions as F
+
+        from tostore_spark import store as S
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh, rows=6)
+        v_from = db._generations[("default", "notes")]
+        db.delete("notes").where("id", "=", "k001").execute()
+        db.flush()                                   # del epoch 1
+        db.batch_insert("notes", [{"id": "k001", "body": "REBORN",
+                                   "n": 91},
+                                  {"id": "z9", "body": "zz", "n": 92}])
+        db.flush()                                   # seg epoch
+        db.delete("notes").where("id", "IN", ["k001", "z9", "k002"]) \
+          .execute()
+        db.flush()                                   # del epoch 2
+        v_to = db._generations[("default", "notes")]
+        fast = S.table_diff(db, "notes", v_from, v_to)
+        old = S.read_version(db, "notes", v_from)
+        new = S.read_version(db, "notes", v_to)
+        cols = sorted(old.columns)
+        exp = (new.select(*cols).exceptAll(old.select(*cols))
+               .withColumn("change", F.lit("insert"))
+               .unionByName(
+                   old.select(*cols).exceptAll(new.select(*cols))
+                   .withColumn("change", F.lit("delete"))))
+        assert sorted(map(tuple, fast.collect())) == \
+            sorted(map(tuple, exp.collect()))

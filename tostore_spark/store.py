@@ -1510,6 +1510,15 @@ def _diff_from_recipe(engine, table: str, from_version: int,
     consumed = list(ops_from)
     signed = None
     cols = None
+    # every tail deletion vector's key frame, read up front (tiny
+    # parquet reads): the FIRST state build prunes the base segments
+    # against their union, and the state then EVOLVES incrementally
+    # across the loop (union a seg, anti-join a del) — the exact
+    # _ops_frame algebra applied step-by-step instead of refolding
+    # the whole recipe from the base per del epoch (worst case was
+    # one base-table scan per delete epoch, <= the segment cap)
+    tail_keys = [engine._read_parquet(_fsmod.join(p, _DELETES_SUBDIR))
+                 for k, p in tail if k != "seg"]
     for kind, path in tail:
         if kind == "seg":
             rows = engine._read_parquet(path)
@@ -1517,20 +1526,22 @@ def _diff_from_recipe(engine, table: str, from_version: int,
                 cols = sorted(rows.columns)
             rows = rows.select(*cols)
             part = rows.withColumn("__sign", F.lit(1))
+            if state is not None:
+                state = state.unionByName(rows.select(*state.columns))
         else:
-            if state is None:
-                state = _ops_frame(engine, consumed)
             keys = engine._read_parquet(
                 _fsmod.join(path, _DELETES_SUBDIR))
+            if state is None:
+                state = _cdc_base_state(engine, consumed, tail_keys)
             pre = state.join(F.broadcast(keys), on=list(keys.columns),
                              how="left_semi")
             if cols is None:
                 cols = sorted(pre.columns)
             part = pre.select(*cols).withColumn("__sign", F.lit(-1))
+            state = state.join(F.broadcast(keys), on=list(keys.columns),
+                               how="left_anti")
         signed = part if signed is None else signed.unionByName(part)
         consumed.append([kind, path])
-        if state is not None:
-            state = _ops_frame(engine, consumed)
     if signed is None:
         return None
     if cols is None:
@@ -1548,6 +1559,106 @@ def _diff_from_recipe(engine, table: str, from_version: int,
         .withColumn("__i", F.explode(F.expr("sequence(1, __n)")))
         .drop("__net", "__n", "__i"))
     return out.select(*cols, "change")
+
+
+#: driver-side cap on collected deletion-vector key values for CDC
+#: base-segment pruning; key frames are broadcast-small by design, but
+#: past this the IN condition itself stops being worth evaluating
+_CDC_PRUNE_KEY_CAP = 10_000
+
+
+def _cdc_base_state(engine, consumed, tail_keys):
+    """The pre-image state frame for a CDC tail's FIRST deletion
+    vector: fold(``consumed``), with base SEGMENTS the manifest stats /
+    footer stats / bloom sidecars prove disjoint from EVERY tail key
+    set dropped before Spark reads them.
+
+    Sound because the state frame only ever feeds key semi-joins (the
+    pre-images) and key anti-joins (the evolution): a pruned segment
+    contains no row matching any tail key, so it can contribute no
+    pre-image row and its absence cannot change any anti-join
+    survivor that a later semi-join would see.  Pruning is abandoned
+    (full fold, always correct) when a key frame is multi-column, the
+    collected key count exceeds ``_CDC_PRUNE_KEY_CAP``, or a segment
+    has no stats anywhere — absence of the optimization, never of
+    rows.  The count of pruned base roots lands in
+    ``engine._last_cdc_prune`` (kept, total) for tests/bench."""
+    from pyspark.sql import functions as F
+
+    engine._last_cdc_prune = None
+    segs = [p for k, p in consumed if k == "seg"]
+    node = None
+    try:
+        if segs and tail_keys:
+            from tostore_spark.condition import ConditionNode
+            leaves = []
+            total = 0
+            for kf in tail_keys:
+                kcols = list(kf.columns)
+                if len(kcols) != 1:
+                    leaves = None
+                    break
+                vals = [r[0] for r in
+                        kf.limit(_CDC_PRUNE_KEY_CAP + 1 - total).collect()]
+                total += len(vals)
+                if total > _CDC_PRUNE_KEY_CAP:
+                    leaves = None
+                    break
+                leaves.append(ConditionNode("leaf", kcols[0], "IN", vals))
+            if leaves:
+                node = (leaves[0] if len(leaves) == 1
+                        else ConditionNode("or", children=leaves))
+    except Exception:
+        node = None
+    if node is None:
+        return _ops_frame(engine, consumed)
+    from tostore_spark.plans.skipping import (collect_parquet_stats,
+                                              node_may_match)
+    # stats per base root: the live manifest's map first (the common
+    # case — an extending recipe keeps base segments live), a direct
+    # footer read otherwise (metadata-only, no data pages)
+    live_stats = {}
+    for ent in getattr(engine, "_tables", {}).values():
+        live_stats.update(ent.get("segment_stats") or {})
+    surviving = set()
+    table_name = ""     # bare leaf fields — no table prefix to strip
+    for seg in segs:
+        summ = live_stats.get(_norm_path(seg))
+        if summ is None:
+            summ = collect_parquet_stats(seg)
+        if not summ:
+            surviving.add(_norm_path(seg))      # statless: keep
+            continue
+        bl = engine._bloom_stats(seg) if hasattr(engine,
+                                                 "_bloom_stats") else None
+        if bl:
+            summ = {**summ, "bloom": bl}
+        if node_may_match(node, summ, table_name):
+            surviving.add(_norm_path(seg))
+    engine._last_cdc_prune = (len(surviving), len(segs))
+    if len(surviving) == len(segs):
+        return _ops_frame(engine, consumed)
+    # fold the recipe with pruned-out segments skipped; anti-joins
+    # still apply in epoch order to whatever survives
+    df = None
+    pruned_schema = None
+    for kind, path in consumed:
+        if kind == "seg":
+            if _norm_path(path) not in surviving:
+                if pruned_schema is None:
+                    pruned_schema = engine._read_parquet(path).schema
+                continue
+            part = engine._read_parquet(path)
+            df = part if df is None else df.unionByName(part)
+        elif df is not None:
+            keys = engine._read_parquet(
+                _fsmod.join(path, _DELETES_SUBDIR))
+            df = df.join(F.broadcast(keys), on=list(keys.columns),
+                         how="left_anti")
+    if df is None:
+        # every base segment pruned: no row can pre-image any tail key
+        return engine.spark.createDataFrame([], pruned_schema)
+    return df
 
 
 class SnapshotView:
