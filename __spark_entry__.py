@@ -2042,6 +2042,59 @@ def q_meta_agg(spark, sf_dir):
     return spark.createDataFrame(rows, "metric string, value bigint")
 
 
+def q_meta_agg_deletes(spark, sf_dir):
+    """Metadata-only count ACROSS pure-delete epochs (r11,
+    engine.stats_count + store del_counts): segment row sums minus the
+    flush-verified per-vector removed-row counts — still ZERO Spark
+    jobs on a cold reopen, asserted in-entry via
+    ``engine._last_meta_agg``.  A replace epoch (upsert) is then
+    committed and the count must REFUSE back to the scan (its del key
+    set may match nothing), with both answers equal to the oracle.
+    min/max keep refusing under any pending delete (a deleted row
+    could hold the extremum)."""
+    import tempfile
+
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    db = _db(spark, sf_dir)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    with tempfile.TemporaryDirectory() as tmp:
+        db1 = ToStoreSpark(spark, warehouse=tmp)
+        db1.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n_name", type=DataType.text),
+                    FieldSchema(name="key", type=DataType.integer)]))
+        db1.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
+             "key": r["n_nationkey"]} for r in nat])
+        db1.flush()                                     # segment 1
+        db1.batch_insert("nat", [
+            {"id": f"m{i}", "n_name": f"DELMETA{i}", "key": 600 + i}
+            for i in range(6)])
+        db1.flush()                                     # segment 2
+        db1.delete("nat").where("key", "BETWEEN",
+                                {"start": 600, "end": 602}).execute()
+        db1.flush()                                     # del epoch 1
+        db1.delete("nat").where("key", "<", 2).execute()
+        db1.flush()                                     # del epoch 2
+        db2 = ToStoreSpark(spark, warehouse=tmp)
+        cnt = db2.query("nat").count()
+        if db2._last_meta_agg != ("count", "nat"):
+            raise AssertionError(
+                f"count under deletes scanned: {db2._last_meta_agg}")
+        if db2.stats_min_max("nat", "key", "max") is not None:
+            raise AssertionError("min/max must refuse under deletes")
+        db2.upsert("nat", {"id": "m5", "n_name": "TOUCHED"})
+        db2.flush()                                     # replace epoch
+        cnt2 = db2.query("nat").count()
+        if db2._last_meta_agg is not None:
+            raise AssertionError("count must refuse after a replace "
+                                 f"epoch: {db2._last_meta_agg}")
+        rows = [{"metric": "count_after_deletes", "value": int(cnt)},
+                {"metric": "count_after_replace", "value": int(cnt2)}]
+    return spark.createDataFrame(rows, "metric string, value bigint")
+
+
 def q_stream_ingest_exactly_once(spark, sf_dir):
     """Exactly-once streaming ingest (streaming/sink): an availableNow
     file stream appends 5 nation rows into a warehouse-backed table
@@ -3939,6 +3992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
+        # -- r11 head: entries born in r11 (newest-first rule) ---------
+        "q_meta_agg_deletes",
         # -- r10 rotation head (the r9 verdict's item 1, executed) -----
         # slots 1-4: entries born in r10 (newest-first rule)
         "q_table_stats", "q_cdc_recipe", "q_upsert_mor",
@@ -4862,6 +4917,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'n' || lpad(CAST(min(n_nationkey) AS VARCHAR), 3, '0'),
                    'REBORN', 9
             FROM nation WHERE n_regionkey = 2""",
+        "q_meta_agg_deletes": """
+            -- base 25 nation rows + 6 inserted, minus 3 (keys 600-602)
+            -- minus 2 (keys < 2); the replace epoch updates in place
+            SELECT 'count_after_deletes' AS metric,
+                   CAST(count(*) + 6 - 3 - 2 AS BIGINT) AS value
+            FROM nation
+            UNION ALL
+            SELECT 'count_after_replace',
+                   CAST(count(*) + 6 - 3 - 2 AS BIGINT)
+            FROM nation""",
         "q_meta_agg": """
             SELECT 'count' AS metric, CAST(count(*) + 7 AS BIGINT) AS value
             FROM nation

@@ -358,9 +358,13 @@ class TestDeleteVectors:
         db = _mk(spark, wh, rows=10)
         db.delete("notes").where("n", "=", 3).execute()
         db.flush()
-        # metadata count would read 10 from segment stats — must scan
+        # since r11 a flush-verified pure-delete vector keeps COUNT
+        # metadata-servable: sum(segment rows) - sum(vector counts)
         assert db.query("notes").count() == 9
-        assert db._last_meta_agg is None
+        assert db._last_meta_agg == ("count", "notes")
+        # ...but min/max must still refuse (the deleted row could hold
+        # the extremum)
+        assert db.stats_min_max("notes", "n", "max") is None
         # skipping stays eligible under deletes — the recipe is folded
         # with the anti-join re-applied, so n=3 must NOT resurrect
         assert db.query("notes").where("n", "BETWEEN",
@@ -454,3 +458,50 @@ class TestCdcPruning:
                    .withColumn("change", F.lit("delete"))))
         assert sorted(map(tuple, fast.collect())) == \
             sorted(map(tuple, exp.collect()))
+
+
+class TestMetaCountUnderDeletes:
+    def test_count_served_across_pure_delete_epochs(self, spark, tmp_path):
+        """stats_count stays metadata-only across pure-append +
+        pure-delete chains: sum(segment rows) - sum(flush-verified
+        vector counts), no Spark job."""
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh, rows=20)
+        db.delete("notes").where("n", "<", 5).execute()
+        db.flush()                                   # pure-del epoch
+        db.batch_insert("notes", [{"id": f"z{i}", "body": "x", "n": 90 + i}
+                                  for i in range(3)])
+        db.flush()                                   # append epoch
+        db.delete("notes").where("id", "=", "z1").execute()
+        db.flush()                                   # pure-del epoch 2
+        n = db.stats_count("notes")
+        assert n == 20 - 5 + 3 - 1
+        assert db._last_meta_agg == ("count", "notes")
+        assert n == db.df("notes").count()           # matches the scan
+        # query-path count() rides the same serve
+        assert db.query("notes").count() == n
+        # cold reopen: del_counts round-trip through the manifest
+        db2 = ToStoreSpark(spark, warehouse=wh)
+        assert db2.stats_count("notes") == n
+        assert db2._last_meta_agg == ("count", "notes")
+
+    def test_count_refused_for_replace_epochs(self, spark, tmp_path):
+        """A replace pair's del key may match nothing (the upsert's
+        insert half) — the metadata count must refuse."""
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh, rows=10)
+        db.upsert("notes", {"id": "NEW", "body": "ins", "n": 99})
+        db.flush()                                   # replace epoch
+        assert db.stats_count("notes") is None
+        assert db._last_meta_agg is None
+        assert db.df("notes").count() == 11          # scan still right
+
+    def test_minmax_still_refused_under_deletes(self, spark, tmp_path):
+        """A deleted row could hold the extremum: only COUNT may ride
+        the del_counts shortcut."""
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh, rows=10)
+        db.delete("notes").where("n", "=", 9).execute()
+        db.flush()
+        assert db.stats_count("notes") == 9
+        assert db.stats_min_max("notes", "n", "max") is None

@@ -381,12 +381,23 @@ class ToStoreSpark:
             df = ttl_filter(df, sch.ttl)
         return df
 
-    def _stats_summaries(self, name: str) -> Optional[list]:
+    def _stats_summaries(self, name: str,
+                         counted_dels: bool = False):
         """Per-segment footer summaries covering EVERY segment of a
         CLEAN warehouse table (plans/skipping shape: {"rows", "cols"}),
         or None when any segment lacks one, the table has unflushed
         mutations, or a TTL read-filter reshapes the visible frame —
-        the eligibility gate shared by the metadata-only aggregates."""
+        the eligibility gate shared by the metadata-only aggregates.
+
+        ``counted_dels=True`` (the COUNT fast path only) returns
+        ``(summaries, deleted_rows)`` instead, staying eligible across
+        pending deletion-vector epochs whose exact removed-row counts
+        the flush recorded (store ``del_counts``: written only when the
+        flush-time probe proved raw == distinct keys, i.e. each key
+        removed exactly one row).  Still refused when any del belongs
+        to a replace pair (its key may match nothing — an upsert's
+        insert half) or lacks a recorded count.  min/max must NOT use
+        this: a deleted row could hold the extremum."""
         key = self._resolve(name)
         ent = self._tables[key]
         stats, segs = ent.get("segment_stats"), ent.get("segments")
@@ -394,39 +405,53 @@ class ToStoreSpark:
             return None
         if not getattr(self, "data_skipping", True):
             return None    # the master kill switch covers stats serves
+        from tostore_spark.store import _norm_path
         ops = ent.get("ops")
+        del_total = 0
         if ops and any(k == "del" for k, _p in ops):
             # deletion vectors pending: segment stats still count the
-            # deleted rows — metadata answers would be wrong until a
-            # rewrite/compaction folds them
-            return None
+            # deleted rows — metadata answers would be wrong unless
+            # every vector carries a flush-verified exact count
+            if not counted_dels:
+                return None
+            dcounts = ent.get("del_counts") or {}
+            seg_paths = {_norm_path(p) for k, p in ops if k == "seg"}
+            for k, p in ops:
+                if k == "seg":
+                    continue
+                np_ = _norm_path(p)
+                if np_ in seg_paths or np_ not in dcounts:
+                    return None
+                del_total += int(dcounts[np_])
         if (self._generations.get(key, 0)
                 != getattr(self, "_flushed_gen", {}).get(key)):
             return None
         sch: TableSchema = ent["schema"]
         if sch.ttl is not None and sch.ttl.ttl_ms > 0 and sch.ttl.source_field:
             return None
-        from tostore_spark.store import _norm_path
         out = []
         for seg in segs:
             st = stats.get(_norm_path(seg))
             if not isinstance(st, dict) or "rows" not in st:
                 return None
             out.append(st)
-        return out
+        return (out, del_total) if counted_dels else out
 
     def stats_count(self, name: str) -> Optional[int]:
         """Metadata-only ``count(*)``: the sum of per-segment footer row
-        counts — zero Spark jobs, zero file listings (the Delta/Iceberg
-        numRecords fast path).  None when ineligible (then the caller
-        runs the normal scan).  ``engine._last_meta_agg`` records the
-        serve so tests can assert no scan happened."""
-        s = self._stats_summaries(name)
+        counts minus the flush-verified deletion-vector counts — zero
+        Spark jobs, zero file listings (the Delta/Iceberg numRecords
+        fast path, extended across pure-append + pure-delete recipe
+        chains).  None when ineligible (then the caller runs the normal
+        scan).  ``engine._last_meta_agg`` records the serve so tests
+        can assert no scan happened."""
+        s = self._stats_summaries(name, counted_dels=True)
         if s is None:
             self._last_meta_agg = None
             return None
+        summaries, del_total = s
         self._last_meta_agg = ("count", name)
-        return sum(int(x["rows"]) for x in s)
+        return sum(int(x["rows"]) for x in summaries) - del_total
 
     def stats_min_max(self, name: str, field: str,
                       kind: str) -> Optional[tuple]:

@@ -574,7 +574,26 @@ def flush_tables(engine, flush_storage: bool = True,
             fast_replace = (ddelta is not None and delta is not None
                             and eligible and not pby)
             written_schema = ent["df"].schema
+            del_count = None
             if fast_del:
+                from pyspark.sql import functions as F
+                # O(delta) exactness probe for the metadata-count fast
+                # path (engine.stats_count under delete epochs): raw
+                # key-frame count == distinct count ⟺ every doomed key
+                # identified exactly one row (DeleteBuilder._delete_keys
+                # already proved no SURVIVOR shares a doomed PK), so
+                # this vector removes exactly k rows from the fold.  A
+                # mismatch (dup-PK base rows doomed together) or a null
+                # key (count_distinct skips nulls) just withholds the
+                # count — reads stay correct, the metadata shortcut
+                # refuses.  One tiny job on the delta-sized key frame.
+                kcols = list(ddelta.columns)
+                probe = ddelta.agg(
+                    F.count(F.lit(1)).alias("raw"),
+                    F.count_distinct(*[F.col(c) for c in kcols])
+                     .alias("dst")).first()
+                if int(probe["raw"]) == int(probe["dst"]):
+                    del_count = int(probe["dst"])
                 # epoch folding unions key sets — dedupe at the write
                 # (the anti-join is key-set semantics either way)
                 ddelta.dropDuplicates().write.mode("overwrite").parquet(
@@ -620,6 +639,13 @@ def flush_tables(engine, flush_storage: bool = True,
             # segments after one upsert until a full rewrite
             seg_stats = (dict(ent.get("segment_stats") or {})
                          if (fast or fast_del or fast_replace) else {})
+            # per-deletion-vector EXACT removed-row counts (metadata
+            # count under delete epochs): carried like seg_stats while
+            # the recipe extends, reset by a rewrite (no dels survive)
+            del_counts = (dict(ent.get("del_counts") or {})
+                          if (fast or fast_del or fast_replace) else {})
+            if fast_del and del_count is not None:
+                del_counts[_norm_path(vdir)] = del_count
             if not fast_del:
                 # a deletion-vector dir holds no table data — nothing
                 # to summarize (and walking it would misread _deletes)
@@ -652,7 +678,7 @@ def flush_tables(engine, flush_storage: bool = True,
                             _fsmod.join(vdir, _BLOOM_SIDECAR),
                             json.dumps(payload))
             staged.append((key, gen, vdir, written_schema, pby,
-                           segments, seg_stats, ops))
+                           segments, seg_stats, ops, del_counts))
             for c in claims:      # keep every claim visibly live while
                 try:              # later tables write (freshness signal
                     fs.touch(c)   # for other writers' stale checks)
@@ -679,7 +705,8 @@ def flush_tables(engine, flush_storage: bool = True,
                 if base_seq != getattr(engine, "_store_seq", 0) else None
             # adopt the written directories into the registry (schema
             # pinned so partition-column inference can't retype values)
-            for key, gen, vdir, wsch, pby, segs, seg_stats, ops in staged:
+            for key, gen, vdir, wsch, pby, segs, seg_stats, ops, \
+                    del_counts in staged:
                 ent = engine._tables[key]
                 if any(k == "del" for k, _p in ops):
                     ent["df"] = _ops_frame(engine, ops)
@@ -691,6 +718,7 @@ def flush_tables(engine, flush_storage: bool = True,
                 ent["segments"] = segs or [vdir]
                 ent["ops"] = ops
                 ent["segment_stats"] = seg_stats or None
+                ent["del_counts"] = del_counts or None
             engine._store_seq = base_seq + 1
             # new version dirs may reuse a vacuumed/dropped table's
             # v<gen> path (re-registration restarts generations): the
@@ -885,6 +913,7 @@ def _fold_merged(engine, manifest: dict) -> None:
             "segment_stats": ent.get("segment_stats"),
             "bloom_cols": ent.get("bloom_cols"),
             "ops": fops,
+            "del_counts": ent.get("del_counts"),
         }
         engine._generations[key] = ver
         engine._flushed_gen[key] = ver
@@ -932,6 +961,8 @@ def _build_manifest(engine) -> dict:
                 # only deletion-vector recipes need the ordered form;
                 # pure-append recipes reconstruct from "segments"
                 entry["ops"] = [list(o) for o in ops]
+                if ent.get("del_counts"):
+                    entry["del_counts"] = ent["del_counts"]
             if ent.get("partition_by"):
                 # exact Spark types for the partitioned read-back pin —
                 # TableSchema's logical types are lossy (e.g. NTZ)
@@ -984,6 +1015,7 @@ def load_warehouse(engine) -> list[str]:
             "segment_stats": ent.get("segment_stats"),
             "bloom_cols": ent.get("bloom_cols"),
             "ops": ops,
+            "del_counts": ent.get("del_counts"),
         }
         engine._generations[key] = ent.get("version", 0)
         if not hasattr(engine, "_flushed_gen"):
