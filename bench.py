@@ -517,6 +517,33 @@ def _skipping_stat(spark, sf_dir: str) -> dict | None:
                 n = db.query("o").count()
                 out[f"count_{mode}_sec"] = round(_t.time() - t0, 3)
             out["rows"] = n
+            # (c) row-group grain (r11): a fat single-file unsorted-
+            # write rewritten sorted with 15 row groups; the pushed
+            # range must read ~1 group through the query path — the
+            # scan_output_rows observable (plans/skipping)
+            import os
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from tostore_spark.plans.skipping import scan_output_rows
+            rgd = os.path.join(tmp, "rg")
+            os.makedirs(rgd)
+            keys = sorted(r["o_orderkey"]
+                          for r in orders.select("o_orderkey").collect())
+            rg_rows = max(len(keys) // 15, 1)
+            pq.write_table(pa.table({"k": keys}),
+                           os.path.join(rgd, "part-0.parquet"),
+                           row_group_size=rg_rows)
+            db.register_table("rg", df=spark.read.parquet(rgd))
+            lo = keys[len(keys) // 2]
+            q = db.query("rg").where_between("k", lo, lo + 500).df()
+            # metrics populate on THIS df's own execution — count()
+            # would spawn a separate plan and leave them at zero
+            q.collect()
+            out["rowgroup_scan_rows"] = scan_output_rows(q)
+            out["rowgroup_total_rows"] = len(keys)
+            out["rowgroup_size"] = rg_rows
         return out
     except Exception as exc:                    # pragma: no cover
         print(f"# skipping stat skipped: {exc}", file=sys.stderr)

@@ -579,3 +579,108 @@ class TestEndToEnd:
                          (row.asDict() for row in db.df("t").collect())
                          if _eval_node(node_rows._cond.root().simplify(), r))
             assert got == exp
+
+
+class TestRowGroupGrain:
+    """Row-group-grain pruning (the rung below segment/file grain):
+    Spark's vectorized parquet reader skips row groups whose footer
+    stats refute the PUSHED filters — per-row-group min/max live in
+    the footers this layer already reads.  What must be pinned is that
+    the pushdown survives the ENGINE's query path end-to-end, since a
+    broken pushdown silently reads every row group."""
+
+    def _fixture(self, tmp_path, n=100_000, rg=10_000):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        d = str(tmp_path / "rgt")
+        import os
+        os.makedirs(d)
+        tbl = pa.table({"k": list(range(n)),
+                        "v": [f"x{i}" for i in range(n)]})
+        pq.write_table(tbl, os.path.join(d, "part-0.parquet"),
+                       row_group_size=rg)
+        assert pq.ParquetFile(
+            os.path.join(d, "part-0.parquet")).num_row_groups == n // rg
+        return d
+
+    def test_query_path_range_reads_one_row_group(self, spark, tmp_path):
+        from tostore_spark.engine import ToStoreSpark
+        from tostore_spark.plans.skipping import scan_output_rows
+        d = self._fixture(tmp_path)
+        db = ToStoreSpark(spark)
+        db.register_table("rgt", df=spark.read.parquet(d))
+        out = db.query("rgt").where("k", "BETWEEN",
+                                    {"start": 42_000, "end": 44_999}).df()
+        rows = out.collect()
+        assert len(rows) == 3_000
+        scanned = scan_output_rows(out)
+        # one 10k row group read of the 100k-row file: the range's
+        # bounds land inside a single sorted group
+        assert scanned == 10_000, scanned
+        # sanity: an unfiltered count reads everything
+        full = db.query("rgt").df()
+        assert full.count() == 100_000
+
+    def test_point_lookup_reads_one_row_group(self, spark, tmp_path):
+        from tostore_spark.engine import ToStoreSpark
+        from tostore_spark.plans.skipping import scan_output_rows
+        d = self._fixture(tmp_path)
+        db = ToStoreSpark(spark)
+        db.register_table("rgt", df=spark.read.parquet(d))
+        out = db.query("rgt").where("k", "=", 77_777).df()
+        assert len(out.collect()) == 1
+        assert scan_output_rows(out) == 10_000
+
+    def test_pruned_read_keeps_pushdown(self, spark, tmp_path):
+        """engine.pruned_df rebuilds scans from explicit file lists —
+        the rebuilt scan must still push the predicate so row-group
+        skipping survives file-grain pruning.  Two multi-row-group
+        files in one segment: the file stats keep only one file, and
+        within it the reader keeps only one row group."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tostore_spark.engine import ToStoreSpark
+        from tostore_spark.plans.skipping import scan_output_rows
+        wh = str(tmp_path / "wh")
+        db = ToStoreSpark(spark, warehouse=wh)
+        n = 40_000
+        df = spark.createDataFrame(
+            [(i, f"x{i}") for i in range(n)], "k int, v string")
+        db.register_table("t", df=df.repartition(1))
+        db.flush()
+        # rewrite the flushed segment as two sorted multi-row-group
+        # files so BOTH grains have something to drop (flush writes
+        # one row group per file at this size)
+        vdir = db._tables[("default", "t")]["path"]
+        for f in os.listdir(vdir):
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(vdir, f))
+        half = n // 2
+        pq.write_table(pa.table({"k": list(range(half)),
+                                 "v": [f"x{i}" for i in range(half)]}),
+                       os.path.join(vdir, "part-a.parquet"),
+                       row_group_size=5_000)
+        pq.write_table(pa.table({"k": list(range(half, n)),
+                                 "v": [f"x{i}" for i in range(half, n)]}),
+                       os.path.join(vdir, "part-b.parquet"),
+                       row_group_size=5_000)
+        # refresh sidecar stats to match the rewritten files
+        from tostore_spark import store as S
+        from tostore_spark.plans.skipping import collect_parquet_stats
+        seg, by_file = collect_parquet_stats(vdir, per_file=True)
+        ent = db._tables[("default", "t")]
+        ent["segment_stats"] = {S._norm_path(vdir): seg}
+        import json as _json
+        with open(os.path.join(vdir, "_filestats.json"), "w") as fh:
+            _json.dump({"files": by_file}, fh)
+        db.__dict__.pop("_filestats_cache", None)
+        ent["df"] = db._read_parquet(vdir)
+        out = db.query("t").where("k", "BETWEEN",
+                                  {"start": 26_000, "end": 27_999}).df()
+        assert len(out.collect()) == 2_000
+        # file grain dropped part-a; row-group grain kept 1 of 4 groups
+        assert db._last_prune_files == (1, 2)
+        assert scan_output_rows(out) == 5_000

@@ -495,3 +495,41 @@ def prune_segments(segments: list[str], stats_by_seg: dict,
             continue
         out.append(seg)
     return out
+
+
+def scan_output_rows(df) -> int | None:
+    """Sum of ``numOutputRows`` across the executed plan's file-scan
+    leaves — the observable for ROW-GROUP-grain pruning, the rung
+    BELOW this module's manifest/file grain.
+
+    Spark's vectorized parquet reader already skips row groups (and
+    dictionary/stats-filtered pages) whose footer stats refute the
+    PUSHED filters — per-row-group min/max live in the same footers
+    this module reads, but the reader consults them itself, so no
+    sidecar is needed at that grain.  What CAN silently disappear is
+    the pushdown: a scan rebuilt from an explicit file list
+    (``engine.pruned_df``), a type-changing projection, or a UDF in
+    the predicate all break it, and then every row group is read.
+    This helper makes the effect measurable: call AFTER an action on
+    ``df`` (metrics populate on execution) and compare against the
+    table's total rows — ``scan rows << total`` proves row-group
+    pruning engaged end-to-end (tests/test_skipping.py pins it for
+    the query path; BENCH_DETAIL.skipping records it per round).
+
+    Returns None when no file-scan leaf with the metric is found
+    (cached relations, pure-metadata plans)."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan()
+        leaves = plan.collectLeaves()
+        total = None
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if "FileSourceScan" not in leaf.getClass().getName():
+                continue
+            m = leaf.metrics()
+            if m.contains("numOutputRows"):
+                v = int(m.apply("numOutputRows").value())
+                total = v if total is None else total + v
+        return total
+    except Exception:                              # pragma: no cover
+        return None
