@@ -2042,6 +2042,69 @@ def q_meta_agg(spark, sf_dir):
     return spark.createDataFrame(rows, "metric string, value bigint")
 
 
+def q_delta_export(spark, sf_dir):
+    """Delta Lake export interop (r11, plans/delta_export): a table
+    carrying a live merge-on-read recipe (delete epoch + replace
+    epoch) exports as a standard Delta v0 commit — protocol/metaData/
+    add log with per-file footer stats, vectors RESOLVED so external
+    readers need no store manifest.  In-entry asserts: the log is
+    structurally valid and lists exactly the on-disk files; the
+    documented no-library read-back (plain parquet read of the fresh
+    export) feeds the returned aggregate, which must match DuckDB
+    deriving the same post-mutation state from nation."""
+    import json as _json
+    import os
+    import tempfile
+
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    db = _db(spark, sf_dir)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    with tempfile.TemporaryDirectory() as tmp:
+        wh, dest = os.path.join(tmp, "wh"), os.path.join(tmp, "dx")
+        db1 = ToStoreSpark(spark, warehouse=wh)
+        db1.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n_name", type=DataType.text),
+                    FieldSchema(name="key", type=DataType.integer)]))
+        db1.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
+             "key": r["n_nationkey"]} for r in nat])
+        db1.flush()
+        db1.delete("nat").where("key", ">=", 20).execute()
+        db1.flush()                                  # delete epoch
+        db1.batch_upsert("nat", [
+            {"id": "n005", "n_name": "EXPORTED"},    # update in place
+            {"id": "x1", "n_name": "ADDED", "key": 777}])
+        db1.flush()                                  # replace epoch
+        rep = db1.export_delta("nat", dest, target_files=1)
+        log = os.path.join(dest, "_delta_log", f"{0:020d}.json")
+        actions = [_json.loads(line) for line in open(log)]
+        adds = [a["add"] for a in actions if "add" in a]
+        if not any("protocol" in a for a in actions) or \
+                not any("metaData" in a for a in actions):
+            raise AssertionError("missing protocol/metaData action")
+        on_disk = {f for f in os.listdir(dest) if f.endswith(".parquet")}
+        if {a["path"] for a in adds} != on_disk:
+            raise AssertionError("add actions != on-disk files")
+        if sum(_json.loads(a["stats"])["numRecords"]
+               for a in adds) != rep["rows"]:
+            raise AssertionError("stats numRecords != exported rows")
+        back = spark.read.parquet(dest)
+        agg = (back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("key").alias("key_sum"),
+            F.count(F.when(F.col("n_name") == "EXPORTED", 1))
+             .alias("n_edited")).first())
+        rows = [{"n_rows": int(agg["n_rows"]),
+                 "key_sum": int(agg["key_sum"]),
+                 "n_edited": int(agg["n_edited"])}]
+    # materialized before the tempdir vanishes (the driver collects
+    # AFTER the entry returns)
+    return spark.createDataFrame(
+        rows, "n_rows bigint, key_sum bigint, n_edited bigint")
+
+
 def q_meta_agg_deletes(spark, sf_dir):
     """Metadata-only count ACROSS pure-delete epochs (r11,
     engine.stats_count + store del_counts): segment row sums minus the
@@ -3993,7 +4056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     _ORDER = [
         # -- r11 head: entries born in r11 (newest-first rule) ---------
-        "q_meta_agg_deletes",
+        "q_delta_export", "q_meta_agg_deletes",
         # -- r10 rotation head (the r9 verdict's item 1, executed) -----
         # slots 1-4: entries born in r10 (newest-first rule)
         "q_table_stats", "q_cdc_recipe", "q_upsert_mor",
@@ -4917,6 +4980,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'n' || lpad(CAST(min(n_nationkey) AS VARCHAR), 3, '0'),
                    'REBORN', 9
             FROM nation WHERE n_regionkey = 2""",
+        "q_delta_export": """
+            -- base nation keys 0..24; delete key>=20 (5 rows), update
+            -- n005 in place, insert x1 with key 777
+            SELECT CAST(count(*) + 1 AS BIGINT) AS n_rows,
+                   CAST(sum(n_nationkey) + 777 AS BIGINT) AS key_sum,
+                   CAST(1 AS BIGINT) AS n_edited
+            FROM nation WHERE n_nationkey < 20""",
         "q_meta_agg_deletes": """
             -- base 25 nation rows + 6 inserted, minus 3 (keys 600-602)
             -- minus 2 (keys < 2); the replace epoch updates in place

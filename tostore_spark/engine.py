@@ -1296,6 +1296,18 @@ class ToStoreSpark:
                                    partition_by=partition_by, mode=mode,
                                    **options)
 
+    def export_delta(self, table: str, dest: str, mode: str = "error",
+                     target_files: Optional[int] = None) -> dict:
+        """Export the table's current version (segments unioned,
+        deletion vectors resolved) as a standard Delta Lake table —
+        protocol/metaData/add log with per-file footer stats — so
+        external Delta readers can consume it without the store's
+        manifest (plans/delta_export; the SURVEY's table-format
+        interop rung)."""
+        from tostore_spark.plans.delta_export import export_delta as _ed
+        return _ed(self, table, dest, mode=mode,
+                   target_files=target_files)
+
     def analyze_table(self, table: str, cols=None,
                       exact_ndv: bool = False):
         """One-pass column statistics (rows, nulls, ndv, min/max) for
