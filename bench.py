@@ -400,6 +400,71 @@ def _recall_gate(spark, sf_dir: str) -> dict | None:
     return out
 
 
+def _graph_lifecycle_stat(spark, sf_dir: str) -> dict | None:
+    """Graph-ANN MAINTENANCE cost (the r10 verdict's ordered artifact):
+    append 100 nodes into a persisted 4k-node vs 40k-node clustered
+    graph, plus delete+compact, timed.  The append contract is cost
+    proportional to the BATCH (beam search per new node + batch ring),
+    never an index rebuild — the hop joins do scan the 10x edge table,
+    so the honest expectation is SUB-LINEAR in index size (append_x
+    well under 10), not perfectly flat.  Set SPARK_GRAFT_RECALL=0 to
+    skip (same knob as the recall gate — both are index-build-cost
+    measurements)."""
+    if os.environ.get("SPARK_GRAFT_RECALL", "1") != "1":
+        return None
+    import tempfile
+    import time as _t
+
+    try:
+        from pyspark.sql import functions as F
+
+        from tostore_spark.llmops import similarity as sim
+        out: dict = {"batch_rows": 100}
+        for label, n, cells in (("small", 4_000, 16),
+                                ("large", 40_000, 64)):
+            # n_cells scales with the corpus (constant within-cell
+            # block size — the build's own 100 TB contract); the
+            # append path's cost model is unaffected: same degree,
+            # same beam knobs against both indexes
+            emb = _clustered_embeddings(spark, n=n) \
+                .localCheckpoint(eager=True)
+            base = emb.filter(F.col("vec_id") < n - 100) \
+                      .localCheckpoint(eager=True)
+            batch = emb.filter(F.col("vec_id") >= n - 100) \
+                       .localCheckpoint(eager=True)
+            g, hubs = sim.build_knn_graph(base, n_neighbors=8,
+                                          n_cells=cells)
+            with tempfile.TemporaryDirectory() as tmp:
+                path = os.path.join(tmp, "gidx")
+                t0 = _t.time()
+                sim.graph_write_index(g, hubs, path, n_rows=n - 100)
+                out[f"{label}_build_write_sec"] = round(_t.time() - t0,
+                                                        3)
+                t0 = _t.time()
+                sim.graph_append(spark, path, base, batch,
+                                 n_neighbors=8, ef=16, max_hops=3)
+                out[f"{label}_append_sec"] = round(_t.time() - t0, 3)
+                del_ids = [int(i) for i in range(n - 100, n - 50)]
+                t0 = _t.time()
+                sim.graph_delete(spark, path, del_ids)
+                out[f"{label}_delete_sec"] = round(_t.time() - t0, 3)
+                t0 = _t.time()
+                sim.graph_compact(spark, path)
+                out[f"{label}_compact_sec"] = round(_t.time() - t0, 3)
+            out[f"{label}_index_rows"] = n - 100
+        for op in ("append", "delete", "compact"):
+            s = out.get(f"small_{op}_sec")
+            if s:
+                out[f"{op}_x"] = round(out[f"large_{op}_sec"] / s, 2)
+        print(f"# graph lifecycle: append {out.get('small_append_sec')}"
+              f"s -> {out.get('large_append_sec')}s at 10x index "
+              f"(x{out.get('append_x')})", file=sys.stderr)
+        return out
+    except Exception as exc:                    # pragma: no cover
+        print(f"# graph lifecycle stat skipped: {exc}", file=sys.stderr)
+        return None
+
+
 def _tfidf_block_stat(spark, sf_dir: str) -> dict | None:
     """Blocked candidate-pair count for the UNBOUNDED q_tfidf_pairs
     configuration (widened vocabulary, df cap 0.05) vs the all-pairs
@@ -1025,6 +1090,7 @@ def main():
     spark.catalog.clearCache()
 
     recall = _recall_gate(spark, sf_dir)
+    graph_lifecycle = _graph_lifecycle_stat(spark, sf_dir)
     sf1 = _sf1_spot(spark, sf_dir, cold)
     tfidf_block = _tfidf_block_stat(spark, sf_dir)
     fuzzy_block = _fuzzy_block_stat(spark, sf_dir)
@@ -1045,6 +1111,7 @@ def main():
                    "note": "non-headline operator families, excluded from "
                            "value/value_warm for cross-round comparability"},
         "recall": recall,
+        "graph_lifecycle": graph_lifecycle,
         "sf1_spot": sf1,
         "tfidf_blocking": tfidf_block,
         "fuzzy_blocking": fuzzy_block,
