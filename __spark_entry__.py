@@ -2042,6 +2042,65 @@ def q_meta_agg(spark, sf_dir):
     return spark.createDataFrame(rows, "metric string, value bigint")
 
 
+def q_encrypted_at_rest(spark, sf_dir):
+    """At-rest encryption (r11, tostore_spark.at_rest — reference
+    EncryptionConfig, data_store_config.dart:40-41,946-1005): a field
+    marked encrypted=True is AES-GCM ciphertext in every flushed byte
+    and plaintext at every read.  In-entry asserts: no plaintext value
+    appears in the version dir's parquet; a keyless reopen raises; a
+    wrong-key reopen raises.  The returned aggregate reads through a
+    correct-key cold reopen and must match DuckDB over nation."""
+    import os
+    import tempfile
+
+    from tostore_spark import EncryptionConfig
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    db = _db(spark, sf_dir)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    with tempfile.TemporaryDirectory() as tmp:
+        wh = os.path.join(tmp, "wh")
+        db1 = ToStoreSpark(spark, warehouse=wh,
+                           encryption=EncryptionConfig(key="entry-key"))
+        db1.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="secret", type=DataType.text,
+                                encrypted=True),
+                    FieldSchema(name="key", type=DataType.integer)]))
+        db1.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}",
+             "secret": r["n_name"], "key": r["n_nationkey"]}
+            for r in nat])
+        db1.flush()
+        vdir = db1._tables[("default", "nat")]["path"]
+        import pyarrow.parquet as pq
+        tbl = pq.read_table(vdir)
+        stored = {v for v in tbl["secret"].to_pylist() if v}
+        if stored & {r["n_name"] for r in nat}:
+            raise AssertionError("plaintext leaked to flushed parquet")
+        for bad in (None, EncryptionConfig(key="wrong")):
+            try:
+                ToStoreSpark(spark, warehouse=wh, encryption=bad)
+            except ValueError:
+                pass
+            else:
+                raise AssertionError(
+                    f"reopen with {bad!r} must raise")
+        db2 = ToStoreSpark(spark, warehouse=wh,
+                           encryption=EncryptionConfig(key="entry-key"))
+        out = (db2.df("nat")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.length("secret")).alias("name_len_sum"),
+                    F.count(F.when(F.col("secret")
+                                   .startswith("A"), 1))
+                     .alias("n_a_names")).first())
+        rows = [{"n_rows": int(out["n_rows"]),
+                 "name_len_sum": int(out["name_len_sum"]),
+                 "n_a_names": int(out["n_a_names"])}]
+    return spark.createDataFrame(
+        rows, "n_rows bigint, name_len_sum bigint, n_a_names bigint")
+
+
 def q_delta_export(spark, sf_dir):
     """Delta Lake export interop (r11, plans/delta_export): a table
     carrying a live merge-on-read recipe (delete epoch + replace
@@ -4056,7 +4115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     _ORDER = [
         # -- r11 head: entries born in r11 (newest-first rule) ---------
-        "q_delta_export", "q_meta_agg_deletes",
+        "q_encrypted_at_rest", "q_delta_export", "q_meta_agg_deletes",
         # -- r10 rotation head (the r9 verdict's item 1, executed) -----
         # slots 1-4: entries born in r10 (newest-first rule)
         "q_table_stats", "q_cdc_recipe", "q_upsert_mor",
@@ -4980,6 +5039,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'n' || lpad(CAST(min(n_nationkey) AS VARCHAR), 3, '0'),
                    'REBORN', 9
             FROM nation WHERE n_regionkey = 2""",
+        "q_encrypted_at_rest": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(length(n_name)) AS BIGINT) AS name_len_sum,
+                   CAST(count(CASE WHEN n_name LIKE 'A%' THEN 1 END)
+                        AS BIGINT) AS n_a_names
+            FROM nation""",
         "q_delta_export": """
             -- base nation keys 0..24; delete key>=20 (5 rows), update
             -- n005 in place, insert x1 with key 777

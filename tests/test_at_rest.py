@@ -1,0 +1,213 @@
+"""At-rest encryption (tostore_spark.at_rest): fields marked
+``encrypted=True`` are ciphertext everywhere between the engine
+boundaries — flushed segments, deltas, versions, backups — and
+plaintext at every user-facing read.  Reference capability:
+EncryptionConfig, data_store_config.dart:40-41,946-1005."""
+import json
+import os
+
+import pytest
+
+from tostore_spark import EncryptionConfig
+from tostore_spark.engine import ToStoreSpark
+from tostore_spark.schema import (DataType, FieldSchema, PrimaryKeyConfig,
+                                  TableSchema)
+
+KEY = "round11-test-passphrase"
+
+
+def _sch(name="people", **kw):
+    return TableSchema(
+        name=name, primary_key=PrimaryKeyConfig(name="id"),
+        fields=[FieldSchema(name="email", type=DataType.text,
+                            encrypted=True),
+                FieldSchema(name="note", type=DataType.text),
+                FieldSchema(name="n", type=DataType.integer)], **kw)
+
+
+def _mk(spark, wh, rows=8):
+    db = ToStoreSpark(spark, warehouse=wh,
+                      encryption=EncryptionConfig(key=KEY))
+    db.create_table(_sch())
+    db.batch_insert("people", [
+        {"id": f"p{i:02d}", "email": f"user{i}@example.com",
+         "note": f"plain{i}", "n": i} for i in range(rows)])
+    db.flush()
+    return db
+
+
+def _raw_strings(path):
+    """Every string value physically present under a version dir."""
+    import pyarrow.parquet as pq
+    vals = []
+    for dirpath, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in names:
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(dirpath, f))
+                for col in t.column_names:
+                    if str(t.schema.field(col).type) == "string":
+                        vals.extend(x for x in t[col].to_pylist()
+                                    if x is not None)
+    return vals
+
+
+class TestAtRestRoundtrip:
+    def test_disk_is_ciphertext_reads_are_plaintext(self, spark, tmp_path):
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh)
+        vdir = db._tables[("default", "people")]["path"]
+        raw = _raw_strings(vdir)
+        assert raw, "flushed files must hold data"
+        assert not any("@example.com" in v for v in raw), \
+            "plaintext email leaked to disk"
+        assert any("plain" in v for v in raw), \
+            "unencrypted columns stay readable"
+        rows = {r["id"]: r["email"] for r in db.df("people").collect()}
+        assert rows["p03"] == "user3@example.com"
+        # query path operates on plaintext
+        assert db.query("people").where(
+            "email", "=", "user5@example.com").count() == 1
+
+    def test_cold_reopen_and_key_enforcement(self, spark, tmp_path):
+        wh = str(tmp_path / "wh")
+        _mk(spark, wh)
+        db2 = ToStoreSpark(spark, warehouse=wh,
+                           encryption=EncryptionConfig(key=KEY))
+        assert {r["email"] for r in db2.df("people").collect()} == \
+            {f"user{i}@example.com" for i in range(8)}
+        with pytest.raises(ValueError, match="encrypted"):
+            ToStoreSpark(spark, warehouse=wh)
+        with pytest.raises(ValueError, match="wrong"):
+            ToStoreSpark(spark, warehouse=wh,
+                         encryption=EncryptionConfig(key="not-it"))
+
+    def test_mor_epochs_stay_ciphertext(self, spark, tmp_path):
+        """Delete vectors + replace epochs: the delta files of a MoR
+        commit hold ciphertext too, and the fold reads back plaintext
+        across a cold reopen."""
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh)
+        db.delete("people").where("n", "<", 2).execute()
+        db.flush()
+        db.batch_upsert("people", [
+            {"id": "p04", "email": "edited@example.com"},
+            {"id": "new", "email": "fresh@example.com", "n": 50}])
+        db.flush()
+        vdir = db._tables[("default", "people")]["path"]
+        raw = _raw_strings(vdir)     # the replace epoch's data part
+        assert raw and not any("@example.com" in v for v in raw)
+        db2 = ToStoreSpark(spark, warehouse=wh,
+                           encryption=EncryptionConfig(key=KEY))
+        rows = {r["id"]: r["email"] for r in db2.df("people").collect()}
+        assert rows["p04"] == "edited@example.com"
+        assert rows["new"] == "fresh@example.com"
+        assert "p00" not in rows and len(rows) == 7
+
+    def test_version_and_snapshot_reads_decrypt(self, spark, tmp_path):
+        from tostore_spark import store as S
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh, rows=4)
+        v1 = db._generations[("default", "people")]
+        db.delete("people").where("id", "=", "p01").execute()
+        db.flush()
+        old = db.df_at("people", v1)
+        assert {r["email"] for r in old.collect()} == \
+            {f"user{i}@example.com" for i in range(4)}
+        snap = S.snapshot(db)
+        assert {r["email"] for r in snap.df("people").collect()} == \
+            {f"user{i}@example.com" for i in range(4) if i != 1}
+
+    def test_cdc_feed_is_plaintext_and_nets_noops(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from tostore_spark import store as S
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh, rows=6)
+        v1 = db._generations[("default", "people")]
+        db.batch_upsert("people", [
+            {"id": "p02", "email": "changed@example.com"},
+            {"id": "p03", "email": "user3@example.com", "note": "plain3",
+             "n": 3}])                                # no-op re-write
+        db.flush()
+        v2 = db._generations[("default", "people")]
+        feed = S.table_diff(db, "people", v1, v2)
+        rows = sorted(map(tuple, feed.collect()))
+        # same answer as exceptAll over the (decrypted) versions
+        old = S.read_version(db, "people", v1)
+        new = S.read_version(db, "people", v2)
+        cols = sorted(old.columns)
+        exp = (new.select(*cols).exceptAll(old.select(*cols))
+               .withColumn("change", F.lit("insert"))
+               .unionByName(
+                   old.select(*cols).exceptAll(new.select(*cols))
+                   .withColumn("change", F.lit("delete"))))
+        assert rows == sorted(map(tuple, exp.collect()))
+        touched = {r[cols.index("id")] for r in rows}
+        assert touched == {"p02"}, \
+            "the no-op re-write must net out despite fresh ciphertext"
+        assert any("changed@example.com" in str(r) for r in rows)
+
+
+class TestAtRestInterplay:
+    def test_stats_strip_encrypted_columns(self, spark, tmp_path):
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh)
+        ent = db._tables[("default", "people")]
+        stats = ent.get("segment_stats") or {}
+        assert stats, "footer stats still collected"
+        for summ in stats.values():
+            assert "email" not in summ["cols"], \
+                "ciphertext bounds must not reach the manifest"
+            assert "n" in summ["cols"]
+        # metadata count still serves (row counts are not value stats)
+        assert db.stats_count("people") == 8
+        # predicates on the encrypted column never prune (undecidable)
+        assert db.query("people").where(
+            "email", "=", "user1@example.com").count() == 1
+
+    def test_backup_stays_ciphertext_restore_decrypts(self, spark,
+                                                      tmp_path):
+        wh, bdir = str(tmp_path / "wh"), str(tmp_path / "bk")
+        db = _mk(spark, wh, rows=5)
+        db.backup(bdir)
+        raw = _raw_strings(bdir)
+        assert raw and not any("@example.com" in v for v in raw), \
+            "a backup must not declassify encrypted columns"
+        db2 = ToStoreSpark(spark,
+                           encryption=EncryptionConfig(key=KEY))
+        db2.restore(bdir)
+        assert {r["email"] for r in db2.df("people").collect()} == \
+            {f"user{i}@example.com" for i in range(5)}
+
+    def test_export_delta_refuses_then_allows(self, spark, tmp_path):
+        wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+        db = _mk(spark, wh, rows=3)
+        with pytest.raises(ValueError, match="DECRYPTED"):
+            db.export_delta("people", dest)
+        rep = db.export_delta("people", dest, allow_decrypted=True,
+                              target_files=1)
+        assert rep["rows"] == 3
+
+    def test_validation_refusals(self, spark, tmp_path):
+        db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"),
+                          encryption=EncryptionConfig(key=KEY))
+        with pytest.raises(ValueError, match="primary key"):
+            db.create_table(TableSchema(
+                name="bad1", primary_key=PrimaryKeyConfig(name="id"),
+                fields=[FieldSchema(name="id", type=DataType.text,
+                                    encrypted=True)]))
+        with pytest.raises(ValueError, match="unique"):
+            db.create_table(TableSchema(
+                name="bad2", primary_key=PrimaryKeyConfig(name="id"),
+                fields=[FieldSchema(name="e", type=DataType.text,
+                                    encrypted=True, unique=True)]))
+        with pytest.raises(ValueError, match="text"):
+            db.create_table(TableSchema(
+                name="bad3", primary_key=PrimaryKeyConfig(name="id"),
+                fields=[FieldSchema(name="x", type=DataType.integer,
+                                    encrypted=True)]))
+        # encrypted fields without an engine key: refused up front
+        db2 = ToStoreSpark(spark, warehouse=str(tmp_path / "wh2"))
+        with pytest.raises(ValueError, match="EncryptionConfig"):
+            db2.create_table(_sch(name="people2"))

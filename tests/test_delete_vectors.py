@@ -505,3 +505,23 @@ class TestMetaCountUnderDeletes:
         db.flush()
         assert db.stats_count("notes") == 9
         assert db.stats_min_max("notes", "n", "max") is None
+
+
+class TestSnapshotMoR:
+    def test_snapshot_view_folds_del_recipes(self, spark, tmp_path):
+        """SnapshotView.df on a table with pending deletion vectors:
+        the pure-del version dir holds NO data files, so the plain
+        segment read crashed (and a del+seg recipe would resurrect
+        deleted rows) — the snapshot must fold ops like the registry
+        read does."""
+        from tostore_spark import store as S
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh, rows=10)
+        db.delete("notes").where("n", "<", 4).execute()
+        db.flush()
+        snap = S.snapshot(db)
+        try:
+            assert sorted(r["id"] for r in snap.df("notes").collect()) \
+                == [f"k{i:03d}" for i in range(4, 10)]
+        finally:
+            snap.release()

@@ -16,6 +16,8 @@ from tostore_spark.condition import QueryCondition
 from tostore_spark.agg import Agg
 from tostore_spark.expr import Expr
 from tostore_spark.session import get_spark
+from tostore_spark.at_rest import EncryptionConfig
 
-__all__ = ["ToStoreSpark", "QueryCondition", "Agg", "Expr", "get_spark"]
+__all__ = ["ToStoreSpark", "QueryCondition", "Agg", "Expr", "get_spark",
+           "EncryptionConfig"]
 __version__ = "0.1.0"

@@ -1,0 +1,147 @@
+"""At-rest encryption config for stored table data.
+
+Reference: ``EncryptionConfig`` on the store config — "encrypting table
+data, log files, index data, and other critical privacy data"
+(data_store_config.dart:40-41,946-1005), with types none / xor /
+chacha20-poly1305 / aes-256-gcm and optional caller-supplied keys.
+
+Spark-first re-expression: fields marked ``encrypted=True`` in their
+``TableSchema`` are AES-256-GCM-encrypted (the one vetted JVM-side
+primitive Spark ships — ``aes_encrypt``; the reference's xor/chacha
+tiers are deliberately NOT re-implemented, xor because it is
+obfuscation not encryption, chacha because no built-in expression
+exists and a Python-side cipher would put a row-at-a-time UDF in every
+scan) at the ENGINE WRITE BOUNDARY (``engine._set_df_at_key``) and
+decrypted at the READ boundary (``engine._df_at_key``).  Everything
+between the boundaries — flushed parquet segments, append deltas,
+replace epochs, version history, backups — holds ciphertext; everything
+user-facing — ``df()``, query builders, CDC feeds, ``df_at`` — sees
+plaintext.  Ciphertext is base64 text, so column types and schema
+round-trips are unchanged.
+
+What the config refuses, and why (validated at ``create_table``):
+
+- non-text fields: ``aes_encrypt`` is bytes-in/bytes-out; a typed
+  round-trip through casts would silently reformat values;
+- the primary key / unique fields: deletion vectors, replace-epoch
+  key sets and upsert matching anti-join on key VALUES — GCM is
+  randomized, so ciphertext equality would not hold;
+- indexed / TTL-source / FK / partition / bloom fields: each is
+  consulted as a VALUE by the layout or pruning machinery.
+
+Footer stats interplay: flushed files carry ciphertext bounds for
+encrypted columns — meaningless against plaintext predicates and a
+wrong-prune hazard, so the flush STRIPS encrypted columns from the
+per-segment/per-file stats (predicates on them simply never prune:
+undecidable-keeps-the-segment, the layer's standing rule).
+
+Key handling: the key lives in the engine (``encryption=`` at
+construction), never on disk.  The warehouse keeps a ``_crypto.json``
+verifier (random salt + sha256(salt ‖ key)) so a reopen with a wrong
+or missing key fails LOUDLY at load instead of surfacing garbage; the
+digest does not reveal the key.  Exports that would declassify
+(``export_delta``) refuse unless explicitly allowed.
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import secrets
+from dataclasses import dataclass
+
+__all__ = ["EncryptionConfig", "encrypt_frame", "decrypt_frame",
+           "write_key_check", "verify_key_check"]
+
+_CRYPTO_SIDECAR = "_crypto.json"
+
+
+@dataclass
+class EncryptionConfig:
+    """Warehouse at-rest encryption: ``key`` is any passphrase (sha256-
+    normalized to an AES-256 key); ``algorithm`` is fixed to aes_gcm —
+    see the module doc for why the reference's other tiers are not
+    offered."""
+
+    key: str
+    algorithm: str = "aes_gcm"
+
+    def __post_init__(self):
+        if not self.key:
+            raise ValueError("EncryptionConfig requires a non-empty key")
+        if self.algorithm != "aes_gcm":
+            raise ValueError(
+                f"unsupported at-rest algorithm {self.algorithm!r}; "
+                "only 'aes_gcm' is offered (module doc)")
+
+
+def _key_col(key: str):
+    from pyspark.sql import functions as F
+    return F.lit(hashlib.sha256(key.encode()).digest())
+
+
+def encrypt_frame(df, cols: list[str], key: str):
+    """Base64(AES-GCM) the named string columns; other columns pass
+    through.  Null stays null.  A pure projection — preserves the
+    frame's partitioning and any within-partition sort."""
+    from pyspark.sql import functions as F
+    todo = [c for c in cols if c in df.columns]
+    if not todo:
+        return df
+    k = _key_col(key)
+    return df.select(*[
+        (F.base64(F.aes_encrypt(F.col(c), k, F.lit("GCM"))).alias(c)
+         if c in todo else F.col(c))
+        for c in df.columns])
+
+
+def decrypt_frame(df, cols: list[str], key: str):
+    from pyspark.sql import functions as F
+    todo = [c for c in cols if c in df.columns]
+    if not todo:
+        return df
+    k = _key_col(key)
+    return df.select(*[
+        (F.aes_decrypt(F.unbase64(F.col(c)), k, F.lit("GCM"))
+          .cast("string").alias(c)
+         if c in todo else F.col(c))
+        for c in df.columns])
+
+
+def _digest(salt: str, key: str) -> str:
+    return hashlib.sha256((salt + key).encode()).hexdigest()
+
+
+def write_key_check(warehouse: str, key: str) -> None:
+    """Create the warehouse key verifier if absent; verify against it
+    if present (two engines configured with different keys must not
+    interleave ciphertexts in one warehouse)."""
+    path = os.path.join(warehouse, _CRYPTO_SIDECAR)
+    if os.path.exists(path):
+        verify_key_check(warehouse, key)
+        return
+    os.makedirs(warehouse, exist_ok=True)
+    salt = secrets.token_hex(16)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"salt": salt, "digest": _digest(salt, key),
+                   "algorithm": "aes_gcm"}, fh)
+    os.replace(tmp, path)
+
+
+def verify_key_check(warehouse: str, key: str | None) -> None:
+    """Raise when the warehouse holds encrypted data and ``key`` is
+    missing or does not match the verifier.  No verifier = nothing was
+    ever encrypted here = nothing to check."""
+    path = os.path.join(warehouse, _CRYPTO_SIDECAR)
+    if not os.path.exists(path):
+        return
+    with open(path) as fh:
+        rec = json.load(fh)
+    if key is None:
+        raise ValueError(
+            f"warehouse {warehouse} holds encrypted tables; pass "
+            "encryption=EncryptionConfig(key=...) to open it")
+    if _digest(rec["salt"], key) != rec["digest"]:
+        raise ValueError(
+            f"wrong at-rest encryption key for warehouse {warehouse}")

@@ -26,7 +26,8 @@ def _schema_to_dict(sch: TableSchema) -> dict:
         "primary_key": dataclasses.asdict(sch.primary_key) if sch.primary_key else None,
         "fields": [
             {"name": f.name, "type": f.type.value, "nullable": f.nullable,
-             "unique": f.unique, "create_index": f.create_index}
+             "unique": f.unique, "create_index": f.create_index,
+             "encrypted": getattr(f, "encrypted", False)}
             for f in sch.fields
         ],
     }
@@ -42,7 +43,8 @@ def _schema_from_dict(d: dict) -> TableSchema:
         fields=[FieldSchema(name=f["name"], type=DataType(f["type"]),
                             nullable=f.get("nullable", True),
                             unique=f.get("unique", False),
-                            create_index=f.get("create_index", False))
+                            create_index=f.get("create_index", False),
+                            encrypted=f.get("encrypted", False))
                 for f in d.get("fields", [])])
 
 
@@ -56,7 +58,20 @@ def backup(engine, backup_dir: str, include_global: bool = True) -> str:
         if sch.is_global and not include_global:
             continue
         path = os.path.join(backup_dir, f"{name}.parquet")
-        engine.df(name).write.mode("overwrite").parquet(path)
+        key = engine._resolve(name)
+        if getattr(engine, "_enc_cols", lambda _k: [])(key):
+            # at-rest contract: a backup of an encrypted table stays
+            # CIPHERTEXT (df() would decrypt — a silent declassify);
+            # the TTL read-filter still applies (plaintext source col)
+            frame = engine._tables[key]["df"]
+            tsch = engine._tables[key]["schema"]
+            if tsch.ttl is not None and tsch.ttl.ttl_ms > 0 \
+                    and tsch.ttl.source_field:
+                from tostore_spark.ttl import ttl_filter
+                frame = ttl_filter(frame, tsch.ttl)
+        else:
+            frame = engine.df(name)
+        frame.write.mode("overwrite").parquet(path)
         manifest["tables"].append(_schema_to_dict(sch))
     # KV state rides in the manifest (driver-resident dict; the reference's
     # ZIP backup includes its KV system table the same way)
@@ -83,7 +98,8 @@ def restore(engine, backup_dir: str, space: Optional[str] = None) -> list[str]:
             sch = _schema_from_dict(tdict)
             path = os.path.join(backup_dir, f"{sch.name}.parquet")
             engine.register_table(sch.name, path=path, schema=sch,
-                                  is_global=sch.is_global)
+                                  is_global=sch.is_global,
+                                  pre_encrypted=True)
             restored.append(sch.name)
     finally:
         engine.switch_space(prev)

@@ -66,10 +66,16 @@ class ToStoreSpark:
     def __init__(self, spark: SparkSession, data_dir: Optional[str] = None,
                  warehouse: Optional[str] = None, space: str = "default",
                  default_query_limit: int = 1000,
-                 max_query_offset: int = 10000):
+                 max_query_offset: int = 10000,
+                 encryption=None):
         self.spark = spark
         self._space = space
         self._warehouse = warehouse
+        #: at-rest EncryptionConfig (tostore_spark.at_rest): fields
+        #: marked encrypted=True in their TableSchema are ciphertext
+        #: everywhere between the engine read/write boundaries —
+        #: flushed segments, deltas, versions, backups
+        self.encryption = encryption
         #: cap applied to run() when no explicit limit is given; <=0 makes
         #: unbounded run() raise (data_store_config.dart:68-75 semantics,
         #: defaults 1000/10000).  .df() is exempt — it returns a lazy,
@@ -91,6 +97,11 @@ class ToStoreSpark:
         # + manifest under `warehouse`) on top of the data_dir sources —
         # the WAL-recovery analog (wal_manager.dart durability intent)
         if warehouse:
+            # fail LOUDLY at open when the warehouse holds encrypted
+            # data and the key is missing/wrong — never surface garbage
+            from tostore_spark.at_rest import verify_key_check
+            verify_key_check(warehouse,
+                             encryption.key if encryption else None)
             from tostore_spark import store as _store
             _store.load_warehouse(self)
 
@@ -107,6 +118,7 @@ class ToStoreSpark:
                        schema: Optional[TableSchema] = None,
                        is_global: bool = False, format: str = "parquet",
                        partition_by: Optional[list] = None,
+                       pre_encrypted: bool = False,
                        **reader_options) -> None:
         """Register a table from parquet (default), csv, json, or orc — any
         Spark batch source; csv defaults to header+inferSchema.
@@ -131,6 +143,16 @@ class ToStoreSpark:
                 df = self.spark.read.options(**reader_options).format(format).load(path)
         if schema is None:
             schema = TableSchema.from_struct_type(name, df.schema, is_global=is_global)
+        self._validate_encrypted_fields(schema)
+        enc = ([f.name for f in schema.fields
+                if getattr(f, "encrypted", False)]
+               if self.encryption is not None else [])
+        if enc and not pre_encrypted:
+            # user-supplied content arrives plaintext; the registry
+            # holds ciphertext (``pre_encrypted=True`` — the restore
+            # path — registers already-at-rest bytes verbatim)
+            from tostore_spark.at_rest import encrypt_frame
+            df = encrypt_frame(df, enc, self.encryption.key)
         space = "global" if is_global else self._space
         if (space, name) in self._tables:
             # re-registering replaces the data: advance the generation so
@@ -223,11 +245,60 @@ class ToStoreSpark:
 
     def create_table(self, schema: TableSchema) -> None:
         """Create an empty managed table from a declared TableSchema."""
+        self._validate_encrypted_fields(schema)
         df = self.spark.createDataFrame([], schema.to_struct_type())
         space = "global" if schema.is_global else self._space
         self._tables[(space, schema.name)] = {
             "df": df, "path": None, "schema": schema, "global": schema.is_global,
         }
+
+    def _validate_encrypted_fields(self, schema: TableSchema) -> None:
+        """The at_rest module's refusal list (see its doc for each
+        reason): encrypted fields must be plain text payload columns —
+        never a value the key/index/pruning machinery consults."""
+        enc = [f for f in schema.fields if getattr(f, "encrypted", False)]
+        if not enc:
+            return
+        if self.encryption is None:
+            raise ValueError(
+                f"table {schema.name} declares encrypted fields but the "
+                "engine has no encryption=EncryptionConfig(key=...)")
+        from tostore_spark.schema import DataType
+        names = {f.name for f in enc}
+        for f in enc:
+            if f.type != DataType.text:
+                raise ValueError(
+                    f"encrypted field {f.name} must be text "
+                    f"(got {f.type.value})")
+            if f.unique or f.create_index:
+                raise ValueError(
+                    f"encrypted field {f.name} cannot be unique/indexed")
+        if schema.primary_key is not None \
+                and schema.primary_key.name in names:
+            raise ValueError("the primary key cannot be encrypted")
+        if schema.ttl is not None and schema.ttl.source_field in names:
+            raise ValueError("the TTL source field cannot be encrypted")
+        for ix in schema.indexes:
+            if names & set(ix.fields):
+                raise ValueError(
+                    f"encrypted fields {sorted(names & set(ix.fields))} "
+                    "cannot be indexed")
+        for fk in getattr(schema, "foreign_keys", []) or []:
+            if names & set(fk.fields):
+                raise ValueError(
+                    f"encrypted fields cannot be foreign keys")
+
+    def _enc_cols(self, key: tuple) -> list:
+        """Names of at-rest-encrypted columns for a registry entry
+        ([] without config — the feature is entirely opt-in)."""
+        if self.encryption is None:
+            return []
+        ent = self._tables.get(key)
+        sch = ent.get("schema") if ent else None
+        if sch is None:
+            return []
+        return [f.name for f in sch.fields
+                if getattr(f, "encrypted", False)]
 
     def create_tables(self, schemas: list[TableSchema]) -> None:
         """Create several tables at once (tostore.dart:356)."""
@@ -379,6 +450,12 @@ class ToStoreSpark:
         if sch.ttl is not None and sch.ttl.ttl_ms > 0 and sch.ttl.source_field:
             from tostore_spark.ttl import ttl_filter
             df = ttl_filter(df, sch.ttl)
+        enc = self._enc_cols(key)
+        if enc:
+            # at-rest boundary: the registry frame is ciphertext;
+            # every consumer above this line sees plaintext
+            from tostore_spark.at_rest import decrypt_frame
+            df = decrypt_frame(df, enc, self.encryption.key)
         return df
 
     def _stats_summaries(self, name: str,
@@ -881,6 +958,17 @@ class ToStoreSpark:
         pure-append epochs as plain segments, pure-delete epochs as
         deletion vectors, and mixed epochs as a del+seg pair in one
         version dir (store.flush_tables)."""
+        enc = self._enc_cols(key)
+        if enc:
+            # at-rest boundary: writers hand PLAINTEXT frames (they
+            # derive from df()); the registry and every flushed byte
+            # hold ciphertext.  Key frames carry only never-encrypted
+            # key columns, so the delete delta passes through.
+            from tostore_spark.at_rest import encrypt_frame
+            kkey = self.encryption.key
+            df = encrypt_frame(df, enc, kkey)
+            if append_delta is not None:
+                append_delta = encrypt_frame(append_delta, enc, kkey)
         self._tables[key]["df"] = df
         self._generations[key] = self._generations.get(key, 0) + 1
         adeltas, ddeltas = self._append_deltas, self._delete_deltas
@@ -1297,7 +1385,8 @@ class ToStoreSpark:
                                    **options)
 
     def export_delta(self, table: str, dest: str, mode: str = "error",
-                     target_files: Optional[int] = None) -> dict:
+                     target_files: Optional[int] = None,
+                     allow_decrypted: bool = False) -> dict:
         """Export the table's current version (segments unioned,
         deletion vectors resolved) as a standard Delta Lake table —
         protocol/metaData/add log with per-file footer stats — so
@@ -1306,7 +1395,8 @@ class ToStoreSpark:
         interop rung)."""
         from tostore_spark.plans.delta_export import export_delta as _ed
         return _ed(self, table, dest, mode=mode,
-                   target_files=target_files)
+                   target_files=target_files,
+                   allow_decrypted=allow_decrypted)
 
     def analyze_table(self, table: str, cols=None,
                       exact_ndv: bool = False):

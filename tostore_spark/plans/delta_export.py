@@ -74,7 +74,8 @@ def _delta_stats(file_summary: dict) -> str:
 
 def export_delta(engine, table: str, dest: str,
                  mode: str = "error",
-                 target_files: int | None = None) -> dict:
+                 target_files: int | None = None,
+                 allow_decrypted: bool = False) -> dict:
     """Write ``table``'s current in-engine frame as a Delta table at
     ``dest`` (local path).  Deletion vectors / replace epochs are
     resolved by construction — the exported data is ``engine.df(table)``
@@ -86,6 +87,17 @@ def export_delta(engine, table: str, dest: str,
     ``target_files`` coalesces the export (a 100 TB export keeps the
     session's natural parallelism; small interop exports usually want
     one file)."""
+    try:
+        enc = engine._enc_cols(engine._resolve(table))
+    except Exception:
+        enc = []
+    if enc and not allow_decrypted:
+        # df() decrypts — exporting would silently declassify an
+        # at-rest-encrypted table into a world-readable format
+        raise ValueError(
+            f"table {table} has at-rest-encrypted fields {enc}; "
+            "export_delta would write them DECRYPTED — pass "
+            "allow_decrypted=True to do that deliberately")
     df = engine.df(table)
     path = dest[len("file:"):] if dest.startswith("file:") else dest
     if os.path.exists(path) and os.listdir(path):

@@ -114,6 +114,10 @@ class FieldSchema:
     comment: Optional[str] = None
     default_value_type: DefaultValueType = DefaultValueType.none
     vector_config: Optional[VectorFieldConfig] = None
+    #: at-rest encryption (tostore_spark.at_rest): stored ciphertext
+    #: between the engine boundaries; text fields only, and never a
+    #: key/index/TTL/partition column (validated at create_table)
+    encrypted: bool = False
 
     def to_struct_field(self) -> T.StructField:
         return T.StructField(self.name, spark_type_for(self.type), self.nullable)

@@ -646,11 +646,31 @@ def flush_tables(engine, flush_storage: bool = True,
                           if (fast or fast_del or fast_replace) else {})
             if fast_del and del_count is not None:
                 del_counts[_norm_path(vdir)] = del_count
+            enc_cols = set(engine._enc_cols(key)) \
+                if hasattr(engine, "_enc_cols") else set()
+            if enc_cols:
+                # first encrypted flush writes the warehouse key
+                # verifier; later opens with a wrong/missing key fail
+                # loudly at load (at_rest module doc)
+                from tostore_spark.at_rest import write_key_check
+                write_key_check(wh, engine.encryption.key)
             if not fast_del:
                 # a deletion-vector dir holds no table data — nothing
                 # to summarize (and walking it would misread _deletes)
                 new_stats, by_file = collect_parquet_stats(vdir,
                                                            per_file=True)
+                if enc_cols and new_stats:
+                    # ciphertext bounds are meaningless against
+                    # plaintext predicates AND a wrong-prune hazard —
+                    # strip them; predicates on encrypted columns then
+                    # never prune (undecidable keeps the segment)
+                    new_stats["cols"] = {
+                        c: v for c, v in new_stats["cols"].items()
+                        if c not in enc_cols}
+                    by_file = {rel: {**s, "cols": {
+                        c: v for c, v in s["cols"].items()
+                        if c not in enc_cols}}
+                        for rel, s in (by_file or {}).items()}
                 if new_stats:
                     seg_stats[_norm_path(vdir)] = new_stats
                     if by_file:
@@ -664,6 +684,10 @@ def flush_tables(engine, flush_storage: bool = True,
                             _fsmod.join(vdir, _FILESTATS_SIDECAR),
                             json.dumps({"files": by_file}))
                 bl_cfg = ent.get("bloom_cols")
+                if bl_cfg and enc_cols:
+                    # a bloom over ciphertext can never match a
+                    # plaintext probe — encrypted columns are refused
+                    bl_cfg = [c for c in bl_cfg if c not in enc_cols]
                 if bl_cfg and not pby:
                     # point-lookup bloom bitmaps over the rows THIS
                     # version dir holds (the delta on the fast path):
@@ -1399,9 +1423,25 @@ def read_version(engine, table: str, version: int,
     # protected); a deletion-vector version folds its anti-joins
     ops = _version_ops(fs, vdir)
     if any(k == "del" for k, _p in ops):
-        return _ops_frame(engine, ops)
-    segs = _version_segments(fs, vdir)
-    return engine._read_parquet(segs if len(segs) > 1 else vdir)
+        out = _ops_frame(engine, ops)
+    else:
+        segs = _version_segments(fs, vdir)
+        out = engine._read_parquet(segs if len(segs) > 1 else vdir)
+    return _decrypt_for(engine, space, table, out)
+
+
+def _decrypt_for(engine, space: str, table: str, df):
+    """Version/CDC reads bypass the engine's df() boundary and hand
+    back STORED frames — decrypt at-rest columns here so time travel
+    and change feeds surface plaintext like every other read."""
+    try:
+        cols = engine._enc_cols((space, table))
+    except Exception:
+        cols = []
+    if not cols:
+        return df
+    from tostore_spark.at_rest import decrypt_frame
+    return decrypt_frame(df, cols, engine.encryption.key)
 
 
 def vacuum(engine, keep: int = 1) -> int:
@@ -1553,7 +1593,8 @@ def _diff_from_recipe(engine, table: str, from_version: int,
                  for k, p in tail if k != "seg"]
     for kind, path in tail:
         if kind == "seg":
-            rows = engine._read_parquet(path)
+            rows = _decrypt_for(engine, space, table,
+                                engine._read_parquet(path))
             if cols is None:
                 cols = sorted(rows.columns)
             rows = rows.select(*cols)
@@ -1564,7 +1605,12 @@ def _diff_from_recipe(engine, table: str, from_version: int,
             keys = engine._read_parquet(
                 _fsmod.join(path, _DELETES_SUBDIR))
             if state is None:
-                state = _cdc_base_state(engine, consumed, tail_keys)
+                # decrypt BEFORE netting: same-plaintext replace pairs
+                # must net out, and GCM ciphertexts of equal plaintexts
+                # differ across writes
+                state = _decrypt_for(
+                    engine, space, table,
+                    _cdc_base_state(engine, consumed, tail_keys))
             pre = state.join(F.broadcast(keys), on=list(keys.columns),
                              how="left_semi")
             if cols is None:
@@ -1734,9 +1780,19 @@ class SnapshotView:
                     from pyspark.sql.types import StructType
                     pin = StructType.fromJson(
                         json.loads(ent["spark_schema"]))
-                segs = ent.get("segments") or [ent["path"]]
-                return self._engine._read_parquet(
-                    segs if len(segs) > 1 else ent["path"], schema=pin)
+                ops = ent.get("ops")
+                if ops and any(k == "del" for k, _p in ops):
+                    # merge-on-read recipe: a pure-delete version dir
+                    # holds NO data files — the segment list alone
+                    # would crash (or resurrect deleted rows); fold
+                    # the recipe exactly like the registry read does
+                    out = _ops_frame(self._engine, ops, pin=pin)
+                else:
+                    segs = ent.get("segments") or [ent["path"]]
+                    out = self._engine._read_parquet(
+                        segs if len(segs) > 1 else ent["path"],
+                        schema=pin)
+                return _decrypt_for(self._engine, space, table, out)
         raise KeyError(f"table {space}/{table} not in snapshot seq={self.seq}")
 
     def release(self) -> None:
