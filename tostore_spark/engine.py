@@ -719,9 +719,9 @@ class ToStoreSpark:
                 part = part.select(*base.columns)
                 df = part if df is None else df.unionByName(part)
             elif df is not None:
-                keys = self._pruned_read(
-                    (path[:-1] if path.endswith("/") else path)
-                    + "/" + _DELETES_SUBDIR)
+                from tostore_spark.store import read_delete_keys
+                keys = read_delete_keys(
+                    self, path[:-1] if path.endswith("/") else path)
                 df = df.join(F.broadcast(keys), on=list(keys.columns),
                              how="left_anti")
         if df is None:

@@ -278,11 +278,30 @@ _MAX_SEGMENTS = 16
 #: subdir of a deletion-vector version dir holding the deleted-PK
 #: parquet; the leading underscore keeps Spark's own readers from ever
 #: scanning it as table data when they read the PARENT dir.  Reading
-#: the subdir itself as an explicit root works (verified by the full
-#: oracle gate) but logs a benign "All paths were ignored" WARN —
-#: Spark's hidden-path heuristic warns on the root's name while still
-#: reading its (non-hidden) part files.
+#: the subdir itself as a root would log a spurious "All paths were
+#: ignored" WARN per read (Spark's hidden-path heuristic warns on the
+#: root's name while still reading its part files) — at 100 TB that is
+#: one log line per delete epoch per job, so ``read_delete_keys``
+#: lists the part FILES and reads them explicitly, which triggers no
+#: heuristic at all.
 _DELETES_SUBDIR = "_deletes"
+
+
+def read_delete_keys(engine, vdir: str):
+    """The deletion-vector key frame of a version dir, read via its
+    explicit part files (module doc: avoids the per-read hidden-path
+    WARN).  Falls back to the directory read when listing fails (e.g.
+    an fs shim without listdir support) — correct either way."""
+    ddir = _fsmod.join(vdir, _DELETES_SUBDIR)
+    try:
+        fs = _fs(engine)
+        files = [f for f in fs.listdir(ddir) if f.endswith(".parquet")]
+        if files:
+            return engine._read_parquet(
+                [_fsmod.join(ddir, f) for f in files])
+    except Exception:
+        pass
+    return engine._read_parquet(ddir)
 
 
 def _version_segments(fs, vdir: str) -> list[str]:
@@ -341,8 +360,7 @@ def _ops_frame(engine, ops, pin=None):
                 part = part.select(*[f.name for f in pin.fields])
             df = part if df is None else df.unionByName(part)
         elif df is not None:
-            keys = engine._read_parquet(
-                _fsmod.join(path, _DELETES_SUBDIR))
+            keys = read_delete_keys(engine, path)
             df = df.join(F.broadcast(keys), on=list(keys.columns),
                          how="left_anti")
     return df
@@ -1589,7 +1607,7 @@ def _diff_from_recipe(engine, table: str, from_version: int,
     # _ops_frame algebra applied step-by-step instead of refolding
     # the whole recipe from the base per del epoch (worst case was
     # one base-table scan per delete epoch, <= the segment cap)
-    tail_keys = [engine._read_parquet(_fsmod.join(p, _DELETES_SUBDIR))
+    tail_keys = [read_delete_keys(engine, p)
                  for k, p in tail if k != "seg"]
     for kind, path in tail:
         if kind == "seg":
@@ -1602,8 +1620,7 @@ def _diff_from_recipe(engine, table: str, from_version: int,
             if state is not None:
                 state = state.unionByName(rows.select(*state.columns))
         else:
-            keys = engine._read_parquet(
-                _fsmod.join(path, _DELETES_SUBDIR))
+            keys = read_delete_keys(engine, path)
             if state is None:
                 # decrypt BEFORE netting: same-plaintext replace pairs
                 # must net out, and GCM ciphertexts of equal plaintexts
@@ -1729,8 +1746,7 @@ def _cdc_base_state(engine, consumed, tail_keys):
             part = engine._read_parquet(path)
             df = part if df is None else df.unionByName(part)
         elif df is not None:
-            keys = engine._read_parquet(
-                _fsmod.join(path, _DELETES_SUBDIR))
+            keys = read_delete_keys(engine, path)
             df = df.join(F.broadcast(keys), on=list(keys.columns),
                          how="left_anti")
     if df is None:
