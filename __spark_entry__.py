@@ -4046,8 +4046,43 @@ def q_grouped_percentiles(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver checks the FIRST 50 entries against the DuckDB oracle each round.
 
-    Ordering policy (round 10 — the r9 verdict's item 1, executed
-    exactly; same seeded-rotation rule as r3-r9).  First 50:
+    Ordering policy (round 11 — the r10 docstring's seed, executed;
+    same rotation rule as r3-r10).  First 50:
+
+    - head (3): entries born in r11, newest first — q_encrypted_at_rest
+      (at-rest AES-GCM between the engine boundaries, key enforcement
+      in-entry), q_delta_export (Delta v0 log + read-back), and
+      q_meta_agg_deletes (metadata count across pure-delete chains,
+      no-job assert + replace-epoch refusal flip);
+    - slots 4-28: entries over modules changed in r11 — store.py
+      (del_counts, CDC incremental state + pruned pre-images,
+      fast_replace stat carry, SnapshotView MoR fold, at-rest
+      stripping, read_delete_keys), engine.py (epoch-fold poison
+      guard, stats_count under deletes, encryption boundaries),
+      write.py / streaming/sink.py (delete_vectors kill-switch
+      gating), plans/skipping.py (LIKE astral-prefix bound,
+      scan_output_rows): the whole lifecycle/skipping/stream-sink
+      block plus the mutation builders and q_pred_like_between_in;
+    - slots 29-50: the oldest remaining driver rows — the r5/r6
+      middle block the r10 seed enumerated (q_zorder_rewrite through
+      q_tpch_q10).
+
+    Past the cap: everything else in its prior relative order, with
+    the r10-born head block rotated freshest-last.  The r11 engine
+    changes with no oracle analog — the mixed-keyset epoch-fold
+    poison, key-check sidecar enforcement, backup-stays-ciphertext —
+    are pytest-pinned (tests/test_advice_r11.py, tests/test_at_rest.py,
+    tests/test_delete_vectors.py, tests/test_delta_export.py,
+    tests/test_skipping.py RowGroup block).
+
+    r12 rotation seed (same rule): lead with (a) any entry whose
+    module changes in r12, (b) the r11-born head (freshest of this
+    round), (c) then the oldest remaining rows — the vector/predicate
+    tail block (q_vector_cosine_topk through q_multiop_or) has waited
+    longest, then the TPC-H r4 block, (d) the r8-r10 blocks
+    freshest-last.
+
+    Previous (r10) ordering, kept for audit:
 
     - head: entries born in r10, newest first — the lakehouse-layer
       block (q_upsert_mor: merge-on-read replace-epoch upserts;
@@ -4114,37 +4149,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
-        # -- r11 head: entries born in r11 (newest-first rule) ---------
         "q_encrypted_at_rest", "q_delta_export", "q_meta_agg_deletes",
-        # -- r10 rotation head (the r9 verdict's item 1, executed) -----
-        # slots 1-4: entries born in r10 (newest-first rule)
-        "q_table_stats", "q_cdc_recipe", "q_upsert_mor",
-        "q_delete_vectors", "q_bloom_skip",
-        "q_file_skip", "q_meta_agg", "q_segment_skip",
-        "q_graph_prune", "q_stream_multi_sink", "q_graph_append",
-        "q_stream_neardup_ingest", "q_diversity_report",
-        "q_graph_refine", "q_text_drift", "q_stream_rightouter_join",
-        # slots 3-7: the 5 entries committed after GATE_r9.txt was
-        # captured (q_append_segments had never been driver-sampled)
-        "q_append_segments", "q_hard_negatives", "q_pca_project",
-        "q_stream_ingest_exactly_once", "q_vector_lsh",
-        # slots 8-14: the 7 r4/r5-vintage rows the verdict enumerated
-        "q_backup_restore", "q_distinct_first", "q_events_json",
-        "q_source_cap", "q_time_rollup", "q_token_count_bpe",
-        "q_ttl_filter",
-        # slots 15+: entries whose modules changed in r10 — similarity
-        # (graph refactor + prune), lm (carry= scorer), query
-        # (predicate read recording), store (read-set refinement,
-        # delta hygiene), streaming/sink (type conformance, multi-sink)
-        "q_similarity_graph", "q_ppl_buckets", "q_lm_score_bigram",
-        "q_flush_reopen", "q_snapshot_read", "q_stream_mv",
-        "q_filter_sort_limit", "q_keyset_page", "q_knn_join",
-        "q_ivf_batch", "q_similarity_ivf",
-        # remainder: oldest-driver-row-first (the r9-sampled block
-        # freshest-last), unchanged relative order from the r9 seed
-        "q_robust_outliers_grouped",
-        "q_robust_outliers", "q_drift_mix", "q_drift_psi_decile",
-        "q_drift_psi", "q_tpch_q17", "q_tpch_q18", "q_fuzzy_match",
+        "q_cdc_recipe", "q_delete_vectors", "q_upsert_mor",
+        "q_snapshot_read", "q_flush_reopen", "q_append_segments",
+        "q_table_stats", "q_segment_skip", "q_file_skip", "q_bloom_skip",
+        "q_meta_agg", "q_ttl_filter", "q_backup_restore",
+        "q_stream_ingest_exactly_once", "q_stream_multi_sink",
+        "q_stream_neardup_ingest", "q_stream_mv", "q_update_rewrite",
+        "q_upsert_merge", "q_partial_insert", "q_batch_update",
+        "q_delete_rewrite", "q_partitioned_table", "q_schema_migration",
+        "q_pred_like_between_in", "q_zorder_rewrite", "q_funnel",
+        "q_cohort_retention", "q_unicode_normalize", "q_outer_join_shapes",
+        "q_topk_per_group", "q_moving_time_window", "q_scd2_lookup",
+        "q_pagerank", "q_ewma_anomaly", "q_dsir_weights", "q_gopher_report",
+        "q_or_union_dedup", "q_topk", "q_groupby_having",
+        "q_join_inner_group", "q_left_join_count", "q_right_join",
+        "q_theta_join", "q_fk_autojoin", "q_tpch_q3", "q_tpch_q10",
+        "q_hard_negatives", "q_pca_project", "q_vector_lsh",
+        "q_distinct_first", "q_events_json", "q_source_cap", "q_time_rollup",
+        "q_token_count_bpe", "q_similarity_graph", "q_ppl_buckets",
+        "q_lm_score_bigram", "q_filter_sort_limit", "q_keyset_page",
+        "q_knn_join", "q_ivf_batch", "q_similarity_ivf",
+        "q_robust_outliers_grouped", "q_robust_outliers", "q_drift_mix",
+        "q_drift_psi_decile", "q_drift_psi", "q_tpch_q17", "q_tpch_q18",
         "q_rolling_active", "q_stream_interval_join", "q_agg_stats",
         "q_bm25_search", "q_chunk_documents", "q_count_star",
         "q_events_window", "q_global_agg", "q_ivfpq", "q_langid",
@@ -4157,46 +4184,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_column_corr", "q_length_batches", "q_vocab_coverage",
         "q_pack_materialize", "q_bpe_pair_counts", "q_quality_classifier",
         "q_scd2_history", "q_mv_incremental", "q_pivot_wide",
-        "q_grouping_sets", "q_heavy_hitters", "q_set_ops",
-        "q_topic_balance", "q_tpch_q21", "q_tpch_q22", "q_tpch_q5",
-        "q_tpch_q15", "q_tpch_q7", "q_tpch_q8", "q_tpch_q13",
-        "q_seasonal_decompose", "q_lm_score_trigram", "q_lm_score",
-        "q_repeated_spans", "q_doc_fingerprint", "q_winnow_overlap",
-        "q_containment", "q_range_join", "q_bucketed_join",
-        "q_tfidf_pairs", "q_asof_join", "q_events_sessions",
-        "q_csv_source", "q_json_source",
+        "q_grouping_sets", "q_heavy_hitters", "q_set_ops", "q_topic_balance",
+        "q_tpch_q21", "q_tpch_q22", "q_tpch_q5", "q_tpch_q15", "q_tpch_q7",
+        "q_tpch_q8", "q_tpch_q13", "q_seasonal_decompose",
+        "q_lm_score_trigram", "q_lm_score", "q_repeated_spans",
+        "q_doc_fingerprint", "q_winnow_overlap", "q_containment",
+        "q_range_join", "q_bucketed_join", "q_tfidf_pairs", "q_asof_join",
+        "q_events_sessions", "q_csv_source", "q_json_source",
         "q_multimodal_features", "q_dedup_exact", "q_dedup_fingerprint",
         "q_dedup_minhash_lsh", "q_dedup_clusters", "q_semantic_dedup",
         "q_dedup_incremental", "q_ngram_jaccard", "q_dedup_simhash",
         "q_dedup_simhash_near", "q_neardup_embedding", "q_contamination",
         "q_decontaminate", "q_offset_page", "q_exists", "q_distinct",
-        "q_schema_migration", "q_batch_export_page", "q_join5_regional",
-        "q_repetition", "q_vocab_stats", "q_pii_scrub", "q_text_stats",
-        "q_histogram", "q_winsorize", "q_partitioned_table",
-        "q_grouped_percentiles",
-        "q_winsorize_grouped", "q_embedding_truncate",
-        "q_curate_corpus", "q_paragraph_dedup",
-        "q_column_stats", "q_embedding_cov",
-        "q_zorder_rewrite", "q_funnel",
-        "q_cohort_retention", "q_unicode_normalize", "q_outer_join_shapes",
-        "q_topk_per_group", "q_moving_time_window", "q_scd2_lookup",
-        "q_pagerank", "q_ewma_anomaly", "q_dsir_weights",
-        "q_gopher_report", "q_or_union_dedup",
-        "q_topk", "q_groupby_having",
-        "q_join_inner_group", "q_left_join_count", "q_right_join",
-        "q_theta_join", "q_fk_autojoin",
-        "q_tpch_q3", "q_tpch_q10",
-        "q_calibrated_quality", "q_attribution", "q_temperature_sample",
-        "q_corpus_report", "q_unpivot_long", "q_resample",
-        "q_validate_rules", "q_tpch_q4", "q_tpch_q12", "q_tpch_q14",
-        "q_tpch_q19", "q_tfidf_terms", "q_event_paths", "q_tpch_q6",
-        "q_tpch_q1", "q_update_rewrite", "q_delete_rewrite",
-        "q_upsert_merge", "q_batch_update", "q_partial_insert",
-        "q_expr_clamp_update", "q_update_ordered_limit",
-        "q_vector_cosine_topk", "q_vector_l2_topk", "q_vector_ip_topk",
-        "q_vector_threshold", "q_pred_like_between_in", "q_or_tree",
-        "q_loose_eq", "q_notin_null_semantics", "q_is_null_join",
-        "q_neq_null_semantics", "q_multiop_or"
+        "q_batch_export_page", "q_join5_regional", "q_repetition",
+        "q_vocab_stats", "q_pii_scrub", "q_text_stats", "q_histogram",
+        "q_winsorize", "q_grouped_percentiles", "q_winsorize_grouped",
+        "q_embedding_truncate", "q_curate_corpus", "q_paragraph_dedup",
+        "q_column_stats", "q_embedding_cov", "q_calibrated_quality",
+        "q_attribution", "q_temperature_sample", "q_corpus_report",
+        "q_unpivot_long", "q_resample", "q_validate_rules", "q_tpch_q4",
+        "q_tpch_q12", "q_tpch_q14", "q_tpch_q19", "q_tfidf_terms",
+        "q_event_paths", "q_tpch_q6", "q_tpch_q1", "q_expr_clamp_update",
+        "q_update_ordered_limit", "q_vector_cosine_topk", "q_vector_l2_topk",
+        "q_vector_ip_topk", "q_vector_threshold", "q_or_tree", "q_loose_eq",
+        "q_notin_null_semantics", "q_is_null_join", "q_neq_null_semantics",
+        "q_multiop_or", "q_graph_prune", "q_stream_rightouter_join",
+        "q_graph_append", "q_diversity_report", "q_graph_refine",
+        "q_text_drift", "q_fuzzy_match"
     ]
     g = globals()
     return {name: g[name] for name in _ORDER}
