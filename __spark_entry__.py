@@ -2042,6 +2042,65 @@ def q_meta_agg(spark, sf_dir):
     return spark.createDataFrame(rows, "metric string, value bigint")
 
 
+def q_delta_roundtrip(spark, sf_dir):
+    """Versioned Delta export + log-replay read-back (r11,
+    plans/delta_export): v0 snapshot, then a pure-append store epoch
+    exports as an ADD-ONLY commit carrying exactly the delta rows
+    (asserted in-entry), then a merge-on-read delete forces a
+    remove+add full-refresh commit (asserted).  ``read_delta`` replays
+    the log — final state AND time travel to every prior version —
+    with no Delta library; values pinned against DuckDB deriving the
+    same states from nation."""
+    import json as _json
+    import os
+    import tempfile
+
+    from tostore_spark.plans.delta_export import read_delta
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    db = _db(spark, sf_dir)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    with tempfile.TemporaryDirectory() as tmp:
+        wh, dest = os.path.join(tmp, "wh"), os.path.join(tmp, "dx")
+        db1 = ToStoreSpark(spark, warehouse=wh)
+        db1.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n_name", type=DataType.text),
+                    FieldSchema(name="key", type=DataType.integer)]))
+        db1.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
+             "key": r["n_nationkey"]} for r in nat])
+        db1.flush()
+        db1.export_delta("nat", dest)                       # v0
+        db1.batch_insert("nat", [
+            {"id": f"x{i}", "n_name": f"ADDED{i}", "key": 700 + i}
+            for i in range(4)])
+        db1.flush()                                         # append seg
+        rep1 = db1.export_delta("nat", dest, mode="update")  # v1
+        if rep1["commit"] != "append" or rep1["rows"] != 4:
+            raise AssertionError(f"expected add-only delta: {rep1}")
+        db1.delete("nat").where("key", ">=", 703).execute()
+        db1.flush()                                         # MoR delete
+        rep2 = db1.export_delta("nat", dest, mode="update")  # v2
+        if rep2["commit"] != "refresh":
+            raise AssertionError(f"expected full refresh: {rep2}")
+        log1 = os.path.join(dest, "_delta_log", f"{1:020d}.json")
+        if not all("add" in a for a in
+                   (_json.loads(x) for x in open(log1))):
+            raise AssertionError("v1 must be add-only")
+        v0 = read_delta(spark, dest, version=0).count()
+        v1 = read_delta(spark, dest, version=1).count()
+        final = read_delta(spark, dest)
+        agg = (final.agg(
+            F.count(F.lit(1)).alias("n_final"),
+            F.sum("key").alias("key_sum")).first())
+        rows = [{"n_v0": int(v0), "n_v1": int(v1),
+                 "n_final": int(agg["n_final"]),
+                 "key_sum": int(agg["key_sum"])}]
+    return spark.createDataFrame(
+        rows, "n_v0 bigint, n_v1 bigint, n_final bigint, key_sum bigint")
+
+
 def q_encrypted_at_rest(spark, sf_dir):
     """At-rest encryption (r11, tostore_spark.at_rest — reference
     EncryptionConfig, data_store_config.dart:40-41,946-1005): a field
@@ -4149,6 +4208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
+        "q_delta_roundtrip",
         "q_encrypted_at_rest", "q_delta_export", "q_meta_agg_deletes",
         "q_cdc_recipe", "q_delete_vectors", "q_upsert_mor",
         "q_snapshot_read", "q_flush_reopen", "q_append_segments",
@@ -5053,6 +5113,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'n' || lpad(CAST(min(n_nationkey) AS VARCHAR), 3, '0'),
                    'REBORN', 9
             FROM nation WHERE n_regionkey = 2""",
+        "q_delta_roundtrip": """
+            -- v0 = 25 nation rows; v1 = +4 appends (keys 700-703);
+            -- final = v1 minus keys >= 703
+            SELECT CAST(count(*) AS BIGINT) AS n_v0,
+                   CAST(count(*) + 4 AS BIGINT) AS n_v1,
+                   CAST(count(*) + 3 AS BIGINT) AS n_final,
+                   CAST(sum(n_nationkey) + 700 + 701 + 702 AS BIGINT)
+                       AS key_sum
+            FROM nation""",
         "q_encrypted_at_rest": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(length(n_name)) AS BIGINT) AS name_len_sum,

@@ -97,3 +97,181 @@ class TestDeltaExport:
                               target_files=1)
         assert rep["rows"] == 6
         assert spark.read.parquet(dest).count() == 6
+
+
+class TestDeltaVersionedExport:
+    def test_update_append_only_commit(self, spark, tmp_path):
+        """Pure-append store epochs export as add-only commits — the
+        new segment's rows, never the table; versions time-travel."""
+        from tostore_spark.plans.delta_export import read_delta
+        wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+        db = _mk(spark, wh, rows=10)
+        db.export_delta("notes", dest)                      # v0
+        db.batch_insert("notes", [{"id": f"z{i}", "body": "zz",
+                                   "n": 90 + i} for i in range(4)])
+        db.flush()                                          # append seg
+        rep = db.export_delta("notes", dest, mode="update")  # v1
+        assert rep["commit"] == "append" and rep["version"] == 1
+        assert rep["rows"] == 4, "append commit ships ONLY the delta"
+        log = os.path.join(dest, "_delta_log", f"{1:020d}.json")
+        actions = [json.loads(x) for x in open(log)]
+        assert all("add" in a for a in actions), \
+            "append commit must carry only add actions"
+        assert _collect_sorted(read_delta(spark, dest)) == \
+            _collect_sorted(db.df("notes"))
+        # time travel to v0 = the pre-append state
+        assert read_delta(spark, dest, version=0).count() == 10
+
+    def test_update_full_refresh_on_deletes(self, spark, tmp_path):
+        """A delete (merge-on-read) breaks the append extension: the
+        next update commit removes every live file and adds a fresh
+        snapshot — one atomic log entry, all versions readable."""
+        from tostore_spark.plans.delta_export import read_delta
+        wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+        db = _mk(spark, wh, rows=10)
+        db.export_delta("notes", dest, target_files=2)      # v0
+        db.delete("notes").where("n", "<", 3).execute()
+        db.flush()
+        rep = db.export_delta("notes", dest, mode="update")  # v1
+        assert rep["commit"] == "refresh" and rep["rows"] == 7
+        log = os.path.join(dest, "_delta_log", f"{1:020d}.json")
+        actions = [json.loads(x) for x in open(log)]
+        assert sum(1 for a in actions if "remove" in a) == 2
+        assert _collect_sorted(read_delta(spark, dest)) == \
+            _collect_sorted(db.df("notes"))
+        assert read_delta(spark, dest, version=0).count() == 10
+        # a second append after the refresh rides add-only again
+        db.batch_insert("notes", [{"id": "a1", "body": "b", "n": 70}])
+        db.flush()
+        rep2 = db.export_delta("notes", dest, mode="update")
+        assert rep2["commit"] == "append" and rep2["version"] == 2
+        assert read_delta(spark, dest).count() == 8
+
+    def test_register_delta_and_noop(self, spark, tmp_path):
+        wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+        db = _mk(spark, wh, rows=6)
+        db.export_delta("notes", dest)
+        rep = db.export_delta("notes", dest, mode="update")
+        assert rep["commit"] == "noop"
+        db.register_delta("notes_ext", dest)
+        assert _collect_sorted(db.df("notes_ext")) == \
+            _collect_sorted(db.df("notes"))
+
+
+class TestDeltaReaderForeign:
+    """The replay reader on tables this repo did NOT write: hand-built
+    logs exercising partitionValues, checkpoints, and the protocol
+    refusal."""
+
+    def _write_parquet(self, spark, d, rows, name):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        pq.write_table(pa.table(rows), os.path.join(d, name))
+
+    def test_partition_values_attach_typed(self, spark, tmp_path):
+        from pyspark.sql.types import (IntegerType, LongType,
+                                       StringType, StructField,
+                                       StructType)
+
+        from tostore_spark.plans.delta_export import read_delta
+        d = str(tmp_path / "ext")
+        os.makedirs(os.path.join(d, "_delta_log"))
+        # data files carry only (k, v); partition column p rides the log
+        self._write_parquet(spark, d, {"k": [1, 2], "v": ["a", "b"]},
+                            "f1.parquet")
+        self._write_parquet(spark, d, {"k": [3], "v": ["c"]},
+                            "f2.parquet")
+        schema = StructType([StructField("k", LongType()),
+                             StructField("v", StringType()),
+                             StructField("p", IntegerType())])
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "x", "format": {"provider": "parquet",
+                                                "options": {}},
+                          "schemaString": schema.json(),
+                          "partitionColumns": ["p"],
+                          "configuration": {}}},
+            {"add": {"path": "f1.parquet", "partitionValues": {"p": "10"},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+            {"add": {"path": "f2.parquet", "partitionValues": {"p": "20"},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+        ]
+        with open(os.path.join(d, "_delta_log",
+                               f"{0:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        out = read_delta(spark, d)
+        rows = {(r["k"], r["v"], r["p"]) for r in out.collect()}
+        assert rows == {(1, "a", 10), (2, "b", 10), (3, "c", 20)}
+        assert dict(out.dtypes)["p"] == "int"
+
+    def test_checkpoint_replay(self, spark, tmp_path):
+        """_last_checkpoint + parquet checkpoint + later JSON commits:
+        the folded state must equal checkpoint ∘ tail."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.types import (LongType, StructField,
+                                       StructType)
+
+        from tostore_spark.plans.delta_export import read_delta
+        d = str(tmp_path / "ext")
+        log = os.path.join(d, "_delta_log")
+        os.makedirs(log)
+        self._write_parquet(spark, d, {"k": [1, 2]}, "f1.parquet")
+        self._write_parquet(spark, d, {"k": [3, 4]}, "f2.parquet")
+        self._write_parquet(spark, d, {"k": [5]}, "f3.parquet")
+        schema = StructType([StructField("k", LongType())])
+        meta = {"id": "x", "format": {"provider": "parquet"},
+                "schemaString": schema.json(),
+                "partitionColumns": []}
+        # checkpoint at v1: state = {f1, f2} (f0's add of f0.parquet
+        # already removed — the checkpoint is the FOLD, so the removed
+        # file simply does not appear)
+        rows = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+             "metaData": None, "add": None, "remove": None},
+            {"protocol": None, "metaData": meta, "add": None,
+             "remove": None},
+            {"protocol": None, "metaData": None,
+             "add": {"path": "f1.parquet",
+                     "partitionValues": {"__none": None},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True, "stats": None},
+             "remove": None},
+            {"protocol": None, "metaData": None,
+             "add": {"path": "f2.parquet",
+                     "partitionValues": {"__none": None},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True, "stats": None},
+             "remove": None},
+        ]
+        pq.write_table(pa.Table.from_pylist(rows),
+                       os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+        with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+            json.dump({"version": 1, "size": len(rows)}, fh)
+        # v2: remove f1, add f3
+        with open(os.path.join(log, f"{2:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"remove": {
+                "path": "f1.parquet", "deletionTimestamp": 0,
+                "dataChange": True}}) + "\n")
+            fh.write(json.dumps({"add": {
+                "path": "f3.parquet", "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+        out = read_delta(spark, d)
+        assert sorted(r["k"] for r in out.collect()) == [3, 4, 5]
+
+    def test_protocol_refusal(self, spark, tmp_path):
+        import pytest
+
+        from tostore_spark.plans.delta_export import read_delta
+        d = str(tmp_path / "ext")
+        os.makedirs(os.path.join(d, "_delta_log"))
+        with open(os.path.join(d, "_delta_log",
+                               f"{0:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"protocol": {"minReaderVersion": 3,
+                                              "minWriterVersion": 7}})
+                     + "\n")
+        with pytest.raises(ValueError, match="minReaderVersion"):
+            read_delta(spark, d)

@@ -1398,6 +1398,17 @@ class ToStoreSpark:
                    target_files=target_files,
                    allow_decrypted=allow_decrypted)
 
+    def register_delta(self, name: str, path: str,
+                       version: Optional[int] = None,
+                       is_global: bool = False) -> None:
+        """Register an external Delta table (or an ``export_delta``
+        output) as a readable source via transaction-log replay — no
+        Delta library (plans/delta_export.read_delta).  ``version``
+        pins a historical commit (time travel)."""
+        from tostore_spark.plans.delta_export import read_delta
+        df = read_delta(self.spark, path, version=version)
+        self.register_table(name, df=df, is_global=is_global)
+
     def analyze_table(self, table: str, cols=None,
                       exact_ndv: bool = False):
         """One-pass column statistics (rows, nulls, ndv, min/max) for

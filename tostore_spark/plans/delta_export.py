@@ -1,52 +1,59 @@
-"""Export a warehouse table as a Delta Lake table (interop rung).
+"""Delta Lake interop: export warehouse tables as Delta tables
+(versioned commits, not just snapshots) and read ANY simple Delta
+table back via transaction-log replay — no Delta library required.
 
 The store's homegrown manifest replicates a useful slice of Delta
 (append segments, deletion vectors, replace epochs, CDF, snapshot
-isolation) but no external engine can read it.  This module writes the
-cheapest honest interop artifact: the CURRENT version of a table —
-segments unioned, deletion vectors resolved — as a standard Delta
-table, so Spark-with-delta, Trino, DuckDB's delta extension, or any
-other Delta reader can consume it without porting the writer protocol.
+isolation) but no external engine can read it.  This module is the
+interop rung: standard Delta on the outside, the store's recipes on
+the inside.
 
 Format notes (Delta transaction protocol, delta-io/delta PROTOCOL.md —
-public spec; no Delta library is required to WRITE a v0 commit):
+public spec; no Delta library is required to WRITE commits or REPLAY
+the log):
 
 - data: plain parquet files in the destination directory, written by
-  Spark (snappy, whatever file count the session parallelism gives or
-  ``target_files`` forces);
-- log: ``_delta_log/00000000000000000000.json`` with one JSON action
-  per line — ``protocol`` (minReader 1 / minWriter 2: no advanced
-  features are used, so the floor versions keep every reader
-  eligible), ``metaData`` (id, parquet format, Spark ``schemaString``,
-  no partition columns), and one ``add`` per data file carrying
-  ``size``, ``modificationTime``, ``dataChange`` and the per-file
-  ``stats`` JSON (numRecords / minValues / maxValues / nullCount,
-  reused from the same parquet-footer reads ``plans.skipping``
-  already does — Delta readers use them for file skipping exactly
-  like our manifest does).
+  Spark and MOVED into place with version-scoped names (an incremental
+  commit must never clobber a prior version's files);
+- log: ``_delta_log/{version:020d}.json``, one JSON action per line —
+  ``protocol`` (minReader 1 / minWriter 2: no advanced features, so
+  every reader stays eligible), ``metaData`` (Spark ``schemaString``),
+  ``add`` (with per-file stats reused from the same parquet-footer
+  reads ``plans.skipping`` does) and ``remove`` actions;
+- reader: replay = apply adds/removes in commit order; an optional
+  ``_last_checkpoint`` names a parquet checkpoint holding the folded
+  state (read via pyarrow).  ``minReaderVersion > 1`` (deletion
+  vectors, column mapping, v2 checkpoints...) is REFUSED loudly —
+  a naive replay of those tables would silently return wrong rows.
 
-Read-back paths:
+Export versioning (``mode="update"``): when the store recipe has
+extended by PURE APPENDS since the last export (the ``_export_state``
+sidecar records the exported recipe), the new commit carries ONLY the
+new segments' rows as add actions — exporting a 1 GB append from a
+100 TB table costs 1 GB.  Any other change (deletes, replaces,
+rewrites) falls back to a full-refresh commit: remove every live file
++ add a fresh snapshot — still one atomic log entry, every version
+readable.  Readers get time travel for free: ``read_delta(path,
+version=N)`` replays to N.
 
-- with delta-spark on the classpath:
-  ``spark.read.format("delta").load(dest)``;
-- without (this container): a v0 export has every listed file live
-  and no removed files, so ``spark.read.parquet(dest)`` reads the
-  identical snapshot — the documented fallback the tests pin
-  hash-equal to ``engine.df(table)``.  (The equivalence is specific
-  to a FRESH export directory; once a real Delta writer commits more
-  versions on top, only the log knows which files are live.)
-
-The export is a SNAPSHOT, not a sync: later store epochs do not flow
-through.  Re-export to refresh (``mode="overwrite"``).
+Read-back paths for exports: with delta-spark,
+``spark.read.format("delta").load(dest)``; without, ``read_delta``
+below (full fidelity incl. versions), or a plain parquet read — the
+latter ONLY for a fresh v0 export (later versions leave removed files
+on disk for time travel until a Delta VACUUM).
 """
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
+from urllib.parse import quote, unquote
 
-__all__ = ["export_delta"]
+__all__ = ["export_delta", "read_delta"]
+
+_STATE_SIDECAR = "_export_state.json"
 
 
 def _delta_stats(file_summary: dict) -> str:
@@ -72,21 +79,96 @@ def _delta_stats(file_summary: dict) -> str:
     return json.dumps(out)
 
 
+def _stage_data_files(df, path: str, version: int,
+                      target_files: int | None) -> list[str]:
+    """Write ``df`` as parquet and move the part files into the export
+    root under version-scoped names.  Returns the relative names.
+    Spark part names already carry a write-unique uuid; the ``vN-``
+    prefix additionally makes the owning commit self-evident on
+    disk."""
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    if target_files:
+        df = df.coalesce(int(target_files))
+    df.write.mode("overwrite").parquet(staging)
+    names = []
+    for f in sorted(os.listdir(staging)):
+        if not f.endswith(".parquet"):
+            continue
+        rel = f"v{version:05d}-{f}"
+        os.replace(os.path.join(staging, f), os.path.join(path, rel))
+        names.append(rel)
+    shutil.rmtree(staging, ignore_errors=True)
+    return names
+
+
+def _add_actions(path: str, rels: list[str]) -> tuple[list[dict], int]:
+    from tostore_spark.plans.skipping import _fold_file
+
+    def _file_summary(fpath: str) -> dict:
+        import pyarrow.parquet as pq
+        md = pq.ParquetFile(fpath).metadata
+        try:
+            return _fold_file(md)
+        except Exception:
+            # stats are optional; the row COUNT is not (numRecords)
+            return {"rows": int(md.num_rows), "cols": {}}
+
+    actions, total = [], 0
+    for rel in rels:
+        fpath = os.path.join(path, rel)
+        summ = _file_summary(fpath)
+        total += int(summ["rows"])
+        actions.append({"add": {
+            "path": quote(rel),
+            "partitionValues": {},
+            "size": os.path.getsize(fpath),
+            "modificationTime": int(os.path.getmtime(fpath) * 1000),
+            "dataChange": True,
+            "stats": _delta_stats(summ),
+        }})
+    return actions, total
+
+
+def _write_commit(path: str, version: int, actions: list[dict]) -> None:
+    log_dir = os.path.join(path, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    log_path = os.path.join(log_dir, f"{version:020d}.json")
+    if os.path.exists(log_path):
+        raise ValueError(f"delta commit v{version} already exists at "
+                         f"{log_path}")
+    tmp = log_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    os.replace(tmp, log_path)
+
+
+def _norm_ops(ent) -> list[list[str]]:
+    ops = ent.get("ops")
+    if ops:
+        return [list(o) for o in ops]
+    segs = ent.get("segments") or ([ent["path"]] if ent.get("path")
+                                   else [])
+    return [["seg", s] for s in segs]
+
+
 def export_delta(engine, table: str, dest: str,
                  mode: str = "error",
                  target_files: int | None = None,
                  allow_decrypted: bool = False) -> dict:
-    """Write ``table``'s current in-engine frame as a Delta table at
-    ``dest`` (local path).  Deletion vectors / replace epochs are
-    resolved by construction — the exported data is ``engine.df(table)``
-    itself, not the recipe.  Returns a small report dict
-    ``{"files": n, "rows": n, "path": dest}``.
+    """Export ``table`` to a Delta table at ``dest``.
 
-    ``mode="overwrite"`` replaces an existing export; the default
-    errors if ``dest`` exists (mirrors Spark writer semantics).
-    ``target_files`` coalesces the export (a 100 TB export keeps the
-    session's natural parallelism; small interop exports usually want
-    one file)."""
+    ``mode``: ``"error"`` (default — refuse a non-empty dest),
+    ``"overwrite"`` (wipe and write commit v0), ``"update"`` (append
+    the NEXT commit to an existing export: add-only when the store
+    recipe extended by pure appends since the last export, a
+    remove+add full refresh otherwise; on a fresh dest, same as v0).
+    Deletion vectors / replace epochs are resolved by construction —
+    the exported data derives from ``engine.df(table)``.  Returns
+    ``{"files", "rows", "path", "version", "commit"}`` where commit ∈
+    {snapshot, append, refresh}."""
+    if mode not in ("error", "overwrite", "update"):
+        raise ValueError(f"unknown export_delta mode {mode!r}")
     try:
         enc = engine._enc_cols(engine._resolve(table))
     except Exception:
@@ -98,22 +180,26 @@ def export_delta(engine, table: str, dest: str,
             f"table {table} has at-rest-encrypted fields {enc}; "
             "export_delta would write them DECRYPTED — pass "
             "allow_decrypted=True to do that deliberately")
-    df = engine.df(table)
     path = dest[len("file:"):] if dest.startswith("file:") else dest
+    log_dir = os.path.join(path, "_delta_log")
+    has_log = os.path.isdir(log_dir) and any(
+        f.endswith(".json") for f in os.listdir(log_dir))
     if os.path.exists(path) and os.listdir(path):
-        if mode != "overwrite":
+        if mode == "error":
             raise ValueError(
-                f"export_delta destination {dest} exists; "
-                "pass mode='overwrite' to replace it")
-    if target_files:
-        df = df.coalesce(int(target_files))
-    df.write.mode("overwrite").parquet(dest)
-    # per-file footer stats: the same metadata-only reads the manifest
-    # skipping layer does at flush time
-    from tostore_spark.plans.skipping import collect_parquet_stats
-    _seg, by_file = collect_parquet_stats(dest, per_file=True)
-    files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
-    now_ms = int(time.time() * 1000)
+                f"export_delta destination {dest} exists; pass "
+                "mode='overwrite' to replace it or mode='update' to "
+                "commit the next version")
+        if mode == "overwrite":
+            shutil.rmtree(path)
+            has_log = False
+    if mode == "update" and has_log:
+        return _export_update(engine, table, path)
+    # ---- commit v0: full snapshot -----------------------------------
+    df = engine.df(table)
+    os.makedirs(path, exist_ok=True)
+    rels = _stage_data_files(df, path, 0, target_files)
+    adds, total = _add_actions(path, rels)
     actions = [
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
         {"metaData": {
@@ -122,28 +208,198 @@ def export_delta(engine, table: str, dest: str,
             "schemaString": df.schema.json(),
             "partitionColumns": [],
             "configuration": {},
-            "createdTime": now_ms,
+            "createdTime": int(time.time() * 1000),
         }},
-    ]
-    total_rows = 0
-    for rel in files:
-        fpath = os.path.join(path, rel)
-        summ = by_file.get(rel) or {"rows": 0, "cols": {}}
-        total_rows += int(summ["rows"])
-        actions.append({"add": {
-            "path": rel,
-            "partitionValues": {},
-            "size": os.path.getsize(fpath),
-            "modificationTime": int(os.path.getmtime(fpath) * 1000),
-            "dataChange": True,
-            "stats": _delta_stats(summ),
-        }})
-    log_dir = os.path.join(path, "_delta_log")
-    os.makedirs(log_dir, exist_ok=True)
-    log_path = os.path.join(log_dir, f"{0:020d}.json")
-    tmp = log_path + ".tmp"
+    ] + adds
+    _write_commit(path, 0, actions)
+    _write_state(engine, table, path, 0)
+    return {"files": len(rels), "rows": total, "path": dest,
+            "version": 0, "commit": "snapshot"}
+
+
+def _write_state(engine, table: str, path: str, version: int) -> None:
+    key = engine._resolve(table)
+    ent = engine._tables[key]
+    state = {"space": key[0], "table": key[1],
+             "ops": _norm_ops(ent), "delta_version": version,
+             "store_generation": engine._generations.get(key, 0)}
+    tmp = os.path.join(path, _STATE_SIDECAR + ".tmp")
     with open(tmp, "w") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
-    os.replace(tmp, log_path)
-    return {"files": len(files), "rows": total_rows, "path": dest}
+        json.dump(state, fh)
+    os.replace(tmp, os.path.join(path, _STATE_SIDECAR))
+
+
+def _export_update(engine, table: str, path: str) -> dict:
+    from tostore_spark.store import _decrypt_for
+    key = engine._resolve(table)
+    ent = engine._tables[key]
+    cur_ops = _norm_ops(ent)
+    state = None
+    spath = os.path.join(path, _STATE_SIDECAR)
+    if os.path.exists(spath):
+        with open(spath) as fh:
+            state = json.load(fh)
+    live = _replay(path)
+    next_v = live["version"] + 1
+    clean = (engine._generations.get(key, 0)
+             == getattr(engine, "_flushed_gen", {}).get(key))
+    if (state is not None and clean
+            and state.get("space") == key[0]
+            and state.get("table") == key[1]
+            and len(cur_ops) >= len(state.get("ops") or [])
+            and cur_ops[:len(state["ops"])] == state["ops"]
+            and all(k == "seg" for k, _p in cur_ops[len(state["ops"]):])):
+        new_segs = [p for k, p in cur_ops[len(state["ops"]):]]
+        if not new_segs:
+            return {"files": 0, "rows": 0, "path": path,
+                    "version": live["version"], "commit": "noop"}
+        # pure-append extension: export ONLY the new segments' rows
+        df = None
+        for seg in new_segs:
+            part = _decrypt_for(engine, key[0], key[1],
+                                engine._read_parquet(seg))
+            df = part if df is None else df.unionByName(part)
+        rels = _stage_data_files(df, path, next_v, None)
+        adds, total = _add_actions(path, rels)
+        _write_commit(path, next_v, adds)
+        _write_state(engine, table, path, next_v)
+        return {"files": len(rels), "rows": total, "path": path,
+                "version": next_v, "commit": "append"}
+    # full refresh: one commit removing every live file + fresh adds
+    df = engine.df(table)
+    rels = _stage_data_files(df, path, next_v, None)
+    adds, total = _add_actions(path, rels)
+    now_ms = int(time.time() * 1000)
+    removes = [{"remove": {"path": quote(rel),
+                           "deletionTimestamp": now_ms,
+                           "dataChange": True}}
+               for rel in sorted(live["files"])]
+    _write_commit(path, next_v, removes + adds)
+    _write_state(engine, table, path, next_v)
+    return {"files": len(rels), "rows": total, "path": path,
+            "version": next_v, "commit": "refresh"}
+
+
+# ---------------------------------------------------------------------
+# reader: transaction-log replay
+# ---------------------------------------------------------------------
+
+def _apply_action(state: dict, a: dict) -> None:
+    if "protocol" in a:
+        mrv = int(a["protocol"].get("minReaderVersion", 1))
+        if mrv > 1:
+            raise ValueError(
+                f"delta table needs minReaderVersion {mrv}; this "
+                "replay reader supports 1 (no deletion vectors / "
+                "column mapping) — reading anyway would return "
+                "wrong rows")
+    elif "metaData" in a:
+        state["meta"] = a["metaData"]
+    elif "add" in a:
+        add = a["add"]
+        state["files"][unquote(add["path"])] = add
+    elif "remove" in a:
+        state["files"].pop(unquote(a["remove"]["path"]), None)
+
+
+def _replay(path: str, version: int | None = None) -> dict:
+    """Fold the log into ``{"files": {rel: add}, "meta", "version"}``.
+    Starts from the ``_last_checkpoint`` parquet when present (and not
+    past the requested version), JSON commits after."""
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"no _delta_log under {path}")
+    commits = sorted(
+        int(f[:-len(".json")]) for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:-len(".json")].isdigit())
+    state: dict = {"files": {}, "meta": None}
+    start = 0
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(lc):
+        with open(lc) as fh:
+            ck = json.load(fh)
+        ckv = int(ck["version"])
+        if version is None or version >= ckv:
+            if not (commits and commits[0] == 0 and version is not None
+                    and version < ckv):
+                _apply_checkpoint(state, log_dir, ckv,
+                                  int(ck.get("parts") or 0))
+                start = ckv + 1
+    todo = [c for c in commits if c >= start
+            and (version is None or c <= version)]
+    if version is not None and not todo and start == 0:
+        raise FileNotFoundError(
+            f"delta version {version} not present under {path}")
+    for c in todo:
+        with open(os.path.join(log_dir, f"{c:020d}.json")) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    _apply_action(state, json.loads(line))
+    last = version if version is not None else (
+        todo[-1] if todo else start - 1)
+    state["version"] = last
+    if state["meta"] is None:
+        raise ValueError(f"no metaData action found in {log_dir} "
+                         "(corrupt or unsupported table)")
+    return state
+
+
+def _apply_checkpoint(state: dict, log_dir: str, ckv: int,
+                      parts: int) -> None:
+    import pyarrow.parquet as pq
+    if parts:
+        names = [f"{ckv:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
+                 for i in range(1, parts + 1)]
+    else:
+        names = [f"{ckv:020d}.checkpoint.parquet"]
+    for name in names:
+        tbl = pq.read_table(os.path.join(log_dir, name))
+        for row in tbl.to_pylist():
+            for kind in ("protocol", "metaData", "add", "remove"):
+                if row.get(kind) is not None:
+                    _apply_action(state, {kind: row[kind]})
+
+
+def read_delta(spark, path: str, version: int | None = None):
+    """Read a Delta table by replaying its transaction log — the
+    no-library read-back for ``export_delta`` outputs AND for simple
+    external Delta tables (minReaderVersion 1).  ``version`` time-
+    travels to that commit.  Hive-style ``partitionValues`` attach as
+    literal columns typed per the schema."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+    p = path[len("file:"):] if path.startswith("file:") else path
+    state = _replay(p, version)
+    schema = StructType.fromJson(
+        json.loads(state["meta"]["schemaString"]))
+    pcols = list(state["meta"].get("partitionColumns") or [])
+    files = state["files"]
+    if not files:
+        return spark.createDataFrame([], schema)
+    if not pcols:
+        return (spark.read.schema(schema)
+                .parquet(*[os.path.join(p, rel) for rel in
+                           sorted(files)]))
+    # group files by their partition tuple; attach the values as typed
+    # literal columns (partition data lives in the log, not the files)
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in pcols])
+    by_part: dict = {}
+    for rel, add in files.items():
+        pv = tuple((add.get("partitionValues") or {}).get(c)
+                   for c in pcols)
+        by_part.setdefault(pv, []).append(rel)
+    out = None
+    for pv, rels in sorted(by_part.items(),
+                           key=lambda kv: tuple(str(x) for x in kv[0])):
+        part = spark.read.schema(data_schema).parquet(
+            *[os.path.join(p, rel) for rel in sorted(rels)])
+        for c, v in zip(pcols, pv):
+            typ = schema[c].dataType
+            part = part.withColumn(
+                c, F.lit(v).cast(typ) if v is not None
+                else F.lit(None).cast(typ))
+        part = part.select(*[f.name for f in schema.fields])
+        out = part if out is None else out.unionByName(part)
+    return out
