@@ -275,3 +275,44 @@ class TestDeltaReaderForeign:
                      + "\n")
         with pytest.raises(ValueError, match="minReaderVersion"):
             read_delta(spark, d)
+
+
+class TestDeltaPartitionedExport:
+    def test_partitioned_table_roundtrip(self, spark, tmp_path):
+        """A hive-partitioned warehouse table exports with Delta's own
+        partition layout: data files EXCLUDE the partition column, the
+        p=v directories persist, partitionValues ride the add actions,
+        and the replay reader reattaches typed columns."""
+        from tostore_spark.plans.delta_export import read_delta
+        wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+        db = ToStoreSpark(spark, warehouse=wh)
+        df = spark.createDataFrame(
+            [(f"k{i}", i % 3, i) for i in range(30)],
+            "id string, bucket int, n int")
+        db.register_table("pt", df=df, partition_by=["bucket"])
+        db.flush()
+        db.export_delta("pt", dest)
+        log = os.path.join(dest, "_delta_log", f"{0:020d}.json")
+        actions = [json.loads(x) for x in open(log)]
+        meta = next(a["metaData"] for a in actions if "metaData" in a)
+        assert meta["partitionColumns"] == ["bucket"]
+        adds = [a["add"] for a in actions if "add" in a]
+        assert {a["partitionValues"]["bucket"] for a in adds} == \
+            {"0", "1", "2"}
+        # data files exclude the partition column (Delta's layout)
+        import pyarrow.parquet as pq
+        from urllib.parse import unquote
+        f0 = os.path.join(dest, unquote(adds[0]["path"]))
+        assert "bucket" not in pq.ParquetFile(f0).schema_arrow.names
+        back = read_delta(spark, dest)
+        assert _collect_sorted(back) == _collect_sorted(db.df("pt"))
+        assert dict(back.dtypes)["bucket"] == "int"
+        # append epoch -> add-only commit, still partitioned
+        db.batch_insert("pt", [{"id": "z1", "bucket": 1, "n": 99},
+                               {"id": "z2", "bucket": 7, "n": 98}])
+        db.flush()
+        rep = db.export_delta("pt", dest, mode="update")
+        assert rep["commit"] == "append" and rep["rows"] == 2
+        back2 = read_delta(spark, dest)
+        assert _collect_sorted(back2) == _collect_sorted(db.df("pt"))
+        assert read_delta(spark, dest, version=0).count() == 30

@@ -80,28 +80,54 @@ def _delta_stats(file_summary: dict) -> str:
 
 
 def _stage_data_files(df, path: str, version: int,
-                      target_files: int | None) -> list[str]:
+                      target_files: int | None,
+                      partition_by: list[str] | None = None):
     """Write ``df`` as parquet and move the part files into the export
-    root under version-scoped names.  Returns the relative names.
+    root under version-scoped names.  Returns ``[(rel, pvalues)]``.
     Spark part names already carry a write-unique uuid; the ``vN-``
-    prefix additionally makes the owning commit self-evident on
-    disk."""
+    prefix additionally makes the owning commit self-evident on disk.
+
+    With ``partition_by``, the staging write is hive-partitioned:
+    Spark excludes the partition columns from the data files (exactly
+    Delta's layout), the ``p=v`` directory structure is preserved
+    under the export root, and the decoded values return as each
+    file's ``partitionValues``."""
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     if target_files:
         df = df.coalesce(int(target_files))
-    df.write.mode("overwrite").parquet(staging)
-    names = []
-    for f in sorted(os.listdir(staging)):
-        if not f.endswith(".parquet"):
-            continue
-        rel = f"v{version:05d}-{f}"
-        os.replace(os.path.join(staging, f), os.path.join(path, rel))
-        names.append(rel)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    out = []
+    for dirpath, dirs, names in os.walk(staging):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        relroot = os.path.relpath(dirpath, staging)
+        pvals = {}
+        if relroot != ".":
+            for seg in relroot.split(os.sep):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    # Spark hive-escapes special chars; the log carries
+                    # the RAW value (__HIVE_DEFAULT_PARTITION__ = null)
+                    v = unquote(v)
+                    pvals[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
+                                else v)
+        for f in sorted(names):
+            if not f.endswith(".parquet"):
+                continue
+            rel = (f"v{version:05d}-{f}" if relroot == "." else
+                   os.path.join(relroot, f"v{version:05d}-{f}"))
+            os.makedirs(os.path.dirname(os.path.join(path, rel)) or path,
+                        exist_ok=True)
+            os.replace(os.path.join(dirpath, f),
+                       os.path.join(path, rel))
+            out.append((rel, pvals))
     shutil.rmtree(staging, ignore_errors=True)
-    return names
+    return out
 
 
-def _add_actions(path: str, rels: list[str]) -> tuple[list[dict], int]:
+def _add_actions(path: str, staged) -> tuple[list[dict], int]:
     from tostore_spark.plans.skipping import _fold_file
 
     def _file_summary(fpath: str) -> dict:
@@ -114,13 +140,13 @@ def _add_actions(path: str, rels: list[str]) -> tuple[list[dict], int]:
             return {"rows": int(md.num_rows), "cols": {}}
 
     actions, total = [], 0
-    for rel in rels:
+    for rel, pvals in staged:
         fpath = os.path.join(path, rel)
         summ = _file_summary(fpath)
         total += int(summ["rows"])
         actions.append({"add": {
-            "path": quote(rel),
-            "partitionValues": {},
+            "path": quote(rel, safe="/="),
+            "partitionValues": {k: v for k, v in (pvals or {}).items()},
             "size": os.path.getsize(fpath),
             "modificationTime": int(os.path.getmtime(fpath) * 1000),
             "dataChange": True,
@@ -197,23 +223,26 @@ def export_delta(engine, table: str, dest: str,
         return _export_update(engine, table, path)
     # ---- commit v0: full snapshot -----------------------------------
     df = engine.df(table)
+    pby = list(engine._tables[engine._resolve(table)]
+               .get("partition_by") or [])
     os.makedirs(path, exist_ok=True)
-    rels = _stage_data_files(df, path, 0, target_files)
-    adds, total = _add_actions(path, rels)
+    staged = _stage_data_files(df, path, 0, target_files,
+                               partition_by=pby)
+    adds, total = _add_actions(path, staged)
     actions = [
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
         {"metaData": {
             "id": str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
             "schemaString": df.schema.json(),
-            "partitionColumns": [],
+            "partitionColumns": pby,
             "configuration": {},
             "createdTime": int(time.time() * 1000),
         }},
     ] + adds
     _write_commit(path, 0, actions)
     _write_state(engine, table, path, 0)
-    return {"files": len(rels), "rows": total, "path": dest,
+    return {"files": len(staged), "rows": total, "path": dest,
             "version": 0, "commit": "snapshot"}
 
 
@@ -254,29 +283,35 @@ def _export_update(engine, table: str, path: str) -> dict:
             return {"files": 0, "rows": 0, "path": path,
                     "version": live["version"], "commit": "noop"}
         # pure-append extension: export ONLY the new segments' rows
+        pby = list(ent.get("partition_by") or [])
+        pin = ent["df"].schema if pby else None
         df = None
         for seg in new_segs:
             part = _decrypt_for(engine, key[0], key[1],
-                                engine._read_parquet(seg))
+                                engine._read_parquet(seg, schema=pin))
+            if pin is not None:
+                part = part.select(*[f.name for f in pin.fields])
             df = part if df is None else df.unionByName(part)
-        rels = _stage_data_files(df, path, next_v, None)
-        adds, total = _add_actions(path, rels)
+        staged = _stage_data_files(df, path, next_v, None,
+                                   partition_by=pby)
+        adds, total = _add_actions(path, staged)
         _write_commit(path, next_v, adds)
         _write_state(engine, table, path, next_v)
-        return {"files": len(rels), "rows": total, "path": path,
+        return {"files": len(staged), "rows": total, "path": path,
                 "version": next_v, "commit": "append"}
     # full refresh: one commit removing every live file + fresh adds
     df = engine.df(table)
-    rels = _stage_data_files(df, path, next_v, None)
-    adds, total = _add_actions(path, rels)
+    pby = list(ent.get("partition_by") or [])
+    staged = _stage_data_files(df, path, next_v, None, partition_by=pby)
+    adds, total = _add_actions(path, staged)
     now_ms = int(time.time() * 1000)
-    removes = [{"remove": {"path": quote(rel),
+    removes = [{"remove": {"path": quote(rel, safe="/="),
                            "deletionTimestamp": now_ms,
                            "dataChange": True}}
                for rel in sorted(live["files"])]
     _write_commit(path, next_v, removes + adds)
     _write_state(engine, table, path, next_v)
-    return {"files": len(rels), "rows": total, "path": path,
+    return {"files": len(staged), "rows": total, "path": path,
             "version": next_v, "commit": "refresh"}
 
 
