@@ -48,6 +48,20 @@ def cosine_distance_cols(a: Column, b: Column) -> Column:
     return F.lit(1.0) - _dot_cols(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_distance_prenorm(a: Column, b: Column,
+                            an: Column, bn: Column) -> Column:
+    """``cosine_distance_cols`` with the norms PRECOMPUTED as columns.
+    Higher-order-function aggregates cost ~per-element interpreter
+    overhead, and the plain form re-derives BOTH norms per PAIR — on a
+    blocked self-join that is |cell| recomputations of each row's norm
+    (measured r11: the 500k-pair graph-build kNN stage spends ~2/3 of
+    its 6.5s there).  Passing ``_norm(v)`` computed once per ROW cuts
+    the HOF work to the dot product alone.  Bit-identical: same
+    ``sqrt(aggregate(...))`` expression on the same array, same
+    multiplication order."""
+    return F.lit(1.0) - _dot_cols(a, b) / (an * bn)
+
+
 def l2_distance_cols(a: Column, b: Column) -> Column:
     return F.sqrt(F.aggregate(F.zip_with(a, b, lambda x, y:
                                          (x.cast("double") - y.cast("double"))
@@ -69,11 +83,19 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
                        F.col(query_vec).alias("__qv"))
     c = corpus.select(F.col(corpus_id).alias("neighbor_id"),
                       F.col(corpus_vec).alias("__cv"))
+    if metric == "cosine":
+        # norms once per ROW, not per (query x corpus) pair
+        # (cosine_distance_prenorm doc; bit-identical values)
+        q = q.withColumn("__qn", _norm(F.col("__qv")))
+        c = c.withColumn("__cn", _norm(F.col("__cv")))
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
-    dist_fn = cosine_distance_cols if metric == "cosine" else l2_distance_cols
-    dist = dist_fn(F.col("__qv"), F.col("__cv")).alias("distance")
+    dist = (cosine_distance_prenorm(F.col("__qv"), F.col("__cv"),
+                                    F.col("__qn"), F.col("__cn"))
+            if metric == "cosine"
+            else l2_distance_cols(F.col("__qv"), F.col("__cv"))
+            ).alias("distance")
     scored = joined.select("query_id", "neighbor_id", dist)
     return topk_per_query(scored, k)
 
@@ -278,16 +300,18 @@ def ivf_search_many(indexed: DataFrame,
          .withColumn("__qn", _norm(F.col("__qv")))
          .withColumn("cell_id",
                      F.explode(probe_cells_column("__qv", "__qn", centroids,
-                                                  nprobe)))
-         .drop("__qn"))
-    c = indexed.select(F.col(id_field).alias("neighbor_id"),
-                       F.col(vec_field).alias("__cv"), "cell_id")
+                                                  nprobe))))
+    c = (indexed.select(F.col(id_field).alias("neighbor_id"),
+                        F.col(vec_field).alias("__cv"), "cell_id")
+                .withColumn("__cn", _norm(F.col("__cv"))))
     joined = c.join(F.broadcast(q), on="cell_id")
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = joined.select(
         "query_id", "neighbor_id",
-        cosine_distance_cols(F.col("__qv"), F.col("__cv")).alias("distance"))
+        cosine_distance_prenorm(F.col("__qv"), F.col("__cv"),
+                                F.col("__qn"), F.col("__cn"))
+        .alias("distance"))
     return topk_per_query(scored, k)
 
 
@@ -613,18 +637,23 @@ def robust_prune(edges: DataFrame, vectors: DataFrame,
     v_side = (ranked.join(vecs, ranked["neighbor_id"] == vecs["__vid"])
                     .select("node_id", "neighbor_id", "distance", "__rk",
                             F.col("__vv").alias("__nbv"))
+                    .withColumn("__nbn", _norm(F.col("__nbv")))
                     .localCheckpoint(eager=True))   # reused by both rounds
     w_side = v_side.select(F.col("node_id").alias("__wn"),
                            F.col("neighbor_id").alias("__wid"),
                            F.col("__rk").alias("__wrk"),
-                           F.col("__nbv").alias("__wv"))
+                           F.col("__nbv").alias("__wv"),
+                           F.col("__nbn").alias("__wn2"))
     # covering pairs (computed ONCE, filtered per round): w closer than
-    # v and alpha * d(w, v) <= d(u, v)
+    # v and alpha * d(w, v) <= d(u, v); norms precomputed per edge row
+    # (cosine_distance_prenorm doc), never per degree^2 pair
     covers = (v_side.join(w_side,
                           (v_side["node_id"] == w_side["__wn"])
                           & (w_side["__wrk"] < v_side["__rk"]))
               .filter(F.lit(float(alpha))
-                      * cosine_distance_cols(F.col("__wv"), F.col("__nbv"))
+                      * cosine_distance_prenorm(
+                          F.col("__wv"), F.col("__nbv"),
+                          F.col("__wn2"), F.col("__nbn"))
                       <= F.col("distance"))
               .select("node_id", "neighbor_id", "__wid")
               .localCheckpoint(eager=True))
@@ -709,15 +738,20 @@ def build_knn_graph(corpus: DataFrame, n_neighbors: int = 8,
                    .withColumn("__nv", _norm(F.col("__v")))
                    .localCheckpoint(eager=True))   # reused 3x below
 
-    # (a) blocked exact kNN inside each cell
+    # (a) blocked exact kNN inside each cell — norms precomputed per
+    # ROW (base.__nv), never per pair (cosine_distance_prenorm doc)
     a = base.select(F.col("node_id").alias("query_id"),
-                    F.col("__v").alias("__av"), "cell_id")
+                    F.col("__v").alias("__av"),
+                    F.col("__nv").alias("__an"), "cell_id")
     b = base.select(F.col("node_id").alias("neighbor_id"),
-                    F.col("__v").alias("__bv"), "cell_id")
+                    F.col("__v").alias("__bv"),
+                    F.col("__nv").alias("__bn"), "cell_id")
     scored = (a.join(b, on="cell_id")
                .filter(F.col("query_id") != F.col("neighbor_id"))
                .select("query_id", "neighbor_id",
-                       cosine_distance_cols(F.col("__av"), F.col("__bv"))
+                       cosine_distance_prenorm(
+                           F.col("__av"), F.col("__bv"),
+                           F.col("__an"), F.col("__bn"))
                        .alias("distance")))
     pool = (int(knn_pool) if knn_pool is not None
             else (3 * n_neighbors if prune_alpha is not None
@@ -869,9 +903,11 @@ def graph_search_many(graph: DataFrame, corpus: DataFrame,
     query_id = query_id or id_field
     q = (queries.select(F.col(query_id).alias("query_id"),
                         F.col(query_vec).alias("__qv"))
+         .withColumn("__qn", _norm(F.col("__qv")))
          .localCheckpoint(eager=True))
-    c = corpus.select(F.col(id_field).alias("node_id"),
-                      F.col(vec_field).alias("__cv"))
+    c = (corpus.select(F.col(id_field).alias("node_id"),
+                       F.col(vec_field).alias("__cv"))
+               .withColumn("__cn", _norm(F.col("__cv"))))
     seed_col = "hub_id" if "hub_id" in seeds.columns else "node_id"
     seed_nodes = seeds.select(F.col(seed_col).alias("node_id")).distinct()
 
@@ -879,8 +915,9 @@ def graph_search_many(graph: DataFrame, corpus: DataFrame,
         out = (pairs.join(c, on="node_id")
                     .join(F.broadcast(q), on="query_id")
                     .select("query_id", "node_id",
-                            cosine_distance_cols(F.col("__qv"),
-                                                 F.col("__cv"))
+                            cosine_distance_prenorm(
+                                F.col("__qv"), F.col("__cv"),
+                                F.col("__qn"), F.col("__cn"))
                             .alias("distance")))
         if exclude_self:
             out = out.filter(F.col("query_id") != F.col("node_id"))
