@@ -722,20 +722,23 @@ def embedding_neardup_pairs(df: DataFrame, vec_field: str = "embedding",
     else:
         base = df.select(F.col(id_field).alias("id"), F.col(vec_field).alias("v"),
                          F.col(group_field).alias("bucket"))
+    # norm once per (row, bucket) — never per candidate PAIR (the
+    # similarity.cosine_distance_prenorm rationale; bit-identical)
+    base = base.withColumn(
+        "nv", F.sqrt(F.aggregate(
+            F.col("v"), F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"))))
     a, b = base.alias("a"), base.alias("b")
     cand = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.id") < F.col("b.id")))
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                     F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+                     F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+                     F.col("a.nv").alias("na"), F.col("b.nv").alias("nb"))
              .dropDuplicates(["id_a", "id_b"]))
     dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"),
                                  lambda x, y: x.cast("double") * y.cast("double")),
                       F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.col("va"), F.lit(0.0),
-                            lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    nb = F.sqrt(F.aggregate(F.col("vb"), F.lit(0.0),
-                            lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    cos_dist = F.lit(1.0) - dot / (na * nb)
+    cos_dist = F.lit(1.0) - dot / (F.col("na") * F.col("nb"))
     return (cand.select("id_a", "id_b", cos_dist.alias("cos_distance"))
                 .filter(F.col("cos_distance") <= F.lit(max_cosine_distance)))
 
@@ -828,18 +831,26 @@ def semantic_dedup_pairs(emb: DataFrame, n_cells: int = 16,
     index exists to stop duplicate content reaching training
     (ngh_graph_engine.dart:14-80); this is the corpus-level sweep.
     """
-    from tostore_spark.llmops.similarity import (cosine_distance_cols,
+    from tostore_spark.llmops.similarity import (_norm,
+                                                 cosine_distance_prenorm,
                                                  ivf_build)
     indexed, _ = ivf_build(emb, n_cells=n_cells, vec_field=vec_field,
                            id_field=id_field, centroids=centroids)
+    # norms once per row, never per in-cell pair
+    # (similarity.cosine_distance_prenorm rationale; bit-identical)
+    indexed = indexed.withColumn("__n", _norm(F.col(vec_field)))
     a = indexed.select(F.col(id_field).alias("id_a"),
-                       F.col(vec_field).alias("__va"), "cell_id")
+                       F.col(vec_field).alias("__va"),
+                       F.col("__n").alias("__na"), "cell_id")
     b = indexed.select(F.col(id_field).alias("id_b"),
-                       F.col(vec_field).alias("__vb"), "cell_id")
+                       F.col(vec_field).alias("__vb"),
+                       F.col("__n").alias("__nb"), "cell_id")
     return (a.join(b, "cell_id")
              .filter(F.col("id_a") < F.col("id_b"))
              .withColumn("distance",
-                         cosine_distance_cols(F.col("__va"), F.col("__vb")))
+                         cosine_distance_prenorm(
+                             F.col("__va"), F.col("__vb"),
+                             F.col("__na"), F.col("__nb")))
              .filter(F.col("distance") <= F.lit(float(max_distance)))
              .select("id_a", "id_b", "distance"))
 

@@ -1218,19 +1218,22 @@ def hard_negatives(corpus: DataFrame, anchors: Optional[DataFrame] = None,
     and engine-portable.
     """
     if anchors is not None:
-        q = anchors.select(F.col(id_field).alias("query_id"),
-                           F.col(label_field).alias("query_label"),
-                           F.col(vec_field).alias("__qv"))
-        c = corpus.select(F.col(id_field).alias("neighbor_id"),
-                          F.col(label_field).alias("neighbor_label"),
-                          F.col(vec_field).alias("__cv"))
+        q = (anchors.select(F.col(id_field).alias("query_id"),
+                            F.col(label_field).alias("query_label"),
+                            F.col(vec_field).alias("__qv"))
+                    .withColumn("__qn", _norm(F.col("__qv"))))
+        c = (corpus.select(F.col(id_field).alias("neighbor_id"),
+                           F.col(label_field).alias("neighbor_label"),
+                           F.col(vec_field).alias("__cv"))
+                   .withColumn("__cn", _norm(F.col("__cv"))))
         scored = (c.crossJoin(F.broadcast(q))
                    .filter(F.col("query_id") != F.col("neighbor_id"))
                    .filter(F.col("query_label") != F.col("neighbor_label"))
                    .select("query_id", "query_label", "neighbor_id",
                            "neighbor_label",
-                           cosine_distance_cols(F.col("__qv"),
-                                                F.col("__cv"))
+                           cosine_distance_prenorm(
+                               F.col("__qv"), F.col("__cv"),
+                               F.col("__qn"), F.col("__cn"))
                            .alias("distance")))
     else:
         indexed, cents = ivf_build(corpus, n_cells=n_cells,
@@ -1244,20 +1247,23 @@ def hard_negatives(corpus: DataFrame, anchors: Optional[DataFrame] = None,
         a = (base.select(F.col("__id").alias("query_id"),
                          F.col("__lb").alias("query_label"),
                          F.col("__v").alias("__qv"),
+                         F.col("__nv").alias("__qn"),
                          F.explode(probe_cells_column(
                              "__v", "__nv", cents, int(nprobe)))
                           .alias("__pc")))
         b = base.select(F.col("__id").alias("neighbor_id"),
                         F.col("__lb").alias("neighbor_label"),
                         F.col("__v").alias("__cv"),
+                        F.col("__nv").alias("__cn"),
                         F.col("cell_id").alias("__pc"))
         scored = (a.join(b, on="__pc")
                    .filter(F.col("query_id") != F.col("neighbor_id"))
                    .filter(F.col("query_label") != F.col("neighbor_label"))
                    .select("query_id", "query_label", "neighbor_id",
                            "neighbor_label",
-                           cosine_distance_cols(F.col("__qv"),
-                                                F.col("__cv"))
+                           cosine_distance_prenorm(
+                               F.col("__qv"), F.col("__cv"),
+                               F.col("__qn"), F.col("__cn"))
                            .alias("distance")))
     return (topk_per_query(scored, k)
             .select("query_id", "query_label", "neighbor_id",
