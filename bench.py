@@ -39,6 +39,37 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _release_rdds(spark) -> None:
+    """Free ALL persistent RDD blocks — including localCheckpoint
+    blocks, which ``spark.catalog.clearCache()`` does NOT reclaim (it
+    only clears relation cache entries).  The r11 verdict traced a 5x
+    phantom regression in the sf1 spot to exactly this: a preceding
+    bench stage's checkpointed 40k-row graph index stayed resident and
+    skewed every later measurement.  Stage boundaries call this so each
+    measurement starts from the same session state."""
+    try:
+        jsc = spark.sparkContext._jsc
+        for rdd in jsc.getPersistentRDDs().values():
+            rdd.unpersist(True)
+    except Exception as exc:                    # pragma: no cover
+        print(f"# rdd release skipped: {exc}", file=sys.stderr)
+    spark.catalog.clearCache()
+
+
+def _med3(spark, fn) -> tuple[float, int]:
+    """Median-of-3 cold seconds for ``fn`` (each run cache-cleared) and
+    the row count — the r11 verdict's stabilization order for the sf1
+    scale spot: single-shot colds were too position-sensitive to detect
+    a real regression."""
+    vals, n = [], 0
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        n = fn().count()
+        vals.append(time.time() - t0)
+    return round(sorted(vals)[1], 3), n
+
+
 def _sf1_spot(spark, sf_dir: str, headline_cold: dict) -> dict | None:
     """One-order-of-magnitude spot-check for the scale operators
     (minhash LSH, brute-force knn join, batch IVF): derive a 10x corpus
@@ -113,27 +144,24 @@ def _sf1_spot(spark, sf_dir: str, headline_cold: dict) -> dict | None:
     qs = entrymod.queries()
     spot = ["q_dedup_minhash_lsh", "q_knn_join", "q_ivf_batch",
             "q_hard_negatives"]
-    base_cold = dict(headline_cold)
-    for name in spot:
-        if name not in base_cold:   # not a headline query: measure base
-            spark.catalog.clearCache()
-            t0 = time.time()
-            qs[name](spark, sf_dir).count()
-            base_cold[name] = round(time.time() - t0, 3)
-    cold, warm, rows = {}, {}, {}
+    # r11 stabilization: start from a clean session (no resident
+    # localCheckpoint blocks from earlier stages), measure base and sf1
+    # ADJACENTLY per query med-of-3 — a ratio of two same-position
+    # medians, not a cross-position single shot
+    _release_rdds(spark)
+    base_cold, cold, warm, rows = {}, {}, {}, {}
     for name in spot:
         fn = qs[name]
-        spark.catalog.clearCache()
-        t0 = time.time()
-        rows[name] = fn(spark, cache).count()
-        cold[name] = round(time.time() - t0, 3)
+        base_cold[name], _ = _med3(spark, lambda: fn(spark, sf_dir))
+        cold[name], rows[name] = _med3(spark, lambda: fn(spark, cache))
         t0 = time.time()
         fn(spark, cache).count()
         warm[name] = round(time.time() - t0, 3)
         ratio = (round(cold[name] / base_cold[name], 2)
                  if base_cold.get(name) else None)
         print(f"# sf1 {name}: cold={cold[name]}s warm={warm[name]}s "
-              f"rows={rows[name]} cold_x_vs_sf0.1={ratio}", file=sys.stderr)
+              f"rows={rows[name]} cold_x_vs_sf0.1={ratio} "
+              f"(med-of-3 both sides)", file=sys.stderr)
     spark.catalog.clearCache()
     n_docs = spark.read.parquet(docs_p).count()
     n_emb = spark.read.parquet(emb_p).count()
@@ -165,7 +193,7 @@ def _sf1_spot(spark, sf_dir: str, headline_cold: dict) -> dict | None:
     graph_line["search_x"] = round(
         graph_line["sf1_search_sec"] / graph_line["base_search_sec"], 2)
     print(f"# sf1 graph: {graph_line}", file=sys.stderr)
-    spark.catalog.clearCache()
+    _release_rdds(spark)
     return {
         "gen_sec": gen_sec, "replicas": replicas,
         "n_documents": n_docs, "n_embeddings": n_emb,
@@ -174,10 +202,14 @@ def _sf1_spot(spark, sf_dir: str, headline_cold: dict) -> dict | None:
                                if base_cold.get(k) else None)
                            for k in spot},
         "base_cold": {k: base_cold[k] for k in spot},
+        "headline_cold_ref": {k: headline_cold.get(k) for k in spot
+                              if k in headline_cold},
         "graph": graph_line,
         "note": ("10x corpus derived from the base sf dir (marker-"
                  "interleaved text: near-dup pairs scale exactly 10x by "
-                 "construction; see bench.py _sf1_spot)"),
+                 "construction); cold/base_cold are MED-OF-3 measured "
+                 "adjacently from a clean session (persistent RDD blocks "
+                 "released) — see bench.py _sf1_spot"),
     }
 
 
@@ -336,7 +368,7 @@ def _recall_gate(spark, sf_dir: str) -> dict | None:
     graph_clustered = sim.graph_measure_recall(gclu, cemb, hclu, k=10,
                                                ef=24, max_hops=5,
                                                n_queries=20)
-    spark.catalog.clearCache()
+    _release_rdds(spark)
     out = {
         "k": 10,
         "ivf_recall_at_10": ivf_recall,
@@ -459,9 +491,11 @@ def _graph_lifecycle_stat(spark, sf_dir: str) -> dict | None:
         print(f"# graph lifecycle: append {out.get('small_append_sec')}"
               f"s -> {out.get('large_append_sec')}s at 10x index "
               f"(x{out.get('append_x')})", file=sys.stderr)
+        _release_rdds(spark)
         return out
     except Exception as exc:                    # pragma: no cover
         print(f"# graph lifecycle stat skipped: {exc}", file=sys.stderr)
+        _release_rdds(spark)
         return None
 
 
@@ -1089,9 +1123,12 @@ def main():
               f"warm={extras_warm[name]}s rows={n}", file=sys.stderr)
     spark.catalog.clearCache()
 
+    # r11 verdict #1: the sf1 scale spot runs BEFORE the checkpoint-
+    # heavy recall/lifecycle stages (their localCheckpoint blocks were
+    # skewing the spot 5x); each stage releases its blocks regardless.
+    sf1 = _sf1_spot(spark, sf_dir, cold)
     recall = _recall_gate(spark, sf_dir)
     graph_lifecycle = _graph_lifecycle_stat(spark, sf_dir)
-    sf1 = _sf1_spot(spark, sf_dir, cold)
     tfidf_block = _tfidf_block_stat(spark, sf_dir)
     fuzzy_block = _fuzzy_block_stat(spark, sf_dir)
     ppl_floor = _ppl_floor_stat(spark, sf_dir)

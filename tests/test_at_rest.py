@@ -166,6 +166,28 @@ class TestAtRestInterplay:
         assert db.query("people").where(
             "email", "=", "user1@example.com").count() == 1
 
+    def test_pruned_scan_decrypts(self, spark, tmp_path):
+        """r11 ADVICE (high): a skipping-rebuilt scan (pruned_df) must
+        decrypt like the standard read path.  Prune a multi-segment
+        encrypted table on a PLAINTEXT column and assert plaintext
+        output + a predicate on the encrypted column still matching."""
+        wh = str(tmp_path / "wh")
+        db = _mk(spark, wh)                       # seg 1: n in 0..7
+        db.batch_insert("people", [
+            {"id": f"q{i:02d}", "email": f"late{i}@example.com",
+             "note": f"late{i}", "n": 100 + i} for i in range(4)])
+        db.flush()                                # seg 2: n in 100..103
+        rows = db.query("people").where("n", ">", 50).df().collect()
+        assert db._last_prune == (1, 2, "people"), \
+            "the plaintext predicate must actually prune a segment"
+        assert {r["email"] for r in rows} == \
+            {f"late{i}@example.com" for i in range(4)}, \
+            "pruned scans must return plaintext, not base64 ciphertext"
+        # compound: plaintext predicate prunes, encrypted predicate
+        # then filters the DECRYPTED frame (zero rows before the fix)
+        assert db.query("people").where("n", ">", 50).where(
+            "email", "=", "late2@example.com").count() == 1
+
     def test_backup_stays_ciphertext_restore_decrypts(self, spark,
                                                       tmp_path):
         wh, bdir = str(tmp_path / "wh"), str(tmp_path / "bk")

@@ -147,6 +147,74 @@ class TestDeltaVersionedExport:
         assert rep2["commit"] == "append" and rep2["version"] == 2
         assert read_delta(spark, dest).count() == 8
 
+    def test_dirty_export_then_flush_never_duplicates(self, spark,
+                                                      tmp_path):
+        """r11 ADVICE (high): an export taken with UNFLUSHED rows
+        snapshots them into v0, but the state sidecar records only the
+        flushed recipe.  When those rows then flush into a new segment,
+        the next update must NOT treat that segment as a pure-append
+        extension (its rows are already in the prior commit) — the
+        append fast path requires a clean-at-export state."""
+        from tostore_spark.plans.delta_export import read_delta
+        wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+        db = _mk(spark, wh, rows=10)
+        db.batch_insert("notes", [{"id": f"x{i}", "body": "late",
+                                   "n": 100 + i} for i in range(5)])
+        db.export_delta("notes", dest)          # DIRTY v0: 15 rows
+        assert read_delta(spark, dest).count() == 15
+        db.flush()          # the same 5 rows become an append segment
+        rep = db.export_delta("notes", dest, mode="update")
+        assert rep["commit"] == "refresh", \
+            "a dirty-export state must disqualify the append fast path"
+        assert read_delta(spark, dest).count() == 15, \
+            "already-exported rows must not be duplicated"
+        assert _collect_sorted(read_delta(spark, dest)) == \
+            _collect_sorted(db.df("notes"))
+        # the refresh re-recorded a CLEAN state: the next pure append
+        # rides the add-only fast path again
+        db.batch_insert("notes", [{"id": "y0", "body": "b", "n": 200}])
+        db.flush()
+        rep2 = db.export_delta("notes", dest, mode="update")
+        assert rep2["commit"] == "append" and rep2["rows"] == 1
+        assert read_delta(spark, dest).count() == 16
+
+    def test_update_append_applies_ttl_filter(self, spark, tmp_path):
+        """r11 ADVICE (medium): the append fast path reads new segments
+        raw, bypassing engine.df()'s TTL read filter — an append commit
+        must not export expired rows the store would never surface.
+        TTL tables always REWRITE at flush (store physical cleanup), so
+        the only road to a TTL'd append segment is a set_ttl schema
+        migration AFTER the segment flushed — exactly this sequence."""
+        import datetime
+        import time as _t
+
+        from tostore_spark.plans.delta_export import read_delta
+        from tostore_spark.schema import TableTtlConfig
+        wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+        db = ToStoreSpark(spark, warehouse=wh)
+        db.create_table(TableSchema(
+            name="ev", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n", type=DataType.integer),
+                    FieldSchema(name="created", type=DataType.datetime)]))
+        now = datetime.datetime.now()
+        far = now + datetime.timedelta(hours=1)
+        db.batch_insert("ev", [{"id": "a", "n": 1, "created": far}])
+        db.flush()
+        db.export_delta("ev", dest)                         # v0
+        db.batch_insert("ev", [
+            {"id": "live", "n": 2, "created": far},
+            {"id": "dying", "n": 3, "created": now}])
+        db.flush()                      # append segment, pre-TTL
+        db.update_schema("ev").set_ttl(
+            TableTtlConfig(ttl_ms=800, source_field="created")).execute()
+        _t.sleep(1.2)                   # 'dying' expires post-flush
+        rep = db.export_delta("ev", dest, mode="update")
+        assert rep["commit"] == "append"
+        assert rep["rows"] == 1, \
+            "the append commit must TTL-filter raw segment reads"
+        assert sorted(r["id"] for r in
+                      read_delta(spark, dest).collect()) == ["a", "live"]
+
     def test_register_delta_and_noop(self, spark, tmp_path):
         wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
         db = _mk(spark, wh, rows=6)

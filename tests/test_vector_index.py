@@ -238,6 +238,33 @@ def _group(df):
     return out.items()
 
 
+def test_ivf_search_many_norm_above_probe_join(spark, db01):
+    """r11-verdict plan pin: the corpus-side norm __cn must project
+    ABOVE the probe join (norm work ∝ probed fraction, not corpus
+    size) and BELOW the per-cell bundle explode (once per probed ROW,
+    never per (query, row) pair).  In the optimized-plan tree string,
+    parents print before children, so above-the-join means a SMALLER
+    line index."""
+    from tostore_spark.llmops import similarity as S
+    emb = db01.df("embeddings")
+    cents = S.fixed_centroids(64, 8)
+    indexed, _ = S.ivf_build(emb, centroids=cents)
+    queries = emb.filter(F.col("vec_id") < 6)
+    out = S.ivf_search_many(indexed, cents, queries, k=5, nprobe=2)
+    lines = (out._jdf.queryExecution().optimizedPlan().toString()
+             .splitlines())
+    cn = [i for i, l in enumerate(lines) if "AS __cn" in l]
+    join = [i for i, l in enumerate(lines) if "Join Inner" in l]
+    gen = [i for i, l in enumerate(lines)
+           if "Generate explode(__qs" in l]
+    assert len(cn) == 1, f"__cn must be defined exactly once: {cn}"
+    assert join and gen, "probe join / bundle explode missing from plan"
+    assert cn[0] < min(join), \
+        "__cn must sit ABOVE the probe join (norm ∝ probed fraction)"
+    assert min(gen) < cn[0], \
+        "__cn must sit BELOW the bundle explode (once per row, not pair)"
+
+
 def test_vector_search_many_facade(spark, db01):
     """Engine facade: exact knn_join without an index, IVF batch probe with
     one, stale index refuses loudly when forced."""

@@ -729,10 +729,21 @@ class ToStoreSpark:
         return self._ttl_filtered(df, ent)
 
     def _ttl_filtered(self, df: DataFrame, ent: dict) -> DataFrame:
+        """Read-boundary finisher for frames rebuilt from raw segment
+        files (pruned_df and friends): applies the TTL read filter AND
+        decrypts at-rest-encrypted columns, exactly mirroring the
+        standard ``_df_at_key`` read path — a skipping-rebuilt scan
+        must be indistinguishable from the registry frame."""
         sch: TableSchema = ent["schema"]
         if sch.ttl is not None and sch.ttl.ttl_ms > 0 and sch.ttl.source_field:
             from tostore_spark.ttl import ttl_filter
             df = ttl_filter(df, sch.ttl)
+        if self.encryption is not None:
+            enc = [f.name for f in sch.fields
+                   if getattr(f, "encrypted", False)]
+            if enc:
+                from tostore_spark.at_rest import decrypt_frame
+                df = decrypt_frame(df, enc, self.encryption.key)
         return df
 
     def enable_bloom_skip(self, name: str, cols: list,

@@ -283,14 +283,27 @@ def ivf_search_many(indexed: DataFrame,
     driver loop cannot serve.
 
     Each query row computes its ``nprobe`` nearest cells map-side
-    (``probe_cells_column``) and explodes to (query, cell) rows; the
-    (small) query side broadcasts into a join with the indexed corpus on
+    (``probe_cells_column``), and the query side folds to ONE row per
+    probed cell (``collect_list`` of (query_id, vec, norm) bundles)
+    before broadcasting into the join with the indexed corpus on
     ``cell_id``.  Over a PERSISTED index (``ivf_write_index`` →
     cell_id-partitioned parquet) Spark's dynamic partition pruning turns
     that join into a partition filter, so the scan reads only probed
     cells — same pruning the single-query isin() path gets, at batch
     scale.  Exact cosine + two-stage top-k on the probed candidates; a
     corpus row lives in exactly one cell, so no candidate is scored twice.
+
+    Norm placement (r11-verdict order, sharpened): the corpus-side norm
+    ``__cn`` projects ABOVE the probe join and BELOW the bundle explode.
+    Above the join, the O(dim) norm runs only for corpus rows in probed
+    cells (∝ probed fraction, not corpus size — at nprobe 4 of 160
+    cells that is 2.5% of the rows the old below-join placement paid);
+    and because the per-cell fold makes the join at most 1:1 per corpus
+    row, it runs once per probed ROW even when many queries probe the
+    same cell — a plain above-join projection would re-run it per
+    (query, row) PAIR, which for batches larger than n_cells/nprobe
+    queries costs more than the corpus-wide scan it was saving.  Same
+    expression either way: bit-identical distances.
 
     Output: (query_id, neighbor_id, distance, rank)."""
     query_vec = query_vec or vec_field
@@ -301,16 +314,21 @@ def ivf_search_many(indexed: DataFrame,
          .withColumn("cell_id",
                      F.explode(probe_cells_column("__qv", "__qn", centroids,
                                                   nprobe))))
-    c = (indexed.select(F.col(id_field).alias("neighbor_id"),
-                        F.col(vec_field).alias("__cv"), "cell_id")
-                .withColumn("__cn", _norm(F.col("__cv"))))
-    joined = c.join(F.broadcast(q), on="cell_id")
+    qb = q.groupBy("cell_id").agg(
+        F.collect_list(F.struct("query_id", "__qv", "__qn")).alias("__qs"))
+    c = indexed.select(F.col(id_field).alias("neighbor_id"),
+                       F.col(vec_field).alias("__cv"), "cell_id")
+    probed = (c.join(F.broadcast(qb), on="cell_id")
+               .withColumn("__cn", _norm(F.col("__cv"))))
+    pairs = probed.select("neighbor_id", "__cv", "__cn",
+                          F.explode("__qs").alias("__q"))
     if exclude_self:
-        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = joined.select(
-        "query_id", "neighbor_id",
-        cosine_distance_prenorm(F.col("__qv"), F.col("__cv"),
-                                F.col("__qn"), F.col("__cn"))
+        pairs = pairs.filter(
+            F.col("__q.query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        F.col("__q.query_id").alias("query_id"), "neighbor_id",
+        cosine_distance_prenorm(F.col("__q.__qv"), F.col("__cv"),
+                                F.col("__q.__qn"), F.col("__cn"))
         .alias("distance"))
     return topk_per_query(scored, k)
 

@@ -251,7 +251,17 @@ def _write_state(engine, table: str, path: str, version: int) -> None:
     ent = engine._tables[key]
     state = {"space": key[0], "table": key[1],
              "ops": _norm_ops(ent), "delta_version": version,
-             "store_generation": engine._generations.get(key, 0)}
+             "store_generation": engine._generations.get(key, 0),
+             # whether THIS export was taken with zero unflushed
+             # mutations.  A dirty export snapshots engine.df() —
+             # which includes in-memory rows not yet in any recipe op —
+             # so its recorded ops UNDERSTATE the exported data; a later
+             # flush of those same rows would look like a pure-append
+             # extension and re-export them.  _export_update's append
+             # fast path therefore requires clean=True (falls back to a
+             # full refresh otherwise — correct, just not incremental).
+             "clean": (engine._generations.get(key, 0)
+                       == getattr(engine, "_flushed_gen", {}).get(key))}
     tmp = os.path.join(path, _STATE_SIDECAR + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(state, fh)
@@ -273,6 +283,7 @@ def _export_update(engine, table: str, path: str) -> dict:
     clean = (engine._generations.get(key, 0)
              == getattr(engine, "_flushed_gen", {}).get(key))
     if (state is not None and clean
+            and state.get("clean") is True
             and state.get("space") == key[0]
             and state.get("table") == key[1]
             and len(cur_ops) >= len(state.get("ops") or [])
@@ -292,6 +303,14 @@ def _export_update(engine, table: str, path: str) -> dict:
             if pin is not None:
                 part = part.select(*[f.name for f in pin.fields])
             df = part if df is None else df.unionByName(part)
+        sch = ent["schema"]
+        if (sch.ttl is not None and sch.ttl.ttl_ms > 0
+                and sch.ttl.source_field):
+            # raw segment reads bypass engine.df()'s TTL read filter;
+            # an append commit must not export rows the store itself
+            # would never surface
+            from tostore_spark.ttl import ttl_filter
+            df = ttl_filter(df, sch.ttl)
         staged = _stage_data_files(df, path, next_v, None,
                                    partition_by=pby)
         adds, total = _add_actions(path, staged)
