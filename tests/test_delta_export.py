@@ -384,3 +384,87 @@ class TestDeltaPartitionedExport:
         back2 = read_delta(spark, dest)
         assert _collect_sorted(back2) == _collect_sorted(db.df("pt"))
         assert read_delta(spark, dest, version=0).count() == 30
+        # r11-verdict scalability order: the partitioned read is ONE
+        # partition-discovered scan, not a per-tuple unionByName fold
+        plan = back2._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan parquet") == 1, plan
+        assert "Union" not in plan
+
+    def test_nonhive_foreign_layout_keeps_log_values(self, spark,
+                                                     tmp_path):
+        """A foreign Delta table whose files do NOT sit in hive dirs
+        (partition data only in the log) must keep the log-driven
+        grouped read — partition values come from partitionValues,
+        never from paths."""
+        from pyspark.sql.types import (IntegerType, LongType,
+                                       StructField, StructType)
+
+        from tostore_spark.plans.delta_export import read_delta
+        d = str(tmp_path / "ext")
+        log = os.path.join(d, "_delta_log")
+        os.makedirs(log)
+        for name, ks in (("f1.parquet", [1, 2]), ("f2.parquet", [3])):
+            spark.createDataFrame([(k,) for k in ks], "k long") \
+                .coalesce(1).write.mode("overwrite") \
+                .parquet(os.path.join(d, "_stage"))
+            import glob as _g
+            import shutil as _sh
+            part = _g.glob(os.path.join(d, "_stage", "*.parquet"))[0]
+            _sh.move(part, os.path.join(d, name))
+        schema = StructType([StructField("k", LongType()),
+                             StructField("p", IntegerType())])
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+            fh.write(json.dumps({"metaData": {
+                "id": "x", "format": {"provider": "parquet"},
+                "schemaString": schema.json(),
+                "partitionColumns": ["p"]}}) + "\n")
+            for name, pv in (("f1.parquet", "10"), ("f2.parquet", "20")):
+                fh.write(json.dumps({"add": {
+                    "path": name, "partitionValues": {"p": pv},
+                    "size": 1, "modificationTime": 0,
+                    "dataChange": True}}) + "\n")
+        out = read_delta(spark, d)
+        rows = {(r["k"], r["p"]) for r in out.collect()}
+        assert rows == {(1, 10), (2, 10), (3, 20)}
+
+
+class TestDeltaCheckpointWrite:
+    def test_periodic_checkpoint_replays_identically(self, spark,
+                                                     tmp_path):
+        """r11-verdict rung 2: every 10th update commit writes a
+        classic checkpoint + _last_checkpoint.  The folded checkpoint
+        must (a) replay identically to the full JSON log, (b) carry
+        the tail commits on top, and (c) be SUFFICIENT — replay
+        succeeds even with every pre-checkpoint JSON commit gone."""
+        import shutil
+
+        from tostore_spark.plans.delta_export import read_delta
+        wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+        db = _mk(spark, wh, rows=4)
+        db.export_delta("notes", dest)                      # v0
+        for i in range(12):                                 # v1..v12
+            db.batch_insert("notes", [{"id": f"a{i:02d}",
+                                       "body": "b", "n": 50 + i}])
+            db.flush()
+            rep = db.export_delta("notes", dest, mode="update")
+            assert rep["commit"] == "append"
+        log = os.path.join(dest, "_delta_log")
+        ck = os.path.join(log, f"{10:020d}.checkpoint.parquet")
+        assert os.path.exists(ck), "v10 must have checkpointed"
+        lc = json.load(open(os.path.join(log, "_last_checkpoint")))
+        assert lc["version"] == 10
+        full = _collect_sorted(read_delta(spark, dest))
+        assert len(full) == 16
+        assert full == _collect_sorted(db.df("notes"))
+        # time travel BELOW the checkpoint still replays from JSON
+        assert read_delta(spark, dest, version=5).count() == 9
+        # checkpoint sufficiency: drop JSON commits 0..10 — replay must
+        # come out identical from checkpoint + tail (v11, v12) alone
+        stash = str(tmp_path / "stash")
+        os.makedirs(stash)
+        for v in range(11):
+            shutil.move(os.path.join(log, f"{v:020d}.json"),
+                        os.path.join(stash, f"{v:020d}.json"))
+        assert _collect_sorted(read_delta(spark, dest)) == full

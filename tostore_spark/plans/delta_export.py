@@ -54,6 +54,11 @@ from urllib.parse import quote, unquote
 __all__ = ["export_delta", "read_delta"]
 
 _STATE_SIDECAR = "_export_state.json"
+#: classic-checkpoint cadence (Delta's own default): every 10th commit
+#: folds the log into ``N.checkpoint.parquet`` + ``_last_checkpoint``,
+#: so replaying a many-version export costs O(live files + commits
+#: since the last checkpoint), not O(all commits)
+_CHECKPOINT_INTERVAL = 10
 
 
 def _delta_stats(file_summary: dict) -> str:
@@ -167,6 +172,56 @@ def _write_commit(path: str, version: int, actions: list[dict]) -> None:
         for a in actions:
             fh.write(json.dumps(a) + "\n")
     os.replace(tmp, log_path)
+
+
+def _write_checkpoint(path: str, version: int) -> None:
+    """Write a classic single-file checkpoint for commit ``version``:
+    ``_delta_log/{N:020d}.checkpoint.parquet`` holding the FOLDED state
+    (protocol + metaData + one row per live add; removed files simply
+    do not appear) plus the ``_last_checkpoint`` pointer.  Spec shape
+    (PROTOCOL.md "Checkpoints"): one row per action, the non-applicable
+    action columns null.  ``_replay`` (and any classic-checkpoint Delta
+    reader) starts here and applies only later JSON commits."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    state = _replay(path, version)
+
+    def _strip_empty(obj):
+        # parquet cannot hold a zero-field struct; an EMPTY dict value
+        # (configuration {}, options {}, unpartitioned partitionValues)
+        # is dropped — the reader treats the absent key as empty
+        if isinstance(obj, dict):
+            return {k: _strip_empty(v) for k, v in obj.items()
+                    if not (isinstance(v, dict) and not v)}
+        return obj
+
+    rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+         "metaData": None, "add": None, "remove": None},
+        {"protocol": None, "metaData": _strip_empty(state["meta"]),
+         "add": None, "remove": None},
+    ]
+    for rel in sorted(state["files"]):
+        add = dict(state["files"][rel])
+        add["path"] = quote(rel, safe="/=")
+        add.setdefault("stats", None)
+        rows.append({"protocol": None, "metaData": None,
+                     "add": _strip_empty(add), "remove": None})
+    log_dir = os.path.join(path, "_delta_log")
+    ck = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    tmp = ck + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(pa.Table.from_pylist(rows), tmp)
+    os.replace(tmp, ck)
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    tmp = lc + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+    os.replace(tmp, lc)
+
+
+def _maybe_checkpoint(path: str, version: int) -> None:
+    if version > 0 and version % _CHECKPOINT_INTERVAL == 0:
+        _write_checkpoint(path, version)
 
 
 def _norm_ops(ent) -> list[list[str]]:
@@ -315,6 +370,7 @@ def _export_update(engine, table: str, path: str) -> dict:
                                    partition_by=pby)
         adds, total = _add_actions(path, staged)
         _write_commit(path, next_v, adds)
+        _maybe_checkpoint(path, next_v)
         _write_state(engine, table, path, next_v)
         return {"files": len(staged), "rows": total, "path": path,
                 "version": next_v, "commit": "append"}
@@ -329,6 +385,7 @@ def _export_update(engine, table: str, path: str) -> dict:
                            "dataChange": True}}
                for rel in sorted(live["files"])]
     _write_commit(path, next_v, removes + adds)
+    _maybe_checkpoint(path, next_v)
     _write_state(engine, table, path, next_v)
     return {"files": len(staged), "rows": total, "path": path,
             "version": next_v, "commit": "refresh"}
@@ -415,6 +472,31 @@ def _apply_checkpoint(state: dict, log_dir: str, ckv: int,
                     _apply_action(state, {kind: row[kind]})
 
 
+def _hive_layout(files: dict, pcols: list[str]) -> bool:
+    """Whether every live file's relative path encodes EXACTLY the
+    partition columns as hive ``c=v`` directories whose decoded values
+    match the log's partitionValues — the precondition for letting
+    Spark's partition discovery replace the per-tuple literal attach.
+    Any disagreement (foreign layout, renamed dirs, value drift) keeps
+    the log-driven path: the LOG is the source of truth."""
+    for rel, add in files.items():
+        comps = rel.replace(os.sep, "/").split("/")[:-1]
+        if len(comps) != len(pcols):
+            return False
+        pv = add.get("partitionValues") or {}
+        for comp, c in zip(comps, pcols):
+            if "=" not in comp:
+                return False
+            k, v = comp.split("=", 1)
+            if k != c:
+                return False
+            dec = unquote(v)
+            dec = None if dec == "__HIVE_DEFAULT_PARTITION__" else dec
+            if dec != pv.get(c):
+                return False
+    return True
+
+
 def read_delta(spark, path: str, version: int | None = None):
     """Read a Delta table by replaying its transaction log — the
     no-library read-back for ``export_delta`` outputs AND for simple
@@ -435,8 +517,21 @@ def read_delta(spark, path: str, version: int | None = None):
         return (spark.read.schema(schema)
                 .parquet(*[os.path.join(p, rel) for rel in
                            sorted(files)]))
-    # group files by their partition tuple; attach the values as typed
-    # literal columns (partition data lives in the log, not the files)
+    if _hive_layout(files, pcols):
+        # the live files sit in a hive ``c=v`` directory layout whose
+        # decoded values AGREE with the log's partitionValues (always
+        # true for export_delta's own output): ONE partition-discovered
+        # scan under basePath replaces the per-partition-tuple
+        # unionByName fold — a 1,000-partition table gets a 1-branch
+        # plan, and the partition columns come back typed per the
+        # schema (r11-verdict scalability order)
+        return (spark.read.schema(schema).option("basePath", p)
+                .parquet(*[os.path.join(p, rel) for rel in
+                           sorted(files)])
+                .select(*[f.name for f in schema.fields]))
+    # foreign non-hive layout: partition data exists ONLY in the log —
+    # group files by their partition tuple and attach the values as
+    # typed literal columns (one grouped read per distinct tuple)
     data_schema = StructType(
         [f for f in schema.fields if f.name not in pcols])
     by_part: dict = {}
