@@ -2160,6 +2160,83 @@ def q_encrypted_at_rest(spark, sf_dir):
         rows, "n_rows bigint, name_len_sum bigint, n_a_names bigint")
 
 
+def q_encrypted_typed(spark, sf_dir):
+    """Typed at-rest encryption (r12 — the reference encrypts ALL
+    table data, data_store_config.dart:946-1005, not just text):
+    integer + vector(float32) + text fields all marked encrypted=True
+    round-trip through the lossless JSON envelope
+    (at_rest.encrypt_frame types=...) — stored as base64-ciphertext
+    STRING columns, surfaced with their declared types.  In-entry
+    asserts: the flushed parquet physically stores the numeric column
+    as string, no plaintext value appears on disk, and a keyless
+    reopen raises.  The returned aggregate reads through a correct-key
+    cold reopen and must match DuckDB deriving the same numbers from
+    nation."""
+    import os
+    import tempfile
+
+    from tostore_spark import EncryptionConfig
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    db = _db(spark, sf_dir)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    with tempfile.TemporaryDirectory() as tmp:
+        wh = os.path.join(tmp, "wh")
+        db1 = ToStoreSpark(spark, warehouse=wh,
+                           encryption=EncryptionConfig(key="entry-key"))
+        db1.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n", type=DataType.integer,
+                                encrypted=True),
+                    FieldSchema(name="vec", type=DataType.vector,
+                                encrypted=True),
+                    FieldSchema(name="tag", type=DataType.text,
+                                encrypted=True)]))
+        db1.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}", "n": r["n_nationkey"],
+             "vec": [r["n_nationkey"] * 1.5, -float(r["n_nationkey"])],
+             "tag": r["n_name"]}
+            for r in nat])
+        db1.flush()
+        vdir = db1._tables[("default", "nat")]["path"]
+        import pyarrow.parquet as pq
+        tbl = pq.read_table(vdir)
+        if str(tbl.schema.field("n").type) != "string":
+            raise AssertionError(
+                "encrypted integer must be stored as ciphertext string")
+        names = {r["n_name"] for r in nat}
+        for col in ("n", "vec", "tag"):
+            vals = {str(v) for v in tbl[col].to_pylist() if v}
+            if vals & names or any(v.isdigit() for v in vals):
+                raise AssertionError(f"plaintext leaked in {col}")
+        try:
+            ToStoreSpark(spark, warehouse=wh)
+        except ValueError:
+            pass
+        else:
+            raise AssertionError("keyless reopen must raise")
+        db2 = ToStoreSpark(spark, warehouse=wh,
+                           encryption=EncryptionConfig(key="entry-key"))
+        out = (db2.df("nat")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("n").alias("key_sum"),
+                    F.sum(F.col("vec")[0].cast("double"))
+                     .alias("vec0_sum"),
+                    F.count(F.when(F.col("tag").startswith("A"), 1))
+                     .alias("n_a_tags"),
+                    F.sum(F.when(F.col("n") > 12, F.lit(1))
+                           .otherwise(F.lit(0))).alias("n_gt12"))
+               .first())
+        rows = [{"n_rows": int(out["n_rows"]),
+                 "key_sum": int(out["key_sum"]),
+                 "vec0_sum": float(out["vec0_sum"]),
+                 "n_a_tags": int(out["n_a_tags"]),
+                 "n_gt12": int(out["n_gt12"])}]
+    return spark.createDataFrame(
+        rows, "n_rows bigint, key_sum bigint, vec0_sum double, "
+              "n_a_tags bigint, n_gt12 bigint")
+
+
 def q_delta_export(spark, sf_dir):
     """Delta Lake export interop (r11, plans/delta_export): a table
     carrying a live merge-on-read recipe (delete epoch + replace
@@ -4208,6 +4285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
+        "q_encrypted_typed",          # born r12
         "q_delta_roundtrip",
         "q_encrypted_at_rest", "q_delta_export", "q_meta_agg_deletes",
         "q_cdc_recipe", "q_delete_vectors", "q_upsert_mor",
@@ -5127,6 +5205,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(n_name)) AS BIGINT) AS name_len_sum,
                    CAST(count(CASE WHEN n_name LIKE 'A%' THEN 1 END)
                         AS BIGINT) AS n_a_names
+            FROM nation""",
+        "q_encrypted_typed": """
+            -- typed fields derive from nation: n = n_nationkey,
+            -- vec[0] = n_nationkey * 1.5 (float32-exact for these
+            -- magnitudes), tag = n_name
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+                   CAST(sum(n_nationkey * 1.5) AS DOUBLE) AS vec0_sum,
+                   CAST(count(CASE WHEN n_name LIKE 'A%' THEN 1 END)
+                        AS BIGINT) AS n_a_tags,
+                   CAST(sum(CASE WHEN n_nationkey > 12 THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_gt12
             FROM nation""",
         "q_delta_export": """
             -- base nation keys 0..24; delete key>=20 (5 rows), update

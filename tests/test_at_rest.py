@@ -149,6 +149,119 @@ class TestAtRestRoundtrip:
         assert any("changed@example.com" in str(r) for r in rows)
 
 
+class TestAtRestTypedFields:
+    def test_nontext_fields_roundtrip_ciphertext_on_disk(self, spark,
+                                                         tmp_path):
+        """r11-verdict order #4: the reference encrypts ALL table data,
+        not just text.  Integer / double / boolean / vector / datetime
+        fields encrypt through the typed JSON envelope: ciphertext-only
+        (string) on disk, declared types and exact values at every
+        read, across flush AND a cold keyed reopen."""
+        import datetime
+
+        import pyarrow.parquet as pq
+        wh = str(tmp_path / "wh")
+        db = ToStoreSpark(spark, warehouse=wh,
+                          encryption=EncryptionConfig(key=KEY))
+        db.create_table(TableSchema(
+            name="t", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n", type=DataType.integer,
+                                encrypted=True),
+                    FieldSchema(name="x", type=DataType.double,
+                                encrypted=True),
+                    FieldSchema(name="ok", type=DataType.boolean,
+                                encrypted=True),
+                    FieldSchema(name="vec", type=DataType.vector,
+                                encrypted=True),
+                    FieldSchema(name="ts", type=DataType.datetime,
+                                encrypted=True),
+                    FieldSchema(name="open_n", type=DataType.integer)]))
+        ts0 = datetime.datetime(2026, 3, 1, 12, 30, 45, 123456)
+        rows = [{"id": f"r{i}", "n": 1000 + i, "x": i + 0.25,
+                 "ok": i % 2 == 0,
+                 "vec": [float(i), 0.5, -1.25],
+                 "ts": ts0 + datetime.timedelta(seconds=i),
+                 "open_n": i}
+                for i in range(6)]
+        rows.append({"id": "rnull", "n": None, "x": None, "ok": None,
+                     "vec": None, "ts": None, "open_n": 99})
+        db.batch_insert("t", rows)
+        db.flush()
+        # on disk: every encrypted column is STRING ciphertext; the
+        # unencrypted integer column keeps its physical type
+        vdir = db._tables[("default", "t")]["path"]
+        seen = []
+        for dirpath, dirs, names in os.walk(vdir):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in names:
+                if f.endswith(".parquet"):
+                    sch = pq.ParquetFile(
+                        os.path.join(dirpath, f)).schema_arrow
+                    seen.append(sch)
+        assert seen
+        for sch in seen:
+            for c in ("n", "x", "ok", "vec", "ts"):
+                assert str(sch.field(c).type) == "string", \
+                    f"{c} must be stored as ciphertext string"
+            assert "int" in str(sch.field("open_n").type)
+        # plaintext never on disk (1000..1005 unique enough to grep)
+        raws = _raw_strings(vdir)
+        assert not any("1000" in v or "1005" in v for v in raws)
+        # cold keyed reopen: exact typed values
+        db2 = ToStoreSpark(spark, warehouse=wh,
+                           encryption=EncryptionConfig(key=KEY))
+        got = {r["id"]: r for r in db2.df("t").collect()}
+        assert dict(db2.df("t").dtypes) == {
+            "id": "string", "n": "bigint", "x": "double",
+            "ok": "boolean", "vec": "array<float>", "ts": "timestamp",
+            "open_n": "bigint"}
+        for i in range(6):
+            r = got[f"r{i}"]
+            assert r["n"] == 1000 + i and r["x"] == i + 0.25
+            assert r["ok"] == (i % 2 == 0)
+            assert r["vec"] == [float(i), 0.5, -1.25]
+            assert r["ts"] == ts0 + datetime.timedelta(seconds=i)
+        rn = got["rnull"]
+        assert rn["n"] is None and rn["vec"] is None and \
+            rn["ts"] is None and rn["open_n"] == 99
+        # predicates on the encrypted numeric column: decrypted-typed
+        assert db2.query("t").where("n", ">", 1003).count() == 2
+
+    def test_typed_mor_epochs_and_append_rows(self, spark, tmp_path):
+        """Typed-envelope ciphertext through the MoR fast paths: delete
+        vectors, upsert replace epochs, and the append_rows public API
+        (which unions onto the RAW ciphertext registry frame — the
+        pre_encrypted seam)."""
+        wh = str(tmp_path / "wh")
+        db = ToStoreSpark(spark, warehouse=wh,
+                          encryption=EncryptionConfig(key=KEY))
+        db.create_table(TableSchema(
+            name="t", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n", type=DataType.integer,
+                                encrypted=True)]))
+        db.batch_insert("t", [{"id": f"r{i}", "n": i}
+                              for i in range(8)])
+        db.flush()
+        db.delete("t").where("id", "=", "r0").execute()
+        db.flush()                               # deletion vector
+        db.batch_upsert("t", [{"id": "r1", "n": 100}])
+        db.flush()                               # replace epoch
+        plain = db.df("t").select("id", "n")
+        db.append_rows("t", spark.createDataFrame(
+            [("r9", 9)], "id string, n long"))
+        db.flush()                               # append segment
+        got = {r["id"]: r["n"] for r in db.df("t").collect()}
+        assert got == {**{f"r{i}": i for i in range(2, 8)},
+                       "r1": 100, "r9": 9}
+        db2 = ToStoreSpark(spark, warehouse=wh,
+                           encryption=EncryptionConfig(key=KEY))
+        assert {r["id"]: r["n"] for r in db2.df("t").collect()} == got
+        raws = _raw_strings(db._tables[("default", "t")]["path"])
+        assert raws and all(v.startswith(("r",)) or len(v) > 20
+                            for v in raws), \
+            "no plaintext n values in any epoch file"
+
+
 class TestAtRestInterplay:
     def test_stats_strip_encrypted_columns(self, spark, tmp_path):
         wh = str(tmp_path / "wh")
@@ -224,11 +337,6 @@ class TestAtRestInterplay:
                 name="bad2", primary_key=PrimaryKeyConfig(name="id"),
                 fields=[FieldSchema(name="e", type=DataType.text,
                                     encrypted=True, unique=True)]))
-        with pytest.raises(ValueError, match="text"):
-            db.create_table(TableSchema(
-                name="bad3", primary_key=PrimaryKeyConfig(name="id"),
-                fields=[FieldSchema(name="x", type=DataType.integer,
-                                    encrypted=True)]))
         # encrypted fields without an engine key: refused up front
         db2 = ToStoreSpark(spark, warehouse=str(tmp_path / "wh2"))
         with pytest.raises(ValueError, match="EncryptionConfig"):

@@ -19,10 +19,16 @@ user-facing — ``df()``, query builders, CDC feeds, ``df_at`` — sees
 plaintext.  Ciphertext is base64 text, so column types and schema
 round-trips are unchanged.
 
+Any declared type may encrypt (r12; the reference encrypts all table
+data): non-text values route through a lossless JSON envelope —
+``to_json(struct(value AS v))`` before ``aes_encrypt``, inverted with
+``from_json`` at the read boundary — because a bare cast-to-string
+round-trip would silently reformat binary/timestamp/decimal values.
+Encrypted non-text columns are therefore STORED as string (base64
+ciphertext) and surface with their declared type at every read.
+
 What the config refuses, and why (validated at ``create_table``):
 
-- non-text fields: ``aes_encrypt`` is bytes-in/bytes-out; a typed
-  round-trip through casts would silently reformat values;
 - the primary key / unique fields: deletion vectors, replace-epoch
   key sets and upsert matching anti-join on key VALUES — GCM is
   randomized, so ciphertext equality would not hold;
@@ -55,6 +61,13 @@ __all__ = ["EncryptionConfig", "encrypt_frame", "decrypt_frame",
 
 _CRYPTO_SIDECAR = "_crypto.json"
 
+#: JSON-envelope codec options: to_json's default timestamp format is
+#: MILLISECOND-precision (micros silently truncate) and session-tz
+#: dependent — pin micros + UTC so the envelope is lossless and the
+#: ciphertext decodes identically under any reader session timezone
+_ENVELOPE_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+                  "timezone": "UTC"}
+
 
 @dataclass
 class EncryptionConfig:
@@ -80,32 +93,62 @@ def _key_col(key: str):
     return F.lit(hashlib.sha256(key.encode()).digest())
 
 
-def encrypt_frame(df, cols: list[str], key: str):
-    """Base64(AES-GCM) the named string columns; other columns pass
-    through.  Null stays null.  A pure projection — preserves the
-    frame's partitioning and any within-partition sort."""
+def encrypt_frame(df, cols: list[str], key: str, types: dict | None = None):
+    """Base64(AES-GCM) the named columns; other columns pass through.
+    Null stays null.  A pure projection — preserves the frame's
+    partitioning and any within-partition sort.
+
+    ``types`` maps column → PLAINTEXT Spark type for non-text fields
+    (r11-verdict order: the reference encrypts ALL table data, not just
+    text).  A non-string type routes through a lossless JSON envelope —
+    ``to_json(struct(value AS v))`` — before ``aes_encrypt``, because a
+    bare cast-to-string round-trip would silently reformat values
+    (binary, timestamps, decimals); ``decrypt_frame`` inverts with
+    ``from_json`` against the same type.  The value is cast to the
+    declared type first, so the envelope always encodes the CANONICAL
+    type regardless of the registered frame's physical type.  Missing
+    from ``types`` (or StringType) keeps the raw-string path — the
+    layout every pre-r12 ciphertext was written with."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
     todo = [c for c in cols if c in df.columns]
     if not todo:
         return df
     k = _key_col(key)
-    return df.select(*[
-        (F.base64(F.aes_encrypt(F.col(c), k, F.lit("GCM"))).alias(c)
-         if c in todo else F.col(c))
-        for c in df.columns])
+
+    def enc(c):
+        t = (types or {}).get(c)
+        if t is None or isinstance(t, T.StringType):
+            payload = F.col(c)
+        else:
+            payload = F.to_json(F.struct(F.col(c).cast(t).alias("v")),
+                                _ENVELOPE_OPTS)
+        ct = F.base64(F.aes_encrypt(payload, k, F.lit("GCM")))
+        return F.when(F.col(c).isNotNull(), ct).alias(c)
+
+    return df.select(*[enc(c) if c in todo else F.col(c)
+                       for c in df.columns])
 
 
-def decrypt_frame(df, cols: list[str], key: str):
+def decrypt_frame(df, cols: list[str], key: str, types: dict | None = None):
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
     todo = [c for c in cols if c in df.columns]
     if not todo:
         return df
     k = _key_col(key)
-    return df.select(*[
-        (F.aes_decrypt(F.unbase64(F.col(c)), k, F.lit("GCM"))
-          .cast("string").alias(c)
-         if c in todo else F.col(c))
-        for c in df.columns])
+
+    def dec(c):
+        raw = (F.aes_decrypt(F.unbase64(F.col(c)), k, F.lit("GCM"))
+                .cast("string"))
+        t = (types or {}).get(c)
+        if t is None or isinstance(t, T.StringType):
+            return raw.alias(c)
+        env = T.StructType([T.StructField("v", t)])
+        return F.from_json(raw, env, _ENVELOPE_OPTS)["v"].alias(c)
+
+    return df.select(*[dec(c) if c in todo else F.col(c)
+                       for c in df.columns])
 
 
 def _digest(salt: str, key: str) -> str:

@@ -152,7 +152,8 @@ class ToStoreSpark:
             # holds ciphertext (``pre_encrypted=True`` — the restore
             # path — registers already-at-rest bytes verbatim)
             from tostore_spark.at_rest import encrypt_frame
-            df = encrypt_frame(df, enc, self.encryption.key)
+            df = encrypt_frame(df, enc, self.encryption.key,
+                               types=self._spec_for_schema(schema))
         space = "global" if is_global else self._space
         if (space, name) in self._tables:
             # re-registering replaces the data: advance the generation so
@@ -247,6 +248,16 @@ class ToStoreSpark:
         """Create an empty managed table from a declared TableSchema."""
         self._validate_encrypted_fields(schema)
         df = self.spark.createDataFrame([], schema.to_struct_type())
+        enc = [f.name for f in schema.fields
+               if getattr(f, "encrypted", False)]
+        if enc and self.encryption is not None:
+            # shape the EMPTY registry frame like every later ciphertext
+            # frame: encrypted columns are stored as string regardless
+            # of their declared type (the typed-envelope layout), so
+            # the first union/decrypt must already see string here
+            from tostore_spark.at_rest import encrypt_frame
+            df = encrypt_frame(df, enc, self.encryption.key,
+                               types=self._spec_for_schema(schema))
         space = "global" if schema.is_global else self._space
         self._tables[(space, schema.name)] = {
             "df": df, "path": None, "schema": schema, "global": schema.is_global,
@@ -263,13 +274,11 @@ class ToStoreSpark:
             raise ValueError(
                 f"table {schema.name} declares encrypted fields but the "
                 "engine has no encryption=EncryptionConfig(key=...)")
-        from tostore_spark.schema import DataType
         names = {f.name for f in enc}
         for f in enc:
-            if f.type != DataType.text:
-                raise ValueError(
-                    f"encrypted field {f.name} must be text "
-                    f"(got {f.type.value})")
+            # any declared type may encrypt (r12 — the typed-envelope
+            # layout in at_rest.encrypt_frame); the refusals below are
+            # about VALUES the layout/pruning machinery must consult
             if f.unique or f.create_index:
                 raise ValueError(
                     f"encrypted field {f.name} cannot be unique/indexed")
@@ -299,6 +308,25 @@ class ToStoreSpark:
             return []
         return [f.name for f in sch.fields
                 if getattr(f, "encrypted", False)]
+
+    @staticmethod
+    def _spec_for_schema(sch) -> dict:
+        """column → canonical PLAINTEXT Spark type for every encrypted
+        field — the typed-envelope spec both encrypt_frame and
+        decrypt_frame need to round-trip non-text values losslessly."""
+        from tostore_spark.schema import spark_type_for
+        return {f.name: spark_type_for(f.type) for f in sch.fields
+                if getattr(f, "encrypted", False)}
+
+    def _enc_spec(self, key: tuple) -> dict:
+        """``_enc_cols`` with types: {name: plaintext Spark type}."""
+        if self.encryption is None:
+            return {}
+        ent = self._tables.get(key)
+        sch = ent.get("schema") if ent else None
+        if sch is None:
+            return {}
+        return self._spec_for_schema(sch)
 
     def create_tables(self, schemas: list[TableSchema]) -> None:
         """Create several tables at once (tostore.dart:356)."""
@@ -455,7 +483,8 @@ class ToStoreSpark:
             # at-rest boundary: the registry frame is ciphertext;
             # every consumer above this line sees plaintext
             from tostore_spark.at_rest import decrypt_frame
-            df = decrypt_frame(df, enc, self.encryption.key)
+            df = decrypt_frame(df, enc, self.encryption.key,
+                               types=self._enc_spec(key))
         return df
 
     def _stats_summaries(self, name: str,
@@ -743,7 +772,8 @@ class ToStoreSpark:
                    if getattr(f, "encrypted", False)]
             if enc:
                 from tostore_spark.at_rest import decrypt_frame
-                df = decrypt_frame(df, enc, self.encryption.key)
+                df = decrypt_frame(df, enc, self.encryption.key,
+                                   types=self._spec_for_schema(sch))
         return df
 
     def enable_bloom_skip(self, name: str, cols: list,
@@ -950,7 +980,8 @@ class ToStoreSpark:
     def _set_df_at_key(self, key: tuple, df: DataFrame,
                        weight: int = 1,
                        append_delta: Optional[DataFrame] = None,
-                       delete_delta: Optional[DataFrame] = None) -> None:
+                       delete_delta: Optional[DataFrame] = None,
+                       pre_encrypted: bool = False) -> None:
         """Key-addressed write — see ``_df_at_key`` for why cross-space
         callers must not go through active-space name resolution.
 
@@ -970,16 +1001,21 @@ class ToStoreSpark:
         deletion vectors, and mixed epochs as a del+seg pair in one
         version dir (store.flush_tables)."""
         enc = self._enc_cols(key)
-        if enc:
+        if enc and not pre_encrypted:
             # at-rest boundary: writers hand PLAINTEXT frames (they
             # derive from df()); the registry and every flushed byte
             # hold ciphertext.  Key frames carry only never-encrypted
             # key columns, so the delete delta passes through.
+            # ``pre_encrypted``: the caller already holds ciphertext
+            # (append_rows unions onto the RAW registry frame) — a
+            # second pass would double-encrypt the base.
             from tostore_spark.at_rest import encrypt_frame
             kkey = self.encryption.key
-            df = encrypt_frame(df, enc, kkey)
+            spec = self._enc_spec(key)
+            df = encrypt_frame(df, enc, kkey, types=spec)
             if append_delta is not None:
-                append_delta = encrypt_frame(append_delta, enc, kkey)
+                append_delta = encrypt_frame(append_delta, enc, kkey,
+                                             types=spec)
         self._tables[key]["df"] = df
         self._generations[key] = self._generations.get(key, 0) + 1
         adeltas, ddeltas = self._append_deltas, self._delete_deltas
@@ -1091,6 +1127,15 @@ class ToStoreSpark:
             raise ValueError(
                 f"append_rows into {name}: columns {sorted(rows_df.columns)}"
                 f" != table columns {sorted(cur.columns)}")
+        enc = self._enc_cols(key)
+        if enc:
+            # the caller hands PLAINTEXT rows but ``cur`` is the RAW
+            # ciphertext registry frame: encrypt the delta here (O(delta)
+            # work) and tell _set_df_at_key the union is already at
+            # rest — re-encrypting would double-encrypt the base
+            from tostore_spark.at_rest import encrypt_frame
+            rows_df = encrypt_frame(rows_df, enc, self.encryption.key,
+                                    types=self._enc_spec(key))
         # conform TYPES, not just names: a delta segment whose parquet
         # physical type diverges from the base segments breaks (or
         # silently retypes) the multi-root read-back AFTER the manifest
@@ -1099,7 +1144,7 @@ class ToStoreSpark:
         rows_df = _cast_to_table_schema(rows_df, cur.schema)
         delta = rows_df.select(*cur.columns).localCheckpoint(eager=True)
         self._set_df_at_key(key, cur.unionByName(delta),
-                            append_delta=delta)
+                            append_delta=delta, pre_encrypted=True)
         return delta.count()
 
     @property

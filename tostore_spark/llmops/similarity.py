@@ -1100,8 +1100,14 @@ def graph_append(spark, path: str, corpus: DataFrame,
 
     Exact md5-ring maintenance over the union would rewrite O(skips)
     edges of EVERY pre-existing node (the global rank shifts); the
-    batch-local ring + back-links approximate it at cost proportional
-    to the BATCH, never the index — the append contract.  Re-inserting
+    batch-local ring + back-links approximate it.  Append cost — the
+    MEASURED form (r11 BENCH_DETAIL.graph_lifecycle: append_x 1.45 for
+    a 10× index at fixed batch): ∝ |batch| × beam(index), where
+    beam(index) is the per-node beam search's per-hop join against the
+    FULL edge table — sub-linear in index size (the 10× index costs
+    1.45×, not 10×), but not flat: the WRITE IO tracks the batch,
+    while the beam's read-side frontier joins grow slowly with the
+    index.  Re-inserting
     a tombstoned id raises (compact first); recall after append is
     pytest-measured against the rebuilt graph.  ``corpus`` is the
     already-indexed vector table (the batch must NOT be in it yet).

@@ -1459,7 +1459,8 @@ def _decrypt_for(engine, space: str, table: str, df):
     if not cols:
         return df
     from tostore_spark.at_rest import decrypt_frame
-    return decrypt_frame(df, cols, engine.encryption.key)
+    return decrypt_frame(df, cols, engine.encryption.key,
+                         types=engine._enc_spec((space, table)))
 
 
 def vacuum(engine, keep: int = 1) -> int:
