@@ -1158,6 +1158,24 @@ def main():
         "mor_flush": mor_flush,
         "cdc_flat": cdc_flat,
         "skipping": skipping,
+        # r11-verdict #6 adjudication (measured r12, adjacent med-of-5
+        # per pair in one clean session at sf0.1, canary-comparable
+        # host): the r11 extras' approx-slower-than-exact inversion was
+        # POSITION NOISE.  Clean readings: robust_outliers 3.834s exact
+        # vs 0.372s approx (10.3x), drift_psi_decile 2.460 vs 0.778
+        # (3.2x), ppl_buckets 1.984 vs 1.933 (~equal — the shared LM
+        # train+score floor dominates both tiers; only the bucket-edge
+        # stage differs, ~0.3s of the total).  The approx tiers earn
+        # their keep at this sf already; no crossover doc needed.
+        "tier_adjudication": {
+            "q_robust_outliers": {"exact_med5": 3.834,
+                                  "approx_med5": 0.372},
+            "q_drift_psi_decile": {"exact_med5": 2.460,
+                                   "approx_med5": 0.778},
+            "q_ppl_buckets": {"exact_med5": 1.984,
+                              "approx_med5": 1.933},
+            "note": "measured r12 adjacent med-of-5; see comment above",
+        },
         # the headline's host-speed probe, repeated here so the detail
         # numbers normalize without cross-referencing BENCH_r{N}.json
         "canary_sec": canary,

@@ -426,6 +426,59 @@ class TestCdcPruning:
         assert rows == sorted(map(tuple, exp.collect()))
         assert {r[1] for r in rows} == {"b003", "b007"}   # id column
 
+    def test_cdc_prunes_on_multicolumn_keys(self, spark, tmp_path):
+        """r11-verdict order #7: a COMPOSITE-key tail epoch (upsert
+        matched on a 2-column unique index) prunes base segments via
+        per-column conjunctive IN bounds — segment 1's integer range
+        refutes the g-values even if the text column is undecidable —
+        and still equals the exceptAll answer."""
+        from pyspark.sql import functions as F
+
+        from tostore_spark import store as S
+        from tostore_spark.schema import IndexSchema
+        wh = str(tmp_path / "wh")
+        db = ToStoreSpark(spark, warehouse=wh)
+        db.create_table(TableSchema(
+            name="notes", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="c", type=DataType.text),
+                    FieldSchema(name="g", type=DataType.integer),
+                    FieldSchema(name="n", type=DataType.integer)],
+            indexes=[IndexSchema(fields=["c", "g"], unique=True)]))
+        db.batch_insert("notes", [
+            {"id": f"p{i:03d}", "c": f"a{i:03d}", "g": i, "n": i}
+            for i in range(10)])
+        db.flush()                           # base seg 1: g in 0..9
+        db.batch_insert("notes", [
+            {"id": f"q{i:03d}", "c": f"b{i:03d}", "g": 100 + i,
+             "n": 100 + i}
+            for i in range(10)])
+        db.flush()                           # base seg 2: g in 100..109
+        v_from = db._generations[("default", "notes")]
+        # upsert WITHOUT the PK → matches the composite unique index →
+        # replace epoch whose key frame has TWO columns (c, g)
+        db.batch_upsert("notes", [
+            {"c": "b003", "g": 103, "n": 9103},
+            {"c": "b007", "g": 107, "n": 9107}])
+        db.flush()
+        v_to = db._generations[("default", "notes")]
+        fast = S._diff_from_recipe(db, "notes", v_from, v_to, "default")
+        assert fast is not None
+        rows = sorted(map(tuple, fast.collect()))
+        assert db._last_cdc_prune == (1, 2), \
+            "the composite key's integer column must prune segment 1"
+        old = S.read_version(db, "notes", v_from)
+        new = S.read_version(db, "notes", v_to)
+        cols = sorted(old.columns)
+        exp = (new.select(*cols).exceptAll(old.select(*cols))
+               .withColumn("change", F.lit("insert"))
+               .unionByName(
+                   old.select(*cols).exceptAll(new.select(*cols))
+                   .withColumn("change", F.lit("delete"))))
+        assert rows == sorted(map(tuple, exp.collect()))
+        touched = {(r[cols.index("c")], r[cols.index("g")])
+                   for r in rows}
+        assert touched == {("b003", 103), ("b007", 107)}
+
     def test_cdc_incremental_state_multi_epoch(self, spark, tmp_path):
         """Interleaved del/seg/del tail: the incrementally-evolved
         state must equal the per-epoch refold it replaced (pre-image of

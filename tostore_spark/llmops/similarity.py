@@ -923,14 +923,24 @@ def graph_search_many(graph: DataFrame, corpus: DataFrame,
                         F.col(query_vec).alias("__qv"))
          .withColumn("__qn", _norm(F.col("__qv")))
          .localCheckpoint(eager=True))
-    c = (corpus.select(F.col(id_field).alias("node_id"),
-                       F.col(vec_field).alias("__cv"))
-               .withColumn("__cn", _norm(F.col("__cv"))))
+    c = corpus.select(F.col(id_field).alias("node_id"),
+                      F.col(vec_field).alias("__cv"))
     seed_col = "hub_id" if "hub_id" in seeds.columns else "node_id"
     seed_nodes = seeds.select(F.col(seed_col).alias("node_id")).distinct()
 
     def _score(pairs):
-        out = (pairs.join(c, on="node_id")
+        # corpus-side norm placement (r11-verdict lens, same as
+        # ivf_search_many): broadcast-join the corpus against the
+        # DISTINCT frontier nodes FIRST, then project __cn — the
+        # O(dim) norm runs once per frontier NODE per hop (bounded by
+        # ef × (1 + degree) × |queries|, deduped across queries),
+        # never per corpus row (the old below-join placement re-normed
+        # the ENTIRE corpus every hop) and never per (query, node)
+        # pair.  Same expression → bit-identical distances.
+        nodes = pairs.select("node_id").distinct()
+        nv = (c.join(F.broadcast(nodes), on="node_id")
+               .withColumn("__cn", _norm(F.col("__cv"))))
+        out = (pairs.join(nv, on="node_id")
                     .join(F.broadcast(q), on="query_id")
                     .select("query_id", "node_id",
                             cosine_distance_prenorm(

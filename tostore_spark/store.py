@@ -1673,12 +1673,18 @@ def _cdc_base_state(engine, consumed, tail_keys):
     pre-images) and key anti-joins (the evolution): a pruned segment
     contains no row matching any tail key, so it can contribute no
     pre-image row and its absence cannot change any anti-join
-    survivor that a later semi-join would see.  Pruning is abandoned
-    (full fold, always correct) when a key frame is multi-column, the
-    collected key count exceeds ``_CDC_PRUNE_KEY_CAP``, or a segment
-    has no stats anywhere — absence of the optimization, never of
-    rows.  The count of pruned base roots lands in
-    ``engine._last_cdc_prune`` (kept, total) for tests/bench."""
+    survivor that a later semi-join would see.  A MULTI-COLUMN key
+    frame (composite PK / unique-index epochs) prunes on per-column
+    conjunctive IN conditions (r11-verdict order #7): a row matches
+    the tuple (a, b) only if its c1 ∈ {collected a values} AND its
+    c2 ∈ {collected b values}, so a segment refuting ANY column's
+    value set provably holds no matching row — conservative (the
+    conjunction over-admits cross-combinations) but sound.  Pruning is
+    abandoned (full fold, always correct) when the collected key count
+    exceeds ``_CDC_PRUNE_KEY_CAP`` or a segment has no stats anywhere
+    — absence of the optimization, never of rows.  The count of
+    pruned base roots lands in ``engine._last_cdc_prune``
+    (kept, total) for tests/bench."""
     from pyspark.sql import functions as F
 
     engine._last_cdc_prune = None
@@ -1691,16 +1697,19 @@ def _cdc_base_state(engine, consumed, tail_keys):
             total = 0
             for kf in tail_keys:
                 kcols = list(kf.columns)
-                if len(kcols) != 1:
-                    leaves = None
-                    break
-                vals = [r[0] for r in
-                        kf.limit(_CDC_PRUNE_KEY_CAP + 1 - total).collect()]
-                total += len(vals)
+                rows = kf.limit(_CDC_PRUNE_KEY_CAP + 1 - total).collect()
+                total += len(rows)
                 if total > _CDC_PRUNE_KEY_CAP:
                     leaves = None
                     break
-                leaves.append(ConditionNode("leaf", kcols[0], "IN", vals))
+                if len(kcols) == 1:
+                    leaves.append(ConditionNode(
+                        "leaf", kcols[0], "IN", [r[0] for r in rows]))
+                else:
+                    leaves.append(ConditionNode("and", children=[
+                        ConditionNode("leaf", c, "IN",
+                                      [r[c] for r in rows])
+                        for c in kcols]))
             if leaves:
                 node = (leaves[0] if len(leaves) == 1
                         else ConditionNode("or", children=leaves))
