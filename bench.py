@@ -209,7 +209,13 @@ def _sf1_spot(spark, sf_dir: str, headline_cold: dict) -> dict | None:
                  "interleaved text: near-dup pairs scale exactly 10x by "
                  "construction); cold/base_cold are MED-OF-3 measured "
                  "adjacently from a clean session (persistent RDD blocks "
-                 "released) — see bench.py _sf1_spot"),
+                 "released) — see bench.py _sf1_spot.  cold_x values are "
+                 "NOT comparable to r10/r11 spot ratios: those divided by "
+                 "the headline stage's SESSION-COLD first run (minhash "
+                 "base ~3.8s incl. first-parse/JIT) where this divides by "
+                 "the honest adjacent med-of-3 base (~0.9s) — same "
+                 "engine, stricter denominator; sub-linear (<10x on 10x "
+                 "data) is the contract being checked"),
     }
 
 
