@@ -430,6 +430,119 @@ class TestDeltaPartitionedExport:
         assert rows == {(1, 10), (2, 10), (3, 20)}
 
 
+class TestDeltaColumnMapping:
+    """'name'-mode column mapping (PROTOCOL.md): modern Delta tables
+    store PHYSICAL uuid-ish column names in the parquet files; logical
+    names + per-field delta.columnMapping.physicalName metadata live in
+    the schemaString.  The replay reader resolves them; 'id' mode and
+    deletion vectors still refuse."""
+
+    def _mapped_table(self, spark, d, partitioned=False):
+        import glob as _g
+        import shutil as _sh
+        log = os.path.join(d, "_delta_log")
+        os.makedirs(log)
+        # physical parquet: col-k1 long, col-n1 struct<col-a1 string>
+        for name, ks in (("f1.parquet", [1, 2]), ("f2.parquet", [3])):
+            spark.createDataFrame(
+                [(k, (f"s{k}",)) for k in ks],
+                "`col-k1` long, `col-n1` struct<`col-a1`: string>") \
+                .coalesce(1).write.mode("overwrite") \
+                .parquet(os.path.join(d, "_stage"))
+            part = _g.glob(os.path.join(d, "_stage", "*.parquet"))[0]
+            _sh.move(part, os.path.join(d, name))
+        schema_json = {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName":
+                                  "col-k1"}},
+                {"name": "info", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName":
+                                  "col-n1"},
+                 "type": {"type": "struct", "fields": [
+                     {"name": "a", "type": "string", "nullable": True,
+                      "metadata": {"delta.columnMapping.id": 3,
+                                   "delta.columnMapping.physicalName":
+                                       "col-a1"}}]}},
+            ],
+        }
+        pcols = []
+        if partitioned:
+            schema_json["fields"].append(
+                {"name": "p", "type": "integer", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 4,
+                              "delta.columnMapping.physicalName":
+                                  "col-p1"}})
+            pcols = ["p"]
+        meta = {"id": "x", "format": {"provider": "parquet"},
+                "schemaString": json.dumps(schema_json),
+                "partitionColumns": pcols,
+                "configuration": {"delta.columnMapping.mode": "name",
+                                  "delta.columnMapping.maxColumnId": "4"}}
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"protocol": {
+                "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+            fh.write(json.dumps({"metaData": meta}) + "\n")
+            for name, pv in (("f1.parquet", "10"), ("f2.parquet", "20")):
+                add = {"path": name, "partitionValues":
+                       ({"col-p1": pv} if partitioned else {}),
+                       "size": 1, "modificationTime": 0,
+                       "dataChange": True}
+                fh.write(json.dumps({"add": add}) + "\n")
+
+    def test_name_mapping_flat(self, spark, tmp_path):
+        from tostore_spark.plans.delta_export import read_delta
+        d = str(tmp_path / "ext")
+        self._mapped_table(spark, d)
+        out = read_delta(spark, d)
+        assert [f.name for f in out.schema.fields] == ["k", "info"]
+        assert out.schema["info"].dataType.fieldNames() == ["a"], \
+            "nested physical names must rename too"
+        rows = {(r["k"], r["info"]["a"]) for r in out.collect()}
+        assert rows == {(1, "s1"), (2, "s2"), (3, "s3")}
+
+    def test_name_mapping_partitioned(self, spark, tmp_path):
+        from tostore_spark.plans.delta_export import read_delta
+        d = str(tmp_path / "ext")
+        self._mapped_table(spark, d, partitioned=True)
+        out = read_delta(spark, d)
+        rows = {(r["k"], r["info"]["a"], r["p"]) for r in out.collect()}
+        assert rows == {(1, "s1", 10), (2, "s2", 10), (3, "s3", 20)}
+        assert dict(out.dtypes)["p"] == "int"
+
+    def test_id_mode_and_dv_features_refuse(self, spark, tmp_path):
+        import pytest
+
+        from tostore_spark.plans.delta_export import read_delta
+        d = str(tmp_path / "ext")
+        self._mapped_table(spark, d)
+        log = os.path.join(d, "_delta_log", f"{0:020d}.json")
+        lines = open(log).read().replace('"name"', '"id"')
+        open(log, "w").write(lines)
+        with pytest.raises(ValueError, match="column mapping mode"):
+            read_delta(spark, d)
+        # mrv=3 + columnMapping alone is fine; + deletionVectors refuses
+        d2 = str(tmp_path / "ext2")
+        self._mapped_table(spark, d2)
+        log2 = os.path.join(d2, "_delta_log", f"{0:020d}.json")
+        lines = open(log2).read().replace(
+            json.dumps({"protocol": {"minReaderVersion": 2,
+                                     "minWriterVersion": 5}}),
+            json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping"]}}))
+        open(log2, "w").write(lines)
+        assert read_delta(spark, d2).count() == 3
+        lines = lines.replace('["columnMapping"]',
+                              '["columnMapping", "deletionVectors"]')
+        open(log2, "w").write(lines)
+        with pytest.raises(ValueError, match="deletionVectors"):
+            read_delta(spark, d2)
+
+
 class TestDeltaCheckpointWrite:
     def test_periodic_checkpoint_replays_identically(self, spark,
                                                      tmp_path):

@@ -395,15 +395,36 @@ def _export_update(engine, table: str, path: str) -> dict:
 # reader: transaction-log replay
 # ---------------------------------------------------------------------
 
+#: reader features this replay reader actually implements: column
+#: mapping in NAME mode (physical-name reads, _column_mapped_read) and
+#: NTZ timestamps (plain parquet NTZ, which Spark reads natively).
+#: Everything else — deletionVectors, v2Checkpoint, 'id'-mode mapping —
+#: still refuses loudly: a naive replay would return wrong rows.
+_SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz"}
+
+
 def _apply_action(state: dict, a: dict) -> None:
     if "protocol" in a:
-        mrv = int(a["protocol"].get("minReaderVersion", 1))
-        if mrv > 1:
-            raise ValueError(
-                f"delta table needs minReaderVersion {mrv}; this "
-                "replay reader supports 1 (no deletion vectors / "
-                "column mapping) — reading anyway would return "
-                "wrong rows")
+        proto = a["protocol"]
+        mrv = int(proto.get("minReaderVersion", 1))
+        feats = set(proto.get("readerFeatures") or [])
+        if mrv == 2:
+            pass        # column mapping possible; resolved per-table
+                        # from the metaData configuration at read time
+        elif mrv >= 3:
+            if "readerFeatures" not in proto:
+                raise ValueError(
+                    f"delta table needs minReaderVersion {mrv} but "
+                    "lists no readerFeatures — cannot prove the "
+                    "required features are supported; reading anyway "
+                    "could return wrong rows")
+            bad = feats - _SUPPORTED_READER_FEATURES
+            if bad:
+                raise ValueError(
+                    f"delta table needs minReaderVersion {mrv} with "
+                    f"reader features {sorted(bad)}; this replay "
+                    f"reader supports {sorted(_SUPPORTED_READER_FEATURES)}"
+                    " — reading anyway would return wrong rows")
     elif "metaData" in a:
         state["meta"] = a["metaData"]
     elif "add" in a:
@@ -497,12 +518,45 @@ def _hive_layout(files: dict, pcols: list[str]) -> bool:
     return True
 
 
+def _physical_schema(schema):
+    """('name'-mode column mapping, PROTOCOL.md "Column Mapping"): the
+    schemaString's logical fields each carry a
+    ``delta.columnMapping.physicalName`` metadata key naming the field
+    as it exists in the parquet files.  Returns (physical StructType,
+    {logical top-level name: physical top-level name}).  Nested struct
+    fields rename recursively; the read-side inverse is a by-position
+    struct CAST back to the logical type (Spark casts struct→struct
+    positionally, which renames every nesting level in one move)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    def conv_dt(dt):
+        if isinstance(dt, StructType):
+            return StructType([conv_field(f) for f in dt.fields])
+        if isinstance(dt, ArrayType):
+            return ArrayType(conv_dt(dt.elementType), dt.containsNull)
+        if isinstance(dt, MapType):
+            return MapType(conv_dt(dt.keyType), conv_dt(dt.valueType),
+                           dt.valueContainsNull)
+        return dt
+
+    def conv_field(f):
+        phys = (f.metadata or {}).get(
+            "delta.columnMapping.physicalName", f.name)
+        return StructField(phys, conv_dt(f.dataType), f.nullable)
+
+    fields = [conv_field(f) for f in schema.fields]
+    return (StructType(fields),
+            {lf.name: pf.name for lf, pf in zip(schema.fields, fields)})
+
+
 def read_delta(spark, path: str, version: int | None = None):
     """Read a Delta table by replaying its transaction log — the
-    no-library read-back for ``export_delta`` outputs AND for simple
-    external Delta tables (minReaderVersion 1).  ``version`` time-
-    travels to that commit.  Hive-style ``partitionValues`` attach as
-    literal columns typed per the schema."""
+    no-library read-back for ``export_delta`` outputs AND for external
+    Delta tables (minReaderVersion 1, plus 'name'-mode column mapping
+    under minReaderVersion 2/3 — deletion vectors / v2 checkpoints /
+    'id'-mode mapping still refuse loudly).  ``version`` time-travels
+    to that commit.  Hive-style ``partitionValues`` attach as literal
+    columns typed per the schema."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
     p = path[len("file:"):] if path.startswith("file:") else path
@@ -511,13 +565,33 @@ def read_delta(spark, path: str, version: int | None = None):
         json.loads(state["meta"]["schemaString"]))
     pcols = list(state["meta"].get("partitionColumns") or [])
     files = state["files"]
+    cm_mode = (state["meta"].get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
+    if cm_mode in ("none", ""):
+        pschema, top_map = schema, {f.name: f.name for f in schema.fields}
+    elif cm_mode == "name":
+        pschema, top_map = _physical_schema(schema)
+    else:
+        raise ValueError(
+            f"delta column mapping mode {cm_mode!r} unsupported — only "
+            "'name' (physical-name reads); 'id' needs parquet field-id "
+            "resolution this reader does not do")
+
+    def _finish(df):
+        # physical → logical: rename top level, CAST renames nested
+        if cm_mode in ("none", ""):
+            return df
+        return df.select(*[
+            F.col(top_map[f.name]).cast(f.dataType).alias(f.name)
+            for f in schema.fields])
+
     if not files:
         return spark.createDataFrame([], schema)
     if not pcols:
-        return (spark.read.schema(schema)
-                .parquet(*[os.path.join(p, rel) for rel in
-                           sorted(files)]))
-    if _hive_layout(files, pcols):
+        return _finish(
+            spark.read.schema(pschema)
+            .parquet(*[os.path.join(p, rel) for rel in sorted(files)]))
+    if cm_mode in ("none", "") and _hive_layout(files, pcols):
         # the live files sit in a hive ``c=v`` directory layout whose
         # decoded values AGREE with the log's partitionValues (always
         # true for export_delta's own output): ONE partition-discovered
@@ -531,24 +605,28 @@ def read_delta(spark, path: str, version: int | None = None):
                 .select(*[f.name for f in schema.fields]))
     # foreign non-hive layout: partition data exists ONLY in the log —
     # group files by their partition tuple and attach the values as
-    # typed literal columns (one grouped read per distinct tuple)
+    # typed literal columns (one grouped read per distinct tuple).
+    # Under 'name' mapping everything below runs in PHYSICAL names
+    # (partitionValues are keyed by physical name per the spec);
+    # _finish renames back once at the end.
+    phys_pcols = [top_map[c] for c in pcols]
     data_schema = StructType(
-        [f for f in schema.fields if f.name not in pcols])
+        [f for f in pschema.fields if f.name not in phys_pcols])
     by_part: dict = {}
     for rel, add in files.items():
         pv = tuple((add.get("partitionValues") or {}).get(c)
-                   for c in pcols)
+                   for c in phys_pcols)
         by_part.setdefault(pv, []).append(rel)
     out = None
     for pv, rels in sorted(by_part.items(),
                            key=lambda kv: tuple(str(x) for x in kv[0])):
         part = spark.read.schema(data_schema).parquet(
             *[os.path.join(p, rel) for rel in sorted(rels)])
-        for c, v in zip(pcols, pv):
+        for c, pc, v in zip(pcols, phys_pcols, pv):
             typ = schema[c].dataType
             part = part.withColumn(
-                c, F.lit(v).cast(typ) if v is not None
+                pc, F.lit(v).cast(typ) if v is not None
                 else F.lit(None).cast(typ))
-        part = part.select(*[f.name for f in schema.fields])
+        part = part.select(*[f.name for f in pschema.fields])
         out = part if out is None else out.unionByName(part)
-    return out
+    return _finish(out)
