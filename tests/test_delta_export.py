@@ -543,6 +543,182 @@ class TestDeltaColumnMapping:
             read_delta(spark, d2)
 
 
+def _ser_dv(positions):
+    """Test-side RoaringBitmapArray serializer (array containers only)
+    — the parser is ALSO pinned against hand-computed byte fixtures
+    below, so this round-trip is not the only evidence."""
+    import struct
+    from collections import defaultdict
+    by64 = defaultdict(lambda: defaultdict(list))
+    for v in sorted(positions):
+        by64[v >> 32][(v >> 16) & 0xFFFF].append(v & 0xFFFF)
+    out = struct.pack("<i", 1681511377) + struct.pack("<q", len(by64))
+    for k64, conts in sorted(by64.items()):
+        out += struct.pack("<i", k64)
+        body = struct.pack("<ii", 12346, len(conts))
+        for k16, vals in sorted(conts.items()):
+            body += struct.pack("<HH", k16, len(vals) - 1)
+        off0 = 8 + 8 * len(conts)
+        offs, data = b"", b""
+        for k16, vals in sorted(conts.items()):
+            offs += struct.pack("<I", off0 + len(data))
+            data += struct.pack(f"<{len(vals)}H", *vals)
+        out += body + offs + data
+    return out
+
+
+class TestDeltaDeletionVectorDecode:
+    def test_hand_computed_array_fixture(self):
+        """Byte-level pin of the portable format: magic + 1 bitmap,
+        key 0, no-run cookie, containers {0: [1,3], 1: [4464]} —
+        positions {1, 3, 70000}."""
+        import struct
+
+        from tostore_spark.plans.delta_dv import _parse_bitmap_array
+        blob = (struct.pack("<i", 1681511377) + struct.pack("<q", 1)
+                + struct.pack("<i", 0)
+                + struct.pack("<ii", 12346, 2)
+                + struct.pack("<HH", 0, 1) + struct.pack("<HH", 1, 0)
+                + struct.pack("<II", 24, 28)
+                + struct.pack("<HH", 1, 3) + struct.pack("<H", 4464))
+        assert _parse_bitmap_array(blob) == [1, 3, 70000]
+        # test serializer agrees with the hand fixture byte-for-byte
+        assert _ser_dv([1, 3, 70000]) == blob
+
+    def test_hand_computed_run_fixture(self):
+        """Run-container variant: cookie 12347, 1 container (count in
+        the upper cookie bits), run bitset 0b1, no offsets (<4
+        containers), one run start=5 len=4 → positions 5..9."""
+        import struct
+
+        from tostore_spark.plans.delta_dv import _parse_bitmap_array
+        blob = (struct.pack("<i", 1681511377) + struct.pack("<q", 1)
+                + struct.pack("<i", 0)
+                + struct.pack("<i", 12347 | (0 << 16))
+                + bytes([0b1])
+                + struct.pack("<HH", 0, 4)
+                + struct.pack("<H", 1) + struct.pack("<HH", 5, 4))
+        assert _parse_bitmap_array(blob) == [5, 6, 7, 8, 9]
+
+    def test_bitmap_container_and_high_key(self):
+        import struct
+
+        from tostore_spark.plans.delta_dv import _parse_bitmap_array
+        # 5000 even values → bitmap container (card > 4096): bytes of
+        # 0b01010101; plus a second 64-bit key to pin the << 32 math
+        bits = bytes([0x55] * 1250) + bytes(8192 - 1250)
+        blob = (struct.pack("<i", 1681511377) + struct.pack("<q", 2)
+                + struct.pack("<i", 0)
+                + struct.pack("<ii", 12346, 1)
+                + struct.pack("<HH", 0, 4999)
+                + struct.pack("<I", 16) + bits
+                + struct.pack("<i", 3)          # 64-bit key 3
+                + struct.pack("<ii", 12346, 1)
+                + struct.pack("<HH", 0, 0)
+                + struct.pack("<I", 16) + struct.pack("<H", 7))
+        vals = _parse_bitmap_array(blob)
+        assert vals[:3] == [0, 2, 4] and len(vals) == 5001
+        assert vals[4999] == 9998 and vals[5000] == (3 << 32) | 7
+
+    def test_corrupt_refuses(self):
+        import pytest
+
+        from tostore_spark.plans.delta_dv import _parse_bitmap_array
+        with pytest.raises(ValueError, match="magic"):
+            _parse_bitmap_array(b"\x00" * 16)
+        with pytest.raises(ValueError, match="trailing"):
+            _parse_bitmap_array(_ser_dv([1]) + b"\x00")
+
+
+class TestDeltaDeletionVectorRead:
+    def _dv_table(self, spark, d, dv_desc):
+        import glob as _g
+        import shutil as _sh
+        log = os.path.join(d, "_delta_log")
+        os.makedirs(log)
+        spark.createDataFrame([(k,) for k in range(10)], "k long") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(d, "_stage"))
+        part = _g.glob(os.path.join(d, "_stage", "*.parquet"))[0]
+        _sh.move(part, os.path.join(d, "f1.parquet"))
+        from pyspark.sql.types import LongType, StructField, StructType
+        schema = StructType([StructField("k", LongType())])
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"]}}) + "\n")
+            fh.write(json.dumps({"metaData": {
+                "id": "x", "format": {"provider": "parquet"},
+                "schemaString": schema.json(),
+                "partitionColumns": []}}) + "\n")
+            fh.write(json.dumps({"add": {
+                "path": "f1.parquet", "partitionValues": {},
+                "size": 1, "modificationTime": 0, "dataChange": True,
+                "deletionVector": dv_desc}}) + "\n")
+
+    def test_inline_dv_filters_rows(self, spark, tmp_path):
+        import base64
+
+        from tostore_spark.plans.delta_export import read_delta
+        d = str(tmp_path / "ext")
+        blob = _ser_dv([1, 3, 7])
+        self._dv_table(spark, d, {
+            "storageType": "i",
+            "pathOrInlineDv": base64.b85encode(blob).decode(),
+            "sizeInBytes": len(blob), "cardinality": 3})
+        out = sorted(r["k"] for r in read_delta(spark, d).collect())
+        assert out == [0, 2, 4, 5, 6, 8, 9], \
+            "rows at positions 1, 3, 7 must be deleted"
+
+    def test_ondisk_uuid_dv_with_checksum(self, spark, tmp_path):
+        import base64
+        import struct
+        import uuid
+        import zlib
+
+        from tostore_spark.plans.delta_export import read_delta
+        d = str(tmp_path / "ext")
+        blob = _ser_dv([0, 9])
+        u = uuid.uuid4()
+        dv_desc = {"storageType": "u",
+                   "pathOrInlineDv": base64.b85encode(u.bytes).decode(),
+                   "offset": 1, "sizeInBytes": len(blob),
+                   "cardinality": 2}
+        self._dv_table(spark, d, dv_desc)
+        with open(os.path.join(d, f"deletion_vector_{u}.bin"),
+                  "wb") as fh:
+            fh.write(b"\x01")                       # format version
+            fh.write(struct.pack(">i", len(blob)))
+            fh.write(blob)
+            fh.write(struct.pack(">I", zlib.crc32(blob) & 0xFFFFFFFF))
+        out = sorted(r["k"] for r in read_delta(spark, d).collect())
+        assert out == list(range(1, 9))
+        # corrupt one data byte → checksum refusal, never wrong rows
+        path = os.path.join(d, f"deletion_vector_{u}.bin")
+        raw = bytearray(open(path, "rb").read())
+        raw[7] ^= 0xFF
+        open(path, "wb").write(bytes(raw))
+        import pytest
+        with pytest.raises(ValueError, match="checksum|magic|bytes"):
+            read_delta(spark, d).collect()
+
+    def test_cardinality_mismatch_refuses(self, spark, tmp_path):
+        import base64
+
+        import pytest
+
+        from tostore_spark.plans.delta_export import read_delta
+        d = str(tmp_path / "ext")
+        blob = _ser_dv([1, 3])
+        self._dv_table(spark, d, {
+            "storageType": "i",
+            "pathOrInlineDv": base64.b85encode(blob).decode(),
+            "sizeInBytes": len(blob), "cardinality": 5})
+        with pytest.raises(ValueError, match="cardinality"):
+            read_delta(spark, d)
+
+
 class TestDeltaCheckpointWrite:
     def test_periodic_checkpoint_replays_identically(self, spark,
                                                      tmp_path):

@@ -396,11 +396,14 @@ def _export_update(engine, table: str, path: str) -> dict:
 # ---------------------------------------------------------------------
 
 #: reader features this replay reader actually implements: column
-#: mapping in NAME mode (physical-name reads, _column_mapped_read) and
-#: NTZ timestamps (plain parquet NTZ, which Spark reads natively).
-#: Everything else — deletionVectors, v2Checkpoint, 'id'-mode mapping —
-#: still refuses loudly: a naive replay would return wrong rows.
-_SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz"}
+#: mapping in NAME mode (physical-name reads), NTZ timestamps (plain
+#: parquet NTZ, which Spark reads natively), and DELETION VECTORS
+#: (plans/delta_dv decodes the roaring position bitmaps; the scan
+#: anti-joins them on ``_metadata.row_index``).  Everything else —
+#: v2Checkpoint, 'id'-mode mapping — still refuses loudly: a naive
+#: replay would return wrong rows.
+_SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz",
+                              "deletionVectors"}
 
 
 def _apply_action(state: dict, a: dict) -> None:
@@ -585,12 +588,64 @@ def read_delta(spark, path: str, version: int | None = None):
             F.col(top_map[f.name]).cast(f.dataType).alias(f.name)
             for f in schema.fields])
 
+    # deletion vectors: decode every carried descriptor to (file
+    # basename, row position) pairs ONCE — |positions| = |deleted
+    # rows|, the same O(delta) driver class as the store's own
+    # broadcast key frames (cap: delta_dv.MAX_TOTAL_POSITIONS).  Each
+    # scan then anti-joins on (_metadata file basename, row_index) —
+    # exactly the merge-on-read fold the store applies to its own
+    # deletion vectors, keyed by physical position instead of PK.
+    dv_pos = None
+    dv_files = {rel: add for rel, add in files.items()
+                if add.get("deletionVector")}
+    if dv_files:
+        from tostore_spark.plans.delta_dv import (MAX_TOTAL_POSITIONS,
+                                                  decode_deletion_vector)
+        total_card = sum(int(a["deletionVector"].get("cardinality") or 0)
+                         for a in dv_files.values())
+        if total_card > MAX_TOTAL_POSITIONS:
+            raise ValueError(
+                f"deletion vectors carry {total_card} positions, over "
+                f"the driver-side bound {MAX_TOTAL_POSITIONS}")
+        base_names = [rel.split("/")[-1] for rel in files]
+        if len(set(base_names)) != len(base_names):
+            raise ValueError(
+                "duplicate data-file basenames; cannot key deletion "
+                "vectors by file name")
+        rows = []
+        for rel, add in dv_files.items():
+            name = rel.split("/")[-1]
+            if any(ch in name for ch in " %#?"):
+                raise ValueError(
+                    f"data file name {name!r} needs URI escaping; "
+                    "refusing to key its deletion vector")
+            for v in decode_deletion_vector(p, add["deletionVector"]):
+                rows.append((name, v))
+        dv_pos = spark.createDataFrame(
+            rows, "__dv_file string, __dv_pos long")
+
+    def _dv_filter(df):
+        # must run directly on a scan output (hidden _metadata column)
+        if dv_pos is None:
+            return df
+        keep = df.columns
+        keyed = (df
+                 .withColumn("__dv_file",
+                             F.element_at(
+                                 F.split(F.col("_metadata.file_path"),
+                                         "/"), -1))
+                 .withColumn("__dv_pos", F.col("_metadata.row_index")))
+        return (keyed.join(F.broadcast(dv_pos),
+                           on=["__dv_file", "__dv_pos"],
+                           how="left_anti")
+                .select(*keep))
+
     if not files:
         return spark.createDataFrame([], schema)
     if not pcols:
-        return _finish(
+        return _finish(_dv_filter(
             spark.read.schema(pschema)
-            .parquet(*[os.path.join(p, rel) for rel in sorted(files)]))
+            .parquet(*[os.path.join(p, rel) for rel in sorted(files)])))
     if cm_mode in ("none", "") and _hive_layout(files, pcols):
         # the live files sit in a hive ``c=v`` directory layout whose
         # decoded values AGREE with the log's partitionValues (always
@@ -599,10 +654,10 @@ def read_delta(spark, path: str, version: int | None = None):
         # unionByName fold — a 1,000-partition table gets a 1-branch
         # plan, and the partition columns come back typed per the
         # schema (r11-verdict scalability order)
-        return (spark.read.schema(schema).option("basePath", p)
-                .parquet(*[os.path.join(p, rel) for rel in
-                           sorted(files)])
-                .select(*[f.name for f in schema.fields]))
+        return _dv_filter(
+            spark.read.schema(schema).option("basePath", p)
+            .parquet(*[os.path.join(p, rel) for rel in sorted(files)])
+        ).select(*[f.name for f in schema.fields])
     # foreign non-hive layout: partition data exists ONLY in the log —
     # group files by their partition tuple and attach the values as
     # typed literal columns (one grouped read per distinct tuple).
@@ -620,8 +675,8 @@ def read_delta(spark, path: str, version: int | None = None):
     out = None
     for pv, rels in sorted(by_part.items(),
                            key=lambda kv: tuple(str(x) for x in kv[0])):
-        part = spark.read.schema(data_schema).parquet(
-            *[os.path.join(p, rel) for rel in sorted(rels)])
+        part = _dv_filter(spark.read.schema(data_schema).parquet(
+            *[os.path.join(p, rel) for rel in sorted(rels)]))
         for c, pc, v in zip(pcols, phys_pcols, pv):
             typ = schema[c].dataType
             part = part.withColumn(
