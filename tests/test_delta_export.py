@@ -537,9 +537,9 @@ class TestDeltaColumnMapping:
         open(log2, "w").write(lines)
         assert read_delta(spark, d2).count() == 3
         lines = lines.replace('["columnMapping"]',
-                              '["columnMapping", "deletionVectors"]')
+                              '["columnMapping", "v2Checkpoint"]')
         open(log2, "w").write(lines)
-        with pytest.raises(ValueError, match="deletionVectors"):
+        with pytest.raises(ValueError, match="v2Checkpoint"):
             read_delta(spark, d2)
 
 
@@ -717,6 +717,137 @@ class TestDeltaDeletionVectorRead:
             "sizeInBytes": len(blob), "cardinality": 5})
         with pytest.raises(ValueError, match="cardinality"):
             read_delta(spark, d)
+
+
+class TestDeltaDvExport:
+    def test_delete_epoch_commits_dv_not_refresh(self, spark, tmp_path):
+        """deletion_vectors=True: a pure-delete store epoch exports as
+        ONE merge-on-read commit — inline roaring descriptor on the
+        existing file, protocol upgraded, every version readable —
+        instead of a full remove+add refresh."""
+        from tostore_spark.plans.delta_export import read_delta
+        wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+        db = _mk(spark, wh, rows=20)
+        db.export_delta("notes", dest, target_files=1)       # v0
+        db.delete("notes").where("id", "IN",
+                                 ["k003", "k007", "k011"]).execute()
+        db.flush()                                   # del epoch
+        rep = db.export_delta("notes", dest, mode="update",
+                              deletion_vectors=True)
+        assert rep["commit"] == "dv" and rep["version"] == 1
+        assert rep["dv_positions"] == 3 and rep["files"] == 0, \
+            "a 3-row delete must not restage the table"
+        log = os.path.join(dest, "_delta_log", f"{1:020d}.json")
+        actions = [json.loads(x) for x in open(log)]
+        protos = [a["protocol"] for a in actions if "protocol" in a]
+        assert protos and protos[0]["minReaderVersion"] == 3
+        assert "deletionVectors" in protos[0]["readerFeatures"]
+        dv_adds = [a["add"] for a in actions
+                   if "add" in a and a["add"].get("deletionVector")]
+        assert len(dv_adds) == 1
+        assert dv_adds[0]["deletionVector"]["storageType"] == "i"
+        assert dv_adds[0]["deletionVector"]["cardinality"] == 3
+        assert _collect_sorted(read_delta(spark, dest)) == \
+            _collect_sorted(db.df("notes"))
+        assert read_delta(spark, dest, version=0).count() == 20
+        # second delete epoch: descriptor accumulates
+        db.delete("notes").where("id", "=", "k000").execute()
+        db.flush()
+        rep2 = db.export_delta("notes", dest, mode="update",
+                               deletion_vectors=True)
+        assert rep2["commit"] == "dv"
+        assert _collect_sorted(read_delta(spark, dest)) == \
+            _collect_sorted(db.df("notes"))
+        assert read_delta(spark, dest).count() == 16
+        assert read_delta(spark, dest, version=1).count() == 17
+
+    def test_replace_epoch_and_del_after_seg(self, spark, tmp_path):
+        """Upserts (replace epochs: del+seg pairs) and a delete that
+        lands on a segment staged in the SAME update both export
+        incrementally — positions are probed in recipe order, so a
+        delete never touches a file staged after it."""
+        from tostore_spark.plans.delta_export import read_delta
+        wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+        db = _mk(spark, wh, rows=10)
+        db.export_delta("notes", dest, target_files=1)       # v0
+        db.batch_upsert("notes", [{"id": "k004", "body": "EDIT"},
+                                  {"id": "zz", "body": "NEW", "n": 99}])
+        db.flush()                                   # replace epoch
+        db.batch_insert("notes", [{"id": f"y{i}", "body": "late",
+                                   "n": 200 + i} for i in range(4)])
+        db.flush()                                   # seg epoch
+        db.delete("notes").where("id", "IN", ["y1", "k008"]).execute()
+        db.flush()                                   # del epoch
+        rep = db.export_delta("notes", dest, mode="update",
+                              deletion_vectors=True)
+        assert rep["commit"] == "dv"
+        assert rep["rows"] == 6, "replace + insert rows staged"
+        back = read_delta(spark, dest)
+        assert _collect_sorted(back) == _collect_sorted(db.df("notes"))
+        got = {r["id"]: r["body"] for r in back.collect()}
+        assert got["k004"] == "EDIT" and "y1" not in got \
+            and "k008" not in got and got["y2"] == "late"
+        # the staged segment hit by the later delete carries its own
+        # inline descriptor (del-after-seg within one tail)
+        log = os.path.join(dest, "_delta_log", f"{1:020d}.json")
+        actions = [json.loads(x) for x in open(log)]
+        fresh_dv = [a["add"] for a in actions
+                    if "add" in a and a["add"].get("deletionVector")
+                    and a["add"]["path"].startswith("v00001-")]
+        assert fresh_dv, "fresh segment must carry its own descriptor"
+
+    def test_fully_deleted_file_removes(self, spark, tmp_path):
+        from tostore_spark.plans.delta_export import read_delta
+        wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+        db = _mk(spark, wh, rows=6)
+        db.export_delta("notes", dest, target_files=1)
+        db.delete("notes").where(
+            "id", "IN", [f"k{i:03d}" for i in range(6)]).execute()
+        db.flush()
+        rep = db.export_delta("notes", dest, mode="update",
+                              deletion_vectors=True)
+        assert rep["commit"] == "dv"
+        log = os.path.join(dest, "_delta_log", f"{1:020d}.json")
+        actions = [json.loads(x) for x in open(log)]
+        assert any("remove" in a for a in actions)
+        assert not any("add" in a and a["add"].get("deletionVector")
+                       for a in actions), \
+            "a fully-deleted file is a plain remove, not a DV add"
+        assert read_delta(spark, dest).count() == 0
+        assert read_delta(spark, dest, version=0).count() == 6
+
+    def test_default_stays_refresh_and_checkpoint_upgrades(self, spark,
+                                                           tmp_path):
+        """Without the opt-in flag, deletes still refresh (old readers
+        keep working); and a checkpoint folded past a DV commit carries
+        the UPGRADED protocol."""
+        import pyarrow.parquet as pq
+
+        from tostore_spark.plans.delta_export import (_write_checkpoint,
+                                                      read_delta)
+        wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+        db = _mk(spark, wh, rows=8)
+        db.export_delta("notes", dest, target_files=1)
+        db.delete("notes").where("id", "=", "k002").execute()
+        db.flush()
+        rep = db.export_delta("notes", dest, mode="update")
+        assert rep["commit"] == "refresh", \
+            "deletion vectors must stay opt-in"
+        db.delete("notes").where("id", "=", "k003").execute()
+        db.flush()
+        rep2 = db.export_delta("notes", dest, mode="update",
+                               deletion_vectors=True)
+        assert rep2["commit"] == "dv"
+        _write_checkpoint(dest, rep2["version"])
+        ck = os.path.join(dest, "_delta_log",
+                          f"{rep2['version']:020d}.checkpoint.parquet")
+        rows = pq.read_table(ck).to_pylist()
+        proto = next(r["protocol"] for r in rows
+                     if r.get("protocol") is not None)
+        assert proto["minReaderVersion"] == 3
+        assert "deletionVectors" in proto["readerFeatures"]
+        # replay FROM the checkpoint applies the vectors
+        assert read_delta(spark, dest).count() == 6
 
 
 class TestDeltaCheckpointWrite:

@@ -1442,17 +1442,21 @@ class ToStoreSpark:
 
     def export_delta(self, table: str, dest: str, mode: str = "error",
                      target_files: Optional[int] = None,
-                     allow_decrypted: bool = False) -> dict:
+                     allow_decrypted: bool = False,
+                     deletion_vectors: bool = False) -> dict:
         """Export the table's current version (segments unioned,
         deletion vectors resolved) as a standard Delta Lake table —
         protocol/metaData/add log with per-file footer stats — so
         external Delta readers can consume it without the store's
         manifest (plans/delta_export; the SURVEY's table-format
-        interop rung)."""
+        interop rung).  ``deletion_vectors=True`` lets updates commit
+        merge-on-read vectors for delete/replace epochs (opt-in:
+        upgrades the export's reader protocol)."""
         from tostore_spark.plans.delta_export import export_delta as _ed
         return _ed(self, table, dest, mode=mode,
                    target_files=target_files,
-                   allow_decrypted=allow_decrypted)
+                   allow_decrypted=allow_decrypted,
+                   deletion_vectors=deletion_vectors)
 
     def register_delta(self, name: str, path: str,
                        version: Optional[int] = None,

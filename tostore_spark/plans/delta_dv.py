@@ -45,7 +45,8 @@ import struct
 import uuid as _uuid
 import zlib
 
-__all__ = ["decode_deletion_vector", "dv_file_name"]
+__all__ = ["decode_deletion_vector", "dv_file_name",
+           "encode_bitmap_array", "inline_descriptor"]
 
 _MAGIC = 1681511377
 _SERIAL_COOKIE_NO_RUN = 12346
@@ -133,6 +134,54 @@ def _parse_bitmap_array(data: bytes) -> list[int]:
         raise ValueError(
             f"deletion vector has {len(data) - pos} trailing bytes")
     return sorted(out)
+
+
+def encode_bitmap_array(positions) -> bytes:
+    """Sorted-deduped row positions → serialized RoaringBitmapArray
+    (the exact format ``_parse_bitmap_array`` reads): array containers
+    up to 4096 values, bitmap containers above — the write side of the
+    export's deletion-vector commits.  Round-trip with the parser is
+    pinned by pytest alongside the hand-computed byte fixtures."""
+    from collections import defaultdict
+    by64: dict = defaultdict(lambda: defaultdict(list))
+    for v in sorted(set(int(x) for x in positions)):
+        if v < 0:
+            raise ValueError(f"negative row position {v}")
+        by64[v >> 32][(v >> 16) & 0xFFFF].append(v & 0xFFFF)
+    out = [struct.pack("<i", _MAGIC), struct.pack("<q", len(by64))]
+    for k64, conts in sorted(by64.items()):
+        out.append(struct.pack("<i", k64))
+        n = len(conts)
+        out.append(struct.pack("<ii", _SERIAL_COOKIE_NO_RUN, n))
+        for k16, vals in sorted(conts.items()):
+            out.append(struct.pack("<HH", k16, len(vals) - 1))
+        offs, data_parts = [], []
+        cur = 8 + 8 * n
+        for k16, vals in sorted(conts.items()):
+            offs.append(struct.pack("<I", cur))
+            if len(vals) > 4096:
+                bits = bytearray(8192)
+                for v in vals:
+                    bits[v >> 3] |= 1 << (v & 7)
+                d = bytes(bits)
+            else:
+                d = struct.pack(f"<{len(vals)}H", *vals)
+            data_parts.append(d)
+            cur += len(d)
+        out += offs + data_parts
+    return b"".join(out)
+
+
+def inline_descriptor(positions) -> dict:
+    """Positions → an inline ('i') deletionVector descriptor for an
+    add action: the serialized bitmap rides the log itself (Base85,
+    RFC 1924 alphabet), no sidecar file — the right shape for the
+    O(deleted-rows) vectors an incremental export commits."""
+    data = encode_bitmap_array(positions)
+    return {"storageType": "i",
+            "pathOrInlineDv": base64.b85encode(data).decode("ascii"),
+            "sizeInBytes": len(data),
+            "cardinality": len(set(int(x) for x in positions))}
 
 
 def dv_file_name(table_path: str, path_or_inline: str) -> str:

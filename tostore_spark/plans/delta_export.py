@@ -195,8 +195,13 @@ def _write_checkpoint(path: str, version: int) -> None:
                     if not (isinstance(v, dict) and not v)}
         return obj
 
+    proto = state.get("protocol") or {"minReaderVersion": 1,
+                                      "minWriterVersion": 2}
     rows = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+        # the FOLDED protocol — a checkpoint of a deletion-vector
+        # table must carry the upgraded version, or a reader starting
+        # here would miss the feature gate and return un-deleted rows
+        {"protocol": _strip_empty(proto),
          "metaData": None, "add": None, "remove": None},
         {"protocol": None, "metaData": _strip_empty(state["meta"]),
          "add": None, "remove": None},
@@ -236,7 +241,8 @@ def _norm_ops(ent) -> list[list[str]]:
 def export_delta(engine, table: str, dest: str,
                  mode: str = "error",
                  target_files: int | None = None,
-                 allow_decrypted: bool = False) -> dict:
+                 allow_decrypted: bool = False,
+                 deletion_vectors: bool = False) -> dict:
     """Export ``table`` to a Delta table at ``dest``.
 
     ``mode``: ``"error"`` (default — refuse a non-empty dest),
@@ -244,10 +250,18 @@ def export_delta(engine, table: str, dest: str,
     the NEXT commit to an existing export: add-only when the store
     recipe extended by pure appends since the last export, a
     remove+add full refresh otherwise; on a fresh dest, same as v0).
-    Deletion vectors / replace epochs are resolved by construction —
-    the exported data derives from ``engine.df(table)``.  Returns
-    ``{"files", "rows", "path", "version", "commit"}`` where commit ∈
-    {snapshot, append, refresh}."""
+    Store deletion vectors / replace epochs are resolved by
+    construction — the exported data derives from ``engine.df(table)``.
+
+    ``deletion_vectors=True`` (opt-in): an update whose tail is
+    segs+dels commits Delta MERGE-ON-READ deletion vectors instead of
+    a full refresh — deleted rows become inline roaring position
+    bitmaps on the existing add actions (exporting a 100-row delete
+    from a 100 TB table costs the key set, not a rewrite).  Opt-in
+    because the commit upgrades the table protocol to
+    minReaderVersion 3 (deletionVectors feature), which older external
+    readers refuse.  Returns ``{"files", "rows", "path", "version",
+    "commit"}`` where commit ∈ {snapshot, append, dv, refresh}."""
     if mode not in ("error", "overwrite", "update"):
         raise ValueError(f"unknown export_delta mode {mode!r}")
     try:
@@ -275,7 +289,8 @@ def export_delta(engine, table: str, dest: str,
             shutil.rmtree(path)
             has_log = False
     if mode == "update" and has_log:
-        return _export_update(engine, table, path)
+        return _export_update(engine, table, path,
+                              deletion_vectors=deletion_vectors)
     # ---- commit v0: full snapshot -----------------------------------
     df = engine.df(table)
     pby = list(engine._tables[engine._resolve(table)]
@@ -323,7 +338,8 @@ def _write_state(engine, table: str, path: str, version: int) -> None:
     os.replace(tmp, os.path.join(path, _STATE_SIDECAR))
 
 
-def _export_update(engine, table: str, path: str) -> dict:
+def _export_update(engine, table: str, path: str,
+                   deletion_vectors: bool = False) -> dict:
     from tostore_spark.store import _decrypt_for
     key = engine._resolve(table)
     ent = engine._tables[key]
@@ -337,14 +353,18 @@ def _export_update(engine, table: str, path: str) -> dict:
     next_v = live["version"] + 1
     clean = (engine._generations.get(key, 0)
              == getattr(engine, "_flushed_gen", {}).get(key))
-    if (state is not None and clean
-            and state.get("clean") is True
-            and state.get("space") == key[0]
-            and state.get("table") == key[1]
-            and len(cur_ops) >= len(state.get("ops") or [])
-            and cur_ops[:len(state["ops"])] == state["ops"]
-            and all(k == "seg" for k, _p in cur_ops[len(state["ops"]):])):
-        new_segs = [p for k, p in cur_ops[len(state["ops"]):]]
+    sch_ttl = getattr(ent["schema"], "ttl", None)
+    has_ttl = bool(sch_ttl is not None and sch_ttl.ttl_ms
+                   and sch_ttl.source_field)
+    extends = (state is not None and clean
+               and state.get("clean") is True
+               and state.get("space") == key[0]
+               and state.get("table") == key[1]
+               and len(cur_ops) >= len(state.get("ops") or [])
+               and cur_ops[:len(state["ops"])] == state["ops"])
+    new_ops = cur_ops[len(state["ops"]):] if extends else []
+    if extends and all(k == "seg" for k, _p in new_ops):
+        new_segs = [p for k, p in new_ops]
         if not new_segs:
             return {"files": 0, "rows": 0, "path": path,
                     "version": live["version"], "commit": "noop"}
@@ -374,6 +394,15 @@ def _export_update(engine, table: str, path: str) -> dict:
         _write_state(engine, table, path, next_v)
         return {"files": len(staged), "rows": total, "path": path,
                 "version": next_v, "commit": "append"}
+    if (deletion_vectors and extends and new_ops and not has_ttl
+            and not (ent.get("partition_by"))
+            and all(k in ("seg", "del") for k, _p in new_ops)):
+        res = _export_update_dv(engine, key, ent, table, path, live,
+                                new_ops, next_v)
+        if res is not None:
+            return res
+        # fallthrough: anything the DV path could not prove falls to
+        # the always-correct full refresh
     # full refresh: one commit removing every live file + fresh adds
     df = engine.df(table)
     pby = list(ent.get("partition_by") or [])
@@ -389,6 +418,125 @@ def _export_update(engine, table: str, path: str) -> dict:
     _write_state(engine, table, path, next_v)
     return {"files": len(staged), "rows": total, "path": path,
             "version": next_v, "commit": "refresh"}
+
+
+def _export_update_dv(engine, key, ent, table: str, path: str,
+                      live: dict, new_ops, next_v: int):
+    """Merge-on-read incremental commit (``deletion_vectors=True``):
+    tail ``seg`` ops stage as fresh add actions, tail ``del`` ops
+    resolve to per-file ROW POSITIONS over the files live at that
+    point (probed in recipe order, so a delete never touches a segment
+    staged after it — exactly the store's own epoch algebra) and
+    commit as inline roaring deletionVector descriptors on re-emitted
+    add actions.  Export IO ∝ appended rows + deleted keys; the one
+    table-side cost is a key-column scan of the live export per del
+    epoch, the same class as the store's own delete probe.  Files
+    whose every physical row ends up deleted emit a plain remove.
+    Returns None when any precondition fails — the caller falls back
+    to the full refresh."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from tostore_spark.plans.delta_dv import (MAX_TOTAL_POSITIONS,
+                                              decode_deletion_vector,
+                                              inline_descriptor)
+    from tostore_spark.store import _decrypt_for, read_delete_keys
+    spark = engine.spark
+    live_files = dict(live["files"])
+    exp_schema = StructType.fromJson(
+        json.loads(live["meta"]["schemaString"]))
+    field_names = {f.name for f in exp_schema.fields}
+    adds_new, appended_rows, staged_count = [], 0, 0
+    new_pos: dict = {}              # rel -> set(row positions)
+    probe_rels = sorted(live_files)
+    try:
+        for kind, op_path in new_ops:
+            if kind == "seg":
+                part = _decrypt_for(engine, key[0], key[1],
+                                    engine._read_parquet(op_path))
+                part = part.select(*[f.name for f in exp_schema.fields])
+                staged = _stage_data_files(part, path, next_v, None)
+                adds, n = _add_actions(path, staged)
+                adds_new += adds
+                appended_rows += n
+                staged_count += len(staged)
+                probe_rels += [rel for rel, _pv in staged]
+            else:
+                keys = read_delete_keys(
+                    engine, op_path[:-1] if op_path.endswith("/")
+                    else op_path)
+                kcols = list(keys.columns)
+                if not set(kcols) <= field_names or not probe_rels:
+                    if not set(kcols) <= field_names:
+                        return None     # keys invisible in the export
+                    continue
+                frame = (spark.read.schema(exp_schema)
+                         .parquet(*[os.path.join(path, r)
+                                    for r in probe_rels])
+                         .select(*kcols,
+                                 F.element_at(
+                                     F.split(
+                                         F.col("_metadata.file_path"),
+                                         "/"), -1).alias("__f"),
+                                 F.col("_metadata.row_index")
+                                 .alias("__p")))
+                hits = (frame.join(F.broadcast(keys.distinct()),
+                                   on=kcols)
+                        .select("__f", "__p").collect())
+                have = sum(len(v) for v in new_pos.values())
+                if have + len(hits) > MAX_TOTAL_POSITIONS:
+                    return None
+                for r in hits:
+                    new_pos.setdefault(r["__f"], set()).add(int(r["__p"]))
+    except Exception:
+        return None                 # refresh is always correct
+    now_ms = int(time.time() * 1000)
+    actions = [{"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"]}}]
+    removes, dv_adds = [], []
+    staged_by_path = {a["add"]["path"]: a for a in adds_new}
+    dv_rows = 0
+    for rel in sorted(new_pos):
+        pos = new_pos[rel]
+        dv_rows += len(pos)
+        qrel = quote(rel, safe="/=")
+        if qrel in staged_by_path:
+            # del-after-seg within the same tail: the fresh add action
+            # carries its descriptor directly
+            staged_by_path[qrel]["add"]["deletionVector"] = \
+                inline_descriptor(pos)
+            continue
+        old_add = live_files.get(rel)
+        if old_add is None:
+            return None
+        total = set(pos)
+        if old_add.get("deletionVector"):
+            total |= set(decode_deletion_vector(
+                path, old_add["deletionVector"]))
+        n_records = None
+        try:
+            n_records = int(json.loads(old_add.get("stats") or
+                                       "{}").get("numRecords"))
+        except Exception:
+            pass
+        removes.append({"remove": {"path": qrel,
+                                   "deletionTimestamp": now_ms,
+                                   "dataChange": True}})
+        if n_records is not None and len(total) >= n_records:
+            continue                # fully-deleted file: remove only
+        new_add = {k: v for k, v in old_add.items()}
+        new_add["path"] = qrel
+        new_add["dataChange"] = True
+        new_add["deletionVector"] = inline_descriptor(total)
+        dv_adds.append({"add": new_add})
+    _write_commit(path, next_v, actions + removes + dv_adds + adds_new)
+    _maybe_checkpoint(path, next_v)
+    _write_state(engine, table, path, next_v)
+    return {"files": staged_count, "rows": appended_rows,
+            "dv_files": len(new_pos), "dv_positions": dv_rows,
+            "path": path, "version": next_v, "commit": "dv"}
 
 
 # ---------------------------------------------------------------------
@@ -409,6 +557,7 @@ _SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz",
 def _apply_action(state: dict, a: dict) -> None:
     if "protocol" in a:
         proto = a["protocol"]
+        state["protocol"] = proto
         mrv = int(proto.get("minReaderVersion", 1))
         feats = set(proto.get("readerFeatures") or [])
         if mrv == 2:
@@ -447,7 +596,7 @@ def _replay(path: str, version: int | None = None) -> dict:
     commits = sorted(
         int(f[:-len(".json")]) for f in os.listdir(log_dir)
         if f.endswith(".json") and f[:-len(".json")].isdigit())
-    state: dict = {"files": {}, "meta": None}
+    state: dict = {"files": {}, "meta": None, "protocol": None}
     start = 0
     lc = os.path.join(log_dir, "_last_checkpoint")
     if os.path.exists(lc):
