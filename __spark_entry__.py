@@ -2101,6 +2101,66 @@ def q_delta_roundtrip(spark, sf_dir):
         rows, "n_v0 bigint, n_v1 bigint, n_final bigint, key_sum bigint")
 
 
+def q_delta_dv(spark, sf_dir):
+    """Delta merge-on-read deletion-vector export + read-back (r12,
+    plans/delta_export + plans/delta_dv): a pure-delete store epoch
+    exports with ``deletion_vectors=True`` as ONE dv commit — inline
+    roaring position bitmap on the existing add action, protocol
+    upgraded to reader v3 — instead of a full refresh, and
+    ``read_delta`` decodes and applies it.  In-entry asserts: the
+    commit kind is 'dv', zero files restaged, the descriptor is
+    inline with the exact cardinality.  Values pinned against DuckDB
+    deriving the same post-delete state from nation."""
+    import json as _json
+    import os
+    import tempfile
+
+    from tostore_spark.plans.delta_export import read_delta
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    db = _db(spark, sf_dir)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    with tempfile.TemporaryDirectory() as tmp:
+        wh, dest = os.path.join(tmp, "wh"), os.path.join(tmp, "dx")
+        db1 = ToStoreSpark(spark, warehouse=wh)
+        db1.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n_name", type=DataType.text),
+                    FieldSchema(name="key", type=DataType.integer)]))
+        db1.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
+             "key": r["n_nationkey"]} for r in nat])
+        db1.flush()
+        db1.export_delta("nat", dest, target_files=1)       # v0
+        db1.delete("nat").where("key", ">=", 20).execute()
+        db1.flush()                                # deletion vector
+        rep = db1.export_delta("nat", dest, mode="update",
+                               deletion_vectors=True)
+        if rep["commit"] != "dv" or rep["files"] != 0:
+            raise AssertionError(f"expected a dv commit: {rep}")
+        log = os.path.join(dest, "_delta_log", f"{1:020d}.json")
+        dv_descs = [a["add"]["deletionVector"]
+                    for a in (_json.loads(x) for x in open(log))
+                    if "add" in a and a["add"].get("deletionVector")]
+        n_del = sum(1 for r in nat if r["n_nationkey"] >= 20)
+        if (len(dv_descs) != 1 or dv_descs[0]["storageType"] != "i"
+                or dv_descs[0]["cardinality"] != n_del):
+            raise AssertionError(f"bad descriptor: {dv_descs}")
+        final = read_delta(spark, dest)
+        v0 = read_delta(spark, dest, version=0).count()
+        agg = final.agg(
+            F.count(F.lit(1)).alias("n_final"),
+            F.sum("key").alias("key_sum"),
+            F.count(F.when(F.col("n_name").startswith("A"), 1))
+             .alias("n_a_names")).first()
+        rows = [{"n_v0": int(v0), "n_final": int(agg["n_final"]),
+                 "key_sum": int(agg["key_sum"]),
+                 "n_a_names": int(agg["n_a_names"])}]
+    return spark.createDataFrame(
+        rows, "n_v0 bigint, n_final bigint, key_sum bigint, "
+              "n_a_names bigint")
+
+
 def q_encrypted_at_rest(spark, sf_dir):
     """At-rest encryption (r11, tostore_spark.at_rest — reference
     EncryptionConfig, data_store_config.dart:40-41,946-1005): a field
@@ -4285,7 +4345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
-        "q_encrypted_typed",          # born r12
+        "q_delta_dv", "q_encrypted_typed",          # born r12
         "q_delta_roundtrip",
         "q_encrypted_at_rest", "q_delta_export", "q_meta_agg_deletes",
         "q_cdc_recipe", "q_delete_vectors", "q_upsert_mor",
@@ -5204,6 +5264,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(length(n_name)) AS BIGINT) AS name_len_sum,
                    CAST(count(CASE WHEN n_name LIKE 'A%' THEN 1 END)
+                        AS BIGINT) AS n_a_names
+            FROM nation""",
+        "q_delta_dv": """
+            -- v0 = all nation rows; the dv commit deletes key >= 20
+            SELECT CAST(count(*) AS BIGINT) AS n_v0,
+                   CAST(count(CASE WHEN n_nationkey < 20 THEN 1 END)
+                        AS BIGINT) AS n_final,
+                   CAST(sum(CASE WHEN n_nationkey < 20
+                            THEN n_nationkey END) AS BIGINT) AS key_sum,
+                   CAST(count(CASE WHEN n_nationkey < 20
+                              AND n_name LIKE 'A%' THEN 1 END)
                         AS BIGINT) AS n_a_names
             FROM nation""",
         "q_encrypted_typed": """
