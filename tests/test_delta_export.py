@@ -816,6 +816,55 @@ class TestDeltaDvExport:
         assert read_delta(spark, dest).count() == 0
         assert read_delta(spark, dest, version=0).count() == 6
 
+    def test_large_vector_spills_to_bin_file(self, spark, tmp_path,
+                                             monkeypatch):
+        """Descriptors over INLINE_MAX_BYTES ride a
+        deletion_vector_<uuid>.bin sidecar ('u' storage, CRC-framed)
+        instead of inflating the JSON log; the reader resolves it."""
+        import glob
+
+        from tostore_spark.plans import delta_dv
+        from tostore_spark.plans.delta_export import read_delta
+        monkeypatch.setattr(delta_dv, "INLINE_MAX_BYTES", 8)
+        wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+        db = _mk(spark, wh, rows=12)
+        db.export_delta("notes", dest, target_files=1)
+        db.delete("notes").where("id", "IN",
+                                 ["k001", "k005", "k009"]).execute()
+        db.flush()
+        rep = db.export_delta("notes", dest, mode="update",
+                              deletion_vectors=True)
+        assert rep["commit"] == "dv"
+        log = os.path.join(dest, "_delta_log", f"{1:020d}.json")
+        desc = next(a["add"]["deletionVector"]
+                    for a in (json.loads(x) for x in open(log))
+                    if "add" in a and a["add"].get("deletionVector"))
+        assert desc["storageType"] == "u" and desc["offset"] == 1
+        assert glob.glob(os.path.join(dest, "deletion_vector_*.bin"))
+        assert read_delta(spark, dest).count() == 9
+        assert sorted(r["id"] for r in
+                      read_delta(spark, dest).collect()) == \
+            sorted(f"k{i:03d}" for i in range(12)
+                   if i not in (1, 5, 9))
+
+    def test_commit_claim_is_atomic(self, spark, tmp_path):
+        """Two writers racing for the same version: the loser's
+        os.link fails — the winner's fully-written commit is never
+        clobbered (put-if-absent, no check-then-rename window)."""
+        import pytest
+
+        from tostore_spark.plans.delta_export import _write_commit
+        d = str(tmp_path / "dx")
+        _write_commit(d, 5, [{"metaData": {"id": "winner"}}])
+        with pytest.raises(ValueError, match="concurrent writer"):
+            _write_commit(d, 5, [{"metaData": {"id": "loser"}}])
+        kept = [json.loads(x) for x in
+                open(os.path.join(d, "_delta_log", f"{5:020d}.json"))]
+        assert kept == [{"metaData": {"id": "winner"}}]
+        assert not [f for f in
+                    os.listdir(os.path.join(d, "_delta_log"))
+                    if ".tmp-" in f], "loser's tmp must be cleaned up"
+
     def test_default_stays_refresh_and_checkpoint_upgrades(self, spark,
                                                            tmp_path):
         """Without the opt-in flag, deletes still refresh (old readers

@@ -46,7 +46,13 @@ import uuid as _uuid
 import zlib
 
 __all__ = ["decode_deletion_vector", "dv_file_name",
-           "encode_bitmap_array", "inline_descriptor"]
+           "encode_bitmap_array", "inline_descriptor",
+           "make_descriptor", "write_dv_file"]
+
+#: descriptors above this ride a ``deletion_vector_<uuid>.bin`` sidecar
+#: ('u' storage) instead of inflating the JSON log (the spec's own
+#: guidance: inline for small vectors only)
+INLINE_MAX_BYTES = 32 * 1024
 
 _MAGIC = 1681511377
 _SERIAL_COOKIE_NO_RUN = 12346
@@ -182,6 +188,36 @@ def inline_descriptor(positions) -> dict:
             "pathOrInlineDv": base64.b85encode(data).decode("ascii"),
             "sizeInBytes": len(data),
             "cardinality": len(set(int(x) for x in positions))}
+
+
+def write_dv_file(table_path: str, positions) -> dict:
+    """Positions → an on-disk ('u') descriptor: a fresh
+    ``deletion_vector_<uuid>.bin`` under the table root with the spec
+    framing (format-version byte, then ``<size BE><data><crc32 BE>``
+    at offset 1).  Never overwrites — the uuid names a new file per
+    vector, exactly how Delta writers keep old versions readable."""
+    data = encode_bitmap_array(positions)
+    u = _uuid.uuid4()
+    fpath = os.path.join(table_path, f"deletion_vector_{u}.bin")
+    tmp = fpath + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(b"\x01")
+        fh.write(struct.pack(">i", len(data)))
+        fh.write(data)
+        fh.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+    os.replace(tmp, fpath)
+    return {"storageType": "u",
+            "pathOrInlineDv": base64.b85encode(u.bytes).decode("ascii"),
+            "offset": 1, "sizeInBytes": len(data),
+            "cardinality": len(set(int(x) for x in positions))}
+
+
+def make_descriptor(table_path: str, positions) -> dict:
+    """Inline for small vectors, sidecar file above INLINE_MAX_BYTES."""
+    d = inline_descriptor(positions)
+    if d["sizeInBytes"] > INLINE_MAX_BYTES:
+        return write_dv_file(table_path, positions)
+    return d
 
 
 def dv_file_name(table_path: str, path_or_inline: str) -> str:

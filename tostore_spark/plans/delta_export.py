@@ -161,17 +161,30 @@ def _add_actions(path: str, staged) -> tuple[list[dict], int]:
 
 
 def _write_commit(path: str, version: int, actions: list[dict]) -> None:
+    """Atomic put-if-absent of commit N — the Delta protocol's one
+    concurrency primitive.  The fully-written tmp file is LINKED into
+    place (``os.link`` fails with EEXIST if any other writer claimed
+    the version first — no check-then-rename TOCTOU window, and a
+    crash mid-write leaves only the tmp, never a truncated commit)."""
     log_dir = os.path.join(path, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)
     log_path = os.path.join(log_dir, f"{version:020d}.json")
-    if os.path.exists(log_path):
-        raise ValueError(f"delta commit v{version} already exists at "
-                         f"{log_path}")
     tmp = log_path + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         for a in actions:
             fh.write(json.dumps(a) + "\n")
-    os.replace(tmp, log_path)
+    try:
+        os.link(tmp, log_path)
+    except FileExistsError:
+        raise ValueError(
+            f"delta commit v{version} already exists at {log_path} — "
+            "a concurrent writer won this version; re-read the log "
+            "and retry at the next version") from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def _write_checkpoint(path: str, version: int) -> None:
@@ -439,7 +452,7 @@ def _export_update_dv(engine, key, ent, table: str, path: str,
 
     from tostore_spark.plans.delta_dv import (MAX_TOTAL_POSITIONS,
                                               decode_deletion_vector,
-                                              inline_descriptor)
+                                              make_descriptor)
     from tostore_spark.store import _decrypt_for, read_delete_keys
     spark = engine.spark
     live_files = dict(live["files"])
@@ -506,7 +519,7 @@ def _export_update_dv(engine, key, ent, table: str, path: str,
             # del-after-seg within the same tail: the fresh add action
             # carries its descriptor directly
             staged_by_path[qrel]["add"]["deletionVector"] = \
-                inline_descriptor(pos)
+                make_descriptor(path, pos)
             continue
         old_add = live_files.get(rel)
         if old_add is None:
@@ -529,7 +542,7 @@ def _export_update_dv(engine, key, ent, table: str, path: str,
         new_add = {k: v for k, v in old_add.items()}
         new_add["path"] = qrel
         new_add["dataChange"] = True
-        new_add["deletionVector"] = inline_descriptor(total)
+        new_add["deletionVector"] = make_descriptor(path, total)
         dv_adds.append({"add": new_add})
     _write_commit(path, next_v, actions + removes + dv_adds + adds_new)
     _maybe_checkpoint(path, next_v)
