@@ -22,19 +22,28 @@ the log):
   reads ``plans.skipping`` does) and ``remove`` actions;
 - reader: replay = apply adds/removes in commit order; an optional
   ``_last_checkpoint`` names a parquet checkpoint holding the folded
-  state (read via pyarrow).  ``minReaderVersion > 1`` (deletion
-  vectors, column mapping, v2 checkpoints...) is REFUSED loudly —
-  a naive replay of those tables would silently return wrong rows.
+  state (read via pyarrow).  Supported beyond the v1 baseline (r12):
+  'name'-mode COLUMN MAPPING (physical-name reads resolved from the
+  schemaString metadata), ``timestampNtz``, and DELETION VECTORS
+  (``plans/delta_dv`` decodes the roaring position bitmaps; the scan
+  anti-joins them on ``_metadata.row_index``).  Everything else —
+  v2 checkpoints, 'id'-mode mapping, unknown reader features — is
+  REFUSED loudly: a naive replay would silently return wrong rows.
 
 Export versioning (``mode="update"``): when the store recipe has
 extended by PURE APPENDS since the last export (the ``_export_state``
 sidecar records the exported recipe), the new commit carries ONLY the
 new segments' rows as add actions — exporting a 1 GB append from a
-100 TB table costs 1 GB.  Any other change (deletes, replaces,
-rewrites) falls back to a full-refresh commit: remove every live file
+100 TB table costs 1 GB.  With ``deletion_vectors=True`` (opt-in —
+upgrades the export protocol to reader v3), delete/replace epochs
+also commit incrementally as merge-on-read deletion vectors (inline
+roaring descriptors, or ``.bin`` sidecars above 32 KB).  Any other
+change falls back to a full-refresh commit: remove every live file
 + add a fresh snapshot — still one atomic log entry, every version
-readable.  Readers get time travel for free: ``read_delta(path,
-version=N)`` replays to N.
+readable.  Every 10th update commit folds a classic checkpoint.
+Commit claims are atomic put-if-absent (``os.link``), so concurrent
+exporters cannot clobber each other's versions.  Readers get time
+travel for free: ``read_delta(path, version=N)`` replays to N.
 
 Read-back paths for exports: with delta-spark,
 ``spark.read.format("delta").load(dest)``; without, ``read_delta``
