@@ -816,6 +816,32 @@ class TestDeltaDvExport:
         assert read_delta(spark, dest).count() == 0
         assert read_delta(spark, dest, version=0).count() == 6
 
+    def test_partitioned_table_falls_back_to_refresh(self, spark,
+                                                     tmp_path):
+        """Partitioned tables: the STORE's flush rewrites deletes
+        (no deletion-vector fast path with partition_by), so a
+        partitioned update is never seg/del-extending — the export
+        correctly lands on the always-right refresh, flag or no
+        flag."""
+        from tostore_spark.plans.delta_export import read_delta
+        wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+        db = ToStoreSpark(spark, warehouse=wh)
+        df = spark.createDataFrame(
+            [(f"k{i}", i % 3, i) for i in range(30)],
+            "id string, bucket int, n int")
+        db.register_table("pt", df=df, partition_by=["bucket"])
+        db.flush()
+        db.export_delta("pt", dest)                         # v0
+        db.delete("pt").where("id", "IN", ["k4", "k10", "k17"]) \
+          .execute()
+        db.flush()
+        rep = db.export_delta("pt", dest, mode="update",
+                              deletion_vectors=True)
+        assert rep["commit"] == "refresh"
+        back = read_delta(spark, dest)
+        assert _collect_sorted(back) == _collect_sorted(db.df("pt"))
+        assert back.count() == 27
+
     def test_large_vector_spills_to_bin_file(self, spark, tmp_path,
                                              monkeypatch):
         """Descriptors over INLINE_MAX_BYTES ride a

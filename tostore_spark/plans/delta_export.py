@@ -416,8 +416,11 @@ def _export_update(engine, table: str, path: str,
         _write_state(engine, table, path, next_v)
         return {"files": len(staged), "rows": total, "path": path,
                 "version": next_v, "commit": "append"}
+    # (no partition_by condition needed: the STORE's flush excludes
+    # partitioned tables from the deletion-vector fast path — their
+    # deletes rewrite, so a partitioned tail can never be seg/del-
+    # extending and the refresh branch below is always what runs)
     if (deletion_vectors and extends and new_ops and not has_ttl
-            and not (ent.get("partition_by"))
             and all(k in ("seg", "del") for k, _p in new_ops)):
         res = _export_update_dv(engine, key, ent, table, path, live,
                                 new_ops, next_v)
@@ -468,21 +471,36 @@ def _export_update_dv(engine, key, ent, table: str, path: str,
     exp_schema = StructType.fromJson(
         json.loads(live["meta"]["schemaString"]))
     field_names = {f.name for f in exp_schema.fields}
+    pby = list(ent.get("partition_by") or [])
+    # positions are keyed by file BASENAME (what _metadata.file_path
+    # yields after the split), so basenames must be unique across the
+    # table — they are for Spark part files; refuse otherwise
+    by_base = {rel.split("/")[-1]: rel for rel in live_files}
+    if len(by_base) != len(live_files):
+        return None
     adds_new, appended_rows, staged_count = [], 0, 0
-    new_pos: dict = {}              # rel -> set(row positions)
+    new_pos: dict = {}              # basename -> set(row positions)
     probe_rels = sorted(live_files)
     try:
         for kind, op_path in new_ops:
             if kind == "seg":
+                pin = ent["df"].schema if pby else None
                 part = _decrypt_for(engine, key[0], key[1],
-                                    engine._read_parquet(op_path))
+                                    engine._read_parquet(op_path,
+                                                         schema=pin))
                 part = part.select(*[f.name for f in exp_schema.fields])
-                staged = _stage_data_files(part, path, next_v, None)
+                staged = _stage_data_files(part, path, next_v, None,
+                                           partition_by=pby)
                 adds, n = _add_actions(path, staged)
                 adds_new += adds
                 appended_rows += n
                 staged_count += len(staged)
-                probe_rels += [rel for rel, _pv in staged]
+                for rel, _pv in staged:
+                    base = rel.split("/")[-1]
+                    if base in by_base:
+                        return None
+                    by_base[base] = rel
+                    probe_rels.append(rel)
             else:
                 keys = read_delete_keys(
                     engine, op_path[:-1] if op_path.endswith("/")
@@ -492,7 +510,12 @@ def _export_update_dv(engine, key, ent, table: str, path: str,
                     if not set(kcols) <= field_names:
                         return None     # keys invisible in the export
                     continue
-                frame = (spark.read.schema(exp_schema)
+                reader = spark.read.schema(exp_schema)
+                if pby:
+                    # hive layout: partition columns come back via
+                    # discovery, so partition-keyed deletes probe too
+                    reader = reader.option("basePath", path)
+                frame = (reader
                          .parquet(*[os.path.join(path, r)
                                     for r in probe_rels])
                          .select(*kcols,
@@ -518,21 +541,23 @@ def _export_update_dv(engine, key, ent, table: str, path: str,
         "readerFeatures": ["deletionVectors"],
         "writerFeatures": ["deletionVectors"]}}]
     removes, dv_adds = [], []
-    staged_by_path = {a["add"]["path"]: a for a in adds_new}
+    staged_by_base = {a["add"]["path"].split("/")[-1]: a
+                      for a in adds_new}
     dv_rows = 0
-    for rel in sorted(new_pos):
-        pos = new_pos[rel]
+    for base in sorted(new_pos):
+        pos = new_pos[base]
         dv_rows += len(pos)
-        qrel = quote(rel, safe="/=")
-        if qrel in staged_by_path:
+        if base in staged_by_base:
             # del-after-seg within the same tail: the fresh add action
             # carries its descriptor directly
-            staged_by_path[qrel]["add"]["deletionVector"] = \
+            staged_by_base[base]["add"]["deletionVector"] = \
                 make_descriptor(path, pos)
             continue
-        old_add = live_files.get(rel)
+        rel = by_base.get(base)
+        old_add = live_files.get(rel) if rel is not None else None
         if old_add is None:
             return None
+        qrel = quote(rel, safe="/=")
         total = set(pos)
         if old_add.get("deletionVector"):
             total |= set(decode_deletion_vector(
