@@ -925,6 +925,69 @@ class TestDeltaDvExport:
         assert read_delta(spark, dest).count() == 6
 
 
+class TestDeltaVacuum:
+    def test_vacuum_reclaims_dead_files(self, spark, tmp_path):
+        """Refresh-heavy histories accumulate dead parquet (old
+        versions' files stay for time travel): vacuum_delta removes
+        files referenced ONLY by vacuumed-out versions, keeps every
+        retained version exact, and never touches the log."""
+        import glob
+
+        from tostore_spark.plans.delta_export import (read_delta,
+                                                      vacuum_delta)
+        wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+        db = _mk(spark, wh, rows=10)
+        db.export_delta("notes", dest, target_files=1)       # v0
+        for i, kill in enumerate(("k000", "k001")):          # v1, v2
+            db.delete("notes").where("id", "=", kill).execute()
+            db.flush()
+            rep = db.export_delta("notes", dest, mode="update")
+            assert rep["commit"] == "refresh"
+        before = glob.glob(os.path.join(dest, "*.parquet"))
+        log2 = os.path.join(dest, "_delta_log", f"{2:020d}.json")
+        live = {a["add"]["path"] for a in
+                (json.loads(x) for x in open(log2)) if "add" in a}
+        assert len(before) > len(live), \
+            "each refresh leaves its predecessor's files"
+        dry = vacuum_delta(dest, keep_versions=1, dry_run=True)
+        assert len(dry["deleted"]) == len(before) - len(live)
+        assert len(glob.glob(os.path.join(dest, "*.parquet"))) == \
+            len(before), "dry_run must not delete"
+        rep = vacuum_delta(dest, keep_versions=1)
+        assert sorted(rep["deleted"]) == sorted(dry["deleted"])
+        left = {os.path.basename(f) for f in
+                glob.glob(os.path.join(dest, "*.parquet"))}
+        assert left == {os.path.basename(p) for p in live}
+        assert read_delta(spark, dest).count() == 8
+        # the log is intact; replaying a vacuumed version fails at the
+        # missing file (exactly Delta's behavior), not silently
+        assert os.path.exists(os.path.join(
+            dest, "_delta_log", f"{0:020d}.json"))
+
+    def test_vacuum_keeps_dv_sidecars_of_retained_versions(
+            self, spark, tmp_path, monkeypatch):
+        import glob
+
+        from tostore_spark.plans import delta_dv
+        from tostore_spark.plans.delta_export import (read_delta,
+                                                      vacuum_delta)
+        monkeypatch.setattr(delta_dv, "INLINE_MAX_BYTES", 8)
+        wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+        db = _mk(spark, wh, rows=10)
+        db.export_delta("notes", dest, target_files=1)       # v0
+        db.delete("notes").where("id", "=", "k003").execute()
+        db.flush()
+        rep = db.export_delta("notes", dest, mode="update",
+                              deletion_vectors=True)          # v1: dv
+        assert rep["commit"] == "dv"
+        assert glob.glob(os.path.join(dest, "deletion_vector_*.bin"))
+        out = vacuum_delta(dest, keep_versions=1)
+        assert out["deleted"] == [], \
+            "the single data file and its DV sidecar are both live"
+        assert glob.glob(os.path.join(dest, "deletion_vector_*.bin"))
+        assert read_delta(spark, dest).count() == 9
+
+
 class TestDeltaCheckpointWrite:
     def test_periodic_checkpoint_replays_identically(self, spark,
                                                      tmp_path):

@@ -60,7 +60,7 @@ import time
 import uuid
 from urllib.parse import quote, unquote
 
-__all__ = ["export_delta", "read_delta"]
+__all__ = ["export_delta", "read_delta", "vacuum_delta"]
 
 _STATE_SIDECAR = "_export_state.json"
 #: classic-checkpoint cadence (Delta's own default): every 10th commit
@@ -584,6 +584,67 @@ def _export_update_dv(engine, key, ent, table: str, path: str,
     return {"files": staged_count, "rows": appended_rows,
             "dv_files": len(new_pos), "dv_positions": dv_rows,
             "path": path, "version": next_v, "commit": "dv"}
+
+
+def vacuum_delta(path: str, keep_versions: int = 1,
+                 dry_run: bool = False) -> dict:
+    """Delta VACUUM for exports: delete data files (and deletion-vector
+    ``.bin`` sidecars) referenced ONLY by versions older than the
+    newest ``keep_versions`` commits.  Incremental exports never
+    rewrite live files, so a refresh-heavy history accumulates dead
+    parquet — this reclaims it while every RETAINED version keeps
+    time-traveling exactly (the log itself is never touched; replaying
+    a vacuumed-out version simply fails at the missing file, same as
+    Delta).  Returns ``{"deleted", "kept", "cutoff"}``; ``dry_run``
+    lists without deleting."""
+    p = path[len("file:"):] if path.startswith("file:") else path
+    log_dir = os.path.join(p, "_delta_log")
+    versions = sorted(
+        int(f[:-len(".json")]) for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:-len(".json")].isdigit())
+    ckv = []
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(lc):
+        with open(lc) as fh:
+            ckv = [int(json.load(fh)["version"])]
+    if not versions and not ckv:
+        raise FileNotFoundError(f"no delta commits under {p}")
+    latest = max(versions + ckv)
+    cutoff = latest - max(int(keep_versions), 1) + 1
+    keep: set = set()
+    for v in range(max(cutoff, min(versions + ckv)), latest + 1):
+        try:
+            state = _replay(p, v)
+        except FileNotFoundError:
+            continue        # below the checkpoint with pruned commits
+        for rel, add in state["files"].items():
+            keep.add(os.path.normpath(os.path.join(p, rel)))
+            dv = add.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                from tostore_spark.plans.delta_dv import dv_file_name
+                keep.add(os.path.normpath(
+                    dv_file_name(p, dv["pathOrInlineDv"])))
+            elif dv and dv.get("storageType") == "p":
+                fp = dv["pathOrInlineDv"]
+                keep.add(os.path.normpath(
+                    fp[len("file:"):] if fp.startswith("file:") else fp))
+    doomed = []
+    for dirpath, dirs, names in os.walk(p):
+        dirs[:] = [d for d in dirs
+                   if not d.startswith((".", "_delta_log"))]
+        for f in names:
+            if not (f.endswith(".parquet")
+                    or (f.startswith("deletion_vector_")
+                        and f.endswith(".bin"))):
+                continue
+            full = os.path.normpath(os.path.join(dirpath, f))
+            if full not in keep:
+                doomed.append(full)
+    if not dry_run:
+        for f in doomed:
+            os.unlink(f)
+    return {"deleted": sorted(os.path.relpath(f, p) for f in doomed),
+            "kept": len(keep), "cutoff": cutoff}
 
 
 # ---------------------------------------------------------------------
