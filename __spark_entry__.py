@@ -2161,6 +2161,70 @@ def q_delta_dv(spark, sf_dir):
               "n_a_names bigint")
 
 
+def q_delta_colmap(spark, sf_dir):
+    """Foreign-Delta column-mapping read (r12, plans/delta_export):
+    a 'name'-mode mapped table — physical uuid-ish column names in
+    the parquet, logical names only in the schemaString metadata
+    (minReaderVersion 2; how every modern Delta writer lays tables
+    out) — replays through read_delta with logical names and typed
+    values.  The table is constructed in-entry from nation rows so
+    DuckDB reproduces the aggregate exactly."""
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil as _sh
+    import tempfile
+    db = _db(spark, sf_dir)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    from tostore_spark.plans.delta_export import read_delta
+    with tempfile.TemporaryDirectory() as tmp:
+        d = os.path.join(tmp, "ext")
+        log = os.path.join(d, "_delta_log")
+        os.makedirs(log)
+        (spark.createDataFrame(
+            [(r["n_nationkey"], r["n_name"]) for r in nat],
+            "`col-k1` long, `col-s1` string")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(d, "_stage")))
+        part = _glob.glob(os.path.join(d, "_stage", "*.parquet"))[0]
+        _sh.move(part, os.path.join(d, "f1.parquet"))
+        schema_json = {"type": "struct", "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-k1"}},
+            {"name": "name", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-s1"}},
+        ]}
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+            fh.write(_json.dumps({"protocol": {
+                "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+            fh.write(_json.dumps({"metaData": {
+                "id": "x", "format": {"provider": "parquet"},
+                "schemaString": _json.dumps(schema_json),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "2"}}}) + "\n")
+            fh.write(_json.dumps({"add": {
+                "path": "f1.parquet", "partitionValues": {},
+                "size": 1, "modificationTime": 0,
+                "dataChange": True}}) + "\n")
+        out = read_delta(spark, d)
+        if [f.name for f in out.schema.fields] != ["k", "name"]:
+            raise AssertionError("logical names must resolve")
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").alias("key_sum"),
+            F.count(F.when(F.col("name").startswith("A"), 1))
+             .alias("n_a_names")).first()
+        rows = [{"n_rows": int(agg["n_rows"]),
+                 "key_sum": int(agg["key_sum"]),
+                 "n_a_names": int(agg["n_a_names"])}]
+    return spark.createDataFrame(
+        rows, "n_rows bigint, key_sum bigint, n_a_names bigint")
+
+
 def q_encrypted_at_rest(spark, sf_dir):
     """At-rest encryption (r11, tostore_spark.at_rest — reference
     EncryptionConfig, data_store_config.dart:40-41,946-1005): a field
@@ -4345,7 +4409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
-        "q_delta_dv", "q_encrypted_typed",          # born r12
+        "q_delta_colmap", "q_delta_dv", "q_encrypted_typed",  # born r12
         "q_delta_roundtrip",
         "q_encrypted_at_rest", "q_delta_export", "q_meta_agg_deletes",
         "q_cdc_recipe", "q_delete_vectors", "q_upsert_mor",
@@ -5263,6 +5327,12 @@ def oracle_sql() -> dict[str, str]:
         "q_encrypted_at_rest": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(length(n_name)) AS BIGINT) AS name_len_sum,
+                   CAST(count(CASE WHEN n_name LIKE 'A%' THEN 1 END)
+                        AS BIGINT) AS n_a_names
+            FROM nation""",
+        "q_delta_colmap": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
                    CAST(count(CASE WHEN n_name LIKE 'A%' THEN 1 END)
                         AS BIGINT) AS n_a_names
             FROM nation""",

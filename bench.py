@@ -473,15 +473,29 @@ def _graph_lifecycle_stat(spark, sf_dir: str) -> dict | None:
             g, hubs = sim.build_knn_graph(base, n_neighbors=8,
                                           n_cells=cells)
             with tempfile.TemporaryDirectory() as tmp:
+                import shutil as _sh
                 path = os.path.join(tmp, "gidx")
                 t0 = _t.time()
                 sim.graph_write_index(g, hubs, path, n_rows=n - 100)
                 out[f"{label}_build_write_sec"] = round(_t.time() - t0,
                                                         3)
-                t0 = _t.time()
-                sim.graph_append(spark, path, base, batch,
-                                 n_neighbors=8, ef=16, max_hops=3)
-                out[f"{label}_append_sec"] = round(_t.time() - t0, 3)
+                # append timed MED-OF-3 on fresh copies of the index —
+                # graph_append mutates the persisted dir, and the r12
+                # runs showed single-shot append_x swinging 1.07-2.09
+                # on identical code (the ratio artifact must be able
+                # to detect a real regression)
+                app = []
+                for trial in range(3):
+                    tpath = os.path.join(tmp, f"gidx_t{trial}")
+                    _sh.copytree(path, tpath)
+                    t0 = _t.time()
+                    sim.graph_append(spark, tpath, base, batch,
+                                     n_neighbors=8, ef=16, max_hops=3)
+                    app.append(_t.time() - t0)
+                    if trial < 2:
+                        _sh.rmtree(tpath, ignore_errors=True)
+                out[f"{label}_append_sec"] = round(sorted(app)[1], 3)
+                path = os.path.join(tmp, "gidx_t2")  # appended copy
                 del_ids = [int(i) for i in range(n - 100, n - 50)]
                 t0 = _t.time()
                 sim.graph_delete(spark, path, del_ids)
