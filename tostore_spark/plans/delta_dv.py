@@ -67,7 +67,10 @@ MAX_TOTAL_POSITIONS = 20_000_000
 def _parse_roaring32(buf: bytes, pos: int) -> tuple[list[int], int]:
     """Parse one 32-bit RoaringBitmap at ``buf[pos:]``; returns
     (values, next_pos)."""
-    (cookie,) = struct.unpack_from("<i", buf, pos)
+    # unsigned: a signed read would make (cookie >> 16) + 1 negative
+    # for bitmaps with >= 32769 containers and silently parse zero
+    # containers (the trailing-bytes check then raises misleadingly)
+    (cookie,) = struct.unpack_from("<I", buf, pos)
     low = cookie & 0xFFFF
     if low == _SERIAL_COOKIE_RUN:
         n_cont = (cookie >> 16) + 1

@@ -93,6 +93,23 @@ def _delta_stats(file_summary: dict) -> str:
     return json.dumps(out)
 
 
+def _loose_stats(stats: str | None) -> str | None:
+    """Stats for an add action that carries a deletionVector: the
+    numbers were computed over ALL physical rows (deleted included),
+    so the spec requires ``tightBounds: false`` — otherwise an external
+    reader's metadata-only MIN/MAX/skipping could surface values that
+    exist only in deleted rows.  ``numRecords`` stays the physical
+    count (what the spec's wide-bounds form means)."""
+    if not stats:
+        return stats
+    try:
+        d = json.loads(stats)
+    except Exception:
+        return stats
+    d["tightBounds"] = False
+    return json.dumps(d)
+
+
 def _stage_data_files(df, path: str, version: int,
                       target_files: int | None,
                       partition_by: list[str] | None = None):
@@ -189,11 +206,64 @@ def _write_commit(path: str, version: int, actions: list[dict]) -> None:
             f"delta commit v{version} already exists at {log_path} — "
             "a concurrent writer won this version; re-read the log "
             "and retry at the next version") from None
+    except OSError:
+        # filesystem without hard links (some network/FUSE/object-store
+        # mounts): fall back to exists-check + atomic replace — a
+        # narrower race window than none, and the only portable option
+        if os.path.exists(log_path):
+            raise ValueError(
+                f"delta commit v{version} already exists at {log_path}"
+                " — a concurrent writer won this version; re-read the "
+                "log and retry at the next version") from None
+        os.replace(tmp, log_path)
+        return
     finally:
         try:
             os.unlink(tmp)
         except OSError:
             pass
+
+
+def _checkpoint_arrow_schema():
+    """Explicit arrow schema for classic checkpoints (PROTOCOL.md
+    "Checkpoint Schema").  The spec REQUIRES ``map<string,string>`` for
+    add.partitionValues / metaData.configuration / format.options —
+    an inferred struct (what ``from_pylist`` would produce) or an
+    absent required field breaks delta-spark at the first checkpoint,
+    so they are always emitted, empty map included."""
+    import pyarrow as pa
+    s = pa.string()
+    smap = pa.map_(s, s)
+    dv = pa.struct([("storageType", s), ("pathOrInlineDv", s),
+                    ("offset", pa.int32()), ("sizeInBytes", pa.int32()),
+                    ("cardinality", pa.int64())])
+    protocol = pa.struct([
+        ("minReaderVersion", pa.int32()),
+        ("minWriterVersion", pa.int32()),
+        ("readerFeatures", pa.list_(s)),
+        ("writerFeatures", pa.list_(s))])
+    meta = pa.struct([
+        ("id", s), ("name", s), ("description", s),
+        ("format", pa.struct([("provider", s), ("options", smap)])),
+        ("schemaString", s),
+        ("partitionColumns", pa.list_(s)),
+        ("configuration", smap),
+        ("createdTime", pa.int64())])
+    add = pa.struct([
+        ("path", s),
+        ("partitionValues", smap),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+        ("stats", s),
+        ("tags", smap),
+        ("deletionVector", dv)])
+    remove = pa.struct([
+        ("path", s),
+        ("deletionTimestamp", pa.int64()),
+        ("dataChange", pa.bool_())])
+    return pa.schema([("protocol", protocol), ("metaData", meta),
+                      ("add", add), ("remove", remove)])
 
 
 def _write_checkpoint(path: str, version: int) -> None:
@@ -202,42 +272,44 @@ def _write_checkpoint(path: str, version: int) -> None:
     (protocol + metaData + one row per live add; removed files simply
     do not appear) plus the ``_last_checkpoint`` pointer.  Spec shape
     (PROTOCOL.md "Checkpoints"): one row per action, the non-applicable
-    action columns null.  ``_replay`` (and any classic-checkpoint Delta
-    reader) starts here and applies only later JSON commits."""
+    action columns null, map-typed fields always present (spec schema —
+    ``_checkpoint_arrow_schema``).  ``_replay`` (and any classic-
+    checkpoint Delta reader) starts here and applies only later JSON
+    commits."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     state = _replay(path, version)
-
-    def _strip_empty(obj):
-        # parquet cannot hold a zero-field struct; an EMPTY dict value
-        # (configuration {}, options {}, unpartitioned partitionValues)
-        # is dropped — the reader treats the absent key as empty
-        if isinstance(obj, dict):
-            return {k: _strip_empty(v) for k, v in obj.items()
-                    if not (isinstance(v, dict) and not v)}
-        return obj
-
-    proto = state.get("protocol") or {"minReaderVersion": 1,
-                                      "minWriterVersion": 2}
+    proto = dict(state.get("protocol") or {"minReaderVersion": 1,
+                                           "minWriterVersion": 2})
+    meta = dict(state["meta"])
+    fmt = dict(meta.get("format") or {"provider": "parquet"})
+    fmt["options"] = dict(fmt.get("options") or {})
+    meta["format"] = fmt
+    meta["configuration"] = dict(meta.get("configuration") or {})
+    meta["partitionColumns"] = list(meta.get("partitionColumns") or [])
     rows = [
         # the FOLDED protocol — a checkpoint of a deletion-vector
         # table must carry the upgraded version, or a reader starting
         # here would miss the feature gate and return un-deleted rows
-        {"protocol": _strip_empty(proto),
-         "metaData": None, "add": None, "remove": None},
-        {"protocol": None, "metaData": _strip_empty(state["meta"]),
-         "add": None, "remove": None},
+        {"protocol": proto, "metaData": None, "add": None,
+         "remove": None},
+        {"protocol": None, "metaData": meta, "add": None,
+         "remove": None},
     ]
     for rel in sorted(state["files"]):
         add = dict(state["files"][rel])
         add["path"] = quote(rel, safe="/=")
+        # required map field: empty map for unpartitioned, never absent
+        add["partitionValues"] = dict(add.get("partitionValues") or {})
         add.setdefault("stats", None)
         rows.append({"protocol": None, "metaData": None,
-                     "add": _strip_empty(add), "remove": None})
+                     "add": add, "remove": None})
     log_dir = os.path.join(path, "_delta_log")
     ck = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
     tmp = ck + f".tmp-{uuid.uuid4().hex}"
-    pq.write_table(pa.Table.from_pylist(rows), tmp)
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=_checkpoint_arrow_schema()),
+        tmp)
     os.replace(tmp, ck)
     lc = os.path.join(log_dir, "_last_checkpoint")
     tmp = lc + f".tmp-{uuid.uuid4().hex}"
@@ -550,8 +622,9 @@ def _export_update_dv(engine, key, ent, table: str, path: str,
         if base in staged_by_base:
             # del-after-seg within the same tail: the fresh add action
             # carries its descriptor directly
-            staged_by_base[base]["add"]["deletionVector"] = \
-                make_descriptor(path, pos)
+            add = staged_by_base[base]["add"]
+            add["deletionVector"] = make_descriptor(path, pos)
+            add["stats"] = _loose_stats(add.get("stats"))
             continue
         rel = by_base.get(base)
         old_add = live_files.get(rel) if rel is not None else None
@@ -577,6 +650,7 @@ def _export_update_dv(engine, key, ent, table: str, path: str,
         new_add["path"] = qrel
         new_add["dataChange"] = True
         new_add["deletionVector"] = make_descriptor(path, total)
+        new_add["stats"] = _loose_stats(new_add.get("stats"))
         dv_adds.append({"add": new_add})
     _write_commit(path, next_v, actions + removes + dv_adds + adds_new)
     _maybe_checkpoint(path, next_v)
@@ -587,7 +661,8 @@ def _export_update_dv(engine, key, ent, table: str, path: str,
 
 
 def vacuum_delta(path: str, keep_versions: int = 1,
-                 dry_run: bool = False) -> dict:
+                 dry_run: bool = False,
+                 retention_sec: float = 0.0) -> dict:
     """Delta VACUUM for exports: delete data files (and deletion-vector
     ``.bin`` sidecars) referenced ONLY by versions older than the
     newest ``keep_versions`` commits.  Incremental exports never
@@ -596,7 +671,15 @@ def vacuum_delta(path: str, keep_versions: int = 1,
     time-traveling exactly (the log itself is never touched; replaying
     a vacuumed-out version simply fails at the missing file, same as
     Delta).  Returns ``{"deleted", "kept", "cutoff"}``; ``dry_run``
-    lists without deleting."""
+    lists without deleting.
+
+    Concurrent-writer safety: ``export_delta`` stages data files into
+    place BEFORE claiming the commit, so a file whose ``vN-`` prefix
+    names a version NEWER than the latest committed one belongs to an
+    in-flight exporter and is never touched.  ``retention_sec``
+    additionally skips any candidate younger than the window (Delta's
+    own VACUUM retention model) — use it when foreign writers without
+    the ``vN-`` convention may be staging concurrently."""
     p = path[len("file:"):] if path.startswith("file:") else path
     log_dir = os.path.join(p, "_delta_log")
     versions = sorted(
@@ -628,6 +711,8 @@ def vacuum_delta(path: str, keep_versions: int = 1,
                 fp = dv["pathOrInlineDv"]
                 keep.add(os.path.normpath(
                     fp[len("file:"):] if fp.startswith("file:") else fp))
+    import re
+    now = time.time()
     doomed = []
     for dirpath, dirs, names in os.walk(p):
         dirs[:] = [d for d in dirs
@@ -637,9 +722,19 @@ def vacuum_delta(path: str, keep_versions: int = 1,
                     or (f.startswith("deletion_vector_")
                         and f.endswith(".bin"))):
                 continue
+            m = re.match(r"v(\d+)-", f)
+            if m and int(m.group(1)) > latest:
+                continue    # staged by an in-flight exporter
             full = os.path.normpath(os.path.join(dirpath, f))
-            if full not in keep:
-                doomed.append(full)
+            if full in keep:
+                continue
+            if retention_sec > 0:
+                try:
+                    if now - os.path.getmtime(full) < retention_sec:
+                        continue
+                except OSError:
+                    continue
+            doomed.append(full)
     if not dry_run:
         for f in doomed:
             os.unlink(f)
@@ -737,6 +832,26 @@ def _replay(path: str, version: int | None = None) -> dict:
     return state
 
 
+#: checkpoint struct fields that are map<string,string> in the spec —
+#: pyarrow's to_pylist yields them as [(k, v)] tuples; the JSON-commit
+#: code path (and everything downstream) expects plain dicts
+_CK_MAP_FIELDS = {"partitionValues", "configuration", "options", "tags"}
+
+
+def _from_checkpoint(obj, name=None):
+    """Normalize a checkpoint-parquet action struct to the exact shape
+    a JSON commit line would parse to: map fields → dict, null-valued
+    optional fields dropped (JSON commits simply omit them)."""
+    if isinstance(obj, dict):
+        return {k: _from_checkpoint(v, k) for k, v in obj.items()
+                if v is not None}
+    if isinstance(obj, list):
+        if name in _CK_MAP_FIELDS:
+            return {k: v for k, v in obj}
+        return [_from_checkpoint(x) for x in obj]
+    return obj
+
+
 def _apply_checkpoint(state: dict, log_dir: str, ckv: int,
                       parts: int) -> None:
     import pyarrow.parquet as pq
@@ -750,7 +865,8 @@ def _apply_checkpoint(state: dict, log_dir: str, ckv: int,
         for row in tbl.to_pylist():
             for kind in ("protocol", "metaData", "add", "remove"):
                 if row.get(kind) is not None:
-                    _apply_action(state, {kind: row[kind]})
+                    _apply_action(state,
+                                  {kind: _from_checkpoint(row[kind])})
 
 
 def _hive_layout(files: dict, pcols: list[str]) -> bool:
