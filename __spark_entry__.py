@@ -1948,6 +1948,115 @@ def q_delete_vectors(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_delete_vectors_part(spark, sf_dir):
+    """Deletion-vector commits on a HIVE-PARTITIONED table
+    (store.flush_tables fast_del without the former ``not pby`` gate;
+    pin-aware _ops_frame): a pure-delete epoch against a partitioned
+    table flushes ONLY the key parquet — the entry asserts the version
+    dir holds zero data files outside ``_``-dirs and the recipe ends
+    in ``del`` — and a COLD reopen folds the recipe with the pinned
+    partition schema, so the leading-zero string partition values
+    ('00'..'04') come back exactly (an unpinned read would re-infer
+    them as ints).  Partition pruning over the fold is plan-asserted
+    (PartitionFilters)."""
+    import os
+    import tempfile
+    db = _db(spark, sf_dir)
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    with tempfile.TemporaryDirectory() as tmp:
+        db1 = ToStoreSpark(spark, warehouse=tmp)
+        sch = TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="pcol", type=DataType.text),
+                    FieldSchema(name="n_name", type=DataType.text)])
+        src = spark.createDataFrame(
+            [(f"n{r['n_nationkey']:03d}", f"{r['n_regionkey']:02d}",
+              r["n_name"]) for r in nat],
+            "id string, pcol string, n_name string")
+        db1.register_table("nat", df=src, schema=sch,
+                           partition_by=["pcol"])
+        db1.flush()                                # partitioned base
+        db1.eager_mutation_counts = False
+        db1.delete("nat").where("pcol", "=", "02").execute()
+        db1.flush()                                # delete epoch
+        ent = db1._tables[("default", "nat")]
+        vdir = ent["path"]
+        data_files = []
+        for dirpath, dirs, names in os.walk(vdir):
+            dirs[:] = [d for d in dirs if not d.startswith("_")]
+            data_files += [f for f in names if f.endswith(".parquet")]
+        if data_files:
+            raise AssertionError(
+                "partitioned delete epoch rewrote table data")
+        if ent["ops"][-1][0] != "del":
+            raise AssertionError(f"no delete step: {ent['ops']}")
+        db2 = ToStoreSpark(spark, warehouse=tmp)   # cold replay
+        probe = db2.df("nat").filter("pcol = '01'")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        if "PartitionFilters" not in plan:
+            raise AssertionError("partition pruning lost on DV fold")
+        out = (db2.query("nat").order_by_asc("id").df()
+               .select("id", "pcol", "n_name"))
+        rows, schema = out.collect(), out.schema
+    return spark.createDataFrame(rows, schema)
+
+
+def q_upsert_mor_part(spark, sf_dir):
+    """Merge-on-read upsert on a HIVE-PARTITIONED table
+    (store.flush_tables fast_replace + partitionBy on the delta
+    segment): the flush writes ONLY the touched rows — themselves
+    hive-laid-out, asserted in-entry (``pcol=`` dirs inside the
+    version dir; data part holds exactly the touched rows; recipe
+    tail del,seg) — and a COLD reopen replays partial update + insert
+    with partition values typed exactly (leading-zero strings)."""
+    import os
+    import tempfile
+    db = _db(spark, sf_dir)
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    with tempfile.TemporaryDirectory() as tmp:
+        db1 = ToStoreSpark(spark, warehouse=tmp)
+        sch = TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="pcol", type=DataType.text),
+                    FieldSchema(name="n_name", type=DataType.text)])
+        src = spark.createDataFrame(
+            [(f"n{r['n_nationkey']:03d}", f"{r['n_regionkey']:02d}",
+              r["n_name"]) for r in nat],
+            "id string, pcol string, n_name string")
+        db1.register_table("nat", df=src, schema=sch,
+                           partition_by=["pcol"])
+        db1.flush()                                # partitioned base
+        ups = ([{"id": f"n{r['n_nationkey']:03d}",
+                 "n_name": r["n_name"] + "_V2"}    # partial update
+                for r in nat if r["n_regionkey"] == 1]
+               + [{"id": "zz1", "pcol": "09", "n_name": "NEW"}])
+        db1.batch_upsert("nat", ups)
+        db1.flush()                                # replace epoch
+        ent = db1._tables[("default", "nat")]
+        if [k for k, _p in ent["ops"]][-2:] != ["del", "seg"]:
+            raise AssertionError(f"not a replace commit: {ent['ops']}")
+        vdir = ent["path"]
+        if not [d for d in os.listdir(vdir) if d.startswith("pcol=")]:
+            raise AssertionError(
+                f"replace delta not partition-laid-out: "
+                f"{os.listdir(vdir)}")
+        import pyarrow.parquet as pq
+        seg_rows = pq.read_table(vdir).num_rows
+        if seg_rows != len(ups):
+            raise AssertionError(
+                f"replace segment holds {seg_rows} rows, "
+                f"expected {len(ups)} touched")
+        db2 = ToStoreSpark(spark, warehouse=tmp)   # cold replay
+        out = (db2.query("nat").order_by_asc("id").df()
+               .select("id", "pcol", "n_name"))
+        rows, schema = out.collect(), out.schema
+    return spark.createDataFrame(rows, schema)
+
+
 def q_bloom_skip(spark, sf_dir):
     """Bloom point-lookup segment skipping (engine.enable_bloom_skip +
     plans/skipping.bloom_may_contain): customer lands in 3 interleaved
@@ -4409,6 +4518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
+        "q_delete_vectors_part", "q_upsert_mor_part",         # born r13
         "q_delta_colmap", "q_delta_dv", "q_encrypted_typed",  # born r12
         "q_delta_roundtrip",
         "q_encrypted_at_rest", "q_delta_export", "q_meta_agg_deletes",
@@ -5315,6 +5425,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'n' || lpad(CAST(min(n_nationkey) AS VARCHAR), 3, '0'),
                    'REBORN', 9
             FROM nation WHERE n_regionkey = 2""",
+        "q_delete_vectors_part": """
+            SELECT 'n' || lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS id,
+                   lpad(CAST(n_regionkey AS VARCHAR), 2, '0') AS pcol,
+                   n_name
+            FROM nation WHERE n_regionkey <> 2""",
+        "q_upsert_mor_part": """
+            SELECT 'n' || lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS id,
+                   lpad(CAST(n_regionkey AS VARCHAR), 2, '0') AS pcol,
+                   CASE WHEN n_regionkey = 1 THEN n_name || '_V2'
+                        ELSE n_name END AS n_name
+            FROM nation
+            UNION ALL
+            SELECT 'zz1', '09', 'NEW'""",
         "q_delta_roundtrip": """
             -- v0 = 25 nation rows; v1 = +4 appends (keys 700-703);
             -- final = v1 minus keys >= 703

@@ -735,6 +735,35 @@ def _mor_flush_stat(spark, sf_dir: str) -> dict | None:
             for k in ("delete_vector", "delete_rewrite",
                       "update_vector", "update_rewrite")
             if s.get(f"{k}_flush_sec")}
+        # partitioned variant (r12 verdict order #1): the DV fast path
+        # now covers hive-partitioned tables — the same 100-row delete
+        # must flush ~flat in base size here too (it was pinned to the
+        # rewrite tier, 2.48x at 10x base in r12)
+        pblk: dict = {}
+        for label, size in (("small", max(1000, n_full // 10)),
+                            ("large", n_full)):
+            base = (full if size >= n_full
+                    else full.limit(size).localCheckpoint(eager=True))
+            del_ids = [r["id"] for r in base.limit(100).collect()]
+            with tempfile.TemporaryDirectory() as tmp:
+                db = ToStoreSpark(spark, warehouse=tmp)
+                db.register_table("t", df=base, schema=sch,
+                                  partition_by=["l_returnflag"])
+                db.flush()
+                db.delete_vectors = True
+                n = db.delete("t").where("id", "IN", del_ids).execute()
+                assert n == 100, n
+                t0 = _t.time()
+                db.flush()
+                pblk[f"{label}_delete_vector_flush_sec"] = \
+                    round(_t.time() - t0, 3)
+                ops = db._tables[("default", "t")]["ops"]
+                assert ops and ops[-1][0] == "del", ops
+        if pblk.get("small_delete_vector_flush_sec"):
+            pblk["scale_x"] = round(
+                pblk["large_delete_vector_flush_sec"]
+                / pblk["small_delete_vector_flush_sec"], 2)
+        out["partitioned"] = pblk
         return out
     except Exception as exc:                    # pragma: no cover
         print(f"# mor flush stat skipped: {exc}", file=sys.stderr)

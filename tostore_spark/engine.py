@@ -730,8 +730,12 @@ class ToStoreSpark:
                     schema=pin).select(*base.columns)
             return self._ttl_filtered(df, ent)
         # deletion vectors pending: fold the recipe, pruning each seg
-        # step and re-applying every anti-join in epoch order
+        # step and re-applying every anti-join in epoch order.  Hive-
+        # partitioned segments read pinned (and, file-grain, under
+        # their basePath) so the path-encoded partition columns keep
+        # their exact types — same discipline as the pure-seg branch.
         from pyspark.sql import functions as F
+        pby = bool(ent.get("partition_by"))
         df = None
         for kind, path in ops:
             np_ = _norm_path(path)
@@ -742,9 +746,15 @@ class ToStoreSpark:
                     files = file_sel[np_]
                     if not files:
                         continue
-                    part = self._pruned_read(files)
+                    if pby:
+                        root = path[:-1] if path.endswith("/") else path
+                        part = self._pruned_read_part(root, files,
+                                                      base.schema)
+                    else:
+                        part = self._pruned_read(files)
                 else:
-                    part = self._pruned_read(path)
+                    part = self._pruned_read(
+                        path, schema=base.schema if pby else None)
                 part = part.select(*base.columns)
                 df = part if df is None else df.unionByName(part)
             elif df is not None:

@@ -335,6 +335,26 @@ def _version_ops(fs, vdir: str) -> list:
         return [["seg", vdir]]
 
 
+def _version_pin(fs, vdir: str):
+    """The exact Spark schema a PARTITIONED version's reads must pin
+    (sidecar ``spark_schema``, written at flush): partition-column
+    values live in directory names, and an unpinned read would re-INFER
+    their types (a string partition value that looks numeric comes back
+    as int).  None for unpartitioned versions / pre-pin sidecars —
+    readers then use the plain read, exactly the old behavior."""
+    path = _fsmod.join(vdir, _SEGMENTS_SIDECAR)
+    try:
+        if not fs.exists(path):
+            return None
+        sj = json.loads(fs.read_text(path)).get("spark_schema")
+        if not sj:
+            return None
+        from pyspark.sql.types import StructType
+        return StructType.fromJson(json.loads(sj))
+    except (OSError, ValueError, KeyError):
+        return None
+
+
 def _version_refs(fs, vdir: str) -> list[str]:
     """Every version DIRECTORY a flushed version's recipe references —
     data segments AND deletion-vector dirs (vacuum/fsck protection must
@@ -588,9 +608,9 @@ def flush_tables(engine, flush_storage: bool = True,
             # commits K under _deletes AND R as this dir's data segment
             # — one version dir, two recipe steps, del before seg.
             fast_del = (ddelta is not None and delta is None
-                        and eligible and not pby)
+                        and eligible)
             fast_replace = (ddelta is not None and delta is not None
-                            and eligible and not pby)
+                            and eligible)
             written_schema = ent["df"].schema
             del_count = None
             if fast_del:
@@ -620,7 +640,13 @@ def flush_tables(engine, flush_storage: bool = True,
                 segments = list(base_segs)
             elif fast_replace:
                 # root first: its overwrite would clobber the subdir
-                delta.write.mode("overwrite").parquet(vdir)
+                dwriter = delta.write.mode("overwrite")
+                if pby:
+                    # the replacement rows land hive-partitioned like
+                    # every other segment of the table — readers prune
+                    # this delta segment on partition predicates too
+                    dwriter = dwriter.partitionBy(*pby)
+                dwriter.parquet(vdir)
                 ddelta.dropDuplicates().write.mode("overwrite").parquet(
                     _fsmod.join(vdir, _DELETES_SUBDIR))
                 ops = base_ops + [["del", vdir], ["seg", vdir]]
@@ -637,12 +663,21 @@ def flush_tables(engine, flush_storage: bool = True,
                     else [["seg", vdir]]
                 segments = (base_segs + [vdir]) if fast else None
             has_del = any(k == "del" for k, _p in ops)
-            if segments or has_del:
+            # partitioned tables write the sidecar on EVERY commit
+            # (rewrites included): time travel needs the schema pin
+            # even for a single-segment version
+            if segments or has_del or pby:
+                sidecar = {"segments": [p for k, p in ops if k == "seg"],
+                           "ops": ops}
+                if pby:
+                    # partitioned recipes pin their read-back schema in
+                    # the version dir itself (_version_pin): time
+                    # travel / CDC / merge folds then retype partition
+                    # values exactly, manifest present or not
+                    sidecar["spark_schema"] = written_schema.json()
                 fs.write_atomic(
                     _fsmod.join(vdir, _SEGMENTS_SIDECAR),
-                    json.dumps({"segments":
-                                [p for k, p in ops if k == "seg"],
-                                "ops": ops}))
+                    json.dumps(sidecar))
             # per-segment footer stats for manifest-level data skipping
             # (plans/skipping): metadata-only reads of what was just
             # written — base segments keep their prior stats on the
@@ -751,7 +786,12 @@ def flush_tables(engine, flush_storage: bool = True,
                     del_counts in staged:
                 ent = engine._tables[key]
                 if any(k == "del" for k, _p in ops):
-                    ent["df"] = _ops_frame(engine, ops)
+                    # pin partitioned recipes: the fold re-reads hive
+                    # roots, and unpinned partition-value inference
+                    # could retype them (same discipline as the pure-
+                    # segment branch below)
+                    ent["df"] = _ops_frame(engine, ops,
+                                           pin=wsch if pby else None)
                 else:
                     ent["df"] = engine._read_parquet(
                         segs if segs else vdir,
@@ -941,16 +981,21 @@ def _fold_merged(engine, manifest: dict) -> None:
             continue   # ours (just flushed or untouched) — already right
         segs = ent.get("segments") or [ent["path"]]
         fops = ent.get("ops")
+        pin = None
+        if ent.get("partition_by") and ent.get("spark_schema"):
+            from pyspark.sql.types import StructType
+            pin = StructType.fromJson(json.loads(ent["spark_schema"]))
         if fops and any(k == "del" for k, _p in fops):
-            fdf = _ops_frame(engine, fops)
+            fdf = _ops_frame(engine, fops, pin=pin)
         else:
             fdf = engine._read_parquet(
-                segs if len(segs) > 1 else ent["path"])
+                segs if len(segs) > 1 else ent["path"], schema=pin)
         engine._tables[key] = {
             "df": fdf,
             "path": ent["path"],
             "schema": _schema_from_dict(ent["schema"]),
             "global": ent["global"],
+            "partition_by": ent.get("partition_by"),
             "segments": segs,
             "segment_stats": ent.get("segment_stats"),
             "bloom_cols": ent.get("bloom_cols"),
@@ -1440,11 +1485,15 @@ def read_version(engine, table: str, version: int,
     # the same sidecar, so base AND deletion-vector dirs stay
     # protected); a deletion-vector version folds its anti-joins
     ops = _version_ops(fs, vdir)
+    pin = _version_pin(fs, vdir)
     if any(k == "del" for k, _p in ops):
-        out = _ops_frame(engine, ops)
+        out = _ops_frame(engine, ops, pin=pin)
     else:
         segs = _version_segments(fs, vdir)
-        out = engine._read_parquet(segs if len(segs) > 1 else vdir)
+        out = engine._read_parquet(segs if len(segs) > 1 else vdir,
+                                   schema=pin)
+        if pin is not None:
+            out = out.select(*[f.name for f in pin.fields])
     return _decrypt_for(engine, space, table, out)
 
 
@@ -1597,6 +1646,10 @@ def _diff_from_recipe(engine, table: str, from_version: int,
     engine._pinned_versions.add((space, table, from_version))
     engine._pinned_versions.add((space, table, to_version))
     tail = ops_to[len(ops_from):]
+    # partitioned recipes pin their reads (sidecar spark_schema) so
+    # partition-value types stay exact; extending chains share one
+    # schema, so the to-version's pin covers base and tail alike
+    pin = _version_pin(fs, vt)
     state = None         # built lazily, only if a del step needs it
     consumed = list(ops_from)
     signed = None
@@ -1612,8 +1665,10 @@ def _diff_from_recipe(engine, table: str, from_version: int,
                  for k, p in tail if k != "seg"]
     for kind, path in tail:
         if kind == "seg":
-            rows = _decrypt_for(engine, space, table,
-                                engine._read_parquet(path))
+            rows = engine._read_parquet(path, schema=pin)
+            if pin is not None:
+                rows = rows.select(*[f.name for f in pin.fields])
+            rows = _decrypt_for(engine, space, table, rows)
             if cols is None:
                 cols = sorted(rows.columns)
             rows = rows.select(*cols)
@@ -1628,7 +1683,8 @@ def _diff_from_recipe(engine, table: str, from_version: int,
                 # differ across writes
                 state = _decrypt_for(
                     engine, space, table,
-                    _cdc_base_state(engine, consumed, tail_keys))
+                    _cdc_base_state(engine, consumed, tail_keys,
+                                    pin=pin))
             pre = state.join(F.broadcast(keys), on=list(keys.columns),
                              how="left_semi")
             if cols is None:
@@ -1663,7 +1719,7 @@ def _diff_from_recipe(engine, table: str, from_version: int,
 _CDC_PRUNE_KEY_CAP = 10_000
 
 
-def _cdc_base_state(engine, consumed, tail_keys):
+def _cdc_base_state(engine, consumed, tail_keys, pin=None):
     """The pre-image state frame for a CDC tail's FIRST deletion
     vector: fold(``consumed``), with base SEGMENTS the manifest stats /
     footer stats / bloom sidecars prove disjoint from EVERY tail key
@@ -1716,7 +1772,7 @@ def _cdc_base_state(engine, consumed, tail_keys):
     except Exception:
         node = None
     if node is None:
-        return _ops_frame(engine, consumed)
+        return _ops_frame(engine, consumed, pin=pin)
     from tostore_spark.plans.skipping import (collect_parquet_stats,
                                               node_may_match)
     # stats per base root: the live manifest's map first (the common
@@ -1742,7 +1798,7 @@ def _cdc_base_state(engine, consumed, tail_keys):
             surviving.add(_norm_path(seg))
     engine._last_cdc_prune = (len(surviving), len(segs))
     if len(surviving) == len(segs):
-        return _ops_frame(engine, consumed)
+        return _ops_frame(engine, consumed, pin=pin)
     # fold the recipe with pruned-out segments skipped; anti-joins
     # still apply in epoch order to whatever survives
     df = None
@@ -1751,9 +1807,12 @@ def _cdc_base_state(engine, consumed, tail_keys):
         if kind == "seg":
             if _norm_path(path) not in surviving:
                 if pruned_schema is None:
-                    pruned_schema = engine._read_parquet(path).schema
+                    pruned_schema = (pin if pin is not None else
+                                     engine._read_parquet(path).schema)
                 continue
-            part = engine._read_parquet(path)
+            part = engine._read_parquet(path, schema=pin)
+            if pin is not None:
+                part = part.select(*[f.name for f in pin.fields])
             df = part if df is None else df.unionByName(part)
         elif df is not None:
             keys = read_delete_keys(engine, path)
