@@ -15,12 +15,14 @@ import json
 import os
 from typing import Optional
 
-from tostore_spark.schema import (DataType, FieldSchema, PrimaryKeyConfig,
-                                  PrimaryKeyType, TableSchema)
+from tostore_spark.schema import (DataType, FieldSchema, ForeignKeyAction,
+                                  ForeignKeySchema, IndexSchema, IndexType,
+                                  PrimaryKeyConfig, PrimaryKeyType,
+                                  TableSchema, TableTtlConfig)
 
 
 def _schema_to_dict(sch: TableSchema) -> dict:
-    return {
+    out = {
         "name": sch.name,
         "is_global": sch.is_global,
         "primary_key": dataclasses.asdict(sch.primary_key) if sch.primary_key else None,
@@ -31,6 +33,29 @@ def _schema_to_dict(sch: TableSchema) -> dict:
             for f in sch.fields
         ],
     }
+    # the schema's BEHAVIORAL config must round-trip the manifest too:
+    # a reopened engine without the TTL would surface expired-but-
+    # unswept base rows (flush fast paths keep them on disk), without
+    # the FK/index config it would stop validating
+    if sch.ttl is not None:
+        out["ttl"] = {"ttl_ms": sch.ttl.ttl_ms,
+                      "source_field": sch.ttl.source_field}
+    if sch.foreign_keys:
+        out["foreign_keys"] = [
+            {"fields": list(fk.fields),
+             "referenced_table": fk.referenced_table,
+             "referenced_fields": list(fk.referenced_fields),
+             "on_delete": fk.on_delete.value,
+             "on_update": fk.on_update.value,
+             "name": fk.name}
+            for fk in sch.foreign_keys]
+    if sch.indexes:
+        out["indexes"] = [
+            {"fields": list(ix.fields), "index_name": ix.index_name,
+             "unique": ix.unique, "type": ix.type.value,
+             "vector_config": ix.vector_config}
+            for ix in sch.indexes]
+    return out
 
 
 def _schema_from_dict(d: dict) -> TableSchema:
@@ -38,8 +63,26 @@ def _schema_from_dict(d: dict) -> TableSchema:
     if d.get("primary_key"):
         p = d["primary_key"]
         pk = PrimaryKeyConfig(name=p["name"], type=PrimaryKeyType(p["type"]))
+    ttl = None
+    if d.get("ttl"):
+        ttl = TableTtlConfig(ttl_ms=int(d["ttl"].get("ttl_ms") or 0),
+                             source_field=d["ttl"].get("source_field"))
+    fks = [ForeignKeySchema(
+        fields=list(fk["fields"]),
+        referenced_table=fk["referenced_table"],
+        referenced_fields=list(fk["referenced_fields"]),
+        on_delete=ForeignKeyAction(fk.get("on_delete", "restrict")),
+        on_update=ForeignKeyAction(fk.get("on_update", "restrict")),
+        name=fk.get("name")) for fk in d.get("foreign_keys") or []]
+    ixs = [IndexSchema(
+        fields=list(ix["fields"]), index_name=ix.get("index_name"),
+        unique=ix.get("unique", False),
+        type=IndexType(ix.get("type", "btree")),
+        vector_config=ix.get("vector_config"))
+        for ix in d.get("indexes") or []]
     return TableSchema(
         name=d["name"], is_global=d.get("is_global", False), primary_key=pk,
+        ttl=ttl, foreign_keys=fks, indexes=ixs,
         fields=[FieldSchema(name=f["name"], type=DataType(f["type"]),
                             nullable=f.get("nullable", True),
                             unique=f.get("unique", False),
