@@ -2057,6 +2057,111 @@ def q_upsert_mor_part(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_delta_v2_checkpoint(spark, sf_dir):
+    """V2-checkpoint Delta reads (plans/delta_export._apply_checkpoint_v2;
+    delta-io PROTOCOL.md "V2 Spec"): a foreign log whose ONLY record of
+    the base files is a UUID-named parquet checkpoint manifest + a
+    ``_delta_log/_sidecars/`` file-action parquet — no JSON commits
+    before the checkpoint exist at all, so a reader that cannot fold
+    the v2 form has nothing to fall back to.  A JSON tail commit then
+    removes one file; the replayed table must be exactly the surviving
+    file's rows (the modern Databricks writer default shape)."""
+    import json
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    db = _db(spark, sf_dir)
+    from tostore_spark.plans.delta_export import read_delta
+    nat = sorted((int(r["n_nationkey"]), r["n_name"],
+                  int(r["n_regionkey"]))
+                 for r in db.df("nation").collect())
+    lo = [t for t in nat if t[2] < 2]
+    hi = [t for t in nat if t[2] >= 2]
+    with tempfile.TemporaryDirectory() as root:
+        def wr(name, rows):
+            pq.write_table(pa.table({
+                "n_nationkey": pa.array([r[0] for r in rows],
+                                        pa.int64()),
+                "n_name": pa.array([r[1] for r in rows], pa.string()),
+                "n_regionkey": pa.array([r[2] for r in rows],
+                                        pa.int64())}),
+                os.path.join(root, name))
+        wr("a.parquet", lo)
+        wr("b.parquet", hi)
+        log = os.path.join(root, "_delta_log")
+        sdir = os.path.join(log, "_sidecars")
+        os.makedirs(sdir)
+        fields = [{"name": c, "type": "long" if c != "n_name"
+                   else "string", "nullable": True, "metadata": {}}
+                  for c in ("n_nationkey", "n_name", "n_regionkey")]
+        meta = {"id": "v2fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps({"type": "struct",
+                                            "fields": fields}),
+                "partitionColumns": [], "configuration": {}}
+        proto = {"minReaderVersion": 3, "minWriterVersion": 7,
+                 "readerFeatures": ["v2Checkpoint"],
+                 "writerFeatures": ["v2Checkpoint"]}
+        smap = pa.map_(pa.string(), pa.string())
+        add_t = pa.struct([
+            ("path", pa.string()), ("partitionValues", smap),
+            ("size", pa.int64()), ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_())])
+        adds = [{"add": {"path": p, "partitionValues": {}, "size": 1,
+                         "modificationTime": 0, "dataChange": True},
+                 "remove": None}
+                for p in ("a.parquet", "b.parquet")]
+        pq.write_table(pa.Table.from_pylist(adds, schema=pa.schema([
+            ("add", add_t),
+            ("remove", pa.struct([("path", pa.string()),
+                                  ("deletionTimestamp", pa.int64()),
+                                  ("dataChange", pa.bool_())]))])),
+            os.path.join(sdir, "sc-0.parquet"))
+        ck_rows = [{"protocol": proto}, {"metaData": meta},
+                   {"checkpointMetadata": {"version": 1}},
+                   {"sidecar": {"path": "sc-0.parquet",
+                                "sizeInBytes": 1,
+                                "modificationTime": 0}}]
+        ck_schema = pa.schema([
+            ("protocol", pa.struct([
+                ("minReaderVersion", pa.int32()),
+                ("minWriterVersion", pa.int32()),
+                ("readerFeatures", pa.list_(pa.string())),
+                ("writerFeatures", pa.list_(pa.string()))])),
+            ("metaData", pa.struct([
+                ("id", pa.string()),
+                ("format", pa.struct([("provider", pa.string()),
+                                      ("options", smap)])),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", smap)])),
+            ("checkpointMetadata", pa.struct([("version",
+                                               pa.int64())])),
+            ("sidecar", pa.struct([
+                ("path", pa.string()), ("sizeInBytes", pa.int64()),
+                ("modificationTime", pa.int64())]))])
+        cols = ("protocol", "metaData", "checkpointMetadata",
+                "sidecar")
+        pq.write_table(pa.Table.from_pylist(
+            [{c: r.get(c) for c in cols} for r in ck_rows],
+            schema=ck_schema),
+            os.path.join(log,
+                         f"{1:020d}.checkpoint.0a1b2c3d.parquet"))
+        with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+            json.dump({"version": 1, "size": 4}, fh)
+        with open(os.path.join(log, f"{2:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"remove": {
+                "path": "a.parquet", "deletionTimestamp": 0,
+                "dataChange": True}}) + "\n")
+        out = (read_delta(spark, root)
+               .orderBy("n_nationkey")
+               .select("n_nationkey", "n_name", "n_regionkey"))
+        rows, schema = out.collect(), out.schema
+    return spark.createDataFrame(rows, schema)
+
+
 def q_bloom_skip(spark, sf_dir):
     """Bloom point-lookup segment skipping (engine.enable_bloom_skip +
     plans/skipping.bloom_may_contain): customer lands in 3 interleaved
@@ -4519,6 +4624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     _ORDER = [
         "q_delete_vectors_part", "q_upsert_mor_part",         # born r13
+        "q_delta_v2_checkpoint",                              # born r13
         "q_delta_colmap", "q_delta_dv", "q_encrypted_typed",  # born r12
         "q_delta_roundtrip",
         "q_encrypted_at_rest", "q_delta_export", "q_meta_agg_deletes",
@@ -5425,6 +5531,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'n' || lpad(CAST(min(n_nationkey) AS VARCHAR), 3, '0'),
                    'REBORN', 9
             FROM nation WHERE n_regionkey = 2""",
+        "q_delta_v2_checkpoint": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation WHERE n_regionkey >= 2
+            ORDER BY n_nationkey""",
         "q_delete_vectors_part": """
             SELECT 'n' || lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS id,
                    lpad(CAST(n_regionkey AS VARCHAR), 2, '0') AS pcol,

@@ -536,10 +536,12 @@ class TestDeltaColumnMapping:
                 "readerFeatures": ["columnMapping"]}}))
         open(log2, "w").write(lines)
         assert read_delta(spark, d2).count() == 3
+        # (v2Checkpoint is a SUPPORTED feature since r13 — use a
+        # genuinely unimplemented one for the refusal probe)
         lines = lines.replace('["columnMapping"]',
-                              '["columnMapping", "v2Checkpoint"]')
+                              '["columnMapping", "typeWidening"]')
         open(log2, "w").write(lines)
-        with pytest.raises(ValueError, match="v2Checkpoint"):
+        with pytest.raises(ValueError, match="typeWidening"):
             read_delta(spark, d2)
 
 
@@ -1026,3 +1028,482 @@ class TestDeltaCheckpointWrite:
             shutil.move(os.path.join(log, f"{v:020d}.json"),
                         os.path.join(stash, f"{v:020d}.json"))
         assert _collect_sorted(read_delta(spark, dest)) == full
+
+
+class TestDeltaDvExportPartitioned:
+    def test_partitioned_pk_table_commits_dv(self, spark, tmp_path):
+        """r13: the store's partitioned seg/del tails flow through the
+        DV export path — hive-laid-out adds, basePath probes,
+        basename-keyed positions — so a partitioned delete exports as
+        a merge-on-read commit, not a refresh."""
+        from tostore_spark.plans.delta_export import read_delta
+        wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+        db = ToStoreSpark(spark, warehouse=wh)
+        sch = TableSchema(
+            name="pt", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="bucket", type=DataType.text),
+                    FieldSchema(name="n", type=DataType.integer)])
+        db.register_table("pt", df=spark.createDataFrame(
+            [(f"k{i:02d}", f"0{i % 3}", i) for i in range(30)],
+            "id string, bucket string, n int"),
+            schema=sch, partition_by=["bucket"])
+        db.flush()
+        db.export_delta("pt", dest)                         # v0
+        db.delete("pt").where("id", "IN", ["k04", "k10", "k17"]) \
+          .execute()
+        db.flush()                          # partitioned del epoch
+        rep = db.export_delta("pt", dest, mode="update",
+                              deletion_vectors=True)
+        assert rep["commit"] == "dv", rep
+        assert rep["dv_positions"] == 3 and rep["files"] == 0
+        back = read_delta(spark, dest)
+        assert _collect_sorted(back) == _collect_sorted(db.df("pt"))
+        assert back.count() == 27
+        # upsert (replace epoch) keeps the chain dv-extending too
+        db.batch_upsert("pt", [{"id": "k05", "n": 999},
+                               {"id": "zz", "bucket": "01", "n": 77}])
+        db.flush()
+        rep2 = db.export_delta("pt", dest, mode="update",
+                               deletion_vectors=True)
+        assert rep2["commit"] == "dv", rep2
+        assert _collect_sorted(read_delta(spark, dest)) == \
+            _collect_sorted(db.df("pt"))
+
+    def test_dv_add_stats_loose_bounds(self, spark, tmp_path):
+        """Spec: an add that carries a deletionVector keeps physical
+        numRecords but must declare tightBounds=false — its min/max
+        may cover values that exist only in deleted rows."""
+        wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+        db = _mk(spark, wh, rows=12)
+        db.export_delta("notes", dest, target_files=1)
+        db.delete("notes").where("id", "=", "k011").execute()
+        db.flush()
+        rep = db.export_delta("notes", dest, mode="update",
+                              deletion_vectors=True)
+        assert rep["commit"] == "dv"
+        log = os.path.join(dest, "_delta_log", f"{1:020d}.json")
+        dv_adds = [a["add"] for a in map(json.loads, open(log))
+                   if "add" in a and a["add"].get("deletionVector")]
+        assert dv_adds
+        for add in dv_adds:
+            st = json.loads(add["stats"])
+            assert st.get("tightBounds") is False
+            assert st["numRecords"] == 12      # physical, not live
+
+
+class TestCheckpointSpecSchema:
+    def test_checkpoint_parquet_uses_map_types(self, spark, tmp_path):
+        """The classic-checkpoint parquet must carry partitionValues /
+        configuration / format.options as map<string,string> and emit
+        them even when empty (required add field) — the shape
+        delta-spark refuses to read otherwise."""
+        import pyarrow.parquet as pq
+        wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+        db = _mk(spark, wh, rows=4)
+        db.export_delta("notes", dest)
+        for i in range(10):
+            db.batch_insert("notes", [{"id": f"a{i:02d}", "body": "b",
+                                       "n": 50 + i}])
+            db.flush()
+            db.export_delta("notes", dest, mode="update")
+        ck = os.path.join(dest, "_delta_log",
+                          f"{10:020d}.checkpoint.parquet")
+        schema = pq.read_schema(ck)
+        import pyarrow as pa
+        add_t = schema.field("add").type
+        pv = add_t.field("partitionValues").type
+        assert pa.types.is_map(pv), pv
+        meta_t = schema.field("metaData").type
+        assert pa.types.is_map(meta_t.field("configuration").type)
+        fmt_t = meta_t.field("format").type
+        assert pa.types.is_map(fmt_t.field("options").type)
+        # unpartitioned adds still carry partitionValues (empty map)
+        tbl = pq.read_table(ck)
+        adds = [r["add"] for r in tbl.to_pylist()
+                if r.get("add") is not None]
+        assert adds and all(r["partitionValues"] == [] for r in adds)
+
+
+class TestV2Checkpoints:
+    """Hand-constructed v2-checkpointed logs, shaped per PROTOCOL.md
+    'V2 Spec' — UUID-named checkpoint manifest (json or parquet),
+    sidecar file-action parquets under _delta_log/_sidecars/ — must
+    replay identically to the JSON-commit-only fold."""
+
+    def _write_data(self, root, name, vals):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        pq.write_table(pa.table({"x": pa.array(vals, pa.int64())}),
+                       os.path.join(root, name))
+
+    def _base_log(self, root):
+        """v0: protocol(v2Checkpoint)+meta+add a; v1: add b."""
+        os.makedirs(os.path.join(root, "_delta_log"))
+        self._write_data(root, "a.parquet", [1, 2])
+        self._write_data(root, "b.parquet", [3])
+        meta = {"id": "fixture", "format": {"provider": "parquet",
+                                            "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": [
+                        {"name": "x", "type": "long",
+                         "nullable": True, "metadata": {}}]}),
+                "partitionColumns": [], "configuration": {}}
+        proto = {"minReaderVersion": 3, "minWriterVersion": 7,
+                 "readerFeatures": ["v2Checkpoint"],
+                 "writerFeatures": ["v2Checkpoint"]}
+        log = os.path.join(root, "_delta_log")
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"protocol": proto}) + "\n")
+            fh.write(json.dumps({"metaData": meta}) + "\n")
+            fh.write(json.dumps({"add": {
+                "path": "a.parquet", "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+        with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"add": {
+                "path": "b.parquet", "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+        return log, proto, meta
+
+    def _tail_commit(self, root):
+        """v2: remove a, add c — replay past the checkpoint."""
+        self._write_data(root, "c.parquet", [4, 5])
+        log = os.path.join(root, "_delta_log")
+        with open(os.path.join(log, f"{2:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"remove": {
+                "path": "a.parquet", "deletionTimestamp": 0,
+                "dataChange": True}}) + "\n")
+            fh.write(json.dumps({"add": {
+                "path": "c.parquet", "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+
+    def test_v2_parquet_manifest_with_sidecar(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tostore_spark.plans.delta_export import read_delta
+        root = str(tmp_path / "t")
+        os.makedirs(root)
+        log, proto, meta = self._base_log(root)
+        # v2 checkpoint at version 1: manifest holds non-file actions
+        # + one sidecar reference; the sidecar holds the two adds
+        sdir = os.path.join(log, "_sidecars")
+        os.makedirs(sdir)
+        add_t = pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()), ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_())])
+        sc_rows = [{"add": {"path": p, "partitionValues": {},
+                            "size": 1, "modificationTime": 0,
+                            "dataChange": True}, "remove": None}
+                   for p in ("a.parquet", "b.parquet")]
+        sc_schema = pa.schema([
+            ("add", add_t),
+            ("remove", pa.struct([("path", pa.string()),
+                                  ("deletionTimestamp", pa.int64()),
+                                  ("dataChange", pa.bool_())]))])
+        pq.write_table(pa.Table.from_pylist(sc_rows, schema=sc_schema),
+                       os.path.join(sdir, "sc-1.parquet"))
+        ck_rows = [
+            {"protocol": proto}, {"metaData": meta},
+            {"checkpointMetadata": {"version": 1}},
+            {"sidecar": {"path": "sc-1.parquet", "sizeInBytes": 1,
+                         "modificationTime": 0}}]
+        # explicit spec-shaped schema (map<string,string> config/
+        # options), exactly what a real v2 writer emits
+        smap = pa.map_(pa.string(), pa.string())
+        ck_schema = pa.schema([
+            ("protocol", pa.struct([
+                ("minReaderVersion", pa.int32()),
+                ("minWriterVersion", pa.int32()),
+                ("readerFeatures", pa.list_(pa.string())),
+                ("writerFeatures", pa.list_(pa.string()))])),
+            ("metaData", pa.struct([
+                ("id", pa.string()),
+                ("format", pa.struct([("provider", pa.string()),
+                                      ("options", smap)])),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", smap)])),
+            ("checkpointMetadata", pa.struct([
+                ("version", pa.int64())])),
+            ("sidecar", pa.struct([
+                ("path", pa.string()), ("sizeInBytes", pa.int64()),
+                ("modificationTime", pa.int64())]))])
+        cols = ("protocol", "metaData", "checkpointMetadata", "sidecar")
+        norm = [{c: r.get(c) for c in cols} for r in ck_rows]
+        pq.write_table(
+            pa.Table.from_pylist(norm, schema=ck_schema),
+            os.path.join(log, f"{1:020d}.checkpoint.abcd1234.parquet"))
+        with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+            json.dump({"version": 1, "size": 4}, fh)
+        self._tail_commit(root)
+        got = sorted(r["x"] for r in read_delta(spark, root).collect())
+        assert got == [3, 4, 5]
+        # identical to the JSON-only fold (checkpoint bypassed)
+        os.unlink(os.path.join(log, "_last_checkpoint"))
+        ref = sorted(r["x"] for r in read_delta(spark, root).collect())
+        assert got == ref
+        # time travel below the checkpoint replays from JSON commits
+        with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+            json.dump({"version": 1, "size": 4}, fh)
+        assert sorted(r["x"] for r in
+                      read_delta(spark, root, version=0).collect()) \
+            == [1, 2]
+
+    def test_v2_json_manifest_inline_actions(self, spark, tmp_path):
+        from tostore_spark.plans.delta_export import read_delta
+        root = str(tmp_path / "t")
+        os.makedirs(root)
+        log, proto, meta = self._base_log(root)
+        name = f"{1:020d}.checkpoint.00aa00aa.json"
+        with open(os.path.join(log, name), "w") as fh:
+            fh.write(json.dumps({"checkpointMetadata": {"version": 1}})
+                     + "\n")
+            fh.write(json.dumps({"protocol": proto}) + "\n")
+            fh.write(json.dumps({"metaData": meta}) + "\n")
+            for p in ("a.parquet", "b.parquet"):
+                fh.write(json.dumps({"add": {
+                    "path": p, "partitionValues": {}, "size": 1,
+                    "modificationTime": 0, "dataChange": True}}) + "\n")
+        with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+            json.dump({"version": 1, "size": 5}, fh)
+        self._tail_commit(root)
+        got = sorted(r["x"] for r in read_delta(spark, root).collect())
+        assert got == [3, 4, 5]
+
+    def test_v2_version_mismatch_refuses(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from tostore_spark.plans.delta_export import read_delta
+        root = str(tmp_path / "t")
+        os.makedirs(root)
+        log, proto, meta = self._base_log(root)
+        name = f"{1:020d}.checkpoint.00aa00aa.json"
+        with open(os.path.join(log, name), "w") as fh:
+            fh.write(json.dumps({"checkpointMetadata": {"version": 7}})
+                     + "\n")
+            fh.write(json.dumps({"protocol": proto}) + "\n")
+            fh.write(json.dumps({"metaData": meta}) + "\n")
+        with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+            json.dump({"version": 1, "size": 3}, fh)
+        with _pytest.raises(ValueError, match="checkpointMetadata"):
+            read_delta(spark, root)
+
+    def test_unknown_feature_still_refuses(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from tostore_spark.plans.delta_export import read_delta
+        root = str(tmp_path / "t")
+        os.makedirs(root)
+        log, proto, meta = self._base_log(root)
+        # rewrite v0's protocol with an unsupported feature
+        with open(os.path.join(log, f"{0:020d}.json")) as fh:
+            lines = fh.readlines()
+        bad = dict(proto)
+        bad["readerFeatures"] = ["v2Checkpoint", "typeWidening-preview"]
+        lines[0] = json.dumps({"protocol": bad}) + "\n"
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+            fh.writelines(lines)
+        with _pytest.raises(ValueError, match="typeWidening"):
+            read_delta(spark, root)
+
+
+class TestDvExternalProof:
+    """Spec-pinned EXTERNAL verification of DV exports (r12 verdict
+    order #4, fixture form — no delta library/extension ships in this
+    container): an independent reader implemented here directly from
+    the public spec texts (RFC-1924 Base85 via stdlib base64.b85decode,
+    RoaringBitmapArray portable layout per RoaringFormatSpec, parquet
+    via pyarrow — no tostore_spark.plans.delta_dv import anywhere)
+    must see exactly the store's post-delete state, and the inline
+    descriptor must equal a HAND-WRITTEN byte literal for a known
+    position set, so a self-consistent-but-nonstandard encoding
+    cannot hide."""
+
+    @staticmethod
+    def _spec_parse_bitmap_array(data):
+        """Cleanroom parser, transcribed from the spec texts: magic
+        int32 LE, bitmap count int64 LE, then per bitmap a key int32
+        LE + a standard 32-bit roaring portable bitmap (cookie 12346:
+        container count int32, descriptive (key16, card-1) pairs,
+        offsets header, array/bitmap payloads; cookie low16 12347:
+        run form)."""
+        import struct as st
+        assert st.unpack_from("<i", data, 0)[0] == 1681511377
+        (n_maps,) = st.unpack_from("<q", data, 4)
+        pos, out = 12, []
+        for _ in range(n_maps):
+            (key32,) = st.unpack_from("<i", data, pos)
+            pos += 4
+            (cookie,) = st.unpack_from("<I", data, pos)
+            if (cookie & 0xFFFF) == 12347:
+                n = (cookie >> 16) + 1
+                pos += 4
+                runbits = data[pos:pos + (n + 7) // 8]
+                pos += (n + 7) // 8
+                has_off = n >= 4
+            else:
+                assert cookie == 12346, cookie
+                (n,) = st.unpack_from("<i", data, pos + 4)
+                pos += 8
+                runbits = b""
+                has_off = True
+            desc = []
+            for i in range(n):
+                k16, cm1 = st.unpack_from("<HH", data, pos)
+                desc.append((k16, cm1 + 1))
+                pos += 4
+            if has_off:
+                pos += 4 * n
+            for i, (k16, card) in enumerate(desc):
+                base = (key32 << 32) | (k16 << 16)
+                run = bool(runbits) and bool(
+                    (runbits[i // 8] >> (i % 8)) & 1)
+                if run:
+                    (n_runs,) = st.unpack_from("<H", data, pos)
+                    pos += 2
+                    for _r in range(n_runs):
+                        s, ln = st.unpack_from("<HH", data, pos)
+                        pos += 4
+                        out.extend(base | v
+                                   for v in range(s, s + ln + 1))
+                elif card > 4096:
+                    bits = data[pos:pos + 8192]
+                    pos += 8192
+                    out.extend(base | (bi << 3) | b
+                               for bi, byte in enumerate(bits)
+                               for b in range(8) if (byte >> b) & 1)
+                else:
+                    vals = st.unpack_from(f"<{card}H", data, pos)
+                    pos += 2 * card
+                    out.extend(base | v for v in vals)
+        assert pos == len(data), (pos, len(data))
+        return sorted(out)
+
+    def test_external_reader_sees_post_delete_state(self, spark,
+                                                    tmp_path):
+        import base64
+
+        import pyarrow.parquet as pq
+        wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+        db = ToStoreSpark(spark, warehouse=wh)
+        db.create_table(TableSchema(
+            name="notes", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n", type=DataType.integer)]))
+        rows = [{"id": f"k{i:03d}", "n": i} for i in range(6)]
+        db.batch_insert("notes", rows)
+        db.flush()
+        db.export_delta("notes", dest, target_files=1)      # v0
+        v0 = [f for f in os.listdir(dest) if f.endswith(".parquet")]
+        assert len(v0) == 1
+        tbl0 = pq.read_table(os.path.join(dest, v0[0]))
+        order = tbl0.column("id").to_pylist()
+        assert sorted(order) == [r["id"] for r in rows]
+        # delete whatever sits at PHYSICAL rows 1 and 3 — the exported
+        # vector must then be exactly the {1, 3} byte literal below
+        db.delete("notes").where("id", "IN",
+                                 [order[1], order[3]]).execute()
+        db.flush()
+        rep = db.export_delta("notes", dest, mode="update",
+                              deletion_vectors=True)
+        assert rep["commit"] == "dv"
+        # ---- independent replay: stdlib + pyarrow only --------------
+        log = os.path.join(dest, "_delta_log", f"{1:020d}.json")
+        adds = [a["add"] for a in map(json.loads, open(log))
+                if "add" in a]
+        assert len(adds) == 1
+        dv = adds[0]["deletionVector"]
+        assert dv["storageType"] == "i"
+        data = base64.b85decode(dv["pathOrInlineDv"])   # RFC 1924
+        assert len(data) == dv["sizeInBytes"]
+        positions = self._spec_parse_bitmap_array(data)
+        assert len(positions) == dv["cardinality"] == 2
+        assert positions == [1, 3]
+        # the spec-pinned byte literal for positions {1, 3}, assembled
+        # BY HAND from the two format documents:
+        #   magic 1681511377 = 0x6439D3D1, int32 LE:  D1 D3 39 64
+        #   n 64-bit maps = 1 (int64 LE)   01 00 00 00 00 00 00 00
+        #   map key 0 (int32 LE)           00 00 00 00
+        #   cookie 12346 = 0x303A LE       3A 30 00 00
+        #   container count 1 (int32 LE)   01 00 00 00
+        #   (key16=0, card-1=1) uint16 LE  00 00 01 00
+        #   offsets header: 8 + 8*1 = 16   10 00 00 00
+        #   array payload 1, 3 uint16 LE   01 00 03 00
+        expected = bytes.fromhex(
+            "d1d339640100000000000000"            # magic, n_maps
+            "00000000"                            # map key32
+            "3a30000001000000"                    # cookie, n_cont
+            "00000100"                            # (key16, card-1)
+            "10000000"                            # offset
+            "01000300")                           # values 1, 3
+        assert data == expected, (data.hex(), expected.hex())
+        assert dv["pathOrInlineDv"] == \
+            base64.b85encode(expected).decode("ascii")
+        # the external view of the table: physical rows minus the
+        # decoded positions — must equal the store's own post-delete
+        # state exactly
+        keep = [i for i in range(tbl0.num_rows) if i not in positions]
+        ext = tbl0.take(keep).to_pylist()
+        ours = sorted((r["id"], r["n"])
+                      for r in db.df("notes").collect())
+        assert sorted((r["id"], r["n"]) for r in ext) == ours
+
+    def test_external_reader_bin_sidecar_framing(self, spark,
+                                                 tmp_path):
+        """Same independent path through the on-disk ('u') form: the
+        uuid resolves per spec (last 20 chars Base85 → 16-byte uuid),
+        the .bin framing is <version byte 1><size int32 BE><data>
+        <crc32 int32 BE>, and the decoded positions reproduce the
+        store state."""
+        import base64
+        import struct as st
+        import uuid as _uuid
+        import zlib
+
+        import pyarrow.parquet as pq
+        wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+        db = _mk(spark, wh, rows=30)
+        db.export_delta("notes", dest, target_files=1)
+        # push the vector over the inline cap so the export writes the
+        # .bin sidecar form
+        import tostore_spark.plans.delta_dv as dvmod
+        old_cap = dvmod.INLINE_MAX_BYTES
+        dvmod.INLINE_MAX_BYTES = 8
+        try:
+            db.delete("notes").where("n", "IN", [2, 5, 9]).execute()
+            db.flush()
+            rep = db.export_delta("notes", dest,
+                                  mode="update",
+                                  deletion_vectors=True)
+        finally:
+            dvmod.INLINE_MAX_BYTES = old_cap
+        assert rep["commit"] == "dv"
+        log = os.path.join(dest, "_delta_log", f"{1:020d}.json")
+        dv = [a["add"]["deletionVector"]
+              for a in map(json.loads, open(log))
+              if "add" in a and a["add"].get("deletionVector")][0]
+        assert dv["storageType"] == "u"
+        enc = dv["pathOrInlineDv"]
+        u = _uuid.UUID(bytes=base64.b85decode(enc[-20:]))
+        fpath = os.path.join(dest, enc[:-20],
+                             f"deletion_vector_{u}.bin")
+        raw = open(fpath, "rb").read()
+        assert raw[0:1] == b"\x01"                  # format version
+        off = int(dv["offset"])
+        (size,) = st.unpack_from(">i", raw, off)
+        assert size == dv["sizeInBytes"]
+        data = raw[off + 4:off + 4 + size]
+        (crc,) = st.unpack_from(">I", raw, off + 4 + size)
+        assert zlib.crc32(data) & 0xFFFFFFFF == crc
+        positions = self._spec_parse_bitmap_array(data)
+        assert len(positions) == dv["cardinality"] == 3
+        v0 = [f for f in os.listdir(dest) if f.endswith(".parquet")
+              and f.startswith("v00000-")]
+        tbl0 = pq.read_table(os.path.join(dest, v0[0]))
+        keep = [i for i in range(tbl0.num_rows) if i not in positions]
+        ext = sorted((r["id"], r["n"])
+                     for r in tbl0.take(keep).to_pylist())
+        ours = sorted((r["id"], r["n"])
+                      for r in db.df("notes").collect())
+        assert ext == ours

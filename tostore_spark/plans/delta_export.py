@@ -22,13 +22,16 @@ the log):
   reads ``plans.skipping`` does) and ``remove`` actions;
 - reader: replay = apply adds/removes in commit order; an optional
   ``_last_checkpoint`` names a parquet checkpoint holding the folded
-  state (read via pyarrow).  Supported beyond the v1 baseline (r12):
+  state (read via pyarrow).  Supported beyond the v1 baseline:
   'name'-mode COLUMN MAPPING (physical-name reads resolved from the
-  schemaString metadata), ``timestampNtz``, and DELETION VECTORS
+  schemaString metadata), ``timestampNtz``, DELETION VECTORS
   (``plans/delta_dv`` decodes the roaring position bitmaps; the scan
-  anti-joins them on ``_metadata.row_index``).  Everything else —
-  v2 checkpoints, 'id'-mode mapping, unknown reader features — is
-  REFUSED loudly: a naive replay would silently return wrong rows.
+  anti-joins them on ``_metadata.row_index``) — both r12 — and, since
+  r13, V2 CHECKPOINTS (UUID-named json/parquet manifests + sidecar
+  file-action parquets under ``_delta_log/_sidecars/``, the modern
+  Databricks writer default).  Everything else — 'id'-mode mapping,
+  unknown reader features — is REFUSED loudly: a naive replay would
+  silently return wrong rows.
 
 Export versioning (``mode="update"``): when the store recipe has
 extended by PURE APPENDS since the last export (the ``_export_state``
@@ -122,7 +125,13 @@ def _stage_data_files(df, path: str, version: int,
     Spark excludes the partition columns from the data files (exactly
     Delta's layout), the ``p=v`` directory structure is preserved
     under the export root, and the decoded values return as each
-    file's ``partitionValues``."""
+    file's ``partitionValues``.
+
+    Basenames are made GLOBALLY unique with a per-file sequence: one
+    Spark task writing several hive partitions reuses its part number
+    in each ``p=v`` dir, and deletion-vector positions are keyed by
+    file basename — a collision would force the DV commit (and the
+    DV read fold) to refuse."""
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     if target_files:
         df = df.coalesce(int(target_files))
@@ -147,8 +156,10 @@ def _stage_data_files(df, path: str, version: int,
         for f in sorted(names):
             if not f.endswith(".parquet"):
                 continue
-            rel = (f"v{version:05d}-{f}" if relroot == "." else
-                   os.path.join(relroot, f"v{version:05d}-{f}"))
+            seq = len(out)
+            base = f"v{version:05d}-f{seq:04d}-{f}"
+            rel = (base if relroot == "." else
+                   os.path.join(relroot, base))
             os.makedirs(os.path.dirname(os.path.join(path, rel)) or path,
                         exist_ok=True)
             os.replace(os.path.join(dirpath, f),
@@ -488,10 +499,10 @@ def _export_update(engine, table: str, path: str,
         _write_state(engine, table, path, next_v)
         return {"files": len(staged), "rows": total, "path": path,
                 "version": next_v, "commit": "append"}
-    # (no partition_by condition needed: the STORE's flush excludes
-    # partitioned tables from the deletion-vector fast path — their
-    # deletes rewrite, so a partitioned tail can never be seg/del-
-    # extending and the refresh branch below is always what runs)
+    # (since r13 the store's flush gives PARTITIONED tables seg/del
+    # tails too; the DV path below handles hive layout throughout —
+    # basePath probes, partition-aware staging, basename-keyed
+    # positions — so partitioned extends commit as DVs like any other)
     if (deletion_vectors and extends and new_ops and not has_ttl
             and all(k in ("seg", "del") for k, _p in new_ops)):
         res = _export_update_dv(engine, key, ent, table, path, live,
@@ -606,6 +617,9 @@ def _export_update_dv(engine, key, ent, table: str, path: str,
                 for r in hits:
                     new_pos.setdefault(r["__f"], set()).add(int(r["__p"]))
     except Exception:
+        import os as _os, traceback as _tb
+        if _os.environ.get("TS_DELTA_DEBUG"):
+            _tb.print_exc()
         return None                 # refresh is always correct
     now_ms = int(time.time() * 1000)
     actions = [{"protocol": {
@@ -748,13 +762,15 @@ def vacuum_delta(path: str, keep_versions: int = 1,
 
 #: reader features this replay reader actually implements: column
 #: mapping in NAME mode (physical-name reads), NTZ timestamps (plain
-#: parquet NTZ, which Spark reads natively), and DELETION VECTORS
+#: parquet NTZ, which Spark reads natively), DELETION VECTORS
 #: (plans/delta_dv decodes the roaring position bitmaps; the scan
-#: anti-joins them on ``_metadata.row_index``).  Everything else —
-#: v2Checkpoint, 'id'-mode mapping — still refuses loudly: a naive
-#: replay would return wrong rows.
+#: anti-joins them on ``_metadata.row_index``), and V2 CHECKPOINTS
+#: (UUID-named json/parquet checkpoint manifests + ``_sidecars/``
+#: file-action parquets — the default for modern Databricks writers).
+#: Everything else — 'id'-mode mapping, unknown features — still
+#: refuses loudly: a naive replay would return wrong rows.
 _SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz",
-                              "deletionVectors"}
+                              "deletionVectors", "v2Checkpoint"}
 
 
 def _apply_action(state: dict, a: dict) -> None:
@@ -854,16 +870,90 @@ def _from_checkpoint(obj, name=None):
 
 def _apply_checkpoint(state: dict, log_dir: str, ckv: int,
                       parts: int) -> None:
+    """Fold checkpoint ``ckv`` into ``state``.  Three spec forms
+    (PROTOCOL.md "Checkpoints"): classic single-file
+    ``N.checkpoint.parquet``, classic multi-part
+    ``N.checkpoint.i.parts.parquet``, and V2 ``N.checkpoint.<uuid>.
+    {json|parquet}`` — a manifest holding the non-file actions plus
+    either inline file actions or ``sidecar`` references to parquet
+    files under ``_delta_log/_sidecars/`` that carry the add/remove
+    set."""
     import pyarrow.parquet as pq
     if parts:
         names = [f"{ckv:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
                  for i in range(1, parts + 1)]
-    else:
+    elif os.path.exists(os.path.join(
+            log_dir, f"{ckv:020d}.checkpoint.parquet")):
         names = [f"{ckv:020d}.checkpoint.parquet"]
+    else:
+        _apply_checkpoint_v2(state, log_dir, ckv)
+        return
     for name in names:
         tbl = pq.read_table(os.path.join(log_dir, name))
         for row in tbl.to_pylist():
             for kind in ("protocol", "metaData", "add", "remove"):
+                if row.get(kind) is not None:
+                    _apply_action(state,
+                                  {kind: _from_checkpoint(row[kind])})
+
+
+def _apply_checkpoint_v2(state: dict, log_dir: str, ckv: int) -> None:
+    """V2 (UUID-named) checkpoint fold.  The manifest's own actions
+    apply first (protocol/metaData and any inline adds/removes; txn /
+    domainMetadata are read-irrelevant and skipped; checkpointMetadata
+    must name this version), then each referenced sidecar parquet's
+    file actions.  Order across sidecars is immaterial by spec — a
+    data file appears in exactly one sidecar."""
+    import pyarrow.parquet as pq
+    prefix = f"{ckv:020d}.checkpoint."
+    cands = sorted(
+        f for f in os.listdir(log_dir)
+        if f.startswith(prefix) and len(f.split(".")) == 4
+        and f.endswith((".json", ".parquet")))
+    if not cands:
+        raise FileNotFoundError(
+            f"_last_checkpoint names version {ckv} but no classic or "
+            f"v2 checkpoint file exists under {log_dir}")
+    name = cands[-1]        # multiple writers may have raced the same
+    #                         version; any complete manifest is valid
+    actions: list[dict] = []
+    if name.endswith(".json"):
+        with open(os.path.join(log_dir, name)) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    actions.append(json.loads(line))
+    else:
+        tbl = pq.read_table(os.path.join(log_dir, name))
+        for row in tbl.to_pylist():
+            for kind in ("protocol", "metaData", "add", "remove",
+                         "sidecar", "checkpointMetadata"):
+                if row.get(kind) is not None:
+                    actions.append({kind: _from_checkpoint(row[kind])})
+    sidecars = []
+    for a in actions:
+        if "sidecar" in a:
+            sidecars.append(a["sidecar"])
+        elif "checkpointMetadata" in a:
+            cv = a["checkpointMetadata"].get("version")
+            if cv is not None and int(cv) != ckv:
+                raise ValueError(
+                    f"v2 checkpoint {name} carries checkpointMetadata "
+                    f"version {cv}, expected {ckv} — corrupt manifest")
+        elif "txn" in a or "domainMetadata" in a or "commitInfo" in a:
+            continue        # no effect on which rows a read returns
+        else:
+            _apply_action(state, a)
+    for sc in sidecars:
+        spath = sc["path"]
+        if "://" in spath or os.path.isabs(spath):
+            full = spath[len("file:"):] if spath.startswith("file:") \
+                else spath
+        else:
+            full = os.path.join(log_dir, "_sidecars", spath)
+        tbl = pq.read_table(full)
+        for row in tbl.to_pylist():
+            for kind in ("add", "remove"):
                 if row.get(kind) is not None:
                     _apply_action(state,
                                   {kind: _from_checkpoint(row[kind])})
@@ -928,9 +1018,9 @@ def _physical_schema(schema):
 def read_delta(spark, path: str, version: int | None = None):
     """Read a Delta table by replaying its transaction log — the
     no-library read-back for ``export_delta`` outputs AND for external
-    Delta tables (minReaderVersion 1, plus 'name'-mode column mapping
-    under minReaderVersion 2/3 — deletion vectors / v2 checkpoints /
-    'id'-mode mapping still refuse loudly).  ``version`` time-travels
+    Delta tables (minReaderVersion 1, plus 'name'-mode column mapping,
+    deletion vectors and v2 checkpoints under minReaderVersion 2/3 —
+    'id'-mode mapping still refuses loudly).  ``version`` time-travels
     to that commit.  Hive-style ``partitionValues`` attach as literal
     columns typed per the schema."""
     from pyspark.sql import functions as F
