@@ -174,9 +174,28 @@ def _sf1_spot(spark, sf_dir: str, headline_cold: dict) -> dict | None:
     # frontier joins grow with the corpus).
     from tostore_spark.llmops import similarity as sim
     graph_line = {}
-    for tag, src, cells in (("base", sf_dir, 16), ("sf1", cache, 160)):
-        e = (entrymod._db(spark, src).df("embeddings")
-             .select("vec_id", "embedding").localCheckpoint(eager=True))
+    # THREE corpus sizes (1x, 3x, 10x — the 3x point filters the first
+    # three replicas out of the derived cache) so the beam's growth
+    # gets a measured power-law exponent, not just one ratio (r12
+    # verdict order #5): alpha = slope of log(sec) vs log(n), stored
+    # per round so the sub-linear claim has a stated, tracked number.
+    sizes = {}
+    e10 = None
+    for tag, cells, frac in (("base", 16, 1), ("x3", 48, 3),
+                             ("sf1", 160, 10)):
+        if tag == "base":
+            e = (entrymod._db(spark, sf_dir).df("embeddings")
+                 .select("vec_id", "embedding")
+                 .localCheckpoint(eager=True))
+        else:
+            if e10 is None:
+                e10 = (entrymod._db(spark, cache).df("embeddings")
+                       .select("vec_id", "embedding")
+                       .localCheckpoint(eager=True))
+            e = (e10 if frac == replicas else
+                 e10.filter(F.col("vec_id") < frac * id_off)
+                    .localCheckpoint(eager=True))
+        sizes[tag] = e.count()
         t0 = time.time()
         g, h = sim.build_knn_graph(e, n_neighbors=8, n_cells=cells)
         g = g.localCheckpoint(eager=True)
@@ -192,6 +211,30 @@ def _sf1_spot(spark, sf_dir: str, headline_cold: dict) -> dict | None:
         graph_line["sf1_build_sec"] / graph_line["base_build_sec"], 2)
     graph_line["search_x"] = round(
         graph_line["sf1_search_sec"] / graph_line["base_search_sec"], 2)
+    graph_line["sizes"] = sizes
+
+    def _fit_alpha(key):
+        import math as _m
+        pts = [(sizes[t], graph_line[f"{t}_{key}_sec"])
+               for t in ("base", "x3", "sf1")
+               if graph_line.get(f"{t}_{key}_sec")]
+        if len(pts) < 2:
+            return None
+        xs = [_m.log(n) for n, _s in pts]
+        ys = [_m.log(s) for _n, s in pts]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        den = sum((x - mx) ** 2 for x in xs)
+        return round(sum((x - mx) * (y - my)
+                         for x, y in zip(xs, ys)) / den, 3) if den \
+            else None
+    # least-squares slope in log-log space: sec ~ n^alpha.  alpha < 1
+    # is the sub-linear contract; the extrapolated 100x ratio
+    # (10^(2*alpha) over base) makes the claim falsifiable next round.
+    graph_line["build_alpha"] = _fit_alpha("build")
+    graph_line["search_alpha"] = _fit_alpha("search")
+    if graph_line.get("search_alpha") is not None:
+        graph_line["search_x100_derived"] = round(
+            10 ** (2 * graph_line["search_alpha"]), 1)
     print(f"# sf1 graph: {graph_line}", file=sys.stderr)
     _release_rdds(spark)
     return {
