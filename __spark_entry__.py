@@ -2162,6 +2162,75 @@ def q_delta_v2_checkpoint(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_delta_colmap_id(spark, sf_dir):
+    """'id'-mode column-mapping Delta reads (plans/delta_export
+    ``_physical_schema(with_ids=True)`` + Spark's native parquet
+    field-id matching): a foreign table whose parquet columns carry
+    DELIBERATELY GARBAGE names but correct field ids — any name-based
+    resolution would return all nulls; the by-id read must surface the
+    logical schema with exact values.  Built in-entry from nation via
+    pyarrow (field_id metadata), split across two files."""
+    import json
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    db = _db(spark, sf_dir)
+    from tostore_spark.plans.delta_export import read_delta
+    nat = sorted((int(r["n_nationkey"]), r["n_name"])
+                 for r in db.df("nation").collect())
+    half = len(nat) // 2
+    with tempfile.TemporaryDirectory() as root:
+        log = os.path.join(root, "_delta_log")
+        os.makedirs(log)
+
+        def wr(name, rows):
+            sch = pa.schema([
+                pa.field("junk_x", pa.int64(),
+                         metadata={b"PARQUET:field_id": b"21"}),
+                pa.field("junk_y", pa.string(),
+                         metadata={b"PARQUET:field_id": b"22"})])
+            pq.write_table(pa.table(
+                {"junk_x": pa.array([r[0] for r in rows], pa.int64()),
+                 "junk_y": pa.array([r[1] for r in rows],
+                                    pa.string())}).cast(sch),
+                os.path.join(root, name))
+        wr("f1.parquet", nat[:half])
+        wr("f2.parquet", nat[half:])
+        fields = [
+            {"name": "n_nationkey", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 21,
+                          "delta.columnMapping.physicalName":
+                              "col-k21"}},
+            {"name": "n_name", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 22,
+                          "delta.columnMapping.physicalName":
+                              "col-n22"}}]
+        meta = {"id": "idmap",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps({"type": "struct",
+                                            "fields": fields}),
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "id",
+                                  "delta.columnMapping.maxColumnId":
+                                      "22"}}
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"protocol": {
+                "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+            fh.write(json.dumps({"metaData": meta}) + "\n")
+            for name in ("f1.parquet", "f2.parquet"):
+                fh.write(json.dumps({"add": {
+                    "path": name, "partitionValues": {}, "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True}}) + "\n")
+        out = (read_delta(spark, root)
+               .orderBy("n_nationkey")
+               .select("n_nationkey", "n_name"))
+        rows, schema = out.collect(), out.schema
+    return spark.createDataFrame(rows, schema)
+
+
 def q_bloom_skip(spark, sf_dir):
     """Bloom point-lookup segment skipping (engine.enable_bloom_skip +
     plans/skipping.bloom_may_contain): customer lands in 3 interleaved
@@ -4624,7 +4693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     _ORDER = [
         "q_delete_vectors_part", "q_upsert_mor_part",         # born r13
-        "q_delta_v2_checkpoint",                              # born r13
+        "q_delta_v2_checkpoint", "q_delta_colmap_id",         # born r13
         "q_delta_colmap", "q_delta_dv", "q_encrypted_typed",  # born r12
         "q_delta_roundtrip",
         "q_encrypted_at_rest", "q_delta_export", "q_meta_agg_deletes",
@@ -5531,6 +5600,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'n' || lpad(CAST(min(n_nationkey) AS VARCHAR), 3, '0'),
                    'REBORN', 9
             FROM nation WHERE n_regionkey = 2""",
+        "q_delta_colmap_id": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+            FROM nation ORDER BY n_nationkey""",
         "q_delta_v2_checkpoint": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
                    n_name,

@@ -520,9 +520,15 @@ class TestDeltaColumnMapping:
         d = str(tmp_path / "ext")
         self._mapped_table(spark, d)
         log = os.path.join(d, "_delta_log", f"{0:020d}.json")
-        lines = open(log).read().replace('"name"', '"id"')
+        # id MODE is supported since r13 — the refusal under test is
+        # an id-mode table whose schema carries NO field ids (mode
+        # flipped + ids stripped; the escaped form hits schemaString)
+        lines = (open(log).read()
+                 .replace('"name"', '"id"')
+                 .replace('\\"delta.columnMapping.id\\"',
+                          '\\"strippedKey\\"'))
         open(log, "w").write(lines)
-        with pytest.raises(ValueError, match="column mapping mode"):
+        with pytest.raises(ValueError, match="delta.columnMapping.id"):
             read_delta(spark, d)
         # mrv=3 + columnMapping alone is fine; + deletionVectors refuses
         d2 = str(tmp_path / "ext2")
@@ -1507,3 +1513,107 @@ class TestDvExternalProof:
         ours = sorted((r["id"], r["n"])
                       for r in db.df("notes").collect())
         assert ext == ours
+
+
+class TestDeltaIdColumnMapping:
+    """'id'-mode column mapping (r13): columns resolve by PARQUET FIELD
+    ID — the physical parquet names are deliberately garbage in these
+    fixtures, so any name-based matching returns nulls/garbage and the
+    value asserts fail."""
+
+    def _fixture(self, tmp_path, partitioned=False):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        root = str(tmp_path / "idmap")
+        os.makedirs(os.path.join(root, "_delta_log"))
+        # parquet columns: scrambled names, field ids 7 (long) / 9 (str)
+        def wr(rel, nums, strs):
+            full = os.path.join(root, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            sch = pa.schema([
+                pa.field("zz_1", pa.int64(),
+                         metadata={b"PARQUET:field_id": b"7"}),
+                pa.field("zz_2", pa.string(),
+                         metadata={b"PARQUET:field_id": b"9"})])
+            pq.write_table(
+                pa.table({"zz_1": pa.array(nums, pa.int64()),
+                          "zz_2": pa.array(strs, pa.string())})
+                .cast(sch), full)
+        fields = [
+            {"name": "num", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 7,
+                          "delta.columnMapping.physicalName":
+                              "col-aaaa"}},
+            {"name": "label", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 9,
+                          "delta.columnMapping.physicalName":
+                              "col-bbbb"}}]
+        pcols, adds = [], []
+        if partitioned:
+            fields.append(
+                {"name": "part", "type": "string", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 11,
+                              "delta.columnMapping.physicalName":
+                                  "col-pppp"}})
+            pcols = ["part"]
+            wr("d1/f1.parquet", [1, 2], ["a", "b"])
+            wr("d2/f2.parquet", [3], ["c"])
+            adds = [{"path": "d1/f1.parquet",
+                     "partitionValues": {"col-pppp": "x"}},
+                    {"path": "d2/f2.parquet",
+                     "partitionValues": {"col-pppp": "y"}}]
+        else:
+            wr("f1.parquet", [1, 2], ["a", "b"])
+            wr("f2.parquet", [3], ["c"])
+            adds = [{"path": "f1.parquet", "partitionValues": {}},
+                    {"path": "f2.parquet", "partitionValues": {}}]
+        meta = {"id": "idmap",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps({"type": "struct",
+                                            "fields": fields}),
+                "partitionColumns": pcols,
+                "configuration": {"delta.columnMapping.mode": "id",
+                                  "delta.columnMapping.maxColumnId":
+                                      "11"}}
+        log = os.path.join(root, "_delta_log", f"{0:020d}.json")
+        with open(log, "w") as fh:
+            fh.write(json.dumps({"protocol": {
+                "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+            fh.write(json.dumps({"metaData": meta}) + "\n")
+            for a in adds:
+                fh.write(json.dumps({"add": {
+                    **a, "size": 1, "modificationTime": 0,
+                    "dataChange": True}}) + "\n")
+        return root
+
+    def test_id_mode_flat(self, spark, tmp_path):
+        from tostore_spark.plans.delta_export import read_delta
+        root = self._fixture(tmp_path)
+        out = read_delta(spark, root)
+        assert sorted(out.columns) == ["label", "num"]
+        assert sorted(map(tuple, out.select("num", "label")
+                          .collect())) == [(1, "a"), (2, "b"),
+                                           (3, "c")]
+
+    def test_id_mode_partitioned_log_values(self, spark, tmp_path):
+        from tostore_spark.plans.delta_export import read_delta
+        root = self._fixture(tmp_path, partitioned=True)
+        out = read_delta(spark, root)
+        got = sorted(map(tuple,
+                         out.select("num", "label", "part").collect()))
+        assert got == [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")]
+
+    def test_id_mode_without_ids_refuses(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from tostore_spark.plans.delta_export import read_delta
+        root = self._fixture(tmp_path)
+        log = os.path.join(root, "_delta_log", f"{0:020d}.json")
+        # the key sits INSIDE the json-encoded schemaString — its
+        # quotes are escaped on the log line
+        lines = open(log).read().replace(
+            '\\"delta.columnMapping.id\\"', '\\"someOtherKey\\"')
+        open(log, "w").write(lines)
+        with _pytest.raises(ValueError,
+                            match="delta.columnMapping.id"):
+            read_delta(spark, root).collect()

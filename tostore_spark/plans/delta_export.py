@@ -29,9 +29,11 @@ the log):
   anti-joins them on ``_metadata.row_index``) — both r12 — and, since
   r13, V2 CHECKPOINTS (UUID-named json/parquet manifests + sidecar
   file-action parquets under ``_delta_log/_sidecars/``, the modern
-  Databricks writer default).  Everything else — 'id'-mode mapping,
-  unknown reader features — is REFUSED loudly: a naive replay would
-  silently return wrong rows.
+  Databricks writer default) and 'id'-mode COLUMN MAPPING (column
+  resolution by parquet field id via Spark's native
+  ``spark.sql.parquet.fieldId.read.enabled`` matching — physical
+  names are never trusted).  Unknown reader features are REFUSED
+  loudly: a naive replay would silently return wrong rows.
 
 Export versioning (``mode="update"``): when the store recipe has
 extended by PURE APPENDS since the last export (the ``_export_state``
@@ -767,8 +769,9 @@ def vacuum_delta(path: str, keep_versions: int = 1,
 #: anti-joins them on ``_metadata.row_index``), and V2 CHECKPOINTS
 #: (UUID-named json/parquet checkpoint manifests + ``_sidecars/``
 #: file-action parquets — the default for modern Databricks writers).
-#: Everything else — 'id'-mode mapping, unknown features — still
-#: refuses loudly: a naive replay would return wrong rows.
+#: Column mapping covers BOTH 'name' and 'id' modes (id mode rides
+#: Spark's native parquet field-id matching).  Unknown features still
+#: refuse loudly: a naive replay would return wrong rows.
 _SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz",
                               "deletionVectors", "v2Checkpoint"}
 
@@ -984,15 +987,23 @@ def _hive_layout(files: dict, pcols: list[str]) -> bool:
     return True
 
 
-def _physical_schema(schema):
-    """('name'-mode column mapping, PROTOCOL.md "Column Mapping"): the
+def _physical_schema(schema, with_ids: bool = False):
+    """Column mapping (PROTOCOL.md "Column Mapping"): the
     schemaString's logical fields each carry a
     ``delta.columnMapping.physicalName`` metadata key naming the field
-    as it exists in the parquet files.  Returns (physical StructType,
-    {logical top-level name: physical top-level name}).  Nested struct
-    fields rename recursively; the read-side inverse is a by-position
-    struct CAST back to the logical type (Spark casts struct→struct
-    positionally, which renames every nesting level in one move)."""
+    as it exists in the parquet files, and (id mode) a
+    ``delta.columnMapping.id`` the files' parquet field_id matches.
+    Returns (physical StructType, {logical top-level name: physical
+    top-level name}).  Nested struct fields rename recursively; the
+    read-side inverse is a by-position struct CAST back to the logical
+    type (Spark casts struct→struct positionally, which renames every
+    nesting level in one move).
+
+    ``with_ids`` ('id' mode): each physical field carries
+    ``parquet.field.id`` metadata — with
+    ``spark.sql.parquet.fieldId.read.enabled`` Spark's scan then
+    resolves columns BY FIELD ID, the id-mode contract (physical
+    parquet names may be arbitrary and must not be trusted)."""
     from pyspark.sql.types import ArrayType, MapType, StructField, StructType
 
     def conv_dt(dt):
@@ -1006,9 +1017,20 @@ def _physical_schema(schema):
         return dt
 
     def conv_field(f):
-        phys = (f.metadata or {}).get(
-            "delta.columnMapping.physicalName", f.name)
-        return StructField(phys, conv_dt(f.dataType), f.nullable)
+        md = f.metadata or {}
+        phys = md.get("delta.columnMapping.physicalName", f.name)
+        new_md = None
+        if with_ids:
+            fid = md.get("delta.columnMapping.id")
+            if fid is None:
+                raise ValueError(
+                    f"column mapping mode 'id' but field {f.name!r} "
+                    "carries no delta.columnMapping.id — refusing to "
+                    "guess (a name-based fallback could read the "
+                    "wrong column)")
+            new_md = {"parquet.field.id": int(fid)}
+        return StructField(phys, conv_dt(f.dataType), f.nullable,
+                           new_md or {})
 
     fields = [conv_field(f) for f in schema.fields]
     return (StructType(fields),
@@ -1018,9 +1040,10 @@ def _physical_schema(schema):
 def read_delta(spark, path: str, version: int | None = None):
     """Read a Delta table by replaying its transaction log — the
     no-library read-back for ``export_delta`` outputs AND for external
-    Delta tables (minReaderVersion 1, plus 'name'-mode column mapping,
-    deletion vectors and v2 checkpoints under minReaderVersion 2/3 —
-    'id'-mode mapping still refuses loudly).  ``version`` time-travels
+    Delta tables (minReaderVersion 1, plus 'name'/'id'-mode column
+    mapping, deletion vectors and v2 checkpoints under
+    minReaderVersion 2/3; unknown features refuse loudly).
+    ``version`` time-travels
     to that commit.  Hive-style ``partitionValues`` attach as literal
     columns typed per the schema."""
     from pyspark.sql import functions as F
@@ -1037,11 +1060,18 @@ def read_delta(spark, path: str, version: int | None = None):
         pschema, top_map = schema, {f.name: f.name for f in schema.fields}
     elif cm_mode == "name":
         pschema, top_map = _physical_schema(schema)
+    elif cm_mode == "id":
+        # field-id resolution rides Spark's native parquet field-id
+        # matching: the physical schema carries parquet.field.id
+        # metadata and the conf below makes every scan of it resolve
+        # columns by id, never by (untrustworthy) physical name.  The
+        # conf only changes behavior for read schemas that CARRY ids,
+        # so leaving it enabled session-wide is safe.
+        pschema, top_map = _physical_schema(schema, with_ids=True)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     else:
         raise ValueError(
-            f"delta column mapping mode {cm_mode!r} unsupported — only "
-            "'name' (physical-name reads); 'id' needs parquet field-id "
-            "resolution this reader does not do")
+            f"delta column mapping mode {cm_mode!r} unsupported")
 
     def _finish(df):
         # physical → logical: rename top level, CAST renames nested
