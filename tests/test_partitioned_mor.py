@@ -232,3 +232,32 @@ class TestPartitionedMoR:
                               for f in names)
         assert total < base_total / 2, (total, base_total)
         assert db.df("pt").count() == 198
+
+
+def test_bloom_skip_on_partitioned_table(spark, tmp_path):
+    """r13: partitioned tables build bloom sidecars too (data columns
+    only — partition columns keep Spark's directory pruning): an IN
+    probe over interleaved segments must prune to the holders."""
+    wh = str(tmp_path / "wh")
+    db = ToStoreSpark(spark, warehouse=wh)
+    base = spark.createDataFrame(
+        [(f"k{i:04d}", f"0{i % 2}", i) for i in range(300)],
+        "id string, pcol string, n int")
+    db.register_table("t", df=base.where("n % 3 = 0"),
+                      partition_by=["pcol"])
+    db.enable_bloom_skip("t", ["id"])
+    db.flush()
+    for r in (1, 2):
+        db.append_rows("t", base.where(f"n % 3 = {r}"))
+        db.flush()
+    ent = db._tables[("default", "t")]
+    assert len(ent["segments"]) == 3
+    import os as _os
+    assert all(_os.path.exists(_os.path.join(s, "_bloom.json"))
+               for s in ent["segments"])
+    rows = (db.query("t").where("id", "IN", ["k0100", "k0101"])
+            .order_by_asc("id").df().collect())
+    assert [(r["id"], r["pcol"], r["n"]) for r in rows] == \
+        [("k0100", "00", 100), ("k0101", "01", 101)]
+    kept, total, _t = db._last_prune
+    assert total == 3 and kept == 2, db._last_prune

@@ -753,8 +753,19 @@ def flush_tables(engine, flush_storage: bool = True,
                 if bl_cfg and enc_cols:
                     # a bloom over ciphertext can never match a
                     # plaintext probe — encrypted columns are refused
-                    bl_cfg = [c for c in bl_cfg if c not in enc_cols]
-                if bl_cfg and not pby:
+                    bl_cfg = {**bl_cfg,
+                              "cols": [c for c in bl_cfg["cols"]
+                                       if c not in enc_cols]}
+                if bl_cfg and pby:
+                    # partition columns prune via Spark's directory
+                    # pruning already, and their read-back values ride
+                    # path decoding (typing differs from the data-file
+                    # cast the probe hashes) — bloom only the DATA
+                    # columns of a partitioned version dir
+                    bl_cfg = {**bl_cfg,
+                              "cols": [c for c in bl_cfg["cols"]
+                                       if c not in pby]}
+                if bl_cfg and bl_cfg.get("cols"):
                     # point-lookup bloom bitmaps over the rows THIS
                     # version dir holds (the delta on the fast path):
                     # one distinct job, reading back what was just
