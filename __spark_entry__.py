@@ -2452,11 +2452,12 @@ def q_delta_colmap(spark, sf_dir):
     out) — replays through read_delta with logical names and typed
     values.  The table is constructed in-entry from nation rows so
     DuckDB reproduces the aggregate exactly."""
-    import glob as _glob
     import json as _json
     import os
-    import shutil as _sh
     import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     db = _db(spark, sf_dir)
     nat = [r.asDict() for r in db.df("nation").collect()]
     from tostore_spark.plans.delta_export import read_delta
@@ -2464,13 +2465,15 @@ def q_delta_colmap(spark, sf_dir):
         d = os.path.join(tmp, "ext")
         log = os.path.join(d, "_delta_log")
         os.makedirs(log)
-        (spark.createDataFrame(
-            [(r["n_nationkey"], r["n_name"]) for r in nat],
-            "`col-k1` long, `col-s1` string")
-         .coalesce(1).write.mode("overwrite")
-         .parquet(os.path.join(d, "_stage")))
-        part = _glob.glob(os.path.join(d, "_stage", "*.parquet"))[0]
-        _sh.move(part, os.path.join(d, "f1.parquet"))
+        # stage via pyarrow (gate hygiene, r12 verdict what's-wrong
+        # #3: the Spark staging write dominated this entry's runtime;
+        # the operator under test is the READ)
+        pq.write_table(pa.table({
+            "col-k1": pa.array([int(r["n_nationkey"]) for r in nat],
+                               pa.int64()),
+            "col-s1": pa.array([r["n_name"] for r in nat],
+                               pa.string())}),
+            os.path.join(d, "f1.parquet"))
         schema_json = {"type": "struct", "fields": [
             {"name": "k", "type": "long", "nullable": True,
              "metadata": {"delta.columnMapping.id": 1,

@@ -1617,3 +1617,69 @@ class TestDeltaIdColumnMapping:
         with _pytest.raises(ValueError,
                             match="delta.columnMapping.id"):
             read_delta(spark, root).collect()
+
+
+class TestCommitClaimFallback:
+    def test_os_link_unsupported_falls_back(self, spark, tmp_path,
+                                            monkeypatch):
+        """Filesystems without hard links (FUSE/object-store mounts):
+        the commit claim degrades to exists-check + os.replace instead
+        of failing every export — and still refuses a taken version."""
+        import errno
+
+        import tostore_spark.plans.delta_export as de
+        wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+        db = _mk(spark, wh, rows=4)
+        real_link = os.link
+
+        def no_link(src, dst, *a, **k):
+            raise OSError(errno.ENOTSUP, "hard links not supported")
+        monkeypatch.setattr(os, "link", no_link)
+        rep = db.export_delta("notes", dest)
+        assert rep["version"] == 0
+        db.batch_insert("notes", [{"id": "x1", "body": "b", "n": 9}])
+        db.flush()
+        rep2 = db.export_delta("notes", dest, mode="update")
+        assert rep2["version"] == 1 and rep2["commit"] == "append"
+        back = de.read_delta(spark, dest)
+        assert back.count() == 5
+        # a taken version still refuses on the fallback path
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="already exists"):
+            de._write_commit(dest, 1, [{"commitInfo": {}}])
+        monkeypatch.setattr(os, "link", real_link)
+
+
+class TestVacuumSafety:
+    def test_vacuum_skips_inflight_and_retained(self, spark, tmp_path):
+        """vacuum_delta must not delete (a) files staged by an
+        in-flight exporter (vN- prefix beyond the latest commit) or
+        (b) files younger than retention_sec."""
+        import time as _t
+
+        from tostore_spark.plans.delta_export import vacuum_delta
+        wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+        db = _mk(spark, wh, rows=4)
+        db.export_delta("notes", dest)                      # v0
+        db.set_df("notes", db.df("notes"))
+        db.flush()
+        db.export_delta("notes", dest, mode="update")       # v1 refresh
+        # an in-flight concurrent exporter staged v2 data but has not
+        # committed yet
+        staged = os.path.join(dest, "v00002-f0000-part-zz.parquet")
+        open(staged, "wb").write(b"PAR1")
+        rep = vacuum_delta(dest, keep_versions=1)
+        assert "v00002-f0000-part-zz.parquet" not in rep["deleted"]
+        assert os.path.exists(staged)
+        # v0's dead files DID go
+        assert any(d.startswith("v00000-") for d in rep["deleted"])
+        # retention window: fresh dead files survive a retained vacuum
+        db.set_df("notes", db.df("notes"))
+        db.flush()
+        db.export_delta("notes", dest, mode="update")       # v2 refresh
+        rep2 = vacuum_delta(dest, keep_versions=1,
+                            retention_sec=3600)
+        assert not any(d.startswith("v00001-")
+                       for d in rep2["deleted"]), rep2["deleted"]
+        rep3 = vacuum_delta(dest, keep_versions=1)
+        assert any(d.startswith("v00001-") for d in rep3["deleted"])
