@@ -1479,6 +1479,19 @@ class ToStoreSpark:
         df = read_delta(self.spark, path, version=version)
         self.register_table(name, df=df, is_global=is_global)
 
+    def vacuum_delta(self, dest: str, keep_versions: int = 1,
+                     dry_run: bool = False,
+                     retention_sec: float = 0.0) -> dict:
+        """Reclaim an ``export_delta`` destination's data files that
+        only dead versions reference (plans/delta_export.vacuum_delta;
+        the log is never touched, retained versions keep time-
+        traveling exactly).  ``retention_sec`` additionally spares
+        files younger than the window — Delta's own VACUUM retention
+        model, for destinations with concurrent foreign writers."""
+        from tostore_spark.plans.delta_export import vacuum_delta as _vd
+        return _vd(dest, keep_versions=keep_versions, dry_run=dry_run,
+                   retention_sec=retention_sec)
+
     def analyze_table(self, table: str, cols=None,
                       exact_ndv: bool = False):
         """One-pass column statistics (rows, nulls, ndv, min/max) for
