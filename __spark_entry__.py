@@ -2162,6 +2162,61 @@ def q_delta_v2_checkpoint(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_delta_mirror(spark, sf_dir):
+    """Continuous Delta mirroring (engine.mirror_delta +
+    store.flush_tables post-commit hook): after registration, EVERY
+    flush auto-exports the table's next incremental commit — the
+    append epoch lands as an add-only commit and the delete epoch as
+    a merge-on-read deletion-vector commit (asserted in-entry:
+    version 2 carries the reader-v3 DV protocol and restages zero
+    files) — so an external Delta reader always sees the store's last
+    committed state.  Returned rows read the mirror destination via
+    log replay."""
+    import json
+    import os
+    import tempfile
+    db = _db(spark, sf_dir)
+    from tostore_spark.plans.delta_export import read_delta
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    with tempfile.TemporaryDirectory() as tmp:
+        wh, dest = os.path.join(tmp, "wh"), os.path.join(tmp, "dx")
+        db1 = ToStoreSpark(spark, warehouse=wh)
+        db1.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n_name", type=DataType.text),
+                    FieldSchema(name="n_regionkey",
+                                type=DataType.integer)]))
+        db1.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
+             "n_regionkey": r["n_regionkey"]} for r in nat])
+        db1.flush()
+        rep0 = db1.mirror_delta("nat", dest)
+        if rep0["version"] != 0:
+            raise AssertionError(f"mirror v0 missing: {rep0}")
+        db1.batch_insert("nat", [{"id": "zz1", "n_name": "NEW",
+                                  "n_regionkey": 9}])
+        db1.flush()                    # auto append commit (v1)
+        db1.eager_mutation_counts = False
+        db1.delete("nat").where("n_regionkey", "=", 3).execute()
+        db1.flush()                    # auto DV commit (v2)
+        if db1.last_mirror_error is not None:
+            raise AssertionError(str(db1.last_mirror_error))
+        log2 = os.path.join(dest, "_delta_log", f"{2:020d}.json")
+        acts = [json.loads(x) for x in open(log2)]
+        protos = [a["protocol"] for a in acts if "protocol" in a]
+        if not (protos and protos[0].get("minReaderVersion") == 3):
+            raise AssertionError("delete epoch did not mirror as DV")
+        if any("add" in a and not a["add"].get("deletionVector")
+               for a in acts):
+            raise AssertionError("DV mirror commit restaged files")
+        out = (read_delta(spark, dest).orderBy("id")
+               .select("id", "n_name", "n_regionkey"))
+        rows, schema = out.collect(), out.schema
+    return spark.createDataFrame(rows, schema)
+
+
 def q_delta_colmap_id(spark, sf_dir):
     """'id'-mode column-mapping Delta reads (plans/delta_export
     ``_physical_schema(with_ids=True)`` + Spark's native parquet
@@ -4697,6 +4752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ORDER = [
         "q_delete_vectors_part", "q_upsert_mor_part",         # born r13
         "q_delta_v2_checkpoint", "q_delta_colmap_id",         # born r13
+        "q_delta_mirror",                                     # born r13
         "q_delta_colmap", "q_delta_dv", "q_encrypted_typed",  # born r12
         "q_delta_roundtrip",
         "q_encrypted_at_rest", "q_delta_export", "q_meta_agg_deletes",
@@ -5603,6 +5659,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'n' || lpad(CAST(min(n_nationkey) AS VARCHAR), 3, '0'),
                    'REBORN', 9
             FROM nation WHERE n_regionkey = 2""",
+        "q_delta_mirror": """
+            SELECT 'n' || lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS id,
+                   n_name,
+                   n_regionkey
+            FROM nation WHERE n_regionkey <> 3
+            UNION ALL
+            SELECT 'zz1', 'NEW', 9
+            ORDER BY id""",
         "q_delta_colmap_id": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
             FROM nation ORDER BY n_nationkey""",

@@ -1309,7 +1309,15 @@ def main():
                         "+ steady_state_second_run (value_warm/queries_warm; "
                         "r2-comparable); canary_sec = fixed machine-speed "
                         "probe, engine-independent; sf1_spot = 10x derived "
-                        "corpus scale check for the dedup/ANN operators"),
+                        "corpus scale check for the dedup/ANN operators "
+                        "(graph row: 1x/3x/10x ladder with fitted "
+                        "power-law exponents, r13); the MUTATION-path "
+                        "O(delta) tripwires are mor_flush (100-row "
+                        "delete/update flush at 1x vs 10x base, + the "
+                        "partitioned delete_vector row) and append_flush "
+                        "(segment vs rewrite tier, + the TTL-table row) — "
+                        "same per-round regression role as the sf1 spot, "
+                        "measured at sf0.1 scale"),
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:

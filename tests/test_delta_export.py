@@ -1683,3 +1683,50 @@ class TestVacuumSafety:
                        for d in rep2["deleted"]), rep2["deleted"]
         rep3 = vacuum_delta(dest, keep_versions=1)
         assert any(d.startswith("v00001-") for d in rep3["deleted"])
+
+
+class TestDeltaMirror:
+    def test_mirror_exports_every_flush(self, spark, tmp_path):
+        """mirror_delta: flush-time auto-export keeps the destination
+        at the store's last committed state through append, delete
+        (DV), upsert (DV) and rewrite (refresh) epochs."""
+        from tostore_spark.plans.delta_export import _replay, read_delta
+        wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+        db = _mk(spark, wh, rows=8)
+        rep = db.mirror_delta("notes", dest)
+        assert rep["version"] == 0 and rep["commit"] == "snapshot"
+        # append epoch → add-only commit, no user call needed
+        db.batch_insert("notes", [{"id": "a1", "body": "x", "n": 50}])
+        db.flush()
+        assert db.last_mirror_error is None
+        st = _replay(dest)
+        assert st["version"] == 1
+        assert _collect_sorted(read_delta(spark, dest)) == \
+            _collect_sorted(db.df("notes"))
+        # delete epoch → merge-on-read DV commit
+        db.eager_mutation_counts = False
+        db.delete("notes").where("id", "=", "k003").execute()
+        db.flush()
+        log2 = os.path.join(dest, "_delta_log", f"{2:020d}.json")
+        acts = [json.loads(x) for x in open(log2)]
+        assert any("protocol" in a and a["protocol"].get(
+            "minReaderVersion") == 3 for a in acts), \
+            "delete must mirror as a DV commit"
+        assert _collect_sorted(read_delta(spark, dest)) == \
+            _collect_sorted(db.df("notes"))
+        # upsert epoch → DV commit too
+        db.batch_upsert("notes", [{"id": "k001", "body": "UP"}])
+        db.flush()
+        assert _collect_sorted(read_delta(spark, dest)) == \
+            _collect_sorted(db.df("notes"))
+        # rewrite epoch → refresh commit, still exact
+        db.set_df("notes", db.df("notes").where("n < 100"))
+        db.flush()
+        assert _collect_sorted(read_delta(spark, dest)) == \
+            _collect_sorted(db.df("notes"))
+        v_now = _replay(dest)["version"]
+        # unmirror: the next flush commits nothing new to the dest
+        assert db.unmirror_delta("notes") is True
+        db.batch_insert("notes", [{"id": "zz", "body": "y", "n": 1}])
+        db.flush()
+        assert _replay(dest)["version"] == v_now

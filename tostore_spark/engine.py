@@ -1479,6 +1479,42 @@ class ToStoreSpark:
         df = read_delta(self.spark, path, version=version)
         self.register_table(name, df=df, is_global=is_global)
 
+    def mirror_delta(self, table: str, dest: str,
+                     deletion_vectors: bool = True,
+                     allow_decrypted: bool = False) -> dict:
+        """Continuously materialize ``table`` as a standard Delta
+        table: an initial commit runs now, and EVERY subsequent
+        ``flush()`` of the table auto-exports its next incremental
+        commit post-commit — appends as add-only, deletes/upserts as
+        merge-on-read deletion vectors, anything else as an atomic
+        refresh (plans/delta_export).  Any external Delta reader then
+        always sees the store's last committed state without the
+        store's own manifest — the practical answer to "I need other
+        engines reading this table live" while the store keeps its
+        own commit protocol.  Mirror exports are post-commit and
+        best-effort: a failure never un-commits the flush; it lands
+        in ``engine.last_mirror_error`` and the next flush heals the
+        mirror with a refresh commit.  The registration is
+        engine-local (not persisted in the manifest) — re-register
+        after reopen.  Returns the initial export report."""
+        key = self._resolve(table)
+        if not hasattr(self, "_delta_mirrors"):
+            self._delta_mirrors = {}
+        self._delta_mirrors[key] = {
+            "dest": dest, "dv": bool(deletion_vectors),
+            "allow_decrypted": bool(allow_decrypted)}
+        from tostore_spark.plans.delta_export import export_delta as _ed
+        return _ed(self, table, dest, mode="update",
+                   deletion_vectors=deletion_vectors,
+                   allow_decrypted=allow_decrypted)
+
+    def unmirror_delta(self, table: str) -> bool:
+        """Stop auto-exporting ``table`` (the destination keeps its
+        committed versions).  True if a mirror was registered."""
+        key = self._resolve(table)
+        return (getattr(self, "_delta_mirrors", {}) or {}) \
+            .pop(key, None) is not None
+
     def vacuum_delta(self, dest: str, keep_versions: int = 1,
                      dry_run: bool = False,
                      retention_sec: float = 0.0) -> dict:

@@ -854,6 +854,36 @@ def flush_tables(engine, flush_storage: bool = True,
                 engine._kv_baseline = engine._kv.snapshot()
         finally:
             lock.release()
+        # ---- post-commit: continuous Delta mirrors (no lock) --------
+        # every flushed table with a registered mirror exports its
+        # NEXT incremental commit — appends as add-only, deletes/
+        # replaces as merge-on-read DVs — so the mirror destination is
+        # a standard Delta table that always reads the store's last
+        # committed state.  Post-commit and best-effort by design: a
+        # mirror failure can't un-commit the flush (it surfaces in
+        # engine.last_mirror_error and heals on the next flush via a
+        # refresh commit, because the export-state sidecar still
+        # matches an older recipe prefix).
+        mirrors = getattr(engine, "_delta_mirrors", None)
+        if mirrors:
+            from tostore_spark.plans.delta_export import export_delta
+            engine.last_mirror_error = None
+            for key, gen, *_ in staged:
+                cfg = mirrors.get(key)
+                if cfg is None:
+                    continue
+                try:
+                    if engine._resolve(key[1]) != key:
+                        raise ValueError(
+                            f"mirror table {key} not resolvable from "
+                            f"the current space {engine._space!r}")
+                    export_delta(engine, key[1], cfg["dest"],
+                                 mode="update",
+                                 deletion_vectors=cfg.get("dv", True),
+                                 allow_decrypted=cfg.get(
+                                     "allow_decrypted", False))
+                except Exception as exc:      # pragma: no cover
+                    engine.last_mirror_error = (key[1], str(exc))
     except ConcurrentWriteError:
         # late conflict: remove the staged (uncommitted) version dirs
         # and their claims so time travel / list_versions can never
