@@ -2625,6 +2625,193 @@ def q_encrypted_at_rest(spark, sf_dir):
         rows, "n_rows bigint, name_len_sum bigint, n_a_names bigint")
 
 
+def q_iceberg_roundtrip(spark, sf_dir):
+    """Iceberg v2 export + no-library read-back (r14, plans/iceberg +
+    plans/avro_io): a store table exports as a standard Iceberg v2
+    table (metadata JSON, Avro manifest list/manifests written by the
+    spec-pinned pure-Python codec, parquet data files carrying field
+    ids), an ``append`` commits a second snapshot, and
+    ``read_iceberg`` scans the manifests back — current state AND
+    snapshot time travel — with field-id column resolution.  Values
+    pinned against DuckDB deriving the same two snapshot states from
+    nation."""
+    import os
+    import tempfile
+
+    from tostore_spark.plans.iceberg import read_iceberg
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    db = _db(spark, sf_dir)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    with tempfile.TemporaryDirectory() as tmp:
+        wh, dest = os.path.join(tmp, "wh"), os.path.join(tmp, "ice")
+        db1 = ToStoreSpark(spark, warehouse=wh)
+        db1.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n_name", type=DataType.text),
+                    FieldSchema(name="key", type=DataType.integer)]))
+        db1.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
+             "key": r["n_nationkey"]} for r in nat])
+        db1.flush()
+        rep1 = db1.export_iceberg("nat", dest, target_files=1)
+        if rep1["snapshot_id"] != 1 or rep1["sequence_number"] != 1:
+            raise AssertionError(f"expected snapshot 1: {rep1}")
+        db1.batch_insert("nat", [
+            {"id": f"x{i}", "n_name": f"ADDED{i}", "key": 800 + i}
+            for i in range(4)])
+        db1.flush()
+        # append commits the CURRENT frame as snapshot 2 (the foreign
+        # reader sees snapshot1 rows + the whole frame again — the
+        # caller-owns-dedup append contract, asserted via counts)
+        rep2 = db1.export_iceberg("nat", dest, mode="append",
+                                  target_files=1)
+        if rep2["snapshot_id"] != 2 or rep2["sequence_number"] != 2:
+            raise AssertionError(f"expected snapshot 2: {rep2}")
+        n_s1 = read_iceberg(spark, dest, snapshot_id=1).count()
+        final = read_iceberg(spark, dest)
+        agg = final.agg(
+            F.count(F.lit(1)).alias("n_final"),
+            F.sum("key").alias("key_sum")).first()
+        rows = [{"n_s1": int(n_s1), "n_final": int(agg["n_final"]),
+                 "key_sum": int(agg["key_sum"])}]
+    return spark.createDataFrame(
+        rows, "n_s1 bigint, n_final bigint, key_sum bigint")
+
+
+def q_iceberg_mor(spark, sf_dir):
+    """Foreign Iceberg v2 merge-on-read read (r14, plans/iceberg): the
+    entry hand-constructs an Iceberg table NO exporter code touches —
+    pyarrow-written data parquet with field ids, spec-schema Avro
+    manifests — with two data files at data sequence numbers 1 and 3
+    (the seq-3 entry exercising v2 manifest-list inheritance), a
+    position-delete file at seq 2 (applies to the seq-1 file only:
+    2 >= 1 but 2 < 3), and equality-delete files at seqs 3 and 4 (the
+    seq-3 one hits only STRICTLY older data: the seq-1 file).
+    ``read_iceberg`` must apply all three scopes exactly; DuckDB
+    derives the surviving key set from nation arithmetic."""
+    import json as _json
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tostore_spark.plans.avro_io import write_container_file
+    from tostore_spark.plans.iceberg import (read_iceberg,
+                                             _MANIFEST_ENTRY_SCHEMA,
+                                             _MANIFEST_LIST_SCHEMA)
+    db = _db(spark, sf_dir)
+    nat = sorted([r.asDict() for r in db.df("nation").collect()],
+                 key=lambda r: r["n_nationkey"])
+    with tempfile.TemporaryDirectory() as tmp:
+        loc = os.path.join(tmp, "ft")
+        ddir, mdir = os.path.join(loc, "data"), os.path.join(loc,
+                                                             "metadata")
+        os.makedirs(ddir)
+        os.makedirs(mdir)
+
+        def _f(name, typ, fid):
+            return pa.field(name, typ, metadata={
+                b"PARQUET:field_id": str(fid).encode()})
+
+        dschema = pa.schema([_f("key", pa.int64(), 1),
+                             _f("name", pa.string(), 2)])
+        a_rows = [r for r in nat if r["n_nationkey"] < 15]
+        b_rows = [r for r in nat if r["n_nationkey"] >= 15]
+        fa, fb = (os.path.join(ddir, "a.parquet"),
+                  os.path.join(ddir, "b.parquet"))
+        for f, rs in ((fa, a_rows), (fb, b_rows)):
+            pq.write_table(pa.table(
+                {"key": [r["n_nationkey"] for r in rs],
+                 "name": [r["n_name"] for r in rs]},
+                schema=dschema), f)
+        fpos = os.path.join(ddir, "posdel.parquet")
+        pq.write_table(pa.table(
+            {"file_path": [fa, fa], "pos": [0, 1]},
+            schema=pa.schema([_f("file_path", pa.string(), 2147483546),
+                              _f("pos", pa.int64(), 2147483545)])), fpos)
+        eqschema = pa.schema([_f("key", pa.int64(), 1)])
+        feq3 = os.path.join(ddir, "eq3.parquet")
+        feq4 = os.path.join(ddir, "eq4.parquet")
+        pq.write_table(pa.table({"key": [5, 20]}, schema=eqschema), feq3)
+        pq.write_table(pa.table({"key": [7, 21]}, schema=eqschema), feq4)
+
+        schema_json = {"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "key", "required": True, "type": "long"},
+            {"id": 2, "name": "name", "required": False,
+             "type": "string"}]}
+
+        def _entry(fpath, content, seq, eq_ids=None, rows=1):
+            return {"status": 1, "snapshot_id": 10,
+                    "sequence_number": seq, "file_sequence_number": seq,
+                    "data_file": {
+                        "content": content, "file_path": fpath,
+                        "file_format": "PARQUET", "partition": {},
+                        "record_count": rows,
+                        "file_size_in_bytes": os.path.getsize(fpath),
+                        "equality_ids": eq_ids}}
+
+        manifests = [
+            ("ma.avro", 1, 0, [_entry(fa, 0, 1, rows=len(a_rows))]),
+            # seq None → inherited from the manifest-list entry (3)
+            ("mb.avro", 3, 0, [_entry(fb, 0, None, rows=len(b_rows))]),
+            ("mp.avro", 2, 1, [_entry(fpos, 1, 2, rows=2)]),
+            ("m3.avro", 3, 1, [_entry(feq3, 2, 3, eq_ids=[1], rows=2)]),
+            ("m4.avro", 4, 1, [_entry(feq4, 2, 4, eq_ids=[1], rows=2)]),
+        ]
+        ml_entries = []
+        for name, seq, content, entries in manifests:
+            mp = os.path.join(mdir, name)
+            write_container_file(
+                mp, _MANIFEST_ENTRY_SCHEMA, entries,
+                meta={"schema": _json.dumps(schema_json),
+                      "partition-spec": "[]", "partition-spec-id": "0",
+                      "format-version": "2",
+                      "content": "data" if content == 0 else "deletes"})
+            ml_entries.append({
+                "manifest_path": mp,
+                "manifest_length": os.path.getsize(mp),
+                "partition_spec_id": 0, "content": content,
+                "sequence_number": seq, "min_sequence_number": seq,
+                "added_snapshot_id": 10,
+                "added_files_count": len(entries),
+                "existing_files_count": 0, "deleted_files_count": 0,
+                "added_rows_count": 1, "existing_rows_count": 0,
+                "deleted_rows_count": 0, "key_metadata": None})
+        ml = os.path.join(mdir, "snap-10-1-x.avro")
+        write_container_file(ml, _MANIFEST_LIST_SCHEMA, ml_entries,
+                             meta={"format-version": "2"})
+        meta = {"format-version": 2, "table-uuid": "0" * 32,
+                "location": loc, "last-sequence-number": 4,
+                "last-updated-ms": 1000, "last-column-id": 2,
+                "current-schema-id": 0, "schemas": [schema_json],
+                "default-spec-id": 0,
+                "partition-specs": [{"spec-id": 0, "fields": []}],
+                "last-partition-id": 999, "default-sort-order-id": 0,
+                "sort-orders": [{"order-id": 0, "fields": []}],
+                "properties": {}, "current-snapshot-id": 10,
+                "snapshots": [{"snapshot-id": 10, "sequence-number": 4,
+                               "timestamp-ms": 1000,
+                               "summary": {"operation": "append"},
+                               "manifest-list": ml, "schema-id": 0}]}
+        with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+            _json.dump(meta, fh)
+        with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+            fh.write("1")
+
+        out = read_iceberg(spark, loc)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.sum("key").alias("key_sum"),
+            F.sum(F.length("name")).alias("name_len_sum")).first()
+        rows = [{"n_live": int(agg["n_live"]),
+                 "key_sum": int(agg["key_sum"]),
+                 "name_len_sum": int(agg["name_len_sum"])}]
+    return spark.createDataFrame(
+        rows, "n_live bigint, key_sum bigint, name_len_sum bigint")
+
+
 def q_encrypted_typed(spark, sf_dir):
     """Typed at-rest encryption (r12 — the reference encrypts ALL
     table data, data_store_config.dart:946-1005, not just text):
@@ -4750,6 +4937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
+        "q_iceberg_roundtrip", "q_iceberg_mor",               # born r14
         "q_delete_vectors_part", "q_upsert_mor_part",         # born r13
         "q_delta_v2_checkpoint", "q_delta_colmap_id",         # born r13
         "q_delta_mirror",                                     # born r13
@@ -5689,6 +5877,23 @@ def oracle_sql() -> dict[str, str]:
             FROM nation
             UNION ALL
             SELECT 'zz1', '09', 'NEW'""",
+        "q_iceberg_roundtrip": """
+            -- snapshot 1 = nation rows; the append snapshot re-commits
+            -- the whole frame (then 29 rows) on top: final = 2n + 4
+            SELECT CAST(count(*) AS BIGINT) AS n_s1,
+                   CAST(2 * count(*) + 4 AS BIGINT) AS n_final,
+                   CAST(2 * sum(n_nationkey) + 800 + 801 + 802 + 803
+                        AS BIGINT) AS key_sum
+            FROM nation""",
+        "q_iceberg_mor": """
+            -- pos-delete kills keys 0,1 (file A only); eq-delete seq 3
+            -- kills 5 (A, strictly older) but NOT 20 (B, same seq);
+            -- eq-delete seq 4 kills 7 and 21 (both files older)
+            SELECT CAST(count(*) AS BIGINT) AS n_live,
+                   CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+                   CAST(sum(length(n_name)) AS BIGINT) AS name_len_sum
+            FROM nation
+            WHERE n_nationkey NOT IN (0, 1, 5, 7, 21)""",
         "q_delta_roundtrip": """
             -- v0 = 25 nation rows; v1 = +4 appends (keys 700-703);
             -- final = v1 minus keys >= 703

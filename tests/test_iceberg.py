@@ -1,0 +1,391 @@
+"""Iceberg interop (plans/iceberg + plans/avro_io).
+
+The Avro codec is pinned at BYTE level against hand-computed fixtures
+from the public Avro 1.11 spec (zig-zag varints, container layout) so
+the format cannot drift into a self-consistent-but-nonstandard
+encoding; the Iceberg reader is exercised against a FOREIGN
+hand-constructed v2 table (pyarrow-written parquet with field ids,
+spec-schema manifests) covering sequence-number-scoped position and
+equality deletes, field-id renames, inheritance, and refusals."""
+import json
+import os
+
+import pytest
+
+from tostore_spark.plans.avro_io import (read_container, write_container,
+                                         write_container_file, _zigzag)
+from tostore_spark.plans.iceberg import (export_iceberg, read_iceberg,
+                                         _MANIFEST_ENTRY_SCHEMA,
+                                         _MANIFEST_LIST_SCHEMA)
+
+
+# ------------------------------------------------------------- avro unit
+
+def test_zigzag_spec_values():
+    # Avro spec "Binary Encoding": 0→00, -1→01, 1→02, -2→03, 2→04,
+    # -64→7f, 64→80 01
+    assert _zigzag(0) == b"\x00"
+    assert _zigzag(-1) == b"\x01"
+    assert _zigzag(1) == b"\x02"
+    assert _zigzag(-2) == b"\x03"
+    assert _zigzag(2) == b"\x04"
+    assert _zigzag(-64) == b"\x7f"
+    assert _zigzag(64) == b"\x80\x01"
+    assert _zigzag(-(2 ** 63)) == b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\x01"
+    assert _zigzag(2 ** 63 - 1) == b"\xfe\xff\xff\xff\xff\xff\xff\xff\xff\x01"
+
+
+def _hand_container() -> bytes:
+    """A container file built BY HAND (no encoder involvement), spec
+    section "Object Container Files": one record {"a": 3, "s": "hi"},
+    null codec, zero sync marker."""
+    schema = b'{"type":"record","name":"r","fields":' \
+             b'[{"name":"a","type":"long"},{"name":"s","type":"string"}]}'
+    out = b"Obj\x01"
+    out += b"\x04"                                   # map count 2
+    out += b"\x16" + b"avro.schema"                  # len 11 → zz 0x16
+    out += _zigzag(len(schema)) + schema
+    out += b"\x14" + b"avro.codec"                   # len 10 → zz 0x14
+    out += b"\x08" + b"null"                         # len 4 → zz 0x08
+    out += b"\x00"                                   # map end
+    out += b"\x00" * 16                              # sync
+    body = b"\x06" + b"\x04" + b"hi"                 # a=3 → 06; "hi"
+    out += b"\x02"                                   # block count 1
+    out += _zigzag(len(body)) + body
+    out += b"\x00" * 16                              # sync
+    return out
+
+
+def test_container_decode_hand_bytes():
+    meta, recs = read_container(_hand_container())
+    assert recs == [{"a": 3, "s": "hi"}]
+    assert meta["avro.codec"] == b"null"
+
+
+def test_container_encode_matches_hand_bytes():
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"}, {"name": "s", "type": "string"}]}
+    data = write_container(schema, [{"a": 3, "s": "hi"}], codec="null")
+    assert data == _hand_container()
+
+
+def test_container_negative_block_count_array():
+    """Array encoded in the block-size-prefixed form (negative count)
+    — a shape real writers emit that our encoder never does."""
+    schema = b'{"type":"record","name":"r","fields":' \
+             b'[{"name":"xs","type":{"type":"array","items":"int"}}]}'
+    out = b"Obj\x01\x02"
+    out += b"\x16avro.schema" + _zigzag(len(schema)) + schema
+    out += b"\x00" + b"\x00" * 16
+    # xs = [7, 9]: count -2 (zz 0x03), block byte size 2, items, end 0
+    body = b"\x03" + b"\x04" + b"\x0e\x12" + b"\x00"
+    out += b"\x02" + _zigzag(len(body)) + body + b"\x00" * 16
+    _, recs = read_container(out)
+    assert recs == [{"xs": [7, 9]}]
+
+
+def test_container_roundtrip_all_types():
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": ["null", "string"], "default": None},
+        {"name": "c", "type": {"type": "array", "items": "double"}},
+        {"name": "d", "type": {"type": "map", "values": "boolean"}},
+        {"name": "e", "type": {"type": "enum", "name": "E",
+                               "symbols": ["X", "Y"]}},
+        {"name": "f", "type": {"type": "fixed", "name": "F", "size": 3}},
+        {"name": "g", "type": ["null", {"type": "record", "name": "sub",
+                                        "fields": [{"name": "z",
+                                                    "type": "int"}]}]},
+        {"name": "h", "type": "bytes"},
+    ]}
+    recs = [{"a": -(2 ** 62), "b": "é", "c": [1.5, -0.25], "d": {"k": True},
+             "e": "Y", "f": b"abc", "g": {"z": -7}, "h": b"\x00\xff"},
+            {"a": 0, "b": None, "c": [], "d": {}, "e": "X", "f": b"xyz",
+             "g": None, "h": b""}]
+    for codec in ("null", "deflate"):
+        _, out = read_container(write_container(schema, recs, codec=codec))
+        assert out == recs
+
+
+def test_container_refuses_bad_magic_and_codec():
+    with pytest.raises(ValueError, match="magic"):
+        read_container(b"PAR1" + b"\x00" * 40)
+    data = bytearray(write_container(
+        {"type": "record", "name": "r",
+         "fields": [{"name": "a", "type": "long"}]}, [{"a": 1}],
+        codec="null"))
+    # corrupt the codec value in place: "null" → "zstd"
+    assert bytes(data).count(b"null") >= 1
+    idx = bytes(data).index(b"null")
+    data[idx:idx + 4] = b"zstd"
+    with pytest.raises(ValueError, match="codec"):
+        read_container(bytes(data))
+
+
+def test_iceberg_manifest_schemas_roundtrip():
+    entry = {"status": 1, "snapshot_id": 10, "sequence_number": None,
+             "file_sequence_number": None,
+             "data_file": {"content": 0, "file_path": "/d/a.parquet",
+                           "file_format": "PARQUET", "partition": {},
+                           "record_count": 5, "file_size_in_bytes": 99,
+                           "equality_ids": None}}
+    _, out = read_container(
+        write_container(_MANIFEST_ENTRY_SCHEMA, [entry]))
+    assert out == [entry]
+    ml = {"manifest_path": "/m.avro", "manifest_length": 1,
+          "partition_spec_id": 0, "content": 0, "sequence_number": 3,
+          "min_sequence_number": 3, "added_snapshot_id": 10,
+          "added_files_count": 1, "existing_files_count": 0,
+          "deleted_files_count": 0, "added_rows_count": 5,
+          "existing_rows_count": 0, "deleted_rows_count": 0,
+          "key_metadata": None}
+    _, out = read_container(write_container(_MANIFEST_LIST_SCHEMA, [ml]))
+    assert out == [ml]
+
+
+# --------------------------------------------------------- export/read
+
+def _mk(spark, wh, rows=30):
+    from tostore_spark.engine import ToStoreSpark
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    db = ToStoreSpark(spark, warehouse=wh)
+    db.create_table(TableSchema(
+        name="notes", primary_key=PrimaryKeyConfig(name="id"),
+        fields=[FieldSchema(name="body", type=DataType.text),
+                FieldSchema(name="n", type=DataType.integer)]))
+    db.batch_insert("notes", [
+        {"id": f"k{i:03d}", "body": f"b{i}", "n": i} for i in range(rows)])
+    db.flush()
+    return db
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in
+                  df.select(*sorted(df.columns)).collect())
+
+
+def test_export_roundtrip_and_time_travel(spark, tmp_path):
+    db = _mk(spark, str(tmp_path / "wh"))
+    dest = str(tmp_path / "ice")
+    rep = export_iceberg(db, "notes", dest, mode="overwrite")
+    assert rep["rows"] == 30 and rep["snapshot_id"] == 1
+    back = read_iceberg(spark, dest)
+    assert _rows(back) == _rows(db.df("notes"))
+    # data files carry parquet field ids (the foreign-reader contract)
+    import pyarrow.parquet as pq
+    ddir = os.path.join(dest, "data")
+    f0 = os.path.join(ddir, sorted(os.listdir(ddir))[0])
+    sch = pq.ParquetFile(f0).schema_arrow
+    assert all(f.metadata and b"PARQUET:field_id" in f.metadata
+               for f in sch)
+
+    before = _rows(db.df("notes"))
+    db.batch_insert("notes", [{"id": f"x{i}", "body": "a", "n": 100 + i}
+                              for i in range(5)])
+    db.flush()
+    rep2 = export_iceberg(db, "notes", dest, mode="append")
+    assert rep2["snapshot_id"] == 2 and rep2["sequence_number"] == 2
+    # append committed the CURRENT frame as an extra snapshot
+    assert read_iceberg(spark, dest).count() == 30 + 35
+    assert _rows(read_iceberg(spark, dest, snapshot_id=1)) == before
+    # metadata versions both present; hint points at the latest
+    mdir = os.path.join(dest, "metadata")
+    assert os.path.exists(os.path.join(mdir, "v1.metadata.json"))
+    assert os.path.exists(os.path.join(mdir, "v2.metadata.json"))
+    with open(os.path.join(mdir, "version-hint.text")) as fh:
+        assert fh.read().strip() == "2"
+
+
+def test_export_mode_guards(spark, tmp_path):
+    db = _mk(spark, str(tmp_path / "wh"), rows=5)
+    dest = str(tmp_path / "ice")
+    export_iceberg(db, "notes", dest)
+    with pytest.raises(ValueError, match="exists"):
+        export_iceberg(db, "notes", dest)     # mode="error"
+    rep = export_iceberg(db, "notes", dest, mode="overwrite")
+    assert rep["snapshot_id"] == 1            # fresh table again
+
+
+def test_engine_surface(spark, tmp_path):
+    db = _mk(spark, str(tmp_path / "wh"), rows=8)
+    dest = str(tmp_path / "ice")
+    db.export_iceberg("notes", dest)
+    db.register_iceberg("notes_ice", dest)
+    assert _rows(db.df("notes_ice")) == _rows(db.df("notes"))
+
+
+# --------------------------------------------- foreign v2 MoR fixture
+
+def _pa_field(name, typ, fid):
+    import pyarrow as pa
+    return pa.field(name, typ,
+                    metadata={b"PARQUET:field_id": str(fid).encode()})
+
+
+def _foreign_table(tmp_path) -> str:
+    """Hand-construct an Iceberg v2 table (no exporter involvement):
+
+    * data file A (data_seq 1): ids 1..10, n = id*10
+    * data file B (data_seq 3, INHERITED from its manifest-list entry):
+      ids 11..15
+    * position delete (seq 2): (A, pos 0), (A, pos 1) → kills ids 1,2
+      in A (2 >= 1) but would NOT touch B (2 < 3)
+    * equality delete on n (seq 3): n ∈ {50, 120} → kills id 5 in A
+      (1 < 3) but NOT id 12 in B (3 < 3 is false — strictly older only)
+    * equality delete on n (seq 4): n ∈ {40, 110} → kills id 4 (A) and
+      id 11 (B)
+
+    Expected live ids: 3, 6, 7, 8, 9, 10, 12, 13, 14, 15."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    loc = str(tmp_path / "ft")
+    ddir, mdir = os.path.join(loc, "data"), os.path.join(loc, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+    dschema = pa.schema([_pa_field("id", pa.int64(), 1),
+                         _pa_field("n", pa.int64(), 2)])
+    fa = os.path.join(ddir, "a.parquet")
+    fb = os.path.join(ddir, "b.parquet")
+    pq.write_table(pa.table({"id": list(range(1, 11)),
+                             "n": [i * 10 for i in range(1, 11)]},
+                            schema=dschema), fa)
+    pq.write_table(pa.table({"id": list(range(11, 16)),
+                             "n": [i * 10 for i in range(11, 16)]},
+                            schema=dschema), fb)
+    fpos = os.path.join(ddir, "pos-del.parquet")
+    pq.write_table(pa.table({"file_path": [fa, fa], "pos": [0, 1]},
+                            schema=pa.schema([
+                                _pa_field("file_path", pa.string(),
+                                          2147483546),
+                                _pa_field("pos", pa.int64(),
+                                          2147483545)])), fpos)
+    eqschema = pa.schema([_pa_field("n", pa.int64(), 2)])
+    feq3 = os.path.join(ddir, "eq-del-3.parquet")
+    feq4 = os.path.join(ddir, "eq-del-4.parquet")
+    pq.write_table(pa.table({"n": [50, 120]}, schema=eqschema), feq3)
+    pq.write_table(pa.table({"n": [40, 110]}, schema=eqschema), feq4)
+
+    schema_json = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": True, "type": "long"},
+        {"id": 2, "name": "n", "required": False, "type": "long"}]}
+
+    def _entry(fpath, content, seq, eq_ids=None, rows=1):
+        return {"status": 1, "snapshot_id": 10, "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {"content": content, "file_path": fpath,
+                              "file_format": "PARQUET", "partition": {},
+                              "record_count": rows,
+                              "file_size_in_bytes":
+                                  os.path.getsize(fpath),
+                              "equality_ids": eq_ids}}
+
+    manifests = [
+        # (name, list_seq, entries) — B's entry has a NULL seq to
+        # exercise v2 inheritance from the manifest-list entry
+        ("m-data-a.avro", 1, [_entry(fa, 0, 1, rows=10)]),
+        ("m-data-b.avro", 3, [_entry(fb, 0, None, rows=5)]),
+        ("m-del-pos.avro", 2, [_entry(fpos, 1, 2, rows=2)]),
+        ("m-del-eq3.avro", 3, [_entry(feq3, 2, 3, eq_ids=[2], rows=2)]),
+        ("m-del-eq4.avro", 4, [_entry(feq4, 2, 4, eq_ids=[2], rows=2)]),
+    ]
+    ml_entries = []
+    for name, seq, entries in manifests:
+        mp = os.path.join(mdir, name)
+        write_container_file(
+            mp, _MANIFEST_ENTRY_SCHEMA, entries,
+            meta={"schema": json.dumps(schema_json),
+                  "partition-spec": "[]", "partition-spec-id": "0",
+                  "format-version": "2",
+                  "content": "data" if "data" in name else "deletes"})
+        ml_entries.append({
+            "manifest_path": mp,
+            "manifest_length": os.path.getsize(mp),
+            "partition_spec_id": 0,
+            "content": 0 if "data" in name else 1,
+            "sequence_number": seq, "min_sequence_number": seq,
+            "added_snapshot_id": 10, "added_files_count": len(entries),
+            "existing_files_count": 0, "deleted_files_count": 0,
+            "added_rows_count": sum(e["data_file"]["record_count"]
+                                    for e in entries),
+            "existing_rows_count": 0, "deleted_rows_count": 0,
+            "key_metadata": None})
+    ml = os.path.join(mdir, "snap-10-1-x.avro")
+    write_container_file(ml, _MANIFEST_LIST_SCHEMA, ml_entries,
+                         meta={"format-version": "2"})
+    meta = {"format-version": 2, "table-uuid": "0" * 32, "location": loc,
+            "last-sequence-number": 4, "last-updated-ms": 1000,
+            "last-column-id": 2, "current-schema-id": 0,
+            "schemas": [schema_json], "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999, "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {}, "current-snapshot-id": 10,
+            "snapshots": [{"snapshot-id": 10, "sequence-number": 4,
+                           "timestamp-ms": 1000,
+                           "summary": {"operation": "append"},
+                           "manifest-list": ml, "schema-id": 0}],
+            "snapshot-log": [], "metadata-log": []}
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return loc
+
+
+def test_foreign_mor_sequence_scoping(spark, tmp_path):
+    loc = _foreign_table(tmp_path)
+    df = read_iceberg(spark, loc)
+    ids = sorted(r["id"] for r in df.collect())
+    assert ids == [3, 6, 7, 8, 9, 10, 12, 13, 14, 15]
+    # columns resolve to the table schema's names and order
+    assert df.columns == ["id", "n"]
+
+
+def test_foreign_rename_resolves_by_field_id(spark, tmp_path):
+    """The current schema renames n → qty (same field id 2); the
+    parquet still calls it n.  Field-id resolution must bind it."""
+    loc = _foreign_table(tmp_path)
+    mpath = os.path.join(loc, "metadata", "v1.metadata.json")
+    with open(mpath) as fh:
+        meta = json.load(fh)
+    meta["schemas"][0]["fields"][1]["name"] = "qty"
+    with open(mpath, "w") as fh:
+        json.dump(meta, fh)
+    df = read_iceberg(spark, loc)
+    assert df.columns == ["id", "qty"]
+    got = {r["id"]: r["qty"] for r in df.collect()}
+    assert got[3] == 30 and got[15] == 150
+
+
+def test_refusals(spark, tmp_path):
+    loc = _foreign_table(tmp_path)
+    mpath = os.path.join(loc, "metadata", "v1.metadata.json")
+    with open(mpath) as fh:
+        meta = json.load(fh)
+    meta["format-version"] = 3
+    with open(mpath, "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(ValueError, match="format-version 3"):
+        read_iceberg(spark, loc)
+    with pytest.raises(ValueError, match="snapshot 999 not found"):
+        meta["format-version"] = 2
+        with open(mpath, "w") as fh:
+            json.dump(meta, fh)
+        read_iceberg(spark, loc, snapshot_id=999)
+
+
+def test_empty_table_reads_empty_with_schema(spark, tmp_path):
+    loc = str(tmp_path / "empty")
+    mdir = os.path.join(loc, "metadata")
+    os.makedirs(mdir)
+    schema_json = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": True, "type": "long"}]}
+    meta = {"format-version": 2, "location": loc, "schemas": [schema_json],
+            "current-schema-id": 0, "snapshots": [],
+            "current-snapshot-id": None}
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    df = read_iceberg(spark, loc)
+    assert df.count() == 0 and df.columns == ["id"]

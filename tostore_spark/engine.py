@@ -1528,6 +1528,35 @@ class ToStoreSpark:
         return _vd(dest, keep_versions=keep_versions, dry_run=dry_run,
                    retention_sec=retention_sec)
 
+    def export_iceberg(self, table: str, dest: str,
+                       mode: str = "error",
+                       target_files: Optional[int] = None,
+                       allow_decrypted: bool = False) -> dict:
+        """Export the table's current version as an Apache Iceberg v2
+        table (metadata JSON + Avro manifest list/manifests + parquet
+        data files with field ids) a foreign Iceberg reader can
+        consume — the second open-format interop rung next to
+        ``export_delta`` (plans/iceberg).  ``mode='append'`` commits
+        the current frame as an additional snapshot."""
+        from tostore_spark.plans.iceberg import export_iceberg as _ei
+        return _ei(self, table, dest, mode=mode,
+                   target_files=target_files,
+                   allow_decrypted=allow_decrypted)
+
+    def register_iceberg(self, name: str, path: str,
+                         snapshot_id: Optional[int] = None,
+                         as_of_ms: Optional[int] = None,
+                         is_global: bool = False) -> None:
+        """Register an external Iceberg v1/v2 table (or an
+        ``export_iceberg`` output) as a readable source — pure-Python
+        Avro manifest decoding, field-id column resolution, v2
+        merge-on-read position/equality deletes, snapshot time travel
+        (plans/iceberg.read_iceberg)."""
+        from tostore_spark.plans.iceberg import read_iceberg
+        df = read_iceberg(self.spark, path, snapshot_id=snapshot_id,
+                          as_of_ms=as_of_ms)
+        self.register_table(name, df=df, is_global=is_global)
+
     def analyze_table(self, table: str, cols=None,
                       exact_ndv: bool = False):
         """One-pass column statistics (rows, nulls, ndv, min/max) for

@@ -1,0 +1,716 @@
+"""Apache Iceberg table interop — no-library reader and exporter.
+
+Extends the repo's table-format rung (``plans/delta_export.py``) to the
+other open format: read Iceberg v1/v2 tables (including v2
+merge-on-read position AND equality deletes, snapshot time travel, and
+field-id column resolution), and export store tables as Iceberg v2
+tables a foreign engine can consume.  Everything derives from the
+PUBLIC Iceberg Table Spec (https://iceberg.apache.org/spec/):
+
+* table metadata = ``metadata/v{N}.metadata.json`` (+
+  ``version-hint.text``, the filesystem-catalog convention);
+* each snapshot points at a **manifest list** (Avro) whose entries
+  point at **manifest files** (Avro) whose entries describe data /
+  delete files (parquet) — decoded with ``plans/avro_io`` (pure
+  Python, spec-pinned byte fixtures in ``tests/test_iceberg.py``);
+* v2 sequence-number inheritance: a manifest entry with a null
+  ``sequence_number`` and status ADDED inherits the manifest-list
+  entry's sequence number;
+* delete application (spec "Scan Planning"): a POSITION delete file
+  applies to a data file when ``delete.data_seq >= data.data_seq``
+  (same-commit rewrites included); an EQUALITY delete applies when
+  ``delete.data_seq > data.data_seq`` (strictly earlier data only);
+* column resolution is BY FIELD ID (spec "Column Projection"): the
+  read schema carries ``parquet.field.id`` metadata from the table
+  schema and Spark's native parquet field-id matching
+  (``spark.sql.parquet.fieldId.read.enabled``) resolves physical
+  columns — renames in the table's history never mis-bind.
+
+Scale contract: manifests are metadata ∝ file count (the same class as
+Delta log replay — driver-side, never row data); the data itself is ONE
+Spark parquet scan over the live file list, so pruning/pushdown ride
+Catalyst as usual.  Delete application is two anti-joins keyed on
+``(_metadata.file_path, _metadata.row_index)`` / the equality columns —
+row-level work stays distributed.
+
+Reference parity note: the reference engine (tocreator/tostore) has no
+table-format interop; this is parity-plus, motivated by the same
+"escape hatch into the open ecosystem" goal as the Delta rung.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import shutil
+import time
+import uuid
+
+from tostore_spark.plans.avro_io import (read_container_file,
+                                         write_container_file)
+
+_HINT = "version-hint.text"
+
+
+def _norm_path(p: str) -> str:
+    """Canonical local form of a file URI/path for equality joins
+    against ``_metadata.file_path`` (which Spark reports as
+    ``file:///...``)."""
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+# ------------------------------------------------------------ type maps
+
+def _iceberg_to_spark(t):
+    """Iceberg schema JSON type → Spark DataType (+ field-id metadata
+    carried on struct fields)."""
+    from pyspark.sql import types as T
+    if isinstance(t, dict):
+        k = t["type"]
+        if k == "struct":
+            return T.StructType([_field_to_spark(f) for f in t["fields"]])
+        if k == "list":
+            return T.ArrayType(_iceberg_to_spark(t["element"]),
+                               containsNull=not t.get("element-required",
+                                                      False))
+        if k == "map":
+            return T.MapType(_iceberg_to_spark(t["key"]),
+                             _iceberg_to_spark(t["value"]),
+                             valueContainsNull=not t.get("value-required",
+                                                         False))
+        raise ValueError(f"iceberg: unknown complex type {k!r}")
+    from pyspark.sql.types import (BinaryType, BooleanType, DateType,
+                                   DecimalType, DoubleType, FloatType,
+                                   IntegerType, LongType, StringType,
+                                   TimestampNTZType, TimestampType)
+    prim = {"boolean": BooleanType(), "int": IntegerType(),
+            "long": LongType(), "float": FloatType(),
+            "double": DoubleType(), "date": DateType(),
+            "string": StringType(), "binary": BinaryType(),
+            "uuid": StringType(),      # spec: readers may surface as str
+            "time": LongType(),        # micros-since-midnight (no Spark
+                                       # time type exists)
+            "timestamp": TimestampNTZType(),
+            "timestamptz": TimestampType()}
+    if t in prim:
+        return prim[t]
+    m = re.fullmatch(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+    if m:
+        return DecimalType(int(m.group(1)), int(m.group(2)))
+    m = re.fullmatch(r"fixed\[(\d+)\]", t)
+    if m:
+        from pyspark.sql.types import BinaryType
+        return BinaryType()
+    raise ValueError(f"iceberg: unsupported type {t!r}")
+
+
+def _field_to_spark(f: dict):
+    from pyspark.sql.types import StructField
+    return StructField(f["name"], _iceberg_to_spark(f["type"]),
+                       nullable=not f.get("required", False),
+                       metadata={"parquet.field.id": int(f["id"])})
+
+
+def _schema_to_spark(schema_json: dict):
+    from pyspark.sql.types import StructType
+    return StructType([_field_to_spark(f)
+                       for f in schema_json["fields"]])
+
+
+def _spark_to_iceberg(dt, next_id):
+    """Spark DataType → (Iceberg type JSON, ids consumed).  ``next_id``
+    is a mutable one-element list used as an id allocator so nested
+    element/key/value ids stay unique table-wide (spec: every field,
+    list element, and map key/value has a table-unique id)."""
+    from pyspark.sql import types as T
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            fid = next_id[0]
+            next_id[0] += 1
+            fields.append({"id": fid, "name": f.name,
+                           "required": not f.nullable,
+                           "type": None, "_spark": f.dataType})
+        # children AFTER the parent's own ids (pre-order, like Iceberg)
+        for fj in fields:
+            fj["type"] = _spark_to_iceberg(fj.pop("_spark"), next_id)
+        return {"type": "struct", "fields": fields}
+    if isinstance(dt, T.ArrayType):
+        eid = next_id[0]
+        next_id[0] += 1
+        return {"type": "list", "element-id": eid,
+                "element": _spark_to_iceberg(dt.elementType, next_id),
+                "element-required": not dt.containsNull}
+    if isinstance(dt, T.MapType):
+        kid, vid = next_id[0], next_id[0] + 1
+        next_id[0] += 2
+        return {"type": "map", "key-id": kid,
+                "key": _spark_to_iceberg(dt.keyType, next_id),
+                "value-id": vid,
+                "value": _spark_to_iceberg(dt.valueType, next_id),
+                "value-required": not dt.valueContainsNull}
+    prim = {T.BooleanType: "boolean", T.IntegerType: "int",
+            T.ShortType: "int", T.ByteType: "int", T.LongType: "long",
+            T.FloatType: "float", T.DoubleType: "double",
+            T.DateType: "date", T.StringType: "string",
+            T.BinaryType: "binary", T.TimestampType: "timestamptz",
+            T.TimestampNTZType: "timestamp"}
+    if type(dt) in prim:
+        return prim[type(dt)]
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    raise ValueError(f"iceberg export: unsupported Spark type {dt}")
+
+
+def _table_schema_json(spark_schema) -> dict:
+    next_id = [1]
+    struct = _spark_to_iceberg(spark_schema, next_id)
+    return {"type": "struct", "schema-id": 0,
+            "fields": struct["fields"]}
+
+
+# -------------------------------------------------------- avro schemas
+# Spec "Manifests" / "Manifest Lists" — field ids are normative; only
+# fields this exporter populates are declared (optional stats fields
+# may be absent per spec; foreign manifests decode via their own
+# embedded writer schema, so extra fields there cost nothing).
+
+def _fs(name, typ, fid, optional=False):
+    t = ["null", typ] if optional else typ
+    f = {"name": name, "type": t, "field-id": fid}
+    if optional:
+        f["default"] = None
+    return f
+
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        _fs("manifest_path", "string", 500),
+        _fs("manifest_length", "long", 501),
+        _fs("partition_spec_id", "int", 502),
+        _fs("content", "int", 517),
+        _fs("sequence_number", "long", 515),
+        _fs("min_sequence_number", "long", 516),
+        _fs("added_snapshot_id", "long", 503),
+        _fs("added_files_count", "int", 504),
+        _fs("existing_files_count", "int", 505),
+        _fs("deleted_files_count", "int", 506),
+        _fs("added_rows_count", "long", 512),
+        _fs("existing_rows_count", "long", 513),
+        _fs("deleted_rows_count", "long", 514),
+        _fs("key_metadata", "bytes", 519, optional=True),
+    ]}
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        _fs("status", "int", 0),
+        _fs("snapshot_id", "long", 1, optional=True),
+        _fs("sequence_number", "long", 3, optional=True),
+        _fs("file_sequence_number", "long", 4, optional=True),
+        {"name": "data_file", "field-id": 2, "type": {
+            "type": "record", "name": "r2", "fields": [
+                _fs("content", "int", 134),
+                _fs("file_path", "string", 100),
+                _fs("file_format", "string", 101),
+                {"name": "partition", "field-id": 102, "type": {
+                    "type": "record", "name": "r102", "fields": []}},
+                _fs("record_count", "long", 103),
+                _fs("file_size_in_bytes", "long", 104),
+                {"name": "equality_ids", "field-id": 135,
+                 "type": ["null", {"type": "array", "items": "int",
+                                   "element-id": 136}],
+                 "default": None},
+            ]}},
+    ]}
+
+
+# --------------------------------------------------------------- reader
+
+def _find_metadata(path: str) -> str:
+    mdir = os.path.join(path, "metadata")
+    hint = os.path.join(mdir, _HINT)
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            v = fh.read().strip()
+        cand = os.path.join(mdir, f"v{v}.metadata.json")
+        if os.path.exists(cand):
+            return cand
+    best, best_key = None, None
+    for f in glob.glob(os.path.join(mdir, "*.metadata.json")):
+        base = os.path.basename(f)
+        m = re.match(r"v(\d+)\.metadata\.json$", base) or \
+            re.match(r"(\d+)-[0-9a-f-]+(?:\.gz)?\.metadata\.json$", base)
+        key = int(m.group(1)) if m else -1
+        if best is None or key > best_key:
+            best, best_key = f, key
+    if best is None:
+        raise ValueError(f"no Iceberg metadata found under {mdir}")
+    return best
+
+
+def _load_metadata(path: str) -> dict:
+    with open(_find_metadata(path)) as fh:
+        meta = json.load(fh)
+    fv = meta.get("format-version", 1)
+    if fv not in (1, 2):
+        raise ValueError(f"iceberg format-version {fv} unsupported "
+                         "(v1/v2 only) — refusing to misread")
+    return meta
+
+
+def _current_schema(meta: dict) -> dict:
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        for s in meta["schemas"]:
+            if s.get("schema-id", 0) == sid:
+                return s
+    if "schema" in meta:
+        return meta["schema"]
+    raise ValueError("iceberg metadata carries no schema")
+
+
+def _pick_snapshot(meta: dict, snapshot_id=None, as_of_ms=None):
+    snaps = meta.get("snapshots") or []
+    if snapshot_id is not None:
+        for s in snaps:
+            if s["snapshot-id"] == snapshot_id:
+                return s
+        raise ValueError(f"iceberg snapshot {snapshot_id} not found")
+    if as_of_ms is not None:
+        live = [s for s in snaps if s["timestamp-ms"] <= as_of_ms]
+        if not live:
+            return None
+        return max(live, key=lambda s: s["timestamp-ms"])
+    cur = meta.get("current-snapshot-id")
+    if cur is None or cur == -1:
+        return None
+    for s in snaps:
+        if s["snapshot-id"] == cur:
+            return s
+    raise ValueError(f"current-snapshot-id {cur} missing from snapshots")
+
+
+def _scan_files(meta: dict, snapshot: dict, location: str):
+    """Walk manifest-list → manifests.  Returns
+    ``(data_files, pos_delete_files, eq_delete_files)`` where each
+    data file is ``(norm_path, data_seq)``, each position-delete file
+    ``(norm_path, delete_seq)`` and each equality-delete file
+    ``(norm_path, delete_seq, [equality field ids])``."""
+    fv = meta.get("format-version", 1)
+
+    def _abs(p):
+        p = _norm_path(p)
+        if not os.path.isabs(p):
+            p = os.path.join(_norm_path(location), p)
+        return p
+
+    if snapshot.get("manifest-list"):
+        _, mlist = read_container_file(_abs(snapshot["manifest-list"]))
+    else:
+        # ancient v1 form: manifests listed inline on the snapshot
+        mlist = [{"manifest_path": p, "sequence_number": 0, "content": 0}
+                 for p in snapshot.get("manifests", [])]
+
+    data, pos_del, eq_del = [], [], []
+    for m in mlist:
+        mseq = m.get("sequence_number") or 0
+        _, entries = read_container_file(_abs(m["manifest_path"]))
+        for e in entries:
+            if e.get("status") == 2:      # DELETED — not live
+                continue
+            df_ = e["data_file"]
+            seq = e.get("sequence_number")
+            if seq is None:
+                # v2 inheritance: ADDED entries inherit the manifest's
+                # sequence number; EXISTING must carry their own (a
+                # writer that omits it is out of spec — inherit is the
+                # only sound fallback and matches reference readers)
+                seq = mseq if fv >= 2 else 0
+            content = df_.get("content", 0)
+            fpath = _abs(df_["file_path"])
+            fmt = (df_.get("file_format") or "PARQUET").upper()
+            if fmt != "PARQUET":
+                raise ValueError(
+                    f"iceberg data file format {fmt!r} unsupported "
+                    "(PARQUET only)")
+            if content == 0:
+                data.append((fpath, seq))
+            elif content == 1:
+                pos_del.append((fpath, seq))
+            elif content == 2:
+                eq_del.append((fpath, seq,
+                               list(df_.get("equality_ids") or [])))
+            else:
+                raise ValueError(f"iceberg data_file content {content} "
+                                 "unknown")
+    # a live file must appear once per snapshot; exact duplicates
+    # (e.g. a rewritten manifest replaying EXISTING entries) dedup,
+    # conflicting sequence numbers refuse — reading twice or with the
+    # wrong delete scope would both return wrong rows
+    seen: dict[str, int] = {}
+    deduped = []
+    for fp, seq in data:
+        if fp in seen:
+            if seen[fp] != seq:
+                raise ValueError(
+                    f"iceberg data file {fp} listed with conflicting "
+                    f"sequence numbers {seen[fp]} and {seq}")
+            continue
+        seen[fp] = seq
+        deduped.append((fp, seq))
+    return deduped, pos_del, eq_del
+
+
+def read_iceberg(spark, path: str, snapshot_id: int | None = None,
+                 as_of_ms: int | None = None):
+    """Read an Iceberg v1/v2 table at ``path`` (filesystem layout:
+    ``metadata/`` + data files).  ``snapshot_id`` / ``as_of_ms``
+    time-travel.  v2 merge-on-read position and equality deletes are
+    applied with the spec's sequence-number scoping; columns resolve
+    by field id."""
+    from pyspark.sql import functions as F
+
+    p = _norm_path(path)
+    meta = _load_metadata(p)
+    schema_json = _current_schema(meta)
+    sschema = _schema_to_spark(schema_json)
+    snapshot = _pick_snapshot(meta, snapshot_id, as_of_ms)
+    if snapshot is None:
+        return spark.createDataFrame([], sschema)
+    location = meta.get("location") or p
+    data, pos_del, eq_del = _scan_files(meta, snapshot, location)
+    if not data:
+        return spark.createDataFrame([], sschema)
+
+    # field-id resolution (same mechanism as Delta 'id'-mode column
+    # mapping): the read schema carries parquet.field.id metadata
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    paths = [fp for fp, _ in data]
+    df = spark.read.schema(sschema).parquet(*paths)
+    if not pos_del and not eq_del:
+        return df
+
+    # delete application needs each row's (file, position, data_seq);
+    # the (file, seq) frame is manifest-scale — broadcast it
+    seq_rows = [(fp, int(seq)) for fp, seq in data]
+    seq_df = spark.createDataFrame(seq_rows,
+                                   "__ice_file string, __ice_dseq long")
+    df = df.withColumn(
+        "__ice_file",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/")
+    ).withColumn("__ice_pos", F.col("_metadata.row_index"))
+    df = df.join(F.broadcast(seq_df), on="__ice_file", how="left")
+
+    def _group_by_seq(files):
+        grouped: dict[int, list] = {}
+        for fp, dseq, *rest in files:
+            grouped.setdefault(int(dseq), []).append((fp, *rest))
+        return grouped
+
+    if pos_del:
+        # spec position-delete schema: file_path (id 2147483546),
+        # pos (id 2147483545) — fixed names; equal-seq delete files
+        # share ONE scan so the plan stays O(distinct seqs), not
+        # O(delete files)
+        dels = None
+        for dseq, fps in _group_by_seq(pos_del).items():
+            d = (spark.read.parquet(*[fp for (fp,) in fps])
+                 .select(F.regexp_replace("file_path", "^file:/*", "/")
+                         .alias("__ice_file"),
+                         F.col("pos").cast("long").alias("__ice_pos"),
+                         F.lit(int(dseq)).alias("__del_seq")))
+            dels = d if dels is None else dels.unionByName(d)
+        df = df.join(
+            dels,
+            on=[df["__ice_file"] == dels["__ice_file"],
+                df["__ice_pos"] == dels["__ice_pos"],
+                dels["__del_seq"] >= df["__ice_dseq"]],
+            how="left_anti")
+
+    if eq_del:
+        id_to_name = {f["id"]: f["name"] for f in schema_json["fields"]}
+        by_ids: dict[tuple, list] = {}
+        for fp, dseq, ids in eq_del:
+            if not ids:
+                raise ValueError("iceberg equality-delete file without "
+                                 "equality_ids — refusing to guess")
+            by_ids.setdefault(tuple(sorted(ids)), []).append((fp, dseq))
+        sfields = {f.name: f for f in sschema.fields}
+        for ids, files in by_ids.items():
+            cols = []
+            for i in ids:
+                if i not in id_to_name:
+                    raise ValueError(f"iceberg equality_id {i} not in "
+                                     "current schema")
+                cols.append(id_to_name[i])
+            # field-id read schema: delete rows bind to the CURRENT
+            # column names even if the delete file predates a rename
+            from pyspark.sql.types import StructType
+            dschema = StructType([sfields[c] for c in cols])
+            dels = None
+            for dseq, fps in _group_by_seq(files).items():
+                d = (spark.read.schema(dschema)
+                     .parquet(*[fp for (fp,) in fps])
+                     .select(*[F.col(c).alias(f"__eq_{c}") for c in cols],
+                             F.lit(int(dseq)).alias("__del_seq")))
+                dels = d if dels is None else dels.unionByName(d)
+            cond = [df[c].eqNullSafe(dels[f"__eq_{c}"]) for c in cols]
+            # equality deletes hit STRICTLY OLDER data files only
+            cond.append(dels["__del_seq"] > df["__ice_dseq"])
+            df = df.join(dels, on=cond, how="left_anti")
+
+    return df.select(*[f.name for f in sschema.fields])
+
+
+# -------------------------------------------------------------- exporter
+
+def _write_metadata_json(mdir: str, version: int, meta: dict) -> None:
+    os.makedirs(mdir, exist_ok=True)
+    target = os.path.join(mdir, f"v{version}.metadata.json")
+    tmp = target + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    try:
+        # atomic put-if-absent — same concurrency primitive as the
+        # Delta exporter's commit claim (os.link fails on EEXIST)
+        os.link(tmp, target)
+    except FileExistsError:
+        raise ValueError(
+            f"iceberg metadata v{version} already exists at {target} — "
+            "a concurrent writer won this version") from None
+    except OSError:
+        if os.path.exists(target):
+            raise ValueError(
+                f"iceberg metadata v{version} already exists at "
+                f"{target} — a concurrent writer won this version"
+            ) from None
+        os.replace(tmp, target)
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    hint_tmp = os.path.join(mdir, _HINT + f".tmp-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(hint_tmp, os.path.join(mdir, _HINT))
+
+
+def _stage_iceberg_data(df, dest: str, target_files=None) -> list:
+    """Write ``df`` under ``dest/data/`` with parquet field ids (so
+    foreign Iceberg readers resolve columns by id, the spec contract).
+    Returns ``[(abs_path, rows, bytes)]``."""
+    import pyarrow.parquet as pq
+
+    spark = df.sparkSession
+    # attach parquet.field.id to every top-level column
+    # (DataFrame.withMetadata — df.to() would DROP metadata); nested
+    # struct ids ride _spark_to_iceberg's numbering
+    schema_json = _table_schema_json(df.schema)
+    id_of = {f["name"]: f["id"] for f in schema_json["fields"]}
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    tagged = df
+    for f in df.schema.fields:
+        tagged = tagged.withMetadata(
+            f.name, {"parquet.field.id": id_of[f.name]})
+    if target_files:
+        tagged = tagged.coalesce(int(target_files))
+    ddir = os.path.join(dest, "data")
+    staging = os.path.join(dest, f".staging-{uuid.uuid4().hex}")
+    tagged.write.mode("overwrite").parquet(staging)
+    os.makedirs(ddir, exist_ok=True)
+    out = []
+    for f in sorted(os.listdir(staging)):
+        if not f.endswith(".parquet"):
+            continue
+        src = os.path.join(staging, f)
+        dst = os.path.join(ddir, f"{uuid.uuid4().hex}-{f}")
+        os.replace(src, dst)
+        rows = pq.ParquetFile(dst).metadata.num_rows
+        out.append((dst, int(rows), os.path.getsize(dst)))
+    shutil.rmtree(staging, ignore_errors=True)
+    return out
+
+
+def export_iceberg(engine, table: str, dest: str, mode: str = "error",
+                   target_files: int | None = None,
+                   allow_decrypted: bool = False) -> dict:
+    """Export ``table`` as an Iceberg v2 table at ``dest``.
+
+    ``mode``: ``"error"`` (refuse non-empty dest), ``"overwrite"``
+    (fresh table, snapshot 1), ``"append"`` (add the CURRENT store
+    frame as a new snapshot appending to the existing table — the
+    caller owns the no-duplicates contract, exactly like a foreign
+    engine's append).  Unpartitioned spec (partition layout is an
+    Iceberg performance feature, not semantics — the store's partition
+    columns are ordinary data columns here).  Returns ``{"path",
+    "snapshot_id", "sequence_number", "files", "rows"}``."""
+    if mode not in ("error", "overwrite", "append"):
+        raise ValueError(f"unknown export_iceberg mode {mode!r}")
+    try:
+        enc = engine._enc_cols(engine._resolve(table))
+    except Exception:
+        enc = []
+    if enc and not allow_decrypted:
+        raise ValueError(
+            f"table {table} has at-rest-encrypted fields {enc}; "
+            "export_iceberg would write them DECRYPTED — pass "
+            "allow_decrypted=True to do that deliberately")
+    path = _norm_path(dest)
+    mdir = os.path.join(path, "metadata")
+    exists = os.path.isdir(mdir) and any(
+        f.endswith(".metadata.json") for f in os.listdir(mdir))
+    if os.path.exists(path) and os.listdir(path):
+        if mode == "error":
+            raise ValueError(
+                f"export_iceberg destination {dest} exists; pass "
+                "mode='overwrite' or mode='append'")
+        if mode == "overwrite":
+            shutil.rmtree(path)
+            exists = False
+    if mode == "append" and not exists:
+        mode = "overwrite"   # first export of a fresh dest
+
+    df = engine.df(table)
+    os.makedirs(path, exist_ok=True)
+    staged = _stage_iceberg_data(df, path, target_files)
+    now_ms = int(time.time() * 1000)
+
+    if mode == "append":
+        prev = _load_metadata(path)
+        prev_snap = _pick_snapshot(prev)
+        seq = int(prev.get("last-sequence-number", 0)) + 1
+        snap_id = max((s["snapshot-id"] for s in
+                       prev.get("snapshots", [])), default=0) + 1
+        meta = prev
+    else:
+        prev, prev_snap = None, None
+        seq, snap_id = 1, 1
+        schema_json = _table_schema_json(df.schema)
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": path,
+            "last-sequence-number": 0,
+            "last-updated-ms": now_ms,
+            "last-column-id": _max_field_id(schema_json),
+            "current-schema-id": 0,
+            "schemas": [schema_json],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {"write.format.default": "parquet"},
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+
+    # ---- manifest for the staged files -------------------------------
+    schema_json = (meta["schemas"][0] if "schemas" in meta
+                   else meta["schema"])
+    entries = []
+    total_rows = 0
+    for fpath, rows, size in staged:
+        total_rows += rows
+        entries.append({
+            "status": 1, "snapshot_id": snap_id,
+            "sequence_number": None,        # inherited (v2)
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 0, "file_path": fpath,
+                "file_format": "PARQUET", "partition": {},
+                "record_count": rows, "file_size_in_bytes": size,
+                "equality_ids": None,
+            }})
+    man_path = os.path.join(mdir, f"{uuid.uuid4().hex}-m0.avro")
+    os.makedirs(mdir, exist_ok=True)
+    write_container_file(
+        man_path, _MANIFEST_ENTRY_SCHEMA, entries,
+        meta={"schema": json.dumps(schema_json),
+              "schema-id": "0",
+              "partition-spec": "[]",
+              "partition-spec-id": "0",
+              "format-version": "2",
+              "content": "data"})
+
+    # ---- manifest list: prior manifests + the new one -----------------
+    ml_entries = []
+    if prev_snap is not None and prev_snap.get("manifest-list"):
+        _, prior = read_container_file(
+            _norm_path(prev_snap["manifest-list"]))
+        ml_entries.extend(prior)
+    ml_entries.append({
+        "manifest_path": man_path,
+        "manifest_length": os.path.getsize(man_path),
+        "partition_spec_id": 0, "content": 0,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(staged),
+        "existing_files_count": 0, "deleted_files_count": 0,
+        "added_rows_count": total_rows,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+        "key_metadata": None,
+    })
+    ml_path = os.path.join(
+        mdir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro")
+    write_container_file(ml_path, _MANIFEST_LIST_SCHEMA, ml_entries,
+                         meta={"format-version": "2"})
+
+    snap = {"snapshot-id": snap_id, "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "summary": {"operation": "append",
+                        "added-data-files": str(len(staged)),
+                        "added-records": str(total_rows)},
+            "manifest-list": ml_path, "schema-id": 0}
+    if prev_snap is not None:
+        snap["parent-snapshot-id"] = prev_snap["snapshot-id"]
+    meta["snapshots"] = (meta.get("snapshots") or []) + [snap]
+    meta["current-snapshot-id"] = snap_id
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["refs"] = {"main": {"snapshot-id": snap_id, "type": "branch"}}
+    meta.setdefault("snapshot-log", []).append(
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id})
+    mv = _next_metadata_version(mdir)
+    _write_metadata_json(mdir, mv, meta)
+    return {"path": dest, "snapshot_id": snap_id,
+            "sequence_number": seq, "files": len(staged),
+            "rows": total_rows, "metadata_version": mv}
+
+
+def _max_field_id(schema_json: dict) -> int:
+    mx = 0
+
+    def walk(t):
+        nonlocal mx
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                for f in t["fields"]:
+                    mx = max(mx, int(f["id"]))
+                    walk(f["type"])
+            elif t.get("type") == "list":
+                mx = max(mx, int(t["element-id"]))
+                walk(t["element"])
+            elif t.get("type") == "map":
+                mx = max(mx, int(t["key-id"]), int(t["value-id"]))
+                walk(t["key"])
+                walk(t["value"])
+    walk(schema_json)
+    return mx
+
+
+def _next_metadata_version(mdir: str) -> int:
+    mx = 0
+    for f in glob.glob(os.path.join(mdir, "v*.metadata.json")):
+        m = re.match(r"v(\d+)\.metadata\.json$", os.path.basename(f))
+        if m:
+            mx = max(mx, int(m.group(1)))
+    return mx + 1
