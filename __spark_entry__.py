@@ -2625,6 +2625,75 @@ def q_encrypted_at_rest(spark, sf_dir):
         rows, "n_rows bigint, name_len_sum bigint, n_a_names bigint")
 
 
+def q_delta_cdf(spark, sf_dir):
+    """Delta CHANGE DATA FEED export + range read (r14,
+    plans/delta_export change_data=True + read_delta_cdf): the v0
+    snapshot sets ``delta.enableChangeDataFeed``; an append epoch
+    commits add-only (feed derives its inserts per spec); a delete
+    epoch commits merge-on-read deletion vectors WITH an explicit
+    ``_change_data/`` cdc file carrying the exact delete pre-images.
+    The feed over commits 1..2 must contain exactly the appended rows
+    as inserts and the deleted pre-images as deletes — in-entry
+    asserts pin the commit kinds and the final-state row count; DuckDB
+    derives the same change sets from nation arithmetic."""
+    import os
+    import tempfile
+
+    from tostore_spark.plans.delta_export import (read_delta,
+                                                  read_delta_cdf)
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    db = _db(spark, sf_dir)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    with tempfile.TemporaryDirectory() as tmp:
+        wh, dest = os.path.join(tmp, "wh"), os.path.join(tmp, "cdx")
+        db1 = ToStoreSpark(spark, warehouse=wh)
+        db1.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n_name", type=DataType.text),
+                    FieldSchema(name="key", type=DataType.integer)]))
+        db1.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
+             "key": r["n_nationkey"]} for r in nat])
+        db1.flush()
+        db1.export_delta("nat", dest, change_data=True,
+                         target_files=1)                      # v0
+        db1.batch_insert("nat", [
+            {"id": f"x{i}", "n_name": f"ADDED{i}", "key": 900 + i}
+            for i in range(3)])
+        db1.flush()
+        rep1 = db1.export_delta("nat", dest, mode="update",
+                                change_data=True)            # v1
+        if rep1["commit"] != "append":
+            raise AssertionError(f"expected add-only commit: {rep1}")
+        db1.delete("nat").where("key", ">=", 21) \
+           .execute()                                        # 21-24+900+
+        db1.flush()
+        rep2 = db1.export_delta("nat", dest, mode="update",
+                                deletion_vectors=True,
+                                change_data=True)            # v2
+        if rep2["commit"] != "dv":
+            raise AssertionError(f"expected dv commit: {rep2}")
+        feed = read_delta_cdf(spark, dest, 1, 2)
+        agg = (feed.agg(
+            F.count(F.when(F.col("_change_type") == "insert", 1))
+            .alias("n_ins"),
+            F.count(F.when(F.col("_change_type") == "delete", 1))
+            .alias("n_del"),
+            F.sum(F.when(F.col("_change_type") == "insert",
+                         F.col("key"))).alias("ins_key_sum"),
+            F.sum(F.when(F.col("_change_type") == "delete",
+                         F.col("key"))).alias("del_key_sum")).first())
+        n_final = read_delta(spark, dest).count()
+        rows = [{"n_ins": int(agg["n_ins"]), "n_del": int(agg["n_del"]),
+                 "ins_key_sum": int(agg["ins_key_sum"]),
+                 "del_key_sum": int(agg["del_key_sum"]),
+                 "n_final": int(n_final)}]
+    return spark.createDataFrame(
+        rows, "n_ins bigint, n_del bigint, ins_key_sum bigint, "
+              "del_key_sum bigint, n_final bigint")
+
+
 def q_iceberg_roundtrip(spark, sf_dir):
     """Iceberg v2 export + no-library read-back (r14, plans/iceberg +
     plans/avro_io): a store table exports as a standard Iceberg v2
@@ -4937,7 +5006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
-        "q_iceberg_roundtrip", "q_iceberg_mor",               # born r14
+        "q_delta_cdf", "q_iceberg_roundtrip", "q_iceberg_mor",  # born r14
         "q_delete_vectors_part", "q_upsert_mor_part",         # born r13
         "q_delta_v2_checkpoint", "q_delta_colmap_id",         # born r13
         "q_delta_mirror",                                     # born r13
@@ -5877,6 +5946,20 @@ def oracle_sql() -> dict[str, str]:
             FROM nation
             UNION ALL
             SELECT 'zz1', '09', 'NEW'""",
+        "q_delta_cdf": """
+            -- v1 inserts keys 900-902; v2 deletes key >= 21 (the four
+            -- high nation keys AND the three just-appended rows —
+            -- different commits, so no netting); final = keys < 21
+            SELECT CAST(3 AS BIGINT) AS n_ins,
+                   CAST(count(CASE WHEN n_nationkey >= 21 THEN 1 END)
+                        + 3 AS BIGINT) AS n_del,
+                   CAST(900 + 901 + 902 AS BIGINT) AS ins_key_sum,
+                   CAST(sum(CASE WHEN n_nationkey >= 21
+                            THEN n_nationkey END)
+                        + 900 + 901 + 902 AS BIGINT) AS del_key_sum,
+                   CAST(count(CASE WHEN n_nationkey < 21 THEN 1 END)
+                        AS BIGINT) AS n_final
+            FROM nation""",
         "q_iceberg_roundtrip": """
             -- snapshot 1 = nation rows; the append snapshot re-commits
             -- the whole frame (then 29 rows) on top: final = 2n + 4

@@ -1,0 +1,253 @@
+"""Delta CHANGE DATA FEED (plans/delta_export change_data=True +
+read_delta_cdf): per-commit change rows with exact netting semantics —
+what an incremental foreign consumer replays instead of diffing
+snapshots.  Each test pins the feed against the store's own known
+mutations; the final-state consistency check (v0 inserts + feed replay
+== read_delta) guards the feed's algebra end-to-end."""
+import json
+import os
+
+import pytest
+
+from tostore_spark.engine import ToStoreSpark
+from tostore_spark.plans.delta_export import (read_delta, read_delta_cdf,
+                                              vacuum_delta)
+from tostore_spark.schema import (DataType, FieldSchema, PrimaryKeyConfig,
+                                  TableSchema)
+
+
+def _mk(spark, wh, rows=20):
+    db = ToStoreSpark(spark, warehouse=wh)
+    db.create_table(TableSchema(
+        name="notes", primary_key=PrimaryKeyConfig(name="id"),
+        fields=[FieldSchema(name="body", type=DataType.text),
+                FieldSchema(name="n", type=DataType.integer)]))
+    db.batch_insert("notes", [
+        {"id": f"k{i:03d}", "body": f"b{i}", "n": i} for i in range(rows)])
+    db.flush()
+    return db
+
+
+def _feed(spark, dest, lo, hi):
+    return sorted((r["_commit_version"], r["_change_type"], r["n"])
+                  for r in read_delta_cdf(spark, dest, lo, hi).collect())
+
+
+def test_cdf_append_and_dv_delete(spark, tmp_path):
+    db = _mk(spark, str(tmp_path / "wh"))
+    dest = str(tmp_path / "dx")
+    db.export_delta("notes", dest, change_data=True)
+    # commit meta: property set, writer version upgraded
+    with open(os.path.join(dest, "_delta_log",
+                           f"{0:020d}.json")) as fh:
+        acts = [json.loads(ln) for ln in fh]
+    meta = next(a["metaData"] for a in acts if "metaData" in a)
+    assert meta["configuration"]["delta.enableChangeDataFeed"] == "true"
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto["minWriterVersion"] >= 4
+
+    db.batch_insert("notes", [{"id": f"x{i}", "body": "a", "n": 100 + i}
+                              for i in range(3)])
+    db.flush()
+    r1 = db.export_delta("notes", dest, mode="update", change_data=True)
+    assert r1["commit"] == "append"
+    db.delete("notes").where("n", ">=", 101).execute()
+    db.flush()
+    r2 = db.export_delta("notes", dest, mode="update",
+                         deletion_vectors=True, change_data=True)
+    assert r2["commit"] == "dv"
+    assert _feed(spark, dest, 1, 2) == [
+        (1, "insert", 100), (1, "insert", 101), (1, "insert", 102),
+        (2, "delete", 101), (2, "delete", 102)]
+    # v0 = the snapshot's inserts, derived from its add actions
+    f0 = read_delta_cdf(spark, dest, 0, 0)
+    assert f0.count() == 20
+    assert [r[0] for r in
+            f0.select("_change_type").distinct().collect()] == ["insert"]
+    # the dv commit carries an explicit cdc action + a _change_data file
+    with open(os.path.join(dest, "_delta_log",
+                           f"{2:020d}.json")) as fh:
+        acts2 = [json.loads(ln) for ln in fh]
+    cdcs = [a["cdc"] for a in acts2 if "cdc" in a]
+    assert cdcs and all(c["path"].startswith("_change_data/")
+                        and c["dataChange"] is False for c in cdcs)
+    # data readers ignore cdc files: final state still exact
+    assert read_delta(spark, dest).count() == 21
+
+
+def test_cdf_replace_epoch_nets_delete_insert(spark, tmp_path):
+    db = _mk(spark, str(tmp_path / "wh"))
+    dest = str(tmp_path / "dx")
+    db.export_delta("notes", dest, change_data=True)
+    db.batch_upsert("notes", [{"id": "k005", "body": "CHANGED", "n": 555},
+                              {"id": "zzz", "body": "NEW", "n": 999}])
+    db.flush()
+    r = db.export_delta("notes", dest, mode="update",
+                        deletion_vectors=True, change_data=True)
+    assert r["commit"] == "dv"
+    assert _feed(spark, dest, 1, 1) == [
+        (1, "delete", 5), (1, "insert", 555), (1, "insert", 999)]
+
+
+def test_cdf_same_commit_insert_delete_nets_out(spark, tmp_path):
+    """A row inserted and deleted within ONE commit never existed to
+    outside observers — it must appear in neither feed direction."""
+    db = _mk(spark, str(tmp_path / "wh"))
+    dest = str(tmp_path / "dx")
+    db.export_delta("notes", dest, change_data=True)
+    db.batch_insert("notes", [{"id": f"x{i}", "body": "a", "n": 100 + i}
+                              for i in range(3)])
+    # kill one NEW row (n=101) and one OLD row (n=3) before flushing
+    db.delete("notes").where("n", "=", 101).execute()
+    db.delete("notes").where("n", "=", 3).execute()
+    db.flush()
+    r = db.export_delta("notes", dest, mode="update",
+                        deletion_vectors=True, change_data=True)
+    assert r["commit"] == "dv"
+    assert _feed(spark, dest, 1, 1) == [
+        (1, "delete", 3), (1, "insert", 100), (1, "insert", 102)]
+
+
+def test_cdf_prior_dv_positions_do_not_resurface(spark, tmp_path):
+    """A delete whose keys also match rows ALREADY dead under an
+    earlier commit's DV must not re-emit those pre-images."""
+    db = _mk(spark, str(tmp_path / "wh"))
+    dest = str(tmp_path / "dx")
+    db.export_delta("notes", dest, change_data=True)
+    db.delete("notes").where("n", "=", 5).execute()
+    db.flush()
+    db.export_delta("notes", dest, mode="update",
+                    deletion_vectors=True, change_data=True)
+    # range delete covering the already-dead n=5
+    db.delete("notes").where("n", "<=", 7).execute()
+    db.flush()
+    db.export_delta("notes", dest, mode="update",
+                    deletion_vectors=True, change_data=True)
+    assert _feed(spark, dest, 2, 2) == [
+        (2, "delete", 0), (2, "delete", 1), (2, "delete", 2),
+        (2, "delete", 3), (2, "delete", 4), (2, "delete", 6),
+        (2, "delete", 7)]
+
+
+def test_cdf_refresh_commit_exact_diff(spark, tmp_path):
+    """Without deletion_vectors a delete falls to the refresh tier —
+    whose add/remove actions overstate the change, so the commit must
+    carry an explicit exact-diff cdc file."""
+    db = _mk(spark, str(tmp_path / "wh"))
+    dest = str(tmp_path / "dx")
+    db.export_delta("notes", dest, change_data=True)
+    db.delete("notes").where("n", "=", 7).execute()
+    db.flush()
+    r = db.export_delta("notes", dest, mode="update", change_data=True)
+    assert r["commit"] == "refresh"
+    assert _feed(spark, dest, 1, 1) == [(1, "delete", 7)]
+
+
+def test_cdf_property_persists_without_flag(spark, tmp_path):
+    """CDF is a TABLE property: update commits maintain the feed even
+    when the caller forgets change_data=True (the writer contract)."""
+    db = _mk(spark, str(tmp_path / "wh"))
+    dest = str(tmp_path / "dx")
+    db.export_delta("notes", dest, change_data=True)
+    db.delete("notes").where("n", "=", 4).execute()
+    db.flush()
+    db.export_delta("notes", dest, mode="update",
+                    deletion_vectors=True)        # no change_data flag
+    assert _feed(spark, dest, 1, 1) == [(1, "delete", 4)]
+
+
+def test_cdf_mid_history_upgrade(spark, tmp_path):
+    """change_data=True on an existing non-CDF export upgrades the
+    table in that commit; ranges starting before it refuse."""
+    db = _mk(spark, str(tmp_path / "wh"))
+    dest = str(tmp_path / "dx")
+    db.export_delta("notes", dest)                # v0: NO cdf
+    db.delete("notes").where("n", "=", 9).execute()
+    db.flush()
+    db.export_delta("notes", dest, mode="update",
+                    deletion_vectors=True, change_data=True)
+    assert _feed(spark, dest, 1, 1) == [(1, "delete", 9)]
+    with pytest.raises(ValueError, match="enableChangeDataFeed"):
+        read_delta_cdf(spark, dest, 0, 1)
+
+
+def test_cdf_refuses_non_cdf_table_and_underivable_commit(spark,
+                                                          tmp_path):
+    db = _mk(spark, str(tmp_path / "wh"))
+    dest = str(tmp_path / "dx")
+    db.export_delta("notes", dest)                # no cdf anywhere
+    with pytest.raises(ValueError, match="enableChangeDataFeed"):
+        read_delta_cdf(spark, dest, 0)
+    # cdf enabled but a later dv commit written WITHOUT the feed
+    # (foreign writer violating the property): refuse, never derive
+    dest2 = str(tmp_path / "dx2")
+    db.export_delta("notes", dest2, change_data=True)
+    db.delete("notes").where("n", "=", 2).execute()
+    db.flush()
+    db.export_delta("notes", dest2, mode="update",
+                    deletion_vectors=True, change_data=True)
+    log1 = os.path.join(dest2, "_delta_log", f"{1:020d}.json")
+    with open(log1) as fh:
+        acts = [json.loads(ln) for ln in fh]
+    acts = [a for a in acts if "cdc" not in a]    # strip the cdc action
+    with open(log1, "w") as fh:
+        for a in acts:
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(ValueError, match="without cdc"):
+        read_delta_cdf(spark, dest2, 1, 1).collect()
+
+
+def test_cdf_vacuum_keeps_retained_reclaims_dead(spark, tmp_path):
+    db = _mk(spark, str(tmp_path / "wh"))
+    dest = str(tmp_path / "dx")
+    db.export_delta("notes", dest, change_data=True)
+    for i in (3, 11):
+        db.delete("notes").where("n", "=", i).execute()
+        db.flush()
+        db.export_delta("notes", dest, mode="update",
+                        deletion_vectors=True, change_data=True)
+    # keep the last 2 versions (v1, v2): v1's cdc file must survive,
+    # and its feed must still read exactly
+    rep = vacuum_delta(dest, keep_versions=2)
+    assert _feed(spark, dest, 1, 2) == [
+        (1, "delete", 3), (2, "delete", 11)]
+    # now keep only the latest: v1's cdc file is reclaimable
+    rep = vacuum_delta(dest, keep_versions=1, dry_run=True)
+    assert any(f.startswith("_change_data/") and "v00001" in f
+               for f in rep["deleted"])
+
+
+def test_cdf_partitioned_table(spark, tmp_path):
+    db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))
+    sch = TableSchema(
+        name="ev", primary_key=PrimaryKeyConfig(name="id"),
+        fields=[FieldSchema(name="grp", type=DataType.text),
+                FieldSchema(name="n", type=DataType.integer)])
+    src = spark.createDataFrame(
+        [(f"k{i:02d}", f"g{i % 3}", i) for i in range(12)],
+        "id string, grp string, n int")
+    db.register_table("ev", df=src, schema=sch, partition_by=["grp"])
+    db.flush(only=["ev"])
+    dest = str(tmp_path / "dx")
+    db.export_delta("ev", dest, change_data=True)
+    db.delete("ev").where("n", "=", 7).execute()
+    db.flush()
+    db.export_delta("ev", dest, mode="update",
+                    deletion_vectors=True, change_data=True)
+    feed = read_delta_cdf(spark, dest, 1, 1)
+    rows = [(r["_change_type"], r["grp"], r["n"])
+            for r in feed.collect()]
+    assert rows == [("delete", "g1", 7)]
+    # v0: partition values attach to derived inserts as typed columns
+    f0 = read_delta_cdf(spark, dest, 0, 0)
+    assert f0.filter("grp = 'g0'").count() == 4
+
+
+def test_cdf_mirror_change_data(spark, tmp_path):
+    db = _mk(spark, str(tmp_path / "wh"))
+    dest = str(tmp_path / "dx")
+    db.mirror_delta("notes", dest, change_data=True)
+    db.delete("notes").where("n", "=", 13).execute()
+    db.flush()                                    # auto-exports
+    assert db.last_mirror_error is None
+    assert _feed(spark, dest, 1, 1) == [(1, "delete", 13)]

@@ -1453,7 +1453,8 @@ class ToStoreSpark:
     def export_delta(self, table: str, dest: str, mode: str = "error",
                      target_files: Optional[int] = None,
                      allow_decrypted: bool = False,
-                     deletion_vectors: bool = False) -> dict:
+                     deletion_vectors: bool = False,
+                     change_data: bool = False) -> dict:
         """Export the table's current version (segments unioned,
         deletion vectors resolved) as a standard Delta Lake table —
         protocol/metaData/add log with per-file footer stats — so
@@ -1461,12 +1462,28 @@ class ToStoreSpark:
         manifest (plans/delta_export; the SURVEY's table-format
         interop rung).  ``deletion_vectors=True`` lets updates commit
         merge-on-read vectors for delete/replace epochs (opt-in:
-        upgrades the export's reader protocol)."""
+        upgrades the export's reader protocol).  ``change_data=True``
+        maintains a Delta CHANGE DATA FEED on the export (the
+        ``delta.enableChangeDataFeed`` table property + explicit cdc
+        files on dv/refresh commits), consumable incrementally by
+        foreign CDF readers or ``read_delta_cdf``."""
         from tostore_spark.plans.delta_export import export_delta as _ed
         return _ed(self, table, dest, mode=mode,
                    target_files=target_files,
                    allow_decrypted=allow_decrypted,
-                   deletion_vectors=deletion_vectors)
+                   deletion_vectors=deletion_vectors,
+                   change_data=change_data)
+
+    def read_delta_cdf(self, path: str, from_version: int,
+                       to_version: Optional[int] = None):
+        """Read an external Delta table's CHANGE DATA FEED over a
+        commit range: each row is a change tagged ``_change_type`` +
+        ``_commit_version`` — cost ∝ the range's change files, never a
+        snapshot diff (plans/delta_export.read_delta_cdf).  Pairs with
+        ``apply_changes`` for incremental consumption."""
+        from tostore_spark.plans.delta_export import read_delta_cdf
+        return read_delta_cdf(self.spark, path, from_version,
+                              to_version=to_version)
 
     def register_delta(self, name: str, path: str,
                        version: Optional[int] = None,
@@ -1481,7 +1498,8 @@ class ToStoreSpark:
 
     def mirror_delta(self, table: str, dest: str,
                      deletion_vectors: bool = True,
-                     allow_decrypted: bool = False) -> dict:
+                     allow_decrypted: bool = False,
+                     change_data: bool = False) -> dict:
         """Continuously materialize ``table`` as a standard Delta
         table: an initial commit runs now, and EVERY subsequent
         ``flush()`` of the table auto-exports its next incremental
@@ -1504,9 +1522,13 @@ class ToStoreSpark:
             "dest": dest, "dv": bool(deletion_vectors),
             "allow_decrypted": bool(allow_decrypted)}
         from tostore_spark.plans.delta_export import export_delta as _ed
+        # change_data only needs the initial commit: once the table
+        # property is set, every later update commit auto-maintains
+        # the feed (the Delta writer contract)
         return _ed(self, table, dest, mode="update",
                    deletion_vectors=deletion_vectors,
-                   allow_decrypted=allow_decrypted)
+                   allow_decrypted=allow_decrypted,
+                   change_data=change_data)
 
     def unmirror_delta(self, table: str) -> bool:
         """Stop auto-exporting ``table`` (the destination keeps its
