@@ -2881,6 +2881,65 @@ def q_iceberg_mor(spark, sf_dir):
         rows, "n_live bigint, key_sum bigint, name_len_sum bigint")
 
 
+def q_iceberg_incremental(spark, sf_dir):
+    """Incremental Iceberg export (r14, plans/iceberg mode='update' —
+    the Iceberg twin of q_delta_roundtrip): snapshot 1 exports the
+    nation-derived table; a pure-append store epoch commits a snapshot
+    carrying ONLY the 4 delta rows (asserted in-entry); a delete epoch
+    commits a MERGE-ON-READ snapshot — zero data files restaged, the
+    deleted keys resolved to one position-delete file (asserted) —
+    and ``read_iceberg`` folds it back exactly, with every prior
+    snapshot still time-traveling.  DuckDB derives the same states
+    from nation."""
+    import os
+    import tempfile
+
+    from tostore_spark.plans.iceberg import export_iceberg, read_iceberg
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    db = _db(spark, sf_dir)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    with tempfile.TemporaryDirectory() as tmp:
+        wh, dest = os.path.join(tmp, "wh"), os.path.join(tmp, "ice")
+        db1 = ToStoreSpark(spark, warehouse=wh)
+        db1.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n_name", type=DataType.text),
+                    FieldSchema(name="key", type=DataType.integer)]))
+        db1.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
+             "key": r["n_nationkey"]} for r in nat])
+        db1.flush()
+        rep0 = export_iceberg(db1, "nat", dest, mode="update",
+                              target_files=1)
+        if rep0["commit"] != "snapshot":
+            raise AssertionError(f"expected fresh snapshot: {rep0}")
+        db1.batch_insert("nat", [
+            {"id": f"x{i}", "n_name": f"ADDED{i}", "key": 700 + i}
+            for i in range(4)])
+        db1.flush()
+        rep1 = export_iceberg(db1, "nat", dest, mode="update")
+        if rep1["commit"] != "append" or rep1["rows"] != 4:
+            raise AssertionError(f"expected add-only delta: {rep1}")
+        db1.delete("nat").where("key", ">=", 702).execute()
+        db1.flush()
+        rep2 = export_iceberg(db1, "nat", dest, mode="update")
+        if rep2["commit"] != "mor" or rep2["files"] != 0 \
+                or rep2["delete_positions"] != 2:
+            raise AssertionError(f"expected MoR delete commit: {rep2}")
+        n_s1 = read_iceberg(spark, dest, snapshot_id=1).count()
+        n_s2 = read_iceberg(spark, dest, snapshot_id=2).count()
+        final = read_iceberg(spark, dest)
+        agg = final.agg(
+            F.count(F.lit(1)).alias("n_final"),
+            F.sum("key").alias("key_sum")).first()
+        rows = [{"n_s1": int(n_s1), "n_s2": int(n_s2),
+                 "n_final": int(agg["n_final"]),
+                 "key_sum": int(agg["key_sum"])}]
+    return spark.createDataFrame(
+        rows, "n_s1 bigint, n_s2 bigint, n_final bigint, key_sum bigint")
+
+
 def q_encrypted_typed(spark, sf_dir):
     """Typed at-rest encryption (r12 — the reference encrypts ALL
     table data, data_store_config.dart:946-1005, not just text):
@@ -5006,7 +5065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
-        "q_delta_cdf", "q_iceberg_roundtrip", "q_iceberg_mor",  # born r14
+        "q_iceberg_incremental", "q_delta_cdf",               # born r14
+        "q_iceberg_roundtrip", "q_iceberg_mor",               # born r14
         "q_delete_vectors_part", "q_upsert_mor_part",         # born r13
         "q_delta_v2_checkpoint", "q_delta_colmap_id",         # born r13
         "q_delta_mirror",                                     # born r13
@@ -5946,6 +6006,15 @@ def oracle_sql() -> dict[str, str]:
             FROM nation
             UNION ALL
             SELECT 'zz1', '09', 'NEW'""",
+        "q_iceberg_incremental": """
+            -- s1 = nation; s2 = +4 appends (keys 700-703); the MoR
+            -- snapshot deletes keys >= 702 (702, 703)
+            SELECT CAST(count(*) AS BIGINT) AS n_s1,
+                   CAST(count(*) + 4 AS BIGINT) AS n_s2,
+                   CAST(count(*) + 2 AS BIGINT) AS n_final,
+                   CAST(sum(n_nationkey) + 700 + 701 AS BIGINT)
+                       AS key_sum
+            FROM nation""",
         "q_delta_cdf": """
             -- v1 inserts keys 900-902; v2 deletes key >= 21 (the four
             -- high nation keys AND the three just-appended rows —

@@ -251,3 +251,66 @@ def test_cdf_mirror_change_data(spark, tmp_path):
     db.flush()                                    # auto-exports
     assert db.last_mirror_error is None
     assert _feed(spark, dest, 1, 1) == [(1, "delete", 13)]
+
+
+def test_apply_cdf_subscription_exactly_once(spark, tmp_path):
+    """Consumer loop: a second engine bootstraps from the export and
+    stays in sync through apply_cdf — KV-cursor exactly-once (a replay
+    applies nothing), netting across the range, incremental pulls."""
+    prod = _mk(spark, str(tmp_path / "wh1"))
+    dest = str(tmp_path / "dx")
+    prod.export_delta("notes", dest, change_data=True)
+    cons = ToStoreSpark(spark, warehouse=str(tmp_path / "wh2"))
+    cons.register_delta("notes2", dest)
+    cons.flush()
+
+    prod.delete("notes").where("n", ">=", 18).execute()
+    prod.batch_insert("notes", [{"id": "new1", "body": "x", "n": 100}])
+    prod.flush()
+    prod.export_delta("notes", dest, mode="update",
+                      deletion_vectors=True)
+    r1 = cons.apply_cdf("notes2", dest, from_version=1)
+    assert r1["applied"] == 3                     # 2 deletes + 1 insert
+
+    def _rows(db, t):
+        return sorted(tuple(r) for r in
+                      db.df(t).select("id", "body", "n").collect())
+    assert _rows(cons, "notes2") == _rows(prod, "notes")
+
+    # replay is a no-op: the cursor advanced
+    assert cons.apply_cdf("notes2", dest)["applied"] == 0
+    # incremental pull of the next commit
+    prod.delete("notes").where("n", "=", 0).execute()
+    prod.flush()
+    prod.export_delta("notes", dest, mode="update",
+                      deletion_vectors=True)
+    r3 = cons.apply_cdf("notes2", dest)
+    assert r3["applied"] == 1 and r3["from_version"] == 2
+    assert _rows(cons, "notes2") == _rows(prod, "notes")
+    # the cursor survives flush+reopen (KV rides the manifest CAS)
+    cons.flush()
+    cons2 = ToStoreSpark(spark, warehouse=str(tmp_path / "wh2"))
+    assert cons2.apply_cdf("notes2", dest)["applied"] == 0
+
+
+def test_apply_cdf_nets_across_commits(spark, tmp_path):
+    """A row inserted in commit N and deleted in commit N+1 must not
+    touch the consumer when both commits apply in one pull."""
+    prod = _mk(spark, str(tmp_path / "wh1"))
+    dest = str(tmp_path / "dx")
+    prod.export_delta("notes", dest, change_data=True)
+    cons = ToStoreSpark(spark, warehouse=str(tmp_path / "wh2"))
+    cons.register_delta("notes2", dest)
+    cons.flush()
+    prod.batch_insert("notes", [{"id": "tmp1", "body": "t", "n": 400}])
+    prod.flush()
+    prod.export_delta("notes", dest, mode="update",
+                      deletion_vectors=True)      # v1: insert
+    prod.delete("notes").where("n", "=", 400).execute()
+    prod.flush()
+    prod.export_delta("notes", dest, mode="update",
+                      deletion_vectors=True)      # v2: delete it again
+    r = cons.apply_cdf("notes2", dest, from_version=1)
+    assert r["to_version"] == 2
+    assert cons.df("notes2").filter("n = 400").count() == 0
+    assert cons.df("notes2").count() == 20

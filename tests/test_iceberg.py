@@ -389,3 +389,93 @@ def test_empty_table_reads_empty_with_schema(spark, tmp_path):
         json.dump(meta, fh)
     df = read_iceberg(spark, loc)
     assert df.count() == 0 and df.columns == ["id"]
+
+
+# ------------------------------------------------- incremental updates
+
+def test_update_mode_append_mor_noop_refresh(spark, tmp_path):
+    """mode='update' lifecycle: fresh snapshot → O(delta) append →
+    merge-on-read position deletes → noop → dirty fallback refresh."""
+    db = _mk(spark, str(tmp_path / "wh"))
+    dest = str(tmp_path / "ice")
+    r0 = export_iceberg(db, "notes", dest, mode="update")
+    assert r0["commit"] == "snapshot" and r0["rows"] == 30
+
+    db.batch_insert("notes", [{"id": f"x{i}", "body": "a", "n": 100 + i}
+                              for i in range(4)])
+    db.flush()
+    r1 = export_iceberg(db, "notes", dest, mode="update")
+    assert r1["commit"] == "append" and r1["rows"] == 4   # delta only
+
+    db.delete("notes").where("n", ">=", 102).execute()
+    db.flush()
+    r2 = export_iceberg(db, "notes", dest, mode="update")
+    assert r2["commit"] == "mor" and r2["files"] == 0
+    assert r2["delete_positions"] == 2                    # no restage
+    assert _rows(read_iceberg(spark, dest)) == _rows(db.df("notes"))
+    # every snapshot still time-travels
+    assert read_iceberg(spark, dest, snapshot_id=1).count() == 30
+    assert read_iceberg(spark, dest, snapshot_id=2).count() == 34
+    assert read_iceberg(spark, dest, snapshot_id=3).count() == 32
+
+    r3 = export_iceberg(db, "notes", dest, mode="update")
+    assert r3["commit"] == "noop"
+
+    # a DIRTY export (unflushed rows) cannot prove an extension:
+    # refresh tier, still exact
+    db.batch_insert("notes", [{"id": "z1", "body": "d", "n": 500}])
+    r4 = export_iceberg(db, "notes", dest, mode="update")
+    assert r4["commit"] == "refresh"
+    assert _rows(read_iceberg(spark, dest)) == _rows(db.df("notes"))
+
+
+def test_update_mode_replace_epoch(spark, tmp_path):
+    """An upsert (replace epoch = seg+del tail) commits as ONE MoR
+    snapshot: the new row staged, the old version position-deleted."""
+    db = _mk(spark, str(tmp_path / "wh"))
+    dest = str(tmp_path / "ice")
+    export_iceberg(db, "notes", dest, mode="update")
+    db.batch_upsert("notes", [{"id": "k003", "body": "CH", "n": 333},
+                              {"id": "new1", "body": "N", "n": 999}])
+    db.flush()
+    r = export_iceberg(db, "notes", dest, mode="update")
+    assert r["commit"] == "mor" and r["rows"] == 2
+    assert r["delete_positions"] == 1                     # old k003
+    got = _rows(read_iceberg(spark, dest))
+    assert got == _rows(db.df("notes"))
+
+
+def test_update_mode_same_commit_insert_delete(spark, tmp_path):
+    """Rows inserted and deleted within one flush epoch pair: the
+    staged file's position delete applies at equal sequence numbers
+    (spec: position deletes hit data_seq <= delete_seq)."""
+    db = _mk(spark, str(tmp_path / "wh"))
+    dest = str(tmp_path / "ice")
+    export_iceberg(db, "notes", dest, mode="update")
+    db.batch_insert("notes", [{"id": f"x{i}", "body": "a", "n": 100 + i}
+                              for i in range(3)])
+    db.delete("notes").where("n", "=", 101).execute()
+    db.delete("notes").where("n", "=", 3).execute()
+    db.flush()
+    r = export_iceberg(db, "notes", dest, mode="update")
+    assert r["commit"] == "mor"
+    got = {x[2] for x in _rows(read_iceberg(spark, dest))}
+    assert 101 not in got and 3 not in got
+    assert {100, 102} <= got
+    assert _rows(read_iceberg(spark, dest)) == _rows(db.df("notes"))
+
+
+def test_mirror_iceberg_auto_exports_on_flush(spark, tmp_path):
+    db = _mk(spark, str(tmp_path / "wh"))
+    dest = str(tmp_path / "ice")
+    rep = db.mirror_iceberg("notes", dest)
+    assert rep["commit"] == "snapshot"
+    db.delete("notes").where("n", "=", 7).execute()
+    db.flush()                                   # auto-exports MoR
+    assert db.last_mirror_error is None
+    got = _rows(read_iceberg(spark, dest))
+    assert got == _rows(db.df("notes"))
+    assert db.unmirror_iceberg("notes") is True
+    db.batch_insert("notes", [{"id": "q1", "body": "m", "n": 77}])
+    db.flush()                                   # no longer mirrored
+    assert len(_rows(read_iceberg(spark, dest))) == 29

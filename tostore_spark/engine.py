@@ -1559,7 +1559,11 @@ class ToStoreSpark:
         data files with field ids) a foreign Iceberg reader can
         consume — the second open-format interop rung next to
         ``export_delta`` (plans/iceberg).  ``mode='append'`` commits
-        the current frame as an additional snapshot."""
+        the current frame as an additional snapshot;
+        ``mode='update'`` commits the NEXT snapshot incrementally
+        (append-only extensions add only the delta rows, deletes
+        become merge-on-read position-delete files, anything else an
+        overwrite snapshot)."""
         from tostore_spark.plans.iceberg import export_iceberg as _ei
         return _ei(self, table, dest, mode=mode,
                    target_files=target_files,
@@ -1578,6 +1582,109 @@ class ToStoreSpark:
         df = read_iceberg(self.spark, path, snapshot_id=snapshot_id,
                           as_of_ms=as_of_ms)
         self.register_table(name, df=df, is_global=is_global)
+
+    def apply_cdf(self, table: str, path: str,
+                  to_version: Optional[int] = None,
+                  from_version: Optional[int] = None,
+                  cursor: bool = True) -> dict:
+        """Subscribe a store table to an external Delta table's CHANGE
+        DATA FEED: read the feed from the commit after the last one
+        applied (tracked in a KV cursor — KV serializes inside the
+        warehouse manifest, so the cursor and the applied rows commit
+        in ONE atomic CAS at the next flush: the exactly-once ingest
+        composition, same design as the streaming ledger), NET it per
+        row multiset (a row inserted then deleted across the range
+        never touches the table; update_preimage/postimage count as
+        delete/insert), and apply via ``apply_changes``.  Cost ∝ the
+        range's change files — never a snapshot diff.
+
+        ``from_version`` seeds the FIRST call for a consumer that
+        bootstrapped from an existing snapshot (e.g.
+        ``register_delta`` at version N → ``from_version=N+1``);
+        without it the first call applies from the earliest commit.
+        Returns ``{"applied", "from_version", "to_version"}``."""
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        from tostore_spark.plans.delta_export import read_delta_cdf
+        p = path[len("file:"):] if path.startswith("file:") else path
+        log_dir = _os.path.join(p, "_delta_log")
+        versions = sorted(
+            int(f[:-5]) for f in _os.listdir(log_dir)
+            if f.endswith(".json") and f[:-5].isdigit())
+        if not versions:
+            raise FileNotFoundError(f"no delta commits under {p}")
+        latest = versions[-1]
+        to = latest if to_version is None else int(to_version)
+        ckey = (f"__cdf_cursor__:{self._space}:{table}:"
+                f"{_os.path.abspath(p)}")
+        last = self.kv.get_value(ckey) if cursor else None
+        if last is not None:
+            frm = int(last) + 1
+        elif from_version is not None:
+            frm = int(from_version)
+        else:
+            frm = versions[0]
+        if frm > to:
+            return {"applied": 0, "from_version": frm, "to_version": to}
+        feed = read_delta_cdf(self.spark, p, frm, to)
+        cols = [c for c in feed.columns
+                if c not in ("_change_type", "_commit_version")]
+        sign = (F.when(F.col("_change_type")
+                       .isin("insert", "update_postimage"), F.lit(1))
+                .when(F.col("_change_type")
+                      .isin("delete", "update_preimage"), F.lit(-1)))
+        bad = (feed.filter(sign.isNull())
+               .select("_change_type").limit(1).collect())
+        if bad:
+            raise ValueError(
+                f"unknown _change_type {bad[0][0]!r} in the feed — "
+                "silently dropping it would corrupt the net change")
+        net = (feed.withColumn("__s", sign)
+               .groupBy(*cols).agg(F.sum("__s").alias("__c"))
+               .filter(F.col("__c") != 0))
+        changes = (net
+                   .withColumn("change",
+                               F.when(F.col("__c") > 0,
+                                      F.lit("insert"))
+                               .otherwise(F.lit("delete")))
+                   .withColumn("__x", F.explode(F.expr(
+                       "sequence(1, abs(__c))")))
+                   .select(*cols, "change"))
+        n = self.apply_changes(table, changes)
+        if cursor:
+            self.kv.set_value(ckey, int(to))
+        return {"applied": int(n), "from_version": frm,
+                "to_version": to}
+
+    def mirror_iceberg(self, table: str, dest: str,
+                       allow_decrypted: bool = False) -> dict:
+        """Continuously materialize ``table`` as an Iceberg v2 table —
+        the Iceberg twin of ``mirror_delta``: an initial snapshot runs
+        now, and EVERY subsequent ``flush()`` auto-commits the next
+        incremental snapshot (appends as add-only, deletes as
+        merge-on-read position-delete files, anything else as an
+        overwrite snapshot).  Post-commit and best-effort: a mirror
+        failure never un-commits the flush; it lands in
+        ``engine.last_mirror_error`` and the next flush heals with an
+        overwrite snapshot.  Engine-local (re-register after
+        reopen)."""
+        key = self._resolve(table)
+        if not hasattr(self, "_iceberg_mirrors"):
+            self._iceberg_mirrors = {}
+        self._iceberg_mirrors[key] = {
+            "dest": dest, "allow_decrypted": bool(allow_decrypted)}
+        from tostore_spark.plans.iceberg import export_iceberg as _ei
+        return _ei(self, table, dest, mode="update",
+                   allow_decrypted=allow_decrypted)
+
+    def unmirror_iceberg(self, table: str) -> bool:
+        """Stop auto-exporting ``table`` to its Iceberg mirror (the
+        destination keeps its snapshots)."""
+        key = self._resolve(table)
+        return (getattr(self, "_iceberg_mirrors", {}) or {}) \
+            .pop(key, None) is not None
 
     def analyze_table(self, table: str, cols=None,
                       exact_ndv: bool = False):

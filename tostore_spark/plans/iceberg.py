@@ -547,11 +547,18 @@ def export_iceberg(engine, table: str, dest: str, mode: str = "error",
     (fresh table, snapshot 1), ``"append"`` (add the CURRENT store
     frame as a new snapshot appending to the existing table — the
     caller owns the no-duplicates contract, exactly like a foreign
-    engine's append).  Unpartitioned spec (partition layout is an
+    engine's append), ``"update"`` (commit the NEXT snapshot
+    incrementally: when the store recipe extended by pure appends
+    since the last export, the snapshot adds ONLY the delta rows;
+    appends+deletes commit as MERGE-ON-READ position-delete files —
+    exporting a 100-row delete from a 100 TB table costs the key
+    probe + one tiny delete file; anything else falls back to an
+    overwrite snapshot — every prior snapshot keeps time-traveling).
+    Unpartitioned spec (partition layout is an
     Iceberg performance feature, not semantics — the store's partition
     columns are ordinary data columns here).  Returns ``{"path",
-    "snapshot_id", "sequence_number", "files", "rows"}``."""
-    if mode not in ("error", "overwrite", "append"):
+    "snapshot_id", "sequence_number", "files", "rows", "commit"}``."""
+    if mode not in ("error", "overwrite", "append", "update"):
         raise ValueError(f"unknown export_iceberg mode {mode!r}")
     try:
         enc = engine._enc_cols(engine._resolve(table))
@@ -574,91 +581,131 @@ def export_iceberg(engine, table: str, dest: str, mode: str = "error",
         if mode == "overwrite":
             shutil.rmtree(path)
             exists = False
-    if mode == "append" and not exists:
+    if mode == "update" and exists:
+        rep = _export_iceberg_update(engine, table, path, target_files)
+        rep["path"] = dest
+        return rep
+    if mode in ("append", "update") and not exists:
         mode = "overwrite"   # first export of a fresh dest
 
     df = engine.df(table)
     os.makedirs(path, exist_ok=True)
     staged = _stage_iceberg_data(df, path, target_files)
-    now_ms = int(time.time() * 1000)
-
     if mode == "append":
-        prev = _load_metadata(path)
-        prev_snap = _pick_snapshot(prev)
-        seq = int(prev.get("last-sequence-number", 0)) + 1
-        snap_id = max((s["snapshot-id"] for s in
-                       prev.get("snapshots", [])), default=0) + 1
-        meta = prev
+        meta = _load_metadata(path)
+        rep = _commit_snapshot(path, meta, staged, None,
+                               keep_prior=True, operation="append")
+        rep["commit"] = "append-frame"
     else:
-        prev, prev_snap = None, None
-        seq, snap_id = 1, 1
-        schema_json = _table_schema_json(df.schema)
-        meta = {
-            "format-version": 2,
-            "table-uuid": str(uuid.uuid4()),
-            "location": path,
-            "last-sequence-number": 0,
-            "last-updated-ms": now_ms,
-            "last-column-id": _max_field_id(schema_json),
-            "current-schema-id": 0,
-            "schemas": [schema_json],
-            "default-spec-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
-            "last-partition-id": 999,
-            "default-sort-order-id": 0,
-            "sort-orders": [{"order-id": 0, "fields": []}],
-            "properties": {"write.format.default": "parquet"},
-            "snapshots": [],
-            "snapshot-log": [],
-            "metadata-log": [],
-        }
+        meta = _fresh_meta(path, df.schema)
+        rep = _commit_snapshot(path, meta, staged, None,
+                               keep_prior=False, operation="append")
+        rep["commit"] = "snapshot"
+    _write_iceberg_state(engine, table, path, rep)
+    rep["path"] = dest
+    return rep
 
-    # ---- manifest for the staged files -------------------------------
-    schema_json = (meta["schemas"][0] if "schemas" in meta
-                   else meta["schema"])
-    entries = []
-    total_rows = 0
-    for fpath, rows, size in staged:
-        total_rows += rows
-        entries.append({
-            "status": 1, "snapshot_id": snap_id,
-            "sequence_number": None,        # inherited (v2)
-            "file_sequence_number": None,
-            "data_file": {
-                "content": 0, "file_path": fpath,
-                "file_format": "PARQUET", "partition": {},
-                "record_count": rows, "file_size_in_bytes": size,
-                "equality_ids": None,
-            }})
-    man_path = os.path.join(mdir, f"{uuid.uuid4().hex}-m0.avro")
+
+def _fresh_meta(path: str, spark_schema) -> dict:
+    schema_json = _table_schema_json(spark_schema)
+    return {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": path,
+        "last-sequence-number": 0,
+        "last-updated-ms": int(time.time() * 1000),
+        "last-column-id": _max_field_id(schema_json),
+        "current-schema-id": 0,
+        "schemas": [schema_json],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet"},
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+
+
+def _manifest(mdir: str, schema_json: dict, entries: list,
+              snap_id: int, seq: int, content: str) -> dict:
+    """Write one manifest Avro file; return its manifest-list entry."""
+    man_path = os.path.join(
+        mdir, f"{uuid.uuid4().hex}-m{0 if content == 'data' else 1}.avro")
     os.makedirs(mdir, exist_ok=True)
     write_container_file(
         man_path, _MANIFEST_ENTRY_SCHEMA, entries,
-        meta={"schema": json.dumps(schema_json),
-              "schema-id": "0",
-              "partition-spec": "[]",
-              "partition-spec-id": "0",
-              "format-version": "2",
-              "content": "data"})
+        meta={"schema": json.dumps(schema_json), "schema-id": "0",
+              "partition-spec": "[]", "partition-spec-id": "0",
+              "format-version": "2", "content": content})
+    rows = sum(e["data_file"]["record_count"] for e in entries)
+    return {
+        "manifest_path": man_path,
+        "manifest_length": os.path.getsize(man_path),
+        "partition_spec_id": 0,
+        "content": 0 if content == "data" else 1,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0, "deleted_files_count": 0,
+        "added_rows_count": rows,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+        "key_metadata": None,
+    }
 
-    # ---- manifest list: prior manifests + the new one -----------------
+
+def _commit_snapshot(path: str, meta: dict, data_files,
+                     delete_files, *, keep_prior: bool,
+                     operation: str) -> dict:
+    """Commit one snapshot: write manifests for the staged
+    ``data_files`` / ``delete_files`` (``[(abs_path, rows, bytes)]``),
+    a manifest list carrying the prior snapshot's manifests when
+    ``keep_prior``, and the next ``vN.metadata.json`` (atomic
+    put-if-absent claim + hint update)."""
+    mdir = os.path.join(path, "metadata")
+    prev_snap = _pick_snapshot(meta)
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snap_id = max((s["snapshot-id"] for s in
+                   meta.get("snapshots", [])), default=0) + 1
+    now_ms = int(time.time() * 1000)
+    schema_json = (meta["schemas"][0] if "schemas" in meta
+                   else meta["schema"])
+
+    def _entries(files, content_code):
+        out = []
+        for fpath, rows, size in files or []:
+            out.append({
+                "status": 1, "snapshot_id": snap_id,
+                "sequence_number": None,        # inherited (v2)
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": content_code, "file_path": fpath,
+                    "file_format": "PARQUET", "partition": {},
+                    "record_count": rows, "file_size_in_bytes": size,
+                    "equality_ids": None,
+                }})
+        return out
+
     ml_entries = []
-    if prev_snap is not None and prev_snap.get("manifest-list"):
+    if keep_prior and prev_snap is not None \
+            and prev_snap.get("manifest-list"):
         _, prior = read_container_file(
             _norm_path(prev_snap["manifest-list"]))
         ml_entries.extend(prior)
-    ml_entries.append({
-        "manifest_path": man_path,
-        "manifest_length": os.path.getsize(man_path),
-        "partition_spec_id": 0, "content": 0,
-        "sequence_number": seq, "min_sequence_number": seq,
-        "added_snapshot_id": snap_id,
-        "added_files_count": len(staged),
-        "existing_files_count": 0, "deleted_files_count": 0,
-        "added_rows_count": total_rows,
-        "existing_rows_count": 0, "deleted_rows_count": 0,
-        "key_metadata": None,
-    })
+    total_rows = 0
+    n_files = 0
+    if data_files:
+        ml_entries.append(_manifest(
+            mdir, schema_json, _entries(data_files, 0),
+            snap_id, seq, "data"))
+        total_rows = sum(r for _, r, _ in data_files)
+        n_files = len(data_files)
+    if delete_files:
+        ml_entries.append(_manifest(
+            mdir, schema_json, _entries(delete_files, 1),
+            snap_id, seq, "deletes"))
     ml_path = os.path.join(
         mdir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro")
     write_container_file(ml_path, _MANIFEST_LIST_SCHEMA, ml_entries,
@@ -666,8 +713,8 @@ def export_iceberg(engine, table: str, dest: str, mode: str = "error",
 
     snap = {"snapshot-id": snap_id, "sequence-number": seq,
             "timestamp-ms": now_ms,
-            "summary": {"operation": "append",
-                        "added-data-files": str(len(staged)),
+            "summary": {"operation": operation,
+                        "added-data-files": str(n_files),
                         "added-records": str(total_rows)},
             "manifest-list": ml_path, "schema-id": 0}
     if prev_snap is not None:
@@ -681,9 +728,201 @@ def export_iceberg(engine, table: str, dest: str, mode: str = "error",
         {"timestamp-ms": now_ms, "snapshot-id": snap_id})
     mv = _next_metadata_version(mdir)
     _write_metadata_json(mdir, mv, meta)
-    return {"path": dest, "snapshot_id": snap_id,
-            "sequence_number": seq, "files": len(staged),
-            "rows": total_rows, "metadata_version": mv}
+    return {"snapshot_id": snap_id, "sequence_number": seq,
+            "files": n_files, "rows": total_rows,
+            "metadata_version": mv}
+
+
+_ICE_STATE = "_iceberg_export_state.json"
+
+
+def _write_iceberg_state(engine, table: str, path: str,
+                         rep: dict) -> None:
+    """Export-state sidecar, the Delta exporter's recipe-tracking
+    pattern (delta_export._write_state): records the store recipe this
+    snapshot exported so ``mode="update"`` can prove a pure-append /
+    append+delete extension and commit O(delta)."""
+    from tostore_spark.plans.delta_export import _norm_ops
+    key = engine._resolve(table)
+    ent = engine._tables[key]
+    state = {"space": key[0], "table": key[1],
+             "ops": _norm_ops(ent),
+             "snapshot_id": rep["snapshot_id"],
+             "store_generation": engine._generations.get(key, 0),
+             "clean": (engine._generations.get(key, 0)
+                       == getattr(engine, "_flushed_gen", {})
+                       .get(key))}
+    tmp = os.path.join(path, _ICE_STATE + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, os.path.join(path, _ICE_STATE))
+
+
+def _write_position_deletes(path: str, hits: list) -> tuple:
+    """Write one spec position-delete parquet (file_path id 2147483546,
+    pos id 2147483545; rows sorted by file_path then pos, the spec's
+    required order).  Returns ``(abs_path, rows, bytes)``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    hits = sorted(hits)
+    schema = pa.schema([
+        pa.field("file_path", pa.string(),
+                 metadata={b"PARQUET:field_id": b"2147483546"}),
+        pa.field("pos", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"2147483545"})])
+    fpath = os.path.join(path, "data",
+                         f"delete-{uuid.uuid4().hex}.parquet")
+    os.makedirs(os.path.dirname(fpath), exist_ok=True)
+    pq.write_table(pa.table(
+        {"file_path": [f for f, _ in hits],
+         "pos": [int(p) for _, p in hits]}, schema=schema), fpath)
+    return (fpath, len(hits), os.path.getsize(fpath))
+
+
+def _export_iceberg_update(engine, table: str, path: str,
+                           target_files=None) -> dict:
+    """Incremental snapshot (``mode="update"``), the Iceberg analog of
+    delta_export._export_update: a pure-append recipe extension
+    commits ONLY the new segments' rows; appends+deletes commit as
+    MERGE-ON-READ position-delete files (the probe costs one
+    key-column scan of the live files per delete epoch — the same
+    class as the store's own delete probe — and the delete file is
+    O(deleted rows)); anything unprovable falls back to an overwrite
+    snapshot.  Every prior snapshot keeps time-traveling."""
+    from pyspark.sql import functions as F
+
+    from tostore_spark.plans.delta_dv import MAX_TOTAL_POSITIONS
+    from tostore_spark.plans.delta_export import _norm_ops
+    from tostore_spark.store import _decrypt_for, read_delete_keys
+
+    spark = engine.spark
+    key = engine._resolve(table)
+    ent = engine._tables[key]
+    cur_ops = _norm_ops(ent)
+    state = None
+    spath = os.path.join(path, _ICE_STATE)
+    if os.path.exists(spath):
+        with open(spath) as fh:
+            state = json.load(fh)
+    meta = _load_metadata(path)
+    clean = (engine._generations.get(key, 0)
+             == getattr(engine, "_flushed_gen", {}).get(key))
+    sch_ttl = getattr(ent["schema"], "ttl", None)
+    has_ttl = bool(sch_ttl is not None and sch_ttl.ttl_ms
+                   and sch_ttl.source_field)
+    extends = (state is not None and clean
+               and state.get("clean") is True
+               and state.get("space") == key[0]
+               and state.get("table") == key[1]
+               and len(cur_ops) >= len(state.get("ops") or [])
+               and cur_ops[:len(state["ops"])] == state["ops"])
+    new_ops = cur_ops[len(state["ops"]):] if extends else []
+
+    def _seg_frame(op_path):
+        pby = list(ent.get("partition_by") or [])
+        pin = ent["df"].schema if pby else None
+        part = _decrypt_for(engine, key[0], key[1],
+                            engine._read_parquet(op_path, schema=pin))
+        part = part.select(*[f.name for f in ent["df"].schema.fields])
+        if has_ttl:
+            from tostore_spark.ttl import ttl_filter
+            part = ttl_filter(part, ent["schema"].ttl)
+        return part
+
+    if extends and new_ops and all(k == "seg" for k, _p in new_ops):
+        # pure-append extension: stage only the delta rows
+        df = None
+        for _k, seg in new_ops:
+            part = _seg_frame(seg)
+            df = part if df is None else df.unionByName(part)
+        staged = _stage_iceberg_data(df, path, target_files)
+        rep = _commit_snapshot(path, meta, staged, None,
+                               keep_prior=True, operation="append")
+        rep["commit"] = "append"
+        _write_iceberg_state(engine, table, path, rep)
+        return rep
+    if extends and not new_ops:
+        return {"snapshot_id": meta.get("current-snapshot-id"),
+                "sequence_number": meta.get("last-sequence-number"),
+                "files": 0, "rows": 0, "commit": "noop",
+                "metadata_version": _next_metadata_version(
+                    os.path.join(path, "metadata")) - 1}
+    if (extends and not has_ttl
+            and all(k in ("seg", "del") for k, _p in new_ops)):
+        # merge-on-read: stage segs, resolve dels to (file, pos) over
+        # the files live at that point in recipe order (a delete never
+        # touches a segment staged after it)
+        schema_json = _current_schema(meta)
+        sschema = _schema_to_spark(schema_json)
+        field_names = {f.name for f in sschema.fields}
+        snap = _pick_snapshot(meta)
+        if snap is not None:
+            live, _pd, _ed = _scan_files(meta, snap,
+                                         meta.get("location") or path)
+        else:
+            live = []
+        probe = [fp for fp, _seq in live]
+        staged_all, hits = [], []
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
+                       "true")
+        try:
+            for kind, op_path in new_ops:
+                if kind == "seg":
+                    part = _seg_frame(op_path)
+                    staged = _stage_iceberg_data(part, path,
+                                                 target_files)
+                    staged_all += staged
+                    probe += [fp for fp, _r, _s in staged]
+                else:
+                    keys = read_delete_keys(
+                        engine, op_path[:-1] if op_path.endswith("/")
+                        else op_path)
+                    kcols = list(keys.columns)
+                    if not set(kcols) <= field_names:
+                        raise ValueError("delete keys invisible in "
+                                         "the exported schema")
+                    if not probe:
+                        continue
+                    frame = (spark.read.schema(sschema).parquet(*probe)
+                             .select(*kcols,
+                                     F.regexp_replace(
+                                         F.col("_metadata.file_path"),
+                                         "^file:/*", "/").alias("__f"),
+                                     F.col("_metadata.row_index")
+                                     .alias("__p")))
+                    got = (frame.join(F.broadcast(keys.distinct()),
+                                      on=kcols)
+                           .select("__f", "__p").collect())
+                    hits += [(r["__f"], int(r["__p"])) for r in got]
+                    if len(hits) > MAX_TOTAL_POSITIONS:
+                        raise ValueError("delete positions over the "
+                                         "driver-side bound")
+        except Exception:
+            if os.environ.get("TS_ICEBERG_DEBUG"):
+                import traceback
+                traceback.print_exc()
+            hits = None     # fall through to the refresh tier
+        if hits is not None:
+            delete_files = ([_write_position_deletes(path,
+                                                     set(hits))]
+                            if hits else None)
+            rep = _commit_snapshot(path, meta, staged_all or None,
+                                   delete_files, keep_prior=True,
+                                   operation="delete" if not staged_all
+                                   else "overwrite")
+            rep["commit"] = "mor"
+            rep["delete_positions"] = len(set(hits))
+            _write_iceberg_state(engine, table, path, rep)
+            return rep
+    # refresh: a fresh overwrite snapshot (prior snapshots keep
+    # time-traveling; their files stay on disk)
+    df = engine.df(table)
+    staged = _stage_iceberg_data(df, path, target_files)
+    rep = _commit_snapshot(path, meta, staged, None,
+                           keep_prior=False, operation="overwrite")
+    rep["commit"] = "refresh"
+    _write_iceberg_state(engine, table, path, rep)
+    return rep
 
 
 def _max_field_id(schema_json: dict) -> int:

@@ -884,6 +884,26 @@ def flush_tables(engine, flush_storage: bool = True,
                                      "allow_decrypted", False))
                 except Exception as exc:      # pragma: no cover
                     engine.last_mirror_error = (key[1], str(exc))
+        ice_mirrors = getattr(engine, "_iceberg_mirrors", None)
+        if ice_mirrors:
+            from tostore_spark.plans.iceberg import export_iceberg
+            if not mirrors:
+                engine.last_mirror_error = None
+            for key, gen, *_ in staged:
+                cfg = ice_mirrors.get(key)
+                if cfg is None:
+                    continue
+                try:
+                    if engine._resolve(key[1]) != key:
+                        raise ValueError(
+                            f"mirror table {key} not resolvable from "
+                            f"the current space {engine._space!r}")
+                    export_iceberg(engine, key[1], cfg["dest"],
+                                   mode="update",
+                                   allow_decrypted=cfg.get(
+                                       "allow_decrypted", False))
+                except Exception as exc:      # pragma: no cover
+                    engine.last_mirror_error = (key[1], str(exc))
     except ConcurrentWriteError:
         # late conflict: remove the staged (uncommitted) version dirs
         # and their claims so time travel / list_versions can never
