@@ -847,6 +847,93 @@ def _mor_flush_stat(spark, sf_dir: str) -> dict | None:
         return None
 
 
+def _interop_export_stat(spark, sf_dir: str) -> dict | None:
+    """O(delta) tripwire for the table-format interop WRITERS (r14:
+    Delta DV/CDF commits, Iceberg MoR snapshots): seconds to export a
+    100-row APPEND and a 100-row DELETE at two base sizes 10x apart.
+    Append commits stage only the delta rows — expected ~flat in base
+    size.  Delete commits pay one column-pruned key probe of the live
+    export (the honest ∝-base term, the same class as the store's own
+    delete probe) plus O(delta) delete metadata — expected well under
+    the rewrite tier's linear growth."""
+    import os as _os
+    import tempfile
+    import time as _t
+
+    try:
+        import __spark_entry__ as entrymod
+        from tostore_spark import ToStoreSpark
+        from tostore_spark.schema import (DataType, FieldSchema,
+                                          PrimaryKeyConfig, TableSchema)
+        li = entrymod._db(spark, sf_dir).df("lineitem")
+        full = (li.selectExpr(
+            "concat('r', cast(monotonically_increasing_id() as string))"
+            " as id",
+            "l_orderkey", "l_quantity", "l_returnflag")
+            .localCheckpoint(eager=True))
+        n_full = full.count()
+        sch = TableSchema(
+            name="t", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema("l_orderkey", DataType.integer),
+                    FieldSchema("l_quantity", DataType.double),
+                    FieldSchema("l_returnflag", DataType.text)])
+        out: dict = {"touched_rows": 100}
+        for label, size in (("small", max(1000, n_full // 10)),
+                            ("large", n_full)):
+            base = (full if size >= n_full
+                    else full.limit(size).localCheckpoint(eager=True))
+            del_ids = [r["id"] for r in base.limit(100).collect()]
+            blk: dict = {"base_rows": size}
+            with tempfile.TemporaryDirectory() as tmp:
+                db = ToStoreSpark(spark,
+                                  warehouse=_os.path.join(tmp, "wh"))
+                db.register_table("t", df=base, schema=sch)
+                db.flush()
+                ddel = _os.path.join(tmp, "dx")
+                dice = _os.path.join(tmp, "ice")
+                db.export_delta("t", ddel, change_data=True)
+                db.export_iceberg("t", dice, mode="update")
+                # ---- 100-row append epoch --------------------------
+                db.append_rows("t", spark.createDataFrame(
+                    [(f"a{i:03d}", 1, 1.0, "A") for i in range(100)],
+                    base.schema))
+                db.flush(only=["t"])
+                t0 = _t.time()
+                r = db.export_delta("t", ddel, mode="update",
+                                    deletion_vectors=True)
+                blk["delta_append_sec"] = round(_t.time() - t0, 3)
+                assert r["commit"] == "append", r
+                t0 = _t.time()
+                r = db.export_iceberg("t", dice, mode="update")
+                blk["iceberg_append_sec"] = round(_t.time() - t0, 3)
+                assert r["commit"] == "append", r
+                # ---- 100-row delete epoch --------------------------
+                db.delete_vectors = True
+                n = db.delete("t").where("id", "IN", del_ids).execute()
+                assert n == 100, n
+                db.flush(only=["t"])
+                t0 = _t.time()
+                r = db.export_delta("t", ddel, mode="update",
+                                    deletion_vectors=True)
+                blk["delta_dv_delete_sec"] = round(_t.time() - t0, 3)
+                assert r["commit"] == "dv", r
+                t0 = _t.time()
+                r = db.export_iceberg("t", dice, mode="update")
+                blk["iceberg_mor_delete_sec"] = round(_t.time() - t0, 3)
+                assert r["commit"] == "mor", r
+            out[label] = blk
+        s, L = out["small"], out["large"]
+        out["scale_x"] = {
+            k: round(L[f"{k}_sec"] / s[f"{k}_sec"], 2)
+            for k in ("delta_append", "iceberg_append",
+                      "delta_dv_delete", "iceberg_mor_delete")
+            if s.get(f"{k}_sec")}
+        return out
+    except Exception as exc:                    # pragma: no cover
+        print(f"# interop export stat skipped: {exc}", file=sys.stderr)
+        return None
+
+
 def _cdc_flat_stat(spark, sf_dir: str) -> dict | None:
     """Measured flatness of del-epoch CDC in base size (the r10
     verdict's ordered artifact): same 100-row delete delta against a
@@ -1262,6 +1349,7 @@ def main():
     append_flush = _append_flush_stat(spark, sf_dir)
     mor_flush = _mor_flush_stat(spark, sf_dir)
     cdc_flat = _cdc_flat_stat(spark, sf_dir)
+    interop_export = _interop_export_stat(spark, sf_dir)
     skipping = _skipping_stat(spark, sf_dir)
 
     # Detail block (extras/recall/sf1/methodology): written to a committed
@@ -1283,6 +1371,7 @@ def main():
         "append_flush": append_flush,
         "mor_flush": mor_flush,
         "cdc_flat": cdc_flat,
+        "interop_export": interop_export,
         "skipping": skipping,
         # r11-verdict #6 adjudication (measured r12, adjacent med-of-5
         # per pair in one clean session at sf0.1, canary-comparable
