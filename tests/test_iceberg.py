@@ -479,3 +479,38 @@ def test_mirror_iceberg_auto_exports_on_flush(spark, tmp_path):
     db.batch_insert("notes", [{"id": "q1", "body": "m", "n": 77}])
     db.flush()                                   # no longer mirrored
     assert len(_rows(read_iceberg(spark, dest))) == 29
+
+
+def test_expire_snapshots(spark, tmp_path):
+    """expireSnapshots: all but the newest N snapshots drop atomically
+    (next metadata version), their exclusive files reclaim, retained
+    snapshots keep time-traveling exactly."""
+    from tostore_spark.plans.iceberg import expire_snapshots
+    db = _mk(spark, str(tmp_path / "wh"))
+    dest = str(tmp_path / "ice")
+    export_iceberg(db, "notes", dest, mode="update")       # snap 1
+    db.batch_insert("notes", [{"id": "x1", "body": "a", "n": 100}])
+    db.flush()
+    export_iceberg(db, "notes", dest, mode="update")       # snap 2
+    db.delete("notes").where("n", "=", 100).execute()
+    db.flush()
+    export_iceberg(db, "notes", dest, mode="update")       # snap 3 MoR
+
+    before = _rows(read_iceberg(spark, dest))
+    rep = expire_snapshots(dest, keep_last=2, dry_run=True)
+    assert rep["expired"] == [1] and rep["kept"] == 2
+    # dry run touched nothing
+    assert read_iceberg(spark, dest, snapshot_id=1).count() == 30
+
+    rep = expire_snapshots(dest, keep_last=2)
+    assert rep["expired"] == [1]
+    # snapshot 1's manifest-list is gone from metadata AND unreadable
+    with pytest.raises(ValueError, match="snapshot 1 not found"):
+        read_iceberg(spark, dest, snapshot_id=1)
+    # retained snapshots: exact current state, snapshot-2 time travel
+    assert _rows(read_iceberg(spark, dest)) == before
+    assert read_iceberg(spark, dest, snapshot_id=2).count() == 31
+    # down to the single current snapshot; state still exact
+    rep = expire_snapshots(dest, keep_last=1)
+    assert rep["expired"] == [2] and rep["kept"] == 1
+    assert _rows(read_iceberg(spark, dest)) == before

@@ -1679,6 +1679,17 @@ class ToStoreSpark:
         return _ei(self, table, dest, mode="update",
                    allow_decrypted=allow_decrypted)
 
+    def expire_iceberg_snapshots(self, dest: str, keep_last: int = 1,
+                                 dry_run: bool = False) -> dict:
+        """Iceberg ``expireSnapshots`` for an ``export_iceberg``
+        destination: atomically drop all but the newest ``keep_last``
+        snapshots and reclaim the files only they referenced; retained
+        snapshots keep time-traveling exactly
+        (plans/iceberg.expire_snapshots)."""
+        from tostore_spark.plans.iceberg import expire_snapshots
+        return expire_snapshots(dest, keep_last=keep_last,
+                                dry_run=dry_run)
+
     def unmirror_iceberg(self, table: str) -> bool:
         """Stop auto-exporting ``table`` to its Iceberg mirror (the
         destination keeps its snapshots)."""

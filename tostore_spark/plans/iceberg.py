@@ -953,3 +953,75 @@ def _next_metadata_version(mdir: str) -> int:
         if m:
             mx = max(mx, int(m.group(1)))
     return mx + 1
+
+
+def expire_snapshots(path: str, keep_last: int = 1,
+                     dry_run: bool = False) -> dict:
+    """Iceberg ``expireSnapshots`` for exports: drop all but the
+    newest ``keep_last`` snapshots from the table metadata (committed
+    as the next metadata version, so the change is itself atomic and
+    foreign readers following ``version-hint`` never see a torn
+    state), then delete every data / delete / manifest / manifest-list
+    file referenced ONLY by the expired snapshots.  Retained snapshots
+    keep time-traveling exactly; replaying an expired snapshot id
+    refuses at ``_pick_snapshot`` — the same contract as Iceberg's own
+    maintenance action.  Returns ``{"expired", "deleted", "kept"}``."""
+    p = _norm_path(path)
+    meta = _load_metadata(p)
+    snaps = list(meta.get("snapshots") or [])
+    if len(snaps) <= max(int(keep_last), 1):
+        return {"expired": [], "deleted": [], "kept": len(snaps)}
+    snaps_sorted = sorted(snaps, key=lambda s: (s.get("sequence-number",
+                                                      0),
+                                                s["snapshot-id"]))
+    keep_snaps = snaps_sorted[-max(int(keep_last), 1):]
+    cur = meta.get("current-snapshot-id")
+    if cur is not None and cur not in {s["snapshot-id"]
+                                       for s in keep_snaps}:
+        raise ValueError("expire_snapshots would drop the CURRENT "
+                         "snapshot — keep_last too small")
+    expired = [s for s in snaps_sorted
+               if s["snapshot-id"] not in {k["snapshot-id"]
+                                           for k in keep_snaps}]
+
+    def _refs(snapshot):
+        """Every absolute file path a snapshot references."""
+        out = set()
+        ml = snapshot.get("manifest-list")
+        location = meta.get("location") or p
+
+        def _abs(x):
+            x = _norm_path(x)
+            return x if os.path.isabs(x) else \
+                os.path.join(_norm_path(location), x)
+        if ml:
+            out.add(_abs(ml))
+            _, entries = read_container_file(_abs(ml))
+            for m in entries:
+                out.add(_abs(m["manifest_path"]))
+                _, mes = read_container_file(_abs(m["manifest_path"]))
+                for e in mes:
+                    out.add(_abs(e["data_file"]["file_path"]))
+        return out
+
+    kept_refs: set = set()
+    for s in keep_snaps:
+        kept_refs |= _refs(s)
+    doomed: set = set()
+    for s in expired:
+        doomed |= _refs(s) - kept_refs
+    exp_ids = [s["snapshot-id"] for s in expired]
+    if not dry_run:
+        meta["snapshots"] = keep_snaps
+        meta["snapshot-log"] = [
+            e for e in (meta.get("snapshot-log") or [])
+            if e.get("snapshot-id") not in set(exp_ids)]
+        mdir = os.path.join(p, "metadata")
+        _write_metadata_json(mdir, _next_metadata_version(mdir), meta)
+        for f in sorted(doomed):
+            try:
+                os.unlink(f)
+            except OSError:
+                pass
+    return {"expired": exp_ids, "deleted": sorted(doomed),
+            "kept": len(keep_snaps)}
