@@ -514,3 +514,102 @@ def test_expire_snapshots(spark, tmp_path):
     rep = expire_snapshots(dest, keep_last=1)
     assert rep["expired"] == [2] and rep["kept"] == 1
     assert _rows(read_iceberg(spark, dest)) == before
+
+
+def test_partition_filter_prunes_files_at_manifest_level(spark,
+                                                         tmp_path):
+    """A foreign identity-partitioned table: partition_filter must cut
+    the non-matching data file from the SCAN (inputFiles), not just
+    the rows, and the row predicate still re-applies."""
+    import copy
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tostore_spark.plans.iceberg import _MANIFEST_ENTRY_SCHEMA
+
+    loc = str(tmp_path / "pt")
+    ddir, mdir = os.path.join(loc, "data"), os.path.join(loc, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+    dschema = pa.schema([_pa_field("id", pa.int64(), 1),
+                         _pa_field("grp", pa.string(), 2)])
+    fa, fb = (os.path.join(ddir, "a.parquet"),
+              os.path.join(ddir, "b.parquet"))
+    pq.write_table(pa.table({"id": [1, 2], "grp": ["a", "a"]},
+                            schema=dschema), fa)
+    pq.write_table(pa.table({"id": [3, 4], "grp": ["b", "b"]},
+                            schema=dschema), fb)
+
+    # manifest-entry schema whose partition record carries the spec
+    # field (foreign writers embed the spec's struct there)
+    mes = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+    part_field = next(
+        f for f in mes["fields"][4]["type"]["fields"]
+        if f["name"] == "partition")
+    part_field["type"]["fields"] = [
+        {"name": "grp", "type": ["null", "string"], "field-id": 1000,
+         "default": None}]
+
+    schema_json = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": True, "type": "long"},
+        {"id": 2, "name": "grp", "required": False, "type": "string"}]}
+
+    def _entry(fpath, grp):
+        return {"status": 1, "snapshot_id": 7, "sequence_number": 1,
+                "file_sequence_number": 1,
+                "data_file": {"content": 0, "file_path": fpath,
+                              "file_format": "PARQUET",
+                              "partition": {"grp": grp},
+                              "record_count": 2,
+                              "file_size_in_bytes":
+                                  os.path.getsize(fpath),
+                              "equality_ids": None}}
+
+    mp = os.path.join(mdir, "m0.avro")
+    write_container_file(
+        mp, mes, [_entry(fa, "a"), _entry(fb, "b")],
+        meta={"schema": json.dumps(schema_json),
+              "partition-spec": json.dumps([
+                  {"name": "grp", "transform": "identity",
+                   "source-id": 2, "field-id": 1000}]),
+              "partition-spec-id": "0", "format-version": "2",
+              "content": "data"})
+    from tostore_spark.plans.iceberg import _MANIFEST_LIST_SCHEMA
+    ml = os.path.join(mdir, "snap-7.avro")
+    write_container_file(ml, _MANIFEST_LIST_SCHEMA, [{
+        "manifest_path": mp, "manifest_length": os.path.getsize(mp),
+        "partition_spec_id": 0, "content": 0, "sequence_number": 1,
+        "min_sequence_number": 1, "added_snapshot_id": 7,
+        "added_files_count": 2, "existing_files_count": 0,
+        "deleted_files_count": 0, "added_rows_count": 4,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+        "key_metadata": None}], meta={"format-version": "2"})
+    meta = {"format-version": 2, "location": loc,
+            "last-sequence-number": 1, "current-schema-id": 0,
+            "schemas": [schema_json], "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": [
+                {"name": "grp", "transform": "identity",
+                 "source-id": 2, "field-id": 1000}]}],
+            "current-snapshot-id": 7,
+            "snapshots": [{"snapshot-id": 7, "sequence-number": 1,
+                           "timestamp-ms": 1000,
+                           "summary": {"operation": "append"},
+                           "manifest-list": ml, "schema-id": 0}]}
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    full = read_iceberg(spark, loc)
+    assert full.count() == 4
+    pruned = read_iceberg(spark, loc, partition_filter={"grp": "a"})
+    assert sorted(r["id"] for r in pruned.collect()) == [1, 2]
+    # the b file never enters the scan
+    files = pruned.inputFiles()
+    assert any("a.parquet" in f for f in files)
+    assert not any("b.parquet" in f for f in files)
+    # non-identity / unknown filter columns keep everything (and the
+    # row re-filter still narrows correctly)
+    loose = read_iceberg(spark, loc, partition_filter={"nope": "x"})
+    assert loose.count() == 4

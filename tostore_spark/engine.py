@@ -1572,15 +1572,19 @@ class ToStoreSpark:
     def register_iceberg(self, name: str, path: str,
                          snapshot_id: Optional[int] = None,
                          as_of_ms: Optional[int] = None,
+                         partition_filter: Optional[dict] = None,
                          is_global: bool = False) -> None:
         """Register an external Iceberg v1/v2 table (or an
         ``export_iceberg`` output) as a readable source — pure-Python
         Avro manifest decoding, field-id column resolution, v2
         merge-on-read position/equality deletes, snapshot time travel
-        (plans/iceberg.read_iceberg)."""
+        (plans/iceberg.read_iceberg).  ``partition_filter`` prunes
+        data files at the manifest level (identity transforms) before
+        Spark lists them."""
         from tostore_spark.plans.iceberg import read_iceberg
         df = read_iceberg(self.spark, path, snapshot_id=snapshot_id,
-                          as_of_ms=as_of_ms)
+                          as_of_ms=as_of_ms,
+                          partition_filter=partition_filter)
         self.register_table(name, df=df, is_global=is_global)
 
     def apply_cdf(self, table: str, path: str,

@@ -318,6 +318,7 @@ def _scan_files(meta: dict, snapshot: dict, location: str):
                  for p in snapshot.get("manifests", [])]
 
     data, pos_del, eq_del = [], [], []
+    parts: dict[str, dict] = {}
     for m in mlist:
         mseq = m.get("sequence_number") or 0
         _, entries = read_container_file(_abs(m["manifest_path"]))
@@ -341,6 +342,7 @@ def _scan_files(meta: dict, snapshot: dict, location: str):
                     "(PARQUET only)")
             if content == 0:
                 data.append((fpath, seq))
+                parts[fpath] = dict(df_.get("partition") or {})
             elif content == 1:
                 pos_del.append((fpath, seq))
             elif content == 2:
@@ -364,16 +366,69 @@ def _scan_files(meta: dict, snapshot: dict, location: str):
             continue
         seen[fp] = seq
         deduped.append((fp, seq))
-    return deduped, pos_del, eq_del
+    return deduped, pos_del, eq_del, parts
+
+
+def _prune_partitions(meta: dict, schema_json: dict, data: list,
+                      parts: dict, partition_filter: dict) -> list:
+    """Manifest-level file pruning for identity-transform partition
+    fields (spec "Scan Planning"): a data file whose recorded
+    partition value differs from the filter's value cannot contain a
+    matching row.  Conservative everywhere else: non-identity
+    transforms, unknown columns, and missing partition values all KEEP
+    the file — pruning may only ever narrow the file list, never the
+    result (the caller re-applies the predicate to rows)."""
+    name_to_id = {f["name"]: f["id"] for f in schema_json["fields"]}
+    specs = meta.get("partition-specs") or []
+    if not specs and meta.get("partition-spec"):
+        specs = [{"fields": meta["partition-spec"]}]
+    # filter column -> the identity partition field's NAME (the key
+    # its values carry in each manifest entry's partition struct)
+    keys: dict[str, str] = {}
+    for col in partition_filter:
+        fid = name_to_id.get(col)
+        if fid is None:
+            continue
+        for spec in specs:
+            for pf in spec.get("fields") or []:
+                if pf.get("transform") == "identity" \
+                        and pf.get("source-id") == fid:
+                    keys[col] = pf.get("name", col)
+    if not keys:
+        return data
+    out = []
+    for fp, seq in data:
+        pv = parts.get(fp) or {}
+        keep = True
+        for col, want in partition_filter.items():
+            k = keys.get(col)
+            if k is None or k not in pv:
+                continue
+            got = pv[k]
+            if got != want and str(got) != str(want):
+                keep = False
+                break
+        if keep:
+            out.append((fp, seq))
+    return out
 
 
 def read_iceberg(spark, path: str, snapshot_id: int | None = None,
-                 as_of_ms: int | None = None):
+                 as_of_ms: int | None = None,
+                 partition_filter: dict | None = None):
     """Read an Iceberg v1/v2 table at ``path`` (filesystem layout:
     ``metadata/`` + data files).  ``snapshot_id`` / ``as_of_ms``
     time-travel.  v2 merge-on-read position and equality deletes are
     applied with the spec's sequence-number scoping; columns resolve
-    by field id."""
+    by field id.
+
+    ``partition_filter`` ({source column: value}, equality only)
+    prunes data files at the MANIFEST level before Spark ever lists
+    them — the Iceberg scan-planning win: only identity-transform
+    partition fields prune (bucket/truncate/time transforms
+    conservatively keep the file), missing values keep the file, and
+    the same predicate re-applies to the surviving rows so a sloppy
+    foreign manifest can never widen the result."""
     from pyspark.sql import functions as F
 
     p = _norm_path(path)
@@ -384,7 +439,10 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     if snapshot is None:
         return spark.createDataFrame([], sschema)
     location = meta.get("location") or p
-    data, pos_del, eq_del = _scan_files(meta, snapshot, location)
+    data, pos_del, eq_del, parts = _scan_files(meta, snapshot, location)
+    if partition_filter:
+        data = _prune_partitions(meta, schema_json, data, parts,
+                                 partition_filter)
     if not data:
         return spark.createDataFrame([], sschema)
 
@@ -393,8 +451,18 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     paths = [fp for fp, _ in data]
     df = spark.read.schema(sschema).parquet(*paths)
+
+    def _refilter(out):
+        # re-apply the partition predicate to ROWS: manifest pruning
+        # may only narrow the file list, never define the result
+        names = {f.name for f in sschema.fields}
+        for col, want in (partition_filter or {}).items():
+            if col in names:
+                out = out.filter(F.col(col) == F.lit(want))
+        return out
+
     if not pos_del and not eq_del:
-        return df
+        return _refilter(df)
 
     # delete application needs each row's (file, position, data_seq);
     # the (file, seq) frame is manifest-scale — broadcast it
@@ -465,7 +533,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
             cond.append(dels["__del_seq"] > df["__ice_dseq"])
             df = df.join(dels, on=cond, how="left_anti")
 
-    return df.select(*[f.name for f in sschema.fields])
+    return _refilter(df.select(*[f.name for f in sschema.fields]))
 
 
 # -------------------------------------------------------------- exporter
@@ -857,8 +925,8 @@ def _export_iceberg_update(engine, table: str, path: str,
         field_names = {f.name for f in sschema.fields}
         snap = _pick_snapshot(meta)
         if snap is not None:
-            live, _pd, _ed = _scan_files(meta, snap,
-                                         meta.get("location") or path)
+            live, _pd, _ed, _parts = _scan_files(
+                meta, snap, meta.get("location") or path)
         else:
             live = []
         probe = [fp for fp, _seq in live]
