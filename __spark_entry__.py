@@ -2887,7 +2887,8 @@ def q_iceberg_incremental(spark, sf_dir):
     nation-derived table; a pure-append store epoch commits a snapshot
     carrying ONLY the 4 delta rows (asserted in-entry); a delete epoch
     commits a MERGE-ON-READ snapshot — zero data files restaged, the
-    deleted keys resolved to one position-delete file (asserted) —
+    delete-key frame exported directly as one EQUALITY-delete file
+    with zero probe of the live export (asserted) —
     and ``read_iceberg`` folds it back exactly, with every prior
     snapshot still time-traveling.  DuckDB derives the same states
     from nation."""
@@ -2924,9 +2925,10 @@ def q_iceberg_incremental(spark, sf_dir):
         db1.delete("nat").where("key", ">=", 702).execute()
         db1.flush()
         rep2 = export_iceberg(db1, "nat", dest, mode="update")
-        if rep2["commit"] != "mor" or rep2["files"] != 0 \
-                or rep2["delete_positions"] != 2:
-            raise AssertionError(f"expected MoR delete commit: {rep2}")
+        if rep2["commit"] != "eqdel" or rep2["files"] != 0 \
+                or rep2["delete_keys"] != 2:
+            raise AssertionError(f"expected equality-delete commit: "
+                                 f"{rep2}")
         n_s1 = read_iceberg(spark, dest, snapshot_id=1).count()
         n_s2 = read_iceberg(spark, dest, snapshot_id=2).count()
         final = read_iceberg(spark, dest)

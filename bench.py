@@ -920,7 +920,9 @@ def _interop_export_stat(spark, sf_dir: str) -> dict | None:
                 t0 = _t.time()
                 r = db.export_iceberg("t", dice, mode="update")
                 blk["iceberg_mor_delete_sec"] = round(_t.time() - t0, 3)
-                assert r["commit"] == "mor", r
+                # pure-delete epoch: the equality-delete route (zero
+                # probe); "mor" appears only for seg+del tails
+                assert r["commit"] in ("eqdel", "mor"), r
             out[label] = blk
         s, L = out["small"], out["large"]
         out["scale_x"] = {

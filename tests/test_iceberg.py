@@ -410,8 +410,10 @@ def test_update_mode_append_mor_noop_refresh(spark, tmp_path):
     db.delete("notes").where("n", ">=", 102).execute()
     db.flush()
     r2 = export_iceberg(db, "notes", dest, mode="update")
-    assert r2["commit"] == "mor" and r2["files"] == 0
-    assert r2["delete_positions"] == 2                    # no restage
+    # pure-delete epochs take the EQUALITY-delete route: the key frame
+    # IS the delete file — zero probe of the live export
+    assert r2["commit"] == "eqdel" and r2["files"] == 0
+    assert r2["delete_keys"] == 2                         # no restage
     assert _rows(read_iceberg(spark, dest)) == _rows(db.df("notes"))
     # every snapshot still time-travels
     assert read_iceberg(spark, dest, snapshot_id=1).count() == 30

@@ -570,9 +570,12 @@ def _write_metadata_json(mdir: str, version: int, meta: dict) -> None:
     os.replace(hint_tmp, os.path.join(mdir, _HINT))
 
 
-def _stage_iceberg_data(df, dest: str, target_files=None) -> list:
+def _stage_iceberg_data(df, dest: str, target_files=None,
+                        id_of: dict | None = None) -> list:
     """Write ``df`` under ``dest/data/`` with parquet field ids (so
     foreign Iceberg readers resolve columns by id, the spec contract).
+    ``id_of`` overrides the column→field-id map — delete files must
+    carry the TABLE's ids, not a fresh numbering.
     Returns ``[(abs_path, rows, bytes)]``."""
     import pyarrow.parquet as pq
 
@@ -580,8 +583,9 @@ def _stage_iceberg_data(df, dest: str, target_files=None) -> list:
     # attach parquet.field.id to every top-level column
     # (DataFrame.withMetadata — df.to() would DROP metadata); nested
     # struct ids ride _spark_to_iceberg's numbering
-    schema_json = _table_schema_json(df.schema)
-    id_of = {f["name"]: f["id"] for f in schema_json["fields"]}
+    if id_of is None:
+        schema_json = _table_schema_json(df.schema)
+        id_of = {f["name"]: f["id"] for f in schema_json["fields"]}
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     tagged = df
     for f in df.schema.fields:
@@ -743,16 +747,20 @@ def _commit_snapshot(path: str, meta: dict, data_files,
 
     def _entries(files, content_code):
         out = []
-        for fpath, rows, size in files or []:
+        for item in files or []:
+            fpath, rows, size = item[0], item[1], item[2]
+            eq_ids = list(item[3]) if len(item) > 3 and item[3] \
+                else None
+            code = content_code if eq_ids is None else 2
             out.append({
                 "status": 1, "snapshot_id": snap_id,
                 "sequence_number": None,        # inherited (v2)
                 "file_sequence_number": None,
                 "data_file": {
-                    "content": content_code, "file_path": fpath,
+                    "content": code, "file_path": fpath,
                     "file_format": "PARQUET", "partition": {},
                     "record_count": rows, "file_size_in_bytes": size,
-                    "equality_ids": None,
+                    "equality_ids": eq_ids,
                 }})
         return out
 
@@ -915,6 +923,49 @@ def _export_iceberg_update(engine, table: str, path: str,
                 "files": 0, "rows": 0, "commit": "noop",
                 "metadata_version": _next_metadata_version(
                     os.path.join(path, "metadata")) - 1}
+    if (extends and new_ops and not has_ttl
+            and all(k == "del" for k, _p in new_ops)):
+        # EQUALITY-delete route for pure-delete epochs: the key frames
+        # become equality-delete files directly — NO probe of the live
+        # export at all (true O(deleted keys); the position route
+        # below pays a column-pruned key scan of the live files).
+        # Sound here because there are no same-commit segments: an
+        # equality delete applies only to STRICTLY older data files,
+        # and every live file predates this snapshot's sequence number.
+        schema_json = _current_schema(meta)
+        id_of = {f["name"]: f["id"] for f in schema_json["fields"]}
+        try:
+            groups: dict[tuple, object] = {}
+            for _k, op_path in new_ops:
+                keys = read_delete_keys(
+                    engine, op_path[:-1] if op_path.endswith("/")
+                    else op_path)
+                kcols = tuple(sorted(keys.columns))
+                if not set(kcols) <= set(id_of):
+                    raise ValueError("delete keys invisible in the "
+                                     "exported schema")
+                keys = keys.select(*kcols)
+                groups[kcols] = (keys if kcols not in groups
+                                 else groups[kcols].unionByName(keys))
+            delete_files = []
+            for kcols, frame in groups.items():
+                eq_ids = [id_of[c] for c in kcols]
+                staged = _stage_iceberg_data(
+                    frame.distinct(), path, target_files, id_of=id_of)
+                delete_files += [(fp, r, s, eq_ids)
+                                 for fp, r, s in staged]
+            rep = _commit_snapshot(path, meta, None, delete_files,
+                                   keep_prior=True, operation="delete")
+            rep["commit"] = "eqdel"
+            rep["delete_keys"] = sum(f[1] for f in delete_files)
+            _write_iceberg_state(engine, table, path, rep)
+            return rep
+        except Exception:
+            if os.environ.get("TS_ICEBERG_DEBUG"):
+                import traceback
+                traceback.print_exc()
+            # fall through to the position route / refresh below
+            meta = _load_metadata(path)
     if (extends and not has_ttl
             and all(k in ("seg", "del") for k, _p in new_ops)):
         # merge-on-read: stage segs, resolve dels to (file, pos) over
