@@ -314,3 +314,39 @@ def test_apply_cdf_nets_across_commits(spark, tmp_path):
     assert r["to_version"] == 2
     assert cons.df("notes2").filter("n = 400").count() == 0
     assert cons.df("notes2").count() == 20
+
+
+def test_start_cdf_sync_live_replication(spark, tmp_path):
+    """mirror_delta (producer) + start_cdf_sync (consumer) = live
+    cross-engine replication through a standard Delta CDF: the
+    consumer converges after the producer's flush, idle ticks never
+    re-apply the bootstrap snapshot (the seed is not burned by a
+    nothing-to-apply tick), and stop ends delivery."""
+    import time as _t
+
+    prod = _mk(spark, str(tmp_path / "wh1"))
+    dest = str(tmp_path / "dx")
+    prod.mirror_delta("notes", dest, change_data=True)
+    cons = ToStoreSpark(spark, warehouse=str(tmp_path / "wh2"))
+    cons.register_delta("notes2", dest)
+    cons.flush()
+    cons.start_cdf_sync("notes2", dest, interval_s=0.5,
+                        from_version=1)
+    try:
+        _t.sleep(1.6)                       # idle ticks
+        assert cons.df("notes2").count() == 20
+        prod.delete("notes").where("n", ">=", 18).execute()
+        prod.flush()                        # mirror auto-exports v1
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            if cons.df("notes2").count() == 18:
+                break
+            _t.sleep(0.5)
+        assert cons.df("notes2").count() == 18
+        assert cons.last_cdf_sync_error is None
+    finally:
+        assert cons.stop_cdf_sync() == 1
+    prod.batch_insert("notes", [{"id": "z9", "body": "x", "n": 900}])
+    prod.flush()
+    _t.sleep(1.5)
+    assert cons.df("notes2").count() == 18  # delivery stopped

@@ -1662,6 +1662,71 @@ class ToStoreSpark:
         return {"applied": int(n), "from_version": frm,
                 "to_version": to}
 
+    def start_cdf_sync(self, table: str, path: str,
+                       interval_s: float = 5.0,
+                       from_version: Optional[int] = None) -> None:
+        """Continuously replicate an external Delta table's CHANGE
+        DATA FEED into ``table``: a daemon thread polls the feed every
+        ``interval_s`` and applies new commits via ``apply_cdf``
+        (KV-cursor exactly-once, netting across each pull) — live
+        replication FROM a foreign writer, the consumer twin of
+        ``mirror_delta``.  Poll errors land on
+        ``engine.last_cdf_sync_error`` and polling continues (a
+        transient reader failure must not kill replication).  One sync
+        per (table, path); ``stop_cdf_sync()`` ends it.  The applied
+        rows become durable at this engine's next flush, atomically
+        with the cursor."""
+        import threading
+
+        self.stop_cdf_sync(table, path)
+        self.last_cdf_sync_error: Optional[tuple] = None
+        key = (self._resolve(table), os.path.abspath(
+            path[len("file:"):] if path.startswith("file:") else path))
+        stop = threading.Event()
+
+        def _loop():
+            while not stop.wait(interval_s):
+                try:
+                    # the seed is passed EVERY tick: apply_cdf prefers
+                    # the KV cursor once one exists, and a tick that
+                    # applied nothing must not burn the seed (the
+                    # next tick would fall back to the earliest
+                    # commit and re-apply the bootstrap snapshot)
+                    self.apply_cdf(table, path,
+                                   from_version=from_version)
+                    self.last_cdf_sync_error = None
+                except Exception as exc:   # pragma: no cover - timing
+                    self.last_cdf_sync_error = (table, str(exc))
+
+        t = threading.Thread(target=_loop, daemon=True,
+                             name=f"cdf-sync-{key[0][1]}")
+        if not hasattr(self, "_cdf_syncs"):
+            self._cdf_syncs = {}
+        self._cdf_syncs[key] = (stop, t)
+        t.start()
+
+    def stop_cdf_sync(self, table: Optional[str] = None,
+                      path: Optional[str] = None) -> int:
+        """Stop CDF sync daemons — the one for (table, path), all for
+        ``table``, or all.  Returns the number stopped."""
+        syncs = getattr(self, "_cdf_syncs", {}) or {}
+        if table is not None:
+            tkey = self._resolve(table)
+            pabs = None
+            if path is not None:
+                p = path[len("file:"):] if path.startswith("file:") \
+                    else path
+                pabs = os.path.abspath(p)
+            doomed = [k for k in syncs
+                      if k[0] == tkey and (pabs is None
+                                           or k[1] == pabs)]
+        else:
+            doomed = list(syncs)
+        for k in doomed:
+            stop, t = syncs.pop(k)
+            stop.set()
+        return len(doomed)
+
     def mirror_iceberg(self, table: str, dest: str,
                        allow_decrypted: bool = False) -> dict:
         """Continuously materialize ``table`` as an Iceberg v2 table —
