@@ -615,3 +615,83 @@ def test_partition_filter_prunes_files_at_manifest_level(spark,
     # row re-filter still narrows correctly)
     loose = read_iceberg(spark, loc, partition_filter={"nope": "x"})
     assert loose.count() == 4
+
+
+def test_v1_format_table_reads(spark, tmp_path):
+    """Iceberg FORMAT VERSION 1 layout: singular 'schema' /
+    'partition-spec' metadata keys, no sequence numbers anywhere,
+    v1 manifest-list field names — the reader must fold it with
+    data_seq 0 throughout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    loc = str(tmp_path / "v1t")
+    ddir, mdir = os.path.join(loc, "data"), os.path.join(loc, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+    dschema = pa.schema([_pa_field("id", pa.int64(), 1)])
+    fa = os.path.join(ddir, "a.parquet")
+    pq.write_table(pa.table({"id": [1, 2, 3]}, schema=dschema), fa)
+
+    schema_json = {"type": "struct", "fields": [
+        {"id": 1, "name": "id", "required": True, "type": "long"}]}
+    # v1 manifest entry: no sequence/file_sequence numbers, no
+    # data_file.content — decode rides the file's own writer schema
+    v1_entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": "long", "field-id": 1},
+            {"name": "data_file", "field-id": 2, "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "file_path", "type": "string",
+                     "field-id": 100},
+                    {"name": "file_format", "type": "string",
+                     "field-id": 101},
+                    {"name": "partition", "field-id": 102, "type": {
+                        "type": "record", "name": "r102",
+                        "fields": []}},
+                    {"name": "record_count", "type": "long",
+                     "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long",
+                     "field-id": 104},
+                ]}}]}
+    mp = os.path.join(mdir, "m0.avro")
+    write_container_file(
+        mp, v1_entry_schema,
+        [{"status": 1, "snapshot_id": 5,
+          "data_file": {"file_path": fa, "file_format": "PARQUET",
+                        "partition": {}, "record_count": 3,
+                        "file_size_in_bytes": os.path.getsize(fa)}}],
+        meta={"schema": json.dumps(schema_json),
+              "partition-spec": "[]", "format-version": "1"})
+    # v1 manifest list: added_data_files_count names, no content/seq
+    v1_ml_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string", "field-id": 500},
+            {"name": "manifest_length", "type": "long", "field-id": 501},
+            {"name": "partition_spec_id", "type": "int",
+             "field-id": 502},
+            {"name": "added_snapshot_id", "type": ["null", "long"],
+             "field-id": 503, "default": None},
+            {"name": "added_data_files_count", "type": ["null", "int"],
+             "field-id": 504, "default": None},
+        ]}
+    ml = os.path.join(mdir, "snap-5.avro")
+    write_container_file(ml, v1_ml_schema, [{
+        "manifest_path": mp, "manifest_length": os.path.getsize(mp),
+        "partition_spec_id": 0, "added_snapshot_id": 5,
+        "added_data_files_count": 1}], meta={"format-version": "1"})
+    meta = {"format-version": 1, "location": loc,
+            "schema": schema_json,              # v1 singular key
+            "partition-spec": [],
+            "current-snapshot-id": 5,
+            "snapshots": [{"snapshot-id": 5, "timestamp-ms": 1000,
+                           "manifest-list": ml}]}
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    df = read_iceberg(spark, loc)
+    assert sorted(r["id"] for r in df.collect()) == [1, 2, 3]
+    assert df.columns == ["id"]
