@@ -1009,13 +1009,17 @@ def _export_iceberg_update(engine, table: str, path: str,
                                          "^file:/*", "/").alias("__f"),
                                      F.col("_metadata.row_index")
                                      .alias("__p")))
+                    # limit BEFORE collect: an oversized delete must
+                    # trip the bound, not flood the driver first
+                    room = MAX_TOTAL_POSITIONS - len(hits)
                     got = (frame.join(F.broadcast(keys.distinct()),
                                       on=kcols)
-                           .select("__f", "__p").collect())
-                    hits += [(r["__f"], int(r["__p"])) for r in got]
-                    if len(hits) > MAX_TOTAL_POSITIONS:
+                           .select("__f", "__p")
+                           .limit(room + 1).collect())
+                    if len(got) > room:
                         raise ValueError("delete positions over the "
                                          "driver-side bound")
+                    hits += [(r["__f"], int(r["__p"])) for r in got]
         except Exception:
             if os.environ.get("TS_ICEBERG_DEBUG"):
                 import traceback
