@@ -350,3 +350,38 @@ def test_start_cdf_sync_live_replication(spark, tmp_path):
     prod.flush()
     _t.sleep(1.5)
     assert cons.df("notes2").count() == 18  # delivery stopped
+
+
+def test_cdf_commit_timestamp_column(spark, tmp_path):
+    """The spec's third CDF column: _commit_timestamp from commitInfo
+    when present, else the commit file's mtime; non-decreasing across
+    versions; excluded from apply_cdf's netting keys."""
+    db = _mk(spark, str(tmp_path / "wh"))
+    dest = str(tmp_path / "dx")
+    db.export_delta("notes", dest, change_data=True)
+    db.delete("notes").where("n", "=", 3).execute()
+    db.flush()
+    db.export_delta("notes", dest, mode="update",
+                    deletion_vectors=True)
+    feed = read_delta_cdf(spark, dest, 0, 1)
+    assert "_commit_timestamp" in feed.columns
+    ts = {r["_commit_version"]: r["_commit_timestamp"]
+          for r in feed.select("_commit_version",
+                               "_commit_timestamp").distinct()
+          .collect()}
+    assert ts[0] is not None and ts[1] is not None
+    assert ts[0] <= ts[1]
+    # a foreign commitInfo timestamp takes precedence over mtime
+    log1 = os.path.join(dest, "_delta_log", f"{1:020d}.json")
+    with open(log1) as fh:
+        acts = [json.loads(ln) for ln in fh]
+    acts.insert(0, {"commitInfo": {"timestamp": 1234567890123}})
+    with open(log1, "w") as fh:
+        for a in acts:
+            fh.write(json.dumps(a) + "\n")
+    feed2 = read_delta_cdf(spark, dest, 1, 1)
+    got = feed2.select("_commit_timestamp").distinct().collect()
+    assert len(got) == 1
+    import datetime
+    assert got[0][0] == datetime.datetime.fromtimestamp(
+        1234567890123 / 1000)

@@ -1634,7 +1634,8 @@ class ToStoreSpark:
             return {"applied": 0, "from_version": frm, "to_version": to}
         feed = read_delta_cdf(self.spark, p, frm, to)
         cols = [c for c in feed.columns
-                if c not in ("_change_type", "_commit_version")]
+                if c not in ("_change_type", "_commit_version",
+                             "_commit_timestamp")]
         sign = (F.when(F.col("_change_type")
                        .isin("insert", "update_postimage"), F.lit(1))
                 .when(F.col("_change_type")

@@ -1461,6 +1461,16 @@ def read_delta_cdf(spark, path: str, from_version: int,
         cdcs = [a["cdc"] for a in acts if "cdc" in a]
         adds = [a["add"] for a in acts if "add" in a]
         removes = [a["remove"] for a in acts if "remove" in a]
+        # _commit_timestamp (spec: in-commit timestamp when present,
+        # else the commit file's modification time — the same rule
+        # Delta's own CDF reader applies)
+        ts_ms = None
+        for a in acts:
+            if "commitInfo" in a and a["commitInfo"].get("timestamp"):
+                ts_ms = int(a["commitInfo"]["timestamp"])
+                break
+        if ts_ms is None:
+            ts_ms = int(os.path.getmtime(cpath) * 1000)
         if cdcs:
             part = _read_change_files(spark, p, cdcs, schema, pcols,
                                       with_change_type=True)
@@ -1477,14 +1487,19 @@ def read_delta_cdf(spark, path: str, from_version: int,
                 f"commit {v} changes existing files without cdc "
                 "actions — its changes cannot be derived (the writer "
                 "did not maintain the feed for this commit)")
-        part = part.withColumn("_commit_version",
-                               F.lit(int(v)).cast("long"))
+        part = (part.withColumn("_commit_version",
+                                F.lit(int(v)).cast("long"))
+                .withColumn("_commit_timestamp",
+                            F.timestamp_millis(F.lit(ts_ms))))
         out = part if out is None else out.unionByName(part)
     cols = ([f.name for f in schema.fields]
-            + ["_change_type", "_commit_version"])
+            + ["_change_type", "_commit_version", "_commit_timestamp"])
     if out is None:
+        from pyspark.sql.types import TimestampType
         empty = StructType(
-            schema.fields + [StructField("_change_type", StringType()),
-                             StructField("_commit_version", LongType())])
+            schema.fields
+            + [StructField("_change_type", StringType()),
+               StructField("_commit_version", LongType()),
+               StructField("_commit_timestamp", TimestampType())])
         return spark.createDataFrame([], empty)
     return out.select(*cols)
