@@ -385,3 +385,37 @@ def test_cdf_commit_timestamp_column(spark, tmp_path):
     import datetime
     assert got[0][0] == datetime.datetime.fromtimestamp(
         1234567890123 / 1000)
+
+
+def test_delta_schema_evolution_on_refresh(spark, tmp_path):
+    """A store migration must re-emit metaData with the new
+    schemaString on the refresh commit — otherwise added columns stay
+    invisible to every reader forever — and the CDF diff aligns the
+    old state to the new schema (the defaulted column makes every row
+    a legitimate delete+insert pair)."""
+    from tostore_spark.schema import DataType, FieldSchema
+    db = _mk(spark, str(tmp_path / "wh"))
+    dest = str(tmp_path / "dx")
+    db.export_delta("notes", dest, change_data=True)
+    db.update_schema("notes").add_field(
+        FieldSchema(name="extra", type=DataType.integer,
+                    default_value=7)).execute()
+    db.flush()
+    r = db.export_delta("notes", dest, mode="update", change_data=True)
+    assert r["commit"] == "refresh"
+    cur = read_delta(spark, dest)
+    assert "extra" in cur.columns
+    assert cur.filter("extra = 7").count() == 20
+    # time travel to v0 keeps the old schema
+    v0 = read_delta(spark, dest, version=0)
+    assert "extra" not in v0.columns
+    # the feed carries the evolution as 20 deletes + 20 inserts under
+    # the NEW schema (old pre-images null-fill the added column)
+    feed = read_delta_cdf(spark, dest, 1, 1)
+    assert "extra" in feed.columns
+    kinds = {r["_change_type"]: 1 for r in
+             feed.select("_change_type").distinct().collect()}
+    assert set(kinds) == {"insert", "delete"}
+    assert feed.count() == 40
+    assert feed.filter("_change_type = 'delete' and extra is null") \
+               .count() == 20

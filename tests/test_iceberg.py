@@ -695,3 +695,34 @@ def test_v1_format_table_reads(spark, tmp_path):
     df = read_iceberg(spark, loc)
     assert sorted(r["id"] for r in df.collect()) == [1, 2, 3]
     assert df.columns == ["id"]
+
+
+def test_schema_evolution_on_update_export(spark, tmp_path):
+    """A store migration (add_field) falls to the refresh tier, which
+    must append a NEW schema (new schema-id) so readers see the added
+    column — while every pre-evolution snapshot time-travels under ITS
+    schema-id (field ids bind per snapshot, never mis-resolve)."""
+    db = _mk(spark, str(tmp_path / "wh"))
+    dest = str(tmp_path / "ice")
+    export_iceberg(db, "notes", dest, mode="update")       # snap 1
+    from tostore_spark.schema import DataType, FieldSchema
+    db.update_schema("notes").add_field(
+        FieldSchema(name="extra", type=DataType.integer,
+                    default_value=7)).execute()
+    db.flush()
+    r = export_iceberg(db, "notes", dest, mode="update")
+    assert r["commit"] == "refresh"
+    cur = read_iceberg(spark, dest)
+    assert "extra" in cur.columns
+    assert cur.filter("extra = 7").count() == 30
+    old = read_iceberg(spark, dest, snapshot_id=1)
+    assert "extra" not in old.columns and old.count() == 30
+    # post-evolution appends extend the evolved schema incrementally
+    db.batch_insert("notes", [{"id": "z1", "body": "b", "n": 99,
+                               "extra": 5}])
+    db.flush()
+    r2 = export_iceberg(db, "notes", dest, mode="update")
+    assert r2["commit"] == "append" and r2["rows"] == 1
+    got = read_iceberg(spark, dest)
+    assert got.count() == 31
+    assert got.filter("extra = 5").count() == 1

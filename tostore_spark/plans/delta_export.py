@@ -594,24 +594,45 @@ def _export_update(engine, table: str, path: str,
     # full refresh: one commit removing every live file + fresh adds
     df = engine.df(table)
     pby = list(ent.get("partition_by") or [])
+    # SCHEMA EVOLUTION rides the refresh tier (a store migration
+    # rewrites the frame, which already poisons the fast paths): the
+    # commit re-emits metaData with the new schemaString, so readers
+    # see added/renamed/retyped columns — without this the export's
+    # declared schema would stay frozen at v0 and new columns would be
+    # invisible forever.  All files are restaged in the same commit,
+    # so the schema and the data change atomically.
+    if df.schema.json() != live["meta"]["schemaString"]:
+        meta2 = dict(live["meta"])
+        meta2["schemaString"] = df.schema.json()
+        if cdf:
+            meta2["configuration"] = {
+                **(meta2.get("configuration") or {}),
+                "delta.enableChangeDataFeed": "true"}
+        # one metaData action per commit: fold any pending cdf
+        # property upgrade into this one
+        cdf_upgrade = [a for a in cdf_upgrade if "metaData" not in a]
+        cdf_upgrade.append({"metaData": meta2})
     cdc_actions = []
     if cdf:
         # a refresh's add/remove actions overstate the change (rows
         # that persisted appear in both) — the spec's answer is an
         # explicit cdc file with the EXACT diff.  The refresh is
         # already O(table), so the two exceptAll passes stay in its
-        # cost class.
+        # cost class.  Across a schema change the old state aligns to
+        # the NEW schema first (added columns null-fill, dropped
+        # columns drop) — a migration that defaulted a column into
+        # every row legitimately feeds every row as delete+insert.
         from pyspark.sql import functions as F
         old = read_delta(engine.spark, path)
+        for f in df.schema.fields:
+            if f.name not in old.columns:
+                old = old.withColumn(f.name,
+                                     F.lit(None).cast(f.dataType))
         cols = sorted(df.columns)
-        if sorted(old.columns) != cols:
-            raise ValueError(
-                "change_data export cannot diff across a schema "
-                f"change ({sorted(old.columns)} -> {cols}); re-export "
-                "to a fresh destination")
-        ins = (df.select(*cols).exceptAll(old.select(*cols))
+        old = old.select(*cols)
+        ins = (df.select(*cols).exceptAll(old)
                .withColumn("_change_type", F.lit("insert")))
-        dele = (old.select(*cols).exceptAll(df.select(*cols))
+        dele = (old.exceptAll(df.select(*cols))
                 .withColumn("_change_type", F.lit("delete")))
         cdc_actions = _stage_cdc(ins.unionByName(dele), path, next_v,
                                  pby)
@@ -1446,8 +1467,12 @@ def read_delta_cdf(spark, path: str, from_version: int,
     if conf.get("delta.columnMapping.mode", "none") not in ("none", ""):
         raise ValueError("CDF read under column mapping is not "
                          "supported by this reader")
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    pcols = list(meta.get("partitionColumns") or [])
+    # rows come back under the schema at the END of the range (the
+    # Delta CDF contract): change files written before a mid-range
+    # schema evolution null-fill the added columns
+    end_meta = _replay(p, to_version)["meta"]
+    schema = StructType.fromJson(json.loads(end_meta["schemaString"]))
+    pcols = list(end_meta.get("partitionColumns") or [])
     out = None
     for v in range(from_version, to_version + 1):
         cpath = os.path.join(log_dir, f"{v:020d}.json")

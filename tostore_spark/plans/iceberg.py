@@ -275,6 +275,19 @@ def _current_schema(meta: dict) -> dict:
     raise ValueError("iceberg metadata carries no schema")
 
 
+def _schema_for_snapshot(meta: dict, snapshot: dict | None) -> dict:
+    """The schema a snapshot's files were written under (spec: each
+    snapshot records its ``schema-id``) — time travel across a schema
+    evolution must bind field ids against THAT schema, not the current
+    one."""
+    if snapshot is not None and "schema-id" in snapshot \
+            and "schemas" in meta:
+        for s in meta["schemas"]:
+            if s.get("schema-id", 0) == snapshot["schema-id"]:
+                return s
+    return _current_schema(meta)
+
+
 def _pick_snapshot(meta: dict, snapshot_id=None, as_of_ms=None):
     snaps = meta.get("snapshots") or []
     if snapshot_id is not None:
@@ -433,9 +446,9 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
 
     p = _norm_path(path)
     meta = _load_metadata(p)
-    schema_json = _current_schema(meta)
-    sschema = _schema_to_spark(schema_json)
     snapshot = _pick_snapshot(meta, snapshot_id, as_of_ms)
+    schema_json = _schema_for_snapshot(meta, snapshot)
+    sschema = _schema_to_spark(schema_json)
     if snapshot is None:
         return spark.createDataFrame([], sschema)
     location = meta.get("location") or p
@@ -742,8 +755,8 @@ def _commit_snapshot(path: str, meta: dict, data_files,
     snap_id = max((s["snapshot-id"] for s in
                    meta.get("snapshots", [])), default=0) + 1
     now_ms = int(time.time() * 1000)
-    schema_json = (meta["schemas"][0] if "schemas" in meta
-                   else meta["schema"])
+    schema_json = _current_schema(meta)
+    cur_sid = int(meta.get("current-schema-id", 0))
 
     def _entries(files, content_code):
         out = []
@@ -792,7 +805,7 @@ def _commit_snapshot(path: str, meta: dict, data_files,
             "summary": {"operation": operation,
                         "added-data-files": str(n_files),
                         "added-records": str(total_rows)},
-            "manifest-list": ml_path, "schema-id": 0}
+            "manifest-list": ml_path, "schema-id": cur_sid}
     if prev_snap is not None:
         snap["parent-snapshot-id"] = prev_snap["snapshot-id"]
     meta["snapshots"] = (meta.get("snapshots") or []) + [snap]
@@ -1038,8 +1051,42 @@ def _export_iceberg_update(engine, table: str, path: str,
             _write_iceberg_state(engine, table, path, rep)
             return rep
     # refresh: a fresh overwrite snapshot (prior snapshots keep
-    # time-traveling; their files stay on disk)
+    # time-traveling; their files stay on disk).  SCHEMA EVOLUTION
+    # rides this tier (store migrations rewrite the frame, poisoning
+    # the fast paths): a changed frame schema appends a NEW schema to
+    # the metadata's schemas list and points current-schema-id at it —
+    # sound because the refresh restages EVERY data file under the new
+    # schema in the same commit, and each retained snapshot keeps its
+    # own schema-id for time travel (the reader binds field ids
+    # against the snapshot's schema, not the current one).
     df = engine.df(table)
+    cur_sj = _current_schema(meta)
+    cur_shape = [(f["name"],
+                  json.dumps(f["type"], sort_keys=True)
+                  if isinstance(f["type"], dict) else f["type"],
+                  f.get("required", False))
+                 for f in cur_sj["fields"]]
+    new_sj = _table_schema_json(df.schema)
+    new_shape = [(f["name"],
+                  json.dumps(f["type"], sort_keys=True)
+                  if isinstance(f["type"], dict) else f["type"],
+                  f.get("required", False))
+                 for f in new_sj["fields"]]
+
+    def _strip_ids(shape):
+        # nested types embed field ids; compare id-insensitively
+        return [(n, re.sub(r'"(?:element-id|key-id|value-id|id)":\s*\d+',
+                           '"id":0', t), r) for n, t, r in shape]
+    if _strip_ids(cur_shape) != _strip_ids(new_shape):
+        schemas = list(meta.get("schemas") or [cur_sj])
+        sid = max(int(s.get("schema-id", 0)) for s in schemas) + 1
+        new_sj["schema-id"] = sid
+        meta["schemas"] = schemas + [new_sj]
+        meta["current-schema-id"] = sid
+        meta["last-column-id"] = max(
+            int(meta.get("last-column-id", 0)), _max_field_id(new_sj))
+        if "schema" in meta:         # keep any v1 singular key in step
+            meta["schema"] = new_sj
     staged = _stage_iceberg_data(df, path, target_files)
     rep = _commit_snapshot(path, meta, staged, None,
                            keep_prior=False, operation="overwrite")
