@@ -3019,6 +3019,82 @@ def q_encrypted_typed(spark, sf_dir):
               "n_a_tags bigint, n_gt12 bigint")
 
 
+def q_delta_stats_skip(spark, sf_dir):
+    """read_delta(where=) — Delta scan planning from log stats (r14,
+    plans/delta_export): a FOREIGN-written Delta log (hand-assembled
+    in-entry, the spec's add-action stats JSON over three range-sliced
+    data files) is read with a predicate; files whose minValues/
+    maxValues refute it must drop from the scan BEFORE Spark lists
+    them — asserted in-entry (exactly 1 of 3 files survives
+    ``o_orderkey < 1000``) — and the surviving rows must equal DuckDB
+    filtering the same orders table.  The selective-read path for
+    large foreign Delta tables: scan IO ∝ matching files, not table
+    size."""
+    import json as _json
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from tostore_spark.condition import to_condition_node
+    from tostore_spark.plans.delta_export import (_coerce_where_values,
+                                                  _prune_adds, _replay,
+                                                  read_delta)
+    db = _db(spark, sf_dir)
+    src = (db.df("orders").select("o_orderkey", "o_orderstatus")
+           .toPandas())        # fixture construction, sf-bounded
+    schema = StructType([StructField("o_orderkey", LongType()),
+                         StructField("o_orderstatus", StringType())])
+    with tempfile.TemporaryDirectory() as tmp:
+        log = os.path.join(tmp, "_delta_log")
+        os.makedirs(log)
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "stats-skip", "format":
+                          {"provider": "parquet", "options": {}},
+                          "schemaString": schema.json(),
+                          "partitionColumns": [], "configuration": {}}},
+        ]
+        slices = [src[src.o_orderkey < 2000],
+                  src[(src.o_orderkey >= 2000) & (src.o_orderkey < 4000)],
+                  src[src.o_orderkey >= 4000]]
+        for i, sl in enumerate(slices):
+            name = f"f{i}.parquet"
+            pq.write_table(pa.Table.from_pandas(
+                sl.reset_index(drop=True), preserve_index=False),
+                os.path.join(tmp, name))
+            actions.append({"add": {
+                "path": name, "partitionValues": {},
+                "size": os.path.getsize(os.path.join(tmp, name)),
+                "modificationTime": 0, "dataChange": True,
+                "stats": _json.dumps({
+                    "numRecords": int(len(sl)),
+                    "minValues": {"o_orderkey": int(sl.o_orderkey.min())},
+                    "maxValues": {"o_orderkey": int(sl.o_orderkey.max())},
+                    "nullCount": {"o_orderkey": 0}})}})
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(_json.dumps(a) + "\n")
+        where = {"o_orderkey": {"<": 1000}}
+        state = _replay(tmp, None)
+        node = _coerce_where_values(to_condition_node(where), schema)
+        kept = _prune_adds(state["files"], node, schema,
+                           {f.name: f.name for f in schema.fields}, [])
+        if (len(state["files"]), len(kept)) != (3, 1):
+            raise AssertionError(
+                f"stats pruning did not engage: kept {len(kept)} of "
+                f"{len(state['files'])} files")
+        out = (read_delta(spark, tmp, where=where)
+               .groupBy("o_orderstatus")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("o_orderkey").cast("long").alias("key_sum")))
+        rows, schema_out = out.collect(), out.schema
+    return spark.createDataFrame(rows, schema_out)
+
+
 def q_delta_export(spark, sf_dir):
     """Delta Lake export interop (r11, plans/delta_export): a table
     carrying a live merge-on-read recipe (delete epoch + replace
@@ -5067,6 +5143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
+        "q_delta_stats_skip",                                 # born r14
         "q_iceberg_incremental", "q_delta_cdf",               # born r14
         "q_iceberg_roundtrip", "q_iceberg_mor",               # born r14
         "q_delete_vectors_part", "q_upsert_mor_part",         # born r13
@@ -6048,6 +6125,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(n_name)) AS BIGINT) AS name_len_sum
             FROM nation
             WHERE n_nationkey NOT IN (0, 1, 5, 7, 21)""",
+        "q_delta_stats_skip": """
+            -- the pruned read must equal a plain filtered scan
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+            FROM orders WHERE o_orderkey < 1000
+            GROUP BY o_orderstatus""",
         "q_delta_roundtrip": """
             -- v0 = 25 nation rows; v1 = +4 appends (keys 700-703);
             -- final = v1 minus keys >= 703

@@ -343,6 +343,36 @@ class QueryCondition:
         return out
 
 
+def to_condition_node(where: Any) -> Optional[ConditionNode]:
+    """Freestanding predicate spec → a (simplified) ``ConditionNode``.
+
+    The shared ``where=`` surface for reads OUTSIDE the store's query
+    builder (foreign-table readers like ``read_delta``/``read_iceberg``):
+
+    - ``None`` → ``None`` (no predicate);
+    - a ``QueryCondition`` → its root;
+    - a ``ConditionNode`` → as-is;
+    - a dict → each key ANDs, with the reference's map-form value
+      semantics (``{'col': v}`` equality, ``{'col': {'>=': a, '<': b}}``
+      op-map — multiple ops in one map = implicit OR, the
+      value_matcher.dart:551-561 rule ``where()`` already applies).
+    """
+    if where is None:
+        return None
+    if isinstance(where, ConditionNode):
+        return where.simplify()
+    if isinstance(where, QueryCondition):
+        return where.root().simplify()
+    if isinstance(where, dict):
+        qc = QueryCondition()
+        for f, v in where.items():
+            qc.where(f, v)
+        return qc.root().simplify()
+    raise TypeError(
+        f"where: expected dict, QueryCondition or ConditionNode, "
+        f"got {type(where).__name__}")
+
+
 def _eval_node(node: ConditionNode, record: dict) -> bool:
     if node.kind == "leaf":
         return eval_leaf(record, node.field, node.op, node.value)

@@ -1485,15 +1485,30 @@ class ToStoreSpark:
         return read_delta_cdf(self.spark, path, from_version,
                               to_version=to_version)
 
+    def read_delta(self, path: str, version: Optional[int] = None,
+                   where=None) -> DataFrame:
+        """Read an external Delta table (or an ``export_delta``
+        output) via transaction-log replay — no Delta library
+        (plans/delta_export.read_delta).  ``version`` time-travels;
+        ``where`` (the engine predicate language) prunes files by the
+        log's per-file stats/partitionValues BEFORE the scan and
+        re-applies to rows — the selective-read path for large
+        foreign tables."""
+        from tostore_spark.plans.delta_export import read_delta
+        return read_delta(self.spark, path, version=version,
+                          where=where)
+
     def register_delta(self, name: str, path: str,
                        version: Optional[int] = None,
+                       where=None,
                        is_global: bool = False) -> None:
         """Register an external Delta table (or an ``export_delta``
         output) as a readable source via transaction-log replay — no
         Delta library (plans/delta_export.read_delta).  ``version``
-        pins a historical commit (time travel)."""
+        pins a historical commit (time travel); ``where`` pre-filters
+        with log-stats file pruning (see ``read_delta``)."""
         from tostore_spark.plans.delta_export import read_delta
-        df = read_delta(self.spark, path, version=version)
+        df = read_delta(self.spark, path, version=version, where=where)
         self.register_table(name, df=df, is_global=is_global)
 
     def mirror_delta(self, table: str, dest: str,

@@ -59,6 +59,7 @@ on disk for time travel until a Delta VACUUM).
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import time
@@ -114,6 +115,189 @@ def _loose_stats(stats: str | None) -> str | None:
         return stats
     d["tightBounds"] = False
     return json.dumps(d)
+
+
+# ---------------------------------------------------------------------
+# stats-based file pruning for read_delta(where=...)
+# ---------------------------------------------------------------------
+# Delta scan planning: every add action carries per-file stats
+# (numRecords / minValues / maxValues / nullCount) and partitionValues;
+# a predicate that no value in a file's bounds can satisfy drops the
+# file from the scan BEFORE Spark ever lists it — the log-metadata
+# analog of the store's own manifest skipping, and the mechanism that
+# makes a selective read of a 100 TB foreign Delta table touch only
+# the matching files.  Refutation is delegated to
+# plans.skipping.node_may_match (conservative three-valued: anything
+# undecidable keeps the file).
+#
+# Type discipline: only bool/int/float/string columns participate.
+# Date/timestamp stats are ISO strings whose exact FORMAT is
+# writer-dependent — a lexicographic compare against a differently-
+# formatted predicate value could prune live rows, so those columns
+# never prune (the row-side filter still applies).  Files whose stats
+# carry ``tightBounds: false`` (deletion-vector adds) stay sound: the
+# bounds cover a SUPERSET of the live rows, so refutation over them
+# refutes the live rows a fortiori.
+
+def _stat_scalar(v, dt):
+    """One minValues/maxValues JSON scalar, type-aligned to the Delta
+    schema field — None when unusable (prune conservatively)."""
+    from pyspark.sql import types as T
+    if isinstance(dt, T.BooleanType):
+        return v if isinstance(v, bool) else None
+    if isinstance(v, bool):
+        return None
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                       T.LongType, T.FloatType, T.DoubleType)):
+        if isinstance(v, (int, float)):
+            return None if isinstance(v, float) and (
+                math.isnan(v) or math.isinf(v)) else v
+        return None
+    if isinstance(dt, T.StringType):
+        return v if isinstance(v, str) else None
+    return None
+
+
+def _pv_scalar(s: str, dt):
+    """A (non-null) partitionValues string → typed scalar, or None
+    when the type does not participate in pruning."""
+    from pyspark.sql import types as T
+    try:
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+            return int(s)
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            f = float(s)
+            return None if math.isnan(f) or math.isinf(f) else f
+        if isinstance(dt, T.BooleanType):
+            return {"true": True, "false": False}.get(s.lower())
+        if isinstance(dt, T.StringType):
+            return s
+    except (ValueError, TypeError):
+        return None
+    return None
+
+
+def _add_summary(add: dict, schema, top_map: dict, pcols: list):
+    """One add action → the plans.skipping per-segment summary shape
+    ``{"rows": n|None, "cols": {logical: {"min","max","nulls"}}}``.
+    Stats and partitionValues are keyed by PHYSICAL column names under
+    column mapping (the spec's rule) — ``top_map`` translates.
+    Returns None when nothing is usable (file always survives)."""
+    rows = None
+    mins, maxs, nulls = {}, {}, {}
+    st = add.get("stats")
+    if st:
+        try:
+            d = json.loads(st)
+            if isinstance(d.get("numRecords"), int):
+                rows = d["numRecords"]
+            mins = d.get("minValues") or {}
+            maxs = d.get("maxValues") or {}
+            nulls = d.get("nullCount") or {}
+        except Exception:
+            pass
+    pv = add.get("partitionValues") or {}
+    cols = {}
+    for f in schema.fields:
+        phys = top_map.get(f.name, f.name)
+        if f.name in pcols:
+            if phys not in pv:
+                continue
+            v = pv[phys]
+            if v is None:
+                # a null-partition file: every row's value is null
+                if rows is not None:
+                    cols[f.name] = {"min": None, "max": None,
+                                    "nulls": rows}
+                continue
+            tv = _pv_scalar(v, f.dataType)
+            if tv is not None:
+                cols[f.name] = {"min": tv, "max": tv, "nulls": 0}
+            continue
+        mn, mx = mins.get(phys), maxs.get(phys)
+        nl = nulls.get(phys)
+        nl = int(nl) if isinstance(nl, int) and not isinstance(nl, bool) \
+            else None
+        if mn is None and mx is None:
+            # exactly representable only as the all-null column
+            if nl is not None and rows is not None and nl >= rows:
+                cols[f.name] = {"min": None, "max": None, "nulls": nl}
+            continue
+        mn = _stat_scalar(mn, f.dataType)
+        mx = _stat_scalar(mx, f.dataType)
+        if mn is None or mx is None:
+            continue
+        cols[f.name] = {"min": mn, "max": mx, "nulls": nl}
+    if not cols:
+        return None
+    return {"rows": rows, "cols": cols}
+
+
+def _coerce_where_values(node, schema):
+    """Light loose-typing normalization of a where-node against the
+    Delta schema (the foreign-read analog of query._normalize_node):
+    numeric strings coerce to numbers on numeric columns, integral
+    floats to ints on integer columns.  Mis-typed values that survive
+    stay harmless — skipping keeps the file and the compiled row
+    filter applies the engine's two-valued compatibility rules."""
+    from pyspark.sql import types as T
+    from tostore_spark.condition import ConditionNode
+    types = {f.name: f.dataType for f in schema.fields}
+
+    def cv(v, dt):
+        if isinstance(v, bool) or dt is None:
+            return v
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+            if isinstance(v, str):
+                try:
+                    f = float(v)
+                    return int(f) if f == int(f) else f
+                except ValueError:
+                    return v
+            if isinstance(v, float) and v.is_integer():
+                return int(v)
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            if isinstance(v, str):
+                try:
+                    return float(v)
+                except ValueError:
+                    return v
+            if isinstance(v, int):
+                return float(v)
+        return v
+
+    def walk(n):
+        if n.kind != "leaf":
+            return ConditionNode(n.kind,
+                                 children=[walk(c) for c in n.children])
+        dt = types.get(n.field)
+        v = n.value
+        if n.op in ("IN", "NOT IN") and isinstance(v, (list, tuple)):
+            v = [cv(x, dt) for x in v]
+        elif n.op == "BETWEEN" and isinstance(v, dict):
+            v = {"start": cv(v.get("start"), dt),
+                 "end": cv(v.get("end"), dt)}
+        else:
+            v = cv(v, dt)
+        return ConditionNode("leaf", n.field, n.op, v)
+
+    return walk(node)
+
+
+def _prune_adds(files: dict, node, schema, top_map: dict,
+                pcols: list) -> dict:
+    """Keep only the adds whose stats/partitionValues admit the
+    predicate.  A file with no usable summary always survives."""
+    from tostore_spark.plans.skipping import node_may_match
+    out = {}
+    for rel, add in files.items():
+        summ = _add_summary(add, schema, top_map, pcols)
+        if summ is not None and not node_may_match(node, summ, ""):
+            continue
+        out[rel] = add
+    return out
 
 
 def _stage_data_files(df, path: str, version: int,
@@ -1240,7 +1424,8 @@ def _physical_schema(schema, with_ids: bool = False):
             {lf.name: pf.name for lf, pf in zip(schema.fields, fields)})
 
 
-def read_delta(spark, path: str, version: int | None = None):
+def read_delta(spark, path: str, version: int | None = None,
+               where=None):
     """Read a Delta table by replaying its transaction log — the
     no-library read-back for ``export_delta`` outputs AND for external
     Delta tables (minReaderVersion 1, plus 'name'/'id'-mode column
@@ -1248,7 +1433,15 @@ def read_delta(spark, path: str, version: int | None = None):
     minReaderVersion 2/3; unknown features refuse loudly).
     ``version`` time-travels
     to that commit.  Hive-style ``partitionValues`` attach as literal
-    columns typed per the schema."""
+    columns typed per the schema.
+
+    ``where`` (dict / QueryCondition / ConditionNode — the engine's
+    predicate language, ``condition.to_condition_node``) is the scan-
+    planning surface: files whose add-action STATS or partitionValues
+    refute the predicate are pruned from the scan at the log level
+    (Delta's own data-skipping design), and the predicate re-applies
+    to the surviving rows with the engine's two-valued semantics, so
+    pruning can only ever narrow the work, never change the result."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
     p = path[len("file:"):] if path.startswith("file:") else path
@@ -1275,6 +1468,28 @@ def read_delta(spark, path: str, version: int | None = None):
     else:
         raise ValueError(
             f"delta column mapping mode {cm_mode!r} unsupported")
+
+    node = None
+    if where is not None:
+        from tostore_spark.condition import to_condition_node
+        node = to_condition_node(where)
+        if node is not None and node.is_empty():
+            node = None
+    if node is not None:
+        node = _coerce_where_values(node, schema)
+        # log-level scan planning: drop files whose stats refute the
+        # predicate (a pruned file's deletion vector never decodes)
+        files = _prune_adds(files, node, schema, top_map, pcols)
+
+    def _apply_where(out):
+        # row-side re-application: pruning narrows, the filter defines
+        if node is None:
+            return out
+        from tostore_spark.compile import condition_to_column
+        fields = {f.name: f.dataType for f in out.schema.fields}
+        return out.filter(condition_to_column(
+            node, lambda name: ((F.col(name), fields[name])
+                                if name in fields else None)))
 
     def _finish(df):
         # physical → logical: rename top level, CAST renames nested
@@ -1339,9 +1554,9 @@ def read_delta(spark, path: str, version: int | None = None):
     if not files:
         return spark.createDataFrame([], schema)
     if not pcols:
-        return _finish(_dv_filter(
+        return _apply_where(_finish(_dv_filter(
             spark.read.schema(pschema)
-            .parquet(*[os.path.join(p, rel) for rel in sorted(files)])))
+            .parquet(*[os.path.join(p, rel) for rel in sorted(files)]))))
     if cm_mode in ("none", "") and _hive_layout(files, pcols):
         # the live files sit in a hive ``c=v`` directory layout whose
         # decoded values AGREE with the log's partitionValues (always
@@ -1350,10 +1565,10 @@ def read_delta(spark, path: str, version: int | None = None):
         # unionByName fold — a 1,000-partition table gets a 1-branch
         # plan, and the partition columns come back typed per the
         # schema (r11-verdict scalability order)
-        return _dv_filter(
+        return _apply_where(_dv_filter(
             spark.read.schema(schema).option("basePath", p)
             .parquet(*[os.path.join(p, rel) for rel in sorted(files)])
-        ).select(*[f.name for f in schema.fields])
+        ).select(*[f.name for f in schema.fields]))
     # foreign non-hive layout: partition data exists ONLY in the log —
     # group files by their partition tuple and attach the values as
     # typed literal columns (one grouped read per distinct tuple).
@@ -1380,7 +1595,7 @@ def read_delta(spark, path: str, version: int | None = None):
                 else F.lit(None).cast(typ))
         part = part.select(*[f.name for f in pschema.fields])
         out = part if out is None else out.unionByName(part)
-    return _finish(out)
+    return _apply_where(_finish(out))
 
 
 # ---------------------------------------------------------------------
