@@ -3095,6 +3095,58 @@ def q_delta_stats_skip(spark, sf_dir):
     return spark.createDataFrame(rows, schema_out)
 
 
+def q_iceberg_bounds_skip(spark, sf_dir):
+    """read_iceberg(where=) — manifest column-bounds file pruning
+    (r14, plans/iceberg): the exporter writes per-file lower_bounds/
+    upper_bounds/null_value_counts (spec data_file stats maps,
+    Appendix-D binary single-values) into every manifest entry; a
+    range predicate over a range-clustered export must drop refuted
+    data files at the MANIFEST level before Spark lists them —
+    asserted in-entry via _prune_by_stats (kept < total) — and the
+    surviving rows must equal DuckDB filtering the same orders table.
+    The Iceberg twin of q_delta_stats_skip: scan IO ∝ matching files
+    on foreign-readable exports."""
+    import os
+    import tempfile
+
+    from tostore_spark.condition import to_condition_node
+    from tostore_spark.plans.iceberg import (_load_metadata,
+                                             _pick_snapshot,
+                                             _prune_by_stats,
+                                             _scan_files,
+                                             _schema_for_snapshot,
+                                             read_iceberg)
+    db = _db(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        db1 = ToStoreSpark(spark, warehouse=os.path.join(tmp, "wh"))
+        db1.register_table(
+            "ord", df=db.df("orders")
+            .select("o_orderkey", "o_orderstatus")
+            .repartitionByRange(4, "o_orderkey"))
+        db1.flush()
+        dest = os.path.join(tmp, "ice")
+        db1.export_iceberg("ord", dest, target_files=4)
+        where = {"o_orderkey": {"<": 1000}}
+        meta = _load_metadata(dest)
+        snap = _pick_snapshot(meta)
+        sj = _schema_for_snapshot(meta, snap)
+        data, _pd, _ed, parts, fstats = _scan_files(
+            meta, snap, meta.get("location") or dest)
+        kept = _prune_by_stats(meta, sj, data, parts, fstats,
+                               to_condition_node(where))
+        if not (len(fstats) == len(data) and
+                0 < len(kept) < len(data)):
+            raise AssertionError(
+                f"bounds pruning did not engage: kept {len(kept)} of "
+                f"{len(data)} files ({len(fstats)} with stats)")
+        out = (read_iceberg(spark, dest, where=where)
+               .groupBy("o_orderstatus")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("o_orderkey").cast("long").alias("key_sum")))
+        rows, schema_out = out.collect(), out.schema
+    return spark.createDataFrame(rows, schema_out)
+
+
 def q_delta_export(spark, sf_dir):
     """Delta Lake export interop (r11, plans/delta_export): a table
     carrying a live merge-on-read recipe (delete epoch + replace
@@ -5143,7 +5195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
-        "q_delta_stats_skip",                                 # born r14
+        "q_iceberg_bounds_skip", "q_delta_stats_skip",        # born r14
         "q_iceberg_incremental", "q_delta_cdf",               # born r14
         "q_iceberg_roundtrip", "q_iceberg_mor",               # born r14
         "q_delete_vectors_part", "q_upsert_mor_part",         # born r13
@@ -6127,6 +6179,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_nationkey NOT IN (0, 1, 5, 7, 21)""",
         "q_delta_stats_skip": """
             -- the pruned read must equal a plain filtered scan
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+            FROM orders WHERE o_orderkey < 1000
+            GROUP BY o_orderstatus""",
+        "q_iceberg_bounds_skip": """
             SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(o_orderkey) AS BIGINT) AS key_sum
             FROM orders WHERE o_orderkey < 1000

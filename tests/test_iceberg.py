@@ -128,10 +128,32 @@ def test_iceberg_manifest_schemas_roundtrip():
              "data_file": {"content": 0, "file_path": "/d/a.parquet",
                            "file_format": "PARQUET", "partition": {},
                            "record_count": 5, "file_size_in_bytes": 99,
+                           "value_counts": [{"key": 1, "value": 5}],
+                           "null_value_counts": [{"key": 1, "value": 0}],
+                           "lower_bounds": [
+                               {"key": 1,
+                                "value": b"\x01\x00\x00\x00\x00\x00\x00\x00"}],
+                           "upper_bounds": [
+                               {"key": 1,
+                                "value": b"\x09\x00\x00\x00\x00\x00\x00\x00"}],
                            "equality_ids": None}}
     _, out = read_container(
         write_container(_MANIFEST_ENTRY_SCHEMA, [entry]))
     assert out == [entry]
+    # stats maps are optional with null defaults — an entry written
+    # without them decodes with explicit Nones
+    bare = {"status": 1, "snapshot_id": 10, "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {"content": 0, "file_path": "/d/a.parquet",
+                          "file_format": "PARQUET", "partition": {},
+                          "record_count": 5, "file_size_in_bytes": 99,
+                          "value_counts": None,
+                          "null_value_counts": None,
+                          "lower_bounds": None, "upper_bounds": None,
+                          "equality_ids": None}}
+    _, out = read_container(
+        write_container(_MANIFEST_ENTRY_SCHEMA, [bare]))
+    assert out == [bare]
     ml = {"manifest_path": "/m.avro", "manifest_length": 1,
           "partition_spec_id": 0, "content": 0, "sequence_number": 3,
           "min_sequence_number": 3, "added_snapshot_id": 10,

@@ -147,6 +147,67 @@ def _leaf_to_column(field: str, op: str, value, resolver: Resolver) -> Column:
     raise ValueError(f"unsupported operator: {op}")
 
 
+def coerce_where_values(node: ConditionNode, schema) -> ConditionNode:
+    """Light loose-typing normalization of a freestanding where-node
+    against a Spark ``StructType`` (the foreign-read analog of
+    query._normalize_node, shared by read_delta/read_iceberg):
+    numeric strings coerce to numbers on numeric columns, integral
+    floats to ints on integer columns.  Mis-typed values that survive
+    stay harmless — skipping keeps the file and the compiled row
+    filter applies the engine's two-valued compatibility rules."""
+    types = {f.name: f.dataType for f in schema.fields}
+
+    def cv(v, dt):
+        if isinstance(v, bool) or dt is None:
+            return v
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+            if isinstance(v, str):
+                try:
+                    f = float(v)
+                    return int(f) if f == int(f) else f
+                except ValueError:
+                    return v
+            if isinstance(v, float) and v.is_integer():
+                return int(v)
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            if isinstance(v, str):
+                try:
+                    return float(v)
+                except ValueError:
+                    return v
+            if isinstance(v, int):
+                return float(v)
+        return v
+
+    def walk(n):
+        if n.kind != "leaf":
+            return ConditionNode(n.kind,
+                                 children=[walk(c) for c in n.children])
+        dt = types.get(n.field)
+        v = n.value
+        if n.op in ("IN", "NOT IN") and isinstance(v, (list, tuple)):
+            v = [cv(x, dt) for x in v]
+        elif n.op == "BETWEEN" and isinstance(v, dict):
+            v = {"start": cv(v.get("start"), dt),
+                 "end": cv(v.get("end"), dt)}
+        else:
+            v = cv(v, dt)
+        return ConditionNode("leaf", n.field, n.op, v)
+
+    return walk(node)
+
+
+def where_filter_column(node: ConditionNode, schema) -> Column:
+    """Compile a freestanding where-node into the row-side filter over
+    a frame with ``schema`` — the re-application half of foreign-read
+    scan planning (pruning narrows, this defines)."""
+    fields = {f.name: f.dataType for f in schema.fields}
+    return condition_to_column(
+        node, lambda name: ((F.col(name), fields[name])
+                            if name in fields else None))
+
+
 def condition_to_column(node: ConditionNode, resolver: Resolver) -> Column:
     if node.kind == "leaf":
         return _leaf_to_column(node.field, node.op, node.value, resolver)

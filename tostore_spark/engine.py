@@ -1584,10 +1584,29 @@ class ToStoreSpark:
                    target_files=target_files,
                    allow_decrypted=allow_decrypted)
 
+    def read_iceberg(self, path: str,
+                     snapshot_id: Optional[int] = None,
+                     as_of_ms: Optional[int] = None,
+                     partition_filter: Optional[dict] = None,
+                     where=None) -> DataFrame:
+        """Read an external Iceberg v1/v2 table (or an
+        ``export_iceberg`` output) — pure-Python Avro manifest
+        decoding, field-id column resolution, v2 merge-on-read
+        deletes, snapshot time travel (plans/iceberg.read_iceberg).
+        ``where`` (the engine predicate language) prunes data files by
+        the manifests' column bounds and identity partition values
+        BEFORE the scan and re-applies to rows."""
+        from tostore_spark.plans.iceberg import read_iceberg
+        return read_iceberg(self.spark, path, snapshot_id=snapshot_id,
+                            as_of_ms=as_of_ms,
+                            partition_filter=partition_filter,
+                            where=where)
+
     def register_iceberg(self, name: str, path: str,
                          snapshot_id: Optional[int] = None,
                          as_of_ms: Optional[int] = None,
                          partition_filter: Optional[dict] = None,
+                         where=None,
                          is_global: bool = False) -> None:
         """Register an external Iceberg v1/v2 table (or an
         ``export_iceberg`` output) as a readable source — pure-Python
@@ -1595,11 +1614,13 @@ class ToStoreSpark:
         merge-on-read position/equality deletes, snapshot time travel
         (plans/iceberg.read_iceberg).  ``partition_filter`` prunes
         data files at the manifest level (identity transforms) before
-        Spark lists them."""
+        Spark lists them; ``where`` additionally prunes by manifest
+        column bounds (see ``read_iceberg``)."""
         from tostore_spark.plans.iceberg import read_iceberg
         df = read_iceberg(self.spark, path, snapshot_id=snapshot_id,
                           as_of_ms=as_of_ms,
-                          partition_filter=partition_filter)
+                          partition_filter=partition_filter,
+                          where=where)
         self.register_table(name, df=df, is_global=is_global)
 
     def apply_cdf(self, table: str, path: str,

@@ -235,55 +235,10 @@ def _add_summary(add: dict, schema, top_map: dict, pcols: list):
 
 
 def _coerce_where_values(node, schema):
-    """Light loose-typing normalization of a where-node against the
-    Delta schema (the foreign-read analog of query._normalize_node):
-    numeric strings coerce to numbers on numeric columns, integral
-    floats to ints on integer columns.  Mis-typed values that survive
-    stay harmless — skipping keeps the file and the compiled row
-    filter applies the engine's two-valued compatibility rules."""
-    from pyspark.sql import types as T
-    from tostore_spark.condition import ConditionNode
-    types = {f.name: f.dataType for f in schema.fields}
-
-    def cv(v, dt):
-        if isinstance(v, bool) or dt is None:
-            return v
-        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
-                           T.LongType)):
-            if isinstance(v, str):
-                try:
-                    f = float(v)
-                    return int(f) if f == int(f) else f
-                except ValueError:
-                    return v
-            if isinstance(v, float) and v.is_integer():
-                return int(v)
-        if isinstance(dt, (T.FloatType, T.DoubleType)):
-            if isinstance(v, str):
-                try:
-                    return float(v)
-                except ValueError:
-                    return v
-            if isinstance(v, int):
-                return float(v)
-        return v
-
-    def walk(n):
-        if n.kind != "leaf":
-            return ConditionNode(n.kind,
-                                 children=[walk(c) for c in n.children])
-        dt = types.get(n.field)
-        v = n.value
-        if n.op in ("IN", "NOT IN") and isinstance(v, (list, tuple)):
-            v = [cv(x, dt) for x in v]
-        elif n.op == "BETWEEN" and isinstance(v, dict):
-            v = {"start": cv(v.get("start"), dt),
-                 "end": cv(v.get("end"), dt)}
-        else:
-            v = cv(v, dt)
-        return ConditionNode("leaf", n.field, n.op, v)
-
-    return walk(node)
+    """Shared loose-typing normalization (compile.coerce_where_values;
+    kept under the module-local name the read path and tests use)."""
+    from tostore_spark.compile import coerce_where_values
+    return coerce_where_values(node, schema)
 
 
 def _prune_adds(files: dict, node, schema, top_map: dict,
@@ -1485,11 +1440,8 @@ def read_delta(spark, path: str, version: int | None = None,
         # row-side re-application: pruning narrows, the filter defines
         if node is None:
             return out
-        from tostore_spark.compile import condition_to_column
-        fields = {f.name: f.dataType for f in out.schema.fields}
-        return out.filter(condition_to_column(
-            node, lambda name: ((F.col(name), fields[name])
-                                if name in fields else None)))
+        from tostore_spark.compile import where_filter_column
+        return out.filter(where_filter_column(node, out.schema))
 
     def _finish(df):
         # physical → logical: rename top level, CAST renames nested

@@ -45,6 +45,7 @@ import json
 import os
 import re
 import shutil
+import struct
 import time
 import uuid
 
@@ -189,6 +190,23 @@ def _fs(name, typ, fid, optional=False):
     return f
 
 
+def _kvmap(name, fid, key_fid, val_fid, val_type):
+    """An Iceberg int-keyed stats map in its Avro representation: an
+    optional array of key/value records with ``logicalType: map`` (the
+    spec's encoding for maps with non-string keys)."""
+    return {"name": name, "field-id": fid, "default": None,
+            "type": ["null", {
+                "type": "array", "logicalType": "map",
+                "items": {
+                    "type": "record",
+                    "name": f"k{key_fid}_v{val_fid}",
+                    "fields": [
+                        {"name": "key", "type": "int",
+                         "field-id": key_fid},
+                        {"name": "value", "type": val_type,
+                         "field-id": val_fid}]}}]}
+
+
 _MANIFEST_LIST_SCHEMA = {
     "type": "record", "name": "manifest_file", "fields": [
         _fs("manifest_path", "string", 500),
@@ -222,6 +240,13 @@ _MANIFEST_ENTRY_SCHEMA = {
                     "type": "record", "name": "r102", "fields": []}},
                 _fs("record_count", "long", 103),
                 _fs("file_size_in_bytes", "long", 104),
+                # per-file column stats (spec data_file fields; the
+                # manifest-level skipping surface foreign planners —
+                # and read_iceberg(where=) — prune with)
+                _kvmap("value_counts", 109, 119, 120, "long"),
+                _kvmap("null_value_counts", 110, 121, 122, "long"),
+                _kvmap("lower_bounds", 125, 126, 127, "bytes"),
+                _kvmap("upper_bounds", 128, 129, 130, "bytes"),
                 {"name": "equality_ids", "field-id": 135,
                  "type": ["null", {"type": "array", "items": "int",
                                    "element-id": 136}],
@@ -309,12 +334,47 @@ def _pick_snapshot(meta: dict, snapshot_id=None, as_of_ms=None):
     raise ValueError(f"current-snapshot-id {cur} missing from snapshots")
 
 
+def _kv_to_dict(v) -> dict:
+    """A manifest stats map — Avro array-of-kv-records form or a plain
+    dict — → ``{int field id: value}``; {} when absent/odd."""
+    out: dict = {}
+    if v is None:
+        return out
+    if isinstance(v, dict):
+        items = v.items()
+    else:
+        items = ((e.get("key"), e.get("value")) for e in v
+                 if isinstance(e, dict))
+    for k, x in items:
+        try:
+            out[int(k)] = x
+        except (TypeError, ValueError):
+            continue
+    return out
+
+
+def _entry_stats(df_: dict):
+    """One manifest data_file record → its skipping-relevant stats
+    (id-keyed raw bounds + null counts + row count), or None."""
+    lo = _kv_to_dict(df_.get("lower_bounds"))
+    hi = _kv_to_dict(df_.get("upper_bounds"))
+    nc = _kv_to_dict(df_.get("null_value_counts"))
+    rc = df_.get("record_count")
+    rows = int(rc) if isinstance(rc, int) and not isinstance(rc, bool) \
+        else None
+    if not (lo or hi or nc) and rows is None:
+        return None
+    return {"rows": rows, "lo": lo, "hi": hi, "nulls": nc}
+
+
 def _scan_files(meta: dict, snapshot: dict, location: str):
     """Walk manifest-list → manifests.  Returns
-    ``(data_files, pos_delete_files, eq_delete_files)`` where each
-    data file is ``(norm_path, data_seq)``, each position-delete file
-    ``(norm_path, delete_seq)`` and each equality-delete file
-    ``(norm_path, delete_seq, [equality field ids])``."""
+    ``(data_files, pos_delete_files, eq_delete_files, parts, fstats)``
+    where each data file is ``(norm_path, data_seq)``, each
+    position-delete file ``(norm_path, delete_seq)``, each
+    equality-delete file ``(norm_path, delete_seq, [equality field
+    ids])``, ``parts`` maps data file → partition struct and
+    ``fstats`` maps data file → its manifest column stats."""
     fv = meta.get("format-version", 1)
 
     def _abs(p):
@@ -332,6 +392,7 @@ def _scan_files(meta: dict, snapshot: dict, location: str):
 
     data, pos_del, eq_del = [], [], []
     parts: dict[str, dict] = {}
+    fstats: dict[str, dict] = {}
     for m in mlist:
         mseq = m.get("sequence_number") or 0
         _, entries = read_container_file(_abs(m["manifest_path"]))
@@ -356,6 +417,9 @@ def _scan_files(meta: dict, snapshot: dict, location: str):
             if content == 0:
                 data.append((fpath, seq))
                 parts[fpath] = dict(df_.get("partition") or {})
+                st = _entry_stats(df_)
+                if st is not None:
+                    fstats[fpath] = st
             elif content == 1:
                 pos_del.append((fpath, seq))
             elif content == 2:
@@ -379,7 +443,7 @@ def _scan_files(meta: dict, snapshot: dict, location: str):
             continue
         seen[fp] = seq
         deduped.append((fp, seq))
-    return deduped, pos_del, eq_del, parts
+    return deduped, pos_del, eq_del, parts, fstats
 
 
 def _prune_partitions(meta: dict, schema_json: dict, data: list,
@@ -426,9 +490,79 @@ def _prune_partitions(meta: dict, schema_json: dict, data: list,
     return out
 
 
+def _prune_by_stats(meta: dict, schema_json: dict, data: list,
+                    parts: dict, fstats: dict, node) -> list:
+    """Manifest-level value skipping for ``read_iceberg(where=)``:
+    build a plans.skipping summary per data file from its manifest
+    stats maps (lower/upper bounds Appendix-D decoded, null counts,
+    record count) plus identity-transform partition values (min=max=
+    the recorded value), and drop files the predicate refutes via the
+    same conservative ``node_may_match`` as the store's own manifest
+    skipping and read_delta's add-stats pruning.  Undecidable anywhere
+    keeps the file; the caller re-applies the predicate to rows, so
+    pruning can only narrow the scan, never the result."""
+    from tostore_spark.plans.skipping import node_may_match
+    by_id = {int(f["id"]): f for f in schema_json.get("fields") or []}
+    ident: dict[str, str] = {}
+    specs = meta.get("partition-specs") or []
+    if not specs and meta.get("partition-spec"):
+        specs = [{"fields": meta["partition-spec"]}]
+    for spec in specs:
+        for pf in spec.get("fields") or []:
+            if pf.get("transform") == "identity":
+                src = by_id.get(pf.get("source-id"))
+                if src is not None:
+                    ident[src["name"]] = pf.get("name", src["name"])
+    out = []
+    for fp, seq in data:
+        st = fstats.get(fp) or {}
+        rows = st.get("rows")
+        cols: dict = {}
+        for fid, lb in (st.get("lo") or {}).items():
+            f = by_id.get(fid)
+            if f is None:
+                continue
+            mn = _deser_bound(f.get("type"), lb)
+            mx = _deser_bound(f.get("type"),
+                              (st.get("hi") or {}).get(fid))
+            if mn is None or mx is None:
+                continue
+            nl = (st.get("nulls") or {}).get(fid)
+            cols[f["name"]] = {
+                "min": mn, "max": mx,
+                "nulls": int(nl) if isinstance(nl, int)
+                and not isinstance(nl, bool) else None}
+        for fid, nl in (st.get("nulls") or {}).items():
+            f = by_id.get(fid)
+            if f is None or f["name"] in cols:
+                continue
+            if isinstance(nl, int) and not isinstance(nl, bool) \
+                    and rows is not None and nl >= rows:
+                # all-null column: exactly representable without bounds
+                cols[f["name"]] = {"min": None, "max": None,
+                                   "nulls": int(nl)}
+        pv = parts.get(fp) or {}
+        for col, key in ident.items():
+            if col in cols or key not in pv:
+                continue
+            v = pv[key]
+            if v is None:
+                if rows is not None:
+                    cols[col] = {"min": None, "max": None,
+                                 "nulls": rows}
+            elif isinstance(v, (bool, int, float, str)):
+                cols[col] = {"min": v, "max": v, "nulls": 0}
+        if cols and not node_may_match(
+                node, {"rows": rows, "cols": cols}, ""):
+            continue
+        out.append((fp, seq))
+    return out
+
+
 def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                  as_of_ms: int | None = None,
-                 partition_filter: dict | None = None):
+                 partition_filter: dict | None = None,
+                 where=None):
     """Read an Iceberg v1/v2 table at ``path`` (filesystem layout:
     ``metadata/`` + data files).  ``snapshot_id`` / ``as_of_ms``
     time-travel.  v2 merge-on-read position and equality deletes are
@@ -441,7 +575,15 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     partition fields prune (bucket/truncate/time transforms
     conservatively keep the file), missing values keep the file, and
     the same predicate re-applies to the surviving rows so a sloppy
-    foreign manifest can never widen the result."""
+    foreign manifest can never widen the result.
+
+    ``where`` (dict / QueryCondition / ConditionNode — the engine's
+    predicate language) is the general scan-planning surface: data
+    files whose manifest COLUMN BOUNDS (lower_bounds/upper_bounds/
+    null_value_counts, Appendix-D decoded) or identity partition
+    values refute the predicate are pruned before Spark lists them,
+    and the predicate re-applies to the surviving rows with the
+    engine's two-valued semantics."""
     from pyspark.sql import functions as F
 
     p = _norm_path(path)
@@ -449,13 +591,26 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     snapshot = _pick_snapshot(meta, snapshot_id, as_of_ms)
     schema_json = _schema_for_snapshot(meta, snapshot)
     sschema = _schema_to_spark(schema_json)
+    node = None
+    if where is not None:
+        from tostore_spark.compile import coerce_where_values
+        from tostore_spark.condition import to_condition_node
+        node = to_condition_node(where)
+        if node is not None and node.is_empty():
+            node = None
+        if node is not None:
+            node = coerce_where_values(node, sschema)
     if snapshot is None:
         return spark.createDataFrame([], sschema)
     location = meta.get("location") or p
-    data, pos_del, eq_del, parts = _scan_files(meta, snapshot, location)
+    data, pos_del, eq_del, parts, fstats = _scan_files(
+        meta, snapshot, location)
     if partition_filter:
         data = _prune_partitions(meta, schema_json, data, parts,
                                  partition_filter)
+    if node is not None:
+        data = _prune_by_stats(meta, schema_json, data, parts,
+                               fstats, node)
     if not data:
         return spark.createDataFrame([], sschema)
 
@@ -466,12 +621,15 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     df = spark.read.schema(sschema).parquet(*paths)
 
     def _refilter(out):
-        # re-apply the partition predicate to ROWS: manifest pruning
-        # may only narrow the file list, never define the result
+        # re-apply the predicates to ROWS: manifest pruning may only
+        # narrow the file list, never define the result
         names = {f.name for f in sschema.fields}
         for col, want in (partition_filter or {}).items():
             if col in names:
                 out = out.filter(F.col(col) == F.lit(want))
+        if node is not None:
+            from tostore_spark.compile import where_filter_column
+            out = out.filter(where_filter_column(node, out.schema))
         return out
 
     if not pos_del and not eq_del:
@@ -714,6 +872,109 @@ def _fresh_meta(path: str, spark_schema) -> dict:
     }
 
 
+# -------------------------------------------- per-file column stats
+# Spec "Appendix D: Single-value serialization": manifest bound maps
+# carry one binary value per field id.  Only the types the store's
+# footer summaries cover are emitted/consumed (boolean/int/long/
+# float/double/string); anything else is skipped — stats are optional
+# and absence is always correct.
+
+_BOUND_PACK = {"int": "<i", "long": "<q", "float": "<f", "double": "<d"}
+
+
+def _ser_bound(ice_type, v):
+    """One bound value → its Appendix-D binary form, or None to skip
+    (type mismatch / overflow: never guess)."""
+    if not isinstance(ice_type, str):
+        return None
+    if ice_type == "boolean":
+        return (b"\x01" if v else b"\x00") if isinstance(v, bool) \
+            else None
+    if isinstance(v, bool):
+        return None
+    if ice_type == "string":
+        return v.encode("utf-8") if isinstance(v, str) else None
+    fmt = _BOUND_PACK.get(ice_type)
+    if fmt is None:
+        return None
+    if ice_type in ("int", "long"):
+        if not isinstance(v, int):
+            return None
+        if ice_type == "int" and not -2**31 <= v < 2**31:
+            return None
+        return struct.pack(fmt, v)
+    if not isinstance(v, (int, float)):
+        return None
+    return struct.pack(fmt, float(v))
+
+
+def _deser_bound(ice_type, b):
+    """Appendix-D binary → python scalar; None when unusable.  A
+    foreign writer may TRUNCATE string bounds — sound for skipping:
+    a truncated lower bound is still ≤ every value, and the spec
+    requires an upper-bound truncation to round UP."""
+    if not isinstance(b, (bytes, bytearray)) or not isinstance(
+            ice_type, str):
+        return None
+    b = bytes(b)
+    try:
+        if ice_type == "boolean":
+            return b == b"\x01" if len(b) == 1 else None
+        if ice_type == "string":
+            return b.decode("utf-8")
+        fmt = _BOUND_PACK.get(ice_type)
+        if fmt is None or len(b) != struct.calcsize(fmt):
+            return None
+        v = struct.unpack(fmt, b)[0]
+        if isinstance(v, float) and (v != v or v in
+                                     (float("inf"), float("-inf"))):
+            return None
+        return v
+    except (UnicodeDecodeError, struct.error):
+        return None
+
+
+def _file_column_stats(fpath: str, schema_json: dict) -> dict:
+    """One staged data file's parquet footer → the manifest's id-keyed
+    stats maps (value_counts / null_value_counts / lower_bounds /
+    upper_bounds, as the Avro array-of-kv form).  Metadata-only read;
+    {} on any hiccup."""
+    try:
+        import pyarrow.parquet as pq
+
+        from tostore_spark.plans.skipping import _fold_file
+        summ = _fold_file(pq.ParquetFile(fpath).metadata)
+    except Exception:
+        return {}
+    rows = summ.get("rows")
+    by_name = {f["name"]: f for f in schema_json.get("fields") or []}
+    vc, nc, lo, hi = [], [], [], []
+    for name, ent in sorted((summ.get("cols") or {}).items()):
+        f = by_name.get(name)
+        if f is None:
+            continue
+        fid = int(f["id"])
+        if rows is not None:
+            vc.append({"key": fid, "value": int(rows)})
+        if ent.get("nulls") is not None:
+            nc.append({"key": fid, "value": int(ent["nulls"])})
+        if ent.get("min") is not None:
+            lb = _ser_bound(f.get("type"), ent["min"])
+            ub = _ser_bound(f.get("type"), ent["max"])
+            if lb is not None and ub is not None:
+                lo.append({"key": fid, "value": lb})
+                hi.append({"key": fid, "value": ub})
+    out = {}
+    if vc:
+        out["value_counts"] = vc
+    if nc:
+        out["null_value_counts"] = nc
+    if lo:
+        out["lower_bounds"] = lo
+        out["upper_bounds"] = hi
+    return out
+
+
 def _manifest(mdir: str, schema_json: dict, entries: list,
               snap_id: int, seq: int, content: str) -> dict:
     """Write one manifest Avro file; return its manifest-list entry."""
@@ -765,6 +1026,11 @@ def _commit_snapshot(path: str, meta: dict, data_files,
             eq_ids = list(item[3]) if len(item) > 3 and item[3] \
                 else None
             code = content_code if eq_ids is None else 2
+            # data files carry per-column footer stats in the manifest
+            # (delete files don't: their columns are reserved-id or
+            # key projections, and planners don't skip on them here)
+            st = _file_column_stats(fpath, schema_json) \
+                if code == 0 else {}
             out.append({
                 "status": 1, "snapshot_id": snap_id,
                 "sequence_number": None,        # inherited (v2)
@@ -773,6 +1039,10 @@ def _commit_snapshot(path: str, meta: dict, data_files,
                     "content": code, "file_path": fpath,
                     "file_format": "PARQUET", "partition": {},
                     "record_count": rows, "file_size_in_bytes": size,
+                    "value_counts": st.get("value_counts"),
+                    "null_value_counts": st.get("null_value_counts"),
+                    "lower_bounds": st.get("lower_bounds"),
+                    "upper_bounds": st.get("upper_bounds"),
                     "equality_ids": eq_ids,
                 }})
         return out
@@ -989,7 +1259,7 @@ def _export_iceberg_update(engine, table: str, path: str,
         field_names = {f.name for f in sschema.fields}
         snap = _pick_snapshot(meta)
         if snap is not None:
-            live, _pd, _ed, _parts = _scan_files(
+            live, _pd, _ed, _parts, _fs = _scan_files(
                 meta, snap, meta.get("location") or path)
         else:
             live = []
