@@ -3058,9 +3058,14 @@ def q_delta_stats_skip(spark, sf_dir):
                           "schemaString": schema.json(),
                           "partitionColumns": [], "configuration": {}}},
         ]
-        slices = [src[src.o_orderkey < 2000],
-                  src[(src.o_orderkey >= 2000) & (src.o_orderkey < 4000)],
-                  src[src.o_orderkey >= 4000]]
+        # tercile boundaries of the ACTUAL keys: three range-disjoint
+        # files at any scale factor
+        q1 = int(src.o_orderkey.quantile(1 / 3))
+        q2 = int(src.o_orderkey.quantile(2 / 3))
+        slices = [sl for sl in (
+            src[src.o_orderkey < q1],
+            src[(src.o_orderkey >= q1) & (src.o_orderkey < q2)],
+            src[src.o_orderkey >= q2]) if len(sl)]
         for i, sl in enumerate(slices):
             name = f"f{i}.parquet"
             pq.write_table(pa.Table.from_pandas(
@@ -3078,12 +3083,13 @@ def q_delta_stats_skip(spark, sf_dir):
         with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
             for a in actions:
                 fh.write(_json.dumps(a) + "\n")
-        where = {"o_orderkey": {"<": 1000}}
+        where = {"o_orderkey": {"<": 300}}
         state = _replay(tmp, None)
         node = _coerce_where_values(to_condition_node(where), schema)
         kept = _prune_adds(state["files"], node, schema,
                            {f.name: f.name for f in schema.fields}, [])
-        if (len(state["files"]), len(kept)) != (3, 1):
+        if len(state["files"]) < 3 or not (
+                0 < len(kept) < len(state["files"])):
             raise AssertionError(
                 f"stats pruning did not engage: kept {len(kept)} of "
                 f"{len(state['files'])} files")
@@ -3143,6 +3149,132 @@ def q_iceberg_bounds_skip(spark, sf_dir):
                .groupBy("o_orderstatus")
                .agg(F.count(F.lit(1)).alias("n"),
                     F.sum("o_orderkey").cast("long").alias("key_sum")))
+        rows, schema_out = out.collect(), out.schema
+    return spark.createDataFrame(rows, schema_out)
+
+
+def q_iceberg_transform_prune(spark, sf_dir):
+    """Iceberg partition-TRANSFORM pruning (r14, plans/
+    iceberg_transforms): a foreign ``bucket[4]``-partitioned table
+    (hand-assembled in-entry; bucket assignment = the spec's
+    Murmur3-x86-32, byte-pinned elsewhere against the published
+    Appendix-B vectors) read with an IN predicate must scan ONLY the
+    files of the probe values' buckets — asserted in-entry via
+    inputFiles — and return exactly DuckDB's rows for the same
+    predicate on orders.  The scan-planning shape every foreign
+    Flink/Spark-written warehouse table has."""
+    import json as _json
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tostore_spark.plans.avro_io import write_container_file
+    from tostore_spark.plans.iceberg import (_MANIFEST_ENTRY_SCHEMA,
+                                             _MANIFEST_LIST_SCHEMA,
+                                             read_iceberg)
+    from tostore_spark.plans.iceberg_transforms import transform_value
+    db = _db(spark, sf_dir)
+    src = (db.df("orders").select("o_orderkey", "o_orderstatus")
+           .toPandas())        # fixture construction, sf-bounded
+    src["b"] = src.o_orderkey.map(
+        lambda v: transform_value("bucket", 4, "long", int(v)))
+    probes = [1, 7, 32]
+    with tempfile.TemporaryDirectory() as tmp:
+        loc = os.path.join(tmp, "ft")
+        ddir, mdir = os.path.join(loc, "data"), \
+            os.path.join(loc, "metadata")
+        os.makedirs(ddir)
+        os.makedirs(mdir)
+        import copy
+        mes = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+        pf = next(f for f in mes["fields"][4]["type"]["fields"]
+                  if f["name"] == "partition")
+        pf["type"]["fields"] = [
+            {"name": "okey_bucket", "type": ["null", "int"],
+             "field-id": 1000, "default": None}]
+
+        def _paf(name, typ, fid):
+            return pa.field(name, typ, metadata={
+                b"PARQUET:field_id": str(fid).encode()})
+        dschema = pa.schema([_paf("o_orderkey", pa.int64(), 1),
+                             _paf("o_orderstatus", pa.string(), 2)])
+        schema_json = {"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "o_orderkey", "required": False,
+             "type": "long"},
+            {"id": 2, "name": "o_orderstatus", "required": False,
+             "type": "string"}]}
+        spec = [{"name": "okey_bucket", "transform": "bucket[4]",
+                 "source-id": 1, "field-id": 1000}]
+        entries, names = [], {}
+        for b, grp in src.groupby("b"):
+            name = f"b{b}.parquet"
+            names[int(b)] = name
+            fp = os.path.join(ddir, name)
+            pq.write_table(pa.Table.from_pandas(
+                grp[["o_orderkey", "o_orderstatus"]]
+                .reset_index(drop=True), schema=dschema,
+                preserve_index=False), fp)
+            entries.append({
+                "status": 1, "snapshot_id": 7, "sequence_number": 1,
+                "file_sequence_number": 1,
+                "data_file": {"content": 0, "file_path": fp,
+                              "file_format": "PARQUET",
+                              "partition": {"okey_bucket": int(b)},
+                              "record_count": int(len(grp)),
+                              "file_size_in_bytes":
+                                  os.path.getsize(fp),
+                              "value_counts": None,
+                              "null_value_counts": None,
+                              "lower_bounds": None,
+                              "upper_bounds": None,
+                              "equality_ids": None}})
+        mp = os.path.join(mdir, "m0.avro")
+        write_container_file(
+            mp, mes, entries,
+            meta={"schema": _json.dumps(schema_json),
+                  "partition-spec": _json.dumps(spec),
+                  "partition-spec-id": "0", "format-version": "2",
+                  "content": "data"})
+        ml = os.path.join(mdir, "snap-7.avro")
+        write_container_file(ml, _MANIFEST_LIST_SCHEMA, [{
+            "manifest_path": mp,
+            "manifest_length": os.path.getsize(mp),
+            "partition_spec_id": 0, "content": 0,
+            "sequence_number": 1, "min_sequence_number": 1,
+            "added_snapshot_id": 7,
+            "added_files_count": len(entries),
+            "existing_files_count": 0, "deleted_files_count": 0,
+            "added_rows_count": int(len(src)),
+            "existing_rows_count": 0, "deleted_rows_count": 0,
+            "key_metadata": None}], meta={"format-version": "2"})
+        tmeta = {"format-version": 2, "location": loc,
+                 "last-sequence-number": 1, "current-schema-id": 0,
+                 "schemas": [schema_json], "default-spec-id": 0,
+                 "partition-specs": [{"spec-id": 0, "fields": spec}],
+                 "current-snapshot-id": 7,
+                 "snapshots": [{"snapshot-id": 7,
+                                "sequence-number": 1,
+                                "timestamp-ms": 1000,
+                                "summary": {"operation": "append"},
+                                "manifest-list": ml, "schema-id": 0}]}
+        with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+            _json.dump(tmeta, fh)
+        with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+            fh.write("1")
+        out = read_iceberg(spark, loc,
+                           where={"o_orderkey": {"IN": probes}})
+        allowed = {names[transform_value("bucket", 4, "long", v)]
+                   for v in probes if
+                   transform_value("bucket", 4, "long", v) in names}
+        scanned = {os.path.basename(f) for f in out.inputFiles()}
+        if not scanned or not scanned.issubset(allowed) \
+                or len(scanned) >= len(entries):
+            raise AssertionError(
+                f"bucket pruning did not engage: scanned {scanned} "
+                f"of {len(entries)} files (allowed {allowed})")
+        out = out.select("o_orderkey", "o_orderstatus")
         rows, schema_out = out.collect(), out.schema
     return spark.createDataFrame(rows, schema_out)
 
@@ -5195,6 +5327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
+        "q_iceberg_transform_prune",                          # born r14
         "q_iceberg_bounds_skip", "q_delta_stats_skip",        # born r14
         "q_iceberg_incremental", "q_delta_cdf",               # born r14
         "q_iceberg_roundtrip", "q_iceberg_mor",               # born r14
@@ -6181,13 +6314,16 @@ def oracle_sql() -> dict[str, str]:
             -- the pruned read must equal a plain filtered scan
             SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(o_orderkey) AS BIGINT) AS key_sum
-            FROM orders WHERE o_orderkey < 1000
+            FROM orders WHERE o_orderkey < 300
             GROUP BY o_orderstatus""",
         "q_iceberg_bounds_skip": """
             SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(o_orderkey) AS BIGINT) AS key_sum
             FROM orders WHERE o_orderkey < 1000
             GROUP BY o_orderstatus""",
+        "q_iceberg_transform_prune": """
+            SELECT o_orderkey, o_orderstatus FROM orders
+            WHERE o_orderkey IN (1, 7, 32)""",
         "q_delta_roundtrip": """
             -- v0 = 25 nation rows; v1 = +4 appends (keys 700-703);
             -- final = v1 minus keys >= 703

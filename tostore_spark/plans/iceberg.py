@@ -500,19 +500,59 @@ def _prune_by_stats(meta: dict, schema_json: dict, data: list,
     same conservative ``node_may_match`` as the store's own manifest
     skipping and read_delta's add-stats pruning.  Undecidable anywhere
     keeps the file; the caller re-applies the predicate to rows, so
-    pruning can only narrow the scan, never the result."""
-    from tostore_spark.plans.skipping import node_may_match
+    pruning can only narrow the scan, never the result.
+
+    Non-identity partition TRANSFORMS (bucket[N] via the spec's
+    Murmur3-x86-32, truncate[W], year/month/day/hour) also prune:
+    equality/IN against any transform, ranges against the monotone
+    ones (plans/iceberg_transforms.leaf_keeps)."""
+    from tostore_spark.plans.iceberg_transforms import (leaf_keeps,
+                                                        parse_transform)
+    from tostore_spark.plans.skipping import _leaf_may_match
     by_id = {int(f["id"]): f for f in schema_json.get("fields") or []}
     ident: dict[str, str] = {}
+    # source column -> [(transform name, param, iceberg type,
+    #                    partition key)] for non-identity transforms
+    tmap: dict[str, list] = {}
     specs = meta.get("partition-specs") or []
     if not specs and meta.get("partition-spec"):
         specs = [{"fields": meta["partition-spec"]}]
     for spec in specs:
         for pf in spec.get("fields") or []:
+            src = by_id.get(pf.get("source-id"))
+            if src is None:
+                continue
             if pf.get("transform") == "identity":
-                src = by_id.get(pf.get("source-id"))
-                if src is not None:
-                    ident[src["name"]] = pf.get("name", src["name"])
+                ident[src["name"]] = pf.get("name", src["name"])
+                continue
+            parsed = parse_transform(pf.get("transform"))
+            if parsed is not None:
+                tmap.setdefault(src["name"], []).append(
+                    (parsed[0], parsed[1], src.get("type"),
+                     pf.get("name")))
+
+    def _keeps(n, summary, pv) -> bool:
+        # node_may_match's and/or fold, with a per-leaf transform
+        # check layered on the stats refutation
+        if n.kind == "and":
+            return all(_keeps(c, summary, pv) for c in n.children) \
+                if n.children else True
+        if n.kind != "leaf":
+            return any(_keeps(c, summary, pv) for c in n.children) \
+                if n.children else True
+        try:
+            if not _leaf_may_match(n.field, n.op, n.value, summary, ""):
+                return False
+            for name, param, ice_type, key in tmap.get(n.field, ()):
+                if key not in pv:
+                    continue
+                if not leaf_keeps(name, param, ice_type, pv[key],
+                                  n.op, n.value):
+                    return False
+        except Exception:
+            return True
+        return True
+
     out = []
     for fp, seq in data:
         st = fstats.get(fp) or {}
@@ -552,8 +592,8 @@ def _prune_by_stats(meta: dict, schema_json: dict, data: list,
                                  "nulls": rows}
             elif isinstance(v, (bool, int, float, str)):
                 cols[col] = {"min": v, "max": v, "nulls": 0}
-        if cols and not node_may_match(
-                node, {"rows": rows, "cols": cols}, ""):
+        if (cols or (tmap and pv)) and not _keeps(
+                node, {"rows": rows, "cols": cols}, pv):
             continue
         out.append((fp, seq))
     return out
