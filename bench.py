@@ -936,6 +936,119 @@ def _interop_export_stat(spark, sf_dir: str) -> dict | None:
         return None
 
 
+def _interop_skip_stat(spark, sf_dir: str) -> dict | None:
+    """Scan-planning tripwire for the interop READERS (r14 where=):
+    seconds to run a FIXED-selectivity aggregate through
+    ``read_delta(where=)`` / ``read_iceberg(where=)`` on a
+    range-clustered export at two base sizes 10x apart (file size held
+    ~constant, so file count grows 10x; the 10x base's extra rows live
+    in shifted key ranges the predicate never matches).  Selective
+    reads should stay ~flat — they touch the matching files, not the
+    table — while the full-scan aggregate grows with the base.  Also
+    records kept/total files from the pruners so a silently-broken
+    refutation (reads everything, still correct) trips the artifact,
+    not just the clock."""
+    import os as _os
+    import tempfile
+    import time as _t
+
+    try:
+        import __spark_entry__ as entrymod
+        from pyspark.sql import functions as F
+        from tostore_spark import ToStoreSpark
+        li = entrymod._db(spark, sf_dir).df("lineitem").selectExpr(
+            "l_orderkey", "l_quantity", "l_returnflag")
+        max_key = li.agg(F.max("l_orderkey")).first()[0] or 1
+        lo, hi = 1, max(2, int(max_key) // 50)     # ~2% of key space
+        base_small = li.selectExpr(
+            "concat('r', cast(monotonically_increasing_id() as string))"
+            " as id", "l_orderkey", "l_quantity", "l_returnflag"
+        ).localCheckpoint(eager=True)
+        shifted = None
+        for rep in range(10):
+            part = li.selectExpr(
+                f"concat('x{rep}_', cast("
+                "monotonically_increasing_id() as string)) as id",
+                f"l_orderkey + {rep * (int(max_key) + 1)} as l_orderkey",
+                "l_quantity", "l_returnflag")
+            shifted = part if shifted is None \
+                else shifted.unionByName(part)
+        base_large = shifted.localCheckpoint(eager=True)
+        out: dict = {"predicate": f"l_orderkey BETWEEN {lo} AND {hi}"}
+        for label, base, files in (("small", base_small, 8),
+                                   ("large", base_large, 80)):
+            blk: dict = {"base_rows": base.count(), "files": files}
+            with tempfile.TemporaryDirectory() as tmp:
+                db = ToStoreSpark(spark,
+                                  warehouse=_os.path.join(tmp, "wh"))
+                db.register_table("t", df=base)
+                db.flush()
+                ddel = _os.path.join(tmp, "dx")
+                dice = _os.path.join(tmp, "ice")
+                db.export_delta("t", ddel, target_files=files,
+                                cluster_by=["l_orderkey"])
+                db.export_iceberg("t", dice, target_files=files,
+                                  cluster_by=["l_orderkey"])
+                where = {"l_orderkey": {"BETWEEN": {"start": lo,
+                                                    "end": hi}}}
+                # kept/total from the pruners (file-level observable)
+                import json as _json
+
+                from pyspark.sql.types import StructType
+                from tostore_spark.compile import coerce_where_values
+                from tostore_spark.condition import to_condition_node
+                from tostore_spark.plans.delta_export import (
+                    _coerce_where_values, _prune_adds, _replay)
+                from tostore_spark.plans.iceberg import (
+                    _load_metadata, _pick_snapshot, _prune_by_stats,
+                    _scan_files, _schema_for_snapshot)
+                st = _replay(ddel, None)
+                dsch = StructType.fromJson(
+                    _json.loads(st["meta"]["schemaString"]))
+                node = _coerce_where_values(
+                    to_condition_node(where), dsch)
+                blk["delta_kept_files"] = len(_prune_adds(
+                    st["files"], node, dsch,
+                    {f.name: f.name for f in dsch.fields}, []))
+                meta = _load_metadata(dice)
+                snap = _pick_snapshot(meta)
+                sj = _schema_for_snapshot(meta, snap)
+                data, _pd, _ed, parts, fstats = _scan_files(
+                    meta, snap, dice)
+                blk["iceberg_kept_files"] = len(_prune_by_stats(
+                    meta, sj, data, parts, fstats, node))
+                # timings: full-scan aggregate vs selective aggregate
+                from tostore_spark.plans.delta_export import read_delta
+                from tostore_spark.plans.iceberg import read_iceberg
+                t0 = _t.time()
+                read_delta(spark, ddel).agg(
+                    F.sum("l_quantity")).collect()
+                blk["delta_full_sec"] = round(_t.time() - t0, 3)
+                t0 = _t.time()
+                read_delta(spark, ddel, where=where).agg(
+                    F.sum("l_quantity")).collect()
+                blk["delta_sel_sec"] = round(_t.time() - t0, 3)
+                t0 = _t.time()
+                read_iceberg(spark, dice).agg(
+                    F.sum("l_quantity")).collect()
+                blk["iceberg_full_sec"] = round(_t.time() - t0, 3)
+                t0 = _t.time()
+                read_iceberg(spark, dice, where=where).agg(
+                    F.sum("l_quantity")).collect()
+                blk["iceberg_sel_sec"] = round(_t.time() - t0, 3)
+            out[label] = blk
+        s, L = out["small"], out["large"]
+        out["scale_x"] = {
+            k: round(L[f"{k}_sec"] / s[f"{k}_sec"], 2)
+            for k in ("delta_full", "delta_sel",
+                      "iceberg_full", "iceberg_sel")
+            if s.get(f"{k}_sec")}
+        return out
+    except Exception as exc:                    # pragma: no cover
+        print(f"# interop skip stat skipped: {exc}", file=sys.stderr)
+        return None
+
+
 def _cdc_flat_stat(spark, sf_dir: str) -> dict | None:
     """Measured flatness of del-epoch CDC in base size (the r10
     verdict's ordered artifact): same 100-row delete delta against a
@@ -1352,6 +1465,7 @@ def main():
     mor_flush = _mor_flush_stat(spark, sf_dir)
     cdc_flat = _cdc_flat_stat(spark, sf_dir)
     interop_export = _interop_export_stat(spark, sf_dir)
+    interop_skip = _interop_skip_stat(spark, sf_dir)
     skipping = _skipping_stat(spark, sf_dir)
 
     # Detail block (extras/recall/sf1/methodology): written to a committed
@@ -1374,6 +1488,7 @@ def main():
         "mor_flush": mor_flush,
         "cdc_flat": cdc_flat,
         "interop_export": interop_export,
+        "interop_skip": interop_skip,
         "skipping": skipping,
         # r11-verdict #6 adjudication (measured r12, adjacent med-of-5
         # per pair in one clean session at sf0.1, canary-comparable

@@ -124,6 +124,36 @@ class TestStatsPruning:
         assert v1.count() == v0.count() + 1
 
 
+class TestClusterBy:
+    def test_cluster_by_makes_point_lookups_one_file(self, spark,
+                                                     tmp_path):
+        """An UNSORTED insert order exported with cluster_by must
+        still produce range-disjoint files: a point predicate prunes
+        to exactly one."""
+        import random
+        db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))
+        db.create_table(TableSchema(
+            name="notes", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n", type=DataType.integer)]))
+        order = list(range(40))
+        random.Random(7).shuffle(order)           # deterministic mess
+        db.batch_insert("notes", [
+            {"id": f"k{i:03d}", "n": i} for i in order])
+        db.flush()
+        dest = str(tmp_path / "dx")
+        db.export_delta("notes", dest, target_files=4,
+                        cluster_by=["n"])
+        kept, total = _pruned_count(dest, {"n": 17})
+        assert total == 4 and kept == 1
+        got = read_delta(spark, dest, where={"n": 17}).collect()
+        assert [r.id for r in got] == ["k017"]
+        # without clustering the same layout would keep every file
+        dest2 = str(tmp_path / "dx2")
+        db.export_delta("notes", dest2, target_files=4)
+        kept2, total2 = _pruned_count(dest2, {"n": 17})
+        assert total2 == 4 and kept2 == 4
+
+
 class TestSummaryConservatism:
     SCHEMA = StructType.fromJson(json.loads(
         '{"type":"struct","fields":['

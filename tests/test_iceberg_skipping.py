@@ -128,6 +128,33 @@ class TestWriterBounds:
         assert (lo, hi) == ("k000", "k039")
 
 
+class TestClusterBy:
+    def test_cluster_by_disjoint_manifest_bounds(self, spark,
+                                                 tmp_path):
+        import random
+
+        from tostore_spark.schema import (DataType, FieldSchema,
+                                          PrimaryKeyConfig, TableSchema)
+        db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))
+        db.create_table(TableSchema(
+            name="notes", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n", type=DataType.integer)]))
+        order = list(range(40))
+        random.Random(7).shuffle(order)
+        db.batch_insert("notes", [
+            {"id": f"k{i:03d}", "n": i} for i in order])
+        db.flush()
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest, target_files=4,
+                          cluster_by=["n"])
+        meta, sj, data, parts, fstats = _scan(dest)
+        node = to_condition_node({"n": 17})
+        kept = _prune_by_stats(meta, sj, data, parts, fstats, node)
+        assert (len(data), len(kept)) == (4, 1)
+        got = read_iceberg(spark, dest, where={"n": 17}).collect()
+        assert [r.id for r in got] == ["k017"]
+
+
 class TestReaderPruning:
     def test_prunes_and_stays_exact(self, spark, tmp_path):
         _, dest = _mk_export(spark, tmp_path)
@@ -186,6 +213,55 @@ class TestReaderPruning:
                           where={"n": {"<": 3}})
         v1 = read_iceberg(spark, dest, where={"n": {"<": 3}})
         assert v1.count() == v0.count() + 1
+
+    def test_temporal_bounds_roundtrip_and_prune(self, spark, tmp_path):
+        """date/timestamp bounds are EXACT in Iceberg (Appendix-D
+        binary, unlike Delta's writer-formatted ISO strings), so
+        temporal predicates — the most common warehouse filter — prune
+        at the manifest level.  ISO-string predicate values coerce per
+        the column type."""
+        import datetime
+
+        from tostore_spark.schema import (DataType, FieldSchema,
+                                          PrimaryKeyConfig, TableSchema)
+        db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))
+        db.create_table(TableSchema(
+            name="ev", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="ts", type=DataType.datetime),
+                    FieldSchema(name="n", type=DataType.integer)]))
+        base = datetime.datetime(2024, 1, 1)
+        db.batch_insert("ev", [
+            {"id": f"e{i:03d}",
+             "ts": base + datetime.timedelta(days=i), "n": i}
+            for i in range(40)])
+        db.flush()
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("ev", dest, target_files=4)
+        meta, sj, data, parts, fstats = _scan(dest)
+        tid = {f["name"]: f["id"] for f in sj["fields"]}["ts"]
+        typ = {f["name"]: f["type"] for f in sj["fields"]}["ts"]
+        assert typ in ("timestamp", "timestamptz")
+        assert all(isinstance(
+            _deser_bound(typ, fstats[fp]["lo"][tid]),
+            datetime.datetime) for fp, _ in data)
+        from tostore_spark.compile import coerce_where_values
+        node = coerce_where_values(
+            to_condition_node({"ts": {">=": "2024-02-05"}}),
+            read_iceberg(spark, dest).schema)
+        kept = _prune_by_stats(meta, sj, data, parts, fstats, node)
+        assert 0 < len(kept) < len(data)
+        full = read_iceberg(spark, dest)
+        got = _rows(read_iceberg(spark, dest,
+                                 where={"ts": {">=": "2024-02-05"}}))
+        want = _rows(full.filter(
+            F.col("ts") >= F.lit("2024-02-05").cast("timestamp_ntz")))
+        assert got == want and len(got) == 5
+        # typed datetime value and BETWEEN both stay exact
+        got = _rows(read_iceberg(spark, dest, where={
+            "ts": {"BETWEEN": {
+                "start": datetime.datetime(2024, 1, 10),
+                "end": datetime.datetime(2024, 1, 12)}}}))
+        assert len(got) == 3
 
     def test_identity_partition_values_prune(self):
         """A foreign manifest with identity-partitioned files and no

@@ -152,13 +152,34 @@ def coerce_where_values(node: ConditionNode, schema) -> ConditionNode:
     against a Spark ``StructType`` (the foreign-read analog of
     query._normalize_node, shared by read_delta/read_iceberg):
     numeric strings coerce to numbers on numeric columns, integral
-    floats to ints on integer columns.  Mis-typed values that survive
+    floats to ints on integer columns, ISO strings to date/datetime on
+    temporal columns (datetimes tz-normalized to naive-UTC, the
+    engine's pinned session timezone).  Mis-typed values that survive
     stay harmless — skipping keeps the file and the compiled row
     filter applies the engine's two-valued compatibility rules."""
+    import datetime
     types = {f.name: f.dataType for f in schema.fields}
 
     def cv(v, dt):
         if isinstance(v, bool) or dt is None:
+            return v
+        if isinstance(dt, T.DateType):
+            if isinstance(v, str):
+                try:
+                    return datetime.date.fromisoformat(v)
+                except ValueError:
+                    return v
+            return v
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            if isinstance(v, str):
+                try:
+                    v = datetime.datetime.fromisoformat(
+                        v.replace("Z", "+00:00"))
+                except ValueError:
+                    return v
+            if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+                return v.astimezone(datetime.timezone.utc) \
+                    .replace(tzinfo=None)
             return v
         if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
                            T.LongType)):

@@ -1454,7 +1454,8 @@ class ToStoreSpark:
                      target_files: Optional[int] = None,
                      allow_decrypted: bool = False,
                      deletion_vectors: bool = False,
-                     change_data: bool = False) -> dict:
+                     change_data: bool = False,
+                     cluster_by: Optional[list] = None) -> dict:
         """Export the table's current version (segments unioned,
         deletion vectors resolved) as a standard Delta Lake table —
         protocol/metaData/add log with per-file footer stats — so
@@ -1472,7 +1473,7 @@ class ToStoreSpark:
                    target_files=target_files,
                    allow_decrypted=allow_decrypted,
                    deletion_vectors=deletion_vectors,
-                   change_data=change_data)
+                   change_data=change_data, cluster_by=cluster_by)
 
     def read_delta_cdf(self, path: str, from_version: int,
                        to_version: Optional[int] = None):
@@ -1568,7 +1569,8 @@ class ToStoreSpark:
     def export_iceberg(self, table: str, dest: str,
                        mode: str = "error",
                        target_files: Optional[int] = None,
-                       allow_decrypted: bool = False) -> dict:
+                       allow_decrypted: bool = False,
+                       cluster_by: Optional[list] = None) -> dict:
         """Export the table's current version as an Apache Iceberg v2
         table (metadata JSON + Avro manifest list/manifests + parquet
         data files with field ids) a foreign Iceberg reader can
@@ -1578,11 +1580,14 @@ class ToStoreSpark:
         ``mode='update'`` commits the NEXT snapshot incrementally
         (append-only extensions add only the delta rows, deletes
         become merge-on-read position-delete files, anything else an
-        overwrite snapshot)."""
+        overwrite snapshot).  ``cluster_by`` range-clusters the staged
+        data files so per-file manifest bounds are disjoint — what
+        makes bounds-based file skipping effective for readers."""
         from tostore_spark.plans.iceberg import export_iceberg as _ei
         return _ei(self, table, dest, mode=mode,
                    target_files=target_files,
-                   allow_decrypted=allow_decrypted)
+                   allow_decrypted=allow_decrypted,
+                   cluster_by=cluster_by)
 
     def read_iceberg(self, path: str,
                      snapshot_id: Optional[int] = None,

@@ -255,10 +255,27 @@ def _prune_adds(files: dict, node, schema, top_map: dict,
     return out
 
 
+def _cluster_frame(df, cluster_by, target_files):
+    """Range-cluster a staging frame so per-file min/max stats become
+    DISJOINT — the writer-side knob that makes stats-based file
+    skipping (this module's ``read_delta(where=)``, Delta engines'
+    own data skipping) actually bite.  One range shuffle + in-file
+    sort; returns (df, remaining_target_files)."""
+    cols = [c for c in (cluster_by or []) if c in df.columns]
+    if not cols:
+        return df, target_files
+    if target_files:
+        df = df.repartitionByRange(int(target_files), *cols)
+    else:
+        df = df.repartitionByRange(*cols)
+    return df.sortWithinPartitions(*cols), None
+
+
 def _stage_data_files(df, path: str, version: int,
                       target_files: int | None,
                       partition_by: list[str] | None = None,
-                      subdir: str | None = None):
+                      subdir: str | None = None,
+                      cluster_by: list[str] | None = None):
     """Write ``df`` as parquet and move the part files into the export
     root under version-scoped names.  Returns ``[(rel, pvalues)]``.
     Spark part names already carry a write-unique uuid; the ``vN-``
@@ -280,6 +297,13 @@ def _stage_data_files(df, path: str, version: int,
     data feed files live under ``_change_data/`` by Delta
     convention)."""
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    # int64-micros timestamps (never legacy INT96): footer stats exist
+    # and modern Delta readers expect them — pin even on foreign
+    # sessions (get_spark already defaults this)
+    df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType",
+                             "TIMESTAMP_MICROS")
+    if cluster_by and not partition_by:
+        df, target_files = _cluster_frame(df, cluster_by, target_files)
     if target_files:
         df = df.coalesce(int(target_files))
     writer = df.write.mode("overwrite")
@@ -518,7 +542,8 @@ def export_delta(engine, table: str, dest: str,
                  target_files: int | None = None,
                  allow_decrypted: bool = False,
                  deletion_vectors: bool = False,
-                 change_data: bool = False) -> dict:
+                 change_data: bool = False,
+                 cluster_by: list | None = None) -> dict:
     """Export ``table`` to a Delta table at ``dest``.
 
     ``mode``: ``"error"`` (default — refuse a non-empty dest),
@@ -581,14 +606,15 @@ def export_delta(engine, table: str, dest: str,
     if mode == "update" and has_log:
         return _export_update(engine, table, path,
                               deletion_vectors=deletion_vectors,
-                              change_data=change_data)
+                              change_data=change_data,
+                              cluster_by=cluster_by)
     # ---- commit v0: full snapshot -----------------------------------
     df = engine.df(table)
     pby = list(engine._tables[engine._resolve(table)]
                .get("partition_by") or [])
     os.makedirs(path, exist_ok=True)
     staged = _stage_data_files(df, path, 0, target_files,
-                               partition_by=pby)
+                               partition_by=pby, cluster_by=cluster_by)
     adds, total = _add_actions(path, staged)
     conf = {}
     # CDF needs writer v4 (or the changeDataFeed writer feature); the
@@ -640,7 +666,8 @@ def _write_state(engine, table: str, path: str, version: int) -> None:
 
 def _export_update(engine, table: str, path: str,
                    deletion_vectors: bool = False,
-                   change_data: bool = False) -> dict:
+                   change_data: bool = False,
+                   cluster_by: list | None = None) -> dict:
     from tostore_spark.store import _decrypt_for
     key = engine._resolve(table)
     ent = engine._tables[key]
@@ -775,7 +802,8 @@ def _export_update(engine, table: str, path: str,
                 .withColumn("_change_type", F.lit("delete")))
         cdc_actions = _stage_cdc(ins.unionByName(dele), path, next_v,
                                  pby)
-    staged = _stage_data_files(df, path, next_v, None, partition_by=pby)
+    staged = _stage_data_files(df, path, next_v, None, partition_by=pby,
+                               cluster_by=cluster_by)
     adds, total = _add_actions(path, staged)
     now_ms = int(time.time() * 1000)
     removes = [{"remove": {"path": quote(rel, safe="/="),

@@ -782,7 +782,8 @@ def _write_metadata_json(mdir: str, version: int, meta: dict) -> None:
 
 
 def _stage_iceberg_data(df, dest: str, target_files=None,
-                        id_of: dict | None = None) -> list:
+                        id_of: dict | None = None,
+                        cluster_by: list | None = None) -> list:
     """Write ``df`` under ``dest/data/`` with parquet field ids (so
     foreign Iceberg readers resolve columns by id, the spec contract).
     ``id_of`` overrides the column→field-id map — delete files must
@@ -798,10 +799,23 @@ def _stage_iceberg_data(df, dest: str, target_files=None,
         schema_json = _table_schema_json(df.schema)
         id_of = {f["name"]: f["id"] for f in schema_json["fields"]}
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    # spec: timestamps in data files MUST be int64 micros, never the
+    # legacy INT96 (which also carries no footer stats) — pin it even
+    # when the session was built outside get_spark
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
     tagged = df
     for f in df.schema.fields:
         tagged = tagged.withMetadata(
             f.name, {"parquet.field.id": id_of[f.name]})
+    cl = [c for c in (cluster_by or []) if c in tagged.columns]
+    if cl:
+        # range-cluster so per-file manifest bounds become disjoint —
+        # the writer-side knob that makes bounds skipping bite
+        tagged = (tagged.repartitionByRange(int(target_files), *cl)
+                  if target_files else tagged.repartitionByRange(*cl)
+                  ).sortWithinPartitions(*cl)
+        target_files = None
     if target_files:
         tagged = tagged.coalesce(int(target_files))
     ddir = os.path.join(dest, "data")
@@ -823,7 +837,8 @@ def _stage_iceberg_data(df, dest: str, target_files=None,
 
 def export_iceberg(engine, table: str, dest: str, mode: str = "error",
                    target_files: int | None = None,
-                   allow_decrypted: bool = False) -> dict:
+                   allow_decrypted: bool = False,
+                   cluster_by: list | None = None) -> dict:
     """Export ``table`` as an Iceberg v2 table at ``dest``.
 
     ``mode``: ``"error"`` (refuse non-empty dest), ``"overwrite"``
@@ -865,7 +880,8 @@ def export_iceberg(engine, table: str, dest: str, mode: str = "error",
             shutil.rmtree(path)
             exists = False
     if mode == "update" and exists:
-        rep = _export_iceberg_update(engine, table, path, target_files)
+        rep = _export_iceberg_update(engine, table, path, target_files,
+                                     cluster_by=cluster_by)
         rep["path"] = dest
         return rep
     if mode in ("append", "update") and not exists:
@@ -873,7 +889,8 @@ def export_iceberg(engine, table: str, dest: str, mode: str = "error",
 
     df = engine.df(table)
     os.makedirs(path, exist_ok=True)
-    staged = _stage_iceberg_data(df, path, target_files)
+    staged = _stage_iceberg_data(df, path, target_files,
+                                 cluster_by=cluster_by)
     if mode == "append":
         meta = _load_metadata(path)
         rep = _commit_snapshot(path, meta, staged, None,
@@ -924,7 +941,10 @@ _BOUND_PACK = {"int": "<i", "long": "<q", "float": "<f", "double": "<d"}
 
 def _ser_bound(ice_type, v):
     """One bound value → its Appendix-D binary form, or None to skip
-    (type mismatch / overflow: never guess)."""
+    (type mismatch / overflow: never guess).  Temporal types are exact
+    here — ``date`` = 4-byte LE days-from-epoch, ``timestamp[tz]`` =
+    8-byte LE microseconds — unlike Delta's writer-formatted ISO
+    strings, so they participate in skipping."""
     if not isinstance(ice_type, str):
         return None
     if ice_type == "boolean":
@@ -934,6 +954,14 @@ def _ser_bound(ice_type, v):
         return None
     if ice_type == "string":
         return v.encode("utf-8") if isinstance(v, str) else None
+    if ice_type == "date":
+        from tostore_spark.plans.iceberg_transforms import _epoch_days
+        days = _epoch_days(v) if not isinstance(v, str) else None
+        return None if days is None else struct.pack("<i", days)
+    if ice_type in ("timestamp", "timestamptz"):
+        from tostore_spark.plans.iceberg_transforms import _epoch_micros
+        us = _epoch_micros(v) if not isinstance(v, str) else None
+        return None if us is None else struct.pack("<q", us)
     fmt = _BOUND_PACK.get(ice_type)
     if fmt is None:
         return None
@@ -962,6 +990,20 @@ def _deser_bound(ice_type, b):
             return b == b"\x01" if len(b) == 1 else None
         if ice_type == "string":
             return b.decode("utf-8")
+        if ice_type == "date":
+            if len(b) != 4:
+                return None
+            import datetime
+            days = struct.unpack("<i", b)[0]
+            return datetime.date(1970, 1, 1) \
+                + datetime.timedelta(days=days)
+        if ice_type in ("timestamp", "timestamptz"):
+            if len(b) != 8:
+                return None
+            import datetime
+            us = struct.unpack("<q", b)[0]
+            return datetime.datetime(1970, 1, 1) \
+                + datetime.timedelta(microseconds=us)
         fmt = _BOUND_PACK.get(ice_type)
         if fmt is None or len(b) != struct.calcsize(fmt):
             return None
@@ -970,7 +1012,7 @@ def _deser_bound(ice_type, b):
                                      (float("inf"), float("-inf"))):
             return None
         return v
-    except (UnicodeDecodeError, struct.error):
+    except (UnicodeDecodeError, struct.error, OverflowError):
         return None
 
 
@@ -983,7 +1025,8 @@ def _file_column_stats(fpath: str, schema_json: dict) -> dict:
         import pyarrow.parquet as pq
 
         from tostore_spark.plans.skipping import _fold_file
-        summ = _fold_file(pq.ParquetFile(fpath).metadata)
+        summ = _fold_file(pq.ParquetFile(fpath).metadata,
+                          temporal=True)
     except Exception:
         return {}
     rows = summ.get("rows")
@@ -1179,7 +1222,8 @@ def _write_position_deletes(path: str, hits: list) -> tuple:
 
 
 def _export_iceberg_update(engine, table: str, path: str,
-                           target_files=None) -> dict:
+                           target_files=None,
+                           cluster_by: list | None = None) -> dict:
     """Incremental snapshot (``mode="update"``), the Iceberg analog of
     delta_export._export_update: a pure-append recipe extension
     commits ONLY the new segments' rows; appends+deletes commit as
@@ -1397,7 +1441,8 @@ def _export_iceberg_update(engine, table: str, path: str,
             int(meta.get("last-column-id", 0)), _max_field_id(new_sj))
         if "schema" in meta:         # keep any v1 singular key in step
             meta["schema"] = new_sj
-    staged = _stage_iceberg_data(df, path, target_files)
+    staged = _stage_iceberg_data(df, path, target_files,
+                                 cluster_by=cluster_by)
     rep = _commit_snapshot(path, meta, staged, None,
                            keep_prior=False, operation="overwrite")
     rep["commit"] = "refresh"

@@ -58,19 +58,45 @@ def _jsonable_scalar(v: Any) -> Any:
     return None   # dates/timestamps/decimals: skipped (see module doc)
 
 
-def _fold_file(md) -> dict:
+def _temporal_scalar(v):
+    """Footer date/timestamp statistic → a tz-normalized python value
+    (naive datetimes = UTC, matching the engine's pinned session TZ),
+    or None to drop."""
+    import datetime
+    if isinstance(v, datetime.datetime):
+        try:
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc) \
+                    .replace(tzinfo=None)
+            # pandas.Timestamp (ns-unit stats) → plain datetime
+            to_py = getattr(v, "to_pydatetime", None)
+            return to_py() if to_py is not None else v
+        except Exception:
+            return None
+    if isinstance(v, datetime.date):
+        return v
+    return None
+
+
+def _fold_file(md, temporal: bool = False) -> dict:
     """ONE parquet file's footer → the summary shape
     ``{"rows": n, "cols": {col: {"min", "max", "nulls"}}}``.  A column
     is covered only when EVERY row group carries decodable min/max (or
     is provably all-null — then it contributes null counts only and its
     bounds stay None).  Only bool/int/float/string columns are
-    summarized; timestamps/decimals/nested types are skipped — their
-    footer encodings vary and a wrong bound would prune live rows."""
+    summarized; decimals/nested types are skipped — their footer
+    encodings vary and a wrong bound would prune live rows.
+
+    ``temporal=True`` additionally covers date/timestamp columns
+    (bounds as python date/datetime, tz-normalized to naive-UTC) — the
+    Iceberg exporter's mode, where the bounds feed the spec's exact
+    Appendix-D binary forms rather than the store manifest's JSON."""
     _OK_TYPES = ("BOOLEAN", "INT32", "INT64", "FLOAT", "DOUBLE",
                  "BYTE_ARRAY")
     total_rows = int(md.num_rows)
     sch = md.schema
     logical = {}
+    temporal_cols: set[str] = set()
     for i in range(md.num_columns):
         c = sch.column(i)
         if "." in c.path:       # nested leaves: skip
@@ -85,7 +111,12 @@ def _fold_file(md) -> dict:
         if phys in ("INT32", "INT64") and \
                 str(c.logical_type) not in ("None", "NONE") and \
                 "Int" not in str(c.logical_type):
-            continue
+            lt = str(c.logical_type)
+            if temporal and (lt.startswith("Date")
+                             or lt.startswith("Timestamp")):
+                temporal_cols.add(c.path)
+            else:
+                continue
         logical[c.path] = i
     stats: dict[str, dict] = {}
     dropped: set[str] = set()
@@ -111,8 +142,12 @@ def _fold_file(md) -> dict:
                     dropped.add(name)
                     continue
             else:
-                mn = _jsonable_scalar(st.min)
-                mx = _jsonable_scalar(st.max)
+                if name in temporal_cols:
+                    mn = _temporal_scalar(st.min)
+                    mx = _temporal_scalar(st.max)
+                else:
+                    mn = _jsonable_scalar(st.min)
+                    mx = _jsonable_scalar(st.max)
                 if mn is None or mx is None:
                     dropped.add(name)
                     continue
@@ -230,13 +265,27 @@ def collect_parquet_stats(root: str, per_file: bool = False):
 
 def _aligned_cmp(a: Any, b: Any) -> Optional[int]:
     """Type-ALIGNED ordered compare (see module doc: no cross-type
-    numeric coercion against string stats).  None = undecidable."""
+    numeric coercion against string stats).  None = undecidable.
+    Dates compare with dates and (same-awareness) datetimes with
+    datetimes — never across the two kinds (a datetime is a subclass
+    of date, but Spark treats the column types as distinct)."""
     if a is None or b is None:
         return None
     if isinstance(a, bool) or isinstance(b, bool):
         if isinstance(a, bool) and isinstance(b, bool):
             return (a > b) - (a < b)
         return None
+    import datetime
+    dt_a = isinstance(a, datetime.datetime)
+    dt_b = isinstance(b, datetime.datetime)
+    if dt_a or dt_b:
+        if dt_a and dt_b and (a.tzinfo is None) == (b.tzinfo is None):
+            return (a > b) - (a < b)
+        return None
+    d_a = isinstance(a, datetime.date)
+    d_b = isinstance(b, datetime.date)
+    if d_a or d_b:
+        return (a > b) - (a < b) if d_a and d_b else None
     num_a = isinstance(a, (int, float))
     num_b = isinstance(b, (int, float))
     if num_a and num_b:

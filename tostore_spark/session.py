@@ -40,6 +40,13 @@ def get_spark(
         # record (fingerprints/minhash diverge) — pin it here so every
         # engine session parses the twins identically.
         .config("spark.sql.parser.escapedStringLiterals", "false")
+        # Write TIMESTAMP columns as INT64 microseconds, not Spark's
+        # legacy INT96: INT96 carries NO parquet footer statistics (so
+        # timestamp columns would silently fall out of every skipping
+        # tier) and is forbidden in Iceberg data files (the spec pins
+        # timestamps to int64 micros).  Read-side both forms decode.
+        .config("spark.sql.parquet.outputTimestampType",
+                "TIMESTAMP_MICROS")
         # One shuffle partition per core locally; on a cluster this would be
         # sized to ~128MB of shuffle data per partition (AQE coalesces down).
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
