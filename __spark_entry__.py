@@ -3153,6 +3153,95 @@ def q_iceberg_bounds_skip(spark, sf_dir):
     return spark.createDataFrame(rows, schema_out)
 
 
+def q_optimize_compact(spark, sf_dir):
+    """Compaction maintenance on BOTH export formats (r14,
+    plans/delta_export.optimize_delta + plans/iceberg.
+    rewrite_data_files): a mirror-style history (snapshot + 2
+    incremental appends + a deletion-vector delete) leaves many small
+    files; optimize must compact them to ONE file per format with the
+    LOGICAL table unchanged — asserted in-entry: delta commit all
+    dataChange=false with the DV purged, CDF feed excludes the
+    optimize version, iceberg rewrite mode and file counts — and the
+    final states must equal DuckDB deriving the same history from
+    nation."""
+    import json as _json
+    import os
+    import tempfile
+
+    from tostore_spark.plans.delta_export import (_replay, read_delta,
+                                                  read_delta_cdf)
+    from tostore_spark.plans.iceberg import read_iceberg
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    db = _db(spark, sf_dir)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    with tempfile.TemporaryDirectory() as tmp:
+        db1 = ToStoreSpark(spark, warehouse=os.path.join(tmp, "wh"))
+        db1.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n_name", type=DataType.text),
+                    FieldSchema(name="key", type=DataType.integer)]))
+        db1.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
+             "key": r["n_nationkey"]} for r in nat])
+        db1.flush()
+        dd, di = os.path.join(tmp, "dx"), os.path.join(tmp, "ice")
+        db1.export_delta("nat", dd, target_files=4, change_data=True,
+                         deletion_vectors=True)
+        db1.export_iceberg("nat", di, target_files=4)
+        for r in range(2):
+            db1.batch_insert("nat", [
+                {"id": f"x{r}_{i}", "n_name": f"ADD{r}{i}",
+                 "key": 700 + 10 * r + i} for i in range(3)])
+            db1.flush()
+            db1.export_delta("nat", dd, mode="update",
+                             deletion_vectors=True)
+            db1.export_iceberg("nat", di, mode="update")
+        db1.delete("nat").where("key", ">=", 710).execute()
+        db1.flush()
+        db1.export_delta("nat", dd, mode="update",
+                         deletion_vectors=True)
+        db1.export_iceberg("nat", di, mode="update")
+        n_files_before = len(_replay(dd, None)["files"])
+        rep_d = db1.optimize_delta(dd, target_file_bytes=64 << 20)
+        rep_i = db1.optimize_iceberg(di, target_file_bytes=64 << 20)
+        st = _replay(dd, None)
+        log = os.path.join(dd, "_delta_log",
+                           f"{rep_d['version']:020d}.json")
+        flags = [a.get("add", a.get("remove", {})).get("dataChange")
+                 for a in (_json.loads(x) for x in open(log))
+                 if "add" in a or "remove" in a]
+        cdf_versions = {
+            r["_commit_version"] for r in
+            read_delta_cdf(spark, dd, from_version=1).collect()}
+        if not (n_files_before > 1 and len(st["files"]) == 1
+                and not any(a.get("deletionVector")
+                            for a in st["files"].values())
+                and flags and all(f is False for f in flags)
+                and rep_d["version"] not in cdf_versions
+                and rep_i["mode"] == "materialize"
+                and rep_i["files"] == 1):
+            raise AssertionError(
+                f"compaction contract violated: files "
+                f"{n_files_before}->{len(st['files'])}, flags {flags},"
+                f" cdf {sorted(cdf_versions)}, iceberg {rep_i}")
+        dd_df = read_delta(spark, dd)
+        di_df = read_iceberg(spark, di)
+        agg = (dd_df.agg(
+            F.count(F.lit(1)).alias("n_delta"),
+            F.sum("key").cast("long").alias("key_sum")).first())
+        agg2 = (di_df.agg(
+            F.count(F.lit(1)).alias("n_ice"),
+            F.sum("key").cast("long").alias("key_sum2")).first())
+        rows = [{"n_delta": int(agg["n_delta"]),
+                 "key_sum": int(agg["key_sum"]),
+                 "n_ice": int(agg2["n_ice"]),
+                 "key_sum2": int(agg2["key_sum2"])}]
+    return spark.createDataFrame(
+        rows, "n_delta bigint, key_sum bigint, n_ice bigint, "
+              "key_sum2 bigint")
+
+
 def q_iceberg_transform_prune(spark, sf_dir):
     """Iceberg partition-TRANSFORM pruning (r14, plans/
     iceberg_transforms): a foreign ``bucket[4]``-partitioned table
@@ -5327,7 +5416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
-        "q_iceberg_transform_prune",                          # born r14
+        "q_optimize_compact", "q_iceberg_transform_prune",    # born r14
         "q_iceberg_bounds_skip", "q_delta_stats_skip",        # born r14
         "q_iceberg_incremental", "q_delta_cdf",               # born r14
         "q_iceberg_roundtrip", "q_iceberg_mor",               # born r14
@@ -6324,6 +6413,16 @@ def oracle_sql() -> dict[str, str]:
         "q_iceberg_transform_prune": """
             SELECT o_orderkey, o_orderstatus FROM orders
             WHERE o_orderkey IN (1, 7, 32)""",
+        "q_optimize_compact": """
+            -- base nation + 6 appends (700-702, 710-712) minus the
+            -- delete of key >= 710; compaction never changes it
+            SELECT CAST(count(*) + 3 AS BIGINT) AS n_delta,
+                   CAST(sum(n_nationkey) + 700 + 701 + 702 AS BIGINT)
+                       AS key_sum,
+                   CAST(count(*) + 3 AS BIGINT) AS n_ice,
+                   CAST(sum(n_nationkey) + 700 + 701 + 702 AS BIGINT)
+                       AS key_sum2
+            FROM nation""",
         "q_delta_roundtrip": """
             -- v0 = 25 nation rows; v1 = +4 appends (keys 700-703);
             -- final = v1 minus keys >= 703

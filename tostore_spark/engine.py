@@ -1553,6 +1553,36 @@ class ToStoreSpark:
         return (getattr(self, "_delta_mirrors", {}) or {}) \
             .pop(key, None) is not None
 
+    def optimize_delta(self, dest: str,
+                       target_file_bytes: int = 128 * 1024 * 1024,
+                       cluster_by: Optional[list] = None,
+                       min_files: int = 2) -> dict:
+        """Compact a Delta export's small files into ~target-sized
+        ones as a dataChange=false commit (CDF/stream readers skip
+        it; deletion vectors purge; time travel intact until
+        vacuum_delta) — the maintenance companion to mirror_delta's
+        many small commits (plans/delta_export.optimize_delta)."""
+        from tostore_spark.plans.delta_export import optimize_delta
+        return optimize_delta(self.spark, dest,
+                              target_file_bytes=target_file_bytes,
+                              cluster_by=cluster_by,
+                              min_files=min_files)
+
+    def optimize_iceberg(self, dest: str,
+                         target_file_bytes: int = 128 * 1024 * 1024,
+                         cluster_by: Optional[list] = None,
+                         min_files: int = 2) -> dict:
+        """Iceberg rewriteDataFiles for exports: bin-pack small data
+        files as a ``replace`` snapshot — survivors re-listed as
+        EXISTING entries with their original sequence numbers; under
+        live merge-on-read deletes the rewrite materializes instead
+        (plans/iceberg.rewrite_data_files)."""
+        from tostore_spark.plans.iceberg import rewrite_data_files
+        return rewrite_data_files(self.spark, dest,
+                                  target_file_bytes=target_file_bytes,
+                                  cluster_by=cluster_by,
+                                  min_files=min_files)
+
     def vacuum_delta(self, dest: str, keep_versions: int = 1,
                      dry_run: bool = False,
                      retention_sec: float = 0.0) -> dict:

@@ -1031,6 +1031,134 @@ def _export_update_dv(engine, key, ent, table: str, path: str,
             "path": path, "version": next_v, "commit": "dv"}
 
 
+def optimize_delta(spark, path: str,
+                   target_file_bytes: int = 128 * 1024 * 1024,
+                   cluster_by: list | None = None,
+                   min_files: int = 2) -> dict:
+    """Compact an exported/foreign Delta table's small files (the
+    OPTIMIZE maintenance op): per partition tuple, files under
+    ``target_file_bytes`` are rewritten into ~target-sized files and
+    committed as remove+add actions that ALL declare
+    ``dataChange=false`` — the spec's compaction form, so streaming /
+    CDF readers skip the commit and the logical table provably never
+    changes.  Carried deletion vectors are MATERIALIZED (deleted rows
+    drop out of the rewritten files — a DV purge).  ``cluster_by``
+    additionally range-clusters the rewritten files (and makes every
+    live file in the partition a rewrite candidate, not just the
+    small ones) so per-file stats become disjoint for skipping.
+
+    Mirrors/incremental exporters keep working across an optimize:
+    the append fast path stages only new store segments, and the DV
+    path probes the CURRENT live files — both independent of file
+    layout.  Column-mapped tables refuse (staging writes logical
+    column names).  Time travel to every prior version is untouched
+    (old files stay until ``vacuum_delta``).
+
+    Scale: IO ∝ the rewritten files' bytes, never the table — the
+    maintenance companion to mirror_delta's many small incremental
+    commits.  Returns {"version", "rewritten", "files", "groups"}
+    (version None = nothing to do)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+    p = path[len("file:"):] if path.startswith("file:") else path
+    state = _replay(p, None)
+    meta = state["meta"]
+    cm_mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
+    if cm_mode not in ("none", ""):
+        raise ValueError("optimize_delta under column mapping is not "
+                         "supported (staging writes logical names)")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = list(meta.get("partitionColumns") or [])
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in pcols])
+    next_v = state["version"] + 1
+
+    by_part: dict = {}
+    for rel, add in state["files"].items():
+        pv = tuple(sorted((add.get("partitionValues") or {}).items()))
+        by_part.setdefault(pv, []).append((rel, add))
+
+    removes, adds, groups, rewritten = [], [], 0, 0
+    now_ms = int(time.time() * 1000)
+    for pv, items in sorted(by_part.items()):
+        if cluster_by:
+            cand = items
+        else:
+            cand = [(rel, a) for rel, a in items
+                    if int(a.get("size") or 0) < int(target_file_bytes)]
+        if len(cand) < max(2, int(min_files)) and not (
+                cluster_by and cand):
+            continue
+        # DV purge: decode each candidate's vector once, anti-join on
+        # (file basename, row position) — same fold as read_delta
+        dv_rows = []
+        for rel, a in cand:
+            if a.get("deletionVector"):
+                from tostore_spark.plans.delta_dv import \
+                    decode_deletion_vector
+                name = rel.split("/")[-1]
+                for pos in decode_deletion_vector(
+                        p, a["deletionVector"]):
+                    dv_rows.append((name, pos))
+        df = spark.read.schema(data_schema).parquet(
+            *[os.path.join(p, rel) for rel, _a in sorted(cand)])
+        if dv_rows:
+            dvf = spark.createDataFrame(
+                dv_rows, "__dv_file string, __dv_pos long")
+            keep = df.columns
+            df = (df
+                  .withColumn("__dv_file", F.element_at(
+                      F.split(F.col("_metadata.file_path"), "/"), -1))
+                  .withColumn("__dv_pos", F.col("_metadata.row_index"))
+                  .join(F.broadcast(dvf),
+                        on=["__dv_file", "__dv_pos"], how="left_anti")
+                  .select(*keep))
+        total_bytes = sum(int(a.get("size") or 0) for _r, a in cand)
+        n_out = min(4096, max(1, (total_bytes + int(target_file_bytes)
+                                  - 1) // int(target_file_bytes)))
+        # the bin count is explicit either way (an un-sized range
+        # shuffle would let AQE coalesce tiny frames back to 1 file)
+        staged = _stage_data_files(df, p, next_v, n_out,
+                                   cluster_by=cluster_by)
+        pvals = dict(pv)
+        for rel, _hive_pv in staged:
+            fpath = os.path.join(p, rel)
+            from tostore_spark.plans.skipping import _fold_file
+            try:
+                import pyarrow.parquet as pq
+                summ = _fold_file(pq.ParquetFile(fpath).metadata)
+            except Exception:
+                import pyarrow.parquet as pq
+                summ = {"rows": int(
+                    pq.ParquetFile(fpath).metadata.num_rows),
+                    "cols": {}}
+            adds.append({"add": {
+                "path": quote(rel, safe="/="),
+                "partitionValues": pvals,
+                "size": os.path.getsize(fpath),
+                "modificationTime": int(
+                    os.path.getmtime(fpath) * 1000),
+                "dataChange": False,
+                "stats": _delta_stats(summ)}})
+        for rel, _a in cand:
+            removes.append({"remove": {
+                "path": quote(rel, safe="/="),
+                "deletionTimestamp": now_ms,
+                "dataChange": False}})
+        groups += 1
+        rewritten += len(cand)
+    if not removes:
+        return {"version": None, "rewritten": 0, "files": 0,
+                "groups": 0, "path": p}
+    _write_commit(p, next_v, [
+        {"commitInfo": {"timestamp": now_ms,
+                        "operation": "OPTIMIZE"}}]
+        + removes + adds)
+    return {"version": next_v, "rewritten": rewritten,
+            "files": len(adds), "groups": groups, "path": p}
+
+
 def vacuum_delta(path: str, keep_versions: int = 1,
                  dry_run: bool = False,
                  retention_sec: float = 0.0) -> dict:
@@ -1702,6 +1830,13 @@ def read_delta_cdf(spark, path: str, from_version: int,
                     .withColumn("_change_type", F.lit("insert")))
         elif not adds and not removes:
             continue                    # metadata/protocol-only commit
+        elif (adds or removes) and \
+                not any(a.get("dataChange") for a in adds) and \
+                not any(r.get("dataChange") for r in removes):
+            # compaction/optimize commit: every action declares
+            # dataChange=false — the LOGICAL table is unchanged and
+            # the spec requires CDF readers to skip it entirely
+            continue
         else:
             raise ValueError(
                 f"commit {v} changes existing files without cdc "

@@ -1480,6 +1480,167 @@ def _next_metadata_version(mdir: str) -> int:
     return mx + 1
 
 
+def rewrite_data_files(spark, path: str,
+                       target_file_bytes: int = 128 * 1024 * 1024,
+                       cluster_by: list | None = None,
+                       min_files: int = 2) -> dict:
+    """Iceberg compaction (the ``rewriteDataFiles`` maintenance
+    action) for exported/foreign tables: bin-pack data files under
+    ``target_file_bytes`` into ~target-sized files and commit a
+    ``replace`` snapshot — surviving files re-listed as EXISTING
+    entries CARRYING THEIR ORIGINAL sequence numbers (the spec rule
+    that keeps older position/equality deletes scoped exactly), new
+    files as ADDED.  The logical table provably never changes; every
+    prior snapshot keeps time-traveling until ``expire_snapshots``.
+
+    When the current snapshot carries live DELETE files, a bin-pack
+    of only SOME data files cannot drop the delete files (they may
+    target survivors) and re-listing compacted rows under a new
+    sequence number would un-scope older deletes from them — so the
+    rewrite MATERIALIZES instead: one full read of the current state
+    (deletes applied) becomes a fresh file set, and no delete files
+    are re-listed.  ``cluster_by`` range-clusters the rewritten files
+    (and widens candidacy to every file).  Returns {"snapshot_id",
+    "rewritten", "files", "mode"} (snapshot_id None = nothing to do).
+
+    Scale: the bin-pack path's IO ∝ the small files' bytes; the
+    materialize path is O(live rows) — the documented price of
+    compacting under merge-on-read deletes (Iceberg's own
+    rewriteDataFiles pays the same)."""
+    p = _norm_path(path)
+    meta = _load_metadata(p)
+    snap = _pick_snapshot(meta)
+    if snap is None:
+        return {"snapshot_id": None, "rewritten": 0, "files": 0,
+                "mode": "noop"}
+    schema_json = _schema_for_snapshot(meta, snap)
+    location = meta.get("location") or p
+    data, pos_del, eq_del, parts, _fs = _scan_files(meta, snap,
+                                                    location)
+    if any(parts.get(fp) for fp, _ in data):
+        raise ValueError("rewrite_data_files on a partitioned table "
+                         "is not supported by this writer "
+                         "(exports are unpartitioned)")
+    has_deletes = bool(pos_del or eq_del)
+    id_of = {f["name"]: f["id"] for f in schema_json["fields"]}
+    mdir = os.path.join(p, "metadata")
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snap_id = max((s["snapshot-id"] for s in
+                   meta.get("snapshots", [])), default=0) + 1
+
+    if has_deletes:
+        df = read_iceberg(spark, p)
+        total = sum(os.path.getsize(fp) for fp, _ in data
+                    if os.path.exists(fp))
+        n_out = min(4096, max(1, (total + int(target_file_bytes) - 1)
+                              // int(target_file_bytes)))
+        staged = _stage_iceberg_data(df, p, n_out,
+                                     id_of=id_of, cluster_by=cluster_by)
+        entries = []
+        survivors = []
+        rewritten = len(data)
+        mode = "materialize"
+    else:
+        sizes = {fp: os.path.getsize(fp) if os.path.exists(fp) else 0
+                 for fp, _ in data}
+        if cluster_by:
+            cand = list(data)
+        else:
+            cand = [(fp, s) for fp, s in data
+                    if sizes[fp] < int(target_file_bytes)]
+        if len(cand) < max(2, int(min_files)):
+            return {"snapshot_id": None, "rewritten": 0, "files": 0,
+                    "mode": "noop"}
+        cand_set = {fp for fp, _ in cand}
+        survivors = [(fp, s) for fp, s in data
+                     if fp not in cand_set]
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
+                       "true")
+        sschema = _schema_to_spark(schema_json)
+        df = spark.read.schema(sschema).parquet(
+            *[fp for fp, _ in sorted(cand)])
+        total = sum(sizes[fp] for fp, _ in cand)
+        n_out = min(4096, max(1, (total + int(target_file_bytes) - 1)
+                              // int(target_file_bytes)))
+        staged = _stage_iceberg_data(df, p, n_out,
+                                     id_of=id_of, cluster_by=cluster_by)
+        entries = []
+        rewritten = len(cand)
+        mode = "binpack"
+
+    for fpath, rows, size in staged:
+        st = _file_column_stats(fpath, schema_json)
+        entries.append({
+            "status": 1, "snapshot_id": snap_id,
+            "sequence_number": None,            # inherits `seq`
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 0, "file_path": fpath,
+                "file_format": "PARQUET", "partition": {},
+                "record_count": int(rows),
+                "file_size_in_bytes": int(size),
+                "value_counts": st.get("value_counts"),
+                "null_value_counts": st.get("null_value_counts"),
+                "lower_bounds": st.get("lower_bounds"),
+                "upper_bounds": st.get("upper_bounds"),
+                "equality_ids": None}})
+    for fp, orig_seq in survivors:
+        # spec requires record_count on every entry — a wrong value
+        # could mis-drive stats refutation, so a failed footer read
+        # aborts the rewrite (the file was scanned moments ago; a
+        # failure here means real corruption)
+        import pyarrow.parquet as pq
+        n_rows = int(pq.ParquetFile(fp).metadata.num_rows)
+        st = _file_column_stats(fp, schema_json)
+        entries.append({
+            "status": 0,                        # EXISTING
+            "snapshot_id": snap.get("snapshot-id"),
+            # EXISTING entries must carry their own data seq — the
+            # scoping rule that keeps older deletes applying exactly
+            "sequence_number": int(orig_seq),
+            "file_sequence_number": int(orig_seq),
+            "data_file": {
+                "content": 0, "file_path": fp,
+                "file_format": "PARQUET", "partition": {},
+                "record_count": n_rows,
+                "file_size_in_bytes": os.path.getsize(fp),
+                "value_counts": st.get("value_counts"),
+                "null_value_counts": st.get("null_value_counts"),
+                "lower_bounds": st.get("lower_bounds"),
+                "upper_bounds": st.get("upper_bounds"),
+                "equality_ids": None}})
+    ml_entries = [_manifest(mdir, schema_json, entries, snap_id, seq,
+                            "data")]
+    if survivors:
+        # EXISTING entries carry older seqs; the manifest-list entry's
+        # min_sequence_number must cover them (spec scan planning)
+        ml_entries[0]["min_sequence_number"] = min(
+            [seq] + [int(s) for _fp, s in survivors])
+    now_ms = int(time.time() * 1000)
+    ml_path = os.path.join(
+        mdir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro")
+    write_container_file(ml_path, _MANIFEST_LIST_SCHEMA, ml_entries,
+                         meta={"format-version": "2"})
+    cur_sid = int(meta.get("current-schema-id", 0))
+    new_snap = {"snapshot-id": snap_id, "sequence-number": seq,
+                "timestamp-ms": now_ms,
+                "summary": {"operation": "replace",
+                            "rewritten-data-files": str(rewritten)},
+                "manifest-list": ml_path, "schema-id": cur_sid,
+                "parent-snapshot-id": snap["snapshot-id"]}
+    meta["snapshots"] = (meta.get("snapshots") or []) + [new_snap]
+    meta["current-snapshot-id"] = snap_id
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["refs"] = {"main": {"snapshot-id": snap_id,
+                             "type": "branch"}}
+    meta.setdefault("snapshot-log", []).append(
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id})
+    _write_metadata_json(mdir, _next_metadata_version(mdir), meta)
+    return {"snapshot_id": snap_id, "rewritten": rewritten,
+            "files": len(staged), "mode": mode, "path": p}
+
+
 def expire_snapshots(path: str, keep_last: int = 1,
                      dry_run: bool = False) -> dict:
     """Iceberg ``expireSnapshots`` for exports: drop all but the
