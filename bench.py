@@ -995,7 +995,6 @@ def _interop_skip_stat(spark, sf_dir: str) -> dict | None:
                 import json as _json
 
                 from pyspark.sql.types import StructType
-                from tostore_spark.compile import coerce_where_values
                 from tostore_spark.condition import to_condition_node
                 from tostore_spark.plans.delta_export import (
                     _coerce_where_values, _prune_adds, _replay)

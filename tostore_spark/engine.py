@@ -1487,7 +1487,8 @@ class ToStoreSpark:
                               to_version=to_version)
 
     def read_delta(self, path: str, version: Optional[int] = None,
-                   where=None) -> DataFrame:
+                   where=None,
+                   as_of_ms: Optional[int] = None) -> DataFrame:
         """Read an external Delta table (or an ``export_delta``
         output) via transaction-log replay — no Delta library
         (plans/delta_export.read_delta).  ``version`` time-travels;
@@ -1497,7 +1498,7 @@ class ToStoreSpark:
         foreign tables."""
         from tostore_spark.plans.delta_export import read_delta
         return read_delta(self.spark, path, version=version,
-                          where=where)
+                          where=where, as_of_ms=as_of_ms)
 
     def register_delta(self, name: str, path: str,
                        version: Optional[int] = None,
@@ -1568,6 +1569,16 @@ class ToStoreSpark:
                               cluster_by=cluster_by,
                               min_files=min_files)
 
+    def tag_iceberg(self, dest: str, name: str,
+                    snapshot_id: Optional[int] = None,
+                    kind: str = "tag") -> dict:
+        """Create a named branch/tag ref on an Iceberg export —
+        read back with read_iceberg(ref=name); expire_snapshots
+        retains ref'd snapshots (plans/iceberg.create_ref)."""
+        from tostore_spark.plans.iceberg import create_ref
+        return create_ref(dest, name, snapshot_id=snapshot_id,
+                          kind=kind)
+
     def optimize_iceberg(self, dest: str,
                          target_file_bytes: int = 128 * 1024 * 1024,
                          cluster_by: Optional[list] = None,
@@ -1623,7 +1634,7 @@ class ToStoreSpark:
                      snapshot_id: Optional[int] = None,
                      as_of_ms: Optional[int] = None,
                      partition_filter: Optional[dict] = None,
-                     where=None) -> DataFrame:
+                     where=None, ref: Optional[str] = None) -> DataFrame:
         """Read an external Iceberg v1/v2 table (or an
         ``export_iceberg`` output) — pure-Python Avro manifest
         decoding, field-id column resolution, v2 merge-on-read
@@ -1635,7 +1646,7 @@ class ToStoreSpark:
         return read_iceberg(self.spark, path, snapshot_id=snapshot_id,
                             as_of_ms=as_of_ms,
                             partition_filter=partition_filter,
-                            where=where)
+                            where=where, ref=ref)
 
     def register_iceberg(self, name: str, path: str,
                          snapshot_id: Optional[int] = None,

@@ -1535,8 +1535,52 @@ def _physical_schema(schema, with_ids: bool = False):
             {lf.name: pf.name for lf, pf in zip(schema.fields, fields)})
 
 
+def version_at_timestamp(path: str, as_of_ms: int) -> int:
+    """TIMESTAMP AS OF resolution (the Delta rule): each commit's
+    timestamp is its commitInfo.timestamp when present, else the
+    commit file's modification time, adjusted to be monotonically
+    non-decreasing across versions (Delta's in-commit-timestamp
+    adjustment); the pick is the LATEST version at or before the
+    requested instant.  O(commit files in the log) — driver-side
+    metadata, never data."""
+    p = path[len("file:"):] if path.startswith("file:") else path
+    log_dir = os.path.join(p, "_delta_log")
+    versions = sorted(
+        int(f[:-len(".json")]) for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:-len(".json")].isdigit())
+    if not versions:
+        raise FileNotFoundError(f"no delta commits under {p}")
+    best, running = None, None
+    for v in versions:
+        cpath = os.path.join(log_dir, f"{v:020d}.json")
+        ts = None
+        try:
+            with open(cpath) as fh:
+                for ln in fh:
+                    ln = ln.strip()
+                    if not ln:
+                        continue
+                    a = json.loads(ln)
+                    if "commitInfo" in a and \
+                            a["commitInfo"].get("timestamp"):
+                        ts = int(a["commitInfo"]["timestamp"])
+                        break
+        except Exception:
+            ts = None
+        if ts is None:
+            ts = int(os.path.getmtime(cpath) * 1000)
+        running = ts if running is None else max(running, ts)
+        if running <= int(as_of_ms):
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no delta commit at or before timestamp {as_of_ms} "
+            f"(earliest commit in the log is version {versions[0]})")
+    return best
+
+
 def read_delta(spark, path: str, version: int | None = None,
-               where=None):
+               where=None, as_of_ms: int | None = None):
     """Read a Delta table by replaying its transaction log — the
     no-library read-back for ``export_delta`` outputs AND for external
     Delta tables (minReaderVersion 1, plus 'name'/'id'-mode column
@@ -1552,10 +1596,16 @@ def read_delta(spark, path: str, version: int | None = None,
     refute the predicate are pruned from the scan at the log level
     (Delta's own data-skipping design), and the predicate re-applies
     to the surviving rows with the engine's two-valued semantics, so
-    pruning can only ever narrow the work, never change the result."""
+    pruning can only ever narrow the work, never change the result.
+    ``as_of_ms`` time-travels by COMMIT TIMESTAMP instead
+    (``version_at_timestamp`` — the TIMESTAMP AS OF rule)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
     p = path[len("file:"):] if path.startswith("file:") else path
+    if as_of_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_ms, not both")
+        version = version_at_timestamp(p, as_of_ms)
     state = _replay(p, version)
     schema = StructType.fromJson(
         json.loads(state["meta"]["schemaString"]))

@@ -313,8 +313,18 @@ def _schema_for_snapshot(meta: dict, snapshot: dict | None) -> dict:
     return _current_schema(meta)
 
 
-def _pick_snapshot(meta: dict, snapshot_id=None, as_of_ms=None):
+def _pick_snapshot(meta: dict, snapshot_id=None, as_of_ms=None,
+                   ref=None):
     snaps = meta.get("snapshots") or []
+    if ref is not None:
+        # named BRANCH/TAG refs (spec "refs" map) — how catalogs pin
+        # audit tags and WAP branches; resolution is by snapshot id
+        r = (meta.get("refs") or {}).get(ref)
+        if r is None or "snapshot-id" not in r:
+            known = sorted((meta.get("refs") or {}))
+            raise ValueError(
+                f"iceberg ref {ref!r} not found (refs: {known})")
+        snapshot_id = r["snapshot-id"]
     if snapshot_id is not None:
         for s in snaps:
             if s["snapshot-id"] == snapshot_id:
@@ -602,7 +612,7 @@ def _prune_by_stats(meta: dict, schema_json: dict, data: list,
 def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                  as_of_ms: int | None = None,
                  partition_filter: dict | None = None,
-                 where=None):
+                 where=None, ref: str | None = None):
     """Read an Iceberg v1/v2 table at ``path`` (filesystem layout:
     ``metadata/`` + data files).  ``snapshot_id`` / ``as_of_ms``
     time-travel.  v2 merge-on-read position and equality deletes are
@@ -628,7 +638,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
 
     p = _norm_path(path)
     meta = _load_metadata(p)
-    snapshot = _pick_snapshot(meta, snapshot_id, as_of_ms)
+    snapshot = _pick_snapshot(meta, snapshot_id, as_of_ms, ref=ref)
     schema_json = _schema_for_snapshot(meta, snapshot)
     sschema = _schema_to_spark(schema_json)
     node = None
@@ -1165,7 +1175,8 @@ def _commit_snapshot(path: str, meta: dict, data_files,
     meta["current-snapshot-id"] = snap_id
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now_ms
-    meta["refs"] = {"main": {"snapshot-id": snap_id, "type": "branch"}}
+    meta["refs"] = {**(meta.get("refs") or {}),
+                    "main": {"snapshot-id": snap_id, "type": "branch"}}
     meta.setdefault("snapshot-log", []).append(
         {"timestamp-ms": now_ms, "snapshot-id": snap_id})
     mv = _next_metadata_version(mdir)
@@ -1632,13 +1643,42 @@ def rewrite_data_files(spark, path: str,
     meta["current-snapshot-id"] = snap_id
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now_ms
-    meta["refs"] = {"main": {"snapshot-id": snap_id,
-                             "type": "branch"}}
+    meta["refs"] = {**(meta.get("refs") or {}),
+                    "main": {"snapshot-id": snap_id, "type": "branch"}}
     meta.setdefault("snapshot-log", []).append(
         {"timestamp-ms": now_ms, "snapshot-id": snap_id})
     _write_metadata_json(mdir, _next_metadata_version(mdir), meta)
     return {"snapshot_id": snap_id, "rewritten": rewritten,
             "files": len(staged), "mode": mode, "path": p}
+
+
+def create_ref(path: str, name: str, snapshot_id: int | None = None,
+               kind: str = "tag") -> dict:
+    """Create a named BRANCH/TAG ref (spec ``refs`` map) pointing at
+    ``snapshot_id`` (default: the current snapshot) — committed as
+    the next metadata version, so the change is atomic for foreign
+    readers.  ``expire_snapshots`` retains ref'd snapshots;
+    ``read_iceberg(ref=...)`` resolves them — the audit-tag / WAP
+    workflow every Iceberg catalog exposes."""
+    if kind not in ("tag", "branch"):
+        raise ValueError(f"ref kind must be tag|branch, got {kind!r}")
+    p = _norm_path(path)
+    meta = _load_metadata(p)
+    snap = _pick_snapshot(meta, snapshot_id)
+    if snap is None:
+        raise ValueError("table has no snapshot to reference")
+    refs = dict(meta.get("refs") or {})
+    if name in refs:
+        raise ValueError(f"iceberg ref {name!r} already exists "
+                         f"(-> snapshot {refs[name].get('snapshot-id')})")
+    refs[name] = {"snapshot-id": snap["snapshot-id"], "type": kind}
+    meta["refs"] = refs
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    mdir = os.path.join(p, "metadata")
+    mv = _next_metadata_version(mdir)
+    _write_metadata_json(mdir, mv, meta)
+    return {"name": name, "snapshot_id": snap["snapshot-id"],
+            "type": kind, "metadata_version": mv}
 
 
 def expire_snapshots(path: str, keep_last: int = 1,
@@ -1661,6 +1701,14 @@ def expire_snapshots(path: str, keep_last: int = 1,
                                                       0),
                                                 s["snapshot-id"]))
     keep_snaps = snaps_sorted[-max(int(keep_last), 1):]
+    # named refs RETAIN their snapshots (the Iceberg maintenance
+    # contract: expire never dangles a branch/tag)
+    ref_ids = {r.get("snapshot-id")
+               for r in (meta.get("refs") or {}).values()}
+    kept_ids = {s["snapshot-id"] for s in keep_snaps}
+    keep_snaps += [s for s in snaps_sorted
+                   if s["snapshot-id"] in ref_ids
+                   and s["snapshot-id"] not in kept_ids]
     cur = meta.get("current-snapshot-id")
     if cur is not None and cur not in {s["snapshot-id"]
                                        for s in keep_snaps}:
