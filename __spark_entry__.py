@@ -3153,6 +3153,68 @@ def q_iceberg_bounds_skip(spark, sf_dir):
     return spark.createDataFrame(rows, schema_out)
 
 
+def q_convert_delta(spark, sf_dir):
+    """convert_to_delta (r14, plans/delta_export): a plain
+    hive-partitioned parquet directory (written with NO Delta
+    machinery) converts IN PLACE — commit v0 catalogs the existing
+    files with footer stats and hive partitionValues, zero data
+    copied (asserted in-entry: the data files' mtimes are untouched
+    and every add carries stats).  The converted table must answer a
+    partition+range predicate exactly like DuckDB on the source rows,
+    with the partition filter pruning files at the log level
+    (asserted via _prune_adds)."""
+    import json as _json
+    import os
+    import tempfile
+
+    from tostore_spark.condition import to_condition_node
+    from tostore_spark.plans.delta_export import (_coerce_where_values,
+                                                  _prune_adds, _replay,
+                                                  convert_to_delta,
+                                                  read_delta)
+    from pyspark.sql.types import StructType
+    db = _db(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "plain")
+        (db.df("orders").select("o_orderkey", "o_totalprice",
+                                "o_orderstatus")
+         .write.partitionBy("o_orderstatus").parquet(src))
+        mtimes = {}
+        for dirpath, dirs, names in os.walk(src):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for n in names:
+                if n.endswith(".parquet"):
+                    fp = os.path.join(dirpath, n)
+                    mtimes[fp] = os.path.getmtime(fp)
+        rep = convert_to_delta(spark, src)
+        if rep["partition_columns"] != ["o_orderstatus"]:
+            raise AssertionError(f"partition discovery failed: {rep}")
+        for fp, mt in mtimes.items():
+            if os.path.getmtime(fp) != mt:
+                raise AssertionError(f"data file {fp} was touched")
+        state = _replay(src, None)
+        if not all(a.get("stats") for a in state["files"].values()):
+            raise AssertionError("adds are missing footer stats")
+        where = {"o_orderstatus": "F", "o_orderkey": {"<": 500}}
+        schema = StructType.fromJson(
+            _json.loads(state["meta"]["schemaString"]))
+        node = _coerce_where_values(to_condition_node(where), schema)
+        kept = _prune_adds(state["files"], node, schema,
+                           {f.name: f.name for f in schema.fields},
+                           ["o_orderstatus"])
+        if not (0 < len(kept) < len(state["files"])):
+            raise AssertionError(
+                f"partition pruning did not engage: {len(kept)} of "
+                f"{len(state['files'])}")
+        out = (read_delta(spark, src, where=where)
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("o_orderkey").cast("long").alias("key_sum"),
+                    F.sum("o_totalprice").cast("decimal(18,2)")
+                    .alias("price_sum")))
+        rows, schema_out = out.collect(), out.schema
+    return spark.createDataFrame(rows, schema_out)
+
+
 def q_optimize_compact(spark, sf_dir):
     """Compaction maintenance on BOTH export formats (r14,
     plans/delta_export.optimize_delta + plans/iceberg.
@@ -5416,6 +5478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
+        "q_convert_delta",                                    # born r14
         "q_optimize_compact", "q_iceberg_transform_prune",    # born r14
         "q_iceberg_bounds_skip", "q_delta_stats_skip",        # born r14
         "q_iceberg_incremental", "q_delta_cdf",               # born r14
@@ -6413,6 +6476,13 @@ def oracle_sql() -> dict[str, str]:
         "q_iceberg_transform_prune": """
             SELECT o_orderkey, o_orderstatus FROM orders
             WHERE o_orderkey IN (1, 7, 32)""",
+        "q_convert_delta": """
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                   CAST(sum(o_totalprice) AS DECIMAL(18,2))
+                       AS price_sum
+            FROM orders
+            WHERE o_orderstatus = 'F' AND o_orderkey < 500""",
         "q_optimize_compact": """
             -- base nation + 6 appends (700-702, 710-712) minus the
             -- delete of key >= 710; compaction never changes it

@@ -1554,6 +1554,15 @@ class ToStoreSpark:
         return (getattr(self, "_delta_mirrors", {}) or {}) \
             .pop(key, None) is not None
 
+    def convert_to_delta(self, path: str) -> dict:
+        """Catalog an existing plain-parquet directory (flat or hive-
+        partitioned) as a Delta table IN PLACE — no data copied; v0
+        lists the files with footer stats and hive partitionValues
+        (plans/delta_export.convert_to_delta).  The adoption path for
+        pre-existing datasets."""
+        from tostore_spark.plans.delta_export import convert_to_delta
+        return convert_to_delta(self.spark, path)
+
     def optimize_delta(self, dest: str,
                        target_file_bytes: int = 128 * 1024 * 1024,
                        cluster_by: Optional[list] = None,

@@ -1031,6 +1031,101 @@ def _export_update_dv(engine, key, ent, table: str, path: str,
             "path": path, "version": next_v, "commit": "dv"}
 
 
+def convert_to_delta(spark, path: str) -> dict:
+    """IN-PLACE conversion of a plain parquet directory (flat or
+    hive-partitioned) into a Delta table — the ``CONVERT TO DELTA``
+    adoption tool: no data is copied or moved; commit v0 simply
+    catalogs the existing files as add actions with per-file footer
+    stats (so ``read_delta(where=)`` and foreign engines' data
+    skipping work immediately) and hive ``k=v`` directory values as
+    ``partitionValues``.  After conversion the table composes with
+    the rest of the lifecycle: optimize_delta / vacuum_delta /
+    read_delta time travel.
+
+    Hive semantics: partition keys must form ONE consistent hierarchy
+    across every file (mixed layouts refuse — a wrong partitionValues
+    column is silently wrong data); ``__HIVE_DEFAULT_PARTITION__``
+    decodes to null; partition column TYPES come from Spark's own
+    partition-discovery inference, exactly what a scan of the
+    directory would yield.
+
+    Scale: one footer read per file (driver-side metadata, ∝ file
+    count — the same class as the log it writes) and zero row IO."""
+    from pyspark.sql.types import StructType
+    p = path[len("file:"):] if path.startswith("file:") else path
+    log_dir = os.path.join(p, "_delta_log")
+    if os.path.isdir(log_dir) and os.listdir(log_dir):
+        raise ValueError(f"{p} already has a _delta_log — refusing "
+                         "to re-convert")
+    files = []
+    for dirpath, dirs, names in os.walk(p):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                files.append(os.path.join(dirpath, n))
+    if not files:
+        raise ValueError(f"no parquet files under {p}")
+
+    sample_rel = os.path.relpath(files[0], p).replace(os.sep, "/")
+    pcols = []
+    for seg in sample_rel.split("/")[:-1]:
+        if "=" not in seg:
+            raise ValueError(
+                f"non-hive subdirectory {seg!r} in {sample_rel!r} — "
+                "convert_to_delta needs a flat or hive layout")
+        pcols.append(unquote(seg.split("=", 1)[0]))
+    # one Spark schema inference pass — partition columns typed by
+    # Spark's partition discovery, data columns by footer merge
+    full = spark.read.option("basePath", p).parquet(p)
+    schema = full.schema
+
+    import pyarrow.parquet as pq
+
+    from tostore_spark.plans.skipping import _fold_file
+    now_ms = int(time.time() * 1000)
+    adds = []
+    for fp in sorted(files):
+        rel = os.path.relpath(fp, p).replace(os.sep, "/")
+        segs = rel.split("/")[:-1]
+        keys = [unquote(s.split("=", 1)[0]) for s in segs
+                if "=" in s]
+        if keys != pcols or len(segs) != len(keys):
+            raise ValueError(
+                f"inconsistent partition layout: {rel!r} does not "
+                f"follow {pcols!r}")
+        pvals = {}
+        for s in segs:
+            k, v = s.split("=", 1)
+            v = unquote(v)
+            pvals[unquote(k)] = (None if v ==
+                                 "__HIVE_DEFAULT_PARTITION__" else v)
+        try:
+            summ = _fold_file(pq.ParquetFile(fp).metadata)
+        except Exception:
+            summ = {"rows": int(pq.ParquetFile(fp).metadata.num_rows),
+                    "cols": {}}
+        adds.append({"add": {
+            "path": quote(rel, safe="/="),
+            "partitionValues": pvals,
+            "size": os.path.getsize(fp),
+            "modificationTime": int(os.path.getmtime(fp) * 1000),
+            "dataChange": True,
+            "stats": _delta_stats(summ)}})
+    actions = [
+        {"commitInfo": {"timestamp": now_ms, "operation": "CONVERT"}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": uuid.uuid4().hex,
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema.json(),
+                      "partitionColumns": pcols,
+                      "configuration": {},
+                      "createdTime": now_ms}},
+    ] + adds
+    _write_commit(p, 0, actions)
+    return {"path": p, "version": 0, "files": len(adds),
+            "partition_columns": pcols}
+
+
 def optimize_delta(spark, path: str,
                    target_file_bytes: int = 128 * 1024 * 1024,
                    cluster_by: list | None = None,
