@@ -3153,6 +3153,56 @@ def q_iceberg_bounds_skip(spark, sf_dir):
     return spark.createDataFrame(rows, schema_out)
 
 
+def q_convert_iceberg(spark, sf_dir):
+    """convert_to_iceberg (r14, plans/iceberg): the spec's
+    hive-migration path in place — a plain hive-partitioned parquet
+    directory becomes an Iceberg v2 table with NO data copied
+    (mtimes pinned): name-mapping property for the id-less files,
+    identity partition spec with values in the MANIFESTS (the data
+    files do not contain the partition column — the reader fills it
+    per Column Projection rule 2), footer bounds in every entry.  A
+    partition+range predicate must scan only the matching partition's
+    files (asserted via inputFiles) and value-match DuckDB."""
+    import os
+    import tempfile
+
+    from tostore_spark.plans.iceberg import (convert_to_iceberg,
+                                             read_iceberg)
+    db = _db(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "plain")
+        (db.df("orders").select("o_orderkey", "o_totalprice",
+                                "o_orderstatus")
+         .write.partitionBy("o_orderstatus").parquet(src))
+        mtimes = {}
+        for dirpath, dirs, names in os.walk(src):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for n in names:
+                if n.endswith(".parquet"):
+                    fp = os.path.join(dirpath, n)
+                    mtimes[fp] = os.path.getmtime(fp)
+        rep = convert_to_iceberg(spark, src)
+        if rep["partition_columns"] != ["o_orderstatus"]:
+            raise AssertionError(f"partition discovery failed: {rep}")
+        for fp, mt in mtimes.items():
+            if os.path.getmtime(fp) != mt:
+                raise AssertionError(f"data file {fp} was touched")
+        where = {"o_orderstatus": "F", "o_orderkey": {"<": 500}}
+        out = read_iceberg(spark, src, where=where)
+        scanned = out.inputFiles()
+        if not scanned or not all("o_orderstatus=F" in f
+                                  for f in scanned):
+            raise AssertionError(
+                f"partition pruning did not engage: {scanned[:3]}")
+        out = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum("o_totalprice").cast("decimal(18,2)")
+            .alias("price_sum"))
+        rows, schema_out = out.collect(), out.schema
+    return spark.createDataFrame(rows, schema_out)
+
+
 def q_convert_delta(spark, sf_dir):
     """convert_to_delta (r14, plans/delta_export): a plain
     hive-partitioned parquet directory (written with NO Delta
@@ -5478,7 +5528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
-        "q_convert_delta",                                    # born r14
+        "q_convert_iceberg", "q_convert_delta",               # born r14
         "q_optimize_compact", "q_iceberg_transform_prune",    # born r14
         "q_iceberg_bounds_skip", "q_delta_stats_skip",        # born r14
         "q_iceberg_incremental", "q_delta_cdf",               # born r14
@@ -6477,6 +6527,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_orderstatus FROM orders
             WHERE o_orderkey IN (1, 7, 32)""",
         "q_convert_delta": """
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                   CAST(sum(o_totalprice) AS DECIMAL(18,2))
+                       AS price_sum
+            FROM orders
+            WHERE o_orderstatus = 'F' AND o_orderkey < 500""",
+        "q_convert_iceberg": """
             SELECT CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
                    CAST(sum(o_totalprice) AS DECIMAL(18,2))

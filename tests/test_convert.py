@@ -50,6 +50,94 @@ def test_hive_partitioned_directory(spark, tmp_path):
     assert got == _rows(df.filter(F.col("p") == 1))
 
 
+class TestConvertIceberg:
+    def test_flat_with_name_mapping(self, spark, tmp_path):
+        import json as _json
+
+        from tostore_spark.plans.iceberg import (_load_metadata,
+                                                 convert_to_iceberg,
+                                                 read_iceberg)
+        src = str(tmp_path / "flat")
+        df = spark.range(100).selectExpr(
+            "id", "id % 7 as grp", "array(id, id + 1) as v")
+        df.repartitionByRange(4, "id").write.parquet(src)
+        rep = convert_to_iceberg(spark, src)
+        assert rep["files"] == 4 and rep["partition_columns"] == []
+        meta = _load_metadata(src)
+        nm = _json.loads(
+            meta["properties"]["schema.name-mapping.default"])
+        assert {e["names"][0] for e in nm} == {"id", "grp", "v"}
+        # array columns map their element id
+        v_ent = next(e for e in nm if e["names"] == ["v"])
+        assert v_ent["fields"][0]["names"] == ["element"]
+        out = read_iceberg(spark, src)
+        assert sorted((r.id, r.grp, tuple(r.v))
+                      for r in out.collect()) == \
+            sorted((r.id, r.grp, tuple(r.v)) for r in df.collect())
+        # bounds landed: a range predicate prunes to one file
+        w = read_iceberg(spark, src, where={"id": {"<": 10}})
+        assert w.count() == 10 and len(w.inputFiles()) == 1
+
+    def test_hive_identity_fill(self, spark, tmp_path):
+        """Partition values absent from the data files fill from the
+        manifests (Column Projection rule 2), typed per discovery."""
+        from tostore_spark.plans.iceberg import (convert_to_iceberg,
+                                                 read_iceberg)
+        src = str(tmp_path / "hive")
+        df = spark.range(60).selectExpr("id", "id % 3 as p")
+        df.write.partitionBy("p").parquet(src)
+        rep = convert_to_iceberg(spark, src)
+        assert rep["partition_columns"] == ["p"]
+        out = read_iceberg(spark, src)
+        assert dict(out.dtypes)["p"] == "int"
+        assert sorted(map(tuple, out.select("id", "p").collect())) \
+            == sorted(map(tuple, df.collect()))
+        # identity partition pruning cuts the scan to p=1's files
+        wp = read_iceberg(spark, src, where={"p": 1})
+        assert wp.count() == 20
+        assert all("p=1" in f for f in wp.inputFiles())
+
+    def test_refusals(self, spark, tmp_path):
+        from tostore_spark.plans.iceberg import convert_to_iceberg
+        src = str(tmp_path / "flat")
+        spark.range(5).write.parquet(src)
+        convert_to_iceberg(spark, src)
+        with pytest.raises(ValueError, match="already has"):
+            convert_to_iceberg(spark, src)
+        nested = str(tmp_path / "nested")
+        spark.range(5).selectExpr(
+            "id", "named_struct('a', id) as st").write.parquet(nested)
+        with pytest.raises(ValueError, match="nested"):
+            convert_to_iceberg(spark, nested)
+
+    def test_foreign_name_mapping_mismatch_refuses(self, spark,
+                                                   tmp_path):
+        """A mapping whose names disagree with the schema would make
+        name-based resolution read the wrong column — refuse."""
+        import json as _json
+
+        from tostore_spark.plans.iceberg import (_load_metadata,
+                                                 convert_to_iceberg,
+                                                 read_iceberg)
+        src = str(tmp_path / "flat")
+        spark.range(5).selectExpr("id", "id as n").write.parquet(src)
+        convert_to_iceberg(spark, src)
+        meta = _load_metadata(src)
+        nm = _json.loads(
+            meta["properties"]["schema.name-mapping.default"])
+        nm[0]["names"] = ["renamed_physical"]
+        meta["properties"]["schema.name-mapping.default"] = \
+            _json.dumps(nm)
+        import os as _os
+
+        from tostore_spark.plans.iceberg import (_next_metadata_version,
+                                                 _write_metadata_json)
+        mdir = _os.path.join(src, "metadata")
+        _write_metadata_json(mdir, _next_metadata_version(mdir), meta)
+        with pytest.raises(ValueError, match="name-based resolution"):
+            read_iceberg(spark, src)
+
+
 class TestLifecycle:
     def test_optimize_and_vacuum_after_convert(self, spark, tmp_path):
         src = str(tmp_path / "plain")

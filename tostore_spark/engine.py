@@ -1554,6 +1554,16 @@ class ToStoreSpark:
         return (getattr(self, "_delta_mirrors", {}) or {}) \
             .pop(key, None) is not None
 
+    def convert_to_iceberg(self, path: str) -> dict:
+        """Catalog an existing plain-parquet directory (flat or hive-
+        partitioned) as an Iceberg v2 table IN PLACE — no data copied;
+        name-mapping property for id-less files, hive dirs become an
+        identity partition spec with values in the manifests, bounds
+        written for immediate skipping (plans/iceberg.
+        convert_to_iceberg)."""
+        from tostore_spark.plans.iceberg import convert_to_iceberg
+        return convert_to_iceberg(self.spark, path)
+
     def convert_to_delta(self, path: str) -> dict:
         """Catalog an existing plain-parquet directory (flat or hive-
         partitioned) as a Delta table IN PLACE — no data copied; v0

@@ -48,6 +48,7 @@ import shutil
 import struct
 import time
 import uuid
+from urllib.parse import unquote
 
 from tostore_spark.plans.avro_io import (read_container_file,
                                          write_container_file)
@@ -122,6 +123,82 @@ def _schema_to_spark(schema_json: dict):
     from pyspark.sql.types import StructType
     return StructType([_field_to_spark(f)
                        for f in schema_json["fields"]])
+
+
+def _strip_field_ids(schema):
+    """Read schema WITHOUT parquet.field.id metadata — Spark then
+    resolves parquet columns BY NAME, the resolution mode for tables
+    whose data files carry no field ids (spec name mapping)."""
+    from pyspark.sql.types import (ArrayType, MapType, StructField,
+                                   StructType)
+
+    def walk(dt):
+        if isinstance(dt, StructType):
+            return StructType([StructField(f.name, walk(f.dataType),
+                                           f.nullable)
+                               for f in dt.fields])
+        if isinstance(dt, ArrayType):
+            return ArrayType(walk(dt.elementType), dt.containsNull)
+        if isinstance(dt, MapType):
+            return MapType(walk(dt.keyType), walk(dt.valueType),
+                           dt.valueContainsNull)
+        return dt
+
+    return walk(schema)
+
+
+def _identity_partition_map(meta: dict, schema_json: dict) -> dict:
+    """source column name -> partition key name, for identity
+    transforms of the table's partition specs."""
+    by_id = {int(f["id"]): f for f in schema_json.get("fields") or []}
+    specs = meta.get("partition-specs") or []
+    if not specs and meta.get("partition-spec"):
+        specs = [{"fields": meta["partition-spec"]}]
+    out = {}
+    for spec in specs:
+        for pf in spec.get("fields") or []:
+            if pf.get("transform") == "identity":
+                src = by_id.get(pf.get("source-id"))
+                if src is not None:
+                    out[src["name"]] = pf.get("name", src["name"])
+    return out
+
+
+def _missing_identity_columns(meta, schema_json, data, parts) -> dict:
+    """Spec "Column Projection" rule 2: an identity-partitioned source
+    column ABSENT from the data files (the hive-migration layout —
+    signalled by the ``schema.name-mapping.default`` property) reads
+    its value from partition metadata.  Returns {column: partition
+    key}; {} when not applicable.  Footer checks are driver-side and
+    only run for name-mapped tables; a MIXED layout (column present in
+    some files, absent in others) refuses."""
+    if not (meta.get("properties") or {}).get(
+            "schema.name-mapping.default"):
+        return {}
+    ident = _identity_partition_map(meta, schema_json)
+    if not ident:
+        return {}
+    try:
+        import pyarrow.parquet as pq
+        present: set | None = None
+        for fp, _seq in data:
+            sch = pq.ParquetFile(fp).schema_arrow
+            names = set(sch.names)
+            have = {c for c in ident if c in names}
+            if present is None:
+                present = have
+            elif present != have:
+                raise ValueError(
+                    "iceberg: identity-partition columns present in "
+                    "some data files but not others — refusing a "
+                    "mixed hive-migration layout")
+        missing = {c: k for c, k in ident.items()
+                   if present is not None and c not in present}
+        return missing
+    except ValueError:
+        raise
+    except Exception:
+        return {}     # unreadable footer: fall back to plain scan
 
 
 def _spark_to_iceberg(dt, next_id):
@@ -664,12 +741,6 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     if not data:
         return spark.createDataFrame([], sschema)
 
-    # field-id resolution (same mechanism as Delta 'id'-mode column
-    # mapping): the read schema carries parquet.field.id metadata
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    paths = [fp for fp, _ in data]
-    df = spark.read.schema(sschema).parquet(*paths)
-
     def _refilter(out):
         # re-apply the predicates to ROWS: manifest pruning may only
         # narrow the file list, never define the result
@@ -681,6 +752,69 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
             from tostore_spark.compile import where_filter_column
             out = out.filter(where_filter_column(node, out.schema))
         return out
+
+    # name-mapped tables (spec ``schema.name-mapping.default`` — the
+    # hive-migration signature): data files carry NO field ids, so
+    # columns resolve BY NAME; the mapping must agree that each
+    # current column name is a mapped name (a silent mismatch would
+    # read nulls)
+    nm_prop = (meta.get("properties") or {}).get(
+        "schema.name-mapping.default")
+    read_schema = sschema
+    if nm_prop:
+        try:
+            nm = {int(e["field-id"]): list(e.get("names") or [])
+                  for e in json.loads(nm_prop) if "field-id" in e}
+        except Exception as exc:
+            raise ValueError(
+                f"unparseable schema.name-mapping.default: {exc}")
+        for f in schema_json["fields"]:
+            names = nm.get(int(f["id"]))
+            if names is not None and f["name"] not in names:
+                raise ValueError(
+                    f"name mapping for field id {f['id']} maps "
+                    f"{names} but the schema calls it {f['name']!r} — "
+                    "name-based resolution would read the wrong "
+                    "column")
+        read_schema = _strip_field_ids(sschema)
+
+    # Column Projection rule 2: identity-partition source columns
+    # absent from the (hive-migrated) data files fill from partition
+    # metadata, grouped by partition tuple as typed literals
+    fill = _missing_identity_columns(meta, schema_json, data, parts)
+    if fill:
+        if pos_del or eq_del:
+            raise ValueError(
+                "identity-partition fill under merge-on-read deletes "
+                "is not supported")
+        from pyspark.sql.types import StructType
+        mcols = sorted(fill)
+        dschema = StructType([f for f in read_schema.fields
+                              if f.name not in fill])
+        types = {f.name: f.dataType for f in sschema.fields}
+        by_pv: dict = {}
+        for fp, _seq in data:
+            pv = tuple((parts.get(fp) or {}).get(fill[c])
+                       for c in mcols)
+            by_pv.setdefault(pv, []).append(fp)
+        out = None
+        for pv, fps in sorted(by_pv.items(),
+                              key=lambda kv: tuple(str(x)
+                                                   for x in kv[0])):
+            part = spark.read.schema(dschema).parquet(*sorted(fps))
+            for c, v in zip(mcols, pv):
+                part = part.withColumn(
+                    c, F.lit(v).cast(types[c]) if v is not None
+                    else F.lit(None).cast(types[c]))
+            part = part.select(*[f.name for f in sschema.fields])
+            out = part if out is None else out.unionByName(part)
+        return _refilter(out)
+
+    # field-id resolution (same mechanism as Delta 'id'-mode column
+    # mapping): the read schema carries parquet.field.id metadata
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    paths = [fp for fp, _ in data]
+    df = spark.read.schema(read_schema).parquet(*paths)
 
     if not pos_del and not eq_del:
         return _refilter(df)
@@ -1489,6 +1623,194 @@ def _next_metadata_version(mdir: str) -> int:
         if m:
             mx = max(mx, int(m.group(1)))
     return mx + 1
+
+
+def convert_to_iceberg(spark, path: str) -> dict:
+    """IN-PLACE conversion of a plain parquet directory (flat or
+    hive-partitioned) into an Iceberg v2 table — the spec's
+    hive-migration path: no data copied or moved; the table metadata
+    carries ``schema.name-mapping.default`` (the files have no field
+    ids, so readers — foreign engines and ``read_iceberg`` alike —
+    resolve columns by NAME through the mapping), hive ``k=v``
+    directories become an identity partition spec whose values live
+    in the manifests (data files do NOT contain the partition
+    columns; readers fill them from partition metadata per Column
+    Projection rule 2), and every manifest entry carries footer
+    column bounds so ``where=`` skipping works immediately.
+
+    Supported column types: primitives and arrays of primitives
+    (name mapping for struct/map columns is not emitted — refuse
+    rather than write a mapping foreign readers would misapply);
+    partition column types: int/long/string/boolean/double/date.
+
+    Scale: one footer read per file, zero row IO — the adoption tool
+    for pre-existing datasets, Iceberg flavor."""
+    from pyspark.sql import types as T
+    p = _norm_path(path)
+    mdir = os.path.join(p, "metadata")
+    if os.path.isdir(mdir) and os.listdir(mdir):
+        raise ValueError(f"{p} already has iceberg metadata — "
+                         "refusing to re-convert")
+    files = []
+    for dirpath, dirs, names in os.walk(p):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                files.append(os.path.join(dirpath, n))
+    if not files:
+        raise ValueError(f"no parquet files under {p}")
+    sample_rel = os.path.relpath(files[0], p).replace(os.sep, "/")
+    pcols = []
+    for seg in sample_rel.split("/")[:-1]:
+        if "=" not in seg:
+            raise ValueError(
+                f"non-hive subdirectory {seg!r} in {sample_rel!r} — "
+                "convert_to_iceberg needs a flat or hive layout")
+        pcols.append(unquote(seg.split("=", 1)[0]))
+
+    full = spark.read.option("basePath", p).parquet(p)
+    spark_schema = full.schema
+    for f in spark_schema.fields:
+        dt = f.dataType
+        if isinstance(dt, T.ArrayType):
+            dt = dt.elementType
+        if isinstance(dt, (T.StructType, T.MapType, T.ArrayType)):
+            raise ValueError(
+                f"convert_to_iceberg: column {f.name!r} has a nested "
+                "type the emitted name mapping cannot describe")
+    schema_json = _table_schema_json(spark_schema)
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+
+    # spec NameMapping: every field id ↔ its current name; array
+    # columns additionally map their element id
+    mapping = []
+    for f in schema_json["fields"]:
+        ent = {"field-id": int(f["id"]), "names": [f["name"]]}
+        t = f.get("type")
+        if isinstance(t, dict) and t.get("type") == "list":
+            ent["fields"] = [{"field-id": int(t["element-id"]),
+                              "names": ["element"]}]
+        mapping.append(ent)
+
+    _AVRO_PART = {T.IntegerType: "int", T.LongType: "long",
+                  T.StringType: "string", T.BooleanType: "boolean",
+                  T.DoubleType: "double", T.DateType: "int"}
+    spec_fields, part_avro, part_decode = [], [], {}
+    for i, c in enumerate(pcols):
+        if c not in by_name:
+            raise ValueError(f"partition column {c!r} missing from "
+                             "the discovered schema")
+        sdt = spark_schema[c].dataType
+        av = _AVRO_PART.get(type(sdt))
+        if av is None:
+            raise ValueError(
+                f"partition column {c!r} type {sdt} unsupported")
+        spec_fields.append({"name": c, "transform": "identity",
+                            "source-id": int(by_name[c]["id"]),
+                            "field-id": 1000 + i})
+        part_avro.append({"name": c, "type": ["null", av],
+                          "field-id": 1000 + i, "default": None})
+        part_decode[c] = sdt
+
+    def _pval(c, raw):
+        if raw is None:
+            return None
+        dt = part_decode[c]
+        if isinstance(dt, (T.IntegerType, T.LongType)):
+            return int(raw)
+        if isinstance(dt, T.BooleanType):
+            return raw.lower() == "true"
+        if isinstance(dt, T.DoubleType):
+            return float(raw)
+        if isinstance(dt, T.DateType):
+            import datetime
+            return (datetime.date.fromisoformat(raw)
+                    - datetime.date(1970, 1, 1)).days
+        return raw
+
+    import copy
+
+    import pyarrow.parquet as pq
+    mes = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+    pf_field = next(f for f in mes["fields"][4]["type"]["fields"]
+                    if f["name"] == "partition")
+    pf_field["type"]["fields"] = part_avro
+    snap_id, seq = 1, 1
+    entries, total_rows = [], 0
+    for fp in sorted(files):
+        rel = os.path.relpath(fp, p).replace(os.sep, "/")
+        segs = rel.split("/")[:-1]
+        keys = [unquote(s.split("=", 1)[0]) for s in segs if "=" in s]
+        if keys != pcols or len(segs) != len(keys):
+            raise ValueError(
+                f"inconsistent partition layout: {rel!r} does not "
+                f"follow {pcols!r}")
+        pvals = {}
+        for s in segs:
+            k, v = s.split("=", 1)
+            v = unquote(v)
+            pvals[unquote(k)] = _pval(
+                unquote(k),
+                None if v == "__HIVE_DEFAULT_PARTITION__" else v)
+        n_rows = int(pq.ParquetFile(fp).metadata.num_rows)
+        total_rows += n_rows
+        st = _file_column_stats(fp, schema_json)
+        entries.append({
+            "status": 1, "snapshot_id": snap_id,
+            "sequence_number": None, "file_sequence_number": None,
+            "data_file": {
+                "content": 0, "file_path": fp,
+                "file_format": "PARQUET", "partition": pvals,
+                "record_count": n_rows,
+                "file_size_in_bytes": os.path.getsize(fp),
+                "value_counts": st.get("value_counts"),
+                "null_value_counts": st.get("null_value_counts"),
+                "lower_bounds": st.get("lower_bounds"),
+                "upper_bounds": st.get("upper_bounds"),
+                "equality_ids": None}})
+    os.makedirs(mdir, exist_ok=True)
+    man_path = os.path.join(mdir, f"{uuid.uuid4().hex}-m0.avro")
+    write_container_file(
+        man_path, mes, entries,
+        meta={"schema": json.dumps(schema_json), "schema-id": "0",
+              "partition-spec": json.dumps(spec_fields),
+              "partition-spec-id": "0", "format-version": "2",
+              "content": "data"})
+    ml_path = os.path.join(
+        mdir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro")
+    write_container_file(ml_path, _MANIFEST_LIST_SCHEMA, [{
+        "manifest_path": man_path,
+        "manifest_length": os.path.getsize(man_path),
+        "partition_spec_id": 0, "content": 0,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0, "deleted_files_count": 0,
+        "added_rows_count": total_rows,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+        "key_metadata": None}], meta={"format-version": "2"})
+    now_ms = int(time.time() * 1000)
+    meta = _fresh_meta(p, spark_schema)
+    meta["partition-specs"] = [{"spec-id": 0, "fields": spec_fields}]
+    meta["last-partition-id"] = 999 + len(spec_fields)
+    meta["properties"]["schema.name-mapping.default"] = \
+        json.dumps(mapping)
+    snap = {"snapshot-id": snap_id, "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "summary": {"operation": "append",
+                        "added-data-files": str(len(entries)),
+                        "added-records": str(total_rows)},
+            "manifest-list": ml_path, "schema-id": 0}
+    meta["snapshots"] = [snap]
+    meta["current-snapshot-id"] = snap_id
+    meta["last-sequence-number"] = seq
+    meta["refs"] = {"main": {"snapshot-id": snap_id,
+                             "type": "branch"}}
+    meta["snapshot-log"] = [{"timestamp-ms": now_ms,
+                             "snapshot-id": snap_id}]
+    _write_metadata_json(mdir, 1, meta)
+    return {"path": p, "snapshot_id": snap_id, "files": len(entries),
+            "rows": total_rows, "partition_columns": pcols}
 
 
 def rewrite_data_files(spark, path: str,
