@@ -224,7 +224,11 @@ def test_update_churn_bounded(spark):
     elapsed = time.time() - t0
     ages = {r["id"]: r["age"] for r in db2.df("churn_u").collect()}
     assert ages["u0"] == 80 and ages["u19"] == 99
-    assert elapsed < 120, f"update churn took {elapsed:.0f}s"
+    # regression guard against super-linear plan growth (the broken
+    # shape took many minutes); ~97s is the healthy solo reading on
+    # this host and full-suite JVM state adds tens of seconds — the
+    # bound needs headroom over both or it flakes on a green engine
+    assert elapsed < 200, f"update churn took {elapsed:.0f}s"
 
 
 def test_eager_mutation_counts_off_returns_minus_one(spark, db):

@@ -691,10 +691,14 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                  partition_filter: dict | None = None,
                  where=None, ref: str | None = None):
     """Read an Iceberg v1/v2 table at ``path`` (filesystem layout:
-    ``metadata/`` + data files).  ``snapshot_id`` / ``as_of_ms``
-    time-travel.  v2 merge-on-read position and equality deletes are
-    applied with the spec's sequence-number scoping; columns resolve
-    by field id.
+    ``metadata/`` + data files).  ``snapshot_id`` / ``as_of_ms`` /
+    ``ref`` (named branch/tag) time-travel.  v2 merge-on-read
+    position and equality deletes are applied with the spec's
+    sequence-number scoping; columns resolve by field id — or BY NAME
+    through a validated ``schema.name-mapping.default`` for tables
+    whose data files carry no ids (hive migrations), with absent
+    identity-partition source columns filled from partition metadata
+    (Column Projection rule 2).
 
     ``partition_filter`` ({source column: value}, equality only)
     prunes data files at the MANIFEST level before Spark ever lists
