@@ -3153,6 +3153,66 @@ def q_iceberg_bounds_skip(spark, sf_dir):
     return spark.createDataFrame(rows, schema_out)
 
 
+def q_uniform_bridge(spark, sf_dir):
+    """UniForm-style format bridge (r14, plans/iceberg.
+    convert_delta_to_iceberg): Iceberg v2 metadata written OVER a
+    hive-partitioned Delta export's live files — same parquet, two
+    formats, zero copy (mtimes pinned).  The Iceberg view must
+    value-match the Delta view exactly AND answer a partition+range
+    predicate like DuckDB, with the partition scan pinned via
+    inputFiles (the Delta log's partitionValues became manifest
+    partition values the reader fills per Column Projection rule
+    2)."""
+    import os
+    import tempfile
+
+    from tostore_spark.plans.delta_export import read_delta
+    from tostore_spark.plans.iceberg import (convert_delta_to_iceberg,
+                                             read_iceberg)
+    db = _db(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        db1 = ToStoreSpark(spark, warehouse=os.path.join(tmp, "wh"))
+        db1.register_table(
+            "ord", df=db.df("orders").select(
+                "o_orderkey", "o_totalprice", "o_orderstatus"),
+            partition_by=["o_orderstatus"])
+        db1.flush()
+        dest = os.path.join(tmp, "dx")
+        db1.export_delta("ord", dest)
+        mtimes = {}
+        for dirpath, dirs, names in os.walk(dest):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for n in names:
+                if n.endswith(".parquet"):
+                    fp = os.path.join(dirpath, n)
+                    mtimes[fp] = os.path.getmtime(fp)
+        rep = convert_delta_to_iceberg(spark, dest)
+        if rep["partition_columns"] != ["o_orderstatus"]:
+            raise AssertionError(f"bridge lost partitioning: {rep}")
+        for fp, mt in mtimes.items():
+            if os.path.getmtime(fp) != mt:
+                raise AssertionError(f"data file {fp} was touched")
+        where = {"o_orderstatus": "F", "o_orderkey": {"<": 500}}
+        ice = read_iceberg(spark, dest, where=where)
+        scanned = ice.inputFiles()
+        if not scanned or not all("o_orderstatus=F" in f
+                                  for f in scanned):
+            raise AssertionError(
+                f"partition pruning did not engage: {scanned[:3]}")
+        d_n = read_delta(spark, dest, where=where).count()
+        out = ice.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum("o_totalprice").cast("decimal(18,2)")
+            .alias("price_sum"))
+        rows, schema_out = out.collect(), out.schema
+        if int(rows[0]["n"]) != int(d_n):
+            raise AssertionError(
+                f"bridge views disagree: iceberg {rows[0]['n']} vs "
+                f"delta {d_n}")
+    return spark.createDataFrame(rows, schema_out)
+
+
 def q_convert_iceberg(spark, sf_dir):
     """convert_to_iceberg (r14, plans/iceberg): the spec's
     hive-migration path in place — a plain hive-partitioned parquet
@@ -5528,6 +5588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
+        "q_uniform_bridge",                                   # born r14
         "q_convert_iceberg", "q_convert_delta",               # born r14
         "q_optimize_compact", "q_iceberg_transform_prune",    # born r14
         "q_iceberg_bounds_skip", "q_delta_stats_skip",        # born r14
@@ -6534,6 +6595,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderstatus = 'F' AND o_orderkey < 500""",
         "q_convert_iceberg": """
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                   CAST(sum(o_totalprice) AS DECIMAL(18,2))
+                       AS price_sum
+            FROM orders
+            WHERE o_orderstatus = 'F' AND o_orderkey < 500""",
+        "q_uniform_bridge": """
             SELECT CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
                    CAST(sum(o_totalprice) AS DECIMAL(18,2))

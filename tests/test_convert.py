@@ -138,6 +138,78 @@ class TestConvertIceberg:
             read_iceberg(spark, src)
 
 
+class TestDeltaIcebergBridge:
+    def _mk(self, spark, tmp_path, partition_by=None):
+        from tostore_spark.engine import ToStoreSpark
+        db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))
+        df = spark.createDataFrame(
+            [(f"k{i:03d}", i, i % 3) for i in range(30)],
+            "id string, n int, p int")
+        db.register_table("notes", df=df, partition_by=partition_by)
+        db.flush()
+        return db
+
+    def test_bridge_reads_identically(self, spark, tmp_path):
+        from tostore_spark.plans.iceberg import (convert_delta_to_iceberg,
+                                                 read_iceberg)
+        db = self._mk(spark, tmp_path)
+        dest = str(tmp_path / "dx")
+        db.export_delta("notes", dest, target_files=4)
+        rep = convert_delta_to_iceberg(spark, dest)
+        assert rep["files"] == 4 and rep["delta_version"] == 0
+        assert _rows(read_iceberg(spark, dest)) == \
+            _rows(read_delta(spark, dest))
+        w = read_iceberg(spark, dest, where={"n": {"<": 5}})
+        assert w.count() == 5 and len(w.inputFiles()) < 4
+
+    def test_partitioned_bridge_fills_from_log(self, spark, tmp_path):
+        """A hive-partitioned Delta export: partition values live in
+        the log; the bridged Iceberg view carries them in manifests
+        and the reader fills the column (rule 2)."""
+        from tostore_spark.plans.iceberg import (convert_delta_to_iceberg,
+                                                 read_iceberg)
+        db = self._mk(spark, tmp_path, partition_by=["p"])
+        dest = str(tmp_path / "dx")
+        db.export_delta("notes", dest)
+        rep = convert_delta_to_iceberg(spark, dest)
+        assert rep["partition_columns"] == ["p"]
+        assert _rows(read_iceberg(spark, dest)) == \
+            _rows(read_delta(spark, dest))
+        wp = read_iceberg(spark, dest, where={"p": 1})
+        assert wp.count() == 10
+        assert all("p=1" in f for f in wp.inputFiles())
+
+    def test_dv_tables_refuse_until_optimized(self, spark, tmp_path):
+        from tostore_spark.engine import ToStoreSpark
+        from tostore_spark.plans.iceberg import (convert_delta_to_iceberg,
+                                                 read_iceberg)
+        from tostore_spark.schema import (DataType, FieldSchema,
+                                          PrimaryKeyConfig, TableSchema)
+        db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))
+        db.create_table(TableSchema(
+            name="notes", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n", type=DataType.integer)]))
+        db.batch_insert("notes", [
+            {"id": f"k{i:03d}", "n": i} for i in range(30)])
+        db.flush()
+        dest = str(tmp_path / "dx")
+        db.export_delta("notes", dest, target_files=3,
+                        deletion_vectors=True)
+        db.delete("notes").where("n", "IN", [1, 2]).execute()
+        db.flush()
+        rep0 = db.export_delta("notes", dest, mode="update",
+                               deletion_vectors=True)
+        assert rep0["commit"] == "dv"
+        with pytest.raises(ValueError, match="deletion vectors"):
+            convert_delta_to_iceberg(spark, dest)
+        from tostore_spark.plans.delta_export import optimize_delta
+        optimize_delta(spark, dest, target_file_bytes=10 << 20)
+        rep = convert_delta_to_iceberg(spark, dest)
+        assert rep["files"] == 1
+        assert _rows(read_iceberg(spark, dest)) == \
+            _rows(read_delta(spark, dest))
+
+
 class TestLifecycle:
     def test_optimize_and_vacuum_after_convert(self, spark, tmp_path):
         src = str(tmp_path / "plain")

@@ -1554,6 +1554,15 @@ class ToStoreSpark:
         return (getattr(self, "_delta_mirrors", {}) or {}) \
             .pop(key, None) is not None
 
+    def convert_delta_to_iceberg(self, path: str) -> dict:
+        """UniForm-style bridge: Iceberg v2 metadata over a Delta
+        table's CURRENT live files — same parquet, two formats, no
+        copy; foreign Iceberg engines read the Delta state
+        (plans/iceberg.convert_delta_to_iceberg).  Snapshot-in-time;
+        deletion vectors need optimize_delta first."""
+        from tostore_spark.plans.iceberg import convert_delta_to_iceberg
+        return convert_delta_to_iceberg(self.spark, path)
+
     def convert_to_iceberg(self, path: str) -> dict:
         """Catalog an existing plain-parquet directory (flat or hive-
         partitioned) as an Iceberg v2 table IN PLACE — no data copied;

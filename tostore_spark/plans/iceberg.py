@@ -1674,19 +1674,49 @@ def convert_to_iceberg(spark, path: str) -> dict:
 
     full = spark.read.option("basePath", p).parquet(p)
     spark_schema = full.schema
+    schema_json, mapping = _convert_schema_and_mapping(spark_schema)
+    spec_fields, part_avro, _pval = _convert_identity_spec(
+        pcols, schema_json, spark_schema)
+
+    file_pvals = []
+    for fp in sorted(files):
+        rel = os.path.relpath(fp, p).replace(os.sep, "/")
+        segs = rel.split("/")[:-1]
+        keys = [unquote(s.split("=", 1)[0]) for s in segs if "=" in s]
+        if keys != pcols or len(segs) != len(keys):
+            raise ValueError(
+                f"inconsistent partition layout: {rel!r} does not "
+                f"follow {pcols!r}")
+        pvals = {}
+        for s in segs:
+            k, v = s.split("=", 1)
+            v = unquote(v)
+            pvals[unquote(k)] = _pval(
+                unquote(k),
+                None if v == "__HIVE_DEFAULT_PARTITION__" else v)
+        file_pvals.append((fp, pvals, None))
+    rep = _commit_converted_snapshot(p, spark_schema, schema_json,
+                                     mapping, spec_fields, part_avro,
+                                     file_pvals)
+    rep["partition_columns"] = pcols
+    return rep
+
+
+def _convert_schema_and_mapping(spark_schema):
+    """Conversion schema handling: assign field ids + build the spec
+    NameMapping (every field id ↔ its current name; array columns map
+    their element id).  Nested struct/map columns refuse — an
+    incomplete mapping would make foreign readers misresolve."""
+    from pyspark.sql import types as T
     for f in spark_schema.fields:
         dt = f.dataType
         if isinstance(dt, T.ArrayType):
             dt = dt.elementType
         if isinstance(dt, (T.StructType, T.MapType, T.ArrayType)):
             raise ValueError(
-                f"convert_to_iceberg: column {f.name!r} has a nested "
-                "type the emitted name mapping cannot describe")
+                f"conversion: column {f.name!r} has a nested type "
+                "the emitted name mapping cannot describe")
     schema_json = _table_schema_json(spark_schema)
-    by_name = {f["name"]: f for f in schema_json["fields"]}
-
-    # spec NameMapping: every field id ↔ its current name; array
-    # columns additionally map their element id
     mapping = []
     for f in schema_json["fields"]:
         ent = {"field-id": int(f["id"]), "names": [f["name"]]}
@@ -1695,7 +1725,15 @@ def convert_to_iceberg(spark, path: str) -> dict:
             ent["fields"] = [{"field-id": int(t["element-id"]),
                               "names": ["element"]}]
         mapping.append(ent)
+    return schema_json, mapping
 
+
+def _convert_identity_spec(pcols, schema_json, spark_schema):
+    """Identity partition spec for converted tables: spec fields +
+    the manifest partition-record Avro fields + a string→typed value
+    decoder for the recorded partition values."""
+    from pyspark.sql import types as T
+    by_name = {f["name"]: f for f in schema_json["fields"]}
     _AVRO_PART = {T.IntegerType: "int", T.LongType: "long",
                   T.StringType: "string", T.BooleanType: "boolean",
                   T.DoubleType: "double", T.DateType: "int"}
@@ -1703,7 +1741,7 @@ def convert_to_iceberg(spark, path: str) -> dict:
     for i, c in enumerate(pcols):
         if c not in by_name:
             raise ValueError(f"partition column {c!r} missing from "
-                             "the discovered schema")
+                             "the schema")
         sdt = spark_schema[c].dataType
         av = _AVRO_PART.get(type(sdt))
         if av is None:
@@ -1732,32 +1770,94 @@ def convert_to_iceberg(spark, path: str) -> dict:
                     - datetime.date(1970, 1, 1)).days
         return raw
 
+    return spec_fields, part_avro, _pval
+
+
+def convert_delta_to_iceberg(spark, path: str) -> dict:
+    """UniForm-style bridge: write Iceberg v2 metadata OVER a Delta
+    table's CURRENT live files — same parquet, two table formats, no
+    data copied.  Foreign Iceberg engines (and ``read_iceberg``) see
+    exactly the Delta table's present state: the Delta log's
+    partitionValues become an identity partition spec with values in
+    the manifests (Delta data files don't contain partition columns —
+    Column Projection rule 2 fills them), ``schema.name-mapping.
+    default`` covers the id-less files, and footer bounds land in
+    every manifest entry.
+
+    A snapshot-in-time bridge: later Delta commits are NOT reflected
+    (re-convert after removing ``metadata/``), and ``vacuum_delta``
+    may reclaim files the Iceberg view references — coordinate
+    maintenance, exactly the real-world UniForm caveat.  Deletion
+    vectors refuse (``optimize_delta`` first materializes them);
+    column mapping refuses (physical names)."""
+    from pyspark.sql.types import StructType
+
+    from tostore_spark.plans.delta_export import _replay
+    p = _norm_path(path)
+    mdir = os.path.join(p, "metadata")
+    if os.path.isdir(mdir) and os.listdir(mdir):
+        raise ValueError(f"{p} already has iceberg metadata — "
+                         "refusing to re-convert")
+    state = _replay(p, None)
+    meta_d = state["meta"]
+    if (meta_d.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none") not in ("none", ""):
+        raise ValueError("convert_delta_to_iceberg under column "
+                         "mapping is not supported")
+    if any(a.get("deletionVector") for a in state["files"].values()):
+        raise ValueError(
+            "the delta table carries live deletion vectors — run "
+            "optimize_delta first (it materializes them), then "
+            "convert")
+    spark_schema = StructType.fromJson(
+        json.loads(meta_d["schemaString"]))
+    schema_json, mapping = _convert_schema_and_mapping(spark_schema)
+    pcols = list(meta_d.get("partitionColumns") or [])
+    spec_fields, part_avro, _pval = _convert_identity_spec(
+        pcols, schema_json, spark_schema)
+    file_pvals = []
+    for rel, add in sorted(state["files"].items()):
+        pv_raw = add.get("partitionValues") or {}
+        pvals = {c: _pval(c, pv_raw.get(c)) for c in pcols}
+        n_rows = None
+        st = add.get("stats")
+        if st:
+            try:
+                n = json.loads(st).get("numRecords")
+                if isinstance(n, int):
+                    n_rows = n
+            except Exception:
+                pass
+        file_pvals.append((os.path.join(p, rel), pvals, n_rows))
+    rep = _commit_converted_snapshot(p, spark_schema, schema_json,
+                                     mapping, spec_fields, part_avro,
+                                     file_pvals)
+    rep["partition_columns"] = pcols
+    rep["delta_version"] = state["version"]
+    return rep
+
+
+def _commit_converted_snapshot(p, spark_schema, schema_json, mapping,
+                               spec_fields, part_avro,
+                               file_pvals) -> dict:
+    """Shared tail of the conversion paths: write manifest +
+    manifest list + v1 metadata for snapshot 1 over the given
+    ``[(abs_path, partition_values, rows|None)]`` files (rows=None →
+    read the footer)."""
     import copy
 
     import pyarrow.parquet as pq
+    mdir = os.path.join(p, "metadata")
     mes = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
     pf_field = next(f for f in mes["fields"][4]["type"]["fields"]
                     if f["name"] == "partition")
     pf_field["type"]["fields"] = part_avro
     snap_id, seq = 1, 1
     entries, total_rows = [], 0
-    for fp in sorted(files):
-        rel = os.path.relpath(fp, p).replace(os.sep, "/")
-        segs = rel.split("/")[:-1]
-        keys = [unquote(s.split("=", 1)[0]) for s in segs if "=" in s]
-        if keys != pcols or len(segs) != len(keys):
-            raise ValueError(
-                f"inconsistent partition layout: {rel!r} does not "
-                f"follow {pcols!r}")
-        pvals = {}
-        for s in segs:
-            k, v = s.split("=", 1)
-            v = unquote(v)
-            pvals[unquote(k)] = _pval(
-                unquote(k),
-                None if v == "__HIVE_DEFAULT_PARTITION__" else v)
-        n_rows = int(pq.ParquetFile(fp).metadata.num_rows)
-        total_rows += n_rows
+    for fp, pvals, n_rows in file_pvals:
+        if n_rows is None:
+            n_rows = int(pq.ParquetFile(fp).metadata.num_rows)
+        total_rows += int(n_rows)
         st = _file_column_stats(fp, schema_json)
         entries.append({
             "status": 1, "snapshot_id": snap_id,
@@ -1765,7 +1865,7 @@ def convert_to_iceberg(spark, path: str) -> dict:
             "data_file": {
                 "content": 0, "file_path": fp,
                 "file_format": "PARQUET", "partition": pvals,
-                "record_count": n_rows,
+                "record_count": int(n_rows),
                 "file_size_in_bytes": os.path.getsize(fp),
                 "value_counts": st.get("value_counts"),
                 "null_value_counts": st.get("null_value_counts"),
@@ -1814,7 +1914,7 @@ def convert_to_iceberg(spark, path: str) -> dict:
                              "snapshot-id": snap_id}]
     _write_metadata_json(mdir, 1, meta)
     return {"path": p, "snapshot_id": snap_id, "files": len(entries),
-            "rows": total_rows, "partition_columns": pcols}
+            "rows": total_rows}
 
 
 def rewrite_data_files(spark, path: str,
