@@ -419,3 +419,52 @@ def test_delta_schema_evolution_on_refresh(spark, tmp_path):
     assert feed.count() == 40
     assert feed.filter("_change_type = 'delete' and extra is null") \
                .count() == 20
+
+
+def test_cdf_where_filters_and_prunes(spark, tmp_path):
+    """where= on the feed: rows filter with engine semantics, and a
+    derivable APPEND commit's add files prune by log stats before
+    being read (cdc files filter row-side only)."""
+    wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+    db = _mk(spark, wh)
+    db.export_delta("notes", dest, change_data=True,
+                    deletion_vectors=True)
+    # v1: append 20 rows range-clustered into files (derivable)
+    db.batch_insert("notes", [
+        {"id": f"x{i:03d}", "body": "a", "n": 100 + i}
+        for i in range(20)])
+    db.flush()
+    db.export_delta("notes", dest, mode="update",
+                    deletion_vectors=True, cluster_by=["n"])
+    # v2: dv delete (explicit cdc file)
+    db.delete("notes").where("n", "IN", [3, 104]).execute()
+    db.flush()
+    db.export_delta("notes", dest, mode="update",
+                    deletion_vectors=True)
+    full = read_delta_cdf(spark, dest, 1)
+    got = read_delta_cdf(spark, dest, 1, where={"n": {">=": 104}})
+    want = sorted((r["_commit_version"], r["_change_type"], r["n"])
+                  for r in full.collect() if r["n"] >= 104)
+    assert sorted((r["_commit_version"], r["_change_type"], r["n"])
+                  for r in got.collect()) == want
+    # a predicate refuting every appended row skips v1 entirely
+    none = read_delta_cdf(spark, dest, 1, where={"n": {">": 10000}})
+    assert none.count() == 0
+    # pruning narrowed, never changed: a point value in the append
+    one = read_delta_cdf(spark, dest, 1, where={"n": 110})
+    assert [(r["_commit_version"], r["_change_type"], r["n"])
+            for r in one.collect()] == [(1, "insert", 110)]
+
+
+def test_register_delta_as_of_ms(spark, tmp_path):
+    import time as _time
+    wh, dest = str(tmp_path / "wh"), str(tmp_path / "dx")
+    db = _mk(spark, wh)
+    db.export_delta("notes", dest)
+    t_mid = int(_time.time() * 1000)
+    _time.sleep(1.1)
+    db.batch_insert("notes", [{"id": "z", "body": "n", "n": 999}])
+    db.flush()
+    db.export_delta("notes", dest, mode="update")
+    db.register_delta("old_view", dest, as_of_ms=t_mid)
+    assert db.query("old_view").count() == 20

@@ -1476,15 +1476,18 @@ class ToStoreSpark:
                    change_data=change_data, cluster_by=cluster_by)
 
     def read_delta_cdf(self, path: str, from_version: int,
-                       to_version: Optional[int] = None):
+                       to_version: Optional[int] = None,
+                       where=None):
         """Read an external Delta table's CHANGE DATA FEED over a
         commit range: each row is a change tagged ``_change_type`` +
         ``_commit_version`` — cost ∝ the range's change files, never a
-        snapshot diff (plans/delta_export.read_delta_cdf).  Pairs with
-        ``apply_changes`` for incremental consumption."""
+        snapshot diff (plans/delta_export.read_delta_cdf).  ``where``
+        filters the feed (derivable append commits prune their add
+        files by log stats).  Pairs with ``apply_changes`` for
+        incremental consumption."""
         from tostore_spark.plans.delta_export import read_delta_cdf
         return read_delta_cdf(self.spark, path, from_version,
-                              to_version=to_version)
+                              to_version=to_version, where=where)
 
     def read_delta(self, path: str, version: Optional[int] = None,
                    where=None,
@@ -1503,14 +1506,16 @@ class ToStoreSpark:
     def register_delta(self, name: str, path: str,
                        version: Optional[int] = None,
                        where=None,
+                       as_of_ms: Optional[int] = None,
                        is_global: bool = False) -> None:
         """Register an external Delta table (or an ``export_delta``
         output) as a readable source via transaction-log replay — no
-        Delta library (plans/delta_export.read_delta).  ``version``
-        pins a historical commit (time travel); ``where`` pre-filters
-        with log-stats file pruning (see ``read_delta``)."""
+        Delta library (plans/delta_export.read_delta).  ``version`` /
+        ``as_of_ms`` pin a historical commit (time travel); ``where``
+        pre-filters with log-stats file pruning (see ``read_delta``)."""
         from tostore_spark.plans.delta_export import read_delta
-        df = read_delta(self.spark, path, version=version, where=where)
+        df = read_delta(self.spark, path, version=version, where=where,
+                        as_of_ms=as_of_ms)
         self.register_table(name, df=df, is_global=is_global)
 
     def mirror_delta(self, table: str, dest: str,

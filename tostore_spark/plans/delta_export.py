@@ -1888,7 +1888,7 @@ def _read_change_files(spark, p: str, actions: list[dict], schema,
 
 
 def read_delta_cdf(spark, path: str, from_version: int,
-                   to_version: int | None = None):
+                   to_version: int | None = None, where=None):
     """Read a Delta table's CHANGE DATA FEED over a commit range
     (PROTOCOL.md "Add CDC File" / "Change Data Files") — the
     incremental-consumer interface: each returned row is a change with
@@ -1904,8 +1904,11 @@ def read_delta_cdf(spark, path: str, from_version: int,
     it would either overstate changes or require whole-version diffs
     the feed exists to avoid.
 
-    Scale: cost ∝ the change files in the range (plus the add files of
-    derivable appends) — never a snapshot diff.  Requires
+    ``where`` (the engine predicate language) filters the FEED: a
+    consumer subscribing to a key range reads only matching change
+    rows, and derivable append commits additionally prune their add
+    files by log stats before reading (cdc files carry no stats —
+    those filter row-side only).  Requires
     ``delta.enableChangeDataFeed`` at ``from_version`` and every
     commit json in the range to still exist (same contract as Delta:
     CDF does not read through checkpoints or vacuumed history)."""
@@ -1941,6 +1944,15 @@ def read_delta_cdf(spark, path: str, from_version: int,
     end_meta = _replay(p, to_version)["meta"]
     schema = StructType.fromJson(json.loads(end_meta["schemaString"]))
     pcols = list(end_meta.get("partitionColumns") or [])
+    node = None
+    if where is not None:
+        from tostore_spark.condition import to_condition_node
+        node = to_condition_node(where)
+        if node is not None and node.is_empty():
+            node = None
+        if node is not None:
+            node = _coerce_where_values(node, schema)
+    ident = {f.name: f.name for f in schema.fields}
     out = None
     for v in range(from_version, to_version + 1):
         cpath = os.path.join(log_dir, f"{v:020d}.json")
@@ -1970,6 +1982,16 @@ def read_delta_cdf(spark, path: str, from_version: int,
         elif adds and not removes and \
                 all(a.get("dataChange") for a in adds) and \
                 not any(a.get("deletionVector") for a in adds):
+            if node is not None:
+                # derivable appends carry stats: prune their files at
+                # the log level before reading (same conservative
+                # refutation as read_delta)
+                pruned = _prune_adds(
+                    {a["path"]: a for a in adds}, node, schema,
+                    ident, pcols)
+                adds = list(pruned.values())
+                if not adds:
+                    continue
             part = (_read_change_files(spark, p, adds, schema, pcols,
                                        with_change_type=False)
                     .withColumn("_change_type", F.lit("insert")))
@@ -1994,6 +2016,9 @@ def read_delta_cdf(spark, path: str, from_version: int,
         out = part if out is None else out.unionByName(part)
     cols = ([f.name for f in schema.fields]
             + ["_change_type", "_commit_version", "_commit_timestamp"])
+    if out is not None and node is not None:
+        from tostore_spark.compile import where_filter_column
+        out = out.filter(where_filter_column(node, out.schema))
     if out is None:
         from pyspark.sql.types import TimestampType
         empty = StructType(
