@@ -52,7 +52,12 @@ class TestDeltaTimestampTravel:
         self._stamp(dest, 2, 3000)
         assert version_at_timestamp(dest, 2000) == 1
         assert version_at_timestamp(dest, 2999) == 1
-        assert version_at_timestamp(dest, 99999999999999) == 2
+        # after the latest commit: loud refusal (the Delta rule),
+        # lenient resolve only on request
+        with pytest.raises(ValueError, match="after the latest"):
+            version_at_timestamp(dest, 99999999999999)
+        assert version_at_timestamp(dest, 99999999999999,
+                                    allow_after_latest=True) == 2
         assert read_delta(spark, dest, as_of_ms=2000).count() == 11
         with pytest.raises(ValueError, match="no delta commit"):
             version_at_timestamp(dest, 999)
@@ -80,7 +85,7 @@ class TestDeltaTimestampTravel:
         dest = str(tmp_path / "dx")
         db.export_delta("notes", dest)
         self._stamp(dest, 0, 1000)
-        out = read_delta(spark, dest, as_of_ms=1500,
+        out = read_delta(spark, dest, as_of_ms=1000,
                          where={"n": {"<": 3}})
         assert out.count() == 3
 

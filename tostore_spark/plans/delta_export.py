@@ -299,17 +299,25 @@ def _stage_data_files(df, path: str, version: int,
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     # int64-micros timestamps (never legacy INT96): footer stats exist
     # and modern Delta readers expect them — pin even on foreign
-    # sessions (get_spark already defaults this)
-    df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType",
-                             "TIMESTAMP_MICROS")
-    if cluster_by and not partition_by:
-        df, target_files = _cluster_frame(df, cluster_by, target_files)
-    if target_files:
-        df = df.coalesce(int(target_files))
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(staging)
+    # sessions (get_spark already defaults this), but RESTORE after
+    # staging so a caller-owned session keeps its own setting
+    conf = df.sparkSession.conf
+    _TS_KEY = "spark.sql.parquet.outputTimestampType"
+    old_ts = conf.get(_TS_KEY, None)
+    conf.set(_TS_KEY, "TIMESTAMP_MICROS")
+    try:
+        if cluster_by and not partition_by:
+            df, target_files = _cluster_frame(df, cluster_by,
+                                              target_files)
+        if target_files:
+            df = df.coalesce(int(target_files))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+    finally:
+        conf.set(_TS_KEY, old_ts) if old_ts is not None \
+            else conf.unset(_TS_KEY)
     out = []
     for dirpath, dirs, names in os.walk(staging):
         dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
@@ -907,11 +915,15 @@ def _export_update_dv(engine, key, ent, table: str, path: str,
                                          "/"), -1).alias("__f"),
                                  F.col("_metadata.row_index")
                                  .alias("__p")))
+                # limit BEFORE collect: an oversized delete must
+                # trip the bound, not flood the driver first
+                have = sum(len(v) for v in new_pos.values())
+                room = MAX_TOTAL_POSITIONS - have
                 hits = (frame.join(F.broadcast(keys.distinct()),
                                    on=kcols)
-                        .select("__f", "__p").collect())
-                have = sum(len(v) for v in new_pos.values())
-                if have + len(hits) > MAX_TOTAL_POSITIONS:
+                        .select("__f", "__p")
+                        .limit(room + 1).collect())
+                if len(hits) > room:
                     return None
                 for r in hits:
                     new_pos.setdefault(r["__f"], set()).add(int(r["__p"]))
@@ -1630,7 +1642,8 @@ def _physical_schema(schema, with_ids: bool = False):
             {lf.name: pf.name for lf, pf in zip(schema.fields, fields)})
 
 
-def version_at_timestamp(path: str, as_of_ms: int) -> int:
+def version_at_timestamp(path: str, as_of_ms: int,
+                         allow_after_latest: bool = False) -> int:
     """TIMESTAMP AS OF resolution (the Delta rule): each commit's
     timestamp is its commitInfo.timestamp when present, else the
     commit file's modification time, adjusted to be monotonically
@@ -1671,6 +1684,14 @@ def version_at_timestamp(path: str, as_of_ms: int) -> int:
         raise ValueError(
             f"no delta commit at or before timestamp {as_of_ms} "
             f"(earliest commit in the log is version {versions[0]})")
+    # Delta's TIMESTAMP AS OF errors for instants AFTER the latest
+    # commit (a typo'd future timestamp must fail loudly, not silently
+    # read HEAD); allow_after_latest opts into the lenient resolve
+    if not allow_after_latest and int(as_of_ms) > running:
+        raise ValueError(
+            f"timestamp {as_of_ms} is after the latest commit "
+            f"(version {versions[-1]}, adjusted timestamp {running}) "
+            "— pass allow_after_latest=True to read HEAD instead")
     return best
 
 

@@ -164,6 +164,37 @@ def _identity_partition_map(meta: dict, schema_json: dict) -> dict:
     return out
 
 
+_FILL_TUPLE_CAP = 64        # non-hive layouts only: per-tuple literal
+                            # fill builds an O(tuples) union plan
+
+
+def _part_value_lit(v, dtype):
+    """Typed literal for a manifest partition value.  Temporal values
+    ride the spec's physical encodings (date = days-from-epoch int,
+    timestamp[tz] = micros-from-epoch long) — decode them explicitly;
+    Spark cannot cast INT to DATE."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    if v is None:
+        return F.lit(None).cast(dtype)
+    if isinstance(dtype, T.DateType):
+        return F.date_from_unix_date(F.lit(int(v)))
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.timestamp_micros(F.lit(int(v))).cast(dtype)
+    return F.lit(v).cast(dtype)
+
+
+def _is_hive_fill_layout(base, data, fill, mcols) -> bool:
+    """True when every data file sits under hive ``col=value`` dirs
+    for every fill column — the single-basePath-scan precondition.
+    Requires partition-field name == source-column name (true for
+    identity specs over hive dirs) so discovery lands on the right
+    column."""
+    return all(fill[c] == c for c in mcols) and all(
+        f"/{c}=" in fp[len(base):]
+        for fp, _seq in data for c in mcols)
+
+
 def _missing_identity_columns(meta, schema_json, data, parts) -> dict:
     """Spec "Column Projection" rule 2: an identity-partitioned source
     column ABSENT from the data files (the hive-migration layout —
@@ -784,7 +815,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
 
     # Column Projection rule 2: identity-partition source columns
     # absent from the (hive-migrated) data files fill from partition
-    # metadata, grouped by partition tuple as typed literals
+    # metadata
     fill = _missing_identity_columns(meta, schema_json, data, parts)
     if fill:
         if pos_del or eq_del:
@@ -796,20 +827,36 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         dschema = StructType([f for f in read_schema.fields
                               if f.name not in fill])
         types = {f.name: f.dataType for f in sschema.fields}
+        # hive k=v layout (the common migration shape): ONE discovery
+        # scan under basePath — the plan stays O(1) in partition-tuple
+        # count; Spark parses the dir values into the declared types.
+        base = _norm_path(location).rstrip("/")
+        if _is_hive_fill_layout(base, data, fill, mcols):
+            disc = StructType(list(dschema.fields)
+                              + [sschema[c] for c in mcols])
+            df = (spark.read.schema(disc)
+                  .option("basePath", base)
+                  .parquet(*sorted(fp for fp, _seq in data))
+                  .select(*[f.name for f in sschema.fields]))
+            return _refilter(df)
         by_pv: dict = {}
         for fp, _seq in data:
             pv = tuple((parts.get(fp) or {}).get(fill[c])
                        for c in mcols)
             by_pv.setdefault(pv, []).append(fp)
+        if len(by_pv) > _FILL_TUPLE_CAP:
+            raise ValueError(
+                f"identity-partition fill over {len(by_pv)} partition "
+                f"tuples on a non-hive layout exceeds the "
+                f"{_FILL_TUPLE_CAP}-tuple plan cap — rewrite the "
+                "table (rewrite_data_files) or use a hive k=v layout")
         out = None
         for pv, fps in sorted(by_pv.items(),
                               key=lambda kv: tuple(str(x)
                                                    for x in kv[0])):
             part = spark.read.schema(dschema).parquet(*sorted(fps))
             for c, v in zip(mcols, pv):
-                part = part.withColumn(
-                    c, F.lit(v).cast(types[c]) if v is not None
-                    else F.lit(None).cast(types[c]))
+                part = part.withColumn(c, _part_value_lit(v, types[c]))
             part = part.select(*[f.name for f in sschema.fields])
             out = part if out is None else out.unionByName(part)
         return _refilter(out)
@@ -946,12 +993,16 @@ def _stage_iceberg_data(df, dest: str, target_files=None,
     if id_of is None:
         schema_json = _table_schema_json(df.schema)
         id_of = {f["name"]: f["id"] for f in schema_json["fields"]}
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    # spec: timestamps in data files MUST be int64 micros, never the
-    # legacy INT96 (which also carries no footer stats) — pin it even
-    # when the session was built outside get_spark
-    spark.conf.set("spark.sql.parquet.outputTimestampType",
-                   "TIMESTAMP_MICROS")
+    # spec: field ids in footers, timestamps as int64 micros (never
+    # legacy INT96, which also carries no footer stats) — pin both
+    # even when the session was built outside get_spark, and RESTORE
+    # after staging so a caller-owned session keeps its settings
+    _pins = {"spark.sql.parquet.fieldId.write.enabled": "true",
+             "spark.sql.parquet.outputTimestampType":
+             "TIMESTAMP_MICROS"}
+    _olds = {k: spark.conf.get(k, None) for k in _pins}
+    for k, v in _pins.items():
+        spark.conf.set(k, v)
     tagged = df
     for f in df.schema.fields:
         tagged = tagged.withMetadata(
@@ -968,7 +1019,12 @@ def _stage_iceberg_data(df, dest: str, target_files=None,
         tagged = tagged.coalesce(int(target_files))
     ddir = os.path.join(dest, "data")
     staging = os.path.join(dest, f".staging-{uuid.uuid4().hex}")
-    tagged.write.mode("overwrite").parquet(staging)
+    try:
+        tagged.write.mode("overwrite").parquet(staging)
+    finally:
+        for k, old in _olds.items():
+            spark.conf.set(k, old) if old is not None \
+                else spark.conf.unset(k)
     os.makedirs(ddir, exist_ok=True)
     out = []
     for f in sorted(os.listdir(staging)):
@@ -1217,7 +1273,11 @@ def _manifest(mdir: str, schema_json: dict, entries: list,
         meta={"schema": json.dumps(schema_json), "schema-id": "0",
               "partition-spec": "[]", "partition-spec-id": "0",
               "format-version": "2", "content": content})
-    rows = sum(e["data_file"]["record_count"] for e in entries)
+    # manifest-list counts split by entry status: foreign readers use
+    # them for incremental scans / planning shortcuts, so EXISTING
+    # survivors (compaction re-listings) must not count as ADDED
+    added = [e for e in entries if e.get("status", 1) == 1]
+    exist = [e for e in entries if e.get("status", 1) == 0]
     return {
         "manifest_path": man_path,
         "manifest_length": os.path.getsize(man_path),
@@ -1225,10 +1285,13 @@ def _manifest(mdir: str, schema_json: dict, entries: list,
         "content": 0 if content == "data" else 1,
         "sequence_number": seq, "min_sequence_number": seq,
         "added_snapshot_id": snap_id,
-        "added_files_count": len(entries),
-        "existing_files_count": 0, "deleted_files_count": 0,
-        "added_rows_count": rows,
-        "existing_rows_count": 0, "deleted_rows_count": 0,
+        "added_files_count": len(added),
+        "existing_files_count": len(exist), "deleted_files_count": 0,
+        "added_rows_count": sum(e["data_file"]["record_count"]
+                                for e in added),
+        "existing_rows_count": sum(e["data_file"]["record_count"]
+                                   for e in exist),
+        "deleted_rows_count": 0,
         "key_metadata": None,
     }
 
@@ -1958,6 +2021,17 @@ def rewrite_data_files(spark, path: str,
         raise ValueError("rewrite_data_files on a partitioned table "
                          "is not supported by this writer "
                          "(exports are unpartitioned)")
+    if (meta.get("properties") or {}).get(
+            "schema.name-mapping.default"):
+        # converted tables resolve columns by NAME MAPPING (their data
+        # files carry no field ids); the binpack read here resolves by
+        # id and would fail — or worse, mix id-resolved rewrites with
+        # id-less survivors under a still-present mapping.  Mirrors
+        # optimize_delta's column-mapping refusal.
+        raise ValueError(
+            "rewrite_data_files on a name-mapped (converted) table "
+            "is not supported — the mixed id/name file layout it "
+            "would produce cannot be resolved safely")
     has_deletes = bool(pos_del or eq_del)
     id_of = {f["name"]: f["id"] for f in schema_json["fields"]}
     mdir = os.path.join(p, "metadata")
