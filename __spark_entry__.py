@@ -2694,6 +2694,90 @@ def q_delta_cdf(spark, sf_dir):
               "del_key_sum bigint, n_final bigint")
 
 
+def q_iceberg_cdf(spark, sf_dir):
+    """Iceberg INCREMENTAL/CHANGELOG read + netted consumption (r15,
+    plans/iceberg.read_iceberg_changes + engine.apply_iceberg_changes
+    — the consumer half Delta CDF already had): snapshot 1 bootstraps
+    a consumer via the changelog fold (full history = inserts); an
+    append epoch commits 4 rows (3 keepers + one that will die); an
+    equality-delete MoR epoch kills every key >= 21 — including the
+    just-appended rows, so the incremental pull NETS the
+    insert+delete pairs to nothing and applies ONLY the bootstrap-row
+    deletes.  In-entry asserts pin the commit kinds, the per-snapshot
+    ``_commit_version`` values, and consumer==source equality; DuckDB
+    derives every count from nation arithmetic."""
+    import os
+    import tempfile
+
+    from tostore_spark.plans.iceberg import read_iceberg_changes
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    db = _db(spark, sf_dir)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    sch = TableSchema(
+        name="nat", primary_key=PrimaryKeyConfig(name="id"),
+        fields=[FieldSchema(name="n_name", type=DataType.text),
+                FieldSchema(name="key", type=DataType.integer)])
+    with tempfile.TemporaryDirectory() as tmp:
+        dest = os.path.join(tmp, "ice")
+        src = ToStoreSpark(spark, warehouse=os.path.join(tmp, "w1"))
+        con = ToStoreSpark(spark, warehouse=os.path.join(tmp, "w2"))
+        src.create_table(sch)
+        con.create_table(sch)
+        src.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
+             "key": r["n_nationkey"]} for r in nat])
+        src.flush()
+        src.export_iceberg("nat", dest, target_files=1)       # s1
+        boot = con.apply_iceberg_changes("nat", dest)
+        n_boot = boot["applied"]                     # bootstrap fold
+        src.batch_insert("nat", [
+            {"id": f"x{i}", "n_name": f"ADDED{i}", "key": 900 + i}
+            for i in range(3)] + [
+            {"id": "gone", "n_name": "GONE", "key": 999}])
+        src.flush()
+        rep1 = src.export_iceberg("nat", dest, mode="update")  # s2
+        if rep1["commit"] != "append":
+            raise AssertionError(f"expected append commit: {rep1}")
+        src.delete("nat").where("key", ">=", 21).execute()
+        src.flush()
+        rep2 = src.export_iceberg("nat", dest, mode="update")  # s3
+        if rep2["commit"] != "eqdel":
+            raise AssertionError(f"expected eq-delete commit: {rep2}")
+        feed = read_iceberg_changes(spark, dest,
+                                    from_snapshot=boot["to_snapshot"])
+        vers = sorted(r["_commit_version"] for r in
+                      feed.select("_commit_version").distinct()
+                      .collect())
+        if vers != [2, 3]:
+            raise AssertionError(f"commit versions off: {vers}")
+        agg = (feed.agg(
+            F.count(F.when(F.col("_change_type") == "insert", 1))
+            .alias("n_ins"),
+            F.count(F.when(F.col("_change_type") == "delete", 1))
+            .alias("n_del"),
+            F.sum(F.when(F.col("_change_type") == "insert",
+                         F.col("key"))).alias("ins_key_sum"),
+            F.sum(F.when(F.col("_change_type") == "delete",
+                         F.col("key"))).alias("del_key_sum")).first())
+        inc = con.apply_iceberg_changes("nat", dest)
+        n_net = inc["applied"]       # insert+delete pairs netted away
+        cols = sorted(src.df("nat").columns)
+        a = sorted(map(tuple, src.df("nat").select(*cols).collect()))
+        b = sorted(map(tuple, con.df("nat").select(*cols).collect()))
+        if a != b:
+            raise AssertionError("consumer != source after sync")
+        rows = [{"n_boot": int(n_boot), "n_ins": int(agg["n_ins"]),
+                 "n_del": int(agg["n_del"]),
+                 "ins_key_sum": int(agg["ins_key_sum"]),
+                 "del_key_sum": int(agg["del_key_sum"]),
+                 "n_applied_net": int(n_net), "n_final": len(b)}]
+    return spark.createDataFrame(
+        rows, "n_boot bigint, n_ins bigint, n_del bigint, "
+              "ins_key_sum bigint, del_key_sum bigint, "
+              "n_applied_net bigint, n_final bigint")
+
+
 def q_iceberg_roundtrip(spark, sf_dir):
     """Iceberg v2 export + no-library read-back (r14, plans/iceberg +
     plans/avro_io): a store table exports as a standard Iceberg v2
@@ -5588,6 +5672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
+        "q_iceberg_cdf",                                      # born r15
         "q_uniform_bridge",                                   # born r14
         "q_convert_iceberg", "q_convert_delta",               # born r14
         "q_optimize_compact", "q_iceberg_transform_prune",    # born r14
@@ -6541,6 +6626,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) + 2 AS BIGINT) AS n_final,
                    CAST(sum(n_nationkey) + 700 + 701 AS BIGINT)
                        AS key_sum
+            FROM nation""",
+        "q_iceberg_cdf": """
+            -- bootstrap = every nation row as an insert; the append
+            -- epoch adds keys 900-902 + 999; the eq-delete epoch
+            -- kills key >= 21 (the high nation keys AND all four
+            -- appended rows — different snapshots, so the FEED holds
+            -- both sides while the netted APPLY folds the pairs away)
+            SELECT CAST(count(*) AS BIGINT) AS n_boot,
+                   CAST(4 AS BIGINT) AS n_ins,
+                   CAST(count(CASE WHEN n_nationkey >= 21 THEN 1 END)
+                        + 4 AS BIGINT) AS n_del,
+                   CAST(900 + 901 + 902 + 999 AS BIGINT)
+                       AS ins_key_sum,
+                   CAST(sum(CASE WHEN n_nationkey >= 21
+                            THEN n_nationkey END)
+                        + 900 + 901 + 902 + 999 AS BIGINT)
+                       AS del_key_sum,
+                   CAST(count(CASE WHEN n_nationkey >= 21 THEN 1 END)
+                        AS BIGINT) AS n_applied_net,
+                   CAST(count(CASE WHEN n_nationkey < 21 THEN 1 END)
+                        AS BIGINT) AS n_final
             FROM nation""",
         "q_delta_cdf": """
             -- v1 inserts keys 900-902; v2 deletes key >= 21 (the four

@@ -1,0 +1,334 @@
+"""Iceberg incremental/changelog read (read_iceberg_changes) and its
+consumption surface (apply_iceberg_changes / start_iceberg_sync) —
+the consumer half Delta CDF already has.  Derivation rules: appends →
+inserts; merge-on-read delete snapshots → exact delete pre-images
+(position deletes read only touched files, equality deletes probe the
+parent); compactions contribute nothing; rewrites refuse."""
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tostore_spark.engine import ToStoreSpark
+from tostore_spark.plans.iceberg import (_commit_snapshot,
+                                         _load_metadata, _scan_files,
+                                         _write_position_deletes,
+                                         read_iceberg,
+                                         read_iceberg_changes,
+                                         rewrite_data_files)
+from tostore_spark.schema import (DataType, FieldSchema,
+                                  PrimaryKeyConfig, TableSchema)
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+def _mk(spark, wh, rows=20):
+    db = ToStoreSpark(spark, warehouse=wh)
+    db.create_table(TableSchema(
+        name="notes", primary_key=PrimaryKeyConfig(name="id"),
+        fields=[FieldSchema(name="n", type=DataType.integer)]))
+    db.batch_insert("notes", [
+        {"id": f"k{i:03d}", "n": i} for i in range(rows)])
+    db.flush()
+    return db
+
+
+def _changes(feed):
+    return sorted(map(tuple, feed.select(
+        "_change_type", "id", "n", "_commit_version").collect()))
+
+
+class TestChangelogDerivation:
+    def test_full_history_with_eq_delete_epoch(self, spark, tmp_path):
+        db = _mk(spark, str(tmp_path / "wh"))
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest, target_files=1)      # s1
+        db.batch_insert("notes", [{"id": f"x{i}", "n": 100 + i}
+                                  for i in range(3)])
+        db.flush()
+        db.export_iceberg("notes", dest, mode="update")       # s2 append
+        db.delete("notes").where("n", "IN", [3, 7, 11]).execute()
+        db.flush()
+        rep = db.export_iceberg("notes", dest, mode="update")  # s3
+        assert rep["commit"] == "eqdel"
+        feed = read_iceberg_changes(spark, dest)
+        by = {(r["_change_type"], r["_commit_version"]): r["count"]
+              for r in feed.groupBy("_change_type", "_commit_version")
+              .count().collect()}
+        assert by == {("insert", 1): 20, ("insert", 2): 3,
+                      ("delete", 3): 3}
+        dels = feed.filter("_change_type = 'delete'")
+        assert sorted(r["n"] for r in dels.collect()) == [3, 7, 11]
+        # feed meta columns carry the snapshot id + timestamp
+        assert feed.select("_commit_snapshot_id").distinct().count() == 3
+        assert feed.filter(F.col("_commit_timestamp").isNull()) \
+                   .count() == 0
+
+    def test_incremental_after_cursor(self, spark, tmp_path):
+        db = _mk(spark, str(tmp_path / "wh"))
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest, target_files=1)
+        meta = _load_metadata(dest)
+        s1 = meta["current-snapshot-id"]
+        db.batch_insert("notes", [{"id": "x0", "n": 100}])
+        db.flush()
+        db.export_iceberg("notes", dest, mode="update")
+        inc = read_iceberg_changes(spark, dest, from_snapshot=s1)
+        assert _changes(inc) == [("insert", "x0", 100, 2)]
+        # from == to: empty with the full schema
+        cur = _load_metadata(dest)["current-snapshot-id"]
+        empty = read_iceberg_changes(spark, dest, from_snapshot=cur)
+        assert empty.count() == 0
+        assert set(empty.columns) >= {"id", "n", "_change_type",
+                                      "_commit_snapshot_id",
+                                      "_commit_version",
+                                      "_commit_timestamp"}
+
+    def test_mor_overwrite_mixed_epoch(self, spark, tmp_path):
+        """Appends + deletes in one flush export as a MoR overwrite
+        snapshot: derivable as inserts + position-delete pre-images."""
+        db = _mk(spark, str(tmp_path / "wh"))
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest, target_files=1)
+        s1 = _load_metadata(dest)["current-snapshot-id"]
+        db.batch_insert("notes", [{"id": "x0", "n": 100},
+                                  {"id": "x1", "n": 101}])
+        db.delete("notes").where("n", "IN", [5, 9]).execute()
+        db.flush()
+        rep = db.export_iceberg("notes", dest, mode="update")
+        assert rep["commit"] == "mor"
+        meta = _load_metadata(dest)
+        assert meta["snapshots"][-1]["summary"]["operation"] == \
+            "overwrite"
+        inc = read_iceberg_changes(spark, dest, from_snapshot=s1)
+        assert _changes(inc) == [
+            ("delete", "k005", 5, 2), ("delete", "k009", 9, 2),
+            ("insert", "x0", 100, 2), ("insert", "x1", 101, 2)]
+
+    def test_update_epoch_is_delete_plus_insert(self, spark, tmp_path):
+        db = _mk(spark, str(tmp_path / "wh"))
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest, target_files=1)
+        s1 = _load_metadata(dest)["current-snapshot-id"]
+        db.update("notes", {"n": 999}).where("n", "=", 0).execute()
+        db.flush()
+        rep = db.export_iceberg("notes", dest, mode="update")
+        assert rep["commit"] == "mor"
+        inc = read_iceberg_changes(spark, dest, from_snapshot=s1)
+        assert _changes(inc) == [("delete", "k000", 0, 2),
+                                 ("insert", "k000", 999, 2)]
+
+    def test_compaction_contributes_nothing(self, spark, tmp_path):
+        db = _mk(spark, str(tmp_path / "wh"))
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest, target_files=4)
+        s1 = _load_metadata(dest)["current-snapshot-id"]
+        db.batch_insert("notes", [{"id": "x0", "n": 100}])
+        db.flush()
+        db.export_iceberg("notes", dest, mode="update")
+        rw = rewrite_data_files(spark, dest,
+                                target_file_bytes=10 << 20)
+        assert rw["mode"] == "binpack"
+        inc = read_iceberg_changes(spark, dest, from_snapshot=s1)
+        assert _changes(inc) == [("insert", "x0", 100, 2)]
+
+    def test_rekill_position_not_resurfaced(self, spark, tmp_path):
+        """A spec-legal position delete that re-kills an already-dead
+        row must not re-emit that row as a delete (outside observers
+        saw it die in the earlier snapshot)."""
+        db = _mk(spark, str(tmp_path / "wh"))
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest, target_files=1)
+        db.delete("notes").where("n", "=", 2).execute()
+        db.flush()
+        rep = db.export_iceberg("notes", dest, mode="update")
+        assert rep["commit"] in ("eqdel", "mor")
+        meta = _load_metadata(dest)
+        snap = [s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"]][0]
+        data, _pd, _ed, _parts, _fs = _scan_files(meta, snap, dest)
+        tgt = sorted(fp for fp, _ in data)[0]
+        pos_of = {r["n"]: r["p"] for r in
+                  spark.read.parquet(tgt).select(
+                      "n", F.col("_metadata.row_index").alias("p"))
+                  .collect()}
+        # foreign writer: one delete file re-killing the already-dead
+        # n=2 row AND killing the live n=4 row — a hand-built delete
+        # snapshot
+        df_ = _write_position_deletes(
+            dest, [(tgt, pos_of[2]), (tgt, pos_of[4])])
+        s_before = meta["current-snapshot-id"]
+        _commit_snapshot(dest, meta, None, [df_], keep_prior=True,
+                         operation="delete")
+        inc = read_iceberg_changes(spark, dest,
+                                   from_snapshot=s_before)
+        got = sorted((r["_change_type"], r["n"])
+                     for r in inc.collect())
+        assert got == [("delete", 4)], \
+            "only the newly-killed position may surface"
+
+    def test_where_filters_and_prunes(self, spark, tmp_path):
+        db = _mk(spark, str(tmp_path / "wh"))
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest, target_files=1)
+        s1 = _load_metadata(dest)["current-snapshot-id"]
+        db.batch_insert("notes", [{"id": f"x{i}", "n": 100 + i}
+                                  for i in range(4)])
+        db.flush()
+        db.export_iceberg("notes", dest, mode="update")
+        feed = read_iceberg_changes(spark, dest, from_snapshot=s1,
+                                    where={"n": {">=": 102}})
+        assert sorted(r["n"] for r in feed.collect()) == [102, 103]
+
+
+class TestChangelogRefusals:
+    def test_refresh_refuses_and_resubscribe_works(self, spark,
+                                                   tmp_path,
+                                                   monkeypatch):
+        import tostore_spark.plans.delta_dv as dv
+        db = _mk(spark, str(tmp_path / "wh"))
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest, target_files=1)
+        s1 = _load_metadata(dest)["current-snapshot-id"]
+        # force the refresh tier: a MIXED epoch (the eq-delete route
+        # only covers pure deletes) whose position probe bound trips
+        monkeypatch.setattr(dv, "MAX_TOTAL_POSITIONS", 0)
+        db.batch_insert("notes", [{"id": "x0", "n": 100}])
+        db.delete("notes").where("n", "<", 5).execute()
+        db.flush()
+        rep = db.export_iceberg("notes", dest, mode="update")
+        assert rep["commit"] == "refresh"
+        with pytest.raises(ValueError, match="rewrite"):
+            read_iceberg_changes(spark, dest,
+                                 from_snapshot=s1).count()
+        # a fresh subscription from the refresh snapshot works
+        cur = _load_metadata(dest)["current-snapshot-id"]
+        assert read_iceberg_changes(
+            spark, dest, from_snapshot=cur).count() == 0
+
+    def test_non_ancestor_refuses(self, spark, tmp_path):
+        db = _mk(spark, str(tmp_path / "wh"))
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest)
+        with pytest.raises(ValueError, match="ancestor"):
+            read_iceberg_changes(spark, dest,
+                                 from_snapshot=999999).count()
+
+    def test_name_mapped_refuses(self, spark, tmp_path):
+        from tostore_spark.plans.iceberg import convert_to_iceberg
+        src = str(tmp_path / "flat")
+        spark.range(10).selectExpr("id", "id % 2 as g") \
+            .write.parquet(src)
+        convert_to_iceberg(spark, src)
+        with pytest.raises(ValueError, match="name-mapped"):
+            read_iceberg_changes(spark, src)
+
+    def test_lying_append_summary_refuses(self, spark, tmp_path):
+        """An 'append' snapshot that carries delete files is an
+        inconsistent summary — refuse, never mis-derive."""
+        db = _mk(spark, str(tmp_path / "wh"))
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest, target_files=1)
+        meta = _load_metadata(dest)
+        snap = meta["snapshots"][-1]
+        data, _pd, _ed, _parts, _fs = _scan_files(meta, snap, dest)
+        tgt = sorted(fp for fp, _ in data)[0]
+        df_ = _write_position_deletes(dest, [(tgt, 0)])
+        s1 = meta["current-snapshot-id"]
+        _commit_snapshot(dest, meta, None, [df_], keep_prior=True,
+                         operation="append")
+        with pytest.raises(ValueError, match="inconsistent"):
+            read_iceberg_changes(spark, dest,
+                                 from_snapshot=s1).count()
+
+
+class TestApplyAndSync:
+    def _pair(self, spark, tmp_path):
+        sch = TableSchema(
+            name="notes", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n", type=DataType.integer)])
+        src = _mk(spark, str(tmp_path / "wh1"))
+        dst = ToStoreSpark(spark, warehouse=str(tmp_path / "wh2"))
+        dst.create_table(sch)
+        return src, dst
+
+    def test_apply_bootstrap_increment_cursor(self, spark, tmp_path):
+        src, dst = self._pair(spark, tmp_path)
+        dest = str(tmp_path / "ice")
+        src.export_iceberg("notes", dest, target_files=1)
+        rep = dst.apply_iceberg_changes("notes", dest)
+        assert rep["applied"] == 20 and rep["from_snapshot"] is None
+        src.batch_insert("notes", [{"id": "x0", "n": 100}])
+        src.flush()
+        src.export_iceberg("notes", dest, mode="update")
+        src.delete("notes").where("n", "IN", [2, 4]).execute()
+        src.flush()
+        src.export_iceberg("notes", dest, mode="update")
+        rep2 = dst.apply_iceberg_changes("notes", dest)
+        assert rep2["applied"] == 3 and rep2["from_snapshot"] == 1
+        assert _rows(dst.df("notes")) == _rows(src.df("notes"))
+        # exactly-once: a repeat tick applies nothing
+        rep3 = dst.apply_iceberg_changes("notes", dest)
+        assert rep3["applied"] == 0
+
+    def test_apply_nets_insert_then_delete(self, spark, tmp_path):
+        src, dst = self._pair(spark, tmp_path)
+        dest = str(tmp_path / "ice")
+        src.export_iceberg("notes", dest, target_files=1)
+        dst.apply_iceberg_changes("notes", dest)
+        src.batch_insert("notes", [{"id": "gone", "n": 500}])
+        src.flush()
+        src.export_iceberg("notes", dest, mode="update")
+        src.delete("notes").where("id", "=", "gone").execute()
+        src.flush()
+        src.export_iceberg("notes", dest, mode="update")
+        rep = dst.apply_iceberg_changes("notes", dest)
+        assert rep["applied"] == 0, \
+            "insert+delete across the range must NET to nothing"
+        assert _rows(dst.df("notes")) == _rows(src.df("notes"))
+
+    def test_apply_seed_from_snapshot(self, spark, tmp_path):
+        """A consumer that bootstrapped via read_iceberg(snapshot N)
+        seeds from_snapshot=N and never re-applies the bootstrap."""
+        src, dst = self._pair(spark, tmp_path)
+        dest = str(tmp_path / "ice")
+        src.export_iceberg("notes", dest, target_files=1)
+        s1 = _load_metadata(dest)["current-snapshot-id"]
+        boot = read_iceberg(spark, dest)
+        dst.batch_insert("notes", [r.asDict() for r in boot.collect()])
+        dst.flush()
+        # a seed-only tick with nothing new applies nothing and
+        # must not burn the seed
+        rep0 = dst.apply_iceberg_changes("notes", dest,
+                                         from_snapshot=s1)
+        assert rep0["applied"] == 0
+        src.batch_insert("notes", [{"id": "x0", "n": 100}])
+        src.flush()
+        src.export_iceberg("notes", dest, mode="update")
+        rep = dst.apply_iceberg_changes("notes", dest,
+                                        from_snapshot=s1)
+        assert rep["applied"] == 1
+        assert _rows(dst.df("notes")) == _rows(src.df("notes"))
+
+    def test_live_sync_loop(self, spark, tmp_path):
+        src, dst = self._pair(spark, tmp_path)
+        dest = str(tmp_path / "ice")
+        src.export_iceberg("notes", dest, target_files=1)
+        dst.start_iceberg_sync("notes", dest, interval_s=0.3)
+        try:
+            src.batch_insert("notes", [{"id": "x0", "n": 100}])
+            src.flush()
+            src.export_iceberg("notes", dest, mode="update")
+            deadline = time.time() + 30
+            while time.time() < deadline:
+                if dst.df("notes").count() == 21:
+                    break
+                time.sleep(0.5)
+            assert _rows(dst.df("notes")) == _rows(src.df("notes"))
+            assert dst.last_iceberg_sync_error is None
+        finally:
+            assert dst.stop_iceberg_sync() == 1

@@ -1748,9 +1748,23 @@ class ToStoreSpark:
         if frm > to:
             return {"applied": 0, "from_version": frm, "to_version": to}
         feed = read_delta_cdf(self.spark, p, frm, to)
+        n = self._apply_net_feed(table, feed)
+        if cursor:
+            self.kv.set_value(ckey, int(to))
+        return {"applied": int(n), "from_version": frm,
+                "to_version": to}
+
+    def _apply_net_feed(self, table: str, feed) -> int:
+        """NET a change feed per row multiset (a row inserted then
+        deleted across the range never touches the table;
+        update_preimage/postimage count as delete/insert) and apply
+        via ``apply_changes`` — the shared fold behind ``apply_cdf``
+        (Delta) and ``apply_iceberg_changes``."""
+        from pyspark.sql import functions as F
         cols = [c for c in feed.columns
                 if c not in ("_change_type", "_commit_version",
-                             "_commit_timestamp")]
+                             "_commit_timestamp",
+                             "_commit_snapshot_id")]
         sign = (F.when(F.col("_change_type")
                        .isin("insert", "update_postimage"), F.lit(1))
                 .when(F.col("_change_type")
@@ -1772,11 +1786,7 @@ class ToStoreSpark:
                    .withColumn("__x", F.explode(F.expr(
                        "sequence(1, abs(__c))")))
                    .select(*cols, "change"))
-        n = self.apply_changes(table, changes)
-        if cursor:
-            self.kv.set_value(ckey, int(to))
-        return {"applied": int(n), "from_version": frm,
-                "to_version": to}
+        return int(self.apply_changes(table, changes))
 
     def start_cdf_sync(self, table: str, path: str,
                        interval_s: float = 5.0,
@@ -1881,6 +1891,135 @@ class ToStoreSpark:
         key = self._resolve(table)
         return (getattr(self, "_iceberg_mirrors", {}) or {}) \
             .pop(key, None) is not None
+
+    def read_iceberg_changes(self, path: str,
+                             from_snapshot: Optional[int] = None,
+                             to_snapshot: Optional[int] = None,
+                             where=None) -> DataFrame:
+        """Read an Iceberg table's INCREMENTAL CHANGELOG — the
+        consumer interface ``read_delta_cdf`` gives Delta tables:
+        every row is a change tagged ``_change_type`` (insert/delete),
+        ``_commit_snapshot_id``, ``_commit_version`` (sequence
+        number) and ``_commit_timestamp``.  ``from_snapshot`` is
+        EXCLUSIVE (the subscriber's cursor), ``to_snapshot`` inclusive
+        (None = current).  Appends derive inserts from added files;
+        merge-on-read delete snapshots derive exact delete pre-images;
+        compactions contribute nothing; true rewrites refuse.  Cost ∝
+        the range's touched files — never a snapshot diff
+        (plans/iceberg.read_iceberg_changes)."""
+        from tostore_spark.plans.iceberg import read_iceberg_changes
+        return read_iceberg_changes(self.spark, path,
+                                    from_snapshot=from_snapshot,
+                                    to_snapshot=to_snapshot,
+                                    where=where)
+
+    def apply_iceberg_changes(self, table: str, path: str,
+                              to_snapshot: Optional[int] = None,
+                              from_snapshot: Optional[int] = None,
+                              cursor: bool = True) -> dict:
+        """Subscribe a store table to an external Iceberg table's
+        changelog — the Iceberg twin of ``apply_cdf``: fold the
+        changes AFTER the last applied snapshot (KV cursor — cursor
+        and applied rows commit in ONE atomic CAS at the next flush),
+        NET them per row multiset, and apply via ``apply_changes``.
+
+        ``from_snapshot`` (exclusive) seeds the FIRST call for a
+        consumer that bootstrapped from an existing snapshot
+        (``read_iceberg(snapshot_id=N)`` → ``from_snapshot=N``);
+        without it the first call folds the full history (bootstrap
+        as inserts).  Returns ``{"applied", "from_snapshot",
+        "to_snapshot"}``."""
+        import os as _os
+
+        from tostore_spark.plans.iceberg import (_load_metadata,
+                                                 _norm_path,
+                                                 read_iceberg_changes)
+        p = _norm_path(path)
+        meta = _load_metadata(p)
+        cur = meta.get("current-snapshot-id")
+        if cur is None:
+            raise ValueError(f"{p} has no current snapshot")
+        to = int(cur) if to_snapshot is None else int(to_snapshot)
+        ckey = (f"__ice_cdf_cursor__:{self._space}:{table}:"
+                f"{_os.path.abspath(p)}")
+        last = self.kv.get_value(ckey) if cursor else None
+        if last is not None:
+            frm = int(last)
+        elif from_snapshot is not None:
+            frm = int(from_snapshot)
+        else:
+            frm = None
+        if frm is not None and frm == to:
+            return {"applied": 0, "from_snapshot": frm,
+                    "to_snapshot": to}
+        feed = read_iceberg_changes(self.spark, p, from_snapshot=frm,
+                                    to_snapshot=to)
+        n = self._apply_net_feed(table, feed)
+        if cursor:
+            self.kv.set_value(ckey, int(to))
+        return {"applied": int(n), "from_snapshot": frm,
+                "to_snapshot": to}
+
+    def start_iceberg_sync(self, table: str, path: str,
+                           interval_s: float = 5.0,
+                           from_snapshot: Optional[int] = None) -> None:
+        """Continuously replicate an external Iceberg table's
+        changelog into ``table`` — the Iceberg twin of
+        ``start_cdf_sync``: a daemon thread polls every ``interval_s``
+        and applies new snapshots via ``apply_iceberg_changes``
+        (KV-cursor exactly-once, netting per pull).  Poll errors land
+        on ``engine.last_iceberg_sync_error`` and polling continues.
+        One sync per (table, path); ``stop_iceberg_sync()`` ends
+        it."""
+        import threading
+
+        self.stop_iceberg_sync(table, path)
+        self.last_iceberg_sync_error: Optional[tuple] = None
+        key = (self._resolve(table), os.path.abspath(
+            path[len("file:"):] if path.startswith("file:") else path))
+        stop = threading.Event()
+
+        def _loop():
+            while not stop.wait(interval_s):
+                try:
+                    # the seed passes EVERY tick — apply_iceberg_changes
+                    # prefers the KV cursor once one exists, and a tick
+                    # that applied nothing must not burn the seed
+                    self.apply_iceberg_changes(
+                        table, path, from_snapshot=from_snapshot)
+                    self.last_iceberg_sync_error = None
+                except Exception as exc:   # pragma: no cover - timing
+                    self.last_iceberg_sync_error = (table, str(exc))
+
+        t = threading.Thread(target=_loop, daemon=True,
+                             name=f"ice-sync-{key[0][1]}")
+        if not hasattr(self, "_ice_syncs"):
+            self._ice_syncs = {}
+        self._ice_syncs[key] = (stop, t)
+        t.start()
+
+    def stop_iceberg_sync(self, table: Optional[str] = None,
+                          path: Optional[str] = None) -> int:
+        """Stop Iceberg changelog sync daemons — the one for (table,
+        path), all for ``table``, or all.  Returns the number
+        stopped."""
+        syncs = getattr(self, "_ice_syncs", {}) or {}
+        if table is not None:
+            tkey = self._resolve(table)
+            pabs = None
+            if path is not None:
+                pp = path[len("file:"):] if path.startswith("file:") \
+                    else path
+                pabs = os.path.abspath(pp)
+            doomed = [k for k in syncs
+                      if k[0] == tkey and (pabs is None
+                                           or k[1] == pabs)]
+        else:
+            doomed = list(syncs)
+        for k in doomed:
+            stop, t = syncs.pop(k)
+            stop.set()
+        return len(doomed)
 
     def analyze_table(self, table: str, cols=None,
                       exact_ndv: bool = False):

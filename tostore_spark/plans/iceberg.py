@@ -2259,3 +2259,394 @@ def expire_snapshots(path: str, keep_last: int = 1,
                 pass
     return {"expired": exp_ids, "deleted": sorted(doomed),
             "kept": len(keep_snaps)}
+
+
+# ------------------------------------------------------------- changelog
+
+_CHANGES_FILE_CAP = 50_000      # distinct data files one position-
+                                # delete snapshot may touch (driver list)
+
+
+def _snapshot_additions(meta: dict, snapshot: dict, location: str):
+    """What one snapshot ADDED: walk its manifest list and return
+    ``(data, pos_del, eq_del, parts, fstats, has_deleted,
+    manifest_paths)`` where the first five mirror ``_scan_files`` but
+    cover ONLY manifests this snapshot added (``added_snapshot_id``),
+    ``has_deleted`` flags any status-DELETED entry in them, and
+    ``manifest_paths`` is the full set of manifest paths the snapshot
+    references (for the parent-survival check)."""
+    def _abs(p):
+        p = _norm_path(p)
+        if not os.path.isabs(p):
+            p = os.path.join(_norm_path(location), p)
+        return p
+
+    sid = snapshot["snapshot-id"]
+    if not snapshot.get("manifest-list"):
+        raise ValueError("iceberg changelog needs v2 manifest lists")
+    _, mlist = read_container_file(_abs(snapshot["manifest-list"]))
+    data, pos_del, eq_del = [], [], []
+    parts: dict[str, dict] = {}
+    fstats: dict[str, dict] = {}
+    has_deleted = False
+    man_paths = {_abs(m["manifest_path"]) for m in mlist}
+    for m in mlist:
+        if m.get("added_snapshot_id") != sid:
+            continue
+        mseq = m.get("sequence_number") or 0
+        _, entries = read_container_file(_abs(m["manifest_path"]))
+        for e in entries:
+            st = e.get("status")
+            if st == 2:
+                has_deleted = True
+                continue
+            if st != 1:
+                continue            # EXISTING re-listings: not changes
+            df_ = e["data_file"]
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = mseq
+            fpath = _abs(df_["file_path"])
+            content = df_.get("content", 0)
+            if content == 0:
+                data.append((fpath, seq))
+                parts[fpath] = dict(df_.get("partition") or {})
+                stx = _entry_stats(df_)
+                if stx is not None:
+                    fstats[fpath] = stx
+            elif content == 1:
+                pos_del.append((fpath, seq))
+            elif content == 2:
+                eq_del.append((fpath, seq,
+                               list(df_.get("equality_ids") or [])))
+    return data, pos_del, eq_del, parts, fstats, has_deleted, man_paths
+
+
+def read_iceberg_changes(spark, path: str,
+                         from_snapshot: int | None = None,
+                         to_snapshot: int | None = None,
+                         where=None):
+    """Iceberg INCREMENTAL / CHANGELOG read — the consumer interface
+    ``read_delta_cdf`` gives Delta tables (same per-commit fold, same
+    output shape): every row is one change carrying ``_change_type``
+    (``insert`` / ``delete``), ``_commit_snapshot_id``,
+    ``_commit_version`` (the snapshot's SEQUENCE NUMBER — the
+    monotonic cursor a subscriber stores) and ``_commit_timestamp``.
+
+    Range: the MAIN-ancestry snapshots AFTER ``from_snapshot``
+    (exclusive; ``None`` = from the first snapshot, i.e. the full
+    history incl. the bootstrap as inserts) up TO ``to_snapshot``
+    (inclusive; ``None`` = current).  ``from_snapshot`` must be an
+    ancestor of ``to_snapshot`` — diverged refs cannot be folded.
+
+    Per-snapshot derivation (spec "Incremental Scan", extended to the
+    merge-on-read delete snapshots this exporter writes):
+
+    - ``append``    → ``insert`` rows from the snapshot's ADDED data
+      files (manifests with this ``added_snapshot_id``, entries with
+      status ADDED);
+    - ``delete``    → ``delete`` pre-image rows from its ADDED delete
+      files: POSITION deletes read ONLY the referenced data files at
+      the recorded positions, minus positions already dead under the
+      parent's delete files (a spec-legal re-kill must not re-surface
+      a row that observers already saw die); EQUALITY deletes probe
+      the PARENT snapshot's live rows for the matching keys (a
+      semi-join against the broadcast-scale key frame);
+    - ``overwrite`` → derivable ONLY in the merge-on-read shape (every
+      parent manifest survives into the snapshot's manifest list and
+      no entry is status-DELETED): adds become inserts, added delete
+      files become deletes.  A true rewrite refuses — deriving it
+      would need the whole-snapshot diff a changelog exists to avoid;
+    - ``replace``   → compaction: the logical table is unchanged;
+      contributes nothing (the spec requires changelog readers to
+      skip it).
+
+    ``where`` (the engine predicate language) filters the FEED;
+    derivable appends additionally prune their added files by manifest
+    column bounds before Spark lists them.  Name-mapped (converted)
+    tables refuse — their id-less files cannot be late-bound safely;
+    bootstrap those via ``read_iceberg`` and subscribe after a
+    rewrite.
+
+    Scale: cost ∝ the range's added files (appends) + touched files
+    (position deletes) + one key-probe of the parent per
+    equality-delete snapshot — NEVER a snapshot diff; manifest work is
+    driver-side metadata ∝ file count, exactly like the Delta log
+    fold.  Reference: delta_export.read_delta_cdf (the Delta twin);
+    Iceberg Table Spec "Incremental Scan" / "Row-level deletes"."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType, TimestampType)
+
+    p = _norm_path(path)
+    meta = _load_metadata(p)
+    if (meta.get("properties") or {}).get(
+            "schema.name-mapping.default"):
+        raise ValueError(
+            "read_iceberg_changes on a name-mapped (converted) table "
+            "is not supported — bootstrap from read_iceberg and "
+            "subscribe after a rewrite")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+    cur = _pick_snapshot(meta)
+    if to_snapshot is None:
+        if cur is None:
+            raise ValueError(f"{p} has no snapshots")
+        to_id = cur["snapshot-id"]
+    else:
+        to_id = int(to_snapshot)
+        if to_id not in snaps:
+            raise ValueError(f"snapshot {to_id} not found")
+
+    end_schema_json = _schema_for_snapshot(meta, snaps[to_id])
+    sschema = _schema_to_spark(end_schema_json)
+    meta_fields = [StructField("_change_type", StringType()),
+                   StructField("_commit_snapshot_id", LongType()),
+                   StructField("_commit_version", LongType()),
+                   StructField("_commit_timestamp", TimestampType())]
+    out_cols = ([f.name for f in sschema.fields]
+                + [f.name for f in meta_fields])
+
+    node = None
+    if where is not None:
+        from tostore_spark.compile import coerce_where_values
+        from tostore_spark.condition import to_condition_node
+        node = to_condition_node(where)
+        if node is not None and node.is_empty():
+            node = None
+        if node is not None:
+            node = coerce_where_values(node, sschema)
+
+    def _empty():
+        return spark.createDataFrame(
+            [], StructType(list(sschema.fields) + meta_fields))
+
+    # main-ancestry chain: to_id back to (exclusive) from_snapshot
+    chain = []
+    if from_snapshot is not None and int(from_snapshot) == to_id:
+        return _empty()
+    node_id = to_id
+    while True:
+        s = snaps[node_id]
+        chain.append(s)
+        parent = s.get("parent-snapshot-id")
+        if from_snapshot is not None and parent == int(from_snapshot):
+            break
+        if parent is None:
+            if from_snapshot is not None:
+                raise ValueError(
+                    f"snapshot {from_snapshot} is not an ancestor of "
+                    f"{to_id} — cannot fold changes across diverged "
+                    "or expired history")
+            break
+        if parent not in snaps:
+            raise ValueError(
+                f"parent snapshot {parent} has been expired — the "
+                "changelog cannot replay through missing history")
+        node_id = parent
+    chain.reverse()                     # oldest → newest
+    location = meta.get("location") or p
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    norm_file = F.regexp_replace(F.col("_metadata.file_path"),
+                                 "^file:/*", "/")
+
+    def _tag(df, snap, change):
+        return (df.select(*[f.name for f in sschema.fields])
+                .withColumn("_change_type", F.lit(change))
+                .withColumn("_commit_snapshot_id",
+                            F.lit(int(snap["snapshot-id"]))
+                            .cast("long"))
+                .withColumn("_commit_version",
+                            F.lit(int(snap.get("sequence-number", 0)))
+                            .cast("long"))
+                .withColumn("_commit_timestamp",
+                            F.timestamp_millis(
+                                F.lit(int(snap["timestamp-ms"])))))
+
+    def _pos_preimages(snap, pos_add):
+        """Pre-image rows for one snapshot's position-delete files.
+        Positions already DEAD at the parent snapshot (under its
+        position OR equality delete files) are excluded — a spec-legal
+        re-kill must not re-surface a row observers already saw
+        die."""
+        dels = (spark.read.parquet(*[fp for fp, _seq in pos_add])
+                .select(F.regexp_replace("file_path", "^file:/*", "/")
+                        .alias("__f"),
+                        F.col("pos").cast("long").alias("__p")))
+        parent_id = snap.get("parent-snapshot-id")
+        pdata, ppos, ped = [], [], []
+        if parent_id is not None and parent_id in snaps:
+            pdata, ppos, ped, _pp, _fs = _scan_files(
+                meta, snaps[parent_id], location)
+            if ppos:
+                old = (spark.read.parquet(*[fp for fp, _s in ppos])
+                       .select(F.regexp_replace("file_path",
+                                                "^file:/*", "/")
+                               .alias("__f"),
+                               F.col("pos").cast("long").alias("__p")))
+                dels = dels.join(old, on=["__f", "__p"], how="left_anti")
+        tgt = [r["__f"] for r in
+               dels.select("__f").distinct()
+               .limit(_CHANGES_FILE_CAP + 1).collect()]
+        if len(tgt) > _CHANGES_FILE_CAP:
+            raise ValueError(
+                "position-delete snapshot touches more than "
+                f"{_CHANGES_FILE_CAP} data files — over the driver "
+                "list bound")
+        if not tgt:
+            return None
+        frame = (spark.read.schema(sschema).parquet(*sorted(tgt))
+                 .select(*[f.name for f in sschema.fields],
+                         norm_file.alias("__f"),
+                         F.col("_metadata.row_index").alias("__p")))
+        pre = frame.join(dels, on=["__f", "__p"], how="inner")
+        if ped:
+            # rows the PARENT's equality deletes already killed: same
+            # application rule as read_iceberg (value match + strictly
+            # older data sequence)
+            seq_rows = [(fp, int(seq)) for fp, seq in pdata
+                        if fp in set(tgt)]
+            seq_df = spark.createDataFrame(
+                seq_rows, "__f string, __dseq long")
+            pre = pre.join(F.broadcast(seq_df), on="__f", how="left")
+            id_to_name = {f["id"]: f["name"]
+                          for f in end_schema_json["fields"]}
+            sfields = {f.name: f for f in sschema.fields}
+            by_ids: dict[tuple, list] = {}
+            for fp, dseq, ids in ped:
+                by_ids.setdefault(tuple(sorted(ids)), []) \
+                    .append((fp, dseq))
+            for ids, fps in sorted(by_ids.items()):
+                cols = [id_to_name[i] for i in ids]
+                dschema = StructType([sfields[c] for c in cols])
+                keys = None
+                for fp, dseq in fps:
+                    k = (spark.read.schema(dschema).parquet(fp)
+                         .select(*[F.col(c).alias(f"__eq_{c}")
+                                   for c in cols],
+                                 F.lit(int(dseq)).alias("__del_seq")))
+                    keys = k if keys is None else keys.unionByName(k)
+                cond = [pre[c].eqNullSafe(keys[f"__eq_{c}"])
+                        for c in cols]
+                cond.append(keys["__del_seq"] > pre["__dseq"])
+                pre = pre.join(keys, on=cond, how="left_anti")
+            pre = pre.drop("__dseq")
+        return pre
+
+    def _eq_preimages(snap, eq_add):
+        """Pre-image rows for equality-delete files: the parent
+        snapshot's live rows matching the key tuples."""
+        parent_id = snap.get("parent-snapshot-id")
+        if parent_id is None or parent_id not in snaps:
+            raise ValueError(
+                "equality-delete snapshot without a readable parent — "
+                "pre-images cannot be derived")
+        parent_rows = read_iceberg(spark, p, snapshot_id=parent_id)
+        id_to_name = {f["id"]: f["name"]
+                      for f in end_schema_json["fields"]}
+        sfields = {f.name: f for f in sschema.fields}
+        out = None
+        by_ids: dict[tuple, list] = {}
+        for fp, _seq, ids in eq_add:
+            if not ids:
+                raise ValueError("equality-delete file without "
+                                 "equality_ids")
+            by_ids.setdefault(tuple(sorted(ids)), []).append(fp)
+        for ids, fps in sorted(by_ids.items()):
+            cols = [id_to_name[i] for i in ids]
+            dschema = StructType([sfields[c] for c in cols])
+            keys = (spark.read.schema(dschema).parquet(*sorted(fps))
+                    .distinct())
+            part = parent_rows.join(F.broadcast(keys), on=cols,
+                                    how="leftsemi")
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    out = None
+    for snap in chain:
+        op = (snap.get("summary") or {}).get("operation")
+        if op == "replace":
+            continue                    # compaction: logical no-op
+        (adds, pos_add, eq_add, parts, fstats,
+         has_deleted, man_paths) = _snapshot_additions(
+            meta, snap, location)
+        parent_id = snap.get("parent-snapshot-id")
+
+        def _parent_survives():
+            """Every parent manifest still referenced — nothing was
+            (even implicitly) dropped by this snapshot."""
+            if parent_id is None or parent_id not in snaps:
+                return parent_id is None
+            pml = snaps[parent_id].get("manifest-list")
+            if not pml:
+                return False
+
+            def _abs(x):
+                x = _norm_path(x)
+                return x if os.path.isabs(x) else os.path.join(
+                    _norm_path(location), x)
+            _, pml_entries = read_container_file(_abs(pml))
+            return {_abs(m["manifest_path"])
+                    for m in pml_entries} <= man_paths
+
+        if op == "overwrite":
+            # derivable only in the merge-on-read shape: parent's
+            # manifests all survive and nothing is status-DELETED
+            if has_deleted or not _parent_survives():
+                raise ValueError(
+                    f"snapshot {snap['snapshot-id']} is a rewrite "
+                    "(overwrite) — its changes cannot be derived; "
+                    "re-bootstrap the consumer from read_iceberg")
+        elif op == "append":
+            if pos_add or eq_add or has_deleted:
+                raise ValueError(
+                    f"snapshot {snap['snapshot-id']} claims 'append' "
+                    "but carries deletes — refusing an inconsistent "
+                    "summary")
+            if not _parent_survives():
+                raise ValueError(
+                    f"snapshot {snap['snapshot-id']} claims 'append' "
+                    "but drops parent manifests — deriving it as "
+                    "inserts would miss the removals")
+        elif op == "delete":
+            if adds:
+                raise ValueError(
+                    f"snapshot {snap['snapshot-id']} claims 'delete' "
+                    "but adds data files — refusing an inconsistent "
+                    "summary")
+            if has_deleted or not _parent_survives():
+                raise ValueError(
+                    f"snapshot {snap['snapshot-id']} drops whole "
+                    "data files/manifests — only merge-on-read "
+                    "delete-file snapshots are derivable")
+        else:
+            raise ValueError(
+                f"snapshot {snap['snapshot-id']} has unknown "
+                f"operation {op!r} — cannot derive its changes")
+
+        if adds:
+            keep = adds
+            if node is not None:
+                keep = _prune_by_stats(meta, end_schema_json, adds,
+                                       parts, fstats, node)
+            if keep:
+                ins = spark.read.schema(sschema).parquet(
+                    *sorted(fp for fp, _seq in keep))
+                part = _tag(ins, snap, "insert")
+                out = part if out is None else out.unionByName(part)
+        if pos_add:
+            pre = _pos_preimages(snap, pos_add)
+            if pre is not None:
+                part = _tag(pre, snap, "delete")
+                out = part if out is None else out.unionByName(part)
+        if eq_add:
+            pre = _eq_preimages(snap, eq_add)
+            if pre is not None:
+                part = _tag(pre, snap, "delete")
+                out = part if out is None else out.unionByName(part)
+
+    if out is None:
+        return _empty()
+    if node is not None:
+        from tostore_spark.compile import where_filter_column
+        out = out.filter(where_filter_column(node, out.schema))
+    return out.select(*out_cols)
