@@ -3237,6 +3237,81 @@ def q_iceberg_bounds_skip(spark, sf_dir):
     return spark.createDataFrame(rows, schema_out)
 
 
+def q_uniform_sync(spark, sf_dir):
+    """CONTINUOUS UniForm bridge (r15, plans/iceberg.
+    sync_delta_to_iceberg + engine.mirror_delta(bridge_iceberg=True)):
+    one table directory kept readable as BOTH Delta and Iceberg,
+    current per commit — every mirror flush folds the new Delta
+    commit into an incremental Iceberg snapshot (adds → stacked
+    manifest; removes → rewrite of only the affected manifests with
+    survivors EXISTING under their original sequence numbers).  The
+    entry drives append + delete epochs, asserts the Iceberg view
+    value-equals the Delta view AND the store after EVERY flush, that
+    the snapshot count tracks the Delta commits, and aggregates the
+    final Iceberg view; DuckDB derives the same from nation."""
+    import os
+    import tempfile
+
+    from tostore_spark.plans.delta_export import read_delta
+    from tostore_spark.plans.iceberg import (_load_metadata,
+                                             read_iceberg)
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    db = _db(spark, sf_dir)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    with tempfile.TemporaryDirectory() as tmp:
+        dest = os.path.join(tmp, "dx")
+        db1 = ToStoreSpark(spark, warehouse=os.path.join(tmp, "wh"))
+        db1.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n_name", type=DataType.text),
+                    FieldSchema(name="key", type=DataType.integer)]))
+        db1.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
+             "key": r["n_nationkey"]} for r in nat])
+        db1.flush()
+        db1.mirror_delta("nat", dest, bridge_iceberg=True)
+
+        def _both_equal():
+            cols = sorted(db1.df("nat").columns)
+            a = sorted(map(tuple,
+                           db1.df("nat").select(*cols).collect()))
+            b = sorted(map(tuple, read_delta(spark, dest)
+                           .select(*cols).collect()))
+            c = sorted(map(tuple, read_iceberg(spark, dest)
+                           .select(*cols).collect()))
+            if not (a == b == c):
+                raise AssertionError("bridge views diverged")
+        _both_equal()
+        db1.batch_insert("nat", [
+            {"id": f"x{i}", "n_name": f"ADDED{i}", "key": 900 + i}
+            for i in range(3)])
+        db1.flush()                                   # auto-synced
+        _both_equal()
+        db1.delete("nat").where("key", ">=", 20).execute()
+        db1.flush()                                   # auto-synced
+        _both_equal()
+        if getattr(db1, "last_mirror_error", None):
+            raise AssertionError(db1.last_mirror_error)
+        meta = _load_metadata(dest)
+        log = os.path.join(dest, "_delta_log")
+        n_commits = len([f for f in os.listdir(log)
+                         if f.endswith(".json")])
+        if len(meta["snapshots"]) != n_commits:
+            raise AssertionError(
+                f"{len(meta['snapshots'])} iceberg snapshots vs "
+                f"{n_commits} delta commits")
+        out = read_iceberg(spark, dest).agg(
+            F.count(F.lit(1)).alias("n_final"),
+            F.sum("key").cast("long").alias("key_sum"))
+        row = out.first()
+        rows = [{"n_final": int(row["n_final"]),
+                 "key_sum": int(row["key_sum"]),
+                 "n_snapshots": int(len(meta["snapshots"]))}]
+    return spark.createDataFrame(
+        rows, "n_final bigint, key_sum bigint, n_snapshots bigint")
+
+
 def q_uniform_bridge(spark, sf_dir):
     """UniForm-style format bridge (r14, plans/iceberg.
     convert_delta_to_iceberg): Iceberg v2 metadata written OVER a
@@ -5672,7 +5747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
-        "q_iceberg_cdf",                                      # born r15
+        "q_iceberg_cdf", "q_uniform_sync",                    # born r15
         "q_uniform_bridge",                                   # born r14
         "q_convert_iceberg", "q_convert_delta",               # born r14
         "q_optimize_compact", "q_iceberg_transform_prune",    # born r14
@@ -6707,6 +6782,17 @@ def oracle_sql() -> dict[str, str]:
                        AS price_sum
             FROM orders
             WHERE o_orderstatus = 'F' AND o_orderkey < 500""",
+        "q_uniform_sync": """
+            -- bootstrap = nation; +3 appended keys (900-902); the
+            -- delete epoch kills key >= 20 incl. all appended rows;
+            -- 3 delta commits => 3 iceberg snapshots
+            SELECT CAST(count(CASE WHEN n_nationkey < 20 THEN 1 END)
+                        AS BIGINT) AS n_final,
+                   CAST(sum(CASE WHEN n_nationkey < 20
+                            THEN n_nationkey END) AS BIGINT)
+                       AS key_sum,
+                   CAST(3 AS BIGINT) AS n_snapshots
+            FROM nation""",
         "q_uniform_bridge": """
             SELECT CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,

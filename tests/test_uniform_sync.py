@@ -1,0 +1,178 @@
+"""Continuous UniForm bridge: convert_delta_to_iceberg +
+sync_delta_to_iceberg keep ONE table directory readable as BOTH Delta
+and Iceberg, current per commit — incremental Iceberg snapshots folded
+from the Delta log (adds → stacked ADDED manifest; removes → rewrite
+of only the affected manifests; optimize → a 'replace' snapshot)."""
+import json
+import os
+
+import pytest
+
+from tostore_spark.engine import ToStoreSpark
+from tostore_spark.plans.delta_export import (optimize_delta,
+                                              read_delta)
+from tostore_spark.plans.iceberg import (_load_metadata,
+                                         convert_delta_to_iceberg,
+                                         read_iceberg,
+                                         sync_delta_to_iceberg)
+from tostore_spark.schema import (DataType, FieldSchema,
+                                  PrimaryKeyConfig, TableSchema)
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+def _mk(spark, tmp_path, rows=20):
+    db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))
+    db.create_table(TableSchema(
+        name="notes", primary_key=PrimaryKeyConfig(name="id"),
+        fields=[FieldSchema(name="n", type=DataType.integer)]))
+    db.batch_insert("notes", [
+        {"id": f"k{i:03d}", "n": i} for i in range(rows)])
+    db.flush()
+    return db
+
+
+def _check_equal(spark, db, dest):
+    a = _rows(db.df("notes"))
+    assert _rows(read_delta(spark, dest)) == a
+    assert _rows(read_iceberg(spark, dest)) == a
+
+
+class TestContinuousBridge:
+    def test_mirror_bridge_lifecycle(self, spark, tmp_path):
+        """append / delete / update flushes keep both format views
+        value-equal, one Iceberg snapshot per Delta data commit."""
+        db = _mk(spark, tmp_path)
+        dest = str(tmp_path / "dx")
+        rep = db.mirror_delta("notes", dest, bridge_iceberg=True)
+        assert rep["bridge"]["snapshot_id"] == 1
+        _check_equal(spark, db, dest)
+        db.batch_insert("notes", [{"id": "x0", "n": 100}])
+        db.flush()
+        _check_equal(spark, db, dest)
+        db.delete("notes").where("n", "IN", [3, 7]).execute()
+        db.flush()
+        _check_equal(spark, db, dest)
+        db.update("notes", {"n": 555}).where("n", "=", 1).execute()
+        db.flush()
+        _check_equal(spark, db, dest)
+        assert getattr(db, "last_mirror_error", None) is None
+        meta = _load_metadata(dest)
+        ops = [s["summary"]["operation"] for s in meta["snapshots"]]
+        assert ops == ["append", "append", "overwrite", "overwrite"]
+        # snapshot count tracks delta data commits exactly
+        log = os.path.join(dest, "_delta_log")
+        dv = len([f for f in os.listdir(log) if f.endswith(".json")])
+        assert len(meta["snapshots"]) == dv
+        # time travel still reaches the bootstrap state
+        s1 = meta["snapshots"][0]["snapshot-id"]
+        assert read_iceberg(spark, dest, snapshot_id=s1).count() == 20
+
+    def test_optimize_bridges_as_replace(self, spark, tmp_path):
+        db = _mk(spark, tmp_path)
+        dest = str(tmp_path / "dx")
+        db.mirror_delta("notes", dest, bridge_iceberg=True)
+        for i in range(2):
+            db.batch_insert("notes", [{"id": f"x{i}", "n": 100 + i}])
+            db.flush()
+        optimize_delta(spark, dest, target_file_bytes=10 << 20)
+        rep = sync_delta_to_iceberg(spark, dest)
+        assert rep["snapshots"] == 1
+        meta = _load_metadata(dest)
+        assert meta["snapshots"][-1]["summary"]["operation"] == \
+            "replace"
+        _check_equal(spark, db, dest)
+
+    def test_manual_convert_then_sync(self, spark, tmp_path):
+        """The non-mirror path: convert once, write more Delta
+        commits, sync folds them (and a no-op sync is a no-op)."""
+        db = _mk(spark, tmp_path)
+        dest = str(tmp_path / "dx")
+        db.export_delta("notes", dest, target_files=2)
+        convert_delta_to_iceberg(spark, dest)
+        rep0 = sync_delta_to_iceberg(spark, dest)
+        assert rep0["snapshots"] == 0
+        db.batch_insert("notes", [{"id": "x0", "n": 100}])
+        db.flush()
+        db.export_delta("notes", dest, mode="update")
+        db.delete("notes").where("n", "=", 0).execute()
+        db.flush()
+        db.export_delta("notes", dest, mode="update",
+                        deletion_vectors=False)
+        rep = db.sync_delta_to_iceberg(dest)
+        assert rep["snapshots"] == 2
+        _check_equal(spark, db, dest)
+        # rewritten manifests: survivors EXISTING with original seqs,
+        # removed entries DELETED — foreign readers see exact counts
+        meta = _load_metadata(dest)
+        from tostore_spark.plans.avro_io import read_container_file
+        _s, ml = read_container_file(
+            meta["snapshots"][-1]["manifest-list"])
+        assert any(m["deleted_files_count"] > 0 for m in ml)
+        assert all(m["added_files_count"] >= 0 for m in ml)
+
+    def test_where_pruning_on_synced_files(self, spark, tmp_path):
+        """Files added through sync carry footer bounds — where=
+        pruning works on them like on converted ones."""
+        db = _mk(spark, tmp_path)
+        dest = str(tmp_path / "dx")
+        db.export_delta("notes", dest, target_files=1)
+        convert_delta_to_iceberg(spark, dest)
+        db.batch_insert("notes", [{"id": f"x{i}", "n": 1000 + i}
+                                  for i in range(5)])
+        db.flush()
+        db.export_delta("notes", dest, mode="update")
+        sync_delta_to_iceberg(spark, dest)
+        out = read_iceberg(spark, dest, where={"n": {">=": 1000}})
+        assert sorted(r["n"] for r in out.collect()) == \
+            [1000, 1001, 1002, 1003, 1004]
+
+    def test_dv_commit_refuses(self, spark, tmp_path):
+        db = _mk(spark, tmp_path)
+        dest = str(tmp_path / "dx")
+        db.export_delta("notes", dest, target_files=1)
+        convert_delta_to_iceberg(spark, dest)
+        db.delete("notes").where("n", "IN", [3]).execute()
+        db.flush()
+        rep = db.export_delta("notes", dest, mode="update",
+                              deletion_vectors=True)
+        assert rep["commit"] == "dv"
+        with pytest.raises(ValueError, match="deletion vector"):
+            sync_delta_to_iceberg(spark, dest)
+
+    def test_schema_evolution_refuses(self, spark, tmp_path):
+        db = _mk(spark, tmp_path)
+        dest = str(tmp_path / "dx")
+        db.export_delta("notes", dest, target_files=1)
+        convert_delta_to_iceberg(spark, dest)
+        db.update_schema("notes").add_field(
+            FieldSchema(name="extra", type=DataType.integer,
+                        default_value=7)).execute()
+        db.flush()
+        db.export_delta("notes", dest, mode="update")
+        with pytest.raises(ValueError, match="evolves the schema"):
+            sync_delta_to_iceberg(spark, dest)
+
+    def test_non_bridge_refuses(self, spark, tmp_path):
+        db = _mk(spark, tmp_path)
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest)
+        with pytest.raises(ValueError, match="not a delta"):
+            sync_delta_to_iceberg(spark, dest)
+
+    def test_log_gap_refuses(self, spark, tmp_path):
+        db = _mk(spark, tmp_path)
+        dest = str(tmp_path / "dx")
+        db.export_delta("notes", dest, target_files=1)
+        convert_delta_to_iceberg(spark, dest)
+        for i in range(2):
+            db.batch_insert("notes", [{"id": f"x{i}", "n": 100 + i}])
+            db.flush()
+            db.export_delta("notes", dest, mode="update")
+        os.unlink(os.path.join(dest, "_delta_log",
+                               f"{1:020d}.json"))
+        with pytest.raises(ValueError, match="gap"):
+            sync_delta_to_iceberg(spark, dest)

@@ -1521,7 +1521,8 @@ class ToStoreSpark:
     def mirror_delta(self, table: str, dest: str,
                      deletion_vectors: bool = True,
                      allow_decrypted: bool = False,
-                     change_data: bool = False) -> dict:
+                     change_data: bool = False,
+                     bridge_iceberg: bool = False) -> dict:
         """Continuously materialize ``table`` as a standard Delta
         table: an initial commit runs now, and EVERY subsequent
         ``flush()`` of the table auto-exports its next incremental
@@ -1536,21 +1537,47 @@ class ToStoreSpark:
         in ``engine.last_mirror_error`` and the next flush heals the
         mirror with a refresh commit.  The registration is
         engine-local (not persisted in the manifest) — re-register
-        after reopen.  Returns the initial export report."""
+        after reopen.  ``bridge_iceberg=True`` runs the continuous
+        UniForm loop: after the initial commit the destination is
+        ALSO converted to Iceberg (``convert_delta_to_iceberg``) and
+        every later mirror flush folds its Delta commits into
+        incremental Iceberg snapshots (``sync_delta_to_iceberg``) —
+        one table directory, both formats always current; deletion
+        vectors are forced OFF (the bridge derives file-level
+        commits).  Returns the initial export report."""
         key = self._resolve(table)
+        if bridge_iceberg:
+            deletion_vectors = False
         if not hasattr(self, "_delta_mirrors"):
             self._delta_mirrors = {}
         self._delta_mirrors[key] = {
             "dest": dest, "dv": bool(deletion_vectors),
-            "allow_decrypted": bool(allow_decrypted)}
+            "allow_decrypted": bool(allow_decrypted),
+            "bridge": bool(bridge_iceberg)}
         from tostore_spark.plans.delta_export import export_delta as _ed
         # change_data only needs the initial commit: once the table
         # property is set, every later update commit auto-maintains
         # the feed (the Delta writer contract)
-        return _ed(self, table, dest, mode="update",
-                   deletion_vectors=deletion_vectors,
-                   allow_decrypted=allow_decrypted,
-                   change_data=change_data)
+        rep = _ed(self, table, dest, mode="update",
+                  deletion_vectors=deletion_vectors,
+                  allow_decrypted=allow_decrypted,
+                  change_data=change_data)
+        if bridge_iceberg:
+            from tostore_spark.plans.iceberg import (
+                _BRIDGE_PROP, _load_metadata, convert_delta_to_iceberg,
+                sync_delta_to_iceberg)
+            p = dest[len("file:"):] if dest.startswith("file:") \
+                else dest
+            try:
+                has_bridge = _BRIDGE_PROP in (
+                    _load_metadata(p).get("properties") or {})
+            except Exception:
+                has_bridge = False
+            if has_bridge:
+                rep["bridge"] = sync_delta_to_iceberg(self.spark, p)
+            else:
+                rep["bridge"] = convert_delta_to_iceberg(self.spark, p)
+        return rep
 
     def unmirror_delta(self, table: str) -> bool:
         """Stop auto-exporting ``table`` (the destination keeps its
@@ -1567,6 +1594,15 @@ class ToStoreSpark:
         deletion vectors need optimize_delta first."""
         from tostore_spark.plans.iceberg import convert_delta_to_iceberg
         return convert_delta_to_iceberg(self.spark, path)
+
+    def sync_delta_to_iceberg(self, path: str) -> dict:
+        """Bring a delta→iceberg bridge CURRENT: fold every Delta
+        commit since the last bridged version into an incremental
+        Iceberg snapshot over the same files — the continuous-UniForm
+        loop (plans/iceberg.sync_delta_to_iceberg); runs automatically
+        per flush under ``mirror_delta(bridge_iceberg=True)``."""
+        from tostore_spark.plans.iceberg import sync_delta_to_iceberg
+        return sync_delta_to_iceberg(self.spark, path)
 
     def convert_to_iceberg(self, path: str) -> dict:
         """Catalog an existing plain-parquet directory (flat or hive-

@@ -1847,10 +1847,13 @@ def convert_delta_to_iceberg(spark, path: str) -> dict:
     default`` covers the id-less files, and footer bounds land in
     every manifest entry.
 
-    A snapshot-in-time bridge: later Delta commits are NOT reflected
-    (re-convert after removing ``metadata/``), and ``vacuum_delta``
-    may reclaim files the Iceberg view references — coordinate
-    maintenance, exactly the real-world UniForm caveat.  Deletion
+    The conversion records the bridged Delta version; afterwards
+    ``sync_delta_to_iceberg`` keeps the Iceberg view CURRENT by
+    folding each new Delta commit into an incremental Iceberg
+    snapshot (the continuous-UniForm loop).  ``vacuum_delta`` may
+    reclaim files a RETAINED older Iceberg snapshot references —
+    run ``expire_snapshots`` down to the current one before
+    vacuuming, exactly the real-world UniForm caveat.  Deletion
     vectors refuse (``optimize_delta`` first materializes them);
     column mapping refuses (physical names)."""
     from pyspark.sql.types import StructType
@@ -1892,9 +1895,10 @@ def convert_delta_to_iceberg(spark, path: str) -> dict:
             except Exception:
                 pass
         file_pvals.append((os.path.join(p, rel), pvals, n_rows))
-    rep = _commit_converted_snapshot(p, spark_schema, schema_json,
-                                     mapping, spec_fields, part_avro,
-                                     file_pvals)
+    rep = _commit_converted_snapshot(
+        p, spark_schema, schema_json, mapping, spec_fields, part_avro,
+        file_pvals,
+        extra_props={_BRIDGE_PROP: str(state["version"])})
     rep["partition_columns"] = pcols
     rep["delta_version"] = state["version"]
     return rep
@@ -1902,7 +1906,7 @@ def convert_delta_to_iceberg(spark, path: str) -> dict:
 
 def _commit_converted_snapshot(p, spark_schema, schema_json, mapping,
                                spec_fields, part_avro,
-                               file_pvals) -> dict:
+                               file_pvals, extra_props=None) -> dict:
     """Shared tail of the conversion paths: write manifest +
     manifest list + v1 metadata for snapshot 1 over the given
     ``[(abs_path, partition_values, rows|None)]`` files (rows=None →
@@ -1962,6 +1966,7 @@ def _commit_converted_snapshot(p, spark_schema, schema_json, mapping,
     meta["last-partition-id"] = 999 + len(spec_fields)
     meta["properties"]["schema.name-mapping.default"] = \
         json.dumps(mapping)
+    meta["properties"].update(extra_props or {})
     snap = {"snapshot-id": snap_id, "sequence-number": seq,
             "timestamp-ms": now_ms,
             "summary": {"operation": "append",
@@ -2650,3 +2655,280 @@ def read_iceberg_changes(spark, path: str,
         from tostore_spark.compile import where_filter_column
         out = out.filter(where_filter_column(node, out.schema))
     return out.select(*out_cols)
+
+
+# ------------------------------------------------ continuous UniForm
+
+_BRIDGE_PROP = "tostore.bridge.delta-version"
+
+
+def _bridge_entry_schema(part_avro):
+    """Manifest-entry Avro schema with the bridge's partition
+    record."""
+    import copy
+    mes = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+    pf_field = next(f for f in mes["fields"][4]["type"]["fields"]
+                    if f["name"] == "partition")
+    pf_field["type"]["fields"] = part_avro
+    return mes
+
+
+def sync_delta_to_iceberg(spark, path: str) -> dict:
+    """Bring a ``convert_delta_to_iceberg`` bridge CURRENT: fold every
+    Delta commit since the last bridged version into an incremental
+    Iceberg snapshot over the SAME files — the continuous-UniForm
+    loop (real UniForm keeps both formats current per commit; this is
+    that, driven on demand or per ``mirror_delta`` flush).
+
+    Per Delta commit: adds become an ADDED-entries manifest stacked on
+    the prior manifests (an ``append`` snapshot); removes REWRITE only
+    the manifests that contain the removed files (removed entries →
+    status DELETED, survivors → EXISTING carrying their ORIGINAL
+    sequence numbers — the scoping rule compaction already obeys;
+    untouched manifests carry over verbatim), committing a ``delete``
+    / ``overwrite`` snapshot; a commit whose actions all declare
+    ``dataChange=false`` (optimize) commits as ``replace``.  Snapshot
+    timestamps ride the Delta commit timestamps (monotonically
+    adjusted), so ``as_of`` travel agrees across formats.
+
+    Refusals (never a silent divergence): schema or partition-column
+    evolution in the range (re-convert), deletion-vector commits
+    (``optimize_delta`` first — or mirror with
+    ``deletion_vectors=False``), column mapping, a table that is not
+    a bridge.
+
+    Scale: zero row IO — each commit costs one footer-stat read per
+    ADDED file plus a driver-side rewrite of only the AFFECTED
+    manifests; a 100-row delete against a million-file bridge
+    rewrites the one manifest holding those files.  Returns
+    ``{"snapshots", "from_version", "to_version"}``."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructType
+
+    p = _norm_path(path)
+    meta = _load_metadata(p)
+    props = meta.get("properties") or {}
+    if _BRIDGE_PROP not in props:
+        raise ValueError(
+            f"{p} is not a delta→iceberg bridge — run "
+            "convert_delta_to_iceberg first")
+    last = int(props[_BRIDGE_PROP])
+    log_dir = os.path.join(p, "_delta_log")
+    versions = sorted(
+        int(f[:-5]) for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:-5].isdigit())
+    todo = [v for v in versions if v > last]
+    if not todo:
+        return {"snapshots": 0, "from_version": last,
+                "to_version": last}
+    if todo[0] != last + 1 or todo != list(range(todo[0],
+                                                 todo[-1] + 1)):
+        raise ValueError(
+            f"delta log has a gap after bridged version {last} — "
+            "the bridge cannot fold missing commits")
+
+    schema_json = _schema_for_snapshot(meta, _pick_snapshot(meta))
+    sschema = _schema_to_spark(schema_json)
+    spec_fields = (meta.get("partition-specs") or
+                   [{"fields": []}])[0]["fields"]
+    pcols = [f["name"] for f in spec_fields]
+    spec2, part_avro, _pval = _convert_identity_spec(
+        pcols, schema_json, _strip_field_ids(sschema))
+    if spec2 != spec_fields:
+        raise ValueError("bridge partition spec drifted — re-convert")
+    mes = _bridge_entry_schema(part_avro)
+    mdir = os.path.join(p, "metadata")
+
+    def _commit_ts(v, cpath, acts):
+        for a in acts:
+            if "commitInfo" in a and a["commitInfo"].get("timestamp"):
+                return int(a["commitInfo"]["timestamp"])
+        return int(os.path.getmtime(cpath) * 1000)
+
+    committed = 0
+    for v in todo:
+        cpath = os.path.join(log_dir, f"{v:020d}.json")
+        with open(cpath) as fh:
+            acts = [json.loads(ln) for ln in fh if ln.strip()]
+        for a in acts:
+            if "metaData" in a:
+                md = a["metaData"]
+                new_schema = StructType.fromJson(
+                    json.loads(md["schemaString"]))
+                if _strip_field_ids(sschema) != new_schema or \
+                        list(md.get("partitionColumns") or []) != pcols:
+                    raise ValueError(
+                        f"delta commit {v} evolves the schema or "
+                        "partitioning — the bridge cannot follow; "
+                        "re-convert (expire + remove metadata/ + "
+                        "convert_delta_to_iceberg)")
+        adds = [a["add"] for a in acts if "add" in a]
+        removes = [a["remove"] for a in acts if "remove" in a]
+        if any(a.get("deletionVector") for a in adds):
+            raise ValueError(
+                f"delta commit {v} carries deletion vectors — "
+                "optimize_delta first, or mirror with "
+                "deletion_vectors=False")
+        if not adds and not removes:
+            continue                 # metadata/protocol-only commit
+        data_change = (any(a.get("dataChange") for a in adds)
+                       or any(r.get("dataChange") for r in removes))
+        removed_abs = {os.path.join(p, r["path"]) for r in removes}
+
+        cur_snap = _pick_snapshot(meta)
+        seq = int(meta.get("last-sequence-number", 0)) + 1
+        snap_id = max((s["snapshot-id"] for s in
+                       meta.get("snapshots", [])), default=0) + 1
+        _, prior_ml = read_container_file(
+            _norm_path(cur_snap["manifest-list"]))
+        ml_entries = []
+        for m in prior_ml:
+            mseq = m.get("sequence_number") or 0
+            _, entries = read_container_file(
+                _norm_path(m["manifest_path"]))
+            live = [e for e in entries if e.get("status") != 2]
+            hit = any(_norm_path(e["data_file"]["file_path"])
+                      in removed_abs for e in live)
+            if not hit:
+                ml_entries.append(m)     # untouched: carry verbatim
+                continue
+            # rewrite ONLY this manifest: removed → DELETED, the
+            # survivors → EXISTING carrying their original data seq
+            new_entries, n_del, r_del, n_ex, r_ex = [], 0, 0, 0, 0
+            mins = [seq]
+            for e in live:
+                eseq = e.get("sequence_number")
+                eseq = mseq if eseq is None else int(eseq)
+                df_ = e["data_file"]
+                rows = int(df_["record_count"])
+                if _norm_path(df_["file_path"]) in removed_abs:
+                    st, sid = 2, snap_id
+                    n_del += 1
+                    r_del += rows
+                else:
+                    st, sid = 0, e.get("snapshot_id")
+                    n_ex += 1
+                    r_ex += rows
+                    mins.append(eseq)
+                new_entries.append({
+                    "status": st, "snapshot_id": sid,
+                    "sequence_number": eseq,
+                    "file_sequence_number": eseq,
+                    "data_file": df_})
+            man_path = os.path.join(
+                mdir, f"{uuid.uuid4().hex}-m0.avro")
+            write_container_file(
+                man_path, mes, new_entries,
+                meta={"schema": json.dumps(schema_json),
+                      "schema-id": "0",
+                      "partition-spec": json.dumps(spec_fields),
+                      "partition-spec-id": "0",
+                      "format-version": "2", "content": "data"})
+            ml_entries.append({
+                "manifest_path": man_path,
+                "manifest_length": os.path.getsize(man_path),
+                "partition_spec_id": 0, "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min(mins),
+                "added_snapshot_id": snap_id,
+                "added_files_count": 0,
+                "existing_files_count": n_ex,
+                "deleted_files_count": n_del,
+                "added_rows_count": 0,
+                "existing_rows_count": r_ex,
+                "deleted_rows_count": r_del,
+                "key_metadata": None})
+        add_rows = 0
+        if adds:
+            entries = []
+            for a in sorted(adds, key=lambda x: x["path"]):
+                fp = os.path.join(p, a["path"])
+                pv_raw = a.get("partitionValues") or {}
+                pvals = {c: _pval(c, pv_raw.get(c)) for c in pcols}
+                n_rows = None
+                st_json = a.get("stats")
+                if st_json:
+                    try:
+                        n = json.loads(st_json).get("numRecords")
+                        if isinstance(n, int):
+                            n_rows = n
+                    except Exception:
+                        pass
+                if n_rows is None:
+                    n_rows = int(pq.ParquetFile(fp).metadata.num_rows)
+                add_rows += int(n_rows)
+                st = _file_column_stats(fp, schema_json)
+                entries.append({
+                    "status": 1, "snapshot_id": snap_id,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 0, "file_path": fp,
+                        "file_format": "PARQUET", "partition": pvals,
+                        "record_count": int(n_rows),
+                        "file_size_in_bytes": os.path.getsize(fp),
+                        "value_counts": st.get("value_counts"),
+                        "null_value_counts": st.get(
+                            "null_value_counts"),
+                        "lower_bounds": st.get("lower_bounds"),
+                        "upper_bounds": st.get("upper_bounds"),
+                        "equality_ids": None}})
+            man_path = os.path.join(mdir, f"{uuid.uuid4().hex}-m0.avro")
+            write_container_file(
+                man_path, mes, entries,
+                meta={"schema": json.dumps(schema_json),
+                      "schema-id": "0",
+                      "partition-spec": json.dumps(spec_fields),
+                      "partition-spec-id": "0",
+                      "format-version": "2", "content": "data"})
+            ml_entries.append({
+                "manifest_path": man_path,
+                "manifest_length": os.path.getsize(man_path),
+                "partition_spec_id": 0, "content": 0,
+                "sequence_number": seq, "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0, "deleted_files_count": 0,
+                "added_rows_count": add_rows,
+                "existing_rows_count": 0, "deleted_rows_count": 0,
+                "key_metadata": None})
+        ml_path = os.path.join(
+            mdir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro")
+        write_container_file(ml_path, _MANIFEST_LIST_SCHEMA,
+                             ml_entries, meta={"format-version": "2"})
+        if not data_change:
+            op = "replace"
+        elif adds and removes:
+            op = "overwrite"
+        elif adds:
+            op = "append"
+        else:
+            op = "delete"
+        ts = max(_commit_ts(v, cpath, acts),
+                 int(cur_snap.get("timestamp-ms", 0)))
+        snap = {"snapshot-id": snap_id, "sequence-number": seq,
+                "timestamp-ms": ts,
+                "summary": {"operation": op,
+                            "added-data-files": str(len(adds)),
+                            "deleted-data-files": str(len(removes)),
+                            "added-records": str(add_rows)},
+                "manifest-list": ml_path, "schema-id": 0,
+                "parent-snapshot-id": cur_snap["snapshot-id"]}
+        meta["snapshots"] = (meta.get("snapshots") or []) + [snap]
+        meta["current-snapshot-id"] = snap_id
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = ts
+        meta["refs"] = {**(meta.get("refs") or {}),
+                        "main": {"snapshot-id": snap_id,
+                                 "type": "branch"}}
+        meta["snapshot-log"] = (meta.get("snapshot-log") or []) + [
+            {"timestamp-ms": ts, "snapshot-id": snap_id}]
+        meta["properties"][_BRIDGE_PROP] = str(v)
+        _write_metadata_json(mdir, _next_metadata_version(mdir), meta)
+        committed += 1
+    if int(meta["properties"][_BRIDGE_PROP]) != todo[-1]:
+        # trailing metadata-only commits: persist the advanced cursor
+        meta["properties"][_BRIDGE_PROP] = str(todo[-1])
+        _write_metadata_json(mdir, _next_metadata_version(mdir), meta)
+    return {"snapshots": committed, "from_version": last,
+            "to_version": todo[-1]}

@@ -882,6 +882,16 @@ def flush_tables(engine, flush_storage: bool = True,
                                  deletion_vectors=cfg.get("dv", True),
                                  allow_decrypted=cfg.get(
                                      "allow_decrypted", False))
+                    if cfg.get("bridge"):
+                        # continuous UniForm: fold the just-written
+                        # Delta commit into the next Iceberg snapshot
+                        from tostore_spark.plans.iceberg import \
+                            sync_delta_to_iceberg
+                        d = cfg["dest"]
+                        sync_delta_to_iceberg(
+                            engine.spark,
+                            d[len("file:"):] if d.startswith("file:")
+                            else d)
                 except Exception as exc:      # pragma: no cover
                     engine.last_mirror_error = (key[1], str(exc))
         ice_mirrors = getattr(engine, "_iceberg_mirrors", None)
