@@ -3128,10 +3128,16 @@ def q_delta_stats_skip(spark, sf_dir):
                                                   _prune_adds, _replay,
                                                   read_delta)
     db = _db(spark, sf_dir)
+    import pandas as _pd
     src = (db.df("orders").select("o_orderkey", "o_orderstatus")
            .toPandas())        # fixture construction, sf-bounded
+    # a timestamp column keyed to o_orderkey: temporal stats (r15)
+    # must prune exactly like the numeric ones
+    src["o_ts"] = _pd.to_datetime(src.o_orderkey, unit="s", utc=True)
+    from pyspark.sql.types import TimestampType
     schema = StructType([StructField("o_orderkey", LongType()),
-                         StructField("o_orderstatus", StringType())])
+                         StructField("o_orderstatus", StringType()),
+                         StructField("o_ts", TimestampType())])
     with tempfile.TemporaryDirectory() as tmp:
         log = os.path.join(tmp, "_delta_log")
         os.makedirs(log)
@@ -3161,9 +3167,15 @@ def q_delta_stats_skip(spark, sf_dir):
                 "modificationTime": 0, "dataChange": True,
                 "stats": _json.dumps({
                     "numRecords": int(len(sl)),
-                    "minValues": {"o_orderkey": int(sl.o_orderkey.min())},
-                    "maxValues": {"o_orderkey": int(sl.o_orderkey.max())},
-                    "nullCount": {"o_orderkey": 0}})}})
+                    "minValues": {
+                        "o_orderkey": int(sl.o_orderkey.min()),
+                        "o_ts": sl.o_ts.min().strftime(
+                            "%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"},
+                    "maxValues": {
+                        "o_orderkey": int(sl.o_orderkey.max()),
+                        "o_ts": sl.o_ts.max().strftime(
+                            "%Y-%m-%dT%H:%M:%S.%f") + "Z"},
+                    "nullCount": {"o_orderkey": 0, "o_ts": 0}})}})
         with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
             for a in actions:
                 fh.write(_json.dumps(a) + "\n")
@@ -3177,6 +3189,20 @@ def q_delta_stats_skip(spark, sf_dir):
             raise AssertionError(
                 f"stats pruning did not engage: kept {len(kept)} of "
                 f"{len(state['files'])} files")
+        # r15: a TIMESTAMP predicate narrows files too — the parsed
+        # ISO bounds ride the same type-aligned refutation
+        import datetime as _dt
+        ts_cut = _dt.datetime(1970, 1, 1) + _dt.timedelta(seconds=q1)
+        node_ts = _coerce_where_values(
+            to_condition_node({"o_ts": {"<": ts_cut.isoformat()
+                                        + "Z"}}), schema)
+        kept_ts = _prune_adds(state["files"], node_ts, schema,
+                              {f.name: f.name for f in schema.fields},
+                              [])
+        if not (0 < len(kept_ts) < len(state["files"])):
+            raise AssertionError(
+                f"temporal stats pruning did not engage: kept "
+                f"{len(kept_ts)} of {len(state['files'])} files")
         out = (read_delta(spark, tmp, where=where)
                .groupBy("o_orderstatus")
                .agg(F.count(F.lit(1)).alias("n"),

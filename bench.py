@@ -535,17 +535,24 @@ def _graph_lifecycle_stat(spark, sf_dir: str) -> dict | None:
                     sim.graph_append(spark, tpath, base, batch,
                                      n_neighbors=8, ef=16, max_hops=3)
                     app.append(_t.time() - t0)
-                    if trial < 2:
-                        _sh.rmtree(tpath, ignore_errors=True)
                 out[f"{label}_append_sec"] = round(sorted(app)[1], 3)
-                path = os.path.join(tmp, "gidx_t2")  # appended copy
+                # delete + compact MED-OF-3 as well (r14 read a 3.92
+                # delete_x on UNTOUCHED code — the artifact must make
+                # the noise-vs-regression call itself): each trial
+                # runs on its own appended copy, deletes then compacts
                 del_ids = [int(i) for i in range(n - 100, n - 50)]
-                t0 = _t.time()
-                sim.graph_delete(spark, path, del_ids)
-                out[f"{label}_delete_sec"] = round(_t.time() - t0, 3)
-                t0 = _t.time()
-                sim.graph_compact(spark, path)
-                out[f"{label}_compact_sec"] = round(_t.time() - t0, 3)
+                dels, comps = [], []
+                for trial in range(3):
+                    tpath = os.path.join(tmp, f"gidx_t{trial}")
+                    t0 = _t.time()
+                    sim.graph_delete(spark, tpath, del_ids)
+                    dels.append(_t.time() - t0)
+                    t0 = _t.time()
+                    sim.graph_compact(spark, tpath)
+                    comps.append(_t.time() - t0)
+                out[f"{label}_delete_sec"] = round(sorted(dels)[1], 3)
+                out[f"{label}_compact_sec"] = round(sorted(comps)[1],
+                                                    3)
             out[f"{label}_index_rows"] = n - 100
         for op in ("append", "delete", "compact"):
             s = out.get(f"small_{op}_sec")

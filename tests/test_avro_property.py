@@ -91,3 +91,81 @@ def test_container_roundtrip_property(case):
                                                codec=codec))
     assert meta["avro.codec"].decode() == codec
     assert _eq(out, rows)
+
+
+class TestSnappyCodec:
+    """Pure-Python raw-snappy decode (r15): byte-pinned against
+    hand-computed vectors from the published snappy format
+    description, plus an end-to-end snappy Avro container."""
+
+    def test_literal_only(self):
+        from tostore_spark.plans.avro_io import _snappy_decompress
+        # varint len 5; literal tag (5-1)<<2; bytes
+        assert _snappy_decompress(b"\x05\x10hello") == b"hello"
+
+    def test_overlapping_copy_1byte_offset(self):
+        from tostore_spark.plans.avro_io import _snappy_decompress
+        # len 12; literal "ab"; copy-1 len 10 ((6)+4) off 2 streams
+        # byte-by-byte -> "ab" * 6
+        assert _snappy_decompress(b"\x0c\x04ab\x19\x02") == b"ab" * 6
+
+    def test_copy_2byte_offset(self):
+        from tostore_spark.plans.avro_io import _snappy_decompress
+        # len 8; literal "abcd"; copy-2 len 4 off 4
+        assert _snappy_decompress(
+            b"\x08\x0cabcd\x0e\x04\x00") == b"abcdabcd"
+
+    def test_long_literal_spill(self):
+        from tostore_spark.plans.avro_io import _snappy_decompress
+        # literal length 100 spills into one extra byte (tag 60<<2)
+        body = bytes(range(100)) + b"\x00" * 0
+        data = b"\x64" + bytes([60 << 2, 99]) + body
+        assert _snappy_decompress(data) == body
+
+    def test_malformed_refuses(self):
+        import pytest
+
+        from tostore_spark.plans.avro_io import _snappy_decompress
+        with pytest.raises(ValueError, match="offset"):
+            _snappy_decompress(b"\x04\x19\x09")     # offset > output
+        with pytest.raises(ValueError, match="header said"):
+            _snappy_decompress(b"\x07\x10hello")    # wrong length
+        with pytest.raises(ValueError, match="truncated"):
+            _snappy_decompress(b"\x05\x10he")
+
+    def _snappy_container(self, crc_bytes=None):
+        import json as _json
+        import zlib as _zlib
+
+        from tostore_spark.plans.avro_io import (MAGIC, _enc_bytes,
+                                                 _zigzag)
+        schema = {"type": "record", "name": "R",
+                  "fields": [{"name": "x", "type": "long"}]}
+        raw = b"\x02"                     # one record, x = zigzag 1
+        comp = b"\x01\x00\x02"            # varint 1 + literal tag + b
+        crc = crc_bytes if crc_bytes is not None else \
+            (_zlib.crc32(raw) & 0xFFFFFFFF).to_bytes(4, "big")
+        payload = comp + crc
+        sync = b"\x00" * 16
+        out = bytearray(MAGIC)
+        entries = {"avro.schema":
+                   _json.dumps(schema).encode("utf-8"),
+                   "avro.codec": b"snappy"}
+        out += _zigzag(len(entries))
+        for k, v in entries.items():
+            out += _enc_bytes(k.encode("utf-8"))
+            out += _enc_bytes(v)
+        out += _zigzag(0) + sync
+        out += _zigzag(1) + _zigzag(len(payload)) + payload + sync
+        return bytes(out)
+
+    def test_container_end_to_end(self):
+        meta, recs = read_container(self._snappy_container())
+        assert meta["avro.codec"] == b"snappy"
+        assert recs == [{"x": 1}]
+
+    def test_container_crc_mismatch_refuses(self):
+        import pytest
+        bad = self._snappy_container(crc_bytes=b"\x00\x00\x00\x00")
+        with pytest.raises(ValueError, match="CRC"):
+            read_container(bad)

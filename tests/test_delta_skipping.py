@@ -168,16 +168,58 @@ class TestSummaryConservatism:
     def test_no_stats_survives(self):
         assert self._summ({"path": "f", "partitionValues": {}}) is None
 
-    def test_date_columns_never_prune(self):
-        """Date/timestamp stats are writer-formatted ISO strings — a
-        lexicographic compare against a differently-formatted value
-        could prune live rows, so those columns are omitted."""
+    def test_date_stats_parse_and_prune(self):
+        """Temporal stats are writer-formatted ISO strings — never
+        compared lexicographically; they PARSE into date/datetime
+        values and ride the type-aligned compare (r15)."""
+        import datetime
+
+        from tostore_spark.plans.skipping import node_may_match
         s = self._summ({"stats": json.dumps({
             "numRecords": 5,
             "minValues": {"n": 1, "d": "2024-01-01", "s": "a"},
             "maxValues": {"n": 9, "d": "2024-12-31", "s": "z"},
             "nullCount": {"n": 0, "d": 0, "s": 0}})})
-        assert set(s["cols"]) == {"n", "s"}
+        assert set(s["cols"]) == {"n", "d", "s"}
+        assert s["cols"]["d"]["min"] == datetime.date(2024, 1, 1)
+        node = _coerce_where_values(
+            to_condition_node({"d": {">": "2025-06-01"}}), self.SCHEMA)
+        assert not node_may_match(node, s, "")
+        node = _coerce_where_values(
+            to_condition_node({"d": {">": "2024-06-01"}}), self.SCHEMA)
+        assert node_may_match(node, s, "")
+
+    def test_timestamp_stats_require_unambiguous_zone(self):
+        """The string-format trap that used to exclude temporals,
+        as a test: a zone-less bound on a TIMESTAMP (tz) column is
+        ambiguous and must NOT prune; an explicit offset normalizes
+        to naive UTC and prunes exactly."""
+        import datetime
+
+        from pyspark.sql.types import StructType as _ST
+        schema = _ST.fromJson(json.loads(
+            '{"type":"struct","fields":['
+            '{"name":"t","type":"timestamp","nullable":true,'
+            '"metadata":{}}]}'))
+        base = {"numRecords": 5,
+                "nullCount": {"t": 0}}
+
+        def summ(lo, hi):
+            return _add_summary(
+                {"stats": json.dumps({**base,
+                                      "minValues": {"t": lo},
+                                      "maxValues": {"t": hi}})},
+                schema, {"t": "t"}, [])
+        # zone-less on tz column: refuses (file survives)
+        assert summ("2024-01-01T00:00:00", "2024-01-02T00:00:00") \
+            is None
+        # explicit offsets: parse, normalize to naive UTC
+        s = summ("2024-01-01T00:00:00.000Z",
+                 "2024-01-01T23:00:00+01:00")
+        assert s["cols"]["t"]["max"] == \
+            datetime.datetime(2024, 1, 1, 22, 0, 0)
+        # garbage refuses
+        assert summ("not-a-time", "2024-01-01T00:00:00Z") is None
 
     def test_type_misaligned_stats_dropped(self):
         # a string bound on an int column (malformed foreign stats)

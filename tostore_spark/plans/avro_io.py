@@ -195,6 +195,80 @@ def _prescan_names(schema, names: dict) -> None:
         _prescan_names(t, names)
 
 
+def _snappy_decompress(buf: bytes) -> bytes:
+    """Pure-Python RAW-snappy decompressor (decode only — reading
+    foreign snappy-coded Avro metadata needs no compressor).  Format
+    per Google's published snappy format description: a varint32
+    uncompressed length, then tagged elements — literals (tag 00,
+    lengths ≥ 60 spill into 1-4 little-endian extra bytes) and
+    back-reference copies with 1/2/4-byte offsets (tags 01/10/11);
+    copies may overlap and stream byte-by-byte.  No code from the
+    snappy project; byte-pinned against hand-computed vectors in
+    tests/test_avro_property.py."""
+    i, n = 0, len(buf)
+    # varint32 uncompressed length
+    out_len, shift = 0, 0
+    while True:
+        if i >= n:
+            raise ValueError("snappy: truncated length varint")
+        b = buf[i]
+        i += 1
+        out_len |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 32:
+            raise ValueError("snappy: length varint overflow")
+    out = bytearray()
+    while i < n:
+        tag = buf[i]
+        i += 1
+        kind = tag & 3
+        if kind == 0:                               # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nb = ln - 59
+                if i + nb > n:
+                    raise ValueError("snappy: truncated literal len")
+                ln = int.from_bytes(buf[i:i + nb], "little")
+                i += nb
+            ln += 1
+            if i + ln > n:
+                raise ValueError("snappy: truncated literal")
+            out += buf[i:i + ln]
+            i += ln
+            continue
+        if kind == 1:                               # copy, 1-byte off
+            ln = ((tag >> 2) & 0x7) + 4
+            if i >= n:
+                raise ValueError("snappy: truncated copy offset")
+            off = ((tag >> 5) << 8) | buf[i]
+            i += 1
+        elif kind == 2:                             # copy, 2-byte off
+            ln = (tag >> 2) + 1
+            if i + 2 > n:
+                raise ValueError("snappy: truncated copy offset")
+            off = int.from_bytes(buf[i:i + 2], "little")
+            i += 2
+        else:                                       # copy, 4-byte off
+            ln = (tag >> 2) + 1
+            if i + 4 > n:
+                raise ValueError("snappy: truncated copy offset")
+            off = int.from_bytes(buf[i:i + 4], "little")
+            i += 4
+        if off == 0 or off > len(out):
+            raise ValueError("snappy: copy offset out of range")
+        # overlapping copies are legal and stream byte-by-byte
+        start = len(out) - off
+        for k in range(ln):
+            out.append(out[start + k])
+    if len(out) != out_len:
+        raise ValueError(
+            f"snappy: decompressed {len(out)} bytes, header said "
+            f"{out_len}")
+    return bytes(out)
+
+
 def read_container(data: bytes) -> tuple[dict, list]:
     """Parse an Avro Object Container File.  Returns
     ``(file_metadata, records)`` where ``file_metadata`` maps the
@@ -216,9 +290,9 @@ def read_container(data: bytes) -> tuple[dict, list]:
             meta[k] = r.read_bytes()
     sync = r.read(16)
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"avro: codec {codec!r} unsupported "
-                         "(null/deflate only)")
+                         "(null/deflate/snappy only)")
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     names: dict = {}
     _prescan_names(schema, names)
@@ -229,6 +303,16 @@ def read_container(data: bytes) -> tuple[dict, list]:
         payload = r.read(size)
         if codec == "deflate":
             payload = zlib.decompress(payload, -15)
+        elif codec == "snappy":
+            # Avro spec: snappy-compressed data followed by a 4-byte
+            # BIG-ENDIAN CRC32 of the UNCOMPRESSED data
+            if size < 4:
+                raise ValueError("avro: snappy block too short")
+            body, crc = payload[:-4], payload[-4:]
+            payload = _snappy_decompress(body)
+            if zlib.crc32(payload) & 0xFFFFFFFF != int.from_bytes(
+                    crc, "big"):
+                raise ValueError("avro: snappy block CRC mismatch")
         br = _Reader(payload)
         for _ in range(count):
             records.append(_decode(schema, br, names))

@@ -82,13 +82,25 @@ def _delta_stats(file_summary: dict) -> str:
 
     Only columns with decodable bounds are emitted (same conservatism
     as the manifest: a reader treats missing stats as unknown).  Null
-    counts are emitted only when exact."""
+    counts are emitted only when exact.  Temporal bounds serialize as
+    FULL-PRECISION ISO strings (dates ``YYYY-MM-DD``, naive-UTC
+    timestamps with a ``Z`` suffix and undropped microseconds — a
+    truncated max would understate the bound and prune live rows)."""
+    import datetime
+
+    def _iso(v):
+        if isinstance(v, datetime.datetime):
+            return v.isoformat() + "Z"
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+        return v
+
     cols = file_summary.get("cols") or {}
     mins, maxs, nulls = {}, {}, {}
     for name, c in cols.items():
         if c.get("min") is not None:
-            mins[name] = c["min"]
-            maxs[name] = c["max"]
+            mins[name] = _iso(c["min"])
+            maxs[name] = _iso(c["max"])
         if c.get("nulls") is not None:
             nulls[name] = int(c["nulls"])
     out = {"numRecords": int(file_summary["rows"])}
@@ -130,14 +142,41 @@ def _loose_stats(stats: str | None) -> str | None:
 # plans.skipping.node_may_match (conservative three-valued: anything
 # undecidable keeps the file).
 #
-# Type discipline: only bool/int/float/string columns participate.
-# Date/timestamp stats are ISO strings whose exact FORMAT is
-# writer-dependent — a lexicographic compare against a differently-
-# formatted predicate value could prune live rows, so those columns
-# never prune (the row-side filter still applies).  Files whose stats
-# carry ``tightBounds: false`` (deletion-vector adds) stay sound: the
-# bounds cover a SUPERSET of the live rows, so refutation over them
-# refutes the live rows a fortiori.
+# Type discipline: bool/int/float/string columns compare raw.
+# Date/timestamp stats are writer-formatted ISO strings — NEVER
+# compared lexicographically (a format difference could prune live
+# rows); instead they PARSE to date/datetime values and ride the same
+# type-aligned compare the predicate side already uses
+# (coerce_where_values yields dates and naive-UTC datetimes):
+# dates via fromisoformat; TIMESTAMP (tz) stats must carry an
+# explicit offset (normalized to naive UTC — a zone-less string on a
+# tz column is ambiguous and refuses), TIMESTAMP_NTZ stats must NOT.
+# Anything unparseable refuses that bound — the file survives.  Files
+# whose stats carry ``tightBounds: false`` (deletion-vector adds)
+# stay sound: the bounds cover a SUPERSET of the live rows, so
+# refutation over them refutes the live rows a fortiori.
+
+def _temporal_stat(v: str, dt):
+    """Parse one ISO date/timestamp stat string into the comparable
+    value the predicate side uses — None when ambiguous."""
+    import datetime
+
+    from pyspark.sql import types as T
+    try:
+        if isinstance(dt, T.DateType):
+            return datetime.date.fromisoformat(v)
+        ts = datetime.datetime.fromisoformat(v.replace("Z", "+00:00"))
+        if isinstance(dt, T.TimestampType):
+            if ts.tzinfo is None:
+                return None     # zone-less on a tz column: ambiguous
+            return ts.astimezone(datetime.timezone.utc) \
+                .replace(tzinfo=None)
+        if ts.tzinfo is not None:
+            return None         # an offset on an NTZ column: ambiguous
+        return ts
+    except ValueError:
+        return None
+
 
 def _stat_scalar(v, dt):
     """One minValues/maxValues JSON scalar, type-aligned to the Delta
@@ -155,6 +194,9 @@ def _stat_scalar(v, dt):
         return None
     if isinstance(dt, T.StringType):
         return v if isinstance(v, str) else None
+    if isinstance(dt, (T.DateType, T.TimestampType,
+                       T.TimestampNTZType)):
+        return _temporal_stat(v, dt) if isinstance(v, str) else None
     return None
 
 
@@ -173,6 +215,12 @@ def _pv_scalar(s: str, dt):
             return {"true": True, "false": False}.get(s.lower())
         if isinstance(dt, T.StringType):
             return s
+        if isinstance(dt, T.DateType):
+            # spec partition serialization: {year}-{month}-{day} —
+            # unambiguous (timestamp partition values are zone-less
+            # and stay out)
+            import datetime
+            return datetime.date.fromisoformat(s)
     except (ValueError, TypeError):
         return None
     return None
@@ -357,7 +405,7 @@ def _add_actions(path: str, staged) -> tuple[list[dict], int]:
         import pyarrow.parquet as pq
         md = pq.ParquetFile(fpath).metadata
         try:
-            return _fold_file(md)
+            return _fold_file(md, temporal=True)
         except Exception:
             # stats are optional; the row COUNT is not (numRecords)
             return {"rows": int(md.num_rows), "cols": {}}
@@ -1112,7 +1160,8 @@ def convert_to_delta(spark, path: str) -> dict:
             pvals[unquote(k)] = (None if v ==
                                  "__HIVE_DEFAULT_PARTITION__" else v)
         try:
-            summ = _fold_file(pq.ParquetFile(fp).metadata)
+            summ = _fold_file(pq.ParquetFile(fp).metadata,
+                              temporal=True)
         except Exception:
             summ = {"rows": int(pq.ParquetFile(fp).metadata.num_rows),
                     "cols": {}}
@@ -1234,7 +1283,8 @@ def optimize_delta(spark, path: str,
             from tostore_spark.plans.skipping import _fold_file
             try:
                 import pyarrow.parquet as pq
-                summ = _fold_file(pq.ParquetFile(fpath).metadata)
+                summ = _fold_file(pq.ParquetFile(fpath).metadata,
+                                  temporal=True)
             except Exception:
                 import pyarrow.parquet as pq
                 summ = {"rows": int(
