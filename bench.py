@@ -943,6 +943,121 @@ def _interop_export_stat(spark, sf_dir: str) -> dict | None:
         return None
 
 
+def _changelog_sync_stat(spark, sf_dir: str) -> dict | None:
+    """Consumer/bridge tripwire (r15): seconds to (a) fold ONE
+    100-row epoch through ``read_iceberg_changes`` and (b) fold ONE
+    Delta commit through ``sync_delta_to_iceberg``, at two base sizes
+    10x apart.  Changelog appends derive inserts from the ADDED files
+    only and bridge syncs cost footer reads of the added files plus a
+    rewrite of only the AFFECTED manifests — both expected ~flat; the
+    changelog DELETE pull pays one probe of the parent snapshot (the
+    honest ~base term, same class as the exporters' delete probes).
+    Two independent store tables keep the two commit streams clean."""
+    import os as _os
+    import tempfile
+    import time as _t
+
+    try:
+        import __spark_entry__ as entrymod
+        from tostore_spark import ToStoreSpark
+        from tostore_spark.plans.delta_export import optimize_delta
+        from tostore_spark.plans.iceberg import (_load_metadata,
+                                                 convert_delta_to_iceberg,
+                                                 read_iceberg_changes,
+                                                 sync_delta_to_iceberg)
+        from tostore_spark.schema import (DataType, FieldSchema,
+                                          PrimaryKeyConfig, TableSchema)
+        li = entrymod._db(spark, sf_dir).df("lineitem")
+        full = (li.selectExpr(
+            "concat('r', cast(monotonically_increasing_id() as string))"
+            " as id",
+            "l_orderkey", "l_quantity", "l_returnflag")
+            .localCheckpoint(eager=True))
+        n_full = full.count()
+
+        def _sch(name):
+            return TableSchema(
+                name=name, primary_key=PrimaryKeyConfig(name="id"),
+                fields=[FieldSchema("l_orderkey", DataType.integer),
+                        FieldSchema("l_quantity", DataType.double),
+                        FieldSchema("l_returnflag", DataType.text)])
+        out: dict = {"touched_rows": 100}
+        for label, size in (("small", max(1000, n_full // 10)),
+                            ("large", n_full)):
+            base = (full if size >= n_full
+                    else full.limit(size).localCheckpoint(eager=True))
+            del_ids = [r["id"] for r in base.limit(100).collect()]
+            blk: dict = {"base_rows": size}
+            with tempfile.TemporaryDirectory() as tmp:
+                db = ToStoreSpark(spark,
+                                  warehouse=_os.path.join(tmp, "wh"))
+                db.register_table("ti", df=base, schema=_sch("ti"))
+                db.register_table("td", df=base, schema=_sch("td"))
+                db.flush()
+                dice = _os.path.join(tmp, "ice")
+                ddel = _os.path.join(tmp, "dx")
+                # ---- changelog stream (table ti -> dice) -----------
+                db.export_iceberg("ti", dice, target_files=8)
+                boot = _load_metadata(dice)["current-snapshot-id"]
+                db.append_rows("ti", spark.createDataFrame(
+                    [(f"a{i:03d}", 1, 1.0, "A") for i in range(100)],
+                    base.schema))
+                db.flush(only=["ti"])
+                db.export_iceberg("ti", dice, mode="update")
+                t0 = _t.time()
+                n = read_iceberg_changes(spark, dice,
+                                         from_snapshot=boot).count()
+                blk["changes_append_sec"] = round(_t.time() - t0, 3)
+                assert n == 100, n
+                mid = _load_metadata(dice)["current-snapshot-id"]
+                db.delete("ti").where("id", "IN", del_ids).execute()
+                db.flush(only=["ti"])
+                r = db.export_iceberg("ti", dice, mode="update")
+                assert r["commit"] in ("eqdel", "mor"), r
+                t0 = _t.time()
+                n = read_iceberg_changes(
+                    spark, dice, from_snapshot=mid).count()
+                blk["changes_delete_sec"] = round(_t.time() - t0, 3)
+                assert n == 100, n
+                # ---- bridge stream (table td -> ddel) --------------
+                db.export_delta("td", ddel, target_files=8)
+                convert_delta_to_iceberg(spark, ddel)
+                db.append_rows("td", spark.createDataFrame(
+                    [(f"a{i:03d}", 1, 1.0, "A") for i in range(100)],
+                    base.schema))
+                db.flush(only=["td"])
+                db.export_delta("td", ddel, mode="update")
+                t0 = _t.time()
+                r = sync_delta_to_iceberg(spark, ddel)
+                blk["bridge_append_sec"] = round(_t.time() - t0, 3)
+                assert r["snapshots"] == 1, r
+                # optimize commit touching ONLY the tiny appended
+                # files: the affected-manifest rewrite term
+                db.append_rows("td", spark.createDataFrame(
+                    [(f"b{i:03d}", 1, 1.0, "B") for i in range(100)],
+                    base.schema))
+                db.flush(only=["td"])
+                db.export_delta("td", ddel, mode="update")
+                sync_delta_to_iceberg(spark, ddel)
+                optimize_delta(spark, ddel,
+                               target_file_bytes=16 * 1024,
+                               min_files=2)
+                t0 = _t.time()
+                r = sync_delta_to_iceberg(spark, ddel)
+                blk["bridge_optimize_sec"] = round(_t.time() - t0, 3)
+            out[label] = blk
+        s, L = out["small"], out["large"]
+        out["scale_x"] = {
+            k: round(L[f"{k}_sec"] / s[f"{k}_sec"], 2)
+            for k in ("changes_append", "bridge_append",
+                      "bridge_optimize", "changes_delete")
+            if s.get(f"{k}_sec")}
+        return out
+    except Exception as exc:                    # pragma: no cover
+        print(f"# changelog sync stat skipped: {exc}", file=sys.stderr)
+        return None
+
+
 def _interop_skip_stat(spark, sf_dir: str) -> dict | None:
     """Scan-planning tripwire for the interop READERS (r14 where=):
     seconds to run a FIXED-selectivity aggregate through
@@ -1472,6 +1587,7 @@ def main():
     cdc_flat = _cdc_flat_stat(spark, sf_dir)
     interop_export = _interop_export_stat(spark, sf_dir)
     interop_skip = _interop_skip_stat(spark, sf_dir)
+    changelog_sync = _changelog_sync_stat(spark, sf_dir)
     skipping = _skipping_stat(spark, sf_dir)
 
     # Detail block (extras/recall/sf1/methodology): written to a committed
@@ -1495,6 +1611,7 @@ def main():
         "cdc_flat": cdc_flat,
         "interop_export": interop_export,
         "interop_skip": interop_skip,
+        "changelog_sync": changelog_sync,
         "skipping": skipping,
         # r11-verdict #6 adjudication (measured r12, adjacent med-of-5
         # per pair in one clean session at sf0.1, canary-comparable
