@@ -169,3 +169,63 @@ class TestSnappyCodec:
         bad = self._snappy_container(crc_bytes=b"\x00\x00\x00\x00")
         with pytest.raises(ValueError, match="CRC"):
             read_container(bad)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=2000))
+def test_snappy_literal_roundtrip_property(payload):
+    """Property: a literal-only snappy stream (the trivially correct
+    reference encoding any conformant compressor may emit) decodes to
+    the original bytes — covers varint lengths, literal-length spill
+    tiers, and multi-element streams."""
+    from tostore_spark.plans.avro_io import _snappy_decompress
+
+    def enc_varint(n):
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    def enc_literal(chunk):
+        ln = len(chunk) - 1
+        if ln < 60:
+            return bytes([ln << 2]) + chunk
+        nb = (ln.bit_length() + 7) // 8
+        return bytes([(59 + nb) << 2]) \
+            + ln.to_bytes(nb, "little") + chunk
+
+    comp = bytearray(enc_varint(len(payload)))
+    i = 0
+    # vary chunk sizes to cross the 60-byte spill boundary
+    for size in (1, 61, 7, 300, 59, 60):
+        while i < len(payload):
+            chunk = payload[i:i + size]
+            if not chunk:
+                break
+            comp += enc_literal(chunk)
+            i += len(chunk)
+            break
+        if i >= len(payload):
+            break
+    while i < len(payload):
+        chunk = payload[i:i + 100]
+        comp += enc_literal(chunk)
+        i += len(chunk)
+    assert _snappy_decompress(bytes(comp)) == payload
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_snappy_garbage_never_crashes(data):
+    """Property: arbitrary bytes either decode or raise ValueError —
+    never an unhandled exception (foreign metadata is untrusted)."""
+    from tostore_spark.plans.avro_io import _snappy_decompress
+    try:
+        _snappy_decompress(data)
+    except ValueError:
+        pass
