@@ -176,3 +176,108 @@ class TestContinuousBridge:
                                f"{1:020d}.json"))
         with pytest.raises(ValueError, match="gap"):
             sync_delta_to_iceberg(spark, dest)
+
+
+# ---------------------------------------------------------------------
+# cross-PROCESS: two OS processes race sync_delta_to_iceberg on one
+# bridge — the metadata-version put-if-absent CAS makes each Delta
+# commit fold into EXACTLY ONE Iceberg snapshot (losers see EEXIST,
+# retry from the advanced bridge cursor)
+# ---------------------------------------------------------------------
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_SYNC_WORKER = r"""
+import sys, time
+path, report = sys.argv[1], sys.argv[2]
+sys.path.insert(0, {repo!r})
+from tostore_spark import get_spark
+from tostore_spark.plans.iceberg import sync_delta_to_iceberg
+
+spark = get_spark(app_name="bridge-sync-worker", cpus=2)
+retries = 0
+for attempt in range(12):
+    try:
+        rep = sync_delta_to_iceberg(spark, path)
+        break
+    except ValueError as e:
+        if "concurrent" not in str(e):
+            raise
+        retries += 1
+        time.sleep(0.2)
+else:
+    raise SystemExit(3)
+with open(report, "w") as fh:
+    fh.write(str(retries))
+spark.stop()
+"""
+
+
+def _spawn(script, args):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.Popen(
+        [sys.executable, "-c", script] + [str(a) for a in args],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
+
+
+def test_two_processes_race_bridge_sync(spark, tmp_path):
+    db = _mk(spark, tmp_path)
+    dest = str(tmp_path / "dx")
+    db.export_delta("notes", dest, target_files=2)
+    convert_delta_to_iceberg(spark, dest)
+    for i in range(3):                      # 3 unfolded delta commits
+        db.batch_insert("notes", [{"id": f"x{i}", "n": 100 + i}])
+        db.flush()
+        db.export_delta("notes", dest, mode="update")
+    reports = [str(tmp_path / f"rep{w}.txt") for w in range(2)]
+    procs = [_spawn(_SYNC_WORKER.format(repo=REPO), [dest, reports[w]])
+             for w in range(2)]
+    errs = []
+    for pr in procs:
+        try:
+            _, err = pr.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            pr.kill()
+            raise
+        if pr.returncode != 0:
+            errs.append((pr.returncode, err.decode()[-2000:]))
+    assert not errs, errs
+    meta = _load_metadata(dest)
+    log = os.path.join(dest, "_delta_log")
+    n_commits = len([f for f in os.listdir(log)
+                     if f.endswith(".json")])
+    # EXACTLY one iceberg snapshot per delta commit — no double folds
+    assert len(meta["snapshots"]) == n_commits
+    _check_equal(spark, db, dest)
+    # sequence numbers strictly increase — no torn interleaving
+    seqs = [s["sequence-number"] for s in meta["snapshots"]]
+    assert seqs == sorted(set(seqs))
+
+
+def test_expire_then_vacuum_coordination(spark, tmp_path):
+    """The documented maintenance recipe: expire the Iceberg view
+    down to the current snapshot BEFORE vacuum_delta — afterwards
+    both format views still read and stay value-equal (vacuum never
+    reclaims a file the retained snapshot references)."""
+    from tostore_spark.plans.delta_export import vacuum_delta
+    from tostore_spark.plans.iceberg import expire_snapshots
+    db = _mk(spark, tmp_path)
+    dest = str(tmp_path / "dx")
+    db.export_delta("notes", dest, target_files=2)
+    convert_delta_to_iceberg(spark, dest)
+    for i in range(2):
+        db.batch_insert("notes", [{"id": f"x{i}", "n": 100 + i}])
+        db.flush()
+        db.export_delta("notes", dest, mode="update")
+    db.delete("notes").where("n", "=", 0).execute()
+    db.flush()
+    db.export_delta("notes", dest, mode="update",
+                    deletion_vectors=False)
+    sync_delta_to_iceberg(spark, dest)
+    rep = expire_snapshots(dest, keep_last=1)
+    assert rep["expired"]
+    vacuum_delta(dest, keep_versions=1, retention_sec=0)
+    _check_equal(spark, db, dest)
