@@ -2539,13 +2539,18 @@ def read_iceberg_changes(spark, path: str,
 
     def _eq_preimages(snap, eq_add):
         """Pre-image rows for equality-delete files: the parent
-        snapshot's live rows matching the key tuples."""
+        snapshot's live rows matching the key tuples.  The parent
+        probe is narrowed by the KEY FRAME'S BOUNDS (single-column
+        groups): read_iceberg(where = key BETWEEN min..max) prunes
+        parent files through manifest bounds before Spark lists them,
+        so on a clustered table a 100-key delete pull reads the
+        matching files, not the parent — the semi-join keeps the
+        result exact either way."""
         parent_id = snap.get("parent-snapshot-id")
         if parent_id is None or parent_id not in snaps:
             raise ValueError(
                 "equality-delete snapshot without a readable parent — "
                 "pre-images cannot be derived")
-        parent_rows = read_iceberg(spark, p, snapshot_id=parent_id)
         id_to_name = {f["id"]: f["name"]
                       for f in end_schema_json["fields"]}
         sfields = {f.name: f for f in sschema.fields}
@@ -2561,7 +2566,29 @@ def read_iceberg_changes(spark, path: str,
             dschema = StructType([sfields[c] for c in cols])
             keys = (spark.read.schema(dschema).parquet(*sorted(fps))
                     .distinct())
-            part = parent_rows.join(F.broadcast(keys), on=cols,
+            probe_where = None
+            if len(cols) == 1:
+                c = cols[0]
+                b = keys.agg(
+                    F.min(c).alias("lo"), F.max(c).alias("hi"),
+                    F.sum(F.when(F.col(c).isNull(), 1)
+                          .otherwise(0)).alias("nulls")).first()
+                if b["lo"] is not None and b["hi"] is not None \
+                        and not b["nulls"]:
+                    # a null key would fall outside any BETWEEN —
+                    # bounds-prune only when every key is non-null
+                    probe_where = {c: {"BETWEEN": {
+                        "start": b["lo"], "end": b["hi"]}}}
+            parent_rows = read_iceberg(spark, p,
+                                       snapshot_id=parent_id,
+                                       where=probe_where)
+            # null-safe match: the reader applies equality deletes
+            # with eqNullSafe — the pre-image derivation must agree
+            kren = keys.select(*[F.col(c).alias(f"__k_{c}")
+                                 for c in cols])
+            cond = [parent_rows[c].eqNullSafe(kren[f"__k_{c}"])
+                    for c in cols]
+            part = parent_rows.join(F.broadcast(kren), on=cond,
                                     how="leftsemi")
             out = part if out is None else out.unionByName(part)
         return out
