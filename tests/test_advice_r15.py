@@ -208,3 +208,67 @@ class TestNameMappedRewriteRefusal:
         convert_to_iceberg(spark, src)
         with pytest.raises(ValueError, match="name-mapped"):
             rewrite_data_files(spark, src, min_files=2)
+
+
+class TestDvProbeBoundsPruning:
+    def test_clustered_export_probes_matching_files_only(
+            self, spark, tmp_path, monkeypatch):
+        """r15: the DV key probe bounds-prunes by the key frame's
+        min/max against the log stats — a tight key range on a
+        range-clustered export probes the matching files, not the
+        table.  Pinned by counting the files the probe frame reads."""
+        import tostore_spark.plans.delta_export as de
+        from tostore_spark.plans.delta_export import (_replay,
+                                                      read_delta)
+        db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))
+        db.create_table(TableSchema(
+            name="notes", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n", type=DataType.integer)]))
+        db.batch_insert("notes", [
+            {"id": f"k{i:04d}", "n": i} for i in range(400)])
+        db.flush()
+        dest = str(tmp_path / "dx")
+        db.export_delta("notes", dest, target_files=4,
+                        cluster_by=["id"])
+        probed = []
+        orig = de._prune_adds
+
+        def spy(files, node, schema, ident, pcols):
+            kept = orig(files, node, schema, ident, pcols)
+            probed.append((len(kept), len(files)))
+            return kept
+        monkeypatch.setattr(de, "_prune_adds", spy)
+        db.delete("notes").where(
+            "id", "IN", [f"k{i:04d}" for i in range(10)]).execute()
+        db.flush()
+        rep = db.export_delta("notes", dest, mode="update",
+                              deletion_vectors=True)
+        assert rep["commit"] == "dv"
+        assert probed and probed[-1][1] == 4 and probed[-1][0] == 1, \
+            probed
+        assert read_delta(spark, dest).count() == 390
+
+    def test_unclustered_and_null_keys_stay_exact(self, spark,
+                                                  tmp_path):
+        """No stats refutation possible (keys spanning every file):
+        the probe keeps all files and the result stays exact."""
+        from tostore_spark.plans.delta_export import read_delta
+        db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))
+        db.create_table(TableSchema(
+            name="notes", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n", type=DataType.integer)]))
+        db.batch_insert("notes", [
+            {"id": f"k{i:04d}", "n": i} for i in range(100)])
+        db.flush()
+        dest = str(tmp_path / "dx")
+        db.export_delta("notes", dest, target_files=4)
+        db.delete("notes").where(
+            "id", "IN", ["k0000", "k0099"]).execute()
+        db.flush()
+        rep = db.export_delta("notes", dest, mode="update",
+                              deletion_vectors=True)
+        assert rep["commit"] == "dv"
+        got = sorted(r["id"] for r in
+                     read_delta(spark, dest).collect())
+        want = sorted(f"k{i:04d}" for i in range(1, 99))
+        assert got == want

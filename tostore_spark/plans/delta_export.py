@@ -953,9 +953,43 @@ def _export_update_dv(engine, key, ent, table: str, path: str,
                     # hive layout: partition columns come back via
                     # discovery, so partition-keyed deletes probe too
                     reader = reader.option("basePath", path)
+                # bounds-prune the probe: live files whose log stats
+                # refute key BETWEEN min..max never held a deleted key
+                # (conservative refutation — a clustered export probes
+                # the matching files, not the table); newly staged
+                # rels always probe (their deletes are same-commit)
+                probe = probe_rels
+                if len(kcols) == 1:
+                    c = kcols[0]
+                    b = keys.agg(
+                        F.min(c).alias("lo"), F.max(c).alias("hi"),
+                        F.sum(F.when(F.col(c).isNull(), 1)
+                              .otherwise(0)).alias("nulls")).first()
+                    if b["lo"] is not None and b["hi"] is not None \
+                            and not b["nulls"]:
+                        from tostore_spark.condition import \
+                            to_condition_node
+                        node = _coerce_where_values(
+                            to_condition_node(
+                                {c: {"BETWEEN": {"start": b["lo"],
+                                                 "end": b["hi"]}}}),
+                            exp_schema)
+                        ident = {f.name: f.name
+                                 for f in exp_schema.fields}
+                        pcols = list(live["meta"]
+                                     .get("partitionColumns") or [])
+                        kept = _prune_adds(
+                            {r: live_files[r] for r in probe_rels
+                             if r in live_files},
+                            node, exp_schema, ident, pcols)
+                        probe = sorted(kept) + [
+                            r for r in probe_rels
+                            if r not in live_files]
+                if not probe:
+                    continue        # every live file refuted the keys
                 frame = (reader
                          .parquet(*[os.path.join(path, r)
-                                    for r in probe_rels])
+                                    for r in probe])
                          .select(*kcols,
                                  F.element_at(
                                      F.split(
