@@ -332,3 +332,51 @@ class TestApplyAndSync:
             assert dst.last_iceberg_sync_error is None
         finally:
             assert dst.stop_iceberg_sync() == 1
+
+
+class TestFilteredSubscription:
+    def test_apply_where_filters_both_formats(self, spark, tmp_path):
+        """A key-range replica (where=) applies only matching changes
+        — Delta CDF and Iceberg changelog behave identically."""
+        sch = TableSchema(
+            name="notes", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n", type=DataType.integer)])
+        src = _mk(spark, str(tmp_path / "wh1"))
+        con_i = ToStoreSpark(spark, warehouse=str(tmp_path / "wh2"))
+        con_d = ToStoreSpark(spark, warehouse=str(tmp_path / "wh3"))
+        con_i.create_table(sch)
+        con_d.create_table(sch)
+        dice = str(tmp_path / "ice")
+        ddel = str(tmp_path / "dx")
+        src.export_iceberg("notes", dice, target_files=1)
+        src.export_delta("notes", ddel, target_files=1,
+                         change_data=True)
+        where = {"n": {"<": 10}}
+        rep = con_i.apply_iceberg_changes("notes", dice, where=where)
+        assert rep["applied"] == 10
+        rep = con_d.apply_cdf("notes", ddel, where=where)
+        assert rep["applied"] == 10
+        # an epoch with in-range and out-of-range changes
+        src.batch_insert("notes", [{"id": "in0", "n": 5},
+                                   {"id": "out0", "n": 100}])
+        src.flush()
+        src.export_iceberg("notes", dice, mode="update")
+        src.export_delta("notes", ddel, mode="update",
+                         change_data=True)
+        src.delete("notes").where("n", "IN", [3, 40]).execute()
+        src.flush()
+        src.export_iceberg("notes", dice, mode="update")
+        src.export_delta("notes", ddel, mode="update",
+                         change_data=True, deletion_vectors=True)
+        rep_i = con_i.apply_iceberg_changes("notes", dice,
+                                            where=where)
+        rep_d = con_d.apply_cdf("notes", ddel, where=where)
+        assert rep_i["applied"] == 2        # +in0(5), -k003
+        assert rep_d["applied"] == 2
+        want = sorted(
+            (r["id"], r["n"]) for r in src.df("notes").collect()
+            if r["n"] < 10)
+        for con in (con_i, con_d):
+            got = sorted((r["id"], r["n"])
+                         for r in con.df("notes").collect())
+            assert got == want

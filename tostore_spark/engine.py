@@ -1741,7 +1741,7 @@ class ToStoreSpark:
     def apply_cdf(self, table: str, path: str,
                   to_version: Optional[int] = None,
                   from_version: Optional[int] = None,
-                  cursor: bool = True) -> dict:
+                  cursor: bool = True, where=None) -> dict:
         """Subscribe a store table to an external Delta table's CHANGE
         DATA FEED: read the feed from the commit after the last one
         applied (tracked in a KV cursor — KV serializes inside the
@@ -1757,6 +1757,12 @@ class ToStoreSpark:
         bootstrapped from an existing snapshot (e.g.
         ``register_delta`` at version N → ``from_version=N+1``);
         without it the first call applies from the earliest commit.
+        ``where`` (the engine predicate language) makes the
+        subscription FILTERED: only matching change rows apply, and
+        derivable append commits prune their files by log stats
+        before being read — a key-range replica never downloads
+        unrelated changes.  A consistent filtered replica requires
+        the SAME where on every pull (the cursor does not record it).
         Returns ``{"applied", "from_version", "to_version"}``."""
         import os as _os
 
@@ -1783,7 +1789,7 @@ class ToStoreSpark:
             frm = versions[0]
         if frm > to:
             return {"applied": 0, "from_version": frm, "to_version": to}
-        feed = read_delta_cdf(self.spark, p, frm, to)
+        feed = read_delta_cdf(self.spark, p, frm, to, where=where)
         n = self._apply_net_feed(table, feed)
         if cursor:
             self.kv.set_value(ckey, int(to))
@@ -1826,7 +1832,8 @@ class ToStoreSpark:
 
     def start_cdf_sync(self, table: str, path: str,
                        interval_s: float = 5.0,
-                       from_version: Optional[int] = None) -> None:
+                       from_version: Optional[int] = None,
+                       where=None) -> None:
         """Continuously replicate an external Delta table's CHANGE
         DATA FEED into ``table``: a daemon thread polls the feed every
         ``interval_s`` and applies new commits via ``apply_cdf``
@@ -1855,7 +1862,8 @@ class ToStoreSpark:
                     # next tick would fall back to the earliest
                     # commit and re-apply the bootstrap snapshot)
                     self.apply_cdf(table, path,
-                                   from_version=from_version)
+                                   from_version=from_version,
+                                   where=where)
                     self.last_cdf_sync_error = None
                 except Exception as exc:   # pragma: no cover - timing
                     self.last_cdf_sync_error = (table, str(exc))
@@ -1952,7 +1960,8 @@ class ToStoreSpark:
     def apply_iceberg_changes(self, table: str, path: str,
                               to_snapshot: Optional[int] = None,
                               from_snapshot: Optional[int] = None,
-                              cursor: bool = True) -> dict:
+                              cursor: bool = True,
+                              where=None) -> dict:
         """Subscribe a store table to an external Iceberg table's
         changelog — the Iceberg twin of ``apply_cdf``: fold the
         changes AFTER the last applied snapshot (KV cursor — cursor
@@ -1963,7 +1972,10 @@ class ToStoreSpark:
         consumer that bootstrapped from an existing snapshot
         (``read_iceberg(snapshot_id=N)`` → ``from_snapshot=N``);
         without it the first call folds the full history (bootstrap
-        as inserts).  Returns ``{"applied", "from_snapshot",
+        as inserts).  ``where`` makes the subscription FILTERED —
+        matching change rows only, derivable appends pruned by
+        manifest bounds; keep it IDENTICAL across pulls (the cursor
+        does not record it).  Returns ``{"applied", "from_snapshot",
         "to_snapshot"}``."""
         import os as _os
 
@@ -1989,7 +2001,7 @@ class ToStoreSpark:
             return {"applied": 0, "from_snapshot": frm,
                     "to_snapshot": to}
         feed = read_iceberg_changes(self.spark, p, from_snapshot=frm,
-                                    to_snapshot=to)
+                                    to_snapshot=to, where=where)
         n = self._apply_net_feed(table, feed)
         if cursor:
             self.kv.set_value(ckey, int(to))
@@ -1998,7 +2010,8 @@ class ToStoreSpark:
 
     def start_iceberg_sync(self, table: str, path: str,
                            interval_s: float = 5.0,
-                           from_snapshot: Optional[int] = None) -> None:
+                           from_snapshot: Optional[int] = None,
+                           where=None) -> None:
         """Continuously replicate an external Iceberg table's
         changelog into ``table`` — the Iceberg twin of
         ``start_cdf_sync``: a daemon thread polls every ``interval_s``
@@ -2022,7 +2035,8 @@ class ToStoreSpark:
                     # prefers the KV cursor once one exists, and a tick
                     # that applied nothing must not burn the seed
                     self.apply_iceberg_changes(
-                        table, path, from_snapshot=from_snapshot)
+                        table, path, from_snapshot=from_snapshot,
+                        where=where)
                     self.last_iceberg_sync_error = None
                 except Exception as exc:   # pragma: no cover - timing
                     self.last_iceberg_sync_error = (table, str(exc))
