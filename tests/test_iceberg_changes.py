@@ -380,3 +380,35 @@ class TestFilteredSubscription:
             got = sorted((r["id"], r["n"])
                          for r in con.df("notes").collect())
             assert got == want
+
+    def test_where_prunes_added_files_before_read(self, spark,
+                                                  tmp_path,
+                                                  monkeypatch):
+        """The feed's where= engages MANIFEST-level pruning on
+        derivable appends — refuted added files never reach Spark."""
+        import tostore_spark.plans.iceberg as ice
+        db = _mk(spark, str(tmp_path / "wh"))
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest, target_files=1)
+        s1 = ice._load_metadata(dest)["current-snapshot-id"]
+        # one clustered append epoch -> 4 range-disjoint added files
+        db.batch_insert("notes", [{"id": f"x{i:03d}", "n": 1000 + i}
+                                  for i in range(400)])
+        db.flush()
+        db.export_iceberg("notes", dest, mode="update",
+                          target_files=4, cluster_by=["n"])
+        pruned = []
+        orig = ice._prune_by_stats
+
+        def spy(meta, schema_json, data, parts, fstats, node):
+            kept = orig(meta, schema_json, data, parts, fstats, node)
+            pruned.append((len(kept), len(data)))
+            return kept
+        monkeypatch.setattr(ice, "_prune_by_stats", spy)
+        feed = ice.read_iceberg_changes(
+            spark, dest, from_snapshot=s1,
+            where={"n": {">=": 1390}})
+        assert sorted(r["n"] for r in feed.collect()) == \
+            list(range(1390, 1400))
+        assert pruned and pruned[-1][1] == 4 and pruned[-1][0] == 1, \
+            pruned
