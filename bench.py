@@ -930,12 +930,42 @@ def _interop_export_stat(spark, sf_dir: str) -> dict | None:
                 # pure-delete epoch: the equality-delete route (zero
                 # probe); "mor" appears only for seg+del tails
                 assert r["commit"] in ("eqdel", "mor"), r
+                # ---- 100-row CLUSTERED DV delete (r15): the key
+                # probe bounds-prunes by the delete keys' min/max, so
+                # an id-clustered export probes the matching files —
+                # expected ~flat, unlike the random-key delete above
+                sch_c = TableSchema(
+                    name="tc", primary_key=PrimaryKeyConfig(name="id"),
+                    fields=[FieldSchema("l_orderkey",
+                                        DataType.integer),
+                            FieldSchema("l_quantity",
+                                        DataType.double),
+                            FieldSchema("l_returnflag",
+                                        DataType.text)])
+                db.register_table("tc", df=base, schema=sch_c)
+                db.flush(only=["tc"])
+                dcl = _os.path.join(tmp, "dcl")
+                db.export_delta("tc", dcl, target_files=8,
+                                cluster_by=["id"])
+                adj = [r2["id"] for r2 in
+                       base.select("id").orderBy("id")
+                       .limit(100).collect()]    # 100 smallest ids
+                n = db.delete("tc").where("id", "IN", adj).execute()
+                assert n == 100, n
+                db.flush(only=["tc"])
+                t0 = _t.time()
+                r = db.export_delta("tc", dcl, mode="update",
+                                    deletion_vectors=True)
+                blk["delta_dv_delete_clustered_sec"] = \
+                    round(_t.time() - t0, 3)
+                assert r["commit"] == "dv", r
             out[label] = blk
         s, L = out["small"], out["large"]
         out["scale_x"] = {
             k: round(L[f"{k}_sec"] / s[f"{k}_sec"], 2)
             for k in ("delta_append", "iceberg_append",
-                      "delta_dv_delete", "iceberg_mor_delete")
+                      "delta_dv_delete", "iceberg_mor_delete",
+                      "delta_dv_delete_clustered")
             if s.get(f"{k}_sec")}
         return out
     except Exception as exc:                    # pragma: no cover
