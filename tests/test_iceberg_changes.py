@@ -412,3 +412,93 @@ class TestFilteredSubscription:
             list(range(1390, 1400))
         assert pruned and pruned[-1][1] == 4 and pruned[-1][0] == 1, \
             pruned
+
+
+class TestChangelogHardening:
+    """Round-16 hardening: conf-pin restore, expired-parent refusals,
+    and the bounded (barriered) bootstrap fold."""
+
+    def test_conf_pin_restored_and_feed_survives(self, spark,
+                                                 tmp_path):
+        """read_iceberg_changes pins field-id resolution only for the
+        duration of the (eager) fold — a caller-owned session keeps
+        its own setting, and the returned frame no longer depends on
+        the pin (it is materialized inside it)."""
+        key = "spark.sql.parquet.fieldId.read.enabled"
+        orig = spark.conf.get(key, None)
+        try:
+            spark.conf.set(key, "false")
+            db = _mk(spark, str(tmp_path / "wh"), rows=5)
+            dest = str(tmp_path / "ice")
+            db.export_iceberg("notes", dest, target_files=1)
+            feed = read_iceberg_changes(spark, dest)
+            assert spark.conf.get(key) == "false"
+            assert sorted(r["n"] for r in feed.collect()) == \
+                list(range(5))
+        finally:
+            if orig is not None:
+                spark.conf.set(key, orig)
+            else:
+                spark.conf.unset(key)
+
+    def test_expired_parent_of_mor_delete_refuses(self, spark,
+                                                  tmp_path):
+        """A merge-on-read delete snapshot whose parent was expired
+        must refuse LOUDLY — suppression of re-killed positions needs
+        the parent, and skipping it would re-surface rows observers
+        already saw die."""
+        from tostore_spark.plans.iceberg import expire_snapshots
+        db = _mk(spark, str(tmp_path / "wh"), rows=8)
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest, target_files=1)       # s1
+        s1 = _load_metadata(dest)["current-snapshot-id"]
+        db.delete("notes").where("n", "IN", [1, 2]).execute()
+        db.flush()
+        rep = db.export_iceberg("notes", dest, mode="update")  # s2
+        assert rep["commit"] in ("posdel", "eqdel", "delete")
+        expire_snapshots(dest, keep_last=1)
+        with pytest.raises(ValueError):
+            read_iceberg_changes(spark, dest,
+                                 from_snapshot=s1).collect()
+
+    def test_long_history_fold_is_barriered(self, spark, tmp_path):
+        """A 100-snapshot bootstrap folds through localCheckpoint
+        barriers: the returned plan carries NO Union spine (plan
+        needle), and the rows are exactly the history's inserts."""
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        from tostore_spark.plans.iceberg import (_commit_snapshot,
+                                                 _current_schema)
+        db = _mk(spark, str(tmp_path / "wh"), rows=2)
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest, target_files=1)      # s1
+        meta = _load_metadata(dest)
+        ids = {f["name"]: f["id"]
+               for f in _current_schema(meta)["fields"]}
+        pa_types = {"id": pa.string(), "n": pa.int32()}
+        sch = pa.schema([
+            pa.field(n, pa_types[n], nullable=True,
+                     metadata={b"PARQUET:field_id":
+                               str(ids[n]).encode()})
+            for n in ("id", "n")])
+        ddir = os.path.join(dest, "data")
+        for i in range(100):
+            tbl = pa.table({"id": [f"a{i:03d}"], "n": [1000 + i]},
+                           schema=sch)
+            fp = os.path.join(ddir, f"hist-{i:03d}.parquet")
+            papq.write_table(tbl, fp)
+            meta = _load_metadata(dest)
+            _commit_snapshot(dest, meta,
+                             [(fp, 1, os.path.getsize(fp))], None,
+                             keep_prior=True, operation="append")
+        feed = read_iceberg_changes(spark, dest)
+        plan = feed._jdf.queryExecution().executedPlan().toString()
+        assert "Union" not in plan, plan[:2000]
+        rows = feed.collect()
+        assert len(rows) == 102
+        assert all(r["_change_type"] == "insert" for r in rows)
+        vers = {r["_commit_version"] for r in rows}
+        assert len(vers) == 101
+        assert sorted(r["n"] for r in rows if r["n"] >= 1000) == \
+            [1000 + i for i in range(100)]

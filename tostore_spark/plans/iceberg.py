@@ -48,6 +48,7 @@ import shutil
 import struct
 import time
 import uuid
+from contextlib import contextmanager
 from urllib.parse import unquote
 
 from tostore_spark.plans.avro_io import (read_container_file,
@@ -65,6 +66,26 @@ def _norm_path(p: str) -> str:
         while p.startswith("//"):
             p = p[1:]
     return p
+
+
+@contextmanager
+def _conf_pins(spark, pins: dict):
+    """Save/set/finally-restore session confs — the shared discipline
+    every conf pin here follows so a caller-owned session keeps its
+    settings (``_stage_iceberg_data`` introduced the pattern; this
+    makes it reusable).  Only safe around EAGER work: a lazy frame
+    returned to the caller must not depend on a pinned value."""
+    olds = {k: spark.conf.get(k, None) for k in pins}
+    for k, v in pins.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in olds.items():
+            if old is not None:
+                spark.conf.set(k, old)
+            else:
+                spark.conf.unset(k)
 
 
 # ------------------------------------------------------------ type maps
@@ -2268,6 +2289,10 @@ def expire_snapshots(path: str, keep_last: int = 1,
 
 # ------------------------------------------------------------- changelog
 
+_CHANGES_BARRIER = 16           # chain parts per localCheckpoint
+                                # barrier in the changelog fold — a
+                                # bootstrap over N snapshots analyzes
+                                # ≤16-way unions, never an N-way plan
 _CHANGES_FILE_CAP = 50_000      # distinct data files one position-
                                 # delete snapshot may touch (driver list)
 
@@ -2450,7 +2475,6 @@ def read_iceberg_changes(spark, path: str,
         node_id = parent
     chain.reverse()                     # oldest → newest
     location = meta.get("location") or p
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     norm_file = F.regexp_replace(F.col("_metadata.file_path"),
                                  "^file:/*", "/")
 
@@ -2478,6 +2502,15 @@ def read_iceberg_changes(spark, path: str,
                         .alias("__f"),
                         F.col("pos").cast("long").alias("__p")))
         parent_id = snap.get("parent-snapshot-id")
+        if parent_id is not None and parent_id not in snaps:
+            # same treatment as _eq_preimages: without a readable
+            # parent the re-kill suppression cannot run, and skipping
+            # it would re-surface rows observers already saw die
+            raise ValueError(
+                f"snapshot {snap['snapshot-id']} carries position "
+                "deletes but its parent has been expired — pre-image "
+                "suppression cannot be derived; re-bootstrap the "
+                "consumer from read_iceberg")
         pdata, ppos, ped = [], [], []
         if parent_id is not None and parent_id in snaps:
             pdata, ppos, ped, _pp, _fs = _scan_files(
@@ -2593,95 +2626,126 @@ def read_iceberg_changes(spark, path: str,
             out = part if out is None else out.unionByName(part)
         return out
 
-    out = None
-    for snap in chain:
-        op = (snap.get("summary") or {}).get("operation")
-        if op == "replace":
-            continue                    # compaction: logical no-op
-        (adds, pos_add, eq_add, parts, fstats,
-         has_deleted, man_paths) = _snapshot_additions(
-            meta, snap, location)
-        parent_id = snap.get("parent-snapshot-id")
+    segs: list = []
+    cur = None
+    cur_n = 0
 
-        def _parent_survives():
-            """Every parent manifest still referenced — nothing was
-            (even implicitly) dropped by this snapshot."""
-            if parent_id is None or parent_id not in snaps:
-                return parent_id is None
-            pml = snaps[parent_id].get("manifest-list")
-            if not pml:
-                return False
+    def _add_part(part):
+        """Accumulate one snapshot's change frame; every
+        ``_CHANGES_BARRIER`` parts the running union folds into a
+        materialized ``localCheckpoint`` segment, so a long-history
+        bootstrap never builds an O(history)-way union plan and
+        earlier segments are never re-derived while later ones
+        fold."""
+        nonlocal cur, cur_n
+        cur = part if cur is None else cur.unionByName(part)
+        cur_n += 1
+        if cur_n >= _CHANGES_BARRIER:
+            segs.append(cur.localCheckpoint(eager=True))
+            cur = None
+            cur_n = 0
 
-            def _abs(x):
-                x = _norm_path(x)
-                return x if os.path.isabs(x) else os.path.join(
-                    _norm_path(location), x)
-            _, pml_entries = read_container_file(_abs(pml))
-            return {_abs(m["manifest_path"])
-                    for m in pml_entries} <= man_paths
+    def _fold_chain():
+        for snap in chain:
+            op = (snap.get("summary") or {}).get("operation")
+            if op == "replace":
+                continue                    # compaction: logical no-op
+            (adds, pos_add, eq_add, parts, fstats,
+             has_deleted, man_paths) = _snapshot_additions(
+                meta, snap, location)
+            parent_id = snap.get("parent-snapshot-id")
 
-        if op == "overwrite":
-            # derivable only in the merge-on-read shape: parent's
-            # manifests all survive and nothing is status-DELETED
-            if has_deleted or not _parent_survives():
+            def _parent_survives():
+                """Every parent manifest still referenced — nothing was
+                (even implicitly) dropped by this snapshot."""
+                if parent_id is None or parent_id not in snaps:
+                    return parent_id is None
+                pml = snaps[parent_id].get("manifest-list")
+                if not pml:
+                    return False
+
+                def _abs(x):
+                    x = _norm_path(x)
+                    return x if os.path.isabs(x) else os.path.join(
+                        _norm_path(location), x)
+                _, pml_entries = read_container_file(_abs(pml))
+                return {_abs(m["manifest_path"])
+                        for m in pml_entries} <= man_paths
+
+            if op == "overwrite":
+                # derivable only in the merge-on-read shape: parent's
+                # manifests all survive and nothing is status-DELETED
+                if has_deleted or not _parent_survives():
+                    raise ValueError(
+                        f"snapshot {snap['snapshot-id']} is a rewrite "
+                        "(overwrite) — its changes cannot be derived; "
+                        "re-bootstrap the consumer from read_iceberg")
+            elif op == "append":
+                if pos_add or eq_add or has_deleted:
+                    raise ValueError(
+                        f"snapshot {snap['snapshot-id']} claims 'append' "
+                        "but carries deletes — refusing an inconsistent "
+                        "summary")
+                if not _parent_survives():
+                    raise ValueError(
+                        f"snapshot {snap['snapshot-id']} claims 'append' "
+                        "but drops parent manifests — deriving it as "
+                        "inserts would miss the removals")
+            elif op == "delete":
+                if adds:
+                    raise ValueError(
+                        f"snapshot {snap['snapshot-id']} claims 'delete' "
+                        "but adds data files — refusing an inconsistent "
+                        "summary")
+                if has_deleted or not _parent_survives():
+                    raise ValueError(
+                        f"snapshot {snap['snapshot-id']} drops whole "
+                        "data files/manifests — only merge-on-read "
+                        "delete-file snapshots are derivable")
+            else:
                 raise ValueError(
-                    f"snapshot {snap['snapshot-id']} is a rewrite "
-                    "(overwrite) — its changes cannot be derived; "
-                    "re-bootstrap the consumer from read_iceberg")
-        elif op == "append":
-            if pos_add or eq_add or has_deleted:
-                raise ValueError(
-                    f"snapshot {snap['snapshot-id']} claims 'append' "
-                    "but carries deletes — refusing an inconsistent "
-                    "summary")
-            if not _parent_survives():
-                raise ValueError(
-                    f"snapshot {snap['snapshot-id']} claims 'append' "
-                    "but drops parent manifests — deriving it as "
-                    "inserts would miss the removals")
-        elif op == "delete":
+                    f"snapshot {snap['snapshot-id']} has unknown "
+                    f"operation {op!r} — cannot derive its changes")
+
             if adds:
-                raise ValueError(
-                    f"snapshot {snap['snapshot-id']} claims 'delete' "
-                    "but adds data files — refusing an inconsistent "
-                    "summary")
-            if has_deleted or not _parent_survives():
-                raise ValueError(
-                    f"snapshot {snap['snapshot-id']} drops whole "
-                    "data files/manifests — only merge-on-read "
-                    "delete-file snapshots are derivable")
-        else:
-            raise ValueError(
-                f"snapshot {snap['snapshot-id']} has unknown "
-                f"operation {op!r} — cannot derive its changes")
+                keep = adds
+                if node is not None:
+                    keep = _prune_by_stats(meta, end_schema_json, adds,
+                                           parts, fstats, node)
+                if keep:
+                    ins = spark.read.schema(sschema).parquet(
+                        *sorted(fp for fp, _seq in keep))
+                    part = _tag(ins, snap, "insert")
+                    _add_part(part)
+            if pos_add:
+                pre = _pos_preimages(snap, pos_add)
+                if pre is not None:
+                    part = _tag(pre, snap, "delete")
+                    _add_part(part)
+            if eq_add:
+                pre = _eq_preimages(snap, eq_add)
+                if pre is not None:
+                    part = _tag(pre, snap, "delete")
+                    _add_part(part)
 
-        if adds:
-            keep = adds
-            if node is not None:
-                keep = _prune_by_stats(meta, end_schema_json, adds,
-                                       parts, fstats, node)
-            if keep:
-                ins = spark.read.schema(sschema).parquet(
-                    *sorted(fp for fp, _seq in keep))
-                part = _tag(ins, snap, "insert")
-                out = part if out is None else out.unionByName(part)
-        if pos_add:
-            pre = _pos_preimages(snap, pos_add)
-            if pre is not None:
-                part = _tag(pre, snap, "delete")
-                out = part if out is None else out.unionByName(part)
-        if eq_add:
-            pre = _eq_preimages(snap, eq_add)
-            if pre is not None:
-                part = _tag(pre, snap, "delete")
-                out = part if out is None else out.unionByName(part)
-
-    if out is None:
-        return _empty()
-    if node is not None:
-        from tostore_spark.compile import where_filter_column
-        out = out.filter(where_filter_column(node, out.schema))
-    return out.select(*out_cols)
+    # the fold (and its eager probes) runs under the field-id pin;
+    # the result materializes INSIDE the pin so the returned frame
+    # no longer depends on it and the caller's session setting is
+    # restored (the save/restore discipline _stage_iceberg_data
+    # introduced, via the shared _conf_pins)
+    with _conf_pins(spark, {
+            "spark.sql.parquet.fieldId.read.enabled": "true"}):
+        _fold_chain()
+        out = None
+        for seg in segs + ([cur] if cur is not None else []):
+            out = seg if out is None else out.unionByName(seg)
+        if out is None:
+            return _empty()
+        if node is not None:
+            from tostore_spark.compile import where_filter_column
+            out = out.filter(where_filter_column(node, out.schema))
+        out = out.select(*out_cols).localCheckpoint(eager=True)
+    return out
 
 
 # ------------------------------------------------ continuous UniForm
