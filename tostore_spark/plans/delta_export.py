@@ -289,6 +289,67 @@ def _coerce_where_values(node, schema):
     return coerce_where_values(node, schema)
 
 
+def _key_bounds_where(keys, fields: dict,
+                      skip_tz: bool = False) -> dict | None:
+    """Per-column conjunctive BETWEEN bounds of a delete-key frame —
+    the sound file-refutation predicate for a key probe: a file can
+    only hold a matching row if EVERY key column's range overlaps
+    that column's key range (composite keys AND their per-column
+    bounds; the store-CDC composite rule).  Bounds are computed
+    TIMEZONE-INDEPENDENTLY: PySpark renders TimestampType in the
+    driver's OS zone on collect, while log/manifest stats compare
+    naive-UTC — so tz-aware columns aggregate ``unix_micros`` and
+    rebuild naive-UTC datetimes driver-side (sound when the result
+    feeds DRIVER-side stats refutation only).  ``skip_tz=True``
+    excludes tz-aware columns from the conjunction entirely — for
+    call sites whose predicate ALSO becomes a Spark row filter, where
+    a naive literal's interpretation rides the session timezone and a
+    rebuilt-UTC bound could over-filter true rows on a non-UTC
+    driver.  A column with any NULL key contributes no bound (a null
+    never satisfies BETWEEN, so the conjunct would wrongly refute);
+    returns None when no column yields bounds.  ``fields`` maps
+    column name → StructField."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cols = [c for c in keys.columns if c in fields]
+    if skip_tz:
+        cols = [c for c in cols
+                if not isinstance(fields[c].dataType,
+                                  T.TimestampType)]
+    if not cols:
+        return None
+    aggs = []
+    tz_cols = set()
+    for c in cols:
+        if isinstance(fields[c].dataType, T.TimestampType):
+            tz_cols.add(c)
+            lo_c = F.min(F.unix_micros(F.col(c)))
+            hi_c = F.max(F.unix_micros(F.col(c)))
+        else:
+            lo_c, hi_c = F.min(F.col(c)), F.max(F.col(c))
+        aggs += [lo_c.alias(f"__lo_{c}"), hi_c.alias(f"__hi_{c}"),
+                 F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                 .alias(f"__nn_{c}")]
+    b = keys.agg(*aggs).first()
+
+    def _utc(micros):
+        return datetime(1970, 1, 1) + timedelta(
+            microseconds=int(micros))
+
+    conj = {}
+    for c in cols:
+        lo, hi = b[f"__lo_{c}"], b[f"__hi_{c}"]
+        if lo is None or hi is None or b[f"__nn_{c}"]:
+            continue
+        if c in tz_cols:
+            lo, hi = _utc(lo), _utc(hi)
+        conj[c] = {"BETWEEN": {"start": lo, "end": hi}}
+    return conj or None
+
+
 def _prune_adds(files: dict, node, schema, top_map: dict,
                 pcols: list) -> dict:
     """Keep only the adds whose stats/partitionValues admit the
@@ -959,32 +1020,24 @@ def _export_update_dv(engine, key, ent, table: str, path: str,
                 # the matching files, not the table); newly staged
                 # rels always probe (their deletes are same-commit)
                 probe = probe_rels
-                if len(kcols) == 1:
-                    c = kcols[0]
-                    b = keys.agg(
-                        F.min(c).alias("lo"), F.max(c).alias("hi"),
-                        F.sum(F.when(F.col(c).isNull(), 1)
-                              .otherwise(0)).alias("nulls")).first()
-                    if b["lo"] is not None and b["hi"] is not None \
-                            and not b["nulls"]:
-                        from tostore_spark.condition import \
-                            to_condition_node
-                        node = _coerce_where_values(
-                            to_condition_node(
-                                {c: {"BETWEEN": {"start": b["lo"],
-                                                 "end": b["hi"]}}}),
-                            exp_schema)
-                        ident = {f.name: f.name
-                                 for f in exp_schema.fields}
-                        pcols = list(live["meta"]
-                                     .get("partitionColumns") or [])
-                        kept = _prune_adds(
-                            {r: live_files[r] for r in probe_rels
-                             if r in live_files},
-                            node, exp_schema, ident, pcols)
-                        probe = sorted(kept) + [
-                            r for r in probe_rels
-                            if r not in live_files]
+                bw = _key_bounds_where(
+                    keys, {f.name: f for f in exp_schema.fields})
+                if bw is not None:
+                    from tostore_spark.condition import \
+                        to_condition_node
+                    node = _coerce_where_values(
+                        to_condition_node(bw), exp_schema)
+                    ident = {f.name: f.name
+                             for f in exp_schema.fields}
+                    pcols = list(live["meta"]
+                                 .get("partitionColumns") or [])
+                    kept = _prune_adds(
+                        {r: live_files[r] for r in probe_rels
+                         if r in live_files},
+                        node, exp_schema, ident, pcols)
+                    probe = sorted(kept) + [
+                        r for r in probe_rels
+                        if r not in live_files]
                 if not probe:
                     continue        # every live file refuted the keys
                 frame = (reader

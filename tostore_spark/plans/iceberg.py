@@ -2599,19 +2599,17 @@ def read_iceberg_changes(spark, path: str,
             dschema = StructType([sfields[c] for c in cols])
             keys = (spark.read.schema(dschema).parquet(*sorted(fps))
                     .distinct())
-            probe_where = None
-            if len(cols) == 1:
-                c = cols[0]
-                b = keys.agg(
-                    F.min(c).alias("lo"), F.max(c).alias("hi"),
-                    F.sum(F.when(F.col(c).isNull(), 1)
-                          .otherwise(0)).alias("nulls")).first()
-                if b["lo"] is not None and b["hi"] is not None \
-                        and not b["nulls"]:
-                    # a null key would fall outside any BETWEEN —
-                    # bounds-prune only when every key is non-null
-                    probe_where = {c: {"BETWEEN": {
-                        "start": b["lo"], "end": b["hi"]}}}
+            # composite keys AND their per-column BETWEEN bounds (a
+            # matching row must sit inside every column's key range).
+            # skip_tz: this predicate doubles as read_iceberg's ROW
+            # filter, where a naive timestamp literal rides the
+            # session timezone — tz-aware key columns contribute no
+            # conjunct (shared helper with the Delta DV probe, whose
+            # stats-only use keeps them via unix_micros)
+            from tostore_spark.plans.delta_export import \
+                _key_bounds_where
+            probe_where = _key_bounds_where(keys, sfields,
+                                            skip_tz=True)
             parent_rows = read_iceberg(spark, p,
                                        snapshot_id=parent_id,
                                        where=probe_where)
