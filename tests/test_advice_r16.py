@@ -197,3 +197,116 @@ class TestCompositeEqDeleteBoundsPrune:
             got = sorted(r["id"] for r in feed.collect())
         assert got == [f"e{m:03d}" for m in range(100, 110)]
         assert ice.read_iceberg(spark, dest).count() == 230
+
+
+class TestHiveFillGate:
+    """The hive-fill fast path makes Spark's dir-derived partition
+    values authoritative — so the gate must verify base containment,
+    directory-segment matches, and dir↔manifest value agreement, and
+    fall back to the manifest-literal path otherwise."""
+
+    def _gate(self):
+        from tostore_spark.plans.iceberg import _is_hive_fill_layout
+        return _is_hive_fill_layout
+
+    def test_agreeing_layout_passes(self):
+        from pyspark.sql import types as T
+        ok = self._gate()(
+            "/w/t",
+            [("/w/t/p=3/f1.parquet", 1), ("/w/t/p=4/f2.parquet", 1)],
+            {"p": "p"}, ["p"],
+            {"/w/t/p=3/f1.parquet": {"p": 3},
+             "/w/t/p=4/f2.parquet": {"p": 4}},
+            {"p": T.LongType()})
+        assert ok
+
+    def test_dir_manifest_disagreement_falls_back(self):
+        from pyspark.sql import types as T
+        ok = self._gate()(
+            "/w/t", [("/w/t/p=3/f1.parquet", 1)],
+            {"p": "p"}, ["p"],
+            {"/w/t/p=3/f1.parquet": {"p": 7}},   # manifest says 7
+            {"p": T.LongType()})
+        assert not ok
+
+    def test_file_outside_base_falls_back(self):
+        from pyspark.sql import types as T
+        ok = self._gate()(
+            "/w/t", [("/elsewhere/p=3/f1.parquet", 1)],
+            {"p": "p"}, ["p"],
+            {"/elsewhere/p=3/f1.parquet": {"p": 3}},
+            {"p": T.LongType()})
+        assert not ok
+
+    def test_filename_match_is_not_a_dir_segment(self):
+        from pyspark.sql import types as T
+        ok = self._gate()(
+            "/w/t", [("/w/t/x_p=3_part.parquet", 1)],
+            {"p": "p"}, ["p"],
+            {"/w/t/x_p=3_part.parquet": {"p": 3}},
+            {"p": T.LongType()})
+        assert not ok
+
+    def test_ambiguous_repeated_segment_falls_back(self):
+        from pyspark.sql import types as T
+        ok = self._gate()(
+            "/w/t", [("/w/t/p=3/p=4/f1.parquet", 1)],
+            {"p": "p"}, ["p"],
+            {"/w/t/p=3/p=4/f1.parquet": {"p": 3}},
+            {"p": T.LongType()})
+        assert not ok
+
+    def test_date_and_default_partition_decode(self):
+        import datetime
+
+        from pyspark.sql import types as T
+        days = (datetime.date(2024, 3, 1)
+                - datetime.date(1970, 1, 1)).days
+        gate = self._gate()
+        assert gate(
+            "/w/t", [("/w/t/d=2024-03-01/f.parquet", 1)],
+            {"d": "d"}, ["d"],
+            {"/w/t/d=2024-03-01/f.parquet": {"d": days}},
+            {"d": T.DateType()})
+        assert not gate(
+            "/w/t", [("/w/t/d=2024-03-01/f.parquet", 1)],
+            {"d": "d"}, ["d"],
+            {"/w/t/d=2024-03-01/f.parquet": {"d": days + 1}},
+            {"d": T.DateType()})
+        assert gate(
+            "/w/t",
+            [("/w/t/d=__HIVE_DEFAULT_PARTITION__/f.parquet", 1)],
+            {"d": "d"}, ["d"],
+            {"/w/t/d=__HIVE_DEFAULT_PARTITION__/f.parquet":
+             {"d": None}},
+            {"d": T.DateType()})
+
+    def test_hive_fast_path_still_single_scan(self, spark, tmp_path):
+        """Positive e2e: an agreeing hive layout still takes the ONE
+        basePath discovery scan and reads exact values."""
+        import tostore_spark.plans.iceberg as ice
+        src = str(tmp_path / "hv")
+        df = spark.range(24).selectExpr("id", "id % 3 as p")
+        df.write.partitionBy("p").parquet(src)
+        ice.convert_to_iceberg(spark, src)
+        out = ice.read_iceberg(spark, src)
+        cols = sorted(out.columns)
+        assert sorted(map(tuple, out.select(*cols).collect())) == \
+            sorted(map(tuple, df.select(*cols).collect()))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan") <= 1
+
+    def test_escaped_string_partition_values_exact(self, spark,
+                                                   tmp_path):
+        """String partition values with hive-escaped characters
+        decode through unquote and agree with the manifest — values
+        come back exact whichever fill path runs."""
+        import tostore_spark.plans.iceberg as ice
+        src = str(tmp_path / "hv2")
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "x=y"), (3, "plain")], "id long, s string")
+        df.write.partitionBy("s").parquet(src)
+        ice.convert_to_iceberg(spark, src)
+        out = ice.read_iceberg(spark, src)
+        assert sorted((r["id"], r["s"]) for r in out.collect()) == \
+            [(1, "a b"), (2, "x=y"), (3, "plain")]

@@ -205,15 +205,70 @@ def _part_value_lit(v, dtype):
     return F.lit(v).cast(dtype)
 
 
-def _is_hive_fill_layout(base, data, fill, mcols) -> bool:
-    """True when every data file sits under hive ``col=value`` dirs
-    for every fill column — the single-basePath-scan precondition.
-    Requires partition-field name == source-column name (true for
-    identity specs over hive dirs) so discovery lands on the right
-    column."""
-    return all(fill[c] == c for c in mcols) and all(
-        f"/{c}=" in fp[len(base):]
-        for fp, _seq in data for c in mcols)
+def _hive_part_value(raw: str, dtype):
+    """Decode one hive ``col=value`` directory string into the
+    manifest's PHYSICAL partition encoding (date = days-from-epoch,
+    ints as int, …) so dir-derived and manifest values compare
+    directly.  Raises on types/values it cannot decode — the caller
+    treats that as 'cannot confirm' and falls back."""
+    import datetime as _dt
+
+    from pyspark.sql import types as T
+    s = unquote(raw)
+    if s == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if isinstance(dtype, T.StringType):
+        return s
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                          T.LongType)):
+        return int(s)
+    if isinstance(dtype, T.BooleanType):
+        v = s.lower()
+        if v not in ("true", "false"):
+            raise ValueError(f"not a boolean dir value: {s!r}")
+        return v == "true"
+    if isinstance(dtype, T.DateType):
+        return (_dt.date.fromisoformat(s) - _dt.date(1970, 1, 1)).days
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(s)
+    raise ValueError(f"undecodable hive partition type {dtype}")
+
+
+def _is_hive_fill_layout(base, data, fill, mcols, parts,
+                         types) -> bool:
+    """True when every data file sits under hive ``col=value`` DIR
+    segments beneath ``base`` for every fill column AND the
+    dir-derived values AGREE with the manifest partition values — the
+    single-basePath-scan precondition.  Spark's directory discovery
+    becomes authoritative only after this cross-check; any file
+    outside the base, a ``c=`` hit that is not a directory segment
+    (e.g. a file NAME containing it), an ambiguous repeated segment,
+    or a dir/manifest value mismatch falls back to the literal-fill
+    path, which always uses the manifest values."""
+    if not all(fill[c] == c for c in mcols):
+        return False
+    for fp, _seq in data:
+        if not fp.startswith(base + "/"):
+            return False
+        rel = fp[len(base):]
+        pv = parts.get(fp) or {}
+        for c in mcols:
+            hits = re.findall(
+                rf"/{re.escape(c)}=([^/]*)(?=/)", rel)
+            if len(set(hits)) != 1:
+                return False
+            try:
+                got = _hive_part_value(hits[0], types[c])
+            except Exception:
+                return False
+            want = pv.get(fill[c])
+            if isinstance(got, float) or isinstance(want, float):
+                if got is None or want is None or \
+                        float(got) != float(want):
+                    return False
+            elif got != want:
+                return False
+    return True
 
 
 def _missing_identity_columns(meta, schema_json, data, parts) -> dict:
@@ -852,7 +907,8 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         # scan under basePath — the plan stays O(1) in partition-tuple
         # count; Spark parses the dir values into the declared types.
         base = _norm_path(location).rstrip("/")
-        if _is_hive_fill_layout(base, data, fill, mcols):
+        if _is_hive_fill_layout(base, data, fill, mcols, parts,
+                                types):
             disc = StructType(list(dschema.fields)
                               + [sschema[c] for c in mcols])
             df = (spark.read.schema(disc)
