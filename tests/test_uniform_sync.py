@@ -281,3 +281,84 @@ def test_expire_then_vacuum_coordination(spark, tmp_path):
     assert rep["expired"]
     vacuum_delta(dest, keep_versions=1, retention_sec=0)
     _check_equal(spark, db, dest)
+
+
+class TestBridgeScalePaths:
+    """r16: the per-commit cost claims are pinned, not prose — a pure
+    append opens ZERO prior manifests; once the path→manifest index
+    exists, a delete decodes only candidate manifests; an unmatched
+    remove refuses loudly."""
+
+    def _spy(self, monkeypatch):
+        import tostore_spark.plans.iceberg as ice
+        seen = []
+        orig = ice.read_container_file
+
+        def wrap(path):
+            if not os.path.basename(path).startswith("snap-"):
+                seen.append(path)          # manifest decodes only
+            return orig(path)
+        monkeypatch.setattr(ice, "read_container_file", wrap)
+        return seen
+
+    def _bridge(self, spark, tmp_path, rows=20):
+        db = _mk(spark, tmp_path, rows=rows)
+        dest = str(tmp_path / "dx")
+        db.export_delta("notes", dest, target_files=2,
+                        cluster_by=["id"])
+        convert_delta_to_iceberg(spark, dest)
+        return db, dest
+
+    def test_pure_append_opens_zero_prior_manifests(
+            self, spark, tmp_path, monkeypatch):
+        db, dest = self._bridge(spark, tmp_path)
+        db.batch_insert("notes", [{"id": "x0", "n": 100}])
+        db.flush()
+        db.export_delta("notes", dest, mode="update")
+        seen = self._spy(monkeypatch)
+        rep = sync_delta_to_iceberg(spark, dest)
+        assert rep["snapshots"] == 1
+        assert seen == [], seen
+        _check_equal(spark, db, dest)
+
+    def test_indexed_delete_decodes_only_candidates(
+            self, spark, tmp_path, monkeypatch):
+        import tostore_spark.plans.iceberg as ice
+        db, dest = self._bridge(spark, tmp_path, rows=40)
+        # first delete: no index yet -> full decode builds it
+        db.delete("notes").where("id", "=", "k000").execute()
+        db.flush()
+        db.export_delta("notes", dest, mode="update",
+                        deletion_vectors=False)
+        sync_delta_to_iceberg(spark, dest)
+        assert os.path.exists(os.path.join(
+            dest, "metadata", ice._BRIDGE_INDEX))
+        # second delete: candidate manifests only (1 of several)
+        db.delete("notes").where("id", "=", "k039").execute()
+        db.flush()
+        db.export_delta("notes", dest, mode="update",
+                        deletion_vectors=False)
+        meta = _load_metadata(dest)
+        n_manifests = len(read_iceberg(spark, dest).inputFiles())
+        seen = self._spy(monkeypatch)
+        sync_delta_to_iceberg(spark, dest)
+        assert len(seen) == 1, (seen, n_manifests)
+        _check_equal(spark, db, dest)
+        # and time travel across the rewrites still works
+        s1 = _load_metadata(dest)["snapshots"][0]["snapshot-id"]
+        assert read_iceberg(spark, dest,
+                            snapshot_id=s1).count() == 40
+
+    def test_unmatched_remove_refuses(self, spark, tmp_path):
+        db, dest = self._bridge(spark, tmp_path)
+        log = os.path.join(dest, "_delta_log")
+        v = max(int(f[:-5]) for f in os.listdir(log)
+                if f.endswith(".json") and f[:-5].isdigit()) + 1
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"commitInfo": {
+                "timestamp": 1700000000000}}) + "\n")
+            fh.write(json.dumps({"remove": {
+                "path": "data/no-such-file.parquet",
+                "dataChange": True}}) + "\n")
+        with pytest.raises(ValueError, match="matched no live"):
+            sync_delta_to_iceberg(spark, dest)

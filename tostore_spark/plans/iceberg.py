@@ -2805,6 +2805,37 @@ def read_iceberg_changes(spark, path: str,
 # ------------------------------------------------ continuous UniForm
 
 _BRIDGE_PROP = "tostore.bridge.delta-version"
+_BRIDGE_INDEX = "bridge-file-index.json"
+
+
+def _load_bridge_index(mdir: str, prior_ml: list) -> dict | None:
+    """The bridge's path→manifest cache: ``{manifest_abs_path:
+    {live data file paths}}``.  Valid only when its manifest set
+    matches the current manifest list EXACTLY (manifests are
+    immutable once written, so set equality implies content
+    agreement); anything else — missing file, foreign rewrite
+    (e.g. ``rewrite_data_files`` on the bridge), partial state —
+    returns None and the caller falls back to the full decode,
+    rebuilding the index from what it reads."""
+    try:
+        with open(os.path.join(mdir, _BRIDGE_INDEX)) as fh:
+            raw = json.load(fh)
+        idx = {k: set(v) for k, v in (raw.get("manifests")
+                                      or {}).items()}
+    except Exception:
+        return None
+    if set(idx) != {_norm_path(m["manifest_path"])
+                    for m in prior_ml}:
+        return None
+    return idx
+
+
+def _save_bridge_index(mdir: str, idx: dict) -> None:
+    tmp = os.path.join(mdir, f".{_BRIDGE_INDEX}.{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump({"manifests": {k: sorted(v)
+                                 for k, v in idx.items()}}, fh)
+    os.replace(tmp, os.path.join(mdir, _BRIDGE_INDEX))
 
 
 def _bridge_entry_schema(part_avro):
@@ -2842,11 +2873,19 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
     ``deletion_vectors=False``), column mapping, a table that is not
     a bridge.
 
-    Scale: zero row IO — each commit costs one footer-stat read per
-    ADDED file plus a driver-side rewrite of only the AFFECTED
-    manifests; a 100-row delete against a million-file bridge
-    rewrites the one manifest holding those files.  Returns
-    ``{"snapshots", "from_version", "to_version"}``."""
+    Scale: zero row IO — a pure-append commit opens ZERO prior
+    manifests (the prior manifest list carries over verbatim plus one
+    stacked ADDED manifest: one footer-stat read per added file); a
+    delete commit decodes only CANDIDATE manifests via the persisted
+    path→manifest index (``metadata/bridge-file-index.json``,
+    validated against the live manifest set and rebuilt by one full
+    decode when missing or foreign-rewritten), then rewrites only the
+    hit ones.  A 100-row delete against a million-file bridge reads
+    and rewrites the one manifest holding those files.  Every Delta
+    remove must match a live manifest entry — an unmatched remove
+    (path-encoding drift) raises instead of silently diverging the
+    two formats.  Returns ``{"snapshots", "from_version",
+    "to_version"}``."""
     import pyarrow.parquet as pq
     from pyspark.sql.types import StructType
 
@@ -2927,62 +2966,92 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
         _, prior_ml = read_container_file(
             _norm_path(cur_snap["manifest-list"]))
         ml_entries = []
-        for m in prior_ml:
-            mseq = m.get("sequence_number") or 0
-            _, entries = read_container_file(
-                _norm_path(m["manifest_path"]))
-            live = [e for e in entries if e.get("status") != 2]
-            hit = any(_norm_path(e["data_file"]["file_path"])
-                      in removed_abs for e in live)
-            if not hit:
-                ml_entries.append(m)     # untouched: carry verbatim
-                continue
-            # rewrite ONLY this manifest: removed → DELETED, the
-            # survivors → EXISTING carrying their original data seq
-            new_entries, n_del, r_del, n_ex, r_ex = [], 0, 0, 0, 0
-            mins = [seq]
-            for e in live:
-                eseq = e.get("sequence_number")
-                eseq = mseq if eseq is None else int(eseq)
-                df_ = e["data_file"]
-                rows = int(df_["record_count"])
-                if _norm_path(df_["file_path"]) in removed_abs:
-                    st, sid = 2, snap_id
-                    n_del += 1
-                    r_del += rows
-                else:
-                    st, sid = 0, e.get("snapshot_id")
-                    n_ex += 1
-                    r_ex += rows
-                    mins.append(eseq)
-                new_entries.append({
-                    "status": st, "snapshot_id": sid,
-                    "sequence_number": eseq,
-                    "file_sequence_number": eseq,
-                    "data_file": df_})
-            man_path = os.path.join(
-                mdir, f"{uuid.uuid4().hex}-m0.avro")
-            write_container_file(
-                man_path, mes, new_entries,
-                meta={"schema": json.dumps(schema_json),
-                      "schema-id": "0",
-                      "partition-spec": json.dumps(spec_fields),
-                      "partition-spec-id": "0",
-                      "format-version": "2", "content": "data"})
-            ml_entries.append({
-                "manifest_path": man_path,
-                "manifest_length": os.path.getsize(man_path),
-                "partition_spec_id": 0, "content": 0,
-                "sequence_number": seq,
-                "min_sequence_number": min(mins),
-                "added_snapshot_id": snap_id,
-                "added_files_count": 0,
-                "existing_files_count": n_ex,
-                "deleted_files_count": n_del,
-                "added_rows_count": 0,
-                "existing_rows_count": r_ex,
-                "deleted_rows_count": r_del,
-                "key_metadata": None})
+        idx = _load_bridge_index(mdir, prior_ml)
+        idx_new = {} if (idx is not None or removed_abs) else None
+        if not removed_abs:
+            # append fast path: no prior manifest is opened — the
+            # list carries over verbatim (the per-commit cost claim
+            # below depends on this branch)
+            ml_entries = list(prior_ml)
+            if idx_new is not None:
+                idx_new.update(idx)
+        else:
+            matched: set = set()
+            for m in prior_ml:
+                mpath_abs = _norm_path(m["manifest_path"])
+                if idx is not None and \
+                        not (idx[mpath_abs] & removed_abs):
+                    # index says this manifest holds none of the
+                    # removed files: carry without decoding
+                    ml_entries.append(m)
+                    idx_new[mpath_abs] = idx[mpath_abs]
+                    continue
+                mseq = m.get("sequence_number") or 0
+                _, entries = read_container_file(mpath_abs)
+                live = [e for e in entries if e.get("status") != 2]
+                live_paths = {_norm_path(e["data_file"]["file_path"])
+                              for e in live}
+                hit = live_paths & removed_abs
+                matched |= hit
+                if not hit:
+                    ml_entries.append(m)   # untouched: carry verbatim
+                    idx_new[mpath_abs] = live_paths
+                    continue
+                # rewrite ONLY this manifest: removed → DELETED, the
+                # survivors → EXISTING carrying their original data seq
+                new_entries, n_del, r_del, n_ex, r_ex = [], 0, 0, 0, 0
+                mins = [seq]
+                for e in live:
+                    eseq = e.get("sequence_number")
+                    eseq = mseq if eseq is None else int(eseq)
+                    df_ = e["data_file"]
+                    rows = int(df_["record_count"])
+                    if _norm_path(df_["file_path"]) in removed_abs:
+                        st, sid = 2, snap_id
+                        n_del += 1
+                        r_del += rows
+                    else:
+                        st, sid = 0, e.get("snapshot_id")
+                        n_ex += 1
+                        r_ex += rows
+                        mins.append(eseq)
+                    new_entries.append({
+                        "status": st, "snapshot_id": sid,
+                        "sequence_number": eseq,
+                        "file_sequence_number": eseq,
+                        "data_file": df_})
+                man_path = os.path.join(
+                    mdir, f"{uuid.uuid4().hex}-m0.avro")
+                write_container_file(
+                    man_path, mes, new_entries,
+                    meta={"schema": json.dumps(schema_json),
+                          "schema-id": "0",
+                          "partition-spec": json.dumps(spec_fields),
+                          "partition-spec-id": "0",
+                          "format-version": "2", "content": "data"})
+                ml_entries.append({
+                    "manifest_path": man_path,
+                    "manifest_length": os.path.getsize(man_path),
+                    "partition_spec_id": 0, "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": min(mins),
+                    "added_snapshot_id": snap_id,
+                    "added_files_count": 0,
+                    "existing_files_count": n_ex,
+                    "deleted_files_count": n_del,
+                    "added_rows_count": 0,
+                    "existing_rows_count": r_ex,
+                    "deleted_rows_count": r_del,
+                    "key_metadata": None})
+                idx_new[_norm_path(man_path)] = live_paths - hit
+            if matched != removed_abs:
+                missing = sorted(removed_abs - matched)[:3]
+                raise ValueError(
+                    f"delta commit {v} removes {len(removed_abs)} "
+                    f"file(s) but {len(removed_abs) - len(matched)} "
+                    "matched no live manifest entry (path encoding "
+                    f"drift? e.g. {missing}) — refusing a silent "
+                    "Delta-vs-Iceberg divergence")
         add_rows = 0
         if adds:
             entries = []
@@ -3037,6 +3106,10 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
                 "added_rows_count": add_rows,
                 "existing_rows_count": 0, "deleted_rows_count": 0,
                 "key_metadata": None})
+            if idx_new is not None:
+                idx_new[_norm_path(man_path)] = {
+                    _norm_path(e["data_file"]["file_path"])
+                    for e in entries}
         ml_path = os.path.join(
             mdir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro")
         write_container_file(ml_path, _MANIFEST_LIST_SCHEMA,
@@ -3070,6 +3143,8 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
             {"timestamp-ms": ts, "snapshot-id": snap_id}]
         meta["properties"][_BRIDGE_PROP] = str(v)
         _write_metadata_json(mdir, _next_metadata_version(mdir), meta)
+        if idx_new is not None:
+            _save_bridge_index(mdir, idx_new)
         committed += 1
     if int(meta["properties"][_BRIDGE_PROP]) != todo[-1]:
         # trailing metadata-only commits: persist the advanced cursor
