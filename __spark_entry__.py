@@ -3338,6 +3338,89 @@ def q_uniform_sync(spark, sf_dir):
         rows, "n_final bigint, key_sum bigint, n_snapshots bigint")
 
 
+def q_bridge_add_column(spark, sf_dir):
+    """ADD-COLUMN evolution across the continuous UniForm bridge
+    (r16, plans/iceberg.sync_delta_to_iceberg): a live bridge follows
+    a Delta commit that appends a nullable column — folded as a NEW
+    Iceberg schema-id with the name mapping extended (never a
+    re-convert); post-evolution appends keep bridging; time travel to
+    the pre-evolution snapshot still binds the OLD schema.  In-entry
+    asserts pin two schema-ids, Delta==Iceberg==store equality after
+    every flush, and the old-snapshot column set; DuckDB derives the
+    counts from nation arithmetic."""
+    import os
+    import tempfile
+
+    from tostore_spark.plans.delta_export import read_delta
+    from tostore_spark.plans.iceberg import (_load_metadata,
+                                             read_iceberg)
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    db = _db(spark, sf_dir)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    with tempfile.TemporaryDirectory() as tmp:
+        dest = os.path.join(tmp, "dx")
+        db1 = ToStoreSpark(spark, warehouse=os.path.join(tmp, "wh"))
+        db1.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n_name", type=DataType.text),
+                    FieldSchema(name="key", type=DataType.integer)]))
+        db1.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
+             "key": r["n_nationkey"]} for r in nat])
+        db1.flush()
+        db1.mirror_delta("nat", dest, bridge_iceberg=True)
+        s1 = _load_metadata(dest)["current-snapshot-id"]
+
+        def _both_equal():
+            cols = sorted(db1.df("nat").columns)
+            a = sorted(map(tuple,
+                           db1.df("nat").select(*cols).collect()))
+            b = sorted(map(tuple, read_delta(spark, dest)
+                           .select(*cols).collect()))
+            c = sorted(map(tuple, read_iceberg(spark, dest)
+                           .select(*cols).collect()))
+            if not (a == b == c):
+                raise AssertionError("bridge views diverged")
+        (db1.schema_builder("nat")
+            .add_field(FieldSchema("tag", DataType.text,
+                                   default_value="XX"))
+            .execute())
+        db1.flush()
+        if getattr(db1, "last_mirror_error", None):
+            raise AssertionError(db1.last_mirror_error)
+        _both_equal()
+        db1.batch_insert("nat", [{"id": "zz", "n_name": "FRESH",
+                                  "key": 999, "tag": "fresh"}])
+        db1.flush()
+        _both_equal()
+        meta = _load_metadata(dest)
+        sids = sorted(s.get("schema-id", 0)
+                      for s in meta.get("schemas") or [])
+        if len(sids) != 2 or meta["current-schema-id"] != sids[-1]:
+            raise AssertionError(f"schema ids off: {sids}")
+        old_cols = read_iceberg(spark, dest,
+                                snapshot_id=s1).columns
+        if "tag" in old_cols:
+            raise AssertionError(
+                "pre-evolution snapshot leaked the new column")
+        row = read_iceberg(spark, dest).agg(
+            F.count(F.lit(1)).alias("n_final"),
+            F.sum(F.when(F.col("tag") == "XX", 1).otherwise(0))
+            .cast("long").alias("n_xx"),
+            F.sum(F.when(F.col("tag") == "fresh", 1).otherwise(0))
+            .cast("long").alias("n_fresh"),
+            F.sum("key").cast("long").alias("key_sum")).first()
+        rows = [{"n_final": int(row["n_final"]),
+                 "n_xx": int(row["n_xx"]),
+                 "n_fresh": int(row["n_fresh"]),
+                 "n_schemas": int(len(sids)),
+                 "key_sum": int(row["key_sum"])}]
+    return spark.createDataFrame(
+        rows, "n_final bigint, n_xx bigint, n_fresh bigint, "
+              "n_schemas bigint, key_sum bigint")
+
+
 def q_uniform_bridge(spark, sf_dir):
     """UniForm-style format bridge (r14, plans/iceberg.
     convert_delta_to_iceberg): Iceberg v2 metadata written OVER a
@@ -5773,6 +5856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
+        "q_bridge_add_column",                                # born r16
         "q_iceberg_cdf", "q_uniform_sync",                    # born r15
         "q_uniform_bridge",                                   # born r14
         "q_convert_iceberg", "q_convert_delta",               # born r14
@@ -6033,6 +6117,14 @@ def _cov_oracle_sql(dims: int = 8) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q_bridge_add_column": """
+            SELECT CAST(count(*) + 1 AS BIGINT) AS n_final,
+                   CAST(count(*) AS BIGINT)     AS n_xx,
+                   CAST(1 AS BIGINT)            AS n_fresh,
+                   CAST(2 AS BIGINT)            AS n_schemas,
+                   CAST(sum(n_nationkey) + 999 AS BIGINT) AS key_sum
+            FROM nation
+        """,
         "q_embedding_cov": _cov_oracle_sql(8),
         "q_paragraph_dedup": r"""
             WITH corpus AS (

@@ -502,3 +502,159 @@ class TestChangelogHardening:
         assert len(vers) == 101
         assert sorted(r["n"] for r in rows if r["n"] >= 1000) == \
             [1000 + i for i in range(100)]
+
+
+class TestChangelogSchemaEvolution:
+    """r16: additive evolution binds per snapshot; pre-evolution rows
+    surface under the range-END schema (the Delta CDF rule);
+    renames/drops refuse."""
+
+    def _evolve_add_tag(self, dest):
+        """Append schema-id N+1 = old schema + nullable string 'tag'
+        (id = last-column-id+1) to the table metadata."""
+        from tostore_spark.plans.iceberg import (_current_schema,
+                                                 _next_metadata_version,
+                                                 _write_metadata_json)
+        meta = _load_metadata(dest)
+        old = _current_schema(meta)
+        old_sid = int(meta.get("current-schema-id", 0))
+        new_id = max(f["id"] for f in old["fields"]) + 1
+        new_sj = {"type": "struct", "schema-id": old_sid + 1,
+                  "fields": [dict(f) for f in old["fields"]] + [
+                      {"id": new_id, "name": "tag",
+                       "required": False, "type": "string"}]}
+        schemas = list(meta.get("schemas")
+                       or [dict(old, **{"schema-id": old_sid})])
+        meta["schemas"] = schemas + [new_sj]
+        meta["current-schema-id"] = old_sid + 1
+        meta["last-column-id"] = new_id
+        if "schema" in meta:
+            meta["schema"] = new_sj
+        mdir = os.path.join(dest, "metadata")
+        _write_metadata_json(mdir, _next_metadata_version(mdir), meta)
+        return new_id
+
+    def _append_3col(self, dest, ids, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        from tostore_spark.plans.iceberg import _commit_snapshot
+        sch = pa.schema([
+            pa.field("id", pa.string(), metadata={
+                b"PARQUET:field_id": str(ids["id"]).encode()}),
+            pa.field("n", pa.int64(), metadata={
+                b"PARQUET:field_id": str(ids["n"]).encode()}),
+            pa.field("tag", pa.string(), metadata={
+                b"PARQUET:field_id": str(ids["tag"]).encode()})])
+        tbl = pa.table({"id": [r[0] for r in rows],
+                        "n": [r[1] for r in rows],
+                        "tag": [r[2] for r in rows]}, schema=sch)
+        fp = os.path.join(dest, "data", "evolved.parquet")
+        papq.write_table(tbl, fp)
+        meta = _load_metadata(dest)
+        _commit_snapshot(dest, meta,
+                         [(fp, len(rows), os.path.getsize(fp))],
+                         None, keep_prior=True, operation="append")
+
+    def test_pre_evolution_rows_surface_under_end_schema(
+            self, spark, tmp_path):
+        from tostore_spark.plans.iceberg import (_current_schema,
+                                                 read_iceberg)
+        db = _mk(spark, str(tmp_path / "wh"), rows=3)
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest, target_files=1)      # s1
+        tag_id = self._evolve_add_tag(dest)
+        meta = _load_metadata(dest)
+        ids = {f["name"]: f["id"]
+               for f in _current_schema(meta)["fields"]}
+        assert ids["tag"] == tag_id
+        self._append_3col(dest, ids, [("z1", 100, "zz")])     # s2
+        feed = read_iceberg_changes(spark, dest)
+        assert "tag" in feed.columns
+        got = sorted((r["id"], r["n"], r["tag"])
+                     for r in feed.collect())
+        assert got == [("k000", 0, None), ("k001", 1, None),
+                       ("k002", 2, None), ("z1", 100, "zz")]
+        # current-state read agrees (old files null-fill by field id)
+        cur = sorted((r["id"], r["tag"]) for r in
+                     read_iceberg(spark, dest).collect())
+        assert cur == [("k000", None), ("k001", None),
+                       ("k002", None), ("z1", "zz")]
+
+    def test_eqdelete_preimages_across_evolution_pad_null(
+            self, spark, tmp_path):
+        """A MoR equality-delete AFTER the evolution derives
+        pre-images from a parent probe bound to the PARENT's schema —
+        the feed pads the added column with null (END schema)."""
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        from tostore_spark.plans.iceberg import (_commit_snapshot,
+                                                 _current_schema)
+        db = _mk(spark, str(tmp_path / "wh"), rows=4)
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest, target_files=1)      # s1
+        s1 = _load_metadata(dest)["current-snapshot-id"]
+        self._evolve_add_tag(dest)
+        meta = _load_metadata(dest)
+        ids = {f["name"]: f["id"]
+               for f in _current_schema(meta)["fields"]}
+        # kill k001 via an equality delete keyed on id (old column)
+        sch = pa.schema([pa.field("id", pa.string(), metadata={
+            b"PARQUET:field_id": str(ids["id"]).encode()})])
+        tbl = pa.table({"id": ["k001"]}, schema=sch)
+        fp = os.path.join(dest, "data", "eqdel-evolved.parquet")
+        papq.write_table(tbl, fp)
+        _commit_snapshot(dest, meta,
+                         None, [(fp, 1, os.path.getsize(fp),
+                                 [ids["id"]])],
+                         keep_prior=True, operation="delete")  # s2
+        feed = read_iceberg_changes(spark, dest, from_snapshot=s1)
+        rows = feed.collect()
+        assert [(r["id"], r["_change_type"], r["tag"])
+                for r in rows] == [("k001", "delete", None)]
+
+    def test_rename_refuses(self, spark, tmp_path):
+        from tostore_spark.plans.iceberg import (_current_schema,
+                                                 _next_metadata_version,
+                                                 _write_metadata_json)
+        db = _mk(spark, str(tmp_path / "wh"), rows=3)
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest, target_files=1)      # s1
+        meta = _load_metadata(dest)
+        old = _current_schema(meta)
+        old_sid = int(meta.get("current-schema-id", 0))
+        new_sj = {"type": "struct", "schema-id": old_sid + 1,
+                  "fields": [dict(f, name="n_renamed")
+                             if f["name"] == "n" else dict(f)
+                             for f in old["fields"]]}
+        meta["schemas"] = list(meta.get("schemas")
+                               or [dict(old,
+                                        **{"schema-id": old_sid})]) \
+            + [new_sj]
+        meta["current-schema-id"] = old_sid + 1
+        if "schema" in meta:
+            meta["schema"] = new_sj
+        mdir = os.path.join(dest, "metadata")
+        _write_metadata_json(mdir, _next_metadata_version(mdir), meta)
+        # commit an append UNDER the renamed schema: the range now
+        # spans the rename boundary
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        from tostore_spark.plans.iceberg import _commit_snapshot
+        ids = {f["name"]: f["id"] for f in new_sj["fields"]}
+        sch = pa.schema([
+            pa.field("id", pa.string(), metadata={
+                b"PARQUET:field_id": str(ids["id"]).encode()}),
+            pa.field("n_renamed", pa.int64(), metadata={
+                b"PARQUET:field_id": str(ids["n_renamed"]).encode()})])
+        tbl = pa.table({"id": ["x1"], "n_renamed": [9]}, schema=sch)
+        fp = os.path.join(dest, "data", "renamed.parquet")
+        papq.write_table(tbl, fp)
+        meta2 = _load_metadata(dest)
+        _commit_snapshot(dest, meta2,
+                         [(fp, 1, os.path.getsize(fp))], None,
+                         keep_prior=True, operation="append")  # s2
+        with pytest.raises(ValueError, match="renamed"):
+            read_iceberg_changes(spark, dest).collect()

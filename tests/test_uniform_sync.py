@@ -143,17 +143,18 @@ class TestContinuousBridge:
         with pytest.raises(ValueError, match="deletion vector"):
             sync_delta_to_iceberg(spark, dest)
 
-    def test_schema_evolution_refuses(self, spark, tmp_path):
+    def test_non_additive_evolution_refuses(self, spark, tmp_path):
+        """r16: ADD-COLUMN evolution now folds (see
+        TestBridgeSchemaEvolution) — but a RETYPE still refuses."""
         db = _mk(spark, tmp_path)
         dest = str(tmp_path / "dx")
         db.export_delta("notes", dest, target_files=1)
         convert_delta_to_iceberg(spark, dest)
-        db.update_schema("notes").add_field(
-            FieldSchema(name="extra", type=DataType.integer,
-                        default_value=7)).execute()
+        db.update_schema("notes").modify_field(
+            "n", type=DataType.double).execute()
         db.flush()
         db.export_delta("notes", dest, mode="update")
-        with pytest.raises(ValueError, match="evolves the schema"):
+        with pytest.raises(ValueError, match="non-additively"):
             sync_delta_to_iceberg(spark, dest)
 
     def test_non_bridge_refuses(self, spark, tmp_path):
@@ -361,4 +362,125 @@ class TestBridgeScalePaths:
                 "path": "data/no-such-file.parquet",
                 "dataChange": True}}) + "\n")
         with pytest.raises(ValueError, match="matched no live"):
+            sync_delta_to_iceberg(spark, dest)
+
+
+class TestBridgeSchemaEvolution:
+    """r16: ADD-COLUMN-only Delta evolution folds as a new Iceberg
+    schema-id (name mapping extended); anything else still refuses."""
+
+    def test_add_column_flush_bridges_end_to_end(self, spark,
+                                                 tmp_path):
+        from tostore_spark.schema import DataType, FieldSchema
+        db = _mk(spark, tmp_path, rows=6)
+        dest = str(tmp_path / "dx")
+        db.mirror_delta("notes", dest, bridge_iceberg=True)
+        (db.schema_builder("notes")
+            .add_field(FieldSchema("tag", DataType.text,
+                                   default_value="t0"))
+            .execute())
+        db.flush()
+        assert getattr(db, "last_mirror_error", None) is None
+        _check_equal(spark, db, dest)
+        meta = _load_metadata(dest)
+        sids = sorted(s.get("schema-id", 0)
+                      for s in meta.get("schemas") or [])
+        assert len(sids) == 2 and meta["current-schema-id"] == sids[-1]
+        nm = json.loads(meta["properties"]
+                        ["schema.name-mapping.default"])
+        tag_ids = [e for e in nm if "tag" in (e.get("names") or [])]
+        assert len(tag_ids) == 1
+        # post-evolution appends keep bridging, values exact
+        db.batch_insert("notes", [{"id": "x9", "n": 99,
+                                   "tag": "fresh"}])
+        db.flush()
+        _check_equal(spark, db, dest)
+        ice = read_iceberg(spark, dest)
+        assert ice.filter("id = 'x9'").first()["tag"] == "fresh"
+        # time travel to the pre-evolution snapshot still binds the
+        # OLD schema
+        s1 = meta["snapshots"][0]["snapshot-id"]
+        old = read_iceberg(spark, dest, snapshot_id=s1)
+        assert "tag" not in old.columns and old.count() == 6
+
+    def test_foreign_add_column_commit_without_rewrite(
+            self, spark, tmp_path):
+        """A real Delta ALTER TABLE ADD COLUMN (metaData-only commit,
+        then an append of 3-column files; OLD files never rewritten)
+        folds and reads back with null-filled history."""
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+        db = _mk(spark, tmp_path, rows=4)
+        dest = str(tmp_path / "dx")
+        db.export_delta("notes", dest, target_files=1)
+        convert_delta_to_iceberg(spark, dest)
+        log = os.path.join(dest, "_delta_log")
+        meta_d = json.loads(open(os.path.join(
+            log, "00000000000000000000.json")).readline())
+        old_ss = None
+        for ln in open(os.path.join(log,
+                                    "00000000000000000000.json")):
+            a = json.loads(ln)
+            if "metaData" in a:
+                meta_d = a["metaData"]
+                old_ss = json.loads(meta_d["schemaString"])
+        new_ss = dict(old_ss)
+        new_ss["fields"] = list(old_ss["fields"]) + [
+            {"name": "tag", "type": "string", "nullable": True,
+             "metadata": {}}]
+        v = max(int(f[:-5]) for f in os.listdir(log)
+                if f.endswith(".json") and f[:-5].isdigit())
+        md2 = dict(meta_d)
+        md2["schemaString"] = json.dumps(new_ss)
+        with open(os.path.join(log, f"{v + 1:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"commitInfo": {
+                "timestamp": 1700000000000}}) + "\n")
+            fh.write(json.dumps({"metaData": md2}) + "\n")
+        fp_rel = "data/added-3col.parquet"
+        os.makedirs(os.path.join(dest, "data"), exist_ok=True)
+        tbl = pa.table({"id": ["z1"], "n": [500], "tag": ["zz"]})
+        papq.write_table(tbl, os.path.join(dest, fp_rel))
+        sz = os.path.getsize(os.path.join(dest, fp_rel))
+        with open(os.path.join(log, f"{v + 2:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"commitInfo": {
+                "timestamp": 1700000001000}}) + "\n")
+            fh.write(json.dumps({"add": {
+                "path": fp_rel, "partitionValues": {}, "size": sz,
+                "modificationTime": 1700000001000,
+                "dataChange": True,
+                "stats": json.dumps({"numRecords": 1})}}) + "\n")
+        rep = sync_delta_to_iceberg(spark, dest)
+        assert rep["snapshots"] == 1          # metaData-only folds in
+        ice = read_iceberg(spark, dest)
+        assert ice.count() == 5
+        got = {r["id"]: r["tag"] for r in ice.collect()}
+        assert got["z1"] == "zz"
+        assert all(got[f"k{i:03d}"] is None for i in range(4))
+
+    def test_rename_still_refuses(self, spark, tmp_path):
+        db = _mk(spark, tmp_path, rows=4)
+        dest = str(tmp_path / "dx")
+        db.export_delta("notes", dest, target_files=1)
+        convert_delta_to_iceberg(spark, dest)
+        log = os.path.join(dest, "_delta_log")
+        meta_d = None
+        for ln in open(os.path.join(log,
+                                    "00000000000000000000.json")):
+            a = json.loads(ln)
+            if "metaData" in a:
+                meta_d = a["metaData"]
+        ss = json.loads(meta_d["schemaString"])
+        ss["fields"] = [dict(f, name="n2") if f["name"] == "n"
+                        else f for f in ss["fields"]]
+        md2 = dict(meta_d)
+        md2["schemaString"] = json.dumps(ss)
+        v = max(int(f[:-5]) for f in os.listdir(log)
+                if f.endswith(".json") and f[:-5].isdigit())
+        with open(os.path.join(log, f"{v + 1:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"metaData": md2}) + "\n")
+            fh.write(json.dumps({"add": {
+                "path": "data/none.parquet", "partitionValues": {},
+                "size": 1, "modificationTime": 1, "dataChange": True
+            }}) + "\n")
+        with pytest.raises(ValueError, match="non-additively"):
             sync_delta_to_iceberg(spark, dest)

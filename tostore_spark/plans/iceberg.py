@@ -941,6 +941,13 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     # field-id resolution (same mechanism as Delta 'id'-mode column
     # mapping): the read schema carries parquet.field.id metadata
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    if len(meta.get("schemas") or []) > 1:
+        # additive evolution: files older than a column lack its
+        # field id — the spec projection rule reads them as NULL.
+        # Gated on multi-schema so a single-schema table with id-less
+        # files (a spec violation) still fails loudly.
+        spark.conf.set(
+            "spark.sql.parquet.fieldId.read.ignoreMissing", "true")
     paths = [fp for fp, _ in data]
     df = spark.read.schema(read_schema).parquet(*paths)
 
@@ -2534,7 +2541,45 @@ def read_iceberg_changes(spark, path: str,
     norm_file = F.regexp_replace(F.col("_metadata.file_path"),
                                  "^file:/*", "/")
 
+    def _pad_end(df):
+        """Columns the END schema added after a frame's snapshot
+        null-fill — the feed always surfaces under the range-END
+        schema (the Delta CDF rule)."""
+        for f in sschema.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name,
+                                   F.lit(None).cast(f.dataType))
+        return df
+
+    def _check_schema_compat(snap):
+        """Additive evolution only: every field of the snapshot's
+        schema must survive IN the range-END schema with the same id,
+        name and type — renames/drops/retypes refuse (their changes
+        cannot surface under the END schema without lying)."""
+        sj = _schema_for_snapshot(meta, snap)
+        if sj.get("schema-id", 0) == \
+                end_schema_json.get("schema-id", 0):
+            return
+        end_by_id = {int(f["id"]): f
+                     for f in end_schema_json["fields"]}
+
+        def _t(t):
+            return json.dumps(t, sort_keys=True) \
+                if isinstance(t, dict) else t
+        for f in sj["fields"]:
+            e = end_by_id.get(int(f["id"]))
+            if e is None or e["name"] != f["name"] or \
+                    _t(e["type"]) != _t(f["type"]):
+                raise ValueError(
+                    f"snapshot {snap['snapshot-id']} was written "
+                    f"under schema-id {sj.get('schema-id', 0)} whose "
+                    f"field {f['name']!r} (id {f['id']}) was "
+                    "renamed, dropped or retyped by the range-end "
+                    "schema — only ADD-column evolution is derivable; "
+                    "re-bootstrap the consumer from read_iceberg")
+
     def _tag(df, snap, change):
+        df = _pad_end(df)
         return (df.select(*[f.name for f in sschema.fields])
                 .withColumn("_change_type", F.lit(change))
                 .withColumn("_commit_snapshot_id",
@@ -2704,6 +2749,7 @@ def read_iceberg_changes(spark, path: str,
             op = (snap.get("summary") or {}).get("operation")
             if op == "replace":
                 continue                    # compaction: logical no-op
+            _check_schema_compat(snap)
             (adds, pos_add, eq_add, parts, fstats,
              has_deleted, man_paths) = _snapshot_additions(
                 meta, snap, location)
@@ -2787,8 +2833,12 @@ def read_iceberg_changes(spark, path: str,
     # no longer depends on it and the caller's session setting is
     # restored (the save/restore discipline _stage_iceberg_data
     # introduced, via the shared _conf_pins)
-    with _conf_pins(spark, {
-            "spark.sql.parquet.fieldId.read.enabled": "true"}):
+    pins = {"spark.sql.parquet.fieldId.read.enabled": "true"}
+    if len(meta.get("schemas") or []) > 1:
+        # additive evolution: pre-evolution files lack the added
+        # columns' field ids — the spec projection rule reads null
+        pins["spark.sql.parquet.fieldId.read.ignoreMissing"] = "true"
+    with _conf_pins(spark, pins):
         _fold_chain()
         out = None
         for seg in segs + ([cur] if cur is not None else []):
@@ -2836,6 +2886,25 @@ def _save_bridge_index(mdir: str, idx: dict) -> None:
         json.dump({"manifests": {k: sorted(v)
                                  for k, v in idx.items()}}, fh)
     os.replace(tmp, os.path.join(mdir, _BRIDGE_INDEX))
+
+
+def _added_tail_fields(old, new):
+    """The appended fields when ``new`` is ``old`` plus ADD-COLUMN-
+    only evolution: same leading fields by name/type/nullability
+    (metadata-insensitive), every appended field nullable.  None for
+    anything else (rename/drop/retype/required/reorder)."""
+    def _plain(f):
+        return (f.name, f.dataType, f.nullable)
+    n = len(old.fields)
+    if len(new.fields) <= n:
+        return None
+    if [_plain(f) for f in new.fields[:n]] != \
+            [_plain(f) for f in old.fields]:
+        return None
+    tail = list(new.fields[n:])
+    if any(not f.nullable for f in tail):
+        return None
+    return tail
 
 
 def _bridge_entry_schema(part_avro):
@@ -2913,6 +2982,7 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
 
     schema_json = _schema_for_snapshot(meta, _pick_snapshot(meta))
     sschema = _schema_to_spark(schema_json)
+    cur_schema_id = int(meta.get("current-schema-id", 0))
     spec_fields = (meta.get("partition-specs") or
                    [{"fields": []}])[0]["fields"]
     pcols = [f["name"] for f in spec_fields]
@@ -2939,13 +3009,67 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
                 md = a["metaData"]
                 new_schema = StructType.fromJson(
                     json.loads(md["schemaString"]))
-                if _strip_field_ids(sschema) != new_schema or \
-                        list(md.get("partitionColumns") or []) != pcols:
+                if list(md.get("partitionColumns") or []) != pcols:
                     raise ValueError(
-                        f"delta commit {v} evolves the schema or "
-                        "partitioning — the bridge cannot follow; "
+                        f"delta commit {v} changes the partition "
+                        "columns — the bridge cannot follow; "
                         "re-convert (expire + remove metadata/ + "
                         "convert_delta_to_iceberg)")
+                old_plain = _strip_field_ids(sschema)
+                if old_plain == new_schema:
+                    continue            # re-emitted unchanged schema
+                added = _added_tail_fields(old_plain, new_schema)
+                if added is None:
+                    raise ValueError(
+                        f"delta commit {v} evolves the schema "
+                        "non-additively (rename/drop/retype/required "
+                        "column) — the bridge cannot follow; "
+                        "re-convert (expire + remove metadata/ + "
+                        "convert_delta_to_iceberg)")
+                # ADD-COLUMN-only evolution folds as a NEW Iceberg
+                # schema-id (the exporter's refresh path precedent:
+                # iceberg.py append-schemas block above).  New columns
+                # take fresh field ids and extend the name mapping;
+                # files older than a column null-fill through
+                # name-based resolution — the spec projection rule.
+                schemas = list(meta.get("schemas")
+                               or [dict(schema_json,
+                                        **{"schema-id":
+                                           cur_schema_id})])
+                sid = max(int(s.get("schema-id", 0))
+                          for s in schemas) + 1
+                next_id = [max(int(meta.get("last-column-id", 0)),
+                               _max_field_id(schema_json)) + 1]
+                add_struct = _spark_to_iceberg(
+                    StructType(list(added)), next_id)
+                new_sj = {"type": "struct", "schema-id": sid,
+                          "fields": [dict(f) for f in
+                                     schema_json["fields"]]
+                          + add_struct["fields"]}
+                meta["schemas"] = schemas + [new_sj]
+                meta["current-schema-id"] = sid
+                meta["last-column-id"] = next_id[0] - 1
+                if "schema" in meta:
+                    meta["schema"] = new_sj
+                nm_raw = (meta.get("properties") or {}).get(
+                    "schema.name-mapping.default")
+                if nm_raw:
+                    try:
+                        nm = json.loads(nm_raw)
+                    except Exception:
+                        nm = None
+                    if isinstance(nm, list):
+                        have = {e.get("field-id") for e in nm}
+                        nm += [{"field-id": f["id"],
+                                "names": [f["name"]]}
+                               for f in add_struct["fields"]
+                               if f["id"] not in have]
+                        meta["properties"][
+                            "schema.name-mapping.default"] = \
+                            json.dumps(nm)
+                schema_json = new_sj
+                sschema = _schema_to_spark(schema_json)
+                cur_schema_id = sid
         adds = [a["add"] for a in acts if "add" in a]
         removes = [a["remove"] for a in acts if "remove" in a]
         if any(a.get("deletionVector") for a in adds):
@@ -3025,7 +3149,7 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
                 write_container_file(
                     man_path, mes, new_entries,
                     meta={"schema": json.dumps(schema_json),
-                          "schema-id": "0",
+                          "schema-id": str(cur_schema_id),
                           "partition-spec": json.dumps(spec_fields),
                           "partition-spec-id": "0",
                           "format-version": "2", "content": "data"})
@@ -3091,7 +3215,7 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
             write_container_file(
                 man_path, mes, entries,
                 meta={"schema": json.dumps(schema_json),
-                      "schema-id": "0",
+                      "schema-id": str(cur_schema_id),
                       "partition-spec": json.dumps(spec_fields),
                       "partition-spec-id": "0",
                       "format-version": "2", "content": "data"})
@@ -3130,7 +3254,8 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
                             "added-data-files": str(len(adds)),
                             "deleted-data-files": str(len(removes)),
                             "added-records": str(add_rows)},
-                "manifest-list": ml_path, "schema-id": 0,
+                "manifest-list": ml_path,
+                "schema-id": cur_schema_id,
                 "parent-snapshot-id": cur_snap["snapshot-id"]}
         meta["snapshots"] = (meta.get("snapshots") or []) + [snap]
         meta["current-snapshot-id"] = snap_id
