@@ -658,3 +658,85 @@ class TestChangelogSchemaEvolution:
                          keep_prior=True, operation="append")  # s2
         with pytest.raises(ValueError, match="renamed"):
             read_iceberg_changes(spark, dest).collect()
+
+
+class TestFilteredCursorSignature:
+    """r16: filtered-subscription cursors record the where-signature —
+    identical where resumes; changed where raises; legacy integer
+    cursors resume only unfiltered."""
+
+    def _src(self, spark, tmp_path):
+        db = _mk(spark, str(tmp_path / "wh"), rows=10)
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest, target_files=1)
+        return db, dest
+
+    def _consumer(self, spark, tmp_path):
+        con = ToStoreSpark(spark, warehouse=str(tmp_path / "wc"))
+        con.create_table(TableSchema(
+            name="notes", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n", type=DataType.integer)]))
+        return con
+
+    def test_identical_where_resumes_changed_where_raises(
+            self, spark, tmp_path):
+        db, dest = self._src(spark, tmp_path)
+        con = self._consumer(spark, tmp_path)
+        w = {"n": {"<": 5}}
+        rep = con.apply_iceberg_changes("notes", dest, where=w)
+        assert rep["applied"] == 5
+        db.batch_insert("notes", [{"id": "x1", "n": 3},
+                                  {"id": "x2", "n": 50}])
+        db.flush()
+        db.export_iceberg("notes", dest, mode="update")
+        # identical where (different dict instance) resumes
+        rep2 = con.apply_iceberg_changes("notes", dest,
+                                         where={"n": {"<": 5}})
+        assert rep2["applied"] == 1
+        assert con.df("notes").count() == 6
+        # changed where refuses — never a silently diverged replica
+        with pytest.raises(ValueError, match="filter changed"):
+            con.apply_iceberg_changes("notes", dest,
+                                      where={"n": {"<": 100}})
+        # unfiltered pull against the filtered cursor refuses too
+        with pytest.raises(ValueError, match="filter changed"):
+            con.apply_iceberg_changes("notes", dest)
+        # cursor=False stays a one-off escape hatch (no cursor read)
+        rep3 = con.apply_iceberg_changes(
+            "notes", dest, cursor=False,
+            from_snapshot=rep2["to_snapshot"],
+            where={"n": {"<": 100}})
+        assert rep3["applied"] == 0
+
+    def test_legacy_int_cursor_resumes_unfiltered_only(
+            self, spark, tmp_path):
+        db, dest = self._src(spark, tmp_path)
+        con = self._consumer(spark, tmp_path)
+        rep = con.apply_iceberg_changes("notes", dest)
+        assert rep["applied"] == 10
+        ckey = [k for k in con.kv.get_keys()
+                if k.startswith("__ice_cdf_cursor__")][0]
+        cur = con.kv.get_value(ckey)
+        con.kv.set_value(ckey, int(cur["v"]))      # downgrade to r15
+        db.batch_insert("notes", [{"id": "y1", "n": 77}])
+        db.flush()
+        db.export_iceberg("notes", dest, mode="update")
+        with pytest.raises(ValueError, match="predates"):
+            con.apply_iceberg_changes("notes", dest,
+                                      where={"n": {">": 0}})
+        rep2 = con.apply_iceberg_changes("notes", dest)
+        assert rep2["applied"] == 1
+        assert con.df("notes").count() == 11
+
+    def test_delta_cdf_twin_same_rule(self, spark, tmp_path):
+        db = _mk(spark, str(tmp_path / "wh"), rows=6)
+        dest = str(tmp_path / "dx")
+        db.export_delta("notes", dest, target_files=1,
+                        change_data=True)
+        con = self._consumer(spark, tmp_path)
+        rep = con.apply_cdf("notes", dest, where={"n": {"<": 4}})
+        assert rep["applied"] == 4
+        with pytest.raises(ValueError, match="filter changed"):
+            con.apply_cdf("notes", dest, where={"n": {"<": 5}})
+        rep2 = con.apply_cdf("notes", dest, where={"n": {"<": 4}})
+        assert rep2["applied"] == 0               # same where resumes

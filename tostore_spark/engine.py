@@ -1762,7 +1762,9 @@ class ToStoreSpark:
         derivable append commits prune their files by log stats
         before being read — a key-range replica never downloads
         unrelated changes.  A consistent filtered replica requires
-        the SAME where on every pull (the cursor does not record it).
+        the SAME where on every pull — the cursor records the
+        filter's signature and a pull under a CHANGED where raises
+        instead of silently diverging the replica.
         Returns ``{"applied", "from_version", "to_version"}``."""
         import os as _os
 
@@ -1780,7 +1782,8 @@ class ToStoreSpark:
         to = latest if to_version is None else int(to_version)
         ckey = (f"__cdf_cursor__:{self._space}:{table}:"
                 f"{_os.path.abspath(p)}")
-        last = self.kv.get_value(ckey) if cursor else None
+        wsig = self._where_sig(where)
+        last = self._cursor_read(ckey, wsig) if cursor else None
         if last is not None:
             frm = int(last) + 1
         elif from_version is not None:
@@ -1792,9 +1795,55 @@ class ToStoreSpark:
         feed = read_delta_cdf(self.spark, p, frm, to, where=where)
         n = self._apply_net_feed(table, feed)
         if cursor:
-            self.kv.set_value(ckey, int(to))
+            self._cursor_write(ckey, int(to), wsig)
         return {"applied": int(n), "from_version": frm,
                 "to_version": to}
+
+    def _where_sig(self, where) -> Optional[str]:
+        """Stable signature of a subscription filter (ConditionNode
+        plain-map IR, sha256-prefixed) — None for unfiltered."""
+        import hashlib
+        import json as _json
+
+        from tostore_spark.condition import to_condition_node
+        node = to_condition_node(where)
+        if node is None or node.is_empty():
+            return None
+        return hashlib.sha256(
+            _json.dumps(node.simplify().to_map(), sort_keys=True,
+                        default=str).encode()).hexdigest()[:16]
+
+    def _cursor_read(self, ckey: str, wsig: Optional[str]):
+        """Read a subscription cursor, REFUSING a filter change: the
+        cursor records the where-signature it was written under, and
+        resuming it with a different filter would silently diverge
+        the replica (rows matching only the old filter stay stale
+        forever).  Returns the cursor value or None."""
+        raw = self.kv.get_value(ckey)
+        if raw is None:
+            return None
+        if isinstance(raw, dict) and "v" in raw:
+            if raw.get("w") != wsig:
+                raise ValueError(
+                    "subscription filter changed: the cursor for "
+                    f"{ckey!r} was written under a different where — "
+                    "resume with the original filter, or rebuild the "
+                    "consumer (clear the table and cursor, or pass "
+                    "cursor=False for a one-off pull)")
+            return raw["v"]
+        # pre-filter-hash integer cursor: only an UNFILTERED
+        # subscription may resume it (a legacy filtered cursor is
+        # indistinguishable from an unfiltered one)
+        if wsig is not None:
+            raise ValueError(
+                f"cursor {ckey!r} predates filter hashing — clear it "
+                "(or pass cursor=False) before resuming a FILTERED "
+                "subscription")
+        return raw
+
+    def _cursor_write(self, ckey: str, value,
+                      wsig: Optional[str]) -> None:
+        self.kv.set_value(ckey, {"v": value, "w": wsig})
 
     def _apply_net_feed(self, table: str, feed) -> int:
         """NET a change feed per row multiset (a row inserted then
@@ -1974,9 +2023,10 @@ class ToStoreSpark:
         without it the first call folds the full history (bootstrap
         as inserts).  ``where`` makes the subscription FILTERED —
         matching change rows only, derivable appends pruned by
-        manifest bounds; keep it IDENTICAL across pulls (the cursor
-        does not record it).  Returns ``{"applied", "from_snapshot",
-        "to_snapshot"}``."""
+        manifest bounds; keep it IDENTICAL across pulls — the cursor
+        records the filter's signature and a pull under a CHANGED
+        where raises instead of silently diverging the replica.
+        Returns ``{"applied", "from_snapshot", "to_snapshot"}``."""
         import os as _os
 
         from tostore_spark.plans.iceberg import (_load_metadata,
@@ -1990,7 +2040,8 @@ class ToStoreSpark:
         to = int(cur) if to_snapshot is None else int(to_snapshot)
         ckey = (f"__ice_cdf_cursor__:{self._space}:{table}:"
                 f"{_os.path.abspath(p)}")
-        last = self.kv.get_value(ckey) if cursor else None
+        wsig = self._where_sig(where)
+        last = self._cursor_read(ckey, wsig) if cursor else None
         if last is not None:
             frm = int(last)
         elif from_snapshot is not None:
@@ -2004,7 +2055,7 @@ class ToStoreSpark:
                                     to_snapshot=to, where=where)
         n = self._apply_net_feed(table, feed)
         if cursor:
-            self.kv.set_value(ckey, int(to))
+            self._cursor_write(ckey, int(to), wsig)
         return {"applied": int(n), "from_snapshot": frm,
                 "to_snapshot": to}
 
