@@ -740,3 +740,98 @@ class TestFilteredCursorSignature:
             con.apply_cdf("notes", dest, where={"n": {"<": 5}})
         rep2 = con.apply_cdf("notes", dest, where={"n": {"<": 4}})
         assert rep2["applied"] == 0               # same where resumes
+
+
+class TestBootstrapFastPath:
+    """r16: a cursor-less, seed-less first pull bootstraps from the
+    TARGET SNAPSHOT directly (O(state), no history fold) — and so
+    works across rewrites the changelog refuses; incremental pulls
+    stay on the exact changelog."""
+
+    def test_bootstrap_skips_changelog_and_survives_refresh(
+            self, spark, tmp_path, monkeypatch):
+        import tostore_spark.plans.iceberg as ice
+        from tostore_spark.schema import FieldSchema
+        db = _mk(spark, str(tmp_path / "wh"), rows=8)
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest, target_files=1)      # s1
+        # a schema migration forces a REFRESH export: an overwrite
+        # snapshot that drops the parent's manifests — underivable
+        # by the changelog
+        db.update_schema("notes").add_field(
+            FieldSchema("tag", DataType.text,
+                        default_value="T")).execute()
+        db.flush()
+        rep = db.export_iceberg("notes", dest, mode="update")
+        assert rep["commit"] == "refresh"
+        with pytest.raises(ValueError, match="rewrite"):
+            read_iceberg_changes(spark, dest).collect()
+        con = ToStoreSpark(spark, warehouse=str(tmp_path / "wc"))
+        con.create_table(TableSchema(
+            name="notes", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n", type=DataType.integer),
+                    FieldSchema(name="tag", type=DataType.text)]))
+
+        def boom(*a, **kw):
+            raise AssertionError("bootstrap must not fold history")
+        monkeypatch.setattr(ice, "read_iceberg_changes", boom)
+        rep = con.apply_iceberg_changes("notes", dest)
+        assert rep["applied"] == 8
+        monkeypatch.undo()
+        # incremental pull after the bootstrap rides the changelog
+        db.batch_insert("notes", [{"id": "x1", "n": 99,
+                                   "tag": "zz"}])
+        db.flush()
+        db.export_iceberg("notes", dest, mode="update")
+        rep2 = con.apply_iceberg_changes("notes", dest)
+        assert rep2["applied"] == 1
+        cols = sorted(db.df("notes").columns)
+        a = sorted(map(tuple, db.df("notes").select(*cols).collect()))
+        b = sorted(map(tuple,
+                       con.df("notes").select(*cols).collect()))
+        assert a == b
+
+    def test_delta_bootstrap_reads_snapshot(self, spark, tmp_path,
+                                            monkeypatch):
+        import tostore_spark.plans.delta_export as de
+        db = _mk(spark, str(tmp_path / "wh"), rows=6)
+        dest = str(tmp_path / "dx")
+        db.export_delta("notes", dest, target_files=1,
+                        change_data=True)
+        db.delete("notes").where("n", "=", 0).execute()
+        db.flush()
+        db.export_delta("notes", dest, mode="update")
+        con = ToStoreSpark(spark, warehouse=str(tmp_path / "wc"))
+        con.create_table(TableSchema(
+            name="notes", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n", type=DataType.integer)]))
+
+        def boom(*a, **kw):
+            raise AssertionError("bootstrap must not replay the log")
+        import tostore_spark.engine as eng  # noqa: F401
+        monkeypatch.setattr(de, "read_delta_cdf", boom)
+        rep = con.apply_cdf("notes", dest)
+        assert rep["applied"] == 5          # current state, not 6+1
+        monkeypatch.undo()
+        db.batch_insert("notes", [{"id": "y1", "n": 70}])
+        db.flush()
+        db.export_delta("notes", dest, mode="update")
+        rep2 = con.apply_cdf("notes", dest)
+        assert rep2["applied"] == 1
+        assert con.df("notes").count() == 6
+
+    def test_filtered_bootstrap_prunes_and_nets(self, spark,
+                                                tmp_path):
+        db = _mk(spark, str(tmp_path / "wh"), rows=12)
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest, target_files=4,
+                          cluster_by=["n"])
+        con = ToStoreSpark(spark, warehouse=str(tmp_path / "wc"))
+        con.create_table(TableSchema(
+            name="notes", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n", type=DataType.integer)]))
+        rep = con.apply_iceberg_changes("notes", dest,
+                                        where={"n": {"<": 3}})
+        assert rep["applied"] == 3
+        assert sorted(r["n"] for r in
+                      con.df("notes").collect()) == [0, 1, 2]

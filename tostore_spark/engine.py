@@ -1756,7 +1756,10 @@ class ToStoreSpark:
         ``from_version`` seeds the FIRST call for a consumer that
         bootstrapped from an existing snapshot (e.g.
         ``register_delta`` at version N → ``from_version=N+1``);
-        without it the first call applies from the earliest commit.
+        without it the first call BOOTSTRAPS by reading the target
+        snapshot directly as inserts — O(current state), never an
+        O(history) replay, and correct even across checkpoint-
+        truncated logs.
         ``where`` (the engine predicate language) makes the
         subscription FILTERED: only matching change rows apply, and
         derivable append commits prune their files by log stats
@@ -1789,14 +1792,29 @@ class ToStoreSpark:
         elif from_version is not None:
             frm = int(from_version)
         else:
-            frm = versions[0]
-        if frm > to:
+            frm = None                       # bootstrap
+        if frm is not None and frm > to:
             return {"applied": 0, "from_version": frm, "to_version": to}
-        feed = read_delta_cdf(self.spark, p, frm, to, where=where)
+        if frm is None:
+            # BOOTSTRAP fast path: the netted replay of every commit
+            # up to ``to`` IS the snapshot's live state — read it
+            # directly as inserts.  O(current state) instead of
+            # O(history), correct even when the early log was
+            # checkpoint-truncated or predates CDF enablement, and
+            # ``where=`` prunes files through the same log stats.
+            from pyspark.sql import functions as _F
+
+            from tostore_spark.plans.delta_export import read_delta
+            feed = (read_delta(self.spark, p, version=to, where=where)
+                    .withColumn("_change_type", _F.lit("insert")))
+            frm_rep = versions[0]
+        else:
+            feed = read_delta_cdf(self.spark, p, frm, to, where=where)
+            frm_rep = frm
         n = self._apply_net_feed(table, feed)
         if cursor:
             self._cursor_write(ckey, int(to), wsig)
-        return {"applied": int(n), "from_version": frm,
+        return {"applied": int(n), "from_version": frm_rep,
                 "to_version": to}
 
     def _where_sig(self, where) -> Optional[str]:
@@ -2020,8 +2038,10 @@ class ToStoreSpark:
         ``from_snapshot`` (exclusive) seeds the FIRST call for a
         consumer that bootstrapped from an existing snapshot
         (``read_iceberg(snapshot_id=N)`` → ``from_snapshot=N``);
-        without it the first call folds the full history (bootstrap
-        as inserts).  ``where`` makes the subscription FILTERED —
+        without it the first call BOOTSTRAPS by reading the target
+        snapshot directly as inserts — O(current state), never an
+        O(history) fold, and it works across rewrites the changelog
+        refuses to derive.  ``where`` makes the subscription FILTERED —
         matching change rows only, derivable appends pruned by
         manifest bounds; keep it IDENTICAL across pulls — the cursor
         records the filter's signature and a pull under a CHANGED
@@ -2051,8 +2071,25 @@ class ToStoreSpark:
         if frm is not None and frm == to:
             return {"applied": 0, "from_snapshot": frm,
                     "to_snapshot": to}
-        feed = read_iceberg_changes(self.spark, p, from_snapshot=frm,
-                                    to_snapshot=to, where=where)
+        if frm is None:
+            # BOOTSTRAP fast path: the netted full-history changelog
+            # fold IS the target snapshot's live state — read it
+            # directly as inserts.  O(current state) instead of
+            # O(history): no pre-image probes, no long-chain fold,
+            # and it works across rewrites/refreshes the changelog
+            # rightly refuses to derive; ``where=`` prunes at the
+            # manifest level.  Incremental pulls (a cursor or
+            # from_snapshot) stay on the exact changelog.
+            from pyspark.sql import functions as _F
+
+            from tostore_spark.plans.iceberg import read_iceberg
+            feed = (read_iceberg(self.spark, p, snapshot_id=to,
+                                 where=where)
+                    .withColumn("_change_type", _F.lit("insert")))
+        else:
+            feed = read_iceberg_changes(self.spark, p,
+                                        from_snapshot=frm,
+                                        to_snapshot=to, where=where)
         n = self._apply_net_feed(table, feed)
         if cursor:
             self._cursor_write(ckey, int(to), wsig)
