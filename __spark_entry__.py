@@ -3421,6 +3421,130 @@ def q_bridge_add_column(spark, sf_dir):
               "n_schemas bigint, key_sum bigint")
 
 
+def q_changes_evolution(spark, sf_dir):
+    """Iceberg changelog across ADD-COLUMN evolution (r16,
+    plans/iceberg.read_iceberg_changes schema binding): a foreign
+    history evolves additively between two append snapshots (new
+    schema-id appended to the metadata, fresh field id, old files
+    never rewritten); the changelog surfaces PRE-evolution rows under
+    the range-END schema with the added column NULL-padded (the
+    Delta CDF rule) and post-evolution rows with values — and a
+    RENAME in the range refuses (asserted in-entry).  DuckDB derives
+    the counts from nation arithmetic."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from tostore_spark.plans.iceberg import (_commit_snapshot,
+                                             _current_schema,
+                                             _load_metadata,
+                                             _next_metadata_version,
+                                             _write_metadata_json,
+                                             read_iceberg,
+                                             read_iceberg_changes)
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    db = _db(spark, sf_dir)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    with tempfile.TemporaryDirectory() as tmp:
+        dest = os.path.join(tmp, "ice")
+        db1 = ToStoreSpark(spark, warehouse=os.path.join(tmp, "wh"))
+        db1.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n_name", type=DataType.text),
+                    FieldSchema(name="key", type=DataType.integer)]))
+        db1.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
+             "key": r["n_nationkey"]} for r in nat])
+        db1.flush()
+        db1.export_iceberg("nat", dest, target_files=1)       # s1
+        # additive evolution: schema-id 1 = schema-id 0 + tag:string
+        meta = _load_metadata(dest)
+        old = _current_schema(meta)
+        new_id = max(f["id"] for f in old["fields"]) + 1
+        new_sj = {"type": "struct", "schema-id": 1,
+                  "fields": [dict(f) for f in old["fields"]] + [
+                      {"id": new_id, "name": "tag",
+                       "required": False, "type": "string"}]}
+        meta["schemas"] = list(meta.get("schemas")
+                               or [dict(old, **{"schema-id": 0})]) \
+            + [new_sj]
+        meta["current-schema-id"] = 1
+        meta["last-column-id"] = new_id
+        if "schema" in meta:
+            meta["schema"] = new_sj
+        mdir = os.path.join(dest, "metadata")
+        _write_metadata_json(mdir, _next_metadata_version(mdir), meta)
+        # post-evolution append: a 4-column file, proper field ids
+        ids = {f["name"]: f["id"] for f in new_sj["fields"]}
+        sch = pa.schema([
+            pa.field("id", pa.string(), metadata={
+                b"PARQUET:field_id": str(ids["id"]).encode()}),
+            pa.field("n_name", pa.string(), metadata={
+                b"PARQUET:field_id": str(ids["n_name"]).encode()}),
+            pa.field("key", pa.int64(), metadata={
+                b"PARQUET:field_id": str(ids["key"]).encode()}),
+            pa.field("tag", pa.string(), metadata={
+                b"PARQUET:field_id": str(ids["tag"]).encode()})])
+        tbl = pa.table({"id": ["zz"], "n_name": ["FRESH"],
+                        "key": [999], "tag": ["fresh"]}, schema=sch)
+        fp = os.path.join(dest, "data", "evolved.parquet")
+        papq.write_table(tbl, fp)
+        meta2 = _load_metadata(dest)
+        _commit_snapshot(dest, meta2,
+                         [(fp, 1, os.path.getsize(fp))], None,
+                         keep_prior=True, operation="append")  # s2
+        feed = read_iceberg_changes(spark, dest)
+        if "tag" not in feed.columns:
+            raise AssertionError("feed not under the END schema")
+        row = feed.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("tag").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_null_tag"),
+            F.sum(F.when(F.col("tag") == "fresh", 1).otherwise(0))
+            .cast("long").alias("n_fresh"),
+            F.sum("key").cast("long").alias("key_sum")).first()
+        # current-state read agrees (old files null-fill by field id)
+        cur = read_iceberg(spark, dest)
+        n_cur_null = cur.filter(F.col("tag").isNull()).count()
+        if n_cur_null != len(nat):
+            raise AssertionError(f"state null-pad off: {n_cur_null}")
+        # a RENAME in the range refuses loudly
+        meta3 = _load_metadata(dest)
+        ren = {"type": "struct", "schema-id": 2,
+               "fields": [dict(f, name="key_renamed")
+                          if f["name"] == "key" else dict(f)
+                          for f in new_sj["fields"]]}
+        meta3["schemas"] = meta3["schemas"] + [ren]
+        meta3["current-schema-id"] = 2
+        if "schema" in meta3:
+            meta3["schema"] = ren
+        _write_metadata_json(mdir, _next_metadata_version(mdir),
+                             meta3)
+        tbl2 = pa.table({"id": ["yy"], "n_name": ["REN"],
+                         "key": [1], "tag": ["r"]}, schema=sch)
+        fp2 = os.path.join(dest, "data", "renamed.parquet")
+        papq.write_table(tbl2, fp2)
+        meta4 = _load_metadata(dest)
+        _commit_snapshot(dest, meta4,
+                         [(fp2, 1, os.path.getsize(fp2))], None,
+                         keep_prior=True, operation="append")  # s3
+        try:
+            read_iceberg_changes(spark, dest)
+            raise AssertionError("rename range did not refuse")
+        except ValueError:
+            pass
+        rows = [{"n_rows": int(row["n_rows"]),
+                 "n_null_tag": int(row["n_null_tag"]),
+                 "n_fresh": int(row["n_fresh"]),
+                 "key_sum": int(row["key_sum"])}]
+    return spark.createDataFrame(
+        rows, "n_rows bigint, n_null_tag bigint, n_fresh bigint, "
+              "key_sum bigint")
+
+
 def q_uniform_bridge(spark, sf_dir):
     """UniForm-style format bridge (r14, plans/iceberg.
     convert_delta_to_iceberg): Iceberg v2 metadata written OVER a
@@ -5856,7 +5980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
-        "q_bridge_add_column",                                # born r16
+        "q_bridge_add_column", "q_changes_evolution",         # born r16
         "q_iceberg_cdf", "q_uniform_sync",                    # born r15
         "q_uniform_bridge",                                   # born r14
         "q_convert_iceberg", "q_convert_delta",               # born r14
@@ -6117,6 +6241,13 @@ def _cov_oracle_sql(dims: int = 8) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q_changes_evolution": """
+            SELECT CAST(count(*) + 1 AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT)     AS n_null_tag,
+                   CAST(1 AS BIGINT)            AS n_fresh,
+                   CAST(sum(n_nationkey) + 999 AS BIGINT) AS key_sum
+            FROM nation
+        """,
         "q_bridge_add_column": """
             SELECT CAST(count(*) + 1 AS BIGINT) AS n_final,
                    CAST(count(*) AS BIGINT)     AS n_xx,

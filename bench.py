@@ -1210,6 +1210,137 @@ def _changelog_sync_stat(spark, sf_dir: str) -> dict | None:
         return None
 
 
+def _consumer_bootstrap_stat(spark, sf_dir: str) -> dict | None:
+    """Consumer BOOTSTRAP tripwire (r16): a cursor-less first
+    ``apply_iceberg_changes`` reads the TARGET SNAPSHOT (O(state)),
+    so its cost must be ~FLAT in HISTORY LENGTH — measured on the
+    same ~60k-row state under 4-commit vs 14-commit histories
+    (both under the store's 16-segment auto-compaction bound, which
+    would otherwise refresh the export mid-ladder),
+    med-of-3 over independent consumers, legs adjacent.  The
+    ``replay_*`` readings time the OLD path (the full changelog fold
+    of the same history) for contrast — that one grows with commit
+    count, which is why the bootstrap no longer rides it."""
+    import os as _os
+    import tempfile
+    import time as _t
+    from contextlib import ExitStack
+    from statistics import median
+
+    try:
+        import __spark_entry__ as entrymod
+        from tostore_spark import ToStoreSpark
+        from tostore_spark.plans.iceberg import (read_iceberg_changes,
+                                                 rewrite_data_files)
+        from tostore_spark.schema import (DataType, FieldSchema,
+                                          PrimaryKeyConfig, TableSchema)
+        li = entrymod._db(spark, sf_dir).df("lineitem")
+        base = (li.selectExpr(
+            "concat('r', cast(monotonically_increasing_id() as string))"
+            " as id",
+            "l_orderkey", "l_quantity", "l_returnflag")
+            .limit(60000).localCheckpoint(eager=True))
+
+        def _sch(name):
+            return TableSchema(
+                name=name, primary_key=PrimaryKeyConfig(name="id"),
+                fields=[FieldSchema("l_orderkey", DataType.integer),
+                        FieldSchema("l_quantity", DataType.double),
+                        FieldSchema("l_returnflag", DataType.text)])
+        REPS = 3
+        out: dict = {"state_rows": 60000, "reps": REPS,
+                     "method": "adjacent-leg med-of-3"}
+        legs: dict = {}
+        with ExitStack() as stack:
+            for label, commits in (("short", 4), ("long", 14)):
+                tmp = stack.enter_context(
+                    tempfile.TemporaryDirectory())
+                db = ToStoreSpark(spark,
+                                  warehouse=_os.path.join(tmp, "wh"))
+                db.register_table("t", df=base, schema=_sch("t"))
+                db.flush()
+                dice = _os.path.join(tmp, "ice")
+                db.export_iceberg("t", dice, target_files=8)
+                ids = [r["id"] for r in base.limit(100).collect()]
+                n_live, n_changes, n_del = 60000, 60000, 0
+                for c in range(commits - 1):
+                    if c % 5 == 4:
+                        # a delete epoch: replay pays a pre-image
+                        # probe here; the bootstrap does not
+                        batch = ids[n_del * 10:(n_del + 1) * 10]
+                        db.delete("t").where("id", "IN",
+                                             batch).execute()
+                        n_del += 1
+                        n_live -= 10
+                        n_changes += 10
+                    else:
+                        db.append_rows("t", spark.createDataFrame(
+                            [(f"h{c}{i:02d}", 1, 1.0, "H")
+                             for i in range(10)], base.schema))
+                        n_live += 10
+                        n_changes += 10
+                    db.flush(only=["t"])
+                    db.export_iceberg("t", dice, mode="update")
+                # compact BOTH legs to the same physical shape: the
+                # bootstrap then reads comparable layouts (history
+                # length must not leak in through small-file debt),
+                # while the replay fold still derives every ORIGINAL
+                # epoch — compaction is a 'replace' it skips
+                rewrite_data_files(spark, dice,
+                                   target_file_bytes=128 << 20,
+                                   min_files=2)
+                legs[label] = {"tmp": tmp, "dice": dice,
+                               "commits": commits,
+                               "n_live": n_live,
+                               "n_changes": n_changes,
+                               "boot": [], "replay": []}
+            out["stage_canary_sec"] = _stage_canary(spark)
+            for rep in range(REPS):
+                for label in ("short", "long"):
+                    L = legs[label]
+                    con = ToStoreSpark(spark, warehouse=_os.path.join(
+                        L["tmp"], f"wc{rep}"))
+                    con.create_table(_sch("t"))
+                    t0 = _t.time()
+                    r = con.apply_iceberg_changes("t", L["dice"])
+                    L["boot"].append(_t.time() - t0)
+                    assert r["applied"] == L["n_live"], r
+                    t0 = _t.time()
+                    n = read_iceberg_changes(spark, L["dice"]).count()
+                    L["replay"].append(_t.time() - t0)
+                    assert n == L["n_changes"], n
+            for label in ("short", "long"):
+                L = legs[label]
+                out[label] = {
+                    "commits": L["commits"],
+                    "bootstrap_sec": round(median(L["boot"]), 3),
+                    "bootstrap_reps": [round(x, 3)
+                                       for x in L["boot"]],
+                    "replay_fold_sec": round(median(L["replay"]), 3),
+                    "replay_fold_reps": [round(x, 3)
+                                         for x in L["replay"]],
+                }
+        out["scale_x"] = {
+            "bootstrap": round(out["long"]["bootstrap_sec"]
+                               / out["short"]["bootstrap_sec"], 2),
+            "replay_fold": round(out["long"]["replay_fold_sec"]
+                                 / out["short"]["replay_fold_sec"],
+                                 2)}
+        out["note"] = ("both legs are COMPACTED to the same "
+                       "physical shape before measuring, so the "
+                       "bootstrap reads ~the same live file set "
+                       "(expect ~1x across 3.5x the commits) while "
+                       "replay_fold — the old consumer path, kept "
+                       "for contrast — still derives every ORIGINAL "
+                       "epoch (pre-image probes on deletes) and "
+                       "grows with history")
+        return out
+    except Exception as exc:                    # pragma: no cover
+        print(f"# consumer bootstrap stat skipped: {exc}",
+              file=sys.stderr)
+        return None
+
+
 def _interop_skip_stat(spark, sf_dir: str) -> dict | None:
     """Scan-planning tripwire for the interop READERS (r14 where=):
     seconds to run a FIXED-selectivity aggregate through
@@ -1740,6 +1871,7 @@ def main():
     interop_export = _interop_export_stat(spark, sf_dir)
     interop_skip = _interop_skip_stat(spark, sf_dir)
     changelog_sync = _changelog_sync_stat(spark, sf_dir)
+    consumer_bootstrap = _consumer_bootstrap_stat(spark, sf_dir)
     skipping = _skipping_stat(spark, sf_dir)
 
     # Detail block (extras/recall/sf1/methodology): written to a committed
@@ -1764,6 +1896,7 @@ def main():
         "interop_export": interop_export,
         "interop_skip": interop_skip,
         "changelog_sync": changelog_sync,
+        "consumer_bootstrap": consumer_bootstrap,
         "skipping": skipping,
         # r11-verdict #6 adjudication (measured r12, adjacent med-of-5
         # per pair in one clean session at sf0.1, canary-comparable
