@@ -835,3 +835,89 @@ class TestBootstrapFastPath:
         assert rep["applied"] == 3
         assert sorted(r["n"] for r in
                       con.df("notes").collect()) == [0, 1, 2]
+
+
+class TestFilteredPreimagePruning:
+    """r16: on a FILTERED feed, delete pre-image derivation prunes at
+    the file level too — pos-delete target files the parent stats
+    refute are never read, and the eq-delete parent probe ANDs the
+    caller's predicate into its manifest-bounds where."""
+
+    def test_pos_delete_targets_pruned_by_where(self, spark,
+                                                tmp_path,
+                                                monkeypatch):
+        import tostore_spark.plans.iceberg as ice
+        db = _mk(spark, str(tmp_path / "wh"), rows=400)
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest, target_files=4,
+                          cluster_by=["n"])
+        meta = _load_metadata(dest)
+        s1 = meta["current-snapshot-id"]
+        snap = [s for s in meta["snapshots"]
+                if s["snapshot-id"] == s1][0]
+        data, _pd, _ed, _parts, _fs = _scan_files(meta, snap, dest)
+        files = sorted(fp for fp, _ in data)
+        allrows = spark.read.parquet(*files).select(
+            "n", F.col("_metadata.file_path").alias("f"),
+            F.col("_metadata.row_index").alias("p")).collect()
+        by_n = {r["n"]: (ice._norm_path(r["f"]), r["p"])
+                for r in allrows}
+        hits = [by_n[0], by_n[399]]       # one kill per range end
+        killed_lo, killed_hi = 0, 399
+        df_ = _write_position_deletes(dest, hits)
+        meta2 = _load_metadata(dest)
+        _commit_snapshot(dest, meta2, None, [df_],
+                         keep_prior=True, operation="delete")
+        pruned = []
+        orig = ice._prune_by_stats
+
+        def spy(meta_, sj, d, parts, fstats, node):
+            kept = orig(meta_, sj, d, parts, fstats, node)
+            pruned.append((len(kept), len(d)))
+            return kept
+        monkeypatch.setattr(ice, "_prune_by_stats", spy)
+        feed = ice.read_iceberg_changes(
+            spark, dest, from_snapshot=s1,
+            where={"n": {"<": 100}})
+        rows = feed.collect()
+        assert [(r["n"], r["_change_type"]) for r in rows] == \
+            [(killed_lo, "delete")]
+        assert killed_hi >= 100          # the other kill is filtered
+        assert (1, 2) in pruned, pruned  # 1 of 2 target files read
+
+    def test_eqdelete_parent_probe_narrowed_by_where(
+            self, spark, tmp_path, monkeypatch):
+        import tostore_spark.plans.iceberg as ice
+        db = _mk(spark, str(tmp_path / "wh"), rows=400)
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest, target_files=4,
+                          cluster_by=["n"])
+        s1 = _load_metadata(dest)["current-snapshot-id"]
+        # kill one low-n and one high-n key: the key BOUNDS span the
+        # whole table, so only the caller's where can narrow
+        db.delete("notes").where("id", "IN",
+                                 ["k000", "k399"]).execute()
+        db.flush()
+        rep = db.export_iceberg("notes", dest, mode="update")
+        assert rep["commit"] == "eqdel"
+        seen = {}
+        orig = ice.read_iceberg
+
+        def spy(spark_, p_, **kw):
+            df = orig(spark_, p_, **kw)
+            if kw.get("where") is not None:
+                seen["files"] = list(df.inputFiles())
+            return df
+        monkeypatch.setattr(ice, "read_iceberg", spy)
+        feed = ice.read_iceberg_changes(
+            spark, dest, from_snapshot=s1,
+            where={"n": {"<": 100}})
+        rows = feed.collect()
+        assert [(r["id"], r["_change_type"]) for r in rows] == \
+            [("k000", "delete")]
+        assert len(seen["files"]) == 1, seen
+        # and WITHOUT the filter both kills surface
+        feed2 = ice.read_iceberg_changes(spark, dest,
+                                         from_snapshot=s1)
+        assert sorted(r["id"] for r in feed2.collect()) == \
+            ["k000", "k399"]

@@ -2612,7 +2612,7 @@ def read_iceberg_changes(spark, path: str,
                 "deletes but its parent has been expired — pre-image "
                 "suppression cannot be derived; re-bootstrap the "
                 "consumer from read_iceberg")
-        pdata, ppos, ped = [], [], []
+        pdata, ppos, ped, _pp, _fs = [], [], [], {}, {}
         if parent_id is not None and parent_id in snaps:
             pdata, ppos, ped, _pp, _fs = _scan_files(
                 meta, snaps[parent_id], location)
@@ -2631,6 +2631,19 @@ def read_iceberg_changes(spark, path: str,
                 "position-delete snapshot touches more than "
                 f"{_CHANGES_FILE_CAP} data files — over the driver "
                 "list bound")
+        if node is not None and tgt:
+            # FILTERED feed: a touched file whose parent stats refute
+            # the predicate cannot contribute a pre-image the final
+            # row filter would keep — prune it before Spark reads it
+            # (same manifest-bounds machinery as the append prune);
+            # files without parent stats stay, conservatively
+            seq_of = dict(pdata)
+            cand = [(fp, seq_of[fp]) for fp in tgt if fp in seq_of]
+            kept = _prune_by_stats(meta, end_schema_json, cand,
+                                   _pp, _fs, node)
+            keep_set = {fp for fp, _s in kept} | {
+                fp for fp in tgt if fp not in seq_of}
+            tgt = [fp for fp in tgt if fp in keep_set]
         if not tgt:
             return None
         frame = (spark.read.schema(sschema).parquet(*sorted(tgt))
@@ -2711,6 +2724,16 @@ def read_iceberg_changes(spark, path: str,
                 _key_bounds_where
             probe_where = _key_bounds_where(keys, sfields,
                                             skip_tz=True)
+            if node is not None:
+                # FILTERED feed: AND the caller's predicate into the
+                # parent probe — pre-images the final row filter
+                # would drop never leave the manifest level
+                from tostore_spark.condition import (ConditionNode,
+                                                     to_condition_node)
+                pw = to_condition_node(probe_where) \
+                    if probe_where is not None else None
+                kids = [c for c in (node, pw) if c is not None]
+                probe_where = ConditionNode("and", children=kids)
             parent_rows = read_iceberg(spark, p,
                                        snapshot_id=parent_id,
                                        where=probe_where)
