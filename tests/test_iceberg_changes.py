@@ -921,3 +921,56 @@ class TestFilteredPreimagePruning:
                                          from_snapshot=s1)
         assert sorted(r["id"] for r in feed2.collect()) == \
             ["k000", "k399"]
+
+    def test_filter_on_added_column_stays_conservative(
+            self, spark, tmp_path):
+        """A where= on a column ADDED after the parent snapshot: the
+        parent probe sees an unknown field (= null semantics) and
+        keeps rows conservatively; the padded feed's final filter
+        decides — IS-null matches the pre-evolution pre-image."""
+        import pyarrow as pa
+
+        import tostore_spark.plans.iceberg as ice
+        db = _mk(spark, str(tmp_path / "wh"), rows=4)
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest, target_files=1)      # s1
+        s1 = _load_metadata(dest)["current-snapshot-id"]
+        # evolve: + tag string (hand metadata edit, foreign style)
+        from tostore_spark.plans.iceberg import (
+            _current_schema, _next_metadata_version,
+            _write_metadata_json)
+        meta = _load_metadata(dest)
+        old = _current_schema(meta)
+        new_id = max(f["id"] for f in old["fields"]) + 1
+        new_sj = {"type": "struct", "schema-id": 1,
+                  "fields": [dict(f) for f in old["fields"]] + [
+                      {"id": new_id, "name": "tag",
+                       "required": False, "type": "string"}]}
+        meta["schemas"] = [dict(old, **{"schema-id": 0}), new_sj]
+        meta["current-schema-id"] = 1
+        meta["last-column-id"] = new_id
+        if "schema" in meta:
+            meta["schema"] = new_sj
+        mdir = os.path.join(dest, "metadata")
+        _write_metadata_json(mdir, _next_metadata_version(mdir), meta)
+        # eq-delete k001 keyed on id (a pre-evolution row)
+        ids = {f["name"]: f["id"] for f in new_sj["fields"]}
+        sch = pa.schema([pa.field("id", pa.string(), metadata={
+            b"PARQUET:field_id": str(ids["id"]).encode()})])
+        import pyarrow.parquet as papq
+        tbl = pa.table({"id": ["k001"]}, schema=sch)
+        fp = os.path.join(dest, "data", "eqdel-tagnull.parquet")
+        papq.write_table(tbl, fp)
+        meta2 = _load_metadata(dest)
+        _commit_snapshot(dest, meta2, None,
+                         [(fp, 1, os.path.getsize(fp), [ids["id"]])],
+                         keep_prior=True, operation="delete")  # s2
+        feed = read_iceberg_changes(spark, dest, from_snapshot=s1,
+                                    where={"tag": {"IS": None}})
+        rows = feed.collect()
+        assert [(r["id"], r["_change_type"], r["tag"])
+                for r in rows] == [("k001", "delete", None)]
+        # and a filter the padded row can NOT satisfy drops it
+        feed2 = read_iceberg_changes(spark, dest, from_snapshot=s1,
+                                     where={"tag": {"=": "x"}})
+        assert feed2.count() == 0
