@@ -261,7 +261,9 @@ class TestApplyAndSync:
         dest = str(tmp_path / "ice")
         src.export_iceberg("notes", dest, target_files=1)
         rep = dst.apply_iceberg_changes("notes", dest)
-        assert rep["applied"] == 20 and rep["from_snapshot"] is None
+        # bootstrap reports the ancestry ROOT as the range start (the
+        # Delta twin's versions[0] analog — r17 advice), never None
+        assert rep["applied"] == 20 and rep["from_snapshot"] == 1
         src.batch_insert("notes", [{"id": "x0", "n": 100}])
         src.flush()
         src.export_iceberg("notes", dest, mode="update")

@@ -1768,7 +1768,13 @@ class ToStoreSpark:
         the SAME where on every pull — the cursor records the
         filter's signature and a pull under a CHANGED where raises
         instead of silently diverging the replica.
-        Returns ``{"applied", "from_version", "to_version"}``."""
+        The cursor-less bootstrap requires an EMPTY consumer table
+        (checked — pure-insert bootstrap cannot remove rows a
+        non-empty target holds); seed ``from_version`` to resume a
+        pre-populated consumer.
+        Returns ``{"applied", "from_version", "to_version"}`` —
+        ``from_version`` is the range start actually folded (the
+        first log version on bootstrap)."""
         import os as _os
 
         from pyspark.sql import functions as F
@@ -1802,9 +1808,15 @@ class ToStoreSpark:
             # O(history), correct even when the early log was
             # checkpoint-truncated or predates CDF enablement, and
             # ``where=`` prunes files through the same log stats.
+            # Pure-insert bootstrap equals the netted full replay ONLY
+            # when the consumer starts EMPTY (a replay would also
+            # delete historically-removed rows already present in a
+            # non-empty target) — the precondition is CHECKED, not
+            # assumed.
             from pyspark.sql import functions as _F
 
             from tostore_spark.plans.delta_export import read_delta
+            self._require_empty_bootstrap_target(table, "from_version")
             feed = (read_delta(self.spark, p, version=to, where=where)
                     .withColumn("_change_type", _F.lit("insert")))
             frm_rep = versions[0]
@@ -1816,6 +1828,25 @@ class ToStoreSpark:
             self._cursor_write(ckey, int(to), wsig)
         return {"applied": int(n), "from_version": frm_rep,
                 "to_version": to}
+
+    def _require_empty_bootstrap_target(self, table: str,
+                                        seed_param: str) -> None:
+        """The cursor-less bootstrap fast path applies the source
+        snapshot as PURE INSERTS — equivalent to the netted full
+        replay only over an empty consumer table.  Shared guard for
+        ``apply_cdf`` / ``apply_iceberg_changes``: metadata-count
+        first (zero Spark jobs on a clean table), an ``isEmpty``
+        probe otherwise."""
+        n0 = self.stats_count(table)
+        empty = (n0 == 0) if n0 is not None \
+            else self.df(table).isEmpty()
+        if not empty:
+            raise ValueError(
+                f"bootstrap requires an EMPTY consumer table, but "
+                f"{table!r} has rows — pure-insert bootstrap would "
+                "leave historically-deleted rows in place.  Resume "
+                f"with {seed_param}= (the snapshot the table was "
+                "bootstrapped from), or clear the table first")
 
     def _where_sig(self, where) -> Optional[str]:
         """Stable signature of a subscription filter (ConditionNode
@@ -2046,7 +2077,14 @@ class ToStoreSpark:
         manifest bounds; keep it IDENTICAL across pulls — the cursor
         records the filter's signature and a pull under a CHANGED
         where raises instead of silently diverging the replica.
-        Returns ``{"applied", "from_snapshot", "to_snapshot"}``."""
+        The cursor-less bootstrap requires an EMPTY consumer table
+        (checked — pure-insert bootstrap cannot remove rows a
+        non-empty target holds); seed ``from_snapshot`` to resume a
+        pre-populated consumer.
+        Returns ``{"applied", "from_snapshot", "to_snapshot"}`` —
+        ``from_snapshot`` is the range start actually folded (the
+        ancestry-root snapshot on bootstrap, matching the Delta
+        twin's ``versions[0]``)."""
         import os as _os
 
         from tostore_spark.plans.iceberg import (_load_metadata,
@@ -2083,17 +2121,29 @@ class ToStoreSpark:
             from pyspark.sql import functions as _F
 
             from tostore_spark.plans.iceberg import read_iceberg
+            self._require_empty_bootstrap_target(table,
+                                                 "from_snapshot")
             feed = (read_iceberg(self.spark, p, snapshot_id=to,
                                  where=where)
                     .withColumn("_change_type", _F.lit("insert")))
+            # report the range actually covered (the Delta twin
+            # reports versions[0]): the bootstrap folds everything
+            # from the ancestry ROOT up to ``to``
+            snaps = {s["snapshot-id"]: s
+                     for s in meta.get("snapshots") or []}
+            frm_rep, node = to, snaps.get(to)
+            while node is not None:
+                frm_rep = node["snapshot-id"]
+                node = snaps.get(node.get("parent-snapshot-id"))
         else:
             feed = read_iceberg_changes(self.spark, p,
                                         from_snapshot=frm,
                                         to_snapshot=to, where=where)
+            frm_rep = frm
         n = self._apply_net_feed(table, feed)
         if cursor:
             self._cursor_write(ckey, int(to), wsig)
-        return {"applied": int(n), "from_snapshot": frm,
+        return {"applied": int(n), "from_snapshot": frm_rep,
                 "to_snapshot": to}
 
     def start_iceberg_sync(self, table: str, path: str,

@@ -364,6 +364,184 @@ def _prune_adds(files: dict, node, schema, top_map: dict,
     return out
 
 
+#: per-file key-bloom sidecar for the DV/position-delete export probes
+#: (round-17 verdict order #1): bounds (min/max) refutation is
+#: structurally wrong for SCATTERED point keys — 100 uniform-random
+#: deleted keys span every file's range, so `_key_bounds_where` refutes
+#: nothing and the probe scans the whole base.  The sidecar carries one
+#: bloom bitmap per (live file, key column) so the probe drops every
+#: file the bitmaps prove keyless: a 100-key delete then probes at most
+#: the files that actually hold those keys (+ a bounded false-positive
+#: tail), at ANY base size.  Built LAZILY at the first probe that needs
+#: them (one column-pruned scan of the uncovered files — the same cost
+#: class as the probe it replaces, paid once per file lifetime) and
+#: merged incrementally; refutation is sound because a bloom answers
+#: "provably absent" only.
+_BLOOM_SIDECAR = "_export_blooms.json"
+#: driver-side cap on distinct delete keys tested against the bitmaps —
+#: beyond it the probe falls back to bounds-only (a delete touching
+#: >4096 distinct keys is no longer "scattered point keys")
+_BLOOM_MAX_KEYS = 4096
+#: bitmap sizing: ~20 bits/row with k ≈ 0.693·m/n hashes ≈ 1e-4 false
+#: positives per (key, file) test — at 100 keys/file that keeps the
+#: expected false-surviving file count ~1% of candidates
+_BLOOM_BITS_PER_ROW = 20
+#: per-(file, col) bitmap cap (2^23 bits = 1 MiB raw): files above
+#: ~420k rows get a degraded (higher-FP, still sound) bitmap rather
+#: than an unbounded sidecar
+_BLOOM_MAX_M = 1 << 23
+#: sidecar entry cap — past this the export stops building new bitmaps
+#: (probe degrades to bounds-only for uncovered files).  At 100 TB the
+#: sidecar would be sharded per data directory instead; one JSON blob
+#: is the single-warehouse trade this exporter makes everywhere else.
+_BLOOM_MAX_FILES = 65536
+
+#: test hook: the last probe's refutation accounting
+#: {"candidates", "kept", "built", "keys"} — updated per del-op probe
+_PROBE_STATS: dict = {}
+
+
+def _load_export_blooms(path: str) -> dict:
+    p = os.path.join(path, _BLOOM_SIDECAR)
+    try:
+        with open(p) as fh:
+            d = json.load(fh)
+        if isinstance(d.get("files"), dict):
+            return d
+    except (OSError, ValueError):
+        pass
+    return {"files": {}}
+
+
+def _save_export_blooms(path: str, blooms: dict, live_rels) -> None:
+    """Atomic sidecar write, pruned to the currently-live rel paths
+    (version-scoped staging names are never reused, so a stale entry
+    can only waste bytes, never mismatch — pruning here keeps the
+    sidecar ∝ live files)."""
+    live = set(live_rels)
+    blooms = {"files": {r: e for r, e in blooms.get("files", {}).items()
+                        if r in live}}
+    tmp = os.path.join(path, _BLOOM_SIDECAR + f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(blooms, fh)
+    os.replace(tmp, os.path.join(path, _BLOOM_SIDECAR))
+
+
+def _build_file_blooms(df_with_path, kcols: list, m: int, k: int) -> dict:
+    """ONE JVM-side job building per-(file, col) bloom bitmaps over a
+    column-pruned read of the target files: k crc32 positions per (row,
+    col) — the exact formula ``plans.skipping.bloom_positions`` tests
+    (``crc32(cast(col as string) || '#i') % m``) — packed into 64-bit
+    words EXECUTOR-side (``groupBy(file, col, word).agg(bit_or)``), so
+    the collect is bounded by ``files · cols · m/64`` words, never by
+    the row count.  Returns {file basename: {col: bitmap bytes}}."""
+    from pyspark.sql import functions as F
+    entries = []
+    for c in kcols:
+        s = F.col(c).cast("string")
+        for i in range(k):
+            entries.append(F.struct(
+                F.lit(c).alias("c"),
+                (F.crc32(F.concat(s, F.lit(f"#{i}"))) % m).alias("p")))
+    rows = (df_with_path
+            .select(F.element_at(F.split(F.col("__path"), "/"), -1)
+                    .alias("f"),
+                    F.explode(F.array(*entries)).alias("e"))
+            .select("f", F.col("e.c").alias("c"), F.col("e.p").alias("p"))
+            .where(F.col("p").isNotNull())
+            .selectExpr("f", "c", "p div 64 as w",
+                        "shiftleft(1L, cast(p % 64 as int)) as b")
+            .groupBy("f", "c", "w").agg(F.bit_or("b").alias("bits"))
+            .collect())
+    out: dict = {}
+    nbytes = (m + 7) >> 3
+    for r in rows:
+        bm = (out.setdefault(r["f"], {})
+              .setdefault(r["c"], bytearray(nbytes)))
+        w = int(r["w"])
+        word = int(r["bits"]) & 0xFFFFFFFFFFFFFFFF
+        # bit j of word w = position 64w+j = byte (64w+j)>>3, bit j&7 —
+        # exactly little-endian byte order (bloom_may_contain's layout)
+        bm[w * 8:w * 8 + 8] = word.to_bytes(8, "little")
+    return out
+
+
+def _bloom_prune_probe(path: str, probe_rels: list, keys, kcols: list,
+                       reader_factory, nrows_of, live_rels=None,
+                       blooms: dict | None = None) -> list:
+    """Drop probe files whose key blooms prove NONE of the delete keys
+    present.  ``reader_factory(rels)`` must return a frame of the key
+    columns plus ``__path`` (= ``_metadata.file_path``) over exactly
+    those files; ``nrows_of(rel)`` the file's row count (None → no
+    bloom for that file, always probed).  Uncovered files are built
+    and persisted before testing, so even the FIRST scattered delete
+    probes only the files that hold its keys.  Conservative
+    throughout: un-keyable values (floats, temporals, nulls), missing
+    bitmaps, and over-cap key sets all KEEP the file."""
+    import base64
+
+    from tostore_spark.plans.skipping import bloom_may_contain
+    _PROBE_STATS.clear()
+    _PROBE_STATS.update({"candidates": len(probe_rels), "built": 0,
+                         "kept": len(probe_rels), "keys": None})
+    key_rows = (keys.select(*kcols).distinct()
+                .limit(_BLOOM_MAX_KEYS + 1).collect())
+    if len(key_rows) > _BLOOM_MAX_KEYS:
+        return probe_rels
+    _PROBE_STATS["keys"] = len(key_rows)
+    store = blooms if blooms is not None else _load_export_blooms(path)
+    files = store.setdefault("files", {})
+    uncovered = [r for r in probe_rels
+                 if not any(c in (files.get(r) or {}).get("cols", {})
+                            for c in kcols)]
+    by_base = {r.split("/")[-1]: r for r in uncovered}
+    if (uncovered and len(by_base) == len(uncovered)
+            and len(files) + len(uncovered) <= _BLOOM_MAX_FILES):
+        sizes = {r: nrows_of(r) for r in uncovered}
+        buildable = [r for r in uncovered if sizes.get(r)]
+        if buildable:
+            n_max = max(sizes[r] for r in buildable)
+            m = 1 << max(10, math.ceil(
+                math.log2(n_max * _BLOOM_BITS_PER_ROW)))
+            m = min(m, _BLOOM_MAX_M)
+            k = max(2, min(14, round(0.693 * m / n_max)))
+            try:
+                built = _build_file_blooms(reader_factory(buildable),
+                                           kcols, m, k)
+            except Exception:
+                built = {}
+            for base, colmaps in built.items():
+                rel = by_base.get(base)
+                if rel is None:
+                    continue
+                ent = files.setdefault(rel, {"m": m, "k": k, "cols": {}})
+                if ent.get("m") != m or ent.get("k") != k:
+                    ent = files[rel] = {"m": m, "k": k, "cols": {}}
+                for c, bm in colmaps.items():
+                    ent["cols"][c] = base64.b64encode(
+                        bytes(bm)).decode("ascii")
+                _PROBE_STATS["built"] += 1
+            if built:
+                _save_export_blooms(
+                    path, store,
+                    live_rels if live_rels is not None else probe_rels)
+    kept = []
+    for r in probe_rels:
+        ent = files.get(r)
+        avail = [c for c in kcols if c in (ent or {}).get("cols", {})]
+        if not ent or not avail:
+            kept.append(r)
+            continue
+        bl = {"m": ent["m"], "k": ent["k"],
+              "cols": {c: base64.b64decode(ent["cols"][c])
+                       for c in avail}}
+        if any(all(bloom_may_contain(bl, c, kr[c]) for c in avail)
+               for kr in key_rows):
+            kept.append(r)
+    _PROBE_STATS["kept"] = len(kept)
+    return kept
+
+
 def _cluster_frame(df, cluster_by, target_files):
     """Range-cluster a staging frame so per-file min/max stats become
     DISJOINT — the writer-side knob that makes stats-based file
@@ -1019,10 +1197,13 @@ def _export_update_dv(engine, key, ent, table: str, path: str,
                 # (conservative refutation — a clustered export probes
                 # the matching files, not the table); newly staged
                 # rels always probe (their deletes are same-commit)
-                probe = probe_rels
+                live_probe = [r for r in probe_rels
+                              if r in live_files]
+                new_probe = [r for r in probe_rels
+                             if r not in live_files]
                 bw = _key_bounds_where(
                     keys, {f.name: f for f in exp_schema.fields})
-                if bw is not None:
+                if bw is not None and live_probe:
                     from tostore_spark.condition import \
                         to_condition_node
                     node = _coerce_where_values(
@@ -1032,12 +1213,37 @@ def _export_update_dv(engine, key, ent, table: str, path: str,
                     pcols = list(live["meta"]
                                  .get("partitionColumns") or [])
                     kept = _prune_adds(
-                        {r: live_files[r] for r in probe_rels
-                         if r in live_files},
+                        {r: live_files[r] for r in live_probe},
                         node, exp_schema, ident, pcols)
-                    probe = sorted(kept) + [
-                        r for r in probe_rels
-                        if r not in live_files]
+                    live_probe = sorted(kept)
+                if live_probe:
+                    # point-key bloom refutation: min/max can't refute
+                    # SCATTERED keys (their span covers every file) —
+                    # the per-file key blooms can, so the probe reads
+                    # only the files that actually hold deleted keys
+
+                    def _bloom_reader(rels):
+                        rd = spark.read.schema(exp_schema)
+                        if pby:
+                            rd = rd.option("basePath", path)
+                        return (rd.parquet(*[os.path.join(path, r)
+                                             for r in rels])
+                                .select(*kcols,
+                                        F.col("_metadata.file_path")
+                                        .alias("__path")))
+
+                    def _nrows(rel):
+                        try:
+                            return int(json.loads(
+                                live_files[rel].get("stats")
+                                or "{}")["numRecords"])
+                        except (ValueError, KeyError, TypeError):
+                            return None
+                    live_probe = _bloom_prune_probe(
+                        path, live_probe, keys, kcols,
+                        _bloom_reader, _nrows,
+                        live_rels=list(live_files))
+                probe = live_probe + new_probe
                 if not probe:
                     continue        # every live file refuted the keys
                 frame = (reader
@@ -2093,15 +2299,47 @@ def read_delta_cdf(spark, path: str, from_version: int,
             "delta.enableChangeDataFeed is not set at version "
             f"{from_version} — the table carries no change data feed "
             "for this range")
-    if conf.get("delta.columnMapping.mode", "none") not in ("none", ""):
-        raise ValueError("CDF read under column mapping is not "
-                         "supported by this reader")
     # rows come back under the schema at the END of the range (the
     # Delta CDF contract): change files written before a mid-range
-    # schema evolution null-fill the added columns
+    # schema evolution null-fill the added columns; under COLUMN
+    # MAPPING a mid-range logical RENAME keeps the physical parquet
+    # columns stable, so every commit's files read through the END
+    # schema's physical names and surface under its logical names —
+    # exactly the rename-survival rule (r17).  Files written before a
+    # mid-range mapping ENABLEMENT carry logical names that the
+    # upgrade froze as the physical names, so the same read covers
+    # them.
     end_meta = _replay(p, to_version)["meta"]
     schema = StructType.fromJson(json.loads(end_meta["schemaString"]))
     pcols = list(end_meta.get("partitionColumns") or [])
+    cm_mode = ((end_meta or {}).get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
+    if cm_mode in ("none", ""):
+        pschema, top_map = schema, {f.name: f.name
+                                    for f in schema.fields}
+    else:
+        if pcols:
+            raise ValueError(
+                "CDF read under column mapping on a PARTITIONED "
+                "table is not supported (partitionValues are keyed "
+                "by physical names)")
+        if cm_mode == "name":
+            pschema, top_map = _physical_schema(schema)
+        elif cm_mode == "id":
+            pschema, top_map = _physical_schema(schema, with_ids=True)
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true")
+        else:
+            raise ValueError(
+                f"delta column mapping mode {cm_mode!r} unsupported")
+
+    def _logical(df, extra=()):
+        # physical → logical: rename top level, CAST renames nested
+        if cm_mode in ("none", ""):
+            return df
+        return df.select(*[
+            F.col(top_map[f.name]).cast(f.dataType).alias(f.name)
+            for f in schema.fields], *extra)
     node = None
     if where is not None:
         from tostore_spark.condition import to_condition_node
@@ -2110,7 +2348,7 @@ def read_delta_cdf(spark, path: str, from_version: int,
             node = None
         if node is not None:
             node = _coerce_where_values(node, schema)
-    ident = {f.name: f.name for f in schema.fields}
+    ident = top_map
     out = None
     for v in range(from_version, to_version + 1):
         cpath = os.path.join(log_dir, f"{v:020d}.json")
@@ -2135,24 +2373,28 @@ def read_delta_cdf(spark, path: str, from_version: int,
         if ts_ms is None:
             ts_ms = int(os.path.getmtime(cpath) * 1000)
         if cdcs:
-            part = _read_change_files(spark, p, cdcs, schema, pcols,
-                                      with_change_type=True)
+            part = _logical(
+                _read_change_files(spark, p, cdcs, pschema, pcols,
+                                   with_change_type=True),
+                extra=("_change_type",))
         elif adds and not removes and \
                 all(a.get("dataChange") for a in adds) and \
                 not any(a.get("deletionVector") for a in adds):
             if node is not None:
                 # derivable appends carry stats: prune their files at
                 # the log level before reading (same conservative
-                # refutation as read_delta)
+                # refutation as read_delta; ``ident`` maps logical →
+                # the PHYSICAL stats keys under column mapping)
                 pruned = _prune_adds(
                     {a["path"]: a for a in adds}, node, schema,
                     ident, pcols)
                 adds = list(pruned.values())
                 if not adds:
                     continue
-            part = (_read_change_files(spark, p, adds, schema, pcols,
-                                       with_change_type=False)
-                    .withColumn("_change_type", F.lit("insert")))
+            part = (_logical(
+                _read_change_files(spark, p, adds, pschema, pcols,
+                                   with_change_type=False))
+                .withColumn("_change_type", F.lit("insert")))
         elif not adds and not removes:
             continue                    # metadata/protocol-only commit
         elif (adds or removes) and \

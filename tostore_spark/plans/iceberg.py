@@ -827,7 +827,14 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     p = _norm_path(path)
     meta = _load_metadata(p)
     snapshot = _pick_snapshot(meta, snapshot_id, as_of_ms, ref=ref)
-    schema_json = _schema_for_snapshot(meta, snapshot)
+    # spec scan rule: a CURRENT read projects the table's CURRENT
+    # schema (a metadata-only evolution — e.g. a rename — changes the
+    # schema without a new snapshot); TIME TRAVEL binds the target
+    # snapshot's own schema-id so old reads keep old names/shape
+    if snapshot_id is None and as_of_ms is None and ref is None:
+        schema_json = _current_schema(meta)
+    else:
+        schema_json = _schema_for_snapshot(meta, snapshot)
     sschema = _schema_to_spark(schema_json)
     node = None
     if where is not None:
@@ -872,6 +879,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     nm_prop = (meta.get("properties") or {}).get(
         "schema.name-mapping.default")
     read_schema = sschema
+    nm_renames: dict = {}           # file (physical) name -> schema name
     if nm_prop:
         try:
             nm = {int(e["field-id"]): list(e.get("names") or [])
@@ -879,15 +887,28 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         except Exception as exc:
             raise ValueError(
                 f"unparseable schema.name-mapping.default: {exc}")
-        for f in schema_json["fields"]:
+        from pyspark.sql.types import StructField, StructType
+        rfields = []
+        for f, sf in zip(schema_json["fields"], sschema.fields):
             names = nm.get(int(f["id"]))
-            if names is not None and f["name"] not in names:
+            if names is None or f["name"] in names:
+                # unmapped, or the schema name IS a mapped name:
+                # resolve by the schema name (the convert-time shape)
+                rfields.append(sf)
+            elif len(names) == 1:
+                # RENAMED field (r17): the files keep the mapped
+                # PHYSICAL column name — read by it, surface under
+                # the schema name
+                rfields.append(StructField(names[0], sf.dataType,
+                                           sf.nullable))
+                nm_renames[names[0]] = f["name"]
+            else:
                 raise ValueError(
                     f"name mapping for field id {f['id']} maps "
                     f"{names} but the schema calls it {f['name']!r} — "
-                    "name-based resolution would read the wrong "
-                    "column")
-        read_schema = _strip_field_ids(sschema)
+                    "ambiguous multi-name mapping; name-based "
+                    "resolution could read the wrong column")
+        read_schema = _strip_field_ids(StructType(rfields))
 
     # Column Projection rule 2: identity-partition source columns
     # absent from the (hive-migrated) data files fill from partition
@@ -898,6 +919,11 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
             raise ValueError(
                 "identity-partition fill under merge-on-read deletes "
                 "is not supported")
+        if nm_renames:
+            raise ValueError(
+                "identity-partition fill on a RENAMED name-mapped "
+                "table is not supported — rewrite the table "
+                "(rewrite_data_files) first")
         from pyspark.sql.types import StructType
         mcols = sorted(fill)
         dschema = StructType([f for f in read_schema.fields
@@ -941,15 +967,45 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     # field-id resolution (same mechanism as Delta 'id'-mode column
     # mapping): the read schema carries parquet.field.id metadata
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    paths = [fp for fp, _ in data]
     if len(meta.get("schemas") or []) > 1:
         # additive evolution: files older than a column lack its
         # field id — the spec projection rule reads them as NULL.
         # Gated on multi-schema so a single-schema table with id-less
-        # files (a spec violation) still fails loudly.
+        # files (a spec violation) still fails loudly.  The returned
+        # frame is LAZY, so this conf cannot be restored here (the
+        # _conf_pins discipline is eager-only) — the single-schema
+        # loud gate below therefore never trusts the conf's state.
         spark.conf.set(
             "spark.sql.parquet.fieldId.read.ignoreMissing", "true")
-    paths = [fp for fp, _ in data]
+    elif paths and not nm_prop and spark.conf.get(
+            "spark.sql.parquet.fieldId.read.ignoreMissing",
+            "false") == "true":
+        # (name-mapped tables legitimately carry id-less files and
+        # resolve by name — the gate applies to FIELD-ID reads only)
+        # an earlier multi-schema read left ignoreMissing=true for the
+        # session; without this gate a single-schema table whose files
+        # carry NO field ids (a spec violation) would silently
+        # null-fill instead of failing loudly.  One driver-side footer
+        # probe re-asserts the documented failure (id-less migrations
+        # are all-files-or-none in practice — sampling one is the
+        # O(1) check)
+        import pyarrow.parquet as pq
+        sch = pq.read_schema(paths[0])
+        if not any((sch.field(i).metadata or {})
+                   .get(b"PARQUET:field_id")
+                   for i in range(len(sch.names))):
+            raise ValueError(
+                f"iceberg data file {paths[0]} carries no parquet "
+                "field ids — field-id resolution would null-fill "
+                "every column; add a name-mapping "
+                "(schema.name-mapping.default) or rewrite the files")
     df = spark.read.schema(read_schema).parquet(*paths)
+    for phys, logical in nm_renames.items():
+        # renamed name-mapped fields read under their stable PHYSICAL
+        # column name and surface under the schema name (projection
+        # only — ``_metadata`` stays resolvable for the MoR fold)
+        df = df.withColumnRenamed(phys, logical)
 
     if not pos_del and not eq_del:
         return _refilter(df)
@@ -1304,11 +1360,15 @@ def _deser_bound(ice_type, b):
         return None
 
 
-def _file_column_stats(fpath: str, schema_json: dict) -> dict:
+def _file_column_stats(fpath: str, schema_json: dict,
+                       name_to_id: dict | None = None) -> dict:
     """One staged data file's parquet footer → the manifest's id-keyed
     stats maps (value_counts / null_value_counts / lower_bounds /
     upper_bounds, as the Avro array-of-kv form).  Metadata-only read;
-    {} on any hiccup."""
+    {} on any hiccup.  ``name_to_id`` adds FILE-column-name → field-id
+    aliases for columns whose parquet name differs from the schema
+    name (the bridge's column-mapping physical names) — unresolvable
+    columns just contribute no stats (conservative)."""
     try:
         import pyarrow.parquet as pq
 
@@ -1319,9 +1379,12 @@ def _file_column_stats(fpath: str, schema_json: dict) -> dict:
         return {}
     rows = summ.get("rows")
     by_name = {f["name"]: f for f in schema_json.get("fields") or []}
+    by_id = {int(f["id"]): f for f in schema_json.get("fields") or []}
     vc, nc, lo, hi = [], [], [], []
     for name, ent in sorted((summ.get("cols") or {}).items()):
         f = by_name.get(name)
+        if f is None and name_to_id and name in name_to_id:
+            f = by_id.get(int(name_to_id[name]))
         if f is None:
             continue
         fid = int(f["id"])
@@ -1639,10 +1702,11 @@ def _export_iceberg_update(engine, table: str, path: str,
         field_names = {f.name for f in sschema.fields}
         snap = _pick_snapshot(meta)
         if snap is not None:
-            live, _pd, _ed, _parts, _fs = _scan_files(
+            live, _pd, _ed, live_parts, live_fstats = _scan_files(
                 meta, snap, meta.get("location") or path)
         else:
-            live = []
+            live, live_parts, live_fstats = [], {}, {}
+        live_seq = {fp: seq for fp, seq in live}
         probe = [fp for fp, _seq in live]
         staged_all, hits = [], []
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
@@ -1665,7 +1729,51 @@ def _export_iceberg_update(engine, table: str, path: str,
                                          "the exported schema")
                     if not probe:
                         continue
-                    frame = (spark.read.schema(sschema).parquet(*probe)
+                    # prune the probe's LIVE portion (files staged
+                    # this commit always probe — their deletes are
+                    # same-commit): manifest bounds first, then the
+                    # per-file key blooms that refute SCATTERED point
+                    # keys min/max cannot (shared with the Delta DV
+                    # probe; sidecar under metadata/)
+                    from tostore_spark.plans.delta_export import (
+                        _bloom_prune_probe, _key_bounds_where)
+                    live_cand = [p for p in probe if p in live_seq]
+                    new_cand = [p for p in probe if p not in live_seq]
+                    bw = _key_bounds_where(
+                        keys, {f.name: f for f in sschema.fields})
+                    if bw is not None and live_cand:
+                        from tostore_spark.compile import \
+                            coerce_where_values
+                        from tostore_spark.condition import \
+                            to_condition_node
+                        node = coerce_where_values(
+                            to_condition_node(bw), sschema)
+                        kept = _prune_by_stats(
+                            meta, schema_json,
+                            [(p, live_seq[p]) for p in live_cand],
+                            live_parts, live_fstats, node)
+                        live_cand = [p for p, _s in kept]
+                    if live_cand:
+                        def _bloom_reader(rels):
+                            return (spark.read.schema(sschema)
+                                    .parquet(*rels)
+                                    .select(*kcols,
+                                            F.col("_metadata.file_path")
+                                            .alias("__path")))
+
+                        def _nrows(rel):
+                            r = (live_fstats.get(rel)
+                                 or {}).get("rows")
+                            return int(r) if r else None
+                        live_cand = _bloom_prune_probe(
+                            os.path.join(path, "metadata"),
+                            live_cand, keys, kcols,
+                            _bloom_reader, _nrows,
+                            live_rels=list(live_seq))
+                    cand = live_cand + new_cand
+                    if not cand:
+                        continue
+                    frame = (spark.read.schema(sschema).parquet(*cand)
                              .select(*kcols,
                                      F.regexp_replace(
                                          F.col("_metadata.file_path"),
@@ -2465,8 +2573,21 @@ def read_iceberg_changes(spark, path: str,
     (position deletes) + one key-probe of the parent per
     equality-delete snapshot — NEVER a snapshot diff; manifest work is
     driver-side metadata ∝ file count, exactly like the Delta log
-    fold.  Reference: delta_export.read_delta_cdf (the Delta twin);
-    Iceberg Table Spec "Incremental Scan" / "Row-level deletes"."""
+    fold.
+
+    The returned feed is EAGERLY MATERIALIZED (``localCheckpoint``
+    inside the fold, r16): per-snapshot schema binding pins session
+    confs that must be restored before returning, and the barriered
+    fold caps plan depth across long histories.  Consequences callers
+    must budget for: (a) the FULL range's IO and executor storage are
+    paid at call time, even if only ``limit(1)`` or the schema is
+    consumed — slice with ``from_snapshot``/``to_snapshot`` rather
+    than lazy row pruning; (b) checkpointed blocks live in executor
+    storage and do NOT survive executor loss — on a shared cluster,
+    consume (or persist) the feed promptly rather than holding it
+    across long idle gaps.  Reference: delta_export.read_delta_cdf
+    (the Delta twin); Iceberg Table Spec "Incremental Scan" /
+    "Row-level deletes"."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import (LongType, StringType, StructField,
                                    StructType, TimestampType)
@@ -2930,6 +3051,51 @@ def _added_tail_fields(old, new):
     return tail
 
 
+def _renamed_only_fields(old, new, schema_json: dict,
+                         nm: list | None):
+    """The per-position new names when ``new`` is ``old`` with LOGICAL
+    RENAMES only — the Delta column-mapping rename shape (metaData-only
+    commit, stable physical columns, r17 verdict order #2): same arity,
+    same type/nullability per position, at least one name change, and
+    EVERY changed position's field carries a
+    ``delta.columnMapping.physicalName`` that the bridge's Iceberg name
+    mapping ALREADY maps to that position's field id — proving the
+    parquet column underneath is unchanged (a drop+re-add of the same
+    type carries a fresh physical name and correctly refuses).
+    Returns ``{position: new_name}`` or None."""
+    if len(new.fields) != len(old.fields):
+        return None
+    if any((f.dataType, f.nullable) != (o.dataType, o.nullable)
+           for f, o in zip(new.fields, old.fields)):
+        return None
+    changed = {i: f.name
+               for i, (f, o) in enumerate(zip(new.fields, old.fields))
+               if f.name != o.name}
+    if not changed:
+        return None
+    names_of = {int(e["field-id"]): set(e.get("names") or [])
+                for e in (nm or []) if "field-id" in e}
+    for i, _newname in changed.items():
+        fid = int(schema_json["fields"][i]["id"])
+        md = new.fields[i].metadata or {}
+        phys = md.get("delta.columnMapping.physicalName")
+        if not phys or phys not in names_of.get(fid, ()):
+            return None
+    return changed
+
+
+def _bridge_nm(meta: dict) -> list | None:
+    raw = (meta.get("properties") or {}).get(
+        "schema.name-mapping.default")
+    if not raw:
+        return None
+    try:
+        nm = json.loads(raw)
+        return nm if isinstance(nm, list) else None
+    except Exception:
+        return None
+
+
 def _bridge_entry_schema(part_avro):
     """Manifest-entry Avro schema with the bridge's partition
     record."""
@@ -3039,16 +3205,57 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
                         "re-convert (expire + remove metadata/ + "
                         "convert_delta_to_iceberg)")
                 old_plain = _strip_field_ids(sschema)
-                if old_plain == new_schema:
-                    continue            # re-emitted unchanged schema
+
+                def _shape(st):
+                    return [(f.name, f.dataType, f.nullable)
+                            for f in st.fields]
+                if _shape(old_plain) == _shape(new_schema):
+                    # re-emitted unchanged schema, or a METADATA-ONLY
+                    # change — the column-mapping ENABLEMENT commit
+                    # (each existing field gains physicalName = its
+                    # current name): physically a no-op for the bridge
+                    continue
+                renamed = _renamed_only_fields(
+                    old_plain, new_schema, schema_json,
+                    _bridge_nm(meta))
+                if renamed is not None:
+                    # RENAME-only evolution (r17 order #2): fold as a
+                    # new Iceberg schema-id with UNCHANGED field ids —
+                    # Iceberg resolves by id natively, and the name
+                    # mapping stays keyed by the stable PHYSICAL
+                    # parquet names, so zero data moves and every
+                    # prior snapshot keeps time-traveling under its
+                    # own (old-name) schema-id.
+                    schemas = list(meta.get("schemas")
+                                   or [dict(schema_json,
+                                            **{"schema-id":
+                                               cur_schema_id})])
+                    sid = max(int(s.get("schema-id", 0))
+                              for s in schemas) + 1
+                    new_sj = {
+                        "type": "struct", "schema-id": sid,
+                        "fields": [
+                            dict(f, **({"name": renamed[i]}
+                                       if i in renamed else {}))
+                            for i, f in
+                            enumerate(schema_json["fields"])]}
+                    meta["schemas"] = schemas + [new_sj]
+                    meta["current-schema-id"] = sid
+                    if "schema" in meta:
+                        meta["schema"] = new_sj
+                    schema_json = new_sj
+                    sschema = _schema_to_spark(schema_json)
+                    cur_schema_id = sid
+                    continue
                 added = _added_tail_fields(old_plain, new_schema)
                 if added is None:
                     raise ValueError(
                         f"delta commit {v} evolves the schema "
-                        "non-additively (rename/drop/retype/required "
-                        "column) — the bridge cannot follow; "
-                        "re-convert (expire + remove metadata/ + "
-                        "convert_delta_to_iceberg)")
+                        "non-additively (drop/retype/required "
+                        "column, or a rename without a column-mapping "
+                        "physical name the bridge can verify) — the "
+                        "bridge cannot follow; re-convert (expire + "
+                        "remove metadata/ + convert_delta_to_iceberg)")
                 # ADD-COLUMN-only evolution folds as a NEW Iceberg
                 # schema-id (the exporter's refresh path precedent:
                 # iceberg.py append-schemas block above).  New columns
@@ -3074,22 +3281,24 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
                 meta["last-column-id"] = next_id[0] - 1
                 if "schema" in meta:
                     meta["schema"] = new_sj
-                nm_raw = (meta.get("properties") or {}).get(
-                    "schema.name-mapping.default")
-                if nm_raw:
-                    try:
-                        nm = json.loads(nm_raw)
-                    except Exception:
-                        nm = None
-                    if isinstance(nm, list):
-                        have = {e.get("field-id") for e in nm}
-                        nm += [{"field-id": f["id"],
-                                "names": [f["name"]]}
-                               for f in add_struct["fields"]
-                               if f["id"] not in have]
-                        meta["properties"][
-                            "schema.name-mapping.default"] = \
-                            json.dumps(nm)
+                nm = _bridge_nm(meta)
+                if nm is not None:
+                    have = {e.get("field-id") for e in nm}
+                    # the mapping resolves FILE column names: under
+                    # column mapping an added column's parquet name is
+                    # its physicalName, not the logical one
+                    phys_of = {
+                        f.name: (f.metadata or {}).get(
+                            "delta.columnMapping.physicalName")
+                        for f in added}
+                    nm += [{"field-id": f["id"],
+                            "names": [phys_of.get(f["name"])
+                                      or f["name"]]}
+                           for f in add_struct["fields"]
+                           if f["id"] not in have]
+                    meta["properties"][
+                        "schema.name-mapping.default"] = \
+                        json.dumps(nm)
                 schema_json = new_sj
                 sschema = _schema_to_spark(schema_json)
                 cur_schema_id = sid
@@ -3202,6 +3411,10 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
         add_rows = 0
         if adds:
             entries = []
+            nm_alias = {n: e["field-id"]
+                        for e in (_bridge_nm(meta) or [])
+                        if "field-id" in e
+                        for n in (e.get("names") or [])}
             for a in sorted(adds, key=lambda x: x["path"]):
                 fp = os.path.join(p, a["path"])
                 pv_raw = a.get("partitionValues") or {}
@@ -3218,7 +3431,8 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
                 if n_rows is None:
                     n_rows = int(pq.ParquetFile(fp).metadata.num_rows)
                 add_rows += int(n_rows)
-                st = _file_column_stats(fp, schema_json)
+                st = _file_column_stats(fp, schema_json,
+                                        name_to_id=nm_alias)
                 entries.append({
                     "status": 1, "snapshot_id": snap_id,
                     "sequence_number": None,
