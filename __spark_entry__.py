@@ -3428,9 +3428,10 @@ def q_changes_evolution(spark, sf_dir):
     schema-id appended to the metadata, fresh field id, old files
     never rewritten); the changelog surfaces PRE-evolution rows under
     the range-END schema with the added column NULL-padded (the
-    Delta CDF rule) and post-evolution rows with values — and a
-    RENAME in the range refuses (asserted in-entry).  DuckDB derives
-    the counts from nation arithmetic."""
+    Delta CDF rule) and post-evolution rows with values; a RENAME in
+    the range derives under the range-END names (r17 — field ids are
+    the identity) while a DROP keeps refusing (both asserted
+    in-entry).  DuckDB derives the counts from nation arithmetic."""
     import os
     import tempfile
 
@@ -3511,7 +3512,8 @@ def q_changes_evolution(spark, sf_dir):
         n_cur_null = cur.filter(F.col("tag").isNull()).count()
         if n_cur_null != len(nat):
             raise AssertionError(f"state null-pad off: {n_cur_null}")
-        # a RENAME in the range refuses loudly
+        # a RENAME in the range now DERIVES (r17): pre-rename rows
+        # surface under the range-END name with their old values
         meta3 = _load_metadata(dest)
         ren = {"type": "struct", "schema-id": 2,
                "fields": [dict(f, name="key_renamed")
@@ -3531,9 +3533,29 @@ def q_changes_evolution(spark, sf_dir):
         _commit_snapshot(dest, meta4,
                          [(fp2, 1, os.path.getsize(fp2))], None,
                          keep_prior=True, operation="append")  # s3
+        feed2 = read_iceberg_changes(spark, dest)
+        if "key_renamed" not in feed2.columns or \
+                "key" in feed2.columns:
+            raise AssertionError("rename range not under END names")
+        ksum2 = feed2.agg(
+            F.sum("key_renamed").cast("long").alias("s")).first()["s"]
+        if int(ksum2) != int(row["key_sum"]) + 1:
+            raise AssertionError(
+                f"pre-rename values lost under the new name: {ksum2}")
+        # a DROP in the range keeps refusing loudly
+        meta5 = _load_metadata(dest)
+        drp = {"type": "struct", "schema-id": 3,
+               "fields": [dict(f) for f in ren["fields"]
+                          if f["name"] != "tag"]}
+        meta5["schemas"] = meta5["schemas"] + [drp]
+        meta5["current-schema-id"] = 3
+        if "schema" in meta5:
+            meta5["schema"] = drp
+        _write_metadata_json(mdir, _next_metadata_version(mdir),
+                             meta5)
         try:
             read_iceberg_changes(spark, dest)
-            raise AssertionError("rename range did not refuse")
+            raise AssertionError("dropped-column range did not refuse")
         except ValueError:
             pass
         rows = [{"n_rows": int(row["n_rows"]),
@@ -3542,6 +3564,222 @@ def q_changes_evolution(spark, sf_dir):
                  "key_sum": int(row["key_sum"])}]
     return spark.createDataFrame(
         rows, "n_rows bigint, n_null_tag bigint, n_fresh bigint, "
+              "key_sum bigint")
+
+
+def q_bridge_rename(spark, sf_dir):
+    """RENAME-only evolution across the continuous UniForm bridge
+    (r17, plans/iceberg.sync_delta_to_iceberg + _renamed_only_fields):
+    a foreign Delta writer enables column mapping (metaData-only, each
+    column's physicalName frozen at its current name) then RENAMES a
+    column — the bridge folds it as a NEW Iceberg schema-id with
+    UNCHANGED field ids (zero data IO); post-rename foreign appends
+    keep bridging incrementally; the CDF subscriber
+    (read_delta_cdf) keeps consuming across the rename with rows
+    under the range-END logical names; time travel to the pre-rename
+    snapshot keeps the OLD names.  All pinned in-entry; DuckDB
+    derives the counts from nation arithmetic."""
+    import json as _json
+    import os
+    import tempfile
+    import time as _time
+
+    from tostore_spark.plans.delta_export import (_replay,
+                                                  _write_commit,
+                                                  read_delta,
+                                                  read_delta_cdf)
+    from tostore_spark.plans.iceberg import (_load_metadata,
+                                             convert_delta_to_iceberg,
+                                             read_iceberg,
+                                             sync_delta_to_iceberg)
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    db = _db(spark, sf_dir)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    with tempfile.TemporaryDirectory() as tmp:
+        dest = os.path.join(tmp, "dx")
+        db1 = ToStoreSpark(spark, warehouse=os.path.join(tmp, "wh"))
+        db1.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n_name", type=DataType.text),
+                    FieldSchema(name="key", type=DataType.integer)]))
+        db1.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
+             "key": r["n_nationkey"]} for r in nat])
+        db1.flush()
+        db1.export_delta("nat", dest, target_files=1,
+                         change_data=True)                     # v0
+        convert_delta_to_iceberg(spark, dest)
+        s1 = _load_metadata(dest)["current-snapshot-id"]
+        # v1: foreign column-mapping ENABLEMENT (physicalName frozen)
+        meta_d = dict(_replay(dest)["meta"])
+        sj = _json.loads(meta_d["schemaString"])
+        for i, f in enumerate(sj["fields"]):
+            f["metadata"] = {
+                "delta.columnMapping.id": i + 1,
+                "delta.columnMapping.physicalName": f["name"]}
+        meta_d["schemaString"] = _json.dumps(sj)
+        meta_d["configuration"] = {
+            **(meta_d.get("configuration") or {}),
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": str(len(sj["fields"]))}
+        _write_commit(dest, 1, [
+            {"protocol": {"minReaderVersion": 2,
+                          "minWriterVersion": 5}},
+            {"metaData": meta_d},
+            {"commitInfo": {"timestamp": int(_time.time() * 1000)}}])
+        # v2: foreign RENAME n_name → nation_name (physical stable)
+        sj2 = _json.loads(_json.dumps(sj))
+        sj2["fields"][1]["name"] = "nation_name"
+        meta_d2 = dict(meta_d, schemaString=_json.dumps(sj2))
+        _write_commit(dest, 2, [
+            {"metaData": meta_d2},
+            {"commitInfo": {"timestamp": int(_time.time() * 1000)}}])
+        sync_delta_to_iceberg(spark, dest)
+        meta = _load_metadata(dest)
+        schemas = meta.get("schemas") or []
+        if len(schemas) != 2 or \
+                [f["id"] for f in schemas[0]["fields"]] != \
+                [f["id"] for f in schemas[-1]["fields"]]:
+            raise AssertionError("rename must keep field ids")
+        # v3: foreign APPEND under the mapping (physical names)
+        newrows = spark.createDataFrame(
+            [("zz1", "FRESH1", 990), ("zz2", "FRESH2", 991)],
+            "id string, n_name string, key int")
+        stage = os.path.join(tmp, "stage")
+        newrows.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage)
+                if f.endswith(".parquet")][0]
+        rel = f"v3-{part}"
+        os.replace(os.path.join(stage, part),
+                   os.path.join(dest, rel))
+        _write_commit(dest, 3, [
+            {"add": {"path": rel, "partitionValues": {},
+                     "size": os.path.getsize(
+                         os.path.join(dest, rel)),
+                     "modificationTime": int(_time.time() * 1000),
+                     "dataChange": True,
+                     "stats": _json.dumps({"numRecords": 2})}},
+            {"commitInfo": {"timestamp": int(_time.time() * 1000)}}])
+        rep = sync_delta_to_iceberg(spark, dest)
+        if rep["snapshots"] != 1:
+            raise AssertionError(f"post-rename append did not "
+                                 f"bridge: {rep}")
+        # subscriber survival: the CDF feed crosses the rename and
+        # surfaces every insert under the range-END logical names
+        feed = read_delta_cdf(spark, dest, 0)
+        if "nation_name" not in feed.columns:
+            raise AssertionError("CDF feed not under END names")
+        n_cdf = feed.filter(F.col("_change_type") == "insert").count()
+        # old snapshot keeps OLD names; both formats agree at HEAD
+        if "n_name" not in read_iceberg(spark, dest,
+                                        snapshot_id=s1).columns:
+            raise AssertionError("old snapshot lost its names")
+        cur_i = read_iceberg(spark, dest)
+        cur_d = read_delta(spark, dest)
+        cols = ["id", "nation_name", "key"]
+        a = sorted(map(tuple, cur_i.select(*cols).collect()))
+        b = sorted(map(tuple, cur_d.select(*cols).collect()))
+        if a != b:
+            raise AssertionError("delta and iceberg views diverged")
+        row = cur_i.agg(
+            F.count(F.lit(1)).alias("n_final"),
+            F.sum("key").cast("long").alias("key_sum")).first()
+        rows = [{"n_final": int(row["n_final"]),
+                 "n_cdf": int(n_cdf),
+                 "n_schemas": len(schemas),
+                 "key_sum": int(row["key_sum"])}]
+    return spark.createDataFrame(
+        rows, "n_final bigint, n_cdf bigint, n_schemas bigint, "
+              "key_sum bigint")
+
+
+def q_rename_column(spark, sf_dir):
+    """``rename_iceberg_column`` — ALTER ... RENAME COLUMN on an
+    Iceberg export (r17): metadata-only (new schema-id, SAME field
+    ids, zero data IO — pinned by the untouched data dir), current
+    reads and the changelog surface the new names (including
+    eq-delete PRE-IMAGES whose parent probe binds the parent's old
+    names), a cursor-less consumer applies the renamed feed, and
+    time travel keeps each snapshot's own names.  DuckDB derives the
+    counts from nation arithmetic.  Reference:
+    SchemaBuilder.rename_field semantics (migration-based there;
+    id-indirection makes it free here)."""
+    import os
+    import tempfile
+
+    from tostore_spark.plans.iceberg import (_load_metadata,
+                                             read_iceberg,
+                                             read_iceberg_changes)
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    db = _db(spark, sf_dir)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    with tempfile.TemporaryDirectory() as tmp:
+        dest = os.path.join(tmp, "ice")
+        db1 = ToStoreSpark(spark, warehouse=os.path.join(tmp, "wh"))
+        db1.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n_name", type=DataType.text),
+                    FieldSchema(name="key", type=DataType.integer)]))
+        db1.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
+             "key": r["n_nationkey"]} for r in nat])
+        db1.flush()
+        db1.export_iceberg("nat", dest, target_files=1)        # s1
+        s1 = _load_metadata(dest)["current-snapshot-id"]
+        db1.batch_insert("nat", [
+            {"id": "zz1", "n_name": "FRESH1", "key": 990},
+            {"id": "zz2", "n_name": "FRESH2", "key": 991}])
+        db1.flush()
+        db1.export_iceberg("nat", dest, mode="update")         # s2
+        db1.delete("nat").where("id", "IN",
+                                ["n001", "n005"]).execute()
+        db1.flush()
+        rep = db1.export_iceberg("nat", dest, mode="update")   # s3
+        if rep["commit"] != "eqdel":
+            raise AssertionError(f"expected eqdel route: {rep}")
+        data_before = sorted(os.listdir(os.path.join(dest, "data")))
+        db1.rename_iceberg_column(dest, {"n_name": "nation_name"})
+        if sorted(os.listdir(os.path.join(dest, "data"))) != \
+                data_before:
+            raise AssertionError("rename touched data files")
+        feed = read_iceberg_changes(spark, dest)
+        if "nation_name" not in feed.columns:
+            raise AssertionError("feed not under END names")
+        n_ins = feed.filter(
+            F.col("_change_type") == "insert").count()
+        dele = feed.filter(F.col("_change_type") == "delete") \
+            .select("id", "nation_name").collect()
+        if sorted(r["id"] for r in dele) != ["n001", "n005"] or \
+                any(r["nation_name"] is None for r in dele):
+            raise AssertionError("pre-images lost across the rename")
+        # consumer applies the renamed feed; old snapshot keeps names
+        con = ToStoreSpark(spark, warehouse=os.path.join(tmp, "wc"))
+        con.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="nation_name",
+                                type=DataType.text),
+                    FieldSchema(name="key", type=DataType.integer)]))
+        con.apply_iceberg_changes("nat", dest)
+        cols = ["id", "nation_name", "key"]
+        a = sorted(map(tuple, con.df("nat").select(*cols).collect()))
+        b = sorted(map(tuple, read_iceberg(spark, dest)
+                       .select(*cols).collect()))
+        if a != b:
+            raise AssertionError("consumer diverged across rename")
+        if "n_name" not in read_iceberg(spark, dest,
+                                        snapshot_id=s1).columns:
+            raise AssertionError("old snapshot lost its names")
+        row = read_iceberg(spark, dest).agg(
+            F.count(F.lit(1)).alias("n_final"),
+            F.sum("key").cast("long").alias("key_sum")).first()
+        rows = [{"n_final": int(row["n_final"]),
+                 "n_inserts": int(n_ins),
+                 "n_deletes": len(dele),
+                 "key_sum": int(row["key_sum"])}]
+    return spark.createDataFrame(
+        rows, "n_final bigint, n_inserts bigint, n_deletes bigint, "
               "key_sum bigint")
 
 
@@ -5980,6 +6218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
+        "q_bridge_rename", "q_rename_column",                 # born r17
         "q_bridge_add_column", "q_changes_evolution",         # born r16
         "q_iceberg_cdf", "q_uniform_sync",                    # born r15
         "q_uniform_bridge",                                   # born r14
@@ -6241,6 +6480,22 @@ def _cov_oracle_sql(dims: int = 8) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q_bridge_rename": """
+            SELECT CAST(count(*) + 2 AS BIGINT) AS n_final,
+                   CAST(count(*) + 2 AS BIGINT) AS n_cdf,
+                   CAST(2 AS BIGINT)            AS n_schemas,
+                   CAST(sum(n_nationkey) + 990 + 991 AS BIGINT)
+                       AS key_sum
+            FROM nation
+        """,
+        "q_rename_column": """
+            SELECT CAST(count(*) AS BIGINT)     AS n_final,
+                   CAST(count(*) + 2 AS BIGINT) AS n_inserts,
+                   CAST(2 AS BIGINT)            AS n_deletes,
+                   CAST(sum(n_nationkey) + 990 + 991 - 1 - 5
+                        AS BIGINT)              AS key_sum
+            FROM nation
+        """,
         "q_changes_evolution": """
             SELECT CAST(count(*) + 1 AS BIGINT) AS n_rows,
                    CAST(count(*) AS BIGINT)     AS n_null_tag,

@@ -616,7 +616,14 @@ class TestChangelogSchemaEvolution:
         assert [(r["id"], r["_change_type"], r["tag"])
                 for r in rows] == [("k001", "delete", None)]
 
-    def test_rename_refuses(self, spark, tmp_path):
+    def test_rename_range_derives_under_end_names(self, spark,
+                                                  tmp_path):
+        """r17: a range crossing a RENAME (same field ids, new names)
+        is derivable — pre-rename rows surface under the range-END
+        names, exactly the time-travel rule inverted.  (Before r17
+        this refused; drops/retypes still do —
+        TestIcebergRename.test_changelog_surfaces_end_names pins
+        that.)"""
         from tostore_spark.plans.iceberg import (_current_schema,
                                                  _next_metadata_version,
                                                  _write_metadata_json)
@@ -658,8 +665,14 @@ class TestChangelogSchemaEvolution:
         _commit_snapshot(dest, meta2,
                          [(fp, 1, os.path.getsize(fp))], None,
                          keep_prior=True, operation="append")  # s2
-        with pytest.raises(ValueError, match="renamed"):
-            read_iceberg_changes(spark, dest).collect()
+        feed = read_iceberg_changes(spark, dest)
+        assert "n_renamed" in feed.columns and \
+            "n" not in feed.columns
+        rows = feed.collect()
+        assert len(rows) == 4
+        assert {r["_change_type"] for r in rows} == {"insert"}
+        # pre-rename rows carry their old 'n' VALUES under the new name
+        assert sorted(r["n_renamed"] for r in rows) == [0, 1, 2, 9]
 
 
 class TestFilteredCursorSignature:

@@ -1863,3 +1863,27 @@ def test_serializable_on_call_invariant(spark, tmp_path_factory):
 
     assert run_pair("snapshot") == 0       # anomaly: nobody on call
     assert run_pair("serializable") == 1   # invariant preserved
+
+
+def test_clear_is_durable(spark, tmp_path_factory):
+    """r17 fix: clear() must bump the generation (rewrite-dirty) so
+    the NEXT flush persists the empty state — before this, clear +
+    flush + reopen resurrected every flushed row, and an incremental
+    exporter saw a clear+reinsert as a pure-append extension."""
+    from tostore_spark import ToStoreSpark
+    db, wh = _fresh(spark, tmp_path_factory, "clear_durable")
+    db.update("nation", {"n_name": "X"}) \
+      .where("n_nationkey", "=", 0).execute()
+    db.flush()
+    db.clear("nation")
+    assert db.df("nation").count() == 0
+    assert db.flush() == ["nation"], "clear must dirty the table"
+    db2 = ToStoreSpark(spark, data_dir=SF, warehouse=wh)
+    assert db2.df("nation").count() == 0, \
+        "reopen resurrected cleared rows"
+    # clear + reinsert exports as a REFRESH, never a pure append
+    db.batch_insert("nation", [{"n_nationkey": 900,
+                                "n_name": "NEW", "n_regionkey": 0,
+                                "n_comment": "c"}])
+    db.flush()
+    assert db.df("nation").count() == 1

@@ -373,9 +373,18 @@ class ToStoreSpark:
         self._tables.pop(self._resolve(name), None)
 
     def clear(self, name: str) -> None:
+        """Empty the table.  Routed through ``set_df`` so the clear is
+        DURABLE: the generation bumps (rewrite-dirty — no append/delete
+        fast path) and the next flush persists the empty state.  A
+        direct ``ent["df"] = empty`` would leave the flushed recipe
+        untouched and a reopen would resurrect every row (r17 fix,
+        found while testing refresh exports; pinned in
+        tests/test_store.py::test_clear_is_durable)."""
         key = self._resolve(name)
         ent = self._tables[key]
-        ent["df"] = self.spark.createDataFrame([], ent["df"].schema)
+        self._set_df_at_key(
+            key, self.spark.createDataFrame([], ent["df"].schema),
+            pre_encrypted=True)
 
     def table_names(self) -> list[str]:
         return sorted({n for (sp, n) in self._tables
@@ -1455,7 +1464,8 @@ class ToStoreSpark:
                      allow_decrypted: bool = False,
                      deletion_vectors: bool = False,
                      change_data: bool = False,
-                     cluster_by: Optional[list] = None) -> dict:
+                     cluster_by: Optional[list] = None,
+                     checkpoint_format: Optional[str] = None) -> dict:
         """Export the table's current version (segments unioned,
         deletion vectors resolved) as a standard Delta Lake table —
         protocol/metaData/add log with per-file footer stats — so
@@ -1473,7 +1483,8 @@ class ToStoreSpark:
                    target_files=target_files,
                    allow_decrypted=allow_decrypted,
                    deletion_vectors=deletion_vectors,
-                   change_data=change_data, cluster_by=cluster_by)
+                   change_data=change_data, cluster_by=cluster_by,
+                   checkpoint_format=checkpoint_format)
 
     def read_delta_cdf(self, path: str, from_version: int,
                        to_version: Optional[int] = None,
@@ -1648,6 +1659,15 @@ class ToStoreSpark:
         return create_ref(dest, name, snapshot_id=snapshot_id,
                           kind=kind)
 
+    def rename_iceberg_column(self, dest: str, renames: dict) -> dict:
+        """ALTER ... RENAME COLUMN on an Iceberg export — metadata-only
+        (field ids are the identity; zero data IO at any size).
+        Current reads and changelog ranges surface the new names; time
+        travel keeps each snapshot's own names
+        (plans/iceberg.rename_iceberg_column)."""
+        from tostore_spark.plans.iceberg import rename_iceberg_column
+        return rename_iceberg_column(dest, renames)
+
     def optimize_iceberg(self, dest: str,
                          target_file_bytes: int = 128 * 1024 * 1024,
                          cluster_by: Optional[list] = None,
@@ -1741,7 +1761,8 @@ class ToStoreSpark:
     def apply_cdf(self, table: str, path: str,
                   to_version: Optional[int] = None,
                   from_version: Optional[int] = None,
-                  cursor: bool = True, where=None) -> dict:
+                  cursor: bool = True, where=None,
+                  on_refuse: str = "raise") -> dict:
         """Subscribe a store table to an external Delta table's CHANGE
         DATA FEED: read the feed from the commit after the last one
         applied (tracked in a KV cursor — KV serializes inside the
@@ -1772,6 +1793,14 @@ class ToStoreSpark:
         (checked — pure-insert bootstrap cannot remove rows a
         non-empty target holds); seed ``from_version`` to resume a
         pre-populated consumer.
+        ``on_refuse="rebootstrap"`` (r17; default ``"raise"``): a
+        CURSORED pull whose range the feed cannot derive (vacuumed /
+        checkpoint-truncated commits, underivable rewrites) RECOVERS
+        instead of raising — the target snapshot nets against the
+        replica (two ``exceptAll`` passes, the exact ``table_diff``
+        shape) and the cursor resumes at HEAD.  O(state), not
+        O(history); cursor-signature (changed-where) errors still
+        raise — those are consumer bugs, not history divergence.
         Returns ``{"applied", "from_version", "to_version"}`` —
         ``from_version`` is the range start actually folded (the
         first log version on bootstrap)."""
@@ -1780,6 +1809,10 @@ class ToStoreSpark:
         from pyspark.sql import functions as F
 
         from tostore_spark.plans.delta_export import read_delta_cdf
+        if on_refuse not in ("raise", "rebootstrap"):
+            raise ValueError(
+                f"on_refuse must be 'raise'|'rebootstrap', "
+                f"got {on_refuse!r}")
         p = path[len("file:"):] if path.startswith("file:") else path
         log_dir = _os.path.join(p, "_delta_log")
         versions = sorted(
@@ -1821,13 +1854,45 @@ class ToStoreSpark:
                     .withColumn("_change_type", _F.lit("insert")))
             frm_rep = versions[0]
         else:
-            feed = read_delta_cdf(self.spark, p, frm, to, where=where)
+            try:
+                feed = read_delta_cdf(self.spark, p, frm, to,
+                                      where=where)
+            except ValueError:
+                if on_refuse != "rebootstrap":
+                    raise
+                from tostore_spark.plans.delta_export import read_delta
+                feed = self._rebootstrap_diff_feed(
+                    table, read_delta(self.spark, p, version=to,
+                                      where=where))
             frm_rep = frm
         n = self._apply_net_feed(table, feed)
         if cursor:
             self._cursor_write(ckey, int(to), wsig)
         return {"applied": int(n), "from_version": frm_rep,
                 "to_version": to}
+
+    def _rebootstrap_diff_feed(self, table: str, target_df):
+        """Recovery feed for ``on_refuse="rebootstrap"``: NET the
+        source's current (filtered) state against the replica — two
+        ``exceptAll`` passes, the exact ``table_diff`` fallback shape.
+        Exact at multiset granularity and O(state), never O(history);
+        a schema drift between replica and source still raises (the
+        consumer must migrate first)."""
+        from pyspark.sql import functions as F
+        cur = self.df(table)
+        cols = sorted(cur.columns)
+        if sorted(target_df.columns) != cols:
+            raise ValueError(
+                f"rebootstrap column mismatch: replica {cols} vs "
+                f"source {sorted(target_df.columns)} — migrate the "
+                "consumer schema, then retry")
+        cur = cur.select(*cols)
+        tgt = target_df.select(*cols)
+        ins = (tgt.exceptAll(cur)
+               .withColumn("_change_type", F.lit("insert")))
+        dele = (cur.exceptAll(tgt)
+                .withColumn("_change_type", F.lit("delete")))
+        return ins.unionByName(dele)
 
     def _require_empty_bootstrap_target(self, table: str,
                                         seed_param: str) -> None:
@@ -2059,7 +2124,8 @@ class ToStoreSpark:
                               to_snapshot: Optional[int] = None,
                               from_snapshot: Optional[int] = None,
                               cursor: bool = True,
-                              where=None) -> dict:
+                              where=None,
+                              on_refuse: str = "raise") -> dict:
         """Subscribe a store table to an external Iceberg table's
         changelog — the Iceberg twin of ``apply_cdf``: fold the
         changes AFTER the last applied snapshot (KV cursor — cursor
@@ -2081,6 +2147,11 @@ class ToStoreSpark:
         (checked — pure-insert bootstrap cannot remove rows a
         non-empty target holds); seed ``from_snapshot`` to resume a
         pre-populated consumer.
+        ``on_refuse="rebootstrap"`` (r17; default ``"raise"``): a
+        CURSORED pull whose range the changelog cannot derive
+        (rewrites/refreshes, expired parents) RECOVERS — the target
+        snapshot nets against the replica (two ``exceptAll`` passes)
+        and the cursor resumes at HEAD.  O(state), not O(history).
         Returns ``{"applied", "from_snapshot", "to_snapshot"}`` —
         ``from_snapshot`` is the range start actually folded (the
         ancestry-root snapshot on bootstrap, matching the Delta
@@ -2090,6 +2161,10 @@ class ToStoreSpark:
         from tostore_spark.plans.iceberg import (_load_metadata,
                                                  _norm_path,
                                                  read_iceberg_changes)
+        if on_refuse not in ("raise", "rebootstrap"):
+            raise ValueError(
+                f"on_refuse must be 'raise'|'rebootstrap', "
+                f"got {on_refuse!r}")
         p = _norm_path(path)
         meta = _load_metadata(p)
         cur = meta.get("current-snapshot-id")
@@ -2123,9 +2198,15 @@ class ToStoreSpark:
             from tostore_spark.plans.iceberg import read_iceberg
             self._require_empty_bootstrap_target(table,
                                                  "from_snapshot")
-            feed = (read_iceberg(self.spark, p, snapshot_id=to,
-                                 where=where)
-                    .withColumn("_change_type", _F.lit("insert")))
+            # snapshot_id=None for a current-head bootstrap: the read
+            # then binds the CURRENT schema, so a metadata-only rename
+            # after the last snapshot surfaces (an explicit
+            # to_snapshot keeps that snapshot's own schema)
+            feed = (read_iceberg(
+                self.spark, p,
+                snapshot_id=None if to_snapshot is None else to,
+                where=where)
+                .withColumn("_change_type", _F.lit("insert")))
             # report the range actually covered (the Delta twin
             # reports versions[0]): the bootstrap folds everything
             # from the ancestry ROOT up to ``to``
@@ -2136,9 +2217,20 @@ class ToStoreSpark:
                 frm_rep = node["snapshot-id"]
                 node = snaps.get(node.get("parent-snapshot-id"))
         else:
-            feed = read_iceberg_changes(self.spark, p,
-                                        from_snapshot=frm,
-                                        to_snapshot=to, where=where)
+            try:
+                feed = read_iceberg_changes(self.spark, p,
+                                            from_snapshot=frm,
+                                            to_snapshot=to,
+                                            where=where)
+            except ValueError:
+                if on_refuse != "rebootstrap":
+                    raise
+                from tostore_spark.plans.iceberg import read_iceberg
+                feed = self._rebootstrap_diff_feed(
+                    table, read_iceberg(
+                        self.spark, p,
+                        snapshot_id=None if to_snapshot is None
+                        else to, where=where))
             frm_rep = frm
         n = self._apply_net_feed(table, feed)
         if cursor:

@@ -818,9 +818,100 @@ def _write_checkpoint(path: str, version: int) -> None:
     os.replace(tmp, lc)
 
 
-def _maybe_checkpoint(path: str, version: int) -> None:
+def _write_checkpoint_v2(path: str, version: int) -> None:
+    """Write a V2 (UUID-named) checkpoint for commit ``version`` —
+    the modern Databricks-writer layout this module has READ since
+    r13 (PROTOCOL.md "V2 Checkpoints"): a JSON manifest
+    ``N.checkpoint.<uuid>.json`` holding ``checkpointMetadata`` +
+    the folded protocol/metaData + one ``sidecar`` reference, and a
+    sidecar parquet under ``_delta_log/_sidecars/`` carrying the
+    add actions.  Requires the ``v2Checkpoint`` reader feature on
+    the table protocol (the exporter upgrades it when
+    ``checkpoint_format="v2"`` is chosen — that is why the format
+    is opt-in: minReaderVersion 3 locks out pre-feature readers)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    state = _replay(path, version)
+    log_dir = os.path.join(path, "_delta_log")
+    scdir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(scdir, exist_ok=True)
+    full_schema = _checkpoint_arrow_schema()
+    sc_schema = pa.schema([full_schema.field("add"),
+                           full_schema.field("remove")])
+    rows = []
+    for rel in sorted(state["files"]):
+        add = dict(state["files"][rel])
+        add["path"] = quote(rel, safe="/=")
+        add["partitionValues"] = dict(add.get("partitionValues") or {})
+        add.setdefault("stats", None)
+        rows.append({"add": add, "remove": None})
+    sc_name = f"{uuid.uuid4().hex}.parquet"
+    sc_path = os.path.join(scdir, sc_name)
+    tmp = sc_path + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(pa.Table.from_pylist(rows, schema=sc_schema), tmp)
+    os.replace(tmp, sc_path)
+    proto = dict(state.get("protocol") or {"minReaderVersion": 1,
+                                           "minWriterVersion": 2})
+    meta = dict(state["meta"])
+    actions = [
+        {"checkpointMetadata": {"version": int(version)}},
+        {"protocol": proto},
+        {"metaData": meta},
+        {"sidecar": {"path": sc_name,
+                     "sizeInBytes": os.path.getsize(sc_path),
+                     "modificationTime": int(
+                         os.path.getmtime(sc_path) * 1000)}},
+    ]
+    mf = os.path.join(
+        log_dir, f"{version:020d}.checkpoint.{uuid.uuid4().hex}.json")
+    tmp = mf + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    os.replace(tmp, mf)
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    tmp = lc + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "size": len(rows) + 3}, fh)
+    os.replace(tmp, lc)
+
+
+def _v2_checkpoint_protocol(proto: dict | None,
+                            change_data: bool = False) -> dict:
+    """The protocol a v2-checkpointed export needs: minReader 3 /
+    minWriter 7 with ``v2Checkpoint`` listed, existing feature
+    implications (deletionVectors, changeDataFeed) carried into the
+    explicit feature lists."""
+    proto = dict(proto or {"minReaderVersion": 1,
+                           "minWriterVersion": 2})
+    rf = set(proto.get("readerFeatures") or [])
+    wf = set(proto.get("writerFeatures") or [])
+    if int(proto.get("minReaderVersion", 1)) >= 3 and not rf:
+        rf = set()
+    if int(proto.get("minWriterVersion", 2)) >= 4 or change_data:
+        wf.add("changeDataFeed")
+    rf.add("v2Checkpoint")
+    wf.add("v2Checkpoint")
+    if "deletionVectors" in rf:
+        wf.add("deletionVectors")
+    return {"minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": sorted(rf),
+            "writerFeatures": sorted(wf)}
+
+
+def _maybe_checkpoint(path: str, version: int,
+                      fmt: str | None = None) -> None:
     if version > 0 and version % _CHECKPOINT_INTERVAL == 0:
-        _write_checkpoint(path, version)
+        if fmt is None:
+            try:
+                with open(os.path.join(path, _STATE_SIDECAR)) as fh:
+                    fmt = json.load(fh).get("ckfmt")
+            except (OSError, ValueError):
+                fmt = None
+        if fmt == "v2":
+            _write_checkpoint_v2(path, version)
+        else:
+            _write_checkpoint(path, version)
 
 
 def _norm_ops(ent) -> list[list[str]]:
@@ -838,7 +929,8 @@ def export_delta(engine, table: str, dest: str,
                  allow_decrypted: bool = False,
                  deletion_vectors: bool = False,
                  change_data: bool = False,
-                 cluster_by: list | None = None) -> dict:
+                 cluster_by: list | None = None,
+                 checkpoint_format: str | None = None) -> dict:
     """Export ``table`` to a Delta table at ``dest``.
 
     ``mode``: ``"error"`` (default — refuse a non-empty dest),
@@ -870,10 +962,23 @@ def export_delta(engine, table: str, dest: str,
     Foreign CDF readers — and ``read_delta_cdf`` — then consume the
     store's changes incrementally without diffing snapshots.
 
+    ``checkpoint_format="v2"`` (opt-in, r17): periodic checkpoints
+    write the V2 (UUID-named manifest + ``_sidecars/`` parquet)
+    layout instead of classic single-file — the modern Databricks
+    writer default this module has READ since r13.  Upgrades the
+    protocol to minReaderVersion 3 with the ``v2Checkpoint`` feature
+    (why it is opt-in: pre-feature readers refuse the table).  The
+    choice persists in the export state; passing it on an UPDATE of a
+    classic export upgrades in that commit.
+
     Returns ``{"files", "rows", "path", "version",
     "commit"}`` where commit ∈ {snapshot, append, dv, refresh}."""
     if mode not in ("error", "overwrite", "update"):
         raise ValueError(f"unknown export_delta mode {mode!r}")
+    if checkpoint_format not in (None, "classic", "v2"):
+        raise ValueError(
+            f"checkpoint_format must be 'classic'|'v2', "
+            f"got {checkpoint_format!r}")
     try:
         enc = engine._enc_cols(engine._resolve(table))
     except Exception:
@@ -902,7 +1007,8 @@ def export_delta(engine, table: str, dest: str,
         return _export_update(engine, table, path,
                               deletion_vectors=deletion_vectors,
                               change_data=change_data,
-                              cluster_by=cluster_by)
+                              cluster_by=cluster_by,
+                              checkpoint_format=checkpoint_format)
     # ---- commit v0: full snapshot -----------------------------------
     df = engine.df(table)
     pby = list(engine._tables[engine._resolve(table)]
@@ -918,6 +1024,8 @@ def export_delta(engine, table: str, dest: str,
     proto = ({"minReaderVersion": 1, "minWriterVersion": 4}
              if change_data else
              {"minReaderVersion": 1, "minWriterVersion": 2})
+    if checkpoint_format == "v2":
+        proto = _v2_checkpoint_protocol(proto, change_data=change_data)
     if change_data:
         conf["delta.enableChangeDataFeed"] = "true"
     actions = [
@@ -932,15 +1040,23 @@ def export_delta(engine, table: str, dest: str,
         }},
     ] + adds
     _write_commit(path, 0, actions)
-    _write_state(engine, table, path, 0)
+    _write_state(engine, table, path, 0, ckfmt=checkpoint_format)
     return {"files": len(staged), "rows": total, "path": dest,
             "version": 0, "commit": "snapshot"}
 
 
-def _write_state(engine, table: str, path: str, version: int) -> None:
+def _write_state(engine, table: str, path: str, version: int,
+                 ckfmt: str | None = None) -> None:
+    if ckfmt is None:
+        # preserve the export's persisted checkpoint-format choice
+        try:
+            with open(os.path.join(path, _STATE_SIDECAR)) as fh:
+                ckfmt = json.load(fh).get("ckfmt")
+        except (OSError, ValueError):
+            ckfmt = None
     key = engine._resolve(table)
     ent = engine._tables[key]
-    state = {"space": key[0], "table": key[1],
+    state = {"space": key[0], "table": key[1], "ckfmt": ckfmt,
              "ops": _norm_ops(ent), "delta_version": version,
              "store_generation": engine._generations.get(key, 0),
              # whether THIS export was taken with zero unflushed
@@ -962,7 +1078,8 @@ def _write_state(engine, table: str, path: str, version: int) -> None:
 def _export_update(engine, table: str, path: str,
                    deletion_vectors: bool = False,
                    change_data: bool = False,
-                   cluster_by: list | None = None) -> dict:
+                   cluster_by: list | None = None,
+                   checkpoint_format: str | None = None) -> dict:
     from tostore_spark.store import _decrypt_for
     key = engine._resolve(table)
     ent = engine._tables[key]
@@ -974,6 +1091,16 @@ def _export_update(engine, table: str, path: str,
             state = json.load(fh)
     live = _replay(path)
     next_v = live["version"] + 1
+    # checkpoint format: like CDF, a TABLE-level choice — the state
+    # sidecar remembers it; an explicit "v2" on a classic export
+    # upgrades the protocol in THIS commit
+    ckfmt = checkpoint_format or (state or {}).get("ckfmt")
+    if ckfmt == "v2" and "v2Checkpoint" not in set(
+            (live.get("protocol") or {}).get("readerFeatures") or []):
+        ck_upgrade = [{"protocol": _v2_checkpoint_protocol(
+            live.get("protocol"), change_data=change_data)}]
+    else:
+        ck_upgrade = []
     # CDF is a TABLE property: once enabled, every subsequent commit
     # must maintain the feed whether or not this call re-passes the
     # flag (the Delta writer contract); change_data=True on a table
@@ -994,6 +1121,11 @@ def _export_update(engine, table: str, path: str,
         elif int(proto.get("minWriterVersion", 2)) < 4:
             proto["minWriterVersion"] = 4
         cdf_upgrade = [{"protocol": proto}, {"metaData": meta2}]
+    if ck_upgrade:
+        # one protocol action per commit: the v2-checkpoint protocol
+        # already folds the CDF writer feature in
+        cdf_upgrade = ck_upgrade + [a for a in cdf_upgrade
+                                    if "protocol" not in a]
     clean = (engine._generations.get(key, 0)
              == getattr(engine, "_flushed_gen", {}).get(key))
     sch_ttl = getattr(ent["schema"], "ttl", None)
@@ -1035,8 +1167,8 @@ def _export_update(engine, table: str, path: str,
         # CDF: an add-only commit needs NO cdc file — the spec derives
         # its inserts from the dataChange add actions themselves
         _write_commit(path, next_v, cdf_upgrade + adds)
-        _maybe_checkpoint(path, next_v)
-        _write_state(engine, table, path, next_v)
+        _maybe_checkpoint(path, next_v, fmt=ckfmt)
+        _write_state(engine, table, path, next_v, ckfmt=ckfmt)
         return {"files": len(staged), "rows": total, "path": path,
                 "version": next_v, "commit": "append"}
     # (since r13 the store's flush gives PARTITIONED tables seg/del
@@ -1047,7 +1179,7 @@ def _export_update(engine, table: str, path: str,
             and all(k in ("seg", "del") for k, _p in new_ops)):
         res = _export_update_dv(engine, key, ent, table, path, live,
                                 new_ops, next_v, cdf=cdf,
-                                cdf_upgrade=cdf_upgrade)
+                                cdf_upgrade=cdf_upgrade, ckfmt=ckfmt)
         if res is not None:
             return res
         # fallthrough: anything the DV path could not prove falls to
@@ -1107,15 +1239,16 @@ def _export_update(engine, table: str, path: str,
                for rel in sorted(live["files"])]
     _write_commit(path, next_v, cdf_upgrade + cdc_actions
                   + removes + adds)
-    _maybe_checkpoint(path, next_v)
-    _write_state(engine, table, path, next_v)
+    _maybe_checkpoint(path, next_v, fmt=ckfmt)
+    _write_state(engine, table, path, next_v, ckfmt=ckfmt)
     return {"files": len(staged), "rows": total, "path": path,
             "version": next_v, "commit": "refresh"}
 
 
 def _export_update_dv(engine, key, ent, table: str, path: str,
                       live: dict, new_ops, next_v: int,
-                      cdf: bool = False, cdf_upgrade=None):
+                      cdf: bool = False, cdf_upgrade=None,
+                      ckfmt: str | None = None):
     """Merge-on-read incremental commit (``deletion_vectors=True``):
     tail ``seg`` ops stage as fresh add actions, tail ``del`` ops
     resolve to per-file ROW POSITIONS over the files live at that
@@ -1329,11 +1462,21 @@ def _export_update_dv(engine, key, ent, table: str, path: str,
                 cdc = cdc.unionByName(extra)
             cdc_actions = _stage_cdc(cdc, path, next_v, pby)
     now_ms = int(time.time() * 1000)
-    wfeats = ["deletionVectors"] + (["changeDataFeed"] if cdf else [])
+    # merge, never clobber: a protocol upgrade must CARRY the table's
+    # existing features (e.g. v2Checkpoint) or later readers lose them
+    proto0 = live.get("protocol") or {}
+    rfeats = {"deletionVectors"} | set(
+        proto0.get("readerFeatures") or [])
+    wfeats = ({"deletionVectors"}
+              | set(proto0.get("writerFeatures") or [])
+              | ({"changeDataFeed"} if cdf else set()))
+    if ckfmt == "v2":
+        rfeats.add("v2Checkpoint")
+        wfeats.add("v2Checkpoint")
     actions = [{"protocol": {
         "minReaderVersion": 3, "minWriterVersion": 7,
-        "readerFeatures": ["deletionVectors"],
-        "writerFeatures": wfeats}}]
+        "readerFeatures": sorted(rfeats),
+        "writerFeatures": sorted(wfeats)}}]
     actions += [a for a in (cdf_upgrade or []) if "metaData" in a]
     removes, dv_adds = [], []
     staged_by_base = {a["add"]["path"].split("/")[-1]: a
@@ -1377,8 +1520,8 @@ def _export_update_dv(engine, key, ent, table: str, path: str,
         dv_adds.append({"add": new_add})
     _write_commit(path, next_v, actions + cdc_actions + removes
                   + dv_adds + adds_new)
-    _maybe_checkpoint(path, next_v)
-    _write_state(engine, table, path, next_v)
+    _maybe_checkpoint(path, next_v, fmt=ckfmt)
+    _write_state(engine, table, path, next_v, ckfmt=ckfmt)
     return {"files": staged_count, "rows": appended_rows,
             "dv_files": len(new_pos), "dv_positions": dv_rows,
             "path": path, "version": next_v, "commit": "dv"}

@@ -908,6 +908,22 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                     f"{names} but the schema calls it {f['name']!r} — "
                     "ambiguous multi-name mapping; name-based "
                     "resolution could read the wrong column")
+        if nm_renames and data:
+            # loud-refusal guard: a CORRUPT mapping (pointing at a
+            # column the files never had) must not silently null-fill
+            # — one footer probe verifies every renamed physical name
+            # exists (physical names are stable across generations,
+            # so sampling one file is the O(1) check)
+            import pyarrow.parquet as pq
+            have = set(pq.read_schema(
+                sorted(fp for fp, _s in data)[0]).names)
+            missing = sorted(set(nm_renames) - have)
+            if missing:
+                raise ValueError(
+                    f"name mapping names {missing} exist in no data "
+                    "file column — name-based resolution would read "
+                    "the wrong column (or none); fix the mapping or "
+                    "rewrite the table")
         read_schema = _strip_field_ids(StructType(rfields))
 
     # Column Projection rule 2: identity-partition source columns
@@ -2378,6 +2394,80 @@ def create_ref(path: str, name: str, snapshot_id: int | None = None,
             "type": kind, "metadata_version": mv}
 
 
+def rename_iceberg_column(path: str, renames: dict) -> dict:
+    """``ALTER TABLE ... RENAME COLUMN`` for exported Iceberg tables —
+    a METADATA-ONLY evolution (spec "Schema Evolution": renames never
+    touch data because readers resolve by FIELD ID): append a new
+    schema with the SAME field ids under the new names, point
+    ``current-schema-id`` at it, commit the next metadata version.
+    Zero data IO at any table size.
+
+    Current reads surface the new names; time travel to any prior
+    snapshot keeps that snapshot's own names (``_schema_for_snapshot``
+    binds by the snapshot's schema-id); ``read_iceberg_changes``
+    ranges crossing the rename surface every row under the range-END
+    names (same ids — the changelog's rename rule, r17).
+
+    Refuses: unknown columns, target-name collisions, name-mapped
+    tables whose mapping would need rewriting (bridges are renamed by
+    their Delta side via ``sync_delta_to_iceberg``), renaming an
+    identity-partition source column (the partition spec names it).
+
+    Reference: reference table_schema rename semantics are
+    migration-based (lib/ schema migration rewrites rows); Iceberg's
+    id-indirection makes the same user action free — the Spark-first
+    reshape of that API."""
+    p = _norm_path(path)
+    meta = _load_metadata(p)
+    if (meta.get("properties") or {}).get(_BRIDGE_PROP):
+        raise ValueError(
+            "this table is a delta→iceberg bridge — rename the DELTA "
+            "column (column mapping) and run sync_delta_to_iceberg")
+    if (meta.get("properties") or {}).get(
+            "schema.name-mapping.default"):
+        raise ValueError(
+            "rename on a name-mapped (converted) table is not "
+            "supported — rewrite the table (rewrite_data_files) to "
+            "field-id files first")
+    cur_sj = _current_schema(meta)
+    by_name = {f["name"]: f for f in cur_sj["fields"]}
+    for old in renames:
+        if old not in by_name:
+            raise ValueError(f"unknown column {old!r}")
+    new_names = [renames.get(f["name"], f["name"])
+                 for f in cur_sj["fields"]]
+    if len(set(new_names)) != len(new_names):
+        raise ValueError(f"rename {renames} collides with an "
+                         "existing column name")
+    spec_fields = (meta.get("partition-specs") or
+                   [{"fields": []}])[0].get("fields") or []
+    part_src = {int(pf["source-id"]) for pf in spec_fields}
+    for old in renames:
+        if int(by_name[old]["id"]) in part_src:
+            raise ValueError(
+                f"column {old!r} is a partition source — renaming it "
+                "would desynchronize the partition spec; re-export")
+    schemas = list(meta.get("schemas")
+                   or [dict(cur_sj,
+                            **{"schema-id":
+                               int(meta.get("current-schema-id", 0))})])
+    sid = max(int(s.get("schema-id", 0)) for s in schemas) + 1
+    new_sj = {"type": "struct", "schema-id": sid,
+              "fields": [dict(f, **({"name": renames[f["name"]]}
+                                    if f["name"] in renames else {}))
+                         for f in cur_sj["fields"]]}
+    meta["schemas"] = schemas + [new_sj]
+    meta["current-schema-id"] = sid
+    if "schema" in meta:
+        meta["schema"] = new_sj
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    mdir = os.path.join(p, "metadata")
+    mv = _next_metadata_version(mdir)
+    _write_metadata_json(mdir, mv, meta)
+    return {"schema_id": sid, "renamed": dict(renames),
+            "metadata_version": mv}
+
+
 def expire_snapshots(path: str, keep_last: int = 1,
                      dry_run: bool = False) -> dict:
     """Iceberg ``expireSnapshots`` for exports: drop all but the
@@ -2611,7 +2701,14 @@ def read_iceberg_changes(spark, path: str,
         if to_id not in snaps:
             raise ValueError(f"snapshot {to_id} not found")
 
-    end_schema_json = _schema_for_snapshot(meta, snaps[to_id])
+    # range-END schema: the CURRENT table schema when the caller asked
+    # for "up to now" (a metadata-only rename after the last snapshot
+    # must already surface — same rule as read_iceberg's current
+    # read); an explicit to_snapshot binds that snapshot's schema
+    if to_snapshot is None:
+        end_schema_json = _current_schema(meta)
+    else:
+        end_schema_json = _schema_for_snapshot(meta, snaps[to_id])
     sschema = _schema_to_spark(end_schema_json)
     meta_fields = [StructField("_change_type", StringType()),
                    StructField("_commit_snapshot_id", LongType()),
@@ -2673,10 +2770,14 @@ def read_iceberg_changes(spark, path: str,
         return df
 
     def _check_schema_compat(snap):
-        """Additive evolution only: every field of the snapshot's
-        schema must survive IN the range-END schema with the same id,
-        name and type — renames/drops/retypes refuse (their changes
-        cannot surface under the END schema without lying)."""
+        """Additive + RENAME evolution: every field of the snapshot's
+        schema must survive IN the range-END schema with the same id
+        and type — drops/retypes refuse (their changes cannot surface
+        under the END schema without lying).  A NAME change is fine
+        (r17): field ids are the identity, the fold reads every file
+        through the END schema's id-carrying read schema, so
+        pre-rename rows surface under the range-END names — the same
+        rule the reader applies for time travel, inverted."""
         sj = _schema_for_snapshot(meta, snap)
         if sj.get("schema-id", 0) == \
                 end_schema_json.get("schema-id", 0):
@@ -2689,15 +2790,15 @@ def read_iceberg_changes(spark, path: str,
                 if isinstance(t, dict) else t
         for f in sj["fields"]:
             e = end_by_id.get(int(f["id"]))
-            if e is None or e["name"] != f["name"] or \
-                    _t(e["type"]) != _t(f["type"]):
+            if e is None or _t(e["type"]) != _t(f["type"]):
                 raise ValueError(
                     f"snapshot {snap['snapshot-id']} was written "
                     f"under schema-id {sj.get('schema-id', 0)} whose "
                     f"field {f['name']!r} (id {f['id']}) was "
-                    "renamed, dropped or retyped by the range-end "
-                    "schema — only ADD-column evolution is derivable; "
-                    "re-bootstrap the consumer from read_iceberg")
+                    "dropped or retyped by the range-end schema — "
+                    "only ADD-column and RENAME evolution are "
+                    "derivable; re-bootstrap the consumer from "
+                    "read_iceberg")
 
     def _tag(df, snap, change):
         df = _pad_end(df)
@@ -2822,6 +2923,16 @@ def read_iceberg_changes(spark, path: str,
         id_to_name = {f["id"]: f["name"]
                       for f in end_schema_json["fields"]}
         sfields = {f.name: f for f in sschema.fields}
+        # the parent probe runs under the PARENT snapshot's own
+        # schema; across a mid-range RENAME (r17) its column names
+        # differ from the END names — probe in parent-name space,
+        # surface the pre-images under the END names by field id
+        parent_sj = _schema_for_snapshot(meta, snaps[parent_id])
+        pid_to_name = {int(f["id"]): f["name"]
+                       for f in parent_sj["fields"]}
+        renamed = any(pid_to_name.get(int(f["id"]), f["name"])
+                      != f["name"]
+                      for f in end_schema_json["fields"])
         out = None
         by_ids: dict[tuple, list] = {}
         for fp, _seq, ids in eq_add:
@@ -2830,10 +2941,18 @@ def read_iceberg_changes(spark, path: str,
                                  "equality_ids")
             by_ids.setdefault(tuple(sorted(ids)), []).append(fp)
         for ids, fps in sorted(by_ids.items()):
-            cols = [id_to_name[i] for i in ids]
+            cols = [id_to_name[i] for i in ids]          # END names
+            pcols_ = [pid_to_name.get(i, id_to_name[i])  # parent names
+                      for i in ids]
             dschema = StructType([sfields[c] for c in cols])
             keys = (spark.read.schema(dschema).parquet(*sorted(fps))
                     .distinct())
+            if renamed:
+                keys = keys.select(*[F.col(c).alias(pc) for c, pc
+                                     in zip(cols, pcols_)])
+            pfields = {pc: StructField(pc, sfields[c].dataType,
+                                       sfields[c].nullable)
+                       for c, pc in zip(cols, pcols_)}
             # composite keys AND their per-column BETWEEN bounds (a
             # matching row must sit inside every column's key range).
             # skip_tz: this predicate doubles as read_iceberg's ROW
@@ -2843,12 +2962,15 @@ def read_iceberg_changes(spark, path: str,
             # stats-only use keeps them via unix_micros)
             from tostore_spark.plans.delta_export import \
                 _key_bounds_where
-            probe_where = _key_bounds_where(keys, sfields,
+            probe_where = _key_bounds_where(keys, pfields,
                                             skip_tz=True)
-            if node is not None:
+            if node is not None and not renamed:
                 # FILTERED feed: AND the caller's predicate into the
                 # parent probe — pre-images the final row filter
-                # would drop never leave the manifest level
+                # would drop never leave the manifest level.  Across
+                # a rename the node's END names would mis-bind on the
+                # parent — skip the pushdown (the final feed filter
+                # keeps the result exact; the probe just reads more)
                 from tostore_spark.condition import (ConditionNode,
                                                      to_condition_node)
                 pw = to_condition_node(probe_where) \
@@ -2860,12 +2982,17 @@ def read_iceberg_changes(spark, path: str,
                                        where=probe_where)
             # null-safe match: the reader applies equality deletes
             # with eqNullSafe — the pre-image derivation must agree
-            kren = keys.select(*[F.col(c).alias(f"__k_{c}")
-                                 for c in cols])
-            cond = [parent_rows[c].eqNullSafe(kren[f"__k_{c}"])
-                    for c in cols]
+            kren = keys.select(*[F.col(pc).alias(f"__k_{pc}")
+                                 for pc in pcols_])
+            cond = [parent_rows[pc].eqNullSafe(kren[f"__k_{pc}"])
+                    for pc in pcols_]
             part = parent_rows.join(F.broadcast(kren), on=cond,
                                     how="leftsemi")
+            if renamed:
+                for f in end_schema_json["fields"]:
+                    pn = pid_to_name.get(int(f["id"]))
+                    if pn is not None and pn != f["name"]:
+                        part = part.withColumnRenamed(pn, f["name"])
             out = part if out is None else out.unionByName(part)
         return out
 
