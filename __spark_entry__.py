@@ -3783,6 +3783,103 @@ def q_rename_column(spark, sf_dir):
               "key_sum bigint")
 
 
+def q_partition_evolution(spark, sf_dir):
+    """Partition evolution as a NEW SPEC-ID (r17, plans/iceberg
+    _ensure_identity_spec): a partitioned store table exports with a
+    real identity partition spec (each data file one partition tuple,
+    manifests carry typed values, spec-id 0 stays unpartitioned for
+    delete manifests); repartitioning the table appends spec-id 2 —
+    METADATA-ONLY, every manifest carries its own spec-id — and the
+    reader prunes files under BOTH specs (current snapshot by the new
+    column, the pre-evolution snapshot by the old one; pinned via
+    inputFiles in-entry).  Appends keep extending incrementally after
+    the evolution.  DuckDB derives the counts from nation arithmetic.
+    Spec: Iceberg Table Spec 'Partition Evolution'."""
+    import os
+    import tempfile
+
+    from tostore_spark.plans.iceberg import (_load_metadata,
+                                             _norm_path,
+                                             read_iceberg)
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    db = _db(spark, sf_dir)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    with tempfile.TemporaryDirectory() as tmp:
+        dest = os.path.join(tmp, "ice")
+        db1 = ToStoreSpark(spark, warehouse=os.path.join(tmp, "wh"))
+        sch1 = TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n_name", type=DataType.text),
+                    FieldSchema(name="rk", type=DataType.integer),
+                    FieldSchema(name="key", type=DataType.integer)])
+        src = spark.createDataFrame(
+            [(f"n{r['n_nationkey']:03d}", r["n_name"],
+              int(r["n_regionkey"]), int(r["n_nationkey"]))
+             for r in nat],
+            "id string, n_name string, rk int, key int")
+        db1.register_table("nat", df=src, schema=sch1,
+                           partition_by=["rk"])
+        db1.flush()
+        db1.export_iceberg("nat", dest, mode="update")        # s1
+        meta = _load_metadata(dest)
+        s1 = meta["current-snapshot-id"]
+        if int(meta["default-spec-id"]) != 1:
+            raise AssertionError("identity spec not written")
+        # EVOLUTION: repartition rk → key-parity column via re-register
+        # (schema re-passed so the PK config survives the re-register)
+        evolved = db1.df("nat").withColumn(
+            "par", (F.col("key") % 2).cast("int"))
+        sch2 = TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n_name", type=DataType.text),
+                    FieldSchema(name="rk", type=DataType.integer),
+                    FieldSchema(name="key", type=DataType.integer),
+                    FieldSchema(name="par", type=DataType.integer)])
+        db1.register_table("nat", df=evolved, schema=sch2,
+                           partition_by=["par"])
+        db1.flush()
+        rep = db1.export_iceberg("nat", dest, mode="update")
+        if rep["commit"] != "refresh":
+            raise AssertionError(f"evolution must refresh: {rep}")
+        meta = _load_metadata(dest)
+        sids = sorted(int(s["spec-id"])
+                      for s in meta["partition-specs"])
+        if sids != [0, 1, 2] or int(meta["default-spec-id"]) != 2:
+            raise AssertionError(f"spec evolution off: {sids}")
+        # append keeps extending incrementally under the new spec
+        db1.batch_insert("nat", [{"id": "zz", "n_name": "FRESH",
+                                  "rk": 9, "key": 990, "par": 0}])
+        db1.flush()
+        rep = db1.export_iceberg("nat", dest, mode="update")
+        if rep["commit"] != "append":
+            raise AssertionError(f"post-evolution append broke: {rep}")
+        # BOTH specs prune: current snapshot by par, s1 by rk —
+        # pinned via inputFiles ⊆ the matching partition's files
+        cur = read_iceberg(spark, dest, partition_filter={"par": 1})
+        n_par1 = cur.count()
+        full = read_iceberg(spark, dest)
+        if len(cur.inputFiles()) >= len(full.inputFiles()):
+            raise AssertionError("no pruning under the new spec")
+        old = read_iceberg(spark, dest, snapshot_id=s1,
+                           partition_filter={"rk": 2})
+        n_rk2_old = old.count()
+        old_full = read_iceberg(spark, dest, snapshot_id=s1)
+        if len(old.inputFiles()) >= len(old_full.inputFiles()):
+            raise AssertionError("no pruning under the old spec")
+        row = full.agg(
+            F.count(F.lit(1)).alias("n_final"),
+            F.sum("key").cast("long").alias("key_sum")).first()
+        rows = [{"n_final": int(row["n_final"]),
+                 "n_par1": int(n_par1),
+                 "n_rk2_old": int(n_rk2_old),
+                 "n_specs": len(sids),
+                 "key_sum": int(row["key_sum"])}]
+    return spark.createDataFrame(
+        rows, "n_final bigint, n_par1 bigint, n_rk2_old bigint, "
+              "n_specs bigint, key_sum bigint")
+
+
 def q_uniform_bridge(spark, sf_dir):
     """UniForm-style format bridge (r14, plans/iceberg.
     convert_delta_to_iceberg): Iceberg v2 metadata written OVER a
@@ -6219,6 +6316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     _ORDER = [
         "q_bridge_rename", "q_rename_column",                 # born r17
+        "q_partition_evolution",                              # born r17
         "q_bridge_add_column", "q_changes_evolution",         # born r16
         "q_iceberg_cdf", "q_uniform_sync",                    # born r15
         "q_uniform_bridge",                                   # born r14
@@ -6486,6 +6584,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 AS BIGINT)            AS n_schemas,
                    CAST(sum(n_nationkey) + 990 + 991 AS BIGINT)
                        AS key_sum
+            FROM nation
+        """,
+        "q_partition_evolution": """
+            SELECT CAST(count(*) + 1 AS BIGINT) AS n_final,
+                   CAST(sum(CASE WHEN n_nationkey % 2 = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_par1,
+                   CAST(sum(CASE WHEN n_regionkey = 2
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_rk2_old,
+                   CAST(3 AS BIGINT)            AS n_specs,
+                   CAST(sum(n_nationkey) + 990 AS BIGINT) AS key_sum
             FROM nation
         """,
         "q_rename_column": """

@@ -2335,21 +2335,30 @@ def read_delta(spark, path: str, version: int | None = None,
     # Under 'name' mapping everything below runs in PHYSICAL names
     # (partitionValues are keyed by physical name per the spec);
     # _finish renames back once at the end.
-    phys_pcols = [top_map[c] for c in pcols]
-    data_schema = StructType(
-        [f for f in pschema.fields if f.name not in phys_pcols])
+    # each add's OWN partitionValues keys are authoritative (r17): a
+    # table whose partitionColumns CHANGED mid-history has files
+    # missing DIFFERENT columns per generation — old files carry the
+    # old keys in their pv map, new files the new keys; grouping by
+    # the full (keys, values) tuple reads every generation correctly
+    known = {f.name for f in pschema.fields}
     by_part: dict = {}
     for rel, add in files.items():
-        pv = tuple((add.get("partitionValues") or {}).get(c)
-                   for c in phys_pcols)
-        by_part.setdefault(pv, []).append(rel)
+        pv_map = {k: v
+                  for k, v in (add.get("partitionValues") or {}).items()
+                  if k in known}
+        by_part.setdefault(tuple(sorted(pv_map.items())),
+                           []).append(rel)
     out = None
-    for pv, rels in sorted(by_part.items(),
-                           key=lambda kv: tuple(str(x) for x in kv[0])):
-        part = _dv_filter(spark.read.schema(data_schema).parquet(
+    for key, rels in sorted(by_part.items(),
+                            key=lambda kv: tuple(str(x)
+                                                 for x in kv[0])):
+        pv_map = dict(key)
+        group_schema = StructType(
+            [f for f in pschema.fields if f.name not in pv_map])
+        part = _dv_filter(spark.read.schema(group_schema).parquet(
             *[os.path.join(p, rel) for rel in sorted(rels)]))
-        for c, pc, v in zip(pcols, phys_pcols, pv):
-            typ = schema[c].dataType
+        for pc, v in pv_map.items():
+            typ = pschema[pc].dataType
             part = part.withColumn(
                 pc, F.lit(v).cast(typ) if v is not None
                 else F.lit(None).cast(typ))
@@ -2365,31 +2374,41 @@ def read_delta(spark, path: str, version: int | None = None,
 def _read_change_files(spark, p: str, actions: list[dict], schema,
                        pcols: list[str], with_change_type: bool):
     """Read the files behind cdc/add actions, attaching each action's
-    ``partitionValues`` as typed literal columns (grouped by distinct
-    partition tuple — never relies on directory layout, per spec the
-    log is authoritative)."""
+    ``partitionValues`` as typed literal columns (grouped by the
+    action's OWN partition keys+values — never the directory layout
+    and never a single global partition-column list, so generations
+    written before a mid-range PARTITION CHANGE read their own
+    recorded columns; per spec the log is authoritative)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType, StructField, StructType
 
-    data_fields = [f for f in schema.fields if f.name not in pcols]
-    read_schema = StructType(
-        data_fields + ([StructField("_change_type", StringType(), True)]
-                       if with_change_type else []))
+    known = {f.name for f in schema.fields}
     by_part: dict = {}
     for a in actions:
-        pv = tuple((a.get("partitionValues") or {}).get(c)
-                   for c in pcols)
-        by_part.setdefault(pv, []).append(unquote(a["path"]))
+        pv_map = {k: v
+                  for k, v in (a.get("partitionValues") or {}).items()
+                  if k in known}
+        by_part.setdefault(tuple(sorted(pv_map.items())),
+                           []).append(unquote(a["path"]))
     out = None
-    for pv, rels in sorted(by_part.items(),
-                           key=lambda kv: tuple(str(x) for x in kv[0])):
+    for key, rels in sorted(by_part.items(),
+                            key=lambda kv: tuple(str(x)
+                                                 for x in kv[0])):
+        pv_map = dict(key)
+        read_schema = StructType(
+            [f for f in schema.fields if f.name not in pv_map]
+            + ([StructField("_change_type", StringType(), True)]
+               if with_change_type else []))
         part = spark.read.schema(read_schema).parquet(
             *[os.path.join(p, rel) for rel in sorted(rels)])
-        for c, v in zip(pcols, pv):
+        for c, v in pv_map.items():
             typ = schema[c].dataType
             part = part.withColumn(
                 c, F.lit(v).cast(typ) if v is not None
                 else F.lit(None).cast(typ))
+        cols = [f.name for f in schema.fields] + (
+            ["_change_type"] if with_change_type else [])
+        part = part.select(*cols)
         out = part if out is None else out.unionByName(part)
     return out
 

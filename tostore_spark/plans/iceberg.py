@@ -561,14 +561,18 @@ def _entry_stats(df_: dict):
     return {"rows": rows, "lo": lo, "hi": hi, "nulls": nc}
 
 
-def _scan_files(meta: dict, snapshot: dict, location: str):
+def _scan_files(meta: dict, snapshot: dict, location: str,
+                fspec_out: dict | None = None):
     """Walk manifest-list → manifests.  Returns
     ``(data_files, pos_delete_files, eq_delete_files, parts, fstats)``
     where each data file is ``(norm_path, data_seq)``, each
     position-delete file ``(norm_path, delete_seq)``, each
     equality-delete file ``(norm_path, delete_seq, [equality field
     ids])``, ``parts`` maps data file → partition struct and
-    ``fstats`` maps data file → its manifest column stats."""
+    ``fstats`` maps data file → its manifest column stats.
+    ``fspec_out`` (r17) collects each data file's owning manifest
+    PARTITION-SPEC-ID — the per-file spec binding partition
+    evolution relies on."""
     fv = meta.get("format-version", 1)
 
     def _abs(p):
@@ -611,6 +615,9 @@ def _scan_files(meta: dict, snapshot: dict, location: str):
             if content == 0:
                 data.append((fpath, seq))
                 parts[fpath] = dict(df_.get("partition") or {})
+                if fspec_out is not None:
+                    fspec_out[fpath] = int(
+                        m.get("partition_spec_id") or 0)
                 st = _entry_stats(df_)
                 if st is not None:
                     fstats[fpath] = st
@@ -848,8 +855,9 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     if snapshot is None:
         return spark.createDataFrame([], sschema)
     location = meta.get("location") or p
+    fspec: dict = {}
     data, pos_del, eq_del, parts, fstats = _scan_files(
-        meta, snapshot, location)
+        meta, snapshot, location, fspec_out=fspec)
     if partition_filter:
         data = _prune_partitions(meta, schema_json, data, parts,
                                  partition_filter)
@@ -929,8 +937,58 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     # Column Projection rule 2: identity-partition source columns
     # absent from the (hive-migrated) data files fill from partition
     # metadata
-    fill = _missing_identity_columns(meta, schema_json, data, parts)
-    if fill:
+
+    def _fill_read(sub, fill_g):
+        """Per-partition-tuple literal fill over ``sub``'s files
+        (manifest values are authoritative).  An empty ``fill_g``
+        degenerates to one plain read — used for spec groups whose
+        files carry every identity source."""
+        from pyspark.sql.types import StructType
+        mcols = sorted(fill_g)
+        dschema = StructType([f for f in read_schema.fields
+                              if f.name not in fill_g])
+        types = {f.name: f.dataType for f in sschema.fields}
+        by_pv: dict = {}
+        for fp, _seq in sub:
+            pv = tuple((parts.get(fp) or {}).get(fill_g[c])
+                       for c in mcols)
+            by_pv.setdefault(pv, []).append(fp)
+        if len(by_pv) > _FILL_TUPLE_CAP:
+            raise ValueError(
+                f"identity-partition fill over {len(by_pv)} partition "
+                f"tuples on a non-hive layout exceeds the "
+                f"{_FILL_TUPLE_CAP}-tuple plan cap — rewrite the "
+                "table (rewrite_data_files) or use a hive k=v layout")
+        out = None
+        for pv, fps in sorted(by_pv.items(),
+                              key=lambda kv: tuple(str(x)
+                                                   for x in kv[0])):
+            part = spark.read.schema(dschema).parquet(*sorted(fps))
+            for c, v in zip(mcols, pv):
+                part = part.withColumn(c, _part_value_lit(v, types[c]))
+            part = part.select(*[f.name for f in sschema.fields])
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    try:
+        fill = _missing_identity_columns(meta, schema_json, data, parts)
+        fill_groups = None
+    except ValueError:
+        # a MIXED layout is legitimate across PARTITION EVOLUTION —
+        # each spec's files miss exactly ITS identity sources (r17):
+        # group by the owning manifest's spec-id and fill PER SPEC;
+        # a group that is itself mixed re-raises (a truly corrupt
+        # layout must stay loud)
+        groups: dict = {}
+        for fp, seq in data:
+            groups.setdefault(fspec.get(fp, 0), []).append((fp, seq))
+        if len(groups) <= 1:
+            raise
+        fill, fill_groups = {}, []
+        for _sid, sub in sorted(groups.items()):
+            fill_groups.append((sub, _missing_identity_columns(
+                meta, schema_json, sub, parts)))
+    if fill or fill_groups:
         if pos_del or eq_del:
             raise ValueError(
                 "identity-partition fill under merge-on-read deletes "
@@ -940,6 +998,12 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                 "identity-partition fill on a RENAMED name-mapped "
                 "table is not supported — rewrite the table "
                 "(rewrite_data_files) first")
+        if fill_groups is not None:
+            out = None
+            for sub, f_g in fill_groups:
+                part = _fill_read(sub, f_g)
+                out = part if out is None else out.unionByName(part)
+            return _refilter(out)
         from pyspark.sql.types import StructType
         mcols = sorted(fill)
         dschema = StructType([f for f in read_schema.fields
@@ -958,27 +1022,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
                   .parquet(*sorted(fp for fp, _seq in data))
                   .select(*[f.name for f in sschema.fields]))
             return _refilter(df)
-        by_pv: dict = {}
-        for fp, _seq in data:
-            pv = tuple((parts.get(fp) or {}).get(fill[c])
-                       for c in mcols)
-            by_pv.setdefault(pv, []).append(fp)
-        if len(by_pv) > _FILL_TUPLE_CAP:
-            raise ValueError(
-                f"identity-partition fill over {len(by_pv)} partition "
-                f"tuples on a non-hive layout exceeds the "
-                f"{_FILL_TUPLE_CAP}-tuple plan cap — rewrite the "
-                "table (rewrite_data_files) or use a hive k=v layout")
-        out = None
-        for pv, fps in sorted(by_pv.items(),
-                              key=lambda kv: tuple(str(x)
-                                                   for x in kv[0])):
-            part = spark.read.schema(dschema).parquet(*sorted(fps))
-            for c, v in zip(mcols, pv):
-                part = part.withColumn(c, _part_value_lit(v, types[c]))
-            part = part.select(*[f.name for f in sschema.fields])
-            out = part if out is None else out.unionByName(part)
-        return _refilter(out)
+        return _refilter(_fill_read(data, fill))
 
     # field-id resolution (same mechanism as Delta 'id'-mode column
     # mapping): the read schema carries parquet.field.id metadata
@@ -1134,12 +1178,21 @@ def _write_metadata_json(mdir: str, version: int, meta: dict) -> None:
 
 def _stage_iceberg_data(df, dest: str, target_files=None,
                         id_of: dict | None = None,
-                        cluster_by: list | None = None) -> list:
+                        cluster_by: list | None = None,
+                        partition_by: list | None = None,
+                        pvals_out: dict | None = None) -> list:
     """Write ``df`` under ``dest/data/`` with parquet field ids (so
     foreign Iceberg readers resolve columns by id, the spec contract).
     ``id_of`` overrides the column→field-id map — delete files must
     carry the TABLE's ids, not a fresh numbering.
-    Returns ``[(abs_path, rows, bytes)]``."""
+    Returns ``[(abs_path, rows, bytes)]``.
+
+    ``partition_by`` (r17): each staged file holds exactly ONE
+    partition tuple (the Iceberg data-file contract) — the write
+    partitions on COPY columns so the originals stay IN the files
+    (Iceberg data files carry partition source columns, unlike hive
+    layout), and ``pvals_out`` receives each file's RAW directory
+    partition values ({abs_path: {col: str|None}}) for the manifest."""
     import pyarrow.parquet as pq
 
     spark = df.sparkSession
@@ -1164,7 +1217,7 @@ def _stage_iceberg_data(df, dest: str, target_files=None,
         tagged = tagged.withMetadata(
             f.name, {"parquet.field.id": id_of[f.name]})
     cl = [c for c in (cluster_by or []) if c in tagged.columns]
-    if cl:
+    if cl and not partition_by:
         # range-cluster so per-file manifest bounds become disjoint —
         # the writer-side knob that makes bounds skipping bite
         tagged = (tagged.repartitionByRange(int(target_files), *cl)
@@ -1175,22 +1228,52 @@ def _stage_iceberg_data(df, dest: str, target_files=None,
         tagged = tagged.coalesce(int(target_files))
     ddir = os.path.join(dest, "data")
     staging = os.path.join(dest, f".staging-{uuid.uuid4().hex}")
+    pby = [c for c in (partition_by or []) if c in tagged.columns]
+    shadow = {c: f"__ice_part_{c}" for c in pby}
     try:
-        tagged.write.mode("overwrite").parquet(staging)
+        writer = tagged
+        if pby:
+            for c, sc in shadow.items():
+                from pyspark.sql import functions as F
+                writer = writer.withColumn(sc, F.col(c))
+            writer.write.mode("overwrite") \
+                .partitionBy(*shadow.values()).parquet(staging)
+        else:
+            writer.write.mode("overwrite").parquet(staging)
     finally:
         for k, old in _olds.items():
             spark.conf.set(k, old) if old is not None \
                 else spark.conf.unset(k)
     os.makedirs(ddir, exist_ok=True)
     out = []
-    for f in sorted(os.listdir(staging)):
-        if not f.endswith(".parquet"):
-            continue
-        src = os.path.join(staging, f)
-        dst = os.path.join(ddir, f"{uuid.uuid4().hex}-{f}")
-        os.replace(src, dst)
-        rows = pq.ParquetFile(dst).metadata.num_rows
-        out.append((dst, int(rows), os.path.getsize(dst)))
+    for dirpath, dirs, names in os.walk(staging):
+        # keep hive `k=v` dirs (the shadow partition columns start
+        # with "__"), prune Spark's _SUCCESS/_temporary noise
+        dirs[:] = [d for d in dirs
+                   if "=" in d or not d.startswith(("_", "."))]
+        relroot = os.path.relpath(dirpath, staging)
+        raw_pv: dict = {}
+        if relroot != ".":
+            for seg in relroot.split(os.sep):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    v = unquote(v)
+                    # shadow column dir → source column key
+                    k = k[len("__ice_part_"):] \
+                        if k.startswith("__ice_part_") else k
+                    raw_pv[k] = (None
+                                 if v == "__HIVE_DEFAULT_PARTITION__"
+                                 else v)
+        for f in sorted(names):
+            if not f.endswith(".parquet"):
+                continue
+            src = os.path.join(dirpath, f)
+            dst = os.path.join(ddir, f"{uuid.uuid4().hex}-{f}")
+            os.replace(src, dst)
+            rows = pq.ParquetFile(dst).metadata.num_rows
+            out.append((dst, int(rows), os.path.getsize(dst)))
+            if pvals_out is not None and raw_pv:
+                pvals_out[dst] = dict(raw_pv)
     shutil.rmtree(staging, ignore_errors=True)
     return out
 
@@ -1248,22 +1331,94 @@ def export_iceberg(engine, table: str, dest: str, mode: str = "error",
         mode = "overwrite"   # first export of a fresh dest
 
     df = engine.df(table)
+    pby = list(engine._tables[engine._resolve(table)]
+               .get("partition_by") or [])
     os.makedirs(path, exist_ok=True)
+    meta = (_load_metadata(path) if mode == "append"
+            else _fresh_meta(path, df.schema))
+    spec, _pval = _ensure_identity_spec(meta, pby, df.schema)
+    raw_pv: dict = {}
     staged = _stage_iceberg_data(df, path, target_files,
-                                 cluster_by=cluster_by)
+                                 cluster_by=cluster_by,
+                                 partition_by=pby, pvals_out=raw_pv)
+    pvals = _typed_pvals(raw_pv, spec, _pval)
     if mode == "append":
-        meta = _load_metadata(path)
         rep = _commit_snapshot(path, meta, staged, None,
-                               keep_prior=True, operation="append")
+                               keep_prior=True, operation="append",
+                               spec=spec, pvals_of=pvals)
         rep["commit"] = "append-frame"
     else:
-        meta = _fresh_meta(path, df.schema)
         rep = _commit_snapshot(path, meta, staged, None,
-                               keep_prior=False, operation="append")
+                               keep_prior=False, operation="append",
+                               spec=spec, pvals_of=pvals)
         rep["commit"] = "snapshot"
     _write_iceberg_state(engine, table, path, rep)
     rep["path"] = dest
     return rep
+
+
+def _ensure_identity_spec(meta: dict, pby: list, spark_schema):
+    """Resolve (and, on PARTITION EVOLUTION, append) the identity
+    partition spec for a partitioned export (r17 order #3).
+
+    Returns ``((spec_id, spec_fields, part_avro), _pval)`` — or
+    ``(None, None)`` for an unpartitioned table.  When the table's
+    current default spec already identity-partitions on exactly
+    ``pby`` (matched by source-id), it is REUSED with its original
+    partition field-ids; otherwise a NEW spec-id is appended and made
+    the default — a METADATA-ONLY change (each manifest carries its
+    own spec-id, so files written under prior specs keep pruning
+    under them; the spec's own evolution rule).  Spec-id 0 always
+    stays the unpartitioned spec — delete manifests bind it so a
+    position-delete file spanning partitions is never mis-pruned."""
+    if not pby:
+        return None, None
+    schema_json = _current_schema(meta)
+    specs = list(meta.get("partition-specs")
+                 or [{"spec-id": 0, "fields": []}])
+    by_id = {int(s.get("spec-id", 0)): s for s in specs}
+    cur = by_id.get(int(meta.get("default-spec-id", 0)), specs[0])
+    id_by_name = {f["name"]: int(f["id"])
+                  for f in schema_json["fields"]}
+    spec_fields, part_avro, _pval = _convert_identity_spec(
+        pby, schema_json, spark_schema)
+    want_src = [id_by_name[c] for c in pby]
+    cur_fields = list(cur.get("fields") or [])
+    have_src = [pf.get("source-id") for pf in cur_fields
+                if pf.get("transform") == "identity"]
+    if want_src == have_src and len(have_src) == len(cur_fields):
+        # same identity spec — reuse its id and partition field-ids
+        fid_of = {int(pf["source-id"]): int(pf["field-id"])
+                  for pf in cur_fields}
+        for sf, pa_ in zip(spec_fields, part_avro):
+            sf["field-id"] = fid_of[int(sf["source-id"])]
+            pa_["field-id"] = sf["field-id"]
+        return (int(cur.get("spec-id", 0)), spec_fields,
+                part_avro), _pval
+    # EVOLUTION: new spec-id, fresh partition field-ids
+    next_fid = max(
+        [int(meta.get("last-partition-id", 999))]
+        + [int(pf.get("field-id", 999)) for s in specs
+           for pf in (s.get("fields") or [])]) + 1
+    for i, (sf, pa_) in enumerate(zip(spec_fields, part_avro)):
+        sf["field-id"] = next_fid + i
+        pa_["field-id"] = next_fid + i
+    sid = max(int(s.get("spec-id", 0)) for s in specs) + 1
+    meta["partition-specs"] = specs + [{"spec-id": sid,
+                                        "fields": spec_fields}]
+    meta["default-spec-id"] = sid
+    meta["last-partition-id"] = next_fid + len(pby) - 1
+    return (sid, spec_fields, part_avro), _pval
+
+
+def _typed_pvals(raw_pv: dict, spec, _pval) -> dict:
+    """{abs_path: raw dir strings} → {abs_path: typed values} for the
+    manifest partition struct."""
+    if spec is None:
+        return {}
+    names = [f["name"] for f in spec[1]]
+    return {fp: {c: _pval(c, rv.get(c)) for c in names}
+            for fp, rv in raw_pv.items()}
 
 
 def _fresh_meta(path: str, spark_schema) -> dict:
@@ -1426,15 +1581,24 @@ def _file_column_stats(fpath: str, schema_json: dict,
 
 
 def _manifest(mdir: str, schema_json: dict, entries: list,
-              snap_id: int, seq: int, content: str) -> dict:
-    """Write one manifest Avro file; return its manifest-list entry."""
+              snap_id: int, seq: int, content: str,
+              spec: tuple | None = None) -> dict:
+    """Write one manifest Avro file; return its manifest-list entry.
+    ``spec`` = (spec_id, spec_fields, part_avro) binds the manifest to
+    a PARTITIONED spec (r17 — each manifest carries its own spec-id,
+    the mechanism that makes partition EVOLUTION metadata-only);
+    None = the unpartitioned spec 0."""
     man_path = os.path.join(
         mdir, f"{uuid.uuid4().hex}-m{0 if content == 'data' else 1}.avro")
     os.makedirs(mdir, exist_ok=True)
+    spec_id, spec_fields, part_avro = spec or (0, [], None)
+    mes = (_bridge_entry_schema(part_avro) if part_avro
+           else _MANIFEST_ENTRY_SCHEMA)
     write_container_file(
-        man_path, _MANIFEST_ENTRY_SCHEMA, entries,
+        man_path, mes, entries,
         meta={"schema": json.dumps(schema_json), "schema-id": "0",
-              "partition-spec": "[]", "partition-spec-id": "0",
+              "partition-spec": json.dumps(spec_fields),
+              "partition-spec-id": str(spec_id),
               "format-version": "2", "content": content})
     # manifest-list counts split by entry status: foreign readers use
     # them for incremental scans / planning shortcuts, so EXISTING
@@ -1444,7 +1608,7 @@ def _manifest(mdir: str, schema_json: dict, entries: list,
     return {
         "manifest_path": man_path,
         "manifest_length": os.path.getsize(man_path),
-        "partition_spec_id": 0,
+        "partition_spec_id": int(spec_id),
         "content": 0 if content == "data" else 1,
         "sequence_number": seq, "min_sequence_number": seq,
         "added_snapshot_id": snap_id,
@@ -1461,12 +1625,20 @@ def _manifest(mdir: str, schema_json: dict, entries: list,
 
 def _commit_snapshot(path: str, meta: dict, data_files,
                      delete_files, *, keep_prior: bool,
-                     operation: str) -> dict:
+                     operation: str, spec: tuple | None = None,
+                     pvals_of: dict | None = None) -> dict:
     """Commit one snapshot: write manifests for the staged
     ``data_files`` / ``delete_files`` (``[(abs_path, rows, bytes)]``),
     a manifest list carrying the prior snapshot's manifests when
     ``keep_prior``, and the next ``vN.metadata.json`` (atomic
-    put-if-absent claim + hint update)."""
+    put-if-absent claim + hint update).
+
+    ``spec`` = (spec_id, spec_fields, part_avro) binds the DATA
+    manifest to a partitioned spec with ``pvals_of`` supplying each
+    file's typed partition values ({abs_path: {col: value}}).  Delete
+    manifests always bind the unpartitioned spec 0 — a position-delete
+    file can span partitions, and an unpartitioned delete manifest is
+    never partition-pruned (conservative by construction)."""
     mdir = os.path.join(path, "metadata")
     prev_snap = _pick_snapshot(meta)
     seq = int(meta.get("last-sequence-number", 0)) + 1
@@ -1476,7 +1648,7 @@ def _commit_snapshot(path: str, meta: dict, data_files,
     schema_json = _current_schema(meta)
     cur_sid = int(meta.get("current-schema-id", 0))
 
-    def _entries(files, content_code):
+    def _entries(files, content_code, with_pvals=False):
         out = []
         for item in files or []:
             fpath, rows, size = item[0], item[1], item[2]
@@ -1488,13 +1660,15 @@ def _commit_snapshot(path: str, meta: dict, data_files,
             # key projections, and planners don't skip on them here)
             st = _file_column_stats(fpath, schema_json) \
                 if code == 0 else {}
+            pv = dict((pvals_of or {}).get(fpath) or {}) \
+                if with_pvals else {}
             out.append({
                 "status": 1, "snapshot_id": snap_id,
                 "sequence_number": None,        # inherited (v2)
                 "file_sequence_number": None,
                 "data_file": {
                     "content": code, "file_path": fpath,
-                    "file_format": "PARQUET", "partition": {},
+                    "file_format": "PARQUET", "partition": pv,
                     "record_count": rows, "file_size_in_bytes": size,
                     "value_counts": st.get("value_counts"),
                     "null_value_counts": st.get("null_value_counts"),
@@ -1514,8 +1688,9 @@ def _commit_snapshot(path: str, meta: dict, data_files,
     n_files = 0
     if data_files:
         ml_entries.append(_manifest(
-            mdir, schema_json, _entries(data_files, 0),
-            snap_id, seq, "data"))
+            mdir, schema_json,
+            _entries(data_files, 0, with_pvals=spec is not None),
+            snap_id, seq, "data", spec=spec))
         total_rows = sum(r for _, r, _ in data_files)
         n_files = len(data_files)
     if delete_files:
@@ -1647,15 +1822,25 @@ def _export_iceberg_update(engine, table: str, path: str,
             part = ttl_filter(part, ent["schema"].ttl)
         return part
 
+    pby = list(ent.get("partition_by") or [])
     if extends and new_ops and all(k == "seg" for k, _p in new_ops):
-        # pure-append extension: stage only the delta rows
+        # pure-append extension: stage only the delta rows (under the
+        # current identity spec; a changed partition_by appends a new
+        # spec-id here — metadata-only, prior manifests keep their own)
         df = None
         for _k, seg in new_ops:
             part = _seg_frame(seg)
             df = part if df is None else df.unionByName(part)
-        staged = _stage_iceberg_data(df, path, target_files)
+        spec, _pval = _ensure_identity_spec(meta, pby, df.schema)
+        raw_pv: dict = {}
+        staged = _stage_iceberg_data(df, path, target_files,
+                                     partition_by=pby,
+                                     pvals_out=raw_pv)
         rep = _commit_snapshot(path, meta, staged, None,
-                               keep_prior=True, operation="append")
+                               keep_prior=True, operation="append",
+                               spec=spec,
+                               pvals_of=_typed_pvals(raw_pv, spec,
+                                                     _pval))
         rep["commit"] = "append"
         _write_iceberg_state(engine, table, path, rep)
         return rep
@@ -1725,14 +1910,20 @@ def _export_iceberg_update(engine, table: str, path: str,
         live_seq = {fp: seq for fp, seq in live}
         probe = [fp for fp, _seq in live]
         staged_all, hits = [], []
+        mor_spec, mor_pval, mor_raw = None, None, {}
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
                        "true")
         try:
             for kind, op_path in new_ops:
                 if kind == "seg":
                     part = _seg_frame(op_path)
+                    if pby and mor_spec is None:
+                        mor_spec, mor_pval = _ensure_identity_spec(
+                            meta, pby, part.schema)
                     staged = _stage_iceberg_data(part, path,
-                                                 target_files)
+                                                 target_files,
+                                                 partition_by=pby,
+                                                 pvals_out=mor_raw)
                     staged_all += staged
                     probe += [fp for fp, _r, _s in staged]
                 else:
@@ -1819,7 +2010,9 @@ def _export_iceberg_update(engine, table: str, path: str,
             rep = _commit_snapshot(path, meta, staged_all or None,
                                    delete_files, keep_prior=True,
                                    operation="delete" if not staged_all
-                                   else "overwrite")
+                                   else "overwrite", spec=mor_spec,
+                                   pvals_of=_typed_pvals(
+                                       mor_raw, mor_spec, mor_pval))
             rep["commit"] = "mor"
             rep["delete_positions"] = len(set(hits))
             _write_iceberg_state(engine, table, path, rep)
@@ -1861,10 +2054,19 @@ def _export_iceberg_update(engine, table: str, path: str,
             int(meta.get("last-column-id", 0)), _max_field_id(new_sj))
         if "schema" in meta:         # keep any v1 singular key in step
             meta["schema"] = new_sj
+    # PARTITION EVOLUTION also rides this tier when the store table
+    # re-registered with a different partition_by: a new spec-id is
+    # appended (metadata-only) and the restaged files commit under it;
+    # prior snapshots keep pruning under their own spec ids
+    spec, _pval = _ensure_identity_spec(meta, pby, df.schema)
+    raw_pv = {}
     staged = _stage_iceberg_data(df, path, target_files,
-                                 cluster_by=cluster_by)
+                                 cluster_by=cluster_by,
+                                 partition_by=pby, pvals_out=raw_pv)
     rep = _commit_snapshot(path, meta, staged, None,
-                           keep_prior=False, operation="overwrite")
+                           keep_prior=False, operation="overwrite",
+                           spec=spec,
+                           pvals_of=_typed_pvals(raw_pv, spec, _pval))
     rep["commit"] = "refresh"
     _write_iceberg_state(engine, table, path, rep)
     return rep
@@ -2222,6 +2424,16 @@ def rewrite_data_files(spark, path: str,
     rewriteDataFiles pays the same)."""
     p = _norm_path(path)
     meta = _load_metadata(p)
+    if any((s.get("fields") or [])
+           for s in (meta.get("partition-specs") or [])):
+        # r17: partitioned exports bind each data file to one
+        # partition tuple — a cross-partition bin-pack would have to
+        # re-group per tuple; refuse loudly until that lands rather
+        # than drop partition values from the rewritten manifest
+        raise ValueError(
+            "rewrite_data_files on a PARTITIONED table is not "
+            "supported — compact per partition upstream (the store's "
+            "own flush compaction) or re-export")
     snap = _pick_snapshot(meta)
     if snap is None:
         return {"snapshot_id": None, "rewritten": 0, "files": 0,
@@ -3299,15 +3511,46 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
     schema_json = _schema_for_snapshot(meta, _pick_snapshot(meta))
     sschema = _schema_to_spark(schema_json)
     cur_schema_id = int(meta.get("current-schema-id", 0))
-    spec_fields = (meta.get("partition-specs") or
-                   [{"fields": []}])[0]["fields"]
+    specs0 = meta.get("partition-specs") or [{"spec-id": 0,
+                                              "fields": []}]
+    cur_spec_id = int(meta.get("default-spec-id", 0))
+    spec_fields = next(
+        (s for s in specs0
+         if int(s.get("spec-id", 0)) == cur_spec_id),
+        specs0[0]).get("fields") or []
     pcols = [f["name"] for f in spec_fields]
     spec2, part_avro, _pval = _convert_identity_spec(
         pcols, schema_json, _strip_field_ids(sschema))
-    if spec2 != spec_fields:
+
+    def _spec_sig(fields):
+        return [(f.get("name"), f.get("transform"),
+                 int(f.get("source-id", -1))) for f in fields]
+    if _spec_sig(spec2) != _spec_sig(spec_fields):
         raise ValueError("bridge partition spec drifted — re-convert")
+    # the Avro partition-record field-ids must match the SPEC's own
+    # (an evolved spec's ids continue past 1000+i)
+    for pa_f, pf in zip(part_avro, spec_fields):
+        pa_f["field-id"] = int(pf.get("field-id", pa_f["field-id"]))
     mes = _bridge_entry_schema(part_avro)
     mdir = os.path.join(p, "metadata")
+
+    def _mes_for_spec(spec_id):
+        """Entry schema + spec fields for a PRIOR spec-id — manifest
+        rewrites must re-encode entries under the manifest's OWN spec
+        (partition evolution keeps old manifests on old specs)."""
+        sp = next((s for s in (meta.get("partition-specs") or [])
+                   if int(s.get("spec-id", 0)) == int(spec_id)),
+                  {"fields": []})
+        fields_s = sp.get("fields") or []
+        by_fid = {int(f["id"]): f for f in schema_json["fields"]}
+        pcols_s = [by_fid[int(pf["source-id"])]["name"]
+                   for pf in fields_s]
+        _sf, pa_s, _pv = _convert_identity_spec(
+            pcols_s, schema_json, _strip_field_ids(sschema))
+        for pa_f, pf in zip(pa_s, fields_s):
+            pa_f["field-id"] = int(pf.get("field-id",
+                                          pa_f["field-id"]))
+        return _bridge_entry_schema(pa_s), fields_s
 
     def _commit_ts(v, cpath, acts):
         for a in acts:
@@ -3325,12 +3568,6 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
                 md = a["metaData"]
                 new_schema = StructType.fromJson(
                     json.loads(md["schemaString"]))
-                if list(md.get("partitionColumns") or []) != pcols:
-                    raise ValueError(
-                        f"delta commit {v} changes the partition "
-                        "columns — the bridge cannot follow; "
-                        "re-convert (expire + remove metadata/ + "
-                        "convert_delta_to_iceberg)")
                 old_plain = _strip_field_ids(sschema)
 
                 def _shape(st):
@@ -3341,11 +3578,10 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
                     # change — the column-mapping ENABLEMENT commit
                     # (each existing field gains physicalName = its
                     # current name): physically a no-op for the bridge
-                    continue
-                renamed = _renamed_only_fields(
-                    old_plain, new_schema, schema_json,
-                    _bridge_nm(meta))
-                if renamed is not None:
+                    pass
+                elif (renamed := _renamed_only_fields(
+                        old_plain, new_schema, schema_json,
+                        _bridge_nm(meta))) is not None:
                     # RENAME-only evolution (r17 order #2): fold as a
                     # new Iceberg schema-id with UNCHANGED field ids —
                     # Iceberg resolves by id natively, and the name
@@ -3373,62 +3609,101 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
                     schema_json = new_sj
                     sschema = _schema_to_spark(schema_json)
                     cur_schema_id = sid
-                    continue
-                added = _added_tail_fields(old_plain, new_schema)
-                if added is None:
-                    raise ValueError(
-                        f"delta commit {v} evolves the schema "
-                        "non-additively (drop/retype/required "
-                        "column, or a rename without a column-mapping "
-                        "physical name the bridge can verify) — the "
-                        "bridge cannot follow; re-convert (expire + "
-                        "remove metadata/ + convert_delta_to_iceberg)")
-                # ADD-COLUMN-only evolution folds as a NEW Iceberg
-                # schema-id (the exporter's refresh path precedent:
-                # iceberg.py append-schemas block above).  New columns
-                # take fresh field ids and extend the name mapping;
-                # files older than a column null-fill through
-                # name-based resolution — the spec projection rule.
-                schemas = list(meta.get("schemas")
-                               or [dict(schema_json,
-                                        **{"schema-id":
-                                           cur_schema_id})])
-                sid = max(int(s.get("schema-id", 0))
-                          for s in schemas) + 1
-                next_id = [max(int(meta.get("last-column-id", 0)),
-                               _max_field_id(schema_json)) + 1]
-                add_struct = _spark_to_iceberg(
-                    StructType(list(added)), next_id)
-                new_sj = {"type": "struct", "schema-id": sid,
-                          "fields": [dict(f) for f in
-                                     schema_json["fields"]]
-                          + add_struct["fields"]}
-                meta["schemas"] = schemas + [new_sj]
-                meta["current-schema-id"] = sid
-                meta["last-column-id"] = next_id[0] - 1
-                if "schema" in meta:
-                    meta["schema"] = new_sj
-                nm = _bridge_nm(meta)
-                if nm is not None:
-                    have = {e.get("field-id") for e in nm}
-                    # the mapping resolves FILE column names: under
-                    # column mapping an added column's parquet name is
-                    # its physicalName, not the logical one
-                    phys_of = {
-                        f.name: (f.metadata or {}).get(
-                            "delta.columnMapping.physicalName")
-                        for f in added}
-                    nm += [{"field-id": f["id"],
-                            "names": [phys_of.get(f["name"])
-                                      or f["name"]]}
-                           for f in add_struct["fields"]
-                           if f["id"] not in have]
-                    meta["properties"][
-                        "schema.name-mapping.default"] = \
-                        json.dumps(nm)
-                schema_json = new_sj
-                sschema = _schema_to_spark(schema_json)
-                cur_schema_id = sid
+                else:
+                    added = _added_tail_fields(old_plain, new_schema)
+                    if added is None:
+                        raise ValueError(
+                            f"delta commit {v} evolves the schema "
+                            "non-additively (drop/retype/required "
+                            "column, or a rename without a "
+                            "column-mapping physical name the bridge "
+                            "can verify) — the bridge cannot follow; "
+                            "re-convert (expire + remove metadata/ + "
+                            "convert_delta_to_iceberg)")
+                    # ADD-COLUMN-only evolution folds as a NEW Iceberg
+                    # schema-id (the exporter's refresh path
+                    # precedent).  New columns take fresh field ids
+                    # and extend the name mapping; files older than a
+                    # column null-fill through name-based resolution —
+                    # the spec projection rule.
+                    schemas = list(meta.get("schemas")
+                                   or [dict(schema_json,
+                                            **{"schema-id":
+                                               cur_schema_id})])
+                    sid = max(int(s.get("schema-id", 0))
+                              for s in schemas) + 1
+                    next_id = [max(int(meta.get("last-column-id", 0)),
+                                   _max_field_id(schema_json)) + 1]
+                    add_struct = _spark_to_iceberg(
+                        StructType(list(added)), next_id)
+                    new_sj = {"type": "struct", "schema-id": sid,
+                              "fields": [dict(f) for f in
+                                         schema_json["fields"]]
+                              + add_struct["fields"]}
+                    meta["schemas"] = schemas + [new_sj]
+                    meta["current-schema-id"] = sid
+                    meta["last-column-id"] = next_id[0] - 1
+                    if "schema" in meta:
+                        meta["schema"] = new_sj
+                    nm = _bridge_nm(meta)
+                    if nm is not None:
+                        have = {e.get("field-id") for e in nm}
+                        # the mapping resolves FILE column names:
+                        # under column mapping an added column's
+                        # parquet name is its physicalName, not the
+                        # logical one
+                        phys_of = {
+                            f.name: (f.metadata or {}).get(
+                                "delta.columnMapping.physicalName")
+                            for f in added}
+                        nm += [{"field-id": f["id"],
+                                "names": [phys_of.get(f["name"])
+                                          or f["name"]]}
+                               for f in add_struct["fields"]
+                               if f["id"] not in have]
+                        meta["properties"][
+                            "schema.name-mapping.default"] = \
+                            json.dumps(nm)
+                    schema_json = new_sj
+                    sschema = _schema_to_spark(schema_json)
+                    cur_schema_id = sid
+                # PARTITION EVOLUTION (r17 order #3): a changed
+                # partitionColumns list appends a NEW spec-id — each
+                # manifest carries its own spec-id, so prior
+                # manifests stay valid under theirs; evaluated AFTER
+                # any same-commit schema fold so a freshly-added
+                # column can be partitioned on
+                new_pcols = list(md.get("partitionColumns") or [])
+                if new_pcols != pcols:
+                    sf_new, pa_new, pv_new = _convert_identity_spec(
+                        new_pcols, schema_json,
+                        _strip_field_ids(sschema))
+                    pspecs = list(meta.get("partition-specs")
+                                  or [{"spec-id": 0,
+                                       "fields": spec_fields}])
+                    next_fid = max(
+                        [int(meta.get("last-partition-id", 999))]
+                        + [int(pf.get("field-id", 999))
+                           for s in pspecs
+                           for pf in (s.get("fields") or [])]) + 1
+                    for i, (sf_, pa_) in enumerate(zip(sf_new,
+                                                       pa_new)):
+                        sf_["field-id"] = next_fid + i
+                        pa_["field-id"] = next_fid + i
+                    sid_p = max(int(s.get("spec-id", 0))
+                                for s in pspecs) + 1
+                    meta["partition-specs"] = pspecs + [
+                        {"spec-id": sid_p, "fields": sf_new}]
+                    meta["default-spec-id"] = sid_p
+                    if new_pcols:
+                        meta["last-partition-id"] = \
+                            next_fid + len(new_pcols) - 1
+                    if "partition-spec" in meta:
+                        meta["partition-spec"] = sf_new
+                    pcols, spec_fields = new_pcols, sf_new
+                    part_avro, _pval = pa_new, pv_new
+                    cur_spec_id = sid_p
+                    mes = _bridge_entry_schema(part_avro)
         adds = [a["add"] for a in acts if "add" in a]
         removes = [a["remove"] for a in acts if "remove" in a]
         if any(a.get("deletionVector") for a in adds):
@@ -3505,17 +3780,24 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
                         "data_file": df_})
                 man_path = os.path.join(
                     mdir, f"{uuid.uuid4().hex}-m0.avro")
+                # the rewritten manifest keeps its ORIGINAL spec-id:
+                # its surviving entries' partition structs were
+                # recorded under that spec (partition evolution)
+                m_sid = int(m.get("partition_spec_id") or 0)
+                mes_m, sfields_m = (
+                    (mes, spec_fields) if m_sid == cur_spec_id
+                    else _mes_for_spec(m_sid))
                 write_container_file(
-                    man_path, mes, new_entries,
+                    man_path, mes_m, new_entries,
                     meta={"schema": json.dumps(schema_json),
                           "schema-id": str(cur_schema_id),
-                          "partition-spec": json.dumps(spec_fields),
-                          "partition-spec-id": "0",
+                          "partition-spec": json.dumps(sfields_m),
+                          "partition-spec-id": str(m_sid),
                           "format-version": "2", "content": "data"})
                 ml_entries.append({
                     "manifest_path": man_path,
                     "manifest_length": os.path.getsize(man_path),
-                    "partition_spec_id": 0, "content": 0,
+                    "partition_spec_id": m_sid, "content": 0,
                     "sequence_number": seq,
                     "min_sequence_number": min(mins),
                     "added_snapshot_id": snap_id,
@@ -3581,12 +3863,12 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
                 meta={"schema": json.dumps(schema_json),
                       "schema-id": str(cur_schema_id),
                       "partition-spec": json.dumps(spec_fields),
-                      "partition-spec-id": "0",
+                      "partition-spec-id": str(cur_spec_id),
                       "format-version": "2", "content": "data"})
             ml_entries.append({
                 "manifest_path": man_path,
                 "manifest_length": os.path.getsize(man_path),
-                "partition_spec_id": 0, "content": 0,
+                "partition_spec_id": cur_spec_id, "content": 0,
                 "sequence_number": seq, "min_sequence_number": seq,
                 "added_snapshot_id": snap_id,
                 "added_files_count": len(entries),
