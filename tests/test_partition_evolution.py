@@ -190,12 +190,54 @@ class TestPartitionedExport:
                      if int(m["content"]) == 1}
         assert del_specs == {0}
 
-    def test_rewrite_refuses_partitioned(self, spark, tmp_path):
+    def test_rewrite_compacts_partition_preservingly(self, spark,
+                                                     tmp_path):
+        """Compaction on a partitioned export restages under the
+        CURRENT spec (one tuple per file, values re-derived) and
+        re-lists survivors per their ORIGINAL spec — after an
+        evolution, a rewrite also MIGRATES old-spec files onto the
+        new spec."""
+        from tostore_spark.plans.avro_io import read_container_file
+        from tostore_spark.plans.iceberg import (_load_metadata,
+                                                 _norm_path,
+                                                 _pick_snapshot)
         db = _mk(spark, str(tmp_path / "wh"))
         dest = str(tmp_path / "ice")
-        db.export_iceberg("ev", dest, mode="update")
-        with pytest.raises(ValueError, match="PARTITIONED"):
-            rewrite_data_files(spark, dest)
+        db.export_iceberg("ev", dest, mode="update")     # spec 1 (g)
+        before = sorted(map(tuple, read_iceberg(spark, dest)
+                            .select("id", "g", "h", "n").collect()))
+        rep = rewrite_data_files(spark, dest,
+                                 target_file_bytes=64 << 20)
+        assert rep["mode"] == "binpack" and rep["rewritten"] >= 2
+        _meta, data, parts = _live(dest)
+        # every rewritten file carries exactly one partition tuple
+        assert {parts[fp]["g"] for fp, _ in data} == {
+            "g0", "g1", "g2", "g3"}
+        after = sorted(map(tuple, read_iceberg(spark, dest)
+                           .select("id", "g", "h", "n").collect()))
+        assert after == before
+        # partition pruning still bites post-compaction
+        out = read_iceberg(spark, dest, partition_filter={"g": "g2"})
+        assert out.count() == 10
+        assert len(out.inputFiles()) < len(
+            read_iceberg(spark, dest).inputFiles()) or             len(data) == 1
+        # evolution then rewrite: everything migrates to the NEW spec
+        db.register_table("ev", df=db.df("ev"), schema=_sch(),
+                          partition_by=["h"])
+        db.flush()
+        db.export_iceberg("ev", dest, mode="update")     # refresh
+        rep = rewrite_data_files(spark, dest,
+                                 target_file_bytes=64 << 20,
+                                 cluster_by=["n"])
+        assert rep["snapshot_id"] is not None
+        meta = _load_metadata(dest)
+        snap = _pick_snapshot(meta)
+        _, ml = read_container_file(_norm_path(snap["manifest-list"]))
+        data_specs = {int(m["partition_spec_id"]) for m in ml
+                      if int(m["content"]) == 0}
+        assert data_specs == {int(meta["default-spec-id"])}
+        assert sorted(map(tuple, read_iceberg(spark, dest)
+                          .select("id", "g", "h", "n").collect())) ==             before
 
     def test_changelog_and_consumer_over_partitioned_export(
             self, spark, tmp_path):

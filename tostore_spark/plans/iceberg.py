@@ -1411,6 +1411,28 @@ def _ensure_identity_spec(meta: dict, pby: list, spark_schema):
     return (sid, spec_fields, part_avro), _pval
 
 
+def _spec_tools(meta: dict, spec_id: int, schema_json: dict,
+                sschema):
+    """(spec tuple for ``_manifest``/``_commit_snapshot``, value
+    decoder) for an EXISTING spec-id — identity specs only, with the
+    spec's ORIGINAL partition field-ids preserved.  (None, None) for
+    the unpartitioned spec."""
+    sp = next((s for s in meta.get("partition-specs") or []
+               if int(s.get("spec-id", 0)) == int(spec_id)), None)
+    fields_s = (sp or {}).get("fields") or []
+    if not fields_s:
+        return None, None
+    by_fid = {int(f["id"]): f for f in schema_json["fields"]}
+    pcols_s = [by_fid[int(pf["source-id"])]["name"]
+               for pf in fields_s]
+    sf, pa, pv = _convert_identity_spec(pcols_s, schema_json,
+                                        _strip_field_ids(sschema))
+    for sf_f, pa_f, pf in zip(sf, pa, fields_s):
+        sf_f["field-id"] = int(pf.get("field-id", sf_f["field-id"]))
+        pa_f["field-id"] = sf_f["field-id"]
+    return (int(spec_id), sf, pa), pv
+
+
 def _typed_pvals(raw_pv: dict, spec, _pval) -> dict:
     """{abs_path: raw dir strings} → {abs_path: typed values} for the
     manifest partition struct."""
@@ -2418,34 +2440,45 @@ def rewrite_data_files(spark, path: str,
     (and widens candidacy to every file).  Returns {"snapshot_id",
     "rewritten", "files", "mode"} (snapshot_id None = nothing to do).
 
+    PARTITIONED exports compact partition-preservingly (r17): the
+    rewritten files restage under the CURRENT default spec — one
+    partition tuple per file, values re-derived from the data (the
+    exporter keeps partition sources IN the files) — and survivors
+    re-list in per-spec EXISTING manifests carrying their original
+    partition values, so a rewrite can also MIGRATE old-spec files
+    onto the current spec (Iceberg's own rewrite does the same).
+
     Scale: the bin-pack path's IO ∝ the small files' bytes; the
     materialize path is O(live rows) — the documented price of
     compacting under merge-on-read deletes (Iceberg's own
     rewriteDataFiles pays the same)."""
     p = _norm_path(path)
     meta = _load_metadata(p)
-    if any((s.get("fields") or [])
-           for s in (meta.get("partition-specs") or [])):
-        # r17: partitioned exports bind each data file to one
-        # partition tuple — a cross-partition bin-pack would have to
-        # re-group per tuple; refuse loudly until that lands rather
-        # than drop partition values from the rewritten manifest
-        raise ValueError(
-            "rewrite_data_files on a PARTITIONED table is not "
-            "supported — compact per partition upstream (the store's "
-            "own flush compaction) or re-export")
     snap = _pick_snapshot(meta)
     if snap is None:
         return {"snapshot_id": None, "rewritten": 0, "files": 0,
                 "mode": "noop"}
     schema_json = _schema_for_snapshot(meta, snap)
     location = meta.get("location") or p
-    data, pos_del, eq_del, parts, _fs = _scan_files(meta, snap,
-                                                    location)
-    if any(parts.get(fp) for fp, _ in data):
-        raise ValueError("rewrite_data_files on a partitioned table "
-                         "is not supported by this writer "
-                         "(exports are unpartitioned)")
+    fspec: dict = {}
+    data, pos_del, eq_del, parts, _fs = _scan_files(
+        meta, snap, location, fspec_out=fspec)
+    # PARTITIONED exports compact partition-preservingly (r17): the
+    # rewritten files restage under the CURRENT default spec (the
+    # source columns live IN exporter data files, so the per-tuple
+    # staging re-derives values), while survivors re-list in per-spec
+    # EXISTING manifests carrying their ORIGINAL partition values and
+    # spec-ids.  Hive-stripped (converted) tables refuse below via
+    # the name-mapping gate — their files cannot restage losslessly.
+    sschema = _schema_to_spark(schema_json)
+    def_sid = int(meta.get("default-spec-id", 0))
+    def_spec, _pv_def = _spec_tools(meta, def_sid, schema_json,
+                                    sschema)
+    if def_spec is None and any(parts.get(fp) for fp, _ in data):
+        raise ValueError(
+            "rewrite_data_files: data files carry partition values "
+            "but the default spec is unpartitioned — refusing a "
+            "rewrite that would drop them")
     if (meta.get("properties") or {}).get(
             "schema.name-mapping.default"):
         # converted tables resolve columns by NAME MAPPING (their data
@@ -2464,6 +2497,8 @@ def rewrite_data_files(spark, path: str,
     snap_id = max((s["snapshot-id"] for s in
                    meta.get("snapshots", [])), default=0) + 1
 
+    pby_cols = [f["name"] for f in def_spec[1]] if def_spec else []
+    raw_pv: dict = {}
     if has_deletes:
         df = read_iceberg(spark, p)
         total = sum(os.path.getsize(fp) for fp, _ in data
@@ -2471,8 +2506,9 @@ def rewrite_data_files(spark, path: str,
         n_out = min(4096, max(1, (total + int(target_file_bytes) - 1)
                               // int(target_file_bytes)))
         staged = _stage_iceberg_data(df, p, n_out,
-                                     id_of=id_of, cluster_by=cluster_by)
-        entries = []
+                                     id_of=id_of, cluster_by=cluster_by,
+                                     partition_by=pby_cols,
+                                     pvals_out=raw_pv)
         survivors = []
         rewritten = len(data)
         mode = "materialize"
@@ -2492,18 +2528,21 @@ def rewrite_data_files(spark, path: str,
                      if fp not in cand_set]
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
                        "true")
-        sschema = _schema_to_spark(schema_json)
         df = spark.read.schema(sschema).parquet(
             *[fp for fp, _ in sorted(cand)])
         total = sum(sizes[fp] for fp, _ in cand)
         n_out = min(4096, max(1, (total + int(target_file_bytes) - 1)
                               // int(target_file_bytes)))
         staged = _stage_iceberg_data(df, p, n_out,
-                                     id_of=id_of, cluster_by=cluster_by)
-        entries = []
+                                     id_of=id_of, cluster_by=cluster_by,
+                                     partition_by=pby_cols,
+                                     pvals_out=raw_pv)
         rewritten = len(cand)
         mode = "binpack"
 
+    typed_pv = _typed_pvals(raw_pv, def_spec, _pv_def) \
+        if def_spec else {}
+    entries = []
     for fpath, rows, size in staged:
         st = _file_column_stats(fpath, schema_json)
         entries.append({
@@ -2512,7 +2551,8 @@ def rewrite_data_files(spark, path: str,
             "file_sequence_number": None,
             "data_file": {
                 "content": 0, "file_path": fpath,
-                "file_format": "PARQUET", "partition": {},
+                "file_format": "PARQUET",
+                "partition": dict(typed_pv.get(fpath) or {}),
                 "record_count": int(rows),
                 "file_size_in_bytes": int(size),
                 "value_counts": st.get("value_counts"),
@@ -2520,7 +2560,11 @@ def rewrite_data_files(spark, path: str,
                 "lower_bounds": st.get("lower_bounds"),
                 "upper_bounds": st.get("upper_bounds"),
                 "equality_ids": None}})
-    for fp, orig_seq in survivors:
+    # survivors re-list per ORIGINAL spec, each entry carrying its
+    # recorded partition values and original data sequence number
+    # (the delete-scoping rule); same-spec survivors share the adds'
+    # manifest (the r15 shape), foreign-spec survivors get their own
+    def _existing_entry(fp, orig_seq):
         # spec requires record_count on every entry — a wrong value
         # could mis-drive stats refutation, so a failed footer read
         # aborts the rewrite (the file was scanned moments ago; a
@@ -2528,30 +2572,45 @@ def rewrite_data_files(spark, path: str,
         import pyarrow.parquet as pq
         n_rows = int(pq.ParquetFile(fp).metadata.num_rows)
         st = _file_column_stats(fp, schema_json)
-        entries.append({
+        return {
             "status": 0,                        # EXISTING
             "snapshot_id": snap.get("snapshot-id"),
-            # EXISTING entries must carry their own data seq — the
-            # scoping rule that keeps older deletes applying exactly
             "sequence_number": int(orig_seq),
             "file_sequence_number": int(orig_seq),
             "data_file": {
                 "content": 0, "file_path": fp,
-                "file_format": "PARQUET", "partition": {},
+                "file_format": "PARQUET",
+                "partition": dict(parts.get(fp) or {}),
                 "record_count": n_rows,
                 "file_size_in_bytes": os.path.getsize(fp),
                 "value_counts": st.get("value_counts"),
                 "null_value_counts": st.get("null_value_counts"),
                 "lower_bounds": st.get("lower_bounds"),
                 "upper_bounds": st.get("upper_bounds"),
-                "equality_ids": None}})
+                "equality_ids": None}}
+
+    by_spec: dict = {}
+    for fp, orig_seq in survivors:
+        by_spec.setdefault(int(fspec.get(fp, 0)), []).append(
+            (fp, orig_seq))
+    same = by_spec.pop(def_sid if def_spec else 0, [])
+    entries += [_existing_entry(fp, s) for fp, s in same]
     ml_entries = [_manifest(mdir, schema_json, entries, snap_id, seq,
-                            "data")]
-    if survivors:
+                            "data", spec=def_spec)]
+    if same:
         # EXISTING entries carry older seqs; the manifest-list entry's
         # min_sequence_number must cover them (spec scan planning)
         ml_entries[0]["min_sequence_number"] = min(
-            [seq] + [int(s) for _fp, s in survivors])
+            [seq] + [int(s) for _fp, s in same])
+    for sid_s, subs in sorted(by_spec.items()):
+        sp_tools, _pv_s = _spec_tools(meta, sid_s, schema_json,
+                                      sschema)
+        m = _manifest(mdir, schema_json,
+                      [_existing_entry(fp, s) for fp, s in subs],
+                      snap_id, seq, "data", spec=sp_tools)
+        m["min_sequence_number"] = min(
+            [seq] + [int(s) for _fp, s in subs])
+        ml_entries.append(m)
     now_ms = int(time.time() * 1000)
     ml_path = os.path.join(
         mdir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro")
