@@ -3263,6 +3263,197 @@ def q_iceberg_bounds_skip(spark, sf_dir):
     return spark.createDataFrame(rows, schema_out)
 
 
+def q_bridge_dv(spark, sf_dir):
+    """Deletion vectors THROUGH the continuous UniForm bridge (r17,
+    plans/iceberg.sync_delta_to_iceberg): a Delta DV delete commit —
+    remove(X) + re-add(X, deletionVector) over the same physical
+    file — folds as an Iceberg merge-on-read ``delete`` snapshot:
+    the data file set is untouched (prior manifests carry over
+    VERBATIM, zero row IO) and one position-delete file holds only
+    the NEWLY dead positions (diffed against the bridge-dv-state
+    sidecar).  mirror_delta(bridge_iceberg=True) keeps vectors ON
+    (r17), so a delete flush is O(deleted rows) on BOTH rungs.  The
+    entry drives two DV delete epochs, asserts Delta==Iceberg==store
+    after each flush, both fold snapshots are ``delete`` ops with the
+    LIVE DATA FILE SET UNCHANGED, the second fold's delete file
+    carries exactly that epoch's position count, and aggregates the
+    final Iceberg view; DuckDB derives the same from nation minus
+    the deleted keys.  The bridge bootstraps as an explicit 2-file
+    key-clustered export so the physical pins hold at any executor
+    count.  Reference parity: tostore's MoR delete epochs (SURVEY
+    §2.1 row 11) surfaced across both open formats."""
+    import os
+    import tempfile
+
+    from tostore_spark.plans.avro_io import read_container_file
+    from tostore_spark.plans.delta_export import read_delta
+    from tostore_spark.plans.iceberg import (_load_metadata,
+                                             convert_delta_to_iceberg,
+                                             read_iceberg,
+                                             sync_delta_to_iceberg)
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    db = _db(spark, sf_dir)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+
+    def _live_data_files(dest):
+        meta = _load_metadata(dest)
+        _, ml = read_container_file(
+            meta["snapshots"][-1]["manifest-list"])
+        live = set()
+        for m in ml:
+            if m.get("content") != 0:
+                continue
+            _, entries = read_container_file(m["manifest_path"])
+            live |= {e["data_file"]["file_path"] for e in entries
+                     if e.get("status") != 2}
+        return live
+
+    with tempfile.TemporaryDirectory() as tmp:
+        dest = os.path.join(tmp, "dx")
+        db1 = ToStoreSpark(spark, warehouse=os.path.join(tmp, "wh"))
+        db1.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n_name", type=DataType.text),
+                    FieldSchema(name="key", type=DataType.integer)]))
+        db1.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
+             "key": r["n_nationkey"]} for r in nat])
+        db1.flush()
+        db1.export_delta("nat", dest, target_files=2,
+                         cluster_by=["key"])
+        convert_delta_to_iceberg(spark, dest)
+        files0 = _live_data_files(dest)
+
+        def _both_equal():
+            cols = sorted(db1.df("nat").columns)
+            a = sorted(map(tuple,
+                           db1.df("nat").select(*cols).collect()))
+            b = sorted(map(tuple, read_delta(spark, dest)
+                           .select(*cols).collect()))
+            c = sorted(map(tuple, read_iceberg(spark, dest)
+                           .select(*cols).collect()))
+            if not (a == b == c):
+                raise AssertionError("bridge views diverged")
+
+        def _dv_epoch(keys):
+            db1.delete("nat").where("key", "IN", keys).execute()
+            db1.flush()
+            rep = db1.export_delta("nat", dest, mode="update",
+                                   deletion_vectors=True)
+            if rep.get("commit") != "dv":
+                raise AssertionError(
+                    f"expected a DV commit, got {rep.get('commit')}")
+            sync_delta_to_iceberg(spark, dest)
+            _both_equal()
+        _dv_epoch([3, 7, 11])
+        _dv_epoch([1, 8])
+        meta = _load_metadata(dest)
+        tail = meta["snapshots"][-2:]
+        if [s["summary"]["operation"] for s in tail] != \
+                ["delete", "delete"]:
+            raise AssertionError(
+                "DV commits must fold as merge-on-read delete "
+                "snapshots, got "
+                f"{[s['summary']['operation'] for s in tail]}")
+        if [s["summary"].get("added-position-deletes")
+                for s in tail] != ["3", "2"]:
+            raise AssertionError(
+                "delete files must carry only the NEWLY dead "
+                "positions (sidecar diff)")
+        if _live_data_files(dest) != files0:
+            raise AssertionError(
+                "a DV fold must leave the data file set untouched")
+        out = read_iceberg(spark, dest).agg(
+            F.count(F.lit(1)).alias("n_final"),
+            F.sum("key").cast("long").alias("key_sum"))
+        row = out.first()
+        rows = [{"n_final": int(row["n_final"]),
+                 "key_sum": int(row["key_sum"]),
+                 "dv_snapshots": 2}]
+    return spark.createDataFrame(
+        rows, "n_final bigint, key_sum bigint, dv_snapshots bigint")
+
+
+def q_iceberg_meta(spark, sf_dir):
+    """Iceberg METADATA TABLES (late r17, plans/iceberg.
+    read_iceberg_meta — the ``table$snapshots`` / ``$files`` /
+    ``$partitions`` inspection surface; reference parity: tostore's
+    table_stats/admin introspection for the open formats): drives an
+    export through append + equality-delete epochs, then reads the
+    snapshots/manifests/files/partitions views — every kind
+    manifest-scale driver work, never row data.  In-entry asserts pin
+    the operation sequence, the partitions rollup (PHYSICAL rows —
+    the spec's partitions-table semantics), and the history ancestry;
+    the output aggregates deterministic counts DuckDB derives from
+    nation arithmetic."""
+    import os
+    import tempfile
+
+    from tostore_spark.plans.iceberg import (read_iceberg,
+                                             read_iceberg_meta)
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    db = _db(spark, sf_dir)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    with tempfile.TemporaryDirectory() as tmp:
+        dest = os.path.join(tmp, "ice")
+        db1 = ToStoreSpark(spark, warehouse=os.path.join(tmp, "wh"))
+        db1.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n_name", type=DataType.text),
+                    FieldSchema(name="key", type=DataType.integer)]))
+        db1.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
+             "key": r["n_nationkey"]} for r in nat])
+        db1.flush()
+        db1.export_iceberg("nat", dest, target_files=2,
+                           cluster_by=["key"])
+        db1.batch_insert("nat", [
+            {"id": f"x{i}", "n_name": f"ADDED{i}", "key": 900 + i}
+            for i in range(3)])
+        db1.flush()
+        db1.export_iceberg("nat", dest, mode="update")
+        db1.delete("nat").where("key", "IN", [2, 5]).execute()
+        db1.flush()
+        db1.export_iceberg("nat", dest, mode="update")
+        snaps = read_iceberg_meta(spark, dest, "snapshots") \
+            .orderBy("snapshot_id").collect()
+        if [s["operation"] for s in snaps] != \
+                ["append", "append", "delete"]:
+            raise AssertionError(
+                f"ops: {[s['operation'] for s in snaps]}")
+        hist = read_iceberg_meta(spark, dest, "history").collect()
+        if len(hist) != 3 or \
+                not all(r["is_current_ancestor"] for r in hist):
+            raise AssertionError("history must be 3 main ancestors")
+        files = read_iceberg_meta(spark, dest, "files").collect()
+        data_files = [r for r in files if r["content"] == 0]
+        del_files = [r for r in files if r["content"] in (1, 2)]
+        parts = read_iceberg_meta(spark, dest, "partitions").collect()
+        if len(parts) != 1 or \
+                parts[0]["record_count"] != \
+                sum(r["record_count"] for r in data_files):
+            raise AssertionError("partitions rollup must equal the "
+                                 "data files' physical rows")
+        # file COUNT is executor-layout-dependent (the appended
+        # segment may stage 1..3 files at 32 threads) — pin the
+        # bootstrap floor in-entry, emit only layout-independent
+        # aggregates (file-level pins live in tests/test_inspection)
+        if len(data_files) < 3:
+            raise AssertionError(
+                f"expected >=3 live data files, got {len(data_files)}")
+        rows = [{
+            "n_snapshots": len(snaps),
+            "live_data_rows": int(sum(r["record_count"]
+                                      for r in data_files)),
+            "delete_files": len(del_files),
+            "logical_rows": int(read_iceberg(spark, dest).count())}]
+    return spark.createDataFrame(
+        rows, "n_snapshots bigint, live_data_rows bigint, "
+              "delete_files bigint, logical_rows bigint")
+
+
 def q_uniform_sync(spark, sf_dir):
     """CONTINUOUS UniForm bridge (r15, plans/iceberg.
     sync_delta_to_iceberg + engine.mirror_delta(bridge_iceberg=True)):
@@ -6315,6 +6506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
+        "q_bridge_dv", "q_iceberg_meta",                      # born r17
         "q_bridge_rename", "q_rename_column",                 # born r17
         "q_partition_evolution",                              # born r17
         "q_bridge_add_column", "q_changes_evolution",         # born r16
@@ -7396,6 +7588,28 @@ def oracle_sql() -> dict[str, str]:
                        AS price_sum
             FROM orders
             WHERE o_orderstatus = 'F' AND o_orderkey < 500""",
+        "q_iceberg_meta": """
+            -- export nation as 2 clustered files; +1 appended file
+            -- (3 rows); an equality-delete epoch (2 keys) adds one
+            -- delete file and NO data files — physical rows stay
+            -- count(nation)+3, logical drop by 2
+            SELECT CAST(3 AS BIGINT) AS n_snapshots,
+                   CAST(count(*) + 3 AS BIGINT) AS live_data_rows,
+                   CAST(1 AS BIGINT) AS delete_files,
+                   CAST(count(*) + 1 AS BIGINT) AS logical_rows
+            FROM nation""",
+        "q_bridge_dv": """
+            -- bootstrap = nation; two DV delete epochs kill keys
+            -- {3,7,11} then {1,8}; each folds as one iceberg
+            -- merge-on-read delete snapshot => 2
+            SELECT CAST(count(CASE WHEN n_nationkey NOT IN
+                             (1, 3, 7, 8, 11) THEN 1 END)
+                        AS BIGINT) AS n_final,
+                   CAST(sum(CASE WHEN n_nationkey NOT IN
+                            (1, 3, 7, 8, 11) THEN n_nationkey END)
+                        AS BIGINT) AS key_sum,
+                   CAST(2 AS BIGINT) AS dv_snapshots
+            FROM nation""",
         "q_uniform_sync": """
             -- bootstrap = nation; +3 appended keys (900-902); the
             -- delete epoch kills key >= 20 incl. all appended rows;

@@ -1109,7 +1109,8 @@ def _changelog_sync_stat(spark, sf_dir: str) -> dict | None:
                         FieldSchema("l_returnflag", DataType.text)])
         REPS = 3
         METRICS = ("changes_append", "changes_delete",
-                   "bridge_append", "bridge_optimize")
+                   "bridge_append", "bridge_optimize",
+                   "bridge_dv_delete")
         out: dict = {"touched_rows": 100, "reps": REPS,
                      "method": "adjacent-leg med-of-3"}
         legs: dict = {}
@@ -1214,6 +1215,28 @@ def _changelog_sync_stat(spark, sf_dir: str) -> dict | None:
                     sync_delta_to_iceberg(spark, L["ddel"])
                     L["times"]["bridge_optimize"].append(
                         _t.time() - t0)
+            # (e) bridge DV-DELETE syncs (late r17): a 100-row Delta
+            # deletion-vector commit folds as ONE position-delete
+            # file with the prior manifest list carried VERBATIM —
+            # driver-side bitmap decode + one tiny parquet write,
+            # zero manifest decodes once the index exists; expect
+            # ~flat across the 10x bases
+            for rep in range(REPS):
+                for label in ("small", "large"):
+                    L = legs[label]
+                    db = L["db"]
+                    db.delete("td").where(
+                        "id", "IN", L["del_batches"][rep]).execute()
+                    db.flush(only=["td"])
+                    r = db.export_delta("td", L["ddel"],
+                                        mode="update",
+                                        deletion_vectors=True)
+                    assert r["commit"] == "dv", r
+                    t0 = _t.time()
+                    rs = sync_delta_to_iceberg(spark, L["ddel"])
+                    L["times"]["bridge_dv_delete"].append(
+                        _t.time() - t0)
+                    assert rs["snapshots"] == 1, rs
             for label in ("small", "large"):
                 L = legs[label]
                 blk: dict = {"base_rows": L["base_rows"]}
@@ -1228,8 +1251,11 @@ def _changelog_sync_stat(spark, sf_dir: str) -> dict | None:
             for k in METRICS if s.get(f"{k}_sec")}
         out["note"] = (
             "bridge_* legs are ~10 ms absolute (driver-side manifest "
-            "arithmetic; r16 append path opens zero prior manifests) "
-            "— their ratios ride fixed overhead, read the absolutes")
+            "arithmetic; r16 append path opens zero prior manifests; "
+            "the late-r17 bridge_dv_delete leg adds one bitmap decode "
+            "+ one tiny position-delete parquet, positions diffed "
+            "against the bridge-dv-state sidecar) — their ratios "
+            "ride fixed overhead, read the absolutes")
         return out
     except Exception as exc:                    # pragma: no cover
         print(f"# changelog sync stat skipped: {exc}", file=sys.stderr)

@@ -243,6 +243,87 @@ def test_cdf_partitioned_table(spark, tmp_path):
     assert f0.filter("grp = 'g0'").count() == 4
 
 
+def test_cdf_column_mapped_partitioned(spark, tmp_path):
+    """late r17: CDF reads through 'name'-mode column mapping on a
+    PARTITIONED table — partitionValues are keyed by PHYSICAL names
+    (the spec rule) and each action's OWN values attach as typed
+    logical columns, including a mid-range partition generation."""
+    import glob as _g
+    import shutil as _sh
+    d = str(tmp_path / "ext")
+    log = os.path.join(d, "_delta_log")
+    os.makedirs(log)
+
+    def _stage(name, rows, with_ct=False):
+        schema = "`col-k1` long, `col-b1` string" + (
+            ", `_change_type` string" if with_ct else "")
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(d, "_stage"))
+        part = _g.glob(os.path.join(d, "_stage", "*.parquet"))[0]
+        _sh.move(part, os.path.join(d, name))
+
+    _stage("f1.parquet", [(1, "a"), (2, "b")])
+    _stage("f2.parquet", [(3, "c")])
+    schema_json = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-k1"}},
+        {"name": "b", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-b1"}},
+        {"name": "p", "type": "integer", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-p1"}}]}
+    meta = {"id": "x", "format": {"provider": "parquet"},
+            "schemaString": json.dumps(schema_json),
+            "partitionColumns": ["p"],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "3",
+                "delta.enableChangeDataFeed": "true"}}
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        for name, pv in (("f1.parquet", "10"), ("f2.parquet", "20")):
+            fh.write(json.dumps({"add": {
+                "path": name, "partitionValues": {"col-p1": pv},
+                "size": 1, "modificationTime": 0,
+                "dataChange": True}}) + "\n")
+    # v1: a cdc commit — physical names in the change file, physical
+    # keys in its partitionValues
+    os.makedirs(os.path.join(d, "_change_data"))
+    _stage("_change_data/c1.parquet", [(2, "b", "delete")],
+           with_ct=True)
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"cdc": {
+            "path": "_change_data/c1.parquet",
+            "partitionValues": {"col-p1": "10"}, "size": 1,
+            "dataChange": False}}) + "\n")
+        fh.write(json.dumps({"commitInfo": {
+            "timestamp": 1700000000000}}) + "\n")
+    # v2: derivable add-only commit under a NEW partition value
+    _stage("f3.parquet", [(9, "z")])
+    with open(os.path.join(log, f"{2:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"add": {
+            "path": "f3.parquet", "partitionValues": {"col-p1": "30"},
+            "size": 1, "modificationTime": 0,
+            "dataChange": True}}) + "\n")
+    feed = read_delta_cdf(spark, d, 0)
+    rows = sorted((r["_commit_version"], r["_change_type"], r["k"],
+                   r["b"], r["p"]) for r in feed.collect())
+    assert rows == [(0, "insert", 1, "a", 10),
+                    (0, "insert", 2, "b", 10),
+                    (0, "insert", 3, "c", 20),
+                    (1, "delete", 2, "b", 10),
+                    (2, "insert", 9, "z", 30)]
+    assert dict(feed.dtypes)["p"] == "int"
+    # where= prunes by the PHYSICAL partition key through the mapping
+    f2 = read_delta_cdf(spark, d, 0, where={"p": {">=": 30}})
+    assert [(r["k"], r["p"]) for r in f2.collect()] == [(9, 30)]
+
+
 def test_cdf_mirror_change_data(spark, tmp_path):
     db = _mk(spark, str(tmp_path / "wh"))
     dest = str(tmp_path / "dx")

@@ -62,7 +62,11 @@ class TestContinuousBridge:
         assert getattr(db, "last_mirror_error", None) is None
         meta = _load_metadata(dest)
         ops = [s["summary"]["operation"] for s in meta["snapshots"]]
-        assert ops == ["append", "append", "overwrite", "overwrite"]
+        # r17: deletion vectors flow through the bridge — the delete
+        # flush folds as a merge-on-read 'delete' snapshot (prior
+        # manifests verbatim + one position-delete file), the update
+        # flush as 'overwrite' (new rows staged + old positions killed)
+        assert ops == ["append", "append", "delete", "overwrite"]
         # snapshot count tracks delta data commits exactly
         log = os.path.join(dest, "_delta_log")
         dv = len([f for f in os.listdir(log) if f.endswith(".json")])
@@ -130,7 +134,10 @@ class TestContinuousBridge:
         assert sorted(r["n"] for r in out.collect()) == \
             [1000, 1001, 1002, 1003, 1004]
 
-    def test_dv_commit_refuses(self, spark, tmp_path):
+    def test_dv_commit_folds_as_mor_delete(self, spark, tmp_path):
+        """r17: a Delta deletion-vector commit folds as an Iceberg
+        merge-on-read 'delete' snapshot — data files untouched, one
+        position-delete file, both views value-equal."""
         db = _mk(spark, tmp_path)
         dest = str(tmp_path / "dx")
         db.export_delta("notes", dest, target_files=1)
@@ -140,8 +147,13 @@ class TestContinuousBridge:
         rep = db.export_delta("notes", dest, mode="update",
                               deletion_vectors=True)
         assert rep["commit"] == "dv"
-        with pytest.raises(ValueError, match="deletion vector"):
-            sync_delta_to_iceberg(spark, dest)
+        r = sync_delta_to_iceberg(spark, dest)
+        assert r["snapshots"] == 1
+        _check_equal(spark, db, dest)
+        meta = _load_metadata(dest)
+        snap = meta["snapshots"][-1]
+        assert snap["summary"]["operation"] == "delete"
+        assert snap["summary"]["added-position-deletes"] == "1"
 
     def test_non_additive_evolution_refuses(self, spark, tmp_path):
         """r16: ADD-COLUMN evolution now folds (see
@@ -362,6 +374,196 @@ class TestBridgeScalePaths:
                 "path": "data/no-such-file.parquet",
                 "dataChange": True}}) + "\n")
         with pytest.raises(ValueError, match="matched no live"):
+            sync_delta_to_iceberg(spark, dest)
+
+
+class TestBridgeDeletionVectors:
+    """r17: Delta deletion-vector commits fold as Iceberg merge-on-
+    read position-delete snapshots — zero row IO, prior manifests
+    verbatim, delete-file rows ∝ the NEWLY dead positions (diffed
+    against the bridge-dv-state sidecar)."""
+
+    def _spy(self, monkeypatch):
+        import tostore_spark.plans.iceberg as ice
+        seen = []
+        orig = ice.read_container_file
+
+        def wrap(path):
+            if not os.path.basename(path).startswith("snap-"):
+                seen.append(path)
+            return orig(path)
+        monkeypatch.setattr(ice, "read_container_file", wrap)
+        return seen
+
+    def _bridge(self, spark, tmp_path, rows=20):
+        db = _mk(spark, tmp_path, rows=rows)
+        dest = str(tmp_path / "dx")
+        db.export_delta("notes", dest, target_files=2,
+                        cluster_by=["id"])
+        convert_delta_to_iceberg(spark, dest)
+        return db, dest
+
+    def _dv_delete(self, db, dest, ns):
+        db.delete("notes").where("n", "IN", ns).execute()
+        db.flush()
+        rep = db.export_delta("notes", dest, mode="update",
+                              deletion_vectors=True)
+        assert rep["commit"] == "dv"
+
+    def _last_delete_file_rows(self, spark, dest):
+        from tostore_spark.plans.avro_io import read_container_file
+        meta = _load_metadata(dest)
+        _, ml = read_container_file(
+            meta["snapshots"][-1]["manifest-list"])
+        dfs = [m for m in ml if m.get("content") == 1
+               and m["added_snapshot_id"] ==
+               meta["snapshots"][-1]["snapshot-id"]]
+        assert len(dfs) == 1
+        _, entries = read_container_file(dfs[0]["manifest_path"])
+        assert entries[0]["data_file"]["content"] == 1
+        return entries[0]["data_file"]["record_count"]
+
+    def test_second_dv_fold_is_metadata_only_and_diffed(
+            self, spark, tmp_path, monkeypatch):
+        """Once the index + sidecar exist, a DV fold decodes ZERO
+        prior manifests and ships only the freshly dead positions."""
+        db, dest = self._bridge(spark, tmp_path)
+        self._dv_delete(db, dest, [3, 7, 11])
+        sync_delta_to_iceberg(spark, dest)
+        assert self._last_delete_file_rows(spark, dest) == 3
+        self._dv_delete(db, dest, [1, 8])
+        seen = self._spy(monkeypatch)
+        sync_delta_to_iceberg(spark, dest)
+        assert seen == [], seen        # manifest LIST only, no decode
+        assert self._last_delete_file_rows(spark, dest) == 2
+        _check_equal(spark, db, dest)
+        # the data file set never moved across either fold
+        meta = _load_metadata(dest)
+        assert meta["snapshots"][-1]["summary"]["operation"] == \
+            "delete"
+
+    def test_sidecar_rebuild_is_exact(self, spark, tmp_path):
+        """A lost sidecar rebuilds from the table's own delete files
+        — the next fold still ships only the diff."""
+        import tostore_spark.plans.iceberg as ice
+        db, dest = self._bridge(spark, tmp_path)
+        self._dv_delete(db, dest, [3, 7, 11])
+        sync_delta_to_iceberg(spark, dest)
+        os.remove(os.path.join(dest, "metadata",
+                               ice._BRIDGE_DV_STATE))
+        self._dv_delete(db, dest, [1])
+        sync_delta_to_iceberg(spark, dest)
+        assert self._last_delete_file_rows(spark, dest) == 1
+        _check_equal(spark, db, dest)
+
+    def test_shrunk_vector_falls_back_to_readd(self, spark,
+                                               tmp_path):
+        """A RESTORE-shaped commit (the vector loses a position)
+        cannot stack as position deletes — the fold re-adds the file
+        at a fresh data sequence, un-scoping every older delete file,
+        and re-kills the surviving positions same-commit."""
+        import time as _time
+
+        from tostore_spark.plans.delta_dv import (
+            decode_deletion_vector, inline_descriptor)
+        from tostore_spark.plans.delta_export import _replay
+        db, dest = self._bridge(spark, tmp_path)
+        self._dv_delete(db, dest, [3, 7])
+        sync_delta_to_iceberg(spark, dest)
+        state = _replay(dest, None)
+        rel, add = next((r, a) for r, a in
+                        sorted(state["files"].items())
+                        if a.get("deletionVector"))
+        pos = decode_deletion_vector(dest, add["deletionVector"])
+        keep = pos[:-1]
+        new_add = dict(add)
+        if keep:
+            new_add["deletionVector"] = inline_descriptor(keep)
+        else:
+            new_add.pop("deletionVector")
+        log = os.path.join(dest, "_delta_log")
+        v = max(int(f[:-5]) for f in os.listdir(log)
+                if f.endswith(".json") and f[:-5].isdigit()) + 1
+        ts = int(_time.time() * 1000)
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+            for act in [
+                    {"commitInfo": {"timestamp": ts,
+                                    "operation": "RESTORE"}},
+                    {"remove": {"path": rel, "deletionTimestamp": ts,
+                                "dataChange": True}},
+                    {"add": new_add}]:
+                fh.write(json.dumps(act) + "\n")
+        sync_delta_to_iceberg(spark, dest)
+        a = _rows(read_delta(spark, dest))
+        assert _rows(read_iceberg(spark, dest)) == a
+        # the resurrected row is visible again on both rungs
+        assert len(a) == 19 if keep else 20
+
+    def test_convert_with_live_dvs_seeds_sidecar(self, spark,
+                                                 tmp_path):
+        """convert_delta_to_iceberg folds live vectors into the
+        bootstrap snapshot and seeds the sidecar, so the next DV
+        commit diffs against it."""
+        import tostore_spark.plans.iceberg as ice
+        db = _mk(spark, tmp_path)
+        dest = str(tmp_path / "dx")
+        db.export_delta("notes", dest, target_files=2,
+                        cluster_by=["id"])
+        self._dv_delete(db, dest, [2, 5, 11])
+        convert_delta_to_iceberg(spark, dest)
+        _check_equal(spark, db, dest)
+        assert os.path.exists(os.path.join(
+            dest, "metadata", ice._BRIDGE_DV_STATE))
+        self._dv_delete(db, dest, [13])
+        sync_delta_to_iceberg(spark, dest)
+        assert self._last_delete_file_rows(spark, dest) == 1
+        _check_equal(spark, db, dest)
+
+    def test_file_born_with_vector_kills_same_commit(self, spark,
+                                                     tmp_path):
+        """del-after-seg in ONE Delta commit: the staged file carries
+        its vector from birth — the fold stages the data file and a
+        delete file at the SAME sequence number (equal seq applies
+        for position deletes)."""
+        db, dest = self._bridge(spark, tmp_path)
+        # two flushes, ONE export commit: the del op lands after the
+        # seg op in the same exported tail, so the staged add carries
+        # its vector directly
+        db.batch_insert("notes", [{"id": "z1", "n": 900},
+                                  {"id": "z2", "n": 901}])
+        db.flush()
+        db.delete("notes").where("n", "=", 901).execute()
+        db.flush()
+        rep = db.export_delta("notes", dest, mode="update",
+                              deletion_vectors=True)
+        assert rep["commit"] == "dv"
+        sync_delta_to_iceberg(spark, dest)
+        _check_equal(spark, db, dest)
+        meta = _load_metadata(dest)
+        assert meta["snapshots"][-1]["summary"]["operation"] == \
+            "overwrite"
+
+    def test_mirror_bridge_keeps_vectors_on(self, spark, tmp_path):
+        """mirror_delta(bridge_iceberg=True) no longer forces DVs
+        off — a delete flush is O(delta) on BOTH rungs."""
+        db = _mk(spark, tmp_path)
+        dest = str(tmp_path / "dx")
+        db.mirror_delta("notes", dest, bridge_iceberg=True)
+        db.delete("notes").where("n", "IN", [3, 7]).execute()
+        db.flush()
+        assert getattr(db, "last_mirror_error", None) is None
+        _check_equal(spark, db, dest)
+        meta = _load_metadata(dest)
+        assert meta["snapshots"][-1]["summary"]["operation"] == \
+            "delete"
+
+    def test_positions_over_bound_refuse(self, spark, tmp_path,
+                                         monkeypatch):
+        import tostore_spark.plans.delta_dv as dv
+        db, dest = self._bridge(spark, tmp_path)
+        self._dv_delete(db, dest, [3, 7, 11])
+        monkeypatch.setattr(dv, "MAX_TOTAL_POSITIONS", 2)
+        with pytest.raises(ValueError, match="driver-side bound"):
             sync_delta_to_iceberg(spark, dest)
 
 

@@ -1553,12 +1553,13 @@ class ToStoreSpark:
         ALSO converted to Iceberg (``convert_delta_to_iceberg``) and
         every later mirror flush folds its Delta commits into
         incremental Iceberg snapshots (``sync_delta_to_iceberg``) —
-        one table directory, both formats always current; deletion
-        vectors are forced OFF (the bridge derives file-level
-        commits).  Returns the initial export report."""
+        one table directory, both formats always current.  Deletion
+        vectors flow THROUGH the bridge (r17): a DV delete flush
+        commits O(deleted rows) on the Delta side and folds as an
+        Iceberg merge-on-read position-delete snapshot on the other —
+        no file rewrite on either rung.  Returns the initial export
+        report."""
         key = self._resolve(table)
-        if bridge_iceberg:
-            deletion_vectors = False
         if not hasattr(self, "_delta_mirrors"):
             self._delta_mirrors = {}
         self._delta_mirrors[key] = {
@@ -1602,7 +1603,8 @@ class ToStoreSpark:
         table's CURRENT live files — same parquet, two formats, no
         copy; foreign Iceberg engines read the Delta state
         (plans/iceberg.convert_delta_to_iceberg).  Snapshot-in-time;
-        deletion vectors need optimize_delta first."""
+        live deletion vectors fold into the bootstrap snapshot as
+        position deletes (late r17)."""
         from tostore_spark.plans.iceberg import convert_delta_to_iceberg
         return convert_delta_to_iceberg(self.spark, path)
 
@@ -1695,6 +1697,48 @@ class ToStoreSpark:
         from tostore_spark.plans.delta_export import vacuum_delta as _vd
         return _vd(dest, keep_versions=keep_versions, dry_run=dry_run,
                    retention_sec=retention_sec)
+
+    def iceberg_meta(self, dest: str, kind: str = "snapshots",
+                     snapshot_id: Optional[int] = None,
+                     as_of_ms: Optional[int] = None,
+                     ref: Optional[str] = None):
+        """Iceberg METADATA TABLES for an export/foreign table —
+        snapshots / history / refs / manifests / files / partitions
+        as DataFrames (plans/iceberg.read_iceberg_meta); the
+        ``table$snapshots``-style inspection surface.  Manifest-scale
+        driver work, never row data."""
+        from tostore_spark.plans.iceberg import read_iceberg_meta
+        return read_iceberg_meta(self.spark, dest, kind,
+                                 snapshot_id=snapshot_id,
+                                 as_of_ms=as_of_ms, ref=ref)
+
+    def remove_orphan_files(self, dest: str,
+                            older_than_ms: Optional[int] = None,
+                            dry_run: bool = False) -> dict:
+        """Iceberg removeOrphanFiles for exports: delete data-dir
+        parquet no retained snapshot references — crashed-export
+        debris (plans/iceberg.remove_orphan_files; refuses on a
+        UniForm bridge — use vacuum_delta there)."""
+        from tostore_spark.plans.iceberg import remove_orphan_files
+        return remove_orphan_files(dest, older_than_ms=older_than_ms,
+                                   dry_run=dry_run)
+
+    def delta_history(self, dest: str, limit: Optional[int] = None):
+        """DESCRIBE HISTORY for a Delta export/foreign table — one
+        row per commit, newest first
+        (plans/delta_export.describe_delta_history).  O(log) driver
+        metadata, never row data."""
+        from tostore_spark.plans.delta_export import \
+            describe_delta_history
+        return describe_delta_history(self.spark, dest, limit=limit)
+
+    def delta_detail(self, dest: str):
+        """DESCRIBE DETAIL for a Delta export/foreign table — one row
+        of current-state facts (plans/delta_export.
+        describe_delta_detail)."""
+        from tostore_spark.plans.delta_export import \
+            describe_delta_detail
+        return describe_delta_detail(self.spark, dest)
 
     def export_iceberg(self, table: str, dest: str,
                        mode: str = "error",

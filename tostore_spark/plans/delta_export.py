@@ -2181,6 +2181,118 @@ def version_at_timestamp(path: str, as_of_ms: int,
     return best
 
 
+def describe_delta_history(spark, path: str,
+                           limit: int | None = None):
+    """DESCRIBE HISTORY for exported/foreign Delta tables (late r17 —
+    the inspection twin of ``read_iceberg_meta('snapshots')``): one
+    row per commit, NEWEST FIRST, with the commitInfo fields when the
+    writer recorded them and the action shape either way.
+
+    Columns: version, timestamp, operation (commitInfo's when
+    present, else derived from the actions — WRITE / DELETE /
+    MERGE / OPTIMIZE / METADATA), operation_parameters (map),
+    num_added_files, num_removed_files, has_cdc, has_dv.
+
+    Scale: O(commit files) driver-side log reads — metadata only,
+    the version_at_timestamp class; never row data."""
+    import datetime as _dt
+
+    from pyspark.sql.types import (BooleanType, IntegerType, LongType,
+                                   MapType, StringType, StructField,
+                                   StructType, TimestampType)
+    p = path[len("file:"):] if path.startswith("file:") else path
+    log_dir = os.path.join(p, "_delta_log")
+    versions = sorted(
+        int(f[:-len(".json")]) for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:-len(".json")].isdigit())
+    if not versions:
+        raise FileNotFoundError(f"no delta commits under {p}")
+    if limit is not None:
+        versions = versions[-int(limit):]
+    rows = []
+    for v in versions:
+        cpath = os.path.join(log_dir, f"{v:020d}.json")
+        with open(cpath) as fh:
+            acts = [json.loads(ln) for ln in fh if ln.strip()]
+        ci = next((a["commitInfo"] for a in acts
+                   if "commitInfo" in a), {})
+        adds = [a["add"] for a in acts if "add" in a]
+        removes = [a["remove"] for a in acts if "remove" in a]
+        has_cdc = any("cdc" in a for a in acts)
+        has_dv = any(a.get("deletionVector") for a in adds)
+        op = ci.get("operation")
+        if not op:
+            if not adds and not removes:
+                op = "METADATA"
+            elif has_dv or (adds and removes):
+                op = "MERGE"
+            elif removes:
+                op = "DELETE"
+            else:
+                op = "WRITE"
+        ts_ms = ci.get("timestamp") or int(
+            os.path.getmtime(cpath) * 1000)
+        ts = _dt.datetime.fromtimestamp(
+            int(ts_ms) / 1000.0, _dt.timezone.utc).replace(tzinfo=None)
+        rows.append((v, ts, op,
+                     {k: str(val) for k, val in
+                      (ci.get("operationParameters") or {}).items()},
+                     len(adds), len(removes), has_cdc, has_dv))
+    rows.sort(key=lambda r: -r[0])
+    return spark.createDataFrame(rows, StructType([
+        StructField("version", LongType()),
+        StructField("timestamp", TimestampType()),
+        StructField("operation", StringType()),
+        StructField("operation_parameters",
+                    MapType(StringType(), StringType())),
+        StructField("num_added_files", IntegerType()),
+        StructField("num_removed_files", IntegerType()),
+        StructField("has_cdc", BooleanType()),
+        StructField("has_dv", BooleanType())]))
+
+
+def describe_delta_detail(spark, path: str):
+    """DESCRIBE DETAIL for exported/foreign Delta tables: ONE row of
+    current-state facts — format, id, location, partition columns,
+    live file count/bytes, protocol versions, table properties.
+    O(log replay) driver-side; never row data."""
+    from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                                   MapType, StringType, StructField,
+                                   StructType)
+    p = path[len("file:"):] if path.startswith("file:") else path
+    state = _replay(p, None)
+    meta = state["meta"] or {}
+    proto = state.get("protocol") or {}
+    files = state["files"]
+    size = 0
+    for add in files.values():
+        try:
+            size += int(add.get("size") or 0)
+        except (TypeError, ValueError):
+            pass
+    row = (meta.get("format", {}).get("provider", "parquet"),
+           meta.get("id"), p,
+           list(meta.get("partitionColumns") or []),
+           len(files), size,
+           {k: str(v) for k, v in
+            (meta.get("configuration") or {}).items()},
+           int(proto.get("minReaderVersion") or 1),
+           int(proto.get("minWriterVersion") or 2),
+           int(state["version"]))
+    return spark.createDataFrame([row], StructType([
+        StructField("format", StringType()),
+        StructField("id", StringType()),
+        StructField("location", StringType()),
+        StructField("partition_columns", ArrayType(StringType())),
+        StructField("num_files", LongType()),
+        StructField("size_in_bytes", LongType()),
+        StructField("properties", MapType(StringType(),
+                                          StringType())),
+        StructField("min_reader_version", IntegerType()),
+        StructField("min_writer_version", IntegerType()),
+        StructField("version", LongType())]))
+
+
 def read_delta(spark, path: str, version: int | None = None,
                where=None, as_of_ms: int | None = None):
     """Read a Delta table by replaying its transaction log — the
@@ -2480,11 +2592,11 @@ def read_delta_cdf(spark, path: str, from_version: int,
         pschema, top_map = schema, {f.name: f.name
                                     for f in schema.fields}
     else:
-        if pcols:
-            raise ValueError(
-                "CDF read under column mapping on a PARTITIONED "
-                "table is not supported (partitionValues are keyed "
-                "by physical names)")
+        # PARTITIONED tables read through the mapping too (late r17):
+        # partitionValues are keyed by PHYSICAL names (the spec's
+        # rule) and _read_change_files attaches each action's OWN
+        # values under the physical schema — the same per-generation
+        # rule read_delta applies; _logical renames once at the end
         if cm_mode == "name":
             pschema, top_map = _physical_schema(schema)
         elif cm_mode == "id":

@@ -2285,9 +2285,12 @@ def convert_delta_to_iceberg(spark, path: str) -> dict:
     snapshot (the continuous-UniForm loop).  ``vacuum_delta`` may
     reclaim files a RETAINED older Iceberg snapshot references —
     run ``expire_snapshots`` down to the current one before
-    vacuuming, exactly the real-world UniForm caveat.  Deletion
-    vectors refuse (``optimize_delta`` first materializes them);
-    column mapping refuses (physical names)."""
+    vacuuming, exactly the real-world UniForm caveat.  Live deletion
+    vectors fold into the bootstrap snapshot as one position-delete
+    file (r17 — positions straight from the bitmaps, zero row IO)
+    with the ``bridge-dv-state.json`` sidecar seeded so later DV
+    commits diff against it; column mapping refuses (physical
+    names)."""
     from pyspark.sql.types import StructType
 
     from tostore_spark.plans.delta_export import _replay
@@ -2302,11 +2305,23 @@ def convert_delta_to_iceberg(spark, path: str) -> dict:
             "delta.columnMapping.mode", "none") not in ("none", ""):
         raise ValueError("convert_delta_to_iceberg under column "
                          "mapping is not supported")
+    dv_hits, dv_seed = [], {}
     if any(a.get("deletionVector") for a in state["files"].values()):
-        raise ValueError(
-            "the delta table carries live deletion vectors — run "
-            "optimize_delta first (it materializes them), then "
-            "convert")
+        from tostore_spark.plans.delta_dv import (
+            MAX_TOTAL_POSITIONS, decode_deletion_vector)
+        for rel, add in sorted(state["files"].items()):
+            if not add.get("deletionVector"):
+                continue
+            pos = set(decode_deletion_vector(
+                p, add["deletionVector"]))
+            dv_hits += [(os.path.join(p, rel), pp)
+                        for pp in sorted(pos)]
+            dv_seed[rel] = pos
+        if len(dv_hits) > MAX_TOTAL_POSITIONS:
+            raise ValueError(
+                f"the delta table carries {len(dv_hits)} deletion-"
+                "vector positions — over the driver-side bound; "
+                "optimize_delta first (it materializes them)")
     spark_schema = StructType.fromJson(
         json.loads(meta_d["schemaString"]))
     schema_json, mapping = _convert_schema_and_mapping(spark_schema)
@@ -2330,7 +2345,10 @@ def convert_delta_to_iceberg(spark, path: str) -> dict:
     rep = _commit_converted_snapshot(
         p, spark_schema, schema_json, mapping, spec_fields, part_avro,
         file_pvals,
-        extra_props={_BRIDGE_PROP: str(state["version"])})
+        extra_props={_BRIDGE_PROP: str(state["version"])},
+        dv_hits=dv_hits)
+    if dv_seed:
+        _save_bridge_dv_state(mdir, dv_seed)
     rep["partition_columns"] = pcols
     rep["delta_version"] = state["version"]
     return rep
@@ -2338,11 +2356,15 @@ def convert_delta_to_iceberg(spark, path: str) -> dict:
 
 def _commit_converted_snapshot(p, spark_schema, schema_json, mapping,
                                spec_fields, part_avro,
-                               file_pvals, extra_props=None) -> dict:
+                               file_pvals, extra_props=None,
+                               dv_hits=None) -> dict:
     """Shared tail of the conversion paths: write manifest +
     manifest list + v1 metadata for snapshot 1 over the given
     ``[(abs_path, partition_values, rows|None)]`` files (rows=None →
-    read the footer)."""
+    read the footer).  ``dv_hits`` = folded deletion-vector positions
+    ``[(abs_path, pos)]`` — committed as one position-delete file in
+    a DELETES manifest at the same sequence number (equal seq applies
+    for position deletes, the spec's same-commit rule)."""
     import copy
 
     import pyarrow.parquet as pq
@@ -2379,9 +2401,7 @@ def _commit_converted_snapshot(p, spark_schema, schema_json, mapping,
               "partition-spec": json.dumps(spec_fields),
               "partition-spec-id": "0", "format-version": "2",
               "content": "data"})
-    ml_path = os.path.join(
-        mdir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro")
-    write_container_file(ml_path, _MANIFEST_LIST_SCHEMA, [{
+    ml_entries = [{
         "manifest_path": man_path,
         "manifest_length": os.path.getsize(man_path),
         "partition_spec_id": 0, "content": 0,
@@ -2391,7 +2411,26 @@ def _commit_converted_snapshot(p, spark_schema, schema_json, mapping,
         "existing_files_count": 0, "deleted_files_count": 0,
         "added_rows_count": total_rows,
         "existing_rows_count": 0, "deleted_rows_count": 0,
-        "key_metadata": None}], meta={"format-version": "2"})
+        "key_metadata": None}]
+    if dv_hits:
+        dfl = _write_position_deletes(p, dv_hits)
+        ml_entries.append(_manifest(
+            mdir, schema_json,
+            [{"status": 1, "snapshot_id": snap_id,
+              "sequence_number": None, "file_sequence_number": None,
+              "data_file": {
+                  "content": 1, "file_path": dfl[0],
+                  "file_format": "PARQUET", "partition": {},
+                  "record_count": dfl[1],
+                  "file_size_in_bytes": dfl[2],
+                  "value_counts": None, "null_value_counts": None,
+                  "lower_bounds": None, "upper_bounds": None,
+                  "equality_ids": None}}],
+            snap_id, seq, "deletes"))
+    ml_path = os.path.join(
+        mdir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro")
+    write_container_file(ml_path, _MANIFEST_LIST_SCHEMA, ml_entries,
+                         meta={"format-version": "2"})
     now_ms = int(time.time() * 1000)
     meta = _fresh_meta(p, spark_schema)
     meta["partition-specs"] = [{"spec-id": 0, "fields": spec_fields}]
@@ -2399,11 +2438,15 @@ def _commit_converted_snapshot(p, spark_schema, schema_json, mapping,
     meta["properties"]["schema.name-mapping.default"] = \
         json.dumps(mapping)
     meta["properties"].update(extra_props or {})
+    summary = {"operation": "overwrite" if dv_hits else "append",
+               "added-data-files": str(len(entries)),
+               "added-records": str(total_rows)}
+    if dv_hits:
+        summary["added-delete-files"] = "1"
+        summary["added-position-deletes"] = str(len(dv_hits))
     snap = {"snapshot-id": snap_id, "sequence-number": seq,
             "timestamp-ms": now_ms,
-            "summary": {"operation": "append",
-                        "added-data-files": str(len(entries)),
-                        "added-records": str(total_rows)},
+            "summary": summary,
             "manifest-list": ml_path, "schema-id": 0}
     meta["snapshots"] = [snap]
     meta["current-snapshot-id"] = snap_id
@@ -2817,6 +2860,273 @@ def expire_snapshots(path: str, keep_last: int = 1,
                 pass
     return {"expired": exp_ids, "deleted": sorted(doomed),
             "kept": len(keep_snaps)}
+
+
+def read_iceberg_meta(spark, path: str, kind: str = "snapshots",
+                      snapshot_id=None, as_of_ms=None, ref=None):
+    """Iceberg METADATA TABLES for exported/foreign tables — the
+    inspection surface engines expose as ``table$snapshots`` /
+    ``$history`` / ``$refs`` / ``$manifests`` / ``$files`` /
+    ``$partitions`` (spec "Metadata tables"; reference parity:
+    tostore's table_stats/admin introspection, surfaced for the open
+    formats).  Returns a DataFrame:
+
+    - ``snapshots``: committed_at, snapshot_id, parent_id, operation,
+      summary (map), manifest_list — every snapshot in the metadata.
+    - ``history``: made_current_at, snapshot_id, parent_id,
+      is_current_ancestor — the snapshot log with main-ancestry flags
+      (the spec's rollback-visibility rule).
+    - ``refs``: name, type, snapshot_id.
+    - ``manifests``: content, path, length, partition_spec_id,
+      added_snapshot_id + the six file/row counts — the CHOSEN
+      snapshot's manifest list (``snapshot_id`` / ``as_of_ms`` /
+      ``ref`` select it; default current).
+    - ``files``: content (0=data, 1=position deletes, 2=equality
+      deletes), file_path, file_format, spec_id, partition (map,
+      values stringified — stable schema across partition specs),
+      record_count, file_size_in_bytes, sequence_number — LIVE
+      entries of the chosen snapshot.
+    - ``partitions``: partition, spec_id, record_count,
+      file_count, position_delete_file_count,
+      equality_delete_file_count — data-file aggregates per
+      partition tuple (record_count counts PHYSICAL rows, before
+      merge-on-read deletes apply — the spec's partitions-table
+      semantics).
+
+    Scale: every kind is manifest-scale DRIVER work — the metadata
+    JSON for snapshots/history/refs, one manifest-list read for
+    manifests, manifest decodes (∝ live file count) for
+    files/partitions; row data is never touched."""
+    from pyspark.sql.types import (BooleanType, IntegerType, LongType,
+                                   MapType, StringType, StructField,
+                                   StructType, TimestampType)
+    import datetime as _dt
+
+    p = _norm_path(path)
+    meta = _load_metadata(p)
+    location = meta.get("location") or p
+
+    def _abs(x):
+        x = _norm_path(x)
+        return x if os.path.isabs(x) else \
+            os.path.join(_norm_path(location), x)
+
+    def _ts(ms):
+        return _dt.datetime.fromtimestamp(int(ms) / 1000.0,
+                                          _dt.timezone.utc) \
+            .replace(tzinfo=None)
+
+    snaps = meta.get("snapshots") or []
+    if kind == "snapshots":
+        schema = StructType([
+            StructField("committed_at", TimestampType()),
+            StructField("snapshot_id", LongType()),
+            StructField("parent_id", LongType()),
+            StructField("operation", StringType()),
+            StructField("summary", MapType(StringType(),
+                                           StringType())),
+            StructField("manifest_list", StringType())])
+        rows = [(_ts(s["timestamp-ms"]), int(s["snapshot-id"]),
+                 (int(s["parent-snapshot-id"])
+                  if s.get("parent-snapshot-id") is not None
+                  else None),
+                 (s.get("summary") or {}).get("operation"),
+                 {k: str(v) for k, v in (s.get("summary") or {})
+                  .items() if k != "operation"},
+                 s.get("manifest-list"))
+                for s in snaps]
+        return spark.createDataFrame(rows, schema)
+    if kind == "history":
+        ancestry = set()
+        by_id = {s["snapshot-id"]: s for s in snaps}
+        cur = meta.get("current-snapshot-id")
+        while cur in by_id:
+            ancestry.add(cur)
+            cur = by_id[cur].get("parent-snapshot-id")
+        schema = StructType([
+            StructField("made_current_at", TimestampType()),
+            StructField("snapshot_id", LongType()),
+            StructField("parent_id", LongType()),
+            StructField("is_current_ancestor", BooleanType())])
+        rows = []
+        for e in (meta.get("snapshot-log") or []):
+            s = by_id.get(e.get("snapshot-id"))
+            rows.append((_ts(e["timestamp-ms"]),
+                         int(e["snapshot-id"]),
+                         (int(s["parent-snapshot-id"])
+                          if s is not None and
+                          s.get("parent-snapshot-id") is not None
+                          else None),
+                         e.get("snapshot-id") in ancestry))
+        return spark.createDataFrame(rows, schema)
+    if kind == "refs":
+        schema = StructType([
+            StructField("name", StringType()),
+            StructField("type", StringType()),
+            StructField("snapshot_id", LongType())])
+        rows = [(name, (r.get("type") or "branch").upper(),
+                 int(r["snapshot-id"]))
+                for name, r in sorted((meta.get("refs")
+                                       or {}).items())
+                if "snapshot-id" in r]
+        return spark.createDataFrame(rows, schema)
+
+    snap = _pick_snapshot(meta, snapshot_id=snapshot_id,
+                          as_of_ms=as_of_ms, ref=ref)
+    mlist = []
+    if snap is not None and snap.get("manifest-list"):
+        _, mlist = read_container_file(_abs(snap["manifest-list"]))
+    if kind == "manifests":
+        schema = StructType([
+            StructField("content", IntegerType()),
+            StructField("path", StringType()),
+            StructField("length", LongType()),
+            StructField("partition_spec_id", IntegerType()),
+            StructField("added_snapshot_id", LongType()),
+            StructField("added_data_files_count", IntegerType()),
+            StructField("existing_data_files_count", IntegerType()),
+            StructField("deleted_data_files_count", IntegerType()),
+            StructField("added_rows_count", LongType()),
+            StructField("existing_rows_count", LongType()),
+            StructField("deleted_rows_count", LongType())])
+        rows = [(int(m.get("content") or 0), m["manifest_path"],
+                 int(m.get("manifest_length") or 0),
+                 int(m.get("partition_spec_id") or 0),
+                 int(m.get("added_snapshot_id") or 0),
+                 int(m.get("added_files_count") or 0),
+                 int(m.get("existing_files_count") or 0),
+                 int(m.get("deleted_files_count") or 0),
+                 int(m.get("added_rows_count") or 0),
+                 int(m.get("existing_rows_count") or 0),
+                 int(m.get("deleted_rows_count") or 0))
+                for m in mlist]
+        return spark.createDataFrame(rows, schema)
+    if kind in ("files", "partitions"):
+        frows = []
+        for m in mlist:
+            mseq = int(m.get("sequence_number") or 0)
+            m_sid = int(m.get("partition_spec_id") or 0)
+            _, entries = read_container_file(
+                _abs(m["manifest_path"]))
+            for e in entries:
+                if e.get("status") == 2:
+                    continue
+                df_ = e["data_file"]
+                seq = e.get("sequence_number")
+                frows.append((
+                    int(df_.get("content") or 0),
+                    _abs(df_["file_path"]),
+                    df_.get("file_format") or "PARQUET",
+                    m_sid,
+                    {k: (None if v is None else str(v))
+                     for k, v in (df_.get("partition")
+                                  or {}).items()},
+                    int(df_["record_count"]),
+                    int(df_.get("file_size_in_bytes") or 0),
+                    int(seq) if seq is not None else mseq))
+        if kind == "files":
+            schema = StructType([
+                StructField("content", IntegerType()),
+                StructField("file_path", StringType()),
+                StructField("file_format", StringType()),
+                StructField("spec_id", IntegerType()),
+                StructField("partition",
+                            MapType(StringType(), StringType())),
+                StructField("record_count", LongType()),
+                StructField("file_size_in_bytes", LongType()),
+                StructField("sequence_number", LongType())])
+            return spark.createDataFrame(frows, schema)
+        agg: dict = {}
+        for (content, _fp, _ff, sid, part, rc, _sz, _seq) in frows:
+            key = (sid, tuple(sorted(part.items())))
+            a = agg.setdefault(key, {"rows": 0, "files": 0,
+                                     "pos": 0, "eq": 0})
+            if content == 0:
+                a["rows"] += rc
+                a["files"] += 1
+            elif content == 1:
+                a["pos"] += 1
+            elif content == 2:
+                a["eq"] += 1
+        schema = StructType([
+            StructField("partition",
+                        MapType(StringType(), StringType())),
+            StructField("spec_id", IntegerType()),
+            StructField("record_count", LongType()),
+            StructField("file_count", IntegerType()),
+            StructField("position_delete_file_count", IntegerType()),
+            StructField("equality_delete_file_count", IntegerType())])
+        rows = [(dict(part), sid, a["rows"], a["files"], a["pos"],
+                 a["eq"])
+                for (sid, part), a in sorted(
+                    agg.items(), key=lambda kv: (kv[0][0],
+                                                 str(kv[0][1])))]
+        return spark.createDataFrame(rows, schema)
+    raise ValueError(
+        f"unknown iceberg metadata table {kind!r} — one of snapshots,"
+        " history, refs, manifests, files, partitions")
+
+
+def remove_orphan_files(path: str, older_than_ms: int | None = None,
+                        dry_run: bool = False) -> dict:
+    """Iceberg ``removeOrphanFiles`` for exports: delete parquet files
+    under the table's ``data/`` directory that NO retained snapshot
+    references — the debris of crashed exports/compactions (staged
+    data or delete files whose commit never claimed a metadata
+    version).  ``older_than_ms`` keeps anything younger (epoch-ms
+    mtime cutoff; pass None to consider every candidate — the
+    in-flight-writer guard real deployments set to now-3d).
+
+    Scope is deliberately NARROW: only ``data/*.parquet`` candidates,
+    and a directory that is ALSO a Delta table (a UniForm bridge)
+    refuses — the Delta log references generations Iceberg does not,
+    so use ``vacuum_delta`` + ``expire_snapshots`` there.  Referenced
+    paths are walked from EVERY retained snapshot (manifest lists →
+    manifests → file paths), the same metadata-scale driver walk as
+    ``expire_snapshots``.  Returns {"removed", "kept", "scanned"}."""
+    p = _norm_path(path)
+    if os.path.isdir(os.path.join(p, "_delta_log")):
+        raise ValueError(
+            "remove_orphan_files on a UniForm bridge/Delta directory "
+            "is unsafe (the Delta log references files Iceberg does "
+            "not) — use vacuum_delta + expire_snapshots instead")
+    meta = _load_metadata(p)
+    location = meta.get("location") or p
+
+    def _abs(x):
+        x = _norm_path(x)
+        return x if os.path.isabs(x) else \
+            os.path.join(_norm_path(location), x)
+    referenced: set = set()
+    for s in (meta.get("snapshots") or []):
+        ml = s.get("manifest-list")
+        if not ml:
+            continue
+        _, entries = read_container_file(_abs(ml))
+        for m in entries:
+            _, mes = read_container_file(_abs(m["manifest_path"]))
+            for e in mes:
+                referenced.add(_abs(e["data_file"]["file_path"]))
+    ddir = os.path.join(p, "data")
+    removed, kept, scanned = [], 0, 0
+    for root, dirs, files in os.walk(ddir):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, fn)
+            scanned += 1
+            if _norm_path(fp) in referenced:
+                kept += 1
+                continue
+            if older_than_ms is not None and \
+                    os.path.getmtime(fp) * 1000 >= older_than_ms:
+                kept += 1
+                continue
+            removed.append(fp)
+            if not dry_run:
+                os.unlink(fp)
+    return {"removed": sorted(removed), "kept": kept,
+            "scanned": scanned}
 
 
 # ------------------------------------------------------------- changelog
@@ -3430,6 +3740,81 @@ def _save_bridge_index(mdir: str, idx: dict) -> None:
     os.replace(tmp, os.path.join(mdir, _BRIDGE_INDEX))
 
 
+_BRIDGE_DV_STATE = "bridge-dv-state.json"
+
+
+def _load_bridge_dv_state(mdir: str) -> dict | None:
+    """The bridge's folded-deletion-vector record: ``{delta rel path:
+    set(row positions already killed by Iceberg delete files)}``.
+    Bitmaps ride the sidecar as the same Base85 roaring encoding the
+    Delta log uses inline, so the file stays ∝ deleted rows.  None
+    (missing/corrupt — e.g. a pre-r17 bridge) sends the caller to the
+    exact rebuild from the table's own delete files."""
+    import base64
+
+    from tostore_spark.plans.delta_dv import _parse_bitmap_array
+    try:
+        with open(os.path.join(mdir, _BRIDGE_DV_STATE)) as fh:
+            raw = json.load(fh)
+        return {rel: set(_parse_bitmap_array(
+                    base64.b85decode(ent["b85"])))
+                for rel, ent in (raw.get("paths") or {}).items()}
+    except Exception:
+        return None
+
+
+def _save_bridge_dv_state(mdir: str, dvst: dict) -> None:
+    import base64
+
+    from tostore_spark.plans.delta_dv import encode_bitmap_array
+    tmp = os.path.join(mdir, f".{_BRIDGE_DV_STATE}.{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump({"v": 1, "paths": {
+            rel: {"b85": base64.b85encode(
+                      encode_bitmap_array(sorted(pos))).decode("ascii"),
+                  "n": len(pos)}
+            for rel, pos in dvst.items() if pos}}, fh)
+    os.replace(tmp, os.path.join(mdir, _BRIDGE_DV_STATE))
+
+
+def _bridge_dv_accumulated(prior_ml: list, targets: set) -> dict:
+    """EXACT rebuild of the folded-DV record for ``targets`` (abs data
+    file paths) straight from the table's own delete files — the
+    fallback when the sidecar is missing.  A position counts as killed
+    only when its delete file's sequence number covers the data file's
+    own (``delete_seq >= data_seq`` — a re-added file's older delete
+    files no longer apply, exactly the reader's rule).  Cost ∝ total
+    positions in the live delete files, bounded by the same driver cap
+    the fold enforces."""
+    import pyarrow.parquet as _pq
+    acc = {t: set() for t in targets}
+    dseq_of: dict = {}
+    dels = []
+    for m in prior_ml:
+        mseq = int(m.get("sequence_number") or 0)
+        _, entries = read_container_file(_norm_path(m["manifest_path"]))
+        for e in entries:
+            if e.get("status") == 2:
+                continue
+            df_ = e["data_file"]
+            s = e.get("sequence_number")
+            s = int(s) if s is not None else mseq
+            fp = _norm_path(df_["file_path"])
+            if df_.get("content", 0) == 0:
+                if fp in targets:
+                    dseq_of[fp] = s
+            elif df_.get("content") == 1:
+                dels.append((fp, s))
+    for fp, s in dels:
+        tbl = _pq.read_table(fp, columns=["file_path", "pos"])
+        for f_, p_ in zip(tbl.column("file_path").to_pylist(),
+                          tbl.column("pos").to_pylist()):
+            f_n = re.sub("^file:/*", "/", f_)
+            if f_n in targets and s >= dseq_of.get(f_n, 0):
+                acc[f_n].add(int(p_))
+    return acc
+
+
 def _added_tail_fields(old, new):
     """The appended fields when ``new`` is ``old`` plus ADD-COLUMN-
     only evolution: same leading fields by name/type/nullability
@@ -3523,11 +3908,21 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
     timestamps ride the Delta commit timestamps (monotonically
     adjusted), so ``as_of`` travel agrees across formats.
 
+    DELETION-VECTOR commits fold natively (r17): a Delta DV write —
+    remove(X) + re-add(X, deletionVector) over the same physical
+    file — commits as an Iceberg merge-on-read ``delete`` snapshot:
+    prior manifests carry over verbatim and one position-delete file
+    kills the bitmap's positions.  The ``bridge-dv-state.json``
+    sidecar records what each file's folded vector already covers, so
+    the delete file holds only the NEWLY dead positions (rebuilt
+    exactly from the table's own delete files when missing); a
+    vector that SHRANK (restore) falls back to delete + re-add, where
+    the fresh data sequence outruns every older delete file.
+
     Refusals (never a silent divergence): schema or partition-column
-    evolution in the range (re-convert), deletion-vector commits
-    (``optimize_delta`` first — or mirror with
-    ``deletion_vectors=False``), column mapping, a table that is not
-    a bridge.
+    evolution in the range (re-convert), column mapping, a DV commit
+    over the driver position bound (``optimize_delta`` first), a
+    table that is not a bridge.
 
     Scale: zero row IO — a pure-append commit opens ZERO prior
     manifests (the prior manifest list carries over verbatim plus one
@@ -3618,6 +4013,7 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
         return int(os.path.getmtime(cpath) * 1000)
 
     committed = 0
+    dvst = None          # folded-DV record, loaded at first DV commit
     for v in todo:
         cpath = os.path.join(log_dir, f"{v:020d}.json")
         with open(cpath) as fh:
@@ -3765,16 +4161,11 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
                     mes = _bridge_entry_schema(part_avro)
         adds = [a["add"] for a in acts if "add" in a]
         removes = [a["remove"] for a in acts if "remove" in a]
-        if any(a.get("deletionVector") for a in adds):
-            raise ValueError(
-                f"delta commit {v} carries deletion vectors — "
-                "optimize_delta first, or mirror with "
-                "deletion_vectors=False")
         if not adds and not removes:
             continue                 # metadata/protocol-only commit
         data_change = (any(a.get("dataChange") for a in adds)
                        or any(r.get("dataChange") for r in removes))
-        removed_abs = {os.path.join(p, r["path"]) for r in removes}
+        has_dv = any(a.get("deletionVector") for a in adds)
 
         cur_snap = _pick_snapshot(meta)
         seq = int(meta.get("last-sequence-number", 0)) + 1
@@ -3784,6 +4175,104 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
             _norm_path(cur_snap["manifest-list"]))
         ml_entries = []
         idx = _load_bridge_index(mdir, prior_ml)
+
+        # DELETION-VECTOR commits (r17): a Delta DV write is remove(X)
+        # + re-add(X, deletionVector) over the SAME physical file —
+        # the bitmap names the killed row positions directly, so the
+        # commit folds as an Iceberg MERGE-ON-READ snapshot: the data
+        # file set is untouched (prior manifests carry over verbatim)
+        # and ONE position-delete file holds the positions the table
+        # has not already killed (delete_seq = this commit's seq >=
+        # every untouched file's data seq, the reader's apply rule).
+        # Zero row IO at any base size; delete-file bytes ∝ the NEWLY
+        # deleted positions via the bridge-dv-state sidecar's diff.
+        dv_hits: list = []           # (abs data path, pos)
+        dv_state_upd: dict = {}      # rel path -> full folded set
+        if has_dv:
+            from tostore_spark.plans.delta_dv import (
+                MAX_TOTAL_POSITIONS, decode_deletion_vector)
+            if idx is None:
+                idx = {}
+                for m in prior_ml:
+                    mp = _norm_path(m["manifest_path"])
+                    if int(m.get("content") or 0) != 0:
+                        idx[mp] = set()
+                        continue
+                    _, ents_ = read_container_file(mp)
+                    idx[mp] = {
+                        _norm_path(e["data_file"]["file_path"])
+                        for e in ents_ if e.get("status") != 2}
+            live_all = set().union(*idx.values()) if idx else set()
+            if dvst is None:
+                dvst = _load_bridge_dv_state(mdir)
+            if dvst is None:
+                # pre-sidecar bridge: ONE exact rebuild from the
+                # table's own delete files (∝ folded positions, paid
+                # once — the lazy-bloom-build precedent), complete
+                # over every live file so absence thereafter MEANS
+                # "no folded positions"
+                acc = _bridge_dv_accumulated(prior_ml, live_all)
+                plen = len(p.rstrip("/")) + 1
+                dvst = {fp[plen:]: pos for fp, pos in acc.items()
+                        if pos and fp.startswith(p)}
+            dv_adds = {a["path"]: a for a in adds
+                       if a.get("deletionVector")}
+            adds = [a for a in adds if not a.get("deletionVector")]
+            rem2, demote, paired = [], [], set()
+            for r in removes:
+                if r["path"] not in dv_adds:
+                    rem2.append(r)
+                else:
+                    paired.add(r["path"])
+            removes = rem2
+            for rel in sorted(dv_adds):
+                a = dv_adds[rel]
+                fp_abs = os.path.join(p, rel)
+                new_pos = set(decode_deletion_vector(
+                    p, a["deletionVector"]))
+                if fp_abs not in live_all:
+                    if rel in paired:
+                        raise ValueError(
+                            f"delta commit {v} re-adds {rel} with a "
+                            "deletion vector but it matches no live "
+                            "manifest entry (path encoding drift?) — "
+                            "refusing a silent Delta-vs-Iceberg "
+                            "divergence")
+                    # a file BORN with a vector (del-after-seg in one
+                    # Delta commit): stage it as a normal add, kill
+                    # its positions same-commit (equal seq applies
+                    # for position deletes)
+                    adds.append(a)
+                    dv_hits += [(fp_abs, pp) for pp in sorted(new_pos)]
+                    dv_state_upd[rel] = new_pos
+                    continue
+                old_pos = dvst.get(rel) or set()
+                if new_pos >= old_pos:
+                    fresh = new_pos - old_pos
+                    dv_hits += [(fp_abs, pp) for pp in sorted(fresh)]
+                    dv_state_upd[rel] = new_pos
+                else:
+                    # the vector SHRANK (a restore shape): stacked
+                    # position deletes cannot resurrect a row, but a
+                    # delete + re-add can — the re-added file's fresh
+                    # data sequence outruns every older delete file
+                    # (the reader's delete_seq >= data_seq rule), and
+                    # the full new vector re-kills same-commit
+                    demote.append((rel, a, new_pos))
+            for rel, a, new_pos in demote:
+                removes.append({"path": rel, "dataChange": True})
+                adds.append(a)
+                dv_hits += [(os.path.join(p, rel), pp)
+                            for pp in sorted(new_pos)]
+                dv_state_upd[rel] = new_pos
+            if len(dv_hits) > MAX_TOTAL_POSITIONS:
+                raise ValueError(
+                    f"delta commit {v} folds {len(dv_hits)} deletion-"
+                    "vector positions — over the driver-side bound; "
+                    "optimize_delta first")
+        if not adds and not removes and not dv_hits:
+            continue        # e.g. a re-written identical vector
+        removed_abs = {os.path.join(p, r["path"]) for r in removes}
         idx_new = {} if (idx is not None or removed_abs) else None
         if not removed_abs:
             # append fast path: no prior manifest is opened — the
@@ -3939,13 +4428,33 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
                 idx_new[_norm_path(man_path)] = {
                     _norm_path(e["data_file"]["file_path"])
                     for e in entries}
+        if dv_hits:
+            dfl = _write_position_deletes(p, dv_hits)
+            ml_entries.append(_manifest(
+                mdir, schema_json,
+                [{"status": 1, "snapshot_id": snap_id,
+                  "sequence_number": None,
+                  "file_sequence_number": None,
+                  "data_file": {
+                      "content": 1, "file_path": dfl[0],
+                      "file_format": "PARQUET", "partition": {},
+                      "record_count": dfl[1],
+                      "file_size_in_bytes": dfl[2],
+                      "value_counts": None,
+                      "null_value_counts": None,
+                      "lower_bounds": None, "upper_bounds": None,
+                      "equality_ids": None}}],
+                snap_id, seq, "deletes"))
+            if idx_new is not None:
+                idx_new[_norm_path(
+                    ml_entries[-1]["manifest_path"])] = set()
         ml_path = os.path.join(
             mdir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro")
         write_container_file(ml_path, _MANIFEST_LIST_SCHEMA,
                              ml_entries, meta={"format-version": "2"})
         if not data_change:
             op = "replace"
-        elif adds and removes:
+        elif adds and (removes or dv_hits):
             op = "overwrite"
         elif adds:
             op = "append"
@@ -3953,12 +4462,16 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
             op = "delete"
         ts = max(_commit_ts(v, cpath, acts),
                  int(cur_snap.get("timestamp-ms", 0)))
+        summary = {"operation": op,
+                   "added-data-files": str(len(adds)),
+                   "deleted-data-files": str(len(removes)),
+                   "added-records": str(add_rows)}
+        if dv_hits:
+            summary["added-delete-files"] = "1"
+            summary["added-position-deletes"] = str(len(dv_hits))
         snap = {"snapshot-id": snap_id, "sequence-number": seq,
                 "timestamp-ms": ts,
-                "summary": {"operation": op,
-                            "added-data-files": str(len(adds)),
-                            "deleted-data-files": str(len(removes)),
-                            "added-records": str(add_rows)},
+                "summary": summary,
                 "manifest-list": ml_path,
                 "schema-id": cur_schema_id,
                 "parent-snapshot-id": cur_snap["snapshot-id"]}
@@ -3975,6 +4488,17 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
         _write_metadata_json(mdir, _next_metadata_version(mdir), meta)
         if idx_new is not None:
             _save_bridge_index(mdir, idx_new)
+        if dv_state_upd or (dvst and removed_abs):
+            # written AFTER the metadata commit: a crash between the
+            # two leaves the sidecar UNDERSTATING folded positions,
+            # which the next fold re-kills idempotently (never the
+            # reverse, which could resurrect rows)
+            if dvst is None:
+                dvst = _load_bridge_dv_state(mdir) or {}
+            for r_ in removes:
+                dvst.pop(r_["path"], None)
+            dvst.update(dv_state_upd)
+            _save_bridge_dv_state(mdir, dvst)
         committed += 1
     if int(meta["properties"][_BRIDGE_PROP]) != todo[-1]:
         # trailing metadata-only commits: persist the advanced cursor
