@@ -104,11 +104,55 @@ class TestConvertIceberg:
         convert_to_iceberg(spark, src)
         with pytest.raises(ValueError, match="already has"):
             convert_to_iceberg(spark, src)
+    def test_nested_types_convert_with_recursive_mapping(
+            self, spark, tmp_path):
+        """late r17: the nested-type refusal lifted — struct/map/list
+        columns convert with a RECURSIVE name mapping (struct children
+        by name, list element under 'element', map entries under
+        'key'/'value'), every level carrying a distinct field id."""
+        import json as _json
+
+        from tostore_spark.plans.iceberg import (_load_metadata,
+                                                 convert_to_iceberg,
+                                                 read_iceberg)
         nested = str(tmp_path / "nested")
-        spark.range(5).selectExpr(
-            "id", "named_struct('a', id) as st").write.parquet(nested)
-        with pytest.raises(ValueError, match="nested"):
-            convert_to_iceberg(spark, nested)
+        df = spark.createDataFrame(
+            [(1, ("a", 10), {"x": 1.5}, [("t1", 2)]),
+             (2, ("b", 20), {"y": 2.5}, [("t2", 3), ("t3", 4)])],
+            "k int, st struct<name:string, score:int>, "
+            "m map<string,double>, arr array<struct<tag:string,"
+            "v:int>>")
+        df.write.parquet(nested)
+        convert_to_iceberg(spark, nested)
+        out = read_iceberg(spark, nested)
+
+        def _norm(frame):
+            return sorted(
+                (r["k"], r["st"]["name"], r["st"]["score"],
+                 sorted(r["m"].items()),
+                 [(e["tag"], e["v"]) for e in r["arr"]])
+                for r in frame.collect())
+        assert _norm(out) == _norm(df)
+        nm = _json.loads(_load_metadata(nested)["properties"]
+                         ["schema.name-mapping.default"])
+        st = next(e for e in nm if e["names"] == ["st"])
+        assert {c["names"][0] for c in st["fields"]} == \
+            {"name", "score"}
+        mp = next(e for e in nm if e["names"] == ["m"])
+        assert [c["names"][0] for c in mp["fields"]] == \
+            ["key", "value"]
+        arr = next(e for e in nm if e["names"] == ["arr"])
+        assert arr["fields"][0]["names"] == ["element"]
+        assert {c["names"][0]
+                for c in arr["fields"][0]["fields"]} == {"tag", "v"}
+        ids = []
+
+        def _walk(entries):
+            for e in entries:
+                ids.append(e["field-id"])
+                _walk(e.get("fields") or [])
+        _walk(nm)
+        assert len(ids) == len(set(ids))
 
     def test_foreign_name_mapping_mismatch_refuses(self, spark,
                                                    tmp_path):
@@ -179,7 +223,8 @@ class TestDeltaIcebergBridge:
         assert wp.count() == 10
         assert all("p=1" in f for f in wp.inputFiles())
 
-    def test_dv_tables_refuse_until_optimized(self, spark, tmp_path):
+    def test_dv_tables_convert_with_bootstrap_deletes(self, spark,
+                                                      tmp_path):
         from tostore_spark.engine import ToStoreSpark
         from tostore_spark.plans.iceberg import (convert_delta_to_iceberg,
                                                  read_iceberg)
@@ -200,12 +245,12 @@ class TestDeltaIcebergBridge:
         rep0 = db.export_delta("notes", dest, mode="update",
                                deletion_vectors=True)
         assert rep0["commit"] == "dv"
-        with pytest.raises(ValueError, match="deletion vectors"):
-            convert_delta_to_iceberg(spark, dest)
-        from tostore_spark.plans.delta_export import optimize_delta
-        optimize_delta(spark, dest, target_file_bytes=10 << 20)
+        # late r17: the refusal is LIFTED — live vectors fold into
+        # the bootstrap snapshot as one position-delete file and the
+        # sidecar seeds for later DV syncs (TestBridgeDeletionVectors
+        # pins the full lifecycle)
         rep = convert_delta_to_iceberg(spark, dest)
-        assert rep["files"] == 1
+        assert rep["files"] == 3
         assert _rows(read_iceberg(spark, dest)) == \
             _rows(read_delta(spark, dest))
 

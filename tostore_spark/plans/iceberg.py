@@ -2199,28 +2199,46 @@ def convert_to_iceberg(spark, path: str) -> dict:
 
 def _convert_schema_and_mapping(spark_schema):
     """Conversion schema handling: assign field ids + build the spec
-    NameMapping (every field id ↔ its current name; array columns map
-    their element id).  Nested struct/map columns refuse — an
-    incomplete mapping would make foreign readers misresolve."""
-    from pyspark.sql import types as T
-    for f in spark_schema.fields:
-        dt = f.dataType
-        if isinstance(dt, T.ArrayType):
-            dt = dt.elementType
-        if isinstance(dt, (T.StructType, T.MapType, T.ArrayType)):
-            raise ValueError(
-                f"conversion: column {f.name!r} has a nested type "
-                "the emitted name mapping cannot describe")
+    NameMapping — RECURSIVE (late r17): struct children map by name,
+    lists map their element under ``element``, maps their entries
+    under ``key``/``value`` (the names Spark's parquet writer gives
+    those paths), each carrying its assigned field id, so foreign
+    readers resolve every nesting level of id-less files exactly as
+    the spec's "Column Projection" name rule prescribes."""
     schema_json = _table_schema_json(spark_schema)
-    mapping = []
-    for f in schema_json["fields"]:
+
+    def _map_type(t):
+        """Nested MappedFields for one Iceberg type dict (None for
+        primitives)."""
+        if not isinstance(t, dict):
+            return None
+        tt = t.get("type")
+        if tt == "struct":
+            return [_entry(f) for f in t["fields"]]
+        if tt == "list":
+            e = {"field-id": int(t["element-id"]),
+                 "names": ["element"]}
+            sub = _map_type(t.get("element"))
+            if sub:
+                e["fields"] = sub
+            return [e]
+        if tt == "map":
+            k = {"field-id": int(t["key-id"]), "names": ["key"]}
+            v = {"field-id": int(t["value-id"]), "names": ["value"]}
+            sub = _map_type(t.get("value"))
+            if sub:
+                v["fields"] = sub
+            return [k, v]
+        return None
+
+    def _entry(f):
         ent = {"field-id": int(f["id"]), "names": [f["name"]]}
-        t = f.get("type")
-        if isinstance(t, dict) and t.get("type") == "list":
-            ent["fields"] = [{"field-id": int(t["element-id"]),
-                              "names": ["element"]}]
-        mapping.append(ent)
-    return schema_json, mapping
+        sub = _map_type(f.get("type"))
+        if sub:
+            ent["fields"] = sub
+        return ent
+
+    return schema_json, [_entry(f) for f in schema_json["fields"]]
 
 
 def _convert_identity_spec(pcols, schema_json, spark_schema):
