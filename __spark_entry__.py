@@ -3621,8 +3621,10 @@ def q_changes_evolution(spark, sf_dir):
     the range-END schema with the added column NULL-padded (the
     Delta CDF rule) and post-evolution rows with values; a RENAME in
     the range derives under the range-END names (r17 — field ids are
-    the identity) while a DROP keeps refusing (both asserted
-    in-entry).  DuckDB derives the counts from nation arithmetic."""
+    the identity), a DROP derives under the END schema without the
+    column (late r17), and a NON-WIDENING retype keeps refusing (all
+    asserted in-entry).  DuckDB derives the counts from nation
+    arithmetic."""
     import os
     import tempfile
 
@@ -3733,7 +3735,10 @@ def q_changes_evolution(spark, sf_dir):
         if int(ksum2) != int(row["key_sum"]) + 1:
             raise AssertionError(
                 f"pre-rename values lost under the new name: {ksum2}")
-        # a DROP in the range keeps refusing loudly
+        # a DROP in the range derives under the END schema (late
+        # r17 — the Delta CDF latest-schema rule: rows surface
+        # WITHOUT the dropped column); a NON-WIDENING retype keeps
+        # refusing loudly
         meta5 = _load_metadata(dest)
         drp = {"type": "struct", "schema-id": 3,
                "fields": [dict(f) for f in ren["fields"]
@@ -3744,9 +3749,24 @@ def q_changes_evolution(spark, sf_dir):
             meta5["schema"] = drp
         _write_metadata_json(mdir, _next_metadata_version(mdir),
                              meta5)
+        feed3 = read_iceberg_changes(spark, dest)
+        if "tag" in feed3.columns or \
+                feed3.count() != int(row["n_rows"]) + 1:
+            raise AssertionError("dropped-column range wrong")
+        meta6 = _load_metadata(dest)
+        ret = {"type": "struct", "schema-id": 4,
+               "fields": [dict(f, type="string")
+                          if f["name"] == "key_renamed" else dict(f)
+                          for f in drp["fields"]]}
+        meta6["schemas"] = meta6["schemas"] + [ret]
+        meta6["current-schema-id"] = 4
+        if "schema" in meta6:
+            meta6["schema"] = ret
+        _write_metadata_json(mdir, _next_metadata_version(mdir),
+                             meta6)
         try:
             read_iceberg_changes(spark, dest)
-            raise AssertionError("dropped-column range did not refuse")
+            raise AssertionError("retyped range did not refuse")
         except ValueError:
             pass
         rows = [{"n_rows": int(row["n_rows"]),
@@ -3971,6 +3991,266 @@ def q_rename_column(spark, sf_dir):
                  "key_sum": int(row["key_sum"])}]
     return spark.createDataFrame(
         rows, "n_final bigint, n_inserts bigint, n_deletes bigint, "
+              "key_sum bigint")
+
+
+def q_drop_widen_column(spark, sf_dir):
+    """``drop_iceberg_column`` — ALTER ... DROP COLUMN on an Iceberg
+    export (late r17): metadata-only (new schema-id WITHOUT the field;
+    data files keep their column bytes — pinned by the untouched data
+    dir), current reads and the changelog surface rows WITHOUT the
+    column (the Delta CDF latest-schema rule, eq-delete pre-images
+    included), a cursor-less consumer applies the dropped-schema feed,
+    time travel keeps each snapshot's own columns, and dropping a
+    column a LIVE equality-delete binds refuses.  ``widen_iceberg_
+    column`` no-op short-circuit pinned en route.  DuckDB derives the
+    counts from nation arithmetic.  Reference: SchemaBuilder
+    remove_field semantics (migration-based there; id-indirection
+    makes it free here)."""
+    import os
+    import tempfile
+
+    from tostore_spark.plans.iceberg import (_load_metadata,
+                                             drop_iceberg_column,
+                                             read_iceberg,
+                                             read_iceberg_changes,
+                                             widen_iceberg_column)
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    db = _db(spark, sf_dir)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    with tempfile.TemporaryDirectory() as tmp:
+        dest = os.path.join(tmp, "ice")
+        db1 = ToStoreSpark(spark, warehouse=os.path.join(tmp, "wh"))
+        db1.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n_name", type=DataType.text),
+                    FieldSchema(name="key", type=DataType.integer)]))
+        db1.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
+             "key": r["n_nationkey"]} for r in nat])
+        db1.flush()
+        db1.export_iceberg("nat", dest, target_files=1)        # s1
+        s1 = _load_metadata(dest)["current-snapshot-id"]
+        db1.batch_insert("nat", [
+            {"id": "zz1", "n_name": "FRESH1", "key": 990},
+            {"id": "zz2", "n_name": "FRESH2", "key": 991}])
+        db1.flush()
+        db1.export_iceberg("nat", dest, mode="update")         # s2
+        db1.delete("nat").where("id", "IN",
+                                ["n001", "n005"]).execute()
+        db1.flush()
+        rep = db1.export_iceberg("nat", dest, mode="update")   # s3
+        if rep["commit"] != "eqdel":
+            raise AssertionError(f"expected eqdel route: {rep}")
+        # dropping the eq-bound key column refuses; a widen no-op
+        # returns without a metadata commit
+        try:
+            drop_iceberg_column(dest, ["id"])
+            raise AssertionError("eq-bound drop must refuse")
+        except ValueError:
+            pass
+        if widen_iceberg_column(
+                dest, {"key": "long"})["metadata_version"] is not None:
+            raise AssertionError("no-op widen committed metadata")
+        data_before = sorted(os.listdir(os.path.join(dest, "data")))
+        rep = db1.drop_iceberg_column(dest, ["n_name"])
+        if rep["dropped"] != ["n_name"]:
+            raise AssertionError(f"drop report wrong: {rep}")
+        if sorted(os.listdir(os.path.join(dest, "data"))) != \
+                data_before:
+            raise AssertionError("drop touched data files")
+        feed = read_iceberg_changes(spark, dest)
+        if "n_name" in feed.columns:
+            raise AssertionError("feed still carries dropped column")
+        n_ins = feed.filter(
+            F.col("_change_type") == "insert").count()
+        dele = feed.filter(F.col("_change_type") == "delete") \
+            .select("id", "key").collect()
+        if sorted(r["id"] for r in dele) != ["n001", "n005"]:
+            raise AssertionError("pre-images lost across the drop")
+        # consumer on the END schema converges; travel keeps columns
+        con = ToStoreSpark(spark, warehouse=os.path.join(tmp, "wc"))
+        con.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="key", type=DataType.integer)]))
+        con.apply_iceberg_changes("nat", dest)
+        cols = ["id", "key"]
+        a = sorted(map(tuple, con.df("nat").select(*cols).collect()))
+        b = sorted(map(tuple, read_iceberg(spark, dest)
+                       .select(*cols).collect()))
+        if a != b:
+            raise AssertionError("consumer diverged across drop")
+        old = read_iceberg(spark, dest, snapshot_id=s1)
+        if "n_name" not in old.columns:
+            raise AssertionError("old snapshot lost its columns")
+        row = read_iceberg(spark, dest).agg(
+            F.count(F.lit(1)).alias("n_final"),
+            F.sum("key").cast("long").alias("key_sum")).first()
+        rows = [{"n_final": int(row["n_final"]),
+                 "n_inserts": int(n_ins),
+                 "n_deletes": len(dele),
+                 "key_sum": int(row["key_sum"])}]
+    return spark.createDataFrame(
+        rows, "n_final bigint, n_inserts bigint, n_deletes bigint, "
+              "key_sum bigint")
+
+
+def q_bridge_drop_widen(spark, sf_dir):
+    """DROP-COLUMN and TYPE-WIDENING evolution across the continuous
+    UniForm bridge (late r17, sync_delta_to_iceberg +
+    _dropped_only_fields / _widened_only_fields): a foreign Delta
+    table starts with an INT key column; a type-widening commit
+    (int→long, metadata-only) folds as a new Iceberg schema-id with
+    UNCHANGED ids and the promoted type; a post-widen foreign append
+    carries an int64 value beyond 2^31; a DROP COLUMN commit folds as
+    a schema-id without the field; a post-drop append keeps bridging.
+    Both formats agree at head, the CDF feed surfaces the END schema
+    (no dropped column, widened type), and time travel to the
+    pre-evolution snapshot keeps the narrow type and the dropped
+    column.  DuckDB derives the counts from nation arithmetic.
+    Spec: Iceberg "Schema Evolution" promotions; Delta type widening
+    / column-mapping DROP COLUMN (both metadata-only)."""
+    import json as _json
+    import os
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                   StructField, StructType)
+
+    from tostore_spark.plans.delta_export import (_write_commit,
+                                                  read_delta,
+                                                  read_delta_cdf)
+    from tostore_spark.plans.iceberg import (_load_metadata,
+                                             convert_delta_to_iceberg,
+                                             read_iceberg,
+                                             sync_delta_to_iceberg)
+    db = _db(spark, sf_dir)
+    nat = sorted([r.asDict() for r in db.df("nation").collect()],
+                 key=lambda r: r["n_nationkey"])
+    BIG = 5_000_000_000
+    with tempfile.TemporaryDirectory() as tmp:
+        d = os.path.join(tmp, "ext")
+        os.makedirs(os.path.join(d, "_delta_log"))
+        pq.write_table(pa.table({
+            "id": [f"n{r['n_nationkey']:03d}" for r in nat],
+            "n_name": [r["n_name"] for r in nat],
+            "key": pa.array([r["n_nationkey"] for r in nat],
+                            type=pa.int32())}),
+            os.path.join(d, "f1.parquet"))
+        narrow = StructType([StructField("id", StringType()),
+                             StructField("n_name", StringType()),
+                             StructField("key", IntegerType())])
+        meta_d = {"id": "x",
+                  "format": {"provider": "parquet", "options": {}},
+                  "schemaString": narrow.json(),
+                  "partitionColumns": [],
+                  "configuration": {
+                      "delta.enableChangeDataFeed": "true"}}
+        _write_commit(d, 0, [
+            {"protocol": {"minReaderVersion": 1,
+                          "minWriterVersion": 2}},
+            {"metaData": meta_d},
+            {"add": {"path": "f1.parquet", "partitionValues": {},
+                     "size": os.path.getsize(
+                         os.path.join(d, "f1.parquet")),
+                     "modificationTime": int(_time.time() * 1000),
+                     "dataChange": True,
+                     "stats": _json.dumps({"numRecords": len(nat)})}},
+            {"commitInfo": {"timestamp": int(_time.time() * 1000)}}])
+        convert_delta_to_iceberg(spark, d)
+        meta0 = _load_metadata(d)
+        s1 = meta0["current-snapshot-id"]
+        if next(f["type"] for f in
+                (meta0.get("schemas")
+                 or [meta0["schema"]])[-1]["fields"]
+                if f["name"] == "key") != "int":
+            raise AssertionError("narrow start not int")
+        # v1: TYPE WIDENING int→long (metadata-only)
+        wide = StructType([StructField("id", StringType()),
+                           StructField("n_name", StringType()),
+                           StructField("key", LongType())])
+        _write_commit(d, 1, [
+            {"metaData": dict(meta_d, schemaString=wide.json())},
+            {"commitInfo": {"timestamp": int(_time.time() * 1000)}}])
+        # v2: post-widen append with an int64 value beyond 2^31
+        pq.write_table(pa.table({
+            "id": ["zz1"], "n_name": ["FRESH1"],
+            "key": pa.array([BIG], type=pa.int64())}),
+            os.path.join(d, "f2.parquet"))
+        _write_commit(d, 2, [
+            {"add": {"path": "f2.parquet", "partitionValues": {},
+                     "size": os.path.getsize(
+                         os.path.join(d, "f2.parquet")),
+                     "modificationTime": int(_time.time() * 1000),
+                     "dataChange": True,
+                     "stats": _json.dumps({"numRecords": 1})}},
+            {"commitInfo": {"timestamp": int(_time.time() * 1000)}}])
+        sync_delta_to_iceberg(spark, d)
+        meta = _load_metadata(d)
+        if len(meta["schemas"]) != 2 or \
+                [f["id"] for f in meta["schemas"][0]["fields"]] != \
+                [f["id"] for f in meta["schemas"][-1]["fields"]]:
+            raise AssertionError("widen must keep field ids")
+        if next(f["type"] for f in meta["schemas"][-1]["fields"]
+                if f["name"] == "key") != "long":
+            raise AssertionError("widen did not promote")
+        # v3: DROP COLUMN n_name (metadata-only)
+        dropped = StructType([StructField("id", StringType()),
+                              StructField("key", LongType())])
+        _write_commit(d, 3, [
+            {"metaData": dict(meta_d,
+                              schemaString=dropped.json())},
+            {"commitInfo": {"timestamp": int(_time.time() * 1000)}}])
+        # v4: post-drop append (2-column parquet)
+        pq.write_table(pa.table({
+            "id": ["zz2", "zz3"],
+            "key": pa.array([992, 993], type=pa.int64())}),
+            os.path.join(d, "f3.parquet"))
+        _write_commit(d, 4, [
+            {"add": {"path": "f3.parquet", "partitionValues": {},
+                     "size": os.path.getsize(
+                         os.path.join(d, "f3.parquet")),
+                     "modificationTime": int(_time.time() * 1000),
+                     "dataChange": True,
+                     "stats": _json.dumps({"numRecords": 2})}},
+            {"commitInfo": {"timestamp": int(_time.time() * 1000)}}])
+        rep = sync_delta_to_iceberg(spark, d)
+        if rep["snapshots"] != 1:
+            raise AssertionError(f"post-drop sync wrong: {rep}")
+        meta = _load_metadata(d)
+        n_schemas = len(meta["schemas"])
+        cur_i = read_iceberg(spark, d)
+        cur_d = read_delta(spark, d)
+        if "n_name" in cur_i.columns or \
+                dict(cur_i.dtypes)["key"] != "bigint":
+            raise AssertionError("end schema wrong on iceberg side")
+        a = sorted(map(tuple, cur_i.select("id", "key").collect()))
+        b = sorted(map(tuple, cur_d.select("id", "key").collect()))
+        if a != b:
+            raise AssertionError("delta and iceberg views diverged")
+        feed = read_delta_cdf(spark, d, 0)
+        if "n_name" in feed.columns or \
+                dict(feed.dtypes)["key"] != "bigint":
+            raise AssertionError("CDF feed not under END schema")
+        n_cdf = feed.filter(
+            F.col("_change_type") == "insert").count()
+        old = read_iceberg(spark, d, snapshot_id=s1)
+        if "n_name" not in old.columns or \
+                dict(old.dtypes)["key"] != "int":
+            raise AssertionError("travel lost the narrow schema")
+        row = cur_i.agg(
+            F.count(F.lit(1)).alias("n_final"),
+            F.sum("key").cast("long").alias("key_sum")).first()
+        rows = [{"n_final": int(row["n_final"]),
+                 "n_cdf": int(n_cdf),
+                 "n_schemas": int(n_schemas),
+                 "key_sum": int(row["key_sum"])}]
+    return spark.createDataFrame(
+        rows, "n_final bigint, n_cdf bigint, n_schemas bigint, "
               "key_sum bigint")
 
 
@@ -6506,6 +6786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
+        "q_drop_widen_column", "q_bridge_drop_widen",         # born r17
         "q_bridge_dv", "q_iceberg_meta",                      # born r17
         "q_bridge_rename", "q_rename_column",                 # born r17
         "q_partition_evolution",                              # born r17
@@ -6795,6 +7076,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) + 2 AS BIGINT) AS n_inserts,
                    CAST(2 AS BIGINT)            AS n_deletes,
                    CAST(sum(n_nationkey) + 990 + 991 - 1 - 5
+                        AS BIGINT)              AS key_sum
+            FROM nation
+        """,
+        "q_drop_widen_column": """
+            SELECT CAST(count(*) AS BIGINT)     AS n_final,
+                   CAST(count(*) + 2 AS BIGINT) AS n_inserts,
+                   CAST(2 AS BIGINT)            AS n_deletes,
+                   CAST(sum(n_nationkey) + 990 + 991 - 1 - 5
+                        AS BIGINT)              AS key_sum
+            FROM nation
+        """,
+        "q_bridge_drop_widen": """
+            SELECT CAST(count(*) + 3 AS BIGINT) AS n_final,
+                   CAST(count(*) + 3 AS BIGINT) AS n_cdf,
+                   CAST(3 AS BIGINT)            AS n_schemas,
+                   CAST(sum(n_nationkey) + 5000000000 + 992 + 993
                         AS BIGINT)              AS key_sum
             FROM nation
         """,

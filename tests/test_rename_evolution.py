@@ -8,7 +8,8 @@ Iceberg resolves columns by FIELD ID, so a rename is metadata-only:
   parquet names) folds through ``sync_delta_to_iceberg`` as the same
   new-schema-id shape, and ``read_delta`` / ``read_delta_cdf`` resolve
   it through the physical-name map.
-Drops / retypes / partition changes keep refusing everywhere.
+Non-widening retypes keep refusing everywhere; drops and spec-legal
+type widenings fold too (late r17 — test_drop_widen_evolution.py).
 
 Reference parity: the reference's SchemaBuilder.rename_field is a
 migration that rewrites rows; the id-indirection of the table formats
@@ -163,7 +164,10 @@ class TestBridgeRename:
                             where={"note_text": "zz1"})
         assert [r["id"] for r in f2.collect()] == ["z1"]
 
-    def test_drop_still_refuses(self, spark, tmp_path):
+    def test_drop_folds_as_new_schema_id(self, spark, tmp_path):
+        """r17 (late): a DROP-COLUMN commit is no longer a refusal —
+        it folds as a new Iceberg schema-id without the field (see
+        test_drop_widen_evolution.py for the full lifecycle)."""
         db = _mk(spark, str(tmp_path / "wh"), rows=4)
         dest = str(tmp_path / "dx")
         db.export_delta("notes", dest, target_files=1)
@@ -174,8 +178,12 @@ class TestBridgeRename:
                           if f["name"] != "n"]}
         meta_d2 = dict(meta_d, schemaString=json.dumps(sj2))
         _write_commit(dest, 2, [{"metaData": meta_d2}])
-        with pytest.raises(ValueError, match="non-additively"):
-            sync_delta_to_iceberg(spark, dest)
+        sync_delta_to_iceberg(spark, dest)
+        meta = _load_metadata(dest)
+        assert [f["name"] for f in meta["schemas"][-1]["fields"]] == \
+            ["id", "body"]
+        cur = read_iceberg(spark, dest)
+        assert "n" not in cur.columns and cur.count() == 4
 
     def test_drop_readd_same_type_refuses(self, spark, tmp_path):
         """A drop+re-add of a same-typed column is NOT a rename: the
@@ -193,7 +201,7 @@ class TestBridgeRename:
             "delta.columnMapping.physicalName": "col-deadbeef"}
         meta_d2 = dict(meta_d, schemaString=json.dumps(sj2))
         _write_commit(dest, 2, [{"metaData": meta_d2}])
-        with pytest.raises(ValueError, match="non-additively"):
+        with pytest.raises(ValueError, match="cannot follow"):
             sync_delta_to_iceberg(spark, dest)
 
 
@@ -264,19 +272,20 @@ class TestIcebergRename:
         b = sorted(map(tuple, read_iceberg(spark, dest)
                        .select("id", "note_text", "n").collect()))
         assert a == b
-        # drop/retype keeps refusing
+        # a NON-WIDENING retype keeps refusing (drop/widen fold now —
+        # see test_drop_widen_evolution.py)
         meta = _load_metadata(dest)
         sid = max(s["schema-id"] for s in meta["schemas"]) + 1
         meta["schemas"] = meta["schemas"] + [{
             "type": "struct", "schema-id": sid,
-            "fields": [f for f in meta["schemas"][-1]["fields"]
-                       if f["name"] != "n"]}]
+            "fields": [dict(f, type="string") if f["name"] == "n"
+                       else f for f in meta["schemas"][-1]["fields"]]}]
         meta["current-schema-id"] = sid
         from tostore_spark.plans.iceberg import (
             _next_metadata_version, _write_metadata_json)
         mdir = os.path.join(dest, "metadata")
         _write_metadata_json(mdir, _next_metadata_version(mdir), meta)
-        with pytest.raises(ValueError, match="dropped or retyped"):
+        with pytest.raises(ValueError, match="retyped"):
             read_iceberg_changes(spark, dest)
 
     def test_explicit_to_snapshot_keeps_that_schema(self, spark,

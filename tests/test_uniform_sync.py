@@ -166,7 +166,7 @@ class TestContinuousBridge:
             "n", type=DataType.double).execute()
         db.flush()
         db.export_delta("notes", dest, mode="update")
-        with pytest.raises(ValueError, match="non-additively"):
+        with pytest.raises(ValueError, match="cannot follow"):
             sync_delta_to_iceberg(spark, dest)
 
     def test_non_bridge_refuses(self, spark, tmp_path):
@@ -684,5 +684,5 @@ class TestBridgeSchemaEvolution:
                 "path": "data/none.parquet", "partitionValues": {},
                 "size": 1, "modificationTime": 1, "dataChange": True
             }}) + "\n")
-        with pytest.raises(ValueError, match="non-additively"):
+        with pytest.raises(ValueError, match="cannot follow"):
             sync_delta_to_iceberg(spark, dest)

@@ -1670,6 +1670,24 @@ class ToStoreSpark:
         from tostore_spark.plans.iceberg import rename_iceberg_column
         return rename_iceberg_column(dest, renames)
 
+    def drop_iceberg_column(self, dest: str, columns: list) -> dict:
+        """ALTER ... DROP COLUMN on an Iceberg export — metadata-only
+        (readers project by field id; data files keep the column
+        bytes).  Time travel keeps each snapshot's own columns;
+        changelog ranges crossing the drop surface rows under the
+        range-END schema (plans/iceberg.drop_iceberg_column)."""
+        from tostore_spark.plans.iceberg import drop_iceberg_column
+        return drop_iceberg_column(dest, columns)
+
+    def widen_iceberg_column(self, dest: str, changes: dict) -> dict:
+        """ALTER ... TYPE (widening) on an Iceberg export —
+        metadata-only for spec-legal promotions (int→long,
+        float→double, decimal precision widening); old files keep the
+        narrow physical type and readers upcast at the scan
+        (plans/iceberg.widen_iceberg_column)."""
+        from tostore_spark.plans.iceberg import widen_iceberg_column
+        return widen_iceberg_column(dest, changes)
+
     def optimize_iceberg(self, dest: str,
                          target_file_bytes: int = 128 * 1024 * 1024,
                          cluster_by: Optional[list] = None,

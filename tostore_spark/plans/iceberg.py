@@ -2771,9 +2771,9 @@ def rename_iceberg_column(path: str, renames: dict) -> dict:
     if len(set(new_names)) != len(new_names):
         raise ValueError(f"rename {renames} collides with an "
                          "existing column name")
-    spec_fields = (meta.get("partition-specs") or
-                   [{"fields": []}])[0].get("fields") or []
-    part_src = {int(pf["source-id"]) for pf in spec_fields}
+    part_src = {int(pf["source-id"])
+                for s in (meta.get("partition-specs") or [{}])
+                for pf in (s.get("fields") or [])}
     for old in renames:
         if int(by_name[old]["id"]) in part_src:
             raise ValueError(
@@ -2797,6 +2797,169 @@ def rename_iceberg_column(path: str, renames: dict) -> dict:
     mv = _next_metadata_version(mdir)
     _write_metadata_json(mdir, mv, meta)
     return {"schema_id": sid, "renamed": dict(renames),
+            "metadata_version": mv}
+
+
+def drop_iceberg_column(path: str, columns: list) -> dict:
+    """``ALTER TABLE ... DROP COLUMN`` for exported/converted Iceberg
+    tables — METADATA-ONLY (spec "Schema Evolution": readers project
+    by field id and ignore unlisted columns, so every data file keeps
+    its column bytes and zero data moves at any table size): append a
+    new schema WITHOUT the fields, point ``current-schema-id`` at it,
+    commit the next metadata version.
+
+    Current reads stop surfacing the columns; time travel to any
+    prior snapshot keeps them (``_schema_for_snapshot``);
+    ``read_iceberg_changes`` ranges crossing the drop surface rows
+    under the range-END schema — without the column, the Delta CDF
+    latest-schema rule.  NAME-MAPPED (converted) tables are fine: the
+    mapping keeps its entry, which older schema-ids still resolve.
+
+    Refuses: bridges (drop the DELTA column and
+    ``sync_delta_to_iceberg``), unknown columns, dropping every
+    column, partition-source columns (ANY spec — their manifests
+    carry typed partition values), and columns a LIVE
+    equality-delete file binds (the reader could no longer apply the
+    delete; rewrite_data_files first).  The live-delete check decodes
+    the current snapshot's manifests — driver-side metadata ∝ file
+    count, the same class as every other manifest op here.
+
+    Reference: the reference's schema migration drops by REWRITING
+    rows (lib/ migration machinery); Iceberg's id-indirection makes
+    the same user action free — the Spark-first reshape."""
+    p = _norm_path(path)
+    meta = _load_metadata(p)
+    if (meta.get("properties") or {}).get(_BRIDGE_PROP):
+        raise ValueError(
+            "this table is a delta→iceberg bridge — drop the DELTA "
+            "column (column mapping) and run sync_delta_to_iceberg")
+    cur_sj = _current_schema(meta)
+    by_name = {f["name"]: f for f in cur_sj["fields"]}
+    cols = list(dict.fromkeys(columns))
+    for c in cols:
+        if c not in by_name:
+            raise ValueError(f"unknown column {c!r}")
+    if len(cols) >= len(cur_sj["fields"]):
+        raise ValueError("cannot drop every column")
+    drop_ids = {int(by_name[c]["id"]) for c in cols}
+    pspecs = (meta.get("partition-specs")
+              or [{"spec-id": 0,
+                   "fields": (meta.get("partition-spec") or [])}])
+    srcs = {int(pf["source-id"]) for s in pspecs
+            for pf in (s.get("fields") or [])}
+    hit = drop_ids & srcs
+    if hit:
+        raise ValueError(
+            f"column(s) with field id(s) {sorted(hit)} are partition "
+            "sources — dropping them would orphan the partition "
+            "spec; re-export under a new layout")
+    snap = _pick_snapshot(meta)
+    if snap is not None:
+        location = meta.get("location") or p
+        _d, _pos, eq_del, _pp, _fs = _scan_files(meta, snap, location)
+        live_hit = sorted({i for _fp, _seq, ids in eq_del
+                           for i in (ids or []) if i in drop_ids})
+        if live_hit:
+            raise ValueError(
+                f"live equality-delete files bind field id(s) "
+                f"{live_hit} — dropping the column would make the "
+                "deletes unapplicable; rewrite_data_files first")
+    schemas = list(meta.get("schemas")
+                   or [dict(cur_sj,
+                            **{"schema-id":
+                               int(meta.get("current-schema-id", 0))})])
+    sid = max(int(s.get("schema-id", 0)) for s in schemas) + 1
+    new_sj = {"type": "struct", "schema-id": sid,
+              "fields": [dict(f) for f in cur_sj["fields"]
+                         if f["name"] not in set(cols)]}
+    meta["schemas"] = schemas + [new_sj]
+    meta["current-schema-id"] = sid
+    if "schema" in meta:
+        meta["schema"] = new_sj
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    mdir = os.path.join(p, "metadata")
+    mv = _next_metadata_version(mdir)
+    _write_metadata_json(mdir, mv, meta)
+    return {"schema_id": sid, "dropped": cols,
+            "metadata_version": mv}
+
+
+def widen_iceberg_column(path: str, changes: dict) -> dict:
+    """``ALTER TABLE ... ALTER COLUMN ... TYPE`` (widening) for
+    exported/converted Iceberg tables — METADATA-ONLY for the
+    spec-legal promotions (``int``→``long``, ``float``→``double``,
+    ``decimal(P,S)``→``decimal(P',S)`` with P'≥P): append a new
+    schema with the SAME field ids and the promoted types.  Old data
+    files keep their narrow physical type; Spark's parquet reader
+    upcasts at the scan (both name- and field-id-resolved), so zero
+    data moves.  Manifest bounds written before the widen stay
+    narrow-encoded — ``_deser_bound`` refutes nothing on a length
+    mismatch, so pruning degrades conservatively, never wrongly.
+
+    ``changes`` maps column name → target Iceberg type string (e.g.
+    ``{"qty": "long", "price": "decimal(12, 2)"}``).
+
+    Refuses: bridges (widen the DELTA column and sync), unknown
+    columns, non-promotion targets, partition-source columns (typed
+    partition values).  Time travel keeps each snapshot's own types;
+    ``read_iceberg_changes`` ranges crossing the widen surface values
+    under the range-END (promoted) type."""
+    p = _norm_path(path)
+    meta = _load_metadata(p)
+    if (meta.get("properties") or {}).get(_BRIDGE_PROP):
+        raise ValueError(
+            "this table is a delta→iceberg bridge — widen the DELTA "
+            "column (type widening) and run sync_delta_to_iceberg")
+    cur_sj = _current_schema(meta)
+    by_name = {f["name"]: f for f in cur_sj["fields"]}
+    norm: dict = {}
+    for c, t in changes.items():
+        if c not in by_name:
+            raise ValueError(f"unknown column {c!r}")
+        tgt = str(t).strip()
+        m = _DEC_RE.fullmatch(tgt)
+        if m:
+            tgt = f"decimal({int(m.group(1))}, {int(m.group(2))})"
+        cur_t = by_name[c]["type"]
+        if tgt == cur_t:
+            continue
+        if not _ice_type_widens(cur_t, tgt):
+            raise ValueError(
+                f"{cur_t!r} → {tgt!r} is not a spec-legal Iceberg "
+                "promotion (int→long, float→double, decimal "
+                "precision widening with the same scale)")
+        norm[c] = tgt
+    if not norm:
+        return {"schema_id": int(meta.get("current-schema-id", 0)),
+                "widened": {}, "metadata_version": None}
+    pspecs = (meta.get("partition-specs")
+              or [{"spec-id": 0,
+                   "fields": (meta.get("partition-spec") or [])}])
+    srcs = {int(pf["source-id"]) for s in pspecs
+            for pf in (s.get("fields") or [])}
+    for c in norm:
+        if int(by_name[c]["id"]) in srcs:
+            raise ValueError(
+                f"column {c!r} is a partition source — its manifest "
+                "partition values are typed; re-export")
+    schemas = list(meta.get("schemas")
+                   or [dict(cur_sj,
+                            **{"schema-id":
+                               int(meta.get("current-schema-id", 0))})])
+    sid = max(int(s.get("schema-id", 0)) for s in schemas) + 1
+    new_sj = {"type": "struct", "schema-id": sid,
+              "fields": [dict(f, **({"type": norm[f["name"]]}
+                                    if f["name"] in norm else {}))
+                         for f in cur_sj["fields"]]}
+    meta["schemas"] = schemas + [new_sj]
+    meta["current-schema-id"] = sid
+    if "schema" in meta:
+        meta["schema"] = new_sj
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    mdir = os.path.join(p, "metadata")
+    mv = _next_metadata_version(mdir)
+    _write_metadata_json(mdir, mv, meta)
+    return {"schema_id": sid, "widened": dict(norm),
             "metadata_version": mv}
 
 
@@ -3369,39 +3532,46 @@ def read_iceberg_changes(spark, path: str,
         return df
 
     def _check_schema_compat(snap):
-        """Additive + RENAME evolution: every field of the snapshot's
-        schema must survive IN the range-END schema with the same id
-        and type — drops/retypes refuse (their changes cannot surface
-        under the END schema without lying).  A NAME change is fine
-        (r17): field ids are the identity, the fold reads every file
-        through the END schema's id-carrying read schema, so
-        pre-rename rows surface under the range-END names — the same
-        rule the reader applies for time travel, inverted."""
+        """Additive + RENAME + DROP + WIDEN evolution (r17): a field
+        of the snapshot's schema must either survive IN the range-END
+        schema under the same id with the same-or-PROMOTED type, or be
+        absent from it entirely (DROPPED — the row simply surfaces
+        without it, the Delta CDF latest-schema rule; an
+        equality-delete file that binds a dropped id refuses at
+        derivation).  Field ids are the identity: the fold reads every
+        file through the END schema's id-carrying read schema, so
+        pre-rename rows surface under the range-END names and
+        pre-widen files upcast at the parquet scan.  A NON-WIDENING
+        retype refuses — its values cannot surface under the END
+        schema without lying."""
         sj = _schema_for_snapshot(meta, snap)
         if sj.get("schema-id", 0) == \
                 end_schema_json.get("schema-id", 0):
             return
         end_by_id = {int(f["id"]): f
                      for f in end_schema_json["fields"]}
-
-        def _t(t):
-            return json.dumps(t, sort_keys=True) \
-                if isinstance(t, dict) else t
         for f in sj["fields"]:
             e = end_by_id.get(int(f["id"]))
-            if e is None or _t(e["type"]) != _t(f["type"]):
+            if e is None:
+                continue
+            if not _ice_type_widens(f["type"], e["type"]):
                 raise ValueError(
                     f"snapshot {snap['snapshot-id']} was written "
                     f"under schema-id {sj.get('schema-id', 0)} whose "
-                    f"field {f['name']!r} (id {f['id']}) was "
-                    "dropped or retyped by the range-end schema — "
-                    "only ADD-column and RENAME evolution are "
+                    f"field {f['name']!r} (id {f['id']}) was retyped "
+                    f"({f['type']!r} → {e['type']!r}, not a legal "
+                    "promotion) by the range-end schema — only "
+                    "ADD / RENAME / DROP / WIDENING evolution is "
                     "derivable; re-bootstrap the consumer from "
                     "read_iceberg")
 
     def _tag(df, snap, change):
+        # cast to the END types: a pre-widen part (read under a
+        # narrower parent schema) must surface under the range-END
+        # promoted type, not ride union coercion
         df = _pad_end(df)
-        return (df.select(*[f.name for f in sschema.fields])
+        return (df.select(*[F.col(f.name).cast(f.dataType)
+                            .alias(f.name) for f in sschema.fields])
                 .withColumn("_change_type", F.lit(change))
                 .withColumn("_commit_snapshot_id",
                             F.lit(int(snap["snapshot-id"]))
@@ -3489,6 +3659,14 @@ def read_iceberg_changes(spark, path: str,
                 by_ids.setdefault(tuple(sorted(ids)), []) \
                     .append((fp, dseq))
             for ids, fps in sorted(by_ids.items()):
+                missing = [i for i in ids if i not in id_to_name]
+                if missing:
+                    raise ValueError(
+                        "parent equality-delete file binds field "
+                        f"id(s) {missing} the range-end schema "
+                        "dropped — re-kill suppression cannot be "
+                        "derived; re-bootstrap the consumer from "
+                        "read_iceberg")
                 cols = [id_to_name[i] for i in ids]
                 dschema = StructType([sfields[c] for c in cols])
                 keys = None
@@ -3540,6 +3718,13 @@ def read_iceberg_changes(spark, path: str,
                                  "equality_ids")
             by_ids.setdefault(tuple(sorted(ids)), []).append(fp)
         for ids, fps in sorted(by_ids.items()):
+            missing = [i for i in ids if i not in id_to_name]
+            if missing:
+                raise ValueError(
+                    f"equality-delete file binds field id(s) "
+                    f"{missing} the range-end schema dropped — its "
+                    "pre-images cannot surface; re-bootstrap the "
+                    "consumer from read_iceberg")
             cols = [id_to_name[i] for i in ids]          # END names
             pcols_ = [pid_to_name.get(i, id_to_name[i])  # parent names
                       for i in ids]
@@ -3885,6 +4070,88 @@ def _renamed_only_fields(old, new, schema_json: dict,
     return changed
 
 
+_DEC_RE = re.compile(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)")
+
+
+def _ice_type_widens(old_t, new_t) -> bool:
+    """True when ``new_t`` is ``old_t`` or a spec-legal PROMOTION of it
+    (Iceberg "Schema Evolution": ``int``→``long``, ``float``→
+    ``double``, ``decimal(P,S)``→``decimal(P',S)`` with P'≥P and the
+    SAME scale).  Nested (dict) types promote nothing — equality
+    only."""
+    if isinstance(old_t, dict) or isinstance(new_t, dict):
+        return json.dumps(old_t, sort_keys=True) == \
+            json.dumps(new_t, sort_keys=True)
+    if old_t == new_t:
+        return True
+    if (old_t, new_t) in (("int", "long"), ("float", "double")):
+        return True
+    mo = _DEC_RE.fullmatch(str(old_t))
+    mn = _DEC_RE.fullmatch(str(new_t))
+    return bool(mo and mn
+                and int(mn.group(2)) == int(mo.group(2))
+                and int(mn.group(1)) >= int(mo.group(1)))
+
+
+def _ice_primitive(dt):
+    """One Spark type's Iceberg image (str for primitives, dict for
+    nested); None when the exporter has no mapping for it."""
+    try:
+        return _spark_to_iceberg(dt, [1_000_000_000])
+    except ValueError:
+        return None
+
+
+def _widened_only_fields(old, new, schema_json: dict):
+    """The strictly-widened positions ``{position: new_iceberg_type}``
+    when ``new`` is ``old`` with TYPE-WIDENING only — the Delta type
+    widening shape (metadata-only commit; old parquet files keep the
+    narrow physical type and readers upcast): same arity, same names
+    and nullability per position, every changed position's new type a
+    spec-legal Iceberg promotion of the field's CURRENT Iceberg type.
+    ``{}`` when every change is an Iceberg no-op (e.g. Delta
+    byte→short — both map to ``int``); None for anything else."""
+    if len(new.fields) != len(old.fields):
+        return None
+    if any((f.name, f.nullable) != (o.name, o.nullable)
+           for f, o in zip(new.fields, old.fields)):
+        return None
+    out: dict = {}
+    for i, (f, o) in enumerate(zip(new.fields, old.fields)):
+        if f.dataType == o.dataType:
+            continue
+        cur_t = schema_json["fields"][i]["type"]
+        new_t = _ice_primitive(f.dataType)
+        if new_t is None or not _ice_type_widens(cur_t, new_t):
+            return None
+        if new_t != cur_t:
+            out[i] = new_t
+    return out
+
+
+def _dropped_only_fields(old, new):
+    """The dropped positions (indices into ``old``) when ``new`` is
+    ``old`` with DROP-COLUMN only — the Delta column-mapping drop
+    shape (metadata-only commit; parquet files keep the column bytes
+    and readers simply stop projecting it): the new fields are a
+    PROPER SUBSEQUENCE of the old, matching by name/type/nullability.
+    None for anything else (a drop+re-add of the same name carries a
+    type-or-position mismatch or lands in the add branch)."""
+    def _plain(f):
+        return (f.name, f.dataType, f.nullable)
+    if len(new.fields) >= len(old.fields):
+        return None
+    dropped, j = [], 0
+    for i, o in enumerate(old.fields):
+        if j < len(new.fields) and _plain(new.fields[j]) == _plain(o):
+            j += 1
+        else:
+            dropped.append(i)
+    if j != len(new.fields):
+        return None
+    return dropped
+
+
 def _bridge_nm(meta: dict) -> list | None:
     raw = (meta.get("properties") or {}).get(
         "schema.name-mapping.default")
@@ -3980,7 +4247,11 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
             f"delta log has a gap after bridged version {last} — "
             "the bridge cannot fold missing commits")
 
-    schema_json = _schema_for_snapshot(meta, _pick_snapshot(meta))
+    # fold against the bridge's CURRENT schema — the last folded
+    # Delta metaData — NOT the last snapshot's schema: metadata-only
+    # evolution (rename/drop/widen) commits no snapshot, so the
+    # snapshot binding would rebase the next sync onto a stale shape
+    schema_json = _current_schema(meta)
     sschema = _schema_to_spark(schema_json)
     cur_schema_id = int(meta.get("current-schema-id", 0))
     specs0 = meta.get("partition-specs") or [{"spec-id": 0,
@@ -4082,16 +4353,113 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
                     schema_json = new_sj
                     sschema = _schema_to_spark(schema_json)
                     cur_schema_id = sid
+                elif (widened := _widened_only_fields(
+                        old_plain, new_schema, schema_json)) \
+                        is not None:
+                    # TYPE-WIDENING evolution (r17): a Delta type
+                    # widening commit (metadata-only; old files keep
+                    # the narrow physical type) folds as a new Iceberg
+                    # schema-id with UNCHANGED field ids and PROMOTED
+                    # types — spec-legal promotions only, readers
+                    # upcast at the parquet scan.  Bounds written
+                    # before the widen stay narrow-encoded; the
+                    # pruner's _deser_bound refutes nothing on a
+                    # length mismatch, which is conservative.  An
+                    # Iceberg-no-op change (byte→short: both "int")
+                    # folds as nothing at all.
+                    if widened:
+                        pspecs_all = (meta.get("partition-specs")
+                                      or [{"spec-id": 0,
+                                           "fields": spec_fields}])
+                        srcs = {int(pf["source-id"])
+                                for s_ in pspecs_all
+                                for pf in (s_.get("fields") or [])}
+                        for i in widened:
+                            fid = int(schema_json["fields"][i]["id"])
+                            if fid in srcs:
+                                raise ValueError(
+                                    f"delta commit {v} widens column "
+                                    f"{schema_json['fields'][i]['name']!r}"
+                                    " which a partition spec sources — "
+                                    "manifest partition values are "
+                                    "typed; re-convert")
+                        schemas = list(meta.get("schemas")
+                                       or [dict(schema_json,
+                                                **{"schema-id":
+                                                   cur_schema_id})])
+                        sid = max(int(s.get("schema-id", 0))
+                                  for s in schemas) + 1
+                        new_sj = {
+                            "type": "struct", "schema-id": sid,
+                            "fields": [
+                                dict(f, **({"type": widened[i]}
+                                           if i in widened else {}))
+                                for i, f in
+                                enumerate(schema_json["fields"])]}
+                        meta["schemas"] = schemas + [new_sj]
+                        meta["current-schema-id"] = sid
+                        if "schema" in meta:
+                            meta["schema"] = new_sj
+                        schema_json = new_sj
+                        sschema = _schema_to_spark(schema_json)
+                        cur_schema_id = sid
+                elif (dropped := _dropped_only_fields(
+                        old_plain, new_schema)) is not None:
+                    # DROP-COLUMN evolution (r17): a Delta
+                    # column-mapping drop (metadata-only; parquet
+                    # files keep the column bytes) folds as a new
+                    # Iceberg schema-id WITHOUT the field — readers
+                    # project by id and ignore unlisted columns, so
+                    # zero data moves and prior snapshots keep
+                    # time-traveling with the column.  The name
+                    # mapping keeps its entry (older schema-ids still
+                    # resolve it).  Bridges carry no equality deletes
+                    # (DV folds are position deletes), so no live
+                    # delete file can bind the dropped id.
+                    pspecs_all = (meta.get("partition-specs")
+                                  or [{"spec-id": 0,
+                                       "fields": spec_fields}])
+                    srcs = {int(pf["source-id"])
+                            for s_ in pspecs_all
+                            for pf in (s_.get("fields") or [])}
+                    drop_ids = {int(schema_json["fields"][i]["id"])
+                                for i in dropped}
+                    hit = drop_ids & srcs
+                    if hit:
+                        raise ValueError(
+                            f"delta commit {v} drops column(s) with "
+                            f"field id(s) {sorted(hit)} that a "
+                            "partition spec sources — re-convert")
+                    schemas = list(meta.get("schemas")
+                                   or [dict(schema_json,
+                                            **{"schema-id":
+                                               cur_schema_id})])
+                    sid = max(int(s.get("schema-id", 0))
+                              for s in schemas) + 1
+                    new_sj = {
+                        "type": "struct", "schema-id": sid,
+                        "fields": [dict(f) for i, f in
+                                   enumerate(schema_json["fields"])
+                                   if i not in set(dropped)]}
+                    meta["schemas"] = schemas + [new_sj]
+                    meta["current-schema-id"] = sid
+                    if "schema" in meta:
+                        meta["schema"] = new_sj
+                    schema_json = new_sj
+                    sschema = _schema_to_spark(schema_json)
+                    cur_schema_id = sid
                 else:
                     added = _added_tail_fields(old_plain, new_schema)
                     if added is None:
                         raise ValueError(
-                            f"delta commit {v} evolves the schema "
-                            "non-additively (drop/retype/required "
-                            "column, or a rename without a "
+                            f"delta commit {v} evolves the schema in "
+                            "a shape the bridge cannot follow (a "
+                            "non-widening retype, a required column, "
+                            "a combined rename/drop/widen/add in one "
+                            "commit, or a rename without a "
                             "column-mapping physical name the bridge "
-                            "can verify) — the bridge cannot follow; "
-                            "re-convert (expire + remove metadata/ + "
+                            "can verify) — re-convert (expire + "
+                            "remove metadata/ + "
                             "convert_delta_to_iceberg)")
                     # ADD-COLUMN-only evolution folds as a NEW Iceberg
                     # schema-id (the exporter's refresh path
@@ -4129,6 +4497,29 @@ def sync_delta_to_iceberg(spark, path: str) -> dict:
                             f.name: (f.metadata or {}).get(
                                 "delta.columnMapping.physicalName")
                             for f in added}
+                        taken = {n for e in nm
+                                 for n in (e.get("names") or [])}
+                        for f in add_struct["fields"]:
+                            if f["id"] in have:
+                                continue
+                            pn = phys_of.get(f["name"]) or f["name"]
+                            if pn in taken:
+                                # a re-add of a physical name the
+                                # mapping already binds (a prior DROP
+                                # of the same column): resolving old
+                                # files' bytes under the new field
+                                # would resurface dead values — only
+                                # a column-mapping re-add with a
+                                # FRESH physical name is unambiguous
+                                raise ValueError(
+                                    f"delta commit {v} re-adds "
+                                    f"column {f['name']!r} whose "
+                                    f"physical name {pn!r} the "
+                                    "bridge's name mapping already "
+                                    "binds to a dropped field — "
+                                    "ambiguous; use column mapping "
+                                    "(fresh physical name) or "
+                                    "re-convert")
                         nm += [{"field-id": f["id"],
                                 "names": [phys_of.get(f["name"])
                                           or f["name"]]}
