@@ -4254,6 +4254,114 @@ def q_bridge_drop_widen(spark, sf_dir):
               "key_sum bigint")
 
 
+def q_reverse_bridge(spark, sf_dir):
+    """Iceberg → Delta reverse bridge (late r17, plans/xtable — the
+    Apache XTable direction; the forward UniForm bridge is
+    q_uniform_sync): ``convert_iceberg_to_delta`` catalogs the
+    current snapshot as Delta v0 over the SAME files;
+    ``sync_iceberg_to_delta`` then folds a merge-on-read
+    position-delete snapshot as a Delta DELETION-VECTOR commit
+    (roaring bitmap, protocol gains the deletionVectors feature), a
+    pure append as an add-only commit, a compaction as a rewrite
+    commit, and a metadata-only DROP COLUMN as a metaData-only
+    commit.  Both formats agree after every fold; Delta time travel
+    to v0 sees the original snapshot; stats flow so the Delta side
+    prunes.  All metadata-only — zero data IO.  DuckDB derives the
+    counts from nation arithmetic."""
+    import os
+    import tempfile
+
+    from tostore_spark.plans.delta_export import (_replay, read_delta)
+    from tostore_spark.plans.iceberg import (drop_iceberg_column,
+                                             read_iceberg)
+    from tostore_spark.plans.xtable import (convert_iceberg_to_delta,
+                                            sync_iceberg_to_delta)
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    db = _db(spark, sf_dir)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+    n0 = len(nat)
+    with tempfile.TemporaryDirectory() as tmp:
+        dest = os.path.join(tmp, "ice")
+        db1 = ToStoreSpark(spark, warehouse=os.path.join(tmp, "wh"))
+        db1.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n_name", type=DataType.text),
+                    FieldSchema(name="key", type=DataType.integer)]))
+        db1.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
+             "key": r["n_nationkey"]} for r in nat])
+        db1.flush()
+        db1.export_iceberg("nat", dest, target_files=2)        # s1
+        rep = convert_iceberg_to_delta(spark, dest)
+        if rep["version"] != 0:
+            raise AssertionError(f"convert wrong: {rep}")
+
+        def _agree():
+            a = sorted(map(tuple, read_iceberg(spark, dest)
+                           .select("id", "key").collect()))
+            b = sorted(map(tuple, read_delta(spark, dest)
+                           .select("id", "key").collect()))
+            if a != b:
+                raise AssertionError("formats diverged")
+            return len(a)
+        if _agree() != n0:
+            raise AssertionError("conversion lost rows")
+        # mixed epoch → merge-on-read position deletes → DV commit
+        db1.batch_insert("nat", [
+            {"id": "zz1", "n_name": "FRESH1", "key": 990},
+            {"id": "zz2", "n_name": "FRESH2", "key": 991}])
+        db1.delete("nat").where("id", "IN",
+                                ["n001", "n005"]).execute()
+        db1.flush()
+        rep = db1.export_iceberg("nat", dest, mode="update")
+        if rep["commit"] != "mor":
+            raise AssertionError(f"expected mor route: {rep}")
+        rep = sync_iceberg_to_delta(spark, dest)
+        if rep["snapshots"] != 1:
+            raise AssertionError(f"dv sync wrong: {rep}")
+        _agree()
+        proto = _replay(dest)["protocol"]
+        if "deletionVectors" not in (proto.get("readerFeatures")
+                                     or []):
+            raise AssertionError("protocol missing deletionVectors")
+        # pure append → add-only commit
+        db1.batch_insert("nat", [
+            {"id": "zz3", "n_name": "FRESH3", "key": 992}])
+        db1.flush()
+        db1.export_iceberg("nat", dest, mode="update")
+        sync_iceberg_to_delta(spark, dest)
+        _agree()
+        # compaction → rewrite commit
+        db1.optimize_iceberg(dest, min_files=2)
+        sync_iceberg_to_delta(spark, dest)
+        _agree()
+        # metadata-only DROP catches up as a metaData-only commit
+        drop_iceberg_column(dest, ["n_name"])
+        rep = sync_iceberg_to_delta(spark, dest)
+        if rep["snapshots"] != 1:
+            raise AssertionError(f"drop catch-up wrong: {rep}")
+        dd = read_delta(spark, dest)
+        if "n_name" in dd.columns:
+            raise AssertionError("delta kept the dropped column")
+        n_final = _agree()
+        n_versions = rep["version"]
+        # delta time travel to v0 sees the original snapshot; the
+        # delta side prunes+filters on stats
+        n_v0 = read_delta(spark, dest, version=0).count()
+        one = read_delta(spark, dest, where={"key": 992})
+        if [r["id"] for r in one.collect()] != ["zz3"]:
+            raise AssertionError("delta-side filter wrong")
+        row = read_delta(spark, dest).agg(
+            F.sum("key").cast("long").alias("key_sum")).first()
+        rows = [{"n_final": int(n_final), "n_v0": int(n_v0),
+                 "n_versions": int(n_versions),
+                 "key_sum": int(row["key_sum"])}]
+    return spark.createDataFrame(
+        rows, "n_final bigint, n_v0 bigint, n_versions bigint, "
+              "key_sum bigint")
+
+
 def q_partition_evolution(spark, sf_dir):
     """Partition evolution as a NEW SPEC-ID (r17, plans/iceberg
     _ensure_identity_spec): a partitioned store table exports with a
@@ -6786,6 +6894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
+        "q_reverse_bridge",                                   # born r17
         "q_drop_widen_column", "q_bridge_drop_widen",         # born r17
         "q_bridge_dv", "q_iceberg_meta",                      # born r17
         "q_bridge_rename", "q_rename_column",                 # born r17
@@ -7092,6 +7201,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) + 3 AS BIGINT) AS n_cdf,
                    CAST(3 AS BIGINT)            AS n_schemas,
                    CAST(sum(n_nationkey) + 5000000000 + 992 + 993
+                        AS BIGINT)              AS key_sum
+            FROM nation
+        """,
+        "q_reverse_bridge": """
+            SELECT CAST(count(*) + 1 AS BIGINT) AS n_final,
+                   CAST(count(*) AS BIGINT)     AS n_v0,
+                   CAST(4 AS BIGINT)            AS n_versions,
+                   CAST(sum(n_nationkey) + 990 + 991 + 992 - 1 - 5
                         AS BIGINT)              AS key_sum
             FROM nation
         """,

@@ -542,12 +542,13 @@ class TestDeltaColumnMapping:
                 "readerFeatures": ["columnMapping"]}}))
         open(log2, "w").write(lines)
         assert read_delta(spark, d2).count() == 3
-        # (v2Checkpoint is a SUPPORTED feature since r13 — use a
-        # genuinely unimplemented one for the refusal probe)
+        # (v2Checkpoint is supported since r13, typeWidening since
+        # late r17 — use a genuinely unimplemented feature for the
+        # refusal probe)
         lines = lines.replace('["columnMapping"]',
-                              '["columnMapping", "typeWidening"]')
+                              '["columnMapping", "variantType"]')
         open(log2, "w").write(lines)
-        with pytest.raises(ValueError, match="typeWidening"):
+        with pytest.raises(ValueError, match="variantType"):
             read_delta(spark, d2)
 
 

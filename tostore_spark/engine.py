@@ -1688,6 +1688,23 @@ class ToStoreSpark:
         from tostore_spark.plans.iceberg import widen_iceberg_column
         return widen_iceberg_column(dest, changes)
 
+    def convert_iceberg_to_delta(self, dest: str) -> dict:
+        """In-place catalog of an Iceberg table's current snapshot as
+        a Delta table over the SAME files — the reverse-bridge
+        direction (Apache XTable's shape): position deletes fold into
+        Delta deletion vectors, identity partition values into
+        partitionValues; zero data IO (plans/xtable)."""
+        from tostore_spark.plans.xtable import convert_iceberg_to_delta
+        return convert_iceberg_to_delta(self.spark, dest)
+
+    def sync_iceberg_to_delta(self, dest: str) -> dict:
+        """Fold every Iceberg snapshot since the bridged one into an
+        incremental Delta commit (appends, deletion-vector deletes,
+        dataChange=false compactions, additive/drop/widen schema
+        evolution) — the continuous reverse bridge (plans/xtable)."""
+        from tostore_spark.plans.xtable import sync_iceberg_to_delta
+        return sync_iceberg_to_delta(self.spark, dest)
+
     def optimize_iceberg(self, dest: str,
                          target_file_bytes: int = 128 * 1024 * 1024,
                          cluster_by: Optional[list] = None,

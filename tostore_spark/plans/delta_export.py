@@ -1864,7 +1864,12 @@ def vacuum_delta(path: str, keep_versions: int = 1,
 #: Spark's native parquet field-id matching).  Unknown features still
 #: refuse loudly: a naive replay would return wrong rows.
 _SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz",
-                              "deletionVectors", "v2Checkpoint"}
+                              "deletionVectors", "v2Checkpoint",
+                              # type widening: files keep the narrow
+                              # physical type and the scan upcasts to
+                              # the schemaString type — Spark's
+                              # parquet reader does this natively
+                              "typeWidening"}
 
 
 def _apply_action(state: dict, a: dict) -> None:
