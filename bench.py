@@ -1091,6 +1091,8 @@ def _changelog_sync_stat(spark, sf_dir: str) -> dict | None:
                                                  convert_delta_to_iceberg,
                                                  read_iceberg_changes,
                                                  sync_delta_to_iceberg)
+        from tostore_spark.plans.xtable import (convert_iceberg_to_delta,
+                                                sync_iceberg_to_delta)
         from tostore_spark.schema import (DataType, FieldSchema,
                                           PrimaryKeyConfig, TableSchema)
         li = entrymod._db(spark, sf_dir).df("lineitem")
@@ -1110,7 +1112,8 @@ def _changelog_sync_stat(spark, sf_dir: str) -> dict | None:
         REPS = 3
         METRICS = ("changes_append", "changes_delete",
                    "bridge_append", "bridge_optimize",
-                   "bridge_dv_delete")
+                   "bridge_dv_delete",
+                   "reverse_append", "reverse_dv_delete")
         out: dict = {"touched_rows": 100, "reps": REPS,
                      "method": "adjacent-leg med-of-3"}
         legs: dict = {}
@@ -1126,17 +1129,21 @@ def _changelog_sync_stat(spark, sf_dir: str) -> dict | None:
                                   warehouse=_os.path.join(tmp, "wh"))
                 db.register_table("ti", df=base, schema=_sch("ti"))
                 db.register_table("td", df=base, schema=_sch("td"))
+                db.register_table("tr", df=base, schema=_sch("tr"))
                 db.flush()
                 dice = _os.path.join(tmp, "ice")
                 ddel = _os.path.join(tmp, "dx")
+                drev = _os.path.join(tmp, "rx")
                 db.export_iceberg("ti", dice, target_files=8)
                 db.export_delta("td", ddel, target_files=8)
                 convert_delta_to_iceberg(spark, ddel)
+                db.export_iceberg("tr", drev, target_files=8)
+                convert_iceberg_to_delta(spark, drev)
                 ids = [r["id"] for r in
                        base.limit(REPS * 100).collect()]
                 legs[label] = {
                     "db": db, "base": base, "dice": dice,
-                    "ddel": ddel, "base_rows": size,
+                    "ddel": ddel, "drev": drev, "base_rows": size,
                     "del_batches": [ids[i * 100:(i + 1) * 100]
                                     for i in range(REPS)],
                     "times": {k: [] for k in METRICS},
@@ -1235,6 +1242,47 @@ def _changelog_sync_stat(spark, sf_dir: str) -> dict | None:
                     t0 = _t.time()
                     rs = sync_delta_to_iceberg(spark, L["ddel"])
                     L["times"]["bridge_dv_delete"].append(
+                        _t.time() - t0)
+                    assert rs["snapshots"] == 1, rs
+            # (f) REVERSE-bridge APPEND syncs (late r17,
+            # plans/xtable): a 100-row Iceberg append snapshot folds
+            # as ONE Delta add-only commit — driver metadata + one
+            # footer read per new file; expect ~flat across bases
+            for rep in range(REPS):
+                for label in ("small", "large"):
+                    L = legs[label]
+                    db = L["db"]
+                    db.append_rows("tr", spark.createDataFrame(
+                        [(f"v{rep}{i:03d}", 1, 1.0, "V")
+                         for i in range(100)], L["base"].schema))
+                    db.flush(only=["tr"])
+                    db.export_iceberg("tr", L["drev"], mode="update")
+                    t0 = _t.time()
+                    rs = sync_iceberg_to_delta(spark, L["drev"])
+                    L["times"]["reverse_append"].append(
+                        _t.time() - t0)
+                    assert rs["snapshots"] == 1, rs
+            # (g) REVERSE-bridge DV-DELETE syncs: a 100-row MoR
+            # position-delete snapshot (delete_route="position" — the
+            # bridgeable kind) folds as a Delta deletion-vector
+            # commit: pos-delete decode ∝ deleted rows + remove/
+            # re-add of only the touched files.  The honest ∝-base
+            # term is the touched-file re-add's footer stats read —
+            # files, not rows
+            for rep in range(REPS):
+                for label in ("small", "large"):
+                    L = legs[label]
+                    db = L["db"]
+                    db.delete("tr").where(
+                        "id", "IN", L["del_batches"][rep]).execute()
+                    db.flush(only=["tr"])
+                    r = db.export_iceberg("tr", L["drev"],
+                                          mode="update",
+                                          delete_route="position")
+                    assert r["commit"] == "mor", r
+                    t0 = _t.time()
+                    rs = sync_iceberg_to_delta(spark, L["drev"])
+                    L["times"]["reverse_dv_delete"].append(
                         _t.time() - t0)
                     assert rs["snapshots"] == 1, rs
             for label in ("small", "large"):

@@ -246,6 +246,42 @@ class TestSync:
         with pytest.raises(ValueError, match="not an iceberg"):
             sync_iceberg_to_delta(spark, dest)
 
+    def test_bridged_mirror_keeps_both_formats_current(self, spark,
+                                                       tmp_path):
+        """mirror_iceberg(bridge_delta=True): every flush auto-commits
+        the next Iceberg snapshot AND folds it into a Delta commit —
+        pure-delete flushes take the POSITION-delete route (the only
+        kind Delta DVs can express), so the bridge never breaks on
+        the eqdel tier."""
+        db = _mk(spark, str(tmp_path / "wh"))
+        dest = str(tmp_path / "ice")
+        rep = db.mirror_iceberg("notes", dest, bridge_delta=True)
+        assert rep["bridge"]["version"] == 0
+        assert _same(spark, dest) == 10
+        # append flush auto-syncs both formats
+        db.batch_insert("notes", [{"id": "z1", "body": "zz",
+                                   "n": 50}])
+        db.flush()
+        assert db.last_mirror_error is None
+        assert _same(spark, dest) == 11
+        # PURE-delete flush: position route (not eqdel) → DV commit
+        db.delete("notes").where("id", "IN",
+                                 ["k001", "k003"]).execute()
+        db.flush()
+        assert db.last_mirror_error is None
+        assert _same(spark, dest) == 9
+        meta = _load_metadata(dest)
+        last = meta["snapshots"][-1]["summary"]
+        # the position route committed a MoR delete snapshot (the
+        # eqdel tier would have refused to bridge)
+        assert last["operation"] == "delete"
+        assert last.get("added-data-files") == "0"
+        proto = _replay(dest)["protocol"]
+        assert "deletionVectors" in proto["readerFeatures"]
+        # the delta side carries a DV add for the touched file
+        files = _replay(dest)["files"]
+        assert any(a.get("deletionVector") for a in files.values())
+
     def test_no_cdf_on_reverse_bridge(self, spark, tmp_path):
         db = _mk(spark, str(tmp_path / "wh"), rows=4)
         dest = str(tmp_path / "ice")

@@ -1779,7 +1779,8 @@ class ToStoreSpark:
                        mode: str = "error",
                        target_files: Optional[int] = None,
                        allow_decrypted: bool = False,
-                       cluster_by: Optional[list] = None) -> dict:
+                       cluster_by: Optional[list] = None,
+                       delete_route: str = "auto") -> dict:
         """Export the table's current version as an Apache Iceberg v2
         table (metadata JSON + Avro manifest list/manifests + parquet
         data files with field ids) a foreign Iceberg reader can
@@ -1796,7 +1797,8 @@ class ToStoreSpark:
         return _ei(self, table, dest, mode=mode,
                    target_files=target_files,
                    allow_decrypted=allow_decrypted,
-                   cluster_by=cluster_by)
+                   cluster_by=cluster_by,
+                   delete_route=delete_route)
 
     def read_iceberg(self, path: str,
                      snapshot_id: Optional[int] = None,
@@ -2140,7 +2142,8 @@ class ToStoreSpark:
         return len(doomed)
 
     def mirror_iceberg(self, table: str, dest: str,
-                       allow_decrypted: bool = False) -> dict:
+                       allow_decrypted: bool = False,
+                       bridge_delta: bool = False) -> dict:
         """Continuously materialize ``table`` as an Iceberg v2 table —
         the Iceberg twin of ``mirror_delta``: an initial snapshot runs
         now, and EVERY subsequent ``flush()`` auto-commits the next
@@ -2149,16 +2152,39 @@ class ToStoreSpark:
         overwrite snapshot).  Post-commit and best-effort: a mirror
         failure never un-commits the flush; it lands in
         ``engine.last_mirror_error`` and the next flush heals with an
-        overwrite snapshot.  Engine-local (re-register after
-        reopen)."""
+        overwrite snapshot.  Engine-local (re-register after reopen).
+
+        ``bridge_delta=True`` runs the continuous REVERSE bridge
+        (plans/xtable): after the initial snapshot the destination is
+        ALSO converted to Delta (``convert_iceberg_to_delta``) and
+        every later mirror flush folds its snapshots into incremental
+        Delta commits (``sync_iceberg_to_delta``) — one directory,
+        both formats always current, the mirror twin of
+        ``mirror_delta(bridge_iceberg=True)``.  Pure-delete flushes
+        then take the POSITION-delete route (not equality deletes —
+        the only kind Delta deletion vectors can express), trading
+        the eqdel tier's zero-probe write for bridgeability."""
         key = self._resolve(table)
         if not hasattr(self, "_iceberg_mirrors"):
             self._iceberg_mirrors = {}
         self._iceberg_mirrors[key] = {
-            "dest": dest, "allow_decrypted": bool(allow_decrypted)}
+            "dest": dest, "allow_decrypted": bool(allow_decrypted),
+            "bridge": bool(bridge_delta)}
         from tostore_spark.plans.iceberg import export_iceberg as _ei
-        return _ei(self, table, dest, mode="update",
-                   allow_decrypted=allow_decrypted)
+        rep = _ei(self, table, dest, mode="update",
+                  allow_decrypted=allow_decrypted,
+                  delete_route="position" if bridge_delta else "auto")
+        if bridge_delta:
+            from tostore_spark.plans.xtable import (
+                convert_iceberg_to_delta, sync_iceberg_to_delta)
+            p = dest[len("file:"):] if dest.startswith("file:") \
+                else dest
+            log_dir = os.path.join(p, "_delta_log")
+            if os.path.isdir(log_dir) and os.listdir(log_dir):
+                rep["bridge"] = sync_iceberg_to_delta(self.spark, p)
+            else:
+                rep["bridge"] = convert_iceberg_to_delta(self.spark, p)
+        return rep
 
     def expire_iceberg_snapshots(self, dest: str, keep_last: int = 1,
                                  dry_run: bool = False) -> dict:

@@ -1281,7 +1281,8 @@ def _stage_iceberg_data(df, dest: str, target_files=None,
 def export_iceberg(engine, table: str, dest: str, mode: str = "error",
                    target_files: int | None = None,
                    allow_decrypted: bool = False,
-                   cluster_by: list | None = None) -> dict:
+                   cluster_by: list | None = None,
+                   delete_route: str = "auto") -> dict:
     """Export ``table`` as an Iceberg v2 table at ``dest``.
 
     ``mode``: ``"error"`` (refuse non-empty dest), ``"overwrite"``
@@ -1324,7 +1325,8 @@ def export_iceberg(engine, table: str, dest: str, mode: str = "error",
             exists = False
     if mode == "update" and exists:
         rep = _export_iceberg_update(engine, table, path, target_files,
-                                     cluster_by=cluster_by)
+                                     cluster_by=cluster_by,
+                                     delete_route=delete_route)
         rep["path"] = dest
         return rep
     if mode in ("append", "update") and not exists:
@@ -1795,7 +1797,8 @@ def _write_position_deletes(path: str, hits: list) -> tuple:
 
 def _export_iceberg_update(engine, table: str, path: str,
                            target_files=None,
-                           cluster_by: list | None = None) -> dict:
+                           cluster_by: list | None = None,
+                           delete_route: str = "auto") -> dict:
     """Incremental snapshot (``mode="update"``), the Iceberg analog of
     delta_export._export_update: a pure-append recipe extension
     commits ONLY the new segments' rows; appends+deletes commit as
@@ -1873,9 +1876,12 @@ def _export_iceberg_update(engine, table: str, path: str,
                 "metadata_version": _next_metadata_version(
                     os.path.join(path, "metadata")) - 1}
     if (extends and new_ops and not has_ttl
+            and delete_route != "position"
             and all(k == "del" for k, _p in new_ops)):
-        # EQUALITY-delete route for pure-delete epochs: the key frames
-        # become equality-delete files directly — NO probe of the live
+        # EQUALITY-delete route for pure-delete epochs (skipped under
+        # ``delete_route="position"`` — a delta-bridged mirror needs
+        # position deletes, the only kind Delta DVs can express): the
+        # key frames become equality-delete files directly — NO probe of the live
         # export at all (true O(deleted keys); the position route
         # below pays a column-pruned key scan of the live files).
         # Sound here because there are no same-commit segments: an

@@ -911,7 +911,21 @@ def flush_tables(engine, flush_storage: bool = True,
                     export_iceberg(engine, key[1], cfg["dest"],
                                    mode="update",
                                    allow_decrypted=cfg.get(
-                                       "allow_decrypted", False))
+                                       "allow_decrypted", False),
+                                   delete_route=("position"
+                                                 if cfg.get("bridge")
+                                                 else "auto"))
+                    if cfg.get("bridge"):
+                        # continuous reverse bridge: fold the
+                        # just-committed snapshot into the next
+                        # incremental Delta commit
+                        from tostore_spark.plans.xtable import \
+                            sync_iceberg_to_delta
+                        d = cfg["dest"]
+                        sync_iceberg_to_delta(
+                            engine.spark,
+                            d[len("file:"):] if d.startswith("file:")
+                            else d)
                 except Exception as exc:      # pragma: no cover
                     engine.last_mirror_error = (key[1], str(exc))
     except ConcurrentWriteError:
