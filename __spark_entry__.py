@@ -4362,6 +4362,100 @@ def q_reverse_bridge(spark, sf_dir):
               "key_sum bigint")
 
 
+def q_rewrite_manifests(spark, sf_dir):
+    """``rewrite_manifests`` — Iceberg rewriteManifests maintenance
+    (late r17, plans/iceberg): per-commit incremental exports stack
+    one manifest each; the rewrite consolidates them into ONE
+    manifest per (content, spec) group of EXISTING entries carrying
+    their ORIGINAL sequence numbers (so MoR deletes keep their exact
+    scoping), committed as a ``replace`` snapshot — zero data IO
+    (pinned by the untouched data dir), every prior snapshot still
+    time-travels, incremental exports keep extending after.  DuckDB
+    derives the counts from nation arithmetic."""
+    import os
+    import tempfile
+
+    from tostore_spark.plans.avro_io import read_container_file
+    from tostore_spark.plans.iceberg import (_load_metadata,
+                                             _pick_snapshot,
+                                             read_iceberg,
+                                             rewrite_manifests)
+    from tostore_spark.schema import (DataType, FieldSchema,
+                                      PrimaryKeyConfig, TableSchema)
+    db = _db(spark, sf_dir)
+    nat = [r.asDict() for r in db.df("nation").collect()]
+
+    def _mcount(dest):
+        meta = _load_metadata(dest)
+        _, mlist = read_container_file(
+            _pick_snapshot(meta)["manifest-list"])
+        return len(mlist)
+    with tempfile.TemporaryDirectory() as tmp:
+        dest = os.path.join(tmp, "ice")
+        db1 = ToStoreSpark(spark, warehouse=os.path.join(tmp, "wh"))
+        db1.create_table(TableSchema(
+            name="nat", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="n_name", type=DataType.text),
+                    FieldSchema(name="key", type=DataType.integer)]))
+        db1.batch_insert("nat", [
+            {"id": f"n{r['n_nationkey']:03d}", "n_name": r["n_name"],
+             "key": r["n_nationkey"]} for r in nat])
+        db1.flush()
+        db1.export_iceberg("nat", dest, target_files=2)        # s1
+        for j, key in enumerate((990, 991)):   # 2 append commits
+            db1.batch_insert("nat", [
+                {"id": f"zz{j}", "n_name": f"FRESH{j}", "key": key}])
+            db1.flush()
+            db1.export_iceberg("nat", dest, mode="update")
+        # one mixed epoch → MoR delete manifest in the stack
+        db1.batch_insert("nat", [
+            {"id": "zz2", "n_name": "FRESH2", "key": 992}])
+        db1.delete("nat").where("id", "IN",
+                                ["n001", "n005"]).execute()
+        db1.flush()
+        rep = db1.export_iceberg("nat", dest, mode="update")
+        if rep["commit"] != "mor":
+            raise AssertionError(f"expected mor route: {rep}")
+        n_before = _mcount(dest)
+        before = sorted(map(tuple, read_iceberg(spark, dest)
+                            .select("id", "key").collect()))
+        s_pre = _load_metadata(dest)["current-snapshot-id"]
+        data_before = sorted(os.listdir(os.path.join(dest, "data")))
+        # 5 manifests stacked: initial + 2 appends + the mor commit's
+        # data + delete.  The 4-deep data group merges to 1; the
+        # single delete manifest carries over verbatim (< merge min)
+        rep = db1.rewrite_iceberg_manifests(dest)
+        if rep["rewritten"] != n_before - 1 or rep["manifests"] != 2:
+            raise AssertionError(f"rewrite wrong: {rep} "
+                                 f"(before={n_before})")
+        if sorted(os.listdir(os.path.join(dest, "data"))) != \
+                data_before:
+            raise AssertionError("rewrite touched data files")
+        after = sorted(map(tuple, read_iceberg(spark, dest)
+                           .select("id", "key").collect()))
+        if after != before:
+            raise AssertionError("rewrite changed the table")
+        if read_iceberg(spark, dest,
+                        snapshot_id=s_pre).count() != len(before):
+            raise AssertionError("pre-rewrite travel broken")
+        # incremental export keeps extending on the rewritten base
+        db1.batch_insert("nat", [
+            {"id": "zz3", "n_name": "FRESH3", "key": 993}])
+        db1.flush()
+        db1.export_iceberg("nat", dest, mode="update")
+        cur = read_iceberg(spark, dest)
+        row = cur.agg(
+            F.count(F.lit(1)).alias("n_final"),
+            F.sum("key").cast("long").alias("key_sum")).first()
+        rows = [{"n_final": int(row["n_final"]),
+                 "n_manifests_before": int(n_before),
+                 "n_manifests_after": int(rep["manifests"]),
+                 "key_sum": int(row["key_sum"])}]
+    return spark.createDataFrame(
+        rows, "n_final bigint, n_manifests_before bigint, "
+              "n_manifests_after bigint, key_sum bigint")
+
+
 def q_partition_evolution(spark, sf_dir):
     """Partition evolution as a NEW SPEC-ID (r17, plans/iceberg
     _ensure_identity_spec): a partitioned store table exports with a
@@ -6894,7 +6988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     blocks and this round's head freshest-last.
     """
     _ORDER = [
-        "q_reverse_bridge",                                   # born r17
+        "q_rewrite_manifests", "q_reverse_bridge",            # born r17
         "q_drop_widen_column", "q_bridge_drop_widen",         # born r17
         "q_bridge_dv", "q_iceberg_meta",                      # born r17
         "q_bridge_rename", "q_rename_column",                 # born r17
@@ -7210,6 +7304,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4 AS BIGINT)            AS n_versions,
                    CAST(sum(n_nationkey) + 990 + 991 + 992 - 1 - 5
                         AS BIGINT)              AS key_sum
+            FROM nation
+        """,
+        "q_rewrite_manifests": """
+            SELECT CAST(count(*) + 2 AS BIGINT) AS n_final,
+                   CAST(5 AS BIGINT)            AS n_manifests_before,
+                   CAST(2 AS BIGINT)            AS n_manifests_after,
+                   CAST(sum(n_nationkey) + 990 + 991 + 992 + 993
+                        - 1 - 5 AS BIGINT)      AS key_sum
             FROM nation
         """,
         "q_changes_evolution": """

@@ -289,3 +289,18 @@ class TestSync:
         convert_iceberg_to_delta(spark, dest)
         with pytest.raises(ValueError, match="ChangeDataFeed"):
             read_delta_cdf(spark, dest, 0)
+
+    def test_delta_side_maintenance_refuses(self, spark, tmp_path):
+        """The Iceberg side owns the files: a delta-side optimize
+        would be clobbered by the next sync, and a delta-side vacuum
+        could delete files Iceberg snapshots reference."""
+        from tostore_spark.plans.delta_export import (optimize_delta,
+                                                      vacuum_delta)
+        db = _mk(spark, str(tmp_path / "wh"), rows=4)
+        dest = str(tmp_path / "ice")
+        db.export_iceberg("notes", dest, target_files=2)
+        convert_iceberg_to_delta(spark, dest)
+        with pytest.raises(ValueError, match="reverse bridge"):
+            optimize_delta(spark, dest, min_files=2)
+        with pytest.raises(ValueError, match="reverse bridge"):
+            vacuum_delta(dest)

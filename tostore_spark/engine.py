@@ -2186,6 +2186,17 @@ class ToStoreSpark:
                 rep["bridge"] = convert_iceberg_to_delta(self.spark, p)
         return rep
 
+    def rewrite_iceberg_manifests(self, dest: str,
+                                  min_count_to_merge: int = 2) -> dict:
+        """Iceberg rewriteManifests for exports/bridges: consolidate
+        the stacked per-commit manifests into one per (content, spec)
+        group — EXISTING entries re-emitted verbatim with their
+        original sequence numbers, zero data IO
+        (plans/iceberg.rewrite_manifests)."""
+        from tostore_spark.plans.iceberg import rewrite_manifests
+        return rewrite_manifests(dest,
+                                 min_count_to_merge=min_count_to_merge)
+
     def expire_iceberg_snapshots(self, dest: str, keep_last: int = 1,
                                  dry_run: bool = False) -> dict:
         """Iceberg ``expireSnapshots`` for an ``export_iceberg``

@@ -1655,6 +1655,14 @@ def optimize_delta(spark, path: str,
     p = path[len("file:"):] if path.startswith("file:") else path
     state = _replay(p, None)
     meta = state["meta"]
+    from tostore_spark.plans.xtable import REVERSE_BRIDGE_PROP
+    if REVERSE_BRIDGE_PROP in (meta.get("configuration") or {}):
+        raise ValueError(
+            "this table is an iceberg→delta reverse bridge — the "
+            "Iceberg side owns the files; a delta-side rewrite would "
+            "be clobbered by (and diverge from) the next "
+            "sync_iceberg_to_delta.  Run optimize_iceberg/"
+            "rewrite_data_files and sync instead")
     cm_mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none")
     if cm_mode not in ("none", ""):
@@ -1773,6 +1781,17 @@ def vacuum_delta(path: str, keep_versions: int = 1,
     own VACUUM retention model) — use it when foreign writers without
     the ``vN-`` convention may be staging concurrently."""
     p = path[len("file:"):] if path.startswith("file:") else path
+    from tostore_spark.plans.xtable import REVERSE_BRIDGE_PROP
+    try:
+        _conf = (_replay(p)["meta"].get("configuration") or {})
+    except Exception:
+        _conf = {}
+    if REVERSE_BRIDGE_PROP in _conf:
+        raise ValueError(
+            "vacuum_delta on an iceberg→delta reverse bridge is "
+            "unsafe — the Iceberg snapshots reference files the "
+            "retained Delta versions may not; use expire_snapshots "
+            "+ remove the delta tail, or re-convert")
     log_dir = os.path.join(p, "_delta_log")
     versions = sorted(
         int(f[:-len(".json")]) for f in os.listdir(log_dir)

@@ -2703,6 +2703,133 @@ def rewrite_data_files(spark, path: str,
             "files": len(staged), "mode": mode, "path": p}
 
 
+def rewrite_manifests(path: str, min_count_to_merge: int = 2) -> dict:
+    """Iceberg ``rewriteManifests`` for exports/bridges: consolidate
+    the current snapshot's manifests — one per (content, spec-id)
+    group — into fresh manifests of EXISTING entries carrying their
+    ORIGINAL sequence numbers, committed as a ``replace`` snapshot.
+    Zero data IO: entries re-emit VERBATIM from the decoded manifests
+    (stats, partition values and seqs preserved — no footer re-reads),
+    so the only cost is the driver-side decode + re-encode, metadata
+    ∝ file count.
+
+    Why it matters at scale: every incremental sync/export stacks one
+    manifest per commit; a million-file table fed by per-flush
+    mirroring accumulates thousands of tiny manifests, and every scan
+    plan, changelog fold, and bridge delete walks them.  After a
+    rewrite the walk is one manifest per (content, spec) group.  The
+    forward bridge's path→manifest index detects the foreign rewrite
+    by set-inequality and rebuilds itself on the next sync; the
+    reverse bridge's next sync sees identical live files and folds a
+    harmless metaData-only version.
+
+    No-op (returns ``{"rewritten": 0, ...}``) when no group has at
+    least ``min_count_to_merge`` manifests.  Delete manifests
+    consolidate the same way (their delete files keep applying by
+    their original sequence numbers).  Time travel to every prior
+    snapshot is untouched — old manifest files stay until
+    ``expire_snapshots`` reclaims them."""
+    p = _norm_path(path)
+    meta = _load_metadata(p)
+    snap = _pick_snapshot(meta)
+    if snap is None:
+        raise ValueError(f"{p} has no snapshots")
+    fv = meta.get("format-version", 1)
+    if fv < 2 or not snap.get("manifest-list"):
+        raise ValueError(
+            "rewrite_manifests needs a format-version 2 table with a "
+            "manifest list (v1 inline-manifest tables: re-export)")
+    location = meta.get("location") or p
+
+    def _abs(mp):
+        mp = _norm_path(mp)
+        if not os.path.isabs(mp):
+            mp = os.path.join(_norm_path(location), mp)
+        return mp
+
+    _, mlist = read_container_file(_abs(snap["manifest-list"]))
+    groups: dict = {}
+    for m in mlist:
+        key = (int(m.get("content") or 0),
+               int(m.get("partition_spec_id") or 0))
+        groups.setdefault(key, []).append(m)
+    if not any(len(ms) >= max(2, int(min_count_to_merge))
+               for ms in groups.values()):
+        return {"path": p, "rewritten": 0,
+                "manifests": len(mlist),
+                "snapshot_id": snap["snapshot-id"]}
+    schema_json = _current_schema(meta)
+    sschema = _schema_to_spark(schema_json)
+    snap_id = int(snap["snapshot-id"]) + 1
+    while any(int(s["snapshot-id"]) == snap_id
+              for s in meta.get("snapshots") or []):
+        snap_id += 1
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    mdir = os.path.join(p, "metadata")
+    ml_entries, rewritten = [], 0
+    for (content, sid_s), ms in sorted(groups.items()):
+        if len(ms) < max(2, int(min_count_to_merge)):
+            ml_entries.extend(ms)            # carry over verbatim
+            continue
+        entries, seqs = [], []
+        for m in ms:
+            mseq = m.get("sequence_number") or 0
+            _, es = read_container_file(_abs(m["manifest_path"]))
+            for e in es:
+                if e.get("status") == 2:     # DELETED: not live
+                    continue
+                eseq = e.get("sequence_number")
+                if eseq is None:
+                    eseq = mseq if fv >= 2 else 0
+                df_ = dict(e["data_file"])
+                df_.setdefault("content", 0)
+                df_.setdefault("equality_ids", None)
+                entries.append({
+                    "status": 0,             # EXISTING
+                    "snapshot_id": e.get("snapshot_id")
+                    or m.get("added_snapshot_id")
+                    or snap["snapshot-id"],
+                    "sequence_number": int(eseq),
+                    "file_sequence_number": int(
+                        e.get("file_sequence_number") or eseq),
+                    "data_file": df_})
+                seqs.append(int(eseq))
+        rewritten += len(ms)
+        if not entries:
+            continue                          # all-dead group drops
+        sp_tools, _pv = _spec_tools(meta, sid_s, schema_json, sschema)
+        mle = _manifest(mdir, schema_json, entries, snap_id, seq,
+                        "data" if content == 0 else "deletes",
+                        spec=sp_tools)
+        mle["min_sequence_number"] = min(seqs)
+        ml_entries.append(mle)
+    now_ms = int(time.time() * 1000)
+    ml_path = os.path.join(
+        mdir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro")
+    write_container_file(ml_path, _MANIFEST_LIST_SCHEMA, ml_entries,
+                         meta={"format-version": "2"})
+    new_snap = {"snapshot-id": snap_id, "sequence-number": seq,
+                "timestamp-ms": now_ms,
+                "summary": {"operation": "replace",
+                            "rewritten-manifests": str(rewritten),
+                            "added-data-files": "0",
+                            "added-records": "0"},
+                "manifest-list": ml_path,
+                "schema-id": int(meta.get("current-schema-id", 0)),
+                "parent-snapshot-id": snap["snapshot-id"]}
+    meta["snapshots"] = (meta.get("snapshots") or []) + [new_snap]
+    meta["current-snapshot-id"] = snap_id
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["refs"] = {**(meta.get("refs") or {}),
+                    "main": {"snapshot-id": snap_id, "type": "branch"}}
+    meta.setdefault("snapshot-log", []).append(
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id})
+    _write_metadata_json(mdir, _next_metadata_version(mdir), meta)
+    return {"path": p, "rewritten": rewritten,
+            "manifests": len(ml_entries), "snapshot_id": snap_id}
+
+
 def create_ref(path: str, name: str, snapshot_id: int | None = None,
                kind: str = "tag") -> dict:
     """Create a named BRANCH/TAG ref (spec ``refs`` map) pointing at

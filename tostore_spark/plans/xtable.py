@@ -32,6 +32,15 @@ Refusals (never a silent divergence):
 * data files outside the table root — Delta add paths here are
   table-relative.
 
+Maintenance: the ICEBERG side owns the files — ``optimize_delta`` and
+``vacuum_delta`` REFUSE on reverse bridges (a delta-side rewrite would
+be clobbered by the next sync; a delta-side vacuum could delete files
+Iceberg snapshots reference), and ``remove_orphan_files`` already
+refuses on any directory with a ``_delta_log``.  Run
+``optimize_iceberg`` / ``rewrite_data_files`` / ``expire_snapshots``
+and sync; after an expire, STALE delta versions may fail at a missing
+file — the same contract Delta's own VACUUM gives time travel.
+
 Change data feed: the reverse bridge does NOT maintain cdc files
 (deriving them would cost a row scan per delete commit — exactly what
 the metadata-only bridge exists to avoid).  Subscribers should consume
