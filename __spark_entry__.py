@@ -5627,8 +5627,13 @@ def q_dsir_weights(spark, sf_dir):
     from tostore_spark.llmops import dsir
     db = _db(spark, sf_dir)
     docs = db.df("documents")
+    # materialize the tiny (≤1025-row) ratio artifact once — the scorer
+    # consumes it twice (floor row + main join) and without the barrier
+    # Catalyst re-evaluates the whole two-corpus count/join lineage per
+    # consumer (22 scans → 2; the dsir_resample precedent, guide §3.3 on
+    # materializing reused intermediates)
     ratio = dsir.dsir_ratio_table(docs, docs.filter(F.col("lang") == "en"),
-                                  n_buckets=1024)
+                                  n_buckets=1024).localCheckpoint(eager=True)
     w = dsir.dsir_weights(docs, ratio, n_buckets=1024)
     return (w.orderBy(F.col("mean_log2_ratio").desc(), F.col("id").asc())
              .limit(20))

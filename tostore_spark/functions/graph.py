@@ -45,10 +45,17 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
               .filter(F.col("__s").isNotNull() & F.col("__d").isNotNull())
               .distinct()
               .localCheckpoint(eager=True))
+    # nodes and deg feed EVERY iteration's plan (ranks_i references
+    # nodes both directly and through ranks_{i-1}) — without a barrier
+    # the final DAG embeds one union+distinct and one degree aggregate
+    # PER ITERATION LEVEL.  Both frames are node-count-sized;
+    # materialize them once (r17; values identical).
     nodes = (e.select(F.col("__s").alias("node"))
               .union(e.select(F.col("__d")))
-              .distinct())
-    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+              .distinct()
+              .localCheckpoint(eager=True))
+    deg = (e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+            .localCheckpoint(eager=True))
     ranks = nodes.withColumn("rank", F.lit(1.0))
     d = float(damping)
     for it in range(int(n_iter)):

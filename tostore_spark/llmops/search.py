@@ -231,13 +231,23 @@ def tfidf_similar_pairs(docs: DataFrame, k: int = 20,
     BEFORE the ordering so a last-ulp sqrt/division difference cannot
     reorder the top-k across engines.  Output: (id_a, id_b, n_shared,
     cos) with id_a < id_b, ordered (cos desc, id_a, id_b), top k."""
-    v = (tfidf_vectors(docs, text_field=text_field, id_field=id_field,
-                       max_df_frac=max_df_frac)
-         .localCheckpoint(eager=True))   # both branches + norms: one build
-    norm = (v.groupBy("id")
-             .agg(F.sqrt(F.sum(F.round(F.col("w") * F.col("w"), 9)
-                               .cast("decimal(28,9)")).cast("double"))
-                   .alias("nrm")))
+    from pyspark.sql import Window
+
+    # norms ride ON the vector rows (one id-partitioned window before
+    # the single materialization) instead of re-aggregating the frame
+    # and JOINING the result back onto the PAIR table twice — the pair
+    # table is the quadratic-ish one, so the two post-aggregation
+    # shuffles this removes are the ones that grow fastest with corpus
+    # size (guide §2.3/§2.4: shuffle the small proxy, not the big
+    # frame).  Same DECIMAL sum per id → bit-identical norms.
+    v = tfidf_vectors(docs, text_field=text_field, id_field=id_field,
+                      max_df_frac=max_df_frac)
+    nw = Window.partitionBy("id")
+    v = (v.withColumn(
+            "nrm",
+            F.sqrt(F.sum(F.round(F.col("w") * F.col("w"), 9)
+                         .cast("decimal(28,9)")).over(nw).cast("double")))
+         .localCheckpoint(eager=True))   # both join branches: one build
     a, b = v.alias("a"), v.alias("b")
     pairs = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
                     & (F.col("a.id") < F.col("b.id")))
@@ -245,11 +255,10 @@ def tfidf_similar_pairs(docs: DataFrame, k: int = 20,
                        F.col("b.id").alias("id_b"))
               .agg(F.count(F.lit(1)).alias("n_shared"),
                    F.sum(F.round(F.col("a.w") * F.col("b.w"), 9)
-                         .cast("decimal(28,9)")).alias("__dot")))
-    na = norm.select(F.col("id").alias("id_a"), F.col("nrm").alias("__na"))
-    nb = norm.select(F.col("id").alias("id_b"), F.col("nrm").alias("__nb"))
+                         .cast("decimal(28,9)")).alias("__dot"),
+                   F.min(F.col("a.nrm")).alias("__na"),   # constant per id
+                   F.min(F.col("b.nrm")).alias("__nb")))
     return (pairs.filter(F.col("n_shared") >= min_shared)
-                 .join(na, on="id_a").join(nb, on="id_b")
                  .withColumn("cos",
                              F.round(F.col("__dot").cast("double")
                                      / (F.col("__na") * F.col("__nb")), 6))

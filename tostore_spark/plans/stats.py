@@ -108,17 +108,47 @@ def exact_percentiles_frame(df: DataFrame, col: str,
     Driver traffic is KNOB-bounded, never data-sized (the similarity.py
     n_cells precedent): the edge list (≤ n_parts doubles), the bucket
     counts (≤ n_parts rows per level), and the ≤ 2·|fracs| bracketing
-    values."""
+    values.
+
+    SMALL-INPUT tier (r17): inputs at or below
+    ``spark.tostore.percentile.onepass.maxRows`` (default 4M — a
+    ~32 MB single-reducer sort, spillable) resolve in ONE single-pass
+    job: a global sort window ranks the rows, a whole-frame count
+    window carries n, and the ≤ 2·|fracs| bracketing rows are filtered
+    in the SAME pass — no sketch job, no checkpoint, no counts
+    round-trip (4 Spark jobs → 1).  The tier choice never affects the
+    VALUES (exact order statistics either way, interpolated by the
+    same driver arithmetic); it only trades job count against bounded
+    reducer state, so mis-estimated plan sizes cost time, not
+    correctness.  Inputs whose plan-size estimate is unknown (e.g.
+    checkpointed RDDs) piggyback an exact count on the sketch job and
+    branch on that instead (4 jobs → 2)."""
     spark = df.sparkSession
     vals = df.select(F.col(col).alias("__v")).filter(F.col("__v").isNotNull())
     nb = n_parts or max(32, 4 * len(fracs))
-    # ONE materialization total: the bucketed frame.  The sketch runs
+    max_rows = _onepass_max_rows(spark)
+    est = _plan_size_bytes(vals)
+    # pre-check on the optimizer's size estimate: ~8 payload bytes per
+    # row of a single double column (over-estimates route to the big
+    # tier — the safe direction)
+    if est is not None and 0 <= est <= max_rows * 8:
+        return _exact_onepass_bounds(spark, vals, fracs, round_dp)
+    # sketch job (needed by the big tier anyway) + an exact count to
+    # adjudicate the tier when the plan estimate was unusable
+    probe = ", ".join(repr(i / nb) for i in range(1, nb))
+    srow = vals.agg(
+        F.expr(f"approx_percentile(__v, array({probe}), 1000)").alias("e"),
+        F.count(F.lit(1)).alias("n")).first()
+    if int(srow["n"]) <= max_rows:
+        return _exact_onepass_bounds(spark, vals, fracs, round_dp)
+    edges = sorted(set(srow["e"] or []))
+    # ONE materialization total: the bucketed frame.  The sketch ran
     # over the raw (possibly non-deterministic) lineage — it only
     # influences bucket BALANCE, never correctness — and N, the rank
     # placement, the exact counts, and the selection all derive from
     # that single checkpointed frame, so counts and ranks can never
     # disagree.
-    bucketed, counts, span, offs = _bucketize(spark, vals, nb)
+    bucketed, counts, span, offs = _bucketize(spark, vals, nb, edges=edges)
     n = sum(counts.values())
     gfrac, items = {}, []
     if n:
@@ -140,16 +170,74 @@ def exact_percentiles_frame(df: DataFrame, col: str,
     return spark.createDataFrame([(bounds,)], "`__bounds` array<double>")
 
 
-def _bucketize(spark, vals: DataFrame, nb: int):
-    """Sketch-propose bucket edges, materialize the bucketed frame
+def _onepass_max_rows(spark) -> int:
+    """Row ceiling for the single-pass percentile tier (one-reducer
+    sort).  Conf-tunable for clusters where a bigger or smaller
+    single-task sort is the right trade."""
+    try:
+        return int(spark.conf.get("spark.tostore.percentile.onepass.maxRows",
+                                  "4000000"))
+    except Exception:
+        return 4_000_000
+
+
+def _plan_size_bytes(df: DataFrame):
+    """Optimizer size estimate for a frame (bytes), or None when
+    unavailable.  Used ONLY for tier choices — never correctness."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def _exact_onepass_bounds(spark, vals: DataFrame, fracs, round_dp):
+    """Single-pass exact interpolated percentiles for SMALL inputs: one
+    global sort window (one reducer — bounded by the onepass.maxRows
+    gate), rank + whole-frame count in the same pass, bracketing rows
+    filtered in-plan.  Because ranks, n, and values all come from ONE
+    evaluation, non-deterministic upstream lineage cannot desynchronize
+    them — the property the big tier buys with its localCheckpoint.
+    Interpolation stays driver-side with arithmetic identical to the
+    bucketed path (same doubles, same Python round)."""
+    w = Window.orderBy("__v")
+    ww = Window.partitionBy()
+    ranked = vals.select(
+        "__v",
+        (F.row_number().over(w) - 1).alias("__rn"),
+        F.count(F.lit(1)).over(ww).alias("__n"))
+    cond = F.lit(False)
+    for f in fracs:
+        r = F.lit(float(f)) * (F.col("__n") - 1).cast("double")
+        cond = cond | (F.col("__rn") == F.floor(r)) \
+                    | (F.col("__rn") == F.ceil(r))
+    hits = ranked.filter(cond).select("__rn", "__v", "__n").collect()
+    if not hits:                       # empty input or empty fracs
+        return spark.createDataFrame([([],)], "`__bounds` array<double>")
+    byrank = {r["__rn"]: r["__v"] for r in hits}
+    n = hits[0]["__n"]
+    bounds = []
+    for f in fracs:
+        r = float(f) * (n - 1)
+        glo, ghi = int(math.floor(r)), int(math.ceil(r))
+        vlo, vhi = byrank[glo], byrank[ghi]
+        v = vlo + (r - glo) * (vhi - vlo)
+        bounds.append(round(v, round_dp) if round_dp is not None else v)
+    return spark.createDataFrame([(bounds,)], "`__bounds` array<double>")
+
+
+def _bucketize(spark, vals: DataFrame, nb: int, edges=None):
+    """Sketch-propose bucket edges (unless the caller already ran the
+    sketch and passes ``edges``), materialize the bucketed frame
     (eager localCheckpoint — the ONE materialization of the selection),
     and count each bucket exactly with its min/max.  Returns
     (bucketed frame, counts, (min,max) spans, cumulative offsets)."""
-    probe = ", ".join(repr(i / nb) for i in range(1, nb))
-    # stage 1: coarse edges (balance only — accuracy can be low)
-    edge_row = vals.agg(F.expr(
-        f"approx_percentile(__v, array({probe}), 1000)").alias("e")).first()
-    edges = sorted(set(edge_row["e"] or []))
+    if edges is None:
+        probe = ", ".join(repr(i / nb) for i in range(1, nb))
+        # stage 1: coarse edges (balance only — accuracy can be low)
+        edge_row = vals.agg(F.expr(
+            f"approx_percentile(__v, array({probe}), 1000)").alias("e")).first()
+        edges = sorted(set(edge_row["e"] or []))
     if not edges:                      # empty input or all-equal sketch
         edges = [0.0]
     # codegen-friendly bucket id: a flat sum of literal comparisons
