@@ -88,3 +88,60 @@ class TestOnePassPercentiles:
             spark.conf.unset("spark.tostore.percentile.onepass.maxRows")
         assert n_small < n_big, (n_small, n_big)
         assert n_small <= 2, f"one-pass tier scheduled {n_small} jobs"
+
+
+class TestInsertValidationShape:
+    """_check_unique (r17): broadcast-semi clash probe + driver-side
+    in-batch duplicate check — same raises, fewer Spark actions."""
+
+    @pytest.fixture()
+    def store(self, spark, tmp_path):
+        from tostore_spark import ToStoreSpark
+        from tostore_spark.schema import (DataType, FieldSchema,
+                                          PrimaryKeyConfig, TableSchema)
+        db = ToStoreSpark(spark, warehouse=str(tmp_path / "wh"))
+        db.create_table(TableSchema(
+            name="t", primary_key=PrimaryKeyConfig(name="id"),
+            fields=[FieldSchema(name="v", type=DataType.integer)]))
+        db.batch_insert("t", [{"id": f"k{i}", "v": i} for i in range(5)])
+        return db
+
+    def test_clash_raises(self, store):
+        with pytest.raises(ValueError, match="unique constraint"):
+            store.batch_insert("t", [{"id": "k3", "v": 99}])
+
+    def test_inbatch_dup_raises(self, store):
+        with pytest.raises(ValueError, match="duplicate keys"):
+            store.batch_insert("t", [{"id": "a", "v": 1},
+                                     {"id": "a", "v": 2}])
+
+    def test_clash_precedes_dup(self, store):
+        # both violations present: the clash message wins (pre-r17 order)
+        with pytest.raises(ValueError, match="unique constraint"):
+            store.batch_insert("t", [{"id": "k3", "v": 1},
+                                     {"id": "k3", "v": 2}])
+
+    def test_good_insert_lands_and_flushes(self, store):
+        store.batch_insert("t", [{"id": "z1", "v": 10}])
+        store.flush()
+        assert store.query("t").where("id", "=", "z1").df().count() == 1
+
+    def test_insert_runs_one_action(self, spark, store, monkeypatch):
+        """pre-r17 an insert ran 3 driver actions (clash take, in-batch
+        dup take, delta-pin localCheckpoint); now the clash probe is the
+        only one."""
+        from pyspark.sql.classic.dataframe import DataFrame as CDF
+        store.flush()                 # measure against a flushed base
+        calls = []
+        # note: take() delegates to collect() internally, so collect is
+        # not wrapped — take/count/localCheckpoint cover the API actions
+        for name in ("take", "localCheckpoint", "count"):
+            orig = getattr(CDF, name)
+
+            def wrapper(self, *a, _n=name, _o=orig, **kw):
+                calls.append(_n)
+                return _o(self, *a, **kw)
+
+            monkeypatch.setattr(CDF, name, wrapper)
+        store.batch_insert("t", [{"id": "z2", "v": 11}])
+        assert calls == ["take"], f"insert ran driver actions: {calls}"

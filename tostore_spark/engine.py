@@ -975,7 +975,8 @@ class ToStoreSpark:
 
     def set_df(self, name: str, df: DataFrame, weight: int = 1,
                append_delta: Optional[DataFrame] = None,
-               delete_delta: Optional[DataFrame] = None) -> None:
+               delete_delta: Optional[DataFrame] = None,
+               deltas_pinned: bool = False) -> None:
         """``weight`` counts toward the compaction budget: plan-heavy
         rewrites (e.g. unique-checked updates, whose olds-join would
         otherwise compound in lineage between barriers) pass >1 so the
@@ -994,13 +995,15 @@ class ToStoreSpark:
         both fast paths until the next flush."""
         self._set_df_at_key(self._resolve(name), df, weight=weight,
                             append_delta=append_delta,
-                            delete_delta=delete_delta)
+                            delete_delta=delete_delta,
+                            deltas_pinned=deltas_pinned)
 
     def _set_df_at_key(self, key: tuple, df: DataFrame,
                        weight: int = 1,
                        append_delta: Optional[DataFrame] = None,
                        delete_delta: Optional[DataFrame] = None,
-                       pre_encrypted: bool = False) -> None:
+                       pre_encrypted: bool = False,
+                       deltas_pinned: bool = False) -> None:
         """Key-addressed write — see ``_df_at_key`` for why cross-space
         callers must not go through active-space name resolution.
 
@@ -1069,12 +1072,22 @@ class ToStoreSpark:
             if not compatible:
                 _poison()
             else:
+                def _pin(delta):
+                    # pin the delta's rows now: its lineage may reference
+                    # frames a later mutation invalidates pre-flush.
+                    # Callers that built the delta from driver-resident
+                    # rows (insert's createDataFrame batch) vouch via
+                    # ``deltas_pinned`` — a parallelized local collection
+                    # is self-contained, so the checkpoint job would pin
+                    # nothing it doesn't already hold (r17: one Spark job
+                    # per mutation saved).
+                    if deltas_pinned:
+                        return delta
+                    return delta.localCheckpoint(eager=True)
+
                 try:
                     if delete_delta is not None:
-                        # pin the delta's rows now: its lineage may
-                        # reference frames a later mutation invalidates
-                        # pre-flush
-                        pinned_d = delete_delta.localCheckpoint(eager=True)
+                        pinned_d = _pin(delete_delta)
                         if cur_a is not None:
                             # R ∖ D — deleting rows this epoch appended
                             cur_a = (cur_a.join(F.broadcast(pinned_d),
@@ -1084,15 +1097,14 @@ class ToStoreSpark:
                         new_d = (cur_d.unionByName(pinned_d)
                                  if cur_d is not None else pinned_d)
                         if append_delta is not None:
-                            pinned_a = append_delta.localCheckpoint(
-                                eager=True)
+                            pinned_a = _pin(append_delta)
                             cur_a = (cur_a.unionByName(pinned_a)
                                      if cur_a is not None else pinned_a)
                         # commit both maps only after every step succeeded
                         ddeltas[key] = new_d
                         adeltas[key] = cur_a
                     elif append_delta is not None:
-                        pinned_a = append_delta.localCheckpoint(eager=True)
+                        pinned_a = _pin(append_delta)
                         adeltas[key] = (cur_a.unionByName(pinned_a)
                                         if cur_a is not None else pinned_a)
                 except Exception:

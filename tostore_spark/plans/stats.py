@@ -343,11 +343,14 @@ def column_histogram(df: DataFrame, col: str, n_buckets: int = 10,
         bounds = df.agg(F.expr(
             f"transform(approx_percentile(`{col}`, array({arr})),"
             f" b -> round(b, {round_dp}))").alias("__bounds"))
-    interior = n_buckets - 1
+    # flat indicator sum over the interior bounds instead of a
+    # higher-order filter() — HOF lambdas are interpreted, not codegen
+    # (the _bucketize comment's measured ~1.5x on hot per-row paths);
+    # count of matching elements == sum of indicators, order-free
     bucket = F.least(
         F.lit(n_buckets - 1),
-        F.expr(f"size(filter(slice(__bounds, 2, {interior}),"
-               f" e -> `{col}` >= e))")).cast("int")
+        sum((F.col(col) >= F.element_at("__bounds", i)).cast("int")
+            for i in range(2, n_buckets + 1))).cast("int")
     return (df.filter(F.col(col).isNotNull())
               .crossJoin(F.broadcast(bounds))
               .withColumn("bucket", bucket)

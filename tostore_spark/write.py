@@ -143,20 +143,52 @@ def _fill_defaults(engine, schema: TableSchema, rows: list[dict]) -> list[dict]:
     return out
 
 
-def _check_unique(engine, table: str, schema: TableSchema, new_df: DataFrame) -> None:
+def _check_unique(engine, table: str, schema: TableSchema, new_df: DataFrame,
+                  rows: list[dict] | None = None) -> None:
     """Unique enforcement = a validation anti-join before the write
-    (reference reserves unique keys at insert, data_store_impl.dart:1592-1610)."""
+    (reference reserves unique keys at insert, data_store_impl.dart:1592-1610).
+
+    Cost shape (r17): the table-clash probe broadcasts the BATCH keys and
+    semi-joins the table side — one action, no table-wide dropDuplicates
+    shuffle (batches are driver-resident, so the broadcast is bounded by
+    the batch); the in-batch duplicate check runs driver-side over the
+    original ``rows`` list (zero Spark jobs) whenever the caller passes it
+    and no key value is a float NaN (Python ``nan != nan`` would diverge
+    from Spark's NaN-equal groupBy semantics — that rare shape keeps the
+    old aggregate probe)."""
+    import math
+
     cur = engine.df(table)
     for keyset in schema.unique_key_sets():
         if not all(k in new_df.columns and k in cur.columns for k in keyset):
             continue
-        clash = new_df.join(cur.select(*keyset).dropDuplicates(keyset),
-                            on=keyset, how="inner")
+        clash = cur.join(
+            F.broadcast(new_df.select(*keyset).dropDuplicates(list(keyset))),
+            on=list(keyset), how="left_semi")
         if clash.take(1):
             raise ValueError(f"unique constraint violation on {keyset} in {table}")
-        dup_new = (new_df.groupBy(*keyset).count().filter(F.col("count") > 1))
-        if dup_new.take(1):
-            raise ValueError(f"duplicate keys {keyset} within inserted batch")
+        vals = ([tuple(r.get(k) for k in keyset) for r in rows]
+                if rows is not None else None)
+
+        def _py_safe(v) -> bool:
+            # types whose Python ==/hash agree with Spark equality after
+            # createDataFrame coercion; anything else (datetimes with
+            # mixed tzinfo, NaN, Decimals vs floats) keeps the Spark probe
+            if v is None or isinstance(v, (str, bool, int)):
+                return True
+            return isinstance(v, float) and not math.isnan(v)
+
+        if vals is not None and all(_py_safe(v) for t in vals for v in t):
+            seen: set = set()
+            for t in vals:
+                if t in seen:
+                    raise ValueError(
+                        f"duplicate keys {keyset} within inserted batch")
+                seen.add(t)
+        else:
+            dup_new = (new_df.groupBy(*keyset).count().filter(F.col("count") > 1))
+            if dup_new.take(1):
+                raise ValueError(f"duplicate keys {keyset} within inserted batch")
 
 
 class BatchResult:
@@ -256,11 +288,14 @@ def insert(engine, table: str, rows: list[dict],
     if not allow_partial_errors and (
             schema.primary_key is not None
             or any(ix.unique for ix in schema.all_indexes())):
-        _check_unique(engine, table, schema, new_df)
+        _check_unique(engine, table, schema, new_df, rows=rows)
     # inserts are provably append-only: hand the flush fast path the
     # exact appended rows so it can commit a delta segment instead of
     # rewriting the table (store.flush_tables)
-    engine.set_df(table, cur.unionByName(new_df), append_delta=new_df)
+    # the delta is a parallelized driver-resident batch — self-contained
+    # lineage, no pre-flush pin needed (engine._set_df_at_key _pin)
+    engine.set_df(table, cur.unionByName(new_df), append_delta=new_df,
+                  deltas_pinned=True)
     if schema.primary_key is not None \
             and schema.primary_key.type == PrimaryKeyType.sequential:
         # keep the cached counter valid across our own write: advance it
