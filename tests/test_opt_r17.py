@@ -145,3 +145,65 @@ class TestInsertValidationShape:
             monkeypatch.setattr(CDF, name, wrapper)
         store.batch_insert("t", [{"id": "z2", "v": 11}])
         assert calls == ["take"], f"insert ran driver actions: {calls}"
+
+
+class TestVectorPairStagesSpread:
+    """The per-pair distance stages in similarity.py stream the corpus
+    side through an O(dim) interpreted fold per pair; a small corpus
+    arriving as one file-partition serialized the whole scoring loop on
+    one core (measured: graph-build kNN stage 3.0s -> 0.3s at sf0.1).
+    Pin that the corpus side is spread, and that values are unchanged."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import random
+        rnd = random.Random(7)
+        rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)], i % 2)
+                for i in range(60)]
+        return (spark.createDataFrame(rows, "vec_id int, "
+                                      "embedding array<double>, label int")
+                .coalesce(1))
+
+    def test_knn_join_spreads_corpus_side(self, spark, emb):
+        from tostore_spark.llmops.similarity import knn_join
+        out = knn_join(emb.limit(3), emb, k=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "RoundRobinPartitioning" in plan, plan[:2000]
+
+    def test_graph_build_spreads_and_matches_unspread(self, spark, emb,
+                                                      monkeypatch):
+        from tostore_spark.llmops import dedup as D
+        from tostore_spark.llmops import similarity as S
+        cents = S.fixed_centroids(8, 4)
+        g1, h1 = S.build_knn_graph(emb.select("vec_id", "embedding"),
+                                   n_neighbors=3, n_cells=4,
+                                   centroids=cents, bridge_cells=1,
+                                   ring_skips=(1,))
+        calls = []
+        orig = D._spread
+
+        def spy(df):
+            calls.append(1)
+            return df          # identity: the UNSPREAD shape
+
+        monkeypatch.setattr(D, "_spread", spy)
+        g2, h2 = S.build_knn_graph(emb.select("vec_id", "embedding"),
+                                   n_neighbors=3, n_cells=4,
+                                   centroids=cents, bridge_cells=1,
+                                   ring_skips=(1,))
+        monkeypatch.setattr(D, "_spread", orig)
+        assert calls, "build_knn_graph no longer routes through _spread"
+        assert g1.exceptAll(g2).count() == 0
+        assert g2.exceptAll(g1).count() == 0
+        assert h1.exceptAll(h2).count() == 0
+
+    def test_hard_negatives_exact_tier_matches_unspread(self, spark, emb,
+                                                        monkeypatch):
+        from tostore_spark.llmops import dedup as D
+        from tostore_spark.llmops import similarity as S
+        anchors = emb.filter(F.col("vec_id") < 5)
+        r1 = S.hard_negatives(emb, anchors=anchors, k=3)
+        monkeypatch.setattr(D, "_spread", lambda df: df)
+        r2 = S.hard_negatives(emb, anchors=anchors, k=3)
+        assert r1.exceptAll(r2).count() == 0
+        assert r2.exceptAll(r1).count() == 0

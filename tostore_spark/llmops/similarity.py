@@ -79,10 +79,17 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
     broadcast; the corpus side streams — one pass, then a per-query top-k
     window (rank ties broken by neighbor id for determinism).
     """
+    from tostore_spark.llmops.dedup import _spread
     q = queries.select(F.col(query_id).alias("query_id"),
                        F.col(query_vec).alias("__qv"))
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"),
-                      F.col(corpus_vec).alias("__cv"))
+    # the corpus side STREAMS the whole scan through the O(dim) distance
+    # per pair — at bench scale a small table arrives as ONE file
+    # partition, serializing the entire scoring loop on one core
+    # (measured: the graph-build kNN stage 3.0s -> 0.3s once spread).
+    # ``_spread`` is a no-op when the scan already splits wide (guide
+    # §2.2: scale-adaptive parallelism, not a constant).
+    c = _spread(corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                              F.col(corpus_vec).alias("__cv")))
     if metric == "cosine":
         # norms once per ROW, not per (query x corpus) pair
         # (cosine_distance_prenorm doc; bit-identical values)
@@ -751,7 +758,13 @@ def build_knn_graph(corpus: DataFrame, n_neighbors: int = 8,
     indexed, cents = ivf_build(corpus, n_cells=n_cells,
                                vec_field=vec_field, id_field=id_field,
                                centroids=centroids)
-    base = (indexed.select(F.col(id_field).alias("node_id"),
+    # spread BEFORE the checkpoint: a small corpus arrives as one file
+    # partition and the checkpoint pins that layout, so the |cell|^2
+    # kNN scoring below would run on ONE core (measured 3.0s -> 0.3s
+    # at sf0.1).  No-op when the scan already splits >= cores wide.
+    from tostore_spark.llmops.dedup import _spread
+    base = (_spread(indexed)
+                   .select(F.col(id_field).alias("node_id"),
                            F.col(vec_field).alias("__v"), "cell_id")
                    .withColumn("__nv", _norm(F.col("__v")))
                    .localCheckpoint(eager=True))   # reused 3x below
@@ -1251,14 +1264,18 @@ def hard_negatives(corpus: DataFrame, anchors: Optional[DataFrame] = None,
     rank) — ties break on neighbor id, so the result is deterministic
     and engine-portable.
     """
+    from tostore_spark.llmops.dedup import _spread
     if anchors is not None:
         q = (anchors.select(F.col(id_field).alias("query_id"),
                             F.col(label_field).alias("query_label"),
                             F.col(vec_field).alias("__qv"))
                     .withColumn("__qn", _norm(F.col("__qv"))))
-        c = (corpus.select(F.col(id_field).alias("neighbor_id"),
-                           F.col(label_field).alias("neighbor_label"),
-                           F.col(vec_field).alias("__cv"))
+        # corpus streams the per-pair distance — spread so a one-file
+        # table doesn't serialize the scoring on one core (knn_join doc)
+        c = (_spread(corpus.select(F.col(id_field).alias("neighbor_id"),
+                                   F.col(label_field)
+                                    .alias("neighbor_label"),
+                                   F.col(vec_field).alias("__cv")))
                    .withColumn("__cn", _norm(F.col("__cv"))))
         scored = (c.crossJoin(F.broadcast(q))
                    .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1273,7 +1290,11 @@ def hard_negatives(corpus: DataFrame, anchors: Optional[DataFrame] = None,
         indexed, cents = ivf_build(corpus, n_cells=n_cells,
                                    vec_field=vec_field,
                                    id_field=id_field, centroids=centroids)
-        base = (indexed.select(F.col(id_field).alias("__id"),
+        # spread before the checkpoint pins the layout (build_knn_graph
+        # doc): the probed-cell pair scoring below inherits this
+        # parallelism on both sides
+        base = (_spread(indexed)
+                       .select(F.col(id_field).alias("__id"),
                                F.col(label_field).alias("__lb"),
                                F.col(vec_field).alias("__v"), "cell_id")
                        .withColumn("__nv", _norm(F.col("__v")))
