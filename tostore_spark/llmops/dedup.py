@@ -907,7 +907,10 @@ def _span_rows(df: DataFrame, k: int, text_field: str,
             lambda i: F.array_join(F.slice(w, i * k + 1, k), " "))
 
     spans = _let(F.split(F.col(text_field), " "), _spans)
-    return (df.select(F.col(id_field).alias("id"), F.posexplode(spans))
+    # spread: the split+transform explode is CPU-heavy per row and a
+    # one-file corpus serializes it on one core (no-op on wide scans)
+    return (_spread(df).select(F.col(id_field).alias("id"),
+                               F.posexplode(spans))
               .withColumnRenamed("pos", "span_pos")
               .withColumnRenamed("col", "span")
               .withColumn("h", F.md5(F.col("span"))))
@@ -1007,7 +1010,10 @@ def winnow_fingerprints(df: DataFrame, k: int = 3, window: int = 4,
             F.sequence(F.lit(1),
                        F.greatest(F.size(toks) - (k - 1), F.lit(1))),
             lambda i: F.array_join(F.slice(toks, i, k), " ")))
-    ex = (df.select(F.col(id_field).alias("id"), F.posexplode(grams))
+    # spread: gram explode + per-gram md5 is CPU-heavy per row and a
+    # one-file corpus serializes it on one core (no-op on wide scans)
+    ex = (_spread(df).select(F.col(id_field).alias("id"),
+                             F.posexplode(grams))
             .withColumnRenamed("pos", "gpos")
             .withColumnRenamed("col", "gram"))
     ex = ex.withColumn(

@@ -78,7 +78,13 @@ def bigram_rows(df: DataFrame, text_field: str = "text",
     # (codegen CSE does not reach into lambda bodies), turning the
     # explode O(n^2) in document length — measured ~10s/5k docs at
     # sf0.1 before this projection, sub-second after
-    base = (df.select(F.col(id_field).alias("id"), *carry, t.alias("__t"))
+    # spread: tokenize+explode is the CPU-heavy per-row stage and a
+    # one-file corpus would serialize it on one core (dedup._spread —
+    # no-op when the scan already splits >= cores wide); downstream
+    # aggregates are count/DECIMAL-sum frames, partition-independent
+    from tostore_spark.llmops.dedup import _spread
+    base = (_spread(df)
+              .select(F.col(id_field).alias("id"), *carry, t.alias("__t"))
               .filter(F.size("__t") > 0))
     tt = F.col("__t")
     idx2 = F.sequence(F.lit(1), F.size(tt))
@@ -343,7 +349,10 @@ def trigram_rows(df: DataFrame, text_field: str = "text",
     # tokenize ONCE per row, then reference the bound column in the
     # lambda — see bigram_rows for why (per-element re-evaluation
     # inside higher-order lambdas makes the un-projected form O(n^2))
-    base = (df.select(F.col(id_field).alias("id"), t.alias("__t"))
+    # spread before the explode — see bigram_rows
+    from tostore_spark.llmops.dedup import _spread
+    base = (_spread(df)
+              .select(F.col(id_field).alias("id"), t.alias("__t"))
               .filter(F.size("__t") > 0))
     tt = F.col("__t")
     idx = F.sequence(F.lit(1), F.size(tt))

@@ -33,7 +33,12 @@ def split_paragraphs(df: DataFrame, text_field: str = "text",
     """Explode documents into (id, pos, para) rows — ``pos`` is the
     0-based paragraph position; empty/whitespace-only paragraphs are
     dropped (they carry no content and would all collide on one digest)."""
-    return (df.select(F.col(id_field).alias("__pid"),
+    # spread: the split+explode is the CPU-heavy per-row stage and a
+    # one-file corpus would serialize it on one core (dedup._spread —
+    # no-op when the scan already splits >= cores wide)
+    from tostore_spark.llmops.dedup import _spread
+    return (_spread(df)
+              .select(F.col(id_field).alias("__pid"),
                       F.posexplode(F.split(F.col(text_field), delimiter))
                        .alias("pos", "para"))
               .withColumn("para", F.trim("para"))

@@ -28,6 +28,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tostore_spark.llmops.text import WORD_RE, tokens
+# spread: tokenize+explode is the CPU-heavy per-row stage of every
+# builder in this module, and a one-file corpus would serialize it on
+# one core (no-op when the scan already splits >= cores wide);
+# downstream frames are count/DECIMAL aggregates, partition-independent
+from tostore_spark.llmops.dedup import _spread
 
 
 def query_terms(query: str) -> list[str]:
@@ -53,8 +58,8 @@ def bm25_search(docs: DataFrame, query: str, k: int = 10,
     if not terms:
         raise ValueError("query has no indexable terms")
     toks = tokens(F.col(text_field))
-    base = docs.select(F.col(id_field).alias("id"),
-                       F.explode(toks).alias("tok"))
+    base = _spread(docs).select(F.col(id_field).alias("id"),
+                                F.explode(toks).alias("tok"))
     hits = base.filter(F.col("tok").isin(terms))
     tf = hits.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = hits.groupBy("tok").agg(
@@ -98,8 +103,8 @@ def bm25_build_index(docs: DataFrame, path: str,
     import os
 
     toks = tokens(F.col(text_field))
-    base = docs.select(F.col(id_field).alias("id"),
-                       F.explode(toks).alias("tok"))
+    base = _spread(docs).select(F.col(id_field).alias("id"),
+                                F.explode(toks).alias("tok"))
     tf = base.groupBy("tok", "id").agg(F.count(F.lit(1)).alias("tf"))
     (tf.repartitionByRange(32, "tok").sortWithinPartitions("tok")
        .write.mode("overwrite").parquet(os.path.join(path, "postings")))
@@ -176,8 +181,8 @@ def tfidf_vectors(docs: DataFrame, text_field: str = "text",
     bit-identical across engines for these magnitudes.
     """
     toks = tokens(F.col(text_field))
-    base = docs.select(F.col(id_field).alias("id"),
-                       F.explode(toks).alias("tok"))
+    base = _spread(docs).select(F.col(id_field).alias("id"),
+                                F.explode(toks).alias("tok"))
     tf = base.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).alias("__n"))
