@@ -26,6 +26,7 @@ from tostore_spark.llmops import mixing as MX
 from tostore_spark.llmops import packing as PK
 from tostore_spark.llmops import similarity as S
 from tostore_spark.llmops import text as TX
+from tostore_spark.localdf import local_df
 
 _ENGINES: dict[tuple[int, str], ToStoreSpark] = {}
 
@@ -336,7 +337,7 @@ def q_exists(spark, sf_dir):
     """exists() (query_builder.dart:324-347) as a 1-row boolean frame."""
     db = _db(spark, sf_dir)
     hit = db.query("orders").where("o_totalprice", ">", 100000.0).exists()
-    return spark.createDataFrame([(bool(hit),)], "ex boolean")
+    return local_df(spark, [(bool(hit),)], "ex boolean")
 
 
 # ----------------------------------------------------------------------
@@ -435,7 +436,7 @@ def q_range_join(spark, sf_dir):
     BroadcastNestedLoop at scale."""
     from tostore_spark.joins import range_join
     db = _db(spark, sf_dir)
-    bands = spark.createDataFrame(
+    bands = local_df(spark, 
         [("tiny", 0.0, 4.0), ("small", 4.0, 8.0),
          ("mid", 8.0, 15.0), ("large", 15.0, 1000.0)],
         "band string, lo double, hi double")
@@ -652,10 +653,12 @@ def q_similarity_graph(spark, sf_dir):
         centroids=S.fixed_centroids(64, 8), bridge_cells=1,
         ring_skips=(1, 7))
     # pin the built graph ONCE: the fixed-hop search joins it per hop,
-    # and a lazy graph re-derives the whole build DAG each hop
-    # (measured 18s -> ~6s at sf0.1; values identical)
-    graph = graph.localCheckpoint(eager=True)
-    q = spark.createDataFrame([(0, [float(x) for x in _QVEC])],
+    # and an unpinned graph re-derives the whole build DAG each hop
+    # (measured 18s -> ~6s at sf0.1; values identical).  Lazy: the
+    # checkpoint RDD is shared by every hop and materializes inside the
+    # search's single action instead of a dedicated job (guide §1.2).
+    graph = graph.localCheckpoint(eager=False)
+    q = local_df(spark, [(0, [float(x) for x in _QVEC])],
                               "query_id int, qv array<double>")
     out = S.graph_search_many(graph, emb, q, hubs, k=5, ef=8,
                               max_hops=2, query_vec="qv",
@@ -687,7 +690,7 @@ def q_graph_append(spark, sf_dir):
             base, n_neighbors=4, n_cells=8,
             centroids=S.fixed_centroids(64, 8), bridge_cells=1,
             ring_skips=(1, 7))
-        S.graph_write_index(graph.localCheckpoint(eager=True), hubs,
+        S.graph_write_index(graph.localCheckpoint(eager=False), hubs,
                             path, n_rows=480)
         S.graph_append(spark, path, base, batch, n_neighbors=4,
                        ef=8, max_hops=2, ring_skips=(1,))
@@ -698,7 +701,7 @@ def q_graph_append(spark, sf_dir):
                             F.round(F.col("distance"), 6)
                              .alias("distance_r")))
         rows, schema = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def q_graph_refine(spark, sf_dir):
@@ -719,7 +722,7 @@ def q_graph_refine(spark, sf_dir):
         emb, n_neighbors=4, n_cells=8,
         centroids=S.fixed_centroids(64, 8), bridge_cells=1,
         ring_skips=(1, 7))
-    refined = S.graph_refine(graph.localCheckpoint(eager=True), emb,
+    refined = S.graph_refine(graph.localCheckpoint(eager=False), emb,
                              hubs, n_neighbors=4, ef=8, max_hops=2,
                              alpha=1.2, ring_skips=(1, 7))
     return refined.select("node_id", "neighbor_id",
@@ -1678,7 +1681,7 @@ def q_backup_restore(spark, sf_dir):
         # re-read the tmpdir after it is deleted (a persisted partition
         # evicted under pressure would otherwise recompute from dead files)
         rows, schema = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def q_flush_reopen(spark, sf_dir):
@@ -1700,7 +1703,7 @@ def q_flush_reopen(spark, sf_dir):
         out = db2.df("nation").select("n_nationkey", "n_name", "n_regionkey")
         # pin via driver collect (21 rows) — see q_backup_restore note
         rows, schema = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def q_append_segments(spark, sf_dir):
@@ -1732,7 +1735,7 @@ def q_append_segments(spark, sf_dir):
         out = db2.df("nation").select("n_nationkey", "n_name",
                                       "n_regionkey")
         rows, schema = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def q_segment_skip(spark, sf_dir):
@@ -1767,7 +1770,7 @@ def q_segment_skip(spark, sf_dir):
         if db2._last_prune != (1, 3, "nation"):
             raise AssertionError(
                 f"segment skipping did not engage: {db2._last_prune}")
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def q_table_stats(spark, sf_dir):
@@ -1802,7 +1805,7 @@ def q_table_stats(spark, sf_dir):
             {"metric": "max_key",
              "value": int(max(b["max"] for b in key_bounds))},
         ]
-    return spark.createDataFrame(rows, "metric string, value bigint")
+    return local_df(spark, rows, "metric string, value bigint")
 
 
 def q_cdc_recipe(spark, sf_dir):
@@ -1851,7 +1854,7 @@ def q_cdc_recipe(spark, sf_dir):
         out = (db1.table_diff("nat", v1, v3)
                .select("id", "n_name", "n_regionkey", "change"))
         rows, schema = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def q_upsert_mor(spark, sf_dir):
@@ -1897,7 +1900,7 @@ def q_upsert_mor(spark, sf_dir):
         out = (db2.query("nat").order_by_asc("id").df()
                .select("id", "n_name", "n_regionkey"))
         rows, schema = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def q_delete_vectors(spark, sf_dir):
@@ -1945,7 +1948,7 @@ def q_delete_vectors(spark, sf_dir):
         out = (db2.query("nat").order_by_asc("id").df()
                .select("id", "n_name", "n_regionkey"))
         rows, schema = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def q_delete_vectors_part(spark, sf_dir):
@@ -1971,7 +1974,7 @@ def q_delete_vectors_part(spark, sf_dir):
             name="nat", primary_key=PrimaryKeyConfig(name="id"),
             fields=[FieldSchema(name="pcol", type=DataType.text),
                     FieldSchema(name="n_name", type=DataType.text)])
-        src = spark.createDataFrame(
+        src = local_df(spark, 
             [(f"n{r['n_nationkey']:03d}", f"{r['n_regionkey']:02d}",
               r["n_name"]) for r in nat],
             "id string, pcol string, n_name string")
@@ -2000,7 +2003,7 @@ def q_delete_vectors_part(spark, sf_dir):
         out = (db2.query("nat").order_by_asc("id").df()
                .select("id", "pcol", "n_name"))
         rows, schema = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def q_upsert_mor_part(spark, sf_dir):
@@ -2023,7 +2026,7 @@ def q_upsert_mor_part(spark, sf_dir):
             name="nat", primary_key=PrimaryKeyConfig(name="id"),
             fields=[FieldSchema(name="pcol", type=DataType.text),
                     FieldSchema(name="n_name", type=DataType.text)])
-        src = spark.createDataFrame(
+        src = local_df(spark, 
             [(f"n{r['n_nationkey']:03d}", f"{r['n_regionkey']:02d}",
               r["n_name"]) for r in nat],
             "id string, pcol string, n_name string")
@@ -2054,7 +2057,7 @@ def q_upsert_mor_part(spark, sf_dir):
         out = (db2.query("nat").order_by_asc("id").df()
                .select("id", "pcol", "n_name"))
         rows, schema = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def q_delta_v2_checkpoint(spark, sf_dir):
@@ -2159,7 +2162,7 @@ def q_delta_v2_checkpoint(spark, sf_dir):
                .orderBy("n_nationkey")
                .select("n_nationkey", "n_name", "n_regionkey"))
         rows, schema = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def q_delta_mirror(spark, sf_dir):
@@ -2214,7 +2217,7 @@ def q_delta_mirror(spark, sf_dir):
         out = (read_delta(spark, dest).orderBy("id")
                .select("id", "n_name", "n_regionkey"))
         rows, schema = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def q_delta_colmap_id(spark, sf_dir):
@@ -2283,7 +2286,7 @@ def q_delta_colmap_id(spark, sf_dir):
                .orderBy("n_nationkey")
                .select("n_nationkey", "n_name"))
         rows, schema = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def q_bloom_skip(spark, sf_dir):
@@ -2315,7 +2318,7 @@ def q_bloom_skip(spark, sf_dir):
         if db1._last_prune != (2, 3, "customer"):
             raise AssertionError(
                 f"bloom skipping did not engage: {db1._last_prune}")
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def q_file_skip(spark, sf_dir):
@@ -2343,7 +2346,7 @@ def q_file_skip(spark, sf_dir):
         if pruned is None or pruned[1] < 8 or pruned[0] > 3:
             raise AssertionError(
                 f"file skipping did not engage: {pruned}")
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def q_meta_agg(spark, sf_dir):
@@ -2377,7 +2380,7 @@ def q_meta_agg(spark, sf_dir):
         rows = [{"metric": "count", "value": int(cnt)},
                 {"metric": "max_key", "value": int(mx)},
                 {"metric": "min_key", "value": int(mn)}]
-    return spark.createDataFrame(rows, "metric string, value bigint")
+    return local_df(spark, rows, "metric string, value bigint")
 
 
 def q_delta_roundtrip(spark, sf_dir):
@@ -2435,7 +2438,7 @@ def q_delta_roundtrip(spark, sf_dir):
         rows = [{"n_v0": int(v0), "n_v1": int(v1),
                  "n_final": int(agg["n_final"]),
                  "key_sum": int(agg["key_sum"])}]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "n_v0 bigint, n_v1 bigint, n_final bigint, key_sum bigint")
 
 
@@ -2494,7 +2497,7 @@ def q_delta_dv(spark, sf_dir):
         rows = [{"n_v0": int(v0), "n_final": int(agg["n_final"]),
                  "key_sum": int(agg["key_sum"]),
                  "n_a_names": int(agg["n_a_names"])}]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "n_v0 bigint, n_final bigint, key_sum bigint, "
               "n_a_names bigint")
 
@@ -2562,7 +2565,7 @@ def q_delta_colmap(spark, sf_dir):
         rows = [{"n_rows": int(agg["n_rows"]),
                  "key_sum": int(agg["key_sum"]),
                  "n_a_names": int(agg["n_a_names"])}]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "n_rows bigint, key_sum bigint, n_a_names bigint")
 
 
@@ -2621,7 +2624,7 @@ def q_encrypted_at_rest(spark, sf_dir):
         rows = [{"n_rows": int(out["n_rows"]),
                  "name_len_sum": int(out["name_len_sum"]),
                  "n_a_names": int(out["n_a_names"])}]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "n_rows bigint, name_len_sum bigint, n_a_names bigint")
 
 
@@ -2689,7 +2692,7 @@ def q_delta_cdf(spark, sf_dir):
                  "ins_key_sum": int(agg["ins_key_sum"]),
                  "del_key_sum": int(agg["del_key_sum"]),
                  "n_final": int(n_final)}]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "n_ins bigint, n_del bigint, ins_key_sum bigint, "
               "del_key_sum bigint, n_final bigint")
 
@@ -2772,7 +2775,7 @@ def q_iceberg_cdf(spark, sf_dir):
                  "ins_key_sum": int(agg["ins_key_sum"]),
                  "del_key_sum": int(agg["del_key_sum"]),
                  "n_applied_net": int(n_net), "n_final": len(b)}]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "n_boot bigint, n_ins bigint, n_del bigint, "
               "ins_key_sum bigint, del_key_sum bigint, "
               "n_applied_net bigint, n_final bigint")
@@ -2828,7 +2831,7 @@ def q_iceberg_roundtrip(spark, sf_dir):
             F.sum("key").alias("key_sum")).first()
         rows = [{"n_s1": int(n_s1), "n_final": int(agg["n_final"]),
                  "key_sum": int(agg["key_sum"])}]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "n_s1 bigint, n_final bigint, key_sum bigint")
 
 
@@ -2961,7 +2964,7 @@ def q_iceberg_mor(spark, sf_dir):
         rows = [{"n_live": int(agg["n_live"]),
                  "key_sum": int(agg["key_sum"]),
                  "name_len_sum": int(agg["name_len_sum"])}]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "n_live bigint, key_sum bigint, name_len_sum bigint")
 
 
@@ -3022,7 +3025,7 @@ def q_iceberg_incremental(spark, sf_dir):
         rows = [{"n_s1": int(n_s1), "n_s2": int(n_s2),
                  "n_final": int(agg["n_final"]),
                  "key_sum": int(agg["key_sum"])}]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "n_s1 bigint, n_s2 bigint, n_final bigint, key_sum bigint")
 
 
@@ -3098,7 +3101,7 @@ def q_encrypted_typed(spark, sf_dir):
                  "vec0_sum": float(out["vec0_sum"]),
                  "n_a_tags": int(out["n_a_tags"]),
                  "n_gt12": int(out["n_gt12"])}]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "n_rows bigint, key_sum bigint, vec0_sum double, "
               "n_a_tags bigint, n_gt12 bigint")
 
@@ -3208,7 +3211,7 @@ def q_delta_stats_skip(spark, sf_dir):
                .agg(F.count(F.lit(1)).alias("n"),
                     F.sum("o_orderkey").cast("long").alias("key_sum")))
         rows, schema_out = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema_out)
+    return local_df(spark, rows, schema_out)
 
 
 def q_iceberg_bounds_skip(spark, sf_dir):
@@ -3260,7 +3263,7 @@ def q_iceberg_bounds_skip(spark, sf_dir):
                .agg(F.count(F.lit(1)).alias("n"),
                     F.sum("o_orderkey").cast("long").alias("key_sum")))
         rows, schema_out = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema_out)
+    return local_df(spark, rows, schema_out)
 
 
 def q_bridge_dv(spark, sf_dir):
@@ -3371,7 +3374,7 @@ def q_bridge_dv(spark, sf_dir):
         rows = [{"n_final": int(row["n_final"]),
                  "key_sum": int(row["key_sum"]),
                  "dv_snapshots": 2}]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "n_final bigint, key_sum bigint, dv_snapshots bigint")
 
 
@@ -3449,7 +3452,7 @@ def q_iceberg_meta(spark, sf_dir):
                                       for r in data_files)),
             "delete_files": len(del_files),
             "logical_rows": int(read_iceberg(spark, dest).count())}]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "n_snapshots bigint, live_data_rows bigint, "
               "delete_files bigint, logical_rows bigint")
 
@@ -3525,7 +3528,7 @@ def q_uniform_sync(spark, sf_dir):
         rows = [{"n_final": int(row["n_final"]),
                  "key_sum": int(row["key_sum"]),
                  "n_snapshots": int(len(meta["snapshots"]))}]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "n_final bigint, key_sum bigint, n_snapshots bigint")
 
 
@@ -3607,7 +3610,7 @@ def q_bridge_add_column(spark, sf_dir):
                  "n_fresh": int(row["n_fresh"]),
                  "n_schemas": int(len(sids)),
                  "key_sum": int(row["key_sum"])}]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "n_final bigint, n_xx bigint, n_fresh bigint, "
               "n_schemas bigint, key_sum bigint")
 
@@ -3773,7 +3776,7 @@ def q_changes_evolution(spark, sf_dir):
                  "n_null_tag": int(row["n_null_tag"]),
                  "n_fresh": int(row["n_fresh"]),
                  "key_sum": int(row["key_sum"])}]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "n_rows bigint, n_null_tag bigint, n_fresh bigint, "
               "key_sum bigint")
 
@@ -3854,7 +3857,7 @@ def q_bridge_rename(spark, sf_dir):
                 [f["id"] for f in schemas[-1]["fields"]]:
             raise AssertionError("rename must keep field ids")
         # v3: foreign APPEND under the mapping (physical names)
-        newrows = spark.createDataFrame(
+        newrows = local_df(spark, 
             [("zz1", "FRESH1", 990), ("zz2", "FRESH2", 991)],
             "id string, n_name string, key int")
         stage = os.path.join(tmp, "stage")
@@ -3900,7 +3903,7 @@ def q_bridge_rename(spark, sf_dir):
                  "n_cdf": int(n_cdf),
                  "n_schemas": len(schemas),
                  "key_sum": int(row["key_sum"])}]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "n_final bigint, n_cdf bigint, n_schemas bigint, "
               "key_sum bigint")
 
@@ -3989,7 +3992,7 @@ def q_rename_column(spark, sf_dir):
                  "n_inserts": int(n_ins),
                  "n_deletes": len(dele),
                  "key_sum": int(row["key_sum"])}]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "n_final bigint, n_inserts bigint, n_deletes bigint, "
               "key_sum bigint")
 
@@ -4091,7 +4094,7 @@ def q_drop_widen_column(spark, sf_dir):
                  "n_inserts": int(n_ins),
                  "n_deletes": len(dele),
                  "key_sum": int(row["key_sum"])}]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "n_final bigint, n_inserts bigint, n_deletes bigint, "
               "key_sum bigint")
 
@@ -4249,7 +4252,7 @@ def q_bridge_drop_widen(spark, sf_dir):
                  "n_cdf": int(n_cdf),
                  "n_schemas": int(n_schemas),
                  "key_sum": int(row["key_sum"])}]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "n_final bigint, n_cdf bigint, n_schemas bigint, "
               "key_sum bigint")
 
@@ -4357,7 +4360,7 @@ def q_reverse_bridge(spark, sf_dir):
         rows = [{"n_final": int(n_final), "n_v0": int(n_v0),
                  "n_versions": int(n_versions),
                  "key_sum": int(row["key_sum"])}]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "n_final bigint, n_v0 bigint, n_versions bigint, "
               "key_sum bigint")
 
@@ -4451,7 +4454,7 @@ def q_rewrite_manifests(spark, sf_dir):
                  "n_manifests_before": int(n_before),
                  "n_manifests_after": int(rep["manifests"]),
                  "key_sum": int(row["key_sum"])}]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "n_final bigint, n_manifests_before bigint, "
               "n_manifests_after bigint, key_sum bigint")
 
@@ -4486,7 +4489,7 @@ def q_partition_evolution(spark, sf_dir):
             fields=[FieldSchema(name="n_name", type=DataType.text),
                     FieldSchema(name="rk", type=DataType.integer),
                     FieldSchema(name="key", type=DataType.integer)])
-        src = spark.createDataFrame(
+        src = local_df(spark, 
             [(f"n{r['n_nationkey']:03d}", r["n_name"],
               int(r["n_regionkey"]), int(r["n_nationkey"]))
              for r in nat],
@@ -4548,7 +4551,7 @@ def q_partition_evolution(spark, sf_dir):
                  "n_rk2_old": int(n_rk2_old),
                  "n_specs": len(sids),
                  "key_sum": int(row["key_sum"])}]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "n_final bigint, n_par1 bigint, n_rk2_old bigint, "
               "n_specs bigint, key_sum bigint")
 
@@ -4610,7 +4613,7 @@ def q_uniform_bridge(spark, sf_dir):
             raise AssertionError(
                 f"bridge views disagree: iceberg {rows[0]['n']} vs "
                 f"delta {d_n}")
-    return spark.createDataFrame(rows, schema_out)
+    return local_df(spark, rows, schema_out)
 
 
 def q_convert_iceberg(spark, sf_dir):
@@ -4660,7 +4663,7 @@ def q_convert_iceberg(spark, sf_dir):
             F.sum("o_totalprice").cast("decimal(18,2)")
             .alias("price_sum"))
         rows, schema_out = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema_out)
+    return local_df(spark, rows, schema_out)
 
 
 def q_convert_delta(spark, sf_dir):
@@ -4722,7 +4725,7 @@ def q_convert_delta(spark, sf_dir):
                     F.sum("o_totalprice").cast("decimal(18,2)")
                     .alias("price_sum")))
         rows, schema_out = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema_out)
+    return local_df(spark, rows, schema_out)
 
 
 def q_optimize_compact(spark, sf_dir):
@@ -4809,7 +4812,7 @@ def q_optimize_compact(spark, sf_dir):
                  "key_sum": int(agg["key_sum"]),
                  "n_ice": int(agg2["n_ice"]),
                  "key_sum2": int(agg2["key_sum2"])}]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "n_delta bigint, key_sum bigint, n_ice bigint, "
               "key_sum2 bigint")
 
@@ -4937,7 +4940,7 @@ def q_iceberg_transform_prune(spark, sf_dir):
                 f"of {len(entries)} files (allowed {allowed})")
         out = out.select("o_orderkey", "o_orderstatus")
         rows, schema_out = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema_out)
+    return local_df(spark, rows, schema_out)
 
 
 def q_delta_export(spark, sf_dir):
@@ -4999,7 +5002,7 @@ def q_delta_export(spark, sf_dir):
                  "n_edited": int(agg["n_edited"])}]
     # materialized before the tempdir vanishes (the driver collects
     # AFTER the entry returns)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "n_rows bigint, key_sum bigint, n_edited bigint")
 
 
@@ -5053,7 +5056,7 @@ def q_meta_agg_deletes(spark, sf_dir):
                                  f"epoch: {db2._last_meta_agg}")
         rows = [{"metric": "count_after_deletes", "value": int(cnt)},
                 {"metric": "count_after_replace", "value": int(cnt2)}]
-    return spark.createDataFrame(rows, "metric string, value bigint")
+    return local_df(spark, rows, "metric string, value bigint")
 
 
 def q_stream_ingest_exactly_once(spark, sf_dir):
@@ -5076,7 +5079,7 @@ def q_stream_ingest_exactly_once(spark, sf_dir):
         db1 = ToStoreSpark(spark, warehouse=wh)
         db1.register_table("nation", df=db.df("nation"))
         db1.flush()
-        batch = spark.createDataFrame(
+        batch = local_df(spark, 
             new_rows, db.df("nation").schema)
         batch.write.mode("overwrite").parquet(src)
         stream = (spark.readStream.schema(batch.schema).parquet(src))
@@ -5094,7 +5097,7 @@ def q_stream_ingest_exactly_once(spark, sf_dir):
         out = db2.df("nation").select("n_nationkey", "n_name",
                                       "n_regionkey")
         rows, schema = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def q_stream_multi_sink(spark, sf_dir):
@@ -5126,10 +5129,10 @@ def q_stream_multi_sink(spark, sf_dir):
         wh = f"{tmp}/wh"
         db1 = ToStoreSpark(spark, warehouse=wh)
         db1.register_table("nation", df=db.df("nation"))
-        db1.register_table("region_feed", df=spark.createDataFrame(
+        db1.register_table("region_feed", df=local_df(spark, 
             [], "r_key bigint, n_key bigint"))
         db1.flush()
-        batch = spark.createDataFrame(new_rows, db.df("nation").schema)
+        batch = local_df(spark, new_rows, db.df("nation").schema)
         proc = exactly_once_multi_processor(db1, _mk_sinks(db1))
         proc(batch, 0)
         # crash-replay: a FRESH engine re-delivers the committed batch
@@ -5146,7 +5149,7 @@ def q_stream_multi_sink(spark, sf_dir):
                                     F.col("n_key").alias("k1"),
                                     F.col("r_key").alias("k2"))))
         rows, schema = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def q_stream_neardup_ingest(spark, sf_dir):
@@ -5189,7 +5192,7 @@ def q_stream_neardup_ingest(spark, sf_dir):
                             .select(F.lit("index").alias("src"), "id")
                             .distinct()))
         rows, schema = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def q_embedding_truncate(spark, sf_dir):
@@ -5382,7 +5385,7 @@ def q_snapshot_read(spark, sf_dir):
         # pin via driver collect (25 rows) — see q_backup_restore note
         rows, schema = out.collect(), out.schema
         snap.release()
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 # ----------------------------------------------------------------------
@@ -5633,7 +5636,7 @@ def q_dsir_weights(spark, sf_dir):
     # consumer (22 scans → 2; the dsir_resample precedent, guide §3.3 on
     # materializing reused intermediates)
     ratio = dsir.dsir_ratio_table(docs, docs.filter(F.col("lang") == "en"),
-                                  n_buckets=1024).localCheckpoint(eager=True)
+                                  n_buckets=1024).localCheckpoint(eager=False)
     w = dsir.dsir_weights(docs, ratio, n_buckets=1024)
     return (w.orderBy(F.col("mean_log2_ratio").desc(), F.col("id").asc())
              .limit(20))
@@ -5825,7 +5828,7 @@ def q_partitioned_table(spark, sf_dir):
                     F.count_distinct("user_id").alias("n_users")))
         # pin via driver collect (1 aggregate row; tempdir-scoped)
         rows, sch = out.collect(), out.schema
-    return spark.createDataFrame(rows, sch)
+    return local_df(spark, rows, sch)
 
 
 def q_unicode_normalize(spark, sf_dir):
@@ -5966,7 +5969,7 @@ def q_zorder_rewrite(spark, sf_dir):
         # reads the tempdir warehouse, which dies with this scope — see
         # the q_flush_reopen note
         rows, schema = out.collect(), out.schema
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def q_stream_mv(spark, sf_dir):
@@ -6000,7 +6003,7 @@ def q_stream_mv(spark, sf_dir):
             F.col("sum_o_totalprice").cast("double").alias("total"))
         # pin via driver collect (3 rows — the MV itself)
         rows, sch = out.collect(), out.schema
-    return spark.createDataFrame(rows, sch)
+    return local_df(spark, rows, sch)
 
 
 def q_tpch_q4(spark, sf_dir):
@@ -6754,7 +6757,7 @@ def q_stream_interval_join(spark, sf_dir):
         # the memory sink registers a temp view per (uuid) run — drop
         # it so repeated invocations don't accumulate catalog entries
         spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, sch)
+    return local_df(spark, rows, sch)
 
 
 def q_stream_rightouter_join(spark, sf_dir):
@@ -6828,7 +6831,7 @@ def q_stream_rightouter_join(spark, sf_dir):
                .orderBy("user_id"))
         rows, sch = res.collect(), res.schema
         spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, sch)
+    return local_df(spark, rows, sch)
 
 
 def q_winsorize_grouped(spark, sf_dir):

@@ -35,6 +35,7 @@ import json
 import os
 import sys
 import time
+from tostore_spark.localdf import local_df
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -349,7 +350,7 @@ def _recall_gate(spark, sf_dir: str) -> dict | None:
         qv = [float(x) for x in row["embedding"]]
         exact = {r["neighbor_id"] for r in
                  sim.knn_join(
-                     spark.createDataFrame([(row["vec_id"], qv)],
+                     local_df(spark, [(row["vec_id"], qv)],
                                            ["query_id", "qv"]),
                      emb, k=11, query_vec="qv", corpus_vec="embedding",
                      query_id="query_id", corpus_id="vec_id",
@@ -974,7 +975,7 @@ def _interop_export_stat(spark, sf_dir: str) -> dict | None:
                 for label in ("small", "large"):
                     L = legs[label]
                     db = L["db"]
-                    db.append_rows("t", spark.createDataFrame(
+                    db.append_rows("t", local_df(spark, 
                         [(f"a{rep}{i:03d}", 1, 1.0, "A")
                          for i in range(100)], L["base"].schema))
                     db.flush(only=["t"])
@@ -1156,7 +1157,7 @@ def _changelog_sync_stat(spark, sf_dir: str) -> dict | None:
                     db = L["db"]
                     cur = _load_metadata(
                         L["dice"])["current-snapshot-id"]
-                    db.append_rows("ti", spark.createDataFrame(
+                    db.append_rows("ti", local_df(spark, 
                         [(f"a{rep}{i:03d}", 1, 1.0, "A")
                          for i in range(100)], L["base"].schema))
                     db.flush(only=["ti"])
@@ -1191,7 +1192,7 @@ def _changelog_sync_stat(spark, sf_dir: str) -> dict | None:
                 for label in ("small", "large"):
                     L = legs[label]
                     db = L["db"]
-                    db.append_rows("td", spark.createDataFrame(
+                    db.append_rows("td", local_df(spark, 
                         [(f"p{rep}{i:03d}", 1, 1.0, "P")
                          for i in range(100)], L["base"].schema))
                     db.flush(only=["td"])
@@ -1208,7 +1209,7 @@ def _changelog_sync_stat(spark, sf_dir: str) -> dict | None:
                     L = legs[label]
                     db = L["db"]
                     for j in range(2):
-                        db.append_rows("td", spark.createDataFrame(
+                        db.append_rows("td", local_df(spark, 
                             [(f"q{rep}{j}{i:03d}", 1, 1.0, "Q")
                              for i in range(100)], L["base"].schema))
                         db.flush(only=["td"])
@@ -1252,7 +1253,7 @@ def _changelog_sync_stat(spark, sf_dir: str) -> dict | None:
                 for label in ("small", "large"):
                     L = legs[label]
                     db = L["db"]
-                    db.append_rows("tr", spark.createDataFrame(
+                    db.append_rows("tr", local_df(spark, 
                         [(f"v{rep}{i:03d}", 1, 1.0, "V")
                          for i in range(100)], L["base"].schema))
                     db.flush(only=["tr"])
@@ -1374,7 +1375,7 @@ def _consumer_bootstrap_stat(spark, sf_dir: str) -> dict | None:
                         n_live -= 10
                         n_changes += 10
                     else:
-                        db.append_rows("t", spark.createDataFrame(
+                        db.append_rows("t", local_df(spark, 
                             [(f"h{c}{i:02d}", 1, 1.0, "H")
                              for i in range(10)], base.schema))
                         n_live += 10

@@ -207,3 +207,74 @@ class TestVectorPairStagesSpread:
         r2 = S.hard_negatives(emb, anchors=anchors, k=3)
         assert r1.exceptAll(r2).count() == 0
         assert r2.exceptAll(r1).count() == 0
+
+
+class TestLocalDfFidelity:
+    """local_df (Arrow-backed local frames) must be observationally
+    identical to createDataFrame on every supported shape, and must
+    FALL BACK (not silently diverge) on the excluded ones."""
+
+    CASES = [
+        ("`__bounds` array<double>", [([1.0, 2.5],), ([],)]),
+        ("a bigint, b string, c double", [(1, "x", 1.5),
+                                          (None, None, None)]),
+        ("a int, b boolean", [(1, True), (2, None)]),
+        ("d date", None),       # filled in test (datetime import)
+        ("dec decimal(18,6)", None),
+        ("v array<double>, k bigint", [([0.25, -1.5], 7)]),
+        ("s struct<x: bigint, y: string>", [((1, "q"),), ((None, None),)]),
+        ("m map<string,bigint>", [({"a": 1, "b": None},)]),
+        ("bin binary", None),
+        ("ts timestamp", None),
+    ]
+
+    def _fill(self, ddl, rows):
+        import datetime
+        import decimal
+        if rows is not None:
+            return rows
+        return {
+            "d date": [(datetime.date(2024, 1, 2),), (None,)],
+            "dec decimal(18,6)": [(decimal.Decimal("1.234567"),), (None,)],
+            "bin binary": [(bytearray(b"ab"),)],
+            "ts timestamp": [(datetime.datetime(2024, 1, 1, 12, 0, 0),),
+                             (None,)],
+        }[ddl]
+
+    def test_value_and_schema_parity(self, spark):
+        from tostore_spark.localdf import local_df
+        for ddl, rows in self.CASES:
+            rows = self._fill(ddl, rows)
+            classic = spark.createDataFrame(rows, ddl)
+            fast = local_df(spark, rows, ddl)
+            assert fast.schema == classic.schema, ddl
+            assert fast.collect() == classic.collect(), ddl
+
+    def test_fast_path_taken_for_plain_types(self, spark):
+        # the point of the module: no pickled-RDD scan in the plan
+        from tostore_spark.localdf import local_df
+        df = local_df(spark, [([1.0, 2.0],)], "`__bounds` array<double>")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Scan ExistingRDD" not in plan or "mapPartitions" not in plan
+
+    def test_ntz_falls_back(self, spark):
+        import datetime
+        from tostore_spark.localdf import local_df
+        rows = [(datetime.datetime(2024, 1, 1, 12, 0),)]
+        classic = spark.createDataFrame(rows, "t timestamp_ntz")
+        fast = local_df(spark, rows, "t timestamp_ntz")
+        assert fast.schema == classic.schema
+        assert fast.collect() == classic.collect()
+
+    def test_arity_mismatch_still_raises(self, spark):
+        from tostore_spark.localdf import local_df
+        with pytest.raises(Exception):
+            local_df(spark, [(1,)], "a bigint, b string").collect()
+
+    def test_column_name_list_schema_matches_classic(self, spark):
+        from tostore_spark.localdf import local_df
+        rows = [(1,), (2,)]
+        classic = spark.createDataFrame(rows, ["__del_id"])
+        fast = local_df(spark, rows, ["__del_id"])
+        assert fast.schema == classic.schema
+        assert fast.collect() == classic.collect()

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from tostore_spark.query import QueryBuilder
 from tostore_spark.schema import TableSchema
+from tostore_spark.localdf import local_df
 
 
 def _cast_to_table_schema(df: DataFrame, schema) -> DataFrame:
@@ -247,7 +248,7 @@ class ToStoreSpark:
     def create_table(self, schema: TableSchema) -> None:
         """Create an empty managed table from a declared TableSchema."""
         self._validate_encrypted_fields(schema)
-        df = self.spark.createDataFrame([], schema.to_struct_type())
+        df = local_df(self.spark, [], schema.to_struct_type())
         enc = [f.name for f in schema.fields
                if getattr(f, "encrypted", False)]
         if enc and self.encryption is not None:
@@ -383,7 +384,7 @@ class ToStoreSpark:
         key = self._resolve(name)
         ent = self._tables[key]
         self._set_df_at_key(
-            key, self.spark.createDataFrame([], ent["df"].schema),
+            key, local_df(self.spark, [], ent["df"].schema),
             pre_encrypted=True)
 
     def table_names(self) -> list[str]:
@@ -718,7 +719,7 @@ class ToStoreSpark:
                         for seg in surviving
                         if file_sel[_norm_path(seg)]]
                     if not parts:
-                        df = self.spark.createDataFrame([], base.schema)
+                        df = local_df(self.spark, [], base.schema)
                     else:
                         df = parts[0]
                         for p in parts[1:]:
@@ -727,11 +728,11 @@ class ToStoreSpark:
                 files = [f for seg in surviving
                          for f in file_sel[_norm_path(seg)]]
                 if not files:
-                    df = self.spark.createDataFrame([], base.schema)
+                    df = local_df(self.spark, [], base.schema)
                 else:
                     df = self._pruned_read(files).select(*base.columns)
             elif not surviving:
-                df = self.spark.createDataFrame([], base.schema)
+                df = local_df(self.spark, [], base.schema)
             else:
                 pin = base.schema if ent.get("partition_by") else None
                 df = self._pruned_read(
@@ -773,7 +774,7 @@ class ToStoreSpark:
                 df = df.join(F.broadcast(keys), on=list(keys.columns),
                              how="left_anti")
         if df is None:
-            df = self.spark.createDataFrame([], base.schema)
+            df = local_df(self.spark, [], base.schema)
         return self._ttl_filtered(df, ent)
 
     def _ttl_filtered(self, df: DataFrame, ent: dict) -> DataFrame:
@@ -3067,7 +3068,7 @@ class ToStoreSpark:
 
         from tostore_spark.llmops import similarity as sim
         idx = self._graph_index(table, field_name)
-        q = self.spark.createDataFrame(
+        q = local_df(self.spark, 
             [(0, [float(x) for x in query_vector])],
             "query_id int, qv array<double>")
         hits = sim.graph_search_many(

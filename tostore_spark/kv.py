@@ -26,6 +26,7 @@ from typing import Any, Optional
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from tostore_spark.localdf import local_df
 
 _KV_SCHEMA = T.StructType([
     T.StructField("space", T.StringType(), False),
@@ -154,7 +155,7 @@ class KvStore:
         read time."""
         if self._df_cache is None:
             rows = [(sp, k, v, exp) for (sp, k), (v, exp) in self._data.items()]
-            self._df_cache = self._engine.spark.createDataFrame(rows, _KV_SCHEMA)
+            self._df_cache = local_df(self._engine.spark, rows, _KV_SCHEMA)
         now = F.current_timestamp()
         return self._df_cache.filter(F.col("expires_at").isNull()
                                      | (F.col("expires_at") > now))

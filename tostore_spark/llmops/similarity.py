@@ -18,6 +18,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from tostore_spark.localdf import local_df
 
 
 def _dot_cols(a: Column, b: Column) -> Column:
@@ -447,7 +448,7 @@ def ivf_delete(spark, path: str, ids) -> int:
     if isinstance(ids, DataFrame):
         tomb = ids.toDF("__del_id")
     else:
-        tomb = spark.createDataFrame([(i,) for i in ids], ["__del_id"])
+        tomb = local_df(spark, [(i,) for i in ids], ["__del_id"])
     n = tomb.count()
     tomb.write.mode("append").parquet(os.path.join(path, "tombstones"))
     meta = ivf_index_meta(path)
@@ -663,7 +664,10 @@ def robust_prune(edges: DataFrame, vectors: DataFrame,
                     .select("node_id", "neighbor_id", "distance", "__rk",
                             F.col("__vv").alias("__nbv"))
                     .withColumn("__nbn", _norm(F.col("__nbv")))
-                    .localCheckpoint(eager=True))   # reused by both rounds
+                    # lazy: truncates lineage and shares ONE checkpoint
+                    # RDD across both rounds without paying a separate
+                    # materialization job up front
+                    .localCheckpoint(eager=False))  # reused by both rounds
     w_side = v_side.select(F.col("node_id").alias("__wn"),
                            F.col("neighbor_id").alias("__wid"),
                            F.col("__rk").alias("__wrk"),
@@ -681,7 +685,7 @@ def robust_prune(edges: DataFrame, vectors: DataFrame,
                           F.col("__wn2"), F.col("__nbn"))
                       <= F.col("distance"))
               .select("node_id", "neighbor_id", "__wid")
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     veto1 = covers.select("node_id", "neighbor_id").distinct()
     kept1 = (v_side.join(veto1, on=["node_id", "neighbor_id"],
                          how="left_anti")
@@ -767,7 +771,11 @@ def build_knn_graph(corpus: DataFrame, n_neighbors: int = 8,
                    .select(F.col(id_field).alias("node_id"),
                            F.col(vec_field).alias("__v"), "cell_id")
                    .withColumn("__nv", _norm(F.col("__v")))
-                   .localCheckpoint(eager=True))   # reused 3x below
+                   # lazy: the checkpoint RDD is shared by all 3
+                   # consumers below (RDD-level reuse) and materializes
+                   # inside the caller's first action instead of in a
+                   # dedicated up-front job
+                   .localCheckpoint(eager=False))  # reused 3x below
 
     # (a) blocked exact kNN inside each cell — norms precomputed per
     # ROW (base.__nv), never per pair (cosine_distance_prenorm doc)
@@ -932,10 +940,18 @@ def graph_search_many(graph: DataFrame, corpus: DataFrame,
     """
     query_vec = query_vec or vec_field
     query_id = query_id or id_field
+    # lazy local checkpoints throughout the hop loop: each one still
+    # truncates lineage (the plan becomes a LogicalRDD, keeping the
+    # per-hop plan O(1)) and still computes exactly once (one shared
+    # checkpoint RDD per hop, reused by every downstream reference in
+    # the same DAG), but materialization happens inside the CALLER's
+    # first action — the old eager form paid one full scheduler+codegen
+    # job per hop, which dominated small-query searches (measured ~2.4s
+    # of q_similarity_graph's 6s at sf0.1 in 4 eager jobs)
     q = (queries.select(F.col(query_id).alias("query_id"),
                         F.col(query_vec).alias("__qv"))
          .withColumn("__qn", _norm(F.col("__qv")))
-         .localCheckpoint(eager=True))
+         .localCheckpoint(eager=False))
     c = corpus.select(F.col(id_field).alias("node_id"),
                       F.col(vec_field).alias("__cv"))
     seed_col = "hub_id" if "hub_id" in seeds.columns else "node_id"
@@ -967,10 +983,10 @@ def graph_search_many(graph: DataFrame, corpus: DataFrame,
     w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(),
                                                F.col("node_id").asc())
     cand = q.select("query_id").crossJoin(F.broadcast(seed_nodes))
-    probed = cand.localCheckpoint(eager=True)
+    probed = cand.localCheckpoint(eager=False)
     beam = (_score(cand).withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") <= ef).drop("__r")
-            .localCheckpoint(eager=True))
+            .localCheckpoint(eager=False))
     for _hop in range(int(max_hops)):
         expanded = (beam.select("query_id", "node_id")
                         .join(graph.withColumnRenamed("node_id", "__gn"),
@@ -981,10 +997,10 @@ def graph_search_many(graph: DataFrame, corpus: DataFrame,
                     .unionByName(expanded).distinct())
         if return_probed:
             probed = (probed.unionByName(cand).distinct()
-                            .localCheckpoint(eager=True))
+                            .localCheckpoint(eager=False))
         beam = (_score(cand).withColumn("__r", F.row_number().over(w))
                 .filter(F.col("__r") <= ef).drop("__r")
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
     out = (beam.withColumn("rank", F.row_number().over(w))
                .filter(F.col("rank") <= k)
                .select("query_id", F.col("node_id").alias("neighbor_id"),
@@ -1194,7 +1210,7 @@ def graph_delete(spark, path: str, ids) -> int:
     if isinstance(ids, DataFrame):
         tomb = ids.toDF("__del_id")
     else:
-        tomb = spark.createDataFrame([(i,) for i in ids], ["__del_id"])
+        tomb = local_df(spark, [(i,) for i in ids], ["__del_id"])
     n = tomb.count()
     tomb.write.mode("append").parquet(os.path.join(path, "tombstones"))
     meta = graph_index_meta(path)
@@ -1298,7 +1314,7 @@ def hard_negatives(corpus: DataFrame, anchors: Optional[DataFrame] = None,
                                F.col(label_field).alias("__lb"),
                                F.col(vec_field).alias("__v"), "cell_id")
                        .withColumn("__nv", _norm(F.col("__v")))
-                       .localCheckpoint(eager=True))   # anchor + corpus side
+                       .localCheckpoint(eager=False))  # anchor + corpus side
         a = (base.select(F.col("__id").alias("query_id"),
                          F.col("__lb").alias("query_label"),
                          F.col("__v").alias("__qv"),

@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tostore_spark.llmops import text as TX
+from tostore_spark.localdf import local_df
 
 
 def chars(word: Column) -> Column:
@@ -100,7 +101,7 @@ class BPEModel:
     word_tokens: DataFrame                    # (word, freq, sym)
 
     def merges_df(self, spark) -> DataFrame:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [(r, a, b, int(n)) for r, a, b, n in self.merges],
             ["rank", "left", "right", "n"])
 

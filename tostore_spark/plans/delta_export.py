@@ -65,6 +65,7 @@ import shutil
 import time
 import uuid
 from urllib.parse import quote, unquote
+from tostore_spark.localdf import local_df
 
 __all__ = ["export_delta", "read_delta", "read_delta_cdf",
            "vacuum_delta"]
@@ -1422,7 +1423,7 @@ def _export_update_dv(engine, key, ent, table: str, path: str,
                                            add0["deletionVector"]))
         pos_rows = [(b, int(p)) for b, ps in new_pos.items()
                     for p in ps if p not in prior.get(b, ())]
-        pos_df = (spark.createDataFrame(pos_rows,
+        pos_df = (local_df(spark, pos_rows,
                                         "__f string, __p long")
                   if pos_rows else None)
 
@@ -1704,7 +1705,7 @@ def optimize_delta(spark, path: str,
         df = spark.read.schema(data_schema).parquet(
             *[os.path.join(p, rel) for rel, _a in sorted(cand)])
         if dv_rows:
-            dvf = spark.createDataFrame(
+            dvf = local_df(spark, 
                 dv_rows, "__dv_file string, __dv_pos long")
             keep = df.columns
             df = (df
@@ -2263,7 +2264,7 @@ def describe_delta_history(spark, path: str,
                       (ci.get("operationParameters") or {}).items()},
                      len(adds), len(removes), has_cdc, has_dv))
     rows.sort(key=lambda r: -r[0])
-    return spark.createDataFrame(rows, StructType([
+    return local_df(spark, rows, StructType([
         StructField("version", LongType()),
         StructField("timestamp", TimestampType()),
         StructField("operation", StringType()),
@@ -2303,7 +2304,7 @@ def describe_delta_detail(spark, path: str):
            int(proto.get("minReaderVersion") or 1),
            int(proto.get("minWriterVersion") or 2),
            int(state["version"]))
-    return spark.createDataFrame([row], StructType([
+    return local_df(spark, [row], StructType([
         StructField("format", StringType()),
         StructField("id", StringType()),
         StructField("location", StringType()),
@@ -2428,7 +2429,7 @@ def read_delta(spark, path: str, version: int | None = None,
                     "refusing to key its deletion vector")
             for v in decode_deletion_vector(p, add["deletionVector"]):
                 rows.append((name, v))
-        dv_pos = spark.createDataFrame(
+        dv_pos = local_df(spark, 
             rows, "__dv_file string, __dv_pos long")
 
     def _dv_filter(df):
@@ -2448,7 +2449,7 @@ def read_delta(spark, path: str, version: int | None = None,
                 .select(*keep))
 
     if not files:
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
     if not pcols:
         return _apply_where(_finish(_dv_filter(
             spark.read.schema(pschema)
@@ -2724,5 +2725,5 @@ def read_delta_cdf(spark, path: str, from_version: int,
             + [StructField("_change_type", StringType()),
                StructField("_commit_version", LongType()),
                StructField("_commit_timestamp", TimestampType())])
-        return spark.createDataFrame([], empty)
+        return local_df(spark, [], empty)
     return out.select(*cols)

@@ -51,6 +51,7 @@ import uuid
 from contextlib import contextmanager
 from urllib.parse import unquote
 
+from tostore_spark.localdf import local_df
 from tostore_spark.plans.avro_io import (read_container_file,
                                          write_container_file)
 
@@ -853,7 +854,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         if node is not None:
             node = coerce_where_values(node, sschema)
     if snapshot is None:
-        return spark.createDataFrame([], sschema)
+        return local_df(spark, [], sschema)
     location = meta.get("location") or p
     fspec: dict = {}
     data, pos_del, eq_del, parts, fstats = _scan_files(
@@ -865,7 +866,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
         data = _prune_by_stats(meta, schema_json, data, parts,
                                fstats, node)
     if not data:
-        return spark.createDataFrame([], sschema)
+        return local_df(spark, [], sschema)
 
     def _refilter(out):
         # re-apply the predicates to ROWS: manifest pruning may only
@@ -1073,7 +1074,7 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None,
     # delete application needs each row's (file, position, data_seq);
     # the (file, seq) frame is manifest-scale — broadcast it
     seq_rows = [(fp, int(seq)) for fp, seq in data]
-    seq_df = spark.createDataFrame(seq_rows,
+    seq_df = local_df(spark, seq_rows,
                                    "__ice_file string, __ice_dseq long")
     df = df.withColumn(
         "__ice_file",
@@ -3249,7 +3250,7 @@ def read_iceberg_meta(spark, path: str, kind: str = "snapshots",
                   .items() if k != "operation"},
                  s.get("manifest-list"))
                 for s in snaps]
-        return spark.createDataFrame(rows, schema)
+        return local_df(spark, rows, schema)
     if kind == "history":
         ancestry = set()
         by_id = {s["snapshot-id"]: s for s in snaps}
@@ -3272,7 +3273,7 @@ def read_iceberg_meta(spark, path: str, kind: str = "snapshots",
                           s.get("parent-snapshot-id") is not None
                           else None),
                          e.get("snapshot-id") in ancestry))
-        return spark.createDataFrame(rows, schema)
+        return local_df(spark, rows, schema)
     if kind == "refs":
         schema = StructType([
             StructField("name", StringType()),
@@ -3283,7 +3284,7 @@ def read_iceberg_meta(spark, path: str, kind: str = "snapshots",
                 for name, r in sorted((meta.get("refs")
                                        or {}).items())
                 if "snapshot-id" in r]
-        return spark.createDataFrame(rows, schema)
+        return local_df(spark, rows, schema)
 
     snap = _pick_snapshot(meta, snapshot_id=snapshot_id,
                           as_of_ms=as_of_ms, ref=ref)
@@ -3314,7 +3315,7 @@ def read_iceberg_meta(spark, path: str, kind: str = "snapshots",
                  int(m.get("existing_rows_count") or 0),
                  int(m.get("deleted_rows_count") or 0))
                 for m in mlist]
-        return spark.createDataFrame(rows, schema)
+        return local_df(spark, rows, schema)
     if kind in ("files", "partitions"):
         frows = []
         for m in mlist:
@@ -3349,7 +3350,7 @@ def read_iceberg_meta(spark, path: str, kind: str = "snapshots",
                 StructField("record_count", LongType()),
                 StructField("file_size_in_bytes", LongType()),
                 StructField("sequence_number", LongType())])
-            return spark.createDataFrame(frows, schema)
+            return local_df(spark, frows, schema)
         agg: dict = {}
         for (content, _fp, _ff, sid, part, rc, _sz, _seq) in frows:
             key = (sid, tuple(sorted(part.items())))
@@ -3375,7 +3376,7 @@ def read_iceberg_meta(spark, path: str, kind: str = "snapshots",
                 for (sid, part), a in sorted(
                     agg.items(), key=lambda kv: (kv[0][0],
                                                  str(kv[0][1])))]
-        return spark.createDataFrame(rows, schema)
+        return local_df(spark, rows, schema)
     raise ValueError(
         f"unknown iceberg metadata table {kind!r} — one of snapshots,"
         " history, refs, manifests, files, partitions")
@@ -3623,7 +3624,7 @@ def read_iceberg_changes(spark, path: str,
             node = coerce_where_values(node, sschema)
 
     def _empty():
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], StructType(list(sschema.fields) + meta_fields))
 
     # main-ancestry chain: to_id back to (exclusive) from_snapshot
@@ -3781,7 +3782,7 @@ def read_iceberg_changes(spark, path: str,
             # older data sequence)
             seq_rows = [(fp, int(seq)) for fp, seq in pdata
                         if fp in set(tgt)]
-            seq_df = spark.createDataFrame(
+            seq_df = local_df(spark, 
                 seq_rows, "__f string, __dseq long")
             pre = pre.join(F.broadcast(seq_df), on="__f", how="left")
             id_to_name = {f["id"]: f["name"]

@@ -24,6 +24,8 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from tostore_spark.localdf import local_df
+
 
 def column_stats(df: DataFrame, cols: Optional[Sequence[str]] = None,
                  exact_ndv: bool = True) -> DataFrame:
@@ -159,7 +161,7 @@ def exact_percentiles_frame(df: DataFrame, col: str,
             items.append(((i, "lo"), glo))
             items.append(((i, "hi"), ghi))
     if n == 0 or not gfrac:
-        return spark.createDataFrame([([],)], "`__bounds` array<double>")
+        return local_df(spark, [([],)], "`__bounds` array<double>")
     resolved = _select_from_buckets(spark, bucketed, counts, span, offs,
                                     items, nb, depth=3)
     bounds = []
@@ -167,7 +169,7 @@ def exact_percentiles_frame(df: DataFrame, col: str,
         vlo, vhi = resolved[(i, "lo")], resolved[(i, "hi")]
         v = vlo + gfrac[i] * (vhi - vlo)
         bounds.append(round(v, round_dp) if round_dp is not None else v)
-    return spark.createDataFrame([(bounds,)], "`__bounds` array<double>")
+    return local_df(spark, [(bounds,)], "`__bounds` array<double>")
 
 
 def _onepass_max_rows(spark) -> int:
@@ -213,7 +215,7 @@ def _exact_onepass_bounds(spark, vals: DataFrame, fracs, round_dp):
                     | (F.col("__rn") == F.ceil(r))
     hits = ranked.filter(cond).select("__rn", "__v", "__n").collect()
     if not hits:                       # empty input or empty fracs
-        return spark.createDataFrame([([],)], "`__bounds` array<double>")
+        return local_df(spark, [([],)], "`__bounds` array<double>")
     byrank = {r["__rn"]: r["__v"] for r in hits}
     n = hits[0]["__n"]
     bounds = []
@@ -223,7 +225,7 @@ def _exact_onepass_bounds(spark, vals: DataFrame, fracs, round_dp):
         vlo, vhi = byrank[glo], byrank[ghi]
         v = vlo + (r - glo) * (vhi - vlo)
         bounds.append(round(v, round_dp) if round_dp is not None else v)
-    return spark.createDataFrame([(bounds,)], "`__bounds` array<double>")
+    return local_df(spark, [(bounds,)], "`__bounds` array<double>")
 
 
 def _bucketize(spark, vals: DataFrame, nb: int, edges=None):
@@ -291,7 +293,7 @@ def _select_from_buckets(spark, bucketed, counts, span, offs,
         else:
             sort_need.append((key, b, lrk))
     if sort_need:
-        need_df = spark.createDataFrame(
+        need_df = local_df(spark, 
             [(str(k), b, lr) for k, b, lr in sort_need],
             "__key string, __nb int, __lrank long")
         hit_b = sorted({b for _, b, _ in sort_need})

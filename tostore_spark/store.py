@@ -50,6 +50,7 @@ from typing import Optional
 
 from tostore_spark import fs as _fsmod
 from tostore_spark.backup import _schema_from_dict, _schema_to_dict
+from tostore_spark.localdf import local_df
 
 MANIFEST = "manifest.json"
 
@@ -1941,7 +1942,7 @@ def _cdc_base_state(engine, consumed, tail_keys, pin=None):
                          how="left_anti")
     if df is None:
         # every base segment pruned: no row can pre-image any tail key
-        return engine.spark.createDataFrame([], pruned_schema)
+        return local_df(engine.spark, [], pruned_schema)
     return df
 
 
@@ -2120,7 +2121,7 @@ def table_history(engine, table: str, space: str = "default"):
                          len(files), size,
                          datetime.datetime.utcfromtimestamp(
                              fs.getmtime(full)).replace(microsecond=0)))
-    return engine.spark.createDataFrame(
+    return local_df(engine.spark, 
         rows, "version int, is_current boolean, n_files int,"
               " size_bytes long, modified_ts timestamp")
 
@@ -2181,5 +2182,5 @@ def fsck(engine):
                     and full not in referenced
                     and (space, name, v) not in pinned):
                 rows.append(("orphan_version", space, name, full))
-    return engine.spark.createDataFrame(
+    return local_df(engine.spark, 
         rows, "kind string, space string, table string, detail string")

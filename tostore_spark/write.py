@@ -31,6 +31,7 @@ from tostore_spark.condition import QueryCondition
 from tostore_spark.expr import Expr
 from tostore_spark.query import _Frame
 from tostore_spark.schema import PrimaryKeyType, TableSchema
+from tostore_spark.localdf import local_df
 
 _B62 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
 
@@ -224,7 +225,7 @@ def _unique_violations(engine, table: str, schema: TableSchema,
                  if all(r.get(k) is not None for k in keyset)]
         if not keyed:
             continue
-        keydf = engine.spark.createDataFrame(
+        keydf = local_df(engine.spark, 
             [t for _, t in keyed], cur.select(*keyset).schema)
         clashes = {tuple(r) for r in cur.join(
             F.broadcast(keydf.dropDuplicates()), on=list(keyset), how="left_semi")
@@ -283,7 +284,7 @@ def insert(engine, table: str, rows: list[dict],
         for r in rows:
             r[pkname] = str(r[pkname])  # PKs are always strings
     cur = engine.df(table)
-    new_df = engine.spark.createDataFrame(
+    new_df = local_df(engine.spark, 
         [tuple(r.get(c) for c in cur.columns) for r in rows], cur.schema)
     if not allow_partial_errors and (
             schema.primary_key is not None
@@ -348,7 +349,7 @@ def upsert(engine, table: str, rows: list[dict],
         [cur.schema[c] for c in cur.columns]
         + [T.StructField(f"__has_{c}", T.BooleanType(), False)
            for c in payload_cols])
-    src = engine.spark.createDataFrame(
+    src = local_df(engine.spark, 
         [tuple([r.get(c) for c in cur.columns] + [c in r for c in payload_cols])
          for r in rows], src_schema)
     src = src.select(
@@ -431,11 +432,11 @@ def batch_update(engine, table: str, rows: list[dict],
     payload_cols = [c for c in cur.columns
                     if c != pk and any(c in r for r in rows)]
     src_schema = cur.select(pk, *payload_cols).schema
-    src = engine.spark.createDataFrame(
+    src = local_df(engine.spark, 
         [tuple([str(r[pk])] + [r.get(c) for c in payload_cols]) for r in rows],
         src_schema)
     # presence flags: only fields present in THAT row overwrite
-    flags = engine.spark.createDataFrame(
+    flags = local_df(engine.spark, 
         [tuple([str(r[pk])] + [c in r for c in payload_cols]) for r in rows],
         ["__pk"] + [f"__has_{c}" for c in payload_cols])
     src = src.withColumnRenamed(pk, "__pk") \
