@@ -252,6 +252,16 @@ def tfidf_similar_pairs(docs: DataFrame, k: int = 20,
             "nrm",
             F.sqrt(F.sum(F.round(F.col("w") * F.col("w"), 9)
                          .cast("decimal(28,9)")).over(nw).cast("double")))
+         # pin a WIDE tok-partitioned layout before the checkpoint: AQE
+         # coalesces the tiny norm-window exchange (measured: 1
+         # partition at sf0.1) and the checkpoint would pin that — the
+         # pair explosion below (the quadratic-ish stage) then runs on
+         # 1-2 cores.  Hash-partitioning on the JOIN key at the
+         # session's shuffle-partition count keeps the layout
+         # cluster-sized AND lets the self-join reuse the partitioning
+         # instead of re-exchanging both branches (guide §2.4).
+         .repartition(int(docs.sparkSession.conf.get(
+             "spark.sql.shuffle.partitions")), "tok")
          .localCheckpoint(eager=True))   # both join branches: one build
     a, b = v.alias("a"), v.alias("b")
     pairs = (a.join(b, (F.col("a.tok") == F.col("b.tok"))

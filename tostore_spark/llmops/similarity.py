@@ -40,6 +40,26 @@ def _dot_const_sql(field: str, vals) -> str:
             " 0.0D, (acc, x) -> acc + x)")
 
 
+def _fits_broadcast(df: DataFrame) -> bool:
+    """True when ``df``'s backing FILES fit the session's
+    autoBroadcastJoinThreshold — the scale-adaptive broadcast decision
+    for frames whose lineage passes through a checkpoint (a LogicalRDD
+    reports no size, so Spark itself can never choose the broadcast).
+    Unknown sizes return False (the safe, spillable shuffle path)."""
+    spark = df.sparkSession
+    try:
+        thresh = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+        if thresh <= 0:
+            return False
+        files = df.inputFiles()
+        if not files:
+            return False
+        from tostore_spark.fs import file_size
+        return sum(file_size(spark, f) for f in files) <= thresh
+    except Exception:
+        return False
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0),
                               lambda acc, x: acc + x.cast("double") * x.cast("double")))
@@ -785,6 +805,16 @@ def build_knn_graph(corpus: DataFrame, n_neighbors: int = 8,
     b = base.select(F.col("node_id").alias("neighbor_id"),
                     F.col("__v").alias("__bv"),
                     F.col("__nv").alias("__bn"), "cell_id")
+    # scale-adaptive build side for the cell self-join: the checkpoint
+    # erases size stats (a LogicalRDD reports "unknown", so Spark never
+    # auto-broadcasts it) AND the shuffle form caps the |cell|^2
+    # scoring at n_cells reducer tasks.  When the CORPUS' own file
+    # bytes fit the session broadcast threshold, broadcast b so the
+    # scoring runs at scan width; bigger corpora keep the cell shuffle
+    # (and have >= cores cells at scale).  Values are partitioning-
+    # independent (topk_per_query is exact by construction).
+    if _fits_broadcast(corpus):
+        b = F.broadcast(b)
     scored = (a.join(b, on="cell_id")
                .filter(F.col("query_id") != F.col("neighbor_id"))
                .select("query_id", "neighbor_id",
