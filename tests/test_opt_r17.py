@@ -278,3 +278,74 @@ class TestLocalDfFidelity:
         fast = local_df(spark, rows, ["__del_id"])
         assert fast.schema == classic.schema
         assert fast.collect() == classic.collect()
+
+
+class TestWidePairScoringLayouts:
+    """r17 follow-up commit: tfidf_similar_pairs pins a wide
+    tok-partitioned layout before its checkpoint, and build_knn_graph
+    broadcasts the cell self-join's build side when the corpus' FILES
+    fit the session broadcast threshold.  Both are layout/strategy-only
+    changes — pin that values are identical either way, and pin the
+    _fits_broadcast decision rule itself."""
+
+    @pytest.fixture(scope="class")
+    def emb_files(self, spark, tmp_path_factory):
+        import random
+        rnd = random.Random(11)
+        rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)], i % 2)
+                for i in range(60)]
+        path = str(tmp_path_factory.mktemp("embf") / "emb.parquet")
+        (spark.createDataFrame(rows, "vec_id int, embedding array<double>,"
+                               " label int").coalesce(1)
+              .write.parquet(path))
+        return spark.read.parquet(path)
+
+    def test_fits_broadcast_decision(self, spark, emb_files):
+        from tostore_spark.llmops.similarity import _fits_broadcast
+        # tiny file-backed frame under the 64MB session threshold
+        assert _fits_broadcast(emb_files) is True
+        # non-file-backed frame: unknown size -> safe False
+        assert _fits_broadcast(
+            spark.createDataFrame([(1,)], "a int")) is False
+        # disabled threshold -> False even for tiny file-backed frames
+        key = "spark.sql.autoBroadcastJoinThreshold"
+        old = spark.conf.get(key)
+        try:
+            spark.conf.set(key, "-1")
+            assert _fits_broadcast(emb_files) is False
+        finally:
+            spark.conf.set(key, old)
+
+    def test_graph_build_broadcast_matches_shuffle(self, spark, emb_files,
+                                                   monkeypatch):
+        from tostore_spark.llmops import similarity as S
+        cents = S.fixed_centroids(8, 4)
+        emb = emb_files.select("vec_id", "embedding")
+        assert S._fits_broadcast(emb_files) is True   # default = broadcast
+        g1, h1 = S.build_knn_graph(emb, n_neighbors=3, n_cells=4,
+                                   centroids=cents, bridge_cells=1,
+                                   ring_skips=(1,))
+        monkeypatch.setattr(S, "_fits_broadcast", lambda df: False)
+        g2, h2 = S.build_knn_graph(emb, n_neighbors=3, n_cells=4,
+                                   centroids=cents, bridge_cells=1,
+                                   ring_skips=(1,))
+        assert g1.exceptAll(g2).count() == 0
+        assert g2.exceptAll(g1).count() == 0
+        assert h1.exceptAll(h2).count() == 0
+        assert h2.exceptAll(h1).count() == 0
+
+    def test_tfidf_pairs_partitioning_independent(self, spark):
+        from tostore_spark.llmops.search import tfidf_similar_pairs
+        docs = spark.createDataFrame(
+            [(i, f"tok{i % 3} tok{i % 5} tok{i % 7} shared common")
+             for i in range(24)], "doc_id int, text string").coalesce(1)
+        wide = tfidf_similar_pairs(docs, k=10, max_df_frac=0.9)
+        key = "spark.sql.shuffle.partitions"
+        old = spark.conf.get(key)
+        try:
+            spark.conf.set(key, "1")      # degenerate 1-partition layout
+            narrow = tfidf_similar_pairs(docs, k=10, max_df_frac=0.9)
+            assert wide.exceptAll(narrow).count() == 0
+            assert narrow.exceptAll(wide).count() == 0
+        finally:
+            spark.conf.set(key, old)
