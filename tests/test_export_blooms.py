@@ -98,7 +98,7 @@ class TestDeltaDvBloomProbe:
         # the soundness property; bounds-refuted files carry no entry
         # and always probe)
         for rel, e in store["files"].items():
-            bm = {"m": e["m"], "k": e["k"],
+            bm = {"m": e["m"], "k": e["k"], "h": e.get("h"),
                   "cols": {"id": base64.b64decode(e["cols"]["id"])}}
             fids = {r["id"] for r in spark.read.parquet(
                 os.path.join(dest, rel)).select("id").collect()}

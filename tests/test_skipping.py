@@ -165,26 +165,55 @@ class TestConservativeness:
     @settings(max_examples=200, deadline=None)
     def test_bloom_never_false_negative(self, keys):
         """Every value folded into the bitmap must test present —
-        a false negative would silently drop live rows.  (The Spark
-        build side uses the same crc32/`#i` formula; the e2e bloom
-        tests pin the two implementations against each other.)"""
-        from tostore_spark.plans.skipping import (bloom_key,
+        a false negative would silently drop live rows.  Pinned for
+        BOTH formats: md5km (current; Spark builds via the
+        ``bloom_position_exprs`` twin, e2e tests pin the two
+        implementations against each other) and the legacy crc32/`#i`
+        formula (old persisted sidecars, no ``h`` marker)."""
+        from tostore_spark.plans.skipping import (BLOOM_H_MD5KM,
+                                                  bloom_key,
                                                   bloom_may_contain,
-                                                  bloom_positions)
+                                                  bloom_positions,
+                                                  bloom_positions_md5km)
         m, k = 4096, 4
+        for h, posfn in ((BLOOM_H_MD5KM, bloom_positions_md5km),
+                         (None, bloom_positions)):
+            bits = bytearray(m >> 3)
+            for v in keys:
+                s = bloom_key(v)
+                assert s is not None
+                for p in posfn(s, m, k):
+                    bits[p >> 3] |= 1 << (p & 7)
+            bloom = {"m": m, "k": k, "cols": {"x": bytes(bits)}}
+            if h:
+                bloom["h"] = h
+            for v in keys:
+                assert bloom_may_contain(bloom, "x", v)
+            # unkeyable values never consult the bitmap (conservative)
+            assert bloom_may_contain(bloom, "x", None)
+            assert bloom_may_contain(bloom, "x", 1.5)
+            assert bloom_may_contain(bloom, "y", "anything")
+
+    def test_md5km_false_positive_rate_near_theory(self):
+        """The r17 hash fix's point: crc32-salt positions are GF(2)-
+        correlated (measured fpp 0.117 at m=65536/k=4/n=2000 — 670x
+        theory); the md5 double-hash must sit near the independent-hash
+        rate.  Deterministic (fixed key sets)."""
+        import math
+
+        from tostore_spark.plans.skipping import bloom_positions_md5km
+        m, k, n = 65536, 4, 2000
         bits = bytearray(m >> 3)
-        for v in keys:
-            s = bloom_key(v)
-            assert s is not None
-            for p in bloom_positions(s, m, k):
+        for i in range(n):
+            for p in bloom_positions_md5km(f"member-{i}", m, k):
                 bits[p >> 3] |= 1 << (p & 7)
-        bloom = {"m": m, "k": k, "cols": {"x": bytes(bits)}}
-        for v in keys:
-            assert bloom_may_contain(bloom, "x", v)
-        # unkeyable values never consult the bitmap (conservative keep)
-        assert bloom_may_contain(bloom, "x", None)
-        assert bloom_may_contain(bloom, "x", 1.5)
-        assert bloom_may_contain(bloom, "y", "anything")
+        probes, fp = 20000, 0
+        for i in range(probes):
+            if all((bits[p >> 3] >> (p & 7)) & 1
+                   for p in bloom_positions_md5km(f"absent-{i}", m, k)):
+                fp += 1
+        theory = (1 - math.exp(-k * n / m)) ** k     # ≈ 1.7e-4
+        assert fp / probes <= 10 * theory, (fp, probes, theory)
 
 
 class TestCollect:

@@ -695,6 +695,7 @@ class ToStoreSpark:
                         summ = {**summ,
                                 "bloom": {"m": fbloom["m"],
                                           "k": fbloom["k"],
+                                          "h": fbloom.get("h"),
                                           "cols": fb_files[rel]}}
                     if node_may_match(node, summ, key[1]):
                         kept.append(f"{root}/{rel}")
@@ -801,7 +802,7 @@ class ToStoreSpark:
         """Opt into point-lookup segment skipping on high-cardinality
         keys: from the NEXT flush on, every new version dir gets a
         ``_bloom.json`` sidecar with one ``bits``-bit bloom bitmap per
-        listed column (k crc32 probes), and ``=`` / ``IN`` queries drop
+        listed column (k md5 double-hash probes), and ``=`` / ``IN`` queries drop
         segments the bitmap proves valueless — the case min/max stats
         can never decide (an unsorted key column spans the whole
         keyspace in every segment).  Integral/string columns only
@@ -848,6 +849,7 @@ class ToStoreSpark:
             if fs.exists(p):
                 raw = _json.loads(fs.read_text(p))
                 out = {"m": int(raw["m"]), "k": int(raw["k"]),
+                       "h": raw.get("h"),
                        "cols": {c: base64.b64decode(b)
                                 for c, b in raw["cols"].items()},
                        "files": {rel: {c: base64.b64decode(b)

@@ -430,20 +430,19 @@ def _save_export_blooms(path: str, blooms: dict, live_rels) -> None:
 
 def _build_file_blooms(df_with_path, kcols: list, m: int, k: int) -> dict:
     """ONE JVM-side job building per-(file, col) bloom bitmaps over a
-    column-pruned read of the target files: k crc32 positions per (row,
-    col) — the exact formula ``plans.skipping.bloom_positions`` tests
-    (``crc32(cast(col as string) || '#i') % m``) — packed into 64-bit
-    words EXECUTOR-side (``groupBy(file, col, word).agg(bit_or)``), so
-    the collect is bounded by ``files · cols · m/64`` words, never by
-    the row count.  Returns {file basename: {col: bitmap bytes}}."""
+    column-pruned read of the target files: k md5 double-hash positions
+    per (row, col) — ``plans.skipping.bloom_position_exprs``, the exact
+    Spark twin of the driver probe's ``bloom_positions_md5km`` — packed
+    into 64-bit words EXECUTOR-side (``groupBy(file, col, word)
+    .agg(bit_or)``), so the collect is bounded by ``files · cols ·
+    m/64`` words, never by the row count.  Returns {file basename:
+    {col: bitmap bytes}}."""
     from pyspark.sql import functions as F
+
+    from tostore_spark.plans.skipping import bloom_position_exprs
     entries = []
     for c in kcols:
-        s = F.col(c).cast("string")
-        for i in range(k):
-            entries.append(F.struct(
-                F.lit(c).alias("c"),
-                (F.crc32(F.concat(s, F.lit(f"#{i}"))) % m).alias("p")))
+        entries.extend(bloom_position_exprs(c, m, k))
     rows = (df_with_path
             .select(F.element_at(F.split(F.col("__path"), "/"), -1)
                     .alias("f"),
@@ -481,7 +480,8 @@ def _bloom_prune_probe(path: str, probe_rels: list, keys, kcols: list,
     bitmaps, and over-cap key sets all KEEP the file."""
     import base64
 
-    from tostore_spark.plans.skipping import bloom_may_contain
+    from tostore_spark.plans.skipping import (BLOOM_H_MD5KM,
+                                              bloom_may_contain)
     _PROBE_STATS.clear()
     _PROBE_STATS.update({"candidates": len(probe_rels), "built": 0,
                          "kept": len(probe_rels), "keys": None})
@@ -515,9 +515,12 @@ def _bloom_prune_probe(path: str, probe_rels: list, keys, kcols: list,
                 rel = by_base.get(base)
                 if rel is None:
                     continue
-                ent = files.setdefault(rel, {"m": m, "k": k, "cols": {}})
-                if ent.get("m") != m or ent.get("k") != k:
-                    ent = files[rel] = {"m": m, "k": k, "cols": {}}
+                ent = files.setdefault(
+                    rel, {"m": m, "k": k, "h": BLOOM_H_MD5KM, "cols": {}})
+                if (ent.get("m") != m or ent.get("k") != k
+                        or ent.get("h") != BLOOM_H_MD5KM):
+                    ent = files[rel] = {"m": m, "k": k,
+                                        "h": BLOOM_H_MD5KM, "cols": {}}
                 for c, bm in colmaps.items():
                     ent["cols"][c] = base64.b64encode(
                         bytes(bm)).decode("ascii")
@@ -533,7 +536,7 @@ def _bloom_prune_probe(path: str, probe_rels: list, keys, kcols: list,
         if not ent or not avail:
             kept.append(r)
             continue
-        bl = {"m": ent["m"], "k": ent["k"],
+        bl = {"m": ent["m"], "k": ent["k"], "h": ent.get("h"),
               "cols": {c: base64.b64decode(ent["cols"][c])
                        for c in avail}}
         if any(all(bloom_may_contain(bl, c, kr[c]) for c in avail)
