@@ -2315,7 +2315,13 @@ def q_bloom_skip(spark, sf_dir):
                .order_by_asc("c_custkey").df()
                .select("c_custkey", "c_name", "c_nationkey"))
         rows, schema = out.collect(), out.schema
-        if db1._last_prune != (2, 3, "customer"):
+        # expected kept segments = distinct flush epochs (custkey mod 3)
+        # actually holding a probed key — 2 at sf0.01+ (keys 700/702
+        # exist, landing in epochs 1 and 0), 0 at sf0.001 (150-row
+        # customer: the bloom must refute every segment for absent keys)
+        expect = len({r[0] % 3 for r in cust.where(
+            "c_custkey IN (700, 702)").select("c_custkey").collect()})
+        if db1._last_prune != (expect, 3, "customer"):
             raise AssertionError(
                 f"bloom skipping did not engage: {db1._last_prune}")
     return local_df(spark, rows, schema)
