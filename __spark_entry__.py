@@ -7515,53 +7515,59 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY source
         """,
         "q_column_corr": """
+            -- decimal sums are exact and engine-identical; the final
+            -- DOUBLE hop goes through VARCHAR because DuckDB's direct
+            -- DECIMAL->DOUBLE cast double-rounds (int128 then /10^s)
+            -- while Spark's BigDecimal cast rounds once: at sf0.1 the
+            -- two diverge in the last ulp (e.g. ...123.169 -> .25 vs
+            -- .0); string->double parsing is correctly rounded in both
             WITH m AS (
               SELECT
                 count(CASE WHEN l_quantity IS NOT NULL
                             AND l_extendedprice IS NOT NULL THEN 1 END) AS n1,
-                CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-                         THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE) AS sx1,
-                CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-                         THEN CAST(l_extendedprice AS DECIMAL(28,4)) END) AS DOUBLE) AS sy1,
-                CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                CAST(CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                         THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS VARCHAR) AS DOUBLE) AS sx1,
+                CAST(CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                         THEN CAST(l_extendedprice AS DECIMAL(28,4)) END) AS VARCHAR) AS DOUBLE) AS sy1,
+                CAST(CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
                          THEN CAST(l_quantity AS DECIMAL(28,4))
-                            * CAST(l_extendedprice AS DECIMAL(28,4)) END) AS DOUBLE) AS sxy1,
-                CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                            * CAST(l_extendedprice AS DECIMAL(28,4)) END) AS VARCHAR) AS DOUBLE) AS sxy1,
+                CAST(CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
                          THEN CAST(l_quantity AS DECIMAL(28,4))
-                            * CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE) AS sxx1,
-                CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                            * CAST(l_quantity AS DECIMAL(28,4)) END) AS VARCHAR) AS DOUBLE) AS sxx1,
+                CAST(CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
                          THEN CAST(l_extendedprice AS DECIMAL(28,4))
-                            * CAST(l_extendedprice AS DECIMAL(28,4)) END) AS DOUBLE) AS syy1,
+                            * CAST(l_extendedprice AS DECIMAL(28,4)) END) AS VARCHAR) AS DOUBLE) AS syy1,
                 count(CASE WHEN l_quantity IS NOT NULL
                             AND l_discount IS NOT NULL THEN 1 END) AS n2,
-                CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL
-                         THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE) AS sx2,
-                CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL
-                         THEN CAST(l_discount AS DECIMAL(28,4)) END) AS DOUBLE) AS sy2,
-                CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                CAST(CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                         THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS VARCHAR) AS DOUBLE) AS sx2,
+                CAST(CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                         THEN CAST(l_discount AS DECIMAL(28,4)) END) AS VARCHAR) AS DOUBLE) AS sy2,
+                CAST(CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL
                          THEN CAST(l_quantity AS DECIMAL(28,4))
-                            * CAST(l_discount AS DECIMAL(28,4)) END) AS DOUBLE) AS sxy2,
-                CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                            * CAST(l_discount AS DECIMAL(28,4)) END) AS VARCHAR) AS DOUBLE) AS sxy2,
+                CAST(CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL
                          THEN CAST(l_quantity AS DECIMAL(28,4))
-                            * CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE) AS sxx2,
-                CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                            * CAST(l_quantity AS DECIMAL(28,4)) END) AS VARCHAR) AS DOUBLE) AS sxx2,
+                CAST(CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_discount IS NOT NULL
                          THEN CAST(l_discount AS DECIMAL(28,4))
-                            * CAST(l_discount AS DECIMAL(28,4)) END) AS DOUBLE) AS syy2,
+                            * CAST(l_discount AS DECIMAL(28,4)) END) AS VARCHAR) AS DOUBLE) AS syy2,
                 count(CASE WHEN l_extendedprice IS NOT NULL
                             AND l_discount IS NOT NULL THEN 1 END) AS n3,
-                CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
-                         THEN CAST(l_extendedprice AS DECIMAL(28,4)) END) AS DOUBLE) AS sx3,
-                CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
-                         THEN CAST(l_discount AS DECIMAL(28,4)) END) AS DOUBLE) AS sy3,
-                CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+                CAST(CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+                         THEN CAST(l_extendedprice AS DECIMAL(28,4)) END) AS VARCHAR) AS DOUBLE) AS sx3,
+                CAST(CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+                         THEN CAST(l_discount AS DECIMAL(28,4)) END) AS VARCHAR) AS DOUBLE) AS sy3,
+                CAST(CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
                          THEN CAST(l_extendedprice AS DECIMAL(28,4))
-                            * CAST(l_discount AS DECIMAL(28,4)) END) AS DOUBLE) AS sxy3,
-                CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+                            * CAST(l_discount AS DECIMAL(28,4)) END) AS VARCHAR) AS DOUBLE) AS sxy3,
+                CAST(CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
                          THEN CAST(l_extendedprice AS DECIMAL(28,4))
-                            * CAST(l_extendedprice AS DECIMAL(28,4)) END) AS DOUBLE) AS sxx3,
-                CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+                            * CAST(l_extendedprice AS DECIMAL(28,4)) END) AS VARCHAR) AS DOUBLE) AS sxx3,
+                CAST(CAST(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
                          THEN CAST(l_discount AS DECIMAL(28,4))
-                            * CAST(l_discount AS DECIMAL(28,4)) END) AS DOUBLE) AS syy3
+                            * CAST(l_discount AS DECIMAL(28,4)) END) AS VARCHAR) AS DOUBLE) AS syy3
               FROM lineitem)
             SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
                    n1 AS n,
