@@ -40,6 +40,33 @@ def _dot_const_sql(field: str, vals) -> str:
             " 0.0D, (acc, x) -> acc + x)")
 
 
+def _norm_sql(field: str) -> str:
+    """SQL-text twin of ``_norm(F.col(field))`` — the identical Catalyst
+    tree through ONE parser call.  Each Column higher-order-function
+    build costs ~18ms of py4j round trips, which dominates the
+    plan-construction time of the graph/knn loops (measured r18)."""
+    return (f"SQRT(aggregate(`{field}`, 0.0D, (acc, x) -> "
+            f"acc + (CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL-text twin of ``_dot_cols(F.col(a), F.col(b))``."""
+    return (f"aggregate(zip_with(`{a}`, `{b}`, (x, y) -> "
+            f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            f"(acc, x) -> acc + x)")
+
+
+def _cos_prenorm_sql(a: str, b: str, an: str, bn: str) -> str:
+    """SQL-text twin of ``cosine_distance_prenorm`` over plain field
+    names (norm columns precomputed per row)."""
+    return f"1.0D - {_dot_sql(a, b)} / (`{an}` * `{bn}`)"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """SQL-text twin of ``cosine_distance_cols`` over plain field names."""
+    return f"1.0D - {_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)})"
+
+
 def _fits_broadcast(df: DataFrame) -> bool:
     """True when ``df``'s backing FILES fit the session's
     autoBroadcastJoinThreshold — the scale-adaptive broadcast decision
@@ -113,40 +140,42 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
                               F.col(corpus_vec).alias("__cv")))
     if metric == "cosine":
         # norms once per ROW, not per (query x corpus) pair
-        # (cosine_distance_prenorm doc; bit-identical values)
-        q = q.withColumn("__qn", _norm(F.col("__qv")))
-        c = c.withColumn("__cn", _norm(F.col("__cv")))
+        # (cosine_distance_prenorm doc; bit-identical values); SQL-text
+        # twins — one parse instead of per-lambda py4j chains
+        q = q.withColumn("__qn", F.expr(_norm_sql("__qv")))
+        c = c.withColumn("__cn", F.expr(_norm_sql("__cv")))
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
-    dist = (cosine_distance_prenorm(F.col("__qv"), F.col("__cv"),
-                                    F.col("__qn"), F.col("__cn"))
-            if metric == "cosine"
-            else l2_distance_cols(F.col("__qv"), F.col("__cv"))
-            ).alias("distance")
-    scored = joined.select("query_id", "neighbor_id", dist)
+    if metric == "cosine":
+        scored = joined.selectExpr(
+            "query_id", "neighbor_id",
+            _cos_prenorm_sql("__qv", "__cv", "__qn", "__cn")
+            + " AS distance")
+    else:
+        scored = joined.select(
+            "query_id", "neighbor_id",
+            l2_distance_cols(F.col("__qv"), F.col("__cv"))
+            .alias("distance"))
     return topk_per_query(scored, k)
 
 
 def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
-    """Two-stage exact top-k over (query_id, neighbor_id, distance) rows so
-    no single reducer ever sorts a whole query's N scored rows: stage 1
-    ranks within (query, corpus-partition) — Q x P uniformly-spread groups
-    of ~N/P rows — and keeps k; the final per-query window then ranks
-    <= k*P survivors instead of N.  Exact: any global top-k row is top-k
-    within its own partition too (total order via the neighbor_id
-    tie-break).  spark_partition_id() is just a uniform salt here;
-    correctness never depends on its values."""
-    pre_w = Window.partitionBy("query_id", "__pid").orderBy(
-        F.col("distance").asc(), F.col("neighbor_id").asc())
-    pre = (scored.withColumn("__pid", F.spark_partition_id())
-                 .withColumn("__pr", F.row_number().over(pre_w))
-                 .filter(F.col("__pr") <= k)
-                 .drop("__pid", "__pr"))
+    """Exact top-k over (query_id, neighbor_id, distance) rows as ONE
+    row_number window.  Spark >= 3.5 plants a map-side WindowGroupLimit
+    (Partial) BELOW the exchange for rank-like windows filtered to
+    rank <= k, so every map task forwards at most k rows per query_id —
+    the same bounded-reducer property the previous manual two-stage
+    form (a spark_partition_id pre-rank) bought with a SECOND full
+    exchange+sort of the scored pairs (and the optimizer was ALREADY
+    group-limiting that form's final window, so the pre-stage was pure
+    overhead: plan-measured one Exchange/Sort/Window triple per call).
+    Same rows, same ranks: (distance, neighbor_id) is a total order, so
+    the single window's top-k equals the two-stage result bit-for-bit."""
     w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(),
                                                F.col("neighbor_id").asc())
-    return (pre.withColumn("rank", F.row_number().over(w))
-               .filter(F.col("rank") <= k))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
 
 
 def kmeans_centroids(corpus: DataFrame, n_cells: int,
@@ -207,13 +236,12 @@ def ivf_build(corpus: DataFrame, n_cells: int = 16, vec_field: str = "embedding"
 
     cents = centroids if centroids is not None else kmeans_centroids(
         corpus, n_cells, vec_field=vec_field, id_field=id_field)
-    v = F.col(vec_field)
     # argmin via a distance array + array_position: flat expression, one
     # distance evaluation per centroid.  (A chained when(d < best_dist)
     # fold duplicates each distance expression exponentially in depth.)
     # ||v|| is staged as a column (referenced per centroid, no CSE in
     # expressions) and centroid norms are plain Python constants.
-    corpus = corpus.withColumn("__nv", _norm(v))
+    corpus = corpus.withColumn("__nv", F.expr(_norm_sql(vec_field)))
     dexprs = ", ".join(
         f"1.0D - {_dot_const_sql(vec_field, cent)}"
         f" / (`__nv` * {_sqld(math.sqrt(sum(x * x for x in cent)) or 1.0)})"
@@ -611,8 +639,12 @@ def _md5_rank(df: DataFrame, id_col: str = "node_id"
     for bk in sorted(sizes):
         offs[bk] = acc
         acc += sizes[bk]
-    off_map = F.create_map(*[F.lit(x) for bk in sorted(offs)
-                             for x in (bk, offs[bk])])
+    # single-parse map literal: the Column form (create_map over ~512
+    # F.lit calls) cost ~0.25s of py4j round trips per build — one
+    # SQL parse builds the identical map<string,bigint> literal (keys
+    # are 2-char hex, values Python ints → bigint both ways)
+    off_map = F.expr("map(" + ", ".join(
+        f"'{bk}', {offs[bk]}L" for bk in sorted(offs)) + ")")
     local_w = Window.partitionBy("__b").orderBy(F.col("__h").asc(),
                                                 F.col(id_col).asc())
     ranked = (bucketed
@@ -630,14 +662,13 @@ def _ring_edges(ranked: DataFrame, n_rows: int,
                         F.col("__v").alias("__tv"),
                         F.col("__r").alias("__tr"))
     ring = None
+    dist_sql = f"{_cos_sql('__v', '__tv')} AS distance"
     for s in ring_skips:
         src = ranked.withColumn(
             "__tr", (F.col("__r") + F.lit(int(s))) % F.lit(int(n_rows)))
         e = (src.join(tgt, on="__tr")
                 .filter(F.col("node_id") != F.col("neighbor_id"))
-                .select("node_id", "neighbor_id",
-                        cosine_distance_cols(F.col("__v"), F.col("__tv"))
-                        .alias("distance")))
+                .selectExpr("node_id", "neighbor_id", dist_sql))
         ring = e if ring is None else ring.unionByName(e)
     return ring
 
@@ -790,7 +821,7 @@ def build_knn_graph(corpus: DataFrame, n_neighbors: int = 8,
     base = (_spread(indexed)
                    .select(F.col(id_field).alias("node_id"),
                            F.col(vec_field).alias("__v"), "cell_id")
-                   .withColumn("__nv", _norm(F.col("__v")))
+                   .withColumn("__nv", F.expr(_norm_sql("__v")))
                    # lazy: the checkpoint RDD is shared by all 3
                    # consumers below (RDD-level reuse) and materializes
                    # inside the caller's first action instead of in a
@@ -817,11 +848,10 @@ def build_knn_graph(corpus: DataFrame, n_neighbors: int = 8,
         b = F.broadcast(b)
     scored = (a.join(b, on="cell_id")
                .filter(F.col("query_id") != F.col("neighbor_id"))
-               .select("query_id", "neighbor_id",
-                       cosine_distance_prenorm(
-                           F.col("__av"), F.col("__bv"),
-                           F.col("__an"), F.col("__bn"))
-                       .alias("distance")))
+               .selectExpr("query_id", "neighbor_id",
+                           _cos_prenorm_sql("__av", "__bv",
+                                            "__an", "__bn")
+                           + " AS distance"))
     pool = (int(knn_pool) if knn_pool is not None
             else (3 * n_neighbors if prune_alpha is not None
                   else n_neighbors))
@@ -866,11 +896,9 @@ def build_knn_graph(corpus: DataFrame, n_neighbors: int = 8,
                     .select(F.col("cell_id").alias("__bc"), "hub_id",
                             "__hv"))
     bridges = (foreign.join(F.broadcast(hub_vecs), on="__bc")
-                      .select("node_id",
-                              F.col("hub_id").alias("neighbor_id"),
-                              cosine_distance_cols(F.col("__v"),
-                                                   F.col("__hv"))
-                              .alias("distance")))
+                      .selectExpr("node_id",
+                                  "hub_id AS neighbor_id",
+                                  f"{_cos_sql('__v', '__hv')} AS distance"))
 
     # (c) md5-rank ring + skips: deterministic random long-range edges
     # (``_md5_rank``: bucketed local windows + broadcast offsets — no
@@ -980,51 +1008,82 @@ def graph_search_many(graph: DataFrame, corpus: DataFrame,
     # of q_similarity_graph's 6s at sf0.1 in 4 eager jobs)
     q = (queries.select(F.col(query_id).alias("query_id"),
                         F.col(query_vec).alias("__qv"))
-         .withColumn("__qn", _norm(F.col("__qv")))
+         .withColumn("__qn", F.expr(_norm_sql("__qv")))
          .localCheckpoint(eager=False))
     c = corpus.select(F.col(id_field).alias("node_id"),
                       F.col(vec_field).alias("__cv"))
+    # scale-adaptive hop-join shape (the _fits_broadcast discipline):
+    # when the corpus' OWN file bytes fit the session broadcast
+    # threshold, the graph (3 narrow columns over the same ids) and the
+    # normed corpus fit too — broadcast both, so a hop's only shuffle
+    # is the frontier dedup.  Checkpointed graphs report no size, so
+    # Spark could never choose this itself; bigger corpora keep the
+    # shuffled joins (spillable, the safe path at scale).
+    small_mode = _fits_broadcast(corpus)
+    c_normed = (c.withColumn("__cn", F.expr(_norm_sql("__cv")))
+                 .localCheckpoint(eager=False)) if small_mode else None
     seed_col = "hub_id" if "hub_id" in seeds.columns else "node_id"
     seed_nodes = seeds.select(F.col(seed_col).alias("node_id")).distinct()
 
     def _score(pairs):
         # corpus-side norm placement (r11-verdict lens, same as
-        # ivf_search_many): broadcast-join the corpus against the
-        # DISTINCT frontier nodes FIRST, then project __cn — the
-        # O(dim) norm runs once per frontier NODE per hop (bounded by
-        # ef × (1 + degree) × |queries|, deduped across queries),
-        # never per corpus row (the old below-join placement re-normed
-        # the ENTIRE corpus every hop) and never per (query, node)
-        # pair.  Same expression → bit-identical distances.
-        nodes = pairs.select("node_id").distinct()
-        nv = (c.join(F.broadcast(nodes), on="node_id")
-               .withColumn("__cn", _norm(F.col("__cv"))))
+        # ivf_search_many): join the corpus against the DISTINCT
+        # frontier nodes FIRST, then project __cn — the O(dim) norm
+        # runs once per frontier NODE per hop (bounded by ef × (1 +
+        # degree) × |queries|, deduped across queries), never per
+        # corpus row and never per (query, node) pair.  In small_mode
+        # the pre-normed corpus checkpoint broadcasts instead (norms
+        # computed once for the whole run), skipping the per-hop
+        # frontier-distinct job.  Same expression → bit-identical
+        # distances.
+        if small_mode:
+            nv = F.broadcast(c_normed)
+        else:
+            nodes = pairs.select("node_id").distinct()
+            nv = (c.join(F.broadcast(nodes), on="node_id")
+                   .withColumn("__cn", F.expr(_norm_sql("__cv"))))
         out = (pairs.join(nv, on="node_id")
                     .join(F.broadcast(q), on="query_id")
-                    .select("query_id", "node_id",
-                            cosine_distance_prenorm(
-                                F.col("__qv"), F.col("__cv"),
-                                F.col("__qn"), F.col("__cn"))
-                            .alias("distance")))
+                    .selectExpr("query_id", "node_id",
+                                _cos_prenorm_sql("__qv", "__cv",
+                                                 "__qn", "__cn")
+                                + " AS distance"))
         if exclude_self:
             out = out.filter(F.col("query_id") != F.col("node_id"))
         return out
 
+    def _dedup(pairs):
+        # exact (query, node) dedup with ONE exchange on query_id:
+        # map-side partial collect_set shrinks duplicates before the
+        # shuffle (per-query frontier is bounded by ef × (1 + degree),
+        # so the set buffer is tiny by construction), and the result
+        # stays hash-partitioned on query_id — exactly the distribution
+        # the top-ef window needs, so the window adds NO second
+        # exchange.  A plain .distinct() exchanged on (query_id,
+        # node_id), which the window could not reuse.
+        return (pairs.groupBy("query_id")
+                     .agg(F.collect_set("node_id").alias("__ns"))
+                     .select("query_id",
+                             F.explode("__ns").alias("node_id")))
+
+    hop_graph = graph.withColumnRenamed("node_id", "__gn")
+    if small_mode:
+        hop_graph = F.broadcast(hop_graph)
     w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(),
                                                F.col("node_id").asc())
     cand = q.select("query_id").crossJoin(F.broadcast(seed_nodes))
-    probed = cand.localCheckpoint(eager=False)
+    probed = cand.localCheckpoint(eager=False) if return_probed else None
     beam = (_score(cand).withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") <= ef).drop("__r")
             .localCheckpoint(eager=False))
     for _hop in range(int(max_hops)):
         expanded = (beam.select("query_id", "node_id")
-                        .join(graph.withColumnRenamed("node_id", "__gn"),
+                        .join(hop_graph,
                               F.col("node_id") == F.col("__gn"))
                         .select("query_id",
                                 F.col("neighbor_id").alias("node_id")))
-        cand = (beam.select("query_id", "node_id")
-                    .unionByName(expanded).distinct())
+        cand = _dedup(beam.select("query_id", "node_id")
+                          .unionByName(expanded))
         if return_probed:
             probed = (probed.unionByName(cand).distinct()
                             .localCheckpoint(eager=False))
@@ -1315,23 +1374,22 @@ def hard_negatives(corpus: DataFrame, anchors: Optional[DataFrame] = None,
         q = (anchors.select(F.col(id_field).alias("query_id"),
                             F.col(label_field).alias("query_label"),
                             F.col(vec_field).alias("__qv"))
-                    .withColumn("__qn", _norm(F.col("__qv"))))
+                    .withColumn("__qn", F.expr(_norm_sql("__qv"))))
         # corpus streams the per-pair distance — spread so a one-file
         # table doesn't serialize the scoring on one core (knn_join doc)
         c = (_spread(corpus.select(F.col(id_field).alias("neighbor_id"),
                                    F.col(label_field)
                                     .alias("neighbor_label"),
                                    F.col(vec_field).alias("__cv")))
-                   .withColumn("__cn", _norm(F.col("__cv"))))
+                   .withColumn("__cn", F.expr(_norm_sql("__cv"))))
         scored = (c.crossJoin(F.broadcast(q))
                    .filter(F.col("query_id") != F.col("neighbor_id"))
                    .filter(F.col("query_label") != F.col("neighbor_label"))
-                   .select("query_id", "query_label", "neighbor_id",
-                           "neighbor_label",
-                           cosine_distance_prenorm(
-                               F.col("__qv"), F.col("__cv"),
-                               F.col("__qn"), F.col("__cn"))
-                           .alias("distance")))
+                   .selectExpr("query_id", "query_label", "neighbor_id",
+                               "neighbor_label",
+                               _cos_prenorm_sql("__qv", "__cv",
+                                                "__qn", "__cn")
+                               + " AS distance"))
     else:
         indexed, cents = ivf_build(corpus, n_cells=n_cells,
                                    vec_field=vec_field,
@@ -1343,7 +1401,7 @@ def hard_negatives(corpus: DataFrame, anchors: Optional[DataFrame] = None,
                        .select(F.col(id_field).alias("__id"),
                                F.col(label_field).alias("__lb"),
                                F.col(vec_field).alias("__v"), "cell_id")
-                       .withColumn("__nv", _norm(F.col("__v")))
+                       .withColumn("__nv", F.expr(_norm_sql("__v")))
                        .localCheckpoint(eager=False))  # anchor + corpus side
         a = (base.select(F.col("__id").alias("query_id"),
                          F.col("__lb").alias("query_label"),
@@ -1360,12 +1418,11 @@ def hard_negatives(corpus: DataFrame, anchors: Optional[DataFrame] = None,
         scored = (a.join(b, on="__pc")
                    .filter(F.col("query_id") != F.col("neighbor_id"))
                    .filter(F.col("query_label") != F.col("neighbor_label"))
-                   .select("query_id", "query_label", "neighbor_id",
-                           "neighbor_label",
-                           cosine_distance_prenorm(
-                               F.col("__qv"), F.col("__cv"),
-                               F.col("__qn"), F.col("__cn"))
-                           .alias("distance")))
+                   .selectExpr("query_id", "query_label", "neighbor_id",
+                               "neighbor_label",
+                               _cos_prenorm_sql("__qv", "__cv",
+                                                "__qn", "__cn")
+                               + " AS distance"))
     return (topk_per_query(scored, k)
             .select("query_id", "query_label", "neighbor_id",
                     "neighbor_label", "distance", "rank"))
