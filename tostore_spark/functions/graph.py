@@ -40,11 +40,15 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     multi-edges should add mass)."""
     # edges feed every round (contrib join) — materialize once instead
     # of re-evaluating the scan+distinct subtree per iteration (the
-    # dedup_clusters precedent)
+    # dedup_clusters precedent).  All the pins here are LAZY local
+    # checkpoints (the graph-loop discipline, r17/r18): lineage still
+    # truncates and each frame still evaluates exactly once (one shared
+    # checkpoint RDD), but the result stage materializes inside the
+    # caller's action instead of a dedicated driver job per pin.
     e = (edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
               .filter(F.col("__s").isNotNull() & F.col("__d").isNotNull())
               .distinct()
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     # nodes and deg feed EVERY iteration's plan (ranks_i references
     # nodes both directly and through ranks_{i-1}) — without a barrier
     # the final DAG embeds one union+distinct and one degree aggregate
@@ -53,28 +57,42 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     nodes = (e.select(F.col("__s").alias("node"))
               .union(e.select(F.col("__d")))
               .distinct()
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     deg = (e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
-            .localCheckpoint(eager=True))
+            .localCheckpoint(eager=False))
     ranks = nodes.withColumn("rank", F.lit(1.0))
     d = float(damping)
+    # scale-adaptive join shape (the _fits_broadcast discipline): the
+    # checkpointed rank/degree frames report no size, so Spark can
+    # never auto-broadcast them and every iteration pays sort-merge
+    # exchanges on BOTH join sides.  When the edge list's own backing
+    # files fit the session broadcast threshold, the node-sized frames
+    # certainly do — broadcast them, leaving the dst hash-aggregate as
+    # the iteration's only exchange.  Unknown/large inputs keep the
+    # spillable shuffle joins (the safe path at scale).  Join strategy
+    # never changes values.
+    from tostore_spark.llmops.similarity import _fits_broadcast
+    small = _fits_broadcast(edges)
+    _bc = F.broadcast if small else (lambda x: x)
+    # single-parse SQL twins of the per-iteration expressions (same
+    # Catalyst trees; repr() round-trips the damping floats exactly, so
+    # the literals match the old F.lit values bit-for-bit)
+    contrib_sql = (f"CAST(round(rank / __deg, {int(round_dp)})"
+                   " AS DECIMAL(38,18)) AS __c")
+    rank_sql = (f"round({1.0 - d!r}D + {d!r}D * coalesce(__in, 0.0D),"
+                f" {int(round_dp)}) AS rank")
     for it in range(int(n_iter)):
-        contrib = (e.join(ranks.withColumnRenamed("node", "__s"), "__s")
-                    .join(deg, "__s")
-                    .select(F.col("__d").alias("node"),
-                            F.round(F.col("rank") / F.col("__deg"), round_dp)
-                             .cast("decimal(38,18)").alias("__c")))
+        contrib = (e.join(_bc(ranks.withColumnRenamed("node", "__s")),
+                          "__s")
+                    .join(_bc(deg), "__s")
+                    .selectExpr("__d AS node", contrib_sql))
         summed = contrib.groupBy("node").agg(
             F.sum("__c").cast("double").alias("__in"))
-        ranks = (nodes.join(summed, "node", "left")
-                      .select("node",
-                              F.round(F.lit(1.0 - d)
-                                      + F.lit(d) * F.coalesce("__in",
-                                                              F.lit(0.0)),
-                                      round_dp).alias("rank")))
+        ranks = (nodes.join(_bc(summed), "node", "left")
+                      .selectExpr("node", rank_sql))
         if checkpoint_every and (it + 1) % checkpoint_every == 0 \
                 and it + 1 < n_iter:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 

@@ -776,22 +776,27 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     for _ in range(max_iterations):
         nbr_min = (edges.join(labels, edges["dst"] == labels["id"])
                    .groupBy("src").agg(F.min("label").alias("nbr")))
+        # __old rides along so the convergence check below is a plain
+        # FILTER over the round's checkpoint instead of a join back
+        # onto the previous labels (which cost two more exchanges and
+        # a dedicated job per round); the checkpoint is lazy, so the
+        # isEmpty() action materializes the round AND answers the check
+        # in ONE job (was: eager checkpoint job + join-check job).
         stepped = (labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
                    .select(labels["id"],
                            F.least(labels["label"],
                                    F.coalesce(F.col("nbr"), labels["label"])
-                                   ).alias("label")))
+                                   ).alias("label"),
+                           labels["label"].alias("__old")))
         l1, l2 = stepped.alias("l1"), stepped.alias("l2")
         jumped = (l1.join(l2, F.col("l1.label") == F.col("l2.id"), "left")
                   .select(F.col("l1.id").alias("id"),
                           F.coalesce(F.col("l2.label"),
-                                     F.col("l1.label")).alias("label"))
-                  .localCheckpoint(eager=True))
-        changed = (jumped.alias("n")
-                   .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-                   .filter(F.col("n.label") != F.col("o.label")))
-        done = changed.isEmpty()
-        labels = jumped
+                                     F.col("l1.label")).alias("label"),
+                          F.col("l1.__old").alias("__old"))
+                  .localCheckpoint(eager=False))
+        done = jumped.filter(F.col("label") != F.col("__old")).isEmpty()
+        labels = jumped.select("id", "label")
         if done:
             break
     w = Window.partitionBy("cluster_id")
