@@ -37,10 +37,12 @@ CHECKS: dict[str, list[str]] = {
     "q_vector_ip_topk": ["TakeOrderedAndProject",
                          "ReadSchema: struct<vec_id:bigint,embedding:array<float>,label:int>"],
     "q_similarity_ivf": ["PartitionFilters: [cell_id"],
-    # two-stage top-k: a per-(query, corpus-partition) pre-rank (the __pid
-    # salt) must precede the per-query window, and WindowGroupLimit must
-    # bound both sorts — no single reducer ever sorts a query's full N.
-    "q_knn_join": ["__pid", "WindowGroupLimit"],
+    # bounded top-k: the optimizer's WindowGroupLimit (Partial below the
+    # exchange, Final above) must bound the per-query window — no map
+    # task forwards more than k rows per query, no single reducer ever
+    # sorts a query's full N (r18: replaces the manual __pid pre-rank,
+    # which duplicated this bound at the cost of a second exchange).
+    "q_knn_join": ["WindowGroupLimit"],
     # distributed LPT sharding: the ranking window is partitioned by the
     # md5 hash group — never a global single-partition window
     "q_corpus_shards": ["__grp"],
@@ -50,7 +52,7 @@ CHECKS: dict[str, list[str]] = {
     # batch IVF: the broadcast of the (query, probe-cell) side is what
     # makes dynamic partition pruning possible over a persisted index,
     # and the shared two-stage top-k bounds every sort
-    "q_ivf_batch": ["BroadcastHashJoin", "WindowGroupLimit", "__pid"],
+    "q_ivf_batch": ["BroadcastHashJoin", "WindowGroupLimit"],
     # packing/caps: every ranking/cumsum window must be key-partitioned —
     # a global window (single reducer) would show an empty partition spec
     "q_pack_sequences": ["windowspecdefinition(shard#"],
@@ -60,8 +62,7 @@ CHECKS: dict[str, list[str]] = {
     "q_quality_filter": ["BroadcastNestedLoopJoin"],
     # quantized k-NN: the small quantized-query side must broadcast (the
     # corpus streams), and both top-k stages stay WindowGroupLimit-bounded
-    "q_quantized_knn": ["BroadcastNestedLoopJoin", "WindowGroupLimit",
-                        "__pid"],
+    "q_quantized_knn": ["BroadcastNestedLoopJoin", "WindowGroupLimit"],
     # PQ/ADC search: the score is pure map-side column math — the only
     # ordering operators must be bounded top-k, never a full sort
     "q_pq_search": ["TakeOrderedAndProject"],

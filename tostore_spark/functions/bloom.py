@@ -100,7 +100,7 @@ def bloom_prune(probe: DataFrame, bloom: DataFrame, key_field: str,
     # 1-row bitmap materializes once, so every downstream action pays
     # the probe scan only — without it each action re-runs the build
     # side's scan + the gap-fill join
-    compact = _bloom_compact(bloom, m_bits).localCheckpoint(eager=True)
+    compact = _bloom_compact(bloom, m_bits).localCheckpoint(eager=False)
     # membership = conjunction over the k bit tests; each conjunct is
     # scalar column math (O(1) dense-array index + shift + mask — no
     # higher-order function, see _positions), so the predicate survives

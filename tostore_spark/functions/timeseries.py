@@ -67,7 +67,7 @@ def resample(df: DataFrame, partition: str, ts_field: str, value: str,
                  # scan (the minhash-index eager-checkpoint idiom) and
                  # the materialized frame is bucket-granular, not
                  # row-granular
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
     # per-entity grid: one row per step between first and last bucket
     grid = (buckets.groupBy("__ent")
                    .agg(F.min("__idx").alias("__lo"), F.max("__idx").alias("__hi"))
@@ -283,7 +283,7 @@ def rolling_distinct(df: DataFrame, ts_field: str, entity: str,
                              F.col(entity).alias("__ent"))
                      .groupBy("__day")
                      .agg(F.hll_sketch_agg("__ent").alias("__sk"))
-                     .localCheckpoint(eager=True))
+                     .localCheckpoint(eager=False))
         days = per_day.select(F.col("__day").alias("day"))
         return (per_day.join(F.broadcast(days), cond)
                        .groupBy("day")

@@ -226,7 +226,7 @@ def minhash_lsh_pairs(df: DataFrame, text_field: str = "text",
         # the WRITTEN index — minhash_band_index persisted to storage and
         # passed back in via ``index=`` — which has neither problem.
         index = minhash_band_index(df, text_field, id_field, num_hashes,
-                                   bands, shingle_k).localCheckpoint(eager=True)
+                                   bands, shingle_k).localCheckpoint(eager=False)
     a, b = index.alias("a"), index.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.id") < F.col("b.id")))

@@ -115,7 +115,7 @@ def dsir_resample(raw: DataFrame, target: DataFrame,
     # artifact flow — has the same effect)
     ratio = dsir_ratio_table(raw, target, text_field=text_field,
                              n_buckets=n_buckets, add_k=add_k) \
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     w = dsir_weights(raw, ratio, text_field=text_field,
                      id_field=id_field, n_buckets=n_buckets)
     joined = raw.join(

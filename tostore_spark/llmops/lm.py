@@ -129,7 +129,7 @@ def train_ngram_lm(df: DataFrame, n: int = 2, add_k: float = 0.5,
     bigrams = (bg.groupBy("prev", "token")
                  .agg(F.count(F.lit(1)).alias("tf2")))
     if materialize:
-        bigrams = bigrams.localCheckpoint(eager=True)
+        bigrams = bigrams.localCheckpoint(eager=False)
     contexts = (bigrams.groupBy("prev")
                        .agg(F.sum("tf2").alias("ctf")))
     unigrams = (bigrams.groupBy("token")
@@ -196,7 +196,7 @@ def ngram_perplexity_filter(df: DataFrame, lm: NGramLM,
     # the scored frame feeds BOTH the threshold selection and the output
     # join — materialize it once (doc-count rows, 3 columns) so the
     # explode+join scoring lineage is never executed twice
-    scored = scored.localCheckpoint(eager=True)
+    scored = scored.localCheckpoint(eager=False)
     # distributed order-statistic threshold, not the percentile
     # value-map aggregate (repo-wide rule; see plans/stats)
     from tostore_spark.plans.stats import exact_percentiles_frame
@@ -267,7 +267,7 @@ def ppl_buckets(scored: DataFrame, bits_field: str = "bits_per_token",
         raise ValueError("cuts must be ascending")
     if materialize and not (by is not None and exact):
         # grouped-exact is single-reference (see docstring) — never pin
-        scored = scored.localCheckpoint(eager=True)
+        scored = scored.localCheckpoint(eager=False)
     if by is None:
         from tostore_spark.plans.stats import exact_percentiles_frame
         bounds = exact_percentiles_frame(scored, bits_field, list(cuts))
@@ -408,7 +408,7 @@ def train_trigram_lm(df: DataFrame, add_k: float = 0.5,
     trigrams = (tg.groupBy("prev2", "prev", "token")
                   .agg(F.count(F.lit(1)).alias("tf3")))
     if materialize:
-        trigrams = trigrams.localCheckpoint(eager=True)
+        trigrams = trigrams.localCheckpoint(eager=False)
     contexts2 = (trigrams.groupBy("prev2", "prev")
                          .agg(F.sum("tf3").alias("ctf3")))
     bigrams = (trigrams.groupBy("prev", "token")

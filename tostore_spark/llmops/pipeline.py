@@ -208,20 +208,23 @@ def split_corpus(df: DataFrame,
 
 
 def _stage_barrier(df: DataFrame, materialize, warehouse_dir,
-                   stage: str) -> DataFrame:
+                   stage: str, eager: bool = False) -> DataFrame:
     """Materialization barrier between curate_corpus stages.
 
-    ``"localCheckpoint"``: eager checkpoint — downstream stages read the
+    ``"localCheckpoint"``: local checkpoint — downstream stages read the
     computed partitions, not the upstream DAG (same barrier the minhash
-    index uses at ``dedup.minhash_lsh_pairs``).  ``"warehouse"``: write
-    the stage to ``<warehouse_dir>/<stage>/`` as parquet and read it
-    back — restartable and inspectable, the form a multi-day 100 TB run
-    wants.  ``None``: no barrier (the pure-DAG composition; upstream
+    index uses at ``dedup.minhash_lsh_pairs``).  Lazy by default (the
+    caller's first action materializes it — one fewer job per stage);
+    ``eager=True`` when the materialization itself must be the action
+    (the report path's Observation counts fill on it).  ``"warehouse"``:
+    write the stage to ``<warehouse_dir>/<stage>/`` as parquet and read
+    it back — restartable and inspectable, the form a multi-day 100 TB
+    run wants.  ``None``: no barrier (the pure-DAG composition; upstream
     branches re-evaluate)."""
     if not materialize:
         return df
     if materialize == "localCheckpoint":
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
     if materialize == "warehouse":
         if not warehouse_dir:
             raise ValueError(
@@ -331,7 +334,11 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
 
             obs = Observation(stage)
             df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-            out = _stage_barrier(df, materialize, warehouse_dir, stage)
+            # eager: the Observation's count fills on the barrier's own
+            # materialization — a lazy barrier would leave obs.get
+            # waiting on an action that hasn't run
+            out = _stage_barrier(df, materialize, warehouse_dir, stage,
+                                 eager=True)
             report[stage] = obs.get["rows"]
             return out
         return _stage_barrier(df, materialize, warehouse_dir, stage)
@@ -408,7 +415,7 @@ def curate_corpus(docs: DataFrame, bench: DataFrame | None = None,
                 # join — pin it once so the explode+joins never rerun
                 scored = NLM.trigram_bits_per_token(
                     out, model, text_field=text_field, id_field=id_field
-                ).localCheckpoint(eager=True)
+                ).localCheckpoint(eager=False)
                 from tostore_spark.plans.stats import \
                     exact_percentiles_frame
                 thr = (exact_percentiles_frame(

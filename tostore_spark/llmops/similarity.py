@@ -1115,7 +1115,7 @@ def graph_measure_recall(graph: DataFrame, corpus: DataFrame,
                         F.col(id_field).asc())
                .limit(n_queries)
                .select(id_field, vec_field)
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
     nq = queries.count()
     n_corpus = corpus.count()
     approx, probed = graph_search_many(
@@ -1248,7 +1248,7 @@ def graph_append(spark, path: str, corpus: DataFrame,
     tomb = _graph_tombstones(spark, path)
     batch = (new_nodes.select(F.col(id_field).alias("node_id"),
                               F.col(vec_field).alias("__v"))
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     n = batch.count()
     if n == 0:
         return 0

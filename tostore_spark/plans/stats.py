@@ -249,8 +249,12 @@ def _bucketize(spark, vals: DataFrame, nb: int, edges=None):
     for e in edges:
         term = (F.col("__v") >= F.lit(float(e))).cast("int")
         bucket_id = term if bucket_id is None else bucket_id + term
+    # lazy: the counting collect below is the first action, so it
+    # materializes the checkpoint in the SAME job (one evaluation —
+    # the determinism guarantee is the single checkpoint RDD, not the
+    # eagerness) instead of paying a dedicated pin job first
     bucketed = (vals.withColumn("__b", bucket_id)
-                    .localCheckpoint(eager=True))
+                    .localCheckpoint(eager=False))
     # stage 2: exact per-bucket counts + min/max -> offsets (<= nb rows)
     cnt_rows = bucketed.groupBy("__b").agg(
         F.count(F.lit(1)).alias("c"),
@@ -813,7 +817,7 @@ def drift_report(ref: DataFrame, cur: DataFrame, col: str,
                                 + (F.col("bucket") + 1) * w)
               .select("bucket", "lo", "hi", "n_ref", "n_cur",
                       "p_ref", "p_cur", "psi")
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     psi_total = out.agg(F.sum(
         F.round(F.col("psi"), 9).cast("decimal(28,9)")).cast("double")
         .alias("psi_total"))
@@ -867,7 +871,7 @@ def drift_report_categorical(ref: DataFrame, cur: DataFrame, col: str,
     # re-reads it (else both side scans execute a second time)
     out = (out.select("category", "n_ref", "n_cur", "p_ref", "p_cur",
                       "psi")
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     psi_total = out.agg(F.sum(
         F.round(F.col("psi"), 9).cast("decimal(28,9)")).cast("double")
         .alias("psi_total"))
@@ -965,7 +969,7 @@ def drift_report_quantile(ref: DataFrame, cur: DataFrame, col: str,
                           F.element_at(hi_map, F.col("bucket") + 1))
               .select("bucket", "edge_lo", "edge_hi", "n_ref",
                       "n_cur", "p_ref", "p_cur", "psi")
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     psi_total = out.agg(F.sum(
         F.round(F.col("psi"), 9).cast("decimal(28,9)")).cast("double")
         .alias("psi_total"))
