@@ -127,7 +127,7 @@ def train_bpe(df: DataFrame, num_merges: int = 50, min_count: int = 2,
     dominate the pairs their merges newly create (the typical Zipfian
     corpus case — and exactly the regime where batching pays).  B=1 IS
     the serial algorithm."""
-    sym = word_symbols(df, text_field=text_field).localCheckpoint(eager=True)
+    sym = word_symbols(df, text_field=text_field).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     since_ckpt = 0
     while len(merges) < num_merges:
@@ -157,10 +157,10 @@ def train_bpe(df: DataFrame, num_merges: int = 50, min_count: int = 2,
         sym = sym.withColumn("sym", col)
         since_ckpt += len(chosen)
         if since_ckpt >= checkpoint_every:
-            sym = sym.localCheckpoint(eager=True)
+            sym = sym.localCheckpoint(eager=False)
             since_ckpt = 0
     return BPEModel(merges=merges,
-                    word_tokens=sym.localCheckpoint(eager=True))
+                    word_tokens=sym.localCheckpoint(eager=False))
 
 
 def tokenize_bpe(df: DataFrame, model: BPEModel,
